@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory with the engine's scale-oriented defaults.
+  *
+  * Mirrors the role of Drill's bootstrap options (reference:
+  * exec/java-exec/src/main/resources/drill-module.conf) but expressed as
+  * Spark SQL conf: AQE on (runtime re-plan ≈ Drill's parallelizer),
+  * skew-join handling, broadcast threshold for dimension tables, and a
+  * shuffle-partition count sized to the local core count (at cluster
+  * scale this is 2-3x total cores + AQE coalesce).
+  */
+object GraftSession {
+
+  def builder(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
+              shufflePartitions: Int = 32): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      // TIMESTAMP(NANOS) parquet columns (e.g. events.ts) surface as
+      // BIGINT nanos — Spark has no ns timestamp type.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.aggregatePushdown", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.maxResultSize", "2g")
+
+  def getOrCreate(): SparkSession = {
+    val s = builder().getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Load one of the standard test tables from a scale-factor directory. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+}

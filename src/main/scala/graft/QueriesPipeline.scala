@@ -1,0 +1,195 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Dedup, Similarity, TextAnalysis}
+import graft.streaming.Events
+
+/** §2.4 + §2.5 coverage: LLM-pipeline operators and stream semantics,
+  * each with a DuckDB oracle (exact all-pairs/SQL re-derivations at
+  * sf0.01 scale; the Spark side uses the scalable formulation).
+  */
+object QueriesPipeline {
+  import GraftSession.{table => T}
+
+  // DuckDB-side normalized text, identical to TextAnalysis.normalize
+  private val NORM = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
+
+  val queries: Map[String, QueriesRelational.Q] = Map(
+    "q_dedup_exact" -> ((s, d) => {
+      // construct a corpus with planted exact dups (docs ∪ shifted copy)
+      val docs = T(s, d, "documents").select("doc_id", "text")
+      val dupped = docs.unionAll(
+        docs.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      Dedup.exactDupStats(dupped, "doc_id", "text")
+        .select(col("keeper_id"), col("copies"))
+    }),
+
+    "q_dedup_minhash" -> ((s, d) =>
+      // threshold 1.0: identical token sets => identical MinHash signature
+      // => recall is exactly 1 vs the all-pairs oracle; LSH params are the
+      // single-band "full signature" configuration (see Scaladoc).
+      Dedup.minhashNearDups(T(s, d, "documents"), "doc_id", "text",
+        numHashes = 64, bands = 1, threshold = 1.0, maxBucket = 100000)),
+
+    "q_dedup_simhash" -> ((s, d) =>
+      Dedup.simhashPortableNearDups(T(s, d, "documents"), "doc_id", "text",
+        maxHamming = 3)),
+
+    "q_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(T(s, d, "documents"), "doc_id", "text",
+        n = 1, threshold = 0.95)),
+
+    "q_embed_neardup" -> ((s, d) => {
+      val e = T(s, d, "embeddings")
+      e.as("a").join(broadcast(e.as("b")), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+          round(Similarity.cosine(col("a.embedding"), col("b.embedding")), 6).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.4)
+    }),
+
+    "q_ann_bruteforce" -> ((s, d) => {
+      val e = T(s, d, "embeddings")
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), k = 5)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    }),
+
+    "q_lang_id" -> ((s, d) =>
+      T(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.languageId(col("text")).as("lang_pred"))),
+
+    "q_text_quality" -> ((s, d) =>
+      T(s, d, "documents").select(col("doc_id"),
+        round(TextAnalysis.punctRatio(col("text")), 6).as("punct_ratio"),
+        round(TextAnalysis.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+        TextAnalysis.qualityScoreBp(col("text")).as("quality_bp"))),
+
+    "q_token_count" -> ((s, d) =>
+      T(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCountWs(col("text")).as("n_ws_tokens"),
+        TextAnalysis.tokenCountBpe(col("text")).as("n_bpe_tokens"))),
+
+    "q_fingerprint" -> ((s, d) =>
+      T(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))),
+
+    "q_window_tumbling" -> ((s, d) =>
+      Events.tumblingAgg(T(s, d, "events"), 300)),
+
+    "q_sessionize" -> ((s, d) =>
+      Events.sessionize(T(s, d, "events"), 1800)))
+
+  private val SIMHASH_ORACLE = s"""
+    WITH d AS (SELECT doc_id, $NORM AS norm FROM documents),
+    toks AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS tok FROM d),
+    th AS (SELECT doc_id, tok,
+       (strpos('0123456789abcdef', substr(md5(tok),1,1))-1)*268435456
+      +(strpos('0123456789abcdef', substr(md5(tok),2,1))-1)*16777216
+      +(strpos('0123456789abcdef', substr(md5(tok),3,1))-1)*1048576
+      +(strpos('0123456789abcdef', substr(md5(tok),4,1))-1)*65536
+      +(strpos('0123456789abcdef', substr(md5(tok),5,1))-1)*4096
+      +(strpos('0123456789abcdef', substr(md5(tok),6,1))-1)*256
+      +(strpos('0123456789abcdef', substr(md5(tok),7,1))-1)*16
+      +(strpos('0123456789abcdef', substr(md5(tok),8,1))-1) AS h FROM toks),
+    bits AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS sgn
+      FROM th CROSS JOIN (SELECT unnest(range(0,32)) AS b) GROUP BY 1, 2),
+    sig AS (SELECT doc_id, sum(CASE WHEN sgn > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS sig
+      FROM bits GROUP BY 1)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.sig, b.sig))::INT AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 3"""
+
+  private def jaccardOracle(threshold: String) = s"""
+    WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split($NORM, ' '))) AS g FROM documents),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY 1),
+    inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+      FROM toks a JOIN toks b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+    SELECT ia AS id_a, ib AS id_b, round(i::DOUBLE / (sa.sz + sb.sz - i), 6) AS jaccard
+    FROM inter JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
+    WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= $threshold"""
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_exact" -> s"""
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id + 1000000, text FROM documents)
+      SELECT min(doc_id) AS keeper_id, count(*) AS copies
+      FROM (SELECT doc_id, $NORM AS norm FROM corpus)
+      GROUP BY norm HAVING count(*) > 1""",
+    "q_dedup_minhash" -> jaccardOracle("1.0"),
+    "q_dedup_simhash" -> SIMHASH_ORACLE,
+    "q_ngram_jaccard" -> jaccardOracle("0.95"),
+    "q_embed_neardup" -> """
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+          / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+             * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cos_sim
+      FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
+        AND list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+          / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+             * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.4""",
+    "q_ann_bruteforce" -> """
+      WITH scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+            / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+               * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6) AS cos_sim
+        FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id != q.vec_id)
+      SELECT query_id, neighbor_id, cos_sim, rank FROM (
+        SELECT query_id, neighbor_id, cos_sim,
+          row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM scored) WHERE rank <= 5""",
+    "q_lang_id" -> s"""
+      WITH t AS (SELECT doc_id, string_split($NORM, ' ') AS w FROM documents),
+      sc AS (SELECT doc_id,
+        len(list_filter(w, x -> x IN ('the','a','of','and','is'))) AS s_en,
+        len(list_filter(w, x -> x IN ('der','die','das','und','ist'))) AS s_de,
+        len(list_filter(w, x -> x IN ('el','la','de','y','es'))) AS s_es,
+        len(list_filter(w, x -> x IN ('le','la','de','et','est'))) AS s_fr
+        FROM t)
+      SELECT doc_id, CASE
+        WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+        WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+        WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+        WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+        ELSE 'fr' END AS lang_pred FROM sc""",
+    "q_text_quality" -> s"""
+      WITH t AS (SELECT doc_id, text, $NORM AS norm FROM documents),
+      m AS (SELECT doc_id, text,
+        CASE WHEN length(text) > 0 THEN
+          (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))::DOUBLE / length(text)
+        ELSE 0.0 END AS punct,
+        CASE WHEN len(string_split(norm, ' ')) > 0 THEN
+          len(list_filter(string_split(norm, ' '),
+              x -> x IN ('the','a','an','of','and','to','in','is','it','that')))::DOUBLE
+            / len(string_split(norm, ' '))
+        ELSE 0.0 END AS stop
+        FROM t)
+      SELECT doc_id, round(punct, 6) AS punct_ratio, round(stop, 6) AS stopword_ratio,
+        floor((least(length(text)::DOUBLE / 500.0, 1.0) * 0.4
+          + (1.0 - punct) * 0.3 + least(stop * 5, 1.0) * 0.3) * 10000)::BIGINT AS quality_bp
+      FROM m""",
+    "q_token_count" -> s"""
+      SELECT doc_id, len(string_split($NORM, ' ')) AS n_ws_tokens,
+        len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens
+      FROM documents""",
+    "q_fingerprint" -> s"SELECT doc_id, md5($NORM) AS fp FROM documents",
+    "q_window_tumbling" -> """
+      SELECT (epoch_ns(ts) // 1000000000) // 300 AS window_id, event_type,
+        count(*) AS n_events, round(sum(value), 2) AS sum_value
+      FROM events GROUP BY 1, 2""",
+    "q_sessionize" -> """
+      WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS sec, value,
+          ts FROM events),
+      marked AS (SELECT user_id, sec, value, ts,
+        CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_sess
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      sessed AS (SELECT user_id, sec, value,
+        sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_seq
+        FROM marked)
+      SELECT user_id, sess_seq, count(*) AS n_events, min(sec) AS start_sec,
+        max(sec) AS end_sec, round(sum(value), 2) AS sum_value
+      FROM sessed GROUP BY user_id, sess_seq""")
+}

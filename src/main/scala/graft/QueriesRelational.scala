@@ -1,0 +1,396 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.operators.ComplexOps
+
+/** §2.1 relational-core coverage: each entry is (spark, sfDir) => DataFrame
+  * with a DuckDB oracle in `oracle`. Column aliases match the oracle
+  * exactly (the driver hash-compares by column name).
+  *
+  * Determinism rules used throughout (see SURVEY §5): money sums rounded
+  * to 2dp, ratios 4-6dp, dates cast to DATE, no raw ns timestamps.
+  */
+object QueriesRelational {
+  import GraftSession.{table => T}
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "q_scan_project" -> ((s, d) =>
+      T(s, d, "lineitem")
+        .filter(col("l_orderkey") < 1000)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice"), 2).as("price"))),
+
+    "q_filter_pushdown" -> ((s, d) =>
+      T(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+          col("l_quantity") < 10)
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("l_extendedprice")), 2).as("revenue"))),
+
+    "q1_agg" -> ((s, d) =>
+      T(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_extendedprice"), 4).as("avg_price"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))),
+
+    "q_sorted_agg" -> ((s, d) =>
+      // Drill's StreamingAgg consumes sorted input; in Spark the same
+      // physical choice is sort-based agg — semantics identical.
+      T(s, d, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_items"), round(sum("l_quantity"), 2).as("sum_qty"))),
+
+    "q_hash_join" -> ((s, d) =>
+      T(s, d, "orders").join(T(s, d, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("revenue"))),
+
+    "q_broadcast_join" -> ((s, d) =>
+      T(s, d, "lineitem").join(broadcast(T(s, d, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum("l_extendedprice"), 2).as("revenue"))),
+
+    "q_multi_join" -> ((s, d) =>
+      T(s, d, "customer")
+        .join(T(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(T(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(T(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(T(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("c_mktsegment") === "BUILDING")
+        .groupBy("r_name", "n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_rows"))),
+
+    "q_outer_join" -> ((s, d) =>
+      T(s, d, "customer").join(T(s, d, "orders"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))),
+
+    "q_full_outer_join" -> ((s, d) => {
+      val sup = T(s, d, "supplier").filter(col("s_acctbal") > 3000)
+        .groupBy(col("s_nationkey").as("snk")).agg(count(lit(1)).as("n_sup"))
+      val cust = T(s, d, "customer").filter(col("c_acctbal") > 8000)
+        .groupBy(col("c_nationkey").as("cnk")).agg(count(lit(1)).as("n_cust"))
+      sup.join(cust, col("snk") === col("cnk"), "full_outer")
+        .select(coalesce(col("snk"), col("cnk")).as("nationkey"),
+          col("n_sup"), col("n_cust"))
+    }),
+
+    "q_semi_join" -> ((s, d) =>
+      T(s, d, "customer").join(T(s, d, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")),
+
+    "q_anti_join" -> ((s, d) =>
+      T(s, d, "customer").join(T(s, d, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")),
+
+    "q_cross_join" -> ((s, d) =>
+      T(s, d, "region").select("r_name")
+        .crossJoin(T(s, d, "orders").select("o_orderstatus").distinct())),
+
+    "q_lateral_unnest" -> ((s, d) =>
+      T(s, d, "documents")
+        .select(col("doc_id"),
+          explode(split(graft.pipeline.TextAnalysis.normalize(col("text")), " ")).as("word"))
+        .groupBy("word")
+        .agg(count(lit(1)).as("n_occur"), count_distinct(col("doc_id")).as("n_docs"))),
+
+    "q_sort" -> ((s, d) =>
+      T(s, d, "customer").select(col("c_custkey"),
+        round(col("c_acctbal"), 2).as("bal"),
+        row_number().over(Window.orderBy(col("c_acctbal").desc, col("c_custkey"))).as("pos"))),
+
+    "q_topn" -> ((s, d) =>
+      ComplexOps.topN(T(s, d, "orders"), 10, col("o_totalprice").desc, col("o_orderkey"))
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))),
+
+    "q_limit_offset" -> ((s, d) =>
+      T(s, d, "orders").orderBy("o_orderkey").select("o_orderkey")
+        .offset(5).limit(20)),
+
+    "q_distinct" -> ((s, d) =>
+      T(s, d, "customer").select("c_mktsegment", "c_nationkey").distinct()),
+
+    "q_union_all" -> ((s, d) =>
+      T(s, d, "customer").select(col("c_custkey").as("id"), lit("cust").as("src"))
+        .unionAll(T(s, d, "supplier").select(col("s_suppkey").as("id"), lit("supp").as("src")))),
+
+    "q_union_distinct" -> ((s, d) =>
+      T(s, d, "customer").select(col("c_nationkey").as("nk"))
+        .union(T(s, d, "supplier").select(col("s_nationkey").as("nk"))).distinct()),
+
+    "q_intersect" -> ((s, d) =>
+      T(s, d, "customer").select(col("c_custkey").as("k"))
+        .intersect(T(s, d, "orders").select(col("o_custkey").as("k")))),
+
+    "q_except" -> ((s, d) =>
+      T(s, d, "customer").select(col("c_custkey").as("k"))
+        .except(T(s, d, "orders").select(col("o_custkey").as("k")))),
+
+    "q_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      T(s, d, "customer").select(col("c_custkey"), col("c_mktsegment"),
+        rank().over(w).as("rnk"), dense_rank().over(w).as("drnk"),
+        row_number().over(w).as("rn"))
+    }),
+
+    "q_window_laglead" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      T(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+        round(lag("o_totalprice", 1).over(w), 2).as("prev_price"),
+        round(lead("o_totalprice", 1).over(w), 2).as("next_price"))
+    }),
+
+    "q_window_running" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+        round(sum("o_totalprice").over(w), 2).as("run_total"))
+    }),
+
+    "q_window_ntile" -> ((s, d) => {
+      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+      T(s, d, "customer").select(col("c_custkey"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"))
+    }),
+
+    "q_rollup" -> ((s, d) =>
+      T(s, d, "customer")
+        .rollup("c_mktsegment", "c_nationkey")
+        .agg(count(lit(1)).as("n"), round(sum("c_acctbal"), 2).as("bal"))),
+
+    "q_having" -> ((s, d) =>
+      T(s, d, "part").groupBy("p_brand").agg(count(lit(1)).as("n"))
+        .filter(col("n") > 20)),
+
+    "q_scalar_subquery" -> ((s, d) => {
+      views(s, d, "customer")
+      s.sql("""SELECT c_custkey,
+               round(c_acctbal - (SELECT avg(c_acctbal) FROM customer), 4) AS diff_from_avg
+               FROM customer""")
+    }),
+
+    "q_correlated_subquery" -> ((s, d) => {
+      views(s, d, "customer")
+      s.sql("""SELECT c_custkey, c_nationkey FROM customer c
+               WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                                  WHERE c2.c_nationkey = c.c_nationkey)""")
+    }),
+
+    "q_cte" -> ((s, d) => {
+      views(s, d, "orders")
+      s.sql("""WITH big_orders AS (SELECT * FROM orders WHERE o_totalprice > 100000)
+               SELECT o_orderstatus, count(*) AS n,
+                      round(sum(o_totalprice), 2) AS total
+               FROM big_orders GROUP BY o_orderstatus""")
+    }),
+
+    "q_values" -> ((s, d) => {
+      views(s, d, "region")
+      s.sql("""SELECT t.k, t.label, r_name
+               FROM (VALUES (0,'zero'),(1,'one'),(2,'two')) AS t(k, label)
+               JOIN region ON r_regionkey = t.k""")
+    }),
+
+    "q_case" -> ((s, d) =>
+      T(s, d, "orders")
+        .select(when(col("o_totalprice") > 150000, "high")
+          .when(col("o_totalprice") > 50000, "mid")
+          .otherwise("low").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))),
+
+    "q_pivot" -> ((s, d) =>
+      T(s, d, "orders").join(T(s, d, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .count()
+        .na.fill(0L)
+        .toDF("c_mktsegment", "n_o", "n_f", "n_p")),
+
+    "q_unpivot" -> ((s, d) =>
+      T(s, d, "lineitem").filter(col("l_orderkey") < 100)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(round(col("l_quantity"), 4).as("l_quantity"),
+            round(col("l_discount"), 4).as("l_discount"),
+            round(col("l_tax"), 4).as("l_tax")),
+          "measure", "val")),
+
+    "q_flatten" -> ((s, d) =>
+      T(s, d, "documents").select(col("doc_id"),
+        explode(split(graft.pipeline.TextAnalysis.normalize(col("text")), " ")).as("word"))),
+
+    "q_kvgen" -> ((s, d) =>
+      T(s, d, "events").select(col("event_id"),
+          explode(graft.functions.DrillFunctions.convertFromJsonMap(col("props"))))),
+
+    "q_range_partition" -> ((s, d) =>
+      // distributed total-order primitive; correctness = the sorted result
+      ComplexOps.rangePartitionSort(
+          T(s, d, "orders").select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price")),
+          8, col("o_orderkey"))),
+
+    "q_table_stats" -> ((s, d) =>
+      ComplexOps.tableStats(T(s, d, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))),
+
+    "q_json_schema_on_read" -> ((s, d) => {
+      val ev = T(s, d, "events")
+      val inferred = graft.sources.SchemaOnRead.inferJsonColumn(ev, "props")
+      inferred.select(col("event_id"), col("props_parsed.k").as("k_val"))
+        .filter(col("k_val").isNotNull)
+    }))
+
+  private def views(s: SparkSession, d: String, names: String*): Unit =
+    names.foreach(n => T(s, d, n).createOrReplaceTempView(n))
+
+  val oracle: Map[String, String] = Map(
+    "q_scan_project" ->
+      "SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price FROM lineitem WHERE l_orderkey < 1000",
+    "q_filter_pushdown" ->
+      "SELECT count(*) AS cnt, round(sum(l_extendedprice), 2) AS revenue FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_quantity < 10",
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
+         round(sum(l_extendedprice),2) AS sum_base_price,
+         round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+         round(avg(l_quantity),4) AS avg_qty, round(avg(l_extendedprice),4) AS avg_price,
+         round(avg(l_discount),6) AS avg_disc, count(*) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "q_sorted_agg" ->
+      "SELECT l_orderkey, count(*) AS n_items, round(sum(l_quantity),2) AS sum_qty FROM lineitem GROUP BY l_orderkey",
+    "q_hash_join" ->
+      "SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice),2) AS revenue FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment",
+    "q_broadcast_join" ->
+      "SELECT p_brand, count(*) AS n_items, round(sum(l_extendedprice),2) AS revenue FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand",
+    "q_multi_join" ->
+      """SELECT r_name, n_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue, count(*) AS n_rows
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE c_mktsegment = 'BUILDING' GROUP BY r_name, n_name""",
+    "q_outer_join" ->
+      "SELECT c_custkey, count(o_orderkey) AS n_orders FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey",
+    "q_full_outer_join" ->
+      """SELECT coalesce(snk, cnk) AS nationkey, n_sup, n_cust FROM
+         (SELECT s_nationkey AS snk, count(*) AS n_sup FROM supplier WHERE s_acctbal > 3000 GROUP BY 1) s
+         FULL OUTER JOIN
+         (SELECT c_nationkey AS cnk, count(*) AS n_cust FROM customer WHERE c_acctbal > 8000 GROUP BY 1) c
+         ON snk = cnk""",
+    "q_semi_join" ->
+      "SELECT c_custkey, c_name FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+    "q_anti_join" ->
+      "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+    "q_cross_join" ->
+      "SELECT r_name, o_orderstatus FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) t",
+    "q_lateral_unnest" ->
+      """SELECT word, count(*) AS n_occur, count(DISTINCT doc_id) AS n_docs FROM
+         (SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word
+          FROM documents) GROUP BY word""",
+    "q_sort" ->
+      "SELECT c_custkey, round(c_acctbal, 2) AS bal, row_number() OVER (ORDER BY c_acctbal DESC, c_custkey) AS pos FROM customer",
+    "q_topn" ->
+      "SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    "q_limit_offset" ->
+      "SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 20 OFFSET 5",
+    "q_distinct" ->
+      "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+    "q_union_all" ->
+      "SELECT c_custkey AS id, 'cust' AS src FROM customer UNION ALL SELECT s_suppkey AS id, 'supp' AS src FROM supplier",
+    "q_union_distinct" ->
+      "SELECT c_nationkey AS nk FROM customer UNION SELECT s_nationkey AS nk FROM supplier",
+    "q_intersect" ->
+      "SELECT c_custkey AS k FROM customer INTERSECT SELECT o_custkey AS k FROM orders",
+    "q_except" ->
+      "SELECT c_custkey AS k FROM customer EXCEPT SELECT o_custkey AS k FROM orders",
+    "q_window_rank" ->
+      """SELECT c_custkey, c_mktsegment,
+         rank() OVER w AS rnk, dense_rank() OVER w AS drnk, row_number() OVER w AS rn
+         FROM customer WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)""",
+    "q_window_laglead" ->
+      """SELECT o_orderkey, o_custkey,
+         round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
+         round(lead(o_totalprice, 1) OVER w, 2) AS next_price
+         FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+    "q_window_running" ->
+      """SELECT o_orderkey, o_custkey,
+         round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_total
+         FROM orders""",
+    "q_window_ntile" ->
+      """SELECT c_custkey, ntile(4) OVER w AS quartile,
+         round(percent_rank() OVER w, 6) AS pr, round(cume_dist() OVER w, 6) AS cd
+         FROM customer WINDOW w AS (ORDER BY c_acctbal, c_custkey)""",
+    "q_rollup" ->
+      "SELECT c_mktsegment, c_nationkey, count(*) AS n, round(sum(c_acctbal),2) AS bal FROM customer GROUP BY ROLLUP(c_mktsegment, c_nationkey)",
+    "q_having" ->
+      "SELECT p_brand, count(*) AS n FROM part GROUP BY p_brand HAVING count(*) > 20",
+    "q_scalar_subquery" ->
+      "SELECT c_custkey, round(c_acctbal - (SELECT avg(c_acctbal) FROM customer), 4) AS diff_from_avg FROM customer",
+    "q_correlated_subquery" ->
+      """SELECT c_custkey, c_nationkey FROM customer c
+         WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)""",
+    "q_cte" ->
+      """WITH big_orders AS (SELECT * FROM orders WHERE o_totalprice > 100000)
+         SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+         FROM big_orders GROUP BY o_orderstatus""",
+    "q_values" ->
+      """SELECT t.k, t.label, r_name FROM (VALUES (0,'zero'),(1,'one'),(2,'two')) AS t(k, label)
+         JOIN region ON r_regionkey = t.k""",
+    "q_case" ->
+      """SELECT CASE WHEN o_totalprice > 150000 THEN 'high'
+                WHEN o_totalprice > 50000 THEN 'mid' ELSE 'low' END AS bucket,
+         count(*) AS n FROM orders GROUP BY 1""",
+    "q_pivot" ->
+      """SELECT c_mktsegment,
+         count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+         count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+         count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+         FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment""",
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, round(l_quantity,4) AS val FROM lineitem WHERE l_orderkey < 100
+         UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', round(l_discount,4) FROM lineitem WHERE l_orderkey < 100
+         UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', round(l_tax,4) FROM lineitem WHERE l_orderkey < 100""",
+    "q_flatten" ->
+      """SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word FROM documents""",
+    "q_kvgen" ->
+      """SELECT event_id, k AS key, json_extract(props, '$.' || k)::BIGINT AS value
+         FROM (SELECT event_id, props, unnest(json_keys(props)) AS k FROM events)""",
+    "q_range_partition" ->
+      "SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders",
+    "q_table_stats" ->
+      """SELECT count(l_quantity)::BIGINT AS l_quantity_count, count(DISTINCT l_quantity) AS l_quantity_ndv,
+         round(min(l_quantity)::DOUBLE, 6) AS l_quantity_min, round(max(l_quantity)::DOUBLE, 6) AS l_quantity_max,
+         round(avg(l_quantity), 6) AS l_quantity_avg,
+         count(l_extendedprice)::BIGINT AS l_extendedprice_count, count(DISTINCT l_extendedprice) AS l_extendedprice_ndv,
+         round(min(l_extendedprice)::DOUBLE, 6) AS l_extendedprice_min, round(max(l_extendedprice)::DOUBLE, 6) AS l_extendedprice_max,
+         round(avg(l_extendedprice), 6) AS l_extendedprice_avg,
+         count(l_discount)::BIGINT AS l_discount_count, count(DISTINCT l_discount) AS l_discount_ndv,
+         round(min(l_discount)::DOUBLE, 6) AS l_discount_min, round(max(l_discount)::DOUBLE, 6) AS l_discount_max,
+         round(avg(l_discount), 6) AS l_discount_avg
+         FROM lineitem""",
+    "q_json_schema_on_read" ->
+      "SELECT event_id, json_extract(props, '$.k')::BIGINT AS k_val FROM events WHERE json_extract(props, '$.k') IS NOT NULL")
+}

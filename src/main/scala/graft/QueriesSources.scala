@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.SchemaOnRead
+
+/** §2.3 coverage: schema-on-read format readers over the static fixture
+  * files in testfiles/ (committed, deterministic). Oracles either read the
+  * same file with DuckDB's auto-readers or re-derive the parse from
+  * inline VALUES mirroring the exact file content.
+  */
+object QueriesSources {
+
+  private val Dir = "/root/repo/testfiles"
+
+  val queries: Map[String, QueriesRelational.Q] = Map(
+    "q_read_json" -> ((s, _) =>
+      SchemaOnRead.json(s, s"$Dir/sample.jsonl")
+        .select(col("id"), col("name"), col("score"), col("active"))),
+
+    "q_read_csv" -> ((s, _) =>
+      SchemaOnRead.csv(s, s"$Dir/sample.csv")
+        .select(col("id"), col("name"), col("qty"),
+          round(col("price"), 4).as("price"))),
+
+    "q_read_log" -> ((s, _) =>
+      SchemaOnRead.regexLog(s, s"$Dir/app.log",
+        "^(\\w+) (\\S+) (\\w+) (.*)$",
+        Seq("level", "ts_raw", "component", "message"))
+        .groupBy("level", "component").agg(count(lit(1)).as("n"))),
+
+    "q_read_ltsv" -> ((s, _) =>
+      SchemaOnRead.ltsv(s, s"$Dir/app.ltsv")
+        .select(
+          col("fields")("host").as("host"),
+          col("fields")("status").cast("int").as("status"),
+          col("fields")("path").as("path"),
+          col("fields")("time_ms").cast("long").as("time_ms"))),
+
+    "q_read_httpd" -> ((s, _) =>
+      SchemaOnRead.httpdLog(s, s"$Dir/access.log")
+        .select("client_ip", "auth_user", "method", "request_uri", "status", "bytes")))
+
+  val oracle: Map[String, String] = Map(
+    "q_read_json" ->
+      s"SELECT id, name, score, active FROM read_json_auto('$Dir/sample.jsonl')",
+    "q_read_csv" ->
+      s"SELECT id, name, qty, round(price, 4) AS price FROM read_csv_auto('$Dir/sample.csv')",
+    "q_read_log" -> """
+      WITH lines(value) AS (VALUES
+        ('INFO 2024-01-01T00:00:01 core started worker pool size 8'),
+        ('WARN 2024-01-01T00:05:12 io disk latency high on vol2'),
+        ('ERROR 2024-01-01T00:07:45 net connection refused to peer 10.0.0.7'),
+        ('INFO 2024-01-01T00:09:01 core checkpoint complete in 124ms'),
+        ('DEBUG 2024-01-01T00:11:30 sql plan cache hit ratio 0.93'),
+        ('ERROR 2024-01-01T00:15:00 io write failed on vol7 retrying'))
+      SELECT regexp_extract(value, '^(\w+) (\S+) (\w+) (.*)$', 1) AS level,
+             regexp_extract(value, '^(\w+) (\S+) (\w+) (.*)$', 3) AS component,
+             count(*) AS n
+      FROM lines GROUP BY 1, 2""",
+    "q_read_ltsv" -> """
+      WITH lines(value) AS (VALUES
+        (e'host:web1\tstatus:200\tpath:/index\ttime_ms:12'),
+        (e'host:web2\tstatus:404\tpath:/missing\ttime_ms:3'),
+        (e'host:web1\tstatus:500\tpath:/api/v1\ttime_ms:250'),
+        (e'host:web3\tstatus:200\tpath:/health\ttime_ms:1'))
+      SELECT regexp_extract(value, 'host:([^\t]*)', 1) AS host,
+             regexp_extract(value, 'status:([^\t]*)', 1)::INT AS status,
+             regexp_extract(value, 'path:([^\t]*)', 1) AS path,
+             regexp_extract(value, 'time_ms:([^\t]*)', 1)::BIGINT AS time_ms
+      FROM lines""",
+    "q_read_httpd" -> """
+      WITH lines(value) AS (VALUES
+        ('10.0.0.1 - alice [01/Jan/2024:00:00:01 +0000] "GET /index.html HTTP/1.1" 200 5120 "http://ref.example.com/" "Mozilla/5.0"'),
+        ('10.0.0.2 - - [01/Jan/2024:00:01:15 +0000] "POST /api/v1/items HTTP/1.1" 201 312 "-" "curl/8.0"'),
+        ('10.0.0.3 - bob [01/Jan/2024:00:02:33 +0000] "GET /missing HTTP/1.1" 404 - "-" "Mozilla/5.0"'),
+        ('10.0.0.1 - alice [01/Jan/2024:00:03:40 +0000] "DELETE /api/v1/items/9 HTTP/1.1" 204 0 "-" "python-requests/2.31"'))
+      SELECT regexp_extract(value, RE, 1) AS client_ip,
+             regexp_extract(value, RE, 3) AS auth_user,
+             regexp_extract(value, RE, 5) AS method,
+             regexp_extract(value, RE, 6) AS request_uri,
+             regexp_extract(value, RE, 8)::INT AS status,
+             CASE WHEN regexp_extract(value, RE, 9) = '-' THEN NULL
+                  ELSE regexp_extract(value, RE, 9)::BIGINT END AS bytes
+      FROM (SELECT value, '^(\S+) (\S+) (\S+) \[([^\]]+)\] "(\S+) (\S+) ([^"]*)" (\d{3}) (\S+)(?: "([^"]*)" "([^"]*)")?.*$' AS RE
+            FROM lines)""")
+}

@@ -1,0 +1,95 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling: image/audio/video as opaque `binary`
+  * payloads plus a typed metadata struct, mirroring how a training-data
+  * lake stores raw media next to text.
+  *
+  * The Spark-side plumbing (schema, partitioning, batch iteration) is real
+  * and tested; the actual codecs are NOT in this container, so the decode
+  * kernels are deterministic fakes clearly marked STUB — swap in a real
+  * decoder (e.g. javax.imageio / ffmpeg bindings on the cluster image)
+  * without touching the plan shape.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false), // image|audio|video
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true),
+      StructField("codec", StringType, nullable = true))), nullable = true)))
+
+  /** Deterministic synthetic media table derived from the documents table
+    * (payload = utf8 bytes of the text; metadata derived from doc fields).
+    * Stands in for `spark.read.format("binaryFile")` on a media lake. */
+  def syntheticMedia(docs: DataFrame): DataFrame = {
+    val kind = element_at(array(lit("image"), lit("audio"), lit("video")),
+      (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
+    docs.select(
+      col("doc_id").as("media_id"),
+      kind.as("kind"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        (pmod(col("doc_id"), lit(16)) * 64 + 64).cast("int").as("width"),
+        (pmod(col("doc_id"), lit(9)) * 64 + 64).cast("int").as("height"),
+        lit(16000).as("sample_rate"),
+        (col("n_chars") * 10L).as("duration_ms"),
+        lit("raw").as("codec")).as("meta"))
+  }
+
+  /** STUB decode kernel: a real implementation decodes `payload` with an
+    * image codec; this deterministic fake derives "pixels" from the bytes
+    * so the distributed plumbing (mapPartitions over binary batches,
+    * output schema, partition sizing) is fully exercised. */
+  def decodeImageFeatures(media: DataFrame, featureDim: Int = 8): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(media.schema.fields :+
+      StructField("features", ArrayType(DoubleType), nullable = true))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        // STUB: byte-histogram moments instead of a real pixel decode.
+        val feats = if (payload == null) null else {
+          val arr = new Array[Double](featureDim)
+          var i = 0
+          while (i < payload.length) {
+            arr(i % featureDim) += (payload(i) & 0xFF) / 255.0
+            i += 1
+          }
+          arr.map(v => math.round(v * 1e6) / 1e6)
+        }
+        Row.fromSeq(r.toSeq :+ (if (feats == null) null else feats.toSeq))
+      }
+    }(enc).toDF(outSchema.fieldNames: _*)
+  }
+
+  /** STUB resize: a real kernel re-encodes the image; the fake rewrites the
+    * metadata struct (the part a catalog actually tracks) and truncates the
+    * payload proportionally — preserving the plan shape of a map-only
+    * transform over binary data. */
+  def resize(media: DataFrame, w: Int, h: Int): DataFrame =
+    media.withColumn("meta", struct(
+        lit(w).as("width"), lit(h).as("height"),
+        col("meta.sample_rate").as("sample_rate"),
+        col("meta.duration_ms").as("duration_ms"),
+        col("meta.codec").as("codec")))
+      .withColumn("payload",
+        expr(s"substring(payload, 1, int(least(octet_length(payload), ${w * h})))"))
+
+  /** Frame sampling for video rows: explode N evenly-spaced frame indexes;
+    * payload slicing stands in for frame extraction. */
+  def sampleFrames(media: DataFrame, n: Int): DataFrame =
+    media.filter(col("kind") === "video")
+      .withColumn("frame_idx", explode(sequence(lit(0), lit(n - 1))))
+      .withColumn("frame_ms",
+        (col("meta.duration_ms") * col("frame_idx") / n).cast("long"))
+}

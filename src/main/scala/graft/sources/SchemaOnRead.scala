@@ -1,0 +1,115 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Schema-on-read entry points — Drill's core value proposition
+  * ("query the file as it lies") re-expressed over Spark readers.
+  *
+  * Reference: exec/java-exec/.../store/easy/{json,text}, and the
+  * format plugins under contrib/format-{log,ltsv,httpd,syslog}.
+  * Each reader returns a DataFrame whose schema was discovered from the
+  * data (or declared inline), plus Drill-style implicit file columns.
+  */
+object SchemaOnRead {
+
+  /** JSON-lines with schema inference (Drill's json reader infers per
+    * batch; Spark samples then reads once — same user contract). */
+  def json(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("multiLine", "false").json(path)
+
+  /** CSV with header + type inference (Drill: text reader + extractHeader). */
+  def csv(spark: SparkSession, path: String, delimiter: String = ","): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true")
+      .option("delimiter", delimiter).csv(path)
+
+  /** Drill contrib/format-log: a regex with capture groups = columns. */
+  def regexLog(spark: SparkSession, path: String, pattern: String,
+               fields: Seq[String]): DataFrame = {
+    val raw = spark.read.text(path)
+    fields.zipWithIndex.foldLeft(raw) { case (df, (f, i)) =>
+      df.withColumn(f, regexp_extract(col("value"), pattern, i + 1))
+    }.drop("value")
+  }
+
+  /** Parse an LTSV line column (Drill contrib/format-ltsv): tab-separated
+    * `key:value` pairs → map<string,string>. */
+  def ltsvToMap(line: Column): Column =
+    map_from_entries(transform(split(line, "\t"), kv =>
+      struct(substring_index(kv, ":", 1).as("key"),
+        regexp_replace(kv, "^[^:]*:", "").as("value"))))
+
+  def ltsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path).select(ltsvToMap(col("value")).as("fields"))
+
+  /** Apache httpd common/combined log parser (contrib/format-httpd). */
+  val HttpdCombinedRegex: String =
+    """^(\S+) (\S+) (\S+) \[([^\]]+)\] "(\S+) (\S+) ([^"]*)" (\d{3}) (\S+)(?: "([^"]*)" "([^"]*)")?.*$"""
+  val HttpdFields: Seq[String] = Seq("client_ip", "ident", "auth_user",
+    "ts_raw", "method", "request_uri", "protocol", "status", "bytes",
+    "referer", "user_agent")
+
+  def httpdColumns(line: Column): Seq[Column] =
+    HttpdFields.zipWithIndex.map { case (f, i) =>
+      regexp_extract(line, HttpdCombinedRegex, i + 1).as(f)
+    }
+
+  def httpdLog(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path).select(httpdColumns(col("value")): _*)
+      .withColumn("status", col("status").cast("int"))
+      .withColumn("bytes", when(col("bytes") === "-", null)
+        .otherwise(col("bytes")).cast("long"))
+
+  /** RFC3164-ish syslog parser (contrib/format-syslog). */
+  val SyslogRegex: String =
+    """^<(\d+)>([A-Z][a-z]{2}\s+\d+\s[\d:]+)\s(\S+)\s([^:\[]+)(?:\[(\d+)\])?:\s*(.*)$"""
+
+  def syslog(spark: SparkSession, path: String): DataFrame = {
+    val fields = Seq("pri_raw", "ts_raw", "host", "app", "pid", "message")
+    val parsed = spark.read.text(path).select(
+      fields.zipWithIndex.map { case (f, i) =>
+        regexp_extract(col("value"), SyslogRegex, i + 1).as(f)
+      }: _*)
+    parsed
+      .withColumn("facility", (col("pri_raw").cast("int") / 8).cast("int"))
+      .withColumn("severity", pmod(col("pri_raw").cast("int"), lit(8)))
+      .drop("pri_raw")
+  }
+
+  /** Fixed-width reader (contrib/format-spss spirit): (name, start, len). */
+  def fixedWidth(spark: SparkSession, path: String,
+                 fields: Seq[(String, Int, Int)]): DataFrame =
+    spark.read.text(path).select(fields.map { case (f, start, len) =>
+      trim(substring(col("value"), start, len)).as(f)
+    }: _*)
+
+  /** Drill implicit columns: filename / fqn / filepath / suffix. */
+  def withImplicitColumns(df: DataFrame): DataFrame =
+    df.withColumn("fqn", input_file_name())
+      .withColumn("filename", element_at(split(input_file_name(), "/"), -1))
+      .withColumn("filepath",
+        regexp_replace(input_file_name(), "/[^/]+$", ""))
+      .withColumn("suffix", element_at(split(input_file_name(), "\\."), -1))
+
+  /** Drill-style schema-on-read for an embedded JSON string column: infer
+    * the schema from the data itself (one inference pass, like Drill's
+    * per-batch discovery), then parse with the discovered schema. Adds
+    * `<col>_parsed` struct column. */
+  def inferJsonColumn(df: DataFrame, colName: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val schema = spark.read.json(df.select(col(colName)).na.drop()
+      .as[String]).schema
+    df.withColumn(s"${colName}_parsed", from_json(col(colName), schema))
+  }
+
+  /** Schema introspection (Drill metadata/ + typeof()): one row per field. */
+  def describeSchema(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.schema.fields.toSeq
+      .map(f => (f.name, f.dataType.simpleString, f.nullable))
+      .toDF("column_name", "data_type", "nullable")
+  }
+}

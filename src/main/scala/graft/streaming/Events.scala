@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-stream operators. Drill has no streaming story; this is the
+  * Spark-native extension: the same tumbling/session semantics are
+  * expressed once and run either as a batch DataFrame (verifiable against
+  * a SQL oracle) or as a Structured Streaming query with watermarks.
+  */
+object Events {
+
+  /** Epoch seconds for a `ts` column that is either a real timestamp or
+    * BIGINT nanos (how ns-precision parquet surfaces in Spark via
+    * spark.sql.legacy.parquet.nanosAsLong). */
+  def tsSeconds(events: DataFrame): Column =
+    events.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000000000")
+      case _ => unix_timestamp(col("ts")).cast("long")
+    }
+
+  /** Tumbling-window aggregate, batch form. Window key = floor(epoch /
+    * windowSec) as BIGINT — engine-portable (no timestamp precision
+    * skew between parquet ns / Spark us). */
+  def tumblingAgg(events: DataFrame, windowSec: Int): DataFrame = {
+    val sec = tsSeconds(events)
+    events.groupBy(
+        floor(sec / windowSec).cast("long").as("window_id"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+  }
+
+  /** Gap-based sessionization, batch form: a new session starts when the
+    * user is idle > gapSec; session_id = first event ts in the session.
+    * One shuffle on user_id; window functions do the rest. */
+  def sessionize(events: DataFrame, gapSec: Int): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    val sec = tsSeconds(events)
+    val newSession = when(
+      sec - lag(sec, 1).over(byUser) > gapSec || lag(sec, 1).over(byUser).isNull, 1)
+      .otherwise(0)
+    events
+      .withColumn("sec", sec)
+      .withColumn("sess_seq", sum(newSession).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("sec")).as("start_sec"),
+        max(col("sec")).as("end_sec"),
+        round(sum(col("value")), 2).as("sum_value"))
+  }
+
+  /** Structured Streaming form of tumblingAgg: readStream on the same
+    * schema -> watermark -> windowed agg. Caller supplies the streaming
+    * source (e.g. a rate/file/kafka reader). */
+  def tumblingAggStream(events: DataFrame, windowDur: String,
+                        watermarkDelay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+
+  private case class SessState(start: Long, last: Long, n: Long, sum: Double)
+
+  /** flatMapGroupsWithState sessionization — custom state per user with a
+    * processing-time timeout; emits a row when a session closes. */
+  def sessionizeStream(spark: SparkSession, events: DataFrame, gapSec: Int): DataFrame = {
+    import spark.implicits._
+    val typed = events.select(col("user_id").cast("long"),
+        unix_timestamp(col("ts")).cast("long").as("sec"),
+        col("value").cast("double"))
+      .as[(Long, Long, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[SessState, (Long, Long, Long, Long, Double)](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        case (user, rows, state: GroupState[SessState]) =>
+          var out = List.empty[(Long, Long, Long, Long, Double)]
+          var st = state.getOption.getOrElse(SessState(-1, -1, 0, 0.0))
+          rows.toSeq.sortBy(_._2).foreach { case (_, sec, v) =>
+            if (st.start < 0) st = SessState(sec, sec, 1, v)
+            else if (sec - st.last > gapSec) {
+              out ::= (user, st.start, st.last, st.n, st.sum)
+              st = SessState(sec, sec, 1, v)
+            } else st = st.copy(last = sec, n = st.n + 1, sum = st.sum + v)
+          }
+          if (state.hasTimedOut) {
+            if (st.start >= 0) out ::= (user, st.start, st.last, st.n, st.sum)
+            state.remove()
+          } else {
+            state.update(st)
+            state.setTimeoutDuration(s"${gapSec} seconds")
+          }
+          out.reverseIterator
+      }
+      .toDF("user_id", "start_sec", "end_sec", "n_events", "sum_value")
+  }
+}
