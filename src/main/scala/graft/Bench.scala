@@ -10,26 +10,33 @@ object Bench {
   val headline: Seq[String] = Seq(
     "q1_agg", "q_multi_join", "q_broadcast_join", "q_window_running",
     "q_topn", "q_dedup_minhash", "q_dedup_simhash", "q_ann_bruteforce",
-    "q_token_count", "q_sessionize")
+    "q_embed_neardup", "q_token_count", "q_sessionize")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.getOrCreate()
     // warm the JVM + parquet footers once (not timed per query)
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    // A failed query must be LOUD: record ok=false and exit non-zero, so a
+    // broken headline query can never masquerade as a slow one.
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable =>
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+        }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val oks = results.map { case (k, _, ok) => "\"" + k + "\":" + ok }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val allOk = results.forall(_._3)
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"ok":$oks,"sf":"$sfDir"}""")
     spark.stop()
+    if (!allOk) sys.exit(1)
   }
 }

@@ -41,4 +41,14 @@ object GraftSession {
   /** Load one of the standard test tables from a scale-factor directory. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Rebalance a (possibly few-split) input across the session's shuffle
+    * parallelism before a fan-out-heavy stage (band/token explode, block
+    * replication). Costs one narrow-data shuffle of the projected columns;
+    * pays for itself whenever the upstream layout is skewed — a handful of
+    * small local files here, a hot object-store prefix at 100 TB. Without
+    * it, a 5 MB single-split parquet pins a 96M-row LSH band join to ONE
+    * core (measured 43 s -> 4.5 s at sf0.1). */
+  def balanced(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
 }

@@ -26,11 +26,12 @@ object QueriesPipeline {
     }),
 
     "q_dedup_minhash" -> ((s, d) =>
-      // threshold 1.0: identical token sets => identical MinHash signature
-      // => recall is exactly 1 vs the all-pairs oracle; LSH params are the
-      // single-band "full signature" configuration (see Scaladoc).
+      // REAL banded-LSH configuration: 32 bands x 4 rows => per-pair miss
+      // probability at jaccard=0.8 is (1-0.8^4)^32 ~ 5e-8, so the banding
+      // path hash-matches the exact all-pairs Jaccard oracle.
       Dedup.minhashNearDups(T(s, d, "documents"), "doc_id", "text",
-        numHashes = 64, bands = 1, threshold = 1.0, maxBucket = 100000)),
+        numHashes = 128, bands = 32, threshold = 0.8,
+        maxBucket = Int.MaxValue)), // cap off => exact; audit via minhashBucketStats
 
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhashPortableNearDups(T(s, d, "documents"), "doc_id", "text",
@@ -40,13 +41,15 @@ object QueriesPipeline {
       Dedup.ngramJaccardPairs(T(s, d, "documents"), "doc_id", "text",
         n = 1, threshold = 0.95)),
 
-    "q_embed_neardup" -> ((s, d) => {
-      val e = T(s, d, "embeddings")
-      e.as("a").join(broadcast(e.as("b")), col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-          round(Similarity.cosine(col("a.embedding"), col("b.embedding")), 6).as("cos_sim"))
-        .filter(col("cos_sim") >= 0.4)
-    }),
+    "q_embed_neardup" -> ((s, d) =>
+      // Exact threshold search at cos 0.4 (the corpus has no high-cosine
+      // cluster structure, so LSH cannot reach recall 1 here): triangle
+      // block partitioning distributes the O(N^2) compute with bounded
+      // replication and NO broadcast of the corpus. The LSH near-dup path
+      // (Similarity.embeddingNearDups) is gated in ScalaTest on planted
+      // high-cosine data, its honest operating regime.
+      Similarity.blockedAllPairs(T(s, d, "embeddings"), threshold = 0.4,
+        numBlocks = 8)),
 
     "q_ann_bruteforce" -> ((s, d) => {
       val e = T(s, d, "embeddings")
@@ -117,7 +120,7 @@ object QueriesPipeline {
       SELECT min(doc_id) AS keeper_id, count(*) AS copies
       FROM (SELECT doc_id, $NORM AS norm FROM corpus)
       GROUP BY norm HAVING count(*) > 1""",
-    "q_dedup_minhash" -> jaccardOracle("1.0"),
+    "q_dedup_minhash" -> jaccardOracle("0.8"),
     "q_dedup_simhash" -> SIMHASH_ORACLE,
     "q_ngram_jaccard" -> jaccardOracle("0.95"),
     "q_embed_neardup" -> """
@@ -177,19 +180,19 @@ object QueriesPipeline {
     "q_fingerprint" -> s"SELECT doc_id, md5($NORM) AS fp FROM documents",
     "q_window_tumbling" -> """
       SELECT (epoch_ns(ts) // 1000000000) // 300 AS window_id, event_type,
-        count(*) AS n_events, round(sum(value), 2) AS sum_value
+        count(*) AS n_events, sum(floor(value * 16384.0))::BIGINT AS sum_value_q
       FROM events GROUP BY 1, 2""",
     "q_sessionize" -> """
-      WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS sec, value,
+      WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS sec, value,
           ts FROM events),
-      marked AS (SELECT user_id, sec, value, ts,
+      marked AS (SELECT user_id, event_id, sec, value, ts,
         CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_sess
-        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       sessed AS (SELECT user_id, sec, value,
-        sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_seq
         FROM marked)
       SELECT user_id, sess_seq, count(*) AS n_events, min(sec) AS start_sec,
-        max(sec) AS end_sec, round(sum(value), 2) AS sum_value
+        max(sec) AS end_sec, sum(floor(value * 16384.0))::BIGINT AS sum_value_q
       FROM sessed GROUP BY user_id, sess_seq""")
 }

@@ -113,9 +113,12 @@ object QueriesRelational {
         .agg(count(lit(1)).as("n_occur"), count_distinct(col("doc_id")).as("n_docs"))),
 
     "q_sort" -> ((s, d) =>
-      T(s, d, "customer").select(col("c_custkey"),
-        round(col("c_acctbal"), 2).as("bal"),
-        row_number().over(Window.orderBy(col("c_acctbal").desc, col("c_custkey"))).as("pos"))),
+      // total-order position via two-phase numbering — no single-partition
+      // window over the full table (see ComplexOps.globalRowNumber).
+      ComplexOps.globalRowNumber(
+          T(s, d, "customer").select(col("c_custkey"), col("c_acctbal")),
+          32, col("c_acctbal"), descending = true, "pos", col("c_custkey"))
+        .select(col("c_custkey"), round(col("c_acctbal"), 2).as("bal"), col("pos"))),
 
     "q_topn" -> ((s, d) =>
       ComplexOps.topN(T(s, d, "orders"), 10, col("o_totalprice").desc, col("o_orderkey"))
@@ -168,11 +171,18 @@ object QueriesRelational {
     }),
 
     "q_window_ntile" -> ((s, d) => {
-      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
-      T(s, d, "customer").select(col("c_custkey"),
-        ntile(4).over(w).as("quartile"),
-        round(percent_rank().over(w), 6).as("pr"),
-        round(cume_dist().over(w), 6).as("cd"))
+      // ntile/percent_rank/cume_dist in closed form from the two-phase
+      // global row number (the ordering key is unique, so rank == rn) —
+      // replaces an un-partitioned window over the whole table.
+      val cust = T(s, d, "customer")
+      val n = cust.agg(count(lit(1)).as("_n"))
+      ComplexOps.globalRowNumber(cust.select(col("c_custkey"), col("c_acctbal")),
+          32, col("c_acctbal"), descending = false, "rn", col("c_custkey"))
+        .crossJoin(broadcast(n))
+        .select(col("c_custkey"),
+          ComplexOps.ntileFromRowNumber(col("rn"), 4, col("_n")).as("quartile"),
+          round((col("rn") - 1).cast("double") / (col("_n") - 1), 6).as("pr"),
+          round(col("rn").cast("double") / col("_n"), 6).as("cd"))
     }),
 
     "q_rollup" -> ((s, d) =>

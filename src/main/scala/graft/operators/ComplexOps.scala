@@ -55,6 +55,54 @@ object ComplexOps {
   def rangePartitionSort(df: DataFrame, partitions: Int, by: Column*): DataFrame =
     df.repartitionByRange(partitions, by: _*).sortWithinPartitions(by: _*)
 
+  /** Two-phase global row numbering — the scalable replacement for
+    * `Window.orderBy(...)` with no partitioning, which moves the WHOLE
+    * table through one task. Phase 1: deterministic range bucketing on the
+    * leading numeric sort key from its min/max bounds (the role of Drill's
+    * rangepartitioner/ fed by statistics/); phase 2: per-bucket
+    * row_number plus the cumulative count of earlier buckets. Only the
+    * #buckets-row stats relation passes through a single-partition
+    * exchange; the big table shuffles once, hash-balanced on bucket.
+    * Deterministic bucketing (not repartitionByRange) matters: the bucket
+    * id is recomputed identically on both the counts branch and the
+    * numbering branch, with no reliance on sampled partition boundaries.
+    * Assumes the leading key is not pathologically skewed; a production
+    * variant swaps in quantile-sketch bounds for the bucket edges. */
+  def globalRowNumber(df: DataFrame, buckets: Int, key: Column,
+                      descending: Boolean, asCol: String,
+                      tieBreak: Column*): DataFrame = {
+    val k0 = key.cast("double")
+    val k = if (descending) -k0 else k0
+    val bounds = df.agg(min(k).as("_lo"), max(k).as("_hi"))
+    val withB = df.crossJoin(broadcast(bounds))
+      .withColumn("_bkt", least(
+        floor((k - col("_lo")) / (col("_hi") - col("_lo") + lit(1e-9)) * buckets),
+        lit(buckets - 1)).cast("int"))
+      .drop("_lo", "_hi")
+    val counts = withB.groupBy("_bkt").agg(count(lit(1)).as("_cnt"))
+    val offsets = counts.withColumn("_off",
+        coalesce(sum("_cnt").over(Window.orderBy("_bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("_bkt", "_off")
+    val order = (if (descending) key.desc else key.asc) +: tieBreak.map(_.asc)
+    val w = Window.partitionBy("_bkt").orderBy(order: _*)
+    withB.join(broadcast(offsets), "_bkt")
+      .withColumn(asCol, (row_number().over(w) + col("_off")).cast("long"))
+      .drop("_bkt", "_off")
+  }
+
+  /** Closed-form ntile from a (1-based) global row number and total count —
+    * lets quantile assignment ride the two-phase numbering instead of a
+    * single-partition window. */
+  def ntileFromRowNumber(rn: Column, n: Int, total: Column): Column = {
+    val baseL = floor(total.cast("double") / n).cast("long")
+    val rem = total.cast("long") - baseL * n
+    val boundary = rem * (baseL + 1)
+    when(rn <= boundary, floor((rn - 1) / (baseL + 1)) + 1)
+      .otherwise(rem + floor((rn - boundary - 1) / baseL) + 1)
+      .cast("int")
+  }
+
   /** ANALYZE-style column statistics (Drill statistics/): one row per
     * numeric column with ndv/nulls/min/max/avg — map-combinable, one pass. */
   def tableStats(df: DataFrame, cols: Seq[String]): DataFrame = {

@@ -32,19 +32,45 @@ object Dedup {
       .agg(count(lit(1)).as("copies"), min(col(idCol)).as("keeper_id"))
       .filter(col("copies") > 1)
 
-  /** MinHash signature as an array<bigint> column: k independent hash
-    * functions simulated as (a_i * xxhash64(shingle) + b_i) mod p, min per
-    * row. Pure expressions — codegen'd, no UDF. */
-  def minhashSignature(shingles: Column, k: Int): Column = {
-    val p = lit(2305843009213693951L) // 2^61 - 1
-    val mins = (0 until k).map { i =>
-      val a = 1000003L * (i + 1) + 12345L // < 2^27: a*h32 stays < 2^60,
-      val b = 998244353L * (i + 1) + 7L   // overflow-free under ANSI mode
-      array_min(transform(shingles, s =>
-        pmod(xxhash64(s).bitwiseAND(lit(0xFFFFFFFFL)) * lit(a) + lit(b), p)))
+  /** 32-bit base hash per shingle, computed ONCE per token. All k minhash
+    * functions derive from this array with a multiply-add — the expensive
+    * string hashing never repeats (round-1 recomputed it k times and paid
+    * 65s of an 80s bench for it). */
+  def tokenHashes(shingles: Column): Column =
+    transform(shingles, s => xxhash64(s).bitwiseAND(lit(0xFFFFFFFFL)))
+
+  /** Smallest prime > 2^32 — the modulus for the Carter-Wegman minhash
+    * family. The modulus MUST be smaller than the a_i*h range or the mod
+    * never engages and (a*h+b) stays monotone in h, collapsing every
+    * "independent" function to argmin(h) — i.e. one single hash function
+    * dressed up k times (round-1 bug). */
+  private val MinhashP = 4294967311L
+
+  /** Deterministic pseudo-random (a, b) coefficient pairs, a in [1, 2^31)
+    * so a*h + b stays overflow-free for 32-bit h under ANSI mode. */
+  private def minhashCoeffs(k: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(k)((
+      java.lang.Math.floorMod(rnd.nextLong(), (1L << 31) - 1) + 1,
+      java.lang.Math.floorMod(rnd.nextLong(), MinhashP)))
+  }
+
+  /** MinHash signature as an array<bigint> column over a precomputed
+    * token-hash array: k universal-hash functions (a_i*h + b_i) mod p,
+    * min per function. Pure expressions — codegen'd, no UDF. Keep this in
+    * its own Project below the tokenHashes column: Catalyst's
+    * CollapseProject will not inline a non-cheap expression referenced k
+    * times, so the base hashes are computed once. */
+  def minhashSignatureFromHashes(tokenHash: Column, k: Int): Column = {
+    val mins = minhashCoeffs(k).map { case (a, b) =>
+      array_min(transform(tokenHash, h => pmod(h * lit(a) + lit(b), lit(MinhashP))))
     }
     array(mins: _*)
   }
+
+  /** Back-compat form taking raw shingles (hashes once internally). */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    minhashSignatureFromHashes(tokenHashes(shingles), k)
 
   /** LSH band keys: signature split into `bands` rows of `rowsPerBand`,
     * each band hashed to one bucket key. */
@@ -54,47 +80,91 @@ object Dedup {
         xxhash64(concat_ws(",", slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))))
           .cast("string")))
 
-  /** MinHash+LSH candidate pairs (idA < idB), verified with EXACT word-set
-    * Jaccard, filtered at `threshold`. Scale path: shuffle on band keys
-    * only; bucket size capped to bound worst-case pair fan-out. */
-  def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
-                      numHashes: Int = 64, bands: Int = 16,
-                      threshold: Double = 0.8,
-                      maxBucket: Int = 64): DataFrame = {
+  private def tokenized(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.GraftSession.balanced(docs.select(col(idCol).as("id"), col(textCol).as("text")))
+      .select(col("id"),
+        array_distinct(split(TextAnalysis.normalize(col("text")), " ")).as("toks"))
+
+  /** (band, id) relation after banding + the per-band skew cap. Shuffles
+    * only (band, id) pairs — token arrays never ride the band explode. */
+  private def bandedIds(docs: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int, bands: Int, maxBucket: Int): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val base = docs.select(
-      col(idCol).as("id"),
-      array_distinct(split(TextAnalysis.normalize(col(textCol)), " ")).as("toks"))
-    val withSig = base.withColumn("sig", minhashSignature(col("toks"), numHashes))
-      .withColumn("band", explode(lshBandKeys(col("sig"), bands, rowsPerBand)))
-    val bucketW = Window.partitionBy("band").orderBy("id")
-    val bucketed = withSig
-      .withColumn("bn", row_number().over(bucketW))
-      .filter(col("bn") <= maxBucket) // skew guard
-      .select("band", "id", "toks")
-    val pairs = bucketed.as("a").join(bucketed.as("b"),
+    val banded = tokenized(docs, idCol, textCol)
+      .withColumn("th", tokenHashes(col("toks")))
+      .withColumn("sig", minhashSignatureFromHashes(col("th"), numHashes))
+      .select(col("id"), explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("band"))
+    if (maxBucket == Int.MaxValue) banded // cap off: keep the band self-join broadcastable
+    else {
+      // skew guard — audit via minhashBucketStats. The row_number window
+      // costs an exchange+sort on band AND flips the self-join to
+      // sort-merge, so it is only planned when a cap is actually set.
+      val bucketW = Window.partitionBy("band").orderBy("id")
+      banded.withColumn("bn", row_number().over(bucketW))
+        .filter(col("bn") <= maxBucket)
+        .select("band", "id")
+    }
+  }
+
+  /** Per-band bucket audit for the skew cap: rows dropped by `maxBucket`
+    * are invisible to minhashNearDups, so surface them here — any row in
+    * this result means recall loss that must be tuned away (bigger cap) or
+    * accepted explicitly. */
+  def minhashBucketStats(docs: DataFrame, idCol: String, textCol: String,
+                         numHashes: Int = 128, bands: Int = 32,
+                         maxBucket: Int = 4096): DataFrame =
+    bandedIds(docs, idCol, textCol, numHashes, bands, Int.MaxValue)
+      .groupBy("band").agg(count(lit(1)).as("bucket_size"))
+      .withColumn("dropped", greatest(col("bucket_size") - maxBucket, lit(0)))
+      .filter(col("dropped") > 0)
+
+  /** MinHash+LSH candidate pairs (idA < idB), verified with EXACT word-set
+    * Jaccard, filtered at `threshold`. Scale path: the band explode and
+    * bucket self-join carry only (band, id); token arrays are hash-joined
+    * back for the candidate pairs only. Bucket size capped to bound
+    * worst-case pair fan-out (audit the cap with minhashBucketStats).
+    *
+    * Default 128 hashes / 32 bands of 4: at jaccard = 0.8 the per-pair
+    * miss probability is (1 - 0.8^4)^32 ≈ 5e-8 — recall is effectively 1
+    * at the threshold, not just above it. */
+  def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      numHashes: Int = 128, bands: Int = 32,
+                      threshold: Double = 0.8,
+                      maxBucket: Int = 4096): DataFrame = {
+    val bucketed = bandedIds(docs, idCol, textCol, numHashes, bands, maxBucket)
+    val cand = bucketed.as("a").join(bucketed.as("b"),
         col("a.band") === col("b.band") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.toks").as("toks_a"), col("b.toks").as("toks_b"))
-      .dropDuplicates("id_a", "id_b")
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_bands")) // pair-dedup with map-side combine
+      .select("id_a", "id_b")
+    val toks = tokenized(docs, idCol, textCol)
+    val pairs = cand
+      .join(toks.as("ta"), col("id_a") === col("ta.id"))
+      .join(toks.as("tb"), col("id_b") === col("tb.id"))
+      .select(col("id_a"), col("id_b"),
+        col("ta.toks").as("toks_a"), col("tb.toks").as("toks_b"))
     verifyJaccard(pairs, threshold)
   }
 
-  /** Exact Jaccard over the token sets of candidate pairs. */
+  /** Exact Jaccard over the token sets of candidate pairs. The threshold
+    * filter uses the UNROUNDED value (matching a SQL oracle's WHERE); the
+    * output column is rounded for engine-portable comparison. */
   private def verifyJaccard(pairs: DataFrame, threshold: Double): DataFrame = {
     val inter = size(array_intersect(col("toks_a"), col("toks_b"))).cast("double")
     val uni = size(array_union(col("toks_a"), col("toks_b"))).cast("double")
-    pairs.withColumn("jaccard", round(inter / uni, 6))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    pairs.withColumn("jac_raw", inter / uni)
+      .filter(col("jac_raw") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jac_raw"), 6).as("jaccard"))
   }
 
   /** 64-bit SimHash over word tokens: sign-sum of per-token hash bits.
     * Expressed with bit arithmetic over an exploded token relation —
     * one shuffle on doc id, map-side combinable. */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol).as("id"),
-        explode(split(TextAnalysis.normalize(col(textCol)), " ")).as("tok"))
+    val toks = graft.GraftSession.balanced(
+        docs.select(col(idCol).as("id"), col(textCol).as("text")))
+      .select(col("id"),
+        explode(split(TextAnalysis.normalize(col("text")), " ")).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
     val bitCols = (0 until 64).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
@@ -123,8 +193,10 @@ object Dedup {
   /** 32-bit portable SimHash (md5-derived token hash). Same plan shape as
     * [[simhash]]: explode tokens x bits, sign-sum, pack. */
   def simhashPortable32(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol).as("id"),
-        explode(split(TextAnalysis.normalize(col(textCol)), " ")).as("tok"))
+    val toks = graft.GraftSession.balanced(
+        docs.select(col(idCol).as("id"), col(textCol).as("text")))
+      .select(col("id"),
+        explode(split(TextAnalysis.normalize(col("text")), " ")).as("tok"))
       .withColumn("h", md5Hash32(col("tok")))
     val bitCols = (0 until 32).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
@@ -178,11 +250,25 @@ object Dedup {
     * inverted-index join — the scalable form of "all-pairs similarity":
     * |A∩B| from a groupBy on (pair), |A|,|B| joined in, never a cartesian. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int = 1, threshold: Double = 0.5): DataFrame = {
-    val toks = docs.select(col(idCol).as("id"),
-      array_distinct(TextAnalysis.wordNgrams(col(textCol), n)).as("g"))
+                        n: Int = 1, threshold: Double = 0.5,
+                        maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    val toks = graft.GraftSession.balanced(
+        docs.select(col(idCol).as("id"), col(textCol).as("text")))
+      .select(col("id"), array_distinct(TextAnalysis.wordNgrams(col("text"), n)).as("g"))
     val sizes = toks.select(col("id"), size(col("g")).as("sz"))
-    val inv = toks.select(col("id"), explode(col("g")).as("g"))
+    val inv0 = toks.select(col("id"), explode(col("g")).as("g"))
+    // Document-frequency cap: postings for ubiquitous shingles (stopwords)
+    // blow the self-join up quadratically at scale; dropping them loses
+    // only intersection counts that the Jaccard threshold would have
+    // rejected anyway WHEN the cap is chosen >= the corpus near-dup
+    // cluster size. Default off (exact); enable for the 100 TB run.
+    val inv =
+      if (maxDocFreq == Int.MaxValue) inv0
+      else {
+        val df_ = inv0.groupBy("g").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDocFreq).select("g")
+        inv0.join(df_, "g")
+      }
     val inter = inv.as("a").join(inv.as("b"),
         col("a.g") === col("b.g") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -190,9 +276,9 @@ object Dedup {
     inter
       .join(sizes.as("sa"), col("id_a") === col("sa.id"))
       .join(sizes.as("sb"), col("id_b") === col("sb.id"))
-      .withColumn("jaccard", round(col("inter").cast("double") /
-        (col("sa.sz") + col("sb.sz") - col("inter")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+      .withColumn("jac_raw", col("inter").cast("double") /
+        (col("sa.sz") + col("sb.sz") - col("inter")))
+      .filter(col("jac_raw") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jac_raw"), 6).as("jaccard"))
   }
 }

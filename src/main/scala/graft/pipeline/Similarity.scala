@@ -48,53 +48,104 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Exact all-pairs cosine >= threshold, distributed via triangle block
+    * partitioning — the scale-correct EXACT formulation (what a low
+    * threshold like 0.4 fundamentally requires: LSH cannot reach recall 1
+    * when pairs sit barely above noise). Each vector is replicated to the
+    * `numBlocks` block-pairs it participates in, so no task ever holds the
+    * whole corpus and no broadcast of the big side happens; O(N^2) compute
+    * is spread evenly over numBlocks*(numBlocks+1)/2 buckets. Replication
+    * factor = numBlocks (choose ~sqrt(parallelism)). */
+  def blockedAllPairs(corpus: DataFrame, threshold: Double, numBlocks: Int = 8,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    val rep = graft.GraftSession.balanced(
+        corpus.select(col(idCol).as("id"), col(vecCol).as("v")))
+      .withColumn("blk", pmod(xxhash64(col("id")), lit(numBlocks)).cast("int"))
+      .withColumn("pj", explode(sequence(lit(0), lit(numBlocks - 1))))
+      .withColumn("bkey",
+        concat_ws("_", least(col("blk"), col("pj")), greatest(col("blk"), col("pj"))))
+    // same-block pairs are present in every bucket the block touches; score
+    // them only in the diagonal bucket (pj == blk) to avoid duplicates.
+    val pairs = rep.as("a").join(rep.as("b"),
+        col("a.bkey") === col("b.bkey") && col("a.id") < col("b.id") &&
+          (col("a.blk") =!= col("b.blk") || col("a.pj") === col("a.blk")))
+      .withColumn("cs_raw", cosine(col("a.v"), col("b.v")))
+      .filter(col("cs_raw") >= threshold)
+    pairs.select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+      round(col("cs_raw"), 6).as("cos_sim"))
+  }
+
   /** Random-hyperplane signature: `bits` sign bits packed into a long.
-    * Deterministic pseudo-hyperplanes derived from xxhash64(bit, dim) —
-    * reproducible across runs with no stored model. */
-  def hyperplaneSignature(vec: Column, dim: Int, bits: Int): Column = {
+    * Deterministic pseudo-hyperplanes derived from xxhash64(table, bit,
+    * dim) — reproducible across runs with no stored model. `table` selects
+    * an independent hash family for multi-table LSH. */
+  def hyperplaneSignature(vec: Column, dim: Int, bits: Int, table: Int = 0): Column = {
     val bitCols = (0 until bits).map { b =>
-      // pseudo-random +-1 weights per (bit, dimension), from a hash
+      // pseudo-random +-1 weights per (table, bit, dimension), from a hash
       val proj = aggregate(
         zip_with(vec, sequence(lit(0), lit(dim - 1)), (x, i) =>
           x.cast("double") *
-            when(pmod(xxhash64(lit(b), i), lit(2)) === 0, 1.0).otherwise(-1.0)),
+            when(pmod(xxhash64(lit(table), lit(b), i), lit(2)) === 0, 1.0).otherwise(-1.0)),
         lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
     }
     bitCols.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** LSH-bucketed ANN: candidates limited to vectors sharing the signature
-    * bucket; exact cosine + top-k inside the bucket. Trades recall for a
-    * candidate set ~N/2^bits per bucket — the 100 TB path. */
+  /** All (table, bucket-key) pairs for multi-table LSH as an array column:
+    * OR-amplification — a pair is a candidate if it collides in ANY table.
+    * Recall for cosine s with T tables of b bits: 1-(1-p^b)^T, p = 1 -
+    * acos(s)/pi. E.g. s=0.95, b=8, T=12 => recall ~0.999. */
+  def lshTableKeys(vec: Column, dim: Int, bits: Int, tables: Int): Column =
+    array((0 until tables).map { t =>
+      concat_ws("_", lit(t), hyperplaneSignature(vec, dim, bits, t))
+    }: _*)
+
+  /** LSH-bucketed ANN, multi-table: candidates = vectors colliding with
+    * the query in ANY of `tables` buckets; exact cosine + top-k rerank on
+    * the (deduplicated) candidates. Candidate set ~ T*N/2^bits per query
+    * instead of N — the 100 TB path. Recall is a tunable (bits, tables)
+    * trade verified in ScalaTest against bruteForceTopK. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
-              bits: Int = 8, idCol: String = "vec_id",
+              bits: Int = 8, tables: Int = 12, idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
-    val sig = (df: DataFrame) =>
-      df.withColumn("bucket", hyperplaneSignature(col(vecCol), dim, bits))
-    val c = sig(corpus).select(col(idCol).as("cid"), col(vecCol).as("cvec"), col("bucket"))
-    val q = sig(queries).select(col(idCol).as("qid"), col(vecCol).as("qvec"), col("bucket"))
-    val scored = c.join(broadcast(q), Seq("bucket"))
+    val c = graft.GraftSession.balanced(
+        corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec")))
+      .withColumn("bucket", explode(lshTableKeys(col("cvec"), dim, bits, tables)))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+      .withColumn("bucket", explode(lshTableKeys(col(vecCol), dim, bits, tables)))
+    val cand = c.join(broadcast(q), Seq("bucket"))
       .filter(col("cid") =!= col("qid"))
-      .select(col("qid").as("query_id"), col("cid").as("neighbor_id"),
-        round(cosine(col("qvec"), col("cvec")), 6).as("cos_sim"))
+      .select("qid", "qvec", "cid", "cvec")
+      .dropDuplicates("qid", "cid") // a pair may collide in several tables
+    val scored = cand.select(col("qid").as("query_id"), col("cid").as("neighbor_id"),
+      round(cosine(col("qvec"), col("cvec")), 6).as("cos_sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Embedding near-duplicate pairs: cosine >= threshold, bucketed by LSH
-    * signature (near-identical vectors share all sign bits with high
-    * probability), verified exactly. */
+  /** Embedding near-duplicate pairs via multi-table LSH: a pair is a
+    * candidate if it shares a bucket in any table; exact cosine verifies.
+    * The near-dup regime (threshold >= ~0.9, where vectors are
+    * minor-variant copies) is where sign-bit collision probability is high
+    * enough for recall ~1 — for LOW thresholds use blockedAllPairs, which
+    * is exact by construction. */
   def embeddingNearDups(corpus: DataFrame, threshold: Double, dim: Int,
-                        bits: Int = 8, idCol: String = "vec_id",
+                        bits: Int = 8, tables: Int = 12,
+                        idCol: String = "vec_id",
                         vecCol: String = "embedding"): DataFrame = {
-    val withSig = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("bucket", hyperplaneSignature(col("v"), dim, bits))
+    val withSig = graft.GraftSession.balanced(
+        corpus.select(col(idCol).as("id"), col(vecCol).as("v")))
+      .withColumn("bucket", explode(lshTableKeys(col("v"), dim, bits, tables)))
     withSig.as("a").join(withSig.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(cosine(col("a.v"), col("b.v")), 6).as("cos_sim"))
-      .filter(col("cos_sim") >= threshold)
+        col("a.v").as("va"), col("b.v").as("vb"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cs_raw", cosine(col("va"), col("vb")))
+      .filter(col("cs_raw") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cs_raw"), 6).as("cos_sim"))
   }
 }

@@ -14,12 +14,23 @@ object Events {
 
   /** Epoch seconds for a `ts` column that is either a real timestamp or
     * BIGINT nanos (how ns-precision parquet surfaces in Spark via
-    * spark.sql.legacy.parquet.nanosAsLong). */
+    * spark.sql.legacy.parquet.nanosAsLong). FLOOR division — Spark's `div`
+    * truncates toward zero, which disagrees with a SQL oracle's `//` for
+    * pre-1970 timestamps; subtracting pmod first makes the quotient exact
+    * and floor-consistent for any sign, with no double-precision detour. */
   def tsSeconds(events: DataFrame): Column =
     events.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => expr("ts div 1000000000")
+      case org.apache.spark.sql.types.LongType =>
+        expr("(ts - pmod(ts, 1000000000L)) div 1000000000L")
       case _ => unix_timestamp(col("ts")).cast("long")
     }
+
+  /** Engine-portable sum of a double measure: quantize each value with
+    * floor(v * 2^14) (exact in binary floating point — scaling by a power
+    * of two changes no mantissa bits), sum as BIGINT. Immune to summation
+    * order AND to decimal-rounding half-case differences across engines. */
+  def quantizedSum(c: Column): Column =
+    sum(floor(c * lit(16384.0)).cast("long"))
 
   /** Tumbling-window aggregate, batch form. Window key = floor(epoch /
     * windowSec) as BIGINT — engine-portable (no timestamp precision
@@ -30,14 +41,16 @@ object Events {
         floor(sec / windowSec).cast("long").as("window_id"),
         col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("sum_value"))
+        quantizedSum(col("value")).as("sum_value_q"))
   }
 
   /** Gap-based sessionization, batch form: a new session starts when the
     * user is idle > gapSec; session_id = first event ts in the session.
     * One shuffle on user_id; window functions do the rest. */
   def sessionize(events: DataFrame, gapSec: Int): DataFrame = {
-    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    // event_id tie-break: ts alone can collide within a user, and an
+    // ambiguous lag() order makes the session assignment engine-dependent.
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val sec = tsSeconds(events)
     val newSession = when(
       sec - lag(sec, 1).over(byUser) > gapSec || lag(sec, 1).over(byUser).isNull, 1)
@@ -50,7 +63,7 @@ object Events {
       .agg(count(lit(1)).as("n_events"),
         min(col("sec")).as("start_sec"),
         max(col("sec")).as("end_sec"),
-        round(sum(col("value")), 2).as("sum_value"))
+        quantizedSum(col("value")).as("sum_value_q"))
   }
 
   /** Structured Streaming form of tumblingAgg: readStream on the same
