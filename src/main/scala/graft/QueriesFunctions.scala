@@ -140,7 +140,15 @@ object QueriesFunctions {
       T(s, d, "customer").cube("c_mktsegment")
         .agg(grouping(col("c_mktsegment")).cast("int").as("g"),
           count(lit(1)).as("n"))
-        .select("c_mktsegment", "g", "n")))
+        .select("c_mktsegment", "g", "n")),
+
+    // Drill contrib/udfs string-distance functions (LevenshteinDistance
+    // etc.); soundex/metaphone are engine-specific, asserted in ScalaTest.
+    "q_string_distance" -> ((s, d) =>
+      T(s, d, "customer").filter(col("c_custkey") < 300)
+        .select(col("c_custkey"),
+          levenshtein(col("c_name"), lit("Customer#000000042")).as("lev"),
+          levenshtein(col("c_mktsegment"), lit("BUILDING")).as("lev_seg"))))
 
   val oracle: Map[String, String] = Map(
     "q_string_fns" ->
@@ -226,5 +234,9 @@ object QueriesFunctions {
       "SELECT count(DISTINCT l_partkey) AS exact_cnt, TRUE AS within_tol FROM lineitem",
     "q_grouping_fn" ->
       """SELECT c_mktsegment, grouping(c_mktsegment)::INT AS g, count(*) AS n
-         FROM customer GROUP BY CUBE(c_mktsegment)""")
+         FROM customer GROUP BY CUBE(c_mktsegment)""",
+    "q_string_distance" ->
+      """SELECT c_custkey, levenshtein(c_name, 'Customer#000000042') AS lev,
+         levenshtein(c_mktsegment, 'BUILDING') AS lev_seg
+         FROM customer WHERE c_custkey < 300""")
 }

@@ -112,6 +112,18 @@ object QueriesRelational {
         .groupBy("word")
         .agg(count(lit(1)).as("n_occur"), count_distinct(col("doc_id")).as("n_docs"))),
 
+    "q_lateral_join" -> ((s, d) => {
+      // true correlated LATERAL (Drill join/lateral + unnest): top-3
+      // orders per customer via a correlated ordered-limit subquery.
+      views(s, d, "customer", "orders")
+      s.sql("""SELECT c.c_custkey, t.o_orderkey, t.price
+               FROM customer c
+               JOIN LATERAL (
+                 SELECT o_orderkey, round(o_totalprice, 2) AS price
+                 FROM orders WHERE o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t""")
+    }),
+
     "q_sort" -> ((s, d) =>
       // total-order position via two-phase numbering — no single-partition
       // window over the full table (see ComplexOps.globalRowNumber).
@@ -319,6 +331,12 @@ object QueriesRelational {
       """SELECT word, count(*) AS n_occur, count(DISTINCT doc_id) AS n_docs FROM
          (SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word
           FROM documents) GROUP BY word""",
+    "q_lateral_join" -> """
+      SELECT c.c_custkey, t.o_orderkey, t.price
+      FROM customer c, LATERAL (
+        SELECT o_orderkey, round(o_totalprice, 2) AS price
+        FROM orders WHERE o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t""",
     "q_sort" ->
       "SELECT c_custkey, round(c_acctbal, 2) AS bal, row_number() OVER (ORDER BY c_acctbal DESC, c_custkey) AS pos FROM customer",
     "q_topn" ->

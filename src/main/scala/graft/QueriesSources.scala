@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.sources.SchemaOnRead
+import graft.sources.{SchemaOnRead, Writer}
 
 /** §2.3 coverage: schema-on-read format readers over the static fixture
   * files in testfiles/ (committed, deterministic). Oracles either read the
@@ -38,7 +38,58 @@ object QueriesSources {
 
     "q_read_httpd" -> ((s, _) =>
       SchemaOnRead.httpdLog(s, s"$Dir/access.log")
-        .select("client_ip", "auth_user", "method", "request_uri", "status", "bytes")))
+        .select("client_ip", "auth_user", "method", "request_uri", "status", "bytes")),
+
+    // ---- writer / CTAS (ref WriterRecordBatch.java) ----
+    "q_ctas_roundtrip" -> ((s, d) => {
+      val src = GraftSession.table(s, d, "orders").filter(col("o_orderkey") < 5000)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 2).as("price"))
+      Writer.ctas(src, s"${out(d)}/ctas_parquet", "parquet")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), round(sum(col("price")), 2).as("total"))
+    }),
+
+    "q_ctas_csv" -> ((s, d) => {
+      val src = GraftSession.table(s, d, "customer").filter(col("c_custkey") < 500)
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      Writer.ctas(src, s"${out(d)}/ctas_csv", "csv")
+    }),
+
+    "q_ctas_json" -> ((s, d) => {
+      val src = GraftSession.table(s, d, "supplier")
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+      Writer.ctas(src, s"${out(d)}/ctas_json", "json")
+        .select("s_suppkey", "s_name", "s_nationkey")
+    }),
+
+    "q_read_orc" -> ((s, d) => {
+      val src = GraftSession.table(s, d, "part").filter(col("p_partkey") < 800)
+        .select(col("p_partkey"), col("p_brand"), round(col("p_retailprice"), 2).as("rp"))
+      Writer.ctas(src, s"${out(d)}/ctas_orc", "orc")
+    }),
+
+    // ---- XML (ref contrib/format-xml; Spark 4 native from_xml) ----
+    "q_read_xml" -> ((s, d) =>
+      GraftSession.table(s, d, "customer").filter(col("c_custkey") < 200)
+        .select(concat(lit("<row><k>"), col("c_custkey"), lit("</k><n>"),
+          col("c_name"), lit("</n></row>")).as("xml_str"))
+        .select(expr("from_xml(xml_str, 'k BIGINT, n STRING')").as("r"))
+        .select(col("r.k").as("k"), col("r.n").as("n"))),
+
+    // ---- hive-style directory partition pruning (ref PartitionExplorer) ----
+    "q_dir_pruning" -> ((s, d) => {
+      val src = GraftSession.table(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      Writer.ctas(src, s"${out(d)}/orders_by_status", "parquet",
+          partitionBy = Seq("o_orderstatus"))
+        .filter(col("o_orderstatus") === "F") // prunes to one directory
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+    }))
+
+  /** Per-SF scratch dir for writer-path gates. */
+  private def out(sfDir: String): String =
+    s"/tmp/graft_out/${new java.io.File(sfDir).getName}"
 
   val oracle: Map[String, String] = Map(
     "q_read_json" ->
@@ -82,5 +133,19 @@ object QueriesSources {
              CASE WHEN regexp_extract(value, RE, 9) = '-' THEN NULL
                   ELSE regexp_extract(value, RE, 9)::BIGINT END AS bytes
       FROM (SELECT value, '^(\S+) (\S+) (\S+) \[([^\]]+)\] "(\S+) (\S+) ([^"]*)" (\d{3}) (\S+)(?: "([^"]*)" "([^"]*)")?.*$' AS RE
-            FROM lines)""")
+            FROM lines)""",
+    "q_ctas_roundtrip" -> """
+      SELECT o_orderstatus, count(*) AS n, round(sum(round(o_totalprice, 2)), 2) AS total
+      FROM orders WHERE o_orderkey < 5000 GROUP BY o_orderstatus""",
+    "q_ctas_csv" ->
+      "SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_custkey < 500",
+    "q_ctas_json" ->
+      "SELECT s_suppkey, s_name, s_nationkey FROM supplier",
+    "q_read_orc" ->
+      "SELECT p_partkey, p_brand, round(p_retailprice, 2) AS rp FROM part WHERE p_partkey < 800",
+    "q_read_xml" ->
+      "SELECT c_custkey AS k, c_name AS n FROM customer WHERE c_custkey < 200",
+    "q_dir_pruning" -> """
+      SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total
+      FROM orders WHERE o_orderstatus = 'F'""")
 }

@@ -1,0 +1,54 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Writer / CTAS path — Drill's `CREATE TABLE AS` materialization
+  * (reference: exec/.../physical/impl/WriterRecordBatch.java,
+  * easy/json/JsonRecordWriter.java, parquet/ParquetRecordWriter.java),
+  * re-expressed over Spark's DataFrameWriter so the write inherits the
+  * plan's partitioning (each task writes its own file — the same
+  * fragment-parallel layout Drill's writer produces).
+  */
+object Writer {
+
+  /** CTAS: persist `df` at `path` in `format`, returning the re-read
+    * table (what a follow-up `SELECT * FROM <new table>` sees).
+    * Hive-style `partitionBy` columns become directory partitions —
+    * Drill's dir0/dir1 layout with self-describing key=value names. */
+  def ctas(df: DataFrame, path: String, format: String = "parquet",
+           partitionBy: Seq[String] = Nil): DataFrame = {
+    val writer0 = df.write.format(format).mode("overwrite")
+    val writer = format match {
+      case "csv" => writer0.option("header", "true")
+      case _ => writer0
+    }
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .save(path)
+    read(df.sparkSession, path, format)
+  }
+
+  /** Read a table previously written by [[ctas]]. */
+  def read(spark: SparkSession, path: String, format: String = "parquet"): DataFrame =
+    format match {
+      case "csv" => spark.read.option("header", "true").option("inferSchema", "true")
+        .csv(path)
+      case "json" => spark.read.json(path)
+      case f => spark.read.format(f).load(path)
+    }
+
+  /** Drill-style unnamed directory columns (dir0, dir1, ...) for data laid
+    * out as base/<v0>/<v1>/file — the layout PartitionExplorer.java walks.
+    * Spark only auto-derives key=value partitions, so derive dirN from the
+    * file path; the values come from the directory names, never the rows. */
+  def withDirColumns(df: DataFrame, basePath: String, levels: Int = 2): DataFrame = {
+    val baseName = basePath.stripSuffix("/").split("/").last
+    val rel = regexp_replace(input_file_name(),
+      "^.*/" + java.util.regex.Pattern.quote(baseName) + "/", "")
+    val parts = split(rel, "/")
+    (0 until levels).foldLeft(df) { (d, i) =>
+      // a path segment is a dir level only if a deeper segment follows it
+      d.withColumn(s"dir$i", when(size(parts) > i + 1, element_at(parts, i + 1)))
+    }
+  }
+}
