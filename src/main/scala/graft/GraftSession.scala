@@ -29,6 +29,19 @@ object GraftSession {
       // BIGINT nanos — Spark has no ns timestamp type.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // Spark 4.1's checksum checkpoint manager awaits its writer pool
+      // inside state-store commits and deadlocks under local[N] stateful
+      // streaming; the classic rename-based manager is fine for us.
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+      // The default FileContext manager shells out (readlink) on every
+      // rename; JDK17's jspawnhelper intermittently deadlocks in this
+      // container, hanging micro-batches. The FileSystem-based manager
+      // stays in-process...
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        "org.apache.spark.sql.execution.streaming.checkpointing.FileSystemBasedCheckpointFileManager")
+      // ...and the local FS itself must not fork `chmod` per created file
+      // (no native hadoop lib here) — see NioLocalFileSystem.
+      .config("spark.hadoop.fs.file.impl", "graft.sources.NioLocalFileSystem")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.maxResultSize", "2g")
 

@@ -114,7 +114,7 @@ object Similarity {
         corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec")))
       .withColumn("bucket", explode(lshTableKeys(col("cvec"), dim, bits, tables)))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
-      .withColumn("bucket", explode(lshTableKeys(col(vecCol), dim, bits, tables)))
+      .withColumn("bucket", explode(lshTableKeys(col("qvec"), dim, bits, tables)))
     val cand = c.join(broadcast(q), Seq("bucket"))
       .filter(col("cid") =!= col("qid"))
       .select("qid", "qvec", "cid", "cvec")

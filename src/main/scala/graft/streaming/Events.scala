@@ -5,6 +5,11 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
+/** Per-user session accumulator for [[Events.sessionizeStream]]. Must be
+  * top-level and public: the state encoder's generated code references it
+  * by name, and a private nested case class fails Janino compilation. */
+case class SessState(start: Long, last: Long, n: Long, total: Double)
+
 /** Event-stream operators. Drill has no streaming story; this is the
   * Spark-native extension: the same tumbling/session semantics are
   * expressed once and run either as a batch DataFrame (verifiable against
@@ -75,35 +80,43 @@ object Events {
       .groupBy(window(col("ts"), windowDur), col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
 
-  private case class SessState(start: Long, last: Long, n: Long, sum: Double)
 
-  /** flatMapGroupsWithState sessionization — custom state per user with a
-    * processing-time timeout; emits a row when a session closes. */
-  def sessionizeStream(spark: SparkSession, events: DataFrame, gapSec: Int): DataFrame = {
+  /** flatMapGroupsWithState sessionization — custom state per user with an
+    * EVENT-TIME timeout: a session closes either when the same user shows
+    * up past the gap, or when the watermark passes last+gap. Event-time
+    * (not processing-time) timeouts keep the query deterministic and
+    * replayable, and the query goes idle when no data arrives — a
+    * processing-time timeout would re-trigger empty micro-batches forever
+    * (which also makes processAllAvailable() block indefinitely). */
+  def sessionizeStream(spark: SparkSession, events: DataFrame, gapSec: Int,
+                       watermarkDelay: String = "10 minutes"): DataFrame = {
     import spark.implicits._
-    val typed = events.select(col("user_id").cast("long"),
-        unix_timestamp(col("ts")).cast("long").as("sec"),
+    // the watermarked `ts` attribute itself must flow into the grouped
+    // Dataset (the analyzer checks for it); seconds derive in the lambda.
+    val typed = events.withWatermark("ts", watermarkDelay)
+      .select(col("user_id").cast("long"), col("ts"),
         col("value").cast("double"))
-      .as[(Long, Long, Double)]
+      .as[(Long, java.sql.Timestamp, Double)]
     typed.groupByKey(_._1)
       .flatMapGroupsWithState[SessState, (Long, Long, Long, Long, Double)](
-        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (user, rows, state: GroupState[SessState]) =>
           var out = List.empty[(Long, Long, Long, Long, Double)]
           var st = state.getOption.getOrElse(SessState(-1, -1, 0, 0.0))
-          rows.toSeq.sortBy(_._2).foreach { case (_, sec, v) =>
+          rows.toSeq.sortBy(_._2.getTime).foreach { case (_, t, v) =>
+            val sec = t.getTime / 1000L
             if (st.start < 0) st = SessState(sec, sec, 1, v)
             else if (sec - st.last > gapSec) {
-              out ::= (user, st.start, st.last, st.n, st.sum)
+              out ::= (user, st.start, st.last, st.n, st.total)
               st = SessState(sec, sec, 1, v)
-            } else st = st.copy(last = sec, n = st.n + 1, sum = st.sum + v)
+            } else st = st.copy(last = sec, n = st.n + 1, total = st.total + v)
           }
           if (state.hasTimedOut) {
-            if (st.start >= 0) out ::= (user, st.start, st.last, st.n, st.sum)
+            if (st.start >= 0) out ::= (user, st.start, st.last, st.n, st.total)
             state.remove()
           } else {
             state.update(st)
-            state.setTimeoutDuration(s"${gapSec} seconds")
+            state.setTimeoutTimestamp((st.last + gapSec) * 1000L)
           }
           out.reverseIterator
       }

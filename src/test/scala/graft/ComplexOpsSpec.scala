@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.ComplexOps
+
+class ComplexOpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("globalRowNumber equals a global window row_number") {
+    val cust = GraftSession.table(spark, SF, "customer")
+      .select("c_custkey", "c_acctbal")
+    val twoPhase = ComplexOps.globalRowNumber(cust, 8, col("c_acctbal"),
+        descending = true, "pos", col("c_custkey"))
+      .select("c_custkey", "pos").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val naive = cust.select(col("c_custkey"),
+        row_number().over(Window.orderBy(col("c_acctbal").desc, col("c_custkey"))).as("pos"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(twoPhase == naive)
+  }
+
+  test("globalRowNumber plan partitions the big table by bucket, not one task") {
+    val cust = GraftSession.table(spark, SF, "customer")
+      .select("c_custkey", "c_acctbal")
+    val plan = ComplexOps.globalRowNumber(cust, 8, col("c_acctbal"),
+      descending = false, "rn").queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(_bkt"),
+      "expected the numbering window to shuffle on the bucket key")
+  }
+
+  test("ntileFromRowNumber matches the ntile window function") {
+    import spark.implicits._
+    for (total <- Seq(7, 8, 1500)) {
+      val df = (1 to total).map(_.toLong).toDF("rn")
+      val closed = df.select(col("rn"),
+          ComplexOps.ntileFromRowNumber(col("rn"), 4, lit(total)).as("nt"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val naive = df.select(col("rn"),
+          ntile(4).over(Window.orderBy("rn")).as("nt"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(closed == naive, s"total=$total")
+    }
+  }
+
+  test("rangePartitionSort: partitions ordered and sorted within (SURVEY row 37)") {
+    val orders = GraftSession.table(spark, SF, "orders")
+      .select("o_orderkey", "o_totalprice")
+    val parted = ComplexOps.rangePartitionSort(orders, 4, col("o_orderkey"))
+      .withColumn("pid", spark_partition_id())
+    // sorted within each partition
+    val w = Window.partitionBy("pid").orderBy(lit(1)) // physical row order check below
+    val violations = parted
+      .withColumn("prev", lag("o_orderkey", 1).over(
+        Window.partitionBy("pid").orderBy(monotonically_increasing_id())))
+      .filter(col("prev") > col("o_orderkey")).count()
+    assert(violations == 0)
+    // partition key ranges must not overlap
+    val ranges = parted.groupBy("pid")
+      .agg(min("o_orderkey").as("lo"), max("o_orderkey").as("hi"))
+      .orderBy("pid").collect()
+    val sorted = ranges.sortBy(_.getAs[Long]("lo"))
+    sorted.sliding(2).foreach {
+      case Array(a, b) => assert(a.getAs[Long]("hi") <= b.getAs[Long]("lo"))
+      case _ =>
+    }
+  }
+
+  test("q_sort gate avoids a whole-table single-partition exchange") {
+    val plan = QueriesRelational.queries("q_sort")(spark, SF)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(_bkt"),
+      "two-phase numbering structure missing from q_sort")
+  }
+
+  test("topN plans as TakeOrderedAndProject (no global sort)") {
+    val plan = ComplexOps.topN(
+        GraftSession.table(spark, SF, "orders"), 5, col("o_totalprice").desc)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+      (3L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+      (4L, "entirely different content about spark engines"),
+      (5L, "spark engines and different content entirely"), // same token set as 4
+      (6L, "completely unrelated text mentioning nothing shared")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup keeps the lowest id per normalized text") {
+    val kept = Dedup.exact(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 4L, 5L, 6L)) // 3 dropped (dup of 1)
+  }
+
+  test("banded minhash equals exact jaccard pairs (candidate gen is lossless here)") {
+    val banded = Dedup.minhashNearDups(docs, "doc_id", "text",
+        numHashes = 128, bands = 32, threshold = 0.5, maxBucket = Int.MaxValue)
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 1, threshold = 0.5)
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.nonEmpty)
+    assert(banded == exact)
+    // identical token sets appear with jaccard exactly 1.0; docs 4/5
+    // differ by one word ("about" vs "and") => 5 shared of 7 distinct
+    assert(banded.contains((1L, 3L, 1.0)))
+    assert(banded.contains((4L, 5L, 0.714286)))
+  }
+
+  test("minhashBucketStats surfaces rows a small cap would drop") {
+    val dropped = Dedup.minhashBucketStats(docs, "doc_id", "text",
+      numHashes = 128, bands = 32, maxBucket = 1)
+    assert(dropped.count() > 0) // docs 1/3 share every band
+    assert(dropped.filter(col("dropped") <= 0).count() == 0)
+  }
+
+  test("ngram document-frequency cap drops ubiquitous-token postings only") {
+    // cap at 5: tokens present in ALL 6 docs would be excluded — none are,
+    // so results must equal the uncapped run; cap at 1 kills every pair.
+    val uncapped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 1, 0.5).count()
+    val capped5 = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 1, 0.5,
+      maxDocFreq = 5).count()
+    val capped1 = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 1, 0.5,
+      maxDocFreq = 1).count()
+    assert(capped5 == uncapped)
+    assert(capped1 == 0)
+  }
+
+  test("simhash near-dups find single-token edits") {
+    val pairs = Dedup.simhashPortableNearDups(docs, "doc_id", "text", maxHamming = 8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 3L))) // identical => hamming 0
+    assert(pairs.contains((4L, 5L)))
+  }
+}

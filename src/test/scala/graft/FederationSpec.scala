@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.Federation
+
+/** JDBC federation against embedded Derby (the only RDBMS in the
+  * container) — Drill contrib/storage-jdbc behavior: write, read back,
+  * and a partitioned parallel read. */
+class FederationSpec extends AnyFunSuite {
+  import TestSpark._
+
+  System.setProperty("derby.system.home", "/tmp/derby")
+  private val url = "jdbc:derby:memory:graftdb;create=true"
+
+  test("JDBC write + read back round-trips") {
+    import spark.implicits._
+    val df = Seq((1L, 10.5), (2L, 20.25), (3L, 30.0)).toDF("ID", "V")
+    Federation.writeJdbc(df, url, "T_ROUNDTRIP")
+    val back = Federation.jdbc(spark, url, "T_ROUNDTRIP")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(back == Set((1L, 10.5), (2L, 20.25), (3L, 30.0)))
+  }
+
+  test("partitioned JDBC read splits the scan into parallel bounded queries") {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i, i * 2.0)).toDF("ID", "V")
+    Federation.writeJdbc(df, url, "T_PART")
+    val part = Federation.jdbcPartitioned(spark, url, "T_PART",
+      partitionColumn = "ID", lowerBound = 1, upperBound = 101, numPartitions = 4)
+    assert(part.rdd.getNumPartitions == 4)
+    assert(part.count() == 100)
+    assert(part.agg(org.apache.spark.sql.functions.sum("V")).collect()(0)
+      .getDouble(0) == (1 to 100).map(_ * 2.0).sum)
+  }
+}

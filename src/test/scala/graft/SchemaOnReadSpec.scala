@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.SchemaOnRead
+
+class SchemaOnReadSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("syslog parser extracts pri/host/app/pid/message (SURVEY row 64)") {
+    val rows = SchemaOnRead.syslog(spark, s"$Fixtures/syslog.log")
+      .orderBy("ts_raw").collect()
+    assert(rows.length == 3)
+    val first = rows.find(_.getAs[String]("app") == "sshd").get
+    assert(first.getAs[String]("host") == "host1")
+    assert(first.getAs[String]("pid") == "912")
+    assert(first.getAs[String]("message").startsWith("Failed password"))
+    assert(first.getAs[Int]("facility") == 34 / 8)
+    assert(first.getAs[Int]("severity") == 34 % 8)
+    val noPid = rows.find(_.getAs[String]("message").contains("COMMAND")).get
+    assert(noPid.getAs[String]("app").trim == "sudo")
+    assert(noPid.getAs[String]("pid") == "") // no [pid] on that line
+  }
+
+  test("fixed-width reader slices declared columns (SURVEY row 66)") {
+    val p = java.nio.file.Files.createTempFile("fw", ".txt")
+    java.nio.file.Files.writeString(p,
+      "alice  0312ny\n" +
+      "bob    1145la\n")
+    val df = SchemaOnRead.fixedWidth(spark, p.toString,
+      Seq(("name", 1, 7), ("code", 8, 4), ("city", 12, 2)))
+    val rows = df.orderBy("name").collect()
+    assert(rows.map(_.getAs[String]("name")).toSeq == Seq("alice", "bob"))
+    assert(rows.map(_.getAs[String]("code")).toSeq == Seq("0312", "1145"))
+    assert(rows.map(_.getAs[String]("city")).toSeq == Seq("ny", "la"))
+  }
+
+  test("implicit file columns: fqn/filename/filepath/suffix (SURVEY row 67)") {
+    val df = SchemaOnRead.withImplicitColumns(
+      SchemaOnRead.csv(spark, s"$Fixtures/sample.csv"))
+    val r = df.limit(1).collect()(0)
+    assert(r.getAs[String]("filename") == "sample.csv")
+    assert(r.getAs[String]("suffix") == "csv")
+    assert(r.getAs[String]("fqn").endsWith("testfiles/sample.csv"))
+    assert(r.getAs[String]("filepath").endsWith("testfiles"))
+  }
+
+  test("describeSchema lists one row per field (SURVEY row 39)") {
+    val cust = GraftSession.table(spark, SF, "customer")
+    val desc = SchemaOnRead.describeSchema(cust).collect()
+    assert(desc.length == cust.schema.fields.length)
+    val byName = desc.map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(byName("c_custkey") == "bigint")
+    assert(byName("c_name") == "string")
+    assert(byName("c_acctbal") == "double")
+  }
+
+  test("inferJsonColumn discovers embedded JSON schema (SURVEY row 40)") {
+    val ev = GraftSession.table(spark, SF, "events")
+    val parsed = SchemaOnRead.inferJsonColumn(ev, "props")
+    assert(parsed.schema.fieldNames.contains("props_parsed"))
+    assert(parsed.filter(col("props_parsed").isNotNull).count() > 0)
+  }
+}

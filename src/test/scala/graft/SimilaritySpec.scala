@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.Similarity
+
+/** LSH quality gates on PLANTED clustered vectors — the regime LSH is for
+  * (the driver's synthetic embeddings have no high-cosine pairs, so recall
+  * there is measured against blockedAllPairs instead).
+  */
+class SimilaritySpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val Dim = 16
+  private val rnd = new scala.util.Random(7)
+
+  /** 20 clusters x 8 noisy copies: in-cluster cosine ~0.99, cross-cluster
+    * cosine of random +-1-ish vectors is far below. */
+  private lazy val corpus = {
+    import spark.implicits._
+    val rows = for {
+      c <- 0 until 20
+      base = Array.fill(Dim)(rnd.nextGaussian())
+      i <- 0 until 8
+    } yield {
+      val noisy = base.map(v => (v + 0.05 * rnd.nextGaussian()).toFloat)
+      (c * 100L + i, noisy.toSeq)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("lshTopK recall@5 >= 0.9 vs bruteForceTopK (SURVEY row 76)") {
+    val queries = corpus.filter(col("vec_id") % 100 === 0) // one per cluster
+    val exact = Similarity.bruteForceTopK(corpus, queries, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(corpus, queries, k = 5, dim = Dim,
+        bits = 8, tables = 12)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall@5 = $recall")
+  }
+
+  test("lshTopK candidate set actually prunes (not brute force in disguise)") {
+    val queries = corpus.filter(col("vec_id") % 100 === 0)
+    val nCorpus = corpus.count()
+    // count scored candidates per query before top-k
+    val c = GraftSession.balanced(corpus.select(col("vec_id").as("cid"), col("embedding").as("cvec")))
+      .withColumn("bucket", explode(Similarity.lshTableKeys(col("cvec"), Dim, 8, 12)))
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      .withColumn("bucket", explode(Similarity.lshTableKeys(col("qvec"), Dim, 8, 12)))
+    val candPerQuery = c.join(q, Seq("bucket"))
+      .filter(col("cid") =!= col("qid"))
+      .select("qid", "cid").distinct()
+      .groupBy("qid").count().agg(avg("count")).collect()(0).getDouble(0)
+    assert(candPerQuery < nCorpus * 0.5,
+      s"avg candidates $candPerQuery of $nCorpus corpus — no pruning")
+  }
+
+  test("embeddingNearDups matches exact blockedAllPairs at threshold 0.9") {
+    val exact = Similarity.blockedAllPairs(corpus, threshold = 0.9, numBlocks = 4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.embeddingNearDups(corpus, threshold = 0.9, dim = Dim,
+        bits = 8, tables = 12)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "planted clusters must produce near-dup pairs")
+    assert(lsh == exact, s"missing=${(exact -- lsh).size} extra=${(lsh -- exact).size}")
+  }
+
+  test("blockedAllPairs equals naive all-pairs cosine (exactness)") {
+    import spark.implicits._
+    val naive = corpus.as("a").join(corpus.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("cs"))
+      .filter(col("cs") >= 0.9)
+      .select("a.vec_id", "b.vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = Similarity.blockedAllPairs(corpus, threshold = 0.9, numBlocks = 4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked == naive)
+  }
+}

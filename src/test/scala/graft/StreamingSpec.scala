@@ -1,0 +1,82 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.Events
+
+/** Structured Streaming paths (SURVEY rows 84/85) driven through
+  * MemoryStream — the same operators the batch oracles cover, now
+  * executed as incremental queries. */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000L)
+
+  test("tumblingAggStream: windowed agg over a stream matches batch totals") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val agg = Events.tumblingAggStream(
+      input.toDF().toDF("ts", "event_type", "value"), "5 minutes")
+    val q = agg.writeStream.format("memory").queryName("tumbling_out")
+      .outputMode("complete").start()
+    try {
+      input.addData((ts(0), "click", 1.0), (ts(10), "click", 2.0),
+        (ts(400), "view", 5.0), (ts(700), "click", 0.5))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling_out")
+        .select(col("window.start").cast("long").as("w"), col("event_type"),
+          col("n_events"), col("sum_value"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(rows == Set(
+        (0L, "click", 2L, 3.0),    // window [0, 300)
+        (300L, "view", 1L, 5.0),   // window [300, 600)
+        (600L, "click", 1L, 0.5))) // window [600, 900)
+    } finally q.stop()
+  }
+
+  test("sessionizeStream: flatMapGroupsWithState closes sessions on gap") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val sess = Events.sessionizeStream(spark,
+      input.toDF().toDF("user_id", "ts", "value"), gapSec = 1800)
+    val q = sess.writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    // NB: keep event times well past epoch 0 — the initial watermark is 0
+    // and the stateful operator drops rows at or below the watermark.
+    val b = 100000L
+    try {
+      input.addData((1L, ts(b), 1.0), (1L, ts(b + 600), 2.0), (2L, ts(b), 7.0))
+      q.processAllAvailable()
+      // sessions still open — nothing emitted yet
+      assert(spark.table("sessions_out").count() == 0)
+      // user 1 returns far beyond the gap: closes session 1 by gap logic;
+      // the advanced watermark then times out user 2's idle session.
+      input.addData((1L, ts(b + 10000), 4.0))
+      q.processAllAvailable()
+      // the event-time timeout for user 2 fires on the batch AFTER the
+      // watermark advances — nudge with an empty-ish later batch.
+      input.addData((3L, ts(b + 10001), 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("sessions_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+        .toSet
+      assert(rows.contains((1L, b, b + 600L, 2L, 3.0)), rows)
+      assert(rows.contains((2L, b, b, 1L, 7.0)), rows)
+    } finally q.stop()
+  }
+
+  test("batch and stream tumbling aggregation agree on the same data") {
+    import spark.implicits._
+    val batch = Seq((1L, ts(0), "click", 1.0), (2L, ts(10), "click", 2.0),
+        (3L, ts(400), "view", 5.0))
+      .toDF("event_id", "ts", "event_type", "value")
+    val got = Events.tumblingAgg(batch, 300)
+      .select("window_id", "event_type", "n_events")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set((0L, "click", 2L), (1L, "view", 1L)))
+  }
+}
