@@ -72,13 +72,13 @@ object Dedup {
   def minhashSignature(shingles: Column, k: Int): Column =
     minhashSignatureFromHashes(tokenHashes(shingles), k)
 
-  /** LSH band keys: signature split into `bands` rows of `rowsPerBand`,
-    * each band hashed to one bucket key. */
+  /** LSH band keys as LONGs: signature split into `bands` rows of
+    * `rowsPerBand`, each band hashed (band index mixed in) to one 64-bit
+    * bucket key — long join/agg keys beat string keys on the candidate
+    * join, which processes ~10x the pair count. */
   def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)), b =>
-      concat_ws("_", b.cast("string"),
-        xxhash64(concat_ws(",", slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))))
-          .cast("string")))
+      xxhash64(b, slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))))
 
   private def tokenized(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     graft.GraftSession.balanced(docs.select(col(idCol).as("id"), col(textCol).as("text")))
@@ -88,9 +88,13 @@ object Dedup {
   /** (band, id) relation after banding + the per-band skew cap. Shuffles
     * only (band, id) pairs — token arrays never ride the band explode. */
   private def bandedIds(docs: DataFrame, idCol: String, textCol: String,
-                        numHashes: Int, bands: Int, maxBucket: Int): DataFrame = {
+                        numHashes: Int, bands: Int, maxBucket: Int): DataFrame =
+    bandedIdsFrom(tokenized(docs, idCol, textCol), numHashes, bands, maxBucket)
+
+  private def bandedIdsFrom(toks: DataFrame, numHashes: Int, bands: Int,
+                            maxBucket: Int): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val banded = tokenized(docs, idCol, textCol)
+    val banded = toks
       .withColumn("th", tokenHashes(col("toks")))
       .withColumn("sig", minhashSignatureFromHashes(col("th"), numHashes))
       .select(col("id"), explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("band"))
@@ -131,19 +135,46 @@ object Dedup {
                       numHashes: Int = 128, bands: Int = 32,
                       threshold: Double = 0.8,
                       maxBucket: Int = 4096): DataFrame = {
-    val bucketed = bandedIds(docs, idCol, textCol, numHashes, bands, maxBucket)
+    val toks = tokenized(docs, idCol, textCol)
+    // Collapse identical token sets first (near-dup corpora are dominated
+    // by exact copies, and band-join work is QUADRATIC in cluster size):
+    // banding + verification run once per unique set; doc pairs expand
+    // back afterwards. Within-group pairs have jaccard exactly 1.
+    // The balanced() wrappers are exchange-reuse points: keyed feeds four
+    // references and reps two -- each computes once, not once per branch.
+    // (separator "\u0000" cannot appear in space-split tokens)
+    val keyed = graft.GraftSession.balanced(
+      toks.withColumn("setkey",
+        xxhash64(concat_ws("\u0000", array_sort(col("toks"))))))
+    val members = keyed.select("setkey", "id")
+    val reps = graft.GraftSession.balanced(
+      keyed.groupBy("setkey").agg(min("id").as("id"), first("toks").as("toks")))
+    val bucketed = bandedIdsFrom(reps.select("id", "toks"), numHashes, bands, maxBucket)
     val cand = bucketed.as("a").join(bucketed.as("b"),
         col("a.band") === col("b.band") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("n_bands")) // pair-dedup with map-side combine
       .select("id_a", "id_b")
-    val toks = tokenized(docs, idCol, textCol)
-    val pairs = cand
-      .join(toks.as("ta"), col("id_a") === col("ta.id"))
-      .join(toks.as("tb"), col("id_b") === col("tb.id"))
-      .select(col("id_a"), col("id_b"),
-        col("ta.toks").as("toks_a"), col("tb.toks").as("toks_b"))
-    verifyJaccard(pairs, threshold)
+    val repToks = reps.select("setkey", "id", "toks")
+    val inter = size(array_intersect(col("ta.toks"), col("tb.toks"))).cast("double")
+    val uni = size(array_union(col("ta.toks"), col("tb.toks"))).cast("double")
+    val verified = cand
+      .join(repToks.as("ta"), col("id_a") === col("ta.id"))
+      .join(repToks.as("tb"), col("id_b") === col("tb.id"))
+      .withColumn("jac_raw", inter / uni)
+      .filter(col("jac_raw") >= threshold)
+      .select(col("ta.setkey").as("ka"), col("tb.setkey").as("kb"),
+        round(col("jac_raw"), 6).as("jaccard"))
+    val cross = verified
+      .join(members.as("ma"), col("ka") === col("ma.setkey"))
+      .join(members.as("mb"), col("kb") === col("mb.setkey"))
+      .select(least(col("ma.id"), col("mb.id")).as("id_a"),
+        greatest(col("ma.id"), col("mb.id")).as("id_b"), col("jaccard"))
+    val within = members.as("x").join(members.as("y"),
+        col("x.setkey") === col("y.setkey") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        lit(1.0).as("jaccard"))
+    cross.unionAll(within)
   }
 
   /** Exact Jaccard over the token sets of candidate pairs. The threshold
