@@ -142,6 +142,30 @@ object QueriesFunctions {
           count(lit(1)).as("n"))
         .select("c_mktsegment", "g", "n")),
 
+    // Drill repeated_count / repeated_contains and friends over arrays
+    // (ref exec/.../expr/fn/impl/SimpleRepeatedFunctions.java)
+    "q_array_fns" -> ((s, d) => {
+      val words = split(graft.pipeline.TextAnalysis.normalize(col("text")), " ")
+      T(s, d, "documents")
+        .select(col("doc_id"),
+          size(words).as("n_words"),
+          array_contains(words, "the").cast("int").as("has_the"),
+          array_position(words, "the").as("pos_the"),
+          element_at(words, 1).as("first_word"),
+          element_at(words, -1).as("last_word"),
+          array_join(slice(words, 1, 3), " ").as("first3"))
+    }),
+
+    // Drill TDigestFunctions: approximate percentile vs exact, gated with
+    // the same tolerance pattern as q_approx_distinct.
+    "q_approx_percentile" -> ((s, d) =>
+      T(s, d, "lineitem").groupBy("l_returnflag").agg(
+        round(call_function("percentile", col("l_extendedprice"), lit(0.5)), 4).as("p50_exact"),
+        (abs(call_function("approx_percentile", col("l_extendedprice"), lit(0.5), lit(1000))
+          - call_function("percentile", col("l_extendedprice"), lit(0.5)))
+          <= call_function("percentile", col("l_extendedprice"), lit(0.5)) * 0.02)
+          .as("within_tol"))),
+
     // Drill contrib/udfs string-distance functions (LevenshteinDistance
     // etc.); soundex/metaphone are engine-specific, asserted in ScalaTest.
     "q_string_distance" -> ((s, d) =>
@@ -238,5 +262,16 @@ object QueriesFunctions {
     "q_string_distance" ->
       """SELECT c_custkey, levenshtein(c_name, 'Customer#000000042') AS lev,
          levenshtein(c_mktsegment, 'BUILDING') AS lev_seg
-         FROM customer WHERE c_custkey < 300""")
+         FROM customer WHERE c_custkey < 300""",
+    "q_array_fns" -> s"""
+      WITH t AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w FROM documents)
+      SELECT doc_id, len(w) AS n_words,
+        list_contains(w, 'the')::INT AS has_the,
+        coalesce(list_position(w, 'the'), 0)::BIGINT AS pos_the,
+        w[1] AS first_word, w[-1] AS last_word,
+        array_to_string(w[1:3], ' ') AS first3
+      FROM t""",
+    "q_approx_percentile" ->
+      """SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+         TRUE AS within_tol FROM lineitem GROUP BY l_returnflag""")
 }

@@ -278,6 +278,15 @@ object QueriesRelational {
       ComplexOps.tableStats(T(s, d, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount"))),
 
+    "q_salted_join" -> ((s, d) =>
+      // skew-salted join must produce EXACTLY the plain join's result
+      ComplexOps.saltedJoin(
+          T(s, d, "lineitem"), T(s, d, "orders"),
+          col("l_orderkey"), col("o_orderkey"), buckets = 8)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice")), 2).as("revenue"))),
+
     "q_json_schema_on_read" -> ((s, d) => {
       val ev = T(s, d, "events")
       val inferred = graft.sources.SchemaOnRead.inferJsonColumn(ev, "props")
@@ -408,6 +417,11 @@ object QueriesRelational {
          FROM (SELECT event_id, props, unnest(json_keys(props)) AS k FROM events)""",
     "q_range_partition" ->
       "SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders",
+    "q_salted_join" ->
+      """SELECT o_orderstatus, count(*) AS n_items,
+         round(sum(l_extendedprice), 2) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderstatus""",
     "q_table_stats" ->
       """SELECT count(l_quantity)::BIGINT AS l_quantity_count, count(DISTINCT l_quantity) AS l_quantity_ndv,
          round(min(l_quantity)::DOUBLE, 6) AS l_quantity_min, round(max(l_quantity)::DOUBLE, 6) AS l_quantity_max,

@@ -77,6 +77,17 @@ object QueriesSources {
         .select(expr("from_xml(xml_str, 'k BIGINT, n STRING')").as("r"))
         .select(col("r.k").as("k"), col("r.n").as("n"))),
 
+    // ---- VARIANT: Drill's UNION/LATE type ≡ Spark 4 VariantType ----
+    // heterogeneous JSON (objects on even ids, arrays on odd) parsed into
+    // one variant column, fields extracted by path with target types.
+    "q_variant_json" -> ((s, d) =>
+      GraftSession.table(s, d, "events").filter(col("event_id") < 2000)
+        .withColumn("j", when(col("event_id") % 2 === 0, col("props"))
+          .otherwise(concat(lit("["), col("event_id") % 100, lit(", 2]"))))
+        .select(col("event_id"),
+          expr("variant_get(parse_json(j), '$.k', 'bigint')").as("k_val"),
+          expr("variant_get(parse_json(j), '$[0]', 'bigint')").as("first_elem"))),
+
     // ---- hive-style directory partition pruning (ref PartitionExplorer) ----
     "q_dir_pruning" -> ((s, d) => {
       val src = GraftSession.table(s, d, "orders")
@@ -147,5 +158,13 @@ object QueriesSources {
       "SELECT c_custkey AS k, c_name AS n FROM customer WHERE c_custkey < 200",
     "q_dir_pruning" -> """
       SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total
-      FROM orders WHERE o_orderstatus = 'F'""")
+      FROM orders WHERE o_orderstatus = 'F'""",
+    "q_variant_json" -> """
+      SELECT event_id,
+        json_extract(j, '$.k')::BIGINT AS k_val,
+        json_extract(j, '$[0]')::BIGINT AS first_elem
+      FROM (SELECT event_id,
+              CASE WHEN event_id % 2 = 0 THEN props
+                   ELSE '[' || (event_id % 100) || ', 2]' END AS j
+            FROM events WHERE event_id < 2000)""")
 }

@@ -103,6 +103,25 @@ object ComplexOps {
       .cast("int")
   }
 
+  /** Skew-salted equi-join — the manual form of AQE's skew handling for
+    * when a handful of hot keys would pin one reducer (Drill handles this
+    * with its hash-partitioning exchange fan-out). The (typically bigger,
+    * skewed) left side gets a deterministic salt in [0, buckets); the
+    * right side replicates each row to every salt bucket, so the hot key's
+    * rows spread over `buckets` reducers. Result is identical to the plain
+    * join; the salt never escapes. */
+  def saltedJoin(left: DataFrame, right: DataFrame,
+                 leftKey: Column, rightKey: Column,
+                 buckets: Int = 8,
+                 joinType: String = "inner"): DataFrame = {
+    val l = left.withColumn("_salt_l",
+      pmod(xxhash64(leftKey, monotonically_increasing_id()), lit(buckets)).cast("int"))
+    val r = right.withColumn("_salt_r",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    l.join(r, leftKey === rightKey && col("_salt_l") === col("_salt_r"), joinType)
+      .drop("_salt_l", "_salt_r")
+  }
+
   /** ANALYZE-style column statistics (Drill statistics/): one row per
     * numeric column with ndv/nulls/min/max/avg — map-combinable, one pass. */
   def tableStats(df: DataFrame, cols: Seq[String]): DataFrame = {

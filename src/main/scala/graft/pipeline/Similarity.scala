@@ -126,6 +126,43 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** IVF-flat approximate nearest neighbors: a coarse quantizer assigns
+    * every corpus vector to its nearest of `nCells` centroids; each query
+    * probes only the `nProbe` nearest cells and reranks exactly. This is
+    * the inverted-file index shape (FAISS IVF-Flat); the centroid set here
+    * is a deterministic hash-sample of the corpus — swap in k-means
+    * centroids for tighter cells without touching the plan. Cost per
+    * query: ~nProbe/nCells of the corpus instead of all of it. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCells: Int = 16, nProbe: Int = 3,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = graft.GraftSession.balanced(
+      corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec")))
+    // deterministic pseudo-random centroid sample (hash-order, first N)
+    val cents = c.withColumn("hk", xxhash64(col("cid")))
+      .orderBy("hk").limit(nCells)
+      .select(col("cid").as("cent_id"), col("cvec").as("cent_vec"))
+    val assignW = Window.partitionBy("cid").orderBy(col("cs").desc, col("cent_id"))
+    val assigned = c.crossJoin(broadcast(cents))
+      .withColumn("cs", cosine(col("cvec"), col("cent_vec")))
+      .withColumn("rn", row_number().over(assignW)).filter(col("rn") === 1)
+      .select(col("cid"), col("cvec"), col("cent_id").as("cell"))
+    val probeW = Window.partitionBy("qid").orderBy(col("cs").desc, col("cent_id"))
+    val probes = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cs", cosine(col("qvec"), col("cent_vec")))
+      .withColumn("rn", row_number().over(probeW)).filter(col("rn") <= nProbe)
+      .select(col("qid"), col("qvec"), col("cent_id").as("cell"))
+    val rankW = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    probes.join(assigned, "cell")
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid").as("query_id"), col("cid").as("neighbor_id"),
+        round(cosine(col("qvec"), col("cvec")), 6).as("cos_sim"))
+      .dropDuplicates("query_id", "neighbor_id") // a pair may share cells
+      .withColumn("rank", row_number().over(rankW)).filter(col("rank") <= k)
+  }
+
   /** Embedding near-duplicate pairs via multi-table LSH: a pair is a
     * candidate if it shares a bucket in any table; exact cosine verifies.
     * The near-dup regime (threshold >= ~0.9, where vectors are

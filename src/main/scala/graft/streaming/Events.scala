@@ -81,6 +81,22 @@ object Events {
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
 
 
+  /** Stream-stream interval join: attribute each click to the impression
+    * it followed within `windowSec` (the canonical watermarked
+    * stream-stream join). Both sides keep bounded state — rows are
+    * dropped once the watermark passes their join window. Expects
+    * impressions(imp_id, imp_ts, ...) and clicks(clk_id, clk_ts, ...). */
+  def clickAttribution(impressions: DataFrame, clicks: DataFrame,
+                       windowSec: Int,
+                       watermarkDelay: String = "30 seconds"): DataFrame = {
+    val imp = impressions.withWatermark("imp_ts", watermarkDelay)
+    val clk = clicks.withWatermark("clk_ts", watermarkDelay)
+    imp.join(clk, expr(
+      s"""imp_id = clk_id AND
+          clk_ts >= imp_ts AND
+          clk_ts <= imp_ts + interval $windowSec seconds"""))
+  }
+
   /** flatMapGroupsWithState sessionization — custom state per user with an
     * EVENT-TIME timeout: a session closes either when the same user shows
     * up past the gap, or when the watermark passes last+gap. Event-time

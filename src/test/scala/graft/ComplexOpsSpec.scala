@@ -74,6 +74,21 @@ class ComplexOpsSpec extends AnyFunSuite {
       "two-phase numbering structure missing from q_sort")
   }
 
+  test("saltedJoin equals the plain join and spreads the hot key") {
+    import spark.implicits._
+    // skewed left: one hot key with 1000 rows
+    val left = ((1 to 1000).map(i => (42L, i)) ++ (1 to 50).map(i => (i.toLong, i)))
+      .toDF("k", "v")
+    val right = (1 to 60).map(i => (i.toLong, s"r$i")).toDF("rk", "name")
+      .union(Seq((42L, "hot")).toDF("rk", "name")).distinct()
+    val plain = left.join(right, col("k") === col("rk"))
+      .select("k", "v", "name").collect().map(_.toSeq).toSet
+    val salted = ComplexOps.saltedJoin(left, right, col("k"), col("rk"), buckets = 4)
+      .select("k", "v", "name").collect().map(_.toSeq).toSet
+    assert(salted == plain)
+    assert(plain.count(_.head == 42L) >= 1000)
+  }
+
   test("topN plans as TakeOrderedAndProject (no global sort)") {
     val plan = ComplexOps.topN(
         GraftSession.table(spark, SF, "orders"), 5, col("o_totalprice").desc)

@@ -68,6 +68,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(lsh == exact, s"missing=${(exact -- lsh).size} extra=${(lsh -- exact).size}")
   }
 
+  test("ivfTopK recall@5 >= 0.9 with bounded probing (IVF-flat shape)") {
+    val queries = corpus.filter(col("vec_id") % 100 === 0)
+    val exact = Similarity.bruteForceTopK(corpus, queries, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(corpus, queries, k = 5, nCells = 16, nProbe = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall@5 = $recall")
+  }
+
   test("blockedAllPairs equals naive all-pairs cosine (exactness)") {
     import spark.implicits._
     val naive = corpus.as("a").join(corpus.as("b"), col("a.vec_id") < col("b.vec_id"))

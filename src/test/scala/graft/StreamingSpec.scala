@@ -69,6 +69,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes clicks within the window") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val b = 200000L
+    val imps = MemoryStream[(Long, Timestamp)]
+    val clks = MemoryStream[(Long, Timestamp)]
+    val joined = Events.clickAttribution(
+      imps.toDF().toDF("imp_id", "imp_ts"),
+      clks.toDF().toDF("clk_id", "clk_ts"), windowSec = 60)
+    val q = joined.writeStream.format("memory").queryName("attrib_out")
+      .outputMode("append").start()
+    try {
+      imps.addData((1L, ts(b)), (2L, ts(b)))
+      clks.addData((1L, ts(b + 30)),  // inside the window -> joins
+        (2L, ts(b + 120)))            // past the window -> dropped
+      q.processAllAvailable()
+      val rows = spark.table("attrib_out")
+        .select("imp_id", "clk_ts").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000L)).toSet
+      assert(rows == Set((1L, b + 30)))
+    } finally q.stop()
+  }
+
   test("batch and stream tumbling aggregation agree on the same data") {
     import spark.implicits._
     val batch = Seq((1L, ts(0), "click", 1.0), (2L, ts(10), "click", 2.0),
