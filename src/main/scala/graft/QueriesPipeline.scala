@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Dedup, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Similarity, TextAnalysis, Training}
 import graft.streaming.Events
 
 /** §2.4 + §2.5 coverage: LLM-pipeline operators and stream semantics,
@@ -76,6 +76,15 @@ object QueriesPipeline {
       T(s, d, "documents").select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"))),
 
+    "q_hash_split" -> ((s, d) =>
+      Training.hashSplit(T(s, d, "documents"), "doc_id", "text",
+        trainPct = 80, valPct = 10)),
+
+    "q_seq_packing" -> ((s, d) =>
+      Training.packingStats(
+        Training.packSequences(T(s, d, "documents"), "doc_id", "text",
+          tokenBudget = 2048, shards = 8))),
+
     "q_window_tumbling" -> ((s, d) =>
       Events.tumblingAgg(T(s, d, "events"), 300)),
 
@@ -112,7 +121,29 @@ object QueriesPipeline {
     FROM inter JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
     WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= $threshold"""
 
+  // md5-derived 32-bit hash of an expression, positionally parsed — the
+  // engine-portable hash also used by the simhash oracle.
+  private def md5h32(e: String) =
+    (1 to 8).map(i =>
+      s"(strpos('0123456789abcdef', substr(md5($e),$i,1))-1)*${1L << ((8 - i) * 4)}")
+      .mkString("(", " + ", ")")
+
   val oracle: Map[String, String] = Map(
+    "q_hash_split" -> s"""
+      WITH m AS (SELECT doc_id, ${md5h32("text")} % 100 AS bucket FROM documents)
+      SELECT doc_id, bucket,
+        CASE WHEN bucket < 80 THEN 'train'
+             WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+      FROM m""",
+    "q_seq_packing" -> s"""
+      WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+          len(string_split($NORM, ' ')) AS n_tokens FROM documents),
+      c AS (SELECT doc_id, shard, n_tokens,
+          sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
+      SELECT shard, floor((cum - n_tokens) / 2048.0)::BIGINT AS bin,
+        count(*) AS n_docs, sum(n_tokens) AS bin_tokens
+      FROM c GROUP BY 1, 2""",
     "q_dedup_exact" -> s"""
       WITH corpus AS (
         SELECT doc_id, text FROM documents

@@ -1,0 +1,61 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Training-data assembly operators: deterministic dataset splits and
+  * token-budget sequence packing — the last mile between a cleaned corpus
+  * and a training run. Everything is hash-deterministic (re-runs and
+  * engines agree) and shard-parallel (no global ordering).
+  */
+object Training {
+
+  /** Deterministic train/val/test assignment from a content hash —
+    * stable across runs, engines, and row order, unlike rand()-based
+    * splits. Uses the md5-derived 32-bit hash (portable to any SQL
+    * engine) rather than xxhash64. */
+  def hashSplit(docs: DataFrame, idCol: String, textCol: String,
+                trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val bucket = pmod(Dedup.md5Hash32(col(textCol)), lit(100))
+    docs.select(col(idCol), col(textCol))
+      .withColumn("bucket", bucket)
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+      .select(col(idCol), col("bucket"), col("split"))
+  }
+
+  /** Greedy sequence packing: assign documents to fixed token-budget bins
+    * (training sequences), shard-parallel. Each shard (hash of id) packs
+    * its documents in deterministic id order; a doc goes to the bin where
+    * its shard-cumulative token count lands. One window per shard — no
+    * global sort, so the plan scales linearly with shard count. */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+                    tokenBudget: Int, shards: Int = 8): DataFrame = {
+    val toks = TextAnalysis.tokenCountWs(col(textCol))
+    val w = Window.partitionBy("shard").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col(idCol), col(textCol))
+      .withColumn("shard", pmod(col(idCol), lit(shards)).cast("int"))
+      .withColumn("n_tokens", toks)
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("bin",
+        floor((col("cum_tokens") - col("n_tokens")) / tokenBudget).cast("long"))
+      .select(col(idCol), col("shard"), col("n_tokens"), col("bin"))
+  }
+
+  /** Per-bin packing summary (what the data loader reads): docs per
+    * sequence and the fill level against the budget. */
+  def packingStats(packed: DataFrame): DataFrame =
+    packed.groupBy("shard", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("bin_tokens"))
+
+  /** Weighted deterministic corpus mixture: keep a hash-chosen `pct`% of
+    * each source (the training-mixture sampling primitive; stable across
+    * runs, no rand()). */
+  def mixturePct(docs: DataFrame, idCol: String, textCol: String,
+                 pct: Int): DataFrame =
+    docs.filter(pmod(Dedup.md5Hash32(col(textCol)), lit(100)) < pct)
+}

@@ -41,4 +41,25 @@ object Federation {
   def writeJdbc(df: DataFrame, url: String, table: String,
                 props: Properties = new Properties()): Unit =
     df.write.mode("overwrite").jdbc(url, table, props)
+
+  /** REST endpoint as a table (Drill contrib/storage-http): each URL —
+    * typically one per page of a paginated API — is fetched by an
+    * executor task, so pagination IS the parallelism. Responses are
+    * JSON-lines; schema inference runs over the combined dataset.
+    * (Exercised in ScalaTest against an in-process HTTP server — this
+    * container has no egress.) */
+  def httpJsonLines(spark: SparkSession, urls: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val parallelism = math.max(1, math.min(urls.size, 32))
+    val raw = spark.createDataset(urls).repartition(parallelism)
+      .mapPartitions { it =>
+        it.flatMap { u =>
+          val in = new java.net.URI(u).toURL.openStream()
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            .linesIterator.filter(_.nonEmpty).toVector
+          finally in.close()
+        }
+      }
+    spark.read.json(raw)
+  }
 }

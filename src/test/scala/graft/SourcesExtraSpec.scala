@@ -1,0 +1,52 @@
+package graft
+
+import java.net.InetSocketAddress
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{Federation, SnapshotTable}
+
+class SourcesExtraSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("HTTP source: paginated REST endpoint read in parallel (storage-http)") {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/data", new HttpHandler {
+      override def handle(x: HttpExchange): Unit = {
+        val page = x.getRequestURI.getQuery.stripPrefix("page=").toInt
+        val body = (1 to 3)
+          .map(i => s"""{"page": $page, "id": ${page * 10 + i}, "v": ${i * 1.5}}""")
+          .mkString("\n").getBytes("UTF-8")
+        x.sendResponseHeaders(200, body.length)
+        x.getResponseBody.write(body); x.close()
+      }
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val urls = (1 to 4).map(p => s"http://127.0.0.1:$port/data?page=$p")
+      val df = Federation.httpJsonLines(spark, urls)
+      assert(df.count() == 12)
+      assert(df.select(sum("id")).collect()(0).getLong(0) ==
+        (1 to 4).flatMap(p => (1 to 3).map(i => p * 10 + i)).sum)
+      assert(df.schema.fieldNames.sorted.toSeq == Seq("id", "page", "v"))
+    } finally server.stop(0)
+  }
+
+  test("snapshot table: versioned writes + time travel (format-iceberg role)") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("snap").toString + "/t"
+    assert(SnapshotTable.versions(spark, base).isEmpty)
+    val v1 = SnapshotTable.write(Seq((1, "a"), (2, "b")).toDF("id", "s"), base)
+    val v2 = SnapshotTable.write(Seq((1, "a"), (2, "b2"), (3, "c")).toDF("id", "s"), base)
+    assert((v1, v2) == (1, 2))
+    assert(SnapshotTable.versions(spark, base) == Seq(1, 2))
+    assert(SnapshotTable.read(spark, base).count() == 3) // latest
+    val old = SnapshotTable.read(spark, base, Some(1))
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(old == Set((1, "a"), (2, "b"))) // time travel
+    intercept[IllegalArgumentException] {
+      SnapshotTable.read(spark, base, Some(99))
+    }
+  }
+}
