@@ -142,6 +142,29 @@ object QueriesFunctions {
           count(lit(1)).as("n"))
         .select("c_mktsegment", "g", "n")),
 
+    // second string batch: translate/ascii/chr/left/right/repeat/btrim
+    // (Drill StringFunctions.java covers all of these)
+    "q_string_fns2" -> ((s, d) =>
+      T(s, d, "customer").filter(col("c_custkey") < 200)
+        .select(col("c_custkey"),
+          translate(col("c_name"), "Cust", "Kast").as("trans"),
+          ascii(col("c_mktsegment")).as("asc"),
+          expr("char(65 + c_custkey % 26)").as("letter"),
+          expr("left(c_name, 4)").as("l4"),
+          expr("right(c_name, 3)").as("r3"),
+          repeat(lit("ab"), 3).as("rep"),
+          expr("btrim(c_name, 'Cr0123456789')").as("trimmed"))),
+
+    "q_date_fns2" -> ((s, d) =>
+      T(s, d, "orders").filter(col("o_orderkey") < 500)
+        .select(col("o_orderkey"),
+          weekofyear(col("o_orderdate")).as("wk"),
+          dayofyear(col("o_orderdate")).as("doy"),
+          make_date(year(col("o_orderdate")), month(col("o_orderdate")), lit(1)).as("month_first"),
+          add_months(col("o_orderdate").cast("date"), 3).as("plus3m"),
+          unix_timestamp(col("o_orderdate")).as("epoch_s"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("ym"))),
+
     // Drill repeated_count / repeated_contains and friends over arrays
     // (ref exec/.../expr/fn/impl/SimpleRepeatedFunctions.java)
     "q_array_fns" -> ((s, d) => {
@@ -263,6 +286,21 @@ object QueriesFunctions {
       """SELECT c_custkey, levenshtein(c_name, 'Customer#000000042') AS lev,
          levenshtein(c_mktsegment, 'BUILDING') AS lev_seg
          FROM customer WHERE c_custkey < 300""",
+    "q_string_fns2" ->
+      """SELECT c_custkey, translate(c_name, 'Cust', 'Kast') AS trans,
+         ascii(c_mktsegment) AS asc, chr(65 + (c_custkey % 26)::INT) AS letter,
+         left(c_name, 4) AS l4, right(c_name, 3) AS r3,
+         repeat('ab', 3) AS rep,
+         trim(c_name, 'Cr0123456789') AS trimmed
+         FROM customer WHERE c_custkey < 200""",
+    "q_date_fns2" ->
+      """SELECT o_orderkey, weekofyear(o_orderdate)::INT AS wk,
+         dayofyear(o_orderdate)::INT AS doy,
+         make_date(year(o_orderdate)::INT, month(o_orderdate)::INT, 1) AS month_first,
+         (o_orderdate::DATE + INTERVAL 3 MONTH)::DATE AS plus3m,
+         epoch(o_orderdate)::BIGINT AS epoch_s,
+         strftime(o_orderdate, '%Y-%m') AS ym
+         FROM orders WHERE o_orderkey < 500""",
     "q_array_fns" -> s"""
       WITH t AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w FROM documents)
       SELECT doc_id, len(w) AS n_words,

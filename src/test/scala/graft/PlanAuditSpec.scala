@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape audits: the properties that make these queries scale are
+  * asserted on the EXECUTED plan, not just implied — pushdown reaching
+  * the parquet scan, projection pruning in ReadSchema, dimension
+  * broadcast, two-phase aggregation, whole-stage codegen. */
+class PlanAuditSpec extends AnyFunSuite {
+  import TestSpark._
+
+  /** Materialize first: AQE finalizes (and codegen-annotates) the plan
+    * only on execution; the string also truncates long filter lists. */
+  private def plan(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, SF)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q_filter_pushdown: predicates reach the parquet scan") {
+    val p = plan("q_filter_pushdown")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      "shipdate filter should push to parquet")
+  }
+
+  test("q_scan_project: ReadSchema prunes to the selected columns") {
+    val p = plan("q_scan_project")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_extendedprice"))
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_shipdate"),
+      s"unpruned scan: $readSchema")
+  }
+
+  test("q_multi_join: dimension tables broadcast, facts shuffle") {
+    val p = plan("q_multi_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "nation/region should broadcast")
+  }
+
+  test("q1_agg: two-phase hash aggregation inside whole-stage codegen") {
+    val p = plan("q1_agg")
+    assert(p.contains("partial_sum"), "map-side partial aggregation expected")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "partial+final agg expected")
+    assert(p.contains("*("), "whole-stage codegen stages expected")
+  }
+
+  test("q_dir_pruning: filter lands in PartitionFilters with no data filter") {
+    val p = plan("q_dir_pruning")
+    assert(p.contains("PartitionFilters:") && p.contains("o_orderstatus"))
+    val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("DataFilters: []"), s"data filter should be empty: $scanLine")
+  }
+
+  test("q_ann_bruteforce: only the query side broadcasts") {
+    val p = plan("q_ann_bruteforce")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"), "corpus must stream, never cartesian")
+  }
+}
