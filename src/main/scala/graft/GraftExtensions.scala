@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{CosineSimilarity, Md5Hash32Expr}
+
+/** Session extensions: registers graft's native Catalyst expressions into
+  * the function registry, so they resolve from SQL (`cosine_sim(a, b)`)
+  * and from `call_function` — the SparkSessionExtensions path an external
+  * deployment enables with `spark.sql.extensions=graft.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (children: Seq[Expression]) => CosineSimilarity(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("md5_hash32"),
+      new ExpressionInfo(classOf[Md5Hash32Expr].getName, "md5_hash32"),
+      (children: Seq[Expression]) => Md5Hash32Expr(children.head)))
+  }
+}

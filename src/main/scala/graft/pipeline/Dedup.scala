@@ -207,10 +207,15 @@ object Dedup {
     agg.select(col("id"), sig.as("simhash"))
   }
 
-  /** Engine-portable 32-bit token hash: the low 8 hex chars of md5,
+  /** Engine-portable 32-bit token hash: the first 8 hex chars of md5,
     * parsed positionally — chosen because any SQL oracle (DuckDB,
-    * Trino, ...) can reproduce it exactly, unlike xxhash64. */
-  def md5Hash32(tok: Column): Column = {
+    * Trino, ...) can reproduce it exactly, unlike xxhash64. Resolves to
+    * the native Md5Hash32Expr (one digest per value) registered by
+    * GraftExtensions; [[md5Hash32Portable]] is the built-ins-only
+    * formulation, kept as the equality oracle for the kernel. */
+  def md5Hash32(tok: Column): Column = call_function("md5_hash32", tok)
+
+  def md5Hash32Portable(tok: Column): Column = {
     val hex = md5(tok)
     (1 to 8).map { i =>
       (locate_hex(substring(hex, i, 1)) * lit(1L << ((8 - i) * 4)))

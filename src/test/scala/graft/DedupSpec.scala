@@ -60,6 +60,15 @@ class DedupSpec extends AnyFunSuite {
     assert(capped1 == 0)
   }
 
+  test("native md5_hash32 equals the built-ins-only formulation") {
+    val toks = docs.select(explode(split(col("text"), " ")).as("t"))
+    val diff = toks.select(
+        Dedup.md5Hash32(col("t")).as("native"),
+        Dedup.md5Hash32Portable(col("t")).as("portable"))
+      .filter(col("native") =!= col("portable")).count()
+    assert(diff == 0)
+  }
+
   test("simhash near-dups find single-token edits") {
     val pairs = Dedup.simhashPortableNearDups(docs, "doc_id", "text", maxHamming = 8)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

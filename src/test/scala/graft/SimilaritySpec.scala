@@ -80,6 +80,16 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall@5 = $recall")
   }
 
+  test("native cosine_sim expression is bit-identical to the HOF formulation") {
+    val pairs = corpus.as("a").crossJoin(corpus.as("b")).limit(2000)
+    val diff = pairs.select(
+        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("native"),
+        Similarity.cosineHof(col("a.embedding"), col("b.embedding")).as("hof"))
+      .filter(col("native") =!= col("hof")) // exact, not approximate
+      .count()
+    assert(diff == 0)
+  }
+
   test("blockedAllPairs equals naive all-pairs cosine (exactness)") {
     import spark.implicits._
     val naive = corpus.as("a").join(corpus.as("b"), col("a.vec_id") < col("b.vec_id"))
