@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, Md5Hash32Expr}
+import graft.functions.{CosineSimilarity, JaccardSimExpr, Md5Hash32Expr, MinhashSignatureExpr}
 
 /** Session extensions: registers graft's native Catalyst expressions into
   * the function registry, so they resolve from SQL (`cosine_sim(a, b)`)
@@ -20,5 +20,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("md5_hash32"),
       new ExpressionInfo(classOf[Md5Hash32Expr].getName, "md5_hash32"),
       (children: Seq[Expression]) => Md5Hash32Expr(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinhashSignatureExpr].getName, "minhash_sig"),
+      (children: Seq[Expression]) => MinhashSignatureExpr(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("jaccard_sim"),
+      new ExpressionInfo(classOf[JaccardSimExpr].getName, "jaccard_sim"),
+      (children: Seq[Expression]) => JaccardSimExpr(children.head, children(1))))
   }
 }

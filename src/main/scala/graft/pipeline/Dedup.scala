@@ -39,31 +39,21 @@ object Dedup {
   def tokenHashes(shingles: Column): Column =
     transform(shingles, s => xxhash64(s).bitwiseAND(lit(0xFFFFFFFFL)))
 
-  /** Smallest prime > 2^32 — the modulus for the Carter-Wegman minhash
-    * family. The modulus MUST be smaller than the a_i*h range or the mod
-    * never engages and (a*h+b) stays monotone in h, collapsing every
-    * "independent" function to argmin(h) — i.e. one single hash function
-    * dressed up k times (round-1 bug). */
-  private val MinhashP = 4294967311L
-
-  /** Deterministic pseudo-random (a, b) coefficient pairs, a in [1, 2^31)
-    * so a*h + b stays overflow-free for 32-bit h under ANSI mode. */
-  private def minhashCoeffs(k: Int): Seq[(Long, Long)] = {
-    val rnd = new scala.util.Random(42)
-    Seq.fill(k)((
-      java.lang.Math.floorMod(rnd.nextLong(), (1L << 31) - 1) + 1,
-      java.lang.Math.floorMod(rnd.nextLong(), MinhashP)))
-  }
-
   /** MinHash signature as an array<bigint> column over a precomputed
-    * token-hash array: k universal-hash functions (a_i*h + b_i) mod p,
-    * min per function. Pure expressions — codegen'd, no UDF. Keep this in
-    * its own Project below the tokenHashes column: Catalyst's
-    * CollapseProject will not inline a non-cheap expression referenced k
-    * times, so the base hashes are computed once. */
-  def minhashSignatureFromHashes(tokenHash: Column, k: Int): Column = {
-    val mins = minhashCoeffs(k).map { case (a, b) =>
-      array_min(transform(tokenHash, h => pmod(h * lit(a) + lit(b), lit(MinhashP))))
+    * token-hash array: k Carter-Wegman functions (a_i*h + b_i) mod p
+    * (p = smallest prime > 2^32 — the modulus MUST be smaller than the
+    * a_i*h range or the mod never engages and every "function" collapses
+    * to argmin(h), the round-1 bug), min per function. Resolves to the
+    * native one-pass kernel (MinhashSignatureExpr via GraftExtensions). */
+  def minhashSignatureFromHashes(tokenHash: Column, k: Int): Column =
+    call_function("minhash_sig", tokenHash, lit(k))
+
+  /** Built-ins-only formulation (k array passes through HOF machinery) —
+    * the equality oracle for the native kernel. */
+  def minhashSignatureFromHashesHof(tokenHash: Column, k: Int): Column = {
+    val p = graft.functions.MinhashKernel.P
+    val mins = graft.functions.MinhashKernel.coeffs(k).toSeq.map { case (a, b) =>
+      array_min(transform(tokenHash, h => pmod(h * lit(a) + lit(b), lit(p))))
     }
     array(mins: _*)
   }
@@ -97,7 +87,10 @@ object Dedup {
     val banded = toks
       .withColumn("th", tokenHashes(col("toks")))
       .withColumn("sig", minhashSignatureFromHashes(col("th"), numHashes))
-      .select(col("id"), explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("band"))
+      .select(col("id"), col("sig"),
+        lshBandKeys(col("sig"), bands, rowsPerBand).as("bkeys"))
+      .select(col("id"), col("bkeys"),
+        posexplode(col("bkeys")).as(Seq("bidx", "band")))
     if (maxBucket == Int.MaxValue) banded // cap off: keep the band self-join broadcastable
     else {
       // skew guard — audit via minhashBucketStats. The row_number window
@@ -106,7 +99,7 @@ object Dedup {
       val bucketW = Window.partitionBy("band").orderBy("id")
       banded.withColumn("bn", row_number().over(bucketW))
         .filter(col("bn") <= maxBucket)
-        .select("band", "id")
+        .select("band", "id", "bidx", "bkeys")
     }
   }
 
@@ -118,6 +111,7 @@ object Dedup {
                          numHashes: Int = 128, bands: Int = 32,
                          maxBucket: Int = 4096): DataFrame =
     bandedIds(docs, idCol, textCol, numHashes, bands, Int.MaxValue)
+      .select("band", "id")
       .groupBy("band").agg(count(lit(1)).as("bucket_size"))
       .withColumn("dropped", greatest(col("bucket_size") - maxBucket, lit(0)))
       .filter(col("dropped") > 0)
@@ -149,19 +143,23 @@ object Dedup {
     val members = keyed.select("setkey", "id")
     val reps = graft.GraftSession.balanced(
       keyed.groupBy("setkey").agg(min("id").as("id"), first("toks").as("toks")))
+    // (A first-band-wins inline filter was tried here to avoid this agg
+    // exchange — carrying both band-key arrays through the join and
+    // zip_with-matching per emitted row cost MORE than the exchange; the
+    // map-side-combinable groupBy stays.)
     val bucketed = bandedIdsFrom(reps.select("id", "toks"), numHashes, bands, maxBucket)
+      .select("band", "id")
     val cand = bucketed.as("a").join(bucketed.as("b"),
         col("a.band") === col("b.band") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("n_bands")) // pair-dedup with map-side combine
       .select("id_a", "id_b")
     val repToks = reps.select("setkey", "id", "toks")
-    val inter = size(array_intersect(col("ta.toks"), col("tb.toks"))).cast("double")
-    val uni = size(array_union(col("ta.toks"), col("tb.toks"))).cast("double")
     val verified = cand
       .join(repToks.as("ta"), col("id_a") === col("ta.id"))
       .join(repToks.as("tb"), col("id_b") === col("tb.id"))
-      .withColumn("jac_raw", inter / uni)
+      .withColumn("jac_raw",
+        call_function("jaccard_sim", col("ta.toks"), col("tb.toks")))
       .filter(col("jac_raw") >= threshold)
       .select(col("ta.setkey").as("ka"), col("tb.setkey").as("kb"),
         round(col("jac_raw"), 6).as("jaccard"))
@@ -177,16 +175,15 @@ object Dedup {
     cross.unionAll(within)
   }
 
-  /** Exact Jaccard over the token sets of candidate pairs. The threshold
-    * filter uses the UNROUNDED value (matching a SQL oracle's WHERE); the
-    * output column is rounded for engine-portable comparison. */
-  private def verifyJaccard(pairs: DataFrame, threshold: Double): DataFrame = {
-    val inter = size(array_intersect(col("toks_a"), col("toks_b"))).cast("double")
-    val uni = size(array_union(col("toks_a"), col("toks_b"))).cast("double")
-    pairs.withColumn("jac_raw", inter / uni)
+  /** Exact Jaccard over the token sets of candidate pairs (native
+    * jaccard_sim kernel). The threshold filter uses the UNROUNDED value
+    * (matching a SQL oracle's WHERE); the output column is rounded for
+    * engine-portable comparison. */
+  private def verifyJaccard(pairs: DataFrame, threshold: Double): DataFrame =
+    pairs.withColumn("jac_raw",
+        call_function("jaccard_sim", col("toks_a"), col("toks_b")))
       .filter(col("jac_raw") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jac_raw"), 6).as("jaccard"))
-  }
 
   /** 64-bit SimHash over word tokens: sign-sum of per-token hash bits.
     * Expressed with bit arithmetic over an exploded token relation —

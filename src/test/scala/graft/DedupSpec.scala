@@ -60,6 +60,16 @@ class DedupSpec extends AnyFunSuite {
     assert(capped1 == 0)
   }
 
+  test("native minhash_sig equals the built-ins-only formulation") {
+    val th = docs.select(Dedup.tokenHashes(
+      split(col("text"), " ")).as("th"))
+    val diff = th.select(
+        Dedup.minhashSignatureFromHashes(col("th"), 64).as("native"),
+        Dedup.minhashSignatureFromHashesHof(col("th"), 64).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(diff == 0)
+  }
+
   test("native md5_hash32 equals the built-ins-only formulation") {
     val toks = docs.select(explode(split(col("text"), " ")).as("t"))
     val diff = toks.select(
