@@ -142,6 +142,17 @@ object QueriesFunctions {
           count(lit(1)).as("n"))
         .select("c_mktsegment", "g", "n")),
 
+    // Drill BitFunctions.java: bitwise and/or/xor, shifts, popcount
+    "q_bit_fns" -> ((s, d) =>
+      T(s, d, "customer").filter(col("c_custkey") < 500)
+        .select(col("c_custkey"),
+          col("c_custkey").bitwiseAND(255).as("band_and"),
+          col("c_custkey").bitwiseOR(16).as("band_or"),
+          col("c_custkey").bitwiseXOR(col("c_nationkey")).as("bxor"),
+          shiftleft(col("c_custkey") % 16, 2).as("shl"),
+          shiftright(col("c_custkey"), 1).as("shr"),
+          bit_count(col("c_custkey")).as("pop"))),
+
     // second string batch: translate/ascii/chr/left/right/repeat/btrim
     // (Drill StringFunctions.java covers all of these)
     "q_string_fns2" -> ((s, d) =>
@@ -286,6 +297,12 @@ object QueriesFunctions {
       """SELECT c_custkey, levenshtein(c_name, 'Customer#000000042') AS lev,
          levenshtein(c_mktsegment, 'BUILDING') AS lev_seg
          FROM customer WHERE c_custkey < 300""",
+    "q_bit_fns" ->
+      """SELECT c_custkey, c_custkey & 255 AS band_and, c_custkey | 16 AS band_or,
+         xor(c_custkey, c_nationkey) AS bxor,
+         ((c_custkey % 16) << 2) AS shl, (c_custkey >> 1) AS shr,
+         bit_count(c_custkey)::INT AS pop
+         FROM customer WHERE c_custkey < 500""",
     "q_string_fns2" ->
       """SELECT c_custkey, translate(c_name, 'Cust', 'Kast') AS trans,
          ascii(c_mktsegment) AS asc, chr(65 + (c_custkey % 26)::INT) AS letter,

@@ -1,0 +1,95 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+import org.apache.avro.Schema
+import org.apache.avro.file.DataFileReader
+import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.avro.mapred.FsInput
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Avro container-file reader for FLAT records of primitive types — the
+  * common interchange case Drill's core avro format covers (reference:
+  * exec/.../store/avro/AvroRecordReader.java). This container ships the
+  * avro-java library but not the spark-avro connector module, so decoding
+  * runs inside mapPartitions: the file list parallelizes (one task per
+  * file — avro's unit of parallel decode without block-split logic), the
+  * schema comes from the first file's header.
+  */
+object AvroReader {
+
+  private def toSparkType(s: Schema): (DataType, Boolean) = s.getType match {
+    case Schema.Type.STRING => (StringType, false)
+    case Schema.Type.INT => (IntegerType, false)
+    case Schema.Type.LONG => (LongType, false)
+    case Schema.Type.FLOAT => (FloatType, false)
+    case Schema.Type.DOUBLE => (DoubleType, false)
+    case Schema.Type.BOOLEAN => (BooleanType, false)
+    case Schema.Type.BYTES => (BinaryType, false)
+    case Schema.Type.UNION =>
+      val branches = s.getTypes.asScala.filterNot(_.getType == Schema.Type.NULL)
+      require(branches.size == 1, s"only [null, T] unions supported, got $s")
+      (toSparkType(branches.head)._1, true)
+    case t => throw new IllegalArgumentException(
+      s"unsupported avro type for flat read: $t")
+  }
+
+  def sparkSchema(avro: Schema): StructType = StructType(
+    avro.getFields.asScala.toSeq.map { f =>
+      val (dt, nullable) = toSparkType(f.schema())
+      StructField(f.name(), dt, nullable)
+    })
+
+  private def convert(v: AnyRef, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (u: org.apache.avro.util.Utf8, StringType) => u.toString
+    case (s: String, StringType) => s
+    case (b: java.nio.ByteBuffer, BinaryType) =>
+      val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
+    case (x, _) => x
+  }
+
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val files: Seq[String] =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).toSeq.map(_.getPath)
+          .filter(_.getName.endsWith(".avro")).map(_.toString).sorted
+      else Seq(path)
+    require(files.nonEmpty, s"no .avro files under $path")
+
+    val avroSchema = {
+      val in = new FsInput(new Path(files.head), conf)
+      val r = new DataFileReader[GenericRecord](in, new GenericDatumReader[GenericRecord]())
+      try r.getSchema finally { r.close() }
+    }
+    val schema = sparkSchema(avroSchema)
+    val fieldTypes = schema.fields.map(_.dataType)
+    val fieldNames = avroSchema.getFields.asScala.map(_.name()).toArray
+
+    import spark.implicits._
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    spark.createDataset(files)
+      .repartition(math.min(files.size, 32))
+      .mapPartitions { paths =>
+        val conf2 = new Configuration() // executor-local; file: scheme
+        paths.flatMap { f =>
+          val reader = new DataFileReader[GenericRecord](
+            new FsInput(new Path(f), conf2), new GenericDatumReader[GenericRecord]())
+          new Iterator[Row] {
+            def hasNext: Boolean = { val h = reader.hasNext; if (!h) reader.close(); h }
+            def next(): Row = {
+              val rec = reader.next()
+              Row.fromSeq(fieldNames.toSeq.zip(fieldTypes.toSeq).map {
+                case (n, dt) => convert(rec.get(n), dt)
+              })
+            }
+          }
+        }
+      }(enc).toDF(schema.fieldNames: _*)
+  }
+}

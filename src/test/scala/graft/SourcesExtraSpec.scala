@@ -33,6 +33,34 @@ class SourcesExtraSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("avro reader decodes container files written by the avro library") {
+    import org.apache.avro.{Schema, SchemaBuilder}
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val schema: Schema = SchemaBuilder.record("rec").fields()
+      .requiredLong("id").requiredString("name").optionalDouble("score")
+      .endRecord()
+    val dir = java.nio.file.Files.createTempDirectory("avro").toFile
+    for (part <- 0 until 2) {
+      val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+      w.create(schema, new java.io.File(dir, s"part-$part.avro"))
+      for (i <- 1 to 3) {
+        val r = new GenericData.Record(schema)
+        r.put("id", (part * 10 + i).toLong)
+        r.put("name", s"n$part-$i")
+        r.put("score", if (i == 3) null else i * 0.5)
+        w.append(r)
+      }
+      w.close()
+    }
+    val df = graft.sources.AvroReader.read(spark, dir.toString)
+    assert(df.schema.fieldNames.toSeq == Seq("id", "name", "score"))
+    assert(df.count() == 6)
+    assert(df.filter(col("score").isNull).count() == 2)
+    assert(df.filter(col("id") === 11L).select("name").collect()(0).getString(0) == "n1-1")
+    assert(df.select(sum("id")).collect()(0).getLong(0) == (1 to 3).map(_.toLong).sum + (11 to 13).map(_.toLong).sum)
+  }
+
   test("snapshot table: versioned writes + time travel (format-iceberg role)") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("snap").toString + "/t"
