@@ -246,7 +246,10 @@ object Dedup {
     * verified with the true hamming distance. */
   def simhashPortableNearDups(docs: DataFrame, idCol: String, textCol: String,
                               maxHamming: Int = 3): DataFrame = {
-    val sigs = simhashPortable32(docs, idCol, textCol)
+    // balanced(): AQE coalesces the tiny-bytes signature agg to ONE
+    // partition, serializing the (much larger) block join + hamming
+    // verification behind it; an explicit round-robin keeps 32-way.
+    val sigs = graft.GraftSession.balanced(simhashPortable32(docs, idCol, textCol))
     val blocks = sigs.withColumn("blk", explode(array(
       (0 until 4).map(i => concat_ws("_", lit(i),
         shiftright(col("sig"), i * 8).bitwiseAND(0xFFL))): _*)))
@@ -265,7 +268,7 @@ object Dedup {
     * true hamming distance <= maxHamming. */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3): DataFrame = {
-    val sigs = simhash(docs, idCol, textCol)
+    val sigs = graft.GraftSession.balanced(simhash(docs, idCol, textCol))
     val blocks = sigs.withColumn("blk", explode(array(
       (0 until 4).map(i => concat_ws("_", lit(i),
         shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL))): _*)))
