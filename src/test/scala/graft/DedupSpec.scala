@@ -30,11 +30,17 @@ class DedupSpec extends AnyFunSuite {
         numHashes = 128, bands = 32, threshold = 0.5, maxBucket = Int.MaxValue)
       .select("id_a", "id_b", "jaccard").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val collapsed = Dedup.minhashNearDups(docs, "doc_id", "text",
+        numHashes = 128, bands = 32, threshold = 0.5, maxBucket = Int.MaxValue,
+        collapseExactDups = true)
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 1, threshold = 0.5)
       .select("id_a", "id_b", "jaccard").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(exact.nonEmpty)
     assert(banded == exact)
+    assert(collapsed == exact) // rep-collapse path produces identical pairs
     // identical token sets appear with jaccard exactly 1.0; docs 4/5
     // differ by one word ("about" vs "and") => 5 shared of 7 distinct
     assert(banded.contains((1L, 3L, 1.0)))
