@@ -3,7 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, JaccardSimExpr, Md5Hash32Expr, MinhashSignatureExpr}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.types.IntegerType
+import graft.functions.{CosineSimilarity, JaccardSimExpr, Md5Hash32Expr, MinhashSignatureExpr, SimhashAgg}
 
 /** Session extensions: registers graft's native Catalyst expressions into
   * the function registry, so they resolve from SQL (`cosine_sim(a, b)`)
@@ -28,5 +30,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("jaccard_sim"),
       new ExpressionInfo(classOf[JaccardSimExpr].getName, "jaccard_sim"),
       (children: Seq[Expression]) => JaccardSimExpr(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash_agg"),
+      new ExpressionInfo(classOf[SimhashAgg].getName, "simhash_agg"),
+      (children: Seq[Expression]) => {
+        val bits = children(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"simhash_agg bits must be an int literal, got $other")
+        }
+        SimhashAgg(children.head, bits)
+      }))
   }
 }

@@ -207,24 +207,17 @@ object Dedup {
       .filter(col("jac_raw") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jac_raw"), 6).as("jaccard"))
 
-  /** 64-bit SimHash over word tokens: sign-sum of per-token hash bits.
-    * Expressed with bit arithmetic over an exploded token relation —
-    * one shuffle on doc id, map-side combinable. */
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = graft.GraftSession.balanced(
+  /** 64-bit SimHash over word tokens: sign-sum of per-token hash bits as
+    * ONE custom aggregate (simhash_agg via GraftExtensions) — one shuffle
+    * on doc id, map-side combinable vote vectors. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.GraftSession.balanced(
         docs.select(col(idCol).as("id"), col(textCol).as("text")))
       .select(col("id"),
         explode(split(TextAnalysis.normalize(col("text")), " ")).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
-    val bitCols = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
-    }
-    val agg = toks.groupBy("id").agg(bitCols.head, bitCols.tail: _*)
-    val sig = (0 until 64).foldLeft(lit(0L)) { (acc, b) =>
-      acc.bitwiseOR(when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(0L))
-    }
-    agg.select(col("id"), sig.as("simhash"))
-  }
+      .groupBy("id")
+      .agg(call_function("simhash_agg", col("h"), lit(64)).as("simhash"))
 
   /** Engine-portable 32-bit token hash: the first 8 hex chars of md5,
     * parsed positionally — chosen because any SQL oracle (DuckDB,
@@ -245,9 +238,20 @@ object Dedup {
   private def locate_in(sub: Column, s: String): Column =
     org.apache.spark.sql.functions.call_function("position", sub, lit(s))
 
-  /** 32-bit portable SimHash (md5-derived token hash). Same plan shape as
-    * [[simhash]]: explode tokens x bits, sign-sum, pack. */
-  def simhashPortable32(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** 32-bit portable SimHash (md5-derived token hash) via the custom
+    * simhash_agg aggregate. Same math as [[simhashPortable32Hof]]. */
+  def simhashPortable32(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.GraftSession.balanced(
+        docs.select(col(idCol).as("id"), col(textCol).as("text")))
+      .select(col("id"),
+        explode(split(TextAnalysis.normalize(col("text")), " ")).as("tok"))
+      .withColumn("h", md5Hash32(col("tok")))
+      .groupBy("id")
+      .agg(call_function("simhash_agg", col("h"), lit(32)).as("sig"))
+
+  /** Built-ins-only formulation (32 conditional-sum aggregate columns +
+    * packing) — the equality oracle for the simhash_agg aggregate. */
+  def simhashPortable32Hof(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = graft.GraftSession.balanced(
         docs.select(col(idCol).as("id"), col(textCol).as("text")))
       .select(col("id"),

@@ -85,6 +85,14 @@ class DedupSpec extends AnyFunSuite {
     assert(diff == 0)
   }
 
+  test("custom simhash_agg aggregate equals the 32-column formulation") {
+    val a = Dedup.simhashPortable32(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Dedup.simhashPortable32Hof(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
   test("simhash near-dups find single-token edits") {
     val pairs = Dedup.simhashPortableNearDups(docs, "doc_id", "text", maxHamming = 8)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
