@@ -142,7 +142,7 @@ object QueriesPipeline {
           sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
       SELECT shard, floor((cum - n_tokens) / 2048.0)::BIGINT AS bin,
-        count(*) AS n_docs, sum(n_tokens) AS bin_tokens
+        count(*) AS n_docs, sum(n_tokens)::BIGINT AS bin_tokens
       FROM c GROUP BY 1, 2""",
     "q_dedup_exact" -> s"""
       WITH corpus AS (
@@ -220,8 +220,8 @@ object QueriesPipeline {
         CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_sess
         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       sessed AS (SELECT user_id, sec, value,
-        sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_seq
+        (sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS sess_seq
         FROM marked)
       SELECT user_id, sess_seq, count(*) AS n_events, min(sec) AS start_sec,
         max(sec) AS end_sec, sum(floor(value * 16384.0))::BIGINT AS sum_value_q

@@ -38,7 +38,7 @@ object Training {
     val w = Window.partitionBy("shard").orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs.select(col(idCol), col(textCol))
-      .withColumn("shard", pmod(col(idCol), lit(shards)).cast("int"))
+      .withColumn("shard", pmod(col(idCol), lit(shards)).cast("long"))
       .withColumn("n_tokens", toks)
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .withColumn("bin",

@@ -43,6 +43,16 @@ for name in sorted(oracles):
     sc, oc = sorted(sdf.columns), sorted(odf.columns)
     if sc != oc:
         fails.append((name, f"schema mismatch: spark={sc} oracle={oc}")); continue
+    # the driver's hasher is TYPE-sensitive (2.0 != 2): an uncast DuckDB
+    # sum() comes back HUGEINT->float64 and hash-fails against Spark's
+    # int64 even when values match. Flag kind mismatches (int vs float).
+    kind = lambda df, c: ("f" if str(df[c].dtype).startswith("float") else
+                          "i" if str(df[c].dtype).startswith(("int", "uint")) else "o")
+    badk = [c for c in sc if kind(sdf, c) != kind(odf, c)]
+    if badk:
+        fails.append((name, "dtype kind mismatch (driver hash-fails on these): " +
+                      ", ".join(f"{c}: spark={sdf[c].dtype} oracle={odf[c].dtype}" for c in badk)))
+        continue
     if len(sdf) != len(odf):
         fails.append((name, f"rowcount: spark={len(sdf)} oracle={len(odf)}")); continue
     srows = sorted([tuple(canon(v) for v in row) for row in sdf[sc].itertuples(index=False)], key=repr)
