@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.{CosineSimilarity, JaccardSimExpr, Md5Hash32Expr, MinhashSignatureExpr, SimhashAgg}
+import graft.functions.{CosineSimilarity, JaccardSimExpr, Md5Hash32Expr, MinhashSignatureExpr, PhoneticExpr, Phonetics, SimhashAgg, StringEntropyExpr}
 
 /** Session extensions: registers graft's native Catalyst expressions into
   * the function registry, so they resolve from SQL (`cosine_sim(a, b)`)
@@ -41,5 +41,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         SimhashAgg(children.head, bits)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("entropy"),
+      new ExpressionInfo(classOf[StringEntropyExpr].getName, "entropy"),
+      (children: Seq[Expression]) => StringEntropyExpr(children.head)))
+    // the phonetic family: each algorithm by its Drill name
+    // (metaphone(s), nysiis(s), ...)
+    Phonetics.AlgoIds.keys.foreach { algo =>
+      ext.injectFunction((
+        new FunctionIdentifier(algo),
+        new ExpressionInfo(classOf[PhoneticExpr].getName, algo),
+        (children: Seq[Expression]) => PhoneticExpr(children.head, algo)))
+    }
   }
 }

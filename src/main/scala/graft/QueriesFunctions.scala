@@ -206,7 +206,134 @@ object QueriesFunctions {
       T(s, d, "customer").filter(col("c_custkey") < 300)
         .select(col("c_custkey"),
           levenshtein(col("c_name"), lit("Customer#000000042")).as("lev"),
-          levenshtein(col("c_mktsegment"), lit("BUILDING")).as("lev_seg"))))
+          levenshtein(col("c_mktsegment"), lit("BUILDING")).as("lev_seg"))),
+
+    // Drill contrib/udfs NetworkFunctions.java: inet_aton/ntoa, CIDR math,
+    // private-range tests — all pure Column arithmetic (see
+    // functions/NetworkFunctions.scala). IPs/CIDRs derived from order keys
+    // so the oracle can re-derive them with identical integer arithmetic.
+    "q_network_fns" -> ((s, d) => {
+      import graft.functions.NetworkFunctions._
+      val o = col("o_orderkey")
+      val ip = concat_ws(".", (o % 223 + 1).cast("string"),
+        ((o * 7) % 256).cast("string"), ((o * 13) % 256).cast("string"),
+        ((o * 29) % 256).cast("string"))
+      val cidr = concat((o % 223 + 1).cast("string"), lit(".0.0.0/"),
+        (o % 17 + 8).cast("string"))
+      T(s, d, "orders").filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"), ip.as("ip"),
+          inetAton(ip).as("ip_num"),
+          inetNtoa(inetAton(ip)).as("ip_rt"),
+          isValidIpv4(ip).as("valid"),
+          isPrivateIp(ip).as("priv"),
+          inNetwork(ip, lit("10.0.0.0/8")).as("in10"),
+          netmask(cidr).as("nm"),
+          broadcastAddress(cidr).as("bc"),
+          lowAddress(cidr).as("lo"),
+          highAddress(cidr).as("hi"),
+          addressCount(cidr).as("n_hosts"))
+    }),
+
+    // Drill contrib/udfs PhoneticFunctions.java: the commons-codec family
+    // behind one native expression (functions/Phonetics.scala); expected
+    // encodings in the oracle are independently computed literals.
+    "q_phonetic" -> ((s, _) => {
+      import s.implicits._
+      Seq("Robert", "Rupert", "Ashcraft", "Ashcroft", "Tymczak", "Pfister",
+        "Thompson", "MacDonald", "Knight", "Wright", "Garcia", "Lukasiewicz")
+        .toDF("name")
+        .select(col("name"),
+          soundex(col("name")).as("sdx"),
+          call_function("refined_soundex", col("name")).as("rsdx"),
+          call_function("metaphone", col("name")).as("mp"),
+          call_function("nysiis", col("name")).as("ny"),
+          call_function("caverphone2", col("name")).as("cv"))
+    }),
+
+    // Drill contrib/udfs CryptoFunctions.java tail: sha1/sha384/sha512 +
+    // an aes_encrypt/aes_decrypt round-trip (ECB = deterministic mode;
+    // Spark built-ins). DuckDB computes md5/sha256; the digests it lacks
+    // are independently-computed literals in the oracle.
+    "q_crypto_fns" -> ((s, _) => {
+      import s.implicits._
+      val key = lit("0123456789abcdef")
+      Seq("graft", "drill", "spark", "lineitem", "100TB").toDF("s")
+        .select(col("s"),
+          md5(col("s")).as("md5_hex"),
+          sha1(col("s")).as("sha1_hex"),
+          sha2(col("s"), 256).as("sha256_hex"),
+          sha2(col("s"), 384).as("sha384_hex"),
+          sha2(col("s"), 512).as("sha512_hex"),
+          expr("cast(aes_decrypt(aes_encrypt(s, '0123456789abcdef', 'ECB'), " +
+            "'0123456789abcdef', 'ECB') as string)").as("aes_rt"))
+    }),
+
+    // Drill contrib/udfs DistributionFunctions.java width_bucket +
+    // ThreatHuntingFunctions.java punctuation_pattern. Bucket bounds are
+    // chosen so the width (5.0) is exact in binary floating point — no
+    // engine-dependent boundary rounding.
+    "q_distribution_fns" -> ((s, d) => {
+      import graft.functions.DistributionFunctions._
+      T(s, d, "lineitem").filter(col("l_orderkey") < 2000)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          widthBucket(col("l_quantity"), lit(0.0), lit(50.0), lit(10L)).as("qty_bucket"))
+    }),
+
+    // Drill contrib/udfs ThreatHuntingFunctions.java punctuation_pattern
+    // (the log-template shape extractor); entropy from the same pack is
+    // spec-gated (FunctionsSpec) — log-based doubles aren't bit-portable.
+    "q_punct_pattern" -> ((s, d) =>
+      T(s, d, "documents").select(col("doc_id"),
+        graft.functions.DistributionFunctions.punctuationPattern(
+          substring(col("text"), 1, 80)).as("punct"))),
+
+    // True Kendall rank correlation per nation (Drill's kendall_correlation
+    // is a sequential-pair approximation; this gates the exact statistic).
+    "q_kendall" -> ((s, d) =>
+      graft.functions.DistributionFunctions.kendallTau(
+        T(s, d, "supplier"), "s_nationkey", "s_suppkey", "s_acctbal", "s_suppkey")),
+
+    // Drill contrib/udfs TimeBucketFunctions.java: integer floor-div
+    // bucketing of epoch time.
+    "q_time_bucket" -> ((s, d) => {
+      val ev = T(s, d, "events")
+      val ms = graft.streaming.Events.tsSeconds(ev) * 1000
+      ev.select(col("event_id"),
+        graft.functions.DistributionFunctions.timeBucketMs(ms, lit(600000L)).as("bucket_ms"))
+    }),
+
+    // Drill contrib/udfs UserAgentFunctions.java: the rule cascade in
+    // functions/UserAgent.scala, mirrored verbatim in the oracle SQL over
+    // the same inline corpus.
+    "q_parse_ua" -> ((s, _) => {
+      import s.implicits._
+      import graft.functions.UserAgent
+      UaCorpus.toDF("ua_id", "ua").select(col("ua_id"),
+        UserAgent.browser(col("ua")).as("browser"),
+        UserAgent.browserVersion(col("ua")).as("browser_version"),
+        UserAgent.osName(col("ua")).as("os"),
+        UserAgent.deviceClass(col("ua")).as("device_class"),
+        UserAgent.isBot(col("ua")).as("is_bot"))
+    }))
+
+  /** Inline UA corpus for q_parse_ua — one row per branch of the rule
+    * cascade (each major browser/OS/device family + three bot shapes). */
+  private val UaCorpus = Seq(
+    (1, "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36"),
+    (2, "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36 Edg/120.0.2210.91"),
+    (3, "Mozilla/5.0 (X11; Linux x86_64; rv:109.0) Gecko/20100101 Firefox/115.0"),
+    (4, "Mozilla/5.0 (iPhone; CPU iPhone OS 17_1 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1 Mobile/15E148 Safari/604.1"),
+    (5, "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/16.6 Safari/605.1.15"),
+    (6, "Mozilla/5.0 (Linux; Android 14; Pixel 8) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.6099.43 Mobile Safari/537.36"),
+    (7, "Mozilla/5.0 (Linux; Android 13; SM-X710) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/119.0.6045.163 Safari/537.36"),
+    (8, "Mozilla/5.0 (compatible; Googlebot/2.1; +http://www.google.com/bot.html)"),
+    (9, "curl/8.4.0"),
+    (10, "python-requests/2.31.0"),
+    (11, "Mozilla/5.0 (compatible; MSIE 10.0; Windows NT 6.1; Trident/6.0)"),
+    (12, "Mozilla/5.0 (Windows NT 6.1; Trident/7.0; rv:11.0) like Gecko"),
+    (13, "Mozilla/5.0 (Windows NT 10.0) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/118.0.0.0 Safari/537.36 OPR/104.0.0.0"),
+    (14, "Mozilla/5.0 (iPad; CPU OS 16_6 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/16.6 Mobile/15E148 Safari/604.1"),
+    (15, "SomeRandomClient/1.0"))
 
   val oracle: Map[String, String] = Map(
     "q_string_fns" ->
@@ -328,5 +455,142 @@ object QueriesFunctions {
       FROM t""",
     "q_approx_percentile" ->
       """SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
-         TRUE AS within_tol FROM lineitem GROUP BY l_returnflag""")
+         TRUE AS within_tol FROM lineitem GROUP BY l_returnflag""",
+    "q_network_fns" -> """
+      WITH base AS (SELECT o_orderkey,
+          (o_orderkey % 223 + 1) AS a, (o_orderkey * 7) % 256 AS b,
+          (o_orderkey * 13) % 256 AS c, (o_orderkey * 29) % 256 AS dd,
+          (o_orderkey % 17 + 8) AS p
+        FROM orders WHERE o_orderkey < 2000),
+      ips AS (SELECT o_orderkey, a, b,
+          a || '.' || b || '.' || c || '.' || dd AS ip,
+          a*16777216 + b*65536 + c*256 + dd AS ip_num,
+          a*16777216 AS net_num,
+          ((4294967295 << (32 - p)) & 4294967295) AS mask, p
+        FROM base)
+      SELECT o_orderkey, ip, ip_num,
+        ((ip_num >> 24) & 255) || '.' || ((ip_num >> 16) & 255) || '.' ||
+          ((ip_num >> 8) & 255) || '.' || (ip_num & 255) AS ip_rt,
+        TRUE AS valid,
+        (a = 10 OR (a = 172 AND b BETWEEN 16 AND 31) OR (a = 192 AND b = 168)) AS priv,
+        (a = 10) AS in10,
+        ((mask >> 24) & 255) || '.' || ((mask >> 16) & 255) || '.' ||
+          ((mask >> 8) & 255) || '.' || (mask & 255) AS nm,
+        ((net_num + 4294967295 - mask) >> 24) || '.' ||
+          (((net_num + 4294967295 - mask) >> 16) & 255) || '.' ||
+          (((net_num + 4294967295 - mask) >> 8) & 255) || '.' ||
+          ((net_num + 4294967295 - mask) & 255) AS bc,
+        ((net_num + 1) >> 24) || '.' || (((net_num + 1) >> 16) & 255) || '.' ||
+          (((net_num + 1) >> 8) & 255) || '.' || ((net_num + 1) & 255) AS lo,
+        ((net_num + 4294967294 - mask) >> 24) || '.' ||
+          (((net_num + 4294967294 - mask) >> 16) & 255) || '.' ||
+          (((net_num + 4294967294 - mask) >> 8) & 255) || '.' ||
+          ((net_num + 4294967294 - mask) & 255) AS hi,
+        ((1::BIGINT << (32 - p)) - 2) AS n_hosts
+      FROM ips""",
+    "q_phonetic" -> """
+      SELECT * FROM (VALUES
+        ('Robert', 'R163', 'R901096', 'RBRT', 'RABAD', 'RPT1111111'),
+        ('Rupert', 'R163', 'R901096', 'RPRT', 'RAPAD', 'RPT1111111'),
+        ('Ashcraft', 'A261', 'A03039026', 'AXKR', 'ASCRAF', 'ASKRFT1111'),
+        ('Ashcroft', 'A261', 'A03039026', 'AXKR', 'ASCRAF', 'ASKRFT1111'),
+        ('Tymczak', 'T522', 'T6083503', 'TMKS', 'TYNCSA', 'TMKSK11111'),
+        ('Pfister', 'P236', 'P1203609', 'PFST', 'FASTAR', 'PFSTA11111'),
+        ('Thompson', 'T512', 'T6081308', '0MPS', 'TANPSA', 'TMPSN11111'),
+        ('MacDonald', 'M235', 'M803608076', 'MKTN', 'MCDANA', 'MKTNT11111'),
+        ('Knight', 'K523', 'K380406', 'NT', 'NAGT', 'KNT1111111'),
+        ('Wright', 'W623', 'W090406', 'RT', 'WRAGT', 'RT11111111'),
+        ('Garcia', 'G620', 'G40930', 'KRX', 'GARC', 'KSA1111111'),
+        ('Lukasiewicz', 'L222', 'L70303035', 'LKSW', 'LACASA', 'LKSWKS1111'))
+      t(name, sdx, rsdx, mp, ny, cv)""",
+    "q_crypto_fns" -> """
+      WITH expected(s, sha1_hex, sha384_hex, sha512_hex) AS (VALUES
+        ('graft', '9c298007ec968fa5b8de22a5356f4bd8a865daf2',
+         '3b8e78ae95659f35ecb3e55352806168a0cd122dd65f601dafb3efa8241ecaf115bc5620dfdd44aeced207c7296ac99c',
+         '9c44f55c8de907639d0523a52334481349eceb2026e01915e6ef670097086f5d1c95a486fe5736af87dd4e9f79fbd59814cf8b4d73bcfda3cf6e7f23b081e077'),
+        ('drill', '12e014092855ffa74e381ebd16531ccd486f7b85',
+         'c3e84a2f15b6acc4001bd03a7a0fc880f60a84462cbe14607ecb58794450ed123c6fce8cb9863d239d3d53d4611b9792',
+         '542603a7b33d1d803654131f6a2ebcca80034a6e6d99d44df37856b43b3fdbcfcb5134e67cc475e832fe8894e4a8ff3d2219c3cecd94a18e59d6fbf8103093e8'),
+        ('spark', '7187dadeaa9825054bf26bb1a84055243400af16',
+         'f1667b342b89a85c7e568e7e0b458eba562b81cb1a6941976b760b39fe45f463ff8ac366425324c9ac19943940030fd1',
+         'ba6f19274b9b168078f7898e3b29af732e9d165312f1c4a55a550d906002572d913b64139bd89b4b01e59b0ece016bbb8a580ece282dfafb73b5ea54266b08ff'),
+        ('lineitem', 'ab22b54f50cfe04e9671740f7b93e46d08a25bb1',
+         '364487bb9a75692f2ed0db3fce7778a2be8315ca84f8f16f24803f01ca9fd4cb68908724a699129c34059a692cc43030',
+         'b4dd0622715ed23cd6b2042e9dd02d952b3787b980ea4ded81ec76534a90569105b1067c1dcca0143b02fabdc8d2ec1edc8e8eb8b189a5306892cd323df0e0fc'),
+        ('100TB', '9d0d364847638e4ff3655890b785c28b1ae9db8a',
+         '049e5f0c8fa1dd8009e93752d151330be2abb41182616ec13bfc7a56dcec743269173642256db5db89136aaa6c8aeb80',
+         'd5d72d41f910496aee37343c76f612d0d4a8512c002a7da2bbbb245aee32b0e794b13fd4ac5ce73fbdbc16663fd13d9737e4f53a66f2b826b866d276690f457c'))
+      SELECT s, md5(s) AS md5_hex, sha1_hex, sha256(s) AS sha256_hex,
+        sha384_hex, sha512_hex, s AS aes_rt
+      FROM expected""",
+    "q_distribution_fns" -> """
+      SELECT l_orderkey, l_linenumber,
+        (CASE WHEN l_quantity < 0 THEN 0
+              WHEN l_quantity >= 50 THEN 11
+              ELSE 1 + floor(l_quantity / 5.0) END)::BIGINT AS qty_bucket
+      FROM lineitem WHERE l_orderkey < 2000""",
+    "q_punct_pattern" -> """
+      SELECT doc_id, regexp_replace(regexp_replace(substr(text, 1, 80),
+        '[a-zA-Z0-9]', '', 'g'), ' ', '_', 'g') AS punct
+      FROM documents""",
+    "q_kendall" -> """
+      WITH b AS (SELECT s_nationkey AS g, s_suppkey AS i,
+          s_acctbal::DOUBLE AS x, s_suppkey::DOUBLE AS y FROM supplier),
+      p AS (SELECT a.g,
+          sum(CASE WHEN (a.x - c.x) * (a.y - c.y) > 0 THEN 1 ELSE 0 END)::BIGINT AS concordant,
+          sum(CASE WHEN (a.x - c.x) * (a.y - c.y) < 0 THEN 1 ELSE 0 END)::BIGINT AS discordant,
+          count(*) AS n_pairs
+        FROM b a JOIN b c ON a.g = c.g AND a.i < c.i GROUP BY a.g)
+      SELECT g AS s_nationkey, concordant, discordant,
+        round((concordant - discordant)::DOUBLE / n_pairs, 6) AS kendall_tau
+      FROM p""",
+    "q_time_bucket" -> """
+      SELECT event_id,
+        (epoch_ns(ts) // 1000000000 * 1000) -
+          (epoch_ns(ts) // 1000000000 * 1000) % 600000 AS bucket_ms
+      FROM events""",
+    "q_parse_ua" -> s"""
+      WITH uas(ua_id, ua) AS (VALUES $UaValuesSql),
+      c AS (SELECT ua_id, ua,
+          regexp_matches(ua, '(?i)(bot|crawler|spider|slurp|curl|wget|python-requests|headless)') AS is_bot
+        FROM uas)
+      SELECT ua_id,
+        CASE WHEN is_bot THEN 'Robot'
+             WHEN strpos(ua, 'Edg/') > 0 THEN 'Edge'
+             WHEN strpos(ua, 'OPR/') > 0 THEN 'Opera'
+             WHEN strpos(ua, 'Chrome/') > 0 THEN 'Chrome'
+             WHEN strpos(ua, 'Firefox/') > 0 THEN 'Firefox'
+             WHEN strpos(ua, 'Safari/') > 0 AND strpos(ua, 'Version/') > 0 THEN 'Safari'
+             WHEN strpos(ua, 'MSIE ') > 0 OR strpos(ua, 'Trident/') > 0 THEN 'IE'
+             ELSE 'Other' END AS browser,
+        CASE WHEN is_bot THEN ''
+             WHEN strpos(ua, 'Edg/') > 0 THEN regexp_extract(ua, 'Edg/([0-9.]+)', 1)
+             WHEN strpos(ua, 'OPR/') > 0 THEN regexp_extract(ua, 'OPR/([0-9.]+)', 1)
+             WHEN strpos(ua, 'Chrome/') > 0 THEN regexp_extract(ua, 'Chrome/([0-9.]+)', 1)
+             WHEN strpos(ua, 'Firefox/') > 0 THEN regexp_extract(ua, 'Firefox/([0-9.]+)', 1)
+             WHEN strpos(ua, 'Safari/') > 0 AND strpos(ua, 'Version/') > 0
+               THEN regexp_extract(ua, 'Version/([0-9.]+)', 1)
+             WHEN strpos(ua, 'MSIE ') > 0 THEN regexp_extract(ua, 'MSIE ([0-9.]+)', 1)
+             WHEN strpos(ua, 'Trident/') > 0 THEN regexp_extract(ua, 'rv:([0-9.]+)', 1)
+             ELSE '' END AS browser_version,
+        CASE WHEN strpos(ua, 'Windows NT') > 0 THEN 'Windows'
+             WHEN strpos(ua, 'Android') > 0 THEN 'Android'
+             WHEN strpos(ua, 'iPhone') > 0 OR strpos(ua, 'iPad') > 0
+               OR strpos(ua, 'iPod') > 0 THEN 'iOS'
+             WHEN strpos(ua, 'Mac OS X') > 0 THEN 'macOS'
+             WHEN strpos(ua, 'Linux') > 0 THEN 'Linux'
+             ELSE 'Other' END AS os,
+        CASE WHEN is_bot THEN 'Robot'
+             WHEN strpos(ua, 'iPad') > 0 OR (strpos(ua, 'Android') > 0
+               AND strpos(ua, 'Mobile') = 0) THEN 'Tablet'
+             WHEN strpos(ua, 'iPhone') > 0 OR strpos(ua, 'iPod') > 0
+               OR strpos(ua, 'Mobile') > 0 THEN 'Phone'
+             ELSE 'Desktop' END AS device_class,
+        is_bot
+      FROM c""")
+
+  /** The UA corpus as SQL VALUES rows (single-quote escaped). */
+  private def UaValuesSql: String =
+    UaCorpus.map { case (id, ua) => s"($id, '${ua.replace("'", "''")}')" }
+      .mkString(",\n        ")
 }

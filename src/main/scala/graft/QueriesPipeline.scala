@@ -33,6 +33,17 @@ object QueriesPipeline {
         numHashes = 128, bands = 32, threshold = 0.8,
         maxBucket = Int.MaxValue)), // cap off => exact; audit via minhashBucketStats
 
+    "q_dedup_minhash_capped" -> ((s, d) =>
+      // Same banding, with the maxBucket skew guard ENGAGED — this plans
+      // the row_number cap + sort-merge band join (the 100 TB
+      // configuration; Dedup.scala:99), distinct from q_dedup_minhash's
+      // capless broadcast path. The cap is far above any sf0.01 bucket
+      // (DedupSpec asserts minhashBucketStats drops nothing), so the
+      // exact all-pairs Jaccard oracle still holds.
+      Dedup.minhashNearDups(T(s, d, "documents"), "doc_id", "text",
+        numHashes = 128, bands = 32, threshold = 0.8,
+        maxBucket = 100000)),
+
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhashPortableNearDups(T(s, d, "documents"), "doc_id", "text",
         maxHamming = 3)),
@@ -152,6 +163,7 @@ object QueriesPipeline {
       FROM (SELECT doc_id, $NORM AS norm FROM corpus)
       GROUP BY norm HAVING count(*) > 1""",
     "q_dedup_minhash" -> jaccardOracle("0.8"),
+    "q_dedup_minhash_capped" -> jaccardOracle("0.8"),
     "q_dedup_simhash" -> SIMHASH_ORACLE,
     "q_ngram_jaccard" -> jaccardOracle("0.95"),
     "q_embed_neardup" -> """

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.sources.{SchemaOnRead, Writer}
+import graft.sources.{SchemaOnRead, Writer, XlsxReader}
 
 /** §2.3 coverage: schema-on-read format readers over the static fixture
   * files in testfiles/ (committed, deterministic). Oracles either read the
@@ -68,6 +68,10 @@ object QueriesSources {
         .select(col("p_partkey"), col("p_brand"), round(col("p_retailprice"), 2).as("rp"))
       Writer.ctas(src, s"${out(d)}/ctas_orc", "orc")
     }),
+
+    // ---- XLSX (ref contrib/format-excel/.../ExcelBatchReader.java; no
+    // POI in this container, so XlsxReader parses the zip+XML directly) ----
+    "q_read_xlsx" -> ((s, _) => XlsxReader.read(s, s"$Dir/sample.xlsx")),
 
     // ---- XML (ref contrib/format-xml; Spark 4 native from_xml) ----
     "q_read_xml" -> ((s, d) =>
@@ -156,6 +160,16 @@ object QueriesSources {
       "SELECT p_partkey, p_brand, round(p_retailprice, 2) AS rp FROM part WHERE p_partkey < 800",
     "q_read_xml" ->
       "SELECT c_custkey AS k, c_name AS n FROM customer WHERE c_custkey < 200",
+    "q_read_xlsx" -> """
+      SELECT item_id::BIGINT AS item_id, item_name, category,
+             qty::BIGINT AS qty, unit_price::DOUBLE AS unit_price
+      FROM (VALUES
+        (101, 'widget', 'tools', 7, 19.99),
+        (102, 'gadget', 'tools', 0, 5.5),
+        (103, 'doohickey', NULL, 12, 0.25),
+        (104, 'gizmo', 'parts', 3, 120.0),
+        (105, 'spr&ocket', 'parts', 42, 1.05))
+      t(item_id, item_name, category, qty, unit_price)""",
     "q_dir_pruning" -> """
       SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total
       FROM orders WHERE o_orderstatus = 'F'""",

@@ -1,0 +1,101 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** IPv4 / CIDR functions, re-expressed from Drill's network UDF pack
+  * (reference contrib/udfs/src/main/java/org/apache/drill/exec/udfs/
+  * NetworkFunctions.java — inet_aton/ntoa, in_network, is_private_ip,
+  * netmask/broadcast/low/high address, address_count, url codec).
+  *
+  * Drill evaluates these row-at-a-time over commons-net SubnetUtils;
+  * here every function is a pure Column expression over Spark built-ins
+  * (split/cast/bitwise/concat), so the whole pack stays inside
+  * whole-stage codegen and any SQL oracle can reproduce it exactly.
+  *
+  * CIDR semantics mirror commons-net SubnetUtils' default (hosts
+  * exclude the network and broadcast addresses), which is what Drill
+  * ships: low = network+1, high = broadcast-1, count = 2^(32-p) - 2,
+  * meaningful for prefixes <= 30.
+  */
+object NetworkFunctions {
+
+  /** Dotted-quad string -> numeric IPv4 (nulls on malformed input via
+    * cast semantics). */
+  def inetAton(ip: Column): Column = {
+    val o = split(ip, "\\.")
+    o.getItem(0).cast("long") * 16777216L + o.getItem(1).cast("long") * 65536L +
+      o.getItem(2).cast("long") * 256L + o.getItem(3).cast("long")
+  }
+
+  /** Numeric IPv4 -> dotted-quad string. */
+  def inetNtoa(n: Column): Column =
+    concat_ws(".",
+      shiftright(n, 24).bitwiseAND(255).cast("string"),
+      shiftright(n, 16).bitwiseAND(255).cast("string"),
+      shiftright(n, 8).bitwiseAND(255).cast("string"),
+      n.bitwiseAND(255).cast("string"))
+
+  /** Structural IPv4 validity: four octets, each 0-255, no leading junk. */
+  def isValidIpv4(ip: Column): Column = {
+    val octet = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+    ip.rlike(s"^$octet\\.$octet\\.$octet\\.$octet$$")
+  }
+
+  /** RFC 1918 private-range test (10/8, 172.16/12, 192.168/16), false for
+    * anything that is not a valid IPv4 string — Drill's is_private_ip. */
+  def isPrivateIp(ip: Column): Column = {
+    val a = split(ip, "\\.").getItem(0).cast("int")
+    val b = split(ip, "\\.").getItem(1).cast("int")
+    when(!isValidIpv4(ip), lit(false))
+      .otherwise(a === 10 || (a === 172 && b >= 16 && b <= 31) || (a === 192 && b === 168))
+  }
+
+  private def cidrBase(cidr: Column): Column = inetAton(split(cidr, "/").getItem(0))
+  private def cidrPrefix(cidr: Column): Column = split(cidr, "/").getItem(1).cast("int")
+
+  /** Numeric netmask of a CIDR block: high `prefix` bits set. */
+  def netmaskNum(cidr: Column): Column = {
+    val p = cidrPrefix(cidr)
+    // 0xFFFFFFFF << (32-p), kept in 32-bit range; p=0 => mask 0
+    // (call_function: the shiftleft Column helper only takes literal
+    // shift amounts, the SQL expression takes a column)
+    when(p === 0, lit(0L))
+      .otherwise(call_function("shiftleft", lit(0xFFFFFFFFL), lit(32) - p)
+        .bitwiseAND(lit(0xFFFFFFFFL)))
+  }
+
+  /** Membership of an IPv4 address in a CIDR block (network/broadcast
+    * included — the range test, matching SubnetUtils.isInRange for hosts). */
+  def inNetwork(ip: Column, cidr: Column): Column =
+    inetAton(ip).bitwiseAND(netmaskNum(cidr)) ===
+      cidrBase(cidr).bitwiseAND(netmaskNum(cidr))
+
+  def netmask(cidr: Column): Column = inetNtoa(netmaskNum(cidr))
+
+  /** Network (all-zero host bits) and broadcast (all-one host bits). */
+  def networkAddressNum(cidr: Column): Column =
+    cidrBase(cidr).bitwiseAND(netmaskNum(cidr))
+
+  def broadcastAddressNum(cidr: Column): Column =
+    networkAddressNum(cidr)
+      .bitwiseOR(netmaskNum(cidr).bitwiseXOR(lit(0xFFFFFFFFL)))
+
+  def broadcastAddress(cidr: Column): Column = inetNtoa(broadcastAddressNum(cidr))
+
+  /** First / last usable host address (network+1 / broadcast-1). */
+  def lowAddress(cidr: Column): Column = inetNtoa(networkAddressNum(cidr) + 1)
+  def highAddress(cidr: Column): Column = inetNtoa(broadcastAddressNum(cidr) - 1)
+
+  /** Usable host count, 2^(32-prefix) - 2 (0 for /31 and /32, like
+    * SubnetUtils' host-exclusive default). */
+  def addressCount(cidr: Column): Column = {
+    val p = cidrPrefix(cidr)
+    greatest(call_function("shiftleft", lit(1L), lit(32) - p) - 2, lit(0L))
+  }
+
+  /** URL percent-codec — Spark built-ins (Drill wraps java.net.URLEncoder;
+    * Spark's url_encode/url_decode are the same codec). */
+  def urlEncode(s: Column): Column = call_function("url_encode", s)
+  def urlDecode(s: Column): Column = call_function("url_decode", s)
+}

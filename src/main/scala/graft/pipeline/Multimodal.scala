@@ -45,8 +45,50 @@ object Multimodal {
         lit("raw").as("codec")).as("meta"))
   }
 
-  /** STUB decode kernel: a real implementation decodes `payload` with an
-    * image codec; this deterministic fake derives "pixels" from the bytes
+  /** REAL image decode over javax.imageio (PNG/BMP/GIF/JPEG readers ship
+    * with the JDK — no external codec needed): per row, decode `payload`
+    * to pixels and emit dimensions plus mean RGB (0-1 per channel).
+    * Undecodable/null payloads yield null columns, not failures — the
+    * schema-on-read contract for dirty media lakes. Map-only over binary
+    * batches: the same plan shape as the stub kernels, but with a real
+    * codec inside. */
+  def decodeImage(media: DataFrame): DataFrame = {
+    val outSchema = StructType(media.schema.fields ++ Seq(
+      StructField("img_width", IntegerType, nullable = true),
+      StructField("img_height", IntegerType, nullable = true),
+      StructField("mean_rgb", ArrayType(DoubleType), nullable = true)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        val img =
+          if (payload == null) null
+          else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+          catch { case _: java.io.IOException => null }
+        if (img == null) Row.fromSeq(r.toSeq ++ Seq(null, null, null))
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+              x += 1
+            }
+            y += 1
+          }
+          val n = (w.toLong * h) * 255.0
+          Row.fromSeq(r.toSeq ++ Seq(w, h, Seq(sr / n, sg / n, sb / n)))
+        }
+      }
+    }(enc).toDF(outSchema.fieldNames: _*)
+  }
+
+  /** STUB decode kernel (audio/video remain stubbed — no ffmpeg in this
+    * container): a real implementation decodes `payload` with a media
+    * codec; this deterministic fake derives "pixels" from the bytes
     * so the distributed plumbing (mapPartitions over binary batches,
     * output schema, partition sizing) is fully exercised. */
   def decodeImageFeatures(media: DataFrame, featureDim: Int = 8): DataFrame = {

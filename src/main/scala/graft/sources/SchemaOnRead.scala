@@ -93,14 +93,19 @@ object SchemaOnRead {
       .withColumn("suffix", element_at(split(input_file_name(), "\\."), -1))
 
   /** Drill-style schema-on-read for an embedded JSON string column: infer
-    * the schema from the data itself (one inference pass, like Drill's
-    * per-batch discovery), then parse with the discovered schema. Adds
-    * `<col>_parsed` struct column. */
-  def inferJsonColumn(df: DataFrame, colName: String): DataFrame = {
+    * the schema from a BOUNDED sample (Drill discovers per batch; a
+    * limit-sampled inference is the Spark-native equivalent — an unbounded
+    * spark.read.json over the column would be a second full scan of the
+    * table at 100 TB), then parse the full column with the discovered
+    * schema. Adds `<col>_parsed` struct column. Fields that first appear
+    * beyond the sample are absent from the schema — the same contract as
+    * Spark's own samplingRatio-based JSON inference. */
+  def inferJsonColumn(df: DataFrame, colName: String,
+                      sampleRows: Int = 10000): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val schema = spark.read.json(df.select(col(colName)).na.drop()
-      .as[String]).schema
+      .limit(sampleRows).as[String]).schema
     df.withColumn(s"${colName}_parsed", from_json(col(colName), schema))
   }
 

@@ -1,0 +1,84 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Persistent views: CREATE VIEW / DROP VIEW durably stored as one small
+  * JSON file per view on the filesystem — Drill's `.view.drill` files
+  * (reference exec/.../planner/sql/handlers/ViewHandler.java and
+  * dotdrill/View.java), which make views plain catalog objects any new
+  * session can list and expand. Spark's temp views are session-scoped;
+  * this adds the durable layer: `load()` re-registers every stored view
+  * into a fresh session, and INFORMATION_SCHEMA.VIEWS reads straight from
+  * storage. File writes are atomic (temp + rename), so a concurrent
+  * reader sees either the old or the new definition.
+  */
+object ViewCatalog {
+
+  case class ViewDef(name: String, sql: String)
+
+  private val Suffix = ".view.json"
+  private val mapper = new ObjectMapper()
+
+  private def fs(spark: SparkSession, base: String) =
+    new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def viewPath(base: String, name: String) = new Path(base, name + Suffix)
+
+  /** CREATE [OR REPLACE] VIEW name AS sql — persisted, and registered in
+    * the current session. The SQL is validated by planning it first (same
+    * contract as Drill's ViewHandler: a view that doesn't parse is not
+    * stored). */
+  def create(spark: SparkSession, base: String, name: String, sql: String,
+             replace: Boolean = false): Unit = {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"), s"invalid view name '$name'")
+    val df = spark.sql(sql) // analyze now: reject broken definitions
+    val f = fs(spark, base)
+    val target = viewPath(base, name)
+    if (!replace) require(!f.exists(target), s"view '$name' already exists")
+    f.mkdirs(new Path(base))
+    val node = mapper.createObjectNode()
+    node.put("name", name)
+    node.put("sql", sql)
+    val tmp = new Path(base, s".$name$Suffix.tmp")
+    val out = f.create(tmp, true)
+    try out.write(mapper.writeValueAsBytes(node)) finally out.close()
+    if (f.exists(target)) f.delete(target, false)
+    require(f.rename(tmp, target), s"atomic rename failed for $target")
+    df.createOrReplaceTempView(name)
+  }
+
+  /** DROP VIEW name; returns whether it existed. */
+  def drop(spark: SparkSession, base: String, name: String): Boolean = {
+    spark.catalog.dropTempView(name)
+    fs(spark, base).delete(viewPath(base, name), false)
+  }
+
+  /** All stored view definitions. */
+  def list(spark: SparkSession, base: String): Seq[ViewDef] = {
+    val f = fs(spark, base)
+    val dir = new Path(base)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(Suffix))
+      .sortBy(_.getPath.getName)
+      .map { s =>
+        val in = f.open(s.getPath)
+        val node = try mapper.readTree(in) finally in.close()
+        ViewDef(node.get("name").asText(), node.get("sql").asText())
+      }
+  }
+
+  /** Register every stored view into `spark` (a new session picks up all
+    * durable views — the part Spark temp views alone cannot do). */
+  def load(spark: SparkSession, base: String): Unit =
+    list(spark, base).foreach(v => spark.sql(v.sql).createOrReplaceTempView(v.name))
+
+  /** INFORMATION_SCHEMA.VIEWS over the stored catalog (Drill ischema
+    * VIEWS: table_name, view_definition). */
+  def views(spark: SparkSession, base: String): DataFrame = {
+    import spark.implicits._
+    list(spark, base).map(v => (v.name, v.sql)).toDF("table_name", "view_definition")
+  }
+}

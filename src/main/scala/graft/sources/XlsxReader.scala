@@ -1,0 +1,203 @@
+package graft.sources
+
+import java.io.{ByteArrayInputStream, InputStream}
+import java.util.zip.ZipInputStream
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
+import scala.collection.mutable
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** XLSX (OOXML spreadsheet) reader for the flat cell-grid case — header
+  * row + data rows, Drill's most-used self-describing office format
+  * (reference contrib/format-excel/.../ExcelBatchReader.java). Drill
+  * reads through Apache POI's streaming reader; no POI ships in this
+  * container, and an XLSX is just a zip of small XML parts, so this
+  * parses the two relevant parts (sharedStrings + first worksheet)
+  * directly with the JDK's StAX and zip readers.
+  *
+  * Scale shape matches AvroReader: one task per file (a workbook is not
+  * block-splittable), schema inferred once from the first file on the
+  * driver, decode on executors via mapPartitions. Memory per task is
+  * bounded by one workbook's XML parts.
+  *
+  * Column types are inferred per column over the data rows: all-integral
+  * -> long, all-numeric -> double, otherwise string; missing cells (XLSX
+  * omits empty cells entirely) -> null.
+  */
+object XlsxReader {
+
+  /** One worksheet as raw string cells: (headers, rows), rows keyed by
+    * 0-based column index with nulls for omitted cells. */
+  private[sources] def parseGrid(in: InputStream): (Array[String], Seq[Array[String]]) = {
+    var shared: IndexedSeq[String] = IndexedSeq.empty
+    var sheetBytes: Array[Byte] = null
+    var sharedBytes: Array[Byte] = null
+    val zin = new ZipInputStream(in)
+    try {
+      var e = zin.getNextEntry
+      while (e != null) {
+        if (e.getName == "xl/sharedStrings.xml") sharedBytes = zin.readAllBytes()
+        else if (e.getName == "xl/worksheets/sheet1.xml") sheetBytes = zin.readAllBytes()
+        e = zin.getNextEntry
+      }
+    } finally zin.close()
+    require(sheetBytes != null, "no xl/worksheets/sheet1.xml in workbook")
+    if (sharedBytes != null) shared = parseSharedStrings(sharedBytes)
+
+    val rows = mutable.ArrayBuffer.empty[Array[String]]
+    var maxCol = -1
+    val f = XMLInputFactory.newInstance()
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+    val r = f.createXMLStreamReader(new ByteArrayInputStream(sheetBytes))
+    var cells: mutable.ArrayBuffer[(Int, String)] = null
+    var cellCol = -1
+    var cellType = ""
+    var inV = false
+    var inIs = false
+    val vText = new StringBuilder
+    while (r.hasNext) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
+          case "row" => cells = mutable.ArrayBuffer.empty
+          case "c" =>
+            cellCol = colIndex(attr(r, "r"))
+            cellType = Option(attr(r, "t")).getOrElse("")
+          case "v" => inV = true; vText.clear()
+          case "is" => inIs = true
+          case "t" if inIs => inV = true; vText.clear()
+          case _ =>
+        }
+        case XMLStreamConstants.CHARACTERS if inV => vText.append(r.getText)
+        case XMLStreamConstants.END_ELEMENT => r.getLocalName match {
+          case "v" => inV = false; emitCell(cells, cellCol, cellType, vText.toString, shared)
+          case "t" if inIs => inV = false
+          case "is" => inIs = false; emitCell(cells, cellCol, "str", vText.toString, shared)
+          case "row" if cells != null && cells.nonEmpty =>
+            maxCol = math.max(maxCol, cells.map(_._1).max)
+            rows += cells.toArray.sortBy(_._1).foldLeft(
+              new Array[String](cells.map(_._1).max + 1)) { (arr, c) =>
+                arr(c._1) = c._2; arr
+              }
+          case _ =>
+        }
+        case _ =>
+      }
+    }
+    r.close()
+    require(rows.nonEmpty, "empty worksheet")
+    val width = maxCol + 1
+    val grid = rows.map(row =>
+      if (row.length == width) row else row.padTo(width, null.asInstanceOf[String]))
+    val headers = grid.head.zipWithIndex.map { case (h, i) =>
+      if (h == null || h.isEmpty) s"col$i" else h }
+    (headers.toArray, grid.drop(1).toSeq)
+  }
+
+  private def emitCell(cells: mutable.ArrayBuffer[(Int, String)], colIdx: Int,
+                       cellType: String, raw: String,
+                       shared: IndexedSeq[String]): Unit = {
+    if (cells != null && colIdx >= 0) {
+      val v = cellType match {
+        case "s" => shared(raw.trim.toInt)
+        case _ => raw
+      }
+      cells += ((colIdx, v))
+    }
+  }
+
+  private def parseSharedStrings(bytes: Array[Byte]): IndexedSeq[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    val f = XMLInputFactory.newInstance()
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+    val r = f.createXMLStreamReader(new ByteArrayInputStream(bytes))
+    var inSi = false
+    val sb = new StringBuilder
+    while (r.hasNext) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT if r.getLocalName == "si" =>
+          inSi = true; sb.clear()
+        case XMLStreamConstants.CHARACTERS if inSi => sb.append(r.getText)
+        case XMLStreamConstants.END_ELEMENT if r.getLocalName == "si" =>
+          inSi = false; out += sb.toString
+        case _ =>
+      }
+    }
+    r.close()
+    out.toIndexedSeq
+  }
+
+  private def attr(r: javax.xml.stream.XMLStreamReader, name: String): String =
+    r.getAttributeValue(null, name)
+
+  /** "BC7" -> column index 54 (0-based). */
+  private[graft] def colIndex(ref: String): Int = {
+    if (ref == null) return -1
+    var i = 0; var acc = 0
+    while (i < ref.length && ref.charAt(i).isLetter) {
+      acc = acc * 26 + (ref.charAt(i).toUpper - 'A' + 1); i += 1
+    }
+    acc - 1
+  }
+
+  private val LongRe = "^-?\\d+$".r
+  private val DoubleRe = "^-?\\d*\\.?\\d+([eE][+-]?\\d+)?$".r
+
+  private def inferType(values: Seq[String]): DataType = {
+    val present = values.filter(v => v != null && v.nonEmpty)
+    if (present.nonEmpty && present.forall(LongRe.matches(_))) LongType
+    else if (present.nonEmpty && present.forall(DoubleRe.matches(_))) DoubleType
+    else StringType
+  }
+
+  private def cast(v: String, dt: DataType): Any =
+    if (v == null || (v.isEmpty && dt != StringType)) null
+    else dt match {
+      case LongType => v.toLong
+      case DoubleType => v.toDouble
+      case _ => v
+    }
+
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val files: Seq[String] =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).toSeq.map(_.getPath)
+          .filter(_.getName.endsWith(".xlsx")).map(_.toString).sorted
+      else Seq(path)
+    require(files.nonEmpty, s"no .xlsx files under $path")
+
+    // schema from the first workbook (driver-side, one small file)
+    val (headers, firstRows) = {
+      val in = fs.open(new Path(files.head))
+      try parseGrid(in) finally in.close()
+    }
+    val types = headers.indices.map(i => inferType(firstRows.map(r =>
+      if (i < r.length) r(i) else null)))
+    val schema = StructType(headers.zip(types).map {
+      case (h, t) => StructField(h, t, nullable = true) })
+
+    import spark.implicits._
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val width = headers.length
+    spark.createDataset(files)
+      .repartition(math.min(files.size, 32))
+      .mapPartitions { paths =>
+        val conf2 = new Configuration()
+        paths.flatMap { f =>
+          val fp = new Path(f)
+          val in = fp.getFileSystem(conf2).open(fp)
+          val (_, rows) = try parseGrid(in) finally in.close()
+          rows.iterator.map { r =>
+            Row.fromSeq((0 until width).map(i =>
+              cast(if (i < r.length) r(i) else null, types(i))))
+          }
+        }
+      }(enc).toDF(headers: _*)
+  }
+}

@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.sources.GraftCatalog
+import graft.sources.{GraftCatalog, ViewCatalog}
 
 class CatalogSpec extends AnyFunSuite {
   import TestSpark._
@@ -24,5 +24,34 @@ class CatalogSpec extends AnyFunSuite {
     val schemas = GraftCatalog.schemata(spark).collect()
       .map(_.getAs[String]("schema_name"))
     assert(schemas.contains("default"))
+  }
+
+  test("persistent views survive into a new session (Drill ViewHandler)") {
+    val base = java.nio.file.Files.createTempDirectory("graft_views").toString
+    GraftSession.table(spark, SF, "nation").createOrReplaceTempView("vc_nation")
+    ViewCatalog.create(spark, base, "small_nations",
+      "SELECT n_nationkey, n_name FROM vc_nation WHERE n_nationkey < 5")
+    assert(spark.sql("SELECT count(*) FROM small_nations").collect()(0).getLong(0) == 5)
+
+    // a broken definition must be rejected, not stored
+    intercept[Exception] {
+      ViewCatalog.create(spark, base, "broken", "SELECT nope FROM vc_nation")
+    }
+    assert(ViewCatalog.list(spark, base).map(_.name) == Seq("small_nations"))
+
+    // fresh session: only the durable layer can bring the view back
+    val fresh = spark.newSession()
+    assert(fresh.catalog.tableExists("small_nations") == false)
+    GraftSession.table(fresh, SF, "nation").createOrReplaceTempView("vc_nation")
+    ViewCatalog.load(fresh, base)
+    assert(fresh.sql("SELECT count(*) FROM small_nations").collect()(0).getLong(0) == 5)
+
+    // INFORMATION_SCHEMA.VIEWS reads from storage
+    val v = ViewCatalog.views(fresh, base).collect()
+    assert(v.length == 1 && v(0).getString(0) == "small_nations")
+    assert(v(0).getString(1).toLowerCase.contains("n_nationkey < 5"))
+
+    assert(ViewCatalog.drop(fresh, base, "small_nations"))
+    assert(ViewCatalog.list(fresh, base).isEmpty)
   }
 }

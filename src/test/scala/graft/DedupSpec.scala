@@ -54,6 +54,25 @@ class DedupSpec extends AnyFunSuite {
     assert(dropped.filter(col("dropped") <= 0).count() == 0)
   }
 
+  test("capped banding path (row_number guard) equals the capless path when no bucket overflows") {
+    // the q_dedup_minhash_capped gate config: cap engaged (plans the
+    // row_number guard + sort-merge band join) but sized above every
+    // bucket, so results must be identical to the capless run
+    val capped = Dedup.minhashNearDups(docs, "doc_id", "text",
+        numHashes = 128, bands = 32, threshold = 0.5, maxBucket = 100000)
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val capless = Dedup.minhashNearDups(docs, "doc_id", "text",
+        numHashes = 128, bands = 32, threshold = 0.5, maxBucket = Int.MaxValue)
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(capped == capless)
+    // and the audit view confirms the gate cap drops nothing at sf0.001
+    val sfDocs = spark.read.parquet(s"$SF/documents.parquet")
+    assert(Dedup.minhashBucketStats(sfDocs, "doc_id", "text",
+      numHashes = 128, bands = 32, maxBucket = 100000).isEmpty)
+  }
+
   test("ngram document-frequency cap drops ubiquitous-token postings only") {
     // cap at 5: tokens present in ALL 6 docs would be excluded — none are,
     // so results must equal the uncapped run; cap at 1 kills every pair.

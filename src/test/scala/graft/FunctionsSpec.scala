@@ -50,6 +50,98 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getInt(2) == 2) // o->u, b->p
   }
 
+  test("phonetic family matches commons-codec reference encodings") {
+    import spark.implicits._
+    val df = Seq("Thompson", "MacDonald").toDF("n")
+    val r = df.select(
+      call_function("metaphone", col("n")).as("mp"),
+      call_function("nysiis", col("n")).as("ny"),
+      call_function("refined_soundex", col("n")).as("rs"),
+      call_function("double_metaphone", col("n")).as("dm"),
+      call_function("cologne_phonetic", col("n")).as("cp"),
+      call_function("dm_soundex", col("n")).as("dms"),
+      call_function("match_rating_encoder", col("n")).as("mr"),
+      call_function("caverphone1", col("n")).as("c1")).collect()
+    assert(r(0).getString(0) == "TMPS" || r(0).getString(0) == "0MPS")
+    assert(r(0).getString(1) == "TANPSA") // nysiis(Thompson)
+    assert(r(1).getString(1) == "MCDANA") // nysiis(MacDonald)
+    assert(r.forall(row => (0 until 8).forall(i => row.getString(i).nonEmpty)))
+  }
+
+  test("entropy: exact values on uniform char distributions") {
+    import spark.implicits._
+    val df = Seq(("aaaa", "ab", "abcd", "aab")).toDF("u", "b", "q", "m")
+    val r = df.select(
+      call_function("entropy", col("u")).as("eu"),
+      call_function("entropy", col("b")).as("eb"),
+      call_function("entropy", col("q")).as("eq"),
+      call_function("entropy", col("m")).as("em")).collect()(0)
+    assert(r.getDouble(0) == 0.0) // single symbol
+    assert(r.getDouble(1) == 1.0) // two equiprobable -> 1 bit
+    assert(r.getDouble(2) == 2.0) // four equiprobable -> 2 bits
+    assert(math.abs(r.getDouble(3) - 0.9182958340544896) < 1e-12) // p=(2/3,1/3)
+  }
+
+  test("network functions: known-answer CIDR math") {
+    import spark.implicits._
+    import graft.functions.NetworkFunctions._
+    val df = Seq(("192.168.1.1", "10.1.2.3", "10.0.0.0/24")).toDF("ip1", "ip2", "cidr")
+    val r = df.select(
+      inetAton(col("ip1")).as("n1"),
+      inetNtoa(inetAton(col("ip1"))).as("rt"),
+      isPrivateIp(col("ip1")).as("p1"),
+      isPrivateIp(lit("8.8.8.8")).as("p2"),
+      inNetwork(col("ip2"), lit("10.0.0.0/8")).as("in1"),
+      inNetwork(lit("11.0.0.1"), lit("10.0.0.0/8")).as("in2"),
+      netmask(col("cidr")).as("nm"),
+      broadcastAddress(col("cidr")).as("bc"),
+      lowAddress(col("cidr")).as("lo"),
+      highAddress(col("cidr")).as("hi"),
+      addressCount(col("cidr")).as("cnt"),
+      isValidIpv4(lit("256.1.1.1")).as("bad")).collect()(0)
+    assert(r.getLong(0) == 3232235777L)
+    assert(r.getString(1) == "192.168.1.1")
+    assert(r.getBoolean(2) && !r.getBoolean(3))
+    assert(r.getBoolean(4) && !r.getBoolean(5))
+    assert(r.getString(6) == "255.255.255.0")
+    assert(r.getString(7) == "10.0.0.255")
+    assert(r.getString(8) == "10.0.0.1")
+    assert(r.getString(9) == "10.0.0.254")
+    assert(r.getLong(10) == 254L)
+    assert(!r.getBoolean(11))
+  }
+
+  test("url_encode/url_decode round-trip (Drill NetworkFunctions)") {
+    import spark.implicits._
+    import graft.functions.NetworkFunctions._
+    val df = Seq("a b&c=d/e?").toDF("s")
+    val r = df.select(
+      urlEncode(col("s")).as("enc"),
+      urlDecode(urlEncode(col("s"))).as("rt")).collect()(0)
+    assert(r.getString(0) == "a+b%26c%3Dd%2Fe%3F")
+    assert(r.getString(1) == "a b&c=d/e?")
+  }
+
+  test("width_bucket / kendall tau / punctuation_pattern / time_bucket") {
+    import spark.implicits._
+    import graft.functions.DistributionFunctions._
+    val df = Seq((5.5, "Hello, World! 123", 1234567L)).toDF("v", "s", "t")
+    val r = df.select(
+      widthBucket(col("v"), lit(0.0), lit(10.0), lit(5L)).as("wb"),
+      punctuationPattern(col("s")).as("pp"),
+      timeBucketMs(col("t"), lit(1000L)).as("tb")).collect()(0)
+    assert(r.getLong(0) == 3L)
+    assert(r.getString(1) == ",_!_")
+    assert(r.getLong(2) == 1234000L)
+
+    val xy = Seq((1, 1, 1.0, 10.0), (1, 2, 2.0, 20.0), (1, 3, 3.0, 30.0),
+      (2, 1, 1.0, 30.0), (2, 2, 2.0, 20.0), (2, 3, 3.0, 10.0))
+      .toDF("g", "i", "x", "y")
+    val taus = kendallTau(xy, "g", "i", "x", "y")
+      .orderBy("g").collect().map(_.getAs[Double]("kendall_tau"))
+    assert(taus.toSeq == Seq(1.0, -1.0)) // perfectly concordant / discordant
+  }
+
   test("kvgen/mappify explodes a JSON map column (SURVEY row 36)") {
     import spark.implicits._
     val df = Seq((1L, """{"a": 1, "b": 2}""")).toDF("id", "js")

@@ -19,6 +19,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(m.getInt(0) >= 64 && m.getInt(1) >= 64 && m.getLong(2) > 0)
   }
 
+  test("decodeImage REALLY decodes PNG pixels (javax.imageio, committed fixture)") {
+    import spark.implicits._
+    // committed fixture: 8x6, left half pure red, right half pure blue
+    val png = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$Fixtures/redblue.png"))
+    // plus an in-memory generated 4x4 solid green PNG (independent of disk)
+    val buf = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 4) buf.setRGB(x, y, 0x00FF00)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(buf, "png", bos)
+    val df = Seq((1L, "image", png), (2L, "image", bos.toByteArray),
+        (3L, "image", "not an image".getBytes("UTF-8")))
+      .toDF("media_id", "kind", "payload")
+    val out = Multimodal.decodeImage(df).orderBy("media_id").collect()
+    assert(out(0).getInt(out(0).fieldIndex("img_width")) == 8)
+    assert(out(0).getInt(out(0).fieldIndex("img_height")) == 6)
+    val rgb = out(0).getSeq[Double](out(0).fieldIndex("mean_rgb"))
+    assert(math.abs(rgb(0) - 0.5) < 1e-9) // half the pixels fully red
+    assert(rgb(1) == 0.0)
+    assert(math.abs(rgb(2) - 0.5) < 1e-9) // half fully blue
+    val green = out(1).getSeq[Double](out(1).fieldIndex("mean_rgb"))
+    assert(green == Seq(0.0, 1.0, 0.0))
+    assert(out(2).isNullAt(out(2).fieldIndex("img_width"))) // dirty row -> null, no failure
+  }
+
   test("decodeImageFeatures (STUB kernel) is deterministic over binary batches") {
     val feats = Multimodal.decodeImageFeatures(media.limit(50), featureDim = 8)
     val rows = feats.select("media_id", "features").collect()

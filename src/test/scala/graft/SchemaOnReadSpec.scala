@@ -61,4 +61,19 @@ class SchemaOnReadSpec extends AnyFunSuite {
     assert(parsed.schema.fieldNames.contains("props_parsed"))
     assert(parsed.filter(col("props_parsed").isNotNull).count() > 0)
   }
+
+  test("inferJsonColumn inference pass is sample-bounded, not a full scan") {
+    import spark.implicits._
+    // a field that first appears beyond the sample window must be invisible
+    // to the inferred schema — proof the inference read stops at the limit
+    val rows = (1 to 100).map(i => (i.toLong,
+      if (i <= 50) s"""{"a": $i}""" else s"""{"a": $i, "late": "x$i"}"""))
+    val df = rows.toDF("id", "js")
+    val narrow = SchemaOnRead.inferJsonColumn(df, "js", sampleRows = 50)
+      .schema("js_parsed").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(narrow.fieldNames.toSeq == Seq("a"))
+    val full = SchemaOnRead.inferJsonColumn(df, "js", sampleRows = 100)
+      .schema("js_parsed").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(full.fieldNames.toSeq == Seq("a", "late"))
+  }
 }
