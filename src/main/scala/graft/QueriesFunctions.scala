@@ -302,6 +302,23 @@ object QueriesFunctions {
         graft.functions.DistributionFunctions.timeBucketMs(ms, lit(600000L)).as("bucket_ms"))
     }),
 
+    // Mergeable HLL sketch columns (Spark's Datasketches-backed built-ins):
+    // per-group sketches union to an estimate within tolerance of the
+    // global exact count — the "sketch once, merge cheaply" contract that
+    // replaces a second full count-distinct pass at 100 TB.
+    "q_hll_sketch" -> ((s, d) => {
+      val l = T(s, d, "lineitem")
+      val perGroup = l.groupBy("l_returnflag")
+        .agg(expr("hll_sketch_agg(l_partkey)").as("sk"))
+      val merged = perGroup.agg(
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"),
+        count(lit(1)).as("n_groups"))
+      val exact = l.agg(count_distinct(col("l_partkey")).as("exact_cnt"))
+      merged.crossJoin(exact).select(col("n_groups"), col("exact_cnt"),
+        (abs(col("est") - col("exact_cnt")) <= col("exact_cnt") * 0.05)
+          .as("within_tol"))
+    }),
+
     // Drill contrib/udfs UserAgentFunctions.java: the rule cascade in
     // functions/UserAgent.scala, mirrored verbatim in the oracle SQL over
     // the same inline corpus.
@@ -549,6 +566,10 @@ object QueriesFunctions {
         (epoch_ns(ts) // 1000000000 * 1000) -
           (epoch_ns(ts) // 1000000000 * 1000) % 600000 AS bucket_ms
       FROM events""",
+    "q_hll_sketch" -> """
+      SELECT count(DISTINCT l_returnflag) AS n_groups,
+             count(DISTINCT l_partkey) AS exact_cnt, TRUE AS within_tol
+      FROM lineitem""",
     "q_parse_ua" -> s"""
       WITH uas(ua_id, ua) AS (VALUES $UaValuesSql),
       c AS (SELECT ua_id, ua,

@@ -53,14 +53,15 @@ object QueriesPipeline {
         n = 1, threshold = 0.95)),
 
     "q_embed_neardup" -> ((s, d) =>
-      // Exact threshold search at cos 0.4 (the corpus has no high-cosine
-      // cluster structure, so LSH cannot reach recall 1 here): triangle
-      // block partitioning distributes the O(N^2) compute with bounded
-      // replication and NO broadcast of the corpus. The LSH near-dup path
-      // (Similarity.embeddingNearDups) is gated in ScalaTest on planted
-      // high-cosine data, its honest operating regime.
-      Similarity.blockedAllPairs(T(s, d, "embeddings"), threshold = 0.4,
-        numBlocks = 8)),
+      // Through the regime dispatcher: threshold 0.4 is far below the
+      // high-cosine cutoff (this corpus has no high-cos cluster structure,
+      // so LSH cannot reach recall 1 here), so nearDupsAuto selects the
+      // exact triangle-blocked all-pairs — bounded replication, NO corpus
+      // broadcast. The LSH branch of the same dispatcher is gated in
+      // ScalaTest on planted high-cosine data, its honest operating
+      // regime (SimilaritySpec).
+      Similarity.nearDupsAuto(T(s, d, "embeddings"), threshold = 0.4,
+        dim = 64, numBlocks = 8)),
 
     "q_ann_bruteforce" -> ((s, d) => {
       val e = T(s, d, "embeddings")

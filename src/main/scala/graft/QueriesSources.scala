@@ -73,6 +73,11 @@ object QueriesSources {
     // POI in this container, so XlsxReader parses the zip+XML directly) ----
     "q_read_xlsx" -> ((s, _) => XlsxReader.read(s, s"$Dir/sample.xlsx")),
 
+    // ---- image metadata (ref contrib/format-image; header-only decode
+    // via JDK imageio — see sources/ImageMetaReader.scala) ----
+    "q_read_image_meta" -> ((s, _) =>
+      graft.sources.ImageMetaReader.read(s, s"$Dir/redblue.png")),
+
     // ---- XML (ref contrib/format-xml; Spark 4 native from_xml) ----
     "q_read_xml" -> ((s, d) =>
       GraftSession.table(s, d, "customer").filter(col("c_custkey") < 200)
@@ -160,6 +165,9 @@ object QueriesSources {
       "SELECT p_partkey, p_brand, round(p_retailprice, 2) AS rp FROM part WHERE p_partkey < 800",
     "q_read_xml" ->
       "SELECT c_custkey AS k, c_name AS n FROM customer WHERE c_custkey < 200",
+    "q_read_image_meta" -> """
+      SELECT 'redblue.png' AS filename, 'png' AS format,
+             8::INT AS width, 6::INT AS height, 78::BIGINT AS size_bytes""",
     "q_read_xlsx" -> """
       SELECT item_id::BIGINT AS item_id, item_name, category,
              qty::BIGINT AS qty, unit_price::DOUBLE AS unit_price

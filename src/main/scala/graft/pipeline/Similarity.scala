@@ -193,4 +193,30 @@ object Similarity {
       .filter(col("cs_raw") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cs_raw"), 6).as("cos_sim"))
   }
+
+  /** Regime-switching near-dup front door. The two implementations divide
+    * on one rule, now an explicit dispatch instead of caller folklore:
+    *
+    *  - `threshold >= highCosCutoff` (default 0.85): the near-dup regime —
+    *    vectors are minor-variant copies, sign-bit collision probability
+    *    is high, and multi-table hyperplane LSH prunes candidates with
+    *    recall ~1 (gated on planted clusters in SimilaritySpec). This is
+    *    the 100 TB path: candidate count is bucket-bounded, not O(N^2).
+    *  - below the cutoff: pairs sit too close to the noise floor for
+    *    sign-bit LSH to reach recall 1, so only the exact triangle-blocked
+    *    all-pairs is correct. Its O(N^2) compute is inherent to the ask
+    *    (exact low-threshold all-pairs); at 100 TB raise the threshold,
+    *    sample, or accept the quadratic bill knowingly.
+    *
+    * At the boundary the rule prefers LSH (the recall claim holds from
+    * ~0.85 up for the default 8-bit x 12-table family). */
+  def nearDupsAuto(corpus: DataFrame, threshold: Double, dim: Int,
+                   highCosCutoff: Double = 0.85,
+                   bits: Int = 8, tables: Int = 12, numBlocks: Int = 8,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame =
+    if (threshold >= highCosCutoff)
+      embeddingNearDups(corpus, threshold, dim, bits, tables, idCol, vecCol)
+    else
+      blockedAllPairs(corpus, threshold, numBlocks, idCol, vecCol)
 }

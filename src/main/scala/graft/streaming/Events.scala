@@ -71,6 +71,19 @@ object Events {
         quantizedSum(col("value")).as("sum_value_q"))
   }
 
+  /** Streaming exact dedup at ingest: drop rows whose normalized content
+    * hash already appeared within the watermark horizon. State is bounded
+    * by the watermark (dropDuplicatesWithinWatermark evicts expired keys);
+    * a plain dropDuplicates would grow state forever on a continuous
+    * 100 TB/day feed. The batch twin is Dedup.exact — same hash, same
+    * normalize — so a backfill and the live stream agree. */
+  def dedupStream(docs: DataFrame, textCol: String,
+                  watermarkDelay: String = "10 minutes"): DataFrame =
+    docs.withColumn("content_hash",
+        xxhash64(graft.pipeline.TextAnalysis.normalize(col(textCol))))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Structured Streaming form of tumblingAgg: readStream on the same
     * schema -> watermark -> windowed agg. Caller supplies the streaming
     * source (e.g. a rate/file/kafka reader). */

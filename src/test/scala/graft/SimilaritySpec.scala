@@ -80,6 +80,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall@5 = $recall")
   }
 
+  test("nearDupsAuto dispatches by regime and agrees with both branches") {
+    // high threshold -> LSH branch (bucket explode in the plan)
+    val hi = Similarity.nearDupsAuto(corpus, threshold = 0.9, dim = Dim,
+      bits = 8, tables = 12)
+    assert(hi.queryExecution.analyzed.toString.contains("bucket"))
+    val hiPairs = hi.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactHi = Similarity.blockedAllPairs(corpus, 0.9, numBlocks = 4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hiPairs == exactHi)
+    // low threshold -> exact triangle-blocked branch (block keys, no buckets)
+    val lo = Similarity.nearDupsAuto(corpus, threshold = 0.3, dim = Dim,
+      numBlocks = 4)
+    assert(!lo.queryExecution.analyzed.toString.contains("bucket"))
+    assert(lo.queryExecution.analyzed.toString.contains("bkey"))
+  }
+
   test("native cosine_sim expression is bit-identical to the HOF formulation") {
     val pairs = corpus.as("a").crossJoin(corpus.as("b")).limit(2000)
     val diff = pairs.select(

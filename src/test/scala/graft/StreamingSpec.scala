@@ -92,6 +92,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupStream drops in-watermark duplicate content, state stays bounded") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val deduped = Events.dedupStream(
+      input.toDF().toDF("doc_id", "ts", "text"), "text", "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    val b = 300000L
+    try {
+      input.addData(
+        (1L, ts(b), "the quick brown fox"),
+        (2L, ts(b + 1), "The  Quick   Brown Fox"), // same normalized content
+        (3L, ts(b + 2), "something else entirely"))
+      q.processAllAvailable()
+      input.addData((4L, ts(b + 5), "the quick brown fox")) // still a dup
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 3L), s"got $ids")
+      // advance the watermark far past the duplicate's expiry (watermark
+      // moves at batch END, so the expiry needs its own batch)...
+      input.addData((9L, ts(b + 5000), "watermark pusher"))
+      q.processAllAvailable()
+      // ...then the same content re-admits: its dedup state was evicted
+      input.addData((5L, ts(b + 5001), "the quick brown fox"))
+      q.processAllAvailable()
+      val ids2 = spark.table("dedup_out").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids2 == Set(1L, 3L, 9L, 5L), s"got $ids2")
+    } finally q.stop()
+  }
+
   test("batch and stream tumbling aggregation agree on the same data") {
     import spark.implicits._
     val batch = Seq((1L, ts(0), "click", 1.0), (2L, ts(10), "click", 2.0),
