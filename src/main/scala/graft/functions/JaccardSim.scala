@@ -23,32 +23,68 @@ object JaccardKernel {
     while (j < nb) { if (set.contains(b.getUTF8String(j))) inter += 1; j += 1 }
     inter.toDouble / (na + nb - inter).toDouble
   }
+
+  /** Long-array variant for hashed-token sets: two-pointer merge count
+    * over sorted arrays — zero allocation beyond the primitive copies, no
+    * hashing, no boxing. The dedup pipeline pre-sorts with array_sort, so
+    * the defensive sort below is a no-op check in the hot path. */
+  def computeLong(a: ArrayData, b: ArrayData): Double = {
+    val xs = a.toLongArray()
+    val ys = b.toLongArray()
+    if (!isSorted(xs)) java.util.Arrays.sort(xs)
+    if (!isSorted(ys)) java.util.Arrays.sort(ys)
+    var i = 0; var j = 0; var inter = 0
+    while (i < xs.length && j < ys.length) {
+      val x = xs(i); val y = ys(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (xs.length + ys.length - inter).toDouble
+  }
+
+  private def isSorted(a: Array[Long]): Boolean = {
+    var i = 1
+    while (i < a.length) { if (a(i - 1) > a(i)) return false; i += 1 }
+    true
+  }
 }
 
-/** Native exact Jaccard over two distinct string-array columns. */
+/** Native exact Jaccard over two distinct array columns — array<string>
+  * (hash-set probe) or array<bigint> (sorted two-pointer merge, the
+  * hashed-token fast path the dedup verify join runs on). */
 case class JaccardSimExpr(left: Expression, right: Expression)
   extends BinaryExpression {
 
-  private def strArray(t: DataType): Boolean = t match {
-    case ArrayType(StringType, _) => true
-    case _ => false
+  private def elemType(t: DataType): Option[DataType] = t match {
+    case ArrayType(StringType, _) => Some(StringType)
+    case ArrayType(LongType, _) => Some(LongType)
+    case _ => None
   }
 
+  private lazy val longMode: Boolean = elemType(left.dataType).contains(LongType)
+
   override def checkInputDataTypes(): TypeCheckResult =
-    if (strArray(left.dataType) && strArray(right.dataType))
-      TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"jaccard_sim expects array<string> inputs, got " +
-        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    (elemType(left.dataType), elemType(right.dataType)) match {
+      case (Some(a), Some(b)) if a == b => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"jaccard_sim expects two array<string> or two array<bigint> inputs, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
 
   override def dataType: DataType = DoubleType
 
   override def nullSafeEval(a: Any, b: Any): Any =
-    JaccardKernel.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (longMode)
+      JaccardKernel.computeLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else
+      JaccardKernel.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val method = if (longMode) "computeLong" else "compute"
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.JaccardKernel.compute($a, $b);")
+      s"${ev.value} = graft.functions.JaccardKernel.$method($a, $b);")
+  }
 
   override def prettyName: String = "jaccard_sim"
 

@@ -70,13 +70,22 @@ object Dedup {
     transform(sequence(lit(0), lit(bands - 1)), b =>
       xxhash64(b, slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))))
 
+  /** (id, th): the doc as a SORTED array of 32-bit-in-long token hashes.
+    * Token strings are hashed HERE and never used again — banding derives
+    * signatures from `th` and the verify join intersects `th` pairs with
+    * the long-array jaccard kernel (two-pointer merge over the pre-sorted
+    * arrays). Nothing string-typed ever shuffles: a hashed token costs 8
+    * bytes on the wire vs ~20 for the avg word string, and the verify
+    * kernel runs allocation-free. (Hash collisions folding two tokens:
+    * ~1e-8 at 1M distinct tokens in a 64-bit-hash world — the gate would
+    * catch any 6dp jaccard shift.) */
   private def tokenized(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     graft.GraftSession.balanced(docs.select(col(idCol).as("id"), col(textCol).as("text")))
-      .select(col("id"),
-        array_distinct(split(TextAnalysis.normalize(col("text")), " ")).as("toks"))
+      .select(col("id"), array_sort(tokenHashes(
+        array_distinct(split(TextAnalysis.normalize(col("text")), " ")))).as("th"))
 
   /** (band, id) relation after banding + the per-band skew cap. Shuffles
-    * only (band, id) pairs — token arrays never ride the band explode. */
+    * only (band, id) pairs — token-hash arrays never ride the band explode. */
   private def bandedIds(docs: DataFrame, idCol: String, textCol: String,
                         numHashes: Int, bands: Int, maxBucket: Int): DataFrame =
     bandedIdsFrom(tokenized(docs, idCol, textCol), numHashes, bands, maxBucket)
@@ -85,7 +94,6 @@ object Dedup {
                             maxBucket: Int): DataFrame = {
     val rowsPerBand = numHashes / bands
     val banded = toks
-      .withColumn("th", tokenHashes(col("toks")))
       .withColumn("sig", minhashSignatureFromHashes(col("th"), numHashes))
       .select(col("id"), col("sig"),
         lshBandKeys(col("sig"), bands, rowsPerBand).as("bkeys"))
@@ -149,7 +157,7 @@ object Dedup {
         .join(toks.as("ta"), col("id_a") === col("ta.id"))
         .join(toks.as("tb"), col("id_b") === col("tb.id"))
         .select(col("id_a"), col("id_b"),
-          col("ta.toks").as("toks_a"), col("tb.toks").as("toks_b"))
+          col("ta.th").as("toks_a"), col("tb.th").as("toks_b"))
       return verifyJaccard(pairs, threshold)
     }
     // Collapse identical token sets first (for corpora DOMINATED by exact
@@ -158,30 +166,30 @@ object Dedup {
     // back afterwards. Within-group pairs have jaccard exactly 1.
     // The balanced() wrappers are exchange-reuse points: keyed feeds four
     // references and reps two -- each computes once, not once per branch.
-    // (separator "\u0000" cannot appear in space-split tokens)
+    // (setkey = hash of the sorted token-hash array -- same token SET <=>
+    // same key, modulo the 64-bit collision odds documented on tokenized)
     val keyed = graft.GraftSession.balanced(
-      toks.withColumn("setkey",
-        xxhash64(concat_ws("\u0000", array_sort(col("toks"))))))
+      toks.withColumn("setkey", xxhash64(col("th"))))
     val members = keyed.select("setkey", "id")
     val reps = graft.GraftSession.balanced(
-      keyed.groupBy("setkey").agg(min("id").as("id"), first("toks").as("toks")))
+      keyed.groupBy("setkey").agg(min("id").as("id"), first("th").as("th")))
     // (A first-band-wins inline filter was tried here to avoid this agg
     // exchange — carrying both band-key arrays through the join and
     // zip_with-matching per emitted row cost MORE than the exchange; the
     // map-side-combinable groupBy stays.)
-    val bucketed = bandedIdsFrom(reps.select("id", "toks"), numHashes, bands, maxBucket)
+    val bucketed = bandedIdsFrom(reps.select("id", "th"), numHashes, bands, maxBucket)
       .select("band", "id")
     val cand = bucketed.as("a").join(bucketed.as("b"),
         col("a.band") === col("b.band") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("n_bands")) // pair-dedup with map-side combine
       .select("id_a", "id_b")
-    val repToks = reps.select("setkey", "id", "toks")
+    val repToks = reps.select("setkey", "id", "th")
     val verified = cand
       .join(repToks.as("ta"), col("id_a") === col("ta.id"))
       .join(repToks.as("tb"), col("id_b") === col("tb.id"))
       .withColumn("jac_raw",
-        call_function("jaccard_sim", col("ta.toks"), col("tb.toks")))
+        call_function("jaccard_sim", col("ta.th"), col("tb.th")))
       .filter(col("jac_raw") >= threshold)
       .select(col("ta.setkey").as("ka"), col("tb.setkey").as("kb"),
         round(col("jac_raw"), 6).as("jaccard"))
