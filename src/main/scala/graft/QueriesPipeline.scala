@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Dedup, Similarity, TextAnalysis, Training}
+import graft.pipeline.{Dedup, Scrub, Similarity, TextAnalysis, Training}
 import graft.streaming.Events
 
 /** §2.4 + §2.5 coverage: LLM-pipeline operators and stream semantics,
@@ -97,6 +97,30 @@ object QueriesPipeline {
         Training.packSequences(T(s, d, "documents"), "doc_id", "text",
           tokenBudget = 2048, shards = 8))),
 
+    "q_redact" -> ((s, d) => {
+      // PII synthesized from doc_id with arithmetic both engines share,
+      // so the REDACTION RULES (Scrub.redactPii) are the thing under test
+      val contact = concat(lit("reach user"), col("doc_id"),
+        lit(" at user"), col("doc_id"), lit("@mail.com or 10."),
+        pmod(col("doc_id"), lit(256)), lit(".0.1 or +1 555 "),
+        (pmod(col("doc_id"), lit(9000)) + 1000), lit(" done"))
+      T(s, d, "documents").select(col("doc_id"),
+        Scrub.redactPii(contact).as("redacted"))
+    }),
+
+    "q_repetition" -> ((s, d) =>
+      T(s, d, "documents").select(col("doc_id"),
+        Scrub.repetitionBp(col("text"), 3).as("rep_bp"))),
+
+    "q_chunk_dedup" -> ((s, d) => {
+      // planted duplicates (docs ∪ shifted copy) so every 20-token chunk
+      // provably recurs — the machinery, not corpus luck, is under test
+      val docs = T(s, d, "documents").select("doc_id", "text")
+      val dupped = docs.unionAll(
+        docs.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      Scrub.chunkDupStats(dupped, "doc_id", "text", chunkTokens = 20)
+    }),
+
     "q_window_tumbling" -> ((s, d) =>
       Events.tumblingAgg(T(s, d, "events"), 300)),
 
@@ -141,6 +165,38 @@ object QueriesPipeline {
       .mkString("(", " + ", ")")
 
   val oracle: Map[String, String] = Map(
+    "q_redact" -> s"""
+      WITH c AS (SELECT doc_id,
+          'reach user' || doc_id || ' at user' || doc_id ||
+          '@mail.com or 10.' || (doc_id % 256) || '.0.1 or +1 555 ' ||
+          (doc_id % 9000 + 1000) || ' done' AS contact
+        FROM documents)
+      SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(contact,
+          '${Scrub.EmailRe}', '[EMAIL]', 'g'),
+          '${Scrub.Ipv4Re}', '[IP]', 'g'),
+          '${Scrub.PhoneRe}', '[PHONE]', 'g') AS redacted
+      FROM c""",
+    "q_repetition" -> s"""
+      WITH t AS (SELECT doc_id, string_split($NORM, ' ') AS w FROM documents),
+      g AS (SELECT doc_id, CASE WHEN len(w) >= 3
+          THEN list_transform(range(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+          ELSE [array_to_string(w, ' ')] END AS grams FROM t)
+      SELECT doc_id, CASE WHEN len(grams) > 0
+        THEN floor((len(grams) - len(list_distinct(grams))) * 10000.0 / len(grams))::BIGINT
+        ELSE 0 END AS rep_bp
+      FROM g""",
+    "q_chunk_dedup" -> s"""
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id + 1000000, text FROM documents),
+      t AS (SELECT doc_id, string_split($NORM, ' ') AS w FROM corpus),
+      chunks AS (SELECT doc_id, unnest(list_transform(range(0, len(w) // 20),
+          i -> array_to_string(w[i*20+1 : i*20+20], ' '))) AS chunk
+        FROM t WHERE len(w) >= 20)
+      SELECT md5(chunk) AS chunk_hash, count(*) AS n_copies,
+             min(doc_id) AS keeper_doc
+      FROM chunks GROUP BY 1 HAVING count(*) > 1""",
     "q_hash_split" -> s"""
       WITH m AS (SELECT doc_id, ${md5h32("text")} % 100 AS bucket FROM documents)
       SELECT doc_id, bucket,

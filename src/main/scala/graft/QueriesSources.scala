@@ -78,6 +78,26 @@ object QueriesSources {
     "q_read_image_meta" -> ((s, _) =>
       graft.sources.ImageMetaReader.read(s, s"$Dir/redblue.png")),
 
+    // ---- pcap (ref exec/.../store/pcap + contrib/format-pcapng;
+    // classic libpcap framing, eth/IPv4/TCP-UDP decode) ----
+    "q_read_pcap" -> ((s, _) =>
+      graft.sources.PcapReader.read(s, s"$Dir/sample.pcap")),
+
+    // ---- federated join across three formats in ONE query (csv +
+    // parquet + xlsx) — Drill's core identity: join data where it lies ----
+    "q_cross_source_join" -> ((s, d) => {
+      val c = SchemaOnRead.csv(s, s"$Dir/sample.csv")
+        .select(col("id"), col("name").as("csv_name"))
+      val n = GraftSession.table(s, d, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      val x = XlsxReader.read(s, s"$Dir/sample.xlsx")
+        .select(col("item_id"), col("item_name"), col("qty"))
+      x.withColumn("id", (col("item_id") - 101) % 5 + 1)
+        .join(c, "id")
+        .join(n, col("id") === col("n_nationkey"))
+        .select("item_id", "item_name", "qty", "csv_name", "n_name")
+    }),
+
     // ---- XML (ref contrib/format-xml; Spark 4 native from_xml) ----
     "q_read_xml" -> ((s, d) =>
       GraftSession.table(s, d, "customer").filter(col("c_custkey") < 200)
@@ -168,6 +188,23 @@ object QueriesSources {
     "q_read_image_meta" -> """
       SELECT 'redblue.png' AS filename, 'png' AS format,
              8::INT AS width, 6::INT AS height, 78::BIGINT AS size_bytes""",
+    "q_read_pcap" -> """
+      SELECT ts_sec::BIGINT AS ts_sec, ts_usec::BIGINT AS ts_usec,
+             orig_len::INT AS orig_len, src_ip, dst_ip, protocol,
+             src_port::INT AS src_port, dst_port::INT AS dst_port
+      FROM (VALUES
+        (1700000001, 111111, 54, '10.0.0.1', '10.0.0.2', 'TCP', 443, 51000),
+        (1700000002, 222222, 54, '10.0.0.2', '10.0.0.1', 'TCP', 51000, 443),
+        (1700000003, 333333, 44, '10.0.0.1', '192.168.1.5', 'UDP', 53, 5353))
+      t(ts_sec, ts_usec, orig_len, src_ip, dst_ip, protocol, src_port, dst_port)""",
+    "q_cross_source_join" -> s"""
+      WITH x(item_id, item_name, qty) AS (VALUES
+        (101::BIGINT, 'widget', 7::BIGINT), (102, 'gadget', 0),
+        (103, 'doohickey', 12), (104, 'gizmo', 3), (105, 'spr&ocket', 42))
+      SELECT x.item_id, x.item_name, x.qty, c.name AS csv_name, n.n_name
+      FROM x
+      JOIN read_csv_auto('$Dir/sample.csv') c ON (x.item_id - 101) % 5 + 1 = c.id
+      JOIN nation n ON c.id = n.n_nationkey""",
     "q_read_xlsx" -> """
       SELECT item_id::BIGINT AS item_id, item_name, category,
              qty::BIGINT AS qty, unit_price::DOUBLE AS unit_price

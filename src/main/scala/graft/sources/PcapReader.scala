@@ -1,0 +1,121 @@
+package graft.sources
+
+import java.io.DataInputStream
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Classic libpcap capture reader — "SELECT * FROM my.pcap" is Drill's
+  * signature query-anything demo (reference contrib/format-pcapng and the
+  * core pcap decoder exec/.../store/pcap/PcapDecoder.java). One row per
+  * packet with the fields a security/log workload filters on: timestamp,
+  * IPv4 addresses, protocol, ports, lengths. Ethernet+IPv4 framing with
+  * TCP/UDP port extraction; other link/protocol shapes yield rows with
+  * null network fields rather than failing (schema-on-read over mixed
+  * captures).
+  *
+  * Format (public spec): 24-byte global header (magic 0xa1b2c3d4, either
+  * endianness), then per packet a 16-byte record header (ts_sec, ts_usec,
+  * incl_len, orig_len) + incl_len bytes of data. Files parallelize one
+  * task per file, like the other hand-rolled readers here; packets inside
+  * one capture are sequential by construction (record framing carries no
+  * sync marker to split on).
+  */
+object PcapReader {
+
+  val schema: StructType = StructType(Seq(
+    StructField("ts_sec", LongType, nullable = false),
+    StructField("ts_usec", LongType, nullable = false),
+    StructField("orig_len", IntegerType, nullable = false),
+    StructField("src_ip", StringType, nullable = true),
+    StructField("dst_ip", StringType, nullable = true),
+    StructField("protocol", StringType, nullable = true),
+    StructField("src_port", IntegerType, nullable = true),
+    StructField("dst_port", IntegerType, nullable = true)))
+
+  private def u16(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xFF) << 8) | (b(off + 1) & 0xFF)
+
+  private def ip4(b: Array[Byte], off: Int): String =
+    s"${b(off) & 0xFF}.${b(off + 1) & 0xFF}.${b(off + 2) & 0xFF}.${b(off + 3) & 0xFF}"
+
+  /** Decode one ethernet frame to (src, dst, proto, sport, dport). */
+  private[graft] def decodeEthIpv4(data: Array[Byte]):
+      (String, String, String, Integer, Integer) = {
+    if (data.length < 34 || u16(data, 12) != 0x0800) return (null, null, null, null, null)
+    val ihl = (data(14) & 0x0F) * 4
+    val proto = data(23) & 0xFF
+    val src = ip4(data, 26)
+    val dst = ip4(data, 30)
+    val l4 = 14 + ihl
+    val protoName = proto match {
+      case 6 => "TCP"
+      case 17 => "UDP"
+      case 1 => "ICMP"
+      case other => other.toString
+    }
+    if ((proto == 6 || proto == 17) && data.length >= l4 + 4)
+      (src, dst, protoName, Int.box(u16(data, l4)), Int.box(u16(data, l4 + 2)))
+    else (src, dst, protoName, null, null)
+  }
+
+  /** Parse one capture file into packet rows. */
+  private[graft] def parse(in: DataInputStream): Iterator[Row] = {
+    val gh = new Array[Byte](24)
+    in.readFully(gh)
+    val magicBe = ((gh(0) & 0xFFL) << 24) | ((gh(1) & 0xFFL) << 16) |
+      ((gh(2) & 0xFFL) << 8) | (gh(3) & 0xFFL)
+    val littleEndian = magicBe == 0xd4c3b2a1L
+    require(littleEndian || magicBe == 0xa1b2c3d4L,
+      f"not a classic pcap file (magic 0x$magicBe%08x)")
+
+    def u32(b: Array[Byte], off: Int): Long =
+      if (littleEndian)
+        ((b(off + 3) & 0xFFL) << 24) | ((b(off + 2) & 0xFFL) << 16) |
+          ((b(off + 1) & 0xFFL) << 8) | (b(off) & 0xFFL)
+      else
+        ((b(off) & 0xFFL) << 24) | ((b(off + 1) & 0xFFL) << 16) |
+          ((b(off + 2) & 0xFFL) << 8) | (b(off + 3) & 0xFFL)
+
+    new Iterator[Row] {
+      private val rec = new Array[Byte](16)
+      private var nextRow: Row = advance()
+      private def advance(): Row = {
+        val got = in.readNBytes(rec, 0, 16)
+        if (got < 16) { in.close(); return null }
+        val inclLen = u32(rec, 8).toInt
+        val data = new Array[Byte](inclLen)
+        in.readFully(data)
+        val (src, dst, proto, sport, dport) = decodeEthIpv4(data)
+        Row(u32(rec, 0), u32(rec, 4), u32(rec, 12).toInt, src, dst, proto, sport, dport)
+      }
+      def hasNext: Boolean = nextRow != null
+      def next(): Row = { val r = nextRow; nextRow = advance(); r }
+    }
+  }
+
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val files: Seq[String] =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).toSeq.map(_.getPath)
+          .filter(_.getName.endsWith(".pcap")).map(_.toString).sorted
+      else Seq(path)
+    require(files.nonEmpty, s"no .pcap files under $path")
+
+    import spark.implicits._
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    spark.createDataset(files)
+      .repartition(math.min(files.size, 32))
+      .mapPartitions { paths =>
+        val conf2 = new Configuration()
+        paths.flatMap { f =>
+          val fp = new Path(f)
+          parse(new DataInputStream(fp.getFileSystem(conf2).open(fp)))
+        }
+      }(enc).toDF(schema.fieldNames: _*)
+  }
+}

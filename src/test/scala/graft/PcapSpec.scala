@@ -1,0 +1,28 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.PcapReader
+
+class PcapSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("reads the committed capture: framing, IPv4 decode, ports") {
+    val df = PcapReader.read(spark, s"$Fixtures/sample.pcap")
+    val rows = df.orderBy("ts_sec").collect()
+    assert(rows.length == 3)
+    assert(rows(0).getLong(0) == 1700000001L && rows(0).getLong(1) == 111111L)
+    assert(rows(0).getString(3) == "10.0.0.1" && rows(0).getString(4) == "10.0.0.2")
+    assert(rows(0).getString(5) == "TCP")
+    assert(rows(0).getInt(6) == 443 && rows(0).getInt(7) == 51000)
+    assert(rows(2).getString(5) == "UDP" && rows(2).getInt(6) == 53)
+    assert(rows(2).getInt(2) == 44) // eth(14) + ipv4(20) + udp(8) + 2 payload
+  }
+
+  test("non-IPv4 frames yield null network fields, not failures") {
+    // ARP ethertype 0x0806, truncated body
+    val arp = Array.fill[Byte](20)(0)
+    arp(12) = 0x08; arp(13) = 0x06
+    val (src, dst, proto, sp, dp) = PcapReader.decodeEthIpv4(arp)
+    assert(src == null && dst == null && proto == null && sp == null && dp == null)
+  }
+}
