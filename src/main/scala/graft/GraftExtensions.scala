@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.{CosineSimilarity, JaccardSimExpr, Md5Hash32Expr, MinhashSignatureExpr, PhoneticExpr, Phonetics, SimhashAgg, StringEntropyExpr}
+import graft.functions.{CosineSimilarity, JaccardSimExpr, Md5Hash32Expr, MinhashSignatureExpr, PhoneticExpr, Phonetics, SimhashAgg, SimhashTextExpr, StringEntropyExpr}
 
 /** Session extensions: registers graft's native Catalyst expressions into
   * the function registry, so they resolve from SQL (`cosine_sim(a, b)`)
@@ -41,6 +41,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         SimhashAgg(children.head, bits)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash_text"),
+      new ExpressionInfo(classOf[SimhashTextExpr].getName, "simhash_text"),
+      (children: Seq[Expression]) => SimhashTextExpr(children.head, children(1))))
     ext.injectFunction((
       new FunctionIdentifier("entropy"),
       new ExpressionInfo(classOf[StringEntropyExpr].getName, "entropy"),

@@ -246,9 +246,23 @@ object Dedup {
   private def locate_in(sub: Column, s: String): Column =
     org.apache.spark.sql.functions.call_function("position", sub, lit(s))
 
-  /** 32-bit portable SimHash (md5-derived token hash) via the custom
-    * simhash_agg aggregate. Same math as [[simhashPortable32Hof]]. */
+  /** 32-bit portable SimHash (md5-derived token hash), computed as a
+    * ONE-PASS scalar kernel per document (simhash_text): SimHash is a
+    * per-doc function, so the explode → shuffle → aggregate formulation
+    * pays a 200x row blow-up and an exchange for nothing. The aggregate
+    * ([[simhashPortable32Agg]]) and the 32-column HOF formulation
+    * ([[simhashPortable32Hof]]) remain as equality oracles. */
   def simhashPortable32(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.GraftSession.balanced(
+        docs.select(col(idCol).as("id"), col(textCol).as("text")))
+      .select(col("id"), call_function("simhash_text",
+        TextAnalysis.normalize(col("text")), lit(32)).as("sig"))
+
+  /** The distributed-aggregate formulation (custom simhash_agg
+    * TypedImperativeAggregate over exploded tokens) — the shape to use
+    * when tokens arrive ALREADY exploded (e.g. a token-level relation),
+    * and the equality oracle for the scalar kernel. */
+  def simhashPortable32Agg(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     graft.GraftSession.balanced(
         docs.select(col(idCol).as("id"), col(textCol).as("text")))
       .select(col("id"),

@@ -104,12 +104,15 @@ class DedupSpec extends AnyFunSuite {
     assert(diff == 0)
   }
 
-  test("custom simhash_agg aggregate equals the 32-column formulation") {
-    val a = Dedup.simhashPortable32(docs, "doc_id", "text")
+  test("scalar simhash_text kernel == simhash_agg aggregate == 32-column formulation") {
+    val scalar = Dedup.simhashPortable32(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val b = Dedup.simhashPortable32Hof(docs, "doc_id", "text")
+    val agg = Dedup.simhashPortable32Agg(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(a == b)
+    val hof = Dedup.simhashPortable32Hof(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scalar == agg)
+    assert(scalar == hof)
   }
 
   test("simhash near-dups find single-token edits") {
