@@ -176,6 +176,19 @@ object QueriesFunctions {
           unix_timestamp(col("o_orderdate")).as("epoch_s"),
           date_format(col("o_orderdate"), "yyyy-MM").as("ym"))),
 
+    // third date batch: format-string parse round-trip, dow, intervals,
+    // epoch-day arithmetic (Drill DateTypeFunctions + DateUtilFunctions)
+    "q_date_fns3" -> ((s, d) =>
+      T(s, d, "orders").filter(col("o_orderkey") < 500)
+        .select(col("o_orderkey"),
+          to_date(date_format(col("o_orderdate"), "dd/MM/yyyy"), "dd/MM/yyyy")
+            .as("rt_date"),
+          dayofweek(col("o_orderdate")).as("dow"),
+          (col("o_orderdate").cast("date") + expr("INTERVAL 90 DAYS")).as("plus90"),
+          datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+            .as("epoch_day"),
+          trunc(col("o_orderdate"), "quarter").as("q_start"))),
+
     // Drill repeated_count / repeated_contains and friends over arrays
     // (ref exec/.../expr/fn/impl/SimpleRepeatedFunctions.java)
     "q_array_fns" -> ((s, d) => {
@@ -462,6 +475,14 @@ object QueriesFunctions {
          epoch(o_orderdate)::BIGINT AS epoch_s,
          strftime(o_orderdate, '%Y-%m') AS ym
          FROM orders WHERE o_orderkey < 500""",
+    "q_date_fns3" -> """
+      SELECT o_orderkey,
+        strptime(strftime(o_orderdate, '%d/%m/%Y'), '%d/%m/%Y')::DATE AS rt_date,
+        (dayofweek(o_orderdate) + 1)::INT AS dow,
+        (o_orderdate::DATE + 90) AS plus90,
+        (o_orderdate::DATE - '1970-01-01'::DATE)::INT AS epoch_day,
+        date_trunc('quarter', o_orderdate)::DATE AS q_start
+      FROM orders WHERE o_orderkey < 500""",
     "q_array_fns" -> s"""
       WITH t AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w FROM documents)
       SELECT doc_id, len(w) AS n_words,

@@ -83,6 +83,11 @@ object QueriesSources {
     "q_read_pcap" -> ((s, _) =>
       graft.sources.PcapReader.read(s, s"$Dir/sample.pcap")),
 
+    // ---- pdf text (ref contrib/format-pdf; minimal Tj/TJ extractor over
+    // uncompressed + FlateDecode streams — see sources/PdfReader.scala) ----
+    "q_read_pdf" -> ((s, _) =>
+      graft.sources.PdfReader.read(s, s"$Dir/sample.pdf")),
+
     // ---- federated join across three formats in ONE query (csv +
     // parquet + xlsx) — Drill's core identity: join data where it lies ----
     "q_cross_source_join" -> ((s, d) => {
@@ -197,6 +202,12 @@ object QueriesSources {
         (1700000002, 222222, 54, '10.0.0.2', '10.0.0.1', 'TCP', 51000, 443),
         (1700000003, 333333, 44, '10.0.0.1', '192.168.1.5', 'UDP', 53, 5353))
       t(ts_sec, ts_usec, orig_len, src_ip, dst_ip, protocol, src_port, dst_port)""",
+    "q_read_pdf" -> """
+      SELECT stream_idx::INT AS stream_idx, text_idx::INT AS text_idx, text
+      FROM (VALUES
+        (0, 0, 'Hello graft'), (0, 1, 'Line two (escaped)'),
+        (1, 0, 'Compressed page'), (1, 1, 'Deflate works'))
+      t(stream_idx, text_idx, text)""",
     "q_cross_source_join" -> s"""
       WITH x(item_id, item_name, qty) AS (VALUES
         (101::BIGINT, 'widget', 7::BIGINT), (102, 'gadget', 0),

@@ -1,0 +1,79 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The composed curation pipeline — every stage is an operator this
+  * library gates individually; this is the end-to-end shape a training
+  * run actually executes, wired so the stages share scans and stay
+  * shuffle-minimal:
+  *
+  *   redact PII → quality floor → language filter → exact dedup →
+  *   near-dup collapse (MinHash, keep lowest id) → deterministic split
+  *
+  * Plan notes for 100 TB: stages 1-3 are narrow (no shuffle — they fuse
+  * into the scan under whole-stage codegen); exact dedup shuffles once on
+  * the content hash; the near-dup drop reuses the banded MinHash shape
+  * (bucket-bounded, cap-guarded); the split is a narrow hash. Total: two
+  * required shuffles plus MinHash's internal exchanges, independent of
+  * corpus width.
+  */
+object Curate {
+
+  /** Returns the curated corpus: one row per SURVIVING doc with its
+    * quality score, language, and train/val/test assignment. */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+             minQualityBp: Long = 3000, keepLang: String = "en",
+             nearDupThreshold: Double = 0.8,
+             trainPct: Int = 80, valPct: Int = 10,
+             maxBucket: Int = 4096): DataFrame = {
+    // narrow stages: redact + score + classify fuse into one projection
+    val scored = docs.select(
+        col(idCol).as("doc_id"),
+        Scrub.redactPii(col(textCol)).as("text"),
+        TextAnalysis.qualityScoreBp(col(textCol)).as("quality_bp"),
+        TextAnalysis.languageId(col(textCol)).as("lang"))
+      .filter(col("quality_bp") >= minQualityBp && col("lang") === keepLang)
+
+    // exact dedup: one shuffle on the 64-bit content hash
+    val exact = Dedup.exact(scored, "doc_id", "text").drop("content_hash")
+
+    // near-dup collapse: every id_b in a qualifying pair folds into its
+    // lower-id canonical; anti-join drops the non-canonicals
+    val dupIds = Dedup.minhashNearDups(exact, "doc_id", "text",
+        threshold = nearDupThreshold, maxBucket = maxBucket)
+      .select(col("id_b").as("doc_id")).distinct()
+    val deduped = exact.join(dupIds, Seq("doc_id"), "left_anti")
+
+    // deterministic split on the (redacted) content hash
+    val split = Training.hashSplit(deduped, "doc_id", "text", trainPct, valPct)
+      .select(col("doc_id"), col("split"))
+    deduped.join(split, "doc_id")
+  }
+
+  /** Stage-by-stage survivor counts — the audit a data engineer reads
+    * before shipping a corpus (each count is a cheap aggregate over the
+    * same cached lineage). */
+  def funnel(docs: DataFrame, idCol: String, textCol: String,
+             minQualityBp: Long = 3000, keepLang: String = "en",
+             nearDupThreshold: Double = 0.8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val total = docs.count()
+    val scored = docs.select(
+        col(idCol).as("doc_id"),
+        col(textCol).as("text"),
+        TextAnalysis.qualityScoreBp(col(textCol)).as("quality_bp"),
+        TextAnalysis.languageId(col(textCol)).as("lang"))
+    val afterQuality = scored.filter(col("quality_bp") >= minQualityBp).count()
+    val afterLang = scored.filter(
+      col("quality_bp") >= minQualityBp && col("lang") === keepLang).count()
+    val kept = curate(docs, idCol, textCol, minQualityBp, keepLang,
+      nearDupThreshold).count()
+    Seq(
+      ("input", total),
+      ("quality_floor", afterQuality),
+      ("language", afterLang),
+      ("after_dedup", kept)).toDF("stage", "surviving_docs")
+  }
+}

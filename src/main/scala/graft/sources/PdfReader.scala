@@ -1,0 +1,141 @@
+package graft.sources
+
+import java.util.zip.Inflater
+import scala.collection.mutable
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Minimal PDF text reader — the capability surface of Drill's
+  * contrib/format-pdf (which wraps PDFBox): text shown by `Tj`/`TJ`
+  * operators in content streams, one row per extracted string with its
+  * stream index and in-stream order. Scope is the simple-text case:
+  * uncompressed or FlateDecode content streams, literal `(...)` strings
+  * with the standard escapes. Anything unparseable is skipped, not fatal
+  * (schema-on-read over mixed document piles).
+  *
+  * Public-format ground truth: the PDF 1.7 spec (ISO 32000) — content
+  * streams sit between `stream`/`endstream` keywords, the preceding
+  * dictionary names the filter, and text-showing operators carry literal
+  * strings. One task per file, like the other hand-rolled readers.
+  */
+object PdfReader {
+
+  val schema: StructType = StructType(Seq(
+    StructField("stream_idx", IntegerType, nullable = false),
+    StructField("text_idx", IntegerType, nullable = false),
+    StructField("text", StringType, nullable = false)))
+
+  /** All content-stream bodies (inflated if FlateDecode), in file order. */
+  private[graft] def contentStreams(bytes: Array[Byte]): Seq[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    val hay = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    var from = 0
+    while (from < hay.length) {
+      val s = hay.indexOf("stream", from)
+      if (s < 0) return out.toSeq
+      // the dictionary for this stream is the << ... >> immediately before
+      val dictStart = hay.lastIndexOf("<<", s)
+      val dict = if (dictStart >= 0) hay.substring(dictStart, s) else ""
+      var bodyStart = s + "stream".length
+      if (bodyStart < hay.length && hay.charAt(bodyStart) == '\r') bodyStart += 1
+      if (bodyStart < hay.length && hay.charAt(bodyStart) == '\n') bodyStart += 1
+      val e = hay.indexOf("endstream", bodyStart)
+      if (e < 0) return out.toSeq
+      var bodyEnd = e
+      if (bodyEnd > bodyStart && hay.charAt(bodyEnd - 1) == '\n') bodyEnd -= 1
+      if (bodyEnd > bodyStart && hay.charAt(bodyEnd - 1) == '\r') bodyEnd -= 1
+      val body = java.util.Arrays.copyOfRange(bytes, bodyStart, bodyEnd)
+      val decoded: Option[Array[Byte]] =
+        if (dict.contains("/FlateDecode")) inflate(body) else Some(body)
+      decoded.foreach(b =>
+        out += new String(b, java.nio.charset.StandardCharsets.ISO_8859_1))
+      from = e + "endstream".length
+    }
+    out.toSeq
+  }
+
+  private def inflate(data: Array[Byte]): Option[Array[Byte]] =
+    try {
+      val inf = new Inflater()
+      inf.setInput(data)
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](4096)
+      while (!inf.finished()) {
+        val n = inf.inflate(chunk)
+        if (n == 0 && inf.needsInput()) return None // truncated
+        buf.write(chunk, 0, n)
+      }
+      inf.end()
+      Some(buf.toByteArray)
+    } catch { case _: java.util.zip.DataFormatException => None }
+
+  /** Literal strings shown by Tj / ' / " / TJ operators, in order. */
+  private[graft] def textOps(stream: String): Seq[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < stream.length) {
+      val open = stream.indexOf('(', i)
+      if (open < 0) return out.toSeq
+      // scan the literal with escape handling and nesting (per spec)
+      val sb = new StringBuilder
+      var j = open + 1
+      var depth = 1
+      var done = false
+      while (j < stream.length && !done) {
+        stream.charAt(j) match {
+          case '\\' if j + 1 < stream.length =>
+            stream.charAt(j + 1) match {
+              case 'n' => sb.append('\n'); case 'r' => sb.append('\r')
+              case 't' => sb.append('\t'); case c => sb.append(c)
+            }
+            j += 2
+          case '(' => depth += 1; sb.append('('); j += 1
+          case ')' =>
+            depth -= 1
+            if (depth == 0) done = true else sb.append(')')
+            j += 1
+          case c => sb.append(c); j += 1
+        }
+      }
+      // a string literal counts as shown text only if a text-showing
+      // operator follows it (Tj, ', ", or as part of a TJ array)
+      val rest = stream.substring(j).dropWhile(_ == ' ')
+      if (rest.startsWith("Tj") || rest.startsWith("TJ") ||
+          rest.startsWith("'") || rest.startsWith("\"") ||
+          rest.startsWith("]")) // inside a TJ array
+        out += sb.toString
+      i = j
+    }
+    out.toSeq
+  }
+
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val files: Seq[String] =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).toSeq.map(_.getPath)
+          .filter(_.getName.endsWith(".pdf")).map(_.toString).sorted
+      else Seq(path)
+    require(files.nonEmpty, s"no .pdf files under $path")
+
+    import spark.implicits._
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    spark.createDataset(files)
+      .repartition(math.min(files.size, 32))
+      .mapPartitions { paths =>
+        val conf2 = new Configuration()
+        paths.flatMap { f =>
+          val fp = new Path(f)
+          val in = fp.getFileSystem(conf2).open(fp)
+          val bytes = try in.readAllBytes() finally in.close()
+          contentStreams(bytes).zipWithIndex.flatMap { case (cs, si) =>
+            textOps(cs).zipWithIndex.map { case (t, ti) => Row(si, ti, t) }
+          }
+        }
+      }(enc).toDF(schema.fieldNames: _*)
+  }
+}

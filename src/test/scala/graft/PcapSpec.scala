@@ -18,6 +18,15 @@ class PcapSpec extends AnyFunSuite {
     assert(rows(2).getInt(2) == 44) // eth(14) + ipv4(20) + udp(8) + 2 payload
   }
 
+  test("pdf reader extracts Tj text from plain and FlateDecode streams") {
+    val df = graft.sources.PdfReader.read(spark, s"$Fixtures/sample.pdf")
+    val rows = df.orderBy("stream_idx", "text_idx").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2)))
+    assert(rows.toSeq == Seq(
+      (0, 0, "Hello graft"), (0, 1, "Line two (escaped)"),
+      (1, 0, "Compressed page"), (1, 1, "Deflate works")))
+  }
+
   test("non-IPv4 frames yield null network fields, not failures") {
     // ARP ethertype 0x0806, truncated body
     val arp = Array.fill[Byte](20)(0)
