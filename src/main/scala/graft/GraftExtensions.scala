@@ -44,7 +44,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("simhash_text"),
       new ExpressionInfo(classOf[SimhashTextExpr].getName, "simhash_text"),
-      (children: Seq[Expression]) => SimhashTextExpr(children.head, children(1))))
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"simhash_text expects 2 arguments (text, bits), got ${children.length}")
+        SimhashTextExpr(children.head, children(1))
+      }))
     ext.injectFunction((
       new FunctionIdentifier("entropy"),
       new ExpressionInfo(classOf[StringEntropyExpr].getName, "entropy"),

@@ -16,9 +16,10 @@ object SimhashText {
     * The aggregate (SimhashAgg) stays as the distributed formulation and
     * equality oracle.
     *
-    * Matches the split semantics of split(text, " ") exactly: an empty
-    * document yields one empty token (whose hash votes once), same as the
-    * exploded path and the SQL oracle's string_split. */
+    * Matches the split semantics of split(text, " ") (limit -1) exactly —
+    * including the empty tokens that leading/trailing/double spaces and
+    * the empty document produce — so the three formulations stay
+    * bit-identical on ANY input, not just pre-normalized text. */
   def compute(s: UTF8String, bits: Int): Long = {
     val str = s.toString
     val n = str.length
@@ -31,15 +32,13 @@ object SimhashText {
         b += 1
       }
     }
-    if (n == 0) vote("")
-    else {
-      var start = 0
-      while (start <= n - 1) {
-        var end = str.indexOf(' ', start)
-        if (end < 0) end = n
-        vote(str.substring(start, end))
-        start = end + 1
-      }
+    var start = 0
+    var more = true
+    while (more) {
+      var end = str.indexOf(' ', start)
+      if (end < 0) end = n
+      vote(str.substring(start, end))
+      if (end == n) more = false else start = end + 1
     }
     var sig = 0L
     var b = 0

@@ -52,28 +52,27 @@ object Curate {
   }
 
   /** Stage-by-stage survivor counts — the audit a data engineer reads
-    * before shipping a corpus (each count is a cheap aggregate over the
-    * same cached lineage). */
+    * before shipping a corpus. The three filter-stage counts come from
+    * ONE conditional aggregation over one scan; only the final count pays
+    * for the dedup pipeline (its shuffles are inherent to the answer). */
   def funnel(docs: DataFrame, idCol: String, textCol: String,
              minQualityBp: Long = 3000, keepLang: String = "en",
              nearDupThreshold: Double = 0.8): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val total = docs.count()
-    val scored = docs.select(
-        col(idCol).as("doc_id"),
-        col(textCol).as("text"),
-        TextAnalysis.qualityScoreBp(col(textCol)).as("quality_bp"),
-        TextAnalysis.languageId(col(textCol)).as("lang"))
-    val afterQuality = scored.filter(col("quality_bp") >= minQualityBp).count()
-    val afterLang = scored.filter(
-      col("quality_bp") >= minQualityBp && col("lang") === keepLang).count()
+    val q = TextAnalysis.qualityScoreBp(col(textCol))
+    val lang = TextAnalysis.languageId(col(textCol))
+    val row = docs.agg(
+      count(lit(1)).as("input"),
+      count(when(q >= minQualityBp, 1)).as("quality_floor"),
+      count(when(q >= minQualityBp && lang === keepLang, 1)).as("language"))
+      .collect()(0)
     val kept = curate(docs, idCol, textCol, minQualityBp, keepLang,
       nearDupThreshold).count()
     Seq(
-      ("input", total),
-      ("quality_floor", afterQuality),
-      ("language", afterLang),
+      ("input", row.getLong(0)),
+      ("quality_floor", row.getLong(1)),
+      ("language", row.getLong(2)),
       ("after_dedup", kept)).toDF("stage", "surviving_docs")
   }
 }

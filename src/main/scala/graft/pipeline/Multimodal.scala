@@ -63,8 +63,11 @@ object Multimodal {
         val payload = r.getAs[Array[Byte]]("payload")
         val img =
           if (payload == null) null
+          // NonFatal: imageio signals malformed payloads with runtime
+          // exceptions too (CMMException on broken ICC profiles, IAE,
+          // IndexOutOfBounds) — every one is a null row, not a task failure
           else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-          catch { case _: java.io.IOException => null }
+          catch { case scala.util.control.NonFatal(_) => null }
         if (img == null) Row.fromSeq(r.toSeq ++ Seq(null, null, null))
         else {
           val (w, h) = (img.getWidth, img.getHeight)

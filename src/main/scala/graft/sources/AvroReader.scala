@@ -53,14 +53,7 @@ object AvroReader {
 
   def read(spark: SparkSession, path: String): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val p = new Path(path)
-    val fs = p.getFileSystem(conf)
-    val files: Seq[String] =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).toSeq.map(_.getPath)
-          .filter(_.getName.endsWith(".avro")).map(_.toString).sorted
-      else Seq(path)
-    require(files.nonEmpty, s"no .avro files under $path")
+    val files = FileList.resolve(spark, path, Set(".avro"))
 
     val avroSchema = {
       val in = new FsInput(new Path(files.head), conf)
@@ -71,10 +64,8 @@ object AvroReader {
     val fieldTypes = schema.fields.map(_.dataType)
     val fieldNames = avroSchema.getFields.asScala.map(_.name()).toArray
 
-    import spark.implicits._
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
-    spark.createDataset(files)
-      .repartition(math.min(files.size, 32))
+    FileList.asDataset(spark, path, Set(".avro"))
       .mapPartitions { paths =>
         val conf2 = new Configuration() // executor-local; file: scheme
         paths.flatMap { f =>

@@ -1,0 +1,39 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Shared plumbing for the hand-rolled file readers (Avro/XLSX/PCAP/PDF/
+  * image-metadata): resolve a file-or-directory path to the matching
+  * files and parallelize one task per file — a workbook/capture/document
+  * is not block-splittable, so per-file tasks are the parallel unit.
+  */
+object FileList {
+
+  /** Files under `path` (or `path` itself) whose lowercase name ends with
+    * one of `extensions`; single explicit files skip the extension check
+    * (the caller named the file deliberately). */
+  def resolve(spark: SparkSession, path: String,
+              extensions: Set[String]): Seq[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).toSeq.map(_.getPath)
+          .filter(f => extensions.exists(e => f.getName.toLowerCase.endsWith(e)))
+          .map(_.toString).sorted
+      else Seq(path)
+    require(files.nonEmpty,
+      s"no ${extensions.mkString("/")} files under $path")
+    files
+  }
+
+  /** The file list as a Dataset sized one task per file (capped at the
+    * local core budget). */
+  def asDataset(spark: SparkSession, path: String,
+                extensions: Set[String]): Dataset[String] = {
+    import spark.implicits._
+    val files = resolve(spark, path, extensions)
+    spark.createDataset(files).repartition(math.min(files.size, 32))
+  }
+}

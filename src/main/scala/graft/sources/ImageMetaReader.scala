@@ -29,21 +29,8 @@ object ImageMetaReader {
   private val Extensions = Set("png", "bmp", "gif", "jpg", "jpeg", "wbmp")
 
   def read(spark: SparkSession, path: String): DataFrame = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val p = new Path(path)
-    val fs = p.getFileSystem(conf)
-    val files: Seq[String] =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).toSeq.map(_.getPath)
-          .filter(f => Extensions(f.getName.reverse.takeWhile(_ != '.').reverse.toLowerCase))
-          .map(_.toString).sorted
-      else Seq(path)
-    require(files.nonEmpty, s"no image files under $path")
-
-    import spark.implicits._
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
-    spark.createDataset(files)
-      .repartition(math.min(files.size, 32))
+    FileList.asDataset(spark, path, Extensions.map("." + _))
       .mapPartitions { paths =>
         val conf2 = new Configuration()
         paths.map { f =>
@@ -52,9 +39,14 @@ object ImageMetaReader {
           val size = fsx.getFileStatus(fp).getLen
           val name = fp.getName
           val in = fsx.open(fp)
+          // NonFatal, not just IOException: imageio throws RuntimeExceptions
+          // (CMMException, IAE, ...) on malformed headers — all of them are
+          // "dirty file" rows here, never task failures
           try {
             val iis = javax.imageio.ImageIO.createImageInputStream(in)
-            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            val readers =
+              if (iis == null) java.util.Collections.emptyIterator[javax.imageio.ImageReader]()
+              else javax.imageio.ImageIO.getImageReaders(iis)
             if (readers.hasNext) {
               val r = readers.next()
               r.setInput(iis)
@@ -66,7 +58,7 @@ object ImageMetaReader {
               row
             } else Row(name, null, null, null, size)
           } catch {
-            case _: java.io.IOException => Row(name, null, null, null, size)
+            case scala.util.control.NonFatal(_) => Row(name, null, null, null, size)
           } finally in.close()
         }
       }(enc).toDF(schema.fieldNames: _*)

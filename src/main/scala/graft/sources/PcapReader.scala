@@ -82,13 +82,23 @@ object PcapReader {
       private val rec = new Array[Byte](16)
       private var nextRow: Row = advance()
       private def advance(): Row = {
-        val got = in.readNBytes(rec, 0, 16)
-        if (got < 16) { in.close(); return null }
-        val inclLen = u32(rec, 8).toInt
-        val data = new Array[Byte](inclLen)
-        in.readFully(data)
-        val (src, dst, proto, sport, dport) = decodeEthIpv4(data)
-        Row(u32(rec, 0), u32(rec, 4), u32(rec, 12).toInt, src, dst, proto, sport, dport)
+        // a capture truncated mid-record (killed tcpdump, partial copy) or
+        // with a corrupted record header is normal in the wild: stop
+        // cleanly at the last whole, sane packet
+        try {
+          val got = in.readNBytes(rec, 0, 16)
+          if (got < 16) { in.close(); return null }
+          val inclLen = u32(rec, 8)
+          // snaplen ceiling: a garbage header (flipped bytes) shows up as
+          // a negative or absurd length — don't allocate 2 GB for it
+          if (inclLen < 0 || inclLen > (1 << 26)) { in.close(); return null }
+          val data = new Array[Byte](inclLen.toInt)
+          in.readFully(data)
+          val (src, dst, proto, sport, dport) = decodeEthIpv4(data)
+          Row(u32(rec, 0), u32(rec, 4), u32(rec, 12).toInt, src, dst, proto, sport, dport)
+        } catch {
+          case _: java.io.EOFException => in.close(); null
+        }
       }
       def hasNext: Boolean = nextRow != null
       def next(): Row = { val r = nextRow; nextRow = advance(); r }
@@ -96,20 +106,8 @@ object PcapReader {
   }
 
   def read(spark: SparkSession, path: String): DataFrame = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val p = new Path(path)
-    val fs = p.getFileSystem(conf)
-    val files: Seq[String] =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).toSeq.map(_.getPath)
-          .filter(_.getName.endsWith(".pcap")).map(_.toString).sorted
-      else Seq(path)
-    require(files.nonEmpty, s"no .pcap files under $path")
-
-    import spark.implicits._
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
-    spark.createDataset(files)
-      .repartition(math.min(files.size, 32))
+    FileList.asDataset(spark, path, Set(".pcap"))
       .mapPartitions { paths =>
         val conf2 = new Configuration()
         paths.flatMap { f =>

@@ -71,61 +71,69 @@ object PdfReader {
       Some(buf.toByteArray)
     } catch { case _: java.util.zip.DataFormatException => None }
 
-  /** Literal strings shown by Tj / ' / " / TJ operators, in order. */
+  /** Parse one `(...)` literal starting at `open`; returns (decoded text,
+    * index just past the closing paren). Standard escapes + nesting. */
+  private def parseLiteral(stream: String, open: Int): (String, Int) = {
+    val sb = new StringBuilder
+    var j = open + 1
+    var depth = 1
+    while (j < stream.length && depth > 0) {
+      stream.charAt(j) match {
+        case '\\' if j + 1 < stream.length =>
+          stream.charAt(j + 1) match {
+            case 'n' => sb.append('\n'); case 'r' => sb.append('\r')
+            case 't' => sb.append('\t'); case c => sb.append(c)
+          }
+          j += 2
+        case '(' => depth += 1; sb.append('('); j += 1
+        case ')' =>
+          depth -= 1
+          if (depth > 0) sb.append(')')
+          j += 1
+        case c => sb.append(c); j += 1
+      }
+    }
+    (sb.toString, j)
+  }
+
+  /** Literal strings shown by Tj / ' / " / TJ operators, in order. A TJ
+    * array interleaves strings with kerning numbers — `[(Hel) -20 (lo)]
+    * TJ` shows BOTH strings — so array members are buffered and emitted
+    * together iff the array is followed by TJ; standalone literals count
+    * when the next token (across any whitespace, newlines included) is a
+    * text-showing operator. */
   private[graft] def textOps(stream: String): Seq[String] = {
     val out = mutable.ArrayBuffer.empty[String]
+    var arrayBuf: mutable.ArrayBuffer[String] = null
     var i = 0
     while (i < stream.length) {
-      val open = stream.indexOf('(', i)
-      if (open < 0) return out.toSeq
-      // scan the literal with escape handling and nesting (per spec)
-      val sb = new StringBuilder
-      var j = open + 1
-      var depth = 1
-      var done = false
-      while (j < stream.length && !done) {
-        stream.charAt(j) match {
-          case '\\' if j + 1 < stream.length =>
-            stream.charAt(j + 1) match {
-              case 'n' => sb.append('\n'); case 'r' => sb.append('\r')
-              case 't' => sb.append('\t'); case c => sb.append(c)
-            }
-            j += 2
-          case '(' => depth += 1; sb.append('('); j += 1
-          case ')' =>
-            depth -= 1
-            if (depth == 0) done = true else sb.append(')')
-            j += 1
-          case c => sb.append(c); j += 1
-        }
+      stream.charAt(i) match {
+        case '[' =>
+          arrayBuf = mutable.ArrayBuffer.empty
+          i += 1
+        case ']' =>
+          val rest = stream.substring(i + 1).dropWhile(_.isWhitespace)
+          if (arrayBuf != null && rest.startsWith("TJ")) out ++= arrayBuf
+          arrayBuf = null
+          i += 1
+        case '(' =>
+          val (text, j) = parseLiteral(stream, i)
+          if (arrayBuf != null) arrayBuf += text
+          else {
+            val rest = stream.substring(j).dropWhile(_.isWhitespace)
+            if (rest.startsWith("Tj") || rest.startsWith("'") || rest.startsWith("\""))
+              out += text
+          }
+          i = j
+        case _ => i += 1
       }
-      // a string literal counts as shown text only if a text-showing
-      // operator follows it (Tj, ', ", or as part of a TJ array)
-      val rest = stream.substring(j).dropWhile(_ == ' ')
-      if (rest.startsWith("Tj") || rest.startsWith("TJ") ||
-          rest.startsWith("'") || rest.startsWith("\"") ||
-          rest.startsWith("]")) // inside a TJ array
-        out += sb.toString
-      i = j
     }
     out.toSeq
   }
 
   def read(spark: SparkSession, path: String): DataFrame = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val p = new Path(path)
-    val fs = p.getFileSystem(conf)
-    val files: Seq[String] =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).toSeq.map(_.getPath)
-          .filter(_.getName.endsWith(".pdf")).map(_.toString).sorted
-      else Seq(path)
-    require(files.nonEmpty, s"no .pdf files under $path")
-
-    import spark.implicits._
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
-    spark.createDataset(files)
-      .repartition(math.min(files.size, 32))
+    FileList.asDataset(spark, path, Set(".pdf"))
       .mapPartitions { paths =>
         val conf2 = new Configuration()
         paths.flatMap { f =>

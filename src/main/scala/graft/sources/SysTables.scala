@@ -1,0 +1,46 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Drill's `sys` schema re-expressed over the Spark runtime — the
+  * introspection tables an operator actually queries (reference
+  * exec/.../store/sys/: OptionIterator for sys.options, VersionIterator
+  * for sys.version, DrillbitIterator for sys.drillbits). Plain
+  * DataFrames, so they join/filter like any table.
+  */
+object SysTables {
+
+  /** sys.options: every SQL conf the session exposes (Drill's
+    * system/session option list). */
+  def options(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.conf.getAll.toSeq.sortBy(_._1).toDF("name", "value")
+  }
+
+  /** sys.version: engine build identity. */
+  def version(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq((spark.version, org.apache.spark.SPARK_VERSION_SHORT,
+      scala.util.Properties.versionNumberString))
+      .toDF("engine_version", "spark_version", "scala_version")
+  }
+
+  /** sys.bits (Drill's drillbit roster): the executor topology. On a real
+    * cluster one row per executor; in local mode, the driver. */
+  def bits(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    sc.statusTracker.getExecutorInfos.toSeq
+      .map(e => (e.host(), e.port(), e.numRunningTasks()))
+      .toDF("host", "port", "running_tasks")
+  }
+
+  /** sys.memory: JVM heap posture of the driver (Drill reports per-bit
+    * direct/heap; executors surface through bits + the Spark UI API). */
+  def memory(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val rt = Runtime.getRuntime
+    Seq((rt.maxMemory(), rt.totalMemory(), rt.freeMemory()))
+      .toDF("heap_max", "heap_total", "heap_free")
+  }
+}

@@ -10,9 +10,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * dotdrill/View.java), which make views plain catalog objects any new
   * session can list and expand. Spark's temp views are session-scoped;
   * this adds the durable layer: `load()` re-registers every stored view
-  * into a fresh session, and INFORMATION_SCHEMA.VIEWS reads straight from
-  * storage. File writes are atomic (temp + rename), so a concurrent
-  * reader sees either the old or the new definition.
+  * into a fresh session (resolving view-on-view dependencies in any
+  * definition order), and INFORMATION_SCHEMA.VIEWS reads straight from
+  * storage. A single view file is written atomically (temp + rename);
+  * CREATE OR REPLACE of an EXISTING view has a small delete-then-rename
+  * window on filesystems without overwriting rename — a concurrent
+  * reader can transiently miss the view (never read a torn definition).
   */
 object ViewCatalog {
 
@@ -71,9 +74,24 @@ object ViewCatalog {
   }
 
   /** Register every stored view into `spark` (a new session picks up all
-    * durable views — the part Spark temp views alone cannot do). */
-  def load(spark: SparkSession, base: String): Unit =
-    list(spark, base).foreach(v => spark.sql(v.sql).createOrReplaceTempView(v.name))
+    * durable views — the part Spark temp views alone cannot do). Views
+    * may reference each other: registration retries until a pass makes no
+    * progress (dependency order without a dependency graph), and only
+    * then reports what stayed unresolvable. */
+  def load(spark: SparkSession, base: String): Unit = {
+    var pending = list(spark, base)
+    var progressing = true
+    while (pending.nonEmpty && progressing) {
+      val failed = pending.filter { v =>
+        try { spark.sql(v.sql).createOrReplaceTempView(v.name); false }
+        catch { case scala.util.control.NonFatal(_) => true }
+      }
+      progressing = failed.size < pending.size
+      pending = failed
+    }
+    if (pending.nonEmpty) throw new IllegalStateException(
+      s"unresolvable stored views (missing base tables?): ${pending.map(_.name).mkString(", ")}")
+  }
 
   /** INFORMATION_SCHEMA.VIEWS over the stored catalog (Drill ischema
     * VIEWS: table_name, view_definition). */

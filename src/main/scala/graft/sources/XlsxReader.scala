@@ -30,7 +30,7 @@ object XlsxReader {
 
   /** One worksheet as raw string cells: (headers, rows), rows keyed by
     * 0-based column index with nulls for omitted cells. */
-  private[sources] def parseGrid(in: InputStream): (Array[String], Seq[Array[String]]) = {
+  private[graft] def parseGrid(in: InputStream): (Array[String], Seq[Array[String]]) = {
     var shared: IndexedSeq[String] = IndexedSeq.empty
     var sheetBytes: Array[Byte] = null
     var sharedBytes: Array[Byte] = null
@@ -66,8 +66,11 @@ object XlsxReader {
             cellCol = colIndex(attr(r, "r"))
             cellType = Option(attr(r, "t")).getOrElse("")
           case "v" => inV = true; vText.clear()
-          case "is" => inIs = true
-          case "t" if inIs => inV = true; vText.clear()
+          // rich-text inline strings hold MULTIPLE <r><t>run</t></r> runs
+          // (partial formatting); the cell value is their concatenation,
+          // so the buffer clears once per cell, not per run
+          case "is" => inIs = true; vText.clear()
+          case "t" if inIs => inV = true
           case _ =>
         }
         case XMLStreamConstants.CHARACTERS if inV => vText.append(r.getText)
@@ -163,18 +166,12 @@ object XlsxReader {
 
   def read(spark: SparkSession, path: String): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val p = new Path(path)
-    val fs = p.getFileSystem(conf)
-    val files: Seq[String] =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).toSeq.map(_.getPath)
-          .filter(_.getName.endsWith(".xlsx")).map(_.toString).sorted
-      else Seq(path)
-    require(files.nonEmpty, s"no .xlsx files under $path")
+    val files = FileList.resolve(spark, path, Set(".xlsx"))
 
     // schema from the first workbook (driver-side, one small file)
     val (headers, firstRows) = {
-      val in = fs.open(new Path(files.head))
+      val fp = new Path(files.head)
+      val in = fp.getFileSystem(conf).open(fp)
       try parseGrid(in) finally in.close()
     }
     val types = headers.indices.map(i => inferType(firstRows.map(r =>
@@ -182,11 +179,9 @@ object XlsxReader {
     val schema = StructType(headers.zip(types).map {
       case (h, t) => StructField(h, t, nullable = true) })
 
-    import spark.implicits._
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
     val width = headers.length
-    spark.createDataset(files)
-      .repartition(math.min(files.size, 32))
+    FileList.asDataset(spark, path, Set(".xlsx"))
       .mapPartitions { paths =>
         val conf2 = new Configuration()
         paths.flatMap { f =>

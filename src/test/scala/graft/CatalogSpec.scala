@@ -26,6 +26,19 @@ class CatalogSpec extends AnyFunSuite {
     assert(schemas.contains("default"))
   }
 
+  test("sys tables expose options/version/bits/memory as DataFrames") {
+    import graft.sources.SysTables
+    val opts = SysTables.options(spark)
+    assert(opts.columns.toSeq == Seq("name", "value"))
+    assert(opts.filter(opts("name") === "spark.sql.shuffle.partitions").count() == 1)
+    val v = SysTables.version(spark).collect()(0)
+    assert(v.getString(0).startsWith("4."))
+    assert(v.getString(2).startsWith("2.13"))
+    assert(SysTables.bits(spark).count() >= 1)
+    val m = SysTables.memory(spark).collect()(0)
+    assert(m.getLong(0) >= m.getLong(1) && m.getLong(1) >= m.getLong(2))
+  }
+
   test("persistent views survive into a new session (Drill ViewHandler)") {
     val base = java.nio.file.Files.createTempDirectory("graft_views").toString
     GraftSession.table(spark, SF, "nation").createOrReplaceTempView("vc_nation")
@@ -53,5 +66,19 @@ class CatalogSpec extends AnyFunSuite {
 
     assert(ViewCatalog.drop(fresh, base, "small_nations"))
     assert(ViewCatalog.list(fresh, base).isEmpty)
+  }
+
+  test("load resolves view-on-view regardless of name order") {
+    val base = java.nio.file.Files.createTempDirectory("graft_views2").toString
+    GraftSession.table(spark, SF, "region").createOrReplaceTempView("vc_region")
+    // "a_small" depends on "z_regions" but sorts FIRST — load must retry
+    ViewCatalog.create(spark, base, "z_regions",
+      "SELECT r_regionkey, r_name FROM vc_region")
+    ViewCatalog.create(spark, base, "a_small",
+      "SELECT * FROM z_regions WHERE r_regionkey < 2")
+    val fresh = spark.newSession()
+    GraftSession.table(fresh, SF, "region").createOrReplaceTempView("vc_region")
+    ViewCatalog.load(fresh, base)
+    assert(fresh.sql("SELECT count(*) FROM a_small").collect()(0).getLong(0) == 2)
   }
 }

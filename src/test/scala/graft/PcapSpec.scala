@@ -27,6 +27,35 @@ class PcapSpec extends AnyFunSuite {
       (1, 0, "Compressed page"), (1, 1, "Deflate works")))
   }
 
+  test("pdf TJ arrays keep every string; operators across newlines count") {
+    import graft.sources.PdfReader
+    // kerned TJ array: both fragments are shown text
+    assert(PdfReader.textOps("BT [(Hel) -20 (lo)] TJ ET") == Seq("Hel", "lo"))
+    // operator separated by a newline (legal whitespace per ISO 32000)
+    assert(PdfReader.textOps("BT (text)\nTj ET") == Seq("text"))
+    // a string with no showing operator is NOT text
+    assert(PdfReader.textOps("/Title (metadata only) /Author (x)") == Seq.empty)
+    // array not followed by TJ shows nothing
+    assert(PdfReader.textOps("[(a) (b)] def") == Seq.empty)
+  }
+
+  test("xlsx inline strings concatenate rich-text runs") {
+    import graft.sources.XlsxReader
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val sheet = """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""" +
+      """<row r="1"><c r="A1" t="inlineStr"><is><t>h</t></is></c></row>""" +
+      """<row r="2"><c r="A2" t="inlineStr"><is><r><t>Hello </t></r><r><t>World</t></r></is></c></row>""" +
+      """</sheetData></worksheet>"""
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new ZipOutputStream(bos)
+    z.putNextEntry(new ZipEntry("xl/worksheets/sheet1.xml"))
+    z.write(sheet.getBytes("UTF-8")); z.closeEntry(); z.close()
+    val (headers, rows) = XlsxReader.parseGrid(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+    assert(headers.toSeq == Seq("h"))
+    assert(rows.map(_.toSeq) == Seq(Seq("Hello World"))) // runs concatenated
+  }
+
   test("non-IPv4 frames yield null network fields, not failures") {
     // ARP ethertype 0x0806, truncated body
     val arp = Array.fill[Byte](20)(0)
