@@ -57,4 +57,32 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
     assert(!p.contains("CartesianProduct"), "corpus must stream, never cartesian")
   }
+
+  test("q_redact: narrow projection — ZERO exchanges, fused into the scan") {
+    val df = SparkEntry.queries("q_redact")(spark, SF)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"redaction must be a map-only projection, found a shuffle:\n$p")
+    assert(p.contains("*("), "should fuse under whole-stage codegen")
+  }
+
+  test("capped minhash plans the row_number skew guard; capless does not") {
+    val capped = graft.pipeline.Dedup.minhashNearDups(
+      GraftSession.table(spark, SF, "documents"), "doc_id", "text",
+      maxBucket = 100000)
+    assert(capped.queryExecution.analyzed.toString.contains("row_number"),
+      "cap on => bucket guard window must be planned")
+    val capless = graft.pipeline.Dedup.minhashNearDups(
+      GraftSession.table(spark, SF, "documents"), "doc_id", "text",
+      maxBucket = Int.MaxValue)
+    assert(!capless.queryExecution.analyzed.toString.contains("row_number"),
+      "cap off => no window, band self-join stays broadcastable")
+  }
+
+  test("q_hll_sketch: sketches partial-aggregate map-side before the union") {
+    val p = plan("q_hll_sketch")
+    assert(p.contains("partial_hll_sketch_agg") || p.contains("partial_"),
+      "per-group sketch build must combine map-side")
+  }
 }
