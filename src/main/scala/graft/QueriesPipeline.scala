@@ -44,6 +44,16 @@ object QueriesPipeline {
         numHashes = 128, bands = 32, threshold = 0.8,
         maxBucket = 100000)),
 
+    "q_decontaminate" -> ((s, d) => {
+      // eval set = docs with id < 50; corpus = the rest. Output: corpus
+      // docs that near-dup an eval doc (what decontamination would drop),
+      // with the exact cross-set Jaccard as the oracle.
+      val all = T(s, d, "documents")
+      Dedup.crossNearDups(
+        all.filter(col("doc_id") >= 50), all.filter(col("doc_id") < 50),
+        "doc_id", "text", threshold = 0.8, maxBucket = 100000)
+    }),
+
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhashPortableNearDups(T(s, d, "documents"), "doc_id", "text",
         maxHamming = 3)),
@@ -221,6 +231,17 @@ object QueriesPipeline {
       GROUP BY norm HAVING count(*) > 1""",
     "q_dedup_minhash" -> jaccardOracle("0.8"),
     "q_dedup_minhash_capped" -> jaccardOracle("0.8"),
+    "q_decontaminate" -> s"""
+      WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split($NORM, ' '))) AS g
+                    FROM documents),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY 1),
+      inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+        FROM toks a JOIN toks b ON a.g = b.g
+        WHERE a.doc_id >= 50 AND b.doc_id < 50 GROUP BY 1, 2)
+      SELECT ia AS id_a, ib AS id_b,
+             round(i::DOUBLE / (sa.sz + sb.sz - i), 6) AS jaccard
+      FROM inter JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
+      WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.8""",
     "q_dedup_simhash" -> SIMHASH_ORACLE,
     "q_ngram_jaccard" -> jaccardOracle("0.95"),
     "q_embed_neardup" -> """

@@ -205,6 +205,46 @@ object Dedup {
     cross.unionAll(within)
   }
 
+  /** Cross-corpus near-dup pairs: which docs in `corpus` near-duplicate a
+    * doc in `reference`? The decontamination primitive — a training set
+    * must not contain eval/benchmark content — and the incremental-ingest
+    * primitive (new batch vs existing lake). Bipartite banded join: both
+    * sides band independently (the cap guards each side), candidates are
+    * (corpus, reference) band collisions, verification is the exact
+    * hashed-token Jaccard. Never compares corpus docs to each other —
+    * work scales with corpus x reference BAND density, not |corpus|^2. */
+  def crossNearDups(corpus: DataFrame, reference: DataFrame,
+                    idCol: String, textCol: String,
+                    numHashes: Int = 128, bands: Int = 32,
+                    threshold: Double = 0.8,
+                    maxBucket: Int = 4096): DataFrame = {
+    val ta = tokenized(corpus, idCol, textCol)
+    val tb = tokenized(reference, idCol, textCol)
+    val ba = bandedIdsFrom(ta, numHashes, bands, maxBucket).select("band", "id")
+    val bb = bandedIdsFrom(tb, numHashes, bands, maxBucket).select("band", "id")
+    val cand = ba.as("a").join(bb.as("b"), col("a.band") === col("b.band"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_bands"))
+      .select("id_a", "id_b")
+    cand
+      .join(ta.as("xa"), col("id_a") === col("xa.id"))
+      .join(tb.as("xb"), col("id_b") === col("xb.id"))
+      .withColumn("jac_raw", call_function("jaccard_sim", col("xa.th"), col("xb.th")))
+      .filter(col("jac_raw") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jac_raw"), 6).as("jaccard"))
+  }
+
+  /** Drop every corpus doc that near-duplicates the reference set (the
+    * decontaminated training corpus). */
+  def decontaminate(corpus: DataFrame, reference: DataFrame,
+                    idCol: String, textCol: String,
+                    threshold: Double = 0.8): DataFrame = {
+    val contaminated = crossNearDups(corpus, reference, idCol, textCol,
+        threshold = threshold)
+      .select(col("id_a").as(idCol)).distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Exact Jaccard over the token sets of candidate pairs (native
     * jaccard_sim kernel). The threshold filter uses the UNROUNDED value
     * (matching a SQL oracle's WHERE); the output column is rounded for

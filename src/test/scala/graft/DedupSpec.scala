@@ -73,6 +73,29 @@ class DedupSpec extends AnyFunSuite {
       numHashes = 128, bands = 32, maxBucket = 100000).isEmpty)
   }
 
+  test("decontaminate drops corpus docs that near-dup the reference set") {
+    import spark.implicits._
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // == eval 1
+      (11L, "an entirely original training document"),
+      (12L, "benchmark question about spark engines and scale")) // ~ eval 2
+      .toDF("doc_id", "text")
+    val evalSet = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "benchmark question about spark engines and scaling"))
+      .toDF("doc_id", "text")
+    val flagged = Dedup.crossNearDups(corpus, evalSet, "doc_id", "text",
+        threshold = 0.7)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(flagged.contains((10L, 1L)))
+    assert(flagged.contains((12L, 2L))) // 7 shared of 9 distinct = 0.78
+    assert(!flagged.exists(_._1 == 11L))
+    val clean = Dedup.decontaminate(corpus, evalSet, "doc_id", "text",
+        threshold = 0.7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(clean == Set(11L))
+  }
+
   test("ngram document-frequency cap drops ubiquitous-token postings only") {
     // cap at 5: tokens present in ALL 6 docs would be excluded — none are,
     // so results must equal the uncapped run; cap at 1 kills every pair.
