@@ -83,6 +83,13 @@ object QueriesSources {
     "q_read_pcap" -> ((s, _) =>
       graft.sources.PcapReader.read(s, s"$Dir/sample.pcap")),
 
+    // ---- geojson (open-format stand-in for contrib/format-esri) ----
+    "q_read_geojson" -> ((s, _) =>
+      SchemaOnRead.geojson(s, s"$Dir/sample.geojson")
+        .select(col("feature_idx"), col("geom_type"), col("lon"), col("lat"),
+          element_at(col("properties"), "name").as("name"),
+          element_at(col("properties"), "kind").as("kind"))),
+
     // ---- pdf text (ref contrib/format-pdf; minimal Tj/TJ extractor over
     // uncompressed + FlateDecode streams — see sources/PdfReader.scala) ----
     "q_read_pdf" -> ((s, _) =>
@@ -202,6 +209,18 @@ object QueriesSources {
         (1700000002, 222222, 54, '10.0.0.2', '10.0.0.1', 'TCP', 51000, 443),
         (1700000003, 333333, 44, '10.0.0.1', '192.168.1.5', 'UDP', 53, 5353))
       t(ts_sec, ts_usec, orig_len, src_ip, dst_ip, protocol, src_port, dst_port)""",
+    "q_read_geojson" -> s"""
+      WITH f AS (SELECT unnest(features) AS f,
+          generate_subscripts(features, 1) - 1 AS feature_idx
+        FROM read_json_auto('$Dir/sample.geojson', maximum_object_size=1048576))
+      SELECT feature_idx::INT AS feature_idx,
+        f.geometry.type AS geom_type,
+        CASE WHEN f.geometry.type = 'Point'
+             THEN f.geometry.coordinates[1]::DOUBLE END AS lon,
+        CASE WHEN f.geometry.type = 'Point'
+             THEN f.geometry.coordinates[2]::DOUBLE END AS lat,
+        f.properties.name AS name, f.properties.kind AS kind
+      FROM f""",
     "q_read_pdf" -> """
       SELECT stream_idx::INT AS stream_idx, text_idx::INT AS text_idx, text
       FROM (VALUES

@@ -84,6 +84,34 @@ object SchemaOnRead {
       trim(substring(col("value"), start, len)).as(f)
     }: _*)
 
+  /** GeoJSON FeatureCollection reader (Drill contrib/format-esri's
+    * shapefile territory, on the open interchange format instead): one
+    * row per feature with typed Point coordinates (lon/lat) and string
+    * properties. Non-point geometries keep their type with null lon/lat
+    * — extend the declared schema for typed polygon work; the GIS
+    * functions (GisFunctions) consume the lon/lat directly. */
+  def geojson(spark: SparkSession, path: String): DataFrame = {
+    // geometry held as a raw JSON string at the feature level (coordinate
+    // nesting varies by geometry type), then point-parsed per feature —
+    // a non-point geometry keeps its type and yields null lon/lat
+    val featSchema = "features ARRAY<STRUCT<type: STRING, geometry: STRING, " +
+      "properties: MAP<STRING, STRING>>>"
+    val pointSchema = "type STRING, coordinates ARRAY<DOUBLE>"
+    spark.read.option("wholetext", "true").text(path)
+      .select(from_json(col("value"), org.apache.spark.sql.types.StructType
+        .fromDDL(featSchema)).as("fc"))
+      .select(posexplode(col("fc.features")).as(Seq("feature_idx", "f")))
+      .select(col("feature_idx"),
+        get_json_object(col("f.geometry"), "$.type").as("geom_type"),
+        expr(s"from_json(f.geometry, '$pointSchema')").getField("coordinates")
+          .as("coords"),
+        col("f.properties").as("properties"))
+      .select(col("feature_idx"), col("geom_type"),
+        when(col("geom_type") === "Point", element_at(col("coords"), 1)).as("lon"),
+        when(col("geom_type") === "Point", element_at(col("coords"), 2)).as("lat"),
+        col("properties"))
+  }
+
   /** Drill implicit columns: filename / fqn / filepath / suffix. */
   def withImplicitColumns(df: DataFrame): DataFrame =
     df.withColumn("fqn", input_file_name())

@@ -84,6 +84,41 @@ object Events {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming decontamination: drop stream rows that near-duplicate a
+    * STATIC reference corpus (eval/benchmark content) at ingest,
+    * STATELESSLY — no watermark, no join state, so it runs at ingest rate
+    * forever. The reference is banded once at plan time and embedded as a
+    * literal (decontamination references are eval sets — broadcast-small
+    * by nature; the per-row cost is an arrays_overlap short-circuit over
+    * the reference, with the exact hashed-token Jaccard only on band
+    * collisions). A row survives iff NO reference doc shares a band and
+    * verifies at `threshold`. The batch twin for big-vs-big corpora is
+    * Dedup.decontaminate (bipartite banded join). */
+  def decontaminateStream(stream: DataFrame, reference: DataFrame,
+                          idCol: String, textCol: String,
+                          numHashes: Int = 128, bands: Int = 32,
+                          threshold: Double = 0.8): DataFrame = {
+    import graft.pipeline.{Dedup, TextAnalysis}
+    val rowsPerBand = numHashes / bands
+    def thOf(c: Column): Column =
+      array_sort(Dedup.tokenHashes(split(TextAnalysis.normalize(c), " ")))
+    def bandsOf(th: Column): Column =
+      Dedup.lshBandKeys(Dedup.minhashSignatureFromHashes(th, numHashes),
+        bands, rowsPerBand)
+
+    val refRows: Seq[(Seq[Long], Seq[Long])] = reference
+      .select(bandsOf(thOf(col(textCol))).as("b"), thOf(col(textCol)).as("t"))
+      .collect()
+      .map(r => (r.getSeq[Long](0), r.getSeq[Long](1))).toSeq
+    val refLit = typedlit(refRows)
+
+    val myTh = thOf(col(textCol))
+    val contaminated = exists(refLit, r =>
+      arrays_overlap(bandsOf(myTh), r.getField("_1")) &&
+        call_function("jaccard_sim", myTh, r.getField("_2")) >= threshold)
+    stream.filter(!contaminated)
+  }
+
   /** Structured Streaming form of tumblingAgg: readStream on the same
     * schema -> watermark -> windowed agg. Caller supplies the streaming
     * source (e.g. a rate/file/kafka reader). */

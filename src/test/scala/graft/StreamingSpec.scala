@@ -125,6 +125,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("decontaminateStream drops eval near-dups at ingest, statelessly") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val reference = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "benchmark question about spark engines and scaling"))
+      .toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val clean = Events.decontaminateStream(
+      input.toDF().toDF("doc_id", "text"), reference, "doc_id", "text",
+      threshold = 0.7)
+    val q = clean.writeStream.format("memory").queryName("decon_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (10L, "the quick brown fox jumps over the lazy dog"), // == ref 1
+        (11L, "an entirely original training document"),
+        (12L, "benchmark question about spark engines and scale")) // ~ ref 2
+      q.processAllAvailable()
+      val ids = spark.table("decon_out").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids == Set(11L), s"got $ids")
+      // stateless: no watermark or state operator in the plan
+      assert(!q.lastProgress.toString.contains("stateOperators\" : [ {"),
+        "decontamination must not create streaming state")
+    } finally q.stop()
+  }
+
   test("batch and stream tumbling aggregation agree on the same data") {
     import spark.implicits._
     val batch = Seq((1L, ts(0), "click", 1.0), (2L, ts(10), "click", 2.0),
