@@ -315,6 +315,22 @@ object QueriesFunctions {
         graft.functions.DistributionFunctions.timeBucketMs(ms, lit(600000L)).as("bucket_ms"))
     }),
 
+    // Drill contrib/udfs gis/: point construction + haversine distance +
+    // predicates, over coordinates derived from keys with arithmetic the
+    // oracle shares (pure libm math — same IEEE double pipeline both
+    // engines, rounded like the other math gates).
+    "q_gis_fns" -> ((s, d) => {
+      import graft.functions.GisFunctions._
+      val lon = (col("c_custkey") % 360) - 180 + 0.25
+      val lat = ((col("c_nationkey") * 7) % 180) - 90 + 0.5
+      T(s, d, "customer").filter(col("c_custkey") < 500)
+        .select(col("c_custkey"),
+          round(lon, 2).as("lon"), round(lat, 2).as("lat"),
+          round(stDistanceKm(lon, lat, lit(0.0), lit(0.0)), 6).as("dist_km"),
+          stDWithinKm(lon, lat, lit(0.0), lit(0.0), 5000.0).as("within_5000km"),
+          stWithinBBox(lon, lat, -30, -30, 30, 30).as("in_bbox"))
+    }),
+
     // Mergeable HLL sketch columns (Spark's Datasketches-backed built-ins):
     // per-group sketches union to an estimate within tolerance of the
     // global exact count — the "sketch once, merge cheaply" contract that
@@ -587,6 +603,22 @@ object QueriesFunctions {
         (epoch_ns(ts) // 1000000000 * 1000) -
           (epoch_ns(ts) // 1000000000 * 1000) % 600000 AS bucket_ms
       FROM events""",
+    "q_gis_fns" -> """
+      WITH pts AS (SELECT c_custkey,
+          (c_custkey % 360) - 180 + 0.25 AS lon,
+          ((c_nationkey * 7) % 180) - 90 + 0.5 AS lat
+        FROM customer WHERE c_custkey < 500),
+      d AS (SELECT c_custkey, lon, lat,
+          2 * 6371.0088 * asin(sqrt(
+            pow(sin(radians(0 - lat) / 2), 2) +
+            cos(radians(lat)) * cos(radians(0)) *
+            pow(sin(radians(0 - lon) / 2), 2))) AS dist
+        FROM pts)
+      SELECT c_custkey, round(lon, 2) AS lon, round(lat, 2) AS lat,
+        round(dist, 6) AS dist_km,
+        (dist <= 5000.0) AS within_5000km,
+        (lon >= -30 AND lon <= 30 AND lat >= -30 AND lat <= 30) AS in_bbox
+      FROM d""",
     "q_hll_sketch" -> """
       SELECT count(DISTINCT l_returnflag) AS n_groups,
              count(DISTINCT l_partkey) AS exact_cnt, TRUE AS within_tol

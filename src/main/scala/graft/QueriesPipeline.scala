@@ -102,6 +102,10 @@ object QueriesPipeline {
       Training.hashSplit(T(s, d, "documents"), "doc_id", "text",
         trainPct = 80, valPct = 10)),
 
+    "q_mixture" -> ((s, d) =>
+      Training.mixturePct(T(s, d, "documents"), "doc_id", "text", pct = 30)
+        .select("doc_id")),
+
     "q_seq_packing" -> ((s, d) =>
       Training.packingStats(
         Training.packSequences(T(s, d, "documents"), "doc_id", "text",
@@ -213,6 +217,9 @@ object QueriesPipeline {
         CASE WHEN bucket < 80 THEN 'train'
              WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
       FROM m""",
+    "q_mixture" -> s"""
+      SELECT doc_id FROM (SELECT doc_id, ${md5h32("text")} % 100 AS bucket
+        FROM documents) WHERE bucket < 30""",
     "q_seq_packing" -> s"""
       WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
           len(string_split($NORM, ' ')) AS n_tokens FROM documents),

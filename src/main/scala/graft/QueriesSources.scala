@@ -83,6 +83,16 @@ object QueriesSources {
     "q_read_pcap" -> ((s, _) =>
       graft.sources.PcapReader.read(s, s"$Dir/sample.pcap")),
 
+    // ---- syslog (ref contrib/format-syslog) ----
+    "q_read_syslog" -> ((s, _) =>
+      SchemaOnRead.syslog(s, s"$Dir/syslog.log")
+        .select("host", "app", "pid", "message", "facility", "severity")),
+
+    // ---- fixed-width (ref contrib/format-spss spirit) ----
+    "q_read_fixedwidth" -> ((s, _) =>
+      SchemaOnRead.fixedWidth(s, s"$Dir/fixed.dat",
+        Seq(("name", 1, 7), ("code", 8, 4), ("city", 12, 2)))),
+
     // ---- geojson (open-format stand-in for contrib/format-esri) ----
     "q_read_geojson" -> ((s, _) =>
       SchemaOnRead.geojson(s, s"$Dir/sample.geojson")
@@ -209,6 +219,25 @@ object QueriesSources {
         (1700000002, 222222, 54, '10.0.0.2', '10.0.0.1', 'TCP', 51000, 443),
         (1700000003, 333333, 44, '10.0.0.1', '192.168.1.5', 'UDP', 53, 5353))
       t(ts_sec, ts_usec, orig_len, src_ip, dst_ip, protocol, src_port, dst_port)""",
+    "q_read_syslog" -> """
+      WITH lines(value) AS (VALUES
+        ('<34>Jan  1 00:00:01 host1 sshd[912]: Failed password for root from 10.1.1.1'),
+        ('<13>Jan  1 00:02:10 host2 cron[211]: job started'),
+        ('<86>Jan  1 00:04:55 host1 sudo: alice : TTY=pts/0 ; COMMAND=/bin/ls')),
+      p AS (SELECT value,
+          '^<(\d+)>([A-Z][a-z]{2}\s+\d+\s[\d:]+)\s(\S+)\s([^:\[]+)(?:\[(\d+)\])?:\s*(.*)$' AS re
+        FROM lines)
+      SELECT regexp_extract(value, re, 3) AS host,
+             regexp_extract(value, re, 4) AS app,
+             regexp_extract(value, re, 5) AS pid,
+             regexp_extract(value, re, 6) AS message,
+             (regexp_extract(value, re, 1)::INT // 8)::INT AS facility,
+             (regexp_extract(value, re, 1)::INT % 8)::INT AS severity
+      FROM p""",
+    "q_read_fixedwidth" -> """
+      SELECT * FROM (VALUES
+        ('alice', '0312', 'ny'), ('bob', '1145', 'la'), ('carol', '0998', 'sf'))
+      t(name, code, city)""",
     "q_read_geojson" -> s"""
       WITH f AS (SELECT unnest(features) AS f,
           generate_subscripts(features, 1) - 1 AS feature_idx
