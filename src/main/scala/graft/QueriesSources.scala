@@ -83,6 +83,11 @@ object QueriesSources {
     "q_read_pcap" -> ((s, _) =>
       graft.sources.PcapReader.read(s, s"$Dir/sample.pcap")),
 
+    // same format through the DataSource V2 connector (one InputPartition
+    // per file, column pruning at the scan — sources/v2/PcapDataSource)
+    "q_read_pcap_v2" -> ((s, _) =>
+      s.read.format("graft-pcap").load(s"$Dir/sample.pcap")),
+
     // ---- syslog (ref contrib/format-syslog) ----
     "q_read_syslog" -> ((s, _) =>
       SchemaOnRead.syslog(s, s"$Dir/syslog.log")
@@ -153,6 +158,18 @@ object QueriesSources {
   private def out(sfDir: String): String =
     s"/tmp/graft_out/${new java.io.File(sfDir).getName}"
 
+  /** Shared by the mapPartitions reader and the DSv2 connector — both
+    * must produce exactly this relation from the committed capture. */
+  private val PcapOracle = """
+      SELECT ts_sec::BIGINT AS ts_sec, ts_usec::BIGINT AS ts_usec,
+             orig_len::INT AS orig_len, src_ip, dst_ip, protocol,
+             src_port::INT AS src_port, dst_port::INT AS dst_port
+      FROM (VALUES
+        (1700000001, 111111, 54, '10.0.0.1', '10.0.0.2', 'TCP', 443, 51000),
+        (1700000002, 222222, 54, '10.0.0.2', '10.0.0.1', 'TCP', 51000, 443),
+        (1700000003, 333333, 44, '10.0.0.1', '192.168.1.5', 'UDP', 53, 5353))
+      t(ts_sec, ts_usec, orig_len, src_ip, dst_ip, protocol, src_port, dst_port)"""
+
   val oracle: Map[String, String] = Map(
     "q_read_json" ->
       s"SELECT id, name, score, active FROM read_json_auto('$Dir/sample.jsonl')",
@@ -210,15 +227,8 @@ object QueriesSources {
     "q_read_image_meta" -> """
       SELECT 'redblue.png' AS filename, 'png' AS format,
              8::INT AS width, 6::INT AS height, 78::BIGINT AS size_bytes""",
-    "q_read_pcap" -> """
-      SELECT ts_sec::BIGINT AS ts_sec, ts_usec::BIGINT AS ts_usec,
-             orig_len::INT AS orig_len, src_ip, dst_ip, protocol,
-             src_port::INT AS src_port, dst_port::INT AS dst_port
-      FROM (VALUES
-        (1700000001, 111111, 54, '10.0.0.1', '10.0.0.2', 'TCP', 443, 51000),
-        (1700000002, 222222, 54, '10.0.0.2', '10.0.0.1', 'TCP', 51000, 443),
-        (1700000003, 333333, 44, '10.0.0.1', '192.168.1.5', 'UDP', 53, 5353))
-      t(ts_sec, ts_usec, orig_len, src_ip, dst_ip, protocol, src_port, dst_port)""",
+    "q_read_pcap" -> PcapOracle,
+    "q_read_pcap_v2" -> PcapOracle,
     "q_read_syslog" -> """
       WITH lines(value) AS (VALUES
         ('<34>Jan  1 00:00:01 host1 sshd[912]: Failed password for root from 10.1.1.1'),

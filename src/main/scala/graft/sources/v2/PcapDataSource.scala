@@ -1,0 +1,103 @@
+package graft.sources.v2
+
+import java.util
+import scala.jdk.CollectionConverters._
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import graft.sources.{FileList, PcapReader}
+
+/** PCAP as a first-class DataSource V2 connector —
+  * `spark.read.format("graft-pcap").load(path)` — the idiomatic Spark
+  * packaging of a Drill format plugin (reference exec/.../store/pcap's
+  * FormatPlugin registration): the catalyst integration point Drill's
+  * plugin interface maps to. One InputPartition per capture file, and
+  * column pruning pushes into the reader so unprojected fields are never
+  * materialized. The mapPartitions-based PcapReader stays as the direct
+  * library API; both share the same packet decoder.
+  */
+class PcapDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-pcap"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    PcapReader.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val path = Option(properties.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft-pcap requires .load(path)"))
+    new PcapTable(path)
+  }
+}
+
+class PcapTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"pcap:$path"
+  override def schema(): StructType = PcapReader.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new PcapScanBuilder(path)
+}
+
+class PcapScanBuilder(path: String)
+  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = PcapReader.schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new PcapScan(path, required)
+}
+
+class PcapScan(path: String, required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    FileList.resolve(spark, path, Set(".pcap"))
+      .map(f => PcapInputPartition(f): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PcapReaderFactory(required.fieldNames)
+}
+
+case class PcapInputPartition(file: String) extends InputPartition
+
+class PcapReaderFactory(requiredFields: Array[String])
+  extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[PcapInputPartition].file
+    new PartitionReader[InternalRow] {
+      private val fieldIdx = requiredFields.map(
+        PcapReader.schema.fieldNames.indexOf(_))
+      private val rows = {
+        val fp = new Path(file)
+        val in = fp.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(fp)
+        PcapReader.parse(new java.io.DataInputStream(in))
+      }
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (!rows.hasNext) false
+        else {
+          val r = rows.next()
+          // project to the pruned schema; strings become UTF8String
+          current = new GenericInternalRow(fieldIdx.map { i =>
+            r.get(i) match {
+              case s: String => UTF8String.fromString(s)
+              case v => v
+            }
+          }.asInstanceOf[Array[Any]])
+          true
+        }
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}

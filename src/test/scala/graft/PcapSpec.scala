@@ -27,6 +27,20 @@ class PcapSpec extends AnyFunSuite {
       (1, 0, "Compressed page"), (1, 1, "Deflate works")))
   }
 
+  test("DSv2 connector: spark.read.format(graft-pcap) with column pruning") {
+    val v2 = spark.read.format("graft-pcap").load(s"$Fixtures/sample.pcap")
+    val direct = PcapReader.read(spark, s"$Fixtures/sample.pcap")
+    assert(v2.schema == direct.schema)
+    assert(v2.orderBy("ts_sec").collect().toSeq ==
+      direct.orderBy("ts_sec").collect().toSeq)
+    // projection prunes at the scan: the physical read schema shrinks
+    val pruned = v2.select("src_ip", "dst_port")
+    pruned.collect()
+    val scanSchema = pruned.queryExecution.executedPlan.collectLeaves()
+      .head.schema.fieldNames.toSet
+    assert(scanSchema == Set("src_ip", "dst_port"), s"got $scanSchema")
+  }
+
   test("pdf TJ arrays keep every string; operators across newlines count") {
     import graft.sources.PdfReader
     // kerned TJ array: both fragments are shown text
