@@ -88,6 +88,28 @@ object QueriesSources {
     "q_read_pcap_v2" -> ((s, _) =>
       s.read.format("graft-pcap").load(s"$Dir/sample.pcap")),
 
+    // ---- unnamed dir0 columns over base/<value>/file layout
+    // (ref PartitionExplorer.java; the values live ONLY in dir names) ----
+    "q_dir_columns" -> ((s, d) => {
+      val base = s"${out(d)}/orders_plain_dirs"
+      val src = GraftSession.table(s, d, "orders")
+        .select("o_orderkey", "o_orderstatus")
+      // one subdir per status value — the distinct list is metadata-scale
+      src.select("o_orderstatus").distinct().collect().map(_.getString(0))
+        .foreach { st =>
+          src.filter(col("o_orderstatus") === st).select("o_orderkey")
+            .write.mode("overwrite").parquet(s"$base/$st")
+        }
+      val back = s.read.option("recursiveFileLookup", "true").parquet(base)
+      graft.sources.Writer.withDirColumns(back, base, levels = 1)
+        .groupBy("dir0").agg(count(lit(1)).as("n"))
+    }),
+
+    // ---- implicit file columns (ref ImplicitColumnUtils) ----
+    "q_implicit_cols" -> ((s, _) =>
+      SchemaOnRead.withImplicitColumns(SchemaOnRead.csv(s, s"$Dir/sample.csv"))
+        .select(col("id"), col("filename"), col("suffix"))),
+
     // ---- syslog (ref contrib/format-syslog) ----
     "q_read_syslog" -> ((s, _) =>
       SchemaOnRead.syslog(s, s"$Dir/syslog.log")
@@ -229,6 +251,11 @@ object QueriesSources {
              8::INT AS width, 6::INT AS height, 78::BIGINT AS size_bytes""",
     "q_read_pcap" -> PcapOracle,
     "q_read_pcap_v2" -> PcapOracle,
+    "q_dir_columns" -> """
+      SELECT o_orderstatus AS dir0, count(*) AS n FROM orders GROUP BY 1""",
+    "q_implicit_cols" -> s"""
+      SELECT id, 'sample.csv' AS filename, 'csv' AS suffix
+      FROM read_csv_auto('$Dir/sample.csv')""",
     "q_read_syslog" -> """
       WITH lines(value) AS (VALUES
         ('<34>Jan  1 00:00:01 host1 sshd[912]: Failed password for root from 10.1.1.1'),
