@@ -88,6 +88,39 @@ object QueriesSources {
     "q_read_pcap_v2" -> ((s, _) =>
       s.read.format("graft-pcap").load(s"$Dir/sample.pcap")),
 
+    // ---- avro container file (ref store/avro/AvroRecordReader.java) ----
+    "q_read_avro" -> ((s, _) =>
+      graft.sources.AvroReader.read(s, s"$Dir/sample.avro")),
+
+    // ---- snapshot table + time travel (ref contrib/format-iceberg /
+    // format-deltalake): v1 = subset, v2 = superset; read v1 back ----
+    "q_time_travel" -> ((s, d) => {
+      import graft.sources.SnapshotTable
+      val base = s"${out(d)}/orders_snap"
+      // rebuild the snapshot history deterministically per run
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val src = GraftSession.table(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      SnapshotTable.write(src.filter(col("o_orderkey") < 1000), base) // v1
+      SnapshotTable.write(src.filter(col("o_orderkey") < 2000), base) // v2
+      SnapshotTable.read(s, base, version = Some(1)) // time travel to v1
+    }),
+
+    // ---- JDBC federation round-trip (ref contrib/storage-jdbc): write a
+    // subset to embedded Derby, read it back partitioned ----
+    "q_jdbc_roundtrip" -> ((s, d) => {
+      import graft.sources.Federation
+      val url = s"jdbc:derby:/tmp/graft_out/derby_gate_${new java.io.File(d).getName};create=true"
+      val src = GraftSession.table(s, d, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      Federation.writeJdbc(src, url, "nation_rt")
+      Federation.jdbcPartitioned(s, url, "nation_rt",
+          "n_nationkey", 0, 25, 4)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    }),
+
     // ---- unnamed dir0 columns over base/<value>/file layout
     // (ref PartitionExplorer.java; the values live ONLY in dir names) ----
     "q_dir_columns" -> ((s, d) => {
@@ -251,6 +284,17 @@ object QueriesSources {
              8::INT AS width, 6::INT AS height, 78::BIGINT AS size_bytes""",
     "q_read_pcap" -> PcapOracle,
     "q_read_pcap_v2" -> PcapOracle,
+    "q_read_avro" -> """
+      SELECT sensor_id::BIGINT AS sensor_id, label,
+             reading::DOUBLE AS reading, ok
+      FROM (VALUES
+        (1, 'alpha', 20.5, TRUE), (2, 'beta', -3.25, FALSE),
+        (3, 'gamma', 99.0, TRUE), (4, 'delta', 0.125, TRUE))
+      t(sensor_id, label, reading, ok)""",
+    "q_time_travel" -> """
+      SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey < 1000""",
+    "q_jdbc_roundtrip" -> """
+      SELECT n_nationkey, n_name, n_regionkey FROM nation""",
     "q_dir_columns" -> """
       SELECT o_orderstatus AS dir0, count(*) AS n FROM orders GROUP BY 1""",
     "q_implicit_cols" -> s"""
