@@ -182,6 +182,16 @@ object QueriesRelational {
         round(sum("o_totalprice").over(w), 2).as("run_total"))
     }),
 
+    "q_window_firstlast" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      T(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+        round(first("o_totalprice").over(w), 2).as("first_price"),
+        round(last("o_totalprice").over(w), 2).as("last_price"),
+        round(nth_value(col("o_totalprice"), 2).over(w), 2).as("second_price"))
+    }),
+
     "q_window_ntile" -> ((s, d) => {
       // ntile/percent_rank/cume_dist in closed form from the two-phase
       // global row number (the ordering key is unique, so rank == rn) —
@@ -371,6 +381,13 @@ object QueriesRelational {
          round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
          round(lead(o_totalprice, 1) OVER w, 2) AS next_price
          FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+    "q_window_firstlast" ->
+      """SELECT o_orderkey, o_custkey,
+         round(first_value(o_totalprice) OVER w, 2) AS first_price,
+         round(last_value(o_totalprice) OVER w, 2) AS last_price,
+         round(nth_value(o_totalprice, 2) OVER w, 2) AS second_price
+         FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
     "q_window_running" ->
       """SELECT o_orderkey, o_custkey,
          round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
