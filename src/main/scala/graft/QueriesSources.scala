@@ -88,6 +88,59 @@ object QueriesSources {
     "q_read_pcap_v2" -> ((s, _) =>
       s.read.format("graft-pcap").load(s"$Dir/sample.pcap")),
 
+    // ---- persistent view catalog (ref ViewHandler.java): define through
+    // the durable catalog, query through SQL, oracle on the base table ----
+    "q_view_catalog" -> ((s, d) => {
+      val base = s"${out(d)}/views"
+      GraftSession.table(s, d, "orders").createOrReplaceTempView("gate_orders")
+      graft.sources.ViewCatalog.create(s, base, "pricey_orders",
+        "SELECT o_orderkey, o_totalprice FROM gate_orders WHERE o_totalprice > 100000",
+        replace = true)
+      s.sql("SELECT o_orderkey, round(o_totalprice, 2) AS tp FROM pricey_orders")
+    }),
+
+    // ---- HTTP/REST source (ref contrib/storage-http): paginated pages
+    // served by an in-process endpoint whose content derives from the
+    // customer table, so the oracle re-derives it relationally ----
+    "q_http_source" -> ((s, d) => {
+      import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+      val rows = GraftSession.table(s, d, "customer")
+        .filter(col("c_custkey") < 100)
+        .select(col("c_custkey").cast("long"), col("c_nationkey").cast("long"))
+        .orderBy("c_custkey")
+        .collect() // 100 rows: page payload, metadata-scale
+      val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+      server.createContext("/cust", new HttpHandler {
+        override def handle(x: HttpExchange): Unit = try {
+          val page = x.getRequestURI.getQuery.stripPrefix("page=").toInt
+          val body = rows.slice((page - 1) * 25, page * 25)
+            .map(r => s"""{"c_custkey": ${r.getLong(0)}, "c_nationkey": ${r.getLong(1)}}""")
+            .mkString("\n").getBytes("UTF-8")
+          x.sendResponseHeaders(200, body.length)
+          x.getResponseBody.write(body); x.close()
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[q_http_source handler] $e"); throw e
+        }
+      })
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8,
+        (r: Runnable) => { val t = new Thread(r); t.setDaemon(true); t })
+      server.setExecutor(pool)
+      server.start()
+      try {
+        val port = server.getAddress.getPort
+        // materialize the distributed fetch NOW so the server can stop —
+        // its dispatcher thread is non-daemon and would pin the JVM open
+        val fetched = graft.sources.Federation.httpJsonLines(s,
+            (1 to 4).map(p => s"http://127.0.0.1:$port/cust?page=$p"))
+          .select(col("c_custkey").cast("long"), col("c_nationkey").cast("long"))
+          .collect()
+        s.createDataFrame(java.util.Arrays.asList(fetched: _*),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "c_custkey BIGINT, c_nationkey BIGINT"))
+      } finally { server.stop(0); pool.shutdownNow() }
+    }),
+
     // ---- avro container file (ref store/avro/AvroRecordReader.java) ----
     "q_read_avro" -> ((s, _) =>
       graft.sources.AvroReader.read(s, s"$Dir/sample.avro")),
@@ -284,6 +337,12 @@ object QueriesSources {
              8::INT AS width, 6::INT AS height, 78::BIGINT AS size_bytes""",
     "q_read_pcap" -> PcapOracle,
     "q_read_pcap_v2" -> PcapOracle,
+    "q_view_catalog" -> """
+      SELECT o_orderkey, round(o_totalprice, 2) AS tp
+      FROM orders WHERE o_totalprice > 100000""",
+    "q_http_source" -> """
+      SELECT c_custkey::BIGINT AS c_custkey, c_nationkey::BIGINT AS c_nationkey
+      FROM customer WHERE c_custkey < 100""",
     "q_read_avro" -> """
       SELECT sensor_id::BIGINT AS sensor_id, label,
              reading::DOUBLE AS reading, ok
