@@ -5,12 +5,19 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: headline queries on SPARK_GRAFT_SF_DIR, one JSON line
   * to stdout. Queries chosen to exercise the load-bearing plan shapes:
   * scan+agg, broadcast join, multi-join, window, dedup family, ANN.
+  *
+  * Each query runs REPS times and reports the min — round 3's driver
+  * artifact showed ±20-90% run-to-run jitter on sub-second queries,
+  * drowning the real round-over-round signal; min-of-3 (all runs also
+  * emitted under "runs") keeps the artifact decision-grade.
   */
 object Bench {
   val headline: Seq[String] = Seq(
     "q1_agg", "q_multi_join", "q_broadcast_join", "q_window_running",
     "q_topn", "q_dedup_minhash", "q_dedup_simhash", "q_ann_bruteforce",
     "q_embed_neardup", "q_token_count", "q_sessionize")
+
+  val Reps = 3
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -21,21 +28,27 @@ object Bench {
     // broken headline query can never masquerade as a slow one.
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
-        }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val runs = (1 to Reps).map { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+          }
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      (name, runs.map(_._1).min, runs.map(_._1), runs.forall(_._2))
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val oks = results.map { case (k, _, ok) => "\"" + k + "\":" + ok }
+    val allRuns = results.map { case (k, _, rs, _) =>
+      "\"" + k + "\":" + rs.map(r => f"$r%.3f").mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    val oks = results.map { case (k, _, _, ok) => "\"" + k + "\":" + ok }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val allOk = results.forall(_._3)
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"ok":$oks,"sf":"$sfDir"}""")
+    val allOk = results.forall(_._4)
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"runs":$allRuns,"ok":$oks,"sf":"$sfDir"}""")
     spark.stop()
     if (!allOk) sys.exit(1)
   }

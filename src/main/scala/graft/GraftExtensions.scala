@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.{CosineSimilarity, JaccardSimExpr, Md5Hash32Expr, MinhashSignatureExpr, PhoneticExpr, Phonetics, SimhashAgg, SimhashTextExpr, StringEntropyExpr}
+import graft.functions.{CosineSimilarity, JaccardSimExpr, Md5Hash32Expr, MinhashSignatureExpr, PhoneticExpr, Phonetics, SimhashAgg, SimhashText64Expr, SimhashTextExpr, StringEntropyExpr}
 
 /** Session extensions: registers graft's native Catalyst expressions into
   * the function registry, so they resolve from SQL (`cosine_sim(a, b)`)
@@ -50,9 +50,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         SimhashTextExpr(children.head, children(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("simhash_text64"),
+      new ExpressionInfo(classOf[SimhashText64Expr].getName, "simhash_text64"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"simhash_text64 expects 1 argument (text), got ${children.length}")
+        SimhashText64Expr(children.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("entropy"),
       new ExpressionInfo(classOf[StringEntropyExpr].getName, "entropy"),
-      (children: Seq[Expression]) => StringEntropyExpr(children.head)))
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"entropy expects 1 argument (string), got ${children.length}")
+        StringEntropyExpr(children.head)
+      }))
     // the phonetic family: each algorithm by its Drill name
     // (metaphone(s), nysiis(s), ...)
     Phonetics.AlgoIds.keys.foreach { algo =>

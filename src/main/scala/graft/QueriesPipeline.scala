@@ -55,8 +55,20 @@ object QueriesPipeline {
     }),
 
     "q_dedup_simhash" -> ((s, d) =>
-      Dedup.simhashPortableNearDups(T(s, d, "documents"), "doc_id", "text",
-        maxHamming = 3)),
+      // SCALE configuration: 64-bit two-half signature, 4 x 16-bit blocks
+      // (262,144 buckets — keyspace grows with signature entropy, unlike
+      // the 32-bit form's 1,024-bucket ceiling), capless here so the block
+      // self-join stays broadcastable at gate SF.
+      Dedup.simhashNearDups64(T(s, d, "documents"), "doc_id", "text",
+        maxHamming = 3, maxBucket = Int.MaxValue)),
+
+    "q_dedup_simhash_capped" -> ((s, d) =>
+      // Same blocking with the per-bucket skew guard ENGAGED (plans the
+      // row_number cap — the 100 TB configuration). The cap is far above
+      // any sf0.01 bucket (DedupSpec asserts simhashBucketStats drops
+      // nothing), so the exact hamming oracle still holds.
+      Dedup.simhashNearDups64(T(s, d, "documents"), "doc_id", "text",
+        maxHamming = 3, maxBucket = 100000)),
 
     "q_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(T(s, d, "documents"), "doc_id", "text",
@@ -141,26 +153,26 @@ object QueriesPipeline {
     "q_sessionize" -> ((s, d) =>
       Events.sessionize(T(s, d, "events"), 1800)))
 
+  // 64-bit two-half simhash: exact all-pairs re-derivation. h1/h2 are the
+  // positional parses of md5 hex chars 1-8 / 9-16 — both halves stay in
+  // [0, 2^32) so xor/bit_count need no sign handling.
   private val SIMHASH_ORACLE = s"""
     WITH d AS (SELECT doc_id, $NORM AS norm FROM documents),
     toks AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS tok FROM d),
-    th AS (SELECT doc_id, tok,
-       (strpos('0123456789abcdef', substr(md5(tok),1,1))-1)*268435456
-      +(strpos('0123456789abcdef', substr(md5(tok),2,1))-1)*16777216
-      +(strpos('0123456789abcdef', substr(md5(tok),3,1))-1)*1048576
-      +(strpos('0123456789abcdef', substr(md5(tok),4,1))-1)*65536
-      +(strpos('0123456789abcdef', substr(md5(tok),5,1))-1)*4096
-      +(strpos('0123456789abcdef', substr(md5(tok),6,1))-1)*256
-      +(strpos('0123456789abcdef', substr(md5(tok),7,1))-1)*16
-      +(strpos('0123456789abcdef', substr(md5(tok),8,1))-1) AS h FROM toks),
-    bits AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS sgn
+    th AS (SELECT doc_id, ${md5hex32("tok", 0)} AS h1, ${md5hex32("tok", 8)} AS h2
+      FROM toks),
+    bits AS (SELECT doc_id, b,
+        sum(CASE WHEN (h1 >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s1,
+        sum(CASE WHEN (h2 >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s2
       FROM th CROSS JOIN (SELECT unnest(range(0,32)) AS b) GROUP BY 1, 2),
-    sig AS (SELECT doc_id, sum(CASE WHEN sgn > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS sig
+    sig AS (SELECT doc_id,
+        sum(CASE WHEN s1 > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS lo,
+        sum(CASE WHEN s2 > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS hi
       FROM bits GROUP BY 1)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           bit_count(xor(a.sig, b.sig))::INT AS hamming
+           (bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)))::INT AS hamming
     FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.sig, b.sig)) <= 3"""
+    WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3"""
 
   private def jaccardOracle(threshold: String) = s"""
     WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split($NORM, ' '))) AS g FROM documents),
@@ -171,12 +183,15 @@ object QueriesPipeline {
     FROM inter JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
     WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= $threshold"""
 
-  // md5-derived 32-bit hash of an expression, positionally parsed — the
-  // engine-portable hash also used by the simhash oracle.
-  private def md5h32(e: String) =
+  // md5-derived 32-bit hash of an expression, positionally parsed from hex
+  // chars off+1..off+8 — the engine-portable hash also used by the simhash
+  // oracle (off=0 for the lo half, off=8 for the hi half).
+  private def md5hex32(e: String, off: Int) =
     (1 to 8).map(i =>
-      s"(strpos('0123456789abcdef', substr(md5($e),$i,1))-1)*${1L << ((8 - i) * 4)}")
+      s"(strpos('0123456789abcdef', substr(md5($e),${off + i},1))-1)*${1L << ((8 - i) * 4)}")
       .mkString("(", " + ", ")")
+
+  private def md5h32(e: String) = md5hex32(e, 0)
 
   val oracle: Map[String, String] = Map(
     "q_redact" -> s"""
@@ -250,6 +265,7 @@ object QueriesPipeline {
       FROM inter JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
       WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.8""",
     "q_dedup_simhash" -> SIMHASH_ORACLE,
+    "q_dedup_simhash_capped" -> SIMHASH_ORACLE,
     "q_ngram_jaccard" -> jaccardOracle("0.95"),
     "q_embed_neardup" -> """
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -12,13 +12,20 @@ object Md5Hash32 {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
   }
 
+  /** Full md5 digest (16 bytes) — for kernels that parse more than the
+    * first 4 bytes (SimhashText.compute64 reads bytes 0-7) with ONE
+    * digest computation. */
+  def digestOf(bytes: Array[Byte]): Array[Byte] = {
+    val d = digest.get()
+    d.reset()
+    d.digest(bytes)
+  }
+
   /** Unsigned value of the first 4 md5 bytes == the positional parse of
     * the first 8 hex chars — the engine-portable hash any SQL oracle can
     * reproduce with md5()+substr()+strpos(). */
   def compute(bytes: Array[Byte]): Long = {
-    val d = digest.get()
-    d.reset()
-    val h = d.digest(bytes)
+    val h = digestOf(bytes)
     ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
       ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
   }

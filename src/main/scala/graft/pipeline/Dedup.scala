@@ -331,7 +331,13 @@ object Dedup {
 
   /** Near-dup pairs on the portable 32-bit simhash, blocked on 4 x 8-bit
     * sub-keys (pigeonhole: hamming<=3 pairs share >=1 intact block),
-    * verified with the true hamming distance. */
+    * verified with the true hamming distance.
+    *
+    * SMALL-CORPUS variant: 8-bit blocks give at most 4*256 = 1,024
+    * buckets, so the block self-join does ~4N^2/256 comparisons —
+    * quadratic with a small constant. Use [[simhashNearDups64]] (16-bit
+    * blocks over a 64-bit signature, 262,144 buckets, skew cap) for
+    * anything beyond ~10^5 docs. */
   def simhashPortableNearDups(docs: DataFrame, idCol: String, textCol: String,
                               maxHamming: Int = 3): DataFrame = {
     // balanced(): AQE coalesces the tiny-bytes signature agg to ONE
@@ -350,6 +356,112 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
+
+  /** 64-bit portable SimHash as two 32-bit halves (sig_lo, sig_hi), both
+    * parsed from ONE md5 digest per token inside the one-pass
+    * simhash_text64 kernel. Two halves rather than a packed signed long
+    * keep every signature value in [0, 2^32): the blocking keys, xor and
+    * bit_count downstream are plain positive arithmetic any SQL oracle
+    * reproduces without sign-bit contortions. */
+  def simhashPortable64(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.GraftSession.balanced(
+        docs.select(col(idCol).as("id"), col(textCol).as("text")))
+      .select(col("id"), call_function("simhash_text64",
+        TextAnalysis.normalize(col("text"))).as("s"))
+      .select(col("id"), col("s").getItem(0).as("sig_lo"),
+        col("s").getItem(1).as("sig_hi"))
+
+  /** Built-ins-only 64-bit formulation (64 conditional-sum aggregate
+    * columns over exploded tokens) — the equality oracle for the
+    * simhash_text64 kernel. The hi half parses md5 hex chars 9-16 the way
+    * md5Hash32Portable parses chars 1-8. */
+  def simhashPortable64Hof(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = graft.GraftSession.balanced(
+        docs.select(col(idCol).as("id"), col(textCol).as("text")))
+      .select(col("id"),
+        explode(split(TextAnalysis.normalize(col("text")), " ")).as("tok"))
+      .withColumn("h1", md5Hash32Portable(col("tok")))
+      .withColumn("h2", md5Hash32HiPortable(col("tok")))
+    val bitCols = (0 until 32).flatMap { b => Seq(
+      sum(when(shiftright(col("h1"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"a$b"),
+      sum(when(shiftright(col("h2"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
+    }
+    val agg = toks.groupBy("id").agg(bitCols.head, bitCols.tail: _*)
+    def pack(pfx: String): Column = (0 until 32).foldLeft(lit(0L)) { (acc, b) =>
+      acc.bitwiseOR(when(col(s"$pfx$b") > 0, shiftleft(lit(1L), b)).otherwise(0L))
+    }
+    agg.select(col("id"), pack("a").as("sig_lo"), pack("b").as("sig_hi"))
+  }
+
+  /** md5 hex chars 9-16 parsed positionally — the hi-half sibling of
+    * [[md5Hash32Portable]]. */
+  def md5Hash32HiPortable(tok: Column): Column = {
+    val hex = md5(tok)
+    (9 to 16).map { i =>
+      (locate_hex(substring(hex, i, 1)) * lit(1L << ((16 - i) * 4)))
+    }.reduce(_ + _)
+  }
+
+  /** (id, sig_lo, sig_hi, blk) after 4 x 16-bit blocking and the optional
+    * per-bucket skew cap. Key is a LONG (blockIdx << 16 | bits): long
+    * join keys, nothing string-typed on the wire. Pigeonhole over 4
+    * blocks: a pair within hamming <= 3 leaves >= 1 block untouched, so
+    * recall at maxHamming <= 3 is exact. 16-bit blocks give 4 * 65,536 =
+    * 262,144 buckets — bucket population tracks signature entropy, where
+    * the 32-bit form's 8-bit blocks cap at 1,024 buckets and force
+    * ~N^2/256 comparisons at scale. */
+  private def simhashBlocks64(sigs: DataFrame, maxBucket: Int): DataFrame = {
+    val blocks = sigs.withColumn("blk", explode(array(
+      (0 until 4).map { i =>
+        val half = if (i < 2) col("sig_lo") else col("sig_hi")
+        shiftright(half, (i % 2) * 16).bitwiseAND(lit(0xFFFFL)) + lit(i.toLong << 16)
+      }: _*)))
+    if (maxBucket == Int.MaxValue) blocks // cap off: block self-join stays broadcastable
+    else {
+      // skew guard, mirroring the minhash banding cap (Dedup.scala
+      // bandedIdsFrom): rows past the cap are invisible to the join —
+      // audit with simhashBucketStats. Only planned when a cap is set.
+      val w = Window.partitionBy("blk").orderBy("id")
+      blocks.withColumn("bn", row_number().over(w))
+        .filter(col("bn") <= maxBucket).drop("bn")
+    }
+  }
+
+  /** SCALE variant of simhash near-dup: 64-bit two-half signature,
+    * 4 x 16-bit blocking, optional per-bucket cap, exact hamming verify.
+    * Pair-dedup runs as a map-side-combinable groupBy (first(sig) rides
+    * along) rather than dropDuplicates over wide rows. */
+  def simhashNearDups64(docs: DataFrame, idCol: String, textCol: String,
+                        maxHamming: Int = 3,
+                        maxBucket: Int = Int.MaxValue): DataFrame = {
+    require(maxHamming <= 3,
+      s"4-block pigeonhole guarantees recall only for maxHamming <= 3, got $maxHamming")
+    val sigs = graft.GraftSession.balanced(simhashPortable64(docs, idCol, textCol))
+    val blocks = simhashBlocks64(sigs, maxBucket)
+      .select("blk", "id", "sig_lo", "sig_hi")
+    val pairs = blocks.as("a").join(blocks.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(first(col("a.sig_lo")).as("lo_a"), first(col("a.sig_hi")).as("hi_a"),
+        first(col("b.sig_lo")).as("lo_b"), first(col("b.sig_hi")).as("hi_b"))
+    pairs.withColumn("hamming",
+        (bit_count(col("lo_a").bitwiseXOR(col("lo_b"))) +
+         bit_count(col("hi_a").bitwiseXOR(col("hi_b")))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Per-block bucket audit for [[simhashNearDups64]]'s skew cap — any
+    * row here is recall loss that must be tuned away (bigger cap) or
+    * accepted explicitly. Mirrors [[minhashBucketStats]]. */
+  def simhashBucketStats(docs: DataFrame, idCol: String, textCol: String,
+                         maxBucket: Int = 4096): DataFrame =
+    simhashBlocks64(
+        graft.GraftSession.balanced(simhashPortable64(docs, idCol, textCol)),
+        Int.MaxValue)
+      .groupBy("blk").agg(count(lit(1)).as("bucket_size"))
+      .withColumn("dropped", greatest(col("bucket_size") - maxBucket, lit(0)))
+      .filter(col("dropped") > 0)
 
   /** SimHash near-dup pairs: block on the 4 x 16-bit sub-keys (a pair
     * within hamming distance <=3 shares at least one sub-key), then verify

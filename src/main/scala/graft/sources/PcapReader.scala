@@ -60,8 +60,16 @@ object PcapReader {
     else (src, dst, protoName, null, null)
   }
 
-  /** Parse one capture file into packet rows. */
-  private[graft] def parse(in: DataInputStream): Iterator[Row] = {
+  /** Field names whose values require the ethernet/IPv4 decode — when a
+    * pruned projection requests none of them (e.g. packet counts over
+    * ts_sec), the decode is skipped entirely, not just unprojected. */
+  val networkFields: Set[String] =
+    Set("src_ip", "dst_ip", "protocol", "src_port", "dst_port")
+
+  /** Parse one capture file into packet rows. `decodeNet=false` skips the
+    * per-packet ethernet/IPv4 decode (network fields come back null) for
+    * projections that don't reference them. */
+  private[graft] def parse(in: DataInputStream, decodeNet: Boolean = true): Iterator[Row] = {
     val gh = new Array[Byte](24)
     in.readFully(gh)
     val magicBe = ((gh(0) & 0xFFL) << 24) | ((gh(1) & 0xFFL) << 16) |
@@ -94,7 +102,8 @@ object PcapReader {
           if (inclLen < 0 || inclLen > (1 << 26)) { in.close(); return null }
           val data = new Array[Byte](inclLen.toInt)
           in.readFully(data)
-          val (src, dst, proto, sport, dport) = decodeEthIpv4(data)
+          val (src, dst, proto, sport, dport) =
+            if (decodeNet) decodeEthIpv4(data) else (null, null, null, null, null)
           Row(u32(rec, 0), u32(rec, 4), u32(rec, 12).toInt, src, dst, proto, sport, dport)
         } catch {
           case _: java.io.EOFException => in.close(); null
@@ -112,7 +121,13 @@ object PcapReader {
         val conf2 = new Configuration()
         paths.flatMap { f =>
           val fp = new Path(f)
-          parse(new DataInputStream(fp.getFileSystem(conf2).open(fp)))
+          val in = new DataInputStream(fp.getFileSystem(conf2).open(fp))
+          // parse() closes at EOF, but a LIMIT / failed task abandons the
+          // iterator mid-file — close on task completion either way
+          Option(org.apache.spark.TaskContext.get()).foreach(
+            _.addTaskCompletionListener[Unit](_ =>
+              try in.close() catch { case _: java.io.IOException => () }))
+          parse(in)
         }
       }(enc).toDF(schema.fieldNames: _*)
   }

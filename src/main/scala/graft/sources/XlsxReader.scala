@@ -159,8 +159,11 @@ object XlsxReader {
   private def cast(v: String, dt: DataType): Any =
     if (v == null || (v.isEmpty && dt != StringType)) null
     else dt match {
-      case LongType => v.toLong
-      case DoubleType => v.toDouble
+      // types are inferred from the FIRST workbook only — a later file's
+      // non-numeric cell in a numeric-inferred column yields null
+      // (schema-on-read: dirty files degrade, they don't fail the task)
+      case LongType => v.toLongOption.map(Long.box).orNull
+      case DoubleType => v.toDoubleOption.map(Double.box).orNull
       case _ => v
     }
 

@@ -19,9 +19,11 @@ import graft.sources.{FileList, PcapReader}
   * packaging of a Drill format plugin (reference exec/.../store/pcap's
   * FormatPlugin registration): the catalyst integration point Drill's
   * plugin interface maps to. One InputPartition per capture file, and
-  * column pruning pushes into the reader so unprojected fields are never
-  * materialized. The mapPartitions-based PcapReader stays as the direct
-  * library API; both share the same packet decoder.
+  * column pruning pushes into the reader: the returned rows carry only
+  * the required columns, and when no network field is projected the
+  * per-packet ethernet/IPv4 decode is skipped entirely. The
+  * mapPartitions-based PcapReader stays as the direct library API; both
+  * share the same packet decoder.
   */
 class PcapDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-pcap"
@@ -77,11 +79,16 @@ class PcapReaderFactory(requiredFields: Array[String])
     new PartitionReader[InternalRow] {
       private val fieldIdx = requiredFields.map(
         PcapReader.schema.fieldNames.indexOf(_))
-      private val rows = {
+      // prune past projection into the DECODE: no network field required
+      // => the ethernet/IPv4 decode never runs
+      private val needsNet =
+        requiredFields.exists(PcapReader.networkFields.contains)
+      private val stream = {
         val fp = new Path(file)
-        val in = fp.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(fp)
-        PcapReader.parse(new java.io.DataInputStream(in))
+        new java.io.DataInputStream(
+          fp.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(fp))
       }
+      private val rows = PcapReader.parse(stream, decodeNet = needsNet)
       private var current: InternalRow = _
       override def next(): Boolean =
         if (!rows.hasNext) false
@@ -97,7 +104,10 @@ class PcapReaderFactory(requiredFields: Array[String])
           true
         }
       override def get(): InternalRow = current
-      override def close(): Unit = ()
+      // parse() closes at EOF; an early-terminated scan (LIMIT, cancelled
+      // task) lands here with the stream still open
+      override def close(): Unit =
+        try stream.close() catch { case _: java.io.IOException => () }
     }
   }
 }

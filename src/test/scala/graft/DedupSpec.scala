@@ -144,4 +144,47 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 3L))) // identical => hamming 0
     assert(pairs.contains((4L, 5L)))
   }
+
+  test("simhash_text64 kernel == built-ins-only 64-column formulation") {
+    val scalar = Dedup.simhashPortable64(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val hof = Dedup.simhashPortable64Hof(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(scalar == hof)
+    // both halves are unsigned 32-bit values — the portability invariant
+    scalar.values.foreach { case (lo, hi) =>
+      assert(lo >= 0L && lo < (1L << 32) && hi >= 0L && hi < (1L << 32))
+    }
+    // lo half packs the SAME per-token hash as the 32-bit signature
+    val sig32 = Dedup.simhashPortable32(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scalar.view.mapValues(_._1).toMap == sig32)
+  }
+
+  test("64-bit simhash near-dups: same-token-multiset pairs at hamming 0, capped == capless") {
+    import spark.implicits._
+    // doc 7 permutes doc 1's token MULTISET (simhash votes per occurrence,
+    // so word order is irrelevant but counts are not) => hamming exactly 0
+    val corpus = docs.unionAll(
+      Seq((7L, "dog lazy the over jumps fox brown quick the")).toDF("doc_id", "text"))
+    val pairs = Dedup.simhashNearDups64(corpus, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs.contains((1L, 3L, 0))) // identical text
+    assert(pairs.contains((1L, 7L, 0))) // permuted multiset
+    assert(pairs.contains((3L, 7L, 0)))
+    val capped = Dedup.simhashNearDups64(corpus, "doc_id", "text",
+        maxHamming = 3, maxBucket = 100000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(capped == pairs)
+    // the gate-config audit: cap 100000 drops nothing at sf0.001
+    val sfDocs = spark.read.parquet(s"$SF/documents.parquet")
+    assert(Dedup.simhashBucketStats(sfDocs, "doc_id", "text",
+      maxBucket = 100000).isEmpty)
+  }
+
+  test("simhashBucketStats surfaces rows a tiny cap would drop") {
+    val dropped = Dedup.simhashBucketStats(docs, "doc_id", "text", maxBucket = 1)
+    assert(dropped.count() > 0) // docs 1/3 share every block
+    assert(dropped.filter(col("dropped") <= 0).count() == 0)
+  }
 }

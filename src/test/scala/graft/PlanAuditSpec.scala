@@ -80,6 +80,19 @@ class PlanAuditSpec extends AnyFunSuite {
       "cap off => no window, band self-join stays broadcastable")
   }
 
+  test("capped simhash64 plans the row_number skew guard; capless does not") {
+    val capped = graft.pipeline.Dedup.simhashNearDups64(
+      GraftSession.table(spark, SF, "documents"), "doc_id", "text",
+      maxBucket = 100000)
+    assert(capped.queryExecution.analyzed.toString.contains("row_number"),
+      "cap on => bucket guard window must be planned")
+    val capless = graft.pipeline.Dedup.simhashNearDups64(
+      GraftSession.table(spark, SF, "documents"), "doc_id", "text",
+      maxBucket = Int.MaxValue)
+    assert(!capless.queryExecution.analyzed.toString.contains("row_number"),
+      "cap off => no window, block self-join stays broadcastable")
+  }
+
   test("q_hll_sketch: sketches partial-aggregate map-side before the union") {
     val p = plan("q_hll_sketch")
     assert(p.contains("partial_hll_sketch_agg") || p.contains("partial_"),
