@@ -88,6 +88,12 @@ object QueriesSources {
     "q_read_pcap_v2" -> ((s, _) =>
       s.read.format("graft-pcap").load(s"$Dir/sample.pcap")),
 
+    // ---- pcapng (ref contrib/format-pcapng/.../PcapngBatchReader.java):
+    // block framing over the SAME packet decoder; the fixture wraps the
+    // same three packets, so all three pcap gates share one oracle ----
+    "q_read_pcapng" -> ((s, _) =>
+      graft.sources.PcapngReader.read(s, s"$Dir/sample.pcapng")),
+
     // ---- persistent view catalog (ref ViewHandler.java): define through
     // the durable catalog, query through SQL, oracle on the base table ----
     "q_view_catalog" -> ((s, d) => {
@@ -161,6 +167,42 @@ object QueriesSources {
       SnapshotTable.read(s, base, version = Some(1)) // time travel to v1
     }),
 
+    // ---- Delta Lake table reading + time travel (hand-rolled
+    // _delta_log JSON-action parser, no delta jar — ref
+    // contrib/format-deltalake/.../DeltaGroupScan.java + snapshot/).
+    // Fixture: v0 adds file A (keys <500), v1 adds B ([500,1000)),
+    // v2 removes A and adds C ([1000,1200)) ----
+    "q_read_delta" -> ((s, d) => {
+      // latest snapshot = B + C
+      graft.sources.DeltaLogReader.read(s, deltaFixture(s, d))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
+    }),
+
+    "q_delta_time_travel" -> ((s, d) => {
+      // version 1 pins the pre-remove snapshot = A + B
+      graft.sources.DeltaLogReader.read(s, deltaFixture(s, d), version = Some(1L))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
+    }),
+
+    // ---- Delta WRITE path: CTAS (v0) + append (v1) + overwrite (v2,
+    // removes the prior snapshot's files in the same commit); reading
+    // the latest snapshot must see ONLY the overwrite ----
+    "q_delta_ctas" -> ((s, d) => {
+      import graft.sources.{DeltaLogReader, DeltaLogWriter}
+      val base = s"${out(d)}/delta_ctas"
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val src = GraftSession.table(s, d, "supplier")
+        .select("s_suppkey", "s_name", "s_nationkey")
+      DeltaLogWriter.write(src.filter(col("s_suppkey") <= 100), base)
+      DeltaLogWriter.write(src.filter(col("s_suppkey") > 100), base)
+      DeltaLogWriter.write(src.filter(col("s_suppkey") <= 50), base,
+        org.apache.spark.sql.SaveMode.Overwrite)
+      DeltaLogReader.read(s, base)
+    }),
+
     // ---- JDBC federation round-trip (ref contrib/storage-jdbc): write a
     // subset to embedded Derby, read it back partitioned ----
     "q_jdbc_roundtrip" -> ((s, d) => {
@@ -191,6 +233,28 @@ object QueriesSources {
         .groupBy("dir0").agg(count(lit(1)).as("n"))
     }),
 
+    // ---- provided schema / CREATE SCHEMA (ref exec/.../record/metadata/
+    // schema/SchemaProvider.java, PathSchemaProvider.java): a declared
+    // schema persisted as .graft.schema coerces headerless CSV at read
+    // time — positional binding, null-on-dirty-cell, declared defaults
+    // back-fill missing values ----
+    "q_provided_schema" -> ((s, d) => {
+      import graft.sources.SchemaProvider
+      val base = s"${out(d)}/declared_csv"
+      val p = new org.apache.hadoop.fs.Path(base)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      f.delete(p, true)
+      f.mkdirs(p)
+      val os = f.create(new org.apache.hadoop.fs.Path(base, "data.csv"), true)
+      // row 2: dirty numeric => null; row 3: short row => default fills d
+      os.write(("1,alpha,10.5,2024-01-15\n2,beta,notanumber,2024-02-03\n" +
+        "3,gamma,7.25\n4,delta,,2024-03-09\n").getBytes("UTF-8"))
+      os.close()
+      SchemaProvider.create(s, base, "id BIGINT, name STRING, score DOUBLE, d DATE",
+        defaults = Map("d" -> "2099-12-31"), replace = true)
+      SchemaProvider.readCsv(s, base)
+    }),
+
     // ---- implicit file columns (ref ImplicitColumnUtils) ----
     "q_implicit_cols" -> ((s, _) =>
       SchemaOnRead.withImplicitColumns(SchemaOnRead.csv(s, s"$Dir/sample.csv"))
@@ -212,6 +276,43 @@ object QueriesSources {
         .select(col("feature_idx"), col("geom_type"), col("lon"), col("lat"),
           element_at(col("properties"), "name").as("name"),
           element_at(col("properties"), "kind").as("kind"))),
+
+    // ---- ESRI shapefile (ref contrib/format-esri/.../ShpBatchReader.java):
+    // .shp point records + sidecar .dbf attributes, GeoJSON-shaped ----
+    "q_read_shp" -> ((s, _) =>
+      graft.sources.ShapefileReader.read(s, s"$Dir/sample.shp")
+        .select(col("feature_idx"), col("geom_type"),
+          round(col("lon"), 6).as("lon"), round(col("lat"), 6).as("lat"),
+          element_at(col("properties"), "NAME").as("name"),
+          element_at(col("properties"), "KIND").as("kind"))),
+
+    // ---- REST query endpoint (ref exec/.../server/rest/
+    // BaseQueryRunner.java): POST {"query": sql} -> {"columns","rows"};
+    // the gate round-trips a query through HTTP and re-materializes the
+    // JSON rows, so the oracle is the plain relational answer ----
+    "q_rest_query" -> ((s, d) => {
+      GraftSession.table(s, d, "nation").createOrReplaceTempView("rest_nation")
+      val server = graft.sources.QueryServer.start(s)
+      try {
+        val url = java.net.URI.create(
+          s"http://127.0.0.1:${server.port}/query").toURL
+        val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST")
+        conn.setDoOutput(true)
+        conn.getOutputStream.write(
+          """{"query": "SELECT n_nationkey, n_name, n_regionkey FROM rest_nation"}"""
+            .getBytes("UTF-8"))
+        val body = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+        conn.disconnect()
+        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+        val rows = node.get("rows").elements()
+        val jsonLines = new scala.collection.mutable.ArrayBuffer[String]()
+        while (rows.hasNext) jsonLines += rows.next().toString
+        import s.implicits._
+        s.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+          .json(s.createDataset(jsonLines.toSeq))
+      } finally server.stop()
+    }),
 
     // ---- pdf text (ref contrib/format-pdf; minimal Tj/TJ extractor over
     // uncompressed + FlateDecode streams — see sources/PdfReader.scala) ----
@@ -252,6 +353,22 @@ object QueriesSources {
           expr("variant_get(parse_json(j), '$.k', 'bigint')").as("k_val"),
           expr("variant_get(parse_json(j), '$[0]', 'bigint')").as("first_elem"))),
 
+    // ---- persistent stats metastore (ref /root/reference/metastore +
+    // DrillStatsTable.java): ANALYZE in one aggregation pass, persist,
+    // reload FROM DISK as an INFORMATION_SCHEMA-style relation (the ndv
+    // column is approx-sketched, so the gate projects the exactly
+    // re-derivable columns; ndv exactness at small cardinality is
+    // spec-asserted) ----
+    "q_stats_store" -> ((s, d) => {
+      import graft.sources.StatsCatalog
+      val base = s"${out(d)}/stats"
+      StatsCatalog.analyze(s, base, "nation",
+        GraftSession.table(s, d, "nation")
+          .select("n_nationkey", "n_name", "n_regionkey"))
+      StatsCatalog.statsTable(s, base)
+        .select("table_name", "row_count", "column_name", "nulls", "min", "max")
+    }),
+
     // ---- hive-style directory partition pruning (ref PartitionExplorer) ----
     "q_dir_pruning" -> ((s, d) => {
       val src = GraftSession.table(s, d, "orders")
@@ -265,6 +382,39 @@ object QueriesSources {
   /** Per-SF scratch dir for writer-path gates. */
   private def out(sfDir: String): String =
     s"/tmp/graft_out/${new java.io.File(sfDir).getName}"
+
+  /** Build (once per SF) the 3-version hand-written Delta fixture both
+    * delta gates read. */
+  private def deltaFixture(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    import graft.sources.DeltaLogReader
+    val base = s"${out(d)}/delta_orders"
+    val donePath = new org.apache.hadoop.fs.Path(
+      s"$base/_delta_log/00000000000000000002.json")
+    val fs = donePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(donePath)) {
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val src = GraftSession.table(s, d, "orders")
+        .select("o_orderkey", "o_orderstatus")
+      val szA = DeltaLogReader.writeDataFile(
+        src.filter(col("o_orderkey") < 500), base, "data-a.parquet")
+      val szB = DeltaLogReader.writeDataFile(
+        src.filter(col("o_orderkey") >= 500 && col("o_orderkey") < 1000),
+        base, "data-b.parquet")
+      val szC = DeltaLogReader.writeDataFile(
+        src.filter(col("o_orderkey") >= 1000 && col("o_orderkey") < 1200),
+        base, "data-c.parquet")
+      DeltaLogReader.writeCommit(s, base, 0, Seq(
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        DeltaLogReader.metaDataAction(src.schema, Nil),
+        s"""{"add":{"path":"data-a.parquet","partitionValues":{},"size":$szA,"modificationTime":1700000000000,"dataChange":true}}"""))
+      DeltaLogReader.writeCommit(s, base, 1, Seq(
+        s"""{"add":{"path":"data-b.parquet","partitionValues":{},"size":$szB,"modificationTime":1700000001000,"dataChange":true}}"""))
+      DeltaLogReader.writeCommit(s, base, 2, Seq(
+        s"""{"remove":{"path":"data-a.parquet","deletionTimestamp":1700000002000,"dataChange":true}}""",
+        s"""{"add":{"path":"data-c.parquet","partitionValues":{},"size":$szC,"modificationTime":1700000002000,"dataChange":true}}"""))
+    }
+    base
+  }
 
   /** Shared by the mapPartitions reader and the DSv2 connector — both
     * must produce exactly this relation from the committed capture. */
@@ -337,6 +487,7 @@ object QueriesSources {
              8::INT AS width, 6::INT AS height, 78::BIGINT AS size_bytes""",
     "q_read_pcap" -> PcapOracle,
     "q_read_pcap_v2" -> PcapOracle,
+    "q_read_pcapng" -> PcapOracle,
     "q_view_catalog" -> """
       SELECT o_orderkey, round(o_totalprice, 2) AS tp
       FROM orders WHERE o_totalprice > 100000""",
@@ -352,10 +503,45 @@ object QueriesSources {
       t(sensor_id, label, reading, ok)""",
     "q_time_travel" -> """
       SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey < 1000""",
+    "q_read_delta" -> """
+      SELECT o_orderstatus, count(*) AS n, sum(o_orderkey)::BIGINT AS key_sum
+      FROM orders WHERE o_orderkey >= 500 AND o_orderkey < 1200
+      GROUP BY 1""",
+    "q_delta_time_travel" -> """
+      SELECT o_orderstatus, count(*) AS n, sum(o_orderkey)::BIGINT AS key_sum
+      FROM orders WHERE o_orderkey < 1000
+      GROUP BY 1""",
+    "q_delta_ctas" -> """
+      SELECT s_suppkey, s_name, s_nationkey FROM supplier WHERE s_suppkey <= 50""",
     "q_jdbc_roundtrip" -> """
       SELECT n_nationkey, n_name, n_regionkey FROM nation""",
     "q_dir_columns" -> """
       SELECT o_orderstatus AS dir0, count(*) AS n FROM orders GROUP BY 1""",
+    "q_stats_store" -> """
+      WITH c(column_name, nulls, min, max) AS (
+        SELECT 'n_nationkey',
+               sum(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
+               min(n_nationkey)::VARCHAR, max(n_nationkey)::VARCHAR FROM nation
+        UNION ALL
+        SELECT 'n_name',
+               sum(CASE WHEN n_name IS NULL THEN 1 ELSE 0 END)::BIGINT,
+               min(n_name), max(n_name) FROM nation
+        UNION ALL
+        SELECT 'n_regionkey',
+               sum(CASE WHEN n_regionkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
+               min(n_regionkey)::VARCHAR, max(n_regionkey)::VARCHAR FROM nation)
+      SELECT 'nation' AS table_name,
+             (SELECT count(*) FROM nation)::BIGINT AS row_count,
+             column_name, nulls, min, max
+      FROM c""",
+    "q_provided_schema" -> """
+      SELECT id::BIGINT AS id, name, score::DOUBLE AS score, d::DATE AS d
+      FROM (VALUES
+        (1, 'alpha', 10.5, '2024-01-15'),
+        (2, 'beta', NULL, '2024-02-03'),
+        (3, 'gamma', 7.25, '2099-12-31'),
+        (4, 'delta', NULL, '2024-03-09'))
+      t(id, name, score, d)""",
     "q_implicit_cols" -> s"""
       SELECT id, 'sample.csv' AS filename, 'csv' AS suffix
       FROM read_csv_auto('$Dir/sample.csv')""",
@@ -390,6 +576,17 @@ object QueriesSources {
              THEN f.geometry.coordinates[2]::DOUBLE END AS lat,
         f.properties.name AS name, f.properties.kind AS kind
       FROM f""",
+    "q_read_shp" -> """
+      SELECT feature_idx::INT AS feature_idx, geom_type,
+             lon::DOUBLE AS lon, lat::DOUBLE AS lat, name, kind
+      FROM (VALUES
+        (0, 'Point', -122.42, 37.77, 'alpha', 'poi'),
+        (1, 'Point', -73.99, 40.73, 'beta', 'poi'),
+        (2, 'Point', 2.35, 48.86, 'gamma', 'city'),
+        (3, 'Point', 139.69, 35.69, 'delta', 'city'))
+      t(feature_idx, geom_type, lon, lat, name, kind)""",
+    "q_rest_query" -> """
+      SELECT n_nationkey, n_name, n_regionkey FROM nation""",
     "q_read_pdf" -> """
       SELECT stream_idx::INT AS stream_idx, text_idx::INT AS text_idx, text
       FROM (VALUES

@@ -89,11 +89,74 @@ object Multimodal {
     }(enc).toDF(outSchema.fieldNames: _*)
   }
 
-  /** STUB decode kernel (audio/video remain stubbed — no ffmpeg in this
-    * container): a real implementation decodes `payload` with a media
-    * codec; this deterministic fake derives "pixels" from the bytes
-    * so the distributed plumbing (mapPartitions over binary batches,
-    * output schema, partition sizing) is fully exercised. */
+  /** REAL audio decode over javax.sound.sampled (WAV/PCM support ships
+    * in the JDK — the audio sibling of the imageio trick): sample rate,
+    * channels, bit depth, duration, mean absolute amplitude normalized
+    * to [0,1]. Undecodable/null payloads yield null columns, not
+    * failures. Map-only over binary batches, same plan shape as
+    * [[decodeImage]]. Video remains the ONE labeled stub: the JDK ships
+    * no video codec. */
+  def decodeAudio(media: DataFrame): DataFrame = {
+    val outSchema = StructType(media.schema.fields ++ Seq(
+      StructField("audio_sample_rate", IntegerType, nullable = true),
+      StructField("audio_channels", IntegerType, nullable = true),
+      StructField("audio_bits", IntegerType, nullable = true),
+      StructField("audio_duration_ms", LongType, nullable = true),
+      StructField("audio_mean_abs", DoubleType, nullable = true)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        val decoded: Seq[Any] =
+          if (payload == null) Seq(null, null, null, null, null)
+          else try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(payload))
+            try {
+              val fmt = ais.getFormat
+              val frames = ais.getFrameLength
+              val durMs: Any =
+                if (fmt.getFrameRate > 0) (frames * 1000.0 / fmt.getFrameRate).toLong
+                else null
+              Seq(fmt.getSampleRate.toInt, fmt.getChannels,
+                fmt.getSampleSizeInBits, durMs, meanAbs(ais.readAllBytes(), fmt))
+            } finally ais.close()
+          } catch { // UnsupportedAudioFileException, truncated RIFF, ...
+            case scala.util.control.NonFatal(_) => Seq(null, null, null, null, null)
+          }
+        Row.fromSeq(r.toSeq ++ decoded)
+      }
+    }(enc).toDF(outSchema.fieldNames: _*)
+  }
+
+  /** Mean |sample| over all channels, normalized to [0,1]; null for PCM
+    * widths the JDK parser reports but we don't normalize (e.g. float). */
+  private def meanAbs(bytes: Array[Byte],
+                      fmt: javax.sound.sampled.AudioFormat): java.lang.Double = {
+    import javax.sound.sampled.AudioFormat.Encoding
+    val be = fmt.isBigEndian
+    (fmt.getEncoding, fmt.getSampleSizeInBits) match {
+      case (Encoding.PCM_SIGNED, 16) =>
+        var i = 0; var acc = 0.0; var n = 0
+        while (i + 1 < bytes.length) {
+          val s = if (be) ((bytes(i) << 8) | (bytes(i + 1) & 0xFF)).toShort
+                  else ((bytes(i + 1) << 8) | (bytes(i) & 0xFF)).toShort
+          acc += math.abs(s / 32768.0); n += 1; i += 2
+        }
+        if (n == 0) 0.0 else acc / n
+      case (Encoding.PCM_UNSIGNED, 8) =>
+        var i = 0; var acc = 0.0
+        while (i < bytes.length) { acc += math.abs(((bytes(i) & 0xFF) - 128) / 128.0); i += 1 }
+        if (bytes.isEmpty) 0.0 else acc / bytes.length
+      case _ => null
+    }
+  }
+
+  /** STUB decode kernel (video remains stubbed — no video codec in the
+    * JDK or this container): a real implementation decodes `payload`
+    * with a media codec; this deterministic fake derives "pixels" from
+    * the bytes so the distributed plumbing (mapPartitions over binary
+    * batches, output schema, partition sizing) is fully exercised. */
   def decodeImageFeatures(media: DataFrame, featureDim: Int = 8): DataFrame = {
     val spark = media.sparkSession
     val outSchema = StructType(media.schema.fields :+

@@ -95,6 +95,11 @@ object DeltaLogReader {
     (schema, partCols, state.values.toSeq)
   }
 
+  /** Relative paths of the data files in the current snapshot (writer
+    * support: an Overwrite commit removes exactly these). */
+  private[graft] def activeFiles(spark: SparkSession, tablePath: String): Seq[String] =
+    snapshot(spark, tablePath, None)._3.map(_.path)
+
   /** Read the table at `version` (default: latest commit). */
   def read(spark: SparkSession, tablePath: String,
            version: Option[Long] = None): DataFrame = {

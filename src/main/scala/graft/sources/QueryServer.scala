@@ -1,0 +1,76 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import java.net.InetSocketAddress
+import org.apache.spark.sql.SparkSession
+
+/** In-process REST query endpoint — the "point curl at it" half of
+  * Drill's identity (reference exec/.../server/rest/DrillRestServer.java,
+  * BaseQueryRunner.java, QueryWrapper). `POST /query` with
+  * `{"query": "SELECT ..."}` returns Drill's REST response shape:
+  * `{"columns": [...], "rows": [ {col: value, ...}, ... ]}`.
+  *
+  * The server is a thin shell: the SQL plans and executes on the session
+  * exactly as a programmatic `spark.sql` call would (same catalog, same
+  * registered views/extensions), rows serialize through the engine's own
+  * JSON writer, and an explicit `maxRows` cap bounds the driver-side
+  * materialization — the REST surface is for interactive/result-set
+  * queries, not bulk export (that's CTAS's job, as in Drill).
+  */
+object QueryServer {
+
+  private val mapper = new ObjectMapper()
+
+  final class Running(server: HttpServer,
+                      pool: java.util.concurrent.ExecutorService) {
+    val port: Int = server.getAddress.getPort
+    def stop(): Unit = { server.stop(0); pool.shutdownNow() }
+  }
+
+  def start(spark: SparkSession, port: Int = 0, maxRows: Int = 10000): Running = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    server.createContext("/query", new HttpHandler {
+      override def handle(x: HttpExchange): Unit = {
+        try {
+          if (x.getRequestMethod != "POST") { respond(x, 405, error("POST only")); return }
+          val body = new String(x.getRequestBody.readAllBytes(), "UTF-8")
+          val sql = Option(mapper.readTree(body)).flatMap(n => Option(n.get("query")))
+            .map(_.asText).getOrElse("")
+          if (sql.trim.isEmpty) { respond(x, 400, error("missing \"query\"")); return }
+          val df = spark.sql(sql).limit(maxRows)
+          val cols = mapper.createObjectNode()
+          val colArr = cols.putArray("columns")
+          df.columns.foreach(colArr.add)
+          val rows = df.toJSON.collect() // engine-serialized, maxRows-bounded
+          val sb = new StringBuilder()
+          sb.append("{\"columns\":").append(mapper.writeValueAsString(cols.get("columns")))
+          sb.append(",\"rows\":[").append(rows.mkString(",")).append("]}")
+          respond(x, 200, sb.toString)
+        } catch {
+          case e: Throwable => respond(x, 400, error(
+            Option(e.getMessage).getOrElse(e.getClass.getSimpleName)))
+        }
+      }
+    })
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4,
+      (r: Runnable) => { val t = new Thread(r); t.setDaemon(true); t })
+    server.setExecutor(pool)
+    server.start()
+    new Running(server, pool)
+  }
+
+  private def error(msg: String): String = {
+    val n = mapper.createObjectNode()
+    n.put("errorMessage", msg)
+    mapper.writeValueAsString(n)
+  }
+
+  private def respond(x: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes("UTF-8")
+    x.getResponseHeaders.set("Content-Type", "application/json")
+    x.sendResponseHeaders(code, bytes.length)
+    x.getResponseBody.write(bytes)
+    x.close()
+  }
+}

@@ -1,0 +1,139 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
+
+/** Persistent table statistics — Drill's ANALYZE TABLE ... COMPUTE
+  * STATISTICS + metastore (reference /root/reference/metastore and
+  * exec/.../planner/common/DrillStatsTable.java): stats computed once,
+  * persisted durably, REUSED for planning decisions in later sessions.
+  * Stored as one JSON file per table next to the view catalog's files
+  * (same atomic temp+rename discipline).
+  *
+  * The Spark-first reuse point is join-side sizing: Spark's own CBO
+  * reads catalog-table stats, but path-based reads (the schema-on-read
+  * world graft lives in) have none — `withBroadcastHint` closes that
+  * gap by applying a broadcast hint iff the STORED size estimate clears
+  * the threshold, turning a persisted ANALYZE into the same planning
+  * effect Drill's metastore stats feed its parallelizer. Stats are also
+  * queryable as a relation (INFORMATION_SCHEMA-style), and analyze()
+  * computes everything in ONE distributed aggregation pass (count +
+  * per-column approx NDV + null counts + min/max), not a pass per
+  * column.
+  */
+object StatsCatalog {
+
+  private val Suffix = ".stats.json"
+  private val mapper = new ObjectMapper()
+
+  case class ColumnStats(name: String, ndv: Long, nulls: Long,
+                         min: String, max: String)
+  case class TableStats(table: String, rowCount: Long, sizeBytes: Long,
+                        analyzedAtMs: Long, columns: Seq[ColumnStats])
+
+  private def fs(spark: SparkSession, base: String) =
+    new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** ANALYZE: one aggregation pass over `df`; `sizeBytes` comes from the
+    * plan's own estimate (file-size sum for file sources). Persisted
+    * atomically under `base`. */
+  def analyze(spark: SparkSession, base: String, table: String,
+              df: DataFrame): TableStats = {
+    val cols = df.columns.toSeq
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap { c => Seq(
+      approx_count_distinct(col(c), rsd = 0.01).as(s"__ndv_$c"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+      min(col(c)).cast("string").as(s"__min_$c"),
+      max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val colStats = cols.map { c => ColumnStats(c,
+      r.getAs[Long](s"__ndv_$c"), r.getAs[Long](s"__nulls_$c"),
+      Option(r.getAs[String](s"__min_$c")).orNull,
+      Option(r.getAs[String](s"__max_$c")).orNull)
+    }
+    val stats = TableStats(table, r.getAs[Long]("__n"),
+      df.queryExecution.optimizedPlan.stats.sizeInBytes
+        .min(BigInt(Long.MaxValue)).toLong,
+      System.currentTimeMillis(), colStats)
+    write(spark, base, stats)
+    stats
+  }
+
+  private def write(spark: SparkSession, base: String, s: TableStats): Unit = {
+    val f = fs(spark, base)
+    f.mkdirs(new Path(base))
+    val node = mapper.createObjectNode()
+    node.put("table", s.table)
+    node.put("rowCount", s.rowCount)
+    node.put("sizeBytes", s.sizeBytes)
+    node.put("analyzedAtMs", s.analyzedAtMs)
+    val arr = node.putArray("columns")
+    s.columns.foreach { c =>
+      val cn = arr.addObject()
+      cn.put("name", c.name); cn.put("ndv", c.ndv); cn.put("nulls", c.nulls)
+      cn.put("min", c.min); cn.put("max", c.max)
+    }
+    val target = new Path(base, s.table + Suffix)
+    val tmp = new Path(base, s".${s.table}$Suffix.tmp")
+    val out = f.create(tmp, true)
+    try out.write(mapper.writeValueAsBytes(node)) finally out.close()
+    if (f.exists(target)) f.delete(target, false)
+    require(f.rename(tmp, target), s"atomic rename failed for $target")
+  }
+
+  /** Stored stats for `table`, if analyzed. */
+  def load(spark: SparkSession, base: String, table: String): Option[TableStats] = {
+    val p = new Path(base, table + Suffix)
+    val f = fs(spark, base)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val n = try mapper.readTree(in) finally in.close()
+      Some(TableStats(n.get("table").asText, n.get("rowCount").asLong,
+        n.get("sizeBytes").asLong, n.get("analyzedAtMs").asLong,
+        n.get("columns").elements.asScala.map { c =>
+          ColumnStats(c.get("name").asText, c.get("ndv").asLong,
+            c.get("nulls").asLong,
+            Option(c.get("min")).filterNot(_.isNull).map(_.asText).orNull,
+            Option(c.get("max")).filterNot(_.isNull).map(_.asText).orNull)
+        }.toSeq))
+    }
+  }
+
+  /** The planning reuse: broadcast-hint `df` iff its STORED size
+    * estimate is under `threshold` (default: Spark's own
+    * autoBroadcastJoinThreshold). No stored stats => df unchanged
+    * (never guess a broadcast). */
+  def withBroadcastHint(spark: SparkSession, base: String, table: String,
+                        df: DataFrame, threshold: Long = -1L): DataFrame = {
+    val limit =
+      if (threshold >= 0) threshold
+      else spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760").toLong
+    load(spark, base, table) match {
+      case Some(s) if s.sizeBytes >= 0 && s.sizeBytes <= limit => broadcast(df)
+      case _ => df
+    }
+  }
+
+  /** INFORMATION_SCHEMA-style relation over every stored stats file:
+    * (table_name, row_count, size_bytes, column_name, ndv, nulls, min, max). */
+  def statsTable(spark: SparkSession, base: String): DataFrame = {
+    import spark.implicits._
+    val f = fs(spark, base)
+    val dir = new Path(base)
+    val all =
+      if (!f.exists(dir)) Seq.empty[TableStats]
+      else f.listStatus(dir).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(Suffix))
+        .map(s => s.getPath.getName.stripSuffix(Suffix))
+        .flatMap(t => load(spark, base, t))
+    all.flatMap(t => t.columns.map(c =>
+        (t.table, t.rowCount, t.sizeBytes, c.name, c.ndv, c.nulls, c.min, c.max)))
+      .toDF("table_name", "row_count", "size_bytes", "column_name",
+        "ndv", "nulls", "min", "max")
+  }
+}

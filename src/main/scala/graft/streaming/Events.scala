@@ -87,17 +87,27 @@ object Events {
   /** Streaming decontamination: drop stream rows that near-duplicate a
     * STATIC reference corpus (eval/benchmark content) at ingest,
     * STATELESSLY — no watermark, no join state, so it runs at ingest rate
-    * forever. The reference is banded once at plan time and embedded as a
-    * literal (decontamination references are eval sets — broadcast-small
-    * by nature; the per-row cost is an arrays_overlap short-circuit over
-    * the reference, with the exact hashed-token Jaccard only on band
-    * collisions). A row survives iff NO reference doc shares a band and
-    * verifies at `threshold`. The batch twin for big-vs-big corpora is
-    * Dedup.decontaminate (bipartite banded join). */
+    * forever. A row survives iff NO reference doc shares an LSH band and
+    * verifies at `threshold` (exact hashed-token Jaccard, computed only
+    * on band collisions thanks to the arrays_overlap short-circuit).
+    *
+    * Two stateless physical shapes, chosen by reference SIZE:
+    *  - at most `maxRefLiteral` docs: the banded reference embeds in the
+    *    plan as a literal — zero join machinery, pure codegen filter.
+    *    Plans (and their codegen + serialized form) grow with literal
+    *    size, so this path is bounded, not the default for everything.
+    *  - larger: the same predicate runs as a broadcast stream-static
+    *    LEFT ANTI join — the reference rides the broadcast channel
+    *    (GB-scale) instead of the query plan (KB-scale), still no
+    *    streaming state. Per-row work is identical.
+    * The batch twin for big-vs-big corpora remains Dedup.decontaminate
+    * (bipartite banded join), which beats both shapes once the reference
+    * itself needs to shuffle. */
   def decontaminateStream(stream: DataFrame, reference: DataFrame,
                           idCol: String, textCol: String,
                           numHashes: Int = 128, bands: Int = 32,
-                          threshold: Double = 0.8): DataFrame = {
+                          threshold: Double = 0.8,
+                          maxRefLiteral: Int = 4096): DataFrame = {
     import graft.pipeline.{Dedup, TextAnalysis}
     val rowsPerBand = numHashes / bands
     def thOf(c: Column): Column =
@@ -106,17 +116,27 @@ object Events {
       Dedup.lshBandKeys(Dedup.minhashSignatureFromHashes(th, numHashes),
         bands, rowsPerBand)
 
-    val refRows: Seq[(Seq[Long], Seq[Long])] = reference
-      .select(bandsOf(thOf(col(textCol))).as("b"), thOf(col(textCol)).as("t"))
-      .collect()
-      .map(r => (r.getSeq[Long](0), r.getSeq[Long](1))).toSeq
-    val refLit = typedlit(refRows)
-
+    val refBanded = reference
+      .select(bandsOf(thOf(col(textCol))).as("ref_bands"),
+        thOf(col(textCol)).as("ref_th"))
     val myTh = thOf(col(textCol))
-    val contaminated = exists(refLit, r =>
-      arrays_overlap(bandsOf(myTh), r.getField("_1")) &&
-        call_function("jaccard_sim", myTh, r.getField("_2")) >= threshold)
-    stream.filter(!contaminated)
+
+    if (reference.count() <= maxRefLiteral) {
+      val refRows: Seq[(Seq[Long], Seq[Long])] = refBanded.collect()
+        .map(r => (r.getSeq[Long](0), r.getSeq[Long](1))).toSeq
+      val refLit = typedlit(refRows)
+      val contaminated = exists(refLit, r =>
+        arrays_overlap(bandsOf(myTh), r.getField("_1")) &&
+          call_function("jaccard_sim", myTh, r.getField("_2")) >= threshold)
+      stream.filter(!contaminated)
+    } else {
+      stream.withColumn("__th", myTh).withColumn("__bands", bandsOf(col("__th")))
+        .join(broadcast(refBanded),
+          arrays_overlap(col("__bands"), col("ref_bands")) &&
+            call_function("jaccard_sim", col("__th"), col("ref_th")) >= threshold,
+          "left_anti")
+        .drop("__th", "__bands")
+    }
   }
 
   /** Structured Streaming form of tumblingAgg: readStream on the same

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.DeltaLogReader
+
+class DeltaSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def freshDir(name: String): String = {
+    val base = s"/tmp/graft_test/delta_$name"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    base
+  }
+
+  test("snapshot replay: add, add, remove+add across versions; time travel") {
+    import spark.implicits._
+    val base = freshDir("plain")
+    val df = (1L to 10L).map(i => (i, s"row$i")).toDF("k", "v")
+    val szA = DeltaLogReader.writeDataFile(df.filter(col("k") <= 3), base, "a.parquet")
+    val szB = DeltaLogReader.writeDataFile(df.filter(col("k") > 3 && col("k") <= 6), base, "b.parquet")
+    val szC = DeltaLogReader.writeDataFile(df.filter(col("k") > 6), base, "c.parquet")
+    DeltaLogReader.writeCommit(spark, base, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      DeltaLogReader.metaDataAction(df.schema, Nil),
+      s"""{"add":{"path":"a.parquet","partitionValues":{},"size":$szA,"modificationTime":1,"dataChange":true}}"""))
+    DeltaLogReader.writeCommit(spark, base, 1, Seq(
+      s"""{"add":{"path":"b.parquet","partitionValues":{},"size":$szB,"modificationTime":2,"dataChange":true}}"""))
+    DeltaLogReader.writeCommit(spark, base, 2, Seq(
+      """{"remove":{"path":"a.parquet","deletionTimestamp":3,"dataChange":true}}""",
+      s"""{"add":{"path":"c.parquet","partitionValues":{},"size":$szC,"modificationTime":3,"dataChange":true}}"""))
+
+    assert(DeltaLogReader.tableVersions(spark, base) == Seq(0L, 1L, 2L))
+    def keys(version: Option[Long]) =
+      DeltaLogReader.read(spark, base, version)
+        .select("k").collect().map(_.getLong(0)).toSet
+    assert(keys(None) == (4L to 10L).toSet)         // latest: b + c
+    assert(keys(Some(0L)) == (1L to 3L).toSet)      // v0: a only
+    assert(keys(Some(1L)) == (1L to 6L).toSet)      // v1: a + b
+    assert(keys(Some(2L)) == (4L to 10L).toSet)
+    intercept[IllegalArgumentException](keys(Some(9L)))
+  }
+
+  test("re-add after remove restores the file (last action per path wins)") {
+    import spark.implicits._
+    val base = freshDir("readd")
+    val df = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+    val sz = DeltaLogReader.writeDataFile(df, base, "a.parquet")
+    DeltaLogReader.writeCommit(spark, base, 0, Seq(
+      DeltaLogReader.metaDataAction(df.schema, Nil),
+      s"""{"add":{"path":"a.parquet","partitionValues":{},"size":$sz,"modificationTime":1,"dataChange":true}}"""))
+    DeltaLogReader.writeCommit(spark, base, 1, Seq(
+      """{"remove":{"path":"a.parquet","deletionTimestamp":2,"dataChange":true}}"""))
+    DeltaLogReader.writeCommit(spark, base, 2, Seq(
+      s"""{"add":{"path":"a.parquet","partitionValues":{},"size":$sz,"modificationTime":3,"dataChange":true}}"""))
+    assert(DeltaLogReader.read(spark, base, Some(1L)).count() == 0)
+    assert(DeltaLogReader.read(spark, base).count() == 2)
+  }
+
+  test("partition values come from the log, typed per the declared schema") {
+    import spark.implicits._
+    val base = freshDir("part")
+    // data files carry ONLY (k, v); partition column p lives in the log
+    val data = Seq((1L, "a1"), (2L, "a2")).toDF("k", "v")
+    val data2 = Seq((3L, "b1")).toDF("k", "v")
+    val szA = DeltaLogReader.writeDataFile(data, base, "p=10/a.parquet")
+    val szB = DeltaLogReader.writeDataFile(data2, base, "p=20/b.parquet")
+    val full = org.apache.spark.sql.types.StructType.fromDDL(
+      "k BIGINT, v STRING, p INT")
+    DeltaLogReader.writeCommit(spark, base, 0, Seq(
+      DeltaLogReader.metaDataAction(full, Seq("p")),
+      s"""{"add":{"path":"p=10/a.parquet","partitionValues":{"p":"10"},"size":$szA,"modificationTime":1,"dataChange":true}}""",
+      s"""{"add":{"path":"p=20/b.parquet","partitionValues":{"p":"20"},"size":$szB,"modificationTime":1,"dataChange":true}}"""))
+    val got = DeltaLogReader.read(spark, base)
+    assert(got.schema.fieldNames.toSeq == Seq("k", "v", "p"))
+    assert(got.schema("p").dataType == org.apache.spark.sql.types.IntegerType)
+    val rows = got.collect().map(r => (r.getLong(0), r.getInt(2))).toSet
+    assert(rows == Set((1L, 10), (2L, 10), (3L, 20)))
+  }
+
+  test("writer: create + append + overwrite, each readable by version") {
+    import spark.implicits._
+    import graft.sources.DeltaLogWriter
+    import org.apache.spark.sql.SaveMode
+    val base = freshDir("writer")
+    val df = (1L to 6L).map(i => (i, s"v$i")).toDF("k", "v")
+    assert(DeltaLogWriter.write(df.filter(col("k") <= 2), base) == 0L)
+    assert(DeltaLogWriter.write(df.filter(col("k") > 2 && col("k") <= 4), base) == 1L)
+    assert(DeltaLogWriter.write(df.filter(col("k") > 4), base, SaveMode.Overwrite) == 2L)
+    def keys(v: Option[Long]) = DeltaLogReader.read(spark, base, v)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(keys(Some(0L)) == Set(1L, 2L))
+    assert(keys(Some(1L)) == Set(1L, 2L, 3L, 4L))     // append accumulates
+    assert(keys(None) == Set(5L, 6L))                 // overwrite replaces
+    // round-trips through a multi-part write too
+    val wide = spark.range(100).toDF("k").withColumn("v", col("k").cast("string"))
+      .repartition(4)
+    val base2 = freshDir("writer_parts")
+    DeltaLogWriter.write(wide, base2)
+    assert(DeltaLogReader.read(spark, base2).count() == 100)
+  }
+
+  test("non-delta dir and checkpoint-only log raise clear errors") {
+    val e1 = intercept[IllegalArgumentException](
+      DeltaLogReader.read(spark, freshDir("missing")))
+    assert(e1.getMessage.contains("_delta_log"))
+  }
+}

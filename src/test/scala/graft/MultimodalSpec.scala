@@ -45,6 +45,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(2).isNullAt(out(2).fieldIndex("img_width"))) // dirty row -> null, no failure
   }
 
+  test("decodeAudio REALLY decodes WAV PCM (javax.sound, committed fixture)") {
+    import spark.implicits._
+    // committed fixture: 440 Hz sine, 8 kHz, 16-bit mono, 2000 frames
+    val wav = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$Fixtures/tone.wav"))
+    val df = Seq((1L, "audio", wav),
+        (2L, "audio", "not audio at all".getBytes("UTF-8")),
+        (3L, "audio", null.asInstanceOf[Array[Byte]]))
+      .toDF("media_id", "kind", "payload")
+    val out = Multimodal.decodeAudio(df).orderBy("media_id").collect()
+    val r = out(0)
+    assert(r.getInt(r.fieldIndex("audio_sample_rate")) == 8000)
+    assert(r.getInt(r.fieldIndex("audio_channels")) == 1)
+    assert(r.getInt(r.fieldIndex("audio_bits")) == 16)
+    assert(r.getLong(r.fieldIndex("audio_duration_ms")) == 250L)
+    // mean |sin| at amplitude 0.5 over whole cycles: computed exactly by
+    // the fixture generator = 0.3182546997...
+    assert(math.abs(r.getDouble(r.fieldIndex("audio_mean_abs")) - 0.3182546997) < 1e-9)
+    assert(out(1).isNullAt(out(1).fieldIndex("audio_sample_rate"))) // dirty -> null
+    assert(out(2).isNullAt(out(2).fieldIndex("audio_mean_abs")))    // null payload
+  }
+
   test("decodeImageFeatures (STUB kernel) is deterministic over binary batches") {
     val feats = Multimodal.decodeImageFeatures(media.limit(50), featureDim = 8)
     val rows = feats.select("media_id", "features").collect()

@@ -70,6 +70,48 @@ class PcapSpec extends AnyFunSuite {
     assert(rows.map(_.toSeq) == Seq(Seq("Hello World"))) // runs concatenated
   }
 
+  test("pcapng: block framing over the same decoder equals the classic rows") {
+    val ng = graft.sources.PcapngReader.read(spark, s"$Fixtures/sample.pcapng")
+      .orderBy("ts_sec").collect().toSeq
+    val classic = PcapReader.read(spark, s"$Fixtures/sample.pcap")
+      .orderBy("ts_sec").collect().toSeq
+    // same three packets, same decode, same (sec, usec) despite the
+    // 64-bit single-number pcapng timestamp; the fixture also contains an
+    // unknown block type the framing must skip
+    assert(ng == classic)
+  }
+
+  test("pcapng: if_tsresol option drives timestamp normalization (ms + big-endian)") {
+    import java.io.{ByteArrayInputStream, DataInputStream}
+    def beBlock(btype: Long, body: Array[Byte]): Array[Byte] = {
+      val total = 12 + body.length
+      val bb = java.nio.ByteBuffer.allocate(total)
+      bb.putInt(btype.toInt).putInt(total).put(body).putInt(total)
+      bb.array()
+    }
+    val shb = beBlock(0x0A0D0D0AL,
+      java.nio.ByteBuffer.allocate(16).putInt(0x1A2B3C4D).putShort(1).putShort(0)
+        .putLong(-1L).array())
+    // IDB declaring if_tsresol = 3 (milliseconds)
+    val idb = beBlock(1L, java.nio.ByteBuffer.allocate(16)
+      .putShort(1).putShort(0).putInt(65535)
+      .putShort(9).putShort(1).put(3.toByte).put(Array[Byte](0, 0, 0))
+      .array().take(16))
+    // EPB at ts = 1700000001234 ms => sec 1700000001, usec 234000
+    val ts = 1700000001234L
+    val data = new Array[Byte](20) // non-IPv4: null network fields
+    val epbBody = java.nio.ByteBuffer.allocate(20 + data.length)
+      .putInt(0).putInt((ts >> 32).toInt).putInt(ts.toInt)
+      .putInt(data.length).putInt(data.length).put(data).array()
+    val epb = beBlock(6L, epbBody)
+    val bytes = shb ++ idb ++ epb
+    val rows = graft.sources.PcapngReader.parse(
+      new DataInputStream(new ByteArrayInputStream(bytes))).toList
+    assert(rows.length == 1)
+    assert(rows.head.getLong(0) == 1700000001L)
+    assert(rows.head.getLong(1) == 234000L)
+  }
+
   test("non-IPv4 frames yield null network fields, not failures") {
     // ARP ethertype 0x0806, truncated body
     val arp = Array.fill[Byte](20)(0)

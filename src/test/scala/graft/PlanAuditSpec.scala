@@ -93,6 +93,29 @@ class PlanAuditSpec extends AnyFunSuite {
       "cap off => no window, block self-join stays broadcastable")
   }
 
+  test("delta reader: predicates + pruning reach the underlying parquet scan") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.DeltaLogReader
+    val base = "/tmp/graft_test/delta_planaudit"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val src = GraftSession.table(spark, SF, "orders")
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    val sz = DeltaLogReader.writeDataFile(src, base, "data.parquet")
+    DeltaLogReader.writeCommit(spark, base, 0, Seq(
+      DeltaLogReader.metaDataAction(src.schema, Nil),
+      s"""{"add":{"path":"data.parquet","partitionValues":{},"size":$sz,"modificationTime":1,"dataChange":true}}"""))
+    val q = DeltaLogReader.read(spark, base)
+      .filter(col("o_orderkey") < 100).select("o_orderkey", "o_totalprice")
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderkey), LessThan(o_orderkey,100)]"),
+      s"delta read must keep parquet pushdown intact:\n$plan")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("o_orderstatus"),
+      s"column pruning must reach the delta data files: $readSchema")
+  }
+
   test("q_hll_sketch: sketches partial-aggregate map-side before the union") {
     val p = plan("q_hll_sketch")
     assert(p.contains("partial_hll_sketch_agg") || p.contains("partial_"),

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class RestShapefileSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("shapefile: point records + dbf attributes, GeoJSON-shaped") {
+    val df = graft.sources.ShapefileReader.read(spark, s"$Fixtures/sample.shp")
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("feature_idx", "geom_type", "lon", "lat", "properties"))
+    val rows = df.orderBy("feature_idx").collect()
+    assert(rows.length == 4)
+    assert(rows(0).getString(1) == "Point")
+    assert(math.abs(rows(0).getDouble(2) - (-122.42)) < 1e-9)
+    assert(math.abs(rows(0).getDouble(3) - 37.77) < 1e-9)
+    assert(rows(0).getMap[String, String](4)("NAME") == "alpha")
+    assert(rows(3).getMap[String, String](4)("KIND") == "city")
+    // unions cleanly with the GeoJSON reader (same relational shape)
+    val geo = graft.sources.SchemaOnRead.geojson(spark, s"$Fixtures/sample.geojson")
+      .select("feature_idx", "geom_type", "lon", "lat", "properties")
+    assert(geo.unionByName(df).count() == geo.count() + 4)
+  }
+
+  test("shp without a sidecar dbf yields null properties, not a failure") {
+    // copy just the .shp to a dir with no .dbf
+    val dir = "/tmp/graft_test/shp_nodbf"
+    new java.io.File(s"$dir/lone.shp").delete()
+    new java.io.File(dir).mkdirs()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$Fixtures/sample.shp"),
+      java.nio.file.Paths.get(s"$dir/lone.shp"))
+    val rows = graft.sources.ShapefileReader.read(spark, s"$dir/lone.shp").collect()
+    assert(rows.length == 4)
+    assert(rows.forall(_.isNullAt(4)))
+  }
+
+  test("REST query endpoint: POST sql -> columns + rows (Drill /query shape)") {
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .createOrReplaceTempView("rest_spec_t")
+    val server = graft.sources.QueryServer.start(spark, maxRows = 100)
+    try {
+      def post(body: String): (Int, String) = {
+        val url = java.net.URI.create(
+          s"http://127.0.0.1:${server.port}/query").toURL
+        val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST")
+        conn.setDoOutput(true)
+        conn.getOutputStream.write(body.getBytes("UTF-8"))
+        val code = conn.getResponseCode
+        val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+        val s = new String(is.readAllBytes(), "UTF-8")
+        conn.disconnect()
+        (code, s)
+      }
+      val (code, body) = post(
+        """{"query": "SELECT k, v FROM rest_spec_t WHERE k > 1 ORDER BY k"}""")
+      assert(code == 200)
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+      assert(node.get("columns").toString == """["k","v"]""")
+      assert(node.get("rows").size() == 2)
+      assert(node.get("rows").get(0).get("k").asLong == 2L)
+      assert(node.get("rows").get(1).get("v").asText == "c")
+      // bad SQL -> 400 with errorMessage, server stays up
+      val (badCode, badBody) = post("""{"query": "SELECT FROM nope"}""")
+      assert(badCode == 400 && badBody.contains("errorMessage"))
+      // missing query field -> 400
+      assert(post("""{"nope": 1}""")._1 == 400)
+      // still serving after errors
+      assert(post("""{"query": "SELECT 1 AS one"}""")._1 == 200)
+    } finally server.stop()
+  }
+
+  test("REST endpoint caps result materialization at maxRows") {
+    import spark.implicits._
+    (1 to 500).toDF("n").createOrReplaceTempView("rest_spec_big")
+    val server = graft.sources.QueryServer.start(spark, maxRows = 10)
+    try {
+      val url = java.net.URI.create(
+        s"http://127.0.0.1:${server.port}/query").toURL
+      val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      conn.getOutputStream.write(
+        """{"query": "SELECT n FROM rest_spec_big"}""".getBytes("UTF-8"))
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(new String(conn.getInputStream.readAllBytes(), "UTF-8"))
+      conn.disconnect()
+      assert(node.get("rows").size() == 10)
+    } finally server.stop()
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.StatsCatalog
+
+class StatsCatalogSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def freshDir(name: String): String = {
+    val base = s"/tmp/graft_test/stats_$name"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    base
+  }
+
+  test("analyze persists stats; load round-trips; ndv exact at small cardinality") {
+    val base = freshDir("roundtrip")
+    val nation = GraftSession.table(spark, SF, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    val computed = StatsCatalog.analyze(spark, base, "nation", nation)
+    val loaded = StatsCatalog.load(spark, base, "nation").get
+    assert(loaded == computed)
+    assert(loaded.rowCount == nation.count())
+    val byName = loaded.columns.map(c => c.name -> c).toMap
+    // ndv is an HLL++ sketch (rsd 0.01): assert within the error bound
+    def close(got: Long, exact: Long): Boolean =
+      math.abs(got - exact) <= math.max(1L, math.ceil(exact * 0.05).toLong)
+    assert(close(byName("n_nationkey").ndv,
+      nation.select("n_nationkey").distinct().count()))
+    assert(close(byName("n_regionkey").ndv,
+      nation.select("n_regionkey").distinct().count()))
+    assert(byName("n_nationkey").nulls == 0)
+    assert(byName("n_nationkey").min == "0")
+    assert(StatsCatalog.load(spark, base, "never_analyzed").isEmpty)
+  }
+
+  test("withBroadcastHint: stored small size => broadcast planned; no stats => untouched") {
+    val base = freshDir("hint")
+    val nation = GraftSession.table(spark, SF, "nation")
+      .select("n_nationkey", "n_name")
+    val customer = GraftSession.table(spark, SF, "customer")
+      .select("c_custkey", "c_nationkey")
+    StatsCatalog.analyze(spark, base, "nation", nation)
+    assert(StatsCatalog.load(spark, base, "nation").get.sizeBytes > 0)
+
+    // force the planner away from size-based auto-broadcast so the HINT
+    // is the only thing that can produce a broadcast join
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val unhinted = customer.join(nation,
+        col("c_nationkey") === col("n_nationkey"))
+      unhinted.collect()
+      assert(!unhinted.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"))
+
+      // threshold is explicit here because the session conf above is -1
+      val hinted = customer.join(
+        StatsCatalog.withBroadcastHint(spark, base, "nation", nation,
+          threshold = 10L * 1024 * 1024),
+        col("c_nationkey") === col("n_nationkey"))
+      hinted.collect()
+      assert(hinted.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"),
+        "stored stats under threshold must produce a broadcast hint")
+
+      // stats stored but OVER the threshold => no hint
+      val big = StatsCatalog.withBroadcastHint(spark, base, "nation", nation,
+        threshold = 1L)
+      val bigJoin = customer.join(big, col("c_nationkey") === col("n_nationkey"))
+      bigJoin.collect()
+      assert(!bigJoin.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"))
+
+      // never analyzed => untouched
+      val none = StatsCatalog.withBroadcastHint(spark, base, "nope", nation,
+        threshold = 10L * 1024 * 1024)
+      val noneJoin = customer.join(none, col("c_nationkey") === col("n_nationkey"))
+      noneJoin.collect()
+      assert(!noneJoin.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+      (64L * 1024 * 1024).toString)
+  }
+
+  test("statsTable lists every analyzed table as a queryable relation") {
+    val base = freshDir("table")
+    val nation = GraftSession.table(spark, SF, "nation").select("n_nationkey")
+    val region = GraftSession.table(spark, SF, "region").select("r_regionkey")
+    StatsCatalog.analyze(spark, base, "nation", nation)
+    StatsCatalog.analyze(spark, base, "region", region)
+    val t = StatsCatalog.statsTable(spark, base)
+    assert(t.select("table_name").distinct().collect()
+      .map(_.getString(0)).toSet == Set("nation", "region"))
+    t.createOrReplaceTempView("graft_stats")
+    assert(spark.sql(
+      "SELECT count(*) FROM graft_stats WHERE table_name = 'nation'")
+      .collect()(0).getLong(0) == 1L)
+  }
+}

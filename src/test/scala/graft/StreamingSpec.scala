@@ -153,6 +153,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("decontaminateStream picks literal under the bound, anti-join past it; same rows") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val reference = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "benchmark question about spark engines and scaling"),
+      (3L, "a third evaluation prompt about unrelated things"))
+      .toDF("doc_id", "text")
+    def run(maxRefLiteral: Int): (Set[Long], String) = {
+      val input = MemoryStream[(Long, String)]
+      val clean = Events.decontaminateStream(
+        input.toDF().toDF("doc_id", "text"), reference, "doc_id", "text",
+        threshold = 0.7, maxRefLiteral = maxRefLiteral)
+      // plan-shape check: literal path has no join; fallback is LeftAnti
+      val planStr = clean.queryExecution.analyzed.toString
+      val name = s"decon_bound_$maxRefLiteral"
+      val q = clean.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        input.addData(
+          (10L, "the quick brown fox jumps over the lazy dog"),
+          (11L, "an entirely original training document"),
+          (12L, "benchmark question about spark engines and scale"))
+        q.processAllAvailable()
+        // either way: stateless (no streaming state operators)
+        assert(!q.lastProgress.toString.contains("stateOperators\" : [ {"))
+        (spark.table(name).select("doc_id").collect().map(_.getLong(0)).toSet,
+          planStr)
+      } finally q.stop()
+    }
+    val (literalIds, literalPlan) = run(maxRefLiteral = 10) // 3 <= 10: literal
+    val (joinIds, joinPlan) = run(maxRefLiteral = 2)        // 3 > 2: anti-join
+    assert(literalIds == Set(11L) && joinIds == Set(11L))
+    assert(!literalPlan.contains("Join LeftAnti"),
+      "under the bound the reference must embed as a plan literal, no join")
+    assert(joinPlan.contains("Join LeftAnti"),
+      "past the bound the reference must ride a broadcast anti-join")
+  }
+
   test("batch and stream tumbling aggregation agree on the same data") {
     import spark.implicits._
     val batch = Seq((1L, ts(0), "click", 1.0), (2L, ts(10), "click", 2.0),
