@@ -277,6 +277,12 @@ object QueriesSources {
           element_at(col("properties"), "name").as("name"),
           element_at(col("properties"), "kind").as("kind"))),
 
+    // ---- SAS7BDAT (ref contrib/format-sas/.../SasBatchReader.java; no
+    // parso here, the page/subheader layout is decoded directly; fixture
+    // cross-validated against pandas.read_sas at generation time) ----
+    "q_read_sas" -> ((s, _) =>
+      graft.sources.SasReader.read(s, s"$Dir/sample.sas7bdat")),
+
     // ---- ESRI shapefile (ref contrib/format-esri/.../ShpBatchReader.java):
     // .shp point records + sidecar .dbf attributes, GeoJSON-shaped ----
     "q_read_shp" -> ((s, _) =>
@@ -576,6 +582,12 @@ object QueriesSources {
              THEN f.geometry.coordinates[2]::DOUBLE END AS lat,
         f.properties.name AS name, f.properties.kind AS kind
       FROM f""",
+    "q_read_sas" -> """
+      SELECT "ID"::DOUBLE AS "ID", "NAME", "SCORE"::DOUBLE AS "SCORE"
+      FROM (VALUES
+        (1, 'alpha', 10.5), (2, 'beta', -3.25), (3, 'gamma', 99.0),
+        (4, 'delta', 0.125), (5, 'epsilon', 7.75))
+      t("ID", "NAME", "SCORE")""",
     "q_read_shp" -> """
       SELECT feature_idx::INT AS feature_idx, geom_type,
              lon::DOUBLE AS lon, lat::DOUBLE AS lat, name, kind

@@ -21,9 +21,13 @@ object DeltaLogWriter {
 
   /** Write `df` to `tablePath` as a new Delta commit. Append creates the
     * table when absent; Overwrite replaces the current snapshot. Returns
-    * the committed version. */
+    * the committed version. `txn` (appId, version) adds a transaction
+    * action to the commit — the Delta protocol's idempotence mechanism:
+    * a writer replaying work (e.g. a restarted streaming batch) checks
+    * [[lastTxnVersion]] before re-committing. */
   def write(df: DataFrame, tablePath: String,
-            mode: SaveMode = SaveMode.Append): Long = {
+            mode: SaveMode = SaveMode.Append,
+            txn: Option[(String, Long)] = None): Long = {
     require(mode == SaveMode.Append || mode == SaveMode.Overwrite,
       s"delta write supports Append/Overwrite, got $mode")
     val spark = df.sparkSession
@@ -64,8 +68,36 @@ object DeltaLogWriter {
       else Seq.empty
     val removeActions = removes.map(p =>
       s"""{"remove":{"path":"$p","deletionTimestamp":0,"dataChange":true}}""")
+    val txnActions = txn.toSeq.map { case (appId, v) =>
+      s"""{"txn":{"appId":"$appId","version":$v}}"""
+    }
     DeltaLogReader.writeCommit(spark, tablePath, version,
-      head ++ removeActions ++ adds)
+      head ++ txnActions ++ removeActions ++ adds)
     version
+  }
+
+  /** Highest committed txn version for `appId` (Delta `txn` actions),
+    * or None if the app never committed — the restart check for
+    * idempotent/streaming writers. */
+  def lastTxnVersion(spark: org.apache.spark.sql.SparkSession,
+                     tablePath: String, appId: String): Option[Long] = {
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(tablePath, "_delta_log"))) return None
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val versions = DeltaLogReader.tableVersions(spark, tablePath)
+    val txns = versions.flatMap { v =>
+      val p = new Path(new Path(tablePath, "_delta_log"), f"$v%020d.json")
+      val in = fs.open(p)
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      lines.filter(_.contains("\"txn\"")).flatMap { line =>
+        val n = mapper.readTree(line)
+        Option(n.get("txn"))
+          .filter(_.get("appId").asText == appId)
+          .map(_.get("version").asLong)
+      }
+    }
+    txns.maxOption
   }
 }

@@ -139,6 +139,31 @@ object Events {
     }
   }
 
+  /** Streaming ingest into a Delta table: each micro-batch commits
+    * atomically to the transaction log via foreachBatch +
+    * DeltaLogWriter, carrying a Delta `txn` action keyed by `appId` —
+    * exactly-once ACROSS RESTARTS: a replayed batch whose id is at or
+    * below the last committed txn version is skipped, which is precisely
+    * the Delta protocol's idempotent-writer mechanism. Readers replaying
+    * the log never see a partial batch (the commit-file rename is the
+    * publish point). The lakehouse half of the streaming story: dedup/
+    * decontaminate at ingest, then land exactly once in a table any
+    * engine can read. */
+  def deltaSink(stream: DataFrame, tablePath: String, checkpoint: String,
+                appId: String = "graft-stream"): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val committed = graft.sources.DeltaLogWriter
+          .lastTxnVersion(batch.sparkSession, tablePath, appId)
+        if (!committed.exists(_ >= batchId))
+          graft.sources.DeltaLogWriter.write(batch.toDF(), tablePath,
+            txn = Some((appId, batchId)))
+        ()
+      }
+      .start()
+
   /** Structured Streaming form of tumblingAgg: readStream on the same
     * schema -> watermark -> windowed agg. Caller supplies the streaming
     * source (e.g. a rate/file/kafka reader). */

@@ -192,6 +192,42 @@ class StreamingSpec extends AnyFunSuite {
       "past the bound the reference must ride a broadcast anti-join")
   }
 
+  test("deltaSink lands micro-batches as atomic Delta commits, idempotent by txn") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val base = "/tmp/graft_test/delta_sink"
+    val ckpt = "/tmp/graft_test/delta_sink_ckpt"
+    Seq(base, ckpt).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    val input = MemoryStream[(Long, String)]
+    val q = Events.deltaSink(input.toDF().toDF("k", "v"), base, ckpt)
+    try {
+      input.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      input.addData((3L, "c"))
+      q.processAllAvailable()
+      val got = graft.sources.DeltaLogReader.read(spark, base)
+        .select("k").collect().map(_.getLong(0)).toSet
+      assert(got == Set(1L, 2L, 3L))
+      // txn bookkeeping: last committed batch recorded in the log
+      assert(graft.sources.DeltaLogWriter
+        .lastTxnVersion(spark, base, "graft-stream").exists(_ >= 1L))
+      // idempotence: replaying an already-committed batch id through the
+      // exact guard deltaSink uses is a no-op; a new id commits
+      import graft.sources.{DeltaLogReader, DeltaLogWriter}
+      val before = DeltaLogReader.tableVersions(spark, base).size
+      val dup = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      if (!DeltaLogWriter.lastTxnVersion(spark, base, "graft-stream").exists(_ >= 0L))
+        DeltaLogWriter.write(dup, base, txn = Some(("graft-stream", 0L)))
+      assert(DeltaLogReader.tableVersions(spark, base).size == before,
+        "replayed batch must be skipped")
+      DeltaLogWriter.write(dup, base, txn = Some(("graft-stream", 99L)))
+      assert(DeltaLogReader.tableVersions(spark, base).size == before + 1)
+    } finally q.stop()
+  }
+
   test("batch and stream tumbling aggregation agree on the same data") {
     import spark.implicits._
     val batch = Seq((1L, ts(0), "click", 1.0), (2L, ts(10), "click", 2.0),
