@@ -116,6 +116,39 @@ class PlanAuditSpec extends AnyFunSuite {
       s"column pruning must reach the delta data files: $readSchema")
   }
 
+  test("provided-schema CSV read: coercion fuses into the scan, zero exchanges") {
+    val df = SparkEntry.queries("q_provided_schema")(spark, SF)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"declared-schema coercion must be a map-only projection:\n$p")
+  }
+
+  test("partitioned delta: a partition filter prunes whole file groups at plan time") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.DeltaLogReader
+    val base = "/tmp/graft_test/delta_prune"
+    val pth = new org.apache.hadoop.fs.Path(base)
+    pth.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(pth, true)
+    import spark.implicits._
+    val a = Seq((1L, "x")).toDF("k", "v")
+    val b = Seq((2L, "y")).toDF("k", "v")
+    val szA = DeltaLogReader.writeDataFile(a, base, "p=10/a.parquet")
+    val szB = DeltaLogReader.writeDataFile(b, base, "p=20/b.parquet")
+    val full = org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, v STRING, p INT")
+    DeltaLogReader.writeCommit(spark, base, 0, Seq(
+      DeltaLogReader.metaDataAction(full, Seq("p")),
+      s"""{"add":{"path":"p=10/a.parquet","partitionValues":{"p":"10"},"size":$szA,"modificationTime":1,"dataChange":true}}""",
+      s"""{"add":{"path":"p=20/b.parquet","partitionValues":{"p":"20"},"size":$szB,"modificationTime":1,"dataChange":true}}"""))
+    val q = DeltaLogReader.read(spark, base).filter(col("p") === 10)
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // partition values are plan literals: the p=20 branch folds to false
+    // and its scan disappears — one parquet scan survives
+    val scans = "Scan parquet".r.findAllIn(q.queryExecution.executedPlan.toString).size
+    assert(scans == 1,
+      s"partition filter must prune the non-matching file group, saw $scans scans")
+  }
+
   test("q_hll_sketch: sketches partial-aggregate map-side before the union") {
     val p = plan("q_hll_sketch")
     assert(p.contains("partial_hll_sketch_agg") || p.contains("partial_"),
