@@ -166,6 +166,22 @@ object QueriesFunctions {
           repeat(lit("ab"), 3).as("rep"),
           expr("btrim(c_name, 'Cr0123456789')").as("trimmed"))),
 
+    // Drill-specific long-tail fns (StringFunctions.java parse_query /
+    // isdate / byte_substr / binary_string-string_binary role): query
+    // strings via str_to_map, format-aware to_number, try-cast date
+    // validity, binary substring + hex round-trip
+    "q_drill_fns_tail" -> ((s, d) =>
+      T(s, d, "customer").filter(col("c_custkey") < 200)
+        .select(col("c_custkey"),
+          expr("str_to_map(concat('seg=', c_mktsegment, '&key=', c_custkey), '&', '=')")
+            .getItem("seg").as("qp_seg"),
+          expr("cast(to_number(format_number(c_custkey * 1000 + 500, 0), '9,999,999') as double)")
+            .as("parsed_num"),
+          expr("try_cast(CASE WHEN c_custkey % 3 = 0 THEN '2024-01-15' ELSE c_name END AS DATE) IS NOT NULL")
+            .as("is_date"),
+          hex(expr("substring(encode(c_name, 'utf-8'), 3, 4)")).as("bsub_hex"),
+          hex(encode(col("c_mktsegment"), "utf-8")).as("seg_hex"))),
+
     "q_date_fns2" -> ((s, d) =>
       T(s, d, "orders").filter(col("o_orderkey") < 500)
         .select(col("o_orderkey"),
@@ -482,6 +498,16 @@ object QueriesFunctions {
          left(c_name, 4) AS l4, right(c_name, 3) AS r3,
          repeat('ab', 3) AS rep,
          trim(c_name, 'Cr0123456789') AS trimmed
+         FROM customer WHERE c_custkey < 200""",
+    "q_drill_fns_tail" ->
+      """SELECT c_custkey,
+         regexp_extract('seg=' || c_mktsegment || '&key=' || c_custkey,
+                        'seg=([^&]*)', 1) AS qp_seg,
+         (c_custkey * 1000 + 500)::DOUBLE AS parsed_num,
+         (try_cast(CASE WHEN c_custkey % 3 = 0 THEN '2024-01-15' ELSE c_name END
+                   AS DATE) IS NOT NULL) AS is_date,
+         hex(substring(c_name, 3, 4)) AS bsub_hex,
+         hex(c_mktsegment) AS seg_hex
          FROM customer WHERE c_custkey < 200""",
     "q_date_fns2" ->
       """SELECT o_orderkey, weekofyear(o_orderdate)::INT AS wk,
