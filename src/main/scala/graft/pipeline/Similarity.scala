@@ -171,6 +171,100 @@ object Similarity {
       .withColumn("rank", row_number().over(rankW)).filter(col("rank") <= k)
   }
 
+  /** IVF-PQ approximate nearest neighbors — the memory-scale ANN shape
+    * (FAISS IVFPQ): vectors are unit-normalized, coarse-quantized into
+    * `nCells` inverted lists (as [[ivfTopK]]), and product-quantized —
+    * `m` subvectors, each encoded as its nearest of `ksub` codebook
+    * centroids, so a stored vector is m CODES (bytes) instead of dim
+    * floats (dim=768, m=8: 8 B vs 3 KB — the reason PQ exists at 100 TB).
+    * Queries probe `nProbe` cells, score candidates with the ADC lookup
+    * (sum of per-subspace query·centroid dots ≈ cosine on unit vectors),
+    * keep the top k*refine by ADC, and rerank THOSE exactly. Codebooks
+    * are deterministic hash-samples (metadata-scale, broadcast); swap in
+    * k-means for tighter cells without touching the plan. Recall vs
+    * bruteForceTopK is gated in SimilaritySpec on planted clusters. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+             m: Int = 8, ksub: Int = 16, nCells: Int = 16, nProbe: Int = 3,
+             refine: Int = 4, idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val subDim = dim / m
+    val spark = corpus.sparkSession
+    def normed(c: Column): Column = {
+      val n = sqrt(aggregate(c, lit(0.0),
+        (a, x) => a + x.cast("double") * x.cast("double")))
+      transform(c, x => x.cast("double") / n)
+    }
+    val c0 = graft.GraftSession.balanced(
+      corpus.select(col(idCol).as("cid"), normed(col(vecCol)).as("cvec")))
+    val q0 = queries.select(col(idCol).as("qid"), normed(col(vecCol)).as("qvec"))
+
+    // coarse quantizer + PQ codebooks: deterministic hash-samples
+    val cents = c0.withColumn("hk", xxhash64(col("cid"))).orderBy("hk")
+      .limit(nCells)
+      .select(col("cid").as("cent_id"), col("cvec").as("cent_vec"))
+    val cbRows = c0.withColumn("hk", xxhash64(col("cid"), lit(1))).orderBy("hk")
+      .limit(ksub).select("cvec").collect() // ksub vectors: metadata-scale
+      .map(_.getSeq[Double](0)).toSeq
+    val cb = for { mm <- 0 until m; j <- cbRows.indices }
+      yield (mm, j, cbRows(j).slice(mm * subDim, (mm + 1) * subDim))
+    import spark.implicits._
+    val cbDf = cb.toDF("m", "j", "csub")
+
+    // corpus index: IVF cell + m PQ codes per vector
+    val assignW = Window.partitionBy("cid").orderBy(col("cs").desc, col("cent_id"))
+    val cells = c0.crossJoin(broadcast(cents))
+      .withColumn("cs", cosine(col("cvec"), col("cent_vec")))
+      .withColumn("rn", row_number().over(assignW)).filter(col("rn") === 1)
+      .select(col("cid"), col("cent_id").as("cell"))
+    val codeW = Window.partitionBy("cid", "m").orderBy(col("d2"), col("j"))
+    val codes = c0.withColumn("m", explode(sequence(lit(0), lit(m - 1))))
+      .withColumn("sub", expr(s"slice(cvec, m * $subDim + 1, $subDim)"))
+      .join(broadcast(cbDf), "m")
+      .withColumn("d2", aggregate(zip_with(col("sub"), col("csub"),
+        (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x))
+      .withColumn("rn", row_number().over(codeW)).filter(col("rn") === 1)
+      .groupBy("cid")
+      .agg(sort_array(collect_list(struct(col("m"), col("j")))).as("mc"))
+      .select(col("cid"), transform(col("mc"), e => e.getField("j")).as("codes"))
+    val index = cells.join(codes, "cid")
+
+    // query side: probed cells + ADC lookup table (qid, m, j) -> dot
+    val probeW = Window.partitionBy("qid").orderBy(col("cs").desc, col("cent_id"))
+    val probes = q0.crossJoin(broadcast(cents))
+      .withColumn("cs", cosine(col("qvec"), col("cent_vec")))
+      .withColumn("rn", row_number().over(probeW)).filter(col("rn") <= nProbe)
+      .select(col("qid"), col("cent_id").as("cell"))
+    val lut = q0.crossJoin(broadcast(cbDf))
+      .withColumn("qsub", expr(s"slice(qvec, m * $subDim + 1, $subDim)"))
+      .withColumn("qdot", aggregate(zip_with(col("qsub"), col("csub"),
+        (x, y) => x * y), lit(0.0), (a, x) => a + x))
+      .select(col("qid").as("lqid"), col("m").as("lm"), col("j").as("lj"),
+        col("qdot"))
+
+    // ADC scoring of probed candidates, top k*refine per query
+    val adcW = Window.partitionBy("qid").orderBy(col("adc").desc, col("cid"))
+    val shortlist = probes.join(index, "cell")
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        posexplode(col("codes")).as(Seq("pm", "code")))
+      .join(broadcast(lut), col("qid") === col("lqid") &&
+        col("pm") === col("lm") && col("code") === col("lj"))
+      .groupBy("qid", "cid").agg(sum("qdot").as("adc"))
+      .withColumn("rn", row_number().over(adcW))
+      .filter(col("rn") <= k * refine)
+      .select("qid", "cid")
+
+    // exact rerank of the shortlist only
+    val rankW = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    shortlist
+      .join(q0, "qid").join(c0, "cid")
+      .select(col("qid").as("query_id"), col("cid").as("neighbor_id"),
+        round(cosine(col("qvec"), col("cvec")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(rankW)).filter(col("rank") <= k)
+  }
+
   /** Embedding near-duplicate pairs via multi-table LSH: a pair is a
     * candidate if it shares a bucket in any table; exact cosine verifies.
     * The near-dup regime (threshold >= ~0.9, where vectors are

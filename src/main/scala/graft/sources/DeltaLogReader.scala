@@ -30,10 +30,13 @@ import scala.jdk.CollectionConverters._
   * the declared type, one scan per distinct partition tuple — partition
   * count is metadata-scale by design.
   *
-  * Scope: JSON commits (checkpoint-parquet compaction not required for
-  * correctness on tables whose full JSON history is present; a reader
-  * hitting a vacuumed table with only checkpoints raises a clear error
-  * rather than a wrong answer).
+  * Checkpoints: real tables compact the log into
+  * `%020d.checkpoint.parquet` (one action per row, struct columns) and
+  * `_last_checkpoint` names the latest one — old JSON commits may then
+  * be vacuumed. The snapshot bootstraps from the newest checkpoint at
+  * or below the requested version and replays only the JSON commits
+  * after it; time travel BELOW the oldest surviving state raises a
+  * clear history-vacuumed error rather than a wrong answer.
   */
 object DeltaLogReader {
 
@@ -41,7 +44,8 @@ object DeltaLogReader {
 
   private case class AddFile(path: String, partitionValues: Map[String, String])
 
-  /** Commit versions present in `_delta_log`, ascending. */
+  /** JSON commit versions present in `_delta_log`, ascending (may start
+    * past 0 on a vacuumed log — checkpoints carry the earlier state). */
   def tableVersions(spark: SparkSession, tablePath: String): Seq[Long] = {
     val logDir = new Path(tablePath, "_delta_log")
     val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -50,25 +54,76 @@ object DeltaLogReader {
     val versions = fs.listStatus(logDir).toSeq.map(_.getPath.getName)
       .filter(_.matches("\\d{20}\\.json"))
       .map(_.stripSuffix(".json").toLong).sorted
-    if (versions.isEmpty)
+    if (versions.isEmpty && lastCheckpointVersion(spark, tablePath).isEmpty)
       throw new IllegalArgumentException(
-        s"no JSON commits in $logDir (checkpoint-only/vacuumed logs unsupported)")
+        s"no JSON commits and no checkpoint in $logDir")
     versions
   }
 
-  /** (schema, partitionColumns, active files) after replaying 0..version. */
+  /** Version of the latest checkpoint per `_last_checkpoint`, if any. */
+  def lastCheckpointVersion(spark: SparkSession, tablePath: String): Option[Long] = {
+    val p = new Path(new Path(tablePath, "_delta_log"), "_last_checkpoint")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val n = try mapper.readTree(in) finally in.close()
+      Some(n.get("version").asLong)
+    }
+  }
+
+  /** (schema, partitionColumns, active files) at `version`: bootstrap
+    * from the newest checkpoint at or below it (if any), then replay the
+    * JSON commits after it. */
   private def snapshot(spark: SparkSession, tablePath: String,
                        version: Option[Long]): (StructType, Seq[String], Seq[AddFile]) = {
-    val versions = tableVersions(spark, tablePath)
-    val upTo = version.getOrElse(versions.last)
-    require(versions.contains(upTo),
-      s"version $upTo not in log of $tablePath (have ${versions.mkString(", ")})")
-    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val jsonVersions = tableVersions(spark, tablePath)
+    val cpVersion = lastCheckpointVersion(spark, tablePath)
+    val latest = (jsonVersions ++ cpVersion).max
+    val upTo = version.getOrElse(latest)
+    require(jsonVersions.contains(upTo) || cpVersion.contains(upTo),
+      s"version $upTo not in log of $tablePath " +
+        s"(json: ${jsonVersions.mkString(", ")}; checkpoint: $cpVersion)")
+    val logDir = new Path(tablePath, "_delta_log")
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     var schema: StructType = null
     var partCols: Seq[String] = Nil
     val state = scala.collection.mutable.LinkedHashMap[String, AddFile]()
-    versions.takeWhile(_ <= upTo).foreach { v =>
-      val p = new Path(new Path(tablePath, "_delta_log"), f"$v%020d.json")
+
+    val replayFrom: Long = cpVersion.filter(_ <= upTo) match {
+      case Some(cv) =>
+        // checkpoint bootstrap: the parquet holds the RESOLVED state at
+        // cv, one action per row in struct columns
+        import org.apache.spark.sql.functions.col
+        val actions = spark.read.parquet(
+          new Path(logDir, f"$cv%020d.checkpoint.parquet").toString)
+        if (actions.columns.contains("metaData")) {
+          actions.filter(col("metaData").isNotNull)
+            .select("metaData.schemaString", "metaData.partitionColumns")
+            .collect().headOption.foreach { r =>
+              schema = DataType.fromJson(r.getString(0)).asInstanceOf[StructType]
+              partCols = Option(r.getSeq[String](1)).getOrElse(Nil)
+            }
+        }
+        if (actions.columns.contains("add")) {
+          actions.filter(col("add").isNotNull)
+            .select("add.path", "add.partitionValues")
+            .collect().foreach { r =>
+              val pv = Option(r.getMap[String, String](1))
+                .map(_.toMap).getOrElse(Map.empty[String, String])
+              state(r.getString(0)) = AddFile(r.getString(0), pv)
+            }
+        }
+        cv + 1
+      case None =>
+        require(jsonVersions.nonEmpty && jsonVersions.min == 0L,
+          s"history below version ${jsonVersions.headOption.getOrElse(-1L)} was " +
+            s"vacuumed and no checkpoint covers version $upTo of $tablePath")
+        0L
+    }
+
+    jsonVersions.filter(v => v >= replayFrom && v <= upTo).foreach { v =>
+      val p = new Path(logDir, f"$v%020d.json")
       val in = fs.open(p)
       val lines =
         try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
@@ -99,6 +154,14 @@ object DeltaLogReader {
     * support: an Overwrite commit removes exactly these). */
   private[graft] def activeFiles(spark: SparkSession, tablePath: String): Seq[String] =
     snapshot(spark, tablePath, None)._3.map(_.path)
+
+  /** Resolved snapshot state for the checkpoint writer. */
+  private[graft] def snapshotState(spark: SparkSession, tablePath: String,
+                                   version: Option[Long])
+      : (StructType, Seq[String], Seq[(String, Map[String, String])]) = {
+    val (s, pc, files) = snapshot(spark, tablePath, version)
+    (s, pc, files.map(f => (f.path, f.partitionValues)))
+  }
 
   /** Read the table at `version` (default: latest commit). */
   def read(spark: SparkSession, tablePath: String,

@@ -3,6 +3,16 @@ package graft.sources
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode}
 
+// checkpoint action rows (top-level so the encoder derivation is
+// Janino-safe — see the streaming-state precedent)
+case class CpProtocol(minReaderVersion: Int, minWriterVersion: Int)
+case class CpMeta(id: String, schemaString: String, partitionColumns: Seq[String])
+case class CpAdd(path: String, partitionValues: Map[String, String],
+                 size: Long, modificationTime: Long, dataChange: Boolean)
+case class CpTxn(appId: String, version: Long)
+case class CpRow(protocol: Option[CpProtocol], metaData: Option[CpMeta],
+                 add: Option[CpAdd], txn: Option[CpTxn])
+
 /** Delta Lake WRITE path (CTAS / INSERT / overwrite), hand-rolled like
   * the reader: data lands as ordinary parquet part files, then one JSON
   * commit in `_delta_log/` publishes them atomically (add actions; an
@@ -36,8 +46,9 @@ object DeltaLogWriter {
     val (version, removes) =
       if (!exists) (0L, Seq.empty[String])
       else {
-        val versions = DeltaLogReader.tableVersions(spark, tablePath)
-        val next = versions.last + 1
+        val versions = DeltaLogReader.tableVersions(spark, tablePath) ++
+          DeltaLogReader.lastCheckpointVersion(spark, tablePath)
+        val next = versions.max + 1
         val toRemove =
           if (mode == SaveMode.Overwrite)
             DeltaLogReader.activeFiles(spark, tablePath)
@@ -77,15 +88,16 @@ object DeltaLogWriter {
   }
 
   /** Highest committed txn version for `appId` (Delta `txn` actions),
-    * or None if the app never committed — the restart check for
-    * idempotent/streaming writers. */
+    * from surviving JSON commits AND the latest checkpoint (which
+    * carries txn rows so vacuuming the log never loses idempotence
+    * bookkeeping) — the restart check for streaming writers. */
   def lastTxnVersion(spark: org.apache.spark.sql.SparkSession,
                      tablePath: String, appId: String): Option[Long] = {
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(tablePath, "_delta_log"))) return None
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val versions = DeltaLogReader.tableVersions(spark, tablePath)
-    val txns = versions.flatMap { v =>
+    val jsonTxns = versions.flatMap { v =>
       val p = new Path(new Path(tablePath, "_delta_log"), f"$v%020d.json")
       val in = fs.open(p)
       val lines =
@@ -98,6 +110,78 @@ object DeltaLogWriter {
           .map(_.get("version").asLong)
       }
     }
-    txns.maxOption
+    val cpTxns = DeltaLogReader.lastCheckpointVersion(spark, tablePath).toSeq
+      .flatMap { cv =>
+        import org.apache.spark.sql.functions.col
+        val actions = spark.read.parquet(
+          new Path(new Path(tablePath, "_delta_log"),
+            f"$cv%020d.checkpoint.parquet").toString)
+        if (!actions.columns.contains("txn")) Seq.empty
+        else actions.filter(col("txn").isNotNull)
+          .filter(col("txn.appId") === appId)
+          .select("txn.version").collect().map(_.getLong(0)).toSeq
+      }
+    (jsonTxns ++ cpTxns).maxOption
+  }
+
+  /** Compact the log: write a `%020d.checkpoint.parquet` holding the
+    * RESOLVED snapshot (metaData + one add row per live file + the max
+    * txn row per appId), point `_last_checkpoint` at it, and optionally
+    * vacuum the JSON commits it covers. Readers bootstrap from the
+    * checkpoint and replay only newer commits — the mechanism that
+    * keeps log replay O(live files), not O(history), at 100 TB. */
+  def checkpoint(spark: org.apache.spark.sql.SparkSession, tablePath: String,
+                 vacuumJson: Boolean = false): Long = {
+    val jsonVersions = DeltaLogReader.tableVersions(spark, tablePath)
+    val cv = (jsonVersions ++ DeltaLogReader.lastCheckpointVersion(spark, tablePath)).max
+    val (schema, partCols, files) =
+      DeltaLogReader.snapshotState(spark, tablePath, None)
+    // carry forward idempotence bookkeeping: max txn per appId
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val txns = scala.collection.mutable.Map[String, Long]()
+    DeltaLogReader.lastCheckpointVersion(spark, tablePath).foreach { prev =>
+      import org.apache.spark.sql.functions.col
+      val prevCp = spark.read.parquet(new Path(new Path(tablePath, "_delta_log"),
+        f"$prev%020d.checkpoint.parquet").toString)
+      if (prevCp.columns.contains("txn"))
+        prevCp.filter(col("txn").isNotNull).select("txn.appId", "txn.version")
+          .collect().foreach(r => txns(r.getString(0)) =
+            math.max(r.getLong(1), txns.getOrElse(r.getString(0), Long.MinValue)))
+    }
+    jsonVersions.foreach { v =>
+      val p = new Path(new Path(tablePath, "_delta_log"), f"$v%020d.json")
+      val in = fs.open(p)
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      lines.filter(_.contains("\"txn\"")).foreach { line =>
+        val n = mapper.readTree(line)
+        Option(n.get("txn")).foreach { t =>
+          val app = t.get("appId").asText
+          txns(app) = math.max(t.get("version").asLong,
+            txns.getOrElse(app, Long.MinValue))
+        }
+      }
+    }
+    import spark.implicits._
+    val rows =
+      Seq(CpRow(Some(CpProtocol(1, 2)), None, None, None),
+        CpRow(None, Some(CpMeta("graft", schema.json, partCols)), None, None)) ++
+      txns.toSeq.sortBy(_._1).map { case (a, v) =>
+        CpRow(None, None, None, Some(CpTxn(a, v))) } ++
+      files.map { case (p, pv) =>
+        CpRow(None, None, Some(CpAdd(p, pv, 0L, 0L, dataChange = true)), None) }
+    DeltaLogReader.writeDataFile(rows.toDF(), s"$tablePath/_delta_log",
+      f"$cv%020d.checkpoint.parquet")
+    val lcp = new Path(new Path(tablePath, "_delta_log"), "_last_checkpoint")
+    val os = fs.create(lcp, true)
+    try os.write(s"""{"version":$cv,"size":${rows.size}}""".getBytes("UTF-8"))
+    finally os.close()
+    if (vacuumJson)
+      jsonVersions.filter(_ <= cv).foreach { v =>
+        fs.delete(new Path(new Path(tablePath, "_delta_log"), f"$v%020d.json"), false)
+      }
+    cv
   }
 }

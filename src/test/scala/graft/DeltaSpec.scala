@@ -101,6 +101,41 @@ class DeltaSpec extends AnyFunSuite {
     assert(DeltaLogReader.read(spark, base2).count() == 100)
   }
 
+  test("checkpoint + vacuum: reads bootstrap from parquet, txn state survives") {
+    import spark.implicits._
+    import graft.sources.DeltaLogWriter
+    import org.apache.spark.sql.SaveMode
+    val base = freshDir("checkpoint")
+    val df = (1L to 9L).map(i => (i, s"v$i")).toDF("k", "v")
+    DeltaLogWriter.write(df.filter(col("k") <= 3), base,
+      txn = Some(("app1", 0L)))                                    // v0
+    DeltaLogWriter.write(df.filter(col("k") > 3 && col("k") <= 6), base,
+      txn = Some(("app1", 1L)))                                    // v1
+    val cv = DeltaLogWriter.checkpoint(spark, base, vacuumJson = true)
+    assert(cv == 1L)
+    // JSON history gone, checkpoint present
+    assert(DeltaLogReader.tableVersions(spark, base).isEmpty)
+    assert(DeltaLogReader.lastCheckpointVersion(spark, base).contains(1L))
+    // checkpoint-only read
+    def keys(v: Option[Long]) = DeltaLogReader.read(spark, base, v)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(keys(None) == (1L to 6L).toSet)
+    // txn bookkeeping survived the vacuum
+    assert(DeltaLogWriter.lastTxnVersion(spark, base, "app1").contains(1L))
+    // writes continue past the checkpoint: v2 appends
+    assert(DeltaLogWriter.write(df.filter(col("k") > 6), base,
+      txn = Some(("app1", 2L))) == 2L)
+    assert(keys(None) == (1L to 9L).toSet)
+    assert(keys(Some(1L)) == (1L to 6L).toSet) // time travel to the checkpoint
+    assert(DeltaLogWriter.lastTxnVersion(spark, base, "app1").contains(2L))
+    // time travel below the vacuumed history errors clearly
+    val e = intercept[IllegalArgumentException](keys(Some(0L)))
+    assert(e.getMessage.contains("version 0 not in log"))
+    // overwrite after checkpoint removes the checkpointed files too
+    DeltaLogWriter.write(df.filter(col("k") === 1L), base, SaveMode.Overwrite)
+    assert(keys(None) == Set(1L))
+  }
+
   test("non-delta dir and checkpoint-only log raise clear errors") {
     val e1 = intercept[IllegalArgumentException](
       DeltaLogReader.read(spark, freshDir("missing")))

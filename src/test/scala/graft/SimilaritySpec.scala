@@ -68,6 +68,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(lsh == exact, s"missing=${(exact -- lsh).size} extra=${(lsh -- exact).size}")
   }
 
+  test("pqTopK recall@5 >= 0.9 with PQ codes + exact rerank (IVF-PQ shape)") {
+    val queries = corpus.filter(col("vec_id") % 100 === 0)
+    val exact = Similarity.bruteForceTopK(corpus, queries, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.pqTopK(corpus, queries, k = 5, dim = Dim,
+        m = 4, ksub = 16, nCells = 16, nProbe = 4, refine = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall@5 = $recall")
+    // every query answered with k rows
+    assert(pq.groupBy(_._1).forall(_._2.size == 5))
+  }
+
   test("ivfTopK recall@5 >= 0.9 with bounded probing (IVF-flat shape)") {
     val queries = corpus.filter(col("vec_id") % 100 === 0)
     val exact = Similarity.bruteForceTopK(corpus, queries, k = 5)
