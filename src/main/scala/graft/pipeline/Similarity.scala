@@ -288,6 +288,62 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cs_raw"), 6).as("cos_sim"))
   }
 
+  /** Deterministic Lloyd k-means over an embedding column, expressed as
+    * DataFrame ops end-to-end: init = hash-sampled centroids (no RNG, no
+    * stored model), each iteration is one broadcast-join assignment pass
+    * (argmax cosine over unit-normalized vectors) plus one groupBy
+    * average — O(iters) jobs, corpus never collected, centroids stay
+    * metadata-scale (k × dim). The clustering primitive of the curation
+    * story (topic buckets, mixture balancing) AND the centroid trainer
+    * [[ivfTopK]]/[[pqTopK]] note they can swap in. Returns (assignments
+    * as (id, cluster, cos_to_centroid), centroids as (cluster, vec)). */
+  def kmeans(corpus: DataFrame, k: Int, iters: Int = 3,
+             idCol: String = "vec_id",
+             vecCol: String = "embedding"): (DataFrame, DataFrame) = {
+    def normed(c: Column): Column = {
+      val n = sqrt(aggregate(c, lit(0.0),
+        (a, x) => a + x.cast("double") * x.cast("double")))
+      transform(c, x => x.cast("double") / n)
+    }
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c0 = graft.GraftSession.balanced(
+      corpus.select(col(idCol).as("id"), normed(col(vecCol)).as("v")))
+    // centroids live driver-side between iterations — k × dim doubles,
+    // metadata-scale by definition (every k-means driver does this); the
+    // per-iteration literal also keeps lineage flat across iterations
+    var centRows: Seq[(Int, Seq[Double])] =
+      c0.withColumn("hk", xxhash64(col("id"))).orderBy("hk").limit(k)
+        .select("v").collect().map(_.getSeq[Double](0)).toSeq
+        .zipWithIndex.map { case (v, i) => (i, v) }
+    val assignW = Window.partitionBy("id").orderBy(col("cs").desc, col("cluster"))
+    def assign(): DataFrame =
+      c0.crossJoin(broadcast(centRows.toDF("cluster", "cvec")))
+        .withColumn("cs", cosine(col("v"), col("cvec")))
+        .withColumn("rn", row_number().over(assignW)).filter(col("rn") === 1)
+        .select(col("id"), col("v"), col("cluster"),
+          round(col("cs"), 6).as("cos_to_centroid"))
+    var assigned = assign()
+    var it = 1
+    while (it < iters) {
+      // new centroid = normalized mean of members; empty clusters keep
+      // their previous centroid
+      val means = assigned
+        .select(col("cluster"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy("cluster", "d").agg(avg("x").as("mx"))
+        .groupBy("cluster")
+        .agg(sort_array(collect_list(struct(col("d"), col("mx")))).as("dm"))
+        .select(col("cluster"),
+          normed(transform(col("dm"), e => e.getField("mx"))).as("cvec"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+      centRows = centRows.map { case (c, prev) => (c, means.getOrElse(c, prev)) }
+      assigned = assign()
+      it += 1
+    }
+    (assigned.select("id", "cluster", "cos_to_centroid"),
+      centRows.toDF("cluster", "cvec"))
+  }
+
   /** Regime-switching near-dup front door. The two implementations divide
     * on one rule, now an explicit dispatch instead of caller folklore:
     *

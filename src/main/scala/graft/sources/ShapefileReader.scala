@@ -138,13 +138,20 @@ object ShapefileReader {
         paths.flatMap { f =>
           val fp = new Path(f)
           val fs = fp.getFileSystem(conf2)
-          val shapes = parseShp(new DataInputStream(fs.open(fp)))
+          val shapes = {
+            val in = new DataInputStream(fs.open(fp))
+            // parse is eager and closes at EOF; the finally covers a
+            // mid-parse failure (close is idempotent)
+            try parseShp(in) finally in.close()
+          }
           val dbfPath = new Path(f.replaceAll("\\.shp$", ".dbf"))
           val attrs: Seq[Map[String, String]] =
-            if (fs.exists(dbfPath))
-              try parseDbf(new DataInputStream(fs.open(dbfPath)))
+            if (fs.exists(dbfPath)) {
+              val in = new DataInputStream(fs.open(dbfPath))
+              try parseDbf(in)
               catch { case scala.util.control.NonFatal(_) => Seq.empty }
-            else Seq.empty
+              finally in.close()
+            } else Seq.empty
           shapes.iterator.zipWithIndex.map { case ((recNo, gt, pt), idx) =>
             val props = if (idx < attrs.length) attrs(idx) else null
             Row(recNo - 1, gt, // record numbers are 1-based in the format

@@ -83,6 +83,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pq.groupBy(_._1).forall(_._2.size == 5))
   }
 
+  test("kmeans recovers planted clusters (purity) and is deterministic") {
+    val (assigned, cents) = Similarity.kmeans(corpus, k = 20, iters = 3)
+    val rows = assigned.select("id", "cluster").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(rows.length == 160)
+    assert(cents.count() == 20)
+    // purity: within each FOUND cluster, the dominant planted cluster
+    // (vec_id / 100) should own nearly all members
+    val purity = rows.groupBy(_._2).values.map { members =>
+      val planted = members.map(_._1 / 100)
+      planted.groupBy(identity).values.map(_.size).max.toDouble / planted.size
+    }
+    assert(purity.sum / purity.size >= 0.9,
+      s"mean cluster purity ${purity.sum / purity.size}")
+    // members sit close to their centroid on this data
+    assert(assigned.filter(col("cos_to_centroid") < 0.8).count() == 0)
+    // deterministic: same inputs, same assignment
+    val again = Similarity.kmeans(corpus, k = 20, iters = 3)._1
+      .select("id", "cluster").collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(rows.toSet == again.toSet)
+  }
+
   test("ivfTopK recall@5 >= 0.9 with bounded probing (IVF-flat shape)") {
     val queries = corpus.filter(col("vec_id") % 100 === 0)
     val exact = Similarity.bruteForceTopK(corpus, queries, k = 5)
