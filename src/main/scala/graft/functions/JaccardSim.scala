@@ -48,6 +48,20 @@ object JaccardKernel {
     while (i < a.length) { if (a(i - 1) > a(i)) return false; i += 1 }
     true
   }
+
+  /** Plain-JVM form of [[computeLong]] for stateful-streaming handlers
+    * (flatMapGroupsWithState verifies candidates in Scala, not Catalyst).
+    * Inputs must be sorted distinct hashed-token arrays. */
+  def computeLongArrays(xs: Array[Long], ys: Array[Long]): Double = {
+    var i = 0; var j = 0; var inter = 0
+    while (i < xs.length && j < ys.length) {
+      val x = xs(i); val y = ys(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (xs.length + ys.length - inter).toDouble
+  }
 }
 
 /** Native exact Jaccard over two distinct array columns — array<string>

@@ -9,6 +9,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * top-level and public: the state encoder's generated code references it
   * by name, and a private nested case class fails Janino compilation. */
 case class SessState(start: Long, last: Long, n: Long, total: Double)
+case class BandEntry(id: Long, ts: Long, th: Seq[Long])
+case class BandDocs(entries: Seq[BandEntry])
 
 /** Event-stream operators. Drill has no streaming story; this is the
   * Spark-native extension: the same tumbling/session semantics are
@@ -163,6 +165,89 @@ object Events {
         ()
       }
       .start()
+
+  /** Streaming NEAR-dup dedup at ingest (the watermarked-MinHash form of
+    * [[dedupStream]], which only drops exact content-hash copies): a doc
+    * is ADMITTED iff no doc seen within the watermark window verifies at
+    * `threshold` exact hashed-token Jaccard against it. Two
+    * watermark-coordinated stateful stages (a supported append-mode
+    * chain):
+    *  1. band-keyed flatMapGroupsWithState — state per LSH band holds the
+    *    recent (id, ts, tokenHashes) entries, pruned by the watermark and
+    *    expired by event-time timeout; each arrival emits one VOTE row
+    *    (id, ts, dup?) after verifying against older in-state docs. Work
+    *    per arrival is bucket-bounded exactly like the batch banding.
+    *  2. windowed per-doc vote aggregation — a doc is admitted when its
+    *    bands' votes close with no dup. Emission happens when the
+    *    watermark passes the vote window (append semantics) — ingest
+    *    dedup is a pipeline stage, so watermark-delayed admission is the
+    *    contract, not a bug.
+    * First-seen-wins, transitive (greedy clustering): a suppressed dup
+    * still suppresses LATER copies of itself. Returns (doc_id, ts) of
+    * admitted docs.
+    *
+    * Requires `spark.sql.streaming.statefulOperator.checkCorrectness
+    * .enabled=false`: Spark's STATIC checker rejects every FMGWS →
+    * aggregation chain because FMGWS could emit rows below the
+    * watermark; stage 1 here emits each vote with its INPUT row's event
+    * time — which the upstream watermark already validated — so the
+    * chain is watermark-sound. The require below turns the silent
+    * analysis failure into an actionable error. */
+  def nearDedupStream(spark: SparkSession, docs: DataFrame,
+                      numHashes: Int = 128, bands: Int = 32,
+                      threshold: Double = 0.8,
+                      watermarkDelaySec: Int = 600,
+                      voteWindowSec: Int = 30): DataFrame = {
+    import spark.implicits._
+    import graft.pipeline.{Dedup, TextAnalysis}
+    require(!spark.conf.get(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled",
+      "true").toBoolean,
+      "nearDedupStream chains flatMapGroupsWithState into a windowed " +
+        "aggregation; its vote rows carry their input event time (never " +
+        "below the watermark), which Spark's static checker cannot prove. " +
+        "Set spark.sql.streaming.statefulOperator.checkCorrectness.enabled" +
+        "=false for this session to run it.")
+    val rowsPerBand = numHashes / bands
+    val withBands = docs.withWatermark("ts", s"$watermarkDelaySec seconds")
+      .select(col("doc_id").cast("long"), col("ts"),
+        array_sort(Dedup.tokenHashes(array_distinct(
+          split(TextAnalysis.normalize(col("text")), " ")))).as("th"))
+      .withColumn("band", explode(Dedup.lshBandKeys(
+        Dedup.minhashSignatureFromHashes(col("th"), numHashes),
+        bands, rowsPerBand)))
+      .select(col("band"), col("doc_id"), col("ts"), col("th"))
+      .as[(Long, Long, java.sql.Timestamp, Seq[Long])]
+    val votes = withBands.groupByKey(_._1)
+      .flatMapGroupsWithState[BandDocs, (Long, java.sql.Timestamp, Boolean)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (_, rows, state: GroupState[BandDocs]) =>
+          val wm = state.getCurrentWatermarkMs()
+          var entries = state.getOption.map(_.entries).getOrElse(Seq.empty)
+            .filter(_.ts >= wm) // watermark-pruned: bounded state
+          var out = List.empty[(Long, java.sql.Timestamp, Boolean)]
+          rows.toSeq.sortBy(r => (r._3.getTime, r._2)).foreach {
+            case (_, id, t, th) =>
+              val arr = th.toArray
+              val dup = entries.exists(e => graft.functions.JaccardKernel
+                .computeLongArrays(e.th.toArray, arr) >= threshold)
+              out ::= ((id, t, dup))
+              entries = entries :+ BandEntry(id, t.getTime, th)
+          }
+          if (entries.isEmpty) state.remove()
+          else {
+            state.update(BandDocs(entries))
+            state.setTimeoutTimestamp(
+              entries.map(_.ts).max + watermarkDelaySec * 1000L)
+          }
+          out.reverseIterator
+      }.toDF("doc_id", "ts", "dup")
+    votes.withWatermark("ts", s"$watermarkDelaySec seconds")
+      .groupBy(window(col("ts"), s"$voteWindowSec seconds"), col("doc_id"))
+      .agg(expr("bool_or(dup)").as("any_dup"))
+      .filter(!col("any_dup"))
+      .select(col("doc_id"), col("window.start").as("ts"))
+  }
 
   /** Structured Streaming form of tumblingAgg: readStream on the same
     * schema -> watermark -> windowed agg. Caller supplies the streaming

@@ -192,6 +192,57 @@ class StreamingSpec extends AnyFunSuite {
       "past the bound the reference must ride a broadcast anti-join")
   }
 
+  test("nearDedupStream: watermarked MinHash near-dedup admits uniques, drops near-copies") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    // without the opt-out the API must fail with an actionable message
+    val e = intercept[IllegalArgumentException] {
+      Events.nearDedupStream(spark, input.toDF().toDF("doc_id", "ts", "text"))
+    }
+    assert(e.getMessage.contains("checkCorrectness"))
+    spark.conf.set(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    val admitted = Events.nearDedupStream(spark,
+      input.toDF().toDF("doc_id", "ts", "text"),
+      threshold = 0.7, watermarkDelaySec = 10, voteWindowSec = 5)
+    val q = admitted.writeStream.format("memory").queryName("neardedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, t(100), "the quick brown fox jumps over the lazy dog"),
+        (2L, t(101), "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+        (3L, t(102), "entirely different content about spark engines"))
+      q.processAllAvailable()
+      // push the watermark far past the first vote window so it closes
+      input.addData((9L, t(1000), "a watermark pushing row of unique text"))
+      q.processAllAvailable()
+      input.addData((10L, t(1100), "another watermark push unique row here"))
+      q.processAllAvailable()
+      val ids = spark.table("neardedup_out").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids.contains(1L), "first copy must be admitted")
+      assert(!ids.contains(2L), "near-dup within the window must be dropped")
+      assert(ids.contains(3L), "distinct doc must be admitted")
+      assert(ids.contains(9L), "post-window unique doc must be admitted once closed")
+      // doc 1's state expired long before t=1100 (delay 10s): a late copy
+      // of doc 1 is admitted again — watermark-bounded memory, asserted
+      input.addData((11L, t(1101), "the quick brown fox jumps over the lazy dog"))
+      q.processAllAvailable()
+      input.addData((12L, t(1200), "final watermark pushing unique row text"))
+      q.processAllAvailable()
+      val ids2 = spark.table("neardedup_out").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids2.contains(11L),
+        "copy arriving after state expiry must be admitted (bounded state)")
+    } finally {
+      q.stop()
+      spark.conf.set(
+        "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
+    }
+  }
+
   test("deltaSink lands micro-batches as atomic Delta commits, idempotent by txn") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
