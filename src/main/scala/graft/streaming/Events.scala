@@ -197,7 +197,8 @@ object Events {
                       numHashes: Int = 128, bands: Int = 32,
                       threshold: Double = 0.8,
                       watermarkDelaySec: Int = 600,
-                      voteWindowSec: Int = 30): DataFrame = {
+                      voteWindowSec: Int = 30,
+                      maxPerBand: Int = 4096): DataFrame = {
     import spark.implicits._
     import graft.pipeline.{Dedup, TextAnalysis}
     require(!spark.conf.get(
@@ -234,6 +235,12 @@ object Events {
               out ::= ((id, t, dup))
               entries = entries :+ BandEntry(id, t.getTime, th)
           }
+          // skew guard, the streaming analog of the batch maxBucket cap
+          // (Dedup banding): a template-dense band keeps only its newest
+          // maxPerBand entries — bounded state, documented recall loss on
+          // pathological bands only
+          if (entries.length > maxPerBand)
+            entries = entries.takeRight(maxPerBand)
           if (entries.isEmpty) state.remove()
           else {
             state.update(BandDocs(entries))

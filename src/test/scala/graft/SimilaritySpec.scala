@@ -117,6 +117,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall@5 = $recall")
   }
 
+  test("kmeans-trained centroids make IVF cells tight: recall@5 >= 0.9 at nProbe=1") {
+    val queries = corpus.filter(col("vec_id") % 100 === 0)
+    val exact = Similarity.bruteForceTopK(corpus, queries, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (_, cents) = Similarity.kmeans(corpus, k = 20, iters = 3)
+    val trained = Similarity.ivfTopK(corpus, queries, k = 5,
+        nCells = 20, nProbe = 1, centroids = Some(cents))
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & trained).size.toDouble / exact.size
+    assert(recall >= 0.9,
+      s"trained centroids at nProbe=1 should capture whole clusters, recall=$recall")
+  }
+
   test("nearDupsAuto dispatches by regime and agrees with both branches") {
     // high threshold -> LSH branch (bucket explode in the plan)
     val hi = Similarity.nearDupsAuto(corpus, threshold = 0.9, dim = Dim,
