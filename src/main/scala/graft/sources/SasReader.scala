@@ -137,14 +137,20 @@ object SasReader {
     }
 
     // read pages until column metadata is complete, buffering them so the
-    // row pass can replay from the start
+    // row pass can replay from the start. A file truncated mid-page
+    // (partial copy) stops cleanly at the last whole page, like the
+    // other binary readers.
     val bufferedPages = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
     var pagesRead = 0L
+    var truncated = false
     def readPage(): Option[Array[Byte]] =
-      if (pagesRead >= pageCount) None
+      if (truncated || pagesRead >= pageCount) None
       else {
         val pg = new Array[Byte](pageLen)
-        in.readFully(pg); pagesRead += 1
+        try { in.readFully(pg) } catch {
+          case _: java.io.EOFException => truncated = true; return None
+        }
+        pagesRead += 1
         bufferedPages += pg
         Some(pg)
       }
@@ -173,10 +179,20 @@ object SasReader {
 
     val rest = new Iterator[Array[Byte]] {
       private var fromBuf = 0
-      def hasNext: Boolean = fromBuf < bufferedPages.length || pagesRead < pageCount
+      private var pending: Array[Byte] = _
+      def hasNext: Boolean =
+        fromBuf < bufferedPages.length || pending != null || {
+          if (truncated || pagesRead >= pageCount) false
+          else {
+            val pg = new Array[Byte](pageLen)
+            try { in.readFully(pg); pagesRead += 1; pending = pg; true }
+            catch { case _: java.io.EOFException => truncated = true; false }
+          }
+        }
       def next(): Array[Byte] =
-        if (fromBuf < bufferedPages.length) { val p = bufferedPages(fromBuf); fromBuf += 1; p }
-        else { val pg = new Array[Byte](pageLen); in.readFully(pg); pagesRead += 1; pg }
+        if (fromBuf < bufferedPages.length) {
+          val p = bufferedPages(fromBuf); fromBuf += 1; p
+        } else { val p = pending; pending = null; p }
     }
     (meta, rest)
   }

@@ -45,7 +45,10 @@ object StatsCatalog {
     val cols = df.columns.toSeq
     val aggs = count(lit(1)).as("__n") +: cols.flatMap { c => Seq(
       approx_count_distinct(col(c), rsd = 0.01).as(s"__ndv_$c"),
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+      // coalesce: sum over an EMPTY table is null, and stats on empty
+      // tables are legitimate (a fresh partition)
+      coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
+        .as(s"__nulls_$c"),
       min(col(c)).cast("string").as(s"__min_$c"),
       max(col(c)).cast("string").as(s"__max_$c"))
     }

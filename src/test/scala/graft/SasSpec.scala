@@ -31,6 +31,23 @@ class SasSpec extends AnyFunSuite {
       (10.0, "first", 1.5), (20.0, "second", 2.5), (30.0, "third", -4.75)))
   }
 
+  test("a file truncated mid-page stops at the last whole page, no failure") {
+    val whole = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$Fixtures/sample.sas7bdat"))
+    // header (1024) + the single 4096-byte page cut short: no complete
+    // page survives => metadata-incomplete error, NOT an EOF crash
+    val cut = java.util.Arrays.copyOf(whole, 1024 + 100)
+    val e = intercept[IllegalArgumentException] {
+      SasReader.parseMeta(new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(cut)))
+    }
+    assert(e.getMessage.contains("incomplete sas7bdat metadata"))
+    // the intact file still reads all 5 rows (control)
+    val (meta, pages) = SasReader.parseMeta(new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(whole)))
+    assert(SasReader.rows(meta, pages).size == 5)
+  }
+
   test("non-sas bytes raise a clear bad-magic error") {
     val junk = Array.fill[Byte](512)(0x41)
     val e = intercept[IllegalArgumentException] {

@@ -83,6 +83,16 @@ class StatsCatalogSpec extends AnyFunSuite {
       (64L * 1024 * 1024).toString)
   }
 
+  test("analyze handles an empty table (fresh partition) without failing") {
+    import spark.implicits._
+    val base = freshDir("empty")
+    val empty = Seq.empty[(Long, String)].toDF("k", "v")
+    val s = StatsCatalog.analyze(spark, base, "empty_t", empty)
+    assert(s.rowCount == 0)
+    assert(s.columns.forall(c => c.nulls == 0 && c.min == null && c.max == null))
+    assert(StatsCatalog.load(spark, base, "empty_t").contains(s))
+  }
+
   test("statsTable lists every analyzed table as a queryable relation") {
     val base = freshDir("table")
     val nation = GraftSession.table(spark, SF, "nation").select("n_nationkey")
