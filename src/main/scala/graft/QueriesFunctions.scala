@@ -166,6 +166,18 @@ object QueriesFunctions {
           repeat(lit("ab"), 3).as("rep"),
           expr("btrim(c_name, 'Cr0123456789')").as("trimmed"))),
 
+    // entropy + entropy_per_byte (ThreatHuntingFunctions.java): both
+    // engines compute log2 Shannon entropy over the char distribution —
+    // DuckDB via its entropy() aggregate on exploded chars, graft via
+    // the native one-pass kernel; 6dp rounding absorbs FP-order noise
+    "q_entropy" -> ((s, d) => {
+      val ent = call_function("entropy", col("text"))
+      T(s, d, "documents").select(col("doc_id"),
+        round(ent, 6).as("ent_bits"),
+        round(ent / nullif(octet_length(col("text")), lit(0)), 9)
+          .as("ent_per_byte"))
+    }),
+
     // Drill-specific long-tail fns (StringFunctions.java parse_query /
     // isdate / byte_substr / binary_string-string_binary role): query
     // strings via str_to_map, format-aware to_number, try-cast date
@@ -499,6 +511,14 @@ object QueriesFunctions {
          repeat('ab', 3) AS rep,
          trim(c_name, 'Cr0123456789') AS trimmed
          FROM customer WHERE c_custkey < 200""",
+    "q_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+                     FROM documents),
+         e AS (SELECT doc_id, entropy(c) AS h FROM ch GROUP BY 1)
+         SELECT d.doc_id, round(coalesce(e.h, 0), 6) AS ent_bits,
+                round(coalesce(e.h, 0) / nullif(strlen(d.text), 0), 9)
+                  AS ent_per_byte
+         FROM documents d LEFT JOIN e USING (doc_id)""",
     "q_drill_fns_tail" ->
       """SELECT c_custkey,
          regexp_extract('seg=' || c_mktsegment || '&key=' || c_custkey,
