@@ -163,9 +163,23 @@ object DeltaLogReader {
     (s, pc, files.map(f => (f.path, f.partitionValues)))
   }
 
-  /** Read the table at `version` (default: latest commit). */
+  /** Read the table at `version` (default: latest commit).
+    *
+    * Partitioned tables have two plan shapes, chosen by DISTINCT
+    * partition-tuple count (the decontaminateStream size-switch
+    * pattern):
+    *  - at most `maxLiteralPartitions` tuples: one scan per tuple with
+    *    the partition values as LITERAL columns — a filter on a
+    *    partition column constant-folds non-matching scans out of the
+    *    plan entirely (asserted in PlanAuditSpec)
+    *  - beyond: ONE parquet scan over every live file plus a broadcast
+    *    equi-join from input_file_name() to the log's partition values —
+    *    plan size stays O(1) in partition count where the literal form
+    *    would build a union with one child per tuple. */
   def read(spark: SparkSession, tablePath: String,
-           version: Option[Long] = None): DataFrame = {
+           version: Option[Long] = None,
+           maxLiteralPartitions: Int = 64): DataFrame = {
+    import org.apache.spark.sql.functions.{input_file_name, regexp_replace}
     val (schema, partCols, files) = snapshot(spark, tablePath, version)
     val dataSchema = StructType(schema.fields.filterNot(f => partCols.contains(f.name)))
     def absolute(p: String): String =
@@ -174,9 +188,11 @@ object DeltaLogReader {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     if (partCols.isEmpty)
-      spark.read.schema(dataSchema).parquet(files.map(f => absolute(f.path)): _*)
-    else
-      files.groupBy(_.partitionValues).toSeq.map { case (pv, group) =>
+      return spark.read.schema(dataSchema)
+        .parquet(files.map(f => absolute(f.path)): _*)
+    val byTuple = files.groupBy(_.partitionValues)
+    if (byTuple.size <= maxLiteralPartitions)
+      byTuple.toSeq.map { case (pv, group) =>
         val base = spark.read.schema(dataSchema)
           .parquet(group.map(f => absolute(f.path)): _*)
         partCols.foldLeft(base) { (df, c) =>
@@ -185,7 +201,26 @@ object DeltaLogReader {
             (if (raw == null) lit(null) else lit(raw)).cast(schema(c).dataType))
         }
       }.reduce(_ unionByName _).select(schema.fieldNames.map(col).toSeq: _*)
+    else {
+      // one scan + broadcast (relative path -> partition values) join;
+      // scheme differences ("file:///x" vs "/x") normalize away
+      import spark.implicits._
+      val pvRows = files.map(f => (absNorm(absolute(f.path)),
+        partCols.map(c => f.partitionValues.get(c).orNull)))
+      val pvDf = broadcast(pvRows.toDF("__file", "__pv"))
+      val scan = spark.read.schema(dataSchema)
+        .parquet(files.map(f => absolute(f.path)): _*)
+        .withColumn("__file",
+          regexp_replace(input_file_name(), "^[a-zA-Z0-9]+:/+", "/"))
+      partCols.zipWithIndex.foldLeft(scan.join(pvDf, "__file")) {
+        case (df, (c, i)) =>
+          df.withColumn(c, col("__pv").getItem(i).cast(schema(c).dataType))
+      }.select(schema.fieldNames.map(col).toSeq: _*)
+    }
   }
+
+  private def absNorm(p: String): String =
+    p.replaceFirst("^[a-zA-Z0-9]+:/+", "/")
 
   /** Append one hand-written JSON commit (fixture/spec helper; the action
     * lines must each be a complete JSON object per the Delta protocol). */

@@ -77,6 +77,19 @@ class DeltaSpec extends AnyFunSuite {
     assert(got.schema("p").dataType == org.apache.spark.sql.types.IntegerType)
     val rows = got.collect().map(r => (r.getLong(0), r.getInt(2))).toSet
     assert(rows == Set((1L, 10), (2L, 10), (3L, 20)))
+    // the many-partitions plan shape (one scan + input_file_name join)
+    // must produce identical rows and schema to the literal-column shape
+    val joined = DeltaLogReader.read(spark, base, maxLiteralPartitions = 0)
+    assert(joined.schema == got.schema)
+    assert(joined.collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+      == got.collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet)
+    // and its plan carries ONE parquet scan regardless of tuple count
+    // (count inside the AQE final plan; the string repeats the tree
+    // under "== Initial Plan ==")
+    joined.collect()
+    val finalPlan = joined.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert("Scan parquet".r.findAllIn(finalPlan).size == 1)
   }
 
   test("writer: create + append + overwrite, each readable by version") {
