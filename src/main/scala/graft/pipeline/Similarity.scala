@@ -193,7 +193,8 @@ object Similarity {
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
              m: Int = 8, ksub: Int = 16, nCells: Int = 16, nProbe: Int = 3,
              refine: Int = 4, idCol: String = "vec_id",
-             vecCol: String = "embedding"): DataFrame = {
+             vecCol: String = "embedding",
+             centroids: Option[DataFrame] = None): DataFrame = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val subDim = dim / m
     val spark = corpus.sparkSession
@@ -206,10 +207,14 @@ object Similarity {
       corpus.select(col(idCol).as("cid"), normed(col(vecCol)).as("cvec")))
     val q0 = queries.select(col(idCol).as("qid"), normed(col(vecCol)).as("qvec"))
 
-    // coarse quantizer + PQ codebooks: deterministic hash-samples
-    val cents = c0.withColumn("hk", xxhash64(col("cid"))).orderBy("hk")
-      .limit(nCells)
-      .select(col("cid").as("cent_id"), col("cvec").as("cent_vec"))
+    // coarse quantizer (kmeans-trained when provided) + PQ codebooks:
+    // deterministic hash-samples otherwise
+    val cents = centroids
+      .map(_.select(col("cluster").cast("long").as("cent_id"),
+        col("cvec").as("cent_vec")))
+      .getOrElse(c0.withColumn("hk", xxhash64(col("cid"))).orderBy("hk")
+        .limit(nCells)
+        .select(col("cid").as("cent_id"), col("cvec").as("cent_vec")))
     val cbRows = c0.withColumn("hk", xxhash64(col("cid"), lit(1))).orderBy("hk")
       .limit(ksub).select("cvec").collect() // ksub vectors: metadata-scale
       .map(_.getSeq[Double](0)).toSeq

@@ -130,6 +130,14 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = (exact & trained).size.toDouble / exact.size
     assert(recall >= 0.9,
       s"trained centroids at nProbe=1 should capture whole clusters, recall=$recall")
+    // the PQ variant accepts the same trained quantizer
+    val pqTrained = Similarity.pqTopK(corpus, queries, k = 5, dim = Dim,
+        m = 4, ksub = 16, nCells = 20, nProbe = 2, refine = 4,
+        centroids = Some(cents))
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pqRecall = (exact & pqTrained).size.toDouble / exact.size
+    assert(pqRecall >= 0.9, s"trained PQ recall@5 = $pqRecall")
   }
 
   test("nearDupsAuto dispatches by regime and agrees with both branches") {
