@@ -203,6 +203,25 @@ object QueriesSources {
       DeltaLogReader.read(s, base)
     }),
 
+    // ---- Iceberg v1 table: hand-rolled metadata.json + avro manifest
+    // reader/writer, no iceberg jar (ref contrib/format-iceberg/...
+    // IcebergGroupScan.java + snapshot/). Fixture: snapshot 1 = orders
+    // keys <1000 (partitioned by status), snapshot 2 appends [1000,2000) ----
+    "q_read_iceberg" -> ((s, d) => {
+      // latest snapshot = both appends
+      graft.sources.IcebergTable.read(s, icebergFixture(s, d))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
+    }),
+
+    "q_iceberg_time_travel" -> ((s, d) => {
+      // snapshot 1 pins the pre-append state = keys < 1000
+      graft.sources.IcebergTable.read(s, icebergFixture(s, d),
+          snapshotId = Some(1L))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
+    }),
+
     // ---- JDBC federation round-trip (ref contrib/storage-jdbc): write a
     // subset to embedded Derby, read it back partitioned ----
     "q_jdbc_roundtrip" -> ((s, d) => {
@@ -422,6 +441,27 @@ object QueriesSources {
     base
   }
 
+  /** Build (once per SF) the 2-snapshot Iceberg fixture both iceberg
+    * gates read: snapshot 1 = keys <1000 partitioned by status,
+    * snapshot 2 appends [1000, 2000). */
+  private def icebergFixture(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    import graft.sources.IcebergTable
+    val base = s"${out(d)}/iceberg_orders"
+    val donePath = new org.apache.hadoop.fs.Path(s"$base/metadata/v2.metadata.json")
+    val fs = donePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(donePath)) {
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val src = GraftSession.table(s, d, "orders")
+        .select("o_orderkey", "o_orderstatus")
+      IcebergTable.write(src.filter(col("o_orderkey") < 1000), base,
+        partitionBy = Seq("o_orderstatus"))
+      IcebergTable.write(
+        src.filter(col("o_orderkey") >= 1000 && col("o_orderkey") < 2000), base,
+        partitionBy = Seq("o_orderstatus"))
+    }
+    base
+  }
+
   /** Shared by the mapPartitions reader and the DSv2 connector — both
     * must produce exactly this relation from the committed capture. */
   private val PcapOracle = """
@@ -519,6 +559,14 @@ object QueriesSources {
       GROUP BY 1""",
     "q_delta_ctas" -> """
       SELECT s_suppkey, s_name, s_nationkey FROM supplier WHERE s_suppkey <= 50""",
+    "q_read_iceberg" -> """
+      SELECT o_orderstatus, count(*) AS n, sum(o_orderkey)::BIGINT AS key_sum
+      FROM orders WHERE o_orderkey < 2000
+      GROUP BY 1""",
+    "q_iceberg_time_travel" -> """
+      SELECT o_orderstatus, count(*) AS n, sum(o_orderkey)::BIGINT AS key_sum
+      FROM orders WHERE o_orderkey < 1000
+      GROUP BY 1""",
     "q_jdbc_roundtrip" -> """
       SELECT n_nationkey, n_name, n_regionkey FROM nation""",
     "q_dir_columns" -> """

@@ -1,0 +1,710 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import org.apache.avro.Schema
+import org.apache.avro.file.{DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.mapred.FsInput
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
+
+/** Hand-rolled Apache Iceberg (format-version 1) table reader + writer —
+  * no iceberg jar, the same posture as DeltaLogReader/DeltaLogWriter. An
+  * Iceberg table is parquet data files plus a `metadata/` folder: a
+  * current `v<N>.metadata.json` (named by `version-hint.text`) holding
+  * the schema, partition spec and snapshot list; each snapshot names a
+  * MANIFEST LIST (avro) whose rows name MANIFEST files (avro) whose
+  * entries name the data files with their partition tuples and row
+  * counts. Public spec: iceberg.apache.org/spec (v1 tables). Reference
+  * surface: contrib/format-iceberg/.../IcebergGroupScan.java +
+  * snapshot/Snapshot*.java (Drill reads the same layout through the
+  * iceberg-core library; snapshotId / asOfTime / fromSnapshotId
+  * selection mirrors snapshot/SnapshotFactory.java, and the `#metadata`
+  * table suffix mirrors format/IcebergMetadataFileSelection.java).
+  *
+  * Scale posture: metadata parsing (JSON + avro manifests) is
+  * driver-side and METADATA-scale — exactly what Iceberg's own planning
+  * does — while data files are read with the ordinary distributed
+  * parquet scan, so column pruning and predicate pushdown reach the
+  * footers. Identity-partitioned source columns are stored IN the data
+  * files (Iceberg spec, unlike Delta/Hive), so no literal-attachment
+  * plan is needed; manifest partition tuples drive driver-side FILE
+  * pruning before the scan is even built.
+  */
+object IcebergTable {
+
+  private val mapper = new ObjectMapper()
+
+  // ---------------------------------------------------------------- types
+
+  /** Spark type → Iceberg schema-JSON type (string for primitives, node
+    * for nested); assigns fresh field ids from `nextId` for nested. */
+  private def toIcebergType(dt: DataType, nextId: () => Int): AnyRef = dt match {
+    case BooleanType => "boolean"
+    case ByteType | ShortType | IntegerType => "int"
+    case LongType => "long"
+    case FloatType => "float"
+    case DoubleType => "double"
+    case StringType => "string"
+    case DateType => "date"
+    case TimestampType => "timestamptz"
+    case BinaryType => "binary"
+    case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
+    case st: StructType =>
+      val n = mapper.createObjectNode()
+      n.put("type", "struct")
+      val fields = n.putArray("fields")
+      st.fields.foreach { f =>
+        val id = nextId()
+        val fn = fields.addObject()
+        fn.put("id", id); fn.put("name", f.name); fn.put("required", !f.nullable)
+        putType(fn, "type", toIcebergType(f.dataType, nextId))
+      }
+      n
+    case at: ArrayType =>
+      val n = mapper.createObjectNode()
+      n.put("type", "list"); n.put("element-id", nextId())
+      putType(n, "element", toIcebergType(at.elementType, nextId))
+      n.put("element-required", !at.containsNull)
+      n
+    case mt: MapType =>
+      val n = mapper.createObjectNode()
+      n.put("type", "map"); n.put("key-id", nextId())
+      putType(n, "key", toIcebergType(mt.keyType, nextId))
+      n.put("value-id", nextId())
+      putType(n, "value", toIcebergType(mt.valueType, nextId))
+      n.put("value-required", !mt.valueContainsNull)
+      n
+    case other => throw new IllegalArgumentException(
+      s"unsupported type for iceberg write: $other")
+  }
+
+  private def putType(n: ObjectNode, field: String, t: AnyRef): Unit = t match {
+    case s: String => n.put(field, s)
+    case node: JsonNode => n.set(field, node); ()
+  }
+
+  private val DecimalRe = "decimal\\(\\s*(\\d+)\\s*,\\s*(\\d+)\\s*\\)".r
+  private val FixedRe = "fixed\\[(\\d+)\\]".r
+
+  /** Iceberg schema-JSON type → Spark type. */
+  private def fromIcebergType(t: JsonNode): DataType =
+    if (t.isTextual) t.asText match {
+      case "boolean" => BooleanType
+      case "int" => IntegerType
+      case "long" => LongType
+      case "float" => FloatType
+      case "double" => DoubleType
+      case "string" | "uuid" => StringType
+      case "date" => DateType
+      case "timestamp" | "timestamptz" => TimestampType
+      case "binary" => BinaryType
+      case "time" => LongType // microseconds-of-day; Spark has no TIME type
+      case DecimalRe(p, sc) => DecimalType(p.toInt, sc.toInt)
+      case FixedRe(_) => BinaryType
+      case other => throw new IllegalArgumentException(s"iceberg type: $other")
+    } else t.get("type").asText match {
+      case "struct" => StructType(t.get("fields").elements.asScala.toSeq.map { f =>
+        StructField(f.get("name").asText, fromIcebergType(f.get("type")),
+          nullable = !f.get("required").asBoolean)
+      })
+      case "list" => ArrayType(fromIcebergType(t.get("element")),
+        containsNull = !t.get("element-required").asBoolean)
+      case "map" => MapType(fromIcebergType(t.get("key")),
+        fromIcebergType(t.get("value")),
+        valueContainsNull = !t.get("value-required").asBoolean)
+      case other => throw new IllegalArgumentException(s"iceberg type: $other")
+    }
+
+  // ------------------------------------------------------------- metadata
+
+  case class SnapshotInfo(snapshotId: Long, timestampMs: Long,
+                          operation: String, manifestList: String)
+
+  case class TableMeta(location: String, schema: StructType,
+                       schemaNode: JsonNode, lastColumnId: Int,
+                       partCols: Seq[String],
+                       currentSnapshotId: Option[Long],
+                       snapshots: Seq[SnapshotInfo],
+                       metadataVersion: Int, tableUuid: String,
+                       formatVersion: Int)
+
+  private def metaDir(table: String) = new Path(table, "metadata")
+
+  /** Latest metadata version: `version-hint.text` if present, else the
+    * max `v<N>.metadata.json` on disk (the hint is an optional part of
+    * the spec's file-system catalog). */
+  def currentMetadataVersion(spark: SparkSession, table: String): Int = {
+    val dir = metaDir(table)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir))
+      throw new IllegalArgumentException(s"not an Iceberg table (no metadata/): $table")
+    val hint = new Path(dir, "version-hint.text")
+    if (fs.exists(hint)) {
+      val in = fs.open(hint)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+      finally in.close()
+    } else {
+      val vs = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+        .flatMap { n => "^v(\\d+)\\.metadata\\.json$".r.findFirstMatchIn(n).map(_.group(1).toInt) }
+      if (vs.isEmpty) throw new IllegalArgumentException(
+        s"no v*.metadata.json under $dir")
+      vs.max
+    }
+  }
+
+  def loadMeta(spark: SparkSession, table: String,
+               version: Option[Int] = None): TableMeta = {
+    val v = version.getOrElse(currentMetadataVersion(spark, table))
+    val p = new Path(metaDir(table), s"v$v.metadata.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val root = try mapper.readTree(in) finally in.close()
+    val formatVersion = root.get("format-version").asInt
+    require(formatVersion == 1 || formatVersion == 2,
+      s"unsupported iceberg format-version $formatVersion in $p")
+    // v1 has "schema"; v2 has "schemas" + "current-schema-id"
+    val schemaNode =
+      if (root.has("schema")) root.get("schema")
+      else {
+        val cur = root.get("current-schema-id").asInt
+        root.get("schemas").elements.asScala
+          .find(_.get("schema-id").asInt == cur)
+          .getOrElse(throw new IllegalArgumentException(s"schema $cur missing in $p"))
+      }
+    val schema = fromIcebergType(schemaNode).asInstanceOf[StructType]
+    // partition spec: v1 "partition-spec" flat list; both have "partition-specs"
+    val specFields: Seq[JsonNode] =
+      if (root.has("partition-spec")) root.get("partition-spec").elements.asScala.toSeq
+      else if (root.has("partition-specs")) {
+        val defId = if (root.has("default-spec-id")) root.get("default-spec-id").asInt else 0
+        root.get("partition-specs").elements.asScala
+          .find(_.get("spec-id").asInt == defId).toSeq
+          .flatMap(_.get("fields").elements.asScala)
+      } else Nil
+    specFields.foreach { f =>
+      require(f.get("transform").asText == "identity",
+        s"only identity partition transforms supported, got ${f.get("transform").asText}")
+    }
+    val partCols = specFields.map(_.get("name").asText)
+    val snaps = Option(root.get("snapshots")).toSeq
+      .flatMap(_.elements.asScala).map { s =>
+        SnapshotInfo(
+          s.get("snapshot-id").asLong,
+          s.get("timestamp-ms").asLong,
+          Option(s.get("summary")).flatMap(x => Option(x.get("operation")))
+            .map(_.asText).getOrElse("append"),
+          s.get("manifest-list").asText)
+      }
+    val current = Option(root.get("current-snapshot-id")).map(_.asLong).filter(_ != -1L)
+    TableMeta(table, schema, schemaNode, root.get("last-column-id").asInt,
+      partCols, current, snaps, v, root.get("table-uuid").asText, formatVersion)
+  }
+
+  // -------------------------------------------------------- avro helpers
+
+  private def readAvroRecords(spark: SparkSession, path: String): Seq[GenericRecord] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val reader = new DataFileReader[GenericRecord](
+      new FsInput(new Path(path), conf), new GenericDatumReader[GenericRecord]())
+    try {
+      val buf = scala.collection.mutable.ArrayBuffer[GenericRecord]()
+      while (reader.hasNext) buf += reader.next()
+      buf.toSeq
+    } finally reader.close()
+  }
+
+  private def writeAvro(spark: SparkSession, path: Path, schema: Schema,
+                        rows: Seq[GenericRecord],
+                        fileMeta: Map[String, String]): Long = {
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val writer = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    fileMeta.foreach { case (k, v) => writer.setMeta(k, v) }
+    val os = fs.create(path, true)
+    try {
+      writer.create(schema, os)
+      rows.foreach(writer.append)
+    } finally writer.close() // closes os
+    fs.getFileStatus(path).getLen
+  }
+
+  private def str(v: AnyRef): String = v match {
+    case null => null
+    case u: org.apache.avro.util.Utf8 => u.toString
+    case s => s.toString
+  }
+
+  /** Field value if the record's schema HAS the field (avro's get(name)
+    * throws on absent fields — manifests from other writers may omit
+    * optional columns). */
+  private def opt(r: GenericRecord, name: String): Option[AnyRef] =
+    Option(r.getSchema.getField(name)).flatMap(f => Option(r.get(f.pos())))
+
+  // ------------------------------------------------------------- reading
+
+  /** One live/added data file in a snapshot. `partition` values are the
+    * avro-decoded identity tuple (string/int/long/boolean/double; date as
+    * epoch-day int). */
+  case class DataFileInfo(path: String, partition: Map[String, Any],
+                          recordCount: Long, fileSizeBytes: Long,
+                          status: Int, snapshotId: Long)
+
+  private def absolute(table: String, p: String): String =
+    if (p.startsWith("/") || p.contains("://")) p else s"$table/$p"
+
+  /** Manifest-list rows for a snapshot: (manifestPath, content). content
+    * 0 = data, 1 = row-level deletes (format v2); delete manifests are
+    * refused — merge-on-read tables need the full library. */
+  private def manifestsOf(spark: SparkSession, table: String,
+                          snap: SnapshotInfo): Seq[String] = {
+    readAvroRecords(spark, absolute(table, snap.manifestList)).map { r =>
+      val content = opt(r, "content").map(_.asInstanceOf[Int]).getOrElse(0)
+      require(content == 0,
+        s"row-level delete manifests (format v2 merge-on-read) unsupported: " +
+          s"${str(r.get("manifest_path"))}")
+      absolute(table, str(r.get("manifest_path")))
+    }
+  }
+
+  /** All manifest entries of a snapshot (status 0=EXISTING 1=ADDED
+    * 2=DELETED; DELETED entries are filtered by [[liveFiles]]). */
+  private def entriesOf(spark: SparkSession, table: String,
+                        snap: SnapshotInfo): Seq[DataFileInfo] =
+    manifestsOf(spark, table, snap).flatMap { mf =>
+      readAvroRecords(spark, mf).map { e =>
+        val status = e.get("status").asInstanceOf[Int]
+        val snapId = opt(e, "snapshot_id").map(_.asInstanceOf[Long])
+          .getOrElse(snap.snapshotId)
+        val df = e.get("data_file").asInstanceOf[GenericRecord]
+        opt(df, "content").foreach { c =>
+          require(c.asInstanceOf[Int] == 0,
+            s"non-data content in data_file (format v2 deletes) unsupported")
+        }
+        val part = opt(df, "partition").map(_.asInstanceOf[GenericRecord])
+          .map { pr =>
+            pr.getSchema.getFields.asScala.map { f =>
+              val v = pr.get(f.pos()) match {
+                case u: org.apache.avro.util.Utf8 => u.toString
+                case x => x
+              }
+              f.name() -> v
+            }.toMap[String, Any]
+          }.getOrElse(Map.empty[String, Any])
+        DataFileInfo(absolute(table, str(df.get("file_path"))), part,
+          df.get("record_count").asInstanceOf[Long],
+          opt(df, "file_size_in_bytes").map(_.asInstanceOf[Long]).getOrElse(0L),
+          status, snapId)
+      }
+    }
+
+  private def selectSnapshot(meta: TableMeta, snapshotId: Option[Long],
+                             asOfTimestampMs: Option[Long]): Option[SnapshotInfo] = {
+    require(snapshotId.isEmpty || asOfTimestampMs.isEmpty,
+      "pass snapshotId OR asOfTimestampMs, not both")
+    snapshotId match {
+      case Some(id) => Some(meta.snapshots.find(_.snapshotId == id).getOrElse(
+        throw new IllegalArgumentException(
+          s"snapshot $id not in table ${meta.location} " +
+            s"(has: ${meta.snapshots.map(_.snapshotId).mkString(", ")})")))
+      case None => asOfTimestampMs match {
+        case Some(ts) =>
+          val eligible = meta.snapshots.filter(_.timestampMs <= ts)
+          if (eligible.isEmpty) throw new IllegalArgumentException(
+            s"no snapshot at or before $ts in ${meta.location}")
+          Some(eligible.maxBy(_.timestampMs))
+        case None => meta.currentSnapshotId.map(id =>
+          meta.snapshots.find(_.snapshotId == id).get)
+      }
+    }
+  }
+
+  /** Live data files of a snapshot (DELETED entries dropped). */
+  def liveFiles(spark: SparkSession, table: String,
+                snapshotId: Option[Long] = None,
+                asOfTimestampMs: Option[Long] = None): Seq[DataFileInfo] = {
+    val meta = loadMeta(spark, table)
+    selectSnapshot(meta, snapshotId, asOfTimestampMs) match {
+      case None => Nil
+      case Some(snap) => entriesOf(spark, table, snap).filter(_.status != 2)
+    }
+  }
+
+  /** Read an Iceberg table. `table` may carry a Drill-style `#<kind>`
+    * metadata suffix (snapshots/history/manifests/files/partitions —
+    * ref format/IcebergMetadataFileSelection.java). Time travel via
+    * `snapshotId` or `asOfTimestampMs` (ref snapshot/SnapshotById.java,
+    * SnapshotByTime.java). `partitionFilter` prunes FILES driver-side on
+    * the manifest partition tuples before the scan is planned — the
+    * identity-partition analog of Iceberg's filter pushdown; the filter
+    * itself still reaches parquet footers through the ordinary scan. */
+  def read(spark: SparkSession, table: String,
+           snapshotId: Option[Long] = None,
+           asOfTimestampMs: Option[Long] = None,
+           partitionFilter: Map[String, Any] => Boolean = null): DataFrame = {
+    val hash = table.indexOf('#')
+    if (hash >= 0)
+      return metadataTable(spark, table.substring(0, hash), table.substring(hash + 1))
+    val meta = loadMeta(spark, table)
+    var files = liveFiles(spark, table, snapshotId, asOfTimestampMs)
+    if (partitionFilter != null) files = files.filter(f => partitionFilter(f.partition))
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], meta.schema)
+    else
+      spark.read.schema(meta.schema).parquet(files.map(_.path): _*)
+  }
+
+  /** Incremental read: rows ADDED by snapshots in (fromSnapshotId,
+    * toSnapshotId] — ref snapshot/SnapshotAfter.java +
+    * SnapshotsBetween.java (Drill's fromSnapshotId / toSnapshotId
+    * table-function options). */
+  def readAppendedBetween(spark: SparkSession, table: String,
+                          fromSnapshotId: Long,
+                          toSnapshotId: Option[Long] = None): DataFrame = {
+    val meta = loadMeta(spark, table)
+    require(meta.snapshots.exists(_.snapshotId == fromSnapshotId),
+      s"fromSnapshotId $fromSnapshotId not in table $table")
+    val fromTs = meta.snapshots.find(_.snapshotId == fromSnapshotId).get.timestampMs
+    val toTs = toSnapshotId.map { id =>
+      meta.snapshots.find(_.snapshotId == id).getOrElse(
+        throw new IllegalArgumentException(s"toSnapshotId $id not in table $table"))
+        .timestampMs
+    }
+    val range = meta.snapshots
+      .filter(s => s.timestampMs > fromTs && toTs.forall(s.timestampMs <= _))
+      .sortBy(_.timestampMs)
+    val ids = range.map(_.snapshotId).toSet
+    val added = range.flatMap(snap => entriesOf(spark, table, snap)
+      .filter(e => e.status == 1 && ids.contains(e.snapshotId)))
+      .map(_.path).distinct
+    if (added.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], meta.schema)
+    else spark.read.schema(meta.schema).parquet(added: _*)
+  }
+
+  /** Drill's `table#metadata` family as DataFrames (metadata-scale). */
+  def metadataTable(spark: SparkSession, table: String, kind: String): DataFrame = {
+    val meta = loadMeta(spark, table)
+    import spark.implicits._
+    kind match {
+      case "snapshots" =>
+        meta.snapshots.map(s => (new java.sql.Timestamp(s.timestampMs),
+            s.snapshotId, s.operation, absolute(table, s.manifestList)))
+          .toDF("committed_at", "snapshot_id", "operation", "manifest_list")
+      case "history" =>
+        meta.snapshots.map(s => (new java.sql.Timestamp(s.timestampMs),
+            s.snapshotId, meta.currentSnapshotId.contains(s.snapshotId)))
+          .toDF("made_current_at", "snapshot_id", "is_current_ancestor")
+      case "manifests" =>
+        val cur = selectSnapshot(meta, None, None).toSeq
+        cur.flatMap { snap =>
+          readAvroRecords(spark, absolute(table, snap.manifestList)).map { r =>
+            (str(r.get("manifest_path")),
+              opt(r, "manifest_length").map(_.asInstanceOf[Long]).getOrElse(0L),
+              opt(r, "partition_spec_id").map(_.asInstanceOf[Int]).getOrElse(0),
+              opt(r, "added_snapshot_id").map(_.asInstanceOf[Long]).getOrElse(-1L))
+          }
+        }.toDF("path", "length", "partition_spec_id", "added_snapshot_id")
+      case "files" =>
+        liveFiles(spark, table).map(f => (f.path, "PARQUET", f.recordCount,
+            f.fileSizeBytes, mapper.writeValueAsString(
+              f.partition.map { case (k, v) => k -> String.valueOf(v) }.asJava)))
+          .toDF("file_path", "file_format", "record_count",
+            "file_size_in_bytes", "partition")
+      case "partitions" =>
+        liveFiles(spark, table).groupBy(_.partition).toSeq
+          .map { case (p, fs) =>
+            (mapper.writeValueAsString(
+              p.map { case (k, v) => k -> String.valueOf(v) }.asJava),
+              fs.map(_.recordCount).sum, fs.size.toLong)
+          }
+          .sortBy(_._1)
+          .toDF("partition", "record_count", "file_count")
+      case other => throw new IllegalArgumentException(
+        s"unknown metadata table '$other' " +
+          "(snapshots|history|manifests|files|partitions)")
+    }
+  }
+
+  // ------------------------------------------------------------- writing
+
+  private def avroPrimFor(dt: DataType): String = dt match {
+    case StringType => "\"string\""
+    case ByteType | ShortType | IntegerType => "\"int\""
+    case LongType => "\"long\""
+    case BooleanType => "\"boolean\""
+    case DoubleType => "\"double\""
+    case FloatType => "\"float\""
+    case DateType => "\"int\"" // epoch days
+    case other => throw new IllegalArgumentException(
+      s"unsupported partition column type: $other")
+  }
+
+  private def partitionRecordSchema(partFields: Seq[StructField]): String = {
+    val fs = partFields.zipWithIndex.map { case (f, i) =>
+      s"""{"name":"${f.name}","type":["null",${avroPrimFor(f.dataType)}],""" +
+        s""""default":null,"field-id":${1000 + i}}"""
+    }.mkString(",")
+    s"""{"type":"record","name":"r102","fields":[$fs]}"""
+  }
+
+  private def manifestEntrySchema(partFields: Seq[StructField]): Schema =
+    new Schema.Parser().parse(
+      s"""{"type":"record","name":"manifest_entry","fields":[
+         |{"name":"status","type":"int","field-id":0},
+         |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+         |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+         |  {"name":"file_path","type":"string","field-id":100},
+         |  {"name":"file_format","type":"string","field-id":101},
+         |  {"name":"partition","type":${partitionRecordSchema(partFields)},"field-id":102},
+         |  {"name":"record_count","type":"long","field-id":103},
+         |  {"name":"file_size_in_bytes","type":"long","field-id":104},
+         |  {"name":"block_size_in_bytes","type":"long","field-id":105}
+         |]},"field-id":2}]}""".stripMargin)
+
+  private val manifestFileSchema: Schema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string","field-id":500},
+      |{"name":"manifest_length","type":"long","field-id":501},
+      |{"name":"partition_spec_id","type":"int","field-id":502},
+      |{"name":"added_snapshot_id","type":["null","long"],"default":null,"field-id":503},
+      |{"name":"added_data_files_count","type":["null","int"],"default":null,"field-id":504},
+      |{"name":"existing_data_files_count","type":["null","int"],"default":null,"field-id":505},
+      |{"name":"deleted_data_files_count","type":["null","int"],"default":null,"field-id":506},
+      |{"name":"added_rows_count","type":["null","long"],"default":null,"field-id":512}
+      |]}""".stripMargin)
+
+  /** Hive path-segment unescape (%xx only — hive does NOT use '+'). */
+  private def unescapePath(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar); i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  private def typedPartitionValue(raw: String, dt: DataType): Any =
+    if (raw == null || raw == "__HIVE_DEFAULT_PARTITION__") null
+    else dt match {
+      case StringType => raw
+      case ByteType | ShortType | IntegerType => raw.toInt
+      case LongType => raw.toLong
+      case BooleanType => raw.toBoolean
+      case DoubleType => raw.toDouble
+      case FloatType => raw.toFloat
+      case DateType => java.time.LocalDate.parse(raw).toEpochDay.toInt
+      case other => throw new IllegalArgumentException(
+        s"unsupported partition column type: $other")
+    }
+
+  private def parquetRowCount(spark: SparkSession, p: Path): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      p, spark.sparkContext.hadoopConfiguration)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+
+  /** Write `df` as a new Iceberg v1 snapshot at `table`. Append creates
+    * the table when absent; Overwrite replaces the current snapshot
+    * (its manifest list references only the new manifest — prior files
+    * simply leave the snapshot, the Iceberg notion of a full replace).
+    * `partitionBy` columns use identity transforms and KEEP their data
+    * in the files (spec behavior): the distributed write stages through
+    * duplicated `__p_<col>` hive dirs purely to get one file per
+    * partition tuple, then files move flat into `data/` with their
+    * tuple recorded in the manifest. Returns the new snapshot id
+    * (sequential — ids only need uniqueness within the table). */
+  def write(df: DataFrame, table: String,
+            mode: SaveMode = SaveMode.Append,
+            partitionBy: Seq[String] = Nil): Long = {
+    require(mode == SaveMode.Append || mode == SaveMode.Overwrite,
+      s"iceberg write supports Append/Overwrite, got $mode")
+    val spark = df.sparkSession
+    val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val exists = fs.exists(new Path(metaDir(table), "version-hint.text")) ||
+      (fs.exists(metaDir(table)) && fs.listStatus(metaDir(table))
+        .exists(_.getPath.getName.matches("v\\d+\\.metadata\\.json")))
+    val prior = if (exists) Some(loadMeta(spark, table)) else None
+    prior.foreach { m =>
+      require(m.schema.map(f => (f.name, f.dataType)) ==
+          df.schema.map(f => (f.name, f.dataType)),
+        s"schema mismatch appending to $table:\n table: ${m.schema.simpleString}\n" +
+          s" data:  ${df.schema.simpleString}")
+      require(m.partCols == partitionBy,
+        s"partition spec mismatch: table has ${m.partCols}, write got $partitionBy")
+    }
+    partitionBy.foreach(c => require(df.columns.contains(c),
+      s"partition column $c not in ${df.columns.mkString(", ")}"))
+    val partFields = partitionBy.map(c => df.schema(c))
+    val snapshotId = prior.map(_.snapshots.map(_.snapshotId).maxOption.getOrElse(0L))
+      .getOrElse(0L) + 1L
+    val nowMs = System.currentTimeMillis()
+
+    // ---- stage the data files (distributed write), move flat into data/
+    val staging = new Path(table, s"_staging_snap$snapshotId")
+    val writer =
+      if (partitionBy.isEmpty) df.write
+      else partitionBy.foldLeft(df)((d, c) => d.withColumn(s"__p_$c", d(c)))
+        .write.partitionBy(partitionBy.map(c => s"__p_$c"): _*)
+    writer.mode("overwrite").parquet(staging.toString)
+
+    def walk(p: Path): Seq[Path] = fs.listStatus(p).toSeq.flatMap { s =>
+      val n = s.getPath.getName
+      if (s.isDirectory) { if (n == "_temporary") Nil else walk(s.getPath) }
+      else if (n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
+        Seq(s.getPath)
+      else Nil
+    }
+    val staged = walk(staging).sortBy(_.toString)
+    val dataDir = new Path(table, "data")
+    fs.mkdirs(dataDir)
+    val moved: Seq[(Path, Map[String, Any], Long)] = staged.zipWithIndex.map {
+      case (part, i) =>
+        // partition tuple from the __p_<c>=<v> dir components
+        val comps = part.toString.stripPrefix(staging.toString).split('/')
+          .filter(_.contains('='))
+        val tuple = partFields.map { f =>
+          val raw = comps.collectFirst {
+            case c if c.startsWith(s"__p_${f.name}=") =>
+              unescapePath(c.substring(s"__p_${f.name}=".length))
+          }.getOrElse(throw new IllegalStateException(
+            s"no __p_${f.name}= component in $part"))
+          f.name -> typedPartitionValue(raw, f.dataType)
+        }.toMap[String, Any]
+        val dest = new Path(dataDir, f"part-$i%05d-snap$snapshotId.parquet")
+        fs.delete(dest, false)
+        require(fs.rename(part, dest), s"rename failed: $part -> $dest")
+        (dest, tuple, fs.getFileStatus(dest).getLen)
+    }
+    fs.delete(staging, true)
+
+    // ---- manifest (avro) for the added files
+    val entrySchema = manifestEntrySchema(partFields)
+    val dfSchema = entrySchema.getField("data_file").schema()
+    val partSchema = dfSchema.getField("partition").schema()
+    val entries = moved.map { case (dest, tuple, size) =>
+      val pr = new GenericData.Record(partSchema)
+      tuple.foreach { case (k, v) => pr.put(k, v) }
+      val d = new GenericData.Record(dfSchema)
+      d.put("file_path", dest.toString)
+      d.put("file_format", "PARQUET")
+      d.put("partition", pr)
+      d.put("record_count", parquetRowCount(spark, dest))
+      d.put("file_size_in_bytes", size)
+      d.put("block_size_in_bytes", 67108864L)
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", 1) // ADDED
+      e.put("snapshot_id", snapshotId)
+      e.put("data_file", d)
+      e
+    }
+    val manifestPath = new Path(metaDir(table), f"snap$snapshotId%05d-m0.avro")
+    val manifestLen = writeAvro(spark, manifestPath, entrySchema, entries, Map(
+      "format-version" -> "1",
+      "partition-spec-id" -> "0"))
+
+    // ---- manifest list: new manifest + (append) the prior snapshot's
+    val addedRows = entries.map(_.get("data_file")
+      .asInstanceOf[GenericRecord].get("record_count").asInstanceOf[Long]).sum
+    def mfRow(path: String, len: Long, snapId: Long, added: Int,
+              rows: Long): GenericRecord = {
+      val r = new GenericData.Record(manifestFileSchema)
+      r.put("manifest_path", path); r.put("manifest_length", len)
+      r.put("partition_spec_id", 0); r.put("added_snapshot_id", snapId)
+      r.put("added_data_files_count", added)
+      r.put("existing_data_files_count", 0)
+      r.put("deleted_data_files_count", 0)
+      r.put("added_rows_count", rows)
+      r
+    }
+    val carried: Seq[GenericRecord] =
+      if (mode == SaveMode.Overwrite) Nil
+      else prior.flatMap(m => selectSnapshot(m, None, None)).toSeq.flatMap { snap =>
+        readAvroRecords(spark, absolute(table, snap.manifestList)).map { r =>
+          mfRow(str(r.get("manifest_path")),
+            opt(r, "manifest_length").map(_.asInstanceOf[Long]).getOrElse(0L),
+            opt(r, "added_snapshot_id").map(_.asInstanceOf[Long]).getOrElse(-1L),
+            opt(r, "added_data_files_count").map(_.asInstanceOf[Int]).getOrElse(0),
+            opt(r, "added_rows_count").map(_.asInstanceOf[Long]).getOrElse(0L))
+        }
+      }
+    val listPath = new Path(metaDir(table), f"snap-$snapshotId-manifest-list.avro")
+    writeAvro(spark, listPath, manifestFileSchema,
+      mfRow(manifestPath.toString, manifestLen, snapshotId,
+        entries.size, addedRows) +: carried,
+      Map("format-version" -> "1"))
+
+    // ---- new table metadata (vN+1) + version-hint, atomically
+    val newVersion = prior.map(_.metadataVersion + 1).getOrElse(1)
+    val root = mapper.createObjectNode()
+    root.put("format-version", 1)
+    root.put("table-uuid",
+      prior.map(_.tableUuid).getOrElse(java.util.UUID.randomUUID().toString))
+    root.put("location", table)
+    root.put("last-updated-ms", nowMs)
+    val schemaNode: JsonNode = prior.map(_.schemaNode).getOrElse {
+      val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+      toIcebergType(df.schema, () => counter.incrementAndGet())
+        .asInstanceOf[ObjectNode]
+    }
+    root.put("last-column-id", prior.map(_.lastColumnId).getOrElse {
+      def maxId(n: JsonNode): Int = {
+        val own = Seq("id", "element-id", "key-id", "value-id")
+          .flatMap(k => Option(n.get(k)).map(_.asInt))
+        val nested = n.elements.asScala.map(maxId).toSeq
+        (own ++ nested ++ Seq(0)).max
+      }
+      maxId(schemaNode)
+    })
+    root.set[JsonNode]("schema", schemaNode)
+    val specArr = root.putArray("partition-spec")
+    val schemaFieldIds = schemaNode.get("fields").elements.asScala
+      .map(f => f.get("name").asText -> f.get("id").asInt).toMap
+    partitionBy.zipWithIndex.foreach { case (c, i) =>
+      val f = specArr.addObject()
+      f.put("name", c); f.put("transform", "identity")
+      f.put("source-id", schemaFieldIds(c)); f.put("field-id", 1000 + i)
+    }
+    val specs = root.putArray("partition-specs")
+    val spec0 = specs.addObject()
+    spec0.put("spec-id", 0)
+    spec0.set[ArrayNode]("fields", specArr.deepCopy())
+    root.put("default-spec-id", 0)
+    root.set[ObjectNode]("properties", mapper.createObjectNode())
+    root.put("current-snapshot-id", snapshotId)
+    val snapsArr = root.putArray("snapshots")
+    val allSnaps = prior.map(_.snapshots).getOrElse(Nil) :+
+      SnapshotInfo(snapshotId, nowMs,
+        if (mode == SaveMode.Overwrite && exists) "overwrite" else "append",
+        listPath.toString)
+    allSnaps.foreach { s =>
+      val n = snapsArr.addObject()
+      n.put("snapshot-id", s.snapshotId); n.put("timestamp-ms", s.timestampMs)
+      val sum = n.putObject("summary"); sum.put("operation", s.operation)
+      n.put("manifest-list", absolute(table, s.manifestList))
+    }
+    val logArr = root.putArray("snapshot-log")
+    allSnaps.foreach { s =>
+      val n = logArr.addObject()
+      n.put("timestamp-ms", s.timestampMs); n.put("snapshot-id", s.snapshotId)
+    }
+    val metaPath = new Path(metaDir(table), s"v$newVersion.metadata.json")
+    val tmp = new Path(metaDir(table), s".v$newVersion.metadata.json.tmp")
+    val os = fs.create(tmp, true)
+    try os.write(mapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsBytes(root))
+    finally os.close()
+    fs.delete(metaPath, false)
+    require(fs.rename(tmp, metaPath), s"rename failed: $tmp -> $metaPath")
+    val hint = fs.create(new Path(metaDir(table), "version-hint.text"), true)
+    try hint.write(String.valueOf(newVersion).getBytes("UTF-8"))
+    finally hint.close()
+    snapshotId
+  }
+}

@@ -1,0 +1,177 @@
+package graft
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.IcebergTable
+
+class IcebergSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def freshDir(name: String): String = {
+    val base = s"/tmp/graft_test/iceberg_$name"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    base
+  }
+
+  test("CTAS round-trip: write then read back equals source") {
+    import spark.implicits._
+    val base = freshDir("ctas")
+    val src = (1L to 100L).map(i => (i, s"name$i", i % 7, i * 0.5))
+      .toDF("k", "name", "grp", "score")
+    val snap = IcebergTable.write(src, base)
+    assert(snap == 1L)
+    val back = IcebergTable.read(spark, base)
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      src.schema.map(f => (f.name, f.dataType)))
+    assert(back.orderBy("k").collect().toSeq == src.orderBy("k").collect().toSeq)
+  }
+
+  test("append adds a snapshot; time travel by snapshotId and asOfTimestampMs") {
+    import spark.implicits._
+    val base = freshDir("append")
+    val a = (1L to 50L).map(i => (i, s"a$i")).toDF("k", "v")
+    val b = (51L to 80L).map(i => (i, s"b$i")).toDF("k", "v")
+    val s1 = IcebergTable.write(a, base)
+    val tsBetween = System.currentTimeMillis()
+    Thread.sleep(5)
+    val s2 = IcebergTable.write(b, base)
+    assert(Seq(s1, s2) == Seq(1L, 2L))
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.select("k").collect().map(_.getLong(0)).toSet
+    assert(keys(IcebergTable.read(spark, base)) == (1L to 80L).toSet)
+    assert(keys(IcebergTable.read(spark, base, snapshotId = Some(1L))) ==
+      (1L to 50L).toSet)
+    assert(keys(IcebergTable.read(spark, base,
+      asOfTimestampMs = Some(tsBetween))) == (1L to 50L).toSet)
+    intercept[IllegalArgumentException](
+      IcebergTable.read(spark, base, snapshotId = Some(99L)))
+  }
+
+  test("overwrite replaces the snapshot; prior versions still readable") {
+    import spark.implicits._
+    val base = freshDir("overwrite")
+    IcebergTable.write((1L to 10L).map(i => (i, "old")).toDF("k", "tag"), base)
+    IcebergTable.write((11L to 13L).map(i => (i, "new")).toDF("k", "tag"), base,
+      SaveMode.Overwrite)
+    val latest = IcebergTable.read(spark, base)
+    assert(latest.select("k").collect().map(_.getLong(0)).toSet == Set(11L, 12L, 13L))
+    val v1 = IcebergTable.read(spark, base, snapshotId = Some(1L))
+    assert(v1.count() == 10L)
+    val snaps = IcebergTable.read(spark, s"$base#snapshots")
+      .orderBy("snapshot_id").collect()
+    assert(snaps.map(_.getAs[String]("operation")).toSeq ==
+      Seq("append", "overwrite"))
+  }
+
+  test("partitioned write: identity values in manifests AND in data files; " +
+    "partitionFilter prunes files before the scan") {
+    import spark.implicits._
+    val base = freshDir("part")
+    val src = (1L to 90L).map(i => (i, s"g${i % 3}", i * 2))
+      .toDF("k", "grp", "dbl")
+    IcebergTable.write(src, base, partitionBy = Seq("grp"))
+    val back = IcebergTable.read(spark, base)
+    // identity-partition column data survives in the files
+    assert(back.orderBy("k").collect().toSeq ==
+      src.select("k", "grp", "dbl").orderBy("k").collect().toSeq)
+    val full = IcebergTable.read(spark, base)
+    val pruned = IcebergTable.read(spark, base,
+      partitionFilter = p => p("grp") == "g1")
+    assert(pruned.inputFiles.length < full.inputFiles.length)
+    assert(pruned.select("k").collect().map(_.getLong(0)).toSet ==
+      (1L to 90L).filter(_ % 3 == 1).toSet)
+    // manifest partition tuples are typed
+    val files = IcebergTable.liveFiles(spark, base)
+    assert(files.forall(_.partition.keySet == Set("grp")))
+    assert(files.map(_.partition("grp")).toSet == Set("g0", "g1", "g2"))
+    // record counts in manifests match reality
+    assert(files.map(_.recordCount).sum == 90L)
+  }
+
+  test("incremental read: only rows appended in (from, to]") {
+    import spark.implicits._
+    val base = freshDir("incr")
+    IcebergTable.write((1L to 10L).map(i => (i, "s1")).toDF("k", "v"), base)
+    IcebergTable.write((11L to 20L).map(i => (i, "s2")).toDF("k", "v"), base)
+    IcebergTable.write((21L to 30L).map(i => (i, "s3")).toDF("k", "v"), base)
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.select("k").collect().map(_.getLong(0)).toSet
+    assert(keys(IcebergTable.readAppendedBetween(spark, base, 1L)) ==
+      (11L to 30L).toSet)
+    assert(keys(IcebergTable.readAppendedBetween(spark, base, 1L, Some(2L))) ==
+      (11L to 20L).toSet)
+    assert(keys(IcebergTable.readAppendedBetween(spark, base, 3L)) == Set.empty)
+    intercept[IllegalArgumentException](
+      IcebergTable.readAppendedBetween(spark, base, 42L))
+  }
+
+  test("metadata tables: snapshots, history, manifests, files, partitions") {
+    import spark.implicits._
+    val base = freshDir("metatables")
+    IcebergTable.write((1L to 40L).map(i => (i, s"g${i % 2}")).toDF("k", "grp"),
+      base, partitionBy = Seq("grp"))
+    IcebergTable.write((41L to 60L).map(i => (i, s"g${i % 2}")).toDF("k", "grp"),
+      base, partitionBy = Seq("grp"))
+    assert(IcebergTable.read(spark, s"$base#snapshots").count() == 2L)
+    val hist = IcebergTable.read(spark, s"$base#history")
+      .orderBy("snapshot_id").collect()
+    assert(hist.map(_.getAs[Boolean]("is_current_ancestor")).toSeq ==
+      Seq(false, true))
+    // current snapshot references both manifests (append carries forward)
+    assert(IcebergTable.read(spark, s"$base#manifests").count() == 2L)
+    val files = IcebergTable.read(spark, s"$base#files")
+    assert(files.agg(sum("record_count")).collect().head.getLong(0) == 60L)
+    val parts = IcebergTable.read(spark, s"$base#partitions").collect()
+    assert(parts.map(_.getAs[Long]("record_count")).sum == 60L)
+    assert(parts.length == 2) // g0, g1
+    intercept[IllegalArgumentException](
+      IcebergTable.read(spark, s"$base#nonsense"))
+  }
+
+  test("schema/spec guards and not-a-table errors are clear") {
+    import spark.implicits._
+    val base = freshDir("guards")
+    IcebergTable.write(Seq((1L, "x")).toDF("k", "v"), base)
+    val wrong = Seq((1L, 2L)).toDF("k", "v") // v: long, table has string
+    val e1 = intercept[IllegalArgumentException](IcebergTable.write(wrong, base))
+    assert(e1.getMessage.contains("schema mismatch"))
+    val e2 = intercept[IllegalArgumentException](
+      IcebergTable.write(Seq((1L, "x")).toDF("k", "v"), base,
+        partitionBy = Seq("v")))
+    assert(e2.getMessage.contains("partition spec mismatch"))
+    intercept[IllegalArgumentException](
+      IcebergTable.read(spark, freshDir("nothere")))
+  }
+
+  test("pushdown reaches parquet footers through the iceberg scan") {
+    import spark.implicits._
+    val base = freshDir("pushdown")
+    IcebergTable.write((1L to 100L).map(i => (i, i % 10)).toDF("k", "m"), base)
+    val df = IcebergTable.read(spark, base).filter(col("k") > 90L).select("m")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(k), GreaterThan(k,90)]")
+      || plan.contains("GreaterThan(k,90)"), s"no pushed filter in:\n$plan")
+    assert(df.collect().length == 10)
+  }
+
+  test("timestamps, dates and decimals survive the round-trip") {
+    import spark.implicits._
+    val base = freshDir("types")
+    val src = Seq(
+      (1L, java.sql.Date.valueOf("2024-03-09"),
+        java.sql.Timestamp.valueOf("2024-03-09 10:30:00"), BigDecimal("12.34")),
+      (2L, java.sql.Date.valueOf("2025-12-31"),
+        java.sql.Timestamp.valueOf("2025-12-31 23:59:59"), BigDecimal("-0.01"))
+    ).toDF("k", "d", "ts", "dec")
+    IcebergTable.write(src, base)
+    val back = IcebergTable.read(spark, base)
+    assert(back.orderBy("k").collect().toSeq == src.orderBy("k").collect().toSeq)
+    // and the declared iceberg schema says what the spec says it should
+    val meta = IcebergTable.loadMeta(spark, base)
+    val json = meta.schemaNode.toString
+    assert(json.contains("\"date\"") && json.contains("\"timestamptz\"")
+      && json.contains("decimal(38, 18)"))
+  }
+}
