@@ -14,6 +14,12 @@ import graft.functions.{CosineSimilarity, JaccardSimExpr, Md5Hash32Expr, Minhash
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // `SELECT * FROM dfs.`/path/file.parquet`` — Drill's dfs namespace as
+    // an analyzer rule (see sources/DfsResolveRule), plus a parser wrapper
+    // for the 3-part workspace form `dfs.tmp.`rel/path`` (which Spark
+    // would otherwise resolve eagerly against the session catalog).
+    ext.injectResolutionRule(session => graft.sources.DfsResolveRule(session))
+    ext.injectParser((_, parser) => new graft.sources.DfsParser(parser))
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),

@@ -394,6 +394,19 @@ object QueriesSources {
         .select("table_name", "row_count", "column_name", "nulls", "min", "max")
     }),
 
+    // ---- dfs SQL namespace (ref exec/.../store/dfs/FileSystemPlugin.java,
+    // WorkspaceSchemaFactory.java): query file PATHS from SQL, format by
+    // extension, via an analyzer rule — Drill's front door. The relation
+    // composes with joins/aggregates like any catalog table; the oracle is
+    // the same query over the registered views ----
+    "q_dfs_sql" -> ((s, d) =>
+      s.sql(s"""SELECT o.o_orderstatus AS status, count(*) AS n,
+                       round(sum(o.o_totalprice), 2) AS total
+                FROM dfs.`$d/orders.parquet` o
+                JOIN dfs.`$d/customer.parquet` c ON o.o_custkey = c.c_custkey
+                WHERE c.c_mktsegment = 'BUILDING'
+                GROUP BY o.o_orderstatus""")),
+
     // ---- hive-style directory partition pruning (ref PartitionExplorer) ----
     "q_dir_pruning" -> ((s, d) => {
       val src = GraftSession.table(s, d, "orders")
@@ -674,6 +687,13 @@ object QueriesSources {
     "q_dir_pruning" -> """
       SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total
       FROM orders WHERE o_orderstatus = 'F'""",
+    "q_dfs_sql" -> """
+      SELECT o.o_orderstatus AS status, count(*) AS n,
+             round(sum(o.o_totalprice), 2) AS total
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment = 'BUILDING'
+      GROUP BY o.o_orderstatus""",
     "q_variant_json" -> """
       SELECT event_id,
         json_extract(j, '$.k')::BIGINT AS k_val,

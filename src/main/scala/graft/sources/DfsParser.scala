@@ -1,0 +1,53 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.StructType
+
+/** Parser wrapper backing the 3-part `dfs.<workspace>.`path`` form.
+  *
+  * [[DfsResolveRule]] covers `dfs.`/abs/path`` (2 parts stay unresolved
+  * until the extended resolution rules run), but Spark resolves 3-part
+  * identifiers eagerly against the session catalog — it throws
+  * REQUIRES_SINGLE_PART_NAMESPACE before any injected rule can claim the
+  * relation. So workspace addressing is claimed one stage earlier: the
+  * delegating parser rewrites `dfs`-headed UnresolvedRelations right
+  * after parse, substituting the reader's analyzed plan (same mechanism,
+  * different hook — Drill resolves workspaces in its schema tree at plan
+  * time too, ref exec/.../store/dfs/WorkspaceSchemaFactory.java).
+  * Everything else delegates verbatim.
+  */
+class DfsParser(delegate: ParserInterface) extends ParserInterface {
+
+  private def rewrite(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case u: UnresolvedRelation
+        if u.multipartIdentifier.length >= 2 &&
+          u.multipartIdentifier.head.equalsIgnoreCase("dfs") =>
+      val spark = SparkSession.active
+      DfsSql.load(spark, u.multipartIdentifier.tail).queryExecution.analyzed
+  }
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    rewrite(delegate.parsePlan(sqlText))
+  override def parseQuery(sqlText: String): LogicalPlan =
+    rewrite(delegate.parseQuery(sqlText))
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}

@@ -1,0 +1,130 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Drill-identity `dfs` SQL namespace: query a file PATH directly from SQL,
+  * format inferred from the extension —
+  *
+  * {{{
+  *   SELECT * FROM dfs.`/data/part.parquet`
+  *   SELECT * FROM dfs.tmp.`export/run1.jsonl`
+  *   SELECT * FROM dfs.lake.`events`          -- conf-registered workspace
+  * }}}
+  *
+  * Reference: Drill's dfs storage plugin — a workspace maps a name to a
+  * filesystem location and format plugins claim files by extension
+  * (exec/java-exec/.../store/dfs/FileSystemPlugin.java,
+  * WorkspaceSchemaFactory.java, FormatPluginOptionExtractor.java). The
+  * Spark-native packaging is NOT a string rewrite: Spark itself resolves
+  * `parquet.`/path`` through an analyzer rule (ResolveSQLOnFile), and
+  * [[graft.GraftExtensions]] injects [[DfsResolveRule]] into the same
+  * resolution batch to do the identical thing for the whole graft format
+  * registry — so `dfs` paths compose with joins, views, CTEs and the
+  * optimizer exactly like any other relation, and the underlying scans
+  * keep their pushdown/pruning (the rule substitutes the reader's
+  * ANALYZED plan, not collected rows).
+  *
+  * Workspaces (Drill's `dfs.tmp`, `dfs.root`):
+  *   - `root` → `/` (absolute paths; same as the 1-part form)
+  *   - `tmp`  → java.io.tmpdir
+  *   - any other name resolves through the session conf
+  *     `graft.dfs.workspace.<name>` → base directory (the
+  *     bootstrap-storage-plugins.json analog).
+  *
+  * Directories resolve like Drill tables: a dir with `_delta_log` is a
+  * Delta table, a dir with `metadata/` + `data/` is an Iceberg table,
+  * otherwise the format comes from the first data file's extension and
+  * the whole directory is handed to that reader (the multi-file readers
+  * already parallelize one task per file via [[FileList]]).
+  */
+object DfsSql {
+
+  /** Formats whose reader accepts a file-or-directory path. Extensions
+    * mirror Drill's bootstrap format matcher list (bootstrap-storage-
+    * plugins.json: psv/csv/tsv/parquet/json/avro + contrib formats). */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val p = Paths.get(path)
+    if (Files.isDirectory(p)) {
+      if (Files.exists(p.resolve("_delta_log")))
+        return DeltaLogReader.read(spark, path)
+      if (Files.exists(p.resolve("metadata")) && Files.exists(p.resolve("data")))
+        return IcebergTable.read(spark, path)
+      val first = dataFiles(p).headOption.getOrElse(
+        throw new IllegalArgumentException(s"dfs: empty directory $path"))
+      readByExt(spark, path, extOf(first.getFileName.toString))
+    } else if (Files.exists(p)) {
+      readByExt(spark, path, extOf(p.getFileName.toString))
+    } else {
+      throw new IllegalArgumentException(s"dfs: no such file or directory: $path")
+    }
+  }
+
+  private def dataFiles(dir: Path): Seq[Path] = {
+    val s = Files.list(dir)
+    try s.iterator().asScala.toSeq
+      .filter(f => Files.isRegularFile(f) && !f.getFileName.toString.startsWith("_")
+        && !f.getFileName.toString.startsWith("."))
+      .sortBy(_.getFileName.toString)
+    finally s.close()
+  }
+
+  private def extOf(name: String): String = {
+    val i = name.lastIndexOf('.')
+    if (i < 0) "" else name.substring(i + 1).toLowerCase
+  }
+
+  private def readByExt(spark: SparkSession, path: String, ext: String): DataFrame =
+    ext match {
+      case "parquet"                   => spark.read.parquet(path)
+      case "csv"                       => SchemaOnRead.csv(spark, path)
+      case "tsv"                       => SchemaOnRead.csv(spark, path, "\t")
+      case "psv" | "tbl"               => SchemaOnRead.csv(spark, path, "|")
+      case "json" | "jsonl" | "ndjson" => SchemaOnRead.json(spark, path)
+      case "orc"                       => spark.read.orc(path)
+      case "avro"                      => AvroReader.read(spark, path)
+      case "xlsx"                      => XlsxReader.read(spark, path)
+      case "ltsv"                      => SchemaOnRead.ltsv(spark, path)
+      case "pcap"                      => PcapReader.read(spark, path)
+      case "pcapng"                    => PcapngReader.read(spark, path)
+      case "pdf"                       => PdfReader.read(spark, path)
+      case "geojson"                   => SchemaOnRead.geojson(spark, path)
+      case "shp"                       => ShapefileReader.read(spark, path)
+      case "sas7bdat"                  => SasReader.read(spark, path)
+      case "png" | "jpg" | "jpeg" | "gif" | "bmp" => ImageMetaReader.read(spark, path)
+      case "log" | "txt" | "text"      => spark.read.text(path)
+      case other => throw new IllegalArgumentException(
+        s"dfs: no format reader for extension '$other' ($path). " +
+          "Known: parquet csv tsv psv json jsonl orc avro xlsx ltsv pcap " +
+          "pcapng pdf geojson shp sas7bdat png/jpg/gif/bmp log/txt; " +
+          "directories: delta (_delta_log), iceberg (metadata/+data/)")
+    }
+
+  /** Resolve `dfs[.<workspace>].`path`` identifier parts to a filesystem
+    * path. One part = absolute path; two parts = workspace-relative. */
+  def resolvePath(spark: SparkSession, parts: Seq[String]): String = parts match {
+    case Seq(p) => p
+    case Seq(ws, p) =>
+      if (p.startsWith("/")) p // dfs.root.`/abs` style: workspace is vacuous
+      else {
+        val base = workspaceDir(spark, ws).getOrElse(throw new IllegalArgumentException(
+          s"dfs: unknown workspace '$ws' — set graft.dfs.workspace.$ws"))
+        s"${base.stripSuffix("/")}/$p"
+      }
+    case other => throw new IllegalArgumentException(
+      s"dfs: expected dfs.`path` or dfs.workspace.`path`, got ${other.mkString(".")}")
+  }
+
+  def workspaceDir(spark: SparkSession, ws: String): Option[String] =
+    ws.toLowerCase match {
+      case "root" => Some("/")
+      case "tmp"  => Some(System.getProperty("java.io.tmpdir", "/tmp"))
+      case name   => spark.conf.getOption(s"graft.dfs.workspace.$name")
+    }
+
+  def load(spark: SparkSession, parts: Seq[String]): DataFrame =
+    read(spark, resolvePath(spark, parts))
+}

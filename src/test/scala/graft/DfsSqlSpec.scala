@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{DeltaLogWriter, DfsSql}
+
+/** The `dfs` SQL namespace (sources/DfsSql.scala + DfsResolveRule):
+  * Drill's "query the file path from SQL" front door, format inferred by
+  * extension, workspaces, directory → table-format detection. */
+class DfsSqlSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.SF
+  private val fx = TestSpark.Fixtures
+
+  test("parquet path via SQL matches the reader API") {
+    val viaSql = spark.sql(s"SELECT count(*) AS n FROM dfs.`$sf/nation.parquet`")
+      .collect().head.getLong(0)
+    val direct = spark.read.parquet(s"$sf/nation.parquet").count()
+    assert(viaSql === direct)
+  }
+
+  test("dfs relations compose: join a csv fixture with a parquet table") {
+    val rows = spark.sql(
+      s"""SELECT n.n_name, c.name
+          FROM dfs.`$fx/sample.csv` c
+          JOIN dfs.`$sf/nation.parquet` n ON c.id = n.n_nationkey
+          ORDER BY c.id""").collect()
+    assert(rows.length === spark.read.option("header", "true")
+      .csv(s"$fx/sample.csv").count())
+    assert(rows.head.getString(1) != null)
+  }
+
+  test("extension registry: xlsx, pcap, jsonl, ltsv, geojson resolve") {
+    assert(spark.sql(s"SELECT * FROM dfs.`$fx/sample.xlsx`").count() === 5)
+    assert(spark.sql(s"SELECT * FROM dfs.`$fx/sample.pcap`").count() === 3)
+    assert(spark.sql(s"SELECT * FROM dfs.`$fx/sample.jsonl`").count() > 0)
+    assert(spark.sql(s"SELECT * FROM dfs.`$fx/app.ltsv`").count() > 0)
+    assert(spark.sql(s"SELECT * FROM dfs.`$fx/sample.geojson`").count() > 0)
+  }
+
+  test("tmp workspace resolves relative to java.io.tmpdir") {
+    val dir = Files.createTempDirectory("dfs_ws_").toFile
+    val rel = dir.getName
+    spark.range(7).toDF("v").write.mode("overwrite")
+      .parquet(s"${dir.getAbsolutePath}/t.parquet")
+    val n = spark.sql(s"SELECT count(*) AS n FROM dfs.tmp.`$rel/t.parquet`")
+      .collect().head.getLong(0)
+    assert(n === 7)
+  }
+
+  test("conf-registered workspace (bootstrap-storage-plugins analog)") {
+    spark.conf.set("graft.dfs.workspace.sf", sf)
+    try {
+      val n = spark.sql("SELECT count(*) AS n FROM dfs.sf.`region.parquet`")
+        .collect().head.getLong(0)
+      assert(n === 5)
+    } finally spark.conf.unset("graft.dfs.workspace.sf")
+  }
+
+  test("directory with _delta_log resolves as a Delta table") {
+    val dir = Files.createTempDirectory("dfs_delta_").toString
+    DeltaLogWriter.write(spark.range(5).toDF("v"), dir)
+    assert(spark.sql(s"SELECT * FROM dfs.`$dir`").count() === 5)
+  }
+
+  test("plain directory infers format from the first data file") {
+    val dir = Files.createTempDirectory("dfs_dir_").toString
+    spark.range(9).toDF("v").write.mode("overwrite").parquet(dir)
+    assert(spark.sql(s"SELECT * FROM dfs.`$dir`").count() === 9)
+  }
+
+  test("unknown extension and missing path error clearly") {
+    val p = Files.createTempFile("dfs_bad_", ".zzz")
+    val e1 = intercept[Exception](spark.sql(s"SELECT * FROM dfs.`$p`").collect())
+    assert(e1.getMessage.contains("no format reader"))
+    val e2 = intercept[Exception](
+      spark.sql("SELECT * FROM dfs.`/no/such/file.parquet`").collect())
+    assert(e2.getMessage.contains("no such file"))
+    val e3 = intercept[Exception](
+      spark.sql("SELECT * FROM dfs.nope.`x.parquet`").collect())
+    assert(e3.getMessage.contains("unknown workspace"))
+  }
+
+  test("pushdown survives the dfs rewrite: filter reaches the parquet scan") {
+    val df = spark.sql(
+      s"SELECT o_orderkey FROM dfs.`$sf/orders.parquet` WHERE o_orderkey = 7")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("o_orderkey"), s"expected pushed filter in:\n$plan")
+  }
+
+  test("real catalog tables still win: dfs head is the only claimed name") {
+    spark.range(3).toDF("x").createOrReplaceTempView("dfs_unrelated")
+    assert(spark.sql("SELECT * FROM dfs_unrelated").count() === 3)
+  }
+}
