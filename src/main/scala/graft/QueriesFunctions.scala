@@ -217,6 +217,25 @@ object QueriesFunctions {
             .as("epoch_day"),
           trunc(col("o_orderdate"), "quarter").as("q_start"))),
 
+    // fourth date batch: broader date/interval arithmetic parity —
+    // months_between on month boundaries, next_day, timestampadd,
+    // weekday, year-month interval literals, make_timestamp (Drill
+    // DateTypeFunctions: age/date_add family + Calcite TIMESTAMPADD)
+    "q_date_fns4" -> ((s, d) =>
+      T(s, d, "orders").filter(col("o_orderkey") < 500)
+        .select(col("o_orderkey"),
+          months_between(lit("2002-01-01").cast("date"),
+            trunc(col("o_orderdate"), "month")).cast("int").as("months_to_2002"),
+          next_day(col("o_orderdate").cast("date"), "Monday").as("next_mon"),
+          expr("timestampadd(YEAR, 2, cast(o_orderdate as timestamp))")
+            .cast("date").as("plus2y"),
+          expr("weekday(o_orderdate)").cast("int").as("wd"),
+          (col("o_orderdate").cast("date") + expr("INTERVAL '1-2' YEAR TO MONTH"))
+            .cast("date").as("plus1y2m"),
+          expr("""unix_timestamp(make_timestamp(year(o_orderdate),
+            month(o_orderdate), day(o_orderdate), 12, 30, 15))""")
+            .as("noonish_epoch"))),
+
     // Drill repeated_count / repeated_contains and friends over arrays
     // (ref exec/.../expr/fn/impl/SimpleRepeatedFunctions.java)
     "q_array_fns" -> ((s, d) => {
@@ -544,6 +563,17 @@ object QueriesFunctions {
         (o_orderdate::DATE + 90) AS plus90,
         (o_orderdate::DATE - '1970-01-01'::DATE)::INT AS epoch_day,
         date_trunc('quarter', o_orderdate)::DATE AS q_start
+      FROM orders WHERE o_orderkey < 500""",
+    "q_date_fns4" -> """
+      SELECT o_orderkey,
+        date_diff('month', date_trunc('month', o_orderdate)::DATE,
+                  DATE '2002-01-01')::INT AS months_to_2002,
+        (o_orderdate::DATE + ((7 - isodow(o_orderdate)) % 7 + 1)::INT) AS next_mon,
+        (o_orderdate::TIMESTAMP + INTERVAL 2 YEAR)::DATE AS plus2y,
+        (isodow(o_orderdate) - 1)::INT AS wd,
+        (o_orderdate::DATE + INTERVAL '1 year 2 months')::DATE AS plus1y2m,
+        epoch(make_timestamp(year(o_orderdate)::BIGINT, month(o_orderdate)::BIGINT,
+          day(o_orderdate)::BIGINT, 12::BIGINT, 30::BIGINT, 15.0))::BIGINT AS noonish_epoch
       FROM orders WHERE o_orderkey < 500""",
     "q_array_fns" -> s"""
       WITH t AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w FROM documents)

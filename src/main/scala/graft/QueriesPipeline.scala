@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Dedup, Scrub, Similarity, TextAnalysis, Training}
+import graft.pipeline.{Dedup, Scrub, Search, Similarity, TextAnalysis, Training}
 import graft.streaming.Events
 
 /** §2.4 + §2.5 coverage: LLM-pipeline operators and stream semantics,
@@ -52,6 +52,16 @@ object QueriesPipeline {
       Dedup.crossNearDups(
         all.filter(col("doc_id") >= 50), all.filter(col("doc_id") < 50),
         "doc_id", "text", threshold = 0.8, maxBucket = 100000)
+    }),
+
+    "q_ngram_decontam" -> ((s, d) => {
+      // EXACT n-gram overlap decontamination (GPT-3 appendix-C recipe),
+      // same corpus/reference split as q_decontaminate: flag corpus docs
+      // sharing any 5-gram with the eval set, counting distinct hits.
+      val all = T(s, d, "documents")
+      Dedup.ngramDecontaminate(
+        all.filter(col("doc_id") >= 50), all.filter(col("doc_id") < 50),
+        "doc_id", "text", n = 5)
     }),
 
     "q_dedup_simhash" -> ((s, d) =>
@@ -146,6 +156,36 @@ object QueriesPipeline {
         docs.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
       Scrub.chunkDupStats(dupped, "doc_id", "text", chunkTokens = 20)
     }),
+
+    "q_bm25" -> ((s, d) =>
+      Search.bm25(T(s, d, "documents"), "doc_id", "text",
+        terms = Seq("spark", "query", "window"))
+        .select(col("doc_id"), round(col("score"), 6).as("score"))),
+
+    "q_stratified_sample" -> ((s, d) =>
+      Training.stratifiedSample(T(s, d, "documents"), "doc_id", "text",
+        strataCol = "lang", k = 40)),
+
+    "q_url_dedup" -> ((s, d) => {
+      // raw URLs synthesized from columns both engines share, exercising
+      // every canonicalization rule (case, www, default port, fragment,
+      // utm params, trailing slash); the oracle states the INTENDED
+      // canonical form directly, so the rules are tested against intent,
+      // not against a re-run of themselves.
+      val variant = pmod(col("doc_id"), lit(4))
+      val raw = concat(lit("HTTPS://WWW."), col("source"),
+        lit(".example.com:443/docs/"), pmod(col("doc_id"), lit(500)),
+        when(variant === 0,
+            concat(lit("?utm_source=feed&id="), pmod(col("doc_id"), lit(500))))
+          .when(variant === 1, lit("#section2"))
+          .when(variant === 2, lit("/"))
+          .otherwise(lit("")))
+      Scrub.urlDupStats(
+        T(s, d, "documents").withColumn("url", raw), "doc_id", "url")
+    }),
+
+    "q_gopher_filter" -> ((s, d) =>
+      Scrub.gopherSignals(T(s, d, "documents"), "doc_id", "text")),
 
     "q_window_tumbling" -> ((s, d) =>
       Events.tumblingAgg(T(s, d, "events"), 300)),
@@ -266,6 +306,56 @@ object QueriesPipeline {
       WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.8""",
     "q_dedup_simhash" -> SIMHASH_ORACLE,
     "q_dedup_simhash_capped" -> SIMHASH_ORACLE,
+    // joins on the raw 5-gram STRINGS where the Spark side joins on their
+    // 60-bit md5-prefix hashes — a hash false-positive would fail the gate
+    "q_ngram_decontam" -> s"""
+      WITH t AS (SELECT doc_id, string_split($NORM, ' ') AS w FROM documents),
+      g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+              range(1, len(w) - 3), i -> array_to_string(w[i:i+4], ' ')))) AS ng
+            FROM t WHERE len(w) >= 5),
+      ref AS (SELECT DISTINCT ng FROM g WHERE doc_id < 50)
+      SELECT g.doc_id, count(*) AS n_shared
+      FROM g JOIN ref USING (ng) WHERE g.doc_id >= 50 GROUP BY 1""",
+    "q_bm25" -> s"""
+      WITH d AS (SELECT doc_id, len(string_split($NORM, ' ')) AS dl,
+                        string_split($NORM, ' ') AS w FROM documents),
+      tf AS (SELECT doc_id, dl, unnest(w) AS term FROM d),
+      tf2 AS (SELECT doc_id, dl, term, count(*)::BIGINT AS tf FROM tf
+              WHERE term IN ('spark', 'query', 'window') GROUP BY 1, 2, 3),
+      stats AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl FROM d),
+      dfx AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tf2 GROUP BY 1)
+      SELECT doc_id, round(sum(
+          ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+          tf * (1.2 + 1.0) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl /
+            (sum_dl::DOUBLE / n_docs)))), 6) AS score
+      FROM tf2 JOIN dfx USING (term) CROSS JOIN stats GROUP BY 1""",
+    "q_stratified_sample" -> """
+      SELECT doc_id, lang, rk FROM (
+        SELECT doc_id, lang,
+          row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id)::BIGINT AS rk
+        FROM documents) WHERE rk <= 40""",
+    "q_url_dedup" -> """
+      WITH u AS (SELECT doc_id,
+          'https://' || source || '.example.com/docs/' || (doc_id % 500) ||
+          CASE WHEN doc_id % 4 = 0 THEN '?id=' || (doc_id % 500) ELSE '' END AS canon
+        FROM documents)
+      SELECT canon AS canon_url, count(*)::BIGINT AS n_variants,
+             min(doc_id) AS keeper_doc
+      FROM u GROUP BY 1""",
+    "q_gopher_filter" -> s"""
+      WITH t AS (SELECT doc_id, text, string_split($NORM, ' ') AS w FROM documents),
+      m AS (SELECT doc_id,
+          len(w)::BIGINT AS wc,
+          (list_sum(list_transform(w, x -> length(x))) * 100 // len(w))::BIGINT AS mlen,
+          ((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))
+            * 10000 // greatest(length(text), 1))::BIGINT AS sym,
+          len(list_filter(w, x -> x IN ('the','a','an','of','and','to','in','is','it','that')))::BIGINT AS stop
+        FROM t)
+      SELECT doc_id, wc AS word_count, mlen AS mean_len_x100, sym AS symbol_bp,
+             stop AS stop_hits,
+             (wc BETWEEN 30 AND 5000 AND mlen BETWEEN 300 AND 1000
+              AND sym <= 1000 AND stop > 0) AS keep
+      FROM m""",
     "q_ngram_jaccard" -> jaccardOracle("0.95"),
     "q_embed_neardup" -> """
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,

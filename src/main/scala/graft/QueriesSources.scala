@@ -407,6 +407,24 @@ object QueriesSources {
                 WHERE c.c_mktsegment = 'BUILDING'
                 GROUP BY o.o_orderstatus""")),
 
+    // ---- Hadoop SequenceFile (ref exec/.../store/easy/sequencefile/
+    // SequenceFileRecordReader.java): the fixture is written by HADOOP's
+    // own SequenceFile writer (saveAsSequenceFile — fully independent of
+    // the reader under test), read back as binary_key/binary_value ----
+    "q_read_seqfile" -> ((s, d) => {
+      val dir = s"${out(d)}/seqfile"
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val rows = GraftSession.table(s, d, "region")
+        .select(col("r_regionkey").cast("string"), col("r_name"))
+        .collect().map(r => (r.getString(0), r.getString(1))) // 5 rows
+      s.sparkContext.parallelize(rows.toSeq, 2).saveAsSequenceFile(dir)
+      graft.sources.SequenceFileReader.read(s, dir)
+        .select(col("binary_key").cast("string").cast("int").as("r_regionkey"),
+          col("binary_value").cast("string").as("r_name"))
+    }),
+
     // ---- hive-style directory partition pruning (ref PartitionExplorer) ----
     "q_dir_pruning" -> ((s, d) => {
       val src = GraftSession.table(s, d, "orders")
@@ -687,6 +705,8 @@ object QueriesSources {
     "q_dir_pruning" -> """
       SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total
       FROM orders WHERE o_orderstatus = 'F'""",
+    "q_read_seqfile" -> """
+      SELECT r_regionkey::INT AS r_regionkey, r_name FROM region""",
     "q_dfs_sql" -> """
       SELECT o.o_orderstatus AS status, count(*) AS n,
              round(sum(o.o_totalprice), 2) AS total

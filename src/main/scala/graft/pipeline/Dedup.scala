@@ -245,6 +245,40 @@ object Dedup {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** EXACT n-gram overlap decontamination (the published eval-hygiene
+    * recipe: flag a training doc if any length-n token window also
+    * appears anywhere in the reference/benchmark set — the GPT-3
+    * appendix-C "13-gram" method; MinHash-based [[crossNearDups]] is the
+    * fuzzy sibling). Returns (doc_id, n_shared) per contaminated corpus
+    * doc: how many of its distinct n-grams hit the reference set.
+    *
+    * Scale shape: n-grams leave the scan as 60-bit portable hashes
+    * (md5-prefix — any engine can re-derive them), deduplicated per doc
+    * map-side; the reference side collapses to DISTINCT hashes (eval
+    * sets are tiny next to the corpus, but nothing here assumes it: the
+    * join is hash-on-hash either way). At 2^60 keyspace a false hash hit
+    * needs ~10^9 distinct n-grams before it has noticeable odds; swap in
+    * the full md5 for audit-grade exactness. */
+  def ngramDecontaminate(corpus: DataFrame, reference: DataFrame,
+                         idCol: String, textCol: String,
+                         n: Int = 5): DataFrame = {
+    def grams(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("doc_id"),
+          explode(array_distinct(TextAnalysis.wordNgrams(col(textCol), n)))
+            .as("gram"))
+        .filter(size(split(col("gram"), " ")) === n) // short docs emit no n-gram
+        .select(col("doc_id"), md5Hash60(col("gram")).as("gh"))
+    val refGrams = grams(reference).select("gh").distinct()
+    grams(corpus).join(refGrams, "gh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** 60-bit engine-portable content hash: the first 15 hex chars of md5,
+    * parsed as an unsigned value (fits a signed 64-bit long, so the same
+    * number is reproducible in any SQL engine without unsigned types). */
+  def md5Hash60(e: Column): Column =
+    conv(substring(md5(e), 1, 15), 16, 10).cast("long")
+
   /** Exact Jaccard over the token sets of candidate pairs (native
     * jaccard_sim kernel). The threshold filter uses the UNROUNDED value
     * (matching a SQL oracle's WHERE); the output column is rounded for

@@ -66,4 +66,62 @@ object Scrub {
       .groupBy("chunk_hash")
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper_doc"))
       .filter(col("n_copies") > 1)
+
+  /** URL canonicalization for crawl dedup: the same page crawled as
+    * `HTTPS://WWW.Site.com:443/a/?utm_source=x#frag` and
+    * `https://site.com/a` must collapse to one key. Rules (each a single
+    * engine-portable replace — no backreferences, no lookarounds, so the
+    * identical patterns run under Java regex and RE2):
+    * lowercase → strip fragment → strip default port (:80/:443) →
+    * strip `www.` → strip `utm_*` tracking params → strip trailing
+    * slash / dangling `?`. A pure codegen Column — canonicalization
+    * never shuffles. */
+  def canonicalizeUrl(url: Column): Column = {
+    val lower_ = lower(url)
+    val noFrag = regexp_replace(lower_, "#.*$", "")
+    val noPort = regexp_replace(
+      regexp_replace(noFrag, ":(443|80)/", "/"), ":(443|80)$", "")
+    val noWww = regexp_replace(noPort, "://www\\.", "://")
+    val noUtmMid = regexp_replace(noWww, "utm_[a-z]+=[^&#]*&", "")
+    val noUtmEnd = regexp_replace(noUtmMid, "[?&]utm_[a-z]+=[^&#]*$", "")
+    regexp_replace(regexp_replace(noUtmEnd, "/$", ""), "\\?$", "")
+  }
+
+  /** URL-level dedup audit over canonical keys: how many raw variants
+    * collapsed onto each canonical URL, keeping the smallest id — one
+    * shuffle on the canonical string (at crawl scale, hash it first the
+    * same way chunkDupStats does). */
+  def urlDupStats(docs: DataFrame, idCol: String, urlCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        canonicalizeUrl(col(urlCol)).as("canon_url"))
+      .groupBy("canon_url")
+      .agg(count(lit(1)).as("n_variants"), min("doc_id").as("keeper_doc"))
+
+  /** Gopher-style document quality rules (the published heuristic
+    * filter family: word-count window, mean-word-length window, symbol
+    * ratio, stopword evidence), quantized to integers so every engine
+    * derives identical verdicts. Returns per-doc signals + the composite
+    * `keep`. Pure narrow map — the filter fuses into the scan. */
+  def gopherSignals(docs: DataFrame, idCol: String, textCol: String,
+                    minWords: Int = 30, maxWords: Int = 5000,
+                    minMeanLenX100: Int = 300, maxMeanLenX100: Int = 1000,
+                    maxSymbolBp: Int = 1000): DataFrame = {
+    val words = split(TextAnalysis.normalize(col(textCol)), " ")
+    val wc = size(words)
+    val meanLenX100 = floor(aggregate(words, lit(0L),
+      (acc, w) => acc + length(w)) * 100 / wc).cast("long")
+    val symbolBp = floor((length(col(textCol)) -
+      length(regexp_replace(col(textCol), "[^a-zA-Z0-9\\s]", "")))
+      * lit(10000L) / greatest(length(col(textCol)), lit(1))).cast("long")
+    val stopHits = size(filter(words,
+      w => TextAnalysis.EnStopwords.foldLeft(lit(false))((a, s) => a || (w === s))))
+    docs.select(col(idCol).as("doc_id"),
+        wc.cast("long").as("word_count"), meanLenX100.as("mean_len_x100"),
+        symbolBp.as("symbol_bp"), stopHits.cast("long").as("stop_hits"))
+      .withColumn("keep",
+        col("word_count").between(minWords, maxWords) &&
+          col("mean_len_x100").between(minMeanLenX100, maxMeanLenX100) &&
+          col("symbol_bp") <= maxSymbolBp &&
+          col("stop_hits") > 0)
+  }
 }

@@ -1,0 +1,71 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Lexical relevance scoring over a document corpus: TF-IDF and BM25 —
+  * the retrieval half of a training-data pipeline (mining domain
+  * documents by keyword, weighting corpus mixtures by topical relevance,
+  * building weak labels for quality classifiers).
+  *
+  * Scale shape: query terms are filtered out of the token stream BEFORE
+  * anything shuffles (a handful of terms survive per document, not the
+  * document), document lengths are a narrow codegen map, and the corpus
+  * statistics (N, avgdl, per-term df) are metadata-scale aggregates that
+  * broadcast. Nothing here is quadratic and nothing shuffles text other
+  * than the matched terms themselves (bounded by |query| distinct
+  * values). Formulas are pure double arithmetic with a fixed evaluation
+  * order, so a SQL oracle reproduces them bit-for-bit.
+  */
+object Search {
+
+  /** Per-document BM25 score against a bag of query terms.
+    * Okapi BM25: sum over matched terms of
+    * `idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))` with
+    * `idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))`.
+    * Returns (id, score) for documents matching at least one term.
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = split(TextAnalysis.normalize(col(textCol)), " ")
+
+    // narrow map: per-doc length + per-term tf for query terms only
+    val withLen = docs.select(col(idCol).as("doc_id"),
+      size(toks).as("dl"), toks.as("toks"))
+    val tf = withLen
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(terms: _*)) // query terms survive, nothing else
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+
+    // corpus statistics: one aggregate each, broadcast back
+    val stats = withLen.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val df_ = tf.groupBy("term").agg(countDistinct("doc_id").as("df"))
+
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val tfNorm = col("tf") * (lit(k1) + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / avgdl))
+
+    tf.join(broadcast(df_), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), (idf * tfNorm).as("term_score"))
+      .groupBy("doc_id").agg(sum("term_score").as("score"))
+  }
+
+  /** Classic TF-IDF weight per (doc, term) for the given terms:
+    * `tf * ln(N / df)` — the simpler sibling kept for pipelines that
+    * expect it (BM25 is the default). */
+  def tfidf(docs: DataFrame, idCol: String, textCol: String,
+            terms: Seq[String]): DataFrame = {
+    val toks = split(TextAnalysis.normalize(col(textCol)), " ")
+    val tf = docs.select(col(idCol).as("doc_id"), explode(toks).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    val df_ = tf.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    tf.join(broadcast(df_), "term").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        (col("tf") * log(col("n_docs").cast("double") / col("df"))).as("weight"))
+  }
+}

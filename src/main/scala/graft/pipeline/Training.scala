@@ -58,4 +58,20 @@ object Training {
   def mixturePct(docs: DataFrame, idCol: String, textCol: String,
                  pct: Int): DataFrame =
     docs.filter(pmod(Dedup.md5Hash32(col(textCol)), lit(100)) < pct)
+
+  /** Deterministic stratified sample: exactly `k` documents per stratum
+    * (language, source, topic bucket …), chosen by md5 rank — a
+    * quota-balanced corpus draw that is reproducible across runs, row
+    * orders, and engines (rand()-based samplers are none of those).
+    * One window per stratum, partitioned by the stratum key: the plan is
+    * a single hash shuffle on the stratum column and scales with corpus
+    * size, not stratum count. Ties (identical text) break on id. */
+  def stratifiedSample(docs: DataFrame, idCol: String, textCol: String,
+                       strataCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(strataCol).orderBy(md5(col(textCol)), col(idCol))
+    docs.select(col(idCol), col(strataCol), col(textCol))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(idCol), col(strataCol), col("rk").cast("long").as("rk"))
+  }
 }

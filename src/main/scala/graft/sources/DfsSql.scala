@@ -94,12 +94,13 @@ object DfsSql {
       case "geojson"                   => SchemaOnRead.geojson(spark, path)
       case "shp"                       => ShapefileReader.read(spark, path)
       case "sas7bdat"                  => SasReader.read(spark, path)
+      case "seq"                       => SequenceFileReader.read(spark, path)
       case "png" | "jpg" | "jpeg" | "gif" | "bmp" => ImageMetaReader.read(spark, path)
       case "log" | "txt" | "text"      => spark.read.text(path)
       case other => throw new IllegalArgumentException(
         s"dfs: no format reader for extension '$other' ($path). " +
           "Known: parquet csv tsv psv json jsonl orc avro xlsx ltsv pcap " +
-          "pcapng pdf geojson shp sas7bdat png/jpg/gif/bmp log/txt; " +
+          "pcapng pdf geojson shp sas7bdat seq png/jpg/gif/bmp log/txt; " +
           "directories: delta (_delta_log), iceberg (metadata/+data/)")
     }
 

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{Dedup, Scrub, Search, Training}
+
+/** Edge cases for the round-5 pipeline ops: URL canonicalization rules,
+  * Gopher filter windows, exact n-gram decontamination, stratified
+  * sampling quotas, BM25 ranking sanity. */
+class PipelineExtraSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("canonicalizeUrl: each rule, and rule interaction") {
+    val cases = Seq(
+      "HTTPS://WWW.Site.com:443/a/?utm_source=x#frag" -> "https://site.com/a",
+      "http://site.com:80/a" -> "http://site.com/a",
+      "https://site.com:8443/a" -> "https://site.com:8443/a", // non-default kept
+      "https://site.com/a?utm_campaign=z" -> "https://site.com/a",
+      "https://site.com/a?utm_source=x&id=7" -> "https://site.com/a?id=7",
+      "https://site.com/a?id=7&utm_medium=m" -> "https://site.com/a?id=7",
+      "https://wwwx.com/a" -> "https://wwwx.com/a", // not a www. prefix
+      "https://site.com/" -> "https://site.com")
+    val got = cases.map(_._1).toDF("u")
+      .select(Scrub.canonicalizeUrl(col("u"))).as[String].collect()
+    got.zip(cases.map(_._2)).foreach { case (g, e) => assert(g === e) }
+  }
+
+  test("urlDupStats collapses variants onto one canonical key") {
+    val docs = Seq(
+      (1L, "https://WWW.a.com/x/"), (2L, "https://a.com:443/x#f"),
+      (3L, "https://a.com/x?utm_source=s"), (4L, "https://a.com/y"))
+      .toDF("doc_id", "url")
+    val stats = Scrub.urlDupStats(docs, "doc_id", "url")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(stats("https://a.com/x") === ((3L, 1L)))
+    assert(stats("https://a.com/y") === ((1L, 4L)))
+  }
+
+  test("gopherSignals: each window bound flips keep") {
+    val docs = Seq(
+      (1L, Seq.fill(40)("word").mkString(" ") + " the"),      // passes all
+      (2L, Seq.fill(5)("word").mkString(" ") + " the"),       // too short
+      (3L, Seq.fill(40)("w").mkString(" ") + " ab the"),      // mean len < 3
+      (4L, Seq.fill(40)("word!!!").mkString(" ") + " the"),   // symbols > 10%
+      (5L, Seq.fill(40)("word").mkString(" ")))               // no stopwords
+      .toDF("doc_id", "text")
+    val keep = Scrub.gopherSignals(docs, "doc_id", "text")
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(keep === Map(1L -> true, 2L -> false, 3L -> false,
+      4L -> false, 5L -> false))
+  }
+
+  test("ngramDecontaminate: planted contamination found, clean docs not") {
+    val ref = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "prefix words alpha beta gamma delta epsilon suffix"), // shares 5-grams
+      (2L, "totally unrelated content with different words here"),
+      (3L, "alpha beta gamma delta wrong")) // only 4 shared in a row
+      .toDF("doc_id", "text")
+    val hits = Dedup.ngramDecontaminate(corpus, ref, "doc_id", "text", n = 5)
+      .as[(Long, Long)].collect().toMap
+    // doc 1 shares exactly 2 distinct 5-grams (a b g d e, b g d e z is absent
+    // — suffix differs, so just windows fully inside the shared span)
+    assert(hits.keySet === Set(1L))
+    assert(hits(1L) === 1L) // "alpha beta gamma delta epsilon" only
+  }
+
+  test("stratifiedSample: exact quota per stratum, deterministic") {
+    val docs = (1L to 100L).map(i => (i, s"text $i", if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "text", "lang")
+    val s1 = Training.stratifiedSample(docs, "doc_id", "text", "lang", 10)
+    assert(s1.groupBy("lang").count().as[(String, Long)].collect().toMap ===
+      Map("en" -> 10L, "de" -> 10L))
+    val s2 = Training.stratifiedSample(docs, "doc_id", "text", "lang", 10)
+    assert(s1.collect().toSet === s2.collect().toSet)
+  }
+
+  test("bm25: a doc saturated with the query term outranks a diluted one") {
+    val docs = Seq(
+      (1L, "spark spark spark spark"),
+      (2L, "spark " + Seq.fill(60)("filler").mkString(" ")),
+      (3L, "no relevant terms at all")).toDF("doc_id", "text")
+    val scores = Search.bm25(docs, "doc_id", "text", Seq("spark"))
+      .as[(Long, Double)].collect().toMap
+    assert(scores.keySet === Set(1L, 2L))
+    assert(scores(1L) > scores(2L))
+  }
+}

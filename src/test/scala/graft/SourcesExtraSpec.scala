@@ -77,4 +77,34 @@ class SourcesExtraSpec extends AnyFunSuite {
       SnapshotTable.read(spark, base, Some(99))
     }
   }
+
+  test("SequenceFile: Text and BytesWritable records, Hadoop-written") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.hadoop.io.{BytesWritable, SequenceFile, Text}
+    val dir = java.nio.file.Files.createTempDirectory("seq_").toString
+
+    // Text/Text via Spark's own saveAsSequenceFile
+    spark.sparkContext.parallelize(Seq(("a", "1"), ("b", "2"), ("c", "3")), 1)
+      .saveAsSequenceFile(s"$dir/text")
+    val t = graft.sources.SequenceFileReader.read(spark, s"$dir/text")
+      .selectExpr("cast(binary_key as string) k", "cast(binary_value as string) v")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(t === Set(("a", "1"), ("b", "2"), ("c", "3")))
+
+    // BytesWritable/BytesWritable via Hadoop's writer directly
+    val conf = spark.sparkContext.hadoopConfiguration
+    val w = SequenceFile.createWriter(conf,
+      SequenceFile.Writer.file(new Path(s"$dir/bytes/part-0.seq")),
+      SequenceFile.Writer.keyClass(classOf[BytesWritable]),
+      SequenceFile.Writer.valueClass(classOf[BytesWritable]))
+    w.append(new BytesWritable(Array[Byte](1, 2)), new BytesWritable(Array[Byte](3)))
+    w.append(new BytesWritable(Array[Byte](4)), new BytesWritable(Array[Byte](5, 6)))
+    w.close()
+    val b = graft.sources.SequenceFileReader.read(spark, s"$dir/bytes")
+      .collect().map(r => (r.getAs[Array[Byte]](0).toSeq, r.getAs[Array[Byte]](1).toSeq)).toSet
+    assert(b === Set((Seq[Byte](1, 2), Seq[Byte](3)), (Seq[Byte](4), Seq[Byte](5, 6))))
+
+    // and through the dfs namespace by .seq extension
+    assert(spark.sql(s"SELECT * FROM dfs.`$dir/bytes/part-0.seq`").count() === 2)
+  }
 }
