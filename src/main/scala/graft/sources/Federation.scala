@@ -42,6 +42,39 @@ object Federation {
                 props: Properties = new Properties()): Unit =
     df.write.mode("overwrite").jdbc(url, table, props)
 
+  /** Query a PEER graft engine's REST endpoint as a table — Drill's
+    * drill-on-drill storage plugin (reference: contrib/storage-drill/
+    * .../plugin/DrillStoragePlugin.java), where one cluster federates
+    * queries to another over its query API. The peer runs
+    * [[QueryServer]]; this side POSTs `{"query": sql}` and re-reads the
+    * JSON rows as a DataFrame that joins with anything local.
+    * The transfer is driver-side by design: the peer's endpoint is
+    * maxRows-bounded (serving surface, not bulk export — same posture as
+    * the peer's own REST contract; bulk movement belongs on a shared
+    * filesystem/CTAS path). Errors surface with the peer's message. */
+  def graftPeer(spark: SparkSession, baseUrl: String, sql: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val conn = java.net.URI.create(s"$baseUrl/query").toURL
+      .openConnection().asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestMethod("POST")
+    conn.setDoOutput(true)
+    val payload = mapper.createObjectNode()
+    payload.put("query", sql)
+    conn.getOutputStream.write(mapper.writeValueAsBytes(payload))
+    val ok = conn.getResponseCode < 400
+    val stream = if (ok) conn.getInputStream else conn.getErrorStream
+    val body = new String(stream.readAllBytes(), "UTF-8")
+    conn.disconnect()
+    val node = mapper.readTree(body)
+    if (!ok || node.has("errorMessage"))
+      throw new IllegalArgumentException("graft peer error: " +
+        Option(node.get("errorMessage")).map(_.asText).getOrElse(body))
+    val rows = node.get("rows").elements().asScala.map(_.toString).toSeq
+    import spark.implicits._
+    spark.read.json(spark.createDataset(rows))
+  }
+
   /** REST endpoint as a table (Drill contrib/storage-http): each URL —
     * typically one per page of a paginated API — is fetched by an
     * executor task, so pagination IS the parallelism. Responses are

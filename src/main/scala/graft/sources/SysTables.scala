@@ -35,6 +35,19 @@ object SysTables {
       .toDF("host", "port", "running_tasks")
   }
 
+  /** sys.functions (Drill's function-registry listing, ref
+    * exec/.../store/sys/FunctionsIterator.java): every function the
+    * session resolves — Spark built-ins AND the graft-native kernels
+    * injected by GraftExtensions — with its implementing class.
+    * `graft_native` marks the kernels this library contributes. */
+  def functions(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lower}
+    spark.catalog.listFunctions()
+      .select(col("name"), col("className"), col("isTemporary"))
+      .withColumn("graft_native",
+        lower(col("className")).startsWith("graft."))
+  }
+
   /** sys.memory: JVM heap posture of the driver (Drill reports per-bit
     * direct/heap; executors surface through bits + the Spark UI API). */
   def memory(spark: SparkSession): DataFrame = {

@@ -81,4 +81,18 @@ class CatalogSpec extends AnyFunSuite {
     ViewCatalog.load(fresh, base)
     assert(fresh.sql("SELECT count(*) FROM a_small").collect()(0).getLong(0) == 2)
   }
+
+  test("sys.functions lists built-ins AND graft-native kernels with classes") {
+    val fns = graft.sources.SysTables.functions(spark)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // graft kernels injected by GraftExtensions resolve with their classes
+    for (name <- Seq("cosine_sim", "md5_hash32", "simhash_text64", "metaphone")) {
+      assert(fns.contains(name), s"missing $name")
+      assert(fns(name).getBoolean(3), s"$name should be graft_native")
+      assert(fns(name).getString(1).startsWith("graft."))
+    }
+    // spark built-ins are present and not claimed as graft's
+    assert(fns.contains("abs") && !fns("abs").getBoolean(3))
+    assert(fns.size > 300) // the whole registry, not a curated list
+  }
 }

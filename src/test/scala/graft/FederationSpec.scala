@@ -32,4 +32,29 @@ class FederationSpec extends AnyFunSuite {
     assert(part.agg(org.apache.spark.sql.functions.sum("V")).collect()(0)
       .getDouble(0) == (1 to 100).map(_ * 2.0).sum)
   }
+
+  test("graft-to-graft federation: query a peer engine's REST endpoint " +
+      "and join the result locally (storage-drill role)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the "peer": this session serving its own QueryServer — protocol-wise
+    // identical to a remote engine, transport is real HTTP either way
+    Seq((0L, "alpha"), (1L, "beta"), (2L, "gamma"))
+      .toDF("k", "peer_name").createOrReplaceTempView("peer_table")
+    val server = graft.sources.QueryServer.start(spark)
+    try {
+      val remote = Federation.graftPeer(spark,
+        s"http://127.0.0.1:${server.port}",
+        "SELECT k, peer_name FROM peer_table WHERE k < 2")
+      assert(remote.count() === 2)
+      val local = Seq((0L, 10.0), (1L, 20.0), (2L, 30.0)).toDF("k", "v")
+      val joined = remote.join(local, "k")
+      assert(joined.agg(sum("v")).collect()(0).getDouble(0) === 30.0)
+      // peer errors carry the peer's message
+      val e = intercept[IllegalArgumentException](
+        Federation.graftPeer(spark,
+          s"http://127.0.0.1:${server.port}", "SELECT * FROM no_such_table"))
+      assert(e.getMessage.contains("graft peer error"))
+    } finally server.stop()
+  }
 }
