@@ -187,6 +187,16 @@ object QueriesPipeline {
     "q_gopher_filter" -> ((s, d) =>
       Scrub.gopherSignals(T(s, d, "documents"), "doc_id", "text")),
 
+    "q_vocab_topk" -> ((s, d) =>
+      Search.topVocab(T(s, d, "documents"), "text", k = 30)),
+
+    "q_embed_quantize" -> ((s, d) =>
+      // codes stringified for the gate (the repo-wide convention for
+      // array outputs — the comparator hashes scalars)
+      Similarity.quantizeInt8(T(s, d, "embeddings"))
+        .select(col("vec_id"), col("scale_q"),
+          concat_ws(",", col("codes")).as("codes_str"))),
+
     "q_window_tumbling" -> ((s, d) =>
       Events.tumblingAgg(T(s, d, "events"), 300)),
 
@@ -412,6 +422,20 @@ object QueriesPipeline {
         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens
       FROM documents""",
     "q_fingerprint" -> s"SELECT doc_id, md5($NORM) AS fp FROM documents",
+    "q_vocab_topk" -> s"""
+      WITH c AS (SELECT unnest(string_split($NORM, ' ')) AS term FROM documents),
+      f AS (SELECT term, count(*) AS freq FROM c GROUP BY 1),
+      r AS (SELECT term, freq,
+              row_number() OVER (ORDER BY freq DESC, term)::BIGINT AS rank FROM f)
+      SELECT term, freq, rank FROM r WHERE rank <= 30""",
+    "q_embed_quantize" -> """
+      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      s AS (SELECT vec_id, v,
+              list_max(list_transform(v, x -> abs(x))) / 127.0 AS s FROM v)
+      SELECT vec_id, floor(s * 1048576)::BIGINT AS scale_q,
+        array_to_string(CASE WHEN s = 0 THEN list_transform(v, x -> 0::INT)
+             ELSE list_transform(v, x -> floor(x / s + 0.5)::INT) END, ',') AS codes_str
+      FROM s""",
     "q_window_tumbling" -> """
       SELECT (epoch_ns(ts) // 1000000000) // 300 AS window_id, event_type,
         count(*) AS n_events, sum(floor(value * 16384.0))::BIGINT AS sum_value_q

@@ -53,6 +53,24 @@ object Search {
       .groupBy("doc_id").agg(sum("term_score").as("score"))
   }
 
+  /** Top-k vocabulary induction: the seed step of tokenizer training
+    * (word-level counts feeding BPE/unigram trainers) and the basis of
+    * frequency-based filters. One map-side-combinable count aggregation
+    * over the corpus, a distributed top-k (TakeOrderedAndProject — no
+    * global sort of the vocabulary), then ranks assigned over just the
+    * k survivors (the only single-partition step touches k rows, not
+    * the corpus). Ties break lexicographically. */
+  def topVocab(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(explode(split(TextAnalysis.normalize(col(textCol)), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("term")).limit(k)
+    counts.withColumn("rank",
+      row_number().over(Window.orderBy(col("freq").desc, col("term")))
+        .cast("long"))
+  }
+
   /** Classic TF-IDF weight per (doc, term) for the given terms:
     * `tf * ln(N / df)` — the simpler sibling kept for pipelines that
     * expect it (BM25 is the default). */

@@ -381,4 +381,28 @@ object Similarity {
       embeddingNearDups(corpus, threshold, dim, bits, tables, idCol, vecCol)
     else
       blockedAllPairs(corpus, threshold, numBlocks, idCol, vecCol)
+
+  /** Symmetric per-vector int8 quantization: the 4x memory cut that makes
+    * a 100 TB float32 embedding store a 25 TB one (the standard serving
+    * layout; PQ in [[pqTopK]] is the more aggressive sibling). Each
+    * vector gets one scale `s = max|x|/127` and codes
+    * `floor(x/s + 0.5)` in [-127, 127] — floor(+0.5) instead of round()
+    * because round's half-even/half-up behavior differs across engines
+    * and this formula does not. Zero vectors quantize to zero codes.
+    * Pure narrow map: no shuffle, fuses into the scan. The emitted
+    * `scale_q` is the scale in fixed-point (2^20) so the oracle compares
+    * integers, not doubles. */
+  def quantizeInt8(embeddings: DataFrame, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val v = transform(col(vecCol), x => x.cast("double"))
+    val s = array_max(transform(v, x => abs(x))) / lit(127.0)
+    embeddings.select(col(idCol),
+        v.as("v"), s.as("s"))
+      .select(col(idCol),
+        floor(col("s") * lit(1048576L)).cast("long").as("scale_q"),
+        when(col("s") === 0.0, transform(col("v"), _ => lit(0).cast("int")))
+          .otherwise(transform(col("v"),
+            x => floor(x / col("s") + lit(0.5)).cast("int")))
+          .as("codes"))
+  }
 }

@@ -128,4 +128,21 @@ object DfsSql {
 
   def load(spark: SparkSession, parts: Seq[String]): DataFrame =
     read(spark, resolvePath(spark, parts))
+
+  /** Drill's `SHOW FILES IN dfs.<ws>` (ref exec/.../sql/handlers/
+    * ShowFilesHandler.java): list a workspace/directory as a relation. */
+  def showFiles(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val p = Paths.get(path)
+    require(Files.exists(p), s"dfs: no such path: $path")
+    val entries =
+      if (Files.isDirectory(p)) { val s = Files.list(p); try s.iterator().asScala.toSeq finally s.close() }
+      else Seq(p)
+    entries.map { f =>
+      (f.getFileName.toString, Files.isDirectory(f), Files.isRegularFile(f),
+        if (Files.isRegularFile(f)) Files.size(f) else 0L,
+        Files.getLastModifiedTime(f).toMillis)
+    }.sortBy(_._1)
+      .toDF("name", "is_directory", "is_file", "length", "modification_time")
+  }
 }

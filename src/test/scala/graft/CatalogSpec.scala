@@ -95,4 +95,21 @@ class CatalogSpec extends AnyFunSuite {
     assert(fns.contains("abs") && !fns("abs").getBoolean(3))
     assert(fns.size > 300) // the whole registry, not a curated list
   }
+
+  test("sys.profiles records completed actions via the listener (bounded)") {
+    import graft.sources.QueryProfiles
+    QueryProfiles.enable(spark, capacity = 50)
+    try {
+      spark.range(100).selectExpr("sum(id)").collect()
+      // listener events are delivered asynchronously — poll briefly
+      var tries = 0
+      def done(): Boolean = QueryProfiles.profiles(spark)
+        .filter("status = 'success'").count() >= 1
+      while (!done() && tries < 100) { Thread.sleep(100); tries += 1 }
+      val rows = QueryProfiles.profiles(spark)
+        .select("action", "status", "duration_ms", "error").collect()
+      assert(rows.exists(r => r.getString(1) == "success"))
+      assert(rows.length <= 50)
+    } finally QueryProfiles.disable(spark)
+  }
 }

@@ -93,6 +93,15 @@ class DfsSqlSpec extends AnyFunSuite {
       plan.contains("o_orderkey"), s"expected pushed filter in:\n$plan")
   }
 
+  test("SHOW FILES role: a directory lists as a relation") {
+    val df = DfsSql.showFiles(spark, fx)
+    val names = df.select("name").collect().map(_.getString(0)).toSet
+    assert(names.contains("sample.csv") && names.contains("sample.pcap"))
+    val csv = df.filter(col("name") === "sample.csv").collect().head
+    assert(csv.getBoolean(2) && csv.getLong(3) > 0)
+    intercept[IllegalArgumentException](DfsSql.showFiles(spark, "/no/such/dir"))
+  }
+
   test("real catalog tables still win: dfs head is the only claimed name") {
     spark.range(3).toDF("x").createOrReplaceTempView("dfs_unrelated")
     assert(spark.sql("SELECT * FROM dfs_unrelated").count() === 3)

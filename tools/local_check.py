@@ -30,6 +30,9 @@ def canon(v):
         if math.isnan(v): return "NaN"
         return round(v, 9)
     if isinstance(v, (list, tuple)): return tuple(canon(x) for x in v)
+    if hasattr(v, "tolist") and not hasattr(v, "strip"):  # numpy array/scalar
+        c = v.tolist()
+        return tuple(canon(x) for x in c) if isinstance(c, list) else canon(c)
     return v
 
 fails, passes = [], []
