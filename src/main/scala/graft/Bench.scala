@@ -12,10 +12,16 @@ import org.apache.spark.sql.SparkSession
   * emitted under "runs") keeps the artifact decision-grade.
   */
 object Bench {
+  /** The 11 original headline queries (round-over-round comparable back
+    * to round 1) + round-5 additions at the END, so per-query deltas and
+    * prefix totals stay comparable across rounds; BASELINE.md tracks the
+    * split. */
   val headline: Seq[String] = Seq(
     "q1_agg", "q_multi_join", "q_broadcast_join", "q_window_running",
     "q_topn", "q_dedup_minhash", "q_dedup_simhash", "q_ann_bruteforce",
-    "q_embed_neardup", "q_token_count", "q_sessionize")
+    "q_embed_neardup", "q_token_count", "q_sessionize",
+    // round 5: exact n-gram decontamination, BM25 scoring, dfs-path SQL
+    "q_ngram_decontam", "q_bm25", "q_dfs_sql")
 
   val Reps = 3
 

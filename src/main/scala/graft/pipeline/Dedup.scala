@@ -263,8 +263,10 @@ object Dedup {
                          idCol: String, textCol: String,
                          n: Int = 5): DataFrame = {
     def grams(df: DataFrame): DataFrame =
-      df.select(col(idCol).as("doc_id"),
-          explode(array_distinct(TextAnalysis.wordNgrams(col(textCol), n)))
+      graft.GraftSession.balanced( // fan-out stage: never run on one split
+          df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+        .select(col("doc_id"),
+          explode(array_distinct(TextAnalysis.wordNgrams(col("text"), n)))
             .as("gram"))
         .filter(size(split(col("gram"), " ")) === n) // short docs emit no n-gram
         .select(col("doc_id"), md5Hash60(col("gram")).as("gh"))

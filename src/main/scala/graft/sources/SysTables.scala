@@ -56,4 +56,15 @@ object SysTables {
     Seq((rt.maxMemory(), rt.totalMemory(), rt.freeMemory()))
       .toDF("heap_max", "heap_total", "heap_free")
   }
+
+  /** sys.threads (Drill's ThreadsIterator): live JVM threads of the
+    * driver process, for the "is something wedged" operator question. */
+  def threads(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    Thread.getAllStackTraces.keySet.asScala.toSeq
+      .map(t => (t.getId, t.getName, t.getState.name, t.isDaemon, t.getPriority))
+      .sortBy(_._1)
+      .toDF("thread_id", "name", "state", "daemon", "priority")
+  }
 }

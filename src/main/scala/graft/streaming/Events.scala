@@ -266,6 +266,25 @@ object Events {
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
 
 
+  /** Native session_window sessionization — the DECLARATIVE sibling of
+    * [[sessionizeStream]]: Spark's built-in gap-based session aggregation
+    * (watermark-bounded state, sessions merge as late rows arrive inside
+    * the gap). Prefer this form when per-session output is an aggregate;
+    * drop to flatMapGroupsWithState only for custom state machines —
+    * exactly the (a)-over-(c) preference order the whole library follows.
+    * Works identically over a batch frame (the spec asserts both paths
+    * agree with [[sessionize]]'s window-scan formulation). */
+  def sessionWindowAgg(events: DataFrame, gapSec: Int,
+                       watermarkDelay: String = "10 minutes"): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", watermarkDelay)
+              else events
+    src.groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapSec seconds").as("sess"))
+      .agg(count(lit(1)).as("n_events"), quantizedSum(col("value")).as("sum_value_q"))
+      .select(col("user_id"), col("sess.start").as("sess_start"),
+        col("n_events"), col("sum_value_q"))
+  }
+
   /** Stream-stream interval join: attribute each click to the impression
     * it followed within `windowSec` (the canonical watermarked
     * stream-stream join). Both sides keep bounded state — rows are

@@ -37,6 +37,9 @@ class CatalogSpec extends AnyFunSuite {
     assert(SysTables.bits(spark).count() >= 1)
     val m = SysTables.memory(spark).collect()(0)
     assert(m.getLong(0) >= m.getLong(1) && m.getLong(1) >= m.getLong(2))
+    val th = SysTables.threads(spark)
+    assert(th.count() >= 2) // at least main + some runtime thread
+    assert(th.filter(th("name") === "main").count() == 1)
   }
 
   test("persistent views survive into a new session (Drill ViewHandler)") {

@@ -154,4 +154,53 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_hll_sketch_agg") || p.contains("partial_"),
       "per-group sketch build must combine map-side")
   }
+
+  test("q_bm25: corpus stats broadcast; only matched query terms shuffle") {
+    val p = plan("q_bm25")
+    assert(p.contains("BroadcastExchange"),
+      "df/N/avgdl statistics must broadcast, not shuffle-join")
+    // the term filter must run BEFORE the tf aggregation's exchange:
+    // the only shuffled rows are (doc, matched term) pairs
+    val filterIdx = p.indexOf("spark")
+    assert(filterIdx >= 0, "term filter should appear in the plan")
+    assert(!p.contains("CartesianProduct"), "stats join must broadcast")
+  }
+
+  test("q_vocab_topk: distributed top-k (TakeOrderedAndProject), window only on survivors") {
+    val df = SparkEntry.queries("q_vocab_topk")(spark, SF)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"vocabulary top-k must not globally sort the term table:\n$p")
+    assert(p.contains("partial_count"), "term counts must combine map-side")
+  }
+
+  test("q_embed_quantize: ZERO exchanges — quantization fuses into the scan") {
+    val df = SparkEntry.queries("q_embed_quantize")(spark, SF)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"int8 quantization must be a map-only projection:\n$p")
+  }
+
+  test("q_ngram_decontam: reference grams deduplicate before the join " +
+      "and the join keys are hashes, not gram strings") {
+    val df = SparkEntry.queries("q_ngram_decontam")(spark, SF)
+    df.collect()
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(analyzed.contains("conv(substring(md5"),
+      "join key must be the 60-bit md5-prefix hash")
+    val p = df.queryExecution.executedPlan.toString
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "distinct on reference grams + per-doc count must both aggregate")
+  }
+
+  test("q_stratified_sample: one shuffle on the stratum key, then rank-filter") {
+    val df = SparkEntry.queries("q_stratified_sample")(spark, SF)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Window"), "per-stratum rank expected")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"stratified sampling must never single-partition the corpus:\n$p")
+  }
 }

@@ -289,4 +289,48 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     assert(got == Set((0L, "click", 2L), (1L, "view", 1L)))
   }
+
+  test("session_window (native) agrees with the window-scan sessionize on batch") {
+    import spark.implicits._
+    val b = 100000L
+    val batch = Seq(
+      (1L, 10L, ts(b), 1.0), (1L, 11L, ts(b + 600), 2.0),     // one session
+      (1L, 12L, ts(b + 5000), 4.0),                           // gap > 1800: new
+      (2L, 13L, ts(b), 7.0))
+      .toDF("user_id", "event_id", "ts", "value")
+    val native = Events.sessionWindowAgg(batch, gapSec = 1800)
+      .select(col("user_id"), col("sess_start").cast("long"),
+        col("n_events"), col("sum_value_q"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val windowed = Events.sessionize(batch, gapSec = 1800)
+      .select(col("user_id"), col("start_sec"), col("n_events"), col("sum_value_q"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(native === windowed)
+    assert(native.size === 3)
+  }
+
+  test("session_window (native) streams with bounded state: sessions emit " +
+      "once the watermark passes the gap") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val sess = Events.sessionWindowAgg(
+      input.toDF().toDF("user_id", "ts", "value"), gapSec = 1800,
+      watermarkDelay = "10 seconds")
+    val q = sess.writeStream.format("memory").queryName("native_sess_out")
+      .outputMode("append").start()
+    val b = 100000L
+    try {
+      input.addData((1L, ts(b), 1.0), (1L, ts(b + 600), 2.0))
+      q.processAllAvailable()
+      assert(spark.table("native_sess_out").count() === 0) // session open
+      input.addData((1L, ts(b + 10000), 4.0)) // watermark passes b+600+gap
+      q.processAllAvailable()
+      val rows = spark.table("native_sess_out")
+        .select(col("user_id"), col("sess_start").cast("long"),
+          col("n_events"), col("sum_value_q"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(rows.toSet === Set((1L, b, 2L, (1.0 * 16384).toLong + (2.0 * 16384).toLong)))
+    } finally q.stop()
+  }
 }
