@@ -106,4 +106,29 @@ class DfsSqlSpec extends AnyFunSuite {
     spark.range(3).toDF("x").createOrReplaceTempView("dfs_unrelated")
     assert(spark.sql("SELECT * FROM dfs_unrelated").count() === 3)
   }
+
+  test("persistent views can be defined OVER dfs paths and reload later") {
+    val base = java.nio.file.Files.createTempDirectory("dfs_views_").toString
+    graft.sources.ViewCatalog.create(spark, base, "nations_by_path",
+      s"SELECT n_nationkey, n_name FROM dfs.`$sf/nation.parquet` WHERE n_nationkey < 10",
+      replace = true)
+    assert(spark.sql("SELECT count(*) FROM nations_by_path")
+      .collect().head.getLong(0) === 10)
+    // a fresh session (same extensions) reloads the view and re-resolves
+    // the dfs relation from its stored SQL text
+    val fresh = spark.newSession()
+    graft.sources.ViewCatalog.load(fresh, base)
+    assert(fresh.sql("SELECT count(*) FROM nations_by_path")
+      .collect().head.getLong(0) === 10)
+  }
+
+  test("the REST endpoint serves dfs-path queries (composition with QueryServer)") {
+    val server = graft.sources.QueryServer.start(spark)
+    try {
+      val remote = graft.sources.Federation.graftPeer(spark,
+        s"http://127.0.0.1:${server.port}",
+        s"SELECT r_regionkey, r_name FROM dfs.`$sf/region.parquet`")
+      assert(remote.count() === 5)
+    } finally server.stop()
+  }
 }
