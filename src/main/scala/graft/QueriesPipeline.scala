@@ -190,6 +190,13 @@ object QueriesPipeline {
     "q_vocab_topk" -> ((s, d) =>
       Search.topVocab(T(s, d, "documents"), "text", k = 30)),
 
+    "q_unigram_ppl" -> ((s, d) =>
+      Search.unigramNll(T(s, d, "documents"), "doc_id", "text")),
+
+    "q_temperature_mix" -> ((s, d) =>
+      Training.temperatureMix(T(s, d, "documents"), "doc_id", "text",
+        sourceCol = "source", alpha = 0.5, targetFrac = 0.4)),
+
     "q_embed_quantize" -> ((s, d) =>
       // codes stringified for the gate (the repo-wide convention for
       // array outputs — the comparator hashes scalars)
@@ -436,6 +443,23 @@ object QueriesPipeline {
         array_to_string(CASE WHEN s = 0 THEN list_transform(v, x -> 0::INT)
              ELSE list_transform(v, x -> floor(x / s + 0.5)::INT) END, ',') AS codes_str
       FROM s""",
+    "q_unigram_ppl" -> s"""
+      WITH toks AS (SELECT doc_id, unnest(string_split($NORM, ' ')) AS term
+                    FROM documents),
+      c AS (SELECT term, count(*)::BIGINT AS cnt FROM toks GROUP BY 1),
+      t AS (SELECT sum(cnt)::BIGINT AS total FROM c),
+      p AS (SELECT term, cnt::DOUBLE / total AS p FROM c CROSS JOIN t)
+      SELECT doc_id, round(sum(-ln(p)) / count(*), 6) AS nll
+      FROM toks JOIN p USING (term) GROUP BY 1""",
+    "q_temperature_mix" -> s"""
+      WITH s AS (SELECT source, count(*)::BIGINT AS n_s FROM documents GROUP BY 1),
+      t AS (SELECT sum(n_s)::BIGINT AS n_total, sum(pow(n_s, 0.5)) AS sum_pow FROM s),
+      r AS (SELECT source, least(10000, floor(pow(n_s, 0.5) / sum_pow
+              * (0.4 * n_total) * 10000.0 / n_s))::BIGINT AS rate_bp
+            FROM s CROSS JOIN t)
+      SELECT d.doc_id, d.source, r.rate_bp
+      FROM documents d JOIN r USING (source)
+      WHERE ${md5h32("text")} % 10000 < r.rate_bp""",
     "q_window_tumbling" -> """
       SELECT (epoch_ns(ts) // 1000000000) // 300 AS window_id, event_type,
         count(*) AS n_events, sum(floor(value * 16384.0))::BIGINT AS sum_value_q

@@ -71,6 +71,27 @@ object Search {
         .cast("long"))
   }
 
+  /** Unigram-LM negative-log-likelihood scoring — the perplexity-proxy
+    * quality signal (the CCNet/CC-filtering recipe scores documents by a
+    * language model's perplexity; the unigram model is its shuffle-only
+    * degenerate case and the same plan shape a KenLM scorer plugs into):
+    * `p(t) = count(t)/total` over the corpus itself, per-doc score
+    * `mean(-ln p(t))`. Low = stereotypical corpus text, high = unusual.
+    * Two aggregations (term counts, per-doc means) + one hash join on
+    * the vocabulary — no broadcast of anything corpus-sized; the token
+    * stream shuffles once, exactly like vocabulary induction. */
+  def unigramNll(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(split(TextAnalysis.normalize(col(textCol)), " ")).as("term"))
+    val counts = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum("cnt").as("total"))
+    val probs = counts.crossJoin(broadcast(total))
+      .select(col("term"), (col("cnt").cast("double") / col("total")).as("p"))
+    toks.join(probs, "term")
+      .groupBy("doc_id")
+      .agg(round(sum(-log(col("p"))) / count(lit(1)), 6).as("nll"))
+  }
+
   /** Classic TF-IDF weight per (doc, term) for the given terms:
     * `tf * ln(N / df)` — the simpler sibling kept for pipelines that
     * expect it (BM25 is the default). */

@@ -59,6 +59,32 @@ object Training {
                  pct: Int): DataFrame =
     docs.filter(pmod(Dedup.md5Hash32(col(textCol)), lit(100)) < pct)
 
+  /** Temperature-based mixture sampling — the multilingual/multi-source
+    * rebalancing recipe (sampling weight ∝ size^alpha; alpha=1 keeps
+    * natural proportions, alpha→0 flattens toward uniform): each source
+    * gets keep-rate `min(1, w_s·T/n_s)` where `w_s = n_s^α / Σ n^α` and
+    * `T = targetFrac·N`, quantized to basis points; membership is then
+    * the same portable md5 filter as [[mixturePct]] — deterministic
+    * across runs, row orders, and engines. Source statistics are one
+    * tiny aggregate (|sources| rows) broadcast back onto the corpus;
+    * docs never shuffle. */
+  def temperatureMix(docs: DataFrame, idCol: String, textCol: String,
+                     sourceCol: String, alpha: Double = 0.5,
+                     targetFrac: Double = 0.4): DataFrame = {
+    val sizes = docs.groupBy(col(sourceCol)).agg(count(lit(1)).as("n_s"))
+    val totals = sizes.agg(sum("n_s").as("n_total"),
+      sum(pow(col("n_s").cast("double"), alpha)).as("sum_pow"))
+    val rates = sizes.crossJoin(broadcast(totals))
+      .select(col(sourceCol),
+        least(lit(10000L), floor(
+          pow(col("n_s").cast("double"), alpha) / col("sum_pow")
+            * (lit(targetFrac) * col("n_total")) * lit(10000.0)
+            / col("n_s"))).cast("long").as("rate_bp"))
+    docs.join(broadcast(rates), sourceCol)
+      .filter(pmod(Dedup.md5Hash32(col(textCol)), lit(10000)) < col("rate_bp"))
+      .select(col(idCol), col(sourceCol), col("rate_bp"))
+  }
+
   /** Deterministic stratified sample: exactly `k` documents per stratum
     * (language, source, topic bucket …), chosen by md5 rank — a
     * quota-balanced corpus draw that is reproducible across runs, row

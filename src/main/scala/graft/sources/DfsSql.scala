@@ -47,6 +47,20 @@ object DfsSql {
     * mirror Drill's bootstrap format matcher list (bootstrap-storage-
     * plugins.json: psv/csv/tsv/parquet/json/avro + contrib formats). */
   def read(spark: SparkSession, path: String): DataFrame = {
+    if (path.exists("*?[{".contains(_))) { // glob pattern, not a literal path
+      val ext = extOf(path.substring(path.lastIndexOf('/') + 1))
+      return ext match {
+        case "parquet" => spark.read.parquet(path)
+        case "csv" => SchemaOnRead.csv(spark, path)
+        case "tsv" => SchemaOnRead.csv(spark, path, "\t")
+        case "json" | "jsonl" | "ndjson" => SchemaOnRead.json(spark, path)
+        case "orc" => spark.read.orc(path)
+        case "log" | "txt" | "text" => spark.read.text(path)
+        case other => throw new IllegalArgumentException(
+          s"dfs: glob reads support parquet/csv/tsv/json/orc/text, not " +
+            s"'$other' ($path) — point file-granular formats at a directory")
+      }
+    }
     val p = Paths.get(path)
     if (Files.isDirectory(p)) {
       if (Files.exists(p.resolve("_delta_log")))

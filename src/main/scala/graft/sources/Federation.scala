@@ -59,6 +59,8 @@ object Federation {
       .openConnection().asInstanceOf[java.net.HttpURLConnection]
     conn.setRequestMethod("POST")
     conn.setDoOutput(true)
+    conn.setConnectTimeout(10000)
+    conn.setReadTimeout(120000) // a peer mid-query is slow, not dead
     val payload = mapper.createObjectNode()
     payload.put("query", sql)
     conn.getOutputStream.write(mapper.writeValueAsBytes(payload))

@@ -20,6 +20,10 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * of strings/longs, so the memory ceiling is KBs, independent of data
   * scale. Durable profile storage belongs on the CTAS path
   * (`profiles(spark).write.parquet(...)`).
+  *
+  * The ring is one-per-JVM (like Drill's per-bit profile store): sibling
+  * sessions sharing the JVM see a combined profile stream; enable() is
+  * per-session (it registers on that session's listener bus).
   */
 object QueryProfiles {
 

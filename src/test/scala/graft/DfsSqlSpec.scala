@@ -93,6 +93,15 @@ class DfsSqlSpec extends AnyFunSuite {
       plan.contains("o_orderkey"), s"expected pushed filter in:\n$plan")
   }
 
+  test("glob paths pass through for splittable formats, error for file-granular") {
+    val n = spark.sql(s"SELECT count(*) AS n FROM dfs.`$sf/nat*.parquet`")
+      .collect().head.getLong(0)
+    assert(n === 25) // nation matched by pattern
+    val e = intercept[Exception](
+      spark.sql(s"SELECT * FROM dfs.`$fx/*.xlsx`").collect())
+    assert(e.getMessage.contains("glob reads support"))
+  }
+
   test("SHOW FILES role: a directory lists as a relation") {
     val df = DfsSql.showFiles(spark, fx)
     val names = df.select("name").collect().map(_.getString(0)).toSet
