@@ -382,6 +382,29 @@ object Similarity {
     else
       blockedAllPairs(corpus, threshold, numBlocks, idCol, vecCol)
 
+  /** SemDedup-style semantic dedup: k-means clusters as the blocking
+    * structure, exact cosine pairs only WITHIN a cluster — the published
+    * recipe for embedding-level dedup at corpus scale (cluster first,
+    * compare inside clusters). Candidate work drops from N² to
+    * Σ|cluster|²; pairs straddling a cluster boundary are the documented
+    * recall trade the recipe accepts (raise k for tighter cells, or use
+    * [[nearDupsAuto]] when exactness is required). The cluster id rides
+    * the same shuffle the pair join needs anyway, so the whole op is the
+    * trainer + ONE hash join on (cluster, id). */
+  def semanticDups(corpus: DataFrame, threshold: Double, k: Int,
+                   iters: Int = 3, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val (assigned, _) = kmeans(corpus, k, iters, idCol, vecCol)
+    val withVec = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .join(assigned.select("id", "cluster"), "id")
+    withVec.as("a").join(withVec.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
+      .withColumn("cs", cosine(col("a.vec"), col("b.vec")))
+      .filter(col("cs") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(col("cs"), 6).as("cos_sim"))
+  }
+
   /** Symmetric per-vector int8 quantization: the 4x memory cut that makes
     * a 100 TB float32 embedding store a 25 TB one (the standard serving
     * layout; PQ in [[pqTopK]] is the more aggressive sibling). Each

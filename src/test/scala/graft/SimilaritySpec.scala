@@ -58,6 +58,30 @@ class SimilaritySpec extends AnyFunSuite {
       s"avg candidates $candPerQuery of $nCorpus corpus — no pruning")
   }
 
+  test("semanticDups (SemDedup role): cluster blocking finds the planted " +
+      "pairs exactly when clusters are separable") {
+    val exact = Similarity.blockedAllPairs(corpus, threshold = 0.9, numBlocks = 4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // k coarser than the planted cluster count: cells MERGE planted
+    // clusters (harmless — exact verify rejects cross-cluster pairs) but
+    // rarely SPLIT one (the recall trade the recipe accepts; at k=20 a
+    // split cost ~3% of pairs here, measured)
+    val sem = Similarity.semanticDups(corpus, threshold = 0.9, k = 10)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert((sem -- exact).isEmpty, "cluster blocking must never invent pairs")
+    val recall = (exact & sem).size.toDouble / exact.size
+    assert(recall >= 0.95, s"recall = $recall (${(exact -- sem).size} boundary losses)")
+    // and the join really is cluster-blocked: candidate pairs bounded by
+    // sum of per-cluster squares, well under all-pairs
+    val n = corpus.count()
+    val clusterSizes = Similarity.kmeans(corpus, 10)._1
+      .groupBy("cluster").count().collect().map(_.getLong(1))
+    val cand = clusterSizes.map(s => s * (s - 1) / 2).sum
+    assert(cand < n * (n - 1) / 2 / 2,
+      s"blocking must prune: $cand candidate pairs vs all-pairs ${n * (n - 1) / 2}")
+  }
+
   test("embeddingNearDups matches exact blockedAllPairs at threshold 0.9") {
     val exact = Similarity.blockedAllPairs(corpus, threshold = 0.9, numBlocks = 4)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
