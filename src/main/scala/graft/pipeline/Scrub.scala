@@ -72,13 +72,23 @@ object Scrub {
     * `https://site.com/a` must collapse to one key. Rules (each a single
     * engine-portable replace — no backreferences, no lookarounds, so the
     * identical patterns run under Java regex and RE2):
-    * lowercase → strip fragment → strip default port (:80/:443) →
-    * strip `www.` → strip `utm_*` tracking params → strip trailing
-    * slash / dangling `?`. A pure codegen Column — canonicalization
-    * never shuffles. */
+    * lowercase scheme+host ONLY (paths are case-sensitive per RFC 3986 —
+    * `/A` and `/a` are different resources) → strip fragment → strip
+    * default port (:80/:443) → strip `www.` → strip `utm_*` tracking
+    * params → strip trailing slash / dangling `?`. A pure codegen
+    * Column — canonicalization never shuffles. */
   def canonicalizeUrl(url: Column): Column = {
-    val lower_ = lower(url)
-    val noFrag = regexp_replace(lower_, "#.*$", "")
+    // scheme+host lowercase by reconstruction (no regex case-fold needed):
+    // scheme "://" hostport rest, where rest starts at the first "/" after
+    // the authority (or is empty)
+    val scheme = substring_index(url, "://", 1)
+    val afterScheme = substring_index(url, "://", -1)
+    val hostPort = substring_index(afterScheme, "/", 1)
+    val rest = afterScheme.substr(length(hostPort) + 1, length(afterScheme))
+    val caseFixed = when(url.contains("://"),
+        concat(lower(scheme), lit("://"), lower(hostPort), rest))
+      .otherwise(url)
+    val noFrag = regexp_replace(caseFixed, "#.*$", "")
     val noPort = regexp_replace(
       regexp_replace(noFrag, ":(443|80)/", "/"), ":(443|80)$", "")
     val noWww = regexp_replace(noPort, "://www\\.", "://")

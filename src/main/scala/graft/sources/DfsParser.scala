@@ -26,7 +26,11 @@ class DfsParser(delegate: ParserInterface) extends ParserInterface {
   private def rewrite(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case u: UnresolvedRelation
         if u.multipartIdentifier.length >= 2 &&
-          u.multipartIdentifier.head.equalsIgnoreCase("dfs") =>
+          u.multipartIdentifier.head.equalsIgnoreCase("dfs") &&
+          !SparkSession.active.catalog.databaseExists("dfs") =>
+      // a REAL database named `dfs` wins — the namespace is only claimed
+      // when nothing in the catalog owns the name (dfs is reserved in
+      // Drill; here it degrades gracefully instead)
       val spark = SparkSession.active
       DfsSql.load(spark, u.multipartIdentifier.tail).queryExecution.analyzed
   }

@@ -62,8 +62,11 @@ object QueryProfiles {
 
   private def record(action: String, qe: QueryExecution, durationNs: Long,
                      status: String, error: String, capacity: Int): Unit = {
-    val head = qe.analyzed.nodeName +
-      qe.analyzed.children.headOption.map(c => " <- " + c.nodeName).getOrElse("")
+    val head = try {
+      qe.analyzed.nodeName +
+        qe.analyzed.children.headOption.map(c => " <- " + c.nodeName).getOrElse("")
+    } catch { case _: Throwable => "(unanalyzed)" } // a failed query may
+    // not have survived analysis; the profile row must still land
     ring.addFirst(Profile(System.currentTimeMillis(), action, status,
       durationNs / 1000000L, head, error))
     while (ring.size() > capacity) ring.pollLast()

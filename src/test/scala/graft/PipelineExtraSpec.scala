@@ -21,7 +21,10 @@ class PipelineExtraSpec extends AnyFunSuite {
       "https://site.com/a?utm_source=x&id=7" -> "https://site.com/a?id=7",
       "https://site.com/a?id=7&utm_medium=m" -> "https://site.com/a?id=7",
       "https://wwwx.com/a" -> "https://wwwx.com/a", // not a www. prefix
-      "https://site.com/" -> "https://site.com")
+      "https://site.com/" -> "https://site.com",
+      // RFC 3986: only scheme+host case-fold; the path keeps its case
+      "HTTP://Site.com/CaseSensitive/Path?Q=Mixed" ->
+        "http://site.com/CaseSensitive/Path?Q=Mixed")
     val got = cases.map(_._1).toDF("u")
       .select(Scrub.canonicalizeUrl(col("u"))).as[String].collect()
     got.zip(cases.map(_._2)).foreach { case (g, e) => assert(g === e) }
