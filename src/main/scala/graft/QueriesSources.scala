@@ -407,6 +407,30 @@ object QueriesSources {
                 WHERE c.c_mktsegment = 'BUILDING'
                 GROUP BY o.o_orderstatus""")),
 
+    // ---- Drill headerless-text mode: the `columns` array (ref
+    // RepeatedVarCharOutput.java) — every line, header included, is data ----
+    "q_csv_columns" -> ((s, _) =>
+      SchemaOnRead.csvColumns(s, s"$Dir/sample.csv")
+        .select(element_at(col("columns"), 1).as("c0"),
+          element_at(col("columns"), 2).as("c1"),
+          size(col("columns")).as("n_cols"))),
+
+    // ---- schema evolution on read (Drill's schema-on-read identity:
+    // files in one directory disagree on columns; the scan unions them
+    // with nulls) ----
+    "q_schema_evolution" -> ((s, d) => {
+      val dir = s"${out(d)}/evolve"
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      GraftSession.table(s, d, "region").select(col("r_regionkey").as("k"),
+        col("r_name").as("name")).write.parquet(s"$dir/v1")
+      GraftSession.table(s, d, "region").select(col("r_regionkey").as("k"),
+        (col("r_regionkey") * 10).as("score")).write.parquet(s"$dir/v2")
+      s.read.option("mergeSchema", "true").parquet(s"$dir/v1", s"$dir/v2")
+        .select("k", "name", "score")
+    }),
+
     // ---- Hadoop SequenceFile (ref exec/.../store/easy/sequencefile/
     // SequenceFileRecordReader.java): the fixture is written by HADOOP's
     // own SequenceFile writer (saveAsSequenceFile — fully independent of
@@ -707,6 +731,13 @@ object QueriesSources {
       FROM orders WHERE o_orderstatus = 'F'""",
     "q_read_seqfile" -> """
       SELECT r_regionkey::INT AS r_regionkey, r_name FROM region""",
+    "q_csv_columns" -> s"""
+      SELECT column0 AS c0, column1 AS c1, 4::INT AS n_cols
+      FROM read_csv('$Dir/sample.csv', header=false, all_varchar=true)""",
+    "q_schema_evolution" -> """
+      SELECT r_regionkey AS k, r_name AS name, NULL::BIGINT AS score FROM region
+      UNION ALL
+      SELECT r_regionkey, NULL, r_regionkey * 10 FROM region""",
     "q_dfs_sql" -> """
       SELECT o.o_orderstatus AS status, count(*) AS n,
              round(sum(o.o_totalprice), 2) AS total

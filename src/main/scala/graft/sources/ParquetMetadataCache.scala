@@ -1,0 +1,147 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.column.statistics._
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet metadata cache — Drill's `REFRESH TABLE METADATA` (reference:
+  * exec/.../store/parquet/metadata/Metadata.java and
+  * sql/handlers/RefreshMetadataHandler.java): read every file FOOTER once
+  * (metadata-only I/O — row counts and per-column min/max live in the
+  * footer; no data pages are touched), persist a manifest next to the
+  * data, and let later reads prune whole files against a predicate
+  * BEFORE the scan is planned.
+  *
+  * Scale shape: footers are read by EXECUTORS (one task per file, same
+  * FileList parallelism as the other file-granular readers) and only the
+  * KB-scale manifest rows come back to the driver — at 100 TB the
+  * refresh is a distributed metadata sweep, and each later query's
+  * planning cost is O(manifest) instead of O(files × footer I/O). This
+  * is the same planning economy Delta gets from its log (69p); this
+  * variant needs no table format — it works on any parquet directory,
+  * which is exactly Drill's positioning.
+  */
+object ParquetMetadataCache {
+
+  val ManifestName = ".graft.parquet_metadata.json"
+
+  final case class ColStat(typ: String, min: String, max: String)
+  final case class FileMeta(path: String, rows: Long,
+                            cols: Map[String, ColStat])
+
+  /** Footer sweep → manifest. Returns the number of files indexed. */
+  def refresh(spark: SparkSession, dir: String): Int = {
+    import spark.implicits._
+    val files = FileList.resolve(spark, dir, Set(".parquet"))
+      .filterNot(_.contains(ManifestName))
+    val metas = spark.createDataset(files)
+      .repartition(math.min(files.size, 32))
+      .mapPartitions { it =>
+        val conf = new Configuration()
+        it.map { f => readFooter(conf, f) }
+      }
+      .collect() // manifest rows: KBs per file set, metadata-scale
+    val json = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = json.createArrayNode()
+    metas.foreach { m =>
+      val n = root.addObject()
+      n.put("path", m.path); n.put("rows", m.rows)
+      val cols = n.putObject("cols")
+      m.cols.foreach { case (c, s) =>
+        val cn = cols.putObject(c)
+        cn.put("t", s.typ); cn.put("min", s.min); cn.put("max", s.max)
+      }
+    }
+    val out = new Path(dir, ManifestName)
+    val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(dir, ManifestName + ".tmp")
+    val os = fs.create(tmp, true)
+    os.write(json.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+    os.close()
+    if (fs.exists(out)) fs.delete(out, false)
+    fs.rename(tmp, out) // atomic on a real FS — same recipe as ViewCatalog
+    metas.length
+  }
+
+  private def readFooter(conf: Configuration, file: String): FileMeta = {
+    import scala.jdk.CollectionConverters._
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), conf))
+    try {
+      val blocks = r.getFooter.getBlocks.asScala
+      val rows = blocks.map(_.getRowCount).sum
+      val stats = scala.collection.mutable.Map[String, ColStat]()
+      for (b <- blocks; c <- b.getColumns.asScala) {
+        val name = c.getPath.toDotString
+        statOf(c.getStatistics).foreach { s =>
+          stats(name) = stats.get(name).map(merge(_, s)).getOrElse(s)
+        }
+      }
+      FileMeta(file, rows, stats.toMap)
+    } finally r.close()
+  }
+
+  private def statOf(s: Statistics[_]): Option[ColStat] =
+    if (s == null || !s.hasNonNullValue) None
+    else s match {
+      case l: LongStatistics   => Some(ColStat("long", l.getMin.toString, l.getMax.toString))
+      case i: IntStatistics    => Some(ColStat("long", i.getMin.toString, i.getMax.toString))
+      case d: DoubleStatistics => Some(ColStat("double", d.getMin.toString, d.getMax.toString))
+      case f: FloatStatistics  => Some(ColStat("double", f.getMin.toString, f.getMax.toString))
+      case b: BinaryStatistics => Some(ColStat("string",
+        b.genericGetMin.toStringUsingUTF8, b.genericGetMax.toStringUsingUTF8))
+      case _ => None // int96/boolean etc: no pruning stats, still scanned
+    }
+
+  private def merge(a: ColStat, b: ColStat): ColStat = a.typ match {
+    case "string" => ColStat(a.typ,
+      if (a.min <= b.min) a.min else b.min, if (a.max >= b.max) a.max else b.max)
+    case "double" => ColStat(a.typ,
+      math.min(a.min.toDouble, b.min.toDouble).toString,
+      math.max(a.max.toDouble, b.max.toDouble).toString)
+    case _ => ColStat(a.typ,
+      math.min(a.min.toLong, b.min.toLong).toString,
+      math.max(a.max.toLong, b.max.toLong).toString)
+  }
+
+  def load(spark: SparkSession, dir: String): Seq[FileMeta] = {
+    val p = new Path(dir, ManifestName)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"no metadata cache at $dir — run refresh() first")
+    val json = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = json.readTree(fs.open(p).readAllBytes())
+    import scala.jdk.CollectionConverters._
+    root.elements().asScala.map { n =>
+      val cols = n.get("cols").properties().asScala
+        .map(e => e.getKey -> ColStat(e.getValue.get("t").asText,
+          e.getValue.get("min").asText, e.getValue.get("max").asText)).toMap
+      FileMeta(n.get("path").asText, n.get("rows").asLong, cols)
+    }.toSeq
+  }
+
+  /** Files whose [min,max] for `column` intersects [lo,hi] (numeric).
+    * A file with no stats for the column is conservatively kept. */
+  def prunedFiles(spark: SparkSession, dir: String, column: String,
+                  lo: Double, hi: Double): Seq[String] =
+    load(spark, dir).filter(m => m.cols.get(column) match {
+      case Some(s) if s.typ != "string" =>
+        s.min.toDouble <= hi && s.max.toDouble >= lo
+      case _ => true
+    }).map(_.path)
+
+  /** Range read through the cache: plan the scan over ONLY the surviving
+    * files (the predicate itself still applies — footer pruning is an
+    * optimization, never a correctness dependency). */
+  def readRange(spark: SparkSession, dir: String, column: String,
+                lo: Double, hi: Double): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val files = prunedFiles(spark, dir, column, lo, hi)
+    if (files.isEmpty) {
+      val schema = spark.read.parquet(dir).schema
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else
+      spark.read.parquet(files: _*).filter(col(column) >= lo && col(column) <= hi)
+  }
+}

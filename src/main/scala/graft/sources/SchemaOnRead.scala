@@ -24,6 +24,15 @@ object SchemaOnRead {
     spark.read.option("header", "true").option("inferSchema", "true")
       .option("delimiter", delimiter).csv(path)
 
+  /** Drill's headerless-text mode: every line becomes a `columns` string
+    * array (`SELECT columns[0] FROM ...` — the default way Drill reads
+    * CSV without extractHeader; ref exec/.../store/easy/text/compliant/
+    * RepeatedVarCharOutput.java). */
+  def csvColumns(spark: SparkSession, path: String,
+                 delimiter: String = ","): DataFrame =
+    spark.read.text(path).select(
+      split(col("value"), java.util.regex.Pattern.quote(delimiter)).as("columns"))
+
   /** Drill contrib/format-log: a regex with capture groups = columns. */
   def regexLog(spark: SparkSession, path: String, pattern: String,
                fields: Seq[String]): DataFrame = {

@@ -107,4 +107,39 @@ class StatsCatalogSpec extends AnyFunSuite {
       "SELECT count(*) FROM graft_stats WHERE table_name = 'nation'")
       .collect()(0).getLong(0) == 1L)
   }
+
+  test("parquet metadata cache: footer sweep + file-level range pruning " +
+      "(REFRESH TABLE METADATA role)") {
+    import spark.implicits._
+    import graft.sources.ParquetMetadataCache
+    val dir = java.nio.file.Files.createTempDirectory("pq_meta_").toString
+    // one file per key range so pruning is observable
+    val df = (0L until 50L).map(i => (i, s"name_$i", i * 1.5)).toDF("k", "s", "v")
+    df.repartitionByRange(5, col("k")).write.mode("overwrite").parquet(dir)
+
+    val n = ParquetMetadataCache.refresh(spark, dir)
+    assert(n === 5, s"expected 5 part files indexed, got $n")
+
+    val metas = ParquetMetadataCache.load(spark, dir)
+    assert(metas.map(_.rows).sum === 50)
+    assert(metas.forall(_.cols.contains("k")))
+    // string stats captured too
+    assert(metas.exists(_.cols("s").typ == "string"))
+
+    // range [12, 17] lives in at most 2 of the 5 range-partitioned files
+    val pruned = ParquetMetadataCache.prunedFiles(spark, dir, "k", 12, 17)
+    assert(pruned.size < 5, s"pruning must drop files: kept ${pruned.size}/5")
+
+    val viaCache = ParquetMetadataCache.readRange(spark, dir, "k", 12, 17)
+      .select("k").as[Long].collect().sorted
+    val full = spark.read.parquet(dir).filter(col("k").between(12, 17))
+      .select("k").as[Long].collect().sorted
+    assert(viaCache.toSeq === full.toSeq)
+    assert(viaCache.toSeq === (12L to 17L))
+
+    // a miss range: zero files, empty result, schema intact
+    val empty = ParquetMetadataCache.readRange(spark, dir, "k", 500, 600)
+    assert(empty.count() === 0)
+    assert(empty.columns.toSeq === Seq("k", "s", "v"))
+  }
 }
