@@ -20,6 +20,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // would otherwise resolve eagerly against the session catalog).
     ext.injectResolutionRule(session => graft.sources.DfsResolveRule(session))
     ext.injectParser((_, parser) => new graft.sources.DfsParser(parser))
+    // `SELECT * FROM dfs_read('/path', 'text', '|')` — Drill's
+    // table-function form with explicit format options (table(dfs.`x`
+    // (type => 'text', fieldDelimiter => '|'))), as a Spark table
+    // function returning the reader's analyzed plan.
+    ext.injectTableFunction((
+      new FunctionIdentifier("dfs_read"),
+      new ExpressionInfo("graft.sources.DfsSql$", "dfs_read"),
+      (children: Seq[Expression]) => {
+        def str(e: Expression, what: String): String = e match {
+          case Literal(s, org.apache.spark.sql.types.StringType) if s != null =>
+            s.toString
+          case other => throw new IllegalArgumentException(
+            s"dfs_read: $what must be a string literal, got $other")
+        }
+        require(children.nonEmpty && children.length <= 3,
+          s"dfs_read expects (path[, format[, delimiter]]), got ${children.length} args")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val path = str(children.head, "path")
+        val df =
+          if (children.length == 1) graft.sources.DfsSql.read(spark, path)
+          else graft.sources.DfsSql.readAs(spark, path,
+            str(children(1), "format"),
+            if (children.length == 3) str(children(2), "delimiter") else ",")
+        df.queryExecution.analyzed
+      }))
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),

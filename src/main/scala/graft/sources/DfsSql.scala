@@ -143,6 +143,19 @@ object DfsSql {
   def load(spark: SparkSession, parts: Seq[String]): DataFrame =
     read(spark, resolvePath(spark, parts))
 
+  /** Explicit-format read — the table-function form with the extension
+    * registry OVERRIDDEN (Drill: `table(dfs.`x`(type => 'text',
+    * fieldDelimiter => '|'))`, ref exec/.../store/dfs/
+    * FormatPluginOptionExtractor.java). `text` is Drill's delimited-text
+    * type name; anything else resolves through the same per-extension
+    * registry, by name instead of by filename. */
+  def readAs(spark: SparkSession, path: String, format: String,
+             delimiter: String = ","): DataFrame =
+    format.toLowerCase match {
+      case "text" => SchemaOnRead.csv(spark, path, delimiter)
+      case other  => readByExt(spark, path, other)
+    }
+
   /** Drill's `SHOW FILES IN dfs.<ws>` (ref exec/.../sql/handlers/
     * ShowFilesHandler.java): list a workspace/directory as a relation. */
   def showFiles(spark: SparkSession, path: String): DataFrame = {

@@ -102,6 +102,25 @@ class DfsSqlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("glob reads support"))
   }
 
+  test("dfs_read table function: explicit format + delimiter override " +
+      "(Drill's table(dfs.`x`(type => ..., fieldDelimiter => ...)))") {
+    val dat = Files.createTempFile("dfs_tf_", ".dat")
+    Files.writeString(dat, "id|name\n1|alpha\n2|beta\n")
+    // extension .dat is unknown — the explicit 'text' type + '|' reads it
+    val rows = spark.sql(s"SELECT * FROM dfs_read('$dat', 'text', '|')")
+      .collect().map(r => (r.get(0).toString, r.getString(1)))
+    assert(rows.toSet === Set(("1", "alpha"), ("2", "beta")))
+    // one-arg form = the extension registry (same as dfs.`path`)
+    assert(spark.sql(s"SELECT * FROM dfs_read('$fx/sample.xlsx')").count() === 5)
+    // named-format form without delimiter
+    assert(spark.sql(s"SELECT * FROM dfs_read('$fx/sample.pcap', 'pcap')")
+      .count() === 3)
+    // non-literal args are rejected with a clear message
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM dfs_read(concat('/a', '/b'))").collect())
+    assert(e.getMessage.contains("string literal"))
+  }
+
   test("SHOW FILES role: a directory lists as a relation") {
     val df = DfsSql.showFiles(spark, fx)
     val names = df.select("name").collect().map(_.getString(0)).toSet
