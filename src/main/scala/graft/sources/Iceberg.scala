@@ -122,7 +122,8 @@ object IcebergTable {
   // ------------------------------------------------------------- metadata
 
   case class SnapshotInfo(snapshotId: Long, timestampMs: Long,
-                          operation: String, manifestList: String)
+                          operation: String, manifestList: String,
+                          summary: Map[String, String] = Map.empty)
 
   case class TableMeta(location: String, schema: StructType,
                        schemaNode: JsonNode, lastColumnId: Int,
@@ -192,12 +193,15 @@ object IcebergTable {
     val partCols = specFields.map(_.get("name").asText)
     val snaps = Option(root.get("snapshots")).toSeq
       .flatMap(_.elements.asScala).map { s =>
+        val summary = Option(s.get("summary")).map { x =>
+          x.fields().asScala.map(e => e.getKey -> e.getValue.asText).toMap
+        }.getOrElse(Map.empty[String, String])
         SnapshotInfo(
           s.get("snapshot-id").asLong,
           s.get("timestamp-ms").asLong,
-          Option(s.get("summary")).flatMap(x => Option(x.get("operation")))
-            .map(_.asText).getOrElse("append"),
-          s.get("manifest-list").asText)
+          summary.getOrElse("operation", "append"),
+          s.get("manifest-list").asText,
+          summary - "operation")
       }
     val current = Option(root.get("current-snapshot-id")).map(_.asLong).filter(_ != -1L)
     TableMeta(table, schema, schemaNode, root.get("last-column-id").asInt,
@@ -520,9 +524,24 @@ object IcebergTable {
     * partition tuple, then files move flat into `data/` with their
     * tuple recorded in the manifest. Returns the new snapshot id
     * (sequential — ids only need uniqueness within the table). */
+  /** Highest streaming batch id committed to `table` under `appId`
+    * (recorded in snapshot summaries by [[write]]'s `summaryProps` — the
+    * Iceberg analog of Delta's txn action; Iceberg writers use snapshot
+    * summary properties for exactly this kind of writer bookkeeping). */
+  def lastStreamBatch(spark: SparkSession, table: String,
+                      appId: String): Option[Long] = {
+    val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(metaDir(table))) return None
+    loadMeta(spark, table).snapshots
+      .filter(_.summary.get("graft.app-id").contains(appId))
+      .flatMap(_.summary.get("graft.batch-id").map(_.toLong))
+      .maxOption
+  }
+
   def write(df: DataFrame, table: String,
             mode: SaveMode = SaveMode.Append,
-            partitionBy: Seq[String] = Nil): Long = {
+            partitionBy: Seq[String] = Nil,
+            summaryProps: Map[String, String] = Map.empty): Long = {
     require(mode == SaveMode.Append || mode == SaveMode.Overwrite,
       s"iceberg write supports Append/Overwrite, got $mode")
     val spark = df.sparkSession
@@ -682,11 +701,12 @@ object IcebergTable {
     val allSnaps = prior.map(_.snapshots).getOrElse(Nil) :+
       SnapshotInfo(snapshotId, nowMs,
         if (mode == SaveMode.Overwrite && exists) "overwrite" else "append",
-        listPath.toString)
+        listPath.toString, summaryProps)
     allSnaps.foreach { s =>
       val n = snapsArr.addObject()
       n.put("snapshot-id", s.snapshotId); n.put("timestamp-ms", s.timestampMs)
       val sum = n.putObject("summary"); sum.put("operation", s.operation)
+      s.summary.toSeq.sortBy(_._1).foreach { case (k, v) => sum.put(k, v) }
       n.put("manifest-list", absolute(table, s.manifestList))
     }
     val logArr = root.putArray("snapshot-log")

@@ -166,6 +166,29 @@ object Events {
       }
       .start()
 
+  /** Streaming ingest into an ICEBERG v1 table — [[deltaSink]]'s twin on
+    * the other open table format: each micro-batch lands as one snapshot
+    * whose summary carries (appId, batchId); a restarted query replaying
+    * a batch at or below [[graft.sources.IcebergTable.lastStreamBatch]]
+    * skips the commit, so the table sees each batch exactly once.
+    * (Snapshot summary properties are Iceberg's standard home for writer
+    * bookkeeping; Delta uses txn actions for the same contract.) */
+  def icebergSink(stream: DataFrame, tablePath: String, checkpoint: String,
+                  appId: String = "graft-stream"): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val committed = graft.sources.IcebergTable
+          .lastStreamBatch(batch.sparkSession, tablePath, appId)
+        if (!committed.exists(_ >= batchId))
+          graft.sources.IcebergTable.write(batch.toDF(), tablePath,
+            summaryProps = Map(
+              "graft.app-id" -> appId, "graft.batch-id" -> batchId.toString))
+        ()
+      }
+      .start()
+
   /** Streaming NEAR-dup dedup at ingest (the watermarked-MinHash form of
     * [[dedupStream]], which only drops exact content-hash copies): a doc
     * is ADMITTED iff no doc seen within the watermark window verifies at
