@@ -53,6 +53,19 @@ object QueryServer {
         }
       }
     })
+    // Drill web UI's profile listing (ref server/rest/profile/
+    // ProfileResources.java): the QueryProfiles ring as JSON. Empty until
+    // QueryProfiles.enable(spark) — profiling is opt-in.
+    server.createContext("/profiles", new HttpHandler {
+      override def handle(x: HttpExchange): Unit = try {
+        if (x.getRequestMethod != "GET") { respond(x, 405, error("GET only")); return }
+        val rows = QueryProfiles.profiles(spark).toJSON.collect()
+        respond(x, 200, rows.mkString("[", ",", "]"))
+      } catch {
+        case e: Throwable => respond(x, 400, error(
+          Option(e.getMessage).getOrElse(e.getClass.getSimpleName)))
+      }
+    })
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4,
       (r: Runnable) => { val t = new Thread(r); t.setDaemon(true); t })
     server.setExecutor(pool)

@@ -17,15 +17,26 @@ object Writer {
     * Hive-style `partitionBy` columns become directory partitions —
     * Drill's dir0/dir1 layout with self-describing key=value names. */
   def ctas(df: DataFrame, path: String, format: String = "parquet",
-           partitionBy: Seq[String] = Nil): DataFrame = {
-    val writer0 = df.write.format(format).mode("overwrite")
-    val writer = format match {
-      case "csv" => writer0.option("header", "true")
-      case _ => writer0
-    }
-    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
-      .save(path)
-    read(df.sparkSession, path, format)
+           partitionBy: Seq[String] = Nil): DataFrame = format match {
+    // lakehouse targets: CTAS commits through the table format's own log,
+    // so the new table time-travels and streams like any other
+    case "delta" =>
+      require(partitionBy.isEmpty, "delta CTAS: use DeltaLogWriter for partitioned tables")
+      DeltaLogWriter.write(df, path, org.apache.spark.sql.SaveMode.Overwrite)
+      read(df.sparkSession, path, format)
+    case "iceberg" =>
+      IcebergTable.write(df, path, org.apache.spark.sql.SaveMode.Overwrite,
+        partitionBy = partitionBy)
+      read(df.sparkSession, path, format)
+    case _ =>
+      val writer0 = df.write.format(format).mode("overwrite")
+      val writer = format match {
+        case "csv" => writer0.option("header", "true")
+        case _ => writer0
+      }
+      (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+        .save(path)
+      read(df.sparkSession, path, format)
   }
 
   /** Read a table previously written by [[ctas]]. */
@@ -34,6 +45,8 @@ object Writer {
       case "csv" => spark.read.option("header", "true").option("inferSchema", "true")
         .csv(path)
       case "json" => spark.read.json(path)
+      case "delta" => DeltaLogReader.read(spark, path)
+      case "iceberg" => IcebergTable.read(spark, path)
       case f => spark.read.format(f).load(path)
     }
 

@@ -91,4 +91,41 @@ class RestShapefileSpec extends AnyFunSuite {
       assert(node.get("rows").size() == 10)
     } finally server.stop()
   }
+
+  test("GET /profiles serves the query-profile ring (web UI profiles role)") {
+    import graft.sources.QueryProfiles
+    val server = graft.sources.QueryServer.start(spark)
+    QueryProfiles.enable(spark, capacity = 50)
+    try {
+      spark.range(10).selectExpr("sum(id)").collect()
+      var tries = 0
+      while (QueryProfiles.profiles(spark).count() == 0 && tries < 100) {
+        Thread.sleep(100); tries += 1
+      }
+      val url = java.net.URI.create(
+        s"http://127.0.0.1:${server.port}/profiles").toURL
+      val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      val body = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+      conn.disconnect()
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+      assert(node.isArray && node.size() >= 1)
+      assert(body.contains("\"status\""))
+    } finally { QueryProfiles.disable(spark); server.stop() }
+  }
+
+  test("CTAS routes to lakehouse formats: delta and iceberg targets") {
+    import spark.implicits._
+    import graft.sources.{DeltaLogReader, IcebergTable, Writer}
+    val base = java.nio.file.Files.createTempDirectory("ctas_lake_").toString
+    val src = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val d = Writer.ctas(src, s"$base/t_delta", "delta")
+    assert(d.count() === 2)
+    assert(DeltaLogReader.read(spark, s"$base/t_delta").count() === 2)
+    val i = Writer.ctas(src, s"$base/t_iceberg", "iceberg")
+    assert(i.count() === 2)
+    assert(IcebergTable.read(spark, s"$base/t_iceberg" + "#snapshots").count() === 1)
+    // and both read back through the dfs directory detection
+    assert(spark.sql(s"SELECT * FROM dfs.`$base/t_delta`").count() === 2)
+    assert(spark.sql(s"SELECT * FROM dfs.`$base/t_iceberg`").count() === 2)
+  }
 }
