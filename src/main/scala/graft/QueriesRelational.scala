@@ -182,6 +182,24 @@ object QueriesRelational {
         round(sum("o_totalprice").over(w), 2).as("run_total"))
     }),
 
+    // RANGE frame with VALUE bounds: peers by key distance, not row
+    // position (Calcite/Drill RANGE BETWEEN n PRECEDING)
+    "q_window_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderkey"))
+        .rangeBetween(-1000L, Window.currentRow)
+      T(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+        count(lit(1)).over(w).as("n_in_range"))
+    }),
+
+    // aggregate FILTER (WHERE ...) clause (Calcite supports it; the
+    // conditional-aggregation form every BI tool emits)
+    "q_agg_filter_clause" -> ((s, d) =>
+      T(s, d, "orders").groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_all"),
+          count_if(col("o_totalprice") > 150000).as("n_big"),
+          round(sum(when(col("o_orderstatus") === "F", col("o_totalprice"))
+            .otherwise(lit(0.0))), 2).as("f_total"))),
+
     "q_window_firstlast" -> ((s, d) => {
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -388,6 +406,17 @@ object QueriesRelational {
          round(nth_value(o_totalprice, 2) OVER w, 2) AS second_price
          FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
+    "q_window_range_frame" ->
+      """SELECT o_orderkey, o_custkey,
+         count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+           RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS n_in_range
+         FROM orders""",
+    "q_agg_filter_clause" ->
+      """SELECT o_orderpriority, count(*) AS n_all,
+         count(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+         round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice
+                        ELSE 0.0 END), 2) AS f_total
+         FROM orders GROUP BY 1""",
     "q_window_running" ->
       """SELECT o_orderkey, o_custkey,
          round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
