@@ -382,6 +382,41 @@ object Similarity {
     else
       blockedAllPairs(corpus, threshold, numBlocks, idCol, vecCol)
 
+  /** Persist a trained coarse quantizer so the index is trained ONCE and
+    * reused across sessions and queries — the operational shape of a
+    * 100 TB embedding store (training touches the corpus; every later
+    * query should only touch centroids + its probed cells). The index is
+    * a centroids parquet (k × dim doubles — KBs) plus a params JSON;
+    * both travel with the data directory like the view/stats catalogs. */
+  def saveIvfIndex(centroids: DataFrame, dir: String,
+                   params: Map[String, String] = Map.empty): Unit = {
+    val spark = centroids.sparkSession
+    centroids.select(col("cluster").cast("long").as("cluster"), col("cvec"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val n = mapper.createObjectNode()
+    params.toSeq.sortBy(_._1).foreach { case (k, v) => n.put(k, v) }
+    val p = new org.apache.hadoop.fs.Path(dir, "index.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(dir, ".index.json.tmp")
+    val os = fs.create(tmp, true)
+    os.write(mapper.writeValueAsBytes(n)); os.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    fs.rename(tmp, p)
+  }
+
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                   dir: String): (DataFrame, Map[String, String]) = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val p = new org.apache.hadoop.fs.Path(dir, "index.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(fs.open(p).readAllBytes())
+    import scala.jdk.CollectionConverters._
+    val params = node.fields().asScala.map(e => e.getKey -> e.getValue.asText).toMap
+    (cents, params)
+  }
+
   /** SemDedup-style semantic dedup: k-means clusters as the blocking
     * structure, exact cosine pairs only WITHIN a cluster — the published
     * recipe for embedding-level dedup at corpus scale (cluster first,

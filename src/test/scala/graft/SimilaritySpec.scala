@@ -141,6 +141,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall@5 = $recall")
   }
 
+  test("IVF index persists: train once, reload in a FRESH session, " +
+      "same recall at nProbe=1") {
+    val (_, cents) = Similarity.kmeans(corpus, k = 20, iters = 3)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx_").toString
+    Similarity.saveIvfIndex(cents, dir,
+      Map("nCells" -> "20", "dim" -> Dim.toString, "metric" -> "cosine"))
+    val fresh = spark.newSession()
+    val (loaded, params) = Similarity.loadIvfIndex(fresh, dir)
+    assert(params("nCells") === "20" && params("metric") === "cosine")
+    assert(loaded.count() === 20)
+    val queries = corpus.filter(col("vec_id") % 100 === 0)
+    val exact = Similarity.bruteForceTopK(corpus, queries, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(corpus, queries, k = 5,
+        nCells = params("nCells").toInt, nProbe = 1, centroids = Some(loaded))
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.9, s"reloaded-index recall@5 = $recall")
+  }
+
   test("kmeans-trained centroids make IVF cells tight: recall@5 >= 0.9 at nProbe=1") {
     val queries = corpus.filter(col("vec_id") % 100 === 0)
     val exact = Similarity.bruteForceTopK(corpus, queries, k = 5)
