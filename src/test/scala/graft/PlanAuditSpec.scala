@@ -195,6 +195,24 @@ class PlanAuditSpec extends AnyFunSuite {
       "distinct on reference grams + per-doc count must both aggregate")
   }
 
+  test("q_unigram_ppl: corpus total broadcasts; vocab join never cartesian") {
+    val df = SparkEntry.queries("q_unigram_ppl")(spark, SF)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastExchange"), "the 1-row total must broadcast")
+    assert(!p.contains("CartesianProduct"), s"no cartesian allowed:\n$p")
+  }
+
+  test("q_temperature_mix: per-source rates broadcast onto docs (no doc shuffle)") {
+    val df = SparkEntry.queries("q_temperature_mix")(spark, SF)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"rates (|sources| rows) must broadcast-join the corpus:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"docs must never shuffle for the rate join:\n$p")
+  }
+
   test("q_stratified_sample: one shuffle on the stratum key, then rank-filter") {
     val df = SparkEntry.queries("q_stratified_sample")(spark, SF)
     df.collect()
