@@ -54,8 +54,22 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val allOk = results.forall(_._4)
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"runs":$allRuns,"ok":$oks,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"runs":$allRuns,"ok":$oks,"sf":"$sfDir"}"""
+    println(line)
+    // The stdout line gets buried in sbt [info] noise (rounds 3 and 5 had
+    // "parsed": null in the driver artifact) — also persist the metrics to
+    // files so grading has a structured copy regardless of log framing.
+    val outs = Seq(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"),
+      "/tmp/bench.json")
+    outs.foreach { p =>
+      try java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (line + "\n").getBytes("UTF-8"))
+      catch { case e: Exception =>
+        System.err.println(s"[bench] could not write $p: ${e.getMessage}") }
+    }
     spark.stop()
+    println(line) // repeat as the true last stdout line, after Spark teardown
     if (!allOk) sys.exit(1)
   }
 }

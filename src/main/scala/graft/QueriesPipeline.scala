@@ -191,7 +191,9 @@ object QueriesPipeline {
       Search.topVocab(T(s, d, "documents"), "text", k = 30)),
 
     "q_unigram_ppl" -> ((s, d) =>
-      Search.unigramNll(T(s, d, "documents"), "doc_id", "text")),
+      // the operator returns the raw double; rounding is gate-only
+      Search.unigramNll(T(s, d, "documents"), "doc_id", "text")
+        .select(col("doc_id"), round(col("nll"), 6).as("nll"))),
 
     "q_temperature_mix" -> ((s, d) =>
       Training.temperatureMix(T(s, d, "documents"), "doc_id", "text",

@@ -87,9 +87,11 @@ object Search {
     val total = counts.agg(sum("cnt").as("total"))
     val probs = counts.crossJoin(broadcast(total))
       .select(col("term"), (col("cnt").cast("double") / col("total")).as("p"))
+    // raw double out — rounding is a GATE convention (SURVEY §5), not an
+    // operator one; a consumer thresholding on nll gets full precision.
     toks.join(probs, "term")
       .groupBy("doc_id")
-      .agg(round(sum(-log(col("p"))) / count(lit(1)), 6).as("nll"))
+      .agg((sum(-log(col("p"))) / count(lit(1))).as("nll"))
   }
 
   /** Classic TF-IDF weight per (doc, term) for the given terms:

@@ -30,25 +30,65 @@ object ParquetMetadataCache {
 
   final case class ColStat(typ: String, min: String, max: String)
   final case class FileMeta(path: String, rows: Long,
-                            cols: Map[String, ColStat])
+                            cols: Map[String, ColStat],
+                            mtime: Long = 0L, size: Long = 0L)
 
-  /** Footer sweep → manifest. Returns the number of files indexed. */
+  /** Footer sweep → manifest. INCREMENTAL: a file whose (path, mtime,
+    * size) already sits in the manifest keeps its entry without re-reading
+    * the footer — the same refresh economy Drill's REFRESH TABLE METADATA
+    * has (exec/.../sql/handlers/RefreshMetadataHandler.java skips
+    * up-to-date segments). Entries for files no longer present are
+    * dropped. Returns the number of footers actually READ (0 on a
+    * no-change refresh), counted by an executor-side accumulator.
+    */
   def refresh(spark: SparkSession, dir: String): Int = {
     import spark.implicits._
-    val files = FileList.resolve(spark, dir, Set(".parquet"))
-      .filterNot(_.contains(ManifestName))
-    val metas = spark.createDataset(files)
-      .repartition(math.min(files.size, 32))
-      .mapPartitions { it =>
-        val conf = new Configuration()
-        it.map { f => readFooter(conf, f) }
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val statuses = fs.listStatus(dirPath).toSeq
+      .filter(s => s.isFile &&
+        s.getPath.getName.toLowerCase.endsWith(".parquet") &&
+        !s.getPath.getName.contains(ManifestName))
+      .map(s => (s.getPath.toString, s.getModificationTime, s.getLen))
+      .sortBy(_._1)
+    require(statuses.nonEmpty, s"no .parquet files under $dir")
+    val prior: Map[String, FileMeta] =
+      if (fs.exists(new Path(dir, ManifestName)))
+        load(spark, dir).map(m => m.path -> m).toMap
+      else Map.empty
+    val (kept, toRead) = statuses.partition { case (p, mt, sz) =>
+      prior.get(p).exists(m => m.mtime == mt && m.size == sz)
+    }
+    val footersRead =
+      spark.sparkContext.longAccumulator("graft.metadata.footersRead")
+    val fresh: Seq[FileMeta] =
+      if (toRead.isEmpty) Seq.empty
+      else {
+        // sweep parallelism follows the CLUSTER (defaultParallelism /
+        // conf), not a fixed constant — a 500k-file refresh must fan out
+        // to every executor, not pin to the dev box's core count
+        val par = spark.conf.getOption("graft.metadata.refreshParallelism")
+          .map(_.toInt)
+          .getOrElse(spark.sparkContext.defaultParallelism)
+        spark.createDataset(toRead)
+          .repartition(math.min(toRead.size, math.max(1, par)))
+          .mapPartitions { it =>
+            val conf = new Configuration()
+            it.map { case (f, mt, sz) =>
+              footersRead.add(1L)
+              readFooter(conf, f, mt, sz)
+            }
+          }
+          .collect().toSeq // manifest rows: KBs per file set, metadata-scale
       }
-      .collect() // manifest rows: KBs per file set, metadata-scale
+    val metas = (kept.map { case (p, _, _) => prior(p) } ++ fresh)
+      .sortBy(_.path)
     val json = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = json.createArrayNode()
     metas.foreach { m =>
       val n = root.addObject()
       n.put("path", m.path); n.put("rows", m.rows)
+      n.put("mtime", m.mtime); n.put("size", m.size)
       val cols = n.putObject("cols")
       m.cols.foreach { case (c, s) =>
         val cn = cols.putObject(c)
@@ -56,17 +96,17 @@ object ParquetMetadataCache {
       }
     }
     val out = new Path(dir, ManifestName)
-    val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(dir, ManifestName + ".tmp")
     val os = fs.create(tmp, true)
     os.write(json.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
     os.close()
     if (fs.exists(out)) fs.delete(out, false)
     fs.rename(tmp, out) // atomic on a real FS — same recipe as ViewCatalog
-    metas.length
+    footersRead.value.toInt
   }
 
-  private def readFooter(conf: Configuration, file: String): FileMeta = {
+  private def readFooter(conf: Configuration, file: String,
+                         mtime: Long, size: Long): FileMeta = {
     import scala.jdk.CollectionConverters._
     val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), conf))
     try {
@@ -79,7 +119,7 @@ object ParquetMetadataCache {
           stats(name) = stats.get(name).map(merge(_, s)).getOrElse(s)
         }
       }
-      FileMeta(file, rows, stats.toMap)
+      FileMeta(file, rows, stats.toMap, mtime, size)
     } finally r.close()
   }
 
@@ -117,7 +157,9 @@ object ParquetMetadataCache {
       val cols = n.get("cols").properties().asScala
         .map(e => e.getKey -> ColStat(e.getValue.get("t").asText,
           e.getValue.get("min").asText, e.getValue.get("max").asText)).toMap
-      FileMeta(n.get("path").asText, n.get("rows").asLong, cols)
+      FileMeta(n.get("path").asText, n.get("rows").asLong, cols,
+        Option(n.get("mtime")).map(_.asLong).getOrElse(0L),
+        Option(n.get("size")).map(_.asLong).getOrElse(0L))
     }.toSeq
   }
 

@@ -90,4 +90,15 @@ class PipelineExtraSpec extends AnyFunSuite {
     assert(scores.keySet === Set(1L, 2L))
     assert(scores(1L) > scores(2L))
   }
+
+  test("unigramNll returns the raw, unrounded score") {
+    // a=2, b=2, total=4 → p=0.5 for both terms → nll = ln(2) exactly.
+    // Full-precision equality fails if the operator quantizes to 6 dp
+    // (ln 2 = 0.6931471805599453, not 0.693147).
+    val docs = Seq((1L, "a a b"), (2L, "b")).toDF("doc_id", "text")
+    val nll = Search.unigramNll(docs, "doc_id", "text")
+      .as[(Long, Double)].collect().toMap
+    assert(nll(1L) === math.log(2.0))
+    assert(nll(2L) === math.log(2.0))
+  }
 }

@@ -141,5 +141,30 @@ class StatsCatalogSpec extends AnyFunSuite {
     val empty = ParquetMetadataCache.readRange(spark, dir, "k", 500, 600)
     assert(empty.count() === 0)
     assert(empty.columns.toSeq === Seq("k", "s", "v"))
+
+    // INCREMENTAL refresh: unchanged directory → zero footers re-read,
+    // manifest intact
+    assert(ParquetMetadataCache.refresh(spark, dir) === 0)
+    assert(ParquetMetadataCache.load(spark, dir).map(_.rows).sum === 50)
+
+    // replace one part file in place → exactly that footer re-read
+    val stage = java.nio.file.Files.createTempDirectory("pq_meta_one_").toString
+    Seq((999L, "changed", 0.0)).toDF("k", "s", "v")
+      .coalesce(1).write.mode("overwrite").parquet(stage)
+    val replacement = new java.io.File(stage).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val victim = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+      .minBy(_.getName)
+    val victimRows = ParquetMetadataCache.load(spark, dir)
+      .find(_.path.endsWith(victim.getName)).get.rows
+    java.nio.file.Files.copy(replacement.toPath, victim.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // drop the stale Hadoop checksum sidecar left by the in-place swap
+    new java.io.File(victim.getParent, "." + victim.getName + ".crc").delete()
+    assert(ParquetMetadataCache.refresh(spark, dir) === 1)
+    val after = ParquetMetadataCache.load(spark, dir)
+    assert(after.size === 5)
+    assert(after.map(_.rows).sum === 50 - victimRows + 1)
   }
 }
