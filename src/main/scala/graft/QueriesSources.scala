@@ -222,6 +222,26 @@ object QueriesSources {
         .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
     }),
 
+    // ---- Iceberg v2 merge-on-read: position-delete files applied via a
+    // distributed LEFT ANTI join on (_metadata.file_path, row_index);
+    // the fixture deletes keys ≡ 0..2 (mod 10) then appends [1000,1100)
+    // — exercising delete application AND v2 append-after-delete in one
+    // relation (ref contrib/format-iceberg/.../snapshot/SnapshotById
+    // .java — Drill reads v2 transparently through iceberg-core) ----
+    "q_iceberg_v2" -> ((s, d) => {
+      graft.sources.IcebergTable.read(s, icebergV2Fixture(s, d))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
+    }),
+
+    "q_iceberg_v2_travel" -> ((s, d) => {
+      // snapshot 2 pins the pre-delete state = every key < 1000
+      graft.sources.IcebergTable.read(s, icebergV2Fixture(s, d),
+          snapshotId = Some(2L))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
+    }),
+
     // ---- JDBC federation round-trip (ref contrib/storage-jdbc): write a
     // subset to embedded Derby, read it back partitioned ----
     "q_jdbc_roundtrip" -> ((s, d) => {
@@ -517,6 +537,33 @@ object QueriesSources {
     base
   }
 
+  /** Iceberg v2 fixture: snapshots 1+2 append orders keys <1000 (two
+    * halves, partitioned by status), snapshot 3 = deleteFrom(key % 10
+    * < 3) — upgrading the table to format v2 with position-delete
+    * files — snapshot 4 appends keys [1000,1100) after the delete. */
+  private def icebergV2Fixture(s: org.apache.spark.sql.SparkSession,
+                               d: String): String = {
+    import graft.sources.IcebergTable
+    val base = s"${out(d)}/iceberg_v2_orders"
+    val donePath = new org.apache.hadoop.fs.Path(s"$base/metadata/v4.metadata.json")
+    val fs = donePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(donePath)) {
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val src = GraftSession.table(s, d, "orders")
+        .select("o_orderkey", "o_orderstatus")
+      IcebergTable.write(src.filter(col("o_orderkey") < 500), base,
+        partitionBy = Seq("o_orderstatus"))
+      IcebergTable.write(
+        src.filter(col("o_orderkey") >= 500 && col("o_orderkey") < 1000), base,
+        partitionBy = Seq("o_orderstatus"))
+      IcebergTable.deleteFrom(s, base, col("o_orderkey") % 10 < 3)
+      IcebergTable.write(
+        src.filter(col("o_orderkey") >= 1000 && col("o_orderkey") < 1100), base,
+        partitionBy = Seq("o_orderstatus"))
+    }
+    base
+  }
+
   /** Shared by the mapPartitions reader and the DSv2 connector — both
     * must produce exactly this relation from the committed capture. */
   private val PcapOracle = """
@@ -619,6 +666,16 @@ object QueriesSources {
       FROM orders WHERE o_orderkey < 2000
       GROUP BY 1""",
     "q_iceberg_time_travel" -> """
+      SELECT o_orderstatus, count(*) AS n, sum(o_orderkey)::BIGINT AS key_sum
+      FROM orders WHERE o_orderkey < 1000
+      GROUP BY 1""",
+    "q_iceberg_v2" -> """
+      SELECT o_orderstatus, count(*) AS n, sum(o_orderkey)::BIGINT AS key_sum
+      FROM orders
+      WHERE (o_orderkey < 1000 AND o_orderkey % 10 >= 3)
+         OR (o_orderkey >= 1000 AND o_orderkey < 1100)
+      GROUP BY 1""",
+    "q_iceberg_v2_travel" -> """
       SELECT o_orderstatus, count(*) AS n, sum(o_orderkey)::BIGINT AS key_sum
       FROM orders WHERE o_orderkey < 1000
       GROUP BY 1""",

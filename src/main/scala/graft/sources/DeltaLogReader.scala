@@ -37,6 +37,13 @@ import scala.jdk.CollectionConverters._
   * or below the requested version and replays only the JSON commits
   * after it; time travel BELOW the oldest surviving state raises a
   * clear history-vacuumed error rather than a wrong answer.
+  *
+  * Protocol guardrails (PROTOCOL.md reader-version rules): the replay
+  * tracks the `protocol` action and the metaData column-mapping mode,
+  * and REFUSES tables whose protocol demands capabilities this reader
+  * does not implement (deletion vectors, column mapping, v2
+  * checkpoints, minReaderVersion > 3) — refusing beats silently
+  * returning rows a deletion vector says are gone.
   */
 object DeltaLogReader {
 
@@ -88,6 +95,9 @@ object DeltaLogReader {
     val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     var schema: StructType = null
     var partCols: Seq[String] = Nil
+    var minReader: Int = 1
+    var readerFeatures: Set[String] = Set.empty
+    var colMappingMode: String = "none"
     val state = scala.collection.mutable.LinkedHashMap[String, AddFile]()
 
     val replayFrom: Long = cpVersion.filter(_ <= upTo) match {
@@ -103,6 +113,27 @@ object DeltaLogReader {
             .collect().headOption.foreach { r =>
               schema = DataType.fromJson(r.getString(0)).asInstanceOf[StructType]
               partCols = Option(r.getSeq[String](1)).getOrElse(Nil)
+            }
+          val mdType = actions.schema("metaData").dataType.asInstanceOf[StructType]
+          if (mdType.fieldNames.contains("configuration"))
+            actions.filter(col("metaData").isNotNull)
+              .select("metaData.configuration")
+              .collect().headOption.foreach { r =>
+                Option(r.getMap[String, String](0)).foreach(m =>
+                  m.get("delta.columnMapping.mode").foreach(colMappingMode = _))
+              }
+        }
+        if (actions.columns.contains("protocol")) {
+          val pType = actions.schema("protocol").dataType.asInstanceOf[StructType]
+          val pCols = "protocol.minReaderVersion" +:
+            (if (pType.fieldNames.contains("readerFeatures"))
+               Seq("protocol.readerFeatures") else Nil)
+          actions.filter(col("protocol").isNotNull)
+            .select(pCols.head, pCols.tail: _*)
+            .collect().headOption.foreach { r =>
+              minReader = r.getInt(0)
+              if (r.length > 1 && !r.isNullAt(1))
+                readerFeatures = r.getSeq[String](1).toSet
             }
         }
         if (actions.columns.contains("add")) {
@@ -135,6 +166,14 @@ object DeltaLogReader {
           schema = DataType.fromJson(md.get("schemaString").asText).asInstanceOf[StructType]
           partCols = Option(md.get("partitionColumns"))
             .map(_.elements.asScala.map(_.asText).toSeq).getOrElse(Nil)
+          Option(md.get("configuration"))
+            .flatMap(c => Option(c.get("delta.columnMapping.mode")))
+            .foreach(m => colMappingMode = m.asText)
+        } else if (n.has("protocol")) {
+          val p = n.get("protocol")
+          minReader = p.get("minReaderVersion").asInt
+          readerFeatures = Option(p.get("readerFeatures"))
+            .map(_.elements.asScala.map(_.asText).toSet).getOrElse(Set.empty)
         } else if (n.has("add")) {
           val a = n.get("add")
           val pv = Option(a.get("partitionValues"))
@@ -147,7 +186,44 @@ object DeltaLogReader {
       }
     }
     require(schema != null, s"no metaData action in log of $tablePath")
+    checkProtocol(tablePath, minReader, readerFeatures, colMappingMode)
     (schema, partCols, state.values.toSeq)
+  }
+
+  /** Reader features this implementation actually honors when a table
+    * declares minReaderVersion 3 (PROTOCOL.md table-features):
+    * timestampNtz is plain schema/parquet behavior Spark covers, and
+    * vacuumProtocolCheck changes nothing at read time. Everything else
+    * — deletionVectors, columnMapping, v2Checkpoint, … — would make
+    * this reader silently return WRONG rows, so it must refuse. */
+  private val supportedReaderFeatures = Set("timestampNtz", "vacuumProtocolCheck")
+
+  /** PROTOCOL.md reader-version rules: a reader MUST refuse tables whose
+    * protocol demands capabilities it does not implement, instead of
+    * degrading to wrong answers (the Iceberg-v2-equality-delete /
+    * compressed-SAS refusal posture). */
+  private def checkProtocol(tablePath: String, minReader: Int,
+                            readerFeatures: Set[String],
+                            colMappingMode: String): Unit = {
+    require(minReader <= 3,
+      s"Delta table $tablePath requires minReaderVersion $minReader; " +
+        "this reader implements protocol versions 1-3")
+    // reader version 2 = column mapping capability; honored only while
+    // the table leaves mapping OFF (ids/physical names would otherwise
+    // silently misread columns)
+    require(colMappingMode == "none",
+      s"Delta table $tablePath uses column mapping mode '$colMappingMode' " +
+        "(unsupported — physical column names/ids would be misread); " +
+        "rewrite with delta.columnMapping.mode=none to read here")
+    if (minReader >= 3) {
+      val unsupported = readerFeatures -- supportedReaderFeatures
+      require(unsupported.isEmpty,
+        s"Delta table $tablePath requires reader features " +
+          s"${unsupported.toSeq.sorted.mkString("[", ", ", "]")} this reader " +
+          "does not implement (supported: " +
+          s"${supportedReaderFeatures.toSeq.sorted.mkString(", ")}); " +
+          "reading anyway could silently drop or corrupt rows")
+    }
   }
 
   /** Relative paths of the data files in the current snapshot (writer

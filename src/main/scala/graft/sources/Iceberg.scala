@@ -11,8 +11,10 @@ import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.types._
 import scala.jdk.CollectionConverters._
 
-/** Hand-rolled Apache Iceberg (format-version 1) table reader + writer —
-  * no iceberg jar, the same posture as DeltaLogReader/DeltaLogWriter. An
+/** Hand-rolled Apache Iceberg table reader + writer (format v1, and
+  * format v2 merge-on-read with POSITION deletes — equality deletes
+  * refuse with a clear error) — no iceberg jar, the same posture as
+  * DeltaLogReader/DeltaLogWriter. An
   * Iceberg table is parquet data files plus a `metadata/` folder: a
   * current `v<N>.metadata.json` (named by `version-hint.text`) holding
   * the schema, partition spec and snapshot list; each snapshot names a
@@ -123,7 +125,8 @@ object IcebergTable {
 
   case class SnapshotInfo(snapshotId: Long, timestampMs: Long,
                           operation: String, manifestList: String,
-                          summary: Map[String, String] = Map.empty)
+                          summary: Map[String, String] = Map.empty,
+                          sequenceNumber: Long = 0L)
 
   case class TableMeta(location: String, schema: StructType,
                        schemaNode: JsonNode, lastColumnId: Int,
@@ -131,7 +134,8 @@ object IcebergTable {
                        currentSnapshotId: Option[Long],
                        snapshots: Seq[SnapshotInfo],
                        metadataVersion: Int, tableUuid: String,
-                       formatVersion: Int)
+                       formatVersion: Int,
+                       lastSequenceNumber: Long = 0L)
 
   private def metaDir(table: String) = new Path(table, "metadata")
 
@@ -201,11 +205,13 @@ object IcebergTable {
           s.get("timestamp-ms").asLong,
           summary.getOrElse("operation", "append"),
           s.get("manifest-list").asText,
-          summary - "operation")
+          summary - "operation",
+          Option(s.get("sequence-number")).map(_.asLong).getOrElse(0L))
       }
     val current = Option(root.get("current-snapshot-id")).map(_.asLong).filter(_ != -1L)
     TableMeta(table, schema, schemaNode, root.get("last-column-id").asInt,
-      partCols, current, snaps, v, root.get("table-uuid").asText, formatVersion)
+      partCols, current, snaps, v, root.get("table-uuid").asText, formatVersion,
+      Option(root.get("last-sequence-number")).map(_.asLong).getOrElse(0L))
   }
 
   // -------------------------------------------------------- avro helpers
@@ -249,44 +255,41 @@ object IcebergTable {
 
   // ------------------------------------------------------------- reading
 
-  /** One live/added data file in a snapshot. `partition` values are the
+  /** One live/added file in a snapshot. `partition` values are the
     * avro-decoded identity tuple (string/int/long/boolean/double; date as
-    * epoch-day int). */
+    * epoch-day int). `content` is the spec's data_file content id:
+    * 0 = DATA, 1 = POSITION_DELETES, 2 = EQUALITY_DELETES (format v2). */
   case class DataFileInfo(path: String, partition: Map[String, Any],
                           recordCount: Long, fileSizeBytes: Long,
-                          status: Int, snapshotId: Long)
+                          status: Int, snapshotId: Long, content: Int = 0)
 
   private def absolute(table: String, p: String): String =
     if (p.startsWith("/") || p.contains("://")) p else s"$table/$p"
 
   /** Manifest-list rows for a snapshot: (manifestPath, content). content
-    * 0 = data, 1 = row-level deletes (format v2); delete manifests are
-    * refused — merge-on-read tables need the full library. */
+    * 0 = data manifest, 1 = delete manifest (format v2 row-level
+    * deletes — position/equality delete files). */
   private def manifestsOf(spark: SparkSession, table: String,
-                          snap: SnapshotInfo): Seq[String] = {
+                          snap: SnapshotInfo): Seq[(String, Int)] = {
     readAvroRecords(spark, absolute(table, snap.manifestList)).map { r =>
       val content = opt(r, "content").map(_.asInstanceOf[Int]).getOrElse(0)
-      require(content == 0,
-        s"row-level delete manifests (format v2 merge-on-read) unsupported: " +
-          s"${str(r.get("manifest_path"))}")
-      absolute(table, str(r.get("manifest_path")))
+      (absolute(table, str(r.get("manifest_path"))), content)
     }
   }
 
   /** All manifest entries of a snapshot (status 0=EXISTING 1=ADDED
-    * 2=DELETED; DELETED entries are filtered by [[liveFiles]]). */
+    * 2=DELETED; DELETED entries are filtered by [[liveFiles]]).
+    * Delete-manifest entries come back with their data_file `content`
+    * (1 = position deletes, 2 = equality deletes). */
   private def entriesOf(spark: SparkSession, table: String,
                         snap: SnapshotInfo): Seq[DataFileInfo] =
-    manifestsOf(spark, table, snap).flatMap { mf =>
+    manifestsOf(spark, table, snap).flatMap { case (mf, _) =>
       readAvroRecords(spark, mf).map { e =>
         val status = e.get("status").asInstanceOf[Int]
         val snapId = opt(e, "snapshot_id").map(_.asInstanceOf[Long])
           .getOrElse(snap.snapshotId)
         val df = e.get("data_file").asInstanceOf[GenericRecord]
-        opt(df, "content").foreach { c =>
-          require(c.asInstanceOf[Int] == 0,
-            s"non-data content in data_file (format v2 deletes) unsupported")
-        }
+        val content = opt(df, "content").map(_.asInstanceOf[Int]).getOrElse(0)
         val part = opt(df, "partition").map(_.asInstanceOf[GenericRecord])
           .map { pr =>
             pr.getSchema.getFields.asScala.map { f =>
@@ -300,7 +303,7 @@ object IcebergTable {
         DataFileInfo(absolute(table, str(df.get("file_path"))), part,
           df.get("record_count").asInstanceOf[Long],
           opt(df, "file_size_in_bytes").map(_.asInstanceOf[Long]).getOrElse(0L),
-          status, snapId)
+          status, snapId, content)
       }
     }
 
@@ -325,16 +328,24 @@ object IcebergTable {
     }
   }
 
-  /** Live data files of a snapshot (DELETED entries dropped). */
-  def liveFiles(spark: SparkSession, table: String,
-                snapshotId: Option[Long] = None,
-                asOfTimestampMs: Option[Long] = None): Seq[DataFileInfo] = {
+  /** Live files of a snapshot, ALL contents (DELETED entries dropped):
+    * data files plus any position/equality delete files (format v2). */
+  def liveEntries(spark: SparkSession, table: String,
+                  snapshotId: Option[Long] = None,
+                  asOfTimestampMs: Option[Long] = None): Seq[DataFileInfo] = {
     val meta = loadMeta(spark, table)
     selectSnapshot(meta, snapshotId, asOfTimestampMs) match {
       case None => Nil
       case Some(snap) => entriesOf(spark, table, snap).filter(_.status != 2)
     }
   }
+
+  /** Live DATA files of a snapshot (delete files excluded). */
+  def liveFiles(spark: SparkSession, table: String,
+                snapshotId: Option[Long] = None,
+                asOfTimestampMs: Option[Long] = None): Seq[DataFileInfo] =
+    liveEntries(spark, table, snapshotId, asOfTimestampMs)
+      .filter(_.content == 0)
 
   /** Read an Iceberg table. `table` may carry a Drill-style `#<kind>`
     * metadata suffix (snapshots/history/manifests/files/partitions —
@@ -344,20 +355,59 @@ object IcebergTable {
     * the manifest partition tuples before the scan is planned — the
     * identity-partition analog of Iceberg's filter pushdown; the filter
     * itself still reaches parquet footers through the ordinary scan. */
+  /** URI-scheme normalization so `_metadata.file_path` (always a full
+    * URI, e.g. `file:///a/b`) compares equal to manifest/delete-file
+    * spellings (`/a/b`, `file:/a/b`, `s3://bucket/k` …): any
+    * `scheme:/`, `scheme://`, `scheme:///` prefix collapses to `/`.
+    * Applied identically to BOTH join sides, so equal files stay equal
+    * under any scheme. */
+  private def normPath(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.regexp_replace(
+      c, "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
+
   def read(spark: SparkSession, table: String,
            snapshotId: Option[Long] = None,
            asOfTimestampMs: Option[Long] = None,
            partitionFilter: Map[String, Any] => Boolean = null): DataFrame = {
+    import org.apache.spark.sql.functions.col
     val hash = table.indexOf('#')
     if (hash >= 0)
       return metadataTable(spark, table.substring(0, hash), table.substring(hash + 1))
     val meta = loadMeta(spark, table)
-    var files = liveFiles(spark, table, snapshotId, asOfTimestampMs)
+    val entries = liveEntries(spark, table, snapshotId, asOfTimestampMs)
+    val eqDeletes = entries.filter(_.content == 2)
+    require(eqDeletes.isEmpty,
+      s"iceberg equality-delete files unsupported (format v2): " +
+        s"${eqDeletes.map(_.path).mkString(", ")} — only position deletes " +
+        "are readable; rewrite the table with copy-on-write or compact it")
+    val posDeletes = entries.filter(_.content == 1)
+    var files = entries.filter(_.content == 0)
     if (partitionFilter != null) files = files.filter(f => partitionFilter(f.partition))
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], meta.schema)
-    else
-      spark.read.schema(meta.schema).parquet(files.map(_.path): _*)
+    else {
+      val base = spark.read.schema(meta.schema).parquet(files.map(_.path): _*)
+      if (posDeletes.isEmpty) base
+      else {
+        // merge-on-read: drop rows named by position-delete files via a
+        // distributed LEFT ANTI join on (file_path, row position). The
+        // parquet `_metadata.row_index` column IS the spec's `pos`
+        // (row ordinal within the data file), so no per-file driver work
+        // — deletes stay a DataFrame, Catalyst broadcasts it when small
+        // (delete parquet carries size stats), and nothing collects.
+        // Matching by explicit (path, pos) makes sequence-number checks
+        // unnecessary: file paths are unique within a table's lifetime,
+        // so a delete can only ever name rows of the file it targeted.
+        val data = base
+          .withColumn("__g_fp", normPath(col("_metadata.file_path")))
+          .withColumn("__g_pos", col("_metadata.row_index"))
+        val dels = spark.read.parquet(posDeletes.map(_.path): _*)
+          .select(normPath(col("file_path")).as("__g_fp"),
+            col("pos").cast("long").as("__g_pos"))
+        data.join(dels, Seq("__g_fp", "__g_pos"), "left_anti")
+          .drop("__g_fp", "__g_pos")
+      }
+    }
   }
 
   /** Incremental read: rows ADDED by snapshots in (fromSnapshotId,
@@ -381,7 +431,7 @@ object IcebergTable {
       .sortBy(_.timestampMs)
     val ids = range.map(_.snapshotId).toSet
     val added = range.flatMap(snap => entriesOf(spark, table, snap)
-      .filter(e => e.status == 1 && ids.contains(e.snapshotId)))
+      .filter(e => e.status == 1 && e.content == 0 && ids.contains(e.snapshotId)))
       .map(_.path).distinct
     if (added.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], meta.schema)
@@ -454,12 +504,20 @@ object IcebergTable {
     s"""{"type":"record","name":"r102","fields":[$fs]}"""
   }
 
-  private def manifestEntrySchema(partFields: Seq[StructField]): Schema =
+  /** Manifest entry avro schema. Format v2 entries carry the data_file
+    * `content` id (0 data / 1 position deletes / 2 equality deletes,
+    * spec field-id 134); v1 entries omit it. */
+  private def manifestEntrySchema(partFields: Seq[StructField],
+                                  withContent: Boolean = false): Schema = {
+    val contentField =
+      if (withContent) """{"name":"content","type":"int","field-id":134},"""
+      else ""
     new Schema.Parser().parse(
       s"""{"type":"record","name":"manifest_entry","fields":[
          |{"name":"status","type":"int","field-id":0},
          |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
          |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+         |  $contentField
          |  {"name":"file_path","type":"string","field-id":100},
          |  {"name":"file_format","type":"string","field-id":101},
          |  {"name":"partition","type":${partitionRecordSchema(partFields)},"field-id":102},
@@ -467,6 +525,7 @@ object IcebergTable {
          |  {"name":"file_size_in_bytes","type":"long","field-id":104},
          |  {"name":"block_size_in_bytes","type":"long","field-id":105}
          |]},"field-id":2}]}""".stripMargin)
+  }
 
   private val manifestFileSchema: Schema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_file","fields":[
@@ -478,6 +537,26 @@ object IcebergTable {
       |{"name":"existing_data_files_count","type":["null","int"],"default":null,"field-id":505},
       |{"name":"deleted_data_files_count","type":["null","int"],"default":null,"field-id":506},
       |{"name":"added_rows_count","type":["null","long"],"default":null,"field-id":512}
+      |]}""".stripMargin)
+
+  /** v2 manifest-list schema: spec-required `content` (0 data / 1
+    * deletes) + sequence-number fields, and the v2 field renames
+    * (added_files_count etc.). */
+  private val manifestFileSchemaV2: Schema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string","field-id":500},
+      |{"name":"manifest_length","type":"long","field-id":501},
+      |{"name":"partition_spec_id","type":"int","field-id":502},
+      |{"name":"content","type":"int","field-id":517},
+      |{"name":"sequence_number","type":"long","field-id":515},
+      |{"name":"min_sequence_number","type":"long","field-id":516},
+      |{"name":"added_snapshot_id","type":"long","field-id":503},
+      |{"name":"added_files_count","type":"int","field-id":504},
+      |{"name":"existing_files_count","type":"int","field-id":505},
+      |{"name":"deleted_files_count","type":"int","field-id":506},
+      |{"name":"added_rows_count","type":"long","field-id":512},
+      |{"name":"existing_rows_count","type":"long","field-id":513},
+      |{"name":"deleted_rows_count","type":"long","field-id":514}
       |]}""".stripMargin)
 
   /** Hive path-segment unescape (%xx only — hive does NOT use '+'). */
@@ -603,14 +682,17 @@ object IcebergTable {
     }
     fs.delete(staging, true)
 
-    // ---- manifest (avro) for the added files
-    val entrySchema = manifestEntrySchema(partFields)
+    // ---- manifest (avro) for the added files; v2 tables record content
+    val fv = prior.map(_.formatVersion).getOrElse(1)
+    val newSeq = if (fv >= 2) prior.map(_.lastSequenceNumber).getOrElse(0L) + 1 else 0L
+    val entrySchema = manifestEntrySchema(partFields, withContent = fv >= 2)
     val dfSchema = entrySchema.getField("data_file").schema()
     val partSchema = dfSchema.getField("partition").schema()
     val entries = moved.map { case (dest, tuple, size) =>
       val pr = new GenericData.Record(partSchema)
       tuple.foreach { case (k, v) => pr.put(k, v) }
       val d = new GenericData.Record(dfSchema)
+      if (fv >= 2) d.put("content", 0) // DATA
       d.put("file_path", dest.toString)
       d.put("file_format", "PARQUET")
       d.put("partition", pr)
@@ -625,51 +707,104 @@ object IcebergTable {
     }
     val manifestPath = new Path(metaDir(table), f"snap$snapshotId%05d-m0.avro")
     val manifestLen = writeAvro(spark, manifestPath, entrySchema, entries, Map(
-      "format-version" -> "1",
-      "partition-spec-id" -> "0"))
+      "format-version" -> fv.toString,
+      "partition-spec-id" -> "0") ++
+      (if (fv >= 2) Map("content" -> "data") else Map.empty))
 
     // ---- manifest list: new manifest + (append) the prior snapshot's
     val addedRows = entries.map(_.get("data_file")
       .asInstanceOf[GenericRecord].get("record_count").asInstanceOf[Long]).sum
-    def mfRow(path: String, len: Long, snapId: Long, added: Int,
-              rows: Long): GenericRecord = {
-      val r = new GenericData.Record(manifestFileSchema)
-      r.put("manifest_path", path); r.put("manifest_length", len)
-      r.put("partition_spec_id", 0); r.put("added_snapshot_id", snapId)
-      r.put("added_data_files_count", added)
-      r.put("existing_data_files_count", 0)
-      r.put("deleted_data_files_count", 0)
-      r.put("added_rows_count", rows)
-      r
-    }
+    val listSchema = if (fv >= 2) manifestFileSchemaV2 else manifestFileSchema
     val carried: Seq[GenericRecord] =
       if (mode == SaveMode.Overwrite) Nil
-      else prior.flatMap(m => selectSnapshot(m, None, None)).toSeq.flatMap { snap =>
-        readAvroRecords(spark, absolute(table, snap.manifestList)).map { r =>
-          mfRow(str(r.get("manifest_path")),
-            opt(r, "manifest_length").map(_.asInstanceOf[Long]).getOrElse(0L),
-            opt(r, "added_snapshot_id").map(_.asInstanceOf[Long]).getOrElse(-1L),
-            opt(r, "added_data_files_count").map(_.asInstanceOf[Int]).getOrElse(0),
-            opt(r, "added_rows_count").map(_.asInstanceOf[Long]).getOrElse(0L))
-        }
-      }
+      else carriedManifests(spark, table, prior, listSchema)
     val listPath = new Path(metaDir(table), f"snap-$snapshotId-manifest-list.avro")
-    writeAvro(spark, listPath, manifestFileSchema,
-      mfRow(manifestPath.toString, manifestLen, snapshotId,
-        entries.size, addedRows) +: carried,
-      Map("format-version" -> "1"))
+    writeAvro(spark, listPath, listSchema,
+      mfRow(listSchema, manifestPath.toString, manifestLen, snapshotId,
+        entries.size, addedRows, content = 0, seq = newSeq, minSeq = newSeq)
+        +: carried,
+      Map("format-version" -> fv.toString))
 
-    // ---- new table metadata (vN+1) + version-hint, atomically
+    commitMetadata(spark, table, prior, df.schema, partitionBy,
+      SnapshotInfo(snapshotId, nowMs,
+        if (mode == SaveMode.Overwrite && exists) "overwrite" else "append",
+        listPath.toString, summaryProps, newSeq),
+      fv)
+    snapshotId
+  }
+
+  /** Manifest-list row in either schema version — v2-only fields (and
+    * the v1/v2 count-field spellings) are set only when present. */
+  private def mfRow(schema: Schema, path: String, len: Long, snapId: Long,
+                    added: Int, rows: Long, content: Int,
+                    seq: Long, minSeq: Long): GenericRecord = {
+    val r = new GenericData.Record(schema)
+    def putIf(name: String, v: AnyRef): Unit =
+      if (schema.getField(name) != null) r.put(name, v)
+    r.put("manifest_path", path)
+    r.put("manifest_length", len)
+    r.put("partition_spec_id", 0)
+    r.put("added_snapshot_id", snapId)
+    putIf("content", Int.box(content))
+    putIf("sequence_number", Long.box(seq))
+    putIf("min_sequence_number", Long.box(minSeq))
+    putIf("added_data_files_count", Int.box(added))
+    putIf("added_files_count", Int.box(added))
+    putIf("existing_data_files_count", Int.box(0))
+    putIf("existing_files_count", Int.box(0))
+    putIf("deleted_data_files_count", Int.box(0))
+    putIf("deleted_files_count", Int.box(0))
+    putIf("added_rows_count", Long.box(rows))
+    putIf("existing_rows_count", Long.box(0L))
+    putIf("deleted_rows_count", Long.box(0L))
+    r
+  }
+
+  /** Re-emit the prior current snapshot's manifest-list rows in
+    * `schema`, preserving content + sequence numbers (absent in v1
+    * lists → 0 — the spec's rule for v1→v2 upgrades: pre-upgrade data
+    * is sequence number 0). */
+  private def carriedManifests(spark: SparkSession, table: String,
+                               prior: Option[TableMeta],
+                               schema: Schema): Seq[GenericRecord] =
+    prior.flatMap(m => selectSnapshot(m, None, None)).toSeq.flatMap { snap =>
+      readAvroRecords(spark, absolute(table, snap.manifestList)).map { r =>
+        mfRow(schema, str(r.get("manifest_path")),
+          opt(r, "manifest_length").map(_.asInstanceOf[Long]).getOrElse(0L),
+          opt(r, "added_snapshot_id").map(_.asInstanceOf[Long]).getOrElse(-1L),
+          opt(r, "added_data_files_count").orElse(opt(r, "added_files_count"))
+            .map(_.asInstanceOf[Int]).getOrElse(0),
+          opt(r, "added_rows_count").map(_.asInstanceOf[Long]).getOrElse(0L),
+          opt(r, "content").map(_.asInstanceOf[Int]).getOrElse(0),
+          opt(r, "sequence_number").map(_.asInstanceOf[Long]).getOrElse(0L),
+          opt(r, "min_sequence_number").map(_.asInstanceOf[Long]).getOrElse(0L))
+      }
+    }
+
+  /** Write v<N+1>.metadata.json + version-hint atomically. Emits BOTH
+    * the v1 (`schema`, `partition-spec`) and v2 (`schemas` +
+    * `current-schema-id`) spellings — readers of either version ignore
+    * the other's fields; `formatVersion` decides the declared
+    * format-version and whether sequence numbers are recorded. */
+  private def commitMetadata(spark: SparkSession, table: String,
+                             prior: Option[TableMeta],
+                             dataSchema: StructType,
+                             partitionBy: Seq[String],
+                             snapshot: SnapshotInfo,
+                             formatVersion: Int): Unit = {
+    val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val newVersion = prior.map(_.metadataVersion + 1).getOrElse(1)
     val root = mapper.createObjectNode()
-    root.put("format-version", 1)
+    root.put("format-version", formatVersion)
     root.put("table-uuid",
       prior.map(_.tableUuid).getOrElse(java.util.UUID.randomUUID().toString))
     root.put("location", table)
-    root.put("last-updated-ms", nowMs)
+    root.put("last-updated-ms", snapshot.timestampMs)
+    if (formatVersion >= 2)
+      root.put("last-sequence-number", snapshot.sequenceNumber)
     val schemaNode: JsonNode = prior.map(_.schemaNode).getOrElse {
       val counter = new java.util.concurrent.atomic.AtomicInteger(0)
-      toIcebergType(df.schema, () => counter.incrementAndGet())
+      toIcebergType(dataSchema, () => counter.incrementAndGet())
         .asInstanceOf[ObjectNode]
     }
     root.put("last-column-id", prior.map(_.lastColumnId).getOrElse {
@@ -682,6 +817,11 @@ object IcebergTable {
       maxId(schemaNode)
     })
     root.set[JsonNode]("schema", schemaNode)
+    val schemas = root.putArray("schemas")
+    val s0 = schemaNode.deepCopy[JsonNode]().asInstanceOf[ObjectNode]
+    s0.put("schema-id", 0)
+    schemas.add(s0)
+    root.put("current-schema-id", 0)
     val specArr = root.putArray("partition-spec")
     val schemaFieldIds = schemaNode.get("fields").elements.asScala
       .map(f => f.get("name").asText -> f.get("id").asInt).toMap
@@ -696,15 +836,13 @@ object IcebergTable {
     spec0.set[ArrayNode]("fields", specArr.deepCopy())
     root.put("default-spec-id", 0)
     root.set[ObjectNode]("properties", mapper.createObjectNode())
-    root.put("current-snapshot-id", snapshotId)
+    root.put("current-snapshot-id", snapshot.snapshotId)
     val snapsArr = root.putArray("snapshots")
-    val allSnaps = prior.map(_.snapshots).getOrElse(Nil) :+
-      SnapshotInfo(snapshotId, nowMs,
-        if (mode == SaveMode.Overwrite && exists) "overwrite" else "append",
-        listPath.toString, summaryProps)
+    val allSnaps = prior.map(_.snapshots).getOrElse(Nil) :+ snapshot
     allSnaps.foreach { s =>
       val n = snapsArr.addObject()
       n.put("snapshot-id", s.snapshotId); n.put("timestamp-ms", s.timestampMs)
+      if (formatVersion >= 2) n.put("sequence-number", s.sequenceNumber)
       val sum = n.putObject("summary"); sum.put("operation", s.operation)
       s.summary.toSeq.sortBy(_._1).foreach { case (k, v) => sum.put(k, v) }
       n.put("manifest-list", absolute(table, s.manifestList))
@@ -725,6 +863,121 @@ object IcebergTable {
     val hint = fs.create(new Path(metaDir(table), "version-hint.text"), true)
     try hint.write(String.valueOf(newVersion).getBytes("UTF-8"))
     finally hint.close()
+  }
+
+  // ------------------------------------------------- row-level deletes
+
+  /** Row-level DELETE: write position-delete files for every current
+    * row matching `condition` and commit a merge-on-read snapshot; the
+    * table upgrades to format-version 2 (the spec makes row-level
+    * deletes a v2 feature). Matching rows are located DISTRIBUTED: the
+    * parquet scan attaches `_metadata.file_path`/`row_index`, the
+    * predicate runs on executors, and the (file_path, pos) pairs write
+    * straight back out as parquet delete files sorted by
+    * (file_path, pos) exactly as the spec requires — the driver never
+    * materializes a matched row. A broadcast lookup maps the runtime
+    * file URI to the manifest's exact file_path spelling (the spec
+    * requires an exact match). Returns the new snapshot id, or the
+    * current one unchanged when nothing matches. */
+  def deleteFrom(spark: SparkSession, table: String,
+                 condition: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    import spark.implicits._
+    val meta = loadMeta(spark, table)
+    val entries = liveEntries(spark, table)
+    require(entries.forall(_.content != 2),
+      s"cannot delete from a table with equality-delete files: $table")
+    val dataFiles = entries.filter(_.content == 0)
+    if (dataFiles.isEmpty) return meta.currentSnapshotId.getOrElse(0L)
+    val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lookup = dataFiles.map(_.path).toDF("file_path")
+      .withColumn("__g_fp", normPath(col("file_path")))
+    val matches = spark.read.schema(meta.schema)
+      .parquet(dataFiles.map(_.path): _*)
+      .filter(condition)
+      .select(normPath(col("_metadata.file_path")).as("__g_fp"),
+        col("_metadata.row_index").as("pos"))
+      .join(broadcast(lookup), "__g_fp")
+      .select(col("file_path"), col("pos"))
+    val snapshotId = meta.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1L
+    val staging = new Path(table, s"_staging_del$snapshotId")
+    matches.repartition(col("file_path"))
+      .sortWithinPartitions("file_path", "pos")
+      .write.mode("overwrite").parquet(staging.toString)
+    def walk(p: Path): Seq[Path] = fs.listStatus(p).toSeq.flatMap { s =>
+      val n = s.getPath.getName
+      if (s.isDirectory) { if (n == "_temporary") Nil else walk(s.getPath) }
+      else if (n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
+        Seq(s.getPath)
+      else Nil
+    }
+    val staged = walk(staging).sortBy(_.toString)
+      .filter(p => parquetRowCount(spark, p) > 0)
+    if (staged.isEmpty) {
+      fs.delete(staging, true)
+      return meta.currentSnapshotId.getOrElse(0L)
+    }
+    val dataDir = new Path(table, "data")
+    fs.mkdirs(dataDir)
+    val moved = staged.zipWithIndex.map { case (part, i) =>
+      val dest = new Path(dataDir, f"delete-$i%05d-snap$snapshotId.parquet")
+      fs.delete(dest, false)
+      require(fs.rename(part, dest), s"rename failed: $part -> $dest")
+      dest
+    }
+    fs.delete(staging, true)
+    commitDeleteFiles(spark, table, meta, moved, content = 1,
+      snapshotId = snapshotId)
+  }
+
+  /** Register already-written delete files (parquet with `file_path` +
+    * `pos` columns for content=1 position deletes) as a new v2
+    * snapshot. Exposed within the package so specs can also build
+    * equality-delete (content=2) fixtures for the refusal path. */
+  private[graft] def commitDeleteFiles(spark: SparkSession, table: String,
+                                         meta: TableMeta, files: Seq[Path],
+                                         content: Int,
+                                         snapshotId: Long): Long = {
+    val newSeq = meta.lastSequenceNumber + 1
+    val nowMs = System.currentTimeMillis()
+    val entrySchema = manifestEntrySchema(Nil, withContent = true)
+    val dfSchema = entrySchema.getField("data_file").schema()
+    val partSchema = dfSchema.getField("partition").schema()
+    val entries = files.map { p =>
+      val d = new GenericData.Record(dfSchema)
+      d.put("content", content)
+      d.put("file_path", p.toString)
+      d.put("file_format", "PARQUET")
+      d.put("partition", new GenericData.Record(partSchema))
+      d.put("record_count", parquetRowCount(spark, p))
+      d.put("file_size_in_bytes",
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getFileStatus(p).getLen)
+      d.put("block_size_in_bytes", 67108864L)
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", 1) // ADDED
+      e.put("snapshot_id", snapshotId)
+      e.put("data_file", d)
+      e
+    }
+    val manifestPath = new Path(metaDir(table), f"snap$snapshotId%05d-d0.avro")
+    val manifestLen = writeAvro(spark, manifestPath, entrySchema, entries, Map(
+      "format-version" -> "2",
+      "partition-spec-id" -> "0",
+      "content" -> "deletes"))
+    val deletedRows = entries.map(_.get("data_file")
+      .asInstanceOf[GenericRecord].get("record_count").asInstanceOf[Long]).sum
+    val carried = carriedManifests(spark, table, Some(meta), manifestFileSchemaV2)
+    val listPath = new Path(metaDir(table), f"snap-$snapshotId-manifest-list.avro")
+    writeAvro(spark, listPath, manifestFileSchemaV2,
+      mfRow(manifestFileSchemaV2, manifestPath.toString, manifestLen,
+        snapshotId, entries.size, deletedRows, content = 1,
+        seq = newSeq, minSeq = newSeq) +: carried,
+      Map("format-version" -> "2"))
+    commitMetadata(spark, table, Some(meta), meta.schema, meta.partCols,
+      SnapshotInfo(snapshotId, nowMs, "delete", listPath.toString,
+        Map.empty, newSeq),
+      formatVersion = 2)
     snapshotId
   }
 }

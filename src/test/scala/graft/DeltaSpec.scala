@@ -154,4 +154,63 @@ class DeltaSpec extends AnyFunSuite {
       DeltaLogReader.read(spark, freshDir("missing")))
     assert(e1.getMessage.contains("_delta_log"))
   }
+
+  // --------------------------------------------- protocol guardrails
+
+  test("minReaderVersion 3 with deletionVectors refuses instead of dropping rows") {
+    import spark.implicits._
+    val base = freshDir("proto_dv")
+    val df = Seq((1L, "x")).toDF("k", "v")
+    val sz = DeltaLogReader.writeDataFile(df, base, "a.parquet")
+    DeltaLogReader.writeCommit(spark, base, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      DeltaLogReader.metaDataAction(df.schema, Nil),
+      s"""{"add":{"path":"a.parquet","partitionValues":{},"size":$sz,"modificationTime":1,"dataChange":true}}"""))
+    val e = intercept[IllegalArgumentException](
+      DeltaLogReader.read(spark, base).collect())
+    assert(e.getMessage.contains("deletionVectors"))
+  }
+
+  test("column mapping mode 'name' refuses; mode 'none' reads fine") {
+    import spark.implicits._
+    val base = freshDir("proto_cm")
+    val df = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+    val sz = DeltaLogReader.writeDataFile(df, base, "a.parquet")
+    val schemaStr = new com.fasterxml.jackson.databind.ObjectMapper()
+      .writeValueAsString(df.schema.json)
+    def md(mode: String) =
+      s"""{"metaData":{"id":"graft-fixture","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":$schemaStr,"partitionColumns":[],""" +
+        s""""configuration":{"delta.columnMapping.mode":"$mode"}}}"""
+    DeltaLogReader.writeCommit(spark, base, 0, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      md("name"),
+      s"""{"add":{"path":"a.parquet","partitionValues":{},"size":$sz,"modificationTime":1,"dataChange":true}}"""))
+    val e = intercept[IllegalArgumentException](
+      DeltaLogReader.read(spark, base).collect())
+    assert(e.getMessage.contains("column mapping"))
+    // flipping the mode off in a later commit makes the table readable
+    DeltaLogReader.writeCommit(spark, base, 1, Seq(md("none")))
+    assert(DeltaLogReader.read(spark, base).count() == 2)
+  }
+
+  test("minReaderVersion 3 with only supported features still reads") {
+    import spark.implicits._
+    val base = freshDir("proto_ok")
+    val df = Seq((1L, "x")).toDF("k", "v")
+    val sz = DeltaLogReader.writeDataFile(df, base, "a.parquet")
+    DeltaLogReader.writeCommit(spark, base, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["timestampNtz","vacuumProtocolCheck"],"writerFeatures":[]}}""",
+      DeltaLogReader.metaDataAction(df.schema, Nil),
+      s"""{"add":{"path":"a.parquet","partitionValues":{},"size":$sz,"modificationTime":1,"dataChange":true}}"""))
+    assert(DeltaLogReader.read(spark, base).count() == 1)
+    // and a future protocol version is refused outright
+    DeltaLogReader.writeCommit(spark, base, 1, Seq(
+      """{"protocol":{"minReaderVersion":4,"minWriterVersion":9}}"""))
+    val e = intercept[IllegalArgumentException](
+      DeltaLogReader.read(spark, base).collect())
+    assert(e.getMessage.contains("minReaderVersion 4"))
+  }
 }

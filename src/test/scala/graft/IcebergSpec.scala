@@ -174,4 +174,94 @@ class IcebergSpec extends AnyFunSuite {
     assert(json.contains("\"date\"") && json.contains("\"timestamptz\"")
       && json.contains("decimal(38, 18)"))
   }
+
+  // ---------------------------------------- format v2: merge-on-read
+
+  test("deleteFrom writes position deletes; read merges them out (v2)") {
+    import spark.implicits._
+    val base = freshDir("v2del")
+    val src = (1L to 100L).map(i => (i, s"n$i", i % 4)).toDF("k", "name", "grp")
+    IcebergTable.write(src.filter(col("k") <= 60L), base, partitionBy = Seq("grp"))
+    IcebergTable.write(src.filter(col("k") > 60L), base, partitionBy = Seq("grp"))
+    val delSnap = IcebergTable.deleteFrom(spark, base, col("k") % 10 === 0L)
+    assert(delSnap == 3L)
+    // the table upgraded to format v2 with a sequence number
+    val meta = IcebergTable.loadMeta(spark, base)
+    assert(meta.formatVersion == 2 && meta.lastSequenceNumber == 1L)
+    val keys = IcebergTable.read(spark, base)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(keys == (1L to 100L).filterNot(_ % 10 == 0).toSet)
+    // time travel to the pre-delete snapshot still sees every row
+    val preDel = IcebergTable.read(spark, base, snapshotId = Some(2L))
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(preDel == (1L to 100L).toSet)
+  }
+
+  test("append after delete keeps deletes applied to old files only (v2)") {
+    import spark.implicits._
+    val base = freshDir("v2append")
+    IcebergTable.write((1L to 50L).map(i => (i, "a")).toDF("k", "tag"), base)
+    IcebergTable.deleteFrom(spark, base, col("k") <= 10L)
+    // appended rows reuse the deleted key range — they must survive,
+    // because position deletes name (file, pos), not key values
+    IcebergTable.write((1L to 20L).map(i => (i, "b")).toDF("k", "tag"), base)
+    val rows = IcebergTable.read(spark, base)
+      .select("k", "tag").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val expected = (11L to 50L).map((_, "a")).toSet ++ (1L to 20L).map((_, "b"))
+    assert(rows == expected)
+    assert(IcebergTable.loadMeta(spark, base).lastSequenceNumber == 2L)
+  }
+
+  test("deleteFrom with no matching rows commits nothing") {
+    import spark.implicits._
+    val base = freshDir("v2nomatch")
+    IcebergTable.write((1L to 10L).map(i => (i, "x")).toDF("k", "v"), base)
+    val snap = IcebergTable.deleteFrom(spark, base, col("k") > 999L)
+    assert(snap == 1L) // current snapshot, unchanged
+    assert(IcebergTable.loadMeta(spark, base).formatVersion == 1)
+    assert(IcebergTable.read(spark, base).count() == 10L)
+  }
+
+  test("equality-delete files refuse with a clear error (v2)") {
+    import spark.implicits._
+    val base = freshDir("v2eq")
+    IcebergTable.write((1L to 10L).map(i => (i, "x")).toDF("k", "v"), base)
+    val meta = IcebergTable.loadMeta(spark, base)
+    // hand-build an equality-delete file (values of `k` to drop) and
+    // commit it as content=2 — the shape our reader must refuse
+    val eqPath = new org.apache.hadoop.fs.Path(base, "data/eqdel-0.parquet")
+    Seq(1L, 2L).toDF("k").coalesce(1).write.mode("overwrite")
+      .parquet(s"$base/_eqstage")
+    val fs = eqPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staged = fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/_eqstage"))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    fs.rename(staged, eqPath)
+    IcebergTable.commitDeleteFiles(spark, base, meta, Seq(eqPath),
+      content = 2, snapshotId = 2L)
+    val e = intercept[IllegalArgumentException](
+      IcebergTable.read(spark, base).collect())
+    assert(e.getMessage.contains("equality-delete"))
+    // and deleteFrom refuses to stack deletes on top of them
+    val e2 = intercept[IllegalArgumentException](
+      IcebergTable.deleteFrom(spark, base, col("k") === 3L))
+    assert(e2.getMessage.contains("equality-delete"))
+  }
+
+  test("metadata tables and incremental read work on a v2 table") {
+    import spark.implicits._
+    val base = freshDir("v2meta")
+    IcebergTable.write((1L to 30L).map(i => (i, i % 3)).toDF("k", "m"), base)
+    IcebergTable.deleteFrom(spark, base, col("k") <= 5L)
+    IcebergTable.write((31L to 40L).map(i => (i, i % 3)).toDF("k", "m"), base)
+    // #files lists DATA files only — the delete file is not a data file
+    val files = IcebergTable.read(spark, s"$base#files")
+      .select("file_path").collect().map(_.getString(0))
+    assert(files.nonEmpty && files.forall(!_.contains("delete-")))
+    val snaps = IcebergTable.read(spark, s"$base#snapshots")
+      .select("operation").collect().map(_.getString(0)).toSeq
+    assert(snaps.count(_ == "delete") == 1)
+    // incremental read between snapshots counts appended DATA rows only
+    val inc = IcebergTable.readAppendedBetween(spark, base, 1L)
+    assert(inc.select("k").collect().map(_.getLong(0)).toSet == (31L to 40L).toSet)
+  }
 }
