@@ -319,8 +319,13 @@ object Similarity {
     }
     val spark = corpus.sparkSession
     import spark.implicits._
+    // the normalized corpus is read every iteration (assign + means) and
+    // twice more by callers that self-join the assignment — persist it
+    // for the iterations instead of re-scanning + re-normalizing;
+    // N × dim doubles, spills to disk when bigger than memory
     val c0 = graft.GraftSession.balanced(
       corpus.select(col(idCol).as("id"), normed(col(vecCol)).as("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // centroids live driver-side between iterations — k × dim doubles,
     // metadata-scale by definition (every k-means driver does this); the
     // per-iteration literal also keeps lineage flat across iterations
@@ -328,13 +333,23 @@ object Similarity {
       c0.withColumn("hk", xxhash64(col("id"))).orderBy("hk").limit(k)
         .select("v").collect().map(_.getSeq[Double](0)).toSeq
         .zipWithIndex.map { case (v, i) => (i, v) }
-    val assignW = Window.partitionBy("id").orderBy(col("cs").desc, col("cluster"))
-    def assign(): DataFrame =
-      c0.crossJoin(broadcast(centRows.toDF("cluster", "cvec")))
+    // argmax centroid per vector via partial-aggregating max_by — the
+    // map side reduces each vector's k candidate rows to ONE before the
+    // exchange, so the shuffle carries N scalar rows, not the N × k
+    // vector-payload rows a row_number window would sort. Ties break to
+    // the lowest cluster id (struct order: max cs, then max -cluster),
+    // matching the deterministic window this replaced.
+    def assign(): DataFrame = {
+      val best = c0.crossJoin(broadcast(centRows.toDF("cluster", "cvec")))
         .withColumn("cs", cosine(col("v"), col("cvec")))
-        .withColumn("rn", row_number().over(assignW)).filter(col("rn") === 1)
-        .select(col("id"), col("v"), col("cluster"),
-          round(col("cs"), 6).as("cos_to_centroid"))
+        .groupBy("id")
+        .agg(max_by(struct(col("cluster"), col("cs")),
+          struct(col("cs"), (-col("cluster")).as("nc"))).as("best"))
+        .select(col("id"), col("best.cluster").as("cluster"),
+          round(col("best.cs"), 6).as("cos_to_centroid"))
+      c0.join(best, "id")
+        .select(col("id"), col("v"), col("cluster"), col("cos_to_centroid"))
+    }
     var assigned = assign()
     var it = 1
     while (it < iters) {
@@ -352,6 +367,15 @@ object Similarity {
       assigned = assign()
       it += 1
     }
+    // materialize the final assignment ONCE, then drop the corpus cache:
+    // callers (semanticDups' self-join, IVF builds) act on it repeatedly,
+    // and without this the whole crossJoin+argmax lineage re-runs per
+    // consumer. N × (dim+2) doubles, disk-spilling; release with
+    // assigned.unpersist() when done.
+    assigned = assigned
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assigned.count()
+    c0.unpersist()
     (assigned.select("id", "cluster", "cos_to_centroid"),
       centRows.toDF("cluster", "cvec"))
   }

@@ -1,81 +1,150 @@
 package graft.sources
 
-import java.util.concurrent.ConcurrentLinkedDeque
+import java.util.concurrent.{ConcurrentHashMap, ConcurrentLinkedDeque}
 
 import scala.jdk.CollectionConverters._
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerEvent, SparkListenerJobStart, SparkListenerStageCompleted}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.execution.QueryExecution
-import org.apache.spark.sql.util.QueryExecutionListener
+import org.apache.spark.sql.execution.ui.{SparkListenerSQLExecutionEnd, SparkListenerSQLExecutionStart}
 
 /** Query-profile capture — Drill's sys.profiles / web-UI profile store
   * (reference: exec/.../server/rest/profile/ProfileResources.java and
   * store/sys ProfileInfoIterator), re-expressed over Spark's own
-  * instrumentation hook: a QueryExecutionListener records one row per
-  * completed action (success or failure) into a bounded in-memory ring,
-  * queryable as a DataFrame that joins like any table.
+  * instrumentation hooks: one SparkListener records a profile row per
+  * SQL execution (from the SQLExecutionStart/End event pair — the same
+  * executionId Spark stamps on every job the query runs) and a stage
+  * row per completed stage with the operator-level numbers Drill's
+  * profiles carry (rows/bytes in, shuffle read/write, task time). The
+  * shared executionId is the join key, the way Drill's per-operator
+  * profile fragments hang off a query profile.
   *
-  * Bounded by design: `capacity` newest profiles are retained driver-side
-  * (Drill bounds its profile store the same way); each row is a handful
-  * of strings/longs, so the memory ceiling is KBs, independent of data
-  * scale. Durable profile storage belongs on the CTAS path
-  * (`profiles(spark).write.parquet(...)`).
+  * Bounded by design: `capacity` newest profiles (and 4× that many
+  * stage rows) are retained driver-side (Drill bounds its profile store
+  * the same way); each row is a handful of strings/longs, so the memory
+  * ceiling is KBs, independent of data scale. Durable profile storage
+  * belongs on the CTAS path (`profiles(spark).write.parquet(...)`).
   *
-  * The ring is one-per-JVM (like Drill's per-bit profile store): sibling
-  * sessions sharing the JVM see a combined profile stream; enable() is
-  * per-session (it registers on that session's listener bus).
+  * The rings are one-per-JVM (like Drill's per-bit profile store):
+  * sibling sessions sharing the JVM see a combined profile stream;
+  * enable() is per-session (it registers on that session's context).
   */
 object QueryProfiles {
 
-  final case class Profile(ts_ms: Long, action: String, status: String,
-                           duration_ms: Long, plan_head: String,
-                           error: String)
+  final case class Profile(ts_ms: Long, execution_id: Long, action: String,
+                           status: String, duration_ms: Long,
+                           plan_head: String, error: String)
+
+  /** One completed stage, with the task-metric aggregates Spark already
+    * accumulated — no extra instrumentation cost. execution_id ties the
+    * stage to its query profile row (-1 = non-SQL job). */
+  final case class StageProfile(execution_id: Long, stage_id: Int,
+                                attempt: Int, name: String, num_tasks: Int,
+                                duration_ms: Long, executor_run_ms: Long,
+                                input_records: Long, input_bytes: Long,
+                                output_records: Long, output_bytes: Long,
+                                shuffle_read_records: Long,
+                                shuffle_read_bytes: Long,
+                                shuffle_write_records: Long,
+                                shuffle_write_bytes: Long)
+
+  private final case class Started(timeMs: Long, action: String,
+                                   planHead: String)
 
   private val ring = new ConcurrentLinkedDeque[Profile]()
-  @volatile private var registered: Option[QueryExecutionListener] = None
+  private val stageRing = new ConcurrentLinkedDeque[StageProfile]()
+  private val stageToExec = new ConcurrentHashMap[Integer, java.lang.Long]()
+  private val inFlight = new ConcurrentHashMap[java.lang.Long, Started]()
+  @volatile private var listener: Option[SparkListener] = None
   private val DefaultCapacity = 1000
 
-  /** Install the listener on the session (idempotent). */
+  private def firstLine(s: String): String =
+    Option(s).map(_.trim.takeWhile(_ != '\n')).getOrElse("")
+
+  /** Install the listener on the session's context (idempotent). */
   def enable(spark: SparkSession, capacity: Int = DefaultCapacity): Unit =
     synchronized {
-      if (registered.isEmpty) {
-        val l = new QueryExecutionListener {
-          override def onSuccess(funcName: String, qe: QueryExecution,
-                                 durationNs: Long): Unit =
-            record(funcName, qe, durationNs, "success", "", capacity)
-          override def onFailure(funcName: String, qe: QueryExecution,
-                                 exception: Exception): Unit =
-            record(funcName, qe, 0L, "failed",
-              Option(exception.getMessage).getOrElse(
-                exception.getClass.getSimpleName), capacity)
+      if (listener.isEmpty) {
+        val l = new SparkListener {
+          override def onOtherEvent(event: SparkListenerEvent): Unit =
+            event match {
+              case s: SparkListenerSQLExecutionStart =>
+                inFlight.put(Long.box(s.executionId), Started(s.time,
+                  firstLine(s.description),
+                  firstLine(s.physicalPlanDescription)))
+              case e: SparkListenerSQLExecutionEnd =>
+                val started = Option(inFlight.remove(Long.box(e.executionId)))
+                ring.addFirst(Profile(e.time, e.executionId,
+                  started.map(_.action).getOrElse("(unknown)"),
+                  if (e.errorMessage.exists(_.nonEmpty)) "failed" else "success",
+                  started.map(s => e.time - s.timeMs).getOrElse(0L),
+                  started.map(_.planHead).getOrElse(""),
+                  e.errorMessage.getOrElse("")))
+                while (ring.size() > capacity) ring.pollLast()
+              case _ => ()
+            }
+          override def onJobStart(job: SparkListenerJobStart): Unit = {
+            val execId = Option(job.properties)
+              .flatMap(p => Option(p.getProperty("spark.sql.execution.id")))
+              .map(_.toLong).getOrElse(-1L)
+            job.stageIds.foreach(sid =>
+              stageToExec.put(Int.box(sid), Long.box(execId)))
+          }
+          override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+            val info = sc.stageInfo
+            // skipped stages may carry no metrics object
+            val m = Option(info.taskMetrics)
+            def g(f: org.apache.spark.executor.TaskMetrics => Long): Long =
+              m.map(f).getOrElse(0L)
+            val wall = (for {s <- info.submissionTime; c <- info.completionTime}
+              yield c - s).getOrElse(0L)
+            val execId = Option(stageToExec.remove(Int.box(info.stageId)))
+              .map(_.longValue).getOrElse(-1L)
+            stageRing.addFirst(StageProfile(execId, info.stageId,
+              info.attemptNumber, info.name.takeWhile(_ != '\n'),
+              info.numTasks, wall, g(_.executorRunTime),
+              g(_.inputMetrics.recordsRead), g(_.inputMetrics.bytesRead),
+              g(_.outputMetrics.recordsWritten),
+              g(_.outputMetrics.bytesWritten),
+              g(_.shuffleReadMetrics.recordsRead),
+              g(x => x.shuffleReadMetrics.remoteBytesRead +
+                x.shuffleReadMetrics.localBytesRead),
+              g(_.shuffleWriteMetrics.recordsWritten),
+              g(_.shuffleWriteMetrics.bytesWritten)))
+            while (stageRing.size() > capacity * 4) stageRing.pollLast()
+          }
         }
-        spark.listenerManager.register(l)
-        registered = Some(l)
+        spark.sparkContext.addSparkListener(l)
+        listener = Some(l)
       }
     }
 
   def disable(spark: SparkSession): Unit = synchronized {
-    registered.foreach(spark.listenerManager.unregister)
-    registered = None
+    listener.foreach(spark.sparkContext.removeSparkListener)
+    listener = None
     ring.clear()
-  }
-
-  private def record(action: String, qe: QueryExecution, durationNs: Long,
-                     status: String, error: String, capacity: Int): Unit = {
-    val head = try {
-      qe.analyzed.nodeName +
-        qe.analyzed.children.headOption.map(c => " <- " + c.nodeName).getOrElse("")
-    } catch { case _: Throwable => "(unanalyzed)" } // a failed query may
-    // not have survived analysis; the profile row must still land
-    ring.addFirst(Profile(System.currentTimeMillis(), action, status,
-      durationNs / 1000000L, head, error))
-    while (ring.size() > capacity) ring.pollLast()
+    stageRing.clear()
+    stageToExec.clear()
+    inFlight.clear()
   }
 
   /** sys.profiles: newest first. */
   def profiles(spark: SparkSession): DataFrame = {
     import spark.implicits._
     ring.iterator().asScala.toSeq
-      .toDF("ts_ms", "action", "status", "duration_ms", "plan_head", "error")
+      .toDF("ts_ms", "execution_id", "action", "status", "duration_ms",
+        "plan_head", "error")
+  }
+
+  /** sys.profile_stages: per-stage metrics, newest first — join to
+    * [[profiles]] on execution_id for Drill-style operator-level
+    * profile depth. */
+  def stageProfiles(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    stageRing.iterator().asScala.toSeq.toDF(
+      "execution_id", "stage_id", "attempt", "name", "num_tasks",
+      "duration_ms", "executor_run_ms", "input_records", "input_bytes",
+      "output_records", "output_bytes", "shuffle_read_records",
+      "shuffle_read_bytes", "shuffle_write_records", "shuffle_write_bytes")
   }
 }

@@ -66,6 +66,19 @@ object QueryServer {
           Option(e.getMessage).getOrElse(e.getClass.getSimpleName)))
       }
     })
+    // per-stage metric rows (Drill's operator-level profile fragments,
+    // ref server/rest/profile/ProfileResources.java detail view); join
+    // to /profiles on execution_id
+    server.createContext("/profiles/stages", new HttpHandler {
+      override def handle(x: HttpExchange): Unit = try {
+        if (x.getRequestMethod != "GET") { respond(x, 405, error("GET only")); return }
+        val rows = QueryProfiles.stageProfiles(spark).toJSON.collect()
+        respond(x, 200, rows.mkString("[", ",", "]"))
+      } catch {
+        case e: Throwable => respond(x, 400, error(
+          Option(e.getMessage).getOrElse(e.getClass.getSimpleName)))
+      }
+    })
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4,
       (r: Runnable) => { val t = new Thread(r); t.setDaemon(true); t })
     server.setExecutor(pool)

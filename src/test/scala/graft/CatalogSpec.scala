@@ -115,4 +115,28 @@ class CatalogSpec extends AnyFunSuite {
       assert(rows.length <= 50)
     } finally QueryProfiles.disable(spark)
   }
+
+  test("sys.profile_stages carries per-stage rows/bytes/duration, joinable to profiles") {
+    import graft.sources.QueryProfiles
+    QueryProfiles.enable(spark, capacity = 50)
+    try {
+      // a shuffling query over a real scan: input AND shuffle metrics
+      val df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      df.groupBy("l_returnflag").count().collect()
+      var tries = 0
+      def stages() = QueryProfiles.stageProfiles(spark)
+      while (stages().filter("input_records > 0").count() == 0 && tries < 100) {
+        Thread.sleep(100); tries += 1
+      }
+      val rows = stages().collect()
+      // scan stage read real records/bytes; some stage shuffled
+      assert(rows.exists(r => r.getAs[Long]("input_records") > 0
+        && r.getAs[Long]("input_bytes") > 0))
+      assert(rows.exists(r => r.getAs[Long]("shuffle_write_records") > 0))
+      // stage rows tie back to a SQL execution present in sys.profiles
+      val execIds = QueryProfiles.profiles(spark)
+        .select("execution_id").collect().map(_.getLong(0)).toSet
+      assert(rows.exists(r => execIds.contains(r.getAs[Long]("execution_id"))))
+    } finally QueryProfiles.disable(spark)
+  }
 }

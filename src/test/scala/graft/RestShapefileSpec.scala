@@ -110,6 +110,16 @@ class RestShapefileSpec extends AnyFunSuite {
       val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
       assert(node.isArray && node.size() >= 1)
       assert(body.contains("\"status\""))
+      // per-stage depth: /profiles/stages serves the stage-metric ring
+      val surl = java.net.URI.create(
+        s"http://127.0.0.1:${server.port}/profiles/stages").toURL
+      val sconn = surl.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      val sbody = new String(sconn.getInputStream.readAllBytes(), "UTF-8")
+      sconn.disconnect()
+      val snode = new com.fasterxml.jackson.databind.ObjectMapper().readTree(sbody)
+      assert(snode.isArray && snode.size() >= 1)
+      assert(sbody.contains("\"shuffle_write_records\"")
+        && sbody.contains("\"execution_id\""))
     } finally { QueryProfiles.disable(spark); server.stop() }
   }
 
