@@ -21,7 +21,9 @@ object Bench {
     "q_topn", "q_dedup_minhash", "q_dedup_simhash", "q_ann_bruteforce",
     "q_embed_neardup", "q_token_count", "q_sessionize",
     // round 5: exact n-gram decontamination, BM25 scoring, dfs-path SQL
-    "q_ngram_decontam", "q_bm25", "q_dfs_sql")
+    "q_ngram_decontam", "q_bm25", "q_dfs_sql",
+    // round 6: Iceberg v2 merge-on-read, connected-components dedup
+    "q_iceberg_v2", "q_dup_components")
 
   val Reps = 3
 

@@ -162,6 +162,37 @@ object QueriesPipeline {
         terms = Seq("spark", "query", "window"))
         .select(col("doc_id"), round(col("score"), 6).as("score"))),
 
+    // ---- connected components over a pair list: edges chain each
+    // customer's orders CONSECUTIVELY (a path graph, worst case for
+    // label propagation — components emerge only transitively, which is
+    // exactly what the op must prove; dedup-cluster cliques are the
+    // easy case). The oracle re-derives the expected components
+    // relationally: a customer's path connects all their orders, so
+    // component = min orderkey per customer ----
+    "q_dup_components" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = T(s, d, "orders").select("o_orderkey", "o_custkey")
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      val edges = o.withColumn("nxt", lead("o_orderkey", 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(col("o_orderkey").as("id_a"), col("nxt").as("id_b"))
+      Dedup.dupComponents(edges)
+        .groupBy("component").agg(count(lit(1)).as("n_members"))
+    }),
+
+    "q_dedup_canonical" -> ((s, d) => {
+      // keepCanonical = docs minus non-canonical component members;
+      // single-order customers never appear in a pair and must survive
+      import org.apache.spark.sql.expressions.Window
+      val o = T(s, d, "orders").select("o_orderkey", "o_custkey")
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      val edges = o.withColumn("nxt", lead("o_orderkey", 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(col("o_orderkey").as("id_a"), col("nxt").as("id_b"))
+      Dedup.keepCanonical(o, edges, "o_orderkey")
+        .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
+    }),
+
     "q_stratified_sample" -> ((s, d) =>
       Training.stratifiedSample(T(s, d, "documents"), "doc_id", "text",
         strataCol = "lang", k = 40)),
@@ -348,6 +379,14 @@ object QueriesPipeline {
           tf * (1.2 + 1.0) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl /
             (sum_dl::DOUBLE / n_docs)))), 6) AS score
       FROM tf2 JOIN dfx USING (term) CROSS JOIN stats GROUP BY 1""",
+    "q_dup_components" -> """
+      SELECT min(o_orderkey)::BIGINT AS component,
+             count(*)::BIGINT AS n_members
+      FROM orders GROUP BY o_custkey HAVING count(*) > 1""",
+    "q_dedup_canonical" -> """
+      SELECT count(*)::BIGINT AS n, sum(o_orderkey)::BIGINT AS key_sum
+      FROM orders WHERE o_orderkey IN (
+        SELECT min(o_orderkey) FROM orders GROUP BY o_custkey)""",
     "q_stratified_sample" -> """
       SELECT doc_id, lang, rk FROM (
         SELECT doc_id, lang,

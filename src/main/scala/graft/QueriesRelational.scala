@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.operators.ComplexOps
+import graft.operators.{ComplexOps, TemporalJoins}
 
 /** §2.1 relational-core coverage: each entry is (spark, sfDir) => DataFrame
   * with a DuckDB oracle in `oracle`. Column aliases match the oracle
@@ -320,6 +320,41 @@ object QueriesRelational {
       val inferred = graft.sources.SchemaOnRead.inferJsonColumn(ev, "props")
       inferred.select(col("event_id"), col("props_parsed.k").as("k_val"))
         .filter(col("k_val").isNotNull)
+    }),
+
+    // ---- AS-OF join: each purchase picks up the latest prior click of
+    // the same user. events.ts is an epoch-NANOS long (nanosAsLong);
+    // the operator keeps it exact. Oracle = DuckDB's native ASOF LEFT
+    // JOIN, a fully independent implementation of the same semantics ----
+    "q_asof_join" -> ((s, d) => {
+      val ev = T(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value"))
+      TemporalJoins.asofJoin(purchases, clicks, "user_id", "user_id",
+          "ts", "ts", payload = Seq("value"))
+        .select(col("event_id"),
+          (expr("ts div 1000000000") - expr("prev_ts div 1000000000"))
+            .as("gap_sec"),
+          round(col("prev_value"), 6).as("prev_value"))
+    }),
+
+    // ---- point-in-interval RANGE join: clicks landing inside the 24 h
+    // window after each error, per user; bin-quantized equi-join, exact
+    // residual filter. Oracle = plain inequality join ----
+    "q_range_join" -> ((s, d) => {
+      val dayNs = 86400L * 1000000000L
+      val ev = T(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"),
+          col("user_id").as("c_user"), col("ts"))
+      val windows = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("user_id"),
+          col("ts").as("w_start"), (col("ts") + dayNs).as("w_end"))
+      TemporalJoins.rangeJoin(clicks, windows, "c_user", "user_id",
+          "ts", "w_start", "w_end", binSize = dayNs)
+        .select(col("err_id"), col("click_id"))
     }))
 
   private def views(s: SparkSession, d: String, names: String*): Unit =
@@ -480,5 +515,18 @@ object QueriesRelational {
          round(avg(l_discount), 6) AS l_discount_avg
          FROM lineitem""",
     "q_json_schema_on_read" ->
-      "SELECT event_id, json_extract(props, '$.k')::BIGINT AS k_val FROM events WHERE json_extract(props, '$.k') IS NOT NULL")
+      "SELECT event_id, json_extract(props, '$.k')::BIGINT AS k_val FROM events WHERE json_extract(props, '$.k') IS NOT NULL",
+    "q_asof_join" -> """
+      WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+           c AS (SELECT * FROM events WHERE event_type = 'click')
+      SELECT p.event_id,
+        epoch_ns(p.ts) // 1000000000 - epoch_ns(c.ts) // 1000000000 AS gap_sec,
+        round(c.value, 6) AS prev_value
+      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""",
+    "q_range_join" -> """
+      WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+           e AS (SELECT * FROM events WHERE event_type = 'error')
+      SELECT e.event_id AS err_id, c.event_id AS click_id
+      FROM e JOIN c ON c.user_id = e.user_id
+        AND c.ts >= e.ts AND c.ts <= e.ts + INTERVAL 86400 SECONDS""")
 }

@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Time-series joins Spark has no built-in operator for: AS-OF (latest
+  * right row at or before each left row's time, per key — pandas
+  * merge_asof / kdb aj semantics) and point-in-interval RANGE join.
+  *
+  * Both are re-expressed so the physical plan is shuffle-bounded:
+  *
+  *  - asofJoin NEVER builds row pairs. Both sides union into one
+  *    relation tagged by side, shuffle ONCE on the key, and a
+  *    last(..., ignoreNulls) running window carries each right row's
+  *    payload forward to the left rows that follow it in time order.
+  *    Cost is one exchange + one sort — the same plan shape as a windowed
+  *    aggregate, independent of match fan-out. The naive alternative
+  *    (theta-join on key + time range, then argmax per left row) shuffles
+  *    |L|·avg-candidates rows; this shuffles |L|+|R|.
+  *
+  *  - rangeJoin converts the inequality predicate into an equi-join by
+  *    quantizing time into fixed-width bins: each interval replicates to
+  *    the bins it covers (ceil(len/width)+1 copies, bounded), each point
+  *    hashes to exactly one bin, and the bin equi-join + exact residual
+  *    filter reproduces the theta-join result with NO nested-loop /
+  *    cartesian plan. Pair multiplicity is preserved (a point's bin holds
+  *    at most one copy of any interval, so no dedup pass is needed).
+  *
+  * Time columns may be TIMESTAMP (compared at exact microsecond
+  * precision via unix_micros) or any integral type in the caller's own
+  * units (e.g. epoch-nanos longs — the testdata's `events.ts` under
+  * nanosAsLong). All comparisons are exact LONG arithmetic: double
+  * epoch math is off by up to ~256 ns at 2026-era nano scales (2^60
+  * doesn't fit a 53-bit mantissa), exactly the class of silent boundary
+  * bug an engine must not have.
+  *
+  * At 100 TB both hash-partition on (key | bin) — no broadcast of a big
+  * side, no single-task stage, skew bounded by bin width choice.
+  */
+object TemporalJoins {
+
+  /** Exact long time value: microseconds for timestamps, the raw value
+    * for integral columns. */
+  private def tlong(c: Column, dt: DataType): Column = dt match {
+    case TimestampType => unix_micros(c)
+    case ByteType | ShortType | IntegerType | LongType => c.cast("long")
+    case other => throw new IllegalArgumentException(
+      s"time column must be timestamp or integral, got $other")
+  }
+
+  /** Tolerance in time units: seconds scale to micros for timestamps;
+    * integral columns use the caller's units as-is. */
+  private def tolUnits(tol: Double, dt: DataType): Long = dt match {
+    case TimestampType => (tol * 1e6).toLong
+    case _ => tol.toLong
+  }
+
+  /** AS-OF join (backward, inclusive): for every left row, attach the
+    * payload of the latest right row with the same key and
+    * rightTime <= leftTime (within `tolerance`, if given; matches
+    * further in the past are nulled — tolerance is in SECONDS for
+    * timestamp columns, the column's own units otherwise). Left rows
+    * with no match keep null payloads — left-outer semantics, output
+    * has exactly |L| rows.
+    *
+    * `payload` columns are taken from `right` and surfaced with a
+    * `prev_` prefix alongside every left column; the matched right time
+    * arrives as `prev_ts` (the right time column's raw value).
+    * Right-side exact-time ties resolve to the row latest in payload
+    * order — deterministic.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame,
+               leftKey: String, rightKey: String,
+               leftTime: String, rightTime: String,
+               payload: Seq[String],
+               tolerance: Option[Double] = None): DataFrame = {
+    val leftCols = left.columns.toSeq
+    // one relation, side-tagged: right rows sort BEFORE left rows at the
+    // same instant (side 0 < 1), making the match inclusive
+    val r = right.select(
+      col(rightKey).cast("long").as("_k"),
+      tlong(col(rightTime), right.schema(rightTime).dataType).as("_t"),
+      lit(0).as("_side"),
+      struct(col(rightTime).as("prev_ts") +:
+        payload.map(c => col(c).as(s"prev_$c")): _*).as("_rv"),
+      lit(null).cast(structType(left, leftCols)).as("_lv"))
+    val l = left.select(
+      col(leftKey).cast("long").as("_k"),
+      tlong(col(leftTime), left.schema(leftTime).dataType).as("_t"),
+      lit(1).as("_side"),
+      lit(null).cast(r.schema("_rv").dataType).as("_rv"),
+      struct(leftCols.map(col): _*).as("_lv"))
+    // ordering by (_t, _side, _rv) makes equal-time right rows
+    // deterministic: last() takes the max payload struct
+    val w = Window.partitionBy("_k").orderBy(col("_t"), col("_side"), col("_rv"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = r.unionByName(l)
+      .withColumn("_m", last(col("_rv"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+    val inTol = tolerance match {
+      case Some(tol) =>
+        val t = tolUnits(tol, right.schema(rightTime).dataType)
+        val prevT = tlong(col("_m.prev_ts"), right.schema(rightTime).dataType)
+        matched.withColumn("_m", when(col("_t") - prevT <= t, col("_m")))
+      case None => matched
+    }
+    val out = leftCols.map(c => col(s"_lv.$c").as(c)) ++
+      (("prev_ts" +: payload.map("prev_" + _)).map(c => col(s"_m.$c").as(c)))
+    inTol.select(out: _*)
+  }
+
+  private def structType(df: DataFrame, cols: Seq[String]) =
+    StructType(cols.map(c => df.schema(c)))
+
+  /** Point-in-interval RANGE join: every (point, interval) pair with the
+    * same key and startCol <= pointTime <= endCol (inclusive). `binSize`
+    * quantizes time — MICROSECONDS for timestamp columns, the column's
+    * own units for integral columns; pick it near the typical interval
+    * length so intervals replicate to ~2 bins. Inner-join multiplicity
+    * (one output row per matching pair), hash-join physical plan.
+    */
+  def rangeJoin(points: DataFrame, intervals: DataFrame,
+                pointKey: String, intervalKey: String,
+                pointTime: String, startCol: String, endCol: String,
+                binSize: Long): DataFrame = {
+    val pt = tlong(col(pointTime), points.schema(pointTime).dataType)
+    val st = tlong(col(startCol), intervals.schema(startCol).dataType)
+    val en = tlong(col(endCol), intervals.schema(endCol).dataType)
+    // integer `div` binning, not floor(x / b): long/long division round-
+    // trips through double, whose 53-bit mantissa misplaces ns-scale
+    // epochs near bin edges. div truncates toward zero (≠ floor for
+    // negatives) but is monotone, which is all bin consistency needs.
+    val p = points
+      .withColumn("_pt", pt)
+      .withColumn("_bin", expr(s"_pt div ${binSize}L"))
+      .withColumn("_pk", col(pointKey).cast("long"))
+    val iv = intervals
+      .withColumn("_st", st).withColumn("_en", en)
+      .withColumn("_bin", explode(sequence(
+        expr(s"_st div ${binSize}L"), expr(s"_en div ${binSize}L"))))
+      .withColumn("_ik", col(intervalKey).cast("long"))
+    p.join(iv, p("_bin") === iv("_bin") && col("_pk") === col("_ik"))
+      .filter(col("_pt").between(col("_st"), col("_en")))
+      .drop("_bin", "_pk", "_ik", "_pt", "_st", "_en")
+  }
+}

@@ -553,4 +553,80 @@ object Dedup {
       .filter(col("jac_raw") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jac_raw"), 6).as("jaccard"))
   }
+
+  /** Connected components over a duplicate-pair edge list — the step
+    * that turns near-dup PAIRS (minhash/simhash/embedding output) into
+    * droppable duplicate CLUSTERS with one canonical member each; no
+    * dedup pipeline can actually delete rows without it. Returns
+    * (id, component) for every id appearing in a pair, component = the
+    * MIN id reachable from it.
+    *
+    * Algorithm: min-label propagation with pointer jumping — each round
+    * every vertex takes the min label in its closed neighborhood, then
+    * labels shortcut through themselves (label := label(label)), so
+    * convergence is O(log diameter) rounds (the published map-reduce CC
+    * recipe family, Kiveris et al's two-phase star operations being the
+    * heavily-optimized cousin). Dedup clusters are near-cliques, so 2-3
+    * rounds in practice; path-shaped chains need log₂(length). Each
+    * round is two hash joins + a groupBy min, nothing collects, and
+    * every round's label table is localCheckpoint'ed — the REQUIRED
+    * materialization for iterative DataFrame algorithms: persist()
+    * caches the data but leaves the LOGICAL plan growing ~4× per round
+    * (the self-join references the prior round twice, the neighborhood
+    * min twice more), so Catalyst analysis goes exponential and melts
+    * the driver by round ~10. Checkpointing truncates lineage to the
+    * materialized partitions. (localCheckpoint trades executor-loss
+    * recovery for speed — fine for a deterministic, re-runnable batch
+    * op.) Drill has no graph surface; this is pipeline completeness for
+    * the dedup family (GraphFrames' connectedComponents role,
+    * DataFrame-native). */
+  def dupComponents(pairs: DataFrame, aCol: String = "id_a",
+                    bCol: String = "id_b", maxRounds: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).cast("long").as("src"),
+      col(bCol).cast("long").as("dst"))
+    val bi = edges
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    var labels = bi.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var round = 0
+    var changed = 1L
+    while (changed > 0 && round < maxRounds) {
+      // closed-neighborhood min (checkpointed: the pointer jump reads it
+      // from both sides of a self-join): min over neighbors' labels via
+      // one hash join + partial-aggregating groupBy, then least() with
+      // the vertex's own label. (A union-then-groupBy spelling would be
+      // equivalent but trips Union constraint rewriting on checkpointed
+      // children in Spark 4.1 — joins stay on the supported path.)
+      val nmin = bi.join(labels, bi("src") === labels("id"))
+        .groupBy(bi("dst").as("id")).agg(min(labels("label")).as("nmin"))
+      val nbr = labels.join(nmin, Seq("id"), "left")
+        .select(col("id"),
+          least(coalesce(col("nmin"), col("label")), col("label")).as("label"))
+        .localCheckpoint()
+      // pointer jump: label := label(label) — halves chain depth
+      val jumped = nbr.as("x")
+        .join(nbr.select(col("id").as("lid"), col("label").as("llabel")).as("y"),
+          col("x.label") === col("y.lid"), "left")
+        .select(col("x.id").as("id"),
+          coalesce(col("y.llabel"), col("x.label")).as("label"))
+        .localCheckpoint()
+      changed = jumped.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels = jumped
+      round += 1
+    }
+    labels.select(col("id"), col("label").as("component"))
+  }
+
+  /** Deduplicate by near-dup CLUSTERS: keep the min-id member of every
+    * component plus every doc that appears in no pair — the terminal
+    * step of the pair-producing ops above. One LEFT ANTI join against
+    * the non-canonical member list. */
+  def keepCanonical(docs: DataFrame, pairs: DataFrame, idCol: String,
+                    aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val drops = dupComponents(pairs, aCol, bCol)
+      .filter(col("id") =!= col("component")).select("id")
+    docs.join(drops, docs(idCol) === drops("id"), "left_anti")
+  }
 }

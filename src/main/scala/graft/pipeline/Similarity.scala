@@ -157,17 +157,29 @@ object Similarity {
       .getOrElse(c.withColumn("hk", xxhash64(col("cid")))
         .orderBy("hk").limit(nCells)
         .select(col("cid").as("cent_id"), col("cvec").as("cent_vec")))
-    val assignW = Window.partitionBy("cid").orderBy(col("cs").desc, col("cent_id"))
+    // cell argmax / top-nProbe via partial aggregation, NOT a row_number
+    // window: the map side reduces each vector's nCells candidate rows
+    // before the exchange, so the shuffle carries one row per vector
+    // instead of sorting the N × nCells crossJoin (the kmeans round-6
+    // fix, applied to the index build). first(vec) is deterministic —
+    // every candidate row of a vector carries the identical payload.
     val assigned = c.crossJoin(broadcast(cents))
       .withColumn("cs", cosine(col("cvec"), col("cent_vec")))
-      .withColumn("rn", row_number().over(assignW)).filter(col("rn") === 1)
-      .select(col("cid"), col("cvec"), col("cent_id").as("cell"))
-    val probeW = Window.partitionBy("qid").orderBy(col("cs").desc, col("cent_id"))
+      .groupBy("cid")
+      .agg(first(col("cvec")).as("cvec"),
+        max_by(col("cent_id"),
+          struct(col("cs"), (-col("cent_id")).as("nc"))).as("cell"))
+      .select(col("cid"), col("cvec"), col("cell"))
     val probes = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
       .crossJoin(broadcast(cents))
       .withColumn("cs", cosine(col("qvec"), col("cent_vec")))
-      .withColumn("rn", row_number().over(probeW)).filter(col("rn") <= nProbe)
-      .select(col("qid"), col("qvec"), col("cent_id").as("cell"))
+      .groupBy("qid")
+      .agg(first(col("qvec")).as("qvec"),
+        slice(sort_array(collect_list(struct((-col("cs")).as("ncs"),
+          col("cent_id")))), 1, nProbe).as("top"))
+      .select(col("qid"), col("qvec"),
+        explode(col("top")).as("t"))
+      .select(col("qid"), col("qvec"), col("t.cent_id").as("cell"))
     val rankW = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     probes.join(assigned, "cell")
@@ -223,30 +235,35 @@ object Similarity {
     import spark.implicits._
     val cbDf = cb.toDF("m", "j", "csub")
 
-    // corpus index: IVF cell + m PQ codes per vector
-    val assignW = Window.partitionBy("cid").orderBy(col("cs").desc, col("cent_id"))
+    // corpus index: IVF cell + m PQ codes per vector. Argmax/argmin go
+    // through partial-aggregating max_by/min_by (one exchanged row per
+    // group), not row_number windows over the crossJoin — the kmeans
+    // round-6 fix applied to both index-build passes.
     val cells = c0.crossJoin(broadcast(cents))
       .withColumn("cs", cosine(col("cvec"), col("cent_vec")))
-      .withColumn("rn", row_number().over(assignW)).filter(col("rn") === 1)
-      .select(col("cid"), col("cent_id").as("cell"))
-    val codeW = Window.partitionBy("cid", "m").orderBy(col("d2"), col("j"))
+      .groupBy("cid")
+      .agg(max_by(col("cent_id"),
+        struct(col("cs"), (-col("cent_id")).as("nc"))).as("cell"))
     val codes = c0.withColumn("m", explode(sequence(lit(0), lit(m - 1))))
       .withColumn("sub", expr(s"slice(cvec, m * $subDim + 1, $subDim)"))
       .join(broadcast(cbDf), "m")
       .withColumn("d2", aggregate(zip_with(col("sub"), col("csub"),
         (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x))
-      .withColumn("rn", row_number().over(codeW)).filter(col("rn") === 1)
+      .groupBy("cid", "m")
+      .agg(min_by(col("j"), struct(col("d2"), col("j"))).as("j"))
       .groupBy("cid")
       .agg(sort_array(collect_list(struct(col("m"), col("j")))).as("mc"))
       .select(col("cid"), transform(col("mc"), e => e.getField("j")).as("codes"))
     val index = cells.join(codes, "cid")
 
     // query side: probed cells + ADC lookup table (qid, m, j) -> dot
-    val probeW = Window.partitionBy("qid").orderBy(col("cs").desc, col("cent_id"))
     val probes = q0.crossJoin(broadcast(cents))
       .withColumn("cs", cosine(col("qvec"), col("cent_vec")))
-      .withColumn("rn", row_number().over(probeW)).filter(col("rn") <= nProbe)
-      .select(col("qid"), col("cent_id").as("cell"))
+      .groupBy("qid")
+      .agg(slice(sort_array(collect_list(struct((-col("cs")).as("ncs"),
+        col("cent_id")))), 1, nProbe).as("top"))
+      .select(col("qid"), explode(col("top")).as("t"))
+      .select(col("qid"), col("t.cent_id").as("cell"))
     val lut = q0.crossJoin(broadcast(cbDf))
       .withColumn("qsub", expr(s"slice(qvec, m * $subDim + 1, $subDim)"))
       .withColumn("qdot", aggregate(zip_with(col("qsub"), col("csub"),

@@ -101,4 +101,31 @@ class PipelineExtraSpec extends AnyFunSuite {
     assert(nll(1L) === math.log(2.0))
     assert(nll(2L) === math.log(2.0))
   }
+
+  test("dupComponents: transitive closure over paths, cliques and bridges") {
+    // component A: a 7-vertex PATH given in worst-case edge order
+    // (10-11, 11-12, ... — min label must travel the whole chain);
+    // component B: a triangle given with reversed pairs;
+    // component C: two cliques joined by one bridge edge
+    val edges = Seq(
+      (15L, 16L), (13L, 14L), (11L, 12L), (10L, 11L), (12L, 13L), (14L, 15L),
+      (22L, 21L), (23L, 22L), (21L, 23L),
+      (31L, 32L), (32L, 31L), (41L, 42L), (42L, 41L), (32L, 41L)
+    ).toDF("id_a", "id_b")
+    val comp = Dedup.dupComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    (10L to 16L).foreach(v => assert(comp(v) == 10L, s"path vertex $v"))
+    (21L to 23L).foreach(v => assert(comp(v) == 21L, s"triangle vertex $v"))
+    Seq(31L, 32L, 41L, 42L).foreach(v => assert(comp(v) == 31L, s"bridge vertex $v"))
+    assert(comp.size == 14) // every pair participant, nothing else
+  }
+
+  test("keepCanonical keeps one doc per component plus unpaired docs") {
+    val docs = (1L to 8L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    // components {1,2,3} and {5,6}; 4, 7, 8 unpaired
+    val pairs = Seq((2L, 3L), (1L, 2L), (5L, 6L)).toDF("id_a", "id_b")
+    val kept = Dedup.keepCanonical(docs, pairs, "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L, 5L, 7L, 8L))
+  }
 }

@@ -221,4 +221,36 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Exchange SinglePartition"),
       s"stratified sampling must never single-partition the corpus:\n$p")
   }
+
+  test("q_asof_join: one window pass, ZERO join operators") {
+    val p = plan("q_asof_join")
+    // the whole point of the union+window spelling: |L|+|R| rows shuffle
+    // once on the key; no pair-building join of any kind in the plan
+    assert(p.contains("Window"), s"windowed carry-forward expected:\n$p")
+    assert(!p.contains("Join"), s"asof must not build row pairs:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("q_range_join: bin equi-join, no nested-loop / cartesian plan") {
+    val p = plan("q_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"interval predicate must convert to a bin equi-join:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"equi-join on (bin, key) expected:\n$p")
+  }
+
+  test("q_iceberg_v2: position deletes apply as a BROADCAST anti-join") {
+    val df = SparkEntry.queries("q_iceberg_v2")(spark, SF)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // merge-on-read = LEFT ANTI against the delete set; a small delete
+    // parquet must broadcast (its footer gives Catalyst real size stats),
+    // so the data side never shuffles for the merge
+    assert(p.contains("LeftAnti"), s"anti-join for position deletes:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"small delete set should broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"data rows must not shuffle to apply deletes:\n$p")
+  }
 }
