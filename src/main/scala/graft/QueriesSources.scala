@@ -242,6 +242,25 @@ object QueriesSources {
         .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
     }),
 
+    // ---- Paimon append-only table: hand-rolled snapshot/schema JSON +
+    // avro manifest reader/writer, no paimon jar (ref contrib/
+    // format-paimon/.../PaimonGroupScan.java + PaimonTableUtils; layout
+    // per paimon.apache.org/docs/master/concepts/spec). Fixture:
+    // snapshot 1 = orders keys <1000, snapshot 2 appends [1000,2000) ----
+    "q_read_paimon" -> ((s, d) => {
+      graft.sources.PaimonTable.read(s, paimonFixture(s, d))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
+    }),
+
+    "q_paimon_time_travel" -> ((s, d) => {
+      // snapshot 1 pins the pre-append state = keys < 1000
+      graft.sources.PaimonTable.read(s, paimonFixture(s, d),
+          snapshotId = Some(1L))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
+    }),
+
     // ---- JDBC federation round-trip (ref contrib/storage-jdbc): write a
     // subset to embedded Derby, read it back partitioned ----
     "q_jdbc_roundtrip" -> ((s, d) => {
@@ -483,6 +502,24 @@ object QueriesSources {
   private def out(sfDir: String): String =
     s"/tmp/graft_out/${new java.io.File(sfDir).getName}"
 
+  /** Build (once per SF) the 2-snapshot Paimon fixture both paimon
+    * gates read. */
+  private def paimonFixture(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    import graft.sources.PaimonTable
+    val base = s"${out(d)}/paimon_orders"
+    val donePath = new org.apache.hadoop.fs.Path(s"$base/snapshot/snapshot-2")
+    val fs = donePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(donePath)) {
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val src = GraftSession.table(s, d, "orders")
+        .select("o_orderkey", "o_orderstatus")
+      PaimonTable.write(src.filter(col("o_orderkey") < 1000), base)
+      PaimonTable.write(
+        src.filter(col("o_orderkey") >= 1000 && col("o_orderkey") < 2000), base)
+    }
+    base
+  }
+
   /** Build (once per SF) the 3-version hand-written Delta fixture both
     * delta gates read. */
   private def deltaFixture(s: org.apache.spark.sql.SparkSession, d: String): String = {
@@ -676,6 +713,14 @@ object QueriesSources {
          OR (o_orderkey >= 1000 AND o_orderkey < 1100)
       GROUP BY 1""",
     "q_iceberg_v2_travel" -> """
+      SELECT o_orderstatus, count(*) AS n, sum(o_orderkey)::BIGINT AS key_sum
+      FROM orders WHERE o_orderkey < 1000
+      GROUP BY 1""",
+    "q_read_paimon" -> """
+      SELECT o_orderstatus, count(*) AS n, sum(o_orderkey)::BIGINT AS key_sum
+      FROM orders WHERE o_orderkey < 2000
+      GROUP BY 1""",
+    "q_paimon_time_travel" -> """
       SELECT o_orderstatus, count(*) AS n, sum(o_orderkey)::BIGINT AS key_sum
       FROM orders WHERE o_orderkey < 1000
       GROUP BY 1""",

@@ -1,0 +1,532 @@
+package graft.sources
+
+import java.util.UUID
+
+import com.fasterxml.jackson.databind.JsonNode
+import org.apache.avro.Schema
+import org.apache.avro.file.{DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.mapred.FsInput
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
+
+/** Hand-rolled Apache Paimon table reader + writer for APPEND-ONLY,
+  * unpartitioned tables — no paimon jar, the same posture as
+  * IcebergTable / DeltaLogReader. A Paimon table directory is:
+  *
+  *   schema/schema-<id>              table schema (JSON)
+  *   snapshot/LATEST, EARLIEST       hint files (snapshot id as text)
+  *   snapshot/snapshot-<id>          snapshot (JSON): schemaId, base +
+  *                                   delta manifest lists, commitKind
+  *   manifest/manifest-list-*        avro: rows naming MANIFEST files
+  *   manifest/manifest-*             avro: ADD/DELETE entries naming
+  *                                   data files with row counts
+  *   bucket-0/data-*.parquet         the data
+  *
+  * Public spec: paimon.apache.org/docs/master/concepts/spec (table
+  * layout, snapshot and schema JSON, manifest field names). Reference
+  * surface: contrib/format-paimon/.../PaimonGroupScan.java +
+  * format/PaimonMetadataType.java (Drill plans the same layout through
+  * the paimon library; `#snapshots|schemas|files|manifests` metadata
+  * suffixes mirror PaimonMetadataType, snapshotId / snapshotAsOfTime
+  * mirror PaimonTableUtils).
+  *
+  * Honest subset: append-only tables (empty `primaryKeys`) without
+  * partition columns, parquet data format. PRIMARY-KEY tables require
+  * LSM merge-on-read semantics and PARTITIONED tables require BinaryRow
+  * partition decoding — both REFUSE with a clear error rather than
+  * returning wrong rows (the Iceberg-v2-equality-delete posture).
+  *
+  * Scale posture: metadata parsing (JSON + avro manifests) is
+  * driver-side and metadata-scale — what Paimon's own planning does —
+  * while data files read through the ordinary distributed parquet scan,
+  * so column pruning and predicate pushdown reach the footers.
+  */
+object PaimonTable {
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  // ---------------------------------------------------------------- types
+
+  /** Spark type → Paimon SQL-style type string (spec: DataType#toString,
+    * nullability as a NOT NULL suffix). */
+  private def toPaimonType(dt: DataType, nullable: Boolean): String = {
+    val base = dt match {
+      case BooleanType => "BOOLEAN"
+      case ByteType => "TINYINT"
+      case ShortType => "SMALLINT"
+      case IntegerType => "INT"
+      case LongType => "BIGINT"
+      case FloatType => "FLOAT"
+      case DoubleType => "DOUBLE"
+      case StringType => "STRING"
+      case DateType => "DATE"
+      case TimestampType => "TIMESTAMP(6)"
+      case BinaryType => "BYTES"
+      case d: DecimalType => s"DECIMAL(${d.precision}, ${d.scale})"
+      case other => throw new IllegalArgumentException(
+        s"unsupported type for paimon write: $other")
+    }
+    if (nullable) base else s"$base NOT NULL"
+  }
+
+  private val DecimalRe = "DECIMAL\\(\\s*(\\d+)\\s*,\\s*(\\d+)\\s*\\)".r
+
+  /** Paimon type string → Spark type (+ nullability). */
+  private def fromPaimonType(t: String): (DataType, Boolean) = {
+    val nullable = !t.toUpperCase.endsWith("NOT NULL")
+    val base = t.replaceAll("(?i)\\s*NOT NULL\\s*$", "").trim.toUpperCase
+    val dt = base match {
+      case "BOOLEAN" => BooleanType
+      case "TINYINT" => ByteType
+      case "SMALLINT" => ShortType
+      case "INT" => IntegerType
+      case "BIGINT" => LongType
+      case "FLOAT" => FloatType
+      case "DOUBLE" => DoubleType
+      case "STRING" | "VARCHAR(2147483647)" => StringType
+      case "DATE" => DateType
+      case s if s.startsWith("TIMESTAMP") => TimestampType
+      case "BYTES" | "VARBINARY(2147483647)" => BinaryType
+      case DecimalRe(p, s) => DecimalType(p.toInt, s.toInt)
+      case other => throw new IllegalArgumentException(s"paimon type: $other")
+    }
+    (dt, nullable)
+  }
+
+  // ------------------------------------------------------------- metadata
+
+  case class PaimonSchema(id: Long, schema: StructType,
+                          partitionKeys: Seq[String], primaryKeys: Seq[String],
+                          options: Map[String, String])
+
+  case class SnapshotInfo(id: Long, schemaId: Long, baseManifestList: String,
+                          deltaManifestList: String, commitKind: String,
+                          commitUser: String, timeMillis: Long,
+                          totalRecordCount: Long, deltaRecordCount: Long)
+
+  private def schemaDir(table: String) = new Path(table, "schema")
+  private def snapshotDir(table: String) = new Path(table, "snapshot")
+  private def manifestDir(table: String) = new Path(table, "manifest")
+
+  private def fsOf(spark: SparkSession, table: String) =
+    new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def readText(spark: SparkSession, p: Path): String = {
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+  }
+
+  private def writeText(spark: SparkSession, p: Path, s: String): Unit = {
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(p, true)
+    try os.write(s.getBytes("UTF-8")) finally os.close()
+  }
+
+  /** Parse schema/schema-<id> (highest id, or the one a snapshot pins). */
+  def loadSchema(spark: SparkSession, table: String,
+                 schemaId: Option[Long] = None): PaimonSchema = {
+    val fs = fsOf(spark, table)
+    val dir = schemaDir(table)
+    require(fs.exists(dir), s"not a paimon table (no schema/): $table")
+    val id = schemaId.getOrElse(
+      fs.listStatus(dir).map(_.getPath.getName)
+        .collect { case n if n.startsWith("schema-") => n.drop(7).toLong }
+        .max)
+    val node = mapper.readTree(readText(spark, new Path(dir, s"schema-$id")))
+    val fields = node.get("fields").elements.asScala.toSeq.map { f =>
+      val (dt, nullable) = fromPaimonType(f.get("type").asText)
+      StructField(f.get("name").asText, dt, nullable)
+    }
+    def strs(n: JsonNode): Seq[String] =
+      if (n == null || n.isNull) Nil else n.elements.asScala.map(_.asText).toSeq
+    val opts = Option(node.get("options")).filterNot(_.isNull)
+      .map(_.fields.asScala.map(e => e.getKey -> e.getValue.asText).toMap)
+      .getOrElse(Map.empty)
+    PaimonSchema(id, StructType(fields), strs(node.get("partitionKeys")),
+      strs(node.get("primaryKeys")), opts)
+  }
+
+  private def parseSnapshot(spark: SparkSession, p: Path): SnapshotInfo = {
+    val n = mapper.readTree(readText(spark, p))
+    SnapshotInfo(
+      id = n.get("id").asLong,
+      schemaId = n.get("schemaId").asLong,
+      baseManifestList = n.get("baseManifestList").asText,
+      deltaManifestList = n.get("deltaManifestList").asText,
+      commitKind = n.get("commitKind").asText,
+      commitUser = Option(n.get("commitUser")).map(_.asText).getOrElse(""),
+      timeMillis = n.get("timeMillis").asLong,
+      totalRecordCount = Option(n.get("totalRecordCount")).filterNot(_.isNull)
+        .map(_.asLong).getOrElse(-1L),
+      deltaRecordCount = Option(n.get("deltaRecordCount")).filterNot(_.isNull)
+        .map(_.asLong).getOrElse(-1L))
+  }
+
+  def snapshots(spark: SparkSession, table: String): Seq[SnapshotInfo] = {
+    val fs = fsOf(spark, table)
+    val dir = snapshotDir(table)
+    require(fs.exists(dir), s"not a paimon table (no snapshot/): $table")
+    fs.listStatus(dir).map(_.getPath).toSeq
+      .filter(_.getName.startsWith("snapshot-"))
+      .map(parseSnapshot(spark, _)).sortBy(_.id)
+  }
+
+  private def selectSnapshot(all: Seq[SnapshotInfo], snapshotId: Option[Long],
+                             asOfTimeMs: Option[Long]): SnapshotInfo = {
+    require(snapshotId.isEmpty || asOfTimeMs.isEmpty,
+      "pass snapshotId OR asOfTimeMs, not both")
+    snapshotId match {
+      case Some(id) => all.find(_.id == id).getOrElse(
+        throw new IllegalArgumentException(
+          s"snapshot $id not found (have ${all.map(_.id).mkString(",")})"))
+      case None => asOfTimeMs match {
+        case Some(t) =>
+          val at = all.filter(_.timeMillis <= t)
+          require(at.nonEmpty, s"no snapshot at or before $t")
+          at.maxBy(_.timeMillis)
+        case None => all.last
+      }
+    }
+  }
+
+  // -------------------------------------------------------- avro schemas
+
+  // Spec field names (manifest file meta / manifest entry / data file
+  // meta / simple stats); optional trailing fields other writers add are
+  // tolerated on read via [[opt]].
+  private val statsSchemaJson =
+    """{"type":"record","name":"SimpleStats","fields":[
+      |{"name":"_MIN_VALUES","type":"bytes"},
+      |{"name":"_MAX_VALUES","type":"bytes"},
+      |{"name":"_NULL_COUNTS","type":["null",{"type":"array","items":"long"}],"default":null}
+      |]}""".stripMargin
+
+  private val manifestListSchema: Schema = new Schema.Parser().parse(
+    s"""{"type":"record","name":"ManifestFileMeta","fields":[
+       |{"name":"_VERSION","type":"int"},
+       |{"name":"_FILE_NAME","type":"string"},
+       |{"name":"_FILE_SIZE","type":"long"},
+       |{"name":"_NUM_ADDED_FILES","type":"long"},
+       |{"name":"_NUM_DELETED_FILES","type":"long"},
+       |{"name":"_PARTITION_STATS","type":["null",$statsSchemaJson],"default":null},
+       |{"name":"_SCHEMA_ID","type":"long"}
+       |]}""".stripMargin)
+
+  // _KEY_STATS defines the named SimpleStats record (first textual use);
+  // _VALUE_STATS references it by name — avro resolves forward only
+  private val manifestEntrySchema: Schema = new Schema.Parser().parse(
+    s"""{"type":"record","name":"ManifestEntry","fields":[
+       |{"name":"_VERSION","type":"int"},
+       |{"name":"_KIND","type":"int"},
+       |{"name":"_PARTITION","type":"bytes"},
+       |{"name":"_BUCKET","type":"int"},
+       |{"name":"_TOTAL_BUCKETS","type":"int"},
+       |{"name":"_FILE","type":{"type":"record","name":"DataFileMeta","fields":[
+       |  {"name":"_FILE_NAME","type":"string"},
+       |  {"name":"_FILE_SIZE","type":"long"},
+       |  {"name":"_ROW_COUNT","type":"long"},
+       |  {"name":"_MIN_KEY","type":"bytes"},
+       |  {"name":"_MAX_KEY","type":"bytes"},
+       |  {"name":"_KEY_STATS","type":["null",$statsSchemaJson],"default":null},
+       |  {"name":"_VALUE_STATS","type":["null","SimpleStats"],"default":null},
+       |  {"name":"_MIN_SEQUENCE_NUMBER","type":"long"},
+       |  {"name":"_MAX_SEQUENCE_NUMBER","type":"long"},
+       |  {"name":"_SCHEMA_ID","type":"long"},
+       |  {"name":"_LEVEL","type":"int"},
+       |  {"name":"_EXTRA_FILES","type":{"type":"array","items":"string"}},
+       |  {"name":"_CREATION_TIME","type":["null","long"],"default":null}
+       |]}}
+       |]}""".stripMargin)
+
+  private def readAvroRecords(spark: SparkSession, path: Path): Seq[GenericRecord] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val reader = new DataFileReader[GenericRecord](
+      new FsInput(path, conf), new GenericDatumReader[GenericRecord]())
+    try {
+      val buf = scala.collection.mutable.ArrayBuffer[GenericRecord]()
+      while (reader.hasNext) buf += reader.next()
+      buf.toSeq
+    } finally reader.close()
+  }
+
+  private def writeAvro(spark: SparkSession, path: Path, schema: Schema,
+                        rows: Seq[GenericRecord]): Long = {
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val writer = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    val os = fs.create(path, true)
+    try {
+      writer.create(schema, os)
+      rows.foreach(writer.append)
+    } finally writer.close()
+    fs.getFileStatus(path).getLen
+  }
+
+  private def str(v: AnyRef): String = v match {
+    case null => null
+    case u: org.apache.avro.util.Utf8 => u.toString
+    case s => s.toString
+  }
+
+  private def opt(r: GenericRecord, name: String): Option[AnyRef] =
+    Option(r.getSchema.getField(name)).flatMap(f => Option(r.get(f.pos())))
+
+  // ------------------------------------------------------------- reading
+
+  case class PaimonFile(fileName: String, fileSize: Long, rowCount: Long,
+                        bucket: Int, level: Int, kind: Int)
+
+  private def entriesOf(spark: SparkSession, table: String,
+                        manifestList: String): Seq[PaimonFile] = {
+    val mdir = manifestDir(table)
+    readAvroRecords(spark, new Path(mdir, manifestList)).flatMap { m =>
+      readAvroRecords(spark, new Path(mdir, str(m.get("_FILE_NAME")))).map { e =>
+        val f = e.get("_FILE").asInstanceOf[GenericRecord]
+        PaimonFile(str(f.get("_FILE_NAME")),
+          f.get("_FILE_SIZE").asInstanceOf[Long],
+          f.get("_ROW_COUNT").asInstanceOf[Long],
+          e.get("_BUCKET").asInstanceOf[Int],
+          opt(f, "_LEVEL").map(_.asInstanceOf[Int]).getOrElse(0),
+          e.get("_KIND").asInstanceOf[Int])
+      }
+    }
+  }
+
+  /** Live data files of a snapshot: base + delta manifests merged, ADD
+    * entries minus DELETE entries (compaction writes DELETEs). */
+  def liveFiles(spark: SparkSession, table: String,
+                snapshotId: Option[Long] = None,
+                asOfTimeMs: Option[Long] = None): Seq[PaimonFile] = {
+    val snap = selectSnapshot(snapshots(spark, table), snapshotId, asOfTimeMs)
+    val entries = entriesOf(spark, table, snap.baseManifestList) ++
+      entriesOf(spark, table, snap.deltaManifestList)
+    val deleted = entries.filter(_.kind == 1).map(_.fileName).toSet
+    entries.filter(e => e.kind == 0 && !deleted.contains(e.fileName))
+      .distinctBy(_.fileName)
+  }
+
+  /** Read an append-only unpartitioned Paimon table (optionally time
+    * traveled). Partitioned and primary-key tables refuse clearly. */
+  def read(spark: SparkSession, table: String,
+           snapshotId: Option[Long] = None,
+           asOfTimeMs: Option[Long] = None): DataFrame = {
+    val snap = selectSnapshot(snapshots(spark, table), snapshotId, asOfTimeMs)
+    val sch = loadSchema(spark, table, Some(snap.schemaId))
+    require(sch.primaryKeys.isEmpty,
+      s"paimon PRIMARY-KEY table (keys ${sch.primaryKeys.mkString(",")}): " +
+        "LSM merge-on-read is not supported — append-only tables only")
+    require(sch.partitionKeys.isEmpty,
+      s"paimon PARTITIONED table (keys ${sch.partitionKeys.mkString(",")}) " +
+        "is not supported — unpartitioned append-only tables only")
+    val files = liveFiles(spark, table, snapshotId, asOfTimeMs)
+      .map(f => s"$table/bucket-${f.bucket}/${f.fileName}")
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sch.schema)
+    else spark.read.schema(sch.schema).parquet(files: _*)
+  }
+
+  /** Drill's `table#<kind>` metadata tables (PaimonMetadataType:
+    * snapshots | schemas | files | manifests) as DataFrames. */
+  def metadataTable(spark: SparkSession, table: String, kind: String): DataFrame = {
+    import spark.implicits._
+    kind match {
+      case "snapshots" =>
+        snapshots(spark, table).map(s => (s.id, s.schemaId, s.commitUser,
+            s.commitKind, new java.sql.Timestamp(s.timeMillis),
+            s.totalRecordCount, s.deltaRecordCount))
+          .toDF("snapshot_id", "schema_id", "commit_user", "commit_kind",
+            "commit_time", "total_record_count", "delta_record_count")
+      case "schemas" =>
+        val fs = fsOf(spark, table)
+        fs.listStatus(schemaDir(table)).map(_.getPath.getName).toSeq
+          .collect { case n if n.startsWith("schema-") => n.drop(7).toLong }
+          .sorted
+          .map { id =>
+            val s = loadSchema(spark, table, Some(id))
+            (id, s.schema.map(_.name).mkString(","),
+              s.partitionKeys.mkString(","), s.primaryKeys.mkString(","))
+          }
+          .toDF("schema_id", "fields", "partition_keys", "primary_keys")
+      case "files" =>
+        liveFiles(spark, table).map(f =>
+            (f.fileName, f.fileSize, f.rowCount, f.bucket, f.level))
+          .toDF("file_name", "file_size_in_bytes", "record_count",
+            "bucket", "level")
+      case "manifests" =>
+        val snap = selectSnapshot(snapshots(spark, table), None, None)
+        Seq(snap.baseManifestList, snap.deltaManifestList).flatMap { ml =>
+          readAvroRecords(spark, new Path(manifestDir(table), ml)).map { m =>
+            (str(m.get("_FILE_NAME")), m.get("_FILE_SIZE").asInstanceOf[Long],
+              m.get("_NUM_ADDED_FILES").asInstanceOf[Long],
+              m.get("_NUM_DELETED_FILES").asInstanceOf[Long],
+              m.get("_SCHEMA_ID").asInstanceOf[Long])
+          }
+        }.toDF("file_name", "file_size", "num_added_files",
+          "num_deleted_files", "schema_id")
+      case other => throw new IllegalArgumentException(
+        s"unknown metadata table '$other' (snapshots|schemas|files|manifests)")
+    }
+  }
+
+  // ------------------------------------------------------------- writing
+
+  /** Empty BinaryRow bytes (arity 0 = one 8-byte null-bits word) — the
+    * partition tuple of an unpartitioned table. Fresh buffer per call:
+    * the avro encoder reads buffers positionally. */
+  private def emptyRowBytes = java.nio.ByteBuffer.wrap(new Array[Byte](8))
+
+  private def newStats(): GenericRecord = {
+    val s = new GenericData.Record(
+      manifestListSchema.getField("_PARTITION_STATS").schema.getTypes.get(1))
+    s.put("_MIN_VALUES", java.nio.ByteBuffer.wrap(new Array[Byte](8)))
+    s.put("_MAX_VALUES", java.nio.ByteBuffer.wrap(new Array[Byte](8)))
+    s.put("_NULL_COUNTS", null)
+    s
+  }
+
+  /** Write `df` as a new snapshot of an append-only unpartitioned Paimon
+    * table at `table`. Append creates the table; Overwrite starts the
+    * new snapshot from an empty base (commitKind OVERWRITE). Returns the
+    * snapshot id. */
+  def write(df: DataFrame, table: String,
+            mode: SaveMode = SaveMode.Append): Long = {
+    require(mode == SaveMode.Append || mode == SaveMode.Overwrite,
+      s"paimon write supports Append/Overwrite, got $mode")
+    val spark = df.sparkSession
+    val fs = fsOf(spark, table)
+    val exists = fs.exists(schemaDir(table))
+    if (exists) {
+      val prior = loadSchema(spark, table)
+      require(prior.schema.map(f => (f.name, f.dataType)) ==
+          df.schema.map(f => (f.name, f.dataType)),
+        s"schema mismatch appending to $table:\n table: ${prior.schema.simpleString}\n" +
+          s" data:  ${df.schema.simpleString}")
+    } else {
+      val fields = df.schema.fields.zipWithIndex.map { case (f, i) =>
+        s"""{"id":$i,"name":"${f.name}","type":"${toPaimonType(f.dataType, f.nullable)}"}"""
+      }.mkString(",")
+      writeText(spark, new Path(schemaDir(table), "schema-0"),
+        s"""{"version":3,"id":0,"fields":[$fields],
+           |"highestFieldId":${df.schema.size - 1},
+           |"partitionKeys":[],"primaryKeys":[],
+           |"options":{"bucket":"-1","file.format":"parquet"},
+           |"timeMillis":${System.currentTimeMillis()}}""".stripMargin)
+    }
+    val prevSnaps = if (exists) snapshots(spark, table) else Nil
+    val snapId = prevSnaps.map(_.id).maxOption.getOrElse(0L) + 1L
+
+    // ---- data files: distributed write to staging, move into bucket-0/
+    val staging = new Path(table, s"_staging_snap$snapId")
+    df.write.mode("overwrite").parquet(staging.toString)
+    val bucketDir = new Path(table, "bucket-0")
+    fs.mkdirs(bucketDir)
+    val moved = fs.listStatus(staging).toSeq
+      .filter { s =>
+        val n = s.getPath.getName
+        n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+      }
+      .zipWithIndex.map { case (s, i) =>
+        val name = s"data-${UUID.randomUUID()}-$i.parquet"
+        fs.rename(s.getPath, new Path(bucketDir, name))
+        val p = new Path(bucketDir, name)
+        (name, fs.getFileStatus(p).getLen, parquetRowCount(spark, p))
+      }
+    fs.delete(staging, true)
+
+    // ---- delta manifest (ADD entry per file) + manifest lists
+    val mdir = manifestDir(table)
+    fs.mkdirs(mdir)
+    val uuid = UUID.randomUUID().toString
+    val entries = moved.map { case (name, size, rows) =>
+      val fm = new GenericData.Record(
+        manifestEntrySchema.getField("_FILE").schema)
+      fm.put("_FILE_NAME", name)
+      fm.put("_FILE_SIZE", size)
+      fm.put("_ROW_COUNT", rows)
+      fm.put("_MIN_KEY", emptyRowBytes.duplicate())
+      fm.put("_MAX_KEY", emptyRowBytes.duplicate())
+      fm.put("_KEY_STATS", null)
+      fm.put("_VALUE_STATS", null)
+      fm.put("_MIN_SEQUENCE_NUMBER", snapId)
+      fm.put("_MAX_SEQUENCE_NUMBER", snapId)
+      fm.put("_SCHEMA_ID", 0L)
+      fm.put("_LEVEL", 0)
+      fm.put("_EXTRA_FILES", java.util.Collections.emptyList[String]())
+      fm.put("_CREATION_TIME", System.currentTimeMillis())
+      val e = new GenericData.Record(manifestEntrySchema)
+      e.put("_VERSION", 2)
+      e.put("_KIND", 0) // ADD
+      e.put("_PARTITION", emptyRowBytes.duplicate())
+      e.put("_BUCKET", 0)
+      e.put("_TOTAL_BUCKETS", 1)
+      e.put("_FILE", fm)
+      e
+    }
+    val deltaManifest = s"manifest-$uuid-0"
+    val deltaLen = writeAvro(spark, new Path(mdir, deltaManifest),
+      manifestEntrySchema, entries)
+
+    def listRecord(name: String, len: Long, added: Long): GenericRecord = {
+      val r = new GenericData.Record(manifestListSchema)
+      r.put("_VERSION", 2)
+      r.put("_FILE_NAME", name)
+      r.put("_FILE_SIZE", len)
+      r.put("_NUM_ADDED_FILES", added)
+      r.put("_NUM_DELETED_FILES", 0L)
+      r.put("_PARTITION_STATS", newStats())
+      r.put("_SCHEMA_ID", 0L)
+      r
+    }
+    // base list = every manifest live in the prior snapshot (unless
+    // Overwrite, which starts empty); delta list = the new manifest
+    val priorManifests: Seq[(String, Long, Long)] =
+      if (mode == SaveMode.Overwrite) Nil
+      else prevSnaps.lastOption.toSeq.flatMap { prev =>
+        Seq(prev.baseManifestList, prev.deltaManifestList).flatMap { ml =>
+          readAvroRecords(spark, new Path(mdir, ml)).map { m =>
+            (str(m.get("_FILE_NAME")), m.get("_FILE_SIZE").asInstanceOf[Long],
+              m.get("_NUM_ADDED_FILES").asInstanceOf[Long])
+          }
+        }
+      }
+    val baseList = s"manifest-list-$uuid-0"
+    val deltaList = s"manifest-list-$uuid-1"
+    writeAvro(spark, new Path(mdir, baseList), manifestListSchema,
+      priorManifests.map { case (n, l, a) => listRecord(n, l, a) })
+    writeAvro(spark, new Path(mdir, deltaList), manifestListSchema,
+      Seq(listRecord(deltaManifest, deltaLen, moved.size.toLong)))
+
+    // ---- snapshot JSON + hints
+    val newRows = moved.map(_._3).sum
+    val total =
+      if (mode == SaveMode.Overwrite) newRows
+      else prevSnaps.lastOption.map(_.totalRecordCount).filter(_ >= 0)
+        .getOrElse(0L) + newRows
+    val kind = if (mode == SaveMode.Overwrite) "OVERWRITE" else "APPEND"
+    writeText(spark, new Path(snapshotDir(table), s"snapshot-$snapId"),
+      s"""{"version":3,"id":$snapId,"schemaId":0,
+         |"baseManifestList":"$baseList",
+         |"deltaManifestList":"$deltaList",
+         |"changelogManifestList":null,
+         |"commitUser":"graft","commitIdentifier":$snapId,
+         |"commitKind":"$kind","timeMillis":${System.currentTimeMillis()},
+         |"logOffsets":{},
+         |"totalRecordCount":$total,"deltaRecordCount":$newRows,
+         |"changelogRecordCount":0}""".stripMargin)
+    writeText(spark, new Path(snapshotDir(table), "LATEST"), snapId.toString)
+    if (prevSnaps.isEmpty)
+      writeText(spark, new Path(snapshotDir(table), "EARLIEST"), "1")
+    snapId
+  }
+
+  private def parquetRowCount(spark: SparkSession, p: Path): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      p, spark.sparkContext.hadoopConfiguration)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+}

@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.PaimonTable
+
+/** Hand-rolled Paimon reader/writer: round-trip, append + time travel,
+  * overwrite, metadata tables, and the refusal paths (primary-key and
+  * partitioned tables must error clearly, never return wrong rows). */
+class PaimonSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def freshDir(name: String): String = {
+    val base = s"/tmp/graft_test/paimon_$name"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    base
+  }
+
+  test("round-trip: write then read back equals source, schema preserved") {
+    import spark.implicits._
+    val base = freshDir("ctas")
+    val src = (1L to 100L).map(i => (i, s"name$i", i % 7, i * 0.5))
+      .toDF("k", "name", "grp", "score")
+    assert(PaimonTable.write(src, base) == 1L)
+    val back = PaimonTable.read(spark, base)
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      src.schema.map(f => (f.name, f.dataType)))
+    assert(back.orderBy("k").collect().toSeq == src.orderBy("k").collect().toSeq)
+  }
+
+  test("append adds a snapshot; time travel by snapshotId and asOfTimeMs") {
+    import spark.implicits._
+    val base = freshDir("append")
+    val a = (1L to 50L).map(i => (i, s"a$i")).toDF("k", "v")
+    val b = (51L to 80L).map(i => (i, s"b$i")).toDF("k", "v")
+    assert(PaimonTable.write(a, base) == 1L)
+    val tsBetween = System.currentTimeMillis()
+    Thread.sleep(5)
+    assert(PaimonTable.write(b, base) == 2L)
+    import spark.implicits._
+    assert(PaimonTable.read(spark, base).count() == 80L)
+    assert(PaimonTable.read(spark, base, snapshotId = Some(1L))
+      .select("k").as[Long].collect().toSet == (1L to 50L).toSet)
+    assert(PaimonTable.read(spark, base, asOfTimeMs = Some(tsBetween))
+      .count() == 50L)
+  }
+
+  test("overwrite replaces content (commitKind OVERWRITE, empty base)") {
+    import spark.implicits._
+    val base = freshDir("overwrite")
+    PaimonTable.write((1L to 30L).toDF("k"), base)
+    PaimonTable.write((100L to 104L).toDF("k"), base, SaveMode.Overwrite)
+    assert(PaimonTable.read(spark, base)
+      .select("k").as[Long].collect().toSet == (100L to 104L).toSet)
+    val snaps = PaimonTable.metadataTable(spark, base, "snapshots")
+    assert(snaps.filter(col("snapshot_id") === 2)
+      .select("commit_kind").as[String].head() == "OVERWRITE")
+  }
+
+  test("metadata tables: snapshots, schemas, files, manifests") {
+    import spark.implicits._
+    val base = freshDir("meta")
+    PaimonTable.write((1L to 20L).map(i => (i, s"x$i")).toDF("id", "s"), base)
+    PaimonTable.write((21L to 25L).map(i => (i, s"y$i")).toDF("id", "s"), base)
+    val snaps = PaimonTable.metadataTable(spark, base, "snapshots")
+    assert(snaps.count() == 2)
+    assert(snaps.select("commit_kind").as[String].collect().toSet == Set("APPEND"))
+    assert(snaps.filter(col("snapshot_id") === 2)
+      .select("total_record_count").as[Long].head() == 25L)
+    val schemas = PaimonTable.metadataTable(spark, base, "schemas")
+    assert(schemas.select("fields").as[String].head() == "id,s")
+    val files = PaimonTable.metadataTable(spark, base, "files")
+    assert(files.select("record_count").as[Long].collect().sum == 25L)
+    val manifests = PaimonTable.metadataTable(spark, base, "manifests")
+    assert(manifests.count() >= 2) // base-list entry + delta manifest
+    intercept[IllegalArgumentException] {
+      PaimonTable.metadataTable(spark, base, "nope")
+    }
+  }
+
+  test("primary-key and partitioned tables refuse with a clear error") {
+    import spark.implicits._
+    val base = freshDir("refuse")
+    PaimonTable.write((1L to 5L).map(i => (i, s"v$i")).toDF("id", "v"), base)
+    // rewrite schema-0 to declare a primary key (what a paimon PK table
+    // carries) — the reader must refuse, not return unmerged rows
+    val schemaPath = new org.apache.hadoop.fs.Path(s"$base/schema/schema-0")
+    val fs = schemaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(schemaPath)
+    val orig = new String(in.readAllBytes(), "UTF-8"); in.close()
+    def rewrite(s: String): Unit = {
+      val os = fs.create(schemaPath, true)
+      os.write(s.getBytes("UTF-8")); os.close()
+    }
+    rewrite(orig.replace("\"primaryKeys\":[]", "\"primaryKeys\":[\"id\"]"))
+    val e1 = intercept[IllegalArgumentException] {
+      PaimonTable.read(spark, base)
+    }
+    assert(e1.getMessage.contains("PRIMARY-KEY"))
+    rewrite(orig.replace("\"partitionKeys\":[]", "\"partitionKeys\":[\"v\"]"))
+    val e2 = intercept[IllegalArgumentException] {
+      PaimonTable.read(spark, base)
+    }
+    assert(e2.getMessage.contains("PARTITIONED"))
+    rewrite(orig)
+    assert(PaimonTable.read(spark, base).count() == 5L)
+  }
+
+  test("missing snapshot id and empty dir error clearly") {
+    import spark.implicits._
+    val base = freshDir("errs")
+    intercept[IllegalArgumentException] {
+      PaimonTable.read(spark, base) // no table at all
+    }
+    PaimonTable.write((1L to 3L).toDF("k"), base)
+    val e = intercept[IllegalArgumentException] {
+      PaimonTable.read(spark, base, snapshotId = Some(9L))
+    }
+    assert(e.getMessage.contains("snapshot 9 not found"))
+  }
+}
