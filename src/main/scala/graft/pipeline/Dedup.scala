@@ -600,20 +600,21 @@ object Dedup {
       // children in Spark 4.1 — joins stay on the supported path.)
       val nmin = bi.join(labels, bi("src") === labels("id"))
         .groupBy(bi("dst").as("id")).agg(min(labels("label")).as("nmin"))
+      // the round's START label rides along as `old`, so convergence is
+      // a filter-count on the checkpointed result — no extra join job
       val nbr = labels.join(nmin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("old"),
           least(coalesce(col("nmin"), col("label")), col("label")).as("label"))
         .localCheckpoint()
       // pointer jump: label := label(label) — halves chain depth
       val jumped = nbr.as("x")
         .join(nbr.select(col("id").as("lid"), col("label").as("llabel")).as("y"),
           col("x.label") === col("y.lid"), "left")
-        .select(col("x.id").as("id"),
+        .select(col("x.id").as("id"), col("x.old").as("old"),
           coalesce(col("y.llabel"), col("x.label")).as("label"))
         .localCheckpoint()
-      changed = jumped.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).count()
-      labels = jumped
+      changed = jumped.filter(col("label") =!= col("old")).count()
+      labels = jumped.select("id", "label")
       round += 1
     }
     labels.select(col("id"), col("label").as("component"))

@@ -36,7 +36,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     bootstrap-storage-plugins.json analog).
   *
   * Directories resolve like Drill tables: a dir with `_delta_log` is a
-  * Delta table, a dir with `metadata/` + `data/` is an Iceberg table,
+  * Delta table, a dir with `metadata/` + `data/` is an Iceberg table, a
+  * dir with `snapshot/` + `schema/` is a Paimon table,
   * otherwise the format comes from the first data file's extension and
   * the whole directory is handed to that reader (the multi-file readers
   * already parallelize one task per file via [[FileList]]).
@@ -67,6 +68,8 @@ object DfsSql {
         return DeltaLogReader.read(spark, path)
       if (Files.exists(p.resolve("metadata")) && Files.exists(p.resolve("data")))
         return IcebergTable.read(spark, path)
+      if (Files.exists(p.resolve("snapshot")) && Files.exists(p.resolve("schema")))
+        return PaimonTable.read(spark, path)
       val first = dataFiles(p).headOption.getOrElse(
         throw new IllegalArgumentException(s"dfs: empty directory $path"))
       readByExt(spark, path, extOf(first.getFileName.toString))
@@ -115,7 +118,8 @@ object DfsSql {
         s"dfs: no format reader for extension '$other' ($path). " +
           "Known: parquet csv tsv psv json jsonl orc avro xlsx ltsv pcap " +
           "pcapng pdf geojson shp sas7bdat seq png/jpg/gif/bmp log/txt; " +
-          "directories: delta (_delta_log), iceberg (metadata/+data/)")
+          "directories: delta (_delta_log), iceberg (metadata/+data/), " +
+          "paimon (snapshot/+schema/)")
     }
 
   /** Resolve `dfs[.<workspace>].`path`` identifier parts to a filesystem

@@ -66,6 +66,12 @@ class DfsSqlSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT * FROM dfs.`$dir`").count() === 5)
   }
 
+  test("directory with snapshot/+schema/ resolves as a Paimon table") {
+    val dir = Files.createTempDirectory("dfs_paimon_").toString
+    graft.sources.PaimonTable.write(spark.range(7).toDF("v"), dir)
+    assert(spark.sql(s"SELECT * FROM dfs.`$dir`").count() === 7)
+  }
+
   test("plain directory infers format from the first data file") {
     val dir = Files.createTempDirectory("dfs_dir_").toString
     spark.range(9).toDF("v").write.mode("overwrite").parquet(dir)
