@@ -22,8 +22,9 @@ object Bench {
     "q_embed_neardup", "q_token_count", "q_sessionize",
     // round 5: exact n-gram decontamination, BM25 scoring, dfs-path SQL
     "q_ngram_decontam", "q_bm25", "q_dfs_sql",
-    // round 6: Iceberg v2 merge-on-read, connected-components dedup
-    "q_iceberg_v2", "q_dup_components")
+    // round 6: Iceberg v2 merge-on-read, connected-components dedup,
+    // as-of join (zero-join window spelling), binned range join
+    "q_iceberg_v2", "q_dup_components", "q_asof_join", "q_range_join")
 
   val Reps = 3
 

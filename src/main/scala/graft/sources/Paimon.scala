@@ -329,6 +329,30 @@ object PaimonTable {
     else spark.read.schema(sch.schema).parquet(files: _*)
   }
 
+  /** Incremental read: rows ADDED by snapshots in (fromSnapshotId,
+    * toSnapshotId] — each snapshot's DELTA manifest list names exactly
+    * its appended files, so the incremental scan is a union of delta
+    * file sets (Paimon's own incremental-between semantics; Drill reads
+    * the same via paimon's IncrementalStartingScanner). */
+  def readAppendedBetween(spark: SparkSession, table: String,
+                          fromSnapshotId: Long,
+                          toSnapshotId: Option[Long] = None): DataFrame = {
+    val all = snapshots(spark, table)
+    require(all.exists(_.id == fromSnapshotId),
+      s"snapshot $fromSnapshotId not found (have ${all.map(_.id).mkString(",")})")
+    val sch = loadSchema(spark, table)
+    require(sch.primaryKeys.isEmpty && sch.partitionKeys.isEmpty,
+      "incremental read supports unpartitioned append-only tables only")
+    val hi = toSnapshotId.getOrElse(all.map(_.id).max)
+    val files = all.filter(s => s.id > fromSnapshotId && s.id <= hi)
+      .flatMap(s => entriesOf(spark, table, s.deltaManifestList))
+      .filter(_.kind == 0).distinctBy(_.fileName)
+      .map(f => s"$table/bucket-${f.bucket}/${f.fileName}")
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sch.schema)
+    else spark.read.schema(sch.schema).parquet(files: _*)
+  }
+
   /** Drill's `table#<kind>` metadata tables (PaimonMetadataType:
     * snapshots | schemas | files | manifests) as DataFrames. */
   def metadataTable(spark: SparkSession, table: String, kind: String): DataFrame = {

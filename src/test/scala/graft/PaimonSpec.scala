@@ -108,6 +108,19 @@ class PaimonSpec extends AnyFunSuite {
     assert(PaimonTable.read(spark, base).count() == 5L)
   }
 
+  test("incremental readAppendedBetween returns exactly the delta rows") {
+    import spark.implicits._
+    val base = freshDir("incr")
+    PaimonTable.write((1L to 10L).toDF("k"), base)   // snap 1
+    PaimonTable.write((11L to 15L).toDF("k"), base)  // snap 2
+    PaimonTable.write((16L to 18L).toDF("k"), base)  // snap 3
+    assert(PaimonTable.readAppendedBetween(spark, base, 1L)
+      .select("k").as[Long].collect().toSet == (11L to 18L).toSet)
+    assert(PaimonTable.readAppendedBetween(spark, base, 1L, Some(2L))
+      .select("k").as[Long].collect().toSet == (11L to 15L).toSet)
+    assert(PaimonTable.readAppendedBetween(spark, base, 3L).count() == 0L)
+  }
+
   test("missing snapshot id and empty dir error clearly") {
     import spark.implicits._
     val base = freshDir("errs")
