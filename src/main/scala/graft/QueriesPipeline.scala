@@ -162,6 +162,16 @@ object QueriesPipeline {
         terms = Seq("spark", "query", "window"))
         .select(col("doc_id"), round(col("score"), 6).as("score"))),
 
+    // ---- exact repeated-substring detection (Lee et al. 2022 role):
+    // every 8-token span occurring >1x corpus-wide, non-first
+    // occurrences out. Spark shuffles 64-bit span HASHES; the oracle
+    // re-derives with raw span STRINGS via a window — a hash collision
+    // would fail the gate ----
+    "q_repeated_spans" -> ((s, d) =>
+      Dedup.repeatedSpans(T(s, d, "documents"), "doc_id", "text", n = 8)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_repeats"),
+          sum("pos").as("pos_sum"))),
+
     // ---- connected components over a pair list: edges chain each
     // customer's orders CONSECUTIVELY (a path graph, worst case for
     // label propagation — components emerge only transitively, which is
@@ -379,6 +389,21 @@ object QueriesPipeline {
           tf * (1.2 + 1.0) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl /
             (sum_dl::DOUBLE / n_docs)))), 6) AS score
       FROM tf2 JOIN dfx USING (term) CROSS JOIN stats GROUP BY 1""",
+    "q_repeated_spans" -> """
+      WITH toks AS (
+        SELECT doc_id,
+          string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+        FROM documents
+      ), spans AS (
+        SELECT doc_id, gs AS pos, array_to_string(t[gs+1:gs+8], ' ') AS span
+        FROM toks, UNNEST(range(0, greatest(len(t) - 7, 0))) AS u(gs)
+      ), marked AS (
+        SELECT doc_id, pos,
+          row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn,
+          count(*) OVER (PARTITION BY span) AS c
+        FROM spans)
+      SELECT doc_id, count(*)::BIGINT AS n_repeats, sum(pos)::BIGINT AS pos_sum
+      FROM marked WHERE c > 1 AND rn > 1 GROUP BY 1""",
     "q_dup_components" -> """
       SELECT min(o_orderkey)::BIGINT AS component,
              count(*)::BIGINT AS n_members

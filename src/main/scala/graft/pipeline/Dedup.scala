@@ -620,6 +620,47 @@ object Dedup {
     labels.select(col("id"), col("label").as("component"))
   }
 
+  /** Exact repeated-SUBSTRING detection — the document-internal sibling
+    * of whole/chunk dedup (the "Deduplicating Training Data Makes
+    * Language Models Better" recipe: duplicate n-token spans inflate
+    * memorization even when no whole document repeats). Finds every
+    * n-token span occurring more than once ACROSS the corpus and returns
+    * the non-first occurrences as (doc_id, pos) — keep-first semantics,
+    * first = lexicographic min (doc_id, pos). Whitespace tokens,
+    * positions 0-based.
+    *
+    * Scale shape: one explode to (len−n+1) spans per doc, spans shuffle
+    * as 64-bit HASHES (never strings — the -joined token window
+    * hashes map-side), first-occurrence via a partial-aggregating
+    * min(struct) groupBy, repeats via one hash join. No self-join, no
+    * quadratic anything; the gate's oracle re-derives with raw span
+    * STRINGS, so a hash collision would fail the gate. */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int): DataFrame = {
+    require(n >= 2, s"span length must be >= 2, got $n")
+    // collapse-then-trim-then-split: plain trim strips only 0x20, so a
+    // leading newline would otherwise produce a phantom empty token
+    val toks = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        split(trim(regexp_replace(col(textCol), "\\s+", " ")), " ").as("t"))
+      .filter(size(col("t")) >= n)
+    val spans = graft.GraftSession.balanced(toks)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), size(col("t")) - n)).as("pos"),
+        col("t"))
+      .select(col("doc_id"), col("pos"),
+        xxhash64(concat_ws("\u0001",
+          slice(col("t"), col("pos") + 1, lit(n)))).as("h"))
+    val firsts = spans.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"),
+        count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+    spans.join(firsts, "h")
+      .filter(!(col("doc_id") === col("first.doc_id") &&
+        col("pos") === col("first.pos")))
+      .select(col("doc_id"), col("pos"))
+  }
+
   /** Deduplicate by near-dup CLUSTERS: keep the min-id member of every
     * component plus every doc that appears in no pair — the terminal
     * step of the pair-producing ops above. One LEFT ANTI join against

@@ -120,6 +120,34 @@ class PipelineExtraSpec extends AnyFunSuite {
     assert(comp.size == 14) // every pair participant, nothing else
   }
 
+  test("repeatedSpans: keep-first across docs, within-doc repeats, no false hits") {
+    // doc 1 owns the span; doc 2 repeats it later (cross-doc);
+    // doc 3 repeats its own opening internally (within-doc);
+    // doc 4 shares no 3-token span with anyone
+    val docs = Seq(
+      (1L, "a b c x y z"),
+      (2L, "p q a b c r"),
+      (3L, "m n o k m n o"),
+      (4L, "entirely different words here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.repeatedSpans(docs, "doc_id", "text", n = 3)
+      .as[(Long, Int)].collect().toSet
+    // doc2 pos 2 = "a b c" (first = doc1 pos 0); doc3 pos 4 = "m n o"
+    // (first = doc3 pos 0). Nothing else repeats.
+    assert(got == Set((2L, 2), (3L, 4)))
+  }
+
+  test("repeatedSpans: leading/internal whitespace canonicalizes before spanning") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "\n  alpha   beta\tgamma  epsilon")
+    ).toDF("doc_id", "text")
+    // "alpha beta gamma" must match across the messy whitespace
+    val got = Dedup.repeatedSpans(docs, "doc_id", "text", n = 3)
+      .as[(Long, Int)].collect().toSet
+    assert(got == Set((2L, 0)))
+  }
+
   test("keepCanonical keeps one doc per component plus unpaired docs") {
     val docs = (1L to 8L).map(i => (i, s"d$i")).toDF("doc_id", "text")
     // components {1,2,3} and {5,6}; 4, 7, 8 unpaired
