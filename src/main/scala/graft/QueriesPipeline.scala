@@ -172,6 +172,12 @@ object QueriesPipeline {
         .groupBy("doc_id").agg(count(lit(1)).as("n_repeats"),
           sum("pos").as("pos_sum"))),
 
+    // ---- the cut: duplicate spans actually REMOVED from the text,
+    // whole reconstructed strings compared against the oracle's
+    // token-level anti-join rebuild ----
+    "q_cut_spans" -> ((s, d) =>
+      Dedup.cutRepeatedSpans(T(s, d, "documents"), "doc_id", "text", n = 8)),
+
     // ---- connected components over a pair list: edges chain each
     // customer's orders CONSECUTIVELY (a path graph, worst case for
     // label propagation — components emerge only transitively, which is
@@ -404,6 +410,33 @@ object QueriesPipeline {
         FROM spans)
       SELECT doc_id, count(*)::BIGINT AS n_repeats, sum(pos)::BIGINT AS pos_sum
       FROM marked WHERE c > 1 AND rn > 1 GROUP BY 1""",
+    "q_cut_spans" -> """
+      WITH toks AS (
+        SELECT doc_id,
+          string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+        FROM documents
+      ), spans AS (
+        SELECT doc_id, gs AS pos, array_to_string(t[gs+1:gs+8], ' ') AS span
+        FROM toks, UNNEST(range(0, greatest(len(t) - 7, 0))) AS u(gs)
+      ), marked AS (
+        SELECT doc_id, pos,
+          row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn,
+          count(*) OVER (PARTITION BY span) AS c
+        FROM spans
+      ), reps AS (SELECT doc_id, pos FROM marked WHERE c > 1 AND rn > 1),
+      cover AS (SELECT DISTINCT doc_id, pos + o AS idx
+                FROM reps, UNNEST(range(0, 8)) AS v(o)),
+      tokpos AS (
+        SELECT doc_id, t[i+1] AS tok, i AS idx
+        FROM toks, UNNEST(range(0, len(t))) AS v(i)
+      ), kept AS (
+        SELECT tp.doc_id, tp.tok, tp.idx FROM tokpos tp
+        ANTI JOIN cover c ON tp.doc_id = c.doc_id AND tp.idx = c.idx
+      ), rebuilt AS (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS cut
+        FROM kept GROUP BY 1)
+      SELECT toks.doc_id, coalesce(r.cut, '') AS text
+      FROM toks LEFT JOIN rebuilt r USING (doc_id)""",
     "q_dup_components" -> """
       SELECT min(o_orderkey)::BIGINT AS component,
              count(*)::BIGINT AS n_members

@@ -661,6 +661,30 @@ object Dedup {
       .select(col("doc_id"), col("pos"))
   }
 
+  /** Remove the repeated spans found by [[repeatedSpans]] from the text
+    * (keep-first): every token covered by a non-first duplicate n-token
+    * window is dropped, overlapping windows union naturally, and the doc
+    * comes back whitespace-canonical (single-spaced; a fully-covered doc
+    * becomes the empty string, it does not disappear). Per-doc work is
+    * one HOF filter over tokens × repeat positions — repeat lists ride a
+    * collect_list bounded by doc length, nothing corpus-sized
+    * concentrates anywhere. */
+  def cutRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int): DataFrame = {
+    val ivs = repeatedSpans(docs, idCol, textCol, n)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list("pos")).as("ps"))
+    val canonical = docs.select(col(idCol).cast("long").as("doc_id"),
+      split(trim(regexp_replace(col(textCol), "\\s+", " ")), " ").as("t"))
+    canonical.join(ivs, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("ps").isNull, concat_ws(" ", col("t")))
+          .otherwise(concat_ws(" ",
+            filter(col("t"), (_, i) =>
+              !exists(col("ps"), p => p <= i && i < p + n))))
+          .as("text"))
+  }
+
   /** Deduplicate by near-dup CLUSTERS: keep the min-id member of every
     * component plus every doc that appears in no pair — the terminal
     * step of the pair-producing ops above. One LEFT ANTI join against

@@ -148,6 +148,22 @@ class PipelineExtraSpec extends AnyFunSuite {
     assert(got == Set((2L, 0)))
   }
 
+  test("cutRepeatedSpans: overlapping windows merge, first kept, full-cover -> empty") {
+    val docs = Seq(
+      (1L, "a b c d e x"),            // owns "a b c" and "b c d" (first)
+      (2L, "z a b c d w"),            // repeats both: covered idx 1..4 union
+      (3L, "m n o p m n o"),          // within-doc: "m n o" recurs at 4
+      (4L, "a b c d e x")             // exact copy of doc 1: fully covered
+    ).toDF("doc_id", "text")
+    val got = Dedup.cutRepeatedSpans(docs, "doc_id", "text", n = 3)
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "a b c d e x")  // first occurrences keep everything
+    assert(got(2L) == "z w")          // idx 1-3 ("a b c") U idx 2-4 ("b c d")
+    assert(got(3L) == "m n o p")      // tail "m n o" at pos 4 cut (idx 4-6)
+    assert(got(4L) == "")             // every 3-window repeats doc 1's
+    assert(got.size == 4)             // fully-cut docs still emit a row
+  }
+
   test("keepCanonical keeps one doc per component plus unpaired docs") {
     val docs = (1L to 8L).map(i => (i, s"d$i")).toDF("doc_id", "text")
     // components {1,2,3} and {5,6}; 4, 7, 8 unpaired
