@@ -340,6 +340,23 @@ object QueriesRelational {
           round(col("prev_value"), 6).as("prev_value"))
     }),
 
+    // ---- AS-OF join, FORWARD direction: each purchase picks up the
+    // EARLIEST click at or after it (merge_asof direction='forward').
+    // Oracle = an independent correlated-min + rejoin formulation ----
+    "q_asof_forward" -> ((s, d) => {
+      val ev = T(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value"))
+      TemporalJoins.asofJoinForward(purchases, clicks, "user_id", "user_id",
+          "ts", "ts", payload = Seq("value"))
+        .select(col("event_id"),
+          (expr("next_ts div 1000000000") - expr("ts div 1000000000"))
+            .as("gap_sec"),
+          round(col("next_value"), 6).as("next_value"))
+    }),
+
     // ---- point-in-interval RANGE join: clicks landing inside the 24 h
     // window after each error, per user; bin-quantized equi-join, exact
     // residual filter. Oracle = plain inequality join ----
@@ -523,6 +540,18 @@ object QueriesRelational {
         epoch_ns(p.ts) // 1000000000 - epoch_ns(c.ts) // 1000000000 AS gap_sec,
         round(c.value, 6) AS prev_value
       FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""",
+    "q_asof_forward" -> """
+      WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+           c AS (SELECT * FROM events WHERE event_type = 'click'),
+      m AS (SELECT p.event_id, min(epoch_ns(c.ts)) AS nts
+            FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ts >= p.ts
+            GROUP BY 1)
+      SELECT p.event_id,
+        m.nts // 1000000000 - epoch_ns(p.ts) // 1000000000 AS gap_sec,
+        round(cv.value, 6) AS next_value
+      FROM p JOIN m USING (event_id)
+      LEFT JOIN (SELECT user_id, epoch_ns(ts) AS nts2, value FROM c) cv
+        ON cv.user_id = p.user_id AND cv.nts2 = m.nts""",
     "q_range_join" -> """
       WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
            e AS (SELECT * FROM events WHERE event_type = 'error')

@@ -111,6 +111,52 @@ object TemporalJoins {
     inTol.select(out: _*)
   }
 
+  /** AS-OF join, FORWARD direction: earliest right row with the same
+    * key and rightTime >= leftTime (inclusive; within `tolerance` — in
+    * SECONDS for timestamp columns — matches further in the future are
+    * nulled). Same zero-join union+window plan as [[asofJoin]], with
+    * the running window flipped to (currentRow, unboundedFollowing) and
+    * first(ignoreNulls); payload surfaces with a `next_` prefix
+    * (`next_ts` + `next_<col>`). Exact-time ties resolve to the min
+    * payload struct — deterministic. */
+  def asofJoinForward(left: DataFrame, right: DataFrame,
+                      leftKey: String, rightKey: String,
+                      leftTime: String, rightTime: String,
+                      payload: Seq[String],
+                      tolerance: Option[Double] = None): DataFrame = {
+    val leftCols = left.columns.toSeq
+    // left rows sort BEFORE right rows at the same instant (side 0 < 1),
+    // so a right row at exactly leftTime is inside the following frame
+    val r = right.select(
+      col(rightKey).cast("long").as("_k"),
+      tlong(col(rightTime), right.schema(rightTime).dataType).as("_t"),
+      lit(1).as("_side"),
+      struct(col(rightTime).as("next_ts") +:
+        payload.map(c => col(c).as(s"next_$c")): _*).as("_rv"),
+      lit(null).cast(structType(left, leftCols)).as("_lv"))
+    val l = left.select(
+      col(leftKey).cast("long").as("_k"),
+      tlong(col(leftTime), left.schema(leftTime).dataType).as("_t"),
+      lit(0).as("_side"),
+      lit(null).cast(r.schema("_rv").dataType).as("_rv"),
+      struct(leftCols.map(col): _*).as("_lv"))
+    val w = Window.partitionBy("_k").orderBy(col("_t"), col("_side"), col("_rv"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val matched = r.unionByName(l)
+      .withColumn("_m", first(col("_rv"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 0)
+    val inTol = tolerance match {
+      case Some(tol) =>
+        val t = tolUnits(tol, right.schema(rightTime).dataType)
+        val nextT = tlong(col("_m.next_ts"), right.schema(rightTime).dataType)
+        matched.withColumn("_m", when(nextT - col("_t") <= t, col("_m")))
+      case None => matched
+    }
+    val out = leftCols.map(c => col(s"_lv.$c").as(c)) ++
+      (("next_ts" +: payload.map("next_" + _)).map(c => col(s"_m.$c").as(c)))
+    inTol.select(out: _*)
+  }
+
   private def structType(df: DataFrame, cols: Seq[String]) =
     StructType(cols.map(c => df.schema(c)))
 

@@ -231,6 +231,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
 
+  test("q_asof_forward: same zero-join window plan as backward") {
+    val p = plan("q_asof_forward")
+    assert(p.contains("Window"), s"windowed carry-back expected:\n$p")
+    assert(!p.contains("Join"), s"forward asof must not build row pairs:\n$p")
+  }
+
   test("q_range_join: bin equi-join, no nested-loop / cartesian plan") {
     val p = plan("q_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin") &&

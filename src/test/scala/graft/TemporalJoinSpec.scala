@@ -53,6 +53,36 @@ class TemporalJoinSpec extends AnyFunSuite {
     assert(got(2L).isEmpty)        // 13 h old, nulled
   }
 
+  test("asofJoinForward: earliest at-or-after match, inclusive, tolerance") {
+    val left = Seq(
+      (1L, 100L, ts("2024-01-01 10:00:00")),
+      (2L, 100L, ts("2024-01-01 10:04:30")),
+      (3L, 100L, ts("2024-01-01 11:00:00")), // after every right row
+      (4L, 300L, ts("2024-01-01 12:00:00"))  // exact-time match
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      (100L, ts("2024-01-01 10:00:00"), 1.0), // == left id 1's time
+      (100L, ts("2024-01-01 10:04:00"), 2.0),
+      (100L, ts("2024-01-01 10:05:00"), 3.0),
+      (300L, ts("2024-01-01 12:00:00"), 9.0)
+    ).toDF("k", "t", "v")
+    val got = TemporalJoins.asofJoinForward(left, right, "k", "k", "t", "t",
+        Seq("v")).select(col("id"), col("next_v"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(got(1L).contains(1.0))  // inclusive: same-instant right row
+    assert(got(2L).contains(3.0))  // earliest AFTER 10:04:30, not 2.0
+    assert(got(3L).isEmpty)        // nothing at or after
+    assert(got(4L).contains(9.0))
+    assert(got.size == 4)
+    // tolerance: the 10:05 click is 30 s ahead of id 2 — a 10 s
+    // tolerance nulls it, id 1's same-instant match survives
+    val tol = TemporalJoins.asofJoinForward(left, right, "k", "k", "t", "t",
+        Seq("v"), tolerance = Some(10.0))
+      .select(col("id"), col("next_v"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(tol(1L).contains(1.0) && tol(2L).isEmpty)
+  }
+
   test("rangeJoin: inclusive bounds, bin-spanning intervals, multiplicity") {
     // bins of 60 s; intervals deliberately cross bin edges
     val points = Seq(
