@@ -357,6 +357,23 @@ object QueriesRelational {
           round(col("next_value"), 6).as("next_value"))
     }),
 
+    // ---- AS-OF join, NEAREST direction: closer of the two candidates
+    // wins, ties break backward. Oracle = conditional max/min over the
+    // per-user join with the same tie rule ----
+    "q_asof_nearest" -> ((s, d) => {
+      val ev = T(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value"))
+      TemporalJoins.asofJoinNearest(purchases, clicks, "user_id", "user_id",
+          "ts", "ts", payload = Seq("value"))
+        .select(col("event_id"),
+          (expr("near_ts div 1000000000") - expr("ts div 1000000000"))
+            .as("gap_sec"),
+          round(col("near_value"), 6).as("near_value"))
+    }),
+
     // ---- point-in-interval RANGE join: clicks landing inside the 24 h
     // window after each error, per user; bin-quantized equi-join, exact
     // residual filter. Oracle = plain inequality join ----
@@ -552,6 +569,24 @@ object QueriesRelational {
       FROM p JOIN m USING (event_id)
       LEFT JOIN (SELECT user_id, epoch_ns(ts) AS nts2, value FROM c) cv
         ON cv.user_id = p.user_id AND cv.nts2 = m.nts""",
+    "q_asof_nearest" -> """
+      WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+           c AS (SELECT * FROM events WHERE event_type = 'click'),
+      m AS (SELECT p.event_id, p.user_id, epoch_ns(p.ts) AS pts,
+              max(CASE WHEN c.ts <= p.ts THEN epoch_ns(c.ts) END) AS bts,
+              min(CASE WHEN c.ts >= p.ts THEN epoch_ns(c.ts) END) AS fts
+            FROM p LEFT JOIN c ON p.user_id = c.user_id
+            GROUP BY 1, 2, 3),
+      pick AS (SELECT event_id, user_id, pts,
+              CASE WHEN bts IS NOT NULL AND (fts IS NULL OR pts - bts <= fts - pts)
+                   THEN bts ELSE fts END AS nts
+            FROM m)
+      SELECT pick.event_id,
+        nts // 1000000000 - pts // 1000000000 AS gap_sec,
+        round(cv.value, 6) AS near_value
+      FROM pick
+      LEFT JOIN (SELECT user_id, epoch_ns(ts) AS cts, value FROM c) cv
+        ON cv.user_id = pick.user_id AND cv.cts = pick.nts""",
     "q_range_join" -> """
       WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
            e AS (SELECT * FROM events WHERE event_type = 'error')

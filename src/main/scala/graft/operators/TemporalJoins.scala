@@ -157,6 +157,38 @@ object TemporalJoins {
     inTol.select(out: _*)
   }
 
+  /** AS-OF join, NEAREST direction (merge_asof parity): whichever of
+    * the backward / forward matches is closer in time wins; ties break
+    * BACKWARD (the at-or-before row). Output carries the winner under
+    * `near_ts` / `near_<col>`. Two window passes (one per direction) —
+    * still zero join operators on the |L|+|R| relation per pass. */
+  def asofJoinNearest(left: DataFrame, right: DataFrame,
+                      leftKey: String, rightKey: String,
+                      leftTime: String, rightTime: String,
+                      payload: Seq[String],
+                      tolerance: Option[Double] = None): DataFrame = {
+    val leftCols = left.columns.toSeq
+    // the forward pass runs over the BACKWARD output (which preserves
+    // every left column), so both candidates sit on one row with no
+    // rejoin and no (key, time)-uniqueness assumption
+    val back = asofJoin(left, right, leftKey, rightKey, leftTime, rightTime,
+      payload, tolerance)
+    val both = asofJoinForward(back, right, leftKey, rightKey, leftTime,
+      rightTime, payload, tolerance)
+    val lt = tlong(col(leftTime), left.schema(leftTime).dataType)
+    val rdt = right.schema(rightTime).dataType
+    val backGap = lt - tlong(col("prev_ts"), rdt)
+    val fwdGap = tlong(col("next_ts"), rdt) - lt
+    val pickBack = col("prev_ts").isNotNull &&
+      (col("next_ts").isNull || backGap <= fwdGap)
+    val out = leftCols.map(col) ++
+      ("ts" +: payload).map { c =>
+        when(pickBack, col(s"prev_$c")).otherwise(col(s"next_$c"))
+          .as(s"near_$c")
+      }
+    both.select(out: _*)
+  }
+
   private def structType(df: DataFrame, cols: Seq[String]) =
     StructType(cols.map(c => df.schema(c)))
 

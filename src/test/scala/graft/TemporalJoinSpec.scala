@@ -83,6 +83,31 @@ class TemporalJoinSpec extends AnyFunSuite {
     assert(tol(1L).contains(1.0) && tol(2L).isEmpty)
   }
 
+  test("asofJoinNearest: closer side wins, ties break backward, one-sided falls through") {
+    val left = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00")), // back 60s away, fwd 30s → fwd
+      (2L, 1L, ts("2024-01-01 10:01:00")), // back 30s, fwd 90s → back
+      (3L, 1L, ts("2024-01-01 10:01:30")), // tie 60s/60s → backward
+      (4L, 2L, ts("2024-01-01 09:00:00")), // only a forward candidate
+      (5L, 3L, ts("2024-01-01 09:00:00"))  // no right rows at all
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:59:00"), 1.0),
+      (1L, ts("2024-01-01 10:00:30"), 2.0),
+      (1L, ts("2024-01-01 10:02:30"), 3.0),
+      (2L, ts("2024-01-01 09:30:00"), 8.0)
+    ).toDF("k", "t", "v")
+    val got = TemporalJoins.asofJoinNearest(left, right, "k", "k", "t", "t",
+        Seq("v")).select(col("id"), col("near_v"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(got(1L).contains(2.0))
+    assert(got(2L).contains(2.0))
+    assert(got(3L).contains(2.0))  // 10:00:30 and 10:02:30 both 60 s away
+    assert(got(4L).contains(8.0))
+    assert(got(5L).isEmpty)
+    assert(got.size == 5)
+  }
+
   test("rangeJoin: inclusive bounds, bin-spanning intervals, multiplicity") {
     // bins of 60 s; intervals deliberately cross bin edges
     val points = Seq(
