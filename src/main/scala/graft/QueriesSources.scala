@@ -242,6 +242,28 @@ object QueriesSources {
         .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
     }),
 
+    // ---- Iceberg v2 EQUALITY deletes (spec content id 2, the CDC /
+    // Flink-upsert delete shape): delete by key VALUE, sequence-scoped —
+    // keys ≡ 0,1 (mod 10) deleted at snapshot 3, keys [100,200)
+    // re-appended at snapshot 4 SURVIVE because their data sequence
+    // number exceeds the delete's (ref contrib/format-iceberg/.../
+    // IcebergGroupScan.java — Drill reads these through iceberg-core's
+    // TableScan delete-file application) ----
+    "q_iceberg_eq_delete" -> ((s, d) => {
+      graft.sources.IcebergTable.read(s, icebergEqFixture(s, d))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
+    }),
+
+    "q_iceberg_eq_travel" -> ((s, d) => {
+      // snapshot 3 = right after the equality delete, before the
+      // re-append: keys < 1000 minus the deleted residues
+      graft.sources.IcebergTable.read(s, icebergEqFixture(s, d),
+          snapshotId = Some(3L))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
+    }),
+
     // ---- Paimon append-only table: hand-rolled snapshot/schema JSON +
     // avro manifest reader/writer, no paimon jar (ref contrib/
     // format-paimon/.../PaimonGroupScan.java + PaimonTableUtils; layout
@@ -601,6 +623,32 @@ object QueriesSources {
     base
   }
 
+  /** Iceberg equality-delete fixture: snapshots 1+2 append orders keys
+    * <1000 in two halves, snapshot 3 equality-deletes keys ≡ 0,1
+    * (mod 10) BY VALUE, snapshot 4 re-appends keys [100,200) — whose
+    * rows must survive the older delete (sequence scoping). */
+  private def icebergEqFixture(s: org.apache.spark.sql.SparkSession,
+                               d: String): String = {
+    import graft.sources.IcebergTable
+    val base = s"${out(d)}/iceberg_eq_orders"
+    val donePath = new org.apache.hadoop.fs.Path(s"$base/metadata/v4.metadata.json")
+    val fs = donePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(donePath)) {
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val src = GraftSession.table(s, d, "orders")
+        .select("o_orderkey", "o_orderstatus")
+      IcebergTable.write(src.filter(col("o_orderkey") < 500), base)
+      IcebergTable.write(
+        src.filter(col("o_orderkey") >= 500 && col("o_orderkey") < 1000), base)
+      IcebergTable.deleteEquality(s, base,
+        src.filter(col("o_orderkey") < 1000 && col("o_orderkey") % 10 < 2)
+          .select("o_orderkey"))
+      IcebergTable.write(
+        src.filter(col("o_orderkey") >= 100 && col("o_orderkey") < 200), base)
+    }
+    base
+  }
+
   /** Shared by the mapPartitions reader and the DSv2 connector — both
     * must produce exactly this relation from the committed capture. */
   private val PcapOracle = """
@@ -715,6 +763,19 @@ object QueriesSources {
     "q_iceberg_v2_travel" -> """
       SELECT o_orderstatus, count(*) AS n, sum(o_orderkey)::BIGINT AS key_sum
       FROM orders WHERE o_orderkey < 1000
+      GROUP BY 1""",
+    "q_iceberg_eq_delete" -> """
+      SELECT o_orderstatus, count(*) AS n, sum(o_orderkey)::BIGINT AS key_sum
+      FROM (
+        SELECT o_orderkey, o_orderstatus FROM orders
+        WHERE o_orderkey < 1000 AND o_orderkey % 10 >= 2
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus FROM orders
+        WHERE o_orderkey >= 100 AND o_orderkey < 200)
+      GROUP BY 1""",
+    "q_iceberg_eq_travel" -> """
+      SELECT o_orderstatus, count(*) AS n, sum(o_orderkey)::BIGINT AS key_sum
+      FROM orders WHERE o_orderkey < 1000 AND o_orderkey % 10 >= 2
       GROUP BY 1""",
     "q_read_paimon" -> """
       SELECT o_orderstatus, count(*) AS n, sum(o_orderkey)::BIGINT AS key_sum

@@ -12,9 +12,9 @@ import org.apache.spark.sql.types._
 import scala.jdk.CollectionConverters._
 
 /** Hand-rolled Apache Iceberg table reader + writer (format v1, and
-  * format v2 merge-on-read with POSITION deletes — equality deletes
-  * refuse with a clear error) — no iceberg jar, the same posture as
-  * DeltaLogReader/DeltaLogWriter. An
+  * format v2 merge-on-read with POSITION **and EQUALITY** deletes,
+  * sequence-number scoped per the spec) — no iceberg jar, the same
+  * posture as DeltaLogReader/DeltaLogWriter. An
   * Iceberg table is parquet data files plus a `metadata/` folder: a
   * current `v<N>.metadata.json` (named by `version-hint.text`) holding
   * the schema, partition spec and snapshot list; each snapshot names a
@@ -261,19 +261,23 @@ object IcebergTable {
     * 0 = DATA, 1 = POSITION_DELETES, 2 = EQUALITY_DELETES (format v2). */
   case class DataFileInfo(path: String, partition: Map[String, Any],
                           recordCount: Long, fileSizeBytes: Long,
-                          status: Int, snapshotId: Long, content: Int = 0)
+                          status: Int, snapshotId: Long, content: Int = 0,
+                          seq: Long = 0L, equalityIds: Seq[Int] = Nil)
 
   private def absolute(table: String, p: String): String =
     if (p.startsWith("/") || p.contains("://")) p else s"$table/$p"
 
-  /** Manifest-list rows for a snapshot: (manifestPath, content). content
-    * 0 = data manifest, 1 = delete manifest (format v2 row-level
-    * deletes — position/equality delete files). */
+  /** Manifest-list rows for a snapshot: (manifestPath, content, seq).
+    * content 0 = data manifest, 1 = delete manifest (format v2 row-level
+    * deletes — position/equality delete files); seq = the manifest's
+    * data sequence number (0 for v1 lists — the spec's v1→v2 upgrade
+    * rule), inherited by ADDED entries that don't carry their own. */
   private def manifestsOf(spark: SparkSession, table: String,
-                          snap: SnapshotInfo): Seq[(String, Int)] = {
+                          snap: SnapshotInfo): Seq[(String, Int, Long)] = {
     readAvroRecords(spark, absolute(table, snap.manifestList)).map { r =>
       val content = opt(r, "content").map(_.asInstanceOf[Int]).getOrElse(0)
-      (absolute(table, str(r.get("manifest_path"))), content)
+      val seq = opt(r, "sequence_number").map(_.asInstanceOf[Long]).getOrElse(0L)
+      (absolute(table, str(r.get("manifest_path"))), content, seq)
     }
   }
 
@@ -283,13 +287,23 @@ object IcebergTable {
     * (1 = position deletes, 2 = equality deletes). */
   private def entriesOf(spark: SparkSession, table: String,
                         snap: SnapshotInfo): Seq[DataFileInfo] =
-    manifestsOf(spark, table, snap).flatMap { case (mf, _) =>
+    manifestsOf(spark, table, snap).flatMap { case (mf, _, mfSeq) =>
       readAvroRecords(spark, mf).map { e =>
         val status = e.get("status").asInstanceOf[Int]
         val snapId = opt(e, "snapshot_id").map(_.asInstanceOf[Long])
           .getOrElse(snap.snapshotId)
+        // spec inheritance: a null sequence_number on an entry means the
+        // manifest's own data sequence number (writers leave it null for
+        // ADDED entries; carried manifests keep their original list seq)
+        val seq = opt(e, "sequence_number").map(_.asInstanceOf[Long])
+          .getOrElse(mfSeq)
         val df = e.get("data_file").asInstanceOf[GenericRecord]
         val content = opt(df, "content").map(_.asInstanceOf[Int]).getOrElse(0)
+        val eqIds = opt(df, "equality_ids").map {
+          case l: java.util.List[_] => l.asScala.toSeq.map(_.toString.toInt)
+          case other => throw new IllegalArgumentException(
+            s"equality_ids: expected a list, got ${other.getClass}")
+        }.getOrElse(Nil)
         val part = opt(df, "partition").map(_.asInstanceOf[GenericRecord])
           .map { pr =>
             pr.getSchema.getFields.asScala.map { f =>
@@ -303,7 +317,7 @@ object IcebergTable {
         DataFileInfo(absolute(table, str(df.get("file_path"))), part,
           df.get("record_count").asInstanceOf[Long],
           opt(df, "file_size_in_bytes").map(_.asInstanceOf[Long]).getOrElse(0L),
-          status, snapId, content)
+          status, snapId, content, seq, eqIds)
       }
     }
 
@@ -376,10 +390,6 @@ object IcebergTable {
     val meta = loadMeta(spark, table)
     val entries = liveEntries(spark, table, snapshotId, asOfTimestampMs)
     val eqDeletes = entries.filter(_.content == 2)
-    require(eqDeletes.isEmpty,
-      s"iceberg equality-delete files unsupported (format v2): " +
-        s"${eqDeletes.map(_.path).mkString(", ")} — only position deletes " +
-        "are readable; rewrite the table with copy-on-write or compact it")
     val posDeletes = entries.filter(_.content == 1)
     var files = entries.filter(_.content == 0)
     if (partitionFilter != null) files = files.filter(f => partitionFilter(f.partition))
@@ -387,8 +397,10 @@ object IcebergTable {
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], meta.schema)
     else {
       val base = spark.read.schema(meta.schema).parquet(files.map(_.path): _*)
-      if (posDeletes.isEmpty) base
-      else {
+      var data = base
+      if (posDeletes.nonEmpty || eqDeletes.nonEmpty)
+        data = data.withColumn("__g_fp", normPath(col("_metadata.file_path")))
+      if (posDeletes.nonEmpty) {
         // merge-on-read: drop rows named by position-delete files via a
         // distributed LEFT ANTI join on (file_path, row position). The
         // parquet `_metadata.row_index` column IS the spec's `pos`
@@ -396,19 +408,65 @@ object IcebergTable {
         // — deletes stay a DataFrame, Catalyst broadcasts it when small
         // (delete parquet carries size stats), and nothing collects.
         // Matching by explicit (path, pos) makes sequence-number checks
-        // unnecessary: file paths are unique within a table's lifetime,
-        // so a delete can only ever name rows of the file it targeted.
-        val data = base
-          .withColumn("__g_fp", normPath(col("_metadata.file_path")))
-          .withColumn("__g_pos", col("_metadata.row_index"))
+        // unnecessary here: file paths are unique within a table's
+        // lifetime, so a delete can only name rows of its target file.
         val dels = spark.read.parquet(posDeletes.map(_.path): _*)
           .select(normPath(col("file_path")).as("__g_fp"),
             col("pos").cast("long").as("__g_pos"))
-        data.join(dels, Seq("__g_fp", "__g_pos"), "left_anti")
-          .drop("__g_fp", "__g_pos")
+        data = data.withColumn("__g_pos", col("_metadata.row_index"))
+          .join(dels, Seq("__g_fp", "__g_pos"), "left_anti")
+          .drop("__g_pos")
       }
+      if (eqDeletes.nonEmpty) {
+        // EQUALITY deletes (spec §Scan Planning): a delete row removes
+        // every data row whose values match on the delete file's
+        // `equality_ids` columns (null matches null) AND whose data
+        // sequence number is STRICTLY LESS than the delete file's.
+        // Rows appended after the delete survive — that scoping is what
+        // the fixture's re-append gate proves. Shape: each data row
+        // learns its file's seq via a broadcast of the (path, seq)
+        // manifest listing (metadata-scale), then one LEFT ANTI join
+        // per distinct equality-column set; the equality columns are
+        // equi-join keys (null-safe), the seq comparison rides along as
+        // a join residual — delete files are small, Catalyst broadcasts
+        // them, and nothing ever collects.
+        import org.apache.spark.sql.functions.broadcast
+        val idToName: Map[Int, String] = meta.schemaNode.get("fields")
+          .elements.asScala
+          .map(f => f.get("id").asInt -> f.get("name").asText).toMap
+        def seqLookup(fs: Seq[DataFileInfo], fpCol: String, seqCol: String) =
+          broadcast(spark.createDataFrame(
+            fs.map(f => Row(normSchemeless(f.path), f.seq)).asJava,
+            StructType(Seq(StructField(fpCol, StringType, nullable = false),
+              StructField(seqCol, LongType, nullable = false)))))
+        data = data.join(seqLookup(files, "__g_fp", "__g_seq"),
+          Seq("__g_fp"), "left")
+        eqDeletes.groupBy(_.equalityIds.sorted).foreach { case (ids, dels) =>
+          require(ids.nonEmpty,
+            s"equality-delete file without equality_ids: ${dels.head.path}")
+          val cols = ids.map(id => idToName.getOrElse(id,
+            throw new IllegalArgumentException(
+              s"equality_ids field $id not in table schema " +
+                s"(top-level fields: ${idToName.values.mkString(", ")})")))
+          // per-file seq attaches the same way as on the data side
+          val delRows = spark.read.parquet(dels.map(_.path): _*)
+            .withColumn("__g_dfp", normPath(col("_metadata.file_path")))
+            .join(seqLookup(dels, "__g_dfp", "__g_dseq"), Seq("__g_dfp"))
+            .select((cols.map(c => col(c).as(s"__g_eq_$c")) :+
+              col("__g_dseq")): _*)
+          val cond = cols.map(c => data(c) <=> delRows(s"__g_eq_$c"))
+            .reduce(_ && _) && delRows("__g_dseq") > data("__g_seq")
+          data = data.join(delRows, cond, "left_anti")
+        }
+        data = data.drop("__g_seq")
+      }
+      data.drop("__g_fp")
     }
   }
+
+  /** [[normPath]]'s driver-side twin (same regex, plain strings). */
+  private def normSchemeless(p: String): String =
+    p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
 
   /** Incremental read: rows ADDED by snapshots in (fromSnapshotId,
     * toSnapshotId] — ref snapshot/SnapshotAfter.java +
@@ -512,6 +570,14 @@ object IcebergTable {
     val contentField =
       if (withContent) """{"name":"content","type":"int","field-id":134},"""
       else ""
+    // equality_ids (spec field-id 135) rides only on v2 entries; null for
+    // data and position-delete files, the column-id list for content=2
+    val eqIdsField =
+      if (withContent)
+        """,{"name":"equality_ids","type":["null",{"type":"array",
+          |"items":"int","element-id":136}],"default":null,"field-id":135}"""
+          .stripMargin.replace("\n", "")
+      else ""
     new Schema.Parser().parse(
       s"""{"type":"record","name":"manifest_entry","fields":[
          |{"name":"status","type":"int","field-id":0},
@@ -524,6 +590,7 @@ object IcebergTable {
          |  {"name":"record_count","type":"long","field-id":103},
          |  {"name":"file_size_in_bytes","type":"long","field-id":104},
          |  {"name":"block_size_in_bytes","type":"long","field-id":105}
+         |  $eqIdsField
          |]},"field-id":2}]}""".stripMargin)
   }
 
@@ -885,8 +952,10 @@ object IcebergTable {
     import spark.implicits._
     val meta = loadMeta(spark, table)
     val entries = liveEntries(spark, table)
-    require(entries.forall(_.content != 2),
-      s"cannot delete from a table with equality-delete files: $table")
+    // equality-delete files in the table are fine: the raw-parquet match
+    // below may emit position deletes for rows an equality delete already
+    // killed, which is harmless (the row is invisible either way), and
+    // rows appended after the equality delete match on their real content
     val dataFiles = entries.filter(_.content == 0)
     if (dataFiles.isEmpty) return meta.currentSnapshotId.getOrElse(0L)
     val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -930,14 +999,62 @@ object IcebergTable {
       snapshotId = snapshotId)
   }
 
+  /** Row-level DELETE by key: write EQUALITY-delete files (spec content
+    * id 2) naming the key tuples in `keys` — every current-or-future-
+    * until-now row matching a key tuple on `keys.columns` (null-safe)
+    * is deleted; rows appended by LATER snapshots keep living, because
+    * equality deletes only reach data files with a strictly smaller
+    * data sequence number. This is the delete shape CDC writers (e.g.
+    * Flink upsert sinks) produce, where the deleted rows' positions are
+    * unknown at delete time. `keys` stays distributed end-to-end: it is
+    * written straight out as the delete parquet (distinct, one file per
+    * partition), never collected. The table upgrades to format v2.
+    * Returns the new snapshot id. */
+  def deleteEquality(spark: SparkSession, table: String,
+                     keys: DataFrame): Long = {
+    val meta = loadMeta(spark, table)
+    val idOf: Map[String, Int] = meta.schemaNode.get("fields")
+      .elements.asScala
+      .map(f => f.get("name").asText -> f.get("id").asInt).toMap
+    val eqIds = keys.columns.toSeq.map(c => idOf.getOrElse(c,
+      throw new IllegalArgumentException(
+        s"equality column '$c' not in table schema of $table " +
+          s"(has: ${idOf.keys.mkString(", ")})")))
+    val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snapshotId = meta.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1L
+    val staging = new Path(table, s"_staging_eqdel$snapshotId")
+    keys.distinct().write.mode("overwrite").parquet(staging.toString)
+    val staged = fs.listStatus(staging).toSeq.map(_.getPath)
+      .filter { p => val n = p.getName
+        n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".") }
+      .sortBy(_.toString)
+      .filter(p => parquetRowCount(spark, p) > 0)
+    if (staged.isEmpty) {
+      fs.delete(staging, true)
+      return meta.currentSnapshotId.getOrElse(0L)
+    }
+    val dataDir = new Path(table, "data")
+    fs.mkdirs(dataDir)
+    val moved = staged.zipWithIndex.map { case (part, i) =>
+      val dest = new Path(dataDir, f"eqdelete-$i%05d-snap$snapshotId.parquet")
+      fs.delete(dest, false)
+      require(fs.rename(part, dest), s"rename failed: $part -> $dest")
+      dest
+    }
+    fs.delete(staging, true)
+    commitDeleteFiles(spark, table, meta, moved, content = 2,
+      snapshotId = snapshotId, equalityIds = eqIds)
+  }
+
   /** Register already-written delete files (parquet with `file_path` +
-    * `pos` columns for content=1 position deletes) as a new v2
-    * snapshot. Exposed within the package so specs can also build
-    * equality-delete (content=2) fixtures for the refusal path. */
+    * `pos` columns for content=1 position deletes; the equality columns
+    * themselves for content=2 equality deletes, with `equalityIds`
+    * naming their schema field ids) as a new v2 snapshot. */
   private[graft] def commitDeleteFiles(spark: SparkSession, table: String,
                                          meta: TableMeta, files: Seq[Path],
                                          content: Int,
-                                         snapshotId: Long): Long = {
+                                         snapshotId: Long,
+                                         equalityIds: Seq[Int] = Nil): Long = {
     val newSeq = meta.lastSequenceNumber + 1
     val nowMs = System.currentTimeMillis()
     val entrySchema = manifestEntrySchema(Nil, withContent = true)
@@ -954,6 +1071,8 @@ object IcebergTable {
         p.getFileSystem(spark.sparkContext.hadoopConfiguration)
           .getFileStatus(p).getLen)
       d.put("block_size_in_bytes", 67108864L)
+      if (equalityIds.nonEmpty)
+        d.put("equality_ids", equalityIds.map(Int.box).asJava)
       val e = new GenericData.Record(entrySchema)
       e.put("status", 1) // ADDED
       e.put("snapshot_id", snapshotId)

@@ -222,13 +222,50 @@ class IcebergSpec extends AnyFunSuite {
     assert(IcebergTable.read(spark, base).count() == 10L)
   }
 
-  test("equality-delete files refuse with a clear error (v2)") {
+  test("equality deletes apply by value, scoped by sequence number (v2)") {
     import spark.implicits._
     val base = freshDir("v2eq")
+    IcebergTable.write((1L to 10L).map(i => (i, s"v$i")).toDF("k", "v"), base)
+    // snapshot 2: equality-delete keys 1..3 (by value — CDC shape)
+    IcebergTable.deleteEquality(spark, base, Seq(1L, 2L, 3L).toDF("k"))
+    assert(IcebergTable.read(spark, base)
+      .select("k").collect().map(_.getLong(0)).toSet == (4L to 10L).toSet)
+    // time travel to snapshot 1 still sees every row
+    assert(IcebergTable.read(spark, base, snapshotId = Some(1L)).count() == 10L)
+    // snapshot 3 re-appends keys 2..4 — they must SURVIVE (their data
+    // sequence number is greater than the delete's), proving the
+    // strictly-less-than scoping the spec requires
+    IcebergTable.write(Seq((2L, "new2"), (3L, "new3"), (4L, "extra4"))
+      .toDF("k", "v"), base)
+    val rows = IcebergTable.read(spark, base)
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val expected = (4L to 10L).map(i => (i, s"v$i")).toSet ++
+      Set((2L, "new2"), (3L, "new3"), (4L, "extra4"))
+    assert(rows == expected)
+    // a position delete can stack on top of equality deletes
+    IcebergTable.deleteFrom(spark, base, col("v") === "extra4")
+    assert(IcebergTable.read(spark, base)
+      .filter(col("v") === "extra4").count() == 0L)
+  }
+
+  test("multi-column equality deletes match null-safely (v2)") {
+    import spark.implicits._
+    val base = freshDir("v2eqnull")
+    IcebergTable.write(Seq((1L, Some("a")), (2L, None), (3L, Some("b")),
+      (4L, None)).toDF("k", "tag"), base)
+    // delete on (k, tag) including a null tag tuple: null must match null
+    IcebergTable.deleteEquality(spark, base,
+      Seq((2L, Option.empty[String]), (3L, Some("b"))).toDF("k", "tag"))
+    val left = IcebergTable.read(spark, base)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(left == Set(1L, 4L)) // k=4 survives: (4,null) not in the keys
+  }
+
+  test("equality-delete file without equality_ids refuses (v2)") {
+    import spark.implicits._
+    val base = freshDir("v2eqbad")
     IcebergTable.write((1L to 10L).map(i => (i, "x")).toDF("k", "v"), base)
     val meta = IcebergTable.loadMeta(spark, base)
-    // hand-build an equality-delete file (values of `k` to drop) and
-    // commit it as content=2 — the shape our reader must refuse
     val eqPath = new org.apache.hadoop.fs.Path(base, "data/eqdel-0.parquet")
     Seq(1L, 2L).toDF("k").coalesce(1).write.mode("overwrite")
       .parquet(s"$base/_eqstage")
@@ -240,11 +277,7 @@ class IcebergSpec extends AnyFunSuite {
       content = 2, snapshotId = 2L)
     val e = intercept[IllegalArgumentException](
       IcebergTable.read(spark, base).collect())
-    assert(e.getMessage.contains("equality-delete"))
-    // and deleteFrom refuses to stack deletes on top of them
-    val e2 = intercept[IllegalArgumentException](
-      IcebergTable.deleteFrom(spark, base, col("k") === 3L))
-    assert(e2.getMessage.contains("equality-delete"))
+    assert(e.getMessage.contains("equality_ids"))
   }
 
   test("metadata tables and incremental read work on a v2 table") {
