@@ -275,6 +275,25 @@ object QueriesSources {
         .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
     }),
 
+    // ---- Paimon PRIMARY-KEY table: LSM merge-on-read (deduplicate
+    // engine) — per-key latest-sequence merge via partial-aggregating
+    // max_by, -D retractions drop their key, upserts after the initial
+    // load win (ref contrib/format-paimon/.../PaimonGroupScan.java —
+    // Drill merges through the paimon library's MergeTreeReader) ----
+    "q_paimon_pk" -> ((s, d) => {
+      graft.sources.PaimonTable.read(s, paimonPkFixture(s, d))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum("val").as("val_sum"))
+    }),
+
+    "q_paimon_pk_travel" -> ((s, d) => {
+      // snapshot 1 pins the pre-upsert, pre-delete state
+      graft.sources.PaimonTable.read(s, paimonPkFixture(s, d),
+          snapshotId = Some(1L))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum("val").as("val_sum"))
+    }),
+
     "q_paimon_time_travel" -> ((s, d) => {
       // snapshot 1 pins the pre-append state = keys < 1000
       graft.sources.PaimonTable.read(s, paimonFixture(s, d),
@@ -542,6 +561,36 @@ object QueriesSources {
     base
   }
 
+  /** Paimon PRIMARY-KEY fixture: snapshot 1 = keys <1000 (pk
+    * o_orderkey, 3 hash buckets), snapshot 2 upserts keys [500,700)
+    * (status → 'U', val → key*7), snapshot 3 retracts keys ≡ 0
+    * (mod 10) with key-only -D rows. */
+  private def paimonPkFixture(s: org.apache.spark.sql.SparkSession,
+                              d: String): String = {
+    import graft.sources.PaimonTable
+    val base = s"${out(d)}/paimon_pk_orders"
+    val donePath = new org.apache.hadoop.fs.Path(s"$base/snapshot/snapshot-3")
+    val fs = donePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(donePath)) {
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val src = GraftSession.table(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          (col("o_orderkey") * 3).as("val"))
+      PaimonTable.writePk(src.filter(col("o_orderkey") < 1000), base,
+        Seq("o_orderkey"), numBuckets = 3)
+      PaimonTable.writePk(
+        src.filter(col("o_orderkey") >= 500 && col("o_orderkey") < 700)
+          .withColumn("o_orderstatus", lit("U"))
+          .withColumn("val", col("o_orderkey") * 7),
+        base, Seq("o_orderkey"), kind = "+U")
+      PaimonTable.writePk(
+        src.filter(col("o_orderkey") < 1000 && col("o_orderkey") % 10 === 0)
+          .select("o_orderkey"),
+        base, Seq("o_orderkey"), kind = "-D")
+    }
+    base
+  }
+
   /** Build (once per SF) the 3-version hand-written Delta fixture both
     * delta gates read. */
   private def deltaFixture(s: org.apache.spark.sql.SparkSession, d: String): String = {
@@ -783,6 +832,19 @@ object QueriesSources {
       GROUP BY 1""",
     "q_paimon_time_travel" -> """
       SELECT o_orderstatus, count(*) AS n, sum(o_orderkey)::BIGINT AS key_sum
+      FROM orders WHERE o_orderkey < 1000
+      GROUP BY 1""",
+    "q_paimon_pk" -> """
+      SELECT o_orderstatus, count(*) AS n, sum(val)::BIGINT AS val_sum FROM (
+        SELECT CASE WHEN o_orderkey >= 500 AND o_orderkey < 700
+                    THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+               CASE WHEN o_orderkey >= 500 AND o_orderkey < 700
+                    THEN o_orderkey * 7 ELSE o_orderkey * 3 END AS val
+        FROM orders WHERE o_orderkey < 1000 AND o_orderkey % 10 <> 0)
+      GROUP BY 1""",
+    "q_paimon_pk_travel" -> """
+      SELECT o_orderstatus, count(*) AS n,
+             sum(o_orderkey * 3)::BIGINT AS val_sum
       FROM orders WHERE o_orderkey < 1000
       GROUP BY 1""",
     "q_jdbc_roundtrip" -> """

@@ -33,11 +33,14 @@ import scala.jdk.CollectionConverters._
   * suffixes mirror PaimonMetadataType, snapshotId / snapshotAsOfTime
   * mirror PaimonTableUtils).
   *
-  * Honest subset: append-only tables (empty `primaryKeys`) without
-  * partition columns, parquet data format. PRIMARY-KEY tables require
-  * LSM merge-on-read semantics and PARTITIONED tables require BinaryRow
-  * partition decoding — both REFUSE with a clear error rather than
-  * returning wrong rows (the Iceberg-v2-equality-delete posture).
+  * Supported: append-only tables AND primary-key tables (LSM
+  * merge-on-read: per-key latest-sequence-number merge over the spec's
+  * `_KEY_<col>` / `_SEQUENCE_NUMBER` / `_VALUE_KIND` system columns,
+  * RowKind retractions dropped — the spec's default `deduplicate`
+  * merge engine), unpartitioned, parquet data format. PARTITIONED
+  * tables require BinaryRow partition decoding and REFUSE with a clear
+  * error rather than returning wrong rows; so do non-`deduplicate`
+  * merge engines (partial-update / aggregation / first-row).
   *
   * Scale posture: metadata parsing (JSON + avro manifests) is
   * driver-side and metadata-scale — what Paimon's own planning does —
@@ -309,24 +312,53 @@ object PaimonTable {
       .distinctBy(_.fileName)
   }
 
-  /** Read an append-only unpartitioned Paimon table (optionally time
-    * traveled). Partitioned and primary-key tables refuse clearly. */
+  /** Read an unpartitioned Paimon table (optionally time traveled).
+    * Append-only tables scan directly; PRIMARY-KEY tables apply LSM
+    * merge-on-read: one hash shuffle on the key columns, per-key
+    * `max_by` over (sequence number, value kind) — a partial-aggregating
+    * plan, no window — then RowKind retractions (-U/-D) drop the key.
+    * Partitioned tables and non-deduplicate merge engines refuse. */
   def read(spark: SparkSession, table: String,
            snapshotId: Option[Long] = None,
            asOfTimeMs: Option[Long] = None): DataFrame = {
     val snap = selectSnapshot(snapshots(spark, table), snapshotId, asOfTimeMs)
     val sch = loadSchema(spark, table, Some(snap.schemaId))
-    require(sch.primaryKeys.isEmpty,
-      s"paimon PRIMARY-KEY table (keys ${sch.primaryKeys.mkString(",")}): " +
-        "LSM merge-on-read is not supported — append-only tables only")
     require(sch.partitionKeys.isEmpty,
       s"paimon PARTITIONED table (keys ${sch.partitionKeys.mkString(",")}) " +
-        "is not supported — unpartitioned append-only tables only")
+        "is not supported — unpartitioned tables only")
+    val merge = sch.options.getOrElse("merge-engine", "deduplicate")
+    require(sch.primaryKeys.isEmpty || merge == "deduplicate",
+      s"paimon merge-engine '$merge' is not supported — deduplicate only")
     val files = liveFiles(spark, table, snapshotId, asOfTimeMs)
       .map(f => s"$table/bucket-${f.bucket}/${f.fileName}")
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sch.schema)
-    else spark.read.schema(sch.schema).parquet(files: _*)
+    else if (sch.primaryKeys.isEmpty)
+      spark.read.schema(sch.schema).parquet(files: _*)
+    else {
+      import org.apache.spark.sql.functions.{col, max_by, struct}
+      // PK data files carry the spec's KeyValue layout: trimmed key
+      // columns as _KEY_<name>, then _SEQUENCE_NUMBER (BIGINT) +
+      // _VALUE_KIND (TINYINT RowKind: 0 +I, 1 -U, 2 +U, 3 -D), then the
+      // full value row. Merge = deduplicate: the row with the highest
+      // sequence number wins its key; kind breaks exact ties (later
+      // retract outranks its paired insert), and the winner survives
+      // only when it is additive (+I/+U).
+      val keyFields = sch.primaryKeys.map(k =>
+        sch.schema(k).copy(name = s"_KEY_$k"))
+      val pkSchema = StructType(keyFields.toArray ++
+        Array(StructField("_SEQUENCE_NUMBER", LongType, nullable = false),
+          StructField("_VALUE_KIND", ByteType, nullable = false)) ++
+        sch.schema.fields)
+      val raw = spark.read.schema(pkSchema).parquet(files: _*)
+      val valueCols = sch.schema.fields.map(f => col(f.name)).toSeq
+      raw.groupBy(sch.primaryKeys.map(k => col(s"_KEY_$k")): _*)
+        .agg(max_by(struct(col("_VALUE_KIND") +: valueCols: _*),
+          struct(col("_SEQUENCE_NUMBER"), col("_VALUE_KIND"))).as("__g_top"))
+        .filter(col("__g_top._VALUE_KIND") === 0 ||
+          col("__g_top._VALUE_KIND") === 2)
+        .select(sch.schema.fields.map(f => col(s"__g_top.${f.name}")).toSeq: _*)
+    }
   }
 
   /** Incremental read: rows ADDED by snapshots in (fromSnapshotId,
@@ -446,26 +478,52 @@ object PaimonTable {
     // ---- data files: distributed write to staging, move into bucket-0/
     val staging = new Path(table, s"_staging_snap$snapId")
     df.write.mode("overwrite").parquet(staging.toString)
-    val bucketDir = new Path(table, "bucket-0")
-    fs.mkdirs(bucketDir)
-    val moved = fs.listStatus(staging).toSeq
-      .filter { s =>
-        val n = s.getPath.getName
-        n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
-      }
-      .zipWithIndex.map { case (s, i) =>
-        val name = s"data-${UUID.randomUUID()}-$i.parquet"
-        fs.rename(s.getPath, new Path(bucketDir, name))
-        val p = new Path(bucketDir, name)
-        (name, fs.getFileStatus(p).getLen, parquetRowCount(spark, p))
-      }
+    val moved = moveStaged(spark, table, staging, bucketOf = _ => 0)
+    commitSnapshot(spark, table, moved, mode, snapId, prevSnaps,
+      totalBuckets = 1)
+  }
+
+  /** Move staged parquet files into their `bucket-<b>/` dirs; `bucketOf`
+    * maps a staged file's path to its bucket (directory-partitioned
+    * staging encodes it as a `__bucket=<b>` component). Returns
+    * (bucket, fileName, size, rowCount) per moved file. */
+  private def moveStaged(spark: SparkSession, table: String, staging: Path,
+                         bucketOf: Path => Int): Seq[(Int, String, Long, Long)] = {
+    val fs = fsOf(spark, table)
+    def walk(p: Path): Seq[Path] = fs.listStatus(p).toSeq.flatMap { s =>
+      val n = s.getPath.getName
+      if (s.isDirectory) { if (n.startsWith("_t") || n.startsWith(".")) Nil else walk(s.getPath) }
+      else if (n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
+        Seq(s.getPath)
+      else Nil
+    }
+    val moved = walk(staging).sortBy(_.toString).zipWithIndex.map { case (src, i) =>
+      val b = bucketOf(src)
+      val bucketDir = new Path(table, s"bucket-$b")
+      fs.mkdirs(bucketDir)
+      val name = s"data-${UUID.randomUUID()}-$i.parquet"
+      fs.rename(src, new Path(bucketDir, name))
+      val p = new Path(bucketDir, name)
+      (b, name, fs.getFileStatus(p).getLen, parquetRowCount(spark, p))
+    }
     fs.delete(staging, true)
+    moved
+  }
+
+  /** Shared commit tail: delta manifest + manifest lists + snapshot JSON
+    * + hints for a set of moved data files. */
+  private def commitSnapshot(spark: SparkSession, table: String,
+                             moved: Seq[(Int, String, Long, Long)],
+                             mode: SaveMode, snapId: Long,
+                             prevSnaps: Seq[SnapshotInfo],
+                             totalBuckets: Int): Long = {
+    val fs = fsOf(spark, table)
 
     // ---- delta manifest (ADD entry per file) + manifest lists
     val mdir = manifestDir(table)
     fs.mkdirs(mdir)
     val uuid = UUID.randomUUID().toString
-    val entries = moved.map { case (name, size, rows) =>
+    val entries = moved.map { case (bucket, name, size, rows) =>
       val fm = new GenericData.Record(
         manifestEntrySchema.getField("_FILE").schema)
       fm.put("_FILE_NAME", name)
@@ -485,8 +543,8 @@ object PaimonTable {
       e.put("_VERSION", 2)
       e.put("_KIND", 0) // ADD
       e.put("_PARTITION", emptyRowBytes.duplicate())
-      e.put("_BUCKET", 0)
-      e.put("_TOTAL_BUCKETS", 1)
+      e.put("_BUCKET", bucket)
+      e.put("_TOTAL_BUCKETS", totalBuckets)
       e.put("_FILE", fm)
       e
     }
@@ -525,7 +583,7 @@ object PaimonTable {
       Seq(listRecord(deltaManifest, deltaLen, moved.size.toLong)))
 
     // ---- snapshot JSON + hints
-    val newRows = moved.map(_._3).sum
+    val newRows = moved.map(_._4).sum
     val total =
       if (mode == SaveMode.Overwrite) newRows
       else prevSnaps.lastOption.map(_.totalRecordCount).filter(_ >= 0)
@@ -545,6 +603,91 @@ object PaimonTable {
     if (prevSnaps.isEmpty)
       writeText(spark, new Path(snapshotDir(table), "EARLIEST"), "1")
     snapId
+  }
+
+  /** RowKind name → the spec's TINYINT code. */
+  private val RowKinds = Map("+I" -> 0, "-U" -> 1, "+U" -> 2, "-D" -> 3)
+
+  /** Write `df` as a new snapshot of a PRIMARY-KEY Paimon table
+    * (creating it with `numBuckets` fixed buckets when absent). Rows
+    * carry `kind` — `"+I"`/`"+U"` upsert their key, `"-D"` retracts it
+    * (for deletes `df` may carry just the key columns; missing value
+    * columns write as null). The per-commit sequence number is the
+    * snapshot id, so later commits win their keys under the deduplicate
+    * merge [[read]] applies; rows are hash-bucketed on the key columns
+    * (Spark murmur3 — engine-local, like any single writer's bucketing;
+    * full scans read every bucket so placement never affects results)
+    * and each bucket's files move under its `bucket-<b>/` dir. The
+    * write is distributed end-to-end: one directory-partitioned staging
+    * write, driver touches only file metadata. Returns the snapshot id.
+    * Within one commit rows share the sequence number, so upserting the
+    * same key twice in a single `df` is unspecified (dedupe first). */
+  def writePk(df: DataFrame, table: String, primaryKeys: Seq[String],
+              kind: String = "+I", numBuckets: Int = 2,
+              mode: SaveMode = SaveMode.Append): Long = {
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    require(primaryKeys.nonEmpty, "writePk needs at least one primary key")
+    val kindCode = RowKinds.getOrElse(kind,
+      throw new IllegalArgumentException(
+        s"rowkind '$kind' (one of ${RowKinds.keys.mkString(", ")})"))
+    require(mode == SaveMode.Append || mode == SaveMode.Overwrite,
+      s"paimon write supports Append/Overwrite, got $mode")
+    val spark = df.sparkSession
+    val fs = fsOf(spark, table)
+    val exists = fs.exists(schemaDir(table))
+    val (tblSchema, buckets) = if (exists) {
+      val prior = loadSchema(spark, table)
+      require(prior.primaryKeys == primaryKeys,
+        s"primary keys mismatch: table has ${prior.primaryKeys.mkString(",")}")
+      (prior.schema, prior.options.getOrElse("bucket", "1").toInt.max(1))
+    } else {
+      require(kindCode == 0, s"cannot create a table from $kind rows")
+      primaryKeys.foreach(k => require(df.columns.contains(k),
+        s"primary key '$k' not in ${df.columns.mkString(",")}"))
+      val fields = df.schema.fields.zipWithIndex.map { case (f, i) =>
+        val nullable = f.nullable && !primaryKeys.contains(f.name)
+        s"""{"id":$i,"name":"${f.name}","type":"${toPaimonType(f.dataType, nullable)}"}"""
+      }.mkString(",")
+      writeText(spark, new Path(schemaDir(table), "schema-0"),
+        s"""{"version":3,"id":0,"fields":[$fields],
+           |"highestFieldId":${df.schema.size - 1},
+           |"partitionKeys":[],"primaryKeys":[${primaryKeys.map(k => s""""$k"""").mkString(",")}],
+           |"options":{"bucket":"$numBuckets","file.format":"parquet",
+           |"merge-engine":"deduplicate"},
+           |"timeMillis":${System.currentTimeMillis()}}""".stripMargin)
+      (df.schema, numBuckets)
+    }
+    val prevSnaps = if (exists) snapshots(spark, table) else Nil
+    val snapId = prevSnaps.map(_.id).maxOption.getOrElse(0L) + 1L
+
+    // KeyValue row layout: _KEY_* + _SEQUENCE_NUMBER + _VALUE_KIND +
+    // full value row (missing value columns → typed nulls for -D rows)
+    val have = df.columns.toSet
+    val valueCols = tblSchema.fields.toSeq.map { f =>
+      if (have.contains(f.name)) col(f.name).as(f.name)
+      else {
+        require(kindCode == 3,
+          s"column '${f.name}' missing from upsert data for $table")
+        lit(null).cast(f.dataType).as(f.name)
+      }
+    }
+    val keyed = df.select(
+      primaryKeys.map(k => col(k).as(s"_KEY_$k")) ++
+        Seq(lit(snapId).as("_SEQUENCE_NUMBER"),
+          lit(kindCode).cast("tinyint").as("_VALUE_KIND")) ++
+        valueCols: _*)
+      .withColumn("__bucket",
+        pmod(hash(primaryKeys.map(k => col(s"_KEY_$k")): _*), lit(buckets)))
+    val staging = new Path(table, s"_staging_snap$snapId")
+    keyed.write.partitionBy("__bucket").mode("overwrite")
+      .parquet(staging.toString)
+    val moved = moveStaged(spark, table, staging, bucketOf = p => {
+      val comp = p.toString.split('/').find(_.startsWith("__bucket="))
+        .getOrElse(throw new IllegalStateException(s"no __bucket= in $p"))
+      comp.substring("__bucket=".length).toInt
+    })
+    commitSnapshot(spark, table, moved, mode, snapId, prevSnaps,
+      totalBuckets = buckets)
   }
 
   private def parquetRowCount(spark: SparkSession, p: Path): Long = {

@@ -80,12 +80,10 @@ class PaimonSpec extends AnyFunSuite {
     }
   }
 
-  test("primary-key and partitioned tables refuse with a clear error") {
+  test("partitioned tables and exotic merge engines refuse clearly") {
     import spark.implicits._
     val base = freshDir("refuse")
     PaimonTable.write((1L to 5L).map(i => (i, s"v$i")).toDF("id", "v"), base)
-    // rewrite schema-0 to declare a primary key (what a paimon PK table
-    // carries) — the reader must refuse, not return unmerged rows
     val schemaPath = new org.apache.hadoop.fs.Path(s"$base/schema/schema-0")
     val fs = schemaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = fs.open(schemaPath)
@@ -94,11 +92,16 @@ class PaimonSpec extends AnyFunSuite {
       val os = fs.create(schemaPath, true)
       os.write(s.getBytes("UTF-8")); os.close()
     }
-    rewrite(orig.replace("\"primaryKeys\":[]", "\"primaryKeys\":[\"id\"]"))
+    // a PK table with a merge engine we can't honor must refuse, not
+    // return wrongly-merged rows
+    rewrite(orig
+      .replace("\"primaryKeys\":[]", "\"primaryKeys\":[\"id\"]")
+      .replace("\"file.format\":\"parquet\"",
+        "\"file.format\":\"parquet\",\"merge-engine\":\"partial-update\""))
     val e1 = intercept[IllegalArgumentException] {
       PaimonTable.read(spark, base)
     }
-    assert(e1.getMessage.contains("PRIMARY-KEY"))
+    assert(e1.getMessage.contains("merge-engine"))
     rewrite(orig.replace("\"partitionKeys\":[]", "\"partitionKeys\":[\"v\"]"))
     val e2 = intercept[IllegalArgumentException] {
       PaimonTable.read(spark, base)
@@ -106,6 +109,61 @@ class PaimonSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("PARTITIONED"))
     rewrite(orig)
     assert(PaimonTable.read(spark, base).count() == 5L)
+  }
+
+  test("primary-key table: upsert + delete merge to latest state") {
+    import spark.implicits._
+    val base = freshDir("pk")
+    // snap 1: initial rows, 3 buckets
+    PaimonTable.writePk((1L to 20L).map(i => (i, s"v$i", i * 10L))
+      .toDF("id", "name", "amt"), base, Seq("id"), numBuckets = 3)
+    // snap 2: update ids 5..8 (+U), insert 21..22 (+I semantics equal)
+    PaimonTable.writePk(
+      ((5L to 8L).map(i => (i, s"upd$i", i * 100L)) ++
+        Seq((21L, "v21", 210L), (22L, "v22", 220L))).toDF("id", "name", "amt"),
+      base, Seq("id"), kind = "+U")
+    // snap 3: delete ids divisible by 4 — key-only frame
+    PaimonTable.writePk((1L to 22L).filter(_ % 4 == 0).toDF("id"),
+      base, Seq("id"), kind = "-D")
+    val rows = PaimonTable.read(spark, base)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val expected = (1L to 22L).filter(_ % 4 != 0).map { i =>
+      if (i >= 5 && i <= 8) (i, s"upd$i", i * 100L)
+      else if (i == 21 || i == 22) (i, s"v$i", i * 10L)
+      else (i, s"v$i", i * 10L)
+    }.toSet
+    assert(rows == expected)
+    // keys live in more than one bucket dir (hash-bucketed layout)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bucketDirs = fs.listStatus(new org.apache.hadoop.fs.Path(base))
+      .map(_.getPath.getName).filter(_.startsWith("bucket-")).toSet
+    assert(bucketDirs.size > 1)
+    // time travel: snapshot 1 is the pre-update state
+    val snap1 = PaimonTable.read(spark, base, snapshotId = Some(1L))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(snap1 == (1L to 20L).map(i => (i, s"v$i", i * 10L)).toSet)
+    // schema records the keys; #schemas metadata table shows them
+    assert(PaimonTable.loadSchema(spark, base).primaryKeys == Seq("id"))
+  }
+
+  test("primary-key table guards: key mismatch, bad kind, missing column") {
+    import spark.implicits._
+    val base = freshDir("pkguards")
+    PaimonTable.writePk(Seq((1L, "a")).toDF("id", "v"), base, Seq("id"))
+    intercept[IllegalArgumentException] {
+      PaimonTable.writePk(Seq((2L, "b")).toDF("id", "v"), base, Seq("v"))
+    }
+    intercept[IllegalArgumentException] {
+      PaimonTable.writePk(Seq((2L, "b")).toDF("id", "v"), base, Seq("id"),
+        kind = "upsert")
+    }
+    // missing value column is only legal for -D retractions
+    intercept[IllegalArgumentException] {
+      PaimonTable.writePk(Seq(2L).toDF("id"), base, Seq("id"), kind = "+U")
+    }
+    PaimonTable.writePk(Seq(1L).toDF("id"), base, Seq("id"), kind = "-D")
+    assert(PaimonTable.read(spark, base).count() == 0L)
   }
 
   test("incremental readAppendedBetween returns exactly the delta rows") {

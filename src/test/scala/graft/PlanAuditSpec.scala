@@ -259,4 +259,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"),
       s"data rows must not shuffle to apply deletes:\n$p")
   }
+
+  test("q_iceberg_eq_delete: equality deletes apply as broadcast anti-joins") {
+    val p = plan("q_iceberg_eq_delete")
+    assert(p.contains("LeftAnti"), s"anti-join for equality deletes:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"small delete set should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"equality columns must be equi-join keys, seq a residual:\n$p")
+  }
+
+  test("q_paimon_pk: LSM merge is one partial aggregation, no window") {
+    val p = plan("q_paimon_pk")
+    // deduplicate merge = max_by per key → ObjectHashAggregate with a
+    // partial phase before the key shuffle; a window/sort spelling would
+    // shuffle the whole table then sort every partition
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      s"max_by aggregation expected:\n$p")
+    assert(p.contains("partial_max_by") || p.contains("partial"),
+      s"map-side partial merge expected:\n$p")
+    assert(!p.contains("Window"), s"no window pass for the merge:\n$p")
+  }
 }
