@@ -186,6 +186,26 @@ object QueriesSources {
         .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
     }),
 
+    // ---- Delta DELETION VECTORS (PROTOCOL.md): the add actions carry
+    // roaring bitmaps of deleted row positions; the reader expands them
+    // on executors and drops the rows with one anti-join. Current Delta
+    // writers enable DVs by default, so this is the layout a real table
+    // most likely has (beyond Drill's format-deltalake, which predates
+    // DVs and would silently return the deleted rows) ----
+    "q_delta_dv" -> ((s, d) => {
+      graft.sources.DeltaLogReader.read(s, deltaDvFixture(s, d))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
+    }),
+
+    // ---- Delta COLUMN MAPPING mode `name`: parquet stores physical
+    // names, the schemaString's field metadata maps them to logical ----
+    "q_delta_colmap" -> ((s, d) => {
+      graft.sources.DeltaLogReader.read(s, deltaCmFixture(s, d))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
+    }),
+
     // ---- Delta WRITE path: CTAS (v0) + append (v1) + overwrite (v2,
     // removes the prior snapshot's files in the same commit); reading
     // the latest snapshot must see ONLY the overwrite ----
@@ -593,6 +613,86 @@ object QueriesSources {
 
   /** Build (once per SF) the 3-version hand-written Delta fixture both
     * delta gates read. */
+  /** Delta DELETION-VECTOR fixture: file a = keys <1000 sorted by key
+    * with a DV flagging keys ≡ 0,1 (mod 10) by row position, file b =
+    * keys [1000,1400) with no DV — one commit, minReaderVersion 3 +
+    * deletionVectors feature (the layout current Delta writers emit by
+    * default). */
+  private def deltaDvFixture(s: org.apache.spark.sql.SparkSession,
+                             d: String): String = {
+    import graft.sources.{DeletionVectors, DeltaLogReader}
+    val base = s"${out(d)}/delta_dv_orders"
+    val donePath = new org.apache.hadoop.fs.Path(
+      s"$base/_delta_log/00000000000000000000.json")
+    val fs = donePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(donePath)) {
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val src = GraftSession.table(s, d, "orders")
+        .select("o_orderkey", "o_orderstatus")
+      val sortedA = src.filter(col("o_orderkey") < 1000)
+        .repartition(1).sortWithinPartitions("o_orderkey")
+      val szA = DeltaLogReader.writeDataFile(sortedA, base, "a.parquet")
+      val szB = DeltaLogReader.writeDataFile(
+        src.filter(col("o_orderkey") >= 1000 && col("o_orderkey") < 1400),
+        base, "b.parquet")
+      // DV positions = 0-based ranks of the keys to delete in the sorted
+      // file (fixture-scale collect: the keys of ONE data file)
+      val keysA = sortedA.select("o_orderkey").collect().map(_.getLong(0))
+      val posA = keysA.zipWithIndex.collect {
+        case (k, i) if k % 10 < 2 => i.toLong
+      }.toSeq
+      val dv = DeletionVectors.writeDvFile(s, base, Seq("a.parquet" -> posA))("a.parquet")
+      DeltaLogReader.writeCommit(s, base, 0, Seq(
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+          """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+        DeltaLogReader.metaDataAction(src.schema, Nil),
+        s"""{"add":{"path":"a.parquet","partitionValues":{},"size":$szA,""" +
+          s""""modificationTime":1,"dataChange":true,"deletionVector":{""" +
+          s""""storageType":"${dv.storageType}","pathOrInlineDv":"${dv.pathOrInlineDv}",""" +
+          s""""offset":${dv.offset},"sizeInBytes":${dv.sizeInBytes},"cardinality":${dv.cardinality}}}}""",
+        s"""{"add":{"path":"b.parquet","partitionValues":{},"size":$szB,""" +
+          s""""modificationTime":1,"dataChange":true}}"""))
+    }
+    base
+  }
+
+  /** Delta COLUMN-MAPPING (mode `name`) fixture: the parquet stores
+    * physical names `col-9f1`/`col-a44`; the log's schemaString maps
+    * them to o_orderkey/o_orderstatus via field metadata. */
+  private def deltaCmFixture(s: org.apache.spark.sql.SparkSession,
+                             d: String): String = {
+    import graft.sources.DeltaLogReader
+    import org.apache.spark.sql.types._
+    val base = s"${out(d)}/delta_cm_orders"
+    val donePath = new org.apache.hadoop.fs.Path(
+      s"$base/_delta_log/00000000000000000000.json")
+    val fs = donePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(donePath)) {
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val src = GraftSession.table(s, d, "orders")
+        .filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey").as("col-9f1"),
+          col("o_orderstatus").as("col-a44"))
+      val sz = DeltaLogReader.writeDataFile(src, base, "a.parquet")
+      def meta(phys: String, id: Int) = new MetadataBuilder()
+        .putString("delta.columnMapping.physicalName", phys)
+        .putLong("delta.columnMapping.id", id.toLong).build()
+      val logical = StructType(Seq(
+        StructField("o_orderkey", LongType, nullable = true, meta("col-9f1", 1)),
+        StructField("o_orderstatus", StringType, nullable = true, meta("col-a44", 2))))
+      val schemaStr = new com.fasterxml.jackson.databind.ObjectMapper()
+        .writeValueAsString(logical.json)
+      DeltaLogReader.writeCommit(s, base, 0, Seq(
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        s"""{"metaData":{"id":"graft-fixture","format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":$schemaStr,"partitionColumns":[],""" +
+          s""""configuration":{"delta.columnMapping.mode":"name"}}}""",
+        s"""{"add":{"path":"a.parquet","partitionValues":{},"size":$sz,""" +
+          s""""modificationTime":1,"dataChange":true}}"""))
+    }
+    base
+  }
+
   private def deltaFixture(s: org.apache.spark.sql.SparkSession, d: String): String = {
     import graft.sources.DeltaLogReader
     val base = s"${out(d)}/delta_orders"
@@ -788,6 +888,16 @@ object QueriesSources {
     "q_read_delta" -> """
       SELECT o_orderstatus, count(*) AS n, sum(o_orderkey)::BIGINT AS key_sum
       FROM orders WHERE o_orderkey >= 500 AND o_orderkey < 1200
+      GROUP BY 1""",
+    "q_delta_dv" -> """
+      SELECT o_orderstatus, count(*) AS n, sum(o_orderkey)::BIGINT AS key_sum
+      FROM orders
+      WHERE (o_orderkey < 1000 AND o_orderkey % 10 >= 2)
+         OR (o_orderkey >= 1000 AND o_orderkey < 1400)
+      GROUP BY 1""",
+    "q_delta_colmap" -> """
+      SELECT o_orderstatus, count(*) AS n, sum(o_orderkey)::BIGINT AS key_sum
+      FROM orders WHERE o_orderkey < 2000
       GROUP BY 1""",
     "q_delta_time_travel" -> """
       SELECT o_orderstatus, count(*) AS n, sum(o_orderkey)::BIGINT AS key_sum

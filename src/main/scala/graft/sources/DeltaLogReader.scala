@@ -4,7 +4,7 @@ import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 import scala.jdk.CollectionConverters._
 
 /** Hand-rolled Delta Lake transaction-log reader — no delta-core jar, the
@@ -38,18 +38,33 @@ import scala.jdk.CollectionConverters._
   * after it; time travel BELOW the oldest surviving state raises a
   * clear history-vacuumed error rather than a wrong answer.
   *
+  * DELETION VECTORS (PROTOCOL.md §Deletion Vectors) are read: an add
+  * action's `deletionVector` descriptor names a roaring bitmap of
+  * deleted row indexes ([[DeletionVectors]] hand-rolls the codec), the
+  * bitmaps expand to (file, row_index) pairs ON EXECUTORS (one task per
+  * DV file — at 100 TB the positions never pass through the driver),
+  * and the scan drops them with one LEFT ANTI join on
+  * (`_metadata.file_path`, `row_index`) — broadcast when the summed
+  * descriptor cardinality (known from metadata alone) is small.
+  *
+  * COLUMN MAPPING mode `name` is read: data columns resolve by the
+  * schema fields' `delta.columnMapping.physicalName` metadata and
+  * rename back to logical names; partitionValues keys are physical
+  * under mapping (spec writer requirement) and resolve the same way.
+  * Mode `id` (parquet field-id resolution) still refuses.
+  *
   * Protocol guardrails (PROTOCOL.md reader-version rules): the replay
-  * tracks the `protocol` action and the metaData column-mapping mode,
-  * and REFUSES tables whose protocol demands capabilities this reader
-  * does not implement (deletion vectors, column mapping, v2
-  * checkpoints, minReaderVersion > 3) — refusing beats silently
-  * returning rows a deletion vector says are gone.
+  * tracks the `protocol` action and REFUSES tables whose protocol
+  * demands capabilities this reader does not implement (column-mapping
+  * mode `id`, v2 checkpoints, minReaderVersion > 3) — refusing beats
+  * silently wrong rows.
   */
 object DeltaLogReader {
 
   private val mapper = new ObjectMapper()
 
-  private case class AddFile(path: String, partitionValues: Map[String, String])
+  private case class AddFile(path: String, partitionValues: Map[String, String],
+                             dv: Option[DeletionVectors.DvDescriptor] = None)
 
   /** JSON commit versions present in `_delta_log`, ascending (may start
     * past 0 on a vacuumed log — checkpoints carry the earlier state). */
@@ -137,12 +152,25 @@ object DeltaLogReader {
             }
         }
         if (actions.columns.contains("add")) {
+          val addType = actions.schema("add").dataType.asInstanceOf[StructType]
+          val hasDv = addType.fieldNames.contains("deletionVector")
+          val addCols = Seq("add.path", "add.partitionValues") ++
+            (if (hasDv) Seq("add.deletionVector") else Nil)
           actions.filter(col("add").isNotNull)
-            .select("add.path", "add.partitionValues")
+            .select(addCols.head, addCols.tail: _*)
             .collect().foreach { r =>
               val pv = Option(r.getMap[String, String](1))
                 .map(_.toMap).getOrElse(Map.empty[String, String])
-              state(r.getString(0)) = AddFile(r.getString(0), pv)
+              val dv =
+                if (hasDv && !r.isNullAt(2)) {
+                  val d = r.getStruct(2)
+                  def f(n: String) = d.fieldIndex(n)
+                  Some(DeletionVectors.DvDescriptor(
+                    d.getString(f("storageType")), d.getString(f("pathOrInlineDv")),
+                    if (d.isNullAt(f("offset"))) 0 else d.getInt(f("offset")),
+                    d.getInt(f("sizeInBytes")), d.getLong(f("cardinality"))))
+                } else None
+              state(r.getString(0)) = AddFile(r.getString(0), pv, dv)
             }
         }
         cv + 1
@@ -179,7 +207,13 @@ object DeltaLogReader {
           val pv = Option(a.get("partitionValues"))
             .map(_.fields.asScala.map(e => e.getKey -> e.getValue.asText).toMap)
             .getOrElse(Map.empty[String, String])
-          state(a.get("path").asText) = AddFile(a.get("path").asText, pv)
+          val dv = Option(a.get("deletionVector")).filterNot(_.isNull).map { d =>
+            DeletionVectors.DvDescriptor(
+              d.get("storageType").asText, d.get("pathOrInlineDv").asText,
+              Option(d.get("offset")).filterNot(_.isNull).map(_.asInt).getOrElse(0),
+              d.get("sizeInBytes").asInt, d.get("cardinality").asLong)
+          }
+          state(a.get("path").asText) = AddFile(a.get("path").asText, pv, dv)
         } else if (n.has("remove")) {
           state.remove(n.get("remove").get("path").asText)
         } // protocol/commitInfo/txn actions carry no snapshot state
@@ -192,29 +226,30 @@ object DeltaLogReader {
 
   /** Reader features this implementation actually honors when a table
     * declares minReaderVersion 3 (PROTOCOL.md table-features):
-    * timestampNtz is plain schema/parquet behavior Spark covers, and
-    * vacuumProtocolCheck changes nothing at read time. Everything else
-    * — deletionVectors, columnMapping, v2Checkpoint, … — would make
-    * this reader silently return WRONG rows, so it must refuse. */
-  private val supportedReaderFeatures = Set("timestampNtz", "vacuumProtocolCheck")
+    * timestampNtz is plain schema/parquet behavior Spark covers,
+    * vacuumProtocolCheck changes nothing at read time, deletionVectors
+    * and columnMapping (mode `name`; `id` is re-checked on the mode
+    * itself) are implemented here. Everything else — v2Checkpoint, … —
+    * would make this reader silently return WRONG rows, so it must
+    * refuse. */
+  private val supportedReaderFeatures =
+    Set("timestampNtz", "vacuumProtocolCheck", "deletionVectors", "columnMapping")
 
   /** PROTOCOL.md reader-version rules: a reader MUST refuse tables whose
     * protocol demands capabilities it does not implement, instead of
-    * degrading to wrong answers (the Iceberg-v2-equality-delete /
-    * compressed-SAS refusal posture). */
+    * degrading to wrong answers (the compressed-SAS refusal posture). */
   private def checkProtocol(tablePath: String, minReader: Int,
                             readerFeatures: Set[String],
                             colMappingMode: String): Unit = {
     require(minReader <= 3,
       s"Delta table $tablePath requires minReaderVersion $minReader; " +
         "this reader implements protocol versions 1-3")
-    // reader version 2 = column mapping capability; honored only while
-    // the table leaves mapping OFF (ids/physical names would otherwise
-    // silently misread columns)
-    require(colMappingMode == "none",
+    // mode `name` resolves via physicalName metadata in read(); `id`
+    // needs parquet field-id resolution this reader does not do
+    require(colMappingMode == "none" || colMappingMode == "name",
       s"Delta table $tablePath uses column mapping mode '$colMappingMode' " +
-        "(unsupported — physical column names/ids would be misread); " +
-        "rewrite with delta.columnMapping.mode=none to read here")
+        "(only 'none' and 'name' are supported — id-based resolution " +
+        "would silently misread columns)")
     if (minReader >= 3) {
       val unsupported = readerFeatures -- supportedReaderFeatures
       require(unsupported.isEmpty,
@@ -236,6 +271,9 @@ object DeltaLogReader {
                                    version: Option[Long])
       : (StructType, Seq[String], Seq[(String, Map[String, String])]) = {
     val (s, pc, files) = snapshot(spark, tablePath, version)
+    require(files.forall(_.dv.isEmpty),
+      s"checkpointing a table with deletion vectors is not supported: " +
+        s"$tablePath (the checkpoint would drop the vectors)")
     (s, pc, files.map(f => (f.path, f.partitionValues)))
   }
 
@@ -257,42 +295,100 @@ object DeltaLogReader {
            maxLiteralPartitions: Int = 64): DataFrame = {
     import org.apache.spark.sql.functions.{input_file_name, regexp_replace}
     val (schema, partCols, files) = snapshot(spark, tablePath, version)
-    val dataSchema = StructType(schema.fields.filterNot(f => partCols.contains(f.name)))
+    // column mapping (mode `name`): the scan reads PHYSICAL names from
+    // the fields' metadata and the final select renames back; partition
+    // values key by physical name too (spec writer requirement). Flat
+    // schemas only — a physicalName on a NESTED field refuses.
+    val PhysKey = "delta.columnMapping.physicalName"
+    def assertFlat(dt: DataType): Unit = dt match {
+      case st: StructType => st.fields.foreach { f =>
+        require(!f.metadata.contains(PhysKey),
+          s"column mapping on nested field '${f.name}' is not supported")
+        assertFlat(f.dataType)
+      }
+      case org.apache.spark.sql.types.ArrayType(et, _) => assertFlat(et)
+      case org.apache.spark.sql.types.MapType(k, v, _) =>
+        assertFlat(k); assertFlat(v)
+      case _ => ()
+    }
+    schema.fields.foreach(f => assertFlat(f.dataType))
+    val phys: Map[String, String] = schema.fields.map(f => f.name ->
+      (if (f.metadata.contains(PhysKey)) f.metadata.getString(PhysKey)
+       else f.name)).toMap
+    val dataSchema = StructType(schema.fields
+      .filterNot(f => partCols.contains(f.name))
+      .map(f => StructField(phys(f.name), f.dataType, f.nullable)))
     def absolute(p: String): String =
       if (p.startsWith("/") || p.contains("://")) p else s"$tablePath/$p"
     if (files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    if (partCols.isEmpty)
-      return spark.read.schema(dataSchema)
-        .parquet(files.map(f => absolute(f.path)): _*)
-    val byTuple = files.groupBy(_.partitionValues)
-    if (byTuple.size <= maxLiteralPartitions)
-      byTuple.toSeq.map { case (pv, group) =>
-        val base = spark.read.schema(dataSchema)
-          .parquet(group.map(f => absolute(f.path)): _*)
-        partCols.foldLeft(base) { (df, c) =>
-          val raw = pv.get(c).orNull // absent/null partitionValue => NULL partition
-          df.withColumn(c,
-            (if (raw == null) lit(null) else lit(raw)).cast(schema(c).dataType))
-        }
-      }.reduce(_ unionByName _).select(schema.fieldNames.map(col).toSeq: _*)
-    else {
-      // one scan + broadcast (relative path -> partition values) join;
-      // scheme differences ("file:///x" vs "/x") normalize away
-      import spark.implicits._
-      val pvRows = files.map(f => (absNorm(absolute(f.path)),
-        partCols.map(c => f.partitionValues.get(c).orNull)))
-      val pvDf = broadcast(pvRows.toDF("__file", "__pv"))
-      val scan = spark.read.schema(dataSchema)
-        .parquet(files.map(f => absolute(f.path)): _*)
-        .withColumn("__file",
-          regexp_replace(input_file_name(), "^[a-zA-Z0-9]+:/+", "/"))
-      partCols.zipWithIndex.foldLeft(scan.join(pvDf, "__file")) {
-        case (df, (c, i)) =>
-          df.withColumn(c, col("__pv").getItem(i).cast(schema(c).dataType))
-      }.select(schema.fieldNames.map(col).toSeq: _*)
+    val anyDv = files.exists(_.dv.isDefined)
+    // deletion vectors need each row's (file, row index) for the anti-join
+    def baseScan(paths: Seq[String]): DataFrame = {
+      var df = spark.read.schema(dataSchema).parquet(paths: _*)
+      if (anyDv) df = df
+        .withColumn("__g_fp",
+          regexp_replace(col("_metadata.file_path"), "^[a-zA-Z0-9]+:/+", "/"))
+        .withColumn("__g_pos", col("_metadata.row_index"))
+      df
     }
+    var out: DataFrame =
+      if (partCols.isEmpty) baseScan(files.map(f => absolute(f.path)))
+      else {
+        val byTuple = files.groupBy(_.partitionValues)
+        if (byTuple.size <= maxLiteralPartitions)
+          byTuple.toSeq.map { case (pv, group) =>
+            val base = baseScan(group.map(f => absolute(f.path)))
+            partCols.foldLeft(base) { (df, c) =>
+              val raw = pv.get(phys(c)).orNull // absent/null => NULL partition
+              df.withColumn(c,
+                (if (raw == null) lit(null) else lit(raw)).cast(schema(c).dataType))
+            }
+          }.reduce(_ unionByName _)
+        else {
+          // one scan + broadcast (relative path -> partition values) join;
+          // scheme differences ("file:///x" vs "/x") normalize away
+          import spark.implicits._
+          val pvRows = files.map(f => (absNorm(absolute(f.path)),
+            partCols.map(c => f.partitionValues.get(phys(c)).orNull)))
+          val pvDf = broadcast(pvRows.toDF("__file", "__pv"))
+          val scan = baseScan(files.map(f => absolute(f.path)))
+            .withColumn("__file",
+              regexp_replace(input_file_name(), "^[a-zA-Z0-9]+:/+", "/"))
+          partCols.zipWithIndex.foldLeft(scan.join(pvDf, "__file")) {
+            case (df, (c, i)) =>
+              df.withColumn(c, col("__pv").getItem(i).cast(schema(c).dataType))
+          }
+        }
+      }
+    if (anyDv) {
+      // expand bitmaps → (file, pos) on EXECUTORS, one task per DV-bearing
+      // file; the driver only ships descriptors (metadata-scale). Summed
+      // cardinality is known without touching a bitmap, so the broadcast
+      // decision needs no data read.
+      val dvFiles = files.filter(_.dv.isDefined)
+        .map(f => (absNorm(absolute(f.path)), f.dv.get))
+      val confBc = spark.sparkContext.broadcast(
+        new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+      val table = tablePath
+      val posRdd = spark.sparkContext
+        .parallelize(dvFiles,
+          math.max(1, math.min(dvFiles.size, spark.sparkContext.defaultParallelism)))
+        .flatMap { case (fp, d) =>
+          DeletionVectors.readPositions(d, table, confBc.value.value)
+            .iterator
+            .map(pos => org.apache.spark.sql.Row(fp, pos))
+        }
+      var dels = spark.createDataFrame(posRdd, StructType(Seq(
+        StructField("__g_fp", org.apache.spark.sql.types.StringType, nullable = false),
+        StructField("__g_pos", org.apache.spark.sql.types.LongType, nullable = false))))
+      if (dvFiles.map(_._2.cardinality).sum <= 4000000L) dels = broadcast(dels)
+      out = out.join(dels, Seq("__g_fp", "__g_pos"), "left_anti")
+    }
+    // physical -> logical rename; helper/aux columns drop here
+    out.select(schema.fieldNames.map(c =>
+      if (partCols.contains(c)) col(c) else col(phys(c)).as(c)).toSeq: _*)
   }
 
   private def absNorm(p: String): String =

@@ -157,28 +157,84 @@ class DeltaSpec extends AnyFunSuite {
 
   // --------------------------------------------- protocol guardrails
 
-  test("minReaderVersion 3 with deletionVectors refuses instead of dropping rows") {
+  test("z85 codec matches the ZeroMQ RFC test vector and round-trips") {
+    import graft.sources.DeletionVectors.{z85Decode, z85Encode}
+    // RFC 32: 86 4F D2 6F B5 59 F7 5B <-> "HelloWorld"
+    val bytes = Array(0x86, 0x4f, 0xd2, 0x6f, 0xb5, 0x59, 0xf7, 0x5b)
+      .map(_.toByte)
+    assert(z85Encode(bytes) == "HelloWorld")
+    assert(z85Decode("HelloWorld").sameElements(bytes))
+    val rnd = new scala.util.Random(7)
+    val blob = Array.fill(64)(rnd.nextInt().toByte)
+    assert(z85Decode(z85Encode(blob)).sameElements(blob))
+  }
+
+  test("roaring bitmap codec round-trips array, bitmap and high buckets") {
+    import graft.sources.DeletionVectors.{deserialize, serialize}
+    // sparse (array container), dense (>4096 → bitmap container), a
+    // second 16-bit container, and a >32-bit row index (second bucket)
+    val sparse = Seq(1L, 5L, 70000L)
+    assert(deserialize(serialize(sparse)).sorted == sparse)
+    val dense = (0L until 5000L).map(_ * 2) :+ (1L << 33)
+    assert(deserialize(serialize(dense)).sorted == dense.sorted)
+  }
+
+  test("deletion vectors drop exactly the flagged rows (u and i storage)") {
     import spark.implicits._
-    val base = freshDir("proto_dv")
-    val df = Seq((1L, "x")).toDF("k", "v")
-    val sz = DeltaLogReader.writeDataFile(df, base, "a.parquet")
+    val base = freshDir("dv_read")
+    val df = (0L until 100L).map(i => (i, s"r$i")).toDF("k", "v")
+    val szA = DeltaLogReader.writeDataFile(df.filter($"k" < 50), base, "a.parquet")
+    val szB = DeltaLogReader.writeDataFile(df.filter($"k" >= 50), base, "b.parquet")
+    // one DV file carrying both files' bitmaps ("u" storage, real shape)
+    val descs = graft.sources.DeletionVectors.writeDvFile(spark, base, Seq(
+      "a.parquet" -> Seq(0L, 3L, 7L),   // deletes k = 0, 3, 7
+      "b.parquet" -> Seq(1L, 2L)))      // deletes k = 51, 52 (pos 1, 2)
+    def dvJson(d: graft.sources.DeletionVectors.DvDescriptor): String =
+      s""","deletionVector":{"storageType":"${d.storageType}","pathOrInlineDv":"${d.pathOrInlineDv}",""" +
+        s""""offset":${d.offset},"sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}"""
     DeltaLogReader.writeCommit(spark, base, 0, Seq(
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
         """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
       DeltaLogReader.metaDataAction(df.schema, Nil),
-      s"""{"add":{"path":"a.parquet","partitionValues":{},"size":$sz,"modificationTime":1,"dataChange":true}}"""))
+      s"""{"add":{"path":"a.parquet","partitionValues":{},"size":$szA,"modificationTime":1,"dataChange":true${dvJson(descs("a.parquet"))}}}""",
+      s"""{"add":{"path":"b.parquet","partitionValues":{},"size":$szB,"modificationTime":1,"dataChange":true${dvJson(descs("b.parquet"))}}}"""))
+    val got = DeltaLogReader.read(spark, base).select("k")
+      .as[Long].collect().toSet
+    assert(got == (0L until 100L).toSet -- Set(0L, 3L, 7L, 51L, 52L))
+    // version 1: a REPLACEMENT DV on file a (inline "i" storage) widens
+    // the delete set — last add per path wins, proving DV replay
+    val inlineData = graft.sources.DeletionVectors.serialize(Seq(0L, 1L, 2L, 3L))
+    val inline = graft.sources.DeletionVectors.z85Encode(
+      inlineData ++ Array.fill((4 - inlineData.length % 4) % 4)(0.toByte))
+    DeltaLogReader.writeCommit(spark, base, 1, Seq(
+      s"""{"add":{"path":"a.parquet","partitionValues":{},"size":$szA,"modificationTime":2,"dataChange":false,"deletionVector":{"storageType":"i","pathOrInlineDv":"$inline","sizeInBytes":${inlineData.length},"cardinality":4}}}"""))
+    val got1 = DeltaLogReader.read(spark, base).select("k")
+      .as[Long].collect().toSet
+    assert(got1 == (0L until 100L).toSet -- Set(0L, 1L, 2L, 3L, 51L, 52L))
+    // time travel to version 0 re-applies the original, narrower DV
+    assert(DeltaLogReader.read(spark, base, version = Some(0L)).count() == 95)
+    // a checkpoint must refuse rather than drop the vectors
     val e = intercept[IllegalArgumentException](
-      DeltaLogReader.read(spark, base).collect())
-    assert(e.getMessage.contains("deletionVectors"))
+      graft.sources.DeltaLogWriter.checkpoint(spark, base))
+    assert(e.getMessage.contains("deletion vectors"))
   }
 
-  test("column mapping mode 'name' refuses; mode 'none' reads fine") {
+  test("column mapping mode 'name' resolves physical names; 'id' refuses") {
+    import org.apache.spark.sql.types._
     import spark.implicits._
     val base = freshDir("proto_cm")
-    val df = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
-    val sz = DeltaLogReader.writeDataFile(df, base, "a.parquet")
+    // data file carries PHYSICAL column names, the logical schema maps
+    // to them via field metadata — the reader must rename transparently
+    val physDf = Seq((1L, "x"), (2L, "y")).toDF("col-9a1", "col-b27")
+    val sz = DeltaLogReader.writeDataFile(physDf, base, "a.parquet")
+    def fieldMeta(phys: String, id: Int) = new MetadataBuilder()
+      .putString("delta.columnMapping.physicalName", phys)
+      .putLong("delta.columnMapping.id", id.toLong).build()
+    val logical = StructType(Seq(
+      StructField("k", LongType, nullable = true, fieldMeta("col-9a1", 1)),
+      StructField("v", StringType, nullable = true, fieldMeta("col-b27", 2))))
     val schemaStr = new com.fasterxml.jackson.databind.ObjectMapper()
-      .writeValueAsString(df.schema.json)
+      .writeValueAsString(logical.json)
     def md(mode: String) =
       s"""{"metaData":{"id":"graft-fixture","format":{"provider":"parquet","options":{}},""" +
         s""""schemaString":$schemaStr,"partitionColumns":[],""" +
@@ -187,12 +243,14 @@ class DeltaSpec extends AnyFunSuite {
       """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
       md("name"),
       s"""{"add":{"path":"a.parquet","partitionValues":{},"size":$sz,"modificationTime":1,"dataChange":true}}"""))
+    val got = DeltaLogReader.read(spark, base)
+    assert(got.columns.toSeq == Seq("k", "v"))
+    assert(got.as[(Long, String)].collect().toSet == Set((1L, "x"), (2L, "y")))
+    // id-based resolution is NOT implemented and must refuse
+    DeltaLogReader.writeCommit(spark, base, 1, Seq(md("id")))
     val e = intercept[IllegalArgumentException](
       DeltaLogReader.read(spark, base).collect())
     assert(e.getMessage.contains("column mapping"))
-    // flipping the mode off in a later commit makes the table readable
-    DeltaLogReader.writeCommit(spark, base, 1, Seq(md("none")))
-    assert(DeltaLogReader.read(spark, base).count() == 2)
   }
 
   test("minReaderVersion 3 with only supported features still reads") {
