@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Dedup, Scrub, Search, Similarity, TextAnalysis, Training}
+import graft.pipeline.{Bpe, Dedup, Scrub, Search, Similarity, TextAnalysis, Training}
 import graft.streaming.Events
 
 /** §2.4 + §2.5 coverage: LLM-pipeline operators and stream semantics,
@@ -241,6 +241,25 @@ object QueriesPipeline {
       // the operator returns the raw double; rounding is gate-only
       Search.unigramNll(T(s, d, "documents"), "doc_id", "text")
         .select(col("doc_id"), round(col("nll"), 6).as("nll"))),
+
+    // ---- DSIR importance weights (arXiv:2302.03169): raw = all docs,
+    // target = the src0 slice; weight = Σ ln(p_target/p_raw) over the
+    // doc's unigram+bigram stream, add-one smoothed. Rounding is
+    // gate-only (SURVEY §5) ----
+    "q_dsir" -> ((s, d) =>
+      Search.dsirWeights(T(s, d, "documents"),
+          T(s, d, "documents").filter(col("source") === "src0"),
+          "doc_id", "text")
+        .select(col("doc_id"), round(col("weight"), 6).as("dsir_w"))),
+
+    // ---- BPE round-1 pair statistics (arXiv:1508.07909): the corpus
+    // adjacent-symbol-pair frequencies the first merge maximizes — the
+    // full loop is iterative (spec-verified, PipelineExtraSpec); this
+    // gates its distributed counting core against SQL ----
+    "q_bpe_pairs" -> ((s, d) =>
+      Bpe.pairCounts(T(s, d, "documents"), "text")
+        .orderBy(col("pair_freq").desc, col("left"), col("right"))
+        .limit(30)),
 
     "q_temperature_mix" -> ((s, d) =>
       Training.temperatureMix(T(s, d, "documents"), "doc_id", "text",
@@ -550,6 +569,45 @@ object QueriesPipeline {
       p AS (SELECT term, cnt::DOUBLE / total AS p FROM c CROSS JOIN t)
       SELECT doc_id, round(sum(-ln(p)) / count(*), 6) AS nll
       FROM toks JOIN p USING (term) GROUP BY 1""",
+    "q_dsir" -> s"""
+      WITH toks AS (SELECT doc_id, string_split($NORM, ' ') AS toks
+                    FROM documents),
+      grams AS (SELECT doc_id, unnest(list_concat(toks,
+          list_transform(generate_series(1, len(toks) - 1),
+            i -> toks[i] || ' ' || toks[i+1]))) AS gram
+        FROM toks),
+      tgt AS (SELECT gram, count(*)::BIGINT AS tcnt FROM grams
+              WHERE doc_id IN (SELECT doc_id FROM documents
+                               WHERE source = 'src0')
+              GROUP BY 1),
+      rawc AS (SELECT gram, count(*)::BIGINT AS rcnt FROM grams GROUP BY 1),
+      v AS (SELECT coalesce(t.gram, r.gram) AS gram,
+              coalesce(tcnt, 0) AS tcnt, coalesce(rcnt, 0) AS rcnt
+            FROM tgt t FULL JOIN rawc r ON t.gram = r.gram),
+      tot AS (SELECT sum(tcnt)::BIGINT AS tt, sum(rcnt)::BIGINT AS rt,
+                count(*)::BIGINT AS vv FROM v),
+      llr AS (SELECT gram, ln((tcnt + 1.0) / (tt + vv))
+                         - ln((rcnt + 1.0) / (rt + vv)) AS llr
+              FROM v CROSS JOIN tot),
+      w AS (SELECT doc_id, sum(llr) AS w FROM grams JOIN llr USING (gram)
+            GROUP BY 1)
+      SELECT d.doc_id, round(coalesce(w.w, 0), 6) AS dsir_w
+      FROM documents d LEFT JOIN w USING (doc_id)""",
+    "q_bpe_pairs" -> s"""
+      WITH words AS (SELECT unnest(string_split($NORM, ' ')) AS word
+                     FROM documents),
+      wf AS (SELECT word, count(*)::BIGINT AS freq FROM words
+             WHERE len(word) > 0 GROUP BY 1),
+      syms AS (SELECT freq, list_transform(string_split(word, ''),
+                 (c, i) -> CASE WHEN i = len(string_split(word, ''))
+                           THEN c || '</w>' ELSE c END) AS s
+               FROM wf),
+      pairs AS (SELECT s[i] AS l, s[i+1] AS r, freq
+                FROM syms, unnest(generate_series(1, len(s) - 1)) AS t(i)),
+      agg AS (SELECT l AS "left", r AS "right",
+                sum(freq)::BIGINT AS pair_freq FROM pairs GROUP BY 1, 2)
+      SELECT "left", "right", pair_freq FROM agg
+      ORDER BY pair_freq DESC, "left", "right" LIMIT 30""",
     "q_temperature_mix" -> s"""
       WITH s AS (SELECT source, count(*)::BIGINT AS n_s FROM documents GROUP BY 1),
       t AS (SELECT sum(n_s)::BIGINT AS n_total, sum(pow(n_s, 0.5)) AS sum_pow FROM s),

@@ -1,0 +1,134 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE merge induction — tokenizer training as a corpus
+  * job (Sennrich et al. 2016, "Neural Machine Translation of Rare
+  * Words with Subword Units", arXiv:1508.07909; the same merge loop
+  * GPT-2's tokenizer and SentencePiece's BPE mode run).
+  *
+  * Scale shape: the corpus collapses to the DISTINCT-WORD frequency
+  * table first (the standard trick — pair statistics only depend on
+  * word shapes × counts, so a 100 TB corpus becomes a vocabulary-sized
+  * working set that still distributes). Each merge round is then ONE
+  * pair-count aggregation (adjacent symbol pairs explode from array
+  * columns — narrow — and shuffle only as (pair, count)) plus a narrow
+  * `aggregate` HOF pass that greedily rewrites each word's symbol
+  * array left-to-right. Only the single winning pair crosses the
+  * driver per round (an argmax, like the k-means/IVF trainers). The
+  * evolving word table localCheckpoints each round — the
+  * dupComponents lesson: iterative lineage must be cut, or the plan
+  * quadruples per round.
+  *
+  * Determinism: ties on pair frequency break lexicographically, so the
+  * learned merge list is a pure function of the corpus.
+  */
+object Bpe {
+
+  /** One learned merge rule: `left + right -> left||right`, with the
+    * pair's frequency at the round it won. */
+  case class Merge(left: String, right: String, freq: Long)
+
+  /** Word frequency table → symbol arrays: each word starts as its
+    * character sequence with the end-of-word marker appended to the
+    * last character (the Sennrich formulation — merges never cross a
+    * word boundary). */
+  private def initialWords(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(TextAnalysis.normalize(col(textCol)), " "))
+        .as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("syms", expr(
+        """transform(split(word, ''),
+             (c, i) -> case when i = size(split(word, '')) - 1
+                       then concat(c, '</w>') else c end)"""))
+
+  /** Adjacent symbol pairs of each word, weighted by word frequency:
+    * (left, right, freq) rows. */
+  private def pairStream(words: DataFrame): DataFrame = words
+    .withColumn("pair", explode(expr(
+      """filter(
+           zip_with(syms, slice(syms, 2, size(syms)),
+             (x, y) -> case when y is null then null
+                       else struct(x as l, y as r) end),
+           p -> p is not null)""")))
+    .select(col("pair.l").as("left"), col("pair.r").as("right"), col("freq"))
+
+  /** Corpus-wide adjacent-pair frequencies (the statistic each BPE
+    * round maximizes) — exposed for the gate, where ONE round is
+    * SQL-expressible even though the loop is not. */
+  def pairCounts(docs: DataFrame, textCol: String): DataFrame =
+    pairStream(initialWords(docs, textCol))
+      .groupBy("left", "right").agg(sum("freq").as("pair_freq"))
+
+  /** Learn up to `numMerges` merge rules; stops early when the best
+    * remaining pair falls below `minFreq`. */
+  def learnMerges(docs: DataFrame, textCol: String, numMerges: Int,
+                  minFreq: Long = 2L): Seq[Merge] = {
+    var words = initialWords(docs, textCol).localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer[Merge]()
+    var round = 0
+    while (round < numMerges) {
+      val top = pairStream(words)
+        .groupBy("left", "right").agg(sum("freq").as("pair_freq"))
+        .orderBy(col("pair_freq").desc, col("left"), col("right"))
+        .limit(1).collect()
+      if (top.isEmpty) return merges.toSeq
+      val (l, r, f) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      if (f < minFreq) return merges.toSeq
+      merges += Merge(l, r, f)
+      // greedy left-to-right rewrite: fold each word's symbols, merging
+      // every non-overlapping (l, r) adjacency into one symbol
+      words = words.withColumn("syms", applyMergeExpr("syms", l, r))
+        .localCheckpoint()
+      round += 1
+    }
+    merges.toSeq
+  }
+
+  /** `aggregate` HOF that merges adjacent (l, r) into l||r, greedy
+    * left-to-right (so "aaa" under merge (a,a) becomes ["aa","a"],
+    * exactly like reference BPE). */
+  private def applyMergeExpr(symsCol: String, l: String,
+                             r: String): org.apache.spark.sql.Column = {
+    def q(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
+    expr(
+      s"""aggregate($symsCol, cast(array() as array<string>),
+            (acc, x) -> case
+              when size(acc) > 0 and element_at(acc, -1) = '${q(l)}'
+                   and x = '${q(r)}'
+              then concat(slice(acc, 1, size(acc) - 1),
+                          array('${q(l)}${q(r)}'))
+              else concat(acc, array(x)) end)""")
+  }
+
+  /** Tokenize `docs` with a learned merge list: per-word symbol arrays
+    * replayed through every merge in ORDER (BPE application is the
+    * training fold minus the statistics), then exploded back to
+    * (doc id, token). Narrow end-to-end — one merge is one array
+    * rewrite, nothing shuffles but the final explode's consumer. */
+  def tokenize(docs: DataFrame, idCol: String, textCol: String,
+               merges: Seq[Merge]): DataFrame = {
+    val start = docs.select(col(idCol).as("doc_id"),
+        explode(split(TextAnalysis.normalize(col(textCol)), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .withColumn("syms", expr(
+        """transform(split(word, ''),
+             (c, i) -> case when i = size(split(word, '')) - 1
+                       then concat(c, '</w>') else c end)"""))
+    val merged = merges.foldLeft(start) { (df, m) =>
+      df.withColumn("syms", applyMergeExpr("syms", m.left, m.right))
+    }
+    merged.select(col("doc_id"), explode(col("syms")).as("token"))
+  }
+
+  /** Vocabulary a merge list induces over the corpus: distinct final
+    * symbols with corpus frequencies (what you'd hand a trainer as the
+    * token inventory). */
+  def vocabulary(docs: DataFrame, textCol: String,
+                 merges: Seq[Merge]): DataFrame =
+    tokenize(docs.withColumn("__id", monotonically_increasing_id()),
+        "__id", textCol, merges)
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+}

@@ -94,6 +94,57 @@ object Search {
       .agg((sum(-log(col("p"))) / count(lit(1))).as("nll"))
   }
 
+  /** DSIR-style importance weights (the "Data Selection for Language
+    * Models via Importance Resampling" recipe, Xie et al. 2023,
+    * arXiv:2302.03169): fit unigram+bigram bag-of-ngrams models over a
+    * TARGET corpus (what you want more of) and the RAW corpus, then
+    * weight each raw document by its log-likelihood ratio
+    * `Σ_g ln(p_target(g) / p_raw(g))` over its gram occurrences, with
+    * add-one smoothing on the union vocabulary. High weight = reads
+    * like target; sampling raw ∝ softmax(weight) is the paper's
+    * importance resampling step ([[Training.temperatureMixture]] /
+    * stratified sampling compose downstream).
+    *
+    * The paper hashes grams into a fixed bucket count so the model fits
+    * one machine; distributed, the gram-count table IS the model — it
+    * shuffles like any vocabulary aggregate ([[topVocab]]), so no
+    * hashing, no collisions, and a SQL oracle re-derives the exact
+    * weights. Plan: two gram aggregations + a full-outer vocab join,
+    * corpus totals broadcast (metadata-scale), one hash join from the
+    * raw gram stream to the per-gram ratios, one per-doc sum. Bigrams
+    * build with array HOFs (zip_with on the token array) — narrow, no
+    * window, no shuffle of anything but grams and counts. */
+  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    // unigram + bigram stream; zip_with pads with null, the case guard
+    // drops the padded tail instead of emitting a corrupt gram
+    def grams(df: DataFrame, keep: Seq[Column]): DataFrame = df
+      .withColumn("__toks", split(TextAnalysis.normalize(col(textCol)), " "))
+      .withColumn("__grams", concat(col("__toks"), expr(
+        """filter(
+             zip_with(__toks, slice(__toks, 2, size(__toks)),
+               (x, y) -> case when y is null then null
+                         else concat(x, ' ', y) end),
+             g -> g is not null)""")))
+      .select(keep :+ explode(col("__grams")).as("gram"): _*)
+    val tc = grams(target, Nil).groupBy("gram").agg(count(lit(1)).as("tcnt"))
+    val rc = grams(raw, Nil).groupBy("gram").agg(count(lit(1)).as("rcnt"))
+    val vocab = tc.join(rc, Seq("gram"), "full_outer")
+      .na.fill(0L, Seq("tcnt", "rcnt"))
+    val totals = vocab.agg(sum("tcnt").as("tt"), sum("rcnt").as("rt"),
+      count(lit(1)).as("v"))
+    val llr = vocab.crossJoin(broadcast(totals)).select(col("gram"),
+      (log((col("tcnt") + 1.0) / (col("tt") + col("v"))) -
+        log((col("rcnt") + 1.0) / (col("rt") + col("v")))).as("llr"))
+    val weights = grams(raw, Seq(col(idCol).as("doc_id")))
+      .join(llr, "gram")
+      .groupBy("doc_id").agg(sum("llr").as("weight"))
+    // grams-free documents weight 0 (empty ratio sum), not missing
+    raw.select(col(idCol).as("doc_id")).distinct()
+      .join(weights, Seq("doc_id"), "left")
+      .na.fill(0.0, Seq("weight"))
+  }
+
   /** Classic TF-IDF weight per (doc, term) for the given terms:
     * `tf * ln(N / df)` — the simpler sibling kept for pipelines that
     * expect it (BM25 is the default). */

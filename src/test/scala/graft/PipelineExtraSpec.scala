@@ -172,4 +172,56 @@ class PipelineExtraSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L, 4L, 5L, 7L, 8L))
   }
+
+  test("dsirWeights rank target-like docs above off-target docs") {
+    import graft.pipeline.Search
+    val raw = Seq(
+      (1L, "spark sql query engine plans fast"),
+      (2L, "spark sql query engine scales out"),
+      (3L, "cat videos funny pets compilation"),
+      (4L, "dog videos cute pets montage"),
+      (5L, "")).toDF("doc_id", "text")
+    val target = Seq(
+      (10L, "spark sql engine query optimization"),
+      (11L, "distributed sql query planning spark")).toDF("doc_id", "text")
+    val w = Search.dsirWeights(raw, target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w.keySet == Set(1L, 2L, 3L, 4L, 5L), "every raw doc weighted")
+    // target-like docs must outrank the pet videos
+    assert(math.min(w(1L), w(2L)) > math.max(w(3L), w(4L)))
+    // a doc of grams the target never saw scores negative (raw-typical)
+    assert(w(3L) < 0.0 && w(4L) < 0.0)
+  }
+
+  test("BPE learns the most frequent pair first and rewrites greedily") {
+    import graft.pipeline.Bpe
+    // "aaab" x3, "ab" x2: round-1 pairs: (a,a) freq 6, (a,b</w>) 5 …
+    val docs = Seq((1L, "aaab aaab ab"), (2L, "aaab ab")).toDF("doc_id", "text")
+    val merges = Bpe.learnMerges(docs, "text", numMerges = 2, minFreq = 1L)
+    assert(merges.head.left == "a" && merges.head.right == "a" &&
+      merges.head.freq == 6L)
+    // greedy left-to-right: "aaab" under (a,a) → ["aa","a","b</w>"], so
+    // round 2 pairs are (aa,a)×3, (a,b</w>)×3 from "aaab" + (a,b</w>)×2
+    // from "ab" — (a, b</w>) wins at 5
+    assert(merges(1) == Bpe.Merge("a", "b</w>", 5L))
+    val toks = Bpe.tokenize(docs, "doc_id", "text", merges)
+      .groupBy("token").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // "aaab" → ["aa","ab</w>"] x3; "ab" → ["ab</w>"] x2
+    assert(toks == Map("aa" -> 3L, "ab</w>" -> 5L))
+    val vocab = Bpe.vocabulary(docs, "text", merges)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(vocab == toks)
+  }
+
+  test("BPE stops at minFreq and survives single-char + empty words") {
+    import graft.pipeline.Bpe
+    val docs = Seq((1L, "x y z  x")).toDF("doc_id", "text")
+    // every word is one symbol ("x</w>"…) — no pairs exist at all
+    assert(Bpe.learnMerges(docs, "text", 5).isEmpty)
+    val docs2 = Seq((1L, "ab ab cd")).toDF("doc_id", "text")
+    // (a,b</w>) freq 2 merges; (c,d</w>) freq 1 < minFreq=2 stops the loop
+    val m = Bpe.learnMerges(docs2, "text", 5, minFreq = 2L)
+    assert(m == Seq(Bpe.Merge("a", "b</w>", 2L)))
+  }
 }

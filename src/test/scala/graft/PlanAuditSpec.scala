@@ -203,6 +203,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"no cartesian allowed:\n$p")
   }
 
+  test("q_dsir: corpus totals broadcast; the gram model never cartesians") {
+    val df = SparkEntry.queries("q_dsir")(spark, SF)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastExchange"), "the 1-row totals must broadcast")
+    assert(!p.contains("CartesianProduct"), s"no cartesian allowed:\n$p")
+  }
+
   test("q_temperature_mix: per-source rates broadcast onto docs (no doc shuffle)") {
     val df = SparkEntry.queries("q_temperature_mix")(spark, SF)
     df.collect()
