@@ -24,7 +24,10 @@ object Bench {
     "q_ngram_decontam", "q_bm25", "q_dfs_sql",
     // round 6: Iceberg v2 merge-on-read, connected-components dedup,
     // as-of join (zero-join window spelling), binned range join
-    "q_iceberg_v2", "q_dup_components", "q_asof_join", "q_range_join")
+    "q_iceberg_v2", "q_dup_components", "q_asof_join", "q_range_join",
+    // round 7: equality-delete merge-on-read, Paimon PK LSM merge,
+    // Delta deletion vectors, DSIR gram-model weighting
+    "q_iceberg_eq_delete", "q_paimon_pk", "q_delta_dv", "q_dsir")
 
   val Reps = 3
 

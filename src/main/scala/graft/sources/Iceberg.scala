@@ -135,7 +135,8 @@ object IcebergTable {
                        snapshots: Seq[SnapshotInfo],
                        metadataVersion: Int, tableUuid: String,
                        formatVersion: Int,
-                       lastSequenceNumber: Long = 0L)
+                       lastSequenceNumber: Long = 0L,
+                       nonIdentityTransforms: Seq[String] = Nil)
 
   private def metaDir(table: String) = new Path(table, "metadata")
 
@@ -190,11 +191,18 @@ object IcebergTable {
           .find(_.get("spec-id").asInt == defId).toSeq
           .flatMap(_.get("fields").elements.asScala)
       } else Nil
-    specFields.foreach { f =>
-      require(f.get("transform").asText == "identity",
-        s"only identity partition transforms supported, got ${f.get("transform").asText}")
-    }
-    val partCols = specFields.map(_.get("name").asText)
+    // Non-identity transforms (day/bucket/truncate/…) don't block READS:
+    // iceberg stores the SOURCE column values in the data files (unlike
+    // Delta/Hive), so the scan is complete without decoding the
+    // transform — only driver-side partition pruning skips those fields
+    // (their manifest tuples hold transformed values, still exposed to
+    // partitionFilter under the spec-field name). WRITES to such tables
+    // refuse: this writer can only re-emit identity specs.
+    val (identityFields, transformedFields) =
+      specFields.partition(_.get("transform").asText == "identity")
+    val partCols = identityFields.map(_.get("name").asText)
+    val nonIdentity = transformedFields
+      .map(f => s"${f.get("name").asText}=${f.get("transform").asText}")
     val snaps = Option(root.get("snapshots")).toSeq
       .flatMap(_.elements.asScala).map { s =>
         val summary = Option(s.get("summary")).map { x =>
@@ -211,8 +219,15 @@ object IcebergTable {
     val current = Option(root.get("current-snapshot-id")).map(_.asLong).filter(_ != -1L)
     TableMeta(table, schema, schemaNode, root.get("last-column-id").asInt,
       partCols, current, snaps, v, root.get("table-uuid").asText, formatVersion,
-      Option(root.get("last-sequence-number")).map(_.asLong).getOrElse(0L))
+      Option(root.get("last-sequence-number")).map(_.asLong).getOrElse(0L),
+      nonIdentity)
   }
+
+  private def requireIdentitySpec(meta: TableMeta, what: String): Unit =
+    require(meta.nonIdentityTransforms.isEmpty,
+      s"$what on a table with non-identity partition transforms " +
+        s"(${meta.nonIdentityTransforms.mkString(", ")}) is not supported — " +
+        "this writer re-emits identity specs only; reads work fine")
 
   // -------------------------------------------------------- avro helpers
 
@@ -697,6 +712,7 @@ object IcebergTable {
         .exists(_.getPath.getName.matches("v\\d+\\.metadata\\.json")))
     val prior = if (exists) Some(loadMeta(spark, table)) else None
     prior.foreach { m =>
+      requireIdentitySpec(m, "write")
       require(m.schema.map(f => (f.name, f.dataType)) ==
           df.schema.map(f => (f.name, f.dataType)),
         s"schema mismatch appending to $table:\n table: ${m.schema.simpleString}\n" +
@@ -951,6 +967,7 @@ object IcebergTable {
     import org.apache.spark.sql.functions.{broadcast, col}
     import spark.implicits._
     val meta = loadMeta(spark, table)
+    requireIdentitySpec(meta, "deleteFrom")
     val entries = liveEntries(spark, table)
     // equality-delete files in the table are fine: the raw-parquet match
     // below may emit position deletes for rows an equality delete already
@@ -1013,6 +1030,7 @@ object IcebergTable {
   def deleteEquality(spark: SparkSession, table: String,
                      keys: DataFrame): Long = {
     val meta = loadMeta(spark, table)
+    requireIdentitySpec(meta, "deleteEquality")
     val idOf: Map[String, Int] = meta.schemaNode.get("fields")
       .elements.asScala
       .map(f => f.get("name").asText -> f.get("id").asInt).toMap

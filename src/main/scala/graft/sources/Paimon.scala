@@ -108,7 +108,8 @@ object PaimonTable {
   case class SnapshotInfo(id: Long, schemaId: Long, baseManifestList: String,
                           deltaManifestList: String, commitKind: String,
                           commitUser: String, timeMillis: Long,
-                          totalRecordCount: Long, deltaRecordCount: Long)
+                          totalRecordCount: Long, deltaRecordCount: Long,
+                          commitIdentifier: Long = 0L)
 
   private def schemaDir(table: String) = new Path(table, "schema")
   private def snapshotDir(table: String) = new Path(table, "snapshot")
@@ -166,7 +167,21 @@ object PaimonTable {
       totalRecordCount = Option(n.get("totalRecordCount")).filterNot(_.isNull)
         .map(_.asLong).getOrElse(-1L),
       deltaRecordCount = Option(n.get("deltaRecordCount")).filterNot(_.isNull)
-        .map(_.asLong).getOrElse(-1L))
+        .map(_.asLong).getOrElse(-1L),
+      commitIdentifier = Option(n.get("commitIdentifier")).filterNot(_.isNull)
+        .map(_.asLong).getOrElse(0L))
+  }
+
+  /** Highest commitIdentifier this `commitUser` has committed — paimon's
+    * OWN exactly-once contract (Flink sinks dedupe restarts by
+    * (commitUser, commitIdentifier); graft's streaming sink reuses it
+    * with appId as the user and batchId as the identifier). */
+  def lastStreamBatch(spark: SparkSession, table: String,
+                      commitUser: String): Option[Long] = {
+    if (!fsOf(spark, table).exists(snapshotDir(table))) return None
+    snapshots(spark, table)
+      .filter(_.commitUser == commitUser)
+      .map(_.commitIdentifier).maxOption
   }
 
   def snapshots(spark: SparkSession, table: String): Seq[SnapshotInfo] = {
@@ -449,7 +464,9 @@ object PaimonTable {
     * new snapshot from an empty base (commitKind OVERWRITE). Returns the
     * snapshot id. */
   def write(df: DataFrame, table: String,
-            mode: SaveMode = SaveMode.Append): Long = {
+            mode: SaveMode = SaveMode.Append,
+            commitUser: String = "graft",
+            commitIdentifier: Long = -1L): Long = {
     require(mode == SaveMode.Append || mode == SaveMode.Overwrite,
       s"paimon write supports Append/Overwrite, got $mode")
     val spark = df.sparkSession
@@ -480,7 +497,7 @@ object PaimonTable {
     df.write.mode("overwrite").parquet(staging.toString)
     val moved = moveStaged(spark, table, staging, bucketOf = _ => 0)
     commitSnapshot(spark, table, moved, mode, snapId, prevSnaps,
-      totalBuckets = 1)
+      totalBuckets = 1, commitUser, commitIdentifier)
   }
 
   /** Move staged parquet files into their `bucket-<b>/` dirs; `bucketOf`
@@ -516,7 +533,9 @@ object PaimonTable {
                              moved: Seq[(Int, String, Long, Long)],
                              mode: SaveMode, snapId: Long,
                              prevSnaps: Seq[SnapshotInfo],
-                             totalBuckets: Int): Long = {
+                             totalBuckets: Int,
+                             commitUser: String = "graft",
+                             commitIdentifier: Long = -1L): Long = {
     val fs = fsOf(spark, table)
 
     // ---- delta manifest (ADD entry per file) + manifest lists
@@ -589,12 +608,13 @@ object PaimonTable {
       else prevSnaps.lastOption.map(_.totalRecordCount).filter(_ >= 0)
         .getOrElse(0L) + newRows
     val kind = if (mode == SaveMode.Overwrite) "OVERWRITE" else "APPEND"
+    val cid = if (commitIdentifier >= 0) commitIdentifier else snapId
     writeText(spark, new Path(snapshotDir(table), s"snapshot-$snapId"),
       s"""{"version":3,"id":$snapId,"schemaId":0,
          |"baseManifestList":"$baseList",
          |"deltaManifestList":"$deltaList",
          |"changelogManifestList":null,
-         |"commitUser":"graft","commitIdentifier":$snapId,
+         |"commitUser":"$commitUser","commitIdentifier":$cid,
          |"commitKind":"$kind","timeMillis":${System.currentTimeMillis()},
          |"logOffsets":{},
          |"totalRecordCount":$total,"deltaRecordCount":$newRows,
@@ -624,7 +644,9 @@ object PaimonTable {
     * same key twice in a single `df` is unspecified (dedupe first). */
   def writePk(df: DataFrame, table: String, primaryKeys: Seq[String],
               kind: String = "+I", numBuckets: Int = 2,
-              mode: SaveMode = SaveMode.Append): Long = {
+              mode: SaveMode = SaveMode.Append,
+              commitUser: String = "graft",
+              commitIdentifier: Long = -1L): Long = {
     import org.apache.spark.sql.functions.{col, hash, lit, pmod}
     require(primaryKeys.nonEmpty, "writePk needs at least one primary key")
     val kindCode = RowKinds.getOrElse(kind,
@@ -687,7 +709,7 @@ object PaimonTable {
       comp.substring("__bucket=".length).toInt
     })
     commitSnapshot(spark, table, moved, mode, snapId, prevSnaps,
-      totalBuckets = buckets)
+      totalBuckets = buckets, commitUser, commitIdentifier)
   }
 
   private def parquetRowCount(spark: SparkSession, p: Path): Long = {

@@ -189,6 +189,44 @@ object Events {
       }
       .start()
 
+  /** Streaming UPSERT ingest into a Paimon table — the third lakehouse
+    * sink, and the one with native upsert semantics: with `primaryKeys`
+    * each micro-batch commits +U rows into a PRIMARY-KEY table (later
+    * batches win their keys under the deduplicate merge — a CDC
+    * materialization, not just an append log); without keys it appends.
+    * Exactly-once rides paimon's OWN contract: every snapshot records
+    * (commitUser, commitIdentifier) — Flink sinks dedupe restarts on
+    * exactly that pair — so the sink writes (appId, batchId) there and
+    * skips any replayed batch at or below
+    * [[graft.sources.PaimonTable.lastStreamBatch]]. */
+  def paimonSink(stream: DataFrame, tablePath: String, checkpoint: String,
+                 primaryKeys: Seq[String] = Nil,
+                 appId: String = "graft-stream"): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        import graft.sources.PaimonTable
+        val committed = PaimonTable.lastStreamBatch(
+          batch.sparkSession, tablePath, appId)
+        if (!committed.exists(_ >= batchId)) {
+          if (primaryKeys.isEmpty)
+            PaimonTable.write(batch.toDF(), tablePath,
+              commitUser = appId, commitIdentifier = batchId)
+          else {
+            // first batch creates the table (+I required); later ones upsert
+            val exists = new org.apache.hadoop.fs.Path(tablePath, "schema")
+              .getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+              .exists(new org.apache.hadoop.fs.Path(tablePath, "schema"))
+            PaimonTable.writePk(batch.toDF(), tablePath, primaryKeys,
+              kind = if (exists) "+U" else "+I",
+              commitUser = appId, commitIdentifier = batchId)
+          }
+        }
+        ()
+      }
+      .start()
+
   /** Streaming NEAR-dup dedup at ingest (the watermarked-MinHash form of
     * [[dedupStream]], which only drops exact content-hash copies): a doc
     * is ADMITTED iff no doc seen within the watermark window verifies at

@@ -280,6 +280,37 @@ class IcebergSpec extends AnyFunSuite {
     assert(e.getMessage.contains("equality_ids"))
   }
 
+  test("non-identity partition transforms read fine; writes refuse") {
+    import spark.implicits._
+    val base = freshDir("transforms")
+    IcebergTable.write((1L to 20L).map(i => (i, s"v$i")).toDF("k", "v"), base)
+    // rewrite the spec to declare a truncate[4] transform on k — what a
+    // foreign writer's metadata looks like; iceberg keeps SOURCE values
+    // in the data files, so scans stay complete without decoding it
+    val metaPath = new org.apache.hadoop.fs.Path(base, "metadata/v1.metadata.json")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(metaPath)
+    val orig = new String(in.readAllBytes(), "UTF-8"); in.close()
+    val spec = """"partition-spec":[{"name":"k_trunc","transform":"truncate[4]","source-id":1,"field-id":1000}]"""
+    val rewritten = orig.replaceFirst(
+      "\"partition-spec\"\\s*:\\s*\\[\\s*\\]",
+      java.util.regex.Matcher.quoteReplacement(spec))
+    assert(rewritten != orig, "spec rewrite must take effect")
+    val os = fs.create(metaPath, true)
+    os.write(rewritten.getBytes("UTF-8"))
+    os.close()
+    val meta = IcebergTable.loadMeta(spark, base)
+    assert(meta.nonIdentityTransforms == Seq("k_trunc=truncate[4]"))
+    assert(meta.partCols.isEmpty) // no identity fields left to prune on
+    assert(IcebergTable.read(spark, base).count() == 20L)
+    val e = intercept[IllegalArgumentException](
+      IcebergTable.write(Seq((99L, "x")).toDF("k", "v"), base))
+    assert(e.getMessage.contains("non-identity"))
+    val e2 = intercept[IllegalArgumentException](
+      IcebergTable.deleteFrom(spark, base, col("k") === 1L))
+    assert(e2.getMessage.contains("non-identity"))
+  }
+
   test("metadata tables and incremental read work on a v2 table") {
     import spark.implicits._
     val base = freshDir("v2meta")

@@ -319,6 +319,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("paimonSink upserts micro-batches into a PK table, exactly once " +
+      "by (commitUser, commitIdentifier)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val base = "/tmp/graft_test/paimon_sink"
+    val ckpt = "/tmp/graft_test/paimon_sink_ckpt"
+    Seq(base, ckpt).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    val input = MemoryStream[(Long, String)]
+    val q = Events.paimonSink(input.toDF().toDF("k", "v"), base, ckpt,
+      primaryKeys = Seq("k"))
+    try {
+      input.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      input.addData((2L, "b2"), (3L, "c")) // k=2 upserts
+      q.processAllAvailable()
+      import graft.sources.PaimonTable
+      val got = PaimonTable.read(spark, base)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == Set((1L, "a"), (2L, "b2"), (3L, "c")),
+        "later batch must win its key under the deduplicate merge")
+      assert(PaimonTable.lastStreamBatch(spark, base, "graft-stream")
+        .exists(_ >= 1L))
+      // a replayed batch id is a no-op; a fresh id commits a snapshot
+      val snaps = PaimonTable.snapshots(spark, base).size
+      if (!PaimonTable.lastStreamBatch(spark, base, "graft-stream")
+          .exists(_ >= 0L))
+        PaimonTable.writePk(Seq((1L, "a")).toDF("k", "v"), base, Seq("k"),
+          kind = "+U", commitUser = "graft-stream", commitIdentifier = 0L)
+      assert(PaimonTable.snapshots(spark, base).size == snaps)
+      PaimonTable.writePk(Seq((1L, "a9")).toDF("k", "v"), base, Seq("k"),
+        kind = "+U", commitUser = "graft-stream", commitIdentifier = 99L)
+      assert(PaimonTable.lastStreamBatch(spark, base, "graft-stream")
+        .contains(99L))
+    } finally q.stop()
+  }
+
   test("batch and stream tumbling aggregation agree on the same data") {
     import spark.implicits._
     val batch = Seq((1L, ts(0), "click", 1.0), (2L, ts(10), "click", 2.0),
