@@ -127,8 +127,11 @@ object Search {
                          else concat(x, ' ', y) end),
              g -> g is not null)""")))
       .select(keep :+ explode(col("__grams")).as("gram"): _*)
+    // the per-doc gram stream feeds BOTH the raw model counts and the
+    // final weight join — one tokenize pass over the raw corpus, not two
+    val rawGrams = grams(raw, Seq(col(idCol).as("doc_id")))
     val tc = grams(target, Nil).groupBy("gram").agg(count(lit(1)).as("tcnt"))
-    val rc = grams(raw, Nil).groupBy("gram").agg(count(lit(1)).as("rcnt"))
+    val rc = rawGrams.groupBy("gram").agg(count(lit(1)).as("rcnt"))
     val vocab = tc.join(rc, Seq("gram"), "full_outer")
       .na.fill(0L, Seq("tcnt", "rcnt"))
     val totals = vocab.agg(sum("tcnt").as("tt"), sum("rcnt").as("rt"),
@@ -136,7 +139,7 @@ object Search {
     val llr = vocab.crossJoin(broadcast(totals)).select(col("gram"),
       (log((col("tcnt") + 1.0) / (col("tt") + col("v"))) -
         log((col("rcnt") + 1.0) / (col("rt") + col("v")))).as("llr"))
-    val weights = grams(raw, Seq(col(idCol).as("doc_id")))
+    val weights = rawGrams
       .join(llr, "gram")
       .groupBy("doc_id").agg(sum("llr").as("weight"))
     // grams-free documents weight 0 (empty ratio sum), not missing

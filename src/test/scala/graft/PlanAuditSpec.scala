@@ -203,12 +203,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"no cartesian allowed:\n$p")
   }
 
-  test("q_dsir: corpus totals broadcast; the gram model never cartesians") {
+  test("q_dsir: totals broadcast, no cartesian, raw gram exchange REUSED") {
     val df = SparkEntry.queries("q_dsir")(spark, SF)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastExchange"), "the 1-row totals must broadcast")
     assert(!p.contains("CartesianProduct"), s"no cartesian allowed:\n$p")
+    // the per-doc gram stream feeds the raw model counts AND the weight
+    // join from ONE shuffle — the corpus tokenizes once, not twice
+    assert(p.contains("ReusedExchange"),
+      s"raw gram shuffle must be shared between model and weights:\n$p")
   }
 
   test("q_temperature_mix: per-source rates broadcast onto docs (no doc shuffle)") {
