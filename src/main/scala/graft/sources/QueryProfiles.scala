@@ -4,9 +4,10 @@ import java.util.concurrent.{ConcurrentHashMap, ConcurrentLinkedDeque}
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerEvent, SparkListenerJobStart, SparkListenerStageCompleted}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerEvent, SparkListenerJobStart, SparkListenerStageCompleted, SparkListenerTaskEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.execution.ui.{SparkListenerSQLExecutionEnd, SparkListenerSQLExecutionStart}
+import org.apache.spark.sql.execution.SparkPlanInfo
+import org.apache.spark.sql.execution.ui.{SparkListenerDriverAccumUpdates, SparkListenerSQLAdaptiveExecutionUpdate, SparkListenerSQLExecutionEnd, SparkListenerSQLExecutionStart}
 
 /** Query-profile capture — Drill's sys.profiles / web-UI profile store
   * (reference: exec/.../server/rest/profile/ProfileResources.java and
@@ -48,15 +49,82 @@ object QueryProfiles {
                                 shuffle_write_records: Long,
                                 shuffle_write_bytes: Long)
 
+  /** One operator-level metric of a finished execution — the depth of
+    * Drill's per-operator profile fragments (rows emitted, build/sort
+    * times, spill bytes…). `value` is the sum of task + driver
+    * accumulator UPDATES for that metric, which equals the final value
+    * for the sum-shaped metric types (sum/size/timing/nsTiming — the
+    * ones emitted; min/max/average shapes are skipped, a sum would
+    * misrepresent them). */
+  final case class OperatorProfile(execution_id: Long, node_id: Long,
+                                   node: String, metric: String,
+                                   metric_type: String, value: Long)
+
   private final case class Started(timeMs: Long, action: String,
                                    planHead: String)
 
+  /** What one SQL-metric accumulator means: (node id, node name,
+    * metric name, metric type). */
+  private final case class MetricKey(nodeId: Long, node: String,
+                                     metric: String, metricType: String)
+
   private val ring = new ConcurrentLinkedDeque[Profile]()
   private val stageRing = new ConcurrentLinkedDeque[StageProfile]()
+  private val opRing = new ConcurrentLinkedDeque[OperatorProfile]()
   private val stageToExec = new ConcurrentHashMap[Integer, java.lang.Long]()
   private val inFlight = new ConcurrentHashMap[java.lang.Long, Started]()
+  // per in-flight execution: accumulator id -> meaning, and running sums
+  private val accumIndex = new ConcurrentHashMap[java.lang.Long, ConcurrentHashMap[java.lang.Long, MetricKey]]()
+  private val accumToExec = new ConcurrentHashMap[java.lang.Long, java.lang.Long]()
+  private val accumSums = new ConcurrentHashMap[java.lang.Long, java.util.concurrent.atomic.AtomicLong]()
   @volatile private var listener: Option[SparkListener] = None
   private val DefaultCapacity = 1000
+
+  private val SummedTypes = Set("sum", "size", "timing", "nsTiming")
+
+  /** Index every metric accumulator of a plan tree (preorder node ids).
+    * AQE re-plans mid-flight: later SparkPlanInfo versions ADD their
+    * accumulators to the same execution's index (ids are unique per
+    * accumulator, so stale entries just never receive updates). */
+  private def indexPlan(execId: Long, plan: SparkPlanInfo): Unit = {
+    val idx = accumIndex.computeIfAbsent(Long.box(execId),
+      _ => new ConcurrentHashMap[java.lang.Long, MetricKey]())
+    var nodeId = 0L
+    def walk(n: SparkPlanInfo): Unit = {
+      val id = nodeId; nodeId += 1
+      n.metrics.foreach { m =>
+        if (SummedTypes.contains(m.metricType)) {
+          idx.put(Long.box(m.accumulatorId),
+            MetricKey(id, n.nodeName, m.name, m.metricType))
+          accumToExec.put(Long.box(m.accumulatorId), Long.box(execId))
+        }
+      }
+      n.children.foreach(walk)
+    }
+    walk(plan)
+  }
+
+  private def addUpdate(accumId: Long, delta: Long): Unit =
+    if (accumToExec.containsKey(Long.box(accumId)))
+      accumSums.computeIfAbsent(Long.box(accumId),
+        _ => new java.util.concurrent.atomic.AtomicLong()).addAndGet(delta)
+
+  /** Emit operator rows for a finished execution and release its
+    * tracking state. */
+  private def finishOperators(execId: Long, capacity: Int): Unit = {
+    val idx = accumIndex.remove(Long.box(execId))
+    if (idx == null) return
+    val rows = idx.entrySet().asScala.toSeq.flatMap { e =>
+      val sum = Option(accumSums.remove(e.getKey)).map(_.get)
+      accumToExec.remove(e.getKey)
+      sum.filter(_ != 0L).map { v =>
+        val k = e.getValue
+        OperatorProfile(execId, k.nodeId, k.node, k.metric, k.metricType, v)
+      }
+    }.sortBy(r => (r.node_id, r.metric))
+    rows.foreach(opRing.addFirst)
+    while (opRing.size() > capacity * 16) opRing.pollLast()
+  }
 
   private def firstLine(s: String): String =
     Option(s).map(_.trim.takeWhile(_ != '\n')).getOrElse("")
@@ -72,6 +140,12 @@ object QueryProfiles {
                 inFlight.put(Long.box(s.executionId), Started(s.time,
                   firstLine(s.description),
                   firstLine(s.physicalPlanDescription)))
+                indexPlan(s.executionId, s.sparkPlanInfo)
+              case u: SparkListenerSQLAdaptiveExecutionUpdate =>
+                indexPlan(u.executionId, u.sparkPlanInfo)
+              case d: SparkListenerDriverAccumUpdates =>
+                // driver-side metrics (broadcast build, subquery time)
+                d.accumUpdates.foreach { case (id, v) => addUpdate(id, v) }
               case e: SparkListenerSQLExecutionEnd =>
                 val started = Option(inFlight.remove(Long.box(e.executionId)))
                 ring.addFirst(Profile(e.time, e.executionId,
@@ -81,7 +155,18 @@ object QueryProfiles {
                   started.map(_.planHead).getOrElse(""),
                   e.errorMessage.getOrElse("")))
                 while (ring.size() > capacity) ring.pollLast()
+                finishOperators(e.executionId, capacity)
               case _ => ()
+            }
+          override def onTaskEnd(taskEnd: SparkListenerTaskEnd): Unit =
+            // SQL metric accumulators surface per task in accumulables;
+            // `update` is this task's delta (a Long for SQL metrics)
+            taskEnd.taskInfo.accumulables.foreach { a =>
+              a.update.foreach {
+                case l: Long => addUpdate(a.id, l)
+                case s: String => s.toLongOption.foreach(addUpdate(a.id, _))
+                case _ => ()
+              }
             }
           override def onJobStart(job: SparkListenerJobStart): Unit = {
             val execId = Option(job.properties)
@@ -124,8 +209,12 @@ object QueryProfiles {
     listener = None
     ring.clear()
     stageRing.clear()
+    opRing.clear()
     stageToExec.clear()
     inFlight.clear()
+    accumIndex.clear()
+    accumToExec.clear()
+    accumSums.clear()
   }
 
   /** sys.profiles: newest first. */
@@ -146,5 +235,16 @@ object QueryProfiles {
       "duration_ms", "executor_run_ms", "input_records", "input_bytes",
       "output_records", "output_bytes", "shuffle_read_records",
       "shuffle_read_bytes", "shuffle_write_records", "shuffle_write_bytes")
+  }
+
+  /** sys.profile_operators: per-OPERATOR metric rows of finished
+    * executions (number of output rows, shuffle/spill bytes, build and
+    * sort times — whatever SQL metrics the physical operators declare),
+    * newest execution first — Drill's operator-level profile fragment
+    * depth; join to [[profiles]] on execution_id. */
+  def operatorProfiles(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    opRing.iterator().asScala.toSeq.toDF(
+      "execution_id", "node_id", "node", "metric", "metric_type", "value")
   }
 }

@@ -79,6 +79,18 @@ object QueryServer {
           Option(e.getMessage).getOrElse(e.getClass.getSimpleName)))
       }
     })
+    // per-OPERATOR metric rows (the deepest level of Drill's profile
+    // detail view: each operator's output rows / build times / spills)
+    server.createContext("/profiles/operators", new HttpHandler {
+      override def handle(x: HttpExchange): Unit = try {
+        if (x.getRequestMethod != "GET") { respond(x, 405, error("GET only")); return }
+        val rows = QueryProfiles.operatorProfiles(spark).toJSON.collect()
+        respond(x, 200, rows.mkString("[", ",", "]"))
+      } catch {
+        case e: Throwable => respond(x, 400, error(
+          Option(e.getMessage).getOrElse(e.getClass.getSimpleName)))
+      }
+    })
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4,
       (r: Runnable) => { val t = new Thread(r); t.setDaemon(true); t })
     server.setExecutor(pool)

@@ -139,4 +139,37 @@ class CatalogSpec extends AnyFunSuite {
       assert(rows.exists(r => execIds.contains(r.getAs[Long]("execution_id"))))
     } finally QueryProfiles.disable(spark)
   }
+
+  test("sys.profile_operators carries per-operator metrics (rows out, " +
+      "shuffle writes), joinable to profiles") {
+    import graft.sources.QueryProfiles
+    QueryProfiles.enable(spark, capacity = 50)
+    try {
+      val df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      df.groupBy("l_returnflag").count().collect()
+      var tries = 0
+      def ops() = QueryProfiles.operatorProfiles(spark)
+      while (ops().count() == 0 && tries < 100) {
+        Thread.sleep(100); tries += 1
+      }
+      val rows = ops().collect()
+      // the aggregate's operators declare "number of output rows"; a
+      // scan node and an exchange node must both have recorded metrics
+      assert(rows.exists(r => r.getAs[String]("metric") == "number of output rows"
+        && r.getAs[Long]("value") > 0))
+      assert(rows.exists(r =>
+        r.getAs[String]("node").toLowerCase.contains("scan")))
+      assert(rows.exists(r =>
+        r.getAs[String]("node").toLowerCase.contains("exchange") ||
+        r.getAs[String]("metric").toLowerCase.contains("shuffle")))
+      // only the sum-shaped metric types are emitted (an averaged metric
+      // summed across tasks would lie)
+      assert(rows.forall(r => Set("sum", "size", "timing", "nsTiming")
+        .contains(r.getAs[String]("metric_type"))))
+      // operator rows tie back to a SQL execution present in sys.profiles
+      val execIds = QueryProfiles.profiles(spark)
+        .select("execution_id").collect().map(_.getLong(0)).toSet
+      assert(rows.exists(r => execIds.contains(r.getAs[Long]("execution_id"))))
+    } finally QueryProfiles.disable(spark)
+  }
 }
