@@ -123,6 +123,66 @@ object Bpe {
     merged.select(col("doc_id"), explode(col("syms")).as("token"))
   }
 
+  /** [[tokenize]]'s scale path: the HOF replay nests one `aggregate`
+    * expression per merge, which is exact and oracle-friendly but grows
+    * the expression tree linearly in |merges| — fine for tens of rules,
+    * wrong for a 32k-rule tokenizer. This variant broadcasts the merge
+    * RANK table and applies the standard rank-based greedy loop per
+    * word (repeatedly merge the lowest-rank adjacent pair, all
+    * non-overlapping occurrences left-to-right — the GPT-2 apply
+    * algorithm, sequentially equivalent to replaying merges in learned
+    * order) inside one narrow mapPartitions pass. The rare justified
+    * mapPartitions: a per-row, data-dependent loop over thousands of
+    * rules has no codegen-friendly expression form. Output rows match
+    * [[tokenize]] exactly (spec-asserted). */
+  def tokenizeFast(docs: DataFrame, idCol: String, textCol: String,
+                   merges: Seq[Merge]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val mergeArr = merges.toArray
+    val ranks: Map[(String, String), Int] =
+      merges.zipWithIndex.map { case (m, i) => ((m.left, m.right), i) }.toMap
+    val ranksB = spark.sparkContext.broadcast((mergeArr, ranks))
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).cast("string").as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val (ms, rk) = ranksB.value
+        it.flatMap { case (id, text) =>
+          val words = Option(text).getOrElse("")
+            .toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+          words.iterator.flatMap { w =>
+            var syms = w.map(_.toString).toArray
+            syms(syms.length - 1) = syms(syms.length - 1) + "</w>"
+            var done = false
+            while (!done && syms.length > 1) {
+              var best = Int.MaxValue
+              var i = 0
+              while (i < syms.length - 1) {
+                val r = rk.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+                if (r < best) best = r
+                i += 1
+              }
+              if (best == Int.MaxValue) done = true
+              else {
+                val m = ms(best)
+                val buf = scala.collection.mutable.ArrayBuffer[String]()
+                var j = 0
+                while (j < syms.length) {
+                  if (j < syms.length - 1 && syms(j) == m.left &&
+                      syms(j + 1) == m.right) {
+                    buf += m.left + m.right; j += 2
+                  } else { buf += syms(j); j += 1 }
+                }
+                syms = buf.toArray
+              }
+            }
+            syms.iterator.map(t => (id, t))
+          }
+        }
+      }.toDF("doc_id", "token")
+  }
+
   /** Vocabulary a merge list induces over the corpus: distinct final
     * symbols with corpus frequencies (what you'd hand a trainer as the
     * token inventory). */

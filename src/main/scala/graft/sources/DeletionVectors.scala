@@ -189,7 +189,6 @@ object DeletionVectors {
     var bi = 0L
     while (bi < nBuckets) {
       val high = (b.getInt.toLong & 0xffffffffL) << 32
-      val start = b.position()
       val cookie = b.getInt
       val (nContainers, runBitset) =
         if ((cookie & 0xffff) == 12347) {
@@ -243,7 +242,6 @@ object DeletionVectors {
         }
         i += 1
       }
-      val _ = start
       bi += 1
     }
     out.toSeq

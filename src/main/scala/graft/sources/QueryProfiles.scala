@@ -186,7 +186,7 @@ object QueryProfiles {
             val execId = Option(stageToExec.remove(Int.box(info.stageId)))
               .map(_.longValue).getOrElse(-1L)
             stageRing.addFirst(StageProfile(execId, info.stageId,
-              info.attemptNumber, info.name.takeWhile(_ != '\n'),
+              info.attemptNumber(), info.name.takeWhile(_ != '\n'),
               info.numTasks, wall, g(_.executorRunTime),
               g(_.inputMetrics.recordsRead), g(_.inputMetrics.bytesRead),
               g(_.outputMetrics.recordsWritten),

@@ -189,6 +189,46 @@ object Events {
       }
       .start()
 
+  /** Streaming UPSERT ingest into an ICEBERG v2 table — the equality-
+    * delete-based CDC materialization Flink's Iceberg upsert sink
+    * performs: each micro-batch first equality-DELETES its key tuples,
+    * then appends its rows, so the latest version of every key wins at
+    * read time via the sequence-scoped merge-on-read (the append's
+    * sequence number exceeds the delete's).
+    *
+    * Exactly-once: only the APPEND carries (appId, batchId) bookkeeping.
+    * A crash between the delete and the append replays the whole batch:
+    * the second equality delete re-kills only rows older than itself
+    * (the keys are already gone — a no-op on them), and the re-appended
+    * rows out-sequence both deletes — so replay converges to exactly
+    * the committed-once state. */
+  def icebergUpsertSink(stream: DataFrame, tablePath: String,
+                        checkpoint: String, keyCols: Seq[String],
+                        appId: String = "graft-stream"): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(keyCols.nonEmpty, "icebergUpsertSink needs key columns")
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        import graft.sources.IcebergTable
+        val spark = batch.sparkSession
+        val committed = IcebergTable.lastStreamBatch(spark, tablePath, appId)
+        if (!committed.exists(_ >= batchId)) {
+          val df = batch.toDF()
+          val exists = new org.apache.hadoop.fs.Path(tablePath, "metadata")
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .exists(new org.apache.hadoop.fs.Path(tablePath, "metadata"))
+          if (exists)
+            IcebergTable.deleteEquality(spark, tablePath,
+              df.select(keyCols.map(org.apache.spark.sql.functions.col): _*))
+          IcebergTable.write(df, tablePath, summaryProps = Map(
+            "graft.app-id" -> appId, "graft.batch-id" -> batchId.toString))
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Streaming UPSERT ingest into a Paimon table — the third lakehouse
     * sink, and the one with native upsert semantics: with `primaryKeys`
     * each micro-batch commits +U rows into a PRIMARY-KEY table (later

@@ -214,6 +214,26 @@ class PipelineExtraSpec extends AnyFunSuite {
     assert(vocab == toks)
   }
 
+  test("tokenizeFast matches the HOF tokenize exactly on learned merges") {
+    import graft.pipeline.Bpe
+    // a corpus rich enough to learn a real rule chain (multi-level
+    // merges, repeated chars, words sharing prefixes)
+    val docs = Seq(
+      (1L, "banana bandana ban banana"),
+      (2L, "an ana banana band bandana"),
+      (3L, "nab nab banana an band")).toDF("doc_id", "text")
+    val merges = Bpe.learnMerges(docs, "text", numMerges = 12, minFreq = 1L)
+    assert(merges.size >= 8, s"expected a deep rule chain, got $merges")
+    def bag(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("doc_id", "token").count()
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val slow = bag(Bpe.tokenize(docs, "doc_id", "text", merges))
+    val fast = bag(Bpe.tokenizeFast(docs, "doc_id", "text", merges))
+    assert(fast == slow,
+      s"rank-based apply must equal sequential replay\n only-fast: " +
+        s"${fast -- slow}\n only-slow: ${slow -- fast}")
+  }
+
   test("BPE stops at minFreq and survives single-char + empty words") {
     import graft.pipeline.Bpe
     val docs = Seq((1L, "x y z  x")).toDF("doc_id", "text")

@@ -319,6 +319,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("icebergUpsertSink materializes latest-key-wins via equality " +
+      "deletes (the Flink-Iceberg upsert shape)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val base = "/tmp/graft_test/iceberg_upsert"
+    val ckpt = "/tmp/graft_test/iceberg_upsert_ckpt"
+    Seq(base, ckpt).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    val input = MemoryStream[(Long, String)]
+    val q = Events.icebergUpsertSink(input.toDF().toDF("k", "v"), base, ckpt,
+      keyCols = Seq("k"))
+    try {
+      input.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      input.addData((2L, "b2"), (3L, "c")) // k=2 upserts
+      q.processAllAvailable()
+      import graft.sources.IcebergTable
+      val got = IcebergTable.read(spark, base)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == Set((1L, "a"), (2L, "b2"), (3L, "c")),
+        "the later batch's row must win its key through the " +
+          "sequence-scoped equality delete")
+      // batch 2's commits: one delete snapshot + one tagged append
+      assert(IcebergTable.lastStreamBatch(spark, base, "graft-stream")
+        .contains(1L))
+      // replay convergence: re-running the delete+append pair for a NEW
+      // batch of the same key converges to that batch's row
+      IcebergTable.deleteEquality(spark, base, Seq(2L).toDF("k"))
+      IcebergTable.write(Seq((2L, "b3")).toDF("k", "v"), base,
+        summaryProps = Map("graft.app-id" -> "graft-stream",
+          "graft.batch-id" -> "2"))
+      val got2 = IcebergTable.read(spark, base)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got2 == Set((1L, "a"), (2L, "b3"), (3L, "c")))
+    } finally q.stop()
+  }
+
   test("paimonSink upserts micro-batches into a PK table, exactly once " +
       "by (commitUser, commitIdentifier)") {
     import spark.implicits._
