@@ -53,11 +53,16 @@ import scala.jdk.CollectionConverters._
   * under mapping (spec writer requirement) and resolve the same way.
   * Mode `id` (parquet field-id resolution) still refuses.
   *
+  * V2 CHECKPOINTS (PROTOCOL.md §V2 Checkpoint Spec) bootstrap too:
+  * the UUID-named top-level file (`<v>.checkpoint.<uuid>.parquet` or
+  * `.json`) resolves, and its `sidecarFile` actions pull the file
+  * actions from parquet sidecars under `_delta_log/_sidecars/`.
+  *
   * Protocol guardrails (PROTOCOL.md reader-version rules): the replay
   * tracks the `protocol` action and REFUSES tables whose protocol
   * demands capabilities this reader does not implement (column-mapping
-  * mode `id`, v2 checkpoints, minReaderVersion > 3) — refusing beats
-  * silently wrong rows.
+  * mode `id`, minReaderVersion > 3, unknown reader features) —
+  * refusing beats silently wrong rows.
   */
 object DeltaLogReader {
 
@@ -115,13 +120,11 @@ object DeltaLogReader {
     var colMappingMode: String = "none"
     val state = scala.collection.mutable.LinkedHashMap[String, AddFile]()
 
-    val replayFrom: Long = cpVersion.filter(_ <= upTo) match {
-      case Some(cv) =>
-        // checkpoint bootstrap: the parquet holds the RESOLVED state at
-        // cv, one action per row in struct columns
+    // one parquet batch of checkpoint action rows (top-level file or a
+    // v2 sidecar) folded into the replay state — shared by the classic
+    // and v2 checkpoint shapes
+    def foldCheckpointParquet(actions: org.apache.spark.sql.DataFrame): Unit = {
         import org.apache.spark.sql.functions.col
-        val actions = spark.read.parquet(
-          new Path(logDir, f"$cv%020d.checkpoint.parquet").toString)
         if (actions.columns.contains("metaData")) {
           actions.filter(col("metaData").isNotNull)
             .select("metaData.schemaString", "metaData.partitionColumns")
@@ -173,6 +176,95 @@ object DeltaLogReader {
               state(r.getString(0)) = AddFile(r.getString(0), pv, dv)
             }
         }
+    }
+
+    /** Sidecar paths a v2 top-level checkpoint parquet names (empty on
+      * classic checkpoints, whose schema has no sidecarFile column). */
+    def sidecarsOf(actions: org.apache.spark.sql.DataFrame): Seq[String] = {
+      import org.apache.spark.sql.functions.col
+      if (!actions.columns.contains("sidecarFile")) Nil
+      else actions.filter(col("sidecarFile").isNotNull)
+        .select("sidecarFile.path").collect().map(_.getString(0)).toSeq
+    }
+
+    def sidecarPath(rel: String): String =
+      if (rel.startsWith("/") || rel.contains("://")) rel
+      else new Path(new Path(logDir, "_sidecars"), rel).toString
+
+    // one JSON action (commit line or v2 json-checkpoint line) folded
+    // into the replay state
+    def applyJsonAction(n: com.fasterxml.jackson.databind.JsonNode): Unit = {
+      if (n.has("metaData")) {
+        val md = n.get("metaData")
+        schema = DataType.fromJson(md.get("schemaString").asText).asInstanceOf[StructType]
+        partCols = Option(md.get("partitionColumns"))
+          .map(_.elements.asScala.map(_.asText).toSeq).getOrElse(Nil)
+        Option(md.get("configuration"))
+          .flatMap(c => Option(c.get("delta.columnMapping.mode")))
+          .foreach(m => colMappingMode = m.asText)
+      } else if (n.has("protocol")) {
+        val p = n.get("protocol")
+        minReader = p.get("minReaderVersion").asInt
+        readerFeatures = Option(p.get("readerFeatures"))
+          .map(_.elements.asScala.map(_.asText).toSet).getOrElse(Set.empty)
+      } else if (n.has("add")) {
+        val a = n.get("add")
+        val pv = Option(a.get("partitionValues"))
+          .map(_.fields.asScala.map(e => e.getKey -> e.getValue.asText).toMap)
+          .getOrElse(Map.empty[String, String])
+        val dv = Option(a.get("deletionVector")).filterNot(_.isNull).map { d =>
+          DeletionVectors.DvDescriptor(
+            d.get("storageType").asText, d.get("pathOrInlineDv").asText,
+            Option(d.get("offset")).filterNot(_.isNull).map(_.asInt).getOrElse(0),
+            d.get("sizeInBytes").asInt, d.get("cardinality").asLong)
+        }
+        state(a.get("path").asText) = AddFile(a.get("path").asText, pv, dv)
+      } else if (n.has("remove")) {
+        state.remove(n.get("remove").get("path").asText)
+      } // checkpointMetadata/commitInfo/txn actions carry no snapshot state
+    }
+
+    val replayFrom: Long = cpVersion.filter(_ <= upTo) match {
+      case Some(cv) =>
+        // checkpoint bootstrap: the RESOLVED state at cv, one action per
+        // row. Classic = one `<v>.checkpoint.parquet`. V2 (PROTOCOL.md
+        // §V2 Checkpoint Spec) = a UUID-named top-level file
+        // (`<v>.checkpoint.<uuid>.parquet` or `.json`) whose
+        // `sidecarFile` actions name parquet sidecars under
+        // `_delta_log/_sidecars/` carrying the file actions.
+        val prefix = f"$cv%020d.checkpoint"
+        val cpFiles = fs.listStatus(logDir).toSeq.map(_.getPath)
+          .filter(_.getName.startsWith(prefix))
+        val top = cpFiles.find(_.getName == s"$prefix.parquet")
+          .orElse(cpFiles.find(_.getName.endsWith(".parquet")))
+          .orElse(cpFiles.find(_.getName.endsWith(".json")))
+          .getOrElse(throw new IllegalArgumentException(
+            s"_last_checkpoint names version $cv but no $prefix* file exists " +
+              s"in $logDir"))
+        val sidecars: Seq[String] =
+          if (top.getName.endsWith(".json")) {
+            // v2 JSON top-level: line-delimited actions (metaData,
+            // protocol, checkpointMetadata, sidecarFile, inline add)
+            val in = fs.open(top)
+            val lines =
+              try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+              finally in.close()
+            val sc = scala.collection.mutable.ArrayBuffer[String]()
+            lines.filter(_.trim.nonEmpty).foreach { line =>
+              val n = mapper.readTree(line)
+              if (n.has("sidecarFile"))
+                sc += n.get("sidecarFile").get("path").asText
+              else applyJsonAction(n)
+            }
+            sc.toSeq
+          } else {
+            val actions = spark.read.parquet(top.toString)
+            foldCheckpointParquet(actions)
+            sidecarsOf(actions)
+          }
+        if (sidecars.nonEmpty)
+          foldCheckpointParquet(
+            spark.read.parquet(sidecars.map(sidecarPath): _*))
         cv + 1
       case None =>
         require(jsonVersions.nonEmpty && jsonVersions.min == 0L,
@@ -187,37 +279,8 @@ object DeltaLogReader {
       val lines =
         try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
         finally in.close()
-      lines.filter(_.trim.nonEmpty).foreach { line =>
-        val n = mapper.readTree(line)
-        if (n.has("metaData")) {
-          val md = n.get("metaData")
-          schema = DataType.fromJson(md.get("schemaString").asText).asInstanceOf[StructType]
-          partCols = Option(md.get("partitionColumns"))
-            .map(_.elements.asScala.map(_.asText).toSeq).getOrElse(Nil)
-          Option(md.get("configuration"))
-            .flatMap(c => Option(c.get("delta.columnMapping.mode")))
-            .foreach(m => colMappingMode = m.asText)
-        } else if (n.has("protocol")) {
-          val p = n.get("protocol")
-          minReader = p.get("minReaderVersion").asInt
-          readerFeatures = Option(p.get("readerFeatures"))
-            .map(_.elements.asScala.map(_.asText).toSet).getOrElse(Set.empty)
-        } else if (n.has("add")) {
-          val a = n.get("add")
-          val pv = Option(a.get("partitionValues"))
-            .map(_.fields.asScala.map(e => e.getKey -> e.getValue.asText).toMap)
-            .getOrElse(Map.empty[String, String])
-          val dv = Option(a.get("deletionVector")).filterNot(_.isNull).map { d =>
-            DeletionVectors.DvDescriptor(
-              d.get("storageType").asText, d.get("pathOrInlineDv").asText,
-              Option(d.get("offset")).filterNot(_.isNull).map(_.asInt).getOrElse(0),
-              d.get("sizeInBytes").asInt, d.get("cardinality").asLong)
-          }
-          state(a.get("path").asText) = AddFile(a.get("path").asText, pv, dv)
-        } else if (n.has("remove")) {
-          state.remove(n.get("remove").get("path").asText)
-        } // protocol/commitInfo/txn actions carry no snapshot state
-      }
+      lines.filter(_.trim.nonEmpty).foreach(line =>
+        applyJsonAction(mapper.readTree(line)))
     }
     require(schema != null, s"no metaData action in log of $tablePath")
     checkProtocol(tablePath, minReader, readerFeatures, colMappingMode)
@@ -227,13 +290,14 @@ object DeltaLogReader {
   /** Reader features this implementation actually honors when a table
     * declares minReaderVersion 3 (PROTOCOL.md table-features):
     * timestampNtz is plain schema/parquet behavior Spark covers,
-    * vacuumProtocolCheck changes nothing at read time, deletionVectors
-    * and columnMapping (mode `name`; `id` is re-checked on the mode
-    * itself) are implemented here. Everything else — v2Checkpoint, … —
-    * would make this reader silently return WRONG rows, so it must
-    * refuse. */
+    * vacuumProtocolCheck changes nothing at read time, deletionVectors,
+    * columnMapping (mode `name`; `id` is re-checked on the mode
+    * itself) and v2Checkpoint (UUID-named top-level + sidecars) are
+    * implemented here. Anything else would make this reader silently
+    * return WRONG rows, so it must refuse. */
   private val supportedReaderFeatures =
-    Set("timestampNtz", "vacuumProtocolCheck", "deletionVectors", "columnMapping")
+    Set("timestampNtz", "vacuumProtocolCheck", "deletionVectors",
+      "columnMapping", "v2Checkpoint")
 
   /** PROTOCOL.md reader-version rules: a reader MUST refuse tables whose
     * protocol demands capabilities it does not implement, instead of

@@ -142,12 +142,36 @@ object DeltaLogWriter {
     val txns = scala.collection.mutable.Map[String, Long]()
     DeltaLogReader.lastCheckpointVersion(spark, tablePath).foreach { prev =>
       import org.apache.spark.sql.functions.col
-      val prevCp = spark.read.parquet(new Path(new Path(tablePath, "_delta_log"),
-        f"$prev%020d.checkpoint.parquet").toString)
-      if (prevCp.columns.contains("txn"))
-        prevCp.filter(col("txn").isNotNull).select("txn.appId", "txn.version")
-          .collect().foreach(r => txns(r.getString(0)) =
-            math.max(r.getLong(1), txns.getOrElse(r.getString(0), Long.MinValue)))
+      // the prior checkpoint may be classic or v2 (UUID-named parquet or
+      // json top-level); txn rows live in the top-level file either way
+      val logDir = new Path(tablePath, "_delta_log")
+      val prefix = f"$prev%020d.checkpoint"
+      val cpFiles = fs.listStatus(logDir).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith(prefix))
+      val top = cpFiles.find(_.getName == s"$prefix.parquet")
+        .orElse(cpFiles.find(_.getName.endsWith(".parquet")))
+        .orElse(cpFiles.find(_.getName.endsWith(".json")))
+      top.foreach { t =>
+        if (t.getName.endsWith(".parquet")) {
+          val prevCp = spark.read.parquet(t.toString)
+          if (prevCp.columns.contains("txn"))
+            prevCp.filter(col("txn").isNotNull).select("txn.appId", "txn.version")
+              .collect().foreach(r => txns(r.getString(0)) =
+                math.max(r.getLong(1), txns.getOrElse(r.getString(0), Long.MinValue)))
+        } else {
+          val in = fs.open(t)
+          val lines =
+            try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+            finally in.close()
+          lines.filter(_.contains("\"txn\"")).foreach { line =>
+            Option(mapper.readTree(line).get("txn")).foreach { x =>
+              val app = x.get("appId").asText
+              txns(app) = math.max(x.get("version").asLong,
+                txns.getOrElse(app, Long.MinValue))
+            }
+          }
+        }
+      }
     }
     jsonVersions.foreach { v =>
       val p = new Path(new Path(tablePath, "_delta_log"), f"$v%020d.json")

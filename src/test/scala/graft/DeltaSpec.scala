@@ -4,6 +4,11 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.sources.DeltaLogReader
 
+// v2-checkpoint fixture rows (top-level for Janino-safe encoders)
+case class V2SidecarAdd(path: String, partitionValues: Map[String, String],
+                        size: Long, modificationTime: Long, dataChange: Boolean)
+case class V2SidecarRow(add: V2SidecarAdd)
+
 class DeltaSpec extends AnyFunSuite {
   import TestSpark._
 
@@ -251,6 +256,66 @@ class DeltaSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](
       DeltaLogReader.read(spark, base).collect())
     assert(e.getMessage.contains("column mapping"))
+  }
+
+  test("v2 checkpoint: json top-level + parquet sidecars bootstrap the " +
+      "snapshot; newer commits replay on top") {
+    import spark.implicits._
+    val base = freshDir("v2cp")
+    val df = (1L to 30L).map(i => (i, s"r$i")).toDF("k", "v")
+    // versions 0+1: ordinary commits through the writer
+    graft.sources.DeltaLogWriter.write(df.filter($"k" <= 10), base)
+    graft.sources.DeltaLogWriter.write(
+      df.filter($"k" > 10 && $"k" <= 20), base)
+    val live = DeltaLogReader.read(spark, base)
+    assert(live.count() == 20)
+    val files = graft.sources.DeltaLogReader.activeFiles(spark, base)
+    // hand-build the v2 checkpoint at version 1: parquet SIDECAR with
+    // the add actions, UUID-named JSON top-level with protocol/
+    // metaData/checkpointMetadata/sidecarFile, _last_checkpoint hint
+    val logDir = new org.apache.hadoop.fs.Path(base, "_delta_log")
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sidecarName = "11111111-2222-3333-4444-555555555555.parquet"
+    val rows = files.map(p => V2SidecarRow(
+      V2SidecarAdd(p, Map.empty, 0L, 0L, dataChange = true)))
+    DeltaLogReader.writeDataFile(rows.toDF(),
+      s"$base/_delta_log/_sidecars", sidecarName)
+    val schemaStr = new com.fasterxml.jackson.databind.ObjectMapper()
+      .writeValueAsString(df.schema.json)
+    val topName = "00000000000000000001.checkpoint.aaaabbbb-cccc-dddd-eeee-ffff00001111.json"
+    val topLines = Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}""",
+      s"""{"metaData":{"id":"graft-fixture","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":$schemaStr,"partitionColumns":[],"configuration":{}}}""",
+      """{"checkpointMetadata":{"version":1}}""",
+      s"""{"sidecarFile":{"path":"$sidecarName","sizeInBytes":1}}""")
+    val osT = fs.create(new org.apache.hadoop.fs.Path(logDir, topName), true)
+    osT.write((topLines.mkString("\n") + "\n").getBytes("UTF-8")); osT.close()
+    val osL = fs.create(new org.apache.hadoop.fs.Path(logDir, "_last_checkpoint"), true)
+    osL.write("""{"version":1,"size":4}""".getBytes("UTF-8")); osL.close()
+    // vacuum the JSON commits the checkpoint covers: the v2 checkpoint
+    // is now the ONLY source of the version-1 state
+    Seq(0L, 1L).foreach(v => fs.delete(
+      new org.apache.hadoop.fs.Path(logDir, f"$v%020d.json"), false))
+    assert(DeltaLogReader.read(spark, base)
+      .select("k").as[Long].collect().toSet == (1L to 20L).toSet)
+    // a newer JSON commit replays on top of the v2 bootstrap
+    val szC = DeltaLogReader.writeDataFile(df.filter($"k" > 20), base, "c.parquet")
+    DeltaLogReader.writeCommit(spark, base, 2, Seq(
+      s"""{"add":{"path":"c.parquet","partitionValues":{},"size":$szC,"modificationTime":1,"dataChange":true}}"""))
+    assert(DeltaLogReader.read(spark, base)
+      .select("k").as[Long].collect().toSet == (1L to 30L).toSet)
+    // parquet TOP-LEVEL variant: a classic-schema checkpoint under a
+    // UUID name also resolves (v2 naming, no sidecars); the writer
+    // advances _last_checkpoint to version 2 first
+    graft.sources.DeltaLogWriter.checkpoint(spark, base)
+    val classic = new org.apache.hadoop.fs.Path(logDir,
+      "00000000000000000002.checkpoint.parquet")
+    val uuidNamed = new org.apache.hadoop.fs.Path(logDir,
+      "00000000000000000002.checkpoint.99998888-7777-6666-5555-444433332222.parquet")
+    require(fs.rename(classic, uuidNamed))
+    assert(DeltaLogReader.read(spark, base).count() == 30)
   }
 
   test("minReaderVersion 3 with only supported features still reads") {
