@@ -540,6 +540,16 @@ object IcebergTable {
               f.partition.map { case (k, v) => k -> String.valueOf(v) }.asJava)))
           .toDF("file_path", "file_format", "record_count",
             "file_size_in_bytes", "partition")
+      case "delete_files" =>
+        // spec metadata table: live POSITION (content 1) and EQUALITY
+        // (content 2) delete files with their scoping sequence numbers
+        liveEntries(spark, table).filter(_.content != 0)
+          .map(f => (f.path, if (f.content == 1) "POSITION_DELETES"
+              else "EQUALITY_DELETES",
+            f.recordCount, f.fileSizeBytes, f.seq,
+            f.equalityIds.mkString(",")))
+          .toDF("file_path", "content", "record_count",
+            "file_size_in_bytes", "sequence_number", "equality_ids")
       case "partitions" =>
         liveFiles(spark, table).groupBy(_.partition).toSeq
           .map { case (p, fs) =>
@@ -551,7 +561,7 @@ object IcebergTable {
           .toDF("partition", "record_count", "file_count")
       case other => throw new IllegalArgumentException(
         s"unknown metadata table '$other' " +
-          "(snapshots|history|manifests|files|partitions)")
+          "(snapshots|history|manifests|files|delete_files|partitions)")
     }
   }
 

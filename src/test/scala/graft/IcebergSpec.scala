@@ -246,6 +246,14 @@ class IcebergSpec extends AnyFunSuite {
     IcebergTable.deleteFrom(spark, base, col("v") === "extra4")
     assert(IcebergTable.read(spark, base)
       .filter(col("v") === "extra4").count() == 0L)
+    // #delete_files lists both delete kinds with their sequence numbers
+    val delFiles = IcebergTable.read(spark, s"$base#delete_files")
+      .collect().map(r => (r.getAs[String]("content"),
+        r.getAs[Long]("sequence_number"), r.getAs[String]("equality_ids")))
+    // the eq delete was the table's first v2 commit → sequence number 1
+    assert(delFiles.exists(d => d._1 == "EQUALITY_DELETES" && d._2 == 1L
+      && d._3.nonEmpty))
+    assert(delFiles.exists(_._1 == "POSITION_DELETES"))
   }
 
   test("multi-column equality deletes match null-safely (v2)") {
