@@ -314,6 +314,13 @@ object QueriesSources {
         .agg(count(lit(1)).as("n"), sum("val").as("val_sum"))
     }),
 
+    // ---- Paimon CDC changelog: snapshot 2's delta = the upsert batch,
+    // every row tagged +U (changelog-producer=input semantics — the
+    // delta files ARE the change stream for PK tables) ----
+    "q_paimon_changelog" -> ((s, d) =>
+      graft.sources.PaimonTable.readChangelog(s, paimonPkFixture(s, d),
+        snapshotId = 2L)),
+
     "q_paimon_time_travel" -> ((s, d) => {
       // snapshot 1 pins the pre-append state = keys < 1000
       graft.sources.PaimonTable.read(s, paimonFixture(s, d),
@@ -957,6 +964,10 @@ object QueriesSources {
              sum(o_orderkey * 3)::BIGINT AS val_sum
       FROM orders WHERE o_orderkey < 1000
       GROUP BY 1""",
+    "q_paimon_changelog" -> """
+      SELECT '+U' AS row_kind, o_orderkey, 'U' AS o_orderstatus,
+             o_orderkey * 7 AS val
+      FROM orders WHERE o_orderkey >= 500 AND o_orderkey < 700""",
     "q_jdbc_roundtrip" -> """
       SELECT n_nationkey, n_name, n_regionkey FROM nation""",
     "q_dir_columns" -> """

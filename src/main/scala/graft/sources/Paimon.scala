@@ -400,6 +400,42 @@ object PaimonTable {
     else spark.read.schema(sch.schema).parquet(files: _*)
   }
 
+  /** CDC changelog of ONE snapshot of a primary-key table: the rows the
+    * snapshot's delta manifests added, with their RowKind exposed as
+    * `row_kind` (+I/-U/+U/-D) ahead of the value columns — what a
+    * downstream incremental consumer applies in order (paimon's
+    * changelog-producer=input semantics: for PK tables the delta files
+    * ARE the change stream, each row tagged by the writer). Ordinary
+    * distributed parquet scan; kind decode is one codegen'd CASE. */
+  def readChangelog(spark: SparkSession, table: String,
+                    snapshotId: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, element_at, lit, map}
+    val snap = selectSnapshot(snapshots(spark, table), Some(snapshotId), None)
+    val sch = loadSchema(spark, table, Some(snap.schemaId))
+    require(sch.primaryKeys.nonEmpty,
+      s"changelog read needs a PRIMARY-KEY table (append-only deltas are " +
+        s"plain appends — use readAppendedBetween): $table")
+    val files = entriesOf(spark, table, snap.deltaManifestList)
+      .filter(_.kind == 0)
+      .map(f => s"$table/bucket-${f.bucket}/${f.fileName}")
+    val keyFields = sch.primaryKeys.map(k =>
+      sch.schema(k).copy(name = s"_KEY_$k"))
+    val pkSchema = StructType(keyFields.toArray ++
+      Array(StructField("_SEQUENCE_NUMBER", LongType, nullable = false),
+        StructField("_VALUE_KIND", ByteType, nullable = false)) ++
+      sch.schema.fields)
+    if (files.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(StructField("row_kind", StringType, nullable = false) +:
+          sch.schema.fields))
+    val kindName = map(
+      lit(0.toByte), lit("+I"), lit(1.toByte), lit("-U"),
+      lit(2.toByte), lit("+U"), lit(3.toByte), lit("-D"))
+    spark.read.schema(pkSchema).parquet(files: _*)
+      .select(element_at(kindName, col("_VALUE_KIND")).as("row_kind") +:
+        sch.schema.fields.map(f => col(f.name)).toSeq: _*)
+  }
+
   /** Drill's `table#<kind>` metadata tables (PaimonMetadataType:
     * snapshots | schemas | files | manifests) as DataFrames. */
   def metadataTable(spark: SparkSession, table: String, kind: String): DataFrame = {

@@ -184,6 +184,29 @@ class DeltaSpec extends AnyFunSuite {
     assert(deserialize(serialize(dense)).sorted == dense.sorted)
   }
 
+  test("roaring codec round-trips arbitrary position sets (property)") {
+    import graft.sources.DeletionVectors.{deserialize, serialize}
+    import org.scalacheck.Gen
+    import org.scalacheck.Prop.forAll
+    import org.scalacheck.Test.{check, Parameters}
+    // positions drawn from ranges that exercise array containers, the
+    // dense bitmap threshold, container boundaries and >32-bit buckets
+    val posGen = Gen.oneOf(
+      Gen.chooseNum(0L, 200000L),
+      Gen.chooseNum(65530L, 65545L),                // container boundary
+      Gen.chooseNum((1L << 32) - 5, (1L << 32) + 5), // bucket boundary
+      Gen.chooseNum(0L, 1L << 40))
+    val setGen = Gen.listOf(posGen)
+    val prop = forAll(setGen) { ps =>
+      deserialize(serialize(ps)).sorted == ps.distinct.sorted
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+    // and a forced dense run: one full container + neighbors
+    val dense = (0L until 70000L) ++ Seq(1L << 33, (1L << 33) + 1)
+    assert(deserialize(serialize(dense)).sorted == dense.sorted)
+  }
+
   test("deletion vectors drop exactly the flagged rows (u and i storage)") {
     import spark.implicits._
     val base = freshDir("dv_read")

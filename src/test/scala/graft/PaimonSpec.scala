@@ -147,6 +147,28 @@ class PaimonSpec extends AnyFunSuite {
     assert(PaimonTable.loadSchema(spark, base).primaryKeys == Seq("id"))
   }
 
+  test("readChangelog exposes one snapshot's delta rows with RowKinds") {
+    import spark.implicits._
+    val base = freshDir("changelog")
+    PaimonTable.writePk((1L to 5L).map(i => (i, s"v$i")).toDF("id", "v"),
+      base, Seq("id"))
+    PaimonTable.writePk(Seq((2L, "upd2"), (6L, "v6")).toDF("id", "v"),
+      base, Seq("id"), kind = "+U")
+    PaimonTable.writePk(Seq(3L).toDF("id"), base, Seq("id"), kind = "-D")
+    def cl(s: Long) = PaimonTable.readChangelog(spark, base, s)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.getString(2)))).toSet
+    assert(cl(1L) == (1L to 5L).map(i => ("+I", i, Some(s"v$i"))).toSet)
+    assert(cl(2L) == Set(("+U", 2L, Some("upd2")), ("+U", 6L, Some("v6"))))
+    assert(cl(3L) == Set(("-D", 3L, None))) // retract ships null values
+    // append-only tables refuse (their deltas are plain appends)
+    val ap = freshDir("changelog_ap")
+    PaimonTable.write(Seq(1L).toDF("k"), ap)
+    val e = intercept[IllegalArgumentException](
+      PaimonTable.readChangelog(spark, ap, 1L))
+    assert(e.getMessage.contains("PRIMARY-KEY"))
+  }
+
   test("primary-key table guards: key mismatch, bad kind, missing column") {
     import spark.implicits._
     val base = freshDir("pkguards")
