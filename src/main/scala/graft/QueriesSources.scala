@@ -198,6 +198,17 @@ object QueriesSources {
         .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
     }),
 
+    // ---- Delta CHANGE DATA FEED: cdc-action commits serve their
+    // _change_data files (update pre/post images), plain commits derive
+    // inserts from dataChange adds and deletes from dataChange removes
+    // (the delta-spark CDF contract; PROTOCOL.md §Add CDC File) ----
+    "q_delta_cdf" -> ((s, d) =>
+      graft.sources.DeltaLogReader.readChanges(s, deltaCdfFixture(s, d),
+          fromVersion = 0L)
+        .groupBy("_change_type", "_commit_version")
+        .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"),
+          sum("val").as("val_sum"))),
+
     // ---- Delta COLUMN MAPPING mode `name`: parquet stores physical
     // names, the schemaString's field metadata maps them to logical ----
     "q_delta_colmap" -> ((s, d) => {
@@ -663,6 +674,57 @@ object QueriesSources {
     base
   }
 
+  /** Delta CHANGE-DATA-FEED fixture: v0 adds keys <600 (derived
+    * inserts), v1 carries explicit `cdc` actions (update_preimage →
+    * update_postimage doubling val for keys <100), v2 removes the
+    * second half file (derived deletes of keys [300,600)). */
+  private def deltaCdfFixture(s: org.apache.spark.sql.SparkSession,
+                              d: String): String = {
+    import graft.sources.DeltaLogReader
+    val base = s"${out(d)}/delta_cdf_orders"
+    val donePath = new org.apache.hadoop.fs.Path(
+      s"$base/_delta_log/00000000000000000002.json")
+    val fs = donePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(donePath)) {
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val src = GraftSession.table(s, d, "orders")
+        .select(col("o_orderkey"), (col("o_orderkey") * 3).as("val"))
+      val szA = DeltaLogReader.writeDataFile(
+        src.filter(col("o_orderkey") < 300), base, "a.parquet")
+      val szB = DeltaLogReader.writeDataFile(
+        src.filter(col("o_orderkey") >= 300 && col("o_orderkey") < 600),
+        base, "b.parquet")
+      DeltaLogReader.writeCommit(s, base, 0, Seq(
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
+        DeltaLogReader.metaDataAction(src.schema, Nil),
+        s"""{"add":{"path":"a.parquet","partitionValues":{},"size":$szA,"modificationTime":1,"dataChange":true}}""",
+        s"""{"add":{"path":"b.parquet","partitionValues":{},"size":$szB,"modificationTime":1,"dataChange":true}}"""))
+      // v1: an UPDATE materialized as cdc files (pre + post images)
+      val pre = src.filter(col("o_orderkey") < 100)
+        .withColumn("_change_type", lit("update_preimage"))
+      val post = src.filter(col("o_orderkey") < 100)
+        .withColumn("val", col("o_orderkey") * 6)
+        .withColumn("_change_type", lit("update_postimage"))
+      val szCdc = DeltaLogReader.writeDataFile(pre.unionByName(post), base,
+        "_change_data/cdc-0.parquet")
+      // the update also rewrites a.parquet in the main table (CDF files
+      // never feed ordinary reads)
+      val szA2 = DeltaLogReader.writeDataFile(
+        src.withColumn("val",
+            when(col("o_orderkey") < 100, col("o_orderkey") * 6)
+              .otherwise(col("val")))
+          .filter(col("o_orderkey") < 300), base, "a2.parquet")
+      DeltaLogReader.writeCommit(s, base, 1, Seq(
+        s"""{"cdc":{"path":"_change_data/cdc-0.parquet","partitionValues":{},"size":$szCdc,"dataChange":false}}""",
+        s"""{"remove":{"path":"a.parquet","dataChange":true}}""",
+        s"""{"add":{"path":"a2.parquet","partitionValues":{},"size":$szA2,"modificationTime":2,"dataChange":true}}"""))
+      // v2: plain delete of file b → derived delete rows
+      DeltaLogReader.writeCommit(s, base, 2, Seq(
+        s"""{"remove":{"path":"b.parquet","dataChange":true}}"""))
+    }
+    base
+  }
+
   /** Delta COLUMN-MAPPING (mode `name`) fixture: the parquet stores
     * physical names `col-9f1`/`col-a44`; the log's schemaString maps
     * them to o_orderkey/o_orderstatus via field metadata. */
@@ -906,6 +968,24 @@ object QueriesSources {
       SELECT o_orderstatus, count(*) AS n, sum(o_orderkey)::BIGINT AS key_sum
       FROM orders WHERE o_orderkey < 2000
       GROUP BY 1""",
+    "q_delta_cdf" -> """
+      SELECT _change_type, _commit_version::BIGINT AS _commit_version,
+             count(*) AS n, sum(o_orderkey)::BIGINT AS key_sum,
+             sum(val)::BIGINT AS val_sum
+      FROM (
+        SELECT 'insert' AS _change_type, 0 AS _commit_version,
+               o_orderkey, o_orderkey * 3 AS val
+        FROM orders WHERE o_orderkey < 600
+        UNION ALL
+        SELECT 'update_preimage', 1, o_orderkey, o_orderkey * 3
+        FROM orders WHERE o_orderkey < 100
+        UNION ALL
+        SELECT 'update_postimage', 1, o_orderkey, o_orderkey * 6
+        FROM orders WHERE o_orderkey < 100
+        UNION ALL
+        SELECT 'delete', 2, o_orderkey, o_orderkey * 3
+        FROM orders WHERE o_orderkey >= 300 AND o_orderkey < 600)
+      GROUP BY 1, 2""",
     "q_delta_time_travel" -> """
       SELECT o_orderstatus, count(*) AS n, sum(o_orderkey)::BIGINT AS key_sum
       FROM orders WHERE o_orderkey < 1000

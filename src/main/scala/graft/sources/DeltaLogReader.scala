@@ -458,6 +458,86 @@ object DeltaLogReader {
   private def absNorm(p: String): String =
     p.replaceFirst("^[a-zA-Z0-9]+:/+", "/")
 
+  /** CHANGE DATA FEED read (PROTOCOL.md §Add CDC File): every row change
+    * in versions [fromVersion, toVersion] with `_change_type` and
+    * `_commit_version` columns. Commits carrying `cdc` actions serve
+    * their `_change_data/` files verbatim (the writer already
+    * materialized update_preimage/update_postimage there); commits
+    * without them derive changes the way delta-spark does — a
+    * dataChange add IS its file's rows as inserts, a dataChange remove
+    * IS its file's rows as deletes (the removed file still exists until
+    * vacuum; a vacuumed file errors clearly at scan). Plain distributed
+    * parquet scans per commit, unioned; no state, no driver rows.
+    * Tables with column mapping or deletion vectors refuse (their
+    * change semantics need the mapped/DV-aware machinery). */
+  def readChanges(spark: SparkSession, tablePath: String,
+                  fromVersion: Long, toVersion: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val versions = tableVersions(spark, tablePath)
+    val hi = toVersion.getOrElse(versions.max)
+    require(versions.contains(fromVersion),
+      s"version $fromVersion not in log of $tablePath (have " +
+        s"${versions.mkString(", ")} — older history may be vacuumed)")
+    val logDir = new Path(tablePath, "_delta_log")
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // schema + protocol posture from the snapshot at the range end
+    val (schema, partCols, _) = snapshot(spark, tablePath, Some(hi))
+    require(partCols.isEmpty,
+      s"readChanges supports unpartitioned tables (got partition " +
+        s"columns ${partCols.mkString(", ")})")
+    require(!schema.fields.exists(
+        _.metadata.contains("delta.columnMapping.physicalName")),
+      s"readChanges on a column-mapped table is not supported: $tablePath")
+    def absolute(p: String): String =
+      if (p.startsWith("/") || p.contains("://")) p else s"$tablePath/$p"
+    val out = StructType(schema.fields ++ Seq(
+      StructField("_change_type", org.apache.spark.sql.types.StringType),
+      StructField("_commit_version", org.apache.spark.sql.types.LongType)))
+    val parts = versions.filter(v => v >= fromVersion && v <= hi).flatMap { v =>
+      val p = new Path(logDir, f"$v%020d.json")
+      val in = fs.open(p)
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      val nodes = lines.filter(_.trim.nonEmpty).map(mapper.readTree)
+      nodes.foreach { n =>
+        if (n.has("add"))
+          require(!n.get("add").has("deletionVector") ||
+            n.get("add").get("deletionVector").isNull,
+            s"readChanges on a deletion-vector commit (version $v of " +
+              s"$tablePath) is not supported")
+      }
+      val cdc = nodes.filter(_.has("cdc"))
+        .map(n => absolute(n.get("cdc").get("path").asText))
+      if (cdc.nonEmpty) {
+        // cdc files carry _change_type themselves
+        Seq(spark.read.schema(StructType(schema.fields :+
+            StructField("_change_type", org.apache.spark.sql.types.StringType)))
+          .parquet(cdc: _*)
+          .withColumn("_commit_version", lit(v)))
+      } else {
+        val adds = nodes.filter(n => n.has("add") &&
+            Option(n.get("add").get("dataChange")).forall(_.asBoolean))
+          .map(n => absolute(n.get("add").get("path").asText))
+        val removes = nodes.filter(n => n.has("remove") &&
+            Option(n.get("remove").get("dataChange")).forall(_.asBoolean))
+          .map(n => absolute(n.get("remove").get("path").asText))
+        val a = if (adds.isEmpty) Nil else Seq(
+          spark.read.schema(schema).parquet(adds: _*)
+            .withColumn("_change_type", lit("insert"))
+            .withColumn("_commit_version", lit(v)))
+        val r = if (removes.isEmpty) Nil else Seq(
+          spark.read.schema(schema).parquet(removes: _*)
+            .withColumn("_change_type", lit("delete"))
+            .withColumn("_commit_version", lit(v)))
+        a ++ r
+      }
+    }
+    if (parts.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], out)
+    else parts.reduce(_ unionByName _)
+  }
+
   /** Append one hand-written JSON commit (fixture/spec helper; the action
     * lines must each be a complete JSON object per the Delta protocol). */
   private[graft] def writeCommit(spark: SparkSession, tablePath: String,

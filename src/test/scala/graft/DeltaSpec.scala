@@ -341,6 +341,43 @@ class DeltaSpec extends AnyFunSuite {
     assert(DeltaLogReader.read(spark, base).count() == 30)
   }
 
+  test("readChanges: derived inserts/deletes, cdc precedence, guards") {
+    import spark.implicits._
+    val base = freshDir("cdf")
+    val df = (1L to 10L).map(i => (i, s"v$i")).toDF("k", "v")
+    graft.sources.DeltaLogWriter.write(df.filter($"k" <= 6), base)   // v0
+    graft.sources.DeltaLogWriter.write(df.filter($"k" > 6), base)    // v1
+    // v2: overwrite → derived deletes of everything + inserts of subset
+    graft.sources.DeltaLogWriter.write(df.filter($"k" <= 3), base,
+      org.apache.spark.sql.SaveMode.Overwrite)                        // v2
+    val ch = DeltaLogReader.readChanges(spark, base, 0L)
+      .collect().map(r => (r.getAs[String]("_change_type"),
+        r.getAs[Long]("_commit_version"), r.getAs[Long]("k"))).toSet
+    val expected =
+      (1L to 6L).map(k => ("insert", 0L, k)).toSet ++
+      (7L to 10L).map(k => ("insert", 1L, k)) ++
+      (1L to 10L).map(k => ("delete", 2L, k)) ++
+      (1L to 3L).map(k => ("insert", 2L, k))
+    assert(ch == expected)
+    // range bounds: only v1's changes
+    assert(DeltaLogReader.readChanges(spark, base, 1L, Some(1L))
+      .select("k").as[Long].collect().toSet == (7L to 10L).toSet)
+    // a deletion-vector commit in range refuses
+    val dvBase = freshDir("cdf_dv")
+    val sz = DeltaLogReader.writeDataFile(df, dvBase, "a.parquet")
+    val dvData = graft.sources.DeletionVectors.serialize(Seq(0L))
+    val inline = graft.sources.DeletionVectors.z85Encode(
+      dvData ++ Array.fill((4 - dvData.length % 4) % 4)(0.toByte))
+    DeltaLogReader.writeCommit(spark, dvBase, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      DeltaLogReader.metaDataAction(df.schema, Nil),
+      s"""{"add":{"path":"a.parquet","partitionValues":{},"size":$sz,"modificationTime":1,"dataChange":true,"deletionVector":{"storageType":"i","pathOrInlineDv":"$inline","sizeInBytes":21,"cardinality":1}}}"""))
+    val e = intercept[IllegalArgumentException](
+      DeltaLogReader.readChanges(spark, dvBase, 0L).collect())
+    assert(e.getMessage.contains("deletion-vector"))
+  }
+
   test("minReaderVersion 3 with only supported features still reads") {
     import spark.implicits._
     val base = freshDir("proto_ok")
