@@ -295,6 +295,16 @@ object QueriesSources {
         .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
     }),
 
+    // ---- Iceberg CDC changelog: per-snapshot row diffs over the same
+    // fixture — appends surface as inserts, the equality delete as
+    // delete rows, the re-append as inserts again (Spark's iceberg
+    // changelog-scan semantics: updates are delete+insert pairs) ----
+    "q_iceberg_changelog" -> ((s, d) =>
+      graft.sources.IcebergTable.readChangesBetween(s,
+          icebergEqFixture(s, d), fromSnapshotId = 1L)
+        .groupBy("_change_type", "_snapshot_id")
+        .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))),
+
     // ---- Paimon append-only table: hand-rolled snapshot/schema JSON +
     // avro manifest reader/writer, no paimon jar (ref contrib/
     // format-paimon/.../PaimonGroupScan.java + PaimonTableUtils; layout
@@ -1023,6 +1033,16 @@ object QueriesSources {
       SELECT o_orderstatus, count(*) AS n, sum(o_orderkey)::BIGINT AS key_sum
       FROM orders WHERE o_orderkey < 1000 AND o_orderkey % 10 >= 2
       GROUP BY 1""",
+    "q_iceberg_changelog" -> """
+      SELECT 'insert' AS _change_type, 2::BIGINT AS _snapshot_id,
+             count(*) AS n, sum(o_orderkey)::BIGINT AS key_sum
+      FROM orders WHERE o_orderkey >= 500 AND o_orderkey < 1000
+      UNION ALL
+      SELECT 'delete', 3, count(*), sum(o_orderkey)::BIGINT
+      FROM orders WHERE o_orderkey < 1000 AND o_orderkey % 10 < 2
+      UNION ALL
+      SELECT 'insert', 4, count(*), sum(o_orderkey)::BIGINT
+      FROM orders WHERE o_orderkey >= 100 AND o_orderkey < 200""",
     "q_read_paimon" -> """
       SELECT o_orderstatus, count(*) AS n, sum(o_orderkey)::BIGINT AS key_sum
       FROM orders WHERE o_orderkey < 2000

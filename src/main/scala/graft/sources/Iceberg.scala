@@ -398,16 +398,24 @@ object IcebergTable {
            snapshotId: Option[Long] = None,
            asOfTimestampMs: Option[Long] = None,
            partitionFilter: Map[String, Any] => Boolean = null): DataFrame = {
-    import org.apache.spark.sql.functions.col
     val hash = table.indexOf('#')
     if (hash >= 0)
       return metadataTable(spark, table.substring(0, hash), table.substring(hash + 1))
     val meta = loadMeta(spark, table)
     val entries = liveEntries(spark, table, snapshotId, asOfTimestampMs)
-    val eqDeletes = entries.filter(_.content == 2)
-    val posDeletes = entries.filter(_.content == 1)
     var files = entries.filter(_.content == 0)
     if (partitionFilter != null) files = files.filter(f => partitionFilter(f.partition))
+    buildRead(spark, meta, files, entries.filter(_.content == 1),
+      entries.filter(_.content == 2))
+  }
+
+  /** The scan+merge core of [[read]] over an EXPLICIT entry set — also
+    * the unit the changelog diff restricts to changed files. */
+  private def buildRead(spark: SparkSession, meta: TableMeta,
+                        files: Seq[DataFileInfo],
+                        posDeletes: Seq[DataFileInfo],
+                        eqDeletes: Seq[DataFileInfo]): DataFrame = {
+    import org.apache.spark.sql.functions.col
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], meta.schema)
     else {
@@ -482,6 +490,101 @@ object IcebergTable {
   /** [[normPath]]'s driver-side twin (same regex, plain strings). */
   private def normSchemeless(p: String): String =
     p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
+
+  /** CDC CHANGELOG: every row-level change in snapshots
+    * (fromSnapshotId, toSnapshotId], tagged `_change_type`
+    * (insert|delete; an update is its delete+insert pair, like Spark's
+    * iceberg changelog scan) and `_snapshot_id` — the Iceberg leg of
+    * the incremental-consumption triad (Delta readChanges, Paimon
+    * readChangelog).
+    *
+    * Semantics: per consecutive snapshot pair, the change set IS the
+    * merge-on-read row diff — inserts = rows@cur ∖ rows@prev, deletes =
+    * rows@prev ∖ rows@cur (multiset difference, so duplicate rows
+    * count) — which is correct for ANY commit kind (append, position
+    * or equality delete, overwrite) because it is defined on the
+    * read-visible state, not on the commit's file choreography.
+    *
+    * Scale: the diff restricts BOTH sides to files that can differ —
+    * the symmetric difference of the live data-file sets plus files
+    * targeted by the pair's new position-delete files (their
+    * `file_path` column is metadata-scale) — so an append diffs only
+    * its new files and a position delete only its targets. Unchanged
+    * files cancel identically and never scan. New EQUALITY deletes can
+    * reach any older row, so those pairs widen to files with a smaller
+    * data sequence number (what their scoping admits); exceptAll is a
+    * hash aggregation, not a join explosion. */
+  def readChangesBetween(spark: SparkSession, table: String,
+                         fromSnapshotId: Long,
+                         toSnapshotId: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val meta = loadMeta(spark, table)
+    require(meta.snapshots.exists(_.snapshotId == fromSnapshotId),
+      s"fromSnapshotId $fromSnapshotId not in table $table")
+    val ordered = meta.snapshots.sortBy(_.timestampMs)
+    val fromIdx = ordered.indexWhere(_.snapshotId == fromSnapshotId)
+    val hiIdx = toSnapshotId.map { id =>
+      val i = ordered.indexWhere(_.snapshotId == id)
+      require(i >= 0, s"toSnapshotId $id not in table $table")
+      i
+    }.getOrElse(ordered.size - 1)
+    val outSchema = StructType(
+      StructField("_change_type", StringType, nullable = false) +:
+      StructField("_snapshot_id", LongType, nullable = false) +:
+      meta.schema.fields)
+    val parts = (fromIdx until hiIdx).map { i =>
+      val prev = ordered(i)
+      val cur = ordered(i + 1)
+      val prevE = entriesOf(spark, table, prev).filter(_.status != 2)
+      val curE = entriesOf(spark, table, cur).filter(_.status != 2)
+      def byPath(es: Seq[DataFileInfo]) =
+        es.filter(_.content == 0).map(e => e.path -> e).toMap
+      val prevData = byPath(prevE)
+      val curData = byPath(curE)
+      val newDels = {
+        val prevDelPaths = prevE.filter(_.content != 0).map(_.path).toSet
+        curE.filter(e => e.content != 0 && !prevDelPaths.contains(e.path))
+      }
+      // changed-file set: live-set symmetric difference + new position
+      // deletes' targets (+ the eq-delete-reachable tail when present)
+      var changed = (prevData.keySet diff curData.keySet) ++
+        (curData.keySet diff prevData.keySet)
+      val newPos = newDels.filter(_.content == 1)
+      if (newPos.nonEmpty) {
+        import org.apache.spark.sql.functions.col
+        changed = changed ++ spark.read.parquet(newPos.map(_.path): _*)
+          .select(col("file_path")).distinct()
+          .collect().map(r => normSchemeless(r.getString(0)))
+      }
+      val newEq = newDels.filter(_.content == 2)
+      if (newEq.nonEmpty) {
+        val maxSeq = newEq.map(_.seq).max
+        changed = changed ++ curData.values
+          .filter(_.seq < maxSeq).map(_.path) ++
+          prevData.values.filter(_.seq < maxSeq).map(_.path)
+      }
+      def hit(p: String) =
+        changed.contains(p) || changed.contains(normSchemeless(p))
+      val left = buildRead(spark, meta,
+        prevData.values.filter(f => hit(f.path)).toSeq,
+        prevE.filter(_.content == 1), prevE.filter(_.content == 2))
+      val right = buildRead(spark, meta,
+        curData.values.filter(f => hit(f.path)).toSeq,
+        curE.filter(_.content == 1), curE.filter(_.content == 2))
+      val ins = right.exceptAll(left)
+        .select(lit("insert").as("_change_type") +:
+          lit(cur.snapshotId).as("_snapshot_id") +:
+          meta.schema.fieldNames.map(col).toSeq: _*)
+      val del = left.exceptAll(right)
+        .select(lit("delete").as("_change_type") +:
+          lit(cur.snapshotId).as("_snapshot_id") +:
+          meta.schema.fieldNames.map(col).toSeq: _*)
+      ins.unionByName(del)
+    }
+    if (parts.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
+    else parts.reduce(_ unionByName _)
+  }
 
   /** Incremental read: rows ADDED by snapshots in (fromSnapshotId,
     * toSnapshotId] — ref snapshot/SnapshotAfter.java +

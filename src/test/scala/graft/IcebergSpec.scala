@@ -288,6 +288,33 @@ class IcebergSpec extends AnyFunSuite {
     assert(e.getMessage.contains("equality_ids"))
   }
 
+  test("readChangesBetween: appends, position + equality deletes, " +
+      "re-inserts — all as row-level diffs") {
+    import spark.implicits._
+    val base = freshDir("changelog")
+    IcebergTable.write((1L to 10L).map(i => (i, s"v$i")).toDF("k", "v"), base)
+    IcebergTable.write((11L to 15L).map(i => (i, s"v$i")).toDF("k", "v"), base)
+    IcebergTable.deleteFrom(spark, base, col("k") <= 3L)      // snap 3
+    IcebergTable.deleteEquality(spark, base, Seq(5L, 6L).toDF("k")) // snap 4
+    IcebergTable.write(Seq((5L, "new5")).toDF("k", "v"), base) // snap 5
+    def ch(from: Long, to: Option[Long] = None) =
+      IcebergTable.readChangesBetween(spark, base, from, to)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getString(3))).toSet
+    val full = ch(1L)
+    val expected =
+      (11L to 15L).map(i => ("insert", 2L, i, s"v$i")).toSet ++
+      (1L to 3L).map(i => ("delete", 3L, i, s"v$i")) ++
+      Seq(("delete", 4L, 5L, "v5"), ("delete", 4L, 6L, "v6"),
+        ("insert", 5L, 5L, "new5"))
+    assert(full == expected)
+    // subrange (3, 5]: just the equality delete + the re-insert
+    assert(ch(3L, Some(5L)) == Set(("delete", 4L, 5L, "v5"),
+      ("delete", 4L, 6L, "v6"), ("insert", 5L, 5L, "new5")))
+    // empty range
+    assert(ch(5L).isEmpty)
+  }
+
   test("non-identity partition transforms read fine; writes refuse") {
     import spark.implicits._
     val base = freshDir("transforms")
