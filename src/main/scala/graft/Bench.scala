@@ -26,8 +26,10 @@ object Bench {
     // as-of join (zero-join window spelling), binned range join
     "q_iceberg_v2", "q_dup_components", "q_asof_join", "q_range_join",
     // round 7: equality-delete merge-on-read, Paimon PK LSM merge,
-    // Delta deletion vectors, DSIR gram-model weighting
-    "q_iceberg_eq_delete", "q_paimon_pk", "q_delta_dv", "q_dsir")
+    // Delta deletion vectors, DSIR gram-model weighting, iceberg CDC
+    // changelog (pruned snapshot diffs)
+    "q_iceberg_eq_delete", "q_paimon_pk", "q_delta_dv", "q_dsir",
+    "q_iceberg_changelog")
 
   val Reps = 3
 
