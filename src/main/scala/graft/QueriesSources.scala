@@ -527,6 +527,20 @@ object QueriesSources {
     // extension, via an analyzer rule — Drill's front door. The relation
     // composes with joins/aggregates like any catalog table; the oracle is
     // the same query over the registered views ----
+    // ---- Drill's dynamic UDF registry: CREATE FUNCTION USING JAR (ref
+    // exec/.../expr/fn/registry/RemoteFunctionRegistry.java) — jar built
+    // in-process, registered via the SQL DDL, functions used from SQL ----
+    "q_dynamic_udf" -> ((s, d) => {
+      val jar = graft.tools.DynamicUdfFixture.ensure()
+      if (!graft.functions.DynamicUdfs.registered.exists(_.jar == jar))
+        s.sql(s"CREATE FUNCTION USING JAR '$jar'").collect()
+      s.sql(s"""SELECT c_custkey,
+                       rev_str(c_name) AS rev_name,
+                       sq_long(c_custkey) AS sq_key,
+                       tag_cat(c_name, c_mktsegment) AS tagged
+                FROM dfs.`$d/customer.parquet`""")
+    }),
+
     "q_dfs_sql" -> ((s, d) =>
       s.sql(s"""SELECT o.o_orderstatus AS status, count(*) AS n,
                        round(sum(o.o_totalprice), 2) AS total
@@ -1184,6 +1198,11 @@ object QueriesSources {
       SELECT r_regionkey AS k, r_name AS name, NULL::BIGINT AS score FROM region
       UNION ALL
       SELECT r_regionkey, NULL, r_regionkey * 10 FROM region""",
+    "q_dynamic_udf" -> """
+      SELECT c_custkey, reverse(c_name) AS rev_name,
+             c_custkey * c_custkey AS sq_key,
+             c_name || ':' || c_mktsegment AS tagged
+      FROM customer""",
     "q_dfs_sql" -> """
       SELECT o.o_orderstatus AS status, count(*) AS n,
              round(sum(o.o_totalprice), 2) AS total

@@ -23,6 +23,21 @@ import org.apache.spark.sql.types.StructType
   */
 class DfsParser(delegate: ParserInterface) extends ParserInterface {
 
+  // Drill's dynamic UDF DDL (ref exec/.../planner/sql/handlers/
+  // CreateFunctionHandler.java, DropFunctionHandler.java): not Spark
+  // grammar, so the wrapper claims it before delegation. Results come
+  // back as a relation of (name, status) rows, like Drill's ok message.
+  private val CreateFnJar =
+    """(?is)\s*CREATE\s+FUNCTION\s+USING\s+JAR\s+'([^']+)'\s*;?\s*""".r
+  private val DropFnJar =
+    """(?is)\s*DROP\s+FUNCTION\s+USING\s+JAR\s+'([^']+)'\s*;?\s*""".r
+
+  private def fnJarResult(names: Seq[String], status: String): LogicalPlan = {
+    val spark = SparkSession.active
+    import spark.implicits._
+    names.map(n => (n, status)).toDF("name", "status").queryExecution.analyzed
+  }
+
   private def rewrite(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case u: UnresolvedRelation
         if u.multipartIdentifier.length >= 2 &&
@@ -35,8 +50,14 @@ class DfsParser(delegate: ParserInterface) extends ParserInterface {
       DfsSql.load(spark, u.multipartIdentifier.tail).queryExecution.analyzed
   }
 
-  override def parsePlan(sqlText: String): LogicalPlan =
-    rewrite(delegate.parsePlan(sqlText))
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case CreateFnJar(path) =>
+      fnJarResult(graft.functions.DynamicUdfs.registerJar(SparkSession.active, path), "registered")
+    case DropFnJar(path) =>
+      fnJarResult(graft.functions.DynamicUdfs.dropJar(SparkSession.active, path), "dropped")
+    case _ =>
+      rewrite(delegate.parsePlan(sqlText))
+  }
   override def parseQuery(sqlText: String): LogicalPlan =
     rewrite(delegate.parseQuery(sqlText))
 
