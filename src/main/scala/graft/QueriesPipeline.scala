@@ -242,6 +242,12 @@ object QueriesPipeline {
       Search.unigramNll(T(s, d, "documents"), "doc_id", "text")
         .select(col("doc_id"), round(col("nll"), 6).as("nll"))),
 
+    "q_bigram_ppl" -> ((s, d) =>
+      // interpolated bigram LM (CCNet's perplexity filter, one order up
+      // from q_unigram_ppl); raw double out, rounding gate-only
+      Search.bigramNll(T(s, d, "documents"), "doc_id", "text")
+        .select(col("doc_id"), round(col("nll2"), 6).as("nll2"))),
+
     // ---- DSIR importance weights (arXiv:2302.03169): raw = all docs,
     // target = the src0 slice; weight = Σ ln(p_target/p_raw) over the
     // doc's unigram+bigram stream, add-one smoothed. Rounding is
@@ -569,6 +575,25 @@ object QueriesPipeline {
       p AS (SELECT term, cnt::DOUBLE / total AS p FROM c CROSS JOIN t)
       SELECT doc_id, round(sum(-ln(p)) / count(*), 6) AS nll
       FROM toks JOIN p USING (term) GROUP BY 1""",
+    "q_bigram_ppl" -> s"""
+      WITH toks AS (SELECT doc_id, string_split($NORM, ' ') AS toks
+                    FROM documents),
+      bg AS (SELECT doc_id, g.w1 AS w1, g.w2 AS w2 FROM (
+               SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(toks) - 1),
+                   i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS g
+               FROM toks)),
+      c2 AS (SELECT w1, w2, count(*)::BIGINT AS cnt2 FROM bg GROUP BY 1, 2),
+      ctx AS (SELECT w1, sum(cnt2)::BIGINT AS ctx FROM c2 GROUP BY 1),
+      c1 AS (SELECT t.term, count(*)::BIGINT AS cnt1
+             FROM (SELECT unnest(toks) AS term FROM toks) t GROUP BY 1),
+      tot AS (SELECT sum(cnt1)::BIGINT AS total FROM c1),
+      model AS (SELECT w1, w2,
+          0.9::DOUBLE * cnt2 / ctx
+            + (1.0::DOUBLE - 0.9::DOUBLE) * cnt1 / total AS p
+        FROM c2 JOIN ctx USING (w1) JOIN c1 ON c1.term = c2.w2 CROSS JOIN tot)
+      SELECT doc_id, round(sum(-ln(p)) / count(*), 6) AS nll2
+      FROM bg JOIN model USING (w1, w2) GROUP BY 1""",
     "q_dsir" -> s"""
       WITH toks AS (SELECT doc_id, string_split($NORM, ' ') AS toks
                     FROM documents),

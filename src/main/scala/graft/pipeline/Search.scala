@@ -94,6 +94,51 @@ object Search {
       .agg((sum(-log(col("p"))) / count(lit(1))).as("nll"))
   }
 
+  /** Bigram-LM negative-log-likelihood scoring — one model order up from
+    * [[unigramNll]], the closer perplexity proxy to CCNet's KenLM filter
+    * (CCNet, Wenzek et al. 2020, arXiv:1911.00359 §4.3 scores with a
+    * 5-gram LM; the plan shape here is the general n-gram one). Jelinek-
+    * Mercer interpolation keeps every probability positive when scoring
+    * the training corpus itself:
+    * `P(w2|w1) = λ·c(w1 w2)/c(w1 ·) + (1-λ)·c(w2)/total`,
+    * per-doc score `mean(-ln P)` over its bigrams; docs with fewer than
+    * two tokens carry no bigram evidence and are omitted.
+    *
+    * Distribution: bigrams build with array HOFs on the token array
+    * (narrow, no window); model fitting is two gram aggregations (the
+    * context total derives FROM the bigram table, no third corpus pass);
+    * scoring is one hash join from the doc gram stream to the model.
+    * Corpus totals broadcast (metadata-scale); nothing corpus-sized
+    * broadcasts, the token/gram streams shuffle once each — the same
+    * posture as [[dsirWeights]]. */
+  def bigramNll(docs: DataFrame, idCol: String, textCol: String,
+                lambda: Double = 0.9): DataFrame = {
+    val toksArr = docs.select(col(idCol).as("doc_id"),
+      split(TextAnalysis.normalize(col(textCol)), " ").as("toks"))
+    val bigrams = toksArr
+      .select(col("doc_id"), explode(expr(
+        """transform(slice(toks, 1, greatest(size(toks) - 1, 0)),
+          |  (t, i) -> struct(t AS w1, toks[i + 1] AS w2))""".stripMargin))
+        .as("g"))
+      .select(col("doc_id"), col("g.w1"), col("g.w2"))
+    val c2 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("cnt2"))
+    val ctx = c2.groupBy("w1").agg(sum("cnt2").as("ctx"))
+    val uni = toksArr.select(explode(col("toks")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt1"))
+    val total = uni.agg(sum("cnt1").as("total"))
+    val model = c2.join(ctx, "w1")
+      .join(uni.withColumnRenamed("term", "w2"), "w2")
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"),
+        (lit(lambda) * col("cnt2").cast("double") / col("ctx") +
+          lit(1.0 - lambda) * col("cnt1").cast("double") / col("total"))
+          .as("p"))
+    // raw double out — rounding is a GATE convention (SURVEY §5)
+    bigrams.join(model, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg((sum(-log(col("p"))) / count(lit(1))).as("nll2"))
+  }
+
   /** DSIR-style importance weights (the "Data Selection for Language
     * Models via Importance Resampling" recipe, Xie et al. 2023,
     * arXiv:2302.03169): fit unigram+bigram bag-of-ngrams models over a

@@ -234,6 +234,26 @@ class PipelineExtraSpec extends AnyFunSuite {
         s"${fast -- slow}\n only-slow: ${slow -- fast}")
   }
 
+  test("bigramNll: raw unrounded output, interpolation floor, short docs omitted") {
+    val docs = Seq(
+      (1L, "the cat sat"), (2L, "the cat ran"), (3L, "the"), // doc 3: 1 token
+      (4L, "rare words here")).toDF("doc_id", "text")
+    val out = Search.bigramNll(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // doc 3 has no bigrams — omitted, not scored 0
+    assert(out.keySet === Set(1L, 2L, 4L))
+    // docs 1-2 contain the 50/50 branch "cat sat|ran" (ctx 2, cnt 1 →
+    // P≈0.45) so they score HIGHER than doc 4, whose continuations are
+    // all deterministic (c2/ctx = 1 → P≈0.9, the JM ceiling); the
+    // symmetric docs 1 and 2 must score identically
+    assert(out(1L) > out(4L) && out(2L) > out(4L))
+    assert(out(1L) === out(2L))
+    // raw double: at least one score must carry precision beyond 6dp
+    assert(out.values.exists(v => v != math.rint(v * 1e6) / 1e6))
+    // every probability interpolates with the unigram floor: scores finite
+    assert(out.values.forall(v => !v.isNaN && !v.isInfinite && v > 0))
+  }
+
   test("BPE stops at minFreq and survives single-char + empty words") {
     import graft.pipeline.Bpe
     val docs = Seq((1L, "x y z  x")).toDF("doc_id", "text")
