@@ -305,6 +305,21 @@ object QueriesSources {
         .groupBy("_change_type", "_snapshot_id")
         .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))),
 
+    // ---- Lakehouse MAINTENANCE: Delta OPTIMIZE (bin-packing
+    // compaction, remove+add with dataChange:false — a logical no-op
+    // commit) and Iceberg rewrite_data_files + expire_snapshots (replace
+    // snapshot, then physical reclamation of expired-only files). The
+    // gates prove maintenance never changes query results ----
+    "q_delta_optimize" -> ((s, d) =>
+      graft.sources.DeltaLogReader.read(s, deltaOptFixture(s, d))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))),
+
+    "q_iceberg_maintenance" -> ((s, d) =>
+      graft.sources.IcebergTable.read(s, icebergMaintFixture(s, d))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))),
+
     // ---- Paimon append-only table: hand-rolled snapshot/schema JSON +
     // avro manifest reader/writer, no paimon jar (ref contrib/
     // format-paimon/.../PaimonGroupScan.java + PaimonTableUtils; layout
@@ -820,6 +835,56 @@ object QueriesSources {
   /** Build (once per SF) the 2-snapshot Iceberg fixture both iceberg
     * gates read: snapshot 1 = keys <1000 partitioned by status,
     * snapshot 2 appends [1000, 2000). */
+  /** Delta OPTIMIZE fixture: three small appends (keys <500, [500,1000),
+    * [1000,1200)) compacted into one file by a dataChange:false commit. */
+  private def deltaOptFixture(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    import graft.sources.DeltaLogWriter
+    val base = s"${out(d)}/delta_opt_orders"
+    val donePath = new org.apache.hadoop.fs.Path(
+      s"$base/_delta_log/00000000000000000003.json")
+    val fs = donePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(donePath)) {
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val src = GraftSession.table(s, d, "orders")
+        .select("o_orderkey", "o_orderstatus")
+      DeltaLogWriter.write(src.filter(col("o_orderkey") < 500), base)
+      DeltaLogWriter.write(
+        src.filter(col("o_orderkey") >= 500 && col("o_orderkey") < 1000), base)
+      DeltaLogWriter.write(
+        src.filter(col("o_orderkey") >= 1000 && col("o_orderkey") < 1200), base)
+      val (v, compacted, bins) = DeltaLogWriter.optimize(s, base,
+        smallFileBytes = Long.MaxValue, targetFileBytes = Long.MaxValue)
+      require(v == 3L && compacted >= 3 && bins == 1,
+        s"optimize fixture: expected v3 compacting >=3 files to 1, got ($v, $compacted, $bins)")
+    }
+    base
+  }
+
+  /** Iceberg maintenance fixture: three appends, then rewrite_data_files
+    * (replace snapshot 4), then expire_snapshots keeping only it —
+    * metadata v5 with a single surviving snapshot over compacted files. */
+  private def icebergMaintFixture(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    import graft.sources.IcebergTable
+    val base = s"${out(d)}/iceberg_maint_orders"
+    val donePath = new org.apache.hadoop.fs.Path(s"$base/metadata/v5.metadata.json")
+    val fs = donePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(donePath)) {
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val src = GraftSession.table(s, d, "orders")
+        .select("o_orderkey", "o_orderstatus")
+      IcebergTable.write(src.filter(col("o_orderkey") < 500), base)
+      IcebergTable.write(
+        src.filter(col("o_orderkey") >= 500 && col("o_orderkey") < 1000), base)
+      IcebergTable.write(
+        src.filter(col("o_orderkey") >= 1000 && col("o_orderkey") < 1200), base)
+      val snap = IcebergTable.rewriteDataFiles(s, base)
+      val expired = IcebergTable.expireSnapshots(s, base, keepLast = 1)
+      require(snap == 4L && expired == Seq(1L, 2L, 3L),
+        s"maintenance fixture: expected replace snap 4 expiring 1-3, got ($snap, $expired)")
+    }
+    base
+  }
+
   private def icebergFixture(s: org.apache.spark.sql.SparkSession, d: String): String = {
     import graft.sources.IcebergTable
     val base = s"${out(d)}/iceberg_orders"
@@ -1020,6 +1085,14 @@ object QueriesSources {
       SELECT o_orderstatus, count(*) AS n, sum(o_orderkey)::BIGINT AS key_sum
       FROM orders WHERE o_orderkey < 2000
       GROUP BY 1""",
+    "q_delta_optimize" -> """
+      SELECT o_orderstatus, count(*)::BIGINT AS n,
+             sum(o_orderkey)::BIGINT AS key_sum
+      FROM orders WHERE o_orderkey < 1200 GROUP BY 1""",
+    "q_iceberg_maintenance" -> """
+      SELECT o_orderstatus, count(*)::BIGINT AS n,
+             sum(o_orderkey)::BIGINT AS key_sum
+      FROM orders WHERE o_orderkey < 1200 GROUP BY 1""",
     "q_iceberg_time_travel" -> """
       SELECT o_orderstatus, count(*) AS n, sum(o_orderkey)::BIGINT AS key_sum
       FROM orders WHERE o_orderkey < 1000

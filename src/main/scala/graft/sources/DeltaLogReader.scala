@@ -330,6 +330,14 @@ object DeltaLogReader {
   private[graft] def activeFiles(spark: SparkSession, tablePath: String): Seq[String] =
     snapshot(spark, tablePath, None)._3.map(_.path)
 
+  /** Live-file state for maintenance ops (OPTIMIZE): (schema,
+    * partitionColumns, (path, partitionValues, hasDeletionVector)). */
+  private[graft] def activeState(spark: SparkSession, tablePath: String)
+      : (StructType, Seq[String], Seq[(String, Map[String, String], Boolean)]) = {
+    val (s, pc, files) = snapshot(spark, tablePath, None)
+    (s, pc, files.map(f => (f.path, f.partitionValues, f.dv.nonEmpty)))
+  }
+
   /** Resolved snapshot state for the checkpoint writer. */
   private[graft] def snapshotState(spark: SparkSession, tablePath: String,
                                    version: Option[Long])

@@ -87,6 +87,71 @@ object DeltaLogWriter {
     version
   }
 
+  /** OPTIMIZE — bin-packing small-file compaction, the maintenance pass
+    * every long-lived table needs at 100 TB (a streaming sink committing
+    * every minute makes thousands of KB-scale files a day; scans pay per
+    * file). Live files smaller than `smallFileBytes` are read back and
+    * rewritten as ~`targetFileBytes` bins; ONE commit removes the inputs
+    * and adds the bins, all actions `dataChange:false` — per PROTOCOL.md
+    * that marks the commit a logical no-op, so CDF derivation and
+    * readChanges skip it and concurrent readers see identical rows. Time
+    * travel to pre-optimize versions still resolves the original files
+    * (nothing is physically deleted; vacuum is separate).
+    *
+    * Refuses partitioned tables (partition values are metadata-only in
+    * Delta data files — a naive rewrite would drop them) and tables with
+    * deletion vectors (compaction would have to materialize the DVs).
+    * The rewrite itself is a distributed read + write; only the KB-scale
+    * commit append is driver-side.
+    *
+    * Returns (version, filesCompacted, binsWritten); a no-op (fewer than
+    * two small files) returns the current version with (0, 0). */
+  def optimize(spark: org.apache.spark.sql.SparkSession, tablePath: String,
+               smallFileBytes: Long = 128L << 20,
+               targetFileBytes: Long = 128L << 20): (Long, Int, Int) = {
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (schema, partCols, files) = DeltaLogReader.activeState(spark, tablePath)
+    require(partCols.isEmpty,
+      s"OPTIMIZE on partitioned table not supported: $tablePath " +
+        s"(partition values live only in the log; a rewrite would drop them)")
+    require(files.forall(!_._3),
+      s"OPTIMIZE over deletion vectors not supported: $tablePath " +
+        s"(compaction would need to materialize the DVs first)")
+    val currentVersion = (DeltaLogReader.tableVersions(spark, tablePath) ++
+      DeltaLogReader.lastCheckpointVersion(spark, tablePath)).max
+
+    val sized = files.map { case (p, _, _) =>
+      val abs = new Path(tablePath, p)
+      (p, abs, fs.getFileStatus(abs).getLen)
+    }
+    val small = sized.filter(_._3 < smallFileBytes)
+    if (small.size < 2) return (currentVersion, 0, 0)
+
+    val version = currentVersion + 1
+    val bins = math.max(1L,
+      (small.map(_._3).sum + targetFileBytes - 1) / targetFileBytes).toInt
+    val staging = new Path(tablePath, s"_staging_v$version")
+    spark.read.schema(schema).parquet(small.map(_._2.toString): _*)
+      .repartition(bins)
+      .write.mode("overwrite").parquet(staging.toString)
+    val parts = fs.listStatus(staging).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val adds = parts.zipWithIndex.map { case (part, i) =>
+      val name = f"part-$i%05d-v$version.parquet"
+      val dest = new Path(tablePath, name)
+      fs.delete(dest, false)
+      require(fs.rename(part, dest), s"rename failed: $part -> $dest")
+      val size = fs.getFileStatus(dest).getLen
+      s"""{"add":{"path":"$name","partitionValues":{},"size":$size,"modificationTime":0,"dataChange":false}}"""
+    }.toSeq
+    fs.delete(staging, true)
+    val removes = small.map { case (p, _, _) =>
+      s"""{"remove":{"path":"$p","deletionTimestamp":0,"dataChange":false}}"""
+    }
+    DeltaLogReader.writeCommit(spark, tablePath, version, removes ++ adds)
+    (version, small.size, parts.length)
+  }
+
   /** Highest committed txn version for `appId` (Delta `txn` actions),
     * from surviving JSON commits AND the latest checkpoint (which
     * carries txn rows so vacuuming the log never loses idempotence

@@ -532,9 +532,14 @@ object IcebergTable {
       StructField("_change_type", StringType, nullable = false) +:
       StructField("_snapshot_id", LongType, nullable = false) +:
       meta.schema.fields)
-    val parts = (fromIdx until hiIdx).map { i =>
+    val parts = (fromIdx until hiIdx).flatMap { i =>
       val prev = ordered(i)
       val cur = ordered(i + 1)
+      // `replace` snapshots (compaction / rewrite_data_files) change
+      // files, never rows — iceberg's changelog scan skips them, and so
+      // does this one (no point diffing an identical row multiset)
+      if (cur.operation == "replace") None else Some((prev, cur))
+    }.map { case (prev, cur) =>
       val prevE = entriesOf(spark, table, prev).filter(_.status != 2)
       val curE = entriesOf(spark, table, cur).filter(_.status != 2)
       def byPath(es: Seq[DataFileInfo]) =
@@ -815,7 +820,8 @@ object IcebergTable {
   def write(df: DataFrame, table: String,
             mode: SaveMode = SaveMode.Append,
             partitionBy: Seq[String] = Nil,
-            summaryProps: Map[String, String] = Map.empty): Long = {
+            summaryProps: Map[String, String] = Map.empty,
+            operation: Option[String] = None): Long = {
     require(mode == SaveMode.Append || mode == SaveMode.Overwrite,
       s"iceberg write supports Append/Overwrite, got $mode")
     val spark = df.sparkSession
@@ -923,10 +929,114 @@ object IcebergTable {
 
     commitMetadata(spark, table, prior, df.schema, partitionBy,
       SnapshotInfo(snapshotId, nowMs,
-        if (mode == SaveMode.Overwrite && exists) "overwrite" else "append",
+        operation.getOrElse(
+          if (mode == SaveMode.Overwrite && exists) "overwrite" else "append"),
         listPath.toString, summaryProps, newSeq),
       fv)
     snapshotId
+  }
+
+  /** Data-file compaction — iceberg's `rewrite_data_files` maintenance
+    * action (iceberg.apache.org/docs maintenance; spec: a `replace`
+    * snapshot changes files, never rows). The full live file set is read
+    * back distributed and rewritten as ~`targetFileBytes` bins in one
+    * Overwrite commit whose operation is `replace`, so incremental
+    * consumers ([[readChangesBetween]]) skip it — compaction is a
+    * logical no-op. Time travel to pre-compaction snapshots still
+    * resolves the original files ([[expireSnapshots]] reclaims them).
+    *
+    * Refuses tables with live row-level delete files (compacting under
+    * merge-on-read would have to apply the deletes — run after the
+    * deletes are already applied by an overwrite, or not at all) and
+    * non-identity partition transforms (the write path's own bound).
+    * Returns the replace snapshot id, or the current one unchanged when
+    * the table already has fewer than two data files. */
+  def rewriteDataFiles(spark: SparkSession, table: String,
+                       targetFileBytes: Long = 128L << 20): Long = {
+    val meta = loadMeta(spark, table)
+    requireIdentitySpec(meta, "rewriteDataFiles")
+    val entries = liveEntries(spark, table)
+    require(entries.forall(_.content == 0),
+      s"rewriteDataFiles over row-level delete files not supported: $table " +
+        s"(compaction would need to apply the merge-on-read deletes)")
+    val current = meta.currentSnapshotId.getOrElse(
+      throw new IllegalArgumentException(s"no current snapshot in $table"))
+    if (entries.size < 2) return current
+    val bins = math.max(1L,
+      (entries.map(_.fileSizeBytes).sum + targetFileBytes - 1) / targetFileBytes).toInt
+    val compacted = read(spark, table).repartition(bins)
+    write(compacted, table, SaveMode.Overwrite, meta.partCols,
+      operation = Some("replace"))
+  }
+
+  /** Snapshot expiration — iceberg's `expire_snapshots` maintenance
+    * action: drop all but the newest `keepLast` snapshots from the
+    * metadata (the current snapshot always survives) and physically
+    * delete every manifest list, manifest, and data/delete file
+    * reachable ONLY from expired snapshots. This is what actually
+    * reclaims space after overwrites/compactions at 100 TB — without it
+    * every superseded file lives forever. Reachability is computed from
+    * the kept snapshots' manifests (shared files survive); the metadata
+    * rewrite is a filtered copy of the current JSON, so schema history
+    * and properties pass through untouched. Time travel to an expired id
+    * then fails with the reader's clear snapshot-not-found error.
+    * Returns the expired snapshot ids. */
+  def expireSnapshots(spark: SparkSession, table: String,
+                      keepLast: Int = 1): Seq[Long] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val meta = loadMeta(spark, table)
+    val ordered = meta.snapshots.sortBy(s => (s.timestampMs, s.snapshotId))
+    if (ordered.size <= keepLast) return Nil
+    val kept = ordered.takeRight(keepLast)
+    require(meta.currentSnapshotId.forall(id => kept.exists(_.snapshotId == id)),
+      s"expireSnapshots would drop the current snapshot of $table")
+    val expired = ordered.dropRight(keepLast)
+
+    def filesOf(snaps: Seq[SnapshotInfo]): Set[String] = snaps.flatMap { s =>
+      val mfs = manifestsOf(spark, table, s)
+      val listed = mfs.map(_._1) ++
+        mfs.flatMap { case (mf, _, _) =>
+          readAvroRecords(spark, mf).map(e =>
+            absolute(table, str(e.get("data_file")
+              .asInstanceOf[GenericRecord].get("file_path"))))
+        }
+      absolute(table, s.manifestList) +: listed
+    }.toSet
+
+    val keepSet = filesOf(kept)
+    val dropSet = filesOf(expired) -- keepSet
+    dropSet.toSeq.sorted.foreach(p => fs.delete(new Path(p), false))
+
+    // filtered copy of the current metadata JSON (snapshots +
+    // snapshot-log), committed as the next metadata version
+    val v = currentMetadataVersion(spark, table)
+    val metaPath = new Path(metaDir(table), s"v$v.metadata.json")
+    val in = fs.open(metaPath)
+    val root = try mapper.readTree(in).asInstanceOf[ObjectNode] finally in.close()
+    val keptIds = kept.map(_.snapshotId).toSet
+    def filterArr(field: String, idField: String): Unit = {
+      val arr = root.putArray(s"__$field")
+      Option(root.get(field)).foreach(_.elements.asScala.foreach { n =>
+        if (keptIds.contains(n.get(idField).asLong)) arr.add(n)
+      })
+      root.set[JsonNode](field, arr)
+      root.remove(s"__$field")
+    }
+    filterArr("snapshots", "snapshot-id")
+    filterArr("snapshot-log", "snapshot-id")
+    val newVersion = v + 1
+    val newPath = new Path(metaDir(table), s"v$newVersion.metadata.json")
+    val tmp = new Path(metaDir(table), s".v$newVersion.metadata.json.tmp")
+    val os = fs.create(tmp, true)
+    try os.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+    finally os.close()
+    fs.delete(newPath, false)
+    require(fs.rename(tmp, newPath), s"rename failed: $tmp -> $newPath")
+    val hint = fs.create(new Path(metaDir(table), "version-hint.text"), true)
+    try hint.write(String.valueOf(newVersion).getBytes("UTF-8"))
+    finally hint.close()
+    expired.map(_.snapshotId)
   }
 
   /** Manifest-list row in either schema version — v2-only fields (and

@@ -396,4 +396,63 @@ class DeltaSpec extends AnyFunSuite {
       DeltaLogReader.read(spark, base).collect())
     assert(e.getMessage.contains("minReaderVersion 4"))
   }
+
+  test("OPTIMIZE compacts small files, keeps rows, stays CDF-invisible") {
+    import spark.implicits._
+    import graft.sources.DeltaLogWriter
+    val base = freshDir("optimize")
+    val df = (1L to 30L).map(i => (i, s"row$i")).toDF("k", "v")
+    DeltaLogWriter.write(df.filter(col("k") <= 10), base)
+    DeltaLogWriter.write(df.filter(col("k") > 10 && col("k") <= 20), base)
+    DeltaLogWriter.write(df.filter(col("k") > 20), base)
+    val before = DeltaLogReader.read(spark, base)
+      .orderBy("k").collect().map(_.toSeq)
+    val filesBefore = graft.sources.DeltaLogReader.activeFiles(spark, base).size
+    assert(filesBefore >= 3)
+
+    val (v, compacted, bins) = DeltaLogWriter.optimize(spark, base,
+      smallFileBytes = Long.MaxValue, targetFileBytes = Long.MaxValue)
+    assert(v === 3L && compacted === filesBefore && bins === 1)
+    // identical rows, one live file
+    assert(DeltaLogReader.read(spark, base).orderBy("k").collect()
+      .map(_.toSeq).toSeq === before.toSeq)
+    assert(DeltaLogReader.activeFiles(spark, base).size === 1)
+    // time travel to a pre-optimize version resolves the original files
+    assert(DeltaLogReader.read(spark, base, version = Some(2L))
+      .orderBy("k").collect().map(_.toSeq).toSeq === before.toSeq)
+    // dataChange:false — the optimize commit contributes NO change rows
+    val changes = DeltaLogReader.readChanges(spark, base, fromVersion = 0L)
+    assert(changes.filter(col("_commit_version") === 3L).count() === 0)
+    assert(changes.filter(col("_change_type") === "insert").count() === 30)
+    // second pass is a no-op: one live file left
+    assert(DeltaLogWriter.optimize(spark, base,
+      smallFileBytes = Long.MaxValue, targetFileBytes = Long.MaxValue)
+      === ((3L, 0, 0)))
+  }
+
+  test("OPTIMIZE refuses partitioned tables and deletion vectors") {
+    import spark.implicits._
+    import graft.sources.DeltaLogWriter
+    val base = freshDir("optimize_part")
+    val df = (1L to 4L).map(i => (i, s"row$i")).toDF("k", "v")
+    val sz = DeltaLogReader.writeDataFile(df, base, "a.parquet")
+    DeltaLogReader.writeCommit(spark, base, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      DeltaLogReader.metaDataAction(df.schema, Seq("p")),
+      s"""{"add":{"path":"a.parquet","partitionValues":{"p":"x"},"size":$sz,"modificationTime":1,"dataChange":true}}""",
+      s"""{"add":{"path":"a.parquet","partitionValues":{"p":"y"},"size":$sz,"modificationTime":1,"dataChange":true}}"""))
+    val e = intercept[IllegalArgumentException](
+      DeltaLogWriter.optimize(spark, base))
+    assert(e.getMessage.contains("partitioned"))
+
+    val base2 = freshDir("optimize_dv")
+    val sz2 = DeltaLogReader.writeDataFile(df, base2, "a.parquet")
+    DeltaLogReader.writeCommit(spark, base2, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      DeltaLogReader.metaDataAction(df.schema, Nil),
+      s"""{"add":{"path":"a.parquet","partitionValues":{},"size":$sz2,"modificationTime":1,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"ab^-c123","offset":1,"sizeInBytes":40,"cardinality":1}}}"""))
+    val e2 = intercept[IllegalArgumentException](
+      DeltaLogWriter.optimize(spark, base2))
+    assert(e2.getMessage.contains("deletion vectors"))
+  }
 }

@@ -363,4 +363,75 @@ class IcebergSpec extends AnyFunSuite {
     val inc = IcebergTable.readAppendedBetween(spark, base, 1L)
     assert(inc.select("k").collect().map(_.getLong(0)).toSet == (31L to 40L).toSet)
   }
+
+  test("rewrite_data_files: replace snapshot keeps rows, changelog skips it") {
+    import spark.implicits._
+    val base = freshDir("rewrite")
+    val df = (1L to 30L).map(i => (i, s"row$i")).toDF("k", "v")
+    IcebergTable.write(df.filter(col("k") <= 10), base)
+    IcebergTable.write(df.filter(col("k") > 10 && col("k") <= 20), base)
+    IcebergTable.write(df.filter(col("k") > 20), base)
+    assert(IcebergTable.liveFiles(spark, base).size >= 3)
+    val before = IcebergTable.read(spark, base).orderBy("k").collect().map(_.toSeq)
+
+    val snap = IcebergTable.rewriteDataFiles(spark, base)
+    assert(snap === 4L)
+    assert(IcebergTable.read(spark, base).orderBy("k").collect()
+      .map(_.toSeq).toSeq === before.toSeq)
+    assert(IcebergTable.liveFiles(spark, base).size === 1)
+    // the snapshot is marked replace; the CDC changelog emits nothing
+    // for it (compaction changes files, never rows)
+    val ops = IcebergTable.read(spark, s"$base#snapshots")
+      .select("snapshot_id", "operation").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ops(4L) === "replace")
+    val ch = IcebergTable.readChangesBetween(spark, base, fromSnapshotId = 3L)
+    assert(ch.count() === 0)
+    // time travel to a pre-compaction snapshot resolves the old files
+    assert(IcebergTable.read(spark, base, snapshotId = Some(3L))
+      .orderBy("k").collect().map(_.toSeq).toSeq === before.toSeq)
+  }
+
+  test("rewrite_data_files refuses under live row-level deletes") {
+    import spark.implicits._
+    val base = freshDir("rewrite_mor")
+    val df = (1L to 20L).map(i => (i, s"row$i")).toDF("k", "v")
+    IcebergTable.write(df, base)
+    IcebergTable.deleteFrom(spark, base, col("k") <= 5)
+    val e = intercept[IllegalArgumentException](
+      IcebergTable.rewriteDataFiles(spark, base))
+    assert(e.getMessage.contains("delete files"))
+  }
+
+  test("expire_snapshots drops history, reclaims files, keeps the data") {
+    import spark.implicits._
+    val base = freshDir("expire")
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val df = (1L to 30L).map(i => (i, s"row$i")).toDF("k", "v")
+    IcebergTable.write(df.filter(col("k") <= 10), base)
+    IcebergTable.write(df.filter(col("k") > 10 && col("k") <= 20), base)
+    IcebergTable.write(df.filter(col("k") > 20), base)
+    IcebergTable.rewriteDataFiles(spark, base)
+    val before = IcebergTable.read(spark, base).orderBy("k").collect().map(_.toSeq)
+    val preDataFiles = fs.listStatus(new org.apache.hadoop.fs.Path(base, "data"))
+      .map(_.getPath.getName).toSet
+
+    val expired = IcebergTable.expireSnapshots(spark, base, keepLast = 1)
+    assert(expired === Seq(1L, 2L, 3L))
+    // data unchanged; superseded data files physically gone, kept ones live
+    assert(IcebergTable.read(spark, base).orderBy("k").collect()
+      .map(_.toSeq).toSeq === before.toSeq)
+    val postDataFiles = fs.listStatus(new org.apache.hadoop.fs.Path(base, "data"))
+      .map(_.getPath.getName).toSet
+    assert(postDataFiles.size < preDataFiles.size)
+    assert(IcebergTable.liveFiles(spark, base)
+      .forall(f => fs.exists(new org.apache.hadoop.fs.Path(f.path))))
+    // time travel to an expired snapshot now fails with the clear error
+    val e = intercept[IllegalArgumentException](
+      IcebergTable.read(spark, base, snapshotId = Some(2L)))
+    assert(e.getMessage.contains("not in table"))
+    // expiring again is a no-op
+    assert(IcebergTable.expireSnapshots(spark, base, keepLast = 1) === Nil)
+  }
 }
