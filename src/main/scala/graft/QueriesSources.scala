@@ -320,6 +320,11 @@ object QueriesSources {
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))),
 
+    "q_paimon_maintenance" -> ((s, d) =>
+      graft.sources.PaimonTable.read(s, paimonMaintFixture(s, d))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))),
+
     // ---- Paimon append-only table: hand-rolled snapshot/schema JSON +
     // avro manifest reader/writer, no paimon jar (ref contrib/
     // format-paimon/.../PaimonGroupScan.java + PaimonTableUtils; layout
@@ -885,6 +890,31 @@ object QueriesSources {
     base
   }
 
+  /** Paimon maintenance fixture: three appends, full compaction
+    * (COMPACT snapshot 4), then expiration keeping only it. */
+  private def paimonMaintFixture(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    import graft.sources.PaimonTable
+    val base = s"${out(d)}/paimon_maint_orders"
+    val done = new org.apache.hadoop.fs.Path(s"$base/snapshot/snapshot-4")
+    val stale = new org.apache.hadoop.fs.Path(s"$base/snapshot/snapshot-1")
+    val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(done) || fs.exists(stale)) {
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val src = GraftSession.table(s, d, "orders")
+        .select("o_orderkey", "o_orderstatus")
+      PaimonTable.write(src.filter(col("o_orderkey") < 500), base)
+      PaimonTable.write(
+        src.filter(col("o_orderkey") >= 500 && col("o_orderkey") < 1000), base)
+      PaimonTable.write(
+        src.filter(col("o_orderkey") >= 1000 && col("o_orderkey") < 1200), base)
+      val snap = PaimonTable.compact(s, base)
+      val expired = PaimonTable.expireSnapshots(s, base, keepLast = 1)
+      require(snap == 4L && expired == Seq(1L, 2L, 3L),
+        s"paimon maintenance fixture: expected COMPACT snap 4 expiring 1-3, got ($snap, $expired)")
+    }
+    base
+  }
+
   private def icebergFixture(s: org.apache.spark.sql.SparkSession, d: String): String = {
     import graft.sources.IcebergTable
     val base = s"${out(d)}/iceberg_orders"
@@ -1090,6 +1120,10 @@ object QueriesSources {
              sum(o_orderkey)::BIGINT AS key_sum
       FROM orders WHERE o_orderkey < 1200 GROUP BY 1""",
     "q_iceberg_maintenance" -> """
+      SELECT o_orderstatus, count(*)::BIGINT AS n,
+             sum(o_orderkey)::BIGINT AS key_sum
+      FROM orders WHERE o_orderkey < 1200 GROUP BY 1""",
+    "q_paimon_maintenance" -> """
       SELECT o_orderstatus, count(*)::BIGINT AS n,
              sum(o_orderkey)::BIGINT AS key_sum
       FROM orders WHERE o_orderkey < 1200 GROUP BY 1""",

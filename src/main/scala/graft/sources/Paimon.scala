@@ -391,7 +391,10 @@ object PaimonTable {
     require(sch.primaryKeys.isEmpty && sch.partitionKeys.isEmpty,
       "incremental read supports unpartitioned append-only tables only")
     val hi = toSnapshotId.getOrElse(all.map(_.id).max)
-    val files = all.filter(s => s.id > fromSnapshotId && s.id <= hi)
+    // COMPACT commits change files, never rows — paimon's incremental
+    // scans skip them, or every compaction would replay as fresh appends
+    val files = all.filter(s => s.id > fromSnapshotId && s.id <= hi &&
+        s.commitKind != "COMPACT")
       .flatMap(s => entriesOf(spark, table, s.deltaManifestList))
       .filter(_.kind == 0).distinctBy(_.fileName)
       .map(f => s"$table/bucket-${f.bucket}/${f.fileName}")
@@ -536,6 +539,91 @@ object PaimonTable {
       totalBuckets = 1, commitUser, commitIdentifier)
   }
 
+  /** Full compaction of an append-only table — paimon's
+    * `compaction.full` maintenance (the small-file problem every
+    * frequently-committed table has at 100 TB): the live file set is
+    * read back distributed and rewritten as ~`targetFileBytes` bins; ONE
+    * `COMPACT` snapshot retires the inputs (DELETE entries) and adds the
+    * bins in the same delta manifest, so the commit is atomic and
+    * incremental consumers ([[readAppendedBetween]]) skip it. Time
+    * travel to pre-compaction snapshots still resolves the old files
+    * ([[expireSnapshots]] reclaims them).
+    *
+    * Primary-key tables refuse: their LSM levels carry per-key sequence
+    * history that a flat rewrite would collapse (paimon compacts those
+    * level-by-level with the merge function applied — out of scope, as
+    * with the PK write path's non-deduplicate merge engines). Returns
+    * the COMPACT snapshot id, or the current one when fewer than two
+    * live files exist. */
+  def compact(spark: SparkSession, table: String,
+              targetFileBytes: Long = 128L << 20): Long = {
+    val sch = loadSchema(spark, table)
+    require(sch.primaryKeys.isEmpty && sch.partitionKeys.isEmpty,
+      s"full compaction supports unpartitioned append-only tables only: " +
+        s"$table (a flat rewrite would collapse PK sequence history)")
+    val prevSnaps = snapshots(spark, table)
+    val files = liveFiles(spark, table)
+    if (files.size < 2) return prevSnaps.map(_.id).max
+    val snapId = prevSnaps.map(_.id).max + 1L
+    val bins = math.max(1L,
+      (files.map(_.fileSize).sum + targetFileBytes - 1) / targetFileBytes).toInt
+    val df = spark.read.schema(sch.schema)
+      .parquet(files.map(f => s"$table/bucket-${f.bucket}/${f.fileName}"): _*)
+      .repartition(bins)
+    val staging = new Path(table, s"_staging_snap$snapId")
+    df.write.mode("overwrite").parquet(staging.toString)
+    val moved = moveStaged(spark, table, staging, bucketOf = _ => 0)
+    commitSnapshot(spark, table, moved, SaveMode.Append, snapId, prevSnaps,
+      totalBuckets = 1, deletes = files, kindOverride = Some("COMPACT"))
+  }
+
+  /** Snapshot expiration — paimon's `snapshot.num-retained` maintenance:
+    * drop all but the newest `keepLast` snapshots and physically delete
+    * every manifest list, manifest, and data file reachable ONLY from
+    * the expired ones (shared files survive — an append-only chain
+    * shares its base manifests across snapshots). The `EARLIEST` hint
+    * moves up; time travel to an expired id then fails with the clear
+    * snapshot-not-found error. Returns the expired ids. */
+  def expireSnapshots(spark: SparkSession, table: String,
+                      keepLast: Int = 1): Seq[Long] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val fs = fsOf(spark, table)
+    val all = snapshots(spark, table)
+    if (all.size <= keepLast) return Nil
+    val kept = all.takeRight(keepLast)
+    val expired = all.dropRight(keepLast)
+
+    def manifestFilesOf(snaps: Seq[SnapshotInfo]): Set[String] = snaps.flatMap { s =>
+      Seq(s.baseManifestList, s.deltaManifestList).flatMap { ml =>
+        val manifests = readAvroRecords(spark, new Path(manifestDir(table), ml))
+          .map(m => str(m.get("_FILE_NAME")))
+        (ml +: manifests).map(n => s"manifest/$n")
+      }
+    }.toSet
+    def dataRefsOf(snaps: Seq[SnapshotInfo]): Set[String] = snaps.flatMap { s =>
+      Seq(s.baseManifestList, s.deltaManifestList).flatMap(ml =>
+        entriesOf(spark, table, ml).map(f => s"bucket-${f.bucket}/${f.fileName}"))
+    }.toSet
+
+    // needed = the kept snapshots' manifest structure + their LIVE data
+    // files. A retained COMPACT snapshot still REFERENCES its retired
+    // inputs (base-manifest ADDs cancelled by delta DELETEs) — those are
+    // exactly the files expiration exists to reclaim, so reachability is
+    // live-set-based, not reference-based (paimon's SnapshotDeletion
+    // does the same: delete what the earliest retained snapshot no
+    // longer uses).
+    val needed = manifestFilesOf(kept) ++
+      kept.flatMap(s => liveFiles(spark, table, Some(s.id))
+        .map(f => s"bucket-${f.bucket}/${f.fileName}"))
+    val dropSet = (manifestFilesOf(expired) ++ dataRefsOf(all)) -- needed
+    dropSet.toSeq.sorted.foreach(rel => fs.delete(new Path(table, rel), false))
+    expired.foreach(s =>
+      fs.delete(new Path(snapshotDir(table), s"snapshot-${s.id}"), false))
+    writeText(spark, new Path(snapshotDir(table), "EARLIEST"),
+      kept.head.id.toString)
+    expired.map(_.id)
+  }
+
   /** Move staged parquet files into their `bucket-<b>/` dirs; `bucketOf`
     * maps a staged file's path to its bucket (directory-partitioned
     * staging encodes it as a `__bucket=<b>` component). Returns
@@ -571,7 +659,9 @@ object PaimonTable {
                              prevSnaps: Seq[SnapshotInfo],
                              totalBuckets: Int,
                              commitUser: String = "graft",
-                             commitIdentifier: Long = -1L): Long = {
+                             commitIdentifier: Long = -1L,
+                             deletes: Seq[PaimonFile] = Nil,
+                             kindOverride: Option[String] = None): Long = {
     val fs = fsOf(spark, table)
 
     // ---- delta manifest (ADD entry per file) + manifest lists
@@ -603,17 +693,45 @@ object PaimonTable {
       e.put("_FILE", fm)
       e
     }
+    // DELETE entries (compaction retires its inputs in the same commit;
+    // the reader's live-set merge drops names deleted in any manifest)
+    val deleteEntries = deletes.map { f =>
+      val fm = new GenericData.Record(
+        manifestEntrySchema.getField("_FILE").schema)
+      fm.put("_FILE_NAME", f.fileName)
+      fm.put("_FILE_SIZE", f.fileSize)
+      fm.put("_ROW_COUNT", f.rowCount)
+      fm.put("_MIN_KEY", emptyRowBytes.duplicate())
+      fm.put("_MAX_KEY", emptyRowBytes.duplicate())
+      fm.put("_KEY_STATS", null)
+      fm.put("_VALUE_STATS", null)
+      fm.put("_MIN_SEQUENCE_NUMBER", snapId)
+      fm.put("_MAX_SEQUENCE_NUMBER", snapId)
+      fm.put("_SCHEMA_ID", 0L)
+      fm.put("_LEVEL", f.level)
+      fm.put("_EXTRA_FILES", java.util.Collections.emptyList[String]())
+      fm.put("_CREATION_TIME", System.currentTimeMillis())
+      val e = new GenericData.Record(manifestEntrySchema)
+      e.put("_VERSION", 2)
+      e.put("_KIND", 1) // DELETE
+      e.put("_PARTITION", emptyRowBytes.duplicate())
+      e.put("_BUCKET", f.bucket)
+      e.put("_TOTAL_BUCKETS", totalBuckets)
+      e.put("_FILE", fm)
+      e
+    }
     val deltaManifest = s"manifest-$uuid-0"
     val deltaLen = writeAvro(spark, new Path(mdir, deltaManifest),
-      manifestEntrySchema, entries)
+      manifestEntrySchema, deleteEntries ++ entries)
 
-    def listRecord(name: String, len: Long, added: Long): GenericRecord = {
+    def listRecord(name: String, len: Long, added: Long,
+                   deleted: Long = 0L): GenericRecord = {
       val r = new GenericData.Record(manifestListSchema)
       r.put("_VERSION", 2)
       r.put("_FILE_NAME", name)
       r.put("_FILE_SIZE", len)
       r.put("_NUM_ADDED_FILES", added)
-      r.put("_NUM_DELETED_FILES", 0L)
+      r.put("_NUM_DELETED_FILES", deleted)
       r.put("_PARTITION_STATS", newStats())
       r.put("_SCHEMA_ID", 0L)
       r
@@ -635,15 +753,17 @@ object PaimonTable {
     writeAvro(spark, new Path(mdir, baseList), manifestListSchema,
       priorManifests.map { case (n, l, a) => listRecord(n, l, a) })
     writeAvro(spark, new Path(mdir, deltaList), manifestListSchema,
-      Seq(listRecord(deltaManifest, deltaLen, moved.size.toLong)))
+      Seq(listRecord(deltaManifest, deltaLen, moved.size.toLong,
+        deletes.size.toLong)))
 
     // ---- snapshot JSON + hints
-    val newRows = moved.map(_._4).sum
+    val newRows = moved.map(_._4).sum - deletes.map(_.rowCount).sum
     val total =
       if (mode == SaveMode.Overwrite) newRows
       else prevSnaps.lastOption.map(_.totalRecordCount).filter(_ >= 0)
         .getOrElse(0L) + newRows
-    val kind = if (mode == SaveMode.Overwrite) "OVERWRITE" else "APPEND"
+    val kind = kindOverride.getOrElse(
+      if (mode == SaveMode.Overwrite) "OVERWRITE" else "APPEND")
     val cid = if (commitIdentifier >= 0) commitIdentifier else snapId
     writeText(spark, new Path(snapshotDir(table), s"snapshot-$snapId"),
       s"""{"version":3,"id":$snapId,"schemaId":0,

@@ -213,4 +213,72 @@ class PaimonSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("snapshot 9 not found"))
   }
+
+  test("full compaction: COMPACT snapshot keeps rows, incremental skips it") {
+    import spark.implicits._
+    import graft.sources.PaimonTable
+    val base = freshDir("compact")
+    val df = (1L to 30L).map(i => (i, s"row$i")).toDF("k", "v")
+    PaimonTable.write(df.filter(col("k") <= 10), base)
+    PaimonTable.write(df.filter(col("k") > 10 && col("k") <= 20), base)
+    PaimonTable.write(df.filter(col("k") > 20), base)
+    assert(PaimonTable.liveFiles(spark, base).size >= 3)
+    val before = PaimonTable.read(spark, base).orderBy("k").collect().map(_.toSeq)
+
+    val snap = PaimonTable.compact(spark, base)
+    assert(snap === 4L)
+    assert(PaimonTable.snapshots(spark, base).last.commitKind === "COMPACT")
+    assert(PaimonTable.read(spark, base).orderBy("k").collect()
+      .map(_.toSeq).toSeq === before.toSeq)
+    assert(PaimonTable.liveFiles(spark, base).size === 1)
+    // incremental read across the compaction sees the real appends only
+    val inc = PaimonTable.readAppendedBetween(spark, base, fromSnapshotId = 1L)
+    assert(inc.select("k").collect().map(_.getLong(0)).toSet === (11L to 30L).toSet)
+    // time travel to a pre-compaction snapshot resolves the old files
+    assert(PaimonTable.read(spark, base, snapshotId = Some(3L))
+      .orderBy("k").collect().map(_.toSeq).toSeq === before.toSeq)
+    // compacting a single-file table is a no-op
+    assert(PaimonTable.compact(spark, base) === 4L)
+  }
+
+  test("compaction refuses primary-key tables") {
+    import spark.implicits._
+    import graft.sources.PaimonTable
+    val base = freshDir("compact_pk")
+    val rows = Seq(("+I", 1L, "a"), ("+I", 2L, "b")).toDF("kind", "k", "v")
+    PaimonTable.writePk(rows, base, primaryKeys = Seq("k"))
+    val e = intercept[IllegalArgumentException](PaimonTable.compact(spark, base))
+    assert(e.getMessage.contains("append-only"))
+  }
+
+  test("expire_snapshots reclaims expired-only files, keeps the data") {
+    import spark.implicits._
+    import graft.sources.PaimonTable
+    val base = freshDir("expire")
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val df = (1L to 30L).map(i => (i, s"row$i")).toDF("k", "v")
+    PaimonTable.write(df.filter(col("k") <= 10), base)
+    PaimonTable.write(df.filter(col("k") > 10 && col("k") <= 20), base)
+    PaimonTable.write(df.filter(col("k") > 20), base)
+    PaimonTable.compact(spark, base)
+    val before = PaimonTable.read(spark, base).orderBy("k").collect().map(_.toSeq)
+    val preFiles = fs.listStatus(new org.apache.hadoop.fs.Path(base, "bucket-0"))
+      .map(_.getPath.getName).toSet
+
+    val expired = PaimonTable.expireSnapshots(spark, base, keepLast = 1)
+    assert(expired === Seq(1L, 2L, 3L))
+    assert(PaimonTable.read(spark, base).orderBy("k").collect()
+      .map(_.toSeq).toSeq === before.toSeq)
+    // the three pre-compaction data files are physically gone
+    val postFiles = fs.listStatus(new org.apache.hadoop.fs.Path(base, "bucket-0"))
+      .map(_.getPath.getName).toSet
+    assert(postFiles.size < preFiles.size)
+    assert(PaimonTable.snapshots(spark, base).map(_.id) === Seq(4L))
+    val e = intercept[IllegalArgumentException](
+      PaimonTable.read(spark, base, snapshotId = Some(2L)))
+    assert(e.getMessage.contains("not found"))
+    // EARLIEST hint moved; expiring again is a no-op
+    assert(PaimonTable.expireSnapshots(spark, base, keepLast = 1) === Nil)
+  }
 }
