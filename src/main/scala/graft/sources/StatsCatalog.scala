@@ -29,8 +29,16 @@ object StatsCatalog {
   private val Suffix = ".stats.json"
   private val mapper = new ObjectMapper()
 
+  /** `histogram`: equi-depth bucket boundaries for numeric columns
+    * (n buckets = n+1 ascending boundaries; each bucket holds ~1/n of
+    * the non-null rows) — Drill's NumericEquiDepthHistogram (ref
+    * exec/.../planner/common/NumericEquiDepthHistogram.java,
+    * HistogramUtils.java; Drill fills it from a t-digest, here from the
+    * same percentile sketch approx_percentile uses). Empty = not built
+    * or non-numeric. */
   case class ColumnStats(name: String, ndv: Long, nulls: Long,
-                         min: String, max: String)
+                         min: String, max: String,
+                         histogram: Seq[Double] = Nil)
   case class TableStats(table: String, rowCount: Long, sizeBytes: Long,
                         analyzedAtMs: Long, columns: Seq[ColumnStats])
 
@@ -41,8 +49,17 @@ object StatsCatalog {
     * plan's own estimate (file-size sum for file sources). Persisted
     * atomically under `base`. */
   def analyze(spark: SparkSession, base: String, table: String,
-              df: DataFrame): TableStats = {
+              df: DataFrame, histogramBuckets: Int = 0): TableStats = {
+    import org.apache.spark.sql.types.NumericType
     val cols = df.columns.toSeq
+    val numericCols =
+      if (histogramBuckets <= 0) Set.empty[String]
+      else df.schema.fields
+        .filter(_.dataType.isInstanceOf[NumericType]).map(_.name).toSet
+    // histogram boundaries ride the SAME single aggregation pass: one
+    // approx_percentile at n+1 equi-spaced quantiles per numeric column
+    val qs = (0 to histogramBuckets)
+      .map(i => i.toDouble / math.max(histogramBuckets, 1))
     val aggs = count(lit(1)).as("__n") +: cols.flatMap { c => Seq(
       approx_count_distinct(col(c), rsd = 0.01).as(s"__ndv_$c"),
       // coalesce: sum over an EMPTY table is null, and stats on empty
@@ -50,13 +67,21 @@ object StatsCatalog {
       coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
         .as(s"__nulls_$c"),
       min(col(c)).cast("string").as(s"__min_$c"),
-      max(col(c)).cast("string").as(s"__max_$c"))
+      max(col(c)).cast("string").as(s"__max_$c")) ++
+      (if (numericCols.contains(c))
+        Seq(percentile_approx(col(c).cast("double"),
+          array(qs.map(lit): _*), lit(10000)).as(s"__hist_$c"))
+      else Nil)
     }
     val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     val colStats = cols.map { c => ColumnStats(c,
       r.getAs[Long](s"__ndv_$c"), r.getAs[Long](s"__nulls_$c"),
       Option(r.getAs[String](s"__min_$c")).orNull,
-      Option(r.getAs[String](s"__max_$c")).orNull)
+      Option(r.getAs[String](s"__max_$c")).orNull,
+      if (numericCols.contains(c))
+        Option(r.getAs[scala.collection.Seq[Double]](s"__hist_$c"))
+          .map(_.toSeq).getOrElse(Nil)
+      else Nil)
     }
     val stats = TableStats(table, r.getAs[Long]("__n"),
       df.queryExecution.optimizedPlan.stats.sizeInBytes
@@ -79,6 +104,10 @@ object StatsCatalog {
       val cn = arr.addObject()
       cn.put("name", c.name); cn.put("ndv", c.ndv); cn.put("nulls", c.nulls)
       cn.put("min", c.min); cn.put("max", c.max)
+      if (c.histogram.nonEmpty) {
+        val h = cn.putArray("histogram")
+        c.histogram.foreach(h.add)
+      }
     }
     val target = new Path(base, s.table + Suffix)
     val tmp = new Path(base, s".${s.table}$Suffix.tmp")
@@ -102,7 +131,9 @@ object StatsCatalog {
           ColumnStats(c.get("name").asText, c.get("ndv").asLong,
             c.get("nulls").asLong,
             Option(c.get("min")).filterNot(_.isNull).map(_.asText).orNull,
-            Option(c.get("max")).filterNot(_.isNull).map(_.asText).orNull)
+            Option(c.get("max")).filterNot(_.isNull).map(_.asText).orNull,
+            Option(c.get("histogram"))
+              .map(_.elements.asScala.map(_.asDouble).toSeq).getOrElse(Nil))
         }.toSeq))
     }
   }
@@ -122,6 +153,51 @@ object StatsCatalog {
     }
   }
 
+  /** Range selectivity of `[lo, hi)` on a column from its equi-depth
+    * histogram — Drill's NumericEquiDepthHistogram.estimatedSelectivity
+    * (ref exec/.../planner/common/NumericEquiDepthHistogram.java):
+    * buckets are closed-open on [boundary_i, boundary_{i+1}), each holds
+    * ~1/n of the non-null rows, partially-overlapped buckets contribute
+    * linearly interpolated fractions, and the result is floored at
+    * Drill's SMALL_SELECTIVITY (0.0001) because boundaries are
+    * approximate. Returns None when no histogram is stored. */
+  def rangeSelectivity(c: ColumnStats,
+                       lo: Double, hi: Double): Option[Double] = {
+    val b = c.histogram
+    if (b.size < 2 || hi <= lo) return if (b.size < 2) None else Some(0.0001)
+    val n = b.size - 1
+    val frac = (0 until n).map { i =>
+      val (s, e) = (b(i), b(i + 1))
+      if (e <= lo || s >= hi) 0.0
+      else if (e == s) 1.0 // zero-width bucket (heavy single value)
+      else (math.min(e, hi) - math.max(s, lo)) / (e - s)
+    }.sum / n
+    Some(math.max(frac, 0.0001).min(1.0))
+  }
+
+  /** [[withBroadcastHint]]'s filter-aware sibling — Drill's actual use
+    * of histograms (filter selectivity → row estimate → join planning,
+    * ref planner/cost/DrillRelMdSelectivity.java): hint broadcast iff
+    * the stored size SCALED by the estimated selectivity of
+    * `[lo, hi)` on `column` clears the threshold. A table too big to
+    * broadcast whole often isn't after a tight range filter. Falls back
+    * to the unscaled decision when no histogram exists. */
+  def withFilteredBroadcastHint(spark: SparkSession, base: String,
+                                table: String, df: DataFrame,
+                                column: String, lo: Double, hi: Double,
+                                threshold: Long = -1L): DataFrame = {
+    val limit =
+      if (threshold >= 0) threshold
+      else spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760").toLong
+    load(spark, base, table) match {
+      case Some(s) if s.sizeBytes >= 0 =>
+        val sel = s.columns.find(_.name == column)
+          .flatMap(rangeSelectivity(_, lo, hi)).getOrElse(1.0)
+        if (s.sizeBytes * sel <= limit) broadcast(df) else df
+      case _ => df
+    }
+  }
+
   /** INFORMATION_SCHEMA-style relation over every stored stats file:
     * (table_name, row_count, size_bytes, column_name, ndv, nulls, min, max). */
   def statsTable(spark: SparkSession, base: String): DataFrame = {
@@ -135,8 +211,9 @@ object StatsCatalog {
         .map(s => s.getPath.getName.stripSuffix(Suffix))
         .flatMap(t => load(spark, base, t))
     all.flatMap(t => t.columns.map(c =>
-        (t.table, t.rowCount, t.sizeBytes, c.name, c.ndv, c.nulls, c.min, c.max)))
+        (t.table, t.rowCount, t.sizeBytes, c.name, c.ndv, c.nulls, c.min,
+          c.max, c.histogram)))
       .toDF("table_name", "row_count", "size_bytes", "column_name",
-        "ndv", "nulls", "min", "max")
+        "ndv", "nulls", "min", "max", "histogram")
   }
 }

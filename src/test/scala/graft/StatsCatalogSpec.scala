@@ -83,6 +83,53 @@ class StatsCatalogSpec extends AnyFunSuite {
       (64L * 1024 * 1024).toString)
   }
 
+  test("equi-depth histograms: boundaries, selectivity, filtered broadcast") {
+    import spark.implicits._
+    val base = freshDir("hist")
+    // uniform 0..9999 plus a heavy value: equi-depth must adapt depth
+    val df = ((0 until 10000).map(_.toLong) ++ Seq.fill(10000)(42L))
+      .toDF("x").withColumn("label", concat(lit("r"), col("x")))
+    val stats = StatsCatalog.analyze(spark, base, "hist_t", df,
+      histogramBuckets = 10)
+    val xs = stats.columns.find(_.name == "x").get
+    assert(xs.histogram.size === 11)
+    assert(xs.histogram === xs.histogram.sorted)
+    // non-numeric column gets no histogram
+    assert(stats.columns.find(_.name == "label").get.histogram.isEmpty)
+    // persisted: reload carries the boundaries
+    assert(StatsCatalog.load(spark, base, "hist_t").get
+      .columns.find(_.name == "x").get.histogram === xs.histogram)
+    // half the rows are the single value 42 — some bucket must be
+    // zero-width there (equi-depth, not equi-width)
+    assert(xs.histogram.sliding(2).exists(p => p(0) == p(1)))
+
+    // selectivity: [0, 10000) covers everything; [5000, 10000) holds
+    // ~25% of rows (heavy 42 pulls mass down); [20000, 30000) nothing
+    def sel(lo: Double, hi: Double) =
+      StatsCatalog.rangeSelectivity(xs, lo, hi).get
+    assert(sel(-1, 10001) === 1.0)
+    assert(math.abs(sel(5000, 10001) - 0.25) < 0.05,
+      s"got ${sel(5000, 10001)}")
+    assert(sel(20000, 30000) === 0.0001)
+    // no histogram stored -> None
+    assert(StatsCatalog.rangeSelectivity(
+      stats.columns.find(_.name == "label").get, 0, 1).isEmpty)
+
+    // filtered broadcast: whole table over the threshold, tight range
+    // under it — the histogram turns the hint on
+    val whole = StatsCatalog.withBroadcastHint(spark, base, "hist_t", df,
+      threshold = stats.sizeBytes / 2)
+    assert(whole.queryExecution.logical.collectFirst {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }.isEmpty)
+    val filtered = StatsCatalog.withFilteredBroadcastHint(spark, base,
+      "hist_t", df, "x", lo = 100, hi = 120,
+      threshold = stats.sizeBytes / 2)
+    assert(filtered.queryExecution.analyzed.collectFirst {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }.nonEmpty)
+  }
+
   test("analyze handles an empty table (fresh partition) without failing") {
     import spark.implicits._
     val base = freshDir("empty")
