@@ -542,6 +542,26 @@ object QueriesSources {
         .select("table_name", "row_count", "column_name", "nulls", "min", "max")
     }),
 
+    // ---- ANALYZE TABLE ... COMPUTE STATISTICS as SQL (ref exec/.../
+    // planner/sql/handlers/SetOptionHandler.java, AnalyzeTableHandler
+    // .java): the whole command surface in one gate — ALTER SESSION SET
+    // points the stats dir + histogram depth, ANALYZE sweeps a dfs path
+    // (full and column-list forms), RESET ALL restores the conf, and the
+    // stored stats re-derive exactly in the oracle (ndv/histogram are
+    // approx-sketched, so the gate projects the exact columns; their
+    // presence is spec-asserted in DfsSqlSpec) ----
+    "q_analyze_sql" -> ((s, d) => {
+      val base = s"${out(d)}/stats_sql"
+      s.sql(s"ALTER SESSION SET `graft.stats.dir` = '$base'")
+      s.sql("ALTER SESSION SET `graft.stats.histogram.buckets` = 8")
+      s.sql(s"ANALYZE TABLE dfs.`$d/region.parquet` COMPUTE STATISTICS")
+      s.sql(s"""ANALYZE TABLE dfs.`$d/nation.parquet`
+                COMPUTE STATISTICS (n_nationkey, n_name)""")
+      s.sql("ALTER SESSION RESET ALL")
+      graft.sources.StatsCatalog.statsTable(s, base)
+        .select("table_name", "row_count", "column_name", "nulls", "min", "max")
+    }),
+
     // ---- dfs SQL namespace (ref exec/.../store/dfs/FileSystemPlugin.java,
     // WorkspaceSchemaFactory.java): query file PATHS from SQL, format by
     // extension, via an analyzer rule — Drill's front door. The relation
@@ -1210,6 +1230,29 @@ object QueriesSources {
              (SELECT count(*) FROM nation)::BIGINT AS row_count,
              column_name, nulls, min, max
       FROM c""",
+    "q_analyze_sql" -> """
+      WITH n(column_name, nulls, min, max) AS (
+        SELECT 'n_nationkey',
+               sum(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
+               min(n_nationkey)::VARCHAR, max(n_nationkey)::VARCHAR FROM nation
+        UNION ALL
+        SELECT 'n_name',
+               sum(CASE WHEN n_name IS NULL THEN 1 ELSE 0 END)::BIGINT,
+               min(n_name), max(n_name) FROM nation),
+      r(column_name, nulls, min, max) AS (
+        SELECT 'r_regionkey',
+               sum(CASE WHEN r_regionkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
+               min(r_regionkey)::VARCHAR, max(r_regionkey)::VARCHAR FROM region
+        UNION ALL
+        SELECT 'r_name',
+               sum(CASE WHEN r_name IS NULL THEN 1 ELSE 0 END)::BIGINT,
+               min(r_name), max(r_name) FROM region)
+      SELECT 'nation' AS table_name,
+             (SELECT count(*) FROM nation)::BIGINT AS row_count,
+             column_name, nulls, min, max FROM n
+      UNION ALL
+      SELECT 'region', (SELECT count(*) FROM region)::BIGINT,
+             column_name, nulls, min, max FROM r""",
     "q_provided_schema" -> """
       SELECT id::BIGINT AS id, name, score::DOUBLE AS score, d::DATE AS d
       FROM (VALUES

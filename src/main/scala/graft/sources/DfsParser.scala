@@ -56,7 +56,10 @@ class DfsParser(delegate: ParserInterface) extends ParserInterface {
     case DropFnJar(path) =>
       fnJarResult(graft.functions.DynamicUdfs.dropJar(SparkSession.active, path), "dropped")
     case _ =>
-      rewrite(delegate.parsePlan(sqlText))
+      // session/maintenance commands (ALTER SESSION, ANALYZE TABLE,
+      // REFRESH TABLE METADATA) — see SqlCommands
+      SqlCommands.claim(sqlText, delegate.parseMultipartIdentifier)
+        .getOrElse(rewrite(delegate.parsePlan(sqlText)))
   }
   override def parseQuery(sqlText: String): LogicalPlan =
     rewrite(delegate.parseQuery(sqlText))

@@ -1,0 +1,147 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Drill's session-management / maintenance SQL commands, claimed by
+  * [[DfsParser]] before delegation — none of these are Spark grammar.
+  *
+  *  - `ALTER SESSION|SYSTEM SET `opt` = value` — ref
+  *    exec/.../planner/sql/handlers/SetOptionHandler.java (Drill scopes
+  *    SESSION vs SYSTEM in its OptionManager hierarchy; a single-session
+  *    Spark app has one live scope, so both write the session conf and
+  *    the scope is recorded in the summary).
+  *  - `ALTER SESSION|SYSTEM RESET `opt`` / `RESET ALL` — ref
+  *    ResetOptionHandler.java. RESET ALL restores every option that was
+  *    set through this command surface (the tracked set — Spark's conf
+  *    has no session/system split to diff against).
+  *  - `ANALYZE TABLE t COMPUTE STATISTICS [(cols)] [SAMPLE n PERCENT]` —
+  *    ref AnalyzeTableHandler.java. Writes the [[StatsCatalog]] stats
+  *    file (ndv/nulls/min/max + equi-depth histograms per
+  *    `graft.stats.histogram.buckets`) under `graft.stats.dir`.
+  *  - `REFRESH TABLE METADATA `dir`` — ref RefreshMetadataHandler.java.
+  *    Runs the [[ParquetMetadataCache]] distributed footer sweep.
+  *
+  * Each command returns Drill's (ok, summary) single-row shape (ref
+  * exec/.../physical/impl/DirectRowSet usage in the handlers).
+  */
+object SqlCommands {
+
+  private val Opt = "`?([^`\\s=]+)`?" // option name, backticks optional
+  private val AlterSet =
+    s"""(?is)\\s*ALTER\\s+(SESSION|SYSTEM)\\s+SET\\s+$Opt\\s*=\\s*(.+?)\\s*;?\\s*""".r
+  private val AlterResetAll =
+    """(?is)\s*ALTER\s+(SESSION|SYSTEM)\s+RESET\s+ALL\s*;?\s*""".r
+  private val AlterReset =
+    s"""(?is)\\s*ALTER\\s+(SESSION|SYSTEM)\\s+RESET\\s+$Opt\\s*;?\\s*""".r
+  private val Analyze =
+    ("""(?is)\s*ANALYZE\s+TABLE\s+(.+?)\s+COMPUTE\s+STATISTICS""" +
+      """(?:\s*\(\s*([^)]+?)\s*\))?(?:\s+SAMPLE\s+(\d+)\s+PERCENT)?\s*;?\s*""").r
+  private val RefreshMeta =
+    """(?is)\s*REFRESH\s+TABLE\s+METADATA\s+(.+?)\s*;?\s*""".r
+
+  /** Keys set via ALTER ... SET, with their pre-command value (None =
+    * was unset) — what RESET ALL restores. */
+  private val touched =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[String]]()
+
+  /** Claim `sqlText` if it is one of the commands above; None delegates.
+    * `parseIdent` is the delegate parser's multipart-identifier reader
+    * (handles backticked parts — dfs.`/a/b.parquet`). */
+  def claim(sqlText: String,
+            parseIdent: String => Seq[String]): Option[LogicalPlan] =
+    sqlText match {
+      case AlterSet(scope, key, rawValue) =>
+        val spark = SparkSession.active
+        val value = unquote(rawValue)
+        touched.putIfAbsent(key, spark.conf.getOption(key))
+        spark.conf.set(key, value)
+        Some(result(ok = true,
+          s"${scope.toLowerCase} option $key = $value"))
+      case AlterResetAll(scope) =>
+        val spark = SparkSession.active
+        val n = touched.size
+        touched.forEach { (k, prev) =>
+          prev.fold(spark.conf.unset(k))(v => spark.conf.set(k, v))
+        }
+        touched.clear()
+        Some(result(ok = true, s"${scope.toLowerCase}: $n options reset"))
+      case AlterReset(scope, key) =>
+        val spark = SparkSession.active
+        Option(touched.remove(key)).flatten match {
+          case Some(prev) => spark.conf.set(key, prev)
+          case None       => spark.conf.unset(key)
+        }
+        Some(result(ok = true, s"${scope.toLowerCase} option $key reset"))
+      case Analyze(target, colList, samplePct) =>
+        Some(analyze(target, Option(colList), Option(samplePct), parseIdent))
+      case RefreshMeta(target) =>
+        val spark = SparkSession.active
+        val dir = targetPath(spark, target, parseIdent)
+        val n = ParquetMetadataCache.refresh(spark, dir)
+        Some(result(ok = true, s"$n footers read, metadata cached at $dir"))
+      case _ => None
+    }
+
+  private def analyze(target: String, colList: Option[String],
+                      samplePct: Option[String],
+                      parseIdent: String => Seq[String]): LogicalPlan = {
+    val spark = SparkSession.active
+    val parts = parseIdent(target)
+    val (df0, name) =
+      if (parts.length >= 2 && parts.head.equalsIgnoreCase("dfs") &&
+          !spark.catalog.databaseExists("dfs"))
+        (DfsSql.load(spark, parts.tail),
+          // stats-file name: path basename minus the format extension
+          new org.apache.hadoop.fs.Path(DfsSql.resolvePath(spark, parts.tail))
+            .getName.split('.').head)
+      else (spark.table(target), parts.last)
+    val selected = colList.fold(df0) { cl =>
+      val cols = cl.split(',').map(_.trim.stripPrefix("`").stripSuffix("`"))
+      df0.select(cols.head, cols.tail.toIndexedSeq: _*)
+    }
+    // Bernoulli sample, fixed seed: reproducible like Drill's
+    // deterministic sample clause intent (AnalyzeTableHandler SAMPLE n
+    // PERCENT plans a SampleRel over the scan)
+    val sampled = samplePct.map(_.toInt).filter(_ < 100)
+      .fold(selected)(p => selected.sample(p / 100.0, seed = 42L))
+    val stats = StatsCatalog.analyze(spark, statsDir(spark), name, sampled,
+      histogramBuckets =
+        spark.conf.get("graft.stats.histogram.buckets", "10").toInt)
+    result(ok = true,
+      s"$name: ${stats.rowCount} rows, ${stats.columns.size} columns analyzed")
+  }
+
+  /** Where ANALYZE persists stats files: `graft.stats.dir`, defaulting
+    * to `<warehouse>/_graft_stats` (Drill: the table workspace's
+    * `.stats.drill` directory). */
+  def statsDir(spark: SparkSession): String =
+    spark.conf.getOption("graft.stats.dir").getOrElse(
+      spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
+        "/_graft_stats")
+
+  private def targetPath(spark: SparkSession, target: String,
+                         parseIdent: String => Seq[String]): String = {
+    val t = target.trim
+    if (t.startsWith("'") && t.endsWith("'")) t.substring(1, t.length - 1)
+    else {
+      val parts = parseIdent(t)
+      if (parts.length >= 2 && parts.head.equalsIgnoreCase("dfs"))
+        DfsSql.resolvePath(spark, parts.tail)
+      else parts.mkString("/") match { case p => p }
+    }
+  }
+
+  private def unquote(v: String): String = {
+    val t = v.trim
+    if ((t.startsWith("'") && t.endsWith("'") && t.length >= 2))
+      t.substring(1, t.length - 1)
+    else t
+  }
+
+  private def result(ok: Boolean, summary: String): LogicalPlan = {
+    val spark = SparkSession.active
+    import spark.implicits._
+    Seq((ok, summary)).toDF("ok", "summary").queryExecution.analyzed
+  }
+}

@@ -156,6 +156,66 @@ class DfsSqlSpec extends AnyFunSuite {
       .collect().head.getLong(0) === 10)
   }
 
+  test("ALTER SESSION SET / RESET / RESET ALL manage the session conf") {
+    val r = spark.sql("ALTER SESSION SET `graft.test.opt` = 'hello'").collect().head
+    assert(r.getBoolean(0) && r.getString(1).contains("graft.test.opt"))
+    assert(spark.conf.get("graft.test.opt") === "hello")
+    // unquoted numeric value, ALTER SYSTEM spelling
+    spark.sql("ALTER SYSTEM SET `graft.test.opt2` = 42")
+    assert(spark.conf.get("graft.test.opt2") === "42")
+    // RESET one restores the pre-command state (unset here)
+    spark.sql("ALTER SESSION RESET `graft.test.opt`")
+    assert(spark.conf.getOption("graft.test.opt").isEmpty)
+    // RESET ALL restores a PRE-EXISTING value, not just unsets
+    spark.conf.set("graft.test.preset", "original")
+    spark.sql("ALTER SESSION SET `graft.test.preset` = 'changed'")
+    spark.sql("ALTER SESSION RESET ALL")
+    assert(spark.conf.get("graft.test.preset") === "original")
+    assert(spark.conf.getOption("graft.test.opt2").isEmpty)
+  }
+
+  test("ANALYZE TABLE ... COMPUTE STATISTICS via SQL: stats file + histograms") {
+    val base = java.nio.file.Files.createTempDirectory("sql_stats_").toString
+    spark.sql(s"ALTER SESSION SET `graft.stats.dir` = '$base'")
+    spark.sql("ALTER SESSION SET `graft.stats.histogram.buckets` = 8")
+    try {
+      val r = spark.sql(
+        s"ANALYZE TABLE dfs.`$sf/nation.parquet` COMPUTE STATISTICS").collect().head
+      assert(r.getBoolean(0) && r.getString(1).contains("nation"))
+      val st = graft.sources.StatsCatalog.load(spark, base, "nation").get
+      assert(st.rowCount === 25)
+      val nk = st.columns.find(_.name == "n_nationkey").get
+      assert(nk.histogram.size === 9) // 8 buckets -> 9 boundaries
+      assert(nk.min === "0" && nk.max === "24")
+
+      // column-list form analyzes only those columns
+      spark.sql(s"""ANALYZE TABLE dfs.`$sf/region.parquet`
+                    COMPUTE STATISTICS (r_regionkey, r_name)""")
+      val reg = graft.sources.StatsCatalog.load(spark, base, "region").get
+      assert(reg.columns.map(_.name).toSet === Set("r_regionkey", "r_name"))
+
+      // SAMPLE n PERCENT analyzes a subset (seeded Bernoulli)
+      spark.sql(s"""ANALYZE TABLE dfs.`$sf/customer.parquet`
+                    COMPUTE STATISTICS (c_custkey) SAMPLE 20 PERCENT""")
+      val cust = graft.sources.StatsCatalog.load(spark, base, "customer").get
+      val full = spark.read.parquet(s"$sf/customer.parquet").count()
+      assert(cust.rowCount > 0 && cust.rowCount < full)
+    } finally spark.sql("ALTER SESSION RESET ALL")
+  }
+
+  test("REFRESH TABLE METADATA via SQL runs the footer sweep") {
+    // the manifest is written INSIDE the table dir, so sweep a scratch
+    // copy (testdata is read-only)
+    val dir = java.nio.file.Files.createTempDirectory("refresh_sql_").toString
+    spark.read.parquet(s"$sf/orders.parquet")
+      .repartition(3).write.mode("overwrite").parquet(dir)
+    val r = spark.sql(s"REFRESH TABLE METADATA dfs.`$dir`").collect().head
+    assert(r.getBoolean(0) && r.getString(1).contains("footers read"))
+    // the cache is live: file metas load back from the manifest
+    val metas = graft.sources.ParquetMetadataCache.load(spark, dir)
+    assert(metas.size === 3)
+  }
+
   test("the REST endpoint serves dfs-path queries (composition with QueryServer)") {
     val server = graft.sources.QueryServer.start(spark)
     try {
