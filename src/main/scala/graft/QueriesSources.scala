@@ -562,6 +562,27 @@ object QueriesSources {
         .select("table_name", "row_count", "column_name", "nulls", "min", "max")
     }),
 
+    // ---- alias registry (ref exec/.../alias/PersistentAliasRegistry
+    // .java, planner/sql/handlers/CreateAliasHandler.java): TABLE alias
+    // over a dfs path + STORAGE alias over the dfs head, both resolved
+    // mid-query; aliases are named indirection only, so the oracle is the
+    // same join over the real tables ----
+    "q_alias_sql" -> ((s, d) => {
+      val base = s"${out(d)}/aliases"
+      s.sql(s"ALTER SESSION SET `graft.alias.dir` = '$base'")
+      s.sql(s"CREATE OR REPLACE ALIAS big_orders FOR TABLE dfs.`$d/orders.parquet`")
+      s.sql("CREATE OR REPLACE ALIAS files FOR STORAGE dfs")
+      val r = s.sql(s"""SELECT o.o_orderstatus AS status,
+                              count(*) AS n, sum(o.o_orderkey) AS key_sum
+                       FROM big_orders o
+                       JOIN files.`$d/customer.parquet` c
+                         ON o.o_custkey = c.c_custkey
+                       WHERE c.c_mktsegment = 'BUILDING'
+                       GROUP BY o.o_orderstatus""")
+      s.sql("ALTER SESSION RESET ALL")
+      r
+    }),
+
     // ---- dfs SQL namespace (ref exec/.../store/dfs/FileSystemPlugin.java,
     // WorkspaceSchemaFactory.java): query file PATHS from SQL, format by
     // extension, via an analyzer rule — Drill's front door. The relation
@@ -1230,6 +1251,12 @@ object QueriesSources {
              (SELECT count(*) FROM nation)::BIGINT AS row_count,
              column_name, nulls, min, max
       FROM c""",
+    "q_alias_sql" -> """
+      SELECT o.o_orderstatus AS status, count(*)::BIGINT AS n,
+             sum(o.o_orderkey)::BIGINT AS key_sum
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment = 'BUILDING'
+      GROUP BY o.o_orderstatus""",
     "q_analyze_sql" -> """
       WITH n(column_name, nulls, min, max) AS (
         SELECT 'n_nationkey',

@@ -38,16 +38,49 @@ class DfsParser(delegate: ParserInterface) extends ParserInterface {
     names.map(n => (n, status)).toDF("name", "status").queryExecution.analyzed
   }
 
-  private def rewrite(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case u: UnresolvedRelation
-        if u.multipartIdentifier.length >= 2 &&
-          u.multipartIdentifier.head.equalsIgnoreCase("dfs") &&
-          !SparkSession.active.catalog.databaseExists("dfs") =>
-      // a REAL database named `dfs` wins — the namespace is only claimed
-      // when nothing in the catalog owns the name (dfs is reserved in
-      // Drill; here it degrades gracefully instead)
-      val spark = SparkSession.active
-      DfsSql.load(spark, u.multipartIdentifier.tail).queryExecution.analyzed
+  private def rewrite(plan: LogicalPlan): LogicalPlan = {
+    // CTE names shadow aliases (they resolve before catalog lookup in
+    // Spark's analyzer; rewriting them here would break the With chain)
+    val cteNames = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+        w.cteRelations.map(_._1.toLowerCase)
+    }.flatten.toSet
+    plan.transformUp {
+      case u: UnresolvedRelation
+          if !(u.multipartIdentifier.length == 1 &&
+            cteNames.contains(u.multipartIdentifier.head.toLowerCase)) =>
+        resolveRelation(u).getOrElse(u)
+    }
+  }
+
+  /** dfs paths and registry aliases, resolved in one pass; catalog-owned
+    * names always win (the namespace/alias is only claimed when nothing
+    * real owns the name — dfs is reserved in Drill, aliases shadow in
+    * its DynamicRootSchema; here both degrade gracefully instead). */
+  private def resolveRelation(u: UnresolvedRelation): Option[LogicalPlan] = {
+    val spark = SparkSession.active
+    val parts = u.multipartIdentifier
+    if (parts.length >= 2 && parts.head.equalsIgnoreCase("dfs") &&
+        !spark.catalog.databaseExists("dfs"))
+      Some(DfsSql.load(spark, parts.tail).queryExecution.analyzed)
+    else if (parts.length == 1 && !spark.catalog.tableExists(parts.head))
+      // TABLE alias: the stored target is an identifier string —
+      // re-enter resolution so aliases can point at dfs paths too
+      AliasRegistry.tableAlias(spark, parts.head).map { target =>
+        val tparts = delegate.parseMultipartIdentifier(target)
+        if (tparts.length >= 2 && tparts.head.equalsIgnoreCase("dfs"))
+          DfsSql.load(spark, tparts.tail).queryExecution.analyzed
+        else spark.table(target).queryExecution.analyzed
+      }
+    else if (parts.length >= 2 && !spark.catalog.databaseExists(parts.head))
+      // STORAGE alias on the schema head
+      AliasRegistry.storageAlias(spark, parts.head).map { real =>
+        if (real.equalsIgnoreCase("dfs"))
+          DfsSql.load(spark, parts.tail).queryExecution.analyzed
+        else spark.table((real +: parts.tail).mkString("."))
+          .queryExecution.analyzed
+      }
+    else None
   }
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {

@@ -39,6 +39,16 @@ object SqlCommands {
       """(?:\s*\(\s*([^)]+?)\s*\))?(?:\s+SAMPLE\s+(\d+)\s+PERCENT)?\s*;?\s*""").r
   private val RefreshMeta =
     """(?is)\s*REFRESH\s+TABLE\s+METADATA\s+(.+?)\s*;?\s*""".r
+  // Drill 1.21 alias DDL — ref planner/sql/handlers/CreateAliasHandler
+  // .java (kind defaults to TABLE), DropAliasHandler.java,
+  // DropAllAliasesHandler.java
+  private val CreateAlias =
+    ("""(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?(PUBLIC\s+)?ALIAS\s+`?(\w+)`?""" +
+      """\s+FOR\s+(?:(TABLE|STORAGE)\s+)?(.+?)\s*;?\s*""").r
+  private val DropAllAliases =
+    """(?is)\s*DROP\s+ALL\s+(PUBLIC\s+)?ALIASES(?:\s+FOR\s+\(?\s*(TABLE|STORAGE)\s*\)?)?\s*;?\s*""".r
+  private val DropAlias =
+    """(?is)\s*DROP\s+(PUBLIC\s+)?ALIAS\s+`?(\w+)`?(?:\s+FOR\s+\(?\s*(TABLE|STORAGE)\s*\)?)?\s*;?\s*""".r
 
   /** Keys set via ALTER ... SET, with their pre-command value (None =
     * was unset) — what RESET ALL restores. */
@@ -75,6 +85,29 @@ object SqlCommands {
         Some(result(ok = true, s"${scope.toLowerCase} option $key reset"))
       case Analyze(target, colList, samplePct) =>
         Some(analyze(target, Option(colList), Option(samplePct), parseIdent))
+      case CreateAlias(replace, pub, alias, kind, target) =>
+        val spark = SparkSession.active
+        val storage = kind != null && kind.equalsIgnoreCase("STORAGE")
+        val kindName = if (storage) "Storage" else "Table"
+        val created = AliasRegistry.create(spark, alias, target.trim,
+          storage, isPublic = pub != null, replace = replace != null)
+        if (!created) throw new IllegalArgumentException(
+          s"Alias with given name [$alias] already exists")
+        Some(result(ok = true,
+          s"$kindName alias '$alias' for '${target.trim}' created successfully"))
+      case DropAllAliases(pub, kind) =>
+        val spark = SparkSession.active
+        val storage = Option(kind).map(_.equalsIgnoreCase("STORAGE"))
+        val n = AliasRegistry.dropAll(spark, storage, isPublic = pub != null)
+        Some(result(ok = true, s"$n aliases dropped successfully"))
+      case DropAlias(pub, alias, kind) =>
+        val spark = SparkSession.active
+        val storage = kind != null && kind.equalsIgnoreCase("STORAGE")
+        val dropped = AliasRegistry.drop(spark, alias, storage,
+          isPublic = pub != null)
+        if (!dropped) throw new IllegalArgumentException(
+          s"No alias found with given name [$alias]")
+        Some(result(ok = true, s"Alias '$alias' dropped successfully"))
       case RefreshMeta(target) =>
         val spark = SparkSession.active
         val dir = targetPath(spark, target, parseIdent)

@@ -67,4 +67,12 @@ object SysTables {
       .sortBy(_._1)
       .toDF("thread_id", "name", "state", "daemon", "priority")
   }
+
+  /** sys.table_aliases / sys.storage_aliases (Drill's AliasesIterator,
+    * ref store/sys/AliasesIterator.java): the persistent alias registry
+    * as relations. */
+  def tableAliases(spark: SparkSession): DataFrame =
+    AliasRegistry.sysTable(spark, storage = false)
+  def storageAliases(spark: SparkSession): DataFrame =
+    AliasRegistry.sysTable(spark, storage = true)
 }
