@@ -562,6 +562,19 @@ object QueriesSources {
         .select("table_name", "row_count", "column_name", "nulls", "min", "max")
     }),
 
+    // ---- CTAS / DROP TABLE as SQL over dfs paths (ref exec/.../planner/
+    // sql/handlers/CreateTableHandler.java, DropTableHandler.java):
+    // PARTITION BY lays out key=value dirs, format from Drill's
+    // `store.format` session option, read back through the same namespace ----
+    "q_ctas_sql" -> ((s, d) => {
+      val t = s"${out(d)}/ctas_sql"
+      s.sql(s"DROP TABLE IF EXISTS dfs.`$t`")
+      s.sql(s"""CREATE TABLE dfs.`$t` PARTITION BY (o_orderstatus) AS
+                SELECT o_orderkey, o_custkey, o_orderstatus
+                FROM dfs.`$d/orders.parquet` WHERE o_orderkey < 1000""")
+      s.sql(s"SELECT o_orderkey, o_custkey, o_orderstatus FROM dfs.`$t`")
+    }),
+
     // ---- alias registry (ref exec/.../alias/PersistentAliasRegistry
     // .java, planner/sql/handlers/CreateAliasHandler.java): TABLE alias
     // over a dfs path + STORAGE alias over the dfs head, both resolved
@@ -1251,6 +1264,9 @@ object QueriesSources {
              (SELECT count(*) FROM nation)::BIGINT AS row_count,
              column_name, nulls, min, max
       FROM c""",
+    "q_ctas_sql" -> """
+      SELECT o_orderkey, o_custkey, o_orderstatus
+      FROM orders WHERE o_orderkey < 1000""",
     "q_alias_sql" -> """
       SELECT o.o_orderstatus AS status, count(*)::BIGINT AS n,
              sum(o.o_orderkey)::BIGINT AS key_sum

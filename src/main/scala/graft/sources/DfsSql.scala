@@ -70,8 +70,12 @@ object DfsSql {
         return IcebergTable.read(spark, path)
       if (Files.exists(p.resolve("snapshot")) && Files.exists(p.resolve("schema")))
         return PaimonTable.read(spark, path)
-      val first = dataFiles(p).headOption.getOrElse(
-        throw new IllegalArgumentException(s"dfs: empty directory $path"))
+      // hive-partitioned layout (CTAS PARTITION BY): data files sit under
+      // key=value subdirs — format sniffs from the first leaf, Spark's
+      // reader handles partition discovery from the base path
+      val first = dataFiles(p).headOption.orElse(firstPartitionedFile(p))
+        .getOrElse(
+          throw new IllegalArgumentException(s"dfs: empty directory $path"))
       readByExt(spark, path, extOf(first.getFileName.toString))
     } else if (Files.exists(p)) {
       readByExt(spark, path, extOf(p.getFileName.toString))
@@ -87,6 +91,17 @@ object DfsSql {
         && !f.getFileName.toString.startsWith("."))
       .sortBy(_.getFileName.toString)
     finally s.close()
+  }
+
+  private def firstPartitionedFile(dir: Path): Option[Path] = {
+    val s = Files.list(dir)
+    val subs = try s.iterator().asScala.toSeq
+      .filter(d => Files.isDirectory(d) && d.getFileName.toString.contains("="))
+      .sortBy(_.getFileName.toString)
+    finally s.close()
+    subs.iterator
+      .flatMap(d => dataFiles(d).headOption.orElse(firstPartitionedFile(d)))
+      .nextOption()
   }
 
   private def extOf(name: String): String = {

@@ -50,6 +50,18 @@ object SqlCommands {
   private val DropAlias =
     """(?is)\s*DROP\s+(PUBLIC\s+)?ALIAS\s+`?(\w+)`?(?:\s+FOR\s+\(?\s*(TABLE|STORAGE)\s*\)?)?\s*;?\s*""".r
 
+  // dfs DDL — only dfs-headed targets are claimed, so Spark's native
+  // DDL keeps catalog tables. Refs: CreateTableHandler.java (CTAS with
+  // PARTITION BY, format from Drill's `store.format` session option),
+  // DropTableHandler.java, DescribeTableHandler.java.
+  private val Ctas =
+    ("""(?is)\s*CREATE\s+TABLE\s+(dfs\b.*?)\s+""" +
+      """(?:PARTITION\s+BY\s*\(\s*([^)]+?)\s*\)\s+)?AS\s+(.+?)\s*;?\s*""").r
+  private val DropTable =
+    """(?is)\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?(dfs\b.+?)\s*;?\s*""".r
+  private val Describe =
+    """(?is)\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?(dfs\b.+?)\s*;?\s*""".r
+
   /** Keys set via ALTER ... SET, with their pre-command value (None =
     * was unset) — what RESET ALL restores. */
   private val touched =
@@ -113,8 +125,50 @@ object SqlCommands {
         val dir = targetPath(spark, target, parseIdent)
         val n = ParquetMetadataCache.refresh(spark, dir)
         Some(result(ok = true, s"$n footers read, metadata cached at $dir"))
+      case Ctas(target, partCols, query) if dfsClaimable =>
+        val spark = SparkSession.active
+        val path = targetPath(spark, target, parseIdent)
+        val p = new org.apache.hadoop.fs.Path(path)
+        val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (f.exists(p)) throw new IllegalArgumentException(
+          s"A table or view with given name [$path] already exists")
+        val fmt = spark.conf.get("store.format", "parquet")
+        val parts = Option(partCols).map(_.split(',').toSeq
+          .map(_.trim.stripPrefix("`").stripSuffix("`"))).getOrElse(Nil)
+        val written = Writer.ctas(spark.sql(query), path, fmt, parts)
+        Some(result(ok = true,
+          s"${written.count()} records written to $path ($fmt)"))
+      case DropTable(ifExists, target) if dfsClaimable =>
+        val spark = SparkSession.active
+        val path = targetPath(spark, target, parseIdent)
+        val p = new org.apache.hadoop.fs.Path(path)
+        val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!f.exists(p)) {
+          if (ifExists != null)
+            Some(result(ok = true, s"Table [$path] not found"))
+          else throw new IllegalArgumentException(
+            s"Table [$path] not found")
+        } else {
+          f.delete(p, true)
+          Some(result(ok = true, s"Table [$path] dropped"))
+        }
+      case Describe(target) if dfsClaimable =>
+        val spark = SparkSession.active
+        import spark.implicits._
+        val parts = parseIdent(target.trim)
+        val df = DfsSql.load(spark, parts.tail)
+        Some(df.schema.fields.toSeq
+          .map(fld => (fld.name, fld.dataType.sql,
+            if (fld.nullable) "YES" else "NO"))
+          .toDF("COLUMN_NAME", "DATA_TYPE", "IS_NULLABLE")
+          .queryExecution.analyzed)
       case _ => None
     }
+
+  /** dfs DDL engages only when no real `dfs` database owns the name
+    * (same graceful degrade as the relation namespace). */
+  private def dfsClaimable: Boolean =
+    !SparkSession.active.catalog.databaseExists("dfs")
 
   private def analyze(target: String, colList: Option[String],
                       samplePct: Option[String],

@@ -216,6 +216,50 @@ class DfsSqlSpec extends AnyFunSuite {
     assert(metas.size === 3)
   }
 
+  test("CTAS / DROP TABLE / DESCRIBE over dfs paths") {
+    val dir = java.nio.file.Files.createTempDirectory("dfs_ddl_").toString
+    val t = s"$dir/big_nations"
+    // CTAS: default store.format (parquet)
+    val r = spark.sql(
+      s"""CREATE TABLE dfs.`$t` AS
+          SELECT n_nationkey, n_name, n_regionkey
+          FROM dfs.`$sf/nation.parquet` WHERE n_nationkey >= 10""").collect().head
+    assert(r.getBoolean(0) && r.getString(1).startsWith("15 records"))
+    assert(spark.sql(s"SELECT count(*) FROM dfs.`$t`")
+      .collect().head.getLong(0) === 15)
+    // exists → clear error, not silent overwrite
+    val dup = intercept[Exception](
+      spark.sql(s"CREATE TABLE dfs.`$t` AS SELECT 1 AS one"))
+    assert(dup.getMessage.contains("already exists"))
+
+    // DESCRIBE emits Drill's (COLUMN_NAME, DATA_TYPE, IS_NULLABLE)
+    val desc = spark.sql(s"DESCRIBE dfs.`$t`").collect()
+    assert(desc.map(_.getString(0)).toSeq ===
+      Seq("n_nationkey", "n_name", "n_regionkey"))
+    assert(desc.head.getString(1).nonEmpty && desc.head.getString(2) == "YES")
+
+    // PARTITION BY lays out key=value directories; store.format honors
+    // the session option (Drill's store.format)
+    spark.sql("ALTER SESSION SET `store.format` = 'json'")
+    try {
+      val t2 = s"$dir/by_region"
+      spark.sql(s"""CREATE TABLE dfs.`$t2` PARTITION BY (n_regionkey) AS
+                    SELECT n_nationkey, n_name, n_regionkey
+                    FROM dfs.`$sf/nation.parquet`""")
+      val sub = new java.io.File(t2).listFiles().map(_.getName)
+      assert(sub.exists(_.startsWith("n_regionkey=")))
+      assert(spark.read.json(t2).count() === 25)
+    } finally spark.sql("ALTER SESSION RESET `store.format`")
+
+    // DROP TABLE deletes; IF EXISTS degrades quietly
+    spark.sql(s"DROP TABLE dfs.`$t`")
+    assert(!new java.io.File(t).exists())
+    val miss = intercept[Exception](spark.sql(s"DROP TABLE dfs.`$t`"))
+    assert(miss.getMessage.contains("not found"))
+    val quiet = spark.sql(s"DROP TABLE IF EXISTS dfs.`$t`").collect().head
+    assert(quiet.getBoolean(0))
+  }
+
   test("the REST endpoint serves dfs-path queries (composition with QueryServer)") {
     val server = graft.sources.QueryServer.start(spark)
     try {
