@@ -62,6 +62,15 @@ object SqlCommands {
   private val Describe =
     """(?is)\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?(dfs\b.+?)\s*;?\s*""".r
 
+  // Drill's durable views live in the workspace directory as dot-files
+  // (ref planner/sql/handlers/ViewHandler.java, dotdrill/View.java):
+  // `CREATE VIEW dfs.<ws>.name AS q` persists through [[ViewCatalog]].
+  private val CreateView =
+    ("""(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+""" +
+      """(dfs\s*\.\s*\w+)\s*\.\s*`?(\w+)`?\s+AS\s+(.+?)\s*;?\s*""").r
+  private val DropView =
+    """(?is)\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?(dfs\s*\.\s*\w+)\s*\.\s*`?(\w+)`?\s*;?\s*""".r
+
   /** Keys set via ALTER ... SET, with their pre-command value (None =
     * was unset) — what RESET ALL restores. */
   private val touched =
@@ -125,6 +134,27 @@ object SqlCommands {
         val dir = targetPath(spark, target, parseIdent)
         val n = ParquetMetadataCache.refresh(spark, dir)
         Some(result(ok = true, s"$n footers read, metadata cached at $dir"))
+      case CreateView(replace, schema, name, query) if dfsClaimable =>
+        val spark = SparkSession.active
+        val ws = parseIdent(schema.replaceAll("\\s", "")).last
+        val base = DfsSql.workspaceDir(spark, ws).getOrElse(
+          throw new IllegalArgumentException(
+            s"dfs: unknown workspace '$ws' — set graft.dfs.workspace.$ws"))
+        ViewCatalog.create(spark, base, name, query, replace = replace != null)
+        Some(result(ok = true,
+          s"View '$name' ${if (replace != null) "replaced" else "created"} " +
+            s"successfully in '$base'"))
+      case DropView(ifExists, schema, name) if dfsClaimable =>
+        val spark = SparkSession.active
+        val ws = parseIdent(schema.replaceAll("\\s", "")).last
+        val base = DfsSql.workspaceDir(spark, ws).getOrElse(
+          throw new IllegalArgumentException(s"dfs: unknown workspace '$ws'"))
+        val existed = ViewCatalog.drop(spark, base, name)
+        if (!existed && ifExists == null) throw new IllegalArgumentException(
+          s"Unknown view [$name] in schema [$base]")
+        Some(result(ok = true,
+          if (existed) s"View [$name] deleted successfully from schema [$base]"
+          else s"View [$name] not found in schema [$base]"))
       case Ctas(target, partCols, query) if dfsClaimable =>
         val spark = SparkSession.active
         val path = targetPath(spark, target, parseIdent)

@@ -260,6 +260,39 @@ class DfsSqlSpec extends AnyFunSuite {
     assert(quiet.getBoolean(0))
   }
 
+  test("CREATE/DROP VIEW into a dfs workspace persists via the view catalog") {
+    val dir = java.nio.file.Files.createTempDirectory("dfs_view_ws_").toFile
+    spark.conf.set("graft.dfs.workspace.vws", dir.getAbsolutePath)
+    try {
+      val r = spark.sql(
+        s"""CREATE VIEW dfs.vws.`small_nations` AS
+            SELECT n_nationkey, n_name FROM dfs.`$sf/nation.parquet`
+            WHERE n_nationkey < 5""").collect().head
+      assert(r.getBoolean(0) && r.getString(1).contains("created"))
+      // registered in-session AND stored as a workspace file
+      assert(spark.sql("SELECT count(*) FROM small_nations")
+        .collect().head.getLong(0) === 5)
+      assert(dir.listFiles().exists(_.getName.contains("small_nations")))
+      // OR REPLACE re-points; DROP removes file + registration
+      spark.sql(s"""CREATE OR REPLACE VIEW dfs.vws.`small_nations` AS
+                    SELECT n_nationkey FROM dfs.`$sf/nation.parquet`""")
+      assert(spark.sql("SELECT count(*) FROM small_nations")
+        .collect().head.getLong(0) === 25)
+      spark.sql("DROP VIEW dfs.vws.`small_nations`")
+      assert(!dir.listFiles().exists(_.getName.contains("small_nations")))
+      val miss = intercept[Exception](spark.sql("DROP VIEW dfs.vws.`small_nations`"))
+      assert(miss.getMessage.contains("Unknown view"))
+      assert(spark.sql("DROP VIEW IF EXISTS dfs.vws.`small_nations`")
+        .collect().head.getBoolean(0))
+    } finally spark.conf.unset("graft.dfs.workspace.vws")
+  }
+
+  test("EXPLAIN reaches through the dfs rewrite") {
+    val plan = spark.sql(s"EXPLAIN SELECT count(*) FROM dfs.`$sf/nation.parquet`")
+      .collect().head.getString(0)
+    assert(plan.contains("Aggregate") || plan.contains("Relation"))
+  }
+
   test("the REST endpoint serves dfs-path queries (composition with QueryServer)") {
     val server = graft.sources.QueryServer.start(spark)
     try {
