@@ -271,6 +271,23 @@ object QueriesPipeline {
       Training.temperatureMix(T(s, d, "documents"), "doc_id", "text",
         sourceCol = "source", alpha = 0.5, targetFrac = 0.4)),
 
+    // ---- deterministic corpus shuffle: reproducible global permutation
+    // via the portable md5 key through the two-phase numbering (no
+    // single-partition window); oracle re-derives the same permutation
+    // with a plain window ----
+    "q_det_shuffle" -> ((s, d) =>
+      Training.deterministicShuffle(
+        T(s, d, "documents").select("doc_id"), "doc_id", seed = "epoch1")
+        .select(col("doc_id"), col("shuffle_key"), col("shuffle_rank"))),
+
+    // ---- epoch-aware upsampling (multi-epoch mixture): per-source copy
+    // counts with deterministic fractional admission ----
+    "q_upsample" -> ((s, d) =>
+      Training.upsampleEpochs(
+        T(s, d, "documents").select("doc_id", "lang"), "doc_id", "lang",
+        Map("en" -> 2.5, "zh" -> 0.4, "de" -> 1.0))
+        .select(col("doc_id"), col("lang"), col("copy"))),
+
     "q_embed_quantize" -> ((s, d) =>
       // codes stringified for the gate (the repo-wide convention for
       // array outputs — the comparator hashes scalars)
@@ -642,6 +659,25 @@ object QueriesPipeline {
       SELECT d.doc_id, d.source, r.rate_bp
       FROM documents d JOIN r USING (source)
       WHERE ${md5h32("text")} % 10000 < r.rate_bp""",
+    "q_det_shuffle" -> s"""
+      SELECT doc_id,
+             ${md5h32("'epoch1 ' || doc_id::VARCHAR")}::BIGINT AS shuffle_key,
+             row_number() OVER (
+               ORDER BY ${md5h32("'epoch1 ' || doc_id::VARCHAR")}, doc_id
+             )::BIGINT AS shuffle_rank
+      FROM documents""",
+    "q_upsample" -> s"""
+      WITH d AS (SELECT doc_id, lang,
+          CASE lang WHEN 'en' THEN 25000 WHEN 'zh' THEN 4000
+                    WHEN 'de' THEN 10000 ELSE 10000 END AS bp
+        FROM documents),
+      c AS (SELECT doc_id, lang,
+          (bp // 10000) + CASE WHEN
+            ${md5h32("doc_id::VARCHAR || ' ' || lang")} % 10000 < bp % 10000
+            THEN 1 ELSE 0 END AS n
+        FROM d)
+      SELECT doc_id, lang, unnest(range(n))::INT AS copy
+      FROM c WHERE n > 0""",
     "q_window_tumbling" -> """
       SELECT (epoch_ns(ts) // 1000000000) // 300 AS window_id, event_type,
         count(*) AS n_events, sum(floor(value * 16384.0))::BIGINT AS sum_value_q

@@ -100,4 +100,45 @@ object Training {
       .filter(col("rk") <= k)
       .select(col(idCol), col(strataCol), col("rk").cast("long").as("rk"))
   }
+
+  /** Deterministic corpus shuffle: a reproducible global permutation
+    * from the portable 32-bit md5 hash of (seed, id) — the order a
+    * training dataloader reads, stable across runs, engines, and input
+    * row order (rand() is none of those; a new seed is a new epoch
+    * order). The hash is uniform BY CONSTRUCTION, so the two-phase
+    * numbering's range buckets balance regardless of corpus skew — no
+    * single-partition window (the globalRowNumber scale path). */
+  def deterministicShuffle(docs: DataFrame, idCol: String, seed: String,
+                           buckets: Int = 64): DataFrame = {
+    val key = Dedup.md5Hash32(
+      concat_ws(" ", lit(seed), col(idCol).cast("string")))
+    graft.operators.ComplexOps.globalRowNumber(
+      docs.withColumn("shuffle_key", key), buckets, col("shuffle_key"),
+      descending = false, "shuffle_rank", col(idCol))
+  }
+
+  /** Epoch-aware upsampling: replicate each doc `ceil(epochs)`-bounded
+    * times per its source's epoch factor (the multi-epoch data recipe —
+    * high-quality sources repeat, e.g. 3.0 epochs = 3 copies, 2.5 =
+    * 2 copies + a deterministic half keep the md5 filter admits).
+    * `epochsBySource`: source value → epochs (missing sources default
+    * 1.0). Adds `copy` (0-based) so downstream shuffles spread copies;
+    * rates quantize to basis points like [[temperatureMix]]. */
+  def upsampleEpochs(docs: DataFrame, idCol: String, sourceCol: String,
+                     epochsBySource: Map[String, Double]): DataFrame = {
+    val eps = typedLit(epochsBySource.map { case (k, v) =>
+      k -> math.round(v * 10000).toInt }) // basis points, engine-portable
+    val bp = coalesce(eps(col(sourceCol)), lit(10000))
+    val full = (bp / 10000).cast("int")
+    val fracBp = (bp % 10000).cast("int")
+    // one extra copy per doc iff md5 bucket < fractional basis points
+    val admitExtra = pmod(Dedup.md5Hash32(
+      concat_ws(" ", col(idCol).cast("string"), col(sourceCol))),
+      lit(10000)) < fracBp
+    val copies = (full + when(admitExtra, 1).otherwise(0)).as("n_copies")
+    docs.withColumn("n_copies", copies)
+      .filter(col("n_copies") > 0)
+      .withColumn("copy", explode(sequence(lit(0), col("n_copies") - 1)))
+      .drop("n_copies")
+  }
 }

@@ -254,6 +254,49 @@ class PipelineExtraSpec extends AnyFunSuite {
     assert(out.values.forall(v => !v.isNaN && !v.isInfinite && v > 0))
   }
 
+  test("deterministicShuffle: a stable permutation, seed-sensitive, no 1-task window") {
+    import graft.pipeline.Training
+    val docs = (1L to 500L).toDF("doc_id")
+    val a = Training.deterministicShuffle(docs, "doc_id", "s1", buckets = 8)
+    val ranks = a.select("shuffle_rank").collect().map(_.getLong(0)).sorted
+    assert(ranks.toSeq === (1L to 500L)) // a true permutation
+    // input order must not matter
+    val b = Training.deterministicShuffle(
+      docs.orderBy(org.apache.spark.sql.functions.col("doc_id").desc),
+      "doc_id", "s1", buckets = 8)
+    assert(a.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(2)))
+      .toSeq === b.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq)
+    // a new seed is a genuinely different epoch order
+    val c = Training.deterministicShuffle(docs, "doc_id", "s2", buckets = 8)
+    val ra = a.orderBy("doc_id").collect().map(_.getLong(2))
+    val rc = c.orderBy("doc_id").collect().map(_.getLong(2))
+    assert(ra.zip(rc).count { case (x, y) => x != y } > 400)
+    // scale shape: no single-partition window over the full table
+    val exec = a.queryExecution.executedPlan.toString
+    assert(!exec.contains("SinglePartition") ||
+      exec.contains("Exchange hashpartitioning"),
+      "full-table single-partition window detected")
+  }
+
+  test("upsampleEpochs: integer copies, fractional admission, downsample, default 1.0") {
+    import graft.pipeline.Training
+    val docs = (1L to 1000L).map(i =>
+      (i, if (i % 3 == 0) "hi" else if (i % 3 == 1) "lo" else "other"))
+      .toDF("doc_id", "src")
+    val up = Training.upsampleEpochs(docs, "doc_id", "src",
+      Map("hi" -> 3.0, "lo" -> 0.5))
+    val bySrc = up.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("hi") === 3 * 333)             // exact integer epochs
+    assert(math.abs(bySrc("lo") - 0.5 * 334) < 60) // ~half admitted
+    assert(bySrc("other") === 333)              // missing source = 1.0
+    // copy indices are dense 0..n-1 per doc
+    val copies = up.filter(org.apache.spark.sql.functions.col("src") === "hi")
+      .groupBy("doc_id").count().collect().map(_.getLong(1)).distinct
+    assert(copies.toSeq === Seq(3L))
+  }
+
   test("BPE stops at minFreq and survives single-char + empty words") {
     import graft.pipeline.Bpe
     val docs = Seq((1L, "x y z  x")).toDF("doc_id", "text")
