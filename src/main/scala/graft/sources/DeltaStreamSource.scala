@@ -1,0 +1,148 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+/** Structured-Streaming SOURCE over the hand-rolled Delta log —
+  * `spark.readStream.format("graft-delta").load(path)`: change streams
+  * OUT of the lakehouse, the read-side twin of the exactly-once
+  * streaming sinks. Follows the delta-spark DeltaSource contract
+  * (io.delta's sources/DeltaSource.scala — the same v1 `Source` API,
+  * offsets = log versions):
+  *
+  *  - initial batch = the full table snapshot at the stream's first
+  *    observed version (or from `startingVersion`; `latest` streams only
+  *    post-start appends);
+  *  - each later batch = rows ADDED in the commit range (prev, cur] —
+  *    dataChange=false adds (OPTIMIZE / compaction) never re-emit;
+  *  - a commit that REMOVES data (overwrite, delete) fails the stream
+  *    with a clear error unless `skipChangeCommits` is set, which skips
+  *    the whole commit (delta's option of the same name);
+  *  - deletion-vector commits refuse (same posture as readChanges);
+  *    partitioned and column-mapped tables refuse at source creation.
+  *
+  * Offsets serialize as the plain version number, so checkpoints
+  * restart exactly: a replayed range re-reads the same committed files
+  * (Delta commits are immutable) and the sink's own idempotence
+  * completes exactly-once.
+  */
+class DeltaStreamProvider extends StreamSourceProvider with DataSourceRegister {
+  override def shortName(): String = "graft-delta"
+
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): (String, StructType) =
+    (shortName(), DeltaStreamSource.tableSchema(sqlContext, parameters))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): Source =
+    new DeltaStreamSource(sqlContext, parameters)
+}
+
+private[sources] object DeltaStreamSource {
+  def pathOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-delta source requires .load(<table path>)"))
+
+  def tableSchema(sqlContext: SQLContext,
+                  parameters: Map[String, String]): StructType = {
+    val spark = sqlContext.sparkSession
+    val path = pathOf(parameters)
+    // read() runs the protocol/column-mapping guards; readChanges adds
+    // the partitioned-table refusal this source inherits
+    val versions = DeltaLogReader.tableVersions(spark, path)
+    DeltaLogReader.readChanges(spark, path, versions.max)
+    DeltaLogReader.read(spark, path).schema
+  }
+}
+
+class DeltaStreamSource(sqlContext: SQLContext,
+                        parameters: Map[String, String]) extends Source {
+  private val spark =
+    sqlContext.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+  private val path = DeltaStreamSource.pathOf(parameters)
+  private val startingVersion = parameters.get("startingVersion")
+  private val skipChangeCommits =
+    parameters.get("skipChangeCommits").exists(_.toBoolean)
+  private val mapper = new ObjectMapper()
+
+  override val schema: StructType =
+    DeltaStreamSource.tableSchema(sqlContext, parameters)
+
+  // resolved once at stream start so `startingVersion=latest` means
+  // "versions after the stream began", not after each restart
+  private lazy val startVersion: Long =
+    DeltaLogReader.tableVersions(spark, path).max
+
+  override def getOffset: Option[Offset] =
+    Some(LongOffset(DeltaLogReader.tableVersions(spark, path).max))
+
+  private def ver(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case other => other.json.trim.toLong
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val hi = ver(end)
+    val batch = start.map(s => addsBetween(ver(s) + 1, hi)).getOrElse {
+      startingVersion match {
+        case Some("latest") => addsBetween(startVersion + 1, hi)
+        case Some(v)        => addsBetween(v.toLong, hi)
+        case None           => // initial snapshot at the range end
+          DeltaLogReader.read(spark, path, version = Some(hi))
+      }
+    }
+    // MicroBatchExecution requires isStreaming=true on the returned plan
+    org.apache.spark.sql.graftshim.StreamShim.asStreamingFrame(
+      batch.select(schema.fieldNames.map(org.apache.spark.sql.functions.col)
+        .toIndexedSeq: _*))
+  }
+
+  private def addsBetween(lo: Long, hi: Long): DataFrame = {
+    val logDir = new Path(path, "_delta_log")
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def absolute(p: String): String =
+      if (p.startsWith("/") || p.contains("://")) p else s"$path/$p"
+    val files = (lo to hi).flatMap { v =>
+      val p = new Path(logDir, f"$v%020d.json")
+      if (!fs.exists(p)) Nil // pre-history (vacuumed) or gap: nothing to emit
+      else {
+        val in = fs.open(p)
+        val lines =
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+          finally in.close()
+        val nodes = lines.filter(_.trim.nonEmpty).map(mapper.readTree)
+        val removesData = nodes.exists(n => n.has("remove") &&
+          Option(n.get("remove").get("dataChange")).forall(_.asBoolean))
+        if (removesData && !skipChangeCommits)
+          throw new IllegalStateException(
+            s"graft-delta stream: version $v of $path removes data " +
+              "(overwrite/delete). Streaming sources only append; set " +
+              "skipChangeCommits=true to skip such commits.")
+        if (removesData) Nil // skipChangeCommits: the WHOLE commit skips
+        else nodes.filter { n =>
+          n.has("add") &&
+            Option(n.get("add").get("dataChange")).forall(_.asBoolean)
+        }.map { n =>
+          require(!n.get("add").has("deletionVector") ||
+              n.get("add").get("deletionVector").isNull,
+            s"graft-delta stream: deletion-vector commit (version $v) " +
+              "is not supported")
+          absolute(n.get("add").get("path").asText)
+        }
+      }
+    }
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(files: _*)
+  }
+
+  override def stop(): Unit = ()
+}

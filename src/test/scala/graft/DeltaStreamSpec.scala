@@ -1,0 +1,118 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SaveMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.DeltaLogWriter
+
+/** Streaming SOURCE over the Delta log (sources/DeltaStreamSource.scala):
+  * readStream.format("graft-delta") — initial snapshot, per-commit
+  * appends, change-commit refusal/skip, checkpoint-exact restarts. */
+class DeltaStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshTable(rows: Seq[(Long, String)]): String = {
+    val dir = Files.createTempDirectory("delta_stream_").toString
+    DeltaLogWriter.write(rows.toDF("k", "v"), dir, SaveMode.Append)
+    dir
+  }
+
+  private def runBatches(path: String, opts: Map[String, String] = Map.empty)
+      (between: Int => Unit): Map[Int, Seq[(Long, String)]] = {
+    val collected = scala.collection.mutable.Map[Int, Seq[(Long, String)]]()
+    val reader = opts.foldLeft(spark.readStream.format("graft-delta")) {
+      case (r, (k, v)) => r.option(k, v)
+    }
+    val q = reader.load(path).writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        collected.synchronized {
+          collected(id.toInt) =
+            df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+        }
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      between(0)
+      q.processAllAvailable()
+    } finally q.stop()
+    collected.toMap
+  }
+
+  test("initial snapshot then per-commit appends") {
+    val dir = freshTable(Seq((1L, "a"), (2L, "b")))
+    val out = runBatches(dir) { _ =>
+      DeltaLogWriter.write(Seq((3L, "c")).toDF("k", "v"), dir)
+      DeltaLogWriter.write(Seq((4L, "d")).toDF("k", "v"), dir)
+    }
+    val all = out.values.flatten.toSeq.sortBy(_._1)
+    assert(all === Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    // the snapshot batch carried exactly the pre-stream state
+    assert(out(0).map(_._1).sorted === Seq(1L, 2L))
+  }
+
+  test("startingVersion=latest streams only post-start appends") {
+    val dir = freshTable(Seq((1L, "old")))
+    val out = runBatches(dir, Map("startingVersion" -> "latest")) { _ =>
+      DeltaLogWriter.write(Seq((2L, "new")).toDF("k", "v"), dir)
+    }
+    assert(out.values.flatten.toSeq === Seq((2L, "new")))
+  }
+
+  test("a data-removing commit fails the stream; skipChangeCommits skips it") {
+    val dir = freshTable(Seq((1L, "a")))
+    DeltaLogWriter.write(Seq((9L, "ow")).toDF("k", "v"), dir, SaveMode.Overwrite)
+    val err = intercept[Exception] {
+      val q = spark.readStream.format("graft-delta")
+        .option("startingVersion", "0").load(dir)
+        .writeStream.format("noop").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(Option(err.getMessage).getOrElse(err.getCause.getMessage)
+      .contains("skipChangeCommits") ||
+      err.getCause != null &&
+        err.getCause.getMessage.contains("skipChangeCommits"))
+
+    // skip posture: the overwrite commit vanishes, later appends stream
+    DeltaLogWriter.write(Seq((3L, "after")).toDF("k", "v"), dir)
+    val out = runBatches(dir,
+      Map("startingVersion" -> "0", "skipChangeCommits" -> "true")) { _ => () }
+    assert(out.values.flatten.toSeq.sortBy(_._1) ===
+      Seq((1L, "a"), (3L, "after")))
+  }
+
+  test("checkpointed restart resumes at the committed version (exactly-once)") {
+    val dir = freshTable(Seq((1L, "a")))
+    val ckpt = Files.createTempDirectory("delta_stream_ck_").toString
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    def start() = spark.readStream.format("graft-delta").load(dir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.synchronized { seen ++= df.collect()
+          .map(r => (r.getLong(0), r.getString(1))) }
+        ()
+      }.start()
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(seen.toSeq === Seq((1L, "a")))
+    DeltaLogWriter.write(Seq((2L, "b")).toDF("k", "v"), dir)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    // no re-emission of the initial snapshot, only the new commit
+    assert(seen.toSeq.sortBy(_._1) === Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("dataChange=false compaction commits do not re-emit (OPTIMIZE-safe)") {
+    val dir = freshTable(Seq((1L, "a"), (2L, "b")))
+    DeltaLogWriter.write(Seq((3L, "c")).toDF("k", "v"), dir)
+    val out = runBatches(dir) { _ =>
+      DeltaLogWriter.optimize(spark, dir)
+      DeltaLogWriter.write(Seq((4L, "d")).toDF("k", "v"), dir)
+    }
+    val all = out.values.flatten.toSeq.sortBy(_._1)
+    assert(all === Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+  }
+}
