@@ -619,6 +619,15 @@ object IcebergTable {
     else spark.read.schema(meta.schema).parquet(added: _*)
   }
 
+  /** Data files a single snapshot ADDED (status=1 content=0 entries it
+    * owns) — the per-snapshot unit the streaming source emits. */
+  private[sources] def appendedFilesOf(spark: SparkSession, table: String,
+                                       snap: SnapshotInfo): Seq[String] =
+    entriesOf(spark, table, snap)
+      .filter(e => e.status == 1 && e.content == 0 &&
+        e.snapshotId == snap.snapshotId)
+      .map(_.path).distinct
+
   /** Drill's `table#metadata` family as DataFrames (metadata-scale). */
   def metadataTable(spark: SparkSession, table: String, kind: String): DataFrame = {
     val meta = loadMeta(spark, table)

@@ -1,0 +1,198 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.graftshim.StreamShim
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Streaming sources over the OTHER two lakehouse logs — with
+  * [[DeltaStreamProvider]] this completes the read-side triad matching
+  * the exactly-once sink triad.
+  *
+  * `readStream.format("graft-iceberg").load(path)` — the
+  * Spark-Iceberg SparkMicroBatchStream role (offsets = snapshots,
+  * appends stream, `replace` compaction snapshots never re-emit,
+  * overwrite/delete snapshots fail unless `skipChangeCommits`):
+  * initial batch = table state at the first observed snapshot (or
+  * `startingSnapshotId`; `latest` = post-start appends only).
+  *
+  * `readStream.format("graft-paimon").load(path)` — paimon's
+  * continuous scan: PRIMARY-KEY tables stream their CHANGELOG
+  * (`row_kind`-tagged +I/-U/+U/-D rows per snapshot — the CDC stream a
+  * downstream consumer applies in order), append-only tables stream
+  * appended rows; COMPACT snapshots never re-emit. Offsets are paimon's
+  * monotonic snapshot ids. The initial batch is the current table state
+  * (PK: merged state as +I rows).
+  */
+class IcebergStreamProvider extends StreamSourceProvider with DataSourceRegister {
+  override def shortName(): String = "graft-iceberg"
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): (String, StructType) =
+    (shortName(), IcebergTable.read(sqlContext.sparkSession,
+      DeltaStreamSource.pathOf(parameters)).schema)
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): Source =
+    new IcebergStreamSource(sqlContext, parameters)
+}
+
+class IcebergStreamSource(sqlContext: SQLContext,
+                          parameters: Map[String, String]) extends Source {
+  private val spark = sqlContext.sparkSession
+  private val path = DeltaStreamSource.pathOf(parameters)
+  private val startingSnapshotId = parameters.get("startingSnapshotId")
+  private val skipChangeCommits =
+    parameters.get("skipChangeCommits").exists(_.toBoolean)
+
+  override val schema: StructType = IcebergTable.read(spark, path).schema
+
+  private def snaps = IcebergTable.loadMeta(spark, path).snapshots
+  private lazy val startSnapshotAtLaunch: Long = snaps.last.snapshotId
+
+  override def getOffset: Option[Offset] =
+    snaps.lastOption.map(s => LongOffset(s.snapshotId))
+
+  private def ver(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case other => other.json.trim.toLong
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val endId = ver(end)
+    val batch = start.map(s => appendedBetween(Some(ver(s)), endId)).getOrElse {
+      startingSnapshotId match {
+        case Some("latest") => appendedBetween(Some(startSnapshotAtLaunch), endId)
+        case Some(id)       => appendedBetween(Some(id.toLong), endId, inclusive = true)
+        case None => IcebergTable.read(spark, path, snapshotId = Some(endId))
+      }
+    }
+    StreamShim.asStreamingFrame(
+      batch.select(schema.fieldNames.map(col).toIndexedSeq: _*))
+  }
+
+  private def appendedBetween(afterId: Option[Long], endId: Long,
+                              inclusive: Boolean = false): DataFrame = {
+    val all = snaps
+    val endIdx = all.indexWhere(_.snapshotId == endId)
+    require(endIdx >= 0, s"snapshot $endId not in $path (expired?)")
+    val startIdx = afterId.map { id =>
+      val i = all.indexWhere(_.snapshotId == id)
+      require(i >= 0 || inclusive,
+        s"graft-iceberg stream: start snapshot $id expired from $path — " +
+          "restart the stream fresh")
+      if (inclusive) (if (i < 0) 0 else i) - 1 else i
+    }.getOrElse(-1)
+    val files = all.slice(startIdx + 1, endIdx + 1).flatMap { s =>
+      s.operation match {
+        case "append"  => IcebergTable.appendedFilesOf(spark, path, s)
+        case "replace" => Nil // compaction rewrites files, never rows
+        case op =>
+          if (skipChangeCommits) Nil
+          else throw new IllegalStateException(
+            s"graft-iceberg stream: snapshot ${s.snapshotId} of $path is " +
+              s"'$op' (changes existing data). Streaming sources only " +
+              "append; set skipChangeCommits=true to skip such snapshots.")
+      }
+    }
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(files: _*)
+  }
+
+  override def stop(): Unit = ()
+}
+
+class PaimonStreamProvider extends StreamSourceProvider with DataSourceRegister {
+  override def shortName(): String = "graft-paimon"
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): (String, StructType) =
+    (shortName(), PaimonStreamSource.streamSchema(
+      sqlContext.sparkSession, DeltaStreamSource.pathOf(parameters)))
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): Source =
+    new PaimonStreamSource(sqlContext, parameters)
+}
+
+private[sources] object PaimonStreamSource {
+  def isPk(spark: org.apache.spark.sql.SparkSession, table: String): Boolean =
+    PaimonTable.loadSchema(spark, table).primaryKeys.nonEmpty
+
+  /** PK tables stream the changelog shape (row_kind first); append-only
+    * tables stream the plain row schema. */
+  def streamSchema(spark: org.apache.spark.sql.SparkSession,
+                   table: String): StructType = {
+    val base = PaimonTable.read(spark, table).schema
+    if (isPk(spark, table))
+      StructType(StructField("row_kind", StringType, nullable = false) +: base.fields)
+    else base
+  }
+}
+
+class PaimonStreamSource(sqlContext: SQLContext,
+                         parameters: Map[String, String]) extends Source {
+  private val spark = sqlContext.sparkSession
+  private val path = DeltaStreamSource.pathOf(parameters)
+  private val pk = PaimonStreamSource.isPk(spark, path)
+  private val skipChangeCommits =
+    parameters.get("skipChangeCommits").exists(_.toBoolean)
+
+  override val schema: StructType = PaimonStreamSource.streamSchema(spark, path)
+
+  override def getOffset: Option[Offset] =
+    PaimonTable.snapshots(spark, path).lastOption.map(s => LongOffset(s.id))
+
+  private def ver(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case other => other.json.trim.toLong
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val hi = ver(end)
+    val batch = start match {
+      case Some(s) => changesBetween(ver(s), hi)
+      case None => // initial: current state (PK: merged rows surface as +I)
+        val full = PaimonTable.read(spark, path, snapshotId = Some(hi))
+        if (pk) full.select(lit("+I").as("row_kind") +:
+          full.columns.map(col).toIndexedSeq: _*)
+        else full
+    }
+    StreamShim.asStreamingFrame(
+      batch.select(schema.fieldNames.map(col).toIndexedSeq: _*))
+  }
+
+  private def changesBetween(lo: Long, hi: Long): DataFrame = {
+    val range = PaimonTable.snapshots(spark, path)
+      .filter(s => s.id > lo && s.id <= hi)
+    val parts = range.flatMap { s =>
+      s.commitKind match {
+        case "COMPACT" => Nil // file rewrites, never new rows
+        case "OVERWRITE" if !pk =>
+          if (skipChangeCommits) Nil
+          else throw new IllegalStateException(
+            s"graft-paimon stream: snapshot ${s.id} of $path is OVERWRITE " +
+              "(replaces data). Set skipChangeCommits=true to skip it.")
+        case _ =>
+          if (pk) Seq(PaimonTable.readChangelog(spark, path, s.id))
+          else {
+            val files = PaimonTable.appendedFilesOf(spark, path, s)
+            if (files.isEmpty) Nil
+            else Seq(spark.read
+              .schema(PaimonTable.rowSchemaOf(spark, path)).parquet(files: _*))
+          }
+      }
+    }
+    if (parts.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else parts.reduce(_ unionByName _)
+  }
+
+  override def stop(): Unit = ()
+}

@@ -403,6 +403,17 @@ object PaimonTable {
     else spark.read.schema(sch.schema).parquet(files: _*)
   }
 
+  /** Data files ONE snapshot's delta manifests added (kind=0) — the
+    * per-snapshot unit the streaming source emits. */
+  private[sources] def appendedFilesOf(spark: SparkSession, table: String,
+                                       snap: SnapshotInfo): Seq[String] =
+    entriesOf(spark, table, snap.deltaManifestList)
+      .filter(_.kind == 0)
+      .map(f => s"$table/bucket-${f.bucket}/${f.fileName}")
+
+  private[sources] def rowSchemaOf(spark: SparkSession, table: String) =
+    loadSchema(spark, table).schema
+
   /** CDC changelog of ONE snapshot of a primary-key table: the rows the
     * snapshot's delta manifests added, with their RowKind exposed as
     * `row_kind` (+I/-U/+U/-D) ahead of the value columns — what a

@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{IcebergTable, PaimonTable}
+
+/** Streaming sources over the Iceberg and Paimon logs
+  * (sources/LakehouseStreamSources.scala) — with graft-delta this is the
+  * read-side triad matching the exactly-once sink triad. */
+class LakehouseStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def collectBatches(format: String, path: String,
+                             opts: Map[String, String] = Map.empty)
+      (between: => Unit): Seq[org.apache.spark.sql.Row] = {
+    val rows = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+    val reader = opts.foldLeft(spark.readStream.format(format)) {
+      case (r, (k, v)) => r.option(k, v)
+    }
+    val q = reader.load(path).writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        rows.synchronized { rows ++= df.collect() }
+        ()
+      }.start()
+    try { q.processAllAvailable(); between; q.processAllAvailable() }
+    finally q.stop()
+    rows.toSeq
+  }
+
+  test("graft-iceberg: snapshot then appends; replace never re-emits") {
+    val dir = Files.createTempDirectory("ice_stream_").toString + "/t"
+    IcebergTable.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir,
+      SaveMode.Overwrite)
+    val rows = collectBatches("graft-iceberg", dir) {
+      IcebergTable.write(Seq((3L, "c")).toDF("k", "v"), dir, SaveMode.Append)
+      // compaction: a replace snapshot rewrites files but adds no rows
+      IcebergTable.rewriteDataFiles(spark, dir)
+      IcebergTable.write(Seq((4L, "d")).toDF("k", "v"), dir, SaveMode.Append)
+    }
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).sortBy(_._1) ===
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+  }
+
+  test("graft-iceberg: delete snapshot fails; skipChangeCommits skips") {
+    val dir = Files.createTempDirectory("ice_stream_d_").toString + "/t"
+    IcebergTable.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir,
+      SaveMode.Overwrite)
+    IcebergTable.deleteFrom(spark, dir,
+      org.apache.spark.sql.functions.col("k") === 1L)
+    val err = intercept[Exception] {
+      val q = spark.readStream.format("graft-iceberg")
+        .option("startingSnapshotId",
+          IcebergTable.loadMeta(spark, dir).snapshots.head.snapshotId.toString)
+        .load(dir).writeStream.format("noop").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(err).exists(_.contains("skipChangeCommits")))
+
+    IcebergTable.write(Seq((3L, "c")).toDF("k", "v"), dir, SaveMode.Append)
+    val rows = collectBatches("graft-iceberg", dir, Map(
+      "startingSnapshotId" ->
+        IcebergTable.loadMeta(spark, dir).snapshots.head.snapshotId.toString,
+      "skipChangeCommits" -> "true")) {}
+    // the delete snapshot is skipped wholesale: (1,a) still streams from
+    // its append snapshot, (3,c) follows
+    assert(rows.map(_.getLong(0)).sorted === Seq(1L, 2L, 3L))
+  }
+
+  test("graft-paimon append-only: appends stream, COMPACT never re-emits") {
+    val dir = Files.createTempDirectory("pai_stream_").toString + "/t"
+    PaimonTable.write(Seq((1L, "a")).toDF("k", "v"), dir, SaveMode.Overwrite)
+    val rows = collectBatches("graft-paimon", dir) {
+      PaimonTable.write(Seq((2L, "b")).toDF("k", "v"), dir, SaveMode.Append)
+      PaimonTable.compact(spark, dir)
+      PaimonTable.write(Seq((3L, "c")).toDF("k", "v"), dir, SaveMode.Append)
+    }
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).sortBy(_._1) ===
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("graft-paimon PK: the CHANGELOG streams with row_kind, initial state as +I") {
+    val dir = Files.createTempDirectory("pai_stream_pk_").toString + "/t"
+    PaimonTable.writePk(Seq((1L, "v1"), (2L, "v1")).toDF("k", "v"), dir,
+      primaryKeys = Seq("k"))
+    val rows = collectBatches("graft-paimon", dir) {
+      PaimonTable.writePk(Seq((2L, "v2")).toDF("k", "v"), dir,
+        primaryKeys = Seq("k"), kind = "+U")
+      PaimonTable.writePk(Seq((1L, "")).toDF("k", "v"), dir,
+        primaryKeys = Seq("k"), kind = "-D")
+    }
+    val tagged = rows.map(r => (r.getString(0), r.getLong(1))).sorted
+    // initial +I for both keys, then the +U and the -D change rows
+    assert(tagged === Seq(("+I", 1L), ("+I", 2L), ("+U", 2L), ("-D", 1L)))
+  }
+}
