@@ -75,13 +75,51 @@ class DeltaStreamSource(sqlContext: SQLContext,
   override val schema: StructType =
     DeltaStreamSource.tableSchema(sqlContext, parameters)
 
+  private val maxFilesPerTrigger = parameters.get("maxFilesPerTrigger").map(_.toInt)
+
   // resolved once at stream start so `startingVersion=latest` means
   // "versions after the stream began", not after each restart
   private lazy val startVersion: Long =
     DeltaLogReader.tableVersions(spark, path).max
 
-  override def getOffset: Option[Offset] =
-    Some(LongOffset(DeltaLogReader.tableVersions(spark, path).max))
+  // admission control (delta's maxFilesPerTrigger): a catch-up stream
+  // must not plan the whole backlog as one batch. The v1 API has no
+  // rate-limit hook, so like delta-spark's DeltaSource the source
+  // tracks its own progress (commit()) and getOffset advances only as
+  // many versions as fit the file budget.
+  @volatile private var committed: Option[Long] = None
+
+  override def commit(end: Offset): Unit = { committed = Some(ver(end)) }
+
+  override def getOffset: Option[Offset] = {
+    val latest = DeltaLogReader.tableVersions(spark, path).max
+    val capped = maxFilesPerTrigger match {
+      case None => latest
+      case Some(budget) =>
+        val from = committed.getOrElse(-1L)
+        var v = from
+        var files = 0
+        while (v < latest && {
+          val n = addFileCount(v + 1)
+          files == 0 || files + n <= budget
+        }) { v += 1; files += addFileCount(v) }
+        math.max(v, from) // always admit at least one version
+    }
+    Some(LongOffset(capped))
+  }
+
+  private def addFileCount(v: Long): Int = {
+    val p = new Path(new Path(path, "_delta_log"), f"$v%020d.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0
+    else {
+      val in = fs.open(p)
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      lines.count(l => l.contains("\"add\""))
+    }
+  }
 
   private def ver(o: Offset): Long = o match {
     case l: LongOffset => l.offset
@@ -90,6 +128,7 @@ class DeltaStreamSource(sqlContext: SQLContext,
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val hi = ver(end)
+    committed = Some(hi) // progress for admission control (commit() also updates)
     val batch = start.map(s => addsBetween(ver(s) + 1, hi)).getOrElse {
       startingVersion match {
         case Some("latest") => addsBetween(startVersion + 1, hi)

@@ -48,13 +48,40 @@ class IcebergStreamSource(sqlContext: SQLContext,
   private val skipChangeCommits =
     parameters.get("skipChangeCommits").exists(_.toBoolean)
 
+  private val maxFilesPerTrigger = parameters.get("maxFilesPerTrigger").map(_.toInt)
+
   override val schema: StructType = IcebergTable.read(spark, path).schema
 
   private def snaps = IcebergTable.loadMeta(spark, path).snapshots
   private lazy val startSnapshotAtLaunch: Long = snaps.last.snapshotId
 
-  override def getOffset: Option[Offset] =
-    snaps.lastOption.map(s => LongOffset(s.snapshotId))
+  // admission control: track committed progress, admit snapshots up to
+  // the per-trigger file budget (at least one — see DeltaStreamSource)
+  @volatile private var committed: Option[Long] = None
+  override def commit(end: Offset): Unit = { committed = Some(ver(end)) }
+
+  override def getOffset: Option[Offset] = {
+    val all = snaps
+    if (all.isEmpty) return None
+    maxFilesPerTrigger match {
+      case None => Some(LongOffset(all.last.snapshotId))
+      case Some(budget) =>
+        val fromIdx = committed
+          .map(id => all.indexWhere(_.snapshotId == id)).getOrElse(-1)
+        var idx = fromIdx
+        var files = 0
+        while (idx < all.length - 1 && {
+          val n =
+            if (all(idx + 1).operation == "append")
+              IcebergTable.appendedFilesOf(spark, path, all(idx + 1)).size
+            else 0
+          files == 0 || files + n <= budget
+        }) { idx += 1
+          if (all(idx).operation == "append")
+            files += IcebergTable.appendedFilesOf(spark, path, all(idx)).size }
+        Some(LongOffset(all(math.max(idx, 0)).snapshotId))
+    }
+  }
 
   private def ver(o: Offset): Long = o match {
     case l: LongOffset => l.offset
@@ -63,6 +90,7 @@ class IcebergStreamSource(sqlContext: SQLContext,
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endId = ver(end)
+    committed = Some(endId) // progress for admission control
     val batch = start.map(s => appendedBetween(Some(ver(s)), endId)).getOrElse {
       startingSnapshotId match {
         case Some("latest") => appendedBetween(Some(startSnapshotAtLaunch), endId)
@@ -143,10 +171,34 @@ class PaimonStreamSource(sqlContext: SQLContext,
   private val skipChangeCommits =
     parameters.get("skipChangeCommits").exists(_.toBoolean)
 
+  private val maxFilesPerTrigger = parameters.get("maxFilesPerTrigger").map(_.toInt)
+
   override val schema: StructType = PaimonStreamSource.streamSchema(spark, path)
 
-  override def getOffset: Option[Offset] =
-    PaimonTable.snapshots(spark, path).lastOption.map(s => LongOffset(s.id))
+  @volatile private var committed: Option[Long] = None
+  override def commit(end: Offset): Unit = { committed = Some(ver(end)) }
+
+  override def getOffset: Option[Offset] = {
+    val all = PaimonTable.snapshots(spark, path)
+    if (all.isEmpty) return None
+    maxFilesPerTrigger match {
+      case None => Some(LongOffset(all.last.id))
+      case Some(budget) =>
+        val from = committed.getOrElse(all.head.id - 1)
+        var last = from
+        var files = 0
+        var stop = false
+        all.filter(_.id > from).foreach { s =>
+          if (!stop) {
+            val n = if (s.commitKind == "COMPACT") 0
+              else PaimonTable.appendedFilesOf(spark, path, s).size
+            if (files == 0 || files + n <= budget) { last = s.id; files += n }
+            else stop = true // admitted range must stay contiguous
+          }
+        }
+        Some(LongOffset(last))
+    }
+  }
 
   private def ver(o: Offset): Long = o match {
     case l: LongOffset => l.offset
@@ -155,6 +207,7 @@ class PaimonStreamSource(sqlContext: SQLContext,
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val hi = ver(end)
+    committed = Some(hi) // progress for admission control
     val batch = start match {
       case Some(s) => changesBetween(ver(s), hi)
       case None => // initial: current state (PK: merged rows surface as +I)

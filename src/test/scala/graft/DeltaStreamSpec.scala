@@ -105,6 +105,26 @@ class DeltaStreamSpec extends AnyFunSuite {
     assert(seen.toSeq.sortBy(_._1) === Seq((1L, "a"), (2L, "b")))
   }
 
+  test("maxFilesPerTrigger paces catch-up into multiple batches") {
+    val dir = freshTable(Seq((1L, "a")))
+    (2L to 5L).foreach(i =>
+      DeltaLogWriter.write(Seq((i, s"v$i")).toDF("k", "v"), dir))
+    val batches = scala.collection.mutable.ArrayBuffer[Int]()
+    val q = spark.readStream.format("graft-delta")
+      .option("startingVersion", "0").option("maxFilesPerTrigger", "2")
+      .load(dir).writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.synchronized { batches += df.count().toInt }
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    // 5 single-file commits at 2 files/trigger: at least 3 batches, all
+    // rows exactly once, no batch over budget
+    assert(batches.sum === 5)
+    assert(batches.count(_ > 0) >= 3)
+    assert(batches.forall(_ <= 2))
+  }
+
   test("dataChange=false compaction commits do not re-emit (OPTIMIZE-safe)") {
     val dir = freshTable(Seq((1L, "a"), (2L, "b")))
     DeltaLogWriter.write(Seq((3L, "c")).toDF("k", "v"), dir)
