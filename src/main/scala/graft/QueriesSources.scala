@@ -234,6 +234,62 @@ object QueriesSources {
       DeltaLogReader.read(s, base)
     }),
 
+    // ---- batch DML on Delta: copy-on-write DELETE / UPDATE / MERGE
+    // through the SQL surface (DmlSql -> DeltaDml). Drill itself is
+    // read-only (DrillSqlWorker rejects DML verbs); this is the
+    // lakehouse-era surface a migrating user needs. Each gate rebuilds
+    // its table fresh, mutates it via spark.sql, and returns the
+    // post-DML read — the oracle re-derives the final state ----
+    "q_delta_delete" -> ((s, d) => {
+      val base = s"${out(d)}/delta_del"
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.sources.DeltaLogWriter.write(
+        GraftSession.table(s, d, "supplier")
+          .select("s_suppkey", "s_name", "s_acctbal"), base)
+      s.conf.set("graft.dfs.workspace.dmlout", out(d))
+      try s.sql("DELETE FROM dfs.dmlout.`delta_del` WHERE s_acctbal < 0")
+      finally s.conf.unset("graft.dfs.workspace.dmlout")
+      graft.sources.DeltaLogReader.read(s, base)
+    }),
+
+    "q_delta_update" -> ((s, d) => {
+      val base = s"${out(d)}/delta_upd"
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.sources.DeltaLogWriter.write(
+        GraftSession.table(s, d, "customer")
+          .select("c_custkey", "c_mktsegment", "c_acctbal"), base)
+      s.conf.set("graft.dfs.workspace.dmlout", out(d))
+      try s.sql("""UPDATE dfs.dmlout.`delta_upd`
+                   SET c_mktsegment = 'PREMIUM' WHERE c_acctbal > 5000""")
+      finally s.conf.unset("graft.dfs.workspace.dmlout")
+      graft.sources.DeltaLogReader.read(s, base)
+    }),
+
+    "q_delta_merge" -> ((s, d) => {
+      val base = s"${out(d)}/delta_mrg"
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.sources.DeltaLogWriter.write(
+        GraftSession.table(s, d, "orders")
+          .filter(col("o_orderkey") < 1000)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice"), base)
+      s.conf.set("graft.dfs.workspace.dmlout", out(d))
+      try s.sql(
+        s"""MERGE INTO dfs.dmlout.`delta_mrg` AS t
+            USING (SELECT o_orderkey AS mk, o_totalprice * 2 AS mp
+                   FROM dfs.`$d/orders.parquet`
+                   WHERE o_orderkey >= 500 AND o_orderkey < 1500) AS s
+            ON t.o_orderkey = s.mk
+            WHEN MATCHED THEN UPDATE SET o_totalprice = s.mp
+            WHEN NOT MATCHED THEN
+              INSERT (o_orderkey, o_orderstatus, o_totalprice)
+              VALUES (s.mk, 'NEW', s.mp)""")
+      finally s.conf.unset("graft.dfs.workspace.dmlout")
+      graft.sources.DeltaLogReader.read(s, base)
+    }),
+
     // ---- Iceberg v1 table: hand-rolled metadata.json + avro manifest
     // reader/writer, no iceberg jar (ref contrib/format-iceberg/...
     // IcebergGroupScan.java + snapshot/). Fixture: snapshot 1 = orders
@@ -1169,6 +1225,24 @@ object QueriesSources {
       SELECT o_orderstatus, count(*) AS n, sum(o_orderkey)::BIGINT AS key_sum
       FROM orders WHERE o_orderkey < 2000
       GROUP BY 1""",
+    "q_delta_delete" -> """
+      SELECT s_suppkey, s_name, s_acctbal
+      FROM supplier WHERE NOT (s_acctbal < 0)""",
+    "q_delta_update" -> """
+      SELECT c_custkey,
+             CASE WHEN c_acctbal > 5000 THEN 'PREMIUM'
+                  ELSE c_mktsegment END AS c_mktsegment,
+             c_acctbal
+      FROM customer""",
+    "q_delta_merge" -> """
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey < 500
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice * 2
+      FROM orders WHERE o_orderkey >= 500 AND o_orderkey < 1000
+      UNION ALL
+      SELECT o_orderkey, 'NEW', o_totalprice * 2
+      FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 1500""",
     "q_delta_optimize" -> """
       SELECT o_orderstatus, count(*)::BIGINT AS n,
              sum(o_orderkey)::BIGINT AS key_sum

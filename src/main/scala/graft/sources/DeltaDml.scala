@@ -1,0 +1,320 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BooleanType, StructType}
+
+/** Batch DML on a Delta table — DELETE / UPDATE / MERGE as COPY-ON-WRITE
+  * commits, the delta-spark semantics re-expressed Spark-first (reference
+  * surface: Drill reads Delta, contrib/format-deltalake; the DML contract
+  * itself is delta PROTOCOL.md commit semantics — data files are
+  * immutable, a change is remove(old)+add(rewritten) in one atomic
+  * commit).
+  *
+  * The 100 TB shape: every pass is FILE-PRUNED. A first distributed scan
+  * finds only the files that contain at least one affected row (for
+  * MERGE, a join against the source on the ON condition); only those
+  * files are re-read and rewritten — a DELETE touching 3 files of 30 000
+  * scans the table once for the match (with the predicate pushed down)
+  * and rewrites 3 files. Untouched files carry over by reference in the
+  * log. The driver handles file LISTS (KB-scale metadata); rows never
+  * leave executors.
+  *
+  * Refusals match [[DeltaLogWriter.optimize]]: partitioned tables
+  * (partition values live only in the log; a naive rewrite drops them),
+  * deletion vectors (a rewrite must materialize them first), column
+  * mapping (rewritten files would need physical-name headers).
+  */
+object DeltaDml {
+
+  /** (version, rowsUpdated, rowsDeleted, rowsInserted) of one DML commit. */
+  case class DmlStats(version: Long, updated: Long, deleted: Long,
+                      inserted: Long)
+
+  private val PhysKey = "delta.columnMapping.physicalName"
+
+  private def absolute(tablePath: String, p: String): String =
+    if (p.startsWith("/") || p.contains("://")) p else s"$tablePath/$p"
+
+  private def absNorm(c: Column): Column =
+    regexp_replace(c, "^[a-zA-Z0-9]+:/+", "/")
+
+  /** Live state with the DML refusals applied:
+    * (schema, relPath -> absolute path, current version). */
+  private def dmlState(spark: SparkSession, tablePath: String)
+      : (StructType, Seq[(String, String)], Long) = {
+    val (schema, partCols, files) = DeltaLogReader.activeState(spark, tablePath)
+    require(partCols.isEmpty,
+      s"DML on partitioned Delta table not supported: $tablePath " +
+        "(partition values live only in the log; a rewrite would drop them)")
+    require(files.forall(!_._3),
+      s"DML over deletion vectors not supported: $tablePath " +
+        "(the rewrite would need to materialize the DVs first)")
+    require(schema.fields.forall(f => !f.metadata.contains(PhysKey)),
+      s"DML on column-mapped Delta table not supported: $tablePath")
+    val version = (DeltaLogReader.tableVersions(spark, tablePath) ++
+      DeltaLogReader.lastCheckpointVersion(spark, tablePath)).max
+    (schema, files.map { case (p, _, _) => p -> absolute(tablePath, p) },
+      version)
+  }
+
+  /** Distinct live files holding at least one row of `hits` — the
+    * pruning scan. `hits` must carry a `__g_file` column (normalized
+    * absolute path, from [[fileCol]] on the TARGET scan — `_metadata.
+    * file_path` binds to its own relation, so plans that also join a
+    * second file source stay unambiguous, unlike `input_file_name()`).
+    * Returns relative log paths. */
+  private def affectedOf(hits: DataFrame,
+                         files: Seq[(String, String)]): Seq[String] = {
+    val byNorm = files.map { case (rel, abs) =>
+      abs.replaceFirst("^[a-zA-Z0-9]+:/+", "/") -> rel
+    }.toMap
+    hits.select(col("__g_file"))
+      .distinct().collect().map(r => byNorm(r.getString(0))).toSeq
+  }
+
+  private def fileCol: Column = absNorm(col("_metadata.file_path"))
+
+  /** Stage `df` as parquet parts and publish them into the table root as
+    * add actions for `version` (the [[DeltaLogWriter.write]] staging
+    * dance, shared by every COW rewrite). */
+  private def stageAdds(df: DataFrame, tablePath: String, version: Long,
+                        dataChange: Boolean): Seq[String] = {
+    val spark = df.sparkSession
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(tablePath, s"_staging_v$version")
+    df.write.mode("overwrite").parquet(staging.toString)
+    val parts = fs.listStatus(staging).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val adds = parts.zipWithIndex.map { case (part, i) =>
+      val name = f"part-$i%05d-v$version.parquet"
+      val dest = new Path(tablePath, name)
+      fs.delete(dest, false)
+      require(fs.rename(part, dest), s"rename failed: $part -> $dest")
+      val size = fs.getFileStatus(dest).getLen
+      s"""{"add":{"path":"$name","partitionValues":{},"size":$size,"modificationTime":0,"dataChange":$dataChange}}"""
+    }.toSeq
+    fs.delete(staging, true)
+    adds
+  }
+
+  private def removeActions(rels: Seq[String]): Seq[String] =
+    rels.map(p =>
+      s"""{"remove":{"path":"$p","deletionTimestamp":0,"dataChange":true}}""")
+
+  /** DELETE FROM: drop rows where `condition` is TRUE (null/false rows
+    * stay — the SQL three-valued contract). Only files containing a
+    * match are rewritten; no match is a metadata no-op. Returns
+    * (committed version, rows deleted). */
+  def delete(spark: SparkSession, tablePath: String,
+             condition: Column): (Long, Long) = {
+    val (schema, files, current) = dmlState(spark, tablePath)
+    if (files.isEmpty) return (current, 0L)
+    val scan = spark.read.schema(schema).parquet(files.map(_._2): _*)
+    val affected = affectedOf(
+      scan.filter(condition).select(fileCol.as("__g_file")), files)
+    if (affected.isEmpty) return (current, 0L)
+
+    val aff = spark.read.schema(schema)
+      .parquet(affected.map(absolute(tablePath, _)): _*)
+    val hit = coalesce(condition.cast(BooleanType), lit(false))
+    val deleted = aff.filter(hit).count()
+    val version = current + 1
+    val adds = stageAdds(aff.filter(!hit), tablePath, version,
+      dataChange = true)
+    DeltaLogReader.writeCommit(spark, tablePath, version,
+      removeActions(affected) ++ adds)
+    (version, deleted)
+  }
+
+  /** UPDATE ... SET: rewrite rows where `condition` is TRUE with the
+    * `set` expressions (target-column -> new value, cast to the
+    * column's type); other rows in affected files carry through
+    * unchanged. Returns (committed version, rows updated). */
+  def update(spark: SparkSession, tablePath: String, condition: Column,
+             set: Map[String, Column]): (Long, Long) = {
+    val (schema, files, current) = dmlState(spark, tablePath)
+    val bad = set.keySet.filterNot(schema.fieldNames.contains)
+    require(bad.isEmpty, s"UPDATE: unknown column(s) ${bad.mkString(", ")}")
+    require(set.nonEmpty, "UPDATE: empty SET clause")
+    if (files.isEmpty) return (current, 0L)
+    val scan = spark.read.schema(schema).parquet(files.map(_._2): _*)
+    val affected = affectedOf(
+      scan.filter(condition).select(fileCol.as("__g_file")), files)
+    if (affected.isEmpty) return (current, 0L)
+
+    val aff = spark.read.schema(schema)
+      .parquet(affected.map(absolute(tablePath, _)): _*)
+    val hit = coalesce(condition.cast(BooleanType), lit(false))
+    val updated = aff.filter(hit).count()
+    val rewritten = aff.select(schema.fields.toSeq.map { f =>
+      set.get(f.name) match {
+        case Some(e) =>
+          when(hit, e.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+        case None => col(f.name)
+      }
+    }: _*)
+    val version = current + 1
+    val adds = stageAdds(rewritten, tablePath, version, dataChange = true)
+    DeltaLogReader.writeCommit(spark, tablePath, version,
+      removeActions(affected) ++ adds)
+    (version, updated)
+  }
+
+  /** MERGE INTO target USING source ON `on` — the three-clause form:
+    *
+    *  - `matchedDelete`: WHEN MATCHED [AND cond] THEN DELETE — SQL
+    *    condition over `tAlias`/`sAlias` columns ("true" = every match).
+    *    Evaluated BEFORE the update clause (the common
+    *    delete-then-update clause order).
+    *  - `matchedUpdate`: WHEN MATCHED THEN UPDATE SET — target column ->
+    *    SQL expression over `tAlias`/`sAlias`.
+    *  - `notMatchedInsert`: WHEN NOT MATCHED THEN INSERT — target
+    *    column -> SQL expression over `sAlias`; unlisted columns insert
+    *    NULL.
+    *
+    * Matching rows can only live in files the ON-join touches, so the
+    * NOT MATCHED anti-join runs against affected-file rows, not the
+    * whole table — at 100 TB the source joins against the slice it can
+    * match, never the full scan twice. When a matched clause is present
+    * the ambiguity check errors if any target row matches more than one
+    * source row (the delta-spark `DELTA_MULTIPLE_SOURCE_ROW_MATCHING...`
+    * contract — applying two updates to one row is nondeterministic).
+    * An insert-only merge (no matched clause) rewrites nothing: it
+    * appends the anti-joined source rows as a plain add-only commit. */
+  def merge(spark: SparkSession, tablePath: String, source: DataFrame,
+            on: String,
+            matchedUpdate: Option[Map[String, String]] = None,
+            matchedDelete: Option[String] = None,
+            notMatchedInsert: Option[Map[String, String]] = None,
+            matchedUpdateCond: Option[String] = None,
+            notMatchedInsertCond: Option[String] = None,
+            tAlias: String = "t", sAlias: String = "s"): DmlStats = {
+    require(matchedUpdate.isDefined || matchedDelete.isDefined ||
+      notMatchedInsert.isDefined, "MERGE: no clauses")
+    val (schema, files, current) = dmlState(spark, tablePath)
+    matchedUpdate.foreach { m =>
+      val bad = m.keySet.filterNot(schema.fieldNames.contains)
+      require(bad.isEmpty,
+        s"MERGE UPDATE: unknown column(s) ${bad.mkString(", ")}")
+    }
+    notMatchedInsert.foreach { m =>
+      val bad = m.keySet.filterNot(schema.fieldNames.contains)
+      require(bad.isEmpty,
+        s"MERGE INSERT: unknown column(s) ${bad.mkString(", ")}")
+    }
+    val onExpr = expr(on)
+    val anyMatched = matchedUpdate.isDefined || matchedDelete.isDefined
+
+    val tgtAll =
+      if (files.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(files.map(_._2): _*)
+
+    // pruning join: which live files hold a matched row
+    val affected =
+      if (files.isEmpty) Seq.empty[String]
+      else affectedOf(
+        tgtAll.withColumn("__g_file", fileCol).as(tAlias)
+          .join(source.as(sAlias), onExpr, "inner")
+          .select(col("__g_file")), files)
+
+    val affAbs = affected.map(absolute(tablePath, _))
+    def affScan: DataFrame = spark.read.schema(schema).parquet(affAbs: _*)
+
+    // ambiguity check (only when a matched clause will rewrite rows):
+    // (file, row_index) is the stable row identity
+    if (anyMatched && affected.nonEmpty) {
+      val multi = affScan
+        .withColumn("__g_fp", col("_metadata.file_path"))
+        .withColumn("__g_pos", col("_metadata.row_index"))
+        .as(tAlias)
+        .join(source.as(sAlias), onExpr, "inner")
+        .groupBy(col("__g_fp"), col("__g_pos")).count()
+        .filter(col("count") > 1).limit(1).count()
+      require(multi == 0,
+        "MERGE: a target row matched multiple source rows — the update " +
+          "is nondeterministic (same check as delta-spark)")
+    }
+
+    val version = current + 1
+    var updated = 0L
+    var deleted = 0L
+
+    // rewrite affected files (matched clauses applied, unmatched rows
+    // carried through)
+    val rewritten: Option[DataFrame] =
+      if (!anyMatched || affected.isEmpty) None
+      else {
+        val srcM = source.withColumn("__g_match", lit(true))
+        val joined = affScan.as(tAlias).join(srcM.as(sAlias), onExpr,
+          "left_outer")
+        val isMatch = coalesce(col("__g_match"), lit(false))
+        val delCond = matchedDelete.map(c =>
+          isMatch && coalesce(expr(c).cast(BooleanType), lit(false)))
+          .getOrElse(lit(false))
+        val updCond =
+          if (matchedUpdate.isDefined)
+            isMatch && !delCond && matchedUpdateCond
+              .map(c => coalesce(expr(c).cast(BooleanType), lit(false)))
+              .getOrElse(lit(true))
+          else lit(false)
+        val counts = joined.agg(
+          sum(when(updCond, 1L).otherwise(0L)),
+          sum(when(delCond, 1L).otherwise(0L))).collect()(0)
+        updated = if (counts.isNullAt(0)) 0L else counts.getLong(0)
+        deleted = if (counts.isNullAt(1)) 0L else counts.getLong(1)
+        Some(joined.filter(!delCond).select(schema.fields.toSeq.map { f =>
+          matchedUpdate.flatMap(_.get(f.name)) match {
+            case Some(e) =>
+              when(updCond, expr(e).cast(f.dataType))
+                .otherwise(col(s"$tAlias.${f.name}")).as(f.name)
+            case None => col(s"$tAlias.${f.name}").as(f.name)
+          }
+        }: _*))
+      }
+
+    // NOT MATCHED inserts: anti-join against the rows a match could be
+    // in — affected files when known, the whole table for insert-only
+    val inserts: Option[DataFrame] = notMatchedInsert.map { m =>
+      val against = if (anyMatched) {
+        if (affected.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        else affScan
+      } else tgtAll
+      val anti = source.as(sAlias).join(against.as(tAlias), onExpr, "left_anti")
+      notMatchedInsertCond
+        .map(c => anti.filter(coalesce(expr(c).cast(BooleanType), lit(false))))
+        .getOrElse(anti)
+        .select(schema.fields.toSeq.map { f =>
+          m.get(f.name) match {
+            case Some(e) => expr(e).cast(f.dataType).as(f.name)
+            case None    => lit(null).cast(f.dataType).as(f.name)
+          }
+        }: _*)
+    }
+
+    val out = (rewritten, inserts) match {
+      case (Some(r), Some(i)) => Some(r.unionByName(i))
+      case (Some(r), None)    => Some(r)
+      case (None, Some(i))    => Some(i)
+      case (None, None)       => None
+    }
+    out match {
+      case None => DmlStats(current, 0L, 0L, 0L)
+      case Some(df) =>
+        val inserted = inserts.map(_.count()).getOrElse(0L)
+        if (inserted == 0L && rewritten.isEmpty)
+          return DmlStats(current, 0L, 0L, 0L) // pure no-op: nothing to commit
+        val adds = stageAdds(df, tablePath, version, dataChange = true)
+        val removes = if (rewritten.isDefined) removeActions(affected)
+                      else Seq.empty
+        DeltaLogReader.writeCommit(spark, tablePath, version,
+          removes ++ adds)
+        DmlStats(version, updated, deleted, inserted)
+    }
+  }
+}

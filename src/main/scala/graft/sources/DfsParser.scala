@@ -92,6 +92,8 @@ class DfsParser(delegate: ParserInterface) extends ParserInterface {
       // session/maintenance commands (ALTER SESSION, ANALYZE TABLE,
       // REFRESH TABLE METADATA) — see SqlCommands
       SqlCommands.claim(sqlText, delegate.parseMultipartIdentifier)
+        // DML over dfs transactional tables (DELETE/UPDATE/MERGE) — DmlSql
+        .orElse(DmlSql.claim(sqlText, delegate.parseMultipartIdentifier))
         .getOrElse(rewrite(delegate.parsePlan(sqlText)))
   }
   override def parseQuery(sqlText: String): LogicalPlan =

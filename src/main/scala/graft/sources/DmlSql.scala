@@ -1,0 +1,362 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.functions.expr
+
+/** SQL DML over dfs-pathed transactional tables, claimed by
+  * [[DfsParser]] alongside [[SqlCommands]]:
+  *
+  *  - `DELETE FROM dfs.ws.t WHERE cond` — Delta tables rewrite
+  *    copy-on-write ([[DeltaDml.delete]]); Iceberg tables write
+  *    position-delete files merge-on-read ([[IcebergTable.deleteFrom]])
+  *    — each format's native delete shape.
+  *  - `UPDATE dfs.ws.t SET c = e, ... [WHERE cond]` — Delta
+  *    copy-on-write ([[DeltaDml.update]]).
+  *  - `MERGE INTO dfs.ws.t [AS] t USING src|(query) [AS] s ON cond
+  *     [WHEN MATCHED [AND c] THEN UPDATE SET c=e,...|SET *]
+  *     [WHEN MATCHED [AND c] THEN DELETE]
+  *     [WHEN NOT MATCHED [AND c] THEN INSERT (cols) VALUES (es)|INSERT *]`
+  *    — Delta copy-on-write ([[DeltaDml.merge]]).
+  *
+  * Drill itself has no DML (it is read-mostly; ref
+  * exec/.../planner/sql/DrillSqlWorker.java rejects these verbs) — this
+  * is the lakehouse-era surface a Drill user moving to open table
+  * formats expects, expressed over the same dfs namespace. Only
+  * dfs-headed targets are claimed, so Spark's native grammar keeps
+  * catalog tables. Clause text between keywords is passed to Spark's
+  * own `expr` parser — the scanner below only finds TOP-LEVEL keyword
+  * boundaries (quote/backtick/paren-aware), it never parses
+  * expressions itself.
+  */
+object DmlSql {
+
+  private val DeleteSql =
+    """(?is)\s*DELETE\s+FROM\s+(dfs\b.+?)\s+WHERE\s+(.+?)\s*;?\s*""".r
+  private val UpdateSql =
+    """(?is)\s*UPDATE\s+(dfs\b.+?)\s+SET\s+(.+?)\s*;?\s*""".r
+  private val MergeSql =
+    """(?is)\s*MERGE\s+INTO\s+(dfs\b.+?)\s+USING\s+(.+?)\s*;?\s*""".r
+
+  def claim(sqlText: String,
+            parseIdent: String => Seq[String]): Option[LogicalPlan] =
+    sqlText match {
+      case DeleteSql(target, cond) if dfsClaimable =>
+        Some(delete(target.trim, cond.trim, parseIdent))
+      case UpdateSql(target, rest) if dfsClaimable =>
+        Some(update(target.trim, rest.trim, parseIdent))
+      case MergeSql(target, rest) if dfsClaimable =>
+        Some(merge(target.trim, rest.trim, parseIdent))
+      case _ => None
+    }
+
+  private def dfsClaimable: Boolean =
+    !SparkSession.active.catalog.databaseExists("dfs")
+
+  // ---- table-format routing -------------------------------------------
+
+  private def tablePathOf(spark: SparkSession, target: String,
+                          parseIdent: String => Seq[String]): String = {
+    val t = target.trim
+    if (t.startsWith("'") && t.endsWith("'")) t.substring(1, t.length - 1)
+    else {
+      val parts = parseIdent(t)
+      require(parts.head.equalsIgnoreCase("dfs"), s"not a dfs target: $t")
+      DfsSql.resolvePath(spark, parts.tail)
+    }
+  }
+
+  private sealed trait Format
+  private case object DeltaT extends Format
+  private case object IcebergT extends Format
+
+  private def formatOf(spark: SparkSession, path: String): Format = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(path, "_delta_log"))) DeltaT
+    else if (fs.exists(new org.apache.hadoop.fs.Path(path, "metadata")))
+      IcebergT
+    else throw new IllegalArgumentException(
+      s"DML requires a transactional table (Delta or Iceberg), but " +
+        s"[$path] is neither — plain files are immutable; CTAS a delta/" +
+        s"iceberg table first")
+  }
+
+  // ---- commands -------------------------------------------------------
+
+  private def delete(target: String, cond: String,
+                     parseIdent: String => Seq[String]): LogicalPlan = {
+    val spark = SparkSession.active
+    val path = tablePathOf(spark, target, parseIdent)
+    formatOf(spark, path) match {
+      case DeltaT =>
+        val (v, n) = DeltaDml.delete(spark, path, expr(cond))
+        result(s"$n rows deleted from $path (delta v$v, copy-on-write)")
+      case IcebergT =>
+        val snap = IcebergTable.deleteFrom(spark, path, expr(cond))
+        result(s"position deletes committed to $path " +
+          s"(iceberg snapshot $snap, merge-on-read)")
+    }
+  }
+
+  private def update(target: String, rest: String,
+                     parseIdent: String => Seq[String]): LogicalPlan = {
+    val spark = SparkSession.active
+    val path = tablePathOf(spark, target, parseIdent)
+    formatOf(spark, path) match {
+      case IcebergT => throw new IllegalArgumentException(
+        s"UPDATE on an Iceberg table is not supported (delete+append is " +
+          s"its merge-on-read shape); [$path] — use MERGE on a delta table")
+      case DeltaT =>
+        // split "a = e1, b = e2 [WHERE cond]" at the top-level WHERE
+        val whereAt = topLevelKeyword(rest, "WHERE")
+        val (setPart, cond) = whereAt match {
+          case Some(i) => (rest.substring(0, i).trim,
+            rest.substring(i + 5).trim)
+          case None => (rest.trim, "true")
+        }
+        val set = splitTopLevel(setPart, ',').map(parseAssignment).toMap
+        val (v, n) = DeltaDml.update(spark, path, expr(cond),
+          set.map { case (k, e) => k -> expr(e) })
+        result(s"$n rows updated in $path (delta v$v, copy-on-write)")
+    }
+  }
+
+  private def merge(target: String, rest: String,
+                    parseIdent: String => Seq[String]): LogicalPlan = {
+    val spark = SparkSession.active
+    // target chunk may carry an alias: `dfs.tmp.`/x`` [AS] t
+    val (targetIdent, tAlias) = splitAlias(target)
+    val path = tablePathOf(spark, targetIdent, parseIdent)
+    formatOf(spark, path) match {
+      case IcebergT => throw new IllegalArgumentException(
+        s"MERGE INTO an Iceberg table is not supported; [$path] — " +
+          s"MERGE targets delta tables (Iceberg upserts go through the " +
+          s"equality-delete writer API)")
+      case DeltaT => ()
+    }
+
+    // source: (subquery) [AS] s   |   ident [AS] s   — then ON <cond>
+    val (srcChunk, afterSrc) =
+      if (rest.startsWith("(")) {
+        val close = matchingParen(rest, 0)
+        (rest.substring(0, close + 1), rest.substring(close + 1))
+      } else {
+        val onAt = topLevelKeyword(rest, "ON").getOrElse(
+          throw new IllegalArgumentException("MERGE: missing ON"))
+        (rest.substring(0, onAt).trim, rest.substring(onAt))
+      }
+    val onAt = topLevelKeyword(afterSrc, "ON").getOrElse(
+      throw new IllegalArgumentException("MERGE: missing ON"))
+    val aliasChunk = afterSrc.substring(0, onAt).trim
+    val afterOn = afterSrc.substring(onAt + 2)
+    val sAlias = {
+      val a = aliasChunk.replaceAll("(?i)^AS\\s+", "").trim
+      if (a.isEmpty) {
+        if (srcChunk.startsWith("(")) throw new IllegalArgumentException(
+          "MERGE: a subquery source needs an alias")
+        "s"
+      } else a
+    }
+    val source: DataFrame =
+      if (srcChunk.startsWith("("))
+        spark.sql(srcChunk.substring(1, srcChunk.length - 1))
+      else {
+        val parts = parseIdent(splitAlias(srcChunk) match {
+          case (ident, al) =>
+            // an inline alias on an ident source overrides the AS chunk
+            ident
+        })
+        if (parts.head.equalsIgnoreCase("dfs") && dfsClaimable)
+          DfsSql.load(spark, parts.tail)
+        else spark.table(parts.mkString("."))
+      }
+    val srcAlias2 = if (!srcChunk.startsWith("(")) {
+      val (_, al) = splitAlias(srcChunk)
+      al.getOrElse(sAlias)
+    } else sAlias
+
+    val whenAt = topLevelKeyword(afterOn, "WHEN").getOrElse(
+      throw new IllegalArgumentException("MERGE: no WHEN clauses"))
+    val onCond = afterOn.substring(0, whenAt).trim
+    val clauses = splitClauses(afterOn.substring(whenAt))
+
+    var matchedUpdate: Option[Map[String, String]] = None
+    var matchedUpdateCond: Option[String] = None
+    var matchedDelete: Option[String] = None
+    var notMatchedInsert: Option[Map[String, String]] = None
+    var notMatchedInsertCond: Option[String] = None
+
+    val MatchedUpd =
+      """(?is)\s*MATCHED\s+(?:AND\s+(.+?)\s+)?THEN\s+UPDATE\s+SET\s+(.+?)\s*""".r
+    val MatchedDel =
+      """(?is)\s*MATCHED\s+(?:AND\s+(.+?)\s+)?THEN\s+DELETE\s*""".r
+    val NotMatchedIns =
+      ("""(?is)\s*NOT\s+MATCHED\s+(?:AND\s+(.+?)\s+)?THEN\s+INSERT\s*""" +
+        """(?:\*|\(\s*([^)]+?)\s*\)\s*VALUES\s*\((.+)\))\s*""").r
+
+    val targetSchema = DeltaLogReader.read(spark, path).schema
+    def updateAll: Map[String, String] =
+      targetSchema.fieldNames.filter(source.columns.contains)
+        .map(c => c -> s"$srcAlias2.`$c`").toMap
+    def insertAll: Map[String, String] = updateAll
+
+    clauses.foreach {
+      case MatchedDel(cond) =>
+        require(matchedDelete.isEmpty, "MERGE: duplicate DELETE clause")
+        matchedDelete = Some(Option(cond).map(_.trim).getOrElse("true"))
+      case MatchedUpd(cond, sets) =>
+        require(matchedUpdate.isEmpty, "MERGE: duplicate UPDATE clause")
+        matchedUpdateCond = Option(cond).map(_.trim)
+        matchedUpdate = Some(
+          if (sets.trim == "*") updateAll
+          else splitTopLevel(sets, ',').map(parseAssignment).toMap)
+      case NotMatchedIns(cond, cols, vals) =>
+        require(notMatchedInsert.isEmpty, "MERGE: duplicate INSERT clause")
+        notMatchedInsertCond = Option(cond).map(_.trim)
+        notMatchedInsert = Some(
+          if (cols == null) insertAll
+          else {
+            val cs = splitTopLevel(cols, ',').map(
+              _.trim.stripPrefix("`").stripSuffix("`"))
+            val vs = splitTopLevel(vals, ',').map(_.trim)
+            require(cs.length == vs.length,
+              s"MERGE INSERT: ${cs.length} columns but ${vs.length} values")
+            cs.zip(vs).toMap
+          })
+      case other => throw new IllegalArgumentException(
+        s"MERGE: unsupported clause: WHEN $other")
+    }
+
+    val stats = DeltaDml.merge(spark, path, source, onCond,
+      matchedUpdate, matchedDelete, notMatchedInsert,
+      matchedUpdateCond, notMatchedInsertCond,
+      tAlias = tAlias.getOrElse("t"), sAlias = srcAlias2)
+    result(s"merge into $path: ${stats.updated} updated, " +
+      s"${stats.deleted} deleted, ${stats.inserted} inserted " +
+      s"(delta v${stats.version})")
+  }
+
+  // ---- scanner utilities ----------------------------------------------
+
+  /** Index of top-level keyword `kw` (word-bounded, outside quotes /
+    * backticks / parens), or None. */
+  private[sources] def topLevelKeyword(s: String, kw: String): Option[Int] = {
+    var depth = 0; var inQ = false; var inB = false
+    var i = 0
+    val n = s.length
+    val k = kw.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (inQ) { if (c == '\'') inQ = false }
+      else if (inB) { if (c == '`') inB = false }
+      else c match {
+        case '\'' => inQ = true
+        case '`' => inB = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+          if (depth == 0 && i + k <= n &&
+              s.regionMatches(true, i, kw, 0, k) &&
+              (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1))) &&
+              (i + k == n || !Character.isLetterOrDigit(s.charAt(i + k)))
+              && s.charAt(math.max(i - 1, 0)) != '_' &&
+              (i + k == n || s.charAt(i + k) != '_'))
+            return Some(i)
+      }
+      i += 1
+    }
+    None
+  }
+
+  /** Split on top-level `sep` (outside quotes/backticks/parens). */
+  private[sources] def splitTopLevel(s: String, sep: Char): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var depth = 0; var inQ = false; var inB = false
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQ) { if (c == '\'') inQ = false }
+      else if (inB) { if (c == '`') inB = false }
+      else c match {
+        case '\'' => inQ = true
+        case '`' => inB = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case x if x == sep && depth == 0 =>
+          out += s.substring(start, i); start = i + 1
+        case _ => ()
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Split "WHEN a WHEN b ..." into clause bodies (the text after each
+    * top-level WHEN). */
+  private def splitClauses(s: String): Seq[String] = {
+    var rest = s
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    while (rest.nonEmpty) {
+      val t = rest.replaceAll("(?is)^\\s*WHEN\\b", "")
+      topLevelKeyword(t, "WHEN") match {
+        case Some(i) => out += t.substring(0, i); rest = t.substring(i)
+        case None => out += t; rest = ""
+      }
+    }
+    out.toSeq
+  }
+
+  private def matchingParen(s: String, open: Int): Int = {
+    var depth = 0; var inQ = false; var inB = false
+    var i = open
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQ) { if (c == '\'') inQ = false }
+      else if (inB) { if (c == '`') inB = false }
+      else c match {
+        case '\'' => inQ = true
+        case '`' => inB = true
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0) return i
+        case _ => ()
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException("MERGE: unbalanced parentheses")
+  }
+
+  /** "ident [AS] alias" -> (ident, Some(alias)); a trailing bare word is
+    * an alias only when separated by whitespace from a complete
+    * identifier (never splits `dfs.ws.name`). */
+  private def splitAlias(chunk: String): (String, Option[String]) = {
+    val t = chunk.trim
+    val m = """(?is)^(.*?)\s+(?:AS\s+)?([A-Za-z_]\w*)$""".r
+    t match {
+      case m(base, alias)
+        if !base.trim.endsWith(".") && base.trim.nonEmpty &&
+           !alias.equalsIgnoreCase("AS") => (base.trim, Some(alias))
+      case _ => (t, None)
+    }
+  }
+
+  private def parseAssignment(a: String): (String, String) = {
+    val eq = a.indexOf('=')
+    require(eq > 0, s"bad assignment: $a")
+    val col = a.substring(0, eq).trim
+      .stripPrefix("`").stripSuffix("`")
+    // strip an optional target-alias qualifier: `t.c = e` means column c
+    val bare = col.substring(col.lastIndexOf('.') + 1)
+    (bare, a.substring(eq + 1).trim)
+  }
+
+  private def result(summary: String): LogicalPlan = {
+    val spark = SparkSession.active
+    import spark.implicits._
+    Seq((true, summary)).toDF("ok", "summary").queryExecution.analyzed
+  }
+}
