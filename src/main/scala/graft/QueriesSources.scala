@@ -290,6 +290,64 @@ object QueriesSources {
       graft.sources.DeltaLogReader.read(s, base)
     }),
 
+    // ---- the same DML verbs in the other two formats' native shapes:
+    // Iceberg merge-on-read (position-delete + append, nothing
+    // rewritten), Paimon PK row-kind frames (-D retracts, +U upserts,
+    // applied by the LSM merge at read time) ----
+    "q_iceberg_update" -> ((s, d) => {
+      val base = s"${out(d)}/ice_upd"
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.sources.IcebergTable.write(
+        GraftSession.table(s, d, "customer")
+          .select("c_custkey", "c_mktsegment", "c_acctbal"), base)
+      s.conf.set("graft.dfs.workspace.dmlout", out(d))
+      try s.sql("""UPDATE dfs.dmlout.`ice_upd`
+                   SET c_mktsegment = 'PREMIUM' WHERE c_acctbal > 5000""")
+      finally s.conf.unset("graft.dfs.workspace.dmlout")
+      graft.sources.IcebergTable.read(s, base)
+    }),
+
+    "q_iceberg_merge" -> ((s, d) => {
+      val base = s"${out(d)}/ice_mrg"
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.sources.IcebergTable.write(
+        GraftSession.table(s, d, "orders")
+          .filter(col("o_orderkey") < 1000)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice"), base)
+      s.conf.set("graft.dfs.workspace.dmlout", out(d))
+      try s.sql(
+        s"""MERGE INTO dfs.dmlout.`ice_mrg` AS t
+            USING (SELECT o_orderkey AS mk, o_totalprice * 2 AS mp
+                   FROM dfs.`$d/orders.parquet`
+                   WHERE o_orderkey >= 500 AND o_orderkey < 1500) AS s
+            ON t.o_orderkey = s.mk
+            WHEN MATCHED THEN UPDATE SET o_totalprice = s.mp
+            WHEN NOT MATCHED THEN
+              INSERT (o_orderkey, o_orderstatus, o_totalprice)
+              VALUES (s.mk, 'NEW', s.mp)""")
+      finally s.conf.unset("graft.dfs.workspace.dmlout")
+      graft.sources.IcebergTable.read(s, base)
+    }),
+
+    "q_paimon_dml" -> ((s, d) => {
+      val base = s"${out(d)}/paimon_dml"
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.sources.PaimonTable.writePk(
+        GraftSession.table(s, d, "supplier")
+          .select("s_suppkey", "s_name", "s_acctbal"), base,
+        Seq("s_suppkey"))
+      s.conf.set("graft.dfs.workspace.dmlout", out(d))
+      try {
+        s.sql("DELETE FROM dfs.dmlout.`paimon_dml` WHERE s_acctbal < 0")
+        s.sql("""UPDATE dfs.dmlout.`paimon_dml`
+                 SET s_name = upper(s_name) WHERE s_acctbal > 9000""")
+      } finally s.conf.unset("graft.dfs.workspace.dmlout")
+      graft.sources.PaimonTable.read(s, base)
+    }),
+
     // ---- Iceberg v1 table: hand-rolled metadata.json + avro manifest
     // reader/writer, no iceberg jar (ref contrib/format-iceberg/...
     // IcebergGroupScan.java + snapshot/). Fixture: snapshot 1 = orders
@@ -1243,6 +1301,27 @@ object QueriesSources {
       UNION ALL
       SELECT o_orderkey, 'NEW', o_totalprice * 2
       FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 1500""",
+    "q_iceberg_update" -> """
+      SELECT c_custkey,
+             CASE WHEN c_acctbal > 5000 THEN 'PREMIUM'
+                  ELSE c_mktsegment END AS c_mktsegment,
+             c_acctbal
+      FROM customer""",
+    "q_iceberg_merge" -> """
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey < 500
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice * 2
+      FROM orders WHERE o_orderkey >= 500 AND o_orderkey < 1000
+      UNION ALL
+      SELECT o_orderkey, 'NEW', o_totalprice * 2
+      FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 1500""",
+    "q_paimon_dml" -> """
+      SELECT s_suppkey,
+             CASE WHEN s_acctbal > 9000 THEN upper(s_name)
+                  ELSE s_name END AS s_name,
+             s_acctbal
+      FROM supplier WHERE NOT (s_acctbal < 0)""",
     "q_delta_optimize" -> """
       SELECT o_orderstatus, count(*)::BIGINT AS n,
              sum(o_orderkey)::BIGINT AS key_sum

@@ -7,17 +7,18 @@ import org.apache.spark.sql.functions.expr
 /** SQL DML over dfs-pathed transactional tables, claimed by
   * [[DfsParser]] alongside [[SqlCommands]]:
   *
-  *  - `DELETE FROM dfs.ws.t WHERE cond` — Delta tables rewrite
-  *    copy-on-write ([[DeltaDml.delete]]); Iceberg tables write
-  *    position-delete files merge-on-read ([[IcebergTable.deleteFrom]])
-  *    — each format's native delete shape.
-  *  - `UPDATE dfs.ws.t SET c = e, ... [WHERE cond]` — Delta
-  *    copy-on-write ([[DeltaDml.update]]).
+  *  - `DELETE FROM dfs.ws.t WHERE cond`
+  *  - `UPDATE dfs.ws.t SET c = e, ... [WHERE cond]`
   *  - `MERGE INTO dfs.ws.t [AS] t USING src|(query) [AS] s ON cond
   *     [WHEN MATCHED [AND c] THEN UPDATE SET c=e,...|SET *]
   *     [WHEN MATCHED [AND c] THEN DELETE]
   *     [WHEN NOT MATCHED [AND c] THEN INSERT (cols) VALUES (es)|INSERT *]`
-  *    — Delta copy-on-write ([[DeltaDml.merge]]).
+  *
+  * Each verb routes to the target's native mutation shape: Delta
+  * rewrites copy-on-write ([[DeltaDml]]), Iceberg writes position
+  * deletes + appends merge-on-read ([[IcebergDml]],
+  * [[IcebergTable.deleteFrom]]), Paimon PK tables write `-D`/`+U`
+  * row-kind frames the LSM merge applies at read time ([[PaimonDml]]).
   *
   * Drill itself has no DML (it is read-mostly; ref
   * exec/.../planner/sql/DrillSqlWorker.java rejects these verbs) — this
@@ -69,17 +70,20 @@ object DmlSql {
   private sealed trait Format
   private case object DeltaT extends Format
   private case object IcebergT extends Format
+  private case object PaimonT extends Format
 
   private def formatOf(spark: SparkSession, path: String): Format = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(path, "_delta_log"))) DeltaT
-    else if (fs.exists(new org.apache.hadoop.fs.Path(path, "metadata")))
-      IcebergT
+    def has(sub: String) =
+      fs.exists(new org.apache.hadoop.fs.Path(path, sub))
+    if (has("_delta_log")) DeltaT
+    else if (has("metadata")) IcebergT
+    else if (has("snapshot") && has("schema")) PaimonT
     else throw new IllegalArgumentException(
-      s"DML requires a transactional table (Delta or Iceberg), but " +
-        s"[$path] is neither — plain files are immutable; CTAS a delta/" +
-        s"iceberg table first")
+      s"DML requires a transactional table (Delta, Iceberg or Paimon), " +
+        s"but [$path] is none of them — plain files are immutable; CTAS " +
+        s"a lakehouse table first")
   }
 
   // ---- commands -------------------------------------------------------
@@ -96,6 +100,10 @@ object DmlSql {
         val snap = IcebergTable.deleteFrom(spark, path, expr(cond))
         result(s"position deletes committed to $path " +
           s"(iceberg snapshot $snap, merge-on-read)")
+      case PaimonT =>
+        val (snap, n) = PaimonDml.delete(spark, path, expr(cond))
+        result(s"$n rows retracted from $path " +
+          s"(paimon snapshot $snap, -D frames)")
     }
   }
 
@@ -103,22 +111,26 @@ object DmlSql {
                      parseIdent: String => Seq[String]): LogicalPlan = {
     val spark = SparkSession.active
     val path = tablePathOf(spark, target, parseIdent)
+    // split "a = e1, b = e2 [WHERE cond]" at the top-level WHERE
+    val whereAt = topLevelKeyword(rest, "WHERE")
+    val (setPart, cond) = whereAt match {
+      case Some(i) => (rest.substring(0, i).trim,
+        rest.substring(i + 5).trim)
+      case None => (rest.trim, "true")
+    }
+    val set = splitTopLevel(setPart, ',').map(parseAssignment).toMap
+      .map { case (k, e) => k -> expr(e) }
     formatOf(spark, path) match {
-      case IcebergT => throw new IllegalArgumentException(
-        s"UPDATE on an Iceberg table is not supported (delete+append is " +
-          s"its merge-on-read shape); [$path] — use MERGE on a delta table")
       case DeltaT =>
-        // split "a = e1, b = e2 [WHERE cond]" at the top-level WHERE
-        val whereAt = topLevelKeyword(rest, "WHERE")
-        val (setPart, cond) = whereAt match {
-          case Some(i) => (rest.substring(0, i).trim,
-            rest.substring(i + 5).trim)
-          case None => (rest.trim, "true")
-        }
-        val set = splitTopLevel(setPart, ',').map(parseAssignment).toMap
-        val (v, n) = DeltaDml.update(spark, path, expr(cond),
-          set.map { case (k, e) => k -> expr(e) })
+        val (v, n) = DeltaDml.update(spark, path, expr(cond), set)
         result(s"$n rows updated in $path (delta v$v, copy-on-write)")
+      case IcebergT =>
+        val (snap, n) = IcebergDml.update(spark, path, expr(cond), set)
+        result(s"$n rows updated in $path " +
+          s"(iceberg snapshot $snap, merge-on-read delete+append)")
+      case PaimonT =>
+        val (snap, n) = PaimonDml.update(spark, path, expr(cond), set)
+        result(s"$n rows updated in $path (paimon snapshot $snap, +U frames)")
     }
   }
 
@@ -128,13 +140,7 @@ object DmlSql {
     // target chunk may carry an alias: `dfs.tmp.`/x`` [AS] t
     val (targetIdent, tAlias) = splitAlias(target)
     val path = tablePathOf(spark, targetIdent, parseIdent)
-    formatOf(spark, path) match {
-      case IcebergT => throw new IllegalArgumentException(
-        s"MERGE INTO an Iceberg table is not supported; [$path] — " +
-          s"MERGE targets delta tables (Iceberg upserts go through the " +
-          s"equality-delete writer API)")
-      case DeltaT => ()
-    }
+    val fmt = formatOf(spark, path)
 
     // source: (subquery) [AS] s   |   ident [AS] s   — then ON <cond>
     val (srcChunk, afterSrc) =
@@ -195,7 +201,11 @@ object DmlSql {
       ("""(?is)\s*NOT\s+MATCHED\s+(?:AND\s+(.+?)\s+)?THEN\s+INSERT\s*""" +
         """(?:\*|\(\s*([^)]+?)\s*\)\s*VALUES\s*\((.+)\))\s*""").r
 
-    val targetSchema = DeltaLogReader.read(spark, path).schema
+    val targetSchema = fmt match {
+      case DeltaT   => DeltaLogReader.read(spark, path).schema
+      case IcebergT => IcebergTable.loadMeta(spark, path).schema
+      case PaimonT  => PaimonTable.loadSchema(spark, path).schema
+    }
     def updateAll: Map[String, String] =
       targetSchema.fieldNames.filter(source.columns.contains)
         .map(c => c -> s"$srcAlias2.`$c`").toMap
@@ -228,13 +238,22 @@ object DmlSql {
         s"MERGE: unsupported clause: WHEN $other")
     }
 
-    val stats = DeltaDml.merge(spark, path, source, onCond,
+    val mergeFn = fmt match {
+      case DeltaT   => DeltaDml.merge _
+      case IcebergT => IcebergDml.merge _
+      case PaimonT  => PaimonDml.merge _
+    }
+    val stats = mergeFn(spark, path, source, onCond,
       matchedUpdate, matchedDelete, notMatchedInsert,
       matchedUpdateCond, notMatchedInsertCond,
-      tAlias = tAlias.getOrElse("t"), sAlias = srcAlias2)
+      tAlias.getOrElse("t"), srcAlias2)
+    val fmtName = fmt match {
+      case DeltaT => "delta v"; case IcebergT => "iceberg snapshot "
+      case PaimonT => "paimon snapshot "
+    }
     result(s"merge into $path: ${stats.updated} updated, " +
       s"${stats.deleted} deleted, ${stats.inserted} inserted " +
-      s"(delta v${stats.version})")
+      s"($fmtName${stats.version})")
   }
 
   // ---- scanner utilities ----------------------------------------------

@@ -390,7 +390,7 @@ object IcebergTable {
     * `scheme:/`, `scheme://`, `scheme:///` prefix collapses to `/`.
     * Applied identically to BOTH join sides, so equal files stay equal
     * under any scheme. */
-  private def normPath(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[graft] def normPath(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.regexp_replace(
       c, "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
 
@@ -1217,6 +1217,18 @@ object IcebergTable {
         col("_metadata.row_index").as("pos"))
       .join(broadcast(lookup), "__g_fp")
       .select(col("file_path"), col("pos"))
+    commitPositionDeletes(spark, table, meta, matches)
+  }
+
+  /** Commit a `(file_path, pos)` DataFrame as a position-delete snapshot
+    * (the write-side half of [[deleteFrom]], also the delete engine for
+    * MERGE where the matched rows come from a JOIN rather than a
+    * predicate). No matches is a snapshot no-op. */
+  private[graft] def commitPositionDeletes(spark: SparkSession, table: String,
+                                           meta: TableMeta,
+                                           matches: DataFrame): Long = {
+    import org.apache.spark.sql.functions.col
+    val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val snapshotId = meta.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1L
     val staging = new Path(table, s"_staging_del$snapshotId")
     matches.repartition(col("file_path"))

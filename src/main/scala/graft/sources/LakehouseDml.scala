@@ -1,0 +1,355 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.BooleanType
+
+import graft.sources.DeltaDml.DmlStats
+
+/** Row-level DML for the OTHER two lakehouse formats, each in its own
+  * native mutation shape (reference surface: Drill only reads these
+  * formats — contrib/format-iceberg, contrib/format-deltalake; the DML
+  * contracts are the public Iceberg spec and Paimon spec):
+  *
+  *  - [[IcebergDml]]: MERGE-ON-READ. UPDATE/MERGE position-delete the
+  *    matched rows (content=1 files naming (file_path, pos)) and append
+  *    the new row versions — unmatched rows in touched files are NEVER
+  *    rewritten, which is the point of merge-on-read at 100 TB: the
+  *    write cost scales with the matched rows, not with the files they
+  *    live in. Copy-on-write Delta ([[DeltaDml]]) is the contrast case.
+  *  - [[PaimonDml]]: LSM upsert frames on PRIMARY-KEY tables. DELETE
+  *    writes key-only `-D` retractions, UPDATE/MERGE write `+U` rows;
+  *    the deduplicate merge at read time applies them — nothing old is
+  *    touched at all. Append-only (non-PK) tables refuse: without a key
+  *    there is no retraction identity.
+  *
+  * Both compute the NEW row versions from the table's VISIBLE rows
+  * (through the format's own merge-on-read `read`), so rows already
+  * masked by earlier deletes can never be resurrected; Iceberg's
+  * position-delete matching scans raw data files, where over-deleting an
+  * already-masked row is harmless (invisible either way — the same
+  * argument as [[IcebergTable.deleteFrom]]).
+  */
+object IcebergDml {
+
+  /** UPDATE ... SET on an Iceberg table: position-delete matched rows,
+    * append their updated versions (two snapshots: delete + append;
+    * readers between the two see the delete only — the final state is
+    * what the gate checks, and single-writer commits make the pair
+    * effectively one logical mutation). Returns (snapshot, rowsUpdated). */
+  def update(spark: SparkSession, table: String, condition: Column,
+             set: Map[String, Column]): (Long, Long) = {
+    val meta = IcebergTable.loadMeta(spark, table)
+    val schema = meta.schema
+    val bad = set.keySet.filterNot(schema.fieldNames.contains)
+    require(bad.isEmpty, s"UPDATE: unknown column(s) ${bad.mkString(", ")}")
+    require(set.nonEmpty, "UPDATE: empty SET clause")
+    // visible rows (existing position/equality deletes applied) — the
+    // plan captures the CURRENT file list, so the append below still
+    // reads pre-delete state even after the delete snapshot commits
+    val visible = IcebergTable.read(spark, table)
+    val hit = coalesce(condition.cast(BooleanType), lit(false))
+    val updatedRows = visible.filter(hit).select(schema.fields.toSeq.map { f =>
+      set.get(f.name) match {
+        case Some(e) => e.cast(f.dataType).as(f.name)
+        case None    => col(f.name).as(f.name)
+      }
+    }: _*)
+    val n = updatedRows.count()
+    if (n == 0) return (meta.currentSnapshotId.getOrElse(0L), 0L)
+    IcebergTable.deleteFrom(spark, table, condition)
+    val snap = IcebergTable.write(updatedRows, table)
+    (snap, n)
+  }
+
+  /** MERGE INTO an Iceberg table — same clause surface as
+    * [[DeltaDml.merge]], merge-on-read execution: matched rows (under
+    * the update or delete clause) are position-deleted via a join of the
+    * raw data files against the source; updated versions + NOT MATCHED
+    * inserts append as one snapshot. */
+  def merge(spark: SparkSession, table: String, source: DataFrame,
+            on: String,
+            matchedUpdate: Option[Map[String, String]] = None,
+            matchedDelete: Option[String] = None,
+            notMatchedInsert: Option[Map[String, String]] = None,
+            matchedUpdateCond: Option[String] = None,
+            notMatchedInsertCond: Option[String] = None,
+            tAlias: String = "t", sAlias: String = "s"): DmlStats = {
+    require(matchedUpdate.isDefined || matchedDelete.isDefined ||
+      notMatchedInsert.isDefined, "MERGE: no clauses")
+    val meta = IcebergTable.loadMeta(spark, table)
+    val schema = meta.schema
+    (matchedUpdate.toSeq ++ notMatchedInsert.toSeq).foreach { m =>
+      val bad = m.keySet.filterNot(schema.fieldNames.contains)
+      require(bad.isEmpty, s"MERGE: unknown column(s) ${bad.mkString(", ")}")
+    }
+    val onExpr = expr(on)
+    val anyMatched = matchedUpdate.isDefined || matchedDelete.isDefined
+    val visible = IcebergTable.read(spark, table)
+    val current = meta.currentSnapshotId.getOrElse(0L)
+
+    def cond(c: Option[String], default: Boolean): Column =
+      c.map(s => coalesce(expr(s).cast(BooleanType), lit(false)))
+        .getOrElse(lit(default))
+    val delCond =
+      if (matchedDelete.isDefined) cond(matchedDelete, default = true)
+      else lit(false)
+    val updCond =
+      if (matchedUpdate.isDefined)
+        !delCond && cond(matchedUpdateCond, default = true)
+      else lit(false)
+
+    // raw data-file scan with (file, pos) row identity — the _metadata
+    // columns are pinned to THIS scan before any join, so a file-backed
+    // source never makes them ambiguous
+    import spark.implicits._
+    lazy val dataFiles = IcebergTable.liveEntries(spark, table)
+      .filter(_.content == 0)
+    lazy val rawIdent = spark.read.schema(schema)
+      .parquet(dataFiles.map(_.path): _*)
+      .withColumn("__g_fpn", IcebergTable.normPath(col("_metadata.file_path")))
+      .withColumn("__g_pos", col("_metadata.row_index"))
+
+    // ambiguity: one target row matching >1 source rows would append two
+    // updated versions (same delta-spark refusal). Checked on the raw
+    // scan — a row an earlier delete masked can refuse conservatively.
+    if (anyMatched && dataFiles.nonEmpty) {
+      val multi = rawIdent.as(tAlias)
+        .join(source.as(sAlias), onExpr, "inner")
+        .groupBy(col("__g_fpn"), col("__g_pos")).count()
+        .filter(col("count") > 1).limit(1).count()
+      require(multi == 0,
+        "MERGE: a target row matched multiple source rows — the update " +
+          "is nondeterministic")
+    }
+
+    var updated = 0L
+    var deleted = 0L
+    val joined =
+      if (anyMatched)
+        Some(visible.as(tAlias).join(source.as(sAlias), onExpr, "inner"))
+      else None
+    joined.foreach { j =>
+      val counts = j.agg(
+        sum(when(updCond, 1L).otherwise(0L)),
+        sum(when(delCond, 1L).otherwise(0L))).collect()(0)
+      updated = if (counts.isNullAt(0)) 0L else counts.getLong(0)
+      deleted = if (counts.isNullAt(1)) 0L else counts.getLong(1)
+    }
+
+    val updatedRows: Option[DataFrame] = joined
+      .filter(_ => matchedUpdate.isDefined)
+      .map(_.filter(updCond).select(schema.fields.toSeq.map { f =>
+        matchedUpdate.get.get(f.name) match {
+          case Some(e) => expr(e).cast(f.dataType).as(f.name)
+          case None    => col(s"$tAlias.${f.name}").as(f.name)
+        }
+      }: _*))
+    val inserts: Option[DataFrame] = notMatchedInsert.map { m =>
+      val anti = source.as(sAlias).join(visible.as(tAlias), onExpr, "left_anti")
+      notMatchedInsertCond
+        .map(c => anti.filter(coalesce(expr(c).cast(BooleanType), lit(false))))
+        .getOrElse(anti)
+        .select(schema.fields.toSeq.map { f =>
+          m.get(f.name) match {
+            case Some(e) => expr(e).cast(f.dataType).as(f.name)
+            case None    => lit(null).cast(f.dataType).as(f.name)
+          }
+        }: _*)
+    }
+    val appendDf = (updatedRows, inserts) match {
+      case (Some(u), Some(i)) => Some(u.unionByName(i))
+      case (Some(u), None)    => Some(u)
+      case (None, Some(i))    => Some(i)
+      case (None, None)       => None
+    }
+    val inserted = inserts.map(_.count()).getOrElse(0L)
+    if (updated == 0 && deleted == 0 && inserted == 0)
+      return DmlStats(current, 0L, 0L, 0L)
+
+    // position-delete every matched-clause-qualified row: raw data-file
+    // scan (with its (file, pos) identity) joined against the source —
+    // rows an earlier delete already masked may over-delete, harmlessly
+    if (anyMatched && (updated > 0 || deleted > 0) && dataFiles.nonEmpty) {
+      val lookup = broadcast(dataFiles.map(_.path).toDF("file_path")
+        .withColumn("__g_fp", IcebergTable.normPath(col("file_path"))))
+      val matches = rawIdent.as(tAlias)
+        .join(source.as(sAlias), onExpr, "inner")
+        .filter(delCond || updCond)
+        .select(col("__g_fpn").as("__g_fp"), col("__g_pos").as("pos"))
+        .join(lookup, "__g_fp")
+        .select(col("file_path"), col("pos"))
+      IcebergTable.commitPositionDeletes(spark, table, meta, matches)
+    }
+    val version = appendDf match {
+      case Some(df) if updated > 0 || inserted > 0 =>
+        IcebergTable.write(df, table)
+      case _ => IcebergTable.loadMeta(spark, table)
+        .currentSnapshotId.getOrElse(current)
+    }
+    DmlStats(version, updated, deleted, inserted)
+  }
+}
+
+object PaimonDml {
+
+  private def pkState(spark: SparkSession, table: String, verb: String)
+      : Seq[String] = {
+    val sch = PaimonTable.loadSchema(spark, table)
+    require(sch.primaryKeys.nonEmpty,
+      s"$verb on an append-only paimon table is not supported: $table " +
+        "(no primary key = no retraction identity; PK tables only)")
+    sch.primaryKeys
+  }
+
+  /** DELETE FROM a Paimon PK table: write key-only `-D` retraction
+    * frames for the visible rows matching `condition` — nothing is
+    * rewritten; the LSM merge drops the keys at read time. Returns
+    * (snapshot, rowsDeleted). */
+  def delete(spark: SparkSession, table: String,
+             condition: Column): (Long, Long) = {
+    val pks = pkState(spark, table, "DELETE")
+    val hit = coalesce(condition.cast(BooleanType), lit(false))
+    val keys = PaimonTable.read(spark, table).filter(hit)
+      .select(pks.map(col): _*)
+    val n = keys.count()
+    if (n == 0)
+      return (PaimonTable.snapshots(spark, table).map(_.id).max, 0L)
+    (PaimonTable.writePk(keys, table, pks, kind = "-D"), n)
+  }
+
+  /** UPDATE a Paimon PK table: `+U` upsert frames carrying the updated
+    * row versions (primary-key columns may not be SET — changing a key
+    * is an insert of a new key, not an update). Returns
+    * (snapshot, rowsUpdated). */
+  def update(spark: SparkSession, table: String, condition: Column,
+             set: Map[String, Column]): (Long, Long) = {
+    val pks = pkState(spark, table, "UPDATE")
+    val sch = PaimonTable.loadSchema(spark, table)
+    val bad = set.keySet.filterNot(sch.schema.fieldNames.contains)
+    require(bad.isEmpty, s"UPDATE: unknown column(s) ${bad.mkString(", ")}")
+    val onPk = set.keySet.intersect(pks.toSet)
+    require(onPk.isEmpty,
+      s"UPDATE may not SET primary-key column(s) ${onPk.mkString(", ")}")
+    val hit = coalesce(condition.cast(BooleanType), lit(false))
+    val updatedRows = PaimonTable.read(spark, table).filter(hit)
+      .select(sch.schema.fields.toSeq.map { f =>
+        set.get(f.name) match {
+          case Some(e) => e.cast(f.dataType).as(f.name)
+          case None    => col(f.name).as(f.name)
+        }
+      }: _*)
+    val n = updatedRows.count()
+    if (n == 0)
+      return (PaimonTable.snapshots(spark, table).map(_.id).max, 0L)
+    (PaimonTable.writePk(updatedRows, table, pks, kind = "+U"), n)
+  }
+
+  /** MERGE INTO a Paimon PK table: updated versions + NOT MATCHED
+    * inserts upsert as one `+U` commit; a matched DELETE clause retracts
+    * as a second `-D` commit (sequenced after, so the retraction wins
+    * its keys). */
+  def merge(spark: SparkSession, table: String, source: DataFrame,
+            on: String,
+            matchedUpdate: Option[Map[String, String]] = None,
+            matchedDelete: Option[String] = None,
+            notMatchedInsert: Option[Map[String, String]] = None,
+            matchedUpdateCond: Option[String] = None,
+            notMatchedInsertCond: Option[String] = None,
+            tAlias: String = "t", sAlias: String = "s"): DmlStats = {
+    require(matchedUpdate.isDefined || matchedDelete.isDefined ||
+      notMatchedInsert.isDefined, "MERGE: no clauses")
+    val pks = pkState(spark, table, "MERGE")
+    val sch = PaimonTable.loadSchema(spark, table)
+    val schema = sch.schema
+    (matchedUpdate.toSeq ++ notMatchedInsert.toSeq).foreach { m =>
+      val bad = m.keySet.filterNot(schema.fieldNames.contains)
+      require(bad.isEmpty, s"MERGE: unknown column(s) ${bad.mkString(", ")}")
+    }
+    matchedUpdate.foreach { m =>
+      val onPk = m.keySet.intersect(pks.toSet)
+      require(onPk.isEmpty,
+        s"MERGE UPDATE may not SET primary-key column(s) ${onPk.mkString(", ")}")
+    }
+    val onExpr = expr(on)
+    val visible = PaimonTable.read(spark, table)
+    val current = PaimonTable.snapshots(spark, table).map(_.id).max
+    val anyMatched = matchedUpdate.isDefined || matchedDelete.isDefined
+
+    def cond(c: Option[String], default: Boolean): Column =
+      c.map(s => coalesce(expr(s).cast(BooleanType), lit(false)))
+        .getOrElse(lit(default))
+    val delCond =
+      if (matchedDelete.isDefined) cond(matchedDelete, default = true)
+      else lit(false)
+    val updCond =
+      if (matchedUpdate.isDefined)
+        !delCond && cond(matchedUpdateCond, default = true)
+      else lit(false)
+
+    if (anyMatched) {
+      val multi = visible.as(tAlias)
+        .join(source.as(sAlias), onExpr, "inner")
+        .groupBy(pks.map(k => col(s"$tAlias.$k")): _*).count()
+        .filter(col("count") > 1).limit(1).count()
+      require(multi == 0,
+        "MERGE: a target row matched multiple source rows — the update " +
+          "is nondeterministic")
+    }
+
+    var updated = 0L
+    var deleted = 0L
+    var deleteKeys: Option[DataFrame] = None
+    val joined =
+      if (anyMatched)
+        Some(visible.as(tAlias).join(source.as(sAlias), onExpr, "inner"))
+      else None
+    joined.foreach { j =>
+      val counts = j.agg(
+        sum(when(updCond, 1L).otherwise(0L)),
+        sum(when(delCond, 1L).otherwise(0L))).collect()(0)
+      updated = if (counts.isNullAt(0)) 0L else counts.getLong(0)
+      deleted = if (counts.isNullAt(1)) 0L else counts.getLong(1)
+      if (deleted > 0)
+        deleteKeys = Some(j.filter(delCond)
+          .select(pks.map(k => col(s"$tAlias.$k").as(k)): _*))
+    }
+    val updatedRows: Option[DataFrame] = joined
+      .filter(_ => matchedUpdate.isDefined)
+      .map(_.filter(updCond).select(schema.fields.toSeq.map { f =>
+        matchedUpdate.get.get(f.name) match {
+          case Some(e) => expr(e).cast(f.dataType).as(f.name)
+          case None    => col(s"$tAlias.${f.name}").as(f.name)
+        }
+      }: _*))
+    val inserts: Option[DataFrame] = notMatchedInsert.map { m =>
+      val anti = source.as(sAlias).join(visible.as(tAlias), onExpr, "left_anti")
+      notMatchedInsertCond
+        .map(c => anti.filter(coalesce(expr(c).cast(BooleanType), lit(false))))
+        .getOrElse(anti)
+        .select(schema.fields.toSeq.map { f =>
+          m.get(f.name) match {
+            case Some(e) => expr(e).cast(f.dataType).as(f.name)
+            case None    => lit(null).cast(f.dataType).as(f.name)
+          }
+        }: _*)
+    }
+    val inserted = inserts.map(_.count()).getOrElse(0L)
+    val upserts = (updatedRows, inserts) match {
+      case (Some(u), Some(i)) => Some(u.unionByName(i))
+      case (Some(u), None)    => Some(u)
+      case (None, Some(i))    => Some(i)
+      case (None, None)       => None
+    }
+    if (updated == 0 && deleted == 0 && inserted == 0)
+      return DmlStats(current, 0L, 0L, 0L)
+    var version = current
+    upserts.filter(_ => updated > 0 || inserted > 0).foreach { df =>
+      version = PaimonTable.writePk(df, table, pks, kind = "+U")
+    }
+    deleteKeys.foreach { keys =>
+      version = PaimonTable.writePk(keys, table, pks, kind = "-D")
+    }
+    DmlStats(version, updated, deleted, inserted)
+  }
+}
