@@ -348,6 +348,25 @@ object QueriesSources {
       graft.sources.PaimonTable.read(s, base)
     }),
 
+    // ---- INSERT INTO: append through the target's native commit (here
+    // a Delta snapshot; the spec covers iceberg/paimon/plain-dir routing)
+    "q_insert_sql" -> ((s, d) => {
+      val base = s"${out(d)}/ins_sql"
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.sources.DeltaLogWriter.write(
+        GraftSession.table(s, d, "nation")
+          .filter(col("n_nationkey") < 10)
+          .select("n_nationkey", "n_name", "n_regionkey"), base)
+      s.conf.set("graft.dfs.workspace.dmlout", out(d))
+      try s.sql(
+        s"""INSERT INTO dfs.dmlout.`ins_sql` (n_nationkey, n_name)
+            SELECT n_nationkey, n_name
+            FROM dfs.`$d/nation.parquet` WHERE n_nationkey >= 10""")
+      finally s.conf.unset("graft.dfs.workspace.dmlout")
+      graft.sources.DeltaLogReader.read(s, base)
+    }),
+
     // ---- Iceberg v1 table: hand-rolled metadata.json + avro manifest
     // reader/writer, no iceberg jar (ref contrib/format-iceberg/...
     // IcebergGroupScan.java + snapshot/). Fixture: snapshot 1 = orders
@@ -1322,6 +1341,12 @@ object QueriesSources {
                   ELSE s_name END AS s_name,
              s_acctbal
       FROM supplier WHERE NOT (s_acctbal < 0)""",
+    "q_insert_sql" -> """
+      SELECT n_nationkey, n_name, n_regionkey
+      FROM nation WHERE n_nationkey < 10
+      UNION ALL
+      SELECT n_nationkey, n_name, NULL AS n_regionkey
+      FROM nation WHERE n_nationkey >= 10""",
     "q_delta_optimize" -> """
       SELECT o_orderstatus, count(*)::BIGINT AS n,
              sum(o_orderkey)::BIGINT AS key_sum

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, expr}
 
 /** SQL DML over dfs-pathed transactional tables, claimed by
   * [[DfsParser]] alongside [[SqlCommands]]:
@@ -38,6 +38,8 @@ object DmlSql {
     """(?is)\s*UPDATE\s+(dfs\b.+?)\s+SET\s+(.+?)\s*;?\s*""".r
   private val MergeSql =
     """(?is)\s*MERGE\s+INTO\s+(dfs\b.+?)\s+USING\s+(.+?)\s*;?\s*""".r
+  private val InsertSql =
+    """(?is)\s*INSERT\s+INTO\s+(dfs\b.+?)\s*;?\s*""".r
 
   def claim(sqlText: String,
             parseIdent: String => Seq[String]): Option[LogicalPlan] =
@@ -48,6 +50,8 @@ object DmlSql {
         Some(update(target.trim, rest.trim, parseIdent))
       case MergeSql(target, rest) if dfsClaimable =>
         Some(merge(target.trim, rest.trim, parseIdent))
+      case InsertSql(rest) if dfsClaimable =>
+        Some(insert(rest.trim, parseIdent))
       case _ => None
     }
 
@@ -254,6 +258,109 @@ object DmlSql {
     result(s"merge into $path: ${stats.updated} updated, " +
       s"${stats.deleted} deleted, ${stats.inserted} inserted " +
       s"($fmtName${stats.version})")
+  }
+
+  /** `INSERT INTO dfs[.ws].`t` [(c1, ...)] SELECT ...|VALUES ...` —
+    * appends through the target's native commit: a Delta/Iceberg/Paimon
+    * table gets a new snapshot (a Paimon PK table upserts `+I` frames);
+    * a plain CTAS directory (parquet/orc/json/csv) gets new data files.
+    * Query output maps POSITIONALLY onto the column list (default: the
+    * full target schema in order); unlisted columns insert NULL; values
+    * cast implicitly to the target types. */
+  private def insert(rest: String,
+                     parseIdent: String => Seq[String]): LogicalPlan = {
+    val spark = SparkSession.active
+    // split "<target> [(cols)] <query>" at the first top-level query head
+    val qAt = Seq("SELECT", "VALUES", "WITH", "TABLE", "FROM")
+      .flatMap(kw => topLevelKeyword(rest, kw)).minOption.getOrElse(
+        throw new IllegalArgumentException(
+          "INSERT INTO: missing SELECT/VALUES query"))
+    val before = rest.substring(0, qAt).trim
+    val query = rest.substring(qAt).trim
+    val (target, colList) =
+      if (before.endsWith(")")) {
+        val open = before.indexOf('(')
+        require(open > 0, s"INSERT INTO: bad column list in '$before'")
+        (before.substring(0, open).trim,
+          Some(splitTopLevel(before.substring(open + 1, before.length - 1), ',')
+            .map(_.trim.stripPrefix("`").stripSuffix("`"))))
+      } else (before, None)
+
+    val path = tablePathOf(spark, target, parseIdent)
+    val df = spark.sql(query)
+
+    // target schema + the format's append, resolved by directory layout;
+    // plain directories sniff the data-file extension like DfsSql.read
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"INSERT INTO: no such table [$path] — CREATE TABLE first")
+    def has(sub: String) =
+      fs.exists(new org.apache.hadoop.fs.Path(path, sub))
+    val (schema, append): (org.apache.spark.sql.types.StructType,
+        DataFrame => String) =
+      if (has("_delta_log"))
+        (DeltaLogReader.read(spark, path).schema, d => {
+          val v = DeltaLogWriter.write(d, path)
+          s"delta v$v"
+        })
+      else if (has("metadata"))
+        (IcebergTable.loadMeta(spark, path).schema, d => {
+          val snap = IcebergTable.write(d, path)
+          s"iceberg snapshot $snap"
+        })
+      else if (has("snapshot") && has("schema")) {
+        val sch = PaimonTable.loadSchema(spark, path)
+        (sch.schema, d => {
+          val snap =
+            if (sch.primaryKeys.nonEmpty)
+              PaimonTable.writePk(d, path, sch.primaryKeys)
+            else PaimonTable.write(d, path)
+          s"paimon snapshot $snap"
+        })
+      } else {
+        val existing = DfsSql.read(spark, path)
+        val fmt = {
+          val names = fs.listStatus(p).map(_.getPath.getName)
+            .filter(n => !n.startsWith("_") && !n.startsWith("."))
+          val exts = names.flatMap(n => n.lastIndexOf('.') match {
+            case -1 => None
+            case i  => Some(n.substring(i + 1).toLowerCase)
+          })
+          exts.headOption.getOrElse("parquet") match {
+            case e @ ("parquet" | "orc" | "json" | "csv") => e
+            case other => throw new IllegalArgumentException(
+              s"INSERT INTO a plain '$other' directory is not supported " +
+                s"($path) — parquet/orc/json/csv, or a lakehouse table")
+          }
+        }
+        (existing.schema, d => {
+          val w = d.write.format(fmt).mode("append")
+          (if (fmt == "csv") w.option("header", "true") else w).save(path)
+          s"$fmt files appended"
+        })
+      }
+
+    val cols = colList.getOrElse(schema.fieldNames.toSeq)
+    require(cols.distinct.length == cols.length,
+      s"INSERT INTO: duplicate column in (${cols.mkString(", ")})")
+    val bad = cols.filterNot(schema.fieldNames.contains)
+    require(bad.isEmpty,
+      s"INSERT INTO: unknown column(s) ${bad.mkString(", ")}")
+    require(df.columns.length == cols.length,
+      s"INSERT INTO: ${cols.length} columns but query returns " +
+        s"${df.columns.length}")
+    val srcByTarget = cols.zip(df.columns).toMap
+    val aligned = df.select(schema.fields.toSeq.map { f =>
+      srcByTarget.get(f.name) match {
+        case Some(src) => col(src).cast(f.dataType).as(f.name)
+        case None      => org.apache.spark.sql.functions.lit(null)
+          .cast(f.dataType).as(f.name)
+      }
+    }: _*)
+    val n = aligned.count()
+    val where = append(aligned)
+    result(s"$n rows inserted into $path ($where)")
   }
 
   // ---- scanner utilities ----------------------------------------------

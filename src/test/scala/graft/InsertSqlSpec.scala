@@ -1,0 +1,97 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{DeltaLogReader, DeltaLogWriter, IcebergTable,
+  PaimonTable}
+
+/** `INSERT INTO dfs...` routed to each target's native append commit
+  * (DmlSql.insert). */
+class InsertSqlSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def freshDir(name: String): String = {
+    val base = s"/tmp/graft_test/ins_$name"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    base
+  }
+
+  private def withWs[A](body: => A): A = {
+    spark.conf.set("graft.dfs.workspace.ins", "/tmp/graft_test")
+    try body finally spark.conf.unset("graft.dfs.workspace.ins")
+  }
+
+  test("INSERT INTO a delta table: VALUES, column list, null back-fill") {
+    import spark.implicits._
+    val base = freshDir("delta")
+    DeltaLogWriter.write(Seq((1L, "a", 10.0)).toDF("k", "v", "w"), base)
+    withWs {
+      val r = spark.sql(
+        "INSERT INTO dfs.ins.`ins_delta` VALUES (2, 'b', 20.0), (3, 'c', 30.0)")
+        .collect()(0)
+      assert(r.getString(1).contains("2 rows inserted") &&
+        r.getString(1).contains("delta v"))
+      // column list: unlisted w inserts NULL, values cast (int -> bigint)
+      val r2 = spark.sql(
+        "INSERT INTO dfs.ins.`ins_delta` (v, k) SELECT 'd', 4").collect()(0)
+      assert(r2.getString(1).contains("1 rows inserted"))
+      val got = DeltaLogReader.read(spark, base).collect()
+        .map(x => (x.getLong(0), x.getString(1),
+          Option(x.get(2)).map(_.asInstanceOf[Double]))).toSet
+      assert(got == Set((1L, "a", Some(10.0)), (2L, "b", Some(20.0)),
+        (3L, "c", Some(30.0)), (4L, "d", None)))
+      // time travel: the pre-insert version still has one row
+      assert(DeltaLogReader.read(spark, base, Some(0L)).count() == 1)
+    }
+  }
+
+  test("INSERT INTO iceberg and paimon tables commit native snapshots") {
+    import spark.implicits._
+    val ice = freshDir("ice")
+    IcebergTable.write(Seq((1L, "a")).toDF("k", "v"), ice)
+    val pk = freshDir("pk")
+    PaimonTable.writePk(Seq((1L, "old"), (2L, "b")).toDF("k", "v"), pk,
+      Seq("k"))
+    withWs {
+      val r = spark.sql(
+        "INSERT INTO dfs.ins.`ins_ice` SELECT 2, 'b'").collect()(0)
+      assert(r.getString(1).contains("iceberg snapshot"))
+      assert(IcebergTable.read(spark, ice).collect()
+        .map(_.getLong(0)).toSet == Set(1L, 2L))
+
+      // a PK paimon table upserts: k=1 replaced, k=3 added
+      val r2 = spark.sql(
+        "INSERT INTO dfs.ins.`ins_pk` VALUES (1, 'new'), (3, 'c')")
+        .collect()(0)
+      assert(r2.getString(1).contains("paimon snapshot"))
+      val got = PaimonTable.read(spark, pk).collect()
+        .map(x => (x.getLong(0), x.getString(1))).toSet
+      assert(got == Set(1L -> "new", 2L -> "b", 3L -> "c"))
+    }
+  }
+
+  test("INSERT INTO a plain parquet dir appends files; errors are clear") {
+    import spark.implicits._
+    val base = freshDir("plain")
+    Seq((1, "a")).toDF("k", "v").write.parquet(base)
+    withWs {
+      val r = spark.sql(
+        "INSERT INTO dfs.ins.`ins_plain` SELECT 2, 'b'").collect()(0)
+      assert(r.getString(1).contains("1 rows inserted"))
+      assert(spark.read.parquet(base).count() == 2)
+
+      val missing = intercept[Exception] {
+        spark.sql("INSERT INTO dfs.ins.`ins_nope` SELECT 1")
+      }
+      assert(missing.getMessage.contains("no such table"))
+      val arity = intercept[Exception] {
+        spark.sql("INSERT INTO dfs.ins.`ins_plain` SELECT 1, 'x', 99")
+      }
+      assert(arity.getMessage.contains("columns but query returns"))
+      val unknown = intercept[Exception] {
+        spark.sql("INSERT INTO dfs.ins.`ins_plain` (zz) SELECT 1")
+      }
+      assert(unknown.getMessage.contains("unknown column"))
+    }
+  }
+}
