@@ -367,6 +367,41 @@ object QueriesSources {
       graft.sources.DeltaLogReader.read(s, base)
     }),
 
+    // ---- table lifecycle SQL: RESTORE un-does DML in one commit;
+    // VERSION AS OF reads an older state straight from SELECT ----
+    "q_delta_restore" -> ((s, d) => {
+      val base = s"${out(d)}/delta_res"
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.sources.DeltaLogWriter.write(
+        GraftSession.table(s, d, "supplier")
+          .select("s_suppkey", "s_name", "s_acctbal"), base)
+      s.conf.set("graft.dfs.workspace.dmlout", out(d))
+      try {
+        s.sql("DELETE FROM dfs.dmlout.`delta_res` WHERE s_acctbal < 5000")
+        s.sql("RESTORE TABLE dfs.dmlout.`delta_res` TO VERSION AS OF 0")
+      } finally s.conf.unset("graft.dfs.workspace.dmlout")
+      graft.sources.DeltaLogReader.read(s, base)
+    }),
+
+    "q_travel_sql" -> ((s, d) => {
+      val base = s"${out(d)}/travel_sql"
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val cust = GraftSession.table(s, d, "customer")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+      graft.sources.DeltaLogWriter.write(
+        cust.filter(col("c_custkey") <= 500), base)
+      graft.sources.DeltaLogWriter.write(
+        cust.filter(col("c_custkey") > 500), base)
+      s.conf.set("graft.dfs.workspace.dmlout", out(d))
+      try s.sql(
+        """SELECT c_mktsegment, count(*) AS n, sum(c_custkey) AS key_sum
+           FROM dfs.dmlout.`travel_sql` VERSION AS OF 0
+           GROUP BY c_mktsegment""")
+      finally s.conf.unset("graft.dfs.workspace.dmlout")
+    }),
+
     // ---- Iceberg v1 table: hand-rolled metadata.json + avro manifest
     // reader/writer, no iceberg jar (ref contrib/format-iceberg/...
     // IcebergGroupScan.java + snapshot/). Fixture: snapshot 1 = orders
@@ -1347,6 +1382,13 @@ object QueriesSources {
       UNION ALL
       SELECT n_nationkey, n_name, NULL AS n_regionkey
       FROM nation WHERE n_nationkey >= 10""",
+    "q_delta_restore" -> """
+      SELECT s_suppkey, s_name, s_acctbal FROM supplier""",
+    "q_travel_sql" -> """
+      SELECT c_mktsegment, count(*)::BIGINT AS n,
+             sum(c_custkey)::BIGINT AS key_sum
+      FROM customer WHERE c_custkey <= 500
+      GROUP BY 1""",
     "q_delta_optimize" -> """
       SELECT o_orderstatus, count(*)::BIGINT AS n,
              sum(o_orderkey)::BIGINT AS key_sum

@@ -162,6 +162,81 @@ object DeltaDml {
     (version, updated)
   }
 
+  /** VACUUM: physically delete data files no longer referenced by the
+    * CURRENT version and last-touched before `now - retainMs` — the
+    * delta-spark maintenance command that actually reclaims space after
+    * DELETE/UPDATE/OPTIMIZE rewrites (their removes are logical until
+    * vacuumed). Time travel to versions whose files are reclaimed stops
+    * working, exactly as in delta-spark. Only `*.parquet` outside
+    * `_delta_log` is candidate — the log itself (json, checkpoints,
+    * sidecars) is never touched. Returns the number of files deleted. */
+  def vacuum(spark: SparkSession, tablePath: String,
+             retainMs: Long = 7L * 24 * 3600 * 1000): Long = {
+    val (_, _, files) = DeltaLogReader.activeState(spark, tablePath)
+    val live = files.map { case (p, _, _) =>
+      absolute(tablePath, p).replaceFirst("^[a-zA-Z0-9]+:/+", "/")
+    }.toSet
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cutoff = System.currentTimeMillis() - retainMs
+    def walk(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(p).toSeq.flatMap { s =>
+        val n = s.getPath.getName
+        if (s.isDirectory) {
+          if (n == "_delta_log" || n.startsWith("_staging") || n.startsWith("."))
+            Nil
+          else walk(s.getPath)
+        } else if (n.endsWith(".parquet") && !n.startsWith("_") &&
+            !n.startsWith(".")) Seq(s)
+        else Nil
+      }
+    val dead = walk(root).filter { s =>
+      val norm = s.getPath.toString.replaceFirst("^[a-zA-Z0-9]+:/+", "/")
+      !live.contains(norm) && s.getModificationTime <= cutoff
+    }
+    dead.foreach(s => fs.delete(s.getPath, false))
+    dead.size.toLong
+  }
+
+  /** RESTORE TABLE ... TO VERSION AS OF `toVersion`: one commit whose
+    * adds/removes flip the current file set back to the target
+    * version's (files present in both carry untouched); the target
+    * version's schema is re-emitted so later reads see it. History is
+    * preserved — the restore is itself a new version, and the versions
+    * in between remain time-travelable (delta-spark RESTORE semantics).
+    * Returns (new version, files added back, files removed). */
+  def restore(spark: SparkSession, tablePath: String,
+              toVersion: Long): (Long, Long, Long) = {
+    val (tSchema, tPartCols, tFiles) =
+      DeltaLogReader.snapshotState(spark, tablePath, Some(toVersion))
+    val (_, _, cFiles) = DeltaLogReader.snapshotState(spark, tablePath, None)
+    val current = (DeltaLogReader.tableVersions(spark, tablePath) ++
+      DeltaLogReader.lastCheckpointVersion(spark, tablePath)).max
+    require(toVersion <= current,
+      s"RESTORE: version $toVersion is beyond current $current")
+    val fs = new Path(tablePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = cFiles.map(_._1).toSet
+    val tgt = tFiles.map(_._1).toSet
+    def pvJson(pv: Map[String, String]): String =
+      pv.map { case (k, v) =>
+        s""""${k.replace("\"", "\\\"")}":"${v.replace("\"", "\\\"")}""""
+      }.mkString("{", ",", "}")
+    val adds = tFiles.filterNot(f => cur.contains(f._1)).map { case (p, pv) =>
+      val abs = new Path(absolute(tablePath, p))
+      require(fs.exists(abs),
+        s"RESTORE: file $p of version $toVersion was vacuumed — " +
+          "cannot restore past a vacuum boundary")
+      val size = fs.getFileStatus(abs).getLen
+      s"""{"add":{"path":"$p","partitionValues":${pvJson(pv)},"size":$size,"modificationTime":0,"dataChange":true}}"""
+    }
+    val removes = removeActions(cFiles.map(_._1).filterNot(tgt.contains))
+    val version = current + 1
+    DeltaLogReader.writeCommit(spark, tablePath, version,
+      DeltaLogReader.metaDataAction(tSchema, tPartCols) +: (removes ++ adds))
+    (version, adds.size.toLong, removes.size.toLong)
+  }
+
   /** MERGE INTO target USING source ON `on` — the three-clause form:
     *
     *  - `matchedDelete`: WHEN MATCHED [AND cond] THEN DELETE — SQL

@@ -46,11 +46,76 @@ class DfsParser(delegate: ParserInterface) extends ParserInterface {
         w.cteRelations.map(_._1.toLowerCase)
     }.flatten.toSet
     plan.transformUp {
+      // `FROM dfs.ws.`t` VERSION|TIMESTAMP AS OF x` — Spark parses the
+      // suffix into RelationTimeTravel; claim it for dfs lakehouse
+      // tables before the analyzer refuses the unresolved catalog
+      case tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel =>
+        tt.relation match {
+          case u: UnresolvedRelation
+              if u.multipartIdentifier.length >= 2 &&
+                u.multipartIdentifier.head.equalsIgnoreCase("dfs") &&
+                !SparkSession.active.catalog.databaseExists("dfs") =>
+            resolveTimeTravel(u.multipartIdentifier, tt.timestamp, tt.version)
+          case _ => tt
+        }
       case u: UnresolvedRelation
           if !(u.multipartIdentifier.length == 1 &&
             cteNames.contains(u.multipartIdentifier.head.toLowerCase)) =>
         resolveRelation(u).getOrElse(u)
     }
+  }
+
+  /** Time-travel read of a dfs-addressed lakehouse table: `VERSION AS
+    * OF` = the format's own version/snapshot id, `TIMESTAMP AS OF` = the
+    * newest state at or before that instant (Delta: commit times;
+    * Iceberg/Paimon: snapshot times). */
+  private def resolveTimeTravel(
+      parts: Seq[String],
+      timestamp: Option[Expression],
+      version: Option[String]): LogicalPlan = {
+    val spark = SparkSession.active
+    val path = DfsSql.resolvePath(spark, parts.tail)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def has(sub: String) =
+      fs.exists(new org.apache.hadoop.fs.Path(path, sub))
+    val asOfMs: Option[Long] = timestamp.map { e =>
+      val tz = spark.sessionState.conf.sessionLocalTimeZone
+      val micros = org.apache.spark.sql.catalyst.expressions
+        .Cast(e, org.apache.spark.sql.types.TimestampType, Some(tz))
+        .eval(null)
+      require(micros != null, s"TIMESTAMP AS OF: cannot evaluate $e")
+      micros.asInstanceOf[Long] / 1000L
+    }
+    val ver: Option[Long] = version.map { v =>
+      try v.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"VERSION AS OF expects a numeric version, got '$v'")
+      }
+    }
+    val df =
+      if (has("_delta_log")) ver match {
+        case Some(v) => DeltaLogReader.read(spark, path, Some(v))
+        case None =>
+          val tsMs = asOfMs.get
+          val logDir = new org.apache.hadoop.fs.Path(path, "_delta_log")
+          val atOrBefore = fs.listStatus(logDir).toSeq
+            .filter(_.getPath.getName.matches("\\d{20}\\.json"))
+            .filter(_.getModificationTime <= tsMs)
+            .map(_.getPath.getName.stripSuffix(".json").toLong)
+          require(atOrBefore.nonEmpty,
+            s"TIMESTAMP AS OF: no commit of $path at or before $tsMs")
+          DeltaLogReader.read(spark, path, Some(atOrBefore.max))
+      }
+      else if (has("metadata"))
+        IcebergTable.read(spark, path, snapshotId = ver,
+          asOfTimestampMs = asOfMs)
+      else if (has("snapshot") && has("schema"))
+        PaimonTable.read(spark, path, snapshotId = ver, asOfTimeMs = asOfMs)
+      else throw new IllegalArgumentException(
+        s"time travel needs a versioned table (Delta/Iceberg/Paimon); " +
+          s"[$path] is a plain path")
+    df.queryExecution.analyzed
   }
 
   /** dfs paths and registry aliases, resolved in one pass; catalog-owned

@@ -40,6 +40,11 @@ object DmlSql {
     """(?is)\s*MERGE\s+INTO\s+(dfs\b.+?)\s+USING\s+(.+?)\s*;?\s*""".r
   private val InsertSql =
     """(?is)\s*INSERT\s+INTO\s+(dfs\b.+?)\s*;?\s*""".r
+  private val VacuumSql =
+    """(?is)\s*VACUUM\s+(dfs\b.+?)(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*""".r
+  private val RestoreSql =
+    ("""(?is)\s*RESTORE\s+(?:TABLE\s+)?(dfs\b.+?)\s+TO\s+VERSION\s+""" +
+      """AS\s+OF\s+(\d+)\s*;?\s*""").r
 
   def claim(sqlText: String,
             parseIdent: String => Seq[String]): Option[LogicalPlan] =
@@ -52,6 +57,10 @@ object DmlSql {
         Some(merge(target.trim, rest.trim, parseIdent))
       case InsertSql(rest) if dfsClaimable =>
         Some(insert(rest.trim, parseIdent))
+      case VacuumSql(target, hours) if dfsClaimable =>
+        Some(vacuum(target.trim, Option(hours).map(_.toLong), parseIdent))
+      case RestoreSql(target, ver) if dfsClaimable =>
+        Some(restore(target.trim, ver.toLong, parseIdent))
       case _ => None
     }
 
@@ -361,6 +370,47 @@ object DmlSql {
     val n = aligned.count()
     val where = append(aligned)
     result(s"$n rows inserted into $path ($where)")
+  }
+
+  /** `VACUUM dfs.ws.`t` [RETAIN n HOURS]` — Delta physical cleanup
+    * ([[DeltaDml.vacuum]]); Iceberg/Paimon point at their own
+    * expiration procedures instead (different reclamation model:
+    * snapshot reachability, not version-set membership). */
+  private def vacuum(target: String, retainHours: Option[Long],
+                     parseIdent: String => Seq[String]): LogicalPlan = {
+    val spark = SparkSession.active
+    val path = tablePathOf(spark, target, parseIdent)
+    formatOf(spark, path) match {
+      case DeltaT =>
+        val retainMs = retainHours.map(_ * 3600 * 1000L)
+          .getOrElse(7L * 24 * 3600 * 1000)
+        val n = DeltaDml.vacuum(spark, path, retainMs)
+        result(s"$n files deleted from $path")
+      case IcebergT => throw new IllegalArgumentException(
+        s"VACUUM targets Delta tables; for Iceberg use expire_snapshots " +
+          s"([$path])")
+      case PaimonT => throw new IllegalArgumentException(
+        s"VACUUM targets Delta tables; for Paimon use snapshot " +
+          s"expiration ([$path])")
+    }
+  }
+
+  /** `RESTORE [TABLE] dfs.ws.`t` TO VERSION AS OF n` — Delta only
+    * ([[DeltaDml.restore]]): one commit flips the file set back; the
+    * restore itself is a new version, history stays travelable. */
+  private def restore(target: String, toVersion: Long,
+                      parseIdent: String => Seq[String]): LogicalPlan = {
+    val spark = SparkSession.active
+    val path = tablePathOf(spark, target, parseIdent)
+    formatOf(spark, path) match {
+      case DeltaT =>
+        val (v, added, removed) = DeltaDml.restore(spark, path, toVersion)
+        result(s"restored $path to version $toVersion as v$v " +
+          s"($added files added back, $removed removed)")
+      case _ => throw new IllegalArgumentException(
+        s"RESTORE targets Delta tables ([$path]) — Iceberg/Paimon time " +
+          s"travel reads older snapshots directly")
+    }
   }
 
   // ---- scanner utilities ----------------------------------------------
