@@ -234,6 +234,25 @@ object QueriesSources {
       DeltaLogReader.read(s, base)
     }),
 
+    // ---- CTAS into a paimon table via SQL (store.format session
+    // option → Writer.ctas paimon branch), read back by layout ----
+    "q_paimon_ctas" -> ((s, d) => {
+      val base = s"${out(d)}/paimon_ctas"
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      s.conf.set("graft.dfs.workspace.dmlout", out(d))
+      s.conf.set("store.format", "paimon")
+      try s.sql(
+        s"""CREATE TABLE dfs.dmlout.`paimon_ctas` AS
+            SELECT n_nationkey, n_name FROM dfs.`$d/nation.parquet`
+            WHERE n_nationkey < 15""")
+      finally {
+        s.conf.unset("store.format")
+        s.conf.unset("graft.dfs.workspace.dmlout")
+      }
+      graft.sources.PaimonTable.read(s, base)
+    }),
+
     // ---- batch DML on Delta: copy-on-write DELETE / UPDATE / MERGE
     // through the SQL surface (DmlSql -> DeltaDml). Drill itself is
     // read-only (DrillSqlWorker rejects DML verbs); this is the
@@ -1384,6 +1403,8 @@ object QueriesSources {
       FROM nation WHERE n_nationkey >= 10""",
     "q_delta_restore" -> """
       SELECT s_suppkey, s_name, s_acctbal FROM supplier""",
+    "q_paimon_ctas" -> """
+      SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 15""",
     "q_travel_sql" -> """
       SELECT c_mktsegment, count(*)::BIGINT AS n,
              sum(c_custkey)::BIGINT AS key_sum

@@ -136,6 +136,21 @@ class DfsParser(delegate: ParserInterface) extends ParserInterface {
         if (tparts.length >= 2 && tparts.head.equalsIgnoreCase("dfs"))
           DfsSql.load(spark, tparts.tail).queryExecution.analyzed
         else spark.table(target).queryExecution.analyzed
+      }.orElse {
+        // after `USE dfs.ws`, a bare name resolves in that workspace
+        // (Drill's session schema, ref planner/sql/handlers/
+        // UseSchemaHandler.java) — claimed only when the path exists,
+        // so unknown names keep Spark's normal error
+        spark.conf.getOption("graft.dfs.defaultWorkspace").flatMap { ws =>
+          scala.util.Try {
+            val path = DfsSql.resolvePath(spark, Seq(ws, parts.head))
+            val p = new org.apache.hadoop.fs.Path(path)
+            val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            if (fs.exists(p))
+              Some(DfsSql.read(spark, path).queryExecution.analyzed)
+            else None
+          }.toOption.flatten
+        }
       }
     else if (parts.length >= 2 && !spark.catalog.databaseExists(parts.head))
       // STORAGE alias on the schema head

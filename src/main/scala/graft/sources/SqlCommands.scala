@@ -62,6 +62,20 @@ object SqlCommands {
   private val Describe =
     """(?is)\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?(dfs\b.+?)\s*;?\s*""".r
 
+  // Drill's session schema context (ref exec/.../planner/sql/handlers/
+  // UseSchemaHandler.java): `USE dfs.ws` makes bare backticked names
+  // resolve in that workspace; SHOW SCHEMAS / SHOW TABLES enumerate the
+  // Drill-visible namespace (dfs workspaces + sys + information_schema
+  // + catalog databases).
+  private val UseSql =
+    """(?is)\s*USE\s+(dfs(?:\s*\.\s*\w+)?)\s*;?\s*""".r
+  private val ShowSchemas =
+    """(?is)\s*SHOW\s+SCHEMAS\s*;?\s*""".r
+  private val ShowTablesIn =
+    """(?is)\s*SHOW\s+TABLES\s+(?:IN|FROM)\s+(dfs\s*\.\s*\w+)\s*;?\s*""".r
+  private val ShowTablesBare =
+    """(?is)\s*SHOW\s+TABLES\s*;?\s*""".r
+
   // Drill's durable views live in the workspace directory as dot-files
   // (ref planner/sql/handlers/ViewHandler.java, dotdrill/View.java):
   // `CREATE VIEW dfs.<ws>.name AS q` persists through [[ViewCatalog]].
@@ -104,6 +118,34 @@ object SqlCommands {
           case None       => spark.conf.unset(key)
         }
         Some(result(ok = true, s"${scope.toLowerCase} option $key reset"))
+      case UseSql(target) if dfsClaimable =>
+        val spark = SparkSession.active
+        val ws = target.split('.').map(_.trim).toSeq match {
+          case Seq(_)     => "root"
+          case Seq(_, w)  => w
+        }
+        require(DfsSql.workspaceDir(spark, ws).isDefined,
+          s"dfs: unknown workspace '$ws' — set graft.dfs.workspace.$ws")
+        spark.conf.set("graft.dfs.defaultWorkspace", ws)
+        Some(result(ok = true, s"Default schema changed to [dfs.$ws]"))
+      case ShowSchemas() if dfsClaimable =>
+        val spark = SparkSession.active
+        import spark.implicits._
+        val wsNames = Seq("root", "tmp") ++
+          spark.conf.getAll.keys.toSeq
+            .filter(_.startsWith("graft.dfs.workspace."))
+            .map(_.stripPrefix("graft.dfs.workspace."))
+        val dbs = spark.catalog.listDatabases().collect().map(_.name).toSeq
+        Some((wsNames.sorted.distinct.map(w => s"dfs.$w") ++
+          Seq("information_schema", "sys") ++ dbs).toDF("SCHEMA_NAME")
+          .queryExecution.analyzed)
+      case ShowTablesIn(schema) if dfsClaimable =>
+        Some(showTables(schema.split('.')(1).trim))
+      case ShowTablesBare() if dfsClaimable &&
+          SparkSession.active.conf
+            .getOption("graft.dfs.defaultWorkspace").isDefined =>
+        Some(showTables(SparkSession.active.conf
+          .get("graft.dfs.defaultWorkspace")))
       case Analyze(target, colList, samplePct) =>
         Some(analyze(target, Option(colList), Option(samplePct), parseIdent))
       case CreateAlias(replace, pub, alias, kind, target) =>
@@ -199,6 +241,25 @@ object SqlCommands {
     * (same graceful degrade as the relation namespace). */
   private def dfsClaimable: Boolean =
     !SparkSession.active.catalog.databaseExists("dfs")
+
+  /** Drill's SHOW TABLES shape (TABLE_SCHEMA, TABLE_NAME) over a dfs
+    * workspace: every visible file/directory is a table. */
+  private def showTables(ws: String): LogicalPlan = {
+    val spark = SparkSession.active
+    import spark.implicits._
+    val base = DfsSql.workspaceDir(spark, ws).getOrElse(
+      throw new IllegalArgumentException(
+        s"dfs: unknown workspace '$ws' — set graft.dfs.workspace.$ws"))
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names =
+      if (!fs.exists(p)) Seq.empty[String]
+      else fs.listStatus(p).toSeq.map(_.getPath.getName)
+        .filter(n => !n.startsWith("_") && !n.startsWith("."))
+        .sorted
+    names.map(n => (s"dfs.$ws", n)).toDF("TABLE_SCHEMA", "TABLE_NAME")
+      .queryExecution.analyzed
+  }
 
   private def analyze(target: String, colList: Option[String],
                       samplePct: Option[String],

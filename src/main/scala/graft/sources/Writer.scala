@@ -28,6 +28,11 @@ object Writer {
       IcebergTable.write(df, path, org.apache.spark.sql.SaveMode.Overwrite,
         partitionBy = partitionBy)
       read(df.sparkSession, path, format)
+    case "paimon" =>
+      require(partitionBy.isEmpty,
+        "paimon CTAS: partitioned paimon tables are not supported")
+      PaimonTable.write(df, path, org.apache.spark.sql.SaveMode.Overwrite)
+      read(df.sparkSession, path, format)
     case _ =>
       val writer0 = df.write.format(format).mode("overwrite")
       val writer = format match {
@@ -47,6 +52,7 @@ object Writer {
       case "json" => spark.read.json(path)
       case "delta" => DeltaLogReader.read(spark, path)
       case "iceberg" => IcebergTable.read(spark, path)
+      case "paimon" => PaimonTable.read(spark, path)
       case f => spark.read.format(f).load(path)
     }
 

@@ -1,0 +1,93 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Drill's session schema context: USE dfs.ws + bare-name resolution,
+  * SHOW SCHEMAS / SHOW TABLES, and paimon CTAS through store.format. */
+class SessionSchemaSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("USE dfs.ws makes bare names resolve in the workspace") {
+    import spark.implicits._
+    val dir = "/tmp/graft_test/session_ws"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true); fs.mkdirs(p)
+    Seq((1, "a"), (2, "b")).toDF("k", "v")
+      .write.parquet(s"$dir/people.parquet")
+    spark.conf.set("graft.dfs.workspace.sess", dir)
+    try {
+      val r = spark.sql("USE dfs.sess").collect()(0)
+      assert(r.getBoolean(0) &&
+        r.getString(1).contains("Default schema changed to [dfs.sess]"))
+      assert(spark.sql("SELECT * FROM `people.parquet`").count() == 2)
+      // unknown names still get Spark's normal error, not a dfs one
+      val e = intercept[Exception] {
+        spark.sql("SELECT * FROM `no_such_table`")
+      }
+      assert(e.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND") ||
+        e.getMessage.toLowerCase.contains("cannot be found"))
+      // unknown workspace refuses at USE time
+      val e2 = intercept[Exception] { spark.sql("USE dfs.nope") }
+      assert(e2.getMessage.contains("unknown workspace"))
+    } finally {
+      spark.conf.unset("graft.dfs.defaultWorkspace")
+      spark.conf.unset("graft.dfs.workspace.sess")
+    }
+  }
+
+  test("SHOW SCHEMAS lists dfs workspaces + sys + information_schema") {
+    spark.conf.set("graft.dfs.workspace.lake", "/tmp")
+    try {
+      val names = spark.sql("SHOW SCHEMAS").collect()
+        .map(_.getString(0)).toSet
+      assert(Set("dfs.root", "dfs.tmp", "dfs.lake", "sys",
+        "information_schema").subsetOf(names))
+    } finally spark.conf.unset("graft.dfs.workspace.lake")
+  }
+
+  test("SHOW TABLES IN dfs.ws lists workspace entries") {
+    import spark.implicits._
+    val dir = "/tmp/graft_test/session_show"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true); fs.mkdirs(p)
+    Seq((1, "a")).toDF("k", "v").write.parquet(s"$dir/t1")
+    Seq((1, "a")).toDF("k", "v").write.json(s"$dir/t2.json")
+    spark.conf.set("graft.dfs.workspace.shw", dir)
+    try {
+      val rows = spark.sql("SHOW TABLES IN dfs.shw").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(rows == Set("dfs.shw" -> "t1", "dfs.shw" -> "t2.json"))
+      // bare SHOW TABLES after USE
+      spark.sql("USE dfs.shw")
+      assert(spark.sql("SHOW TABLES").collect()
+        .map(_.getString(1)).toSet == Set("t1", "t2.json"))
+    } finally {
+      spark.conf.unset("graft.dfs.workspace.shw")
+      spark.conf.unset("graft.dfs.defaultWorkspace")
+    }
+  }
+
+  test("CTAS with store.format = paimon commits a paimon snapshot") {
+    val dir = "/tmp/graft_test/session_ctas_paimon"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    spark.conf.set("graft.dfs.workspace.cts", "/tmp/graft_test")
+    spark.conf.set("store.format", "paimon")
+    try {
+      val r = spark.sql(
+        """CREATE TABLE dfs.cts.`session_ctas_paimon` AS
+          |SELECT 1 AS k, 'a' AS v UNION ALL SELECT 2, 'b'""".stripMargin)
+        .collect()(0)
+      assert(r.getString(1).contains("2 records written"))
+      assert(graft.sources.PaimonTable.read(spark, dir).count() == 2)
+      // and the dfs namespace reads it back by layout
+      assert(spark.sql("SELECT * FROM dfs.cts.`session_ctas_paimon`")
+        .count() == 2)
+    } finally {
+      spark.conf.unset("graft.dfs.workspace.cts")
+      spark.conf.unset("store.format")
+    }
+  }
+}
