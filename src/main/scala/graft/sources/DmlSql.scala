@@ -395,9 +395,13 @@ object DmlSql {
     }
   }
 
-  /** `RESTORE [TABLE] dfs.ws.`t` TO VERSION AS OF n` — Delta only
-    * ([[DeltaDml.restore]]): one commit flips the file set back; the
-    * restore itself is a new version, history stays travelable. */
+  /** `RESTORE [TABLE] dfs.ws.`t` TO VERSION AS OF n` — each format's
+    * own un-do: Delta commits a file-set flip-back ([[DeltaDml
+    * .restore]], history stays travelable), Iceberg re-points
+    * current-snapshot-id ([[IcebergTable.rollbackTo]], abandoned
+    * snapshots stay travelable until expiration), Paimon drops the
+    * later snapshots ([[PaimonTable.rollbackTo]], its procedure's
+    * semantics). */
   private def restore(target: String, toVersion: Long,
                       parseIdent: String => Seq[String]): LogicalPlan = {
     val spark = SparkSession.active
@@ -407,9 +411,14 @@ object DmlSql {
         val (v, added, removed) = DeltaDml.restore(spark, path, toVersion)
         result(s"restored $path to version $toVersion as v$v " +
           s"($added files added back, $removed removed)")
-      case _ => throw new IllegalArgumentException(
-        s"RESTORE targets Delta tables ([$path]) — Iceberg/Paimon time " +
-          s"travel reads older snapshots directly")
+      case IcebergT =>
+        val mv = IcebergTable.rollbackTo(spark, path, toVersion)
+        result(s"restored $path: snapshot $toVersion is current again " +
+          s"(iceberg metadata v$mv, rollback_to_snapshot)")
+      case PaimonT =>
+        val snap = PaimonTable.rollbackTo(spark, path, toVersion)
+        result(s"restored $path to snapshot $snap " +
+          s"(paimon rollback, later snapshots dropped)")
     }
   }
 

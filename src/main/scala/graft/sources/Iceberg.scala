@@ -1153,7 +1153,11 @@ object IcebergTable {
     root.set[ObjectNode]("properties", mapper.createObjectNode())
     root.put("current-snapshot-id", snapshot.snapshotId)
     val snapsArr = root.putArray("snapshots")
-    val allSnaps = prior.map(_.snapshots).getOrElse(Nil) :+ snapshot
+    // distinctBy keeps the list intact when `snapshot` is an EXISTING
+    // entry being re-set as current (rollbackTo) — only genuinely new
+    // snapshots append
+    val allSnaps = (prior.map(_.snapshots).getOrElse(Nil) :+ snapshot)
+      .distinctBy(_.snapshotId)
     allSnaps.foreach { s =>
       val n = snapsArr.addObject()
       n.put("snapshot-id", s.snapshotId); n.put("timestamp-ms", s.timestampMs)
@@ -1178,6 +1182,24 @@ object IcebergTable {
     val hint = fs.create(new Path(metaDir(table), "version-hint.text"), true)
     try hint.write(String.valueOf(newVersion).getBytes("UTF-8"))
     finally hint.close()
+  }
+
+  /** Roll the table back so `snapshotId` (an EXISTING snapshot) is
+    * current again — Iceberg's `rollback_to_snapshot` procedure: a new
+    * metadata version whose current-snapshot-id points at the target;
+    * the snapshot list is untouched, so the abandoned snapshots stay
+    * time-travelable until [[expireSnapshots]] reclaims them. Returns
+    * the new metadata version. */
+  def rollbackTo(spark: SparkSession, table: String,
+                 snapshotId: Long): Int = {
+    val meta = loadMeta(spark, table)
+    val target = meta.snapshots.find(_.snapshotId == snapshotId).getOrElse(
+      throw new IllegalArgumentException(
+        s"rollback: snapshot $snapshotId not in $table " +
+          s"(have ${meta.snapshots.map(_.snapshotId).mkString(", ")})"))
+    commitMetadata(spark, table, Some(meta), meta.schema, meta.partCols,
+      target, meta.formatVersion)
+    meta.metadataVersion + 1
   }
 
   // ------------------------------------------------- row-level deletes

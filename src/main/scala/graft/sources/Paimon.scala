@@ -595,6 +595,28 @@ object PaimonTable {
     * shares its base manifests across snapshots). The `EARLIEST` hint
     * moves up; time travel to an expired id then fails with the clear
     * snapshot-not-found error. Returns the expired ids. */
+  /** Roll the table back to `snapshotId` — paimon's
+    * `rollback_to_snapshot`: snapshot files AFTER the target are
+    * deleted and `LATEST` re-points, so the target is current again.
+    * Files only the removed snapshots referenced become unreachable
+    * (their additions were in later delta manifests) and are simply
+    * orphaned on disk, exactly paimon's behavior — a later full
+    * [[compact]]+[[expireSnapshots]] cycle reclaims space. */
+  def rollbackTo(spark: SparkSession, table: String,
+                 snapshotId: Long): Long = {
+    val fs = fsOf(spark, table)
+    val all = snapshots(spark, table)
+    require(all.exists(_.id == snapshotId),
+      s"rollback: snapshot $snapshotId not in $table " +
+        s"(have ${all.map(_.id).mkString(", ")})")
+    all.filter(_.id > snapshotId).foreach { s =>
+      fs.delete(new Path(snapshotDir(table), s"snapshot-${s.id}"), false)
+    }
+    writeText(spark, new Path(snapshotDir(table), "LATEST"),
+      snapshotId.toString)
+    snapshotId
+  }
+
   def expireSnapshots(spark: SparkSession, table: String,
                       keepLast: Int = 1): Seq[Long] = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")

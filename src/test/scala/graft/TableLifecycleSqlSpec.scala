@@ -118,4 +118,40 @@ class TableLifecycleSqlSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("not in log"))
   }
+
+  test("RESTORE routes to iceberg/paimon rollback_to_snapshot") {
+    import spark.implicits._
+    val ice = freshDir("rbi")
+    IcebergTable.write(Seq((1L, "a")).toDF("k", "v"), ice)    // snap 1
+    IcebergTable.write(Seq((2L, "b")).toDF("k", "v"), ice)    // snap 2
+    val pk = freshDir("rbp")
+    PaimonTable.writePk(Seq((1L, "a")).toDF("k", "v"), pk, Seq("k"))
+    PaimonTable.writePk(Seq((1L, "A2"), (2L, "b")).toDF("k", "v"), pk,
+      Seq("k"))
+    withWs {
+      val r = spark.sql(
+        "RESTORE TABLE dfs.lc.`lc_rbi` TO VERSION AS OF 1").collect()(0)
+      assert(r.getString(1).contains("rollback_to_snapshot"))
+      assert(IcebergTable.read(spark, ice).collect()
+        .map(_.getLong(0)).toSet == Set(1L))
+      // the abandoned snapshot stays travelable (iceberg semantics)
+      assert(IcebergTable.read(spark, ice, snapshotId = Some(2L))
+        .count() == 2)
+      // appends after a rollback continue from the rolled-back state
+      IcebergTable.write(Seq((3L, "c")).toDF("k", "v"), ice)
+      assert(IcebergTable.read(spark, ice).collect()
+        .map(_.getLong(0)).toSet == Set(1L, 3L))
+
+      val p = spark.sql(
+        "RESTORE TABLE dfs.lc.`lc_rbp` TO VERSION AS OF 1").collect()(0)
+      assert(p.getString(1).contains("paimon rollback"))
+      assert(PaimonTable.read(spark, pk).collect()
+        .map(x => (x.getLong(0), x.getString(1))).toSet == Set(1L -> "a"))
+      // unknown snapshot refuses
+      val e = intercept[Exception] {
+        spark.sql("RESTORE TABLE dfs.lc.`lc_rbp` TO VERSION AS OF 42")
+      }
+      assert(e.getMessage.contains("not in"))
+    }
+  }
 }
