@@ -421,6 +421,26 @@ object QueriesSources {
       finally s.conf.unset("graft.dfs.workspace.dmlout")
     }),
 
+    // ---- schema evolution: ADD COLUMNS is metadata-only; old rows
+    // null-fill, evolved INSERTs carry the new column ----
+    "q_add_columns" -> ((s, d) => {
+      val base = s"${out(d)}/evo_sql"
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.sources.DeltaLogWriter.write(
+        GraftSession.table(s, d, "region").select("r_regionkey", "r_name"),
+        base)
+      s.conf.set("graft.dfs.workspace.dmlout", out(d))
+      try {
+        s.sql("ALTER TABLE dfs.dmlout.`evo_sql` ADD COLUMNS (pop BIGINT)")
+        s.sql(s"""INSERT INTO dfs.dmlout.`evo_sql`
+                  SELECT n_nationkey + 1000, n_name,
+                         CAST(n_regionkey AS BIGINT)
+                  FROM dfs.`$d/nation.parquet`""")
+      } finally s.conf.unset("graft.dfs.workspace.dmlout")
+      graft.sources.DeltaLogReader.read(s, base)
+    }),
+
     // ---- Iceberg v1 table: hand-rolled metadata.json + avro manifest
     // reader/writer, no iceberg jar (ref contrib/format-iceberg/...
     // IcebergGroupScan.java + snapshot/). Fixture: snapshot 1 = orders
@@ -1405,6 +1425,11 @@ object QueriesSources {
       SELECT s_suppkey, s_name, s_acctbal FROM supplier""",
     "q_paimon_ctas" -> """
       SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 15""",
+    "q_add_columns" -> """
+      SELECT r_regionkey, r_name, NULL::BIGINT AS pop FROM region
+      UNION ALL
+      SELECT n_nationkey + 1000, n_name, n_regionkey::BIGINT
+      FROM nation""",
     "q_travel_sql" -> """
       SELECT c_mktsegment, count(*)::BIGINT AS n,
              sum(c_custkey)::BIGINT AS key_sum

@@ -162,6 +162,28 @@ object DeltaDml {
     (version, updated)
   }
 
+  /** ALTER TABLE ... ADD COLUMNS: commit a new metaData action whose
+    * schema appends `cols` (forced nullable — existing files have no
+    * values for them, so reads null-fill, the Delta evolution
+    * contract). Metadata-only: no file is touched. Returns the new
+    * version. */
+  def addColumns(spark: SparkSession, tablePath: String,
+                 cols: StructType): Long = {
+    val (schema, partCols, _) = DeltaLogReader.activeState(spark, tablePath)
+    require(schema.fields.forall(f => !f.metadata.contains(PhysKey)),
+      s"ADD COLUMNS on column-mapped Delta table not supported: $tablePath")
+    val existing = schema.fieldNames.map(_.toLowerCase).toSet
+    cols.fieldNames.foreach(c => require(!existing.contains(c.toLowerCase),
+      s"ADD COLUMNS: column '$c' already exists in $tablePath"))
+    val newSchema = StructType(
+      schema.fields ++ cols.fields.map(_.copy(nullable = true)))
+    val version = (DeltaLogReader.tableVersions(spark, tablePath) ++
+      DeltaLogReader.lastCheckpointVersion(spark, tablePath)).max + 1
+    DeltaLogReader.writeCommit(spark, tablePath, version,
+      Seq(DeltaLogReader.metaDataAction(newSchema, partCols)))
+    version
+  }
+
   /** VACUUM: physically delete data files no longer referenced by the
     * CURRENT version and last-touched before `now - retainMs` — the
     * delta-spark maintenance command that actually reclaims space after

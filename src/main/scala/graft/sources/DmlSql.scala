@@ -45,6 +45,11 @@ object DmlSql {
   private val RestoreSql =
     ("""(?is)\s*RESTORE\s+(?:TABLE\s+)?(dfs\b.+?)\s+TO\s+VERSION\s+""" +
       """AS\s+OF\s+(\d+)\s*;?\s*""").r
+  private val OptimizeSql =
+    """(?is)\s*OPTIMIZE\s+(dfs\b.+?)\s*;?\s*""".r
+  private val AddColumnsSql =
+    ("""(?is)\s*ALTER\s+TABLE\s+(dfs\b.+?)\s+ADD\s+COLUMNS?\s*""" +
+      """\(\s*(.+?)\s*\)\s*;?\s*""").r
 
   def claim(sqlText: String,
             parseIdent: String => Seq[String]): Option[LogicalPlan] =
@@ -61,6 +66,10 @@ object DmlSql {
         Some(vacuum(target.trim, Option(hours).map(_.toLong), parseIdent))
       case RestoreSql(target, ver) if dfsClaimable =>
         Some(restore(target.trim, ver.toLong, parseIdent))
+      case OptimizeSql(target) if dfsClaimable =>
+        Some(optimize(target.trim, parseIdent))
+      case AddColumnsSql(target, colDefs) if dfsClaimable =>
+        Some(addColumns(target.trim, colDefs.trim, parseIdent))
       case _ => None
     }
 
@@ -419,6 +428,50 @@ object DmlSql {
         val snap = PaimonTable.rollbackTo(spark, path, toVersion)
         result(s"restored $path to snapshot $snap " +
           s"(paimon rollback, later snapshots dropped)")
+    }
+  }
+
+  /** `OPTIMIZE dfs.ws.`t`` — one verb for the maintenance triad:
+    * Delta bin-packing OPTIMIZE, Iceberg rewrite_data_files, Paimon
+    * full compaction (each the format's own compaction shape). */
+  private def optimize(target: String,
+                       parseIdent: String => Seq[String]): LogicalPlan = {
+    val spark = SparkSession.active
+    val path = tablePathOf(spark, target, parseIdent)
+    formatOf(spark, path) match {
+      case DeltaT =>
+        val (v, merged, produced) = DeltaLogWriter.optimize(spark, path)
+        result(s"optimized $path: $merged files compacted into $produced " +
+          s"(delta v$v)")
+      case IcebergT =>
+        val snap = IcebergTable.rewriteDataFiles(spark, path)
+        result(s"optimized $path (iceberg rewrite_data_files, " +
+          s"snapshot $snap)")
+      case PaimonT =>
+        val snap = PaimonTable.compact(spark, path)
+        result(s"optimized $path (paimon full compaction, snapshot $snap)")
+    }
+  }
+
+  /** `ALTER TABLE dfs.ws.`t` ADD COLUMNS (c1 TYPE, ...)` — metadata-only
+    * schema evolution in each format's native shape; new columns are
+    * nullable and null-fill over existing files. */
+  private def addColumns(target: String, colDefs: String,
+                         parseIdent: String => Seq[String]): LogicalPlan = {
+    val spark = SparkSession.active
+    val path = tablePathOf(spark, target, parseIdent)
+    val cols = org.apache.spark.sql.types.StructType.fromDDL(colDefs)
+    require(cols.nonEmpty, "ADD COLUMNS: empty column list")
+    formatOf(spark, path) match {
+      case DeltaT =>
+        val v = DeltaDml.addColumns(spark, path, cols)
+        result(s"${cols.size} columns added to $path (delta v$v)")
+      case IcebergT =>
+        val mv = IcebergTable.addColumns(spark, path, cols)
+        result(s"${cols.size} columns added to $path (iceberg metadata v$mv)")
+      case PaimonT =>
+        val sid = PaimonTable.addColumns(spark, path, cols)
+        result(s"${cols.size} columns added to $path (paimon schema-$sid)")
     }
   }
 

@@ -1202,6 +1202,41 @@ object IcebergTable {
     meta.metadataVersion + 1
   }
 
+  /** ALTER TABLE ... ADD COLUMNS — Iceberg schema evolution: a new
+    * metadata version whose schema appends `cols` with FRESH field ids
+    * past last-column-id (spec rule — ids are never reused, which is
+    * what makes evolution safe against old data files); fields are
+    * optional (`required: false`), existing files null-fill at read.
+    * Snapshots are untouched. Returns the new metadata version. */
+  def addColumns(spark: SparkSession, table: String,
+                 cols: StructType): Int = {
+    val meta = loadMeta(spark, table)
+    val current = meta.snapshots
+      .find(s => meta.currentSnapshotId.contains(s.snapshotId))
+      .getOrElse(throw new IllegalArgumentException(
+        s"ADD COLUMNS needs a committed snapshot in $table"))
+    val existing = meta.schema.fieldNames.map(_.toLowerCase).toSet
+    cols.fieldNames.foreach(c => require(!existing.contains(c.toLowerCase),
+      s"ADD COLUMNS: column '$c' already exists in $table"))
+    val counter = new java.util.concurrent.atomic.AtomicInteger(meta.lastColumnId)
+    val node = meta.schemaNode.deepCopy[JsonNode]().asInstanceOf[ObjectNode]
+    val fieldsArr = node.get("fields").asInstanceOf[ArrayNode]
+    cols.fields.foreach { f =>
+      val fn = fieldsArr.addObject()
+      fn.put("id", counter.incrementAndGet())
+      fn.put("name", f.name)
+      fn.put("required", false)
+      putType(fn, "type", toIcebergType(f.dataType, () => counter.incrementAndGet()))
+    }
+    val newSchema = StructType(
+      meta.schema.fields ++ cols.fields.map(_.copy(nullable = true)))
+    val updated = meta.copy(schema = newSchema, schemaNode = node,
+      lastColumnId = counter.get())
+    commitMetadata(spark, table, Some(updated), newSchema, meta.partCols,
+      current, meta.formatVersion)
+    meta.metadataVersion + 1
+  }
+
   // ------------------------------------------------- row-level deletes
 
   /** Row-level DELETE: write position-delete files for every current

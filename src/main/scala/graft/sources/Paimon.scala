@@ -337,7 +337,12 @@ object PaimonTable {
            snapshotId: Option[Long] = None,
            asOfTimeMs: Option[Long] = None): DataFrame = {
     val snap = selectSnapshot(snapshots(spark, table), snapshotId, asOfTimeMs)
-    val sch = loadSchema(spark, table, Some(snap.schemaId))
+    // a CURRENT read uses the table's LATEST schema (paimon evolution:
+    // files written under older schemas null-fill the added columns);
+    // time travel binds to the snapshot's own schema id
+    val sch = loadSchema(spark, table,
+      if (snapshotId.isEmpty && asOfTimeMs.isEmpty) None
+      else Some(snap.schemaId))
     require(sch.partitionKeys.isEmpty,
       s"paimon PARTITIONED table (keys ${sch.partitionKeys.mkString(",")}) " +
         "is not supported — unpartitioned tables only")
@@ -595,6 +600,41 @@ object PaimonTable {
     * shares its base manifests across snapshots). The `EARLIEST` hint
     * moves up; time travel to an expired id then fails with the clear
     * snapshot-not-found error. Returns the expired ids. */
+  /** ALTER TABLE ... ADD COLUMNS — paimon schema evolution: a new
+    * `schema-<id+1>` file whose fields append `cols` with FRESH field
+    * ids past `highestFieldId` (ids never reuse); keys/options carry
+    * over. Current reads pick the latest schema (old files null-fill);
+    * time travel keeps each snapshot's schema. Returns the new schema
+    * id. */
+  def addColumns(spark: SparkSession, table: String,
+                 cols: StructType): Long = {
+    val fs = fsOf(spark, table)
+    val prior = loadSchema(spark, table)
+    val existing = prior.schema.fieldNames.map(_.toLowerCase).toSet
+    cols.fieldNames.foreach(c => require(!existing.contains(c.toLowerCase),
+      s"ADD COLUMNS: column '$c' already exists in $table"))
+    val node = mapper.readTree(readText(spark,
+      new Path(schemaDir(table), s"schema-${prior.id}")))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val highest = Option(node.get("highestFieldId")).map(_.asInt)
+      .getOrElse(prior.schema.size - 1)
+    val fieldsArr = node.get("fields")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+    cols.fields.zipWithIndex.foreach { case (f, i) =>
+      val fn = fieldsArr.addObject()
+      fn.put("id", highest + 1 + i)
+      fn.put("name", f.name)
+      fn.put("type", toPaimonType(f.dataType, nullable = true))
+    }
+    val newId = prior.id + 1
+    node.put("id", newId)
+    node.put("highestFieldId", highest + cols.size)
+    node.put("timeMillis", System.currentTimeMillis())
+    writeText(spark, new Path(schemaDir(table), s"schema-$newId"),
+      mapper.writeValueAsString(node))
+    newId
+  }
+
   /** Roll the table back to `snapshotId` — paimon's
     * `rollback_to_snapshot`: snapshot files AFTER the target are
     * deleted and `LATEST` re-points, so the target is current again.
