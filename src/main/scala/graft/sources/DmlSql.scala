@@ -50,6 +50,8 @@ object DmlSql {
   private val AddColumnsSql =
     ("""(?is)\s*ALTER\s+TABLE\s+(dfs\b.+?)\s+ADD\s+COLUMNS?\s*""" +
       """\(\s*(.+?)\s*\)\s*;?\s*""").r
+  private val HistorySql =
+    """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+(dfs\b.+?)\s*;?\s*""".r
 
   def claim(sqlText: String,
             parseIdent: String => Seq[String]): Option[LogicalPlan] =
@@ -70,6 +72,8 @@ object DmlSql {
         Some(optimize(target.trim, parseIdent))
       case AddColumnsSql(target, colDefs) if dfsClaimable =>
         Some(addColumns(target.trim, colDefs.trim, parseIdent))
+      case HistorySql(target) if dfsClaimable =>
+        Some(history(target.trim, parseIdent))
       case _ => None
     }
 
@@ -473,6 +477,36 @@ object DmlSql {
         val sid = PaimonTable.addColumns(spark, path, cols)
         result(s"${cols.size} columns added to $path (paimon schema-$sid)")
     }
+  }
+
+  /** `DESCRIBE HISTORY dfs.ws.`t`` — the commit log as a relation
+    * (version, timestamp, operation), whatever the format calls its
+    * versions: Delta commit versions, Iceberg snapshots (its #history
+    * metadata-table content), Paimon snapshots. */
+  private def history(target: String,
+                      parseIdent: String => Seq[String]): LogicalPlan = {
+    val spark = SparkSession.active
+    import spark.implicits._
+    val path = tablePathOf(spark, target, parseIdent)
+    val df = formatOf(spark, path) match {
+      case DeltaT =>
+        val logDir = new org.apache.hadoop.fs.Path(path, "_delta_log")
+        val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.listStatus(logDir).toSeq
+          .filter(_.getPath.getName.matches("\\d{20}\\.json"))
+          .map(s => (s.getPath.getName.stripSuffix(".json").toLong,
+            new java.sql.Timestamp(s.getModificationTime), "commit"))
+          .sortBy(_._1)
+          .toDF("version", "timestamp", "operation")
+      case IcebergT =>
+        IcebergTable.metadataTable(spark, path, "history")
+      case PaimonT =>
+        PaimonTable.snapshots(spark, path)
+          .map(s => (s.id, new java.sql.Timestamp(s.timeMillis),
+            s.commitKind, s.commitUser))
+          .toDF("version", "timestamp", "operation", "commit_user")
+    }
+    df.queryExecution.analyzed
   }
 
   // ---- scanner utilities ----------------------------------------------

@@ -93,6 +93,25 @@ class SchemaEvolutionSpec extends AnyFunSuite {
       .columns.toSeq == Seq("k", "v"))
   }
 
+  test("DESCRIBE HISTORY lists the commit log for all three formats") {
+    import spark.implicits._
+    val delta = freshDir("histd")
+    DeltaLogWriter.write(Seq((1L, "a")).toDF("k", "v"), delta)
+    DeltaLogWriter.write(Seq((2L, "b")).toDF("k", "v"), delta)
+    val ice = freshDir("histi")
+    IcebergTable.write(Seq((1L, "a")).toDF("k", "v"), ice)
+    val pk = freshDir("histp")
+    PaimonTable.writePk(Seq((1L, "a")).toDF("k", "v"), pk, Seq("k"))
+    withWs {
+      val d = spark.sql("DESCRIBE HISTORY dfs.evo.`evo_histd`").collect()
+      assert(d.map(_.getLong(0)).toSeq == Seq(0L, 1L))
+      val i = spark.sql("DESCRIBE HISTORY dfs.evo.`evo_histi`").collect()
+      assert(i.length == 1 && i(0).getBoolean(2)) // is_current_ancestor
+      val p = spark.sql("DESC HISTORY dfs.evo.`evo_histp`").collect()
+      assert(p.length == 1 && p(0).getString(2) == "APPEND")
+    }
+  }
+
   test("OPTIMIZE routes to the maintenance triad") {
     import spark.implicits._
     val delta = freshDir("optd")
