@@ -421,6 +421,26 @@ object QueriesSources {
       finally s.conf.unset("graft.dfs.workspace.dmlout")
     }),
 
+    "q_merge_by_source" -> ((s, d) => {
+      val base = s"${out(d)}/delta_bysrc"
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.sources.DeltaLogWriter.write(
+        GraftSession.table(s, d, "orders")
+          .filter(col("o_orderkey") < 1000)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice"), base)
+      s.conf.set("graft.dfs.workspace.dmlout", out(d))
+      try s.sql(
+        s"""MERGE INTO dfs.dmlout.`delta_bysrc` AS t
+            USING (SELECT o_orderkey AS mk FROM dfs.`$d/orders.parquet`
+                   WHERE o_orderkey >= 500 AND o_orderkey < 1500) AS s
+            ON t.o_orderkey = s.mk
+            WHEN MATCHED THEN UPDATE SET o_totalprice = t.o_totalprice * 2
+            WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+      finally s.conf.unset("graft.dfs.workspace.dmlout")
+      graft.sources.DeltaLogReader.read(s, base)
+    }),
+
     // ---- schema evolution: ADD COLUMNS is metadata-only; old rows
     // null-fill, evolved INSERTs carry the new column ----
     "q_add_columns" -> ((s, d) => {
@@ -1430,6 +1450,9 @@ object QueriesSources {
       UNION ALL
       SELECT n_nationkey + 1000, n_name, n_regionkey::BIGINT
       FROM nation""",
+    "q_merge_by_source" -> """
+      SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS o_totalprice
+      FROM orders WHERE o_orderkey >= 500 AND o_orderkey < 1000""",
     "q_travel_sql" -> """
       SELECT c_mktsegment, count(*)::BIGINT AS n,
              sum(c_custkey)::BIGINT AS key_sum

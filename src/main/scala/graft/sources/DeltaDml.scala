@@ -279,7 +279,14 @@ object DeltaDml {
     * source row (the delta-spark `DELTA_MULTIPLE_SOURCE_ROW_MATCHING...`
     * contract — applying two updates to one row is nondeterministic).
     * An insert-only merge (no matched clause) rewrites nothing: it
-    * appends the anti-joined source rows as a plain add-only commit. */
+    * appends the anti-joined source rows as a plain add-only commit.
+    *
+    * `bySourceDelete`/`bySourceUpdate` are delta-spark's `WHEN NOT
+    * MATCHED BY SOURCE` clauses (CDC reconciliation: target rows whose
+    * key vanished from the source get deleted or flagged). A by-source
+    * clause inherently touches EVERY file — any file can hold a row
+    * with no source match — so the pruning scan is skipped and the
+    * whole table rewrites, which is what delta-spark does too. */
   def merge(spark: SparkSession, tablePath: String, source: DataFrame,
             on: String,
             matchedUpdate: Option[Map[String, String]] = None,
@@ -287,11 +294,15 @@ object DeltaDml {
             notMatchedInsert: Option[Map[String, String]] = None,
             matchedUpdateCond: Option[String] = None,
             notMatchedInsertCond: Option[String] = None,
-            tAlias: String = "t", sAlias: String = "s"): DmlStats = {
+            tAlias: String = "t", sAlias: String = "s",
+            bySourceDelete: Option[String] = None,
+            bySourceUpdate: Option[Map[String, String]] = None,
+            bySourceUpdateCond: Option[String] = None): DmlStats = {
+    val anyBySource = bySourceDelete.isDefined || bySourceUpdate.isDefined
     require(matchedUpdate.isDefined || matchedDelete.isDefined ||
-      notMatchedInsert.isDefined, "MERGE: no clauses")
+      notMatchedInsert.isDefined || anyBySource, "MERGE: no clauses")
     val (schema, files, current) = dmlState(spark, tablePath)
-    matchedUpdate.foreach { m =>
+    (matchedUpdate.toSeq ++ bySourceUpdate.toSeq).foreach { m =>
       val bad = m.keySet.filterNot(schema.fieldNames.contains)
       require(bad.isEmpty,
         s"MERGE UPDATE: unknown column(s) ${bad.mkString(", ")}")
@@ -310,9 +321,11 @@ object DeltaDml {
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else spark.read.schema(schema).parquet(files.map(_._2): _*)
 
-    // pruning join: which live files hold a matched row
+    // pruning join: which live files hold a matched row (a by-source
+    // clause reaches every file, so pruning is moot)
     val affected =
       if (files.isEmpty) Seq.empty[String]
+      else if (anyBySource) files.map(_._1)
       else affectedOf(
         tgtAll.withColumn("__g_file", fileCol).as(tAlias)
           .join(source.as(sAlias), onExpr, "inner")
@@ -340,36 +353,49 @@ object DeltaDml {
     var updated = 0L
     var deleted = 0L
 
-    // rewrite affected files (matched clauses applied, unmatched rows
-    // carried through)
+    // rewrite affected files (matched + by-source clauses applied,
+    // untouched rows carried through)
     val rewritten: Option[DataFrame] =
-      if (!anyMatched || affected.isEmpty) None
+      if (!(anyMatched || anyBySource) || affected.isEmpty) None
       else {
         val srcM = source.withColumn("__g_match", lit(true))
         val joined = affScan.as(tAlias).join(srcM.as(sAlias), onExpr,
           "left_outer")
         val isMatch = coalesce(col("__g_match"), lit(false))
-        val delCond = matchedDelete.map(c =>
-          isMatch && coalesce(expr(c).cast(BooleanType), lit(false)))
-          .getOrElse(lit(false))
-        val updCond =
+        def condOr(c: Option[String], default: Column): Column =
+          c.map(s => coalesce(expr(s).cast(BooleanType), lit(false)))
+            .getOrElse(default)
+        val delCondM = matchedDelete.map(c =>
+          isMatch && condOr(Some(c), lit(true))).getOrElse(lit(false))
+        val updCondM =
           if (matchedUpdate.isDefined)
-            isMatch && !delCond && matchedUpdateCond
-              .map(c => coalesce(expr(c).cast(BooleanType), lit(false)))
-              .getOrElse(lit(true))
+            isMatch && !delCondM && condOr(matchedUpdateCond, lit(true))
           else lit(false)
+        // NOT MATCHED BY SOURCE: source columns are null here, so the
+        // conditions sensibly reference only target columns
+        val delCondBS = bySourceDelete.map(c =>
+          !isMatch && condOr(Some(c), lit(true))).getOrElse(lit(false))
+        val updCondBS =
+          if (bySourceUpdate.isDefined)
+            !isMatch && !delCondBS && condOr(bySourceUpdateCond, lit(true))
+          else lit(false)
+        val delCond = delCondM || delCondBS
         val counts = joined.agg(
-          sum(when(updCond, 1L).otherwise(0L)),
+          sum(when(updCondM || updCondBS, 1L).otherwise(0L)),
           sum(when(delCond, 1L).otherwise(0L))).collect()(0)
         updated = if (counts.isNullAt(0)) 0L else counts.getLong(0)
         deleted = if (counts.isNullAt(1)) 0L else counts.getLong(1)
         Some(joined.filter(!delCond).select(schema.fields.toSeq.map { f =>
-          matchedUpdate.flatMap(_.get(f.name)) match {
-            case Some(e) =>
-              when(updCond, expr(e).cast(f.dataType))
-                .otherwise(col(s"$tAlias.${f.name}")).as(f.name)
-            case None => col(s"$tAlias.${f.name}").as(f.name)
+          val base = col(s"$tAlias.${f.name}")
+          val withM = matchedUpdate.flatMap(_.get(f.name)) match {
+            case Some(e) => when(updCondM, expr(e).cast(f.dataType))
+            case None    => when(lit(false), base)
           }
+          val withBS = bySourceUpdate.flatMap(_.get(f.name)) match {
+            case Some(e) => withM.when(updCondBS, expr(e).cast(f.dataType))
+            case None    => withM
+          }
+          withBS.otherwise(base).as(f.name)
         }: _*))
       }
 
@@ -404,7 +430,7 @@ object DeltaDml {
       case None => DmlStats(current, 0L, 0L, 0L)
       case Some(df) =>
         val inserted = inserts.map(_.count()).getOrElse(0L)
-        if (inserted == 0L && rewritten.isEmpty)
+        if (updated == 0L && deleted == 0L && inserted == 0L)
           return DmlStats(current, 0L, 0L, 0L) // pure no-op: nothing to commit
         val adds = stageAdds(df, tablePath, version, dataChange = true)
         val removes = if (rewritten.isDefined) removeActions(affected)

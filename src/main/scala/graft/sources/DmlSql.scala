@@ -218,14 +218,21 @@ object DmlSql {
     var matchedDelete: Option[String] = None
     var notMatchedInsert: Option[Map[String, String]] = None
     var notMatchedInsertCond: Option[String] = None
+    var bySourceDelete: Option[String] = None
+    var bySourceUpdate: Option[Map[String, String]] = None
+    var bySourceUpdateCond: Option[String] = None
 
     val MatchedUpd =
       """(?is)\s*MATCHED\s+(?:AND\s+(.+?)\s+)?THEN\s+UPDATE\s+SET\s+(.+?)\s*""".r
     val MatchedDel =
       """(?is)\s*MATCHED\s+(?:AND\s+(.+?)\s+)?THEN\s+DELETE\s*""".r
     val NotMatchedIns =
-      ("""(?is)\s*NOT\s+MATCHED\s+(?:AND\s+(.+?)\s+)?THEN\s+INSERT\s*""" +
+      ("""(?is)\s*NOT\s+MATCHED\s+(?:BY\s+TARGET\s+)?(?:AND\s+(.+?)\s+)?THEN\s+INSERT\s*""" +
         """(?:\*|\(\s*([^)]+?)\s*\)\s*VALUES\s*\((.+)\))\s*""").r
+    val BySourceDel =
+      """(?is)\s*NOT\s+MATCHED\s+BY\s+SOURCE\s+(?:AND\s+(.+?)\s+)?THEN\s+DELETE\s*""".r
+    val BySourceUpd =
+      """(?is)\s*NOT\s+MATCHED\s+BY\s+SOURCE\s+(?:AND\s+(.+?)\s+)?THEN\s+UPDATE\s+SET\s+(.+?)\s*""".r
 
     val targetSchema = fmt match {
       case DeltaT   => DeltaLogReader.read(spark, path).schema
@@ -238,6 +245,16 @@ object DmlSql {
     def insertAll: Map[String, String] = updateAll
 
     clauses.foreach {
+      case BySourceDel(cond) =>
+        require(bySourceDelete.isEmpty,
+          "MERGE: duplicate NOT MATCHED BY SOURCE DELETE clause")
+        bySourceDelete = Some(Option(cond).map(_.trim).getOrElse("true"))
+      case BySourceUpd(cond, sets) =>
+        require(bySourceUpdate.isEmpty,
+          "MERGE: duplicate NOT MATCHED BY SOURCE UPDATE clause")
+        bySourceUpdateCond = Option(cond).map(_.trim)
+        bySourceUpdate = Some(
+          splitTopLevel(sets, ',').map(parseAssignment).toMap)
       case MatchedDel(cond) =>
         require(matchedDelete.isEmpty, "MERGE: duplicate DELETE clause")
         matchedDelete = Some(Option(cond).map(_.trim).getOrElse("true"))
@@ -264,15 +281,26 @@ object DmlSql {
         s"MERGE: unsupported clause: WHEN $other")
     }
 
-    val mergeFn = fmt match {
-      case DeltaT   => DeltaDml.merge _
-      case IcebergT => IcebergDml.merge _
-      case PaimonT  => PaimonDml.merge _
+    if (bySourceDelete.isDefined || bySourceUpdate.isDefined)
+      require(fmt == DeltaT,
+        "MERGE: WHEN NOT MATCHED BY SOURCE is supported on Delta targets " +
+          "(it rewrites the whole table; run the equivalent " +
+          "DELETE/UPDATE with an anti-join condition on other formats)")
+    val stats = fmt match {
+      case DeltaT => DeltaDml.merge(spark, path, source, onCond,
+        matchedUpdate, matchedDelete, notMatchedInsert,
+        matchedUpdateCond, notMatchedInsertCond,
+        tAlias.getOrElse("t"), srcAlias2,
+        bySourceDelete, bySourceUpdate, bySourceUpdateCond)
+      case IcebergT => IcebergDml.merge(spark, path, source, onCond,
+        matchedUpdate, matchedDelete, notMatchedInsert,
+        matchedUpdateCond, notMatchedInsertCond,
+        tAlias.getOrElse("t"), srcAlias2)
+      case PaimonT => PaimonDml.merge(spark, path, source, onCond,
+        matchedUpdate, matchedDelete, notMatchedInsert,
+        matchedUpdateCond, notMatchedInsertCond,
+        tAlias.getOrElse("t"), srcAlias2)
     }
-    val stats = mergeFn(spark, path, source, onCond,
-      matchedUpdate, matchedDelete, notMatchedInsert,
-      matchedUpdateCond, notMatchedInsertCond,
-      tAlias.getOrElse("t"), srcAlias2)
     val fmtName = fmt match {
       case DeltaT => "delta v"; case IcebergT => "iceberg snapshot "
       case PaimonT => "paimon snapshot "

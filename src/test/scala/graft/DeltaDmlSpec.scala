@@ -135,6 +135,32 @@ class DeltaDmlSpec extends AnyFunSuite {
     assert(rows(base).count(_._1 == 2L) == 1)
   }
 
+  test("MERGE: NOT MATCHED BY SOURCE deletes/updates vanished keys") {
+    import spark.implicits._
+    val base = threeFileTable("bysrc")
+    // source keeps 1..4 and 9; 5..8 vanished
+    val src = (Seq(1L, 2L, 3L, 4L, 9L)).map(k => (k, s"s$k")).toDF("mk", "mv")
+    val st = DeltaDml.merge(spark, base, src, "t.k = s.mk",
+      matchedUpdate = Some(Map("v" -> "s.mv")),
+      bySourceDelete = Some("t.k <= 6"),       // 5, 6 vanish
+      bySourceUpdate = Some(Map("v" -> "concat(t.v, '?')")), // 7, 8 flagged
+      bySourceUpdateCond = Some("t.k > 6"))
+    assert(st.updated == 5L + 2L && st.deleted == 2L)
+    assert(rows(base) == (Seq(1L, 2L, 3L, 4L, 9L).map(k => (k, s"s$k")) ++
+      Seq(7L, 8L).map(k => (k, s"row$k?"))).toSet)
+    // SQL surface
+    val src2base = threeFileTable("bysrc2")
+    spark.conf.set("graft.dfs.workspace.dml", "/tmp/graft_test")
+    try {
+      val r = spark.sql(
+        """MERGE INTO dfs.dml.`dml_bysrc2` AS t
+          |USING (SELECT 2 AS mk) AS s ON t.k = s.mk
+          |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin).collect()(0)
+      assert(r.getString(1).contains("8 deleted"))
+      assert(rows(src2base).map(_._1) == Set(2L))
+    } finally spark.conf.unset("graft.dfs.workspace.dml")
+  }
+
   test("partitioned and DV tables refuse DML") {
     import spark.implicits._
     val base = freshDir("refuse")
