@@ -281,26 +281,16 @@ object DmlSql {
         s"MERGE: unsupported clause: WHEN $other")
     }
 
-    if (bySourceDelete.isDefined || bySourceUpdate.isDefined)
-      require(fmt == DeltaT,
-        "MERGE: WHEN NOT MATCHED BY SOURCE is supported on Delta targets " +
-          "(it rewrites the whole table; run the equivalent " +
-          "DELETE/UPDATE with an anti-join condition on other formats)")
-    val stats = fmt match {
-      case DeltaT => DeltaDml.merge(spark, path, source, onCond,
-        matchedUpdate, matchedDelete, notMatchedInsert,
-        matchedUpdateCond, notMatchedInsertCond,
-        tAlias.getOrElse("t"), srcAlias2,
-        bySourceDelete, bySourceUpdate, bySourceUpdateCond)
-      case IcebergT => IcebergDml.merge(spark, path, source, onCond,
-        matchedUpdate, matchedDelete, notMatchedInsert,
-        matchedUpdateCond, notMatchedInsertCond,
-        tAlias.getOrElse("t"), srcAlias2)
-      case PaimonT => PaimonDml.merge(spark, path, source, onCond,
-        matchedUpdate, matchedDelete, notMatchedInsert,
-        matchedUpdateCond, notMatchedInsertCond,
-        tAlias.getOrElse("t"), srcAlias2)
+    val mergeFn = fmt match {
+      case DeltaT   => DeltaDml.merge _
+      case IcebergT => IcebergDml.merge _
+      case PaimonT  => PaimonDml.merge _
     }
+    val stats = mergeFn(spark, path, source, onCond,
+      matchedUpdate, matchedDelete, notMatchedInsert,
+      matchedUpdateCond, notMatchedInsertCond,
+      tAlias.getOrElse("t"), srcAlias2,
+      bySourceDelete, bySourceUpdate, bySourceUpdateCond)
     val fmtName = fmt match {
       case DeltaT => "delta v"; case IcebergT => "iceberg snapshot "
       case PaimonT => "paimon snapshot "

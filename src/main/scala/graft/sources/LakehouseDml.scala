@@ -74,15 +74,20 @@ object IcebergDml {
             notMatchedInsert: Option[Map[String, String]] = None,
             matchedUpdateCond: Option[String] = None,
             notMatchedInsertCond: Option[String] = None,
-            tAlias: String = "t", sAlias: String = "s"): DmlStats = {
+            tAlias: String = "t", sAlias: String = "s",
+            bySourceDelete: Option[String] = None,
+            bySourceUpdate: Option[Map[String, String]] = None,
+            bySourceUpdateCond: Option[String] = None): DmlStats = {
+    val anyBySource = bySourceDelete.isDefined || bySourceUpdate.isDefined
     require(matchedUpdate.isDefined || matchedDelete.isDefined ||
-      notMatchedInsert.isDefined, "MERGE: no clauses")
+      notMatchedInsert.isDefined || anyBySource, "MERGE: no clauses")
     val meta = IcebergTable.loadMeta(spark, table)
     val schema = meta.schema
-    (matchedUpdate.toSeq ++ notMatchedInsert.toSeq).foreach { m =>
-      val bad = m.keySet.filterNot(schema.fieldNames.contains)
-      require(bad.isEmpty, s"MERGE: unknown column(s) ${bad.mkString(", ")}")
-    }
+    (matchedUpdate.toSeq ++ bySourceUpdate.toSeq ++ notMatchedInsert.toSeq)
+      .foreach { m =>
+        val bad = m.keySet.filterNot(schema.fieldNames.contains)
+        require(bad.isEmpty, s"MERGE: unknown column(s) ${bad.mkString(", ")}")
+      }
     val onExpr = expr(on)
     val anyMatched = matchedUpdate.isDefined || matchedDelete.isDefined
     val visible = IcebergTable.read(spark, table)
@@ -123,6 +128,16 @@ object IcebergDml {
           "is nondeterministic")
     }
 
+    // NOT MATCHED BY SOURCE conditions see only target columns (the
+    // source side does not exist on an anti-join row)
+    val bsDelCond =
+      if (bySourceDelete.isDefined) cond(bySourceDelete, default = true)
+      else lit(false)
+    val bsUpdCond =
+      if (bySourceUpdate.isDefined)
+        !bsDelCond && cond(bySourceUpdateCond, default = true)
+      else lit(false)
+
     var updated = 0L
     var deleted = 0L
     val joined =
@@ -136,15 +151,31 @@ object IcebergDml {
       updated = if (counts.isNullAt(0)) 0L else counts.getLong(0)
       deleted = if (counts.isNullAt(1)) 0L else counts.getLong(1)
     }
+    val bySourceRows =
+      if (anyBySource)
+        Some(visible.as(tAlias).join(source.as(sAlias), onExpr, "left_anti"))
+      else None
+    bySourceRows.foreach { b =>
+      val counts = b.agg(
+        sum(when(bsUpdCond, 1L).otherwise(0L)),
+        sum(when(bsDelCond, 1L).otherwise(0L))).collect()(0)
+      updated += (if (counts.isNullAt(0)) 0L else counts.getLong(0))
+      deleted += (if (counts.isNullAt(1)) 0L else counts.getLong(1))
+    }
 
-    val updatedRows: Option[DataFrame] = joined
-      .filter(_ => matchedUpdate.isDefined)
-      .map(_.filter(updCond).select(schema.fields.toSeq.map { f =>
-        matchedUpdate.get.get(f.name) match {
+    def applySet(df: DataFrame, set: Map[String, String]): DataFrame =
+      df.select(schema.fields.toSeq.map { f =>
+        set.get(f.name) match {
           case Some(e) => expr(e).cast(f.dataType).as(f.name)
           case None    => col(s"$tAlias.${f.name}").as(f.name)
         }
-      }: _*))
+      }: _*)
+    val updatedRows: Option[DataFrame] = joined
+      .filter(_ => matchedUpdate.isDefined)
+      .map(j => applySet(j.filter(updCond), matchedUpdate.get))
+    val bsUpdatedRows: Option[DataFrame] = bySourceRows
+      .filter(_ => bySourceUpdate.isDefined)
+      .map(b => applySet(b.filter(bsUpdCond), bySourceUpdate.get))
     val inserts: Option[DataFrame] = notMatchedInsert.map { m =>
       val anti = source.as(sAlias).join(visible.as(tAlias), onExpr, "left_anti")
       notMatchedInsertCond
@@ -157,29 +188,39 @@ object IcebergDml {
           }
         }: _*)
     }
-    val appendDf = (updatedRows, inserts) match {
-      case (Some(u), Some(i)) => Some(u.unionByName(i))
-      case (Some(u), None)    => Some(u)
-      case (None, Some(i))    => Some(i)
-      case (None, None)       => None
-    }
+    val appendDf = (updatedRows.toSeq ++ bsUpdatedRows.toSeq ++ inserts.toSeq)
+      .reduceOption(_ unionByName _)
     val inserted = inserts.map(_.count()).getOrElse(0L)
     if (updated == 0 && deleted == 0 && inserted == 0)
       return DmlStats(current, 0L, 0L, 0L)
 
-    // position-delete every matched-clause-qualified row: raw data-file
-    // scan (with its (file, pos) identity) joined against the source —
-    // rows an earlier delete already masked may over-delete, harmlessly
-    if (anyMatched && (updated > 0 || deleted > 0) && dataFiles.nonEmpty) {
+    // position-delete every clause-qualified row: raw data-file scan
+    // (with its (file, pos) identity) joined/anti-joined against the
+    // source — rows an earlier delete already masked may over-delete,
+    // harmlessly
+    if ((updated > 0 || deleted > 0) && dataFiles.nonEmpty) {
       val lookup = broadcast(dataFiles.map(_.path).toDF("file_path")
         .withColumn("__g_fp", IcebergTable.normPath(col("file_path"))))
-      val matches = rawIdent.as(tAlias)
-        .join(source.as(sAlias), onExpr, "inner")
-        .filter(delCond || updCond)
-        .select(col("__g_fpn").as("__g_fp"), col("__g_pos").as("pos"))
-        .join(lookup, "__g_fp")
-        .select(col("file_path"), col("pos"))
-      IcebergTable.commitPositionDeletes(spark, table, meta, matches)
+      val matchedPos =
+        if (anyMatched)
+          Some(rawIdent.as(tAlias)
+            .join(source.as(sAlias), onExpr, "inner")
+            .filter(delCond || updCond)
+            .select(col("__g_fpn").as("__g_fp"), col("__g_pos").as("pos")))
+        else None
+      val bySourcePos =
+        if (anyBySource)
+          Some(rawIdent.as(tAlias)
+            .join(source.as(sAlias), onExpr, "left_anti")
+            .filter(bsDelCond || bsUpdCond)
+            .select(col("__g_fpn").as("__g_fp"), col("__g_pos").as("pos")))
+        else None
+      (matchedPos.toSeq ++ bySourcePos.toSeq).reduceOption(_ union _)
+        .foreach { pos =>
+          val matches = pos.join(lookup, "__g_fp")
+            .select(col("file_path"), col("pos"))
+          IcebergTable.commitPositionDeletes(spark, table, meta, matches)
+        }
     }
     val version = appendDf match {
       case Some(df) if updated > 0 || inserted > 0 =>
@@ -256,17 +297,22 @@ object PaimonDml {
             notMatchedInsert: Option[Map[String, String]] = None,
             matchedUpdateCond: Option[String] = None,
             notMatchedInsertCond: Option[String] = None,
-            tAlias: String = "t", sAlias: String = "s"): DmlStats = {
+            tAlias: String = "t", sAlias: String = "s",
+            bySourceDelete: Option[String] = None,
+            bySourceUpdate: Option[Map[String, String]] = None,
+            bySourceUpdateCond: Option[String] = None): DmlStats = {
+    val anyBySource = bySourceDelete.isDefined || bySourceUpdate.isDefined
     require(matchedUpdate.isDefined || matchedDelete.isDefined ||
-      notMatchedInsert.isDefined, "MERGE: no clauses")
+      notMatchedInsert.isDefined || anyBySource, "MERGE: no clauses")
     val pks = pkState(spark, table, "MERGE")
     val sch = PaimonTable.loadSchema(spark, table)
     val schema = sch.schema
-    (matchedUpdate.toSeq ++ notMatchedInsert.toSeq).foreach { m =>
-      val bad = m.keySet.filterNot(schema.fieldNames.contains)
-      require(bad.isEmpty, s"MERGE: unknown column(s) ${bad.mkString(", ")}")
-    }
-    matchedUpdate.foreach { m =>
+    (matchedUpdate.toSeq ++ bySourceUpdate.toSeq ++ notMatchedInsert.toSeq)
+      .foreach { m =>
+        val bad = m.keySet.filterNot(schema.fieldNames.contains)
+        require(bad.isEmpty, s"MERGE: unknown column(s) ${bad.mkString(", ")}")
+      }
+    (matchedUpdate.toSeq ++ bySourceUpdate.toSeq).foreach { m =>
       val onPk = m.keySet.intersect(pks.toSet)
       require(onPk.isEmpty,
         s"MERGE UPDATE may not SET primary-key column(s) ${onPk.mkString(", ")}")
@@ -314,14 +360,45 @@ object PaimonDml {
         deleteKeys = Some(j.filter(delCond)
           .select(pks.map(k => col(s"$tAlias.$k").as(k)): _*))
     }
-    val updatedRows: Option[DataFrame] = joined
-      .filter(_ => matchedUpdate.isDefined)
-      .map(_.filter(updCond).select(schema.fields.toSeq.map { f =>
-        matchedUpdate.get.get(f.name) match {
+    // NOT MATCHED BY SOURCE: target rows with no source match
+    val bsDelCond =
+      if (bySourceDelete.isDefined) cond(bySourceDelete, default = true)
+      else lit(false)
+    val bsUpdCond =
+      if (bySourceUpdate.isDefined)
+        !bsDelCond && cond(bySourceUpdateCond, default = true)
+      else lit(false)
+    val bySourceRows =
+      if (anyBySource)
+        Some(visible.as(tAlias).join(source.as(sAlias), onExpr, "left_anti"))
+      else None
+    bySourceRows.foreach { b =>
+      val counts = b.agg(
+        sum(when(bsUpdCond, 1L).otherwise(0L)),
+        sum(when(bsDelCond, 1L).otherwise(0L))).collect()(0)
+      updated += (if (counts.isNullAt(0)) 0L else counts.getLong(0))
+      val bsDel = if (counts.isNullAt(1)) 0L else counts.getLong(1)
+      deleted += bsDel
+      if (bsDel > 0) {
+        val keys = b.filter(bsDelCond)
+          .select(pks.map(k => col(s"$tAlias.$k").as(k)): _*)
+        deleteKeys = deleteKeys.map(_.unionByName(keys)).orElse(Some(keys))
+      }
+    }
+
+    def applySet(df: DataFrame, set: Map[String, String]): DataFrame =
+      df.select(schema.fields.toSeq.map { f =>
+        set.get(f.name) match {
           case Some(e) => expr(e).cast(f.dataType).as(f.name)
           case None    => col(s"$tAlias.${f.name}").as(f.name)
         }
-      }: _*))
+      }: _*)
+    val updatedRows: Option[DataFrame] = joined
+      .filter(_ => matchedUpdate.isDefined)
+      .map(j => applySet(j.filter(updCond), matchedUpdate.get))
+    val bsUpdatedRows: Option[DataFrame] = bySourceRows
+      .filter(_ => bySourceUpdate.isDefined)
+      .map(b => applySet(b.filter(bsUpdCond), bySourceUpdate.get))
     val inserts: Option[DataFrame] = notMatchedInsert.map { m =>
       val anti = source.as(sAlias).join(visible.as(tAlias), onExpr, "left_anti")
       notMatchedInsertCond
@@ -335,12 +412,8 @@ object PaimonDml {
         }: _*)
     }
     val inserted = inserts.map(_.count()).getOrElse(0L)
-    val upserts = (updatedRows, inserts) match {
-      case (Some(u), Some(i)) => Some(u.unionByName(i))
-      case (Some(u), None)    => Some(u)
-      case (None, Some(i))    => Some(i)
-      case (None, None)       => None
-    }
+    val upserts = (updatedRows.toSeq ++ bsUpdatedRows.toSeq ++ inserts.toSeq)
+      .reduceOption(_ unionByName _)
     if (updated == 0 && deleted == 0 && inserted == 0)
       return DmlStats(current, 0L, 0L, 0L)
     var version = current

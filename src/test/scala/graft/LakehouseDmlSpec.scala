@@ -157,6 +157,29 @@ class LakehouseDmlSpec extends AnyFunSuite {
       5L -> "row5", 9L -> "nine"))
   }
 
+  test("NOT MATCHED BY SOURCE: iceberg position-deletes, paimon -D") {
+    import spark.implicits._
+    val ice = iceTable("bysrc")
+    // source keeps 1..4; 5..9 vanished — delete small ones, flag big
+    val src = (1L to 4L).map(k => (k, s"s$k")).toDF("mk", "mv")
+    val st = IcebergDml.merge(spark, ice, src, "t.k = s.mk",
+      matchedUpdate = Some(Map("v" -> "s.mv")),
+      bySourceDelete = Some("t.k <= 6"),
+      bySourceUpdate = Some(Map("v" -> "concat(t.v, '?')")),
+      bySourceUpdateCond = Some("t.k > 6"))
+    assert(st.updated == 4L + 3L && st.deleted == 2L)
+    assert(iceRows(ice) == ((1L to 4L).map(k => (k, s"s$k")) ++
+      (7L to 9L).map(k => (k, s"row$k?"))).toSet)
+
+    val pk = pkTable("bysrc")
+    val psrc = Seq((1L, "one"), (2L, "two")).toDF("mk", "mv")
+    val pst = PaimonDml.merge(spark, pk, psrc, "t.k = s.mk",
+      matchedUpdate = Some(Map("v" -> "s.mv")),
+      bySourceDelete = Some("true"))
+    assert(pst.updated == 2L && pst.deleted == 4L)
+    assert(pkRows(pk) == Set(1L -> "one", 2L -> "two"))
+  }
+
   test("SQL: UPDATE / MERGE route to iceberg and paimon by layout") {
     import spark.implicits._
     val ice = iceTable("sqlice")
