@@ -57,6 +57,14 @@ object SqlCommands {
   private val Ctas =
     ("""(?is)\s*CREATE\s+TABLE\s+(dfs\b.*?)\s+""" +
       """(?:PARTITION\s+BY\s*\(\s*([^)]+?)\s*\)\s+)?AS\s+(.+?)\s*;?\s*""").r
+  // Drill 1.10's CTTAS (ref exec/.../planner/sql/handlers/
+  // CreateTableHandler.java temporary branch, drill.exec.default_temporary_
+  // workspace): session-scoped MATERIALIZED temp table — parquet under
+  // the temp workspace, visible as a bare name, gone with the session.
+  private val Cttas =
+    """(?is)\s*CREATE\s+TEMPORARY\s+TABLE\s+`?(\w+)`?\s+AS\s+(.+?)\s*;?\s*""".r
+  private val DropBare =
+    """(?is)\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?`?(\w+)`?\s*;?\s*""".r
   private val DropTable =
     """(?is)\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?(dfs\b.+?)\s*;?\s*""".r
   private val Describe =
@@ -89,6 +97,20 @@ object SqlCommands {
     * was unset) — what RESET ALL restores. */
   private val touched =
     new java.util.concurrent.ConcurrentHashMap[String, Option[String]]()
+
+  /** CTTAS name -> backing directory; dirs die with the JVM (Drill
+    * drops temporary tables when the session ends). */
+  private val cttasDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  sys.addShutdownHook {
+    cttasDirs.values.forEach { d =>
+      try {
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          .delete(p, true)
+      } catch { case _: Throwable => () }
+    }
+  }
 
   /** Claim `sqlText` if it is one of the commands above; None delegates.
     * `parseIdent` is the delegate parser's multipart-identifier reader
@@ -197,6 +219,30 @@ object SqlCommands {
         Some(result(ok = true,
           if (existed) s"View [$name] deleted successfully from schema [$base]"
           else s"View [$name] not found in schema [$base]"))
+      case Cttas(name, query) =>
+        val spark = SparkSession.active
+        require(!spark.catalog.tableExists(name),
+          s"A table or view with given name [$name] already exists")
+        val dir = s"${System.getProperty("java.io.tmpdir", "/tmp")}" +
+          s"/graft_cttas/${spark.sparkContext.applicationId}/$name"
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(p, true)
+        spark.sql(query).write.parquet(dir)
+        spark.read.parquet(dir).createTempView(name)
+        cttasDirs.put(name, dir)
+        Some(result(ok = true,
+          s"Temporary table [$name] created (session-scoped, $dir)"))
+      // claimed ONLY for names this session's CTTAS created — every
+      // other DROP TABLE stays with Spark's grammar
+      case DropBare(name) if cttasDirs.containsKey(name) =>
+        val spark = SparkSession.active
+        spark.catalog.dropTempView(name)
+        val dir = cttasDirs.remove(name)
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+        Some(result(ok = true, s"Temporary table [$name] dropped"))
       case Ctas(target, partCols, query) if dfsClaimable =>
         val spark = SparkSession.active
         val path = targetPath(spark, target, parseIdent)

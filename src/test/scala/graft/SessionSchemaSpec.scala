@@ -69,6 +69,32 @@ class SessionSchemaSpec extends AnyFunSuite {
     }
   }
 
+  test("CTTAS: session-scoped materialized temp table, drop reclaims") {
+    import spark.implicits._
+    Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
+      .createOrReplaceTempView("cttas_src")
+    try {
+      val r = spark.sql(
+        "CREATE TEMPORARY TABLE my_tmp AS SELECT * FROM cttas_src WHERE k <= 2")
+        .collect()(0)
+      assert(r.getBoolean(0) && r.getString(1).contains("Temporary table"))
+      // visible as a bare name, joins like any table, and is MATERIALIZED
+      assert(spark.sql("SELECT count(*) FROM my_tmp").collect()(0)
+        .getLong(0) == 2)
+      val dir = r.getString(1).split(", ")(1).stripSuffix(")")
+      assert(new java.io.File(dir).exists)
+      // duplicate name refuses; DROP TABLE reclaims view + files
+      val e = intercept[Exception] {
+        spark.sql("CREATE TEMPORARY TABLE my_tmp AS SELECT 1")
+      }
+      assert(e.getMessage.contains("already exists"))
+      val d = spark.sql("DROP TABLE my_tmp").collect()(0)
+      assert(d.getString(1).contains("dropped"))
+      assert(!spark.catalog.tableExists("my_tmp"))
+      assert(!new java.io.File(dir).exists)
+    } finally spark.catalog.dropTempView("cttas_src")
+  }
+
   test("CTAS with store.format = paimon commits a paimon snapshot") {
     val dir = "/tmp/graft_test/session_ctas_paimon"
     val p = new org.apache.hadoop.fs.Path(dir)
