@@ -1,5 +1,7 @@
 package graft.sources
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -216,7 +218,24 @@ object DeltaDml {
       val norm = s.getPath.toString.replaceFirst("^[a-zA-Z0-9]+:/+", "/")
       !live.contains(norm) && s.getModificationTime <= cutoff
     }
-    dead.foreach(s => fs.delete(s.getPath, false))
+    // a big vacuum (a compacted 100 TB table sheds millions of files)
+    // deletes from EXECUTORS — per-file RPCs parallelize; the driver
+    // only ships the path list
+    if (dead.size > 256) {
+      val c = spark.sparkContext.hadoopConfiguration
+      val fsProps: Seq[(String, String)] =
+        c.iterator().asScala.map(e => e.getKey -> e.getValue)
+          .filter(_._1.startsWith("fs.")).toSeq
+      spark.sparkContext
+        .parallelize(dead.map(_.getPath.toString),
+          math.min(64, 1 + dead.size / 256))
+        .foreach { s =>
+          val conf = new org.apache.hadoop.conf.Configuration()
+          fsProps.foreach { case (k, v) => conf.set(k, v) }
+          val p = new Path(s)
+          p.getFileSystem(conf).delete(p, false)
+        }
+    } else dead.foreach(s => fs.delete(s.getPath, false))
     dead.size.toLong
   }
 
