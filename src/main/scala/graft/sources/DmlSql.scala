@@ -33,7 +33,9 @@ import org.apache.spark.sql.functions.{col, expr}
 object DmlSql {
 
   private val DeleteSql =
-    """(?is)\s*DELETE\s+FROM\s+(dfs\b.+?)\s+WHERE\s+(.+?)\s*;?\s*""".r
+    """(?is)\s*DELETE\s+FROM\s+(dfs\b.+?)(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
+  private val TruncateSql =
+    """(?is)\s*TRUNCATE\s+TABLE\s+(dfs\b.+?)\s*;?\s*""".r
   private val UpdateSql =
     """(?is)\s*UPDATE\s+(dfs\b.+?)\s+SET\s+(.+?)\s*;?\s*""".r
   private val MergeSql =
@@ -57,7 +59,10 @@ object DmlSql {
             parseIdent: String => Seq[String]): Option[LogicalPlan] =
     sqlText match {
       case DeleteSql(target, cond) if dfsClaimable =>
-        Some(delete(target.trim, cond.trim, parseIdent))
+        Some(delete(target.trim,
+          Option(cond).map(_.trim).getOrElse("true"), parseIdent))
+      case TruncateSql(target) if dfsClaimable =>
+        Some(delete(target.trim, "true", parseIdent))
       case UpdateSql(target, rest) if dfsClaimable =>
         Some(update(target.trim, rest.trim, parseIdent))
       case MergeSql(target, rest) if dfsClaimable =>

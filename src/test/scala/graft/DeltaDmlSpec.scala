@@ -211,6 +211,12 @@ class DeltaDmlSpec extends AnyFunSuite {
       assert(rows(base).contains(2L -> "swapped"))
       assert(rows(base).contains(77L -> "inserted"))
 
+      // DELETE without WHERE / TRUNCATE TABLE clear the table
+      val tbase = threeFileTable("sql_trunc")
+      val t = spark.sql("TRUNCATE TABLE dfs.dml.`dml_sql_trunc`").collect()(0)
+      assert(t.getString(1).contains("9 rows deleted"))
+      assert(rows(tbase).isEmpty)
+
       // DML on a plain parquet directory refuses with a clear error
       val plain = s"$wsDir/plain"
       Seq((1, "x")).toDF("a", "b").write.parquet(plain)
