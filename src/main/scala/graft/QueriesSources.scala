@@ -421,6 +421,26 @@ object QueriesSources {
       finally s.conf.unset("graft.dfs.workspace.dmlout")
     }),
 
+    // ---- CDF from DML: with graft.delta.cdf on, the DELETE commit
+    // carries cdc files, so readChanges serves the EXACT deleted rows
+    // (derivation from add/remove would report every rewritten row) ----
+    "q_dml_cdf" -> ((s, d) => {
+      val base = s"${out(d)}/dml_cdf"
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.sources.DeltaLogWriter.write(
+        GraftSession.table(s, d, "supplier")
+          .select("s_suppkey", "s_name", "s_acctbal"), base)
+      s.conf.set("graft.dfs.workspace.dmlout", out(d))
+      s.conf.set("graft.delta.cdf", "true")
+      try s.sql("DELETE FROM dfs.dmlout.`dml_cdf` WHERE s_acctbal < 0")
+      finally {
+        s.conf.unset("graft.delta.cdf")
+        s.conf.unset("graft.dfs.workspace.dmlout")
+      }
+      graft.sources.DeltaLogReader.readChanges(s, base, 1L)
+    }),
+
     "q_merge_by_source" -> ((s, d) => {
       val base = s"${out(d)}/delta_bysrc"
       val p = new org.apache.hadoop.fs.Path(base)
@@ -1453,6 +1473,10 @@ object QueriesSources {
     "q_merge_by_source" -> """
       SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS o_totalprice
       FROM orders WHERE o_orderkey >= 500 AND o_orderkey < 1000""",
+    "q_dml_cdf" -> """
+      SELECT s_suppkey, s_name, s_acctbal,
+             'delete' AS _change_type, 1::BIGINT AS _commit_version
+      FROM supplier WHERE s_acctbal < 0""",
     "q_travel_sql" -> """
       SELECT c_mktsegment, count(*)::BIGINT AS n,
              sum(c_custkey)::BIGINT AS key_sum

@@ -105,6 +105,44 @@ object DeltaDml {
     rels.map(p =>
       s"""{"remove":{"path":"$p","deletionTimestamp":0,"dataChange":true}}""")
 
+  /** Change Data Feed emission from DML, on when the session sets
+    * `graft.delta.cdf = true` (delta-spark's
+    * `delta.enableChangeDataFeed` posture — off by default because the
+    * cdc write costs storage). Without cdc files a COW commit's CDF
+    * DERIVES from add/remove and over-reports: every row of a rewritten
+    * file shows as delete+insert. With them, [[DeltaLogReader
+    * .readChanges]] serves the exact row-level changes. */
+  private def cdfEnabled(spark: SparkSession): Boolean =
+    spark.conf.getOption("graft.delta.cdf").exists(_.equalsIgnoreCase("true"))
+
+  /** Stage `df` (schema + `_change_type`) as cdc parquet under
+    * `_change_data/` and return the cdc actions (dataChange=false —
+    * cdc files never join the live data set). */
+  private def stageCdc(df: DataFrame, tablePath: String,
+                       version: Long): Seq[String] = {
+    val spark = df.sparkSession
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(tablePath, s"_staging_cdc_v$version")
+    df.write.mode("overwrite").parquet(staging.toString)
+    val parts = fs.listStatus(staging).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val cdcDir = new Path(tablePath, "_change_data")
+    fs.mkdirs(cdcDir)
+    val actions = parts.zipWithIndex.map { case (part, i) =>
+      val name = f"_change_data/cdc-$i%05d-v$version.parquet"
+      val dest = new Path(tablePath, name)
+      fs.delete(dest, false)
+      require(fs.rename(part, dest), s"rename failed: $part -> $dest")
+      val size = fs.getFileStatus(dest).getLen
+      s"""{"cdc":{"path":"$name","partitionValues":{},"size":$size,"dataChange":false}}"""
+    }.toSeq
+    fs.delete(staging, true)
+    actions
+  }
+
+  private def typed(df: DataFrame, kind: String): DataFrame =
+    df.withColumn("_change_type", lit(kind))
+
   /** DELETE FROM: drop rows where `condition` is TRUE (null/false rows
     * stay — the SQL three-valued contract). Only files containing a
     * match are rewritten; no match is a metadata no-op. Returns
@@ -125,8 +163,12 @@ object DeltaDml {
     val version = current + 1
     val adds = stageAdds(aff.filter(!hit), tablePath, version,
       dataChange = true)
+    val cdc =
+      if (cdfEnabled(spark))
+        stageCdc(typed(aff.filter(hit), "delete"), tablePath, version)
+      else Nil
     DeltaLogReader.writeCommit(spark, tablePath, version,
-      removeActions(affected) ++ adds)
+      removeActions(affected) ++ adds ++ cdc)
     (version, deleted)
   }
 
@@ -159,8 +201,19 @@ object DeltaDml {
     }: _*)
     val version = current + 1
     val adds = stageAdds(rewritten, tablePath, version, dataChange = true)
+    val cdc =
+      if (cdfEnabled(spark)) {
+        val pre = typed(aff.filter(hit), "update_preimage")
+        val post = typed(aff.filter(hit).select(schema.fields.toSeq.map { f =>
+          set.get(f.name) match {
+            case Some(e) => e.cast(f.dataType).as(f.name)
+            case None    => col(f.name)
+          }
+        }: _*), "update_postimage")
+        stageCdc(pre.unionByName(post), tablePath, version)
+      } else Nil
     DeltaLogReader.writeCommit(spark, tablePath, version,
-      removeActions(affected) ++ adds)
+      removeActions(affected) ++ adds ++ cdc)
     (version, updated)
   }
 
@@ -371,6 +424,7 @@ object DeltaDml {
     val version = current + 1
     var updated = 0L
     var deleted = 0L
+    var cdcParts: Seq[DataFrame] = Nil
 
     // rewrite affected files (matched + by-source clauses applied,
     // untouched rows carried through)
@@ -404,6 +458,29 @@ object DeltaDml {
           sum(when(delCond, 1L).otherwise(0L))).collect()(0)
         updated = if (counts.isNullAt(0)) 0L else counts.getLong(0)
         deleted = if (counts.isNullAt(1)) 0L else counts.getLong(1)
+        if (cdfEnabled(spark)) {
+          val tCols = schema.fields.toSeq.map(f =>
+            col(s"$tAlias.${f.name}").as(f.name))
+          def post(set: Map[String, String], rows: DataFrame): DataFrame =
+            rows.select(schema.fields.toSeq.map { f =>
+              set.get(f.name) match {
+                case Some(e) => expr(e).cast(f.dataType).as(f.name)
+                case None    => col(s"$tAlias.${f.name}").as(f.name)
+              }
+            }: _*)
+          cdcParts = Seq(
+            typed(joined.filter(delCond).select(tCols: _*), "delete")) ++
+            matchedUpdate.toSeq.flatMap { m =>
+              val rows = joined.filter(updCondM)
+              Seq(typed(rows.select(tCols: _*), "update_preimage"),
+                typed(post(m, rows), "update_postimage"))
+            } ++
+            bySourceUpdate.toSeq.flatMap { m =>
+              val rows = joined.filter(updCondBS)
+              Seq(typed(rows.select(tCols: _*), "update_preimage"),
+                typed(post(m, rows), "update_postimage"))
+            }
+        }
         Some(joined.filter(!delCond).select(schema.fields.toSeq.map { f =>
           val base = col(s"$tAlias.${f.name}")
           val withM = matchedUpdate.flatMap(_.get(f.name)) match {
@@ -454,8 +531,15 @@ object DeltaDml {
         val adds = stageAdds(df, tablePath, version, dataChange = true)
         val removes = if (rewritten.isDefined) removeActions(affected)
                       else Seq.empty
+        val cdc =
+          if (cdfEnabled(spark)) {
+            val all = cdcParts ++
+              inserts.toSeq.map(i => typed(i, "insert"))
+            all.reduceOption(_ unionByName _)
+              .map(stageCdc(_, tablePath, version)).getOrElse(Nil)
+          } else Nil
         DeltaLogReader.writeCommit(spark, tablePath, version,
-          removes ++ adds)
+          removes ++ adds ++ cdc)
         DmlStats(version, updated, deleted, inserted)
     }
   }

@@ -161,6 +161,34 @@ class DeltaDmlSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.dfs.workspace.dml")
   }
 
+  test("CDF emission: DML writes cdc files, readChanges is row-exact") {
+    import spark.implicits._
+    val base = threeFileTable("cdf")
+    spark.conf.set("graft.delta.cdf", "true")
+    try {
+      DeltaDml.delete(spark, base, col("k") === 2L)            // v3
+      DeltaDml.update(spark, base, col("k") === 5L,
+        Map("v" -> lit("five")))                               // v4
+      val src = Seq((7L, "seven"), (42L, "new")).toDF("mk", "mv")
+      DeltaDml.merge(spark, base, src, "t.k = s.mk",           // v5
+        matchedUpdate = Some(Map("v" -> "s.mv")),
+        notMatchedInsert = Some(Map("k" -> "s.mk", "v" -> "s.mv")))
+      val ch = DeltaLogReader.readChanges(spark, base, 3L)
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getString(2), r.getLong(3))).toSet
+      // EXACT row-level changes — not whole-rewritten-file noise
+      assert(ch == Set(
+        (2L, "row2", "delete", 3L),
+        (5L, "row5", "update_preimage", 4L),
+        (5L, "five", "update_postimage", 4L),
+        (7L, "row7", "update_preimage", 5L),
+        (7L, "seven", "update_postimage", 5L),
+        (42L, "new", "insert", 5L)))
+      // live reads unaffected by cdc files
+      assert(rows(base).size == 9)
+    } finally spark.conf.unset("graft.delta.cdf")
+  }
+
   test("partitioned and DV tables refuse DML") {
     import spark.implicits._
     val base = freshDir("refuse")
