@@ -50,6 +50,9 @@ private[sources] object DeltaStreamSource {
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-delta source requires .load(<table path>)"))
 
+  def cdfMode(parameters: Map[String, String]): Boolean =
+    parameters.get("readChangeFeed").exists(_.toBoolean)
+
   def tableSchema(sqlContext: SQLContext,
                   parameters: Map[String, String]): StructType = {
     val spark = sqlContext.sparkSession
@@ -57,8 +60,9 @@ private[sources] object DeltaStreamSource {
     // read() runs the protocol/column-mapping guards; readChanges adds
     // the partitioned-table refusal this source inherits
     val versions = DeltaLogReader.tableVersions(spark, path)
-    DeltaLogReader.readChanges(spark, path, versions.max)
-    DeltaLogReader.read(spark, path).schema
+    val changes = DeltaLogReader.readChanges(spark, path, versions.max)
+    if (cdfMode(parameters)) changes.schema
+    else DeltaLogReader.read(spark, path).schema
   }
 }
 
@@ -70,6 +74,12 @@ class DeltaStreamSource(sqlContext: SQLContext,
   private val startingVersion = parameters.get("startingVersion")
   private val skipChangeCommits =
     parameters.get("skipChangeCommits").exists(_.toBoolean)
+  // readChangeFeed=true: emit CHANGE rows (schema + _change_type +
+  // _commit_version) instead of appended rows — delta-spark's CDF
+  // streaming mode. Data-changing commits are the point here, so they
+  // never fail the stream; commits carrying cdc files serve them
+  // row-exact, plain commits derive insert/delete (readChanges rules).
+  private val cdf = DeltaStreamSource.cdfMode(parameters)
   private val mapper = new ObjectMapper()
 
   override val schema: StructType =
@@ -129,10 +139,17 @@ class DeltaStreamSource(sqlContext: SQLContext,
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val hi = ver(end)
     committed = Some(hi) // progress for admission control (commit() also updates)
-    val batch = start.map(s => addsBetween(ver(s) + 1, hi)).getOrElse {
+    val range: (Long, Long) => DataFrame =
+      if (cdf) changesBetween else addsBetween
+    val batch = start.map(s => range(ver(s) + 1, hi)).getOrElse {
       startingVersion match {
-        case Some("latest") => addsBetween(startVersion + 1, hi)
-        case Some(v)        => addsBetween(v.toLong, hi)
+        case Some("latest") => range(startVersion + 1, hi)
+        case Some(v)        => range(v.toLong, hi)
+        case None if cdf    => // initial snapshot rows stream as inserts
+          import org.apache.spark.sql.functions.lit
+          DeltaLogReader.read(spark, path, version = Some(hi))
+            .withColumn("_change_type", lit("insert"))
+            .withColumn("_commit_version", lit(hi))
         case None           => // initial snapshot at the range end
           DeltaLogReader.read(spark, path, version = Some(hi))
       }
@@ -141,6 +158,19 @@ class DeltaStreamSource(sqlContext: SQLContext,
     org.apache.spark.sql.graftshim.StreamShim.asStreamingFrame(
       batch.select(schema.fieldNames.map(org.apache.spark.sql.functions.col)
         .toIndexedSeq: _*))
+  }
+
+  /** CDF-mode batch: readChanges over the commit range (empty when the
+    * range holds no commits — a restart can land past a vacuum gap). */
+  private def changesBetween(lo: Long, hi: Long): DataFrame = {
+    val versions = DeltaLogReader.tableVersions(spark, path)
+      .filter(v => v >= lo && v <= hi)
+    versions.minOption match {
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      case Some(from) =>
+        DeltaLogReader.readChanges(spark, path, from, Some(hi))
+    }
   }
 
   private def addsBetween(lo: Long, hi: Long): DataFrame = {

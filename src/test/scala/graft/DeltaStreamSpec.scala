@@ -135,4 +135,36 @@ class DeltaStreamSpec extends AnyFunSuite {
     val all = out.values.flatten.toSeq.sortBy(_._1)
     assert(all === Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
   }
+
+  test("readChangeFeed: snapshot as inserts, DML commits stream row-exact") {
+    val dir = freshTable(Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    val collected =
+      scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    val q = spark.readStream.format("graft-delta")
+      .option("readChangeFeed", "true").load(dir)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        collected.synchronized {
+          collected ++= df.collect().map(r =>
+            (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        }
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      // a DML delete with CDF on: the change commit does NOT fail the
+      // stream — it emits the exact deleted row
+      spark.conf.set("graft.delta.cdf", "true")
+      try graft.sources.DeltaDml.delete(spark, dir,
+        org.apache.spark.sql.functions.col("k") === 2L)
+      finally spark.conf.unset("graft.delta.cdf")
+      DeltaLogWriter.write(Seq((4L, "d")).toDF("k", "v"), dir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = collected.toSeq
+    assert(rows.filter(_._4 == 0L).map(x => (x._1, x._3)).sorted ==
+      Seq((1L, "insert"), (2L, "insert"), (3L, "insert")))
+    assert(rows.filter(_._4 == 1L) == Seq((2L, "b", "delete", 1L)))
+    assert(rows.filter(_._4 == 2L) == Seq((4L, "d", "insert", 2L)))
+  }
 }
