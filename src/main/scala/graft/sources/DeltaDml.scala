@@ -105,6 +105,11 @@ object DeltaDml {
     rels.map(p =>
       s"""{"remove":{"path":"$p","deletionTimestamp":0,"dataChange":true}}""")
 
+  /** commitInfo action (PROTOCOL.md: informational, replay ignores it)
+    * — what DESCRIBE HISTORY surfaces as the operation name. */
+  private def ci(op: String): String =
+    s"""{"commitInfo":{"timestamp":${System.currentTimeMillis()},"operation":"$op","engineInfo":"graft"}}"""
+
   /** Change Data Feed emission from DML, on when the session sets
     * `graft.delta.cdf = true` (delta-spark's
     * `delta.enableChangeDataFeed` posture — off by default because the
@@ -168,7 +173,7 @@ object DeltaDml {
         stageCdc(typed(aff.filter(hit), "delete"), tablePath, version)
       else Nil
     DeltaLogReader.writeCommit(spark, tablePath, version,
-      removeActions(affected) ++ adds ++ cdc)
+      ci("DELETE") +: (removeActions(affected) ++ adds ++ cdc))
     (version, deleted)
   }
 
@@ -213,7 +218,7 @@ object DeltaDml {
         stageCdc(pre.unionByName(post), tablePath, version)
       } else Nil
     DeltaLogReader.writeCommit(spark, tablePath, version,
-      removeActions(affected) ++ adds ++ cdc)
+      ci("UPDATE") +: (removeActions(affected) ++ adds ++ cdc))
     (version, updated)
   }
 
@@ -235,7 +240,7 @@ object DeltaDml {
     val version = (DeltaLogReader.tableVersions(spark, tablePath) ++
       DeltaLogReader.lastCheckpointVersion(spark, tablePath)).max + 1
     DeltaLogReader.writeCommit(spark, tablePath, version,
-      Seq(DeltaLogReader.metaDataAction(newSchema, partCols)))
+      Seq(ci("ADD COLUMNS"), DeltaLogReader.metaDataAction(newSchema, partCols)))
     version
   }
 
@@ -327,7 +332,8 @@ object DeltaDml {
     val removes = removeActions(cFiles.map(_._1).filterNot(tgt.contains))
     val version = current + 1
     DeltaLogReader.writeCommit(spark, tablePath, version,
-      DeltaLogReader.metaDataAction(tSchema, tPartCols) +: (removes ++ adds))
+      ci("RESTORE") +: DeltaLogReader.metaDataAction(tSchema, tPartCols) +:
+        (removes ++ adds))
     (version, adds.size.toLong, removes.size.toLong)
   }
 
@@ -539,7 +545,7 @@ object DeltaDml {
               .map(stageCdc(_, tablePath, version)).getOrElse(Nil)
           } else Nil
         DeltaLogReader.writeCommit(spark, tablePath, version,
-          removes ++ adds ++ cdc)
+          ci("MERGE") +: (removes ++ adds ++ cdc))
         DmlStats(version, updated, deleted, inserted)
     }
   }

@@ -515,10 +515,26 @@ object DmlSql {
       case DeltaT =>
         val logDir = new org.apache.hadoop.fs.Path(path, "_delta_log")
         val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
         fs.listStatus(logDir).toSeq
           .filter(_.getPath.getName.matches("\\d{20}\\.json"))
-          .map(s => (s.getPath.getName.stripSuffix(".json").toLong,
-            new java.sql.Timestamp(s.getModificationTime), "commit"))
+          .map { s =>
+            // the commitInfo action names the operation (DML writes it;
+            // plain writes predate it and read as "commit")
+            val op = {
+              val in = fs.open(s.getPath)
+              val lines = try scala.io.Source
+                .fromInputStream(in, "UTF-8").getLines().toList
+              finally in.close()
+              lines.filter(_.trim.nonEmpty).map(mapper.readTree)
+                .find(_.has("commitInfo"))
+                .flatMap(n => Option(n.get("commitInfo").get("operation"))
+                  .map(_.asText))
+                .getOrElse("commit")
+            }
+            (s.getPath.getName.stripSuffix(".json").toLong,
+              new java.sql.Timestamp(s.getModificationTime), op)
+          }
           .sortBy(_._1)
           .toDF("version", "timestamp", "operation")
       case IcebergT =>

@@ -102,9 +102,13 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     IcebergTable.write(Seq((1L, "a")).toDF("k", "v"), ice)
     val pk = freshDir("histp")
     PaimonTable.writePk(Seq((1L, "a")).toDF("k", "v"), pk, Seq("k"))
+    graft.sources.DeltaDml.delete(spark, delta,
+      org.apache.spark.sql.functions.col("k") === 1L)
     withWs {
       val d = spark.sql("DESCRIBE HISTORY dfs.evo.`evo_histd`").collect()
-      assert(d.map(_.getLong(0)).toSeq == Seq(0L, 1L))
+      assert(d.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+      // DML commits carry commitInfo — history names the operation
+      assert(d.map(_.getString(2)).toSeq == Seq("commit", "commit", "DELETE"))
       val i = spark.sql("DESCRIBE HISTORY dfs.evo.`evo_histi`").collect()
       assert(i.length == 1 && i(0).getBoolean(2)) // is_current_ancestor
       val p = spark.sql("DESC HISTORY dfs.evo.`evo_histp`").collect()
