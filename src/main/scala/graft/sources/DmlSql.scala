@@ -41,7 +41,7 @@ object DmlSql {
   private val MergeSql =
     """(?is)\s*MERGE\s+INTO\s+(dfs\b.+?)\s+USING\s+(.+?)\s*;?\s*""".r
   private val InsertSql =
-    """(?is)\s*INSERT\s+INTO\s+(dfs\b.+?)\s*;?\s*""".r
+    """(?is)\s*INSERT\s+(INTO|OVERWRITE)\s+(dfs\b.+?)\s*;?\s*""".r
   private val VacuumSql =
     """(?is)\s*VACUUM\s+(dfs\b.+?)(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*""".r
   private val RestoreSql =
@@ -67,8 +67,9 @@ object DmlSql {
         Some(update(target.trim, rest.trim, parseIdent))
       case MergeSql(target, rest) if dfsClaimable =>
         Some(merge(target.trim, rest.trim, parseIdent))
-      case InsertSql(rest) if dfsClaimable =>
-        Some(insert(rest.trim, parseIdent))
+      case InsertSql(verb, rest) if dfsClaimable =>
+        Some(insert(rest.trim, parseIdent,
+          overwrite = verb.equalsIgnoreCase("OVERWRITE")))
       case VacuumSql(target, hours) if dfsClaimable =>
         Some(vacuum(target.trim, Option(hours).map(_.toLong), parseIdent))
       case RestoreSql(target, ver) if dfsClaimable =>
@@ -313,7 +314,8 @@ object DmlSql {
     * full target schema in order); unlisted columns insert NULL; values
     * cast implicitly to the target types. */
   private def insert(rest: String,
-                     parseIdent: String => Seq[String]): LogicalPlan = {
+                     parseIdent: String => Seq[String],
+                     overwrite: Boolean = false): LogicalPlan = {
     val spark = SparkSession.active
     // split "<target> [(cols)] <query>" at the first top-level query head
     val qAt = Seq("SELECT", "VALUES", "WITH", "TABLE", "FROM")
@@ -342,25 +344,31 @@ object DmlSql {
       s"INSERT INTO: no such table [$path] — CREATE TABLE first")
     def has(sub: String) =
       fs.exists(new org.apache.hadoop.fs.Path(path, sub))
+    val mode =
+      if (overwrite) org.apache.spark.sql.SaveMode.Overwrite
+      else org.apache.spark.sql.SaveMode.Append
     val (schema, append): (org.apache.spark.sql.types.StructType,
         DataFrame => String) =
       if (has("_delta_log"))
         (DeltaLogReader.read(spark, path).schema, d => {
-          val v = DeltaLogWriter.write(d, path)
+          val v = DeltaLogWriter.write(d, path, mode)
           s"delta v$v"
         })
       else if (has("metadata"))
         (IcebergTable.loadMeta(spark, path).schema, d => {
-          val snap = IcebergTable.write(d, path)
+          val snap = IcebergTable.write(d, path, mode)
           s"iceberg snapshot $snap"
         })
       else if (has("snapshot") && has("schema")) {
         val sch = PaimonTable.loadSchema(spark, path)
         (sch.schema, d => {
           val snap =
-            if (sch.primaryKeys.nonEmpty)
+            if (sch.primaryKeys.nonEmpty) {
+              require(!overwrite, "INSERT OVERWRITE a paimon PK table " +
+                s"is not supported ($path) — upserts replace by key; " +
+                "DELETE then INSERT for a full replace")
               PaimonTable.writePk(d, path, sch.primaryKeys)
-            else PaimonTable.write(d, path)
+            } else PaimonTable.write(d, path, mode)
           s"paimon snapshot $snap"
         })
       } else {
@@ -380,9 +388,11 @@ object DmlSql {
           }
         }
         (existing.schema, d => {
-          val w = d.write.format(fmt).mode("append")
+          val w = d.write.format(fmt)
+            .mode(if (overwrite) "overwrite" else "append")
           (if (fmt == "csv") w.option("header", "true") else w).save(path)
-          s"$fmt files appended"
+          if (overwrite) s"$fmt directory overwritten"
+          else s"$fmt files appended"
         })
       }
 

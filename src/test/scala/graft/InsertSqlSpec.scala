@@ -70,6 +70,28 @@ class InsertSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("INSERT OVERWRITE replaces table contents in one commit") {
+    import spark.implicits._
+    val base = freshDir("ovw")
+    DeltaLogWriter.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), base)
+    withWs {
+      val r = spark.sql(
+        "INSERT OVERWRITE dfs.ins.`ins_ovw` VALUES (9, 'z')").collect()(0)
+      assert(r.getString(1).contains("1 rows inserted"))
+      assert(DeltaLogReader.read(spark, base).collect()
+        .map(_.getLong(0)).toSet == Set(9L))
+      // the pre-overwrite version still time-travels
+      assert(DeltaLogReader.read(spark, base, Some(0L)).count() == 2)
+      // paimon PK targets refuse overwrite with a clear error
+      val pk = freshDir("ovwpk")
+      PaimonTable.writePk(Seq((1L, "a")).toDF("k", "v"), pk, Seq("k"))
+      val e = intercept[Exception] {
+        spark.sql("INSERT OVERWRITE dfs.ins.`ins_ovwpk` VALUES (2, 'b')")
+      }
+      assert(e.getMessage.contains("not supported"))
+    }
+  }
+
   test("INSERT INTO a plain parquet dir appends files; errors are clear") {
     import spark.implicits._
     val base = freshDir("plain")
