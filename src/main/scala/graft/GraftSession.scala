@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, unix_micros}
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 
 /** Session factory with the engine's scale-oriented defaults.
   *
@@ -29,6 +31,11 @@ object GraftSession {
       // TIMESTAMP(NANOS) parquet columns (e.g. events.ts) surface as
       // BIGINT nanos — Spark has no ns timestamp type.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Non-UTC-adjusted parquet timestamps read as TIMESTAMP (session tz
+      // is pinned UTC above), not TIMESTAMP_NTZ: one timestamp family
+      // engine-wide, so literals/casts/arithmetic never hit LTZ-vs-NTZ
+      // coercion errors and plans stay identical across testdata writers.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.parquet.aggregatePushdown", "true")
       // Spark 4.1's checksum checkpoint manager awaits its writer pool
       // inside state-store commits and deadlocks under local[N] stateful
@@ -52,9 +59,22 @@ object GraftSession {
     s
   }
 
-  /** Load one of the standard test tables from a scale-factor directory. */
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Load one of the standard test tables from a scale-factor directory.
+    *
+    * events.ts contract: epoch-NANOS BIGINT. Early testdata generations
+    * wrote parquet TIMESTAMP(NANOS) (surfacing as exactly that via
+    * nanosAsLong); later ones write TIMESTAMP(MICROS). A timestamp-typed
+    * ts is normalized back to nanos here (micros * 1000 — lossless), so
+    * every time-domain operator and gate sees one representation
+    * regardless of which generation wrote the files. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events" &&
+        df.schema.exists(f => f.name == "ts" &&
+          (f.dataType == TimestampType || f.dataType == TimestampNTZType)))
+      df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+    else df
+  }
 
   /** Rebalance a (possibly few-split) input across the session's shuffle
     * parallelism before a fan-out-heavy stage (band/token explode, block

@@ -45,6 +45,8 @@ object TemporalJoins {
     * for integral columns. */
   private def tlong(c: Column, dt: DataType): Column = dt match {
     case TimestampType => unix_micros(c)
+    // NTZ: interpret in the session zone (graft pins UTC) — exact micros.
+    case TimestampNTZType => unix_micros(c.cast(TimestampType))
     case ByteType | ShortType | IntegerType | LongType => c.cast("long")
     case other => throw new IllegalArgumentException(
       s"time column must be timestamp or integral, got $other")
@@ -53,7 +55,7 @@ object TemporalJoins {
   /** Tolerance in time units: seconds scale to micros for timestamps;
     * integral columns use the caller's units as-is. */
   private def tolUnits(tol: Double, dt: DataType): Long = dt match {
-    case TimestampType => (tol * 1e6).toLong
+    case TimestampType | TimestampNTZType => (tol * 1e6).toLong
     case _ => tol.toLong
   }
 
