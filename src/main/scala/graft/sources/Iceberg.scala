@@ -140,6 +140,20 @@ object IcebergTable {
 
   private def metaDir(table: String) = new Path(table, "metadata")
 
+  /** Replace version-hint.text via tmp+rename so a concurrent reader
+    * (e.g. a polling stream source) never observes a truncated
+    * create-then-write hint mid-commit. */
+  private def writeVersionHint(fs: org.apache.hadoop.fs.FileSystem,
+                               table: String, newVersion: Int): Unit = {
+    val hintPath = new Path(metaDir(table), "version-hint.text")
+    val hintTmp = new Path(metaDir(table), s".version-hint.text.$newVersion.tmp")
+    val os = fs.create(hintTmp, true)
+    try os.write(String.valueOf(newVersion).getBytes("UTF-8"))
+    finally os.close()
+    fs.delete(hintPath, false)
+    require(fs.rename(hintTmp, hintPath), s"rename failed: $hintTmp -> $hintPath")
+  }
+
   /** Latest metadata version: `version-hint.text` if present, else the
     * max `v<N>.metadata.json` on disk (the hint is an optional part of
     * the spec's file-system catalog). */
@@ -149,11 +163,16 @@ object IcebergTable {
     if (!fs.exists(dir))
       throw new IllegalArgumentException(s"not an Iceberg table (no metadata/): $table")
     val hint = new Path(dir, "version-hint.text")
-    if (fs.exists(hint)) {
-      val in = fs.open(hint)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
-      finally in.close()
-    } else {
+    val hinted =
+      if (fs.exists(hint)) {
+        val in = fs.open(hint)
+        // a concurrent committer may be mid-replace: an empty/garbled hint
+        // falls through to the directory listing instead of exploding
+        // (polling stream sources race table writers on exactly this file)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toIntOption
+        finally in.close()
+      } else None
+    hinted.getOrElse {
       val vs = fs.listStatus(dir).toSeq.map(_.getPath.getName)
         .flatMap { n => "^v(\\d+)\\.metadata\\.json$".r.findFirstMatchIn(n).map(_.group(1).toInt) }
       if (vs.isEmpty) throw new IllegalArgumentException(
@@ -1042,9 +1061,7 @@ object IcebergTable {
     finally os.close()
     fs.delete(newPath, false)
     require(fs.rename(tmp, newPath), s"rename failed: $tmp -> $newPath")
-    val hint = fs.create(new Path(metaDir(table), "version-hint.text"), true)
-    try hint.write(String.valueOf(newVersion).getBytes("UTF-8"))
-    finally hint.close()
+    writeVersionHint(fs, table, newVersion)
     expired.map(_.snapshotId)
   }
 
@@ -1179,9 +1196,7 @@ object IcebergTable {
     finally os.close()
     fs.delete(metaPath, false)
     require(fs.rename(tmp, metaPath), s"rename failed: $tmp -> $metaPath")
-    val hint = fs.create(new Path(metaDir(table), "version-hint.text"), true)
-    try hint.write(String.valueOf(newVersion).getBytes("UTF-8"))
-    finally hint.close()
+    writeVersionHint(fs, table, newVersion)
   }
 
   /** Roll the table back so `snapshotId` (an EXISTING snapshot) is
