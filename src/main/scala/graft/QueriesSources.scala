@@ -542,6 +542,29 @@ object QueriesSources {
         .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
     }),
 
+    // ---- Iceberg v3 DELETION VECTORS (Puffin-framed roaring bitmaps —
+    // the delete carrier current Iceberg writers produce for v3): two
+    // DV deletes exercise the supersede-and-merge write rule (one DV
+    // per data file, prior positions carried), and the post-delete
+    // append proves new files scan clean. Bitmaps expand on executors;
+    // the apply is the same broadcast anti-join as v2 position deletes
+    // (ref contrib/format-iceberg/.../IcebergGroupScan.java — Drill
+    // plans through iceberg-core, which handles DVs transparently) ----
+    "q_iceberg_v3_dv" -> ((s, d) => {
+      graft.sources.IcebergTable.read(s, icebergV3Fixture(s, d))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
+    }),
+
+    "q_iceberg_v3_travel" -> ((s, d) => {
+      // snapshot 3 pins the first DV delete, before the supersede and
+      // the late append
+      graft.sources.IcebergTable.read(s, icebergV3Fixture(s, d),
+          snapshotId = Some(3L))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
+    }),
+
     // ---- Iceberg CDC changelog: per-snapshot row diffs over the same
     // fixture — appends surface as inserts, the equality delete as
     // delete rows, the re-append as inserts again (Spark's iceberg
@@ -1287,6 +1310,33 @@ object QueriesSources {
     base
   }
 
+  /** Iceberg v3 deletion-vector fixture: snapshots 1+2 append orders
+    * keys <1000 in two halves; snapshot 3 DV-deletes keys ≡ 0..2
+    * (mod 10) — Puffin-framed roaring bitmaps, v2→v3 upgrade; snapshot
+    * 4 DV-deletes keys ≡ 5, SUPERSEDING snapshot 3's DVs with merged
+    * ones (one live DV per data file); snapshot 5 appends [1000,1100),
+    * which no DV touches. */
+  private def icebergV3Fixture(s: org.apache.spark.sql.SparkSession,
+                               d: String): String = {
+    import graft.sources.IcebergTable
+    val base = s"${out(d)}/iceberg_v3_orders"
+    val donePath = new org.apache.hadoop.fs.Path(s"$base/metadata/v5.metadata.json")
+    val fs = donePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(donePath)) {
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val src = GraftSession.table(s, d, "orders")
+        .select("o_orderkey", "o_orderstatus")
+      IcebergTable.write(src.filter(col("o_orderkey") < 500), base)
+      IcebergTable.write(
+        src.filter(col("o_orderkey") >= 500 && col("o_orderkey") < 1000), base)
+      IcebergTable.deleteFromDv(s, base, col("o_orderkey") % 10 < 3)
+      IcebergTable.deleteFromDv(s, base, col("o_orderkey") % 10 === 5)
+      IcebergTable.write(
+        src.filter(col("o_orderkey") >= 1000 && col("o_orderkey") < 1100), base)
+    }
+    base
+  }
+
   /** Shared by the mapPartitions reader and the DSv2 connector — both
     * must produce exactly this relation from the committed capture. */
   private val PcapOracle = """
@@ -1520,6 +1570,16 @@ object QueriesSources {
     "q_iceberg_eq_travel" -> """
       SELECT o_orderstatus, count(*) AS n, sum(o_orderkey)::BIGINT AS key_sum
       FROM orders WHERE o_orderkey < 1000 AND o_orderkey % 10 >= 2
+      GROUP BY 1""",
+    "q_iceberg_v3_dv" -> """
+      SELECT o_orderstatus, count(*) AS n, sum(o_orderkey)::BIGINT AS key_sum
+      FROM orders
+      WHERE (o_orderkey < 1000 AND o_orderkey % 10 >= 3 AND o_orderkey % 10 != 5)
+         OR (o_orderkey >= 1000 AND o_orderkey < 1100)
+      GROUP BY 1""",
+    "q_iceberg_v3_travel" -> """
+      SELECT o_orderstatus, count(*) AS n, sum(o_orderkey)::BIGINT AS key_sum
+      FROM orders WHERE o_orderkey < 1000 AND o_orderkey % 10 >= 3
       GROUP BY 1""",
     "q_iceberg_changelog" -> """
       SELECT 'insert' AS _change_type, 2::BIGINT AS _snapshot_id,

@@ -253,11 +253,20 @@ object DeletionVectors {
     * multi-DV packing real writers use) and return each data file's
     * descriptor (storageType "u"). */
   def writeDvFile(spark: org.apache.spark.sql.SparkSession, tablePath: String,
-                  deletes: Seq[(String, Seq[Long])]): Map[String, DvDescriptor] = {
+                  deletes: Seq[(String, Seq[Long])]): Map[String, DvDescriptor] =
+    writeDvFileConf(spark.sparkContext.hadoopConfiguration, tablePath, deletes)
+
+  /** [[writeDvFile]] with a plain Configuration — executor-safe (e.g.
+    * from a broadcast [[SerializableHadoopConf]]); the UUID-derived file
+    * name makes direct writes into the table root collision-free, so
+    * retried task attempts leave only unreferenced orphans. */
+  def writeDvFileConf(conf: org.apache.hadoop.conf.Configuration,
+                      tablePath: String,
+                      deletes: Seq[(String, Seq[Long])]): Map[String, DvDescriptor] = {
     val uuid = java.util.UUID.randomUUID()
     val path = new org.apache.hadoop.fs.Path(tablePath,
       s"deletion_vector_$uuid.bin")
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = path.getFileSystem(conf)
     val os = fs.create(path, true)
     val descriptors = scala.collection.mutable.Map[String, DvDescriptor]()
     try {

@@ -126,7 +126,8 @@ object IcebergTable {
   case class SnapshotInfo(snapshotId: Long, timestampMs: Long,
                           operation: String, manifestList: String,
                           summary: Map[String, String] = Map.empty,
-                          sequenceNumber: Long = 0L)
+                          sequenceNumber: Long = 0L,
+                          firstRowId: Option[Long] = None)
 
   case class TableMeta(location: String, schema: StructType,
                        schemaNode: JsonNode, lastColumnId: Int,
@@ -136,7 +137,8 @@ object IcebergTable {
                        metadataVersion: Int, tableUuid: String,
                        formatVersion: Int,
                        lastSequenceNumber: Long = 0L,
-                       nonIdentityTransforms: Seq[String] = Nil)
+                       nonIdentityTransforms: Seq[String] = Nil,
+                       nextRowId: Long = 0L)
 
   private def metaDir(table: String) = new Path(table, "metadata")
 
@@ -189,7 +191,7 @@ object IcebergTable {
     val in = fs.open(p)
     val root = try mapper.readTree(in) finally in.close()
     val formatVersion = root.get("format-version").asInt
-    require(formatVersion == 1 || formatVersion == 2,
+    require(formatVersion >= 1 && formatVersion <= 3,
       s"unsupported iceberg format-version $formatVersion in $p")
     // v1 has "schema"; v2 has "schemas" + "current-schema-id"
     val schemaNode =
@@ -233,13 +235,15 @@ object IcebergTable {
           summary.getOrElse("operation", "append"),
           s.get("manifest-list").asText,
           summary - "operation",
-          Option(s.get("sequence-number")).map(_.asLong).getOrElse(0L))
+          Option(s.get("sequence-number")).map(_.asLong).getOrElse(0L),
+          Option(s.get("first-row-id")).map(_.asLong))
       }
     val current = Option(root.get("current-snapshot-id")).map(_.asLong).filter(_ != -1L)
     TableMeta(table, schema, schemaNode, root.get("last-column-id").asInt,
       partCols, current, snaps, v, root.get("table-uuid").asText, formatVersion,
       Option(root.get("last-sequence-number")).map(_.asLong).getOrElse(0L),
-      nonIdentity)
+      nonIdentity,
+      Option(root.get("next-row-id")).map(_.asLong).getOrElse(0L))
   }
 
   private def requireIdentitySpec(meta: TableMeta, what: String): Unit =
@@ -296,7 +300,17 @@ object IcebergTable {
   case class DataFileInfo(path: String, partition: Map[String, Any],
                           recordCount: Long, fileSizeBytes: Long,
                           status: Int, snapshotId: Long, content: Int = 0,
-                          seq: Long = 0L, equalityIds: Seq[Int] = Nil)
+                          seq: Long = 0L, equalityIds: Seq[Int] = Nil,
+                          fileFormat: String = "PARQUET",
+                          referencedDataFile: Option[String] = None,
+                          contentOffset: Option[Long] = None,
+                          contentSize: Option[Long] = None) {
+    /** Format-v3 deletion vector (content=1 entry whose bitmap lives in
+      * a Puffin blob instead of position-delete parquet). */
+    def isDv: Boolean =
+      content == 1 && (fileFormat.equalsIgnoreCase("PUFFIN") ||
+        referencedDataFile.isDefined)
+  }
 
   private def absolute(table: String, p: String): String =
     if (p.startsWith("/") || p.contains("://")) p else s"$table/$p"
@@ -351,7 +365,11 @@ object IcebergTable {
         DataFileInfo(absolute(table, str(df.get("file_path"))), part,
           df.get("record_count").asInstanceOf[Long],
           opt(df, "file_size_in_bytes").map(_.asInstanceOf[Long]).getOrElse(0L),
-          status, snapId, content, seq, eqIds)
+          status, snapId, content, seq, eqIds,
+          opt(df, "file_format").map(str).getOrElse("PARQUET"),
+          opt(df, "referenced_data_file").map(v => absolute(table, str(v))),
+          opt(df, "content_offset").map(_.asInstanceOf[Long]),
+          opt(df, "content_size_in_bytes").map(_.asInstanceOf[Long]))
       }
     }
 
@@ -428,33 +446,147 @@ object IcebergTable {
       entries.filter(_.content == 2))
   }
 
+  /** [[read]] plus the format-v3 ROW LINEAGE virtual columns (spec
+    * §Row Lineage): `_row_id` — a stable per-row identifier assigned by
+    * inheritance (the committing snapshot's `first-row-id` + the file's
+    * running record-count offset within that snapshot's added data
+    * files + the row's ordinal in its file) — and
+    * `_last_updated_sequence_number` (the file's data sequence number;
+    * for files this reader sees, rows were last written when their file
+    * was). Files committed before the table's v3 upgrade have no id
+    * range → NULL lineage, exactly the spec's upgrade posture.
+    *
+    * Bound: ids are unique and stable across appends and deletes; a
+    * `replace` compaction re-adds files under the replace snapshot, so
+    * ids stay UNIQUE but are re-minted (per-entry `first_row_id`
+    * carry-over on rewrite is not implemented — full-fidelity lineage
+    * through compaction would need it).
+    *
+    * Shape: the per-file (base, seq) table is manifest metadata —
+    * broadcast joined on the normalized file path, ids materialize as
+    * base + `_metadata.row_index` on executors. Nothing row-scale
+    * touches the driver. */
+  def readWithLineage(spark: SparkSession, table: String,
+                      snapshotId: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    val meta = loadMeta(spark, table)
+    require(meta.formatVersion >= 3,
+      s"row lineage requires a format-v3 table: $table is v${meta.formatVersion}")
+    val entries = liveEntries(spark, table, snapshotId)
+    val files = entries.filter(_.content == 0)
+    val firstRowIdOf: Map[Long, Long] = meta.snapshots
+      .flatMap(s => s.firstRowId.map(s.snapshotId -> _)).toMap
+    // running offset per (snapshot, file) over the snapshot's ADDED data
+    // files in manifest order — the spec's inheritance assignment
+    val bases: Seq[(String, java.lang.Long, Long)] = files
+      .groupBy(_.snapshotId).toSeq.flatMap { case (snapId, fs) =>
+        val start = firstRowIdOf.get(snapId)
+        fs.scanLeft(0L)((off, f) => off + f.recordCount).zip(fs).map {
+          case (off, f) =>
+            (normSchemeless(f.path),
+              start.map(b => java.lang.Long.valueOf(b + off)).orNull, f.seq)
+        }
+      }
+    if (files.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(meta.schema.fields :+
+          StructField("_row_id", LongType) :+
+          StructField("_last_updated_sequence_number", LongType)))
+    val base = buildRead(spark, meta, files, entries.filter(_.content == 1),
+      entries.filter(_.content == 2), withLineageCols = true)
+    import spark.implicits._
+    val lookup = broadcast(bases.toDF("__g_lineage_fp", "__g_base", "__g_lseq"))
+    base
+      .join(lookup, Seq("__g_lineage_fp"), "left")
+      .withColumn("_row_id", col("__g_base") + col("__g_lineage_pos"))
+      .withColumn("_last_updated_sequence_number", col("__g_lseq"))
+      .drop("__g_lineage_fp", "__g_lineage_pos", "__g_base", "__g_lseq")
+  }
+
   /** The scan+merge core of [[read]] over an EXPLICIT entry set — also
     * the unit the changelog diff restricts to changed files. */
   private def buildRead(spark: SparkSession, meta: TableMeta,
                         files: Seq[DataFileInfo],
                         posDeletes: Seq[DataFileInfo],
-                        eqDeletes: Seq[DataFileInfo]): DataFrame = {
+                        eqDeletes: Seq[DataFileInfo],
+                        withLineageCols: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.col
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], meta.schema)
     else {
       val base = spark.read.schema(meta.schema).parquet(files.map(_.path): _*)
       var data = base
+      // lineage helpers must come off `_metadata` BEFORE any join —
+      // metadata columns don't re-resolve through join projections
+      if (withLineageCols) data = data
+        .withColumn("__g_lineage_fp", normPath(col("_metadata.file_path")))
+        .withColumn("__g_lineage_pos", col("_metadata.row_index"))
       if (posDeletes.nonEmpty || eqDeletes.nonEmpty)
         data = data.withColumn("__g_fp", normPath(col("_metadata.file_path")))
       if (posDeletes.nonEmpty) {
-        // merge-on-read: drop rows named by position-delete files via a
+        // merge-on-read: drop rows named by position deletes via a
         // distributed LEFT ANTI join on (file_path, row position). The
         // parquet `_metadata.row_index` column IS the spec's `pos`
         // (row ordinal within the data file), so no per-file driver work
-        // — deletes stay a DataFrame, Catalyst broadcasts it when small
-        // (delete parquet carries size stats), and nothing collects.
+        // — deletes stay a DataFrame and nothing row-scale collects.
         // Matching by explicit (path, pos) makes sequence-number checks
         // unnecessary here: file paths are unique within a table's
         // lifetime, so a delete can only name rows of its target file.
-        val dels = spark.read.parquet(posDeletes.map(_.path): _*)
-          .select(normPath(col("file_path")).as("__g_fp"),
-            col("pos").cast("long").as("__g_pos"))
+        //
+        // Two carriers feed the join: v2 position-delete PARQUET rows,
+        // and v3 DELETION VECTORS (Puffin-framed roaring bitmaps, one
+        // per data file). DV bitmaps expand to positions on EXECUTORS —
+        // the driver only ships (blob path, offset, size) descriptors —
+        // and per the v3 scan-planning rule a DV REPLACES every older
+        // position delete of its data file, so parquet delete rows for
+        // DV'd files are masked before the join.
+        import spark.implicits._
+        val (dvsAll, pqDels) = posDeletes.partition(_.isDv)
+        // at most one DV per data file is live in a valid v3 snapshot;
+        // resolve defensively to the newest should a writer misbehave
+        val dvs = dvsAll.groupBy(f => normSchemeless(f.referencedDataFile
+            .getOrElse(throw new IllegalArgumentException(
+              s"PUFFIN delete entry without referenced_data_file: ${f.path}"))))
+          .map { case (_, fs) => fs.maxBy(_.seq) }.toSeq
+        var parts = Seq.empty[DataFrame]
+        if (pqDels.nonEmpty) {
+          var pq = spark.read.parquet(pqDels.map(_.path): _*)
+            .select(normPath(col("file_path")).as("__g_fp"),
+              col("pos").cast("long").as("__g_pos"))
+          if (dvs.nonEmpty) {
+            import org.apache.spark.sql.functions.broadcast
+            val dvTargets = dvs
+              .map(f => normSchemeless(f.referencedDataFile.get)).toDF("__g_fp")
+            pq = pq.join(broadcast(dvTargets), Seq("__g_fp"), "left_anti")
+          }
+          parts :+= pq
+        }
+        if (dvs.nonEmpty) {
+          val confBc = spark.sparkContext.broadcast(
+            new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+          val descs = dvs.map { f =>
+            (f.path,
+              f.contentOffset.getOrElse(throw new IllegalArgumentException(
+                s"DV entry without content_offset: ${f.path}")),
+              f.contentSize.getOrElse(throw new IllegalArgumentException(
+                s"DV entry without content_size_in_bytes: ${f.path}")),
+              normSchemeless(f.referencedDataFile.get))
+          }
+          parts :+= spark.createDataset(descs)
+            .repartition(math.min(descs.size,
+              spark.sparkContext.defaultParallelism))
+            .flatMap { case (pp, off, sz, ref) =>
+              Puffin.readDvBlob(confBc.value.value, pp, off, sz)
+                .map(pos => (ref, pos))
+            }.toDF("__g_fp", "__g_pos")
+        }
+        var dels = parts.reduce(_ unionByName _)
+        // cardinality is manifest metadata (record_count of each delete
+        // entry), so the broadcast decision costs no data read
+        if (posDeletes.map(_.recordCount).sum <= 4000000L) {
+          import org.apache.spark.sql.functions.broadcast
+          dels = broadcast(dels)
+        }
         data = data.withColumn("__g_pos", col("_metadata.row_index"))
           .join(dels, Seq("__g_fp", "__g_pos"), "left_anti")
           .drop("__g_pos")
@@ -574,9 +706,14 @@ object IcebergTable {
       var changed = (prevData.keySet diff curData.keySet) ++
         (curData.keySet diff prevData.keySet)
       val newPos = newDels.filter(_.content == 1)
-      if (newPos.nonEmpty) {
+      // DV entries name their target in the MANIFEST (referenced_data_file)
+      // — no file read at all; parquet position deletes list targets in
+      // their metadata-scale file_path column
+      val (newDvs, newPosPq) = newPos.partition(_.isDv)
+      changed = changed ++ newDvs.map(f => normSchemeless(f.referencedDataFile.get))
+      if (newPosPq.nonEmpty) {
         import org.apache.spark.sql.functions.col
-        changed = changed ++ spark.read.parquet(newPos.map(_.path): _*)
+        changed = changed ++ spark.read.parquet(newPosPq.map(_.path): _*)
           .select(col("file_path")).distinct()
           .collect().map(r => normSchemeless(r.getString(0)))
       }
@@ -732,11 +869,20 @@ object IcebergTable {
       if (withContent) """{"name":"content","type":"int","field-id":134},"""
       else ""
     // equality_ids (spec field-id 135) rides only on v2 entries; null for
-    // data and position-delete files, the column-id list for content=2
+    // data and position-delete files, the column-id list for content=2.
+    // The three v3 deletion-vector fields (spec ids 143-145) ride along
+    // optionally: null on every non-DV entry, set when a content=1 entry
+    // points into a Puffin blob instead of position-delete parquet.
     val eqIdsField =
       if (withContent)
         """,{"name":"equality_ids","type":["null",{"type":"array",
-          |"items":"int","element-id":136}],"default":null,"field-id":135}"""
+          |"items":"int","element-id":136}],"default":null,"field-id":135},
+          |{"name":"referenced_data_file","type":["null","string"],
+          |"default":null,"field-id":143},
+          |{"name":"content_offset","type":["null","long"],
+          |"default":null,"field-id":144},
+          |{"name":"content_size_in_bytes","type":["null","long"],
+          |"default":null,"field-id":145}"""
           .stripMargin.replace("\n", "")
       else ""
     new Schema.Parser().parse(
@@ -960,7 +1106,7 @@ object IcebergTable {
         operation.getOrElse(
           if (mode == SaveMode.Overwrite && exists) "overwrite" else "append"),
         listPath.toString, summaryProps, newSeq),
-      fv)
+      fv, addedRows = addedRows)
     snapshotId
   }
 
@@ -1123,7 +1269,8 @@ object IcebergTable {
                              dataSchema: StructType,
                              partitionBy: Seq[String],
                              snapshot: SnapshotInfo,
-                             formatVersion: Int): Unit = {
+                             formatVersion: Int,
+                             addedRows: Long = 0L): Unit = {
     val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val newVersion = prior.map(_.metadataVersion + 1).getOrElse(1)
     val root = mapper.createObjectNode()
@@ -1134,6 +1281,13 @@ object IcebergTable {
     root.put("last-updated-ms", snapshot.timestampMs)
     if (formatVersion >= 2)
       root.put("last-sequence-number", snapshot.sequenceNumber)
+    // v3 ROW LINEAGE (spec: required for v3 tables): next-row-id advances
+    // by the rows this commit adds; the committing snapshot records the
+    // range start as first-row-id. Per-entry first_row_id stays null in
+    // manifests — the spec's inheritance assigns ids at read time.
+    val priorNextRowId = prior.map(_.nextRowId).getOrElse(0L)
+    if (formatVersion >= 3)
+      root.put("next-row-id", priorNextRowId + addedRows)
     val schemaNode: JsonNode = prior.map(_.schemaNode).getOrElse {
       val counter = new java.util.concurrent.atomic.AtomicInteger(0)
       toIcebergType(dataSchema, () => counter.incrementAndGet())
@@ -1179,6 +1333,10 @@ object IcebergTable {
       val n = snapsArr.addObject()
       n.put("snapshot-id", s.snapshotId); n.put("timestamp-ms", s.timestampMs)
       if (formatVersion >= 2) n.put("sequence-number", s.sequenceNumber)
+      s.firstRowId
+        .orElse(if (formatVersion >= 3 && s.snapshotId == snapshot.snapshotId)
+          Some(priorNextRowId) else None)
+        .foreach(v => n.put("first-row-id", v))
       val sum = n.putObject("summary"); sum.put("operation", s.operation)
       s.summary.toSeq.sortBy(_._1).foreach { case (k, v) => sum.put(k, v) }
       n.put("manifest-list", absolute(table, s.manifestList))
@@ -1300,6 +1458,12 @@ object IcebergTable {
                                            meta: TableMeta,
                                            matches: DataFrame): Long = {
     import org.apache.spark.sql.functions.col
+    // spec rule: a v3 table's NEW position deletes must be deletion
+    // vectors — route every position-delete producer (DELETE, UPDATE,
+    // MERGE) through the DV commit once the table has upgraded
+    if (meta.formatVersion >= 3)
+      return commitDvDeletes(spark, table, meta, matches,
+        liveEntries(spark, table))
     val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val snapshotId = meta.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1L
     val staging = new Path(table, s"_staging_del$snapshotId")
@@ -1430,7 +1594,251 @@ object IcebergTable {
     commitMetadata(spark, table, Some(meta), meta.schema, meta.partCols,
       SnapshotInfo(snapshotId, nowMs, "delete", listPath.toString,
         Map.empty, newSeq),
-      formatVersion = 2)
+      // row-level deletes are a v2 feature; a v3 table must not downgrade
+      formatVersion = math.max(2, meta.formatVersion))
     snapshotId
+  }
+
+  // --------------------------------------- format-v3 deletion vectors
+
+  /** Row-level DELETE writing format-v3 DELETION VECTORS — one
+    * Puffin-framed roaring bitmap per affected data file — instead of
+    * v2 position-delete parquet. The spec's write rules are honored
+    * distributed end-to-end:
+    *
+    *  - matched rows are located like [[deleteFrom]] (predicate on
+    *    executors over `_metadata.file_path`/`row_index`, no row-scale
+    *    driver state);
+    *  - the new DV for a file MERGES every prior position delete of
+    *    that file (older DVs and v2 position-delete parquet rows), so
+    *    one DV per data file is the whole deletion story and the scan
+    *    rule "a DV replaces older position deletes" loses nothing;
+    *  - superseded DV entries are dropped from the carried delete
+    *    manifests (filtered rewrite, metadata-scale);
+    *  - Puffin files are written from EXECUTORS (one per shuffle
+    *    partition of the affected files); the driver collects only
+    *    blob descriptors (path, offset, size, cardinality) for the
+    *    manifest commit;
+    *  - the table upgrades to format-version 3, with the spec's row
+    *    lineage fields (next-row-id / first-row-id) maintained.
+    *
+    * Returns the new snapshot id, or the current one unchanged when
+    * nothing matches. Ref contrib/format-iceberg/.../IcebergGroupScan
+    * .java — Drill plans through iceberg-core, which applies DVs
+    * transparently; graft re-expresses the same read+write from the
+    * public table-spec + puffin-spec. */
+  def deleteFromDv(spark: SparkSession, table: String,
+                   condition: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    import spark.implicits._
+    val meta = loadMeta(spark, table)
+    requireIdentitySpec(meta, "deleteFromDv")
+    val entries = liveEntries(spark, table)
+    val dataFiles = entries.filter(_.content == 0)
+    if (dataFiles.isEmpty) return meta.currentSnapshotId.getOrElse(0L)
+    val lookup = dataFiles.map(_.path).toDF("file_path")
+      .withColumn("__g_fp", normPath(col("file_path")))
+    val matches = spark.read.schema(meta.schema)
+      .parquet(dataFiles.map(_.path): _*)
+      .filter(condition)
+      .select(normPath(col("_metadata.file_path")).as("__g_fp"),
+        col("_metadata.row_index").as("pos"))
+      .join(broadcast(lookup), "__g_fp")
+      .select(col("file_path"), col("pos"))
+    commitDvDeletes(spark, table, meta, matches, entries)
+  }
+
+  /** Commit a `(file_path, pos)` DataFrame as a deletion-vector
+    * snapshot (the DV twin of [[commitPositionDeletes]]; `live` is the
+    * caller's already-loaded live entry set). */
+  private[graft] def commitDvDeletes(spark: SparkSession, table: String,
+                                     meta: TableMeta, matches: DataFrame,
+                                     live: Seq[DataFileInfo]): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    import spark.implicits._
+    val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // affected data files: metadata-scale (distinct file paths) — drives
+    // the merge set, the supersede bookkeeping and the manifest entries
+    val affected = matches.select("file_path").distinct()
+      .as[String].collect().toSeq.sorted
+    if (affected.isEmpty) return meta.currentSnapshotId.getOrElse(0L)
+    val affectedNorm = affected.map(normSchemeless).toSet
+    val snapshotId = meta.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1L
+    val newSeq = meta.lastSequenceNumber + 1
+    val nowMs = System.currentTimeMillis()
+    val confBc = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+
+    // ---- merge set: new matches ∪ prior DV positions ∪ prior parquet
+    // position-delete rows, restricted to the affected files — all
+    // distributed, keyed by the files' exact manifest spelling
+    val oldPos = live.filter(e => e.status != 2 && e.content == 1)
+    val (oldDvs, oldPq) = oldPos.partition(_.isDv)
+    val normToExactBc = spark.sparkContext.broadcast(
+      affected.map(p => normSchemeless(p) -> p).toMap)
+    var all = matches.select(col("file_path"), col("pos").cast("long").as("pos"))
+    val mergeDvs = oldDvs.filter(f =>
+      affectedNorm(normSchemeless(f.referencedDataFile.get)))
+    if (mergeDvs.nonEmpty) {
+      val descs = mergeDvs.map(f => (f.path, f.contentOffset.get,
+        f.contentSize.get, normSchemeless(f.referencedDataFile.get)))
+      all = all.unionByName(spark.createDataset(descs)
+        .repartition(math.min(descs.size, spark.sparkContext.defaultParallelism))
+        .flatMap { case (pp, off, sz, ref) =>
+          Puffin.readDvBlob(confBc.value.value, pp, off, sz)
+            .map(pos => (normToExactBc.value(ref), pos))
+        }.toDF("file_path", "pos"))
+    }
+    if (oldPq.nonEmpty) {
+      val affDf = broadcast(affected.map(p => (normSchemeless(p), p))
+        .toDF("__g_nfp", "file_path"))
+      all = all.unionByName(spark.read.parquet(oldPq.map(_.path): _*)
+        .select(normPath(col("file_path")).as("__g_nfp"),
+          col("pos").cast("long").as("pos"))
+        .join(affDf, Seq("__g_nfp"))
+        .select("file_path", "pos"))
+    }
+
+    // ---- write the Puffin files from EXECUTORS: one file per shuffle
+    // partition of the affected files (task-attempt-unique names; only
+    // the winning attempt's rows reach the driver, orphans vanish with
+    // the staging dir)
+    val staging = new Path(table, s"_staging_dv$snapshotId")
+    fs.mkdirs(staging)
+    val stagingStr = staging.toString
+    val blobRows: Seq[(String, String, Long, Long, Long)] =
+      all.distinct()
+        .repartition(col("file_path")).sortWithinPartitions("file_path", "pos")
+        .as[(String, Long)]
+        .mapPartitions { it =>
+          if (!it.hasNext) Iterator.empty
+          else {
+            val groups = scala.collection.mutable.LinkedHashMap
+              .empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+            it.foreach { case (fp, pos) =>
+              groups.getOrElseUpdate(fp,
+                scala.collection.mutable.ArrayBuffer[Long]()) += pos
+            }
+            val name = s"dv-$snapshotId-" +
+              java.util.UUID.randomUUID().toString + ".puffin"
+            val blobs = Puffin.writeDvFile(confBc.value.value,
+              new Path(stagingStr, name),
+              groups.toSeq.map { case (fp, ps) => (fp, ps.toSeq) },
+              snapshotId, newSeq)
+            blobs.iterator.map(b =>
+              (name, b.referencedDataFile, b.offset, b.length, b.cardinality))
+          }
+        }.collect().toSeq // metadata-scale: one row per affected data file
+
+    // ---- move the winning Puffin files flat into data/
+    val dataDir = new Path(table, "data")
+    fs.mkdirs(dataDir)
+    val finalPath: Map[String, Path] = blobRows.map(_._1).distinct.sorted
+      .map { name =>
+        val dest = new Path(dataDir, name)
+        fs.delete(dest, false)
+        require(fs.rename(new Path(staging, name), dest),
+          s"rename failed: $staging/$name -> $dest")
+        name -> dest
+      }.toMap
+    fs.delete(staging, true)
+
+    // ---- delete manifest: one DV entry per affected data file
+    val entrySchema = manifestEntrySchema(Nil, withContent = true)
+    val dfSchema = entrySchema.getField("data_file").schema()
+    val partSchema = dfSchema.getField("partition").schema()
+    val puffinLen: Map[String, Long] = finalPath.map { case (n, p) =>
+      n -> fs.getFileStatus(p).getLen }
+    val entries = blobRows.sortBy(_._2).map { case (name, ref, off, len, card) =>
+      val d = new GenericData.Record(dfSchema)
+      d.put("content", 1)
+      d.put("file_path", finalPath(name).toString)
+      d.put("file_format", "PUFFIN")
+      d.put("partition", new GenericData.Record(partSchema))
+      d.put("record_count", card)
+      d.put("file_size_in_bytes", puffinLen(name))
+      d.put("block_size_in_bytes", 67108864L)
+      d.put("referenced_data_file", ref)
+      d.put("content_offset", off)
+      d.put("content_size_in_bytes", len)
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", 1) // ADDED
+      e.put("snapshot_id", snapshotId)
+      e.put("data_file", d)
+      e
+    }
+    val manifestPath = new Path(metaDir(table), f"snap$snapshotId%05d-dv0.avro")
+    val manifestLen = writeAvro(spark, manifestPath, entrySchema, entries, Map(
+      "format-version" -> "3",
+      "partition-spec-id" -> "0",
+      "content" -> "deletes"))
+    val totalCard = blobRows.map(_._5).sum
+
+    // ---- carried manifests, with SUPERSEDE: prior delete manifests
+    // lose their DV entries for the affected files (the new DVs carry
+    // those positions); manifests left empty drop from the list
+    val carried = carriedManifests(spark, table, Some(meta), manifestFileSchemaV2)
+      .zipWithIndex.flatMap { case (r, i) =>
+        val content = r.get("content").asInstanceOf[Int]
+        if (content != 1) Some(r)
+        else {
+          val mfPath = str(r.get("manifest_path"))
+          val (recs, mfSchema) = readAvroRecordsAndSchema(spark, mfPath)
+          val (dropped, kept) = recs.partition { e =>
+            val df = e.get("data_file").asInstanceOf[GenericRecord]
+            opt(df, "referenced_data_file").map(str).exists(ref =>
+              affectedNorm(normSchemeless(absolute(table, ref))))
+          }
+          if (dropped.isEmpty) Some(r)
+          else if (kept.isEmpty) None
+          else {
+            val rw = new Path(metaDir(table), f"snap$snapshotId%05d-rw$i.avro")
+            val rwLen = writeAvro(spark, rw, mfSchema, kept, Map(
+              "format-version" -> "3",
+              "partition-spec-id" -> "0",
+              "content" -> "deletes"))
+            val rows = kept.map(_.get("data_file").asInstanceOf[GenericRecord]
+              .get("record_count").asInstanceOf[Long]).sum
+            Some(mfRow(manifestFileSchemaV2, rw.toString, rwLen,
+              r.get("added_snapshot_id").asInstanceOf[Long], kept.size, rows,
+              content = 1,
+              seq = r.get("sequence_number").asInstanceOf[Long],
+              minSeq = r.get("min_sequence_number").asInstanceOf[Long]))
+          }
+        }
+      }
+    val listPath = new Path(metaDir(table), f"snap-$snapshotId-manifest-list.avro")
+    writeAvro(spark, listPath, manifestFileSchemaV2,
+      mfRow(manifestFileSchemaV2, manifestPath.toString, manifestLen,
+        snapshotId, entries.size, totalCard, content = 1,
+        seq = newSeq, minSeq = newSeq) +: carried,
+      Map("format-version" -> "3"))
+    // v2→v3 upgrade initializes row lineage: next-row-id starts at the
+    // live record count so future appends assign fresh, non-overlapping
+    // row ids (pre-upgrade rows inherit ids below the base)
+    val upgradeRows =
+      if (meta.formatVersion < 3)
+        live.filter(e => e.status != 2 && e.content == 0).map(_.recordCount).sum
+      else 0L
+    commitMetadata(spark, table, Some(meta), meta.schema, meta.partCols,
+      SnapshotInfo(snapshotId, nowMs, "delete", listPath.toString,
+        Map("added-dvs" -> entries.size.toString,
+          "added-position-deletes" -> totalCard.toString), newSeq),
+      formatVersion = 3, addedRows = upgradeRows)
+    snapshotId
+  }
+
+  /** [[readAvroRecords]] plus the container's writer schema (needed to
+    * re-emit a filtered copy of a manifest byte-compatibly). */
+  private def readAvroRecordsAndSchema(spark: SparkSession,
+                                       path: String): (Seq[GenericRecord], Schema) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val reader = new DataFileReader[GenericRecord](
+      new FsInput(new Path(path), conf), new GenericDatumReader[GenericRecord]())
+    try {
+      val buf = scala.collection.mutable.ArrayBuffer[GenericRecord]()
+      while (reader.hasNext) buf += reader.next()
+      (buf.toSeq, reader.getSchema)
+    } finally reader.close()
   }
 }

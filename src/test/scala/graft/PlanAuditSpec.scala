@@ -272,6 +272,19 @@ class PlanAuditSpec extends AnyFunSuite {
       s"data rows must not shuffle to apply deletes:\n$p")
   }
 
+  test("q_iceberg_v3_dv: deletion vectors apply as a BROADCAST anti-join") {
+    val p = plan("q_iceberg_v3_dv")
+    // v3 merge-on-read: the Puffin bitmaps expand on executors and feed
+    // the same LEFT ANTI join as v2 position deletes; the cardinality is
+    // manifest metadata, so a small delete set broadcasts and the data
+    // side never shuffles for the merge
+    assert(p.contains("LeftAnti"), s"anti-join for deletion vectors:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"small DV set should broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"data rows must not shuffle to apply DVs:\n$p")
+  }
+
   test("q_iceberg_eq_delete: equality deletes apply as broadcast anti-joins") {
     val p = plan("q_iceberg_eq_delete")
     assert(p.contains("LeftAnti"), s"anti-join for equality deletes:\n$p")
