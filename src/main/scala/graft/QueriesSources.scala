@@ -272,6 +272,28 @@ object QueriesSources {
       graft.sources.DeltaLogReader.read(s, base)
     }),
 
+    // ---- DELETE via DELETION VECTORS (graft.delta.dv opts the SQL
+    // router into delta-spark's default shape): two overlapping deletes
+    // prove the replacement-DV merge; data files never rewrite ----
+    "q_delta_delete_dv" -> ((s, d) => {
+      val base = s"${out(d)}/delta_del_dv"
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.sources.DeltaLogWriter.write(
+        GraftSession.table(s, d, "supplier")
+          .select("s_suppkey", "s_name", "s_acctbal"), base)
+      s.conf.set("graft.dfs.workspace.dmlout", out(d))
+      s.conf.set("graft.delta.dv", "true")
+      try {
+        s.sql("DELETE FROM dfs.dmlout.`delta_del_dv` WHERE s_acctbal < 0")
+        s.sql("DELETE FROM dfs.dmlout.`delta_del_dv` WHERE s_suppkey % 7 = 0")
+      } finally {
+        s.conf.unset("graft.dfs.workspace.dmlout")
+        s.conf.unset("graft.delta.dv")
+      }
+      graft.sources.DeltaLogReader.read(s, base)
+    }),
+
     "q_delta_update" -> ((s, d) => {
       val base = s"${out(d)}/delta_upd"
       val p = new org.apache.hadoop.fs.Path(base)
@@ -1469,6 +1491,9 @@ object QueriesSources {
     "q_delta_delete" -> """
       SELECT s_suppkey, s_name, s_acctbal
       FROM supplier WHERE NOT (s_acctbal < 0)""",
+    "q_delta_delete_dv" -> """
+      SELECT s_suppkey, s_name, s_acctbal
+      FROM supplier WHERE NOT (s_acctbal < 0) AND NOT (s_suppkey % 7 = 0)""",
     "q_delta_update" -> """
       SELECT c_custkey,
              CASE WHEN c_acctbal > 5000 THEN 'PREMIUM'

@@ -177,6 +177,125 @@ object DeltaDml {
     (version, deleted)
   }
 
+  /** DELETE FROM writing DELETION VECTORS instead of rewriting files —
+    * delta-spark's default delete shape once the table enables the
+    * feature: each affected file is re-added UNCHANGED with a
+    * `deletionVector` descriptor naming its dead positions, so write
+    * cost is O(deleted positions), not O(affected file bytes) — on a
+    * wide file with three matching rows, COW rewrites the file, this
+    * writes ~a dozen bitmap bytes.
+    *
+    * Spec shape (PROTOCOL.md §Deletion Vectors + §Writer Requirements):
+    *  - the new DV for a file MERGES the file's existing DV (replacement
+    *    vectors must carry all previously deleted positions);
+    *  - rows already dead under an existing DV neither re-count nor
+    *    re-emit CDF;
+    *  - the commit re-adds the data file with the new descriptor and
+    *    removes the old add, under a protocol action declaring
+    *    readerVersion 3 / writerVersion 7 with the deletionVectors
+    *    feature.
+    *
+    * Distribution: matching runs on executors over `_metadata`
+    * row indexes; existing bitmaps expand on executors; DV FILES are
+    * written from executors (one per shuffle partition, UUID-named so
+    * direct writes are collision-free); the driver handles only file
+    * lists and blob descriptors. Returns (version, rows deleted). */
+  def deleteDv(spark: SparkSession, tablePath: String,
+               condition: Column): (Long, Long) = {
+    import spark.implicits._
+    val (schema, partCols, files) = DeltaLogReader.activeStateDv(spark, tablePath)
+    require(partCols.isEmpty,
+      s"DML on partitioned Delta table not supported: $tablePath")
+    require(schema.fields.forall(f => !f.metadata.contains(PhysKey)),
+      s"DML on column-mapped Delta table not supported: $tablePath")
+    val current = (DeltaLogReader.tableVersions(spark, tablePath) ++
+      DeltaLogReader.lastCheckpointVersion(spark, tablePath)).max
+    if (files.isEmpty) return (current, 0L)
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val relOf: Map[String, String] = files.map { case (rel, _, _) =>
+      absolute(tablePath, rel).replaceFirst("^[a-zA-Z0-9]+:/+", "/") -> rel
+    }.toMap
+    val confBc = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+
+    // existing DV positions, expanded on executors → (normAbsFile, pos)
+    val withDv = files.collect { case (rel, _, Some(d)) => (rel, d) }
+    val tp = tablePath
+    def dvRows(restrict: Set[String]): DataFrame =
+      spark.createDataset(withDv.filter { case (rel, _) =>
+          restrict.isEmpty || restrict(rel) })
+        .repartition(math.max(1, math.min(withDv.size,
+          spark.sparkContext.defaultParallelism)))
+        .flatMap { case (rel, d) =>
+          DeletionVectors.readPositions(d, tp, confBc.value.value)
+            .map(pos => (rel, pos))
+        }.toDF("__g_rel", "__g_pos")
+
+    // visible matched rows: condition TRUE, not already dead under a DV
+    val scan = spark.read.schema(schema)
+      .parquet(files.map(f => absolute(tablePath, f._1)): _*)
+    val hit = coalesce(condition.cast(BooleanType), lit(false))
+    val relLookup = broadcast(relOf.toSeq.toDF("__g_file", "__g_rel"))
+    var matched = scan.filter(hit)
+      .withColumn("__g_file", fileCol)
+      .withColumn("__g_pos", col("_metadata.row_index"))
+      .join(relLookup, Seq("__g_file"))
+    if (withDv.nonEmpty)
+      matched = matched.join(dvRows(Set.empty), Seq("__g_rel", "__g_pos"), "left_anti")
+    val deleted = matched.count()
+    if (deleted == 0) return (current, 0L)
+    val affected = matched.select("__g_rel").distinct()
+      .as[String].collect().toSeq.sorted
+    val version = current + 1
+
+    // new DV per affected file = visible matches ∪ its existing DV
+    var positions = matched.select(col("__g_rel"), col("__g_pos"))
+    val affectedWithDv = withDv.collect {
+      case (rel, _) if affected.contains(rel) => rel }.toSet
+    if (affectedWithDv.nonEmpty)
+      positions = positions.unionByName(dvRows(affectedWithDv))
+    val dvDescs: Map[String, DeletionVectors.DvDescriptor] =
+      positions.repartition(col("__g_rel"))
+        .sortWithinPartitions("__g_rel", "__g_pos")
+        .as[(String, Long)]
+        .mapPartitions { it =>
+          if (!it.hasNext) Iterator.empty
+          else {
+            val groups = scala.collection.mutable.LinkedHashMap
+              .empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+            it.foreach { case (rel, pos) =>
+              groups.getOrElseUpdate(rel,
+                scala.collection.mutable.ArrayBuffer[Long]()) += pos
+            }
+            DeletionVectors.writeDvFileConf(confBc.value.value, tp,
+              groups.toSeq.map { case (rel, ps) => (rel, ps.toSeq) }).iterator
+          }
+        }.collect().toMap // metadata-scale: one descriptor per file
+
+    // commit: protocol w/ the DV feature, remove+re-add per affected file
+    def dvJson(d: DeletionVectors.DvDescriptor): String =
+      s""","deletionVector":{"storageType":"${d.storageType}",""" +
+        s""""pathOrInlineDv":"${d.pathOrInlineDv}","offset":${d.offset},""" +
+        s""""sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}"""
+    val readds = affected.map { rel =>
+      val size = fs.getFileStatus(new Path(absolute(tablePath, rel))).getLen
+      s"""{"add":{"path":"$rel","partitionValues":{},"size":$size,""" +
+        s""""modificationTime":0,"dataChange":true${dvJson(dvDescs(rel))}}}"""
+    }
+    val cdc =
+      if (cdfEnabled(spark))
+        stageCdc(typed(matched.select(schema.fieldNames.map(col).toSeq: _*),
+          "delete"), tablePath, version)
+      else Nil
+    val protocol =
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors"],""" +
+        """"writerFeatures":["deletionVectors"]}}"""
+    DeltaLogReader.writeCommit(spark, tablePath, version,
+      Seq(ci("DELETE"), protocol) ++ removeActions(affected) ++ readds ++ cdc)
+    (version, deleted)
+  }
+
   /** UPDATE ... SET: rewrite rows where `condition` is TRUE with the
     * `set` expressions (target-column -> new value, cast to the
     * column's type); other rows in affected files carry through

@@ -338,6 +338,15 @@ object DeltaLogReader {
     (s, pc, files.map(f => (f.path, f.partitionValues, f.dv.nonEmpty)))
   }
 
+  /** [[activeState]] with the full deletion-vector descriptors — the
+    * DV-writing DML path needs them to merge prior vectors. */
+  private[graft] def activeStateDv(spark: SparkSession, tablePath: String)
+      : (StructType, Seq[String],
+         Seq[(String, Map[String, String], Option[DeletionVectors.DvDescriptor])]) = {
+    val (s, pc, files) = snapshot(spark, tablePath, None)
+    (s, pc, files.map(f => (f.path, f.partitionValues, f.dv)))
+  }
+
   /** Resolved snapshot state for the checkpoint writer. */
   private[graft] def snapshotState(spark: SparkSession, tablePath: String,
                                    version: Option[Long])

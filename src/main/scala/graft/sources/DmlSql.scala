@@ -126,8 +126,20 @@ object DmlSql {
     val path = tablePathOf(spark, target, parseIdent)
     formatOf(spark, path) match {
       case DeltaT =>
-        val (v, n) = DeltaDml.delete(spark, path, expr(cond))
-        result(s"$n rows deleted from $path (delta v$v, copy-on-write)")
+        // delta-spark posture: once a table carries deletion vectors
+        // (or the session opts in via graft.delta.dv), DELETE writes
+        // DVs — O(deleted positions) instead of a file rewrite; the
+        // COW path refuses DV-bearing tables outright
+        val useDv = spark.conf.getOption("graft.delta.dv")
+            .exists(_.equalsIgnoreCase("true")) ||
+          DeltaLogReader.activeState(spark, path)._3.exists(_._3)
+        if (useDv) {
+          val (v, n) = DeltaDml.deleteDv(spark, path, expr(cond))
+          result(s"$n rows deleted from $path (delta v$v, deletion vectors)")
+        } else {
+          val (v, n) = DeltaDml.delete(spark, path, expr(cond))
+          result(s"$n rows deleted from $path (delta v$v, copy-on-write)")
+        }
       case IcebergT =>
         val snap = IcebergTable.deleteFrom(spark, path, expr(cond))
         result(s"position deletes committed to $path " +
