@@ -201,9 +201,33 @@ object DeltaDml {
     * direct writes are collision-free); the driver handles only file
     * lists and blob descriptors. Returns (version, rows deleted). */
   def deleteDv(spark: SparkSession, tablePath: String,
-               condition: Column): (Long, Long) = {
+               condition: Column): (Long, Long) =
+    dvDml(spark, tablePath, condition, None)
+
+  /** UPDATE ... SET via deletion vectors — delta-spark's merge-on-read
+    * update: the matched rows' OLD versions die under a merged
+    * replacement DV (their files re-added unchanged), the NEW versions
+    * append as ordinary data files. Write cost is O(matched rows), not
+    * O(affected file bytes) — [[update]]'s COW rewrite cost. Returns
+    * (version, rows updated). */
+  def updateDv(spark: SparkSession, tablePath: String, condition: Column,
+               set: Map[String, Column]): (Long, Long) = {
+    require(set.nonEmpty, "UPDATE: empty SET clause")
+    dvDml(spark, tablePath, condition, Some(set))
+  }
+
+  /** The shared DV DML engine: kill the visible matched rows under
+    * merged replacement DVs; with `set`, also append the rewritten
+    * versions (UPDATE), else it is a DELETE. */
+  private def dvDml(spark: SparkSession, tablePath: String,
+                    condition: Column,
+                    set: Option[Map[String, Column]]): (Long, Long) = {
     import spark.implicits._
     val (schema, partCols, files) = DeltaLogReader.activeStateDv(spark, tablePath)
+    set.foreach { s =>
+      val bad = s.keySet.filterNot(schema.fieldNames.contains)
+      require(bad.isEmpty, s"UPDATE: unknown column(s) ${bad.mkString(", ")}")
+    }
     require(partCols.isEmpty,
       s"DML on partitioned Delta table not supported: $tablePath")
     require(schema.fields.forall(f => !f.metadata.contains(PhysKey)),
@@ -282,17 +306,37 @@ object DeltaDml {
       s"""{"add":{"path":"$rel","partitionValues":{},"size":$size,""" +
         s""""modificationTime":0,"dataChange":true${dvJson(dvDescs(rel))}}}"""
     }
+    // UPDATE: the rewritten row versions append as new data files
+    def rewritten(s: Map[String, Column]): DataFrame =
+      matched.select(schema.fields.toSeq.map { f =>
+        s.get(f.name) match {
+          case Some(e) => e.cast(f.dataType).as(f.name)
+          case None    => col(f.name).as(f.name)
+        }
+      }: _*)
+    val updAdds = set match {
+      case Some(s) => stageAdds(rewritten(s), tablePath, version, dataChange = true)
+      case None    => Nil
+    }
     val cdc =
-      if (cdfEnabled(spark))
-        stageCdc(typed(matched.select(schema.fieldNames.map(col).toSeq: _*),
-          "delete"), tablePath, version)
+      if (cdfEnabled(spark)) set match {
+        case None => stageCdc(
+          typed(matched.select(schema.fieldNames.map(col).toSeq: _*),
+            "delete"), tablePath, version)
+        case Some(s) => stageCdc(
+          typed(matched.select(schema.fieldNames.map(col).toSeq: _*),
+              "update_preimage")
+            .unionByName(typed(rewritten(s), "update_postimage")),
+          tablePath, version)
+      }
       else Nil
     val protocol =
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
         """"readerFeatures":["deletionVectors"],""" +
         """"writerFeatures":["deletionVectors"]}}"""
     DeltaLogReader.writeCommit(spark, tablePath, version,
-      Seq(ci("DELETE"), protocol) ++ removeActions(affected) ++ readds ++ cdc)
+      Seq(ci(if (set.isDefined) "UPDATE" else "DELETE"), protocol) ++
+        removeActions(affected) ++ readds ++ updAdds ++ cdc)
     (version, deleted)
   }
 

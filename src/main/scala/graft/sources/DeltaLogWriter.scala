@@ -99,40 +99,68 @@ object DeltaLogWriter {
     * (nothing is physically deleted; vacuum is separate).
     *
     * Refuses partitioned tables (partition values are metadata-only in
-    * Delta data files — a naive rewrite would drop them) and tables with
-    * deletion vectors (compaction would have to materialize the DVs).
-    * The rewrite itself is a distributed read + write; only the KB-scale
+    * Delta data files — a naive rewrite would drop them). Files carrying
+    * DELETION VECTORS are compaction candidates regardless of size: the
+    * rewrite reads their VISIBLE rows (DV applied, expanded on
+    * executors) and the re-written bins carry no DV — OPTIMIZE doubles
+    * as delta-spark's PURGE, bounding merge-on-read amplification. The
+    * rewrite itself is a distributed read + write; only the KB-scale
     * commit append is driver-side.
     *
     * Returns (version, filesCompacted, binsWritten); a no-op (fewer than
-    * two small files) returns the current version with (0, 0). */
+    * two small files and no DVs) returns the current version with
+    * (0, 0). */
   def optimize(spark: org.apache.spark.sql.SparkSession, tablePath: String,
                smallFileBytes: Long = 128L << 20,
                targetFileBytes: Long = 128L << 20): (Long, Int, Int) = {
+    import org.apache.spark.sql.functions.{broadcast, col, regexp_replace}
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (schema, partCols, files) = DeltaLogReader.activeState(spark, tablePath)
+    val (schema, partCols, files) = DeltaLogReader.activeStateDv(spark, tablePath)
     require(partCols.isEmpty,
       s"OPTIMIZE on partitioned table not supported: $tablePath " +
         s"(partition values live only in the log; a rewrite would drop them)")
-    require(files.forall(!_._3),
-      s"OPTIMIZE over deletion vectors not supported: $tablePath " +
-        s"(compaction would need to materialize the DVs first)")
     val currentVersion = (DeltaLogReader.tableVersions(spark, tablePath) ++
       DeltaLogReader.lastCheckpointVersion(spark, tablePath)).max
 
-    val sized = files.map { case (p, _, _) =>
+    val sized = files.map { case (p, _, dv) =>
       val abs = new Path(tablePath, p)
-      (p, abs, fs.getFileStatus(abs).getLen)
+      (p, abs, fs.getFileStatus(abs).getLen, dv)
     }
-    val small = sized.filter(_._3 < smallFileBytes)
-    if (small.size < 2) return (currentVersion, 0, 0)
+    val small = sized.filter(f => f._3 < smallFileBytes || f._4.nonEmpty)
+    if (small.size < 2 && small.forall(_._4.isEmpty)) return (currentVersion, 0, 0)
 
     val version = currentVersion + 1
     val bins = math.max(1L,
       (small.map(_._3).sum + targetFileBytes - 1) / targetFileBytes).toInt
+    var scan = spark.read.schema(schema).parquet(small.map(_._2.toString): _*)
+    val withDv = small.collect { case (p, _, _, Some(d)) => (p, d) }
+    if (withDv.nonEmpty) {
+      // purge: drop each candidate's DV'd positions so the bins hold
+      // only visible rows; bitmaps expand on executors
+      import spark.implicits._
+      val tp = tablePath
+      val confBc = spark.sparkContext.broadcast(
+        new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+      val dvRows = spark.createDataset(withDv)
+        .repartition(math.max(1, math.min(withDv.size,
+          spark.sparkContext.defaultParallelism)))
+        .flatMap { case (rel, d) =>
+          DeletionVectors.readPositions(d, tp, confBc.value.value)
+            .map(pos => (rel, pos))
+        }.toDF("__g_rel", "__g_pos")
+      val relLookup = broadcast(small.map { case (rel, abs, _, _) =>
+        (abs.toString.replaceFirst("^[a-zA-Z0-9]+:/+", "/"), rel)
+      }.toDF("__g_file", "__g_rel"))
+      scan = scan
+        .withColumn("__g_file",
+          regexp_replace(col("_metadata.file_path"), "^[a-zA-Z0-9]+:/+", "/"))
+        .withColumn("__g_pos", col("_metadata.row_index"))
+        .join(relLookup, Seq("__g_file"))
+        .join(dvRows, Seq("__g_rel", "__g_pos"), "left_anti")
+        .select(schema.fieldNames.map(col).toSeq: _*)
+    }
     val staging = new Path(tablePath, s"_staging_v$version")
-    spark.read.schema(schema).parquet(small.map(_._2.toString): _*)
-      .repartition(bins)
+    scan.repartition(bins)
       .write.mode("overwrite").parquet(staging.toString)
     val parts = fs.listStatus(staging).map(_.getPath)
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
@@ -145,7 +173,7 @@ object DeltaLogWriter {
       s"""{"add":{"path":"$name","partitionValues":{},"size":$size,"modificationTime":0,"dataChange":false}}"""
     }.toSeq
     fs.delete(staging, true)
-    val removes = small.map { case (p, _, _) =>
+    val removes = small.map { case (p, _, _, _) =>
       s"""{"remove":{"path":"$p","deletionTimestamp":0,"dataChange":false}}"""
     }
     DeltaLogReader.writeCommit(spark, tablePath, version, removes ++ adds)

@@ -1119,25 +1119,27 @@ object IcebergTable {
     * logical no-op. Time travel to pre-compaction snapshots still
     * resolves the original files ([[expireSnapshots]] reclaims them).
     *
-    * Refuses tables with live row-level delete files (compacting under
-    * merge-on-read would have to apply the deletes — run after the
-    * deletes are already applied by an overwrite, or not at all) and
-    * non-identity partition transforms (the write path's own bound).
-    * Returns the replace snapshot id, or the current one unchanged when
-    * the table already has fewer than two data files. */
+    * Tables carrying row-level deletes (position/equality files, v3
+    * DVs) compact fine: the rewrite reads the VISIBLE merge-on-read
+    * state, so the deletes are APPLIED by the compaction and the
+    * replace commit drops the delete files entirely — the standard
+    * maintenance recipe for bounding merge-on-read read amplification.
+    * Visible rows are unchanged, so incremental consumers still skip
+    * the replace snapshot. Refuses non-identity partition transforms
+    * (the write path's own bound). Returns the replace snapshot id, or
+    * the current one unchanged when there is nothing to compact. */
   def rewriteDataFiles(spark: SparkSession, table: String,
                        targetFileBytes: Long = 128L << 20): Long = {
     val meta = loadMeta(spark, table)
     requireIdentitySpec(meta, "rewriteDataFiles")
     val entries = liveEntries(spark, table)
-    require(entries.forall(_.content == 0),
-      s"rewriteDataFiles over row-level delete files not supported: $table " +
-        s"(compaction would need to apply the merge-on-read deletes)")
+    val dataFiles = entries.filter(_.content == 0)
     val current = meta.currentSnapshotId.getOrElse(
       throw new IllegalArgumentException(s"no current snapshot in $table"))
-    if (entries.size < 2) return current
+    val hasDeletes = entries.exists(_.content != 0)
+    if (dataFiles.size < 2 && !hasDeletes) return current
     val bins = math.max(1L,
-      (entries.map(_.fileSizeBytes).sum + targetFileBytes - 1) / targetFileBytes).toInt
+      (dataFiles.map(_.fileSizeBytes).sum + targetFileBytes - 1) / targetFileBytes).toInt
     val compacted = read(spark, table).repartition(bins)
     write(compacted, table, SaveMode.Overwrite, meta.partCols,
       operation = Some("replace"))

@@ -65,6 +65,46 @@ class DeltaDvDmlSpec extends AnyFunSuite {
     assert(files.head._3.get.cardinality == 30L)
   }
 
+  test("updateDv: old versions die under a DV, new versions append; " +
+      "file rewrite avoided") {
+    import spark.implicits._
+    val base = freshDir("upd")
+    DeltaLogWriter.write(
+      (1L to 100L).map(i => (i, "x", i * 1.0)).toDF("k", "tag", "score")
+        .coalesce(1), base)
+    def parquetFiles(): Set[String] = {
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .listStatus(p).map(_.getPath.getName)
+        .filter(_.endsWith(".parquet")).toSet
+    }
+    val before = parquetFiles()
+    val (v, n) = DeltaDml.updateDv(spark, base, col("k") % 10 === 0,
+      Map("tag" -> lit("hit"), "score" -> (col("score") * 2)))
+    assert(v == 1L && n == 10L)
+    // original file untouched; only the appended update versions are new
+    assert(before.subsetOf(parquetFiles()))
+    val rows = DeltaLogReader.read(spark, base)
+      .select("k", "tag", "score").as[(Long, String, Double)].collect()
+    assert(rows.length == 100)
+    rows.foreach { case (k, tag, score) =>
+      if (k % 10 == 0) assert(tag == "hit" && score == k * 2.0)
+      else assert(tag == "x" && score == k * 1.0)
+    }
+    // a second DV update over an overlapping predicate: prior DV merges,
+    // already-updated rows re-match on their NEW (appended) versions
+    val (_, n2) = DeltaDml.updateDv(spark, base, col("k") <= 20,
+      Map("tag" -> lit("low")))
+    assert(n2 == 20L)
+    val tags = DeltaLogReader.read(spark, base)
+      .select("k", "tag").as[(Long, String)].collect().toMap
+    assert(tags.size == 100)
+    (1L to 100L).foreach { k =>
+      val want = if (k <= 20) "low" else if (k % 10 == 0) "hit" else "x"
+      assert(tags(k) == want, s"k=$k got ${tags(k)} want $want")
+    }
+  }
+
   test("no-match deleteDv commits nothing; works across multi-file tables") {
     import spark.implicits._
     val base = freshDir("multi")

@@ -445,14 +445,20 @@ class DeltaSpec extends AnyFunSuite {
       DeltaLogWriter.optimize(spark, base))
     assert(e.getMessage.contains("partitioned"))
 
+    // OPTIMIZE over a DV table PURGES the vectors: candidates include
+    // DV-bearing files regardless of size, bins hold only visible rows
     val base2 = freshDir("optimize_dv")
-    val sz2 = DeltaLogReader.writeDataFile(df, base2, "a.parquet")
-    DeltaLogReader.writeCommit(spark, base2, 0, Seq(
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
-      DeltaLogReader.metaDataAction(df.schema, Nil),
-      s"""{"add":{"path":"a.parquet","partitionValues":{},"size":$sz2,"modificationTime":1,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"ab^-c123","offset":1,"sizeInBytes":40,"cardinality":1}}}"""))
-    val e2 = intercept[IllegalArgumentException](
-      DeltaLogWriter.optimize(spark, base2))
-    assert(e2.getMessage.contains("deletion vectors"))
+    DeltaLogWriter.write(
+      (1L to 50L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1), base2)
+    graft.sources.DeltaDml.deleteDv(spark, base2, col("k") % 5 === 0)
+    val (v2, compacted, bins) = DeltaLogWriter.optimize(spark, base2)
+    assert(compacted == 1 && bins >= 1)
+    val (_, _, after) = DeltaLogReader.activeStateDv(spark, base2)
+    assert(after.forall(_._3.isEmpty), "OPTIMIZE must purge DVs")
+    assert(DeltaLogReader.read(spark, base2)
+      .select("k").collect().map(_.getLong(0)).toSet ==
+      (1L to 50L).filterNot(_ % 5 == 0).toSet)
+    // time travel to the pre-optimize version still applies the DV
+    assert(DeltaLogReader.read(spark, base2, Some(v2 - 1)).count() == 40)
   }
 }

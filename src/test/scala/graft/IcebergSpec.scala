@@ -392,15 +392,25 @@ class IcebergSpec extends AnyFunSuite {
       .orderBy("k").collect().map(_.toSeq).toSeq === before.toSeq)
   }
 
-  test("rewrite_data_files refuses under live row-level deletes") {
+  test("rewrite_data_files APPLIES row-level deletes and drops the " +
+      "delete files (merge-on-read maintenance)") {
     import spark.implicits._
     val base = freshDir("rewrite_mor")
     val df = (1L to 20L).map(i => (i, s"row$i")).toDF("k", "v")
     IcebergTable.write(df, base)
     IcebergTable.deleteFrom(spark, base, col("k") <= 5)
-    val e = intercept[IllegalArgumentException](
-      IcebergTable.rewriteDataFiles(spark, base))
-    assert(e.getMessage.contains("delete files"))
+    val snap = IcebergTable.rewriteDataFiles(spark, base)
+    def keys = IcebergTable.read(spark, base)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(keys == (6L to 20L).toSet)
+    // the replace snapshot carries NO delete files: the compaction
+    // materialized the visible state
+    val entries = IcebergTable.liveEntries(spark, base)
+    assert(entries.nonEmpty && entries.forall(_.content == 0))
+    // visible rows unchanged -> changelog still skips the replace
+    val ch = IcebergTable.readChangesBetween(spark, base,
+      fromSnapshotId = 2L, toSnapshotId = Some(snap))
+    assert(ch.count() == 0)
   }
 
   test("expire_snapshots drops history, reclaims files, keeps the data") {
