@@ -64,6 +64,18 @@ object QueriesPipeline {
         "doc_id", "text", n = 5)
     }),
 
+    "q_contamination" -> ((s, d) => {
+      // graded contamination: fraction of each corpus doc's distinct
+      // 5-grams found in the eval set (same split as q_ngram_decontam);
+      // raw score from the operator, rounding is gate-only
+      val all = T(s, d, "documents")
+      Dedup.contaminationScore(
+          all.filter(col("doc_id") >= 50), all.filter(col("doc_id") < 50),
+          "doc_id", "text", n = 5)
+        .select(col("doc_id"), col("n_grams"), col("n_shared"),
+          round(col("score"), 6).as("score"))
+    }),
+
     "q_dedup_simhash" -> ((s, d) =>
       // SCALE configuration: 64-bit two-half signature, 4 x 16-bit blocks
       // (262,144 buckets — keyspace grows with signature entropy, unlike
@@ -424,6 +436,17 @@ object QueriesPipeline {
       ref AS (SELECT DISTINCT ng FROM g WHERE doc_id < 50)
       SELECT g.doc_id, count(*) AS n_shared
       FROM g JOIN ref USING (ng) WHERE g.doc_id >= 50 GROUP BY 1""",
+    "q_contamination" -> s"""
+      WITH t AS (SELECT doc_id, string_split($NORM, ' ') AS w FROM documents),
+      g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+              range(1, len(w) - 3), i -> array_to_string(w[i:i+4], ' ')))) AS ng
+            FROM t WHERE len(w) >= 5),
+      ref AS (SELECT DISTINCT ng FROM g WHERE doc_id < 50)
+      SELECT g.doc_id, count(*) AS n_grams,
+        count(ref.ng)::BIGINT AS n_shared,
+        round(count(ref.ng)::DOUBLE / count(*), 6) AS score
+      FROM g LEFT JOIN ref ON g.ng = ref.ng
+      WHERE g.doc_id >= 50 GROUP BY 1""",
     "q_bm25" -> s"""
       WITH d AS (SELECT doc_id, len(string_split($NORM, ' ')) AS dl,
                         string_split($NORM, ' ') AS w FROM documents),

@@ -275,6 +275,39 @@ object Dedup {
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Per-document CONTAMINATION SCORE — the graded sibling of
+    * [[ngramDecontaminate]] (which flags any overlap): the fraction of a
+    * doc's DISTINCT n-grams that appear anywhere in the reference set.
+    * Scoring gives curation a dial instead of a tripwire: drop at
+    * score ≥ 0.8 (near-verbatim benchmark copies), down-weight the
+    * middle, keep the tail. Returns (doc_id, n_grams, n_shared, score)
+    * for every corpus doc long enough to emit an n-gram; zero-overlap
+    * docs score 0.0 (unlike the boolean form, which omits them).
+    *
+    * Same scale shape as the boolean form: grams leave the scan as
+    * 60-bit portable hashes deduplicated per doc map-side, the
+    * reference collapses to distinct hashes, and ONE hash-on-hash LEFT
+    * join feeds a count/sum aggregation — text never shuffles. */
+  def contaminationScore(corpus: DataFrame, reference: DataFrame,
+                         idCol: String, textCol: String,
+                         n: Int = 5): DataFrame = {
+    def grams(df: DataFrame): DataFrame =
+      graft.GraftSession.balanced(
+          df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+        .select(col("doc_id"),
+          explode(array_distinct(TextAnalysis.wordNgrams(col("text"), n)))
+            .as("gram"))
+        .filter(size(split(col("gram"), " ")) === n)
+        .select(col("doc_id"), md5Hash60(col("gram")).as("gh"))
+    val refGrams = grams(reference).select("gh").distinct()
+      .withColumn("__hit", lit(1L))
+    grams(corpus).join(refGrams, Seq("gh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_shared"))
+      .withColumn("score", col("n_shared") / col("n_grams"))
+  }
+
   /** 60-bit engine-portable content hash: the first 15 hex chars of md5,
     * parsed as an unsigned value (fits a signed 64-bit long, so the same
     * number is reproducible in any SQL engine without unsigned types). */

@@ -101,6 +101,14 @@ object DeltaDml {
     adds
   }
 
+  /** The add action's deletionVector descriptor fragment ("" for none). */
+  private def dvJson(dv: Option[DeletionVectors.DvDescriptor]): String =
+    dv.map(d =>
+      s""","deletionVector":{"storageType":"${d.storageType}",""" +
+        s""""pathOrInlineDv":"${d.pathOrInlineDv}","offset":${d.offset},""" +
+        s""""sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}""")
+      .getOrElse("")
+
   private def removeActions(rels: Seq[String]): Seq[String] =
     rels.map(p =>
       s"""{"remove":{"path":"$p","deletionTimestamp":0,"dataChange":true}}""")
@@ -297,14 +305,10 @@ object DeltaDml {
         }.collect().toMap // metadata-scale: one descriptor per file
 
     // commit: protocol w/ the DV feature, remove+re-add per affected file
-    def dvJson(d: DeletionVectors.DvDescriptor): String =
-      s""","deletionVector":{"storageType":"${d.storageType}",""" +
-        s""""pathOrInlineDv":"${d.pathOrInlineDv}","offset":${d.offset},""" +
-        s""""sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}"""
     val readds = affected.map { rel =>
       val size = fs.getFileStatus(new Path(absolute(tablePath, rel))).getLen
       s"""{"add":{"path":"$rel","partitionValues":{},"size":$size,""" +
-        s""""modificationTime":0,"dataChange":true${dvJson(dvDescs(rel))}}}"""
+        s""""modificationTime":0,"dataChange":true${dvJson(Some(dvDescs(rel)))}}}"""
     }
     // UPDATE: the rewritten row versions append as new data files
     def rewritten(s: Map[String, Column]): DataFrame =
@@ -470,28 +474,31 @@ object DeltaDml {
   def restore(spark: SparkSession, tablePath: String,
               toVersion: Long): (Long, Long, Long) = {
     val (tSchema, tPartCols, tFiles) =
-      DeltaLogReader.snapshotState(spark, tablePath, Some(toVersion))
-    val (_, _, cFiles) = DeltaLogReader.snapshotState(spark, tablePath, None)
+      DeltaLogReader.snapshotStateDv(spark, tablePath, Some(toVersion))
+    val (_, _, cFiles) = DeltaLogReader.snapshotStateDv(spark, tablePath, None)
     val current = (DeltaLogReader.tableVersions(spark, tablePath) ++
       DeltaLogReader.lastCheckpointVersion(spark, tablePath)).max
     require(toVersion <= current,
       s"RESTORE: version $toVersion is beyond current $current")
     val fs = new Path(tablePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val cur = cFiles.map(_._1).toSet
+    // a path whose DV differs between current and target must RE-ADD
+    // with the target's descriptor (replay: last add per path wins)
+    val curState = cFiles.map(f => f._1 -> f._3).toMap
     val tgt = tFiles.map(_._1).toSet
     def pvJson(pv: Map[String, String]): String =
       pv.map { case (k, v) =>
         s""""${k.replace("\"", "\\\"")}":"${v.replace("\"", "\\\"")}""""
       }.mkString("{", ",", "}")
-    val adds = tFiles.filterNot(f => cur.contains(f._1)).map { case (p, pv) =>
-      val abs = new Path(absolute(tablePath, p))
-      require(fs.exists(abs),
-        s"RESTORE: file $p of version $toVersion was vacuumed — " +
-          "cannot restore past a vacuum boundary")
-      val size = fs.getFileStatus(abs).getLen
-      s"""{"add":{"path":"$p","partitionValues":${pvJson(pv)},"size":$size,"modificationTime":0,"dataChange":true}}"""
-    }
+    val adds = tFiles.filterNot(f => curState.get(f._1).contains(f._3))
+      .map { case (p, pv, dv) =>
+        val abs = new Path(absolute(tablePath, p))
+        require(fs.exists(abs),
+          s"RESTORE: file $p of version $toVersion was vacuumed — " +
+            "cannot restore past a vacuum boundary")
+        val size = fs.getFileStatus(abs).getLen
+        s"""{"add":{"path":"$p","partitionValues":${pvJson(pv)},"size":$size,"modificationTime":0,"dataChange":true${dvJson(dv)}}}"""
+      }
     val removes = removeActions(cFiles.map(_._1).filterNot(tgt.contains))
     val version = current + 1
     DeltaLogReader.writeCommit(spark, tablePath, version,

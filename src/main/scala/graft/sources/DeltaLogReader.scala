@@ -347,15 +347,27 @@ object DeltaLogReader {
     (s, pc, files.map(f => (f.path, f.partitionValues, f.dv)))
   }
 
-  /** Resolved snapshot state for the checkpoint writer. */
+  /** Resolved snapshot state for DV-unaware writers (RESTORE's file-set
+    * flip-back) — still refuses DV tables, whose vectors the caller
+    * would silently drop. */
   private[graft] def snapshotState(spark: SparkSession, tablePath: String,
                                    version: Option[Long])
       : (StructType, Seq[String], Seq[(String, Map[String, String])]) = {
     val (s, pc, files) = snapshot(spark, tablePath, version)
     require(files.forall(_.dv.isEmpty),
-      s"checkpointing a table with deletion vectors is not supported: " +
-        s"$tablePath (the checkpoint would drop the vectors)")
+      s"this operation on a table with deletion vectors is not " +
+        s"supported: $tablePath (it would drop the vectors)")
     (s, pc, files.map(f => (f.path, f.partitionValues)))
+  }
+
+  /** Resolved snapshot state WITH deletion-vector descriptors — the
+    * checkpoint writer carries them into the checkpoint rows. */
+  private[graft] def snapshotStateDv(spark: SparkSession, tablePath: String,
+                                     version: Option[Long])
+      : (StructType, Seq[String],
+         Seq[(String, Map[String, String], Option[DeletionVectors.DvDescriptor])]) = {
+    val (s, pc, files) = snapshot(spark, tablePath, version)
+    (s, pc, files.map(f => (f.path, f.partitionValues, f.dv)))
   }
 
   /** Read the table at `version` (default: latest commit).
@@ -517,15 +529,19 @@ object DeltaLogReader {
         try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
         finally in.close()
       val nodes = lines.filter(_.trim.nonEmpty).map(mapper.readTree)
-      nodes.foreach { n =>
+      val cdc = nodes.filter(_.has("cdc"))
+        .map(n => absolute(n.get("cdc").get("path").asText))
+      // a DV commit re-adds a file whose rows did NOT all change, so the
+      // add/remove derivation below would over-report wildly — refuse
+      // UNLESS the commit carries exact cdc files (which take precedence)
+      if (cdc.isEmpty) nodes.foreach { n =>
         if (n.has("add"))
           require(!n.get("add").has("deletionVector") ||
             n.get("add").get("deletionVector").isNull,
             s"readChanges on a deletion-vector commit (version $v of " +
-              s"$tablePath) is not supported")
+              s"$tablePath) without cdc files is not supported — enable " +
+              "graft.delta.cdf so DV DML emits exact change rows")
       }
-      val cdc = nodes.filter(_.has("cdc"))
-        .map(n => absolute(n.get("cdc").get("path").asText))
       if (cdc.nonEmpty) {
         // cdc files carry _change_type themselves
         Seq(spark.read.schema(StructType(schema.fields :+

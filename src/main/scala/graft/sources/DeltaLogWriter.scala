@@ -5,10 +5,17 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
 
 // checkpoint action rows (top-level so the encoder derivation is
 // Janino-safe — see the streaming-state precedent)
-case class CpProtocol(minReaderVersion: Int, minWriterVersion: Int)
+case class CpProtocol(minReaderVersion: Int, minWriterVersion: Int,
+                      readerFeatures: Option[Seq[String]] = None,
+                      writerFeatures: Option[Seq[String]] = None)
 case class CpMeta(id: String, schemaString: String, partitionColumns: Seq[String])
+// field names match the protocol's deletionVector descriptor so the
+// checkpoint parquet columns read back by name
+case class CpDv(storageType: String, pathOrInlineDv: String, offset: Int,
+                sizeInBytes: Int, cardinality: Long)
 case class CpAdd(path: String, partitionValues: Map[String, String],
-                 size: Long, modificationTime: Long, dataChange: Boolean)
+                 size: Long, modificationTime: Long, dataChange: Boolean,
+                 deletionVector: Option[CpDv] = None)
 case class CpTxn(appId: String, version: Long)
 case class CpRow(protocol: Option[CpProtocol], metaData: Option[CpMeta],
                  add: Option[CpAdd], txn: Option[CpTxn])
@@ -228,7 +235,7 @@ object DeltaLogWriter {
     val jsonVersions = DeltaLogReader.tableVersions(spark, tablePath)
     val cv = (jsonVersions ++ DeltaLogReader.lastCheckpointVersion(spark, tablePath)).max
     val (schema, partCols, files) =
-      DeltaLogReader.snapshotState(spark, tablePath, None)
+      DeltaLogReader.snapshotStateDv(spark, tablePath, None)
     // carry forward idempotence bookkeeping: max txn per appId
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -282,13 +289,22 @@ object DeltaLogWriter {
       }
     }
     import spark.implicits._
+    // a DV-bearing snapshot checkpoints with the vectors carried in the
+    // add rows, under the protocol that declares the feature
+    val hasDv = files.exists(_._3.nonEmpty)
+    val protocolRow =
+      if (hasDv) CpProtocol(3, 7, Some(Seq("deletionVectors")),
+        Some(Seq("deletionVectors")))
+      else CpProtocol(1, 2)
     val rows =
-      Seq(CpRow(Some(CpProtocol(1, 2)), None, None, None),
+      Seq(CpRow(Some(protocolRow), None, None, None),
         CpRow(None, Some(CpMeta("graft", schema.json, partCols)), None, None)) ++
       txns.toSeq.sortBy(_._1).map { case (a, v) =>
         CpRow(None, None, None, Some(CpTxn(a, v))) } ++
-      files.map { case (p, pv) =>
-        CpRow(None, None, Some(CpAdd(p, pv, 0L, 0L, dataChange = true)), None) }
+      files.map { case (p, pv, dv) =>
+        CpRow(None, None, Some(CpAdd(p, pv, 0L, 0L, dataChange = true,
+          dv.map(d => CpDv(d.storageType, d.pathOrInlineDv, d.offset,
+            d.sizeInBytes, d.cardinality)))), None) }
     DeltaLogReader.writeDataFile(rows.toDF(), s"$tablePath/_delta_log",
       f"$cv%020d.checkpoint.parquet")
     val lcp = new Path(new Path(tablePath, "_delta_log"), "_last_checkpoint")

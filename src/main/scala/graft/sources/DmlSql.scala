@@ -166,8 +166,18 @@ object DmlSql {
       .map { case (k, e) => k -> expr(e) }
     formatOf(spark, path) match {
       case DeltaT =>
-        val (v, n) = DeltaDml.update(spark, path, expr(cond), set)
-        result(s"$n rows updated in $path (delta v$v, copy-on-write)")
+        // same DV routing as DELETE: DV-bearing tables (where COW
+        // refuses) and graft.delta.dv sessions take merge-on-read
+        val useDv = spark.conf.getOption("graft.delta.dv")
+            .exists(_.equalsIgnoreCase("true")) ||
+          DeltaLogReader.activeState(spark, path)._3.exists(_._3)
+        if (useDv) {
+          val (v, n) = DeltaDml.updateDv(spark, path, expr(cond), set)
+          result(s"$n rows updated in $path (delta v$v, deletion vectors)")
+        } else {
+          val (v, n) = DeltaDml.update(spark, path, expr(cond), set)
+          result(s"$n rows updated in $path (delta v$v, copy-on-write)")
+        }
       case IcebergT =>
         val (snap, n) = IcebergDml.update(spark, path, expr(cond), set)
         result(s"$n rows updated in $path " +

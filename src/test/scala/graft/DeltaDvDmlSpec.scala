@@ -105,6 +105,62 @@ class DeltaDvDmlSpec extends AnyFunSuite {
     }
   }
 
+  test("checkpoint carries DVs: bootstrap applies them after log vacuum") {
+    import spark.implicits._
+    import graft.sources.DeltaLogWriter
+    val base = freshDir("cp")
+    DeltaLogWriter.write(
+      (1L to 50L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1), base)
+    DeltaDml.deleteDv(spark, base, col("k") <= 10)
+    val cv = DeltaLogWriter.checkpoint(spark, base, vacuumJson = true)
+    assert(cv == 1L)
+    // JSON commits gone -> the checkpoint is the only source of truth
+    assert(keys(base) == (11L to 50L).toSet)
+    // the checkpointed protocol still declares the feature; further DV
+    // DML and reads keep working on top
+    val (_, n) = DeltaDml.deleteDv(spark, base, col("k") > 45)
+    assert(n == 5L)
+    assert(keys(base) == (11L to 45L).toSet)
+  }
+
+  test("CDF: DV DML emits exact change rows when graft.delta.cdf is on") {
+    import spark.implicits._
+    val base = freshDir("cdf")
+    DeltaLogWriter.write(
+      (1L to 30L).map(i => (i, "x")).toDF("k", "tag").coalesce(1), base)
+    spark.conf.set("graft.delta.cdf", "true")
+    try {
+      DeltaDml.deleteDv(spark, base, col("k") % 10 === 0)
+      DeltaDml.updateDv(spark, base, col("k") <= 3, Map("tag" -> lit("u")))
+    } finally spark.conf.unset("graft.delta.cdf")
+    val ch = DeltaLogReader.readChanges(spark, base, fromVersion = 1L)
+      .select("_change_type", "k").as[(String, Long)].collect()
+    val byType = ch.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byType("delete") == Set(10L, 20L, 30L))
+    assert(byType("update_preimage") == Set(1L, 2L, 3L))
+    assert(byType("update_postimage") == Set(1L, 2L, 3L))
+  }
+
+  test("RESTORE across DV boundaries: vectors re-applied or cleared to " +
+      "match the target version") {
+    import spark.implicits._
+    import graft.sources.DeltaDml
+    val base = freshDir("restore")
+    DeltaLogWriter.write(
+      (1L to 40L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1), base) // v0
+    DeltaDml.deleteDv(spark, base, col("k") <= 10)                        // v1
+    DeltaDml.deleteDv(spark, base, col("k") > 35)                         // v2
+    assert(keys(base) == (11L to 35L).toSet)
+    // back to v1: the narrower DV state returns
+    DeltaDml.restore(spark, base, 1L)                                     // v3
+    assert(keys(base) == (11L to 40L).toSet)
+    // back to v0: the DV clears entirely
+    DeltaDml.restore(spark, base, 0L)                                     // v4
+    assert(keys(base) == (1L to 40L).toSet)
+    val (_, _, files) = DeltaLogReader.activeStateDv(spark, base)
+    assert(files.forall(_._3.isEmpty))
+  }
+
   test("no-match deleteDv commits nothing; works across multi-file tables") {
     import spark.implicits._
     val base = freshDir("multi")

@@ -241,10 +241,10 @@ class DeltaSpec extends AnyFunSuite {
     assert(got1 == (0L until 100L).toSet -- Set(0L, 1L, 2L, 3L, 51L, 52L))
     // time travel to version 0 re-applies the original, narrower DV
     assert(DeltaLogReader.read(spark, base, version = Some(0L)).count() == 95)
-    // a checkpoint must refuse rather than drop the vectors
-    val e = intercept[IllegalArgumentException](
-      graft.sources.DeltaLogWriter.checkpoint(spark, base))
-    assert(e.getMessage.contains("deletion vectors"))
+    // a checkpoint CARRIES the vectors: bootstrap sees the same rows
+    graft.sources.DeltaLogWriter.checkpoint(spark, base, vacuumJson = true)
+    assert(DeltaLogReader.read(spark, base).select("k")
+      .as[Long].collect().toSet == got1)
   }
 
   test("column mapping mode 'name' resolves physical names; 'id' refuses") {
