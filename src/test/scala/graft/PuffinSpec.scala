@@ -209,6 +209,26 @@ class PuffinSpec extends AnyFunSuite {
     assert(ch.map(_._2).toSet == (10L to 100L by 10L).toSet)
   }
 
+  test("UPDATE and MERGE on a v3 table write DVs through the shared " +
+      "position-delete route") {
+    import spark.implicits._
+    val base = freshDir("updroute")
+    IcebergTable.write((1L to 100L).map(i => (i, "x")).toDF("k", "t"), base)
+    IcebergTable.deleteFromDv(spark, base, col("k") > 95) // v3 upgrade
+    val (_, n) = graft.sources.IcebergDml.update(spark, base,
+      col("k") % 10 === 0, Map("t" -> lit("u")))
+    assert(n == 9L) // 10,20,...,90 (96..100 already dead)
+    val rows = IcebergTable.read(spark, base)
+      .select("k", "t").as[(Long, String)].collect().toMap
+    assert(rows.size == 95)
+    (1L to 95L).foreach { k =>
+      assert(rows(k) == (if (k % 10 == 0) "u" else "x"))
+    }
+    // every position-delete carrier in the table is a DV
+    val dels = IcebergTable.liveEntries(spark, base).filter(_.content == 1)
+    assert(dels.nonEmpty && dels.forall(_.isDv))
+  }
+
   test("DV delete with no matches commits nothing") {
     import spark.implicits._
     val base = freshDir("nomatch")
