@@ -742,6 +742,35 @@ object QueriesSources {
     "q_read_sas" -> ((s, _) =>
       graft.sources.SasReader.read(s, s"$Dir/sample.sas7bdat")),
 
+    // ---- SPSS .sav (ref contrib/format-spss/.../SpssBatchReader.java; no
+    // spss-reader library here, the PSPP-documented dictionary/bytecode
+    // layout is decoded directly; fixture = the reference's own public
+    // testdata.sav, expected rows transcribed from its TestSpssReader) ----
+    "q_read_spss" -> ((s, _) =>
+      graft.sources.SpssReader.read(s, s"$Dir/testdata.sav")
+        .filter(col("d16") === 4.0)
+        .select(col("ID"), col("Urban"), col("Urban_value"),
+          col("Province_value"), col("d7b_value"), col("Stratum"),
+          col("Sample_Weight"))),
+
+    // ---- MS Access (ref contrib/format-access/.../MSAccessBatchReader
+    // .java; no Jackcess here, the Jet/ACE page layout is decoded directly;
+    // fixture = the reference's own public testV2010.accdb, expected rows
+    // transcribed from its TestMSAccessReader) ----
+    "q_read_access" -> ((s, _) =>
+      graft.sources.AccessReader.readTable(s, s"$Dir/access/testV2010.accdb", "Table1")
+        .select(col("A"), col("B"), col("C").cast("int").as("C"),
+          col("D").cast("int").as("D"), col("E"),
+          col("F"), unix_millis(col("G")).as("g_ms"),
+          col("H").cast("double").as("H"), col("I"))),
+
+    // ---- HDF5 (ref contrib/format-hdf5/.../HDF5BatchReader.java; no jhdf
+    // here, the HDF5 spec layout is decoded directly; fixture = the
+    // reference's own public dset.h5, expected matrix transcribed from its
+    // TestHDF5Format) ----
+    "q_read_hdf5" -> ((s, _) =>
+      graft.sources.Hdf5Reader.readDataset(s, s"$Dir/hdf5/dset.h5", "/dset")),
+
     // ---- ESRI shapefile (ref contrib/format-esri/.../ShpBatchReader.java):
     // .shp point records + sidecar .dbf attributes, GeoJSON-shaped ----
     "q_read_shp" -> ((s, _) =>
@@ -1736,6 +1765,33 @@ object QueriesSources {
              THEN f.geometry.coordinates[2]::DOUBLE END AS lat,
         f.properties.name AS name, f.properties.kind AS kind
       FROM f""",
+    "q_read_spss" -> """
+      SELECT "ID"::DOUBLE AS "ID", "Urban"::DOUBLE AS "Urban", "Urban_value",
+             "Province_value", "d7b_value", "Stratum"::DOUBLE AS "Stratum",
+             "Sample_Weight"::DOUBLE AS "Sample_Weight"
+      FROM (VALUES
+        (47, 1, 'Urban', 'Kabul', 'Not Asked', 121, 20098.33333333333),
+        (53, 1, 'Urban', 'Kabul', 'Not Asked', 121, 20098.33333333333),
+        (66, 1, 'Urban', 'Kabul', 'Private Business Sole Proprietor', 111, 8626.0))
+      t("ID", "Urban", "Urban_value", "Province_value", "d7b_value",
+        "Stratum", "Sample_Weight")""",
+    "q_read_access" -> """
+      SELECT "A", "B", "C"::INT AS "C", "D"::INT AS "D", "E"::INT AS "E",
+             "F"::DOUBLE AS "F", g_ms::BIGINT AS g_ms,
+             "H"::DOUBLE AS "H", "I"::BOOLEAN AS "I"
+      FROM (VALUES
+        ('a', 'b', 0, 0, 0, 0.0, 376963200000, 0.0, false),
+        ('abcdefg', 'hijklmnop', 2, 222, 333333333, 444.555,
+         148953600000, 3.5, true))
+      t("A", "B", "C", "D", "E", "F", g_ms, "H", "I")""",
+    "q_read_hdf5" -> """
+      SELECT int_col_0::INT AS int_col_0, int_col_1::INT AS int_col_1,
+             int_col_2::INT AS int_col_2, int_col_3::INT AS int_col_3,
+             int_col_4::INT AS int_col_4, int_col_5::INT AS int_col_5
+      FROM (VALUES
+        (1, 2, 3, 4, 5, 6), (7, 8, 9, 10, 11, 12),
+        (13, 14, 15, 16, 17, 18), (19, 20, 21, 22, 23, 24))
+      t(int_col_0, int_col_1, int_col_2, int_col_3, int_col_4, int_col_5)""",
     "q_read_sas" -> """
       SELECT "ID"::DOUBLE AS "ID", "NAME", "SCORE"::DOUBLE AS "SCORE"
       FROM (VALUES
