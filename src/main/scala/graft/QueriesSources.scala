@@ -753,6 +753,18 @@ object QueriesSources {
           col("Province_value"), col("d7b_value"), col("Stratum"),
           col("Sample_Weight"))),
 
+    // ---- DFDL / Daffodil (ref contrib/format-daffodil/.../
+    // DaffodilBatchReader.java; no Daffodil here, a hand-rolled
+    // interpreter for the schema subset the reference tests; fixtures =
+    // the reference's own schemas + data, expected rows transcribed from
+    // its TestDaffodilReader) ----
+    "q_read_dfdl" -> ((s, _) =>
+      graft.sources.DfdlReader.read(s, s"$Dir/dfdl/moreTypes1.txt.dat",
+          s"$Dir/dfdl/moreTypes1.dfdl.xsd")
+        .select(col("int"), col("long"), col("short").cast("int").as("short"),
+          col("byte").cast("int").as("byte"), col("boolean"),
+          col("double"), col("string"))),
+
     // ---- MS Access (ref contrib/format-access/.../MSAccessBatchReader
     // .java; no Jackcess here, the Jet/ACE page layout is decoded directly;
     // fixture = the reference's own public testV2010.accdb, expected rows
@@ -1775,6 +1787,17 @@ object QueriesSources {
         (66, 1, 'Urban', 'Kabul', 'Private Business Sole Proprietor', 111, 8626.0))
       t("ID", "Urban", "Urban_value", "Province_value", "d7b_value",
         "Stratum", "Sample_Weight")""",
+    "q_read_dfdl" -> """
+      SELECT "int"::INT AS "int", "long"::BIGINT AS "long",
+             "short"::INT AS "short", "byte"::INT AS "byte",
+             "boolean"::BOOLEAN AS "boolean", "double"::DOUBLE AS "double",
+             "string"
+      FROM (VALUES
+        (2147483647, 9223372036854775807, 32767, 127, true,
+         1.7976931348623157E308, 'daffodil'),
+        (-2147483648, -9223372036854775808, -32768, -128, false,
+         -1.7976931348623157E308, 'drill'))
+      t("int", "long", "short", "byte", "boolean", "double", "string")""",
     "q_read_access" -> """
       SELECT "A", "B", "C"::INT AS "C", "D"::INT AS "D", "E"::INT AS "E",
              "F"::DOUBLE AS "F", g_ms::BIGINT AS g_ms,

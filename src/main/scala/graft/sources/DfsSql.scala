@@ -126,13 +126,17 @@ object DfsSql {
       case "geojson"                   => SchemaOnRead.geojson(spark, path)
       case "shp"                       => ShapefileReader.read(spark, path)
       case "sas7bdat"                  => SasReader.read(spark, path)
+      case "sav"                       => SpssReader.read(spark, path)
+      case "h5" | "hdf5"               => Hdf5Reader.read(spark, path)
+      case "mdb" | "accdb"             => AccessReader.read(spark, path)
       case "seq"                       => SequenceFileReader.read(spark, path)
       case "png" | "jpg" | "jpeg" | "gif" | "bmp" => ImageMetaReader.read(spark, path)
       case "log" | "txt" | "text"      => spark.read.text(path)
       case other => throw new IllegalArgumentException(
         s"dfs: no format reader for extension '$other' ($path). " +
           "Known: parquet csv tsv psv json jsonl orc avro xlsx ltsv pcap " +
-          "pcapng pdf geojson shp sas7bdat seq png/jpg/gif/bmp log/txt; " +
+          "pcapng pdf geojson shp sas7bdat sav h5 mdb/accdb seq " +
+          "png/jpg/gif/bmp log/txt; " +
           "directories: delta (_delta_log), iceberg (metadata/+data/), " +
           "paimon (snapshot/+schema/)")
     }
@@ -172,6 +176,14 @@ object DfsSql {
              delimiter: String = ","): DataFrame =
     format.toLowerCase match {
       case "text" => SchemaOnRead.csv(spark, path, delimiter)
+      // the third argument carries the sub-selector the reference passes
+      // through its table-function options (defaultPath / tableName)
+      case "hdf5" | "h5" if delimiter != "," =>
+        Hdf5Reader.readDataset(spark, path, delimiter)
+      case "msaccess" | "mdb" | "accdb" if delimiter != "," =>
+        AccessReader.readTable(spark, path, delimiter)
+      case "daffodil" | "dfdl" if delimiter != "," =>
+        DfdlReader.read(spark, path, delimiter)
       case other  => readByExt(spark, path, other)
     }
 

@@ -108,6 +108,28 @@ class DfsSqlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("glob reads support"))
   }
 
+  test("dfs paths reach the SPSS/HDF5/Access readers by extension, and " +
+      "dfs_read's third argument is the reference's defaultPath/tableName") {
+    // .sav by extension
+    assert(spark.sql(s"SELECT * FROM dfs.`$fx/testdata.sav`").count() === 25)
+    // .h5 by extension = browse mode; dfs_read(path,'hdf5',dataset) projects
+    val browse = spark.sql(
+      s"SELECT path, data_type FROM dfs.`$fx/hdf5/dset.h5`").collect()
+    assert(browse.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("/dset", "DATASET")))
+    assert(spark.sql(
+      s"SELECT int_col_0 FROM dfs_read('$fx/hdf5/dset.h5', 'hdf5', '/dset')")
+      .collect().map(_.getInt(0)).sorted.toSeq === Seq(1, 7, 13, 19))
+    // .accdb by extension = catalog; dfs_read(path,'msaccess',table) projects
+    assert(spark.sql(
+      s"SELECT `table` FROM dfs.`$fx/access/testV2010.accdb` ORDER BY `table`")
+      .collect().map(_.getString(0)).toSeq ===
+      Seq("Table1", "Table2", "Table3", "Table4"))
+    assert(spark.sql(
+      s"SELECT E FROM dfs_read('$fx/access/testV2010.accdb', 'msaccess', 'Table1')")
+      .collect().map(_.getInt(0)).sorted.toSeq === Seq(0, 333333333))
+  }
+
   test("dfs_read table function: explicit format + delimiter override " +
       "(Drill's table(dfs.`x`(type => ..., fieldDelimiter => ...)))") {
     val dat = Files.createTempFile("dfs_tf_", ".dat")
