@@ -110,53 +110,70 @@ object AccessReader {
   }
 
   // ---- rows ------------------------------------------------------------
-  /** Raw row slices of all data pages owned by a TDEF page. */
-  private def rawRows(db: Mdb, tdefPg: Int): Iterator[Array[Byte]] =
-    (0 until db.pages).iterator.flatMap { p =>
-      val buf = db.bytes
+  /** Raw row slices of all data pages owned by a TDEF page. Two passes:
+    * overflow pointers are collected first so their TARGET slots are not
+    * emitted a second time when the overflow page itself is scanned. */
+  private def rawRows(db: Mdb, tdefPg: Int): Iterator[Array[Byte]] = {
+    val buf = db.bytes
+    val owned = (0 until db.pages).filter { p =>
+      buf(p * PG) == 0x01 && u32(buf, p * PG + 4) == tdefPg
+    }
+    val overflowTargets = scala.collection.mutable.Set[(Int, Int)]()
+    owned.foreach { p =>
       val base = p * PG
-      if (buf(base) != 0x01 || u32(buf, base + 4) != tdefPg) Iterator.empty
-      else {
-        val n = u16(buf, base + 12)
-        val offs = (0 until n).map(i => u16(buf, base + 14 + 2 * i))
-        (0 until n).iterator.flatMap { i =>
-          val o = offs(i)
-          if ((o & 0x8000) != 0) None // deleted
-          else {
-            val start = o & 0x1FFF
-            val end = if (i == 0) PG else offs(i - 1) & 0x1FFF
-            if (end <= start) None
-            else if ((o & 0x4000) != 0) { // overflow: 1-byte row + 3-byte page
-              val ptr = u32(buf, base + start)
-              val row = (ptr & 0xFF).toInt
-              val opg = (ptr >> 8).toInt
-              val ob = opg * PG
-              val on = u16(buf, ob + 12)
-              if (row >= on) None
-              else {
-                val s2 = u16(buf, ob + 14 + 2 * row) & 0x1FFF
-                val e2 = if (row == 0) PG else u16(buf, ob + 14 + 2 * (row - 1)) & 0x1FFF
-                if (e2 <= s2) None
-                else Some(java.util.Arrays.copyOfRange(buf, ob + s2, ob + e2))
-              }
-            } else Some(java.util.Arrays.copyOfRange(buf, base + start, base + end))
-          }
+      val n = u16(buf, base + 12)
+      (0 until n).foreach { i =>
+        val o = u16(buf, base + 14 + 2 * i)
+        if ((o & 0x8000) == 0 && (o & 0x4000) != 0) {
+          val ptr = u32(buf, base + (o & 0x1FFF))
+          overflowTargets += (((ptr >> 8).toInt, (ptr & 0xFF).toInt))
         }
       }
     }
+    owned.iterator.flatMap { p =>
+      val base = p * PG
+      val n = u16(buf, base + 12)
+      val offs = (0 until n).map(i => u16(buf, base + 14 + 2 * i))
+      (0 until n).iterator.flatMap { i =>
+        val o = offs(i)
+        if ((o & 0x8000) != 0) None // deleted
+        else if (overflowTargets.contains((p, i))) None // reached via pointer
+        else {
+          val start = o & 0x1FFF
+          val end = if (i == 0) PG else offs(i - 1) & 0x1FFF
+          if (end <= start) None
+          else if ((o & 0x4000) != 0) { // overflow: 1-byte row + 3-byte page
+            val ptr = u32(buf, base + start)
+            val row = (ptr & 0xFF).toInt
+            val opg = (ptr >> 8).toInt
+            val ob = opg * PG
+            val on = u16(buf, ob + 12)
+            if (row >= on) None
+            else {
+              val s2 = u16(buf, ob + 14 + 2 * row) & 0x1FFF
+              val e2 = if (row == 0) PG else u16(buf, ob + 14 + 2 * (row - 1)) & 0x1FFF
+              if (e2 <= s2) None
+              else Some(java.util.Arrays.copyOfRange(buf, ob + s2, ob + e2))
+            }
+          } else Some(java.util.Arrays.copyOfRange(buf, base + start, base + end))
+        }
+      }
+    }
+  }
 
-  /** Jet text: UTF-16LE, or the compressed form (0xFF 0xFE marker, runs of
-    * single-byte chars toggled to UTF-16 by NUL). */
+  /** Jet text: UTF-16LE, or the compressed form (0xFF 0xFE marker): runs
+    * of single-byte chars and UTF-16 pairs, a NUL lead byte toggling the
+    * mode in BOTH directions (the mdbtools-documented algorithm — a
+    * one-way toggle would garble ASCII following a UTF-16 run). */
   private def decodeText(b: Array[Byte]): String =
     if (b.length >= 2 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xFE) {
       val sb = new java.lang.StringBuilder
       var i = 2
       var compressed = true
       while (i < b.length) {
-        if (compressed) {
-          if (b(i) == 0) { compressed = false; i += 1 }
-          else { sb.append((b(i) & 0xFF).toChar); i += 1 }
-        } else if (i + 1 < b.length) {
+        if (b(i) == 0) { compressed = !compressed; i += 1 }
+        else if (compressed) { sb.append((b(i) & 0xFF).toChar); i += 1 }
+        else if (i + 1 < b.length) {
           sb.append(new String(b, i, 2, "UTF-16LE")); i += 2
         } else i += 1
       }

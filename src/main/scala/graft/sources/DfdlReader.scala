@@ -262,8 +262,12 @@ object DfdlReader {
       case "date" => java.sql.Date.valueOf(tok)
       case "time" => tok
       case "dateTime" =>
-        val norm = if (tok.endsWith("Z") || tok.contains("+")) tok else tok + "Z"
-        java.sql.Timestamp.from(java.time.Instant.parse(norm))
+        // zone-less timestamps read as UTC; an explicit offset (+hh:mm or
+        // -hh:mm AFTER the time part) or Z passes through untouched
+        val timePart = tok.substring(tok.indexOf('T') + 1)
+        val hasZone = tok.endsWith("Z") || timePart.contains("+") || timePart.contains("-")
+        val norm = if (hasZone) tok else tok + "Z"
+        java.sql.Timestamp.from(java.time.OffsetDateTime.parse(norm).toInstant)
       case other => throw new IllegalArgumentException(s"unsupported text xs:$other")
     }
   }
@@ -324,6 +328,19 @@ object DfdlReader {
     } else {
       val term = if (rowEl.term.nonEmpty) rowEl.term else "\n"
       val sep = if (rowEl.sep.nonEmpty) rowEl.sep else " "
+      // text tokenization is flat: a nested sequence declaring its OWN
+      // separator/terminator would need hierarchical splitting — refuse
+      // rather than mis-tokenize
+      def checkNested(e: El): Unit = e.children.foreach { c =>
+        if (c.simple.isEmpty) {
+          require((c.sep.isEmpty || c.sep == sep) &&
+                  (c.term.isEmpty || c.term == term),
+            s"dfdl: nested sequence '${c.name}' declares its own " +
+              "separator/terminator — unsupported in delimited text mode")
+          checkNested(c)
+        }
+      }
+      checkNested(rowEl)
       new String(data, "UTF-8").split(java.util.regex.Pattern.quote(term))
         .map(_.stripPrefix("\r").stripSuffix("\r")).filter(_.nonEmpty)
         .map { line =>

@@ -84,8 +84,10 @@ object Hdf5Reader {
   private[graft] case class Ds(path: String, dims: Seq[Long], dt: Dtype,
                                layoutCls: Int, addr: Long, size: Long,
                                chunkDims: Seq[Int], btree: Long,
-                               deflate: Boolean, compact: Array[Byte],
-                               attrs: Map[String, String])
+                               filters: Seq[Int], compact: Array[Byte],
+                               attrs: Map[String, String]) {
+    def deflate: Boolean = filters.contains(1)
+  }
   private[graft] case class Grp(path: String, attrs: Map[String, String])
   private[graft] case class Lnk(path: String, target: String)
   private[graft] case class Objects(groups: Seq[Grp], datasets: Seq[Ds],
@@ -308,7 +310,11 @@ object Hdf5Reader {
     }
   }
 
-  private def walk(h: H5, hdrAddr: Long, path: String, out: Objects): Objects = {
+  private def walk(h: H5, hdrAddr: Long, path: String, out: Objects,
+                   visited: scala.collection.mutable.Set[Long] =
+                     scala.collection.mutable.Set.empty): Objects = {
+    // hard links can alias an ancestor group — each object surfaces once
+    if (!visited.add(hdrAddr)) return out
     val msgs = readMessages(h, hdrAddr)
     val attrs = msgs.filter(_.typ == 0x0C).flatMap(m => parseAttr(h, m.body)).toMap
     val symTab = msgs.find(_.typ == 0x11)
@@ -326,7 +332,7 @@ object Hdf5Reader {
           if (cacheType == 2) { // soft link: scratch holds the heap offset
             val target = heapString(h, heap, u32(scratch, 0))
             acc = Objects(acc.groups, acc.datasets, acc.links :+ Lnk(childPath, target))
-          } else acc = walk(h, addr, childPath, acc)
+          } else acc = walk(h, addr, childPath, acc, visited)
         }
       }
       acc
@@ -338,31 +344,37 @@ object Hdf5Reader {
       val layout = msgs.find(_.typ == 0x08).get
       val lb = layout.body
       require(lb(0) == 3, s"unsupported data layout message version ${lb(0)} (v3 only)")
-      val deflate = msgs.find(_.typ == 0x0B).exists { m =>
+      // full filter pipeline, in declared order: 1 deflate, 2 shuffle,
+      // 3 fletcher32 (checksum, verify-skipped); anything else refuses —
+      // silently ignoring a transform filter would return garbage values
+      val filters = msgs.find(_.typ == 0x0B).map { m =>
         val nf = m.body(1) & 0xFF
-        var p = 8; var found = false
-        (0 until nf).foreach { _ =>
+        var p = 8
+        (0 until nf).map { _ =>
           val id = u16(m.body, p)
           val nameLen = u16(m.body, p + 2)
           val nVals = u16(m.body, p + 6)
-          if (id == 1) found = true
           p += 8 + pad8(nameLen) + 4 * nVals + (if (nVals % 2 == 1) 4 else 0)
+          id
         }
-        found
-      }
+      }.getOrElse(Nil)
+      filters.find(id => id != 1 && id != 2 && id != 3).foreach(id =>
+        throw new IllegalStateException(
+          s"dataset $path uses unsupported HDF5 filter id $id " +
+            "(deflate/shuffle/fletcher32 only)"))
       val ds = (lb(1): @unchecked) match {
         case 0 => // compact
           val sz = u16(lb, 2)
           Ds(path, dims, dt, 0, Undef, sz,
-            Nil, Undef, deflate, java.util.Arrays.copyOfRange(lb, 4, 4 + sz), attrs)
+            Nil, Undef, filters, java.util.Arrays.copyOfRange(lb, 4, 4 + sz), attrs)
         case 1 => // contiguous
-          Ds(path, dims, dt, 1, u64(lb, 2), u64(lb, 10), Nil, Undef, deflate, null, attrs)
+          Ds(path, dims, dt, 1, u64(lb, 2), u64(lb, 10), Nil, Undef, filters, null, attrs)
         case 2 => // chunked
           val d = lb(2) & 0xFF // rank + 1 (element-size dim)
           val btree = u64(lb, 3)
           val cdims = (0 until d).map(i => u32(lb, 11 + i * 4).toInt)
           Ds(path, dims, dt, 2, Undef, dims.product * dt.size,
-            cdims, btree, deflate, null, attrs)
+            cdims, btree, filters, null, attrs)
       }
       Objects(out.groups, out.datasets :+ ds, out.links)
     } else out
@@ -396,7 +408,11 @@ object Hdf5Reader {
   /** Raw row-major element buffer of a dataset. */
   private[graft] def rawData(h: H5, ds: Ds): Array[Byte] = {
     val elemSize = ds.dt.size
-    val total = (ds.dims.product * elemSize).toInt
+    val totalL = ds.dims.product * elemSize
+    require(totalL <= Int.MaxValue - 8,
+      s"dataset ${ds.path} too large to buffer ($totalL bytes); " +
+        "split it or read a sub-dataset")
+    val total = totalL.toInt
     ds.layoutCls match {
       case 0 => ds.compact
       case 1 =>
@@ -425,16 +441,37 @@ object Hdf5Reader {
             if (level > 0) walkChunks(child)
             else {
               var data = h.bytes(child, chunkBytes)
-              if (ds.deflate && (mask & 1) == 0) {
-                val inf = new java.util.zip.Inflater()
-                inf.setInput(data)
-                val chunkElems = ds.chunkDims.dropRight(1).map(_.toLong).product
-                val buf = new Array[Byte]((chunkElems * elemSize).toInt)
-                var w = 0
-                while (!inf.finished() && w < buf.length)
-                  w += inf.inflate(buf, w, buf.length - w)
-                inf.end()
-                data = buf
+              // undo the filter pipeline in reverse declared order; bit i
+              // of the key's mask marks filter i as SKIPPED for this chunk
+              ds.filters.zipWithIndex.reverse.foreach { case (fid, fi) =>
+                if ((mask & (1 << fi)) == 0) fid match {
+                  case 3 => // fletcher32: trailing 4-byte checksum
+                    data = java.util.Arrays.copyOfRange(data, 0, data.length - 4)
+                  case 1 =>
+                    val inf = new java.util.zip.Inflater()
+                    inf.setInput(data)
+                    val chunkElems = ds.chunkDims.dropRight(1).map(_.toLong).product
+                    val buf = new Array[Byte]((chunkElems * elemSize).toInt)
+                    var w = 0
+                    while (!inf.finished() && w < buf.length)
+                      w += inf.inflate(buf, w, buf.length - w)
+                    inf.end()
+                    data = buf
+                  case 2 => // shuffle: bytes grouped by significance, restore
+                    val n = data.length / elemSize
+                    val un = new Array[Byte](data.length)
+                    var j = 0
+                    while (j < elemSize) {
+                      var k = 0
+                      while (k < n) {
+                        un(k * elemSize + j) = data(j * n + k)
+                        k += 1
+                      }
+                      j += 1
+                    }
+                    data = un
+                  case _ => ()
+                }
               }
               // copy chunk rows into the logical buffer (edge-clipped)
               val cDims = ds.chunkDims.dropRight(1) // last = element size

@@ -79,8 +79,8 @@ object SpssReader {
     val raw = scala.collection.mutable.ArrayBuffer[RawVar]()
     // element index (1-based, counting every 8-byte slot) -> raw var position
     val elemToVar = scala.collection.mutable.HashMap[Int, Int]()
-    val labelSets = scala.collection.mutable.ArrayBuffer[(Map[Double, String], Seq[Int])]()
-    var longNames = Map.empty[String, String]
+    val labelSets = scala.collection.mutable.ArrayBuffer[(Map[Double, Array[Byte]], Seq[Int])]()
+    var longNamesRaw: Array[Byte] = Array.emptyByteArray
     var encoding = "ISO-8859-1"
     var elemIdx = 1
 
@@ -111,7 +111,9 @@ object SpssReader {
             val value = readDouble(in)
             val len = in.readUnsignedByte()
             val padded = ((len + 1 + 7) / 8) * 8 - 1
-            val txt = new String(readN(in, padded), 0, len, "ISO-8859-1").trim
+            // raw bytes kept: the file encoding (subtype 20) may arrive
+            // after this record — decoded once the dictionary is complete
+            val txt = java.util.Arrays.copyOfRange(readN(in, padded), 0, len)
             value -> txt
           }.toMap
           require(readI32(in) == 4, "value-label record not followed by a type-4 record")
@@ -128,12 +130,7 @@ object SpssReader {
           val body = readN(in, size * count)
           subtype match {
             case 13 => // long variable names: SHORT=Long separated by 0x09
-              longNames = new String(body, "ISO-8859-1").split("\t").toSeq
-                .flatMap { kv =>
-                  val i = kv.indexOf('=')
-                  if (i > 0) Some(kv.substring(0, i).trim -> kv.substring(i + 1).trim)
-                  else None
-                }.toMap
+              longNamesRaw = body // decoded after subtype 20 fixes the charset
             case 20 =>
               val enc = new String(body, "ISO-8859-1").trim
               if (enc.nonEmpty) encoding = enc
@@ -147,10 +144,19 @@ object SpssReader {
       }
     }
 
+    val longNames = new String(longNamesRaw, encoding).split("\t").toSeq
+      .flatMap { kv =>
+        val i = kv.indexOf('=')
+        if (i > 0) Some(kv.substring(0, i).trim -> kv.substring(i + 1).trim)
+        else None
+      }.toMap
+    // labels decode with the FINAL file encoding (subtype 20 may follow
+    // the type-3 records in the dictionary)
     val labelByVar = scala.collection.mutable.HashMap[Int, Map[Double, String]]()
     labelSets.foreach { case (m, idxs) =>
+      val decoded = m.map { case (v, b) => v -> new String(b, encoding).trim }
       idxs.foreach(i => elemToVar.get(i).foreach(v =>
-        labelByVar(v) = labelByVar.getOrElse(v, Map.empty) ++ m))
+        labelByVar(v) = labelByVar.getOrElse(v, Map.empty) ++ decoded))
     }
     val vars = raw.zipWithIndex.map { case (rv, i) =>
       Variable(longNames.getOrElse(rv.shortName, rv.shortName), rv.width,
@@ -162,7 +168,10 @@ object SpssReader {
   def schemaOf(meta: Meta): StructType = StructType(meta.vars.flatMap { v =>
     val base = StructField(v.name,
       if (v.width == 0) DoubleType else StringType, nullable = true)
-    if (v.labels.nonEmpty)
+    // the `<name>_value` companion applies to NUMERIC vars (labels are
+    // keyed on the 8-byte double) — must agree with rows(), which emits
+    // companions for width==0 only
+    if (v.width == 0 && v.labels.nonEmpty)
       Seq(base, StructField(v.name + "_value", StringType, nullable = true))
     else Seq(base)
   })
@@ -267,18 +276,19 @@ object SpssReader {
                 Seq(d, if (d == null) null else v.labels.get(d.doubleValue).orNull)
               else Seq(d)
             } else {
-              val sb = new java.lang.StringBuilder
+              // concatenate the 8-byte elements FIRST, decode once — a
+              // multi-byte character may straddle an element boundary
+              val bytes = new java.io.ByteArrayOutputStream(v.elems * 8)
               (0 until v.elems).foreach { k =>
                 buf(e + k) match {
-                  case b: Array[Byte] => sb.append(new String(b, meta.encoding))
-                  case _ => sb.append("        ")
+                  case b: Array[Byte] => bytes.write(b)
+                  case _ => bytes.write("        ".getBytes("ISO-8859-1"))
                 }
               }
-              var s = sb.toString
-              var end = s.length
-              while (end > 0 && s.charAt(end - 1) == ' ') end -= 1
-              s = s.substring(0, math.min(end, v.width))
-              Seq(s)
+              val raw = bytes.toByteArray
+              var end = math.min(raw.length, v.width)
+              while (end > 0 && raw(end - 1) == ' '.toByte) end -= 1
+              Seq(new String(raw, 0, end, meta.encoding))
             }
           e += v.elems
           out
