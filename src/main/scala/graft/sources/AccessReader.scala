@@ -12,7 +12,8 @@ import org.apache.spark.sql.types._
   * which wraps the Jackcess library — no code shared, only the output
   * contract). Same posture as the SAS/SPSS/HDF5 readers.
   *
-  * Layout decoded (Jet 4 and ACE, 4096-byte pages; Jet 3 refuses):
+  * Layout decoded (Jet 3, Jet 4, and ACE — 2048- or 4096-byte pages,
+  * per-version TDEF/row layouts and text encodings):
   * the MSysObjects system catalog rooted at its fixed table-definition
   * page 2, table-definition pages (column count/types/flags/offsets,
   * UTF-16 names, continuation pages), data pages located by their
@@ -37,7 +38,15 @@ import org.apache.spark.sql.types._
   */
 object AccessReader {
 
-  private val PG = 4096
+  /** Per-version layout constants (the mdbtools-documented Jet 3 / Jet 4
+    * divergences: page size, data-page header width, TDEF field offsets,
+    * column-entry shape, name encoding, row header/offset widths). */
+  private[graft] case class Fmt(pg: Int, dpNumRows: Int, dpRowsOff: Int,
+                                tdNumRows: Int, tdNumVar: Int, tdNumCols: Int,
+                                tdNumRidx: Int, tdColsBase: Int, tdRidxSize: Int,
+                                colEntry: Int, jet3: Boolean)
+  private val Jet4 = Fmt(4096, 12, 14, 16, 43, 45, 51, 63, 12, 25, jet3 = false)
+  private val Jet3 = Fmt(2048, 8, 10, 12, 23, 25, 31, 43, 8, 18, jet3 = true)
   private val DaysToEpoch = 25569L      // 1899-12-30 -> 1970-01-01
   private val Ce1ToEpochDays = 719162L  // 0001-01-01 -> 1970-01-01
 
@@ -69,41 +78,57 @@ object AccessReader {
     private val prod = new String(bytes, 4, 15, "ISO-8859-1")
     require(prod == "Standard Jet DB" || prod == "Standard ACE DB",
       s"not an Access database (product '$prod')")
-    require(bytes(0x14) != 0,
-      "Jet 3 (Access 97, 2048-byte pages) unsupported — Jet 4 / ACE only")
-    val pages: Int = bytes.length / PG
+    val fmt: Fmt = if (bytes(0x14) == 0) Jet3 else Jet4
+    val pages: Int = bytes.length / fmt.pg
     def page(p: Int): Array[Byte] =
-      java.util.Arrays.copyOfRange(bytes, p * PG, (p + 1) * PG)
+      java.util.Arrays.copyOfRange(bytes, p * fmt.pg, (p + 1) * fmt.pg)
   }
 
   // ---- table definitions ----------------------------------------------
   private[graft] def readTdef(db: Mdb, pg: Int): TableDef = {
-    var buf = db.page(pg)
+    val fmt = db.fmt
+    val buf = db.page(pg)
     require(buf(0) == 0x02, s"page $pg is not a table definition")
     var full = buf
     var nxt = u32(buf, 4)
     while (nxt != 0) { // TDEF continuation pages chain via next_pg
       val nb = db.page(nxt.toInt)
-      full = full ++ java.util.Arrays.copyOfRange(nb, 8, PG)
+      full = full ++ java.util.Arrays.copyOfRange(nb, 8, fmt.pg)
       nxt = u32(nb, 4)
     }
-    val numRows = u32(full, 16)
-    val numVar = u16(full, 43)
-    val numCols = u16(full, 45)
-    val numRealIdx = u32(full, 51).toInt
-    var pos = 63 + numRealIdx * 12
+    val numRows = u32(full, fmt.tdNumRows)
+    val numVar = u16(full, fmt.tdNumVar)
+    val numCols = u16(full, fmt.tdNumCols)
+    val numRealIdx = u32(full, fmt.tdNumRidx).toInt
+    var pos = fmt.tdColsBase + numRealIdx * fmt.tdRidxSize
     val raw = (0 until numCols).map { _ =>
-      val c = (full(pos) & 0xFF, u16(full, pos + 5), u16(full, pos + 7),
-        (full(pos + 15) & 0x01) != 0, u16(full, pos + 21), u16(full, pos + 23),
-        full(pos + 11) & 0xFF, full(pos + 12) & 0xFF)
-      pos += 25
+      val c =
+        if (fmt.jet3)
+          (full(pos) & 0xFF, full(pos + 1) & 0xFF, u16(full, pos + 3),
+            (full(pos + 13) & 0x01) != 0, u16(full, pos + 14), u16(full, pos + 16),
+            0, 0)
+        else
+          (full(pos) & 0xFF, u16(full, pos + 5), u16(full, pos + 7),
+            (full(pos + 15) & 0x01) != 0, u16(full, pos + 21), u16(full, pos + 23),
+            full(pos + 11) & 0xFF, full(pos + 12) & 0xFF)
+      pos += fmt.colEntry
       c
     }
     val cols = raw.map { case (typ, num, varNum, fixed, fOff, size, prec, scale) =>
-      val ln = u16(full, pos)
-      pos += 2
-      val name = new String(full, pos, ln, "UTF-16LE")
-      pos += ln
+      val name =
+        if (fmt.jet3) {
+          val ln = full(pos) & 0xFF
+          pos += 1
+          val n = new String(full, pos, ln, "windows-1252")
+          pos += ln
+          n
+        } else {
+          val ln = u16(full, pos)
+          pos += 2
+          val n = new String(full, pos, ln, "UTF-16LE")
+          pos += ln
+          n
+        }
       Col(name, typ, num, varNum, fixed, fOff, size, prec, scale)
     }
     TableDef(numRows, numVar, cols)
@@ -115,15 +140,17 @@ object AccessReader {
     * emitted a second time when the overflow page itself is scanned. */
   private def rawRows(db: Mdb, tdefPg: Int): Iterator[Array[Byte]] = {
     val buf = db.bytes
+    val fmt = db.fmt
+    val PGn = fmt.pg
     val owned = (0 until db.pages).filter { p =>
-      buf(p * PG) == 0x01 && u32(buf, p * PG + 4) == tdefPg
+      buf(p * PGn) == 0x01 && u32(buf, p * PGn + 4) == tdefPg
     }
     val overflowTargets = scala.collection.mutable.Set[(Int, Int)]()
     owned.foreach { p =>
-      val base = p * PG
-      val n = u16(buf, base + 12)
+      val base = p * PGn
+      val n = u16(buf, base + fmt.dpNumRows)
       (0 until n).foreach { i =>
-        val o = u16(buf, base + 14 + 2 * i)
+        val o = u16(buf, base + fmt.dpRowsOff + 2 * i)
         if ((o & 0x8000) == 0 && (o & 0x4000) != 0) {
           val ptr = u32(buf, base + (o & 0x1FFF))
           overflowTargets += (((ptr >> 8).toInt, (ptr & 0xFF).toInt))
@@ -131,27 +158,28 @@ object AccessReader {
       }
     }
     owned.iterator.flatMap { p =>
-      val base = p * PG
-      val n = u16(buf, base + 12)
-      val offs = (0 until n).map(i => u16(buf, base + 14 + 2 * i))
+      val base = p * PGn
+      val n = u16(buf, base + fmt.dpNumRows)
+      val offs = (0 until n).map(i => u16(buf, base + fmt.dpRowsOff + 2 * i))
       (0 until n).iterator.flatMap { i =>
         val o = offs(i)
         if ((o & 0x8000) != 0) None // deleted
         else if (overflowTargets.contains((p, i))) None // reached via pointer
         else {
           val start = o & 0x1FFF
-          val end = if (i == 0) PG else offs(i - 1) & 0x1FFF
+          val end = if (i == 0) PGn else offs(i - 1) & 0x1FFF
           if (end <= start) None
           else if ((o & 0x4000) != 0) { // overflow: 1-byte row + 3-byte page
             val ptr = u32(buf, base + start)
             val row = (ptr & 0xFF).toInt
             val opg = (ptr >> 8).toInt
-            val ob = opg * PG
-            val on = u16(buf, ob + 12)
+            val ob = opg * PGn
+            val on = u16(buf, ob + fmt.dpNumRows)
             if (row >= on) None
             else {
-              val s2 = u16(buf, ob + 14 + 2 * row) & 0x1FFF
-              val e2 = if (row == 0) PG else u16(buf, ob + 14 + 2 * (row - 1)) & 0x1FFF
+              val s2 = u16(buf, ob + fmt.dpRowsOff + 2 * row) & 0x1FFF
+              val e2 = if (row == 0) PGn
+                       else u16(buf, ob + fmt.dpRowsOff + 2 * (row - 1)) & 0x1FFF
               if (e2 <= s2) None
               else Some(java.util.Arrays.copyOfRange(buf, ob + s2, ob + e2))
             }
@@ -165,8 +193,9 @@ object AccessReader {
     * of single-byte chars and UTF-16 pairs, a NUL lead byte toggling the
     * mode in BOTH directions (the mdbtools-documented algorithm — a
     * one-way toggle would garble ASCII following a UTF-16 run). */
-  private def decodeText(b: Array[Byte]): String =
-    if (b.length >= 2 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xFE) {
+  private def decodeText(b: Array[Byte], jet3: Boolean = false): String =
+    if (jet3) new String(b, "windows-1252") // Jet 3 text is single-byte
+    else if (b.length >= 2 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xFE) {
       val sb = new java.lang.StringBuilder
       var i = 2
       var compressed = true
@@ -195,11 +224,13 @@ object AccessReader {
       while (ptr != 0 && remaining > 0) {
         val row = (ptr & 0xFF).toInt
         val pg = (ptr >> 8).toInt
-        val base = pg * PG
-        val n = u16(db.bytes, base + 12)
+        val fmt = db.fmt
+        val base = pg * fmt.pg
+        val n = u16(db.bytes, base + fmt.dpNumRows)
         require(row < n, s"LVAL pointer row $row out of range")
-        val s = u16(db.bytes, base + 14 + 2 * row) & 0x1FFF
-        val e = if (row == 0) PG else u16(db.bytes, base + 14 + 2 * (row - 1)) & 0x1FFF
+        val s = u16(db.bytes, base + fmt.dpRowsOff + 2 * row) & 0x1FFF
+        val e = if (row == 0) fmt.pg
+                else u16(db.bytes, base + fmt.dpRowsOff + 2 * (row - 1)) & 0x1FFF
         if (singlePage) {
           out.write(db.bytes, base + s, math.min(remaining, e - s))
           ptr = 0
@@ -256,18 +287,42 @@ object AccessReader {
   }
 
   private def crackRow(db: Mdb, row: Array[Byte], td: TableDef): Row = {
-    val ncols = u16(row, 0)
+    val jet3 = db.fmt.jet3
+    val ncols = if (jet3) row(0) & 0xFF else u16(row, 0)
+    val fixedBase = if (jet3) 1 else 2
     val bm = (ncols + 7) / 8
     val L = row.length
     def nullBit(n: Int): Boolean = ((row(L - bm + n / 8) >> (n % 8)) & 1) != 0
-    val varLen = if (td.numVar > 0) u16(row, L - bm - 2) else 0
-    def varOff(i: Int): Int = u16(row, L - bm - 4 - 2 * i)
+    val varLen =
+      if (td.numVar == 0) 0
+      else if (jet3) row(L - bm - 1) & 0xFF
+      else u16(row, L - bm - 2)
+    // Jet 3 var offsets are single bytes; rows over 255 bytes wrap — data
+    // is written in order, so a DECREASE between consecutive entries marks
+    // a 256 boundary crossing (the jump-table's information, recovered)
+    val varOffs: Array[Int] =
+      if (td.numVar == 0) Array.empty
+      else if (jet3) {
+        val numJumps = (L - 1) / 256
+        val colPtr = L - bm - 1 - numJumps
+        val raws = (0 to varLen).map(i => row(colPtr - 1 - i) & 0xFF)
+        val out = new Array[Int](varLen + 1)
+        var base = 0
+        var prev = if (raws.nonEmpty) raws(0) else 0
+        raws.zipWithIndex.foreach { case (o, i) =>
+          if (i > 0 && o < prev) base += 256
+          out(i) = o + base
+          prev = o
+        }
+        out
+      } else (0 to varLen).map(i => u16(row, L - bm - 4 - 2 * i)).toArray
+    def varOff(i: Int): Int = varOffs(i)
 
     val vals = td.cols.map { c =>
       if (c.typ == 0x01) java.lang.Boolean.valueOf(nullBit(c.num))
       else if (!nullBit(c.num)) null
       else if (c.fixed) {
-        val o = 2 + c.fixedOff
+        val o = fixedBase + c.fixedOff
         c.typ match {
           case 0x02 => java.lang.Byte.valueOf(row(o))
           case 0x03 => java.lang.Short.valueOf(i16(row, o))
@@ -296,9 +351,9 @@ object AccessReader {
           val e = varOff(i + 1)
           if (e < s) null
           else c.typ match {
-            case 0x0A => decodeText(java.util.Arrays.copyOfRange(row, s, e))
+            case 0x0A => decodeText(java.util.Arrays.copyOfRange(row, s, e), jet3)
             case 0x0C =>
-              decodeText(readLongValue(db, java.util.Arrays.copyOfRange(row, s, e)))
+              decodeText(readLongValue(db, java.util.Arrays.copyOfRange(row, s, e)), jet3)
             case 0x09 => java.util.Arrays.copyOfRange(row, s, e)
             case 0x0B => readLongValue(db, java.util.Arrays.copyOfRange(row, s, e))
             case 0x08 =>

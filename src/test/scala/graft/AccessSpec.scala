@@ -98,10 +98,26 @@ class AccessSpec extends AnyFunSuite {
     assert(tables.toSeq == Seq("Table1", "Table2", "Table3", "Table4"))
   }
 
-  test("Jet 3 (Access 97) refuses with a clear error") {
-    val e = intercept[Exception] {
-      AccessReader.read(spark, f("testV1997.mdb")).collect()
-    }
-    assert(e.getMessage.contains("Jet 3"))
+  test("Jet 3 (Access 97, 2048-byte pages): cross-version validator") {
+    // V1997's Table1 holds the same logical rows the VALIDATED Jet4/ACE
+    // decodes pin (the reference's fixtures share content across
+    // versions) — a correct Jet3 decode must land on identical values
+    val df = AccessReader.readTable(spark, f("testV1997.mdb"), "Table1")
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("A", "B", "C", "D", "E", "F", "G", "H", "I"))
+    val rows = df.orderBy("C").collect()
+    assert(rows.length == 2)
+    val r0 = rows(0)
+    assert(r0.getString(0) == "a" && r0.getByte(2) == 0 && !r0.getBoolean(8))
+    assert(r0.getTimestamp(6).getTime == 376963200000L)
+    val r1 = rows(1)
+    assert(r1.getString(0) == "abcdefg" && r1.getString(1) == "hijklmnop")
+    assert(r1.getShort(3) == 222 && r1.getInt(4) == 333333333)
+    assert(r1.getDouble(5) == 444.555)
+    assert(r1.getDecimal(7).compareTo(new java.math.BigDecimal("3.5")) == 0)
+    assert(r1.getBoolean(8))
+    val tables = AccessReader.read(spark, f("testV1997.mdb"))
+      .collect().map(_.getString(0)).sorted
+    assert(tables.toSeq == Seq("Table1", "Table2", "Table3", "Table4"))
   }
 }
