@@ -39,8 +39,9 @@ object DeltaDml {
   private def absolute(tablePath: String, p: String): String =
     if (p.startsWith("/") || p.contains("://")) p else s"$tablePath/$p"
 
-  private def absNorm(c: Column): Column =
-    regexp_replace(c, "^[a-zA-Z0-9]+:/+", "/")
+  private val SchemeRe = "^[a-zA-Z0-9]+:/+"
+  private def absNorm(c: Column): Column = regexp_replace(c, SchemeRe, "/")
+  private def normScheme(s: String): String = s.replaceFirst(SchemeRe, "/")
 
   /** Live state with the DML refusals applied:
     * (schema, relPath -> absolute path, current version). */
@@ -70,7 +71,7 @@ object DeltaDml {
   private def affectedOf(hits: DataFrame,
                          files: Seq[(String, String)]): Seq[String] = {
     val byNorm = files.map { case (rel, abs) =>
-      abs.replaceFirst("^[a-zA-Z0-9]+:/+", "/") -> rel
+      normScheme(abs) -> rel
     }.toMap
     hits.select(col("__g_file"))
       .distinct().collect().map(r => byNorm(r.getString(0))).toSeq
@@ -109,9 +110,14 @@ object DeltaDml {
         s""""sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}""")
       .getOrElse("")
 
-  private def removeActions(rels: Seq[String]): Seq[String] =
+  /** remove actions carry the removed file's CURRENT deletionVector
+    * descriptor: PROTOCOL.md keys logical-file identity on
+    * (path, dvUniqueId), so a remove without the DV would leave the old
+    * (path, dv) pair alive in a spec-keyed replay. */
+  private def removeActions(rels: Seq[String],
+      dvOf: String => Option[DeletionVectors.DvDescriptor] = _ => None): Seq[String] =
     rels.map(p =>
-      s"""{"remove":{"path":"$p","deletionTimestamp":0,"dataChange":true}}""")
+      s"""{"remove":{"path":"$p","deletionTimestamp":0,"dataChange":true${dvJson(dvOf(p))}}}""")
 
   /** commitInfo action (PROTOCOL.md: informational, replay ignores it)
     * — what DESCRIBE HISTORY surfaces as the operation name. */
@@ -245,7 +251,7 @@ object DeltaDml {
     if (files.isEmpty) return (current, 0L)
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val relOf: Map[String, String] = files.map { case (rel, _, _) =>
-      absolute(tablePath, rel).replaceFirst("^[a-zA-Z0-9]+:/+", "/") -> rel
+      normScheme(absolute(tablePath, rel)) -> rel
     }.toMap
     val confBc = spark.sparkContext.broadcast(
       new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
@@ -274,8 +280,12 @@ object DeltaDml {
       .join(relLookup, Seq("__g_file"))
     if (withDv.nonEmpty)
       matched = matched.join(dvRows(Set.empty), Seq("__g_rel", "__g_pos"), "left_anti")
+    // up to five downstream jobs consume `matched` (count, affected set,
+    // DV write, UPDATE re-adds, CDC) — persist so the data-file scan and
+    // the existing-DV expansion run once, not per job
+    matched = matched.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deleted = matched.count()
-    if (deleted == 0) return (current, 0L)
+    if (deleted == 0) { matched.unpersist(); return (current, 0L) }
     val affected = matched.select("__g_rel").distinct()
       .as[String].collect().toSeq.sorted
     val version = current + 1
@@ -334,13 +344,22 @@ object DeltaDml {
           tablePath, version)
       }
       else Nil
+    // MERGE the DV feature into the existing protocol — replacing it
+    // wholesale would drop features other writers declared (features are
+    // never removed, versions never lowered)
+    val (pr, pw, rf, wf) = DeltaLogReader.protocolInfo(spark, tablePath)
+    def fj(s: Set[String]) = (s + "deletionVectors").toSeq.sorted
+      .map(f => s""""$f"""").mkString("[", ",", "]")
     val protocol =
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-        """"readerFeatures":["deletionVectors"],""" +
-        """"writerFeatures":["deletionVectors"]}}"""
+      s"""{"protocol":{"minReaderVersion":${math.max(pr, 3)},""" +
+        s""""minWriterVersion":${math.max(pw, 7)},""" +
+        s""""readerFeatures":${fj(rf)},"writerFeatures":${fj(wf)}}}"""
+    val dvByRel = files.map(f => f._1 -> f._3).toMap
     DeltaLogReader.writeCommit(spark, tablePath, version,
       Seq(ci(if (set.isDefined) "UPDATE" else "DELETE"), protocol) ++
-        removeActions(affected) ++ readds ++ updAdds ++ cdc)
+        removeActions(affected, dvByRel.getOrElse(_, None)) ++
+        readds ++ updAdds ++ cdc)
+    matched.unpersist()
     (version, deleted)
   }
 
@@ -421,9 +440,14 @@ object DeltaDml {
     * sidecars) is never touched. Returns the number of files deleted. */
   def vacuum(spark: SparkSession, tablePath: String,
              retainMs: Long = 7L * 24 * 3600 * 1000): Long = {
-    val (_, _, files) = DeltaLogReader.activeState(spark, tablePath)
-    val live = files.map { case (p, _, _) =>
-      absolute(tablePath, p).replaceFirst("^[a-zA-Z0-9]+:/+", "/")
+    val (_, _, files) = DeltaLogReader.activeStateDv(spark, tablePath)
+    // live set = active data files + the DV .bin files their descriptors
+    // reference (a DV-heavy table sheds a superseded vector per commit —
+    // they reclaim here like data files do)
+    val live = files.flatMap { case (p, _, dv) =>
+      normScheme(absolute(tablePath, p)) +:
+        dv.filter(_.storageType != "i").map(d =>
+          normScheme(d.filePath(tablePath))).toSeq
     }.toSet
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -435,12 +459,13 @@ object DeltaDml {
           if (n == "_delta_log" || n.startsWith("_staging") || n.startsWith("."))
             Nil
           else walk(s.getPath)
-        } else if (n.endsWith(".parquet") && !n.startsWith("_") &&
-            !n.startsWith(".")) Seq(s)
+        } else if ((n.endsWith(".parquet") ||
+            (n.startsWith("deletion_vector_") && n.endsWith(".bin"))) &&
+            !n.startsWith("_") && !n.startsWith(".")) Seq(s)
         else Nil
       }
     val dead = walk(root).filter { s =>
-      val norm = s.getPath.toString.replaceFirst("^[a-zA-Z0-9]+:/+", "/")
+      val norm = normScheme(s.getPath.toString)
       !live.contains(norm) && s.getModificationTime <= cutoff
     }
     // a big vacuum (a compacted 100 TB table sheds millions of files)
@@ -499,7 +524,8 @@ object DeltaDml {
         val size = fs.getFileStatus(abs).getLen
         s"""{"add":{"path":"$p","partitionValues":${pvJson(pv)},"size":$size,"modificationTime":0,"dataChange":true${dvJson(dv)}}}"""
       }
-    val removes = removeActions(cFiles.map(_._1).filterNot(tgt.contains))
+    val removes = removeActions(cFiles.map(_._1).filterNot(tgt.contains),
+      curState.getOrElse(_, None))
     val version = current + 1
     DeltaLogReader.writeCommit(spark, tablePath, version,
       ci("RESTORE") +: DeltaLogReader.metaDataAction(tSchema, tPartCols) +:
@@ -608,8 +634,19 @@ object DeltaDml {
       if (!(anyMatched || anyBySource) || affected.isEmpty) None
       else {
         val srcM = source.withColumn("__g_match", lit(true))
-        val joined = affScan.as(tAlias).join(srcM.as(sAlias), onExpr,
-          "left_outer")
+        val joined0 = affScan
+          .withColumn("__g_fp", col("_metadata.file_path"))
+          .withColumn("__g_pos", col("_metadata.row_index"))
+          .as(tAlias).join(srcM.as(sAlias), onExpr, "left_outer")
+        // with only BY SOURCE clauses the join exists solely to flag
+        // matched target rows — a multi-match fan-out is legal there but
+        // must collapse back to one copy per target row (all copies carry
+        // identical target columns and __g_match=true), else the rewrite
+        // duplicates rows; with a matched clause the ambiguity check
+        // below rejects multi-matches instead
+        val joined =
+          if (anyMatched) joined0
+          else joined0.dropDuplicates("__g_fp", "__g_pos")
         val isMatch = coalesce(col("__g_match"), lit(false))
         def condOr(c: Option[String], default: Column): Column =
           c.map(s => coalesce(expr(s).cast(BooleanType), lit(false)))

@@ -87,6 +87,69 @@ object DeltaLogReader {
     versions
   }
 
+  /** The table's CURRENT protocol: (minReaderVersion, minWriterVersion,
+    * readerFeatures, writerFeatures). Newest protocol action wins — JSON
+    * commits are scanned newest-first, the checkpoint is the fallback for
+    * vacuumed logs. A writer must MERGE into this (features are never
+    * removed, versions never lowered) rather than replace it. */
+  private[graft] def protocolInfo(spark: SparkSession, tablePath: String):
+      (Int, Int, Set[String], Set[String]) = {
+    val logDir = new Path(tablePath, "_delta_log")
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def fromNode(p: com.fasterxml.jackson.databind.JsonNode) = {
+      def feats(n: String) = Option(p.get(n)).filterNot(_.isNull)
+        .map(_.elements.asScala.map(_.asText).toSet).getOrElse(Set.empty[String])
+      (p.get("minReaderVersion").asInt,
+        Option(p.get("minWriterVersion")).map(_.asInt).getOrElse(2),
+        feats("readerFeatures"), feats("writerFeatures"))
+    }
+    val fromJson = tableVersions(spark, tablePath).reverse.view.flatMap { v =>
+      val f = new Path(logDir, f"$v%020d.json")
+      val in = fs.open(f)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().toSeq finally in.close()
+      lines.reverseIterator.map(mapper.readTree)
+        .collectFirst { case n if n.has("protocol") => fromNode(n.get("protocol")) }
+    }.headOption
+    fromJson.orElse {
+      lastCheckpointVersion(spark, tablePath).flatMap { cv =>
+        val cp = new Path(logDir, f"$cv%020d.checkpoint.parquet")
+        if (!fs.exists(cp)) None
+        else {
+          import org.apache.spark.sql.functions.col
+          val df = spark.read.parquet(cp.toString)
+          if (!df.columns.contains("protocol")) None
+          else {
+            val pType = df.schema("protocol").dataType
+              .asInstanceOf[StructType]
+            def opt(n: String) =
+              if (pType.fieldNames.contains(n)) Seq(s"protocol.$n") else Nil
+            val cols = Seq("protocol.minReaderVersion") ++
+              opt("minWriterVersion") ++ opt("readerFeatures") ++ opt("writerFeatures")
+            df.filter(col("protocol").isNotNull)
+              .select(cols.head, cols.tail: _*).collect().headOption.map { r =>
+                var i = 1
+                val minW = if (pType.fieldNames.contains("minWriterVersion")) {
+                  val v = r.getInt(i); i += 1; v
+                } else 2
+                val rf = if (pType.fieldNames.contains("readerFeatures")) {
+                  val v = if (r.isNullAt(i)) Set.empty[String]
+                          else r.getSeq[String](i).toSet
+                  i += 1; v
+                } else Set.empty[String]
+                val wf = if (pType.fieldNames.contains("writerFeatures")) {
+                  val v = if (r.isNullAt(i)) Set.empty[String]
+                          else r.getSeq[String](i).toSet
+                  i += 1; v
+                } else Set.empty[String]
+                (r.getInt(0), minW, rf, wf)
+              }
+          }
+        }
+      }
+    }.getOrElse((1, 2, Set.empty, Set.empty))
+  }
+
   /** Version of the latest checkpoint per `_last_checkpoint`, if any. */
   def lastCheckpointVersion(spark: SparkSession, tablePath: String): Option[Long] = {
     val p = new Path(new Path(tablePath, "_delta_log"), "_last_checkpoint")

@@ -290,12 +290,19 @@ object DeltaLogWriter {
     }
     import spark.implicits._
     // a DV-bearing snapshot checkpoints with the vectors carried in the
-    // add rows, under the protocol that declares the feature
+    // add rows; the checkpoint PRESERVES the table's declared protocol
+    // (merging in the DV feature when vectors are present) rather than
+    // synthesizing one — a replacement would drop features other writers
+    // declared
     val hasDv = files.exists(_._3.nonEmpty)
+    val (pr, pw, rf, wf) = DeltaLogReader.protocolInfo(spark, tablePath)
     val protocolRow =
-      if (hasDv) CpProtocol(3, 7, Some(Seq("deletionVectors")),
-        Some(Seq("deletionVectors")))
-      else CpProtocol(1, 2)
+      if (hasDv || rf.nonEmpty || wf.nonEmpty)
+        CpProtocol(math.max(pr, if (hasDv) 3 else pr),
+          math.max(pw, if (hasDv) 7 else pw),
+          Some(((if (hasDv) rf + "deletionVectors" else rf)).toSeq.sorted),
+          Some(((if (hasDv) wf + "deletionVectors" else wf)).toSeq.sorted))
+      else CpProtocol(math.max(pr, 1), math.max(pw, 2))
     val rows =
       Seq(CpRow(Some(protocolRow), None, None, None),
         CpRow(None, Some(CpMeta("graft", schema.json, partCols)), None, None)) ++

@@ -152,8 +152,13 @@ object IcebergTable {
     val os = fs.create(hintTmp, true)
     try os.write(String.valueOf(newVersion).getBytes("UTF-8"))
     finally os.close()
-    fs.delete(hintPath, false)
-    require(fs.rename(hintTmp, hintPath), s"rename failed: $hintTmp -> $hintPath")
+    // rename-over (atomic on POSIX local fs): the hint is never ABSENT
+    // mid-commit — a delete-then-rename window would hand a polling
+    // reader FileNotFoundException between exists() and open()
+    if (!fs.rename(hintTmp, hintPath)) {
+      fs.delete(hintPath, false) // fs without overwriting rename: fall back
+      require(fs.rename(hintTmp, hintPath), s"rename failed: $hintTmp -> $hintPath")
+    }
   }
 
   /** Latest metadata version: `version-hint.text` if present, else the
@@ -166,14 +171,17 @@ object IcebergTable {
       throw new IllegalArgumentException(s"not an Iceberg table (no metadata/): $table")
     val hint = new Path(dir, "version-hint.text")
     val hinted =
-      if (fs.exists(hint)) {
-        val in = fs.open(hint)
-        // a concurrent committer may be mid-replace: an empty/garbled hint
-        // falls through to the directory listing instead of exploding
-        // (polling stream sources race table writers on exactly this file)
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toIntOption
-        finally in.close()
-      } else None
+      try {
+        if (fs.exists(hint)) {
+          val in = fs.open(hint)
+          // a concurrent committer may be mid-replace: an empty/garbled
+          // hint — or one deleted between exists() and open() — falls
+          // through to the directory listing instead of exploding
+          // (polling stream sources race table writers on this file)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toIntOption
+          finally in.close()
+        } else None
+      } catch { case _: java.io.FileNotFoundException => None }
     hinted.getOrElse {
       val vs = fs.listStatus(dir).toSeq.map(_.getPath.getName)
         .flatMap { n => "^v(\\d+)\\.metadata\\.json$".r.findFirstMatchIn(n).map(_.group(1).toInt) }

@@ -247,6 +247,13 @@ object PaimonDml {
     * frames for the visible rows matching `condition` — nothing is
     * rewritten; the LSM merge drops the keys at read time. Returns
     * (snapshot, rowsDeleted). */
+  /** Latest snapshot id; 0 on a schema-committed table with no snapshot
+    * yet (another engine may create the table before its first write). */
+  private def currentSnapshot(spark: SparkSession, table: String): Long = {
+    val ids = PaimonTable.snapshots(spark, table).map(_.id)
+    if (ids.isEmpty) 0L else ids.max
+  }
+
   def delete(spark: SparkSession, table: String,
              condition: Column): (Long, Long) = {
     val pks = pkState(spark, table, "DELETE")
@@ -254,8 +261,7 @@ object PaimonDml {
     val keys = PaimonTable.read(spark, table).filter(hit)
       .select(pks.map(col): _*)
     val n = keys.count()
-    if (n == 0)
-      return (PaimonTable.snapshots(spark, table).map(_.id).max, 0L)
+    if (n == 0) return (currentSnapshot(spark, table), 0L)
     (PaimonTable.writePk(keys, table, pks, kind = "-D"), n)
   }
 
@@ -265,6 +271,7 @@ object PaimonDml {
     * (snapshot, rowsUpdated). */
   def update(spark: SparkSession, table: String, condition: Column,
              set: Map[String, Column]): (Long, Long) = {
+    require(set.nonEmpty, "UPDATE: empty SET clause") // same guard as Delta/Iceberg
     val pks = pkState(spark, table, "UPDATE")
     val sch = PaimonTable.loadSchema(spark, table)
     val bad = set.keySet.filterNot(sch.schema.fieldNames.contains)
@@ -281,8 +288,7 @@ object PaimonDml {
         }
       }: _*)
     val n = updatedRows.count()
-    if (n == 0)
-      return (PaimonTable.snapshots(spark, table).map(_.id).max, 0L)
+    if (n == 0) return (currentSnapshot(spark, table), 0L)
     (PaimonTable.writePk(updatedRows, table, pks, kind = "+U"), n)
   }
 
@@ -319,7 +325,7 @@ object PaimonDml {
     }
     val onExpr = expr(on)
     val visible = PaimonTable.read(spark, table)
-    val current = PaimonTable.snapshots(spark, table).map(_.id).max
+    val current = currentSnapshot(spark, table)
     val anyMatched = matchedUpdate.isDefined || matchedDelete.isDefined
 
     def cond(c: Option[String], default: Boolean): Column =

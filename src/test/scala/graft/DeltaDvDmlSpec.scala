@@ -176,4 +176,77 @@ class DeltaDvDmlSpec extends AnyFunSuite {
     val (_, _, files) = DeltaLogReader.activeStateDv(spark, base)
     assert(files.flatMap(_._3).map(_.cardinality).sum == 40L)
   }
+
+  test("remove actions carry the superseded DV descriptor (PROTOCOL.md " +
+      "logical-file identity is (path, dvUniqueId))") {
+    import spark.implicits._
+    val base = freshDir("removedv")
+    DeltaLogWriter.write(
+      (1L to 50L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1), base)
+    DeltaDml.deleteDv(spark, base, col("k") <= 5)  // v1: adds (f, dv1)
+    DeltaDml.deleteDv(spark, base, col("k") <= 10) // v2: must remove (f, dv1)
+    val log2 = scala.io.Source.fromFile(
+      s"$base/_delta_log/00000000000000000002.json").mkString
+    val removeLine = log2.linesIterator.find(_.contains("\"remove\"")).get
+    assert(removeLine.contains("\"deletionVector\""),
+      "a spec-keyed replay needs the removed file's OLD DV on the remove")
+    assert(keys(base) == (11L to 50L).toSet)
+  }
+
+  test("DV DML merges the protocol instead of clobbering foreign features") {
+    import spark.implicits._
+    val base = freshDir("protomerge")
+    DeltaLogWriter.write(
+      (1L to 20L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1), base)
+    // simulate another engine declaring an extra reader/writer feature
+    val extra =
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["timestampNtz"],""" +
+        """"writerFeatures":["timestampNtz"]}}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$base/_delta_log/00000000000000000001.json"),
+      (extra + "\n").getBytes("UTF-8"))
+    DeltaDml.deleteDv(spark, base, col("k") <= 3) // v2
+    val log2 = scala.io.Source.fromFile(
+      s"$base/_delta_log/00000000000000000002.json").mkString
+    assert(log2.contains("timestampNtz") && log2.contains("deletionVectors"),
+      "protocol must merge features, never drop a declared one")
+  }
+
+  test("vacuum reclaims superseded deletion-vector files") {
+    import spark.implicits._
+    val base = freshDir("dvvac")
+    DeltaLogWriter.write(
+      (1L to 60L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1), base)
+    DeltaDml.deleteDv(spark, base, col("k") <= 10) // dv1
+    DeltaDml.deleteDv(spark, base, col("k") <= 20) // dv2 supersedes dv1
+    def dvFiles(): Set[String] = {
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .listStatus(p).map(_.getPath.getName)
+        .filter(n => n.startsWith("deletion_vector_") && n.endsWith(".bin"))
+        .toSet
+    }
+    assert(dvFiles().size == 2)
+    val reclaimed = DeltaDml.vacuum(spark, base, retainMs = 0L)
+    assert(reclaimed >= 1L, "the superseded DV bin must be reclaimable")
+    assert(dvFiles().size == 1, "the LIVE DV must survive vacuum")
+    assert(keys(base) == (21L to 60L).toSet) // table still reads correctly
+  }
+
+  test("MERGE with only NOT MATCHED BY SOURCE never duplicates a target " +
+      "row that matches multiple source rows") {
+    import spark.implicits._
+    val base = freshDir("bysrcdup")
+    DeltaLogWriter.write(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1), base)
+    // source holds TWO rows with key 1 and none with key 2: only-by-source
+    // merge deletes unmatched k=2 and must keep exactly ONE copy of k=1
+    val source = Seq((1L, "x"), (1L, "y")).toDF("mk", "mv")
+    DeltaDml.merge(spark, base, source, on = "t.k = s.mk",
+      bySourceDelete = Some("true"))
+    val rows = DeltaLogReader.read(spark, base).select("k").collect()
+      .map(_.getLong(0)).toSeq
+    assert(rows == Seq(1L), s"expected exactly one k=1 row, got $rows")
+  }
 }
