@@ -42,13 +42,41 @@ class DeltaStreamProvider extends StreamSourceProvider with DataSourceRegister {
   override def createSource(sqlContext: SQLContext, metadataPath: String,
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String]): Source =
-    new DeltaStreamSource(sqlContext, parameters)
+    new DeltaStreamSource(sqlContext, parameters, metadataPath)
 }
 
 private[sources] object DeltaStreamSource {
   def pathOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-delta source requires .load(<table path>)"))
+
+  /** Admission-control progress persisted under the source's checkpoint
+    * metadata dir. The v1 Source API gives a restarted source no way to
+    * see the engine's committed offset before its first getOffset — an
+    * in-memory-only tracker would restart the file-budget count from
+    * scratch and return an offset BELOW the checkpoint, regressing it
+    * and re-emitting delivered versions. One tiny file closes that. */
+  private[sources] class Progress(spark: org.apache.spark.sql.SparkSession,
+                                  metadataPath: String) {
+    private val p = new Path(metadataPath, "graft-progress")
+    private val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def read(): Option[Long] =
+      try {
+        if (!fs.exists(p)) None
+        else {
+          val in = fs.open(p)
+          try scala.io.Source.fromInputStream(in, "UTF-8")
+            .mkString.trim.toLongOption
+          finally in.close()
+        }
+      } catch { case _: java.io.IOException => None }
+    def write(v: Long): Unit = {
+      val tmp = new Path(metadataPath, ".graft-progress.tmp")
+      val os = fs.create(tmp, true)
+      try os.write(v.toString.getBytes("UTF-8")) finally os.close()
+      if (!fs.rename(tmp, p)) { fs.delete(p, false); fs.rename(tmp, p) }
+    }
+  }
 
   def cdfMode(parameters: Map[String, String]): Boolean =
     parameters.get("readChangeFeed").exists(_.toBoolean)
@@ -67,7 +95,8 @@ private[sources] object DeltaStreamSource {
 }
 
 class DeltaStreamSource(sqlContext: SQLContext,
-                        parameters: Map[String, String]) extends Source {
+                        parameters: Map[String, String],
+                        metadataPath: String = "") extends Source {
   private val spark =
     sqlContext.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
   private val path = DeltaStreamSource.pathOf(parameters)
@@ -87,19 +116,31 @@ class DeltaStreamSource(sqlContext: SQLContext,
 
   private val maxFilesPerTrigger = parameters.get("maxFilesPerTrigger").map(_.toInt)
 
-  // resolved once at stream start so `startingVersion=latest` means
-  // "versions after the stream began", not after each restart
-  private lazy val startVersion: Long =
+  // resolved EAGERLY at stream start so `startingVersion=latest` means
+  // "versions after the stream began" — a lazy anchor forced at the
+  // first batch would silently drop commits landing between stream
+  // start and the first trigger
+  private val startVersion: Long =
     DeltaLogReader.tableVersions(spark, path).max
 
   // admission control (delta's maxFilesPerTrigger): a catch-up stream
   // must not plan the whole backlog as one batch. The v1 API has no
   // rate-limit hook, so like delta-spark's DeltaSource the source
-  // tracks its own progress (commit()) and getOffset advances only as
-  // many versions as fit the file budget.
-  @volatile private var committed: Option[Long] = None
+  // tracks its own progress (commit()/getBatch, persisted in the
+  // checkpoint's metadata dir via Progress) and getOffset advances only
+  // as many versions as fit the file budget — never BELOW the persisted
+  // progress, which after a restart would regress the engine's
+  // checkpointed offset and re-emit delivered versions.
+  private val progress =
+    if (metadataPath.isEmpty) None
+    else Some(new DeltaStreamSource.Progress(spark, metadataPath))
+  @volatile private var committed: Option[Long] =
+    progress.flatMap(_.read()) // restart: resume the admission count
 
-  override def commit(end: Offset): Unit = { committed = Some(ver(end)) }
+  override def commit(end: Offset): Unit = {
+    committed = Some(ver(end))
+    progress.foreach(_.write(ver(end)))
+  }
 
   override def getOffset: Option[Offset] = {
     val latest = DeltaLogReader.tableVersions(spark, path).max
@@ -109,10 +150,12 @@ class DeltaStreamSource(sqlContext: SQLContext,
         val from = committed.getOrElse(-1L)
         var v = from
         var files = 0
-        while (v < latest && {
-          val n = addFileCount(v + 1)
-          files == 0 || files + n <= budget
-        }) { v += 1; files += addFileCount(v) }
+        var next = if (v < latest) addFileCount(v + 1) else 0
+        while (v < latest && (files == 0 || files + next <= budget)) {
+          v += 1
+          files += next
+          next = if (v < latest) addFileCount(v + 1) else 0
+        }
         math.max(v, from) // always admit at least one version
     }
     Some(LongOffset(capped))
@@ -139,6 +182,7 @@ class DeltaStreamSource(sqlContext: SQLContext,
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val hi = ver(end)
     committed = Some(hi) // progress for admission control (commit() also updates)
+    progress.foreach(_.write(hi))
     val range: (Long, Long) => DataFrame =
       if (cdf) changesBetween else addsBetween
     val batch = start.map(s => range(ver(s) + 1, hi)).getOrElse {

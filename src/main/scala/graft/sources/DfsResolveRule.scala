@@ -21,7 +21,12 @@ case class DfsResolveRule(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
     case u: UnresolvedRelation
         if u.multipartIdentifier.length >= 2 &&
-          u.multipartIdentifier.head.equalsIgnoreCase("dfs") =>
+          u.multipartIdentifier.head.equalsIgnoreCase("dfs") &&
+          // a REAL catalog database named `dfs` wins outright (same guard
+          // as DfsParser/DmlSql/SqlCommands) — including its error paths:
+          // an unknown table must raise TABLE_OR_VIEW_NOT_FOUND, not a
+          // graft file-not-found
+          !spark.catalog.databaseExists("dfs") =>
       DfsSql.load(spark, u.multipartIdentifier.tail).queryExecution.analyzed
   }
 }

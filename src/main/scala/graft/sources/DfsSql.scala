@@ -62,45 +62,48 @@ object DfsSql {
             s"'$other' ($path) — point file-granular formats at a directory")
       }
     }
-    val p = Paths.get(path)
-    if (Files.isDirectory(p)) {
-      if (Files.exists(p.resolve("_delta_log")))
+    // Hadoop FileSystem throughout — the SAME resolution the DML paths
+    // use, so dfs works on any configured fs scheme, not just local nio
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def hasSub(n: String) = fs.exists(new org.apache.hadoop.fs.Path(hp, n))
+    if (fs.exists(hp) && fs.getFileStatus(hp).isDirectory) {
+      if (hasSub("_delta_log"))
         return DeltaLogReader.read(spark, path)
-      if (Files.exists(p.resolve("metadata")) && Files.exists(p.resolve("data")))
+      if (DmlSql.isIcebergDir(fs, hp) && hasSub("data"))
         return IcebergTable.read(spark, path)
-      if (Files.exists(p.resolve("snapshot")) && Files.exists(p.resolve("schema")))
+      if (hasSub("snapshot") && hasSub("schema"))
         return PaimonTable.read(spark, path)
       // hive-partitioned layout (CTAS PARTITION BY): data files sit under
       // key=value subdirs — format sniffs from the first leaf, Spark's
       // reader handles partition discovery from the base path
-      val first = dataFiles(p).headOption.orElse(firstPartitionedFile(p))
+      val first = dataFiles(fs, hp).headOption
+        .orElse(firstPartitionedFile(fs, hp))
         .getOrElse(
           throw new IllegalArgumentException(s"dfs: empty directory $path"))
-      readByExt(spark, path, extOf(first.getFileName.toString))
-    } else if (Files.exists(p)) {
-      readByExt(spark, path, extOf(p.getFileName.toString))
+      readByExt(spark, path, extOf(first.getName))
+    } else if (fs.exists(hp)) {
+      readByExt(spark, path, extOf(hp.getName))
     } else {
       throw new IllegalArgumentException(s"dfs: no such file or directory: $path")
     }
   }
 
-  private def dataFiles(dir: Path): Seq[Path] = {
-    val s = Files.list(dir)
-    try s.iterator().asScala.toSeq
-      .filter(f => Files.isRegularFile(f) && !f.getFileName.toString.startsWith("_")
-        && !f.getFileName.toString.startsWith("."))
-      .sortBy(_.getFileName.toString)
-    finally s.close()
-  }
+  private def dataFiles(fs: org.apache.hadoop.fs.FileSystem,
+                        dir: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
+    fs.listStatus(dir).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      .map(_.getPath).sortBy(_.getName)
 
-  private def firstPartitionedFile(dir: Path): Option[Path] = {
-    val s = Files.list(dir)
-    val subs = try s.iterator().asScala.toSeq
-      .filter(d => Files.isDirectory(d) && d.getFileName.toString.contains("="))
-      .sortBy(_.getFileName.toString)
-    finally s.close()
+  private def firstPartitionedFile(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Option[org.apache.hadoop.fs.Path] = {
+    val subs = fs.listStatus(dir).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .map(_.getPath).sortBy(_.getName)
     subs.iterator
-      .flatMap(d => dataFiles(d).headOption.orElse(firstPartitionedFile(d)))
+      .flatMap(d => dataFiles(fs, d).headOption.orElse(firstPartitionedFile(fs, d)))
       .nextOption()
   }
 

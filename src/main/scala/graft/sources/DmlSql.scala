@@ -104,13 +104,24 @@ object DmlSql {
   private case object IcebergT extends Format
   private case object PaimonT extends Format
 
+  /** A `metadata/` subdirectory alone is not Iceberg — a plain parquet
+    * layout may carry one; the discriminator is an actual
+    * `v<N>.metadata.json` inside it (matches DfsSql.read's routing, so
+    * SELECT and DML agree on what a directory is). */
+  private[sources] def isIcebergDir(fs: org.apache.hadoop.fs.FileSystem,
+                                    p: org.apache.hadoop.fs.Path): Boolean = {
+    val md = new org.apache.hadoop.fs.Path(p, "metadata")
+    fs.exists(md) && fs.listStatus(md).exists(
+      _.getPath.getName.matches("v\\d+\\.metadata\\.json"))
+  }
+
   private def formatOf(spark: SparkSession, path: String): Format = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def has(sub: String) =
       fs.exists(new org.apache.hadoop.fs.Path(path, sub))
     if (has("_delta_log")) DeltaT
-    else if (has("metadata")) IcebergT
+    else if (isIcebergDir(fs, p)) IcebergT
     else if (has("snapshot") && has("schema")) PaimonT
     else throw new IllegalArgumentException(
       s"DML requires a transactional table (Delta, Iceberg or Paimon), " +
@@ -215,7 +226,10 @@ object DmlSql {
       if (a.isEmpty) {
         if (srcChunk.startsWith("(")) throw new IllegalArgumentException(
           "MERGE: a subquery source needs an alias")
-        "s"
+        // un-aliased named source: SQL scopes its columns under the
+        // table's own name (`USING src ON src.id = ...`), so that name —
+        // not a synthetic "s" — must become the DataFrame alias
+        parseIdent(splitAlias(srcChunk)._1).last
       } else a
     }
     val source: DataFrame =
@@ -267,9 +281,17 @@ object DmlSql {
       case IcebergT => IcebergTable.loadMeta(spark, path).schema
       case PaimonT  => PaimonTable.loadSchema(spark, path).schema
     }
-    def updateAll: Map[String, String] =
-      targetSchema.fieldNames.filter(source.columns.contains)
-        .map(c => c -> s"$srcAlias2.`$c`").toMap
+    def updateAll: Map[String, String] = {
+      // match source to target columns under the session's resolution
+      // rules — exact-case matching silently drops columns when
+      // spark.sql.caseSensitive is false (the default)
+      val cs = spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
+      targetSchema.fieldNames.flatMap { c =>
+        val m = if (cs) source.columns.find(_ == c)
+                else source.columns.find(_.equalsIgnoreCase(c))
+        m.map(s => c -> s"$srcAlias2.`$s`")
+      }.toMap
+    }
     def insertAll: Map[String, String] = updateAll
 
     clauses.foreach {
@@ -376,7 +398,7 @@ object DmlSql {
           val v = DeltaLogWriter.write(d, path, mode)
           s"delta v$v"
         })
-      else if (has("metadata"))
+      else if (isIcebergDir(fs, p))
         (IcebergTable.loadMeta(spark, path).schema, d => {
           val snap = IcebergTable.write(d, path, mode)
           s"iceberg snapshot $snap"
@@ -395,14 +417,36 @@ object DmlSql {
         })
       } else {
         val existing = DfsSql.read(spark, path)
+        // hive-partitioned CTAS output: a chain of key=value directory
+        // levels — the append must re-partition by those columns, or the
+        // new part files land flat at the base and brick the layout
+        def hivePartCols(d: org.apache.hadoop.fs.Path): Seq[String] = {
+          val subs = fs.listStatus(d).filter(_.isDirectory)
+            .map(_.getPath).filter(_.getName.contains("="))
+          subs.headOption.map(sub =>
+            sub.getName.split("=", 2)(0) +: hivePartCols(sub)).getOrElse(Nil)
+        }
+        val partitionCols = hivePartCols(p)
         val fmt = {
-          val names = fs.listStatus(p).map(_.getPath.getName)
-            .filter(n => !n.startsWith("_") && !n.startsWith("."))
-          val exts = names.flatMap(n => n.lastIndexOf('.') match {
-            case -1 => None
-            case i  => Some(n.substring(i + 1).toLowerCase)
-          })
-          exts.headOption.getOrElse("parquet") match {
+          // sniff the data-file extension at the LEAF level (a
+          // partitioned dir holds only key=value subdirs at the top)
+          def firstExt(d: org.apache.hadoop.fs.Path, depth: Int): Option[String] = {
+            val entries = fs.listStatus(d).toSeq
+              .filter(s => !s.getPath.getName.startsWith("_") &&
+                           !s.getPath.getName.startsWith("."))
+            entries.filter(_.isFile).flatMap { s =>
+              val n = s.getPath.getName
+              n.lastIndexOf('.') match {
+                case -1 => None
+                case i  => Some(n.substring(i + 1).toLowerCase)
+              }
+            }.headOption.orElse {
+              if (depth == 0) None
+              else entries.filter(_.isDirectory).view
+                .flatMap(s => firstExt(s.getPath, depth - 1)).headOption
+            }
+          }
+          firstExt(p, depth = 8).getOrElse("parquet") match {
             case e @ ("parquet" | "orc" | "json" | "csv") => e
             case other => throw new IllegalArgumentException(
               s"INSERT INTO a plain '$other' directory is not supported " +
@@ -410,11 +454,15 @@ object DmlSql {
           }
         }
         (existing.schema, d => {
-          val w = d.write.format(fmt)
+          val w0 = d.write.format(fmt)
             .mode(if (overwrite) "overwrite" else "append")
-          (if (fmt == "csv") w.option("header", "true") else w).save(path)
-          if (overwrite) s"$fmt directory overwritten"
-          else s"$fmt files appended"
+          val w1 = if (partitionCols.nonEmpty) w0.partitionBy(partitionCols: _*)
+                   else w0
+          (if (fmt == "csv") w1.option("header", "true") else w1).save(path)
+          val layout = if (partitionCols.nonEmpty)
+            s" (partitioned by ${partitionCols.mkString(", ")})" else ""
+          if (overwrite) s"$fmt directory overwritten$layout"
+          else s"$fmt files appended$layout"
         })
       }
 
@@ -435,8 +483,13 @@ object DmlSql {
           .cast(f.dataType).as(f.name)
       }
     }: _*)
-    val n = aligned.count()
-    val where = append(aligned)
+    // persist: count + write are two jobs over the same (possibly
+    // non-deterministic) query — without it the reported count could
+    // differ from the rows actually written
+    val cached = aligned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = cached.count()
+    val where = append(cached)
+    cached.unpersist()
     result(s"$n rows inserted into $path ($where)")
   }
 
@@ -585,7 +638,7 @@ object DmlSql {
   /** Index of top-level keyword `kw` (word-bounded, outside quotes /
     * backticks / parens), or None. */
   private[sources] def topLevelKeyword(s: String, kw: String): Option[Int] = {
-    var depth = 0; var inQ = false; var inB = false
+    var depth = 0; var inQ = false; var inB = false; var inD = false
     var i = 0
     val n = s.length
     val k = kw.length
@@ -593,9 +646,11 @@ object DmlSql {
       val c = s.charAt(i)
       if (inQ) { if (c == '\'') inQ = false }
       else if (inB) { if (c == '`') inB = false }
+      else if (inD) { if (c == '"') inD = false }
       else c match {
         case '\'' => inQ = true
         case '`' => inB = true
+        case '"' => inD = true // double-quoted string literal (default parser)
         case '(' => depth += 1
         case ')' => depth -= 1
         case _ =>
@@ -615,16 +670,18 @@ object DmlSql {
   /** Split on top-level `sep` (outside quotes/backticks/parens). */
   private[sources] def splitTopLevel(s: String, sep: Char): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer[String]()
-    var depth = 0; var inQ = false; var inB = false
+    var depth = 0; var inQ = false; var inB = false; var inD = false
     var start = 0
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
       if (inQ) { if (c == '\'') inQ = false }
       else if (inB) { if (c == '`') inB = false }
+      else if (inD) { if (c == '"') inD = false }
       else c match {
         case '\'' => inQ = true
         case '`' => inB = true
+        case '"' => inD = true
         case '(' => depth += 1
         case ')' => depth -= 1
         case x if x == sep && depth == 0 =>
@@ -690,10 +747,16 @@ object DmlSql {
   private def parseAssignment(a: String): (String, String) = {
     val eq = a.indexOf('=')
     require(eq > 0, s"bad assignment: $a")
-    val col = a.substring(0, eq).trim
-      .stripPrefix("`").stripSuffix("`")
-    // strip an optional target-alias qualifier: `t.c = e` means column c
-    val bare = col.substring(col.lastIndexOf('.') + 1)
+    val raw = a.substring(0, eq).trim
+    // a backtick-quoted segment is ONE identifier (it may contain dots:
+    // `a.b` is a column literally named a.b) — only an UNQUOTED
+    // qualifier `t.c = e` strips to the column c
+    val bare =
+      if (raw.endsWith("`")) {
+        val open = raw.lastIndexOf('`', raw.length - 2)
+        require(open >= 0, s"bad assignment: $a")
+        raw.substring(open + 1, raw.length - 1)
+      } else raw.substring(raw.lastIndexOf('.') + 1)
     (bare, a.substring(eq + 1).trim)
   }
 

@@ -138,7 +138,11 @@ object IcebergTable {
                        formatVersion: Int,
                        lastSequenceNumber: Long = 0L,
                        nonIdentityTransforms: Seq[String] = Nil,
-                       nextRowId: Long = 0L)
+                       nextRowId: Long = 0L,
+                       // externally set metadata carried through commits
+                       // verbatim (a rebuilt JSON must not wipe them):
+                       // properties, sort-orders, default-sort-order-id
+                       carried: Map[String, JsonNode] = Map.empty)
 
   private def metaDir(table: String) = new Path(table, "metadata")
 
@@ -247,11 +251,14 @@ object IcebergTable {
           Option(s.get("first-row-id")).map(_.asLong))
       }
     val current = Option(root.get("current-snapshot-id")).map(_.asLong).filter(_ != -1L)
+    val carried = Seq("properties", "sort-orders", "default-sort-order-id")
+      .flatMap(k => Option(root.get(k)).filterNot(_.isNull).map(k -> _)).toMap
     TableMeta(table, schema, schemaNode, root.get("last-column-id").asInt,
       partCols, current, snaps, v, root.get("table-uuid").asText, formatVersion,
       Option(root.get("last-sequence-number")).map(_.asLong).getOrElse(0L),
       nonIdentity,
-      Option(root.get("next-row-id")).map(_.asLong).getOrElse(0L))
+      Option(root.get("next-row-id")).map(_.asLong).getOrElse(0L),
+      carried)
   }
 
   private def requireIdentitySpec(meta: TableMeta, what: String): Unit =
@@ -316,8 +323,12 @@ object IcebergTable {
     /** Format-v3 deletion vector (content=1 entry whose bitmap lives in
       * a Puffin blob instead of position-delete parquet). */
     def isDv: Boolean =
+      // v3 deletion vectors are PUFFIN files (spec); referenced_data_file
+      // ALONE is not the discriminator — v2 parquet position-delete
+      // entries may set it as a file-scoping hint and must stay on the
+      // parquet-delete path
       content == 1 && (fileFormat.equalsIgnoreCase("PUFFIN") ||
-        referencedDataFile.isDefined)
+        contentOffset.isDefined)
   }
 
   private def absolute(table: String, p: String): String =
@@ -773,6 +784,10 @@ object IcebergTable {
     }
     val range = meta.snapshots
       .filter(s => s.timestampMs > fromTs && toTs.forall(s.timestampMs <= _))
+      // compaction rewrites files, never rows: a `replace` snapshot's
+      // re-added entries are NOT appends (the Paimon twin filters its
+      // COMPACT kind the same way)
+      .filter(_.operation != "replace")
       .sortBy(_.timestampMs)
     val ids = range.map(_.snapshotId).toSet
     val added = range.flatMap(snap => entriesOf(spark, table, snap)
@@ -1331,7 +1346,16 @@ object IcebergTable {
     spec0.put("spec-id", 0)
     spec0.set[ArrayNode]("fields", specArr.deepCopy())
     root.put("default-spec-id", 0)
-    root.set[ObjectNode]("properties", mapper.createObjectNode())
+    // carry externally set table configuration through the rebuild —
+    // wiping properties/sort-orders would destroy another engine's
+    // settings and emit v2 metadata iceberg-core rejects
+    root.set[JsonNode]("properties",
+      prior.flatMap(_.carried.get("properties"))
+        .getOrElse(mapper.createObjectNode()))
+    prior.foreach(_.carried.get("sort-orders").foreach(n =>
+      root.set[JsonNode]("sort-orders", n)))
+    prior.foreach(_.carried.get("default-sort-order-id").foreach(n =>
+      root.set[JsonNode]("default-sort-order-id", n)))
     root.put("current-snapshot-id", snapshot.snapshotId)
     val snapsArr = root.putArray("snapshots")
     // distinctBy keeps the list intact when `snapshot` is an EXISTING

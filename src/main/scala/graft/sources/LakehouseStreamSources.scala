@@ -37,11 +37,12 @@ class IcebergStreamProvider extends StreamSourceProvider with DataSourceRegister
   override def createSource(sqlContext: SQLContext, metadataPath: String,
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String]): Source =
-    new IcebergStreamSource(sqlContext, parameters)
+    new IcebergStreamSource(sqlContext, parameters, metadataPath)
 }
 
 class IcebergStreamSource(sqlContext: SQLContext,
-                          parameters: Map[String, String]) extends Source {
+                          parameters: Map[String, String],
+                          metadataPath: String = "") extends Source {
   private val spark = sqlContext.sparkSession
   private val path = DeltaStreamSource.pathOf(parameters)
   private val startingSnapshotId = parameters.get("startingSnapshotId")
@@ -53,32 +54,47 @@ class IcebergStreamSource(sqlContext: SQLContext,
   override val schema: StructType = IcebergTable.read(spark, path).schema
 
   private def snaps = IcebergTable.loadMeta(spark, path).snapshots
-  private lazy val startSnapshotAtLaunch: Long = snaps.last.snapshotId
+  // eager: `startingSnapshotId=latest` anchors at STREAM START — a lazy
+  // anchor forced at the first batch would drop snapshots landing
+  // between start and the first trigger
+  private val startSnapshotAtLaunch: Long = snaps.last.snapshotId
 
-  // admission control: track committed progress, admit snapshots up to
-  // the per-trigger file budget (at least one — see DeltaStreamSource)
-  @volatile private var committed: Option[Long] = None
-  override def commit(end: Offset): Unit = { committed = Some(ver(end)) }
+  // admission control: committed progress persisted under the
+  // checkpoint's metadata dir (see DeltaStreamSource.Progress — a
+  // restart must resume the count, never regress below the engine's
+  // checkpointed offset). An EXPIRED committed snapshot (gone from the
+  // metadata) runs one uncapped batch rather than recounting from the
+  // table's first snapshot.
+  private val progress =
+    if (metadataPath.isEmpty) None
+    else Some(new DeltaStreamSource.Progress(spark, metadataPath))
+  @volatile private var committed: Option[Long] = progress.flatMap(_.read())
+  override def commit(end: Offset): Unit = {
+    committed = Some(ver(end))
+    progress.foreach(_.write(ver(end)))
+  }
 
   override def getOffset: Option[Offset] = {
     val all = snaps
     if (all.isEmpty) return None
-    maxFilesPerTrigger match {
-      case None => Some(LongOffset(all.last.snapshotId))
-      case Some(budget) =>
-        val fromIdx = committed
-          .map(id => all.indexWhere(_.snapshotId == id)).getOrElse(-1)
-        var idx = fromIdx
+    val fromIdx = committed.map(id => all.indexWhere(_.snapshotId == id))
+    (maxFilesPerTrigger, fromIdx) match {
+      case (None, _) => Some(LongOffset(all.last.snapshotId))
+      case (_, Some(-1)) => Some(LongOffset(all.last.snapshotId)) // expired
+      case (Some(budget), from0) =>
+        val from = from0.getOrElse(-1)
+        def countOf(i: Int): Int =
+          if (all(i).operation == "append")
+            IcebergTable.appendedFilesOf(spark, path, all(i)).size
+          else 0
+        var idx = from
         var files = 0
-        while (idx < all.length - 1 && {
-          val n =
-            if (all(idx + 1).operation == "append")
-              IcebergTable.appendedFilesOf(spark, path, all(idx + 1)).size
-            else 0
-          files == 0 || files + n <= budget
-        }) { idx += 1
-          if (all(idx).operation == "append")
-            files += IcebergTable.appendedFilesOf(spark, path, all(idx)).size }
+        var next = if (idx < all.length - 1) countOf(idx + 1) else 0
+        while (idx < all.length - 1 && (files == 0 || files + next <= budget)) {
+          idx += 1
+          files += next
+          next = if (idx < all.length - 1) countOf(idx + 1) else 0
+        }
         Some(LongOffset(all(math.max(idx, 0)).snapshotId))
     }
   }
@@ -91,6 +107,7 @@ class IcebergStreamSource(sqlContext: SQLContext,
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endId = ver(end)
     committed = Some(endId) // progress for admission control
+    progress.foreach(_.write(endId))
     val batch = start.map(s => appendedBetween(Some(ver(s)), endId)).getOrElse {
       startingSnapshotId match {
         case Some("latest") => appendedBetween(Some(startSnapshotAtLaunch), endId)
@@ -145,7 +162,7 @@ class PaimonStreamProvider extends StreamSourceProvider with DataSourceRegister 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String]): Source =
-    new PaimonStreamSource(sqlContext, parameters)
+    new PaimonStreamSource(sqlContext, parameters, metadataPath)
 }
 
 private[sources] object PaimonStreamSource {
@@ -164,7 +181,8 @@ private[sources] object PaimonStreamSource {
 }
 
 class PaimonStreamSource(sqlContext: SQLContext,
-                         parameters: Map[String, String]) extends Source {
+                         parameters: Map[String, String],
+                         metadataPath: String = "") extends Source {
   private val spark = sqlContext.sparkSession
   private val path = DeltaStreamSource.pathOf(parameters)
   private val pk = PaimonStreamSource.isPk(spark, path)
@@ -175,16 +193,22 @@ class PaimonStreamSource(sqlContext: SQLContext,
 
   override val schema: StructType = PaimonStreamSource.streamSchema(spark, path)
 
-  @volatile private var committed: Option[Long] = None
-  override def commit(end: Offset): Unit = { committed = Some(ver(end)) }
+  private val progress =
+    if (metadataPath.isEmpty) None
+    else Some(new DeltaStreamSource.Progress(spark, metadataPath))
+  @volatile private var committed: Option[Long] = progress.flatMap(_.read())
+  override def commit(end: Offset): Unit = {
+    committed = Some(ver(end))
+    progress.foreach(_.write(ver(end)))
+  }
 
   override def getOffset: Option[Offset] = {
     val all = PaimonTable.snapshots(spark, path)
     if (all.isEmpty) return None
-    maxFilesPerTrigger match {
-      case None => Some(LongOffset(all.last.id))
-      case Some(budget) =>
-        val from = committed.getOrElse(all.head.id - 1)
+    (maxFilesPerTrigger, committed) match {
+      case (None, _) => Some(LongOffset(all.last.id))
+      case (Some(budget), from0) =>
+        val from = from0.getOrElse(all.head.id - 1)
         var last = from
         var files = 0
         var stop = false
@@ -208,6 +232,7 @@ class PaimonStreamSource(sqlContext: SQLContext,
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val hi = ver(end)
     committed = Some(hi) // progress for admission control
+    progress.foreach(_.write(hi))
     val batch = start match {
       case Some(s) => changesBetween(ver(s), hi)
       case None => // initial: current state (PK: merged rows surface as +I)
@@ -226,7 +251,11 @@ class PaimonStreamSource(sqlContext: SQLContext,
     val parts = range.flatMap { s =>
       s.commitKind match {
         case "COMPACT" => Nil // file rewrites, never new rows
-        case "OVERWRITE" if !pk =>
+        case "OVERWRITE" =>
+          // a PK overwrite replaces keys WITHOUT retraction rows in its
+          // delta files — emitting only the new rows would corrupt a
+          // changelog consumer's state (vanished keys never get a -D),
+          // so overwrites fail-or-skip for BOTH table flavors
           if (skipChangeCommits) Nil
           else throw new IllegalStateException(
             s"graft-paimon stream: snapshot ${s.id} of $path is OVERWRITE " +

@@ -736,6 +736,9 @@ object PaimonTable {
                              deletes: Seq[PaimonFile] = Nil,
                              kindOverride: Option[String] = None): Long = {
     val fs = fsOf(spark, table)
+    // the CURRENT schema id — pinning 0 would bind post-evolution
+    // snapshots to the pre-evolution schema on time travel / changelog
+    val curSchemaId = loadSchema(spark, table).id
 
     // ---- delta manifest (ADD entry per file) + manifest lists
     val mdir = manifestDir(table)
@@ -753,7 +756,7 @@ object PaimonTable {
       fm.put("_VALUE_STATS", null)
       fm.put("_MIN_SEQUENCE_NUMBER", snapId)
       fm.put("_MAX_SEQUENCE_NUMBER", snapId)
-      fm.put("_SCHEMA_ID", 0L)
+      fm.put("_SCHEMA_ID", curSchemaId)
       fm.put("_LEVEL", 0)
       fm.put("_EXTRA_FILES", java.util.Collections.emptyList[String]())
       fm.put("_CREATION_TIME", System.currentTimeMillis())
@@ -780,7 +783,7 @@ object PaimonTable {
       fm.put("_VALUE_STATS", null)
       fm.put("_MIN_SEQUENCE_NUMBER", snapId)
       fm.put("_MAX_SEQUENCE_NUMBER", snapId)
-      fm.put("_SCHEMA_ID", 0L)
+      fm.put("_SCHEMA_ID", curSchemaId)
       fm.put("_LEVEL", f.level)
       fm.put("_EXTRA_FILES", java.util.Collections.emptyList[String]())
       fm.put("_CREATION_TIME", System.currentTimeMillis())
@@ -806,7 +809,7 @@ object PaimonTable {
       r.put("_NUM_ADDED_FILES", added)
       r.put("_NUM_DELETED_FILES", deleted)
       r.put("_PARTITION_STATS", newStats())
-      r.put("_SCHEMA_ID", 0L)
+      r.put("_SCHEMA_ID", curSchemaId)
       r
     }
     // base list = every manifest live in the prior snapshot (unless
@@ -839,7 +842,7 @@ object PaimonTable {
       if (mode == SaveMode.Overwrite) "OVERWRITE" else "APPEND")
     val cid = if (commitIdentifier >= 0) commitIdentifier else snapId
     writeText(spark, new Path(snapshotDir(table), s"snapshot-$snapId"),
-      s"""{"version":3,"id":$snapId,"schemaId":0,
+      s"""{"version":3,"id":$snapId,"schemaId":$curSchemaId,
          |"baseManifestList":"$baseList",
          |"deltaManifestList":"$deltaList",
          |"changelogManifestList":null,

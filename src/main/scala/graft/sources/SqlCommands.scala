@@ -168,7 +168,12 @@ object SqlCommands {
             .getOption("graft.dfs.defaultWorkspace").isDefined =>
         Some(showTables(SparkSession.active.conf
           .get("graft.dfs.defaultWorkspace")))
-      case Analyze(target, colList, samplePct) =>
+      case Analyze(target, colList, samplePct)
+          // dfs-headed targets only: claiming a catalog table would
+          // silently shadow Spark's native ANALYZE (catalog statistics
+          // for CBO would never be computed)
+          if dfsClaimable &&
+            parseIdent(target).headOption.exists(_.equalsIgnoreCase("dfs")) =>
         Some(analyze(target, Option(colList), Option(samplePct), parseIdent))
       case CreateAlias(replace, pub, alias, kind, target) =>
         val spark = SparkSession.active

@@ -167,4 +167,27 @@ class DeltaStreamSpec extends AnyFunSuite {
     assert(rows.filter(_._4 == 1L) == Seq((2L, "b", "delete", 1L)))
     assert(rows.filter(_._4 == 2L) == Seq((4L, "d", "insert", 2L)))
   }
+
+  test("admission control never regresses across a restart (persisted " +
+      "progress in the checkpoint metadata dir)") {
+    import graft.sources.DeltaStreamSource
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    val dir = freshTable(Seq((1L, "a")))
+    (2L to 6L).foreach(i =>
+      DeltaLogWriter.write(Seq((i, s"v$i")).toDF("k", "v"), dir))
+    val metaDir = Files.createTempDirectory("delta_stream_meta_").toString
+    val params = Map("path" -> dir, "maxFilesPerTrigger" -> "2",
+      "startingVersion" -> "0")
+    val s1 = new DeltaStreamSource(spark.sqlContext, params, metaDir)
+    // engine committed through version 4 before stopping
+    s1.commit(LongOffset(4L))
+    // a RESTARTED source (fresh instance, same checkpoint metadata dir)
+    // must resume the admission count from the persisted offset — an
+    // in-memory-only tracker would return an offset below 4 and regress
+    // the engine's checkpoint, re-emitting versions 0-4
+    val s2 = new DeltaStreamSource(spark.sqlContext, params, metaDir)
+    val off = s2.getOffset.get.asInstanceOf[LongOffset].offset
+    assert(off >= 4L, s"restarted source offered offset $off < committed 4")
+    assert(off <= 5L + 1L) // still budget-capped going forward
+  }
 }

@@ -116,4 +116,81 @@ class InsertSqlSpec extends AnyFunSuite {
       assert(unknown.getMessage.contains("unknown column"))
     }
   }
+
+  test("INSERT INTO a hive-partitioned CTAS dir re-partitions the append " +
+      "instead of dropping flat files at the base") {
+    import spark.implicits._
+    val base = freshDir("hivepart")
+    withWs {
+      spark.conf.set("graft.dfs.workspace.hp", "/tmp/graft_test")
+      try {
+        Seq((1L, "x", "a"), (2L, "y", "b")).toDF("k", "v", "g")
+          .createOrReplaceTempView("hp_src")
+        spark.sql(s"CREATE TABLE dfs.hp.`ins_hivepart` PARTITION BY (g) AS " +
+          "SELECT * FROM hp_src")
+        val r = spark.sql(
+          "INSERT INTO dfs.hp.`ins_hivepart` VALUES (3, 'z', 'a'), (4, 'w', 'c')")
+          .collect()(0)
+        assert(r.getString(1).contains("partitioned by g"),
+          s"insert must honor the hive layout: ${r.getString(1)}")
+        // base dir holds ONLY partition dirs — no flat part files
+        val fs = new org.apache.hadoop.fs.Path(base)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val flat = fs.listStatus(new org.apache.hadoop.fs.Path(base))
+          .filter(_.isFile).map(_.getPath.getName)
+          .filterNot(n => n.startsWith("_") || n.startsWith("."))
+        assert(flat.isEmpty, s"flat files at base: ${flat.mkString(", ")}")
+        val got = spark.sql("SELECT k, g FROM dfs.hp.`ins_hivepart`")
+          .collect().map(x => (x.getLong(0), x.getString(1))).toSet
+        assert(got == Set((1L, "a"), (2L, "b"), (3L, "a"), (4L, "c")))
+      } finally spark.conf.unset("graft.dfs.workspace.hp")
+    }
+  }
+
+  test("MERGE USING an un-aliased named source scopes columns under the " +
+      "source's own name") {
+    import spark.implicits._
+    val base = freshDir("mrgname")
+    DeltaLogWriter.write(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"), base)
+    Seq((2L, 99.0), (3L, 30.0)).toDF("mk", "mv")
+      .createOrReplaceTempView("mrg_src")
+    withWs {
+      spark.sql(
+        """MERGE INTO dfs.ins.`ins_mrgname` AS t USING mrg_src
+           ON t.k = mrg_src.mk
+           WHEN MATCHED THEN UPDATE SET v = mrg_src.mv
+           WHEN NOT MATCHED THEN INSERT (k, v) VALUES (mrg_src.mk, mrg_src.mv)""")
+      val got = DeltaLogReader.read(spark, base).collect()
+        .map(x => (x.getLong(0), x.getDouble(1))).toSet
+      assert(got == Set((1L, 10.0), (2L, 99.0), (3L, 30.0)))
+    }
+  }
+
+  test("double-quoted string literals survive the UPDATE clause scanner") {
+    import spark.implicits._
+    val base = freshDir("dquote")
+    DeltaLogWriter.write(Seq((1L, "old"), (2L, "keep")).toDF("k", "msg"), base)
+    withWs {
+      // the literal contains both a comma and the word WHERE — a scanner
+      // blind to double quotes would split inside it
+      spark.sql(
+        """UPDATE dfs.ins.`ins_dquote` SET msg = "not, where it was" WHERE k = 1""")
+      val got = DeltaLogReader.read(spark, base).collect()
+        .map(x => (x.getLong(0), x.getString(1))).toSet
+      assert(got == Set((1L, "not, where it was"), (2L, "keep")))
+    }
+  }
+
+  test("ANALYZE TABLE on a catalog-resolvable name is NOT claimed by graft") {
+    import spark.implicits._
+    Seq((1, "a")).toDF("id", "s").createOrReplaceTempView("an_tv")
+    // graft's claim would return the (ok, summary) result relation; the
+    // native path reaches Spark's analyzer, which rejects ANALYZE on a
+    // temp view with its own error — proving the command fell through
+    val e = intercept[Exception] {
+      spark.sql("ANALYZE TABLE an_tv COMPUTE STATISTICS").collect()
+    }
+    assert(!e.getMessage.contains("graft"),
+      s"ANALYZE on a catalog name must reach Spark's handler: ${e.getMessage}")
+  }
 }
