@@ -143,16 +143,29 @@ object Bpe {
     val ranks: Map[(String, String), Int] =
       merges.zipWithIndex.map { case (m, i) => ((m.left, m.right), i) }.toMap
     val ranksB = spark.sparkContext.broadcast((mergeArr, ranks))
-    docs.select(col(idCol).cast("long").as("doc_id"),
-        col(textCol).cast("string").as("text"))
-      .as[(Long, String)]
+    // normalization MUST mirror tokenize's SQL exactly: Spark's lower()
+    // (locale-independent, not String.toLowerCase under a Turkish JVM
+    // locale) and a CODE-POINT symbol split (a per-Java-char split would
+    // break astral characters into surrogate halves and learned merges
+    // would never apply). The id column keeps its ORIGINAL type — the
+    // slow path never casts it.
+    val out = docs.select(
+      lower(col(textCol).cast("string")).as("__norm"), col(idCol).as("doc_id"))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(
+      org.apache.spark.sql.types.StructType(Seq(
+        out.schema("doc_id"),
+        org.apache.spark.sql.types.StructField("token",
+          org.apache.spark.sql.types.StringType))))
+    out
       .mapPartitions { it =>
         val (ms, rk) = ranksB.value
-        it.flatMap { case (id, text) =>
-          val words = Option(text).getOrElse("")
-            .toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+        it.flatMap { row =>
+          val id = row.get(1)
+          val text = Option(row.getString(0)).getOrElse("")
+          val words = text.trim.split("\\s+").filter(_.nonEmpty)
           words.iterator.flatMap { w =>
-            var syms = w.map(_.toString).toArray
+            var syms = w.codePoints().toArray
+              .map(cp => new String(Character.toChars(cp)))
             syms(syms.length - 1) = syms(syms.length - 1) + "</w>"
             var done = false
             while (!done && syms.length > 1) {
@@ -177,10 +190,10 @@ object Bpe {
                 syms = buf.toArray
               }
             }
-            syms.iterator.map(t => (id, t))
+            syms.iterator.map(t => org.apache.spark.sql.Row(id, t))
           }
         }
-      }.toDF("doc_id", "token")
+      }(enc).toDF("doc_id", "token")
   }
 
   /** Vocabulary a merge list induces over the corpus: distinct final

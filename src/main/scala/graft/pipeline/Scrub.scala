@@ -83,16 +83,28 @@ object Scrub {
     // the authority (or is empty)
     val scheme = substring_index(url, "://", 1)
     val afterScheme = substring_index(url, "://", -1)
-    val hostPort = substring_index(afterScheme, "/", 1)
+    // the authority ends at the FIRST of / ? # — `host:443?q=X` has no
+    // path slash, and splitting only on "/" would lowercase the
+    // case-significant query
+    val hostPort = regexp_extract(afterScheme, "^([^/?#]*)", 1)
     val rest = afterScheme.substr(length(hostPort) + 1, length(afterScheme))
     val caseFixed = when(url.contains("://"),
         concat(lower(scheme), lit("://"), lower(hostPort), rest))
       .otherwise(url)
     val noFrag = regexp_replace(caseFixed, "#.*$", "")
-    val noPort = regexp_replace(
-      regexp_replace(noFrag, ":(443|80)/", "/"), ":(443|80)$", "")
+    // default port before / ? or end
+    val noPort = regexp_replace(regexp_replace(
+      regexp_replace(noFrag, ":(443|80)/", "/"), ":(443|80)\\?", "?"),
+      ":(443|80)$", "")
     val noWww = regexp_replace(noPort, "://www\\.", "://")
-    val noUtmMid = regexp_replace(noWww, "utm_[a-z]+=[^&#]*&", "")
+    // utm params anchored at a ? or & delimiter (an unanchored match
+    // would fire inside longer names like `xutm_source`); the pair of
+    // rules re-applies because adjacent utm params leave a fresh
+    // delimiter the single global pass does not rescan
+    def stripUtm(c: Column): Column = regexp_replace(
+      regexp_replace(c, "\\?utm_[a-z]+=[^&#]*&", "?"),
+      "&utm_[a-z]+=[^&#]*&", "&")
+    val noUtmMid = stripUtm(stripUtm(stripUtm(noWww)))
     val noUtmEnd = regexp_replace(noUtmMid, "[?&]utm_[a-z]+=[^&#]*$", "")
     regexp_replace(regexp_replace(noUtmEnd, "/$", ""), "\\?$", "")
   }

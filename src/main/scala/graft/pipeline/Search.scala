@@ -28,13 +28,17 @@ object Search {
   def bm25(docs: DataFrame, idCol: String, textCol: String,
            terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val toks = split(TextAnalysis.normalize(col(textCol)), " ")
+    // tokens are normalize()-lowercased — query terms must be too, or an
+    // uppercase term silently matches nothing
+    val qTerms = terms.map(_.toLowerCase(java.util.Locale.ROOT).trim)
+      .filter(_.nonEmpty)
 
     // narrow map: per-doc length + per-term tf for query terms only
     val withLen = docs.select(col(idCol).as("doc_id"),
       size(toks).as("dl"), toks.as("toks"))
     val tf = withLen
       .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-      .filter(col("term").isin(terms: _*)) // query terms survive, nothing else
+      .filter(col("term").isin(qTerms: _*)) // query terms survive, nothing else
       .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
 
     // corpus statistics: one aggregate each, broadcast back
@@ -199,8 +203,10 @@ object Search {
   def tfidf(docs: DataFrame, idCol: String, textCol: String,
             terms: Seq[String]): DataFrame = {
     val toks = split(TextAnalysis.normalize(col(textCol)), " ")
+    val qTerms = terms.map(_.toLowerCase(java.util.Locale.ROOT).trim)
+      .filter(_.nonEmpty)
     val tf = docs.select(col(idCol).as("doc_id"), explode(toks).as("term"))
-      .filter(col("term").isin(terms: _*))
+      .filter(col("term").isin(qTerms: _*))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val n = docs.select(count(lit(1)).as("n_docs"))
     val df_ = tf.groupBy("term").agg(countDistinct("doc_id").as("df"))

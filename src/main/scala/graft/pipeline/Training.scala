@@ -37,8 +37,17 @@ object Training {
     val toks = TextAnalysis.tokenCountWs(col(textCol))
     val w = Window.partitionBy("shard").orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // numeric ids shard by modulo (engine-portable, oracle-mirrorable);
+    // string/other ids hash first — pmod on a raw string throws under
+    // ANSI mode (or null-collapses every row into ONE shard, the exact
+    // single-partition bottleneck the shard design avoids)
+    val shardCol = docs.schema(idCol).dataType match {
+      case _: org.apache.spark.sql.types.NumericType =>
+        pmod(col(idCol), lit(shards))
+      case _ => pmod(abs(xxhash64(col(idCol))), lit(shards))
+    }
     docs.select(col(idCol), col(textCol))
-      .withColumn("shard", pmod(col(idCol), lit(shards)).cast("long"))
+      .withColumn("shard", shardCol.cast("long"))
       .withColumn("n_tokens", toks)
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .withColumn("bin",

@@ -146,23 +146,20 @@ object IcebergTable {
 
   private def metaDir(table: String) = new Path(table, "metadata")
 
-  /** Replace version-hint.text via tmp+rename so a concurrent reader
-    * (e.g. a polling stream source) never observes a truncated
-    * create-then-write hint mid-commit. */
+  /** Replace version-hint.text by OVERWRITE-create. The hint is an
+    * optional accelerator (spec: file-system catalogs may omit it) and
+    * the reader treats ANY mid-replace artifact — absent file, partial
+    * content, checksum-sidecar mismatch — as hint-absent and falls back
+    * to the metadata listing, so the write needs no atomicity dance.
+    * (A delete+rename scheme leaves a not-exists window; rename-over
+    * trips Hadoop's local ChecksumFileSystem, whose stale .crc sidecar
+    * then fails every subsequent read.) */
   private def writeVersionHint(fs: org.apache.hadoop.fs.FileSystem,
                                table: String, newVersion: Int): Unit = {
     val hintPath = new Path(metaDir(table), "version-hint.text")
-    val hintTmp = new Path(metaDir(table), s".version-hint.text.$newVersion.tmp")
-    val os = fs.create(hintTmp, true)
+    val os = fs.create(hintPath, true)
     try os.write(String.valueOf(newVersion).getBytes("UTF-8"))
     finally os.close()
-    // rename-over (atomic on POSIX local fs): the hint is never ABSENT
-    // mid-commit — a delete-then-rename window would hand a polling
-    // reader FileNotFoundException between exists() and open()
-    if (!fs.rename(hintTmp, hintPath)) {
-      fs.delete(hintPath, false) // fs without overwriting rename: fall back
-      require(fs.rename(hintTmp, hintPath), s"rename failed: $hintTmp -> $hintPath")
-    }
   }
 
   /** Latest metadata version: `version-hint.text` if present, else the
@@ -179,13 +176,14 @@ object IcebergTable {
         if (fs.exists(hint)) {
           val in = fs.open(hint)
           // a concurrent committer may be mid-replace: an empty/garbled
-          // hint — or one deleted between exists() and open() — falls
-          // through to the directory listing instead of exploding
-          // (polling stream sources race table writers on this file)
+          // hint, one deleted between exists() and open(), or a stale
+          // checksum sidecar all fall through to the directory listing
+          // instead of exploding (polling stream sources race table
+          // writers on exactly this file)
           try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toIntOption
           finally in.close()
         } else None
-      } catch { case _: java.io.FileNotFoundException => None }
+      } catch { case _: java.io.IOException => None }
     hinted.getOrElse {
       val vs = fs.listStatus(dir).toSeq.map(_.getPath.getName)
         .flatMap { n => "^v(\\d+)\\.metadata\\.json$".r.findFirstMatchIn(n).map(_.group(1).toInt) }

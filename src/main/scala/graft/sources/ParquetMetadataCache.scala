@@ -70,10 +70,15 @@ object ParquetMetadataCache {
         val par = spark.conf.getOption("graft.metadata.refreshParallelism")
           .map(_.toInt)
           .getOrElse(spark.sparkContext.defaultParallelism)
+        // ship the SESSION hadoop conf to executors — a bare
+        // Configuration() drops fs credentials/endpoints and the sweep
+        // would fail on any non-default filesystem
+        val confBc = spark.sparkContext.broadcast(
+          new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
         spark.createDataset(toRead)
           .repartition(math.min(toRead.size, math.max(1, par)))
           .mapPartitions { it =>
-            val conf = new Configuration()
+            val conf = confBc.value.value
             it.map { case (f, mt, sz) =>
               footersRead.add(1L)
               readFooter(conf, f, mt, sz)

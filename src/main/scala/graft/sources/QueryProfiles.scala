@@ -4,7 +4,7 @@ import java.util.concurrent.{ConcurrentHashMap, ConcurrentLinkedDeque}
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerEvent, SparkListenerJobStart, SparkListenerStageCompleted, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerEvent, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted, SparkListenerTaskEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.SparkPlanInfo
 import org.apache.spark.sql.execution.ui.{SparkListenerDriverAccumUpdates, SparkListenerSQLAdaptiveExecutionUpdate, SparkListenerSQLExecutionEnd, SparkListenerSQLExecutionStart}
@@ -72,7 +72,10 @@ object QueryProfiles {
   private val stageRing = new ConcurrentLinkedDeque[StageProfile]()
   private val opRing = new ConcurrentLinkedDeque[OperatorProfile]()
   private val stageToExec = new ConcurrentHashMap[Integer, java.lang.Long]()
+  private val jobStages = new ConcurrentHashMap[Integer, Seq[Int]]()
   private val inFlight = new ConcurrentHashMap[java.lang.Long, Started]()
+  // O(1) ring size (ConcurrentLinkedDeque.size() traverses every node)
+  private val opCount = new java.util.concurrent.atomic.AtomicInteger(0)
   // per in-flight execution: accumulator id -> meaning, and running sums
   private val accumIndex = new ConcurrentHashMap[java.lang.Long, ConcurrentHashMap[java.lang.Long, MetricKey]]()
   private val accumToExec = new ConcurrentHashMap[java.lang.Long, java.lang.Long]()
@@ -122,8 +125,11 @@ object QueryProfiles {
         OperatorProfile(execId, k.nodeId, k.node, k.metric, k.metricType, v)
       }
     }.sortBy(r => (r.node_id, r.metric))
-    rows.foreach(opRing.addFirst)
-    while (opRing.size() > capacity * 16) opRing.pollLast()
+    rows.foreach { r => opRing.addFirst(r); opCount.incrementAndGet() }
+    while (opCount.get() > capacity * 16) {
+      if (opRing.pollLast() != null) opCount.decrementAndGet()
+      else opCount.set(0)
+    }
   }
 
   private def firstLine(s: String): String =
@@ -160,20 +166,32 @@ object QueryProfiles {
             }
           override def onTaskEnd(taskEnd: SparkListenerTaskEnd): Unit =
             // SQL metric accumulators surface per task in accumulables;
-            // `update` is this task's delta (a Long for SQL metrics)
-            taskEnd.taskInfo.accumulables.foreach { a =>
-              a.update.foreach {
-                case l: Long => addUpdate(a.id, l)
-                case s: String => s.toLongOption.foreach(addUpdate(a.id, _))
-                case _ => ()
+            // `update` is this task's delta (a Long for SQL metrics).
+            // SUCCESSFUL tasks only — failed/killed/speculative-duplicate
+            // tasks also post updates, and summing them would inflate the
+            // operator totals past what the work actually produced
+            if (taskEnd.reason == org.apache.spark.Success)
+              taskEnd.taskInfo.accumulables.foreach { a =>
+                a.update.foreach {
+                  case l: Long => addUpdate(a.id, l)
+                  case s: String => s.toLongOption.foreach(addUpdate(a.id, _))
+                  case _ => ()
+                }
               }
-            }
           override def onJobStart(job: SparkListenerJobStart): Unit = {
             val execId = Option(job.properties)
               .flatMap(p => Option(p.getProperty("spark.sql.execution.id")))
               .map(_.toLong).getOrElse(-1L)
             job.stageIds.foreach(sid =>
               stageToExec.put(Int.box(sid), Long.box(execId)))
+            jobStages.put(Int.box(job.jobId), job.stageIds)
+          }
+          override def onJobEnd(job: SparkListenerJobEnd): Unit = {
+            // SKIPPED stages (reused exchanges) never fire
+            // onStageCompleted — drop their registrations here or the
+            // map grows for the JVM lifetime on a long-lived driver
+            Option(jobStages.remove(Int.box(job.jobId))).foreach(
+              _.foreach(sid => stageToExec.remove(Int.box(sid))))
           }
           override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
             val info = sc.stageInfo

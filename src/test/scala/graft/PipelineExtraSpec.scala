@@ -307,4 +307,56 @@ class PipelineExtraSpec extends AnyFunSuite {
     val m = Bpe.learnMerges(docs2, "text", 5, minFreq = 2L)
     assert(m == Seq(Bpe.Merge("a", "b</w>", 2L)))
   }
+
+  test("tokenizeFast parity on astral characters and string ids") {
+    import spark.implicits._
+    // an astral (surrogate-pair) char must stay ONE symbol on both paths,
+    // and a string id must survive without a numeric cast
+    val docs = Seq(("doc-1", "\uD83D\uDE00ab \uD83D\uDE00ab")).toDF("doc_id", "text")
+    val merges = graft.pipeline.Bpe.learnMerges(docs, "text", 3, minFreq = 1L)
+    def bag(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.get(0).toString, r.getString(1))).sorted.toSeq
+    val slow = bag(graft.pipeline.Bpe.tokenize(docs, "doc_id", "text", merges))
+    val fast = bag(graft.pipeline.Bpe.tokenizeFast(docs, "doc_id", "text", merges))
+    assert(slow == fast)
+    assert(slow.forall(_._1 == "doc-1"))
+    // no broken surrogate halves anywhere
+    assert(fast.forall { case (_, t) =>
+      !t.exists(c => Character.isSurrogate(c) &&
+        (t.length == 1 || !t.codePoints().allMatch(cp => Character.isValidCodePoint(cp)))) })
+  }
+
+  test("packSequences shards string ids by hash instead of crashing") {
+    import spark.implicits._
+    val docs = (1 to 40).map(i => (s"url-$i", "w " * (i % 7 + 1))).toDF("id", "text")
+    val packed = graft.pipeline.Training.packSequences(docs, "id", "text", 10, shards = 4)
+    val shards = packed.select("shard").distinct().collect().map(_.getLong(0)).toSet
+    assert(shards.size > 1, s"string ids collapsed into one shard: $shards")
+    assert(packed.count() == 40)
+  }
+
+  test("bm25/tfidf normalize query terms like the corpus tokens") {
+    import spark.implicits._
+    val docs = Seq((1L, "Paris is large"), (2L, "berlin is small")).toDF("doc_id", "text")
+    val scored = graft.pipeline.Search.bm25(docs, "doc_id", "text", Seq("Paris"))
+    assert(scored.count() == 1 && scored.collect().head.getLong(0) == 1L)
+    val tf = graft.pipeline.Search.tfidf(docs, "doc_id", "text", Seq("BERLIN"))
+    assert(tf.collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("canonicalizeUrl: query-only authority and lookalike utm params") {
+    import spark.implicits._
+    val urls = Seq(
+      "https://Site.com:443?Session=AbC",      // no path slash
+      "https://a.com/?xutm_source=y&b=1",      // utm-lookalike param name
+      "https://a.com/?utm_a=1&utm_b=2&c=3")    // adjacent utm params
+      .toDF("u")
+    val canon = urls.select(graft.pipeline.Scrub.canonicalizeUrl(col("u")))
+      .as[String].collect().toSeq
+    assert(canon(0) == "https://site.com?Session=AbC",
+      s"query case must survive: ${canon(0)}")
+    assert(canon(1) == "https://a.com/?xutm_source=y&b=1",
+      s"lookalike param must survive: ${canon(1)}")
+    assert(canon(2) == "https://a.com/?c=3", s"adjacent utm: ${canon(2)}")
+  }
 }
