@@ -225,6 +225,14 @@ object QueriesPipeline {
       Training.stratifiedSample(T(s, d, "documents"), "doc_id", "text",
         strataCol = "lang", k = 40)),
 
+    // ---- token-balanced sharding: dataloader shards of ~equal TOKEN
+    // mass, contiguous in doc_id order; running sum is the two-phase
+    // recipe (no whole-table Window.orderBy — plan-audited). The oracle
+    // is the closed form over DuckDB's window cumsum ----
+    "q_token_shards" -> ((s, d) =>
+      Training.tokenBalancedShards(T(s, d, "documents"), "doc_id", "text",
+        shards = 8)),
+
     "q_url_dedup" -> ((s, d) => {
       // raw URLs synthesized from columns both engines share, exercising
       // every canonicalization rule (case, www, default port, fragment,
@@ -515,6 +523,18 @@ object QueriesPipeline {
         SELECT doc_id, lang,
           row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id)::BIGINT AS rk
         FROM documents) WHERE rk <= 40""",
+    "q_token_shards" -> s"""
+      WITH t AS (SELECT doc_id,
+                   len(string_split($NORM, ' '))::BIGINT AS n_tokens
+                 FROM documents),
+      c AS (SELECT doc_id, n_tokens,
+              coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before,
+              sum(n_tokens) OVER () AS total
+            FROM t)
+      SELECT doc_id, n_tokens,
+             least(floor(before / floor((total + 7) / 8)), 7)::BIGINT AS shard
+      FROM c""",
     "q_url_dedup" -> """
       WITH u AS (SELECT doc_id,
           'https://' || source || '.example.com/docs/' || (doc_id % 500) ||

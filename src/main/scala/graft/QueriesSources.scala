@@ -253,6 +253,49 @@ object QueriesSources {
       graft.sources.PaimonTable.read(s, base)
     }),
 
+    // ---- bucketed co-located join (Writer.bucketedCtas): both fact
+    // tables hash-clustered on the join key at WRITE time, so the join
+    // and the same-key aggregate run with zero shuffle exchanges
+    // (asserted in BucketingSpec) — the storage-time answer to Drill's
+    // per-query HashToRandomExchange re-hash. The oracle is the plain
+    // join: bucketing is layout, never semantics ----
+    "q_bucketed_join" -> ((s, d) => {
+      Writer.bucketedCtas(GraftSession.table(s, d, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice"),
+        "gb_lineitem", 8, Seq("l_orderkey"), Seq("l_orderkey"),
+        path = Some(s"${out(d)}/gb_lineitem"))
+      Writer.bucketedCtas(GraftSession.table(s, d, "orders")
+        .select("o_orderkey", "o_orderstatus"),
+        "gb_orders", 8, Seq("o_orderkey"), Seq("o_orderkey"),
+        path = Some(s"${out(d)}/gb_orders"))
+      s.table("gb_lineitem")
+        .join(s.table("gb_orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(round(sum("l_quantity"), 2).as("qty"),
+          round(sum("l_extendedprice"), 2).as("revenue"),
+          count(lit(1)).as("n"))
+    }),
+
+    // ---- OPTIMIZE ... ZORDER BY (graft.operators.ZOrder through the
+    // Delta maintenance commit): multi-column data-skipping layout —
+    // the rewrite is a pure permutation (dataChange=false), so the
+    // oracle is the unmodified projection; the skipping property itself
+    // is measured in ZOrderSpec ----
+    "q_zorder" -> ((s, d) => {
+      val base = s"${out(d)}/zorder_delta"
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.sources.DeltaLogWriter.write(
+        GraftSession.table(s, d, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice").repartition(8),
+        base)
+      s.conf.set("graft.dfs.workspace.zout", out(d))
+      try s.sql(
+        "OPTIMIZE dfs.zout.`zorder_delta` ZORDER BY (o_custkey, o_totalprice)")
+      finally s.conf.unset("graft.dfs.workspace.zout")
+      graft.sources.DeltaLogReader.read(s, base)
+    }),
+
     // ---- batch DML on Delta: copy-on-write DELETE / UPDATE / MERGE
     // through the SQL surface (DmlSql -> DeltaDml). Drill itself is
     // read-only (DrillSqlWorker rejects DML verbs); this is the
@@ -1706,6 +1749,13 @@ object QueriesSources {
     "q_ctas_sql" -> """
       SELECT o_orderkey, o_custkey, o_orderstatus
       FROM orders WHERE o_orderkey < 1000""",
+    "q_bucketed_join" -> """
+      SELECT o_orderstatus, round(sum(l_quantity), 2) AS qty,
+             round(sum(l_extendedprice), 2) AS revenue, count(*) AS n
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderstatus""",
+    "q_zorder" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders",
     "q_alias_sql" -> """
       SELECT o.o_orderstatus AS status, count(*)::BIGINT AS n,
              sum(o.o_orderkey)::BIGINT AS key_sum

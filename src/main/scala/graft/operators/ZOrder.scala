@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton-curve) clustering — the multi-column data-skipping
+  * layout for 100 TB scans. A table range-sorted on one column skips
+  * files only for predicates on THAT column; interleaving the bits of
+  * k rank-quantized columns makes file-level min/max ranges tight on
+  * EVERY participating column at once, so a filter on any of them
+  * prunes most files from the parquet footer stats alone (the recipe
+  * popularized by Delta's `OPTIMIZE ... ZORDER BY`; Drill's parquet
+  * metadata pruning — ref exec/.../store/parquet/ParquetGroupScan.java
+  * rowgroup filtering — is the read side that such a layout feeds).
+  *
+  * Scale shape: one aggregation pass computes per-column equi-depth
+  * boundaries (`percentile_approx`, 2^bits buckets — KBs, broadcast as
+  * literals), then bucket ids come from a codegen'd higher-order
+  * `aggregate` over the boundary array (no join, no window, no
+  * shuffle), and the single shuffle is the `repartitionByRange` on the
+  * z-value that the rewrite needs anyway. Nothing driver-side scales
+  * with row count.
+  */
+object ZOrder {
+
+  /** Per-column equi-depth bucket boundaries (ascending, 2^bits - 1
+    * interior cuts). Null-safe: nulls sort into bucket 0. Public so a
+    * long-lived table can compute cuts ONCE and pass them to every
+    * incremental [[withZValue]]/[[layout]] call — buckets then stay
+    * stable across daily writes instead of drifting with each batch's
+    * distribution. */
+  def boundaries(df: DataFrame, cols: Seq[String], bits: Int = 8)
+      : Map[String, Array[Double]] = {
+    val buckets = 1 << bits
+    val probs = (1 until buckets).map(_.toDouble / buckets)
+    val aggs = cols.map(c => percentile_approx(col(c).cast("double"),
+      typedLit(probs), lit(10000)).as(c))
+    val row = df.agg(aggs.head, aggs.tail: _*).collect().head
+    cols.map { c =>
+      val arr = row.getSeq[Any](row.fieldIndex(c))
+        .map(v => Option(v).fold(Double.NaN)(_.toString.toDouble)).toArray
+      c -> arr
+    }.toMap
+  }
+
+  /** Bucket id (0 .. 2^bits-1) of `c` against sorted `cuts`: the count
+    * of boundaries strictly below the value (cuts are attained data
+    * values — p-quantiles — so `<` keeps the minimum in bucket 0), via
+    * one codegen'd HOF pass over the literal array. Nulls land in
+    * bucket 0; NaN cuts (all-null column) drop out. */
+  private def bucketId(c: Column, cuts: Array[Double]): Column = {
+    val arr = typedLit(cuts.filterNot(_.isNaN).toSeq)
+    when(c.isNull, lit(0L)).otherwise(
+      aggregate(arr, lit(0L),
+        (acc, b) => acc + when(c.cast("double") > b, 1L).otherwise(0L)))
+  }
+
+  /** The interleaved z-value of `bucketIds` (dimension-major bit
+    * interleave, most significant bits first): bit i of dimension d
+    * lands at position i * k + d of the result. Static expression tree
+    * of bits*k bitwise terms — whole-stage codegen keeps it in one
+    * projection. */
+  private def interleave(bucketIds: Seq[Column], bits: Int): Column = {
+    val k = bucketIds.size
+    val terms = for {
+      i <- 0 until bits // bit index within a dimension
+      (b, d) <- bucketIds.zipWithIndex
+    } yield shiftleft(shiftright(b, i).bitwiseAND(1L), i * k + d)
+    terms.reduce(_.bitwiseOR(_))
+  }
+
+  /** Append a `zval` column interleaving `cols` (each rank-quantized to
+    * `bits` bits against equi-depth boundaries — computed from `df`
+    * unless stable `cuts` are supplied). */
+  def withZValue(df: DataFrame, cols: Seq[String], bits: Int = 8,
+                 as: String = "zval",
+                 cuts: Map[String, Array[Double]] = Map.empty): DataFrame = {
+    require(cols.nonEmpty, "zorder: at least one column")
+    require(cols.size * bits <= 63,
+      s"zorder: ${cols.size} cols x $bits bits exceeds a long")
+    val cut = if (cuts.nonEmpty) cuts else boundaries(df, cols, bits)
+    df.withColumn(as, interleave(cols.map(c => bucketId(col(c), cut(c))), bits))
+  }
+
+  /** Rewrite `df` into `files` z-clustered output partitions: range
+    * partition + sort within on the z-value, value column dropped.
+    * Writing the result yields files whose min/max footer ranges are
+    * tight on every `cols` member — the layout data-skipping wants. */
+  def layout(df: DataFrame, cols: Seq[String], files: Int,
+             bits: Int = 8,
+             cuts: Map[String, Array[Double]] = Map.empty): DataFrame = {
+    val z = withZValue(df, cols, bits, cuts = cuts)
+    z.repartitionByRange(files, col("zval"))
+      .sortWithinPartitions("zval")
+      .drop("zval")
+  }
+}

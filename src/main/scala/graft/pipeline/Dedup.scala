@@ -234,6 +234,92 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jac_raw"), 6).as("jaccard"))
   }
 
+  /** Persistent incremental MinHash index — the daily-crawl dedup shape
+    * at 100 TB: each new batch compares against everything indexed so
+    * far WITHOUT re-reading, re-tokenizing, or re-banding the
+    * accumulated corpus. The index stores only metadata-scale columns —
+    * `bands/` (band key, id) for candidate generation and `sigs/`
+    * (id, sorted 64-bit token hashes) for exact hashed-token Jaccard
+    * verification; raw text never enters the index, so its footprint is
+    * ~8 bytes per distinct token and nothing string-typed ever joins.
+    *
+    * Per batch the work is (new x total) BAND density, never
+    * |total|^2 and never a rescan of old text: candidates are the
+    * bipartite new-vs-indexed band join plus the new-vs-new self join
+    * (each capped per band like the batch path). Emitted pairs across
+    * successive appends partition the full-batch result: old-old pairs
+    * were emitted when those docs were new (spec-asserted equivalence
+    * with minhashNearDups over the union).
+    *
+    * Returns dup pairs (id_a, id_b, jaccard) with the NEW doc on at
+    * least one side, then appends the batch to the index. `_params.json`
+    * pins (numHashes, bands) at first append; later appends refuse a
+    * mismatch (signatures from different families never compare). Ids
+    * must be fresh per batch (caller's contract, as with any append). */
+  def minhashIndexAppend(docs: DataFrame, idCol: String, textCol: String,
+                         indexDir: String,
+                         numHashes: Int = 128, bands: Int = 32,
+                         threshold: Double = 0.8,
+                         maxBucket: Int = 4096): DataFrame = {
+    val spark = docs.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val paramsPath = new org.apache.hadoop.fs.Path(indexDir, "_params.json")
+    val exists = fs.exists(paramsPath)
+    if (exists) {
+      val in = fs.open(paramsPath)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                finally in.close()
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+      require(node.get("numHashes").asInt == numHashes &&
+        node.get("bands").asInt == bands,
+        s"minhash index $indexDir was built with numHashes=" +
+          s"${node.get("numHashes").asInt}/bands=${node.get("bands").asInt}; " +
+          s"got $numHashes/$bands — signatures are incomparable across families")
+    }
+    val toksNew = tokenized(docs, idCol, textCol).localCheckpoint()
+    val bNew = bandedIdsFrom(toksNew, numHashes, bands, maxBucket)
+      .select("band", "id").localCheckpoint()
+    // new-vs-new (strict order halves) + new-vs-indexed (bipartite)
+    val candNew = bNew.as("a").join(bNew.as("b"),
+        col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val cand = (if (exists) {
+      val bOld = spark.read.parquet(s"$indexDir/bands")
+      // ids normalized (least, greatest) so cross-batch pairs carry the
+      // same orientation the batch path emits
+      candNew.unionAll(
+        bOld.as("a").join(bNew.as("b"), col("a.band") === col("b.band"))
+          .select(least(col("a.id"), col("b.id")).as("id_a"),
+            greatest(col("a.id"), col("b.id")).as("id_b")))
+    } else candNew)
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_bands"))
+      .select("id_a", "id_b")
+    // either side of a cross pair may be the indexed doc — both lookups
+    // go against the union; the union's new half is the checkpointed
+    // toksNew, so nothing re-tokenizes
+    val sigs = if (exists)
+      spark.read.parquet(s"$indexDir/sigs").unionByName(toksNew)
+    else toksNew
+    val pairs = cand
+      .join(sigs.as("xa"), col("id_a") === col("xa.id"))
+      .join(sigs.as("xb"), col("id_b") === col("xb.id"))
+      .withColumn("jac_raw",
+        call_function("jaccard_sim", col("xa.th"), col("xb.th")))
+      .filter(col("jac_raw") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jac_raw"), 6).as("jaccard"))
+      .localCheckpoint() // materialize BEFORE the index mutates below
+    bNew.write.mode("append").parquet(s"$indexDir/bands")
+    toksNew.write.mode("append").parquet(s"$indexDir/sigs")
+    if (!exists) {
+      val out = fs.create(paramsPath, true)
+      try out.write(
+        s"""{"numHashes":$numHashes,"bands":$bands}""".getBytes("UTF-8"))
+      finally out.close()
+    }
+    pairs
+  }
+
   /** Drop every corpus doc that near-duplicates the reference set (the
     * decontaminated training corpus). */
   def decontaminate(corpus: DataFrame, reference: DataFrame,

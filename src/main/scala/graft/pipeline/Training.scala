@@ -150,4 +150,46 @@ object Training {
       .withColumn("copy", explode(sequence(lit(0), col("n_copies") - 1)))
       .drop("n_copies")
   }
+
+  /** Token-balanced shard assignment — the dataloader-facing writer
+    * layout: `shards` output shards of ~equal TOKEN mass (doc-count
+    * balance starves readers when lengths are skewed), contiguous in
+    * `idCol` order so a shard is a deterministic, resumable slice of
+    * the corpus. shard = floor(tokensBefore / ceil(total/shards)),
+    * clamped to shards-1.
+    *
+    * Scale shape: the running token sum is TWO-PHASE (the same recipe
+    * as ComplexOps.globalRowNumber) — deterministic id-range buckets,
+    * per-bucket window cumsum, per-bucket token offsets via one
+    * #buckets-row single-partition window. The corpus shuffles once on
+    * bucket; no whole-table Window.orderBy. */
+  def tokenBalancedShards(docs: DataFrame, idCol: String, textCol: String,
+                          shards: Int, buckets: Int = 64): DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    val toks = docs.select(col(idCol),
+      TextAnalysis.tokenCountWs(col(textCol)).cast("long").as("n_tokens"))
+    val k = col(idCol).cast("double")
+    val bounds = toks.agg(min(k).as("_lo"), max(k).as("_hi"),
+      sum("n_tokens").as("_total"))
+    val withB = toks.crossJoin(broadcast(bounds))
+      .withColumn("_bkt", least(
+        floor((k - col("_lo")) / (col("_hi") - col("_lo") + lit(1e-9)) * buckets),
+        lit(buckets - 1)).cast("int"))
+      .drop("_lo", "_hi")
+    val offsets = withB.groupBy("_bkt").agg(sum("n_tokens").as("_bsum"))
+      .withColumn("_boff",
+        coalesce(sum("_bsum").over(Window.orderBy("_bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("_bkt", "_boff")
+    val w = Window.partitionBy("_bkt").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val width = floor((col("_total") + lit(shards - 1)) / lit(shards))
+      .cast("long")
+    withB.join(broadcast(offsets), "_bkt")
+      .withColumn("_before",
+        coalesce(sum("n_tokens").over(w), lit(0L)) + col("_boff"))
+      .withColumn("shard", least(floor(col("_before") / width), lit(shards - 1))
+        .cast("long"))
+      .select(col(idCol), col("n_tokens"), col("shard"))
+  }
 }

@@ -116,10 +116,17 @@ object DeltaLogWriter {
     *
     * Returns (version, filesCompacted, binsWritten); a no-op (fewer than
     * two small files and no DVs) returns the current version with
-    * (0, 0). */
+    * (0, 0).
+    *
+    * `zorderBy` (delta-spark's `OPTIMIZE ... ZORDER BY`): the rewrite
+    * becomes a clustering pass over ALL live files, laid out along the
+    * Morton curve of the named columns ([[graft.operators.ZOrder]]) so
+    * footer min/max ranges stay tight on each of them — multi-column
+    * data skipping for later scans. */
   def optimize(spark: org.apache.spark.sql.SparkSession, tablePath: String,
                smallFileBytes: Long = 128L << 20,
-               targetFileBytes: Long = 128L << 20): (Long, Int, Int) = {
+               targetFileBytes: Long = 128L << 20,
+               zorderBy: Seq[String] = Nil): (Long, Int, Int) = {
     import org.apache.spark.sql.functions.{broadcast, col, regexp_replace}
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (schema, partCols, files) = DeltaLogReader.activeStateDv(spark, tablePath)
@@ -133,8 +140,18 @@ object DeltaLogWriter {
       val abs = new Path(tablePath, p)
       (p, abs, fs.getFileStatus(abs).getLen, dv)
     }
-    val small = sized.filter(f => f._3 < smallFileBytes || f._4.nonEmpty)
-    if (small.size < 2 && small.forall(_._4.isEmpty)) return (currentVersion, 0, 0)
+    // ZORDER BY is a clustering rewrite: every live file participates
+    // (a file's rows scatter across the whole curve), not just small
+    // ones — matching delta-spark, where zorder ignores the size filter
+    val small =
+      if (zorderBy.nonEmpty) sized
+      else sized.filter(f => f._3 < smallFileBytes || f._4.nonEmpty)
+    if (small.isEmpty ||
+        (zorderBy.isEmpty && small.size < 2 && small.forall(_._4.isEmpty)))
+      return (currentVersion, 0, 0)
+    zorderBy.foreach(c => require(schema.fieldNames.contains(c),
+      s"ZORDER BY column '$c' not in table schema " +
+        s"[${schema.fieldNames.mkString(", ")}]"))
 
     val version = currentVersion + 1
     val bins = math.max(1L,
@@ -167,8 +184,10 @@ object DeltaLogWriter {
         .select(schema.fieldNames.map(col).toSeq: _*)
     }
     val staging = new Path(tablePath, s"_staging_v$version")
-    scan.repartition(bins)
-      .write.mode("overwrite").parquet(staging.toString)
+    val rewritten =
+      if (zorderBy.nonEmpty) graft.operators.ZOrder.layout(scan, zorderBy, bins)
+      else scan.repartition(bins)
+    rewritten.write.mode("overwrite").parquet(staging.toString)
     val parts = fs.listStatus(staging).map(_.getPath)
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
     val adds = parts.zipWithIndex.map { case (part, i) =>

@@ -48,7 +48,7 @@ object DmlSql {
     ("""(?is)\s*RESTORE\s+(?:TABLE\s+)?(dfs\b.+?)\s+TO\s+VERSION\s+""" +
       """AS\s+OF\s+(\d+)\s*;?\s*""").r
   private val OptimizeSql =
-    """(?is)\s*OPTIMIZE\s+(dfs\b.+?)\s*;?\s*""".r
+    """(?is)\s*OPTIMIZE\s+(dfs\b.+?)(?:\s+ZORDER\s+BY\s*\(\s*([^)]+?)\s*\))?\s*;?\s*""".r
   private val AddColumnsSql =
     ("""(?is)\s*ALTER\s+TABLE\s+(dfs\b.+?)\s+ADD\s+COLUMNS?\s*""" +
       """\(\s*(.+?)\s*\)\s*;?\s*""").r
@@ -74,8 +74,10 @@ object DmlSql {
         Some(vacuum(target.trim, Option(hours).map(_.toLong), parseIdent))
       case RestoreSql(target, ver) if dfsClaimable =>
         Some(restore(target.trim, ver.toLong, parseIdent))
-      case OptimizeSql(target) if dfsClaimable =>
-        Some(optimize(target.trim, parseIdent))
+      case OptimizeSql(target, zorderCols) if dfsClaimable =>
+        Some(optimize(target.trim, parseIdent,
+          Option(zorderCols).map(_.split(',').toSeq
+            .map(_.trim.stripPrefix("`").stripSuffix("`"))).getOrElse(Nil)))
       case AddColumnsSql(target, colDefs) if dfsClaimable =>
         Some(addColumns(target.trim, colDefs.trim, parseIdent))
       case HistorySql(target) if dfsClaimable =>
@@ -543,18 +545,28 @@ object DmlSql {
     }
   }
 
-  /** `OPTIMIZE dfs.ws.`t`` — one verb for the maintenance triad:
-    * Delta bin-packing OPTIMIZE, Iceberg rewrite_data_files, Paimon
-    * full compaction (each the format's own compaction shape). */
+  /** `OPTIMIZE dfs.ws.`t` [ZORDER BY (cols)]` — one verb for the
+    * maintenance triad: Delta bin-packing OPTIMIZE, Iceberg
+    * rewrite_data_files, Paimon full compaction (each the format's own
+    * compaction shape). The ZORDER clause (Delta targets) makes the
+    * rewrite a clustering pass: all live files re-laid along the Morton
+    * curve of the named columns, so later scans skip files from footer
+    * min/max on ANY of them (graft.operators.ZOrder). */
   private def optimize(target: String,
-                       parseIdent: String => Seq[String]): LogicalPlan = {
+                       parseIdent: String => Seq[String],
+                       zorderBy: Seq[String] = Nil): LogicalPlan = {
     val spark = SparkSession.active
     val path = tablePathOf(spark, target, parseIdent)
-    formatOf(spark, path) match {
+    val fmt = formatOf(spark, path)
+    if (zorderBy.nonEmpty) require(fmt == DeltaT,
+      s"ZORDER BY is supported on Delta targets only: $path")
+    fmt match {
       case DeltaT =>
-        val (v, merged, produced) = DeltaLogWriter.optimize(spark, path)
+        val (v, merged, produced) =
+          DeltaLogWriter.optimize(spark, path, zorderBy = zorderBy)
         result(s"optimized $path: $merged files compacted into $produced " +
-          s"(delta v$v)")
+          (if (zorderBy.nonEmpty) s"z-ordered by (${zorderBy.mkString(", ")}) "
+           else "") + s"(delta v$v)")
       case IcebergT =>
         val snap = IcebergTable.rewriteDataFiles(spark, path)
         result(s"optimized $path (iceberg rewrite_data_files, " +

@@ -75,6 +75,19 @@ object SqlCommands {
   // resolve in that workspace; SHOW SCHEMAS / SHOW TABLES enumerate the
   // Drill-visible namespace (dfs workspaces + sys + information_schema
   // + catalog databases).
+  // Drill's EXPLAIN PLAN FOR (ref exec/.../planner/sql/handlers/
+  // ExplainHandler.java): `EXPLAIN PLAN [INCLUDING ALL ATTRIBUTES]
+  // [WITH|WITHOUT IMPLEMENTATION] FOR q` returns one (text, json) row.
+  // WITHOUT IMPLEMENTATION = the optimized logical plan (Drill's
+  // logical level); default/WITH = the physical plan; INCLUDING ALL
+  // ATTRIBUTES = the formatted explain (codegen ids + per-node detail,
+  // Drill's cost/attribute dump role). Spark's own `EXPLAIN [mode]`
+  // grammar still works untouched — this claims only the PLAN FOR form.
+  private val ExplainPlan =
+    ("""(?is)\s*EXPLAIN\s+PLAN(\s+INCLUDING\s+ALL\s+ATTRIBUTES)?""" +
+      """(\s+WITH\s+IMPLEMENTATION|\s+WITHOUT\s+IMPLEMENTATION)?""" +
+      """\s+FOR\s+(.+?)\s*;?\s*""").r
+
   private val UseSql =
     """(?is)\s*USE\s+(dfs(?:\s*\.\s*\w+)?)\s*;?\s*""".r
   private val ShowSchemas =
@@ -140,6 +153,19 @@ object SqlCommands {
           case None       => spark.conf.unset(key)
         }
         Some(result(ok = true, s"${scope.toLowerCase} option $key reset"))
+      case ExplainPlan(allAttrs, impl, query) =>
+        val spark = SparkSession.active
+        import spark.implicits._
+        val qe = spark.sql(query).queryExecution
+        val withImpl = impl == null || impl.trim.equalsIgnoreCase("WITH IMPLEMENTATION")
+        val text =
+          if (allAttrs != null && withImpl)
+            qe.explainString(org.apache.spark.sql.execution.FormattedMode)
+          else if (withImpl) qe.executedPlan.toString
+          else qe.optimizedPlan.toString
+        val json =
+          if (withImpl) qe.executedPlan.toJSON else qe.optimizedPlan.toJSON
+        Some(Seq((text, json)).toDF("text", "json").queryExecution.analyzed)
       case UseSql(target) if dfsClaimable =>
         val spark = SparkSession.active
         val ws = target.split('.').map(_.trim).toSeq match {

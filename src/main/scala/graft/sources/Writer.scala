@@ -44,6 +44,46 @@ object Writer {
       read(df.sparkSession, path, format)
   }
 
+  /** Bucketed CTAS — the storage-time sibling of Drill's query-time
+    * hash exchanges (ref exec/.../physical/config/HashToRandomExchange
+    * plans re-hash both join sides on EVERY query): hash-clustering the
+    * table into `buckets` files per the bucket columns once at write
+    * time lets every later equi-join or aggregation on those columns
+    * run with ZERO shuffle — Spark's FileSourceScanExec reports the
+    * bucket spec as its outputPartitioning, so sort-merge joins between
+    * co-bucketed tables skip both ShuffleExchanges (and both sorts if
+    * `sortCols` matches). At 100 TB the shuffle IS the cost of a
+    * fact-fact join; bucketing amortizes it across all downstream
+    * queries. Mismatched bucket counts still co-locate when one is a
+    * multiple of the other via `spark.sql.bucketing.coalesceBucketsIn
+    * Join.enabled`. Registered as a catalog table (bucket metadata
+    * lives in the catalog, not the files), overwriting any previous
+    * `table`. */
+  def bucketedCtas(df: DataFrame, table: String, buckets: Int,
+                   bucketCols: Seq[String], sortCols: Seq[String] = Nil,
+                   format: String = "parquet",
+                   path: Option[String] = None): DataFrame = {
+    require(bucketCols.nonEmpty, "bucketedCtas: at least one bucket column")
+    require(buckets > 0, s"bucketedCtas: buckets must be positive, got $buckets")
+    val spark = df.sparkSession
+    // a location left by a PREVIOUS session is invisible to this
+    // session's in-memory catalog — clear it, or CREATE refuses on the
+    // stale directory (overwrite only covers catalog-known tables)
+    if (!spark.catalog.tableExists(table)) {
+      val loc = path.getOrElse(
+        spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
+          "/" + table.toLowerCase)
+      val p = new org.apache.hadoop.fs.Path(loc)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    val w0 = df.write.format(format).mode("overwrite")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+    val w1 = path.fold(w0)(p => w0.option("path", p))
+    (if (sortCols.nonEmpty) w1.sortBy(sortCols.head, sortCols.tail: _*) else w1)
+      .saveAsTable(table)
+    spark.table(table)
+  }
+
   /** Read a table previously written by [[ctas]]. */
   def read(spark: SparkSession, path: String, format: String = "parquet"): DataFrame =
     format match {

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.Dedup
+
+/** Persistent incremental MinHash index (Dedup.minhashIndexAppend):
+  * cross-batch dup detection without re-reading indexed text, and the
+  * partition property — pairs emitted across successive appends equal
+  * the full-batch minhashNearDups result over the union. */
+class IncrementalDedupSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def tmp(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(name)
+    d.toFile.deleteOnExit(); d.toString
+  }
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog alpha beta gamma delta epsilon"
+  private def uniq(i: Int): String =
+    (0 until 14).map(j => s"tok${i}x$j").mkString(" ")
+
+  // batch 1: (1, 2) near-dups; 3..6 mutually unrelated
+  private val batch1 = Seq(
+    (1L, base),
+    (2L, base.replace("alpha", "zeta")),
+    (3L, uniq(3)), (4L, uniq(4)), (5L, uniq(5)), (6L, uniq(6))
+  ).toDF("doc_id", "text")
+
+  // batch 2: 101 near-dups batch-1 doc 1; 102 unique; (103, 104) near-dups
+  private val batch2 = Seq(
+    (101L, base.replace("beta", "eta")),
+    (102L, uniq(102)),
+    (103L, uniq(103)),
+    (104L, uniq(103).replace("tok103x0", "other"))
+  ).toDF("doc_id", "text")
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("incremental appends find within-batch and cross-batch dups; union == batch result") {
+    val dir = tmp("mhidx") + "/idx"
+    val r1 = Dedup.minhashIndexAppend(batch1, "doc_id", "text", dir)
+    assert(pairSet(r1) == Set((1L, 2L)))
+
+    val r2 = Dedup.minhashIndexAppend(batch2, "doc_id", "text", dir)
+    // cross-batch (1,101); (2,101) differ in TWO tokens (jaccard 0.733,
+    // below threshold) — a candidate the verification must reject
+    val got = pairSet(r2)
+    assert(got.contains((1L, 101L)), s"cross-batch pair missing: $got")
+    assert(got.contains((103L, 104L)), s"new-new pair missing: $got")
+    assert(!got.contains((1L, 2L)), "old-old pair must not re-emit")
+
+    // partition property: union over appends == one-shot batch run
+    val full = Dedup.minhashNearDups(batch1.unionByName(batch2),
+      "doc_id", "text", maxBucket = Int.MaxValue,
+      collapseExactDups = false)
+    assert(pairSet(r1) ++ got == pairSet(full),
+      s"incremental union ${pairSet(r1) ++ got} != batch ${pairSet(full)}")
+    // jaccard values match the batch kernel (both exact hashed-token)
+    val incJ = (r1.unionByName(r2)).select("id_a", "id_b", "jaccard")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    full.collect().foreach { r =>
+      assert(incJ((r.getLong(0), r.getLong(1))) == r.getDouble(2))
+    }
+  }
+
+  test("index stores hashes only (no text) and pins the hash family") {
+    val dir = tmp("mhidx2") + "/idx"
+    Dedup.minhashIndexAppend(batch1, "doc_id", "text", dir)
+    val sigCols = spark.read.parquet(s"$dir/sigs").schema.fieldNames.toSet
+    assert(sigCols == Set("id", "th"), s"sigs must be metadata-only: $sigCols")
+    val bandCols = spark.read.parquet(s"$dir/bands").schema.fieldNames.toSet
+    assert(bandCols == Set("band", "id"))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.minhashIndexAppend(batch2, "doc_id", "text", dir,
+        numHashes = 64, bands = 16)
+    }
+    assert(e.getMessage.contains("incomparable"), e.getMessage)
+  }
+}

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, count, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Plan-shape audits: the properties that make these queries scale are
@@ -305,5 +306,78 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_max_by") || p.contains("partial"),
       s"map-side partial merge expected:\n$p")
     assert(!p.contains("Window"), s"no window pass for the merge:\n$p")
+  }
+
+  test("q_token_shards: running sum is two-phase — no whole-table global window") {
+    val p = plan("q_token_shards")
+    // corpus-sized cumsum partitions by the deterministic id bucket
+    // (shuffled once on it); a global doc-ordered window would appear as
+    // windowspecdefinition(doc_id#... ASC with no leading partition col
+    assert(p.contains("windowspecdefinition(_bkt"),
+      s"corpus cumsum must partition by _bkt:\n$p")
+    assert(p.contains("hashpartitioning(_bkt"),
+      s"corpus should shuffle once on the bucket:\n$p")
+    assert(!p.contains("windowspecdefinition(doc_id"),
+      s"no whole-corpus global window allowed:\n$p")
+  }
+
+  test("dynamic partition pruning: dim filter prunes fact partitions at runtime") {
+    // hive-layout fact (built by q_dir_pruning's fixture) joined to a
+    // filtered dim — Spark's DPP should plan a dynamicpruning subquery
+    // on the fact scan instead of reading every partition
+    SparkEntry.queries("q_dir_pruning")(spark, SF).collect() // build fixture
+    val fact = spark.read.parquet(
+      s"/tmp/graft_out/${new java.io.File(SF).getName}/orders_by_status")
+    import spark.implicits._
+    // dim must be file-backed: an inline relation constant-folds its
+    // filter into a LocalTableScan, and DPP's selective-predicate check
+    // needs a live Filter on the build side
+    val dimPath = java.nio.file.Files.createTempDirectory("dpp").toString + "/dim"
+    Seq(("F", "final"), ("O", "open"), ("P", "pending"))
+      .toDF("status", "label").write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    val q = fact.join(dim, fact("o_orderstatus") === dim("status"))
+      .filter(col("label") === "final")
+      .agg(count(lit(1)).as("n"))
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning") || p.contains("DynamicPruning") ||
+      p.contains("dynamicpruningexpression"),
+      s"DPP expression expected on the partitioned fact scan:\n$p")
+  }
+
+  test("runtime bloom filter prunes fact rows ahead of a selective join") {
+    val prevB = spark.conf.getOption(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+    val prevT = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    // force the shuffle-join shape the filter exists for (broadcast joins
+    // already prune build-side misses) and let the tiny test tables clear
+    // the size gates
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    try {
+      val li = GraftSession.table(spark, SF, "lineitem")
+      val ord = GraftSession.table(spark, SF, "orders")
+        .filter(col("o_totalprice") > 300000) // selective build side
+      val q = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n"))
+      q.collect()
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("bloom_filter") || p.contains("BloomFilter") ||
+        p.contains("might_contain"),
+        s"runtime bloom filter expected on the fact side:\n$p")
+    } finally {
+      prevB.fold(spark.conf.unset(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"))(
+        v => spark.conf.set(
+          "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", v))
+      spark.conf.unset(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      prevT.fold(spark.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+        v => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v))
+    }
   }
 }
