@@ -558,8 +558,9 @@ object DmlSql {
     val spark = SparkSession.active
     val path = tablePathOf(spark, target, parseIdent)
     val fmt = formatOf(spark, path)
-    if (zorderBy.nonEmpty) require(fmt == DeltaT,
-      s"ZORDER BY is supported on Delta targets only: $path")
+    if (zorderBy.nonEmpty) require(fmt != PaimonT,
+      s"ZORDER BY is supported on Delta and Iceberg targets only " +
+        s"(paimon's LSM buckets own the layout): $path")
     fmt match {
       case DeltaT =>
         val (v, merged, produced) =
@@ -568,9 +569,10 @@ object DmlSql {
           (if (zorderBy.nonEmpty) s"z-ordered by (${zorderBy.mkString(", ")}) "
            else "") + s"(delta v$v)")
       case IcebergT =>
-        val snap = IcebergTable.rewriteDataFiles(spark, path)
-        result(s"optimized $path (iceberg rewrite_data_files, " +
-          s"snapshot $snap)")
+        val snap = IcebergTable.rewriteDataFiles(spark, path, zorderBy = zorderBy)
+        result(s"optimized $path (iceberg rewrite_data_files" +
+          (if (zorderBy.nonEmpty) s", z-ordered by (${zorderBy.mkString(", ")})"
+           else "") + s", snapshot $snap)")
       case PaimonT =>
         val snap = PaimonTable.compact(spark, path)
         result(s"optimized $path (paimon full compaction, snapshot $snap)")

@@ -1150,7 +1150,8 @@ object IcebergTable {
     * (the write path's own bound). Returns the replace snapshot id, or
     * the current one unchanged when there is nothing to compact. */
   def rewriteDataFiles(spark: SparkSession, table: String,
-                       targetFileBytes: Long = 128L << 20): Long = {
+                       targetFileBytes: Long = 128L << 20,
+                       zorderBy: Seq[String] = Nil): Long = {
     val meta = loadMeta(spark, table)
     requireIdentitySpec(meta, "rewriteDataFiles")
     val entries = liveEntries(spark, table)
@@ -1158,10 +1159,22 @@ object IcebergTable {
     val current = meta.currentSnapshotId.getOrElse(
       throw new IllegalArgumentException(s"no current snapshot in $table"))
     val hasDeletes = entries.exists(_.content != 0)
-    if (dataFiles.size < 2 && !hasDeletes) return current
+    if (dataFiles.isEmpty ||
+        (zorderBy.isEmpty && dataFiles.size < 2 && !hasDeletes)) return current
+    zorderBy.foreach(c => require(meta.schema.fieldNames.contains(c),
+      s"zorder column '$c' not in table schema " +
+        s"[${meta.schema.fieldNames.mkString(", ")}]"))
     val bins = math.max(1L,
       (dataFiles.map(_.fileSizeBytes).sum + targetFileBytes - 1) / targetFileBytes).toInt
-    val compacted = read(spark, table).repartition(bins)
+    // zorder strategy (Spark-Iceberg's rewrite_data_files
+    // strategy => 'sort', sort_order => 'zorder(...)'): the compaction
+    // rewrite doubles as the clustering pass — same replace snapshot,
+    // rows just land along the Morton curve so footer min/max prune
+    // later scans on any zorder column
+    val compacted =
+      if (zorderBy.nonEmpty)
+        graft.operators.ZOrder.layout(read(spark, table), zorderBy, bins)
+      else read(spark, table).repartition(bins)
     write(compacted, table, SaveMode.Overwrite, meta.partCols,
       operation = Some("replace"))
   }

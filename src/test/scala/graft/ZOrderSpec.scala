@@ -144,15 +144,37 @@ class ZOrderSpec extends AnyFunSuite {
     assert(!lines.contains("\"dataChange\":true"), "zorder commit must be dataChange=false")
   }
 
-  test("ZORDER BY refuses non-Delta targets and unknown columns") {
+  test("OPTIMIZE ... ZORDER BY on Iceberg: replace snapshot, contents identical") {
     val dir = tmp("icez")
-    graft.sources.IcebergTable.write((1 to 10).toDF("v"), s"$dir/t",
+    val df = (0 until 4000).map { i =>
+      val r = new scala.util.Random(i + 11)
+      (r.nextDouble() * 100, r.nextDouble() * 100, i.toLong)
+    }.toDF("x", "y", "id")
+    graft.sources.IcebergTable.write(df.repartition(6), s"$dir/t",
+      org.apache.spark.sql.SaveMode.Overwrite)
+    spark.conf.set("graft.dfs.workspace.izws", dir)
+    val msg = spark.sql("OPTIMIZE dfs.izws.`t` ZORDER BY (x, y)")
+      .collect().head.getString(1)
+    assert(msg.contains("z-ordered by (x, y)"), msg)
+    val after = graft.sources.IcebergTable.read(spark, s"$dir/t")
+    assert(after.count() == 4000)
+    assert(after.agg(sum("id")).head.getLong(0) ==
+      df.agg(sum("id")).head.getLong(0))
+    // the rewrite committed as a replace snapshot: incremental consumers
+    // see no new rows from it
+    val meta = graft.sources.IcebergTable.read(spark, s"$dir/t#snapshots")
+    assert(meta.filter(col("operation") === "replace").count() >= 1)
+  }
+
+  test("ZORDER BY refuses paimon targets and unknown columns") {
+    val dir = tmp("paimz")
+    graft.sources.PaimonTable.write((1 to 10).toDF("v"), s"$dir/t",
       org.apache.spark.sql.SaveMode.Overwrite)
     spark.conf.set("graft.dfs.workspace.pzws", dir)
     val e = intercept[Exception] {
       spark.sql("OPTIMIZE dfs.pzws.`t` ZORDER BY (v)").collect()
     }
-    assert(e.getMessage.contains("Delta targets only"), e.getMessage)
+    assert(e.getMessage.contains("Delta and Iceberg targets only"), e.getMessage)
 
     val path = tmp("deltazbad") + "/t"
     DeltaLogWriter.write((1 to 10).map(i => (i, i * 2)).toDF("a", "b"), path,
