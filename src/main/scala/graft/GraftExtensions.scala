@@ -104,5 +104,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[PhoneticExpr].getName, algo),
         (children: Seq[Expression]) => PhoneticExpr(children.head, algo)))
     }
+    // the string-distance family (Drill contrib/udfs
+    // StringDistanceFunctions.java names; levenshtein_distance is
+    // Spark's built-in levenshtein)
+    graft.functions.StringDistances.AlgoIds.keys.foreach { algo =>
+      ext.injectFunction((
+        new FunctionIdentifier(algo),
+        new ExpressionInfo(classOf[graft.functions.StringDistanceExpr].getName, algo),
+        (children: Seq[Expression]) => {
+          require(children.length == 2,
+            s"$algo expects exactly 2 arguments, got ${children.length}")
+          graft.functions.StringDistanceExpr(children.head, children(1), algo)
+        }))
+    }
   }
 }

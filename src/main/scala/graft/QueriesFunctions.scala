@@ -268,6 +268,23 @@ object QueriesFunctions {
           levenshtein(col("c_name"), lit("Customer#000000042")).as("lev"),
           levenshtein(col("c_mktsegment"), lit("BUILDING")).as("lev_seg"))),
 
+    // The rest of Drill's string-distance pack (contrib/udfs
+    // StringDistanceFunctions.java -> commons-text, bound as native
+    // expressions): jaccard (char-set) and hamming (rpad to equal
+    // length — both engines truncate-or-fill to 10) oracle exactly
+    // against DuckDB's identical algorithms. jaro/cosine/fuzzy/LCS are
+    // spec-verified against the reference's own test values instead
+    // (commons-text's jaro core disagrees with DuckDB's on long
+    // unequal-length pairs, and the reference semantics win) ----
+    "q_string_distance2" -> ((s, d) =>
+      T(s, d, "customer").filter(col("c_custkey") < 500)
+        .select(col("c_custkey"),
+          round(call_function("jaccard_distance",
+            lower(col("c_name")), lower(col("c_mktsegment"))), 6).as("jac_d"),
+          round(call_function("hamming_distance",
+            rpad(lower(col("c_name")), 10, "#"),
+            rpad(lower(col("c_mktsegment")), 10, "#")), 6).as("ham_d"))),
+
     // Drill contrib/udfs NetworkFunctions.java: inet_aton/ntoa, CIDR math,
     // private-range tests — all pure Column arithmetic (see
     // functions/NetworkFunctions.scala). IPs/CIDRs derived from order keys
@@ -517,6 +534,11 @@ object QueriesFunctions {
       """SELECT c_custkey, levenshtein(c_name, 'Customer#000000042') AS lev,
          levenshtein(c_mktsegment, 'BUILDING') AS lev_seg
          FROM customer WHERE c_custkey < 300""",
+    "q_string_distance2" ->
+      """SELECT c_custkey,
+         round(1 - jaccard(lower(c_name), lower(c_mktsegment)), 6) AS jac_d,
+         round(hamming(rpad(lower(c_name), 10, '#'), rpad(lower(c_mktsegment), 10, '#')), 6)::DOUBLE AS ham_d
+         FROM customer WHERE c_custkey < 500""",
     "q_bit_fns" ->
       """SELECT c_custkey, c_custkey & 255 AS band_and, c_custkey | 16 AS band_or,
          xor(c_custkey, c_nationkey) AS bxor,

@@ -142,6 +142,40 @@ class FunctionsSpec extends AnyFunSuite {
     assert(taus.toSeq == Seq(1.0, -1.0)) // perfectly concordant / discordant
   }
 
+  test("string-distance family matches Drill's own test values (contrib/udfs TestStringDistanceFunctions)") {
+    import spark.implicits._
+    val df = Seq(("Big car", "red car")).toDF("a", "b")
+    val r = df.select(
+      call_function("cosine_distance", col("a"), col("b")).as("cos"),
+      call_function("hamming_distance", col("a"), col("b")).as("ham"),
+      call_function("jaccard_distance", col("a"), col("b")).as("jac"),
+      call_function("jaro_distance", col("a"), col("b")).as("jaro"),
+      call_function("longest_common_substring_distance", col("a"), col("b")).as("lcs"),
+      levenshtein(col("a"), col("b")).as("lev")).collect()(0)
+    // expected values transcribed from the reference's test class
+    assert(math.abs(r.getDouble(0) - 0.5) < 1e-9)
+    assert(r.getDouble(1) == 3.0)
+    assert(math.abs(r.getDouble(2) - 0.5555555555555556) < 1e-12)
+    assert(math.abs(r.getDouble(3) - 0.2857142857142857) < 1e-12)
+    // LCS subsequence " car" (4): 7 + 7 - 2*4
+    assert(r.getDouble(4) == 6.0)
+    assert(r.getInt(5) == 3)
+    // fuzzy_score: commons-text javadoc examples
+    val f = Seq(("Workshop", "ws"), ("Workshop", "wo"),
+        ("Apache Software Foundation", "asf"))
+      .toDF("t", "q")
+      .select(call_function("fuzzy_score", col("t"), col("q")).as("s"))
+      .collect().map(_.getDouble(0))
+    assert(f.toSeq == Seq(2.0, 4.0, 3.0), f.toSeq)
+    // NULL_IF_NULL + arity check, like the reference
+    assert(df.select(call_function("jaro_distance", lit(null).cast("string"),
+      col("b"))).collect()(0).isNullAt(0))
+    val e = intercept[Exception] {
+      spark.sql("SELECT jaro_distance('a')").collect()
+    }
+    assert(e.getMessage.contains("2 arguments"), e.getMessage)
+  }
+
   test("kvgen/mappify explodes a JSON map column (SURVEY row 36)") {
     import spark.implicits._
     val df = Seq((1L, """{"a": 1, "b": 2}""")).toDF("id", "js")
