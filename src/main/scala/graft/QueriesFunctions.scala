@@ -262,6 +262,26 @@ object QueriesFunctions {
 
     // Drill contrib/udfs string-distance functions (LevenshteinDistance
     // etc.); soundex/metaphone are engine-specific, asserted in ScalaTest.
+    // contrib/udfs DateFunctions tail: nearest_date (time-series GROUP
+    // BY floor, ref DateConversionUtils.java), year_week, percent_change
+    // (DistributionFunctions.java zero-handling included) ----
+    "q_contrib_dates" -> ((s, d) =>
+      T(s, d, "orders").filter(col("o_orderkey") < 1000)
+        .select(col("o_orderkey"),
+          graft.functions.DrillFunctions.nearestDate(
+            col("o_orderdate").cast("timestamp"), "QUARTER")
+            .cast("date").as("nd_quarter"),
+          graft.functions.DrillFunctions.nearestDate(
+            col("o_orderdate").cast("timestamp"), "WEEK_SUNDAY")
+            .cast("date").as("nd_wk_sun"),
+          graft.functions.DrillFunctions.nearestDate(
+            col("o_orderdate").cast("timestamp"), "WEEK_MONDAY")
+            .cast("date").as("nd_wk_mon"),
+          graft.functions.DrillFunctions.yearWeek(col("o_orderdate")).as("yw"),
+          round(graft.functions.DrillFunctions.percentChange(
+            col("o_totalprice"), col("o_totalprice") - col("o_custkey")), 6)
+            .as("pct"))),
+
     "q_string_distance" -> ((s, d) =>
       T(s, d, "customer").filter(col("c_custkey") < 300)
         .select(col("c_custkey"),
@@ -534,6 +554,15 @@ object QueriesFunctions {
       """SELECT c_custkey, levenshtein(c_name, 'Customer#000000042') AS lev,
          levenshtein(c_mktsegment, 'BUILDING') AS lev_seg
          FROM customer WHERE c_custkey < 300""",
+    "q_contrib_dates" ->
+      """SELECT o_orderkey,
+         date_trunc('quarter', o_orderdate)::DATE AS nd_quarter,
+         (date_trunc('week', o_orderdate + INTERVAL 1 DAY) - INTERVAL 1 DAY)::DATE AS nd_wk_sun,
+         date_trunc('week', o_orderdate)::DATE AS nd_wk_mon,
+         (year(o_orderdate) * 100 + weekofyear(o_orderdate))::INT AS yw,
+         round(CASE WHEN o_totalprice - o_custkey = 0 OR o_totalprice = 0 THEN 0
+               ELSE ((o_totalprice - o_custkey) - o_totalprice) * 100.0 / o_totalprice END, 6) AS pct
+         FROM orders WHERE o_orderkey < 1000""",
     "q_string_distance2" ->
       """SELECT c_custkey,
          round(1 - jaccard(lower(c_name), lower(c_mktsegment)), 6) AS jac_d,

@@ -71,4 +71,53 @@ object DrillFunctions {
 
   /** Drill typeof() — runtime type name of a column value. */
   def typeOf(c: Column): Column = call_function("typeof", c)
+
+  // ---- contrib/udfs DateFunctions.java tail ----
+
+  /** Drill's `nearest_date(ts, interval)` (ref contrib/udfs/
+    * DateConversionUtils.java): floor `ts` to the first instant of its
+    * period — the time-series GROUP BY helper. All thirteen reference
+    * intervals; the sub-hour ones are integer floor-division on epoch
+    * seconds (positive-epoch data, same floor the reference computes
+    * field-wise). */
+  def nearestDate(ts: Column, interval: String): Column = {
+    def bucket(secs: Long): Column =
+      timestamp_seconds((unix_seconds(ts) / secs).cast("long") * secs)
+    interval.toUpperCase match {
+      case "YEAR"        => date_trunc("year", ts)
+      case "QUARTER"     => date_trunc("quarter", ts)
+      case "MONTH"       => date_trunc("month", ts)
+      // previousOrSame(SUNDAY) at midnight = Monday-trunc of (ts + 1d),
+      // shifted back a day; Monday-week is Spark's own week trunc
+      case "WEEK_SUNDAY" =>
+        date_trunc("week", ts + expr("INTERVAL 1 DAY")) - expr("INTERVAL 1 DAY")
+      case "WEEK_MONDAY" => date_trunc("week", ts)
+      case "DAY"         => date_trunc("day", ts)
+      case "HOUR"        => date_trunc("hour", ts)
+      case "HALF_HOUR"      => bucket(1800L)
+      case "QUARTER_HOUR"   => bucket(900L)
+      case "MINUTE"      => date_trunc("minute", ts)
+      case "HALF_MINUTE"    => bucket(30L)
+      case "QUARTER_MINUTE" => bucket(15L)
+      case "SECOND"      => date_trunc("second", ts)
+      case other => throw new IllegalArgumentException(
+        s"[$other] is not a valid time statement. Expecting: YEAR, " +
+          "QUARTER, MONTH, WEEK_SUNDAY, WEEK_MONDAY, DAY, HOUR, " +
+          "HALF_HOUR, QUARTER_HOUR, MINUTE, HALF_MINUTE, QUARTER_MINUTE, SECOND")
+    }
+  }
+
+  /** Drill's `year_week(date)` (ref contrib/udfs DateFunctions.java
+    * YearWeekFunction): calendar year * 100 + ISO week number —
+    * faithfully including the reference's year-boundary quirk (Jan 1 in
+    * ISO week 52/53 reports the NEW year with the old week). */
+  def yearWeek(c: Column): Column =
+    (year(c) * 100 + weekofyear(c)).cast("int")
+
+  /** Drill's `percent_change(old, new)` (ref contrib/udfs
+    * DistributionFunctions.java): (new-old)*100/old, with the
+    * reference's zero handling — either side zero yields 0. */
+  def percentChange(oldV: Column, newV: Column): Column =
+    when(newV === 0 || oldV === 0, lit(0.0))
+      .otherwise((newV - oldV) * 100.0 / oldV)
 }

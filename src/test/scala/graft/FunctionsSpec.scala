@@ -176,6 +176,31 @@ class FunctionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("2 arguments"), e.getMessage)
   }
 
+  test("nearest_date floors all reference intervals; year_week; percent_change") {
+    import spark.implicits._
+    import graft.functions.DrillFunctions._
+    val df = Seq("2018-05-04 11:47:43").toDF("s")
+      .select(to_timestamp(col("s")).as("t"))
+    def nd(i: String) = nearestDate(col("t"), i).cast("string")
+    val r = df.select(nd("YEAR"), nd("QUARTER"), nd("WEEK_SUNDAY"),
+      nd("WEEK_MONDAY"), nd("HALF_HOUR"), nd("QUARTER_HOUR"),
+      nd("HALF_MINUTE"), nd("QUARTER_MINUTE")).collect()(0)
+    assert(r.getString(0) == "2018-01-01 00:00:00")
+    assert(r.getString(1) == "2018-04-01 00:00:00")
+    assert(r.getString(2) == "2018-04-29 00:00:00") // Fri -> previous Sunday
+    assert(r.getString(3) == "2018-04-30 00:00:00") // Fri -> previous Monday
+    assert(r.getString(4) == "2018-05-04 11:30:00")
+    assert(r.getString(5) == "2018-05-04 11:45:00")
+    assert(r.getString(6) == "2018-05-04 11:47:30")
+    assert(r.getString(7) == "2018-05-04 11:47:30")
+    val e = intercept[IllegalArgumentException](nearestDate(col("t"), "FORTNIGHT"))
+    assert(e.getMessage.contains("not a valid time statement"))
+    assert(df.select(yearWeek(col("t"))).collect()(0).getInt(0) == 201818)
+    val pc = Seq((100.0, 125.0), (120.0, 0.0), (0.0, 5.0)).toDF("o", "n")
+      .select(percentChange(col("o"), col("n"))).collect().map(_.getDouble(0))
+    assert(pc.toSeq == Seq(25.0, 0.0, 0.0))
+  }
+
   test("kvgen/mappify explodes a JSON map column (SURVEY row 36)") {
     import spark.implicits._
     val df = Seq((1L, """{"a": 1, "b": 2}""")).toDF("id", "js")
