@@ -104,6 +104,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[PhoneticExpr].getName, algo),
         (children: Seq[Expression]) => PhoneticExpr(children.head, algo)))
     }
+    // get_map_schema / md2 (contrib/udfs ComplexSchemaFunctions.java,
+    // CryptoFunctions.java)
+    Seq("get_map_schema", "getmapschema").foreach { nm =>
+      ext.injectFunction((
+        new FunctionIdentifier(nm),
+        new ExpressionInfo(classOf[graft.functions.GetMapSchemaExpr].getName, nm),
+        (children: Seq[Expression]) => {
+          require(children.length == 1,
+            s"$nm expects exactly 1 argument, got ${children.length}")
+          graft.functions.GetMapSchemaExpr(children.head)
+        }))
+    }
+    ext.injectFunction((
+      new FunctionIdentifier("md2"),
+      new ExpressionInfo(classOf[graft.functions.Md2Expr].getName, "md2"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"md2 expects exactly 1 argument, got ${children.length}")
+        graft.functions.Md2Expr(children.head)
+      }))
     // the string-distance family (Drill contrib/udfs
     // StringDistanceFunctions.java names; levenshtein_distance is
     // Spark's built-in levenshtein)

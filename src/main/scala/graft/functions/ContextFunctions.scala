@@ -26,6 +26,23 @@ object ContextFunctions {
   /** Engine version (Drill exposes its build version the same way). */
   def engineVersion(): Column = version()
 
+  /** Drill `localtime`/`localtimestamp` role: the statement-evaluation
+    * instant in the session timezone. */
+  def localTime(): Column = expr("localtimestamp()")
+
+  /** Drill/postgres `timeofday()` — the wall-clock instant as a
+    * human-readable string (ref ContextFunctions' DateTypeFunctions
+    * sibling `timeofday`): formatted current timestamp with zone. */
+  def timeOfDay(): Column =
+    date_format(current_timestamp(), "EEE MMM dd HH:mm:ss.SSS zzz yyyy")
+
+  /** `statement_timestamp()` / `transaction_timestamp()` (postgres-role
+    * fns Drill carries): both the query-start instant — Spark's
+    * current_timestamp() is already fixed per query, which is exactly
+    * the statement/transaction-stability contract. */
+  def statementTimestamp(): Column = current_timestamp()
+  def transactionTimestamp(): Column = current_timestamp()
+
   /** All context columns at once — the shape of Drill's
     * `SELECT session_id, user, current_schema FROM (VALUES(1))`. */
   def contextRow(spark: SparkSession): Seq[Column] = Seq(

@@ -42,6 +42,22 @@ object NetworkFunctions {
     ip.rlike(s"^$octet\\.$octet\\.$octet\\.$octet$$")
   }
 
+  /** Structural IPv6 validity (Drill's is_valid_ipv6, ref contrib/udfs
+    * NetworkFunctions.java via commons-validator): full 8-group form, or
+    * one `::` compression with at most 7 explicit groups ("::" alone is
+    * the unspecified address and valid). Zone ids / embedded IPv4 tails
+    * are not accepted (matching the strict hex-groups grammar). */
+  def isValidIpv6(ip: Column): Column = {
+    val h = "[0-9a-fA-F]{1,4}"
+    val full = s"^($h:){7}$h$$"
+    val compressed = s"^(($h:)*$h)?::(($h:)*$h)?$$"
+    val groupCount = size(filter(split(ip, ":"), x => x =!= ""))
+    ip.rlike(full) || (ip.rlike(compressed) && groupCount <= 7)
+  }
+
+  /** Drill's is_valid_ip: IPv4 or IPv6. */
+  def isValidIp(ip: Column): Column = isValidIpv4(ip) || isValidIpv6(ip)
+
   /** RFC 1918 private-range test (10/8, 172.16/12, 192.168/16), false for
     * anything that is not a valid IPv4 string — Drill's is_private_ip. */
   def isPrivateIp(ip: Column): Column = {

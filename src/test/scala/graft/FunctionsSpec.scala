@@ -201,6 +201,48 @@ class FunctionsSpec extends AnyFunSuite {
     assert(pc.toSeq == Seq(25.0, 0.0, 0.0))
   }
 
+  test("registry tail: md2, get_map_schema, is_valid_ip(v6), context timestamps") {
+    import spark.implicits._
+    // md2 of the empty string and 'abc' — RFC 1319 test vectors
+    val m = Seq(("", "abc")).toDF("e", "a")
+      .select(call_function("md2", col("e")), call_function("md2", col("a")))
+      .collect()(0)
+    assert(m.getString(0) == "8350e5a3e24c153df2275c9f80692773")
+    assert(m.getString(1) == "da853b0d3f88d99b30283a69e6ded6bb")
+
+    val sch = Seq((1L, "x")).toDF("id", "s")
+      .select(call_function("get_map_schema",
+        struct(col("id"), col("s"))).as("m"))
+      .collect()(0).getMap[String, String](0)
+    assert(sch == Map("id" -> "BIGINT", "s" -> "STRING"))
+
+    import graft.functions.NetworkFunctions._
+    val ips = Seq("192.168.1.1", "256.1.1.1", "2001:db8::1", "::1", "::",
+      "2001:db8:0:0:0:0:2:1", "1:2:3:4:5:6:7:8:9", "not an ip", "1::2::3")
+      .toDF("ip")
+      .select(col("ip"), isValidIp(col("ip")).as("v"),
+        isValidIpv6(col("ip")).as("v6"))
+      .collect().map(r => r.getString(0) -> (r.getBoolean(1), r.getBoolean(2)))
+      .toMap
+    assert(ips("192.168.1.1") == (true, false))
+    assert(ips("256.1.1.1") == (false, false))
+    assert(ips("2001:db8::1") == (true, true))
+    assert(ips("::1") == (true, true))
+    assert(ips("::") == (true, true))
+    assert(ips("2001:db8:0:0:0:0:2:1") == (true, true))
+    assert(ips("1:2:3:4:5:6:7:8:9") == (false, false))
+    assert(ips("not an ip") == (false, false))
+    assert(ips("1::2::3") == (false, false))
+
+    import graft.functions.ContextFunctions._
+    val ctx = spark.range(1)
+      .select(localTime().as("lt"), timeOfDay().as("tod"),
+        statementTimestamp().as("st"), transactionTimestamp().as("tt"))
+      .collect()(0)
+    assert(!ctx.isNullAt(0) && ctx.getString(1).nonEmpty)
+    assert(ctx.getTimestamp(2) == ctx.getTimestamp(3)) // fixed per statement
+  }
+
   test("kvgen/mappify explodes a JSON map column (SURVEY row 36)") {
     import spark.implicits._
     val df = Seq((1L, """{"a": 1, "b": 2}""")).toDF("id", "js")
