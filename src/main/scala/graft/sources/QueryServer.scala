@@ -91,6 +91,46 @@ object QueryServer {
           Option(e.getMessage).getOrElse(e.getClass.getSimpleName)))
       }
     })
+    // GET /options.json — Drill's option listing (ref server/rest/
+    // StatusResources.java): the sys.options table as JSON
+    server.createContext("/options.json", new HttpHandler {
+      override def handle(x: HttpExchange): Unit = try {
+        if (x.getRequestMethod != "GET") { respond(x, 405, error("GET only")); return }
+        val rows = SysTables.options(spark).toJSON.collect()
+        respond(x, 200, rows.mkString("[", ",", "]"))
+      } catch {
+        case e: Throwable => respond(x, 400, error(
+          Option(e.getMessage).getOrElse(e.getClass.getSimpleName)))
+      }
+    })
+    // GET /storage.json — the storage/workspace registry (ref
+    // server/rest/StorageResources.java): dfs workspaces from the
+    // session conf + the catalog's databases, with enabled flags
+    server.createContext("/storage.json", new HttpHandler {
+      override def handle(x: HttpExchange): Unit = try {
+        if (x.getRequestMethod != "GET") { respond(x, 405, error("GET only")); return }
+        val ws = Seq("root" -> "/", "tmp" ->
+            System.getProperty("java.io.tmpdir", "/tmp")) ++
+          spark.conf.getAll.toSeq
+            .filter(_._1.startsWith("graft.dfs.workspace."))
+            .map { case (k, v) => k.stripPrefix("graft.dfs.workspace.") -> v }
+        val arr = mapper.createArrayNode()
+        ws.sortBy(_._1).foreach { case (name, dir) =>
+          val n = arr.addObject()
+          n.put("name", s"dfs.$name"); n.put("type", "file")
+          n.put("location", dir); n.put("enabled", true)
+        }
+        spark.catalog.listDatabases().collect().foreach { db =>
+          val n = arr.addObject()
+          n.put("name", db.name); n.put("type", "catalog")
+          n.put("location", db.locationUri); n.put("enabled", true)
+        }
+        respond(x, 200, mapper.writeValueAsString(arr))
+      } catch {
+        case e: Throwable => respond(x, 400, error(
+          Option(e.getMessage).getOrElse(e.getClass.getSimpleName)))
+      }
+    })
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4,
       (r: Runnable) => { val t = new Thread(r); t.setDaemon(true); t })
     server.setExecutor(pool)

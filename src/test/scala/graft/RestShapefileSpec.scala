@@ -123,6 +123,35 @@ class RestShapefileSpec extends AnyFunSuite {
     } finally { QueryProfiles.disable(spark); server.stop() }
   }
 
+  test("GET /options.json and /storage.json serve the option and storage registries") {
+    val server = graft.sources.QueryServer.start(spark)
+    spark.conf.set("graft.dfs.workspace.restws", "/tmp")
+    try {
+      def fetch(path: String): String = {
+        val url = java.net.URI.create(
+          s"http://127.0.0.1:${server.port}$path").toURL
+        val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        val body = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+        conn.disconnect(); body
+      }
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val opts = mapper.readTree(fetch("/options.json"))
+      assert(opts.isArray && opts.size() >= 5)
+      assert(fetch("/options.json").contains("spark.sql.shuffle.partitions"))
+      val storage = mapper.readTree(fetch("/storage.json"))
+      val names = (0 until storage.size())
+        .map(i => storage.get(i).get("name").asText).toSet
+      assert(names.contains("dfs.root") && names.contains("dfs.tmp"))
+      assert(names.contains("dfs.restws"))
+      assert(names.contains("default")) // catalog database
+      assert((0 until storage.size()).forall(i =>
+        storage.get(i).get("enabled").asBoolean))
+    } finally {
+      spark.conf.unset("graft.dfs.workspace.restws")
+      server.stop()
+    }
+  }
+
   test("CTAS routes to lakehouse formats: delta and iceberg targets") {
     import spark.implicits._
     import graft.sources.{DeltaLogReader, IcebergTable, Writer}
