@@ -415,6 +415,25 @@ object QueriesFunctions {
           stWithinBBox(lon, lat, -30, -30, 30, 30).as("in_bbox"))
     }),
 
+    // Planar geometry core (contrib/udfs gis/: STGeomFromText,
+    // STWithin, STEnvelope): WKT-parsed diamond polygon, ray-casting
+    // containment. The oracle re-derives containment in closed form —
+    // a diamond is the L1 ball, so `inside` == |lon|+|lat| < r, exact
+    // in SQL (no data point sits on the boundary: coordinate sums land
+    // on 0.1 multiples, r = 3.05 between them) ----
+    "q_gis_polygon" -> ((s, d) => {
+      import graft.functions.GisFunctions._
+      val lon = (col("o_orderkey") % 100).cast("double") / 10.0 - 5.0
+      val lat = ((col("o_orderkey") * 7) % 100).cast("double") / 10.0 - 5.0
+      val g = stGeomFromText(
+        lit("POLYGON ((3.05 0, 0 3.05, -3.05 0, 0 -3.05, 3.05 0))"))
+      T(s, d, "orders").filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"),
+          round(lon, 1).as("lon"), round(lat, 1).as("lat"),
+          stContains(g, lon, lat).as("inside"),
+          round(stXMax(g), 2).as("env_xmax"))
+    }),
+
     // Mergeable HLL sketch columns (Spark's Datasketches-backed built-ins):
     // per-group sketches union to an estimate within tolerance of the
     // global exact count — the "sketch once, merge cheaply" contract that
@@ -730,6 +749,14 @@ object QueriesFunctions {
         (epoch_ns(ts) // 1000000000 * 1000) -
           (epoch_ns(ts) // 1000000000 * 1000) % 600000 AS bucket_ms
       FROM events""",
+    "q_gis_polygon" -> """
+      SELECT o_orderkey,
+        round((o_orderkey % 100)/10.0 - 5.0, 1) AS lon,
+        round(((o_orderkey * 7) % 100)/10.0 - 5.0, 1) AS lat,
+        (abs((o_orderkey % 100)/10.0 - 5.0) +
+         abs(((o_orderkey * 7) % 100)/10.0 - 5.0)) < 3.05 AS inside,
+        3.05 AS env_xmax
+      FROM orders WHERE o_orderkey < 2000""",
     "q_gis_fns" -> """
       WITH pts AS (SELECT c_custkey,
           (c_custkey % 360) - 180 + 0.25 AS lon,

@@ -3,11 +3,17 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Minimal GIS surface (reference: contrib/udfs/src/main/java/.../gis/ —
-  * STPointFunc.java, STDistance.java, STDWithin.java, STXFunc/STYFunc):
-  * point construction, great-circle distance, and distance/bbox
-  * predicates as pure codegen'd expressions. (Full geometry — polygons,
-  * WKT — needs a geometry library this container doesn't ship.)
+/** GIS surface (reference: contrib/udfs/src/main/java/.../gis/ —
+  * STPointFunc.java, STDistance.java, STDWithin.java, STXFunc/STYFunc,
+  * STGeomFromText, STAsText/STAsGeoJSON, STEnvelope, STWithin,
+  * STXMin..STYMax): point construction, great-circle distance,
+  * distance/bbox predicates, and a hand-rolled planar geometry core —
+  * WKT parse for POINT/LINESTRING/POLYGON (single ring), envelope,
+  * ray-casting point-in-polygon, GeoJSON — all as pure codegen'd
+  * column expressions over a (gtype, xs, ys) struct; no geometry
+  * library, no UDF, nothing leaves whole-stage codegen. (The Esri
+  * operations needing true geometry algebra — st_buffer, st_union,
+  * st_intersection of polygons — stay out of scope and error clearly.)
   */
 object GisFunctions {
 
@@ -40,4 +46,100 @@ object GisFunctions {
   def stWithinBBox(lon: Column, lat: Column, minLon: Double, minLat: Double,
                    maxLon: Double, maxLat: Double): Column =
     lon >= minLon && lon <= maxLon && lat >= minLat && lat <= maxLat
+
+  // ---- planar geometry core: (gtype, xs, ys) struct ----------------
+
+  /** ST_GeomFromText for POINT / LINESTRING / POLYGON (one outer ring).
+    * Declarative WKT parse: coordinate list via regexp, pair split via
+    * transform — the geometry lands as a (gtype, xs[], ys[]) struct.
+    * Multi-ring polygons (holes) and MULTI* types raise a clear error
+    * (the honesty bound of the hand-rolled core). */
+  def stGeomFromText(wkt: Column): Column = {
+    val typ = upper(trim(regexp_extract(wkt, "^\\s*([A-Za-z]+)", 1)))
+    val multiRing = wkt.contains("),") || wkt.contains("), (")
+    val body = regexp_extract(wkt, "\\(\\(?\\s*([^()]+?)\\s*\\)?\\)", 1)
+    val pairs = transform(split(body, ","),
+      s => split(trim(regexp_replace(s, "\\s+", " ")), " "))
+    val xs = transform(pairs, p => element_at(p, 1).cast("double"))
+    val ys = transform(pairs, p => element_at(p, 2).cast("double"))
+    when(!typ.isin("POINT", "LINESTRING", "POLYGON") || multiRing,
+      raise_error(concat(lit("st_geomfromtext supports single-ring " +
+        "POINT/LINESTRING/POLYGON only, got: "), wkt)))
+      .otherwise(struct(typ.as("gtype"), xs.as("xs"), ys.as("ys")))
+  }
+
+  /** ST_AsText — WKT back out of the struct (doubles in Spark's own
+    * string form, so parse→text is canonical rather than byte-exact). */
+  def stAsText(geom: Column): Column = {
+    val pairs = zip_with(geom("xs"), geom("ys"),
+      (x, y) => concat_ws(" ", x.cast("string"), y.cast("string")))
+    val list = array_join(pairs, ", ")
+    when(geom("gtype") === "POINT", concat(lit("POINT ("), list, lit(")")))
+      .when(geom("gtype") === "LINESTRING",
+        concat(lit("LINESTRING ("), list, lit(")")))
+      .otherwise(concat(lit("POLYGON (("), list, lit("))")))
+  }
+
+  /** ST_AsGeoJSON — the geometry object (type + coordinates). */
+  def stAsGeoJSON(geom: Column): Column = {
+    val coords = zip_with(geom("xs"), geom("ys"), (x, y) => array(x, y))
+    val typeName = when(geom("gtype") === "POINT", "Point")
+      .when(geom("gtype") === "LINESTRING", "LineString")
+      .otherwise("Polygon")
+    when(geom("gtype") === "POINT",
+      to_json(struct(typeName.as("type"),
+        element_at(coords, 1).as("coordinates"))))
+      .when(geom("gtype") === "LINESTRING",
+        to_json(struct(typeName.as("type"), coords.as("coordinates"))))
+      .otherwise(to_json(struct(typeName.as("type"),
+        array(coords).as("coordinates"))))
+  }
+
+  def stXMin(geom: Column): Column = array_min(geom("xs"))
+  def stXMax(geom: Column): Column = array_max(geom("xs"))
+  def stYMin(geom: Column): Column = array_min(geom("ys"))
+  def stYMax(geom: Column): Column = array_max(geom("ys"))
+
+  /** ST_Envelope as a (xmin, ymin, xmax, ymax) struct. */
+  def stEnvelope(geom: Column): Column =
+    struct(stXMin(geom).as("xmin"), stYMin(geom).as("ymin"),
+      stXMax(geom).as("xmax"), stYMax(geom).as("ymax"))
+
+  /** ST_Contains(polygon, point): even-odd ray casting over the ring's
+    * edges — one codegen'd HOF pass, no UDF, no shuffle. Points exactly
+    * ON an edge follow the even-odd tie-break (consistent, but don't
+    * rely on boundary points). The ring may be given open or closed;
+    * the closing edge is walked explicitly. */
+  def stContains(poly: Column, px: Column, py: Column): Column = {
+    val xs = poly("xs"); val ys = poly("ys")
+    val n = size(xs)
+    val x = px.cast("double"); val y = py.cast("double")
+    // edge i: (v[i], v[i+1 mod n]); 1-based element_at
+    val crossings = aggregate(sequence(lit(0), n - 1), lit(0),
+      (acc, i) => {
+        val x1 = element_at(xs, (i % n) + 1)
+        val y1 = element_at(ys, (i % n) + 1)
+        val x2 = element_at(xs, ((i + 1) % n) + 1)
+        val y2 = element_at(ys, ((i + 1) % n) + 1)
+        val crosses = ((y1 > y) =!= (y2 > y)) &&
+          (x < (x2 - x1) * (y - y1) / (y2 - y1) + x1)
+        acc + when(crosses, 1).otherwise(0)
+      })
+    (poly("gtype") === "POLYGON") && (crossings % 2 === 1)
+  }
+
+  /** ST_Within(point, polygon) — the inverse argument order. */
+  def stWithinPoly(px: Column, py: Column, poly: Column): Column =
+    stContains(poly, px, py)
+
+  /** Planar ST_Distance between two POINT geometries. */
+  def stDistancePlanar(a: Column, b: Column): Column =
+    sqrt(pow(element_at(a("xs"), 1) - element_at(b("xs"), 1), 2) +
+      pow(element_at(a("ys"), 1) - element_at(b("ys"), 1), 2))
+
+  /** Envelope-overlap intersects (the bbox pre-filter; exact polygon
+    * intersection is out of the hand-rolled core's scope). */
+  def stIntersectsBBox(a: Column, b: Column): Column =
+    stXMin(a) <= stXMax(b) && stXMin(b) <= stXMax(a) &&
+      stYMin(a) <= stYMax(b) && stYMin(b) <= stYMax(a)
 }

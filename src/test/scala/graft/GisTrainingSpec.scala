@@ -23,6 +23,51 @@ class GisTrainingSpec extends AnyFunSuite {
     assert(r.getDouble(4) == 2.3522)
   }
 
+  test("planar geometry core: WKT parse, envelope, ray-casting containment, GeoJSON") {
+    import spark.implicits._
+    import GisFunctions._
+    // concave "arrow" polygon: contains (1,1) and (4,1); NOT (2.5, 2.5)
+    // (the notch) though that point is inside the envelope
+    val wkt = "POLYGON ((0 0, 5 0, 5 4, 2.5 1.5, 0 4, 0 0))"
+    val df = Seq(wkt).toDF("w").select(stGeomFromText(col("w")).as("g"))
+    val r = df.select(
+      col("g")("gtype"), stXMin(col("g")), stXMax(col("g")),
+      stYMin(col("g")), stYMax(col("g")),
+      stContains(col("g"), lit(1.0), lit(1.0)),
+      stContains(col("g"), lit(4.0), lit(1.0)),
+      stContains(col("g"), lit(2.5), lit(2.5)), // envelope yes, polygon no
+      stContains(col("g"), lit(6.0), lit(1.0)),
+      stAsText(col("g"))).collect()(0)
+    assert(r.getString(0) == "POLYGON")
+    assert((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      == (0.0, 5.0, 0.0, 4.0))
+    assert(r.getBoolean(5) && r.getBoolean(6))
+    assert(!r.getBoolean(7), "concave notch must not be contained")
+    assert(!r.getBoolean(8))
+    assert(r.getString(9).startsWith("POLYGON ((0.0 0.0, 5.0 0.0"))
+
+    // point + linestring + GeoJSON + planar distance
+    val pts = Seq(("POINT (3 4)", "POINT (0 0)", "LINESTRING (0 0, 1 1, 2 0)"))
+      .toDF("a", "b", "l")
+      .select(stGeomFromText(col("a")).as("a"), stGeomFromText(col("b")).as("b"),
+        stGeomFromText(col("l")).as("l"))
+    val p = pts.select(stDistancePlanar(col("a"), col("b")),
+      stAsGeoJSON(col("a")), stAsGeoJSON(col("l")),
+      stIntersectsBBox(col("a"), col("l"))).collect()(0)
+    assert(p.getDouble(0) == 5.0)
+    assert(p.getString(1) == """{"type":"Point","coordinates":[3.0,4.0]}""")
+    assert(p.getString(2).contains("\"LineString\"") &&
+      p.getString(2).contains("[[0.0,0.0],[1.0,1.0],[2.0,0.0]]"))
+    assert(!p.getBoolean(3)) // point (3,4) outside the line's bbox
+
+    // refusal: holes and MULTI* error clearly
+    val e = intercept[Exception] {
+      Seq("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))")
+        .toDF("w").select(stGeomFromText(col("w"))).collect()
+    }
+    assert(e.getMessage.contains("single-ring"), e.getMessage)
+  }
+
   test("hashSplit is deterministic and respects percentages roughly") {
     val docs = GraftSession.table(spark, SF, "documents")
     val split = Training.hashSplit(docs, "doc_id", "text")
