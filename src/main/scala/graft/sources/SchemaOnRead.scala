@@ -15,9 +15,20 @@ import org.apache.spark.sql.types._
 object SchemaOnRead {
 
   /** JSON-lines with schema inference (Drill's json reader infers per
-    * batch; Spark samples then reads once — same user contract). */
-  def json(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("multiLine", "false").json(path)
+    * batch; Spark samples then reads once — same user contract).
+    *
+    * Honors Drill's `store.json.all_text_mode` session option (ref
+    * exec/.../store/json/JsonRecordReader + drill-module.conf): when
+    * set true — `ALTER SESSION SET store.json.all_text_mode = true` —
+    * every scalar reads as a string, the escape hatch for documents
+    * whose field types flip between rows (the schema-change errors
+    * Drill's option exists to suppress). */
+  def json(spark: SparkSession, path: String): DataFrame = {
+    val allText = spark.conf.getOption("store.json.all_text_mode")
+      .exists(_.trim.equalsIgnoreCase("true"))
+    spark.read.option("multiLine", "false")
+      .option("primitivesAsString", allText.toString).json(path)
+  }
 
   /** CSV with header + type inference (Drill: text reader + extractHeader). */
   def csv(spark: SparkSession, path: String, delimiter: String = ","): DataFrame =

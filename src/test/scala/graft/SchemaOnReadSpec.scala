@@ -62,6 +62,25 @@ class SchemaOnReadSpec extends AnyFunSuite {
     assert(parsed.filter(col("props_parsed").isNotNull).count() > 0)
   }
 
+  test("store.json.all_text_mode: scalars read as strings (Drill session option)") {
+    val dir = java.nio.file.Files.createTempDirectory("alltext").toString
+    java.nio.file.Files.writeString(java.nio.file.Path.of(dir, "a.jsonl"),
+      "{\"v\": 1, \"w\": true}\n{\"v\": 2.5, \"w\": \"no\"}\n")
+    val typed = SchemaOnRead.json(spark, dir)
+    assert(typed.schema("v").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    spark.sql("ALTER SESSION SET `store.json.all_text_mode` = true")
+    try {
+      val text = SchemaOnRead.json(spark, dir)
+      assert(text.schema("v").dataType ==
+        org.apache.spark.sql.types.StringType)
+      assert(text.schema("w").dataType ==
+        org.apache.spark.sql.types.StringType)
+      assert(text.orderBy("v").collect().map(_.getString(0)).toSeq ==
+        Seq("1", "2.5"))
+    } finally spark.sql("ALTER SESSION RESET `store.json.all_text_mode`")
+  }
+
   test("inferJsonColumn inference pass is sample-bounded, not a full scan") {
     import spark.implicits._
     // a field that first appears beyond the sample window must be invisible
