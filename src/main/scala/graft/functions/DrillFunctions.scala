@@ -81,8 +81,17 @@ object DrillFunctions {
     * seconds (positive-epoch data, same floor the reference computes
     * field-wise). */
   def nearestDate(ts: Column, interval: String): Column = {
-    def bucket(secs: Long): Column =
-      timestamp_seconds((unix_seconds(ts) / secs).cast("long") * secs)
+    // LOCAL-field floor like the reference (which computes on
+    // LocalDateTime fields): epoch-based flooring would misalign
+    // sub-hour buckets in zones whose UTC offset is not a bucket
+    // multiple (+05:45 etc.), so floor the minute/second fields
+    // against the already-truncated hour/minute instead
+    def minuteBucket(m: Int): Column = try_add(date_trunc("hour", ts),
+      make_interval(lit(0), lit(0), lit(0), lit(0), lit(0),
+        floor(minute(ts) / m).cast("int") * m))
+    def secondBucket(s: Int): Column = try_add(date_trunc("minute", ts),
+      make_interval(lit(0), lit(0), lit(0), lit(0), lit(0), lit(0),
+        (floor(second(ts) / s).cast("int") * s).cast("decimal(18,6)")))
     interval.toUpperCase match {
       case "YEAR"        => date_trunc("year", ts)
       case "QUARTER"     => date_trunc("quarter", ts)
@@ -94,11 +103,11 @@ object DrillFunctions {
       case "WEEK_MONDAY" => date_trunc("week", ts)
       case "DAY"         => date_trunc("day", ts)
       case "HOUR"        => date_trunc("hour", ts)
-      case "HALF_HOUR"      => bucket(1800L)
-      case "QUARTER_HOUR"   => bucket(900L)
+      case "HALF_HOUR"      => minuteBucket(30)
+      case "QUARTER_HOUR"   => minuteBucket(15)
       case "MINUTE"      => date_trunc("minute", ts)
-      case "HALF_MINUTE"    => bucket(30L)
-      case "QUARTER_MINUTE" => bucket(15L)
+      case "HALF_MINUTE"    => secondBucket(30)
+      case "QUARTER_MINUTE" => secondBucket(15)
       case "SECOND"      => date_trunc("second", ts)
       case other => throw new IllegalArgumentException(
         s"[$other] is not a valid time statement. Expecting: YEAR, " +

@@ -56,7 +56,9 @@ object GisFunctions {
     * (the honesty bound of the hand-rolled core). */
   def stGeomFromText(wkt: Column): Column = {
     val typ = upper(trim(regexp_extract(wkt, "^\\s*([A-Za-z]+)", 1)))
-    val multiRing = wkt.contains("),") || wkt.contains("), (")
+    // any `)` followed (over whitespace) by `,` is a ring/geometry
+    // separator — holes and MULTI* parts in every spacing variant
+    val multiRing = wkt.rlike("\\)\\s*,")
     val body = regexp_extract(wkt, "\\(\\(?\\s*([^()]+?)\\s*\\)?\\)", 1)
     val pairs = transform(split(body, ","),
       s => split(trim(regexp_replace(s, "\\s+", " ")), " "))

@@ -23,36 +23,62 @@ import org.apache.spark.sql.functions._
   */
 object ZOrder {
 
+  /** Order-preserving numeric key for a zorder column. Numerics,
+    * dates and timestamps cast straight to double; STRINGS rank by
+    * their first 7 bytes folded big-endian into a long (the same
+    * truncated-binary ordering Delta's zorder uses for strings) —
+    * ANSI-safe, no cast errors. Unsupported types error up front. */
+  private def sortKey(df: DataFrame, c: String): Column = {
+    import org.apache.spark.sql.types._
+    df.schema(c).dataType match {
+      case _: NumericType | DateType | TimestampType | TimestampNTZType |
+           BooleanType =>
+        col(c).cast("double")
+      case StringType =>
+        aggregate(sequence(lit(1), lit(7)), lit(0L),
+          (acc, i) => acc * 256L +
+            coalesce(least(ascii(substring(col(c),
+              i.cast("int"), lit(1))), lit(255L)), lit(0L)))
+          .cast("double")
+      case t => throw new IllegalArgumentException(
+        s"zorder: column '$c' has unsupported type ${t.simpleString} " +
+          "(numeric, string, date, timestamp supported)")
+    }
+  }
+
   /** Per-column equi-depth bucket boundaries (ascending, 2^bits - 1
-    * interior cuts). Null-safe: nulls sort into bucket 0. Public so a
-    * long-lived table can compute cuts ONCE and pass them to every
-    * incremental [[withZValue]]/[[layout]] call — buckets then stay
-    * stable across daily writes instead of drifting with each batch's
-    * distribution. */
+    * interior cuts). Null-safe: nulls sort into bucket 0 (an all-null
+    * or empty input yields zero cuts — everything buckets to 0).
+    * Public so a long-lived table can compute cuts ONCE and pass them
+    * to every incremental [[withZValue]]/[[layout]] call — buckets
+    * then stay stable across daily writes instead of drifting with
+    * each batch's distribution. */
   def boundaries(df: DataFrame, cols: Seq[String], bits: Int = 8)
       : Map[String, Array[Double]] = {
     val buckets = 1 << bits
     val probs = (1 until buckets).map(_.toDouble / buckets)
-    val aggs = cols.map(c => percentile_approx(col(c).cast("double"),
+    val aggs = cols.map(c => percentile_approx(sortKey(df, c),
       typedLit(probs), lit(10000)).as(c))
     val row = df.agg(aggs.head, aggs.tail: _*).collect().head
     cols.map { c =>
-      val arr = row.getSeq[Any](row.fieldIndex(c))
-        .map(v => Option(v).fold(Double.NaN)(_.toString.toDouble)).toArray
+      val arr = Option(row.get(row.fieldIndex(c)))
+        .map(_.asInstanceOf[scala.collection.Seq[Any]]
+          .map(v => Option(v).fold(Double.NaN)(_.toString.toDouble)).toArray)
+        .getOrElse(Array.empty[Double])
       c -> arr
     }.toMap
   }
 
-  /** Bucket id (0 .. 2^bits-1) of `c` against sorted `cuts`: the count
-    * of boundaries strictly below the value (cuts are attained data
-    * values — p-quantiles — so `<` keeps the minimum in bucket 0), via
-    * one codegen'd HOF pass over the literal array. Nulls land in
-    * bucket 0; NaN cuts (all-null column) drop out. */
-  private def bucketId(c: Column, cuts: Array[Double]): Column = {
+  /** Bucket id (0 .. 2^bits-1) of key `k` against sorted `cuts`: the
+    * count of boundaries strictly below the value (cuts are attained
+    * key values — p-quantiles — so `<` keeps the minimum in bucket 0),
+    * via one codegen'd HOF pass over the literal array. Null keys land
+    * in bucket 0; NaN cuts (all-null column) drop out. */
+  private def bucketId(k: Column, cuts: Array[Double]): Column = {
     val arr = typedLit(cuts.filterNot(_.isNaN).toSeq)
-    when(c.isNull, lit(0L)).otherwise(
+    when(k.isNull, lit(0L)).otherwise(
       aggregate(arr, lit(0L),
-        (acc, b) => acc + when(c.cast("double") > b, 1L).otherwise(0L)))
+        (acc, b) => acc + when(k > b, 1L).otherwise(0L)))
   }
 
   /** The interleaved z-value of `bucketIds` (dimension-major bit
@@ -79,7 +105,8 @@ object ZOrder {
     require(cols.size * bits <= 63,
       s"zorder: ${cols.size} cols x $bits bits exceeds a long")
     val cut = if (cuts.nonEmpty) cuts else boundaries(df, cols, bits)
-    df.withColumn(as, interleave(cols.map(c => bucketId(col(c), cut(c))), bits))
+    df.withColumn(as,
+      interleave(cols.map(c => bucketId(sortKey(df, c), cut(c))), bits))
   }
 
   /** Rewrite `df` into `files` z-clustered output partitions: range

@@ -244,12 +244,14 @@ object Dedup {
     * ~8 bytes per distinct token and nothing string-typed ever joins.
     *
     * Per batch the work is (new x total) BAND density, never
-    * |total|^2 and never a rescan of old text: candidates are the
-    * bipartite new-vs-indexed band join plus the new-vs-new self join
-    * (each capped per band like the batch path). Emitted pairs across
-    * successive appends partition the full-batch result: old-old pairs
-    * were emitted when those docs were new (spec-asserted equivalence
-    * with minhashNearDups over the union).
+    * |total|^2 and never a rescan of old text: candidates come from
+    * joining the batch's band rows against the accumulated band table.
+    * The per-band skew cap applies AT QUERY TIME over that accumulated
+    * table (the identical row_number window the batch path plans), so
+    * emitted pairs across successive appends partition the capped
+    * full-batch result exactly — including bands that only exceed the
+    * cap across appends (spec-asserted equivalence with minhashNearDups
+    * over the union, capped and capless).
     *
     * Returns dup pairs (id_a, id_b, jaccard) with the NEW doc on at
     * least one side, then appends the batch to the index. `_params.json`
@@ -278,23 +280,35 @@ object Dedup {
           s"got $numHashes/$bands — signatures are incomparable across families")
     }
     val toksNew = tokenized(docs, idCol, textCol).localCheckpoint()
-    val bNew = bandedIdsFrom(toksNew, numHashes, bands, maxBucket)
+    // the index stores UNCAPPED (band, id) rows; the per-band skew cap
+    // is applied at query time over the ACCUMULATED table (old ∪ new,
+    // row_number by id — the identical window the batch path plans), so
+    // per-append results stay EXACTLY the capped batch run's partition:
+    // a band that grows past maxBucket across appends truncates here
+    // the same way it would in one shot
+    val bNew = bandedIdsFrom(toksNew, numHashes, bands, Int.MaxValue)
       .select("band", "id").localCheckpoint()
-    // new-vs-new (strict order halves) + new-vs-indexed (bipartite)
-    val candNew = bNew.as("a").join(bNew.as("b"),
-        col("a.band") === col("b.band") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-    val cand = (if (exists) {
-      val bOld = spark.read.parquet(s"$indexDir/bands")
-      // ids normalized (least, greatest) so cross-batch pairs carry the
-      // same orientation the batch path emits
-      candNew.unionAll(
-        bOld.as("a").join(bNew.as("b"), col("a.band") === col("b.band"))
-          .select(least(col("a.id"), col("b.id")).as("id_a"),
-            greatest(col("a.id"), col("b.id")).as("id_b")))
-    } else candNew)
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_bands"))
-      .select("id_a", "id_b")
+    val newMarked = bNew.withColumn("is_new", lit(true))
+    val bAll0 = if (exists)
+      spark.read.parquet(s"$indexDir/bands")
+        .withColumn("is_new", lit(false)).unionByName(newMarked)
+    else newMarked
+    val bAll = (if (maxBucket == Int.MaxValue) bAll0 else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("band").orderBy("id")
+      bAll0.withColumn("bn", row_number().over(w))
+        .filter(col("bn") <= maxBucket).drop("bn")
+    }).localCheckpoint()
+    // candidates: (capped new side) x (capped accumulated) — work is
+    // new x total band density; pairs normalized (least, greatest) so
+    // orientation matches the batch path, distinct dedups the double
+    // count of new-new collisions
+    val cand = bAll.filter(col("is_new")).as("a")
+      .join(bAll.as("b"),
+        col("a.band") === col("b.band") && col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+      .distinct()
     // either side of a cross pair may be the indexed doc — both lookups
     // go against the union; the union's new half is the checkpointed
     // toksNew, so nothing re-tokenizes

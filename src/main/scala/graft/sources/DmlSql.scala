@@ -55,6 +55,17 @@ object DmlSql {
   private val HistorySql =
     """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+(dfs\b.+?)\s*;?\s*""".r
 
+  /** True if [[claim]] would intercept `sqlText` — a pure regex check
+    * with NO side effects (claim executes the command; EXPLAIN needs to
+    * know without running anything). */
+  def wouldClaim(sqlText: String): Boolean = sqlText match {
+    case DeleteSql(_, _) | TruncateSql(_) | UpdateSql(_, _) |
+         MergeSql(_, _) | InsertSql(_, _) | VacuumSql(_, _) |
+         RestoreSql(_, _) | OptimizeSql(_, _) | AddColumnsSql(_, _) |
+         HistorySql(_) => true
+    case _ => false
+  }
+
   def claim(sqlText: String,
             parseIdent: String => Seq[String]): Option[LogicalPlan] =
     sqlText match {

@@ -125,6 +125,23 @@ object SqlCommands {
     }
   }
 
+  /** True if `sqlText` is one of this object's commands (or a DmlSql
+    * verb) — a pure regex check with NO side effects, used by EXPLAIN
+    * to refuse statements that would EXECUTE when touched. */
+  def isGraftCommand(sqlText: String): Boolean = (sqlText match {
+    case AlterSet(_, _, _) | AlterResetAll(_) | AlterReset(_, _) |
+         UseSql(_) | ShowSchemas() | ShowTablesIn(_) | ShowTablesBare() |
+         Analyze(_, _, _) | CreateAlias(_, _, _, _, _) |
+         DropAllAliases(_, _) | DropAlias(_, _, _) | RefreshMeta(_) |
+         CreateView(_, _, _, _) | DropView(_, _, _) | Cttas(_, _) |
+         Ctas(_, _, _) | DropTable(_, _) | Describe(_) |
+         ExplainPlan(_, _, _) => true
+    case DropBare(name) => cttasDirs.containsKey(name)
+    case _ => false
+  }) || DmlSql.wouldClaim(sqlText) ||
+    // DfsParser's own pre-delegation claims (dynamic UDF jars)
+    sqlText.matches("(?is)\\s*(CREATE|DROP)\\s+FUNCTION\\s+USING\\s+JAR\\s+'[^']+'\\s*;?\\s*")
+
   /** Claim `sqlText` if it is one of the commands above; None delegates.
     * `parseIdent` is the delegate parser's multipart-identifier reader
     * (handles backticked parts — dfs.`/a/b.parquet`). */
@@ -156,15 +173,34 @@ object SqlCommands {
       case ExplainPlan(allAttrs, impl, query) =>
         val spark = SparkSession.active
         import spark.implicits._
-        val qe = spark.sql(query).queryExecution
-        val withImpl = impl == null || impl.trim.equalsIgnoreCase("WITH IMPLEMENTATION")
+        // NEVER execute what we explain. Graft-claimed commands run
+        // inside claim()/parsePlan itself, so even touching the parser
+        // with one would execute it — refuse them up front. Spark-native
+        // commands (CREATE TABLE, INSERT, ...) parse to lazy Command
+        // nodes, and Dataset creation is what executes them — so plan
+        // through sessionState.executePlan and read the plan phases
+        // WITHOUT constructing a Dataset over the command.
+        require(!isGraftCommand(query),
+          s"EXPLAIN PLAN FOR: [${query.trim.take(60)}...] is a command — " +
+            "commands execute immediately and have no separate plan")
+        // WITH/WITHOUT may be separated by any whitespace (the regex
+        // allows it); key off the distinguishing word only
+        val withImpl = impl == null ||
+          !impl.trim.toUpperCase.startsWith("WITHOUT")
+        val parsed = spark.sessionState.sqlParser.parsePlan(query)
+        val qe = spark.sessionState.executePlan(parsed)
+        val isCommand = qe.analyzed.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.logical.Command]
         val text =
-          if (allAttrs != null && withImpl)
+          if (isCommand) qe.analyzed.toString // command: logical only, no run
+          else if (allAttrs != null && withImpl)
             qe.explainString(org.apache.spark.sql.execution.FormattedMode)
           else if (withImpl) qe.executedPlan.toString
           else qe.optimizedPlan.toString
         val json =
-          if (withImpl) qe.executedPlan.toJSON else qe.optimizedPlan.toJSON
+          if (isCommand) qe.analyzed.toJSON
+          else if (withImpl) qe.executedPlan.toJSON
+          else qe.optimizedPlan.toJSON
         Some(Seq((text, json)).toDF("text", "json").queryExecution.analyzed)
       case UseSql(target) if dfsClaimable =>
         val spark = SparkSession.active

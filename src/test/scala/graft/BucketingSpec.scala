@@ -96,4 +96,32 @@ class BucketingSpec extends AnyFunSuite {
     assert(ar.getString(ar.fieldIndex("text")).contains("Physical Plan"),
       "formatted explain expected for INCLUDING ALL ATTRIBUTES")
   }
+
+  test("EXPLAIN PLAN FOR never executes what it explains") {
+    import spark.implicits._
+    // graft-claimed DML refuses (claiming it would run the delete)
+    val dir = java.nio.file.Files.createTempDirectory("explaindml").toString
+    graft.sources.DeltaLogWriter.write(
+      (1 to 10).map(i => (i.toLong, i * 2.0)).toDF("k", "v"), s"$dir/t")
+    spark.conf.set("graft.dfs.workspace.explws", dir)
+    try {
+      val e = intercept[Exception] {
+        spark.sql("EXPLAIN PLAN FOR DELETE FROM dfs.explws.`t` WHERE k > 0")
+      }
+      assert(e.getMessage.contains("command"), e.getMessage)
+      assert(graft.sources.DeltaLogReader.read(spark, s"$dir/t").count() == 10,
+        "EXPLAIN must not have deleted anything")
+      // Spark-native commands plan without running: the table must NOT
+      // be created by explaining its CTAS
+      spark.sql("DROP TABLE IF EXISTS expl_ctas_probe")
+      val r = spark.sql(
+        "EXPLAIN PLAN FOR CREATE TABLE expl_ctas_probe AS SELECT 1 AS x")
+        .collect().head
+      assert(r.getString(r.fieldIndex("text")).contains("CreateTable") ||
+        r.getString(r.fieldIndex("text")).contains("CTAS") ||
+        r.getString(r.fieldIndex("text")).nonEmpty)
+      assert(!spark.catalog.tableExists("expl_ctas_probe"),
+        "EXPLAIN must not have created the table")
+    } finally spark.conf.unset("graft.dfs.workspace.explws")
+  }
 }

@@ -144,6 +144,32 @@ class ZOrderSpec extends AnyFunSuite {
     assert(!lines.contains("\"dataChange\":true"), "zorder commit must be dataChange=false")
   }
 
+  test("string columns zorder by byte-prefix rank; all-null and empty inputs are safe") {
+    // strings: ordering-preserving 7-byte prefix key — zval monotone in
+    // the string within a fixed numeric bucket
+    val df = (0 until 260).map(i => (f"k$i%04d", i.toDouble))
+      .toDF("s", "v")
+    val z = ZOrder.withZValue(df, Seq("s", "v"), bits = 4)
+    val series = z.filter(col("v") < 10).orderBy("s")
+      .select("zval").collect().map(_.getLong(0))
+    assert(series.zip(series.tail).forall { case (a, b) => a <= b },
+      "zval must be non-decreasing in the string dimension")
+    // unsupported type errors clearly
+    val e = intercept[IllegalArgumentException] {
+      ZOrder.withZValue(df.select(col("s"), array(col("v")).as("a")),
+        Seq("a"), bits = 4)
+    }
+    assert(e.getMessage.contains("unsupported type"), e.getMessage)
+    // all-null column: no cuts, bucket 0 everywhere, no NPE
+    val nulls = df.select(col("s"), lit(null).cast("double").as("n"))
+    val zn = ZOrder.withZValue(nulls, Seq("n"), bits = 4)
+    assert(zn.select("zval").distinct().collect().map(_.getLong(0)).toSeq
+      == Seq(0L))
+    // empty input: boundaries collect an empty row without NPE
+    val empty = ZOrder.withZValue(df.limit(0), Seq("v"), bits = 4)
+    assert(empty.count() == 0)
+  }
+
   test("OPTIMIZE ... ZORDER BY on Iceberg: replace snapshot, contents identical") {
     val dir = tmp("icez")
     val df = (0 until 4000).map { i =>
