@@ -225,6 +225,24 @@ object QueriesPipeline {
       Training.stratifiedSample(T(s, d, "documents"), "doc_id", "text",
         strataCol = "lang", k = 40)),
 
+    // ---- persistent incremental MinHash index (Dedup.minhashIndexAppend):
+    // the corpus lands in TWO appends against a fresh index, and the
+    // union of per-append pair sets must equal the exact all-pairs
+    // Jaccard oracle — the partition property as a full DuckDB gate
+    // (capless so banding recall is exact at the 0.8 threshold) ----
+    "q_dedup_incremental" -> ((s, d) => {
+      val dir = s"/tmp/graft_out/${new java.io.File(d).getName}/mh_index_gate"
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val docs = T(s, d, "documents")
+      val mid = 250L
+      val r1 = Dedup.minhashIndexAppend(docs.filter(col("doc_id") < mid),
+        "doc_id", "text", dir, maxBucket = Int.MaxValue)
+      val r2 = Dedup.minhashIndexAppend(docs.filter(col("doc_id") >= mid),
+        "doc_id", "text", dir, maxBucket = Int.MaxValue)
+      r1.unionByName(r2)
+    }),
+
     // ---- token-balanced sharding: dataloader shards of ~equal TOKEN
     // mass, contiguous in doc_id order; running sum is the two-phase
     // recipe (no whole-table Window.orderBy — plan-audited). The oracle
@@ -420,6 +438,7 @@ object QueriesPipeline {
       FROM (SELECT doc_id, $NORM AS norm FROM corpus)
       GROUP BY norm HAVING count(*) > 1""",
     "q_dedup_minhash" -> jaccardOracle("0.8"),
+    "q_dedup_incremental" -> jaccardOracle("0.8"),
     "q_dedup_minhash_capped" -> jaccardOracle("0.8"),
     "q_decontaminate" -> s"""
       WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split($NORM, ' '))) AS g
