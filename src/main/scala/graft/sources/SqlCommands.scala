@@ -67,6 +67,11 @@ object SqlCommands {
     """(?is)\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?`?(\w+)`?\s*;?\s*""".r
   private val DropTable =
     """(?is)\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?(dfs\b.+?)\s*;?\s*""".r
+  // Drill's DESCRIBE SCHEMA (ref planner/sql/handlers/
+  // DescribeSchemaHandler.java): one (schema, properties) row with the
+  // workspace's configuration as JSON
+  private val DescribeSchema =
+    """(?is)\s*DESC(?:RIBE)?\s+SCHEMA\s+(dfs(?:\s*\.\s*\w+)?)\s*;?\s*""".r
   private val Describe =
     """(?is)\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?(dfs\b.+?)\s*;?\s*""".r
 
@@ -134,7 +139,7 @@ object SqlCommands {
          Analyze(_, _, _) | CreateAlias(_, _, _, _, _) |
          DropAllAliases(_, _) | DropAlias(_, _, _) | RefreshMeta(_) |
          CreateView(_, _, _, _) | DropView(_, _, _) | Cttas(_, _) |
-         Ctas(_, _, _) | DropTable(_, _) | Describe(_) |
+         Ctas(_, _, _) | DropTable(_, _) | DescribeSchema(_) | Describe(_) |
          ExplainPlan(_, _, _) => true
     case DropBare(name) => cttasDirs.containsKey(name)
     case _ => false
@@ -337,6 +342,20 @@ object SqlCommands {
           f.delete(p, true)
           Some(result(ok = true, s"Table [$path] dropped"))
         }
+      case DescribeSchema(target) if dfsClaimable =>
+        val spark = SparkSession.active
+        import spark.implicits._
+        val ws = target.split('.').map(_.trim).toSeq match {
+          case Seq(_)    => "root"
+          case Seq(_, w) => w
+        }
+        val dir = DfsSql.workspaceDir(spark, ws).getOrElse(
+          throw new IllegalArgumentException(
+            s"dfs: unknown workspace '$ws' — set graft.dfs.workspace.$ws"))
+        val props = s"""{"type":"file","location":"$dir","writable":true,""" +
+          s""""defaultInputFormat":null,"allowAccessOutsideWorkspace":false}"""
+        Some(Seq((s"dfs.$ws", props)).toDF("schema", "properties")
+          .queryExecution.analyzed)
       case Describe(target) if dfsClaimable =>
         val spark = SparkSession.active
         import spark.implicits._

@@ -36,6 +36,22 @@ class SessionSchemaSpec extends AnyFunSuite {
     }
   }
 
+  test("DESCRIBE SCHEMA returns the workspace's (schema, properties) row") {
+    spark.conf.set("graft.dfs.workspace.descws", "/tmp")
+    try {
+      val r = spark.sql("DESCRIBE SCHEMA dfs.descws").collect().head
+      assert(r.getString(0) == "dfs.descws")
+      val props = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(r.getString(1))
+      assert(props.get("location").asText == "/tmp")
+      assert(props.get("type").asText == "file")
+      val e = intercept[Exception] {
+        spark.sql("DESCRIBE SCHEMA dfs.nope_ws").collect()
+      }
+      assert(e.getMessage.contains("unknown workspace"), e.getMessage)
+    } finally spark.conf.unset("graft.dfs.workspace.descws")
+  }
+
   test("SHOW SCHEMAS lists dfs workspaces + sys + information_schema") {
     spark.conf.set("graft.dfs.workspace.lake", "/tmp")
     try {
