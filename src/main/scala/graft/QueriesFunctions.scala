@@ -262,6 +262,21 @@ object QueriesFunctions {
 
     // Drill contrib/udfs string-distance functions (LevenshteinDistance
     // etc.); soundex/metaphone are engine-specific, asserted in ScalaTest.
+    // SQL:99 SIMILAR TO (StringFunctions.java similar_to +
+    // RegexpUtil.sqlToRegexSimilar): the oracle hand-translates each
+    // SQL pattern to the regex DuckDB's SIMILAR TO takes natively, so
+    // graft's translator is cross-checked against an independent
+    // rendering of the same rules ----
+    "q_similar_to" -> ((s, d) => {
+      import graft.functions.DrillFunctions.similarTo
+      T(s, d, "customer").filter(col("c_custkey") < 800)
+        .select(col("c_custkey"),
+          similarTo(col("c_name"), "Customer#%1").as("ends_1"),
+          similarTo(col("c_mktsegment"), "(BUILDING|MACHINERY)").as("seg_alt"),
+          similarTo(col("c_name"), "Customer#0000001__").as("id_1xx"),
+          similarTo(col("c_mktsegment"), "[A-F]%").as("seg_af"))
+    }),
+
     // contrib/udfs DateFunctions tail: nearest_date (time-series GROUP
     // BY floor, ref DateConversionUtils.java), year_week, percent_change
     // (DistributionFunctions.java zero-handling included) ----
@@ -573,6 +588,13 @@ object QueriesFunctions {
       """SELECT c_custkey, levenshtein(c_name, 'Customer#000000042') AS lev,
          levenshtein(c_mktsegment, 'BUILDING') AS lev_seg
          FROM customer WHERE c_custkey < 300""",
+    "q_similar_to" ->
+      """SELECT c_custkey,
+         c_name SIMILAR TO 'Customer#.*1' AS ends_1,
+         c_mktsegment SIMILAR TO '(BUILDING|MACHINERY)' AS seg_alt,
+         c_name SIMILAR TO 'Customer#0000001..' AS id_1xx,
+         c_mktsegment SIMILAR TO '[A-F].*' AS seg_af
+         FROM customer WHERE c_custkey < 800""",
     "q_contrib_dates" ->
       """SELECT o_orderkey,
          date_trunc('quarter', o_orderdate)::DATE AS nd_quarter,

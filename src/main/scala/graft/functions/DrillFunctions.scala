@@ -72,6 +72,54 @@ object DrillFunctions {
   /** Drill typeof() — runtime type name of a column value. */
   def typeOf(c: Column): Column = call_function("typeof", c)
 
+  /** SQL:99 SIMILAR TO (ref exec/.../expr/fn/impl/StringFunctions.java
+    * `similar`/`similar_to` + RegexpUtil.sqlToRegexSimilar — Calcite's
+    * translation): `%` -> `.*`, `_` -> `.`, `\` and `$` escape for Java,
+    * bracket enumerations and the regex-ish SQL specials (| * + ? { } (
+    * )) pass through, optional escape character. Full-string anchored
+    * like the reference's matcher.matches(). */
+  def sqlToRegexSimilar(sqlPattern: String, escapeChar: Char = 0): String = {
+    val out = new StringBuilder
+    var insideEnum = false
+    var i = 0
+    val len = sqlPattern.length
+    while (i < len) {
+      val c = sqlPattern.charAt(i)
+      if (escapeChar != 0 && c == escapeChar) {
+        require(i < len - 1, s"invalid escape sequence at $i in '$sqlPattern'")
+        val n = sqlPattern.charAt(i + 1)
+        if ("[]()|^-+*_%?{}".indexOf(n) >= 0) {
+          if ("[]()|^$.{}\\*+?".indexOf(n) >= 0) out.append('\\')
+          out.append(n)
+        } else if (n == escapeChar) out.append(n)
+        else throw new IllegalArgumentException(
+          s"invalid escape sequence at $i in '$sqlPattern'")
+        i += 1
+      } else if (insideEnum) {
+        if (c == ']') insideEnum = false
+        out.append(c)
+      } else c match {
+        case '_' => out.append('.')
+        case '%' => out.append(".*")
+        case '[' => insideEnum = true; out.append('[')
+        case ']' => throw new IllegalArgumentException(
+          s"invalid similar pattern (unmatched ']') at $i in '$sqlPattern'")
+        case '\\' => out.append("\\\\")
+        case '$' => out.append("\\$")
+        case other => out.append(other)
+      }
+      i += 1
+    }
+    require(!insideEnum, s"invalid similar pattern (unclosed '[') in '$sqlPattern'")
+    out.toString
+  }
+
+  /** `similar_to(str, pattern)` — the predicate form; pattern is a
+    * literal (as in the reference, where @Param(constant) compiles it
+    * once at setup). */
+  def similarTo(c: Column, pattern: String, escapeChar: Char = 0): Column =
+    c.rlike("\\A(?:" + sqlToRegexSimilar(pattern, escapeChar) + ")\\z")
+
   // ---- contrib/udfs DateFunctions.java tail ----
 
   /** Drill's `nearest_date(ts, interval)` (ref contrib/udfs/

@@ -243,6 +243,27 @@ class FunctionsSpec extends AnyFunSuite {
     assert(ctx.getTimestamp(2) == ctx.getTimestamp(3)) // fixed per statement
   }
 
+  test("similar_to translates SQL:99 patterns exactly (RegexpUtil.sqlToRegexSimilar)") {
+    import graft.functions.DrillFunctions.{similarTo, sqlToRegexSimilar}
+    import spark.implicits._
+    assert(sqlToRegexSimilar("a%b_c") == "a.*b.c")
+    assert(sqlToRegexSimilar("a$b\\c") == "a\\$b\\\\c")
+    assert(sqlToRegexSimilar("[a-c]%") == "[a-c].*")
+    assert(sqlToRegexSimilar("x!%y", '!') == "x%y") // escaped % is literal
+    val df = Seq(("abc", "a$b", "50%")).toDF("s", "d", "p")
+    val r = df.select(
+      similarTo(col("s"), "a%"), similarTo(col("s"), "a"), // full anchor
+      similarTo(col("d"), "a$b"), similarTo(col("p"), "50!%", '!'),
+      similarTo(col("s"), "(abc|xyz)"), similarTo(col("s"), "a[b-d]c"))
+      .collect()(0)
+    assert(r.getBoolean(0) && !r.getBoolean(1))
+    assert(r.getBoolean(2) && r.getBoolean(3))
+    assert(r.getBoolean(4) && r.getBoolean(5))
+    intercept[IllegalArgumentException](sqlToRegexSimilar("a]b"))
+    intercept[IllegalArgumentException](sqlToRegexSimilar("a[bc"))
+    intercept[IllegalArgumentException](sqlToRegexSimilar("ab!", '!'))
+  }
+
   test("kvgen/mappify explodes a JSON map column (SURVEY row 36)") {
     import spark.implicits._
     val df = Seq((1L, """{"a": 1, "b": 2}""")).toDF("id", "js")
