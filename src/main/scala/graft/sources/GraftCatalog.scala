@@ -48,4 +48,43 @@ object GraftCatalog {
     names.map(columns(spark, _)).reduceOption(_ unionAll _)
       .getOrElse(spark.emptyDataFrame)
   }
+
+  /** INFORMATION_SCHEMA.FILES (Drill 1.15, ref store/ischema
+    * RecordCollector.Files + the `storage.list_files_recursively`
+    * option): one row per file/directory under each registered dfs
+    * workspace. Listing is driver-side FS metadata (the same walk
+    * Drill's schema tree does) — bounded by the workspace's direct
+    * listing unless `recursive`. */
+  def files(spark: SparkSession, recursive: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val workspaces = Seq("root" -> "/",
+      "tmp" -> System.getProperty("java.io.tmpdir", "/tmp")) ++
+      spark.conf.getAll.toSeq
+        .filter(_._1.startsWith("graft.dfs.workspace."))
+        .map { case (k, v) => k.stripPrefix("graft.dfs.workspace.") -> v }
+    val rows = workspaces.filterNot(_._1 == "root").flatMap { case (ws, dir) =>
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) Nil
+      else {
+        def list(d: org.apache.hadoop.fs.Path):
+            Seq[org.apache.hadoop.fs.FileStatus] = {
+          val st = fs.listStatus(d).toSeq
+          if (recursive)
+            st ++ st.filter(_.isDirectory).flatMap(s => list(s.getPath))
+          else st
+        }
+        list(p).map { st =>
+          val rel = st.getPath.toString.stripPrefix(
+            fs.makeQualified(p).toString).stripPrefix("/")
+          (s"dfs.$ws", ws, st.getPath.getName, rel, st.isDirectory,
+            !st.isDirectory, st.getLen,
+            new java.sql.Timestamp(st.getModificationTime))
+        }
+      }
+    }
+    rows.toDF("schema_name", "workspace_name", "file_name", "relative_path",
+      "is_directory", "is_file", "length", "modification_time")
+  }
 }

@@ -18,6 +18,29 @@ class CatalogSpec extends AnyFunSuite {
     assert(byName("r_name") == "string")
   }
 
+  test("INFORMATION_SCHEMA.FILES lists workspace files (Drill 1.15 files table)") {
+    val dir = java.nio.file.Files.createTempDirectory("isfiles")
+    java.nio.file.Files.writeString(dir.resolve("a.csv"), "x\n1\n")
+    java.nio.file.Files.createDirectory(dir.resolve("sub"))
+    java.nio.file.Files.writeString(dir.resolve("sub").resolve("b.json"), "{}\n")
+    spark.conf.set("graft.dfs.workspace.isf", dir.toString)
+    try {
+      val flat = GraftCatalog.files(spark)
+        .filter(org.apache.spark.sql.functions.col("workspace_name") === "isf")
+        .collect()
+      val names = flat.map(_.getAs[String]("file_name")).toSet
+      assert(names == Set("a.csv", "sub"), names)
+      val a = flat.find(_.getAs[String]("file_name") == "a.csv").get
+      assert(a.getAs[Boolean]("is_file") && !a.getAs[Boolean]("is_directory"))
+      assert(a.getAs[Long]("length") == 4L)
+      assert(a.getAs[String]("schema_name") == "dfs.isf")
+      val deep = GraftCatalog.files(spark, recursive = true)
+        .filter(org.apache.spark.sql.functions.col("workspace_name") === "isf")
+        .collect().map(_.getAs[String]("relative_path")).toSet
+      assert(deep.contains("sub/b.json"), deep)
+    } finally spark.conf.unset("graft.dfs.workspace.isf")
+  }
+
   test("catalogs and schemata are queryable as DataFrames") {
     val cats = GraftCatalog.catalogs(spark).collect().map(_.getString(0))
     assert(cats.contains("spark_catalog"))
