@@ -249,7 +249,10 @@ object IcebergTable {
           Option(s.get("first-row-id")).map(_.asLong))
       }
     val current = Option(root.get("current-snapshot-id")).map(_.asLong).filter(_ != -1L)
-    val carried = Seq("properties", "sort-orders", "default-sort-order-id")
+    // `schemas` rides along so commits preserve the append-only schema
+    // history (evolution mints a FRESH schema-id; see commitMetadata)
+    val carried = Seq("properties", "sort-orders", "default-sort-order-id",
+        "schemas")
       .flatMap(k => Option(root.get(k)).filterNot(_.isNull).map(k -> _)).toMap
     TableMeta(table, schema, schemaNode, root.get("last-column-id").asInt,
       partCols, current, snaps, v, root.get("table-uuid").asText, formatVersion,
@@ -528,6 +531,14 @@ object IcebergTable {
                         eqDeletes: Seq[DataFileInfo],
                         withLineageCols: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.col
+    // honest bound: the hand-rolled reader decodes parquet (and puffin
+    // DVs) — a spec-valid table with AVRO/ORC data or delete files must
+    // refuse at PLAN time with a clear message, not fail mid-task
+    (files ++ posDeletes.filterNot(_.isDv) ++ eqDeletes)
+      .find(f => !f.fileFormat.equalsIgnoreCase("PARQUET"))
+      .foreach(f => throw new IllegalArgumentException(
+        s"iceberg: file format ${f.fileFormat} is not supported " +
+          s"(parquet data/delete files and puffin DVs only): ${f.path}"))
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], meta.schema)
     else {
@@ -829,7 +840,7 @@ object IcebergTable {
           }
         }.toDF("path", "length", "partition_spec_id", "added_snapshot_id")
       case "files" =>
-        liveFiles(spark, table).map(f => (f.path, "PARQUET", f.recordCount,
+        liveFiles(spark, table).map(f => (f.path, f.fileFormat, f.recordCount,
             f.fileSizeBytes, mapper.writeValueAsString(
               f.partition.map { case (k, v) => k -> String.valueOf(v) }.asJava)))
           .toDF("file_path", "file_format", "record_count",
@@ -981,12 +992,8 @@ object IcebergTable {
         s"unsupported partition column type: $other")
     }
 
-  private def parquetRowCount(spark: SparkSession, p: Path): Long = {
-    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-      p, spark.sparkContext.hadoopConfiguration)
-    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-    try r.getRecordCount finally r.close()
-  }
+  private def parquetRowCount(spark: SparkSession, p: Path): Long =
+    StagedFiles.parquetRowCount(spark, p)
 
   /** Write `df` as a new Iceberg v1 snapshot at `table`. Append creates
     * the table when absent; Overwrite replaces the current snapshot
@@ -1049,13 +1056,7 @@ object IcebergTable {
         .write.partitionBy(partitionBy.map(c => s"__p_$c"): _*)
     writer.mode("overwrite").parquet(staging.toString)
 
-    def walk(p: Path): Seq[Path] = fs.listStatus(p).toSeq.flatMap { s =>
-      val n = s.getPath.getName
-      if (s.isDirectory) { if (n == "_temporary") Nil else walk(s.getPath) }
-      else if (n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
-        Seq(s.getPath)
-      else Nil
-    }
+    def walk(p: Path): Seq[Path] = StagedFiles.walkParquet(fs, p)
     val staged = walk(staging).sortBy(_.toString)
     val dataDir = new Path(table, "data")
     fs.mkdirs(dataDir)
@@ -1316,7 +1317,14 @@ object IcebergTable {
     root.put("location", table)
     root.put("last-updated-ms", snapshot.timestampMs)
     if (formatVersion >= 2)
-      root.put("last-sequence-number", snapshot.sequenceNumber)
+      // monotonic per spec: a rollback re-points current-snapshot-id at
+      // an OLDER snapshot whose sequence number is below abandoned ones
+      // still listed — last-sequence-number must never regress below
+      // any listed snapshot or iceberg-core rejects the metadata (and
+      // our own next write would mint a colliding sequence)
+      root.put("last-sequence-number",
+        (prior.map(_.snapshots).getOrElse(Nil) :+ snapshot)
+          .map(_.sequenceNumber).max)
     // v3 ROW LINEAGE (spec: required for v3 tables): next-row-id advances
     // by the rows this commit adds; the committing snapshot records the
     // range start as first-row-id. Per-entry first_row_id stays null in
@@ -1339,11 +1347,30 @@ object IcebergTable {
       maxId(schemaNode)
     })
     root.set[JsonNode]("schema", schemaNode)
+    // append-only schemas history (spec: schema evolution mints a fresh
+    // schema-id; redefining id 0 would silently rewrite history for any
+    // reader correlating schemas by id across metadata versions)
+    def stripId(n: JsonNode): ObjectNode = {
+      val c = n.deepCopy[JsonNode]().asInstanceOf[ObjectNode]
+      c.remove("schema-id"); c
+    }
+    val priorSchemas: Seq[ObjectNode] =
+      prior.flatMap(_.carried.get("schemas")).toSeq
+        .flatMap(_.elements.asScala)
+        .map(_.deepCopy[JsonNode]().asInstanceOf[ObjectNode])
+    val curStripped = stripId(schemaNode)
+    val (allSchemas, curSchemaId) =
+      priorSchemas.find(ps => stripId(ps) == curStripped) match {
+        case Some(m) => (priorSchemas, m.get("schema-id").asInt)
+        case None =>
+          val nid = (priorSchemas.map(_.get("schema-id").asInt) :+ -1).max + 1
+          val withId = curStripped.deepCopy[ObjectNode]()
+          withId.put("schema-id", nid)
+          (priorSchemas :+ withId, nid)
+      }
     val schemas = root.putArray("schemas")
-    val s0 = schemaNode.deepCopy[JsonNode]().asInstanceOf[ObjectNode]
-    s0.put("schema-id", 0)
-    schemas.add(s0)
-    root.put("current-schema-id", 0)
+    allSchemas.foreach(schemas.add)
+    root.put("current-schema-id", curSchemaId)
     val specArr = root.putArray("partition-spec")
     val schemaFieldIds = schemaNode.get("fields").elements.asScala
       .map(f => f.get("name").asText -> f.get("id").asInt).toMap
@@ -1515,13 +1542,7 @@ object IcebergTable {
     matches.repartition(col("file_path"))
       .sortWithinPartitions("file_path", "pos")
       .write.mode("overwrite").parquet(staging.toString)
-    def walk(p: Path): Seq[Path] = fs.listStatus(p).toSeq.flatMap { s =>
-      val n = s.getPath.getName
-      if (s.isDirectory) { if (n == "_temporary") Nil else walk(s.getPath) }
-      else if (n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
-        Seq(s.getPath)
-      else Nil
-    }
+    def walk(p: Path): Seq[Path] = StagedFiles.walkParquet(fs, p)
     val staged = walk(staging).sortBy(_.toString)
       .filter(p => parquetRowCount(spark, p) > 0)
     if (staged.isEmpty) {

@@ -56,8 +56,11 @@ class IcebergStreamSource(sqlContext: SQLContext,
   private def snaps = IcebergTable.loadMeta(spark, path).snapshots
   // eager: `startingSnapshotId=latest` anchors at STREAM START — a lazy
   // anchor forced at the first batch would drop snapshots landing
-  // between start and the first trigger
-  private val startSnapshotAtLaunch: Long = snaps.last.snapshotId
+  // between start and the first trigger. Optional: a schema-only table
+  // (created, no commits yet) has no snapshot to anchor at, and then
+  // everything that ever lands is post-launch anyway.
+  private val startSnapshotAtLaunch: Option[Long] =
+    snaps.lastOption.map(_.snapshotId)
 
   // admission control: committed progress persisted under the
   // checkpoint's metadata dir (see DeltaStreamSource.Progress — a
@@ -82,7 +85,17 @@ class IcebergStreamSource(sqlContext: SQLContext,
       case (None, _) => Some(LongOffset(all.last.snapshotId))
       case (_, Some(-1)) => Some(LongOffset(all.last.snapshotId)) // expired
       case (Some(budget), from0) =>
-        val from = from0.getOrElse(-1)
+        // fresh start: the budget window must begin at the CONFIGURED
+        // anchor, not the table's first snapshot — otherwise a capped
+        // stream replays the pre-anchor history one snapshot at a time
+        val anchorIdx = startingSnapshotId match {
+          case Some("latest") => startSnapshotAtLaunch
+            .map(id => all.indexWhere(_.snapshotId == id)).getOrElse(-1)
+          case Some(id) =>
+            math.max(all.indexWhere(_.snapshotId == id.toLong) - 1, -1)
+          case None => -1
+        }
+        val from = from0.getOrElse(anchorIdx)
         def countOf(i: Int): Int =
           if (all(i).operation == "append")
             IcebergTable.appendedFilesOf(spark, path, all(i)).size
@@ -110,7 +123,7 @@ class IcebergStreamSource(sqlContext: SQLContext,
     progress.foreach(_.write(endId))
     val batch = start.map(s => appendedBetween(Some(ver(s)), endId)).getOrElse {
       startingSnapshotId match {
-        case Some("latest") => appendedBetween(Some(startSnapshotAtLaunch), endId)
+        case Some("latest") => appendedBetween(startSnapshotAtLaunch, endId)
         case Some(id)       => appendedBetween(Some(id.toLong), endId, inclusive = true)
         case None => IcebergTable.read(spark, path, snapshotId = Some(endId))
       }

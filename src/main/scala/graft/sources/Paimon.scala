@@ -336,6 +336,13 @@ object PaimonTable {
   def read(spark: SparkSession, table: String,
            snapshotId: Option[Long] = None,
            asOfTimeMs: Option[Long] = None): DataFrame = {
+    // schema-only table (created, never committed — e.g. Flink CREATE
+    // TABLE before the first INSERT): a valid empty table, not an error
+    val fs = fsOf(spark, table)
+    if (fs.exists(schemaDir(table)) && !fs.exists(snapshotDir(table)) &&
+        snapshotId.isEmpty && asOfTimeMs.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        loadSchema(spark, table).schema)
     val snap = selectSnapshot(snapshots(spark, table), snapshotId, asOfTimeMs)
     // a CURRENT read uses the table's LATEST schema (paimon evolution:
     // files written under older schemas null-fill the added columns);
@@ -529,6 +536,14 @@ object PaimonTable {
     val exists = fs.exists(schemaDir(table))
     if (exists) {
       val prior = loadSchema(spark, table)
+      // appending plain rows to a PK table would commit files WITHOUT
+      // the _KEY_*/_SEQUENCE_NUMBER/_VALUE_KIND system columns — the
+      // LSM read's value-kind filter then silently drops every one of
+      // them; route PK tables through writePk
+      require(prior.primaryKeys.isEmpty,
+        s"$table is a primary-key paimon table — use writePk (plain " +
+          "append would write rows without the KeyValue system columns, " +
+          "which the merge-on-read silently discards)")
       require(prior.schema.map(f => (f.name, f.dataType)) ==
           df.schema.map(f => (f.name, f.dataType)),
         s"schema mismatch appending to $table:\n table: ${prior.schema.simpleString}\n" +
@@ -704,13 +719,7 @@ object PaimonTable {
   private def moveStaged(spark: SparkSession, table: String, staging: Path,
                          bucketOf: Path => Int): Seq[(Int, String, Long, Long)] = {
     val fs = fsOf(spark, table)
-    def walk(p: Path): Seq[Path] = fs.listStatus(p).toSeq.flatMap { s =>
-      val n = s.getPath.getName
-      if (s.isDirectory) { if (n.startsWith("_t") || n.startsWith(".")) Nil else walk(s.getPath) }
-      else if (n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
-        Seq(s.getPath)
-      else Nil
-    }
+    def walk(p: Path): Seq[Path] = StagedFiles.walkParquet(fs, p)
     val moved = walk(staging).sortBy(_.toString).zipWithIndex.map { case (src, i) =>
       val b = bucketOf(src)
       val bucketDir = new Path(table, s"bucket-$b")
@@ -944,10 +953,6 @@ object PaimonTable {
       totalBuckets = buckets, commitUser, commitIdentifier)
   }
 
-  private def parquetRowCount(spark: SparkSession, p: Path): Long = {
-    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-      p, spark.sparkContext.hadoopConfiguration)
-    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-    try r.getRecordCount finally r.close()
-  }
+  private def parquetRowCount(spark: SparkSession, p: Path): Long =
+    StagedFiles.parquetRowCount(spark, p)
 }

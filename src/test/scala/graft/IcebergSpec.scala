@@ -15,6 +15,33 @@ class IcebergSpec extends AnyFunSuite {
     base
   }
 
+  test("rollback keeps last-sequence-number monotonic; post-rollback writes don't collide") {
+    import spark.implicits._
+    import graft.sources.IcebergTable
+    val base = freshDir("rollseq") + "/t"
+    IcebergTable.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), base,
+      org.apache.spark.sql.SaveMode.Overwrite)
+    IcebergTable.deleteFrom(spark, base, col("k") === 1L) // v2 upgrade, seq 1
+    IcebergTable.write(Seq((3L, "c")).toDF("k", "v"), base,
+      org.apache.spark.sql.SaveMode.Append) // seq 2
+    val meta0 = IcebergTable.loadMeta(spark, base)
+    val rollTarget = meta0.snapshots.find(_.sequenceNumber == 1L).get.snapshotId
+    IcebergTable.rollbackTo(spark, base, rollTarget)
+    val meta1 = IcebergTable.loadMeta(spark, base)
+    // the spec invariant: last-sequence-number >= every listed snapshot
+    assert(meta1.lastSequenceNumber >=
+      meta1.snapshots.map(_.sequenceNumber).max,
+      s"regressed: ${meta1.lastSequenceNumber} vs ${meta1.snapshots.map(_.sequenceNumber)}")
+    IcebergTable.write(Seq((4L, "d")).toDF("k", "v"), base,
+      org.apache.spark.sql.SaveMode.Append) // must mint seq 3, not re-use 2
+    val meta2 = IcebergTable.loadMeta(spark, base)
+    val v2seqs = meta2.snapshots.map(_.sequenceNumber).filter(_ > 0)
+    assert(v2seqs.distinct.size == v2seqs.size, s"sequence collision: $v2seqs")
+    // rolled-back state {2} plus the new append {4}
+    assert(IcebergTable.read(spark, base).select("k").collect()
+      .map(_.getLong(0)).toSet == Set(2L, 4L))
+  }
+
   test("CTAS round-trip: write then read back equals source") {
     import spark.implicits._
     val base = freshDir("ctas")

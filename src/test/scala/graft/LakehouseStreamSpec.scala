@@ -72,6 +72,21 @@ class LakehouseStreamSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(0)).sorted === Seq(1L, 2L, 3L))
   }
 
+  test("graft-iceberg: maxFilesPerTrigger respects the latest anchor on a fresh start") {
+    val dir = Files.createTempDirectory("ice_stream_cap_").toString + "/t"
+    // 4 pre-anchor snapshots; a capped fresh start with latest must NOT
+    // replay them one per batch
+    IcebergTable.write(Seq((1L, "a")).toDF("k", "v"), dir, SaveMode.Overwrite)
+    (2L to 4L).foreach(i =>
+      IcebergTable.write(Seq((i, "x")).toDF("k", "v"), dir, SaveMode.Append))
+    val rows = collectBatches("graft-iceberg", dir, Map(
+      "startingSnapshotId" -> "latest", "maxFilesPerTrigger" -> "1")) {
+      IcebergTable.write(Seq((9L, "n")).toDF("k", "v"), dir, SaveMode.Append)
+    }
+    assert(rows.map(_.getLong(0)) === Seq(9L),
+      s"pre-anchor history must not replay: ${rows.map(_.getLong(0))}")
+  }
+
   test("graft-paimon append-only: appends stream, COMPACT never re-emits") {
     val dir = Files.createTempDirectory("pai_stream_").toString + "/t"
     PaimonTable.write(Seq((1L, "a")).toDF("k", "v"), dir, SaveMode.Overwrite)

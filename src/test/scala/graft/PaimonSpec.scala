@@ -18,6 +18,34 @@ class PaimonSpec extends AnyFunSuite {
     base
   }
 
+  test("plain write on a PK table refuses; schema-only table reads empty") {
+    import spark.implicits._
+    // writing plain rows into a PK table would commit files without the
+    // KeyValue system columns — the merge silently drops them
+    val base = freshDir("pkguard") + "/t"
+    PaimonTable.writePk(Seq((1L, "a")).toDF("id", "v"), base, Seq("id"))
+    val e = intercept[IllegalArgumentException] {
+      PaimonTable.write(Seq((2L, "b")).toDF("id", "v"), base)
+    }
+    assert(e.getMessage.contains("writePk"), e.getMessage)
+    assert(PaimonTable.read(spark, base).count() == 1)
+
+    // schema-only table (created, never committed): valid empty table
+    val so = freshDir("schemaonly") + "/t"
+    val fs = new org.apache.hadoop.fs.Path(so)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(so, "schema"))
+    val os = fs.create(new org.apache.hadoop.fs.Path(s"$so/schema/schema-0"), true)
+    os.write(
+      """{"version":3,"id":0,"fields":[{"id":0,"name":"x","type":"INT"}],
+        |"highestFieldId":0,"partitionKeys":[],"primaryKeys":[],
+        |"options":{},"timeMillis":0}""".stripMargin.getBytes("UTF-8"))
+    os.close()
+    val empty = PaimonTable.read(spark, so)
+    assert(empty.count() == 0)
+    assert(empty.schema.fieldNames.toSeq == Seq("x"))
+  }
+
   test("round-trip: write then read back equals source, schema preserved") {
     import spark.implicits._
     val base = freshDir("ctas")

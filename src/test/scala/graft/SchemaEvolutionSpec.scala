@@ -70,6 +70,21 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     val ids = meta.schemaNode.get("fields").elements.asScala
       .map(_.get("id").asInt).toSeq
     assert(ids.distinct.size == ids.size && ids.max >= 3)
+    // schemas history is APPEND-ONLY: evolution mints a fresh schema-id
+    // instead of silently redefining id 0
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val latest = fs.listStatus(new org.apache.hadoop.fs.Path(base, "metadata"))
+      .map(_.getPath).filter(_.getName.matches("v\\d+\\.metadata\\.json"))
+      .maxBy(_.getName.stripPrefix("v").stripSuffix(".metadata.json").toInt)
+    val in = fs.open(latest)
+    val root = try new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(in) finally in.close()
+    val schemaIds = root.get("schemas").elements.asScala
+      .map(_.get("schema-id").asInt).toSeq
+    assert(schemaIds.distinct.size == schemaIds.size && schemaIds.size >= 2,
+      s"evolution should append a new schema id: $schemaIds")
+    assert(root.get("current-schema-id").asInt == schemaIds.max)
   }
 
   test("paimon ADD COLUMNS on a PK table: latest-schema reads, travel") {
