@@ -89,6 +89,11 @@ object AliasRegistry {
     val target = new Path(dir, FileName)
     if (f.exists(target)) f.delete(target, false)
     require(f.rename(tmp, target), s"atomic rename failed for $target")
+    // refresh the cache with the data in hand: mtime granularity (ms,
+    // or 1s on some filesystems) can miss a same-tick write, and a
+    // just-created alias must resolve in the very next query
+    cache = (target.toString, f.getFileStatus(target).getModificationTime,
+      (table, storage))
   }
 
   private def user(spark: SparkSession): String =
@@ -101,9 +106,12 @@ object AliasRegistry {
              replace: Boolean): Boolean = {
     val (t, s) = load(spark)
     val cur = if (storage) s else t
-    if (cur.exists(_.alias == alias) && !replace) false
+    // one collation everywhere: resolution matches case-insensitively
+    // (Drill identifiers), so create/drop must too — else FOO and foo
+    // coexist and drops miss
+    if (cur.exists(_.alias.equalsIgnoreCase(alias)) && !replace) false
     else {
-      val next = cur.filterNot(_.alias == alias) :+
+      val next = cur.filterNot(_.alias.equalsIgnoreCase(alias)) :+
         Alias(alias, target, user(spark), isPublic)
       if (storage) save(spark, t, next) else save(spark, next, s)
       true
@@ -116,9 +124,11 @@ object AliasRegistry {
            isPublic: Boolean): Boolean = {
     val (t, s) = load(spark)
     val cur = if (storage) s else t
-    val hit = cur.exists(a => a.alias == alias && a.isPublic == isPublic)
+    val hit = cur.exists(a =>
+      a.alias.equalsIgnoreCase(alias) && a.isPublic == isPublic)
     if (hit) {
-      val next = cur.filterNot(a => a.alias == alias && a.isPublic == isPublic)
+      val next = cur.filterNot(a =>
+        a.alias.equalsIgnoreCase(alias) && a.isPublic == isPublic)
       if (storage) save(spark, t, next) else save(spark, next, s)
     }
     hit

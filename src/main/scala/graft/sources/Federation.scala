@@ -64,17 +64,40 @@ object Federation {
     val payload = mapper.createObjectNode()
     payload.put("query", sql)
     conn.getOutputStream.write(mapper.writeValueAsBytes(payload))
-    val ok = conn.getResponseCode < 400
-    val stream = if (ok) conn.getInputStream else conn.getErrorStream
-    val body = new String(stream.readAllBytes(), "UTF-8")
+    val code = conn.getResponseCode
+    val ok = code < 400
+    def readAll(s: java.io.InputStream): String =
+      try new String(s.readAllBytes(), "UTF-8") finally s.close()
+    // a proxy/LB error may have an EMPTY body (errorStream null) or a
+    // non-JSON one (HTML error page) — surface the status + whatever
+    // text exists rather than NPE/JsonProcessingException
+    val body =
+      if (ok) readAll(conn.getInputStream)
+      else Option(conn.getErrorStream).map(readAll).getOrElse("")
     conn.disconnect()
+    if (!ok) {
+      val msg = (try Option(mapper.readTree(body))
+        .flatMap(n => Option(n.get("errorMessage")).map(_.asText))
+      catch { case _: Exception => None })
+        .getOrElse(if (body.isEmpty) "empty error body" else body.take(500))
+      throw new IllegalArgumentException(s"graft peer error (HTTP $code): $msg")
+    }
     val node = mapper.readTree(body)
-    if (!ok || node.has("errorMessage"))
-      throw new IllegalArgumentException("graft peer error: " +
-        Option(node.get("errorMessage")).map(_.asText).getOrElse(body))
+    if (node.has("errorMessage"))
+      throw new IllegalArgumentException(
+        "graft peer error: " + node.get("errorMessage").asText)
     val rows = node.get("rows").elements().asScala.map(_.toString).toSeq
     import spark.implicits._
-    spark.read.json(spark.createDataset(rows))
+    // the peer sends its result schema since round 10 — zero-row results
+    // (the common case for federated filters) then keep their columns
+    // and types instead of failing JSON inference; older peers without
+    // the field fall back to inference
+    Option(node.get("schema")).map(_.asText) match {
+      case Some(ddl) =>
+        spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+          .json(spark.createDataset(rows))
+      case None => spark.read.json(spark.createDataset(rows))
+    }
   }
 
   /** REST endpoint as a table (Drill contrib/storage-http): each URL —

@@ -103,10 +103,13 @@ object ParquetMetadataCache {
     val out = new Path(dir, ManifestName)
     val tmp = new Path(dir, ManifestName + ".tmp")
     val os = fs.create(tmp, true)
-    os.write(json.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
-    os.close()
+    try os.write(json.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+    finally os.close()
     if (fs.exists(out)) fs.delete(out, false)
-    fs.rename(tmp, out) // atomic on a real FS — same recipe as ViewCatalog
+    // atomic on a real FS — same recipe as ViewCatalog; HDFS reports
+    // failure via the boolean, and a silently-stale manifest would
+    // prune against old min/max
+    require(fs.rename(tmp, out), s"manifest rename failed: $tmp -> $out")
     footersRead.value.toInt
   }
 
@@ -118,10 +121,24 @@ object ParquetMetadataCache {
       val blocks = r.getFooter.getBlocks.asScala
       val rows = blocks.map(_.getRowCount).sum
       val stats = scala.collection.mutable.Map[String, ColStat]()
+      // a column's file-level range is only trustworthy when EVERY row
+      // group carries stats for it — one stat-less block (writers drop
+      // stats for oversized values, or disable them) would understate
+      // the range and pruning would silently drop its rows
+      val statless = scala.collection.mutable.Set[String]()
       for (b <- blocks; c <- b.getColumns.asScala) {
         val name = c.getPath.toDotString
-        statOf(c.getStatistics).foreach { s =>
-          stats(name) = stats.get(name).map(merge(_, s)).getOrElse(s)
+        statOf(c.getStatistics) match {
+          case Some(s) if !statless.contains(name) =>
+            stats(name) = stats.get(name).map(merge(_, s)).getOrElse(s)
+          case Some(_) => // column already marked unknown
+          case None =>
+            // an all-null block has no min/max but prunes safely; only
+            // a block with VALUES and no stats poisons the range
+            val st = c.getStatistics
+            val allNulls = st != null && st.isNumNullsSet &&
+              st.getNumNulls == b.getRowCount
+            if (!allNulls) { statless += name; stats.remove(name) }
         }
       }
       FileMeta(file, rows, stats.toMap, mtime, size)

@@ -45,6 +45,9 @@ object QueryServer {
           val rows = df.toJSON.collect() // engine-serialized, maxRows-bounded
           val sb = new StringBuilder()
           sb.append("{\"columns\":").append(mapper.writeValueAsString(cols.get("columns")))
+          // result schema as DDL: peers re-type zero-row results instead
+          // of failing JSON inference (Federation.graftPeer)
+          sb.append(",\"schema\":").append(mapper.writeValueAsString(df.schema.toDDL))
           sb.append(",\"rows\":[").append(rows.mkString(",")).append("]}")
           respond(x, 200, sb.toString)
         } catch {

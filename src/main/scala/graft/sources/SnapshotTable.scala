@@ -28,9 +28,20 @@ object SnapshotTable {
       .sorted
   }
 
-  /** Append a new immutable snapshot; returns its version id. */
+  /** Append a new immutable snapshot; returns its version id. The next
+    * version counts over ALL v= directories, committed or not — a
+    * crashed writer's uncommitted leftover must not wedge the table by
+    * making every retry collide with the same errorifexists path
+    * (versions() skips it, so reads stay clean either way). */
   def write(df: DataFrame, base: String): Int = {
-    val v = versions(df.sparkSession, base).lastOption.getOrElse(0) + 1
+    val f = fs(df.sparkSession, base)
+    val dir = new Path(base)
+    val all =
+      if (!f.exists(dir)) Seq.empty[Int]
+      else f.listStatus(dir).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+        .map(_.getPath.getName.stripPrefix("v=").toInt)
+    val v = (all :+ 0).max + 1
     df.write.mode("errorifexists").parquet(s"$base/v=$v")
     v
   }

@@ -146,12 +146,19 @@ object StatsCatalog {
                         df: DataFrame, threshold: Long = -1L): DataFrame = {
     val limit =
       if (threshold >= 0) threshold
-      else spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760").toLong
+      else parseThreshold(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
     load(spark, base, table) match {
       case Some(s) if s.sizeBytes >= 0 && s.sizeBytes <= limit => broadcast(df)
       case _ => df
     }
   }
+
+  /** Spark's threshold accepts bare bytes OR size suffixes ("10MB");
+    * "-1" disables broadcasting. */
+  private def parseThreshold(v: String): Long =
+    if (v.trim.startsWith("-")) -1L
+    else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v.trim)
 
   /** Range selectivity of `[lo, hi)` on a column from its equi-depth
     * histogram — Drill's NumericEquiDepthHistogram.estimatedSelectivity
@@ -168,8 +175,12 @@ object StatsCatalog {
     val n = b.size - 1
     val frac = (0 until n).map { i =>
       val (s, e) = (b(i), b(i + 1))
-      if (e <= lo || s >= hi) 0.0
-      else if (e == s) 1.0 // zero-width bucket (heavy single value)
+      // zero-width bucket = a heavy single value: it is IN [lo, hi)
+      // iff s >= lo && s < hi — the shared half-open exclusion test
+      // (e <= lo) would wrongly drop a point bucket sitting exactly at
+      // lo and collapse a ~1.0 selectivity to the floor
+      if (e == s) { if (s >= lo && s < hi) 1.0 else 0.0 }
+      else if (e <= lo || s >= hi) 0.0
       else (math.min(e, hi) - math.max(s, lo)) / (e - s)
     }.sum / n
     Some(math.max(frac, 0.0001).min(1.0))
@@ -188,7 +199,8 @@ object StatsCatalog {
                                 threshold: Long = -1L): DataFrame = {
     val limit =
       if (threshold >= 0) threshold
-      else spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760").toLong
+      else parseThreshold(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
     load(spark, base, table) match {
       case Some(s) if s.sizeBytes >= 0 =>
         val sel = s.columns.find(_.name == column)

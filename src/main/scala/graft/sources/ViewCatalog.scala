@@ -36,6 +36,16 @@ object ViewCatalog {
   def create(spark: SparkSession, base: String, name: String, sql: String,
              replace: Boolean = false): Unit = {
     require(name.matches("[A-Za-z_][A-Za-z0-9_]*"), s"invalid view name '$name'")
+    // a view definition must be a QUERY: a command here would EXECUTE —
+    // at create, and again on every later load()/session reload.
+    // Graft-claimed commands run inside the parser itself, so they are
+    // refused by regex BEFORE any parse; Spark-native commands parse
+    // lazily and are rejected by plan type.
+    require(!SqlCommands.isGraftCommand(sql),
+      s"view '$name': definition is a command, not a query")
+    require(!spark.sessionState.sqlParser.parsePlan(sql)
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Command],
+      s"view '$name': definition is a command, not a query")
     val df = spark.sql(sql) // analyze now: reject broken definitions
     val f = fs(spark, base)
     val target = viewPath(base, name)

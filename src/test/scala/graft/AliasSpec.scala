@@ -89,6 +89,35 @@ class AliasSpec extends AnyFunSuite {
     }
   }
 
+  test("alias matching is case-insensitive end to end (Drill identifiers)") {
+    withCleanRegistry {
+      spark.range(3).toDF("v").createOrReplaceTempView("ci_target")
+      spark.sql("CREATE ALIAS ci_alias FOR TABLE ci_target")
+      // duplicate under different case refuses without OR REPLACE
+      val e = intercept[Exception](
+        spark.sql("CREATE ALIAS CI_ALIAS FOR TABLE ci_target"))
+      assert(e.getMessage.contains("already exists"), e.getMessage)
+      // resolution and DROP both match case-insensitively
+      assert(spark.sql("SELECT count(*) FROM CI_ALIAS")
+        .collect().head.getLong(0) === 3)
+      val r = spark.sql("DROP ALIAS CI_ALIAS").collect().head
+      assert(r.getBoolean(0))
+      assert(graft.sources.AliasRegistry.tableAlias(spark, "ci_alias").isEmpty)
+    }
+  }
+
+  test("a view definition that is a command refuses instead of executing") {
+    val base = java.nio.file.Files.createTempDirectory("vcmd").toString
+    spark.range(4).toDF("v").createOrReplaceTempView("vc_cmd_src")
+    val e = intercept[Exception] {
+      graft.sources.ViewCatalog.create(spark, base, "vbad",
+        "DROP TABLE IF EXISTS vc_cmd_src")
+    }
+    assert(e.getMessage.contains("command"), e.getMessage)
+    assert(spark.catalog.tableExists("vc_cmd_src"),
+      "the command must not have executed")
+  }
+
   test("sys.table_aliases / sys.storage_aliases list the registry") {
     withCleanRegistry {
       spark.sql(s"CREATE PUBLIC ALIAS t1 FOR TABLE dfs.`$sf/nation.parquet`")

@@ -55,6 +55,16 @@ class FederationSpec extends AnyFunSuite {
         Federation.graftPeer(spark,
           s"http://127.0.0.1:${server.port}", "SELECT * FROM no_such_table"))
       assert(e.getMessage.contains("graft peer error"))
+      // zero-row result keeps columns AND types via the shipped schema —
+      // the common federated-filter case must still join
+      val empty = Federation.graftPeer(spark,
+        s"http://127.0.0.1:${server.port}",
+        "SELECT k, peer_name FROM peer_table WHERE k > 100")
+      assert(empty.count() === 0)
+      assert(empty.columns.toSeq == Seq("k", "peer_name"))
+      assert(empty.schema("k").dataType ==
+        org.apache.spark.sql.types.LongType)
+      assert(empty.join(local, "k").count() === 0) // type-compatible join
     } finally server.stop()
   }
 }

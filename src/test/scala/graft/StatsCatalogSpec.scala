@@ -130,6 +130,48 @@ class StatsCatalogSpec extends AnyFunSuite {
     }.nonEmpty)
   }
 
+  test("selectivity: point bucket AT the range start counts; suffixed thresholds parse") {
+    import spark.implicits._
+    val base = freshDir("selpt")
+    // 90% of rows are the single value 5 -> histogram holds zero-width
+    // buckets at 5; [5, 10) must estimate ~0.9, never the 0.0001 floor
+    val df = (Seq.fill(9000)(5L) ++ (0 until 1000).map(_.toLong))
+      .toDF("x")
+    val stats = StatsCatalog.analyze(spark, base, "selpt_t", df,
+      histogramBuckets = 10)
+    val xs = stats.columns.find(_.name == "x").get
+    val sel = StatsCatalog.rangeSelectivity(xs, 5.0, 10.0).get
+    assert(sel > 0.8, s"heavy value at lo must count: $sel")
+    // and the open-below range excludes it
+    val selBelow = StatsCatalog.rangeSelectivity(xs, 6.0, 10.0).get
+    assert(selBelow < 0.2, s"heavy value before lo must not count: $selBelow")
+    // size-suffixed threshold strings (Spark's own format) parse
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    try {
+      val hinted = StatsCatalog.withBroadcastHint(spark, base, "selpt_t", df)
+      assert(hinted.queryExecution.analyzed.toString.contains("hint") ||
+        hinted.count() == 10000) // no crash is the contract
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      StatsCatalog.withBroadcastHint(spark, base, "selpt_t", df).count()
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("snapshot write survives a crashed writer's uncommitted leftover") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    val base = freshDir("snapwedge")
+    SnapshotTable.write(Seq(1L).toDF("v"), base) // v=1 committed
+    // simulate a crash: v=2 exists without _SUCCESS
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(base, "v=2"))
+    val v = SnapshotTable.write(Seq(2L).toDF("v"), base)
+    assert(v == 3, s"next version must skip the uncommitted leftover: $v")
+    assert(SnapshotTable.read(spark, base).collect().map(_.getLong(0)).toSeq
+      == Seq(2L))
+  }
+
   test("analyze handles an empty table (fresh partition) without failing") {
     import spark.implicits._
     val base = freshDir("empty")
