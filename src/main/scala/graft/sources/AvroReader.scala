@@ -71,6 +71,11 @@ object AvroReader {
         paths.flatMap { f =>
           val reader = new DataFileReader[GenericRecord](
             new FsInput(new Path(f), conf2), new GenericDatumReader[GenericRecord]())
+          // LIMIT / failed tasks abandon the iterator before exhaustion —
+          // close on task completion like the other streaming readers
+          Option(org.apache.spark.TaskContext.get()).foreach(
+            _.addTaskCompletionListener[Unit](_ =>
+              try reader.close() catch { case _: java.io.IOException => () }))
           new Iterator[Row] {
             def hasNext: Boolean = { val h = reader.hasNext; if (!h) reader.close(); h }
             def next(): Row = {

@@ -42,24 +42,31 @@ object ImageMetaReader {
           // NonFatal, not just IOException: imageio throws RuntimeExceptions
           // (CMMException, IAE, ...) on malformed headers — all of them are
           // "dirty file" rows here, never task failures
+          var iis: javax.imageio.stream.ImageInputStream = null
+          var r: javax.imageio.ImageReader = null
           try {
-            val iis = javax.imageio.ImageIO.createImageInputStream(in)
+            iis = javax.imageio.ImageIO.createImageInputStream(in)
             val readers =
               if (iis == null) java.util.Collections.emptyIterator[javax.imageio.ImageReader]()
               else javax.imageio.ImageIO.getImageReaders(iis)
             if (readers.hasNext) {
-              val r = readers.next()
+              r = readers.next()
               r.setInput(iis)
               // header-only: width/height come from the stream metadata,
               // no pixel decode
-              val row = Row(name, r.getFormatName.toLowerCase,
+              Row(name, r.getFormatName.toLowerCase,
                 r.getWidth(0), r.getHeight(0), size)
-              r.dispose()
-              row
             } else Row(name, null, null, null, size)
           } catch {
             case scala.util.control.NonFatal(_) => Row(name, null, null, null, size)
-          } finally in.close()
+          } finally {
+            // the ImageInputStream owns a disk-cache temp file per image
+            // (FileCacheImageInputStream) — leaking it fills /tmp on a
+            // long-running server; dispose the reader on error paths too
+            if (r != null) try r.dispose() catch { case _: Throwable => () }
+            if (iis != null) try iis.close() catch { case _: Throwable => () }
+            in.close()
+          }
         }
       }(enc).toDF(schema.fieldNames: _*)
   }

@@ -74,8 +74,12 @@ object PcapReader {
     in.readFully(gh)
     val magicBe = ((gh(0) & 0xFFL) << 24) | ((gh(1) & 0xFFL) << 16) |
       ((gh(2) & 0xFFL) << 8) | (gh(3) & 0xFFL)
-    val littleEndian = magicBe == 0xd4c3b2a1L
-    require(littleEndian || magicBe == 0xa1b2c3d4L,
+    // 0xa1b23c4d / little-endian twin = tcpdump --time-stamp-precision=
+    // nano: identical layout, the fractional field is NANOseconds — it
+    // normalizes back to the schema's ts_usec contract below
+    val littleEndian = magicBe == 0xd4c3b2a1L || magicBe == 0x4d3cb2a1L
+    val nanos = magicBe == 0xa1b23c4dL || magicBe == 0x4d3cb2a1L
+    require(littleEndian || magicBe == 0xa1b2c3d4L || nanos,
       f"not a classic pcap file (magic 0x$magicBe%08x)")
 
     def u32(b: Array[Byte], off: Int): Long =
@@ -104,7 +108,8 @@ object PcapReader {
           in.readFully(data)
           val (src, dst, proto, sport, dport) =
             if (decodeNet) decodeEthIpv4(data) else (null, null, null, null, null)
-          Row(u32(rec, 0), u32(rec, 4), u32(rec, 12).toInt, src, dst, proto, sport, dport)
+          Row(u32(rec, 0), if (nanos) u32(rec, 4) / 1000L else u32(rec, 4),
+            u32(rec, 12).toInt, src, dst, proto, sport, dport)
         } catch {
           case _: java.io.EOFException => in.close(); null
         }

@@ -46,6 +46,9 @@ object PcapngReader {
   private[graft] def parse(in: DataInputStream, decodeNet: Boolean = true): Iterator[Row] =
     new Iterator[Row] {
       private var le = false
+      // declared BEFORE nextRow: its `= advance()` initializer runs at
+      // construction, and a later field initializer would RESET the flag
+      private var sawShb = false
       // timestamp divisor per interface, in declaration order within the
       // current section (EPBs reference interfaces by index)
       private val tsDiv = scala.collection.mutable.ArrayBuffer[Long]()
@@ -77,7 +80,14 @@ object PcapngReader {
             if (in.readNBytes(hdr, 0, 8) < 8) { in.close(); return null }
             val isShb = (hdr(0) & 0xFF) == 0x0A && (hdr(1) & 0xFF) == 0x0D &&
               (hdr(2) & 0xFF) == 0x0D && (hdr(3) & 0xFF) == 0x0A
+            // the FIRST block must be a Section Header — anything else is
+            // not pcapng (e.g. a classic .pcap): error like the classic
+            // reader instead of silently yielding zero rows
+            require(isShb || sawShb,
+              f"not a pcapng file (first block type 0x${u32(hdr, 0, le)}%08x " +
+                "is not a Section Header)")
             if (isShb) {
+              sawShb = true
               val magic = new Array[Byte](4)
               if (in.readNBytes(magic, 0, 4) < 4) { in.close(); return null }
               le = (magic(0) & 0xFF) == 0x4D // 0x1A2B3C4D stored 4D 3C 2B 1A

@@ -35,9 +35,28 @@ object PdfReader {
     while (from < hay.length) {
       val s = hay.indexOf("stream", from)
       if (s < 0) return out.toSeq
-      // the dictionary for this stream is the << ... >> immediately before
-      val dictStart = hay.lastIndexOf("<<", s)
-      val dict = if (dictStart >= 0) hay.substring(dictStart, s) else ""
+      // the dictionary for this stream is the balanced << ... >> ending
+      // immediately before `stream` — a nested sub-dictionary (e.g.
+      // /Resources << /Font << ... >> >>) must not hide the outer
+      // /Filter entry, so scan BACKWARD matching >> against <<
+      val dict = {
+        var k = s - 1
+        while (k >= 0 && hay.charAt(k).isWhitespace) k -= 1
+        if (k >= 1 && hay.charAt(k) == '>' && hay.charAt(k - 1) == '>') {
+          var depth = 1 // the trailing >> just consumed
+          var start = -1
+          var m = k - 2
+          while (m >= 1 && start < 0) {
+            if (hay.charAt(m) == '>' && hay.charAt(m - 1) == '>') {
+              depth += 1; m -= 2
+            } else if (hay.charAt(m) == '<' && hay.charAt(m - 1) == '<') {
+              depth -= 1
+              if (depth == 0) start = m - 1 else m -= 2
+            } else m -= 1
+          }
+          if (start >= 0) hay.substring(start, s) else ""
+        } else ""
+      }
       var bodyStart = s + "stream".length
       if (bodyStart < hay.length && hay.charAt(bodyStart) == '\r') bodyStart += 1
       if (bodyStart < hay.length && hay.charAt(bodyStart) == '\n') bodyStart += 1
@@ -56,9 +75,9 @@ object PdfReader {
     out.toSeq
   }
 
-  private def inflate(data: Array[Byte]): Option[Array[Byte]] =
+  private def inflate(data: Array[Byte]): Option[Array[Byte]] = {
+    val inf = new Inflater()
     try {
-      val inf = new Inflater()
       inf.setInput(data)
       val buf = new java.io.ByteArrayOutputStream()
       val chunk = new Array[Byte](4096)
@@ -67,9 +86,10 @@ object PdfReader {
         if (n == 0 && inf.needsInput()) return None // truncated
         buf.write(chunk, 0, n)
       }
-      inf.end()
       Some(buf.toByteArray)
     } catch { case _: java.util.zip.DataFormatException => None }
+    finally inf.end() // native zlib buffers — every exit path must free
+  }
 
   /** Parse one `(...)` literal starting at `open`; returns (decoded text,
     * index just past the closing paren). Standard escapes + nesting. */
@@ -81,10 +101,25 @@ object PdfReader {
       stream.charAt(j) match {
         case '\\' if j + 1 < stream.length =>
           stream.charAt(j + 1) match {
-            case 'n' => sb.append('\n'); case 'r' => sb.append('\r')
-            case 't' => sb.append('\t'); case c => sb.append(c)
+            case 'n' => sb.append('\n'); j += 2
+            case 'r' => sb.append('\r'); j += 2
+            case 't' => sb.append('\t'); j += 2
+            case d if d >= '0' && d <= '7' =>
+              // octal escape \ddd (1-3 digits) — the normal encoding
+              // for accented/non-ASCII chars in PDF literals
+              var k = j + 1
+              var v = 0
+              while (k < stream.length && k < j + 4 &&
+                  stream.charAt(k) >= '0' && stream.charAt(k) <= '7') {
+                v = v * 8 + (stream.charAt(k) - '0'); k += 1
+              }
+              sb.append(v.toChar); j = k
+            case '\r' =>
+              // backslash-newline is a line CONTINUATION: no output
+              j += (if (j + 2 < stream.length && stream.charAt(j + 2) == '\n') 3 else 2)
+            case '\n' => j += 2
+            case c => sb.append(c); j += 2
           }
-          j += 2
         case '(' => depth += 1; sb.append('('); j += 1
         case ')' =>
           depth -= 1
@@ -94,6 +129,14 @@ object PdfReader {
       }
     }
     (sb.toString, j)
+  }
+
+  /** Does the next non-whitespace run at/after `from` start with `tok`?
+    * Index scan — substring copies here made extraction quadratic. */
+  private def nextTokenIs(stream: String, from: Int, tok: String): Boolean = {
+    var k = from
+    while (k < stream.length && stream.charAt(k).isWhitespace) k += 1
+    stream.regionMatches(k, tok, 0, tok.length)
   }
 
   /** Literal strings shown by Tj / ' / " / TJ operators, in order. A TJ
@@ -112,18 +155,16 @@ object PdfReader {
           arrayBuf = mutable.ArrayBuffer.empty
           i += 1
         case ']' =>
-          val rest = stream.substring(i + 1).dropWhile(_.isWhitespace)
-          if (arrayBuf != null && rest.startsWith("TJ")) out ++= arrayBuf
+          if (arrayBuf != null && nextTokenIs(stream, i + 1, "TJ"))
+            out ++= arrayBuf
           arrayBuf = null
           i += 1
         case '(' =>
           val (text, j) = parseLiteral(stream, i)
           if (arrayBuf != null) arrayBuf += text
-          else {
-            val rest = stream.substring(j).dropWhile(_.isWhitespace)
-            if (rest.startsWith("Tj") || rest.startsWith("'") || rest.startsWith("\""))
-              out += text
-          }
+          else if (nextTokenIs(stream, j, "Tj") ||
+              nextTokenIs(stream, j, "'") || nextTokenIs(stream, j, "\""))
+            out += text
           i = j
         case _ => i += 1
       }

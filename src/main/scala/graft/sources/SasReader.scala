@@ -274,7 +274,18 @@ object SasReader {
             _.addTaskCompletionListener[Unit](_ =>
               try in.close() catch { case _: java.io.IOException => () }))
           val (meta, pages) = parseMeta(in)
-          rows(meta, pages)
+          // schema-on-read degrade (the XlsxReader posture): rows align
+          // POSITIONALLY to the first file's schema — extra columns drop,
+          // missing ones null-fill, numeric/string mismatches null out
+          // rather than killing the task with an encoder arity error
+          val fileIsNum = meta.columns.map(_.isNum)
+          val wantIsNum = schema.fields.map(_.dataType == DoubleType)
+          rows(meta, pages).map { r =>
+            Row.fromSeq(wantIsNum.toSeq.zipWithIndex.map { case (num, i) =>
+              if (i >= r.length || fileIsNum.lift(i).exists(_ != num)) null
+              else r.get(i)
+            })
+          }
         }
       }(enc).toDF(schema.fieldNames.toSeq: _*)
   }

@@ -118,12 +118,23 @@ object XlsxReader {
     f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
     val r = f.createXMLStreamReader(new ByteArrayInputStream(bytes))
     var inSi = false
+    // phonetic-run elements (<rPh>, Japanese furigana hints) carry their
+    // own <t> text that is NOT part of the cell value — concatenating it
+    // corrupted every shared string with phonetic hints
+    var phoneticDepth = 0
     val sb = new StringBuilder
     while (r.hasNext) {
       r.next() match {
         case XMLStreamConstants.START_ELEMENT if r.getLocalName == "si" =>
-          inSi = true; sb.clear()
-        case XMLStreamConstants.CHARACTERS if inSi => sb.append(r.getText)
+          inSi = true; phoneticDepth = 0; sb.clear()
+        case XMLStreamConstants.START_ELEMENT
+            if inSi && (r.getLocalName == "rPh" || r.getLocalName == "phoneticPr") =>
+          phoneticDepth += 1
+        case XMLStreamConstants.END_ELEMENT
+            if inSi && (r.getLocalName == "rPh" || r.getLocalName == "phoneticPr") =>
+          phoneticDepth -= 1
+        case XMLStreamConstants.CHARACTERS if inSi && phoneticDepth == 0 =>
+          sb.append(r.getText)
         case XMLStreamConstants.END_ELEMENT if r.getLocalName == "si" =>
           inSi = false; out += sb.toString
         case _ =>

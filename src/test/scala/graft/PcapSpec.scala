@@ -70,6 +70,68 @@ class PcapSpec extends AnyFunSuite {
     assert(rows.map(_.toSeq) == Seq(Seq("Hello World"))) // runs concatenated
   }
 
+  test("reader hardening: pdf octal/nested dicts, pcap nano magic, pcapng refusal, xlsx phonetic runs") {
+    import graft.sources.{PcapngReader, PdfReader, XlsxReader}
+    import java.io.{ByteArrayInputStream, DataInputStream}
+    // pdf: octal escapes are the normal encoding for non-ASCII literals
+    assert(PdfReader.textOps("BT (\\101\\102\\7) Tj ET") == Seq("AB"))
+    // a nested sub-dictionary must not hide the outer /FlateDecode
+    val payload = "BT (ok) Tj ET".getBytes("ISO-8859-1")
+    val defl = { val d = new java.util.zip.Deflater()
+      d.setInput(payload); d.finish()
+      val buf = new Array[Byte](256); val n = d.deflate(buf); d.end()
+      java.util.Arrays.copyOfRange(buf, 0, n) }
+    val pdfBytes =
+      "<< /Filter /FlateDecode /Resources << /Font << /F1 2 0 R >> >> >>\nstream\n"
+        .getBytes("ISO-8859-1") ++ defl ++ "\nendstream".getBytes("ISO-8859-1")
+    val streams = PdfReader.contentStreams(pdfBytes)
+    assert(streams.size == 1 && streams.head.contains("(ok)"),
+      s"nested dict hid the filter: $streams")
+
+    // pcap: nanosecond-precision magic (tcpdump --nano) reads, fractional
+    // field normalized to the schema's ts_usec contract
+    val bb = java.nio.ByteBuffer.allocate(24 + 16 + 4)
+    bb.putInt(0xa1b23c4d) // big-endian nano magic
+    bb.position(24)
+    bb.putInt(7)          // ts_sec
+    bb.putInt(500000000)  // ts frac in NANOS
+    bb.putInt(4)          // incl_len
+    bb.putInt(4)          // orig_len
+    bb.putInt(0xdeadbeef) // 4 bytes of packet data
+    val nanoRows = PcapReader.parse(
+      new DataInputStream(new ByteArrayInputStream(bb.array()))).toSeq
+    assert(nanoRows.map(r => (r.getLong(0), r.getLong(1))) == Seq((7L, 500000L)))
+
+    // pcapng: a classic pcap (first block not SHB) refuses instead of
+    // silently yielding zero rows
+    val classic = java.nio.file.Files.readAllBytes(
+      java.nio.file.Path.of(s"$Fixtures/sample.pcap"))
+    val e = intercept[IllegalArgumentException] {
+      PcapngReader.parse(new DataInputStream(
+        new ByteArrayInputStream(classic))).toSeq
+    }
+    assert(e.getMessage.contains("not a pcapng file"), e.getMessage)
+
+    // xlsx: phonetic runs (<rPh>) are hints, not cell text
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val sst = """<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""" +
+      """<si><t>Tokyo</t><rPh sb="0" eb="2"><t>PHONETIC</t></rPh><phoneticPr fontId="1"/></si></sst>"""
+    val sheet = """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""" +
+      """<row r="1"><c r="A1" t="inlineStr"><is><t>city</t></is></c></row>""" +
+      """<row r="2"><c r="A2" t="s"><v>0</v></c></row>""" +
+      """</sheetData></worksheet>"""
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new ZipOutputStream(bos)
+    z.putNextEntry(new ZipEntry("xl/sharedStrings.xml"))
+    z.write(sst.getBytes("UTF-8")); z.closeEntry()
+    z.putNextEntry(new ZipEntry("xl/worksheets/sheet1.xml"))
+    z.write(sheet.getBytes("UTF-8")); z.closeEntry(); z.close()
+    val (hdr2, rows2) = XlsxReader.parseGrid(
+      new ByteArrayInputStream(bos.toByteArray))
+    assert(hdr2.toSeq == Seq("city"))
+    assert(rows2.map(_.toSeq) == Seq(Seq("Tokyo")), rows2.map(_.toSeq))
+  }
+
   test("pcapng: block framing over the same decoder equals the classic rows") {
     val ng = graft.sources.PcapngReader.read(spark, s"$Fixtures/sample.pcapng")
       .orderBy("ts_sec").collect().toSeq
