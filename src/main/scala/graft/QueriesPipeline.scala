@@ -544,7 +544,8 @@ object QueriesPipeline {
         FROM documents) WHERE rk <= 40""",
     "q_token_shards" -> s"""
       WITH t AS (SELECT doc_id,
-                   len(string_split($NORM, ' '))::BIGINT AS n_tokens
+                   (CASE WHEN $NORM = '' THEN 0
+                         ELSE len(string_split($NORM, ' ')) END)::BIGINT AS n_tokens
                  FROM documents),
       c AS (SELECT doc_id, n_tokens,
               coalesce(sum(n_tokens) OVER (ORDER BY doc_id
@@ -628,7 +629,9 @@ object QueriesPipeline {
           + (1.0 - punct) * 0.3 + least(stop * 5, 1.0) * 0.3) * 10000)::BIGINT AS quality_bp
       FROM m""",
     "q_token_count" -> s"""
-      SELECT doc_id, len(string_split($NORM, ' ')) AS n_ws_tokens,
+      SELECT doc_id,
+        CASE WHEN $NORM = '' THEN 0
+             ELSE len(string_split($NORM, ' ')) END AS n_ws_tokens,
         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens
       FROM documents""",
     "q_fingerprint" -> s"SELECT doc_id, md5($NORM) AS fp FROM documents",

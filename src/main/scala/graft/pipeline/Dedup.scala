@@ -92,6 +92,11 @@ object Dedup {
 
   private def bandedIdsFrom(toks: DataFrame, numHashes: Int, bands: Int,
                             maxBucket: Int): DataFrame = {
+    // bands > numHashes would make rowsPerBand 0 (every band one global
+    // bucket: an N^2 join); a non-divisor silently ignores trailing
+    // signature entries and changes the documented recall math
+    require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
     val rowsPerBand = numHashes / bands
     val banded = toks
       .withColumn("sig", minhashSignatureFromHashes(col("th"), numHashes))
@@ -251,7 +256,13 @@ object Dedup {
     * emitted pairs across successive appends partition the capped
     * full-batch result exactly — including bands that only exceed the
     * cap across appends (spec-asserted equivalence with minhashNearDups
-    * over the union, capped and capless).
+    * over the union, capped and capless). The capped equivalence
+    * assumes append order tracks id order (the log-append case: each
+    * batch's ids exceed the indexed ones); a LATER batch with SMALLER
+    * ids can displace already-compared rows from the cap window, and
+    * then earlier appends may have emitted pairs the one-shot capped
+    * run would not (a superset, never a miss). Capless appends are
+    * exactly equivalent regardless of id order.
     *
     * Returns dup pairs (id_a, id_b, jaccard) with the NEW doc on at
     * least one side, then appends the batch to the index. `_params.json`
@@ -288,9 +299,25 @@ object Dedup {
     // the same way it would in one shot
     val bNew = bandedIdsFrom(toksNew, numHashes, bands, Int.MaxValue)
       .select("band", "id").localCheckpoint()
+    // committed batches only: data lands in per-batch subdirectories and
+    // a batch exists once the atomically-renamed batches.json names it —
+    // a crash mid-append leaves orphan dirs that no reader ever lists,
+    // never a bands/sigs mismatch that silently eats future pairs
+    val committed: Seq[String] = {
+      val bp = new org.apache.hadoop.fs.Path(indexDir, "batches.json")
+      if (!fs.exists(bp)) Nil
+      else {
+        val in = fs.open(bp)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                  finally in.close()
+        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+        import scala.jdk.CollectionConverters._
+        node.get("batches").elements.asScala.map(_.asText).toSeq
+      }
+    }
     val newMarked = bNew.withColumn("is_new", lit(true))
-    val bAll0 = if (exists)
-      spark.read.parquet(s"$indexDir/bands")
+    val bAll0 = if (committed.nonEmpty)
+      spark.read.parquet(committed.map(b => s"$indexDir/bands/$b"): _*)
         .withColumn("is_new", lit(false)).unionByName(newMarked)
     else newMarked
     val bAll = (if (maxBucket == Int.MaxValue) bAll0 else {
@@ -312,8 +339,9 @@ object Dedup {
     // either side of a cross pair may be the indexed doc — both lookups
     // go against the union; the union's new half is the checkpointed
     // toksNew, so nothing re-tokenizes
-    val sigs = if (exists)
-      spark.read.parquet(s"$indexDir/sigs").unionByName(toksNew)
+    val sigs = if (committed.nonEmpty)
+      spark.read.parquet(committed.map(b => s"$indexDir/sigs/$b"): _*)
+        .unionByName(toksNew)
     else toksNew
     val pairs = cand
       .join(sigs.as("xa"), col("id_a") === col("xa.id"))
@@ -323,14 +351,26 @@ object Dedup {
       .filter(col("jac_raw") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jac_raw"), 6).as("jaccard"))
       .localCheckpoint() // materialize BEFORE the index mutates below
-    bNew.write.mode("append").parquet(s"$indexDir/bands")
-    toksNew.write.mode("append").parquet(s"$indexDir/sigs")
+    // commit protocol: write the batch's data dirs, then the params pin
+    // (first append), then the batch list via tmp+rename — the rename is
+    // the single commit point
+    val batchId = java.util.UUID.randomUUID().toString
+    bNew.write.mode("overwrite").parquet(s"$indexDir/bands/$batchId")
+    toksNew.write.mode("overwrite").parquet(s"$indexDir/sigs/$batchId")
     if (!exists) {
       val out = fs.create(paramsPath, true)
       try out.write(
         s"""{"numHashes":$numHashes,"bands":$bands}""".getBytes("UTF-8"))
       finally out.close()
     }
+    val listJson = (committed :+ batchId)
+      .map(b => "\"" + b + "\"").mkString("{\"batches\":[", ",", "]}")
+    val tmp = new org.apache.hadoop.fs.Path(indexDir, ".batches.json.tmp")
+    val os = fs.create(tmp, true)
+    try os.write(listJson.getBytes("UTF-8")) finally os.close()
+    val target = new org.apache.hadoop.fs.Path(indexDir, "batches.json")
+    if (fs.exists(target)) fs.delete(target, false)
+    require(fs.rename(tmp, target), s"batch-list rename failed: $target")
     pairs
   }
 
@@ -359,17 +399,23 @@ object Dedup {
     * join is hash-on-hash either way). At 2^60 keyspace a false hash hit
     * needs ~10^9 distinct n-grams before it has noticeable odds; swap in
     * the full md5 for audit-grade exactness. */
+  /** (doc_id, gh): each doc's DISTINCT n-gram 60-bit hashes — the one
+    * definition both the boolean and the scored decontamination share
+    * (they must never diverge on tokenization or hash width). */
+  private def gramHashes(df: DataFrame, idCol: String, textCol: String,
+                         n: Int): DataFrame =
+    graft.GraftSession.balanced( // fan-out stage: never run on one split
+        df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+      .select(col("doc_id"),
+        explode(array_distinct(TextAnalysis.wordNgrams(col("text"), n)))
+          .as("gram"))
+      .filter(size(split(col("gram"), " ")) === n) // short docs emit no n-gram
+      .select(col("doc_id"), md5Hash60(col("gram")).as("gh"))
+
   def ngramDecontaminate(corpus: DataFrame, reference: DataFrame,
                          idCol: String, textCol: String,
                          n: Int = 5): DataFrame = {
-    def grams(df: DataFrame): DataFrame =
-      graft.GraftSession.balanced( // fan-out stage: never run on one split
-          df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
-        .select(col("doc_id"),
-          explode(array_distinct(TextAnalysis.wordNgrams(col("text"), n)))
-            .as("gram"))
-        .filter(size(split(col("gram"), " ")) === n) // short docs emit no n-gram
-        .select(col("doc_id"), md5Hash60(col("gram")).as("gh"))
+    def grams(df: DataFrame) = gramHashes(df, idCol, textCol, n)
     val refGrams = grams(reference).select("gh").distinct()
     grams(corpus).join(refGrams, "gh")
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
@@ -391,14 +437,7 @@ object Dedup {
   def contaminationScore(corpus: DataFrame, reference: DataFrame,
                          idCol: String, textCol: String,
                          n: Int = 5): DataFrame = {
-    def grams(df: DataFrame): DataFrame =
-      graft.GraftSession.balanced(
-          df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
-        .select(col("doc_id"),
-          explode(array_distinct(TextAnalysis.wordNgrams(col("text"), n)))
-            .as("gram"))
-        .filter(size(split(col("gram"), " ")) === n)
-        .select(col("doc_id"), md5Hash60(col("gram")).as("gh"))
+    def grams(df: DataFrame) = gramHashes(df, idCol, textCol, n)
     val refGrams = grams(reference).select("gh").distinct()
       .withColumn("__hit", lit(1L))
     grams(corpus).join(refGrams, Seq("gh"), "left")
@@ -509,6 +548,11 @@ object Dedup {
     * anything beyond ~10^5 docs. */
   def simhashPortableNearDups(docs: DataFrame, idCol: String, textCol: String,
                               maxHamming: Int = 3): DataFrame = {
+    // pigeonhole bound of 4-block blocking: a pair differing in all four
+    // blocks (hamming >= 4) may never share a bucket — silently lost
+    // recall, so refuse like simhashNearDups64 does
+    require(maxHamming <= 3,
+      s"4-block simhash blocking guarantees recall only for maxHamming <= 3, got $maxHamming")
     // balanced(): AQE coalesces the tiny-bytes signature agg to ONE
     // partition, serializing the (much larger) block join + hamming
     // verification behind it; an explicit round-robin keeps 32-way.
@@ -637,6 +681,11 @@ object Dedup {
     * true hamming distance <= maxHamming. */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3): DataFrame = {
+    // pigeonhole bound of 4-block blocking: a pair differing in all four
+    // blocks (hamming >= 4) may never share a bucket — silently lost
+    // recall, so refuse like simhashNearDups64 does
+    require(maxHamming <= 3,
+      s"4-block simhash blocking guarantees recall only for maxHamming <= 3, got $maxHamming")
     val sigs = graft.GraftSession.balanced(simhash(docs, idCol, textCol))
     val blocks = sigs.withColumn("blk", explode(array(
       (0 until 4).map(i => concat_ws("_", lit(i),

@@ -84,15 +84,31 @@ object Similarity {
       round(col("cs_raw"), 6).as("cos_sim"))
   }
 
+  /** Unit-normalize an embedding column — ONE definition shared by the
+    * PQ quantizer and the kmeans trainer (they must agree on the vector
+    * space; two private copies had to be kept in sync by hand). */
+  private def normed(c: Column): Column = {
+    val n = sqrt(aggregate(c, lit(0.0),
+      (a, x) => a + x.cast("double") * x.cast("double")))
+    transform(c, x => x.cast("double") / n)
+  }
+
   /** Random-hyperplane signature: `bits` sign bits packed into a long.
     * Deterministic pseudo-hyperplanes derived from xxhash64(table, bit,
     * dim) — reproducible across runs with no stored model. `table` selects
     * an independent hash family for multi-table LSH. */
   def hyperplaneSignature(vec: Column, dim: Int, bits: Int, table: Int = 0): Column = {
+    // a dim mismatch would null out every projection (zip_with pads with
+    // nulls), collapse all signatures to 0L, and silently turn LSH into
+    // an N^2 join — refuse per row instead
+    val checked = when(size(vec) =!= dim,
+      raise_error(concat(lit(s"hyperplaneSignature: dim $dim does not " +
+        "match embedding length "), size(vec).cast("string"))))
+      .otherwise(vec)
     val bitCols = (0 until bits).map { b =>
       // pseudo-random +-1 weights per (table, bit, dimension), from a hash
       val proj = aggregate(
-        zip_with(vec, sequence(lit(0), lit(dim - 1)), (x, i) =>
+        zip_with(checked, sequence(lit(0), lit(dim - 1)), (x, i) =>
           x.cast("double") *
             when(pmod(xxhash64(lit(table), lit(b), i), lit(2)) === 0, 1.0).otherwise(-1.0)),
         lit(0.0), (acc, x) => acc + x)
@@ -210,11 +226,6 @@ object Similarity {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val subDim = dim / m
     val spark = corpus.sparkSession
-    def normed(c: Column): Column = {
-      val n = sqrt(aggregate(c, lit(0.0),
-        (a, x) => a + x.cast("double") * x.cast("double")))
-      transform(c, x => x.cast("double") / n)
-    }
     val c0 = graft.GraftSession.balanced(
       corpus.select(col(idCol).as("cid"), normed(col(vecCol)).as("cvec")))
     val q0 = queries.select(col(idCol).as("qid"), normed(col(vecCol)).as("qvec"))
@@ -329,11 +340,6 @@ object Similarity {
   def kmeans(corpus: DataFrame, k: Int, iters: Int = 3,
              idCol: String = "vec_id",
              vecCol: String = "embedding"): (DataFrame, DataFrame) = {
-    def normed(c: Column): Column = {
-      val n = sqrt(aggregate(c, lit(0.0),
-        (a, x) => a + x.cast("double") * x.cast("double")))
-      transform(c, x => x.cast("double") / n)
-    }
     val spark = corpus.sparkSession
     import spark.implicits._
     // the normalized corpus is read every iteration (assign + means) and
@@ -452,7 +458,8 @@ object Similarity {
     val p = new org.apache.hadoop.fs.Path(dir, "index.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val node = mapper.readTree(fs.open(p).readAllBytes())
+    val in = fs.open(p)
+    val node = try mapper.readTree(in.readAllBytes()) finally in.close()
     import scala.jdk.CollectionConverters._
     val params = node.fields().asScala.map(e => e.getKey -> e.getValue.asText).toMap
     (cents, params)
@@ -473,12 +480,18 @@ object Similarity {
     val (assigned, _) = kmeans(corpus, k, iters, idCol, vecCol)
     val withVec = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .join(assigned.select("id", "cluster"), "id")
-    withVec.as("a").join(withVec.as("b"),
+    val dups = withVec.as("a").join(withVec.as("b"),
         col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
       .withColumn("cs", cosine(col("a.vec"), col("b.vec")))
       .filter(col("cs") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         round(col("cs"), 6).as("cos_sim"))
+      // materialize while the kmeans assignment cache is alive, then
+      // release it — the terminal op must not pin a corpus-scale cache
+      // entry per call in a long-lived session
+      .localCheckpoint()
+    assigned.unpersist()
+    dups
   }
 
   /** Symmetric per-vector int8 quantization: the 4x memory cut that makes

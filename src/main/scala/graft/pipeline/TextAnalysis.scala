@@ -17,7 +17,10 @@ object TextAnalysis {
 
   /** Whitespace token count. */
   def tokenCountWs(text: Column): Column =
-    size(split(normalize(text), " "))
+    // split("") yields one empty element — an empty/whitespace-only doc
+    // must count 0 tokens, not 1 (packing budgets, length filters)
+    when(length(normalize(text)) === 0, 0)
+      .otherwise(size(split(normalize(text), " ")))
 
   /** BPE-ish token count: runs of letters, runs of digits, or single
     * punctuation marks — a cheap proxy for subword tokenizers. */

@@ -139,10 +139,22 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("simhash near-dups find single-token edits") {
-    val pairs = Dedup.simhashPortableNearDups(docs, "doc_id", "text", maxHamming = 8)
+    import spark.implicits._
+    // a 1-of-200-token edit flips few signature bits (the regime simhash
+    // exists for); tiny docs would need maxHamming > 3, which the 4-block
+    // pigeonhole guard now refuses rather than silently losing recall
+    val base = (1 to 200).map(i => s"w$i").mkString(" ")
+    val longDocs = Seq((1L, base), (2L, base.replace("w100 ", "x100 ")),
+      (3L, (1 to 200).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPortableNearDups(longDocs, "doc_id", "text",
+        maxHamming = 3)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(pairs.contains((1L, 3L))) // identical => hamming 0
-    assert(pairs.contains((4L, 5L)))
+    assert(pairs.contains((1L, 2L)), pairs)
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // the guard itself
+    val e = intercept[IllegalArgumentException](
+      Dedup.simhashPortableNearDups(longDocs, "doc_id", "text", maxHamming = 8))
+    assert(e.getMessage.contains("maxHamming"), e.getMessage)
   }
 
   test("simhash_text64 kernel == built-ins-only 64-column formulation") {

@@ -97,9 +97,11 @@ class IncrementalDedupSpec extends AnyFunSuite {
   test("index stores hashes only (no text) and pins the hash family") {
     val dir = tmp("mhidx2") + "/idx"
     Dedup.minhashIndexAppend(batch1, "doc_id", "text", dir)
-    val sigCols = spark.read.parquet(s"$dir/sigs").schema.fieldNames.toSet
+    val sigCols = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$dir/sigs").schema.fieldNames.toSet
     assert(sigCols == Set("id", "th"), s"sigs must be metadata-only: $sigCols")
-    val bandCols = spark.read.parquet(s"$dir/bands").schema.fieldNames.toSet
+    val bandCols = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$dir/bands").schema.fieldNames.toSet
     assert(bandCols == Set("band", "id"))
     val e = intercept[IllegalArgumentException] {
       Dedup.minhashIndexAppend(batch2, "doc_id", "text", dir,
