@@ -49,8 +49,10 @@ object IncrementalIndexDemo {
         .count()
       (k, n, nPairs, crossPairs, wall)
     }
-    val indexBands = spark.read.parquet(s"$dir/bands").count()
-    val indexSigs = spark.read.parquet(s"$dir/sigs").count()
+    val indexBands = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$dir/bands").count()
+    val indexSigs = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$dir/sigs").count()
     val perBatch = results.map { case (k, n, p, c, w) =>
       s"""{"batch":$k,"docs":$n,"pairs":$p,"cross_batch_pairs":$c,""" +
         s""""wall_sec":${f"$w%.2f"}}"""
