@@ -20,12 +20,16 @@ import org.apache.spark.sql.functions._
   */
 object NetworkFunctions {
 
-  /** Dotted-quad string -> numeric IPv4 (nulls on malformed input via
-    * cast semantics). */
+  /** Dotted-quad string -> numeric IPv4; null on anything that is not a
+    * structurally valid address. (Pure cast semantics let "256.0.0.1"
+    * produce 2^32+1 and "1.2.3.4.5" silently parse its first four
+    * octets — inNetwork would then wrap the overflow into someone
+    * else's subnet.) */
   def inetAton(ip: Column): Column = {
     val o = split(ip, "\\.")
-    o.getItem(0).cast("long") * 16777216L + o.getItem(1).cast("long") * 65536L +
-      o.getItem(2).cast("long") * 256L + o.getItem(3).cast("long")
+    when(isValidIpv4(ip),
+      o.getItem(0).cast("long") * 16777216L + o.getItem(1).cast("long") * 65536L +
+        o.getItem(2).cast("long") * 256L + o.getItem(3).cast("long"))
   }
 
   /** Numeric IPv4 -> dotted-quad string. */

@@ -23,10 +23,16 @@ object ComplexOps {
     df.select(df.columns.filter(_ != mapCol).map(col) :+
       explode(col(mapCol)): _*) // yields `key`, `value`
 
-  /** UNPIVOT: wide columns → (name, value) long form (Drill unpivot/). */
+  /** UNPIVOT: wide columns → (name, value) long form (Drill unpivot/).
+    * Values unify to double when every value column is numeric, else to
+    * string — a blanket double cast silently nulled every value of a
+    * string column. */
   def unpivot(df: DataFrame, idCols: Seq[String], valueCols: Seq[String],
               nameAs: String = "col_name", valueAs: String = "col_value"): DataFrame = {
-    val entries = valueCols.map(c => struct(lit(c).as(nameAs), col(c).cast("double").as(valueAs)))
+    val allNumeric = valueCols.forall(c => df.schema(c).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType])
+    val target = if (allNumeric) "double" else "string"
+    val entries = valueCols.map(c => struct(lit(c).as(nameAs), col(c).cast(target).as(valueAs)))
     df.select(idCols.map(col) :+ explode(array(entries: _*)).as("kv"): _*)
       .select(idCols.map(col) :+ col(s"kv.$nameAs") :+ col(s"kv.$valueAs"): _*)
   }
@@ -74,10 +80,14 @@ object ComplexOps {
     val k0 = key.cast("double")
     val k = if (descending) -k0 else k0
     val bounds = df.agg(min(k).as("_lo"), max(k).as("_hi"))
+    // null keys bucket where the ORDER puts them (Spark: nulls first
+    // asc, last desc) — least() silently skipped the null and dumped
+    // them in the last bucket, breaking global order for asc sorts
+    val nullBucket = if (descending) buckets - 1 else 0
     val withB = df.crossJoin(broadcast(bounds))
-      .withColumn("_bkt", least(
+      .withColumn("_bkt", when(k.isNull, lit(nullBucket)).otherwise(least(
         floor((k - col("_lo")) / (col("_hi") - col("_lo") + lit(1e-9)) * buckets),
-        lit(buckets - 1)).cast("int"))
+        lit(buckets - 1))).cast("int"))
       .drop("_lo", "_hi")
     val counts = withB.groupBy("_bkt").agg(count(lit(1)).as("_cnt"))
     val offsets = counts.withColumn("_off",
@@ -114,8 +124,20 @@ object ComplexOps {
                  leftKey: Column, rightKey: Column,
                  buckets: Int = 8,
                  joinType: String = "inner"): DataFrame = {
+    // right/full outer would emit `buckets` null-extended copies of every
+    // unmatched right row (it was replicated before the join) — refuse
+    // rather than silently multiply
+    require(Set("inner", "left", "leftouter")
+        .contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports inner/left joins only (got $joinType): the " +
+        "replicated right side would duplicate unmatched right rows")
+    // salt must be DETERMINISTIC under task retry (a recomputed map task
+    // must route each row to the same reducer — the SPARK-23207 class of
+    // bug), yet still spread a hot key's rows: hash the whole row, not a
+    // row id and not just the key
     val l = left.withColumn("_salt_l",
-      pmod(xxhash64(leftKey, monotonically_increasing_id()), lit(buckets)).cast("int"))
+      pmod(xxhash64(struct(left.columns.map(col).toSeq: _*)),
+        lit(buckets)).cast("int"))
     val r = right.withColumn("_salt_r",
       explode(sequence(lit(0), lit(buckets - 1))))
     l.join(r, leftKey === rightKey && col("_salt_l") === col("_salt_r"), joinType)

@@ -41,6 +41,32 @@ import org.apache.spark.sql.types._
   */
 object TemporalJoins {
 
+  /** Key columns keep their own type (string, long, ... — anything
+    * hashable): both sides must agree so the union/equi-join compares
+    * apples to apples. A silent cast("long") here once nulled string
+    * keys and merged every row into one partition. */
+  private def requireSameKeyType(left: DataFrame, right: DataFrame,
+                                 lk: String, rk: String): Unit =
+    require(left.schema(lk).dataType == right.schema(rk).dataType,
+      s"key columns must share a type: $lk is ${left.schema(lk).dataType}, " +
+        s"$rk is ${right.schema(rk).dataType}")
+
+  /** Timestamp-family and integral time columns don't mix: micros vs
+    * caller units differ by orders of magnitude and would silently
+    * misalign every comparison. */
+  private def requireSameTimeClass(left: DataFrame, right: DataFrame,
+                                   lt: String, rt: String): Unit = {
+    def cls(dt: DataType): String = dt match {
+      case TimestampType | TimestampNTZType => "timestamp"
+      case ByteType | ShortType | IntegerType | LongType => "integral"
+      case other => throw new IllegalArgumentException(
+        s"time column must be timestamp or integral, got $other")
+    }
+    require(cls(left.schema(lt).dataType) == cls(right.schema(rt).dataType),
+      s"time columns must share a unit class: $lt is " +
+        s"${left.schema(lt).dataType}, $rt is ${right.schema(rt).dataType}")
+  }
+
   /** Exact long time value: microseconds for timestamps, the raw value
     * for integral columns. */
   private def tlong(c: Column, dt: DataType): Column = dt match {
@@ -79,17 +105,21 @@ object TemporalJoins {
                payload: Seq[String],
                tolerance: Option[Double] = None): DataFrame = {
     val leftCols = left.columns.toSeq
+    requireSameKeyType(left, right, leftKey, rightKey)
+    requireSameTimeClass(left, right, leftTime, rightTime)
     // one relation, side-tagged: right rows sort BEFORE left rows at the
-    // same instant (side 0 < 1), making the match inclusive
-    val r = right.select(
-      col(rightKey).cast("long").as("_k"),
+    // same instant (side 0 < 1), making the match inclusive. A null
+    // right time has no place on the time axis (it would sort first and
+    // masquerade as everyone's "earliest" row) — drop it.
+    val r = right.filter(col(rightTime).isNotNull).select(
+      col(rightKey).as("_k"),
       tlong(col(rightTime), right.schema(rightTime).dataType).as("_t"),
       lit(0).as("_side"),
       struct(col(rightTime).as("prev_ts") +:
         payload.map(c => col(c).as(s"prev_$c")): _*).as("_rv"),
       lit(null).cast(structType(left, leftCols)).as("_lv"))
     val l = left.select(
-      col(leftKey).cast("long").as("_k"),
+      col(leftKey).as("_k"),
       tlong(col(leftTime), left.schema(leftTime).dataType).as("_t"),
       lit(1).as("_side"),
       lit(null).cast(r.schema("_rv").dataType).as("_rv"),
@@ -129,15 +159,17 @@ object TemporalJoins {
     val leftCols = left.columns.toSeq
     // left rows sort BEFORE right rows at the same instant (side 0 < 1),
     // so a right row at exactly leftTime is inside the following frame
-    val r = right.select(
-      col(rightKey).cast("long").as("_k"),
+    requireSameKeyType(left, right, leftKey, rightKey)
+    requireSameTimeClass(left, right, leftTime, rightTime)
+    val r = right.filter(col(rightTime).isNotNull).select(
+      col(rightKey).as("_k"),
       tlong(col(rightTime), right.schema(rightTime).dataType).as("_t"),
       lit(1).as("_side"),
       struct(col(rightTime).as("next_ts") +:
         payload.map(c => col(c).as(s"next_$c")): _*).as("_rv"),
       lit(null).cast(structType(left, leftCols)).as("_lv"))
     val l = left.select(
-      col(leftKey).cast("long").as("_k"),
+      col(leftKey).as("_k"),
       tlong(col(leftTime), left.schema(leftTime).dataType).as("_t"),
       lit(0).as("_side"),
       lit(null).cast(r.schema("_rv").dataType).as("_rv"),
@@ -205,6 +237,8 @@ object TemporalJoins {
                 pointKey: String, intervalKey: String,
                 pointTime: String, startCol: String, endCol: String,
                 binSize: Long): DataFrame = {
+    requireSameKeyType(points, intervals, pointKey, intervalKey)
+    requireSameTimeClass(points, intervals, pointTime, startCol)
     val pt = tlong(col(pointTime), points.schema(pointTime).dataType)
     val st = tlong(col(startCol), intervals.schema(startCol).dataType)
     val en = tlong(col(endCol), intervals.schema(endCol).dataType)
@@ -215,12 +249,12 @@ object TemporalJoins {
     val p = points
       .withColumn("_pt", pt)
       .withColumn("_bin", expr(s"_pt div ${binSize}L"))
-      .withColumn("_pk", col(pointKey).cast("long"))
+      .withColumn("_pk", col(pointKey))
     val iv = intervals
       .withColumn("_st", st).withColumn("_en", en)
       .withColumn("_bin", explode(sequence(
         expr(s"_st div ${binSize}L"), expr(s"_en div ${binSize}L"))))
-      .withColumn("_ik", col(intervalKey).cast("long"))
+      .withColumn("_ik", col(intervalKey))
     p.join(iv, p("_bin") === iv("_bin") && col("_pk") === col("_ik"))
       .filter(col("_pt").between(col("_st"), col("_en")))
       .drop("_bin", "_pk", "_ik", "_pt", "_st", "_en")

@@ -57,9 +57,13 @@ object DfsSql {
         case "json" | "jsonl" | "ndjson" => SchemaOnRead.json(spark, path)
         case "orc" => spark.read.orc(path)
         case "log" | "txt" | "text" => spark.read.text(path)
+        case "psv" => SchemaOnRead.csv(spark, path, "|")
+        case "tbl" => SchemaOnRead.csv(spark, path, "|")
+        case "ltsv" => SchemaOnRead.ltsv(spark, path)
         case other => throw new IllegalArgumentException(
-          s"dfs: glob reads support parquet/csv/tsv/json/orc/text, not " +
-            s"'$other' ($path) — point file-granular formats at a directory")
+          s"dfs: glob reads support parquet/csv/tsv/psv/tbl/json/orc/" +
+            s"text/ltsv, not '$other' ($path) — point file-granular " +
+            "formats at a directory")
       }
     }
     // Hadoop FileSystem throughout — the SAME resolution the DML paths
@@ -194,15 +198,17 @@ object DfsSql {
     * ShowFilesHandler.java): list a workspace/directory as a relation. */
   def showFiles(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    val p = Paths.get(path)
-    require(Files.exists(p), s"dfs: no such path: $path")
+    // Hadoop FileSystem, not java.nio: a workspace on s3a/hdfs lists the
+    // same way SELECT reads it (nio Paths.get broke every non-local fs)
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(hp), s"dfs: no such path: $path")
     val entries =
-      if (Files.isDirectory(p)) { val s = Files.list(p); try s.iterator().asScala.toSeq finally s.close() }
-      else Seq(p)
-    entries.map { f =>
-      (f.getFileName.toString, Files.isDirectory(f), Files.isRegularFile(f),
-        if (Files.isRegularFile(f)) Files.size(f) else 0L,
-        Files.getLastModifiedTime(f).toMillis)
+      if (fs.getFileStatus(hp).isDirectory) fs.listStatus(hp).toSeq
+      else Seq(fs.getFileStatus(hp))
+    entries.map { st =>
+      (st.getPath.getName, st.isDirectory, st.isFile,
+        if (st.isFile) st.getLen else 0L, st.getModificationTime)
     }.sortBy(_._1)
       .toDF("name", "is_directory", "is_file", "length", "modification_time")
   }
