@@ -292,7 +292,11 @@ object AccessReader {
     val fixedBase = if (jet3) 1 else 2
     val bm = (ncols + 7) / 8
     val L = row.length
-    def nullBit(n: Int): Boolean = ((row(L - bm + n / 8) >> (n % 8)) & 1) != 0
+    // a row written before ALTER TABLE ADD COLUMN stores fewer columns
+    // than the TDEF declares; absent columns are null (Jet semantics),
+    // and indexing the bitmask with the TDEF number would read past it
+    def nullBit(n: Int): Boolean =
+      n < ncols && ((row(L - bm + n / 8) >> (n % 8)) & 1) != 0
     val varLen =
       if (td.numVar == 0) 0
       else if (jet3) row(L - bm - 1) & 0xFF
@@ -334,10 +338,20 @@ object AccessReader {
           case 0x08 => daysToTimestamp(f64(row, o))
           case 0x0F => guidString(row, o)
           case 0x10 =>
-            // sign byte + big-endian magnitude, declared precision/scale
-            val mag = new java.math.BigInteger(1,
-              java.util.Arrays.copyOfRange(row, o + 1, o + c.size))
-            val signed = if (row(o) == 0) mag.negate else mag
+            // sign byte (non-zero = NEGATIVE, per Jackcess/mdbtools) +
+            // 16-byte magnitude stored as four 4-byte groups, each
+            // little-endian (Jackcess fixNumericByteOrder reverses each
+            // group); declared precision/scale
+            val raw = java.util.Arrays.copyOfRange(row, o + 1, o + c.size)
+            val be = new Array[Byte](raw.length)
+            var g = 0
+            while (g + 4 <= raw.length) {
+              be(g) = raw(g + 3); be(g + 1) = raw(g + 2)
+              be(g + 2) = raw(g + 1); be(g + 3) = raw(g)
+              g += 4
+            }
+            val mag = new java.math.BigInteger(1, be)
+            val signed = if (row(o) != 0) mag.negate else mag
             new java.math.BigDecimal(signed, c.scale)
           case 0x14 => extDateToTimestamp(row, o, c.size)
           case other => throw new IllegalStateException(
@@ -451,7 +465,11 @@ object AccessReader {
           val db = load(conf2, f)
           userTables(db).find(_.name == table).iterator.flatMap { e =>
             val td = readTdef(db, e.tdefPg)
-            rawRows(db, e.tdefPg).map(raw => crackRow(db, raw, td))
+            val fileSchema = StructType(td.cols.map(c =>
+              StructField(c.name, sparkType(c), nullable = true)))
+            SchemaAlign.align(
+              rawRows(db, e.tdefPg).map(raw => crackRow(db, raw, td)),
+              SchemaAlign.plan(schema, fileSchema))
           }
         }
       }(enc).toDF(schema.fieldNames.toSeq: _*)

@@ -216,15 +216,21 @@ object DfdlReader {
       }
     if (e.maxOccurs == 1) {
       val r = one()
-      if (r.isEmpty) in.p = mark
-      r
+      // an optional (minOccurs=0) scalar that fails to parse yields
+      // null and consumes nothing — previously it failed the whole row
+      if (r.isEmpty) { in.p = mark; if (e.minOccurs == 0) Some(null) else None }
+      else r
     } else {
       val out = scala.collection.mutable.ArrayBuffer[Any]()
       var continue = true
       while (continue && (e.maxOccurs < 0 || out.size < e.maxOccurs)) {
         val m2 = in.p
         one() match {
-          case Some(v) => out += v
+          case Some(v) =>
+            out += v
+            // zero-progress guard: an occurrence that consumed no input
+            // (all-optional children) would repeat forever
+            if (in.p == m2) continue = false
           case None => in.p = m2; continue = false
         }
       }
@@ -292,15 +298,21 @@ object DfdlReader {
       }
     if (e.maxOccurs == 1) {
       val r = one()
-      if (r.isEmpty) in.p = mark
-      r
+      // an optional (minOccurs=0) scalar that fails to parse yields
+      // null and consumes nothing — previously it failed the whole row
+      if (r.isEmpty) { in.p = mark; if (e.minOccurs == 0) Some(null) else None }
+      else r
     } else {
       val out = scala.collection.mutable.ArrayBuffer[Any]()
       var continue = true
       while (continue && (e.maxOccurs < 0 || out.size < e.maxOccurs)) {
         val m2 = in.p
         one() match {
-          case Some(v) => out += v
+          case Some(v) =>
+            out += v
+            // zero-progress guard: an occurrence that consumed no input
+            // (all-optional children) would repeat forever
+            if (in.p == m2) continue = false
           case None => in.p = m2; continue = false
         }
       }
@@ -317,8 +329,11 @@ object DfdlReader {
       val out = scala.collection.mutable.ArrayBuffer[Row]()
       var continue = true
       while (continue && in.p < in.b.length) {
+        val before = in.p
         binParse(in, rowEl.copy(maxOccurs = 1)) match {
-          case Some(r: Row) => out += r
+          case Some(r: Row) =>
+            out += r
+            if (in.p == before) continue = false // zero-progress guard
           case _ => continue = false
         }
       }
@@ -344,8 +359,10 @@ object DfdlReader {
       new String(data, "UTF-8").split(java.util.regex.Pattern.quote(term))
         .map(_.stripPrefix("\r").stripSuffix("\r")).filter(_.nonEmpty)
         .map { line =>
-          val toks = new Toks(line.split(java.util.regex.Pattern.quote(sep))
-            .filter(_.nonEmpty))
+          // -1 keeps EMPTY tokens: 'a,,c' has an empty second field —
+          // filtering it shifted every later column (a trailing empty
+          // token is harmless; parses don't require full consumption)
+          val toks = new Toks(line.split(java.util.regex.Pattern.quote(sep), -1))
           textParse(toks, rowEl.copy(maxOccurs = 1)) match {
             case Some(r: Row) => r
             case _ => throw new IllegalArgumentException(

@@ -453,9 +453,18 @@ object Hdf5Reader {
                     val chunkElems = ds.chunkDims.dropRight(1).map(_.toLong).product
                     val buf = new Array[Byte]((chunkElems * elemSize).toInt)
                     var w = 0
-                    while (!inf.finished() && w < buf.length)
-                      w += inf.inflate(buf, w, buf.length - w)
+                    var stalled = false
+                    while (!inf.finished() && w < buf.length && !stalled) {
+                      val n = inf.inflate(buf, w, buf.length - w)
+                      // truncated/corrupt chunk: inflate returns 0 and
+                      // wants input that doesn't exist — error, don't
+                      // spin the task at 100% CPU forever
+                      if (n == 0 && inf.needsInput()) stalled = true
+                      w += n
+                    }
                     inf.end()
+                    if (stalled) throw new IllegalStateException(
+                      s"truncated deflate chunk in HDF5 dataset (got $w of ${buf.length} bytes)")
                     data = buf
                   case 2 => // shuffle: bytes grouped by significance, restore
                     val n = data.length / elemSize
@@ -517,10 +526,14 @@ object Hdf5Reader {
 
   private def decodeScalarTyped(h: H5, b: Array[Byte], off: Int, dt: Dtype): Any =
     dt.cls match {
-      case 0 => dt.size match {
-        case 1 => java.lang.Byte.valueOf(b(off))
-        case 2 => java.lang.Short.valueOf(e16(b, off, dt.be).toShort)
-        case 4 => java.lang.Integer.valueOf(e32(b, off, dt.be).toInt)
+      case 0 => (dt.size, dt.signed) match {
+        case (1, true) => java.lang.Byte.valueOf(b(off))
+        case (1, false) => java.lang.Short.valueOf((b(off) & 0xFF).toShort)
+        case (2, true) => java.lang.Short.valueOf(e16(b, off, dt.be).toShort)
+        case (2, false) => java.lang.Integer.valueOf(e16(b, off, dt.be) & 0xFFFF)
+        case (4, true) => java.lang.Integer.valueOf(e32(b, off, dt.be).toInt)
+        case (4, false) =>
+          java.lang.Long.valueOf(e32(b, off, dt.be) & 0xFFFFFFFFL)
         case _ => java.lang.Long.valueOf(e64(b, off, dt.be))
       }
       case 1 =>
@@ -541,10 +554,16 @@ object Hdf5Reader {
     }
 
   private def sparkType(dt: Dtype): DataType = dt.cls match {
-    case 0 => dt.size match {
-      case 1 => ByteType
-      case 2 => ShortType
-      case 4 => IntegerType
+    // unsigned fixed-point widens to the next signed type (u64 stays
+    // LongType: the spec's raw bits, like most readers) — mapping u32
+    // to IntegerType wrapped every value >= 2^31 negative
+    case 0 => (dt.size, dt.signed) match {
+      case (1, true) => ByteType
+      case (1, false) => ShortType
+      case (2, true) => ShortType
+      case (2, false) => IntegerType
+      case (4, true) => IntegerType
+      case (4, false) => LongType
       case _ => LongType
     }
     case 1 => if (dt.size == 4) FloatType else DoubleType
@@ -622,8 +641,13 @@ object Hdf5Reader {
       Map("target" -> l.target), null, null, null))
     val dsRows = objs.datasets.map { ds =>
       val elemCount = ds.dims.product max 1L
-      val raw = rawData(h, ds)
-      val m = previewMatrix(h, ds, raw)
+      // browse is a metadata listing with a small preview — buffering a
+      // multi-GB dataset for a 20x100 preview (or throwing on >2GB ones)
+      // defeated the "never the whole file" posture; oversized datasets
+      // list with metadata only and an empty preview
+      val previewable = elemCount * ds.dt.size <= (64L << 20)
+      val m = if (previewable) previewMatrix(h, ds, rawData(h, ds))
+              else Seq.empty[Seq[Any]]
       val (ints, dbls, strs) = ds.dt.cls match {
         case 0 | 8 =>
           (m.map(_.map {

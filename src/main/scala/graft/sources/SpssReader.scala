@@ -317,7 +317,9 @@ object SpssReader {
           Option(org.apache.spark.TaskContext.get()).foreach(
             _.addTaskCompletionListener[Unit](_ =>
               try in.close() catch { case _: java.io.IOException => () }))
-          rows(in, parseMeta(in))
+          val meta = parseMeta(in)
+          SchemaAlign.align(rows(in, meta),
+            SchemaAlign.plan(schema, schemaOf(meta)))
         }
       }(enc).toDF(schema.fieldNames.toSeq: _*)
   }

@@ -81,6 +81,23 @@ class SchemaOnReadSpec extends AnyFunSuite {
     } finally spark.sql("ALTER SESSION RESET `store.json.all_text_mode`")
   }
 
+  test("SchemaAlign: name-aligned multi-file degrade (reorder, missing, type flip)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val want = StructType(Seq(StructField("a", LongType),
+      StructField("b", StringType), StructField("c", DoubleType)))
+    // reordered + missing c + b flipped to long
+    val file = StructType(Seq(StructField("b", LongType),
+      StructField("a", LongType)))
+    val p = graft.sources.SchemaAlign.plan(want, file)
+    assert(p.isDefined)
+    val out = graft.sources.SchemaAlign.align(
+      Iterator(Row(7L, 1L)), p).toSeq
+    assert(out == Seq(Row(1L, null, null))) // a aligned, b type-flip nulls, c missing
+    // identical schema = identity fast path
+    assert(graft.sources.SchemaAlign.plan(want, want).isEmpty)
+  }
+
   test("inferJsonColumn inference pass is sample-bounded, not a full scan") {
     import spark.implicits._
     // a field that first appears beyond the sample window must be invisible
