@@ -426,7 +426,9 @@ object DeltaDml {
     val version = (DeltaLogReader.tableVersions(spark, tablePath) ++
       DeltaLogReader.lastCheckpointVersion(spark, tablePath)).max + 1
     DeltaLogReader.writeCommit(spark, tablePath, version,
-      Seq(ci("ADD COLUMNS"), DeltaLogReader.metaDataAction(newSchema, partCols)))
+      { val (metaId, metaConf) = DeltaLogReader.currentMetaInfo(spark, tablePath)
+        Seq(ci("ADD COLUMNS"),
+          DeltaLogReader.metaDataAction(newSchema, partCols, metaId, metaConf)) })
     version
   }
 
@@ -527,9 +529,10 @@ object DeltaDml {
     val removes = removeActions(cFiles.map(_._1).filterNot(tgt.contains),
       curState.getOrElse(_, None))
     val version = current + 1
+    val (metaId, metaConf) = DeltaLogReader.currentMetaInfo(spark, tablePath)
     DeltaLogReader.writeCommit(spark, tablePath, version,
-      ci("RESTORE") +: DeltaLogReader.metaDataAction(tSchema, tPartCols) +:
-        (removes ++ adds))
+      ci("RESTORE") +: DeltaLogReader.metaDataAction(tSchema, tPartCols,
+        metaId, metaConf) +: (removes ++ adds))
     (version, adds.size.toLong, removes.size.toLong)
   }
 
@@ -607,6 +610,7 @@ object DeltaDml {
 
     val affAbs = affected.map(absolute(tablePath, _))
     def affScan: DataFrame = spark.read.schema(schema).parquet(affAbs: _*)
+    var persisted: Option[DataFrame] = None
 
     // ambiguity check (only when a matched clause will rewrite rows):
     // (file, row_index) is the stable row identity
@@ -645,8 +649,14 @@ object DeltaDml {
         // duplicates rows; with a matched clause the ambiguity check
         // below rejects multi-matches instead
         val joined =
-          if (anyMatched) joined0
-          else joined0.dropDuplicates("__g_fp", "__g_pos")
+          (if (anyMatched) joined0
+           else joined0.dropDuplicates("__g_fp", "__g_pos"))
+            // the target-source join feeds the ambiguity check, the
+            // counts agg, the rewrite, and the cdc write — persist it
+            // once (dvDml does the same) instead of re-running the
+            // dominant scan+join up to five times
+            .persist()
+        persisted = Some(joined)
         val isMatch = coalesce(col("__g_match"), lit(false))
         def condOr(c: Option[String], default: Column): Column =
           c.map(s => coalesce(expr(s).cast(BooleanType), lit(false)))
@@ -735,7 +745,7 @@ object DeltaDml {
       case (None, Some(i))    => Some(i)
       case (None, None)       => None
     }
-    out match {
+    try out match {
       case None => DmlStats(current, 0L, 0L, 0L)
       case Some(df) =>
         val inserted = inserts.map(_.count()).getOrElse(0L)
@@ -754,6 +764,6 @@ object DeltaDml {
         DeltaLogReader.writeCommit(spark, tablePath, version,
           ci("MERGE") +: (removes ++ adds ++ cdc))
         DmlStats(version, updated, deleted, inserted)
-    }
+    } finally persisted.foreach(_.unpersist())
   }
 }

@@ -92,6 +92,19 @@ object DeltaLogReader {
     * commits are scanned newest-first, the checkpoint is the fallback for
     * vacuumed logs. A writer must MERGE into this (features are never
     * removed, versions never lowered) rather than replace it. */
+  /** Top-level checkpoint action files at version `cv`: (parquet tops —
+    * classic single, multi-part all parts, v2 UUID-named — and the v2
+    * JSON top if that form was used). Protocol and txn rows live in the
+    * top level, never in sidecars (PROTOCOL.md v2 checkpoint spec). */
+  private[graft] def checkpointTops(fs: org.apache.hadoop.fs.FileSystem,
+                                    logDir: Path, cv: Long): (Seq[Path], Option[Path]) = {
+    val prefix = f"$cv%020d.checkpoint"
+    val files = fs.listStatus(logDir).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith(prefix))
+    (files.filter(_.getName.endsWith(".parquet")),
+      files.find(_.getName.endsWith(".json")))
+  }
+
   private[graft] def protocolInfo(spark: SparkSession, tablePath: String):
       (Int, Int, Set[String], Set[String]) = {
     val logDir = new Path(tablePath, "_delta_log")
@@ -113,11 +126,23 @@ object DeltaLogReader {
     }.headOption
     fromJson.orElse {
       lastCheckpointVersion(spark, tablePath).flatMap { cv =>
-        val cp = new Path(logDir, f"$cv%020d.checkpoint.parquet")
-        if (!fs.exists(cp)) None
+        // classic, multi-part, or v2 checkpoint — missing this fallback
+        // silently defaulted to (1,2) and let a writer REPLACE the
+        // table's declared protocol features
+        val (pq, jsonTop) = checkpointTops(fs, logDir, cv)
+        val fromJsonTop = jsonTop.flatMap { jt =>
+          val in = fs.open(jt)
+          val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+            .getLines().toList finally in.close()
+          lines.filter(_.trim.nonEmpty).map(mapper.readTree)
+            .collectFirst { case n if n.has("protocol") =>
+              fromNode(n.get("protocol")) }
+        }
+        if (fromJsonTop.isDefined) fromJsonTop
+        else if (pq.isEmpty) None
         else {
           import org.apache.spark.sql.functions.col
-          val df = spark.read.parquet(cp.toString)
+          val df = spark.read.parquet(pq.map(_.toString): _*)
           if (!df.columns.contains("protocol")) None
           else {
             val pType = df.schema("protocol").dataType
@@ -298,12 +323,33 @@ object DeltaLogReader {
         val prefix = f"$cv%020d.checkpoint"
         val cpFiles = fs.listStatus(logDir).toSeq.map(_.getPath)
           .filter(_.getName.startsWith(prefix))
-        val top = cpFiles.find(_.getName == s"$prefix.parquet")
-          .orElse(cpFiles.find(_.getName.endsWith(".parquet")))
+        // MULTI-PART classic checkpoints (<v>.checkpoint.<part>.<of>.
+        // parquet, delta.checkpoint.partSize): ALL parts fold — picking
+        // one arbitrary part silently dropped most of the snapshot
+        val MultiPart = (java.util.regex.Pattern.quote(prefix) +
+          "\\.(\\d{10})\\.(\\d{10})\\.parquet").r
+        val parts = cpFiles.flatMap(p => p.getName match {
+          case MultiPart(_, of) => Some(p -> of.toInt)
+          case _ => None
+        })
+        if (parts.nonEmpty) {
+          val of = parts.head._2
+          require(parts.size == of,
+            s"multi-part checkpoint at v$cv incomplete: " +
+              s"${parts.size} of $of parts present in $logDir")
+          foldCheckpointParquet(
+            spark.read.parquet(parts.map(_._1.toString): _*))
+        }
+        val top0 = cpFiles.find(_.getName == s"$prefix.parquet")
+          .orElse(cpFiles.filterNot(p =>
+              MultiPart.findFirstIn(p.getName).isDefined)
+            .find(_.getName.endsWith(".parquet")))
           .orElse(cpFiles.find(_.getName.endsWith(".json")))
-          .getOrElse(throw new IllegalArgumentException(
+        val top = (if (parts.nonEmpty) None else Some(top0.getOrElse(
+          throw new IllegalArgumentException(
             s"_last_checkpoint names version $cv but no $prefix* file exists " +
-              s"in $logDir"))
+              s"in $logDir")))).orNull
+        if (top != null) {
         val sidecars: Seq[String] =
           if (top.getName.endsWith(".json")) {
             // v2 JSON top-level: line-delimited actions (metaData,
@@ -328,6 +374,7 @@ object DeltaLogReader {
         if (sidecars.nonEmpty)
           foldCheckpointParquet(
             spark.read.parquet(sidecars.map(sidecarPath): _*))
+        }
         cv + 1
       case None =>
         require(jsonVersions.nonEmpty && jsonVersions.min == 0L,
@@ -598,12 +645,18 @@ object DeltaLogReader {
       // add/remove derivation below would over-report wildly — refuse
       // UNLESS the commit carries exact cdc files (which take precedence)
       if (cdc.isEmpty) nodes.foreach { n =>
-        if (n.has("add"))
-          require(!n.get("add").has("deletionVector") ||
-            n.get("add").get("deletionVector").isNull,
-            s"readChanges on a deletion-vector commit (version $v of " +
-              s"$tablePath) without cdc files is not supported — enable " +
-              "graft.delta.cdf so DV DML emits exact change rows")
+        // BOTH directions matter: an add with a DV re-adds a file whose
+        // rows did not all change, and a remove CARRYING a DV names a
+        // file whose dead rows would be re-reported as deletes (RESTORE
+        // across a DV boundary produces either shape)
+        Seq("add", "remove").foreach { k =>
+          if (n.has(k))
+            require(!n.get(k).has("deletionVector") ||
+              n.get(k).get("deletionVector").isNull,
+              s"readChanges on a deletion-vector commit (version $v of " +
+                s"$tablePath) without cdc files is not supported — enable " +
+                "graft.delta.cdf so DV DML emits exact change rows")
+        }
       }
       if (cdc.nonEmpty) {
         // cdc files carry _change_type themselves
@@ -640,18 +693,83 @@ object DeltaLogReader {
                                  version: Long, actions: Seq[String]): Unit = {
     val p = new Path(new Path(tablePath, "_delta_log"), f"$version%020d.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val os = fs.create(p, true)
+    // put-if-absent, per the Delta protocol's commit rule: two writers
+    // racing to version N must not silently clobber each other (the
+    // loser's transaction would vanish from the log and its data files
+    // become vacuum-bait). The loser fails with a clear conflict.
+    val os =
+      try fs.create(p, false)
+      catch { case _: java.io.IOException =>
+        throw new java.util.ConcurrentModificationException(
+          s"delta commit conflict: version $version of $tablePath was " +
+            "committed concurrently — re-read the table state and retry")
+      }
     try os.write((actions.mkString("\n") + "\n").getBytes("UTF-8"))
     finally os.close()
   }
 
-  /** metaData action JSON for a schema (fixture/spec helper). */
+  /** metaData action JSON for a schema. `id`/`configuration` default to
+    * the fixture values; COMMITS that re-emit metaData (RESTORE, ADD
+    * COLUMNS) must pass the table's CURRENT identity and configuration
+    * through [[currentMetaInfo]] — re-emitting empty configuration
+    * silently erased column-mapping mode / CDF enablement. */
   private[graft] def metaDataAction(schema: StructType,
-                                    partCols: Seq[String]): String = {
+                                    partCols: Seq[String],
+                                    id: String = "graft-fixture",
+                                    configuration: Map[String, String] = Map.empty): String = {
     val schemaStr = mapper.writeValueAsString(schema.json)
     val parts = partCols.map(c => s""""$c"""").mkString("[", ",", "]")
-    s"""{"metaData":{"id":"graft-fixture","format":{"provider":"parquet","options":{}},""" +
-      s""""schemaString":$schemaStr,"partitionColumns":$parts,"configuration":{}}}"""
+    val conf = configuration.toSeq.sortBy(_._1).map { case (k, v) =>
+      s"${mapper.writeValueAsString(k)}:${mapper.writeValueAsString(v)}"
+    }.mkString("{", ",", "}")
+    s"""{"metaData":{"id":${mapper.writeValueAsString(id)},"format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":$schemaStr,"partitionColumns":$parts,"configuration":$conf}}"""
+  }
+
+  /** The table's current metaData identity + configuration (latest
+    * metaData action from the json commits, falling back to the
+    * checkpoint tops). */
+  private[graft] def currentMetaInfo(spark: SparkSession, tablePath: String)
+      : (String, Map[String, String]) = {
+    val logDir = new Path(tablePath, "_delta_log")
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def fromNode(m: com.fasterxml.jackson.databind.JsonNode) = {
+      val conf = Option(m.get("configuration")).filterNot(_.isNull)
+        .map(_.fields.asScala.map(e => e.getKey -> e.getValue.asText).toMap)
+        .getOrElse(Map.empty[String, String])
+      (Option(m.get("id")).map(_.asText).getOrElse("graft-fixture"), conf)
+    }
+    val fromJson = tableVersions(spark, tablePath).reverse.view.flatMap { v =>
+      val f = new Path(logDir, f"$v%020d.json")
+      val in = fs.open(f)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().toSeq finally in.close()
+      lines.reverseIterator.map(mapper.readTree)
+        .collectFirst { case n if n.has("metaData") => fromNode(n.get("metaData")) }
+    }.headOption
+    fromJson.orElse {
+      lastCheckpointVersion(spark, tablePath).flatMap { cv =>
+        val (pq, jsonTop) = checkpointTops(fs, logDir, cv)
+        val viaJson = jsonTop.flatMap { jt =>
+          val in = fs.open(jt)
+          val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+            .getLines().toList finally in.close()
+          lines.filter(_.trim.nonEmpty).map(mapper.readTree)
+            .collectFirst { case n if n.has("metaData") => fromNode(n.get("metaData")) }
+        }
+        viaJson.orElse {
+          if (pq.isEmpty) None
+          else {
+            import org.apache.spark.sql.functions.{col, to_json}
+            val df = spark.read.parquet(pq.map(_.toString): _*)
+            if (!df.columns.contains("metaData")) None
+            else df.filter(col("metaData").isNotNull)
+              .select(to_json(col("metaData"))).collect().headOption
+              .map(r => fromNode(mapper.readTree(r.getString(0))))
+          }
+        }
+      }
+    }.getOrElse(("graft-fixture", Map.empty))
   }
 
   /** Write `df` as ONE parquet file at tablePath/relName (fixture/spec

@@ -53,6 +53,22 @@ object DeltaLogWriter {
     val (version, removes) =
       if (!exists) (0L, Seq.empty[String])
       else {
+        // appends must speak the existing table's dialect: partition
+        // values live ONLY in the log (an add with empty partitionValues
+        // reads back as null partition columns), and a column-mapped
+        // table stores PHYSICAL names in its parquet (a logically-named
+        // write reads back all-NULL) — refuse both, like optimize/DML
+        val (schema0, partCols0, _) =
+          DeltaLogReader.activeStateDv(spark, tablePath)
+        require(partCols0.isEmpty,
+          s"delta write to PARTITIONED table not supported: $tablePath " +
+            "(partition values live only in the log; this writer would " +
+            "null them)")
+        require(schema0.fields.forall(f =>
+            !f.metadata.contains("delta.columnMapping.physicalName")),
+          s"delta write to column-mapped table not supported: $tablePath " +
+            "(parquet stores physical names; a logically-named write " +
+            "would read back null)")
         val versions = DeltaLogReader.tableVersions(spark, tablePath) ++
           DeltaLogReader.lastCheckpointVersion(spark, tablePath)
         val next = versions.max + 1
@@ -133,6 +149,11 @@ object DeltaLogWriter {
     require(partCols.isEmpty,
       s"OPTIMIZE on partitioned table not supported: $tablePath " +
         s"(partition values live only in the log; a rewrite would drop them)")
+    require(schema.fields.forall(f =>
+        !f.metadata.contains("delta.columnMapping.physicalName")),
+      s"OPTIMIZE on column-mapped table not supported: $tablePath " +
+        "(reading logical names from physically-named parquet would " +
+        "rewrite the table as NULLs)")
     val currentVersion = (DeltaLogReader.tableVersions(spark, tablePath) ++
       DeltaLogReader.lastCheckpointVersion(spark, tablePath)).max
 
@@ -232,13 +253,31 @@ object DeltaLogWriter {
     val cpTxns = DeltaLogReader.lastCheckpointVersion(spark, tablePath).toSeq
       .flatMap { cv =>
         import org.apache.spark.sql.functions.col
-        val actions = spark.read.parquet(
-          new Path(new Path(tablePath, "_delta_log"),
-            f"$cv%020d.checkpoint.parquet").toString)
-        if (!actions.columns.contains("txn")) Seq.empty
-        else actions.filter(col("txn").isNotNull)
-          .filter(col("txn.appId") === appId)
-          .select("txn.version").collect().map(_.getLong(0)).toSeq
+        // the checkpoint may be classic, MULTI-PART, or v2 (UUID parquet
+        // or json top-level) — reading the classic name unconditionally
+        // crashed the streaming sink on every micro-batch of such tables
+        val logDir = new Path(tablePath, "_delta_log")
+        val (pq, jsonTop) = DeltaLogReader.checkpointTops(fs, logDir, cv)
+        val fromJsonTop = jsonTop.toSeq.flatMap { jt =>
+          val in = fs.open(jt)
+          val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+            .getLines().toList finally in.close()
+          lines.filter(_.contains("\"txn\"")).flatMap { line =>
+            val n = mapper.readTree(line)
+            Option(n.get("txn")).filter(_.get("appId").asText == appId)
+              .map(_.get("version").asLong)
+          }
+        }
+        val fromPq =
+          if (pq.isEmpty) Seq.empty
+          else {
+            val actions = spark.read.parquet(pq.map(_.toString): _*)
+            if (!actions.columns.contains("txn")) Seq.empty
+            else actions.filter(col("txn").isNotNull)
+              .filter(col("txn.appId") === appId)
+              .select("txn.version").collect().map(_.getLong(0)).toSeq
+          }
+        fromJsonTop ++ fromPq
       }
     (jsonTxns ++ cpTxns).maxOption
   }

@@ -352,9 +352,12 @@ object Events {
       }.toDF("doc_id", "ts", "dup")
     votes.withWatermark("ts", s"$watermarkDelaySec seconds")
       .groupBy(window(col("ts"), s"$voteWindowSec seconds"), col("doc_id"))
-      .agg(expr("bool_or(dup)").as("any_dup"))
+      // min(ts) = the doc's ACTUAL event time — window.start truncated
+      // it by up to the window width, breaking any downstream join back
+      // to the event stream on (doc_id, ts)
+      .agg(expr("bool_or(dup)").as("any_dup"), min(col("ts")).as("ts"))
       .filter(!col("any_dup"))
-      .select(col("doc_id"), col("window.start").as("ts"))
+      .select(col("doc_id"), col("ts"))
   }
 
   /** Structured Streaming form of tumblingAgg: readStream on the same

@@ -119,6 +119,76 @@ class DeltaSpec extends AnyFunSuite {
     assert(DeltaLogReader.read(spark, base2).count() == 100)
   }
 
+  test("multi-part classic checkpoints fold ALL parts; incomplete parts refuse") {
+    import spark.implicits._
+    import graft.sources.DeltaLogWriter
+    val base = freshDir("multipart")
+    DeltaLogWriter.write((1L to 4L).map(i => (i, s"v$i")).toDF("k", "v"), base)
+    DeltaLogWriter.write((5L to 8L).map(i => (i, s"v$i")).toDF("k", "v"), base)
+    val cv = DeltaLogWriter.checkpoint(spark, base, vacuumJson = true)
+    // split the single classic checkpoint into two named parts
+    val logDir = new org.apache.hadoop.fs.Path(base, "_delta_log")
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val classic = new org.apache.hadoop.fs.Path(logDir,
+      f"$cv%020d.checkpoint.parquet")
+    val all = spark.read.parquet(classic.toString)
+    val half = all.count() / 2
+    val rows = all.collect()
+    def writePart(part: Int, slice: Array[org.apache.spark.sql.Row]): Unit = {
+      val tmp = freshDir(s"mp_stage_$part")
+      spark.createDataFrame(spark.sparkContext.parallelize(slice.toSeq, 1),
+        all.schema).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val f = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+        .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+      fs.rename(f, new org.apache.hadoop.fs.Path(logDir,
+        f"$cv%020d.checkpoint.$part%010d.0000000002.parquet"))
+    }
+    writePart(1, rows.take(half.toInt))
+    writePart(2, rows.drop(half.toInt))
+    fs.delete(classic, false)
+    // all 8 keys come back through the two parts
+    assert(DeltaLogReader.read(spark, base).select("k")
+      .collect().map(_.getLong(0)).toSet == (1L to 8L).toSet)
+    // missing part refuses instead of silently dropping half the table
+    fs.delete(new org.apache.hadoop.fs.Path(logDir,
+      f"$cv%020d.checkpoint.${2}%010d.0000000002.parquet"), false)
+    val e = intercept[Exception](DeltaLogReader.read(spark, base).collect())
+    assert(e.getMessage.contains("incomplete"), e.getMessage)
+  }
+
+  test("commits are put-if-absent: a version race fails, never clobbers") {
+    import spark.implicits._
+    import graft.sources.DeltaLogWriter
+    val base = freshDir("commitrace")
+    DeltaLogWriter.write(Seq((1L, "a")).toDF("k", "v"), base)
+    val e = intercept[java.util.ConcurrentModificationException] {
+      DeltaLogReader.writeCommit(spark, base, 0L, Seq("""{"txn":{"appId":"x","version":1}}"""))
+    }
+    assert(e.getMessage.contains("conflict"), e.getMessage)
+    // the original commit is intact
+    assert(DeltaLogReader.read(spark, base).count() == 1)
+  }
+
+  test("append to a partitioned table refuses (partition values live in the log)") {
+    import spark.implicits._
+    import graft.sources.DeltaLogWriter
+    val base = freshDir("partguard")
+    // partitioned fixture: metaData declares a partition column
+    val df = Seq((1L, "x")).toDF("k", "v")
+    DeltaLogReader.writeDataFile(df, base, "f1.parquet")
+    DeltaLogReader.writeCommit(spark, base, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      DeltaLogReader.metaDataAction(
+        org.apache.spark.sql.types.StructType(df.schema.fields :+
+          org.apache.spark.sql.types.StructField("p",
+            org.apache.spark.sql.types.StringType)), Seq("p")),
+      """{"add":{"path":"f1.parquet","partitionValues":{"p":"a"},"size":1,"modificationTime":0,"dataChange":true}}"""))
+    val e = intercept[IllegalArgumentException] {
+      DeltaLogWriter.write(Seq((2L, "y", "b")).toDF("k", "v", "p"), base)
+    }
+    assert(e.getMessage.contains("PARTITIONED"), e.getMessage)
+  }
+
   test("checkpoint + vacuum: reads bootstrap from parquet, txn state survives") {
     import spark.implicits._
     import graft.sources.DeltaLogWriter
