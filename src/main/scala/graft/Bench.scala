@@ -63,7 +63,8 @@ object Bench {
     val total = results.map(_._2).sum
     val allOk = results.forall(_._4)
     val line =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"runs":$allRuns,"ok":$oks,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"runs":$allRuns,"ok":$oks,"sf":"${
+        sfDir.replace("\\", "\\\\").replace("\"", "\\\"")}"}"""
     println(line)
     // The stdout line gets buried in sbt [info] noise (rounds 3 and 5 had
     // "parsed": null in the driver artifact) — also persist the metrics to

@@ -48,23 +48,41 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (children: Seq[Expression]) => CosineSimilarity(children.head, children(1))))
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"cosine_sim expects exactly 2 arguments, got ${children.length}")
+        CosineSimilarity(children.head, children(1))
+      }))
     ext.injectFunction((
       new FunctionIdentifier("md5_hash32"),
       new ExpressionInfo(classOf[Md5Hash32Expr].getName, "md5_hash32"),
-      (children: Seq[Expression]) => Md5Hash32Expr(children.head)))
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"md5_hash32 expects exactly 1 argument, got ${children.length}")
+        Md5Hash32Expr(children.head)
+      }))
     ext.injectFunction((
       new FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinhashSignatureExpr].getName, "minhash_sig"),
-      (children: Seq[Expression]) => MinhashSignatureExpr(children.head, children(1))))
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"minhash_sig expects exactly 2 arguments, got ${children.length}")
+        MinhashSignatureExpr(children.head, children(1))
+      }))
     ext.injectFunction((
       new FunctionIdentifier("jaccard_sim"),
       new ExpressionInfo(classOf[JaccardSimExpr].getName, "jaccard_sim"),
-      (children: Seq[Expression]) => JaccardSimExpr(children.head, children(1))))
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"jaccard_sim expects exactly 2 arguments, got ${children.length}")
+        JaccardSimExpr(children.head, children(1))
+      }))
     ext.injectFunction((
       new FunctionIdentifier("simhash_agg"),
       new ExpressionInfo(classOf[SimhashAgg].getName, "simhash_agg"),
       (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"simhash_agg expects exactly 2 arguments, got ${children.length}")
         val bits = children(1) match {
           case Literal(v: Int, IntegerType) => v
           case other => throw new IllegalArgumentException(
@@ -102,7 +120,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((
         new FunctionIdentifier(algo),
         new ExpressionInfo(classOf[PhoneticExpr].getName, algo),
-        (children: Seq[Expression]) => PhoneticExpr(children.head, algo)))
+        (children: Seq[Expression]) => {
+          require(children.length == 1,
+            s"$algo expects exactly 1 argument, got ${children.length}")
+          PhoneticExpr(children.head, algo)
+        }))
     }
     // get_map_schema / md2 (contrib/udfs ComplexSchemaFunctions.java,
     // CryptoFunctions.java)

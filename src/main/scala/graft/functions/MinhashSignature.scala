@@ -63,11 +63,6 @@ case class MinhashSignatureExpr(left: Expression, right: Expression)
       "minhash_sig expects (array<bigint>, int literal k)")
   }
 
-  private val k: Int = right match {
-    case Literal(v: Int, IntegerType) => v
-    case _ => -1
-  }
-
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def nullSafeEval(a: Any, b: Any): Any =

@@ -17,19 +17,27 @@ object StringEntropy {
     val str = s.toString
     val n = str.length
     if (n == 0) return 0.0
-    val counts = new java.util.TreeMap[Character, java.lang.Integer]()
+    // HashMap + one final key sort keeps the deterministic ascending-
+    // char summation order WITHOUT paying boxed TreeMap rebalancing per
+    // character on this codegen'd hot path
+    val counts = new java.util.HashMap[Character, Int]()
     var i = 0
     while (i < n) {
       val c = str.charAt(i)
-      val prev = counts.get(c)
-      counts.put(c, if (prev == null) 1 else prev + 1)
+      counts.merge(c, 1, (a, b) => a + b)
       i += 1
     }
+    val keys = new Array[Char](counts.size)
+    val it0 = counts.keySet().iterator()
+    var j = 0
+    while (it0.hasNext) { keys(j) = it0.next(); j += 1 }
+    java.util.Arrays.sort(keys)
     var h = 0.0
-    val it = counts.values().iterator()
-    while (it.hasNext) {
-      val p = it.next().doubleValue() / n
+    j = 0
+    while (j < keys.length) {
+      val p = counts.get(keys(j)).toDouble / n
       h += p * (math.log(p) / math.log(2.0))
+      j += 1
     }
     math.abs(h)
   }

@@ -64,10 +64,13 @@ object UserAgent {
     * parse_user_agent(ua); field access is parse_user_agent(ua).browser
     * etc. The single-field two-arg Drill form is the same projection. */
   def parseUserAgent(ua: Column): Column =
-    struct(
+    // NULL user agents parse to a NULL struct — letting the CASE chains
+    // fall through classified every null UA as an 'Other'/Desktop hit
+    // with a contradictory null is_bot
+    when(ua.isNotNull, struct(
       browser(ua).as("browser"),
       browserVersion(ua).as("browser_version"),
       osName(ua).as("os"),
       deviceClass(ua).as("device_class"),
-      isBot(ua).as("is_bot"))
+      isBot(ua).as("is_bot")))
 }

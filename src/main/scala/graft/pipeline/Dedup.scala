@@ -53,7 +53,12 @@ object Dedup {
   def minhashSignatureFromHashesHof(tokenHash: Column, k: Int): Column = {
     val p = graft.functions.MinhashKernel.P
     val mins = graft.functions.MinhashKernel.coeffs(k).toSeq.map { case (a, b) =>
-      array_min(transform(tokenHash, h => pmod(h * lit(a) + lit(b), lit(p))))
+      // empty token array: the kernel leaves its Long.MaxValue sentinel;
+      // array_min of an empty array is null — coalesce keeps the two
+      // formulations bit-identical on empty docs too
+      coalesce(
+        array_min(transform(tokenHash, h => pmod(h * lit(a) + lit(b), lit(p)))),
+        lit(Long.MaxValue))
     }
     array(mins: _*)
   }

@@ -17,11 +17,24 @@ object FileList {
               extensions: Set[String]): Seq[String] = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // recurse into subdirectories (rotated-capture layouts nest files)
+    // and keep only real FILES: a directory named day1.pcap/ must not be
+    // handed to a per-file reader as if it were a capture
+    def walk(d: Path): Seq[Path] =
+      fs.listStatus(d).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory) {
+          if (n.startsWith("_") || n.startsWith(".")) Nil
+          else walk(st.getPath)
+        }
+        else if (st.isFile &&
+            extensions.exists(e => n.toLowerCase.endsWith(e)))
+          Seq(st.getPath)
+        else Nil
+      }
     val files =
       if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).toSeq.map(_.getPath)
-          .filter(f => extensions.exists(e => f.getName.toLowerCase.endsWith(e)))
-          .map(_.toString).sorted
+        walk(p).map(_.toString).sorted
       else Seq(path)
     require(files.nonEmpty,
       s"no ${extensions.mkString("/")} files under $path")

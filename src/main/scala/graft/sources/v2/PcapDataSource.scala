@@ -67,12 +67,16 @@ class PcapScan(path: String, required: StructType) extends Scan with Batch {
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PcapReaderFactory(required.fieldNames)
+    new PcapReaderFactory(required.fieldNames,
+      new graft.sources.SerializableHadoopConf(
+        org.apache.spark.sql.SparkSession.active
+          .sparkContext.hadoopConfiguration))
 }
 
 case class PcapInputPartition(file: String) extends InputPartition
 
-class PcapReaderFactory(requiredFields: Array[String])
+class PcapReaderFactory(requiredFields: Array[String],
+                        conf: graft.sources.SerializableHadoopConf)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[PcapInputPartition].file
@@ -85,8 +89,10 @@ class PcapReaderFactory(requiredFields: Array[String])
         requiredFields.exists(PcapReader.networkFields.contains)
       private val stream = {
         val fp = new Path(file)
+        // the SESSION Hadoop configuration rides to executors — a bare
+        // Configuration() dropped fs credentials/endpoints (s3a etc.)
         new java.io.DataInputStream(
-          fp.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(fp))
+          fp.getFileSystem(conf.value).open(fp))
       }
       private val rows = PcapReader.parse(stream, decodeNet = needsNet)
       private var current: InternalRow = _
