@@ -126,6 +126,60 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           PhoneticExpr(children.head, algo)
         }))
     }
+    // typed binary codecs: convert_from(b, 'TYPE') / convert_to(v, 'TYPE')
+    // (ref exec/.../expr/fn/impl/conv/ — Drill resolves the literal to
+    // its convert_fromTYPE function at plan time; same here). 'JSON'
+    // routes to Spark's JSON machinery: schema-on-read map<string,string>
+    // out, to_json back in.
+    def convEnc(e: Expression, fn: String): String = e match {
+      case Literal(s, org.apache.spark.sql.types.StringType) if s != null =>
+        s.toString.toUpperCase(java.util.Locale.ROOT)
+      case other => throw new IllegalArgumentException(
+        s"$fn: the encoding must be a string literal, got $other")
+    }
+    ext.injectFunction((
+      new FunctionIdentifier("convert_from"),
+      new ExpressionInfo(classOf[graft.functions.ConvertFromExpr].getName,
+        "convert_from"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"convert_from expects (bytes, 'TYPE'), got ${children.length} args")
+        convEnc(children(1), "convert_from") match {
+          case "JSON" => org.apache.spark.sql.catalyst.expressions.JsonToStructs(
+            org.apache.spark.sql.types.MapType(
+              org.apache.spark.sql.types.StringType,
+              org.apache.spark.sql.types.StringType),
+            Map.empty[String, String], children.head)
+          case enc => graft.functions.ConvertFromExpr(
+            // string hex/byte args coerce to binary; anything else fails
+            // analysis with the expression's own type check
+            org.apache.spark.sql.catalyst.expressions.Cast(children.head,
+              org.apache.spark.sql.types.BinaryType), enc)
+        }
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("convert_to"),
+      new ExpressionInfo(classOf[graft.functions.ConvertToExpr].getName,
+        "convert_to"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"convert_to expects (value, 'TYPE'), got ${children.length} args")
+        convEnc(children(1), "convert_to") match {
+          case "JSON" | "EXTENDEDJSON" =>
+            org.apache.spark.sql.catalyst.expressions.Cast(
+              org.apache.spark.sql.catalyst.expressions.StructsToJson(
+                Map.empty[String, String], children.head),
+              org.apache.spark.sql.types.BinaryType)
+          case enc => graft.functions.ConvertToExpr(
+            graft.functions.ConvertBinary.ToTypes.get(enc) match {
+              // implicit input cast (int literal -> BIGINT etc.), the
+              // reference's argument-coercion posture
+              case Some(t) => org.apache.spark.sql.catalyst.expressions.Cast(
+                children.head, t)
+              case None => children.head // unknown enc: let the check fail
+            }, enc)
+        }
+      }))
     // get_map_schema / md2 (contrib/udfs ComplexSchemaFunctions.java,
     // CryptoFunctions.java)
     Seq("get_map_schema", "getmapschema").foreach { nm =>

@@ -466,6 +466,59 @@ object QueriesFunctions {
           .as("within_tol"))
     }),
 
+    // Typed binary convert_from/convert_to codecs (ref exec/.../expr/fn/
+    // impl/conv/BigIntBEConvertFrom.java and siblings; Hadoop vlong per
+    // exec/util/ByteBufUtil.java). The INTEGER family's oracle derives
+    // every signed value ARITHMETICALLY from the big-endian hex
+    // (('0x'||h)::UBIGINT, two's-complement fold in SQL) — no decode
+    // logic is shared with the implementation, and the little-endian
+    // columns must land on the same arithmetic value, so a wrong byte
+    // order on either side fails the gate. Round-trip columns prove the
+    // encoders byte-exactly (hex back to the input literal).
+    "q_convert_binary" -> ((s, _) => {
+      import s.implicits._
+      ConvCorpus.toDF("tag", "be8", "le8", "vl", "be4", "le4", "be2", "le2", "b1")
+        .select(col("tag"),
+          expr("convert_from(unhex(be8), 'BIGINT_BE')").as("v_be8"),
+          expr("convert_from(unhex(le8), 'BIGINT')").as("v_le8"),
+          expr("convert_from(unhex(le8), 'UINT8')").as("v_uint8"),
+          expr("convert_from(unhex(vl), 'BIGINT_HADOOPV')").as("v_vlong"),
+          expr("convert_from(unhex(be4), 'INT_BE')").as("v_int_be"),
+          expr("convert_from(unhex(le4), 'INT')").as("v_int_le"),
+          expr("convert_from(unhex(be4), 'UINT4_BE')").as("v_uint4"),
+          expr("cast(convert_from(unhex(be2), 'SMALLINT_BE') as int)").as("v_small_be"),
+          expr("cast(convert_from(unhex(le2), 'SMALLINT') as int)").as("v_small_le"),
+          expr("cast(convert_from(unhex(b1), 'TINYINT') as int)").as("v_tiny"),
+          expr("convert_from(unhex(b1), 'BOOLEAN_BYTE')").as("v_bool"),
+          expr("upper(hex(convert_to(convert_from(unhex(be8),'BIGINT_BE'), 'BIGINT_BE')))").as("rt_be8"),
+          expr("upper(hex(convert_to(convert_from(unhex(vl),'BIGINT_HADOOPV'), 'BIGINT_HADOOPV')))").as("rt_vl"),
+          expr("upper(hex(convert_to(convert_from(unhex(le4),'INT'), 'INT')))").as("rt_le4"))
+    }),
+
+    // The temporal/float/text half of the codec family. Oracle values
+    // are public-spec constants (IEEE-754 layouts, epoch millis, UTF
+    // encodings) verified independently; DATE_EPOCH floors to the day
+    // with the reference's truncating % semantics.
+    "q_convert_binary2" -> ((s, _) => {
+      import s.implicits._
+      Seq(1).toDF("one").select(
+        expr("convert_from(unhex('00000176BBFEB2C0'), 'DATE_EPOCH_BE')").as("d_be"),
+        expr("convert_from(unhex('C0B2FEBB76010000'), 'DATE_EPOCH')").as("d_le"),
+        expr("convert_from(unhex('00000176BBFEB2C0'), 'TIME_EPOCH_BE')").as("t_ms"),
+        expr("convert_from(unhex('00000176BBFEB2C0'), 'TIMESTAMP_EPOCH_BE')").as("ts_be"),
+        expr("convert_from(unhex('C0B2FEBB76010000'), 'TIMESTAMP_EPOCH')").as("ts_le"),
+        expr("cast(convert_from(unhex('3FC00000'), 'FLOAT_BE') as double)").as("f_be"),
+        expr("cast(convert_from(unhex('0000C03F'), 'FLOAT') as double)").as("f_le"),
+        expr("convert_from(unhex('C004000000000000'), 'DOUBLE_BE')").as("dbl_be"),
+        expr("convert_from(unhex('00000000000004C0'), 'DOUBLE')").as("dbl_le"),
+        expr("convert_from(unhex('68C3A96C6C6F'), 'UTF8')").as("s_utf8"),
+        expr("convert_from(unhex('FEFF00680069'), 'UTF16')").as("s_utf16"),
+        expr("upper(hex(convert_to(DATE'2021-01-01', 'DATE_EPOCH_BE')))").as("rt_date"),
+        expr("upper(hex(convert_to(TIMESTAMP'2021-01-01 03:30:00', 'TIMESTAMP_EPOCH_BE')))").as("rt_ts"),
+        expr("upper(hex(convert_to('héllo', 'UTF8')))").as("rt_utf8"),
+        expr("upper(hex(convert_to(convert_from(unhex('FEFF00680069'),'UTF16'), 'UTF16')))").as("rt_utf16"))
+    }),
+
     // Drill contrib/udfs UserAgentFunctions.java: the rule cascade in
     // functions/UserAgent.scala, mirrored verbatim in the oracle SQL over
     // the same inline corpus.
@@ -499,7 +552,55 @@ object QueriesFunctions {
     (14, "Mozilla/5.0 (iPad; CPU OS 16_6 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/16.6 Mobile/15E148 Safari/604.1"),
     (15, "SomeRandomClient/1.0"))
 
+  /** q_convert_binary fixture: per row one sample value per width —
+    * (tag, 8-byte BE/LE hex, Hadoop-vlong hex, 4-byte BE/LE, 2-byte
+    * BE/LE, 1-byte). Boundary set: 0, 1, -2, max, min, 255, a
+    * distinct-byte pattern. */
+  private val ConvCorpus = Seq(
+    ("a", "0000000000000000", "0000000000000000", "00", "00000000", "00000000", "0000", "0000", "00"),
+    ("b", "0000000000000001", "0100000000000000", "01", "00000001", "01000000", "0001", "0100", "01"),
+    ("c", "FFFFFFFFFFFFFFFE", "FEFFFFFFFFFFFFFF", "FE", "FFFFFFFE", "FEFFFFFF", "FFFE", "FEFF", "FE"),
+    ("d", "7FFFFFFFFFFFFFFF", "FFFFFFFFFFFFFF7F", "887FFFFFFFFFFFFFFF", "7FFFFFFF", "FFFFFF7F", "7FFF", "FF7F", "7F"),
+    ("e", "8000000000000000", "0000000000000080", "807FFFFFFFFFFFFFFF", "80000000", "00000080", "8000", "0080", "80"),
+    ("f", "00000000000000FF", "FF00000000000000", "8FFF", "000000FF", "FF000000", "00FF", "FF00", "FF"),
+    ("g", "123456789ABCDEF0", "F0DEBC9A78563412", "88123456789ABCDEF0", "12345678", "78563412", "1234", "3412", "12"))
+
+  private val ConvCorpusSql: String = ConvCorpus.map { case (t, a, b, c, d, e, f, g, h) =>
+    s"('$t','$a','$b','$c','$d','$e','$f','$g','$h')"
+  }.mkString(", ")
+
   val oracle: Map[String, String] = Map(
+    "q_convert_binary" ->
+      s"""WITH t(tag, be8, le8, vl, be4, le4, be2, le2, b1) AS (VALUES $ConvCorpusSql),
+         u AS (SELECT tag, ('0x'||be8)::UBIGINT AS u8, ('0x'||be4)::UBIGINT AS u4,
+                      ('0x'||be2)::UBIGINT AS u2, ('0x'||b1)::UBIGINT AS u1,
+                      be8, vl, le4 FROM t),
+         s AS (SELECT tag,
+                 (CASE WHEN u8 >= 9223372036854775808::UBIGINT
+                       THEN u8::HUGEINT - 18446744073709551616::HUGEINT
+                       ELSE u8::HUGEINT END)::BIGINT AS s8,
+                 (CASE WHEN u4 >= 2147483648 THEN u4::BIGINT - 4294967296
+                       ELSE u4::BIGINT END)::INTEGER AS s4,
+                 (CASE WHEN u2 >= 32768 THEN u2::BIGINT - 65536
+                       ELSE u2::BIGINT END)::INTEGER AS s2,
+                 (CASE WHEN u1 >= 128 THEN u1::BIGINT - 256
+                       ELSE u1::BIGINT END)::INTEGER AS s1,
+                 u4::BIGINT AS uu4, (u1 <> 0) AS bb, be8, vl, le4 FROM u)
+         SELECT tag, s8 AS v_be8, s8 AS v_le8, s8 AS v_uint8, s8 AS v_vlong,
+                s4 AS v_int_be, s4 AS v_int_le, uu4 AS v_uint4,
+                s2 AS v_small_be, s2 AS v_small_le, s1 AS v_tiny, bb AS v_bool,
+                be8 AS rt_be8, vl AS rt_vl, le4 AS rt_le4
+         FROM s""",
+    "q_convert_binary2" ->
+      """SELECT DATE '2021-01-01' AS d_be, DATE '2021-01-01' AS d_le,
+         12600000 AS t_ms,
+         TIMESTAMP '2021-01-01 03:30:00' AS ts_be,
+         TIMESTAMP '2021-01-01 03:30:00' AS ts_le,
+         1.5::DOUBLE AS f_be, 1.5::DOUBLE AS f_le,
+         (-2.5)::DOUBLE AS dbl_be, (-2.5)::DOUBLE AS dbl_le,
+         'héllo' AS s_utf8, 'hi' AS s_utf16,
+         '00000176BB3E7000' AS rt_date, '00000176BBFEB2C0' AS rt_ts,
+         '68C3A96C6C6F' AS rt_utf8, 'FEFF00680069' AS rt_utf16""",
     "q_string_fns" ->
       """SELECT c_custkey, upper(c_name) AS up, lower(c_name) AS lo, substr(c_name, 1, 8) AS pre,
          length(c_name) AS len, regexp_replace(c_name, 'Customer', 'C', 'g') AS repl,

@@ -123,7 +123,8 @@ object ComplexOps {
   def saltedJoin(left: DataFrame, right: DataFrame,
                  leftKey: Column, rightKey: Column,
                  buckets: Int = 8,
-                 joinType: String = "inner"): DataFrame = {
+                 joinType: String = "inner",
+                 spreadDuplicates: Boolean = false): DataFrame = {
     // right/full outer would emit `buckets` null-extended copies of every
     // unmatched right row (it was replicated before the join) — refuse
     // rather than silently multiply
@@ -133,11 +134,27 @@ object ComplexOps {
         "replicated right side would duplicate unmatched right rows")
     // salt must be DETERMINISTIC under task retry (a recomputed map task
     // must route each row to the same reducer — the SPARK-23207 class of
-    // bug), yet still spread a hot key's rows: hash the whole row, not a
-    // row id and not just the key
-    val l = left.withColumn("_salt_l",
-      pmod(xxhash64(struct(left.columns.map(col).toSeq: _*)),
-        lit(buckets)).cast("int"))
+    // bug), yet still spread a hot key's rows: hash the row's HASHABLE
+    // columns (xxhash64 refuses MapType — skip those, never fail
+    // analysis), not a row id and not just the key. Known degradation:
+    // EXACT-duplicate rows share a salt and collapse to one bucket; set
+    // `spreadDuplicates` to mix in a partition-local row index — only
+    // safe when the left plan reads a deterministic source directly
+    // (file scans: row order within a split is file order, so a retried
+    // task recomputes the same salts), NOT downstream of a shuffle.
+    def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => true
+      case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => hasMap(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hasMap(a.elementType)
+      case _ => false
+    }
+    val hashable = left.schema.fields.filterNot(f => hasMap(f.dataType)).map(f => col(f.name))
+    val contentHash =
+      if (hashable.nonEmpty) xxhash64(struct(hashable.toSeq: _*)) else xxhash64(leftKey)
+    val saltBase =
+      if (spreadDuplicates) contentHash + monotonically_increasing_id()
+      else contentHash
+    val l = left.withColumn("_salt_l", pmod(saltBase, lit(buckets)).cast("int"))
     val r = right.withColumn("_salt_r",
       explode(sequence(lit(0), lit(buckets - 1))))
     l.join(r, leftKey === rightKey && col("_salt_l") === col("_salt_r"), joinType)

@@ -3,6 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType, StringType}
 
 /** Deduplication operators designed for the 100 TB regime.
   *
@@ -305,21 +306,10 @@ object Dedup {
     val bNew = bandedIdsFrom(toksNew, numHashes, bands, Int.MaxValue)
       .select("band", "id").localCheckpoint()
     // committed batches only: data lands in per-batch subdirectories and
-    // a batch exists once the atomically-renamed batches.json names it —
-    // a crash mid-append leaves orphan dirs that no reader ever lists,
-    // never a bands/sigs mismatch that silently eats future pairs
-    val committed: Seq[String] = {
-      val bp = new org.apache.hadoop.fs.Path(indexDir, "batches.json")
-      if (!fs.exists(bp)) Nil
-      else {
-        val in = fs.open(bp)
-        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-                  finally in.close()
-        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
-        import scala.jdk.CollectionConverters._
-        node.get("batches").elements.asScala.map(_.asText).toSeq
-      }
-    }
+    // a batch exists once a committed batch-list names it — a crash
+    // mid-append leaves orphan dirs that no reader ever lists, never a
+    // bands/sigs mismatch that silently eats future pairs
+    val (listVersion, committed) = readBatchList(fs, indexDir)
     val newMarked = bNew.withColumn("is_new", lit(true))
     val bAll0 = if (committed.nonEmpty)
       spark.read.parquet(committed.map(b => s"$indexDir/bands/$b"): _*)
@@ -368,15 +358,70 @@ object Dedup {
         s"""{"numHashes":$numHashes,"bands":$bands}""".getBytes("UTF-8"))
       finally out.close()
     }
-    val listJson = (committed :+ batchId)
-      .map(b => "\"" + b + "\"").mkString("{\"batches\":[", ",", "]}")
-    val tmp = new org.apache.hadoop.fs.Path(indexDir, ".batches.json.tmp")
-    val os = fs.create(tmp, true)
-    try os.write(listJson.getBytes("UTF-8")) finally os.close()
-    val target = new org.apache.hadoop.fs.Path(indexDir, "batches.json")
-    if (fs.exists(target)) fs.delete(target, false)
-    require(fs.rename(tmp, target), s"batch-list rename failed: $target")
+    // batch-list commit: monotonically versioned files created with
+    // overwrite=false (put-if-absent — the Delta commit rule, see
+    // DeltaLogReader.writeCommit). The old read-modify-write over one
+    // batches.json lost updates: two concurrent appenders each wrote
+    // `committed :+ own` and the last rename won, silently dropping the
+    // loser's band/sig rows from the index forever; the delete-then-
+    // rename window also let a racing reader see an EMPTY index. Now a
+    // losing writer re-reads the winner's list and retries at the next
+    // version, so every committed batch survives any interleaving.
+    // (Concurrent appends are index-safe; the PAIRS a run emits still
+    // only cover batches committed before it began — run appends
+    // serially when cross-batch pair completeness matters.)
+    var ver = listVersion
+    var cur = committed
+    var attempts = 0
+    var done = false
+    while (!done) {
+      attempts += 1
+      require(attempts <= 50,
+        s"minhash index batch-list commit: gave up after 50 conflicts at $indexDir")
+      val listJson = (cur :+ batchId)
+        .map(b => "\"" + b + "\"").mkString("{\"batches\":[", ",", "]}")
+      val p = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(indexDir, "batchlists"), f"${ver + 1}%010d.json")
+      try {
+        val os = fs.create(p, false)
+        try os.write(listJson.getBytes("UTF-8")) finally os.close()
+        done = true
+      } catch { case _: java.io.IOException =>
+        val (v2, c2) = readBatchList(fs, indexDir)
+        ver = v2
+        cur = c2
+      }
+    }
     pairs
+  }
+
+  /** Highest committed batch list: (version, batch ids). Version 0 =
+    * nothing committed; a legacy single `batches.json` (pre-versioning
+    * indexes) reads as version 0 so the first versioned commit lands at
+    * 1 and supersedes it. */
+  private def readBatchList(fs: org.apache.hadoop.fs.FileSystem,
+                            indexDir: String): (Long, Seq[String]) = {
+    def parse(p: org.apache.hadoop.fs.Path): Seq[String] = {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                finally in.close()
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+      import scala.jdk.CollectionConverters._
+      node.get("batches").elements.asScala.map(_.asText).toSeq
+    }
+    val dir = new org.apache.hadoop.fs.Path(indexDir, "batchlists")
+    val versions =
+      if (fs.exists(dir))
+        fs.listStatus(dir).toSeq.map(_.getPath.getName)
+          .filter(_.matches("\\d{10}\\.json")).map(_.dropRight(5).toLong)
+      else Nil
+    if (versions.nonEmpty) {
+      val v = versions.max
+      (v, parse(new org.apache.hadoop.fs.Path(dir, f"$v%010d.json")))
+    } else {
+      val legacy = new org.apache.hadoop.fs.Path(indexDir, "batches.json")
+      if (fs.exists(legacy)) (0L, parse(legacy)) else (0L, Nil)
+    }
   }
 
   /** Drop every corpus doc that near-duplicates the reference set (the
@@ -769,8 +814,11 @@ object Dedup {
     * DataFrame-native). */
   def dupComponents(pairs: DataFrame, aCol: String = "id_a",
                     bCol: String = "id_b", maxRounds: Int = 20): DataFrame = {
-    val edges = pairs.select(col(aCol).cast("long").as("src"),
-      col(bCol).cast("long").as("dst"))
+    val (at, bt) = (pairs.schema(aCol).dataType, pairs.schema(bCol).dataType)
+    require(idClass(at) == idClass(bt),
+      s"pair id columns must share a type class: $aCol is $at, $bCol is $bt")
+    val edges = pairs.select(idNorm(at, col(aCol)).as("src"),
+      idNorm(bt, col(bCol)).as("dst"))
     val bi = edges
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
@@ -828,7 +876,7 @@ object Dedup {
     // collapse-then-trim-then-split: plain trim strips only 0x20, so a
     // leading newline would otherwise produce a phantom empty token
     val toks = docs
-      .select(col(idCol).cast("long").as("doc_id"),
+      .select(idNorm(docs.schema(idCol).dataType, col(idCol)).as("doc_id"),
         split(trim(regexp_replace(col(textCol), "\\s+", " ")), " ").as("t"))
       .filter(size(col("t")) >= n)
     val spans = graft.GraftSession.balanced(toks)
@@ -861,7 +909,7 @@ object Dedup {
     val ivs = repeatedSpans(docs, idCol, textCol, n)
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list("pos")).as("ps"))
-    val canonical = docs.select(col(idCol).cast("long").as("doc_id"),
+    val canonical = docs.select(idNorm(docs.schema(idCol).dataType, col(idCol)).as("doc_id"),
       split(trim(regexp_replace(col(textCol), "\\s+", " ")), " ").as("t"))
     canonical.join(ivs, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -878,8 +926,30 @@ object Dedup {
     * the non-canonical member list. */
   def keepCanonical(docs: DataFrame, pairs: DataFrame, idCol: String,
                     aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val docDt = docs.schema(idCol).dataType
+    require(idClass(docDt) == idClass(pairs.schema(aCol).dataType),
+      s"doc id column $idCol (${docDt}) and pair id column $aCol " +
+        s"(${pairs.schema(aCol).dataType}) must share a type class")
     val drops = dupComponents(pairs, aCol, bCol)
       .filter(col("id") =!= col("component")).select("id")
-    docs.join(drops, docs(idCol) === drops("id"), "left_anti")
+    docs.join(drops, idNorm(docDt, docs(idCol)) === drops("id"), "left_anti")
   }
+
+  /** Caller-supplied doc-id columns: integral types cast EXACTLY to
+    * long; strings (URLs / UUIDs — the common-crawl id shape) stay
+    * native — min-label propagation and hash joins are type-generic, so
+    * exactness beats hashing them to long (a 64-bit hash collision
+    * would silently merge unrelated docs). Anything else refuses
+    * loudly: a blind cast("long") here once nulled string ids, so every
+    * edge vanished and keepCanonical kept all duplicates — the same
+    * silent-cast class TemporalJoins.requireSameKeyType documents. */
+  private def idClass(dt: DataType): String = dt match {
+    case ByteType | ShortType | IntegerType | LongType => "integral"
+    case StringType => "string"
+    case other => throw new IllegalArgumentException(
+      s"id column must be integral or string, got $other")
+  }
+
+  private def idNorm(dt: DataType, c: Column): Column =
+    if (idClass(dt) == "integral") c.cast("long") else c
 }

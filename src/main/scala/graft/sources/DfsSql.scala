@@ -57,8 +57,10 @@ object DfsSql {
         case "json" | "jsonl" | "ndjson" => SchemaOnRead.json(spark, path)
         case "orc" => spark.read.orc(path)
         case "log" | "txt" | "text" => spark.read.text(path)
-        case "psv" => SchemaOnRead.csv(spark, path, "|")
-        case "tbl" => SchemaOnRead.csv(spark, path, "|")
+        // Drill's psv/tbl formats default extractHeader=false and TPC-H
+        // .tbl files are headerless — the columns[] contract, so row 1
+        // is data, never consumed as names
+        case "psv" | "tbl" => SchemaOnRead.csvColumns(spark, path, "|")
         case "ltsv" => SchemaOnRead.ltsv(spark, path)
         case other => throw new IllegalArgumentException(
           s"dfs: glob reads support parquet/csv/tsv/psv/tbl/json/orc/" +
@@ -121,7 +123,8 @@ object DfsSql {
       case "parquet"                   => spark.read.parquet(path)
       case "csv"                       => SchemaOnRead.csv(spark, path)
       case "tsv"                       => SchemaOnRead.csv(spark, path, "\t")
-      case "psv" | "tbl"               => SchemaOnRead.csv(spark, path, "|")
+      // headerless columns[] per Drill's psv/tbl defaults (see glob note)
+      case "psv" | "tbl"               => SchemaOnRead.csvColumns(spark, path, "|")
       case "json" | "jsonl" | "ndjson" => SchemaOnRead.json(spark, path)
       case "orc"                       => spark.read.orc(path)
       case "avro"                      => AvroReader.read(spark, path)

@@ -68,14 +68,21 @@ object GraftCatalog {
       val fs = p.getFileSystem(conf)
       if (!fs.exists(p)) Nil
       else {
-        def list(d: org.apache.hadoop.fs.Path):
+        // one unreadable subdirectory (permissions, vanished mid-walk)
+        // must not fail the whole catalog query — skip it; a depth bound
+        // keeps the recursive walk over e.g. the implicit tmp workspace
+        // finite even across symlink cycles
+        val maxDepth = 32
+        def list(d: org.apache.hadoop.fs.Path, depth: Int):
             Seq[org.apache.hadoop.fs.FileStatus] = {
-          val st = fs.listStatus(d).toSeq
-          if (recursive)
-            st ++ st.filter(_.isDirectory).flatMap(s => list(s.getPath))
+          val st =
+            try fs.listStatus(d).toSeq
+            catch { case _: java.io.IOException => Nil }
+          if (recursive && depth < maxDepth)
+            st ++ st.filter(_.isDirectory).flatMap(s => list(s.getPath, depth + 1))
           else st
         }
-        list(p).map { st =>
+        list(p, 0).map { st =>
           val rel = st.getPath.toString.stripPrefix(
             fs.makeQualified(p).toString).stripPrefix("/")
           (s"dfs.$ws", ws, st.getPath.getName, rel, st.isDirectory,

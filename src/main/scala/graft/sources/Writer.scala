@@ -68,13 +68,28 @@ object Writer {
     val spark = df.sparkSession
     // a location left by a PREVIOUS session is invisible to this
     // session's in-memory catalog — clear it, or CREATE refuses on the
-    // stale directory (overwrite only covers catalog-known tables)
+    // stale directory (overwrite only covers catalog-known tables).
+    // Only clear what LOOKS like a previous table write (_SUCCESS /
+    // part- files): recursively deleting an arbitrary caller-supplied
+    // path would destroy unrelated data beyond overwrite semantics.
     if (!spark.catalog.tableExists(table)) {
       val loc = path.getOrElse(
         spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
           "/" + table.toLowerCase)
       val p = new org.apache.hadoop.fs.Path(loc)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) {
+        val entries = fs.listStatus(p).toSeq
+        val looksLikeTable = entries.isEmpty || entries.exists { s =>
+          val n = s.getPath.getName
+          n == "_SUCCESS" || n.startsWith("part-") || n == "_temporary"
+        }
+        require(looksLikeTable,
+          s"bucketedCtas: $loc exists and does not look like a previous " +
+            "table location (no _SUCCESS/part- files) — refusing to " +
+            "delete it; point `path` elsewhere or remove it explicitly")
+        fs.delete(p, true)
+      }
     }
     val w0 = df.write.format(format).mode("overwrite")
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)

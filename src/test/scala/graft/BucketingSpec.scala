@@ -71,6 +71,19 @@ class BucketingSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketedCtas refuses to clear a path that is not a previous table") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("notatable")
+    java.nio.file.Files.writeString(d.resolve("precious.txt"), "user data")
+    val df = Seq((1L, "a")).toDF("k", "v")
+    spark.sql("DROP TABLE IF EXISTS b_refuse")
+    val e = intercept[IllegalArgumentException] {
+      Writer.bucketedCtas(df, "b_refuse", 2, Seq("k"), path = Some(d.toString))
+    }
+    assert(e.getMessage.contains("refusing"))
+    assert(java.nio.file.Files.exists(d.resolve("precious.txt")))
+  }
+
   test("EXPLAIN PLAN FOR returns (text, json); WITHOUT IMPLEMENTATION = logical") {
     val r = spark.sql(
       s"EXPLAIN PLAN FOR SELECT count(*) AS n FROM dfs.`$SF/orders.parquet`")

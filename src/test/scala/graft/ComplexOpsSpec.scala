@@ -89,6 +89,28 @@ class ComplexOpsSpec extends AnyFunSuite {
     assert(plain.count(_.head == 42L) >= 1000)
   }
 
+  test("saltedJoin survives MapType columns and can spread exact duplicates") {
+    import spark.implicits._
+    // a map column used to fail xxhash64 analysis outright
+    val left = ((1 to 200).map(_ => (42L, "dup")) ++ Seq((7L, "x")))
+      .toDF("k", "v")
+      .withColumn("m", map(col("v"), col("k")))
+    val right = Seq((42L, "hot"), (7L, "seven")).toDF("rk", "name")
+    val plain = left.join(right, col("k") === col("rk"))
+      .select("k", "v", "name").collect().map(_.toSeq).toSet
+    val salted = ComplexOps.saltedJoin(left, right, col("k"), col("rk"), buckets = 4)
+      .select("k", "v", "name").collect().map(_.toSeq).toSet
+    assert(salted == plain)
+    // spreadDuplicates: identical rows stop collapsing into one bucket,
+    // and (identical rows being interchangeable) the result multiset is
+    // unchanged
+    val spread = ComplexOps.saltedJoin(left, right, col("k"), col("rk"),
+        buckets = 4, spreadDuplicates = true)
+      .select("k", "v", "name")
+    assert(spread.count() === 201L)
+    assert(spread.collect().map(_.toSeq).toSet == plain)
+  }
+
   test("topN plans as TakeOrderedAndProject (no global sort)") {
     val plan = ComplexOps.topN(
         GraftSession.table(spark, SF, "orders"), 5, col("o_totalprice").desc)

@@ -78,6 +78,21 @@ class DfsSqlSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT * FROM dfs.`$dir`").count() === 9)
   }
 
+  test("psv/tbl read HEADERLESS as the columns[] array (TPC-H .tbl contract)") {
+    // Drill's psv/tbl formats default extractHeader=false: row 1 is
+    // DATA — the old csv mapping silently ate it as column names
+    val dir = Files.createTempDirectory("dfs_tbl_")
+    Files.writeString(dir.resolve("nation.tbl"),
+      "0|ALGERIA|0|haggle\n1|ARGENTINA|1|al foxes\n")
+    val rows = spark.sql(
+      s"SELECT columns[1] AS n_name FROM dfs.`${dir.resolve("nation.tbl")}`")
+      .collect().map(_.getString(0)).toSeq
+    assert(rows == Seq("ALGERIA", "ARGENTINA")) // both rows, none consumed
+    val glob = spark.sql(
+      s"SELECT count(*) AS n FROM dfs.`${dir}/*.tbl`").first().getLong(0)
+    assert(glob === 2L)
+  }
+
   test("unknown extension and missing path error clearly") {
     val p = Files.createTempFile("dfs_bad_", ".zzz")
     val e1 = intercept[Exception](spark.sql(s"SELECT * FROM dfs.`$p`").collect())

@@ -264,6 +264,72 @@ class FunctionsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](sqlToRegexSimilar("ab!", '!'))
   }
 
+  test("HADOOPV varint codec matches org.apache.hadoop.io.WritableUtils exactly") {
+    import graft.functions.ConvertBinary
+    // the INDEPENDENT validator: Hadoop's own WritableUtils (on Spark's
+    // classpath) produced/consumed the reference's vlong framing — every
+    // boundary + a seeded sweep must round-trip through BOTH codecs
+    val rnd = new scala.util.Random(42)
+    val vals = Seq(0L, 1L, -1L, 127L, 128L, -112L, -113L, 255L, 256L,
+      Long.MaxValue, Long.MinValue, Int.MaxValue.toLong, Int.MinValue.toLong) ++
+      (1 to 200).map(_ => rnd.nextLong())
+    vals.foreach { v =>
+      val buf = new org.apache.hadoop.io.DataOutputBuffer()
+      org.apache.hadoop.io.WritableUtils.writeVLong(buf, v)
+      val hadoopBytes = java.util.Arrays.copyOf(buf.getData, buf.getLength)
+      assert(ConvertBinary.writeVLong(v).toSeq == hadoopBytes.toSeq,
+        s"writeVLong($v) diverges from WritableUtils")
+      assert(ConvertBinary.readVLong(hadoopBytes) == v,
+        s"readVLong(WritableUtils bytes) != $v")
+      val in = new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(ConvertBinary.writeVLong(v)))
+      assert(org.apache.hadoop.io.WritableUtils.readVLong(in) == v,
+        s"WritableUtils cannot read graft's encoding of $v")
+    }
+  }
+
+  test("convert_from error paths: wrong length, unknown encoding, non-literal") {
+    import spark.implicits._
+    val df = Seq(("0011223344", 1)).toDF("h", "i")
+    val e1 = intercept[Exception](
+      df.select(expr("convert_from(unhex(h), 'INT')")).collect())
+    assert(e1.getMessage.contains("wrong buffer length") ||
+      Option(e1.getCause).exists(_.getMessage.contains("wrong buffer length")))
+    val e2 = intercept[Exception](
+      df.select(expr("convert_from(unhex(h), 'NOPE')")).collect())
+    assert(e2.getMessage.toLowerCase.contains("nope") ||
+      e2.getMessage.contains("unknown convert_from"))
+    val e3 = intercept[Exception](
+      df.select(expr("convert_from(unhex(h), h)")).collect())
+    assert(e3.getMessage.contains("string literal"))
+    // NULL_IF_NULL posture
+    val r = spark.sql("SELECT convert_from(CAST(NULL AS BINARY), 'INT') AS v")
+      .collect()(0)
+    assert(r.isNullAt(0))
+  }
+
+  test("convert_from cracks SequenceFile binary keys from SQL (QS q_read_seqfile wiring)") {
+    import spark.implicits._
+    // a SequenceFile written by HADOOP's writer with BytesWritable keys
+    // holding big-endian longs — the HBase-key shape the codecs exist for
+    val dir = java.nio.file.Files.createTempDirectory("seqconv").toString + "/f"
+    spark.sparkContext.parallelize(Seq(7L, 42L, -3L), 1)
+      .map { k => // writables built task-side (not serializable)
+        (new org.apache.hadoop.io.BytesWritable(
+          java.nio.ByteBuffer.allocate(8).putLong(k).array()),
+         new org.apache.hadoop.io.BytesWritable(
+          java.nio.ByteBuffer.allocate(8).putLong(k * 100).array()))
+      }.saveAsSequenceFile(dir)
+    graft.sources.SequenceFileReader.read(spark, dir)
+      .createOrReplaceTempView("seq_bin")
+    val got = spark.sql(
+      """SELECT convert_from(binary_key, 'BIGINT_BE') AS k,
+                convert_from(binary_value, 'BIGINT_BE') AS v
+         FROM seq_bin ORDER BY k""").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((-3L, -300L), (7L, 700L), (42L, 4200L)))
+  }
+
   test("kvgen/mappify explodes a JSON map column (SURVEY row 36)") {
     import spark.implicits._
     val df = Seq((1L, """{"a": 1, "b": 2}""")).toDF("id", "js")

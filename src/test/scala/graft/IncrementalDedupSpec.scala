@@ -94,6 +94,44 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(inc.forall { case (a, b) => a <= 3 && b <= 3 }, inc)
   }
 
+  test("batch-list commits are versioned put-if-absent; legacy batches.json reads") {
+    val dir = tmp("mhidxver") + "/idx"
+    Dedup.minhashIndexAppend(batch1, "doc_id", "text", dir)
+    Dedup.minhashIndexAppend(batch2, "doc_id", "text", dir)
+    // two appends -> versions 1 and 2 on disk, nothing deleted in between
+    val lists = new java.io.File(dir, "batchlists").list()
+      .filterNot(_.startsWith(".")).sorted // drop hadoop .crc sidecars
+    assert(lists.toSeq == Seq("0000000001.json", "0000000002.json"), lists.toSeq)
+    // a put-if-absent collision at the next version forces the conflict
+    // path: pre-create version 3, then append — the writer must land at 4
+    // with ALL batches (winner's list + its own), not clobber
+    val v3 = new java.io.File(dir, "batchlists/0000000003.json")
+    val blocker = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "batchlists", "0000000002.json"))
+    java.nio.file.Files.writeString(v3.toPath, blocker)
+    val r3 = Dedup.minhashIndexAppend(
+      Seq((201L, base.replace("gamma", "theta"))).toDF("doc_id", "text"),
+      "doc_id", "text", dir)
+    assert(pairSet(r3).contains((1L, 201L)))
+    val v4 = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "batchlists", "0000000004.json"))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    assert(mapper.readTree(v4).get("batches").size() == 3)
+
+    // legacy layout (single batches.json, pre-versioning) still reads
+    val dir2 = tmp("mhidxleg") + "/idx"
+    Dedup.minhashIndexAppend(batch1, "doc_id", "text", dir2)
+    val legacy = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir2, "batchlists", "0000000001.json"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir2, "batches.json"), legacy)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(dir2, "batchlists"))
+    val r2 = Dedup.minhashIndexAppend(batch2, "doc_id", "text", dir2)
+    assert(pairSet(r2).contains((1L, 101L)), "legacy index lost cross-batch pair")
+    assert(new java.io.File(dir2, "batchlists/0000000001.json").exists())
+  }
+
   test("index stores hashes only (no text) and pins the hash family") {
     val dir = tmp("mhidx2") + "/idx"
     Dedup.minhashIndexAppend(batch1, "doc_id", "text", dir)

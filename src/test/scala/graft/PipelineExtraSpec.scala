@@ -173,6 +173,43 @@ class PipelineExtraSpec extends AnyFunSuite {
     assert(kept == Set(1L, 4L, 5L, 7L, 8L))
   }
 
+  test("dedup terminal ops take STRING ids natively (the URL/UUID case)") {
+    // the silent-cast class: a blind cast("long") nulled string ids so
+    // every edge vanished and keepCanonical kept all duplicates
+    val pairs = Seq(("url-b", "url-a"), ("url-c", "url-b"), ("u2", "u1"))
+      .toDF("id_a", "id_b")
+    val comp = Dedup.dupComponents(pairs).as[(String, String)].collect().toMap
+    assert(Seq("url-a", "url-b", "url-c").forall(comp(_) == "url-a"))
+    assert(comp("u1") == "u1" && comp("u2") == "u1")
+    val docs = Seq("url-a", "url-b", "url-c", "u1", "u2", "lonely")
+      .map(u => (u, s"text $u")).toDF("doc_id", "text")
+    val kept = Dedup.keepCanonical(docs, pairs, "doc_id")
+      .select("doc_id").as[String].collect().toSet
+    assert(kept == Set("url-a", "u1", "lonely"))
+    val spans = Dedup.repeatedSpans(
+      Seq(("d1", "a b c x y z"), ("d2", "p q a b c r")).toDF("doc_id", "text"),
+      "doc_id", "text", n = 3).as[(String, Int)].collect().toSet
+    assert(spans == Set(("d2", 2)))
+    val cut = Dedup.cutRepeatedSpans(
+      Seq(("d1", "a b c d e"), ("d2", "z a b c d w")).toDF("doc_id", "text"),
+      "doc_id", "text", n = 3).as[(String, String)].collect().toMap
+    assert(cut("d1") == "a b c d e" && cut("d2") == "z w")
+  }
+
+  test("dedup terminal ops refuse unusable or mixed-class id columns") {
+    val doublePairs = Seq((1.5, 2.5)).toDF("id_a", "id_b")
+    assertThrows[IllegalArgumentException](Dedup.dupComponents(doublePairs))
+    val mixed = Seq((1L, "x")).toDF("id_a", "id_b")
+    assertThrows[IllegalArgumentException](Dedup.dupComponents(mixed))
+    val strDocs = Seq(("a", "t")).toDF("doc_id", "text")
+    val longPairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    assertThrows[IllegalArgumentException](
+      Dedup.keepCanonical(strDocs, longPairs, "doc_id"))
+    assertThrows[IllegalArgumentException](
+      Dedup.repeatedSpans(Seq((1.5, "a b c")).toDF("doc_id", "text"),
+        "doc_id", "text", n = 2))
+  }
+
   test("dsirWeights rank target-like docs above off-target docs") {
     import graft.pipeline.Search
     val raw = Seq(
