@@ -180,6 +180,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             }, enc)
         }
       }))
+    // planar GIS predicates (contrib/udfs gis/STCrosses.java,
+    // STTouches.java, STOverlaps.java, STEquals.java, STDisjoint.java,
+    // STIntersects.java — DE-9IM over the (gtype, xs, ys) core)
+    graft.functions.GisPredicates.OpIds.keys.foreach { op =>
+      ext.injectFunction((
+        new FunctionIdentifier(op),
+        new ExpressionInfo(classOf[graft.functions.GisPredicateExpr].getName, op),
+        (children: Seq[Expression]) => {
+          require(children.length == 2,
+            s"$op expects exactly 2 arguments, got ${children.length}")
+          graft.functions.GisPredicateExpr(children.head, children(1), op)
+        }))
+    }
     // get_map_schema / md2 (contrib/udfs ComplexSchemaFunctions.java,
     // CryptoFunctions.java)
     Seq("get_map_schema", "getmapschema").foreach { nm =>

@@ -449,6 +449,68 @@ object QueriesFunctions {
           round(stXMax(g), 2).as("env_xmax"))
     }),
 
+    // DE-9IM predicate pack (contrib/udfs gis/STIntersects/Disjoint/
+    // Equals/Touches/Crosses/Overlaps — Esri-backed in the reference,
+    // re-derived from the DE-9IM definitions here). The fixtures are
+    // AXIS-ALIGNED rectangles and horizontal/vertical segments generated
+    // from o_orderkey, so every predicate has a CLOSED-FORM interval
+    // answer the oracle computes with pure integer arithmetic — no
+    // geometry code shared with the implementation. eq_rot asserts
+    // ring-rotation-invariant polygon equality (always true).
+    "q_gis_predicates" -> ((s, d) => {
+      import graft.functions.GisFunctions._
+      import org.apache.spark.sql.Column
+      val k = col("o_orderkey")
+      def w(c: Column): Column = c.cast("string")
+      // rect A [ax1,ax2]x[ay1,ay2], rect B, horizontal L, collinear M,
+      // vertical V — identical derivations in the oracle SQL
+      val ax1 = k % 5; val ax2 = ax1 + 1 + (k % 3)
+      val ay1 = (k * 2) % 5; val ay2 = ay1 + 1 + ((k * 5) % 2)
+      val bx1 = (k * 3) % 6; val bx2 = bx1 + 1 + ((k * 7) % 3)
+      val by1 = (k * 11) % 5; val by2 = by1 + 1 + (k % 2)
+      val ly = (k * 13) % 7 - 1
+      val lx1 = (k * 17) % 5 - 1; val lx2 = lx1 + 1 + ((k * 19) % 4)
+      val mx1 = (k * 23) % 6 - 2; val mx2 = mx1 + 1 + ((k * 29) % 3)
+      val vx = (k * 31) % 5
+      val vy1 = (k * 37) % 4 - 2; val vy2 = vy1 + 2 + (k % 2)
+      def rect(x1: Column, y1: Column, x2: Column, y2: Column): Column =
+        stGeomFromText(concat(lit("POLYGON (("),
+          w(x1), lit(" "), w(y1), lit(", "), w(x2), lit(" "), w(y1), lit(", "),
+          w(x2), lit(" "), w(y2), lit(", "), w(x1), lit(" "), w(y2), lit(", "),
+          w(x1), lit(" "), w(y1), lit("))")))
+      def seg(x1: Column, y1: Column, x2: Column, y2: Column): Column =
+        stGeomFromText(concat(lit("LINESTRING ("),
+          w(x1), lit(" "), w(y1), lit(", "), w(x2), lit(" "), w(y2), lit(")")))
+      val ga = rect(ax1, ay1, ax2, ay2)
+      val gaRot = stGeomFromText(concat(lit("POLYGON (("),
+        w(ax2), lit(" "), w(ay1), lit(", "), w(ax2), lit(" "), w(ay2), lit(", "),
+        w(ax1), lit(" "), w(ay2), lit(", "), w(ax1), lit(" "), w(ay1), lit(", "),
+        w(ax2), lit(" "), w(ay1), lit("))")))
+      val gb = rect(bx1, by1, bx2, by2)
+      val gl = seg(lx1, ly, lx2, ly)
+      val gm = seg(mx1, ly, mx2, ly)
+      val gv = seg(vx, vy1, vx, vy2)
+      T(s, d, "orders").filter(k < 400)
+        .select(k.as("o_orderkey"),
+          stIntersects(ga, gb).as("r_int"),
+          stDisjoint(ga, gb).as("r_disj"),
+          stEquals(ga, gb).as("r_eq"),
+          stTouches(ga, gb).as("r_touch"),
+          stOverlaps(ga, gb).as("r_overlap"),
+          stCrosses(ga, gb).as("r_cross"),
+          stEquals(ga, gaRot).as("eq_rot"),
+          stIntersects(gl, ga).as("l_int"),
+          stTouches(gl, ga).as("l_touch"),
+          stCrosses(gl, ga).as("l_cross"),
+          stIntersects(gl, gm).as("ll_int"),
+          stEquals(gl, gm).as("ll_eq"),
+          stTouches(gl, gm).as("ll_touch"),
+          stOverlaps(gl, gm).as("ll_overlap"),
+          stIntersects(gl, gv).as("lv_int"),
+          stCrosses(gl, gv).as("lv_cross"),
+          stTouches(gl, gv).as("lv_touch"))
+    }),
+
     // Mergeable HLL sketch columns (Spark's Datasketches-backed built-ins):
     // per-group sketches union to an estimate within tolerance of the
     // global exact count — the "sketch once, merge cheaply" contract that
@@ -570,6 +632,54 @@ object QueriesFunctions {
   }.mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q_gis_predicates" ->
+      """WITH g AS (
+           SELECT o_orderkey, o_orderkey AS k,
+             o_orderkey % 5 AS ax1, o_orderkey % 5 + 1 + (o_orderkey % 3) AS ax2,
+             (o_orderkey*2) % 5 AS ay1,
+             (o_orderkey*2) % 5 + 1 + ((o_orderkey*5) % 2) AS ay2,
+             (o_orderkey*3) % 6 AS bx1,
+             (o_orderkey*3) % 6 + 1 + ((o_orderkey*7) % 3) AS bx2,
+             (o_orderkey*11) % 5 AS by1,
+             (o_orderkey*11) % 5 + 1 + (o_orderkey % 2) AS by2,
+             (o_orderkey*13) % 7 - 1 AS ly,
+             (o_orderkey*17) % 5 - 1 AS lx1,
+             (o_orderkey*17) % 5 + ((o_orderkey*19) % 4) AS lx2,
+             (o_orderkey*23) % 6 - 2 AS mx1,
+             (o_orderkey*23) % 6 - 1 + ((o_orderkey*29) % 3) AS mx2,
+             (o_orderkey*31) % 5 AS vx,
+             (o_orderkey*37) % 4 - 2 AS vy1,
+             (o_orderkey*37) % 4 + (o_orderkey % 2) AS vy2
+           FROM orders WHERE o_orderkey < 400),
+         p AS (SELECT *,
+             (greatest(ax1,bx1) <= least(ax2,bx2) AND greatest(ay1,by1) <= least(ay2,by2)) AS rint,
+             (greatest(ax1,bx1) < least(ax2,bx2)) AS xint,
+             (greatest(ay1,by1) < least(ay2,by2)) AS yint,
+             (ax1=bx1 AND ax2=bx2 AND ay1=by1 AND ay2=by2) AS req,
+             (bx1<=ax1 AND ax2<=bx2 AND by1<=ay1 AND ay2<=by2) AS awinb,
+             (ax1<=bx1 AND bx2<=ax2 AND ay1<=by1 AND by2<=ay2) AS bwina,
+             (ly >= ay1 AND ly <= ay2 AND lx2 >= ax1 AND lx1 <= ax2) AS lint,
+             (ly > ay1 AND ly < ay2 AND least(lx2,ax2) > greatest(lx1,ax1)) AS lenters
+           FROM g)
+         SELECT o_orderkey,
+           rint AS r_int, NOT rint AS r_disj, req AS r_eq,
+           (rint AND NOT (xint AND yint)) AS r_touch,
+           (xint AND yint AND NOT req AND NOT awinb AND NOT bwina) AS r_overlap,
+           FALSE AS r_cross,
+           TRUE AS eq_rot,
+           lint AS l_int,
+           (lint AND NOT lenters) AS l_touch,
+           (lenters AND (lx1 < ax1 OR lx2 > ax2)) AS l_cross,
+           (greatest(lx1,mx1) <= least(lx2,mx2)) AS ll_int,
+           (lx1 = mx1 AND lx2 = mx2) AS ll_eq,
+           (greatest(lx1,mx1) = least(lx2,mx2)) AS ll_touch,
+           (greatest(lx1,mx1) < least(lx2,mx2) AND NOT (lx1=mx1 AND lx2=mx2)
+              AND NOT (lx1<=mx1 AND mx2<=lx2) AND NOT (mx1<=lx1 AND lx2<=mx2)) AS ll_overlap,
+           (vx >= lx1 AND vx <= lx2 AND ly >= vy1 AND ly <= vy2) AS lv_int,
+           (vx > lx1 AND vx < lx2 AND ly > vy1 AND ly < vy2) AS lv_cross,
+           ((vx >= lx1 AND vx <= lx2 AND ly >= vy1 AND ly <= vy2)
+              AND NOT (vx > lx1 AND vx < lx2 AND ly > vy1 AND ly < vy2)) AS lv_touch
+         FROM p""",
     "q_convert_binary" ->
       s"""WITH t(tag, be8, le8, vl, be4, le4, be2, le2, b1) AS (VALUES $ConvCorpusSql),
          u AS (SELECT tag, ('0x'||be8)::UBIGINT AS u8, ('0x'||be4)::UBIGINT AS u4,

@@ -139,9 +139,24 @@ object GisFunctions {
     sqrt(pow(element_at(a("xs"), 1) - element_at(b("xs"), 1), 2) +
       pow(element_at(a("ys"), 1) - element_at(b("ys"), 1), 2))
 
-  /** Envelope-overlap intersects (the bbox pre-filter; exact polygon
-    * intersection is out of the hand-rolled core's scope). */
+  /** Envelope-overlap intersects (the bbox pre-filter; the exact
+    * predicate is [[stIntersects]]). */
   def stIntersectsBBox(a: Column, b: Column): Column =
     stXMin(a) <= stXMax(b) && stXMin(b) <= stXMax(a) &&
       stYMin(a) <= stYMax(b) && stYMin(b) <= stYMax(a)
+
+  // ---- DE-9IM predicates (GisPredicates.scala; registered in the
+  // session function registry by GraftExtensions) --------------------
+  def stIntersects(a: Column, b: Column): Column =
+    call_function("st_intersects", a, b)
+  def stDisjoint(a: Column, b: Column): Column =
+    call_function("st_disjoint", a, b)
+  def stEquals(a: Column, b: Column): Column =
+    call_function("st_equals", a, b)
+  def stTouches(a: Column, b: Column): Column =
+    call_function("st_touches", a, b)
+  def stCrosses(a: Column, b: Column): Column =
+    call_function("st_crosses", a, b)
+  def stOverlaps(a: Column, b: Column): Column =
+    call_function("st_overlaps", a, b)
 }

@@ -152,11 +152,112 @@ object Multimodal {
     }
   }
 
-  /** STUB decode kernel (video remains stubbed — no video codec in the
-    * JDK or this container): a real implementation decodes `payload`
-    * with a media codec; this deterministic fake derives "pixels" from
-    * the bytes so the distributed plumbing (mapPartitions over binary
-    * batches, output schema, partition sizing) is fully exercised. */
+  // ---- video: REAL MJPEG-in-AVI decode -------------------------------
+
+  /** Minimal RIFF/AVI walk (the container format is a public spec:
+    * RIFF('AVI ' LIST('hdrl' avih ...) LIST('movi' ##dc/##db ...))):
+    * returns (microSecPerFrame, frame payloads) or None when the bytes
+    * are not an AVI. Frame chunks may nest inside 'rec ' LISTs; chunk
+    * sizes pad to even. */
+  private[pipeline] def aviFrames(b: Array[Byte]): Option[(Long, Seq[Array[Byte]])] = {
+    def u32(o: Int): Long =
+      ((b(o) & 0xFFL)) | ((b(o + 1) & 0xFFL) << 8) |
+        ((b(o + 2) & 0xFFL) << 16) | ((b(o + 3) & 0xFFL) << 24)
+    def fourcc(o: Int): String =
+      new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (b.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
+    var usPerFrame = 0L
+    val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    def walk(from: Int, to: Int): Unit = {
+      var pos = from
+      while (pos + 8 <= to) {
+        val id = fourcc(pos)
+        val size = u32(pos + 4).toInt
+        val dataStart = pos + 8
+        if (size < 0 || dataStart + size > to) return // truncated: stop clean
+        if (id == "LIST") {
+          val listType = fourcc(dataStart)
+          if (listType == "hdrl" || listType == "movi" || listType == "rec " ||
+              listType == "strl")
+            walk(dataStart + 4, dataStart + size)
+        } else if (id == "avih" && size >= 4) {
+          usPerFrame = u32(dataStart)
+        } else if (id.length == 4 && id(2) == 'd' &&
+                   (id(3) == 'c' || id(3) == 'b')) {
+          frames += java.util.Arrays.copyOfRange(b, dataStart, dataStart + size)
+        }
+        pos = dataStart + size + (size & 1) // even padding
+      }
+    }
+    walk(12, b.length)
+    Some((usPerFrame, frames.toSeq))
+  }
+
+  /** REAL video decode for MJPEG-in-AVI (the one video family needing
+    * no codec: RIFF framing is a public spec and every ##dc frame is a
+    * JPEG that javax.imageio decodes — the same posture as the zip+StAX
+    * XLSX reader). One OUTPUT ROW PER FRAME: frame index, timestamp from
+    * the avih microseconds-per-frame, dimensions, mean RGB. Non-AVI /
+    * null payloads emit one all-null-frame row (schema-on-read, no task
+    * failure); frames whose payload imageio cannot decode (uncompressed
+    * ##db DIBs, INTER-FRAME codecs like H.264 — the one remaining
+    * labeled stub, genuinely impossible without a codec) keep their
+    * (frame_idx, frame_ms) and null pixel columns. flatMap over binary
+    * batches — the scale shape is the same map-only scan as
+    * [[decodeImage]], fanned out per frame. */
+  def decodeVideo(media: DataFrame, maxFrames: Int = 32): DataFrame = {
+    val outSchema = StructType(media.schema.fields ++ Seq(
+      StructField("frame_idx", IntegerType, nullable = true),
+      StructField("frame_ms", LongType, nullable = true),
+      StructField("vid_width", IntegerType, nullable = true),
+      StructField("vid_height", IntegerType, nullable = true),
+      StructField("frame_mean_rgb", ArrayType(DoubleType), nullable = true)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        val parsed = if (payload == null) None else
+          try aviFrames(payload)
+          catch { case scala.util.control.NonFatal(_) => None }
+        parsed match {
+          case None | Some((_, Seq())) =>
+            Iterator.single(Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, null)))
+          case Some((usPerFrame, frames)) =>
+            frames.iterator.take(maxFrames).zipWithIndex.map { case (fb, i) =>
+              val img =
+                try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(fb))
+                catch { case scala.util.control.NonFatal(_) => null }
+              val ms = if (usPerFrame > 0) i * usPerFrame / 1000 else null
+              if (img == null)
+                Row.fromSeq(r.toSeq ++ Seq(i, ms, null, null, null))
+              else {
+                val (w, h) = (img.getWidth, img.getHeight)
+                var sr = 0L; var sg = 0L; var sb = 0L
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) {
+                    val p = img.getRGB(x, y)
+                    sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+                    x += 1
+                  }
+                  y += 1
+                }
+                val n = (w.toLong * h) * 255.0
+                Row.fromSeq(r.toSeq ++ Seq(i, ms, w, h, Seq(sr / n, sg / n, sb / n)))
+              }
+            }
+        }
+      }
+    }(enc).toDF(outSchema.fieldNames: _*)
+  }
+
+  /** STUB decode kernel (generic feature extraction over arbitrary
+    * payloads — real image/audio/VIDEO decode live above; only
+    * inter-frame video codecs remain genuinely stubbed, no codec in the
+    * JDK): a deterministic fake derives "pixels" from the bytes so the
+    * distributed plumbing (mapPartitions over binary batches, output
+    * schema, partition sizing) is fully exercised. */
   def decodeImageFeatures(media: DataFrame, featureDim: Int = 8): DataFrame = {
     val spark = media.sparkSession
     val outSchema = StructType(media.schema.fields :+

@@ -37,10 +37,14 @@ import scala.jdk.CollectionConverters._
   * merge-on-read: per-key latest-sequence-number merge over the spec's
   * `_KEY_<col>` / `_SEQUENCE_NUMBER` / `_VALUE_KIND` system columns,
   * RowKind retractions dropped — the spec's default `deduplicate`
-  * merge engine), unpartitioned, parquet data format. PARTITIONED
-  * tables require BinaryRow partition decoding and REFUSE with a clear
-  * error rather than returning wrong rows; so do non-`deduplicate`
-  * merge engines (partial-update / aggregation / first-row).
+  * merge engine), parquet data format. PARTITIONED append-only tables
+  * read with manifest-stat partition pruning disabled (live files
+  * resolve by NAME, values from data columns or hive-style dir names)
+  * because the manifest `_PARTITION` tuple is BinaryRow-encoded — a
+  * Flink implementation detail, not published spec. PARTITIONED
+  * primary-key tables REFUSE (bucket routing hashes that tuple); so do
+  * non-`deduplicate` merge engines (partial-update / aggregation /
+  * first-row).
   *
   * Scale posture: metadata parsing (JSON + avro manifests) is
   * driver-side and metadata-scale — what Paimon's own planning does —
@@ -327,6 +331,24 @@ object PaimonTable {
       .distinctBy(_.fileName)
   }
 
+  /** name → full path of every data file under the table's partition
+    * directories (skips the metadata dirs). Driver-side FS metadata walk,
+    * the same scale class as manifest parsing. */
+  private def locateDataFiles(spark: SparkSession, table: String): Map[String, String] = {
+    val fs = fsOf(spark, table)
+    val meta = Set("schema", "snapshot", "manifest", "index", "changelog")
+    val out = scala.collection.mutable.Map[String, String]()
+    def walk(p: Path): Unit =
+      fs.listStatus(p).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory) { if (!meta.contains(n)) walk(st.getPath) }
+        else if (!n.startsWith(".") && !n.startsWith("_"))
+          out(n) = st.getPath.toString
+      }
+    walk(new Path(table))
+    out.toMap
+  }
+
   /** Read an unpartitioned Paimon table (optionally time traveled).
     * Append-only tables scan directly; PRIMARY-KEY tables apply LSM
     * merge-on-read: one hash shuffle on the key columns, per-key
@@ -350,16 +372,65 @@ object PaimonTable {
     val sch = loadSchema(spark, table,
       if (snapshotId.isEmpty && asOfTimeMs.isEmpty) None
       else Some(snap.schemaId))
-    require(sch.partitionKeys.isEmpty,
-      s"paimon PARTITIONED table (keys ${sch.partitionKeys.mkString(",")}) " +
-        "is not supported — unpartitioned tables only")
+    // PARTITIONED tables: bounded support. Manifest _PARTITION tuples are
+    // BinaryRow-encoded (Flink implementation detail, not published spec
+    // — a hand-rolled codec would only validate against itself), but the
+    // LIVE-file set is computable WITHOUT them: ADD-minus-DELETE by file
+    // name (names are UUIDs, partition-independent), and each live file's
+    // full path is recovered by walking the table's partition directory
+    // tree. Partition VALUES come from the data files themselves when
+    // present, else from hive-style `key=value` directory names (Spark
+    // partition discovery over basePath). Driver-side partition pruning
+    // from manifest stats is DISABLED on this path (that is what
+    // BinaryRow would buy); query-time partition pruning on the
+    // discovered columns still applies. PK+partitioned stays refused:
+    // bucket routing hashes the BinaryRow tuple.
+    require(sch.partitionKeys.isEmpty || sch.primaryKeys.isEmpty,
+      s"paimon PARTITIONED PRIMARY-KEY table (partition keys " +
+        s"${sch.partitionKeys.mkString(",")}) is not supported — bucket " +
+        "routing hashes the BinaryRow partition tuple (unpublished layout)")
     val merge = sch.options.getOrElse("merge-engine", "deduplicate")
     require(sch.primaryKeys.isEmpty || merge == "deduplicate",
       s"paimon merge-engine '$merge' is not supported — deduplicate only")
-    val files = liveFiles(spark, table, snapshotId, asOfTimeMs)
-      .map(f => s"$table/bucket-${f.bucket}/${f.fileName}")
+    val files =
+      if (sch.partitionKeys.isEmpty)
+        liveFiles(spark, table, snapshotId, asOfTimeMs)
+          .map(f => s"$table/bucket-${f.bucket}/${f.fileName}")
+      else {
+        val live = liveFiles(spark, table, snapshotId, asOfTimeMs)
+        val byName = locateDataFiles(spark, table)
+        live.map { f =>
+          byName.getOrElse(f.fileName, throw new IllegalStateException(
+            s"paimon partitioned read: live file ${f.fileName} not found " +
+              s"under $table — layout not directory-recoverable"))
+        }
+      }
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sch.schema)
+    else if (sch.partitionKeys.nonEmpty) {
+      // does the data itself carry the partition columns? (paimon's
+      // default append-table writers keep the full row; some layouts trim)
+      val probe = spark.read.parquet(files.head).schema.fieldNames.toSet
+      if (sch.partitionKeys.forall(probe.contains))
+        spark.read.schema(sch.schema).parquet(files: _*)
+      else {
+        // recover values from key=value directory names; refuse if the
+        // layout yields nothing (non-hive partition path style). basePath
+        // must share the qualified scheme of the located file paths.
+        val df = spark.read.option("basePath",
+            fsOf(spark, table).makeQualified(new Path(table)).toString)
+          .parquet(files: _*)
+        val got = df.schema.fieldNames.toSet
+        require(sch.partitionKeys.forall(got.contains),
+          s"paimon partitioned read: partition values are in neither the " +
+            s"data files nor key=value directory names under $table")
+        // discovered partition columns come back in Spark's inferred type
+        // — bind them (and the order) to the declared schema
+        df.select(sch.schema.fields.map(f =>
+          org.apache.spark.sql.functions.col(f.name).cast(f.dataType)
+            .as(f.name)).toSeq: _*)
+      }
+    }
     else if (sch.primaryKeys.isEmpty)
       spark.read.schema(sch.schema).parquet(files: _*)
     else {

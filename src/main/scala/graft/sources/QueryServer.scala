@@ -134,6 +134,26 @@ object QueryServer {
           Option(e.getMessage).getOrElse(e.getClass.getSimpleName)))
       }
     })
+    // ---- human-facing HTML console (reference exec/java-exec/src/main/
+    // resources/rest/: index.ftl + profile/list.ftl, served by
+    // DrillRestServer) — a minimal static shell over the SAME JSON
+    // endpoints above; the JSON contracts are the API, these pages are
+    // just eyes on them. Registered under "/" (com.sun HttpServer gives
+    // the longer /query, /profiles... contexts precedence) with the
+    // profile page under /web/ so it can't shadow the /profiles JSON.
+    server.createContext("/", new HttpHandler {
+      override def handle(x: HttpExchange): Unit = try {
+        if (x.getRequestMethod != "GET") { respond(x, 405, error("GET only")); return }
+        x.getRequestURI.getPath match {
+          case "/" | "/index.html" => respondHtml(x, 200, indexHtml)
+          case "/web/profiles.html" => respondHtml(x, 200, profilesHtml)
+          case p => respond(x, 404, error(s"no such path: $p"))
+        }
+      } catch {
+        case e: Throwable => respond(x, 400, error(
+          Option(e.getMessage).getOrElse(e.getClass.getSimpleName)))
+      }
+    })
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4,
       (r: Runnable) => { val t = new Thread(r); t.setDaemon(true); t })
     server.setExecutor(pool)
@@ -154,4 +174,67 @@ object QueryServer {
     x.getResponseBody.write(bytes)
     x.close()
   }
+
+  private def respondHtml(x: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes("UTF-8")
+    x.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
+    x.sendResponseHeaders(code, bytes.length)
+    x.getResponseBody.write(bytes)
+    x.close()
+  }
+
+  private val style =
+    """<style>body{font-family:sans-serif;margin:2em;max-width:70em}
+      |table{border-collapse:collapse;margin:1em 0}
+      |td,th{border:1px solid #999;padding:.25em .6em;text-align:left}
+      |textarea{width:100%;font-family:monospace}
+      |nav a{margin-right:1.2em}</style>""".stripMargin
+
+  /** index.ftl role: a query box over POST /query + links to every JSON
+    * surface. */
+  private val indexHtml: String =
+    s"""<!doctype html><html><head><title>graft</title>$style</head><body>
+       |<h1>graft query console</h1>
+       |<nav><a href="/web/profiles.html">profiles</a>
+       |<a href="/options.json">options.json</a>
+       |<a href="/storage.json">storage.json</a></nav>
+       |<form onsubmit="run();return false">
+       |<textarea id="q" rows="4">SELECT 1 AS one</textarea><br>
+       |<button>Run</button></form><div id="out"></div>
+       |<script>
+       |async function run(){
+       | const r=await fetch('/query',{method:'POST',
+       |   body:JSON.stringify({query:document.getElementById('q').value})});
+       | const j=await r.json();
+       | const out=document.getElementById('out');
+       | if(j.errorMessage){out.textContent=j.errorMessage;return}
+       | let h='<table><tr>'+j.columns.map(c=>'<th>'+c+'</th>').join('')+'</tr>';
+       | for(const row of j.rows){h+='<tr>'+j.columns.map(c=>
+       |   '<td>'+(row[c]===undefined?'':String(row[c]))+'</td>').join('')+'</tr>'}
+       | out.innerHTML=h+'</table>';
+       |}
+       |</script></body></html>""".stripMargin
+
+  /** profile/list.ftl role: the profile ring + per-stage/per-operator
+    * depth, fetched from the JSON endpoints. */
+  private val profilesHtml: String =
+    s"""<!doctype html><html><head><title>graft profiles</title>$style</head>
+       |<body><h1>query profiles</h1><nav><a href="/">console</a></nav>
+       |<div id="p"></div><h2>stages</h2><div id="s"></div>
+       |<h2>operators</h2><div id="o"></div>
+       |<script>
+       |function tab(rows){
+       | if(!rows.length)return '<p>(none — enable profiling)</p>';
+       | const cols=Object.keys(rows[0]);
+       | let h='<table><tr>'+cols.map(c=>'<th>'+c+'</th>').join('')+'</tr>';
+       | for(const r of rows){h+='<tr>'+cols.map(c=>
+       |   '<td>'+(r[c]===undefined?'':String(r[c]))+'</td>').join('')+'</tr>'}
+       | return h+'</table>';
+       |}
+       |async function load(id,url){
+       | document.getElementById(id).innerHTML=tab(await (await fetch(url)).json());
+       |}
+       |load('p','/profiles');load('s','/profiles/stages');
+       |load('o','/profiles/operators');
+       |</script></body></html>""".stripMargin
 }

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.GisFunctions._
+
+/** DE-9IM predicate pack over the planar core (GisPredicates.scala):
+  * hand-built cases beyond the gate's axis-aligned family — diamonds,
+  * point/line/polygon mixes, boundary contacts, containment, and the
+  * ring-rotation/reversal equality rules. */
+class GisPredicatesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def pred(name: String, aWkt: String, bWkt: String): Boolean = {
+    import spark.implicits._
+    Seq((aWkt, bWkt)).toDF("a", "b")
+      .select(call_function(name,
+        stGeomFromText(col("a")), stGeomFromText(col("b"))).as("v"))
+      .collect()(0).getBoolean(0)
+  }
+
+  private val diamond = "POLYGON ((2 0, 0 2, -2 0, 0 -2, 2 0))"
+  private val square = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+
+  test("st_intersects / st_disjoint across type pairs") {
+    assert(pred("st_intersects", "POINT (1 0)", diamond)) // interior
+    assert(pred("st_intersects", "POINT (2 0)", diamond)) // vertex
+    assert(!pred("st_intersects", "POINT (3 3)", diamond))
+    assert(pred("st_disjoint", "POINT (3 3)", diamond))
+    assert(pred("st_intersects", "LINESTRING (-3 0, 3 0)", diamond)) // through
+    assert(pred("st_intersects", "LINESTRING (2 0, 4 4)", diamond)) // vertex only
+    assert(!pred("st_intersects", "LINESTRING (3 0, 5 0)", diamond))
+    // diamond inscribed in the square: contained, shares boundary points
+    assert(pred("st_intersects", "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))", square))
+    // fully inside, no edge contact — containment without edge crossing
+    assert(pred("st_intersects", "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))", square))
+    assert(pred("st_intersects", square,
+      "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))")) // other orientation
+  }
+
+  test("st_equals: rotation and reversal invariant for rings, direction for lines") {
+    assert(pred("st_equals", diamond, "POLYGON ((0 2, -2 0, 0 -2, 2 0, 0 2))"))
+    assert(pred("st_equals", diamond, "POLYGON ((2 0, 0 -2, -2 0, 0 2, 2 0))"))
+    assert(!pred("st_equals", diamond, square))
+    assert(pred("st_equals", "LINESTRING (0 0, 1 1, 2 0)",
+      "LINESTRING (2 0, 1 1, 0 0)")) // reversed
+    assert(!pred("st_equals", "LINESTRING (0 0, 2 0)", "LINESTRING (0 0, 3 0)"))
+    assert(pred("st_equals", "POINT (1 2)", "POINT (1 2)"))
+    assert(!pred("st_equals", "POINT (1 2)", "POINT (1 3)"))
+    assert(!pred("st_equals", "POINT (1 2)", diamond)) // cross-type
+  }
+
+  test("st_touches: boundary contact without interior contact") {
+    // point at a polygon vertex / on an edge: boundary -> touches
+    assert(pred("st_touches", "POINT (2 0)", diamond))
+    assert(pred("st_touches", "POINT (1 1)", diamond)) // on edge x+y=2
+    assert(!pred("st_touches", "POINT (0 0)", diamond)) // interior
+    // point at a line ENDPOINT touches; on the line interior it does not
+    assert(pred("st_touches", "POINT (0 0)", "LINESTRING (0 0, 2 2)"))
+    assert(!pred("st_touches", "POINT (1 1)", "LINESTRING (0 0, 2 2)"))
+    assert(!pred("st_touches", "POINT (1 1)", "POINT (1 1)")) // empty boundaries
+    // L-shaped line contact at an endpoint vs a crossing
+    assert(pred("st_touches", "LINESTRING (0 0, 2 0)", "LINESTRING (2 0, 2 2)"))
+    assert(!pred("st_touches", "LINESTRING (0 0, 2 0)", "LINESTRING (1 -1, 1 1)"))
+    // line along a diamond edge from vertex to vertex: boundary only
+    assert(pred("st_touches", "LINESTRING (2 0, 0 2)", diamond))
+    // chord through the interior is not a touch
+    assert(!pred("st_touches", "LINESTRING (-1 0, 1 0)", diamond))
+    // two diamonds sharing one vertex
+    assert(pred("st_touches", diamond, "POLYGON ((4 0, 2 2, 2 0, 4 0))"))
+    // identical rings: interiors meet, never touches
+    assert(!pred("st_touches", diamond,
+      "POLYGON ((0 2, -2 0, 0 -2, 2 0, 0 2))"))
+  }
+
+  test("st_crosses: dim-0 interior meeting for lines, through-and-out for areas") {
+    assert(pred("st_crosses", "LINESTRING (0 0, 2 2)", "LINESTRING (0 2, 2 0)"))
+    // endpoint contact is a touch, not a cross
+    assert(!pred("st_crosses", "LINESTRING (0 0, 2 0)", "LINESTRING (2 0, 2 2)"))
+    // collinear overlap is dim-1: overlaps, not crosses
+    assert(!pred("st_crosses", "LINESTRING (0 0, 3 0)", "LINESTRING (1 0, 4 0)"))
+    // line passes through the diamond and out the other side
+    assert(pred("st_crosses", "LINESTRING (-3 0, 3 0)", diamond))
+    assert(pred("st_crosses", diamond, "LINESTRING (-3 0, 3 0)")) // symmetric
+    // chord that stays inside (enters but never exits): not a cross
+    assert(!pred("st_crosses", "LINESTRING (-1 0, 1 0)", diamond))
+    // along the boundary: never enters the interior
+    assert(!pred("st_crosses", "LINESTRING (2 0, 0 2)", diamond))
+    // points and area/area pairs never cross
+    assert(!pred("st_crosses", "POINT (0 0)", diamond))
+    assert(!pred("st_crosses", diamond, square))
+  }
+
+  test("st_overlaps: same-dimension partial overlap only") {
+    // two diamonds offset by 2: lens-shaped overlap
+    assert(pred("st_overlaps", diamond, "POLYGON ((4 0, 2 2, 0 0, 2 -2, 4 0))"))
+    assert(!pred("st_overlaps", diamond, diamond)) // equal -> not overlaps
+    // containment -> not overlaps (either direction)
+    assert(!pred("st_overlaps", square, "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))"))
+    assert(!pred("st_overlaps", "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))", square))
+    // vertex-touching diamonds: boundary contact only
+    assert(!pred("st_overlaps", diamond, "POLYGON ((4 0, 2 2, 2 0, 4 0))"))
+    // collinear partial line overlap
+    assert(pred("st_overlaps", "LINESTRING (0 0, 3 0)", "LINESTRING (1 0, 4 0)"))
+    assert(!pred("st_overlaps", "LINESTRING (0 0, 3 0)", "LINESTRING (1 0, 2 0)"))
+    assert(!pred("st_overlaps", "LINESTRING (0 0, 2 2)", "LINESTRING (0 2, 2 0)"))
+    // different dimensions never overlap
+    assert(!pred("st_overlaps", "LINESTRING (-3 0, 3 0)", diamond))
+    assert(!pred("st_overlaps", "POINT (0 0)", "POINT (0 0)"))
+  }
+
+  test("predicates refuse non-geometry inputs") {
+    import spark.implicits._
+    val e = intercept[Exception] {
+      Seq(1).toDF("x")
+        .select(call_function("st_crosses", col("x"), col("x"))).collect()
+    }
+    assert(e.getMessage.contains("geometry structs") ||
+      e.getMessage.contains("st_crosses"))
+  }
+}

@@ -67,6 +67,67 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(2).isNullAt(out(2).fieldIndex("audio_mean_abs")))    // null payload
   }
 
+  test("decodeVideo REALLY decodes MJPEG-in-AVI frames (committed fixture)") {
+    import spark.implicits._
+    // committed fixture: 3-frame 16x12 MJPEG AVI at 10fps (red/green/blue)
+    val avi = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$Fixtures/sample.avi"))
+    // byte-level framing sanity on the COMMITTED file, independent of
+    // the reader: RIFF magic, AVI form type, avih microSecPerFrame
+    assert(new String(avi, 0, 4, "US-ASCII") == "RIFF")
+    assert(new String(avi, 8, 4, "US-ASCII") == "AVI ")
+    assert(new String(avi, 20, 4, "US-ASCII") == "hdrl")
+    assert(new String(avi, 24, 4, "US-ASCII") == "avih")
+    val usPerFrame = (avi(32) & 0xFFL) | ((avi(33) & 0xFFL) << 8) |
+      ((avi(34) & 0xFFL) << 16) | ((avi(35) & 0xFFL) << 24)
+    assert(usPerFrame == 100000L)
+    val df = Seq((1L, "video", avi),
+        (2L, "video", "not an avi".getBytes("UTF-8")))
+      .toDF("media_id", "kind", "payload")
+    val out = Multimodal.decodeVideo(df).orderBy("media_id", "frame_idx").collect()
+    val fi = out(0).fieldIndex("frame_idx")
+    val frames = out.filter(_.getLong(0) == 1L)
+    assert(frames.length == 3)
+    assert(frames.map(_.getInt(fi)).toSeq == Seq(0, 1, 2))
+    assert(frames.map(_.getLong(out(0).fieldIndex("frame_ms"))).toSeq ==
+      Seq(0L, 100L, 200L))
+    frames.foreach { f =>
+      assert(f.getInt(f.fieldIndex("vid_width")) == 16)
+      assert(f.getInt(f.fieldIndex("vid_height")) == 12)
+    }
+    // JPEG is lossy: solid-color frames come back within a small tolerance
+    def rgb(i: Int) = frames(i).getSeq[Double](frames(i).fieldIndex("frame_mean_rgb"))
+    assert(rgb(0)(0) > 0.9 && rgb(0)(1) < 0.1 && rgb(0)(2) < 0.1, rgb(0))
+    assert(rgb(1)(1) > 0.9 && rgb(1)(0) < 0.1 && rgb(1)(2) < 0.1, rgb(1))
+    assert(rgb(2)(2) > 0.9 && rgb(2)(0) < 0.1 && rgb(2)(1) < 0.1, rgb(2))
+    // dirty row: one null-frame row, no task failure
+    val dirty = out.filter(_.getLong(0) == 2L)
+    assert(dirty.length == 1 && dirty(0).isNullAt(fi))
+  }
+
+  test("decodeVideo: maxFrames cap and undecodable frame payloads") {
+    import spark.implicits._
+    import graft.tools.MakeAviFixture
+    // 5 frames, capped to 2; second AVI carries NON-JPEG frame bytes
+    // (the inter-frame-codec stand-in): framing parses, pixels null
+    val good = MakeAviFixture.build(8, 8, 40000,
+      (1 to 5).map(_ => MakeAviFixture.jpegFrame(8, 8, 0x808080)))
+    val raw = MakeAviFixture.build(8, 8, 40000,
+      Seq(Array.fill[Byte](32)(7), Array.fill[Byte](32)(9)))
+    val df = Seq((1L, "video", good), (2L, "video", raw))
+      .toDF("media_id", "kind", "payload")
+    val out = Multimodal.decodeVideo(df, maxFrames = 2)
+      .orderBy("media_id", "frame_idx").collect()
+    val byId = out.groupBy(_.getLong(0))
+    assert(byId(1L).length == 2) // capped
+    assert(byId(1L).forall(r => r.getInt(r.fieldIndex("vid_width")) == 8))
+    assert(byId(1L).map(_.getLong(out(0).fieldIndex("frame_ms"))).toSeq ==
+      Seq(0L, 40L))
+    assert(byId(2L).length == 2)
+    assert(byId(2L).forall(r => !r.isNullAt(r.fieldIndex("frame_idx")) &&
+      r.isNullAt(r.fieldIndex("vid_width")))) // framing real, codec absent
+  }
+
   test("decodeImageFeatures (STUB kernel) is deterministic over binary batches") {
     val feats = Multimodal.decodeImageFeatures(media.limit(50), featureDim = 8)
     val rows = feats.select("media_id", "features").collect()

@@ -130,13 +130,71 @@ class PaimonSpec extends AnyFunSuite {
       PaimonTable.read(spark, base)
     }
     assert(e1.getMessage.contains("merge-engine"))
-    rewrite(orig.replace("\"partitionKeys\":[]", "\"partitionKeys\":[\"v\"]"))
+    // PARTITIONED + PRIMARY-KEY: bucket routing hashes the BinaryRow
+    // partition tuple — still a refusal (append-only partitioned reads)
+    rewrite(orig
+      .replace("\"partitionKeys\":[]", "\"partitionKeys\":[\"v\"]")
+      .replace("\"primaryKeys\":[]", "\"primaryKeys\":[\"id\"]"))
     val e2 = intercept[IllegalArgumentException] {
       PaimonTable.read(spark, base)
     }
-    assert(e2.getMessage.contains("PARTITIONED"))
+    assert(e2.getMessage.contains("PARTITIONED PRIMARY-KEY"))
     rewrite(orig)
     assert(PaimonTable.read(spark, base).count() == 5L)
+  }
+
+  test("partitioned append-only reads: live files by name, values from data") {
+    import spark.implicits._
+    val base = freshDir("part_data")
+    PaimonTable.write((1L to 5L).map(i => (i, s"v${i % 2}")).toDF("id", "v"), base)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // declare v a partition key and move the data under a partition dir:
+    // the reader must locate live files by NAME (manifest _PARTITION is
+    // BinaryRow — unreadable) and take values from the data columns
+    val schemaPath = new org.apache.hadoop.fs.Path(s"$base/schema/schema-0")
+    val in = fs.open(schemaPath)
+    val orig = new String(in.readAllBytes(), "UTF-8"); in.close()
+    val os = fs.create(schemaPath, true)
+    os.write(orig.replace("\"partitionKeys\":[]",
+      "\"partitionKeys\":[\"v\"]").getBytes("UTF-8")); os.close()
+    val bucket = new org.apache.hadoop.fs.Path(s"$base/bucket-0")
+    val part = new org.apache.hadoop.fs.Path(s"$base/v=mixed/bucket-0")
+    fs.mkdirs(part.getParent)
+    require(fs.rename(bucket, part))
+    val got = PaimonTable.read(spark, base)
+      .as[(Long, String)].collect().toSet
+    assert(got == (1L to 5L).map(i => (i, s"v${i % 2}")).toSet)
+  }
+
+  test("partitioned append-only reads: values recovered from key=value dirs") {
+    import spark.implicits._
+    val base = freshDir("part_dirs")
+    // full schema (id, p); then strip p from the DATA file so the only
+    // source of partition values is the hive-style directory name
+    PaimonTable.write(Seq((1L, "a"), (2L, "a")).toDF("id", "p").coalesce(1), base)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val schemaPath = new org.apache.hadoop.fs.Path(s"$base/schema/schema-0")
+    val in = fs.open(schemaPath)
+    val orig = new String(in.readAllBytes(), "UTF-8"); in.close()
+    val os = fs.create(schemaPath, true)
+    os.write(orig.replace("\"partitionKeys\":[]",
+      "\"partitionKeys\":[\"p\"]").getBytes("UTF-8")); os.close()
+    val dataFile = fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/bucket-0"))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    val stripped = spark.read.parquet(dataFile.toString).select("id")
+    val tmp = s"$base/_tmp_strip"
+    stripped.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val newFile = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    val part = new org.apache.hadoop.fs.Path(s"$base/p=a/bucket-0")
+    fs.mkdirs(part)
+    require(fs.rename(newFile, new org.apache.hadoop.fs.Path(part, dataFile.getName)))
+    fs.delete(dataFile.getParent, true) // old bucket-0
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    val got = PaimonTable.read(spark, base).as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (2L, "a")))
   }
 
   test("primary-key table: upsert + delete merge to latest state") {

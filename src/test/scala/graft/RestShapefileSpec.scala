@@ -167,4 +167,35 @@ class RestShapefileSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT * FROM dfs.`$base/t_delta`").count() === 2)
     assert(spark.sql(s"SELECT * FROM dfs.`$base/t_iceberg`").count() === 2)
   }
+
+  test("HTML console: index + profiles pages 200, JSON contracts unchanged") {
+    val server = graft.sources.QueryServer.start(spark)
+    try {
+      def fetch(path: String): (Int, String, String) = {
+        val conn = java.net.URI.create(
+          s"http://127.0.0.1:${server.port}$path").toURL
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        val code = conn.getResponseCode
+        val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+        val body = new String(is.readAllBytes(), "UTF-8")
+        val ct = conn.getContentType
+        conn.disconnect()
+        (code, body, ct)
+      }
+      val (c1, b1, t1) = fetch("/")
+      assert(c1 == 200 && t1.startsWith("text/html"))
+      assert(b1.contains("graft query console") && b1.contains("/query"))
+      val (c2, b2, t2) = fetch("/web/profiles.html")
+      assert(c2 == 200 && t2.startsWith("text/html"))
+      assert(b2.contains("/profiles/operators"))
+      // the JSON surfaces keep their contracts (root context must not
+      // shadow the longer /profiles, /options.json contexts)
+      val (c3, b3, t3) = fetch("/profiles")
+      assert(c3 == 200 && t3.startsWith("application/json") && b3.startsWith("["))
+      val (c4, _, _) = fetch("/options.json")
+      assert(c4 == 200)
+      val (c5, b5, _) = fetch("/no/such/page")
+      assert(c5 == 404 && b5.contains("no such path"))
+    } finally server.stop()
+  }
 }
