@@ -61,8 +61,15 @@ object Bench {
     import org.apache.spark.sql.functions._
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1")
     val marker = java.nio.file.Paths.get(dir, "_built_from.txt")
+    // cache key includes source (mtime, size): the round driver can
+    // regenerate the testdata between runs — a stale 10x corpus would
+    // silently bench old data
+    val stamp = sfDir + ":" + Seq("documents", "lineitem", "orders").map { t =>
+      val f = new java.io.File(s"$sfDir/$t.parquet")
+      s"${f.lastModified}/${f.length}"
+    }.mkString(",")
     if (java.nio.file.Files.exists(marker) &&
-        java.nio.file.Files.readString(marker).trim == sfDir) return dir
+        java.nio.file.Files.readString(marker).trim == stamp) return dir
     new java.io.File(dir).mkdirs()
     val copies = 10
     val docs0 = GraftSession.table(spark, sfDir, "documents")
@@ -88,7 +95,7 @@ object Bench {
       GraftSession.table(spark, sfDir, t)
         .write.mode("overwrite").parquet(s"$dir/$t.parquet")
     }
-    java.nio.file.Files.writeString(marker, sfDir)
+    java.nio.file.Files.writeString(marker, stamp)
     dir
   }
 

@@ -150,11 +150,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               org.apache.spark.sql.types.StringType,
               org.apache.spark.sql.types.StringType),
             Map.empty[String, String], children.head)
-          case enc => graft.functions.ConvertFromExpr(
-            // string hex/byte args coerce to binary; anything else fails
-            // analysis with the expression's own type check
-            org.apache.spark.sql.catalyst.expressions.Cast(children.head,
-              org.apache.spark.sql.types.BinaryType), enc)
+          // NO blanket cast-to-binary here: Spark would happily cast an
+          // INT to its big-endian bytes and the LE codecs would then
+          // return a silently byte-swapped value. Binary in, or refuse
+          // (wrap strings with unhex()/encode() explicitly).
+          case enc => graft.functions.ConvertFromExpr(children.head, enc)
         }
       }))
     ext.injectFunction((

@@ -413,13 +413,13 @@ object QueriesPipeline {
              min(doc_id) AS keeper_doc
       FROM chunks GROUP BY 1 HAVING count(*) > 1""",
     "q_hash_split" -> s"""
-      WITH m AS (SELECT doc_id, ${md5h32("text")} % 100 AS bucket FROM documents)
+      WITH m AS (SELECT doc_id, ${md5h32("'split:' || text")} % 100 AS bucket FROM documents)
       SELECT doc_id, bucket,
         CASE WHEN bucket < 80 THEN 'train'
              WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
       FROM m""",
     "q_mixture" -> s"""
-      SELECT doc_id FROM (SELECT doc_id, ${md5h32("text")} % 100 AS bucket
+      SELECT doc_id FROM (SELECT doc_id, ${md5h32("'mix:' || text")} % 100 AS bucket
         FROM documents) WHERE bucket < 30""",
     "q_seq_packing" -> s"""
       WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
@@ -475,8 +475,10 @@ object QueriesPipeline {
       FROM g LEFT JOIN ref ON g.ng = ref.ng
       WHERE g.doc_id >= 50 GROUP BY 1""",
     "q_bm25" -> s"""
-      WITH d AS (SELECT doc_id, len(string_split($NORM, ' ')) AS dl,
-                        string_split($NORM, ' ') AS w FROM documents),
+      WITH d AS (SELECT doc_id,
+                        len(list_filter(string_split($NORM, ' '), x -> x <> '')) AS dl,
+                        list_filter(string_split($NORM, ' '), x -> x <> '') AS w
+                 FROM documents),
       tf AS (SELECT doc_id, dl, unnest(w) AS term FROM d),
       tf2 AS (SELECT doc_id, dl, term, count(*)::BIGINT AS tf FROM tf
               WHERE term IN ('spark', 'query', 'window') GROUP BY 1, 2, 3),
@@ -636,7 +638,7 @@ object QueriesPipeline {
       FROM documents""",
     "q_fingerprint" -> s"SELECT doc_id, md5($NORM) AS fp FROM documents",
     "q_vocab_topk" -> s"""
-      WITH c AS (SELECT unnest(string_split($NORM, ' ')) AS term FROM documents),
+      WITH c AS (SELECT unnest(list_filter(string_split($NORM, ' '), x -> x <> '')) AS term FROM documents),
       f AS (SELECT term, count(*) AS freq FROM c GROUP BY 1),
       r AS (SELECT term, freq,
               row_number() OVER (ORDER BY freq DESC, term)::BIGINT AS rank FROM f)
@@ -650,7 +652,8 @@ object QueriesPipeline {
              ELSE list_transform(v, x -> floor(x / s + 0.5)::INT) END, ',') AS codes_str
       FROM s""",
     "q_unigram_ppl" -> s"""
-      WITH toks AS (SELECT doc_id, unnest(string_split($NORM, ' ')) AS term
+      WITH toks AS (SELECT doc_id,
+                    unnest(list_filter(string_split($NORM, ' '), x -> x <> '')) AS term
                     FROM documents),
       c AS (SELECT term, count(*)::BIGINT AS cnt FROM toks GROUP BY 1),
       t AS (SELECT sum(cnt)::BIGINT AS total FROM c),
@@ -658,7 +661,8 @@ object QueriesPipeline {
       SELECT doc_id, round(sum(-ln(p)) / count(*), 6) AS nll
       FROM toks JOIN p USING (term) GROUP BY 1""",
     "q_bigram_ppl" -> s"""
-      WITH toks AS (SELECT doc_id, string_split($NORM, ' ') AS toks
+      WITH toks AS (SELECT doc_id,
+                    list_filter(string_split($NORM, ' '), x -> x <> '') AS toks
                     FROM documents),
       bg AS (SELECT doc_id, g.w1 AS w1, g.w2 AS w2 FROM (
                SELECT doc_id,
@@ -677,7 +681,8 @@ object QueriesPipeline {
       SELECT doc_id, round(sum(-ln(p)) / count(*), 6) AS nll2
       FROM bg JOIN model USING (w1, w2) GROUP BY 1""",
     "q_dsir" -> s"""
-      WITH toks AS (SELECT doc_id, string_split($NORM, ' ') AS toks
+      WITH toks AS (SELECT doc_id,
+                    list_filter(string_split($NORM, ' '), x -> x <> '') AS toks
                     FROM documents),
       grams AS (SELECT doc_id, unnest(list_concat(toks,
           list_transform(generate_series(1, len(toks) - 1),
@@ -723,7 +728,7 @@ object QueriesPipeline {
             FROM s CROSS JOIN t)
       SELECT d.doc_id, d.source, r.rate_bp
       FROM documents d JOIN r USING (source)
-      WHERE ${md5h32("text")} % 10000 < r.rate_bp""",
+      WHERE ${md5h32("'tmix:' || text")} % 10000 < r.rate_bp""",
     "q_det_shuffle" -> s"""
       SELECT doc_id,
              ${md5h32("'epoch1 ' || doc_id::VARCHAR")}::BIGINT AS shuffle_key,

@@ -93,8 +93,17 @@ object ConvertBinary {
       if (first >= -112) 1
       else if (first >= -120) -111 - first
       else -119 - first
-    if (len == 1) return first.toLong
-    if (b.length < len)
+    if (len == 1) {
+      if (b.length != 1)
+        throw new IllegalArgumentException(
+          s"convert HADOOPV: 1-byte value with ${b.length - 1} trailing bytes")
+      return first.toLong
+    }
+    // EXACT length, like the fixed-width codecs: the reference's
+    // readVLong(buffer, start, end) happens to ignore a trailing tail,
+    // but a corrupted/concatenated key decoding to a plausible value is
+    // the silent-wrong class this file otherwise refuses
+    if (b.length != len)
       throw new IllegalArgumentException(
         s"convert HADOOPV: expected $len bytes, buffer has ${b.length}")
     var v = 0L
@@ -150,8 +159,12 @@ object ConvertBinary {
     case other => throw new IllegalArgumentException(s"not an int codec: $other")
   }
 
-  /** DateType days. Reference floors with Java truncating `%` (negative
-    * pre-1970 millis round toward zero) — replicated exactly. */
+  /** DateType days. The REFERENCE truncates with Java `%`, not a floor
+    * (DateEpochBEConvertFrom.java: `millsOfDay = epochMillis %
+    * (24*3600*1000); out.value = epochMillis - millsOfDay` — for
+    * millis -1 that lands on 1970-01-01, one day late vs a flooring
+    * LocalDate) — replicated exactly; reference quirks win, as with
+    * year_week. */
   def decodeDateDays(enc: String, b: Array[Byte]): Int = {
     checkLen(b, 8, enc)
     val millis = buf(b, be = enc.endsWith("_BE")).getLong
@@ -201,10 +214,13 @@ object ConvertBinary {
     case "BIGINT_BE" =>
       buf(new Array[Byte](8), be = true).putLong(v).array()
     case "BIGINT_HADOOPV" => writeVLong(v)
-    case "UINT4" =>
-      buf(new Array[Byte](4), be = false).putInt(v.toInt).array()
-    case "UINT4_BE" =>
-      buf(new Array[Byte](4), be = true).putInt(v.toInt).array()
+    case "UINT4" | "UINT4_BE" =>
+      // range-checked: silent .toInt truncation made 2^32+5 encode
+      // indistinguishably from 5
+      if (v < 0L || v > 0xFFFFFFFFL)
+        throw new IllegalArgumentException(
+          s"convert $enc: value $v outside the unsigned 32-bit range")
+      buf(new Array[Byte](4), be = enc.endsWith("_BE")).putInt(v.toInt).array()
     case other => throw new IllegalArgumentException(s"not a long codec: $other")
   }
 
@@ -268,7 +284,6 @@ case class ConvertFromExpr(child: Expression, enc: String)
   override def dataType: DataType = ConvertBinary.FromTypes(enc)
 
   private def method: String = dataType match {
-    case LongType if enc.startsWith("TIMESTAMP") => "decodeTimestampMicros"
     case TimestampType => "decodeTimestampMicros"
     case DateType => "decodeDateDays"
     case LongType => "decodeLong"

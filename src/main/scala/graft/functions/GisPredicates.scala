@@ -60,7 +60,45 @@ object GisPredicates {
         xs.head == xs.last && ys.head == ys.last) {
       xs = xs.dropRight(1); ys = ys.dropRight(1)
     }
+    // collapse consecutive duplicate vertices: a repeated vertex is
+    // representational, not geometric — and its zero-length segment
+    // degenerates segClass's collinear projection axis (a point-segment
+    // on a vertical line used to register phantom contacts)
+    if (xs.length > 1) {
+      val keep = Array.newBuilder[Int]
+      keep += 0
+      var i = 1
+      while (i < xs.length) {
+        if (xs(i) != xs(i - 1) || ys(i) != ys(i - 1)) keep += i
+        i += 1
+      }
+      val ks = keep.result()
+      if (ks.length != xs.length) {
+        xs = ks.map(xs); ys = ks.map(ys)
+      }
+    }
     G(t, xs, ys)
+  }
+
+  /** Drop redundant interior vertices that sit ON the segment between
+    * their neighbors (collinear AND between — a spike/backtrack is a
+    * different point set and stays). Lines keep their global endpoints;
+    * rings test every vertex cyclically. Used by st_equals so
+    * geometrically equal shapes with redundant vertices compare equal. */
+  private def dropCollinear(g: G): G = {
+    if (g.isPoint || g.n < 3) return g
+    val keep = (0 until g.n).filter { i =>
+      val isEndpoint = g.isLine && (i == 0 || i == g.n - 1)
+      if (isEndpoint) true
+      else {
+        val p = (i - 1 + g.n) % g.n
+        val q = (i + 1) % g.n
+        !onSeg(g.xs(i), g.ys(i), g.xs(p), g.ys(p), g.xs(q), g.ys(q)) ||
+          (g.xs(p) == g.xs(q) && g.ys(p) == g.ys(q)) // degenerate neighbors
+      }
+    }
+    if (keep.size == g.n) g
+    else G(g.t, keep.map(g.xs).toArray, keep.map(g.ys).toArray)
   }
 
   // ---- exact primitives ------------------------------------------------
@@ -192,31 +230,39 @@ object GisPredicates {
     }
   }
 
-  private def equalsG(a: G, b: G): Boolean = (a, b) match {
-    case _ if a.t != b.t => false
-    case _ if a.isPoint => a.xs(0) == b.xs(0) && a.ys(0) == b.ys(0)
-    case _ if a.isLine =>
-      a.n == b.n &&
-        ((a.xs.sameElements(b.xs) && a.ys.sameElements(b.ys)) ||
-         (a.xs.sameElements(b.xs.reverse) && a.ys.sameElements(b.ys.reverse)))
-    case _ => ringsEqual(a, b)
+  private def equalsG(a0: G, b0: G): Boolean = {
+    // point-SET equality: redundant collinear vertices drop first, so
+    // LINESTRING(0 0, 2 0) equals LINESTRING(0 0, 1 0, 2 0)
+    val a = dropCollinear(a0); val b = dropCollinear(b0)
+    (a, b) match {
+      case _ if a.t != b.t => false
+      case _ if a.isPoint => a.xs(0) == b.xs(0) && a.ys(0) == b.ys(0)
+      case _ if a.isLine =>
+        a.n == b.n &&
+          ((a.xs.sameElements(b.xs) && a.ys.sameElements(b.ys)) ||
+           (a.xs.sameElements(b.xs.reverse) && a.ys.sameElements(b.ys.reverse)))
+      case _ => ringsEqual(a, b)
+    }
   }
 
-  /** Interiors of two lines intersect? proper crossing, positive
-    * collinear overlap, or a contact point interior to BOTH lines
-    * (i.e. not a global endpoint of either). */
-  private def lineInteriorsMeet(a: G, b: G): Boolean = {
-    if (segPairs(a, b).exists(c => c == 1 || c == 3)) return true
-    // vertex contacts: any vertex of one ON the other where the point is
-    // a global endpoint of neither line
-    def interiorContact(x: G, y: G): Boolean =
+  /** Vertex contacts: any vertex of one line ON the other where the
+    * point is a global endpoint of neither — an interior∩interior
+    * contact that segClass reports as mere class-2 vertex touch. */
+  private def lineInteriorContact(a: G, b: G): Boolean = {
+    def oneWay(x: G, y: G): Boolean =
       x.xs.indices.exists { i =>
         val (px, py) = (x.xs(i), x.ys(i))
         pointOnLine(px, py, y) && !lineEndpoint(px, py, x) &&
           !lineEndpoint(px, py, y)
       }
-    interiorContact(a, b) || interiorContact(b, a)
+    oneWay(a, b) || oneWay(b, a)
   }
+
+  /** Interiors of two lines intersect? proper crossing, positive
+    * collinear overlap, or a contact point interior to BOTH lines
+    * (i.e. not a global endpoint of either). */
+  private def lineInteriorsMeet(a: G, b: G): Boolean =
+    segPairs(a, b).exists(c => c == 1 || c == 3) || lineInteriorContact(a, b)
 
   private def touches(a: G, b: G): Boolean = (a, b) match {
     case _ if a.isPoint && b.isPoint => false // points have empty boundary
@@ -261,9 +307,12 @@ object GisPredicates {
     // a point can never cross anything (dim(Int∩Int) can't be < 0)
     case _ if a.isPoint || b.isPoint => false
     case _ if a.isLine && b.isLine =>
-      // dim of the interior intersection must be 0: at least one proper
-      // crossing, and NO positive-length collinear overlap
-      segPairs(a, b).contains(1) && !segPairs(a, b).contains(3)
+      // dim of the interior intersection must be 0: a proper crossing OR
+      // a crossing AT an intermediate vertex (interior to both lines —
+      // segClass calls that a class-2 vertex touch, so the vertex-contact
+      // check is load-bearing), and NO positive-length collinear overlap
+      val cs = segPairs(a, b) // computed once — the O(n*m) sweep is hot
+      (cs.contains(1) || lineInteriorContact(a, b)) && !cs.contains(3)
     case _ if a.isLine && b.isPoly =>
       // some of the line strictly inside AND some strictly outside
       lineEntersPolyInterior(a, b) && linePartOutside(a, b)
@@ -325,16 +374,32 @@ case class GisPredicateExpr(left: Expression, right: Expression,
   private val opId: Int = GisPredicates.OpIds.getOrElse(op,
     throw new IllegalArgumentException(s"unknown gis predicate '$op'"))
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    (left.dataType, right.dataType) match {
-      case (l: StructType, r: StructType)
-          if l.fieldNames.sameElements(Array("gtype", "xs", "ys")) &&
-             r.fieldNames.sameElements(Array("gtype", "xs", "ys")) =>
-        TypeCheckResult.TypeCheckSuccess
-      case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"$op expects two st_geomfromtext geometry structs, got " +
-          s"(${l.simpleString}, ${r.simpleString})")
+  override def checkInputDataTypes(): TypeCheckResult = {
+    // field TYPES checked too: a name-matching struct with int arrays
+    // would pass a name-only check and misread per row at runtime
+    def okLoose(dt: DataType): Boolean = dt match {
+      case s: StructType =>
+        s.fieldNames.sameElements(Array("gtype", "xs", "ys")) &&
+          s.fields(0).dataType == org.apache.spark.sql.types.StringType &&
+          (s.fields(1).dataType match {
+            case org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType, _) => true
+            case _ => false
+          }) &&
+          (s.fields(2).dataType match {
+            case org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType, _) => true
+            case _ => false
+          })
+      case _ => false
     }
+    if (okLoose(left.dataType) && okLoose(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$op expects two st_geomfromtext geometry structs " +
+        "(gtype string, xs array<double>, ys array<double>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
 
   override def dataType: DataType = BooleanType
 

@@ -416,8 +416,17 @@ object Dedup {
           .filter(_.matches("\\d{10}\\.json")).map(_.dropRight(5).toLong)
       else Nil
     if (versions.nonEmpty) {
-      val v = versions.max
-      (v, parse(new org.apache.hadoop.fs.Path(dir, f"$v%010d.json")))
+      // a writer that crashed between create and write leaves a
+      // truncated highest version: ITS batch never committed, so the
+      // correct state is the next parseable list down. The returned
+      // version is still the MAX SEEN, so the next commit claims a
+      // version above the corpse instead of colliding with it forever.
+      val sorted = versions.sorted.reverse
+      val parsed = sorted.iterator.flatMap { v =>
+        try Some(parse(new org.apache.hadoop.fs.Path(dir, f"$v%010d.json")))
+        catch { case _: Exception => None }
+      }.nextOption()
+      (sorted.head, parsed.getOrElse(Nil))
     } else {
       val legacy = new org.apache.hadoop.fs.Path(indexDir, "batches.json")
       if (fs.exists(legacy)) (0L, parse(legacy)) else (0L, Nil)

@@ -175,7 +175,7 @@ object Multimodal {
         val size = u32(pos + 4).toInt
         val dataStart = pos + 8
         if (size < 0 || dataStart + size > to) return // truncated: stop clean
-        if (id == "LIST") {
+        if (id == "LIST" && size >= 4) { // <4: no room for the list type
           val listType = fourcc(dataStart)
           if (listType == "hdrl" || listType == "movi" || listType == "rec " ||
               listType == "strl")

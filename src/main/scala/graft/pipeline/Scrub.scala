@@ -82,21 +82,30 @@ object Scrub {
     // scheme "://" hostport rest, where rest starts at the first "/" after
     // the authority (or is empty)
     val scheme = substring_index(url, "://", 1)
-    val afterScheme = substring_index(url, "://", -1)
+    // everything after the FIRST "://" — substring_index(..., -1) split
+    // on the LAST occurrence, so an embedded URL in a query param (a
+    // redirect/tracking link, ubiquitous in crawl data) used to delete
+    // the real host and path
+    val afterScheme = url.substr(length(scheme) + lit(4), length(url))
     // the authority ends at the FIRST of / ? # — `host:443?q=X` has no
     // path slash, and splitting only on "/" would lowercase the
     // case-significant query
     val hostPort = regexp_extract(afterScheme, "^([^/?#]*)", 1)
     val rest = afterScheme.substr(length(hostPort) + 1, length(afterScheme))
+    // default port stripped INSIDE the isolated authority, scheme-aware:
+    // an anywhere-regex used to fire on path segments and to strip :443
+    // from http:// URLs (a real, distinct endpoint)
+    val lhost = lower(hostPort)
+    val defPort = when(lower(scheme) === "https", lit(":443"))
+      .when(lower(scheme) === "http", lit(":80")).otherwise(lit(""))
+    val hostNoPort = when(length(defPort) > 0 && lhost.endsWith(defPort),
+        lhost.substr(lit(1), length(lhost) - length(defPort)))
+      .otherwise(lhost)
     val caseFixed = when(url.contains("://"),
-        concat(lower(scheme), lit("://"), lower(hostPort), rest))
+        concat(lower(scheme), lit("://"), hostNoPort, rest))
       .otherwise(url)
     val noFrag = regexp_replace(caseFixed, "#.*$", "")
-    // default port before / ? or end
-    val noPort = regexp_replace(regexp_replace(
-      regexp_replace(noFrag, ":(443|80)/", "/"), ":(443|80)\\?", "?"),
-      ":(443|80)$", "")
-    val noWww = regexp_replace(noPort, "://www\\.", "://")
+    val noWww = regexp_replace(noFrag, "://www\\.", "://")
     // utm params anchored at a ? or & delimiter (an unanchored match
     // would fire inside longer names like `xutm_source`); the pair of
     // rules re-applies because adjacent utm params leave a fresh
@@ -106,7 +115,9 @@ object Scrub {
       "&utm_[a-z]+=[^&#]*&", "&")
     val noUtmMid = stripUtm(stripUtm(stripUtm(noWww)))
     val noUtmEnd = regexp_replace(noUtmMid, "[?&]utm_[a-z]+=[^&#]*$", "")
-    regexp_replace(regexp_replace(noUtmEnd, "/$", ""), "\\?$", "")
+    // dangling "?" strips BEFORE the trailing slash so ".../a/?" lands
+    // on ".../a", not ".../a/"
+    regexp_replace(regexp_replace(noUtmEnd, "\\?$", ""), "/$", "")
   }
 
   /** URL-level dedup audit over canonical keys: how many raw variants
@@ -135,8 +146,7 @@ object Scrub {
     val symbolBp = floor((length(col(textCol)) -
       length(regexp_replace(col(textCol), "[^a-zA-Z0-9\\s]", "")))
       * lit(10000L) / greatest(length(col(textCol)), lit(1))).cast("long")
-    val stopHits = size(filter(words,
-      w => TextAnalysis.EnStopwords.foldLeft(lit(false))((a, s) => a || (w === s))))
+    val stopHits = size(filter(words, w => w.isin(TextAnalysis.EnStopwords: _*)))
     docs.select(col(idCol).as("doc_id"),
         wc.cast("long").as("word_count"), meanLenX100.as("mean_len_x100"),
         symbolBp.as("symbol_bp"), stopHits.cast("long").as("stop_hits"))

@@ -19,6 +19,14 @@ import org.apache.spark.sql.functions._
   */
 object Search {
 
+  /** normalize → whitespace split with the empty-string phantom dropped:
+    * split("") yields [""], and a blank document must contribute ZERO
+    * tokens (TextAnalysis.tokenCountWs documents the same invariant) —
+    * without this, "" ranks as a real vocabulary term with freq =
+    * #blank-docs, and blank docs get finite LM scores instead of none. */
+  private def toksOf(c: Column): Column =
+    filter(split(TextAnalysis.normalize(c), " "), t => length(t) > 0)
+
   /** Per-document BM25 score against a bag of query terms.
     * Okapi BM25: sum over matched terms of
     * `idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))` with
@@ -27,7 +35,7 @@ object Search {
     */
   def bm25(docs: DataFrame, idCol: String, textCol: String,
            terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val toks = split(TextAnalysis.normalize(col(textCol)), " ")
+    val toks = toksOf(col(textCol))
     // tokens are normalize()-lowercased — query terms must be too, or an
     // uppercase term silently matches nothing
     val qTerms = terms.map(_.toLowerCase(java.util.Locale.ROOT).trim)
@@ -67,7 +75,7 @@ object Search {
   def topVocab(docs: DataFrame, textCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = docs
-      .select(explode(split(TextAnalysis.normalize(col(textCol)), " ")).as("term"))
+      .select(explode(toksOf(col(textCol))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("term")).limit(k)
     counts.withColumn("rank",
@@ -86,7 +94,7 @@ object Search {
     * stream shuffles once, exactly like vocabulary induction. */
   def unigramNll(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
-      explode(split(TextAnalysis.normalize(col(textCol)), " ")).as("term"))
+      explode(toksOf(col(textCol))).as("term"))
     val counts = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
     val total = counts.agg(sum("cnt").as("total"))
     val probs = counts.crossJoin(broadcast(total))
@@ -118,7 +126,7 @@ object Search {
   def bigramNll(docs: DataFrame, idCol: String, textCol: String,
                 lambda: Double = 0.9): DataFrame = {
     val toksArr = docs.select(col(idCol).as("doc_id"),
-      split(TextAnalysis.normalize(col(textCol)), " ").as("toks"))
+      toksOf(col(textCol)).as("toks"))
     val bigrams = toksArr
       .select(col("doc_id"), explode(expr(
         """transform(slice(toks, 1, greatest(size(toks) - 1, 0)),
@@ -151,7 +159,7 @@ object Search {
     * `Σ_g ln(p_target(g) / p_raw(g))` over its gram occurrences, with
     * add-one smoothing on the union vocabulary. High weight = reads
     * like target; sampling raw ∝ softmax(weight) is the paper's
-    * importance resampling step ([[Training.temperatureMixture]] /
+    * importance resampling step ([[Training.temperatureMix]] /
     * stratified sampling compose downstream).
     *
     * The paper hashes grams into a fixed bucket count so the model fits
@@ -168,7 +176,7 @@ object Search {
     // unigram + bigram stream; zip_with pads with null, the case guard
     // drops the padded tail instead of emitting a corrupt gram
     def grams(df: DataFrame, keep: Seq[Column]): DataFrame = df
-      .withColumn("__toks", split(TextAnalysis.normalize(col(textCol)), " "))
+      .withColumn("__toks", toksOf(col(textCol)))
       .withColumn("__grams", concat(col("__toks"), expr(
         """filter(
              zip_with(__toks, slice(__toks, 2, size(__toks)),
@@ -202,7 +210,7 @@ object Search {
     * expect it (BM25 is the default). */
   def tfidf(docs: DataFrame, idCol: String, textCol: String,
             terms: Seq[String]): DataFrame = {
-    val toks = split(TextAnalysis.normalize(col(textCol)), " ")
+    val toks = toksOf(col(textCol))
     val qTerms = terms.map(_.toLowerCase(java.util.Locale.ROOT).trim)
       .filter(_.nonEmpty)
     val tf = docs.select(col(idCol).as("doc_id"), explode(toks).as("term"))

@@ -70,7 +70,7 @@ object TextAnalysis {
 
   def langScore(text: Column, words: Seq[String]): Column = {
     val toks = split(normalize(text), " ")
-    size(filter(toks, w => words.foldLeft(lit(false))((acc, s) => acc || (w === s))))
+    size(filter(toks, w => w.isin(words: _*)))
   }
 
   def languageId(text: Column): Column = {

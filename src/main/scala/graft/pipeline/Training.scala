@@ -17,7 +17,12 @@ object Training {
     * engine) rather than xxhash64. */
   def hashSplit(docs: DataFrame, idCol: String, textCol: String,
                 trainPct: Int = 80, valPct: Int = 10): DataFrame = {
-    val bucket = pmod(Dedup.md5Hash32(col(textCol)), lit(100))
+    // the hash is SALTED per operator role: hashSplit / mixturePct /
+    // temperatureMix once shared the identical unsalted expression, so
+    // composing them correlated pathologically (a 50% mixturePct pass
+    // left documents whose buckets here were ALL < 50 — val and test
+    // came back empty)
+    val bucket = pmod(Dedup.md5Hash32(concat(lit("split:"), col(textCol))), lit(100))
     docs.select(col(idCol), col(textCol))
       .withColumn("bucket", bucket)
       .withColumn("split",
@@ -27,13 +32,20 @@ object Training {
       .select(col(idCol), col("bucket"), col("split"))
   }
 
-  /** Greedy sequence packing: assign documents to fixed token-budget bins
-    * (training sequences), shard-parallel. Each shard (hash of id) packs
-    * its documents in deterministic id order; a doc goes to the bin where
-    * its shard-cumulative token count lands. One window per shard — no
-    * global sort, so the plan scales linearly with shard count. */
+  /** Stream-chop sequence packing: assign documents to fixed
+    * token-budget bins (training sequences), shard-parallel. Each shard
+    * (hash of id) concatenates its documents in deterministic id order
+    * into one token stream chopped at budget boundaries; a doc belongs
+    * to the chunk where it STARTS, so a straddling doc's bin can exceed
+    * the budget by the straddle amount — the concat-and-chunk
+    * dataloader recipe (GPT-style pretraining packs across document
+    * boundaries; a loader that must not straddle re-splits the tail).
+    * One window per shard — no global sort, so the plan scales linearly
+    * with shard count. */
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
                     tokenBudget: Int, shards: Int = 8): DataFrame = {
+    require(tokenBudget > 0, s"tokenBudget must be positive, got $tokenBudget")
+    require(shards > 0, s"shards must be positive, got $shards")
     val toks = TextAnalysis.tokenCountWs(col(textCol))
     val w = Window.partitionBy("shard").orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -66,7 +78,8 @@ object Training {
     * runs, no rand()). */
   def mixturePct(docs: DataFrame, idCol: String, textCol: String,
                  pct: Int): DataFrame =
-    docs.filter(pmod(Dedup.md5Hash32(col(textCol)), lit(100)) < pct)
+    // salt: see hashSplit — each sampling operator draws independently
+    docs.filter(pmod(Dedup.md5Hash32(concat(lit("mix:"), col(textCol))), lit(100)) < pct)
 
   /** Temperature-based mixture sampling — the multilingual/multi-source
     * rebalancing recipe (sampling weight ∝ size^alpha; alpha=1 keeps
@@ -89,8 +102,12 @@ object Training {
           pow(col("n_s").cast("double"), alpha) / col("sum_pow")
             * (lit(targetFrac) * col("n_total")) * lit(10000.0)
             / col("n_s"))).cast("long").as("rate_bp"))
-    docs.join(broadcast(rates), sourceCol)
-      .filter(pmod(Dedup.md5Hash32(col(textCol)), lit(10000)) < col("rate_bp"))
+    // null-safe join: a NULL source is a real group (sizes counts it) —
+    // an equi-join silently dropped those docs from the mixture
+    docs.join(broadcast(rates.withColumnRenamed(sourceCol, "__src")),
+        col(sourceCol) <=> col("__src"))
+      .filter(pmod(Dedup.md5Hash32(concat(lit("tmix:"), col(textCol))),
+        lit(10000)) < col("rate_bp")) // salt: see hashSplit
       .select(col(idCol), col(sourceCol), col("rate_bp"))
   }
 
@@ -168,13 +185,22 @@ object Training {
     require(shards > 0, s"shards must be positive, got $shards")
     val toks = docs.select(col(idCol),
       TextAnalysis.tokenCountWs(col(textCol)).cast("long").as("n_tokens"))
-    val k = col(idCol).cast("double")
+    // numeric ids bucket on their value; string/other ids bucket on a
+    // hash (cast("double") on a string nulls EVERY row and least()
+    // skips nulls, collapsing the whole corpus into the last bucket —
+    // the single-partition bottleneck the two-phase design avoids).
+    // Hash-bucketed ids stay a deterministic, resumable total order
+    // ((bucket, id)); numeric ids keep pure id order.
+    val k = docs.schema(idCol).dataType match {
+      case _: org.apache.spark.sql.types.NumericType => col(idCol).cast("double")
+      case _ => abs(xxhash64(col(idCol))).cast("double")
+    }
     val bounds = toks.agg(min(k).as("_lo"), max(k).as("_hi"),
       sum("n_tokens").as("_total"))
     val withB = toks.crossJoin(broadcast(bounds))
-      .withColumn("_bkt", least(
+      .withColumn("_bkt", when(k.isNull, 0).otherwise(least(
         floor((k - col("_lo")) / (col("_hi") - col("_lo") + lit(1e-9)) * buckets),
-        lit(buckets - 1)).cast("int"))
+        lit(buckets - 1))).cast("int")) // null ids -> bucket 0 (asc nulls-first)
       .drop("_lo", "_hi")
     val offsets = withB.groupBy("_bkt").agg(sum("n_tokens").as("_bsum"))
       .withColumn("_boff",

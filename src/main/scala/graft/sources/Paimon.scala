@@ -615,6 +615,13 @@ object PaimonTable {
         s"$table is a primary-key paimon table — use writePk (plain " +
           "append would write rows without the KeyValue system columns, " +
           "which the merge-on-read silently discards)")
+      // partitioned tables READ (bounded, see read()) but this writer
+      // only lays files into bucket-0 — an append would break the
+      // partition-directory layout the bounded read recovers values from
+      require(prior.partitionKeys.isEmpty,
+        s"$table is a PARTITIONED paimon table — graft reads these " +
+          "(bounded) but does not write them: the partition-directory " +
+          "layout is not expressible without BinaryRow manifests")
       require(prior.schema.map(f => (f.name, f.dataType)) ==
           df.schema.map(f => (f.name, f.dataType)),
         s"schema mismatch appending to $table:\n table: ${prior.schema.simpleString}\n" +
@@ -747,6 +754,12 @@ object PaimonTable {
                       keepLast: Int = 1): Seq[Long] = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     val fs = fsOf(spark, table)
+    // partitioned layouts: reclaim paths are partition-relative and not
+    // reconstructable without BinaryRow — refuse rather than silently
+    // deleting nothing (or the wrong thing)
+    require(loadSchema(spark, table).partitionKeys.isEmpty,
+      s"expire_snapshots on PARTITIONED paimon table $table is not " +
+        "supported (file paths are partition-relative)")
     val all = snapshots(spark, table)
     if (all.size <= keepLast) return Nil
     val kept = all.takeRight(keepLast)
@@ -973,6 +986,9 @@ object PaimonTable {
       val prior = loadSchema(spark, table)
       require(prior.primaryKeys == primaryKeys,
         s"primary keys mismatch: table has ${prior.primaryKeys.mkString(",")}")
+      require(prior.partitionKeys.isEmpty,
+        s"$table is a PARTITIONED paimon table — writes are unsupported " +
+          "(bucket routing hashes the BinaryRow partition tuple)")
       (prior.schema, prior.options.getOrElse("bucket", "1").toInt.max(1))
     } else {
       require(kindCode == 0, s"cannot create a table from $kind rows")

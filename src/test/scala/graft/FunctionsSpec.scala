@@ -306,6 +306,21 @@ class FunctionsSpec extends AnyFunSuite {
     val r = spark.sql("SELECT convert_from(CAST(NULL AS BINARY), 'INT') AS v")
       .collect()(0)
     assert(r.isNullAt(0))
+    // varint trailing bytes refuse (exact-length posture, unlike the
+    // reference's window API which silently ignored a tail)
+    val e4 = intercept[Exception](
+      spark.sql("SELECT convert_from(unhex('0000'), 'BIGINT_HADOOPV')").collect())
+    assert(e4.getMessage.contains("trailing") ||
+      Option(e4.getCause).exists(_.getMessage.contains("trailing")))
+    // UINT4 encode range check: 2^32+5 must not alias 5
+    val e5 = intercept[Exception](
+      spark.sql("SELECT convert_to(4294967301, 'UINT4')").collect())
+    assert(e5.getMessage.contains("unsigned 32-bit") ||
+      Option(e5.getCause).exists(_.getMessage.contains("unsigned 32-bit")))
+    // non-binary first arg refuses instead of silently casting int->bytes
+    val e6 = intercept[Exception](
+      spark.sql("SELECT convert_from(5, 'INT')").collect())
+    assert(e6.getMessage.contains("BINARY"))
   }
 
   test("convert_from cracks SequenceFile binary keys from SQL (QS q_read_seqfile wiring)") {

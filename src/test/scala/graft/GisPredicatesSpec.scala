@@ -109,6 +109,44 @@ class GisPredicatesSpec extends AnyFunSuite {
     assert(!pred("st_overlaps", "POINT (0 0)", "POINT (0 0)"))
   }
 
+  test("crossing AT an intermediate vertex, redundant vertices, repeated points") {
+    // crossing lands exactly on a vertex of the second line: still a cross
+    assert(pred("st_crosses", "LINESTRING (0 0, 2 0)",
+      "LINESTRING (1 -1, 1 0, 1 1)"))
+    // V-contact at an intermediate vertex: interiors meet at dim 0
+    assert(pred("st_crosses", "LINESTRING (0 0, 2 0)",
+      "LINESTRING (1 -1, 1 0, 0 -1)"))
+    assert(!pred("st_touches", "LINESTRING (0 0, 2 0)",
+      "LINESTRING (1 -1, 1 0, 1 1)"))
+    // vertex-touch then run ALONG the line: dim-1 overlap, not a cross
+    assert(!pred("st_crosses", "LINESTRING (0 0, 2 0)",
+      "LINESTRING (1 -1, 1 0, 2 0)"))
+    // point-set equality survives redundant collinear vertices
+    assert(pred("st_equals", "LINESTRING (0 0, 2 0)",
+      "LINESTRING (0 0, 1 0, 2 0)"))
+    assert(pred("st_equals", "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))",
+      "POLYGON ((0 0, 2 0, 4 0, 4 4, 0 4, 0 0))"))
+    assert(!pred("st_equals", "LINESTRING (0 0, 2 0)",
+      "LINESTRING (0 0, 1 1, 2 0)")) // non-collinear midpoint differs
+    // a repeated vertex (zero-length segment) must not fabricate contact
+    assert(!pred("st_intersects", "LINESTRING (0 0, 0 1, 0 1)",
+      "LINESTRING (0 5, 0 9)"))
+    assert(pred("st_disjoint", "LINESTRING (0 0, 0 1, 0 1)",
+      "LINESTRING (0 5, 0 9)"))
+  }
+
+  test("predicates refuse wrong-typed lookalike structs") {
+    import spark.implicits._
+    val e = intercept[Exception] {
+      Seq(1).toDF("x").select(call_function("st_intersects",
+        expr("named_struct('gtype', 'POINT', 'xs', array(1), 'ys', array(2))"),
+        expr("named_struct('gtype', 'POINT', 'xs', array(1), 'ys', array(2))")))
+        .collect()
+    }
+    assert(e.getMessage.contains("array<double>") ||
+      e.getMessage.contains("geometry structs"))
+  }
+
   test("predicates refuse non-geometry inputs") {
     import spark.implicits._
     val e = intercept[Exception] {

@@ -173,6 +173,76 @@ class PipelineExtraSpec extends AnyFunSuite {
     assert(kept == Set(1L, 4L, 5L, 7L, 8L))
   }
 
+  test("canonicalizeUrl: embedded URLs, scheme-aware ports, /? tail") {
+    val cases = Seq(
+      // an embedded URL in a query param must NOT eat the real host/path
+      "https://a.com/redirect?u=http://b.com/x" ->
+        "https://a.com/redirect?u=http://b.com/x",
+      // :443 on http is a REAL non-default endpoint — keep it
+      "http://site.com:443/a" -> "http://site.com:443/a",
+      "https://site.com:443/a" -> "https://site.com/a",
+      // a path segment that merely contains ":80/" is not a port
+      "https://a.com/video/t=12:80/clip" -> "https://a.com/video/t=12:80/clip",
+      // dangling "/?" collapses all the way to the bare path
+      "https://site.com/a/?" -> "https://site.com/a",
+      // near-miss port: :8443 must not suffix-match :443
+      "https://site.com:8443/x" -> "https://site.com:8443/x")
+    val got = cases.map(_._1).toDF("u")
+      .select(Scrub.canonicalizeUrl(col("u"))).as[String].collect()
+    got.zip(cases.map(_._2)).foreach { case (g, e) => assert(g === e) }
+  }
+
+  test("sampling operators draw independently (salted hashes compose)") {
+    val docs = (1L to 2000L).map(i => (i, s"document number $i with text"))
+      .toDF("doc_id", "text")
+    // the unsalted hashes once made this compose pathologically: every
+    // mixturePct survivor fell in hashSplit's train bucket
+    val sample = Training.mixturePct(docs, "doc_id", "text", pct = 50)
+    val splits = Training.hashSplit(sample, "doc_id", "text")
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(splits.getOrElse("val", 0L) > 0, s"val empty: $splits")
+    assert(splits.getOrElse("test", 0L) > 0, s"test empty: $splits")
+  }
+
+  test("temperatureMix keeps NULL-source docs (null-safe join)") {
+    val docs = ((1L to 300L).map(i => (i, s"text $i", "s1")) ++
+      (301L to 600L).map(i => (i, s"text $i", null: String)))
+      .toDF("doc_id", "text", "source")
+    val out = Training.temperatureMix(docs, "doc_id", "text", "source",
+      alpha = 1.0, targetFrac = 1.0) // keep-rate 1.0 for every group
+    assert(out.count() == 600L, "null-source docs vanished from the mixture")
+    assert(out.filter(col("source").isNull).count() == 300L)
+  }
+
+  test("Search operators ignore blank documents (no phantom empty token)") {
+    val docs = Seq((1L, "alpha beta alpha"), (2L, "   "), (3L, ""),
+      (4L, "beta gamma")).toDF("doc_id", "text")
+    val vocab = Search.topVocab(docs, "text", 10)
+      .select("term").as[String].collect().toSet
+    assert(!vocab.contains(""), "empty string ranked as a vocabulary term")
+    assert(vocab == Set("alpha", "beta", "gamma"))
+    val nll = Search.unigramNll(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(nll == Set(1L, 4L), "blank docs must carry no LM score")
+    val w = Search.dsirWeights(docs, docs.filter(col("doc_id") === 1L),
+      "doc_id", "text")
+    assert(w.count() == 4L) // blank docs present with weight 0, not missing
+  }
+
+  test("tokenBalancedShards handles string ids without collapsing to one bucket") {
+    val docs = (1 to 400).map(i => (f"doc-$i%04d", "w " * (i % 20 + 1)))
+      .toDF("doc_id", "text")
+    val out = Training.tokenBalancedShards(docs, "doc_id", "text", shards = 4)
+    val byShard = out.groupBy("shard").agg(sum("n_tokens").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byShard.size == 4, s"expected 4 shards, got $byShard")
+    val (mn, mx) = (byShard.values.min, byShard.values.max)
+    assert(mx <= mn * 2 + 40, s"token mass unbalanced: $byShard")
+    intercept[IllegalArgumentException](
+      Training.packSequences(docs, "doc_id", "text", tokenBudget = 0))
+  }
+
   test("dedup terminal ops take STRING ids natively (the URL/UUID case)") {
     // the silent-cast class: a blind cast("long") nulled string ids so
     // every edge vanished and keepCanonical kept all duplicates
