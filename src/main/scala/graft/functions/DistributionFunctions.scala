@@ -26,6 +26,11 @@ object DistributionFunctions {
                  xCol: String, yCol: String): DataFrame = {
     val base = df.select(col(groupCol).as("g"), col(idCol).as("i"),
       col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
+      // null x/y rows drop FIRST (scipy/pandas posture): they used to
+      // count in the n_pairs denominator while contributing to neither
+      // C nor D, deflating tau by the null-pair fraction. Groups left
+      // with <2 valid rows emit no row (tau undefined).
+      .filter(col("x").isNotNull && col("y").isNotNull)
     base.as("a").join(base.as("b"),
         col("a.g") === col("b.g") && col("a.i") < col("b.i"))
       .groupBy(col("a.g").as(groupCol))

@@ -72,7 +72,17 @@ object NetworkFunctions {
   }
 
   private def cidrBase(cidr: Column): Column = inetAton(split(cidr, "/").getItem(0))
-  private def cidrPrefix(cidr: Column): Column = split(cidr, "/").getItem(1).cast("int")
+
+  /** Prefix length after "/": guarded — an unguarded cast('int') under
+    * Spark's ANSI default throws on one malformed CIDR row and kills
+    * the whole query; Drill's posture is null-per-row. */
+  private def cidrPrefix(cidr: Column): Column = {
+    // get(): a CIDR with no "/" has one array element, and ANSI getItem
+    // throws INVALID_ARRAY_INDEX instead of yielding null
+    val p = get(split(cidr, "/"), lit(1))
+    when(p.rlike("^\\d{1,2}$") && p.cast("int") <= 32, p.cast("int"))
+      .otherwise(lit(null).cast("int"))
+  }
 
   /** Numeric netmask of a CIDR block: high `prefix` bits set. */
   def netmaskNum(cidr: Column): Column = {

@@ -10,13 +10,17 @@ import org.apache.spark.sql.expressions.Window
   */
 object ComplexOps {
 
-  /** FLATTEN(array) — one output row per element (Drill flatten/). */
+  /** FLATTEN(array) — one output row per element (Drill flatten/).
+    * `as == arrayCol` (the natural in-place flatten) is supported: the
+    * naive withColumn-then-drop deleted the just-computed result. */
   def flatten(df: DataFrame, arrayCol: String, as: String): DataFrame =
-    df.withColumn(as, explode(col(arrayCol))).drop(arrayCol)
+    if (as == arrayCol) df.withColumn(as, explode(col(arrayCol)))
+    else df.withColumn(as, explode(col(arrayCol))).drop(arrayCol)
 
   /** FLATTEN preserving rows with empty/null arrays (explode_outer). */
   def flattenOuter(df: DataFrame, arrayCol: String, as: String): DataFrame =
-    df.withColumn(as, explode_outer(col(arrayCol))).drop(arrayCol)
+    if (as == arrayCol) df.withColumn(as, explode_outer(col(arrayCol)))
+    else df.withColumn(as, explode_outer(col(arrayCol))).drop(arrayCol)
 
   /** KVGEN(map) — map column into repeated {key, value} rows. */
   def kvgen(df: DataFrame, mapCol: String): DataFrame =
@@ -49,11 +53,14 @@ object ComplexOps {
   def topN(df: DataFrame, n: Int, orderBy: Column*): DataFrame =
     df.orderBy(orderBy: _*).limit(n)
 
-  /** Per-group TopN (Drill window + filter idiom). */
+  /** Per-group TopN (Drill window + filter idiom). Working column uses a
+    * collision-resistant name — a user column literally named "rn" was
+    * silently clobbered and dropped. */
   def topNPerGroup(df: DataFrame, n: Int, partitionBy: Seq[String],
                    orderBy: Column*): DataFrame = {
     val w = Window.partitionBy(partitionBy.map(col): _*).orderBy(orderBy: _*)
-    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= n).drop("rn")
+    df.withColumn("_rn_topn", row_number().over(w))
+      .filter(col("_rn_topn") <= n).drop("_rn_topn")
   }
 
   /** Range-partition + sort-within-partition (Drill rangepartitioner/ +
@@ -79,15 +86,23 @@ object ComplexOps {
                       tieBreak: Column*): DataFrame = {
     val k0 = key.cast("double")
     val k = if (descending) -k0 else k0
-    val bounds = df.agg(min(k).as("_lo"), max(k).as("_hi"))
+    // NaN keys: Spark orders NaN GREATEST (last under asc, first under
+    // desc) but NaN arithmetic poisons both the bounds and the bucket
+    // formula — exclude NaN from bounds and route it to the bucket its
+    // ORDER position demands, or global numbering silently interleaves
+    val kb = when(isnan(k), lit(null)).otherwise(k)
+    val bounds = df.agg(min(kb).as("_lo"), max(kb).as("_hi"))
     // null keys bucket where the ORDER puts them (Spark: nulls first
     // asc, last desc) — least() silently skipped the null and dumped
     // them in the last bucket, breaking global order for asc sorts
     val nullBucket = if (descending) buckets - 1 else 0
+    val nanBucket = if (descending) 0 else buckets - 1
     val withB = df.crossJoin(broadcast(bounds))
-      .withColumn("_bkt", when(k.isNull, lit(nullBucket)).otherwise(least(
-        floor((k - col("_lo")) / (col("_hi") - col("_lo") + lit(1e-9)) * buckets),
-        lit(buckets - 1))).cast("int"))
+      .withColumn("_bkt", when(k.isNull, lit(nullBucket))
+        .when(isnan(k), lit(nanBucket))
+        .otherwise(least(
+          floor((k - col("_lo")) / (col("_hi") - col("_lo") + lit(1e-9)) * buckets),
+          lit(buckets - 1))).cast("int"))
       .drop("_lo", "_hi")
     val counts = withB.groupBy("_bkt").agg(count(lit(1)).as("_cnt"))
     val offsets = counts.withColumn("_off",

@@ -131,6 +131,11 @@ object TemporalJoins {
     val matched = r.unionByName(l)
       .withColumn("_m", last(col("_rv"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
+      // a left row with a NULL time has no place on the axis, and NULL
+      // keys never match (equi-join semantics; the window's partitionBy
+      // would otherwise group null keys together) — null payloads
+      .withColumn("_m",
+        when(col("_t").isNotNull && col("_k").isNotNull, col("_m")))
     val inTol = tolerance match {
       case Some(tol) =>
         val t = tolUnits(tol, right.schema(rightTime).dataType)
@@ -179,6 +184,11 @@ object TemporalJoins {
     val matched = r.unionByName(l)
       .withColumn("_m", first(col("_rv"), ignoreNulls = true).over(w))
       .filter(col("_side") === 0)
+      // null left time sorted FIRST and saw the whole following frame —
+      // it matched the group's earliest right row; null keys grouped
+      // together. Both get null payloads (equi-join semantics).
+      .withColumn("_m",
+        when(col("_t").isNotNull && col("_k").isNotNull, col("_m")))
     val inTol = tolerance match {
       case Some(tol) =>
         val t = tolUnits(tol, right.schema(rightTime).dataType)
@@ -239,6 +249,9 @@ object TemporalJoins {
                 binSize: Long): DataFrame = {
     requireSameKeyType(points, intervals, pointKey, intervalKey)
     requireSameTimeClass(points, intervals, pointTime, startCol)
+    // the END column too: a timestamp start with an integral end would
+    // pass the start-only check and compare micros against raw units
+    requireSameTimeClass(points, intervals, pointTime, endCol)
     val pt = tlong(col(pointTime), points.schema(pointTime).dataType)
     val st = tlong(col(startCol), intervals.schema(startCol).dataType)
     val en = tlong(col(endCol), intervals.schema(endCol).dataType)

@@ -31,15 +31,25 @@ object ZOrder {
   private def sortKey(df: DataFrame, c: String): Column = {
     import org.apache.spark.sql.types._
     df.schema(c).dataType match {
-      case _: NumericType | DateType | TimestampType | TimestampNTZType |
-           BooleanType =>
+      case _: NumericType | BooleanType =>
         col(c).cast("double")
+      // DATE / NTZ cannot cast("double") (AnalysisException under
+      // Spark 4's ANSI rules) — go through their integer epoch forms
+      case DateType => unix_date(col(c)).cast("double")
+      case TimestampType => unix_micros(col(c)).cast("double")
+      case TimestampNTZType =>
+        unix_micros(col(c).cast(TimestampType)).cast("double")
       case StringType =>
-        aggregate(sequence(lit(1), lit(7)), lit(0L),
-          (acc, i) => acc * 256L +
-            coalesce(least(ascii(substring(col(c),
-              i.cast("int"), lit(1))), lit(255L)), lit(0L)))
-          .cast("double")
+        // null guard is load-bearing: least() SKIPS nulls, so without
+        // it a NULL string folded to 255 per byte (the MAXIMUM key) and
+        // landed in the top bucket while bucketId's null branch (and
+        // null numerics) route to bucket 0
+        when(col(c).isNull, lit(null).cast("double")).otherwise(
+          aggregate(sequence(lit(1), lit(7)), lit(0L),
+            (acc, i) => acc * 256L +
+              coalesce(least(ascii(substring(col(c),
+                i.cast("int"), lit(1))), lit(255L)), lit(0L)))
+            .cast("double"))
       case t => throw new IllegalArgumentException(
         s"zorder: column '$c' has unsupported type ${t.simpleString} " +
           "(numeric, string, date, timestamp supported)")

@@ -111,6 +111,33 @@ class ComplexOpsSpec extends AnyFunSuite {
     assert(spread.collect().map(_.toSeq).toSet == plain)
   }
 
+  test("flatten in place, topNPerGroup user 'rn' column, NaN row numbering") {
+    import spark.implicits._
+    // in-place flatten (as == arrayCol) must keep the result column
+    val arrDf = Seq((1L, Seq("x", "y"))).toDF("id", "tags")
+    val flat = ComplexOps.flatten(arrDf, "tags", "tags")
+    assert(flat.columns.toSeq == Seq("id", "tags"))
+    assert(flat.as[(Long, String)].collect().toSet == Set((1L, "x"), (1L, "y")))
+    // a pre-existing user column named rn survives topNPerGroup
+    val rnDf = Seq((1L, "g", 99L), (2L, "g", 98L)).toDF("id", "grp", "rn")
+    val top = ComplexOps.topNPerGroup(rnDf, 1, Seq("grp"), col("id"))
+    assert(top.columns.contains("rn"))
+    assert(top.select("rn").as[Long].collect().toSeq == Seq(99L))
+    // NaN keys: sorted greatest => numbered LAST under asc, FIRST desc
+    val nanDf = Seq((1L, 1.0), (2L, Double.NaN), (3L, 5.0), (4L, 2.0))
+      .toDF("id", "v")
+    val asc = ComplexOps.globalRowNumber(nanDf, 2, col("v"),
+        descending = false, "rk", col("id"))
+      .select("id", "rk").as[(Long, Long)].collect().toMap
+    assert(asc(2L) == 4L, s"NaN must number last asc: $asc")
+    assert(asc(1L) == 1L && asc(4L) == 2L && asc(3L) == 3L)
+    val desc = ComplexOps.globalRowNumber(nanDf, 2, col("v"),
+        descending = true, "rk", col("id"))
+      .select("id", "rk").as[(Long, Long)].collect().toMap
+    assert(desc(2L) == 1L, s"NaN must number first desc: $desc")
+    assert(desc(3L) == 2L && desc(4L) == 3L && desc(1L) == 4L)
+  }
+
   test("topN plans as TakeOrderedAndProject (no global sort)") {
     val plan = ComplexOps.topN(
         GraftSession.table(spark, SF, "orders"), 5, col("o_totalprice").desc)

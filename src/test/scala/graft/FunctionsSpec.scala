@@ -345,6 +345,29 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got == Seq((-3L, -300L), (7L, 700L), (42L, 4200L)))
   }
 
+  test("CIDR helpers yield null per dirty row instead of an ANSI cast crash") {
+    import spark.implicits._
+    import graft.functions.NetworkFunctions._
+    val df = Seq(("10.0.0.5", "10.0.0.0/24"), ("10.0.0.5", "10.0.0.0/xx"),
+      ("10.0.0.5", "garbage"), ("10.0.0.5", "10.0.0.0/99"))
+      .toDF("ip", "cidr")
+    val got = df.select(inNetwork(col("ip"), col("cidr"))).collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getBoolean(0))).toSeq
+    assert(got == Seq(Some(true), None, None, None))
+    // ZOrder date columns: the cast-to-double path fails analysis under
+    // ANSI — must go through the epoch forms
+    val zd = Seq((java.sql.Date.valueOf("2024-01-05"), 1),
+      (java.sql.Date.valueOf("2020-06-01"), 2)).toDF("d", "i")
+    val z = graft.operators.ZOrder.withZValue(zd, Seq("d", "i"), bits = 2)
+    assert(z.count() == 2)
+    // null strings in a zorder column rank LOW (bucket 0), not max
+    val zs = Seq((Option("zzz"), 1), (Option.empty[String], 2),
+      (Option("aaa"), 3)).toDF("s", "i")
+    val zv = graft.operators.ZOrder.withZValue(zs, Seq("s"), bits = 2)
+      .select("i", "zval").as[(Int, Long)].collect().toMap
+    assert(zv(2) <= zv(1) && zv(2) <= zv(3), s"null string must rank low: $zv")
+  }
+
   test("kvgen/mappify explodes a JSON map column (SURVEY row 36)") {
     import spark.implicits._
     val df = Seq((1L, """{"a": 1, "b": 2}""")).toDF("id", "js")

@@ -108,6 +108,42 @@ class TemporalJoinSpec extends AnyFunSuite {
     assert(got.size == 5)
   }
 
+  test("asof joins: NULL left times and NULL keys never match") {
+    val left = Seq(
+      (1L, Option(100L), Option(ts("2024-01-01 10:00:00")), "a"),
+      (2L, Option(100L), Option.empty[Timestamp], "b"), // null time
+      (3L, Option.empty[Long], Option(ts("2024-01-01 10:00:00")), "c") // null key
+    ).toDF("id", "k", "t", "tag")
+    val right = Seq(
+      (Option(100L), ts("2024-01-01 09:30:00"), 1.0),
+      (Option(100L), ts("2024-01-01 11:00:00"), 2.0),
+      (Option.empty[Long], ts("2024-01-01 09:00:00"), 7.0) // null-key right
+    ).toDF("k", "t", "v")
+    val back = TemporalJoins.asofJoin(left, right, "k", "k", "t", "t", Seq("v"))
+      .select(col("id"), col("prev_v")).as[(Long, Option[Double])]
+      .collect().toMap
+    assert(back(1L).contains(1.0))
+    assert(back(2L).isEmpty, "null left time matched backward")
+    assert(back(3L).isEmpty, "null key matched null key backward")
+    val fwd = TemporalJoins.asofJoinForward(left, right, "k", "k", "t", "t", Seq("v"))
+      .select(col("id"), col("next_v")).as[(Long, Option[Double])]
+      .collect().toMap
+    assert(fwd(1L).contains(2.0))
+    // the forward frame is (current, unboundedFollowing): a null time
+    // sorted FIRST and used to swallow the group's earliest right row
+    assert(fwd(2L).isEmpty, "null left time matched forward")
+    assert(fwd(3L).isEmpty, "null key matched null key forward")
+  }
+
+  test("rangeJoin refuses a mixed-class END column") {
+    val pts = Seq((1L, ts("2024-01-01 10:00:00"))).toDF("k", "t")
+    val ivs = Seq((1L, ts("2024-01-01 09:00:00"), 123456789L))
+      .toDF("k", "st", "en") // timestamp start, integral end
+    intercept[IllegalArgumentException] {
+      TemporalJoins.rangeJoin(pts, ivs, "k", "k", "t", "st", "en", 60000000L)
+    }
+  }
+
   test("rangeJoin: inclusive bounds, bin-spanning intervals, multiplicity") {
     // bins of 60 s; intervals deliberately cross bin edges
     val points = Seq(
