@@ -193,6 +193,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           graft.functions.GisPredicateExpr(children.head, children(1), op)
         }))
     }
+    // st_relate: 2-arg = the DE-9IM matrix string, 3-arg = boolean
+    // pattern match (contrib/udfs gis/STRelate.java)
+    ext.injectFunction((
+      new FunctionIdentifier("st_relate"),
+      new ExpressionInfo(classOf[graft.functions.GisRelateExpr].getName,
+        "st_relate"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2 || children.length == 3,
+          s"st_relate expects (a, b[, 'pattern']), got ${children.length} args")
+        val pat = children.lift(2).map {
+          case Literal(s, org.apache.spark.sql.types.StringType) if s != null =>
+            s.toString
+          case other => throw new IllegalArgumentException(
+            s"st_relate: the pattern must be a string literal, got $other")
+        }
+        graft.functions.GisRelateExpr(children.head, children(1), pat)
+      }))
     // get_map_schema / md2 (contrib/udfs ComplexSchemaFunctions.java,
     // CryptoFunctions.java)
     Seq("get_map_schema", "getmapschema").foreach { nm =>

@@ -159,4 +159,8 @@ object GisFunctions {
     call_function("st_crosses", a, b)
   def stOverlaps(a: Column, b: Column): Column =
     call_function("st_overlaps", a, b)
+  def stRelate(a: Column, b: Column): Column =
+    call_function("st_relate", a, b)
+  def stRelate(a: Column, b: Column, pattern: String): Column =
+    call_function("st_relate", a, b, lit(pattern))
 }

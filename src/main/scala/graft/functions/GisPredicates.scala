@@ -351,6 +351,194 @@ object GisPredicates {
         !within(a, b) && !within(b, a)
   }
 
+  // ---- DE-9IM matrix (st_relate) --------------------------------------
+
+  /** Dimension characters: 'F' empty, '0'/'1'/'2' by dimension. The
+    * matrix rows/cols are Interior, Boundary, Exterior of A then B:
+    * [II IB IE, BI BB BE, EI EB EE]. Computed from the same contact
+    * primitives as the named predicates (convex-exact where they are);
+    * GisPredicatesSpec asserts the published pattern identities
+    * (intersects/touches/equals/crosses/overlaps as relate patterns)
+    * against the direct predicates over the fixture battery, so the
+    * matrix and the predicates cannot drift apart. */
+  def relate(ar: InternalRow, br: InternalRow): String = {
+    val a = geom(ar); val b = geom(br)
+    (dims(a, b) ++ dims2(a, b)).mkString
+  }
+
+  /** Does `pattern` (9 chars, each T, F, star, or a digit 0-2) match
+    * the matrix? */
+  def relateMatch(ar: InternalRow, br: InternalRow, pattern: String): Boolean = {
+    require(pattern.length == 9,
+      s"st_relate pattern must be 9 characters, got '$pattern'")
+    val m = relate(ar, br)
+    m.zip(pattern).forall {
+      case (_, '*') => true
+      case (c, 'T') => c != 'F'
+      case (c, 'F') => c == 'F'
+      case (c, p) => c == p
+    }
+  }
+
+  // first 6 entries: II IB IE BI BB BE
+  private def dims(a: G, b: G): Seq[Char] = Seq(
+    dimII(a, b), dimIB(a, b), dimIE(a, b),
+    dimIB(b, a), dimBB(a, b), dimBE(a, b))
+
+  // last 3: EI EB EE (EI/EB mirror IE/BE with sides swapped)
+  private def dims2(a: G, b: G): Seq[Char] =
+    Seq(dimIE(b, a), dimBE(b, a), '2')
+
+  private def pointInInterior(px: Double, py: Double, g: G): Boolean = g match {
+    case _ if g.isPoint => px == g.xs(0) && py == g.ys(0)
+    case _ if g.isLine => pointOnLine(px, py, g) && !lineEndpoint(px, py, g)
+    case _ => pip(px, py, g) == 2
+  }
+
+  private def pointInBoundary(px: Double, py: Double, g: G): Boolean = g match {
+    case _ if g.isPoint => false
+    case _ if g.isLine => lineEndpoint(px, py, g)
+    case _ => pip(px, py, g) == 1
+  }
+
+  private def pointInExterior(px: Double, py: Double, g: G): Boolean =
+    !pointInInterior(px, py, g) && !pointInBoundary(px, py, g)
+
+  /** dim(Int(a) ∩ Int(b)). */
+  private def dimII(a: G, b: G): Char = (a, b) match {
+    case _ if a.isPoint =>
+      if (pointInInterior(a.xs(0), a.ys(0), b)) '0' else 'F'
+    case _ if b.isPoint => dimII(b, a)
+    case _ if a.isLine && b.isLine =>
+      val cs = segPairs(a, b)
+      if (cs.contains(3)) '1'
+      else if (cs.contains(1) || lineInteriorContact(a, b)) '0'
+      else 'F'
+    case _ if a.isLine && b.isPoly =>
+      if (lineEntersPolyInterior(a, b)) '1' else 'F'
+    case _ if a.isPoly && b.isLine => dimII(b, a)
+    case _ => if (polyInteriorsMeet(a, b)) '2' else 'F'
+  }
+
+  /** dim(Int(a) ∩ Bnd(b)). */
+  private def dimIB(a: G, b: G): Char = {
+    if (b.isPoint) return 'F' // points have empty boundary
+    if (b.isLine) {
+      // boundary of b = its two endpoints
+      val eps = Seq((b.xs(0), b.ys(0)), (b.xs(b.n - 1), b.ys(b.n - 1)))
+      return if (eps.exists { case (x, y) => pointInInterior(x, y, a) }) '0'
+      else 'F'
+    }
+    // b is a polygon: its boundary is the ring (a closed curve)
+    a match {
+      case _ if a.isPoint =>
+        if (pip(a.xs(0), a.ys(0), b) == 1) '0' else 'F'
+      case _ if a.isLine =>
+        // a 1-dim piece of the line ON the ring (collinear overlap) -> 1;
+        // isolated contacts interior to the line -> 0: a proper crossing
+        // with a ring edge, a non-endpoint line vertex on the ring, or a
+        // ring vertex on the line's interior
+        val cs = segPairs(a, b) // b's polygon segs include the closing edge
+        if (cs.contains(3)) '1'
+        else {
+          val iso = cs.contains(1) ||
+            a.xs.indices.exists { i =>
+              !lineEndpoint(a.xs(i), a.ys(i), a) && pip(a.xs(i), a.ys(i), b) == 1
+            } ||
+            b.xs.indices.exists { i =>
+              pointOnLine(b.xs(i), b.ys(i), a) &&
+                !lineEndpoint(b.xs(i), b.ys(i), a)
+            }
+          if (iso) '0' else 'F'
+        }
+      case _ =>
+        // polygon interior vs ring: the ring enters a's interior ->
+        // 1-dim piece (open set), else F
+        val ringLine = G("LINESTRING", b.xs :+ b.xs(0), b.ys :+ b.ys(0))
+        if (lineEntersPolyInterior(ringLine, a)) '1' else 'F'
+    }
+  }
+
+  /** dim(Int(a) ∩ Ext(b)): 'dim(a)' when some of a's interior escapes
+    * b's closure, else F (convex-exact probes). */
+  private def dimIE(a: G, b: G): Char = a match {
+    case _ if a.isPoint =>
+      if (pointInExterior(a.xs(0), a.ys(0), b)) '0' else 'F'
+    case _ if a.isLine =>
+      val outside = b match {
+        case _ if b.isPoint =>
+          true // a 1-dim interior always escapes a point
+        case _ if b.isLine =>
+          // some of a not on b: vertex or midpoint off b
+          a.xs.indices.exists(i => !pointOnLine(a.xs(i), a.ys(i), b)) ||
+            segs(a).exists { case (x1, y1, x2, y2) =>
+              !pointOnLine((x1 + x2) / 2, (y1 + y2) / 2, b) }
+        case _ => linePartOutside(a, b)
+      }
+      if (outside) '1' else 'F'
+    case _ =>
+      val escapes = b match {
+        case _ if b.isPoly => !within(a, b)
+        case _ => true // a 2-dim interior always escapes a point/line
+      }
+      if (escapes) '2' else 'F'
+  }
+
+  /** dim(Bnd(a) ∩ Bnd(b)). */
+  private def dimBB(a: G, b: G): Char = {
+    if (a.isPoint || b.isPoint) return 'F'
+    (a, b) match {
+      case _ if a.isLine && b.isLine =>
+        val ea = Seq((a.xs(0), a.ys(0)), (a.xs(a.n - 1), a.ys(a.n - 1)))
+        val eb = Seq((b.xs(0), b.ys(0)), (b.xs(b.n - 1), b.ys(b.n - 1)))
+        if (ea.exists(eb.contains)) '0' else 'F'
+      case _ if a.isLine && b.isPoly =>
+        val ea = Seq((a.xs(0), a.ys(0)), (a.xs(a.n - 1), a.ys(a.n - 1)))
+        if (ea.exists { case (x, y) => pip(x, y, b) == 1 }) '0' else 'F'
+      case _ if a.isPoly && b.isLine => dimBB(b, a)
+      case _ =>
+        // ring vs ring: collinear shared edges -> 1, isolated contacts -> 0
+        val cs = segPairs(a, b)
+        if (cs.contains(3)) '1'
+        else if (cs.exists(c => c == 1 || c == 2)) '0'
+        else 'F'
+    }
+  }
+
+  /** dim(Bnd(a) ∩ Ext(b)). */
+  private def dimBE(a: G, b: G): Char = {
+    if (a.isPoint) return 'F'
+    if (a.isLine) {
+      val eps = Seq((a.xs(0), a.ys(0)), (a.xs(a.n - 1), a.ys(a.n - 1)))
+      return if (eps.exists { case (x, y) => pointInExterior(x, y, b) }) '0'
+      else 'F'
+    }
+    // a's ring escaping b's closure: any ring vertex or edge midpoint
+    // strictly exterior to b (convex-exact)
+    val ringPts = a.xs.indices.map(i => (a.xs(i), a.ys(i))) ++
+      segs(a).map { case (x1, y1, x2, y2) => ((x1 + x2) / 2, (y1 + y2) / 2) }
+    if (ringPts.exists { case (x, y) => pointInExterior(x, y, b) }) '1' else 'F'
+  }
+
+  /** The (gtype string, xs array<double>, ys array<double>) geometry
+    * struct shape — shared by every GIS expression's type check. */
+  private[functions] def isGeomType(dt: DataType): Boolean = dt match {
+    case s: StructType =>
+      s.fieldNames.sameElements(Array("gtype", "xs", "ys")) &&
+        s.fields(0).dataType == org.apache.spark.sql.types.StringType &&
+        (s.fields(1).dataType match {
+          case org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, _) => true
+          case _ => false
+        }) &&
+        (s.fields(2).dataType match {
+          case org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, _) => true
+          case _ => false
+        })
+    case _ => false
+  }
+
   /** Entry point for eval and codegen. */
   def evalPred(op: Int, ar: InternalRow, br: InternalRow): Boolean = {
     val a = geom(ar); val b = geom(br)
@@ -374,32 +562,16 @@ case class GisPredicateExpr(left: Expression, right: Expression,
   private val opId: Int = GisPredicates.OpIds.getOrElse(op,
     throw new IllegalArgumentException(s"unknown gis predicate '$op'"))
 
-  override def checkInputDataTypes(): TypeCheckResult = {
+  override def checkInputDataTypes(): TypeCheckResult =
     // field TYPES checked too: a name-matching struct with int arrays
     // would pass a name-only check and misread per row at runtime
-    def okLoose(dt: DataType): Boolean = dt match {
-      case s: StructType =>
-        s.fieldNames.sameElements(Array("gtype", "xs", "ys")) &&
-          s.fields(0).dataType == org.apache.spark.sql.types.StringType &&
-          (s.fields(1).dataType match {
-            case org.apache.spark.sql.types.ArrayType(
-              org.apache.spark.sql.types.DoubleType, _) => true
-            case _ => false
-          }) &&
-          (s.fields(2).dataType match {
-            case org.apache.spark.sql.types.ArrayType(
-              org.apache.spark.sql.types.DoubleType, _) => true
-            case _ => false
-          })
-      case _ => false
-    }
-    if (okLoose(left.dataType) && okLoose(right.dataType))
+    if (GisPredicates.isGeomType(left.dataType) &&
+        GisPredicates.isGeomType(right.dataType))
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"$op expects two st_geomfromtext geometry structs " +
         "(gtype string, xs array<double>, ys array<double>), got " +
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
-  }
 
   override def dataType: DataType = BooleanType
 
@@ -415,5 +587,50 @@ case class GisPredicateExpr(left: Expression, right: Expression,
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): GisPredicateExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `st_relate(a, b)` → the 9-char DE-9IM matrix string;
+  * `st_relate(a, b, 'pattern')` → boolean pattern match (the reference
+  * STRelate.java form — Esri relate(geom1, geom2, matrix)). The pattern
+  * is peeled to a literal at registration. */
+case class GisRelateExpr(left: Expression, right: Expression,
+                         pattern: Option[String]) extends BinaryExpression {
+
+  pattern.foreach(p => require(p.length == 9 &&
+    p.forall(c => "TF*012".contains(c)),
+    s"st_relate pattern must be 9 chars of T/F/*/0/1/2, got '$p'"))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (GisPredicates.isGeomType(left.dataType) &&
+        GisPredicates.isGeomType(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "st_relate expects two st_geomfromtext geometry structs, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+
+  override def dataType: DataType =
+    if (pattern.isEmpty) org.apache.spark.sql.types.StringType else BooleanType
+
+  override def nullSafeEval(a: Any, b: Any): Any = pattern match {
+    case None => org.apache.spark.unsafe.types.UTF8String.fromString(
+      GisPredicates.relate(a.asInstanceOf[InternalRow], b.asInstanceOf[InternalRow]))
+    case Some(p) => GisPredicates.relateMatch(
+      a.asInstanceOf[InternalRow], b.asInstanceOf[InternalRow], p)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => pattern match {
+      case None =>
+        s"""${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+           |  graft.functions.GisPredicates.relate($a, $b));""".stripMargin
+      case Some(p) =>
+        s"""${ev.value} = graft.functions.GisPredicates.relateMatch($a, $b, "$p");"""
+    })
+
+  override def prettyName: String = "st_relate"
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GisRelateExpr =
     copy(left = newLeft, right = newRight)
 }

@@ -30,6 +30,15 @@ object Bpe {
     * pair's frequency at the round it won. */
   case class Merge(left: String, right: String, freq: Long)
 
+  /** Character-split + '</w>' end-of-word marker — the ONE symbol
+    * construction training and the HOF replay share (tokenizeFast
+    * mirrors it in JVM code; drift here breaks the equivalence spec,
+    * so it lives in exactly one place). */
+  private val SymsExpr =
+    """transform(split(word, ''),
+         (c, i) -> case when i = size(split(word, '')) - 1
+                   then concat(c, '</w>') else c end)"""
+
   /** Word frequency table → symbol arrays: each word starts as its
     * character sequence with the end-of-word marker appended to the
     * last character (the Sennrich formulation — merges never cross a
@@ -39,10 +48,7 @@ object Bpe {
         .as("word"))
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("freq"))
-      .withColumn("syms", expr(
-        """transform(split(word, ''),
-             (c, i) -> case when i = size(split(word, '')) - 1
-                       then concat(c, '</w>') else c end)"""))
+      .withColumn("syms", expr(SymsExpr))
 
   /** Adjacent symbol pairs of each word, weighted by word frequency:
     * (left, right, freq) rows. */
@@ -113,10 +119,7 @@ object Bpe {
     val start = docs.select(col(idCol).as("doc_id"),
         explode(split(TextAnalysis.normalize(col(textCol)), " ")).as("word"))
       .filter(length(col("word")) > 0)
-      .withColumn("syms", expr(
-        """transform(split(word, ''),
-             (c, i) -> case when i = size(split(word, '')) - 1
-                       then concat(c, '</w>') else c end)"""))
+      .withColumn("syms", expr(SymsExpr))
     val merged = merges.foldLeft(start) { (df, m) =>
       df.withColumn("syms", applyMergeExpr("syms", m.left, m.right))
     }
@@ -159,38 +162,51 @@ object Bpe {
     out
       .mapPartitions { it =>
         val (ms, rk) = ranksB.value
+        val wordCache = scala.collection.mutable.HashMap[String, Array[String]]()
         it.flatMap { row =>
           val id = row.get(1)
           val text = Option(row.getString(0)).getOrElse("")
           val words = text.trim.split("\\s+").filter(_.nonEmpty)
           words.iterator.flatMap { w =>
-            var syms = w.codePoints().toArray
-              .map(cp => new String(Character.toChars(cp)))
-            syms(syms.length - 1) = syms(syms.length - 1) + "</w>"
-            var done = false
-            while (!done && syms.length > 1) {
-              var best = Int.MaxValue
-              var i = 0
-              while (i < syms.length - 1) {
-                val r = rk.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
-                if (r < best) best = r
-                i += 1
-              }
-              if (best == Int.MaxValue) done = true
-              else {
-                val m = ms(best)
-                val buf = scala.collection.mutable.ArrayBuffer[String]()
-                var j = 0
-                while (j < syms.length) {
-                  if (j < syms.length - 1 && syms(j) == m.left &&
-                      syms(j + 1) == m.right) {
-                    buf += m.left + m.right; j += 2
-                  } else { buf += syms(j); j += 1 }
+            // per-partition memo on the DISTINCT word (the standard
+            // GPT-2 apply optimization): natural-language corpora are
+            // Zipfian, so a few thousand word shapes cover most tokens —
+            // without it the full rank loop re-ran per OCCURRENCE.
+            // Bounded (size cap) so an adversarial all-unique corpus
+            // can't grow the map without limit.
+            val tokens = wordCache.get(w) match {
+              case Some(t) => t
+              case None =>
+                var syms = w.codePoints().toArray
+                  .map(cp => new String(Character.toChars(cp)))
+                syms(syms.length - 1) = syms(syms.length - 1) + "</w>"
+                var done = false
+                while (!done && syms.length > 1) {
+                  var best = Int.MaxValue
+                  var i = 0
+                  while (i < syms.length - 1) {
+                    val r = rk.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+                    if (r < best) best = r
+                    i += 1
+                  }
+                  if (best == Int.MaxValue) done = true
+                  else {
+                    val m = ms(best)
+                    val buf = scala.collection.mutable.ArrayBuffer[String]()
+                    var j = 0
+                    while (j < syms.length) {
+                      if (j < syms.length - 1 && syms(j) == m.left &&
+                          syms(j + 1) == m.right) {
+                        buf += m.left + m.right; j += 2
+                      } else { buf += syms(j); j += 1 }
+                    }
+                    syms = buf.toArray
+                  }
                 }
-                syms = buf.toArray
-              }
+                if (wordCache.size < 100000) wordCache(w) = syms
+                syms
             }
-            syms.iterator.map(t => org.apache.spark.sql.Row(id, t))
+            tokens.iterator.map(t => org.apache.spark.sql.Row(id, t))
           }
         }
       }(enc).toDF("doc_id", "token")
@@ -198,10 +214,13 @@ object Bpe {
 
   /** Vocabulary a merge list induces over the corpus: distinct final
     * symbols with corpus frequencies (what you'd hand a trainer as the
-    * token inventory). */
+    * token inventory). Goes through [[tokenizeFast]] — the inventory is
+    * exactly the call you make with the FULL learned merge list, where
+    * the nested-HOF replay's expression tree (one aggregate() per merge)
+    * stalls planning; the two paths are spec-asserted row-identical. */
   def vocabulary(docs: DataFrame, textCol: String,
                  merges: Seq[Merge]): DataFrame =
-    tokenize(docs.withColumn("__id", monotonically_increasing_id()),
+    tokenizeFast(docs.withColumn("__id", monotonically_increasing_id()),
         "__id", textCol, merges)
       .groupBy("token").agg(count(lit(1)).as("freq"))
 }

@@ -45,10 +45,12 @@ object Curate {
       .select(col("id_b").as("doc_id")).distinct()
     val deduped = exact.join(dupIds, Seq("doc_id"), "left_anti")
 
-    // deterministic split on the (redacted) content hash
-    val split = Training.hashSplit(deduped, "doc_id", "text", trainPct, valPct)
-      .select(col("doc_id"), col("split"))
-    deduped.join(split, "doc_id")
+    // deterministic split on the (redacted) content hash — annotated in
+    // place: the split is a pure function of the text column, and the
+    // former hashSplit self-join re-planned the whole scored+dedup
+    // lineage a second time plus a join shuffle of both sides
+    deduped.withColumn("split",
+      Training.splitLabel(Training.splitBucket(col("text")), trainPct, valPct))
   }
 
   /** Stage-by-stage survivor counts — the audit a data engineer reads

@@ -101,9 +101,14 @@ object Similarity {
     // a dim mismatch would null out every projection (zip_with pads with
     // nulls), collapse all signatures to 0L, and silently turn LSH into
     // an N^2 join — refuse per row instead
-    val checked = when(size(vec) =!= dim,
+    // isNull is load-bearing: for a NULL vector `size(vec) =!= dim` is
+    // null, the when() fell through, every projection went null and every
+    // bit resolved 0 — ALL null-vector rows collapsed into bucket 0 of
+    // every table, the exact quadratic mega-bucket this guard refuses
+    val checked = when(vec.isNull || size(vec) =!= dim,
       raise_error(concat(lit(s"hyperplaneSignature: dim $dim does not " +
-        "match embedding length "), size(vec).cast("string"))))
+        "match embedding length "),
+        coalesce(size(vec).cast("string"), lit("NULL")))))
       .otherwise(vec)
     val bitCols = (0 until bits).map { b =>
       // pseudo-random +-1 weights per (table, bit, dimension), from a hash
@@ -161,8 +166,15 @@ object Similarity {
               nCells: Int = 16, nProbe: Int = 3,
               idCol: String = "vec_id", vecCol: String = "embedding",
               centroids: Option[DataFrame] = None): DataFrame = {
-    val c = graft.GraftSession.balanced(
-      corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec")))
+    // untrained path reads the corpus twice (centroid sample + assign) —
+    // cache it for the call; trained path scans once, no cache needed
+    val c = {
+      val base = graft.GraftSession.balanced(
+        corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec")))
+      if (centroids.isEmpty)
+        base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else base
+    }
     // centroids: trained (kmeans output (cluster, cvec)) when provided,
     // else a deterministic pseudo-random sample (hash-order, first N).
     // Trained cells are tighter: on clustered data nProbe=1 already
@@ -170,9 +182,15 @@ object Similarity {
     val cents = centroids
       .map(_.select(col("cluster").cast("long").as("cent_id"),
         col("cvec").as("cent_vec")))
+      // cell labels are dense LONGS from the sample order — reusing the
+      // caller's id negated it for tie-breaks, which crashes under ANSI
+      // for string ids (the keyNorm class); the window is over the
+      // nCells-row LIMITED sample, not the corpus
       .getOrElse(c.withColumn("hk", xxhash64(col("cid")))
         .orderBy("hk").limit(nCells)
-        .select(col("cid").as("cent_id"), col("cvec").as("cent_vec")))
+        .withColumn("cent_id",
+          row_number().over(Window.orderBy("hk")).cast("long"))
+        .select(col("cent_id"), col("cvec").as("cent_vec")))
     // cell argmax / top-nProbe via partial aggregation, NOT a row_number
     // window: the map side reduces each vector's nCells candidate rows
     // before the exchange, so the shuffle carries one row per vector
@@ -198,12 +216,18 @@ object Similarity {
       .select(col("qid"), col("qvec"), col("t.cent_id").as("cell"))
     val rankW = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    probes.join(assigned, "cell")
+    val result = probes.join(assigned, "cell")
       .filter(col("qid") =!= col("cid"))
       .select(col("qid").as("query_id"), col("cid").as("neighbor_id"),
         round(cosine(col("qvec"), col("cvec")), 6).as("cos_sim"))
       .dropDuplicates("query_id", "neighbor_id") // a pair may share cells
       .withColumn("rank", row_number().over(rankW)).filter(col("rank") <= k)
+    if (centroids.isEmpty) {
+      // |queries| x k rows — materialize, then release the corpus cache
+      val out = result.localCheckpoint()
+      c.unpersist()
+      out
+    } else result
   }
 
   /** IVF-PQ approximate nearest neighbors — the memory-scale ANN shape
@@ -226,8 +250,12 @@ object Similarity {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val subDim = dim / m
     val spark = corpus.sparkSession
+    // the normed corpus feeds the codebook collect, the centroid sample,
+    // the cells and codes aggregations, and the exact rerank — persist
+    // for the call (kmeans caches the identical shape for this reason)
     val c0 = graft.GraftSession.balanced(
       corpus.select(col(idCol).as("cid"), normed(col(vecCol)).as("cvec")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val q0 = queries.select(col(idCol).as("qid"), normed(col(vecCol)).as("qvec"))
 
     // coarse quantizer (kmeans-trained when provided) + PQ codebooks:
@@ -235,9 +263,12 @@ object Similarity {
     val cents = centroids
       .map(_.select(col("cluster").cast("long").as("cent_id"),
         col("cvec").as("cent_vec")))
+      // dense LONG cell labels from the sample order (see ivfTopK note)
       .getOrElse(c0.withColumn("hk", xxhash64(col("cid"))).orderBy("hk")
         .limit(nCells)
-        .select(col("cid").as("cent_id"), col("cvec").as("cent_vec")))
+        .withColumn("cent_id",
+          row_number().over(Window.orderBy("hk")).cast("long"))
+        .select(col("cent_id"), col("cvec").as("cent_vec")))
     val cbRows = c0.withColumn("hk", xxhash64(col("cid"), lit(1))).orderBy("hk")
       .limit(ksub).select("cvec").collect() // ksub vectors: metadata-scale
       .map(_.getSeq[Double](0)).toSeq
@@ -298,11 +329,14 @@ object Similarity {
     // exact rerank of the shortlist only
     val rankW = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    shortlist
+    val result = shortlist
       .join(q0, "qid").join(c0, "cid")
       .select(col("qid").as("query_id"), col("cid").as("neighbor_id"),
         round(cosine(col("qvec"), col("cvec")), 6).as("cos_sim"))
       .withColumn("rank", row_number().over(rankW)).filter(col("rank") <= k)
+      .localCheckpoint() // |queries| x k rows; then release the cache
+    c0.unpersist()
+    result
   }
 
   /** Embedding near-duplicate pairs via multi-table LSH: a pair is a
@@ -393,14 +427,17 @@ object Similarity {
     // materialize the final assignment ONCE, then drop the corpus cache:
     // callers (semanticDups' self-join, IVF builds) act on it repeatedly,
     // and without this the whole crossJoin+argmax lineage re-runs per
-    // consumer. N × (dim+2) doubles, disk-spilling; release with
-    // assigned.unpersist() when done.
-    assigned = assigned
+    // consumer. Persist the RETURNED projection (not the wide frame):
+    // unpersist() only releases a cache entry whose plan sameResult-
+    // matches the receiver, so persisting the wide frame and returning a
+    // projection made every caller's assigned.unpersist() a SILENT NO-OP
+    // — each kmeans call pinned an N x (dim+2)-double cache forever.
+    // The projection is also smaller (no vector column cached).
+    val out = assigned.select("id", "cluster", "cos_to_centroid")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    assigned.count()
+    out.count()
     c0.unpersist()
-    (assigned.select("id", "cluster", "cos_to_centroid"),
-      centRows.toDF("cluster", "cvec"))
+    (out, centRows.toDF("cluster", "cvec"))
   }
 
   /** Regime-switching near-dup front door. The two implementations divide
@@ -447,16 +484,23 @@ object Similarity {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(dir, ".index.json.tmp")
     val os = fs.create(tmp, true)
-    os.write(mapper.writeValueAsBytes(n)); os.close()
+    try os.write(mapper.writeValueAsBytes(n)) finally os.close()
     if (fs.exists(p)) fs.delete(p, false)
-    fs.rename(tmp, p)
+    // unchecked rename once left OLD params beside NEW centroids; the
+    // remaining delete->rename window is covered by loadIvfIndex's
+    // fallback to the complete .tmp file
+    require(fs.rename(tmp, p), s"ivf index.json rename failed under $dir")
   }
 
   def loadIvfIndex(spark: org.apache.spark.sql.SparkSession,
                    dir: String): (DataFrame, Map[String, String]) = {
     val cents = spark.read.parquet(s"$dir/centroids")
-    val p = new org.apache.hadoop.fs.Path(dir, "index.json")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p0 = new org.apache.hadoop.fs.Path(dir, "index.json")
+    val fs = p0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a writer that crashed between delete and rename leaves only the
+    // COMPLETE tmp file (single-shot write) — fall back to it
+    val p = if (fs.exists(p0)) p0
+      else new org.apache.hadoop.fs.Path(dir, ".index.json.tmp")
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val in = fs.open(p)
     val node = try mapper.readTree(in.readAllBytes()) finally in.close()

@@ -22,15 +22,23 @@ object Training {
     // composing them correlated pathologically (a 50% mixturePct pass
     // left documents whose buckets here were ALL < 50 — val and test
     // came back empty)
-    val bucket = pmod(Dedup.md5Hash32(concat(lit("split:"), col(textCol))), lit(100))
     docs.select(col(idCol), col(textCol))
-      .withColumn("bucket", bucket)
-      .withColumn("split",
-        when(col("bucket") < trainPct, "train")
-          .when(col("bucket") < trainPct + valPct, "val")
-          .otherwise("test"))
+      .withColumn("bucket", splitBucket(col(textCol)))
+      .withColumn("split", splitLabel(col("bucket"), trainPct, valPct))
       .select(col(idCol), col("bucket"), col("split"))
   }
+
+  /** The [[hashSplit]] bucket / label EXPRESSIONS, exposed so composers
+    * (Curate) can annotate rows in place — recomputing the split via a
+    * self-join re-plans the whole upstream lineage twice and pays a
+    * join shuffle for a pure function of the text column. */
+  def splitBucket(textCol: Column): Column =
+    pmod(Dedup.md5Hash32(concat(lit("split:"), textCol)), lit(100))
+
+  def splitLabel(bucket: Column, trainPct: Int = 80, valPct: Int = 10): Column =
+    when(bucket < trainPct, "train")
+      .when(bucket < trainPct + valPct, "val")
+      .otherwise("test")
 
   /** Stream-chop sequence packing: assign documents to fixed
     * token-budget bins (training sequences), shard-parallel. Each shard

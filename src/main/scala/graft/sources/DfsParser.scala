@@ -81,10 +81,18 @@ class DfsParser(delegate: ParserInterface) extends ParserInterface {
       fs.exists(new org.apache.hadoop.fs.Path(path, sub))
     val asOfMs: Option[Long] = timestamp.map { e =>
       val tz = spark.sessionState.conf.sessionLocalTimeZone
-      val micros = org.apache.spark.sql.catalyst.expressions
-        .Cast(e, org.apache.spark.sql.types.TimestampType, Some(tz))
-        .eval(null)
-      require(micros != null, s"TIMESTAMP AS OF: cannot evaluate $e")
+      // a non-literal (now(), current_date() - interval ...) arrives
+      // UNRESOLVED here — eval would throw Spark's internal
+      // UnresolvedException; reject with the actual contract instead
+      val micros =
+        try org.apache.spark.sql.catalyst.expressions
+          .Cast(e, org.apache.spark.sql.types.TimestampType, Some(tz))
+          .eval(null)
+        catch { case scala.util.control.NonFatal(_) =>
+          throw new IllegalArgumentException(
+            s"TIMESTAMP AS OF must be a timestamp/date/string LITERAL, got: ${e.sql}")
+        }
+      require(micros != null, s"TIMESTAMP AS OF: cannot evaluate ${e.sql}")
       micros.asInstanceOf[Long] / 1000L
     }
     val ver: Option[Long] = version.map { v =>
@@ -142,14 +150,17 @@ class DfsParser(delegate: ParserInterface) extends ParserInterface {
         // UseSchemaHandler.java) — claimed only when the path exists,
         // so unknown names keep Spark's normal error
         spark.conf.getOption("graft.dfs.defaultWorkspace").flatMap { ws =>
-          scala.util.Try {
+          // existence check and read are SEPARATE: a blanket Try around
+          // both converted real reader errors (corrupt file, unknown
+          // extension) into a misleading "table or view not found"
+          val existing = scala.util.Try {
             val path = DfsSql.resolvePath(spark, Seq(ws, parts.head))
             val p = new org.apache.hadoop.fs.Path(path)
             val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            if (fs.exists(p))
-              Some(DfsSql.read(spark, path).queryExecution.analyzed)
-            else None
+            if (fs.exists(p)) Some(path) else None
           }.toOption.flatten
+          existing.map(path =>
+            DfsSql.read(spark, path).queryExecution.analyzed)
         }
       }
     else if (parts.length >= 2 && !spark.catalog.databaseExists(parts.head))

@@ -91,6 +91,17 @@ object DfsSql {
     } else if (fs.exists(hp)) {
       readByExt(spark, path, extOf(hp.getName))
     } else {
+      // a PERSISTED VIEW resolves by its view name: CREATE VIEW
+      // dfs.ws.v writes ws/v.view.json, and the schema-qualified name
+      // the DDL just accepted must read back (Drill resolves views in
+      // the workspace the same way)
+      val viewFile = new org.apache.hadoop.fs.Path(path + ".view.json")
+      if (fs.exists(viewFile)) {
+        val in = fs.open(viewFile)
+        val node = try new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(in) finally in.close()
+        return spark.sql(node.get("sql").asText())
+      }
       throw new IllegalArgumentException(s"dfs: no such file or directory: $path")
     }
   }
@@ -170,8 +181,28 @@ object DfsSql {
     ws.toLowerCase match {
       case "root" => Some("/")
       case "tmp"  => Some(System.getProperty("java.io.tmpdir", "/tmp"))
-      case name   => spark.conf.getOption(s"graft.dfs.workspace.$name")
+      // raw spelling first: a conf-registered Mixed-Case workspace must
+      // resolve exactly as SHOW SCHEMAS advertises it (the lowercased
+      // lookup alone made such workspaces list but never resolve)
+      case lower  => spark.conf.getOption(s"graft.dfs.workspace.$ws")
+        .orElse(spark.conf.getOption(s"graft.dfs.workspace.$lower"))
     }
+
+  /** The ONE canonical workspace registry — builtin root + tmp, then the
+    * conf-registered names. A conf entry spelled root/tmp is dropped:
+    * [[workspaceDir]] gives the builtins precedence at resolution, so a
+    * listing that showed it would advertise a workspace that never
+    * resolves. /storage.json, INFORMATION_SCHEMA.FILES and SHOW SCHEMAS
+    * consume this instead of re-scanning the conf divergently. */
+  def workspaces(spark: SparkSession): Seq[(String, String)] =
+    Seq("root" -> "/",
+      "tmp" -> System.getProperty("java.io.tmpdir", "/tmp")) ++
+      spark.conf.getAll.toSeq
+        .filter(_._1.startsWith("graft.dfs.workspace."))
+        .map { case (k, v) => k.stripPrefix("graft.dfs.workspace.") -> v }
+        .filterNot(kv => kv._1.equalsIgnoreCase("root") ||
+          kv._1.equalsIgnoreCase("tmp"))
+        .sortBy(_._1)
 
   def load(spark: SparkSession, parts: Seq[String]): DataFrame =
     read(spark, resolvePath(spark, parts))

@@ -82,7 +82,15 @@ object Federation {
         .getOrElse(if (body.isEmpty) "empty error body" else body.take(500))
       throw new IllegalArgumentException(s"graft peer error (HTTP $code): $msg")
     }
-    val node = mapper.readTree(body)
+    // a 200 that isn't the graft response shape (a proxy, a non-graft
+    // service) must error readably, not NPE
+    val node =
+      try mapper.readTree(body)
+      catch { case e: Exception => throw new IllegalArgumentException(
+        s"graft peer returned 200 with unparseable body: ${body.take(200)}") }
+    if (node == null || (!node.has("rows") && !node.has("errorMessage")))
+      throw new IllegalArgumentException(
+        s"graft peer returned 200 without a rows field: ${body.take(200)}")
     if (node.has("errorMessage"))
       throw new IllegalArgumentException(
         "graft peer error: " + node.get("errorMessage").asText)

@@ -42,9 +42,15 @@ object GraftCatalog {
       .toDF("table_name", "column_name", "data_type", "is_nullable", "is_partition")
   }
 
-  /** COLUMNS across every visible table, one pass (ordinal per table). */
+  /** COLUMNS across every visible table, one pass (ordinal per table).
+    * Catalog tables resolve DATABASE-QUALIFIED: with a temp view
+    * shadowing a same-named table, the bare name resolved to the view
+    * twice and the table's columns never appeared. */
   def allColumns(spark: SparkSession): DataFrame = {
-    val names = spark.catalog.listTables().collect().map(_.name)
+    val names = spark.catalog.listTables().collect()
+      .map(t => Option(t.database).filter(_.nonEmpty)
+        .map(db => s"$db.${t.name}").getOrElse(t.name))
+      .distinct
     names.map(columns(spark, _)).reduceOption(_ unionAll _)
       .getOrElse(spark.emptyDataFrame)
   }
@@ -58,12 +64,10 @@ object GraftCatalog {
   def files(spark: SparkSession, recursive: Boolean = false): DataFrame = {
     import spark.implicits._
     val conf = spark.sparkContext.hadoopConfiguration
-    val workspaces = Seq("root" -> "/",
-      "tmp" -> System.getProperty("java.io.tmpdir", "/tmp")) ++
-      spark.conf.getAll.toSeq
-        .filter(_._1.startsWith("graft.dfs.workspace."))
-        .map { case (k, v) => k.stripPrefix("graft.dfs.workspace.") -> v }
-    val rows = workspaces.filterNot(_._1 == "root").flatMap { case (ws, dir) =>
+    // canonical registry (DfsSql.workspaces); root excluded — listing
+    // the whole filesystem as a "workspace" is never useful here
+    val rows = DfsSql.workspaces(spark)
+      .filterNot(_._1 == "root").flatMap { case (ws, dir) =>
       val p = new org.apache.hadoop.fs.Path(dir)
       val fs = p.getFileSystem(conf)
       if (!fs.exists(p)) Nil

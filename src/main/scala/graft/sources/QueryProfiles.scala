@@ -74,8 +74,11 @@ object QueryProfiles {
   private val stageToExec = new ConcurrentHashMap[Integer, java.lang.Long]()
   private val jobStages = new ConcurrentHashMap[Integer, Seq[Int]]()
   private val inFlight = new ConcurrentHashMap[java.lang.Long, Started]()
-  // O(1) ring size (ConcurrentLinkedDeque.size() traverses every node)
+  // O(1) ring sizes (ConcurrentLinkedDeque.size() traverses every node
+  // — on the shared listener-bus thread, per event)
   private val opCount = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val ringCount = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val stageCount = new java.util.concurrent.atomic.AtomicInteger(0)
   // per in-flight execution: accumulator id -> meaning, and running sums
   private val accumIndex = new ConcurrentHashMap[java.lang.Long, ConcurrentHashMap[java.lang.Long, MetricKey]]()
   private val accumToExec = new ConcurrentHashMap[java.lang.Long, java.lang.Long]()
@@ -160,7 +163,11 @@ object QueryProfiles {
                   started.map(s => e.time - s.timeMs).getOrElse(0L),
                   started.map(_.planHead).getOrElse(""),
                   e.errorMessage.getOrElse("")))
-                while (ring.size() > capacity) ring.pollLast()
+                ringCount.incrementAndGet()
+                while (ringCount.get() > capacity) {
+                  if (ring.pollLast() != null) ringCount.decrementAndGet()
+                  else ringCount.set(0)
+                }
                 finishOperators(e.executionId, capacity)
               case _ => ()
             }
@@ -201,7 +208,11 @@ object QueryProfiles {
               m.map(f).getOrElse(0L)
             val wall = (for {s <- info.submissionTime; c <- info.completionTime}
               yield c - s).getOrElse(0L)
-            val execId = Option(stageToExec.remove(Int.box(info.stageId)))
+            // get, not remove: a fetch-failure RESUBMISSION completes a
+            // second attempt of the same stage id — removing on the
+            // first attempt recorded the retry with execution_id -1.
+            // Cleanup belongs to onJobEnd (which already handles it).
+            val execId = Option(stageToExec.get(Int.box(info.stageId)))
               .map(_.longValue).getOrElse(-1L)
             stageRing.addFirst(StageProfile(execId, info.stageId,
               info.attemptNumber(), info.name.takeWhile(_ != '\n'),
@@ -214,7 +225,11 @@ object QueryProfiles {
                 x.shuffleReadMetrics.localBytesRead),
               g(_.shuffleWriteMetrics.recordsWritten),
               g(_.shuffleWriteMetrics.bytesWritten)))
-            while (stageRing.size() > capacity * 4) stageRing.pollLast()
+            stageCount.incrementAndGet()
+            while (stageCount.get() > capacity * 4) {
+              if (stageRing.pollLast() != null) stageCount.decrementAndGet()
+              else stageCount.set(0)
+            }
           }
         }
         spark.sparkContext.addSparkListener(l)
@@ -229,10 +244,14 @@ object QueryProfiles {
     stageRing.clear()
     opRing.clear()
     stageToExec.clear()
+    jobStages.clear() // in-flight jobs never see their onJobEnd now
     inFlight.clear()
     accumIndex.clear()
     accumToExec.clear()
     accumSums.clear()
+    ringCount.set(0)
+    stageCount.set(0)
+    opCount.set(0)
   }
 
   /** sys.profiles: newest first. */

@@ -112,11 +112,7 @@ object QueryServer {
     server.createContext("/storage.json", new HttpHandler {
       override def handle(x: HttpExchange): Unit = try {
         if (x.getRequestMethod != "GET") { respond(x, 405, error("GET only")); return }
-        val ws = Seq("root" -> "/", "tmp" ->
-            System.getProperty("java.io.tmpdir", "/tmp")) ++
-          spark.conf.getAll.toSeq
-            .filter(_._1.startsWith("graft.dfs.workspace."))
-            .map { case (k, v) => k.stripPrefix("graft.dfs.workspace.") -> v }
+        val ws = DfsSql.workspaces(spark) // the one canonical registry
         val arr = mapper.createArrayNode()
         ws.sortBy(_._1).foreach { case (name, dir) =>
           val n = arr.addObject()
@@ -202,15 +198,19 @@ object QueryServer {
        |<textarea id="q" rows="4">SELECT 1 AS one</textarea><br>
        |<button>Run</button></form><div id="out"></div>
        |<script>
+       |// query results are UNTRUSTED data — escape before innerHTML, or
+       |// a cell containing markup executes in the console origin
+       |function esc(s){return String(s).replace(/&/g,'&amp;')
+       | .replace(/</g,'&lt;').replace(/>/g,'&gt;').replace(/"/g,'&quot;')}
        |async function run(){
        | const r=await fetch('/query',{method:'POST',
        |   body:JSON.stringify({query:document.getElementById('q').value})});
        | const j=await r.json();
        | const out=document.getElementById('out');
        | if(j.errorMessage){out.textContent=j.errorMessage;return}
-       | let h='<table><tr>'+j.columns.map(c=>'<th>'+c+'</th>').join('')+'</tr>';
+       | let h='<table><tr>'+j.columns.map(c=>'<th>'+esc(c)+'</th>').join('')+'</tr>';
        | for(const row of j.rows){h+='<tr>'+j.columns.map(c=>
-       |   '<td>'+(row[c]===undefined?'':String(row[c]))+'</td>').join('')+'</tr>'}
+       |   '<td>'+(row[c]===undefined?'':esc(row[c]))+'</td>').join('')+'</tr>'}
        | out.innerHTML=h+'</table>';
        |}
        |</script></body></html>""".stripMargin
@@ -223,12 +223,15 @@ object QueryServer {
        |<div id="p"></div><h2>stages</h2><div id="s"></div>
        |<h2>operators</h2><div id="o"></div>
        |<script>
+       |// profile rows carry user SQL / plan text — escape (see index)
+       |function esc(s){return String(s).replace(/&/g,'&amp;')
+       | .replace(/</g,'&lt;').replace(/>/g,'&gt;').replace(/"/g,'&quot;')}
        |function tab(rows){
        | if(!rows.length)return '<p>(none — enable profiling)</p>';
        | const cols=Object.keys(rows[0]);
-       | let h='<table><tr>'+cols.map(c=>'<th>'+c+'</th>').join('')+'</tr>';
+       | let h='<table><tr>'+cols.map(c=>'<th>'+esc(c)+'</th>').join('')+'</tr>';
        | for(const r of rows){h+='<tr>'+cols.map(c=>
-       |   '<td>'+(r[c]===undefined?'':String(r[c]))+'</td>').join('')+'</tr>'}
+       |   '<td>'+(r[c]===undefined?'':esc(r[c]))+'</td>').join('')+'</tr>'}
        | return h+'</table>';
        |}
        |async function load(id,url){

@@ -95,6 +95,8 @@ object SqlCommands {
 
   private val UseSql =
     """(?is)\s*USE\s+(dfs(?:\s*\.\s*\w+)?)\s*;?\s*""".r
+  private val UseOther =
+    """(?is)\s*USE\s+(?!dfs\b)([\w.`]+)\s*;?\s*""".r
   private val ShowSchemas =
     """(?is)\s*SHOW\s+SCHEMAS\s*;?\s*""".r
   private val ShowTablesIn =
@@ -135,13 +137,20 @@ object SqlCommands {
     * to refuse statements that would EXECUTE when touched. */
   def isGraftCommand(sqlText: String): Boolean = (sqlText match {
     case AlterSet(_, _, _) | AlterResetAll(_) | AlterReset(_, _) |
-         UseSql(_) | ShowSchemas() | ShowTablesIn(_) | ShowTablesBare() |
-         Analyze(_, _, _) | CreateAlias(_, _, _, _, _) |
+         CreateAlias(_, _, _, _, _) |
          DropAllAliases(_, _) | DropAlias(_, _, _) | RefreshMeta(_) |
-         CreateView(_, _, _, _) | DropView(_, _, _) | Cttas(_, _) |
-         Ctas(_, _, _) | DropTable(_, _) | DescribeSchema(_) | Describe(_) |
-         ExplainPlan(_, _, _) => true
-    case DropBare(name) => cttasDirs.containsKey(name)
+         Cttas(_, _) | ExplainPlan(_, _, _) => true
+    // the guards MUST mirror claim()'s, or EXPLAIN PLAN FOR refuses
+    // statements claim() would delegate to Spark (e.g. ANALYZE on a
+    // catalog table, SHOW TABLES with no default workspace)
+    case UseSql(_) | ShowSchemas() | ShowTablesIn(_) | CreateView(_, _, _, _) |
+         DropView(_, _, _) | Ctas(_, _, _) | DropTable(_, _) |
+         DescribeSchema(_) | Describe(_) => dfsClaimable
+    case ShowTablesBare() => dfsClaimable && SparkSession.active.conf
+      .getOption("graft.dfs.defaultWorkspace").isDefined
+    case Analyze(target, _, _) => dfsClaimable &&
+      target.trim.toLowerCase.matches("^`?dfs`?\\s*[.].*")
+    case DropBare(name) => cttasDirs.containsKey(name.toLowerCase)
     case _ => false
   }) || DmlSql.wouldClaim(sqlText) ||
     // DfsParser's own pre-delegation claims (dynamic UDF jars)
@@ -156,15 +165,21 @@ object SqlCommands {
       case AlterSet(scope, key, rawValue) =>
         val spark = SparkSession.active
         val value = unquote(rawValue)
-        touched.putIfAbsent(key, spark.conf.getOption(key))
+        // record AFTER the set succeeds: a static-conf failure used to
+        // leave a poisoned `touched` entry that made every later
+        // RESET ALL throw mid-iteration forever
+        val prev = spark.conf.getOption(key)
         spark.conf.set(key, value)
+        touched.putIfAbsent(key, prev)
         Some(result(ok = true,
           s"${scope.toLowerCase} option $key = $value"))
       case AlterResetAll(scope) =>
         val spark = SparkSession.active
         val n = touched.size
         touched.forEach { (k, prev) =>
-          prev.fold(spark.conf.unset(k))(v => spark.conf.set(k, v))
+          // keep draining even if one key turned unsettable since
+          try prev.fold(spark.conf.unset(k))(v => spark.conf.set(k, v))
+          catch { case _: Exception => () }
         }
         touched.clear()
         Some(result(ok = true, s"${scope.toLowerCase}: $n options reset"))
@@ -217,13 +232,17 @@ object SqlCommands {
           s"dfs: unknown workspace '$ws' — set graft.dfs.workspace.$ws")
         spark.conf.set("graft.dfs.defaultWorkspace", ws)
         Some(result(ok = true, s"Default schema changed to [dfs.$ws]"))
+      case UseOther(_) =>
+        // Drill's USE REPLACES the session schema: switching to a
+        // catalog database must drop the sticky dfs workspace, or bare
+        // SHOW TABLES / bare-name resolution stays hijacked to the old
+        // workspace indefinitely. The USE itself delegates to Spark.
+        SparkSession.active.conf.unset("graft.dfs.defaultWorkspace")
+        None
       case ShowSchemas() if dfsClaimable =>
         val spark = SparkSession.active
         import spark.implicits._
-        val wsNames = Seq("root", "tmp") ++
-          spark.conf.getAll.keys.toSeq
-            .filter(_.startsWith("graft.dfs.workspace."))
-            .map(_.stripPrefix("graft.dfs.workspace."))
+        val wsNames = DfsSql.workspaces(spark).map(_._1) // canonical registry
         val dbs = spark.catalog.listDatabases().collect().map(_.name).toSeq
         Some((wsNames.sorted.distinct.map(w => s"dfs.$w") ++
           Seq("information_schema", "sys") ++ dbs).toDF("SCHEMA_NAME")
@@ -302,15 +321,18 @@ object SqlCommands {
         fs.delete(p, true)
         spark.sql(query).write.parquet(dir)
         spark.read.parquet(dir).createTempView(name)
-        cttasDirs.put(name, dir)
+        // keys lowercased: Spark resolves temp views case-insensitively,
+        // so a differently-cased DROP must still claim (else the backing
+        // dir and registry entry leaked for the JVM lifetime)
+        cttasDirs.put(name.toLowerCase, dir)
         Some(result(ok = true,
           s"Temporary table [$name] created (session-scoped, $dir)"))
       // claimed ONLY for names this session's CTTAS created — every
       // other DROP TABLE stays with Spark's grammar
-      case DropBare(name) if cttasDirs.containsKey(name) =>
+      case DropBare(name) if cttasDirs.containsKey(name.toLowerCase) =>
         val spark = SparkSession.active
         spark.catalog.dropTempView(name)
-        val dir = cttasDirs.remove(name)
+        val dir = cttasDirs.remove(name.toLowerCase)
         val p = new org.apache.hadoop.fs.Path(dir)
         p.getFileSystem(spark.sparkContext.hadoopConfiguration)
           .delete(p, true)
@@ -325,9 +347,15 @@ object SqlCommands {
         val fmt = spark.conf.get("store.format", "parquet")
         val parts = Option(partCols).map(_.split(',').toSeq
           .map(_.trim.stripPrefix("`").stripSuffix("`"))).getOrElse(Nil)
-        val written = Writer.ctas(spark.sql(query), path, fmt, parts)
+        // row count observed DURING the single write — counting the
+        // read-back table re-scanned the entire new table
+        val obs = new org.apache.spark.sql.Observation()
+        Writer.ctas(spark.sql(query).observe(obs,
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n")), path, fmt, parts)
+        val n = obs.get("n")
         Some(result(ok = true,
-          s"${written.count()} records written to $path ($fmt)"))
+          s"$n records written to $path ($fmt)"))
       case DropTable(ifExists, target) if dfsClaimable =>
         val spark = SparkSession.active
         val path = targetPath(spark, target, parseIdent)
@@ -388,6 +416,10 @@ object SqlCommands {
       if (!fs.exists(p)) Seq.empty[String]
       else fs.listStatus(p).toSeq.map(_.getPath.getName)
         .filter(n => !n.startsWith("_") && !n.startsWith("."))
+        // a persisted view's backing file lists under its VIEW name
+        // (Drill lists `v`, not `v.view.json`)
+        .map(n => n.stripSuffix(".view.json"))
+        .distinct
         .sorted
     names.map(n => (s"dfs.$ws", n)).toDF("TABLE_SCHEMA", "TABLE_NAME")
       .queryExecution.analyzed
@@ -438,7 +470,7 @@ object SqlCommands {
       val parts = parseIdent(t)
       if (parts.length >= 2 && parts.head.equalsIgnoreCase("dfs"))
         DfsSql.resolvePath(spark, parts.tail)
-      else parts.mkString("/") match { case p => p }
+      else parts.mkString("/")
     }
   }
 

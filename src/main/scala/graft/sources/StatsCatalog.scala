@@ -50,8 +50,19 @@ object StatsCatalog {
     * atomically under `base`. */
   def analyze(spark: SparkSession, base: String, table: String,
               df: DataFrame, histogramBuckets: Int = 0): TableStats = {
-    import org.apache.spark.sql.types.NumericType
-    val cols = df.columns.toSeq
+    import org.apache.spark.sql.types._
+    // stats cover ATOMIC columns only: min/max need an ordering and ndv
+    // needs hashability — one map-typed column (schema-on-read JSON)
+    // used to abort the whole ANALYZE with an AnalysisException
+    val cols = df.schema.fields.filter(_.dataType match {
+      case _: NumericType | StringType | BooleanType | DateType |
+           TimestampType | TimestampNTZType | BinaryType => true
+      case _ => false
+    }).map(_.name).toSeq
+    // exact-name resolution: a raw col("price.usd") parses the dot as a
+    // struct path and fails; backtick-quote (with `` escaping)
+    def col(c: String): org.apache.spark.sql.Column =
+      org.apache.spark.sql.functions.col(s"`${c.replace("`", "``")}`")
     val numericCols =
       if (histogramBuckets <= 0) Set.empty[String]
       else df.schema.fields
@@ -117,10 +128,15 @@ object StatsCatalog {
     require(f.rename(tmp, target), s"atomic rename failed for $target")
   }
 
-  /** Stored stats for `table`, if analyzed. */
+  /** Stored stats for `table`, if analyzed. A reader racing the
+    * writer's delete→rename window (or a writer that crashed inside it)
+    * falls back to the COMPLETE tmp file instead of seeing no stats. */
   def load(spark: SparkSession, base: String, table: String): Option[TableStats] = {
-    val p = new Path(base, table + Suffix)
     val f = fs(spark, base)
+    val target = new Path(base, table + Suffix)
+    val p =
+      if (f.exists(target)) target
+      else new Path(base, s".$table$Suffix.tmp")
     if (!f.exists(p)) None
     else {
       val in = f.open(p)

@@ -93,6 +93,24 @@ class DfsSqlSpec extends AnyFunSuite {
     assert(glob === 2L)
   }
 
+  test("persisted views read back by their schema-qualified dfs name") {
+    val dir = Files.createTempDirectory("dfs_viewrb_").toString
+    spark.conf.set("graft.dfs.workspace.vrb", dir)
+    try {
+      spark.range(3).toDF("n").write.mode("overwrite")
+        .parquet(s"$dir/base.parquet")
+      spark.sql(
+        s"CREATE VIEW dfs.vrb.v3 AS SELECT count(*) AS n FROM dfs.vrb.`base.parquet`")
+      // the name CREATE VIEW just accepted must be readable back
+      assert(spark.sql("SELECT * FROM dfs.vrb.`v3`").collect()(0).getLong(0) == 3L)
+      // SHOW TABLES lists the VIEW name, not its backing file
+      val names = spark.sql("SHOW TABLES IN dfs.vrb").collect()
+        .map(_.getString(1)).toSet
+      assert(names.contains("v3") && !names.exists(_.endsWith(".view.json")),
+        names.toString)
+    } finally spark.conf.unset("graft.dfs.workspace.vrb")
+  }
+
   test("unknown extension and missing path error clearly") {
     val p = Files.createTempFile("dfs_bad_", ".zzz")
     val e1 = intercept[Exception](spark.sql(s"SELECT * FROM dfs.`$p`").collect())

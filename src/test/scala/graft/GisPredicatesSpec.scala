@@ -135,6 +135,70 @@ class GisPredicatesSpec extends AnyFunSuite {
       "LINESTRING (0 5, 0 9)"))
   }
 
+  private def relateOf(aWkt: String, bWkt: String): String = {
+    import spark.implicits._
+    Seq((aWkt, bWkt)).toDF("a", "b")
+      .select(call_function("st_relate",
+        stGeomFromText(col("a")), stGeomFromText(col("b"))).as("m"))
+      .collect()(0).getString(0)
+  }
+
+  private def relatePat(aWkt: String, bWkt: String, p: String): Boolean = {
+    import spark.implicits._
+    Seq((aWkt, bWkt)).toDF("a", "b")
+      .select(call_function("st_relate",
+        stGeomFromText(col("a")), stGeomFromText(col("b")), lit(p)).as("m"))
+      .collect()(0).getBoolean(0)
+  }
+
+  test("st_relate: textbook DE-9IM matrices") {
+    // equal polygons
+    assert(relateOf(diamond, diamond) == "2FFF1FFF2")
+    // A strictly inside B: the WITHIN matrix
+    assert(relateOf("POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))", square)
+      == "2FF1FF212")
+    // edge-touching squares: the textbook FF2F11212
+    assert(relateOf("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
+      "POLYGON ((2 0, 4 0, 4 2, 2 2, 2 0))") == "FF2F11212")
+    // line crossing a polygon: in, across the boundary twice, out
+    assert(relateOf("LINESTRING (-3 0, 3 0)", diamond) == "101FF0212")
+    // disjoint polygons
+    assert(relateOf(diamond, "POLYGON ((10 0, 12 0, 12 2, 10 2, 10 0))")
+      == "FF2FF1212")
+    // crossing lines: dim-0 interior meet
+    assert(relateOf("LINESTRING (0 0, 2 2)", "LINESTRING (0 2, 2 0)")
+      == "0F1FF0102")
+    // point in polygon interior (exterior row carries the polygon)
+    assert(relateOf("POINT (0 0)", diamond) == "0FFFFF212")
+    // point on polygon boundary
+    assert(relateOf("POINT (2 0)", diamond) == "F0FFFF212")
+  }
+
+  test("st_relate pattern identities agree with the direct predicates") {
+    // the published DE-9IM pattern definitions of the named predicates,
+    // evaluated over every ordered fixture pair — the matrix and the
+    // predicate implementations cannot drift apart without failing this
+    val fixtures = Seq(
+      "POINT (0 0)", "POINT (2 0)", "POINT (9 9)",
+      "LINESTRING (-3 0, 3 0)", "LINESTRING (2 0, 0 2)",
+      "LINESTRING (0 0, 2 2)", "LINESTRING (0 2, 2 0)",
+      "LINESTRING (0 0, 3 0)", "LINESTRING (1 0, 4 0)",
+      diamond, square,
+      "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))",
+      "POLYGON ((2 0, 4 0, 4 2, 2 2, 2 0))",
+      "POLYGON ((4 0, 2 2, 0 0, 2 -2, 4 0))",
+      "POLYGON ((10 0, 12 0, 12 2, 10 2, 10 0))")
+    for (a <- fixtures; b <- fixtures) {
+      val ctx = s"a=$a b=$b"
+      assert(pred("st_intersects", a, b) == !relatePat(a, b, "FF*FF****"), ctx)
+      assert(pred("st_disjoint", a, b) == relatePat(a, b, "FF*FF****"), ctx)
+      assert(pred("st_equals", a, b) == relatePat(a, b, "T*F**FFF*"), ctx)
+      val touchPat = relatePat(a, b, "FT*******") ||
+        relatePat(a, b, "F**T*****") || relatePat(a, b, "F***T****")
+      assert(pred("st_touches", a, b) == touchPat, s"touches $ctx")
+    }
+  }
+
   test("predicates refuse wrong-typed lookalike structs") {
     import spark.implicits._
     val e = intercept[Exception] {

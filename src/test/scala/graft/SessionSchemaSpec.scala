@@ -36,6 +36,48 @@ class SessionSchemaSpec extends AnyFunSuite {
     }
   }
 
+  test("USE <catalog db> clears the sticky dfs workspace context") {
+    val dir = "/tmp/graft_test/session_ws2"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true); fs.mkdirs(p)
+    spark.conf.set("graft.dfs.workspace.sticky", dir)
+    try {
+      spark.sql("USE dfs.sticky").collect()
+      assert(spark.conf.getOption("graft.dfs.defaultWorkspace").contains("sticky"))
+      // Drill's USE REPLACES the session schema — switching back to a
+      // catalog database must drop the dfs context
+      spark.sql("USE default").collect()
+      assert(spark.conf.getOption("graft.dfs.defaultWorkspace").isEmpty,
+        "dfs workspace context survived USE <db>")
+    } finally {
+      spark.conf.unset("graft.dfs.defaultWorkspace")
+      spark.conf.unset("graft.dfs.workspace.sticky")
+      spark.sql("USE default").collect()
+    }
+  }
+
+  test("ALTER SESSION SET on a static conf fails without poisoning RESET ALL") {
+    val e = intercept[Exception] {
+      spark.sql("ALTER SESSION SET `spark.sql.warehouse.dir` = '/nope'").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("cannot") ||
+      e.getMessage.toLowerCase.contains("static"))
+    // the failed SET must not have recorded the key: RESET ALL succeeds
+    spark.sql("ALTER SESSION SET `graft.test.opt` = 'x'").collect()
+    val r = spark.sql("ALTER SESSION RESET ALL").collect()(0)
+    assert(r.getBoolean(0))
+    assert(spark.conf.getOption("graft.test.opt").isEmpty)
+  }
+
+  test("CTTAS drop is case-insensitive, like Spark temp view resolution") {
+    spark.sql("CREATE TEMPORARY TABLE CttasCase AS SELECT 1 AS one").collect()
+    assert(spark.sql("SELECT * FROM cttascase").count() == 1)
+    val r = spark.sql("DROP TABLE cttascase").collect()(0)
+    assert(r.getBoolean(0), "differently-cased DROP must claim the CTTAS")
+    assert(!spark.catalog.tableExists("CttasCase"))
+  }
+
   test("DESCRIBE SCHEMA returns the workspace's (schema, properties) row") {
     spark.conf.set("graft.dfs.workspace.descws", "/tmp")
     try {

@@ -225,4 +225,17 @@ class SimilaritySpec extends AnyFunSuite {
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(blocked == naive)
   }
+
+  test("semanticDups releases the kmeans cache (no pinned corpus per call)") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    Similarity.semanticDups(corpus, threshold = 0.9, k = 4).count()
+    // unpersisting a PROJECTION of the persisted frame was a silent
+    // no-op (sameResult never matched) — every call leaked the corpus
+    // cache AND the assignment cache. The one allowed residual entry is
+    // the localCheckpoint holding the RESULT rows (released with the
+    // returned DataFrame); before the fix this asserted 3 extra entries.
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after <= before + 1,
+      s"semanticDups leaked cache entries: $before -> $after")
+  }
 }
