@@ -237,7 +237,11 @@ object DeltaLogWriter {
     if (!fs.exists(new Path(tablePath, "_delta_log"))) return None
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val versions = DeltaLogReader.tableVersions(spark, tablePath)
-    val jsonTxns = versions.flatMap { v =>
+    // NEWEST-first with early exit: txn versions for one appId are
+    // monotone (each commit carries the latest), so the first hit IS the
+    // max — the oldest-first full scan re-parsed every commit file per
+    // micro-batch, O(n²) driver I/O over a continuous stream's life
+    val jsonTxns = versions.sorted.reverse.iterator.map { v =>
       val p = new Path(new Path(tablePath, "_delta_log"), f"$v%020d.json")
       val in = fs.open(p)
       val lines =
@@ -249,7 +253,7 @@ object DeltaLogWriter {
           .filter(_.get("appId").asText == appId)
           .map(_.get("version").asLong)
       }
-    }
+    }.find(_.nonEmpty).getOrElse(Nil)
     val cpTxns = DeltaLogReader.lastCheckpointVersion(spark, tablePath).toSeq
       .flatMap { cv =>
         import org.apache.spark.sql.functions.col

@@ -62,9 +62,16 @@ private[sources] object DeltaStreamSource {
     private val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def read(): Option[Long] =
       try {
-        if (!fs.exists(p)) None
-        else {
-          val in = fs.open(p)
+        // the rename fallback path (delete target, rename tmp) has a
+        // crash window with NO progress file — the tmp is a complete
+        // single-shot write, so fall back to it rather than regressing
+        // the admission watermark and re-emitting delivered versions
+        val src =
+          if (fs.exists(p)) Some(p)
+          else Some(new Path(metadataPath, ".graft-progress.tmp"))
+            .filter(fs.exists)
+        src.flatMap { f =>
+          val in = fs.open(f)
           try scala.io.Source.fromInputStream(in, "UTF-8")
             .mkString.trim.toLongOption
           finally in.close()
@@ -78,6 +85,16 @@ private[sources] object DeltaStreamSource {
     }
   }
 
+  /** Newest version: JSON commits, or the checkpoint when every commit
+    * file has been cleaned up (a checkpoint-only log used to crash
+    * source creation with an unhelpful empty.max). */
+  private[sources] def latestVersion(spark: org.apache.spark.sql.SparkSession,
+                                     path: String): Long =
+    DeltaLogReader.tableVersions(spark, path).maxOption
+      .orElse(DeltaLogReader.lastCheckpointVersion(spark, path))
+      .getOrElse(throw new IllegalArgumentException(
+        s"delta stream: no commits or checkpoint under $path"))
+
   def cdfMode(parameters: Map[String, String]): Boolean =
     parameters.get("readChangeFeed").exists(_.toBoolean)
 
@@ -87,8 +104,8 @@ private[sources] object DeltaStreamSource {
     val path = pathOf(parameters)
     // read() runs the protocol/column-mapping guards; readChanges adds
     // the partitioned-table refusal this source inherits
-    val versions = DeltaLogReader.tableVersions(spark, path)
-    val changes = DeltaLogReader.readChanges(spark, path, versions.max)
+    val changes = DeltaLogReader.readChanges(spark, path,
+      latestVersion(sqlContext.sparkSession, path))
     if (cdfMode(parameters)) changes.schema
     else DeltaLogReader.read(spark, path).schema
   }
@@ -121,7 +138,18 @@ class DeltaStreamSource(sqlContext: SQLContext,
   // first batch would silently drop commits landing between stream
   // start and the first trigger
   private val startVersion: Long =
-    DeltaLogReader.tableVersions(spark, path).max
+    DeltaStreamSource.latestVersion(spark, path)
+
+  // where the admission budget STARTS counting for a fresh stream: the
+  // configured anchor, not -1 — a capped startingVersion=latest stream
+  // otherwise re-emitted the entire pre-anchor history once its first
+  // empty batch committed (the Iceberg source had this logic; Delta
+  // lacked it)
+  private val budgetAnchor: Long = startingVersion match {
+    case Some("latest") => startVersion
+    case Some(v)        => v.toLong - 1
+    case None           => -1L
+  }
 
   // admission control (delta's maxFilesPerTrigger): a catch-up stream
   // must not plan the whole backlog as one batch. The v1 API has no
@@ -143,11 +171,11 @@ class DeltaStreamSource(sqlContext: SQLContext,
   }
 
   override def getOffset: Option[Offset] = {
-    val latest = DeltaLogReader.tableVersions(spark, path).max
+    val latest = DeltaStreamSource.latestVersion(spark, path)
     val capped = maxFilesPerTrigger match {
       case None => latest
       case Some(budget) =>
-        val from = committed.getOrElse(-1L)
+        val from = math.max(committed.getOrElse(-1L), budgetAnchor)
         var v = from
         var files = 0
         var next = if (v < latest) addFileCount(v + 1) else 0

@@ -51,6 +51,11 @@ class IcebergStreamSource(sqlContext: SQLContext,
 
   private val maxFilesPerTrigger = parameters.get("maxFilesPerTrigger").map(_.toInt)
 
+  // per-snapshot appended-file counts: immutable once a snapshot is
+  // written, so each manifest parses at most once per source instance
+  private val fileCountCache =
+    new java.util.concurrent.ConcurrentHashMap[java.lang.Long, Integer]()
+
   override val schema: StructType = IcebergTable.read(spark, path).schema
 
   private def snaps = IcebergTable.loadMeta(spark, path).snapshots
@@ -96,9 +101,14 @@ class IcebergStreamSource(sqlContext: SQLContext,
           case None => -1
         }
         val from = from0.getOrElse(anchorIdx)
+        // per-snapshot counts are IMMUTABLE — cache by snapshot id so a
+        // backlogged capped stream doesn't re-parse the same Avro
+        // manifests on every trigger until the snapshot is admitted
         def countOf(i: Int): Int =
           if (all(i).operation == "append")
-            IcebergTable.appendedFilesOf(spark, path, all(i)).size
+            fileCountCache.computeIfAbsent(all(i).snapshotId,
+              _ => IcebergTable.appendedFilesOf(spark, path, all(i)).size)
+              .intValue
           else 0
         var idx = from
         var files = 0
@@ -204,6 +214,11 @@ class PaimonStreamSource(sqlContext: SQLContext,
 
   private val maxFilesPerTrigger = parameters.get("maxFilesPerTrigger").map(_.toInt)
 
+  // per-snapshot appended-file counts: immutable once a snapshot is
+  // written, so each manifest parses at most once per source instance
+  private val fileCountCache =
+    new java.util.concurrent.ConcurrentHashMap[java.lang.Long, Integer]()
+
   override val schema: StructType = PaimonStreamSource.streamSchema(spark, path)
 
   private val progress =
@@ -227,8 +242,10 @@ class PaimonStreamSource(sqlContext: SQLContext,
         var stop = false
         all.filter(_.id > from).foreach { s =>
           if (!stop) {
+            // immutable per snapshot — cached (see Iceberg twin)
             val n = if (s.commitKind == "COMPACT") 0
-              else PaimonTable.appendedFilesOf(spark, path, s).size
+              else fileCountCache.computeIfAbsent(s.id,
+                _ => PaimonTable.appendedFilesOf(spark, path, s).size).intValue
             if (files == 0 || files + n <= budget) { last = s.id; files += n }
             else stop = true // admitted range must stay contiguous
           }

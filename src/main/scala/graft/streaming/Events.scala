@@ -112,8 +112,14 @@ object Events {
                           maxRefLiteral: Int = 4096): DataFrame = {
     import graft.pipeline.{Dedup, TextAnalysis}
     val rowsPerBand = numHashes / bands
+    // array_distinct is LOAD-BEARING: the two-pointer Jaccard kernel
+    // requires sorted DISTINCT arrays (Dedup.tokenized applies it) — a
+    // stream doc with repeated tokens otherwise scored BELOW its true
+    // set-Jaccard and contamination leaked past the live filter while
+    // the batch backfill dropped it
     def thOf(c: Column): Column =
-      array_sort(Dedup.tokenHashes(split(TextAnalysis.normalize(c), " ")))
+      array_sort(array_distinct(
+        Dedup.tokenHashes(split(TextAnalysis.normalize(c), " "))))
     def bandsOf(th: Column): Column =
       Dedup.lshBandKeys(Dedup.minhashSignatureFromHashes(th, numHashes),
         bands, rowsPerBand)
@@ -121,18 +127,25 @@ object Events {
     val refBanded = reference
       .select(bandsOf(thOf(col(textCol))).as("ref_bands"),
         thOf(col(textCol)).as("ref_th"))
-    val myTh = thOf(col(textCol))
 
     if (reference.count() <= maxRefLiteral) {
       val refRows: Seq[(Seq[Long], Seq[Long])] = refBanded.collect()
         .map(r => (r.getSeq[Long](0), r.getSeq[Long](1))).toSeq
       val refLit = typedlit(refRows)
+      // __th/__bands materialize as COLUMNS first: HOF lambdas are
+      // interpreted with no subexpression elimination, so computing them
+      // inside exists() re-ran the tokenize + 128-hash signature once
+      // per reference entry per row
       val contaminated = exists(refLit, r =>
-        arrays_overlap(bandsOf(myTh), r.getField("_1")) &&
-          call_function("jaccard_sim", myTh, r.getField("_2")) >= threshold)
-      stream.filter(!contaminated)
+        arrays_overlap(col("__bands"), r.getField("_1")) &&
+          call_function("jaccard_sim", col("__th"), r.getField("_2")) >= threshold)
+      stream.withColumn("__th", thOf(col(textCol)))
+        .withColumn("__bands", bandsOf(col("__th")))
+        .filter(!contaminated)
+        .drop("__th", "__bands")
     } else {
-      stream.withColumn("__th", myTh).withColumn("__bands", bandsOf(col("__th")))
+      stream.withColumn("__th", thOf(col(textCol)))
+        .withColumn("__bands", bandsOf(col("__th")))
         .join(broadcast(refBanded),
           arrays_overlap(col("__bands"), col("ref_bands")) &&
             call_function("jaccard_sim", col("__th"), col("ref_th")) >= threshold,
@@ -367,7 +380,11 @@ object Events {
                         watermarkDelay: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermarkDelay)
       .groupBy(window(col("ts"), windowDur), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      // the QUANTIZED sum, like the batch twin: raw double summation is
+      // partition-order-dependent, so stream and backfill totals could
+      // never reconcile bit-exactly
+      .agg(count(lit(1)).as("n_events"),
+        quantizedSum(col("value")).as("sum_value_q"))
 
 
   /** Native session_window sessionization — the DECLARATIVE sibling of
@@ -377,7 +394,14 @@ object Events {
     * drop to flatMapGroupsWithState only for custom state machines —
     * exactly the (a)-over-(c) preference order the whole library follows.
     * Works identically over a batch frame (the spec asserts both paths
-    * agree with [[sessionize]]'s window-scan formulation). */
+    * agree with [[sessionize]]'s window-scan formulation away from the
+    * exact gap boundary). BOUNDARY SEMANTICS differ by construction:
+    * Spark's session_window is half-open [t, t+gap) — an event landing
+    * EXACTLY gap seconds after the previous one starts a NEW session —
+    * while [[sessionize]] splits only when the gap is strictly
+    * exceeded (merges at equality). Both are published conventions;
+    * pick one operator per pipeline rather than mixing them on
+    * boundary-heavy data. */
   def sessionWindowAgg(events: DataFrame, gapSec: Int,
                        watermarkDelay: String = "10 minutes"): DataFrame = {
     val src = if (events.isStreaming) events.withWatermark("ts", watermarkDelay)
@@ -433,7 +457,14 @@ object Events {
             else if (sec - st.last > gapSec) {
               out ::= (user, st.start, st.last, st.n, st.total)
               st = SessState(sec, sec, 1, v)
-            } else st = st.copy(last = sec, n = st.n + 1, total = st.total + v)
+            } else st = st.copy(
+              // late in-watermark rows must not move the frontier
+              // BACKWARD (last=sec once let a late row shrink `last`, so
+              // the next on-time event spuriously split the session) nor
+              // the start forward
+              start = math.min(st.start, sec),
+              last = math.max(st.last, sec),
+              n = st.n + 1, total = st.total + v)
           }
           if (state.hasTimedOut) {
             if (st.start >= 0) out ::= (user, st.start, st.last, st.n, st.total)

@@ -62,6 +62,22 @@ class DeltaStreamSpec extends AnyFunSuite {
     assert(out.values.flatten.toSeq === Seq((2L, "new")))
   }
 
+  test("CAPPED startingVersion=latest never replays pre-anchor history") {
+    // several pre-stream versions, then a capped stream from `latest`:
+    // the admission budget must start counting at the anchor — it used
+    // to start at -1, so once the first (empty) batch committed, the
+    // whole pre-anchor history streamed out one budget-window at a time
+    val dir = freshTable(Seq((1L, "old1")))
+    DeltaLogWriter.write(Seq((2L, "old2")).toDF("k", "v"), dir)
+    DeltaLogWriter.write(Seq((3L, "old3")).toDF("k", "v"), dir)
+    val out = runBatches(dir,
+      Map("startingVersion" -> "latest", "maxFilesPerTrigger" -> "1")) { _ =>
+      DeltaLogWriter.write(Seq((4L, "new")).toDF("k", "v"), dir)
+    }
+    assert(out.values.flatten.toSeq === Seq((4L, "new")),
+      s"pre-anchor rows leaked: ${out.values.flatten.toSeq}")
+  }
+
   test("a data-removing commit fails the stream; skipChangeCommits skips it") {
     val dir = freshTable(Seq((1L, "a")))
     DeltaLogWriter.write(Seq((9L, "ow")).toDF("k", "v"), dir, SaveMode.Overwrite)

@@ -26,14 +26,17 @@ class StreamingSpec extends AnyFunSuite {
       input.addData((ts(0), "click", 1.0), (ts(10), "click", 2.0),
         (ts(400), "view", 5.0), (ts(700), "click", 0.5))
       q.processAllAvailable()
+      // sums are the QUANTIZED bigints (floor(v * 2^14)) — the same
+      // aggregate the batch twin uses, so backfill totals reconcile
+      // bit-exactly instead of raw-double order-dependently
       val rows = spark.table("tumbling_out")
         .select(col("window.start").cast("long").as("w"), col("event_type"),
-          col("n_events"), col("sum_value"))
-        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+          col("n_events"), col("sum_value_q"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
       assert(rows == Set(
-        (0L, "click", 2L, 3.0),    // window [0, 300)
-        (300L, "view", 1L, 5.0),   // window [300, 600)
-        (600L, "click", 1L, 0.5))) // window [600, 900)
+        (0L, "click", 2L, 3L * 16384),    // window [0, 300)
+        (300L, "view", 1L, 5L * 16384),   // window [300, 600)
+        (600L, "click", 1L, 8192L)))      // window [600, 900): 0.5 * 2^14
     } finally q.stop()
   }
 
