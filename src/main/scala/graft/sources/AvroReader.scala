@@ -48,7 +48,17 @@ object AvroReader {
     case (s: String, StringType) => s
     case (b: java.nio.ByteBuffer, BinaryType) =>
       val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
-    case (x, _) => x
+    // SchemaAlign's contract: a value whose runtime type disagrees with
+    // the reference schema (schema evolution across files) NULLS OUT
+    // instead of crashing the encoder with "not a valid external type"
+    case (x: java.lang.Integer, IntegerType) => x
+    case (x: java.lang.Long, LongType) => x
+    case (x: java.lang.Float, FloatType) => x
+    case (x: java.lang.Double, DoubleType) => x
+    case (x: java.lang.Boolean, BooleanType) => x
+    case (x: java.lang.Integer, LongType) => x.longValue // widening is safe
+    case (x: java.lang.Float, DoubleType) => x.doubleValue
+    case _ => null
   }
 
   def read(spark: SparkSession, path: String): DataFrame = {
@@ -65,9 +75,15 @@ object AvroReader {
     val fieldNames = avroSchema.getFields.asScala.map(_.name()).toArray
 
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val confB = spark.sparkContext.broadcast(new SerializableHadoopConf(conf))
+    val pairs = fieldNames.zip(fieldTypes) // hoisted off the per-row path
     FileList.asDataset(spark, path, Set(".avro"))
       .mapPartitions { paths =>
-        val conf2 = new Configuration() // executor-local; file: scheme
+        // the broadcast session conf, NOT a bare Configuration(): an
+        // s3a/hdfs path resolves on the driver but a credential-less
+        // executor conf fails every task (the ParquetMetadataCache
+        // lesson, applied here)
+        val conf2 = confB.value.value
         paths.flatMap { f =>
           val reader = new DataFileReader[GenericRecord](
             new FsInput(new Path(f), conf2), new GenericDatumReader[GenericRecord]())
@@ -80,7 +96,7 @@ object AvroReader {
             def hasNext: Boolean = { val h = reader.hasNext; if (!h) reader.close(); h }
             def next(): Row = {
               val rec = reader.next()
-              Row.fromSeq(fieldNames.toSeq.zip(fieldTypes.toSeq).map {
+              Row.fromSeq(pairs.toSeq.map {
                 case (n, dt) => convert(rec.get(n), dt)
               })
             }

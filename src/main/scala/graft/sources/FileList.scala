@@ -41,12 +41,17 @@ object FileList {
     files
   }
 
-  /** The file list as a Dataset sized one task per file (capped at the
-    * local core budget). */
+  /** The file list as a Dataset sized one task per file, capped at the
+    * CLUSTER's parallelism — a constant 32 pinned a 10,000-file decode
+    * to 32 tasks on any size cluster (the ParquetMetadataCache sweep
+    * follows defaultParallelism for the same reason). Override with
+    * `graft.filelist.parallelism`. */
   def asDataset(spark: SparkSession, path: String,
                 extensions: Set[String]): Dataset[String] = {
     import spark.implicits._
     val files = resolve(spark, path, extensions)
-    spark.createDataset(files).repartition(math.min(files.size, 32))
+    val par = spark.conf.getOption("graft.filelist.parallelism").map(_.toInt)
+      .getOrElse(spark.sparkContext.defaultParallelism)
+    spark.createDataset(files).repartition(math.min(files.size, math.max(par, 1)))
   }
 }

@@ -151,7 +151,11 @@ object ParquetMetadataCache {
       case l: LongStatistics   => Some(ColStat("long", l.getMin.toString, l.getMax.toString))
       case i: IntStatistics    => Some(ColStat("long", i.getMin.toString, i.getMax.toString))
       case d: DoubleStatistics => Some(ColStat("double", d.getMin.toString, d.getMax.toString))
-      case f: FloatStatistics  => Some(ColStat("double", f.getMin.toString, f.getMax.toString))
+      // WIDEN floats before stringifying: "0.1" (the shortest float
+      // repr) parses back as double 0.1 which is NOT (double)0.1f —
+      // a query boundary between the two silently pruned matching rows
+      case f: FloatStatistics  => Some(ColStat("double",
+        f.getMin.toDouble.toString, f.getMax.toDouble.toString))
       case b: BinaryStatistics => Some(ColStat("string",
         b.genericGetMin.toStringUsingUTF8, b.genericGetMax.toStringUsingUTF8))
       case _ => None // int96/boolean etc: no pruning stats, still scanned
@@ -173,7 +177,8 @@ object ParquetMetadataCache {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(p), s"no metadata cache at $dir — run refresh() first")
     val json = new com.fasterxml.jackson.databind.ObjectMapper()
-    val root = json.readTree(fs.open(p).readAllBytes())
+    val in = fs.open(p)
+    val root = try json.readTree(in.readAllBytes()) finally in.close()
     import scala.jdk.CollectionConverters._
     root.elements().asScala.map { n =>
       val cols = n.get("cols").properties().asScala
@@ -191,7 +196,9 @@ object ParquetMetadataCache {
                   lo: Double, hi: Double): Seq[String] =
     load(spark, dir).filter(m => m.cols.get(column) match {
       case Some(s) if s.typ != "string" =>
-        s.min.toDouble <= hi && s.max.toDouble >= lo
+        // exact decimal compare: .toDouble on a >2^53 long stat rounds,
+        // which could prune a file whose true max equals the bound
+        BigDecimal(s.min) <= BigDecimal(hi) && BigDecimal(s.max) >= BigDecimal(lo)
       case _ => true
     }).map(_.path)
 
@@ -201,6 +208,23 @@ object ParquetMetadataCache {
   def readRange(spark: SparkSession, dir: String, column: String,
                 lo: Double, hi: Double): DataFrame = {
     import org.apache.spark.sql.functions.col
+    // STALENESS guard — the "never a correctness dependency" claim:
+    // a file added after the last refresh() is absent from the manifest
+    // (its rows would silently vanish from a manifest-planned scan) and
+    // a deleted file would fail the job mid-scan. On any divergence,
+    // fall back to the full directory scan (correct, just unpruned) —
+    // run refresh() to restore pruning. Driver-side listing, metadata-
+    // scale, the same class of work load() already does.
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val liveNames = fs.listStatus(dirPath).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet") &&
+        !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+      .map(st => (st.getPath.getName, st.getLen)).toSet
+    val manifestNames = load(spark, dir)
+      .map(m => (new Path(m.path).getName, m.size)).toSet
+    if (liveNames != manifestNames)
+      return spark.read.parquet(dir).filter(col(column) >= lo && col(column) <= hi)
     val files = prunedFiles(spark, dir, column, lo, hi)
     if (files.isEmpty) {
       val schema = spark.read.parquet(dir).schema

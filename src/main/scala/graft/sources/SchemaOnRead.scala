@@ -40,9 +40,20 @@ object SchemaOnRead {
     * CSV without extractHeader; ref exec/.../store/easy/text/compliant/
     * RepeatedVarCharOutput.java). */
   def csvColumns(spark: SparkSession, path: String,
-                 delimiter: String = ","): DataFrame =
-    spark.read.text(path).select(
-      split(col("value"), java.util.regex.Pattern.quote(delimiter)).as("columns"))
+                 delimiter: String = ","): DataFrame = {
+    // delimiters inside double-quoted fields do NOT split (Drill's
+    // compliant text reader honors quoting in columns[] mode): split on
+    // the delimiter only when followed by an EVEN number of quotes —
+    // then strip surrounding quotes and collapse "" escapes
+    val d = java.util.regex.Pattern.quote(delimiter)
+    val quoteAware = d + "(?=(?:[^\"]*\"[^\"]*\")*[^\"]*$)"
+    val parts = split(col("value"), quoteAware)
+    val unquoted = transform(parts, f =>
+      when(f.rlike("^\".*\"$") && length(f) >= 2,
+        regexp_replace(f.substr(lit(2), length(f) - 2), "\"\"", "\""))
+        .otherwise(f))
+    spark.read.text(path).select(unquoted.as("columns"))
+  }
 
   /** Drill contrib/format-log: a regex with capture groups = columns. */
   def regexLog(spark: SparkSession, path: String, pattern: String,
@@ -54,11 +65,20 @@ object SchemaOnRead {
   }
 
   /** Parse an LTSV line column (Drill contrib/format-ltsv): tab-separated
-    * `key:value` pairs → map<string,string>. */
-  def ltsvToMap(line: Column): Column =
-    map_from_entries(transform(split(line, "\t"), kv =>
+    * `key:value` pairs → map<string,string>. Empty segments (doubled /
+    * trailing tabs) drop, and a REPEATED key keeps its last value —
+    * map_from_entries under Spark's default mapKeyDedupPolicy=EXCEPTION
+    * otherwise failed the whole query on one dirty log line. */
+  def ltsvToMap(line: Column): Column = {
+    val segs = filter(split(line, "\t"), s => length(s) > 0)
+    val entries = transform(segs, kv =>
       struct(substring_index(kv, ":", 1).as("key"),
-        regexp_replace(kv, "^[^:]*:", "").as("value"))))
+        regexp_replace(kv, "^[^:]*:", "").as("value")))
+    val lastWins = filter(entries, (e, i) =>
+      !exists(slice(entries, i + 2, size(entries)),
+        e2 => e2.getField("key") === e.getField("key")))
+    map_from_entries(lastWins)
+  }
 
   def ltsv(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path).select(ltsvToMap(col("value")).as("fields"))

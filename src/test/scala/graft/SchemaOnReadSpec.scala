@@ -112,4 +112,44 @@ class SchemaOnReadSpec extends AnyFunSuite {
       .schema("js_parsed").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
     assert(full.fieldNames.toSeq == Seq("a", "late"))
   }
+
+  test("csvColumns honors quoting; ltsvToMap survives repeated/empty keys") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sor_quotes")
+    java.nio.file.Files.writeString(dir.resolve("q.csv"),
+      "a,\"b,c\",d\nplain,row,three\n\"he said \"\"hi\"\"\",x,y\n")
+    val rows = graft.sources.SchemaOnRead.csvColumns(spark, dir.toString + "/q.csv")
+      .select(col("columns")).as[Seq[String]].collect().toSet
+    // a quoted delimiter does NOT split; "" collapses to "
+    assert(rows.contains(Seq("a", "b,c", "d")), rows.toString)
+    assert(rows.contains(Seq("plain", "row", "three")))
+    assert(rows.contains(Seq("he said \"hi\"", "x", "y")), rows.toString)
+    // LTSV: repeated key keeps the LAST value; empty segments drop —
+    // map_from_entries used to throw on the duplicate
+    val m = Seq("tag:a\ttag:b\t\thost:h1").toDF("value")
+      .select(graft.sources.SchemaOnRead.ltsvToMap(col("value")).as("m"))
+      .select(map_keys(col("m")), map_values(col("m"))).collect()(0)
+    val kv = m.getSeq[String](0).zip(m.getSeq[String](1)).toMap
+    assert(kv == Map("tag" -> "b", "host" -> "h1"), kv.toString)
+  }
+
+  test("metadata-cache readRange stays correct when the directory drifts") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mdc_stale").toString
+    (1 to 50).map(i => (i.toLong, s"r$i")).toDF("k", "v")
+      .repartition(2).write.mode("overwrite").parquet(dir)
+    graft.sources.ParquetMetadataCache.refresh(spark, dir)
+    // a file added AFTER the refresh: its rows must still appear
+    (51 to 60).map(i => (i.toLong, s"r$i")).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val got = graft.sources.ParquetMetadataCache
+      .readRange(spark, dir, "k", 40, 60).count()
+    assert(got == 21L, s"stale manifest dropped post-refresh rows: $got")
+    // after re-refresh, pruning applies again and stays correct
+    graft.sources.ParquetMetadataCache.refresh(spark, dir)
+    assert(graft.sources.ParquetMetadataCache
+      .readRange(spark, dir, "k", 40, 60).count() == 21L)
+  }
 }
