@@ -65,16 +65,23 @@ object DynamicUdfs {
       finally jf.close()
 
     val loader = new URLClassLoader(Array(p.toUri.toURL), getClass.getClassLoader)
-    val impls = classNames.flatMap { cn =>
-      val cls =
-        try Class.forName(cn, false, loader)
-        catch { case _: Throwable => null }
-      if (cls == null || cls.isInterface) None
-      else udfSignature(cls).map { case (arity, ret) => (cls, arity, ret) }
-    }
-    require(impls.nonEmpty,
-      s"CREATE FUNCTION USING JAR: no UDF1..UDF5 implementations in $jarPath")
-    impls.map { case (cls, arity, ret) => registerOne(spark, cls, arity, ret, jarPath) }
+    try {
+      val impls = classNames.flatMap { cn =>
+        val cls =
+          try Class.forName(cn, false, loader)
+          catch { case _: Throwable => null }
+        // skip abstract bases and classes without a no-arg constructor —
+        // an abstract UDF base class in the jar used to abort the WHOLE
+        // command at newInstance after ADD JAR already ran
+        if (cls == null || cls.isInterface ||
+            java.lang.reflect.Modifier.isAbstract(cls.getModifiers) ||
+            !cls.getDeclaredConstructors.exists(_.getParameterCount == 0)) None
+        else udfSignature(cls).map { case (arity, ret) => (cls, arity, ret) }
+      }
+      require(impls.nonEmpty,
+        s"CREATE FUNCTION USING JAR: no UDF1..UDF5 implementations in $jarPath")
+      impls.map { case (cls, arity, ret) => registerOne(spark, cls, arity, ret, jarPath) }
+    } finally loader.close() // executors resolve via ADD JAR, not this loader
   }
 
   /** Drop every function this registry loaded from the given jar (Drill's
@@ -202,8 +209,11 @@ object DynamicUdfs {
       case pt: ParameterizedType
           if udfIfaces.contains(pt.getRawType.asInstanceOf[Class[_]].getName) =>
         val args = pt.getActualTypeArguments
-        (args.length - 1, toDataType(args.last, cls))
-    }
+        // Try: an incidental UDF-shaped helper with an unsupported
+        // return type (e.g. List<String>) must be SKIPPED, not abort
+        // registration of every valid UDF in the jar
+        scala.util.Try((args.length - 1, toDataType(args.last, cls))).toOption
+    }.flatten
   }
 
   private def toDataType(t: Type, cls: Class[_]): DataType = t match {

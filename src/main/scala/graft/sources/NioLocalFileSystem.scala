@@ -5,14 +5,19 @@ import java.nio.file.attribute.PosixFilePermission._
 import org.apache.hadoop.fs.{LocalFileSystem, Path, RawLocalFileSystem}
 import org.apache.hadoop.fs.permission.FsPermission
 
-/** Local filesystem that never forks a process.
+/** Local filesystem whose WRITE-path permission ops never fork.
   *
   * Without the native hadoop library, Hadoop's RawLocalFileSystem shells
   * out (`chmod`, `ls`, `readlink`) for permission operations — one fork
   * per created file. In this container JDK17's jspawnhelper intermittently
   * deadlocks under concurrent spawns, hanging streaming state-store
-  * commits mid-micro-batch. Doing the chmod with java.nio keeps every
-  * file operation in-process. Registered via
+  * commits mid-micro-batch. Doing the chmod with java.nio keeps the
+  * file-CREATE path (the hot one — every task/state-store commit chmods)
+  * in-process. Honest bound: permission READS still fork lazily
+  * (RawLocalFileSystem's DeprecatedRawLocalFileStatus runs `ls -ld` the
+  * first time getPermission() is called on a status) — nothing in
+  * graft's paths reads permissions, but a consumer that does re-enters
+  * the fork hazard. Registered via
   * `spark.hadoop.fs.file.impl=graft.sources.NioLocalFileSystem`.
   */
 class NioRawLocalFileSystem extends RawLocalFileSystem {

@@ -86,7 +86,10 @@ object SchemaProvider {
     // default back-fills nulls (missing cells and failed parses alike)
     val cast = if (f.dataType == StringType) src else src.try_cast(f.dataType)
     defaults.get(f.name) match {
-      case Some(d) => coalesce(cast, lit(d).cast(f.dataType)).as(f.name)
+      // try_cast for the DEFAULT too: a declared default that doesn't
+      // parse as the column type crashed every query under ANSI,
+      // violating the degrade-to-null contract the data path keeps
+      case Some(d) => coalesce(cast, lit(d).try_cast(f.dataType)).as(f.name)
       case None => cast.as(f.name)
     }
   }
@@ -98,9 +101,15 @@ object SchemaProvider {
     val store = Option(storePath).getOrElse(dataPath)
     val Declared(schema, defaults) = load(spark, store).getOrElse(
       throw new IllegalArgumentException(s"no declared schema at $store"))
+    // an EXPLICIT all-string schema of the declared width: a schemaless
+    // read fixes the column count from the FIRST row, silently nulling
+    // declared columns for every row whenever row 1 happened to be short
+    val wide = org.apache.spark.sql.types.StructType(
+      schema.fields.indices.map(i =>
+        org.apache.spark.sql.types.StructField(s"_c$i", StringType, true)))
     val raw = spark.read
       .option("header", "false").option("delimiter", delimiter)
-      .option("inferSchema", "false")
+      .schema(wide)
       .csv(dataPath)
     val cols = schema.fields.zipWithIndex.map { case (f, i) =>
       val src = if (i < raw.columns.length) col(raw.columns(i))

@@ -24,7 +24,9 @@ object SnapshotTable {
     else f.listStatus(dir).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
       .filter(s => f.exists(new Path(s.getPath, "_SUCCESS")))
-      .map(_.getPath.getName.stripPrefix("v=").toInt)
+      // non-numeric v=* dirs (a user's v=3.bak copy) are not snapshots —
+      // .toInt used to throw and wedge the whole table
+      .flatMap(_.getPath.getName.stripPrefix("v=").toIntOption)
       .sorted
   }
 
@@ -36,12 +38,28 @@ object SnapshotTable {
   def write(df: DataFrame, base: String): Int = {
     val f = fs(df.sparkSession, base)
     val dir = new Path(base)
-    val all =
+    def taken: Seq[Int] =
       if (!f.exists(dir)) Seq.empty[Int]
       else f.listStatus(dir).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
-        .map(_.getPath.getName.stripPrefix("v=").toInt)
-    val v = (all :+ 0).max + 1
+        .filter(s => s.getPath.getName.startsWith("v=") ||
+          s.getPath.getName.startsWith(".v="))
+        .flatMap(st => st.getPath.getName
+          .stripPrefix(".").stripPrefix("v=").stripSuffix(".claim").toIntOption)
+    // CLAIM the version with a put-if-absent marker before writing:
+    // errorifexists' pre-job existence check is not atomic, so two
+    // concurrent writers could interleave part files into one v=N dir
+    // that still earned a _SUCCESS. Losers advance to the next id.
+    var v = (taken :+ 0).max + 1
+    var claimed = false
+    var attempts = 0
+    while (!claimed) {
+      attempts += 1
+      require(attempts <= 50, s"snapshot claim: gave up after 50 conflicts at $base")
+      try {
+        val os = f.create(new Path(dir, s".v=$v.claim"), false)
+        os.close(); claimed = true
+      } catch { case _: java.io.IOException => v = math.max(v + 1, (taken :+ 0).max + 1) }
+    }
     df.write.mode("errorifexists").parquet(s"$base/v=$v")
     v
   }

@@ -43,8 +43,13 @@ object ViewCatalog {
     // lazily and are rejected by plan type.
     require(!SqlCommands.isGraftCommand(sql),
       s"view '$name': definition is a command, not a query")
-    require(!spark.sessionState.sqlParser.parsePlan(sql)
-        .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Command],
+    val parsed = spark.sessionState.sqlParser.parsePlan(sql)
+    // Command catches most DDL, but INSERT parses to InsertIntoStatement
+    // (a ParsedStatement, NOT a Command) — without the second check a
+    // DML "view" EXECUTED at create and re-executed in every later
+    // session when load() registered stored views
+    require(!parsed.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Command] &&
+        !parsed.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.ParsedStatement],
       s"view '$name': definition is a command, not a query")
     val df = spark.sql(sql) // analyze now: reject broken definitions
     val f = fs(spark, base)

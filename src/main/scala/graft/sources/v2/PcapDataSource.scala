@@ -33,8 +33,23 @@ class PcapDataSource extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
-    val path = Option(properties.get("path")).getOrElse(
-      throw new IllegalArgumentException("graft-pcap requires .load(path)"))
+    // Spark passes .load(a, b, ...) as a "paths" JSON array and NO
+    // "path" — the old path-only lookup reported "requires .load(path)"
+    // for a perfectly valid multi-path call
+    val path = Option(properties.get("path")).getOrElse {
+      val paths = Option(properties.get("paths")).map { js =>
+        val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(js)
+        (0 until n.size()).map(n.get(_).asText())
+      }.getOrElse(Seq.empty)
+      paths match {
+        case Seq(one) => one
+        case Seq() => throw new IllegalArgumentException(
+          "graft-pcap requires .load(path)")
+        case many => throw new IllegalArgumentException(
+          s"graft-pcap supports ONE path per load (got ${many.size}) — " +
+            "point it at a directory instead")
+      }
+    }
     new PcapTable(path)
   }
 }
