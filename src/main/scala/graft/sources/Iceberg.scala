@@ -127,7 +127,8 @@ object IcebergTable {
                           operation: String, manifestList: String,
                           summary: Map[String, String] = Map.empty,
                           sequenceNumber: Long = 0L,
-                          firstRowId: Option[Long] = None)
+                          firstRowId: Option[Long] = None,
+                          directManifests: Seq[String] = Nil)
 
   case class TableMeta(location: String, schema: StructType,
                        schemaNode: JsonNode, lastColumnId: Int,
@@ -243,12 +244,22 @@ object IcebergTable {
           s.get("snapshot-id").asLong,
           s.get("timestamp-ms").asLong,
           summary.getOrElse("operation", "append"),
-          s.get("manifest-list").asText,
+          // v1 spec allows the deprecated direct "manifests" array in
+          // place of manifest-list — reading .asText on the missing
+          // field NPE'd on exactly those old-writer tables
+          Option(s.get("manifest-list")).filterNot(_.isNull)
+            .map(_.asText).getOrElse(""),
           summary - "operation",
           Option(s.get("sequence-number")).map(_.asLong).getOrElse(0L),
-          Option(s.get("first-row-id")).map(_.asLong))
+          Option(s.get("first-row-id")).map(_.asLong),
+          Option(s.get("manifests")).filterNot(_.isNull).map { arr =>
+            (0 until arr.size()).map(arr.get(_).asText())
+          }.getOrElse(Nil))
       }
-    val current = Option(root.get("current-snapshot-id")).map(_.asLong).filter(_ != -1L)
+    // filterNot(isNull): an explicit JSON null parsed as asLong == 0 and
+    // survived the != -1 filter, pointing "current" at a phantom snapshot
+    val current = Option(root.get("current-snapshot-id"))
+      .filterNot(_.isNull).map(_.asLong).filter(_ != -1L)
     // `schemas` rides along so commits preserve the append-only schema
     // history (evolution mints a FRESH schema-id; see commitMetadata)
     val carried = Seq("properties", "sort-orders", "default-sort-order-id",
@@ -270,16 +281,8 @@ object IcebergTable {
 
   // -------------------------------------------------------- avro helpers
 
-  private def readAvroRecords(spark: SparkSession, path: String): Seq[GenericRecord] = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val reader = new DataFileReader[GenericRecord](
-      new FsInput(new Path(path), conf), new GenericDatumReader[GenericRecord]())
-    try {
-      val buf = scala.collection.mutable.ArrayBuffer[GenericRecord]()
-      while (reader.hasNext) buf += reader.next()
-      buf.toSeq
-    } finally reader.close()
-  }
+  private def readAvroRecords(spark: SparkSession, path: String): Seq[GenericRecord] =
+    readAvroRecordsAndSchema(spark, path)._1 // one read loop, not two copies
 
   private def writeAvro(spark: SparkSession, path: Path, schema: Schema,
                         rows: Seq[GenericRecord],
@@ -320,7 +323,8 @@ object IcebergTable {
                           fileFormat: String = "PARQUET",
                           referencedDataFile: Option[String] = None,
                           contentOffset: Option[Long] = None,
-                          contentSize: Option[Long] = None) {
+                          contentSize: Option[Long] = None,
+                          entryFirstRowId: Option[Long] = None) {
     /** Format-v3 deletion vector (content=1 entry whose bitmap lives in
       * a Puffin blob instead of position-delete parquet). */
     def isDv: Boolean =
@@ -342,6 +346,10 @@ object IcebergTable {
     * rule), inherited by ADDED entries that don't carry their own. */
   private def manifestsOf(spark: SparkSession, table: String,
                           snap: SnapshotInfo): Seq[(String, Int, Long)] = {
+    // the v1 deprecated form: manifests listed directly on the snapshot
+    // (all data manifests, sequence number 0 — v1 has no sequencing)
+    if (snap.manifestList.isEmpty)
+      return snap.directManifests.map(m => (absolute(table, m), 0, 0L))
     readAvroRecords(spark, absolute(table, snap.manifestList)).map { r =>
       val content = opt(r, "content").map(_.asInstanceOf[Int]).getOrElse(0)
       val seq = opt(r, "sequence_number").map(_.asInstanceOf[Long]).getOrElse(0L)
@@ -389,7 +397,12 @@ object IcebergTable {
           opt(df, "file_format").map(str).getOrElse("PARQUET"),
           opt(df, "referenced_data_file").map(v => absolute(table, str(v))),
           opt(df, "content_offset").map(_.asInstanceOf[Long]),
-          opt(df, "content_size_in_bytes").map(_.asInstanceOf[Long]))
+          opt(df, "content_size_in_bytes").map(_.asInstanceOf[Long]),
+          // v3 row lineage: an EXPLICIT first_row_id (written by e.g.
+          // rewrite_manifests) overrides inheritance-order assignment —
+          // recomputing from encounter order swapped ids after a
+          // manifest rewrite reordered entries
+          opt(df, "first_row_id").map(_.asInstanceOf[Long]))
       }
     }
 
@@ -409,7 +422,10 @@ object IcebergTable {
             s"no snapshot at or before $ts in ${meta.location}")
           Some(eligible.maxBy(_.timestampMs))
         case None => meta.currentSnapshotId.map(id =>
-          meta.snapshots.find(_.snapshotId == id).get)
+          meta.snapshots.find(_.snapshotId == id).getOrElse(
+            throw new IllegalArgumentException(
+              s"current-snapshot-id $id of ${meta.location} names no " +
+                s"snapshot (has: ${meta.snapshots.map(_.snapshotId).mkString(", ")})")))
       }
     }
   }
@@ -503,8 +519,12 @@ object IcebergTable {
         val start = firstRowIdOf.get(snapId)
         fs.scanLeft(0L)((off, f) => off + f.recordCount).zip(fs).map {
           case (off, f) =>
+            // explicit per-entry first_row_id wins over the inherited
+            // running assignment (spec: inheritance applies only when
+            // the field is null)
+            val b = f.entryFirstRowId.orElse(start.map(_ + off))
             (normSchemeless(f.path),
-              start.map(b => java.lang.Long.valueOf(b + off)).orNull, f.seq)
+              b.map(java.lang.Long.valueOf).orNull, f.seq)
         }
       }
     if (files.isEmpty)
@@ -760,11 +780,24 @@ object IcebergTable {
       val right = buildRead(spark, meta,
         curData.values.filter(f => hit(f.path)).toSeq,
         curE.filter(_.content == 1), curE.filter(_.content == 2))
-      val ins = right.exceptAll(left)
+      // exceptAll rejects MapType columns outright — diff with maps
+      // serialized to canonical JSON, then re-parse the originals back
+      // (keys sort inside to_json? no — but the SAME row serializes the
+      // same way on both sides, which is all a multiset diff needs)
+      val mapCols = meta.schema.fields
+        .filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+      def mapsAsJson(df: DataFrame): DataFrame =
+        mapCols.foldLeft(df)((d, f) =>
+          d.withColumn(f.name, org.apache.spark.sql.functions.to_json(col(f.name))))
+      def mapsBack(df: DataFrame): DataFrame =
+        mapCols.foldLeft(df)((d, f) =>
+          d.withColumn(f.name,
+            org.apache.spark.sql.functions.from_json(col(f.name), f.dataType)))
+      val ins = mapsBack(mapsAsJson(right).exceptAll(mapsAsJson(left)))
         .select(lit("insert").as("_change_type") +:
           lit(cur.snapshotId).as("_snapshot_id") +:
           meta.schema.fieldNames.map(col).toSeq: _*)
-      val del = left.exceptAll(right)
+      val del = mapsBack(mapsAsJson(left).exceptAll(mapsAsJson(right)))
         .select(lit("delete").as("_change_type") +:
           lit(cur.snapshotId).as("_snapshot_id") +:
           meta.schema.fieldNames.map(col).toSeq: _*)
@@ -785,7 +818,9 @@ object IcebergTable {
     val meta = loadMeta(spark, table)
     require(meta.snapshots.exists(_.snapshotId == fromSnapshotId),
       s"fromSnapshotId $fromSnapshotId not in table $table")
-    val fromTs = meta.snapshots.find(_.snapshotId == fromSnapshotId).get.timestampMs
+    val fromTs = meta.snapshots.find(_.snapshotId == fromSnapshotId)
+      .getOrElse(throw new IllegalArgumentException(
+        s"snapshot $fromSnapshotId not in ${meta.location}")).timestampMs
     val toTs = toSnapshotId.map { id =>
       meta.snapshots.find(_.snapshotId == id).getOrElse(
         throw new IllegalArgumentException(s"toSnapshotId $id not in table $table"))
@@ -826,8 +861,16 @@ object IcebergTable {
             s.snapshotId, s.operation, absolute(table, s.manifestList)))
           .toDF("committed_at", "snapshot_id", "operation", "manifest_list")
       case "history" =>
+        // is_current_ancestor = reachable from current, not equal to it:
+        // graft's linear history (no branches) makes every snapshot AT
+        // OR BEFORE the current one an ancestor; snapshots abandoned by
+        // a rollback sit after it and are not (Iceberg's own history
+        // table semantics)
+        val curTs = meta.currentSnapshotId
+          .flatMap(id => meta.snapshots.find(_.snapshotId == id))
+          .map(_.timestampMs)
         meta.snapshots.map(s => (new java.sql.Timestamp(s.timestampMs),
-            s.snapshotId, meta.currentSnapshotId.contains(s.snapshotId)))
+            s.snapshotId, curTs.exists(s.timestampMs <= _)))
           .toDF("made_current_at", "snapshot_id", "is_current_ancestor")
       case "manifests" =>
         val cur = selectSnapshot(meta, None, None).toSeq
@@ -1043,6 +1086,17 @@ object IcebergTable {
     }
     partitionBy.foreach(c => require(df.columns.contains(c),
       s"partition column $c not in ${df.columns.mkString(", ")}"))
+    // validate partition TYPES before any distributed work: failing in
+    // typedPartitionValue after the staging write left orphaned moved
+    // files in data/ that no manifest references
+    partitionBy.foreach { c =>
+      df.schema(c).dataType match {
+        case StringType | ByteType | ShortType | IntegerType | LongType |
+             BooleanType | DoubleType | FloatType | DateType => ()
+        case other => throw new IllegalArgumentException(
+          s"unsupported partition column type: $other (column $c)")
+      }
+    }
     val partFields = partitionBy.map(c => df.schema(c))
     val snapshotId = prior.map(_.snapshots.map(_.snapshotId).maxOption.getOrElse(0L))
       .getOrElse(0L) + 1L
@@ -1401,17 +1455,29 @@ object IcebergTable {
     // snapshots append
     val allSnaps = (prior.map(_.snapshots).getOrElse(Nil) :+ snapshot)
       .distinctBy(_.snapshotId)
+    // first-row-id is minted only for a genuinely NEW snapshot: stamping
+    // it onto a re-committed EXISTING one (rollbackTo on a v2-upgraded
+    // v3 table) fabricated lineage AND let the next append re-mint the
+    // same ids (next-row-id hadn't advanced)
+    val snapshotIsNew =
+      !prior.exists(_.snapshots.exists(_.snapshotId == snapshot.snapshotId))
     allSnaps.foreach { s =>
       val n = snapsArr.addObject()
       n.put("snapshot-id", s.snapshotId); n.put("timestamp-ms", s.timestampMs)
       if (formatVersion >= 2) n.put("sequence-number", s.sequenceNumber)
       s.firstRowId
-        .orElse(if (formatVersion >= 3 && s.snapshotId == snapshot.snapshotId)
+        .orElse(if (formatVersion >= 3 && snapshotIsNew &&
+            s.snapshotId == snapshot.snapshotId)
           Some(priorNextRowId) else None)
         .foreach(v => n.put("first-row-id", v))
       val sum = n.putObject("summary"); sum.put("operation", s.operation)
       s.summary.toSeq.sortBy(_._1).foreach { case (k, v) => sum.put(k, v) }
-      n.put("manifest-list", absolute(table, s.manifestList))
+      if (s.manifestList.nonEmpty)
+        n.put("manifest-list", absolute(table, s.manifestList))
+      else { // v1 deprecated direct-manifests form carried through
+        val ms = n.putArray("manifests")
+        s.directManifests.foreach(m => ms.add(absolute(table, m)))
+      }
     }
     val logArr = root.putArray("snapshot-log")
     allSnaps.foreach { s =>

@@ -144,8 +144,11 @@ class IcebergSpec extends AnyFunSuite {
     assert(IcebergTable.read(spark, s"$base#snapshots").count() == 2L)
     val hist = IcebergTable.read(spark, s"$base#history")
       .orderBy("snapshot_id").collect()
+    // BOTH true: snapshot 1 is an ANCESTOR of the current snapshot 2 —
+    // Iceberg's history table marks the whole current lineage, not just
+    // the head (the old false-for-ancestors assertion was the bug)
     assert(hist.map(_.getAs[Boolean]("is_current_ancestor")).toSeq ==
-      Seq(false, true))
+      Seq(true, true))
     // current snapshot references both manifests (append carries forward)
     assert(IcebergTable.read(spark, s"$base#manifests").count() == 2L)
     val files = IcebergTable.read(spark, s"$base#files")
