@@ -90,10 +90,13 @@ object DeltaDml {
     df.write.mode("overwrite").parquet(staging.toString)
     val parts = fs.listStatus(staging).map(_.getPath)
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    // UUID part names (delta-spark's convention): DETERMINISTIC names
+    // let a concurrent DML clobber the commit-race winner's data file
+    // before the put-if-absent log write decided the race
+    val runId = java.util.UUID.randomUUID().toString
     val adds = parts.zipWithIndex.map { case (part, i) =>
-      val name = f"part-$i%05d-v$version.parquet"
+      val name = f"part-$i%05d-$runId.parquet"
       val dest = new Path(tablePath, name)
-      fs.delete(dest, false)
       require(fs.rename(part, dest), s"rename failed: $part -> $dest")
       val size = fs.getFileStatus(dest).getLen
       s"""{"add":{"path":"$name","partitionValues":{},"size":$size,"modificationTime":0,"dataChange":$dataChange}}"""
@@ -147,10 +150,10 @@ object DeltaDml {
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
     val cdcDir = new Path(tablePath, "_change_data")
     fs.mkdirs(cdcDir)
+    val runId = java.util.UUID.randomUUID().toString // see stageAdds
     val actions = parts.zipWithIndex.map { case (part, i) =>
-      val name = f"_change_data/cdc-$i%05d-v$version.parquet"
+      val name = f"_change_data/cdc-$i%05d-$runId.parquet"
       val dest = new Path(tablePath, name)
-      fs.delete(dest, false)
       require(fs.rename(part, dest), s"rename failed: $part -> $dest")
       val size = fs.getFileStatus(dest).getLen
       s"""{"cdc":{"path":"$name","partitionValues":{},"size":$size,"dataChange":false}}"""
@@ -348,12 +351,27 @@ object DeltaDml {
     // wholesale would drop features other writers declared (features are
     // never removed, versions never lowered)
     val (pr, pw, rf, wf) = DeltaLogReader.protocolInfo(spark, tablePath)
+    // PROTOCOL.md: upgrading a LEGACY protocol to table features must
+    // ENUMERATE every feature the old versions implied — dropping them
+    // made delta-spark stop enforcing invariants and stop emitting CDF
+    val impliedWriter: Set[String] =
+      (if (pw >= 2) Set("appendOnly", "invariants") else Set.empty[String]) ++
+        (if (pw >= 3) Set("checkConstraints") else Set.empty) ++
+        (if (pw >= 4) Set("changeDataFeed", "generatedColumns") else Set.empty) ++
+        (if (pw >= 5) Set("columnMapping") else Set.empty) ++
+        (if (pw >= 6) Set("identityColumns") else Set.empty)
+    val impliedReader: Set[String] =
+      if (pr >= 2) Set("columnMapping") else Set.empty
+    // only legacy (pre-table-features) protocols imply anything; a v7
+    // table already lists its features explicitly in wf/rf
+    val wfAll = wf ++ (if (pw < 7) impliedWriter else Set.empty)
+    val rfAll = rf ++ (if (pr < 3) impliedReader else Set.empty)
     def fj(s: Set[String]) = (s + "deletionVectors").toSeq.sorted
       .map(f => s""""$f"""").mkString("[", ",", "]")
     val protocol =
       s"""{"protocol":{"minReaderVersion":${math.max(pr, 3)},""" +
         s""""minWriterVersion":${math.max(pw, 7)},""" +
-        s""""readerFeatures":${fj(rf)},"writerFeatures":${fj(wf)}}}"""
+        s""""readerFeatures":${fj(rfAll)},"writerFeatures":${fj(wfAll)}}}"""
     val dvByRel = files.map(f => f._1 -> f._3).toMap
     DeltaLogReader.writeCommit(spark, tablePath, version,
       Seq(ci(if (set.isDefined) "UPDATE" else "DELETE"), protocol) ++
@@ -379,8 +397,10 @@ object DeltaDml {
       scan.filter(condition).select(fileCol.as("__g_file")), files)
     if (affected.isEmpty) return (current, 0L)
 
+    // persisted: the affected-file scan feeds the count, the rewrite,
+    // and (with CDF) the pre+post images — up to four rescans otherwise
     val aff = spark.read.schema(schema)
-      .parquet(affected.map(absolute(tablePath, _)): _*)
+      .parquet(affected.map(absolute(tablePath, _)): _*).persist()
     val hit = coalesce(condition.cast(BooleanType), lit(false))
     val updated = aff.filter(hit).count()
     val rewritten = aff.select(schema.fields.toSeq.map { f =>
@@ -405,6 +425,7 @@ object DeltaDml {
       } else Nil
     DeltaLogReader.writeCommit(spark, tablePath, version,
       ci("UPDATE") +: (removeActions(affected) ++ adds ++ cdc))
+    aff.unpersist()
     (version, updated)
   }
 
@@ -513,16 +534,30 @@ object DeltaDml {
     // with the target's descriptor (replay: last add per path wins)
     val curState = cFiles.map(f => f._1 -> f._3).toMap
     val tgt = tFiles.map(_._1).toSet
-    def pvJson(pv: Map[String, String]): String =
-      pv.map { case (k, v) =>
-        s""""${k.replace("\"", "\\\"")}":"${v.replace("\"", "\\\"")}""""
-      }.mkString("{", ",", "}")
+    // full JSON string escaping (backslashes, control chars — the
+    // quote-only escape could write an UNPARSEABLE commit and brick the
+    // log after a successful RESTORE); null partition values stay null
+    def pvJson(pv: Map[String, String]): String = {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val n = m.createObjectNode()
+      pv.foreach { case (k, v) =>
+        if (v == null) n.putNull(k) else n.put(k, v) }
+      m.writeValueAsString(n)
+    }
     val adds = tFiles.filterNot(f => curState.get(f._1).contains(f._3))
       .map { case (p, pv, dv) =>
         val abs = new Path(absolute(tablePath, p))
         require(fs.exists(abs),
           s"RESTORE: file $p of version $toVersion was vacuumed — " +
             "cannot restore past a vacuum boundary")
+        // the target version's DELETION VECTORS must exist too: a
+        // superseded DV's bin is vacuum-bait, and re-adding its
+        // descriptor committed a table whose every read then crashed
+        dv.filter(_.storageType != "i").foreach { d =>
+          require(fs.exists(new Path(d.filePath(tablePath))),
+            s"RESTORE: deletion vector of $p (version $toVersion) was " +
+              "vacuumed — cannot restore past a vacuum boundary")
+        }
         val size = fs.getFileStatus(abs).getLen
         s"""{"add":{"path":"$p","partitionValues":${pvJson(pv)},"size":$size,"modificationTime":0,"dataChange":true${dvJson(dv)}}}"""
       }
@@ -603,6 +638,10 @@ object DeltaDml {
     val affected =
       if (files.isEmpty) Seq.empty[String]
       else if (anyBySource) files.map(_._1)
+      // insert-only MERGE: nothing rewrites and the insert anti-join
+      // runs against the WHOLE table — the pruning scan+join's result
+      // was computed and thrown away (a second full-table pass at scale)
+      else if (!anyMatched) Seq.empty[String]
       else affectedOf(
         tgtAll.withColumn("__g_file", fileCol).as(tAlias)
           .join(source.as(sAlias), onExpr, "inner")
@@ -720,6 +759,8 @@ object DeltaDml {
 
     // NOT MATCHED inserts: anti-join against the rows a match could be
     // in — affected files when known, the whole table for insert-only
+    // persisted: the anti-join feeds the count, the staged write, and
+    // the cdc union — three executions of source-vs-table otherwise
     val inserts: Option[DataFrame] = notMatchedInsert.map { m =>
       val against = if (anyMatched) {
         if (affected.isEmpty)
@@ -737,6 +778,7 @@ object DeltaDml {
             case None    => lit(null).cast(f.dataType).as(f.name)
           }
         }: _*)
+        .persist()
     }
 
     val out = (rewritten, inserts) match {
@@ -764,6 +806,6 @@ object DeltaDml {
         DeltaLogReader.writeCommit(spark, tablePath, version,
           ci("MERGE") +: (removes ++ adds ++ cdc))
         DmlStats(version, updated, deleted, inserted)
-    } finally persisted.foreach(_.unpersist())
+    } finally { persisted.foreach(_.unpersist()); inserts.foreach(_.unpersist()) }
   }
 }

@@ -297,8 +297,12 @@ object DeltaLogReader {
           .map(_.elements.asScala.map(_.asText).toSet).getOrElse(Set.empty)
       } else if (n.has("add")) {
         val a = n.get("add")
+        // NullNode.asText() returns the STRING "null" — a null partition
+        // value (PROTOCOL.md writes {"p":null}) must stay a real null or
+        // string partition columns silently read the value "null"
         val pv = Option(a.get("partitionValues"))
-          .map(_.fields.asScala.map(e => e.getKey -> e.getValue.asText).toMap)
+          .map(_.fields.asScala.map(e => e.getKey ->
+            (if (e.getValue.isNull) null else e.getValue.asText)).toMap)
           .getOrElse(Map.empty[String, String])
         val dv = Option(a.get("deletionVector")).filterNot(_.isNull).map { d =>
           DeletionVectors.DvDescriptor(
@@ -383,7 +387,17 @@ object DeltaLogReader {
         0L
     }
 
-    jsonVersions.filter(v => v >= replayFrom && v <= upTo).foreach { v =>
+    // GAP check: a missing mid-log commit (crashed cleanup, manual
+    // delete, listing miss) must be a LOUD failure — silently skipping
+    // it resurrects deleted rows and vanishes added ones
+    val replaySet = jsonVersions.filter(v => v >= replayFrom && v <= upTo)
+    replaySet.sorted.sliding(2).foreach {
+      case Seq(a, b) => require(b == a + 1,
+        s"delta log of $tablePath has a gap: version ${a + 1} missing " +
+          s"between $a and $b — refusing a silently-wrong snapshot")
+      case _ => ()
+    }
+    replaySet.foreach { v =>
       val p = new Path(logDir, f"$v%020d.json")
       val in = fs.open(p)
       val lines =
@@ -521,8 +535,19 @@ object DeltaLogReader {
     val dataSchema = StructType(schema.fields
       .filterNot(f => partCols.contains(f.name))
       .map(f => StructField(phys(f.name), f.dataType, f.nullable)))
-    def absolute(p: String): String =
-      if (p.startsWith("/") || p.contains("://")) p else s"$tablePath/$p"
+    // PROTOCOL.md: add.path is RFC 2396 percent-ENCODED relative to the
+    // table root — a partition dir like `p=a%20b/part-...` must decode
+    // before touching the filesystem, or a valid table read fails with
+    // FileNotFound (identity in the LOG stays the encoded form)
+    def absolute(p: String): String = {
+      // '+' is literal under RFC 2396 (URLDecoder's form-decoding would
+      // turn it into a space) — protect it before decoding %XX escapes
+      val decoded =
+        try java.net.URLDecoder.decode(p.replace("+", "%2B"), "UTF-8")
+        catch { case _: IllegalArgumentException => p } // lone % passes through
+      if (decoded.startsWith("/") || decoded.contains("://")) decoded
+      else s"$tablePath/$decoded"
+    }
     if (files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -627,8 +652,19 @@ object DeltaLogReader {
     require(!schema.fields.exists(
         _.metadata.contains("delta.columnMapping.physicalName")),
       s"readChanges on a column-mapped table is not supported: $tablePath")
-    def absolute(p: String): String =
-      if (p.startsWith("/") || p.contains("://")) p else s"$tablePath/$p"
+    // PROTOCOL.md: add.path is RFC 2396 percent-ENCODED relative to the
+    // table root — a partition dir like `p=a%20b/part-...` must decode
+    // before touching the filesystem, or a valid table read fails with
+    // FileNotFound (identity in the LOG stays the encoded form)
+    def absolute(p: String): String = {
+      // '+' is literal under RFC 2396 (URLDecoder's form-decoding would
+      // turn it into a space) — protect it before decoding %XX escapes
+      val decoded =
+        try java.net.URLDecoder.decode(p.replace("+", "%2B"), "UTF-8")
+        catch { case _: IllegalArgumentException => p } // lone % passes through
+      if (decoded.startsWith("/") || decoded.contains("://")) decoded
+      else s"$tablePath/$decoded"
+    }
     val out = StructType(schema.fields ++ Seq(
       StructField("_change_type", org.apache.spark.sql.types.StringType),
       StructField("_commit_version", org.apache.spark.sql.types.LongType)))
