@@ -423,11 +423,16 @@ object PaimonDml {
     if (updated == 0 && deleted == 0 && inserted == 0)
       return DmlStats(current, 0L, 0L, 0L)
     var version = current
-    upserts.filter(_ => updated > 0 || inserted > 0).foreach { df =>
-      version = PaimonTable.writePk(df, table, pks, kind = "+U")
-    }
+    // -D commits FIRST: the deduplicate merge resolves by sequence
+    // number, so a NOT MATCHED insert that shares a primary key with a
+    // matched-deleted row must land in the LATER (+U) commit or the
+    // retraction wins and the fresh row vanishes (SQL MERGE semantics:
+    // delete the old row, keep the new one)
     deleteKeys.foreach { keys =>
       version = PaimonTable.writePk(keys, table, pks, kind = "-D")
+    }
+    upserts.filter(_ => updated > 0 || inserted > 0).foreach { df =>
+      version = PaimonTable.writePk(df, table, pks, kind = "+U")
     }
     DmlStats(version, updated, deleted, inserted)
   }

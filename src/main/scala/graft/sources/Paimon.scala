@@ -95,6 +95,12 @@ object PaimonTable {
       case "DOUBLE" => DoubleType
       case "STRING" | "VARCHAR(2147483647)" => StringType
       case "DATE" => DateType
+      // cross-engine note: Paimon TIMESTAMP(n) is wall-clock (NTZ) and
+      // WITH LOCAL TIME ZONE is an instant; both land on TimestampType
+      // here because graft's own writer emits TIMESTAMP(6) for Spark
+      // instants (self-consistent round-trip, UTC session pinned) — a
+      // non-UTC session reading a Flink-written wall-clock column sees
+      // the session-offset shift
       case s if s.startsWith("TIMESTAMP") => TimestampType
       case "BYTES" | "VARBINARY(2147483647)" => BinaryType
       case DecimalRe(p, s) => DecimalType(p.toInt, s.toInt)
@@ -127,6 +133,11 @@ object PaimonTable {
     val in = fs.open(p)
     try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
   }
+
+  /** JSON string literal WITH quotes — raw interpolation of a column
+    * name or commitUser containing a quote/backslash wrote corrupt JSON
+    * that bricked the table on the next metadata parse. */
+  private def jstr(s: String): String = mapper.writeValueAsString(s)
 
   private def writeText(spark: SparkSession, p: Path, s: String): Unit = {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -191,6 +202,11 @@ object PaimonTable {
   def snapshots(spark: SparkSession, table: String): Seq[SnapshotInfo] = {
     val fs = fsOf(spark, table)
     val dir = snapshotDir(table)
+    // a SCHEMA-ONLY table (Flink CREATE TABLE before the first commit)
+    // has schema/ but no snapshot/ yet: zero snapshots, not an error —
+    // the old hard require crashed the very FIRST write into such a
+    // table (and no-op DML on it)
+    if (!fs.exists(dir) && fs.exists(schemaDir(table))) return Nil
     require(fs.exists(dir), s"not a paimon table (no snapshot/): $table")
     fs.listStatus(dir).map(_.getPath).toSeq
       .filter(_.getName.startsWith("snapshot-"))
@@ -508,6 +524,13 @@ object PaimonTable {
                     snapshotId: Long): DataFrame = {
     import org.apache.spark.sql.functions.{col, element_at, lit, map}
     val snap = selectSnapshot(snapshots(spark, table), Some(snapshotId), None)
+    // COMPACT rewrites merged files without changing rows — replaying
+    // its delta as CDC would re-emit every merged row as a fake change
+    // (readAppendedBetween excludes these for the same reason; the
+    // streaming source guards its own call site, the public API must too)
+    require(snap.commitKind != "COMPACT",
+      s"snapshot $snapshotId of $table is a COMPACT commit — it changes " +
+        "no rows and has no changelog")
     val sch = loadSchema(spark, table, Some(snap.schemaId))
     require(sch.primaryKeys.nonEmpty,
       s"changelog read needs a PRIMARY-KEY table (append-only deltas are " +
@@ -628,7 +651,7 @@ object PaimonTable {
           s" data:  ${df.schema.simpleString}")
     } else {
       val fields = df.schema.fields.zipWithIndex.map { case (f, i) =>
-        s"""{"id":$i,"name":"${f.name}","type":"${toPaimonType(f.dataType, f.nullable)}"}"""
+        s"""{"id":$i,"name":${jstr(f.name)},"type":"${toPaimonType(f.dataType, f.nullable)}"}"""
       }.mkString(",")
       writeText(spark, new Path(schemaDir(table), "schema-0"),
         s"""{"version":3,"id":0,"fields":[$fields],
@@ -939,7 +962,7 @@ object PaimonTable {
          |"baseManifestList":"$baseList",
          |"deltaManifestList":"$deltaList",
          |"changelogManifestList":null,
-         |"commitUser":"$commitUser","commitIdentifier":$cid,
+         |"commitUser":${jstr(commitUser)},"commitIdentifier":$cid,
          |"commitKind":"$kind","timeMillis":${System.currentTimeMillis()},
          |"logOffsets":{},
          |"totalRecordCount":$total,"deltaRecordCount":$newRows,
@@ -989,14 +1012,39 @@ object PaimonTable {
       require(prior.partitionKeys.isEmpty,
         s"$table is a PARTITIONED paimon table — writes are unsupported " +
           "(bucket routing hashes the BinaryRow partition tuple)")
-      (prior.schema, prior.options.getOrElse("bucket", "1").toInt.max(1))
+      // the incoming frame must MATCH the declared schema — write()
+      // requires this, and an unchecked writePk staged parquet whose
+      // types disagreed with pkSchema, making every later read fail.
+      // The ONE sanctioned narrow shape: KEY-ONLY -D retraction frames
+      // (value columns null-fill) — their key types still must match.
+      val keyOnlyRetract = kindCode == 3 &&
+        df.columns.toSet == primaryKeys.toSet
+      if (keyOnlyRetract)
+        primaryKeys.foreach(k => require(
+          df.schema(k).dataType == prior.schema(k).dataType,
+          s"key type mismatch retracting from $table: $k is " +
+            s"${df.schema(k).dataType}, table has ${prior.schema(k).dataType}"))
+      else
+        require(prior.schema.map(f => (f.name, f.dataType)) ==
+            df.schema.map(f => (f.name, f.dataType)),
+          s"schema mismatch upserting to $table:\n table: " +
+            s"${prior.schema.simpleString}\n data:  ${df.schema.simpleString}")
+      val declaredBucket = prior.options.getOrElse("bucket", "1").toInt
+      // dynamic bucket mode routes keys via Paimon's bucket INDEX —
+      // coercing -1 to 1 put upserts in bucket-0 while old versions of
+      // the same key sit elsewhere, and a native per-bucket merge reader
+      // then emits stale duplicates
+      require(declaredBucket >= 1,
+        s"$table uses dynamic bucket mode (bucket=$declaredBucket) — " +
+          "graft cannot route keys through Paimon's dynamic bucket index")
+      (prior.schema, declaredBucket)
     } else {
       require(kindCode == 0, s"cannot create a table from $kind rows")
       primaryKeys.foreach(k => require(df.columns.contains(k),
         s"primary key '$k' not in ${df.columns.mkString(",")}"))
       val fields = df.schema.fields.zipWithIndex.map { case (f, i) =>
         val nullable = f.nullable && !primaryKeys.contains(f.name)
-        s"""{"id":$i,"name":"${f.name}","type":"${toPaimonType(f.dataType, nullable)}"}"""
+        s"""{"id":$i,"name":${jstr(f.name)},"type":"${toPaimonType(f.dataType, nullable)}"}"""
       }.mkString(",")
       writeText(spark, new Path(schemaDir(table), "schema-0"),
         s"""{"version":3,"id":0,"fields":[$fields],
