@@ -149,7 +149,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             org.apache.spark.sql.types.MapType(
               org.apache.spark.sql.types.StringType,
               org.apache.spark.sql.types.StringType),
-            Map.empty[String, String], children.head)
+            Map.empty[String, String],
+            // JsonToStructs requires STRING input; the documented family
+            // shape is convert_from(VARBINARY,'JSON'), so UTF-8-decode
+            // binary via Cast (a no-op for string input) — mirrors the
+            // convert_to JSON route's Cast-to-binary
+            org.apache.spark.sql.catalyst.expressions.Cast(
+              children.head, org.apache.spark.sql.types.StringType))
           // NO blanket cast-to-binary here: Spark would happily cast an
           // INT to its big-endian bytes and the LE codecs would then
           // return a silently byte-swapped value. Binary in, or refuse

@@ -821,11 +821,21 @@ object Dedup {
     * op.) Drill has no graph surface; this is pipeline completeness for
     * the dedup family (GraphFrames' connectedComponents role,
     * DataFrame-native). */
+  /** Diagnostics from the most recent [[dupComponents]] run on this JVM:
+    * rounds executed, per-round wall seconds, bidirectional edge count,
+    * and the shuffle-partition count the run sized itself to. Bench
+    * instrumentation (the sf1 tier emits it so a slow run is
+    * attributable to round count vs per-round cost), not an API. */
+  case class CcStats(rounds: Int, roundWallSec: Seq[Double],
+                     edges: Long, shufflePartitions: Int)
+  @volatile var lastCcStats: Option[CcStats] = None
+
   def dupComponents(pairs: DataFrame, aCol: String = "id_a",
                     bCol: String = "id_b", maxRounds: Int = 20): DataFrame = {
     val (at, bt) = (pairs.schema(aCol).dataType, pairs.schema(bCol).dataType)
     require(idClass(at) == idClass(bt),
       s"pair id columns must share a type class: $aCol is $at, $bCol is $bt")
+    val spark = pairs.sparkSession
     val edges = pairs.select(idNorm(at, col(aCol)).as("src"),
       idNorm(bt, col(bCol)).as("dst"))
     val bi = edges
@@ -833,33 +843,62 @@ object Dedup {
       .localCheckpoint()
     var labels = bi.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint()
+    // Per-round cost here is round-count × fixed job overhead, not data
+    // volume: size the per-round shuffles to the EDGE table instead of
+    // the session default (135k edges over 32 partitions × ~15 rounds is
+    // scheduler overhead, not parallelism). bi is already materialized,
+    // so the count is a cached-scan job. Conf is restored on exit.
+    val nEdges = bi.count()
+    val defaultParts = spark.sessionState.conf.numShufflePartitions
+    val nParts = math.max(1, math.min(defaultParts,
+      math.ceil(nEdges / 500000.0).toInt))
+    val prevParts = spark.conf.getOption("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", nParts.toString)
+    val wall = scala.collection.mutable.ArrayBuffer[Double]()
     var round = 0
-    var changed = 1L
-    while (changed > 0 && round < maxRounds) {
-      // closed-neighborhood min (checkpointed: the pointer jump reads it
-      // from both sides of a self-join): min over neighbors' labels via
-      // one hash join + partial-aggregating groupBy, then least() with
-      // the vertex's own label. (A union-then-groupBy spelling would be
-      // equivalent but trips Union constraint rewriting on checkpointed
-      // children in Spark 4.1 — joins stay on the supported path.)
-      val nmin = bi.join(labels, bi("src") === labels("id"))
-        .groupBy(bi("dst").as("id")).agg(min(labels("label")).as("nmin"))
-      // the round's START label rides along as `old`, so convergence is
-      // a filter-count on the checkpointed result — no extra join job
-      val nbr = labels.join(nmin, Seq("id"), "left")
-        .select(col("id"), col("label").as("old"),
-          least(coalesce(col("nmin"), col("label")), col("label")).as("label"))
-        .localCheckpoint()
-      // pointer jump: label := label(label) — halves chain depth
-      val jumped = nbr.as("x")
-        .join(nbr.select(col("id").as("lid"), col("label").as("llabel")).as("y"),
-          col("x.label") === col("y.lid"), "left")
-        .select(col("x.id").as("id"), col("x.old").as("old"),
-          coalesce(col("y.llabel"), col("x.label")).as("label"))
-        .localCheckpoint()
-      changed = jumped.filter(col("label") =!= col("old")).count()
-      labels = jumped.select("id", "label")
-      round += 1
+    try {
+      var changed = 1L
+      while (changed > 0 && round < maxRounds) {
+        val t0 = System.nanoTime()
+        // closed-neighborhood min: min over neighbors' labels via one
+        // hash join + partial-aggregating groupBy, then least() with the
+        // vertex's own label. (A union-then-groupBy spelling would be
+        // equivalent but trips Union constraint rewriting on
+        // checkpointed children in Spark 4.1 — joins stay on the
+        // supported path.)
+        val nmin = bi.join(labels, bi("src") === labels("id"))
+          .groupBy(bi("dst").as("id")).agg(min(labels("label")).as("nmin"))
+        // the round's START label rides along as `old`, so convergence
+        // is a filter-count on the checkpointed result — no extra join
+        // job. nbr is persist()ed, not checkpointed: the pointer jump
+        // reads it from both sides of a self-join, and the cache makes
+        // that one computation + two cached scans inside the SAME job —
+        // 2 actions/round (jump materialization + convergence count)
+        // instead of 3.
+        val nbr = labels.join(nmin, Seq("id"), "left")
+          .select(col("id"), col("label").as("old"),
+            least(coalesce(col("nmin"), col("label")), col("label")).as("label"))
+        nbr.persist()
+        try {
+          // pointer jump: label := label(label) — halves chain depth
+          val jumped = nbr.as("x")
+            .join(nbr.select(col("id").as("lid"), col("label").as("llabel")).as("y"),
+              col("x.label") === col("y.lid"), "left")
+            .select(col("x.id").as("id"), col("x.old").as("old"),
+              coalesce(col("y.llabel"), col("x.label")).as("label"))
+            .localCheckpoint()
+          changed = jumped.filter(col("label") =!= col("old")).count()
+          labels = jumped.select("id", "label")
+        } finally nbr.unpersist()
+        round += 1
+        wall += (System.nanoTime() - t0) / 1e9
+      }
+    } finally {
+      prevParts match {
+        case Some(v) => spark.conf.set("spark.sql.shuffle.partitions", v)
+        case None => spark.conf.unset("spark.sql.shuffle.partitions")
+      }
+      lastCcStats = Some(CcStats(round, wall.toSeq, nEdges, nParts))
     }
     labels.select(col("id"), col("label").as("component"))
   }

@@ -391,6 +391,14 @@ object DeltaLogReader {
     // delete, listing miss) must be a LOUD failure — silently skipping
     // it resurrects deleted rows and vanishes added ones
     val replaySet = jsonVersions.filter(v => v >= replayFrom && v <= upTo)
+    // the sliding check alone misses a LEADING gap (replayFrom itself
+    // absent while later commits exist) and a trailing one — require
+    // exact coverage of [replayFrom, upTo]
+    if (upTo >= replayFrom)
+      require(replaySet.size == upTo - replayFrom + 1,
+        s"delta log of $tablePath is missing commits: expected versions " +
+          s"$replayFrom..$upTo, found ${replaySet.sorted.mkString(",")} — " +
+          "refusing a silently-wrong snapshot")
     replaySet.sorted.sliding(2).foreach {
       case Seq(a, b) => require(b == a + 1,
         s"delta log of $tablePath has a gap: version ${a + 1} missing " +

@@ -866,11 +866,17 @@ object IcebergTable {
         // OR BEFORE the current one an ancestor; snapshots abandoned by
         // a rollback sit after it and are not (Iceberg's own history
         // table semantics)
-        val curTs = meta.currentSnapshotId
-          .flatMap(id => meta.snapshots.find(_.snapshotId == id))
-          .map(_.timestampMs)
-        meta.snapshots.map(s => (new java.sql.Timestamp(s.timestampMs),
-            s.snapshotId, curTs.exists(s.timestampMs <= _)))
+        // ordering by LIST INDEX, not raw timestamps: the snapshots
+        // array is append-ordered (commitMetadata), so index order is
+        // commit order even when two fast commits share a millisecond —
+        // a rollback-abandoned snapshot in the same ms as current would
+        // otherwise be misflagged as an ancestor
+        val curIdx = meta.currentSnapshotId
+          .map(id => meta.snapshots.indexWhere(_.snapshotId == id))
+          .filter(_ >= 0)
+        meta.snapshots.zipWithIndex.map { case (s, i) =>
+            (new java.sql.Timestamp(s.timestampMs),
+              s.snapshotId, curIdx.exists(i <= _)) }
           .toDF("made_current_at", "snapshot_id", "is_current_ancestor")
       case "manifests" =>
         val cur = selectSnapshot(meta, None, None).toSeq

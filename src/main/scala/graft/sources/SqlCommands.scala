@@ -232,12 +232,21 @@ object SqlCommands {
           s"dfs: unknown workspace '$ws' — set graft.dfs.workspace.$ws")
         spark.conf.set("graft.dfs.defaultWorkspace", ws)
         Some(result(ok = true, s"Default schema changed to [dfs.$ws]"))
-      case UseOther(_) =>
+      case UseOther(target) =>
         // Drill's USE REPLACES the session schema: switching to a
         // catalog database must drop the sticky dfs workspace, or bare
         // SHOW TABLES / bare-name resolution stays hijacked to the old
-        // workspace indefinitely. The USE itself delegates to Spark.
-        SparkSession.active.conf.unset("graft.dfs.defaultWorkspace")
+        // workspace indefinitely. The USE itself delegates to Spark —
+        // but a FAILING `USE nosuchdb` must leave the session schema
+        // unchanged (Drill semantics), so only unset once the target
+        // database is known to exist.
+        val spark = SparkSession.active
+        val db = target.split('.').last.trim.stripPrefix("`").stripSuffix("`")
+        val exists =
+          try spark.catalog.databaseExists(db) ||
+            spark.catalog.databaseExists(target.trim)
+          catch { case _: Exception => false }
+        if (exists) spark.conf.unset("graft.dfs.defaultWorkspace")
         None
       case ShowSchemas() if dfsClaimable =>
         val spark = SparkSession.active
