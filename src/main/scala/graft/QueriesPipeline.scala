@@ -132,6 +132,46 @@ object QueriesPipeline {
       T(s, d, "documents").select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"))),
 
+    "q_exif" -> ((s, d) => {
+      // EXIF extraction gate (ref contrib/format-image): JPEGs are
+      // SYNTHESIZED per doc with tag values derived from doc_id
+      // arithmetic both engines share, spliced via Exif.withExif (the
+      // writer twin), then parsed back by the hand-rolled APP1/TIFF-IFD
+      // walk — so the PARSER is the thing under test and the oracle is
+      // pure SQL arithmetic. Template JPEG body built once driver-side
+      // (~300 bytes, broadcast in the closure).
+      import org.apache.spark.sql.types._
+      val img = new java.awt.image.BufferedImage(4, 4,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      val template = bos.toByteArray
+      val docs = T(s, d, "documents").select("doc_id")
+      val outSchema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("payload", BinaryType, nullable = true)))
+      val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+        .encoderFor(outSchema)
+      val media = docs.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val jpeg = graft.pipeline.Exif.withExif(template,
+            make = s"GraftCam-${id % 5}", model = s"M${id % 7}",
+            orientation = ((id % 8) + 1).toInt,
+            datetime = f"2024:01:15 10:${id % 60}%02d:${(id * 7) % 60}%02d",
+            latDMS = (id % 90, id % 60, (id * 3) % 60),
+            latRef = if (id % 2 == 0) "N" else "S",
+            lonDMS = (id % 180, (id * 5) % 60, (id * 11) % 60),
+            lonRef = if (id % 3 == 0) "E" else "W")
+          org.apache.spark.sql.Row(id, jpeg)
+        }
+      }(enc).toDF("doc_id", "payload")
+      graft.pipeline.Exif.exifMetadata(media)
+        .select(col("doc_id"), col("exif_make"), col("exif_model"),
+          col("exif_orientation").cast("long").as("exif_orientation"),
+          col("exif_datetime"), col("exif_gps_lat"), col("exif_gps_lon"))
+    }),
+
     "q_hash_split" -> ((s, d) =>
       Training.hashSplit(T(s, d, "documents"), "doc_id", "text",
         trainPct = 80, valPct = 10)),
@@ -637,6 +677,17 @@ object QueriesPipeline {
         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens
       FROM documents""",
     "q_fingerprint" -> s"SELECT doc_id, md5($NORM) AS fp FROM documents",
+    "q_exif" -> """
+      SELECT doc_id,
+        'GraftCam-' || (doc_id % 5)::VARCHAR AS exif_make,
+        'M' || (doc_id % 7)::VARCHAR AS exif_model,
+        (doc_id % 8) + 1 AS exif_orientation,
+        printf('2024:01:15 10:%02d:%02d', doc_id % 60, (doc_id * 7) % 60) AS exif_datetime,
+        (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END) *
+          ((doc_id % 90) + (doc_id % 60) / 60.0 + ((doc_id * 3) % 60) / 3600.0) AS exif_gps_lat,
+        (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE -1 END) *
+          ((doc_id % 180) + ((doc_id * 5) % 60) / 60.0 + ((doc_id * 11) % 60) / 3600.0) AS exif_gps_lon
+      FROM documents""",
     "q_vocab_topk" -> s"""
       WITH c AS (SELECT unnest(list_filter(string_split($NORM, ' '), x -> x <> '')) AS term FROM documents),
       f AS (SELECT term, count(*) AS freq FROM c GROUP BY 1),

@@ -851,7 +851,7 @@ object Dedup {
     val nEdges = bi.count()
     val defaultParts = spark.sessionState.conf.numShufflePartitions
     val nParts = math.max(1, math.min(defaultParts,
-      math.ceil(nEdges / 500000.0).toInt))
+      math.ceil(nEdges / 125000.0).toInt))
     val prevParts = spark.conf.getOption("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", nParts.toString)
     val wall = scala.collection.mutable.ArrayBuffer[Double]()

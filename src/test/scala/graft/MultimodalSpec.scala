@@ -164,4 +164,77 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.select("kind").distinct().collect().map(_.getString(0)).toSet
       == Set("video"))
   }
+
+  test("EXIF: committed big-endian fixture parses known tags") {
+    // testfiles/exif_be.jpg: hand-built (python struct, independent of
+    // the Scala writer) MM-endian APP1 with make/model/orientation/
+    // DateTimeOriginal/GPS; model contains a SPACE (NUL-termination,
+    // not space-truncation, is the contract)
+    val jpeg = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$Fixtures/exif_be.jpg"))
+    val info = graft.pipeline.Exif.parse(jpeg)
+    assert(info.make == "BEcam")
+    assert(info.model == "ModelBE 9000")
+    assert(info.orientation.contains(6))
+    // DateTimeOriginal (Exif IFD) wins over IFD0's DateTime
+    assert(info.datetimeOriginal == "2019:06:15 08:30:00")
+    assert(math.abs(info.gpsLat.get - (-(33 + 51 / 60.0 + 36 / 3600.0))) < 1e-12)
+    assert(math.abs(info.gpsLon.get - (151 + 12 / 60.0 + 3 / 3600.0)) < 1e-12)
+    // the BARE TIFF inside the APP1 parses identically (TIFF payloads
+    // are accepted without JPEG framing): SOI(2) + marker(2) + len(2)
+    // + "Exif  "(6) = offset 12, EOI trails
+    val tiff = java.util.Arrays.copyOfRange(jpeg, 12, jpeg.length - 2)
+    assert(graft.pipeline.Exif.parse(tiff) == info)
+  }
+
+  test("EXIF: little-endian writer round-trips through the DataFrame surface") {
+    import spark.implicits._
+    val img = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val template = bos.toByteArray
+    val tagged = graft.pipeline.Exif.withExif(template,
+      make = "Graft", model = "GX 1", orientation = 8,
+      datetime = "2024:02:29 12:00:01",
+      latDMS = (40L, 26L, 46L), latRef = "N",
+      lonDMS = (79L, 58L, 56L), lonRef = "W")
+    val df = Seq((1L, tagged), (2L, template), // template: JPEG, no APP1
+        (3L, "junk".getBytes("UTF-8")), (4L, null.asInstanceOf[Array[Byte]]))
+      .toDF("media_id", "payload")
+    val out = graft.pipeline.Exif.exifMetadata(df).orderBy("media_id").collect()
+    val r = out(0)
+    assert(r.getString(r.fieldIndex("exif_make")) == "Graft")
+    assert(r.getString(r.fieldIndex("exif_model")) == "GX 1")
+    assert(r.getInt(r.fieldIndex("exif_orientation")) == 8)
+    assert(r.getString(r.fieldIndex("exif_datetime")) == "2024:02:29 12:00:01")
+    assert(math.abs(r.getDouble(r.fieldIndex("exif_gps_lat")) -
+      (40 + 26 / 60.0 + 46 / 3600.0)) < 1e-12)
+    assert(math.abs(r.getDouble(r.fieldIndex("exif_gps_lon")) -
+      -(79 + 58 / 60.0 + 56 / 3600.0)) < 1e-12)
+    // EXIF-less JPEG, junk, and null all yield null columns, no failure
+    (1 to 3).foreach(i => assert(out(i).isNullAt(out(i).fieldIndex("exif_make"))))
+    // the tagged payload still DECODES as an image (splice preserved it)
+    val dec = Multimodal.decodeImage(Seq((1L, "image", tagged))
+      .toDF("media_id", "kind", "payload")).collect()(0)
+    assert(dec.getInt(dec.fieldIndex("img_width")) == 4)
+  }
+
+  test("EXIF: truncated / desynced payloads never throw") {
+    val img = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val tagged = graft.pipeline.Exif.withExif(bos.toByteArray,
+      "A", "B", 1, "2024:01:01 00:00:00", (1L, 2L, 3L), "N", (4L, 5L, 6L), "E")
+    // every prefix truncation parses without throwing
+    (0 until math.min(tagged.length, 400)).foreach { n =>
+      graft.pipeline.Exif.parse(java.util.Arrays.copyOf(tagged, n))
+    }
+    // corrupt each of the first 200 bytes in turn
+    (0 until math.min(tagged.length, 200)).foreach { i =>
+      val c = tagged.clone(); c(i) = (c(i) ^ 0x5A).toByte
+      graft.pipeline.Exif.parse(c)
+    }
+  }
 }
