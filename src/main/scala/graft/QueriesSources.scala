@@ -682,6 +682,15 @@ object QueriesSources {
         .agg(count(lit(1)).as("n"), sum("val").as("val_sum"))
     }),
 
+    "q_paimon_pk_partitioned" -> ((s, d) => {
+      // PARTITIONED PK table: LSM merge composed with partition-dir
+      // file location (PK covers the partition field, so the global
+      // per-key merge is partition-local by construction)
+      graft.sources.PaimonTable.read(s, paimonPkPartFixture(s, d))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum("val").as("val_sum"))
+    }),
+
     "q_paimon_pk_travel" -> ((s, d) => {
       // snapshot 1 pins the pre-upsert, pre-delete state
       graft.sources.PaimonTable.read(s, paimonPkFixture(s, d),
@@ -1099,6 +1108,58 @@ object QueriesSources {
         src.filter(col("o_orderkey") < 1000 && col("o_orderkey") % 10 === 0)
           .select("o_orderkey"),
         base, Seq("o_orderkey"), kind = "-D")
+    }
+    base
+  }
+
+  /** Paimon PARTITIONED PRIMARY-KEY fixture: same three-commit merge
+    * history as [[paimonPkFixture]] but keyed (o_orderstatus,
+    * o_orderkey) — PK covers the partition field, paimon's fixed-bucket
+    * invariant — then the schema declares o_orderstatus a partition key
+    * and the bucket dirs move under partition directories (graft's own
+    * writer refuses partitioned writes, so the fixture assembles the
+    * layout the way the spec's tests do; the READER is the thing under
+    * test). The upsert keeps the status column (it is part of the key)
+    * and rewrites val. */
+  private def paimonPkPartFixture(s: org.apache.spark.sql.SparkSession,
+                                  d: String): String = {
+    import graft.sources.PaimonTable
+    val base = s"${out(d)}/paimon_pk_part_orders"
+    val donePath = new org.apache.hadoop.fs.Path(s"$base/_fixture_done")
+    val fs = donePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(donePath)) {
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val src = GraftSession.table(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          (col("o_orderkey") * 3).as("val"))
+      val pk = Seq("o_orderstatus", "o_orderkey")
+      PaimonTable.writePk(src.filter(col("o_orderkey") < 1000), base, pk,
+        numBuckets = 2)
+      PaimonTable.writePk(
+        src.filter(col("o_orderkey") >= 500 && col("o_orderkey") < 700)
+          .withColumn("val", col("o_orderkey") * 7),
+        base, pk, kind = "+U")
+      PaimonTable.writePk(
+        src.filter(col("o_orderkey") < 1000 && col("o_orderkey") % 10 === 0)
+          .select("o_orderstatus", "o_orderkey"),
+        base, pk, kind = "-D")
+      // declare the partition key and relocate buckets under partition
+      // dirs (live files are located by NAME; values come from the rows)
+      val schemaPath = new org.apache.hadoop.fs.Path(s"$base/schema/schema-0")
+      val in = fs.open(schemaPath)
+      val orig = new String(in.readAllBytes(), "UTF-8"); in.close()
+      val os = fs.create(schemaPath, true)
+      os.write(orig.replace("\"partitionKeys\":[]",
+        "\"partitionKeys\":[\"o_orderstatus\"]").getBytes("UTF-8")); os.close()
+      Seq(0, 1).foreach { b =>
+        val from = new org.apache.hadoop.fs.Path(s"$base/bucket-$b")
+        if (fs.exists(from)) {
+          val to = new org.apache.hadoop.fs.Path(s"$base/o_orderstatus=P$b/bucket-$b")
+          fs.mkdirs(to.getParent)
+          require(fs.rename(from, to), s"fixture rename failed: $from")
+        }
+      }
+      fs.create(donePath, true).close()
     }
     base
   }
@@ -1712,6 +1773,13 @@ object QueriesSources {
       SELECT o_orderstatus, count(*) AS n, sum(val)::BIGINT AS val_sum FROM (
         SELECT CASE WHEN o_orderkey >= 500 AND o_orderkey < 700
                     THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+               CASE WHEN o_orderkey >= 500 AND o_orderkey < 700
+                    THEN o_orderkey * 7 ELSE o_orderkey * 3 END AS val
+        FROM orders WHERE o_orderkey < 1000 AND o_orderkey % 10 <> 0)
+      GROUP BY 1""",
+    "q_paimon_pk_partitioned" -> """
+      SELECT o_orderstatus, count(*) AS n, sum(val)::BIGINT AS val_sum FROM (
+        SELECT o_orderstatus,
                CASE WHEN o_orderkey >= 500 AND o_orderkey < 700
                     THEN o_orderkey * 7 ELSE o_orderkey * 3 END AS val
         FROM orders WHERE o_orderkey < 1000 AND o_orderkey % 10 <> 0)

@@ -399,12 +399,29 @@ object PaimonTable {
     // partition discovery over basePath). Driver-side partition pruning
     // from manifest stats is DISABLED on this path (that is what
     // BinaryRow would buy); query-time partition pruning on the
-    // discovered columns still applies. PK+partitioned stays refused:
-    // bucket routing hashes the BinaryRow tuple.
-    require(sch.partitionKeys.isEmpty || sch.primaryKeys.isEmpty,
-      s"paimon PARTITIONED PRIMARY-KEY table (partition keys " +
-        s"${sch.partitionKeys.mkString(",")}) is not supported — bucket " +
-        "routing hashes the BinaryRow partition tuple (unpublished layout)")
+    // discovered columns still applies.
+    //
+    // PARTITIONED PRIMARY-KEY reads compose the same file location with
+    // the LSM merge: with FIXED buckets paimon requires the primary key
+    // to contain every partition field, so all versions of a key live in
+    // one (partition, bucket) directory and the global per-key max_by
+    // merge is automatically partition-local — bucket routing (the
+    // BinaryRow hash) is a WRITE-side concern the read never needs.
+    // DYNAMIC buckets (bucket = -1) lift that invariant (cross-partition
+    // upsert mode resolves keys through an index we do not read) and
+    // stay refused, as do tables whose primary key does not cover the
+    // partition keys.
+    if (sch.partitionKeys.nonEmpty && sch.primaryKeys.nonEmpty) {
+      require(sch.options.getOrElse("bucket", "1").trim != "-1",
+        s"paimon PARTITIONED PRIMARY-KEY table with DYNAMIC buckets " +
+          "(bucket=-1) is not supported — cross-partition upsert routes " +
+          "keys through an unpublished index layout")
+      require(sch.partitionKeys.forall(sch.primaryKeys.contains),
+        s"paimon PARTITIONED PRIMARY-KEY table whose key " +
+          s"(${sch.primaryKeys.mkString(",")}) does not contain the " +
+          s"partition fields (${sch.partitionKeys.mkString(",")}) is not " +
+          "supported — that is cross-partition upsert mode")
+    }
     val merge = sch.options.getOrElse("merge-engine", "deduplicate")
     require(sch.primaryKeys.isEmpty || merge == "deduplicate",
       s"paimon merge-engine '$merge' is not supported — deduplicate only")
@@ -423,7 +440,7 @@ object PaimonTable {
       }
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sch.schema)
-    else if (sch.partitionKeys.nonEmpty) {
+    else if (sch.partitionKeys.nonEmpty && sch.primaryKeys.isEmpty) {
       // does the data itself carry the partition columns? (paimon's
       // default append-table writers keep the full row; some layouts trim)
       val probe = spark.read.parquet(files.head).schema.fieldNames.toSet
@@ -458,6 +475,17 @@ object PaimonTable {
       // sequence number wins its key; kind breaks exact ties (later
       // retract outranks its paired insert), and the winner survives
       // only when it is additive (+I/+U).
+      // PARTITIONED PK tables: the KeyValue layout's value row is the
+      // FULL row (paimon never trims partition columns from the value),
+      // so partition values ride in the data; a foreign layout that does
+      // trim them would silently null-fill — probe and refuse instead
+      if (sch.partitionKeys.nonEmpty) {
+        val probe = spark.read.parquet(files.head).schema.fieldNames.toSet
+        require(sch.partitionKeys.forall(probe.contains),
+          s"paimon partitioned PK read: value rows of $table do not carry " +
+            s"the partition columns (${sch.partitionKeys.mkString(",")}) — " +
+            "directory-name recovery is not supported on the merge path")
+      }
       val keyFields = sch.primaryKeys.map(k =>
         sch.schema(k).copy(name = s"_KEY_$k"))
       val pkSchema = StructType(keyFields.toArray ++

@@ -233,6 +233,63 @@ class PaimonSpec extends AnyFunSuite {
     assert(PaimonTable.loadSchema(spark, base).primaryKeys == Seq("id"))
   }
 
+  test("PARTITIONED primary-key table: LSM merge over partition dirs") {
+    import spark.implicits._
+    val base = freshDir("pk_part")
+    // PK contains the partition field (paimon's fixed-bucket invariant);
+    // three commits so the merge is real: insert, upsert, key-only delete
+    PaimonTable.writePk((1L to 20L).map(i =>
+        (i, if (i % 2 == 0) "a" else "b", i * 10L)).toDF("id", "p", "amt"),
+      base, Seq("p", "id"), numBuckets = 2)
+    PaimonTable.writePk((5L to 8L).map(i =>
+        (i, if (i % 2 == 0) "a" else "b", i * 100L)).toDF("id", "p", "amt"),
+      base, Seq("p", "id"), kind = "+U")
+    PaimonTable.writePk((1L to 20L).filter(_ % 5 == 0).map(i =>
+        (i, if (i % 2 == 0) "a" else "b")).toDF("id", "p"),
+      base, Seq("p", "id"), kind = "-D")
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // declare p a partition key and move the bucket dirs under partition
+    // directories (the reader locates live files by NAME; partition
+    // values come from the value rows, which carry the full row)
+    val schemaPath = new org.apache.hadoop.fs.Path(s"$base/schema/schema-0")
+    val in = fs.open(schemaPath)
+    val orig = new String(in.readAllBytes(), "UTF-8"); in.close()
+    val os = fs.create(schemaPath, true)
+    os.write(orig.replace("\"partitionKeys\":[]",
+      "\"partitionKeys\":[\"p\"]").getBytes("UTF-8")); os.close()
+    Seq(0, 1).foreach { b =>
+      val from = new org.apache.hadoop.fs.Path(s"$base/bucket-$b")
+      if (fs.exists(from)) {
+        val to = new org.apache.hadoop.fs.Path(
+          s"$base/p=${if (b == 0) "a" else "b"}/bucket-$b")
+        fs.mkdirs(to.getParent)
+        require(fs.rename(from, to))
+      }
+    }
+    val got = PaimonTable.read(spark, base)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val expected = (1L to 20L).filterNot(_ % 5 == 0).map { i =>
+      (i, if (i % 2 == 0) "a" else "b",
+        if (i >= 5 && i <= 8) i * 100L else i * 10L)
+    }.toSet
+    assert(got == expected)
+    // time travel composes with the partitioned merge
+    val snap1 = PaimonTable.read(spark, base, snapshotId = Some(1L))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(snap1 == (1L to 20L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b", i * 10L)).toSet)
+    // DYNAMIC buckets on a partitioned PK table stay refused
+    val os2 = fs.create(schemaPath, true)
+    os2.write(orig.replace("\"partitionKeys\":[]",
+        "\"partitionKeys\":[\"p\"]")
+      .replace("\"file.format\":\"parquet\"",
+        "\"file.format\":\"parquet\",\"bucket\":\"-1\"").getBytes("UTF-8"))
+    os2.close()
+    val e = intercept[IllegalArgumentException](PaimonTable.read(spark, base))
+    assert(e.getMessage.contains("DYNAMIC buckets"))
+  }
+
   test("readChangelog exposes one snapshot's delta rows with RowKinds") {
     import spark.implicits._
     val base = freshDir("changelog")
