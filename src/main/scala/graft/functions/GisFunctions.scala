@@ -70,6 +70,33 @@ object GisFunctions {
       .otherwise(struct(typ.as("gtype"), xs.as("xs"), ys.as("ys")))
   }
 
+  /** ST_GeomFromText(wkt, srid) — the two-arg reference form
+    * (contrib/udfs gis/STGeomFromTextSrid.java): same parse, with the
+    * spatial reference id CARRIED on the geometry as an int field. No
+    * coordinate transformation is implied (or available — see
+    * [[stTransform]]); the srid is metadata the DE-9IM predicates
+    * ignore (they read gtype/xs/ys by ordinal) and [[stAsJson]]
+    * renders. */
+  def stGeomFromTextSrid(wkt: Column, srid: Column): Column = {
+    val g = stGeomFromText(wkt)
+    struct(g("gtype").as("gtype"), g("xs").as("xs"), g("ys").as("ys"),
+      srid.cast("int").as("srid"))
+  }
+
+  /** ST_SRID accessor for [[stGeomFromTextSrid]] geometries. */
+  def stSrid(geom: Column): Column = geom("srid")
+
+  /** ST_Transform (reference STTransform.java) reprojets coordinates
+    * through a projection library (proj4/Esri). No projection engine is
+    * available here and a hand-rolled datum pipeline would only
+    * validate against itself — DOCUMENTED REFUSAL, kept as a method so
+    * the gap is discoverable in the API rather than silent. */
+  def stTransform(geom: Column, fromSrid: Int, toSrid: Int): Column =
+    throw new UnsupportedOperationException(
+      s"st_transform($fromSrid -> $toSrid): coordinate reprojection " +
+        "requires a projection engine (proj4/Esri) and is out of scope " +
+        "for the hand-rolled planar core")
+
   /** ST_AsText — WKT back out of the struct (doubles in Spark's own
     * string form, so parse→text is canonical rather than byte-exact). */
   def stAsText(geom: Column): Column = {
@@ -95,6 +122,24 @@ object GisFunctions {
         to_json(struct(typeName.as("type"), coords.as("coordinates"))))
       .otherwise(to_json(struct(typeName.as("type"),
         array(coords).as("coordinates"))))
+  }
+
+  /** ST_AsJson — Esri JSON rendering (reference STAsJson.java, which
+    * delegates to GeometryEngine.geometryToJson): points are
+    * `{"x":..,"y":..,"spatialReference":{"wkid":..}}`, linestrings are
+    * `paths`, polygons are `rings` (one ring — the planar core's bound).
+    * `wkid` defaults to 4326; pass [[stSrid]] of an srid-carrying
+    * geometry to render its own reference. */
+  def stAsJson(geom: Column, wkid: Column = lit(4326)): Column = {
+    val coords = zip_with(geom("xs"), geom("ys"), (x, y) => array(x, y))
+    val sr = struct(wkid.cast("int").as("wkid"))
+    when(geom("gtype") === "POINT",
+      to_json(struct(element_at(geom("xs"), 1).as("x"),
+        element_at(geom("ys"), 1).as("y"), sr.as("spatialReference"))))
+      .when(geom("gtype") === "LINESTRING",
+        to_json(struct(array(coords).as("paths"), sr.as("spatialReference"))))
+      .otherwise(
+        to_json(struct(array(coords).as("rings"), sr.as("spatialReference"))))
   }
 
   def stXMin(geom: Column): Column = array_min(geom("xs"))

@@ -524,7 +524,12 @@ object GisPredicates {
     * struct shape — shared by every GIS expression's type check. */
   private[functions] def isGeomType(dt: DataType): Boolean = dt match {
     case s: StructType =>
-      s.fieldNames.sameElements(Array("gtype", "xs", "ys")) &&
+      // the SRID-carrying variant (st_geomfromtext(wkt, srid)) appends
+      // an int `srid` field; predicates read fields 0-2 by ordinal, so
+      // it composes transparently (mixed srid/no-srid args included)
+      (s.fieldNames.sameElements(Array("gtype", "xs", "ys")) ||
+        (s.fieldNames.sameElements(Array("gtype", "xs", "ys", "srid")) &&
+          s.fields(3).dataType == org.apache.spark.sql.types.IntegerType)) &&
         s.fields(0).dataType == org.apache.spark.sql.types.StringType &&
         (s.fields(1).dataType match {
           case org.apache.spark.sql.types.ArrayType(

@@ -220,4 +220,48 @@ class GisPredicatesSpec extends AnyFunSuite {
     assert(e.getMessage.contains("geometry structs") ||
       e.getMessage.contains("st_crosses"))
   }
+
+  test("st_geomfromtext(wkt, srid): srid carried, predicates compose") {
+    import spark.implicits._
+    val df = Seq(("POINT (1 0)", diamond)).toDF("a", "b")
+    val r = df.select(
+        stSrid(stGeomFromTextSrid(col("a"), lit(3857))).as("srid"),
+        // mixed srid / no-srid args: the predicate reads gtype/xs/ys
+        call_function("st_intersects",
+          stGeomFromTextSrid(col("a"), lit(4326)),
+          stGeomFromText(col("b"))).as("hit"),
+        call_function("st_relate",
+          stGeomFromTextSrid(col("a"), lit(4326)),
+          stGeomFromTextSrid(col("b"), lit(4326))).as("m"))
+      .collect()(0)
+    assert(r.getInt(0) == 3857)
+    assert(r.getBoolean(1))
+    assert(r.getString(2).length == 9)
+  }
+
+  test("st_asjson renders Esri JSON (point/paths/rings, wkid)") {
+    import spark.implicits._
+    val df = Seq((
+      "POINT (1.5 -2.5)", "LINESTRING (0 0, 1 1)",
+      "POLYGON ((0 0, 2 0, 2 2, 0 0))")).toDF("p", "l", "g")
+    val r = df.select(
+        stAsJson(stGeomFromText(col("p"))).as("pj"),
+        stAsJson(stGeomFromText(col("l"))).as("lj"),
+        stAsJson(stGeomFromTextSrid(col("g"), lit(3857)),
+          stSrid(stGeomFromTextSrid(col("g"), lit(3857)))).as("gj"))
+      .collect()(0)
+    assert(r.getString(0) ==
+      """{"x":1.5,"y":-2.5,"spatialReference":{"wkid":4326}}""")
+    assert(r.getString(1) ==
+      """{"paths":[[[0.0,0.0],[1.0,1.0]]],"spatialReference":{"wkid":4326}}""")
+    assert(r.getString(2) ==
+      """{"rings":[[[0.0,0.0],[2.0,0.0],[2.0,2.0],[0.0,0.0]]],"spatialReference":{"wkid":3857}}""")
+  }
+
+  test("st_transform is a documented refusal") {
+    val e = intercept[UnsupportedOperationException] {
+      stTransform(lit(1), 4326, 3857)
+    }
+    assert(e.getMessage.contains("projection"))
+  }
 }
