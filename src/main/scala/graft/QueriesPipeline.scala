@@ -283,6 +283,23 @@ object QueriesPipeline {
       r1.unionByName(r2)
     }),
 
+    // ---- persistent incremental SIMHASH index (Dedup.simhashIndexAppend,
+    // the minhash index's twin): two appends against a fresh index, the
+    // union of per-append pair sets == the exact simhash oracle (capless;
+    // recall exact at hamming <= 3 by 4-block pigeonhole) ----
+    "q_simhash_incremental" -> ((s, d) => {
+      val dir = s"/tmp/graft_out/${new java.io.File(d).getName}/sh_index_gate"
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val docs = T(s, d, "documents")
+      val mid = 250L
+      val r1 = Dedup.simhashIndexAppend(docs.filter(col("doc_id") < mid),
+        "doc_id", "text", dir, maxBucket = Int.MaxValue)
+      val r2 = Dedup.simhashIndexAppend(docs.filter(col("doc_id") >= mid),
+        "doc_id", "text", dir, maxBucket = Int.MaxValue)
+      r1.unionByName(r2)
+    }),
+
     // ---- token-balanced sharding: dataloader shards of ~equal TOKEN
     // mass, contiguous in doc_id order; running sum is the two-phase
     // recipe (no whole-table Window.orderBy — plan-audited). The oracle
@@ -492,6 +509,7 @@ object QueriesPipeline {
       FROM inter JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
       WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.8""",
     "q_dedup_simhash" -> SIMHASH_ORACLE,
+    "q_simhash_incremental" -> SIMHASH_ORACLE,
     "q_dedup_simhash_capped" -> SIMHASH_ORACLE,
     // joins on the raw 5-gram STRINGS where the Spark side joins on their
     // 60-bit md5-prefix hashes — a hash false-positive would fail the gate

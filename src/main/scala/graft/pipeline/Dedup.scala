@@ -433,6 +433,99 @@ object Dedup {
     }
   }
 
+  /** Persistent incremental SIMHASH index — [[minhashIndexAppend]]'s
+    * twin for the 64-bit simhash family (the daily-crawl shape: append
+    * today's batch, get back every near-dup pair touching it, old and
+    * new). The index stores per-batch SIGNATURE rows only (id, sig_lo,
+    * sig_hi) — blocks are a shift/mask explode, recomputed per append,
+    * unlike minhash bands which are expensive to rebuild. The per-block
+    * skew cap is applied at query time over the ACCUMULATED signature
+    * set, so per-append results stay exactly the capped batch run's
+    * partition. Same versioned put-if-absent batch-list commit protocol
+    * (crash-orphan dirs are invisible; concurrent appenders retry). */
+  def simhashIndexAppend(docs: DataFrame, idCol: String, textCol: String,
+                         indexDir: String, maxHamming: Int = 3,
+                         maxBucket: Int = 4096): DataFrame = {
+    require(maxHamming <= 3,
+      s"4-block pigeonhole guarantees recall only for maxHamming <= 3, got $maxHamming")
+    val spark = docs.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val paramsPath = new org.apache.hadoop.fs.Path(indexDir, "_params.json")
+    val exists = fs.exists(paramsPath)
+    if (exists) {
+      val in = fs.open(paramsPath)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                finally in.close()
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+      require(node.has("algo") && node.get("algo").asText == "simhash64",
+        s"index $indexDir holds '${Option(node.get("algo")).map(_.asText)
+          .getOrElse("?")}' signatures, not simhash64 — incomparable")
+    }
+    val sigsNew = graft.GraftSession.balanced(
+      simhashPortable64(docs, idCol, textCol)).localCheckpoint()
+    val (listVersion, committed) = readBatchList(fs, indexDir)
+    val marked = sigsNew.withColumn("is_new", lit(true))
+    val sigsAll = if (committed.nonEmpty)
+      spark.read.parquet(committed.map(b => s"$indexDir/sigs/$b"): _*)
+        .withColumn("is_new", lit(false)).unionByName(marked)
+    else marked
+    // blocks carry sig halves + is_new through the explode; the cap sees
+    // old ∪ new, identical to the one-shot capped run
+    val bAll = simhashBlocks64(sigsAll, maxBucket).localCheckpoint()
+    val pairs = bAll.filter(col("is_new")).as("a")
+      .join(bAll.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"),
+        // orient the signature halves with the normalized pair
+        when(col("a.id") < col("b.id"), col("a.sig_lo"))
+          .otherwise(col("b.sig_lo")).as("lo_a"),
+        when(col("a.id") < col("b.id"), col("a.sig_hi"))
+          .otherwise(col("b.sig_hi")).as("hi_a"),
+        when(col("a.id") < col("b.id"), col("b.sig_lo"))
+          .otherwise(col("a.sig_lo")).as("lo_b"),
+        when(col("a.id") < col("b.id"), col("b.sig_hi"))
+          .otherwise(col("a.sig_hi")).as("hi_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming",
+        (bit_count(col("lo_a").bitwiseXOR(col("lo_b"))) +
+         bit_count(col("hi_a").bitwiseXOR(col("hi_b")))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+      .localCheckpoint() // materialize BEFORE the index mutates below
+    val batchId = java.util.UUID.randomUUID().toString
+    sigsNew.write.mode("overwrite").parquet(s"$indexDir/sigs/$batchId")
+    if (!exists) {
+      val out = fs.create(paramsPath, true)
+      try out.write("""{"algo":"simhash64","blocks":4}""".getBytes("UTF-8"))
+      finally out.close()
+    }
+    var ver = listVersion
+    var cur = committed
+    var attempts = 0
+    var done = false
+    while (!done) {
+      attempts += 1
+      require(attempts <= 50,
+        s"simhash index batch-list commit: gave up after 50 conflicts at $indexDir")
+      val listJson = (cur :+ batchId)
+        .map(b => "\"" + b + "\"").mkString("{\"batches\":[", ",", "]}")
+      val p = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(indexDir, "batchlists"), f"${ver + 1}%010d.json")
+      try {
+        val os = fs.create(p, false)
+        try os.write(listJson.getBytes("UTF-8")) finally os.close()
+        done = true
+      } catch { case _: java.io.IOException =>
+        val (v2, c2) = readBatchList(fs, indexDir)
+        ver = v2
+        cur = c2
+      }
+    }
+    pairs
+  }
+
   /** Drop every corpus doc that near-duplicates the reference set (the
     * decontaminated training corpus). */
   def decontaminate(corpus: DataFrame, reference: DataFrame,

@@ -147,4 +147,61 @@ class IncrementalDedupSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("incomparable"), e.getMessage)
   }
+
+  // ---- simhash index twin (Dedup.simhashIndexAppend) -----------------
+
+  test("simhash index: cross-batch detection; union of appends == one-shot") {
+    val dir = tmp("shidx") + "/idx"
+    val r1 = Dedup.simhashIndexAppend(batch1, "doc_id", "text", dir,
+      maxBucket = Int.MaxValue)
+    // batch 2 carries an EXACT copy of batch-1 doc 1 (hamming 0 — must
+    // surface as a cross-batch pair) plus batch2's own docs
+    val b2 = batch2.unionByName(Seq((201L, base)).toDF("doc_id", "text"))
+    val r2 = Dedup.simhashIndexAppend(b2, "doc_id", "text", dir,
+      maxBucket = Int.MaxValue)
+    val got2 = pairSet(r2)
+    assert(got2.contains((1L, 201L)), s"cross-batch exact dup missing: $got2")
+    assert(!pairSet(r2).exists { case (a, b) => a <= 6 && b <= 6 },
+      "old-old pair must not re-emit")
+    val full = Dedup.simhashNearDups64(batch1.unionByName(b2),
+      "doc_id", "text", maxHamming = 3, maxBucket = Int.MaxValue)
+    assert(pairSet(r1) ++ got2 == pairSet(full),
+      s"incremental union ${pairSet(r1) ++ got2} != batch ${pairSet(full)}")
+    // hamming values match the batch kernel
+    val incH = r1.unionByName(r2).select("id_a", "id_b", "hamming")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    full.collect().foreach { r =>
+      assert(incH((r.getLong(0), r.getLong(1))) == r.getInt(2))
+    }
+  }
+
+  test("simhash index: skew cap applies over the ACCUMULATED set") {
+    def mk(ids: Seq[Long]) = ids.map(i => (i, base)).toDF("doc_id", "text")
+    val dir = tmp("shidxcap") + "/idx"
+    val r1 = Dedup.simhashIndexAppend(mk(Seq(1L, 2L, 3L)), "doc_id", "text",
+      dir, maxBucket = 3)
+    val r2 = Dedup.simhashIndexAppend(mk(Seq(4L, 5L)), "doc_id", "text",
+      dir, maxBucket = 3)
+    val inc = pairSet(r1) ++ pairSet(r2)
+    val batch = Dedup.simhashNearDups64(mk(Seq(1L, 2L, 3L, 4L, 5L)),
+      "doc_id", "text", maxBucket = 3)
+    assert(inc == pairSet(batch),
+      s"capped incremental $inc != capped batch ${pairSet(batch)}")
+    assert(inc.forall { case (a, b) => a <= 3 && b <= 3 }, inc)
+  }
+
+  test("simhash index: params pin refuses a foreign index dir") {
+    val dir = tmp("shidxpin") + "/idx"
+    Dedup.minhashIndexAppend(batch1, "doc_id", "text", dir)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.simhashIndexAppend(batch2, "doc_id", "text", dir)
+    }
+    assert(e.getMessage.contains("incomparable"), e.getMessage)
+    // index stores signatures only (blocks are recomputed per append)
+    val dir2 = tmp("shidx2") + "/idx"
+    Dedup.simhashIndexAppend(batch1, "doc_id", "text", dir2)
+    val sigCols = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$dir2/sigs").schema.fieldNames.toSet
+    assert(sigCols == Set("id", "sig_lo", "sig_hi"), sigCols)
+  }
 }
