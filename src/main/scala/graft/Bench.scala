@@ -132,6 +132,10 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // the f-interpolator formats through the DEFAULT locale — a
+    // comma-decimal locale (de_DE et al) would render 1.234 as "1,234"
+    // and produce an unparseable artifact; pin ROOT before any timing
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.getOrCreate()
     val (steal0, jiff0) = cpuStat()

@@ -109,6 +109,14 @@ object GisFunctions {
       .otherwise(concat(lit("POLYGON (("), list, lit("))")))
   }
 
+  /** Polygon ring with guaranteed closure (first == last): the planar
+    * core accepts open rings (stContains walks the closing edge
+    * implicitly), but RFC 7946 and Esri JSON REQUIRE closed linear
+    * rings — append the first vertex when the ring was given open. */
+  private def closedRing(coords: Column): Column =
+    when(element_at(coords, 1) === element_at(coords, -1), coords)
+      .otherwise(concat(coords, array(element_at(coords, 1))))
+
   /** ST_AsGeoJSON — the geometry object (type + coordinates). */
   def stAsGeoJSON(geom: Column): Column = {
     val coords = zip_with(geom("xs"), geom("ys"), (x, y) => array(x, y))
@@ -121,7 +129,7 @@ object GisFunctions {
       .when(geom("gtype") === "LINESTRING",
         to_json(struct(typeName.as("type"), coords.as("coordinates"))))
       .otherwise(to_json(struct(typeName.as("type"),
-        array(coords).as("coordinates"))))
+        array(closedRing(coords)).as("coordinates"))))
   }
 
   /** ST_AsJson — Esri JSON rendering (reference STAsJson.java, which
@@ -139,7 +147,8 @@ object GisFunctions {
       .when(geom("gtype") === "LINESTRING",
         to_json(struct(array(coords).as("paths"), sr.as("spatialReference"))))
       .otherwise(
-        to_json(struct(array(coords).as("rings"), sr.as("spatialReference"))))
+        to_json(struct(array(closedRing(coords)).as("rings"),
+          sr.as("spatialReference"))))
   }
 
   def stXMin(geom: Column): Column = array_min(geom("xs"))

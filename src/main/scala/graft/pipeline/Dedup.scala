@@ -290,10 +290,14 @@ object Dedup {
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
                 finally in.close()
       val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
-      require(node.get("numHashes").asInt == numHashes &&
+      // has() guards: a FOREIGN params file (e.g. a simhash index dir)
+      // must hit the clear refusal, not NPE on a missing key
+      require(node.has("numHashes") && node.has("bands") &&
+        node.get("numHashes").asInt == numHashes &&
         node.get("bands").asInt == bands,
         s"minhash index $indexDir was built with numHashes=" +
-          s"${node.get("numHashes").asInt}/bands=${node.get("bands").asInt}; " +
+          s"${Option(node.get("numHashes")).map(_.asText).getOrElse("?")}/" +
+          s"bands=${Option(node.get("bands")).map(_.asText).getOrElse("?")}; " +
           s"got $numHashes/$bands — signatures are incomparable across families")
     }
     val toksNew = tokenized(docs, idCol, textCol).localCheckpoint()
@@ -358,41 +362,84 @@ object Dedup {
         s"""{"numHashes":$numHashes,"bands":$bands}""".getBytes("UTF-8"))
       finally out.close()
     }
-    // batch-list commit: monotonically versioned files created with
-    // overwrite=false (put-if-absent — the Delta commit rule, see
-    // DeltaLogReader.writeCommit). The old read-modify-write over one
-    // batches.json lost updates: two concurrent appenders each wrote
-    // `committed :+ own` and the last rename won, silently dropping the
-    // loser's band/sig rows from the index forever; the delete-then-
-    // rename window also let a racing reader see an EMPTY index. Now a
+    // batch-list commit: versioned put-if-absent via [[commitIndexBatch]]
+    // (atomic full-content publish — the old read-modify-write over one
+    // batches.json lost updates between concurrent appenders, silently
+    // dropping the loser's band/sig rows from the index forever). A
     // losing writer re-reads the winner's list and retries at the next
     // version, so every committed batch survives any interleaving.
     // (Concurrent appends are index-safe; the PAIRS a run emits still
     // only cover batches committed before it began — run appends
     // serially when cross-batch pair completeness matters.)
-    var ver = listVersion
-    var cur = committed
+    commitIndexBatch(fs, indexDir, batchId, listVersion, committed, "minhash")
+    pairs
+  }
+
+  /** Commit `batchId` onto the index's versioned batch list — shared by
+    * the minhash and simhash indexes. The list content is FULLY WRITTEN
+    * before it becomes visible at a version slot:
+    *
+    *  - local filesystems: write a tmp file, then PUBLISH via
+    *    Files.createLink (link(2) is an atomic no-replace — the one
+    *    POSIX primitive that both refuses an existing target and makes
+    *    complete content visible in one step; rename overwrites, and
+    *    create-then-write has a torn window where a competitor's
+    *    readBatchList could fall back past a stalled writer's empty
+    *    file and orphan its batch forever)
+    *  - other filesystems: create(dst, overwrite=false) claim then
+    *    write (HDFS-style put-if-absent; the sub-close torn window is
+    *    covered by readBatchList's retry-then-fallback)
+    *
+    * A losing writer re-reads the winner's list and retries above it. */
+  private def commitIndexBatch(fs: org.apache.hadoop.fs.FileSystem,
+                               indexDir: String, batchId: String,
+                               listVersion0: Long, committed0: Seq[String],
+                               what: String): Unit = {
+    val listsDir = new org.apache.hadoop.fs.Path(indexDir, "batchlists")
+    fs.mkdirs(listsDir)
+    var ver = listVersion0
+    var cur = committed0
     var attempts = 0
     var done = false
     while (!done) {
       attempts += 1
       require(attempts <= 50,
-        s"minhash index batch-list commit: gave up after 50 conflicts at $indexDir")
+        s"$what index batch-list commit: gave up after 50 conflicts at $indexDir")
       val listJson = (cur :+ batchId)
         .map(b => "\"" + b + "\"").mkString("{\"batches\":[", ",", "]}")
-      val p = new org.apache.hadoop.fs.Path(
-        new org.apache.hadoop.fs.Path(indexDir, "batchlists"), f"${ver + 1}%010d.json")
-      try {
-        val os = fs.create(p, false)
-        try os.write(listJson.getBytes("UTF-8")) finally os.close()
-        done = true
-      } catch { case _: java.io.IOException =>
+      val dst = new org.apache.hadoop.fs.Path(listsDir, f"${ver + 1}%010d.json")
+      val localDir = Option(fs.getScheme).contains("file")
+      val won =
+        if (localDir) {
+          val tmp = new org.apache.hadoop.fs.Path(listsDir,
+            s".${java.util.UUID.randomUUID()}.tmp")
+          val os = fs.create(tmp, true)
+          try os.write(listJson.getBytes("UTF-8")) finally os.close()
+          val ok =
+            try {
+              java.nio.file.Files.createLink(
+                java.nio.file.Paths.get(dst.toUri.getPath),
+                java.nio.file.Paths.get(tmp.toUri.getPath))
+              true
+            } catch {
+              case _: java.nio.file.FileAlreadyExistsException => false
+            }
+          fs.delete(tmp, false)
+          ok
+        } else {
+          try {
+            val os = fs.create(dst, false)
+            try os.write(listJson.getBytes("UTF-8")) finally os.close()
+            true
+          } catch { case _: java.io.IOException => false }
+        }
+      if (won) done = true
+      else {
         val (v2, c2) = readBatchList(fs, indexDir)
         ver = v2
         cur = c2
       }
     }
-    pairs
   }
 
   /** Highest committed batch list: (version, batch ids). Version 0 =
@@ -421,11 +468,19 @@ object Dedup {
       // correct state is the next parseable list down. The returned
       // version is still the MAX SEEN, so the next commit claims a
       // version above the corpse instead of colliding with it forever.
+      // An unparseable HIGHEST version gets one short retry first: on
+      // non-local filesystems commits claim-then-write, so a briefly
+      // torn file may be a LIVE writer mid-close, not a corpse.
       val sorted = versions.sorted.reverse
-      val parsed = sorted.iterator.flatMap { v =>
+      def tryParse(v: Long) =
         try Some(parse(new org.apache.hadoop.fs.Path(dir, f"$v%010d.json")))
         catch { case _: Exception => None }
-      }.nextOption()
+      val headParsed = tryParse(sorted.head).orElse {
+        Thread.sleep(200)
+        tryParse(sorted.head)
+      }
+      val parsed = headParsed.orElse(
+        sorted.iterator.drop(1).flatMap(tryParse).nextOption())
       (sorted.head, parsed.getOrElse(Nil))
     } else {
       val legacy = new org.apache.hadoop.fs.Path(indexDir, "batches.json")
@@ -501,28 +556,7 @@ object Dedup {
       try out.write("""{"algo":"simhash64","blocks":4}""".getBytes("UTF-8"))
       finally out.close()
     }
-    var ver = listVersion
-    var cur = committed
-    var attempts = 0
-    var done = false
-    while (!done) {
-      attempts += 1
-      require(attempts <= 50,
-        s"simhash index batch-list commit: gave up after 50 conflicts at $indexDir")
-      val listJson = (cur :+ batchId)
-        .map(b => "\"" + b + "\"").mkString("{\"batches\":[", ",", "]}")
-      val p = new org.apache.hadoop.fs.Path(
-        new org.apache.hadoop.fs.Path(indexDir, "batchlists"), f"${ver + 1}%010d.json")
-      try {
-        val os = fs.create(p, false)
-        try os.write(listJson.getBytes("UTF-8")) finally os.close()
-        done = true
-      } catch { case _: java.io.IOException =>
-        val (v2, c2) = readBatchList(fs, indexDir)
-        ver = v2
-        cur = c2
-      }
-    }
+    commitIndexBatch(fs, indexDir, batchId, listVersion, committed, "simhash")
     pairs
   }
 

@@ -145,6 +145,39 @@ object PaimonTable {
     try os.write(s.getBytes("UTF-8")) finally os.close()
   }
 
+  /** Publish `s` at `p` ONLY if `p` does not exist — the commit
+    * primitive for snapshot files (paimon's own rule: snapshot-N is
+    * immutable once written; two concurrent committers must not both
+    * think they won). Local filesystems publish full content atomically
+    * via hard link (link(2) refuses an existing target — rename would
+    * silently overwrite); others use create(p, overwrite=false), the
+    * HDFS put-if-absent. Returns false when a concurrent writer won. */
+  private def publishTextIfAbsent(spark: SparkSession, p: Path,
+                                  s: String): Boolean = {
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p.getParent)
+    if (Option(fs.getScheme).contains("file")) {
+      val tmp = new Path(p.getParent, s".${java.util.UUID.randomUUID()}.tmp")
+      val os = fs.create(tmp, true)
+      try os.write(s.getBytes("UTF-8")) finally os.close()
+      val ok =
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(p.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      fs.delete(tmp, false)
+      ok
+    } else {
+      try {
+        val os = fs.create(p, false)
+        try os.write(s.getBytes("UTF-8")) finally os.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    }
+  }
+
   /** Parse schema/schema-<id> (highest id, or the one a snapshot pins). */
   def loadSchema(spark: SparkSession, table: String,
                  schemaId: Option[Long] = None): PaimonSchema = {
@@ -412,10 +445,15 @@ object PaimonTable {
     // stay refused, as do tables whose primary key does not cover the
     // partition keys.
     if (sch.partitionKeys.nonEmpty && sch.primaryKeys.nonEmpty) {
-      require(sch.options.getOrElse("bucket", "1").trim != "-1",
+      // current paimon defaults PK tables to DYNAMIC bucket (-1) when
+      // the option is ABSENT — a missing option must refuse like an
+      // explicit -1, not silently pass as fixed-bucket
+      require(sch.options.get("bucket").exists(b =>
+          scala.util.Try(b.trim.toInt).toOption.exists(_ >= 1)),
         s"paimon PARTITIONED PRIMARY-KEY table with DYNAMIC buckets " +
-          "(bucket=-1) is not supported — cross-partition upsert routes " +
-          "keys through an unpublished index layout")
+          s"(bucket=${sch.options.getOrElse("bucket", "<absent>")}) is not " +
+          "supported — cross-partition upsert routes keys through an " +
+          "unpublished index layout")
       require(sch.partitionKeys.forall(sch.primaryKeys.contains),
         s"paimon PARTITIONED PRIMARY-KEY table whose key " +
           s"(${sch.primaryKeys.mkString(",")}) does not contain the " +
@@ -518,6 +556,14 @@ object PaimonTable {
     require(sch.primaryKeys.isEmpty && sch.partitionKeys.isEmpty,
       "incremental read supports unpartitioned append-only tables only")
     val hi = toSnapshotId.getOrElse(all.map(_.id).max)
+    // an OVERWRITE in the range implicitly DROPS prior rows with no
+    // delete entries — replaying its delta as plain appends on top of
+    // rows the overwrite removed diverges from table state; refuse
+    all.filter(s => s.id > fromSnapshotId && s.id <= hi).foreach(s =>
+      require(s.commitKind != "OVERWRITE",
+        s"snapshot ${s.id} of $table is an OVERWRITE commit — its delta " +
+          "is not an append stream (prior rows were implicitly dropped); " +
+          "re-read the table instead"))
     // COMPACT commits change files, never rows — paimon's incremental
     // scans skip them, or every compaction would replay as fresh appends
     val files = all.filter(s => s.id > fromSnapshotId && s.id <= hi &&
@@ -559,6 +605,13 @@ object PaimonTable {
     require(snap.commitKind != "COMPACT",
       s"snapshot $snapshotId of $table is a COMPACT commit — it changes " +
         "no rows and has no changelog")
+    // an OVERWRITE implicitly retracts every prior row WITHOUT -D
+    // entries in its delta — emitting just its +I rows as CDC would
+    // leave downstream consumers holding the dropped keys forever
+    require(snap.commitKind != "OVERWRITE",
+      s"snapshot $snapshotId of $table is an OVERWRITE commit — its " +
+        "implicit retractions are not representable as a changelog; " +
+        "re-read the table instead")
     val sch = loadSchema(spark, table, Some(snap.schemaId))
     require(sch.primaryKeys.nonEmpty,
       s"changelog read needs a PRIMARY-KEY table (append-only deltas are " +
@@ -839,11 +892,15 @@ object PaimonTable {
       kept.flatMap(s => liveFiles(spark, table, Some(s.id))
         .map(f => s"bucket-${f.bucket}/${f.fileName}"))
     val dropSet = (manifestFilesOf(expired) ++ dataRefsOf(all)) -- needed
-    dropSet.toSeq.sorted.foreach(rel => fs.delete(new Path(table, rel), false))
+    // snapshot JSONs go FIRST: a crash mid-reclamation then leaves only
+    // orphan files (harmless, re-reclaimable) — the old order (files
+    // first) left EXPIRED snapshots whose manifests were already gone,
+    // permanently wedging every later expire/snapshots() walk
     expired.foreach(s =>
       fs.delete(new Path(snapshotDir(table), s"snapshot-${s.id}"), false))
     writeText(spark, new Path(snapshotDir(table), "EARLIEST"),
       kept.head.id.toString)
+    dropSet.toSeq.sorted.foreach(rel => fs.delete(new Path(table, rel), false))
     expired.map(_.id)
   }
 
@@ -888,7 +945,11 @@ object PaimonTable {
     val mdir = manifestDir(table)
     fs.mkdirs(mdir)
     val uuid = UUID.randomUUID().toString
-    val entries = moved.map { case (bucket, name, size, rows) =>
+    // one manifest-entry constructor for ADD and DELETE — two diverging
+    // copies of this 20-line record build is how a future field (e.g.
+    // real _VALUE_STATS) ends up populated on one path only
+    def entryRecord(kind: Int, bucket: Int, name: String, size: Long,
+                    rows: Long, level: Int): GenericData.Record = {
       val fm = new GenericData.Record(
         manifestEntrySchema.getField("_FILE").schema)
       fm.put("_FILE_NAME", name)
@@ -901,45 +962,26 @@ object PaimonTable {
       fm.put("_MIN_SEQUENCE_NUMBER", snapId)
       fm.put("_MAX_SEQUENCE_NUMBER", snapId)
       fm.put("_SCHEMA_ID", curSchemaId)
-      fm.put("_LEVEL", 0)
+      fm.put("_LEVEL", level)
       fm.put("_EXTRA_FILES", java.util.Collections.emptyList[String]())
       fm.put("_CREATION_TIME", System.currentTimeMillis())
       val e = new GenericData.Record(manifestEntrySchema)
       e.put("_VERSION", 2)
-      e.put("_KIND", 0) // ADD
+      e.put("_KIND", kind)
       e.put("_PARTITION", emptyRowBytes.duplicate())
       e.put("_BUCKET", bucket)
       e.put("_TOTAL_BUCKETS", totalBuckets)
       e.put("_FILE", fm)
       e
     }
+    val entries = moved.map { case (bucket, name, size, rows) =>
+      entryRecord(kind = 0, bucket, name, size, rows, level = 0) // ADD
+    }
     // DELETE entries (compaction retires its inputs in the same commit;
     // the reader's live-set merge drops names deleted in any manifest)
-    val deleteEntries = deletes.map { f =>
-      val fm = new GenericData.Record(
-        manifestEntrySchema.getField("_FILE").schema)
-      fm.put("_FILE_NAME", f.fileName)
-      fm.put("_FILE_SIZE", f.fileSize)
-      fm.put("_ROW_COUNT", f.rowCount)
-      fm.put("_MIN_KEY", emptyRowBytes.duplicate())
-      fm.put("_MAX_KEY", emptyRowBytes.duplicate())
-      fm.put("_KEY_STATS", null)
-      fm.put("_VALUE_STATS", null)
-      fm.put("_MIN_SEQUENCE_NUMBER", snapId)
-      fm.put("_MAX_SEQUENCE_NUMBER", snapId)
-      fm.put("_SCHEMA_ID", curSchemaId)
-      fm.put("_LEVEL", f.level)
-      fm.put("_EXTRA_FILES", java.util.Collections.emptyList[String]())
-      fm.put("_CREATION_TIME", System.currentTimeMillis())
-      val e = new GenericData.Record(manifestEntrySchema)
-      e.put("_VERSION", 2)
-      e.put("_KIND", 1) // DELETE
-      e.put("_PARTITION", emptyRowBytes.duplicate())
-      e.put("_BUCKET", f.bucket)
-      e.put("_TOTAL_BUCKETS", totalBuckets)
-      e.put("_FILE", fm)
-      e
-    }
+    val deleteEntries = deletes.map(f =>
+      entryRecord(kind = 1, f.bucket, f.fileName, f.fileSize, f.rowCount,
+        f.level))
     val deltaManifest = s"manifest-$uuid-0"
     val deltaLen = writeAvro(spark, new Path(mdir, deltaManifest),
       manifestEntrySchema, deleteEntries ++ entries)
@@ -985,7 +1027,12 @@ object PaimonTable {
     val kind = kindOverride.getOrElse(
       if (mode == SaveMode.Overwrite) "OVERWRITE" else "APPEND")
     val cid = if (commitIdentifier >= 0) commitIdentifier else snapId
-    writeText(spark, new Path(snapshotDir(table), s"snapshot-$snapId"),
+    // put-if-absent: two concurrent writers both computing snapshot
+    // id N+1 must not both "succeed" — the loser's manifests and moved
+    // data files would be silently unreachable. The loser fails LOUDLY
+    // (its staged UUID-named files are invisible orphans, safe to
+    // ignore); callers retry the whole write against the new state.
+    val snapJson =
       s"""{"version":3,"id":$snapId,"schemaId":$curSchemaId,
          |"baseManifestList":"$baseList",
          |"deltaManifestList":"$deltaList",
@@ -994,7 +1041,13 @@ object PaimonTable {
          |"commitKind":"$kind","timeMillis":${System.currentTimeMillis()},
          |"logOffsets":{},
          |"totalRecordCount":$total,"deltaRecordCount":$newRows,
-         |"changelogRecordCount":0}""".stripMargin)
+         |"changelogRecordCount":0}""".stripMargin
+    if (!publishTextIfAbsent(spark,
+        new Path(snapshotDir(table), s"snapshot-$snapId"), snapJson))
+      throw new java.util.ConcurrentModificationException(
+        s"paimon commit conflict on $table: snapshot-$snapId was committed " +
+          "by a concurrent writer — this write did NOT land; retry it " +
+          "(staged files are unreachable orphans)")
     writeText(spark, new Path(snapshotDir(table), "LATEST"), snapId.toString)
     if (prevSnaps.isEmpty)
       writeText(spark, new Path(snapshotDir(table), "EARLIEST"), "1")
@@ -1057,15 +1110,19 @@ object PaimonTable {
             df.schema.map(f => (f.name, f.dataType)),
           s"schema mismatch upserting to $table:\n table: " +
             s"${prior.schema.simpleString}\n data:  ${df.schema.simpleString}")
-      val declaredBucket = prior.options.getOrElse("bucket", "1").toInt
       // dynamic bucket mode routes keys via Paimon's bucket INDEX —
       // coercing -1 to 1 put upserts in bucket-0 while old versions of
       // the same key sit elsewhere, and a native per-bucket merge reader
-      // then emits stale duplicates
-      require(declaredBucket >= 1,
-        s"$table uses dynamic bucket mode (bucket=$declaredBucket) — " +
-          "graft cannot route keys through Paimon's dynamic bucket index")
-      (prior.schema, declaredBucket)
+      // then emits stale duplicates. Current paimon DEFAULTS PK tables
+      // to dynamic bucket when the option is absent, so absent refuses
+      // too (graft-created tables always pin it).
+      val declaredBucket = prior.options.get("bucket")
+        .flatMap(b => scala.util.Try(b.trim.toInt).toOption)
+      require(declaredBucket.exists(_ >= 1),
+        s"$table uses dynamic bucket mode (bucket=" +
+          s"${prior.options.getOrElse("bucket", "<absent>")}) — graft " +
+          "cannot route keys through Paimon's dynamic bucket index")
+      (prior.schema, declaredBucket.get)
     } else {
       require(kindCode == 0, s"cannot create a table from $kind rows")
       primaryKeys.foreach(k => require(df.columns.contains(k),

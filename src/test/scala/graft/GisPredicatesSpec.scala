@@ -258,6 +258,19 @@ class GisPredicatesSpec extends AnyFunSuite {
       """{"rings":[[[0.0,0.0],[2.0,0.0],[2.0,2.0],[0.0,0.0]]],"spatialReference":{"wkid":3857}}""")
   }
 
+  test("open polygon rings render CLOSED in GeoJSON and Esri JSON") {
+    import spark.implicits._
+    val open = "POLYGON ((0 0, 2 0, 2 2))" // no closing vertex
+    val r = Seq(open).toDF("w").select(
+        stAsGeoJSON(stGeomFromText(col("w"))).as("gj"),
+        stAsJson(stGeomFromText(col("w"))).as("ej"))
+      .collect()(0)
+    assert(r.getString(0) ==
+      """{"type":"Polygon","coordinates":[[[0.0,0.0],[2.0,0.0],[2.0,2.0],[0.0,0.0]]]}""")
+    assert(r.getString(1) ==
+      """{"rings":[[[0.0,0.0],[2.0,0.0],[2.0,2.0],[0.0,0.0]]],"spatialReference":{"wkid":4326}}""")
+  }
+
   test("st_transform is a documented refusal") {
     val e = intercept[UnsupportedOperationException] {
       stTransform(lit(1), 4326, 3857)
