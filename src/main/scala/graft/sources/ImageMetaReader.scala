@@ -30,9 +30,11 @@ object ImageMetaReader {
 
   def read(spark: SparkSession, path: String): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val sconf = new SerializableHadoopConf(
+      spark.sparkContext.hadoopConfiguration)
     FileList.asDataset(spark, path, Extensions.map("." + _))
       .mapPartitions { paths =>
-        val conf2 = new Configuration()
+        val conf2 = sconf.value
         paths.map { f =>
           val fp = new Path(f)
           val fsx = fp.getFileSystem(conf2)

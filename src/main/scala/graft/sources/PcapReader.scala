@@ -40,15 +40,17 @@ object PcapReader {
   private def ip4(b: Array[Byte], off: Int): String =
     s"${b(off) & 0xFF}.${b(off + 1) & 0xFF}.${b(off + 2) & 0xFF}.${b(off + 3) & 0xFF}"
 
-  /** Decode one ethernet frame to (src, dst, proto, sport, dport). */
-  private[graft] def decodeEthIpv4(data: Array[Byte]):
+  /** Decode an IPv4 header starting at `ip` to
+    * (src, dst, proto, sport, dport). */
+  private def decodeIpv4At(data: Array[Byte], ip: Int):
       (String, String, String, Integer, Integer) = {
-    if (data.length < 34 || u16(data, 12) != 0x0800) return (null, null, null, null, null)
-    val ihl = (data(14) & 0x0F) * 4
-    val proto = data(23) & 0xFF
-    val src = ip4(data, 26)
-    val dst = ip4(data, 30)
-    val l4 = 14 + ihl
+    if (data.length < ip + 20 || ((data(ip) >> 4) & 0xF) != 4)
+      return (null, null, null, null, null)
+    val ihl = (data(ip) & 0x0F) * 4
+    val proto = data(ip + 9) & 0xFF
+    val src = ip4(data, ip + 12)
+    val dst = ip4(data, ip + 16)
+    val l4 = ip + ihl
     val protoName = proto match {
       case 6 => "TCP"
       case 17 => "UDP"
@@ -59,6 +61,13 @@ object PcapReader {
       (src, dst, protoName, Int.box(u16(data, l4)), Int.box(u16(data, l4 + 2)))
     else (src, dst, protoName, null, null)
   }
+
+  /** Decode one ethernet frame to (src, dst, proto, sport, dport). */
+  private[graft] def decodeEthIpv4(data: Array[Byte]):
+      (String, String, String, Integer, Integer) =
+    if (data.length < 34 || u16(data, 12) != 0x0800)
+      (null, null, null, null, null)
+    else decodeIpv4At(data, 14)
 
   /** Field names whose values require the ethernet/IPv4 decode — when a
     * pruned projection requests none of them (e.g. packet counts over
@@ -71,7 +80,9 @@ object PcapReader {
     * projections that don't reference them. */
   private[graft] def parse(in: DataInputStream, decodeNet: Boolean = true): Iterator[Row] = {
     val gh = new Array[Byte](24)
-    in.readFully(gh)
+    // a file shorter than the global header (zero-byte rotated capture)
+    // is a truncated capture, not a planning error: zero rows, no failure
+    if (in.readNBytes(gh, 0, 24) < 24) { in.close(); return Iterator.empty }
     val magicBe = ((gh(0) & 0xFFL) << 24) | ((gh(1) & 0xFFL) << 16) |
       ((gh(2) & 0xFFL) << 8) | (gh(3) & 0xFFL)
     // 0xa1b23c4d / little-endian twin = tcpdump --time-stamp-precision=
@@ -90,6 +101,13 @@ object PcapReader {
         ((b(off) & 0xFFL) << 24) | ((b(off + 1) & 0xFFL) << 16) |
           ((b(off + 2) & 0xFFL) << 8) | (b(off + 3) & 0xFFL)
 
+    // link-layer header type (bytes 20-23): Ethernet framing only holds
+    // for LINKTYPE_ETHERNET (1); LINKTYPE_RAW (101) starts at the IPv4
+    // header directly; anything else (e.g. Linux SLL, 802.11) yields the
+    // documented null network fields instead of misreading offsets as
+    // plausible-looking garbage addresses
+    val linkType = u32(gh, 20).toInt
+
     new Iterator[Row] {
       private val rec = new Array[Byte](16)
       private var nextRow: Row = advance()
@@ -107,7 +125,9 @@ object PcapReader {
           val data = new Array[Byte](inclLen.toInt)
           in.readFully(data)
           val (src, dst, proto, sport, dport) =
-            if (decodeNet) decodeEthIpv4(data) else (null, null, null, null, null)
+            if (decodeNet && linkType == 1) decodeEthIpv4(data)
+            else if (decodeNet && linkType == 101) decodeIpv4At(data, 0)
+            else (null, null, null, null, null)
           Row(u32(rec, 0), if (nanos) u32(rec, 4) / 1000L else u32(rec, 4),
             u32(rec, 12).toInt, src, dst, proto, sport, dport)
         } catch {
@@ -121,9 +141,11 @@ object PcapReader {
 
   def read(spark: SparkSession, path: String): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val sconf = new SerializableHadoopConf(
+      spark.sparkContext.hadoopConfiguration)
     FileList.asDataset(spark, path, Set(".pcap"))
       .mapPartitions { paths =>
-        val conf2 = new Configuration()
+        val conf2 = sconf.value
         paths.flatMap { f =>
           val fp = new Path(f)
           val in = new DataInputStream(fp.getFileSystem(conf2).open(fp))

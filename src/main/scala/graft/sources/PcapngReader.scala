@@ -114,6 +114,11 @@ object PcapngReader {
                 val capLen = u32(body, 12, le).toInt
                 val origLen = u32(body, 16, le).toInt
                 val div = if (ifId >= 0 && ifId < tsDiv.length) tsDiv(ifId) else 1000000L
+                // corrupt cap-len (byte-flipped → negative, or huge →
+                // `20 + capLen` overflowing negative) must stop cleanly
+                // like any other bad framing, not throw out of the
+                // EOF-only catch via copyOfRange
+                if (capLen < 0 || capLen > (1 << 26)) { in.close(); return null }
                 val data = java.util.Arrays.copyOfRange(body, 20,
                   math.min(20 + capLen, body.length))
                 val (src, dst, proto, sport, dport) =
@@ -139,9 +144,11 @@ object PcapngReader {
 
   def read(spark: SparkSession, path: String): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(PcapReader.schema)
+    val sconf = new SerializableHadoopConf(
+      spark.sparkContext.hadoopConfiguration)
     FileList.asDataset(spark, path, Set(".pcapng"))
       .mapPartitions { paths =>
-        val conf2 = new Configuration()
+        val conf2 = sconf.value
         paths.flatMap { f =>
           val fp = new Path(f)
           val in = new DataInputStream(fp.getFileSystem(conf2).open(fp))

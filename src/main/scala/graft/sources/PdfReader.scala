@@ -83,7 +83,11 @@ object PdfReader {
       val chunk = new Array[Byte](4096)
       while (!inf.finished()) {
         val n = inf.inflate(chunk)
-        if (n == 0 && inf.needsInput()) return None // truncated
+        // n == 0 and not finished means the inflater is STUCK: truncated
+        // input (needsInput) or an FDICT preset-dictionary stream
+        // (needsDictionary) — checking only needsInput spun forever on
+        // the dictionary case
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary())) return None
         buf.write(chunk, 0, n)
       }
       Some(buf.toByteArray)
@@ -174,9 +178,11 @@ object PdfReader {
 
   def read(spark: SparkSession, path: String): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val sconf = new SerializableHadoopConf(
+      spark.sparkContext.hadoopConfiguration)
     FileList.asDataset(spark, path, Set(".pdf"))
       .mapPartitions { paths =>
-        val conf2 = new Configuration()
+        val conf2 = sconf.value
         paths.flatMap { f =>
           val fp = new Path(f)
           val in = fp.getFileSystem(conf2).open(fp)

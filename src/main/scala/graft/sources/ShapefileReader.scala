@@ -58,7 +58,8 @@ object ShapefileReader {
   /** Parse one .shp stream into (recordNumber, geomType, lon, lat). */
   private[graft] def parseShp(in: DataInputStream): Seq[(Int, String, Option[(Double, Double)])] = {
     val hdr = new Array[Byte](100)
-    in.readFully(hdr)
+    // shorter than the fixed 100-byte header = truncated, zero rows
+    if (in.readNBytes(hdr, 0, 100) < 100) { in.close(); return Nil }
     val fileCode = ((hdr(0) & 0xFF) << 24) | ((hdr(1) & 0xFF) << 16) |
       ((hdr(2) & 0xFF) << 8) | (hdr(3) & 0xFF)
     require(fileCode == 9994, s"not a shapefile (file code $fileCode)")
@@ -77,13 +78,19 @@ object ShapefileReader {
         if (contentLen < 4 || contentLen > (1 << 26)) { more = false }
         else {
           val body = new Array[Byte](contentLen)
-          in.readFully(body)
+          // a .shp truncated mid-record (partial copy) stops at the last
+          // whole record like the pcap readers, instead of failing the
+          // task with EOFException
+          val gotBody = in.readNBytes(body, 0, contentLen)
+          if (gotBody < contentLen) { more = false }
+          else {
           val shapeType = leI32(body, 0)
           val pt =
             if (shapeType == 1 && contentLen >= 20)
               Some((leF64(body, 4), leF64(body, 12)))
             else None
           out += ((recNo, shapeName(shapeType), pt))
+          }
         }
       }
     }
@@ -132,9 +139,11 @@ object ShapefileReader {
     * `path` into the GeoJSON-shaped relation. */
   def read(spark: SparkSession, path: String): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val sconf = new SerializableHadoopConf(
+      spark.sparkContext.hadoopConfiguration)
     FileList.asDataset(spark, path, Set(".shp"))
       .mapPartitions { paths =>
-        val conf2 = new Configuration()
+        val conf2 = sconf.value
         paths.flatMap { f =>
           val fp = new Path(f)
           val fs = fp.getFileSystem(conf2)

@@ -32,18 +32,26 @@ object XlsxReader {
     * 0-based column index with nulls for omitted cells. */
   private[graft] def parseGrid(in: InputStream): (Array[String], Seq[Array[String]]) = {
     var shared: IndexedSeq[String] = IndexedSeq.empty
-    var sheetBytes: Array[Byte] = null
     var sharedBytes: Array[Byte] = null
+    // the first worksheet is whatever sheetN.xml has the LOWEST N — a
+    // workbook whose original Sheet1 was deleted ships sheet2.xml (or
+    // higher) as its only part, and hardcoding sheet1 rejected it
+    val SheetName = "xl/worksheets/sheet(\\d+)\\.xml".r
+    val sheets = mutable.SortedMap.empty[Int, Array[Byte]]
     val zin = new ZipInputStream(in)
     try {
       var e = zin.getNextEntry
       while (e != null) {
-        if (e.getName == "xl/sharedStrings.xml") sharedBytes = zin.readAllBytes()
-        else if (e.getName == "xl/worksheets/sheet1.xml") sheetBytes = zin.readAllBytes()
+        e.getName match {
+          case "xl/sharedStrings.xml" => sharedBytes = zin.readAllBytes()
+          case SheetName(n) => sheets(n.toInt) = zin.readAllBytes()
+          case _ =>
+        }
         e = zin.getNextEntry
       }
     } finally zin.close()
-    require(sheetBytes != null, "no xl/worksheets/sheet1.xml in workbook")
+    require(sheets.nonEmpty, "no xl/worksheets/sheetN.xml in workbook")
+    val sheetBytes = sheets.head._2
     if (sharedBytes != null) shared = parseSharedStrings(sharedBytes)
 
     val rows = mutable.ArrayBuffer.empty[Array[String]]
@@ -57,6 +65,10 @@ object XlsxReader {
     var cellType = ""
     var inV = false
     var inIs = false
+    // inline strings carry phonetic runs (<rPh> furigana) too — same
+    // exclusion parseSharedStrings applies, or the hint text corrupts
+    // the cell value
+    var phonDepth = 0
     val vText = new StringBuilder
     while (r.hasNext) {
       r.next() match {
@@ -69,13 +81,15 @@ object XlsxReader {
           // rich-text inline strings hold MULTIPLE <r><t>run</t></r> runs
           // (partial formatting); the cell value is their concatenation,
           // so the buffer clears once per cell, not per run
-          case "is" => inIs = true; vText.clear()
-          case "t" if inIs => inV = true
+          case "is" => inIs = true; phonDepth = 0; vText.clear()
+          case "rPh" | "phoneticPr" if inIs => phonDepth += 1
+          case "t" if inIs && phonDepth == 0 => inV = true
           case _ =>
         }
         case XMLStreamConstants.CHARACTERS if inV => vText.append(r.getText)
         case XMLStreamConstants.END_ELEMENT => r.getLocalName match {
           case "v" => inV = false; emitCell(cells, cellCol, cellType, vText.toString, shared)
+          case "rPh" | "phoneticPr" if inIs => phonDepth -= 1
           case "t" if inIs => inV = false
           case "is" => inIs = false; emitCell(cells, cellCol, "str", vText.toString, shared)
           case "row" if cells != null && cells.nonEmpty =>
@@ -104,7 +118,10 @@ object XlsxReader {
                        shared: IndexedSeq[String]): Unit = {
     if (cells != null && colIdx >= 0) {
       val v = cellType match {
-        case "s" => shared(raw.trim.toInt)
+        // a missing/short sharedStrings part or malformed index degrades
+        // to null (schema-on-read), it does not fail the task
+        case "s" => raw.trim.toIntOption
+          .filter(i => i >= 0 && i < shared.length).map(shared).orNull
         case _ => raw
       }
       cells += ((colIdx, v))
@@ -122,18 +139,27 @@ object XlsxReader {
     // own <t> text that is NOT part of the cell value — concatenating it
     // corrupted every shared string with phonetic hints
     var phoneticDepth = 0
+    // only text INSIDE <t> counts: pretty-printed parts have whitespace
+    // CHARACTERS runs between elements that would otherwise concatenate
+    // into the value
+    var inT = false
     val sb = new StringBuilder
     while (r.hasNext) {
       r.next() match {
         case XMLStreamConstants.START_ELEMENT if r.getLocalName == "si" =>
-          inSi = true; phoneticDepth = 0; sb.clear()
+          inSi = true; phoneticDepth = 0; inT = false; sb.clear()
         case XMLStreamConstants.START_ELEMENT
             if inSi && (r.getLocalName == "rPh" || r.getLocalName == "phoneticPr") =>
           phoneticDepth += 1
         case XMLStreamConstants.END_ELEMENT
             if inSi && (r.getLocalName == "rPh" || r.getLocalName == "phoneticPr") =>
           phoneticDepth -= 1
-        case XMLStreamConstants.CHARACTERS if inSi && phoneticDepth == 0 =>
+        case XMLStreamConstants.START_ELEMENT
+            if inSi && r.getLocalName == "t" => inT = true
+        case XMLStreamConstants.END_ELEMENT
+            if inSi && r.getLocalName == "t" => inT = false
+        case XMLStreamConstants.CHARACTERS
+            if inSi && phoneticDepth == 0 && inT =>
           sb.append(r.getText)
         case XMLStreamConstants.END_ELEMENT if r.getLocalName == "si" =>
           inSi = false; out += sb.toString
@@ -195,9 +221,13 @@ object XlsxReader {
 
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
     val width = headers.length
+    // session Hadoop conf rides to executors — a bare Configuration()
+    // dropped fs credentials/endpoints (s3a etc.), same fix as
+    // v2/PcapDataSource
+    val sconf = new SerializableHadoopConf(conf)
     FileList.asDataset(spark, path, Set(".xlsx"))
       .mapPartitions { paths =>
-        val conf2 = new Configuration()
+        val conf2 = sconf.value
         paths.flatMap { f =>
           val fp = new Path(f)
           val in = fp.getFileSystem(conf2).open(fp)
