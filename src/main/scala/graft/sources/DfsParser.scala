@@ -115,7 +115,11 @@ class DfsParser(delegate: ParserInterface) extends ParserInterface {
             s"TIMESTAMP AS OF: no commit of $path at or before $tsMs")
           DeltaLogReader.read(spark, path, Some(atOrBefore.max))
       }
-      else if (has("metadata"))
+      // the STRICT iceberg discriminator (metadata/vN.metadata.json),
+      // not a bare metadata/ subdir check — a plain directory with an
+      // unrelated metadata/ folder must get the clear refusal below,
+      // not an Iceberg internal error
+      else if (DmlSql.isIcebergDir(fs, new org.apache.hadoop.fs.Path(path)))
         IcebergTable.read(spark, path, snapshotId = ver,
           asOfTimestampMs = asOfMs)
       else if (has("snapshot") && has("schema"))
@@ -157,7 +161,13 @@ class DfsParser(delegate: ParserInterface) extends ParserInterface {
             val path = DfsSql.resolvePath(spark, Seq(ws, parts.head))
             val p = new org.apache.hadoop.fs.Path(path)
             val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            if (fs.exists(p)) Some(path) else None
+            // a PERSISTED VIEW also claims its bare name: SHOW TABLES
+            // lists `v` for ws/v.view.json, so `SELECT * FROM v` must
+            // resolve it too (DfsSql.read handles the fallback)
+            if (fs.exists(p) ||
+                fs.exists(new org.apache.hadoop.fs.Path(path + ".view.json")))
+              Some(path)
+            else None
           }.toOption.flatten
           existing.map(path =>
             DfsSql.read(spark, path).queryExecution.analyzed)

@@ -76,7 +76,10 @@ object DfsSql {
     if (fs.exists(hp) && fs.getFileStatus(hp).isDirectory) {
       if (hasSub("_delta_log"))
         return DeltaLogReader.read(spark, path)
-      if (DmlSql.isIcebergDir(fs, hp) && hasSub("data"))
+      // no data/ requirement: an Iceberg table whose first snapshot
+      // hasn't landed yet (or whose files live elsewhere) is readable —
+      // requiring data/ made a DML-writable table unreadable by SELECT
+      if (DmlSql.isIcebergDir(fs, hp))
         return IcebergTable.read(spark, path)
       if (hasSub("snapshot") && hasSub("schema"))
         return PaimonTable.read(spark, path)

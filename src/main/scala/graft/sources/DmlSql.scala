@@ -55,16 +55,18 @@ object DmlSql {
   private val HistorySql =
     """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+(dfs\b.+?)\s*;?\s*""".r
 
-  /** True if [[claim]] would intercept `sqlText` — a pure regex check
-    * with NO side effects (claim executes the command; EXPLAIN needs to
-    * know without running anything). */
-  def wouldClaim(sqlText: String): Boolean = sqlText match {
+  /** True if [[claim]] would intercept `sqlText` — a side-effect-free
+    * check (claim executes the command; EXPLAIN needs to know without
+    * running anything). MUST mirror claim's guards exactly, INCLUDING
+    * dfsClaimable: with a real catalog database named `dfs`, claim
+    * delegates to Spark, and EXPLAIN must too. */
+  def wouldClaim(sqlText: String): Boolean = dfsClaimable && (sqlText match {
     case DeleteSql(_, _) | TruncateSql(_) | UpdateSql(_, _) |
          MergeSql(_, _) | InsertSql(_, _) | VacuumSql(_, _) |
          RestoreSql(_, _) | OptimizeSql(_, _) | AddColumnsSql(_, _) |
          HistorySql(_) => true
     case _ => false
-  }
+  })
 
   def claim(sqlText: String,
             parseIdent: String => Seq[String]): Option[LogicalPlan] =
@@ -479,16 +481,20 @@ object DmlSql {
         })
       }
 
+    // column-list resolution is CASE-INSENSITIVE like Spark's default
+    // (and like merge's updateAll) — exact-case matching rejected valid
+    // statements such as INSERT INTO t (ID, Name) against (id, name)
+    val byLower = schema.fieldNames.map(n => n.toLowerCase -> n).toMap
     val cols = colList.getOrElse(schema.fieldNames.toSeq)
-    require(cols.distinct.length == cols.length,
+    require(cols.map(_.toLowerCase).distinct.length == cols.length,
       s"INSERT INTO: duplicate column in (${cols.mkString(", ")})")
-    val bad = cols.filterNot(schema.fieldNames.contains)
+    val bad = cols.filterNot(c => byLower.contains(c.toLowerCase))
     require(bad.isEmpty,
       s"INSERT INTO: unknown column(s) ${bad.mkString(", ")}")
     require(df.columns.length == cols.length,
       s"INSERT INTO: ${cols.length} columns but query returns " +
         s"${df.columns.length}")
-    val srcByTarget = cols.zip(df.columns).toMap
+    val srcByTarget = cols.map(c => byLower(c.toLowerCase)).zip(df.columns).toMap
     val aligned = df.select(schema.fields.toSeq.map { f =>
       srcByTarget.get(f.name) match {
         case Some(src) => col(src).cast(f.dataType).as(f.name)
@@ -500,10 +506,11 @@ object DmlSql {
     // non-deterministic) query — without it the reported count could
     // differ from the rows actually written
     val cached = aligned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = cached.count()
-    val where = append(cached)
-    cached.unpersist()
-    result(s"$n rows inserted into $path ($where)")
+    try {
+      val n = cached.count()
+      val where = append(cached)
+      result(s"$n rows inserted into $path ($where)")
+    } finally cached.unpersist() // a failing append must not leak the cache
   }
 
   /** `VACUUM dfs.ws.`t` [RETAIN n HOURS]` — Delta physical cleanup
@@ -719,6 +726,46 @@ object DmlSql {
     out.toSeq.map(_.trim).filter(_.nonEmpty)
   }
 
+  /** Index of the next top-level clause WHEN — like
+    * [[topLevelKeyword]]("WHEN") but ALSO excludes WHENs inside a
+    * CASE ... END expression (SET x = CASE WHEN ... END is common in
+    * MERGE clauses and must not start a new clause). */
+  private def nextClauseWhen(s: String): Option[Int] = {
+    var depth = 0; var caseDepth = 0
+    var inQ = false; var inB = false; var inD = false
+    var i = 0
+    val n = s.length
+    def isWord(at: Int, w: String): Boolean =
+      at + w.length <= n && s.regionMatches(true, at, w, 0, w.length) &&
+        (at == 0 || (!Character.isLetterOrDigit(s.charAt(at - 1)) &&
+          s.charAt(at - 1) != '_')) &&
+        (at + w.length == n ||
+          (!Character.isLetterOrDigit(s.charAt(at + w.length)) &&
+            s.charAt(at + w.length) != '_'))
+    while (i < n) {
+      val c = s.charAt(i)
+      if (inQ) { if (c == '\'') inQ = false; i += 1 }
+      else if (inB) { if (c == '`') inB = false; i += 1 }
+      else if (inD) { if (c == '"') inD = false; i += 1 }
+      else c match {
+        case '\'' => inQ = true; i += 1
+        case '`' => inB = true; i += 1
+        case '"' => inD = true; i += 1
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case _ =>
+          if (depth == 0 && isWord(i, "CASE")) { caseDepth += 1; i += 4 }
+          else if (depth == 0 && caseDepth > 0 && isWord(i, "END")) {
+            caseDepth -= 1; i += 3
+          }
+          else if (depth == 0 && caseDepth == 0 && isWord(i, "WHEN"))
+            return Some(i)
+          else i += 1
+      }
+    }
+    None
+  }
+
   /** Split "WHEN a WHEN b ..." into clause bodies (the text after each
     * top-level WHEN). */
   private def splitClauses(s: String): Seq[String] = {
@@ -726,7 +773,7 @@ object DmlSql {
     val out = scala.collection.mutable.ArrayBuffer[String]()
     while (rest.nonEmpty) {
       val t = rest.replaceAll("(?is)^\\s*WHEN\\b", "")
-      topLevelKeyword(t, "WHEN") match {
+      nextClauseWhen(t) match {
         case Some(i) => out += t.substring(0, i); rest = t.substring(i)
         case None => out += t; rest = ""
       }
@@ -735,15 +782,17 @@ object DmlSql {
   }
 
   private def matchingParen(s: String, open: Int): Int = {
-    var depth = 0; var inQ = false; var inB = false
+    var depth = 0; var inQ = false; var inB = false; var inD = false
     var i = open
     while (i < s.length) {
       val c = s.charAt(i)
       if (inQ) { if (c == '\'') inQ = false }
       else if (inB) { if (c == '`') inB = false }
-      else c match {
+      else if (inD) { if (c == '"') inD = false } // "..." literal, like the
+      else c match {                              // sibling scanners
         case '\'' => inQ = true
         case '`' => inB = true
+        case '"' => inD = true
         case '(' => depth += 1
         case ')' =>
           depth -= 1

@@ -140,6 +140,10 @@ object SqlCommands {
          CreateAlias(_, _, _, _, _) |
          DropAllAliases(_, _) | DropAlias(_, _, _) | RefreshMeta(_) |
          Cttas(_, _) | ExplainPlan(_, _, _) => true
+    // USE mutates the session schema as a claim-time side effect (the
+    // UseOther case is unguarded in claim) — explaining it would
+    // execute that mutation through the inner parsePlan
+    case UseOther(_) => true
     // the guards MUST mirror claim()'s, or EXPLAIN PLAN FOR refuses
     // statements claim() would delegate to Spark (e.g. ANALYZE on a
     // catalog table, SHOW TABLES with no default workspace)
@@ -439,14 +443,17 @@ object SqlCommands {
                       parseIdent: String => Seq[String]): LogicalPlan = {
     val spark = SparkSession.active
     val parts = parseIdent(target)
-    val (df0, name) =
-      if (parts.length >= 2 && parts.head.equalsIgnoreCase("dfs") &&
-          !spark.catalog.databaseExists("dfs"))
-        (DfsSql.load(spark, parts.tail),
-          // stats-file name: path basename minus the format extension
-          new org.apache.hadoop.fs.Path(DfsSql.resolvePath(spark, parts.tail))
-            .getName.split('.').head)
-      else (spark.table(target), parts.last)
+    // claim() only routes dfs-headed targets here (catalog tables keep
+    // Spark's native ANALYZE) — re-testing that guard hid an unreachable
+    // catalog branch; the one degenerate form it let through (a bare
+    // `dfs` with no table part) now errors clearly instead
+    require(parts.length >= 2 && parts.head.equalsIgnoreCase("dfs"),
+      s"ANALYZE: expected dfs.<workspace>.<table>, got '$target'")
+    val df0 = DfsSql.load(spark, parts.tail)
+    // stats-file name: path basename minus the format extension
+    val name =
+      new org.apache.hadoop.fs.Path(DfsSql.resolvePath(spark, parts.tail))
+        .getName.split('.').head
     val selected = colList.fold(df0) { cl =>
       val cols = cl.split(',').map(_.trim.stripPrefix("`").stripSuffix("`"))
       df0.select(cols.head, cols.tail.toIndexedSeq: _*)

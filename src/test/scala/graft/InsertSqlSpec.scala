@@ -181,6 +181,47 @@ class InsertSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("INSERT column list resolves case-insensitively (Spark default)") {
+    import spark.implicits._
+    val base = freshDir("caseins")
+    DeltaLogWriter.write(Seq((1L, "a")).toDF("k", "v"), base)
+    withWs {
+      val r = spark.sql(
+        "INSERT INTO dfs.ins.`ins_caseins` (K, V) VALUES (2, 'b')").collect()(0)
+      assert(r.getString(1).contains("1 rows inserted"))
+      val got = DeltaLogReader.read(spark, base).collect()
+        .map(x => (x.getLong(0), x.getString(1))).toSet
+      assert(got == Set((1L, "a"), (2L, "b")))
+      // duplicate detection is case-insensitive too
+      val e = intercept[Exception] {
+        spark.sql("INSERT INTO dfs.ins.`ins_caseins` (k, K) VALUES (3, 4)")
+      }
+      assert(e.getMessage.contains("duplicate column"))
+    }
+  }
+
+  test("MERGE clauses may contain CASE WHEN expressions") {
+    import spark.implicits._
+    val base = freshDir("mcase")
+    DeltaLogWriter.write(
+      Seq((1L, 5.0, "z"), (2L, -3.0, "z")).toDF("k", "v", "dir"), base)
+    Seq((1L, 7.0), (2L, -9.0), (3L, 0.0)).toDF("mk", "mv")
+      .createOrReplaceTempView("mcase_src")
+    withWs {
+      // CASE WHEN inside both the UPDATE SET and the INSERT VALUES —
+      // a clause splitter blind to CASE cuts at the inner WHEN
+      spark.sql(
+        """MERGE INTO dfs.ins.`ins_mcase` t USING mcase_src s ON t.k = s.mk
+           WHEN MATCHED THEN UPDATE SET
+             v = s.mv, dir = CASE WHEN s.mv > 0 THEN 'up' ELSE 'down' END
+           WHEN NOT MATCHED THEN INSERT (k, v, dir)
+             VALUES (s.mk, s.mv, CASE WHEN s.mv >= 0 THEN 'up' ELSE 'down' END)""")
+      val got = DeltaLogReader.read(spark, base).collect()
+        .map(x => (x.getLong(0), x.getDouble(1), x.getString(2))).toSet
+      assert(got == Set((1L, 7.0, "up"), (2L, -9.0, "down"), (3L, 0.0, "up")))
+    }
+  }
+
   test("ANALYZE TABLE on a catalog-resolvable name is NOT claimed by graft") {
     import spark.implicits._
     Seq((1, "a")).toDF("id", "s").createOrReplaceTempView("an_tv")

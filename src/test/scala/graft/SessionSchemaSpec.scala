@@ -57,6 +57,37 @@ class SessionSchemaSpec extends AnyFunSuite {
     }
   }
 
+  test("bare names resolve persisted views; failing USE keeps context; " +
+      "EXPLAIN of USE has no side effect") {
+    val dir = "/tmp/graft_test/session_ws3"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true); fs.mkdirs(p)
+    spark.conf.set("graft.dfs.workspace.sv", dir)
+    try {
+      spark.sql("CREATE VIEW dfs.sv.v3 AS SELECT 42 AS x").collect()
+      spark.sql("USE dfs.sv").collect()
+      // SHOW TABLES lists v3, so SELECT by BARE NAME must work too
+      val got = spark.sql("SELECT x FROM v3").collect()
+      assert(got.map(_.getInt(0)).toSeq == Seq(42))
+      // a FAILING USE leaves the session schema unchanged (Drill)
+      intercept[Exception] { spark.sql("USE no_such_db_xyz").collect() }
+      assert(spark.conf.getOption("graft.dfs.defaultWorkspace").contains("sv"),
+        "failing USE wiped the dfs workspace context")
+      // EXPLAIN of a USE must not execute its session mutation
+      val e = intercept[Exception] {
+        spark.sql("EXPLAIN PLAN FOR USE default").collect()
+      }
+      assert(e.getMessage.contains("command"))
+      assert(spark.conf.getOption("graft.dfs.defaultWorkspace").contains("sv"),
+        "EXPLAIN PLAN FOR USE executed the workspace unset")
+    } finally {
+      spark.conf.unset("graft.dfs.defaultWorkspace")
+      spark.conf.unset("graft.dfs.workspace.sv")
+      spark.sql("USE default").collect()
+    }
+  }
+
   test("ALTER SESSION SET on a static conf fails without poisoning RESET ALL") {
     val e = intercept[Exception] {
       spark.sql("ALTER SESSION SET `spark.sql.warehouse.dir` = '/nope'").collect()
