@@ -624,10 +624,13 @@ object QueriesPipeline {
              min(doc_id) AS keeper_doc
       FROM u GROUP BY 1""",
     "q_gopher_filter" -> s"""
-      WITH t AS (SELECT doc_id, text, string_split($NORM, ' ') AS w FROM documents),
+      WITH t AS (SELECT doc_id, text,
+                   list_filter(string_split($NORM, ' '), x -> x <> '') AS w
+                 FROM documents),
       m AS (SELECT doc_id,
           len(w)::BIGINT AS wc,
-          (list_sum(list_transform(w, x -> length(x))) * 100 // len(w))::BIGINT AS mlen,
+          (CASE WHEN len(w) = 0 THEN 0 ELSE
+            list_sum(list_transform(w, x -> length(x))) * 100 // len(w) END)::BIGINT AS mlen,
           ((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))
             * 10000 // greatest(length(text), 1))::BIGINT AS sym,
           len(list_filter(w, x -> x IN ('the','a','an','of','and','to','in','is','it','that')))::BIGINT AS stop

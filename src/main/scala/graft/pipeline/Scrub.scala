@@ -46,6 +46,9 @@ object Scrub {
     * content is position-stable across documents. */
   def tokenChunks(docs: DataFrame, idCol: String, textCol: String,
                   chunkTokens: Int): DataFrame = {
+    // the zero/negative case silently emitted no rows (null division →
+    // empty array), which reads as "no duplicates" downstream
+    require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
     val words = split(TextAnalysis.normalize(col(textCol)), " ")
     val nChunks = floor(size(words) / chunkTokens).cast("int")
     docs.select(col(idCol).as("doc_id"),
@@ -101,23 +104,32 @@ object Scrub {
     val hostNoPort = when(length(defPort) > 0 && lhost.endsWith(defPort),
         lhost.substr(lit(1), length(lhost) - length(defPort)))
       .otherwise(lhost)
+    // www. stripped from the ISOLATED host during reconstruction — the
+    // old global `://www.` replace fired on URLs embedded in query
+    // params (redirect/tracking links), over-merging distinct records
+    val hostNoWww = when(hostNoPort.startsWith("www."),
+        hostNoPort.substr(lit(5), length(hostNoPort)))
+      .otherwise(hostNoPort)
     val caseFixed = when(url.contains("://"),
-        concat(lower(scheme), lit("://"), hostNoPort, rest))
+        concat(lower(scheme), lit("://"), hostNoWww, rest))
       .otherwise(url)
     val noFrag = regexp_replace(caseFixed, "#.*$", "")
-    val noWww = regexp_replace(noFrag, "://www\\.", "://")
-    // utm params anchored at a ? or & delimiter (an unanchored match
-    // would fire inside longer names like `xutm_source`); the pair of
-    // rules re-applies because adjacent utm params leave a fresh
-    // delimiter the single global pass does not rescan
-    def stripUtm(c: Column): Column = regexp_replace(
-      regexp_replace(c, "\\?utm_[a-z]+=[^&#]*&", "?"),
-      "&utm_[a-z]+=[^&#]*&", "&")
-    val noUtmMid = stripUtm(stripUtm(stripUtm(noWww)))
-    val noUtmEnd = regexp_replace(noUtmMid, "[?&]utm_[a-z]+=[^&#]*$", "")
-    // dangling "?" strips BEFORE the trailing slash so ".../a/?" lands
-    // on ".../a", not ".../a/"
-    regexp_replace(regexp_replace(noUtmEnd, "\\?$", ""), "/$", "")
+    // utm params dropped by splitting the query on & and filtering —
+    // the old fixed-pass regex pair could not clear long adjacent runs
+    // (8+ utm params left residue that split canonical keys), and a
+    // filter has no rescan problem by construction. The anchored
+    // `^utm_[a-z]+=` never matches longer names like `xutm_source`.
+    val qPos = instr(noFrag, "?")
+    val base = when(qPos > 0, noFrag.substr(lit(1), qPos - 1)).otherwise(noFrag)
+    val query = when(qPos > 0, noFrag.substr(qPos + 1, length(noFrag)))
+      .otherwise(lit(""))
+    val kept = filter(split(query, "&"), p => !p.rlike("^utm_[a-z]+="))
+    val noUtm = when(qPos === 0 || size(kept) === 0 ||
+        (size(kept) === 1 && element_at(kept, 1) === ""), base)
+      .otherwise(concat(base, lit("?"), array_join(kept, "&")))
+    // (the dangling-? case collapses to `base` above, BEFORE the
+    // trailing slash strips, so ".../a/?" lands on ".../a")
+    regexp_replace(noUtm, "/$", "")
   }
 
   /** URL-level dedup audit over canonical keys: how many raw variants
@@ -139,10 +151,15 @@ object Scrub {
                     minWords: Int = 30, maxWords: Int = 5000,
                     minMeanLenX100: Int = 300, maxMeanLenX100: Int = 1000,
                     maxSymbolBp: Int = 1000): DataFrame = {
-    val words = split(TextAnalysis.normalize(col(textCol)), " ")
+    // filter the split() phantom: a blank doc is 0 words, not 1 — the
+    // invariant TextAnalysis.tokenCountWs documents (a third hand-rolled
+    // tokenization here was the copy that got it wrong)
+    val words = filter(split(TextAnalysis.normalize(col(textCol)), " "),
+      w => w =!= "")
     val wc = size(words)
-    val meanLenX100 = floor(aggregate(words, lit(0L),
-      (acc, w) => acc + length(w)) * 100 / wc).cast("long")
+    val meanLenX100 = when(wc === 0, lit(0L)).otherwise(
+      floor(aggregate(words, lit(0L),
+        (acc, w) => acc + length(w)) * 100 / wc)).cast("long")
     val symbolBp = floor((length(col(textCol)) -
       length(regexp_replace(col(textCol), "[^a-zA-Z0-9\\s]", "")))
       * lit(10000L) / greatest(length(col(textCol)), lit(1))).cast("long")

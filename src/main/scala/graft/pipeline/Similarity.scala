@@ -90,7 +90,14 @@ object Similarity {
   private def normed(c: Column): Column = {
     val n = sqrt(aggregate(c, lit(0.0),
       (a, x) => a + x.cast("double") * x.cast("double")))
-    transform(c, x => x.cast("double") / n)
+    // zero-norm guard: an all-zero embedding (padding/empty-doc artifact)
+    // divided by 0 is a NaN vector, and NaN sorts GREATEST in Spark —
+    // one such vector poisoned a kmeans centroid to all-NaN and then
+    // absorbed the whole corpus into that cluster. A zero vector stays
+    // zero (cosine 0 to everything — neutral), mirroring quantizeInt8's
+    // explicit zero-vector handling.
+    when(n === 0.0, transform(c, x => lit(0.0)))
+      .otherwise(transform(c, x => x.cast("double") / n))
   }
 
   /** Random-hyperplane signature: `bits` sign bits packed into a long.
@@ -109,6 +116,13 @@ object Similarity {
       raise_error(concat(lit(s"hyperplaneSignature: dim $dim does not " +
         "match embedding length "),
         coalesce(size(vec).cast("string"), lit("NULL")))))
+      // null/NaN ELEMENTS collapse the same way a null vector did: every
+      // projection nulls (or NaNs, and NaN >= 0 is true), so all such
+      // rows share one signature in EVERY table — the quadratic
+      // mega-bucket again, just one level down. Refuse them too.
+      .when(exists(vec, x => x.isNull || isnan(x.cast("double"))),
+        raise_error(lit("hyperplaneSignature: embedding contains " +
+          "null/NaN elements — clean or filter the vector column first")))
       .otherwise(vec)
     val bitCols = (0 until bits).map { b =>
       // pseudo-random +-1 weights per (table, bit, dimension), from a hash
@@ -220,7 +234,11 @@ object Similarity {
       .filter(col("qid") =!= col("cid"))
       .select(col("qid").as("query_id"), col("cid").as("neighbor_id"),
         round(cosine(col("qvec"), col("cvec")), 6).as("cos_sim"))
-      .dropDuplicates("query_id", "neighbor_id") // a pair may share cells
+      // no pair-dedup needed: each corpus vector is argmax-assigned to
+      // exactly ONE cell and probes are distinct (qid, cell) rows, so
+      // the join emits each (qid, cid) at most once — the former
+      // dropDuplicates was a full extra shuffle over the largest
+      // intermediate for nothing (pqTopK's identical join omits it)
       .withColumn("rank", row_number().over(rankW)).filter(col("rank") <= k)
     if (centroids.isEmpty) {
       // |queries| x k rows — materialize, then release the corpus cache

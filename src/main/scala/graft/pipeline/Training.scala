@@ -33,7 +33,12 @@ object Training {
     * self-join re-plans the whole upstream lineage twice and pays a
     * join shuffle for a pure function of the text column. */
   def splitBucket(textCol: Column): Column =
-    pmod(Dedup.md5Hash32(concat(lit("split:"), textCol)), lit(100))
+    // coalesce: a NULL text gave a null bucket, and both when() arms of
+    // splitLabel fell through — every null-text doc landed in 'test'.
+    // Hashing '' instead groups null-text docs with empty-text docs
+    // (one deterministic split), the consistent degenerate-doc behavior.
+    pmod(Dedup.md5Hash32(concat(lit("split:"), coalesce(textCol, lit("")))),
+      lit(100))
 
   def splitLabel(bucket: Column, trainPct: Int = 80, valPct: Int = 10): Column =
     when(bucket < trainPct, "train")
@@ -63,7 +68,11 @@ object Training {
     // single-partition bottleneck the shard design avoids)
     val shardCol = docs.schema(idCol).dataType match {
       case _: org.apache.spark.sql.types.NumericType =>
-        pmod(col(idCol), lit(shards))
+        // coalesce: pmod(null) is null — null-id rows formed a
+        // shard=null partition no dataloader iterating 0..shards-1 ever
+        // reads (silently vanished docs); the string branch already
+        // routes nulls to a real shard (xxhash64(null) = seed constant)
+        coalesce(pmod(col(idCol), lit(shards)), lit(0))
       case _ => pmod(abs(xxhash64(col(idCol))), lit(shards))
     }
     docs.select(col(idCol), col(textCol))
@@ -217,7 +226,11 @@ object Training {
       .select("_bkt", "_boff")
     val w = Window.partitionBy("_bkt").orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val width = floor((col("_total") + lit(shards - 1)) / lit(shards))
+    // greatest(1): an all-empty corpus has _total = 0, width 0, and the
+    // null division fell through least() to pile every row into the
+    // LAST shard (or threw under ANSI)
+    val width = greatest(
+      floor((col("_total") + lit(shards - 1)) / lit(shards)), lit(1L))
       .cast("long")
     withB.join(broadcast(offsets), "_bkt")
       .withColumn("_before",
