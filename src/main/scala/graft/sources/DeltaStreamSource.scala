@@ -103,10 +103,22 @@ private[sources] object DeltaStreamSource {
     val spark = sqlContext.sparkSession
     val path = pathOf(parameters)
     // read() runs the protocol/column-mapping guards; readChanges adds
-    // the partitioned-table refusal this source inherits
-    val changes = DeltaLogReader.readChanges(spark, path,
-      latestVersion(sqlContext.sparkSession, path))
-    if (cdfMode(parameters)) changes.schema
+    // the partitioned-table refusal this source inherits. On a
+    // checkpoint-only log (every JSON commit cleaned up) readChanges has
+    // no commit to diff — latestVersion's checkpoint fallback alone
+    // didn't save it from versions.max on an empty seq — so the CDF
+    // schema derives from the snapshot schema + the two CDF columns;
+    // the partitioned refusal re-fires on the first real commit.
+    if (cdfMode(parameters)) {
+      val versions = DeltaLogReader.tableVersions(spark, path)
+      if (versions.nonEmpty)
+        DeltaLogReader.readChanges(spark, path, versions.max).schema
+      else StructType(DeltaLogReader.read(spark, path).schema.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("_change_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("_commit_version",
+          org.apache.spark.sql.types.LongType)))
+    }
     else DeltaLogReader.read(spark, path).schema
   }
 }
@@ -189,18 +201,28 @@ class DeltaStreamSource(sqlContext: SQLContext,
     Some(LongOffset(capped))
   }
 
-  private def addFileCount(v: Long): Int = {
-    val p = new Path(new Path(path, "_delta_log"), f"$v%020d.json")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) 0
-    else {
-      val in = fs.open(p)
-      val lines =
-        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-        finally in.close()
-      lines.count(l => l.contains("\"add\""))
+  // commit files are immutable once written — cache their add counts so
+  // a capped stream catching up through a deep backlog doesn't re-scan
+  // every not-yet-admitted commit on every trigger (the same O(n^2)
+  // pathology the Iceberg/Paimon twins cache away)
+  private val fileCountCache =
+    scala.collection.mutable.Map.empty[Long, Int]
+
+  private def addFileCount(v: Long): Int =
+    fileCountCache.get(v).getOrElse {
+      val p = new Path(new Path(path, "_delta_log"), f"$v%020d.json")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) 0 // NOT cached: the commit may appear next trigger
+      else {
+        val in = fs.open(p)
+        val lines =
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+          finally in.close()
+        val n = lines.count(l => l.contains("\"add\""))
+        fileCountCache(v) = n
+        n
+      }
     }
-  }
 
   private def ver(o: Offset): Long = o match {
     case l: LongOffset => l.offset
@@ -248,8 +270,17 @@ class DeltaStreamSource(sqlContext: SQLContext,
   private def addsBetween(lo: Long, hi: Long): DataFrame = {
     val logDir = new Path(path, "_delta_log")
     val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def absolute(p: String): String =
-      if (p.startsWith("/") || p.contains("://")) p else s"$path/$p"
+    // add.path is RFC 2396 percent-ENCODED per PROTOCOL.md — decode like
+    // DeltaLogReader.read/readChanges do ('+' protected from URLDecoder's
+    // form semantics); this third copy used to skip the decode and fail
+    // on any file name with a space
+    def absolute(p: String): String = {
+      val decoded =
+        try java.net.URLDecoder.decode(p.replace("+", "%2B"), "UTF-8")
+        catch { case _: IllegalArgumentException => p }
+      if (decoded.startsWith("/") || decoded.contains("://")) decoded
+      else s"$path/$decoded"
+    }
     val files = (lo to hi).flatMap { v =>
       val p = new Path(logDir, f"$v%020d.json")
       if (!fs.exists(p)) Nil // pre-history (vacuumed) or gap: nothing to emit

@@ -198,7 +198,14 @@ private[sources] object PaimonStreamSource {
                    table: String): StructType = {
     val base = PaimonTable.read(spark, table).schema
     if (isPk(spark, table))
-      StructType(StructField("row_kind", StringType, nullable = false) +: base.fields)
+      // _snapshot_id is the APPLY ORDER: one micro-batch can span
+      // several snapshots, and without a commit column a CDC consumer
+      // cannot tell which +U for a key is final (the Delta CDF twin
+      // emits _commit_version for the same reason)
+      StructType(StructField("row_kind", StringType, nullable = false) +:
+        (base.fields :+
+          StructField("_snapshot_id", org.apache.spark.sql.types.LongType,
+            nullable = false)))
     else base
   }
 }
@@ -267,8 +274,9 @@ class PaimonStreamSource(sqlContext: SQLContext,
       case Some(s) => changesBetween(ver(s), hi)
       case None => // initial: current state (PK: merged rows surface as +I)
         val full = PaimonTable.read(spark, path, snapshotId = Some(hi))
-        if (pk) full.select(lit("+I").as("row_kind") +:
-          full.columns.map(col).toIndexedSeq: _*)
+        if (pk) full.select((lit("+I").as("row_kind") +:
+            full.columns.map(col).toIndexedSeq) :+
+          lit(hi).as("_snapshot_id"): _*)
         else full
     }
     StreamShim.asStreamingFrame(
@@ -291,7 +299,8 @@ class PaimonStreamSource(sqlContext: SQLContext,
             s"graft-paimon stream: snapshot ${s.id} of $path is OVERWRITE " +
               "(replaces data). Set skipChangeCommits=true to skip it.")
         case _ =>
-          if (pk) Seq(PaimonTable.readChangelog(spark, path, s.id))
+          if (pk) Seq(PaimonTable.readChangelog(spark, path, s.id)
+            .withColumn("_snapshot_id", org.apache.spark.sql.functions.lit(s.id)))
           else {
             val files = PaimonTable.appendedFilesOf(spark, path, s)
             if (files.isEmpty) Nil

@@ -32,6 +32,20 @@ object Events {
       case _ => unix_timestamp(col("ts")).cast("long")
     }
 
+  /** `ts` as a TIMESTAMP column regardless of source shape: the
+    * BIGINT-nanos form (spark.sql.legacy.parquet.nanosAsLong — the very
+    * case [[tsSeconds]] exists for) converts via micros. The streaming
+    * entry points apply this before withWatermark, which requires a
+    * timestamp — without it every streaming twin of a working
+    * BIGINT-nanos batch pipeline failed at analysis. */
+  private def tsAsTimestamp(events: DataFrame): DataFrame =
+    events.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        events.withColumn("ts",
+          timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+      case _ => events
+    }
+
   /** Engine-portable sum of a double measure: quantize each value with
     * floor(v * 2^14) (exact in binary floating point — scaling by a power
     * of two changes no mantissa bits), sum as BIGINT. Immune to summation
@@ -81,7 +95,7 @@ object Events {
     * normalize — so a backfill and the live stream agree. */
   def dedupStream(docs: DataFrame, textCol: String,
                   watermarkDelay: String = "10 minutes"): DataFrame =
-    docs.withColumn("content_hash",
+    tsAsTimestamp(docs).withColumn("content_hash",
         xxhash64(graft.pipeline.TextAnalysis.normalize(col(textCol))))
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("content_hash")
@@ -106,7 +120,7 @@ object Events {
     * (bipartite banded join), which beats both shapes once the reference
     * itself needs to shuffle. */
   def decontaminateStream(stream: DataFrame, reference: DataFrame,
-                          idCol: String, textCol: String,
+                          textCol: String,
                           numHashes: Int = 128, bands: Int = 32,
                           threshold: Double = 0.8,
                           maxRefLiteral: Int = 4096): DataFrame = {
@@ -128,8 +142,13 @@ object Events {
       .select(bandsOf(thOf(col(textCol))).as("ref_bands"),
         thOf(col(textCol)).as("ref_th"))
 
-    if (reference.count() <= maxRefLiteral) {
-      val refRows: Seq[(Seq[Long], Seq[Long])] = refBanded.collect()
+    // ONE limit-bounded collect decides the branch AND supplies the
+    // literal rows — a separate count() ran the tokenize + 128-hash
+    // reference pipeline twice, and counted ALL of a large reference
+    // just to learn it was over the bound
+    val refProbe = refBanded.limit(maxRefLiteral + 1).collect()
+    if (refProbe.length <= maxRefLiteral) {
+      val refRows: Seq[(Seq[Long], Seq[Long])] = refProbe
         .map(r => (r.getSeq[Long](0), r.getSeq[Long](1))).toSeq
       val refLit = typedlit(refRows)
       // __th/__bands materialize as COLUMNS first: HOF lambdas are
@@ -215,9 +234,28 @@ object Events {
     * (the keys are already gone — a no-op on them), and the re-appended
     * rows out-sequence both deletes — so replay converges to exactly
     * the committed-once state. */
+  /** One row per key within a micro-batch: the upsert sinks' commit
+    * kills PRIOR-sequence rows only, so two same-key rows in one batch
+    * would BOTH survive (duplicate keys on read) or tie-break
+    * arbitrarily under paimon's same-sequence merge. With `orderCol`
+    * the highest-ordered row wins (the CDC stream's own version/ts
+    * column); without one the winner is an arbitrary-but-single row —
+    * micro-batch rows carry no inherent order to preserve. */
+  private def latestPerKey(df: DataFrame, keyCols: Seq[String],
+                           orderCol: Option[String]): DataFrame =
+    orderCol match {
+      case Some(o) =>
+        val w = Window.partitionBy(keyCols.map(col): _*)
+          .orderBy(col(o).desc)
+        df.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      case None => df.dropDuplicates(keyCols)
+    }
+
   def icebergUpsertSink(stream: DataFrame, tablePath: String,
                         checkpoint: String, keyCols: Seq[String],
-                        appId: String = "graft-stream"): org.apache.spark.sql.streaming.StreamingQuery = {
+                        appId: String = "graft-stream",
+                        orderCol: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     require(keyCols.nonEmpty, "icebergUpsertSink needs key columns")
     stream.writeStream
       .option("checkpointLocation", checkpoint)
@@ -227,7 +265,7 @@ object Events {
         val spark = batch.sparkSession
         val committed = IcebergTable.lastStreamBatch(spark, tablePath, appId)
         if (!committed.exists(_ >= batchId)) {
-          val df = batch.toDF()
+          val df = latestPerKey(batch.toDF(), keyCols, orderCol)
           val exists = new org.apache.hadoop.fs.Path(tablePath, "metadata")
             .getFileSystem(spark.sparkContext.hadoopConfiguration)
             .exists(new org.apache.hadoop.fs.Path(tablePath, "metadata"))
@@ -254,7 +292,8 @@ object Events {
     * [[graft.sources.PaimonTable.lastStreamBatch]]. */
   def paimonSink(stream: DataFrame, tablePath: String, checkpoint: String,
                  primaryKeys: Seq[String] = Nil,
-                 appId: String = "graft-stream"): org.apache.spark.sql.streaming.StreamingQuery =
+                 appId: String = "graft-stream",
+                 orderCol: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
@@ -267,11 +306,16 @@ object Events {
             PaimonTable.write(batch.toDF(), tablePath,
               commitUser = appId, commitIdentifier = batchId)
           else {
-            // first batch creates the table (+I required); later ones upsert
+            // first batch creates the table (+I required); later ones
+            // upsert. Same-key rows within one batch share writePk's
+            // per-commit sequence number (an arbitrary merge winner) —
+            // latestPerKey keeps exactly one
             val exists = new org.apache.hadoop.fs.Path(tablePath, "schema")
               .getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
               .exists(new org.apache.hadoop.fs.Path(tablePath, "schema"))
-            PaimonTable.writePk(batch.toDF(), tablePath, primaryKeys,
+            PaimonTable.writePk(
+              latestPerKey(batch.toDF(), primaryKeys, orderCol),
+              tablePath, primaryKeys,
               kind = if (exists) "+U" else "+I",
               commitUser = appId, commitIdentifier = batchId)
           }
@@ -324,7 +368,8 @@ object Events {
         "Set spark.sql.streaming.statefulOperator.checkCorrectness.enabled" +
         "=false for this session to run it.")
     val rowsPerBand = numHashes / bands
-    val withBands = docs.withWatermark("ts", s"$watermarkDelaySec seconds")
+    val withBands = tsAsTimestamp(docs)
+      .withWatermark("ts", s"$watermarkDelaySec seconds")
       .select(col("doc_id").cast("long"), col("ts"),
         array_sort(Dedup.tokenHashes(array_distinct(
           split(TextAnalysis.normalize(col("text")), " ")))).as("th"))
@@ -378,7 +423,7 @@ object Events {
     * source (e.g. a rate/file/kafka reader). */
   def tumblingAggStream(events: DataFrame, windowDur: String,
                         watermarkDelay: String = "10 minutes"): DataFrame =
-    events.withWatermark("ts", watermarkDelay)
+    tsAsTimestamp(events).withWatermark("ts", watermarkDelay)
       .groupBy(window(col("ts"), windowDur), col("event_type"))
       // the QUANTIZED sum, like the batch twin: raw double summation is
       // partition-order-dependent, so stream and backfill totals could
@@ -404,8 +449,9 @@ object Events {
     * boundary-heavy data. */
   def sessionWindowAgg(events: DataFrame, gapSec: Int,
                        watermarkDelay: String = "10 minutes"): DataFrame = {
-    val src = if (events.isStreaming) events.withWatermark("ts", watermarkDelay)
-              else events
+    val ets = tsAsTimestamp(events)
+    val src = if (ets.isStreaming) ets.withWatermark("ts", watermarkDelay)
+              else ets
     src.groupBy(col("user_id"),
         session_window(col("ts"), s"$gapSec seconds").as("sess"))
       .agg(count(lit(1)).as("n_events"), quantizedSum(col("value")).as("sum_value_q"))
@@ -441,7 +487,7 @@ object Events {
     import spark.implicits._
     // the watermarked `ts` attribute itself must flow into the grouped
     // Dataset (the analyzer checks for it); seconds derive in the lambda.
-    val typed = events.withWatermark("ts", watermarkDelay)
+    val typed = tsAsTimestamp(events).withWatermark("ts", watermarkDelay)
       .select(col("user_id").cast("long"), col("ts"),
         col("value").cast("double"))
       .as[(Long, java.sql.Timestamp, Double)]
@@ -452,7 +498,9 @@ object Events {
           var out = List.empty[(Long, Long, Long, Long, Double)]
           var st = state.getOption.getOrElse(SessState(-1, -1, 0, 0.0))
           rows.toSeq.sortBy(_._2.getTime).foreach { case (_, t, v) =>
-            val sec = t.getTime / 1000L
+            // floorDiv, not /: truncation-toward-zero disagreed with
+            // the batch twin's floor semantics on pre-1970 timestamps
+            val sec = Math.floorDiv(t.getTime, 1000L)
             if (st.start < 0) st = SessState(sec, sec, 1, v)
             else if (sec - st.last > gapSec) {
               out ::= (user, st.start, st.last, st.n, st.total)

@@ -112,5 +112,10 @@ class LakehouseStreamSpec extends AnyFunSuite {
     val tagged = rows.map(r => (r.getString(0), r.getLong(1))).sorted
     // initial +I for both keys, then the +U and the -D change rows
     assert(tagged === Seq(("+I", 1L), ("+I", 2L), ("+U", 2L), ("-D", 1L)))
+    // _snapshot_id gives the APPLY ORDER a CDC consumer needs when one
+    // micro-batch spans snapshots: initial state at 1, then 2, then 3
+    val bySnap = rows.map(r => (r.getString(0),
+        r.getLong(r.fieldIndex("_snapshot_id")))).sorted
+    assert(bySnap === Seq(("+I", 1L), ("+I", 1L), ("+U", 2L), ("-D", 3L)))
   }
 }

@@ -137,7 +137,7 @@ class StreamingSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     val input = MemoryStream[(Long, String)]
     val clean = Events.decontaminateStream(
-      input.toDF().toDF("doc_id", "text"), reference, "doc_id", "text",
+      input.toDF().toDF("doc_id", "text"), reference, "text",
       threshold = 0.7)
     val q = clean.writeStream.format("memory").queryName("decon_out")
       .outputMode("append").start()
@@ -167,7 +167,7 @@ class StreamingSpec extends AnyFunSuite {
     def run(maxRefLiteral: Int): (Set[Long], String) = {
       val input = MemoryStream[(Long, String)]
       val clean = Events.decontaminateStream(
-        input.toDF().toDF("doc_id", "text"), reference, "doc_id", "text",
+        input.toDF().toDF("doc_id", "text"), reference, "text",
         threshold = 0.7, maxRefLiteral = maxRefLiteral)
       // plan-shape check: literal path has no join; fallback is LeftAnti
       val planStr = clean.queryExecution.analyzed.toString
