@@ -610,6 +610,8 @@ object QueriesFunctions {
     (10, "python-requests/2.31.0"),
     (11, "Mozilla/5.0 (compatible; MSIE 10.0; Windows NT 6.1; Trident/6.0)"),
     (12, "Mozilla/5.0 (Windows NT 6.1; Trident/7.0; rv:11.0) like Gecko"),
+    (16, "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/64.0.3282.140 Safari/537.36 Edge/18.17763"),
+    (17, "Mozilla/5.0 (Linux; Android 10; HD1913) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/118.0.0.0 Mobile Safari/537.36 EdgA/118.0.2088.81"),
     (13, "Mozilla/5.0 (Windows NT 10.0) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/118.0.0.0 Safari/537.36 OPR/104.0.0.0"),
     (14, "Mozilla/5.0 (iPad; CPU OS 16_6 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/16.6 Mobile/15E148 Safari/604.1"),
     (15, "SomeRandomClient/1.0"))
@@ -1017,7 +1019,8 @@ object QueriesFunctions {
         FROM uas)
       SELECT ua_id,
         CASE WHEN is_bot THEN 'Robot'
-             WHEN strpos(ua, 'Edg/') > 0 THEN 'Edge'
+             WHEN strpos(ua, 'Edg/') > 0 OR strpos(ua, 'Edge/') > 0
+               OR strpos(ua, 'EdgA/') > 0 OR strpos(ua, 'EdgiOS/') > 0 THEN 'Edge'
              WHEN strpos(ua, 'OPR/') > 0 THEN 'Opera'
              WHEN strpos(ua, 'Chrome/') > 0 THEN 'Chrome'
              WHEN strpos(ua, 'Firefox/') > 0 THEN 'Firefox'
@@ -1025,7 +1028,9 @@ object QueriesFunctions {
              WHEN strpos(ua, 'MSIE ') > 0 OR strpos(ua, 'Trident/') > 0 THEN 'IE'
              ELSE 'Other' END AS browser,
         CASE WHEN is_bot THEN ''
-             WHEN strpos(ua, 'Edg/') > 0 THEN regexp_extract(ua, 'Edg/([0-9.]+)', 1)
+             WHEN strpos(ua, 'Edg/') > 0 OR strpos(ua, 'Edge/') > 0
+               OR strpos(ua, 'EdgA/') > 0 OR strpos(ua, 'EdgiOS/') > 0
+               THEN regexp_extract(ua, 'Edg(?:e|A|iOS)?/([0-9.]+)', 1)
              WHEN strpos(ua, 'OPR/') > 0 THEN regexp_extract(ua, 'OPR/([0-9.]+)', 1)
              WHEN strpos(ua, 'Chrome/') > 0 THEN regexp_extract(ua, 'Chrome/([0-9.]+)', 1)
              WHEN strpos(ua, 'Firefox/') > 0 THEN regexp_extract(ua, 'Firefox/([0-9.]+)', 1)

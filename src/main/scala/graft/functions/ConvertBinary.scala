@@ -52,22 +52,10 @@ object ConvertBinary {
     "TIMESTAMP_EPOCH" -> TimestampType, "TIMESTAMP_EPOCH_BE" -> TimestampType,
     "UTF8" -> StringType, "UTF16" -> StringType)
 
-  /** Expected Spark input type of convert_to(_, enc). */
-  val ToTypes: Map[String, DataType] = Map(
-    "BIGINT" -> LongType, "BIGINT_BE" -> LongType,
-    "BIGINT_HADOOPV" -> LongType,
-    "UINT8" -> LongType, "UINT4" -> LongType, "UINT4_BE" -> LongType,
-    "INT" -> IntegerType, "INT_BE" -> IntegerType,
-    "INT_HADOOPV" -> IntegerType,
-    "SMALLINT" -> ShortType, "SMALLINT_BE" -> ShortType,
-    "TINYINT" -> ByteType,
-    "FLOAT" -> FloatType, "FLOAT_BE" -> FloatType,
-    "DOUBLE" -> DoubleType, "DOUBLE_BE" -> DoubleType,
-    "BOOLEAN_BYTE" -> BooleanType,
-    "DATE_EPOCH" -> DateType, "DATE_EPOCH_BE" -> DateType,
-    "TIME_EPOCH" -> IntegerType, "TIME_EPOCH_BE" -> IntegerType,
-    "TIMESTAMP_EPOCH" -> TimestampType, "TIMESTAMP_EPOCH_BE" -> TimestampType,
-    "UTF8" -> StringType, "UTF16" -> StringType)
+  /** Expected Spark input type of convert_to(_, enc) — the codec family
+    * is symmetric by construction (every decodable encoding encodes),
+    * so the map IS FromTypes: one list, no silent drift. */
+  val ToTypes: Map[String, DataType] = FromTypes
 
   private val DayMillis = 24L * 3600 * 1000
 
@@ -297,21 +285,25 @@ case class ConvertFromExpr(child: Expression, enc: String)
     case other => throw new IllegalStateException(s"unexpected type $other")
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val b = input.asInstanceOf[Array[Byte]]
-    method match {
-      case "decodeTimestampMicros" => ConvertBinary.decodeTimestampMicros(enc, b)
-      case "decodeDateDays" => ConvertBinary.decodeDateDays(enc, b)
-      case "decodeLong" => ConvertBinary.decodeLong(enc, b)
-      case "decodeInt" => ConvertBinary.decodeInt(enc, b)
-      case "decodeShort" => ConvertBinary.decodeShort(enc, b)
-      case "decodeByte" => ConvertBinary.decodeByte(enc, b)
-      case "decodeFloat" => ConvertBinary.decodeFloat(enc, b)
-      case "decodeDouble" => ConvertBinary.decodeDouble(enc, b)
-      case "decodeBoolean" => ConvertBinary.decodeBoolean(enc, b)
-      case "decodeString" => ConvertBinary.decodeString(enc, b)
-    }
+  // dispatch selected ONCE per expression instance, not string-matched
+  // per row on interpreted paths (filters during planning, fallback,
+  // constant folding)
+  @transient private lazy val kernel: Array[Byte] => Any = dataType match {
+    case TimestampType => ConvertBinary.decodeTimestampMicros(enc, _)
+    case DateType => ConvertBinary.decodeDateDays(enc, _)
+    case LongType => ConvertBinary.decodeLong(enc, _)
+    case IntegerType => ConvertBinary.decodeInt(enc, _)
+    case ShortType => ConvertBinary.decodeShort(enc, _)
+    case ByteType => ConvertBinary.decodeByte(enc, _)
+    case FloatType => ConvertBinary.decodeFloat(enc, _)
+    case DoubleType => ConvertBinary.decodeDouble(enc, _)
+    case BooleanType => ConvertBinary.decodeBoolean(enc, _)
+    case StringType => ConvertBinary.decodeString(enc, _)
+    case other => throw new IllegalStateException(s"unexpected type $other")
   }
+
+  override def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[Array[Byte]])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, b =>
@@ -357,21 +349,26 @@ case class ConvertToExpr(child: Expression, enc: String)
     case other => throw new IllegalStateException(s"unexpected type $other")
   }
 
-  override def nullSafeEval(input: Any): Any = method match {
-    case "encodeTimestampMicros" =>
-      ConvertBinary.encodeTimestampMicros(enc, input.asInstanceOf[Long])
-    case "encodeDateDays" =>
-      ConvertBinary.encodeDateDays(enc, input.asInstanceOf[Int])
-    case "encodeLong" => ConvertBinary.encodeLong(enc, input.asInstanceOf[Long])
-    case "encodeInt" => ConvertBinary.encodeInt(enc, input.asInstanceOf[Int])
-    case "encodeShort" => ConvertBinary.encodeShort(enc, input.asInstanceOf[Short])
-    case "encodeByte" => ConvertBinary.encodeByte(enc, input.asInstanceOf[Byte])
-    case "encodeFloat" => ConvertBinary.encodeFloat(enc, input.asInstanceOf[Float])
-    case "encodeDouble" => ConvertBinary.encodeDouble(enc, input.asInstanceOf[Double])
-    case "encodeBoolean" => ConvertBinary.encodeBoolean(enc, input.asInstanceOf[Boolean])
-    case "encodeString" =>
-      ConvertBinary.encodeString(enc, input.asInstanceOf[UTF8String])
-  }
+  @transient private lazy val kernel: Any => Any =
+    ConvertBinary.ToTypes(enc) match {
+      case TimestampType =>
+        v => ConvertBinary.encodeTimestampMicros(enc, v.asInstanceOf[Long])
+      case DateType => v => ConvertBinary.encodeDateDays(enc, v.asInstanceOf[Int])
+      case LongType => v => ConvertBinary.encodeLong(enc, v.asInstanceOf[Long])
+      case IntegerType => v => ConvertBinary.encodeInt(enc, v.asInstanceOf[Int])
+      case ShortType => v => ConvertBinary.encodeShort(enc, v.asInstanceOf[Short])
+      case ByteType => v => ConvertBinary.encodeByte(enc, v.asInstanceOf[Byte])
+      case FloatType => v => ConvertBinary.encodeFloat(enc, v.asInstanceOf[Float])
+      case DoubleType =>
+        v => ConvertBinary.encodeDouble(enc, v.asInstanceOf[Double])
+      case BooleanType =>
+        v => ConvertBinary.encodeBoolean(enc, v.asInstanceOf[Boolean])
+      case StringType =>
+        v => ConvertBinary.encodeString(enc, v.asInstanceOf[UTF8String])
+      case other => throw new IllegalStateException(s"unexpected type $other")
+    }
+
+  override def nullSafeEval(input: Any): Any = kernel(input)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, v =>

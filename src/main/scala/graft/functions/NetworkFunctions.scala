@@ -95,11 +95,16 @@ object NetworkFunctions {
         .bitwiseAND(lit(0xFFFFFFFFL)))
   }
 
-  /** Membership of an IPv4 address in a CIDR block (network/broadcast
-    * included — the range test, matching SubnetUtils.isInRange for hosts). */
-  def inNetwork(ip: Column, cidr: Column): Column =
-    inetAton(ip).bitwiseAND(netmaskNum(cidr)) ===
-      cidrBase(cidr).bitwiseAND(netmaskNum(cidr))
+  /** Membership of an IPv4 address in a CIDR block — HOST range only,
+    * matching the reference: Drill's in_network calls commons-net
+    * SubnetUtils.getInfo().isInRange() with the default
+    * inclusiveHostCount=false, which EXCLUDES the network and broadcast
+    * addresses (and admits nothing for /31 and /32). The old
+    * mask-equality test included the boundaries and diverged on them. */
+  def inNetwork(ip: Column, cidr: Column): Column = {
+    val n = inetAton(ip)
+    n >= networkAddressNum(cidr) + 1 && n <= broadcastAddressNum(cidr) - 1
+  }
 
   def netmask(cidr: Column): Column = inetNtoa(netmaskNum(cidr))
 
@@ -121,7 +126,11 @@ object NetworkFunctions {
     * SubnetUtils' host-exclusive default). */
   def addressCount(cidr: Column): Column = {
     val p = cidrPrefix(cidr)
-    greatest(call_function("shiftleft", lit(1L), lit(32) - p) - 2, lit(0L))
+    // when(isNotNull): greatest() SKIPS null args, so a malformed/NULL
+    // cidr used to report 0 usable hosts instead of the file-wide
+    // null-per-row contract every sibling honors
+    when(p.isNotNull,
+      greatest(call_function("shiftleft", lit(1L), lit(32) - p) - 2, lit(0L)))
   }
 
   /** URL percent-codec — Spark built-ins (Drill wraps java.net.URLEncoder;

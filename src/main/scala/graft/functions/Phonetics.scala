@@ -32,7 +32,14 @@ object Phonetics {
   private val matchRating = new MatchRatingApproachEncoder()
 
   def encode(algo: Int, s: UTF8String): UTF8String = {
-    val in = s.toString
+    // refined_soundex: commons-codec's clean() keeps NON-ASCII letters
+    // (Character.isLetter), then indexes a 26-entry mapping with
+    // 'É'-'A' → ArrayIndexOutOfBounds — one accented name killed the
+    // whole scan. Pre-strip to A-Z for that algo (documented divergence:
+    // the reference crashes here too; null-per-row beats a dead query).
+    val raw = s.toString
+    val in = if (algo == 0) raw.filter(c =>
+      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) else raw
     val out = algo match {
       case 0 => refined.encode(in)
       case 1 => meta.metaphone(in)
@@ -41,7 +48,11 @@ object Phonetics {
       case 4 => cav1.encode(in)
       case 5 => cav2.encode(in)
       case 6 => cologne.encode(in)
-      case 7 => dmSoundex.encode(in)
+      // soundex(), not encode(): encode() returns only the first
+      // pronunciation branch, but the reference's dm_soundex returns ALL
+      // Daitch-Mokotoff branches pipe-joined ('Auerbach' ->
+      // '097400|097500')
+      case 7 => dmSoundex.soundex(in)
       case 8 => matchRating.encode(in)
       case other => throw new IllegalArgumentException(s"unknown phonetic algo id $other")
     }

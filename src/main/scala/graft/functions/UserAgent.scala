@@ -24,7 +24,11 @@ object UserAgent {
 
   def browser(ua: Column): Column =
     when(isBot(ua), "Robot")
-      .when(ua.contains("Edg/"), "Edge")
+      // the whole family: Chromium Edge (Edg/), legacy EdgeHTML
+      // (Edge/), Android (EdgA/), iOS (EdgiOS/) — all embed Chrome
+      // tokens and misclassified as Chrome when only Edg/ matched
+      .when(ua.contains("Edg/") || ua.contains("Edge/") ||
+        ua.contains("EdgA/") || ua.contains("EdgiOS/"), "Edge")
       .when(ua.contains("OPR/"), "Opera")
       .when(ua.contains("Chrome/"), "Chrome")
       .when(ua.contains("Firefox/"), "Firefox")
@@ -34,7 +38,9 @@ object UserAgent {
 
   def browserVersion(ua: Column): Column =
     when(isBot(ua), "")
-      .when(ua.contains("Edg/"), regexp_extract(ua, "Edg/([0-9.]+)", 1))
+      .when(ua.contains("Edg/") || ua.contains("Edge/") ||
+        ua.contains("EdgA/") || ua.contains("EdgiOS/"),
+        regexp_extract(ua, "Edg(?:e|A|iOS)?/([0-9.]+)", 1))
       .when(ua.contains("OPR/"), regexp_extract(ua, "OPR/([0-9.]+)", 1))
       .when(ua.contains("Chrome/"), regexp_extract(ua, "Chrome/([0-9.]+)", 1))
       .when(ua.contains("Firefox/"), regexp_extract(ua, "Firefox/([0-9.]+)", 1))

@@ -66,6 +66,16 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r(0).getString(1) == "TANPSA") // nysiis(Thompson)
     assert(r(1).getString(1) == "MCDANA") // nysiis(MacDonald)
     assert(r.forall(row => (0 until 8).forall(i => row.getString(i).nonEmpty)))
+    // dm_soundex returns ALL Daitch-Mokotoff pronunciation branches
+    // pipe-joined (the reference's soundex(), not encode()'s first-only)
+    val dm = Seq("Auerbach").toDF("n")
+      .select(call_function("dm_soundex", col("n"))).collect()(0).getString(0)
+    assert(dm.contains("|") && dm.split('|').contains("097400"), dm)
+    // refined_soundex survives non-ASCII letters (pre-stripped to A-Z)
+    // instead of ArrayIndexOutOfBounds-failing the scan
+    val acc = Seq("café", "Łukasz").toDF("n")
+      .select(call_function("refined_soundex", col("n"))).collect()
+    assert(acc.forall(!_.isNullAt(0)))
   }
 
   test("entropy: exact values on uniform char distributions") {
