@@ -104,6 +104,11 @@ object ComplexOps {
           floor((k - col("_lo")) / (col("_hi") - col("_lo") + lit(1e-9)) * buckets),
           lit(buckets - 1))).cast("int"))
       .drop("_lo", "_hi")
+      // lazy localCheckpoint: counts AND numbering read the same
+      // materialized bucketing — without it the source scanned three
+      // times (bounds, counts, numbering), and a nondeterministic
+      // upstream could bucket on different rows than it numbered
+      .localCheckpoint(false)
     val counts = withB.groupBy("_bkt").agg(count(lit(1)).as("_cnt"))
     val offsets = counts.withColumn("_off",
         coalesce(sum("_cnt").over(Window.orderBy("_bkt")
@@ -164,8 +169,15 @@ object ComplexOps {
       case _ => false
     }
     val hashable = left.schema.fields.filterNot(f => hasMap(f.dataType)).map(f => col(f.name))
+    // all-map left side: hashing the KEY would make the salt a pure
+    // function of the key — the hot key collapses to one bucket and the
+    // "mitigation" silently no-ops while still paying the right-side
+    // replication (and a map-typed key even fails analysis). spark_
+    // partition_id is deterministic under retry (same split, same id)
+    // and spreads a hot key across its source partitions.
     val contentHash =
-      if (hashable.nonEmpty) xxhash64(struct(hashable.toSeq: _*)) else xxhash64(leftKey)
+      if (hashable.nonEmpty) xxhash64(struct(hashable.toSeq: _*))
+      else spark_partition_id().cast("long")
     val saltBase =
       if (spreadDuplicates) contentHash + monotonically_increasing_id()
       else contentHash

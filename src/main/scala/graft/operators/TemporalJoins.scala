@@ -99,6 +99,17 @@ object TemporalJoins {
     * Right-side exact-time ties resolve to the row latest in payload
     * order — deterministic.
     */
+  /** Spark cannot ORDER BY map-containing types; the tie-break structs
+    * must exclude them or the join fails analysis for map payloads. */
+  private def isOrderable(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case st: org.apache.spark.sql.types.StructType =>
+        st.fields.forall(f => isOrderable(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => isOrderable(a.elementType)
+      case _ => true
+    }
+
   def asofJoin(left: DataFrame, right: DataFrame,
                leftKey: String, rightKey: String,
                leftTime: String, rightTime: String,
@@ -107,6 +118,14 @@ object TemporalJoins {
     val leftCols = left.columns.toSeq
     requireSameKeyType(left, right, leftKey, rightKey)
     requireSameTimeClass(left, right, leftTime, rightTime)
+    // the right time column itself may appear in payload (natural
+    // merge_asof usage) — prev_ts already carries it, and a duplicate
+    // struct field made every _m.prev_ts extraction ambiguous
+    val pay = payload.filterNot(_ == rightTime)
+    // tie-break columns: ORDERABLE payload fields only (maps cannot be
+    // sorted — ordering by the full payload struct failed analysis for
+    // any map-typed payload column)
+    val payOrd = pay.filter(c => isOrderable(right.schema(c).dataType))
     // one relation, side-tagged: right rows sort BEFORE left rows at the
     // same instant (side 0 < 1), making the match inclusive. A null
     // right time has no place on the time axis (it would sort first and
@@ -116,17 +135,19 @@ object TemporalJoins {
       tlong(col(rightTime), right.schema(rightTime).dataType).as("_t"),
       lit(0).as("_side"),
       struct(col(rightTime).as("prev_ts") +:
-        payload.map(c => col(c).as(s"prev_$c")): _*).as("_rv"),
+        pay.map(c => col(c).as(s"prev_$c")): _*).as("_rv"),
+      struct(col(rightTime) +: payOrd.map(col): _*).as("_rvo"),
       lit(null).cast(structType(left, leftCols)).as("_lv"))
     val l = left.select(
       col(leftKey).as("_k"),
       tlong(col(leftTime), left.schema(leftTime).dataType).as("_t"),
       lit(1).as("_side"),
       lit(null).cast(r.schema("_rv").dataType).as("_rv"),
+      lit(null).cast(r.schema("_rvo").dataType).as("_rvo"),
       struct(leftCols.map(col): _*).as("_lv"))
-    // ordering by (_t, _side, _rv) makes equal-time right rows
+    // ordering by (_t, _side, _rvo) makes equal-time right rows
     // deterministic: last() takes the max payload struct
-    val w = Window.partitionBy("_k").orderBy(col("_t"), col("_side"), col("_rv"))
+    val w = Window.partitionBy("_k").orderBy(col("_t"), col("_side"), col("_rvo"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = r.unionByName(l)
       .withColumn("_m", last(col("_rv"), ignoreNulls = true).over(w))
@@ -144,7 +165,7 @@ object TemporalJoins {
       case None => matched
     }
     val out = leftCols.map(c => col(s"_lv.$c").as(c)) ++
-      (("prev_ts" +: payload.map("prev_" + _)).map(c => col(s"_m.$c").as(c)))
+      (("prev_ts" +: pay.map("prev_" + _)).map(c => col(s"_m.$c").as(c)))
     inTol.select(out: _*)
   }
 
@@ -166,20 +187,24 @@ object TemporalJoins {
     // so a right row at exactly leftTime is inside the following frame
     requireSameKeyType(left, right, leftKey, rightKey)
     requireSameTimeClass(left, right, leftTime, rightTime)
+    val pay = payload.filterNot(_ == rightTime) // next_ts carries it
+    val payOrd = pay.filter(c => isOrderable(right.schema(c).dataType))
     val r = right.filter(col(rightTime).isNotNull).select(
       col(rightKey).as("_k"),
       tlong(col(rightTime), right.schema(rightTime).dataType).as("_t"),
       lit(1).as("_side"),
       struct(col(rightTime).as("next_ts") +:
-        payload.map(c => col(c).as(s"next_$c")): _*).as("_rv"),
+        pay.map(c => col(c).as(s"next_$c")): _*).as("_rv"),
+      struct(col(rightTime) +: payOrd.map(col): _*).as("_rvo"),
       lit(null).cast(structType(left, leftCols)).as("_lv"))
     val l = left.select(
       col(leftKey).as("_k"),
       tlong(col(leftTime), left.schema(leftTime).dataType).as("_t"),
       lit(0).as("_side"),
       lit(null).cast(r.schema("_rv").dataType).as("_rv"),
+      lit(null).cast(r.schema("_rvo").dataType).as("_rvo"),
       struct(leftCols.map(col): _*).as("_lv"))
-    val w = Window.partitionBy("_k").orderBy(col("_t"), col("_side"), col("_rv"))
+    val w = Window.partitionBy("_k").orderBy(col("_t"), col("_side"), col("_rvo"))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val matched = r.unionByName(l)
       .withColumn("_m", first(col("_rv"), ignoreNulls = true).over(w))
@@ -197,7 +222,7 @@ object TemporalJoins {
       case None => matched
     }
     val out = leftCols.map(c => col(s"_lv.$c").as(c)) ++
-      (("next_ts" +: payload.map("next_" + _)).map(c => col(s"_m.$c").as(c)))
+      (("next_ts" +: pay.map("next_" + _)).map(c => col(s"_m.$c").as(c)))
     inTol.select(out: _*)
   }
 
@@ -225,8 +250,11 @@ object TemporalJoins {
     val fwdGap = tlong(col("next_ts"), rdt) - lt
     val pickBack = col("prev_ts").isNotNull &&
       (col("next_ts").isNull || backGap <= fwdGap)
+    // mirror the per-direction passes: the right time column never
+    // appears as prev_/next_<name> (prev_ts/next_ts carry it)
+    val pay = payload.filterNot(_ == rightTime)
     val out = leftCols.map(col) ++
-      ("ts" +: payload).map { c =>
+      ("ts" +: pay).map { c =>
         when(pickBack, col(s"prev_$c")).otherwise(col(s"next_$c"))
           .as(s"near_$c")
       }
@@ -247,6 +275,8 @@ object TemporalJoins {
                 pointKey: String, intervalKey: String,
                 pointTime: String, startCol: String, endCol: String,
                 binSize: Long): DataFrame = {
+    require(binSize > 0, s"rangeJoin: binSize must be positive, got " +
+      s"$binSize (a zero bin silently matches nothing under non-ANSI)")
     requireSameKeyType(points, intervals, pointKey, intervalKey)
     requireSameTimeClass(points, intervals, pointTime, startCol)
     // the END column too: a timestamp start with an integral end would

@@ -115,6 +115,16 @@ object ZOrder {
     require(cols.size * bits <= 63,
       s"zorder: ${cols.size} cols x $bits bits exceeds a long")
     val cut = if (cuts.nonEmpty) cuts else boundaries(df, cols, bits)
+    // caller-supplied cuts must fit `bits`: boundaries computed at a
+    // HIGHER bits yield bucket ids whose high bits interleave() would
+    // silently discard — a non-monotone encoding that scrambles the
+    // clustering with no error; a missing column gets a clear message
+    cols.foreach { c =>
+      require(cut.contains(c), s"zorder: no cuts supplied for column '$c'")
+      require(cut(c).length < (1 << bits),
+        s"zorder: ${cut(c).length} cuts for '$c' exceed $bits bits " +
+          s"(max ${(1 << bits) - 1}) — recompute boundaries at this bits")
+    }
     df.withColumn(as,
       interleave(cols.map(c => bucketId(sortKey(df, c), cut(c))), bits))
   }

@@ -1660,9 +1660,7 @@ object IcebergTable {
     val snapshotId = meta.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1L
     val staging = new Path(table, s"_staging_eqdel$snapshotId")
     keys.distinct().write.mode("overwrite").parquet(staging.toString)
-    val staged = fs.listStatus(staging).toSeq.map(_.getPath)
-      .filter { p => val n = p.getName
-        n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".") }
+    val staged = StagedFiles.walkParquet(fs, staging) // shared filter
       .sortBy(_.toString)
       .filter(p => parquetRowCount(spark, p) > 0)
     if (staged.isEmpty) {

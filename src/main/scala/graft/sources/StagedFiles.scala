@@ -17,7 +17,9 @@ private[sources] object StagedFiles {
     fs.listStatus(p).toSeq.flatMap { s =>
       val n = s.getPath.getName
       if (s.isDirectory) {
-        if (n.startsWith("_t") || n.startsWith(".")) Nil
+        // exact _temporary, not a _t prefix: a partition dir like
+        // _tier=gold would otherwise be silently skipped at commit
+        if (n == "_temporary" || n.startsWith(".")) Nil
         else walkParquet(fs, s.getPath)
       }
       else if (n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))

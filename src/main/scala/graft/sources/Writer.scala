@@ -73,9 +73,13 @@ object Writer {
     // part- files): recursively deleting an arbitrary caller-supplied
     // path would destroy unrelated data beyond overwrite semantics.
     if (!spark.catalog.tableExists(table)) {
-      val loc = path.getOrElse(
-        spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
-          "/" + table.toLowerCase)
+      // db-qualified names live at <warehouse>/<db>.db/<table> — the
+      // flat guess missed them and the stale-dir cleanup never fired
+      val wh = spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
+      val loc = path.getOrElse(table.toLowerCase.split('.') match {
+        case Array(db, t) => s"$wh/$db.db/$t"
+        case _            => s"$wh/${table.toLowerCase}"
+      })
       val p = new org.apache.hadoop.fs.Path(loc)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) {
@@ -117,8 +121,11 @@ object Writer {
     * file path; the values come from the directory names, never the rows. */
   def withDirColumns(df: DataFrame, basePath: String, levels: Int = 2): DataFrame = {
     val baseName = basePath.stripSuffix("/").split("/").last
+    // NON-greedy anchor: greedy ^.*/ matched through the LAST occurrence
+    // of the base name, so a partition value equal to the base dir name
+    // (base/2025/events/... under .../events) silently nulled dirN
     val rel = regexp_replace(input_file_name(),
-      "^.*/" + java.util.regex.Pattern.quote(baseName) + "/", "")
+      "^.*?/" + java.util.regex.Pattern.quote(baseName) + "/", "")
     val parts = split(rel, "/")
     (0 until levels).foldLeft(df) { (d, i) =>
       // a path segment is a dir level only if a deeper segment follows it
