@@ -114,18 +114,39 @@ object Federation {
     * JSON-lines; schema inference runs over the combined dataset.
     * (Exercised in ScalaTest against an in-process HTTP server — this
     * container has no egress.) */
-  def httpJsonLines(spark: SparkSession, urls: Seq[String]): DataFrame = {
+  def httpJsonLines(spark: SparkSession, urls: Seq[String],
+                    schemaDdl: Option[String] = None): DataFrame = {
     import spark.implicits._
-    val parallelism = math.max(1, math.min(urls.size, 32))
+    val parallelism = math.max(1, math.min(math.max(urls.size, 1), 32))
     val raw = spark.createDataset(urls).repartition(parallelism)
       .mapPartitions { it =>
         it.flatMap { u =>
-          val in = new java.net.URI(u).toURL.openStream()
+          // timeouts: one stalled endpoint otherwise hangs the task (and
+          // the query) forever — same bounds graftPeer sets
+          val conn = new java.net.URI(u).toURL.openConnection()
+          conn.setConnectTimeout(10000)
+          conn.setReadTimeout(120000)
+          val in = conn.getInputStream
           try scala.io.Source.fromInputStream(in, "UTF-8").mkString
             .linesIterator.filter(_.nonEmpty).toVector
           finally in.close()
         }
       }
-    spark.read.json(raw)
+    schemaDdl match {
+      case Some(ddl) =>
+        spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+          .json(raw)
+      case None =>
+        // zero total lines (empty urls, all-empty pages — a normal
+        // paginated last-page shape) cannot infer a schema; surface a
+        // CLEAR error pointing at the schema parameter instead of
+        // Spark's unable-to-infer failure
+        val df = spark.read.json(raw)
+        if (df.schema.isEmpty)
+          throw new IllegalArgumentException(
+            "httpJsonLines: no JSON rows to infer a schema from (empty " +
+              "responses?) — pass schemaDdl for a typed empty result")
+        df
+    }
   }
 }

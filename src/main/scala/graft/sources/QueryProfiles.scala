@@ -83,7 +83,8 @@ object QueryProfiles {
   private val accumIndex = new ConcurrentHashMap[java.lang.Long, ConcurrentHashMap[java.lang.Long, MetricKey]]()
   private val accumToExec = new ConcurrentHashMap[java.lang.Long, java.lang.Long]()
   private val accumSums = new ConcurrentHashMap[java.lang.Long, java.util.concurrent.atomic.AtomicLong]()
-  @volatile private var listener: Option[SparkListener] = None
+  @volatile @volatile private var installedCapacity: Int = DefaultCapacity
+ private var listener: Option[SparkListener] = None
   private val DefaultCapacity = 1000
 
   private val SummedTypes = Set("sum", "size", "timing", "nsTiming")
@@ -138,10 +139,19 @@ object QueryProfiles {
   private def firstLine(s: String): String =
     Option(s).map(_.trim.takeWhile(_ != '\n')).getOrElse("")
 
-  /** Install the listener on the session's context (idempotent). */
+  /** Install the listener on the session's context (idempotent). The
+    * ring and its capacity are JVM-wide, FIRST-CALLER-WINS: a later
+    * enable() with a different capacity logs nothing and changes
+    * nothing — requesting a larger ring after a smaller one was
+    * installed is a silent no-op worth failing loudly on. */
   def enable(spark: SparkSession, capacity: Int = DefaultCapacity): Unit =
     synchronized {
+      require(listener.isEmpty || capacity == installedCapacity,
+        s"query-profile ring already installed with capacity " +
+          s"$installedCapacity (JVM-wide, first caller wins) — got " +
+          s"$capacity; call enable() with the same capacity or restart")
       if (listener.isEmpty) {
+        installedCapacity = capacity
         val l = new SparkListener {
           override def onOtherEvent(event: SparkListenerEvent): Unit =
             event match {

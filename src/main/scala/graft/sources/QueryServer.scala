@@ -56,56 +56,33 @@ object QueryServer {
         }
       }
     })
+    // shared GET->JSON-array handler: the four DataFrame endpoints are
+    // identical except for the frame expression — one copy of the
+    // method-check / toJSON / error plumbing, no drift
+    def jsonGet(path: String)(df: => org.apache.spark.sql.DataFrame): Unit =
+      server.createContext(path, new HttpHandler {
+        override def handle(x: HttpExchange): Unit = try {
+          if (x.getRequestMethod != "GET") { respond(x, 405, error("GET only")); return }
+          respond(x, 200, df.toJSON.collect().mkString("[", ",", "]"))
+        } catch {
+          case e: Throwable => respond(x, 400, error(
+            Option(e.getMessage).getOrElse(e.getClass.getSimpleName)))
+        }
+      })
     // Drill web UI's profile listing (ref server/rest/profile/
     // ProfileResources.java): the QueryProfiles ring as JSON. Empty until
     // QueryProfiles.enable(spark) — profiling is opt-in.
-    server.createContext("/profiles", new HttpHandler {
-      override def handle(x: HttpExchange): Unit = try {
-        if (x.getRequestMethod != "GET") { respond(x, 405, error("GET only")); return }
-        val rows = QueryProfiles.profiles(spark).toJSON.collect()
-        respond(x, 200, rows.mkString("[", ",", "]"))
-      } catch {
-        case e: Throwable => respond(x, 400, error(
-          Option(e.getMessage).getOrElse(e.getClass.getSimpleName)))
-      }
-    })
+    jsonGet("/profiles")(QueryProfiles.profiles(spark))
     // per-stage metric rows (Drill's operator-level profile fragments,
     // ref server/rest/profile/ProfileResources.java detail view); join
     // to /profiles on execution_id
-    server.createContext("/profiles/stages", new HttpHandler {
-      override def handle(x: HttpExchange): Unit = try {
-        if (x.getRequestMethod != "GET") { respond(x, 405, error("GET only")); return }
-        val rows = QueryProfiles.stageProfiles(spark).toJSON.collect()
-        respond(x, 200, rows.mkString("[", ",", "]"))
-      } catch {
-        case e: Throwable => respond(x, 400, error(
-          Option(e.getMessage).getOrElse(e.getClass.getSimpleName)))
-      }
-    })
+    jsonGet("/profiles/stages")(QueryProfiles.stageProfiles(spark))
     // per-OPERATOR metric rows (the deepest level of Drill's profile
     // detail view: each operator's output rows / build times / spills)
-    server.createContext("/profiles/operators", new HttpHandler {
-      override def handle(x: HttpExchange): Unit = try {
-        if (x.getRequestMethod != "GET") { respond(x, 405, error("GET only")); return }
-        val rows = QueryProfiles.operatorProfiles(spark).toJSON.collect()
-        respond(x, 200, rows.mkString("[", ",", "]"))
-      } catch {
-        case e: Throwable => respond(x, 400, error(
-          Option(e.getMessage).getOrElse(e.getClass.getSimpleName)))
-      }
-    })
+    jsonGet("/profiles/operators")(QueryProfiles.operatorProfiles(spark))
     // GET /options.json — Drill's option listing (ref server/rest/
     // StatusResources.java): the sys.options table as JSON
-    server.createContext("/options.json", new HttpHandler {
-      override def handle(x: HttpExchange): Unit = try {
-        if (x.getRequestMethod != "GET") { respond(x, 405, error("GET only")); return }
-        val rows = SysTables.options(spark).toJSON.collect()
-        respond(x, 200, rows.mkString("[", ",", "]"))
-      } catch {
-        case e: Throwable => respond(x, 400, error(
-          Option(e.getMessage).getOrElse(e.getClass.getSimpleName)))
-      }
-    })
+    jsonGet("/options.json")(SysTables.options(spark))
     // GET /storage.json — the storage/workspace registry (ref
     // server/rest/StorageResources.java): dfs workspaces from the
     // session conf + the catalog's databases, with enabled flags

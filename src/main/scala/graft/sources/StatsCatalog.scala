@@ -54,11 +54,17 @@ object StatsCatalog {
     // stats cover ATOMIC columns only: min/max need an ordering and ndv
     // needs hashability — one map-typed column (schema-on-read JSON)
     // used to abort the whole ANALYZE with an AnalysisException
+    // duplicate-NAMED columns (a join result carrying both sides' `id`)
+    // resolve ambiguously and abort the whole pass — skip them, same
+    // posture as the map filter below
+    val dupNames = df.schema.fields.groupBy(_.name.toLowerCase)
+      .filter(_._2.length > 1).keySet
     val cols = df.schema.fields.filter(_.dataType match {
       case _: NumericType | StringType | BooleanType | DateType |
            TimestampType | TimestampNTZType | BinaryType => true
       case _ => false
-    }).map(_.name).toSeq
+    }).filterNot(f => dupNames.contains(f.name.toLowerCase))
+      .map(_.name).toSeq
     // exact-name resolution: a raw col("price.usd") parses the dot as a
     // struct path and fails; backtick-quote (with `` escaping)
     def col(c: String): org.apache.spark.sql.Column =
@@ -121,7 +127,10 @@ object StatsCatalog {
       }
     }
     val target = new Path(base, s.table + Suffix)
-    val tmp = new Path(base, s".${s.table}$Suffix.tmp")
+    // UUID tmp: a FIXED per-table tmp name let two concurrent ANALYZEs
+    // interleave into one stream and install corrupt JSON durably
+    val tmp = new Path(base,
+      s".${s.table}$Suffix.${java.util.UUID.randomUUID()}.tmp")
     val out = f.create(tmp, true)
     try out.write(mapper.writeValueAsBytes(node)) finally out.close()
     if (f.exists(target)) f.delete(target, false)
@@ -134,24 +143,33 @@ object StatsCatalog {
   def load(spark: SparkSession, base: String, table: String): Option[TableStats] = {
     val f = fs(spark, base)
     val target = new Path(base, table + Suffix)
-    val p =
-      if (f.exists(target)) target
-      else new Path(base, s".$table$Suffix.tmp")
-    if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      val n = try mapper.readTree(in) finally in.close()
-      Some(TableStats(n.get("table").asText, n.get("rowCount").asLong,
-        n.get("sizeBytes").asLong, n.get("analyzedAtMs").asLong,
-        n.get("columns").elements.asScala.map { c =>
-          ColumnStats(c.get("name").asText, c.get("ndv").asLong,
-            c.get("nulls").asLong,
-            Option(c.get("min")).filterNot(_.isNull).map(_.asText).orNull,
-            Option(c.get("max")).filterNot(_.isNull).map(_.asText).orNull,
-            Option(c.get("histogram"))
-              .map(_.elements.asScala.map(_.asDouble).toSeq).getOrElse(Nil))
-        }.toSeq))
-    }
+    // candidates newest-first; a PARTIAL file (mid-write tmp, TOCTOU on
+    // the delete->rename window, crashed writer) parses as None and the
+    // next candidate is tried — stats loading never throws
+    def parse(p: Path): Option[TableStats] =
+      try {
+        val in = f.open(p)
+        val n = try mapper.readTree(in) finally in.close()
+        Some(TableStats(n.get("table").asText, n.get("rowCount").asLong,
+          n.get("sizeBytes").asLong, n.get("analyzedAtMs").asLong,
+          n.get("columns").elements.asScala.map { c =>
+            ColumnStats(c.get("name").asText, c.get("ndv").asLong,
+              c.get("nulls").asLong,
+              Option(c.get("min")).filterNot(_.isNull).map(_.asText).orNull,
+              Option(c.get("max")).filterNot(_.isNull).map(_.asText).orNull,
+              Option(c.get("histogram"))
+                .map(_.elements.asScala.map(_.asDouble).toSeq).getOrElse(Nil))
+          }.toSeq))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    val tmps =
+      try f.listStatus(new Path(base)).toSeq
+        .filter { st =>
+          val nm = st.getPath.getName
+          nm.startsWith(s".$table$Suffix") && nm.endsWith(".tmp")
+        }
+        .sortBy(-_.getModificationTime).map(_.getPath)
+      catch { case scala.util.control.NonFatal(_) => Nil }
+    (target +: tmps).iterator.flatMap(parse(_)).nextOption()
   }
 
   /** The planning reuse: broadcast-hint `df` iff its STORED size
