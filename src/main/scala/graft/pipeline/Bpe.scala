@@ -166,7 +166,12 @@ object Bpe {
         it.flatMap { row =>
           val id = row.get(1)
           val text = Option(row.getString(0)).getOrElse("")
-          val words = text.trim.split("\\s+").filter(_.nonEmpty)
+          // no String.trim here: it strips ALL chars <= U+0020 (control
+          // bytes included) while the slow path's SQL normalize only
+          // collapses regex \s — trim would silently drop control-char
+          // tokens and break the spec-asserted tokenize equivalence;
+          // split + nonEmpty already handles leading whitespace
+          val words = text.split("\\s+").filter(_.nonEmpty)
           words.iterator.flatMap { w =>
             // per-partition memo on the DISTINCT word (the standard
             // GPT-2 apply optimization): natural-language corpora are

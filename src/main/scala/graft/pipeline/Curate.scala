@@ -40,8 +40,14 @@ object Curate {
 
     // near-dup collapse: every id_b in a qualifying pair folds into its
     // lower-id canonical; anti-join drops the non-canonicals
+    // collapseExactDups = false: exact() above already removed every
+    // identical-normalized-text doc, so identical token SETS are down to
+    // rare word-order permutations — the collapse machinery's 4 extra
+    // exchanges + 2 expansion joins would buy nothing here (Dedup's own
+    // docs prescribe the lean path for post-exact-dedup corpora)
     val dupIds = Dedup.minhashNearDups(exact, "doc_id", "text",
-        threshold = nearDupThreshold, maxBucket = maxBucket)
+        threshold = nearDupThreshold, maxBucket = maxBucket,
+        collapseExactDups = false)
       .select(col("id_b").as("doc_id")).distinct()
     val deduped = exact.join(dupIds, Seq("doc_id"), "left_anti")
 

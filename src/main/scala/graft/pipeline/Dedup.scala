@@ -15,14 +15,22 @@ import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, Sh
 object Dedup {
 
   /** Exact dedup: keep the lowest-id doc per normalized-text hash.
-    * One shuffle on the 64-bit content hash (not the full text). */
+    * Keeper set via a map-side-combinable groupBy min, then one semi
+    * join on the COMPOSITE (content_hash, id) key — near-unique, so no
+    * hot partition. (A row_number window partitioned by content_hash
+    * computes the same thing in one exchange, but concentrates every
+    * copy of a hot boilerplate page on ONE task — window exchanges get
+    * no AQE skew splitting, so a 10^8-copy cluster at 100 TB is a
+    * straggler/OOM; the extra agg exchange here is the skew insurance.) */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val h = xxhash64(TextAnalysis.normalize(col(textCol)))
-    val w = Window.partitionBy("content_hash").orderBy(col(idCol))
-    docs.withColumn("content_hash", h)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn")
+    val hashed = docs.withColumn("content_hash", h)
+    val keepers = hashed
+      .select(col("content_hash").as("__ch"), col(idCol).as("__keep_id"))
+      .groupBy("__ch").agg(min("__keep_id").as("__keep_id"))
+    hashed.join(keepers,
+      hashed("content_hash") === keepers("__ch") &&
+        hashed(idCol) === keepers("__keep_id"), "left_semi")
   }
 
   /** Number of duplicate docs that exact() would drop, per content hash —
@@ -88,7 +96,13 @@ object Dedup {
   private def tokenized(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     graft.GraftSession.balanced(docs.select(col(idCol).as("id"), col(textCol).as("text")))
       .select(col("id"), array_sort(tokenHashes(
-        array_distinct(split(TextAnalysis.normalize(col("text")), " ")))).as("th"))
+        // length>0: split("") yields [""] — without the filter an
+        // empty/whitespace-only/null doc carries the phantom token set
+        // {hash("")} instead of {}, pairing blank docs at jaccard 1.0
+        // (and decontaminate would drop every blank corpus doc on one
+        // blank reference doc). Same phantom Search.toksOf filters.
+        filter(array_distinct(split(TextAnalysis.normalize(col("text")), " ")),
+          t => length(t) > 0))).as("th"))
 
   /** (band, id) relation after banding + the per-band skew cap. Shuffles
     * only (band, id) pairs — token-hash arrays never ride the band explode. */
@@ -104,12 +118,15 @@ object Dedup {
     require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes)")
     val rowsPerBand = numHashes / bands
+    // emit ONLY (band, id): every consumer selects exactly that pair, and
+    // carrying the full band-key array through the explode (and the
+    // capped path's row_number exchange) duplicated O(bands) longs per
+    // exploded row — dead weight on the heaviest shuffle in the file
     val banded = toks
       .withColumn("sig", minhashSignatureFromHashes(col("th"), numHashes))
-      .select(col("id"), col("sig"),
-        lshBandKeys(col("sig"), bands, rowsPerBand).as("bkeys"))
-      .select(col("id"), col("bkeys"),
-        posexplode(col("bkeys")).as(Seq("bidx", "band")))
+      .select(col("id"),
+        explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("band"))
+      .select("band", "id")
     if (maxBucket == Int.MaxValue) banded // cap off: keep the band self-join broadcastable
     else {
       // skew guard — audit via minhashBucketStats. The row_number window
@@ -118,7 +135,7 @@ object Dedup {
       val bucketW = Window.partitionBy("band").orderBy("id")
       banded.withColumn("bn", row_number().over(bucketW))
         .filter(col("bn") <= maxBucket)
-        .select("band", "id", "bidx", "bkeys")
+        .select("band", "id")
     }
   }
 
@@ -284,8 +301,7 @@ object Dedup {
     val fs = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val paramsPath = new org.apache.hadoop.fs.Path(indexDir, "_params.json")
-    val exists = fs.exists(paramsPath)
-    if (exists) {
+    def validatePin(): Unit = {
       val in = fs.open(paramsPath)
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
                 finally in.close()
@@ -300,6 +316,8 @@ object Dedup {
           s"bands=${Option(node.get("bands")).map(_.asText).getOrElse("?")}; " +
           s"got $numHashes/$bands — signatures are incomparable across families")
     }
+    val exists = fs.exists(paramsPath)
+    if (exists) validatePin()
     val toksNew = tokenized(docs, idCol, textCol).localCheckpoint()
     // the index stores UNCAPPED (band, id) rows; the per-band skew cap
     // is applied at query time over the ACCUMULATED table (old ∪ new,
@@ -357,10 +375,13 @@ object Dedup {
     bNew.write.mode("overwrite").parquet(s"$indexDir/bands/$batchId")
     toksNew.write.mode("overwrite").parquet(s"$indexDir/sigs/$batchId")
     if (!exists) {
-      val out = fs.create(paramsPath, true)
-      try out.write(
-        s"""{"numHashes":$numHashes,"bands":$bands}""".getBytes("UTF-8"))
-      finally out.close()
+      // put-if-absent: two first appenders with DIFFERENT families both
+      // read exists=false — an overwrite here let the loser silently
+      // repin the family and mix incomparable band rows forever. The
+      // loser now validates against the winner's pin and refuses loudly
+      // BEFORE its batch commits.
+      if (!publishIfAbsent(fs, paramsPath,
+          s"""{"numHashes":$numHashes,"bands":$bands}""")) validatePin()
     }
     // batch-list commit: versioned put-if-absent via [[commitIndexBatch]]
     // (atomic full-content publish — the old read-modify-write over one
@@ -375,22 +396,46 @@ object Dedup {
     pairs
   }
 
-  /** Commit `batchId` onto the index's versioned batch list — shared by
-    * the minhash and simhash indexes. The list content is FULLY WRITTEN
-    * before it becomes visible at a version slot:
+  /** Publish `json` at `dst` iff absent, with the FULL content visible
+    * atomically — never a torn/empty file at the destination:
     *
     *  - local filesystems: write a tmp file, then PUBLISH via
     *    Files.createLink (link(2) is an atomic no-replace — the one
     *    POSIX primitive that both refuses an existing target and makes
-    *    complete content visible in one step; rename overwrites, and
-    *    create-then-write has a torn window where a competitor's
-    *    readBatchList could fall back past a stalled writer's empty
-    *    file and orphan its batch forever)
-    *  - other filesystems: create(dst, overwrite=false) claim then
-    *    write (HDFS-style put-if-absent; the sub-close torn window is
-    *    covered by readBatchList's retry-then-fallback)
+    *    complete content visible in one step)
+    *  - other filesystems: write a tmp file, then a NO-REPLACE rename
+    *    (atomic full-content publish on HDFS; Hadoop's rename contract
+    *    fails on an existing destination). The old claim-then-write
+    *    (create(dst, false) then write) had an UNBOUNDED torn window: a
+    *    GC-stalled writer's empty claim could be skipped by a reader's
+    *    retry-then-fallback and its batch orphaned forever.
     *
-    * A losing writer re-reads the winner's list and retries above it. */
+    * Returns false when dst already existed (the caller lost the race). */
+  private def publishIfAbsent(fs: org.apache.hadoop.fs.FileSystem,
+                              dst: org.apache.hadoop.fs.Path,
+                              json: String): Boolean = {
+    val tmp = new org.apache.hadoop.fs.Path(dst.getParent,
+      s".${java.util.UUID.randomUUID()}.tmp")
+    val os = fs.create(tmp, true)
+    try os.write(json.getBytes("UTF-8")) finally os.close()
+    val won =
+      if (Option(fs.getScheme).contains("file")) {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(dst.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } else !fs.exists(dst) && fs.rename(tmp, dst)
+    // on a successful rename the tmp is consumed; delete is a no-op then
+    fs.delete(tmp, false)
+    won
+  }
+
+  /** Commit `batchId` onto the index's versioned batch list — shared by
+    * the minhash and simhash indexes. The list content is published
+    * atomically-if-absent via [[publishIfAbsent]]; a losing writer
+    * re-reads the winner's list and retries above it. */
   private def commitIndexBatch(fs: org.apache.hadoop.fs.FileSystem,
                                indexDir: String, batchId: String,
                                listVersion0: Long, committed0: Seq[String],
@@ -408,31 +453,7 @@ object Dedup {
       val listJson = (cur :+ batchId)
         .map(b => "\"" + b + "\"").mkString("{\"batches\":[", ",", "]}")
       val dst = new org.apache.hadoop.fs.Path(listsDir, f"${ver + 1}%010d.json")
-      val localDir = Option(fs.getScheme).contains("file")
-      val won =
-        if (localDir) {
-          val tmp = new org.apache.hadoop.fs.Path(listsDir,
-            s".${java.util.UUID.randomUUID()}.tmp")
-          val os = fs.create(tmp, true)
-          try os.write(listJson.getBytes("UTF-8")) finally os.close()
-          val ok =
-            try {
-              java.nio.file.Files.createLink(
-                java.nio.file.Paths.get(dst.toUri.getPath),
-                java.nio.file.Paths.get(tmp.toUri.getPath))
-              true
-            } catch {
-              case _: java.nio.file.FileAlreadyExistsException => false
-            }
-          fs.delete(tmp, false)
-          ok
-        } else {
-          try {
-            val os = fs.create(dst, false)
-            try os.write(listJson.getBytes("UTF-8")) finally os.close()
-            true
-          } catch { case _: java.io.IOException => false }
-        }
+      val won = publishIfAbsent(fs, dst, listJson)
       if (won) done = true
       else {
         val (v2, c2) = readBatchList(fs, indexDir)
@@ -468,9 +489,11 @@ object Dedup {
       // correct state is the next parseable list down. The returned
       // version is still the MAX SEEN, so the next commit claims a
       // version above the corpse instead of colliding with it forever.
-      // An unparseable HIGHEST version gets one short retry first: on
-      // non-local filesystems commits claim-then-write, so a briefly
-      // torn file may be a LIVE writer mid-close, not a corpse.
+      // An unparseable HIGHEST version gets one short retry first:
+      // commits publish full content atomically (link/no-replace
+      // rename), so a torn head can only come from a LEGACY
+      // claim-then-write index or an object store without atomic
+      // rename — the retry covers a briefly-torn live writer there.
       val sorted = versions.sorted.reverse
       def tryParse(v: Long) =
         try Some(parse(new org.apache.hadoop.fs.Path(dir, f"$v%010d.json")))
@@ -507,8 +530,7 @@ object Dedup {
     val fs = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val paramsPath = new org.apache.hadoop.fs.Path(indexDir, "_params.json")
-    val exists = fs.exists(paramsPath)
-    if (exists) {
+    def validatePin(): Unit = {
       val in = fs.open(paramsPath)
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
                 finally in.close()
@@ -517,6 +539,8 @@ object Dedup {
         s"index $indexDir holds '${Option(node.get("algo")).map(_.asText)
           .getOrElse("?")}' signatures, not simhash64 — incomparable")
     }
+    val exists = fs.exists(paramsPath)
+    if (exists) validatePin()
     val sigsNew = graft.GraftSession.balanced(
       simhashPortable64(docs, idCol, textCol)).localCheckpoint()
     val (listVersion, committed) = readBatchList(fs, indexDir)
@@ -552,9 +576,10 @@ object Dedup {
     val batchId = java.util.UUID.randomUUID().toString
     sigsNew.write.mode("overwrite").parquet(s"$indexDir/sigs/$batchId")
     if (!exists) {
-      val out = fs.create(paramsPath, true)
-      try out.write("""{"algo":"simhash64","blocks":4}""".getBytes("UTF-8"))
-      finally out.close()
+      // put-if-absent + validate-on-loss, as in minhashIndexAppend: a
+      // stale exists flag must never let a racing first appender repin
+      if (!publishIfAbsent(fs, paramsPath,
+          """{"algo":"simhash64","blocks":4}""")) validatePin()
     }
     commitIndexBatch(fs, indexDir, batchId, listVersion, committed, "simhash")
     pairs
@@ -595,7 +620,10 @@ object Dedup {
       .select(col("doc_id"),
         explode(array_distinct(TextAnalysis.wordNgrams(col("text"), n)))
           .as("gram"))
-      .filter(size(split(col("gram"), " ")) === n) // short docs emit no n-gram
+      // short docs emit no n-gram; length>0 also drops the "" pseudo-gram
+      // of EMPTY docs at n=1 (split("", " ") is [""], which passes the
+      // word-count check alone)
+      .filter(length(col("gram")) > 0 && size(split(col("gram"), " ")) === n)
       .select(col("doc_id"), md5Hash60(col("gram")).as("gh"))
 
   def ngramDecontaminate(corpus: DataFrame, reference: DataFrame,
@@ -894,7 +922,14 @@ object Dedup {
                         maxDocFreq: Int = Int.MaxValue): DataFrame = {
     val toks = graft.GraftSession.balanced(
         docs.select(col(idCol).as("id"), col(textCol).as("text")))
-      .select(col("id"), array_distinct(TextAnalysis.wordNgrams(col("text"), n)).as("g"))
+      // drop wordNgrams' phantom whole-doc pseudo-gram (docs shorter than
+      // n words, and the "" gram of empty docs): without the filter all
+      // empty docs share one posting and the self-join emits E*(E-1)/2
+      // bogus jaccard-1.0 pairs — and `sizes` overcounted |A| by 1 for
+      // every short doc. Same guard gramHashes applies.
+      .select(col("id"), array_distinct(
+        filter(TextAnalysis.wordNgrams(col("text"), n),
+          g => length(g) > 0 && size(split(g, " ")) === n)).as("g"))
     val sizes = toks.select(col("id"), size(col("g")).as("sz"))
     val inv0 = toks.select(col("id"), explode(col("g")).as("g"))
     // Document-frequency cap: postings for ubiquitous shingles (stopwords)
@@ -1020,6 +1055,13 @@ object Dedup {
         round += 1
         wall += (System.nanoTime() - t0) / 1e9
       }
+      // a silent partial result here would carry non-minimal labels into
+      // keepCanonical and KEEP duplicate docs with no signal — refuse
+      // loudly instead (raise maxRounds; pointer jumping needs only
+      // O(log diameter) rounds, so 20 covers ~10^6-long chains)
+      require(changed == 0,
+        s"dupComponents did not converge within maxRounds=$maxRounds " +
+          s"($changed labels still changing) — labels would be non-minimal")
     } finally {
       prevParts match {
         case Some(v) => spark.conf.set("spark.sql.shuffle.partitions", v)

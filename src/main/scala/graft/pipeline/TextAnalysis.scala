@@ -48,9 +48,14 @@ object TextAnalysis {
   /** Composite quality score in [0,1]: rewards mid-length docs, low
     * punctuation noise, presence of stopwords (fluent prose). */
   def qualityScore(text: Column): Column = {
-    val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
-    val punct = punctRatio(text)
-    val stop = stopwordRatio(text)
+    // NULL text scores like EMPTY text: without the coalesce,
+    // least(null, 1.0) SKIPS the null (Spark least semantics) and a
+    // missing document's length term scores a perfect 1.0 — a null doc
+    // outscored real prose and sailed past quality floors
+    val t = coalesce(text, lit(""))
+    val lenScore = least(length(t).cast("double") / lit(500.0), lit(1.0))
+    val punct = punctRatio(t)
+    val stop = stopwordRatio(t)
     lenScore * 0.4 + (lit(1.0) - punct) * 0.3 + least(stop * 5, lit(1.0)) * 0.3
   }
 
