@@ -349,7 +349,16 @@ object PaimonTable {
   // ------------------------------------------------------------- reading
 
   case class PaimonFile(fileName: String, fileSize: Long, rowCount: Long,
-                        bucket: Int, level: Int, kind: Int)
+                        bucket: Int, level: Int, kind: Int,
+                        partition: Array[Byte] = Array.empty)
+
+  private def bb2bytes(v: AnyRef): Array[Byte] = v match {
+    case null => Array.empty
+    case b: java.nio.ByteBuffer =>
+      val d = b.duplicate() // never consume the record's buffer position
+      val out = new Array[Byte](d.remaining()); d.get(out); out
+    case a: Array[Byte] => a
+  }
 
   private def entriesOf(spark: SparkSession, table: String,
                         manifestList: String): Seq[PaimonFile] = {
@@ -362,7 +371,8 @@ object PaimonTable {
           f.get("_ROW_COUNT").asInstanceOf[Long],
           e.get("_BUCKET").asInstanceOf[Int],
           opt(f, "_LEVEL").map(_.asInstanceOf[Int]).getOrElse(0),
-          e.get("_KIND").asInstanceOf[Int])
+          e.get("_KIND").asInstanceOf[Int],
+          bb2bytes(e.get("_PARTITION")))
       }
     }
   }
@@ -696,60 +706,95 @@ object PaimonTable {
     s
   }
 
-  /** Write `df` as a new snapshot of an append-only unpartitioned Paimon
-    * table at `table`. Append creates the table; Overwrite starts the
-    * new snapshot from an empty base (commitKind OVERWRITE). Returns the
-    * snapshot id. */
+  /** Partition column types this writer can both path-render and
+    * BinaryRow-encode deterministically. Floats/doubles/timestamps
+    * refuse (their path rendering is engine-ambiguous); so do
+    * decimals (paimon path rendering keeps scale — add when needed). */
+  private def requirePartitionable(parts: Seq[StructField]): Unit =
+    parts.foreach(f => f.dataType match {
+      case StringType | IntegerType | LongType | ShortType | ByteType |
+           BooleanType | DateType => ()
+      case other => throw new IllegalArgumentException(
+        s"paimon partition column '${f.name}' has unsupported type $other " +
+          "(string/integral/boolean/date only)")
+    })
+
+  /** Write `df` as a new snapshot of an append-only Paimon table at
+    * `table`, optionally PARTITIONED by `partitionBy` (hive-style
+    * `k=v` directories, BinaryRow `_PARTITION` manifest tuples, full
+    * rows in the data files — paimon's append-table default). Append
+    * creates the table; Overwrite starts the new snapshot from an empty
+    * base (commitKind OVERWRITE). Returns the snapshot id. */
   def write(df: DataFrame, table: String,
             mode: SaveMode = SaveMode.Append,
             commitUser: String = "graft",
-            commitIdentifier: Long = -1L): Long = {
+            commitIdentifier: Long = -1L,
+            partitionBy: Seq[String] = Nil): Long = {
     require(mode == SaveMode.Append || mode == SaveMode.Overwrite,
       s"paimon write supports Append/Overwrite, got $mode")
     val spark = df.sparkSession
     val fs = fsOf(spark, table)
     val exists = fs.exists(schemaDir(table))
-    if (exists) {
-      val prior = loadSchema(spark, table)
-      // appending plain rows to a PK table would commit files WITHOUT
-      // the _KEY_*/_SEQUENCE_NUMBER/_VALUE_KIND system columns — the
-      // LSM read's value-kind filter then silently drops every one of
-      // them; route PK tables through writePk
-      require(prior.primaryKeys.isEmpty,
-        s"$table is a primary-key paimon table — use writePk (plain " +
-          "append would write rows without the KeyValue system columns, " +
-          "which the merge-on-read silently discards)")
-      // partitioned tables READ (bounded, see read()) but this writer
-      // only lays files into bucket-0 — an append would break the
-      // partition-directory layout the bounded read recovers values from
-      require(prior.partitionKeys.isEmpty,
-        s"$table is a PARTITIONED paimon table — graft reads these " +
-          "(bounded) but does not write them: the partition-directory " +
-          "layout is not expressible without BinaryRow manifests")
-      require(prior.schema.map(f => (f.name, f.dataType)) ==
-          df.schema.map(f => (f.name, f.dataType)),
-        s"schema mismatch appending to $table:\n table: ${prior.schema.simpleString}\n" +
-          s" data:  ${df.schema.simpleString}")
-    } else {
-      val fields = df.schema.fields.zipWithIndex.map { case (f, i) =>
-        s"""{"id":$i,"name":${jstr(f.name)},"type":"${toPaimonType(f.dataType, f.nullable)}"}"""
-      }.mkString(",")
-      writeText(spark, new Path(schemaDir(table), "schema-0"),
-        s"""{"version":3,"id":0,"fields":[$fields],
-           |"highestFieldId":${df.schema.size - 1},
-           |"partitionKeys":[],"primaryKeys":[],
-           |"options":{"bucket":"-1","file.format":"parquet"},
-           |"timeMillis":${System.currentTimeMillis()}}""".stripMargin)
-    }
+    partitionBy.foreach(k => require(df.columns.contains(k),
+      s"partition column '$k' not in ${df.columns.mkString(",")}"))
+    val partCols =
+      if (exists) {
+        val prior = loadSchema(spark, table)
+        // appending plain rows to a PK table would commit files WITHOUT
+        // the _KEY_*/_SEQUENCE_NUMBER/_VALUE_KIND system columns — the
+        // LSM read's value-kind filter then silently drops every one of
+        // them; route PK tables through writePk
+        require(prior.primaryKeys.isEmpty,
+          s"$table is a primary-key paimon table — use writePk (plain " +
+            "append would write rows without the KeyValue system columns, " +
+            "which the merge-on-read silently discards)")
+        require(partitionBy.isEmpty || partitionBy == prior.partitionKeys,
+          s"partitionBy (${partitionBy.mkString(",")}) differs from the " +
+            s"table's partition keys (${prior.partitionKeys.mkString(",")})")
+        require(prior.schema.map(f => (f.name, f.dataType)) ==
+            df.schema.map(f => (f.name, f.dataType)),
+          s"schema mismatch appending to $table:\n table: ${prior.schema.simpleString}\n" +
+            s" data:  ${df.schema.simpleString}")
+        val pc = prior.partitionKeys.map(k => prior.schema(k))
+        requirePartitionable(pc)
+        pc
+      } else {
+        val pc = partitionBy.map(k => df.schema(k))
+        requirePartitionable(pc)
+        val fields = df.schema.fields.zipWithIndex.map { case (f, i) =>
+          s"""{"id":$i,"name":${jstr(f.name)},"type":"${toPaimonType(f.dataType, f.nullable)}"}"""
+        }.mkString(",")
+        val pkeys = partitionBy.map(jstr).mkString(",")
+        writeText(spark, new Path(schemaDir(table), "schema-0"),
+          s"""{"version":3,"id":0,"fields":[$fields],
+             |"highestFieldId":${df.schema.size - 1},
+             |"partitionKeys":[$pkeys],"primaryKeys":[],
+             |"options":{"bucket":"-1","file.format":"parquet"},
+             |"timeMillis":${System.currentTimeMillis()}}""".stripMargin)
+        pc
+      }
     val prevSnaps = if (exists) snapshots(spark, table) else Nil
     val snapId = prevSnaps.map(_.id).maxOption.getOrElse(0L) + 1L
 
-    // ---- data files: distributed write to staging, move into bucket-0/
+    // ---- data files: distributed write to staging, move into
+    // [<k>=<v>/]bucket-0/. Partition values stage as DUPLICATED
+    // `__p_<k>` columns so the data files keep the FULL row (paimon's
+    // append-table layout; Spark's partitionBy drops its partition
+    // columns from the files, which is why the originals can't stage
+    // directly).
     val staging = new Path(table, s"_staging_snap$snapId")
-    df.write.mode("overwrite").parquet(staging.toString)
-    val moved = moveStaged(spark, table, staging, bucketOf = _ => 0)
+    if (partCols.isEmpty)
+      df.write.mode("overwrite").parquet(staging.toString)
+    else {
+      val dup = partCols.foldLeft(df)((d, f) =>
+        d.withColumn(s"__p_${f.name}", org.apache.spark.sql.functions.col(f.name)))
+      dup.write.partitionBy(partCols.map(f => s"__p_${f.name}"): _*)
+        .mode("overwrite").parquet(staging.toString)
+    }
+    val moved = moveStaged(spark, table, staging, bucketOf = _ => 0,
+      partCols = partCols)
     commitSnapshot(spark, table, moved, mode, snapId, prevSnaps,
-      totalBuckets = 1, commitUser, commitIdentifier)
+      totalBuckets = 1, commitUser, commitIdentifier, partCols = partCols)
   }
 
   /** Full compaction of an append-only table — paimon's
@@ -904,38 +949,159 @@ object PaimonTable {
     expired.map(_.id)
   }
 
-  /** Move staged parquet files into their `bucket-<b>/` dirs; `bucketOf`
-    * maps a staged file's path to its bucket (directory-partitioned
-    * staging encodes it as a `__bucket=<b>` component). Returns
-    * (bucket, fileName, size, rowCount) per moved file. */
+  /** A data file after its move from staging into the table layout,
+    * with the typed partition values (empty for unpartitioned). */
+  private case class MovedFile(bucket: Int, name: String, size: Long,
+                               rows: Long, partValues: Seq[Any])
+
+  /** Percent-decode one Hive-escaped partition path value (the inverse
+    * of FileUtils.escapePathName, which Spark's partitionBy staging
+    * applies). */
+  private def unescapePathName(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+          s.substring(i + 1, i + 3).forall(h =>
+            Character.digit(h, 16) >= 0)) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Typed partition values recovered from a staged file's
+    * `__p_<name>=<value>` path components (Spark partitionBy rendering:
+    * Hive-escaped, nulls as __HIVE_DEFAULT_PARTITION__). */
+  private def stagedPartitionValues(p: Path, parts: Seq[StructField]): Seq[Any] = {
+    val comps = p.toString.split('/')
+    parts.map { f =>
+      val pre = s"__p_${f.name}="
+      val raw = comps.find(_.startsWith(pre)).getOrElse(
+        throw new IllegalStateException(s"no $pre component in staged path $p"))
+        .substring(pre.length)
+      val un = unescapePathName(raw)
+      if (un == "__HIVE_DEFAULT_PARTITION__") null
+      else f.dataType match {
+        case StringType => un
+        case IntegerType => java.lang.Integer.valueOf(un)
+        case LongType => java.lang.Long.valueOf(un)
+        case ShortType => java.lang.Short.valueOf(un)
+        case ByteType => java.lang.Byte.valueOf(un)
+        case BooleanType => java.lang.Boolean.valueOf(un)
+        case DateType => java.time.LocalDate.parse(un)
+        case other => throw new IllegalArgumentException(
+          s"unsupported paimon partition column type $other for ${f.name}")
+      }
+    }
+  }
+
+  /** Move staged parquet files into their `[<k>=<v>/]bucket-<b>/` dirs;
+    * `bucketOf` maps a staged file's path to its bucket
+    * (directory-partitioned staging encodes it as a `__bucket=<b>`
+    * component), `partCols` the table's partition fields (staging
+    * encodes their values as `__p_<k>=<v>` components). */
   private def moveStaged(spark: SparkSession, table: String, staging: Path,
-                         bucketOf: Path => Int): Seq[(Int, String, Long, Long)] = {
+                         bucketOf: Path => Int,
+                         partCols: Seq[StructField] = Nil): Seq[MovedFile] = {
     val fs = fsOf(spark, table)
     def walk(p: Path): Seq[Path] = StagedFiles.walkParquet(fs, p)
     val moved = walk(staging).sortBy(_.toString).zipWithIndex.map { case (src, i) =>
       val b = bucketOf(src)
-      val bucketDir = new Path(table, s"bucket-$b")
+      val pv = if (partCols.isEmpty) Nil else stagedPartitionValues(src, partCols)
+      val bucketDir =
+        if (partCols.isEmpty) new Path(table, s"bucket-$b")
+        else new Path(new Path(table,
+          BinaryRow.partitionPath(partCols.map(_.name), pv)), s"bucket-$b")
       fs.mkdirs(bucketDir)
       val name = s"data-${UUID.randomUUID()}-$i.parquet"
       fs.rename(src, new Path(bucketDir, name))
       val p = new Path(bucketDir, name)
-      (b, name, fs.getFileStatus(p).getLen, parquetRowCount(spark, p))
+      MovedFile(b, name, fs.getFileStatus(p).getLen, parquetRowCount(spark, p), pv)
     }
     fs.delete(staging, true)
     moved
   }
 
+  /** Unsigned-byte comparison of two UTF-8 encodings — paimon orders
+    * BinaryString stats by bytes, not UTF-16 code units. */
+  private def cmpUtf8(a: String, b: String): Int = {
+    val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val d = (x(i) & 0xFF) - (y(i) & 0xFF)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  private def cmpVal(dt: DataType, a: Any, b: Any): Int = dt match {
+    case StringType => cmpUtf8(a.toString, b.toString)
+    case BooleanType =>
+      java.lang.Boolean.compare(a.asInstanceOf[Boolean], b.asInstanceOf[Boolean])
+    case ByteType | ShortType | IntegerType | LongType =>
+      java.lang.Long.compare(a.asInstanceOf[Number].longValue,
+        b.asInstanceOf[Number].longValue)
+    case DateType =>
+      java.lang.Long.compare(a.asInstanceOf[java.time.LocalDate].toEpochDay,
+        b.asInstanceOf[java.time.LocalDate].toEpochDay)
+    case other => throw new IllegalArgumentException(
+      s"no stats ordering for partition type $other")
+  }
+
+  /** SimpleStats record over the delta manifest's partition tuples:
+    * per-field min/max as BinaryRows (null bit set for all-null fields)
+    * + null counts — what paimon's manifest-level partition pruning
+    * reads. Unpartitioned tables emit the arity-0 empty rows. */
+  private def partitionStats(tuples: Seq[Seq[Any]],
+                             types: Seq[DataType]): GenericRecord = {
+    val s = new GenericData.Record(
+      manifestListSchema.getField("_PARTITION_STATS").schema.getTypes.get(1))
+    if (types.isEmpty || tuples.isEmpty) {
+      s.put("_MIN_VALUES", java.nio.ByteBuffer.wrap(new Array[Byte](8)))
+      s.put("_MAX_VALUES", java.nio.ByteBuffer.wrap(new Array[Byte](8)))
+      s.put("_NULL_COUNTS", null)
+      return s
+    }
+    val mins = new Array[Any](types.length)
+    val maxs = new Array[Any](types.length)
+    val nulls = new Array[Long](types.length)
+    tuples.foreach { t =>
+      types.indices.foreach { i =>
+        val v = t(i)
+        if (v == null) nulls(i) += 1
+        else {
+          if (mins(i) == null || cmpVal(types(i), v, mins(i)) < 0) mins(i) = v
+          if (maxs(i) == null || cmpVal(types(i), v, maxs(i)) > 0) maxs(i) = v
+        }
+      }
+    }
+    s.put("_MIN_VALUES",
+      java.nio.ByteBuffer.wrap(BinaryRow.encode(mins.toSeq, types)))
+    s.put("_MAX_VALUES",
+      java.nio.ByteBuffer.wrap(BinaryRow.encode(maxs.toSeq, types)))
+    s.put("_NULL_COUNTS", java.util.Arrays.asList(
+      nulls.map(java.lang.Long.valueOf): _*))
+    s
+  }
+
   /** Shared commit tail: delta manifest + manifest lists + snapshot JSON
-    * + hints for a set of moved data files. */
+    * + hints for a set of moved data files. `partCols` are the table's
+    * partition fields — their per-file values ride `moved`/`deletes` and
+    * encode as BinaryRow `_PARTITION` tuples. */
   private def commitSnapshot(spark: SparkSession, table: String,
-                             moved: Seq[(Int, String, Long, Long)],
+                             moved: Seq[MovedFile],
                              mode: SaveMode, snapId: Long,
                              prevSnaps: Seq[SnapshotInfo],
                              totalBuckets: Int,
                              commitUser: String = "graft",
                              commitIdentifier: Long = -1L,
                              deletes: Seq[PaimonFile] = Nil,
-                             kindOverride: Option[String] = None): Long = {
+                             kindOverride: Option[String] = None,
+                             partCols: Seq[StructField] = Nil): Long = {
     val fs = fsOf(spark, table)
     // the CURRENT schema id — pinning 0 would bind post-evolution
     // snapshots to the pre-evolution schema on time travel / changelog
@@ -948,8 +1114,10 @@ object PaimonTable {
     // one manifest-entry constructor for ADD and DELETE — two diverging
     // copies of this 20-line record build is how a future field (e.g.
     // real _VALUE_STATS) ends up populated on one path only
+    val partTypes = partCols.map(_.dataType)
     def entryRecord(kind: Int, bucket: Int, name: String, size: Long,
-                    rows: Long, level: Int): GenericData.Record = {
+                    rows: Long, level: Int,
+                    partition: Array[Byte]): GenericData.Record = {
       val fm = new GenericData.Record(
         manifestEntrySchema.getField("_FILE").schema)
       fm.put("_FILE_NAME", name)
@@ -968,58 +1136,74 @@ object PaimonTable {
       val e = new GenericData.Record(manifestEntrySchema)
       e.put("_VERSION", 2)
       e.put("_KIND", kind)
-      e.put("_PARTITION", emptyRowBytes.duplicate())
+      e.put("_PARTITION",
+        if (partition.isEmpty) emptyRowBytes.duplicate()
+        else java.nio.ByteBuffer.wrap(partition))
       e.put("_BUCKET", bucket)
       e.put("_TOTAL_BUCKETS", totalBuckets)
       e.put("_FILE", fm)
       e
     }
-    val entries = moved.map { case (bucket, name, size, rows) =>
-      entryRecord(kind = 0, bucket, name, size, rows, level = 0) // ADD
+    val entries = moved.map { m =>
+      val pb = if (partCols.isEmpty) Array.empty[Byte]
+               else BinaryRow.encode(m.partValues, partTypes)
+      entryRecord(kind = 0, m.bucket, m.name, m.size, m.rows, level = 0, pb) // ADD
     }
     // DELETE entries (compaction retires its inputs in the same commit;
-    // the reader's live-set merge drops names deleted in any manifest)
+    // the reader's live-set merge drops names deleted in any manifest) —
+    // each carries the partition tuple its ADD entry recorded
     val deleteEntries = deletes.map(f =>
       entryRecord(kind = 1, f.bucket, f.fileName, f.fileSize, f.rowCount,
-        f.level))
+        f.level, f.partition))
     val deltaManifest = s"manifest-$uuid-0"
     val deltaLen = writeAvro(spark, new Path(mdir, deltaManifest),
       manifestEntrySchema, deleteEntries ++ entries)
 
     def listRecord(name: String, len: Long, added: Long,
-                   deleted: Long = 0L): GenericRecord = {
+                   deleted: Long = 0L,
+                   stats: GenericRecord = null): GenericRecord = {
       val r = new GenericData.Record(manifestListSchema)
       r.put("_VERSION", 2)
       r.put("_FILE_NAME", name)
       r.put("_FILE_SIZE", len)
       r.put("_NUM_ADDED_FILES", added)
       r.put("_NUM_DELETED_FILES", deleted)
-      r.put("_PARTITION_STATS", newStats())
+      r.put("_PARTITION_STATS", if (stats != null) stats else newStats())
       r.put("_SCHEMA_ID", curSchemaId)
       r
     }
     // base list = every manifest live in the prior snapshot (unless
-    // Overwrite, which starts empty); delta list = the new manifest
-    val priorManifests: Seq[(String, Long, Long)] =
+    // Overwrite, which starts empty); delta list = the new manifest.
+    // Prior manifests CARRY their recorded partition stats — synthesizing
+    // empty arity-0 rows for a partitioned table would hand a pruning
+    // reader undersized BinaryRows.
+    val priorManifests: Seq[(String, Long, Long, AnyRef)] =
       if (mode == SaveMode.Overwrite) Nil
       else prevSnaps.lastOption.toSeq.flatMap { prev =>
         Seq(prev.baseManifestList, prev.deltaManifestList).flatMap { ml =>
           readAvroRecords(spark, new Path(mdir, ml)).map { m =>
             (str(m.get("_FILE_NAME")), m.get("_FILE_SIZE").asInstanceOf[Long],
-              m.get("_NUM_ADDED_FILES").asInstanceOf[Long])
+              m.get("_NUM_ADDED_FILES").asInstanceOf[Long],
+              opt(m, "_PARTITION_STATS").orNull)
           }
         }
       }
     val baseList = s"manifest-list-$uuid-0"
     val deltaList = s"manifest-list-$uuid-1"
     writeAvro(spark, new Path(mdir, baseList), manifestListSchema,
-      priorManifests.map { case (n, l, a) => listRecord(n, l, a) })
+      priorManifests.map { case (n, l, a, st) =>
+        listRecord(n, l, a, stats = st.asInstanceOf[GenericRecord]) })
     writeAvro(spark, new Path(mdir, deltaList), manifestListSchema,
       Seq(listRecord(deltaManifest, deltaLen, moved.size.toLong,
-        deletes.size.toLong)))
+        deletes.size.toLong,
+        stats = partitionStats(
+          moved.map(_.partValues) ++ deletes.map(f =>
+            if (partTypes.isEmpty) Nil
+            else BinaryRow.decode(f.partition, partTypes)),
+          partTypes))))
 
     // ---- snapshot JSON + hints
-    val newRows = moved.map(_._4).sum - deletes.map(_.rowCount).sum
+    val newRows = moved.map(_.rows).sum - deletes.map(_.rowCount).sum
     val total =
       if (mode == SaveMode.Overwrite) newRows
       else prevSnaps.lastOption.map(_.totalRecordCount).filter(_ >= 0)
@@ -1075,9 +1259,17 @@ object PaimonTable {
               kind: String = "+I", numBuckets: Int = 2,
               mode: SaveMode = SaveMode.Append,
               commitUser: String = "graft",
-              commitIdentifier: Long = -1L): Long = {
+              commitIdentifier: Long = -1L,
+              partitionBy: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions.{col, hash, lit, pmod}
     require(primaryKeys.nonEmpty, "writePk needs at least one primary key")
+    // FIXED buckets require the primary key to contain every partition
+    // field (paimon's own constraint — read() documents why); graft
+    // only writes that mode, so the per-key merge stays partition-local
+    partitionBy.foreach(k => require(primaryKeys.contains(k),
+      s"partition column '$k' must be part of the primary key " +
+        s"(${primaryKeys.mkString(",")}) — fixed-bucket paimon PK tables " +
+        "require it (cross-partition upsert is dynamic-bucket mode)"))
     val kindCode = RowKinds.getOrElse(kind,
       throw new IllegalArgumentException(
         s"rowkind '$kind' (one of ${RowKinds.keys.mkString(", ")})"))
@@ -1090,9 +1282,13 @@ object PaimonTable {
       val prior = loadSchema(spark, table)
       require(prior.primaryKeys == primaryKeys,
         s"primary keys mismatch: table has ${prior.primaryKeys.mkString(",")}")
-      require(prior.partitionKeys.isEmpty,
-        s"$table is a PARTITIONED paimon table — writes are unsupported " +
-          "(bucket routing hashes the BinaryRow partition tuple)")
+      require(partitionBy.isEmpty || partitionBy == prior.partitionKeys,
+        s"partitionBy (${partitionBy.mkString(",")}) differs from the " +
+          s"table's partition keys (${prior.partitionKeys.mkString(",")})")
+      prior.partitionKeys.foreach(k => require(prior.primaryKeys.contains(k),
+        s"$table is a PARTITIONED PK paimon table whose key does not " +
+          "cover the partition fields — cross-partition upsert mode is " +
+          "unsupported (see read())"))
       // the incoming frame must MATCH the declared schema — write()
       // requires this, and an unchecked writePk staged parquet whose
       // types disagreed with pkSchema, making every later read fail.
