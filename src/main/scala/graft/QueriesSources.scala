@@ -1115,12 +1115,12 @@ object QueriesSources {
   /** Paimon PARTITIONED PRIMARY-KEY fixture: same three-commit merge
     * history as [[paimonPkFixture]] but keyed (o_orderstatus,
     * o_orderkey) — PK covers the partition field, paimon's fixed-bucket
-    * invariant — then the schema declares o_orderstatus a partition key
-    * and the bucket dirs move under partition directories (graft's own
-    * writer refuses partitioned writes, so the fixture assembles the
-    * layout the way the spec's tests do; the READER is the thing under
-    * test). The upsert keeps the status column (it is part of the key)
-    * and rewrites val. */
+    * invariant — written natively with `partitionBy`: graft's own
+    * writePk stages `<k>=<v>/bucket-<b>/` directories, records BinaryRow
+    * `_PARTITION` manifest tuples and partition stats, so the gate
+    * covers BOTH the partitioned PK write path and the partition-local
+    * LSM merge read. The upsert keeps the status column (it is part of
+    * the key) and rewrites val; the delete is a key-only -D frame. */
   private def paimonPkPartFixture(s: org.apache.spark.sql.SparkSession,
                                   d: String): String = {
     import graft.sources.PaimonTable
@@ -1133,32 +1133,17 @@ object QueriesSources {
         .select(col("o_orderkey"), col("o_orderstatus"),
           (col("o_orderkey") * 3).as("val"))
       val pk = Seq("o_orderstatus", "o_orderkey")
+      val parts = Seq("o_orderstatus")
       PaimonTable.writePk(src.filter(col("o_orderkey") < 1000), base, pk,
-        numBuckets = 2)
+        numBuckets = 2, partitionBy = parts)
       PaimonTable.writePk(
         src.filter(col("o_orderkey") >= 500 && col("o_orderkey") < 700)
           .withColumn("val", col("o_orderkey") * 7),
-        base, pk, kind = "+U")
+        base, pk, kind = "+U", partitionBy = parts)
       PaimonTable.writePk(
         src.filter(col("o_orderkey") < 1000 && col("o_orderkey") % 10 === 0)
           .select("o_orderstatus", "o_orderkey"),
-        base, pk, kind = "-D")
-      // declare the partition key and relocate buckets under partition
-      // dirs (live files are located by NAME; values come from the rows)
-      val schemaPath = new org.apache.hadoop.fs.Path(s"$base/schema/schema-0")
-      val in = fs.open(schemaPath)
-      val orig = new String(in.readAllBytes(), "UTF-8"); in.close()
-      val os = fs.create(schemaPath, true)
-      os.write(orig.replace("\"partitionKeys\":[]",
-        "\"partitionKeys\":[\"o_orderstatus\"]").getBytes("UTF-8")); os.close()
-      Seq(0, 1).foreach { b =>
-        val from = new org.apache.hadoop.fs.Path(s"$base/bucket-$b")
-        if (fs.exists(from)) {
-          val to = new org.apache.hadoop.fs.Path(s"$base/o_orderstatus=P$b/bucket-$b")
-          fs.mkdirs(to.getParent)
-          require(fs.rename(from, to), s"fixture rename failed: $from")
-        }
-      }
+        base, pk, kind = "-D", partitionBy = parts)
       fs.create(donePath, true).close()
     }
     base

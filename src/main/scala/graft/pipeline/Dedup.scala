@@ -31,6 +31,11 @@ object Dedup {
     hashed.join(keepers,
       hashed("content_hash") === keepers("__ch") &&
         hashed(idCol) === keepers("__keep_id"), "left_semi")
+      // A corpus can contain FULLY duplicated rows (same id, same text —
+      // a re-emitted crawl record); the semi join keeps every copy of the
+      // keeper pair, so collapse them. Cheap: the keeper set is already
+      // near-unique per (id, hash).
+      .dropDuplicates(idCol, "content_hash")
   }
 
   /** Number of duplicate docs that exact() would drop, per content hash —

@@ -1278,7 +1278,7 @@ object PaimonTable {
     val spark = df.sparkSession
     val fs = fsOf(spark, table)
     val exists = fs.exists(schemaDir(table))
-    val (tblSchema, buckets) = if (exists) {
+    val (tblSchema, buckets, partCols) = if (exists) {
       val prior = loadSchema(spark, table)
       require(prior.primaryKeys == primaryKeys,
         s"primary keys mismatch: table has ${prior.primaryKeys.mkString(",")}")
@@ -1318,11 +1318,15 @@ object PaimonTable {
         s"$table uses dynamic bucket mode (bucket=" +
           s"${prior.options.getOrElse("bucket", "<absent>")}) — graft " +
           "cannot route keys through Paimon's dynamic bucket index")
-      (prior.schema, declaredBucket.get)
+      val pc = prior.partitionKeys.map(k => prior.schema(k))
+      requirePartitionable(pc)
+      (prior.schema, declaredBucket.get, pc)
     } else {
       require(kindCode == 0, s"cannot create a table from $kind rows")
       primaryKeys.foreach(k => require(df.columns.contains(k),
         s"primary key '$k' not in ${df.columns.mkString(",")}"))
+      val pc = partitionBy.map(k => df.schema(k))
+      requirePartitionable(pc)
       val fields = df.schema.fields.zipWithIndex.map { case (f, i) =>
         val nullable = f.nullable && !primaryKeys.contains(f.name)
         s"""{"id":$i,"name":${jstr(f.name)},"type":"${toPaimonType(f.dataType, nullable)}"}"""
@@ -1330,11 +1334,12 @@ object PaimonTable {
       writeText(spark, new Path(schemaDir(table), "schema-0"),
         s"""{"version":3,"id":0,"fields":[$fields],
            |"highestFieldId":${df.schema.size - 1},
-           |"partitionKeys":[],"primaryKeys":[${primaryKeys.map(k => s""""$k"""").mkString(",")}],
+           |"partitionKeys":[${partitionBy.map(jstr).mkString(",")}],
+           |"primaryKeys":[${primaryKeys.map(k => s""""$k"""").mkString(",")}],
            |"options":{"bucket":"$numBuckets","file.format":"parquet",
            |"merge-engine":"deduplicate"},
            |"timeMillis":${System.currentTimeMillis()}}""".stripMargin)
-      (df.schema, numBuckets)
+      (df.schema, numBuckets, pc)
     }
     val prevSnaps = if (exists) snapshots(spark, table) else Nil
     val snapId = prevSnaps.map(_.id).maxOption.getOrElse(0L) + 1L
@@ -1350,6 +1355,9 @@ object PaimonTable {
         lit(null).cast(f.dataType).as(f.name)
       }
     }
+    // Partition staging values derive from the _KEY_* columns (PK ⊇
+    // partition fields, checked above) — ALWAYS populated, including on
+    // key-only -D retraction frames whose value columns null-fill.
     val keyed = df.select(
       primaryKeys.map(k => col(k).as(s"_KEY_$k")) ++
         Seq(lit(snapId).as("_SEQUENCE_NUMBER"),
@@ -1357,16 +1365,20 @@ object PaimonTable {
         valueCols: _*)
       .withColumn("__bucket",
         pmod(hash(primaryKeys.map(k => col(s"_KEY_$k")): _*), lit(buckets)))
+    val staged = partCols.foldLeft(keyed)((d, f) =>
+      d.withColumn(s"__p_${f.name}", col(s"_KEY_${f.name}")))
     val staging = new Path(table, s"_staging_snap$snapId")
-    keyed.write.partitionBy("__bucket").mode("overwrite")
-      .parquet(staging.toString)
+    staged.write
+      .partitionBy(partCols.map(f => s"__p_${f.name}") :+ "__bucket": _*)
+      .mode("overwrite").parquet(staging.toString)
     val moved = moveStaged(spark, table, staging, bucketOf = p => {
       val comp = p.toString.split('/').find(_.startsWith("__bucket="))
         .getOrElse(throw new IllegalStateException(s"no __bucket= in $p"))
       comp.substring("__bucket=".length).toInt
-    })
+    }, partCols = partCols)
     commitSnapshot(spark, table, moved, mode, snapId, prevSnaps,
-      totalBuckets = buckets, commitUser, commitIdentifier)
+      totalBuckets = buckets, commitUser, commitIdentifier,
+      partCols = partCols)
   }
 
   private def parquetRowCount(spark: SparkSession, p: Path): Long =

@@ -83,9 +83,9 @@ object QueryProfiles {
   private val accumIndex = new ConcurrentHashMap[java.lang.Long, ConcurrentHashMap[java.lang.Long, MetricKey]]()
   private val accumToExec = new ConcurrentHashMap[java.lang.Long, java.lang.Long]()
   private val accumSums = new ConcurrentHashMap[java.lang.Long, java.util.concurrent.atomic.AtomicLong]()
-  @volatile @volatile private var installedCapacity: Int = DefaultCapacity
- private var listener: Option[SparkListener] = None
   private val DefaultCapacity = 1000
+  @volatile private var installedCapacity: Int = DefaultCapacity
+  @volatile private var listener: Option[SparkListener] = None
 
   private val SummedTypes = Set("sum", "size", "timing", "nsTiming")
 

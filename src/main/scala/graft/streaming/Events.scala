@@ -41,8 +41,11 @@ object Events {
   private def tsAsTimestamp(events: DataFrame): DataFrame =
     events.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
+        // Integral floor division — Long/Long `/` on Columns detours
+        // through Double (precision loss above 2^53, truncation toward
+        // zero pre-1970), the exact defect class tsSeconds avoids.
         events.withColumn("ts",
-          timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+          timestamp_micros(expr("(ts - pmod(ts, 1000L)) div 1000L")))
       case _ => events
     }
 

@@ -290,6 +290,64 @@ class PaimonSpec extends AnyFunSuite {
     assert(e.getMessage.contains("DYNAMIC buckets"))
   }
 
+  test("NATIVE partitioned PK writes: partition dirs, manifest tuples, merge") {
+    import spark.implicits._
+    val base = freshDir("pk_part_native")
+    val pk = Seq("p", "id")
+    def rows(r: Range, amt: Long => Long) =
+      r.map(i => (i.toLong, if (i % 2 == 0) "a" else "b", amt(i))).toDF("id", "p", "amt")
+    PaimonTable.writePk(rows(1 to 20, _ * 10L), base, pk,
+      numBuckets = 2, partitionBy = Seq("p"))
+    PaimonTable.writePk(rows(5 to 8, _ * 100L), base, pk, kind = "+U",
+      partitionBy = Seq("p"))
+    // key-only -D retraction on the partitioned table
+    PaimonTable.writePk((1L to 20L).filter(_ % 5 == 0)
+        .map(i => (if (i % 2 == 0) "a" else "b", i)).toDF("p", "id"),
+      base, pk, kind = "-D", partitionBy = Seq("p"))
+    // schema records the partition keys
+    val sch = PaimonTable.loadSchema(spark, base)
+    assert(sch.partitionKeys == Seq("p") && sch.primaryKeys == pk)
+    // data files live under <k>=<v>/bucket-<b>/ and manifests carry
+    // decodable BinaryRow _PARTITION tuples matching those dirs
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$base/p=a")) &&
+      fs.exists(new org.apache.hadoop.fs.Path(s"$base/p=b")))
+    val live = PaimonTable.liveFiles(spark, base)
+    assert(live.nonEmpty)
+    val partVals = live.map(f => graft.sources.BinaryRow.decode(
+      f.partition, Seq(org.apache.spark.sql.types.StringType)).head).toSet
+    assert(partVals == Set("a", "b"))
+    live.foreach { f =>
+      val pv = graft.sources.BinaryRow.decode(f.partition,
+        Seq(org.apache.spark.sql.types.StringType)).head
+      assert(fs.exists(new org.apache.hadoop.fs.Path(
+        s"$base/p=$pv/bucket-${f.bucket}/${f.fileName}")), f.fileName)
+    }
+    // merge read: upsert wins, deletes gone, partition values from rows
+    val got = PaimonTable.read(spark, base)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val expected = (1L to 20L).filterNot(_ % 5 == 0).map { i =>
+      (i, if (i % 2 == 0) "a" else "b",
+        if (i >= 5 && i <= 8) i * 100L else i * 10L)
+    }.toSet
+    assert(got == expected)
+    // time travel composes
+    assert(PaimonTable.read(spark, base, snapshotId = Some(1L)).count() == 20)
+    // appending with a DIFFERENT partitionBy refuses
+    val e = intercept[IllegalArgumentException] {
+      PaimonTable.writePk(rows(30 to 31, _ * 10L), base, pk, kind = "+U",
+        partitionBy = Seq("id"))
+    }
+    assert(e.getMessage.contains("partition"), e.getMessage)
+    // partition column outside the PK refuses at creation
+    val e2 = intercept[IllegalArgumentException] {
+      PaimonTable.writePk(rows(1 to 3, _ * 10L), freshDir("pk_part_bad"),
+        Seq("id"), partitionBy = Seq("p"))
+    }
+    assert(e2.getMessage.contains("primary key"), e2.getMessage)
+  }
+
   test("readChangelog exposes one snapshot's delta rows with RowKinds") {
     import spark.implicits._
     val base = freshDir("changelog")
