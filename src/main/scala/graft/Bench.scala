@@ -42,7 +42,11 @@ object Bench {
     * q_iceberg_changelog is the metadata-path datapoint — the tier was
     * previously all compute-dominated queries. */
   val heavyweight: Seq[String] = Seq("q_dedup_minhash", "q_dedup_simhash",
-    "q_dup_components", "q_multi_join", "q_dsir", "q_iceberg_changelog")
+    "q_dup_components", "q_multi_join", "q_dsir", "q_iceberg_changelog",
+    // round 9: the retrieval-shaped datapoint (BM25/decontam family had
+    // no scale cross-check when its sf0.1 number ran 3x in a degraded
+    // window) — expected ~linear in corpus grams
+    "q_bm25")
 
   val Sf1Reps = 2
 
@@ -62,13 +66,62 @@ object Bench {
     * steal, not co-tenant IO pressure, cgroup throttling, or thermal
     * slowdown — a calibration delta makes any degraded window directly
     * measurable in the artifact. ~0.5s each, outside all query timings. */
-  private def calibProbe(): Double = {
-    val t0 = System.nanoTime()
+  private def spin(): Long = {
     var x = 0x9E3779B97F4A7C15L
     var i = 0
     while (i < 300000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
-    if (x == 42L) System.err.println("calib") // defeat dead-code elimination
+    x
+  }
+
+  private def calibProbe(): Double = {
+    val t0 = System.nanoTime()
+    if (spin() == 42L) System.err.println("calib") // defeat dead-code elim
     (System.nanoTime() - t0) / 1e9
+  }
+
+  /** PARALLEL calibration probe: the same fixed spin on
+    * `availableProcessors` threads at once, wall measured to the LAST
+    * finisher. A one-thread probe always gets its one core, so it is
+    * structurally blind to multicore co-tenant contention — the exact
+    * failure mode that inflated the 32-way CPU-parallel queries 2-8x in
+    * the r8 driver window while q1_agg ran 1.00x. Clean host: parallel
+    * wall ≈ single-thread wall; contended host: elevated, and the ratio
+    * (parallel / single) is the machine-readable contention factor. */
+  private def calibProbePar(): Double = {
+    val n = Runtime.getRuntime.availableProcessors
+    val sink = new java.util.concurrent.atomic.AtomicLong(0)
+    val t0 = System.nanoTime()
+    val threads = (1 to n).map { _ =>
+      val t = new Thread(() => sink.addAndGet(spin()))
+      t.start(); t
+    }
+    threads.foreach(_.join())
+    if (sink.get == 42L) System.err.println("calib-par")
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** First three /proc/loadavg fields (1/5/15-min runqueue averages) —
+    * a co-tenant's load shows here even when steal% and the
+    * single-thread probe read clean. */
+  private def loadAvg(): Seq[Double] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.getLines().next().trim.split("\\s+").take(3).map(_.toDouble).toSeq
+      finally src.close()
+    } catch { case _: Exception => Nil }
+
+  /** Sums executor CPU time (ns) and run time (ms) across every finished
+    * task — snapshotted around each rep, cpu/wall is that rep's EFFECTIVE
+    * PARALLELISM. A 32-way CPU-bound query at eff_par ~4 under a clean
+    * calibration is contention; at ~30 and still slow, a real regression. */
+  private object TaskCpuListener
+      extends org.apache.spark.scheduler.SparkListener {
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong(0)
+    override def onTaskEnd(
+        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) cpuNs.addAndGet(m.executorCpuTime)
+    }
   }
 
   private def median(xs: Seq[Double]): Double = {
@@ -138,8 +191,11 @@ object Bench {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.getOrCreate()
+    spark.sparkContext.addSparkListener(TaskCpuListener)
     val (steal0, jiff0) = cpuStat()
+    val load0 = loadAvg()
     val calib0 = calibProbe()
+    val calibPar0 = calibProbePar()
     // warm the JVM + parquet footers once (not timed per query)
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     // A failed query must be LOUD: record ok=false and exit non-zero, so a
@@ -147,28 +203,42 @@ object Bench {
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)
       val runs = (1 to Reps).map { _ =>
+        val cpu0 = TaskCpuListener.cpuNs.get
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
           }
-        ((System.nanoTime() - t0) / 1e9, ok)
+        val wall = (System.nanoTime() - t0) / 1e9
+        // listener events drain asynchronously; a short grace keeps the
+        // per-rep CPU attribution honest (outside the timed window)
+        Thread.sleep(60)
+        val effPar =
+          if (wall > 0) (TaskCpuListener.cpuNs.get - cpu0) / 1e9 / wall else 0.0
+        (wall, ok, effPar)
       }
-      (name, runs.map(_._1).min, runs.map(_._1), runs.forall(_._2))
+      (name, runs.map(_._1).min, runs.map(_._1), runs.forall(_._2),
+        runs.map(_._3))
     }
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     // median alongside min: round 7's [10.48, 10.26, 3.42] showed a
     // jittery session whose min looked fine — the median makes an
     // unstable window visible in one number without re-reading "runs"
-    val medians = results.map { case (k, _, rs, _) =>
+    val medians = results.map { case (k, _, rs, _, _) =>
       "\"" + k + "\":" + f"${median(rs)}%.3f" }
       .mkString("{", ",", "}")
-    val allRuns = results.map { case (k, _, rs, _) =>
+    val allRuns = results.map { case (k, _, rs, _, _) =>
       "\"" + k + "\":" + rs.map(r => f"$r%.3f").mkString("[", ",", "]") }
       .mkString("{", ",", "}")
-    val oks = results.map { case (k, _, _, ok) => "\"" + k + "\":" + ok }
+    val oks = results.map { case (k, _, _, ok, _) => "\"" + k + "\":" + ok }
+      .mkString("{", ",", "}")
+    // per-rep effective parallelism (executor CPU-time / wall): the
+    // instrument that separates "contended host" (low eff_par, elevated
+    // parallel calib) from "real regression" (full eff_par, still slow)
+    val effPars = results.map { case (k, _, _, _, eps) =>
+      "\"" + k + "\":" + eps.map(e => f"$e%.1f").mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val allOk = results.forall(_._4)
@@ -183,13 +253,19 @@ object Bench {
         val sf1Dir = ensureSf1(spark, sfDir)
         val rs = heavyweight.map { name =>
           val runs = (1 to Sf1Reps).map { _ =>
+            val cpu0 = TaskCpuListener.cpuNs.get
             val t0 = System.nanoTime()
             val ok =
               try { SparkEntry.queries(name)(spark, sf1Dir)
                 .write.format("noop").mode("overwrite").save(); true }
               catch { case e: Throwable =>
                 System.err.println(s"[bench] sf1 $name FAILED: ${e.getMessage}"); false }
-            ((System.nanoTime() - t0) / 1e9, ok)
+            val wall = (System.nanoTime() - t0) / 1e9
+            Thread.sleep(60)
+            val effPar =
+              if (wall > 0) (TaskCpuListener.cpuNs.get - cpu0) / 1e9 / wall
+              else 0.0
+            (wall, ok, effPar)
           }
           // per-round instrumentation for the iterative CC query: a slow
           // run decomposes into rounds × per-round wall in the artifact
@@ -200,28 +276,34 @@ object Bench {
                 s""""round_wall":${s.roundWallSec.map(w => f"$w%.3f")
                   .mkString("[", ",", "]")}}""").getOrElse("")
           else ""
-          (name, runs.map(_._1), runs.forall(_._2), cc)
+          (name, runs.map(_._1), runs.forall(_._2), cc, runs.map(_._3))
         }
-        val q1 = rs.map { case (k, vs, _, _) => "\"" + k + "\":" + f"${vs.min}%.3f" }
+        val q1 = rs.map { case (k, vs, _, _, _) => "\"" + k + "\":" + f"${vs.min}%.3f" }
           .mkString("{", ",", "}")
-        val runs1 = rs.map { case (k, vs, _, _) =>
+        val runs1 = rs.map { case (k, vs, _, _, _) =>
           "\"" + k + "\":" + vs.map(v => f"$v%.3f").mkString("[", ",", "]") }
           .mkString("{", ",", "}")
-        val ok1 = rs.map { case (k, _, ok, _) => "\"" + k + "\":" + ok }
+        val ok1 = rs.map { case (k, _, ok, _, _) => "\"" + k + "\":" + ok }
+          .mkString("{", ",", "}")
+        val ep1 = rs.map { case (k, _, _, _, eps) =>
+          "\"" + k + "\":" + eps.map(e => f"$e%.1f").mkString("[", ",", "]") }
           .mkString("{", ",", "}")
         val ccJson = rs.map(_._4).filter(_.nonEmpty).mkString
         s"""{"total":${f"${rs.map(_._2.min).sum}%.3f"},"queries":$q1,""" +
-          s""""runs":$runs1,"ok":$ok1,"copies":10$ccJson}"""
+          s""""runs":$runs1,"ok":$ok1,"eff_par":$ep1,"copies":10$ccJson}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] sf1 tier failed: ${e.getMessage}")
         "null"
       }
     val (steal1, jiff1) = cpuStat()
     val calib1 = calibProbe()
+    val calibPar1 = calibProbePar()
+    val load1 = loadAvg()
     val stealPct =
       if (jiff1 > jiff0) 100.0 * (steal1 - steal0) / (jiff1 - jiff0) else 0.0
+    def arr(xs: Seq[Double]) = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"median":$medians,"runs":$allRuns,"ok":$oks,"steal_pct":${f"$stealPct%.2f"},"calib_sec":[${f"$calib0%.3f"},${f"$calib1%.3f"}],"sf1":$sf1Json,"sf":"${
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"median":$medians,"runs":$allRuns,"ok":$oks,"eff_par":$effPars,"steal_pct":${f"$stealPct%.2f"},"calib_sec":[${f"$calib0%.3f"},${f"$calib1%.3f"}],"calib_par_sec":[${f"$calibPar0%.3f"},${f"$calibPar1%.3f"}],"calib_par_threads":${Runtime.getRuntime.availableProcessors},"loadavg":[${arr(load0)},${arr(load1)}],"sf1":$sf1Json,"sf":"${
         sfDir.replace("\\", "\\\\").replace("\"", "\\\"")}"}"""
     println(line)
     // The stdout line gets buried in sbt [info] noise (rounds 3 and 5 had
