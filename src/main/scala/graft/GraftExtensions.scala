@@ -199,6 +199,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           graft.functions.GisPredicateExpr(children.head, children(1), op)
         }))
     }
+    // constructive geometry, CONVEX slice (contrib/udfs gis/
+    // STUnion.java, STDifference.java; the Esri operator set also backs
+    // intersection): Sutherland–Hodgman + a convex Weiler–Atherton walk
+    graft.functions.ConvexClip.OpIds.foreach { case (name, op) =>
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(classOf[graft.functions.ConvexClipExpr].getName, name),
+        (children: Seq[Expression]) => {
+          require(children.length == 2,
+            s"$name expects exactly 2 arguments, got ${children.length}")
+          graft.functions.ConvexClipExpr(children.head, children(1), op)
+        }))
+    }
     // st_relate: 2-arg = the DE-9IM matrix string, 3-arg = boolean
     // pattern match (contrib/udfs gis/STRelate.java)
     ext.injectFunction((

@@ -511,6 +511,49 @@ object QueriesFunctions {
           stTouches(gl, gv).as("lv_touch"))
     }),
 
+    // Constructive geometry, CONVEX slice (contrib/udfs gis/STUnion,
+    // STDifference; Esri-backed intersection): fixtures are axis-aligned
+    // rectangles derived so B properly bites A's right edge (proper
+    // crossings only — degenerate contact is spec territory), C is
+    // disjoint, D strictly contained. Every area has a CLOSED-FORM
+    // interval-arithmetic answer the oracle computes with integer
+    // arithmetic; NULL (= empty geometry) surfaces as -1.
+    "q_gis_clip" -> ((s, d) => {
+      import graft.functions.GisFunctions._
+      import org.apache.spark.sql.Column
+      val k = col("o_orderkey")
+      def w(c: Column): Column = c.cast("string")
+      val ax1 = k % 5; val ax2 = ax1 + 4 + k % 3
+      val ay1 = (k * 2) % 5; val ay2 = ay1 + 4 + (k * 5) % 2
+      val bx1 = ax1 + 1 + k % 2; val bx2 = ax2 + 1 + (k * 7) % 3
+      val by1 = ay1 + 1; val by2 = ay2 - 1
+      val cx1 = ax2 + 2; val cx2 = cx1 + 2
+      val dx1 = ax1 + 1; val dx2 = ax2 - 1
+      val dy1 = ay1 + 1; val dy2 = ay2 - 1
+      def rect(x1: Column, y1: Column, x2: Column, y2: Column): Column =
+        stGeomFromText(concat(lit("POLYGON (("),
+          w(x1), lit(" "), w(y1), lit(", "), w(x2), lit(" "), w(y1), lit(", "),
+          w(x2), lit(" "), w(y2), lit(", "), w(x1), lit(" "), w(y2), lit(", "),
+          w(x1), lit(" "), w(y1), lit("))")))
+      val ga = rect(ax1, ay1, ax2, ay2)
+      val gb = rect(bx1, by1, bx2, by2)
+      val gc = rect(cx1, ay1, cx2, ay1 + 3)
+      val gd = rect(dx1, dy1, dx2, dy2)
+      T(s, d, "orders").filter(k < 400)
+        .select(k.as("o_orderkey"),
+          round(stArea(stIntersection(ga, gb)), 6).as("inter_area"),
+          round(stArea(stUnion(ga, gb)), 6).as("union_area"),
+          size(stUnion(ga, gb)("xs")).as("union_nv"),
+          round(stArea(stDifference(ga, gb)), 6).as("diff_area"),
+          size(stDifference(ga, gb)("xs")).as("diff_nv"),
+          round(coalesce(stArea(stIntersection(ga, gc)), lit(-1.0)), 6)
+            .as("disj_inter"),
+          round(stArea(stIntersection(ga, gd)), 6).as("cont_inter"),
+          round(stArea(stUnion(ga, gd)), 6).as("cont_union"),
+          round(coalesce(stArea(stDifference(gd, ga)), lit(-1.0)), 6)
+            .as("cont_diff"))
+    }),
+
     // Mergeable HLL sketch columns (Spark's Datasketches-backed built-ins):
     // per-group sketches union to an estimate within tolerance of the
     // global exact count — the "sketch once, merge cheaply" contract that
@@ -634,6 +677,32 @@ object QueriesFunctions {
   }.mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q_gis_clip" ->
+      """WITH g AS (
+           SELECT o_orderkey,
+             o_orderkey % 5 AS ax1,
+             o_orderkey % 5 + 4 + (o_orderkey % 3) AS ax2,
+             (o_orderkey*2) % 5 AS ay1,
+             (o_orderkey*2) % 5 + 4 + ((o_orderkey*5) % 2) AS ay2,
+             o_orderkey % 5 + 1 + (o_orderkey % 2) AS bx1,
+             o_orderkey % 5 + 4 + (o_orderkey % 3) + 1 + ((o_orderkey*7) % 3) AS bx2
+           FROM orders WHERE o_orderkey < 400),
+         m AS (SELECT *,
+             (ax2-ax1)*(ay2-ay1) AS area_a,
+             (bx2-bx1)*(ay2-1-(ay1+1)) AS area_b,
+             (ax2-bx1)*(ay2-1-(ay1+1)) AS area_i
+           FROM g)
+         SELECT o_orderkey,
+           area_i::DOUBLE AS inter_area,
+           (area_a + area_b - area_i)::DOUBLE AS union_area,
+           8::INTEGER AS union_nv,
+           (area_a - area_i)::DOUBLE AS diff_area,
+           8::INTEGER AS diff_nv,
+           (-1)::DOUBLE AS disj_inter,
+           ((ax2-ax1-2)*(ay2-ay1-2))::DOUBLE AS cont_inter,
+           area_a::DOUBLE AS cont_union,
+           (-1)::DOUBLE AS cont_diff
+         FROM m""",
     "q_gis_predicates" ->
       """WITH g AS (
            SELECT o_orderkey, o_orderkey AS k,

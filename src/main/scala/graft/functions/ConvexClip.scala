@@ -1,0 +1,376 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Constructive geometry for the CONVEX slice of the reference's
+  * geometry-algebra UDFs (contrib/udfs/src/main/java/.../gis/
+  * STUnion.java, STDifference.java — Esri-library-backed there; the
+  * library also powers STIntersection via OperatorIntersection):
+  * st_intersection / st_union / st_difference over the hand-rolled
+  * (gtype, xs, ys) polygon struct, for CONVEX single-ring polygons.
+  *
+  * Published algorithms, no geometry library:
+  *  - intersection: Sutherland–Hodgman half-plane clipping (1974) —
+  *    robust for all convex pairs including degenerate touch (a
+  *    zero-area result returns SQL NULL = empty geometry);
+  *  - union / difference: a Weiler–Atherton (1977) boundary walk
+  *    specialized to convex pairs — proper edge crossings only, ring
+  *    switch at every crossing (union walks both rings forward, the
+  *    difference walks the clip ring backward).
+  *
+  * Honesty bounds, refused LOUDLY (never a wrong polygon):
+  *  - concave inputs (like holes/MULTI* in the parse core);
+  *  - union of disjoint or touch-only polygons (a MULTIPOLYGON /
+  *    degenerate stitch the single-ring core cannot represent);
+  *  - difference where B sits strictly inside A (result has a hole) or
+  *    splits A in two (MULTIPOLYGON);
+  *  - tangential/collinear boundary contact on the walk path (entry/
+  *    exit classification is only exact for proper crossings).
+  *  st_buffer and st_union-as-AGGREGATE stay out of scope entirely
+  *  (true constructive buffering needs arc geometry).
+  */
+object ConvexClip {
+
+  val OpIds: Map[String, Int] =
+    Map("st_intersection" -> 0, "st_union" -> 1, "st_difference" -> 2)
+
+  private final class Ring(val xs: Array[Double], val ys: Array[Double]) {
+    def n: Int = xs.length
+  }
+
+  private def cross(ox: Double, oy: Double, ax: Double, ay: Double,
+                    bx: Double, by: Double): Double =
+    (ax - ox) * (by - oy) - (ay - oy) * (bx - ox)
+
+  private def signedArea2(xs: Array[Double], ys: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    val n = xs.length
+    while (i < n) {
+      val j = (i + 1) % n
+      s += xs(i) * ys(j) - xs(j) * ys(i)
+      i += 1
+    }
+    s
+  }
+
+  /** Parse one geometry struct row into an OPEN, CCW, consecutive-dup-
+    * collapsed ring; refuse non-polygons and concave rings. */
+  private def parse(row: InternalRow, side: String, eps: Double): Ring = {
+    val t = row.getUTF8String(0).toString
+    require(t == "POLYGON",
+      s"convex clip supports POLYGON inputs only — $side is $t")
+    val xsA = row.getArray(1); val ysA = row.getArray(2)
+    var xs = Array.tabulate(xsA.numElements())(xsA.getDouble)
+    var ys = Array.tabulate(ysA.numElements())(ysA.getDouble)
+    if (xs.length > 1 && xs.head == xs.last && ys.head == ys.last) {
+      xs = xs.dropRight(1); ys = ys.dropRight(1)
+    }
+    if (xs.length > 1) {
+      val keep = Array.newBuilder[Int]
+      keep += 0
+      var i = 1
+      while (i < xs.length) {
+        if (xs(i) != xs(i - 1) || ys(i) != ys(i - 1)) keep += i
+        i += 1
+      }
+      val ks = keep.result()
+      if (ks.length != xs.length) { xs = ks.map(xs); ys = ks.map(ys) }
+    }
+    require(xs.length >= 3, s"$side polygon has fewer than 3 distinct vertices")
+    if (signedArea2(xs, ys) < 0) { xs = xs.reverse; ys = ys.reverse }
+    // convexity: every consecutive turn is left-or-straight (CCW ring)
+    val n = xs.length
+    var i = 0
+    while (i < n) {
+      val j = (i + 1) % n; val k = (i + 2) % n
+      require(cross(xs(i), ys(i), xs(j), ys(j), xs(k), ys(k)) >= -eps,
+        s"convex polygons only — $side is concave at vertex $k " +
+          "(st_intersection/st_union/st_difference implement the CONVEX " +
+          "slice; concave inputs refuse like holes/MULTI* do)")
+      i += 1
+    }
+    new Ring(xs, ys)
+  }
+
+  /** Strictly-inside / strictly-outside tests against a CCW convex ring. */
+  private def minEdgeSide(r: Ring, px: Double, py: Double): Double = {
+    var m = Double.MaxValue
+    var i = 0
+    while (i < r.n) {
+      val j = (i + 1) % r.n
+      val c = cross(r.xs(i), r.ys(i), r.xs(j), r.ys(j), px, py)
+      if (c < m) m = c
+      i += 1
+    }
+    m
+  }
+
+  /** Sutherland–Hodgman: clip `subj` by each half-plane of convex CCW
+    * `clip`. Points within eps of an edge count as inside (degenerate
+    * touch collapses to a zero-area sliver, classified by area later). */
+  private def sutherlandHodgman(subj: Ring, clip: Ring, eps: Double)
+      : (Array[Double], Array[Double]) = {
+    var pxs = subj.xs; var pys = subj.ys
+    var e = 0
+    while (e < clip.n && pxs.length > 0) {
+      val j = (e + 1) % clip.n
+      val (cx1, cy1, cx2, cy2) = (clip.xs(e), clip.ys(e), clip.xs(j), clip.ys(j))
+      val oxs = Array.newBuilder[Double]; val oys = Array.newBuilder[Double]
+      val n = pxs.length
+      var i = 0
+      while (i < n) {
+        val p = (i + n - 1) % n
+        val (sx, sy, ex, ey) = (pxs(p), pys(p), pxs(i), pys(i))
+        val sIn = cross(cx1, cy1, cx2, cy2, sx, sy) >= -eps
+        val eIn = cross(cx1, cy1, cx2, cy2, ex, ey) >= -eps
+        if (sIn != eIn) {
+          // segment–line intersection (the clip side is an infinite line)
+          val dx = ex - sx; val dy = ey - sy
+          val ds = cross(cx1, cy1, cx2, cy2, sx, sy)
+          val de = cross(cx1, cy1, cx2, cy2, ex, ey)
+          val tt = ds / (ds - de)
+          oxs += sx + tt * dx; oys += sy + tt * dy
+        }
+        if (eIn) { oxs += ex; oys += ey }
+        i += 1
+      }
+      pxs = oxs.result(); pys = oys.result()
+      e += 1
+    }
+    (pxs, pys)
+  }
+
+  // ---- Weiler–Atherton boundary walk (convex pairs, proper crossings)
+
+  /** A boundary node: original vertex (crossId == -1) or a crossing. */
+  private final class Node(val x: Double, val y: Double, val crossId: Int)
+
+  /** Proper pairwise edge crossings; throws on tangential contact so the
+    * caller refuses instead of emitting a wrong ring. Returns the two
+    * augmented rings (vertices + crossings in boundary order) and the
+    * crossing count. */
+  private def augment(a: Ring, b: Ring, eps: Double)
+      : (Array[Node], Array[Node], Int) = {
+    val epsT = 1e-9
+    // (edge index, param, crossId) per ring
+    val onA = scala.collection.mutable.ArrayBuffer[(Int, Double, Int)]()
+    val onB = scala.collection.mutable.ArrayBuffer[(Int, Double, Int)]()
+    val cxs = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+    var i = 0
+    while (i < a.n) {
+      val i2 = (i + 1) % a.n
+      val (ax1, ay1, ax2, ay2) = (a.xs(i), a.ys(i), a.xs(i2), a.ys(i2))
+      var j = 0
+      while (j < b.n) {
+        val j2 = (j + 1) % b.n
+        val (bx1, by1, bx2, by2) = (b.xs(j), b.ys(j), b.xs(j2), b.ys(j2))
+        val rx = ax2 - ax1; val ry = ay2 - ay1
+        val sx = bx2 - bx1; val sy = by2 - by1
+        val den = rx * sy - ry * sx
+        if (math.abs(den) > eps) {
+          val qpx = bx1 - ax1; val qpy = by1 - ay1
+          val t = (qpx * sy - qpy * sx) / den
+          val u = (qpx * ry - qpy * rx) / den
+          val contact = t > -epsT && t < 1 + epsT && u > -epsT && u < 1 + epsT
+          val proper = t > epsT && t < 1 - epsT && u > epsT && u < 1 - epsT
+          if (contact && !proper)
+            throw new IllegalArgumentException(
+              "tangential boundary contact (vertex grazing) — the convex " +
+                "clip walk requires proper edge crossings; refusing rather " +
+                "than constructing a possibly-wrong ring")
+          if (proper) {
+            val id = cxs.length
+            cxs += ((ax1 + t * rx, ay1 + t * ry))
+            onA += ((i, t, id)); onB += ((j, u, id))
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    def build(r: Ring, on: Seq[(Int, Double, Int)]): Array[Node] = {
+      val out = scala.collection.mutable.ArrayBuffer[Node]()
+      var i = 0
+      while (i < r.n) {
+        out += new Node(r.xs(i), r.ys(i), -1)
+        on.filter(_._1 == i).sortBy(_._2).foreach { case (_, _, id) =>
+          out += new Node(cxs(id)._1, cxs(id)._2, id)
+        }
+        i += 1
+      }
+      out.toArray
+    }
+    (build(a, onA.toSeq), build(b, onB.toSeq), cxs.length)
+  }
+
+  /** The walk: start on an A vertex strictly outside B, follow A forward;
+    * switch rings at every crossing (B forward for union, backward for
+    * difference); stop on returning to start. */
+  private def walk(ringA: Array[Node], ringB: Array[Node], nCross: Int,
+                   b: Ring, backward: Boolean, eps: Double, what: String)
+      : (Array[Double], Array[Double]) = {
+    val startIdx = ringA.indexWhere(nd =>
+      nd.crossId < 0 && minEdgeSide(b, nd.x, nd.y) < -eps)
+    require(startIdx >= 0,
+      s"$what: no subject vertex strictly outside the other polygon — " +
+        "degenerate boundary configuration, refusing")
+    val posInB = new Array[Int](nCross)
+    ringB.zipWithIndex.foreach { case (nd, i) =>
+      if (nd.crossId >= 0) posInB(nd.crossId) = i }
+    val posInA = new Array[Int](nCross)
+    ringA.zipWithIndex.foreach { case (nd, i) =>
+      if (nd.crossId >= 0) posInA(nd.crossId) = i }
+    val visited = new Array[Boolean](nCross)
+    var nVisited = 0
+    val oxs = Array.newBuilder[Double]; val oys = Array.newBuilder[Double]
+    var onA = true
+    var idx = startIdx
+    val maxSteps = 2 * (ringA.length + ringB.length) + 4
+    var steps = 0
+    var done = false
+    while (!done) {
+      steps += 1
+      require(steps <= maxSteps,
+        s"$what: boundary walk did not close — numeric degeneracy, refusing")
+      val ring = if (onA) ringA else ringB
+      val nd = ring(idx)
+      oxs += nd.x; oys += nd.y
+      if (nd.crossId >= 0) {
+        require(!visited(nd.crossId),
+          s"$what: walk revisited a crossing — degenerate configuration")
+        visited(nd.crossId) = true; nVisited += 1
+        onA = !onA
+        idx = if (onA) posInA(nd.crossId) else posInB(nd.crossId)
+      }
+      idx =
+        if (onA) (idx + 1) % ringA.length
+        else if (backward) (idx - 1 + ringB.length) % ringB.length
+        else (idx + 1) % ringB.length
+      done = onA && idx == startIdx
+    }
+    require(nVisited == nCross,
+      s"$what: result is multiple disjoint rings (MULTIPOLYGON) — the " +
+        "single-ring geometry core cannot represent it, refusing")
+    (oxs.result(), oys.result())
+  }
+
+  private def geomRow(xs: Array[Double], ys: Array[Double]): InternalRow =
+    new GenericInternalRow(Array[Any](UTF8String.fromString("POLYGON"),
+      new GenericArrayData(xs.map(x => x: Any)),
+      new GenericArrayData(ys.map(y => y: Any))))
+
+  private def ringRow(r: Ring): InternalRow = geomRow(r.xs, r.ys)
+
+  /** Entry point: op = 0 intersection, 1 union, 2 difference. Returns
+    * null for an EMPTY result (SQL NULL = empty geometry). */
+  def clip(aRow: InternalRow, bRow: InternalRow, op: Int): InternalRow = {
+    // scale-relative tolerance off a first raw coordinate scan
+    def rawScale(row: InternalRow): Double = {
+      val xsA = row.getArray(1); val ysA = row.getArray(2)
+      var m = 1.0
+      var i = 0
+      while (i < xsA.numElements()) {
+        m = math.max(m, math.max(math.abs(xsA.getDouble(i)),
+          math.abs(ysA.getDouble(i))))
+        i += 1
+      }
+      m
+    }
+    val eps = 1e-9 * math.max(rawScale(aRow), rawScale(bRow))
+    val a = parse(aRow, "left", eps)
+    val b = parse(bRow, "right", eps)
+    val (ixs, iys) = sutherlandHodgman(a, b, eps)
+    val areaI = math.abs(signedArea2(ixs, iys)) / 2
+    val areaA = math.abs(signedArea2(a.xs, a.ys)) / 2
+    val areaB = math.abs(signedArea2(b.xs, b.ys)) / 2
+    val areaEps = eps * math.max(1.0, math.max(areaA, areaB))
+    val interEmpty = areaI <= areaEps
+    val aInB = areaI >= areaA - areaEps
+    val bInA = areaI >= areaB - areaEps
+    op match {
+      case 0 => // intersection
+        if (interEmpty) null else geomRow(ixs, iys)
+      case 1 => // union
+        if (interEmpty) throw new IllegalArgumentException(
+          "st_union of disjoint or touch-only polygons is a MULTIPOLYGON " +
+            "(or a degenerate stitch) — the single-ring convex core " +
+            "refuses rather than guessing")
+        else if (aInB) ringRow(b)
+        else if (bInA) ringRow(a)
+        else {
+          val (ra, rb, k) = augment(a, b, eps)
+          require(k >= 2 && k % 2 == 0,
+            s"st_union: $k proper boundary crossings (expected a positive " +
+              "even count) — degenerate contact, refusing")
+          val (xs, ys) = walk(ra, rb, k, b, backward = false, eps, "st_union")
+          geomRow(xs, ys)
+        }
+      case 2 => // difference a \ b
+        if (interEmpty) ringRow(a)
+        else if (aInB) null
+        else if (bInA) throw new IllegalArgumentException(
+          "st_difference where the right polygon sits inside the left " +
+            "produces a ring with a HOLE — the single-ring convex core " +
+            "refuses rather than dropping it")
+        else {
+          val (ra, rb, k) = augment(a, b, eps)
+          require(k >= 2 && k % 2 == 0,
+            s"st_difference: $k proper boundary crossings (expected a " +
+              "positive even count) — degenerate contact, refusing")
+          val (xs, ys) = walk(ra, rb, k, b, backward = true, eps,
+            "st_difference")
+          geomRow(xs, ys)
+        }
+      case other => throw new IllegalArgumentException(s"unknown clip op $other")
+    }
+  }
+}
+
+/** `st_intersection(a, b)` / `st_union(a, b)` / `st_difference(a, b)`
+  * over two geometry structs — the convex constructive-geometry slice
+  * (see [[ConvexClip]] for semantics and refusal bounds). NULL result =
+  * empty geometry. */
+case class ConvexClipExpr(left: Expression, right: Expression, op: Int)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (GisPredicates.isGeomType(left.dataType) &&
+        GisPredicates.isGeomType(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two st_geomfromtext geometry structs, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+
+  override def dataType: DataType = left.dataType match {
+    // the result carries no srid even if the input struct did — project
+    // the canonical 3-field geometry shape
+    case s: StructType => StructType(s.fields.take(3))
+    case other => other
+  }
+
+  override def nullable: Boolean = true
+
+  // a non-empty clip can still return null (empty geometry)
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ConvexClip.clip(a.asInstanceOf[InternalRow], b.asInstanceOf[InternalRow], op)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""${ev.value} = graft.functions.ConvexClip.clip($a, $b, $op);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }""".stripMargin)
+
+  override def prettyName: String =
+    ConvexClip.OpIds.find(_._2 == op).map(_._1).getOrElse("st_clip")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ConvexClipExpr =
+    copy(left = newLeft, right = newRight)
+}

@@ -217,4 +217,34 @@ object GisFunctions {
     call_function("st_relate", a, b)
   def stRelate(a: Column, b: Column, pattern: String): Column =
     call_function("st_relate", a, b, lit(pattern))
+
+  // ---- constructive geometry, CONVEX slice (ConvexClip.scala;
+  // registered by GraftExtensions). NULL result = empty geometry;
+  // concave inputs, disjoint unions, holes, and multi-part differences
+  // refuse loudly — see ConvexClip's scaladoc for the exact bounds. --
+  def stIntersection(a: Column, b: Column): Column =
+    call_function("st_intersection", a, b)
+  def stUnion(a: Column, b: Column): Column =
+    call_function("st_union", a, b)
+  def stDifference(a: Column, b: Column): Column =
+    call_function("st_difference", a, b)
+
+  /** ST_Area — planar shoelace area of a polygon struct (0 for
+    * POINT/LINESTRING). Declarative: rotate-by-one arrays + one fold;
+    * works for open AND closed rings (the closing duplicate's wrap term
+    * is identically zero). */
+  def stArea(geom: Column): Column = {
+    val xs = geom("xs"); val ys = geom("ys")
+    val n = size(xs)
+    val xs2 = concat(slice(xs, lit(2), n), slice(xs, lit(1), lit(1)))
+    val ys2 = concat(slice(ys, lit(2), n), slice(ys, lit(1), lit(1)))
+    val lhs = zip_with(xs, ys2, (x, y2) => x * y2)
+    val rhs = zip_with(xs2, ys, (x2, y) => x2 * y)
+    val terms = zip_with(lhs, rhs, (p, q) => p - q)
+    // no otherwise: a NULL geometry (empty clip result) stays NULL —
+    // only a real POINT/LINESTRING collapses to area 0
+    when(geom("gtype") === "POLYGON",
+      abs(aggregate(terms, lit(0.0), (acc, t) => acc + t)) / 2)
+      .when(geom("gtype").isNotNull, lit(0.0))
+  }
 }

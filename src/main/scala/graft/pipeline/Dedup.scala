@@ -1005,22 +1005,35 @@ object Dedup {
     val spark = pairs.sparkSession
     val edges = pairs.select(idNorm(at, col(aCol)).as("src"),
       idNorm(bt, col(bCol)).as("dst"))
+    // bi is scanned from both sides of a join every round: store it
+    // SERIALIZED (2 longs/row compress well) — the deserialized default
+    // held ~8x the heap and showed up as GC-driven round-wall spikes in
+    // the r8 sf1 artifact (round walls [2.3, 11.7, 6.2, ...] on
+    // identical per-round work).
     val bi = edges
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     var labels = bi.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint()
     // Per-round cost here is round-count × fixed job overhead, not data
     // volume: size the per-round shuffles to the EDGE table instead of
     // the session default (135k edges over 32 partitions × ~15 rounds is
-    // scheduler overhead, not parallelism). bi is already materialized,
-    // so the count is a cached-scan job. Conf is restored on exit.
+    // scheduler overhead, not parallelism). The count materializes the
+    // serialized edge cache; every round then scans the cache. Conf is restored on exit.
     val nEdges = bi.count()
     val defaultParts = spark.sessionState.conf.numShufflePartitions
     val nParts = math.max(1, math.min(defaultParts,
       math.ceil(nEdges / 125000.0).toInt))
     val prevParts = spark.conf.getOption("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", nParts.toString)
+    // partitions are hand-sized to the edge table: AQE's post-shuffle
+    // coalescing re-plans every round's tiny exchanges for no benefit —
+    // its advisory sizing interacted with the loop as round-wall
+    // variance in the r8 artifact. Pin it off for the loop, restore on
+    // exit.
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prevCoalesce = spark.conf.getOption(coalesceKey)
+    spark.conf.set(coalesceKey, "false")
     val wall = scala.collection.mutable.ArrayBuffer[Double]()
     var round = 0
     try {
@@ -1068,9 +1081,16 @@ object Dedup {
         s"dupComponents did not converge within maxRounds=$maxRounds " +
           s"($changed labels still changing) — labels would be non-minimal")
     } finally {
+      // labels is a materialized localCheckpoint by here — dropping the
+      // edge cache cannot recompute anything the result still needs
+      bi.unpersist()
       prevParts match {
         case Some(v) => spark.conf.set("spark.sql.shuffle.partitions", v)
         case None => spark.conf.unset("spark.sql.shuffle.partitions")
+      }
+      prevCoalesce match {
+        case Some(v) => spark.conf.set(coalesceKey, v)
+        case None => spark.conf.unset(coalesceKey)
       }
       lastCcStats = Some(CcStats(round, wall.toSeq, nEdges, nParts))
     }

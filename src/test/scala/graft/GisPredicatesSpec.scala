@@ -277,4 +277,116 @@ class GisPredicatesSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("projection"))
   }
+
+  // ---- constructive geometry, CONVEX slice (ConvexClip.scala) ------
+
+  /** Run one clip; None = SQL NULL (empty geometry), Some((area,
+    * vertex count, vertex set)) otherwise. */
+  private def clip(name: String, aWkt: String, bWkt: String)
+      : Option[(Double, Int, Set[(Double, Double)])] = {
+    import spark.implicits._
+    val r = Seq((aWkt, bWkt)).toDF("a", "b")
+      .select(call_function(name,
+        stGeomFromText(col("a")), stGeomFromText(col("b"))).as("g"))
+      .select(col("g"), stArea(col("g")).as("area"),
+        size(col("g")("xs")).as("nv"),
+        zip_with(col("g")("xs"), col("g")("ys"),
+          (x, y) => struct(x.as("x"), y.as("y"))).as("pts"))
+      .collect()(0)
+    if (r.isNullAt(0)) None
+    else Some((r.getDouble(1), r.getInt(2),
+      r.getSeq[org.apache.spark.sql.Row](3)
+        .map(p => (p.getDouble(0), p.getDouble(1))).toSet))
+  }
+
+  private def clipRefuses(name: String, aWkt: String, bWkt: String,
+                          msgPart: String): Unit = {
+    val e = intercept[Exception] { clip(name, aWkt, bWkt) }
+    assert(e.getMessage.contains(msgPart), s"$name: ${e.getMessage}")
+  }
+
+  private def rect(x1: Int, y1: Int, x2: Int, y2: Int): String =
+    s"POLYGON (($x1 $y1, $x2 $y1, $x2 $y2, $x1 $y2, $x1 $y1))"
+
+  test("clip: proper rect overlap — bite shape, exact rings and areas") {
+    val a = rect(0, 0, 4, 4)          // area 16
+    val b = rect(2, 1, 6, 3)          // area 8; bites A's right edge
+    val Some((ia, _, _)) = clip("st_intersection", a, b)
+    assert(math.abs(ia - 4.0) < 1e-9) // [2,4]x[1,3]
+    val Some((ua, unv, upts)) = clip("st_union", a, b)
+    assert(math.abs(ua - 20.0) < 1e-9 && unv == 8)
+    assert(upts == Set((0.0, 0.0), (4.0, 0.0), (4.0, 1.0), (6.0, 1.0),
+      (6.0, 3.0), (4.0, 3.0), (4.0, 4.0), (0.0, 4.0)))
+    val Some((da, dnv, dpts)) = clip("st_difference", a, b)
+    assert(math.abs(da - 12.0) < 1e-9 && dnv == 8)
+    assert(dpts == Set((0.0, 0.0), (4.0, 0.0), (4.0, 1.0), (2.0, 1.0),
+      (2.0, 3.0), (4.0, 3.0), (4.0, 4.0), (0.0, 4.0)))
+    // B \ A: the part of B sticking out of A — [4,6]x[1,3]
+    val Some((ra, _, rpts)) = clip("st_difference", b, a)
+    assert(math.abs(ra - 4.0) < 1e-9)
+    assert(rpts == Set((4.0, 1.0), (6.0, 1.0), (6.0, 3.0), (4.0, 3.0)))
+  }
+
+  test("clip: oblique pair — diamond over square, 8 crossings") {
+    val sq = rect(0, 0, 4, 4)                               // area 16
+    val dia = "POLYGON ((5 2, 2 5, -1 2, 2 -1, 5 2))"       // area 18
+    val Some((ia, _, _)) = clip("st_intersection", sq, dia)
+    assert(math.abs(ia - 14.0) < 1e-9) // square minus 4 half-unit corners
+    val Some((ua, unv, _)) = clip("st_union", sq, dia)
+    assert(math.abs(ua - 20.0) < 1e-9 && unv == 16)
+    assert(math.abs(clip("st_union", dia, sq).get._1 - 20.0) < 1e-9)
+    // each difference is FOUR disjoint corner spikes -> loud refusal
+    clipRefuses("st_difference", sq, dia, "MULTIPOLYGON")
+    clipRefuses("st_difference", dia, sq, "MULTIPOLYGON")
+  }
+
+  test("clip: degenerate touch — edge and corner contact") {
+    val a = rect(0, 0, 4, 4)
+    val edgeB = rect(4, 0, 8, 4)   // shares the full edge x=4
+    val cornerB = rect(4, 4, 6, 6) // touches at one corner
+    assert(clip("st_intersection", a, edgeB).isEmpty)   // zero area -> empty
+    assert(clip("st_intersection", a, cornerB).isEmpty)
+    clipRefuses("st_union", a, edgeB, "touch-only")
+    clipRefuses("st_union", a, cornerB, "touch-only")
+    // difference with touch-only B: A unchanged
+    assert(math.abs(clip("st_difference", a, edgeB).get._1 - 16.0) < 1e-9)
+    assert(math.abs(clip("st_difference", a, cornerB).get._1 - 16.0) < 1e-9)
+  }
+
+  test("clip: empty intersection (disjoint) and containment") {
+    val a = rect(0, 0, 4, 4)
+    val far = rect(10, 10, 12, 12)
+    val small = rect(1, 1, 3, 3)
+    assert(clip("st_intersection", a, far).isEmpty)
+    clipRefuses("st_union", a, far, "disjoint")
+    assert(math.abs(clip("st_difference", a, far).get._1 - 16.0) < 1e-9)
+    // small inside a: intersection = small, union = a, small \ a = empty
+    assert(math.abs(clip("st_intersection", a, small).get._1 - 4.0) < 1e-9)
+    assert(math.abs(clip("st_union", a, small).get._1 - 16.0) < 1e-9)
+    assert(math.abs(clip("st_union", small, a).get._1 - 16.0) < 1e-9)
+    assert(clip("st_difference", small, a).isEmpty)
+    // a \ small would have a HOLE -> loud refusal
+    clipRefuses("st_difference", a, small, "HOLE")
+    // identical polygons: intersection/union = self, difference = empty
+    assert(math.abs(clip("st_union", a, a).get._1 - 16.0) < 1e-9)
+    assert(clip("st_difference", a, a).isEmpty)
+  }
+
+  test("clip: split difference and concave inputs refuse") {
+    val a = rect(0, 0, 4, 4)
+    val band = rect(-1, 1, 5, 3) // spans A horizontally
+    clipRefuses("st_difference", a, band, "MULTIPOLYGON")
+    // union through the band IS single-ring (a plus shape) — walk works
+    val Some((ua, unv, _)) = clip("st_union", a, band)
+    assert(math.abs(ua - (16.0 + 12.0 - 8.0)) < 1e-9 && unv == 12)
+    val concave = "POLYGON ((0 0, 4 0, 4 4, 2 1, 0 4, 0 0))"
+    clipRefuses("st_intersection", concave, a, "concave")
+    clipRefuses("st_union", a, concave, "concave")
+    // vertex-grazing contact on the walk path refuses rather than
+    // constructing a possibly-wrong ring (diamond vertex ON square edge)
+    clipRefuses("st_union", rect(0, 0, 4, 4),
+      "POLYGON ((2 0, 0 2, -2 0, 0 -2, 2 0))", "tangential")
+    // non-polygon inputs refuse
+    clipRefuses("st_intersection", "POINT (1 1)", rect(0, 0, 2, 2), "POLYGON")
+  }
 }
