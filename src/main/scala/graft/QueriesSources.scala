@@ -691,6 +691,15 @@ object QueriesSources {
         .agg(count(lit(1)).as("n"), sum("val").as("val_sum"))
     }),
 
+    "q_paimon_pk_dynamic" -> ((s, d) => {
+      // DYNAMIC-bucket cross-partition upsert table (PK does not span
+      // the partition field): keys %10==3 moved to partition 'X' via
+      // retract + re-insert, read by the index-free global merge
+      graft.sources.PaimonTable.read(s, paimonPkDynFixture(s, d))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum("val").as("val_sum"))
+    }),
+
     "q_paimon_pk_travel" -> ((s, d) => {
       // snapshot 1 pins the pre-upsert, pre-delete state
       graft.sources.PaimonTable.read(s, paimonPkFixture(s, d),
@@ -1144,6 +1153,58 @@ object QueriesSources {
         src.filter(col("o_orderkey") < 1000 && col("o_orderkey") % 10 === 0)
           .select("o_orderstatus", "o_orderkey"),
         base, pk, kind = "-D", partitionBy = parts)
+      fs.create(donePath, true).close()
+    }
+    base
+  }
+
+  /** Paimon DYNAMIC-bucket CROSS-PARTITION-upsert fixture: a foreign
+    * table shape graft's writer cannot produce (PK ⊉ partition fields,
+    * bucket = -1), assembled the way the spec's own tests do — write
+    * the KeyValue history unpartitioned, then declare the partition key
+    * + dynamic bucket in schema-0 and relocate the bucket dirs under a
+    * partition dir (live files locate by NAME; values come from the
+    * value rows). History: keys %10==3 MOVE partition — retract (seq 2)
+    * then re-insert under status 'X' with val*11 (seq 3), exactly the
+    * delete+insert pair paimon's cross-partition sink emits. */
+  private def paimonPkDynFixture(s: org.apache.spark.sql.SparkSession,
+                                 d: String): String = {
+    import graft.sources.PaimonTable
+    val base = s"${out(d)}/paimon_pk_dyn_orders"
+    val donePath = new org.apache.hadoop.fs.Path(s"$base/_fixture_done")
+    val fs = donePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(donePath)) {
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val src = GraftSession.table(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          (col("o_orderkey") * 3).as("val"))
+      val movers = col("o_orderkey") % 10 === 3
+      PaimonTable.writePk(src.filter(col("o_orderkey") < 1000), base,
+        Seq("o_orderkey"), numBuckets = 2)
+      PaimonTable.writePk(
+        src.filter(col("o_orderkey") < 1000 && movers).select("o_orderkey"),
+        base, Seq("o_orderkey"), kind = "-D")
+      PaimonTable.writePk(
+        src.filter(col("o_orderkey") < 1000 && movers)
+          .withColumn("o_orderstatus", lit("X"))
+          .withColumn("val", col("o_orderkey") * 11),
+        base, Seq("o_orderkey"), kind = "+I")
+      val schemaPath = new org.apache.hadoop.fs.Path(s"$base/schema/schema-0")
+      val in = fs.open(schemaPath)
+      val orig = new String(in.readAllBytes(), "UTF-8"); in.close()
+      val os = fs.create(schemaPath, true)
+      os.write(orig.replace("\"partitionKeys\":[]",
+          "\"partitionKeys\":[\"o_orderstatus\"]")
+        .replace("\"bucket\":\"2\"", "\"bucket\":\"-1\"").getBytes("UTF-8"))
+      os.close()
+      Seq(0, 1).foreach { b =>
+        val from = new org.apache.hadoop.fs.Path(s"$base/bucket-$b")
+        if (fs.exists(from)) {
+          val to = new org.apache.hadoop.fs.Path(s"$base/o_orderstatus=O/bucket-$b")
+          fs.mkdirs(to.getParent)
+          require(fs.rename(from, to), s"fixture rename failed: $from")
+        }
+      }
       fs.create(donePath, true).close()
     }
     base
@@ -1768,6 +1829,14 @@ object QueriesSources {
                CASE WHEN o_orderkey >= 500 AND o_orderkey < 700
                     THEN o_orderkey * 7 ELSE o_orderkey * 3 END AS val
         FROM orders WHERE o_orderkey < 1000 AND o_orderkey % 10 <> 0)
+      GROUP BY 1""",
+    "q_paimon_pk_dynamic" -> """
+      SELECT o_orderstatus, count(*) AS n, sum(val)::BIGINT AS val_sum FROM (
+        SELECT CASE WHEN o_orderkey % 10 = 3 THEN 'X'
+                    ELSE o_orderstatus END AS o_orderstatus,
+               CASE WHEN o_orderkey % 10 = 3 THEN o_orderkey * 11
+                    ELSE o_orderkey * 3 END AS val
+        FROM orders WHERE o_orderkey < 1000)
       GROUP BY 1""",
     "q_paimon_pk_travel" -> """
       SELECT o_orderstatus, count(*) AS n,

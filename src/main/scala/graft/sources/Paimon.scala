@@ -37,14 +37,30 @@ import scala.jdk.CollectionConverters._
   * merge-on-read: per-key latest-sequence-number merge over the spec's
   * `_KEY_<col>` / `_SEQUENCE_NUMBER` / `_VALUE_KIND` system columns,
   * RowKind retractions dropped — the spec's default `deduplicate`
-  * merge engine), parquet data format. PARTITIONED append-only tables
-  * read with manifest-stat partition pruning disabled (live files
-  * resolve by NAME, values from data columns or hive-style dir names)
-  * because the manifest `_PARTITION` tuple is BinaryRow-encoded — a
-  * Flink implementation detail, not published spec. PARTITIONED
-  * primary-key tables REFUSE (bucket routing hashes that tuple); so do
-  * non-`deduplicate` merge engines (partial-update / aggregation /
-  * first-row).
+  * merge engine), parquet data format, both unpartitioned and
+  * PARTITIONED (fixed buckets; PK must cover the partition fields).
+  *
+  * BinaryRow posture (the manifest `_PARTITION` tuple and _MIN_KEY/
+  * _MAX_KEY stats are Flink-BinaryRow-encoded — an implementation
+  * detail documented only in Flink/Paimon source, not the published
+  * spec): graft SHIPS a hand-rolled codec (sources/BinaryRow.scala,
+  * golden-byte + round-trip spec'd) and uses it on the WRITE path, so
+  * graft-written tables carry real partition tuples and stats a native
+  * paimon reader can decode. On READS of foreign tables the codec is
+  * deliberately NOT trusted for manifest-stat partition pruning: live
+  * files resolve by NAME (ADD minus DELETE), full paths from a
+  * partition-directory walk, partition VALUES from the data columns or
+  * hive-style dir names — a silent mis-decode of a foreign writer's
+  * tuple would prune wrong files, so pruning stays off and only
+  * query-time filtering applies. DYNAMIC-bucket PK tables (explicit
+  * -1 OR absent — current paimon's PK default) READ: the `index/` HASH
+  * files are write-side key ROUTING; the global per-key max_by merge
+  * never consults bucket numbers, and cross-partition upserts are
+  * self-describing (the old partition's retract carries a lower
+  * per-record sequence). WRITES to dynamic-bucket tables refuse — key
+  * routing genuinely needs the index, whose update protocol is
+  * unpublished. Non-`deduplicate` merge engines refuse (partial-update
+  * / aggregation / first-row).
   *
   * Scale posture: metadata parsing (JSON + avro manifests) is
   * driver-side and metadata-scale — what Paimon's own planning does —
@@ -455,20 +471,27 @@ object PaimonTable {
     // stay refused, as do tables whose primary key does not cover the
     // partition keys.
     if (sch.partitionKeys.nonEmpty && sch.primaryKeys.nonEmpty) {
-      // current paimon defaults PK tables to DYNAMIC bucket (-1) when
-      // the option is ABSENT — a missing option must refuse like an
-      // explicit -1, not silently pass as fixed-bucket
-      require(sch.options.get("bucket").exists(b =>
-          scala.util.Try(b.trim.toInt).toOption.exists(_ >= 1)),
-        s"paimon PARTITIONED PRIMARY-KEY table with DYNAMIC buckets " +
-          s"(bucket=${sch.options.getOrElse("bucket", "<absent>")}) is not " +
-          "supported — cross-partition upsert routes keys through an " +
-          "unpublished index layout")
-      require(sch.partitionKeys.forall(sch.primaryKeys.contains),
-        s"paimon PARTITIONED PRIMARY-KEY table whose key " +
-          s"(${sch.primaryKeys.mkString(",")}) does not contain the " +
-          s"partition fields (${sch.partitionKeys.mkString(",")}) is not " +
-          "supported — that is cross-partition upsert mode")
+      // FIXED buckets: paimon's own invariant requires PK ⊇ partition
+      // fields — a fixed-bucket table violating it is malformed.
+      // DYNAMIC buckets (explicit -1 OR absent — current paimon's PK
+      // default) READ fine without the bucket index: the index
+      // (`index/` HASH files) is a WRITE-side routing structure; this
+      // reader's per-key global max_by merge never consults bucket
+      // numbers, and cross-partition upserts are self-describing in the
+      // data — real paimon writes the old partition's -D retract with a
+      // lower per-record sequence number than the new partition's
+      // insert, so the global merge keeps exactly the moved row.
+      // (WRITES to dynamic-bucket tables still refuse in writePk: key
+      // ROUTING genuinely needs the index.)
+      val fixedBuckets = sch.options.get("bucket").exists(b =>
+        scala.util.Try(b.trim.toInt).toOption.exists(_ >= 1))
+      if (fixedBuckets)
+        require(sch.partitionKeys.forall(sch.primaryKeys.contains),
+          s"paimon FIXED-bucket PARTITIONED PRIMARY-KEY table whose key " +
+            s"(${sch.primaryKeys.mkString(",")}) does not contain the " +
+            s"partition fields (${sch.partitionKeys.mkString(",")}) is " +
+            "malformed — paimon itself requires PK ⊇ partition fields " +
+            "for fixed buckets")
     }
     val merge = sch.options.getOrElse("merge-engine", "deduplicate")
     require(sch.primaryKeys.isEmpty || merge == "deduplicate",
@@ -523,12 +546,21 @@ object PaimonTable {
       // sequence number wins its key; kind breaks exact ties (later
       // retract outranks its paired insert), and the winner survives
       // only when it is additive (+I/+U).
+      // The data files must actually CARRY the KeyValue layout — a
+      // foreign table whose schema declares primary keys over plain
+      // rows (no _KEY_*/_SEQUENCE_NUMBER columns) would null-fill the
+      // merge keys and silently mis-merge; probe and refuse instead.
+      val probe = spark.read.parquet(files.head).schema.fieldNames.toSet
+      require(probe.contains("_SEQUENCE_NUMBER") &&
+          sch.primaryKeys.forall(k => probe.contains(s"_KEY_$k")),
+        s"paimon PK read: data files of $table lack the KeyValue system " +
+          s"columns (_KEY_*/_SEQUENCE_NUMBER/_VALUE_KIND) — cannot apply " +
+          "the merge-on-read; the table layout is not a PK table's")
       // PARTITIONED PK tables: the KeyValue layout's value row is the
       // FULL row (paimon never trims partition columns from the value),
       // so partition values ride in the data; a foreign layout that does
       // trim them would silently null-fill — probe and refuse instead
       if (sch.partitionKeys.nonEmpty) {
-        val probe = spark.read.parquet(files.head).schema.fieldNames.toSet
         require(sch.partitionKeys.forall(probe.contains),
           s"paimon partitioned PK read: value rows of $table do not carry " +
             s"the partition columns (${sch.partitionKeys.mkString(",")}) — " +

@@ -130,15 +130,16 @@ class PaimonSpec extends AnyFunSuite {
       PaimonTable.read(spark, base)
     }
     assert(e1.getMessage.contains("merge-engine"))
-    // PARTITIONED + PRIMARY-KEY: bucket routing hashes the BinaryRow
-    // partition tuple — still a refusal (append-only partitioned reads)
+    // a table DECLARED primary-key (dynamic buckets — option absent)
+    // over plain append-only data files must refuse on the KeyValue
+    // probe, not null-fill the merge keys and mis-merge
     rewrite(orig
       .replace("\"partitionKeys\":[]", "\"partitionKeys\":[\"v\"]")
       .replace("\"primaryKeys\":[]", "\"primaryKeys\":[\"id\"]"))
     val e2 = intercept[IllegalArgumentException] {
       PaimonTable.read(spark, base)
     }
-    assert(e2.getMessage.contains("PARTITIONED PRIMARY-KEY"))
+    assert(e2.getMessage.contains("KeyValue system"), e2.getMessage)
     rewrite(orig)
     assert(PaimonTable.read(spark, base).count() == 5L)
   }
@@ -279,15 +280,79 @@ class PaimonSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     assert(snap1 == (1L to 20L).map(i =>
       (i, if (i % 2 == 0) "a" else "b", i * 10L)).toSet)
-    // DYNAMIC buckets on a partitioned PK table stay refused
+    // DYNAMIC buckets on a partitioned PK table READ fine (the bucket
+    // index is write-side routing; the global merge never needs it)
     val os2 = fs.create(schemaPath, true)
     os2.write(orig.replace("\"partitionKeys\":[]",
         "\"partitionKeys\":[\"p\"]")
       .replace("\"file.format\":\"parquet\"",
         "\"file.format\":\"parquet\",\"bucket\":\"-1\"").getBytes("UTF-8"))
     os2.close()
+    val gotDyn = PaimonTable.read(spark, base)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(gotDyn == expected)
+  }
+
+  test("DYNAMIC-bucket cross-partition upsert reads: global merge, no index") {
+    import spark.implicits._
+    // Simulate a foreign cross-partition dynamic-bucket table (PK does
+    // NOT cover the partition field): write the same KeyValue layout
+    // unpartitioned, then declare p a partition key with bucket=-1 and
+    // relocate the bucket dirs under a partition dir. The key-move
+    // history: key 3 inserted in p=a (seq 1), retracted (seq 2),
+    // re-inserted in p=b (seq 3) — exactly what paimon's cross-partition
+    // sink emits, with the retract at a LOWER sequence than the insert.
+    val base = freshDir("pk_dynamic")
+    PaimonTable.writePk((1L to 10L).map(i => (i, "a", i * 10L))
+      .toDF("id", "p", "v"), base, Seq("id"), numBuckets = 2)
+    PaimonTable.writePk(Seq(3L).toDF("id"), base, Seq("id"), kind = "-D")
+    PaimonTable.writePk(Seq((3L, "b", 999L)).toDF("id", "p", "v"),
+      base, Seq("id"), kind = "+I")
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val schemaPath = new org.apache.hadoop.fs.Path(s"$base/schema/schema-0")
+    val in = fs.open(schemaPath)
+    val orig = new String(in.readAllBytes(), "UTF-8"); in.close()
+    val os = fs.create(schemaPath, true)
+    os.write(orig.replace("\"partitionKeys\":[]",
+        "\"partitionKeys\":[\"p\"]")
+      .replace("\"bucket\":\"2\"", "\"bucket\":\"-1\"").getBytes("UTF-8"))
+    os.close()
+    Seq(0, 1).foreach { b =>
+      val from = new org.apache.hadoop.fs.Path(s"$base/bucket-$b")
+      if (fs.exists(from)) {
+        val to = new org.apache.hadoop.fs.Path(s"$base/p=a/bucket-$b")
+        fs.mkdirs(to.getParent)
+        require(fs.rename(from, to))
+      }
+    }
+    val got = PaimonTable.read(spark, base)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val expected = (1L to 10L).map {
+      case 3L => (3L, "b", 999L)
+      case i  => (i, "a", i * 10L)
+    }.toSet
+    assert(got == expected)
+    // a FIXED-bucket table whose PK does not cover the partition field
+    // is malformed and still refuses
+    val os2 = fs.create(schemaPath, true)
+    os2.write(orig.replace("\"partitionKeys\":[]",
+      "\"partitionKeys\":[\"p\"]").getBytes("UTF-8"))
+    os2.close()
     val e = intercept[IllegalArgumentException](PaimonTable.read(spark, base))
-    assert(e.getMessage.contains("DYNAMIC buckets"))
+    assert(e.getMessage.contains("malformed"), e.getMessage)
+    // WRITES to dynamic-bucket tables still refuse (routing needs the
+    // index) — restore the dynamic schema first
+    val os3 = fs.create(schemaPath, true)
+    os3.write(orig.replace("\"partitionKeys\":[]",
+        "\"partitionKeys\":[\"p\"]")
+      .replace("\"bucket\":\"2\"", "\"bucket\":\"-1\"").getBytes("UTF-8"))
+    os3.close()
+    val e2 = intercept[IllegalArgumentException] {
+      PaimonTable.writePk(Seq((11L, "a", 1L)).toDF("id", "p", "v"),
+        base, Seq("id"), kind = "+U")
+    }
+    assert(e2.getMessage.contains("dynamic"), e2.getMessage)
   }
 
   test("NATIVE partitioned PK writes: partition dirs, manifest tuples, merge") {
