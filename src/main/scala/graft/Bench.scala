@@ -100,6 +100,48 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Distinct PHYSICAL cores from /proc/cpuinfo ((physical id, core id)
+    * pairs; 0 when unreadable). On an SMT host the parallel probe's
+    * clean-host baseline is ~logical/physical × the single-thread wall
+    * (paired hyperthreads share ports) — without this count a clean
+    * 2-way-SMT host reads as "contended". The artifact carries both so
+    * the expected baseline is computable, not guessed. */
+  private def physicalCores(): Int =
+    try {
+      val src = scala.io.Source.fromFile("/proc/cpuinfo")
+      try {
+        var phys = "?"
+        val pairs = scala.collection.mutable.Set[(String, String)]()
+        src.getLines().foreach { l =>
+          val kv = l.split(":", 2)
+          if (kv.length == 2) kv(0).trim match {
+            case "physical id" => phys = kv(1).trim
+            case "core id" => pairs += ((phys, kv(1).trim))
+            case _ =>
+          }
+        }
+        pairs.size
+      } finally src.close()
+    } catch { case _: Exception => 0 }
+
+  /** Best-effort listener-bus flush: the 60 ms sleep alone is not a
+    * barrier — a task-heavy rep leaves TaskEnd events queued past it and
+    * the CPU time mis-attributes to the NEXT rep. waitUntilEmpty is
+    * private[spark] in source but public in bytecode; reflection keeps
+    * the attribution exact, the sleep stays as the fallback. */
+  private def drainListenerBus(spark: SparkSession): Unit = {
+    try {
+      val sc = spark.sparkContext
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      try bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+      catch { case _: NoSuchMethodException =>
+        bus.getClass.getMethod("waitUntilEmpty", classOf[Long])
+          .invoke(bus, java.lang.Long.valueOf(2000L))
+      }
+    } catch { case _: Exception => }
+    Thread.sleep(20)
+  }
+
   /** First three /proc/loadavg fields (1/5/15-min runqueue averages) —
     * a co-tenant's load shows here even when steal% and the
     * single-thread probe read clean. */
@@ -211,9 +253,9 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
           }
         val wall = (System.nanoTime() - t0) / 1e9
-        // listener events drain asynchronously; a short grace keeps the
-        // per-rep CPU attribution honest (outside the timed window)
-        Thread.sleep(60)
+        // flush the async listener bus (outside the timed window) so
+        // per-rep CPU attribution is exact, not sleep-raced
+        drainListenerBus(spark)
         val effPar =
           if (wall > 0) (TaskCpuListener.cpuNs.get - cpu0) / 1e9 / wall else 0.0
         (wall, ok, effPar)
@@ -261,7 +303,7 @@ object Bench {
               catch { case e: Throwable =>
                 System.err.println(s"[bench] sf1 $name FAILED: ${e.getMessage}"); false }
             val wall = (System.nanoTime() - t0) / 1e9
-            Thread.sleep(60)
+            drainListenerBus(spark)
             val effPar =
               if (wall > 0) (TaskCpuListener.cpuNs.get - cpu0) / 1e9 / wall
               else 0.0
@@ -303,7 +345,7 @@ object Bench {
       if (jiff1 > jiff0) 100.0 * (steal1 - steal0) / (jiff1 - jiff0) else 0.0
     def arr(xs: Seq[Double]) = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"median":$medians,"runs":$allRuns,"ok":$oks,"eff_par":$effPars,"steal_pct":${f"$stealPct%.2f"},"calib_sec":[${f"$calib0%.3f"},${f"$calib1%.3f"}],"calib_par_sec":[${f"$calibPar0%.3f"},${f"$calibPar1%.3f"}],"calib_par_threads":${Runtime.getRuntime.availableProcessors},"loadavg":[${arr(load0)},${arr(load1)}],"sf1":$sf1Json,"sf":"${
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"median":$medians,"runs":$allRuns,"ok":$oks,"eff_par":$effPars,"steal_pct":${f"$stealPct%.2f"},"calib_sec":[${f"$calib0%.3f"},${f"$calib1%.3f"}],"calib_par_sec":[${f"$calibPar0%.3f"},${f"$calibPar1%.3f"}],"calib_par_threads":${Runtime.getRuntime.availableProcessors},"phys_cores":${physicalCores()},"loadavg":[${arr(load0)},${arr(load1)}],"sf1":$sf1Json,"sf":"${
         sfDir.replace("\\", "\\\\").replace("\"", "\\\"")}"}"""
     println(line)
     // The stdout line gets buried in sbt [info] noise (rounds 3 and 5 had

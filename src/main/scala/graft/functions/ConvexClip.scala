@@ -262,6 +262,33 @@ object ConvexClip {
     (oxs.result(), oys.result())
   }
 
+  /** Null-aware entry: SQL NULL means EMPTY geometry (this file's own
+    * convention for empty clip results), so the identities are
+    * union(a, ∅) = a, a \ ∅ = a, ∅ \ b = ∅, a ∩ ∅ = ∅ — default
+    * null-propagation would silently turn union(a, ∅) into ∅, losing
+    * polygon a. Non-null operands still validate (POLYGON, convex). */
+  def clipNullable(a: InternalRow, b: InternalRow, op: Int): InternalRow =
+    (a, b) match {
+      case (null, null) => null
+      case (null, bb) => if (op == 1) ringRow(parseOnly(bb, "right")) else null
+      case (aa, null) => if (op == 0) null else ringRow(parseOnly(aa, "left"))
+      case (aa, bb) => clip(aa, bb, op)
+    }
+
+  /** Parse + canonicalize one geometry alone (scale from its own
+    * coordinates) — the pass-through side of a null-operand identity. */
+  private def parseOnly(row: InternalRow, side: String): Ring = {
+    val xsA = row.getArray(1); val ysA = row.getArray(2)
+    var m = 1.0
+    var i = 0
+    while (i < xsA.numElements()) {
+      m = math.max(m, math.max(math.abs(xsA.getDouble(i)),
+        math.abs(ysA.getDouble(i))))
+      i += 1
+    }
+    parse(row, side, 32 * java.lang.Math.ulp(1.0) * m * m)
+  }
+
   private def geomRow(xs: Array[Double], ys: Array[Double]): InternalRow =
     new GenericInternalRow(Array[Any](UTF8String.fromString("POLYGON"),
       new GenericArrayData(xs.map(x => x: Any)),
@@ -270,7 +297,13 @@ object ConvexClip {
   private def ringRow(r: Ring): InternalRow = geomRow(r.xs, r.ys)
 
   /** Entry point: op = 0 intersection, 1 union, 2 difference. Returns
-    * null for an EMPTY result (SQL NULL = empty geometry). */
+    * null for an EMPTY result (SQL NULL = empty geometry).
+    *
+    * Tolerances are DIMENSIONALLY scaled: `eps` (~1e-9 × coordinate
+    * scale) guards LENGTH-class quantities, `eps2 = eps × scale` guards
+    * cross products and areas (LENGTH²-class) — a linear tolerance
+    * against a quadratic quantity silently misclassifies small features
+    * far from the origin (UTM-scale coordinates). */
   def clip(aRow: InternalRow, bRow: InternalRow, op: Int): InternalRow = {
     // scale-relative tolerance off a first raw coordinate scan
     def rawScale(row: InternalRow): Double = {
@@ -284,14 +317,20 @@ object ConvexClip {
       }
       m
     }
-    val eps = 1e-9 * math.max(rawScale(aRow), rawScale(bRow))
-    val a = parse(aRow, "left", eps)
-    val b = parse(bRow, "right", eps)
-    val (ixs, iys) = sutherlandHodgman(a, b, eps)
+    val scale = math.max(rawScale(aRow), rawScale(bRow))
+    // cross-product / area class tolerance: the fp error of a cross
+    // product of coordinates ~scale is a few ulp(scale²) ≈ machEps ×
+    // scale²; 32× is the safety factor. (A fixed 1e-9·scale² would
+    // swallow real square-meter features at UTM-scale offsets; a LINEAR
+    // 1e-9·scale misclassifies the same features the other way.)
+    val eps2 = 32 * java.lang.Math.ulp(1.0) * scale * scale
+    val a = parse(aRow, "left", eps2)
+    val b = parse(bRow, "right", eps2)
+    val (ixs, iys) = sutherlandHodgman(a, b, eps2)
     val areaI = math.abs(signedArea2(ixs, iys)) / 2
     val areaA = math.abs(signedArea2(a.xs, a.ys)) / 2
     val areaB = math.abs(signedArea2(b.xs, b.ys)) / 2
-    val areaEps = eps * math.max(1.0, math.max(areaA, areaB))
+    val areaEps = eps2
     val interEmpty = areaI <= areaEps
     val aInB = areaI >= areaA - areaEps
     val bInA = areaI >= areaB - areaEps
@@ -306,11 +345,11 @@ object ConvexClip {
         else if (aInB) ringRow(b)
         else if (bInA) ringRow(a)
         else {
-          val (ra, rb, k) = augment(a, b, eps)
+          val (ra, rb, k) = augment(a, b, eps2)
           require(k >= 2 && k % 2 == 0,
             s"st_union: $k proper boundary crossings (expected a positive " +
               "even count) — degenerate contact, refusing")
-          val (xs, ys) = walk(ra, rb, k, b, backward = false, eps, "st_union")
+          val (xs, ys) = walk(ra, rb, k, b, backward = false, eps2, "st_union")
           geomRow(xs, ys)
         }
       case 2 => // difference a \ b
@@ -321,11 +360,11 @@ object ConvexClip {
             "produces a ring with a HOLE — the single-ring convex core " +
             "refuses rather than dropping it")
         else {
-          val (ra, rb, k) = augment(a, b, eps)
+          val (ra, rb, k) = augment(a, b, eps2)
           require(k >= 2 && k % 2 == 0,
             s"st_difference: $k proper boundary crossings (expected a " +
               "positive even count) — degenerate contact, refusing")
-          val (xs, ys) = walk(ra, rb, k, b, backward = true, eps,
+          val (xs, ys) = walk(ra, rb, k, b, backward = true, eps2,
             "st_difference")
           geomRow(xs, ys)
         }
@@ -339,7 +378,8 @@ object ConvexClip {
   * (see [[ConvexClip]] for semantics and refusal bounds). NULL result =
   * empty geometry. */
 case class ConvexClipExpr(left: Expression, right: Expression, op: Int)
-    extends BinaryExpression {
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (GisPredicates.isGeomType(left.dataType) &&
@@ -358,14 +398,14 @@ case class ConvexClipExpr(left: Expression, right: Expression, op: Int)
 
   override def nullable: Boolean = true
 
-  // a non-empty clip can still return null (empty geometry)
-  override def nullSafeEval(a: Any, b: Any): Any =
-    ConvexClip.clip(a.asInstanceOf[InternalRow], b.asInstanceOf[InternalRow], op)
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"""${ev.value} = graft.functions.ConvexClip.clip($a, $b, $op);
-         |if (${ev.value} == null) { ${ev.isNull} = true; }""".stripMargin)
+  // NULL = EMPTY geometry, with identities union(a,∅)=a / a\∅=a —
+  // default null-propagation would be silently wrong, so eval is fully
+  // null-aware (CodegenFallback; constructive clipping is not a
+  // hot-path expression)
+  override def eval(input: InternalRow): Any =
+    ConvexClip.clipNullable(
+      left.eval(input).asInstanceOf[InternalRow],
+      right.eval(input).asInstanceOf[InternalRow], op)
 
   override def prettyName: String =
     ConvexClip.OpIds.find(_._2 == op).map(_._1).getOrElse("st_clip")

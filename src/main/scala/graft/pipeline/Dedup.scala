@@ -14,28 +14,23 @@ import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, Sh
   */
 object Dedup {
 
-  /** Exact dedup: keep the lowest-id doc per normalized-text hash.
-    * Keeper set via a map-side-combinable groupBy min, then one semi
-    * join on the COMPOSITE (content_hash, id) key — near-unique, so no
-    * hot partition. (A row_number window partitioned by content_hash
-    * computes the same thing in one exchange, but concentrates every
-    * copy of a hot boilerplate page on ONE task — window exchanges get
-    * no AQE skew splitting, so a 10^8-copy cluster at 100 TB is a
-    * straggler/OOM; the extra agg exchange here is the skew insurance.) */
+  /** Exact dedup: keep the lowest-id doc per normalized-text hash, as
+    * ONE map-side-combinable aggregation — min_by(full row, id) reduces
+    * each map partition to a single candidate per hash before the
+    * shuffle, so a 10^8-copy boilerplate page at 100 TB combines on the
+    * mappers instead of pinning one reducer (a row_number window gets
+    * no partial agg and no AQE skew split; the previous agg+semi-join
+    * spelling shuffled the corpus twice for the same answer). Fully
+    * duplicated rows (same id, same text — a re-emitted crawl record)
+    * collapse for free; among same-id copies whose OTHER columns differ
+    * the survivor is unspecified. */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val h = xxhash64(TextAnalysis.normalize(col(textCol)))
     val hashed = docs.withColumn("content_hash", h)
-    val keepers = hashed
-      .select(col("content_hash").as("__ch"), col(idCol).as("__keep_id"))
-      .groupBy("__ch").agg(min("__keep_id").as("__keep_id"))
-    hashed.join(keepers,
-      hashed("content_hash") === keepers("__ch") &&
-        hashed(idCol) === keepers("__keep_id"), "left_semi")
-      // A corpus can contain FULLY duplicated rows (same id, same text —
-      // a re-emitted crawl record); the semi join keeps every copy of the
-      // keeper pair, so collapse them. Cheap: the keeper set is already
-      // near-unique per (id, hash).
-      .dropDuplicates(idCol, "content_hash")
+    val cols = hashed.columns
+    hashed.groupBy(col("content_hash").as("__ch"))
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("__keep"))
+      .select(cols.map(c => col(s"__keep.$c").as(c)): _*)
   }
 
   /** Number of duplicate docs that exact() would drop, per content hash —

@@ -538,7 +538,7 @@ object PaimonTable {
     else if (sch.primaryKeys.isEmpty)
       spark.read.schema(sch.schema).parquet(files: _*)
     else {
-      import org.apache.spark.sql.functions.{col, max_by, struct}
+      import org.apache.spark.sql.functions.{col, input_file_name, max_by, regexp_replace, struct}
       // PK data files carry the spec's KeyValue layout: trimmed key
       // columns as _KEY_<name>, then _SEQUENCE_NUMBER (BIGINT) +
       // _VALUE_KIND (TINYINT RowKind: 0 +I, 1 -U, 2 +U, 3 -D), then the
@@ -552,6 +552,7 @@ object PaimonTable {
       // merge keys and silently mis-merge; probe and refuse instead.
       val probe = spark.read.parquet(files.head).schema.fieldNames.toSet
       require(probe.contains("_SEQUENCE_NUMBER") &&
+          probe.contains("_VALUE_KIND") &&
           sch.primaryKeys.forall(k => probe.contains(s"_KEY_$k")),
         s"paimon PK read: data files of $table lack the KeyValue system " +
           s"columns (_KEY_*/_SEQUENCE_NUMBER/_VALUE_KIND) — cannot apply " +
@@ -572,9 +573,17 @@ object PaimonTable {
         Array(StructField("_SEQUENCE_NUMBER", LongType, nullable = false),
           StructField("_VALUE_KIND", ByteType, nullable = false)) ++
         sch.schema.fields)
+      // Merge PER (partition, bucket) group — native paimon merges each
+      // bucket independently, and sequence numbers are per-bucket-writer
+      // counters NOT comparable across partitions (a moved key's
+      // old-partition retract can carry a HIGHER counter than the new
+      // partition's insert; a global max_by would resurrect or drop the
+      // wrong row). The parent directory of each data file IS the
+      // (partition, bucket) identity, attached at scan time.
       val raw = spark.read.schema(pkSchema).parquet(files: _*)
+        .withColumn("__grp", regexp_replace(input_file_name(), "/[^/]*$", ""))
       val valueCols = sch.schema.fields.map(f => col(f.name)).toSeq
-      raw.groupBy(sch.primaryKeys.map(k => col(s"_KEY_$k")): _*)
+      raw.groupBy(col("__grp") +: sch.primaryKeys.map(k => col(s"_KEY_$k")): _*)
         .agg(max_by(struct(col("_VALUE_KIND") +: valueCols: _*),
           struct(col("_SEQUENCE_NUMBER"), col("_VALUE_KIND"))).as("__g_top"))
         .filter(col("__g_top._VALUE_KIND") === 0 ||

@@ -372,6 +372,43 @@ class GisPredicatesSpec extends AnyFunSuite {
     assert(clip("st_difference", a, a).isEmpty)
   }
 
+  test("clip: NULL operand is EMPTY geometry — identity, not propagation") {
+    import spark.implicits._
+    // ∅ arrives at runtime from a disjoint inner intersection; the
+    // outer ops must apply the identities (union(a,∅)=a, a\∅=a, ∅\b=∅,
+    // a∩∅=∅), NOT default null-propagation (which would lose a)
+    val a = rect(0, 0, 4, 4)
+    val far = rect(10, 10, 12, 12)
+    val r = Seq((a, far)).toDF("a", "b")
+      .select(stGeomFromText(col("a")).as("ga"),
+        call_function("st_intersection",
+          stGeomFromText(col("a")), stGeomFromText(col("b"))).as("empty"))
+      .select(
+        stArea(call_function("st_union", col("ga"), col("empty"))).as("u"),
+        stArea(call_function("st_union", col("empty"), col("ga"))).as("u2"),
+        stArea(call_function("st_difference", col("ga"), col("empty"))).as("d"),
+        call_function("st_difference", col("empty"), col("ga")).isNull.as("dn"),
+        call_function("st_intersection", col("ga"), col("empty")).isNull.as("in_"))
+      .collect()(0)
+    assert(r.getDouble(0) == 16.0 && r.getDouble(1) == 16.0 &&
+      r.getDouble(2) == 16.0 && r.getBoolean(3) && r.getBoolean(4))
+  }
+
+  test("clip: small features far from the origin (UTM-scale coordinates)") {
+    // quadratic tolerance: sub-meter features at ~1e7 offsets must still
+    // classify exactly (a linear eps would absorb every cross product)
+    val x0 = 10000000; val y0 = 5000000
+    def r(dx1: Int, dy1: Int, dx2: Int, dy2: Int): String =
+      rect(x0 + dx1, y0 + dy1, x0 + dx2, y0 + dy2)
+    val a = r(0, 0, 4, 4)
+    val b = r(2, 1, 6, 3)
+    val far = r(100, 100, 104, 104)
+    assert(clip("st_intersection", a, far).isEmpty)
+    assert(math.abs(clip("st_intersection", a, b).get._1 - 4.0) < 1e-6)
+    assert(math.abs(clip("st_union", a, b).get._1 - 20.0) < 1e-6)
+    assert(math.abs(clip("st_difference", a, b).get._1 - 12.0) < 1e-6)
+  }
+
   test("clip: split difference and concave inputs refuse") {
     val a = rect(0, 0, 4, 4)
     val band = rect(-1, 1, 5, 3) // spans A horizontally
