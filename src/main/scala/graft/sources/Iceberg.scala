@@ -816,23 +816,26 @@ object IcebergTable {
                           fromSnapshotId: Long,
                           toSnapshotId: Option[Long] = None): DataFrame = {
     val meta = loadMeta(spark, table)
-    require(meta.snapshots.exists(_.snapshotId == fromSnapshotId),
-      s"fromSnapshotId $fromSnapshotId not in table $table")
-    val fromTs = meta.snapshots.find(_.snapshotId == fromSnapshotId)
-      .getOrElse(throw new IllegalArgumentException(
-        s"snapshot $fromSnapshotId not in ${meta.location}")).timestampMs
-    val toTs = toSnapshotId.map { id =>
-      meta.snapshots.find(_.snapshotId == id).getOrElse(
-        throw new IllegalArgumentException(s"toSnapshotId $id not in table $table"))
-        .timestampMs
+    // scope by LIST INDEX, not timestamps: the snapshots array is
+    // append-ordered (commitMetadata), so index order is commit order
+    // even when two fast commits share a millisecond — a timestamp
+    // range silently drops a same-ms successor of `from` and pulls in
+    // a same-ms successor of `to` (the trap the history metadata table
+    // documents; readChangesBetween already scopes by index)
+    val fromIdx = meta.snapshots.indexWhere(_.snapshotId == fromSnapshotId)
+    require(fromIdx >= 0, s"fromSnapshotId $fromSnapshotId not in table $table")
+    val toIdx = toSnapshotId.map { id =>
+      val i = meta.snapshots.indexWhere(_.snapshotId == id)
+      require(i >= 0, s"toSnapshotId $id not in table $table")
+      i
     }
-    val range = meta.snapshots
-      .filter(s => s.timestampMs > fromTs && toTs.forall(s.timestampMs <= _))
+    val range = meta.snapshots.zipWithIndex
+      .filter { case (_, i) => i > fromIdx && toIdx.forall(i <= _) }
+      .map(_._1)
       // compaction rewrites files, never rows: a `replace` snapshot's
       // re-added entries are NOT appends (the Paimon twin filters its
       // COMPACT kind the same way)
       .filter(_.operation != "replace")
-      .sortBy(_.timestampMs)
     val ids = range.map(_.snapshotId).toSet
     val added = range.flatMap(snap => entriesOf(spark, table, snap)
       .filter(e => e.status == 1 && e.content == 0 && ids.contains(e.snapshotId)))
@@ -881,7 +884,12 @@ object IcebergTable {
       case "manifests" =>
         val cur = selectSnapshot(meta, None, None).toSeq
         cur.flatMap { snap =>
-          readAvroRecords(spark, absolute(table, snap.manifestList)).map { r =>
+          // the v1 deprecated direct-manifests form has no manifest
+          // LIST file to read — surface the direct entries instead of
+          // opening absolute(table, "") (= the table directory) as avro
+          if (snap.manifestList.isEmpty)
+            snap.directManifests.map(m => (absolute(table, m), 0L, 0, snap.snapshotId))
+          else readAvroRecords(spark, absolute(table, snap.manifestList)).map { r =>
             (str(r.get("manifest_path")),
               opt(r, "manifest_length").map(_.asInstanceOf[Long]).getOrElse(0L),
               opt(r, "partition_spec_id").map(_.asInstanceOf[Int]).getOrElse(0),
@@ -1272,7 +1280,12 @@ object IcebergTable {
             absolute(table, str(e.get("data_file")
               .asInstanceOf[GenericRecord].get("file_path"))))
         }
-      absolute(table, s.manifestList) +: listed
+      // a v1 deprecated direct-manifests snapshot has NO manifest-list
+      // file — absolute(table, "") is the table ROOT, and putting it in
+      // a file set ends with fs.delete(tableRoot) mid-cleanup
+      val listFile = if (s.manifestList.isEmpty) Nil
+                     else Seq(absolute(table, s.manifestList))
+      listFile ++ listed
     }.toSet
 
     val keepSet = filesOf(kept)
@@ -1312,13 +1325,13 @@ object IcebergTable {
     * the v1/v2 count-field spellings) are set only when present. */
   private def mfRow(schema: Schema, path: String, len: Long, snapId: Long,
                     added: Int, rows: Long, content: Int,
-                    seq: Long, minSeq: Long): GenericRecord = {
+                    seq: Long, minSeq: Long, specId: Int = 0): GenericRecord = {
     val r = new GenericData.Record(schema)
     def putIf(name: String, v: AnyRef): Unit =
       if (schema.getField(name) != null) r.put(name, v)
     r.put("manifest_path", path)
     r.put("manifest_length", len)
-    r.put("partition_spec_id", 0)
+    r.put("partition_spec_id", specId)
     r.put("added_snapshot_id", snapId)
     putIf("content", Int.box(content))
     putIf("sequence_number", Long.box(seq))
@@ -1443,6 +1456,17 @@ object IcebergTable {
     val spec0 = specs.addObject()
     spec0.put("spec-id", 0)
     spec0.set[ArrayNode]("fields", specArr.deepCopy())
+    // partitioned tables also carry an UNPARTITIONED spec (id 1): the
+    // row-level delete writers emit GLOBAL delete files whose manifest
+    // partition struct is empty — stamping them spec-id 0 would
+    // contradict spec 0's identity fields and break iceberg-core's
+    // partition-type projection on the manifest (spec-valid global
+    // deletes reference an empty spec instead)
+    if (partitionBy.nonEmpty) {
+      val spec1 = specs.addObject()
+      spec1.put("spec-id", 1)
+      spec1.putArray("fields")
+    }
     root.put("default-spec-id", 0)
     // carry externally set table configuration through the rebuild —
     // wiping properties/sort-orders would destroy another engine's
@@ -1714,9 +1738,13 @@ object IcebergTable {
       e
     }
     val manifestPath = new Path(metaDir(table), f"snap$snapshotId%05d-d0.avro")
+    // global delete files carry an EMPTY partition struct — on a
+    // partitioned table they reference the UNPARTITIONED spec (id 1,
+    // written by commitMetadata), never spec 0's identity fields
+    val delSpecId = if (meta.partCols.nonEmpty) 1 else 0
     val manifestLen = writeAvro(spark, manifestPath, entrySchema, entries, Map(
       "format-version" -> "2",
-      "partition-spec-id" -> "0",
+      "partition-spec-id" -> delSpecId.toString,
       "content" -> "deletes"))
     val deletedRows = entries.map(_.get("data_file")
       .asInstanceOf[GenericRecord].get("record_count").asInstanceOf[Long]).sum
@@ -1725,7 +1753,7 @@ object IcebergTable {
     writeAvro(spark, listPath, manifestFileSchemaV2,
       mfRow(manifestFileSchemaV2, manifestPath.toString, manifestLen,
         snapshotId, entries.size, deletedRows, content = 1,
-        seq = newSeq, minSeq = newSeq) +: carried,
+        seq = newSeq, minSeq = newSeq, specId = delSpecId) +: carried,
       Map("format-version" -> "2"))
     commitMetadata(spark, table, Some(meta), meta.schema, meta.partCols,
       SnapshotInfo(snapshotId, nowMs, "delete", listPath.toString,
@@ -1904,9 +1932,13 @@ object IcebergTable {
       e
     }
     val manifestPath = new Path(metaDir(table), f"snap$snapshotId%05d-dv0.avro")
+    // DV entries carry an empty partition struct — on a partitioned
+    // table they reference the UNPARTITIONED spec (id 1); see
+    // commitDeleteFiles
+    val dvSpecId = if (meta.partCols.nonEmpty) 1 else 0
     val manifestLen = writeAvro(spark, manifestPath, entrySchema, entries, Map(
       "format-version" -> "3",
-      "partition-spec-id" -> "0",
+      "partition-spec-id" -> dvSpecId.toString,
       "content" -> "deletes"))
     val totalCard = blobRows.map(_._5).sum
 
@@ -1929,9 +1961,11 @@ object IcebergTable {
           else if (kept.isEmpty) None
           else {
             val rw = new Path(metaDir(table), f"snap$snapshotId%05d-rw$i.avro")
+            // the rewrite preserves the source manifest's spec id
+            val rwSpec = r.get("partition_spec_id").asInstanceOf[Int]
             val rwLen = writeAvro(spark, rw, mfSchema, kept, Map(
               "format-version" -> "3",
-              "partition-spec-id" -> "0",
+              "partition-spec-id" -> rwSpec.toString,
               "content" -> "deletes"))
             val rows = kept.map(_.get("data_file").asInstanceOf[GenericRecord]
               .get("record_count").asInstanceOf[Long]).sum
@@ -1939,7 +1973,8 @@ object IcebergTable {
               r.get("added_snapshot_id").asInstanceOf[Long], kept.size, rows,
               content = 1,
               seq = r.get("sequence_number").asInstanceOf[Long],
-              minSeq = r.get("min_sequence_number").asInstanceOf[Long]))
+              minSeq = r.get("min_sequence_number").asInstanceOf[Long],
+              specId = rwSpec))
           }
         }
       }
@@ -1947,7 +1982,7 @@ object IcebergTable {
     writeAvro(spark, listPath, manifestFileSchemaV2,
       mfRow(manifestFileSchemaV2, manifestPath.toString, manifestLen,
         snapshotId, entries.size, totalCard, content = 1,
-        seq = newSeq, minSeq = newSeq) +: carried,
+        seq = newSeq, minSeq = newSeq, specId = dvSpecId) +: carried,
       Map("format-version" -> "3"))
     // v2→v3 upgrade initializes row lineage: next-row-id starts at the
     // live record count so future appends assign fresh, non-overlapping

@@ -32,7 +32,10 @@ class IcebergStreamProvider extends StreamSourceProvider with DataSourceRegister
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
                             providerName: String,
                             parameters: Map[String, String]): (String, StructType) =
-    (shortName(), IcebergTable.read(sqlContext.sparkSession,
+    // metadata-only: loadMeta holds the schema — building the full
+    // merge-on-read plan just to answer a schema question pays every
+    // manifest/DV/delete-file resolution twice at stream startup
+    (shortName(), IcebergTable.loadMeta(sqlContext.sparkSession,
       DeltaStreamSource.pathOf(parameters)).schema)
   override def createSource(sqlContext: SQLContext, metadataPath: String,
                             schema: Option[StructType], providerName: String,
@@ -56,7 +59,7 @@ class IcebergStreamSource(sqlContext: SQLContext,
   private val fileCountCache =
     new java.util.concurrent.ConcurrentHashMap[java.lang.Long, Integer]()
 
-  override val schema: StructType = IcebergTable.read(spark, path).schema
+  override val schema: StructType = IcebergTable.loadMeta(spark, path).schema
 
   private def snaps = IcebergTable.loadMeta(spark, path).snapshots
   // eager: `startingSnapshotId=latest` anchors at STREAM START — a lazy
@@ -97,7 +100,9 @@ class IcebergStreamSource(sqlContext: SQLContext,
           case Some("latest") => startSnapshotAtLaunch
             .map(id => all.indexWhere(_.snapshotId == id)).getOrElse(-1)
           case Some(id) =>
-            math.max(all.indexWhere(_.snapshotId == id.toLong) - 1, -1)
+            // the initial batch carries the STATE at id (see getBatch),
+            // so the file budget window begins strictly AFTER id
+            all.indexWhere(_.snapshotId == id.toLong)
           case None => -1
         }
         val from = from0.getOrElse(anchorIdx)
@@ -134,7 +139,13 @@ class IcebergStreamSource(sqlContext: SQLContext,
     val batch = start.map(s => appendedBetween(Some(ver(s)), endId)).getOrElse {
       startingSnapshotId match {
         case Some("latest") => appendedBetween(startSnapshotAtLaunch, endId)
-        case Some(id)       => appendedBetween(Some(id.toLong), endId, inclusive = true)
+        case Some(id) =>
+          // the documented contract: initial batch = table STATE at the
+          // starting snapshot, plus appends from there to the admitted
+          // end — appends-only-of-[id..end] would permanently omit rows
+          // live at id from earlier snapshots
+          IcebergTable.read(spark, path, snapshotId = Some(id.toLong))
+            .unionByName(appendedBetween(Some(id.toLong), endId))
         case None => IcebergTable.read(spark, path, snapshotId = Some(endId))
       }
     }
@@ -142,17 +153,16 @@ class IcebergStreamSource(sqlContext: SQLContext,
       batch.select(schema.fieldNames.map(col).toIndexedSeq: _*))
   }
 
-  private def appendedBetween(afterId: Option[Long], endId: Long,
-                              inclusive: Boolean = false): DataFrame = {
+  private def appendedBetween(afterId: Option[Long], endId: Long): DataFrame = {
     val all = snaps
     val endIdx = all.indexWhere(_.snapshotId == endId)
     require(endIdx >= 0, s"snapshot $endId not in $path (expired?)")
     val startIdx = afterId.map { id =>
       val i = all.indexWhere(_.snapshotId == id)
-      require(i >= 0 || inclusive,
+      require(i >= 0,
         s"graft-iceberg stream: start snapshot $id expired from $path — " +
           "restart the stream fresh")
-      if (inclusive) (if (i < 0) 0 else i) - 1 else i
+      i
     }.getOrElse(-1)
     val files = all.slice(startIdx + 1, endIdx + 1).flatMap { s =>
       s.operation match {
@@ -196,7 +206,7 @@ private[sources] object PaimonStreamSource {
     * tables stream the plain row schema. */
   def streamSchema(spark: org.apache.spark.sql.SparkSession,
                    table: String): StructType = {
-    val base = PaimonTable.read(spark, table).schema
+    val base = PaimonTable.loadSchema(spark, table).schema
     if (isPk(spark, table))
       // _snapshot_id is the APPLY ORDER: one micro-batch can span
       // several snapshots, and without a commit column a CDC consumer

@@ -474,4 +474,98 @@ class IcebergSpec extends AnyFunSuite {
     // expiring again is a no-op
     assert(IcebergTable.expireSnapshots(spark, base, keepLast = 1) === Nil)
   }
+
+  test("incremental read scopes by commit order, not timestamps (same-ms commits)") {
+    import spark.implicits._
+    val base = freshDir("incr_samems")
+    IcebergTable.write((1L to 10L).map(i => (i, "s1")).toDF("k", "v"), base)
+    IcebergTable.write((11L to 20L).map(i => (i, "s2")).toDF("k", "v"), base)
+    IcebergTable.write((21L to 30L).map(i => (i, "s3")).toDF("k", "v"), base)
+    // flatten every snapshot timestamp to ONE millisecond — two fast
+    // commits genuinely share a ms; a timestamp-scoped range then drops
+    // a same-ms successor of `from` silently
+    val v = IcebergTable.currentMetadataVersion(spark, base)
+    val mp = java.nio.file.Paths.get(s"$base/metadata/v$v.metadata.json")
+    val flat = new String(java.nio.file.Files.readAllBytes(mp), "UTF-8")
+      .replaceAll("\"timestamp-ms\"\\s*:\\s*\\d+", "\"timestamp-ms\":1700000000000")
+    java.nio.file.Files.write(mp, flat.getBytes("UTF-8"))
+    java.nio.file.Files.deleteIfExists(
+      mp.resolveSibling(s".v$v.metadata.json.crc")) // hadoop checksum sidecar
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.select("k").collect().map(_.getLong(0)).toSet
+    assert(keys(IcebergTable.readAppendedBetween(spark, base, 1L)) ==
+      (11L to 30L).toSet)
+    assert(keys(IcebergTable.readAppendedBetween(spark, base, 1L, Some(2L))) ==
+      (11L to 20L).toSet)
+    assert(keys(IcebergTable.readAppendedBetween(spark, base, 3L)) == Set.empty)
+  }
+
+  test("v1 deprecated direct-manifests form: read, metadata table, expiration") {
+    import spark.implicits._
+    val base = freshDir("v1direct")
+    IcebergTable.write((1L to 10L).map(i => (i, "s1")).toDF("k", "v"), base)
+    IcebergTable.write((11L to 20L).map(i => (i, "s2")).toDF("k", "v"), base)
+    // convert the CURRENT snapshot to the deprecated direct "manifests"
+    // array (old v1 writers): drop manifest-list, list the manifests
+    val paths = IcebergTable.metadataTable(spark, base, "manifests")
+      .select("path").collect().map(_.getString(0)).toSeq
+    assert(paths.nonEmpty)
+    val v = IcebergTable.currentMetadataVersion(spark, base)
+    val mp = java.nio.file.Paths.get(s"$base/metadata/v$v.metadata.json")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(java.nio.file.Files.readAllBytes(mp))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val curId = root.get("current-snapshot-id").asLong
+    root.get("snapshots").elements().forEachRemaining { n =>
+      val sn = n.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      if (sn.get("snapshot-id").asLong == curId) {
+        sn.remove("manifest-list")
+        val arr = sn.putArray("manifests")
+        paths.foreach(arr.add)
+      }
+    }
+    java.nio.file.Files.write(mp, mapper.writeValueAsBytes(root))
+    java.nio.file.Files.deleteIfExists(
+      mp.resolveSibling(s".v$v.metadata.json.crc")) // hadoop checksum sidecar
+    // read composes through the direct form
+    assert(IcebergTable.read(spark, base).count() == 20)
+    // the manifests metadata table surfaces the direct entries instead
+    // of opening the table directory as an avro file
+    val mrows = IcebergTable.metadataTable(spark, base, "manifests")
+      .select("path").collect().map(_.getString(0)).toSet
+    assert(mrows == paths.toSet)
+    // expiration must not put the table ROOT in a file set (the empty
+    // manifest-list path used to resolve to the table directory)
+    assert(IcebergTable.expireSnapshots(spark, base, keepLast = 1) == Seq(1L))
+    assert(IcebergTable.read(spark, base).count() == 20)
+  }
+
+  test("partitioned tables: global delete manifests use the unpartitioned spec") {
+    import spark.implicits._
+    val base = freshDir("part_del_spec")
+    IcebergTable.write((1L to 30L).map(i => (i, s"g${i % 3}")).toDF("k", "grp"),
+      base, partitionBy = Seq("grp"))
+    IcebergTable.deleteFrom(spark, base, col("k") <= 6L)
+    assert(IcebergTable.read(spark, base).select("k").collect()
+      .map(_.getLong(0)).toSet == (7L to 30L).toSet)
+    // the delete manifest references spec 1 (empty fields); data
+    // manifests stay on spec 0 (the identity partition fields)
+    val specs = IcebergTable.metadataTable(spark, base, "manifests")
+      .select("partition_spec_id").collect().map(_.getInt(0)).toSet
+    assert(specs == Set(0, 1), specs.toString)
+    // the metadata JSON declares the unpartitioned spec
+    val v = IcebergTable.currentMetadataVersion(spark, base)
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$base/metadata/v$v.metadata.json")))
+    val specById = root.get("partition-specs").elements()
+    var found = false
+    specById.forEachRemaining { s =>
+      if (s.get("spec-id").asInt == 1) {
+        found = true
+        assert(s.get("fields").size() == 0, s.toString)
+      }
+    }
+    assert(found, "partition-specs lacks the unpartitioned spec 1")
+  }
 }

@@ -87,6 +87,20 @@ class LakehouseStreamSpec extends AnyFunSuite {
       s"pre-anchor history must not replay: ${rows.map(_.getLong(0))}")
   }
 
+  test("graft-iceberg: startingSnapshotId initial batch = STATE at id + later appends") {
+    val dir = Files.createTempDirectory("ice_stream_sid_").toString + "/t"
+    IcebergTable.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir,
+      SaveMode.Overwrite)                                     // snap 1
+    IcebergTable.write(Seq((3L, "c")).toDF("k", "v"), dir, SaveMode.Append) // snap 2
+    IcebergTable.write(Seq((4L, "d")).toDF("k", "v"), dir, SaveMode.Append) // snap 3
+    val snap2 = IcebergTable.loadMeta(spark, dir).snapshots(1).snapshotId
+    val rows = collectBatches("graft-iceberg", dir, Map(
+      "startingSnapshotId" -> snap2.toString)) {}
+    // the documented contract: table state AT snap2 ({1,2,3}) plus the
+    // later append ({4}) — appends-only-of-[snap2..end] would lose 1,2
+    assert(rows.map(_.getLong(0)).sorted === Seq(1L, 2L, 3L, 4L))
+  }
+
   test("graft-paimon append-only: appends stream, COMPACT never re-emits") {
     val dir = Files.createTempDirectory("pai_stream_").toString + "/t"
     PaimonTable.write(Seq((1L, "a")).toDF("k", "v"), dir, SaveMode.Overwrite)
