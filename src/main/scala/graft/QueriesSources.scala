@@ -865,6 +865,7 @@ object QueriesSources {
           s"http://127.0.0.1:${server.port}/query").toURL
         val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
         conn.setRequestMethod("POST")
+        conn.setRequestProperty("Content-Type", "application/json")
         conn.setDoOutput(true)
         conn.getOutputStream.write(
           """{"query": "SELECT n_nationkey, n_name, n_regionkey FROM rest_nation"}"""

@@ -21,7 +21,13 @@ object JaccardKernel {
     var inter = 0
     var j = 0
     while (j < nb) { if (set.contains(b.getUTF8String(j))) inter += 1; j += 1 }
-    inter.toDouble / (na + nb - inter).toDouble
+    val denom = na + nb - inter
+    // J(∅,∅) = 0, NOT NaN: Catalyst compares NaN LARGER than any value
+    // (NaN >= threshold is TRUE), so a NaN here silently marked every
+    // blank-vs-blank pair a near-dup on the SQL verify path while the
+    // plain-JVM stateful path (Java NaN semantics) kept them — 0.0 means
+    // "no evidence of similarity" on both paths.
+    if (denom == 0) 0.0 else inter.toDouble / denom.toDouble
   }
 
   /** Long-array variant for hashed-token sets: two-pointer merge count
@@ -40,7 +46,8 @@ object JaccardKernel {
       else if (x < y) i += 1
       else j += 1
     }
-    inter.toDouble / (xs.length + ys.length - inter).toDouble
+    val denom = xs.length + ys.length - inter
+    if (denom == 0) 0.0 else inter.toDouble / denom.toDouble // see compute()
   }
 
   private def isSorted(a: Array[Long]): Boolean = {
@@ -60,7 +67,8 @@ object JaccardKernel {
       else if (x < y) i += 1
       else j += 1
     }
-    inter.toDouble / (xs.length + ys.length - inter).toDouble
+    val denom = xs.length + ys.length - inter
+    if (denom == 0) 0.0 else inter.toDouble / denom.toDouble // see compute()
   }
 }
 

@@ -166,7 +166,13 @@ object Dedup {
                       threshold: Double = 0.8,
                       maxBucket: Int = 4096,
                       collapseExactDups: Boolean = true): DataFrame = {
-    val toks = tokenized(docs, idCol, textCol)
+    // Empty/NULL token sets can never truthfully near-dup (no content
+    // evidence) and must not reach pair generation: the collapse path's
+    // setkey would otherwise glue every blank AND null-text doc into one
+    // "identical set" group (xxhash64 of a null array equals xxhash64 of
+    // an empty one) and emit them all as jaccard-1 pairs. size(null) is
+    // null, so the filter drops null-th docs too.
+    val toks = tokenized(docs, idCol, textCol).filter(size(col("th")) > 0)
     if (!collapseExactDups) {
       // Lean path: band all docs directly — for corpora with few exact
       // copies, where the collapse machinery (4 extra exchanges + 2

@@ -218,7 +218,18 @@ class DeltaStreamSource(sqlContext: SQLContext,
         val lines =
           try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
           finally in.close()
-        val n = lines.count(l => l.contains("\"add\""))
+        // parse, don't substring-match: adds with dataChange=false
+        // (OPTIMIZE re-adds) emit NO rows in addsBetween, so counting
+        // them here let one compaction commit eat the whole
+        // maxFilesPerTrigger budget for zero delivered data
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val n = lines.count { l =>
+          try {
+            val node = om.readTree(l)
+            node.has("add") &&
+              Option(node.get("add").get("dataChange")).forall(_.asBoolean)
+          } catch { case _: Exception => false }
+        }
         fileCountCache(v) = n
         n
       }

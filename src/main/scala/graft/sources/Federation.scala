@@ -58,6 +58,7 @@ object Federation {
     val conn = java.net.URI.create(s"$baseUrl/query").toURL
       .openConnection().asInstanceOf[java.net.HttpURLConnection]
     conn.setRequestMethod("POST")
+        conn.setRequestProperty("Content-Type", "application/json")
     conn.setDoOutput(true)
     conn.setConnectTimeout(10000)
     conn.setReadTimeout(120000) // a peer mid-query is slow, not dead

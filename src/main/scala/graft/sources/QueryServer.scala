@@ -34,6 +34,24 @@ object QueryServer {
       override def handle(x: HttpExchange): Unit = {
         try {
           if (x.getRequestMethod != "POST") { respond(x, 405, error("POST only")); return }
+          // CSRF hardening: loopback binding does not stop a BROWSER on
+          // this machine from firing cross-site POSTs at localhost.
+          // Requiring application/json forces a CORS preflight (simple
+          // no-preflight requests can only carry form/text types) which
+          // this server never approves, and the Host check blocks DNS
+          // rebinding. Non-browser clients (curl/Federation) just set
+          // the header.
+          val ct = Option(x.getRequestHeaders.getFirst("Content-Type"))
+            .getOrElse("").toLowerCase
+          if (!ct.startsWith("application/json")) {
+            respond(x, 415, error(
+              "Content-Type must be application/json")); return
+          }
+          val host = Option(x.getRequestHeaders.getFirst("Host")).getOrElse("")
+          if (!(host.startsWith("127.0.0.1") || host.startsWith("localhost") ||
+                host.startsWith("[::1]"))) {
+            respond(x, 403, error("unrecognized Host")); return
+          }
           val body = new String(x.getRequestBody.readAllBytes(), "UTF-8")
           val sql = Option(mapper.readTree(body)).flatMap(n => Option(n.get("query")))
             .map(_.asText).getOrElse("")

@@ -134,9 +134,16 @@ object Events {
     // stream doc with repeated tokens otherwise scored BELOW its true
     // set-Jaccard and contamination leaked past the live filter while
     // the batch backfill dropped it
+    // length>0 filter matches Dedup.tokenized (blank docs get {} not
+    // {hash("")}); coalesce makes NULL text behave like "" in BOTH
+    // physical branches — the literal path's filter(!exists) dropped
+    // null-text rows while the broadcast anti-join kept them, so output
+    // depended on reference SIZE
     def thOf(c: Column): Column =
-      array_sort(array_distinct(
-        Dedup.tokenHashes(split(TextAnalysis.normalize(c), " "))))
+      coalesce(array_sort(Dedup.tokenHashes(
+        filter(array_distinct(split(TextAnalysis.normalize(c), " ")),
+          t => length(t) > 0))),
+        array().cast("array<bigint>"))
     def bandsOf(th: Column): Column =
       Dedup.lshBandKeys(Dedup.minhashSignatureFromHashes(th, numHashes),
         bands, rowsPerBand)
@@ -186,6 +193,27 @@ object Events {
     * publish point). The lakehouse half of the streaming story: dedup/
     * decontaminate at ingest, then land exactly once in a table any
     * engine can read. */
+  /** Exactly-once skip decision shared by the lakehouse sinks. A
+    * restarted query only ever replays its LAST batch, so the table's
+    * recorded batch id can legitimately equal — never exceed — the
+    * incoming one. Recorded > incoming means a DIFFERENT query (fresh
+    * checkpoint) is writing into the same table under the same appId:
+    * silently "skipping" its batches as replays would discard all of
+    * its early data, so refuse loudly instead. */
+  private def shouldWrite(committed: Option[Long], batchId: Long,
+                          tablePath: String, appId: String): Boolean =
+    committed match {
+      case Some(c) if c > batchId => throw new IllegalStateException(
+        s"$tablePath has recorded batch $c for appId '$appId' but this " +
+          s"query is at batch $batchId — a restart only replays the " +
+          "last batch, so this is a different query (fresh checkpoint) " +
+          "re-using the appId; its batches would be silently dropped " +
+          "as replays. Pass a distinct appId or resume the original " +
+          "checkpoint.")
+      case Some(c) => c < batchId // == : durable replay, skip
+      case None => true
+    }
+
   def deltaSink(stream: DataFrame, tablePath: String, checkpoint: String,
                 appId: String = "graft-stream"): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
@@ -194,7 +222,7 @@ object Events {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val committed = graft.sources.DeltaLogWriter
           .lastTxnVersion(batch.sparkSession, tablePath, appId)
-        if (!committed.exists(_ >= batchId))
+        if (shouldWrite(committed, batchId, tablePath, appId))
           graft.sources.DeltaLogWriter.write(batch.toDF(), tablePath,
             txn = Some((appId, batchId)))
         ()
@@ -216,7 +244,7 @@ object Events {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val committed = graft.sources.IcebergTable
           .lastStreamBatch(batch.sparkSession, tablePath, appId)
-        if (!committed.exists(_ >= batchId))
+        if (shouldWrite(committed, batchId, tablePath, appId))
           graft.sources.IcebergTable.write(batch.toDF(), tablePath,
             summaryProps = Map(
               "graft.app-id" -> appId, "graft.batch-id" -> batchId.toString))
@@ -267,7 +295,7 @@ object Events {
         import graft.sources.IcebergTable
         val spark = batch.sparkSession
         val committed = IcebergTable.lastStreamBatch(spark, tablePath, appId)
-        if (!committed.exists(_ >= batchId)) {
+        if (shouldWrite(committed, batchId, tablePath, appId)) {
           val df = latestPerKey(batch.toDF(), keyCols, orderCol)
           val exists = new org.apache.hadoop.fs.Path(tablePath, "metadata")
             .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -304,7 +332,7 @@ object Events {
         import graft.sources.PaimonTable
         val committed = PaimonTable.lastStreamBatch(
           batch.sparkSession, tablePath, appId)
-        if (!committed.exists(_ >= batchId)) {
+        if (shouldWrite(committed, batchId, tablePath, appId)) {
           if (primaryKeys.isEmpty)
             PaimonTable.write(batch.toDF(), tablePath,
               commitUser = appId, commitIdentifier = batchId)
@@ -374,8 +402,14 @@ object Events {
     val withBands = tsAsTimestamp(docs)
       .withWatermark("ts", s"$watermarkDelaySec seconds")
       .select(col("doc_id").cast("long"), col("ts"),
-        array_sort(Dedup.tokenHashes(array_distinct(
-          split(TextAnalysis.normalize(col("text")), " ")))).as("th"))
+        // same token pipeline as Dedup.tokenized (length>0: no phantom
+        // {hash("")} for blank docs) + coalesce so a NULL-text doc still
+        // emits band rows and is ADMITTED (batch keeps it; without this
+        // it produced zero votes and vanished from the output)
+        coalesce(array_sort(Dedup.tokenHashes(
+          filter(array_distinct(split(TextAnalysis.normalize(col("text")), " ")),
+            t => length(t) > 0))),
+          array().cast("array<bigint>")).as("th"))
       .withColumn("band", explode(Dedup.lshBandKeys(
         Dedup.minhashSignatureFromHashes(col("th"), numHashes),
         bands, rowsPerBand)))
@@ -386,28 +420,37 @@ object Events {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (_, rows, state: GroupState[BandDocs]) =>
           val wm = state.getCurrentWatermarkMs()
-          var entries = state.getOption.map(_.entries).getOrElse(Seq.empty)
-            .filter(_.ts >= wm) // watermark-pruned: bounded state
+          // ArrayBuffer: Seq :+ on the state's List was O(n) per arrival
+          // — quadratic on a hot band's micro-batch
+          val entries = scala.collection.mutable.ArrayBuffer[BandEntry]()
+          state.getOption.map(_.entries).getOrElse(Seq.empty)
+            .foreach(e => if (e.ts >= wm) entries += e) // watermark-pruned
           var out = List.empty[(Long, java.sql.Timestamp, Boolean)]
           rows.toSeq.sortBy(r => (r._3.getTime, r._2)).foreach {
             case (_, id, t, th) =>
               val arr = th.toArray
-              val dup = entries.exists(e => graft.functions.JaccardKernel
-                .computeLongArrays(e.th.toArray, arr) >= threshold)
+              // e.id != id: an at-least-once source re-delivering a doc
+              // must not let it vote ITSELF a duplicate — bool_or over
+              // the copies' votes would then suppress every copy,
+              // violating first-seen-wins
+              val dup = entries.exists(e => e.id != id &&
+                graft.functions.JaccardKernel
+                  .computeLongArrays(e.th.toArray, arr) >= threshold)
               out ::= ((id, t, dup))
-              entries = entries :+ BandEntry(id, t.getTime, th)
+              entries += BandEntry(id, t.getTime, th)
           }
           // skew guard, the streaming analog of the batch maxBucket cap
           // (Dedup banding): a template-dense band keeps only its newest
           // maxPerBand entries — bounded state, documented recall loss on
           // pathological bands only
-          if (entries.length > maxPerBand)
-            entries = entries.takeRight(maxPerBand)
-          if (entries.isEmpty) state.remove()
+          val kept =
+            if (entries.length > maxPerBand) entries.takeRight(maxPerBand).toSeq
+            else entries.toSeq
+          if (kept.isEmpty) state.remove()
           else {
-            state.update(BandDocs(entries))
+            state.update(BandDocs(kept))
             state.setTimeoutTimestamp(
-              entries.map(_.ts).max + watermarkDelaySec * 1000L)
+              kept.map(_.ts).max + watermarkDelaySec * 1000L)
           }
           out.reverseIterator
       }.toDF("doc_id", "ts", "dup")
@@ -466,14 +509,17 @@ object Events {
     * it followed within `windowSec` (the canonical watermarked
     * stream-stream join). Both sides keep bounded state — rows are
     * dropped once the watermark passes their join window. Expects
-    * impressions(imp_id, imp_ts, ...) and clicks(clk_id, clk_ts, ...). */
+    * impressions(imp_id, imp_ts, ...) and clicks(clk_imp_id, clk_ts,
+    * ...) where `clk_imp_id` is the click's FOREIGN KEY to the
+    * impression it came from — the join key a click carries, not the
+    * click's own event id. */
   def clickAttribution(impressions: DataFrame, clicks: DataFrame,
                        windowSec: Int,
                        watermarkDelay: String = "30 seconds"): DataFrame = {
     val imp = impressions.withWatermark("imp_ts", watermarkDelay)
     val clk = clicks.withWatermark("clk_ts", watermarkDelay)
     imp.join(clk, expr(
-      s"""imp_id = clk_id AND
+      s"""imp_id = clk_imp_id AND
           clk_ts >= imp_ts AND
           clk_ts <= imp_ts + interval $windowSec seconds"""))
   }
@@ -508,6 +554,16 @@ object Events {
             else if (sec - st.last > gapSec) {
               out ::= (user, st.start, st.last, st.n, st.total)
               st = SessState(sec, sec, 1, v)
+            } else if (st.start - sec > gapSec) {
+              // a late in-watermark event MORE than a gap before the
+              // current session start belongs to its own EARLIER
+              // session (the batch twin sorts by ts and splits there) —
+              // merging it stretched the session start arbitrarily far
+              // back. Emitted immediately as a closed singleton; the
+              // documented approximation: several such stragglers
+              // arriving separately emit separately, where a batch
+              // backfill may merge them with each other.
+              out ::= (user, sec, sec, 1L, v)
             } else st = st.copy(
               // late in-watermark rows must not move the frontier
               // BACKWARD (last=sec once let a late row shrink `last`, so

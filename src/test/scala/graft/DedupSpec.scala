@@ -25,6 +25,27 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == Set(1L, 2L, 4L, 5L, 6L)) // 3 dropped (dup of 1)
   }
 
+  test("blank and null docs are NOT near-dups of each other (J(empty,empty)=0)") {
+    import spark.implicits._
+    // Catalyst compares NaN LARGER than any value, so a NaN from the
+    // 0/0 Jaccard of two empty token sets silently passed ">= threshold"
+    // on the SQL verify path — the kernel now defines J(empty,empty)=0
+    val d = Seq(
+      (1L, ""), (2L, "   "), (3L, null.asInstanceOf[String]),
+      (4L, "real text about spark engines"),
+      (5L, "real text about spark engines today")).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDups(d, "doc_id", "text",
+        numHashes = 128, bands = 32, threshold = 0.5, maxBucket = Int.MaxValue)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((4L, 5L)), pairs) // blanks never pair
+    // and the kernel agrees at the SQL level
+    val j = spark.sql(
+      "SELECT jaccard_sim(cast(array() as array<bigint>), " +
+        "cast(array() as array<bigint>))").collect()(0).getDouble(0)
+    assert(j == 0.0)
+  }
+
   test("banded minhash equals exact jaccard pairs (candidate gen is lossless here)") {
     val banded = Dedup.minhashNearDups(docs, "doc_id", "text",
         numHashes = 128, bands = 32, threshold = 0.5, maxBucket = Int.MaxValue)

@@ -47,6 +47,7 @@ class RestShapefileSpec extends AnyFunSuite {
           s"http://127.0.0.1:${server.port}/query").toURL
         val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
         conn.setRequestMethod("POST")
+        conn.setRequestProperty("Content-Type", "application/json")
         conn.setDoOutput(true)
         conn.getOutputStream.write(body.getBytes("UTF-8"))
         val code = conn.getResponseCode
@@ -82,6 +83,7 @@ class RestShapefileSpec extends AnyFunSuite {
         s"http://127.0.0.1:${server.port}/query").toURL
       val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
       conn.setRequestMethod("POST")
+        conn.setRequestProperty("Content-Type", "application/json")
       conn.setDoOutput(true)
       conn.getOutputStream.write(
         """{"query": "SELECT n FROM rest_spec_big"}""".getBytes("UTF-8"))

@@ -80,7 +80,7 @@ class StreamingSpec extends AnyFunSuite {
     val clks = MemoryStream[(Long, Timestamp)]
     val joined = Events.clickAttribution(
       imps.toDF().toDF("imp_id", "imp_ts"),
-      clks.toDF().toDF("clk_id", "clk_ts"), windowSec = 60)
+      clks.toDF().toDF("clk_imp_id", "clk_ts"), windowSec = 60)
     val q = joined.writeStream.format("memory").queryName("attrib_out")
       .outputMode("append").start()
     try {
@@ -195,6 +195,64 @@ class StreamingSpec extends AnyFunSuite {
       "past the bound the reference must ride a broadcast anti-join")
   }
 
+  test("sessionizeStream: a straggler >gap before session start becomes its own session") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val sess = Events.sessionizeStream(spark,
+      input.toDF().toDF("user_id", "ts", "value"), gapSec = 10,
+      watermarkDelay = "1 hour")
+    val q = sess.writeStream.format("memory").queryName("sessions_straggle")
+      .outputMode("append").start()
+    val b = 100000L
+    try {
+      input.addData((1L, ts(b), 1.0))          // session opens at b
+      q.processAllAvailable()
+      input.addData((1L, ts(b - 150), 5.0))    // late, >gap BEFORE start
+      q.processAllAvailable()
+      val rows = spark.table("sessions_straggle").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      // the straggler closes immediately as its own singleton session —
+      // merging it would have stretched [b, b] back to [b-150, b]
+      assert(rows.contains((1L, b - 150, b - 150, 1L)), rows)
+    } finally q.stop()
+  }
+
+  test("nearDedupStream: a re-delivered doc must not vote itself a duplicate") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    spark.conf.set(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    val admitted = Events.nearDedupStream(spark,
+      input.toDF().toDF("doc_id", "ts", "text"),
+      threshold = 0.7, watermarkDelaySec = 10, voteWindowSec = 5)
+    val q = admitted.writeStream.format("memory").queryName("neardedup_redeliver")
+      .outputMode("append").start()
+    try {
+      // an at-least-once source re-delivers doc 1 in the same batch: the
+      // second copy must not make the (window, doc_id) group vote itself
+      // out — first-seen-wins means doc 1 IS admitted
+      input.addData(
+        (1L, t(100), "the quick brown fox jumps over the lazy dog"),
+        (1L, t(100), "the quick brown fox jumps over the lazy dog"))
+      q.processAllAvailable()
+      input.addData((9L, t(1000), "a watermark pushing row of unique text"))
+      q.processAllAvailable()
+      input.addData((10L, t(1100), "another watermark push unique row here"))
+      q.processAllAvailable()
+      val ids = spark.table("neardedup_redeliver").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids.contains(1L), s"re-delivered doc suppressed itself: $ids")
+    } finally {
+      q.stop()
+      spark.conf.set(
+        "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
+    }
+  }
+
   test("nearDedupStream: watermarked MinHash near-dedup admits uniques, drops near-copies") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
@@ -244,6 +302,31 @@ class StreamingSpec extends AnyFunSuite {
       spark.conf.set(
         "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
     }
+  }
+
+  test("deltaSink refuses a FRESH query re-using another query's appId") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val base = "/tmp/graft_test/delta_sink_clash"
+    val ckpt = "/tmp/graft_test/delta_sink_clash_ckpt"
+    Seq(base, ckpt).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    // the table already records batch 5 for this appId (a prior query)
+    graft.sources.DeltaLogWriter.write(Seq((1L, "a")).toDF("k", "v"), base,
+      txn = Some(("graft-stream", 5L)))
+    val input = MemoryStream[(Long, String)]
+    val q = Events.deltaSink(input.toDF().toDF("k", "v"), base, ckpt)
+    try {
+      input.addData((2L, "b")) // fresh checkpoint -> batchId 0 < 5
+      val err = intercept[Exception] { q.processAllAvailable() }
+      def msgs(t: Throwable): Seq[String] = Option(t).toSeq
+        .flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+      // the old guard silently SKIPPED batches 0..5 — data loss with no
+      // signal; now it refuses and names the fix
+      assert(msgs(err).exists(_.contains("distinct appId")), msgs(err))
+    } finally q.stop()
   }
 
   test("deltaSink lands micro-batches as atomic Delta commits, idempotent by txn") {
