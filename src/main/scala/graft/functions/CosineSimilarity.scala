@@ -14,7 +14,12 @@ import org.apache.spark.sql.types._
   * per element per pass); this kernel is a single fused loop emitted
   * directly into the generated code — the hot inner loop of every ANN /
   * near-dup scoring join. Accumulation order matches the HOF version
-  * (sequential, ascending index), so results are bit-identical.
+  * (sequential, ascending index), so results are bit-identical on
+  * well-formed inputs. Degenerate inputs diverge DELIBERATELY: a
+  * dimension mismatch REFUSES (the HOF null-pads to NULL; min-length
+  * truncation scored confident wrong prefixes), and zero-norm vectors
+  * score 0.0 (the HOF's 0/0 NULL and a raw NaN both poison top-k
+  * ordering — Catalyst sorts NaN greatest).
   *
   * Mirrors the role of Drill's generated per-batch evaluation loops
   * (reference: exec/java-exec codegen over value vectors), expressed the
@@ -43,7 +48,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    // refuse, never truncate: min(len) silently scored a confident
+    // PREFIX cosine on mixed-dimension corpora (partial re-embedding
+    // migrations) — wrong neighbors with no error
+    if (n != y.numElements()) throw new IllegalArgumentException(
+      s"cosine_sim: dimension mismatch ($n vs ${y.numElements()})")
     var dot = 0.0; var na = 0.0; var nb = 0.0
     val lf = elemType(left) == FloatType
     val rf = elemType(right) == FloatType
@@ -54,7 +64,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += xv * yv; na += xv * xv; nb += yv * yv
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    // zero-norm vectors (padding artifacts) score 0, NOT NaN: Catalyst
+    // sorts NaN GREATEST, so a 0/0 here made an all-zero embedding the
+    // rank-1 neighbor of every query and a ">= threshold" near-dup of
+    // everything it shared a bucket with
+    if (denom == 0.0) 0.0 else dot / denom
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -66,15 +81,22 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val dot = ctx.freshName("dot")
       val na = ctx.freshName("na")
       val nb = ctx.freshName("nb")
+      val dn = ctx.freshName("denom")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "cosine_sim: dimension mismatch (" + $n + " vs " +
+         |      $b.numElements() + ")");
+         |}
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double xv = (double) $a.$lGet($i);
          |  double yv = (double) $b.$rGet($i);
          |  $dot += xv * yv; $na += xv * xv; $nb += yv * yv;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |double $dn = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |${ev.value} = ($dn == 0.0) ? 0.0 : $dot / $dn;
        """.stripMargin
     })
   }

@@ -16,7 +16,12 @@ object Scrub {
     * character classes are deliberately RE2-compatible so any engine can
     * run the same rules. */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val PhoneRe = "\\+?[0-9]{1,2}[- ][0-9]{3}[- ][0-9]{3,4}[- ]?[0-9]{0,4}"
+  // Covers the common shapes: "+1 555 1234", "(555) 123-4567",
+  // "123-456-7890", "555 123 4567". Over-matching (e.g. ISBN-like digit
+  // runs) errs toward redaction — the safe direction at a trust
+  // boundary; the old 1-2-digit-lead rule let "(555) 123-4567" through
+  // entirely and left "123-456-7890" half-redacted.
+  val PhoneRe = "\\+?\\(?[0-9]{1,3}\\)?[- ][0-9]{3}[- ]?[0-9]{3,4}([- ][0-9]{1,4})?"
   val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
 
   /** Replace emails, phone numbers, and IPv4 literals with typed
@@ -49,7 +54,13 @@ object Scrub {
     // the zero/negative case silently emitted no rows (null division →
     // empty array), which reads as "no duplicates" downstream
     require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
-    val words = split(TextAnalysis.normalize(col(textCol)), " ")
+    // length>0 + coalesce: split("") yields [""], so a blank/null doc
+    // otherwise counts 1 "word" and (at chunkTokens=1) emits an
+    // empty-string chunk — every blank doc then collapses onto md5("")
+    // as one giant phantom duplicate group in chunkDupStats
+    val words = filter(
+      split(TextAnalysis.normalize(coalesce(col(textCol), lit(""))), " "),
+      t => length(t) > 0)
     val nChunks = floor(size(words) / chunkTokens).cast("int")
     docs.select(col(idCol).as("doc_id"),
         posexplode(
@@ -153,16 +164,20 @@ object Scrub {
                     maxSymbolBp: Int = 1000): DataFrame = {
     // filter the split() phantom: a blank doc is 0 words, not 1 — the
     // invariant TextAnalysis.tokenCountWs documents (a third hand-rolled
-    // tokenization here was the copy that got it wrong)
-    val words = filter(split(TextAnalysis.normalize(col(textCol)), " "),
+    // tokenization here was the copy that got it wrong). coalesce: NULL
+    // text scored keep=NULL, so the doc vanished from filter(keep) AND
+    // filter(!keep) — breaking keep+reject = corpus accounting; as ""
+    // it scores like a blank doc and lands in the reject stream.
+    val text = coalesce(col(textCol), lit(""))
+    val words = filter(split(TextAnalysis.normalize(text), " "),
       w => w =!= "")
     val wc = size(words)
     val meanLenX100 = when(wc === 0, lit(0L)).otherwise(
       floor(aggregate(words, lit(0L),
         (acc, w) => acc + length(w)) * 100 / wc)).cast("long")
-    val symbolBp = floor((length(col(textCol)) -
-      length(regexp_replace(col(textCol), "[^a-zA-Z0-9\\s]", "")))
-      * lit(10000L) / greatest(length(col(textCol)), lit(1))).cast("long")
+    val symbolBp = floor((length(text) -
+      length(regexp_replace(text, "[^a-zA-Z0-9\\s]", "")))
+      * lit(10000L) / greatest(length(text), lit(1))).cast("long")
     val stopHits = size(filter(words, w => w.isin(TextAnalysis.EnStopwords: _*)))
     docs.select(col(idCol).as("doc_id"),
         wc.cast("long").as("word_count"), meanLenX100.as("mean_len_x100"),

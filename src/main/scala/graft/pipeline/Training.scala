@@ -59,7 +59,10 @@ object Training {
                     tokenBudget: Int, shards: Int = 8): DataFrame = {
     require(tokenBudget > 0, s"tokenBudget must be positive, got $tokenBudget")
     require(shards > 0, s"shards must be positive, got $shards")
-    val toks = TextAnalysis.tokenCountWs(col(textCol))
+    // coalesce: tokenCountWs(NULL) is NULL, so a null-text doc's bin
+    // computed NULL and it vanished from every dataloader bin — the
+    // same silent-vanish failure the null-id coalesce below fixes
+    val toks = coalesce(TextAnalysis.tokenCountWs(col(textCol)), lit(0))
     val w = Window.partitionBy("shard").orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // numeric ids shard by modulo (engine-portable, oracle-mirrorable);
@@ -95,8 +98,12 @@ object Training {
     * runs, no rand()). */
   def mixturePct(docs: DataFrame, idCol: String, textCol: String,
                  pct: Int): DataFrame =
-    // salt: see hashSplit — each sampling operator draws independently
-    docs.filter(pmod(Dedup.md5Hash32(concat(lit("mix:"), col(textCol))), lit(100)) < pct)
+    // salt: see hashSplit — each sampling operator draws independently.
+    // coalesce: concat(salt, NULL) is NULL and the pmod predicate NULL,
+    // silently dropping null-text docs even at pct=100 (splitBucket
+    // documents the null-as-"" convention)
+    docs.filter(pmod(Dedup.md5Hash32(
+      concat(lit("mix:"), coalesce(col(textCol), lit("")))), lit(100)) < pct)
 
   /** Temperature-based mixture sampling — the multilingual/multi-source
     * rebalancing recipe (sampling weight ∝ size^alpha; alpha=1 keeps
@@ -123,8 +130,9 @@ object Training {
     // an equi-join silently dropped those docs from the mixture
     docs.join(broadcast(rates.withColumnRenamed(sourceCol, "__src")),
         col(sourceCol) <=> col("__src"))
-      .filter(pmod(Dedup.md5Hash32(concat(lit("tmix:"), col(textCol))),
-        lit(10000)) < col("rate_bp")) // salt: see hashSplit
+      .filter(pmod(Dedup.md5Hash32(
+        concat(lit("tmix:"), coalesce(col(textCol), lit("")))),
+        lit(10000)) < col("rate_bp")) // salt + null-as-"": see mixturePct
       .select(col(idCol), col(sourceCol), col("rate_bp"))
   }
 
@@ -137,7 +145,11 @@ object Training {
     * size, not stratum count. Ties (identical text) break on id. */
   def stratifiedSample(docs: DataFrame, idCol: String, textCol: String,
                        strataCol: String, k: Int): DataFrame = {
-    val w = Window.partitionBy(strataCol).orderBy(md5(col(textCol)), col(idCol))
+    // null-as-"": md5(NULL) is NULL and sorts FIRST ascending, so
+    // null-text docs deterministically filled the quota before any real
+    // document in their stratum
+    val w = Window.partitionBy(strataCol)
+      .orderBy(md5(coalesce(col(textCol), lit(""))), col(idCol))
     docs.select(col(idCol), col(strataCol), col(textCol))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
@@ -201,17 +213,26 @@ object Training {
                           shards: Int, buckets: Int = 64): DataFrame = {
     require(shards > 0, s"shards must be positive, got $shards")
     val toks = docs.select(col(idCol),
-      TextAnalysis.tokenCountWs(col(textCol)).cast("long").as("n_tokens"))
+      // null text counts 0 tokens (see packSequences)
+      coalesce(TextAnalysis.tokenCountWs(col(textCol)), lit(0))
+        .cast("long").as("n_tokens"))
     // numeric ids bucket on their value; string/other ids bucket on a
     // hash (cast("double") on a string nulls EVERY row and least()
     // skips nulls, collapsing the whole corpus into the last bucket —
     // the single-partition bottleneck the two-phase design avoids).
     // Hash-bucketed ids stay a deterministic, resumable total order
     // ((bucket, id)); numeric ids keep pure id order.
-    val k = docs.schema(idCol).dataType match {
+    // NaN routes like NULL (bucket 0): one NaN id otherwise poisons
+    // max(k) to NaN, the bucket formula goes NaN for EVERY row, and
+    // least(NaN, buckets-1) = buckets-1 collapses the whole corpus into
+    // one bucket — the single-partition bottleneck this two-phase
+    // design exists to avoid (ComplexOps.globalRowNumber routes NaN the
+    // same way).
+    val kRaw = docs.schema(idCol).dataType match {
       case _: org.apache.spark.sql.types.NumericType => col(idCol).cast("double")
       case _ => abs(xxhash64(col(idCol))).cast("double")
     }
+    val k = when(isnan(kRaw), lit(null)).otherwise(kRaw)
     val bounds = toks.agg(min(k).as("_lo"), max(k).as("_hi"),
       sum("n_tokens").as("_total"))
     val withB = toks.crossJoin(broadcast(bounds))

@@ -215,6 +215,62 @@ class PipelineExtraSpec extends AnyFunSuite {
     assert(out.filter(col("source").isNull).count() == 300L)
   }
 
+  test("redactPii covers the common US phone shapes; dates survive") {
+    val cases = Seq(
+      "call (555) 123-4567 now" -> "call [PHONE] now",
+      "call 123-456-7890 now" -> "call [PHONE] now",
+      "call 555 123 4567 now" -> "call [PHONE] now",
+      "call +1 555 1234 now" -> "call [PHONE] now",
+      // dates and versions must NOT redact
+      "deployed 2024-08-15 ok" -> "deployed 2024-08-15 ok",
+      "version 1.2.3 ok" -> "version 1.2.3 ok")
+    val got = cases.map(_._1).toDF("t")
+      .select(Scrub.redactPii(col("t"))).as[String].collect()
+    cases.map(_._2).zip(got).foreach { case (want, g) =>
+      assert(g == want, s"got '$g' want '$want'")
+    }
+  }
+
+  test("null-text docs flow through mixture/packing/stratified/gopher") {
+    val docs = Seq((1L, "real text one here", "a"),
+      (2L, null: String, "a"), (3L, "real text two here", "a"))
+      .toDF("doc_id", "text", "src")
+    // pct=100 keeps EVERYTHING including null text (concat(salt, NULL)
+    // was NULL and the filter silently dropped it)
+    assert(Training.mixturePct(docs, "doc_id", "text", pct = 100)
+      .count() == 3L)
+    assert(Training.temperatureMix(docs, "doc_id", "text", "src",
+      alpha = 1.0, targetFrac = 1.0).count() == 3L)
+    // packSequences bins the null-text doc (0 tokens), never bin NULL
+    val packed = Training.packSequences(docs, "doc_id", "text",
+      tokenBudget = 10, shards = 1)
+    assert(packed.count() == 3L && packed.filter(col("bin").isNull).count() == 0)
+    // stratifiedSample: null text ranks as md5("") — present, not
+    // nulls-first quota theft; with k=3 all three appear
+    assert(Training.stratifiedSample(docs, "doc_id", "text", "src", k = 3)
+      .count() == 3L)
+    // gopher: keep is FALSE (not NULL) so the doc lands in the reject
+    // stream and keep+reject = corpus
+    val g = Scrub.gopherSignals(docs, "doc_id", "text")
+    assert(g.filter(col("keep")).count() +
+      g.filter(!col("keep")).count() == 3L)
+    // chunking: a blank/null doc emits no phantom empty chunk
+    assert(Scrub.tokenChunks(docs, "doc_id", "text", chunkTokens = 1)
+      .filter(col("chunk") === "").count() == 0L)
+  }
+
+  test("tokenBalancedShards: one NaN id must not collapse the bucketing") {
+    val docs = ((1 to 200).map(i => (i.toDouble, s"some text $i")) :+
+      ((Double.NaN, "nan id doc"))).toDF("doc_id", "text")
+    val shards = Training.tokenBalancedShards(docs, "doc_id", "text",
+      shards = 4, buckets = 8)
+    assert(shards.count() == 201L)
+    // balanced across shards, not piled into one
+    val sizes = shards.groupBy("shard").count().collect().map(_.getLong(1))
+    assert(sizes.length == 4, s"shards: ${sizes.toSeq}")
+    assert(sizes.max < 150, s"collapsed: ${sizes.toSeq}")
+  }
+
   test("Search operators ignore blank documents (no phantom empty token)") {
     val docs = Seq((1L, "alpha beta alpha"), (2L, "   "), (3L, ""),
       (4L, "beta gamma")).toDF("doc_id", "text")

@@ -29,6 +29,30 @@ class SimilaritySpec extends AnyFunSuite {
     rows.toDF("vec_id", "embedding")
   }
 
+  test("zero-norm embeddings score 0 (never rank-1); dim mismatch refuses") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.1f, 0.0f)),
+      (3L, Seq(0.0f, 0.0f, 0.0f))) // all-zero padding artifact
+      .toDF("vec_id", "embedding")
+    val queries = Seq((100L, Seq(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val top = graft.pipeline.Similarity.bruteForceTopK(corpus, queries, k = 2)
+      .orderBy("rank").collect()
+    // a raw NaN (0/0) sorted GREATEST made the zero vector the rank-1
+    // neighbor of every query; it must rank beneath real neighbors
+    assert(top.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 2L), top.toSeq)
+    // mixed-dimension corpora refuse rather than scoring prefix cosines
+    val bad = Seq((9L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      graft.pipeline.Similarity.bruteForceTopK(
+        corpus.unionAll(bad), queries, k = 2).collect()
+    }
+    def msgs(t: Throwable): Seq[String] = Option(t).toSeq
+      .flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("dimension mismatch")), msgs(e))
+  }
+
   test("lshTopK recall@5 >= 0.9 vs bruteForceTopK (SURVEY row 76)") {
     val queries = corpus.filter(col("vec_id") % 100 === 0) // one per cluster
     val exact = Similarity.bruteForceTopK(corpus, queries, k = 5)
