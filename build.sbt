@@ -17,8 +17,8 @@ run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // ...and no "[success] Total time" epilogue AFTER it: a last-line
 // parser must see the JSON line as the final stdout line (BENCH_r07/
 // r08 both recorded "parsed": null because sbt's epilogue followed it)
-showSuccess := false
-showTiming := false
+Global / showSuccess := false
+Global / showTiming := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -947,6 +947,10 @@ object QueriesSources {
     // presence is spec-asserted in DfsSqlSpec) ----
     "q_analyze_sql" -> ((s, d) => {
       val base = s"${out(d)}/stats_sql"
+      // hermetic under re-run: a prior run's stats files (possibly under
+      // an older key scheme) must not double-list in statsTable
+      val bp = new org.apache.hadoop.fs.Path(base)
+      bp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(bp, true)
       s.sql(s"ALTER SESSION SET `graft.stats.dir` = '$base'")
       s.sql("ALTER SESSION SET `graft.stats.histogram.buckets` = 8")
       s.sql(s"ANALYZE TABLE dfs.`$d/region.parquet` COMPUTE STATISTICS")

@@ -265,7 +265,10 @@ object DmlSql {
       al.getOrElse(sAlias)
     } else sAlias
 
-    val whenAt = topLevelKeyword(afterOn, "WHEN").getOrElse(
+    // nextClauseWhen, NOT topLevelKeyword: an ON condition ending in a
+    // top-level CASE WHEN expression must not be truncated at the
+    // CASE's WHEN
+    val whenAt = nextClauseWhen(afterOn).getOrElse(
       throw new IllegalArgumentException("MERGE: no WHEN clauses"))
     val onCond = afterOn.substring(0, whenAt).trim
     val clauses = splitClauses(afterOn.substring(whenAt))
@@ -291,7 +294,9 @@ object DmlSql {
     val BySourceUpd =
       """(?is)\s*NOT\s+MATCHED\s+BY\s+SOURCE\s+(?:AND\s+(.+?)\s+)?THEN\s+UPDATE\s+SET\s+(.+?)\s*""".r
 
-    val targetSchema = fmt match {
+    // lazy: only SET * / INSERT * consume it — the common explicit-
+    // assignment MERGE must not pay a Delta log replay for nothing
+    lazy val targetSchema = fmt match {
       case DeltaT   => DeltaLogReader.read(spark, path).schema
       case IcebergT => IcebergTable.loadMeta(spark, path).schema
       case PaimonT  => PaimonTable.loadSchema(spark, path).schema
@@ -469,11 +474,28 @@ object DmlSql {
           }
         }
         (existing.schema, d => {
-          val w0 = d.write.format(fmt)
-            .mode(if (overwrite) "overwrite" else "append")
-          val w1 = if (partitionCols.nonEmpty) w0.partitionBy(partitionCols: _*)
-                   else w0
-          (if (fmt == "csv") w1.option("header", "true") else w1).save(path)
+          def writer(dd: org.apache.spark.sql.DataFrame, mode: String) = {
+            val w0 = dd.write.format(fmt).mode(mode)
+            val w1 = if (partitionCols.nonEmpty) w0.partitionBy(partitionCols: _*)
+                     else w0
+            if (fmt == "csv") w1.option("header", "true") else w1
+          }
+          if (overwrite) {
+            // stage-and-swap, never write-in-place: Spark's overwrite
+            // deletes the target BEFORE writing, so INSERT OVERWRITE d
+            // SELECT ... FROM d recomputing a lost cached block mid-write
+            // would read already-deleted files (table destroyed). The
+            // source files stay live until the staging write completes;
+            // the delete+rename window is metadata-scale.
+            val tmp = new org.apache.hadoop.fs.Path(
+              p.getParent, p.getName + ".__overwrite_tmp")
+            fs.delete(tmp, true)
+            writer(d, "overwrite").save(tmp.toString)
+            fs.delete(p, true)
+            require(fs.rename(tmp, p),
+              s"INSERT OVERWRITE: staging swap failed ($tmp -> $p); the " +
+                s"new data is intact at $tmp")
+          } else writer(d, "append").save(path)
           val layout = if (partitionCols.nonEmpty)
             s" (partitioned by ${partitionCols.mkString(", ")})" else ""
           if (overwrite) s"$fmt directory overwritten$layout"
@@ -494,8 +516,13 @@ object DmlSql {
     require(df.columns.length == cols.length,
       s"INSERT INTO: ${cols.length} columns but query returns " +
         s"${df.columns.length}")
-    val srcByTarget = cols.map(c => byLower(c.toLowerCase)).zip(df.columns).toMap
-    val aligned = df.select(schema.fields.toSeq.map { f =>
+    // positional mapping through UNIQUE temp names: a query returning
+    // duplicate column names (SELECT id, id ...) is valid positional
+    // SQL, but name-based col(src) threw AMBIGUOUS_REFERENCE
+    val tmpNames = df.columns.indices.map(i => s"__ins_src_$i")
+    val dfT = df.toDF(tmpNames: _*)
+    val srcByTarget = cols.map(c => byLower(c.toLowerCase)).zip(tmpNames).toMap
+    val aligned = dfT.select(schema.fields.toSeq.map { f =>
       srcByTarget.get(f.name) match {
         case Some(src) => col(src).cast(f.dataType).as(f.name)
         case None      => org.apache.spark.sql.functions.lit(null)
@@ -676,9 +703,12 @@ object DmlSql {
     val k = kw.length
     while (i < n) {
       val c = s.charAt(i)
-      if (inQ) { if (c == '\'') inQ = false }
+      // backslash escapes inside string literals (Spark default:
+      // escapedStringLiterals=false, so \' and \" are escapes): skip
+      // the escaped char or the literal's end desynchronizes the scan
+      if (inQ) { if (c == '\\') i += 1 else if (c == '\'') inQ = false }
       else if (inB) { if (c == '`') inB = false }
-      else if (inD) { if (c == '"') inD = false }
+      else if (inD) { if (c == '\\') i += 1 else if (c == '"') inD = false }
       else c match {
         case '\'' => inQ = true
         case '`' => inB = true
@@ -707,9 +737,12 @@ object DmlSql {
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (inQ) { if (c == '\'') inQ = false }
+      // backslash escapes inside string literals (Spark default:
+      // escapedStringLiterals=false, so \' and \" are escapes): skip
+      // the escaped char or the literal's end desynchronizes the scan
+      if (inQ) { if (c == '\\') i += 1 else if (c == '\'') inQ = false }
       else if (inB) { if (c == '`') inB = false }
-      else if (inD) { if (c == '"') inD = false }
+      else if (inD) { if (c == '\\') i += 1 else if (c == '"') inD = false }
       else c match {
         case '\'' => inQ = true
         case '`' => inB = true
@@ -744,9 +777,13 @@ object DmlSql {
             s.charAt(at + w.length) != '_'))
     while (i < n) {
       val c = s.charAt(i)
-      if (inQ) { if (c == '\'') inQ = false; i += 1 }
+      if (inQ) {
+        if (c == '\\') i += 2 else { if (c == '\'') inQ = false; i += 1 }
+      }
       else if (inB) { if (c == '`') inB = false; i += 1 }
-      else if (inD) { if (c == '"') inD = false; i += 1 }
+      else if (inD) {
+        if (c == '\\') i += 2 else { if (c == '"') inD = false; i += 1 }
+      }
       else c match {
         case '\'' => inQ = true; i += 1
         case '`' => inB = true; i += 1
@@ -786,9 +823,12 @@ object DmlSql {
     var i = open
     while (i < s.length) {
       val c = s.charAt(i)
-      if (inQ) { if (c == '\'') inQ = false }
+      // backslash escapes inside string literals (Spark default:
+      // escapedStringLiterals=false, so \' and \" are escapes): skip
+      // the escaped char or the literal's end desynchronizes the scan
+      if (inQ) { if (c == '\\') i += 1 else if (c == '\'') inQ = false }
       else if (inB) { if (c == '`') inB = false }
-      else if (inD) { if (c == '"') inD = false } // "..." literal, like the
+      else if (inD) { if (c == '\\') i += 1 else if (c == '"') inD = false } // "..." literal, like the
       else c match {                              // sibling scanners
         case '\'' => inQ = true
         case '`' => inB = true

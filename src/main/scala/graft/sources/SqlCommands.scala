@@ -450,10 +450,16 @@ object SqlCommands {
     require(parts.length >= 2 && parts.head.equalsIgnoreCase("dfs"),
       s"ANALYZE: expected dfs.<workspace>.<table>, got '$target'")
     val df0 = DfsSql.load(spark, parts.tail)
-    // stats-file name: path basename minus the format extension
-    val name =
-      new org.apache.hadoop.fs.Path(DfsSql.resolvePath(spark, parts.tail))
-        .getName.split('.').head
+    // display name: path basename minus the format extension. The FILE
+    // key appends a short hash of the full resolved path — same-named
+    // tables in different workspaces must not overwrite each other's
+    // stats (the optimizer would apply ws2's histograms to ws1's table)
+    val resolved = DfsSql.resolvePath(spark, parts.tail)
+    val name = new org.apache.hadoop.fs.Path(resolved)
+      .getName.split('.').head
+    val crc = new java.util.zip.CRC32()
+    crc.update(resolved.getBytes("UTF-8"))
+    val fileKey = f"${name}_${crc.getValue}%08x"
     val selected = colList.fold(df0) { cl =>
       val cols = cl.split(',').map(_.trim.stripPrefix("`").stripSuffix("`"))
       df0.select(cols.head, cols.tail.toIndexedSeq: _*)
@@ -465,7 +471,8 @@ object SqlCommands {
       .fold(selected)(p => selected.sample(p / 100.0, seed = 42L))
     val stats = StatsCatalog.analyze(spark, statsDir(spark), name, sampled,
       histogramBuckets =
-        spark.conf.get("graft.stats.histogram.buckets", "10").toInt)
+        spark.conf.get("graft.stats.histogram.buckets", "10").toInt,
+      fileKey = fileKey)
     result(ok = true,
       s"$name: ${stats.rowCount} rows, ${stats.columns.size} columns analyzed")
   }

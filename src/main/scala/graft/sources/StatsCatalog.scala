@@ -48,8 +48,13 @@ object StatsCatalog {
   /** ANALYZE: one aggregation pass over `df`; `sizeBytes` comes from the
     * plan's own estimate (file-size sum for file sources). Persisted
     * atomically under `base`. */
+  /** `fileKey` (default = table) names the stats FILE — callers whose
+    * display names can collide (same basename in two workspaces) pass a
+    * path-disambiguated key; the record's `table` field stays the
+    * display name statsTable surfaces. */
   def analyze(spark: SparkSession, base: String, table: String,
-              df: DataFrame, histogramBuckets: Int = 0): TableStats = {
+              df: DataFrame, histogramBuckets: Int = 0,
+              fileKey: String = ""): TableStats = {
     import org.apache.spark.sql.types._
     // stats cover ATOMIC columns only: min/max need an ordering and ndv
     // needs hashability — one map-typed column (schema-on-read JSON)
@@ -104,11 +109,12 @@ object StatsCatalog {
       df.queryExecution.optimizedPlan.stats.sizeInBytes
         .min(BigInt(Long.MaxValue)).toLong,
       System.currentTimeMillis(), colStats)
-    write(spark, base, stats)
+    write(spark, base, stats, if (fileKey.isEmpty) table else fileKey)
     stats
   }
 
-  private def write(spark: SparkSession, base: String, s: TableStats): Unit = {
+  private def write(spark: SparkSession, base: String, s: TableStats,
+                    key: String): Unit = {
     val f = fs(spark, base)
     f.mkdirs(new Path(base))
     val node = mapper.createObjectNode()
@@ -126,15 +132,21 @@ object StatsCatalog {
         c.histogram.foreach(h.add)
       }
     }
-    val target = new Path(base, s.table + Suffix)
+    val target = new Path(base, key + Suffix)
     // UUID tmp: a FIXED per-table tmp name let two concurrent ANALYZEs
     // interleave into one stream and install corrupt JSON durably
     val tmp = new Path(base,
-      s".${s.table}$Suffix.${java.util.UUID.randomUUID()}.tmp")
+      s".$key$Suffix.${java.util.UUID.randomUUID()}.tmp")
     val out = f.create(tmp, true)
     try out.write(mapper.writeValueAsBytes(node)) finally out.close()
     if (f.exists(target)) f.delete(target, false)
     require(f.rename(tmp, target), s"atomic rename failed for $target")
+    // migration: a pre-fileKey install keyed this table by display name
+    // alone — left in place it would double-list in statsTable forever
+    if (key != s.table) {
+      val legacy = new Path(base, s.table + Suffix)
+      if (f.exists(legacy)) f.delete(legacy, false)
+    }
   }
 
   /** Stored stats for `table`, if analyzed. A reader racing the
@@ -242,6 +254,23 @@ object StatsCatalog {
         if (s.sizeBytes * sel <= limit) broadcast(df) else df
       case _ => df
     }
+  }
+
+  /** Stats matching a DISPLAY name — files may be keyed with a
+    * path-hash suffix (see analyze's fileKey), so name lookups scan the
+    * directory; ambiguous names (same basename analyzed from several
+    * paths) return the most recently analyzed. */
+  def loadByName(spark: SparkSession, base: String,
+                 table: String): Option[TableStats] = {
+    val f = fs(spark, base)
+    val dir = new Path(base)
+    if (!f.exists(dir)) return None
+    f.listStatus(dir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(Suffix))
+      .map(s => s.getPath.getName.stripSuffix(Suffix))
+      .flatMap(t => load(spark, base, t))
+      .filter(_.table == table)
+      .sortBy(_.analyzedAtMs).lastOption
   }
 
   /** INFORMATION_SCHEMA-style relation over every stored stats file:

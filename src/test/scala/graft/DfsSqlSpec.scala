@@ -237,7 +237,7 @@ class DfsSqlSpec extends AnyFunSuite {
       val r = spark.sql(
         s"ANALYZE TABLE dfs.`$sf/nation.parquet` COMPUTE STATISTICS").collect().head
       assert(r.getBoolean(0) && r.getString(1).contains("nation"))
-      val st = graft.sources.StatsCatalog.load(spark, base, "nation").get
+      val st = graft.sources.StatsCatalog.loadByName(spark, base, "nation").get
       assert(st.rowCount === 25)
       val nk = st.columns.find(_.name == "n_nationkey").get
       assert(nk.histogram.size === 9) // 8 buckets -> 9 boundaries
@@ -246,13 +246,13 @@ class DfsSqlSpec extends AnyFunSuite {
       // column-list form analyzes only those columns
       spark.sql(s"""ANALYZE TABLE dfs.`$sf/region.parquet`
                     COMPUTE STATISTICS (r_regionkey, r_name)""")
-      val reg = graft.sources.StatsCatalog.load(spark, base, "region").get
+      val reg = graft.sources.StatsCatalog.loadByName(spark, base, "region").get
       assert(reg.columns.map(_.name).toSet === Set("r_regionkey", "r_name"))
 
       // SAMPLE n PERCENT analyzes a subset (seeded Bernoulli)
       spark.sql(s"""ANALYZE TABLE dfs.`$sf/customer.parquet`
                     COMPUTE STATISTICS (c_custkey) SAMPLE 20 PERCENT""")
-      val cust = graft.sources.StatsCatalog.load(spark, base, "customer").get
+      val cust = graft.sources.StatsCatalog.loadByName(spark, base, "customer").get
       val full = spark.read.parquet(s"$sf/customer.parquet").count()
       assert(cust.rowCount > 0 && cust.rowCount < full)
     } finally spark.sql("ALTER SESSION RESET ALL")

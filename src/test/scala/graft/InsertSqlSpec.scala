@@ -222,6 +222,103 @@ class InsertSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("MERGE ON condition may END in a CASE WHEN expression") {
+    import spark.implicits._
+    val base = freshDir("moncase")
+    DeltaLogWriter.write(
+      Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "kind", "v"), base)
+    Seq((1L, true, 9.0), (2L, false, 8.0)).toDF("mk", "x", "mv")
+      .createOrReplaceTempView("moncase_src")
+    withWs {
+      // the ON condition itself carries a top-level CASE WHEN — a
+      // CASE-blind WHEN split truncated it at the CASE's WHEN and
+      // failed with 'unsupported clause' on valid SQL
+      spark.sql(
+        """MERGE INTO dfs.ins.`ins_moncase` t USING moncase_src s
+           ON t.k = s.mk AND t.kind = CASE WHEN s.x THEN 'a' ELSE 'b' END
+           WHEN MATCHED THEN UPDATE SET v = s.mv""")
+      val got = DeltaLogReader.read(spark, base).collect()
+        .map(x => (x.getLong(0), x.getDouble(2))).toSet
+      assert(got == Set((1L, 9.0), (2L, 8.0)))
+    }
+  }
+
+  test("backslash-escaped quotes inside literals survive the scanners") {
+    import spark.implicits._
+    val base = freshDir("escq")
+    DeltaLogWriter.write(Seq((1L, "x"), (2L, "y")).toDF("k", "note"), base)
+    withWs {
+      // \' inside the literal once closed the string early; the scanner
+      // then saw the WHERE inside the literal as top-level and split
+      spark.sql(
+        "UPDATE dfs.ins.`ins_escq` SET note = 'can\\'t where due' WHERE k = 1")
+      val got = graft.sources.DeltaLogReader.read(spark, base).collect()
+        .map(x => (x.getLong(0), x.getString(1))).toSet
+      assert(got == Set((1L, "can't where due"), (2L, "y")))
+    }
+  }
+
+  test("positional INSERT accepts a query with duplicate column names") {
+    import spark.implicits._
+    val base = freshDir("dupcols")
+    DeltaLogWriter.write(Seq((1L, 1L)).toDF("a", "b"), base)
+    withWs {
+      // SELECT id, id — name-based source resolution threw
+      // AMBIGUOUS_REFERENCE on valid positional SQL
+      spark.sql("INSERT INTO dfs.ins.`ins_dupcols` (a, b) SELECT 7, 7")
+      val got = graft.sources.DeltaLogReader.read(spark, base).collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(got == Set((1L, 1L), (7L, 7L)))
+    }
+  }
+
+  test("INSERT OVERWRITE a plain dir FROM ITSELF stages then swaps") {
+    import spark.implicits._
+    val base = freshDir("selfow")
+    (1L to 100L).map(i => (i, i % 7)).toDF("k", "g")
+      .write.mode("overwrite").parquet(base)
+    withWs {
+      val r = spark.sql(
+        "INSERT OVERWRITE dfs.ins.`ins_selfow` " +
+          "SELECT * FROM dfs.ins.`ins_selfow` WHERE k <= 40").collect()(0)
+      assert(r.getString(1).contains("40 rows inserted"), r.getString(1))
+      val got = spark.read.parquet(base)
+      assert(got.count() == 40 &&
+        got.select("k").collect().map(_.getLong(0)).toSet == (1L to 40L).toSet)
+      // no staging residue
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(base + ".__overwrite_tmp")))
+    }
+  }
+
+  test("ANALYZE: same basename in two workspaces keeps BOTH stats") {
+    import spark.implicits._
+    val d1 = freshDir("stats_ws1"); val d2 = freshDir("stats_ws2")
+    Seq((1L, "a")).toDF("k", "v").write.mode("overwrite")
+      .parquet(s"$d1/users.parquet")
+    (1L to 5L).map(i => (i, "b")).toDF("k", "v").write.mode("overwrite")
+      .parquet(s"$d2/users.parquet")
+    val sdir = freshDir("stats_dir")
+    spark.conf.set("graft.stats.dir", sdir)
+    spark.conf.set("graft.dfs.workspace.w1", d1)
+    spark.conf.set("graft.dfs.workspace.w2", d2)
+    try {
+      spark.sql("ANALYZE TABLE dfs.w1.`users.parquet` COMPUTE STATISTICS")
+      spark.sql("ANALYZE TABLE dfs.w2.`users.parquet` COMPUTE STATISTICS")
+      // keyed by basename alone, the second silently overwrote the
+      // first and the optimizer applied ws2's counts to ws1's table
+      val rows = graft.sources.StatsCatalog.statsTable(spark, sdir)
+        .select("table_name", "row_count").distinct()
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(rows == Set(("users", 1L), ("users", 5L)), rows.toString)
+    } finally {
+      spark.conf.unset("graft.stats.dir")
+      spark.conf.unset("graft.dfs.workspace.w1")
+      spark.conf.unset("graft.dfs.workspace.w2")
+    }
+  }
+
   test("ANALYZE TABLE on a catalog-resolvable name is NOT claimed by graft") {
     import spark.implicits._
     Seq((1, "a")).toDF("id", "s").createOrReplaceTempView("an_tv")
