@@ -36,17 +36,20 @@ object DeltaDml {
 
   private val PhysKey = "delta.columnMapping.physicalName"
 
+  // add.path is percent-ENCODED in the log (PROTOCOL.md): decode before
+  // touching the filesystem; log actions keep the encoded rel path
   private def absolute(tablePath: String, p: String): String =
-    if (p.startsWith("/") || p.contains("://")) p else s"$tablePath/$p"
+    DeltaLogReader.decodedAbsolute(tablePath, p)
 
   private val SchemeRe = "^[a-zA-Z0-9]+:/+"
   private def absNorm(c: Column): Column = regexp_replace(c, SchemeRe, "/")
-  private def normScheme(s: String): String = s.replaceFirst(SchemeRe, "/")
+  // join key vs _metadata.file_path (URI-encoded) — see DeltaLogReader
+  private def encNorm(s: String): String = DeltaLogReader.encNorm(s)
 
   /** Live state with the DML refusals applied:
-    * (schema, relPath -> absolute path, current version). */
+    * (schema, relPath -> absolute path, current version, table conf). */
   private def dmlState(spark: SparkSession, tablePath: String)
-      : (StructType, Seq[(String, String)], Long) = {
+      : (StructType, Seq[(String, String)], Long, Map[String, String]) = {
     val (schema, partCols, files) = DeltaLogReader.activeState(spark, tablePath)
     require(partCols.isEmpty,
       s"DML on partitioned Delta table not supported: $tablePath " +
@@ -56,10 +59,11 @@ object DeltaDml {
         "(the rewrite would need to materialize the DVs first)")
     require(schema.fields.forall(f => !f.metadata.contains(PhysKey)),
       s"DML on column-mapped Delta table not supported: $tablePath")
+    val conf = writerGate(spark, tablePath, schema, removesRows = true)
     val version = (DeltaLogReader.tableVersions(spark, tablePath) ++
       DeltaLogReader.lastCheckpointVersion(spark, tablePath)).max
     (schema, files.map { case (p, _, _) => p -> absolute(tablePath, p) },
-      version)
+      version, conf)
   }
 
   /** Distinct live files holding at least one row of `hits` — the
@@ -71,7 +75,7 @@ object DeltaDml {
   private def affectedOf(hits: DataFrame,
                          files: Seq[(String, String)]): Seq[String] = {
     val byNorm = files.map { case (rel, abs) =>
-      normScheme(abs) -> rel
+      encNorm(abs) -> rel
     }.toMap
     hits.select(col("__g_file"))
       .distinct().collect().map(r => byNorm(r.getString(0))).toSeq
@@ -86,14 +90,15 @@ object DeltaDml {
                         dataChange: Boolean): Seq[String] = {
     val spark = df.sparkSession
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val staging = new Path(tablePath, s"_staging_v$version")
+    // UUID part names AND staging dir (delta-spark's convention):
+    // DETERMINISTIC names let a concurrent DML clobber the commit-race
+    // winner's data file (or interleave into its staging dir) before
+    // the put-if-absent log write decided the race
+    val runId = java.util.UUID.randomUUID().toString
+    val staging = new Path(tablePath, s"_staging_$runId")
     df.write.mode("overwrite").parquet(staging.toString)
     val parts = fs.listStatus(staging).map(_.getPath)
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-    // UUID part names (delta-spark's convention): DETERMINISTIC names
-    // let a concurrent DML clobber the commit-race winner's data file
-    // before the put-if-absent log write decided the race
-    val runId = java.util.UUID.randomUUID().toString
     val adds = parts.zipWithIndex.map { case (part, i) =>
       val name = f"part-$i%05d-$runId.parquet"
       val dest = new Path(tablePath, name)
@@ -105,8 +110,62 @@ object DeltaDml {
     adds
   }
 
+  /** PROTOCOL.md writer-version rules — the write-side twin of the
+    * reader's checkProtocol: a writer MUST refuse tables whose protocol
+    * or metadata demand capabilities it does not honor, instead of
+    * committing changes that violate the table's declared contract
+    * (delta-spark refuses the same way). Returns the table
+    * configuration so callers reuse it (the CDF flag) without another
+    * log replay. `removesRows` = false for pure appends and
+    * dataChange=false maintenance, which append-only tables accept. */
+  private[sources] def writerGate(spark: SparkSession, tablePath: String,
+      schema: StructType, removesRows: Boolean): Map[String, String] = {
+    val (_, pw, _, wf) = DeltaLogReader.protocolInfo(spark, tablePath)
+    val (_, conf) = DeltaLogReader.currentMetaInfo(spark, tablePath)
+    require(pw <= 7,
+      s"Delta table $tablePath requires minWriterVersion $pw; this " +
+        "writer implements protocol versions 1-7")
+    // features we honor (appendOnly/invariants/checkConstraints/
+    // generatedColumns/identityColumns via the metadata checks below,
+    // changeDataFeed via cdc emission, deletionVectors/columnMapping/
+    // timestampNtz/v2Checkpoint/vacuumProtocolCheck structurally);
+    // anything else (rowTracking, domainMetadata, icebergCompat*, ...)
+    // obliges writers to maintain state this code does not
+    val supported = Set("appendOnly", "invariants", "checkConstraints",
+      "changeDataFeed", "generatedColumns", "columnMapping",
+      "identityColumns", "deletionVectors", "timestampNtz",
+      "v2Checkpoint", "vacuumProtocolCheck")
+    val unsupported = wf -- supported
+    require(unsupported.isEmpty,
+      s"Delta table $tablePath requires writer features " +
+        s"${unsupported.toSeq.sorted.mkString("[", ", ", "]")} this " +
+        "writer does not implement — committing anyway could violate " +
+        "the table's contract")
+    if (removesRows)
+      require(!conf.get("delta.appendOnly").exists(_.equalsIgnoreCase("true")),
+        s"Delta table $tablePath is append-only (delta.appendOnly=true): " +
+          "a commit that removes or rewrites rows would violate it")
+    val constraints = conf.keys.filter(_.startsWith("delta.constraints."))
+    require(constraints.isEmpty,
+      s"Delta table $tablePath declares CHECK constraints " +
+        s"${constraints.toSeq.sorted.mkString(", ")} this writer does " +
+        "not evaluate — an invalid row would commit unchecked")
+    schema.fields.foreach { f =>
+      require(!f.metadata.contains("delta.invariants"),
+        s"Delta table $tablePath: column '${f.name}' declares an " +
+          "invariant this writer does not evaluate")
+      require(!f.metadata.contains("delta.generationExpression"),
+        s"Delta table $tablePath: column '${f.name}' is a generated " +
+          "column this writer does not compute")
+      require(!f.metadata.contains("delta.identity.start"),
+        s"Delta table $tablePath: column '${f.name}' is an identity " +
+          "column this writer does not assign")
+    }
+    conf
+  }
+
   /** The add action's deletionVector descriptor fragment ("" for none). */
-  private def dvJson(dv: Option[DeletionVectors.DvDescriptor]): String =
+  private[sources] def dvJson(dv: Option[DeletionVectors.DvDescriptor]): String =
     dv.map(d =>
       s""","deletionVector":{"storageType":"${d.storageType}",""" +
         s""""pathOrInlineDv":"${d.pathOrInlineDv}","offset":${d.offset},""" +
@@ -117,10 +176,11 @@ object DeltaDml {
     * descriptor: PROTOCOL.md keys logical-file identity on
     * (path, dvUniqueId), so a remove without the DV would leave the old
     * (path, dv) pair alive in a spec-keyed replay. */
-  private def removeActions(rels: Seq[String],
-      dvOf: String => Option[DeletionVectors.DvDescriptor] = _ => None): Seq[String] =
+  private[sources] def removeActions(rels: Seq[String],
+      dvOf: String => Option[DeletionVectors.DvDescriptor] = _ => None,
+      dataChange: Boolean = true): Seq[String] =
     rels.map(p =>
-      s"""{"remove":{"path":"$p","deletionTimestamp":0,"dataChange":true${dvJson(dvOf(p))}}}""")
+      s"""{"remove":{"path":"$p","deletionTimestamp":0,"dataChange":$dataChange${dvJson(dvOf(p))}}}""")
 
   /** commitInfo action (PROTOCOL.md: informational, replay ignores it)
     * — what DESCRIBE HISTORY surfaces as the operation name. */
@@ -134,8 +194,15 @@ object DeltaDml {
     * DERIVES from add/remove and over-reports: every row of a rewritten
     * file shows as delete+insert. With them, [[DeltaLogReader
     * .readChanges]] serves the exact row-level changes. */
-  private def cdfEnabled(spark: SparkSession): Boolean =
-    spark.conf.getOption("graft.delta.cdf").exists(_.equalsIgnoreCase("true"))
+  private def cdfEnabled(spark: SparkSession,
+                         tableConf: Map[String, String]): Boolean =
+    spark.conf.getOption("graft.delta.cdf").exists(_.equalsIgnoreCase("true")) ||
+      // the TABLE-level flag (delta.enableChangeDataFeed=true) obliges
+      // every writer to emit cdc files — delta-spark readers of such a
+      // table assume exact row-level changes, so honoring only the
+      // session flag would silently degrade their CDF to derived form
+      tableConf.get("delta.enableChangeDataFeed")
+        .exists(_.equalsIgnoreCase("true"))
 
   /** Stage `df` (schema + `_change_type`) as cdc parquet under
     * `_change_data/` and return the cdc actions (dataChange=false —
@@ -144,13 +211,13 @@ object DeltaDml {
                        version: Long): Seq[String] = {
     val spark = df.sparkSession
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val staging = new Path(tablePath, s"_staging_cdc_v$version")
+    val runId = java.util.UUID.randomUUID().toString // see stageAdds
+    val staging = new Path(tablePath, s"_staging_cdc_$runId")
     df.write.mode("overwrite").parquet(staging.toString)
     val parts = fs.listStatus(staging).map(_.getPath)
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
     val cdcDir = new Path(tablePath, "_change_data")
     fs.mkdirs(cdcDir)
-    val runId = java.util.UUID.randomUUID().toString // see stageAdds
     val actions = parts.zipWithIndex.map { case (part, i) =>
       val name = f"_change_data/cdc-$i%05d-$runId.parquet"
       val dest = new Path(tablePath, name)
@@ -171,26 +238,30 @@ object DeltaDml {
     * (committed version, rows deleted). */
   def delete(spark: SparkSession, tablePath: String,
              condition: Column): (Long, Long) = {
-    val (schema, files, current) = dmlState(spark, tablePath)
+    val (schema, files, current, tableConf) = dmlState(spark, tablePath)
     if (files.isEmpty) return (current, 0L)
     val scan = spark.read.schema(schema).parquet(files.map(_._2): _*)
     val affected = affectedOf(
       scan.filter(condition).select(fileCol.as("__g_file")), files)
     if (affected.isEmpty) return (current, 0L)
 
+    // persisted like update()/dvDml: the affected-file scan feeds the
+    // count, the keeper rewrite, and (with CDF) the delete images —
+    // up to three rescans (and three condition evaluations) otherwise
     val aff = spark.read.schema(schema)
-      .parquet(affected.map(absolute(tablePath, _)): _*)
+      .parquet(affected.map(absolute(tablePath, _)): _*).persist()
     val hit = coalesce(condition.cast(BooleanType), lit(false))
     val deleted = aff.filter(hit).count()
     val version = current + 1
     val adds = stageAdds(aff.filter(!hit), tablePath, version,
       dataChange = true)
     val cdc =
-      if (cdfEnabled(spark))
+      if (cdfEnabled(spark, tableConf))
         stageCdc(typed(aff.filter(hit), "delete"), tablePath, version)
       else Nil
     DeltaLogReader.writeCommit(spark, tablePath, version,
       ci("DELETE") +: (removeActions(affected) ++ adds ++ cdc))
+    aff.unpersist()
     (version, deleted)
   }
 
@@ -249,12 +320,13 @@ object DeltaDml {
       s"DML on partitioned Delta table not supported: $tablePath")
     require(schema.fields.forall(f => !f.metadata.contains(PhysKey)),
       s"DML on column-mapped Delta table not supported: $tablePath")
+    val tableConf = writerGate(spark, tablePath, schema, removesRows = true)
     val current = (DeltaLogReader.tableVersions(spark, tablePath) ++
       DeltaLogReader.lastCheckpointVersion(spark, tablePath)).max
     if (files.isEmpty) return (current, 0L)
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val relOf: Map[String, String] = files.map { case (rel, _, _) =>
-      normScheme(absolute(tablePath, rel)) -> rel
+      encNorm(absolute(tablePath, rel)) -> rel
     }.toMap
     val confBc = spark.sparkContext.broadcast(
       new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
@@ -336,7 +408,7 @@ object DeltaDml {
       case None    => Nil
     }
     val cdc =
-      if (cdfEnabled(spark)) set match {
+      if (cdfEnabled(spark, tableConf)) set match {
         case None => stageCdc(
           typed(matched.select(schema.fieldNames.map(col).toSeq: _*),
             "delete"), tablePath, version)
@@ -387,7 +459,7 @@ object DeltaDml {
     * unchanged. Returns (committed version, rows updated). */
   def update(spark: SparkSession, tablePath: String, condition: Column,
              set: Map[String, Column]): (Long, Long) = {
-    val (schema, files, current) = dmlState(spark, tablePath)
+    val (schema, files, current, tableConf) = dmlState(spark, tablePath)
     val bad = set.keySet.filterNot(schema.fieldNames.contains)
     require(bad.isEmpty, s"UPDATE: unknown column(s) ${bad.mkString(", ")}")
     require(set.nonEmpty, "UPDATE: empty SET clause")
@@ -413,7 +485,7 @@ object DeltaDml {
     val version = current + 1
     val adds = stageAdds(rewritten, tablePath, version, dataChange = true)
     val cdc =
-      if (cdfEnabled(spark)) {
+      if (cdfEnabled(spark, tableConf)) {
         val pre = typed(aff.filter(hit), "update_preimage")
         val post = typed(aff.filter(hit).select(schema.fields.toSeq.map { f =>
           set.get(f.name) match {
@@ -439,6 +511,7 @@ object DeltaDml {
     val (schema, partCols, _) = DeltaLogReader.activeState(spark, tablePath)
     require(schema.fields.forall(f => !f.metadata.contains(PhysKey)),
       s"ADD COLUMNS on column-mapped Delta table not supported: $tablePath")
+    writerGate(spark, tablePath, schema, removesRows = false)
     val existing = schema.fieldNames.map(_.toLowerCase).toSet
     cols.fieldNames.foreach(c => require(!existing.contains(c.toLowerCase),
       s"ADD COLUMNS: column '$c' already exists in $tablePath"))
@@ -467,10 +540,13 @@ object DeltaDml {
     // live set = active data files + the DV .bin files their descriptors
     // reference (a DV-heavy table sheds a superseded vector per commit —
     // they reclaim here like data files do)
+    // encNorm both sides: the log path decodes to the on-disk name, and
+    // the listed FileStatus paths re-encode the same way — a live file
+    // whose name percent-encodes must never look dead to vacuum
     val live = files.flatMap { case (p, _, dv) =>
-      normScheme(absolute(tablePath, p)) +:
+      encNorm(absolute(tablePath, p)) +:
         dv.filter(_.storageType != "i").map(d =>
-          normScheme(d.filePath(tablePath))).toSeq
+          encNorm(d.filePath(tablePath))).toSeq
     }.toSet
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -488,7 +564,7 @@ object DeltaDml {
         else Nil
       }
     val dead = walk(root).filter { s =>
-      val norm = normScheme(s.getPath.toString)
+      val norm = encNorm(s.getPath.toString)
       !live.contains(norm) && s.getModificationTime <= cutoff
     }
     // a big vacuum (a compacted 100 TB table sheds millions of files)
@@ -523,7 +599,8 @@ object DeltaDml {
               toVersion: Long): (Long, Long, Long) = {
     val (tSchema, tPartCols, tFiles) =
       DeltaLogReader.snapshotStateDv(spark, tablePath, Some(toVersion))
-    val (_, _, cFiles) = DeltaLogReader.snapshotStateDv(spark, tablePath, None)
+    val (cSchema, _, cFiles) = DeltaLogReader.snapshotStateDv(spark, tablePath, None)
+    writerGate(spark, tablePath, cSchema, removesRows = true)
     val current = (DeltaLogReader.tableVersions(spark, tablePath) ++
       DeltaLogReader.lastCheckpointVersion(spark, tablePath)).max
     require(toVersion <= current,
@@ -561,7 +638,15 @@ object DeltaDml {
         val size = fs.getFileStatus(abs).getLen
         s"""{"add":{"path":"$p","partitionValues":${pvJson(pv)},"size":$size,"modificationTime":0,"dataChange":true${dvJson(dv)}}}"""
       }
-    val removes = removeActions(cFiles.map(_._1).filterNot(tgt.contains),
+    // a path live in BOTH versions with a DIFFERENT DV re-adds with the
+    // target's descriptor below; under the spec's (path, dvUniqueId)
+    // identity the old pair must ALSO be removed or it stays live for a
+    // spec-keyed replay (our own path-keyed replay applies the commit's
+    // lines in order, so remove-then-re-add lands on the add)
+    val dvChanged =
+      tFiles.filter(f => curState.get(f._1).exists(_ != f._3)).map(_._1)
+    val removes = removeActions(
+      cFiles.map(_._1).filterNot(tgt.contains) ++ dvChanged,
       curState.getOrElse(_, None))
     val version = current + 1
     val (metaId, metaConf) = DeltaLogReader.currentMetaInfo(spark, tablePath)
@@ -613,7 +698,8 @@ object DeltaDml {
     val anyBySource = bySourceDelete.isDefined || bySourceUpdate.isDefined
     require(matchedUpdate.isDefined || matchedDelete.isDefined ||
       notMatchedInsert.isDefined || anyBySource, "MERGE: no clauses")
-    val (schema, files, current) = dmlState(spark, tablePath)
+    val (schema, files, current, tableConf) = dmlState(spark, tablePath)
+    val cdfOn = cdfEnabled(spark, tableConf)
     (matchedUpdate.toSeq ++ bySourceUpdate.toSeq).foreach { m =>
       val bad = m.keySet.filterNot(schema.fieldNames.contains)
       require(bad.isEmpty,
@@ -720,7 +806,7 @@ object DeltaDml {
           sum(when(delCond, 1L).otherwise(0L))).collect()(0)
         updated = if (counts.isNullAt(0)) 0L else counts.getLong(0)
         deleted = if (counts.isNullAt(1)) 0L else counts.getLong(1)
-        if (cdfEnabled(spark)) {
+        if (cdfOn) {
           val tCols = schema.fields.toSeq.map(f =>
             col(s"$tAlias.${f.name}").as(f.name))
           def post(set: Map[String, String], rows: DataFrame): DataFrame =
@@ -797,7 +883,7 @@ object DeltaDml {
         val removes = if (rewritten.isDefined) removeActions(affected)
                       else Seq.empty
         val cdc =
-          if (cdfEnabled(spark)) {
+          if (cdfOn) {
             val all = cdcParts ++
               inserts.toSeq.map(i => typed(i, "insert"))
             all.reduceOption(_ unionByName _)

@@ -543,19 +543,7 @@ object DeltaLogReader {
     val dataSchema = StructType(schema.fields
       .filterNot(f => partCols.contains(f.name))
       .map(f => StructField(phys(f.name), f.dataType, f.nullable)))
-    // PROTOCOL.md: add.path is RFC 2396 percent-ENCODED relative to the
-    // table root — a partition dir like `p=a%20b/part-...` must decode
-    // before touching the filesystem, or a valid table read fails with
-    // FileNotFound (identity in the LOG stays the encoded form)
-    def absolute(p: String): String = {
-      // '+' is literal under RFC 2396 (URLDecoder's form-decoding would
-      // turn it into a space) — protect it before decoding %XX escapes
-      val decoded =
-        try java.net.URLDecoder.decode(p.replace("+", "%2B"), "UTF-8")
-        catch { case _: IllegalArgumentException => p } // lone % passes through
-      if (decoded.startsWith("/") || decoded.contains("://")) decoded
-      else s"$tablePath/$decoded"
-    }
+    def absolute(p: String): String = decodedAbsolute(tablePath, p)
     if (files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -586,7 +574,9 @@ object DeltaLogReader {
           // one scan + broadcast (relative path -> partition values) join;
           // scheme differences ("file:///x" vs "/x") normalize away
           import spark.implicits._
-          val pvRows = files.map(f => (absNorm(absolute(f.path)),
+          // encNorm, not absNorm: input_file_name() is URI-encoded, so a
+          // decoded key (path with a space) would silently join nothing
+          val pvRows = files.map(f => (encNorm(absolute(f.path)),
             partCols.map(c => f.partitionValues.get(phys(c)).orNull)))
           val pvDf = broadcast(pvRows.toDF("__file", "__pv"))
           val scan = baseScan(files.map(f => absolute(f.path)))
@@ -603,8 +593,9 @@ object DeltaLogReader {
       // file; the driver only ships descriptors (metadata-scale). Summed
       // cardinality is known without touching a bitmap, so the broadcast
       // decision needs no data read.
+      // encNorm: __g_fp comes from _metadata.file_path (URI-encoded)
       val dvFiles = files.filter(_.dv.isDefined)
-        .map(f => (absNorm(absolute(f.path)), f.dv.get))
+        .map(f => (encNorm(absolute(f.path)), f.dv.get))
       val confBc = spark.sparkContext.broadcast(
         new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
       val table = tablePath
@@ -629,6 +620,27 @@ object DeltaLogReader {
 
   private def absNorm(p: String): String =
     p.replaceFirst("^[a-zA-Z0-9]+:/+", "/")
+
+  /** PROTOCOL.md: add.path is RFC 2396 percent-ENCODED relative to the
+    * table root — decode before touching the filesystem (identity in the
+    * LOG stays the encoded form). '+' is literal under RFC 2396
+    * (URLDecoder's form-decoding would turn it into a space), so protect
+    * it before decoding %XX escapes; a lone % passes through. */
+  private[sources] def decodedAbsolute(tablePath: String, p: String): String = {
+    val decoded =
+      try java.net.URLDecoder.decode(p.replace("+", "%2B"), "UTF-8")
+      catch { case _: IllegalArgumentException => p }
+    if (decoded.startsWith("/") || decoded.contains("://")) decoded
+    else s"$tablePath/$decoded"
+  }
+
+  /** Canonical join key for comparing a DECODED absolute path against
+    * Spark's `input_file_name()` / `_metadata.file_path` values: Spark
+    * builds those via Hadoop `Path.toUri` (URI-encoded), so a decoded
+    * driver-side key (e.g. a path with a space) never equals them.
+    * Encode the same way, then normalize the scheme like [[absNorm]]. */
+  private[sources] def encNorm(abs: String): String =
+    new Path(abs).toUri.toString.replaceFirst("^[a-zA-Z0-9]+:/+", "/")
 
   /** CHANGE DATA FEED read (PROTOCOL.md §Add CDC File): every row change
     * in versions [fromVersion, toVersion] with `_change_type` and
@@ -660,19 +672,7 @@ object DeltaLogReader {
     require(!schema.fields.exists(
         _.metadata.contains("delta.columnMapping.physicalName")),
       s"readChanges on a column-mapped table is not supported: $tablePath")
-    // PROTOCOL.md: add.path is RFC 2396 percent-ENCODED relative to the
-    // table root — a partition dir like `p=a%20b/part-...` must decode
-    // before touching the filesystem, or a valid table read fails with
-    // FileNotFound (identity in the LOG stays the encoded form)
-    def absolute(p: String): String = {
-      // '+' is literal under RFC 2396 (URLDecoder's form-decoding would
-      // turn it into a space) — protect it before decoding %XX escapes
-      val decoded =
-        try java.net.URLDecoder.decode(p.replace("+", "%2B"), "UTF-8")
-        catch { case _: IllegalArgumentException => p } // lone % passes through
-      if (decoded.startsWith("/") || decoded.contains("://")) decoded
-      else s"$tablePath/$decoded"
-    }
+    def absolute(p: String): String = decodedAbsolute(tablePath, p)
     val out = StructType(schema.fields ++ Seq(
       StructField("_change_type", org.apache.spark.sql.types.StringType),
       StructField("_commit_version", org.apache.spark.sql.types.LongType)))

@@ -50,15 +50,15 @@ object DeltaLogWriter {
     val spark = df.sparkSession
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val exists = fs.exists(new Path(tablePath, "_delta_log"))
-    val (version, removes) =
-      if (!exists) (0L, Seq.empty[String])
+    val (version, removeActions, dfOut, newMeta) =
+      if (!exists) (0L, Seq.empty[String], df, None)
       else {
         // appends must speak the existing table's dialect: partition
         // values live ONLY in the log (an add with empty partitionValues
         // reads back as null partition columns), and a column-mapped
         // table stores PHYSICAL names in its parquet (a logically-named
         // write reads back all-NULL) — refuse both, like optimize/DML
-        val (schema0, partCols0, _) =
+        val (schema0, partCols0, files0) =
           DeltaLogReader.activeStateDv(spark, tablePath)
         require(partCols0.isEmpty,
           s"delta write to PARTITIONED table not supported: $tablePath " +
@@ -69,26 +69,60 @@ object DeltaLogWriter {
           s"delta write to column-mapped table not supported: $tablePath " +
             "(parquet stores physical names; a logically-named write " +
             "would read back null)")
+        DeltaDml.writerGate(spark, tablePath, schema0,
+          removesRows = mode == SaveMode.Overwrite)
         val versions = DeltaLogReader.tableVersions(spark, tablePath) ++
           DeltaLogReader.lastCheckpointVersion(spark, tablePath)
         val next = versions.max + 1
+        val sameSchema =
+          df.schema.fields.map(f => (f.name.toLowerCase, f.dataType)).toSeq ==
+            schema0.fields.map(f => (f.name.toLowerCase, f.dataType)).toSeq
+        val (out, meta) =
+          if (mode == SaveMode.Overwrite)
+            // an overwrite MAY change the schema (delta-spark's
+            // overwriteSchema) — but then the commit must re-emit
+            // metaData, or reads project the OLD schema over the new
+            // parquet and renamed columns come back all-NULL
+            (df, if (sameSchema) None else Some(df.schema))
+          else {
+            // append: align by name (case-insensitive) and cast to the
+            // table's types — a reordered or mistyped DataFrame used to
+            // commit silently and read back nulls/crashes
+            val byLower = df.schema.fieldNames.map(n => n.toLowerCase -> n).toMap
+            val missing = schema0.fieldNames
+              .filterNot(n => byLower.contains(n.toLowerCase))
+            val extra = df.schema.fieldNames
+              .filterNot(n => schema0.fieldNames.exists(_.equalsIgnoreCase(n)))
+            require(missing.isEmpty && extra.isEmpty,
+              s"delta append to $tablePath: schema mismatch (missing: " +
+                s"${missing.mkString(", ")}; extra: ${extra.mkString(", ")})")
+            (df.select(schema0.fields.toSeq.map(f =>
+              org.apache.spark.sql.functions.col(byLower(f.name.toLowerCase))
+                .cast(f.dataType).as(f.name)): _*), None)
+          }
+        // Overwrite removes carry each file's DV descriptor — identity
+        // in a spec-keyed replay is (path, dvUniqueId)
         val toRemove =
           if (mode == SaveMode.Overwrite)
-            DeltaLogReader.activeFiles(spark, tablePath)
+            DeltaDml.removeActions(files0.map(_._1),
+              files0.map(f => f._1 -> f._3).toMap.getOrElse(_, None))
           else Seq.empty
-        (next, toRemove)
+        (next, toRemove, out, meta)
       }
 
     // stage the parquet parts, then move each into the table root under
-    // a version-scoped unique name (Delta data files are flat siblings)
-    val staging = new Path(tablePath, s"_staging_v$version")
-    df.write.mode("overwrite").parquet(staging.toString)
+    // a UUID-unique name (Delta data files are flat siblings; a
+    // DETERMINISTIC name let a concurrent writer at the same version
+    // clobber the commit-race winner's data before the put-if-absent
+    // log write decided the race)
+    val runId = java.util.UUID.randomUUID().toString
+    val staging = new Path(tablePath, s"_staging_$runId")
+    dfOut.write.mode("overwrite").parquet(staging.toString)
     val parts = fs.listStatus(staging).map(_.getPath)
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
     val adds = parts.zipWithIndex.map { case (part, i) =>
-      val name = f"part-$i%05d-v$version.parquet"
+      val name = f"part-$i%05d-$runId.parquet"
       val dest = new Path(tablePath, name)
-      fs.delete(dest, false)
       require(fs.rename(part, dest), s"rename failed: $part -> $dest")
       val size = fs.getFileStatus(dest).getLen
       s"""{"add":{"path":"$name","partitionValues":{},"size":$size,"modificationTime":0,"dataChange":true}}"""
@@ -99,9 +133,10 @@ object DeltaLogWriter {
       if (!exists) Seq(
         """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
         DeltaLogReader.metaDataAction(df.schema, Nil))
-      else Seq.empty
-    val removeActions = removes.map(p =>
-      s"""{"remove":{"path":"$p","deletionTimestamp":0,"dataChange":true}}""")
+      else newMeta.toSeq.map { s =>
+        val (metaId, metaConf) = DeltaLogReader.currentMetaInfo(spark, tablePath)
+        DeltaLogReader.metaDataAction(s, Nil, metaId, metaConf)
+      }
     val txnActions = txn.toSeq.map { case (appId, v) =>
       s"""{"txn":{"appId":"$appId","version":$v}}"""
     }
@@ -154,11 +189,14 @@ object DeltaLogWriter {
       s"OPTIMIZE on column-mapped table not supported: $tablePath " +
         "(reading logical names from physically-named parquet would " +
         "rewrite the table as NULLs)")
+    // a compaction only MOVES rows (dataChange=false), which append-only
+    // tables accept — but the other writer obligations still gate
+    DeltaDml.writerGate(spark, tablePath, schema, removesRows = false)
     val currentVersion = (DeltaLogReader.tableVersions(spark, tablePath) ++
       DeltaLogReader.lastCheckpointVersion(spark, tablePath)).max
 
     val sized = files.map { case (p, _, dv) =>
-      val abs = new Path(tablePath, p)
+      val abs = new Path(DeltaLogReader.decodedAbsolute(tablePath, p))
       (p, abs, fs.getFileStatus(abs).getLen, dv)
     }
     // ZORDER BY is a clustering rewrite: every live file participates
@@ -193,8 +231,9 @@ object DeltaLogWriter {
           DeletionVectors.readPositions(d, tp, confBc.value.value)
             .map(pos => (rel, pos))
         }.toDF("__g_rel", "__g_pos")
+      // encNorm: _metadata.file_path is URI-encoded (see DeltaLogReader)
       val relLookup = broadcast(small.map { case (rel, abs, _, _) =>
-        (abs.toString.replaceFirst("^[a-zA-Z0-9]+:/+", "/"), rel)
+        (DeltaLogReader.encNorm(abs.toString), rel)
       }.toDF("__g_file", "__g_rel"))
       scan = scan
         .withColumn("__g_file",
@@ -204,7 +243,9 @@ object DeltaLogWriter {
         .join(dvRows, Seq("__g_rel", "__g_pos"), "left_anti")
         .select(schema.fieldNames.map(col).toSeq: _*)
     }
-    val staging = new Path(tablePath, s"_staging_v$version")
+    // UUID staging + part names — see write()'s commit-race rationale
+    val runId = java.util.UUID.randomUUID().toString
+    val staging = new Path(tablePath, s"_staging_$runId")
     val rewritten =
       if (zorderBy.nonEmpty) graft.operators.ZOrder.layout(scan, zorderBy, bins)
       else scan.repartition(bins)
@@ -212,17 +253,19 @@ object DeltaLogWriter {
     val parts = fs.listStatus(staging).map(_.getPath)
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
     val adds = parts.zipWithIndex.map { case (part, i) =>
-      val name = f"part-$i%05d-v$version.parquet"
+      val name = f"part-$i%05d-$runId.parquet"
       val dest = new Path(tablePath, name)
-      fs.delete(dest, false)
       require(fs.rename(part, dest), s"rename failed: $part -> $dest")
       val size = fs.getFileStatus(dest).getLen
       s"""{"add":{"path":"$name","partitionValues":{},"size":$size,"modificationTime":0,"dataChange":false}}"""
     }.toSeq
     fs.delete(staging, true)
-    val removes = small.map { case (p, _, _, _) =>
-      s"""{"remove":{"path":"$p","deletionTimestamp":0,"dataChange":false}}"""
-    }
+    // removes carry each input's DV descriptor — without it a
+    // spec-keyed replay keeps the old (path, dv) pair alive and reads
+    // its visible rows TWICE (once more from the bins)
+    val dvOf = small.map(f => f._1 -> f._4).toMap
+    val removes = DeltaDml.removeActions(small.map(_._1),
+      dvOf.getOrElse(_, None), dataChange = false)
     DeltaLogReader.writeCommit(spark, tablePath, version, removes ++ adds)
     (version, small.size, parts.length)
   }
@@ -304,35 +347,32 @@ object DeltaLogWriter {
     val txns = scala.collection.mutable.Map[String, Long]()
     DeltaLogReader.lastCheckpointVersion(spark, tablePath).foreach { prev =>
       import org.apache.spark.sql.functions.col
-      // the prior checkpoint may be classic or v2 (UUID-named parquet or
-      // json top-level); txn rows live in the top-level file either way
+      // the prior checkpoint may be classic, MULTI-PART, or v2
+      // (UUID-named parquet or json top-level) — checkpointTops resolves
+      // ALL parquet parts; picking one arbitrary part silently dropped
+      // the txn rows living in the others (a restarted streaming writer
+      // would then re-commit an applied batch)
       val logDir = new Path(tablePath, "_delta_log")
-      val prefix = f"$prev%020d.checkpoint"
-      val cpFiles = fs.listStatus(logDir).toSeq.map(_.getPath)
-        .filter(_.getName.startsWith(prefix))
-      val top = cpFiles.find(_.getName == s"$prefix.parquet")
-        .orElse(cpFiles.find(_.getName.endsWith(".parquet")))
-        .orElse(cpFiles.find(_.getName.endsWith(".json")))
-      top.foreach { t =>
-        if (t.getName.endsWith(".parquet")) {
-          val prevCp = spark.read.parquet(t.toString)
-          if (prevCp.columns.contains("txn"))
-            prevCp.filter(col("txn").isNotNull).select("txn.appId", "txn.version")
-              .collect().foreach(r => txns(r.getString(0)) =
-                math.max(r.getLong(1), txns.getOrElse(r.getString(0), Long.MinValue)))
-        } else {
-          val in = fs.open(t)
-          val lines =
-            try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-            finally in.close()
-          lines.filter(_.contains("\"txn\"")).foreach { line =>
-            Option(mapper.readTree(line).get("txn")).foreach { x =>
-              val app = x.get("appId").asText
-              txns(app) = math.max(x.get("version").asLong,
-                txns.getOrElse(app, Long.MinValue))
-            }
+      val (pq, jsonTop) = DeltaLogReader.checkpointTops(fs, logDir, prev)
+      jsonTop.foreach { t =>
+        val in = fs.open(t)
+        val lines =
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+          finally in.close()
+        lines.filter(_.contains("\"txn\"")).foreach { line =>
+          Option(mapper.readTree(line).get("txn")).foreach { x =>
+            val app = x.get("appId").asText
+            txns(app) = math.max(x.get("version").asLong,
+              txns.getOrElse(app, Long.MinValue))
           }
         }
+      }
+      if (pq.nonEmpty) {
+        val prevCp = spark.read.parquet(pq.map(_.toString): _*)
+        if (prevCp.columns.contains("txn"))
+          prevCp.filter(col("txn").isNotNull).select("txn.appId", "txn.version")
+            .collect().foreach(r => txns(r.getString(0)) =
+              math.max(r.getLong(1), txns.getOrElse(r.getString(0), Long.MinValue)))
       }
     }
     jsonVersions.foreach { v =>
@@ -371,7 +411,14 @@ object DeltaLogWriter {
       txns.toSeq.sortBy(_._1).map { case (a, v) =>
         CpRow(None, None, None, Some(CpTxn(a, v))) } ++
       files.map { case (p, pv, dv) =>
-        CpRow(None, None, Some(CpAdd(p, pv, 0L, 0L, dataChange = true,
+        // real size + mtime (PROTOCOL.md: add.size is the file's size;
+        // external engines plan scans from it — zero read as an empty
+        // table elsewhere once the checkpoint is the only metadata) and
+        // dataChange=false (checkpoint rows are not new data)
+        val st = fs.getFileStatus(
+          new Path(DeltaLogReader.decodedAbsolute(tablePath, p)))
+        CpRow(None, None, Some(CpAdd(p, pv, st.getLen,
+          st.getModificationTime, dataChange = false,
           dv.map(d => CpDv(d.storageType, d.pathOrInlineDv, d.offset,
             d.sizeInBytes, d.cardinality)))), None) }
     DeltaLogReader.writeDataFile(rows.toDF(), s"$tablePath/_delta_log",
