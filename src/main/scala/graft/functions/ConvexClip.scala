@@ -92,11 +92,17 @@ object ConvexClip {
     while (i < n) {
       val j = (i + 1) % n; val k = (i + 2) % n
       require(cross(xs(i), ys(i), xs(j), ys(j), xs(k), ys(k)) >= -eps,
-        s"convex polygons only — $side is concave at vertex $k " +
+        s"convex polygons only — $side is concave at vertex $j " +
           "(st_intersection/st_union/st_difference implement the CONVEX " +
           "slice; concave inputs refuse like holes/MULTI* do)")
       i += 1
     }
+    // a fully-collinear ring passes the turn test (every cross is 0)
+    // but has no interior — clipping it returns confidently wrong
+    // results (difference echoed the degenerate input, union threw
+    // "disjoint" inside a containing polygon); refuse like concave
+    require(math.abs(signedArea2(xs, ys)) > eps,
+      s"$side polygon has zero area (all vertices collinear)")
     new Ring(xs, ys)
   }
 
@@ -277,7 +283,16 @@ object ConvexClip {
 
   /** Parse + canonicalize one geometry alone (scale from its own
     * coordinates) — the pass-through side of a null-operand identity. */
-  private def parseOnly(row: InternalRow, side: String): Ring = {
+  private def parseOnly(row: InternalRow, side: String): Ring =
+    parse(row, side, {
+      val m = rawScale(row)
+      32 * java.lang.Math.ulp(1.0) * m * m
+    })
+
+  /** Max |coordinate| (>= 1.0) — the scale the tolerances derive from;
+    * shared by [[clip]] and [[parseOnly]] so the null-identity path and
+    * the binary path can never diverge on a tolerance tweak. */
+  private def rawScale(row: InternalRow): Double = {
     val xsA = row.getArray(1); val ysA = row.getArray(2)
     var m = 1.0
     var i = 0
@@ -286,7 +301,7 @@ object ConvexClip {
         math.abs(ysA.getDouble(i))))
       i += 1
     }
-    parse(row, side, 32 * java.lang.Math.ulp(1.0) * m * m)
+    m
   }
 
   private def geomRow(xs: Array[Double], ys: Array[Double]): InternalRow =
@@ -306,17 +321,6 @@ object ConvexClip {
     * far from the origin (UTM-scale coordinates). */
   def clip(aRow: InternalRow, bRow: InternalRow, op: Int): InternalRow = {
     // scale-relative tolerance off a first raw coordinate scan
-    def rawScale(row: InternalRow): Double = {
-      val xsA = row.getArray(1); val ysA = row.getArray(2)
-      var m = 1.0
-      var i = 0
-      while (i < xsA.numElements()) {
-        m = math.max(m, math.max(math.abs(xsA.getDouble(i)),
-          math.abs(ysA.getDouble(i))))
-        i += 1
-      }
-      m
-    }
     val scale = math.max(rawScale(aRow), rawScale(bRow))
     // cross-product / area class tolerance: the fp error of a cross
     // product of coordinates ~scale is a few ulp(scale²) ≈ machEps ×

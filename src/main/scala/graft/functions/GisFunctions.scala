@@ -33,7 +33,10 @@ object GisFunctions {
     val dLon = radians(bLon - aLon)
     val h = pow(sin(dLat / 2), 2) +
       cos(radians(aLat)) * cos(radians(bLat)) * pow(sin(dLon / 2), 2)
-    lit(2 * EarthRadiusKm) * asin(sqrt(h))
+    // clamp: fp rounding can push h one ulp past 1 for near-antipodal
+    // pairs, and asin(sqrt(1 + ulp)) is NaN — the distance silently
+    // vanished from st_dwithin instead of reading ~20015 km
+    lit(2 * EarthRadiusKm) * asin(sqrt(least(h, lit(1.0))))
   }
 
   /** ST_DWithin on great-circle distance. */
@@ -64,9 +67,19 @@ object GisFunctions {
       s => split(trim(regexp_replace(s, "\\s+", " ")), " "))
     val xs = transform(pairs, p => element_at(p, 1).cast("double"))
     val ys = transform(pairs, p => element_at(p, 2).cast("double"))
-    when(!typ.isin("POINT", "LINESTRING", "POLYGON") || multiRing,
-      raise_error(concat(lit("st_geomfromtext supports single-ring " +
+    // Z/M/ZM modifiers would silently DROP ordinates; a malformed
+    // coordinate (non-numeric token, odd token count) casts to null and
+    // later NPEs the predicate kernel or reads as phantom 0.0 — both
+    // refuse loudly like holes/MULTI* do
+    val zm = wkt.rlike("(?i)^\\s*[A-Za-z]+\\s+(ZM|Z|M)\\s*\\(")
+    val badPair = exists(pairs, p => size(p) =!= 2) ||
+      exists(xs, x => x.isNull) || exists(ys, y => y.isNull)
+    when(!typ.isin("POINT", "LINESTRING", "POLYGON") || multiRing || zm,
+      raise_error(concat(lit("st_geomfromtext supports single-ring 2-D " +
         "POINT/LINESTRING/POLYGON only, got: "), wkt)))
+      .when(badPair,
+        raise_error(concat(lit("st_geomfromtext: malformed coordinate " +
+          "list in: "), wkt)))
       .otherwise(struct(typ.as("gtype"), xs.as("xs"), ys.as("ys")))
   }
 
@@ -103,10 +116,14 @@ object GisFunctions {
     val pairs = zip_with(geom("xs"), geom("ys"),
       (x, y) => concat_ws(" ", x.cast("string"), y.cast("string")))
     val list = array_join(pairs, ", ")
+    // WKT LinearRings REQUIRE first == last: the core stores rings open,
+    // so close on the way out (like the JSON renderers) or PostGIS/JTS
+    // consumers reject the output
+    val ringList = array_join(closedRing(pairs), ", ")
     when(geom("gtype") === "POINT", concat(lit("POINT ("), list, lit(")")))
       .when(geom("gtype") === "LINESTRING",
         concat(lit("LINESTRING ("), list, lit(")")))
-      .otherwise(concat(lit("POLYGON (("), list, lit("))")))
+      .otherwise(concat(lit("POLYGON (("), ringList, lit("))")))
   }
 
   /** Polygon ring with guaranteed closure (first == last): the planar

@@ -55,11 +55,6 @@ object GisPredicates {
     val ysA = row.getArray(2)
     var xs = Array.tabulate(xsA.numElements())(xsA.getDouble)
     var ys = Array.tabulate(ysA.numElements())(ysA.getDouble)
-    // polygon rings may arrive closed — drop the duplicate closing vertex
-    if (t == "POLYGON" && xs.length > 1 &&
-        xs.head == xs.last && ys.head == ys.last) {
-      xs = xs.dropRight(1); ys = ys.dropRight(1)
-    }
     // collapse consecutive duplicate vertices: a repeated vertex is
     // representational, not geometric — and its zero-length segment
     // degenerates segClass's collinear projection axis (a point-segment
@@ -76,6 +71,14 @@ object GisPredicates {
       if (ks.length != xs.length) {
         xs = ks.map(xs); ys = ks.map(ys)
       }
+    }
+    // polygon rings may arrive closed — drop the closing vertex AFTER
+    // the collapse (a doubly-closed ring like ... 0 0, 0 0 collapsed to
+    // a singly-closed one, and the old pre-collapse single drop left a
+    // zero-length wrap edge that registered phantom contacts)
+    while (t == "POLYGON" && xs.length > 1 &&
+        xs.head == xs.last && ys.head == ys.last) {
+      xs = xs.dropRight(1); ys = ys.dropRight(1)
     }
     G(t, xs, ys)
   }
@@ -191,7 +194,11 @@ object GisPredicates {
     segs(l).exists { case (ax, ay, bx, by) => onSeg(px, py, ax, ay, bx, by) }
 
   private def lineEndpoint(px: Double, py: Double, l: G): Boolean =
-    (px == l.xs(0) && py == l.ys(0)) ||
+    // OGC Mod-2 rule: a CLOSED curve has EMPTY boundary — its closure
+    // point is INTERIOR, so touches/crosses/relate must not treat it as
+    // an endpoint contact
+    if (l.xs(0) == l.xs(l.n - 1) && l.ys(0) == l.ys(l.n - 1)) false
+    else (px == l.xs(0) && py == l.ys(0)) ||
       (px == l.xs(l.n - 1) && py == l.ys(l.n - 1))
 
   private def segPairs(a: G, b: G): Seq[Int] =

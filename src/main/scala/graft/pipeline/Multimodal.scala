@@ -116,7 +116,10 @@ object Multimodal {
               val fmt = ais.getFormat
               val frames = ais.getFrameLength
               val durMs: Any =
-                if (fmt.getFrameRate > 0) (frames * 1000.0 / fmt.getFrameRate).toLong
+                // frames == AudioSystem.NOT_SPECIFIED (-1): length
+                // unknown — report null, not a truncated-to-0 duration
+                if (frames >= 0 && fmt.getFrameRate > 0)
+                  (frames * 1000.0 / fmt.getFrameRate).toLong
                 else null
               Seq(fmt.getSampleRate.toInt, fmt.getChannels,
                 fmt.getSampleSizeInBits, durMs, meanAbs(ais.readAllBytes(), fmt))
@@ -296,9 +299,13 @@ object Multimodal {
 
   /** Frame sampling for video rows: explode N evenly-spaced frame indexes;
     * payload slicing stands in for frame extraction. */
-  def sampleFrames(media: DataFrame, n: Int): DataFrame =
+  def sampleFrames(media: DataFrame, n: Int): DataFrame = {
+    // sequence(0, -1) would DESCEND (Spark picks step -1 when start >
+    // stop) and explode bogus frame_idx 0 and -1 rows
+    require(n > 0, s"sampleFrames: n must be positive, got $n")
     media.filter(col("kind") === "video")
       .withColumn("frame_idx", explode(sequence(lit(0), lit(n - 1))))
       .withColumn("frame_ms",
         (col("meta.duration_ms") * col("frame_idx") / n).cast("long"))
+  }
 }

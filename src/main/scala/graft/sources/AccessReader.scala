@@ -251,8 +251,15 @@ object AccessReader {
       (10 until 16).map(i => f"${(b(o + i) & 0xFF)}%02x").mkString + "}"
   }
 
-  private def daysToTimestamp(days: Double): java.sql.Timestamp = {
-    val millis = math.round((days - DaysToEpoch) * 86400000.0)
+  private[graft] def daysToTimestamp(days: Double): java.sql.Timestamp = {
+    // OLE/Jet convention: the integer part is the date (signed), the
+    // FRACTION is the time of day as an ABSOLUTE value — -1.25 means
+    // 1899-12-29 06:00, not "minus 1.25 days"; plain linear arithmetic
+    // reflected every pre-1899-12-30 time-of-day into the previous day
+    val whole = if (days < 0) math.ceil(days) else math.floor(days)
+    val frac = math.abs(days - whole)
+    val millis = math.round((whole - DaysToEpoch) * 86400000.0) +
+      math.round(frac * 86400000.0)
     new java.sql.Timestamp(millis)
   }
 
@@ -431,9 +438,11 @@ object AccessReader {
     * query: table/created_date/updated_date/row_count/col_count/columns). */
   def read(spark: SparkSession, path: String): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(catalogSchema)
+    // session Hadoop conf rides to executors (the XlsxReader fix)
+    val sconf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     FileList.asDataset(spark, path, Exts)
       .mapPartitions { files =>
-        val conf = new Configuration()
+        val conf = sconf.value
         files.flatMap { f =>
           val db = load(conf, f)
           userTables(db).map { e =>
@@ -458,9 +467,10 @@ object AccessReader {
         StructField(c.name, sparkType(c), nullable = true)))
     }
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val sconf = new SerializableHadoopConf(conf)
     FileList.asDataset(spark, path, Exts)
       .mapPartitions { files =>
-        val conf2 = new Configuration()
+        val conf2 = sconf.value
         files.flatMap { f =>
           val db = load(conf2, f)
           userTables(db).find(_.name == table).iterator.flatMap { e =>

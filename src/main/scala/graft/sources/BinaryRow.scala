@@ -222,7 +222,11 @@ object BinaryRow {
     * the rule Spark and Paimon both apply): ASCII control chars and the
     * path/glob-special characters percent-encode as %XX. */
   private def escapePathName(s: String): String = {
-    val special = "\"#%'*/:=?\\{}[]^"
+    // exactly Hive FileUtils' charToEscape set (which Spark's
+    // ExternalCatalogUtils copies and Paimon rides): note it escapes
+    // '{' but NOT '}' — adding '}' diverges the dir name from what a
+    // native reader reconstructs out of the manifest partition tuple
+    val special = "\"#%'*/:=?\\{[]^"
     val sb = new StringBuilder
     s.foreach { c =>
       if (c < ' ' || c == 0x7F.toChar || special.indexOf(c.toInt) >= 0)

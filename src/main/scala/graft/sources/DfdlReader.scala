@@ -198,6 +198,11 @@ object DfdlReader {
       case "unsignedInt" => java.lang.Long.valueOf(v & 0xFFFFFFFFL)
       case "unsignedShort" => java.lang.Integer.valueOf((v & 0xFFFF).toInt)
       case "unsignedByte" => java.lang.Short.valueOf((v & 0xFF).toShort)
+      case "unsignedLong" =>
+        // schema declares Decimal(20,0) (a 2^63..2^64-1 value does not
+        // fit a long) — a raw Long here crashed the encoder and
+        // surfaced >= 2^63 values negative
+        new java.math.BigDecimal(java.lang.Long.toUnsignedString(v))
       case _ => v
     }
   }
@@ -382,7 +387,9 @@ object DfdlReader {
       while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
       out.toByteArray
     } finally in.close()
-    if (file.endsWith(".gz")) {
+    if (file.toLowerCase(java.util.Locale.ROOT).endsWith(".gz")) {
+      // case-insensitive like FileList's extension filter — DATA.GZ was
+      // selected but handed to the parser compressed
       val gz = new java.util.zip.GZIPInputStream(new ByteArrayInputStream(raw))
       try gz.readAllBytes() finally gz.close()
     } else raw
@@ -396,9 +403,11 @@ object DfdlReader {
     val (representation, rowEl) = parseSchema(readBytes(conf, schemaPath), rootName)
     val schema = schemaOf(rowEl)
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    // session Hadoop conf rides to executors (the XlsxReader fix)
+    val sconf = new SerializableHadoopConf(conf)
     FileList.asDataset(spark, dataPath, Set(".dat", ".gz", ".bin"))
       .mapPartitions { files =>
-        val conf2 = new Configuration()
+        val conf2 = sconf.value
         files.flatMap(f => rowsOf(readBytes(conf2, f), representation, rowEl))
       }(enc).toDF(schema.fieldNames.toSeq: _*)
   }

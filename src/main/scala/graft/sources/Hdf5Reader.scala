@@ -72,6 +72,19 @@ object Hdf5Reader {
       in.readFully(pos, b, 0, n)
       b
     }
+    // global-heap collections cached per address: a vlen-string dataset
+    // resolves every ELEMENT against its GCOL, and refetching the whole
+    // collection per element turned a few-MB dataset into ~rowCount
+    // full-collection reads (the H5Cache only covers <=4096-byte reads).
+    // Total cached bytes ~ total string payload, which projectRows
+    // materializes anyway.
+    private val gcols = scala.collection.mutable.Map[Long, Array[Byte]]()
+    def gcol(addr: Long): Array[Byte] = gcols.getOrElseUpdate(addr, {
+      val head = bytes(addr, 16)
+      require(new String(head, 0, 4, "ISO-8859-1") == "GCOL",
+        "bad global heap signature")
+      bytes(addr, u64(head, 8).toInt)
+    })
   }
 
   // ---- model ---------------------------------------------------------
@@ -227,8 +240,11 @@ object Hdf5Reader {
   private def decodeScalar(h: H5, b: Array[Byte], off: Int, dt: Dtype): Any =
     dt.cls match {
       case 0 => dt.size match {
-        case 1 => (b(off) & 0xFF).toLong
-        case 2 => e16(b, off, dt.be).toLong
+        // honor the signed flag at EVERY width (int8 -1 rendered "255",
+        // int16 -5 rendered "65531"), like decodeScalarTyped does
+        case 1 => if (dt.signed) b(off).toLong else (b(off) & 0xFF).toLong
+        case 2 => if (dt.signed) e16(b, off, dt.be).toShort.toLong
+                  else e16(b, off, dt.be).toLong
         case 4 => if (dt.signed) e32(b, off, dt.be).toInt.toLong else e32(b, off, dt.be)
         case _ => e64(b, off, dt.be)
       }
@@ -255,10 +271,8 @@ object Hdf5Reader {
     val heapAddr = u64(b, off + 4)
     val idx = u32(b, off + 12).toInt
     if (heapAddr == Undef || len == 0) return ""
-    val head = h.bytes(heapAddr, 16)
-    require(new String(head, 0, 4, "ISO-8859-1") == "GCOL", "bad global heap signature")
-    val collSize = u64(head, 8).toInt
-    val coll = h.bytes(heapAddr, collSize)
+    val coll = h.gcol(heapAddr)
+    val collSize = coll.length
     var p = 16
     while (p + 16 <= collSize) {
       val objIdx = u16(coll, p)
@@ -723,9 +737,12 @@ object Hdf5Reader {
   /** Browse mode: one row per group/dataset/link across all matched files. */
   def read(spark: SparkSession, path: String): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(browseSchema)
+    // session Hadoop conf rides to executors — a bare Configuration()
+    // drops fs credentials/endpoints (s3a etc.), the XlsxReader fix
+    val sconf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     FileList.asDataset(spark, path, Set(".h5", ".hdf5"))
       .mapPartitions { files =>
-        val conf = new Configuration()
+        val conf = sconf.value
         files.flatMap { f =>
           val fp = new Path(f)
           val in = fp.getFileSystem(conf).open(fp)
@@ -749,9 +766,10 @@ object Hdf5Reader {
       projectSchema(ds)
     }
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val sconf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     FileList.asDataset(spark, path, Set(".h5", ".hdf5"))
       .mapPartitions { files =>
-        val conf = new Configuration()
+        val conf = sconf.value
         files.flatMap { f =>
           val fp = new Path(f)
           val in = fp.getFileSystem(conf).open(fp)
@@ -760,8 +778,14 @@ object Hdf5Reader {
               try in.close() catch { case _: java.io.IOException => () }))
           val h = new H5(in)
           val objs = scan(h)
-          objs.datasets.find(_.path == datasetPath)
-            .map(ds => projectRows(h, ds)).getOrElse(Nil).iterator
+          objs.datasets.find(_.path == datasetPath).map { ds =>
+            // schema-on-read degrade like the SPSS/SAS/Access readers:
+            // a file whose dataset differs in column count/order/type
+            // aligns BY NAME (missing null-fill, extra drop) instead of
+            // crashing the encoder on an arity mismatch
+            SchemaAlign.align(projectRows(h, ds).iterator,
+              SchemaAlign.plan(schema, projectSchema(ds)))
+          }.getOrElse(Iterator.empty)
         }
       }(enc).toDF(schema.fieldNames.toSeq: _*)
   }

@@ -49,17 +49,25 @@ object IcebergDml {
     // reads pre-delete state even after the delete snapshot commits
     val visible = IcebergTable.read(spark, table)
     val hit = coalesce(condition.cast(BooleanType), lit(false))
-    val updatedRows = visible.filter(hit).select(schema.fields.toSeq.map { f =>
-      set.get(f.name) match {
-        case Some(e) => e.cast(f.dataType).as(f.name)
-        case None    => col(f.name).as(f.name)
-      }
-    }: _*)
-    val n = updatedRows.count()
-    if (n == 0) return (meta.currentSnapshotId.getOrElse(0L), 0L)
-    IcebergTable.deleteFrom(spark, table, condition)
-    val snap = IcebergTable.write(updatedRows, table)
-    (snap, n)
+    // persisted: the count and the append must see the SAME row set —
+    // re-executing the filter for each would let a nondeterministic
+    // condition count one set and append another. (deleteFrom still
+    // evaluates the condition once more over the raw files; like
+    // delta-spark, UPDATE requires a deterministic condition.)
+    val touched = visible.filter(hit).persist()
+    try {
+      val updatedRows = touched.select(schema.fields.toSeq.map { f =>
+        set.get(f.name) match {
+          case Some(e) => e.cast(f.dataType).as(f.name)
+          case None    => col(f.name).as(f.name)
+        }
+      }: _*)
+      val n = touched.count()
+      if (n == 0) return (meta.currentSnapshotId.getOrElse(0L), 0L)
+      IcebergTable.deleteFrom(spark, table, condition)
+      val snap = IcebergTable.write(updatedRows, table)
+      (snap, n)
+    } finally touched.unpersist()
   }
 
   /** MERGE INTO an Iceberg table — same clause surface as
@@ -323,6 +331,16 @@ object PaimonDml {
       require(onPk.isEmpty,
         s"MERGE UPDATE may not SET primary-key column(s) ${onPk.mkString(", ")}")
     }
+    notMatchedInsert.foreach { m =>
+      // an unassigned column null-fills below — acceptable for values,
+      // table corruption for keys: a NULL-keyed +U row lands in a table
+      // whose schema declares the key, and no later merge or retraction
+      // can ever address it
+      val noKey = pks.filterNot(m.contains)
+      require(noKey.isEmpty,
+        s"MERGE INSERT must assign every primary-key column — missing: " +
+          noKey.mkString(", "))
+    }
     val onExpr = expr(on)
     val visible = PaimonTable.read(spark, table)
     val current = currentSnapshot(spark, table)
@@ -418,6 +436,21 @@ object PaimonDml {
         }: _*)
     }
     val inserted = inserts.map(_.count()).getOrElse(0L)
+    // an updated row and an inserted row sharing a primary key would
+    // land in ONE +U commit with ONE sequence number — the read-side
+    // max_by tie is nondeterministic, so one of the two rows survives
+    // arbitrarily. SQL MERGE has no defined winner either (a real PK
+    // table raises a duplicate-key violation); refuse loudly.
+    if (inserted > 0 && updated > 0) {
+      val updKeys = (updatedRows.toSeq ++ bsUpdatedRows.toSeq)
+        .map(_.select(pks.map(col): _*)).reduce(_ unionByName _)
+      val clash = inserts.get.select(pks.map(col): _*)
+        .join(updKeys, pks, "left_semi").limit(1).count()
+      require(clash == 0L,
+        "MERGE: a NOT MATCHED insert and an update produce the same " +
+          s"primary key (${pks.mkString(", ")}) in one commit — the " +
+          "surviving row would be arbitrary; de-duplicate the source")
+    }
     val upserts = (updatedRows.toSeq ++ bsUpdatedRows.toSeq ++ inserts.toSeq)
       .reduceOption(_ unionByName _)
     if (updated == 0 && deleted == 0 && inserted == 0)

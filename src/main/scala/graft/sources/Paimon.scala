@@ -186,11 +186,26 @@ object PaimonTable {
       fs.delete(tmp, false)
       ok
     } else {
-      try {
-        val os = fs.create(p, false)
-        try os.write(s.getBytes("UTF-8")) finally os.close()
-        true
-      } catch { case _: java.io.IOException => false }
+      // ONLY already-exists means "lost the race" — a transient IO error
+      // reported as a concurrent commit would make callers retry against
+      // a broken filesystem, and a failure AFTER create() succeeded
+      // would leave a truncated snapshot JSON that wedges every later
+      // snapshots() parse; best-effort unlink it before rethrowing
+      val created =
+        try { val os = fs.create(p, false); Some(os) }
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => None
+          case _: java.nio.file.FileAlreadyExistsException => None
+        }
+      created match {
+        case None => false
+        case Some(os) =>
+          try { try os.write(s.getBytes("UTF-8")) finally os.close(); true }
+          catch { case e: Throwable =>
+            try fs.delete(p, false) catch { case _: Exception => () }
+            throw e
+          }
+      }
     }
   }
 
@@ -397,8 +412,15 @@ object PaimonTable {
     * entries minus DELETE entries (compaction writes DELETEs). */
   def liveFiles(spark: SparkSession, table: String,
                 snapshotId: Option[Long] = None,
-                asOfTimeMs: Option[Long] = None): Seq[PaimonFile] = {
-    val snap = selectSnapshot(snapshots(spark, table), snapshotId, asOfTimeMs)
+                asOfTimeMs: Option[Long] = None): Seq[PaimonFile] =
+    liveFilesOf(spark, table,
+      selectSnapshot(snapshots(spark, table), snapshotId, asOfTimeMs))
+
+  /** [[liveFiles]] for an ALREADY-resolved snapshot — callers that have
+    * parsed the snapshot list once (read(), expiration) pass it through
+    * instead of re-listing and re-parsing `snapshot/` a second time. */
+  private def liveFilesOf(spark: SparkSession, table: String,
+                          snap: SnapshotInfo): Seq[PaimonFile] = {
     val entries = entriesOf(spark, table, snap.baseManifestList) ++
       entriesOf(spark, table, snap.deltaManifestList)
     val deleted = entries.filter(_.kind == 1).map(_.fileName).toSet
@@ -496,19 +518,10 @@ object PaimonTable {
     val merge = sch.options.getOrElse("merge-engine", "deduplicate")
     require(sch.primaryKeys.isEmpty || merge == "deduplicate",
       s"paimon merge-engine '$merge' is not supported — deduplicate only")
-    val files =
-      if (sch.partitionKeys.isEmpty)
-        liveFiles(spark, table, snapshotId, asOfTimeMs)
-          .map(f => s"$table/bucket-${f.bucket}/${f.fileName}")
-      else {
-        val live = liveFiles(spark, table, snapshotId, asOfTimeMs)
-        val byName = locateDataFiles(spark, table)
-        live.map { f =>
-          byName.getOrElse(f.fileName, throw new IllegalStateException(
-            s"paimon partitioned read: live file ${f.fileName} not found " +
-              s"under $table — layout not directory-recoverable"))
-        }
-      }
+    // snapshot already resolved above — liveFilesOf skips the second
+    // snapshot-list parse a liveFiles(snapshotId) call would redo
+    val files = pathsOf(spark, table, sch.partitionKeys.nonEmpty,
+      liveFilesOf(spark, table, snap))
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sch.schema)
     else if (sch.partitionKeys.nonEmpty && sch.primaryKeys.isEmpty) {
@@ -529,10 +542,22 @@ object PaimonTable {
           s"paimon partitioned read: partition values are in neither the " +
             s"data files nor key=value directory names under $table")
         // discovered partition columns come back in Spark's inferred type
-        // — bind them (and the order) to the declared schema
-        df.select(sch.schema.fields.map(f =>
-          org.apache.spark.sql.functions.col(f.name).cast(f.dataType)
-            .as(f.name)).toSeq: _*)
+        // — bind them (and the order) to the declared schema. Paimon's
+        // null-partition dir sentinel (__DEFAULT_PARTITION__, its
+        // partition.default-name default) is NOT the one Spark discovery
+        // maps to null (__HIVE_DEFAULT_PARTITION__): without the
+        // explicit mapping a string partition column read the sentinel
+        // back as a LITERAL value (non-string types nulled it only by
+        // cast accident)
+        import org.apache.spark.sql.functions.{col => c, lit, when}
+        df.select(sch.schema.fields.map { f =>
+          val base =
+            if (sch.partitionKeys.contains(f.name))
+              when(c(f.name).cast(StringType) === "__DEFAULT_PARTITION__",
+                lit(null)).otherwise(c(f.name))
+            else c(f.name)
+          base.cast(f.dataType).as(f.name)
+        }.toSeq: _*)
       }
     }
     else if (sch.primaryKeys.isEmpty)
@@ -627,13 +652,33 @@ object PaimonTable {
     else spark.read.schema(sch.schema).parquet(files: _*)
   }
 
+  /** Full paths of manifest entries: unpartitioned tables live under
+    * `<table>/bucket-<b>/`; PARTITIONED tables under
+    * `<k>=<v>/.../bucket-<b>/`, recovered by the same directory walk
+    * [[read]] uses (manifest `_PARTITION` tuples stay untrusted for
+    * foreign tables — see the BinaryRow posture note). Building the
+    * unpartitioned shape for a partitioned table made every changelog /
+    * streaming batch fail with path-not-found — or, worse, silently
+    * EMPTY under spark.sql.files.ignoreMissingFiles=true. */
+  private def pathsOf(spark: SparkSession, table: String,
+                      partitioned: Boolean,
+                      files: Seq[PaimonFile]): Seq[String] =
+    if (!partitioned) files.map(f => s"$table/bucket-${f.bucket}/${f.fileName}")
+    else {
+      val byName = locateDataFiles(spark, table)
+      files.map(f => byName.getOrElse(f.fileName,
+        throw new IllegalStateException(
+          s"paimon partitioned read: file ${f.fileName} not found under " +
+            s"$table — layout not directory-recoverable")))
+    }
+
   /** Data files ONE snapshot's delta manifests added (kind=0) — the
     * per-snapshot unit the streaming source emits. */
   private[sources] def appendedFilesOf(spark: SparkSession, table: String,
                                        snap: SnapshotInfo): Seq[String] =
-    entriesOf(spark, table, snap.deltaManifestList)
-      .filter(_.kind == 0)
-      .map(f => s"$table/bucket-${f.bucket}/${f.fileName}")
+    pathsOf(spark, table,
+      loadSchema(spark, table).partitionKeys.nonEmpty,
+      entriesOf(spark, table, snap.deltaManifestList).filter(_.kind == 0))
 
   private[sources] def rowSchemaOf(spark: SparkSession, table: String) =
     loadSchema(spark, table).schema
@@ -667,9 +712,8 @@ object PaimonTable {
     require(sch.primaryKeys.nonEmpty,
       s"changelog read needs a PRIMARY-KEY table (append-only deltas are " +
         s"plain appends — use readAppendedBetween): $table")
-    val files = entriesOf(spark, table, snap.deltaManifestList)
-      .filter(_.kind == 0)
-      .map(f => s"$table/bucket-${f.bucket}/${f.fileName}")
+    val files = pathsOf(spark, table, sch.partitionKeys.nonEmpty,
+      entriesOf(spark, table, snap.deltaManifestList).filter(_.kind == 0))
     val keyFields = sch.primaryKeys.map(k =>
       sch.schema(k).copy(name = s"_KEY_$k"))
     val pkSchema = StructType(keyFields.toArray ++
@@ -823,7 +867,12 @@ object PaimonTable {
     // append-table layout; Spark's partitionBy drops its partition
     // columns from the files, which is why the originals can't stage
     // directly).
-    val staging = new Path(table, s"_staging_snap$snapId")
+    // UUID staging: two concurrent writers both targeting snapshot
+    // N+1 must not share a staging dir — one's mode("overwrite")
+    // would delete the other's staged parts mid-move, and the
+    // put-if-absent snapshot publish decides the race AFTER the
+    // moves (the loser orphans its own files, never the winner's)
+    val staging = new Path(table, s"_staging_${UUID.randomUUID()}")
     if (partCols.isEmpty)
       df.write.mode("overwrite").parquet(staging.toString)
     else {
@@ -869,7 +918,12 @@ object PaimonTable {
     val df = spark.read.schema(sch.schema)
       .parquet(files.map(f => s"$table/bucket-${f.bucket}/${f.fileName}"): _*)
       .repartition(bins)
-    val staging = new Path(table, s"_staging_snap$snapId")
+    // UUID staging: two concurrent writers both targeting snapshot
+    // N+1 must not share a staging dir — one's mode("overwrite")
+    // would delete the other's staged parts mid-move, and the
+    // put-if-absent snapshot publish decides the race AFTER the
+    // moves (the loser orphans its own files, never the winner's)
+    val staging = new Path(table, s"_staging_${UUID.randomUUID()}")
     df.write.mode("overwrite").parquet(staging.toString)
     val moved = moveStaged(spark, table, staging, bucketOf = _ => 0)
     commitSnapshot(spark, table, moved, SaveMode.Append, snapId, prevSnaps,
@@ -1408,7 +1462,12 @@ object PaimonTable {
         pmod(hash(primaryKeys.map(k => col(s"_KEY_$k")): _*), lit(buckets)))
     val staged = partCols.foldLeft(keyed)((d, f) =>
       d.withColumn(s"__p_${f.name}", col(s"_KEY_${f.name}")))
-    val staging = new Path(table, s"_staging_snap$snapId")
+    // UUID staging: two concurrent writers both targeting snapshot
+    // N+1 must not share a staging dir — one's mode("overwrite")
+    // would delete the other's staged parts mid-move, and the
+    // put-if-absent snapshot publish decides the race AFTER the
+    // moves (the loser orphans its own files, never the winner's)
+    val staging = new Path(table, s"_staging_${UUID.randomUUID()}")
     staged.write
       .partitionBy(partCols.map(f => s"__p_${f.name}") :+ "__bucket": _*)
       .mode("overwrite").parquet(staging.toString)

@@ -108,6 +108,8 @@ object PdfReader {
             case 'n' => sb.append('\n'); j += 2
             case 'r' => sb.append('\r'); j += 2
             case 't' => sb.append('\t'); j += 2
+            case 'b' => sb.append('\b'); j += 2
+            case 'f' => sb.append('\f'); j += 2
             case d if d >= '0' && d <= '7' =>
               // octal escape \ddd (1-3 digits) — the normal encoding
               // for accented/non-ASCII chars in PDF literals
@@ -140,7 +142,15 @@ object PdfReader {
   private def nextTokenIs(stream: String, from: Int, tok: String): Boolean = {
     var k = from
     while (k < stream.length && stream.charAt(k).isWhitespace) k += 1
-    stream.regionMatches(k, tok, 0, tok.length)
+    stream.regionMatches(k, tok, 0, tok.length) && {
+      // the operator must END there (whitespace/delimiter/EOF): a token
+      // merely STARTING with Tj used to emit a phantom text row
+      val a = k + tok.length
+      a >= stream.length || {
+        val c = stream.charAt(a)
+        c.isWhitespace || "()<>[]{}/%".indexOf(c.toInt) >= 0
+      }
+    }
   }
 
   /** Literal strings shown by Tj / ' / " / TJ operators, in order. A TJ

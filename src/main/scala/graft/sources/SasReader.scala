@@ -264,9 +264,11 @@ object SasReader {
       try schemaOf(parseMeta(in)._1) finally in.close()
     }
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    // session Hadoop conf rides to executors (the XlsxReader fix)
+    val sconf = new SerializableHadoopConf(conf)
     FileList.asDataset(spark, path, Set(".sas7bdat"))
       .mapPartitions { paths =>
-        val conf2 = new Configuration()
+        val conf2 = sconf.value
         paths.flatMap { f =>
           val fp = new Path(f)
           val in = new DataInputStream(fp.getFileSystem(conf2).open(fp))
@@ -274,18 +276,12 @@ object SasReader {
             _.addTaskCompletionListener[Unit](_ =>
               try in.close() catch { case _: java.io.IOException => () }))
           val (meta, pages) = parseMeta(in)
-          // schema-on-read degrade (the XlsxReader posture): rows align
-          // POSITIONALLY to the first file's schema — extra columns drop,
-          // missing ones null-fill, numeric/string mismatches null out
-          // rather than killing the task with an encoder arity error
-          val fileIsNum = meta.columns.map(_.isNum)
-          val wantIsNum = schema.fields.map(_.dataType == DoubleType)
-          rows(meta, pages).map { r =>
-            Row.fromSeq(wantIsNum.toSeq.zipWithIndex.map { case (num, i) =>
-              if (i >= r.length || fileIsNum.lift(i).exists(_ != num)) null
-              else r.get(i)
-            })
-          }
+          // schema-on-read degrade: align BY NAME like the SPSS/Access
+          // readers (SchemaAlign) — positional binding mis-assigned
+          // same-typed columns silently when a file's column ORDER
+          // differed from the first file's
+          SchemaAlign.align(rows(meta, pages),
+            SchemaAlign.plan(schema, schemaOf(meta)))
         }
       }(enc).toDF(schema.fieldNames.toSeq: _*)
   }

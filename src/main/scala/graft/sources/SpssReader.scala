@@ -308,9 +308,11 @@ object SpssReader {
       try schemaOf(parseMeta(in)) finally in.close()
     }
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    // session Hadoop conf rides to executors (the XlsxReader fix)
+    val sconf = new SerializableHadoopConf(conf)
     FileList.asDataset(spark, path, Set(".sav"))
       .mapPartitions { paths =>
-        val conf2 = new Configuration()
+        val conf2 = sconf.value
         paths.flatMap { f =>
           val fp = new Path(f)
           val in = new DataInputStream(fp.getFileSystem(conf2).open(fp))

@@ -426,4 +426,79 @@ class GisPredicatesSpec extends AnyFunSuite {
     // non-polygon inputs refuse
     clipRefuses("st_intersection", "POINT (1 1)", rect(0, 0, 2, 2), "POLYGON")
   }
+
+  // ---- hardening-review regressions ---------------------------------
+
+  test("closed LINESTRING has EMPTY boundary (OGC Mod-2 rule)") {
+    val closed = "LINESTRING (0 0, 1 0, 1 1, 0 0)"
+    // the closure point is INTERIOR: point contact there is not touches
+    assert(pred("st_intersects", "POINT (0 0)", closed))
+    assert(!pred("st_touches", "POINT (0 0)", closed))
+    // and a line through it meets the closed line's INTERIOR at dim 0
+    assert(pred("st_crosses", "LINESTRING (-0.5 0.5, 0.5 -0.5)", closed))
+    // open line: endpoints stay boundary
+    assert(pred("st_touches", "POINT (0 0)", "LINESTRING (0 0, 1 0, 1 1)"))
+  }
+
+  test("doubly-closed polygon ring registers no phantom contact") {
+    val dbl = "POLYGON ((0 0, 1 0, 1 1, 0 0, 0 0))"
+    assert(!pred("st_intersects", dbl, "LINESTRING (0 5, 0 7)"),
+      "zero-length wrap edge must not contact a distant segment")
+    assert(pred("st_disjoint", dbl, "LINESTRING (0 5, 0 7)"))
+    assert(pred("st_intersects", dbl, "POINT (0.7 0.2)"))
+  }
+
+  test("st_astext closes polygon rings (valid WKT out)") {
+    import spark.implicits._
+    val out = Seq(("POLYGON ((0 0, 1 0, 1 1))",
+        "POLYGON ((0 0, 1 0, 1 1, 0 0))", "LINESTRING (0 0, 1 0)"))
+      .toDF("open", "closed", "line")
+      .select(stAsText(stGeomFromText(col("open"))).as("o"),
+        stAsText(stGeomFromText(col("closed"))).as("c"),
+        stAsText(stGeomFromText(col("line"))).as("l"))
+      .collect()(0)
+    assert(out.getString(0) == "POLYGON ((0.0 0.0, 1.0 0.0, 1.0 1.0, 0.0 0.0))")
+    assert(out.getString(1) == "POLYGON ((0.0 0.0, 1.0 0.0, 1.0 1.0, 0.0 0.0))")
+    assert(out.getString(2) == "LINESTRING (0.0 0.0, 1.0 0.0)")
+  }
+
+  test("st_geomfromtext refuses Z/M forms and malformed coordinates") {
+    import spark.implicits._
+    def bad(w: String, part: String): Unit = {
+      val e = intercept[Exception] {
+        Seq(w).toDF("w").select(stGeomFromText(col("w")).as("g"))
+          .select(col("g")("xs")).collect()
+      }
+      assert(e.getMessage.contains(part), s"$w: ${e.getMessage}")
+    }
+    bad("POINT Z (1 2 3)", "st_geomfromtext")
+    bad("POINT ZM (1 2 3 4)", "st_geomfromtext")
+    bad("POINT (foo bar)", "malformed")
+    bad("POINT (5)", "malformed")
+    bad("LINESTRING (1 2, 3)", "malformed")
+  }
+
+  test("st_distance_km near-antipodal stays finite (no NaN past asin)") {
+    import spark.implicits._
+    val d = Seq((0.0, 10.0, 180.0, -10.0)).toDF("alon", "alat", "blon", "blat")
+      .select(stDistanceKm(col("alon"), col("alat"),
+        col("blon"), col("blat")).as("d"))
+      .collect()(0).getDouble(0)
+    assert(!d.isNaN, "antipodal distance came back NaN")
+    assert(d > 19900 && d < 20100, s"got $d")
+  }
+
+  test("clip refuses zero-area (collinear) rings; concave error names the reflex vertex") {
+    clipRefuses("st_intersection", "POLYGON ((0 0, 2 0, 1 0))",
+      rect(-1, -1, 3, 3), "zero area")
+    clipRefuses("st_union", rect(-1, -1, 3, 3),
+      "POLYGON ((0 0, 2 0, 1 0))", "zero area")
+    // concave at vertex 2 of (0 0, 4 0, 2 1, 0 4) — the message must
+    // name the reflex corner, not one past it
+    val e = intercept[Exception] {
+      clip("st_intersection", "POLYGON ((0 0, 4 0, 2 1, 4 4, 0 4))",
+        rect(0, 0, 4, 4))
+    }
+    assert(e.getMessage.contains("concave at vertex 2"), e.getMessage)
+  }
 }
