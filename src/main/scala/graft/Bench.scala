@@ -100,6 +100,52 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** MEMORY-BANDWIDTH probe: sum-sweep a shared read-only long array
+    * far larger than any LLC (256 MB), single-threaded and on all
+    * cores at once, wall to the last finisher. The register-only spin
+    * probe is structurally blind to co-tenant MEMORY pressure — an
+    * LLC/bandwidth-heavy neighbor inflates cycles-per-instruction while
+    * threads stay on-CPU, so eff_par reads high, wall reads slow, and
+    * the spin calib reads clean (the r9 q_dsir sf1 signature). A clean
+    * host's parallel sweep saturates the memory controllers at some
+    * fixed ratio to the single sweep; round-over-round and
+    * start/bracket/end DRIFT in that ratio is the contention signal. */
+  private lazy val bwArray: Array[Long] = {
+    val a = new Array[Long](32 * 1024 * 1024) // 256 MB
+    var i = 0
+    while (i < a.length) { a(i) = i * 0x9E3779B97F4A7C15L; i += 1 }
+    a
+  }
+
+  private def bwSweep(passes: Int): Long = {
+    var s = 0L
+    var p = 0
+    while (p < passes) {
+      var i = 0
+      while (i < bwArray.length) { s += bwArray(i); i += 1 }
+      p += 1
+    }
+    s
+  }
+
+  /** (single-thread sweep sec, all-core sweep sec). */
+  private def bwProbe(): (Double, Double) = {
+    if (bwArray(0) == 42L) System.err.println("bw-init") // force lazy init OUTSIDE the clock
+    val t0 = System.nanoTime()
+    if (bwSweep(4) == 42L) System.err.println("bw")
+    val single = (System.nanoTime() - t0) / 1e9
+    val n = Runtime.getRuntime.availableProcessors
+    val sink = new java.util.concurrent.atomic.AtomicLong(0)
+    val t1 = System.nanoTime()
+    val threads = (1 to n).map { _ =>
+      val t = new Thread(() => sink.addAndGet(bwSweep(4)))
+      t.start(); t
+    }
+    threads.foreach(_.join())
+    if (sink.get == 42L) System.err.println("bw-par")
+    (single, (System.nanoTime() - t1) / 1e9)
+  }
+
   /** Distinct PHYSICAL cores from /proc/cpuinfo ((physical id, core id)
     * pairs; 0 when unreadable). On an SMT host the parallel probe's
     * clean-host baseline is ~logical/physical × the single-thread wall
@@ -238,6 +284,7 @@ object Bench {
     val load0 = loadAvg()
     val calib0 = calibProbe()
     val calibPar0 = calibProbePar()
+    val (bwS0, bwP0) = bwProbe()
     // warm the JVM + parquet footers once (not timed per query)
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     // A failed query must be LOUD: record ok=false and exit non-zero, so a
@@ -256,31 +303,36 @@ object Bench {
         // flush the async listener bus (outside the timed window) so
         // per-rep CPU attribution is exact, not sleep-raced
         drainListenerBus(spark)
-        val effPar =
-          if (wall > 0) (TaskCpuListener.cpuNs.get - cpu0) / 1e9 / wall else 0.0
-        (wall, ok, effPar)
+        val cpuS = (TaskCpuListener.cpuNs.get - cpu0) / 1e9
+        (wall, ok, if (wall > 0) cpuS / wall else 0.0, cpuS)
       }
       (name, runs.map(_._1).min, runs.map(_._1), runs.forall(_._2),
-        runs.map(_._3))
+        runs.map(_._3), runs.map(_._4))
     }
-    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     // median alongside min: round 7's [10.48, 10.26, 3.42] showed a
     // jittery session whose min looked fine — the median makes an
     // unstable window visible in one number without re-reading "runs"
-    val medians = results.map { case (k, _, rs, _, _) =>
+    val medians = results.map { case (k, _, rs, _, _, _) =>
       "\"" + k + "\":" + f"${median(rs)}%.3f" }
       .mkString("{", ",", "}")
-    val allRuns = results.map { case (k, _, rs, _, _) =>
+    val allRuns = results.map { case (k, _, rs, _, _, _) =>
       "\"" + k + "\":" + rs.map(r => f"$r%.3f").mkString("[", ",", "]") }
       .mkString("{", ",", "}")
-    val oks = results.map { case (k, _, _, ok, _) => "\"" + k + "\":" + ok }
+    val oks = results.map { case (k, _, _, ok, _, _) => "\"" + k + "\":" + ok }
       .mkString("{", ",", "}")
     // per-rep effective parallelism (executor CPU-time / wall): the
     // instrument that separates "contended host" (low eff_par, elevated
     // parallel calib) from "real regression" (full eff_par, still slow)
-    val effPars = results.map { case (k, _, _, _, eps) =>
+    val effPars = results.map { case (k, _, _, _, eps, _) =>
       "\"" + k + "\":" + eps.map(e => f"$e%.1f").mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    // per-rep executor CPU-SECONDS (the eff_par numerator, emitted
+    // directly): "work grew" vs "wall grew" separates without reader
+    // arithmetic — the r9 sf1 ambiguity in one field
+    val cpuSecs = results.map { case (k, _, _, _, _, cs) =>
+      "\"" + k + "\":" + cs.map(c => f"$c%.1f").mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val allOk = results.forall(_._4)
@@ -293,6 +345,11 @@ object Bench {
       if (sys.env.getOrElse("SPARK_GRAFT_SF1", "1") == "0") "null"
       else try {
         val sf1Dir = ensureSf1(spark, sfDir)
+        // bracket the TIER itself (not just the whole bench): the r9
+        // window's contention RAMPED mid-run, and whole-bench brackets
+        // averaged it away exactly where the heavyweight tier ran
+        val tierCalibPar0 = calibProbePar()
+        val tierBw0 = bwProbe()
         val rs = heavyweight.map { name =>
           val runs = (1 to Sf1Reps).map { _ =>
             val cpu0 = TaskCpuListener.cpuNs.get
@@ -304,10 +361,8 @@ object Bench {
                 System.err.println(s"[bench] sf1 $name FAILED: ${e.getMessage}"); false }
             val wall = (System.nanoTime() - t0) / 1e9
             drainListenerBus(spark)
-            val effPar =
-              if (wall > 0) (TaskCpuListener.cpuNs.get - cpu0) / 1e9 / wall
-              else 0.0
-            (wall, ok, effPar)
+            val cpuS = (TaskCpuListener.cpuNs.get - cpu0) / 1e9
+            (wall, ok, if (wall > 0) cpuS / wall else 0.0, cpuS)
           }
           // per-round instrumentation for the iterative CC query: a slow
           // run decomposes into rounds × per-round wall in the artifact
@@ -318,21 +373,31 @@ object Bench {
                 s""""round_wall":${s.roundWallSec.map(w => f"$w%.3f")
                   .mkString("[", ",", "]")}}""").getOrElse("")
           else ""
-          (name, runs.map(_._1), runs.forall(_._2), cc, runs.map(_._3))
+          (name, runs.map(_._1), runs.forall(_._2), cc, runs.map(_._3),
+            runs.map(_._4))
         }
-        val q1 = rs.map { case (k, vs, _, _, _) => "\"" + k + "\":" + f"${vs.min}%.3f" }
+        val tierCalibPar1 = calibProbePar()
+        val tierBw1 = bwProbe()
+        val q1 = rs.map { case (k, vs, _, _, _, _) => "\"" + k + "\":" + f"${vs.min}%.3f" }
           .mkString("{", ",", "}")
-        val runs1 = rs.map { case (k, vs, _, _, _) =>
+        val runs1 = rs.map { case (k, vs, _, _, _, _) =>
           "\"" + k + "\":" + vs.map(v => f"$v%.3f").mkString("[", ",", "]") }
           .mkString("{", ",", "}")
-        val ok1 = rs.map { case (k, _, ok, _, _) => "\"" + k + "\":" + ok }
+        val ok1 = rs.map { case (k, _, ok, _, _, _) => "\"" + k + "\":" + ok }
           .mkString("{", ",", "}")
-        val ep1 = rs.map { case (k, _, _, _, eps) =>
+        val ep1 = rs.map { case (k, _, _, _, eps, _) =>
           "\"" + k + "\":" + eps.map(e => f"$e%.1f").mkString("[", ",", "]") }
+          .mkString("{", ",", "}")
+        val cs1 = rs.map { case (k, _, _, _, _, cs) =>
+          "\"" + k + "\":" + cs.map(c => f"$c%.1f").mkString("[", ",", "]") }
           .mkString("{", ",", "}")
         val ccJson = rs.map(_._4).filter(_.nonEmpty).mkString
         s"""{"total":${f"${rs.map(_._2.min).sum}%.3f"},"queries":$q1,""" +
-          s""""runs":$runs1,"ok":$ok1,"eff_par":$ep1,"copies":10$ccJson}"""
+          s""""runs":$runs1,"ok":$ok1,"eff_par":$ep1,"cpu_s":$cs1,""" +
+          s""""calib_par_sec":[${f"$tierCalibPar0%.3f"},${f"$tierCalibPar1%.3f"}],""" +
+          s""""bw_sec":[${f"${tierBw0._1}%.3f"},${f"${tierBw1._1}%.3f"}],""" +
+          s""""bw_par_sec":[${f"${tierBw0._2}%.3f"},${f"${tierBw1._2}%.3f"}],""" +
+          s""""copies":10$ccJson}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] sf1 tier failed: ${e.getMessage}")
         "null"
@@ -340,27 +405,44 @@ object Bench {
     val (steal1, jiff1) = cpuStat()
     val calib1 = calibProbe()
     val calibPar1 = calibProbePar()
+    val (bwS1, bwP1) = bwProbe()
     val load1 = loadAvg()
     val stealPct =
       if (jiff1 > jiff0) 100.0 * (steal1 - steal0) / (jiff1 - jiff0) else 0.0
     def arr(xs: Seq[Double]) = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"median":$medians,"runs":$allRuns,"ok":$oks,"eff_par":$effPars,"steal_pct":${f"$stealPct%.2f"},"calib_sec":[${f"$calib0%.3f"},${f"$calib1%.3f"}],"calib_par_sec":[${f"$calibPar0%.3f"},${f"$calibPar1%.3f"}],"calib_par_threads":${Runtime.getRuntime.availableProcessors},"phys_cores":${physicalCores()},"loadavg":[${arr(load0)},${arr(load1)}],"sf1":$sf1Json,"sf":"${
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"median":$medians,"runs":$allRuns,"ok":$oks,"eff_par":$effPars,"cpu_s":$cpuSecs,"steal_pct":${f"$stealPct%.2f"},"calib_sec":[${f"$calib0%.3f"},${f"$calib1%.3f"}],"calib_par_sec":[${f"$calibPar0%.3f"},${f"$calibPar1%.3f"}],"bw_sec":[${f"$bwS0%.3f"},${f"$bwS1%.3f"}],"bw_par_sec":[${f"$bwP0%.3f"},${f"$bwP1%.3f"}],"calib_par_threads":${Runtime.getRuntime.availableProcessors},"phys_cores":${physicalCores()},"loadavg":[${arr(load0)},${arr(load1)}],"sf1":$sf1Json,"sf":"${
         sfDir.replace("\\", "\\\\").replace("\"", "\\\"")}"}"""
     println(line)
     // The stdout line gets buried in sbt [info] noise (rounds 3 and 5 had
     // "parsed": null in the driver artifact) — also persist the metrics to
     // files so grading has a structured copy regardless of log framing.
-    val outs = Seq(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"),
-      "/tmp/bench.json")
+    val artifact = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    val outs = Seq(artifact, "/tmp/bench.json")
     outs.foreach { p =>
       try java.nio.file.Files.write(java.nio.file.Paths.get(p),
         (line + "\n").getBytes("UTF-8"))
       catch { case e: Exception =>
         System.err.println(s"[bench] could not write $p: ${e.getMessage}") }
     }
+    // COMPACT summary as the TRUE LAST stdout line: the driver keeps only
+    // a 2000-char log tail, and the full line above has outgrown it
+    // (rounds 8-9 had "parsed": null for exactly this reason). This line
+    // stays under ~1.3 KB — per-query MINIMA only, window-health scalars,
+    // sf1 totals, and the artifact path holding the full record.
+    val sf1Compact = sf1Json match {
+      case "null" => "null"
+      case j =>
+        // lift "total" and "queries" (the first two fields by construction)
+        val qEnd = j.indexOf('}', j.indexOf("\"queries\":")) + 1
+        "{" + j.substring(1, qEnd) + "}"
+    }
+    val compact =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"ok_all":$allOk,"steal_pct":${f"$stealPct%.2f"},"calib_sec":[${f"$calib0%.3f"},${f"$calib1%.3f"}],"calib_par_sec":[${f"$calibPar0%.3f"},${f"$calibPar1%.3f"}],"bw_par_sec":[${f"$bwP0%.3f"},${f"$bwP1%.3f"}],"phys_cores":${physicalCores()},"sf1":$sf1Compact,"artifact":"${
+        artifact.replace("\\", "\\\\").replace("\"", "\\\"")}","sf":"${
+        sfDir.replace("\\", "\\\\").replace("\"", "\\\"")}"}"""
     spark.stop()
-    println(line) // repeat as the true last stdout line, after Spark teardown
+    println(compact) // after Spark teardown: nothing may print past this
     if (!allOk) sys.exit(1)
   }
 }

@@ -26,7 +26,11 @@ object Dedup {
     * the survivor is unspecified. */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val h = xxhash64(TextAnalysis.normalize(col(textCol)))
-    val hashed = docs.withColumn("content_hash", h)
+    // null-id rows drop up front: min_by SKIPS null ordering values, so
+    // a group whose every id is null would otherwise emit one all-null
+    // row (null struct access) where the previous agg+semi-join
+    // spelling — min(id) null, join misses — emitted nothing.
+    val hashed = docs.filter(col(idCol).isNotNull).withColumn("content_hash", h)
     val cols = hashed.columns
     hashed.groupBy(col("content_hash").as("__ch"))
       .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("__keep"))

@@ -250,19 +250,20 @@ object DeltaDml {
     // up to three rescans (and three condition evaluations) otherwise
     val aff = spark.read.schema(schema)
       .parquet(affected.map(absolute(tablePath, _)): _*).persist()
-    val hit = coalesce(condition.cast(BooleanType), lit(false))
-    val deleted = aff.filter(hit).count()
-    val version = current + 1
-    val adds = stageAdds(aff.filter(!hit), tablePath, version,
-      dataChange = true)
-    val cdc =
-      if (cdfEnabled(spark, tableConf))
-        stageCdc(typed(aff.filter(hit), "delete"), tablePath, version)
-      else Nil
-    DeltaLogReader.writeCommit(spark, tablePath, version,
-      ci("DELETE") +: (removeActions(affected) ++ adds ++ cdc))
-    aff.unpersist()
-    (version, deleted)
+    try { // finally-unpersist: a stage/commit failure must not leak the cache
+      val hit = coalesce(condition.cast(BooleanType), lit(false))
+      val deleted = aff.filter(hit).count()
+      val version = current + 1
+      val adds = stageAdds(aff.filter(!hit), tablePath, version,
+        dataChange = true)
+      val cdc =
+        if (cdfEnabled(spark, tableConf))
+          stageCdc(typed(aff.filter(hit), "delete"), tablePath, version)
+        else Nil
+      DeltaLogReader.writeCommit(spark, tablePath, version,
+        ci("DELETE") +: (removeActions(affected) ++ adds ++ cdc))
+      (version, deleted)
+    } finally aff.unpersist()
   }
 
   /** DELETE FROM writing DELETION VECTORS instead of rewriting files —
@@ -359,98 +360,99 @@ object DeltaDml {
     // DV write, UPDATE re-adds, CDC) — persist so the data-file scan and
     // the existing-DV expansion run once, not per job
     matched = matched.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val deleted = matched.count()
-    if (deleted == 0) { matched.unpersist(); return (current, 0L) }
-    val affected = matched.select("__g_rel").distinct()
-      .as[String].collect().toSeq.sorted
-    val version = current + 1
+    try { // finally-unpersist: a failure mid-commit must not leak the cache
+      val deleted = matched.count()
+      if (deleted == 0) return (current, 0L) // finally unpersists
+      val affected = matched.select("__g_rel").distinct()
+        .as[String].collect().toSeq.sorted
+      val version = current + 1
 
-    // new DV per affected file = visible matches ∪ its existing DV
-    var positions = matched.select(col("__g_rel"), col("__g_pos"))
-    val affectedWithDv = withDv.collect {
-      case (rel, _) if affected.contains(rel) => rel }.toSet
-    if (affectedWithDv.nonEmpty)
-      positions = positions.unionByName(dvRows(affectedWithDv))
-    val dvDescs: Map[String, DeletionVectors.DvDescriptor] =
-      positions.repartition(col("__g_rel"))
-        .sortWithinPartitions("__g_rel", "__g_pos")
-        .as[(String, Long)]
-        .mapPartitions { it =>
-          if (!it.hasNext) Iterator.empty
-          else {
-            val groups = scala.collection.mutable.LinkedHashMap
-              .empty[String, scala.collection.mutable.ArrayBuffer[Long]]
-            it.foreach { case (rel, pos) =>
-              groups.getOrElseUpdate(rel,
-                scala.collection.mutable.ArrayBuffer[Long]()) += pos
+      // new DV per affected file = visible matches ∪ its existing DV
+      var positions = matched.select(col("__g_rel"), col("__g_pos"))
+      val affectedWithDv = withDv.collect {
+        case (rel, _) if affected.contains(rel) => rel }.toSet
+      if (affectedWithDv.nonEmpty)
+        positions = positions.unionByName(dvRows(affectedWithDv))
+      val dvDescs: Map[String, DeletionVectors.DvDescriptor] =
+        positions.repartition(col("__g_rel"))
+          .sortWithinPartitions("__g_rel", "__g_pos")
+          .as[(String, Long)]
+          .mapPartitions { it =>
+            if (!it.hasNext) Iterator.empty
+            else {
+              val groups = scala.collection.mutable.LinkedHashMap
+                .empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+              it.foreach { case (rel, pos) =>
+                groups.getOrElseUpdate(rel,
+                  scala.collection.mutable.ArrayBuffer[Long]()) += pos
+              }
+              DeletionVectors.writeDvFileConf(confBc.value.value, tp,
+                groups.toSeq.map { case (rel, ps) => (rel, ps.toSeq) }).iterator
             }
-            DeletionVectors.writeDvFileConf(confBc.value.value, tp,
-              groups.toSeq.map { case (rel, ps) => (rel, ps.toSeq) }).iterator
-          }
-        }.collect().toMap // metadata-scale: one descriptor per file
+          }.collect().toMap // metadata-scale: one descriptor per file
 
-    // commit: protocol w/ the DV feature, remove+re-add per affected file
-    val readds = affected.map { rel =>
-      val size = fs.getFileStatus(new Path(absolute(tablePath, rel))).getLen
-      s"""{"add":{"path":"$rel","partitionValues":{},"size":$size,""" +
-        s""""modificationTime":0,"dataChange":true${dvJson(Some(dvDescs(rel)))}}}"""
-    }
-    // UPDATE: the rewritten row versions append as new data files
-    def rewritten(s: Map[String, Column]): DataFrame =
-      matched.select(schema.fields.toSeq.map { f =>
-        s.get(f.name) match {
-          case Some(e) => e.cast(f.dataType).as(f.name)
-          case None    => col(f.name).as(f.name)
-        }
-      }: _*)
-    val updAdds = set match {
-      case Some(s) => stageAdds(rewritten(s), tablePath, version, dataChange = true)
-      case None    => Nil
-    }
-    val cdc =
-      if (cdfEnabled(spark, tableConf)) set match {
-        case None => stageCdc(
-          typed(matched.select(schema.fieldNames.map(col).toSeq: _*),
-            "delete"), tablePath, version)
-        case Some(s) => stageCdc(
-          typed(matched.select(schema.fieldNames.map(col).toSeq: _*),
-              "update_preimage")
-            .unionByName(typed(rewritten(s), "update_postimage")),
-          tablePath, version)
+      // commit: protocol w/ the DV feature, remove+re-add per affected file
+      val readds = affected.map { rel =>
+        val size = fs.getFileStatus(new Path(absolute(tablePath, rel))).getLen
+        s"""{"add":{"path":"$rel","partitionValues":{},"size":$size,""" +
+          s""""modificationTime":0,"dataChange":true${dvJson(Some(dvDescs(rel)))}}}"""
       }
-      else Nil
-    // MERGE the DV feature into the existing protocol — replacing it
-    // wholesale would drop features other writers declared (features are
-    // never removed, versions never lowered)
-    val (pr, pw, rf, wf) = DeltaLogReader.protocolInfo(spark, tablePath)
-    // PROTOCOL.md: upgrading a LEGACY protocol to table features must
-    // ENUMERATE every feature the old versions implied — dropping them
-    // made delta-spark stop enforcing invariants and stop emitting CDF
-    val impliedWriter: Set[String] =
-      (if (pw >= 2) Set("appendOnly", "invariants") else Set.empty[String]) ++
-        (if (pw >= 3) Set("checkConstraints") else Set.empty) ++
-        (if (pw >= 4) Set("changeDataFeed", "generatedColumns") else Set.empty) ++
-        (if (pw >= 5) Set("columnMapping") else Set.empty) ++
-        (if (pw >= 6) Set("identityColumns") else Set.empty)
-    val impliedReader: Set[String] =
-      if (pr >= 2) Set("columnMapping") else Set.empty
-    // only legacy (pre-table-features) protocols imply anything; a v7
-    // table already lists its features explicitly in wf/rf
-    val wfAll = wf ++ (if (pw < 7) impliedWriter else Set.empty)
-    val rfAll = rf ++ (if (pr < 3) impliedReader else Set.empty)
-    def fj(s: Set[String]) = (s + "deletionVectors").toSeq.sorted
-      .map(f => s""""$f"""").mkString("[", ",", "]")
-    val protocol =
-      s"""{"protocol":{"minReaderVersion":${math.max(pr, 3)},""" +
-        s""""minWriterVersion":${math.max(pw, 7)},""" +
-        s""""readerFeatures":${fj(rfAll)},"writerFeatures":${fj(wfAll)}}}"""
-    val dvByRel = files.map(f => f._1 -> f._3).toMap
-    DeltaLogReader.writeCommit(spark, tablePath, version,
-      Seq(ci(if (set.isDefined) "UPDATE" else "DELETE"), protocol) ++
-        removeActions(affected, dvByRel.getOrElse(_, None)) ++
-        readds ++ updAdds ++ cdc)
-    matched.unpersist()
-    (version, deleted)
+      // UPDATE: the rewritten row versions append as new data files
+      def rewritten(s: Map[String, Column]): DataFrame =
+        matched.select(schema.fields.toSeq.map { f =>
+          s.get(f.name) match {
+            case Some(e) => e.cast(f.dataType).as(f.name)
+            case None    => col(f.name).as(f.name)
+          }
+        }: _*)
+      val updAdds = set match {
+        case Some(s) => stageAdds(rewritten(s), tablePath, version, dataChange = true)
+        case None    => Nil
+      }
+      val cdc =
+        if (cdfEnabled(spark, tableConf)) set match {
+          case None => stageCdc(
+            typed(matched.select(schema.fieldNames.map(col).toSeq: _*),
+              "delete"), tablePath, version)
+          case Some(s) => stageCdc(
+            typed(matched.select(schema.fieldNames.map(col).toSeq: _*),
+                "update_preimage")
+              .unionByName(typed(rewritten(s), "update_postimage")),
+            tablePath, version)
+        }
+        else Nil
+      // MERGE the DV feature into the existing protocol — replacing it
+      // wholesale would drop features other writers declared (features are
+      // never removed, versions never lowered)
+      val (pr, pw, rf, wf) = DeltaLogReader.protocolInfo(spark, tablePath)
+      // PROTOCOL.md: upgrading a LEGACY protocol to table features must
+      // ENUMERATE every feature the old versions implied — dropping them
+      // made delta-spark stop enforcing invariants and stop emitting CDF
+      val impliedWriter: Set[String] =
+        (if (pw >= 2) Set("appendOnly", "invariants") else Set.empty[String]) ++
+          (if (pw >= 3) Set("checkConstraints") else Set.empty) ++
+          (if (pw >= 4) Set("changeDataFeed", "generatedColumns") else Set.empty) ++
+          (if (pw >= 5) Set("columnMapping") else Set.empty) ++
+          (if (pw >= 6) Set("identityColumns") else Set.empty)
+      val impliedReader: Set[String] =
+        if (pr >= 2) Set("columnMapping") else Set.empty
+      // only legacy (pre-table-features) protocols imply anything; a v7
+      // table already lists its features explicitly in wf/rf
+      val wfAll = wf ++ (if (pw < 7) impliedWriter else Set.empty)
+      val rfAll = rf ++ (if (pr < 3) impliedReader else Set.empty)
+      def fj(s: Set[String]) = (s + "deletionVectors").toSeq.sorted
+        .map(f => s""""$f"""").mkString("[", ",", "]")
+      val protocol =
+        s"""{"protocol":{"minReaderVersion":${math.max(pr, 3)},""" +
+          s""""minWriterVersion":${math.max(pw, 7)},""" +
+          s""""readerFeatures":${fj(rfAll)},"writerFeatures":${fj(wfAll)}}}"""
+      val dvByRel = files.map(f => f._1 -> f._3).toMap
+      DeltaLogReader.writeCommit(spark, tablePath, version,
+        Seq(ci(if (set.isDefined) "UPDATE" else "DELETE"), protocol) ++
+          removeActions(affected, dvByRel.getOrElse(_, None)) ++
+          readds ++ updAdds ++ cdc)
+      (version, deleted)
+    } finally matched.unpersist()
   }
 
   /** UPDATE ... SET: rewrite rows where `condition` is TRUE with the
@@ -473,32 +475,33 @@ object DeltaDml {
     // and (with CDF) the pre+post images — up to four rescans otherwise
     val aff = spark.read.schema(schema)
       .parquet(affected.map(absolute(tablePath, _)): _*).persist()
-    val hit = coalesce(condition.cast(BooleanType), lit(false))
-    val updated = aff.filter(hit).count()
-    val rewritten = aff.select(schema.fields.toSeq.map { f =>
-      set.get(f.name) match {
-        case Some(e) =>
-          when(hit, e.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
-        case None => col(f.name)
-      }
-    }: _*)
-    val version = current + 1
-    val adds = stageAdds(rewritten, tablePath, version, dataChange = true)
-    val cdc =
-      if (cdfEnabled(spark, tableConf)) {
-        val pre = typed(aff.filter(hit), "update_preimage")
-        val post = typed(aff.filter(hit).select(schema.fields.toSeq.map { f =>
-          set.get(f.name) match {
-            case Some(e) => e.cast(f.dataType).as(f.name)
-            case None    => col(f.name)
-          }
-        }: _*), "update_postimage")
-        stageCdc(pre.unionByName(post), tablePath, version)
-      } else Nil
-    DeltaLogReader.writeCommit(spark, tablePath, version,
-      ci("UPDATE") +: (removeActions(affected) ++ adds ++ cdc))
-    aff.unpersist()
-    (version, updated)
+    try { // finally-unpersist: a stage/commit failure must not leak the cache
+      val hit = coalesce(condition.cast(BooleanType), lit(false))
+      val updated = aff.filter(hit).count()
+      val rewritten = aff.select(schema.fields.toSeq.map { f =>
+        set.get(f.name) match {
+          case Some(e) =>
+            when(hit, e.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+          case None => col(f.name)
+        }
+      }: _*)
+      val version = current + 1
+      val adds = stageAdds(rewritten, tablePath, version, dataChange = true)
+      val cdc =
+        if (cdfEnabled(spark, tableConf)) {
+          val pre = typed(aff.filter(hit), "update_preimage")
+          val post = typed(aff.filter(hit).select(schema.fields.toSeq.map { f =>
+            set.get(f.name) match {
+              case Some(e) => e.cast(f.dataType).as(f.name)
+              case None    => col(f.name)
+            }
+          }: _*), "update_postimage")
+          stageCdc(pre.unionByName(post), tablePath, version)
+        } else Nil
+      DeltaLogReader.writeCommit(spark, tablePath, version,
+        ci("UPDATE") +: (removeActions(affected) ++ adds ++ cdc))
+      (version, updated)
+    } finally aff.unpersist()
   }
 
   /** ALTER TABLE ... ADD COLUMNS: commit a new metaData action whose

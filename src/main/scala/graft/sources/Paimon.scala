@@ -54,10 +54,14 @@ import scala.jdk.CollectionConverters._
   * tuple would prune wrong files, so pruning stays off and only
   * query-time filtering applies. DYNAMIC-bucket PK tables (explicit
   * -1 OR absent — current paimon's PK default) READ: the `index/` HASH
-  * files are write-side key ROUTING; the global per-key max_by merge
-  * never consults bucket numbers, and cross-partition upserts are
-  * self-describing (the old partition's retract carries a lower
-  * per-record sequence). WRITES to dynamic-bucket tables refuse — key
+  * files are write-side key ROUTING the read never consults; the LSM
+  * merge runs PER (partition, bucket) directory group (each data
+  * file's parent dir is its group identity), because sequence numbers
+  * are per-bucket-writer counters NOT comparable across partitions —
+  * a cross-partition upsert's old-partition retract may carry a
+  * higher counter than the new partition's insert, so a global merge
+  * would resurrect or drop the wrong row (see the groupBy keying in
+  * read()). WRITES to dynamic-bucket tables refuse — key
   * routing genuinely needs the index, whose update protocol is
   * unpublished. Non-`deduplicate` merge engines refuse (partial-update
   * / aggregation / first-row).
@@ -485,13 +489,11 @@ object PaimonTable {
     // PARTITIONED PRIMARY-KEY reads compose the same file location with
     // the LSM merge: with FIXED buckets paimon requires the primary key
     // to contain every partition field, so all versions of a key live in
-    // one (partition, bucket) directory and the global per-key max_by
-    // merge is automatically partition-local — bucket routing (the
-    // BinaryRow hash) is a WRITE-side concern the read never needs.
-    // DYNAMIC buckets (bucket = -1) lift that invariant (cross-partition
-    // upsert mode resolves keys through an index we do not read) and
-    // stay refused, as do tables whose primary key does not cover the
-    // partition keys.
+    // one (partition, bucket) directory; DYNAMIC buckets (bucket = -1)
+    // lift that invariant, which is exactly why the merge below keys by
+    // the (partition, bucket) directory group instead of globally —
+    // bucket ROUTING (the BinaryRow hash / `index/` files) stays a
+    // WRITE-side concern the read never needs.
     if (sch.partitionKeys.nonEmpty && sch.primaryKeys.nonEmpty) {
       // FIXED buckets: paimon's own invariant requires PK ⊇ partition
       // fields — a fixed-bucket table violating it is malformed.

@@ -47,9 +47,17 @@ object QueryServer {
             respond(x, 415, error(
               "Content-Type must be application/json")); return
           }
-          val host = Option(x.getRequestHeaders.getFirst("Host")).getOrElse("")
-          if (!(host.startsWith("127.0.0.1") || host.startsWith("localhost") ||
-                host.startsWith("[::1]"))) {
+          // Strip the :port suffix (bracketed IPv6 keeps its brackets)
+          // and require EXACT equality: prefix matching would pass
+          // attacker DNS names like 127.0.0.1.evil.com pointed at
+          // loopback, defeating the rebinding check.
+          val host = Option(x.getRequestHeaders.getFirst("Host"))
+            .getOrElse("").toLowerCase
+          val hostName =
+            if (host.startsWith("[")) host.take(host.indexOf(']') + 1)
+            else host.takeWhile(_ != ':')
+          if (!(hostName == "127.0.0.1" || hostName == "localhost" ||
+                hostName == "[::1]")) {
             respond(x, 403, error("unrecognized Host")); return
           }
           val body = new String(x.getRequestBody.readAllBytes(), "UTF-8")

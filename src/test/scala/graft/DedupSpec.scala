@@ -25,6 +25,21 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == Set(1L, 2L, 4L, 5L, 6L)) // 3 dropped (dup of 1)
   }
 
+  test("exact dedup drops null-id rows instead of emitting an all-null row") {
+    import spark.implicits._
+    // min_by SKIPS null ordering values: a group whose every id is null
+    // previously surfaced as one all-null row (null struct access)
+    val d = Seq(
+      (java.lang.Long.valueOf(7L), "kept text"),
+      (null.asInstanceOf[java.lang.Long], "orphan text"),
+      (null.asInstanceOf[java.lang.Long], "orphan text"), // same group, all null
+      (null.asInstanceOf[java.lang.Long], "kept text")    // null sibling of 7
+    ).toDF("doc_id", "text")
+    val kept = Dedup.exact(d, "doc_id", "text").collect()
+    assert(kept.length == 1 && kept.head.getLong(0) == 7L)
+    assert(kept.forall(!_.anyNull))
+  }
+
   test("blank and null docs are NOT near-dups of each other (J(empty,empty)=0)") {
     import spark.implicits._
     // Catalyst compares NaN LARGER than any value, so a NaN from the

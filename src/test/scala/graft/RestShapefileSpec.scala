@@ -71,6 +71,29 @@ class RestShapefileSpec extends AnyFunSuite {
       assert(post("""{"nope": 1}""")._1 == 400)
       // still serving after errors
       assert(post("""{"query": "SELECT 1 AS one"}""")._1 == 200)
+
+      // Host check is EXACT (minus :port): a DNS-rebinding name that
+      // merely STARTS with a loopback literal must be rejected.
+      // HttpURLConnection refuses to forge Host, so speak raw HTTP.
+      def rawPost(hostHeader: String): Int = {
+        val sock = new java.net.Socket("127.0.0.1", server.port)
+        try {
+          val payload = """{"query": "SELECT 1 AS one"}"""
+          val req = s"POST /query HTTP/1.1\r\nHost: $hostHeader\r\n" +
+            "Content-Type: application/json\r\n" +
+            s"Content-Length: ${payload.length}\r\nConnection: close\r\n\r\n" +
+            payload
+          sock.getOutputStream.write(req.getBytes("UTF-8"))
+          val line = new java.io.BufferedReader(
+            new java.io.InputStreamReader(sock.getInputStream)).readLine()
+          line.split(" ")(1).toInt
+        } finally sock.close()
+      }
+      assert(rawPost("127.0.0.1.evil.com") == 403)
+      assert(rawPost("localhost.evil.com:80") == 403)
+      assert(rawPost(s"127.0.0.1:${server.port}") == 200)
+      assert(rawPost("localhost") == 200)
+      assert(rawPost("") == 403)
     } finally server.stop()
   }
 
