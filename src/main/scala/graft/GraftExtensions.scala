@@ -19,6 +19,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // for the 3-part workspace form `dfs.tmp.`rel/path`` (which Spark
     // would otherwise resolve eagerly against the session catalog).
     ext.injectResolutionRule(session => graft.sources.DfsResolveRule(session))
+    // `SELECT * FROM sys.version` / `information_schema.\`tables\`` —
+    // Drill's system-table and ischema plugins as SQL namespaces (the
+    // names BI tools introspect through the JDBC front door)
+    ext.injectResolutionRule(session => graft.sources.SysResolveRule(session))
+    // (`hive.db.tbl` metastore federation resolves in DfsParser — the
+    // "hive" head must be claimed BEFORE ResolveSQLOnFile sees it)
     ext.injectParser((_, parser) => new graft.sources.DfsParser(parser))
     // `SELECT * FROM dfs_read('/path', 'text', '|')` — Drill's
     // table-function form with explicit format options (table(dfs.`x`

@@ -52,6 +52,13 @@ object GraftSession {
       .config("spark.hadoop.fs.file.impl", "graft.sources.NioLocalFileSystem")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.maxResultSize", "2g")
+      // JDBC front door (sources/JdbcEndpoint): deliberately NOT
+      // singleSession — Spark's session manager force-sets
+      // datetime.java8API.enabled on every connection open, which under
+      // singleSession would silently flip Row timestamp types for every
+      // other consumer of the live session. Per-connection newSession()
+      // clones (Drill's per-connection model) share the catalog, GLOBAL
+      // temp views, persistent views, and all graft extensions.
 
   def getOrCreate(): SparkSession = {
     val s = builder().getOrCreate()

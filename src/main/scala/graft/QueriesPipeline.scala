@@ -353,6 +353,15 @@ object QueriesPipeline {
           "doc_id", "text")
         .select(col("doc_id"), round(col("weight"), 6).as("dsir_w"))),
 
+    // ---- Quality-classifier scoring (CCNet/GPT-3 quality filter):
+    // hashed-ngram logistic regression, 3 deterministic batch-gradient
+    // iterations, target = the src0 slice; exact-weight oracle unrolls
+    // the same iterations in SQL. Rounding is gate-only (SURVEY §5) ----
+    "q_quality_clf" -> ((s, d) =>
+      Search.qualityClassifier(T(s, d, "documents"), "doc_id", "text",
+          col("source") === "src0")
+        .select(col("doc_id"), round(col("quality_score"), 6).as("q_score"))),
+
     // ---- BPE round-1 pair statistics (arXiv:1508.07909): the corpus
     // adjacent-symbol-pair frequencies the first merge maximizes — the
     // full loop is iterative (spec-verified, PipelineExtraSpec); this
@@ -777,6 +786,46 @@ object QueriesPipeline {
             GROUP BY 1)
       SELECT d.doc_id, round(coalesce(w.w, 0), 6) AS dsir_w
       FROM documents d LEFT JOIN w USING (doc_id)""",
+    "q_quality_clf" -> s"""
+      WITH toks AS (SELECT doc_id,
+             unnest(list_filter(string_split($NORM, ' '), x -> x <> '')) AS tok
+           FROM documents),
+      feats AS (SELECT doc_id, ${md5h32("'qc:' || tok")} % 64 AS j,
+                  count(*)::BIGINT AS x
+                FROM toks GROUP BY 1, 2),
+      lab AS (SELECT doc_id,
+                CASE WHEN source = 'src0' THEN 1.0 ELSE 0.0 END AS y
+              FROM documents),
+      n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+      -- iteration 1: w0 = 0 so sigmoid(z) = 0.5 for every doc
+      g1 AS (SELECT f.j, sum((0.5 - l.y) * f.x) / (SELECT n FROM n) AS g
+             FROM feats f JOIN lab l USING (doc_id) GROUP BY f.j),
+      w1 AS (SELECT j, 0.0 - 0.5 * g AS w FROM g1),
+      -- iteration 2
+      z2 AS (SELECT f.doc_id, sum(w.w * f.x) AS z
+             FROM feats f JOIN w1 w USING (j) GROUP BY 1),
+      e2 AS (SELECT l.doc_id,
+               1.0 / (1.0 + exp(-coalesce(z.z, 0))) - l.y AS e
+             FROM lab l LEFT JOIN z2 z USING (doc_id)),
+      g2 AS (SELECT f.j, sum(e.e * f.x) / (SELECT n FROM n) AS g
+             FROM feats f JOIN e2 e USING (doc_id) GROUP BY f.j),
+      w2 AS (SELECT w1.j, w1.w - 0.5 * coalesce(g2.g, 0) AS w
+             FROM w1 LEFT JOIN g2 USING (j)),
+      -- iteration 3
+      z3 AS (SELECT f.doc_id, sum(w.w * f.x) AS z
+             FROM feats f JOIN w2 w USING (j) GROUP BY 1),
+      e3 AS (SELECT l.doc_id,
+               1.0 / (1.0 + exp(-coalesce(z.z, 0))) - l.y AS e
+             FROM lab l LEFT JOIN z3 z USING (doc_id)),
+      g3 AS (SELECT f.j, sum(e.e * f.x) / (SELECT n FROM n) AS g
+             FROM feats f JOIN e3 e USING (doc_id) GROUP BY f.j),
+      w3 AS (SELECT w2.j, w2.w - 0.5 * coalesce(g3.g, 0) AS w
+             FROM w2 LEFT JOIN g3 USING (j)),
+      zf AS (SELECT f.doc_id, sum(w.w * f.x) AS z
+             FROM feats f JOIN w3 w USING (j) GROUP BY 1)
+      SELECT l.doc_id,
+             round(1.0 / (1.0 + exp(-coalesce(z.z, 0))), 6) AS q_score
+      FROM lab l LEFT JOIN zf z USING (doc_id)""",
     "q_bpe_pairs" -> s"""
       WITH words AS (SELECT unnest(string_split($NORM, ' ')) AS word
                      FROM documents),

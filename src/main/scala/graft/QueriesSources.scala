@@ -217,6 +217,15 @@ object QueriesSources {
         .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
     }),
 
+    // ---- Delta COLUMN MAPPING mode `id` (icebergCompat writers): the
+    // parquet PHYSICAL names deliberately disagree with the log's
+    // physicalName — only parquet FIELD-ID resolution reads this right ----
+    "q_delta_colmap_id" -> ((s, d) => {
+      graft.sources.DeltaLogReader.read(s, deltaCmIdFixture(s, d))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
+    }),
+
     // ---- Delta WRITE path: CTAS (v0) + append (v1) + overwrite (v2,
     // removes the prior snapshot's files in the same commit); reading
     // the latest snapshot must see ONLY the overwrite ----
@@ -1348,6 +1357,47 @@ object QueriesSources {
     base
   }
 
+  /** Column-mapping mode `id` fixture: parquet written with FIELD IDS
+    * whose physical column names ("raw_a"/"raw_b") DISAGREE with the
+    * log's physicalName metadata ("col-7c2"/"col-d81") — resolvable only
+    * by id, the icebergCompat layout. */
+  private def deltaCmIdFixture(s: org.apache.spark.sql.SparkSession,
+                               d: String): String = {
+    import graft.sources.DeltaLogReader
+    import org.apache.spark.sql.types._
+    val base = s"${out(d)}/delta_cmid_orders"
+    val donePath = new org.apache.hadoop.fs.Path(
+      s"$base/_delta_log/00000000000000000000.json")
+    val fs = donePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(donePath)) {
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      def wMeta(id: Int) = new MetadataBuilder()
+        .putLong("parquet.field.id", id.toLong).build()
+      val src = GraftSession.table(s, d, "orders")
+        .filter(col("o_orderkey") >= 2000 && col("o_orderkey") < 4000)
+        .select(col("o_orderkey").as("raw_a", wMeta(1)),
+          col("o_orderstatus").as("raw_b", wMeta(2)))
+      s.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+      val sz = DeltaLogReader.writeDataFile(src, base, "a.parquet")
+      def meta(phys: String, id: Int) = new MetadataBuilder()
+        .putString("delta.columnMapping.physicalName", phys)
+        .putLong("delta.columnMapping.id", id.toLong).build()
+      val logical = StructType(Seq(
+        StructField("o_orderkey", LongType, nullable = true, meta("col-7c2", 1)),
+        StructField("o_orderstatus", StringType, nullable = true, meta("col-d81", 2))))
+      val schemaStr = new com.fasterxml.jackson.databind.ObjectMapper()
+        .writeValueAsString(logical.json)
+      DeltaLogReader.writeCommit(s, base, 0, Seq(
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        s"""{"metaData":{"id":"graft-fixture","format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":$schemaStr,"partitionColumns":[],""" +
+          s""""configuration":{"delta.columnMapping.mode":"id"}}}""",
+        s"""{"add":{"path":"a.parquet","partitionValues":{},"size":$sz,""" +
+          s""""modificationTime":1,"dataChange":true}}"""))
+    }
+    base
+  }
+
   private def deltaFixture(s: org.apache.spark.sql.SparkSession, d: String): String = {
     import graft.sources.DeltaLogReader
     val base = s"${out(d)}/delta_orders"
@@ -1655,6 +1705,10 @@ object QueriesSources {
     "q_delta_colmap" -> """
       SELECT o_orderstatus, count(*) AS n, sum(o_orderkey)::BIGINT AS key_sum
       FROM orders WHERE o_orderkey < 2000
+      GROUP BY 1""",
+    "q_delta_colmap_id" -> """
+      SELECT o_orderstatus, count(*) AS n, sum(o_orderkey)::BIGINT AS key_sum
+      FROM orders WHERE o_orderkey >= 2000 AND o_orderkey < 4000
       GROUP BY 1""",
     "q_delta_cdf" -> """
       SELECT _change_type, _commit_version::BIGINT AS _commit_version,

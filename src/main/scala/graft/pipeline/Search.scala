@@ -205,6 +205,66 @@ object Search {
       .na.fill(0.0, Seq("weight"))
   }
 
+  /** fastText-style QUALITY CLASSIFIER scoring — the CCNet/GPT-3 recipe
+    * for quality filtering: a linear classifier over hashed token
+    * features, trained to separate a high-quality reference slice
+    * (`isTarget`) from the rest of the crawl, then scoring every
+    * document with `sigmoid(w·x)`. Training is batch logistic
+    * regression with a FIXED, deterministic iteration count: each
+    * iteration is ONE distributed aggregation (per-doc dot products →
+    * errors → per-feature gradient), the `dim`-row weight vector
+    * broadcasts back — the DSIR plan family (model is metadata-scale,
+    * corpus never leaves executors, no collect beyond `dim` rows).
+    *
+    * Features are md5-bucketed token counts (portable hash, SURVEY §5),
+    * so a SQL oracle re-derives the exact weights by unrolling the same
+    * iterations; all float expressions keep one evaluation order
+    * (sum first, divide after) for cross-engine reproducibility.
+    *
+    * Returns (doc_id, quality_score) for EVERY document; a doc with no
+    * tokens scores sigmoid(0) = 0.5 (no evidence either way). */
+  def qualityClassifier(docs: DataFrame, idCol: String, textCol: String,
+                        isTarget: Column, dim: Int = 64, iters: Int = 3,
+                        lr: Double = 0.5): DataFrame = {
+    require(dim > 0 && iters > 0, "qualityClassifier: dim and iters must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lab = docs.select(col(idCol).as("doc_id"),
+      when(coalesce(isTarget, lit(false)), 1.0).otherwise(0.0).as("y"))
+      .persist()
+    // hashed-ngram features: j = md5_32("qc:" + token) mod dim, x = count
+    val feats = docs
+      .select(col(idCol).as("doc_id"), explode(toksOf(col(textCol))).as("tok"))
+      .select(col("doc_id"),
+        pmod(Dedup.md5Hash32(concat(lit("qc:"), col("tok"))),
+          lit(dim.toLong)).as("j"))
+      .groupBy("doc_id", "j").agg(count(lit(1)).as("x"))
+      .persist()
+    try {
+      val n = lab.count().toDouble
+      def weightsDf(w: Array[Double]) = broadcast(
+        w.zipWithIndex.map { case (v, j) => (j.toLong, v) }.toSeq.toDF("j", "w"))
+      def dots(w: Array[Double]) = feats.join(weightsDf(w), "j")
+        .groupBy("doc_id").agg(sum(col("w") * col("x")).as("z"))
+      def sig(zc: Column) =
+        lit(1.0) / (lit(1.0) + exp(-coalesce(zc, lit(0.0))))
+      var w = Array.fill(dim)(0.0)
+      for (_ <- 1 to iters) {
+        val err = lab.join(dots(w), Seq("doc_id"), "left")
+          .select(col("doc_id"), (sig(col("z")) - col("y")).as("e"))
+        val grad = feats.join(err, "doc_id")
+          .groupBy("j")
+          .agg((sum(col("e") * col("x")) / lit(n)).as("g"))
+          .collect().map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap
+        w = w.zipWithIndex.map { case (v, j) => v - lr * grad.getOrElse(j, 0.0) }
+      }
+      // score is computed fresh from the final weights (the persisted
+      // inputs exist only to keep the training iterations one-scan each)
+      lab.join(dots(w), Seq("doc_id"), "left")
+        .select(col("doc_id"), sig(col("z")).as("quality_score"))
+    } finally { lab.unpersist(); feats.unpersist() }
+  }
+
   /** Classic TF-IDF weight per (doc, term) for the given terms:
     * `tf * ln(N / df)` — the simpler sibling kept for pipelines that
     * expect it (BM25 is the default). */

@@ -47,11 +47,14 @@ import scala.jdk.CollectionConverters._
   * (`_metadata.file_path`, `row_index`) — broadcast when the summed
   * descriptor cardinality (known from metadata alone) is small.
   *
-  * COLUMN MAPPING mode `name` is read: data columns resolve by the
-  * schema fields' `delta.columnMapping.physicalName` metadata and
-  * rename back to logical names; partitionValues keys are physical
-  * under mapping (spec writer requirement) and resolve the same way.
-  * Mode `id` (parquet field-id resolution) still refuses.
+  * COLUMN MAPPING is read in BOTH modes: mode `name` resolves data
+  * columns by the schema fields' `delta.columnMapping.physicalName`
+  * metadata and renames back to logical names; mode `id` (what
+  * icebergCompat writers emit) resolves by parquet FIELD ID through
+  * Spark's fieldId read path, the requested schema carrying
+  * `parquet.field.id` from `delta.columnMapping.id`. partitionValues
+  * keys are physical under mapping (spec writer requirement) in both
+  * modes and resolve the same way.
   *
   * V2 CHECKPOINTS (PROTOCOL.md §V2 Checkpoint Spec) bootstrap too:
   * the UUID-named top-level file (`<v>.checkpoint.<uuid>.parquet` or
@@ -60,9 +63,9 @@ import scala.jdk.CollectionConverters._
   *
   * Protocol guardrails (PROTOCOL.md reader-version rules): the replay
   * tracks the `protocol` action and REFUSES tables whose protocol
-  * demands capabilities this reader does not implement (column-mapping
-  * mode `id`, minReaderVersion > 3, unknown reader features) —
-  * refusing beats silently wrong rows.
+  * demands capabilities this reader does not implement (unknown
+  * column-mapping modes, minReaderVersion > 3, unknown reader
+  * features) — refusing beats silently wrong rows.
   */
 object DeltaLogReader {
 
@@ -187,11 +190,12 @@ object DeltaLogReader {
     }
   }
 
-  /** (schema, partitionColumns, active files) at `version`: bootstrap
-    * from the newest checkpoint at or below it (if any), then replay the
-    * JSON commits after it. */
+  /** (schema, partitionColumns, active files, columnMapping mode) at
+    * `version`: bootstrap from the newest checkpoint at or below it (if
+    * any), then replay the JSON commits after it. */
   private def snapshot(spark: SparkSession, tablePath: String,
-                       version: Option[Long]): (StructType, Seq[String], Seq[AddFile]) = {
+                       version: Option[Long])
+      : (StructType, Seq[String], Seq[AddFile], String) = {
     val jsonVersions = tableVersions(spark, tablePath)
     val cpVersion = lastCheckpointVersion(spark, tablePath)
     val latest = (jsonVersions ++ cpVersion).max
@@ -416,7 +420,7 @@ object DeltaLogReader {
     }
     require(schema != null, s"no metaData action in log of $tablePath")
     checkProtocol(tablePath, minReader, readerFeatures, colMappingMode)
-    (schema, partCols, state.values.toSeq)
+    (schema, partCols, state.values.toSeq, colMappingMode)
   }
 
   /** Reader features this implementation actually honors when a table
@@ -440,11 +444,14 @@ object DeltaLogReader {
     require(minReader <= 3,
       s"Delta table $tablePath requires minReaderVersion $minReader; " +
         "this reader implements protocol versions 1-3")
-    // mode `name` resolves via physicalName metadata in read(); `id`
-    // needs parquet field-id resolution this reader does not do
-    require(colMappingMode == "none" || colMappingMode == "name",
+    // mode `name` resolves via physicalName metadata in read(); mode
+    // `id` resolves via parquet FIELD IDS (Spark's fieldId.read path,
+    // enabled per-scan in read()) — any other value is from a future
+    // spec revision and must refuse
+    require(colMappingMode == "none" || colMappingMode == "name" ||
+        colMappingMode == "id",
       s"Delta table $tablePath uses column mapping mode '$colMappingMode' " +
-        "(only 'none' and 'name' are supported — id-based resolution " +
+        "(only 'none', 'name' and 'id' are supported — an unknown mode " +
         "would silently misread columns)")
     if (minReader >= 3) {
       val unsupported = readerFeatures -- supportedReaderFeatures
@@ -466,7 +473,7 @@ object DeltaLogReader {
     * partitionColumns, (path, partitionValues, hasDeletionVector)). */
   private[graft] def activeState(spark: SparkSession, tablePath: String)
       : (StructType, Seq[String], Seq[(String, Map[String, String], Boolean)]) = {
-    val (s, pc, files) = snapshot(spark, tablePath, None)
+    val (s, pc, files, _) = snapshot(spark, tablePath, None)
     (s, pc, files.map(f => (f.path, f.partitionValues, f.dv.nonEmpty)))
   }
 
@@ -475,7 +482,7 @@ object DeltaLogReader {
   private[graft] def activeStateDv(spark: SparkSession, tablePath: String)
       : (StructType, Seq[String],
          Seq[(String, Map[String, String], Option[DeletionVectors.DvDescriptor])]) = {
-    val (s, pc, files) = snapshot(spark, tablePath, None)
+    val (s, pc, files, _) = snapshot(spark, tablePath, None)
     (s, pc, files.map(f => (f.path, f.partitionValues, f.dv)))
   }
 
@@ -485,7 +492,7 @@ object DeltaLogReader {
   private[graft] def snapshotState(spark: SparkSession, tablePath: String,
                                    version: Option[Long])
       : (StructType, Seq[String], Seq[(String, Map[String, String])]) = {
-    val (s, pc, files) = snapshot(spark, tablePath, version)
+    val (s, pc, files, _) = snapshot(spark, tablePath, version)
     require(files.forall(_.dv.isEmpty),
       s"this operation on a table with deletion vectors is not " +
         s"supported: $tablePath (it would drop the vectors)")
@@ -498,7 +505,7 @@ object DeltaLogReader {
                                      version: Option[Long])
       : (StructType, Seq[String],
          Seq[(String, Map[String, String], Option[DeletionVectors.DvDescriptor])]) = {
-    val (s, pc, files) = snapshot(spark, tablePath, version)
+    val (s, pc, files, _) = snapshot(spark, tablePath, version)
     (s, pc, files.map(f => (f.path, f.partitionValues, f.dv)))
   }
 
@@ -519,12 +526,28 @@ object DeltaLogReader {
            version: Option[Long] = None,
            maxLiteralPartitions: Int = 64): DataFrame = {
     import org.apache.spark.sql.functions.{input_file_name, regexp_replace}
-    val (schema, partCols, files) = snapshot(spark, tablePath, version)
-    // column mapping (mode `name`): the scan reads PHYSICAL names from
-    // the fields' metadata and the final select renames back; partition
-    // values key by physical name too (spec writer requirement). Flat
-    // schemas only — a physicalName on a NESTED field refuses.
+    val (schema, partCols, files, colMode) = snapshot(spark, tablePath, version)
+    // column mapping: mode `name` scans by the fields' PHYSICAL names
+    // (physicalName metadata) and the final select renames back; mode
+    // `id` scans by parquet FIELD ID — the requested schema carries
+    // `parquet.field.id` from the delta.columnMapping.id metadata and
+    // Spark's fieldId read path matches file columns by id, exactly the
+    // PROTOCOL.md §Column Mapping contract (icebergCompat writers emit
+    // id mode; their physical names are still recorded, so partition
+    // values key by physicalName in BOTH modes). Flat schemas only —
+    // mapping metadata on a NESTED field refuses.
     val PhysKey = "delta.columnMapping.physicalName"
+    val IdKey = "delta.columnMapping.id"
+    val byFieldId = colMode == "id"
+    if (byFieldId) {
+      require(schema.fields.forall(_.metadata.contains(IdKey)),
+        s"Delta table $tablePath declares column mapping mode 'id' but " +
+          "some schema fields carry no delta.columnMapping.id")
+      // dynamic SQLConf gating Spark's field-id matching; only schemas
+      // that CARRY parquet.field.id metadata (built just below) change
+      // behavior under it, and missing ids in a file fail loudly
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    }
     def assertFlat(dt: DataType): Unit = dt match {
       case st: StructType => st.fields.foreach { f =>
         require(!f.metadata.contains(PhysKey),
@@ -542,7 +565,14 @@ object DeltaLogReader {
        else f.name)).toMap
     val dataSchema = StructType(schema.fields
       .filterNot(f => partCols.contains(f.name))
-      .map(f => StructField(phys(f.name), f.dataType, f.nullable)))
+      .map { f =>
+        val m =
+          if (byFieldId)
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .putLong("parquet.field.id", f.metadata.getLong(IdKey)).build()
+          else org.apache.spark.sql.types.Metadata.empty
+        StructField(phys(f.name), f.dataType, f.nullable, m)
+      })
     def absolute(p: String): String = decodedAbsolute(tablePath, p)
     if (files.isEmpty)
       return spark.createDataFrame(
@@ -665,7 +695,7 @@ object DeltaLogReader {
     val logDir = new Path(tablePath, "_delta_log")
     val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // schema + protocol posture from the snapshot at the range end
-    val (schema, partCols, _) = snapshot(spark, tablePath, Some(hi))
+    val (schema, partCols, _, _) = snapshot(spark, tablePath, Some(hi))
     require(partCols.isEmpty,
       s"readChanges supports unpartitioned tables (got partition " +
         s"columns ${partCols.mkString(", ")})")

@@ -140,6 +140,20 @@ class DfsParser(delegate: ParserInterface) extends ParserInterface {
     if (parts.length >= 2 && parts.head.equalsIgnoreCase("dfs") &&
         !spark.catalog.databaseExists("dfs"))
       Some(DfsSql.load(spark, parts.tail).queryExecution.analyzed)
+    // `hive.db.tbl` / `hive.tbl` — metastore federation. Claimed at
+    // PARSE time of necessity: "hive" is a registered datasource
+    // provider name, so Spark's ResolveSQLOnFile would claim the head
+    // first in analysis and fail with UNSUPPORTED_DATASOURCE_FOR_
+    // DIRECT_QUERY before any injected resolution rule ran.
+    else if ((parts.length == 2 || parts.length == 3) &&
+        parts.head.equalsIgnoreCase("hive") &&
+        spark.conf.getOption(HiveMetastore.ConfKey).isDefined &&
+        !spark.catalog.databaseExists("hive")) {
+      val root = spark.conf.get(HiveMetastore.ConfKey)
+      val (db, tbl) =
+        if (parts.length == 2) ("default", parts(1)) else (parts(1), parts(2))
+      Some(HiveMetastore.read(spark, root, db, tbl).queryExecution.analyzed)
+    }
     else if (parts.length == 1 && !spark.catalog.tableExists(parts.head))
       // TABLE alias: the stored target is an identifier string —
       // re-enter resolution so aliases can point at dfs paths too

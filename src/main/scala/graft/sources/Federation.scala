@@ -52,6 +52,70 @@ object Federation {
     * maxRows-bounded (serving surface, not bulk export — same posture as
     * the peer's own REST contract; bulk movement belongs on a shared
     * filesystem/CTAS path). Errors surface with the peer's message. */
+  /** [[graftPeer]]'s twin over the peer's JDBC (thrift) endpoint — the
+    * transport Drill's storage-drill plugin actually uses (its RPC
+    * layer; here the peer serves [[JdbcEndpoint]]). Same driver-side,
+    * maxRows-bounded serving posture as the REST transport; result
+    * types come from the peer's ResultSetMetaData instead of JSON
+    * re-typing, so numeric/boolean/timestamp columns arrive typed. */
+  def graftPeerJdbc(spark: SparkSession, host: String, port: Int,
+                    sql: String, maxRows: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.types._
+    Class.forName("org.apache.hive.jdbc.HiveDriver")
+    val conn = java.sql.DriverManager.getConnection(
+      s"jdbc:hive2://$host:$port/default", "anonymous", "")
+    try {
+      val st = conn.createStatement()
+      st.setMaxRows(maxRows)
+      val rs = st.executeQuery(sql)
+      val md = rs.getMetaData
+      val n = md.getColumnCount
+      import java.sql.Types._
+      val fields = (1 to n).map { i =>
+        val dt = md.getColumnType(i) match {
+          case BIGINT                       => LongType
+          case INTEGER                      => IntegerType
+          case SMALLINT                     => ShortType
+          case TINYINT                      => ByteType
+          case DOUBLE | FLOAT               => DoubleType
+          case REAL                         => FloatType
+          case BOOLEAN | BIT                => BooleanType
+          case DECIMAL | NUMERIC =>
+            DecimalType(math.max(1, md.getPrecision(i)), md.getScale(i))
+          case DATE                         => DateType
+          case TIMESTAMP                    => TimestampType
+          case _                            => StringType
+        }
+        StructField(md.getColumnLabel(i), dt, nullable = true)
+      }
+      val schema = StructType(fields)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+      while (rs.next()) {
+        val vals = (1 to n).map { i =>
+          val v: Any = fields(i - 1).dataType match {
+            case LongType      => rs.getLong(i)
+            case IntegerType   => rs.getInt(i)
+            case ShortType     => rs.getShort(i)
+            case ByteType      => rs.getByte(i)
+            case DoubleType    => rs.getDouble(i)
+            case FloatType     => rs.getFloat(i)
+            case BooleanType   => rs.getBoolean(i)
+            case _: DecimalType => rs.getBigDecimal(i)
+            case DateType      => rs.getDate(i)
+            case TimestampType => rs.getTimestamp(i)
+            case _             => rs.getString(i)
+          }
+          if (rs.wasNull()) null else v
+        }
+        buf += org.apache.spark.sql.Row(vals: _*)
+      }
+      rs.close(); st.close()
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(buf.toSeq, math.max(1, buf.size / 5000 + 1)),
+        schema)
+    } finally conn.close()
+  }
+
   def graftPeer(spark: SparkSession, baseUrl: String, sql: String): DataFrame = {
     import scala.jdk.CollectionConverters._
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()

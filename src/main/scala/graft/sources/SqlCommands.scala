@@ -257,8 +257,15 @@ object SqlCommands {
         import spark.implicits._
         val wsNames = DfsSql.workspaces(spark).map(_._1) // canonical registry
         val dbs = spark.catalog.listDatabases().collect().map(_.name).toSeq
+        // federated hive metastore databases (graft.hive.metastore set)
+        val hiveDbs = spark.conf.getOption(HiveMetastore.ConfKey).toSeq
+          .flatMap { root =>
+            try HiveMetastore.databases(spark, root).map(d => s"hive.$d")
+            catch { case _: Exception => Nil }
+          }
         Some((wsNames.sorted.distinct.map(w => s"dfs.$w") ++
-          Seq("information_schema", "sys") ++ dbs).toDF("SCHEMA_NAME")
+          Seq("information_schema", "sys") ++ hiveDbs.sorted ++ dbs)
+          .toDF("SCHEMA_NAME")
           .queryExecution.analyzed)
       case ShowTablesIn(schema) if dfsClaimable =>
         Some(showTables(schema.split('.')(1).trim))

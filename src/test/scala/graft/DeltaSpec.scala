@@ -317,7 +317,49 @@ class DeltaSpec extends AnyFunSuite {
       .as[Long].collect().toSet == got1)
   }
 
-  test("column mapping mode 'name' resolves physical names; 'id' refuses") {
+  test("column mapping mode 'id' resolves by parquet FIELD ID, not name") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val base = freshDir("proto_cm_id")
+    // the data file's PHYSICAL column names DISAGREE with the
+    // schemaString's physicalName on purpose: only field-id resolution
+    // can read this correctly (matching the icebergCompat layout where
+    // ids are authoritative)
+    def writeMeta(id: Int) = new MetadataBuilder()
+      .putLong("parquet.field.id", id.toLong).build()
+    val physDf = Seq((7L, "p"), (8L, "q")).toDF("anything-a", "anything-b")
+      .select(col("anything-a").as("anything-a", writeMeta(1)),
+        col("anything-b").as("anything-b", writeMeta(2)))
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val sz = DeltaLogReader.writeDataFile(physDf, base, "a.parquet")
+    def fieldMeta(phys: String, id: Int) = new MetadataBuilder()
+      .putString("delta.columnMapping.physicalName", phys)
+      .putLong("delta.columnMapping.id", id.toLong).build()
+    val logical = StructType(Seq(
+      StructField("k", LongType, nullable = true, fieldMeta("col-x1", 1)),
+      StructField("v", StringType, nullable = true, fieldMeta("col-x2", 2))))
+    val schemaStr = new com.fasterxml.jackson.databind.ObjectMapper()
+      .writeValueAsString(logical.json)
+    DeltaLogReader.writeCommit(spark, base, 0, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"graft-fixture","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":$schemaStr,"partitionColumns":[],""" +
+        s""""configuration":{"delta.columnMapping.mode":"id"}}}""",
+      s"""{"add":{"path":"a.parquet","partitionValues":{},"size":$sz,"modificationTime":1,"dataChange":true}}"""))
+    val got = DeltaLogReader.read(spark, base)
+    assert(got.columns.toSeq == Seq("k", "v"))
+    assert(got.as[(Long, String)].collect().toSet == Set((7L, "p"), (8L, "q")))
+    // an unknown FUTURE mode still refuses
+    DeltaLogReader.writeCommit(spark, base, 1, Seq(
+      s"""{"metaData":{"id":"graft-fixture","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":$schemaStr,"partitionColumns":[],""" +
+        s""""configuration":{"delta.columnMapping.mode":"nonsense"}}}"""))
+    val e = intercept[IllegalArgumentException](
+      DeltaLogReader.read(spark, base).collect())
+    assert(e.getMessage.contains("column mapping"))
+  }
+
+  test("column mapping mode 'name' resolves physical names; unknown mode refuses") {
     import org.apache.spark.sql.types._
     import spark.implicits._
     val base = freshDir("proto_cm")
@@ -344,8 +386,8 @@ class DeltaSpec extends AnyFunSuite {
     val got = DeltaLogReader.read(spark, base)
     assert(got.columns.toSeq == Seq("k", "v"))
     assert(got.as[(Long, String)].collect().toSet == Set((1L, "x"), (2L, "y")))
-    // id-based resolution is NOT implemented and must refuse
-    DeltaLogReader.writeCommit(spark, base, 1, Seq(md("id")))
+    // an unknown future mode is NOT implemented and must refuse
+    DeltaLogReader.writeCommit(spark, base, 1, Seq(md("unknown-future-mode")))
     val e = intercept[IllegalArgumentException](
       DeltaLogReader.read(spark, base).collect())
     assert(e.getMessage.contains("column mapping"))

@@ -9,7 +9,11 @@ import graft.sources.Federation
 class FederationSpec extends AnyFunSuite {
   import TestSpark._
 
-  System.setProperty("derby.system.home", "/tmp/derby")
+  // NOTE: never set derby.system.home here — with it set, Derby 10.16
+  // mis-parses the `jdbc:derby:memory:;databaseName=...` URL the thrift
+  // server's execution-hive uses (the "memory:" subprotocol becomes a
+  // literal directory name and every JDBC session open fails XBM0J).
+  // derby.log redirection lives in TestSpark instead.
   private val url = "jdbc:derby:memory:graftdb;create=true"
 
   test("JDBC write + read back round-trips") {
@@ -66,5 +70,39 @@ class FederationSpec extends AnyFunSuite {
         org.apache.spark.sql.types.LongType)
       assert(empty.join(local, "k").count() === 0) // type-compatible join
     } finally server.stop()
+  }
+
+  test("graft-to-graft federation over JDBC: the thrift transport twin") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // GLOBAL temp view: JDBC connections are newSession() clones, so a
+    // plain temp view (session-scoped by definition) is invisible there
+    Seq((0L, "alpha", 1.5), (1L, "beta", 2.5), (2L, "gamma", 3.5))
+      .toDF("k", "peer_name", "w")
+      .createOrReplaceGlobalTempView("peer_jdbc_table")
+    // shared endpoint: one HiveServer2 per JVM (see TestSpark.jdbcServer)
+    val server = TestSpark.jdbcServer
+    locally {
+      val remote = Federation.graftPeerJdbc(spark, "127.0.0.1", server.port,
+        "SELECT k, peer_name, w FROM global_temp.peer_jdbc_table WHERE k < 2")
+      // types arrive from ResultSetMetaData, not string re-inference
+      assert(remote.schema("k").dataType ==
+        org.apache.spark.sql.types.LongType)
+      assert(remote.schema("w").dataType ==
+        org.apache.spark.sql.types.DoubleType)
+      assert(remote.count() === 2)
+      val local = Seq((0L, 10.0), (1L, 20.0), (2L, 30.0)).toDF("k", "v")
+      assert(remote.join(local, "k").agg(sum("v")).collect()(0)
+        .getDouble(0) === 30.0)
+      // peer errors surface as SQLException with the peer's message
+      intercept[java.sql.SQLException](
+        Federation.graftPeerJdbc(spark, "127.0.0.1", server.port,
+          "SELECT * FROM no_such_table"))
+      // zero-row results keep typed columns
+      val empty = Federation.graftPeerJdbc(spark, "127.0.0.1", server.port,
+        "SELECT k, peer_name FROM global_temp.peer_jdbc_table WHERE k > 100")
+      assert(empty.columns.toSeq == Seq("k", "peer_name"))
+      assert(empty.join(local, "k").count() === 0)
+    }
   }
 }

@@ -1,0 +1,127 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hive-metastore federation (reference contrib/storage-hive/core/...
+  * /HiveStoragePlugin.java): embedded Derby HMS round-trip — write
+  * catalog + data, read back through the client API, the `hive` SQL
+  * namespace, and a cross-source join with dfs. */
+class HiveCatalogSpec extends AnyFunSuite {
+  import TestSpark._
+  import graft.sources.HiveMetastore
+
+  // one embedded metastore for the whole suite (first boot pays the
+  // datanucleus schema-creation cost once)
+  private lazy val root: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_hms").toString
+    d
+  }
+
+  test("embedded HMS round-trip: CTAS, external table, read, list") {
+    // CTAS a managed-style table from a DataFrame
+    val nation = GraftSession.table(spark, SF, "nation")
+    HiveMetastore.createTable(spark, root, "default", "hms_nation", nation)
+    assert(HiveMetastore.tables(spark, root, "default").contains("hms_nation"))
+    val back = HiveMetastore.read(spark, root, "default", "hms_nation")
+    assert(back.count() == nation.count())
+    assert(back.schema.fieldNames.toSet == nation.schema.fieldNames.toSet)
+
+    // EXTERNAL table over existing parquet, in a fresh database — the
+    // location must be a DIRECTORY (HMS validates it), and the sf
+    // testdata tables are single files, so materialize one
+    HiveMetastore.createDatabase(root, "fed")
+    val region = GraftSession.table(spark, SF, "region")
+    val extDir = java.nio.file.Files.createTempDirectory("hms_ext")
+    region.write.mode("overwrite").parquet(extDir.toString)
+    HiveMetastore.registerExternal(root, "fed", "hms_region",
+      region.schema.fields.map(f => f.name -> f.dataType.catalogString).toSeq,
+      extDir.toUri.toString, "parquet")
+    val r = HiveMetastore.read(spark, root, "fed", "hms_region")
+    assert(r.count() == 5)
+    assert(HiveMetastore.databases(spark, root).toSet
+      .intersect(Set("default", "fed")) == Set("default", "fed"))
+
+    // catalog listing frame carries location + format
+    val df = HiveMetastore.tablesDf(spark, root).collect()
+    val row = df.find(x => x.getString(1) == "hms_region").get
+    assert(row.getString(0) == "fed" && row.getString(4) == "parquet")
+  }
+
+  test("hive SQL namespace resolves and joins dfs relations") {
+    // depends on the tables created above — trigger lazily if run alone
+    if (!HiveMetastore.tables(spark, root, "default").contains("hms_nation")) {
+      HiveMetastore.createTable(spark, root, "default", "hms_nation",
+        GraftSession.table(spark, SF, "nation"))
+    }
+    spark.conf.set(HiveMetastore.ConfKey, root)
+    try {
+      // 2-part form = default db
+      assert(spark.sql("SELECT count(*) AS n FROM hive.hms_nation")
+        .collect()(0).getLong(0) == 25)
+      // cross-source join: hive table x dfs parquet, one SQL statement
+      val joined = spark.sql(
+        s"""SELECT h.n_name, r.r_name
+           |FROM hive.`default`.hms_nation h
+           |JOIN dfs.`$SF/region.parquet` r ON h.n_regionkey = r.r_regionkey
+           |ORDER BY h.n_name""".stripMargin).collect()
+      assert(joined.length == 25 && joined.forall(_.getString(1).nonEmpty))
+      // SHOW SCHEMAS lists the federated hive databases
+      val schemas = spark.sql("SHOW SCHEMAS").collect()
+        .map(_.getString(0)).toSet
+      assert(schemas.contains("hive.default"), schemas)
+      // unknown hive table raises, session stays healthy
+      intercept[Exception] {
+        spark.sql("SELECT * FROM hive.nope_missing").collect()
+      }
+      assert(spark.sql("SELECT 1").count() == 1)
+    } finally spark.conf.unset(HiveMetastore.ConfKey)
+  }
+
+  test("partitioned hive table reads with partition values filled") {
+    val dir = java.nio.file.Files.createTempDirectory("hms_part")
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.parquet(s"$dir/dt=2024-01-01")
+    Seq((3L, "c")).toDF("id", "v")
+      .write.parquet(s"$dir/dt=2024-01-02")
+    import org.apache.hadoop.hive.metastore.api.{FieldSchema, Partition, SerDeInfo, StorageDescriptor, Table}
+    import scala.jdk.CollectionConverters._
+    HiveMetastore.withClient(root) { c =>
+      val sd = new StorageDescriptor()
+      sd.setCols(Seq(new FieldSchema("id", "bigint", ""),
+        new FieldSchema("v", "string", "")).asJava)
+      sd.setLocation(dir.toUri.toString)
+      sd.setInputFormat("org.apache.hadoop.hive.ql.io.parquet.MapredParquetInputFormat")
+      sd.setOutputFormat("org.apache.hadoop.hive.ql.io.parquet.MapredParquetOutputFormat")
+      val si = new SerDeInfo()
+      si.setSerializationLib("org.apache.hadoop.hive.ql.io.parquet.serde.ParquetHiveSerDe")
+      si.setParameters(new java.util.HashMap())
+      sd.setSerdeInfo(si)
+      sd.setParameters(new java.util.HashMap())
+      val t = new Table()
+      t.setDbName("default"); t.setTableName("hms_events")
+      t.setTableType("EXTERNAL_TABLE"); t.setSd(sd)
+      t.setPartitionKeys(Seq(new FieldSchema("dt", "string", "")).asJava)
+      t.setParameters(new java.util.HashMap())
+      t.getParameters.put("EXTERNAL", "TRUE")
+      if (c.tableExists("default", "hms_events"))
+        c.dropTable("default", "hms_events", false, true)
+      c.createTable(t)
+      Seq("2024-01-01", "2024-01-02").foreach { dt =>
+        val p = new Partition()
+        p.setDbName("default"); p.setTableName("hms_events")
+        p.setValues(Seq(dt).asJava)
+        val psd = new StorageDescriptor(sd)
+        psd.setLocation(s"${dir.toUri}dt=$dt")
+        p.setSd(psd)
+        p.setParameters(new java.util.HashMap())
+        c.add_partition(p)
+      }
+    }
+    val df = HiveMetastore.read(spark, root, "default", "hms_events")
+    assert(df.schema.fieldNames.toSeq == Seq("id", "v", "dt"))
+    val rows = df.collect().map(r => (r.getLong(0), r.getString(2))).sortBy(_._1)
+    assert(rows.toSeq == Seq((1L, "2024-01-01"), (2L, "2024-01-01"),
+      (3L, "2024-01-02")))
+  }
+}

@@ -1,0 +1,143 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The JDBC front door (reference exec/jdbc/.../Driver.java — Drill's
+  * primary client surface): an in-process HiveServer2 over the live
+  * graft session, exercised through java.sql.DriverManager with the
+  * stock hive-jdbc driver, exactly as a BI tool would connect. */
+class JdbcEndpointSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def withConn[A](port: Int)(f: java.sql.Connection => A): A = {
+    Class.forName("org.apache.hive.jdbc.HiveDriver")
+    val conn = java.sql.DriverManager.getConnection(
+      s"jdbc:hive2://127.0.0.1:$port/default", "anonymous", "")
+    try f(conn) finally conn.close()
+  }
+
+  test("JDBC endpoint serves gate-shaped, dfs, and sys queries with types") {
+    // shared endpoint: one HiveServer2 per JVM (see TestSpark.jdbcServer)
+    val server = TestSpark.jdbcServer
+    locally {
+      withConn(server.port) { conn =>
+        // (a) a gate-shaped aggregation over a dfs path (the q1_agg plan
+        // family), typed through ResultSetMetaData
+        val st = conn.createStatement()
+        val rs = st.executeQuery(
+          s"""SELECT l_returnflag, sum(l_quantity) AS sum_qty,
+             |       count(*) AS cnt
+             |FROM dfs.`$SF/lineitem.parquet`
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+        val md = rs.getMetaData
+        assert(md.getColumnCount == 3)
+        assert(md.getColumnName(1) == "l_returnflag")
+        assert(md.getColumnName(2) == "sum_qty")
+        var flags = List.empty[(String, Double, Long)]
+        while (rs.next())
+          flags ::= ((rs.getString(1), rs.getDouble(2), rs.getLong(3)))
+        rs.close()
+        val expect = graft.GraftSession.table(spark, SF, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(org.apache.spark.sql.functions.sum("l_quantity"),
+            org.apache.spark.sql.functions.count("*"))
+          .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+          .sortBy(_._1).toList
+        assert(flags.reverse == expect)
+
+        // (b) a plain dfs.`path` row scan
+        val rs2 = st.executeQuery(
+          s"SELECT r_regionkey, r_name FROM dfs.`$SF/region.parquet` ORDER BY r_regionkey")
+        assert(rs2.next() && rs2.getLong(1) == 0L && rs2.getString(2).nonEmpty)
+        rs2.close()
+
+        // (c) the sys namespace through SQL (SysResolveRule): graft-native
+        // kernels visible over JDBC with correct BOOLEAN typing
+        val rs3 = st.executeQuery(
+          "SELECT name, className, graft_native FROM sys.functions " +
+            "WHERE name = 'cosine_sim'")
+        assert(rs3.next())
+        assert(rs3.getString(2).startsWith("graft."))
+        assert(rs3.getBoolean(3))
+        rs3.close()
+
+        // sys.version / information_schema through SQL too
+        val rs4 = st.executeQuery("SELECT * FROM sys.version")
+        assert(rs4.next())
+        rs4.close()
+        val rs5 = st.executeQuery(
+          "SELECT schema_name FROM information_schema.schemata")
+        var schemas = Set.empty[String]
+        while (rs5.next()) schemas += rs5.getString(1)
+        assert(schemas.contains("default"), schemas)
+        rs5.close()
+
+        // JDBC catalog introspection (what BI tools call first)
+        val dmd = conn.getMetaData
+        val cats = dmd.getSchemas
+        var dbs = Set.empty[String]
+        while (cats.next()) dbs += cats.getString(1)
+        assert(dbs.contains("default"), dbs)
+
+        // errors surface to the client (SQLException in the clean case;
+        // hive-jdbc's remote-chain reconstruction can degrade the type,
+        // never the liveness), connection stays usable
+        val bad = intercept[Exception] {
+          st.executeQuery("SELECT definitely_not_a_column FROM sys.version")
+        }
+        assert(bad.getMessage != null)
+        val rs6 = st.executeQuery("SELECT 1 AS one")
+        assert(rs6.next() && rs6.getInt(1) == 1)
+        rs6.close()
+
+        // temporal types still serve correctly although the endpoint
+        // RESTORES the session's java8API datetime conf after start
+        // (startWithSparkSession flips it; leaving it flipped changes
+        // Row.getTimestamp types for every other session consumer)
+        val rs7 = st.executeQuery(
+          "SELECT TIMESTAMP '2024-03-05 06:07:08' AS ts, DATE '2024-03-05' AS dt")
+        assert(rs7.next())
+        assert(rs7.getTimestamp(1).toString == "2024-03-05 06:07:08.0")
+        assert(rs7.getDate(2).toString == "2024-03-05")
+        rs7.close()
+        assert(spark.conf.get("spark.sql.datetime.java8API.enabled",
+          "false") == "false")
+        st.close()
+      }
+
+      // negative bind posture: the server listens on loopback ONLY — a
+      // connect to this host's non-loopback address must be refused
+      val nonLoop = java.net.NetworkInterface.getNetworkInterfaces
+      val addrs = scala.jdk.CollectionConverters
+        .EnumerationHasAsScala(nonLoop).asScala
+        .flatMap(i => scala.jdk.CollectionConverters
+          .EnumerationHasAsScala(i.getInetAddresses).asScala)
+        .filter(a => !a.isLoopbackAddress && a.isInstanceOf[java.net.Inet4Address])
+        .toList
+      addrs.headOption.foreach { a =>
+        val s = new java.net.Socket()
+        intercept[java.io.IOException] {
+          try s.connect(
+            new java.net.InetSocketAddress(a.getHostAddress, server.port), 1500)
+          finally s.close()
+        }
+      }
+    }
+  }
+
+  test("sys and information_schema namespaces resolve in plain spark.sql") {
+    // the same rule serves every front door (REST, JDBC, API)
+    assert(spark.sql("SELECT * FROM sys.options").count() > 10)
+    assert(spark.sql(
+      "SELECT COUNT(*) AS n FROM sys.functions WHERE graft_native")
+      .collect()(0).getLong(0) > 10)
+    val tabs = spark.sql("SELECT * FROM information_schema.`tables`")
+    assert(tabs.columns.contains("table_name"))
+    // unknown table under a claimed head raises Spark's own error class
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM sys.definitely_not_a_table").collect()
+    }
+    assert(e.getMessage.toUpperCase.contains("TABLE_OR_VIEW_NOT_FOUND") ||
+      e.getMessage.toLowerCase.contains("cannot be found"))
+  }
+}

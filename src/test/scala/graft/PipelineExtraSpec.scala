@@ -507,6 +507,33 @@ class PipelineExtraSpec extends AnyFunSuite {
     assert(tf.collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
 
+  test("qualityClassifier separates a planted vocabulary split") {
+    import spark.implicits._
+    // target docs use one disjoint vocabulary, noise docs another —
+    // three gradient iterations must rank every target above every
+    // noise doc, with featureless docs pinned at the 0.5 prior
+    val docs = ((1L to 20L).map(i =>
+        (i, s"curated encyclopedia reference article number$i", true)) ++
+      (21L to 40L).map(i =>
+        (i, s"spam casino pills clickbait garbage number$i", false)) :+
+      ((41L, "", false))).toDF("doc_id", "text", "is_ref")
+    val scored = graft.pipeline.Search.qualityClassifier(
+      docs, "doc_id", "text", col("is_ref"), dim = 64, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val hi = (1L to 20L).map(scored)
+    val lo = (21L to 40L).map(scored)
+    assert(hi.min > lo.max,
+      s"no separation: min(target)=${hi.min} max(noise)=${lo.max}")
+    assert(math.abs(scored(41L) - 0.5) < 1e-12, s"empty doc: ${scored(41L)}")
+    // reproducible: a second run matches far beyond the gate's 6dp
+    // rounding (shuffle merge order may flip float low bits, no more)
+    val again = graft.pipeline.Search.qualityClassifier(
+      docs, "doc_id", "text", col("is_ref"), dim = 64, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scored.keySet == again.keySet &&
+      scored.forall { case (k, v) => math.abs(again(k) - v) < 1e-9 })
+  }
+
   test("canonicalizeUrl: query-only authority and lookalike utm params") {
     import spark.implicits._
     val urls = Seq(

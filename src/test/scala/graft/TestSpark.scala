@@ -5,6 +5,11 @@ import org.apache.spark.sql.SparkSession
 /** One shared local session for the whole suite (scalatest runs suites in
   * one forked JVM; getOrCreate dedupes). */
 object TestSpark {
+  // keep embedded-derby's log out of the repo root WITHOUT setting
+  // derby.system.home (which breaks the memory: URL form — see
+  // FederationSpec's note)
+  System.setProperty("derby.stream.error.file", "/tmp/graft_derby.log")
+
   lazy val spark: SparkSession = {
     val s = GraftSession.builder(master = "local[4]", shufflePartitions = 4)
       .getOrCreate()
@@ -13,4 +18,11 @@ object TestSpark {
   }
   val SF = "/root/testdata/sf0.001"
   val Fixtures = "/root/repo/testfiles"
+
+  /** ONE JDBC endpoint for the whole suite JVM: HiveServer2 keeps
+    * JVM-global service state, so a stop() + second start() in the same
+    * JVM never accepts — suites share this instance and never stop it
+    * (the forked test JVM exit reaps it). */
+  lazy val jdbcServer: graft.sources.JdbcEndpoint.Running =
+    graft.sources.JdbcEndpoint.start(spark)
 }
