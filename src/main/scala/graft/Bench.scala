@@ -110,35 +110,33 @@ object Bench {
     * host's parallel sweep saturates the memory controllers at some
     * fixed ratio to the single sweep; round-over-round and
     * start/bracket/end DRIFT in that ratio is the contention signal. */
-  private lazy val bwArray: Array[Long] = {
-    val a = new Array[Long](32 * 1024 * 1024) // 256 MB
-    var i = 0
-    while (i < a.length) { a(i) = i * 0x9E3779B97F4A7C15L; i += 1 }
-    a
-  }
-
-  private def bwSweep(passes: Int): Long = {
+  private def bwSweep(a: Array[Long], passes: Int): Long = {
     var s = 0L
     var p = 0
     while (p < passes) {
       var i = 0
-      while (i < bwArray.length) { s += bwArray(i); i += 1 }
+      while (i < a.length) { s += a(i); i += 1 }
       p += 1
     }
     s
   }
 
-  /** (single-thread sweep sec, all-core sweep sec). */
+  /** (single-thread sweep sec, all-core sweep sec). The 256 MB array is
+    * allocated PER PROBE (outside the clock) and released right after —
+    * a retained probe buffer would pin old-gen and add GC pressure to
+    * exactly the query windows the probe exists to sanity-check. */
   private def bwProbe(): (Double, Double) = {
-    if (bwArray(0) == 42L) System.err.println("bw-init") // force lazy init OUTSIDE the clock
+    val a = new Array[Long](32 * 1024 * 1024) // 256 MB, probe-scoped
+    var i = 0
+    while (i < a.length) { a(i) = i * 0x9E3779B97F4A7C15L; i += 1 }
     val t0 = System.nanoTime()
-    if (bwSweep(4) == 42L) System.err.println("bw")
+    if (bwSweep(a, 4) == 42L) System.err.println("bw")
     val single = (System.nanoTime() - t0) / 1e9
     val n = Runtime.getRuntime.availableProcessors
     val sink = new java.util.concurrent.atomic.AtomicLong(0)
     val t1 = System.nanoTime()
     val threads = (1 to n).map { _ =>
-      val t = new Thread(() => sink.addAndGet(bwSweep(4)))
+      val t = new Thread(() => sink.addAndGet(bwSweep(a, 4)))
       t.start(); t
     }
     threads.foreach(_.join())

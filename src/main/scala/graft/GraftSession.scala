@@ -37,6 +37,12 @@ object GraftSession {
       // coercion errors and plans stay identical across testdata writers.
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // Engine semantic, declared up front: a requested schema that
+      // CARRIES parquet.field.id metadata matches file columns by FIELD
+      // ID (what Delta column-mapping `id` and Iceberg readers mean by
+      // their schemas); schemas without ids keep name matching. Only
+      // graft's id-mode paths build such schemas.
+      .config("spark.sql.parquet.fieldId.read.enabled", "true")
       // Spark 4.1's checksum checkpoint manager awaits its writer pool
       // inside state-store commits and deadlocks under local[N] stateful
       // streaming; the classic rename-based manager is fine for us.

@@ -1377,21 +1377,28 @@ object QueriesSources {
         .filter(col("o_orderkey") >= 2000 && col("o_orderkey") < 4000)
         .select(col("o_orderkey").as("raw_a", wMeta(1)),
           col("o_orderstatus").as("raw_b", wMeta(2)))
-      s.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-      val sz = DeltaLogReader.writeDataFile(src, base, "a.parquet")
+      // fieldId WRITE scoped to this one data file (the write executes
+      // inside writeDataFile, so snapshot/restore is sound here — unlike
+      // the read side, whose frames plan lazily)
+      val wKey = "spark.sql.parquet.fieldId.write.enabled"
+      val wBefore = s.conf.getOption(wKey)
+      s.conf.set(wKey, "true")
+      val sz =
+        try DeltaLogReader.writeDataFile(src, base, "a.parquet")
+        finally wBefore match {
+          case Some(v) => s.conf.set(wKey, v)
+          case None    => s.conf.unset(wKey)
+        }
       def meta(phys: String, id: Int) = new MetadataBuilder()
         .putString("delta.columnMapping.physicalName", phys)
         .putLong("delta.columnMapping.id", id.toLong).build()
       val logical = StructType(Seq(
         StructField("o_orderkey", LongType, nullable = true, meta("col-7c2", 1)),
         StructField("o_orderstatus", StringType, nullable = true, meta("col-d81", 2))))
-      val schemaStr = new com.fasterxml.jackson.databind.ObjectMapper()
-        .writeValueAsString(logical.json)
       DeltaLogReader.writeCommit(s, base, 0, Seq(
         """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
-        s"""{"metaData":{"id":"graft-fixture","format":{"provider":"parquet","options":{}},""" +
-          s""""schemaString":$schemaStr,"partitionColumns":[],""" +
-          s""""configuration":{"delta.columnMapping.mode":"id"}}}""",
+        DeltaLogReader.metaDataAction(logical, Nil,
+          configuration = Map("delta.columnMapping.mode" -> "id")),
         s"""{"add":{"path":"a.parquet","partitionValues":{},"size":$sz,""" +
           s""""modificationTime":1,"dataChange":true}}"""))
     }

@@ -222,7 +222,13 @@ object Search {
     * (sum first, divide after) for cross-engine reproducibility.
     *
     * Returns (doc_id, quality_score) for EVERY document; a doc with no
-    * tokens scores sigmoid(0) = 0.5 (no evidence either way). */
+    * tokens scores sigmoid(0) = 0.5 (no evidence either way).
+    *
+    * Caching contract: the feature/label frames are persisted ONLY for
+    * the training iterations and released before return (leak-free —
+    * the caller cannot unpersist what it never sees), so evaluating the
+    * returned frame re-derives features once. Persist `docs` upstream
+    * if that extra tokenize pass matters at your scale. */
   def qualityClassifier(docs: DataFrame, idCol: String, textCol: String,
                         isTarget: Column, dim: Int = 64, iters: Int = 3,
                         lr: Double = 0.5): DataFrame = {

@@ -427,10 +427,11 @@ object DeltaLogReader {
     * declares minReaderVersion 3 (PROTOCOL.md table-features):
     * timestampNtz is plain schema/parquet behavior Spark covers,
     * vacuumProtocolCheck changes nothing at read time, deletionVectors,
-    * columnMapping (mode `name`; `id` is re-checked on the mode
-    * itself) and v2Checkpoint (UUID-named top-level + sidecars) are
-    * implemented here. Anything else would make this reader silently
-    * return WRONG rows, so it must refuse. */
+    * columnMapping (BOTH modes — `name` via physicalName metadata, `id`
+    * via parquet field-id matching; unknown future modes re-refuse on
+    * the mode itself) and v2Checkpoint (UUID-named top-level +
+    * sidecars) are implemented here. Anything else would make this
+    * reader silently return WRONG rows, so it must refuse. */
   private val supportedReaderFeatures =
     Set("timestampNtz", "vacuumProtocolCheck", "deletionVectors",
       "columnMapping", "v2Checkpoint")
@@ -543,9 +544,14 @@ object DeltaLogReader {
       require(schema.fields.forall(_.metadata.contains(IdKey)),
         s"Delta table $tablePath declares column mapping mode 'id' but " +
           "some schema fields carry no delta.columnMapping.id")
-      // dynamic SQLConf gating Spark's field-id matching; only schemas
-      // that CARRY parquet.field.id metadata (built just below) change
-      // behavior under it, and missing ids in a file fail loudly
+      // Spark's field-id matching is a GraftSession engine default
+      // (declared at build time — see GraftSession.builder); set here
+      // too for sessions built elsewhere. Scoping it per-scan is not
+      // possible (no reader option exists and the conf is read at PLAN
+      // time of the lazily-returned frame), so the flag is an engine
+      // semantic, not a stealth toggle: only schemas that CARRY
+      // parquet.field.id metadata (built just below) change behavior
+      // under it, and missing ids in a file fail loudly.
       spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     }
     def assertFlat(dt: DataType): Unit = dt match {

@@ -148,7 +148,12 @@ class DfsParser(delegate: ParserInterface) extends ParserInterface {
     else if ((parts.length == 2 || parts.length == 3) &&
         parts.head.equalsIgnoreCase("hive") &&
         spark.conf.getOption(HiveMetastore.ConfKey).isDefined &&
-        !spark.catalog.databaseExists("hive")) {
+        !spark.catalog.databaseExists("hive") &&
+        // anything else that OWNS the name wins: a user storage alias
+        // `hive` or a registered v2 catalog must not be shadowed by a
+        // session conf flipping the meaning of their existing queries
+        AliasRegistry.storageAlias(spark, "hive").isEmpty &&
+        spark.conf.getOption("spark.sql.catalog.hive").isEmpty) {
       val root = spark.conf.get(HiveMetastore.ConfKey)
       val (db, tbl) =
         if (parts.length == 2) ("default", parts(1)) else (parts(1), parts(2))

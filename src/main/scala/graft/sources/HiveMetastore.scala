@@ -3,7 +3,7 @@ package graft.sources
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{broadcast, col, element_at, regexp_replace}
 
 /** Hive-metastore catalog federation — Drill's most-used service-backed
   * storage plugin (reference contrib/storage-hive/core/src/main/java/
@@ -70,7 +70,7 @@ object HiveMetastore {
   // ------------------------------------------------------------ catalog
 
   /** Databases in the metastore (always includes `default`). */
-  def databases(spark: SparkSession, root: String): Seq[String] =
+  def databases(root: String): Seq[String] =
     withClient(root)(_.getAllDatabases.asScala.toSeq)
 
   def createDatabase(root: String, name: String): Unit =
@@ -83,7 +83,7 @@ object HiveMetastore {
     }
 
   /** Table names in one database. */
-  def tables(spark: SparkSession, root: String, db: String): Seq[String] =
+  def tables(root: String, db: String): Seq[String] =
     withClient(root)(_.getAllTables(db).asScala.toSeq)
 
   /** INFORMATION_SCHEMA-shaped listing of every table with its location
@@ -115,34 +115,49 @@ object HiveMetastore {
 
   /** Read one hive table as a DataFrame: metastore supplies location,
     * format, and declared schema; Spark's distributed scan reads the
-    * files. Parquet/ORC read self-describing (footer schema wins on
-    * physical layout; declared columns select+cast on top — the hive
-    * "schema on read" contract); TEXTFILE reads with the serde's field
-    * delimiter. Partitioned tables scan each partition location and
-    * fill the partition columns from the metastore values — Drill's
-    * HiveScan does exactly this partition-location expansion. */
+    * files. Parquet/ORC scan with the DECLARED schema requested
+    * explicitly: no footer inference (zero driver-side jobs at
+    * resolution time), declared types win, columns missing from older
+    * files NULL-fill and extra file columns drop, which IS hive's
+    * schema-on-read contract. TEXTFILE reads with the serde's field
+    * delimiter (hive's default \u0001 when unset).
+    *
+    * Partitioned tables: ONE scan over every partition location (not a
+    * union of per-partition scans, so plan size and resolve cost stay
+    * O(1) in partition count) with the partition columns attached by a
+    * broadcast (directory -> values) join on each row's file path;
+    * the metastore values are authoritative, exactly Drill's HiveScan
+    * expansion. */
   def read(spark: SparkSession, root: String, db: String,
            table: String): DataFrame = {
     val (sd, partKeys, partVals, cols) = withClient(root) { c =>
       val t = c.getTable(db, table)
       val parts =
         if (t.getPartitionKeysSize > 0)
-          c.listPartitions(db, table, java.lang.Short.MAX_VALUE).asScala.toSeq
+          // max_parts -1 = ALL partitions (a positive cap silently
+          // truncates the table beyond 32767 partitions)
+          c.listPartitions(db, table, (-1).toShort).asScala.toSeq
             .map(p => (p.getSd.getLocation, p.getValues.asScala.toSeq))
         else Nil
       (t.getSd, t.getPartitionKeys.asScala.toSeq.map(f => f.getName -> f.getType),
         parts, t.getSd.getCols.asScala.toSeq.map(f => f.getName -> f.getType))
     }
     val fmt = formatOf(sd.getInputFormat)
-    def readLoc(loc: String): DataFrame = fmt match {
-      case "parquet" => spark.read.parquet(loc)
-      case "orc"     => spark.read.orc(loc)
+    val dataSchema = org.apache.spark.sql.types.StructType(cols.map {
+      case (n, ty) => org.apache.spark.sql.types.StructField(
+        n, org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+          .parseDataType(ty), nullable = true)
+    }.toArray)
+    def readLocs(locs: Seq[String]): DataFrame = fmt match {
+      case "parquet" => spark.read.schema(dataSchema).parquet(locs: _*)
+      case "orc"     => spark.read.schema(dataSchema).orc(locs: _*)
       case "text" =>
+        // hive's LazySimpleSerDe default separator is \u0001 (^A)
         val delim = Option(sd.getSerdeInfo)
           .flatMap(s => Option(s.getParameters.get("field.delim")))
-          .getOrElse("")
+          .filter(_.nonEmpty).getOrElse("\u0001")
         val raw = spark.read.option("sep", delim).option("header", "false")
-          .csv(loc)
+          .csv(locs: _*)
         raw.select(raw.columns.zip(cols).map { case (c0, (n, ty)) =>
           col(c0).cast(ty).as(n)
         }.toSeq: _*)
@@ -151,22 +166,27 @@ object HiveMetastore {
           s"hive table $db.$table: unsupported storage format '$other' " +
             "(parquet/orc/textfile supported)")
     }
-    val base =
-      if (partKeys.isEmpty) readLoc(sd.getLocation)
-      else partVals.map { case (loc, vals) =>
-        partKeys.zip(vals).foldLeft(readLoc(loc)) {
-          case (df, ((name, ty), v)) =>
-            df.withColumn(name, org.apache.spark.sql.functions.lit(v).cast(ty))
-        }
-      }.reduceOption(_ unionByName _).getOrElse(
-        throw new IllegalArgumentException(
-          s"hive table $db.$table is partitioned but has no partitions"))
-    // declared-schema projection for self-describing formats: hive's
-    // contract is metastore-schema-on-read (extra file columns drop,
-    // declared types win)
-    if (fmt == "text") base
-    else base.select((cols.map { case (n, ty) => col(n).cast(ty).as(n) } ++
-      partKeys.map { case (n, _) => col(n) }).toSeq: _*)
+    if (partKeys.isEmpty) readLocs(Seq(sd.getLocation))
+    else {
+      require(partVals.nonEmpty,
+        s"hive table $db.$table is partitioned but has no partitions")
+      import spark.implicits._
+      // normalize scheme differences ("file:///x" vs "/x") on both sides
+      def norm(s: String) = s.replaceFirst("^[a-zA-Z0-9]+:/+", "/")
+        .stripSuffix("/")
+      val lookup = broadcast(partVals.map { case (loc, vals) =>
+        (norm(loc), vals)
+      }.toDF("__g_dir", "__g_vals"))
+      val scanned = readLocs(partVals.map(_._1))
+        .withColumn("__g_dir", regexp_replace(regexp_replace(
+          col("_metadata.file_path"), "/[^/]*$", ""),
+          "^[a-zA-Z0-9]+:/+", "/"))
+      scanned.join(lookup, Seq("__g_dir"))
+        .select((cols.map { case (n, _) => col(n) } ++
+          partKeys.zipWithIndex.map { case ((n, ty), i) =>
+            element_at(col("__g_vals"), i + 1).cast(ty).as(n)
+          }).toSeq: _*)
+    }
   }
 
   // -------------------------------------------------------------- write

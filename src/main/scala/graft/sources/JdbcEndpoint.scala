@@ -46,37 +46,45 @@ object JdbcEndpoint {
     * the process lifetime is the server lifetime (same as running the
     * stock Spark thrift server). */
   def start(spark: SparkSession, port: Int = 0): Running = {
+    // NOTE: freePort() is check-then-bind — a foreign process could in
+    // principle grab the port between the probe and HiveServer2's bind,
+    // in which case awaitPort would accept against the squatter. The
+    // window is microseconds on a loopback-only dev/test port; callers
+    // that care pass an explicit reserved port.
     val p = if (port == 0) freePort() else port
-    // SessionState.newHadoopConf() copies every SQLConf entry into the
-    // HiveConf the server is init'd with — this is the documented way to
-    // configure an in-process thrift server's bind address/port.
-    spark.conf.set("hive.server2.thrift.port", p.toString)
-    spark.conf.set("hive.server2.thrift.bind.host", "127.0.0.1")
-    // hive 2.x: webui disabled when port <= 0; operation-log dirs are
-    // per-session filesystem noise this embedded server never needs
-    spark.conf.set("hive.server2.webui.port", "0")
-    spark.conf.set("hive.server2.logging.operation.enabled", "false")
     // fresh scratch dirs: HiveSessionImpl insists on writable pipeout/
     // scratch paths and the defaults land in shared /tmp locations that
     // may be stale or owned by another user
     val scratch = java.nio.file.Files.createTempDirectory("graft_hs2").toString
     new java.io.File(s"$scratch/scratch").mkdirs()
     new java.io.File(s"$scratch/local").mkdirs()
-    spark.conf.set("hive.exec.scratchdir", s"$scratch/scratch")
-    spark.conf.set("hive.exec.local.scratchdir", s"$scratch/local")
-    // startWithSparkSession flips datetime.java8API.enabled=true on the
-    // LIVE session (its result encoding prefers Instant/LocalDate) —
-    // with singleSession that silently changes Row.getTimestamp types
-    // for every OTHER consumer of the session. Snapshot + restore: the
-    // server's own result conversion (HiveResult) handles both
-    // representations, so the endpoint must not mutate engine semantics.
-    val java8Key = "spark.sql.datetime.java8API.enabled"
-    val java8Before = spark.conf.getOption(java8Key)
+    // SessionState.newHadoopConf() copies every SQLConf entry into the
+    // HiveConf the server is init'd with — the documented way to
+    // configure an in-process thrift server. Every key is SNAPSHOT and
+    // RESTORED after start: the server keeps its own HiveConf copy, and
+    // the endpoint must not leave its private plumbing (ports, scratch
+    // dirs) or semantic flips (java8API datetime types, which
+    // startWithSparkSession force-sets) in the live session's conf.
+    val startConf = Map(
+      "hive.server2.thrift.port" -> p.toString,
+      "hive.server2.thrift.bind.host" -> "127.0.0.1",
+      // hive 2.x: webui disabled when port <= 0; operation-log dirs are
+      // per-session filesystem noise this embedded server never needs
+      "hive.server2.webui.port" -> "0",
+      "hive.server2.logging.operation.enabled" -> "false",
+      "hive.exec.scratchdir" -> s"$scratch/scratch",
+      "hive.exec.local.scratchdir" -> s"$scratch/local")
+    val restoreKeys = startConf.keys.toSeq :+
+      "spark.sql.datetime.java8API.enabled"
+    val before = restoreKeys.map(k => k -> spark.conf.getOption(k)).toMap
+    startConf.foreach { case (k, v) => spark.conf.set(k, v) }
     val server = org.apache.spark.sql.hive.thriftserver.HiveThriftServer2
       .startWithSparkSession(spark, exitOnError = false)
-    java8Before match {
-      case Some(v) => spark.conf.set(java8Key, v)
-      case None    => spark.conf.unset(java8Key)
+    restoreKeys.foreach { k =>
+      before(k) match {
+        case Some(v) => spark.conf.set(k, v)
+        case None    => spark.conf.unset(k)
+      }
     }
     // FILE-based derby for the per-session metastore boots: the server's
     // HiveConf (copied into every HiveSessionImpl) carries Spark's

@@ -100,7 +100,7 @@ object SqlCommands {
   private val ShowSchemas =
     """(?is)\s*SHOW\s+SCHEMAS\s*;?\s*""".r
   private val ShowTablesIn =
-    """(?is)\s*SHOW\s+TABLES\s+(?:IN|FROM)\s+(dfs\s*\.\s*\w+)\s*;?\s*""".r
+    """(?is)\s*SHOW\s+TABLES\s+(?:IN|FROM)\s+((?:dfs|hive)\s*\.\s*\w+)\s*;?\s*""".r
   private val ShowTablesBare =
     """(?is)\s*SHOW\s+TABLES\s*;?\s*""".r
 
@@ -147,7 +147,11 @@ object SqlCommands {
     // the guards MUST mirror claim()'s, or EXPLAIN PLAN FOR refuses
     // statements claim() would delegate to Spark (e.g. ANALYZE on a
     // catalog table, SHOW TABLES with no default workspace)
-    case UseSql(_) | ShowSchemas() | ShowTablesIn(_) | CreateView(_, _, _, _) |
+    case ShowTablesIn(schema) => dfsClaimable &&
+      (!schema.trim.toLowerCase.startsWith("hive") ||
+        SparkSession.active.conf
+          .getOption(HiveMetastore.ConfKey).isDefined)
+    case UseSql(_) | ShowSchemas() | CreateView(_, _, _, _) |
          DropView(_, _, _) | Ctas(_, _, _) | DropTable(_, _) |
          DescribeSchema(_) | Describe(_) => dfsClaimable
     case ShowTablesBare() => dfsClaimable && SparkSession.active.conf
@@ -257,18 +261,29 @@ object SqlCommands {
         import spark.implicits._
         val wsNames = DfsSql.workspaces(spark).map(_._1) // canonical registry
         val dbs = spark.catalog.listDatabases().collect().map(_.name).toSeq
-        // federated hive metastore databases (graft.hive.metastore set)
+        // federated hive metastore databases (graft.hive.metastore set).
+        // A LISTING must not bootstrap a metastore on disk (withClient
+        // creates root/metastore_db with create=true), so only an
+        // already-initialized root lists; real metastore errors
+        // propagate instead of silently hiding a misconfigured path.
         val hiveDbs = spark.conf.getOption(HiveMetastore.ConfKey).toSeq
-          .flatMap { root =>
-            try HiveMetastore.databases(spark, root).map(d => s"hive.$d")
-            catch { case _: Exception => Nil }
-          }
+          .filter(root => new java.io.File(root, "metastore_db").exists())
+          .flatMap(root => HiveMetastore.databases(root).map(d => s"hive.$d"))
         Some((wsNames.sorted.distinct.map(w => s"dfs.$w") ++
           Seq("information_schema", "sys") ++ hiveDbs.sorted ++ dbs)
           .toDF("SCHEMA_NAME")
           .queryExecution.analyzed)
       case ShowTablesIn(schema) if dfsClaimable =>
-        Some(showTables(schema.split('.')(1).trim))
+        val name = schema.split('.')(1).trim
+        if (schema.trim.toLowerCase.startsWith("hive")) {
+          val spark = SparkSession.active
+          spark.conf.getOption(HiveMetastore.ConfKey).map { root =>
+            import spark.implicits._
+            HiveMetastore.tables(root, name).sorted
+              .map(t => (s"hive.$name", t))
+              .toDF("TABLE_SCHEMA", "TABLE_NAME").queryExecution.analyzed
+          } // no metastore conf: fall through to Spark's own error
+        } else Some(showTables(name))
       case ShowTablesBare() if dfsClaimable &&
           SparkSession.active.conf
             .getOption("graft.dfs.defaultWorkspace").isDefined =>

@@ -56,13 +56,15 @@ case class SysResolveRule(spark: SparkSession) extends Rule[LogicalPlan] {
         if u.multipartIdentifier.length == 2 &&
           u.multipartIdentifier.head.equalsIgnoreCase("sys") &&
           !spark.catalog.databaseExists("sys") =>
-      sysTable(u.multipartIdentifier(1).toLowerCase)
+      // Locale.ROOT: default-locale lowercasing breaks uppercase member
+      // names under Turkish-family locales (I -> dotless i)
+      sysTable(u.multipartIdentifier(1).toLowerCase(java.util.Locale.ROOT))
         .map(_.queryExecution.analyzed).getOrElse(u) // unknown member: Spark's error
     case u: UnresolvedRelation
         if u.multipartIdentifier.length == 2 &&
           u.multipartIdentifier.head.equalsIgnoreCase("information_schema") &&
           !spark.catalog.databaseExists("information_schema") =>
-      infoSchemaTable(u.multipartIdentifier(1).toLowerCase)
+      infoSchemaTable(u.multipartIdentifier(1).toLowerCase(java.util.Locale.ROOT))
         .map(_.queryExecution.analyzed).getOrElse(u)
   }
 }
