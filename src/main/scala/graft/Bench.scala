@@ -29,7 +29,11 @@ object Bench {
     // Delta deletion vectors, DSIR gram-model weighting, iceberg CDC
     // changelog (pruned snapshot diffs)
     "q_iceberg_eq_delete", "q_paimon_pk", "q_delta_dv", "q_dsir",
-    "q_iceberg_changelog")
+    "q_iceberg_changelog",
+    // round 10: quality-classifier training (3 distributed gradient
+    // iterations — the round's new iterative-model plan family) and the
+    // Delta column-mapping id-mode read (field-id scan path)
+    "q_quality_clf", "q_delta_colmap_id")
 
   val Reps = 3
 

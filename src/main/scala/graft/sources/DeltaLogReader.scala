@@ -72,7 +72,8 @@ object DeltaLogReader {
   private val mapper = new ObjectMapper()
 
   private case class AddFile(path: String, partitionValues: Map[String, String],
-                             dv: Option[DeletionVectors.DvDescriptor] = None)
+                             dv: Option[DeletionVectors.DvDescriptor] = None,
+                             size: Long = -1L, modTime: Long = 0L)
 
   /** JSON commit versions present in `_delta_log`, ascending (may start
     * past 0 on a vacuumed log — checkpoints carry the earlier state). */
@@ -249,8 +250,12 @@ object DeltaLogReader {
         if (actions.columns.contains("add")) {
           val addType = actions.schema("add").dataType.asInstanceOf[StructType]
           val hasDv = addType.fieldNames.contains("deletionVector")
+          val hasSize = addType.fieldNames.contains("size")
+          val hasMt = addType.fieldNames.contains("modificationTime")
           val addCols = Seq("add.path", "add.partitionValues") ++
-            (if (hasDv) Seq("add.deletionVector") else Nil)
+            (if (hasDv) Seq("add.deletionVector") else Nil) ++
+            (if (hasSize) Seq("add.size") else Nil) ++
+            (if (hasMt) Seq("add.modificationTime") else Nil)
           actions.filter(col("add").isNotNull)
             .select(addCols.head, addCols.tail: _*)
             .collect().foreach { r =>
@@ -265,7 +270,13 @@ object DeltaLogReader {
                     if (d.isNullAt(f("offset"))) 0 else d.getInt(f("offset")),
                     d.getInt(f("sizeInBytes")), d.getLong(f("cardinality"))))
                 } else None
-              state(r.getString(0)) = AddFile(r.getString(0), pv, dv)
+              var ix = if (hasDv) 3 else 2
+              val size =
+                if (hasSize && !r.isNullAt(ix)) { val v = r.getLong(ix); ix += 1; v }
+                else { if (hasSize) ix += 1; -1L }
+              val mt =
+                if (hasMt && !r.isNullAt(ix)) r.getLong(ix) else 0L
+              state(r.getString(0)) = AddFile(r.getString(0), pv, dv, size, mt)
             }
         }
     }
@@ -314,7 +325,11 @@ object DeltaLogReader {
             Option(d.get("offset")).filterNot(_.isNull).map(_.asInt).getOrElse(0),
             d.get("sizeInBytes").asInt, d.get("cardinality").asLong)
         }
-        state(a.get("path").asText) = AddFile(a.get("path").asText, pv, dv)
+        state(a.get("path").asText) = AddFile(a.get("path").asText, pv, dv,
+          Option(a.get("size")).filterNot(_.isNull).map(_.asLong)
+            .getOrElse(-1L),
+          Option(a.get("modificationTime")).filterNot(_.isNull)
+            .map(_.asLong).getOrElse(0L))
       } else if (n.has("remove")) {
         state.remove(n.get("remove").get("path").asText)
       } // checkpointMetadata/commitInfo/txn actions carry no snapshot state
@@ -508,6 +523,19 @@ object DeltaLogReader {
          Seq[(String, Map[String, String], Option[DeletionVectors.DvDescriptor])]) = {
     val (s, pc, files, _) = snapshot(spark, tablePath, version)
     (s, pc, files.map(f => (f.path, f.partitionValues, f.dv)))
+  }
+
+  /** [[snapshotStateDv]] plus each file's log-recorded (size, modTime)
+    * — the log already carries add.size (PROTOCOL.md requires it), so
+    * maintenance passes need not stat 100k files; -1 size = the replay
+    * saw no size (legacy action) and the caller stats that file only. */
+  private[graft] def snapshotStateDvSized(spark: SparkSession,
+      tablePath: String, version: Option[Long])
+      : (StructType, Seq[String],
+         Seq[(String, Map[String, String],
+           Option[DeletionVectors.DvDescriptor], Long, Long)]) = {
+    val (s, pc, files, _) = snapshot(spark, tablePath, version)
+    (s, pc, files.map(f => (f.path, f.partitionValues, f.dv, f.size, f.modTime)))
   }
 
   /** Read the table at `version` (default: latest commit).

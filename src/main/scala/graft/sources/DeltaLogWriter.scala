@@ -8,7 +8,12 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
 case class CpProtocol(minReaderVersion: Int, minWriterVersion: Int,
                       readerFeatures: Option[Seq[String]] = None,
                       writerFeatures: Option[Seq[String]] = None)
-case class CpMeta(id: String, schemaString: String, partitionColumns: Seq[String])
+case class CpFormat(provider: String = "parquet",
+                    options: Map[String, String] = Map.empty)
+case class CpMeta(id: String, schemaString: String,
+                  partitionColumns: Seq[String],
+                  configuration: Map[String, String] = Map.empty,
+                  format: CpFormat = CpFormat())
 // field names match the protocol's deletionVector descriptor so the
 // checkpoint parquet columns read back by name
 case class CpDv(storageType: String, pathOrInlineDv: String, offset: Int,
@@ -180,7 +185,8 @@ object DeltaLogWriter {
                zorderBy: Seq[String] = Nil): (Long, Int, Int) = {
     import org.apache.spark.sql.functions.{broadcast, col, regexp_replace}
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (schema, partCols, files) = DeltaLogReader.activeStateDv(spark, tablePath)
+    val (schema, partCols, files) =
+      DeltaLogReader.snapshotStateDvSized(spark, tablePath, None)
     require(partCols.isEmpty,
       s"OPTIMIZE on partitioned table not supported: $tablePath " +
         s"(partition values live only in the log; a rewrite would drop them)")
@@ -195,9 +201,10 @@ object DeltaLogWriter {
     val currentVersion = (DeltaLogReader.tableVersions(spark, tablePath) ++
       DeltaLogReader.lastCheckpointVersion(spark, tablePath)).max
 
-    val sized = files.map { case (p, _, dv) =>
+    // sizes from the log's add actions (stat only legacy actions)
+    val sized = files.map { case (p, _, dv, sz, _) =>
       val abs = new Path(DeltaLogReader.decodedAbsolute(tablePath, p))
-      (p, abs, fs.getFileStatus(abs).getLen, dv)
+      (p, abs, if (sz >= 0) sz else fs.getFileStatus(abs).getLen, dv)
     }
     // ZORDER BY is a clustering rewrite: every live file participates
     // (a file's rows scatter across the whole curve), not just small
@@ -340,7 +347,7 @@ object DeltaLogWriter {
     val jsonVersions = DeltaLogReader.tableVersions(spark, tablePath)
     val cv = (jsonVersions ++ DeltaLogReader.lastCheckpointVersion(spark, tablePath)).max
     val (schema, partCols, files) =
-      DeltaLogReader.snapshotStateDv(spark, tablePath, None)
+      DeltaLogReader.snapshotStateDvSized(spark, tablePath, None)
     // carry forward idempotence bookkeeping: max txn per appId
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -405,20 +412,35 @@ object DeltaLogWriter {
           Some(((if (hasDv) rf + "deletionVectors" else rf)).toSeq.sorted),
           Some(((if (hasDv) wf + "deletionVectors" else wf)).toSeq.sorted))
       else CpProtocol(math.max(pr, 1), math.max(pw, 2))
+    // the checkpoint's metaData must CARRY the table's identity and
+    // configuration — synthesizing id="graft" with an empty configuration
+    // silently destroyed delta.appendOnly / CDF / column-mapping settings
+    // (and the table's unique id) once vacuumJson removed the JSON
+    // commits that held the real metaData
+    val (metaId, metaConf) = DeltaLogReader.currentMetaInfo(spark, tablePath)
     val rows =
       Seq(CpRow(Some(protocolRow), None, None, None),
-        CpRow(None, Some(CpMeta("graft", schema.json, partCols)), None, None)) ++
+        CpRow(None, Some(CpMeta(metaId, schema.json, partCols, metaConf)),
+          None, None)) ++
       txns.toSeq.sortBy(_._1).map { case (a, v) =>
         CpRow(None, None, None, Some(CpTxn(a, v))) } ++
-      files.map { case (p, pv, dv) =>
+      files.map { case (p, pv, dv, sz, mt) =>
         // real size + mtime (PROTOCOL.md: add.size is the file's size;
         // external engines plan scans from it — zero read as an empty
         // table elsewhere once the checkpoint is the only metadata) and
-        // dataChange=false (checkpoint rows are not new data)
-        val st = fs.getFileStatus(
-          new Path(DeltaLogReader.decodedAbsolute(tablePath, p)))
-        CpRow(None, None, Some(CpAdd(p, pv, st.getLen,
-          st.getModificationTime, dataChange = false,
+        // dataChange=false (checkpoint rows are not new data). Sizes
+        // come from the LOG's own add actions; a per-file getFileStatus
+        // is the fallback for legacy actions only (100k stat RPCs
+        // before a checkpoint is real driver latency at scale).
+        val (len, mtime) =
+          if (sz >= 0) (sz, mt)
+          else {
+            val st = fs.getFileStatus(
+              new Path(DeltaLogReader.decodedAbsolute(tablePath, p)))
+            (st.getLen, st.getModificationTime)
+          }
+        CpRow(None, None, Some(CpAdd(p, pv, len, mtime,
+          dataChange = false,
           dv.map(d => CpDv(d.storageType, d.pathOrInlineDv, d.offset,
             d.sizeInBytes, d.cardinality)))), None) }
     DeltaLogReader.writeDataFile(rows.toDF(), s"$tablePath/_delta_log",

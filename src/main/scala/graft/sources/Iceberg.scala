@@ -599,7 +599,7 @@ object IcebergTable {
         var parts = Seq.empty[DataFrame]
         if (pqDels.nonEmpty) {
           var pq = spark.read.parquet(pqDels.map(_.path): _*)
-            .select(normPath(col("file_path")).as("__g_fp"),
+            .select(encNormUdf(col("file_path")).as("__g_fp"),
               col("pos").cast("long").as("__g_pos"))
           if (dvs.nonEmpty) {
             import org.apache.spark.sql.functions.broadcast
@@ -686,9 +686,29 @@ object IcebergTable {
     }
   }
 
-  /** [[normPath]]'s driver-side twin (same regex, plain strings). */
-  private def normSchemeless(p: String): String =
-    p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
+  /** [[normPath]]'s driver-side twin — and the ENCODING half of the
+    * identity: `_metadata.file_path` is URI-ENCODED (a path with a
+    * space reads as `%20`), while manifest / delete-file spellings are
+    * raw strings. Every raw string is therefore routed through
+    * Path.toUri (percent-encoding exactly like the scan's metadata
+    * column) before the scheme strip, so (file_path, pos) joins match
+    * on tables whose paths carry URI-escapable characters — the same
+    * hardening DeltaLogReader.encNorm got ("path encoding identity").
+    * Raw strings that live in DELETE-FILE ROWS on executors go through
+    * [[encNormUdf]], the row-level twin. */
+  private[graft] def normSchemeless(p: String): String =
+    new Path(p).toUri.toString
+      .replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
+
+  /** Row-level [[normSchemeless]] for raw path strings read OUT OF
+    * delete-file parquet on executors (driver code cannot respell
+    * them). Delete-file row counts are metadata-scale next to the data
+    * scan, so the non-codegen UDF is off the hot path. */
+  private val encNormUdf = org.apache.spark.sql.functions.udf(
+    (p: String) =>
+      if (p == null) null
+      else new org.apache.hadoop.fs.Path(p).toUri.toString
+        .replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"))
 
   /** CDC CHANGELOG: every row-level change in snapshots
     * (fromSnapshotId, toSnapshotId], tagged `_change_type`
@@ -1356,6 +1376,23 @@ object IcebergTable {
                                prior: Option[TableMeta],
                                schema: Schema): Seq[GenericRecord] =
     prior.flatMap(m => selectSnapshot(m, None, None)).toSeq.flatMap { snap =>
+      if (snap.manifestList.isEmpty) {
+        // v1 deprecated DIRECT `manifests` form (no manifest-list file):
+        // the read paths (manifestsOf line ~352, changelog, expire) all
+        // guard on it — the WRITE path must too, or an append into a
+        // legacy table opens the table directory as an avro file AFTER
+        // the staged data files already moved. Lengths come from a stat
+        // (metadata-scale); counts/seqs default like the list form's
+        // absent optionals.
+        val fs = new Path(table)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        snap.directManifests.map { m =>
+          val abs = absolute(table, m)
+          val len = scala.util.Try(
+            fs.getFileStatus(new Path(abs)).getLen).getOrElse(0L)
+          mfRow(schema, abs, len, snap.snapshotId, 0, 0L, 0, 0L, 0L)
+        }
+      } else
       readAvroRecords(spark, absolute(table, snap.manifestList)).map { r =>
         mfRow(schema, str(r.get("manifest_path")),
           opt(r, "manifest_length").map(_.asInstanceOf[Long]).getOrElse(0L),
@@ -1606,8 +1643,10 @@ object IcebergTable {
     val dataFiles = entries.filter(_.content == 0)
     if (dataFiles.isEmpty) return meta.currentSnapshotId.getOrElse(0L)
     val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val lookup = dataFiles.map(_.path).toDF("file_path")
-      .withColumn("__g_fp", normPath(col("file_path")))
+    // __g_fp precomputed DRIVER-side with the encoding identity (these
+    // are manifest strings, not row data)
+    val lookup = dataFiles.map(f => (f.path, normSchemeless(f.path)))
+      .toDF("file_path", "__g_fp")
     val matches = spark.read.schema(meta.schema)
       .parquet(dataFiles.map(_.path): _*)
       .filter(condition)
@@ -1800,8 +1839,8 @@ object IcebergTable {
     val entries = liveEntries(spark, table)
     val dataFiles = entries.filter(_.content == 0)
     if (dataFiles.isEmpty) return meta.currentSnapshotId.getOrElse(0L)
-    val lookup = dataFiles.map(_.path).toDF("file_path")
-      .withColumn("__g_fp", normPath(col("file_path")))
+    val lookup = dataFiles.map(f => (f.path, normSchemeless(f.path)))
+      .toDF("file_path", "__g_fp")
     val matches = spark.read.schema(meta.schema)
       .parquet(dataFiles.map(_.path): _*)
       .filter(condition)
@@ -1857,7 +1896,7 @@ object IcebergTable {
       val affDf = broadcast(affected.map(p => (normSchemeless(p), p))
         .toDF("__g_nfp", "file_path"))
       all = all.unionByName(spark.read.parquet(oldPq.map(_.path): _*)
-        .select(normPath(col("file_path")).as("__g_nfp"),
+        .select(encNormUdf(col("file_path")).as("__g_nfp"),
           col("pos").cast("long").as("pos"))
         .join(affDf, Seq("__g_nfp"))
         .select("file_path", "pos"))

@@ -65,7 +65,12 @@ object IcebergDml {
       val n = touched.count()
       if (n == 0) return (meta.currentSnapshotId.getOrElse(0L), 0L)
       IcebergTable.deleteFrom(spark, table, condition)
-      val snap = IcebergTable.write(updatedRows, table)
+      // the table's own partition spec rides along: write() REQUIRES the
+      // declared columns, and this append runs AFTER the delete snapshot
+      // committed — a partitionBy mismatch here would strand the table
+      // with its matched rows deleted and no updated versions
+      val snap = IcebergTable.write(updatedRows, table,
+        partitionBy = meta.partCols)
       (snap, n)
     } finally touched.unpersist()
   }
@@ -207,8 +212,11 @@ object IcebergDml {
     // source — rows an earlier delete already masked may over-delete,
     // harmlessly
     if ((updated > 0 || deleted > 0) && dataFiles.nonEmpty) {
-      val lookup = broadcast(dataFiles.map(_.path).toDF("file_path")
-        .withColumn("__g_fp", IcebergTable.normPath(col("file_path"))))
+      // __g_fp precomputed DRIVER-side with the URI-encoding identity
+      // (manifest strings; _metadata.file_path is URI-encoded)
+      val lookup = broadcast(dataFiles
+        .map(f => (f.path, IcebergTable.normSchemeless(f.path)))
+        .toDF("file_path", "__g_fp"))
       val matchedPos =
         if (anyMatched)
           Some(rawIdent.as(tAlias)
@@ -232,7 +240,9 @@ object IcebergDml {
     }
     val version = appendDf match {
       case Some(df) if updated > 0 || inserted > 0 =>
-        IcebergTable.write(df, table)
+        // partition spec rides along (see update(): the position-delete
+        // snapshot is already durable when this append runs)
+        IcebergTable.write(df, table, partitionBy = meta.partCols)
       case _ => IcebergTable.loadMeta(spark, table)
         .currentSnapshotId.getOrElse(current)
     }
@@ -242,13 +252,16 @@ object IcebergDml {
 
 object PaimonDml {
 
+  /** Returns the WHOLE schema (callers need it anyway — returning only
+    * the keys made update/merge re-read and re-parse the schema file
+    * immediately after). */
   private def pkState(spark: SparkSession, table: String, verb: String)
-      : Seq[String] = {
+      : graft.sources.PaimonTable.PaimonSchema = {
     val sch = PaimonTable.loadSchema(spark, table)
     require(sch.primaryKeys.nonEmpty,
       s"$verb on an append-only paimon table is not supported: $table " +
         "(no primary key = no retraction identity; PK tables only)")
-    sch.primaryKeys
+    sch
   }
 
   /** DELETE FROM a Paimon PK table: write key-only `-D` retraction
@@ -264,7 +277,7 @@ object PaimonDml {
 
   def delete(spark: SparkSession, table: String,
              condition: Column): (Long, Long) = {
-    val pks = pkState(spark, table, "DELETE")
+    val pks = pkState(spark, table, "DELETE").primaryKeys
     val hit = coalesce(condition.cast(BooleanType), lit(false))
     val keys = PaimonTable.read(spark, table).filter(hit)
       .select(pks.map(col): _*)
@@ -280,8 +293,8 @@ object PaimonDml {
   def update(spark: SparkSession, table: String, condition: Column,
              set: Map[String, Column]): (Long, Long) = {
     require(set.nonEmpty, "UPDATE: empty SET clause") // same guard as Delta/Iceberg
-    val pks = pkState(spark, table, "UPDATE")
-    val sch = PaimonTable.loadSchema(spark, table)
+    val sch = pkState(spark, table, "UPDATE")
+    val pks = sch.primaryKeys
     val bad = set.keySet.filterNot(sch.schema.fieldNames.contains)
     require(bad.isEmpty, s"UPDATE: unknown column(s) ${bad.mkString(", ")}")
     val onPk = set.keySet.intersect(pks.toSet)
@@ -318,8 +331,8 @@ object PaimonDml {
     val anyBySource = bySourceDelete.isDefined || bySourceUpdate.isDefined
     require(matchedUpdate.isDefined || matchedDelete.isDefined ||
       notMatchedInsert.isDefined || anyBySource, "MERGE: no clauses")
-    val pks = pkState(spark, table, "MERGE")
-    val sch = PaimonTable.loadSchema(spark, table)
+    val sch = pkState(spark, table, "MERGE")
+    val pks = sch.primaryKeys
     val schema = sch.schema
     (matchedUpdate.toSeq ++ bySourceUpdate.toSeq ++ notMatchedInsert.toSeq)
       .foreach { m =>

@@ -1415,6 +1415,19 @@ object PaimonTable {
         s"$table uses dynamic bucket mode (bucket=" +
           s"${prior.options.getOrElse("bucket", "<absent>")}) — graft " +
           "cannot route keys through Paimon's dynamic bucket index")
+      // FOREIGN fixed-bucket tables refuse appends: graft routes keys by
+      // Spark murmur3, a native writer by paimon's BinaryRow hash. Mixing
+      // routers puts a key's new version in a DIFFERENT bucket than its
+      // old versions, and every per-bucket merge reader (graft's read()
+      // AND native paimon) then emits stale duplicates. Tables graft
+      // created carry the routing marker in their schema options;
+      // reading foreign tables is unaffected.
+      require(prior.options.get("graft.bucket-routing")
+          .contains("spark-murmur3"),
+        s"$table is a fixed-bucket PK table graft did not create " +
+          "(no graft.bucket-routing option) — appending would route keys " +
+          "by a different hash than the existing buckets and produce " +
+          "stale duplicates under any per-bucket merge reader")
       val pc = prior.partitionKeys.map(k => prior.schema(k))
       requirePartitionable(pc)
       (prior.schema, declaredBucket.get, pc)
@@ -1434,7 +1447,8 @@ object PaimonTable {
            |"partitionKeys":[${partitionBy.map(jstr).mkString(",")}],
            |"primaryKeys":[${primaryKeys.map(k => s""""$k"""").mkString(",")}],
            |"options":{"bucket":"$numBuckets","file.format":"parquet",
-           |"merge-engine":"deduplicate"},
+           |"merge-engine":"deduplicate",
+           |"graft.bucket-routing":"spark-murmur3"},
            |"timeMillis":${System.currentTimeMillis()}}""".stripMargin)
       (df.schema, numBuckets, pc)
     }

@@ -175,6 +175,31 @@ class DeltaHardeningSpec extends AnyFunSuite {
     assert(DeltaLogReader.read(spark, base).count() == 2L)
   }
 
+  test("checkpoint(vacuumJson) PRESERVES the table's metaData identity " +
+      "and configuration") {
+    import spark.implicits._
+    val base = freshDir("cpmeta")
+    val df = Seq((1L, "a")).toDF("k", "v")
+    DeltaLogReader.writeDataFile(df, base, "f0.parquet")
+    DeltaLogReader.writeCommit(spark, base, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      DeltaLogReader.metaDataAction(df.schema, Nil, "my-table-id",
+        Map("delta.appendOnly" -> "true")),
+      """{"add":{"path":"f0.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""))
+    // vacuumJson removes every JSON commit: the checkpoint row becomes
+    // the ONLY metaData — the regression synthesized id="graft" with an
+    // empty configuration, silently dropping appendOnly enforcement
+    DeltaLogWriter.checkpoint(spark, base, vacuumJson = true)
+    val (id, conf) = DeltaLogReader.currentMetaInfo(spark, base)
+    assert(id == "my-table-id", id)
+    assert(conf.get("delta.appendOnly").contains("true"), conf)
+    // the enforcement itself still gates post-vacuum
+    intercept[IllegalArgumentException] {
+      DeltaDml.delete(spark, base, col("k") === 1L)
+    }
+    assert(DeltaLogReader.read(spark, base).count() == 1L)
+  }
+
   test("CHECK constraints and unknown writer features refuse DML loudly") {
     import spark.implicits._
     val df = Seq((1L, "a")).toDF("k", "v")

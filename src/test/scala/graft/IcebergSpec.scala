@@ -568,4 +568,23 @@ class IcebergSpec extends AnyFunSuite {
     }
     assert(found, "partition-specs lacks the unpartitioned spec 1")
   }
+  test("URI-escapable table paths keep the (file,pos) delete identity") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // a SPACE in the table path: _metadata.file_path is URI-ENCODED
+    // (%20) while manifest spellings are raw — without the encoding
+    // identity every position-delete join silently matched nothing and
+    // DELETE returned having deleted zero rows
+    val base = freshDir("enc dir/t spaced")
+    val df = (1L to 6L).map(i => (i, s"row$i")).toDF("k", "v")
+    graft.sources.IcebergTable.write(df.coalesce(1), base)
+    graft.sources.IcebergTable.deleteFrom(spark, base, col("k") <= 2L)
+    val got = graft.sources.IcebergTable.read(spark, base)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(3L, 4L, 5L, 6L), s"delete did not apply: $got")
+    // DV-based delete path too
+    graft.sources.IcebergTable.deleteFromDv(spark, base, col("k") === 3L)
+    assert(graft.sources.IcebergTable.read(spark, base)
+      .collect().map(_.getLong(0)).toSet == Set(4L, 5L, 6L))
+  }
 }

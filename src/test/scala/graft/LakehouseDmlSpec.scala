@@ -45,6 +45,61 @@ class LakehouseDmlSpec extends AnyFunSuite {
     PaimonTable.read(spark, base)
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
 
+  test("iceberg UPDATE and MERGE carry the table's partition spec: a " +
+      "partitioned table keeps its updated rows") {
+    import spark.implicits._
+    // the regression: update() appended with partitionBy=Nil, which
+    // write() REJECTS on a partitioned table — AFTER the delete snapshot
+    // committed, permanently losing the matched rows
+    val base = freshDir("upd_part")
+    val df = (1L to 8L).map(i => (i, s"p${i % 2}", s"row$i"))
+      .toDF("k", "p", "v")
+    IcebergTable.write(df, base, partitionBy = Seq("p"))
+    val (_, n) = IcebergDml.update(spark, base, col("k") <= 2L,
+      Map("v" -> concat(col("v"), lit("!"))))
+    assert(n == 2L)
+    val rows = IcebergTable.read(spark, base)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(rows == ((1L to 2L).map(k => (k, s"row$k!")) ++
+      (3L to 8L).map(k => (k, s"row$k"))).toSet)
+    // MERGE on the same partitioned table
+    val src = Seq((3L, "merged3"), (99L, "new99")).toDF("mk", "mv")
+    IcebergDml.merge(spark, base, src, on = "t.k = s.mk",
+      matchedUpdate = Some(Map("v" -> "s.mv")),
+      notMatchedInsert = Some(Map(
+        "k" -> "s.mk", "p" -> "'p1'", "v" -> "s.mv")))
+    val rows2 = IcebergTable.read(spark, base)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(rows2.contains((3L, "merged3")) && rows2.contains((99L, "new99")))
+    assert(rows2.size == 9)
+  }
+
+  test("paimon writePk refuses appending into a FOREIGN fixed-bucket " +
+      "PK table (bucket routing would mis-place keys)") {
+    import spark.implicits._
+    val base = pkTable("foreign_pk")
+    // simulate a foreign writer's table: strip graft's routing marker
+    // from the schema file
+    val schemaPath = new org.apache.hadoop.fs.Path(base, "schema/schema-0")
+    val fs = schemaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val txt = {
+      val in = fs.open(schemaPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    val foreign = txt.replace("\"graft.bucket-routing\":\"spark-murmur3\",", "")
+      .replace(",\n\"graft.bucket-routing\":\"spark-murmur3\"", "")
+    assert(foreign != txt, "marker not found in schema-0")
+    val out = fs.create(schemaPath, true)
+    try out.write(foreign.getBytes("UTF-8")) finally out.close()
+    // reading stays fine; appending refuses loudly
+    assert(PaimonTable.read(spark, base).count() == 6)
+    val e = intercept[IllegalArgumentException] {
+      PaimonTable.writePk(Seq((7L, "row7")).toDF("k", "v"), base, Seq("k"))
+    }
+    assert(e.getMessage.contains("graft.bucket-routing"))
+  }
+
   test("iceberg UPDATE: delete+append, nothing rewritten, travel intact") {
     val base = iceTable("upd")
     val filesBefore = IcebergTable.liveEntries(spark, base)
