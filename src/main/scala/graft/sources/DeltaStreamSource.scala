@@ -187,7 +187,14 @@ class DeltaStreamSource(sqlContext: SQLContext,
     val capped = maxFilesPerTrigger match {
       case None => latest
       case Some(budget) =>
-        val from = math.max(committed.getOrElse(-1L), budgetAnchor)
+        // committed WINS over the anchor: startingVersion=latest
+        // re-resolves the anchor to the CURRENT latest on every restart,
+        // so max(committed, anchor) let a mid-catchup restart skip the
+        // budget loop and plan the whole backlog (checkpointed offset →
+        // current latest) as ONE unbounded batch — the exact scenario
+        // maxFilesPerTrigger exists for. The anchor only seeds FRESH
+        // streams (the Iceberg twin already had this shape).
+        val from = committed.getOrElse(budgetAnchor)
         var v = from
         var files = 0
         var next = if (v < latest) addFileCount(v + 1) else 0
@@ -221,8 +228,10 @@ class DeltaStreamSource(sqlContext: SQLContext,
         // parse, don't substring-match: adds with dataChange=false
         // (OPTIMIZE re-adds) emit NO rows in addsBetween, so counting
         // them here let one compaction commit eat the whole
-        // maxFilesPerTrigger budget for zero delivered data
-        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        // maxFilesPerTrigger budget for zero delivered data.
+        // `mapper` is safe here: getOffset/getBatch run on the single
+        // stream-execution thread that owns this source
+        val om = mapper
         val n = lines.count { l =>
           try {
             val node = om.readTree(l)

@@ -1743,6 +1743,121 @@ object IcebergTable {
       snapshotId = snapshotId, equalityIds = eqIds)
   }
 
+  /** UPSERT as ONE snapshot — the Flink-Iceberg rowDelta shape: the
+    * batch's equality-delete files AND its data files commit together
+    * under one sequence number, so no reader (current-snapshot query,
+    * time travel, changelog) can ever observe the intermediate
+    * "keys deleted, new versions not yet appended" state that a
+    * deleteEquality-then-write pair publishes between its two commits.
+    * Spec semantics make the single commit sound: an equality delete
+    * applies only to rows with sequence number STRICTLY LESS than its
+    * own, so the same-commit data files survive their own batch's
+    * delete. Unpartitioned tables (the streaming-sink contract; the
+    * table must exist — create with [[write]]). Returns the snapshot. */
+  def upsertEquality(spark: SparkSession, table: String, df: DataFrame,
+                     keyCols: Seq[String],
+                     summaryProps: Map[String, String] = Map.empty): Long = {
+    require(keyCols.nonEmpty, "upsertEquality needs key columns")
+    val meta = loadMeta(spark, table)
+    requireIdentitySpec(meta, "upsertEquality")
+    require(meta.partCols.isEmpty,
+      s"upsertEquality supports unpartitioned tables: $table has " +
+        s"partition columns ${meta.partCols.mkString(", ")}")
+    require(meta.schema.map(f => (f.name, f.dataType)) ==
+        df.schema.map(f => (f.name, f.dataType)),
+      s"schema mismatch upserting to $table:\n table: " +
+        s"${meta.schema.simpleString}\n data:  ${df.schema.simpleString}")
+    val idOf: Map[String, Int] = meta.schemaNode.get("fields")
+      .elements.asScala
+      .map(f => f.get("name").asText -> f.get("id").asInt).toMap
+    val eqIds = keyCols.map(c => idOf.getOrElse(c,
+      throw new IllegalArgumentException(
+        s"equality column '$c' not in table schema of $table")))
+    val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snapshotId = meta.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1L
+    val newSeq = meta.lastSequenceNumber + 1
+    val nowMs = System.currentTimeMillis()
+    val dataDir = new Path(table, "data")
+    fs.mkdirs(dataDir)
+
+    def stage(src: DataFrame, tag: String, prefix: String): Seq[Path] = {
+      val staging = new Path(table, s"_staging_$tag$snapshotId")
+      src.write.mode("overwrite").parquet(staging.toString)
+      val staged = StagedFiles.walkParquet(fs, staging).sortBy(_.toString)
+        .filter(p => parquetRowCount(spark, p) > 0)
+      val moved = staged.zipWithIndex.map { case (part, i) =>
+        val dest = new Path(dataDir, f"$prefix-$i%05d-snap$snapshotId.parquet")
+        fs.delete(dest, false)
+        require(fs.rename(part, dest), s"rename failed: $part -> $dest")
+        dest
+      }
+      fs.delete(staging, true)
+      moved
+    }
+    val dataFiles = stage(df, "upsert", "part")
+    val delFiles = stage(df.select(keyCols.map(c =>
+      org.apache.spark.sql.functions.col(c)): _*).distinct(),
+      "upserteq", "eqdelete")
+
+    def fileEntries(files: Seq[Path], content: Int,
+                    schema: Schema): Seq[GenericRecord] = {
+      val dfSchema = schema.getField("data_file").schema()
+      val partSchema = dfSchema.getField("partition").schema()
+      files.map { p =>
+        val d = new GenericData.Record(dfSchema)
+        d.put("content", content)
+        d.put("file_path", p.toString)
+        d.put("file_format", "PARQUET")
+        d.put("partition", new GenericData.Record(partSchema))
+        d.put("record_count", parquetRowCount(spark, p))
+        d.put("file_size_in_bytes", fs.getFileStatus(p).getLen)
+        d.put("block_size_in_bytes", 67108864L)
+        if (content == 2) d.put("equality_ids", eqIds.map(Int.box).asJava)
+        val e = new GenericData.Record(schema)
+        e.put("status", 1) // ADDED
+        e.put("snapshot_id", snapshotId)
+        e.put("data_file", d)
+        e
+      }
+    }
+    val entrySchema = manifestEntrySchema(Nil, withContent = true)
+    val mfRows = scala.collection.mutable.ArrayBuffer.empty[GenericRecord]
+    var addedRows = 0L
+    if (dataFiles.nonEmpty) {
+      val dEntries = fileEntries(dataFiles, 0, entrySchema)
+      val mPath = new Path(metaDir(table), f"snap$snapshotId%05d-m0.avro")
+      val mLen = writeAvro(spark, mPath, entrySchema, dEntries, Map(
+        "format-version" -> "2", "partition-spec-id" -> "0",
+        "content" -> "data"))
+      addedRows = dEntries.map(_.get("data_file")
+        .asInstanceOf[GenericRecord].get("record_count").asInstanceOf[Long]).sum
+      mfRows += mfRow(manifestFileSchemaV2, mPath.toString, mLen, snapshotId,
+        dEntries.size, addedRows, content = 0, seq = newSeq, minSeq = newSeq)
+    }
+    if (delFiles.nonEmpty) {
+      val dEntries = fileEntries(delFiles, 2, entrySchema)
+      val mPath = new Path(metaDir(table), f"snap$snapshotId%05d-d0.avro")
+      val mLen = writeAvro(spark, mPath, entrySchema, dEntries, Map(
+        "format-version" -> "2", "partition-spec-id" -> "0",
+        "content" -> "deletes"))
+      mfRows += mfRow(manifestFileSchemaV2, mPath.toString, mLen, snapshotId,
+        dEntries.size, dEntries.map(_.get("data_file")
+          .asInstanceOf[GenericRecord].get("record_count")
+          .asInstanceOf[Long]).sum,
+        content = 1, seq = newSeq, minSeq = newSeq)
+    }
+    if (mfRows.isEmpty) return meta.currentSnapshotId.getOrElse(0L)
+    val carried = carriedManifests(spark, table, Some(meta), manifestFileSchemaV2)
+    val listPath = new Path(metaDir(table), f"snap-$snapshotId-manifest-list.avro")
+    writeAvro(spark, listPath, manifestFileSchemaV2,
+      mfRows.toSeq ++ carried, Map("format-version" -> "2"))
+    commitMetadata(spark, table, Some(meta), meta.schema, Nil,
+      SnapshotInfo(snapshotId, nowMs, "overwrite", listPath.toString,
+        summaryProps, newSeq),
+      formatVersion = math.max(2, meta.formatVersion), addedRows = addedRows)
+    snapshotId
+  }
+
   /** Register already-written delete files (parquet with `file_path` +
     * `pos` columns for content=1 position deletes; the equality columns
     * themselves for content=2 equality deletes, with `equalityIds`

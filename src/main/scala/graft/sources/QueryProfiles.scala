@@ -86,6 +86,11 @@ object QueryProfiles {
   private val DefaultCapacity = 1000
   @volatile private var installedCapacity: Int = DefaultCapacity
   @volatile private var listener: Option[SparkListener] = None
+  // the context the listener registered on: enable() after a
+  // SparkContext restart must RE-REGISTER, not no-op (the old context's
+  // listener bus died with it and profiling would silently record
+  // nothing forever)
+  @volatile private var listenerCtx: Option[org.apache.spark.SparkContext] = None
 
   private val SummedTypes = Set("sum", "size", "timing", "nsTiming")
 
@@ -146,6 +151,13 @@ object QueryProfiles {
     * installed is a silent no-op worth failing loudly on. */
   def enable(spark: SparkSession, capacity: Int = DefaultCapacity): Unit =
     synchronized {
+      // a listener registered on a STOPPED context is dead weight —
+      // treat it as absent so enable() on a fresh context re-registers
+      if (listener.isDefined &&
+          listenerCtx.forall(c => c.isStopped || (c ne spark.sparkContext))) {
+        listener = None
+        listenerCtx = None
+      }
       require(listener.isEmpty || capacity == installedCapacity,
         s"query-profile ring already installed with capacity " +
           s"$installedCapacity (JVM-wide, first caller wins) — got " +
@@ -244,12 +256,14 @@ object QueryProfiles {
         }
         spark.sparkContext.addSparkListener(l)
         listener = Some(l)
+        listenerCtx = Some(spark.sparkContext)
       }
     }
 
   def disable(spark: SparkSession): Unit = synchronized {
     listener.foreach(spark.sparkContext.removeSparkListener)
     listener = None
+    listenerCtx = None
     ring.clear()
     stageRing.clear()
     opRing.clear()

@@ -173,7 +173,10 @@ object StatsCatalog {
                 .map(_.elements.asScala.map(_.asDouble).toSeq).getOrElse(Nil))
           }.toSeq))
       } catch { case scala.util.control.NonFatal(_) => None }
-    val tmps =
+    // tmp candidates list LAZILY: the directory listing is pure fallback
+    // for ANALYZE's crash window, and paying one listStatus per load made
+    // a 500-table statsTable() scan issue 500 LIST RPCs on the happy path
+    def tmps =
       try f.listStatus(new Path(base)).toSeq
         .filter { st =>
           val nm = st.getPath.getName
@@ -181,7 +184,7 @@ object StatsCatalog {
         }
         .sortBy(-_.getModificationTime).map(_.getPath)
       catch { case scala.util.control.NonFatal(_) => Nil }
-    (target +: tmps).iterator.flatMap(parse(_)).nextOption()
+    parse(target).orElse(tmps.iterator.flatMap(parse(_)).nextOption())
   }
 
   /** The planning reuse: broadcast-hint `df` iff its STORED size

@@ -59,7 +59,11 @@ object ViewCatalog {
     val node = mapper.createObjectNode()
     node.put("name", name)
     node.put("sql", sql)
-    val tmp = new Path(base, s".$name$Suffix.tmp")
+    // UUID staging: a FIXED tmp name let two concurrent CREATE OR
+    // REPLACE of the same view interleave into one stream and install
+    // torn JSON durably (the StatsCatalog.write hardening, same class)
+    val tmp = new Path(base,
+      s".$name$Suffix.${java.util.UUID.randomUUID()}.tmp")
     val out = f.create(tmp, true)
     try out.write(mapper.writeValueAsBytes(node)) finally out.close()
     if (f.exists(target)) f.delete(target, false)
@@ -81,10 +85,16 @@ object ViewCatalog {
     else f.listStatus(dir).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(Suffix))
       .sortBy(_.getPath.getName)
-      .map { s =>
-        val in = f.open(s.getPath)
-        val node = try mapper.readTree(in) finally in.close()
-        ViewDef(node.get("name").asText(), node.get("sql").asText())
+      .flatMap { s =>
+        // per-file tolerance (the StatsCatalog.load posture): a racing
+        // CREATE OR REPLACE deletes the target between listStatus and
+        // open — one concurrent replace must not crash another
+        // session's whole view load
+        try {
+          val in = f.open(s.getPath)
+          val node = try mapper.readTree(in) finally in.close()
+          Some(ViewDef(node.get("name").asText(), node.get("sql").asText()))
+        } catch { case scala.util.control.NonFatal(_) => None }
       }
   }
 

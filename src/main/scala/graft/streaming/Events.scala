@@ -148,9 +148,12 @@ object Events {
       Dedup.lshBandKeys(Dedup.minhashSignatureFromHashes(th, numHashes),
         bands, rowsPerBand)
 
+    // ref_th stages as a column FIRST (HOF lambdas get no subexpression
+    // elimination — computing thOf twice doubled the reference
+    // tokenize+hash cost this function's own stream side avoids)
     val refBanded = reference
-      .select(bandsOf(thOf(col(textCol))).as("ref_bands"),
-        thOf(col(textCol)).as("ref_th"))
+      .select(thOf(col(textCol)).as("ref_th"))
+      .select(bandsOf(col("ref_th")).as("ref_bands"), col("ref_th"))
 
     // ONE limit-bounded collect decides the branch AND supplies the
     // literal rows — a separate count() ran the tokenize + 128-hash
@@ -300,11 +303,17 @@ object Events {
           val exists = new org.apache.hadoop.fs.Path(tablePath, "metadata")
             .getFileSystem(spark.sparkContext.hadoopConfiguration)
             .exists(new org.apache.hadoop.fs.Path(tablePath, "metadata"))
+          val props = Map(
+            "graft.app-id" -> appId, "graft.batch-id" -> batchId.toString)
           if (exists)
-            IcebergTable.deleteEquality(spark, tablePath,
-              df.select(keyCols.map(org.apache.spark.sql.functions.col): _*))
-          IcebergTable.write(df, tablePath, summaryProps = Map(
-            "graft.app-id" -> appId, "graft.batch-id" -> batchId.toString))
+            // ONE rowDelta-style snapshot: the deleteEquality-then-write
+            // pair published an intermediate snapshot in which the
+            // batch's keys were deleted but not yet re-inserted — every
+            // reader landing between the two commits saw missing keys
+            IcebergTable.upsertEquality(spark, tablePath, df, keyCols,
+              summaryProps = props)
+          else
+            IcebergTable.write(df, tablePath, summaryProps = props)
         }
         ()
       }
@@ -432,8 +441,16 @@ object Events {
               // e.id != id: an at-least-once source re-delivering a doc
               // must not let it vote ITSELF a duplicate — bool_or over
               // the copies' votes would then suppress every copy,
-              // violating first-seen-wins
+              // violating first-seen-wins.
+              // EVENT-TIME ordering (e.ts < t, id tie-break): only docs
+              // that are OLDER in event time vote — a late-arriving
+              // EARLIER doc must not be suppressed by its own later
+              // near-dup that happened to arrive first (the batch twin
+              // keeps the earliest doc per cluster; the stream matches
+              // that KEEP set, at the cost of having already emitted the
+              // later copy — inherent at-least-once over-emission)
               val dup = entries.exists(e => e.id != id &&
+                (e.ts < t.getTime || (e.ts == t.getTime && e.id < id)) &&
                 graft.functions.JaccardKernel
                   .computeLongArrays(e.th.toArray, arr) >= threshold)
               out ::= ((id, t, dup))

@@ -253,6 +253,47 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("nearDedupStream: a late-arriving EARLIER doc is not suppressed " +
+      "by its event-time-later near-dup that arrived first") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    spark.conf.set(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    val admitted = Events.nearDedupStream(spark,
+      input.toDF().toDF("doc_id", "ts", "text"),
+      threshold = 0.7, watermarkDelaySec = 600, voteWindowSec = 5)
+    val q = admitted.writeStream.format("memory")
+      .queryName("neardedup_late").outputMode("append").start()
+    try {
+      // B (ts=200) arrives first; its EARLIER near-dup A (ts=100) lands
+      // in the next micro-batch, still inside the watermark. The batch
+      // twin keeps the EARLIEST doc per cluster — A must be admitted,
+      // not voted out by B (only event-time-OLDER docs vote)
+      input.addData((2L, t(200), "the quick brown fox jumps over the lazy dog"))
+      q.processAllAvailable()
+      input.addData((1L, t(100), "the quick brown fox jumps over the lazy cat"))
+      q.processAllAvailable()
+      // a genuinely LATER near-dup is still suppressed
+      input.addData((3L, t(300), "the quick brown fox jumps over a lazy dog"))
+      q.processAllAvailable()
+      input.addData((9L, t(2000), "a watermark pushing row of unique text")) // flush
+      q.processAllAvailable()
+      input.addData((10L, t(2100), "another watermark push unique row here"))
+      q.processAllAvailable()
+      val ids = spark.table("neardedup_late").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids.contains(1L), s"late earlier doc suppressed: $ids")
+      assert(!ids.contains(3L), s"later near-dup must stay dropped: $ids")
+      assert(ids.contains(2L))
+    } finally {
+      q.stop()
+      spark.conf.set(
+        "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
+    }
+  }
+
   test("nearDedupStream: watermarked MinHash near-dedup admits uniques, drops near-copies") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
@@ -429,9 +470,21 @@ class StreamingSpec extends AnyFunSuite {
       assert(got == Set((1L, "a"), (2L, "b2"), (3L, "c")),
         "the later batch's row must win its key through the " +
           "sequence-scoped equality delete")
-      // batch 2's commits: one delete snapshot + one tagged append
       assert(IcebergTable.lastStreamBatch(spark, base, "graft-stream")
         .contains(1L))
+      // batch 2 committed as ONE rowDelta-style snapshot (delete files +
+      // data files together): the old delete-then-append pair published
+      // an intermediate snapshot in which k=2 had vanished entirely
+      val snaps = IcebergTable.loadMeta(spark, base).snapshots
+      assert(snaps.size == 2,
+        s"one snapshot per batch expected, got ${snaps.size}")
+      // no intermediate state is addressable: every snapshot holds k=2
+      snaps.foreach { s =>
+        val at = IcebergTable.read(spark, base,
+          snapshotId = Some(s.snapshotId))
+          .collect().map(_.getLong(0)).toSet
+        assert(at.contains(2L), s"snapshot ${s.snapshotId} lost k=2: $at")
+      }
       // replay convergence: re-running the delete+append pair for a NEW
       // batch of the same key converges to that batch's row
       IcebergTable.deleteEquality(spark, base, Seq(2L).toDF("k"))
