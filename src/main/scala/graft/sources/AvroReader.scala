@@ -77,7 +77,7 @@ object AvroReader {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
     val confB = spark.sparkContext.broadcast(new SerializableHadoopConf(conf))
     val pairs = fieldNames.zip(fieldTypes) // hoisted off the per-row path
-    FileList.asDataset(spark, path, Set(".avro"))
+    FileList.asDataset(spark, files) // listed once, above
       .mapPartitions { paths =>
         // the broadcast session conf, NOT a bare Configuration(): an
         // s3a/hdfs path resolves on the driver but a credential-less

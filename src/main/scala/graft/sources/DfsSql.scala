@@ -103,7 +103,12 @@ object DfsSql {
         val in = fs.open(viewFile)
         val node = try new com.fasterxml.jackson.databind.ObjectMapper()
           .readTree(in) finally in.close()
-        return spark.sql(node.get("sql").asText())
+        // a corrupt/hand-edited view file must raise a DIAGNOSABLE error
+        // naming the file, not a bare NPE from node.get("sql")
+        val sqlNode = Option(node).flatMap(n => Option(n.get("sql")))
+          .filterNot(_.isNull).getOrElse(throw new IllegalArgumentException(
+            s"malformed view file (no \"sql\" field): $viewFile"))
+        return spark.sql(sqlNode.asText())
       }
       throw new IllegalArgumentException(s"dfs: no such file or directory: $path")
     }

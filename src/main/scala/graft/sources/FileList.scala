@@ -47,9 +47,14 @@ object FileList {
     * follows defaultParallelism for the same reason). Override with
     * `graft.filelist.parallelism`. */
   def asDataset(spark: SparkSession, path: String,
-                extensions: Set[String]): Dataset[String] = {
+                extensions: Set[String]): Dataset[String] =
+    asDataset(spark, resolve(spark, path, extensions))
+
+  /** Overload over an ALREADY-RESOLVED list: readers that list once for
+    * schema inference must not pay (and race against) a second full
+    * directory walk for the task list. */
+  def asDataset(spark: SparkSession, files: Seq[String]): Dataset[String] = {
     import spark.implicits._
-    val files = resolve(spark, path, extensions)
     val par = spark.conf.getOption("graft.filelist.parallelism").map(_.toInt)
       .getOrElse(spark.sparkContext.defaultParallelism)
     spark.createDataset(files).repartition(math.min(files.size, math.max(par, 1)))

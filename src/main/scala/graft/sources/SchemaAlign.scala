@@ -12,13 +12,20 @@ import org.apache.spark.sql.types.StructType
   * nulls out rather than lying. */
 private[graft] object SchemaAlign {
 
-  /** Index plan from `fileSchema` into `want`; None = identity. */
+  /** Index plan from `fileSchema` into `want`; None = identity.
+    * Name matching is exact-first, then CASE-INSENSITIVE — Spark's own
+    * resolution is case-insensitive by default, and a column spelled
+    * `ID` in one file and `id` in another silently nulled out under an
+    * exact-only lookup. */
   def plan(want: StructType, fileSchema: StructType): Option[Array[Option[Int]]] =
     if (fileSchema == want) None
     else Some(want.fields.map { f =>
-      fileSchema.fieldNames.indexOf(f.name) match {
+      val exact = fileSchema.fieldNames.indexOf(f.name)
+      val i = if (exact >= 0) exact
+              else fileSchema.fieldNames.indexWhere(_.equalsIgnoreCase(f.name))
+      i match {
         case -1 => None
-        case i if fileSchema.fields(i).dataType == f.dataType => Some(i)
+        case j if fileSchema.fields(j).dataType == f.dataType => Some(j)
         case _ => None // same name, different type: null out
       }
     })

@@ -49,18 +49,48 @@ object SnapshotTable {
     // errorifexists' pre-job existence check is not atomic, so two
     // concurrent writers could interleave part files into one v=N dir
     // that still earned a _SUCCESS. Losers advance to the next id.
+    // put-if-absent that is ATOMIC on the local fs too: hadoop's
+    // RawLocalFileSystem.create(overwrite=false) is exists-then-create
+    // (TOCTOU — two local writers could both claim one version), while
+    // NIO createFile is O_EXCL-atomic on POSIX. Remote filesystems keep
+    // hadoop create(false), which is atomic server-side (HDFS et al).
+    def putIfAbsent(p: Path): Boolean = f match {
+      case _: org.apache.hadoop.fs.LocalFileSystem =>
+        try {
+          java.nio.file.Files.createFile(
+            java.nio.file.Paths.get(p.toUri.getPath)); true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+          case _: java.io.IOException => false
+        }
+      case _ =>
+        try { f.create(p, false).close(); true }
+        catch { case _: java.io.IOException => false }
+    }
+    f.mkdirs(dir) // NIO createFile does not create parents
     var v = (taken :+ 0).max + 1
     var claimed = false
     var attempts = 0
     while (!claimed) {
       attempts += 1
       require(attempts <= 50, s"snapshot claim: gave up after 50 conflicts at $base")
-      try {
-        val os = f.create(new Path(dir, s".v=$v.claim"), false)
-        os.close(); claimed = true
-      } catch { case _: java.io.IOException => v = math.max(v + 1, (taken :+ 0).max + 1) }
+      if (putIfAbsent(new Path(dir, s".v=$v.claim"))) claimed = true
+      else v = math.max(v + 1, (taken :+ 0).max + 1)
     }
     df.write.mode("errorifexists").parquet(s"$base/v=$v")
+    // claim GC: a claim whose v=N DIRECTORY exists is spent — the dir
+    // itself keeps N in `taken`. Without this, long-lived tables accrue
+    // one marker per write forever (re-listed on every later conflict).
+    try {
+      val dirs = f.listStatus(dir).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("v=")).flatMap(_.stripPrefix("v=").toIntOption)
+        .toSet
+      f.listStatus(dir).toSeq.map(_.getPath)
+        .filter(p => p.getName.startsWith(".v=") && p.getName.endsWith(".claim"))
+        .filter(p => p.getName.stripPrefix(".v=").stripSuffix(".claim")
+          .toIntOption.exists(dirs.contains))
+        .foreach(p => f.delete(p, false))
+    } catch { case scala.util.control.NonFatal(_) => () } // GC is best-effort
     v
   }
 

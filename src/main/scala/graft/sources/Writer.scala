@@ -73,13 +73,14 @@ object Writer {
     // part- files): recursively deleting an arbitrary caller-supplied
     // path would destroy unrelated data beyond overwrite semantics.
     if (!spark.catalog.tableExists(table)) {
-      // db-qualified names live at <warehouse>/<db>.db/<table> — the
-      // flat guess missed them and the stale-dir cleanup never fired
-      val wh = spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
-      val loc = path.getOrElse(table.toLowerCase.split('.') match {
-        case Array(db, t) => s"$wh/$db.db/$t"
-        case _            => s"$wh/${table.toLowerCase}"
-      })
+      // the CATALOG's own location resolution, not a string guess: the
+      // guess missed default-db tables (stored FLAT at <wh>/<t>, not
+      // <wh>/default.db/<t>) and unqualified names after USE <db> —
+      // exactly the stale dirs this cleanup exists to clear
+      val loc = path.getOrElse {
+        val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+        spark.sessionState.catalog.defaultTablePath(ident).toString
+      }
       val p = new org.apache.hadoop.fs.Path(loc)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) {
@@ -120,12 +121,18 @@ object Writer {
     * Spark only auto-derives key=value partitions, so derive dirN from the
     * file path; the values come from the directory names, never the rows. */
   def withDirColumns(df: DataFrame, basePath: String, levels: Int = 2): DataFrame = {
-    val baseName = basePath.stripSuffix("/").split("/").last
-    // NON-greedy anchor: greedy ^.*/ matched through the LAST occurrence
-    // of the base name, so a partition value equal to the base dir name
-    // (base/2025/events/... under .../events) silently nulled dirN
-    val rel = regexp_replace(input_file_name(),
-      "^.*?/" + java.util.regex.Pattern.quote(baseName) + "/", "")
+    // Anchor on the FULL base path (URI-encoded, since input_file_name()
+    // returns an encoded URI): a leaf-name-only anchor broke BOTH ways —
+    // greedy matched through a partition value equal to the base name,
+    // non-greedy matched an ANCESTOR directory of the same name
+    // (/data/logs/logs) and shifted every dirN by one.
+    val encBase = new org.apache.hadoop.fs.Path(
+        basePath.stripSuffix("/")).toUri.toString
+      .replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
+    // strip any scheme from the runtime path the same way, then the base
+    val rel = regexp_replace(
+      regexp_replace(input_file_name(), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"),
+      "^" + java.util.regex.Pattern.quote(encBase) + "/", "")
     val parts = split(rel, "/")
     (0 until levels).foldLeft(df) { (d, i) =>
       // a path segment is a dir level only if a deeper segment follows it

@@ -62,6 +62,10 @@ object XlsxReader {
     val r = f.createXMLStreamReader(new ByteArrayInputStream(sheetBytes))
     var cells: mutable.ArrayBuffer[(Int, String)] = null
     var cellCol = -1
+    // ECMA-376 makes c/@r OPTIONAL (absent = next sequential column);
+    // minimal/streaming generators omit it — dropping those cells read
+    // a valid workbook as empty
+    var nextCol = 0
     var cellType = ""
     var inV = false
     var inIs = false
@@ -73,9 +77,10 @@ object XlsxReader {
     while (r.hasNext) {
       r.next() match {
         case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
-          case "row" => cells = mutable.ArrayBuffer.empty
+          case "row" => cells = mutable.ArrayBuffer.empty; nextCol = 0
           case "c" =>
-            cellCol = colIndex(attr(r, "r"))
+            cellCol = Option(attr(r, "r")).map(colIndex).getOrElse(nextCol)
+            nextCol = cellCol + 1
             cellType = Option(attr(r, "t")).getOrElse("")
           case "v" => inV = true; vText.clear()
           // rich-text inline strings hold MULTIPLE <r><t>run</t></r> runs
@@ -206,7 +211,7 @@ object XlsxReader {
 
   def read(spark: SparkSession, path: String): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val files = FileList.resolve(spark, path, Set(".xlsx"))
+    val files = FileList.resolve(spark, path, Set(".xlsx")) // listed ONCE
 
     // schema from the first workbook (driver-side, one small file)
     val (headers, firstRows) = {
@@ -225,16 +230,27 @@ object XlsxReader {
     // dropped fs credentials/endpoints (s3a etc.), same fix as
     // v2/PcapDataSource
     val sconf = new SerializableHadoopConf(conf)
-    FileList.asDataset(spark, path, Set(".xlsx"))
+    FileList.asDataset(spark, files)
       .mapPartitions { paths =>
         val conf2 = sconf.value
         paths.flatMap { f =>
           val fp = new Path(f)
           val in = fp.getFileSystem(conf2).open(fp)
-          val (_, rows) = try parseGrid(in) finally in.close()
+          val (fHeaders, rows) = try parseGrid(in) finally in.close()
+          // NAME alignment per file (the SchemaAlign contract): a later
+          // workbook whose column ORDER differs must map by header, not
+          // position — positional binding silently mis-assigned values.
+          // A header absent from this file null-fills; extra columns drop.
+          val idx: Array[Int] = headers.map { h =>
+            val exact = fHeaders.indexOf(h)
+            if (exact >= 0) exact
+            else fHeaders.indexWhere(_.equalsIgnoreCase(h))
+          }
           rows.iterator.map { r =>
-            Row.fromSeq((0 until width).map(i =>
-              cast(if (i < r.length) r(i) else null, types(i))))
+            Row.fromSeq((0 until width).map { i =>
+              val j = idx(i)
+              cast(if (j >= 0 && j < r.length) r(j) else null, types(i))
+            })
           }
         }
       }(enc).toDF(headers: _*)

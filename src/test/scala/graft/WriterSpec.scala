@@ -51,4 +51,18 @@ class WriterSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
     assert(got == Set((1L, "2024", "01"), (2L, "2024", "02")))
   }
+
+  test("dirN anchors on the FULL base path: an ancestor directory with " +
+      "the base's leaf name must not shift the levels") {
+    // .../logs/logs: a leaf-name-only anchor matched the OUTER /logs/
+    // and emitted dir0="logs" instead of the real first level
+    val outer = tmp("logs")
+    val base = s"$outer/logs"
+    src.filter(col("id") === 1).write.parquet(s"$base/2025/07")
+    val df = Writer.withDirColumns(
+      spark.read.option("recursiveFileLookup", "true").parquet(base), base)
+    val got = df.select("dir0", "dir1").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("2025", "07")), got)
+  }
 }
