@@ -122,6 +122,12 @@ object TemporalJoins {
     // merge_asof usage) — prev_ts already carries it, and a duplicate
     // struct field made every _m.prev_ts extraction ambiguous
     val pay = payload.filterNot(_ == rightTime)
+    // a payload column literally named "ts" (with a DIFFERENT right time
+    // column) would emit a second prev_ts — ambiguous in the struct AND
+    // in the output contract; refuse loudly rather than silently rename
+    require(!pay.contains("ts"),
+      "payload column 'ts' collides with the prev_ts output column — " +
+        "rename it on the right side first")
     // tie-break columns: ORDERABLE payload fields only (maps cannot be
     // sorted — ordering by the full payload struct failed analysis for
     // any map-typed payload column)
@@ -188,6 +194,9 @@ object TemporalJoins {
     requireSameKeyType(left, right, leftKey, rightKey)
     requireSameTimeClass(left, right, leftTime, rightTime)
     val pay = payload.filterNot(_ == rightTime) // next_ts carries it
+    require(!pay.contains("ts"),
+      "payload column 'ts' collides with the next_ts output column — " +
+        "rename it on the right side first")
     val payOrd = pay.filter(c => isOrderable(right.schema(c).dataType))
     val r = right.filter(col(rightTime).isNotNull).select(
       col(rightKey).as("_k"),

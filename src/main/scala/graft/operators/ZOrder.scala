@@ -40,16 +40,23 @@ object ZOrder {
       case TimestampNTZType =>
         unix_micros(col(c).cast(TimestampType)).cast("double")
       case StringType =>
-        // null guard is load-bearing: least() SKIPS nulls, so without
-        // it a NULL string folded to 255 per byte (the MAXIMUM key) and
-        // landed in the top bucket while bucketId's null branch (and
-        // null numerics) route to bucket 0
+        // first 7 UTF-8 BYTES folded big-endian (Delta's truncated-binary
+        // string ordering): the old per-CHAR fold clamped every
+        // codepoint > 255 to 255, so all non-Latin-1 strings collapsed
+        // onto one key and the column contributed ZERO z-order
+        // discrimination. Short strings zero-pad on the right
+        // (left-aligned), preserving lexicographic byte order; 7 bytes =
+        // 56 bits fits a signed long via conv(hex). NULL keeps the
+        // bucket-0 routing in bucketId (null key, not a max key).
         when(col(c).isNull, lit(null).cast("double")).otherwise(
-          aggregate(sequence(lit(1), lit(7)), lit(0L),
-            (acc, i) => acc * 256L +
-              coalesce(least(ascii(substring(col(c),
-                i.cast("int"), lit(1))), lit(255L)), lit(0L)))
-            .cast("double"))
+          org.apache.spark.sql.functions.conv(
+            org.apache.spark.sql.functions.hex(
+              substring(
+                org.apache.spark.sql.functions.concat(
+                  org.apache.spark.sql.functions.encode(col(c), "UTF-8"),
+                  lit(Array.fill[Byte](7)(0))),
+                1, 7)),
+            16, 10).cast("double"))
       case t => throw new IllegalArgumentException(
         s"zorder: column '$c' has unsupported type ${t.simpleString} " +
           "(numeric, string, date, timestamp supported)")

@@ -28,11 +28,17 @@ object Curate {
              trainPct: Int = 80, valPct: Int = 10,
              maxBucket: Int = 4096): DataFrame = {
     // narrow stages: redact + score + classify fuse into one projection
+    // (two stacked selects collapse under CSE). Scoring runs on the
+    // REDACTED text — the documented pipeline order: the shipped
+    // quality_bp must describe the shipped text column, and a doc whose
+    // content is mostly PII placeholders must face the quality floor AS
+    // ITS OUTPUT FORM, not as its raw form
     val scored = docs.select(
         col(idCol).as("doc_id"),
-        Scrub.redactPii(col(textCol)).as("text"),
-        TextAnalysis.qualityScoreBp(col(textCol)).as("quality_bp"),
-        TextAnalysis.languageId(col(textCol)).as("lang"))
+        Scrub.redactPii(col(textCol)).as("text"))
+      .select(col("doc_id"), col("text"),
+        TextAnalysis.qualityScoreBp(col("text")).as("quality_bp"),
+        TextAnalysis.languageId(col("text")).as("lang"))
       .filter(col("quality_bp") >= minQualityBp && col("lang") === keepLang)
 
     // exact dedup: one shuffle on the 64-bit content hash
@@ -65,18 +71,23 @@ object Curate {
     * for the dedup pipeline (its shuffles are inherent to the answer). */
   def funnel(docs: DataFrame, idCol: String, textCol: String,
              minQualityBp: Long = 3000, keepLang: String = "en",
-             nearDupThreshold: Double = 0.8): DataFrame = {
+             nearDupThreshold: Double = 0.8,
+             maxBucket: Int = 4096): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val q = TextAnalysis.qualityScoreBp(col(textCol))
-    val lang = TextAnalysis.languageId(col(textCol))
+    // the SAME text form curate() scores (post-redaction) and the SAME
+    // cap — an audit computed under different parameters than the
+    // shipped corpus reports counts for a corpus nobody produced
+    val red = Scrub.redactPii(col(textCol))
+    val q = TextAnalysis.qualityScoreBp(red)
+    val lang = TextAnalysis.languageId(red)
     val row = docs.agg(
       count(lit(1)).as("input"),
       count(when(q >= minQualityBp, 1)).as("quality_floor"),
       count(when(q >= minQualityBp && lang === keepLang, 1)).as("language"))
       .collect()(0)
     val kept = curate(docs, idCol, textCol, minQualityBp, keepLang,
-      nearDupThreshold).count()
+      nearDupThreshold, maxBucket = maxBucket).count()
     Seq(
       ("input", row.getLong(0)),
       ("quality_floor", row.getLong(1)),

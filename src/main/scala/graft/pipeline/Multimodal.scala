@@ -121,8 +121,13 @@ object Multimodal {
                 if (frames >= 0 && fmt.getFrameRate > 0)
                   (frames * 1000.0 / fmt.getFrameRate).toLong
                 else null
-              Seq(fmt.getSampleRate.toInt, fmt.getChannels,
-                fmt.getSampleSizeInBits, durMs, meanAbs(ais.readAllBytes(), fmt))
+              // AudioFormat reports NOT_SPECIFIED (-1) for unknown
+              // fields — surface null, not -1-as-a-value (the durMs
+              // branch above already honors the same contract)
+              def orNull(v: Int): Any = if (v >= 0) v else null
+              Seq(orNull(fmt.getSampleRate.toInt), orNull(fmt.getChannels),
+                orNull(fmt.getSampleSizeInBits), durMs,
+                meanAbs(ais.readAllBytes(), fmt))
             } finally ais.close()
           } catch { // UnsupportedAudioFileException, truncated RIFF, ...
             case scala.util.control.NonFatal(_) => Seq(null, null, null, null, null)
@@ -209,6 +214,9 @@ object Multimodal {
     * batches — the scale shape is the same map-only scan as
     * [[decodeImage]], fanned out per frame. */
   def decodeVideo(media: DataFrame, maxFrames: Int = 32): DataFrame = {
+    require(maxFrames > 0,
+      s"decodeVideo: maxFrames must be positive, got $maxFrames " +
+        "(0 would silently drop every decodable video's rows)")
     val outSchema = StructType(media.schema.fields ++ Seq(
       StructField("frame_idx", IntegerType, nullable = true),
       StructField("frame_ms", LongType, nullable = true),
@@ -262,6 +270,8 @@ object Multimodal {
     * distributed plumbing (mapPartitions over binary batches, output
     * schema, partition sizing) is fully exercised. */
   def decodeImageFeatures(media: DataFrame, featureDim: Int = 8): DataFrame = {
+    require(featureDim > 0,
+      s"decodeImageFeatures: featureDim must be positive, got $featureDim")
     val spark = media.sparkSession
     val outSchema = StructType(media.schema.fields :+
       StructField("features", ArrayType(DoubleType), nullable = true))

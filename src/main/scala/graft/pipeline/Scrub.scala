@@ -11,17 +11,21 @@ import org.apache.spark.sql.functions._
   */
 object Scrub {
 
-  /** PII patterns, ordered: email before phone (an email's digits must
-    * not half-match the phone rule), IP last (safe either way). The
-    * character classes are deliberately RE2-compatible so any engine can
-    * run the same rules. */
+  /** PII patterns, applied email -> IP -> phone: email first (an
+    * email's digits must not half-match the phone rule), IP before
+    * phone (an IPv4 literal must become [IP], not half-match a
+    * dot-separated phone). The character classes are deliberately
+    * RE2-compatible so any engine can run the same rules. */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   // Covers the common shapes: "+1 555 1234", "(555) 123-4567",
-  // "123-456-7890", "555 123 4567". Over-matching (e.g. ISBN-like digit
-  // runs) errs toward redaction — the safe direction at a trust
-  // boundary; the old 1-2-digit-lead rule let "(555) 123-4567" through
-  // entirely and left "123-456-7890" half-redacted.
-  val PhoneRe = "\\+?\\(?[0-9]{1,3}\\)?[- ][0-9]{3}[- ]?[0-9]{3,4}([- ][0-9]{1,4})?"
+  // "123-456-7890", "555 123 4567", "555.123.4567" (dot separators —
+  // dates/versions don't fit the 1-3 / 3 / 3-4 digit-group shape, and
+  // real IPv4 literals are already [IP] by the time this rule runs).
+  // Over-matching (e.g. ISBN-like digit runs) errs toward redaction —
+  // the safe direction at a trust boundary. Deliberately NOT matched:
+  // bare 10-digit runs ("5551234567") — order ids/timestamps collide
+  // too often for a trust-boundary default.
+  val PhoneRe = "\\+?\\(?[0-9]{1,3}\\)?[-. ][0-9]{3}[-. ]?[0-9]{3,4}([-. ][0-9]{1,4})?"
   val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
 
   /** Replace emails, phone numbers, and IPv4 literals with typed
@@ -146,12 +150,18 @@ object Scrub {
   /** URL-level dedup audit over canonical keys: how many raw variants
     * collapsed onto each canonical URL, keeping the smallest id — one
     * shuffle on the canonical string (at crawl scale, hash it first the
-    * same way chunkDupStats does). */
-  def urlDupStats(docs: DataFrame, idCol: String, urlCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
+    * same way chunkDupStats does). Default returns EVERY canonical URL
+    * (the full keeper map — what a crawl dedup actually applies);
+    * `onlyDups = true` restricts to collapsed groups, the
+    * chunkDupStats-shaped audit view. */
+  def urlDupStats(docs: DataFrame, idCol: String, urlCol: String,
+                  onlyDups: Boolean = false): DataFrame = {
+    val stats = docs.select(col(idCol).as("doc_id"),
         canonicalizeUrl(col(urlCol)).as("canon_url"))
       .groupBy("canon_url")
       .agg(count(lit(1)).as("n_variants"), min("doc_id").as("keeper_doc"))
+    if (onlyDups) stats.filter(col("n_variants") > 1) else stats
+  }
 
   /** Gopher-style document quality rules (the published heuristic
     * filter family: word-count window, mean-word-length window, symbol
