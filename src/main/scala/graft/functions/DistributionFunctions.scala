@@ -26,11 +26,13 @@ object DistributionFunctions {
                  xCol: String, yCol: String): DataFrame = {
     val base = df.select(col(groupCol).as("g"), col(idCol).as("i"),
       col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
-      // null x/y rows drop FIRST (scipy/pandas posture): they used to
-      // count in the n_pairs denominator while contributing to neither
-      // C nor D, deflating tau by the null-pair fraction. Groups left
-      // with <2 valid rows emit no row (tau undefined).
-      .filter(col("x").isNotNull && col("y").isNotNull)
+      // null AND NaN x/y rows drop FIRST (scipy/pandas posture): either
+      // used to count in the n_pairs denominator while contributing to
+      // neither C nor D (every NaN comparison is false), deflating tau
+      // by the bad-pair fraction. Groups left with <2 valid rows emit
+      // no row (tau undefined).
+      .filter(col("x").isNotNull && col("y").isNotNull &&
+        !isnan(col("x")) && !isnan(col("y")))
     base.as("a").join(base.as("b"),
         col("a.g") === col("b.g") && col("a.i") < col("b.i"))
       .groupBy(col("a.g").as(groupCol))
@@ -48,12 +50,17 @@ object DistributionFunctions {
   /** time_bucket(epochMs, intervalMs): floor to the interval start, in ms
     * (Drill TimeBucketFunctions.java time_bucket). Integer floor-div only —
     * no double detour, portable to any engine. */
+  // % (toward-zero remainder), NOT pmod: the reference computes
+  // `timestamp - (timestamp % interval)` (TimeBucketFunctions.java:66,
+  // Java %), so pre-1970 negative epochs bucket TOWARD ZERO — the pmod
+  // floor put them one bucket lower than Drill (and than the gate's
+  // DuckDB oracle, whose % has the same sign-of-dividend semantics).
   def timeBucketMs(epochMs: Column, intervalMs: Column): Column =
-    (epochMs - pmod(epochMs, intervalMs))
+    (epochMs - epochMs % intervalMs)
 
   /** time_bucket_ns: same, nanosecond inputs (Drill time_bucket_ns). */
   def timeBucketNs(epochNs: Column, intervalNs: Column): Column =
-    (epochNs - pmod(epochNs, intervalNs))
+    (epochNs - epochNs % intervalNs)
 
   /** punctuation_pattern(s): strip alphanumerics, map spaces to '_' — the
     * log-template shape extractor from Drill's threat-hunting pack. */

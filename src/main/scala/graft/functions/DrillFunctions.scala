@@ -27,22 +27,38 @@ object DrillFunctions {
     call_function("ilike", c, lit(pattern))
 
   // ---- regex (Drill RegexpUtil / SqlPattern*) ----
-  def regexpMatches(c: Column, pattern: String): Column = c.rlike(pattern)
+  /** FULL-STRING anchored, like the reference: Drill's regexp_matches
+    * runs matcher.matches() (StringFunctions.java RegexpMatches), not a
+    * substring find — an unanchored rlike returned true for any
+    * substring hit. Same anchoring recipe as [[similarTo]]. */
+  def regexpMatches(c: Column, pattern: String): Column =
+    c.rlike("\\A(?:" + pattern + ")\\z")
   def regexpReplace(c: Column, p: String, r: String): Column =
     regexp_replace(c, p, r)
   def regexpExtractAll(c: Column, p: String): Column =
     call_function("regexp_extract_all", c, lit(p))
 
   // ---- math (Drill MathFunctions.java) ----
-  /** Drill TRUNC(x, n): truncate toward zero at n decimal places. */
+  /** Drill TRUNC(x, n): truncate toward zero at n decimal places —
+    * BigDecimal.setScale(n, DOWN) semantics via EXACT decimal
+    * arithmetic: the old double multiply turned 0.29*100 into
+    * 28.999... (emitting 0.28) and overflowed the ANSI long cast on
+    * values past 2^63/10^n. Decimal(38,12) bounds the representable
+    * input at ~1e26 — beyond any double's meaningful decimal places. */
   def truncTo(c: Column, n: Int): Column = {
-    val f = math.pow(10, n)
-    (c * f).cast("long").cast("double") / f
+    val d = c.cast(org.apache.spark.sql.types.DecimalType(38, 12))
+    val f = lit(java.math.BigDecimal.TEN.pow(n))
+    (when(c >= 0, floor(d * f)).otherwise(ceil(d * f)) / f).cast("double")
   }
 
   // ---- date/time (Drill DateTypeFunctions.java, LastDayFunction.java) ----
   def lastDay(c: Column): Column = last_day(c)
-  def age(a: Column, b: Column): Column = datediff(a, b)
+  /** Drill AGE(t1, t2): a full INTERVAL with sub-day precision —
+    * timestamp subtraction yields Spark's DayTimeIntervalType (the old
+    * datediff binding rounded every sub-day duration to whole calendar
+    * days). Date inputs promote to midnight timestamps first. */
+  def age(a: Column, b: Column): Column =
+    a.cast("timestamp") - b.cast("timestamp")
   def dateTruncMonth(c: Column): Column = trunc(c, "month")
 
   // ---- hash (Drill Hash64Functions.java, XXHash.java, MurmurHash3.java) ----
@@ -63,10 +79,13 @@ object DrillFunctions {
   /** Drill kvgen(map) — map column to rows of (key, value) happens via
     * explode at the DataFrame level; this builds the map from a JSON
     * string column (Drill's convert_from(json)). */
+  /** Parity note: matches the SQL-side convert_from(x,'JSON')
+    * registration (map<string,string>) — a bigint-valued variant nulled
+    * every non-integer value and disagreed with the SQL surface. */
   def convertFromJsonMap(c: Column): Column =
     from_json(c, org.apache.spark.sql.types.MapType(
       org.apache.spark.sql.types.StringType,
-      org.apache.spark.sql.types.LongType))
+      org.apache.spark.sql.types.StringType))
   def convertToJson(c: Column): Column = to_json(c)
 
   /** Drill typeof() — runtime type name of a column value. */

@@ -119,8 +119,16 @@ object NetworkFunctions {
   def broadcastAddress(cidr: Column): Column = inetNtoa(broadcastAddressNum(cidr))
 
   /** First / last usable host address (network+1 / broadcast-1). */
-  def lowAddress(cidr: Column): Column = inetNtoa(networkAddressNum(cidr) + 1)
-  def highAddress(cidr: Column): Column = inetNtoa(broadcastAddressNum(cidr) - 1)
+  // /31 and /32 have NO usable hosts: SubnetUtils (Drill's engine,
+  // host-exclusive default) returns "0.0.0.0" for both ends — the
+  // unguarded network+1 / broadcast-1 emitted two plausible-looking
+  // addresses OUTSIDE the block with high below low
+  def lowAddress(cidr: Column): Column =
+    when(cidrPrefix(cidr) >= 31, lit("0.0.0.0"))
+      .otherwise(inetNtoa(networkAddressNum(cidr) + 1))
+  def highAddress(cidr: Column): Column =
+    when(cidrPrefix(cidr) >= 31, lit("0.0.0.0"))
+      .otherwise(inetNtoa(broadcastAddressNum(cidr) - 1))
 
   /** Usable host count, 2^(32-prefix) - 2 (0 for /31 and /32, like
     * SubnetUtils' host-exclusive default). */

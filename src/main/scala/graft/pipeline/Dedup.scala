@@ -30,9 +30,12 @@ object Dedup {
     // a group whose every id is null would otherwise emit one all-null
     // row (null struct access) where the previous agg+semi-join
     // spelling — min(id) null, join misses — emitted nothing.
-    val hashed = docs.filter(col(idCol).isNotNull).withColumn("content_hash", h)
-    val cols = hashed.columns
-    hashed.groupBy(col("content_hash").as("__ch"))
+    val hashed = docs.filter(col(idCol).isNotNull).withColumn("__g_ch", h)
+    // output keeps the INPUT schema — the old spelling leaked the
+    // internal content_hash column into every caller's schema (and
+    // silently collided with a real column of that name)
+    val cols = docs.columns
+    hashed.groupBy(col("__g_ch"))
       .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("__keep"))
       .select(cols.map(c => col(s"__keep.$c").as(c)): _*)
   }
@@ -202,6 +205,14 @@ object Dedup {
     // copies, where band-join work is QUADRATIC in cluster size):
     // banding + verification run once per unique set; doc pairs expand
     // back afterwards. Within-group pairs have jaccard exactly 1.
+    //
+    // HONEST BOUND on the expansion: the maxBucket cap bounds the
+    // BAND-JOIN work, but the final pair EXPANSION is inherently
+    // C(cluster, 2) in exact-copy cluster size — listing all pairs of a
+    // 10^6-copy page IS ~5*10^11 output rows no matter the plan. When
+    // the pair list itself is the bottleneck, the linear-output tools
+    // are [[dupComponents]] / [[dedupCanonical]] (cluster -> canonical
+    // mapping) or [[exact]] first (drop exact copies before banding).
     // The balanced() wrappers are exchange-reuse points: keyed feeds four
     // references and reps two -- each computes once, not once per branch.
     // (setkey = hash of the sorted token-hash array -- same token SET <=>
@@ -256,8 +267,14 @@ object Dedup {
                     numHashes: Int = 128, bands: Int = 32,
                     threshold: Double = 0.8,
                     maxBucket: Int = 4096): DataFrame = {
-    val ta = tokenized(corpus, idCol, textCol)
-    val tb = tokenized(reference, idCol, textCol)
+    // blank/null token sets must not reach pair generation (the
+    // minhashNearDups invariant): every empty th shares the kernel's
+    // sentinel signature and every NULL th shares each band's bare
+    // xxhash64(b) key, so unfiltered blanks collide corpus x reference
+    // in ALL bands — wasted candidate joins, and at threshold 0.0 even
+    // emitted pairs the batch op would never produce
+    val ta = tokenized(corpus, idCol, textCol).filter(size(col("th")) > 0)
+    val tb = tokenized(reference, idCol, textCol).filter(size(col("th")) > 0)
     val ba = bandedIdsFrom(ta, numHashes, bands, maxBucket).select("band", "id")
     val bb = bandedIdsFrom(tb, numHashes, bands, maxBucket).select("band", "id")
     val cand = ba.as("a").join(bb.as("b"), col("a.band") === col("b.band"))
@@ -328,7 +345,12 @@ object Dedup {
     }
     val exists = fs.exists(paramsPath)
     if (exists) validatePin()
-    val toksNew = tokenized(docs, idCol, textCol).localCheckpoint()
+    // blank/null token sets stay OUT of the index (the minhashNearDups
+    // invariant): stored junk (band,id) rows would re-join every future
+    // batch's blanks forever, and at threshold 0.0 break the index's
+    // spec-asserted equivalence with the batch op
+    val toksNew = tokenized(docs, idCol, textCol)
+      .filter(size(col("th")) > 0).localCheckpoint()
     // the index stores UNCAPPED (band, id) rows; the per-band skew cap
     // is applied at query time over the ACCUMULATED table (old ∪ new,
     // row_number by id — the identical window the batch path plans), so
@@ -436,7 +458,23 @@ object Dedup {
             java.nio.file.Paths.get(tmp.toUri.getPath))
           true
         } catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      } else !fs.exists(dst) && fs.rename(tmp, dst)
+      } else {
+        // non-local: exists+rename is CHECK-THEN-ACT — atomic on HDFS
+        // (rename fails on an existing dst) but NOT on object stores
+        // (copy+delete; two "winners" possible, last PUT survives). A
+        // READBACK verify closes that hole under read-after-write
+        // consistency: only the writer whose bytes actually survived
+        // claims the win; the other retries at the next version, so no
+        // committed batch ever silently drops off the list.
+        val renamed = !fs.exists(dst) && fs.rename(tmp, dst)
+        renamed && {
+          val in = fs.open(dst)
+          val back =
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          back == json
+        }
+      }
     // on a successful rename the tmp is consumed; delete is a no-op then
     fs.delete(tmp, false)
     won
@@ -596,12 +634,21 @@ object Dedup {
   }
 
   /** Drop every corpus doc that near-duplicates the reference set (the
-    * decontaminated training corpus). */
+    * decontaminated training corpus). The banding parameters and the
+    * skew cap are EXPOSED: eval hygiene is the one place a silent
+    * cap-induced recall loss is unacceptable — a caller protecting a
+    * benchmark should raise (or effectively disable) `maxBucket` and
+    * accept the skewed-bucket cost, and can tighten banding for
+    * higher-recall candidate generation. Defaults match
+    * [[crossNearDups]]. */
   def decontaminate(corpus: DataFrame, reference: DataFrame,
                     idCol: String, textCol: String,
-                    threshold: Double = 0.8): DataFrame = {
+                    threshold: Double = 0.8,
+                    numHashes: Int = 128, bands: Int = 32,
+                    maxBucket: Int = 4096): DataFrame = {
     val contaminated = crossNearDups(corpus, reference, idCol, textCol,
-        threshold = threshold)
+        numHashes = numHashes, bands = bands, threshold = threshold,
+        maxBucket = maxBucket)
       .select(col("id_a").as(idCol)).distinct()
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
@@ -771,7 +818,8 @@ object Dedup {
     * blocks over a 64-bit signature, 262,144 buckets, skew cap) for
     * anything beyond ~10^5 docs. */
   def simhashPortableNearDups(docs: DataFrame, idCol: String, textCol: String,
-                              maxHamming: Int = 3): DataFrame = {
+                              maxHamming: Int = 3,
+                              maxBucket: Int = Int.MaxValue): DataFrame = {
     // pigeonhole bound of 4-block blocking: a pair differing in all four
     // blocks (hamming >= 4) may never share a bucket — silently lost
     // recall, so refuse like simhashNearDups64 does
@@ -781,14 +829,20 @@ object Dedup {
     // partition, serializing the (much larger) block join + hamming
     // verification behind it; an explicit round-robin keeps 32-way.
     val sigs = graft.GraftSession.balanced(simhashPortable32(docs, idCol, textCol))
-    val blocks = sigs.withColumn("blk", explode(array(
+    // per-block skew cap — see simhashNearDups
+    val blocks0 = sigs.withColumn("blk", explode(array(
       (0 until 4).map(i => concat_ws("_", lit(i),
         shiftright(col("sig"), i * 8).bitwiseAND(0xFFL))): _*)))
+    val blocks =
+      if (maxBucket == Int.MaxValue) blocks0
+      else blocks0.withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("blk").orderBy("id")))
+        .filter(col("__rn") <= maxBucket).drop("__rn")
     val pairs = blocks.as("a").join(blocks.as("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sig").as("sh_a"), col("b.sig").as("sh_b"))
-      .dropDuplicates("id_a", "id_b")
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(first(col("a.sig")).as("sh_a"), first(col("b.sig")).as("sh_b"))
     pairs.withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
@@ -904,21 +958,31 @@ object Dedup {
     * within hamming distance <=3 shares at least one sub-key), then verify
     * true hamming distance <= maxHamming. */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 3): DataFrame = {
+                      maxHamming: Int = 3,
+                      maxBucket: Int = Int.MaxValue): DataFrame = {
     // pigeonhole bound of 4-block blocking: a pair differing in all four
     // blocks (hamming >= 4) may never share a bucket — silently lost
     // recall, so refuse like simhashNearDups64 does
     require(maxHamming <= 3,
       s"4-block simhash blocking guarantees recall only for maxHamming <= 3, got $maxHamming")
     val sigs = graft.GraftSession.balanced(simhash(docs, idCol, textCol))
-    val blocks = sigs.withColumn("blk", explode(array(
+    // per-block skew cap (the simhashNearDups64 invariant): a mass
+    // duplicate — including blank docs, whose identical signature shares
+    // all 4 block keys — must not make the block self-join quadratic
+    val blocks0 = sigs.withColumn("blk", explode(array(
       (0 until 4).map(i => concat_ws("_", lit(i),
         shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL))): _*)))
+    val blocks =
+      if (maxBucket == Int.MaxValue) blocks0
+      else blocks0.withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("blk").orderBy("id")))
+        .filter(col("__rn") <= maxBucket).drop("__rn")
     val pairs = blocks.as("a").join(blocks.as("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
-      .dropDuplicates("id_a", "id_b")
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(first(col("a.simhash")).as("sh_a"),
+        first(col("b.simhash")).as("sh_b"))
     pairs.withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
@@ -1036,6 +1100,14 @@ object Dedup {
     // its advisory sizing interacted with the loop as round-wall
     // variance in the r8 artifact. Pin it off for the loop, restore on
     // exit.
+    //
+    // MULTI-TENANCY caveat (documented, not guarded): these are
+    // SESSION-scoped confs — a concurrent query on the SAME SparkSession
+    // plans its shuffles under the loop's sizing for the loop's
+    // duration. Run dupComponents on its own session
+    // (spark.newSession()) when sharing a long-lived session with other
+    // work; per-frame repartition() cannot replace the pin because the
+    // window/agg exchanges inside each round read the session conf.
     val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
     val prevCoalesce = spark.conf.getOption(coalesceKey)
     spark.conf.set(coalesceKey, "false")

@@ -71,8 +71,9 @@ object Similarity {
         corpus.select(col(idCol).as("id"), col(vecCol).as("v")))
       .withColumn("blk", pmod(xxhash64(col("id")), lit(numBlocks)).cast("int"))
       .withColumn("pj", explode(sequence(lit(0), lit(numBlocks - 1))))
-      .withColumn("bkey",
-        concat_ws("_", least(col("blk"), col("pj")), greatest(col("blk"), col("pj"))))
+      .withColumn("bkey", // packed long, not a string (join-key cost)
+        least(col("blk"), col("pj")).cast("long") * numBlocks +
+          greatest(col("blk"), col("pj")))
     // same-block pairs are present in every bucket the block touches; score
     // them only in the diagonal bucket (pj == blk) to avoid duplicates.
     val pairs = rep.as("a").join(rep.as("b"),
@@ -125,11 +126,22 @@ object Similarity {
           "null/NaN elements — clean or filter the vector column first")))
       .otherwise(vec)
     val bitCols = (0 until bits).map { b =>
-      // pseudo-random +-1 weights per (table, bit, dimension), from a hash
+      // pseudo-random +-1 weights per (table, bit, dimension). The
+      // weights are DATA-INDEPENDENT, so they are evaluated ONCE on the
+      // driver (the same foldable xxhash64 expression — signatures are
+      // bit-identical to the per-row form) and embedded as a literal
+      // array: the old in-lambda hash ran ~dim*bits*tables xxhash64
+      // calls PER CORPUS ROW inside interpreted HOFs (the
+      // Dedup.tokenHashes lesson, one level up).
+      val signs: Seq[Double] = (0 until dim).map { i =>
+        import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+        val h = new XxHash64(Seq(Literal(table), Literal(b), Literal(i)))
+          .eval(null).asInstanceOf[Long]
+        if (h % 2 == 0) 1.0 else -1.0
+      }
       val proj = aggregate(
-        zip_with(checked, sequence(lit(0), lit(dim - 1)), (x, i) =>
-          x.cast("double") *
-            when(pmod(xxhash64(lit(table), lit(b), i), lit(2)) === 0, 1.0).otherwise(-1.0)),
+        zip_with(checked, org.apache.spark.sql.functions.typedlit(signs),
+          (x, w) => x.cast("double") * w),
         lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
     }
@@ -141,8 +153,11 @@ object Similarity {
     * Recall for cosine s with T tables of b bits: 1-(1-p^b)^T, p = 1 -
     * acos(s)/pi. E.g. s=0.95, b=8, T=12 => recall ~0.999. */
   def lshTableKeys(vec: Column, dim: Int, bits: Int, tables: Int): Column =
+    // packed LONG keys ((table << bits) | signature): the candidate join
+    // processes ~10x the pair count, and long keys beat strings on hash,
+    // compare, and wire size (the Dedup.lshBandKeys lesson)
     array((0 until tables).map { t =>
-      concat_ws("_", lit(t), hyperplaneSignature(vec, dim, bits, t))
+      lit(t.toLong << bits).bitwiseOR(hyperplaneSignature(vec, dim, bits, t))
     }: _*)
 
   /** LSH-bucketed ANN, multi-table: candidates = vectors colliding with
@@ -158,10 +173,14 @@ object Similarity {
       .withColumn("bucket", explode(lshTableKeys(col("cvec"), dim, bits, tables)))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
       .withColumn("bucket", explode(lshTableKeys(col("qvec"), dim, bits, tables)))
+    // a pair may collide in several tables: pair-dedup as a map-side-
+    // combinable groupBy (first(vec) rides along) rather than
+    // dropDuplicates over rows carrying two full embedding vectors —
+    // the duplicate collisions combine BEFORE the exchange
     val cand = c.join(broadcast(q), Seq("bucket"))
       .filter(col("cid") =!= col("qid"))
-      .select("qid", "qvec", "cid", "cvec")
-      .dropDuplicates("qid", "cid") // a pair may collide in several tables
+      .groupBy("qid", "cid")
+      .agg(first(col("qvec")).as("qvec"), first(col("cvec")).as("cvec"))
     val scored = cand.select(col("qid").as("query_id"), col("cid").as("neighbor_id"),
       round(cosine(col("qvec"), col("cvec")), 6).as("cos_sim"))
     val w = Window.partitionBy("query_id")
@@ -372,9 +391,11 @@ object Similarity {
       .withColumn("bucket", explode(lshTableKeys(col("v"), dim, bits, tables)))
     withSig.as("a").join(withSig.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.v").as("va"), col("b.v").as("vb"))
-      .dropDuplicates("id_a", "id_b")
+      // pair-dedup as a map-side-combinable groupBy, not dropDuplicates
+      // over rows carrying two full vectors: multi-table collisions
+      // combine BEFORE the heaviest exchange in the op
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(first(col("a.v")).as("va"), first(col("b.v")).as("vb"))
       .withColumn("cs_raw", cosine(col("va"), col("vb")))
       .filter(col("cs_raw") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cs_raw"), 6).as("cos_sim"))

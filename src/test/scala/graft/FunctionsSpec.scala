@@ -29,6 +29,53 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getDouble(1) == -2.71) // toward zero, NOT floor
   }
 
+  test("truncTo is decimal-exact and overflow-safe (setScale DOWN)") {
+    import spark.implicits._
+    // 0.29 * 100 = 28.999... in doubles: the old long-cast emitted 0.28
+    val df = Seq((0.29, 1.0e19)).toDF("x", "big")
+    val r = df.select(
+      DrillFunctions.truncTo(col("x"), 2).as("tx"),
+      DrillFunctions.truncTo(col("big"), 2).as("tb")).collect()(0)
+    assert(r.getDouble(0) == 0.29, s"double-multiply drift: ${r.getDouble(0)}")
+    assert(r.getDouble(1) == 1.0e19) // old (x*100).cast(long) threw under ANSI
+  }
+
+  test("regexpMatches is FULL-STRING anchored like Drill's matcher.matches()") {
+    import spark.implicits._
+    val df = Seq(("abcdef", "10.0.0.99")).toDF("s", "ip")
+    val r = df.select(
+      DrillFunctions.regexpMatches(col("s"), "cde").as("sub"),
+      DrillFunctions.regexpMatches(col("s"), "abc.*").as("full"),
+      DrillFunctions.regexpMatches(col("ip"), "10\\..*").as("ipm")).collect()(0)
+    assert(!r.getBoolean(0), "substring hit must NOT match (anchored)")
+    assert(r.getBoolean(1) && r.getBoolean(2))
+  }
+
+  test("timeBucket truncates toward zero for pre-1970 epochs (reference %)") {
+    import spark.implicits._
+    val df = Seq((-1000L, 55L)).toDF("neg", "pos")
+    val r = df.select(
+      graft.functions.DistributionFunctions
+        .timeBucketMs(col("neg"), lit(600000L)).as("nb"),
+      graft.functions.DistributionFunctions
+        .timeBucketMs(col("pos"), lit(10L)).as("pb")).collect()(0)
+    assert(r.getLong(0) == 0L, s"Java %: -1000 - (-1000 % 600000) = 0, got ${r.getLong(0)}")
+    assert(r.getLong(1) == 50L)
+  }
+
+  test("low/highAddress return 0.0.0.0 on /31 and /32 (no usable hosts)") {
+    import spark.implicits._
+    import graft.functions.NetworkFunctions._
+    val df = Seq(("1.2.3.4/32", "1.2.3.4/31", "10.0.0.0/24"))
+      .toDF("c32", "c31", "c24")
+    val r = df.select(lowAddress(col("c32")), highAddress(col("c32")),
+      lowAddress(col("c31")), highAddress(col("c31")),
+      lowAddress(col("c24")), highAddress(col("c24"))).collect()(0)
+    assert(r.getString(0) == "0.0.0.0" && r.getString(1) == "0.0.0.0")
+    assert(r.getString(2) == "0.0.0.0" && r.getString(3) == "0.0.0.0")
+    assert(r.getString(4) == "10.0.0.1" && r.getString(5) == "10.0.0.254")
+  }
+
   test("context functions expose session identity (SURVEY row 57)") {
     val r = spark.range(1).select(ContextFunctions.contextRow(spark): _*)
       .collect()(0)
