@@ -33,7 +33,11 @@ object Bench {
     // round 10: quality-classifier training (3 distributed gradient
     // iterations — the round's new iterative-model plan family) and the
     // Delta column-mapping id-mode read (field-id scan path)
-    "q_quality_clf", "q_delta_colmap_id")
+    "q_quality_clf", "q_delta_colmap_id",
+    // round 11: multi-class softmax classifier (K× the quality
+    // classifier's per-iteration join fan-out — the heaviest iterative
+    // plan in the library)
+    "q_lang_clf")
 
   val Reps = 3
 
@@ -347,11 +351,21 @@ object Bench {
       if (sys.env.getOrElse("SPARK_GRAFT_SF1", "1") == "0") "null"
       else try {
         val sf1Dir = ensureSf1(spark, sfDir)
-        // bracket the TIER itself (not just the whole bench): the r9
-        // window's contention RAMPED mid-run, and whole-bench brackets
-        // averaged it away exactly where the heavyweight tier ran
-        val tierCalibPar0 = calibProbePar()
-        val tierBw0 = bwProbe()
+        // bracket EVERY QUERY, not just the tier: the r10 window's
+        // tier-level brackets read clean while q_dsir tripled its
+        // cpu_s MID-tier — per-query brackets attribute co-tenancy to
+        // the query it actually hit. One probe between consecutive
+        // queries serves as both "after" and "before" (~1.5 s each,
+        // N+1 probes total, outside all query timings); the tier-level
+        // fields below remain the first/last probes for round-over-
+        // round continuity.
+        val probes = scala.collection.mutable.ArrayBuffer[(Double, Double, Double)]()
+        def tierProbe(): Unit = {
+          val c = calibProbePar()
+          val (bs, bp) = bwProbe()
+          probes += ((c, bs, bp))
+        }
+        tierProbe()
         val rs = heavyweight.map { name =>
           val runs = (1 to Sf1Reps).map { _ =>
             val cpu0 = TaskCpuListener.cpuNs.get
@@ -375,11 +389,12 @@ object Bench {
                 s""""round_wall":${s.roundWallSec.map(w => f"$w%.3f")
                   .mkString("[", ",", "]")}}""").getOrElse("")
           else ""
+          tierProbe()
           (name, runs.map(_._1), runs.forall(_._2), cc, runs.map(_._3),
             runs.map(_._4))
         }
-        val tierCalibPar1 = calibProbePar()
-        val tierBw1 = bwProbe()
+        val (tierCalibPar0, tierBw0) = (probes.head._1, (probes.head._2, probes.head._3))
+        val (tierCalibPar1, tierBw1) = (probes.last._1, (probes.last._2, probes.last._3))
         val q1 = rs.map { case (k, vs, _, _, _, _) => "\"" + k + "\":" + f"${vs.min}%.3f" }
           .mkString("{", ",", "}")
         val runs1 = rs.map { case (k, vs, _, _, _, _) =>
@@ -394,11 +409,21 @@ object Bench {
           "\"" + k + "\":" + cs.map(c => f"$c%.1f").mkString("[", ",", "]") }
           .mkString("{", ",", "}")
         val ccJson = rs.map(_._4).filter(_.nonEmpty).mkString
+        // per-query [before, after] probe brackets — co-tenancy that
+        // ramps mid-tier attributes to the query it hit
+        val cpBrackets = heavyweight.zipWithIndex.map { case (k, i) =>
+          "\"" + k + "\":[" + f"${probes(i)._1}%.3f" + "," +
+            f"${probes(i + 1)._1}%.3f" + "]" }.mkString("{", ",", "}")
+        val bwBrackets = heavyweight.zipWithIndex.map { case (k, i) =>
+          "\"" + k + "\":[" + f"${probes(i)._3}%.3f" + "," +
+            f"${probes(i + 1)._3}%.3f" + "]" }.mkString("{", ",", "}")
         s"""{"total":${f"${rs.map(_._2.min).sum}%.3f"},"queries":$q1,""" +
           s""""runs":$runs1,"ok":$ok1,"eff_par":$ep1,"cpu_s":$cs1,""" +
           s""""calib_par_sec":[${f"$tierCalibPar0%.3f"},${f"$tierCalibPar1%.3f"}],""" +
           s""""bw_sec":[${f"${tierBw0._1}%.3f"},${f"${tierBw1._1}%.3f"}],""" +
           s""""bw_par_sec":[${f"${tierBw0._2}%.3f"},${f"${tierBw1._2}%.3f"}],""" +
+          s""""calib_par_brackets":$cpBrackets,""" +
+          s""""bw_par_brackets":$bwBrackets,""" +
           s""""copies":10$ccJson}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] sf1 tier failed: ${e.getMessage}")

@@ -362,6 +362,16 @@ object QueriesPipeline {
           col("source") === "src0")
         .select(col("doc_id"), round(col("quality_score"), 6).as("q_score"))),
 
+    // ---- Multi-class LANGUAGE classifier (fastText-langid role):
+    // hashed-token softmax regression, 3 deterministic batch-gradient
+    // iterations trained on the `lang` labels, per-class probability
+    // rows out; exact-weight oracle unrolls the same iterations
+    // K-generically (classes are data, only iterations unroll) ----
+    "q_lang_clf" -> ((s, d) =>
+      Search.languageClassifier(T(s, d, "documents"), "doc_id", "text",
+          "lang")
+        .select(col("doc_id"), col("lang"), round(col("p"), 6).as("p"))),
+
     // ---- BPE round-1 pair statistics (arXiv:1508.07909): the corpus
     // adjacent-symbol-pair frequencies the first merge maximizes — the
     // full loop is iterative (spec-verified, PipelineExtraSpec); this
@@ -786,6 +796,73 @@ object QueriesPipeline {
             GROUP BY 1)
       SELECT d.doc_id, round(coalesce(w.w, 0), 6) AS dsir_w
       FROM documents d LEFT JOIN w USING (doc_id)""",
+    "q_lang_clf" -> s"""
+      WITH classes AS (SELECT DISTINCT lang FROM documents
+                       WHERE lang IS NOT NULL),
+      kk AS (SELECT count(*)::DOUBLE AS kk FROM classes),
+      toks AS (SELECT doc_id,
+             unnest(list_filter(string_split($NORM, ' '), x -> x <> '')) AS tok
+           FROM documents),
+      feats AS (SELECT doc_id, ${md5h32("'lc:' || tok")} % 64 AS j,
+                  count(*)::BIGINT AS x
+                FROM toks GROUP BY 1, 2),
+      lab AS (SELECT doc_id, lang AS y_lang FROM documents
+              WHERE lang IS NOT NULL),
+      n AS (SELECT count(*)::DOUBLE AS n FROM lab),
+      -- iteration 1: w0 = 0 so p = 1/K for every (featured doc, class)
+      e1 AS (SELECT l.doc_id, c.lang,
+               (SELECT 1.0/kk FROM kk)
+                 - CASE WHEN l.y_lang = c.lang THEN 1.0 ELSE 0.0 END AS e
+             FROM lab l CROSS JOIN classes c),
+      g1 AS (SELECT e.lang, f.j, sum(e.e * f.x) / (SELECT n FROM n) AS g
+             FROM feats f JOIN e1 e USING (doc_id) GROUP BY 1, 2),
+      w1 AS (SELECT lang, j, 0.0 - 0.5 * g AS w FROM g1),
+      -- iteration 2
+      z2 AS (SELECT f.doc_id, w.lang, sum(w.w * f.x) AS z
+             FROM feats f JOIN w1 w USING (j) GROUP BY 1, 2),
+      m2 AS (SELECT doc_id, max(z) AS m FROM z2 GROUP BY 1),
+      x2 AS (SELECT z.doc_id, z.lang, exp(z.z - m.m) AS ez
+             FROM z2 z JOIN m2 m USING (doc_id)),
+      s2 AS (SELECT doc_id, sum(ez) AS s FROM x2 GROUP BY 1),
+      p2 AS (SELECT x.doc_id, x.lang, x.ez / s.s AS p
+             FROM x2 x JOIN s2 s USING (doc_id)),
+      e2 AS (SELECT l.doc_id, p.lang,
+               p.p - CASE WHEN l.y_lang = p.lang THEN 1.0 ELSE 0.0 END AS e
+             FROM lab l JOIN p2 p USING (doc_id)),
+      g2 AS (SELECT e.lang, f.j, sum(e.e * f.x) / (SELECT n FROM n) AS g
+             FROM feats f JOIN e2 e USING (doc_id) GROUP BY 1, 2),
+      w2 AS (SELECT w1.lang, w1.j, w1.w - 0.5 * coalesce(g2.g, 0) AS w
+             FROM w1 LEFT JOIN g2 USING (lang, j)),
+      -- iteration 3
+      z3 AS (SELECT f.doc_id, w.lang, sum(w.w * f.x) AS z
+             FROM feats f JOIN w2 w USING (j) GROUP BY 1, 2),
+      m3 AS (SELECT doc_id, max(z) AS m FROM z3 GROUP BY 1),
+      x3 AS (SELECT z.doc_id, z.lang, exp(z.z - m.m) AS ez
+             FROM z3 z JOIN m3 m USING (doc_id)),
+      s3 AS (SELECT doc_id, sum(ez) AS s FROM x3 GROUP BY 1),
+      p3 AS (SELECT x.doc_id, x.lang, x.ez / s.s AS p
+             FROM x3 x JOIN s3 s USING (doc_id)),
+      e3 AS (SELECT l.doc_id, p.lang,
+               p.p - CASE WHEN l.y_lang = p.lang THEN 1.0 ELSE 0.0 END AS e
+             FROM lab l JOIN p3 p USING (doc_id)),
+      g3 AS (SELECT e.lang, f.j, sum(e.e * f.x) / (SELECT n FROM n) AS g
+             FROM feats f JOIN e3 e USING (doc_id) GROUP BY 1, 2),
+      w3 AS (SELECT w2.lang, w2.j, w2.w - 0.5 * coalesce(g3.g, 0) AS w
+             FROM w2 LEFT JOIN g3 USING (lang, j)),
+      -- final scoring pass with the trained weights
+      zf AS (SELECT f.doc_id, w.lang, sum(w.w * f.x) AS z
+             FROM feats f JOIN w3 w USING (j) GROUP BY 1, 2),
+      mf AS (SELECT doc_id, max(z) AS m FROM zf GROUP BY 1),
+      xf AS (SELECT z.doc_id, z.lang, exp(z.z - m.m) AS ez
+             FROM zf z JOIN mf m USING (doc_id)),
+      sf AS (SELECT doc_id, sum(ez) AS s FROM xf GROUP BY 1),
+      pf AS (SELECT x.doc_id, x.lang, x.ez / s.s AS p
+             FROM xf x JOIN sf s USING (doc_id))
+      SELECT d.doc_id, c.lang,
+             round(coalesce(pf.p, 1.0/(SELECT kk FROM kk)), 6) AS p
+      FROM (SELECT DISTINCT doc_id FROM documents) d
+      CROSS JOIN classes c
+      LEFT JOIN pf ON pf.doc_id = d.doc_id AND pf.lang = c.lang""",
     "q_quality_clf" -> s"""
       WITH toks AS (SELECT doc_id,
              unnest(list_filter(string_split($NORM, ' '), x -> x <> '')) AS tok

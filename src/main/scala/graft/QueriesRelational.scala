@@ -528,7 +528,7 @@ object QueriesRelational {
     "q_flatten" ->
       """SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word FROM documents""",
     "q_kvgen" ->
-      """SELECT event_id, k AS key, json_extract(props, '$.' || k)::BIGINT AS value
+      """SELECT event_id, k AS key, json_extract_string(props, '$.' || k) AS value
          FROM (SELECT event_id, props, unnest(json_keys(props)) AS k FROM events)""",
     "q_range_partition" ->
       "SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders",

@@ -745,6 +745,58 @@ object QueriesSources {
         .select("n_nationkey", "n_name", "n_regionkey")
     }),
 
+    // ---- Kafka log segments (ref contrib/storage-kafka/.../
+    // KafkaStoragePlugin.java re-expressed zero-egress: the PUBLIC v2
+    // RecordBatch on-disk format under <topic>-<partition>/*.log;
+    // JSON-decoded values + Drill's MetaDataField columns). The fixture
+    // is synthesized byte-exactly (gzip codec, CRC-32C) from the
+    // 25-row nation dimension — offsets equal n_nationkey by
+    // construction (base 0, insertion order), giving the oracle an
+    // exact relational re-derivation ----
+    "q_kafka_segments" -> ((s, d) => {
+      import graft.sources.KafkaSegmentReader
+      val dir = s"${out(d)}/kafka_logs"
+      val rows = GraftSession.table(s, d, "nation")
+        .select(col("n_nationkey").cast("long"), col("n_name"),
+          col("n_regionkey").cast("long"))
+        .collect().sortBy(_.getLong(0))
+      val recs = rows.map { r =>
+        (r.getLong(0).toString.getBytes("UTF-8"),
+          (s"""{"n_nationkey": ${r.getLong(0)}, """ +
+            s""""n_name": "${r.getString(1)}", """ +
+            s""""n_regionkey": ${r.getLong(2)}}""").getBytes("UTF-8"),
+          Seq.empty[(String, Array[Byte])], 0L)
+      }.toSeq
+      val batch = KafkaSegmentReader.batchBytes(0L, 1700000000000L, recs,
+        codec = 1)
+      KafkaSegmentReader.writeSegment(s, dir, "nation", 0, Seq(batch))
+      KafkaSegmentReader.readJson(s, dir)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+          col("kafkaMsgOffset").as("msg_offset"),
+          col("kafkaMsgKey").cast("long").as("msg_key"))
+    }),
+
+    // ---- hive-metastore federation (ref contrib/storage-hive/core/...
+    // /HiveStoragePlugin.java): partitioned CTAS into an embedded Derby
+    // HMS, read back through the pruning catalog mirror — the partition
+    // predicate prunes the scan to ONE partition directory at plan time
+    // (HivePushPartitionFilterIntoScan's role; asserted on input files
+    // in HiveCatalogSpec) ----
+    "q_hive_read" -> ((s, d) => {
+      import graft.sources.HiveMetastore
+      val root = s"${out(d)}/hms_gate"
+      val src = GraftSession.table(s, d, "orders")
+        .filter(col("o_orderkey") < 5000)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      HiveMetastore.createTable(s, root, "default", "hms_orders", src,
+        partitionBy = Seq("o_orderstatus"))
+      HiveMetastore.read(s, root, "default", "hms_orders")
+        .filter(col("o_orderstatus") === "F")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+    }),
+
     // ---- unnamed dir0 columns over base/<value>/file layout
     // (ref PartitionExplorer.java; the values live ONLY in dir names) ----
     "q_dir_columns" -> ((s, d) => {
@@ -1915,6 +1967,17 @@ object QueriesSources {
       FROM orders WHERE o_orderkey >= 500 AND o_orderkey < 700""",
     "q_jdbc_roundtrip" -> """
       SELECT n_nationkey, n_name, n_regionkey FROM nation""",
+    "q_hive_read" -> """
+      SELECT o_orderstatus, count(*)::BIGINT AS n,
+             round(sum(o_totalprice), 2) AS total
+      FROM orders WHERE o_orderkey < 5000 AND o_orderstatus = 'F'
+      GROUP BY 1""",
+    "q_kafka_segments" -> """
+      SELECT n_nationkey::BIGINT AS n_nationkey, n_name,
+             n_regionkey::BIGINT AS n_regionkey,
+             n_nationkey::BIGINT AS msg_offset,
+             n_nationkey::BIGINT AS msg_key
+      FROM nation""",
     "q_dir_columns" -> """
       SELECT o_orderstatus AS dir0, count(*) AS n FROM orders GROUP BY 1""",
     "q_stats_store" -> """

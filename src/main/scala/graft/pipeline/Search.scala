@@ -226,9 +226,12 @@ object Search {
     *
     * Caching contract: the feature/label frames are persisted ONLY for
     * the training iterations and released before return (leak-free —
-    * the caller cannot unpersist what it never sees), so evaluating the
-    * returned frame re-derives features once. Persist `docs` upstream
-    * if that extra tokenize pass matters at your scale. */
+    * the caller cannot unpersist what it never sees). The returned
+    * frame is the scored result localCheckpoint'ed WHILE the feature
+    * cache is still live, so the whole call costs ONE corpus pass
+    * (feature build) no matter when or how often the caller evaluates
+    * it — the checkpoint holds only (doc_id, quality_score) rows,
+    * score-sized by definition. */
   def qualityClassifier(docs: DataFrame, idCol: String, textCol: String,
                         isTarget: Column, dim: Int = 64, iters: Int = 3,
                         lr: Double = 0.5): DataFrame = {
@@ -264,10 +267,116 @@ object Search {
           .collect().map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap
         w = w.zipWithIndex.map { case (v, j) => v - lr * grad.getOrElse(j, 0.0) }
       }
-      // score is computed fresh from the final weights (the persisted
-      // inputs exist only to keep the training iterations one-scan each)
+      // score from the final weights, materialized EAGERLY (and its
+      // lineage cut) while feats/lab are still cached — otherwise the
+      // caller's first evaluation would land after the unpersist below
+      // and silently re-derive the whole feature lineage (one extra
+      // corpus pass per evaluation at scale)
       lab.join(dots(w), Seq("doc_id"), "left")
         .select(col("doc_id"), sig(col("z")).as("quality_score"))
+        .localCheckpoint()
+    } finally { lab.unpersist(); feats.unpersist() }
+  }
+
+  /** Multi-class LANGUAGE classifier — the trainable upgrade of the
+    * heuristic n-gram langId (fastText's langid role, softmax over
+    * hashed token features): batch softmax regression with a FIXED,
+    * deterministic iteration count, trained on the rows whose
+    * `labelCol` is non-null and scoring EVERY document.
+    *
+    * [[qualityClassifier]]'s plan family generalized to K classes: each
+    * iteration is one distributed pass (per-(doc,class) dot products →
+    * stable softmax → per-(class,feature) gradient), only the
+    * K×`dim`-row gradient crosses the driver, and the K×`dim` weight
+    * table broadcasts back — the corpus never leaves executors. The
+    * class list is `labelCol`'s sorted distinct values (a label
+    * enumeration — metadata-scale by definition).
+    *
+    * Softmax is the max-subtracted stable form `exp(z-m)/Σexp(z-m)`
+    * (`m` is an exact per-doc max, so cross-engine reproducibility
+    * holds and a long doc's z cannot overflow `exp`). Features are
+    * md5-bucketed token counts (portable hash, SURVEY §5), so a SQL
+    * oracle re-derives the exact weights by unrolling the iterations —
+    * the q_quality_clf posture.
+    *
+    * Returns (doc_id, lang, p): the FULL per-class probability row set
+    * for every document — K rows per doc. Probabilities, not argmax,
+    * because a discrete prediction is float-tie-unstable across engines
+    * and because thresholding/abstention policies (CCNet keeps a doc
+    * only above a confidence floor) are caller decisions; argmax is a
+    * one-line `max_by(lang, p)` downstream. A doc with no tokens (or
+    * none seen in training) scores the uniform 1/K — no evidence either
+    * way. Like [[qualityClassifier]], the result is localCheckpoint'ed
+    * while the feature cache is live: one corpus pass total. */
+  def languageClassifier(docs: DataFrame, idCol: String, textCol: String,
+                         labelCol: String, dim: Int = 64, iters: Int = 3,
+                         lr: Double = 0.5): DataFrame = {
+    require(dim > 0 && iters > 0,
+      "languageClassifier: dim and iters must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val labels = docs.select(col(labelCol).cast("string").as("lang"))
+      .na.drop().distinct().as[String].collect().sorted
+    require(labels.length >= 2,
+      s"languageClassifier needs >= 2 classes (got ${labels.toSeq})")
+    val k = labels.length
+    val classDf = broadcast(labels.toSeq.toDF("lang"))
+    val lab = docs.select(col(idCol).as("doc_id"),
+        col(labelCol).cast("string").as("y_lang"))
+      .filter(col("y_lang").isNotNull).persist()
+    // hashed-token features: j = md5_32("lc:" + token) mod dim, x = count
+    val feats = docs
+      .select(col(idCol).as("doc_id"), explode(toksOf(col(textCol))).as("tok"))
+      .select(col("doc_id"),
+        pmod(Dedup.md5Hash32(concat(lit("lc:"), col("tok"))),
+          lit(dim.toLong)).as("j"))
+      .groupBy("doc_id", "j").agg(count(lit(1)).as("x"))
+      .persist()
+    try {
+      val n = lab.count().toDouble
+      require(n > 0, "languageClassifier: no labeled rows to train on")
+      def wDf(w: Map[(String, Int), Double]) = broadcast(
+        (for (l <- labels; j <- 0 until dim)
+          yield (l, j.toLong, w.getOrElse((l, j), 0.0))).toSeq
+          .toDF("lang", "j", "w"))
+      // z_{d,l} = Σ_j w_{l,j} x_{d,j}; the DENSE weight table means any
+      // doc with >= 1 feature row gets all K class rows out of the join
+      def zs(w: Map[(String, Int), Double]) = feats.join(wDf(w), "j")
+        .groupBy("doc_id", "lang").agg(sum(col("w") * col("x")).as("z"))
+      def probs(zd: DataFrame) = {
+        val m = zd.groupBy("doc_id").agg(max("z").as("m"))
+        val ez = zd.join(m, "doc_id")
+          .select(col("doc_id"), col("lang"), exp(col("z") - col("m")).as("ez"))
+        val s = ez.groupBy("doc_id").agg(sum("ez").as("s"))
+        ez.join(s, "doc_id")
+          .select(col("doc_id"), col("lang"), (col("ez") / col("s")).as("p"))
+      }
+      var w = Map.empty[(String, Int), Double]
+      for (_ <- 1 to iters) {
+        // e_{d,l} = p_{d,l} - 1[label_d = l] over labeled docs; a
+        // labeled doc with zero features is absent here AND contributes
+        // a zero gradient by definition (no x terms) — consistent
+        val e = lab.join(probs(zs(w)), "doc_id")
+          .select(col("doc_id"), col("lang"),
+            (col("p") - when(col("lang") === col("y_lang"), 1.0)
+              .otherwise(0.0)).as("e"))
+        val grad = feats.join(e, "doc_id")
+          .groupBy("lang", "j")
+          .agg((sum(col("e") * col("x")) / lit(n)).as("g"))
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1).toInt) -> r.getDouble(2))
+          .toMap
+        w = (for (l <- labels; j <- 0 until dim) yield {
+          (l, j) -> (w.getOrElse((l, j), 0.0) - lr * grad.getOrElse((l, j), 0.0))
+        }).toMap
+      }
+      // score every doc; feature-less docs fill the uniform 1/K row set
+      docs.select(col(idCol).as("doc_id")).distinct()
+        .crossJoin(classDf)
+        .join(probs(zs(w)), Seq("doc_id", "lang"), "left")
+        .na.fill(1.0 / k, Seq("p"))
+        .select(col("doc_id"), col("lang"), col("p"))
+        .localCheckpoint()
     } finally { lab.unpersist(); feats.unpersist() }
   }
 

@@ -540,6 +540,19 @@ object DeltaLogReader {
 
   /** Read the table at `version` (default: latest commit).
     *
+    * SESSION-CONF SIDE EFFECT (column-mapping mode `id` tables only):
+    * reading an id-mode table sets `spark.sql.parquet.fieldId.read
+    * .enabled=true` on the session and leaves it set — Spark offers no
+    * per-scan reader option and the conf is read at plan time of the
+    * lazily-returned frame, so it cannot be save-and-restored around
+    * this call. Sessions built by `GraftSession.getOrCreate()` already
+    * declare it as an engine default (same value, no behavior change);
+    * for sessions built elsewhere, later reads whose REQUESTED schema
+    * carries `parquet.field.id` metadata (e.g. Iceberg-derived schemas)
+    * will match file columns by field id under it, and files missing
+    * ids fail loudly rather than mis-bind. Isolate with
+    * `spark.newSession()` if that semantic is unwanted session-wide.
+    *
     * Partitioned tables have two plan shapes, chosen by DISTINCT
     * partition-tuple count (the decontaminateStream size-switch
     * pattern):

@@ -57,13 +57,17 @@ object Federation {
     * layer; here the peer serves [[JdbcEndpoint]]). Same driver-side,
     * maxRows-bounded serving posture as the REST transport; result
     * types come from the peer's ResultSetMetaData instead of JSON
-    * re-typing, so numeric/boolean/timestamp columns arrive typed. */
+    * re-typing, so numeric/boolean/timestamp columns arrive typed.
+    * `user`/`password` authenticate against a peer running CUSTOM auth
+    * ([[JdbcEndpoint.start]]); the defaults match a NONE-mode peer. */
   def graftPeerJdbc(spark: SparkSession, host: String, port: Int,
-                    sql: String, maxRows: Int = 10000): DataFrame = {
+                    sql: String, maxRows: Int = 10000,
+                    user: String = "anonymous",
+                    password: String = ""): DataFrame = {
     import org.apache.spark.sql.types._
     Class.forName("org.apache.hive.jdbc.HiveDriver")
     val conn = java.sql.DriverManager.getConnection(
-      s"jdbc:hive2://$host:$port/default", "anonymous", "")
+      s"jdbc:hive2://$host:$port/default", user, password)
     try {
       val st = conn.createStatement()
       st.setMaxRows(maxRows)

@@ -2,8 +2,8 @@ package graft.sources
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, element_at, regexp_replace}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Hive-metastore catalog federation — Drill's most-used service-backed
   * storage plugin (reference contrib/storage-hive/core/src/main/java/
@@ -122,12 +122,29 @@ object HiveMetastore {
     * schema-on-read contract. TEXTFILE reads with the serde's field
     * delimiter (hive's default \u0001 when unset).
     *
-    * Partitioned tables: ONE scan over every partition location (not a
-    * union of per-partition scans, so plan size and resolve cost stay
-    * O(1) in partition count) with the partition columns attached by a
-    * broadcast (directory -> values) join on each row's file path;
-    * the metastore values are authoritative, exactly Drill's HiveScan
-    * expansion. */
+    * Short/ragged TEXTFILE rows NULL-fill trailing declared columns
+    * (the declared-arity all-string schema below) instead of silently
+    * dropping them when the first file happens to be narrow.
+    *
+    * Partitioned tables PRUNE at plan time — the role of the
+    * reference's HivePushPartitionFilterIntoScan (contrib/storage-hive/
+    * core/src/main/java/org/apache/drill/exec/planner/sql/logical/
+    * HivePushPartitionFilterIntoScan.java): the metastore partitions
+    * are mirrored into Spark's OWN session catalog as a partitioned
+    * external datasource table (`tracksPartitionsInCatalog`, one
+    * catalog partition per metastore partition with its location and
+    * authoritative values), and the returned frame is `spark.table` of
+    * that mirror — so Catalyst's PruneFileSourcePartitions turns a
+    * `WHERE dt = '...'` into a catalog `listPartitionsByFilter` and the
+    * scan LISTS only matching partition directories. Plan size stays
+    * O(1) in partition count (no per-partition union) and pruning works
+    * at ANY partition count — asserted on executed-plan file counts in
+    * HiveCatalogSpec at both small and >64-partition scale. The mirror
+    * lives in the session catalog as `graft_hive_<db>_<table>`,
+    * dropped and re-created on each read() so metastore changes are
+    * picked up (metadata-only work, milliseconds at thousands of
+    * partitions; concurrent readers of the SAME table in one session
+    * should share the returned frame). */
   def read(spark: SparkSession, root: String, db: String,
            table: String): DataFrame = {
     val (sd, partKeys, partVals, cols) = withClient(root) { c =>
@@ -143,10 +160,11 @@ object HiveMetastore {
         parts, t.getSd.getCols.asScala.toSeq.map(f => f.getName -> f.getType))
     }
     val fmt = formatOf(sd.getInputFormat)
+    def parse(ty: String) = org.apache.spark.sql.catalyst.parser
+      .CatalystSqlParser.parseDataType(ty)
     val dataSchema = org.apache.spark.sql.types.StructType(cols.map {
       case (n, ty) => org.apache.spark.sql.types.StructField(
-        n, org.apache.spark.sql.catalyst.parser.CatalystSqlParser
-          .parseDataType(ty), nullable = true)
+        n, parse(ty), nullable = true)
     }.toArray)
     def readLocs(locs: Seq[String]): DataFrame = fmt match {
       case "parquet" => spark.read.schema(dataSchema).parquet(locs: _*)
@@ -156,11 +174,21 @@ object HiveMetastore {
         val delim = Option(sd.getSerdeInfo)
           .flatMap(s => Option(s.getParameters.get("field.delim")))
           .filter(_.nonEmpty).getOrElse("\u0001")
-        val raw = spark.read.option("sep", delim).option("header", "false")
+        // declared-arity all-string schema: rows with FEWER fields than
+        // the metastore declares null-fill the tail (hive's
+        // LazySimpleSerDe contract); extra fields drop. Inferring
+        // columns from the data and zipping against the declaration
+        // would instead TRUNCATE the declared schema whenever the
+        // first row is short.
+        val strSchema = org.apache.spark.sql.types.StructType(cols.map {
+          case (n, _) => org.apache.spark.sql.types.StructField(
+            n, org.apache.spark.sql.types.StringType, nullable = true)
+        }.toArray)
+        val raw = spark.read.schema(strSchema).option("sep", delim)
+          .option("header", "false").option("mode", "PERMISSIVE")
           .csv(locs: _*)
-        raw.select(raw.columns.zip(cols).map { case (c0, (n, ty)) =>
-          col(c0).cast(ty).as(n)
-        }.toSeq: _*)
+        raw.select(cols.map { case (n, ty) => col(n).cast(ty).as(n) }
+          .toSeq: _*)
       case other =>
         throw new IllegalArgumentException(
           s"hive table $db.$table: unsupported storage format '$other' " +
@@ -170,22 +198,43 @@ object HiveMetastore {
     else {
       require(partVals.nonEmpty,
         s"hive table $db.$table is partitioned but has no partitions")
-      import spark.implicits._
-      // normalize scheme differences ("file:///x" vs "/x") on both sides
-      def norm(s: String) = s.replaceFirst("^[a-zA-Z0-9]+:/+", "/")
-        .stripSuffix("/")
-      val lookup = broadcast(partVals.map { case (loc, vals) =>
-        (norm(loc), vals)
-      }.toDF("__g_dir", "__g_vals"))
-      val scanned = readLocs(partVals.map(_._1))
-        .withColumn("__g_dir", regexp_replace(regexp_replace(
-          col("_metadata.file_path"), "/[^/]*$", ""),
-          "^[a-zA-Z0-9]+:/+", "/"))
-      scanned.join(lookup, Seq("__g_dir"))
-        .select((cols.map { case (n, _) => col(n) } ++
-          partKeys.zipWithIndex.map { case ((n, ty), i) =>
-            element_at(col("__g_vals"), i + 1).cast(ty).as(n)
-          }).toSeq: _*)
+      import org.apache.spark.sql.catalyst.TableIdentifier
+      import org.apache.spark.sql.catalyst.catalog.{CatalogStorageFormat, CatalogTable, CatalogTablePartition, CatalogTableType}
+      val shadow = s"graft_hive_${db}_$table".replaceAll("[^a-zA-Z0-9_]", "_")
+      val ident = TableIdentifier(shadow)
+      val catalog = spark.sessionState.catalog
+      val fullSchema = org.apache.spark.sql.types.StructType(
+        dataSchema.fields ++ partKeys.map { case (n, ty) =>
+          org.apache.spark.sql.types.StructField(n, parse(ty),
+            nullable = true)
+        })
+      val (provider, opts) = fmt match {
+        case "text" =>
+          val d = Option(sd.getSerdeInfo)
+            .flatMap(s => Option(s.getParameters.get("field.delim")))
+            .filter(_.nonEmpty).getOrElse("\u0001")
+          ("csv", Map("sep" -> d, "header" -> "false",
+            "mode" -> "PERMISSIVE"))
+        case p => (p, Map.empty[String, String])
+      }
+      def locUri(s: String) = new org.apache.hadoop.fs.Path(s).toUri
+      val storage = CatalogStorageFormat.empty.copy(
+        locationUri = Some(locUri(sd.getLocation)), properties = opts)
+      catalog.dropTable(ident, ignoreIfNotExists = true, purge = false)
+      catalog.createTable(CatalogTable(
+        identifier = ident,
+        tableType = CatalogTableType.EXTERNAL,
+        storage = storage,
+        schema = fullSchema,
+        provider = Some(provider),
+        partitionColumnNames = partKeys.map(_._1),
+        tracksPartitionsInCatalog = true), ignoreIfExists = false)
+      catalog.createPartitions(ident, partVals.map { case (loc, vals) =>
+        CatalogTablePartition(
+          spec = partKeys.map(_._1).zip(vals).toMap,
+          storage = storage.copy(locationUri = Some(locUri(loc))))
+      }, ignoreIfExists = false)
+      spark.table(shadow)
     }
   }
 
@@ -194,22 +243,69 @@ object HiveMetastore {
   /** CTAS into the metastore: write `df` as parquet under the warehouse
     * and register the table (columns from the DataFrame schema via
     * Catalyst's catalogString — the hive type-string dialect). The
-    * result is a real hive table any HMS client sees. */
+    * result is a real hive table any HMS client sees.
+    *
+    * With `partitionBy` set, the write lays out hive-style
+    * `key=value` directories (Spark's partitioned writer — the same
+    * escaping rules hive uses, null values as the hive default
+    * partition name) and EACH written partition is registered via
+    * `add_partition` with its values and location, so the read path's
+    * catalog mirror prunes on partition predicates and any other HMS
+    * client (hive, presto, spark-hive) sees a properly partitioned
+    * table. The distinct partition-tuple list crosses the driver —
+    * metadata-scale by definition (one row per partition, the same
+    * list the metastore itself stores). */
   def createTable(spark: SparkSession, root: String, db: String,
-                  name: String, df: DataFrame): Unit = {
+                  name: String, df: DataFrame,
+                  partitionBy: Seq[String] = Nil): Unit = {
     val loc = new java.io.File(s"$root/warehouse/$db.db/$name").toURI.toString
-    df.write.mode("overwrite").parquet(loc)
-    registerExternal(root, db, name,
-      df.schema.fields.map(f => f.name -> f.dataType.catalogString).toSeq,
-      loc, "parquet")
+    if (partitionBy.isEmpty) {
+      df.write.mode("overwrite").parquet(loc)
+      registerExternal(root, db, name,
+        df.schema.fields.map(f => f.name -> f.dataType.catalogString).toSeq,
+        loc, "parquet")
+    } else {
+      partitionBy.foreach(c => require(df.columns.contains(c),
+        s"partition column '$c' not in DataFrame (${df.columns.mkString(",")})"))
+      df.write.mode("overwrite").partitionBy(partitionBy: _*).parquet(loc)
+      val dataCols = df.schema.fields
+        .filterNot(f => partitionBy.contains(f.name))
+        .map(f => f.name -> f.dataType.catalogString).toSeq
+      val pKeys = partitionBy.map(c =>
+        c -> df.schema(c).dataType.catalogString)
+      import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      // one row per partition tuple; cast-to-string matches the
+      // writer's directory rendering for the simple partition types
+      // hive allows (string/integral/date)
+      val tuples = df.select(partitionBy.map(c => col(c).cast("string")): _*)
+        .distinct().collect()
+        .map(r => partitionBy.indices.map(i =>
+          if (r.isNullAt(i)) null else r.getString(i)))
+      val parts = tuples.map { vals =>
+        val dir = partitionBy.zip(vals).map { case (k, v) =>
+          ExternalCatalogUtils.getPartitionPathString(k,
+            Option(v).getOrElse(ExternalCatalogUtils.DEFAULT_PARTITION_NAME))
+        }.mkString("/")
+        val hmsVals = vals.map(v =>
+          Option(v).getOrElse(ExternalCatalogUtils.DEFAULT_PARTITION_NAME))
+        (hmsVals.toSeq, s"${loc.stripSuffix("/")}/$dir")
+      }.toSeq
+      registerExternal(root, db, name, dataCols, loc, "parquet",
+        pKeys, parts)
+    }
   }
 
   /** Register an EXTERNAL table over existing files (no data movement) —
     * the hive pattern for cataloging data that already lives on the
-    * filesystem. */
+    * filesystem. `partitionKeys` (name -> hive type) declares partition
+    * columns; `partitions` supplies (values, location) per partition to
+    * register via `add_partition` — values are positional against
+    * `partitionKeys`, hive's layout. */
   def registerExternal(root: String, db: String, name: String,
                        columns: Seq[(String, String)], location: String,
-                       format: String): Unit = {
+                       format: String,
+                       partitionKeys: Seq[(String, String)] = Nil,
+                       partitions: Seq[(Seq[String], String)] = Nil): Unit = {
     import org.apache.hadoop.hive.metastore.api.{FieldSchema, SerDeInfo, StorageDescriptor, Table}
     val (inF, outF, serde) = format match {
       case "parquet" => (
@@ -249,11 +345,27 @@ object HiveMetastore {
       t.setTableName(name)
       t.setTableType("EXTERNAL_TABLE")
       t.setSd(sd)
-      t.setPartitionKeys(java.util.Collections.emptyList[FieldSchema]())
+      t.setPartitionKeys(partitionKeys.map { case (n, ty) =>
+        new FieldSchema(n, ty, "")
+      }.asJava)
       t.setParameters(new java.util.HashMap[String, String]())
       t.getParameters.put("EXTERNAL", "TRUE")
       if (c.tableExists(db, name)) c.dropTable(db, name, false, true)
       c.createTable(t)
+      partitions.foreach { case (vals, ploc) =>
+        require(vals.length == partitionKeys.length,
+          s"partition values $vals do not match keys " +
+            partitionKeys.map(_._1).mkString(","))
+        val p = new org.apache.hadoop.hive.metastore.api.Partition()
+        p.setDbName(db)
+        p.setTableName(name)
+        p.setValues(vals.asJava)
+        val psd = new StorageDescriptor(sd)
+        psd.setLocation(ploc)
+        p.setSd(psd)
+        p.setParameters(new java.util.HashMap[String, String]())
+        c.add_partition(p)
+      }
     }
   }
 

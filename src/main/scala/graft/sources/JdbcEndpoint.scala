@@ -33,6 +33,14 @@ object JdbcEndpoint {
       server.getClass.getMethod("stop").invoke(server)
   }
 
+  /** Static credential store for [[GraftPasswdAuth]] — hive instantiates
+    * the provider REFLECTIVELY (no-arg, per connection), so the accepted
+    * credential map rides a JVM-global here. One server per JVM (the
+    * HiveServer2 constraint documented on [[start]]) means one
+    * credential set per JVM by construction. */
+  @volatile private[sources] var authCredentials: Map[String, String] =
+    Map.empty
+
   private def freePort(): Int = {
     val s = new java.net.ServerSocket(0)
     try s.getLocalPort finally s.close()
@@ -44,8 +52,19 @@ object JdbcEndpoint {
     * ONE server per JVM: HiveServer2 holds JVM-global service state, so
     * after stop() a second start() in the same JVM does not come up —
     * the process lifetime is the server lifetime (same as running the
-    * stock Spark thrift server). */
-  def start(spark: SparkSession, port: Int = 0): Running = {
+    * stock Spark thrift server). Consequently the AUTH POSTURE is also
+    * one-per-JVM: `credentials` chosen at first start() stick for the
+    * process lifetime.
+    *
+    * `credentials` non-empty enables hive's CUSTOM password
+    * authentication (`hive.server2.authentication=CUSTOM` +
+    * [[GraftPasswdAuth]]): every connection must present a (user,
+    * password) pair from the map or the SASL PLAIN handshake refuses —
+    * the minimum for a front door deployable beyond loopback (pair it
+    * with TLS termination in front for the wire). Empty (default) keeps
+    * hive's NONE mode: any user, loopback-only posture. */
+  def start(spark: SparkSession, port: Int = 0,
+            credentials: Map[String, String] = Map.empty): Running = {
     // NOTE: freePort() is check-then-bind — a foreign process could in
     // principle grab the port between the probe and HiveServer2's bind,
     // in which case awaitPort would accept against the squatter. The
@@ -65,7 +84,22 @@ object JdbcEndpoint {
     // the endpoint must not leave its private plumbing (ports, scratch
     // dirs) or semantic flips (java8API datetime types, which
     // startWithSparkSession force-sets) in the live session's conf.
-    val startConf = Map(
+    val authConf =
+      if (credentials.isEmpty) Map.empty[String, String]
+      else {
+        authCredentials = credentials
+        // hive's CustomAuthenticationProviderImpl constructs a FRESH
+        // `new HiveConf()` per connection, which sees hive-site.xml and
+        // SYSTEM properties but not the server's conf — the class name
+        // must ride a system property to be found (the auth MODE itself
+        // reads from the server conf and rides startConf below)
+        System.setProperty("hive.server2.custom.authentication.class",
+          classOf[GraftPasswdAuth].getName)
+        Map("hive.server2.authentication" -> "CUSTOM",
+          "hive.server2.custom.authentication.class" ->
+            classOf[GraftPasswdAuth].getName)
+      }
+    val startConf = authConf ++ Map(
       "hive.server2.thrift.port" -> p.toString,
       "hive.server2.thrift.bind.host" -> "127.0.0.1",
       // hive 2.x: webui disabled when port <= 0; operation-log dirs are
@@ -100,6 +134,25 @@ object JdbcEndpoint {
       s"jdbc:derby:;databaseName=$scratch/metastore_db;create=true")
     awaitPort(p)
     Running(p, server)
+  }
+
+  /** Hive CUSTOM-mode password provider (instantiated reflectively by
+    * hive's CustomAuthenticationProviderImpl per connection): accepts a
+    * (user, password) pair iff it is in [[JdbcEndpoint.authCredentials]].
+    * Constant-time comparison — a password check that short-circuits on
+    * the first differing byte leaks prefix length to a timing probe. */
+  final class GraftPasswdAuth
+      extends org.apache.hive.service.auth.PasswdAuthenticationProvider {
+    override def Authenticate(user: String, password: String): Unit = {
+      val ok = authCredentials.get(user).exists { expect =>
+        java.security.MessageDigest.isEqual(
+          expect.getBytes("UTF-8"),
+          Option(password).getOrElse("").getBytes("UTF-8"))
+      }
+      if (!ok)
+        throw new javax.security.sasl.AuthenticationException(
+          s"invalid credentials for user '$user'")
+    }
   }
 
   private def awaitPort(p: Int, timeoutMs: Long = 30000): Unit = {

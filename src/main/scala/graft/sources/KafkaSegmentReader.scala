@@ -1,0 +1,374 @@
+package graft.sources
+
+import java.io.{DataInputStream, EOFException, InputStream}
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Kafka LOG-SEGMENT reader — the zero-egress re-expression of Drill's
+  * Kafka storage plugin (reference contrib/storage-kafka/.../
+  * KafkaStoragePlugin.java:39, KafkaRecordReader.java,
+  * MessageIterator.java). The consumer-API surface needs a live broker
+  * (no client jars, no egress here), but the data itself is a PUBLIC
+  * on-disk format: Kafka's message format v2 ("RecordBatch",
+  * kafka.apache.org/documentation/#recordbatch) — the `.log` files
+  * under `<log.dir>/<topic>-<partition>/`. Querying those directly is
+  * the query-anything posture of the PCAP/HDF5/SAS readers applied to
+  * the most common service-backed source: point the engine at a
+  * broker's data dir (or an object-store tier of it) and every message
+  * is a row.
+  *
+  * Decoded per record: topic + partition (from the directory name),
+  * absolute offset (baseOffset + offsetDelta), timestamp
+  * (baseTimestamp + delta) with its type (CreateTime/LogAppendTime),
+  * key/value as binary (nullable — compacted-topic tombstones carry
+  * null values), and headers as map<string, binary>. All five v2
+  * compression codecs decode from jars Spark already ships: none, gzip
+  * (JDK), snappy (xerial), lz4 frame (lz4-java), zstd (zstd-jni).
+  * Batch CRC-32C is VERIFIED (data from the attributes byte on, the
+  * spec's coverage) — a corrupt batch fails loudly rather than
+  * yielding silently wrong rows. Control batches (transaction markers,
+  * attributes bit 5) contribute no rows, exactly like a consumer;
+  * aborted-transaction filtering (read_committed) needs the .txnindex
+  * sidecar and is not applied — this reads the log like a
+  * read_uncommitted consumer.
+  *
+  * Scale shape: one task per segment file (brokers roll segments at
+  * `segment.bytes`, 1 GiB default, so the file list IS the natural
+  * parallelism, same as Drill's one-fragment-per-partition split);
+  * records stream off an FSDataInputStream — nothing materializes a
+  * whole segment. Message format v0/v1 (magic 0/1, pre-0.11 brokers)
+  * refuses with a clear message.
+  */
+object KafkaSegmentReader {
+
+  val schema: StructType = StructType(Seq(
+    StructField("topic", StringType, nullable = true),
+    StructField("partition", IntegerType, nullable = true),
+    StructField("offset", LongType, nullable = false),
+    StructField("timestamp", LongType, nullable = false),
+    StructField("timestamp_type", StringType, nullable = false),
+    StructField("key", BinaryType, nullable = true),
+    StructField("value", BinaryType, nullable = true),
+    StructField("headers", MapType(StringType, BinaryType), nullable = true)))
+
+  /** (topic, partition) from a segment's parent directory name — kafka's
+    * `<topic>-<partition>` layout; topics may themselves contain dashes,
+    * so the LAST all-digit suffix is the partition. Unparseable layouts
+    * yield (dirName, null) rather than failing: the rows still carry
+    * their data. */
+  private[sources] def topicPartition(dir: String): (String, Integer) = {
+    val i = dir.lastIndexOf('-')
+    if (i > 0 && i < dir.length - 1 && dir.substring(i + 1).forall(_.isDigit))
+      (dir.substring(0, i), Integer.valueOf(dir.substring(i + 1).toInt))
+    else (dir, null)
+  }
+
+  // ---- varints (kafka uses protobuf zigzag varint/varlong in records)
+  private def readVarlong(in: InputStream): Long = {
+    var value = 0L
+    var shift = 0
+    var b = 0
+    do {
+      b = in.read()
+      if (b < 0) throw new EOFException("varint truncated")
+      value |= (b & 0x7FL) << shift
+      shift += 7
+    } while ((b & 0x80) != 0)
+    // zigzag decode
+    (value >>> 1) ^ -(value & 1)
+  }
+  private def readVarint(in: InputStream): Int = readVarlong(in).toInt
+
+  private def readFully(in: InputStream, n: Int): Array[Byte] = {
+    val a = new Array[Byte](n)
+    var off = 0
+    while (off < n) {
+      val r = in.read(a, off, n - off)
+      if (r < 0) throw new EOFException(s"expected $n bytes, got $off")
+      off += r
+    }
+    a
+  }
+
+  private def be32(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xFF) << 24) | ((b(o + 1) & 0xFF) << 16) |
+      ((b(o + 2) & 0xFF) << 8) | (b(o + 3) & 0xFF)
+  private def be64(b: Array[Byte], o: Int): Long =
+    ((be32(b, o) & 0xFFFFFFFFL) << 32) | (be32(b, o + 4) & 0xFFFFFFFFL)
+  private def be16(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xFF) << 8) | (b(o + 1) & 0xFF)
+
+  private def decompressed(codec: Int, raw: Array[Byte],
+                           where: String): InputStream = {
+    val bis = new java.io.ByteArrayInputStream(raw)
+    codec match {
+      case 0 => bis
+      case 1 => new java.util.zip.GZIPInputStream(bis)
+      case 2 => new org.xerial.snappy.SnappyInputStream(bis)
+      case 3 => new net.jpountz.lz4.LZ4FrameInputStream(bis)
+      case 4 => new com.github.luben.zstd.ZstdInputStream(bis)
+      case other => throw new IllegalArgumentException(
+        s"$where: unknown compression codec $other")
+    }
+  }
+
+  private final case class Rec(offset: Long, ts: Long, tsType: String,
+                               key: Array[Byte], value: Array[Byte],
+                               headers: Map[String, Array[Byte]])
+
+  /** Decode every record of every batch from one segment stream.
+    * Returns an iterator that reads lazily batch-by-batch. */
+  private def batches(in: DataInputStream, file: String): Iterator[Rec] =
+    new Iterator[Rec] {
+      private var cur: Iterator[Rec] = Iterator.empty
+      private var done = false
+      private def advance(): Unit = {
+        while (!done && !cur.hasNext) {
+          // batch header: baseOffset int64 + batchLength int32, then
+          // batchLength bytes from partitionLeaderEpoch onward
+          val head = new Array[Byte](12)
+          var got = 0
+          var eof = false
+          while (got < 12 && !eof) {
+            val r = in.read(head, got, 12 - got)
+            if (r < 0) eof = true else got += r
+          }
+          if (eof) {
+            if (got != 0 && head.take(got).exists(_ != 0))
+              throw new java.io.IOException(
+                s"$file: truncated batch header ($got bytes)")
+            done = true
+          } else {
+            val baseOffset = be64(head, 0)
+            val batchLength = be32(head, 8)
+            if (batchLength <= 0) { done = true } // zero padding tail
+            else {
+              // 49 = epoch(4)+magic(1)+crc(4)+attrs(2)+lastOffsetDelta(4)
+              //    + baseTs(8)+maxTs(8)+pid(8)+pEpoch(2)+baseSeq(4)+count(4)
+              require(batchLength >= 49,
+                s"$file: batch @offset $baseOffset declares $batchLength " +
+                  "bytes — below the 49-byte v2 header, corrupt segment")
+              val buf = readFully(in, batchLength)
+              val magic = buf(4)
+              require(magic == 2,
+                s"$file: message format v$magic (magic byte) — only v2 " +
+                  "RecordBatch segments are supported (broker >= 0.11)")
+              val crcStored = be32(buf, 5) & 0xFFFFFFFFL
+              val crc = new java.util.zip.CRC32C()
+              crc.update(buf, 9, buf.length - 9)
+              require(crc.getValue == crcStored,
+                s"$file: CRC mismatch in batch @offset $baseOffset " +
+                  s"(stored ${crcStored}, computed ${crc.getValue}) — " +
+                  "corrupt segment")
+              val attributes = be16(buf, 9)
+              val codec = attributes & 7
+              val tsType =
+                if ((attributes & 8) != 0) "LogAppendTime" else "CreateTime"
+              val isControl = (attributes & 0x20) != 0
+              val baseTimestamp = be64(buf, 15)
+              val recordCount = be32(buf, 45)
+              if (isControl || recordCount == 0) cur = Iterator.empty
+              else {
+                val rin = decompressed(codec,
+                  java.util.Arrays.copyOfRange(buf, 49, buf.length), file)
+                cur = (0 until recordCount).iterator.map { _ =>
+                  val len = readVarint(rin)
+                  val body = readFully(rin, len)
+                  val bis = new java.io.ByteArrayInputStream(body)
+                  bis.read() // record attributes (unused, reserved)
+                  val tsDelta = readVarlong(bis)
+                  val offDelta = readVarint(bis)
+                  def bytesOrNull(): Array[Byte] = {
+                    val n = readVarint(bis)
+                    if (n < 0) null else readFully(bis, n)
+                  }
+                  val key = bytesOrNull()
+                  val value = bytesOrNull()
+                  val hn = readVarint(bis)
+                  val headers = (0 until hn).map { _ =>
+                    val kl = readVarint(bis)
+                    val k = new String(readFully(bis, kl), "UTF-8")
+                    val vl = readVarint(bis)
+                    val v = if (vl < 0) null else readFully(bis, vl)
+                    k -> v
+                  }.toMap
+                  Rec(baseOffset + offDelta, baseTimestamp + tsDelta,
+                    tsType, key, value, headers)
+                }
+              }
+            }
+          }
+        }
+      }
+      def hasNext: Boolean = { advance(); cur.hasNext }
+      def next(): Rec = { advance(); cur.next() }
+    }
+
+  /** Read `.log` segments under `path` (a broker log dir, one
+    * `<topic>-<partition>` dir, or a single segment file) as a
+    * DataFrame — one row per record, one task per segment file. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val files = FileList.resolve(spark, path, Set(".log"))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    val confB = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+    FileList.asDataset(spark, files)
+      .mapPartitions { paths =>
+        val conf = confB.value.value
+        paths.flatMap { f =>
+          val p = new Path(f)
+          val (topic, part) = topicPartition(p.getParent.getName)
+          val in = new DataInputStream(
+            new java.io.BufferedInputStream(p.getFileSystem(conf).open(p)))
+          Option(org.apache.spark.TaskContext.get()).foreach(
+            _.addTaskCompletionListener[Unit](_ =>
+              try in.close() catch { case _: java.io.IOException => () }))
+          val it = batches(in, f)
+          new Iterator[Row] {
+            def hasNext: Boolean = {
+              val h = it.hasNext
+              if (!h) try in.close() catch { case _: java.io.IOException => () }
+              h
+            }
+            def next(): Row = {
+              val r = it.next()
+              Row(topic, part, r.offset, r.ts, r.tsType, r.key, r.value,
+                r.headers)
+            }
+          }
+        }
+      }(enc).toDF(schema.fieldNames: _*)
+  }
+
+  /** Drill's JsonMessageReader shape (decoders/JsonMessageReader.java):
+    * message VALUES are JSON documents decoded into columns, plus the
+    * plugin's five metadata fields (MetaDataField.java names verbatim —
+    * kafkaTopic, kafkaPartitionId, kafkaMsgOffset, kafkaMsgTimestamp,
+    * kafkaMsgKey). Schema inferred from the values like any
+    * schema-on-read JSON source; tombstones (null values) drop, as a
+    * JSON decoder has nothing to decode. */
+  def readJson(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, from_json}
+    import spark.implicits._
+    val raw = read(spark, path)
+      .filter(col("value").isNotNull)
+      .select(col("value").cast("string").as("__json"),
+        col("topic").as("kafkaTopic"),
+        col("partition").cast("long").as("kafkaPartitionId"),
+        col("offset").as("kafkaMsgOffset"),
+        col("timestamp").as("kafkaMsgTimestamp"),
+        col("key").cast("string").as("kafkaMsgKey"))
+    // one inference pass over the text (Spark's own JSON inference —
+    // the same engine spark.read.json uses), then a from_json decode
+    val valueSchema = spark.read.json(raw.select("__json").as[String]).schema
+    raw.select(
+      Seq(from_json(col("__json"), valueSchema).as("__v")) ++
+        raw.columns.filterNot(_ == "__json").map(col): _*)
+      .select(valueSchema.fieldNames.map(n => col(s"__v.`$n`")) ++
+        raw.columns.filterNot(_ == "__json").map(col): _*)
+  }
+
+  // -------------------------------------------------------- fixture I/O
+
+  private def writeVarlong(out: java.io.OutputStream, v0: Long): Unit = {
+    var v = (v0 << 1) ^ (v0 >> 63) // zigzag
+    while ((v & ~0x7FL) != 0) {
+      out.write(((v & 0x7F) | 0x80).toInt)
+      v >>>= 7
+    }
+    out.write(v.toInt)
+  }
+
+  /** Serialize ONE v2 RecordBatch (fixture/test tooling — brokers own
+    * real logs; this exists so specs and gates can synthesize segments
+    * byte-exactly: correct CRC-32C, varint record framing, any codec).
+    * `records` = (key, value, headers, timestampDelta); offsets are
+    * baseOffset + index. */
+  def batchBytes(baseOffset: Long, baseTimestamp: Long,
+                 records: Seq[(Array[Byte], Array[Byte],
+                   Seq[(String, Array[Byte])], Long)],
+                 codec: Int = 0, control: Boolean = false): Array[Byte] = {
+    val recs = new java.io.ByteArrayOutputStream()
+    records.zipWithIndex.foreach { case ((k, v, hs, tsd), i) =>
+      val body = new java.io.ByteArrayOutputStream()
+      body.write(0) // record attributes
+      writeVarlong(body, tsd)
+      writeVarlong(body, i.toLong) // offsetDelta
+      def writeBytes(b: Array[Byte]): Unit =
+        if (b == null) writeVarlong(body, -1L)
+        else { writeVarlong(body, b.length.toLong); body.write(b) }
+      writeBytes(k); writeBytes(v)
+      writeVarlong(body, hs.length.toLong)
+      hs.foreach { case (hk, hv) =>
+        val hkb = hk.getBytes("UTF-8")
+        writeVarlong(body, hkb.length.toLong); body.write(hkb)
+        if (hv == null) writeVarlong(body, -1L)
+        else { writeVarlong(body, hv.length.toLong); body.write(hv) }
+      }
+      writeVarlong(recs, body.size().toLong)
+      body.writeTo(recs)
+    }
+    val packed = codec match {
+      case 0 => recs.toByteArray
+      case 1 =>
+        val bo = new java.io.ByteArrayOutputStream()
+        val g = new java.util.zip.GZIPOutputStream(bo)
+        g.write(recs.toByteArray); g.close(); bo.toByteArray
+      case 2 =>
+        val bo = new java.io.ByteArrayOutputStream()
+        val s = new org.xerial.snappy.SnappyOutputStream(bo)
+        s.write(recs.toByteArray); s.close(); bo.toByteArray
+      case 3 =>
+        val bo = new java.io.ByteArrayOutputStream()
+        val l = new net.jpountz.lz4.LZ4FrameOutputStream(bo)
+        l.write(recs.toByteArray); l.close(); bo.toByteArray
+      case 4 =>
+        val bo = new java.io.ByteArrayOutputStream()
+        val z = new com.github.luben.zstd.ZstdOutputStream(bo)
+        z.write(recs.toByteArray); z.close(); bo.toByteArray
+      case other =>
+        throw new IllegalArgumentException(s"codec $other")
+    }
+    val maxTs = baseTimestamp +
+      (if (records.isEmpty) 0L else records.map(_._4).max)
+    val body = java.nio.ByteBuffer.allocate(40 + packed.length)
+    var attributes = codec & 7
+    if (control) attributes |= 0x20
+    body.putShort(attributes.toShort)         // attributes
+    body.putInt(math.max(records.size - 1, 0)) // lastOffsetDelta
+    body.putLong(baseTimestamp)
+    body.putLong(maxTs)
+    body.putLong(-1L)                          // producerId
+    body.putShort(-1)                          // producerEpoch
+    body.putInt(-1)                            // baseSequence
+    body.putInt(records.size)
+    body.put(packed)
+    val crc = new java.util.zip.CRC32C()
+    crc.update(body.array(), 0, body.position())
+    val out = java.nio.ByteBuffer.allocate(12 + 9 + body.position())
+    out.putLong(baseOffset)
+    out.putInt(9 + body.position()) // batchLength: epoch+magic+crc+body
+    out.putInt(0)                   // partitionLeaderEpoch
+    out.put(2.toByte)               // magic
+    out.putInt(crc.getValue.toInt)
+    out.put(body.array(), 0, body.position())
+    java.util.Arrays.copyOf(out.array(), out.position())
+  }
+
+  /** Write batches as `dir/<topic>-<partition>/<padded base>.log` —
+    * kafka's layout — and return the segment path. Fixture tooling. */
+  def writeSegment(spark: SparkSession, dir: String, topic: String,
+                   partition: Int,
+                   batchs: Seq[Array[Byte]]): String = {
+    val base = new Path(s"$dir/$topic-$partition")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(base)
+    val seg = new Path(base, f"${0L}%020d.log")
+    val out = fs.create(seg, true)
+    try batchs.foreach(out.write) finally out.close()
+    seg.toString
+  }
+}

@@ -1421,13 +1421,22 @@ object PaimonTable {
       // old versions, and every per-bucket merge reader (graft's read()
       // AND native paimon) then emits stale duplicates. Tables graft
       // created carry the routing marker in their schema options;
-      // reading foreign tables is unaffected.
-      require(prior.options.get("graft.bucket-routing")
-          .contains("spark-murmur3"),
+      // reading foreign tables is unaffected. MIGRATION: tables graft
+      // created before the marker existed carry no schema option but
+      // every snapshot of theirs was committed by graft's commitUser
+      // ("graft…"; native writers stamp a UUID) — ALL snapshots must
+      // agree, because even one foreign commit means foreign-routed
+      // buckets may already exist.
+      val graftRouted = prior.options.get("graft.bucket-routing")
+        .contains("spark-murmur3") ||
+        { val snaps = snapshots(spark, table)
+          snaps.nonEmpty && snaps.forall(_.commitUser.startsWith("graft")) }
+      require(graftRouted,
         s"$table is a fixed-bucket PK table graft did not create " +
-          "(no graft.bucket-routing option) — appending would route keys " +
-          "by a different hash than the existing buckets and produce " +
-          "stale duplicates under any per-bucket merge reader")
+          "(no graft.bucket-routing schema option and at least one " +
+          "non-graft commitUser in the snapshot log) — appending would " +
+          "route keys by a different hash than the existing buckets and " +
+          "produce stale duplicates under any per-bucket merge reader")
       val pc = prior.partitionKeys.map(k => prior.schema(k))
       requirePartitionable(pc)
       (prior.schema, declaredBucket.get, pc)

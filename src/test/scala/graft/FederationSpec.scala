@@ -84,7 +84,8 @@ class FederationSpec extends AnyFunSuite {
     val server = TestSpark.jdbcServer
     locally {
       val remote = Federation.graftPeerJdbc(spark, "127.0.0.1", server.port,
-        "SELECT k, peer_name, w FROM global_temp.peer_jdbc_table WHERE k < 2")
+        "SELECT k, peer_name, w FROM global_temp.peer_jdbc_table WHERE k < 2",
+        user = TestSpark.JdbcUser, password = TestSpark.JdbcPassword)
       // types arrive from ResultSetMetaData, not string re-inference
       assert(remote.schema("k").dataType ==
         org.apache.spark.sql.types.LongType)
@@ -97,10 +98,12 @@ class FederationSpec extends AnyFunSuite {
       // peer errors surface as SQLException with the peer's message
       intercept[java.sql.SQLException](
         Federation.graftPeerJdbc(spark, "127.0.0.1", server.port,
-          "SELECT * FROM no_such_table"))
+          "SELECT * FROM no_such_table",
+          user = TestSpark.JdbcUser, password = TestSpark.JdbcPassword))
       // zero-row results keep typed columns
       val empty = Federation.graftPeerJdbc(spark, "127.0.0.1", server.port,
-        "SELECT k, peer_name FROM global_temp.peer_jdbc_table WHERE k > 100")
+        "SELECT k, peer_name FROM global_temp.peer_jdbc_table WHERE k > 100",
+        user = TestSpark.JdbcUser, password = TestSpark.JdbcPassword)
       assert(empty.columns.toSeq == Seq("k", "peer_name"))
       assert(empty.join(local, "k").count() === 0)
     }

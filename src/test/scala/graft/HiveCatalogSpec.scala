@@ -155,5 +155,80 @@ class HiveCatalogSpec extends AnyFunSuite {
     val rows = df.collect().map(r => (r.getLong(0), r.getString(2))).sortBy(_._1)
     assert(rows.toSeq == Seq((1L, "2024-01-01"), (2L, "2024-01-01"),
       (3L, "2024-01-02")))
+
+    // the scale contract: a partition predicate PRUNES the scan to the
+    // matching partition DIRECTORY at plan time (the reference's
+    // HivePushPartitionFilterIntoScan role) — asserted on the executed
+    // plan's actual file list, not on row values
+    import org.apache.spark.sql.functions.col
+    val pruned = df.filter(col("dt") === "2024-01-02")
+    assert(pruned.collect().map(_.getLong(0)).toSeq == Seq(3L))
+    val files = scannedFiles(pruned)
+    assert(files.nonEmpty && files.forall(_.contains("dt=2024-01-02")),
+      s"unpruned hive scan: ${files.mkString(", ")}")
+  }
+
+  /** Files the physical scan would actually read — pruned FileIndex of
+    * every FileSourceScanExec in the executed plan (inside AQE too). */
+  private def scannedFiles(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val plan = df.queryExecution.executedPlan
+    val resolved = plan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    resolved.collect { case s: FileSourceScanExec =>
+      s.relation.location.inputFiles.toSeq
+    }.flatten
+  }
+
+  test("partitioned hive CTAS round-trip prunes at >64 partitions") {
+    // partitioned WRITE (createTable partitionBy) registers one HMS
+    // partition per written directory; read back through the catalog
+    // mirror and verify pruning holds where a literal-union plan shape
+    // would have been size-switched away (80 > 64 partitions)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = (0 until 80).map(i => (i.toLong, s"d$i")).toDF("id", "dt")
+    HiveMetastore.createTable(spark, root, "default", "hms_wide", df,
+      partitionBy = Seq("dt"))
+    // HMS really holds 80 partitions (any hive client would see them)
+    val nParts = HiveMetastore.withClient(root)(
+      _.listPartitions("default", "hms_wide", (-1).toShort).size)
+    assert(nParts == 80)
+    val back = HiveMetastore.read(spark, root, "default", "hms_wide")
+    assert(back.count() == 80)
+    val one = back.filter(col("dt") === "d7")
+    assert(one.collect().map(_.getLong(0)).toSeq == Seq(7L))
+    val files = scannedFiles(one)
+    assert(files.nonEmpty && files.forall(_.contains("dt=d7")),
+      s"unpruned at 80 partitions: ${files.take(5).mkString(", ")}")
+    // multi-partition predicate keeps exactly the matching directories
+    val two = back.filter(col("dt").isin("d3", "d11"))
+    assert(two.count() == 2)
+    val files2 = scannedFiles(two)
+    assert(files2.nonEmpty &&
+      files2.forall(f => f.contains("dt=d3") || f.contains("dt=d11")),
+      s"unpruned IN-list: ${files2.take(5).mkString(", ")}")
+  }
+
+  test("ragged TEXTFILE null-fills trailing declared columns") {
+    // first row narrower than the declared schema: hive's
+    // LazySimpleSerDe contract null-fills the tail; a zip against
+    // inferred columns would silently DROP column c entirely
+    val tdir = java.nio.file.Files.createTempDirectory("hms_ragged")
+    java.nio.file.Files.writeString(tdir.resolve("part-0.txt"),
+      "1\u0001x\n2\u0001y\u00019\n")
+    HiveMetastore.registerExternal(root, "default", "hms_ragged",
+      Seq("id" -> "bigint", "name" -> "string", "c" -> "int"),
+      tdir.toUri.toString, "text")
+    val t = HiveMetastore.read(spark, root, "default", "hms_ragged")
+    assert(t.schema.fieldNames.toSeq == Seq("id", "name", "c"))
+    val rows = t.collect().sortBy(_.getLong(0))
+    assert(rows(0).getLong(0) == 1L && rows(0).getString(1) == "x" &&
+      rows(0).isNullAt(2))
+    assert(rows(1).getLong(0) == 2L && rows(1).getString(1) == "y" &&
+      rows(1).getInt(2) == 9)
   }
 }

@@ -12,8 +12,33 @@ class JdbcEndpointSpec extends AnyFunSuite {
   private def withConn[A](port: Int)(f: java.sql.Connection => A): A = {
     Class.forName("org.apache.hive.jdbc.HiveDriver")
     val conn = java.sql.DriverManager.getConnection(
-      s"jdbc:hive2://127.0.0.1:$port/default", "anonymous", "")
+      s"jdbc:hive2://127.0.0.1:$port/default",
+      TestSpark.JdbcUser, TestSpark.JdbcPassword)
     try f(conn) finally conn.close()
+  }
+
+  test("CUSTOM auth: wrong password and unknown user refuse; right " +
+      "credentials connect") {
+    val server = TestSpark.jdbcServer
+    Class.forName("org.apache.hive.jdbc.HiveDriver")
+    def connect(u: String, p: String) = java.sql.DriverManager
+      .getConnection(s"jdbc:hive2://127.0.0.1:${server.port}/default", u, p)
+    // the SASL PLAIN refusal surfaces client-side as a closed transport
+    // (hive-jdbc does not forward the server's auth message on PLAIN)
+    intercept[java.sql.SQLException] {
+      connect(TestSpark.JdbcUser, "not-the-password").close()
+    }
+    intercept[java.sql.SQLException] {
+      connect("nobody", TestSpark.JdbcPassword).close()
+    }
+    // anonymous (the pre-auth default) refuses too — NONE mode is off
+    intercept[java.sql.SQLException] { connect("anonymous", "").close() }
+    // and the real credentials still serve queries
+    withConn(server.port) { conn =>
+      val rs = conn.createStatement().executeQuery("SELECT 1 + 1")
+      assert(rs.next() && rs.getInt(1) == 2)
+      rs.close()
+    }
   }
 
   test("JDBC endpoint serves gate-shaped, dfs, and sys queries with types") {

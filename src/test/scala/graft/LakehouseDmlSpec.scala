@@ -92,12 +92,52 @@ class LakehouseDmlSpec extends AnyFunSuite {
     assert(foreign != txt, "marker not found in schema-0")
     val out = fs.create(schemaPath, true)
     try out.write(foreign.getBytes("UTF-8")) finally out.close()
+    // ...and stamp a FOREIGN commitUser into every snapshot: a
+    // marker-less table whose commits are all graft's is a LEGACY graft
+    // table and the migration path accepts it (next test); foreign
+    // means at least one non-graft commit
+    val snapDir = new org.apache.hadoop.fs.Path(base, "snapshot")
+    fs.listStatus(snapDir).map(_.getPath)
+      .filter(_.getName.startsWith("snapshot-")).foreach { p =>
+        val in = fs.open(p)
+        val js = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                 finally in.close()
+        val o = fs.create(p, true)
+        try o.write(js.replace("\"commitUser\":\"graft\"",
+          "\"commitUser\":\"9b2f-native-writer\"").getBytes("UTF-8"))
+        finally o.close()
+      }
     // reading stays fine; appending refuses loudly
     assert(PaimonTable.read(spark, base).count() == 6)
     val e = intercept[IllegalArgumentException] {
       PaimonTable.writePk(Seq((7L, "row7")).toDF("k", "v"), base, Seq("k"))
     }
     assert(e.getMessage.contains("graft.bucket-routing"))
+  }
+
+  test("paimon writePk ACCEPTS a legacy graft table missing the routing " +
+      "marker when every snapshot is graft-committed (migration path)") {
+    import spark.implicits._
+    val base = pkTable("legacy_pk")
+    // a table graft created BEFORE the routing marker existed: the
+    // schema option is absent but the commit log is all-graft
+    val schemaPath = new org.apache.hadoop.fs.Path(base, "schema/schema-0")
+    val fs = schemaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val txt = {
+      val in = fs.open(schemaPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    val legacy = txt.replace("\"graft.bucket-routing\":\"spark-murmur3\",", "")
+      .replace(",\n\"graft.bucket-routing\":\"spark-murmur3\"", "")
+    assert(legacy != txt, "marker not found in schema-0")
+    val out = fs.create(schemaPath, true)
+    try out.write(legacy.getBytes("UTF-8")) finally out.close()
+    PaimonTable.writePk(Seq((2L, "upd2"), (7L, "row7")).toDF("k", "v"),
+      base, Seq("k"))
+    val rows = PaimonTable.read(spark, base)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(rows(2L) == "upd2" && rows(7L) == "row7" && rows.size == 7)
   }
 
   test("iceberg UPDATE: delete+append, nothing rewritten, travel intact") {

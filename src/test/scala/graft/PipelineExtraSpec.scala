@@ -534,6 +534,48 @@ class PipelineExtraSpec extends AnyFunSuite {
       scored.forall { case (k, v) => math.abs(again(k) - v) < 1e-9 })
   }
 
+  test("languageClassifier separates planted languages and predicts " +
+      "held-out docs") {
+    import spark.implicits._
+    // three "languages" with disjoint stopword vocabularies; the last
+    // doc of each language carries NO label (null) — the classifier
+    // trains on the labeled rows and must still classify the unlabeled
+    // ones from shared vocabulary. An empty doc scores the uniform 1/3.
+    def mk(lang: String, words: String, ids: Range) =
+      ids.map(i => (i.toLong, s"$words token$i",
+        if (i == ids.last) null else lang))
+    val docs = (mk("en", "the quick brown fox jumps over lazy dog", 1 to 12) ++
+      mk("de", "der schnelle braune fuchs springt ueber faulen hund", 21 to 32) ++
+      mk("fr", "le renard brun rapide saute par dessus chien", 41 to 52) :+
+      ((99L, "", null: String))).toDF("doc_id", "text", "lang")
+    val probs = graft.pipeline.Search.languageClassifier(
+      docs, "doc_id", "text", "lang", dim = 64, iters = 3)
+    // full probability rows: K per doc, each row set sums to 1
+    val rows = probs.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(rows.groupBy(_._1).forall { case (_, g) =>
+      g.length == 3 && math.abs(g.map(_._3).sum - 1.0) < 1e-9
+    })
+    // argmax prediction: every doc (including the UNLABELED tail docs)
+    // lands on its planted language
+    val pred = rows.groupBy(_._1).map { case (id, g) =>
+      id -> g.maxBy(_._3)._2
+    }
+    ((1L to 12L).map(_ -> "en") ++ (21L to 32L).map(_ -> "de") ++
+      (41L to 52L).map(_ -> "fr")).foreach { case (id, want) =>
+      assert(pred(id) == want, s"doc $id predicted ${pred(id)}, want $want")
+    }
+    // featureless doc: exactly uniform, no evidence either way
+    val empty = rows.filter(_._1 == 99L).map(_._3)
+    assert(empty.forall(p => math.abs(p - 1.0 / 3) < 1e-12), empty.toSeq)
+    // reproducible far beyond the gate's 6dp rounding
+    val again = graft.pipeline.Search.languageClassifier(
+      docs, "doc_id", "text", "lang", dim = 64, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(rows.forall { case (id, l, p) =>
+      math.abs(again((id, l)) - p) < 1e-9 })
+  }
+
   test("canonicalizeUrl: query-only authority and lookalike utm params") {
     import spark.implicits._
     val urls = Seq(

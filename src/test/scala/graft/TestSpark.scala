@@ -22,7 +22,13 @@ object TestSpark {
   /** ONE JDBC endpoint for the whole suite JVM: HiveServer2 keeps
     * JVM-global service state, so a stop() + second start() in the same
     * JVM never accepts — suites share this instance and never stop it
-    * (the forked test JVM exit reaps it). */
+    * (the forked test JVM exit reaps it). Started with CUSTOM password
+    * auth so every suite exercises the authenticated path (the
+    * one-per-JVM constraint means auth posture is fixed at first
+    * start). */
+  val JdbcUser = "graft"
+  val JdbcPassword = "graft-test-pw"
   lazy val jdbcServer: graft.sources.JdbcEndpoint.Running =
-    graft.sources.JdbcEndpoint.start(spark)
+    graft.sources.JdbcEndpoint.start(spark,
+      credentials = Map(JdbcUser -> JdbcPassword))
 }
