@@ -776,6 +776,29 @@ object QueriesSources {
           col("kafkaMsgKey").cast("long").as("msg_key"))
     }),
 
+    // ---- BSON dump files (ref contrib/storage-mongo re-expressed
+    // zero-egress: bsonspec.org bytes, what mongodump writes; typed
+    // values incl. ObjectId hex and exact decimal128 strings). Fixture
+    // synthesized byte-exactly from the supplier dimension ----
+    "q_bson_read" -> ((s, d) => {
+      import graft.sources.BsonReader
+      val dir = s"${out(d)}/mongo_dump"
+      val rows = GraftSession.table(s, d, "supplier")
+        .select(col("s_suppkey").cast("long"), col("s_name"),
+          col("s_acctbal").cast("double"))
+        .collect().sortBy(_.getLong(0))
+      val docs = rows.map { r =>
+        BsonReader.documentBytes(Seq(
+          "s_suppkey" -> r.getLong(0),
+          "s_name" -> r.getString(1),
+          "s_acctbal" -> r.getDouble(2)))
+      }.toSeq
+      BsonReader.writeDump(s, dir, "supplier", docs)
+      BsonReader.read(s, dir)
+        .select(col("s_suppkey"), col("s_name"),
+          round(col("s_acctbal"), 2).as("acctbal"))
+    }),
+
     // ---- hive-metastore federation (ref contrib/storage-hive/core/...
     // /HiveStoragePlugin.java): partitioned CTAS into an embedded Derby
     // HMS, read back through the pruning catalog mirror — the partition
@@ -1978,6 +2001,10 @@ object QueriesSources {
              n_nationkey::BIGINT AS msg_offset,
              n_nationkey::BIGINT AS msg_key
       FROM nation""",
+    "q_bson_read" -> """
+      SELECT s_suppkey::BIGINT AS s_suppkey, s_name,
+             round(s_acctbal::DOUBLE, 2) AS acctbal
+      FROM supplier""",
     "q_dir_columns" -> """
       SELECT o_orderstatus AS dir0, count(*) AS n FROM orders GROUP BY 1""",
     "q_stats_store" -> """

@@ -225,13 +225,15 @@ object Search {
     * tokens scores sigmoid(0) = 0.5 (no evidence either way).
     *
     * Caching contract: the feature/label frames are persisted ONLY for
-    * the training iterations and released before return (leak-free —
-    * the caller cannot unpersist what it never sees). The returned
-    * frame is the scored result localCheckpoint'ed WHILE the feature
-    * cache is still live, so the whole call costs ONE corpus pass
+    * the training iterations and released before return. The returned
+    * frame is the scored result PERSISTED and materialized while the
+    * feature cache is still live, so the call costs ONE corpus pass
     * (feature build) no matter when or how often the caller evaluates
-    * it — the checkpoint holds only (doc_id, quality_score) rows,
-    * score-sized by definition. */
+    * it — `unpersist()` the returned frame when done (the Dedup
+    * contract). Persist, not localCheckpoint: checkpoint blocks are
+    * unreplicated and lineage-cut, so one lost executor would make the
+    * frame permanently unevaluable; a persisted frame falls back to
+    * recompute. */
   def qualityClassifier(docs: DataFrame, idCol: String, textCol: String,
                         isTarget: Column, dim: Int = 64, iters: Int = 3,
                         lr: Double = 0.5): DataFrame = {
@@ -267,14 +269,16 @@ object Search {
           .collect().map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap
         w = w.zipWithIndex.map { case (v, j) => v - lr * grad.getOrElse(j, 0.0) }
       }
-      // score from the final weights, materialized EAGERLY (and its
-      // lineage cut) while feats/lab are still cached — otherwise the
+      // score from the final weights, persisted and materialized
+      // EAGERLY while feats/lab are still cached — otherwise the
       // caller's first evaluation would land after the unpersist below
       // and silently re-derive the whole feature lineage (one extra
       // corpus pass per evaluation at scale)
-      lab.join(dots(w), Seq("doc_id"), "left")
+      val scored = lab.join(dots(w), Seq("doc_id"), "left")
         .select(col("doc_id"), sig(col("z")).as("quality_score"))
-        .localCheckpoint()
+        .persist()
+      scored.count()
+      scored
     } finally { lab.unpersist(); feats.unpersist() }
   }
 
@@ -306,8 +310,12 @@ object Search {
     * only above a confidence floor) are caller decisions; argmax is a
     * one-line `max_by(lang, p)` downstream. A doc with no tokens (or
     * none seen in training) scores the uniform 1/K — no evidence either
-    * way. Like [[qualityClassifier]], the result is localCheckpoint'ed
-    * while the feature cache is live: one corpus pass total. */
+    * way. Training iterations run over the LABELED slice of the feature
+    * table only (the semi-supervised case pays label-slice-sized
+    * iterations, not corpus-sized — only the final scoring pass touches
+    * every doc). Like [[qualityClassifier]], the result is persisted
+    * and materialized while the feature cache is live: one corpus pass
+    * total; `unpersist()` it when done. */
   def languageClassifier(docs: DataFrame, idCol: String, textCol: String,
                          labelCol: String, dim: Int = 64, iters: Int = 3,
                          lr: Double = 0.5): DataFrame = {
@@ -332,6 +340,12 @@ object Search {
           lit(dim.toLong)).as("j"))
       .groupBy("doc_id", "j").agg(count(lit(1)).as("x"))
       .persist()
+    // gradients only involve LABELED docs — iterating over the full
+    // feature table would pay a corpus-sized join + softmax per
+    // iteration and then discard the unlabeled rows at the lab join
+    // (ruinous when 1% of a crawl is labeled); the final scoring pass
+    // is the one full-corpus computation
+    val trainFeats = feats.join(lab.select("doc_id"), "doc_id").persist()
     try {
       val n = lab.count().toDouble
       require(n > 0, "languageClassifier: no labeled rows to train on")
@@ -341,8 +355,9 @@ object Search {
           .toDF("lang", "j", "w"))
       // z_{d,l} = Σ_j w_{l,j} x_{d,j}; the DENSE weight table means any
       // doc with >= 1 feature row gets all K class rows out of the join
-      def zs(w: Map[(String, Int), Double]) = feats.join(wDf(w), "j")
-        .groupBy("doc_id", "lang").agg(sum(col("w") * col("x")).as("z"))
+      def zs(w: Map[(String, Int), Double], f: DataFrame) =
+        f.join(wDf(w), "j")
+          .groupBy("doc_id", "lang").agg(sum(col("w") * col("x")).as("z"))
       def probs(zd: DataFrame) = {
         val m = zd.groupBy("doc_id").agg(max("z").as("m"))
         val ez = zd.join(m, "doc_id")
@@ -356,11 +371,11 @@ object Search {
         // e_{d,l} = p_{d,l} - 1[label_d = l] over labeled docs; a
         // labeled doc with zero features is absent here AND contributes
         // a zero gradient by definition (no x terms) — consistent
-        val e = lab.join(probs(zs(w)), "doc_id")
+        val e = lab.join(probs(zs(w, trainFeats)), "doc_id")
           .select(col("doc_id"), col("lang"),
             (col("p") - when(col("lang") === col("y_lang"), 1.0)
               .otherwise(0.0)).as("e"))
-        val grad = feats.join(e, "doc_id")
+        val grad = trainFeats.join(e, "doc_id")
           .groupBy("lang", "j")
           .agg((sum(col("e") * col("x")) / lit(n)).as("g"))
           .collect()
@@ -370,14 +385,20 @@ object Search {
           (l, j) -> (w.getOrElse((l, j), 0.0) - lr * grad.getOrElse((l, j), 0.0))
         }).toMap
       }
-      // score every doc; feature-less docs fill the uniform 1/K row set
-      docs.select(col(idCol).as("doc_id")).distinct()
+      // score every doc (the ONE full-corpus pass); feature-less docs
+      // fill the uniform 1/K row set. Persisted and materialized while
+      // the feature cache is live — caller-unpersist contract; persist,
+      // not localCheckpoint, so a lost executor recomputes instead of
+      // permanently losing blocks
+      val out = docs.select(col(idCol).as("doc_id")).distinct()
         .crossJoin(classDf)
-        .join(probs(zs(w)), Seq("doc_id", "lang"), "left")
+        .join(probs(zs(w, feats)), Seq("doc_id", "lang"), "left")
         .na.fill(1.0 / k, Seq("p"))
         .select(col("doc_id"), col("lang"), col("p"))
-        .localCheckpoint()
-    } finally { lab.unpersist(); feats.unpersist() }
+        .persist()
+      out.count()
+      out
+    } finally { lab.unpersist(); feats.unpersist(); trainFeats.unpersist() }
   }
 
   /** Classic TF-IDF weight per (doc, term) for the given terms:

@@ -160,39 +160,46 @@ object HiveMetastore {
         parts, t.getSd.getCols.asScala.toSeq.map(f => f.getName -> f.getType))
     }
     val fmt = formatOf(sd.getInputFormat)
+    require(fmt == "parquet" || fmt == "orc" || fmt == "text",
+      s"hive table $db.$table: unsupported storage format '$fmt' " +
+        "(parquet/orc/textfile supported)")
     def parse(ty: String) = org.apache.spark.sql.catalyst.parser
       .CatalystSqlParser.parseDataType(ty)
     val dataSchema = org.apache.spark.sql.types.StructType(cols.map {
       case (n, ty) => org.apache.spark.sql.types.StructField(
         n, parse(ty), nullable = true)
     }.toArray)
+    // declared-arity all-string schema for TEXTFILE: rows with FEWER
+    // fields than the metastore declares null-fill the tail (hive's
+    // LazySimpleSerDe contract); extra fields drop; declared types come
+    // from a Spark CAST after the parse (hive's lax trim/null-on-dirty
+    // semantics), NOT from a typed CSV parse whose whitespace and error
+    // behavior differs. Inferring columns from the data and zipping
+    // against the declaration would instead TRUNCATE the declared
+    // schema whenever the first row is short. BOTH the unpartitioned
+    // direct read and the partitioned catalog mirror use this same
+    // parse-then-cast shape — same file bytes, same values.
+    val strSchema = org.apache.spark.sql.types.StructType(cols.map {
+      case (n, _) => org.apache.spark.sql.types.StructField(
+        n, org.apache.spark.sql.types.StringType, nullable = true)
+    }.toArray)
+    // hive's LazySimpleSerDe default separator is \u0001 (^A)
+    val textDelim = Option(sd.getSerdeInfo)
+      .flatMap(s => Option(s.getParameters.get("field.delim")))
+      .filter(_.nonEmpty).getOrElse("\u0001")
+    // try_cast, not cast: hive's LazySimpleSerDe nulls a dirty cell
+    // (bad number in an int column); under Spark's ANSI default a plain
+    // cast would throw instead (the SchemaProvider precedent)
+    def castDeclared(raw: DataFrame): DataFrame =
+      raw.select(cols.map { case (n, ty) => col(n).try_cast(ty).as(n) }
+        .toSeq: _*)
     def readLocs(locs: Seq[String]): DataFrame = fmt match {
       case "parquet" => spark.read.schema(dataSchema).parquet(locs: _*)
       case "orc"     => spark.read.schema(dataSchema).orc(locs: _*)
-      case "text" =>
-        // hive's LazySimpleSerDe default separator is \u0001 (^A)
-        val delim = Option(sd.getSerdeInfo)
-          .flatMap(s => Option(s.getParameters.get("field.delim")))
-          .filter(_.nonEmpty).getOrElse("\u0001")
-        // declared-arity all-string schema: rows with FEWER fields than
-        // the metastore declares null-fill the tail (hive's
-        // LazySimpleSerDe contract); extra fields drop. Inferring
-        // columns from the data and zipping against the declaration
-        // would instead TRUNCATE the declared schema whenever the
-        // first row is short.
-        val strSchema = org.apache.spark.sql.types.StructType(cols.map {
-          case (n, _) => org.apache.spark.sql.types.StructField(
-            n, org.apache.spark.sql.types.StringType, nullable = true)
-        }.toArray)
-        val raw = spark.read.schema(strSchema).option("sep", delim)
+      case _ =>
+        castDeclared(spark.read.schema(strSchema).option("sep", textDelim)
           .option("header", "false").option("mode", "PERMISSIVE")
-          .csv(locs: _*)
-        raw.select(cols.map { case (n, ty) => col(n).cast(ty).as(n) }
-          .toSeq: _*)
-      case other =>
-        throw new IllegalArgumentException(
-          s"hive table $db.$table: unsupported storage format '$other' " +
-            "(parquet/orc/textfile supported)")
+          .csv(locs: _*))
     }
     if (partKeys.isEmpty) readLocs(Seq(sd.getLocation))
     else {
@@ -200,23 +207,35 @@ object HiveMetastore {
         s"hive table $db.$table is partitioned but has no partitions")
       import org.apache.spark.sql.catalyst.TableIdentifier
       import org.apache.spark.sql.catalyst.catalog.{CatalogStorageFormat, CatalogTable, CatalogTablePartition, CatalogTableType}
-      val shadow = s"graft_hive_${db}_$table".replaceAll("[^a-zA-Z0-9_]", "_")
+      // name sanitization alone can COLLIDE across distinct tables
+      // (db "logs"/table "web_events" vs db "logs_web"/table "events",
+      // or "my-db" vs "my_db") — and a collision means one table's
+      // frame silently resolves the OTHER table's partitions at
+      // execution (CatalogFileIndex lists by identifier, live). A short
+      // digest of the exact (db, table) pair disambiguates.
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$db\u0000$table".getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString
+      val shadow = (s"graft_hive_${db}_$table"
+        .replaceAll("[^a-zA-Z0-9_]", "_")) + "_" + tag
       val ident = TableIdentifier(shadow)
       val catalog = spark.sessionState.catalog
+      // TEXTFILE mirrors declare data columns as STRING and cast after
+      // the scan — the same parse-then-cast shape as the unpartitioned
+      // path, so a partitioned and an unpartitioned table over the same
+      // bytes return the same values (a TYPED csv parse differs on
+      // whitespace and dirty cells)
+      val mirrorData = if (fmt == "text") strSchema else dataSchema
       val fullSchema = org.apache.spark.sql.types.StructType(
-        dataSchema.fields ++ partKeys.map { case (n, ty) =>
+        mirrorData.fields ++ partKeys.map { case (n, ty) =>
           org.apache.spark.sql.types.StructField(n, parse(ty),
             nullable = true)
         })
-      val (provider, opts) = fmt match {
-        case "text" =>
-          val d = Option(sd.getSerdeInfo)
-            .flatMap(s => Option(s.getParameters.get("field.delim")))
-            .filter(_.nonEmpty).getOrElse("\u0001")
-          ("csv", Map("sep" -> d, "header" -> "false",
+      val (provider, opts) =
+        if (fmt == "text")
+          ("csv", Map("sep" -> textDelim, "header" -> "false",
             "mode" -> "PERMISSIVE"))
-        case p => (p, Map.empty[String, String])
-      }
+        else (fmt, Map.empty[String, String])
       def locUri(s: String) = new org.apache.hadoop.fs.Path(s).toUri
       val storage = CatalogStorageFormat.empty.copy(
         locationUri = Some(locUri(sd.getLocation)), properties = opts)
@@ -234,7 +253,16 @@ object HiveMetastore {
           spec = partKeys.map(_._1).zip(vals).toMap,
           storage = storage.copy(locationUri = Some(locUri(loc))))
       }, ignoreIfExists = false)
-      spark.table(shadow)
+      val mirror = spark.table(shadow)
+      if (fmt == "text")
+        // try_cast data columns to declared types ABOVE the scan
+        // (hive's null-on-dirty contract, ANSI-proof); partition
+        // columns (already typed) pass through, so partition predicates
+        // still prune
+        mirror.select((cols.map { case (n, ty) =>
+          col(n).try_cast(ty).as(n)
+        } ++ partKeys.map { case (n, _) => col(n) }).toSeq: _*)
+      else mirror
     }
   }
 
@@ -252,9 +280,10 @@ object HiveMetastore {
     * `add_partition` with its values and location, so the read path's
     * catalog mirror prunes on partition predicates and any other HMS
     * client (hive, presto, spark-hive) sees a properly partitioned
-    * table. The distinct partition-tuple list crosses the driver —
-    * metadata-scale by definition (one row per partition, the same
-    * list the metastore itself stores). */
+    * table. The partition list comes from LISTING the written
+    * directories (metadata-only, one level per key) — never from
+    * re-executing `df`, which would pay a second source scan and could
+    * diverge from the written layout on a nondeterministic frame. */
   def createTable(spark: SparkSession, root: String, db: String,
                   name: String, df: DataFrame,
                   partitionBy: Seq[String] = Nil): Unit = {
@@ -274,22 +303,28 @@ object HiveMetastore {
       val pKeys = partitionBy.map(c =>
         c -> df.schema(c).dataType.catalogString)
       import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-      // one row per partition tuple; cast-to-string matches the
-      // writer's directory rendering for the simple partition types
-      // hive allows (string/integral/date)
-      val tuples = df.select(partitionBy.map(c => col(c).cast("string")): _*)
-        .distinct().collect()
-        .map(r => partitionBy.indices.map(i =>
-          if (r.isNullAt(i)) null else r.getString(i)))
-      val parts = tuples.map { vals =>
-        val dir = partitionBy.zip(vals).map { case (k, v) =>
-          ExternalCatalogUtils.getPartitionPathString(k,
-            Option(v).getOrElse(ExternalCatalogUtils.DEFAULT_PARTITION_NAME))
-        }.mkString("/")
-        val hmsVals = vals.map(v =>
-          Option(v).getOrElse(ExternalCatalogUtils.DEFAULT_PARTITION_NAME))
-        (hmsVals.toSeq, s"${loc.stripSuffix("/")}/$dir")
-      }.toSeq
+      // partition tuples from the WRITTEN `key=value` directories, not
+      // a second pass over `df`: re-executing the frame would scan the
+      // source again and — for a nondeterministic frame (sampling, a
+      // source that changed mid-call) — could register partitions that
+      // disagree with what the writer actually laid out. The directory
+      // walk is metadata-only (one listing level per partition key) and
+      // by construction matches the data on disk.
+      val locPath = new org.apache.hadoop.fs.Path(loc)
+      val fs = locPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def walk(dir: org.apache.hadoop.fs.Path, depth: Int,
+               vals: List[String]): Seq[(Seq[String], String)] =
+        if (depth == partitionBy.length) Seq((vals.reverse, dir.toString))
+        else fs.listStatus(dir).toSeq
+          .filter(st => st.isDirectory &&
+            st.getPath.getName.startsWith(partitionBy(depth) + "="))
+          .flatMap { st =>
+            val raw = st.getPath.getName
+              .substring(partitionBy(depth).length + 1)
+            walk(st.getPath, depth + 1,
+              ExternalCatalogUtils.unescapePathName(raw) :: vals)
+          }
+      val parts = walk(locPath, 0, Nil)
       registerExternal(root, db, name, dataCols, loc, "parquet",
         pKeys, parts)
     }

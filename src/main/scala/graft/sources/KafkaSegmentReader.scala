@@ -51,17 +51,29 @@ object KafkaSegmentReader {
     StructField("timestamp_type", StringType, nullable = false),
     StructField("key", BinaryType, nullable = true),
     StructField("value", BinaryType, nullable = true),
-    StructField("headers", MapType(StringType, BinaryType), nullable = true)))
+    // array of (key, value) structs, NOT a map: kafka headers are an
+    // ordered MULTI-map — duplicate keys are legal and common (retry /
+    // interceptor metadata), and a map would silently keep only the
+    // last value
+    StructField("headers", ArrayType(StructType(Seq(
+      StructField("key", StringType, nullable = false),
+      StructField("value", BinaryType, nullable = true)))),
+      nullable = true)))
 
   /** (topic, partition) from a segment's parent directory name — kafka's
     * `<topic>-<partition>` layout; topics may themselves contain dashes,
     * so the LAST all-digit suffix is the partition. Unparseable layouts
     * yield (dirName, null) rather than failing: the rows still carry
-    * their data. */
+    * their data. ASCII digits only and Int-range only — a
+    * timestamp-suffixed dir like `backup-20240101235959` (or unicode
+    * digits, which isDigit accepts but toInt rejects) falls back
+    * instead of crashing the task. */
   private[sources] def topicPartition(dir: String): (String, Integer) = {
     val i = dir.lastIndexOf('-')
-    if (i > 0 && i < dir.length - 1 && dir.substring(i + 1).forall(_.isDigit))
-      (dir.substring(0, i), Integer.valueOf(dir.substring(i + 1).toInt))
+    val suffix = if (i > 0 && i < dir.length - 1) dir.substring(i + 1) else ""
+    if (suffix.nonEmpty && suffix.length <= 9 &&
+        suffix.forall(c => c >= '0' && c <= '9'))
+      (dir.substring(0, i), Integer.valueOf(suffix.toInt))
     else (dir, null)
   }
 
@@ -116,7 +128,7 @@ object KafkaSegmentReader {
 
   private final case class Rec(offset: Long, ts: Long, tsType: String,
                                key: Array[Byte], value: Array[Byte],
-                               headers: Map[String, Array[Byte]])
+                               headers: Seq[(String, Array[Byte])])
 
   /** Decode every record of every batch from one segment stream.
     * Returns an iterator that reads lazily batch-by-batch. */
@@ -187,13 +199,14 @@ object KafkaSegmentReader {
                   val key = bytesOrNull()
                   val value = bytesOrNull()
                   val hn = readVarint(bis)
+                  // ordered seq, duplicates preserved (kafka multi-map)
                   val headers = (0 until hn).map { _ =>
                     val kl = readVarint(bis)
                     val k = new String(readFully(bis, kl), "UTF-8")
                     val vl = readVarint(bis)
                     val v = if (vl < 0) null else readFully(bis, vl)
-                    k -> v
-                  }.toMap
+                    (k, v)
+                  }
                   Rec(baseOffset + offDelta, baseTimestamp + tsDelta,
                     tsType, key, value, headers)
                 }
@@ -236,7 +249,7 @@ object KafkaSegmentReader {
             def next(): Row = {
               val r = it.next()
               Row(topic, part, r.offset, r.ts, r.tsType, r.key, r.value,
-                r.headers)
+                r.headers.map { case (k, v) => Row(k, v) })
             }
           }
         }
@@ -249,7 +262,9 @@ object KafkaSegmentReader {
     * kafkaTopic, kafkaPartitionId, kafkaMsgOffset, kafkaMsgTimestamp,
     * kafkaMsgKey). Schema inferred from the values like any
     * schema-on-read JSON source; tombstones (null values) drop, as a
-    * JSON decoder has nothing to decode. */
+    * JSON decoder has nothing to decode. The five metadata names are
+    * RESERVED: payload fields with those names drop from the output
+    * (use [[read]] for untyped access to such payloads). */
   def readJson(spark: SparkSession, path: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, from_json}
     import spark.implicits._
@@ -262,12 +277,17 @@ object KafkaSegmentReader {
         col("timestamp").as("kafkaMsgTimestamp"),
         col("key").cast("string").as("kafkaMsgKey"))
     // one inference pass over the text (Spark's own JSON inference —
-    // the same engine spark.read.json uses), then a from_json decode
+    // the same engine spark.read.json uses), then a from_json decode.
+    // Payload fields named like the five metadata columns are DROPPED
+    // (documented reserve — emitting two same-named columns would make
+    // every later reference an ambiguous-attribute error at query time)
+    val metaNames = raw.columns.filterNot(_ == "__json").toSet
     val valueSchema = spark.read.json(raw.select("__json").as[String]).schema
+    val payloadFields = valueSchema.fieldNames.filterNot(metaNames.contains)
     raw.select(
       Seq(from_json(col("__json"), valueSchema).as("__v")) ++
         raw.columns.filterNot(_ == "__json").map(col): _*)
-      .select(valueSchema.fieldNames.map(n => col(s"__v.`$n`")) ++
+      .select(payloadFields.map(n => col(s"__v.`$n`")) ++
         raw.columns.filterNot(_ == "__json").map(col): _*)
   }
 

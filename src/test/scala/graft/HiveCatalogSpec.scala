@@ -213,6 +213,47 @@ class HiveCatalogSpec extends AnyFunSuite {
       s"unpruned IN-list: ${files2.take(5).mkString(", ")}")
   }
 
+  test("partitioned TEXTFILE parses exactly like unpartitioned (parse-" +
+      "then-cast parity: padded numerics, dirty cells)") {
+    // ' 42' in an int column: Spark's CAST trims (hive's lax semantics);
+    // a typed CSV parse would PERMISSIVE-null it — the partitioned
+    // mirror must go through the same all-string + cast path
+    val base = java.nio.file.Files.createTempDirectory("hms_tpart")
+    val p1 = base.resolve("dt=a"); java.nio.file.Files.createDirectory(p1)
+    java.nio.file.Files.writeString(p1.resolve("f.txt"),
+      "1, 42\n2,junk\n")
+    HiveMetastore.registerExternal(root, "default", "hms_text_flat",
+      Seq("id" -> "bigint", "n" -> "int"), p1.toUri.toString, "text")
+    HiveMetastore.registerExternal(root, "default", "hms_text_part",
+      Seq("id" -> "bigint", "n" -> "int"), base.toUri.toString, "text",
+      partitionKeys = Seq("dt" -> "string"),
+      partitions = Seq((Seq("a"), p1.toUri.toString)))
+    // both tables declare comma separators via the serde param
+    HiveMetastore.withClient(root) { c =>
+      Seq("hms_text_flat", "hms_text_part").foreach { t =>
+        val tbl = c.getTable("default", t)
+        tbl.getSd.getSerdeInfo.getParameters.put("field.delim", ",")
+        c.alter_table("default", t, tbl)
+        if (t == "hms_text_part") {
+          // partition SDs carry their own serde copy — align it
+          import scala.jdk.CollectionConverters._
+          c.listPartitions("default", t, (-1).toShort).asScala.foreach { p =>
+            p.getSd.getSerdeInfo.getParameters.put("field.delim", ",")
+            c.alter_partition("default", t, p)
+          }
+        }
+      }
+    }
+    def vals(t: String) = HiveMetastore.read(spark, root, "default", t)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else Integer.valueOf(r.getInt(1))))
+      .sortBy(_._1).toSeq
+    val flat = vals("hms_text_flat")
+    val part = vals("hms_text_part")
+    assert(flat == part, s"flat=$flat part=$part")
+    assert(flat == Seq((1L, Integer.valueOf(42)), (2L, null)), flat)
+  }
+
   test("ragged TEXTFILE null-fills trailing declared columns") {
     // first row narrower than the declared schema: hive's
     // LazySimpleSerDe contract null-fills the tail; a zip against
