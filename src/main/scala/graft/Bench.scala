@@ -296,12 +296,15 @@ object Bench {
     // A failed query must be LOUD: record ok=false and exit non-zero, so a
     // broken headline query can never masquerade as a slow one.
     val results = headline.map { name =>
-      val fn = SparkEntry.queries(name)
       val runs = (1 to Reps).map { _ =>
         val cpu0 = TaskCpuListener.cpuNs.get
         val t0 = System.nanoTime()
+        // the LOOKUP lives inside the try too: a renamed/missing query
+        // key must surface as ok=false in the artifact, not kill main()
+        // before any JSON is written
         val ok =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          try { SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save(); true }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
           }
@@ -312,7 +315,12 @@ object Bench {
         val cpuS = (TaskCpuListener.cpuNs.get - cpu0) / 1e9
         (wall, ok, if (wall > 0) cpuS / wall else 0.0, cpuS)
       }
-      (name, runs.map(_._1).min, runs.map(_._1), runs.forall(_._2),
+      // per-query minimum over SUCCESSFUL reps only: a fast-failing rep
+      // must not report its failure wall as the decision-grade number
+      // (ok=false + rc=1 already mark the round; "runs" keeps all reps)
+      val okWalls = runs.filter(_._2).map(_._1)
+      val minWall = if (okWalls.nonEmpty) okWalls.min else runs.map(_._1).min
+      (name, minWall, runs.map(_._1), runs.forall(_._2),
         runs.map(_._3), runs.map(_._4))
     }
     val qs = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + f"$v%.3f" }
@@ -390,22 +398,25 @@ object Bench {
                   .mkString("[", ",", "]")}}""").getOrElse("")
           else ""
           tierProbe()
+          // same successful-reps-only minimum as the headline loop
+          val okW = runs.filter(_._2).map(_._1)
+          val minW = if (okW.nonEmpty) okW.min else runs.map(_._1).min
           (name, runs.map(_._1), runs.forall(_._2), cc, runs.map(_._3),
-            runs.map(_._4))
+            runs.map(_._4), minW)
         }
         val (tierCalibPar0, tierBw0) = (probes.head._1, (probes.head._2, probes.head._3))
         val (tierCalibPar1, tierBw1) = (probes.last._1, (probes.last._2, probes.last._3))
-        val q1 = rs.map { case (k, vs, _, _, _, _) => "\"" + k + "\":" + f"${vs.min}%.3f" }
+        val q1 = rs.map { case (k, _, _, _, _, _, mw) => "\"" + k + "\":" + f"$mw%.3f" }
           .mkString("{", ",", "}")
-        val runs1 = rs.map { case (k, vs, _, _, _, _) =>
+        val runs1 = rs.map { case (k, vs, _, _, _, _, _) =>
           "\"" + k + "\":" + vs.map(v => f"$v%.3f").mkString("[", ",", "]") }
           .mkString("{", ",", "}")
-        val ok1 = rs.map { case (k, _, ok, _, _, _) => "\"" + k + "\":" + ok }
+        val ok1 = rs.map { case (k, _, ok, _, _, _, _) => "\"" + k + "\":" + ok }
           .mkString("{", ",", "}")
-        val ep1 = rs.map { case (k, _, _, _, eps, _) =>
+        val ep1 = rs.map { case (k, _, _, _, eps, _, _) =>
           "\"" + k + "\":" + eps.map(e => f"$e%.1f").mkString("[", ",", "]") }
           .mkString("{", ",", "}")
-        val cs1 = rs.map { case (k, _, _, _, _, cs) =>
+        val cs1 = rs.map { case (k, _, _, _, _, cs, _) =>
           "\"" + k + "\":" + cs.map(c => f"$c%.1f").mkString("[", ",", "]") }
           .mkString("{", ",", "}")
         val ccJson = rs.map(_._4).filter(_.nonEmpty).mkString
@@ -417,7 +428,7 @@ object Bench {
         val bwBrackets = heavyweight.zipWithIndex.map { case (k, i) =>
           "\"" + k + "\":[" + f"${probes(i)._3}%.3f" + "," +
             f"${probes(i + 1)._3}%.3f" + "]" }.mkString("{", ",", "}")
-        s"""{"total":${f"${rs.map(_._2.min).sum}%.3f"},"queries":$q1,""" +
+        s"""{"total":${f"${rs.map(_._7).sum}%.3f"},"queries":$q1,""" +
           s""""runs":$runs1,"ok":$ok1,"eff_par":$ep1,"cpu_s":$cs1,""" +
           s""""calib_par_sec":[${f"$tierCalibPar0%.3f"},${f"$tierCalibPar1%.3f"}],""" +
           s""""bw_sec":[${f"${tierBw0._1}%.3f"},${f"${tierBw1._1}%.3f"}],""" +

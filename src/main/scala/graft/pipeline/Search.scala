@@ -359,22 +359,34 @@ object Search {
         f.join(wDf(w), "j")
           .groupBy("doc_id", "lang").agg(sum(col("w") * col("x")).as("z"))
       def probs(zd: DataFrame) = {
-        val m = zd.groupBy("doc_id").agg(max("z").as("m"))
-        val ez = zd.join(m, "doc_id")
-          .select(col("doc_id"), col("lang"), exp(col("z") - col("m")).as("ez"))
-        val s = ez.groupBy("doc_id").agg(sum("ez").as("s"))
-        ez.join(s, "doc_id")
-          .select(col("doc_id"), col("lang"), (col("ez") / col("s")).as("p"))
+        // ONE shuffle: the per-doc max and the exp-sum both ride a
+        // window over doc_id instead of two aggregate+join rounds —
+        // identical arithmetic, a third of the stages (this plan is
+        // stage-overhead-bound, not data-bound, at gate scale)
+        val byDoc = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id")
+        zd.withColumn("ez", exp(col("z") - max("z").over(byDoc)))
+          .withColumn("p", col("ez") / sum("ez").over(byDoc))
+          .select(col("doc_id"), col("lang"), col("p"))
       }
       var w = Map.empty[(String, Int), Double]
-      for (_ <- 1 to iters) {
+      for (it <- 1 to iters) {
         // e_{d,l} = p_{d,l} - 1[label_d = l] over labeled docs; a
-        // labeled doc with zero features is absent here AND contributes
-        // a zero gradient by definition (no x terms) — consistent
-        val e = lab.join(probs(zs(w, trainFeats)), "doc_id")
-          .select(col("doc_id"), col("lang"),
-            (col("p") - when(col("lang") === col("y_lang"), 1.0)
-              .otherwise(0.0)).as("e"))
+        // labeled doc with zero features contributes a zero gradient by
+        // definition (no x terms) — the grad join below drops it.
+        // Iteration 1 takes the closed form: w0 = 0 makes p EXACTLY 1/K
+        // (exp(0)/K on both engines), so the whole dot-product/softmax
+        // round is skipped — the unrolled SQL oracle's e1 does the same
+        val e =
+          if (it == 1)
+            lab.crossJoin(classDf)
+              .select(col("doc_id"), col("lang"),
+                (lit(1.0 / k) - when(col("lang") === col("y_lang"), 1.0)
+                  .otherwise(0.0)).as("e"))
+          else lab.join(probs(zs(w, trainFeats)), "doc_id")
+            .select(col("doc_id"), col("lang"),
+              (col("p") - when(col("lang") === col("y_lang"), 1.0)
+                .otherwise(0.0)).as("e"))
         val grad = trainFeats.join(e, "doc_id")
           .groupBy("lang", "j")
           .agg((sum(col("e") * col("x")) / lit(n)).as("g"))

@@ -132,9 +132,16 @@ object BsonReader {
           val len = le32(b, o)
           renderDoc(b, o + 4, o + len - 1, asArray = true, sb); o += len
         case 0x05 => // binary -> base64 string
-          val len = le32(b, o); o += 5 // size + subtype byte
+          val len = le32(b, o)
+          val subtype = u8(b, o + 4)
+          o += 5 // size + subtype byte
+          // subtype 2 ("old binary", pre-2.x drivers) wraps the payload
+          // in an inner int32 length — strip it, or the base64 carries
+          // 4 spurious leading bytes no mongo driver would return
+          val (ps, pl) =
+            if (subtype == 2 && len >= 4) (o + 4, len - 4) else (o, len)
           jsonEscape(java.util.Base64.getEncoder
-            .encodeToString(java.util.Arrays.copyOfRange(b, o, o + len)), sb)
+            .encodeToString(java.util.Arrays.copyOfRange(b, ps, ps + pl)), sb)
           o += len
         case 0x06 => sb.append("null") // undefined (deprecated)
         case 0x07 => // ObjectId -> 24-hex string
@@ -200,17 +207,36 @@ object BsonReader {
               (u8(rest, 2) << 24)
             if (size < 5) throw new java.io.IOException(
               s"$file: BSON document declares $size bytes (minimum 5)")
+            // mongo's hard document limit is 16 MiB (+16 KiB internal
+            // overhead); a corrupt size prefix must fail HERE, not as a
+            // 2 GB allocation attempt
+            if (size > (16 << 20) + (16 << 10)) throw new java.io.IOException(
+              s"$file: BSON document declares $size bytes — beyond " +
+                "mongo's 16 MiB document limit, corrupt dump")
             val body = readFully(in, size - 4)
             require(body(body.length - 1) == 0,
               s"$file: BSON document missing trailing NUL")
             val sb = new java.lang.StringBuilder(size * 2)
-            renderDoc(body, 0, body.length - 1, asArray = false, sb)
+            // corrupt element payloads (truncated cstrings, bad lengths)
+            // overrun the body array — surface as one loud IOException
+            // with the file name, not a bare AIOOBE deep in a task
+            try renderDoc(body, 0, body.length - 1, asArray = false, sb)
+            catch {
+              case e: ArrayIndexOutOfBoundsException =>
+                throw new java.io.IOException(
+                  s"$file: corrupt BSON document (element payload " +
+                    s"overruns the declared $size-byte frame)", e)
+            }
             nextDoc = sb.toString
           }
         }
       }
       def hasNext: Boolean = { advance(); !done }
-      def next(): String = { advance(); val d = nextDoc; nextDoc = null; d }
+      def next(): String = {
+        advance()
+        if (done) throw new NoSuchElementException("BSON stream exhausted")
+        val d = nextDoc; nextDoc = null; d
+      }
     }
 
   /** The raw JSON-text bridge — one string per BSON document. Exposed

@@ -485,6 +485,15 @@ object DeltaLogReader {
   private[graft] def activeFiles(spark: SparkSession, tablePath: String): Seq[String] =
     snapshot(spark, tablePath, None)._3.map(_.path)
 
+  /** (schema, partitionColumns, columnMapping mode) at the latest
+    * version — metadata-only, for the streaming source's creation-time
+    * guards (mode "none"/"" = unmapped). */
+  private[sources] def tableMeta(spark: SparkSession, tablePath: String)
+      : (StructType, Seq[String], String) = {
+    val (s, pc, _, mode) = snapshot(spark, tablePath, None)
+    (s, pc, mode)
+  }
+
   /** Live-file state for maintenance ops (OPTIMIZE): (schema,
     * partitionColumns, (path, partitionValues, hasDeletionVector)). */
   private[graft] def activeState(spark: SparkSession, tablePath: String)

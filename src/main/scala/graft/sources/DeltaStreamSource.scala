@@ -24,7 +24,11 @@ import org.apache.spark.sql.types.StructType
   *    with a clear error unless `skipChangeCommits` is set, which skips
   *    the whole commit (delta's option of the same name);
   *  - deletion-vector commits refuse (same posture as readChanges);
-  *    partitioned and column-mapped tables refuse at source creation.
+  *    PARTITIONED tables stream with their log-recorded partition
+  *    values attached as literal columns per tuple (the values live in
+  *    the log, never in the data files); COLUMN-MAPPED tables refuse at
+  *    source creation (files carry physical names — a logical-name
+  *    scan would stream all-NULL rows).
   *
   * Offsets serialize as the plain version number, so checkpoints
   * restart exactly: a replayed range re-reads the same committed files
@@ -119,7 +123,14 @@ private[sources] object DeltaStreamSource {
         org.apache.spark.sql.types.StructField("_commit_version",
           org.apache.spark.sql.types.LongType)))
     }
-    else DeltaLogReader.read(spark, path).schema
+    else
+      // metadata-only: building read()'s full scan plan (checkpoint
+      // parse + add-file reconstruction + partition grouping) twice per
+      // stream start — once for sourceSchema, once for the source's own
+      // schema val — just to answer a schema question is the pathology
+      // the Iceberg twin's loadMeta shape avoids; snapshot() still runs
+      // the protocol guards
+      DeltaLogReader.tableMeta(spark, path)._1
   }
 }
 
@@ -142,6 +153,24 @@ class DeltaStreamSource(sqlContext: SQLContext,
 
   override val schema: StructType =
     DeltaStreamSource.tableSchema(sqlContext, parameters)
+
+  // non-CDF incremental batches read add-file parquet DIRECTLY, so the
+  // source needs the partition columns up front (partition values live
+  // in the LOG, never in the data files — a bare schema'd scan streamed
+  // them as all-NULL) and must refuse column mapping (the files carry
+  // PHYSICAL column names; a logical-name scan silently reads all-NULL
+  // data columns). CDF mode delegates both to readChanges' own guards.
+  private val partCols: Seq[String] =
+    if (cdf) Nil
+    else {
+      val (_, pc, mode) = DeltaLogReader.tableMeta(spark, path)
+      require(mode == "none" || mode.isEmpty,
+        s"graft-delta stream: column-mapping mode '$mode' on $path is " +
+          "not supported by the append stream (data files carry " +
+          "physical column names — a logical-name scan would stream " +
+          "all-NULL rows); read batches via DeltaLogReader.read")
+      pc
+    }
 
   private val maxFilesPerTrigger = parameters.get("maxFilesPerTrigger").map(_.toInt)
 
@@ -326,14 +355,46 @@ class DeltaStreamSource(sqlContext: SQLContext,
               n.get("add").get("deletionVector").isNull,
             s"graft-delta stream: deletion-vector commit (version $v) " +
               "is not supported")
-          absolute(n.get("add").get("path").asText)
+          val add = n.get("add")
+          // partition values ride the LOG (PROTOCOL.md), not the files;
+          // NullNode.asText() would yield the STRING "null" — a null
+          // partition value must stay null
+          val pv: Map[String, String] =
+            if (partCols.isEmpty) Map.empty
+            else {
+              val node = add.get("partitionValues")
+              partCols.map { c =>
+                val vn = if (node == null) null else node.get(c)
+                c -> (if (vn == null || vn.isNull) null else vn.asText)
+              }.toMap
+            }
+          (absolute(add.get("path").asText), pv)
         }
       }
     }
     if (files.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(files: _*)
+    else if (partCols.isEmpty)
+      spark.read.schema(schema).parquet(files.map(_._1): _*)
+    else {
+      // one scan per distinct partition tuple IN THIS BATCH with the
+      // values as literal columns (a batch is one or few commits, so
+      // tuple counts stay small — the DeltaLogReader literal shape)
+      import org.apache.spark.sql.functions.lit
+      val dataSchema = StructType(
+        schema.fields.filterNot(f => partCols.contains(f.name)))
+      files.groupBy(_._2).toSeq.map { case (pv, group) =>
+        partCols.foldLeft(
+          spark.read.schema(dataSchema).parquet(group.map(_._1): _*)) {
+          (df, c) =>
+            val raw = pv.getOrElse(c, null)
+            df.withColumn(c,
+              (if (raw == null) lit(null) else lit(raw))
+                .cast(schema(c).dataType))
+        }
+      }.reduce(_ unionByName _)
+    }
   }
 
   override def stop(): Unit = ()

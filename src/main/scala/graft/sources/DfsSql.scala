@@ -1,9 +1,5 @@
 package graft.sources
 
-import java.nio.file.{Files, Path, Paths}
-
-import scala.jdk.CollectionConverters._
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Drill-identity `dfs` SQL namespace: query a file PATH directly from SQL,
@@ -225,6 +221,13 @@ object DfsSql {
              delimiter: String = ","): DataFrame =
     format.toLowerCase match {
       case "text" => SchemaOnRead.csv(spark, path, delimiter)
+      // the OTHER delimited type names honor an explicit delimiter too —
+      // routing them through the extension registry dropped it silently
+      // (dfs_read('f.csv','csv','|') parsed as one mangled comma-column).
+      // The "," default doubles as the not-passed sentinel, so asking a
+      // tsv/psv for a literal comma goes through type 'text' instead.
+      case "csv" | "tsv" | "psv" | "tbl" if delimiter != "," =>
+        SchemaOnRead.csv(spark, path, delimiter)
       // the third argument carries the sub-selector the reference passes
       // through its table-function options (defaultPath / tableName)
       case "hdf5" | "h5" if delimiter != "," =>

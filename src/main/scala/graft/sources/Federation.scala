@@ -85,7 +85,11 @@ object Federation {
           case REAL                         => FloatType
           case BOOLEAN | BIT                => BooleanType
           case DECIMAL | NUMERIC =>
-            DecimalType(math.max(1, md.getPrecision(i)), md.getScale(i))
+            // some drivers report precision 0 (computed columns) — and
+            // DecimalType requires 0 <= scale <= precision, so the scale
+            // clamps WITH it (precision 0 + scale 2 would throw)
+            val p = math.max(1, md.getPrecision(i))
+            DecimalType(p, math.min(math.max(0, md.getScale(i)), p))
           case DATE                         => DateType
           case TIMESTAMP                    => TimestampType
           case _                            => StringType

@@ -337,7 +337,12 @@ object IcebergTable {
   }
 
   private def absolute(table: String, p: String): String =
-    if (p.startsWith("/") || p.contains("://")) p else s"$table/$p"
+    // iceberg-core's Path.toString spells local URIs with a SINGLE
+    // slash ("file:/a/b") — contains("://") alone treated those as
+    // relative and prepended the table path
+    if (p.startsWith("/") ||
+        p.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:/.*")) p
+    else s"$table/$p"
 
   /** Manifest-list rows for a snapshot: (manifestPath, content, seq).
     * content 0 = data manifest, 1 = delete manifest (format v2 row-level
@@ -460,12 +465,20 @@ object IcebergTable {
   /** URI-scheme normalization so `_metadata.file_path` (always a full
     * URI, e.g. `file:///a/b`) compares equal to manifest/delete-file
     * spellings (`/a/b`, `file:/a/b`, `s3://bucket/k` …): any
-    * `scheme:/`, `scheme://`, `scheme:///` prefix collapses to `/`.
-    * Applied identically to BOTH join sides, so equal files stay equal
-    * under any scheme. */
+    * `scheme:/`, `scheme://`, `scheme:///` prefix collapses to `/` —
+    * INCLUDING the URI authority (`hdfs://nn:8020/x` -> `/x`): the
+    * scan's `_metadata.file_path` is always fully qualified while
+    * manifests may store default-FS-relative paths, and keeping the
+    * authority made those never match (deletes silently un-applied on
+    * any non-local FS; invisible on file:// whose authority is empty).
+    * Both join sides always belong to ONE table, so authority loss
+    * cannot conflate distinct files. Applied identically to BOTH
+    * sides. */
   private[graft] def normPath(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.regexp_replace(
-      c, "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
+      org.apache.spark.sql.functions.regexp_replace(
+        c, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", ""),
+      "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
 
   def read(spark: SparkSession, table: String,
            snapshotId: Option[Long] = None,
@@ -698,6 +711,7 @@ object IcebergTable {
     * [[encNormUdf]], the row-level twin. */
   private[graft] def normSchemeless(p: String): String =
     new Path(p).toUri.toString
+      .replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", "")
       .replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
 
   /** Row-level [[normSchemeless]] for raw path strings read OUT OF
@@ -708,6 +722,7 @@ object IcebergTable {
     (p: String) =>
       if (p == null) null
       else new org.apache.hadoop.fs.Path(p).toUri.toString
+        .replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", "")
         .replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"))
 
   /** CDC CHANGELOG: every row-level change in snapshots
@@ -740,7 +755,13 @@ object IcebergTable {
     val meta = loadMeta(spark, table)
     require(meta.snapshots.exists(_.snapshotId == fromSnapshotId),
       s"fromSnapshotId $fromSnapshotId not in table $table")
-    val ordered = meta.snapshots.sortBy(_.timestampMs)
+    // COMMIT order, not timestamp order: v2 sequence numbers are the
+    // spec's monotonic commit ordering — clock skew or a foreign
+    // writer's regressed timestamp-ms would reorder the diff pairs and
+    // emit phantom delete/insert pairs tagged with the wrong snapshot.
+    // The sort is stable, so v1 metadata (every sequence number 0)
+    // keeps its list order, which IS commit order for appended lists.
+    val ordered = meta.snapshots.sortBy(_.sequenceNumber)
     val fromIdx = ordered.indexWhere(_.snapshotId == fromSnapshotId)
     val hiIdx = toSnapshotId.map { id =>
       val i = ordered.indexWhere(_.snapshotId == id)
@@ -880,8 +901,13 @@ object IcebergTable {
     import spark.implicits._
     kind match {
       case "snapshots" =>
+        // v1 deprecated direct-manifests snapshots have NO manifest
+        // list: null, not absolute(table, "") — which rendered the
+        // table root with a trailing slash as if it were a list file
         meta.snapshots.map(s => (new java.sql.Timestamp(s.timestampMs),
-            s.snapshotId, s.operation, absolute(table, s.manifestList)))
+            s.snapshotId, s.operation,
+            if (s.manifestList.isEmpty) null
+            else absolute(table, s.manifestList)))
           .toDF("committed_at", "snapshot_id", "operation", "manifest_list")
       case "history" =>
         // is_current_ancestor = reachable from current, not equal to it:
@@ -1505,6 +1531,11 @@ object IcebergTable {
       spec1.putArray("fields")
     }
     root.put("default-spec-id", 0)
+    // spec v2 REQUIRED field iceberg-core enforces at parse time: the
+    // highest assigned partition field id (999 = PARTITION_DATA_ID_START
+    // - 1 when no partition field exists — iceberg-core's own spelling)
+    root.put("last-partition-id",
+      if (partitionBy.isEmpty) 999 else 1000 + partitionBy.size - 1)
     // carry externally set table configuration through the rebuild —
     // wiping properties/sort-orders would destroy another engine's
     // settings and emit v2 metadata iceberg-core rejects
@@ -1515,6 +1546,17 @@ object IcebergTable {
       root.set[JsonNode]("sort-orders", n)))
     prior.foreach(_.carried.get("default-sort-order-id").foreach(n =>
       root.set[JsonNode]("default-sort-order-id", n)))
+    // v2 REQUIRES the sort-order pair — graft-born tables (nothing
+    // carried) emit the canonical unsorted order or iceberg-core
+    // rejects the very metadata these comments promise it accepts
+    if (!root.has("sort-orders")) {
+      val so = root.putArray("sort-orders")
+      val unsorted = so.addObject()
+      unsorted.put("order-id", 0)
+      unsorted.putArray("fields")
+    }
+    if (!root.has("default-sort-order-id"))
+      root.put("default-sort-order-id", 0)
     root.put("current-snapshot-id", snapshot.snapshotId)
     val snapsArr = root.putArray("snapshots")
     // distinctBy keeps the list intact when `snapshot` is an EXISTING
@@ -1550,6 +1592,16 @@ object IcebergTable {
     allSnaps.foreach { s =>
       val n = logArr.addObject()
       n.put("timestamp-ms", s.timestampMs); n.put("snapshot-id", s.snapshotId)
+    }
+    if (!snapshotIsNew) {
+      // rollback re-points current at an EXISTING snapshot: the log is
+      // the history of current-pointer changes and iceberg-core rejects
+      // metadata whose LAST log entry is not the current snapshot — so
+      // the re-point appends its own entry (timestamped at the log
+      // maximum: monotonic, deterministic)
+      val n = logArr.addObject()
+      n.put("timestamp-ms", allSnaps.map(_.timestampMs).max)
+      n.put("snapshot-id", snapshot.snapshotId)
     }
     val metaPath = new Path(metaDir(table), s"v$newVersion.metadata.json")
     val tmp = new Path(metaDir(table), s".v$newVersion.metadata.json.tmp")
@@ -1795,9 +1847,17 @@ object IcebergTable {
       moved
     }
     val dataFiles = stage(df, "upsert", "part")
-    val delFiles = stage(df.select(keyCols.map(c =>
-      org.apache.spark.sql.functions.col(c)): _*).distinct(),
-      "upserteq", "eqdelete")
+    // the distinct delete keys come from the STAGED files, not from
+    // `df` again: re-running the source plan doubled every upsert
+    // batch's cost, and a nondeterministic source could stage keys
+    // that disagree with the data just written
+    val delFiles =
+      if (dataFiles.isEmpty) Nil
+      else stage(
+        spark.read.parquet(dataFiles.map(_.toString): _*)
+          .select(keyCols.map(c =>
+            org.apache.spark.sql.functions.col(c)): _*).distinct(),
+        "upserteq", "eqdelete")
 
     def fileEntries(files: Seq[Path], content: Int,
                     schema: Schema): Seq[GenericRecord] = {

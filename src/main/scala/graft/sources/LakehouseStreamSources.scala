@@ -159,10 +159,18 @@ class IcebergStreamSource(sqlContext: SQLContext,
     require(endIdx >= 0, s"snapshot $endId not in $path (expired?)")
     val startIdx = afterId.map { id =>
       val i = all.indexWhere(_.snapshotId == id)
-      require(i >= 0,
-        s"graft-iceberg stream: start snapshot $id expired from $path — " +
-          "restart the stream fresh")
-      i
+      if (i < 0) {
+        // the committed snapshot EXPIRED from the metadata: expiration
+        // drops a PREFIX of the commit order, so every retained snapshot
+        // is strictly newer than the committed point — emitting them all
+        // is continuation, not replay (the "one uncapped catch-up batch"
+        // getOffset's expired branch promises; a require here made that
+        // recovery unreachable and failed the stream every trigger)
+        System.err.println(
+          s"[graft-iceberg] start snapshot $id expired from $path — " +
+            "emitting all retained snapshots as one catch-up batch")
+        -1
+      } else i
     }.getOrElse(-1)
     val files = all.slice(startIdx + 1, endIdx + 1).flatMap { s =>
       s.operation match {
@@ -314,8 +322,13 @@ class PaimonStreamSource(sqlContext: SQLContext,
           else {
             val files = PaimonTable.appendedFilesOf(spark, path, s)
             if (files.isEmpty) Nil
-            else Seq(spark.read
-              .schema(PaimonTable.rowSchemaOf(spark, path)).parquet(files: _*))
+            // readAppendFiles, NOT a bare schema'd parquet read: data
+            // files of partitioned append tables may TRIM the partition
+            // columns (values live in the directory names) — the bare
+            // read silently NULL-filled them while the initial-snapshot
+            // batch (via PaimonTable.read) had real values
+            else Seq(PaimonTable.readAppendFiles(spark, path,
+              PaimonTable.loadSchema(spark, path), files))
           }
       }
     }

@@ -526,44 +526,8 @@ object PaimonTable {
       liveFilesOf(spark, table, snap))
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sch.schema)
-    else if (sch.partitionKeys.nonEmpty && sch.primaryKeys.isEmpty) {
-      // does the data itself carry the partition columns? (paimon's
-      // default append-table writers keep the full row; some layouts trim)
-      val probe = spark.read.parquet(files.head).schema.fieldNames.toSet
-      if (sch.partitionKeys.forall(probe.contains))
-        spark.read.schema(sch.schema).parquet(files: _*)
-      else {
-        // recover values from key=value directory names; refuse if the
-        // layout yields nothing (non-hive partition path style). basePath
-        // must share the qualified scheme of the located file paths.
-        val df = spark.read.option("basePath",
-            fsOf(spark, table).makeQualified(new Path(table)).toString)
-          .parquet(files: _*)
-        val got = df.schema.fieldNames.toSet
-        require(sch.partitionKeys.forall(got.contains),
-          s"paimon partitioned read: partition values are in neither the " +
-            s"data files nor key=value directory names under $table")
-        // discovered partition columns come back in Spark's inferred type
-        // — bind them (and the order) to the declared schema. Paimon's
-        // null-partition dir sentinel (__DEFAULT_PARTITION__, its
-        // partition.default-name default) is NOT the one Spark discovery
-        // maps to null (__HIVE_DEFAULT_PARTITION__): without the
-        // explicit mapping a string partition column read the sentinel
-        // back as a LITERAL value (non-string types nulled it only by
-        // cast accident)
-        import org.apache.spark.sql.functions.{col => c, lit, when}
-        df.select(sch.schema.fields.map { f =>
-          val base =
-            if (sch.partitionKeys.contains(f.name))
-              when(c(f.name).cast(StringType) === "__DEFAULT_PARTITION__",
-                lit(null)).otherwise(c(f.name))
-            else c(f.name)
-          base.cast(f.dataType).as(f.name)
-        }.toSeq: _*)
-      }
-    }
     else if (sch.primaryKeys.isEmpty)
-      spark.read.schema(sch.schema).parquet(files: _*)
+      readAppendFiles(spark, table, sch, files)
     else {
       import org.apache.spark.sql.functions.{col, input_file_name, max_by, regexp_replace, struct}
       // PK data files carry the spec's KeyValue layout: trimmed key
@@ -674,9 +638,55 @@ object PaimonTable {
             s"$table — layout not directory-recoverable")))
     }
 
+  /** Read append-table data FILES with the declared schema. Partitioned
+    * layouts: paimon's default append writers keep the FULL row, but
+    * some layouts trim the partition columns from the data files — those
+    * recover from the key=value directory names (basePath discovery,
+    * paimon's `__DEFAULT_PARTITION__` null sentinel mapped explicitly —
+    * it is NOT Spark's `__HIVE_DEFAULT_PARTITION__`). Shared by the
+    * batch read() AND the streaming source: reading an explicit file
+    * list with the declared schema alone would silently NULL-fill
+    * trimmed partition columns. */
+  private[graft] def readAppendFiles(spark: SparkSession, table: String,
+                                       sch: PaimonSchema,
+                                       files: Seq[String]): DataFrame = {
+    if (files.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        sch.schema)
+    if (sch.partitionKeys.isEmpty)
+      return spark.read.schema(sch.schema).parquet(files: _*)
+    // does the data itself carry the partition columns?
+    val probe = spark.read.parquet(files.head).schema.fieldNames.toSet
+    if (sch.partitionKeys.forall(probe.contains))
+      spark.read.schema(sch.schema).parquet(files: _*)
+    else {
+      // recover values from key=value directory names; refuse if the
+      // layout yields nothing (non-hive partition path style). basePath
+      // must share the qualified scheme of the located file paths.
+      val df = spark.read.option("basePath",
+          fsOf(spark, table).makeQualified(new Path(table)).toString)
+        .parquet(files: _*)
+      val got = df.schema.fieldNames.toSet
+      require(sch.partitionKeys.forall(got.contains),
+        s"paimon partitioned read: partition values are in neither the " +
+          s"data files nor key=value directory names under $table")
+      // discovered partition columns come back in Spark's inferred type
+      // — bind them (and the order) to the declared schema
+      import org.apache.spark.sql.functions.{col => c, lit, when}
+      df.select(sch.schema.fields.map { f =>
+        val base =
+          if (sch.partitionKeys.contains(f.name))
+            when(c(f.name).cast(StringType) === "__DEFAULT_PARTITION__",
+              lit(null)).otherwise(c(f.name))
+          else c(f.name)
+        base.cast(f.dataType).as(f.name)
+      }.toSeq: _*)
+    }
+  }
+
   /** Data files ONE snapshot's delta manifests added (kind=0) — the
     * per-snapshot unit the streaming source emits. */
-  private[sources] def appendedFilesOf(spark: SparkSession, table: String,
+  private[graft] def appendedFilesOf(spark: SparkSession, table: String,
                                        snap: SnapshotInfo): Seq[String] =
     pathsOf(spark, table,
       loadSchema(spark, table).partitionKeys.nonEmpty,
@@ -726,6 +736,17 @@ object PaimonTable {
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         StructType(StructField("row_kind", StringType, nullable = false) +:
           sch.schema.fields))
+    // same KeyValue-layout probe as read(): a foreign table whose schema
+    // declares primary keys over PLAIN-row files would null-fill
+    // _VALUE_KIND and emit every change row with row_kind = null —
+    // silent garbage where the batch path refuses loudly
+    val probe = spark.read.parquet(files.head).schema.fieldNames.toSet
+    require(probe.contains("_SEQUENCE_NUMBER") &&
+        probe.contains("_VALUE_KIND") &&
+        sch.primaryKeys.forall(k => probe.contains(s"_KEY_$k")),
+      s"paimon changelog read: data files of $table lack the KeyValue " +
+        "system columns (_KEY_*/_SEQUENCE_NUMBER/_VALUE_KIND) — the " +
+        "table layout is not a PK table's")
     val kindName = map(
       lit(0.toByte), lit("+I"), lit(1.toByte), lit("-U"),
       lit(2.toByte), lit("+U"), lit(3.toByte), lit("-D"))
@@ -757,12 +778,18 @@ object PaimonTable {
           }
           .toDF("schema_id", "fields", "partition_keys", "primary_keys")
       case "files" =>
-        liveFiles(spark, table).map(f =>
-            (f.fileName, f.fileSize, f.rowCount, f.bucket, f.level))
+        // schema-only tables (no snapshot yet) have no files — an empty
+        // frame, not selectSnapshot's "last of empty list" crash
+        val snaps0 = snapshots(spark, table)
+        (if (snaps0.isEmpty) Seq.empty
+         else liveFilesOf(spark, table, snaps0.last).map(f =>
+            (f.fileName, f.fileSize, f.rowCount, f.bucket, f.level)))
           .toDF("file_name", "file_size_in_bytes", "record_count",
             "bucket", "level")
       case "manifests" =>
-        val snap = selectSnapshot(snapshots(spark, table), None, None)
+        val snaps1 = snapshots(spark, table)
+        (if (snaps1.isEmpty) Seq.empty else {
+        val snap = snaps1.last
         Seq(snap.baseManifestList, snap.deltaManifestList).flatMap { ml =>
           readAvroRecords(spark, new Path(manifestDir(table), ml)).map { m =>
             (str(m.get("_FILE_NAME")), m.get("_FILE_SIZE").asInstanceOf[Long],
@@ -770,7 +797,7 @@ object PaimonTable {
               m.get("_NUM_DELETED_FILES").asInstanceOf[Long],
               m.get("_SCHEMA_ID").asInstanceOf[Long])
           }
-        }.toDF("file_name", "file_size", "num_added_files",
+        }}).toDF("file_name", "file_size", "num_added_files",
           "num_deleted_files", "schema_id")
       case other => throw new IllegalArgumentException(
         s"unknown metadata table '$other' (snapshots|schemas|files|manifests)")
@@ -912,7 +939,12 @@ object PaimonTable {
       s"full compaction supports unpartitioned append-only tables only: " +
         s"$table (a flat rewrite would collapse PK sequence history)")
     val prevSnaps = snapshots(spark, table)
-    val files = liveFiles(spark, table)
+    // schema-only table (Flink CREATE TABLE, or a write that failed
+    // after schema-0): refuse with the reason, not selectSnapshot's
+    // "last of empty list"
+    require(prevSnaps.nonEmpty,
+      s"$table has a schema but no snapshot — nothing to compact")
+    val files = liveFilesOf(spark, table, prevSnaps.last)
     if (files.size < 2) return prevSnaps.map(_.id).max
     val snapId = prevSnaps.map(_.id).max + 1L
     val bins = math.max(1L,
@@ -1031,7 +1063,7 @@ object PaimonTable {
     // does the same: delete what the earliest retained snapshot no
     // longer uses).
     val needed = manifestFilesOf(kept) ++
-      kept.flatMap(s => liveFiles(spark, table, Some(s.id))
+      kept.flatMap(s => liveFilesOf(spark, table, s)
         .map(f => s"bucket-${f.bucket}/${f.fileName}"))
     val dropSet = (manifestFilesOf(expired) ++ dataRefsOf(all)) -- needed
     // snapshot JSONs go FIRST: a crash mid-reclamation then leaves only
@@ -1454,7 +1486,7 @@ object PaimonTable {
         s"""{"version":3,"id":0,"fields":[$fields],
            |"highestFieldId":${df.schema.size - 1},
            |"partitionKeys":[${partitionBy.map(jstr).mkString(",")}],
-           |"primaryKeys":[${primaryKeys.map(k => s""""$k"""").mkString(",")}],
+           |"primaryKeys":[${primaryKeys.map(jstr).mkString(",")}],
            |"options":{"bucket":"$numBuckets","file.format":"parquet",
            |"merge-engine":"deduplicate",
            |"graft.bucket-routing":"spark-murmur3"},

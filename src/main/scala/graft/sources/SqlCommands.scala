@@ -193,11 +193,22 @@ object SqlCommands {
         Some(result(ok = true, s"${scope.toLowerCase}: $n options reset"))
       case AlterReset(scope, key) =>
         val spark = SparkSession.active
-        Option(touched.remove(key)).flatten match {
-          case Some(prev) => spark.conf.set(key, prev)
-          case None       => spark.conf.unset(key)
+        touched.remove(key) match {
+          case null =>
+            // never set through ALTER SESSION here: RESET is a NO-OP —
+            // unsetting would silently drop the deployment's
+            // spark-submit/defaults baseline to Spark's factory default
+            // (Drill's RESET restores the SYSTEM scope, not factory)
+            Some(result(ok = true,
+              s"${scope.toLowerCase} option $key was not set in this " +
+                "session — nothing to reset"))
+          case Some(prev) =>
+            spark.conf.set(key, prev)
+            Some(result(ok = true, s"${scope.toLowerCase} option $key reset"))
+          case None =>
+            spark.conf.unset(key)
+            Some(result(ok = true, s"${scope.toLowerCase} option $key reset"))
         }
-        Some(result(ok = true, s"${scope.toLowerCase} option $key reset"))
       case ExplainPlan(allAttrs, impl, query) =>
         val spark = SparkSession.active
         import spark.implicits._

@@ -141,12 +141,13 @@ object StatsCatalog {
     try out.write(mapper.writeValueAsBytes(node)) finally out.close()
     if (f.exists(target)) f.delete(target, false)
     require(f.rename(tmp, target), s"atomic rename failed for $target")
-    // migration: a pre-fileKey install keyed this table by display name
-    // alone — left in place it would double-list in statsTable forever
-    if (key != s.table) {
-      val legacy = new Path(base, s.table + Suffix)
-      if (f.exists(legacy)) f.delete(legacy, false)
-    }
+    // NO migration delete of `<displayName>.stats.json` here: that file
+    // is indistinguishable from the LIVE stats of a different table
+    // that legitimately keys by display name (the no-fileKey API) and
+    // happens to share the basename — deleting it silently un-hinted
+    // that table forever. The cost is a possible stale double-listing
+    // in statsTable for a table analyzed under both keyings
+    // (analyzedAtMs disambiguates which is current).
   }
 
   /** Stored stats for `table`, if analyzed. A reader racing the

@@ -89,10 +89,16 @@ object Writer {
           val n = s.getPath.getName
           n == "_SUCCESS" || n.startsWith("part-") || n == "_temporary"
         }
-        require(looksLikeTable,
-          s"bucketedCtas: $loc exists and does not look like a previous " +
-            "table location (no _SUCCESS/part- files) — refusing to " +
-            "delete it; point `path` elsewhere or remove it explicitly")
+        // automatic stale-dir cleanup applies ONLY to the session
+        // warehouse's own default location (graft owns it): an EXPLICIT
+        // caller path holding part- files is indistinguishable from an
+        // unrelated team's parquet dataset — "looks like a table"
+        // cannot authorize destroying it
+        require(entries.isEmpty || (path.isEmpty && looksLikeTable),
+          s"bucketedCtas: $loc exists and is not empty — refusing to " +
+            "delete a caller-supplied location (only the warehouse's " +
+            "own stale table dirs clear automatically); remove it " +
+            "explicitly or point `path` elsewhere")
         fs.delete(p, true)
       }
     }

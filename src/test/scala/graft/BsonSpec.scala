@@ -27,6 +27,9 @@ class BsonSpec extends AnyFunSuite {
       "created" -> BsonDateTime(1700000000123L),
       "optime" -> BsonTimestamp(7L),
       "blob" -> BsonBinary(Array[Byte](1, 2, 3)),
+      // subtype 2 ("old binary"): payload wraps an inner int32 length
+      // that decoders must strip — the bytes a pre-2.x driver wrote
+      "oldblob" -> BsonBinary(Array[Byte](3, 0, 0, 0, 9, 8, 7), subtype = 2),
       "pat" -> BsonRegex("^a.*b$", "i"),
       "price" -> BsonDecimal128(0x3040000000000000L, 12345L), // 12345 E0
       "cents" -> BsonDecimal128(0x303C000000000000L, 12345L), // 123.45
@@ -49,6 +52,8 @@ class BsonSpec extends AnyFunSuite {
     assert(g("optime") == 7L)
     assert(g("blob") == java.util.Base64.getEncoder
       .encodeToString(Array[Byte](1, 2, 3)))
+    assert(g("oldblob") == java.util.Base64.getEncoder
+      .encodeToString(Array[Byte](9, 8, 7))) // inner length stripped
     assert(g("pat") == "/^a.*b$/i")
     assert(g("price") == "12345")  // decimal128 -> exact STRING
     assert(g("cents") == "123.45")

@@ -54,6 +54,48 @@ class DeltaStreamSpec extends AnyFunSuite {
     assert(out(0).map(_._1).sorted === Seq(1L, 2L))
   }
 
+  test("PARTITIONED table streams with log-recorded partition values " +
+      "(they live in the log, not the data files; null value stays null)") {
+    import graft.sources.DeltaLogReader
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val dir = Files.createTempDirectory("delta_stream_part_").toString
+    val df1 = Seq((1L, "a")).toDF("k", "v")
+    val sz1 = DeltaLogReader.writeDataFile(df1, dir, "f1.parquet")
+    val full = StructType(df1.schema.fields :+ StructField("p", StringType))
+    DeltaLogReader.writeCommit(spark, dir, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      DeltaLogReader.metaDataAction(full, Seq("p")),
+      s"""{"add":{"path":"f1.parquet","partitionValues":{"p":"p0"},"size":$sz1,"modificationTime":1,"dataChange":true}}"""))
+    val collected =
+      scala.collection.mutable.Map[Int, Seq[(Long, String, String)]]()
+    val q = spark.readStream.format("graft-delta").load(dir).writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        collected.synchronized {
+          collected(id.toInt) = df.collect().map(r =>
+            (r.getLong(0), r.getString(1),
+              if (r.isNullAt(2)) null else r.getString(2))).toSeq
+        }
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      // incremental commit: two files in DIFFERENT partitions, one with
+      // a NULL partition value (NullNode must not become the string
+      // "null")
+      val sz2 = DeltaLogReader.writeDataFile(
+        Seq((2L, "b")).toDF("k", "v"), dir, "f2.parquet")
+      val sz3 = DeltaLogReader.writeDataFile(
+        Seq((3L, "c")).toDF("k", "v"), dir, "f3.parquet")
+      DeltaLogReader.writeCommit(spark, dir, 1, Seq(
+        s"""{"add":{"path":"f2.parquet","partitionValues":{"p":"p1"},"size":$sz2,"modificationTime":2,"dataChange":true}}""",
+        s"""{"add":{"path":"f3.parquet","partitionValues":{"p":null},"size":$sz3,"modificationTime":3,"dataChange":true}}"""))
+      q.processAllAvailable()
+    } finally q.stop()
+    val all = collected.values.flatten.toSeq.sortBy(_._1)
+    assert(all == Seq((1L, "a", "p0"), (2L, "b", "p1"), (3L, "c", null)),
+      all)
+  }
+
   test("startingVersion=latest streams only post-start appends") {
     val dir = freshTable(Seq((1L, "old")))
     val out = runBatches(dir, Map("startingVersion" -> "latest")) { _ =>

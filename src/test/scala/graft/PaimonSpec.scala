@@ -168,6 +168,50 @@ class PaimonSpec extends AnyFunSuite {
     assert(got == (1L to 5L).map(i => (i, s"v${i % 2}")).toSet)
   }
 
+  /** Fixture: a partitioned append table whose DATA file is stripped of
+    * the partition column — values recoverable only from the key=value
+    * directory name (the native-paimon trimmed layout). */
+  private def trimmedPartitionTable(name: String): String = {
+    import spark.implicits._
+    val base = freshDir(name)
+    PaimonTable.write(Seq((1L, "a"), (2L, "a")).toDF("id", "p").coalesce(1), base)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val schemaPath = new org.apache.hadoop.fs.Path(s"$base/schema/schema-0")
+    val in = fs.open(schemaPath)
+    val orig = new String(in.readAllBytes(), "UTF-8"); in.close()
+    val os = fs.create(schemaPath, true)
+    os.write(orig.replace("\"partitionKeys\":[]",
+      "\"partitionKeys\":[\"p\"]").getBytes("UTF-8")); os.close()
+    val dataFile = fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/bucket-0"))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    val stripped = spark.read.parquet(dataFile.toString).select("id")
+    val tmp = s"$base/_tmp_strip"
+    stripped.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val newFile = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    val part = new org.apache.hadoop.fs.Path(s"$base/p=a/bucket-0")
+    fs.mkdirs(part)
+    require(fs.rename(newFile, new org.apache.hadoop.fs.Path(part, dataFile.getName)))
+    fs.delete(dataFile.getParent, true) // old bucket-0
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    base
+  }
+
+  test("readAppendFiles (the streaming micro-batch path) recovers " +
+      "trimmed partition values like the batch read") {
+    import spark.implicits._
+    val base = trimmedPartitionTable("part_stream_unit")
+    val snap = PaimonTable.snapshots(spark, base).last
+    val files = PaimonTable.appendedFilesOf(spark, base, snap)
+    assert(files.nonEmpty)
+    // the bare schema'd read the stream used to do NULL-filled p here
+    val got = PaimonTable.readAppendFiles(spark, base,
+        PaimonTable.loadSchema(spark, base), files)
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (2L, "a")), got)
+  }
+
   test("partitioned append-only reads: values recovered from key=value dirs") {
     import spark.implicits._
     val base = freshDir("part_dirs")
