@@ -269,6 +269,13 @@ object QueriesSources {
     // per-query HashToRandomExchange re-hash. The oracle is the plain
     // join: bucketing is layout, never semantics ----
     "q_bucketed_join" -> ((s, d) => {
+      // clear our own scratch locations up front: bucketedCtas refuses
+      // to auto-delete a non-empty caller-supplied path (it cannot tell
+      // a stale previous run from someone else's dataset)
+      Seq(s"${out(d)}/gb_lineitem", s"${out(d)}/gb_orders").foreach { dir =>
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
       Writer.bucketedCtas(GraftSession.table(s, d, "lineitem")
         .select("l_orderkey", "l_quantity", "l_extendedprice"),
         "gb_lineitem", 8, Seq("l_orderkey"), Seq("l_orderkey"),

@@ -47,8 +47,13 @@ object DrillFunctions {
     * input at ~1e26 — beyond any double's meaningful decimal places. */
   def truncTo(c: Column, n: Int): Column = {
     val d = c.cast(org.apache.spark.sql.types.DecimalType(38, 12))
-    val f = lit(java.math.BigDecimal.TEN.pow(n))
-    (when(c >= 0, floor(d * f)).otherwise(ceil(d * f)) / f).cast("double")
+    // negative scale is Drill-legal (trunc(1234.5, -2) = 1200):
+    // BigDecimal.pow refuses a negative exponent, so express 10^n as a
+    // division for n < 0 — same truncate-toward-zero semantics
+    val p = java.math.BigDecimal.TEN.pow(math.abs(n))
+    val scaled = if (n >= 0) d * lit(p) else d / lit(p)
+    val trunced = when(c >= 0, floor(scaled)).otherwise(ceil(scaled))
+    (if (n >= 0) trunced / lit(p) else trunced * lit(p)).cast("double")
   }
 
   // ---- date/time (Drill DateTypeFunctions.java, LastDayFunction.java) ----
@@ -108,7 +113,11 @@ object DrillFunctions {
         require(i < len - 1, s"invalid escape sequence at $i in '$sqlPattern'")
         val n = sqlPattern.charAt(i + 1)
         if ("[]()|^-+*_%?{}".indexOf(n) >= 0) {
-          if ("[]()|^$.{}\\*+?".indexOf(n) >= 0) out.append('\\')
+          // '-' is in the reference's JAVA_REGEX_SPECIALS too: an
+          // escaped dash inside an enumeration must stay LITERAL, not
+          // become a character range ('b' SIMILAR TO '[a!-c]' ESCAPE
+          // '!' is false per SQL:99)
+          if ("[]()|^$.{}\\*+?-".indexOf(n) >= 0) out.append('\\')
           out.append(n)
         } else if (n == escapeChar) out.append(n)
         else throw new IllegalArgumentException(
@@ -159,7 +168,9 @@ object DrillFunctions {
     def secondBucket(s: Int): Column = try_add(date_trunc("minute", ts),
       make_interval(lit(0), lit(0), lit(0), lit(0), lit(0), lit(0),
         (floor(second(ts) / s).cast("int") * s).cast("decimal(18,6)")))
-    interval.toUpperCase match {
+    // Locale.ROOT: tr/az default locales dot-capitalize 'i' and a valid
+    // lowercase "minute" would fail (the convEnc precedent)
+    interval.toUpperCase(java.util.Locale.ROOT) match {
       case "YEAR"        => date_trunc("year", ts)
       case "QUARTER"     => date_trunc("quarter", ts)
       case "MONTH"       => date_trunc("month", ts)

@@ -40,13 +40,17 @@ object ZOrder {
       case TimestampNTZType =>
         unix_micros(col(c).cast(TimestampType)).cast("double")
       case StringType =>
-        // first 7 UTF-8 BYTES folded big-endian (Delta's truncated-binary
+        // first 6 UTF-8 BYTES folded big-endian (Delta's truncated-binary
         // string ordering): the old per-CHAR fold clamped every
         // codepoint > 255 to 255, so all non-Latin-1 strings collapsed
         // onto one key and the column contributed ZERO z-order
         // discrimination. Short strings zero-pad on the right
-        // (left-aligned), preserving lexicographic byte order; 7 bytes =
-        // 56 bits fits a signed long via conv(hex). NULL keeps the
+        // (left-aligned), preserving lexicographic byte order. SIX
+        // bytes, not seven: the sort key casts to double for the shared
+        // boundaries() machinery, and a 56-bit fold exceeded the 53-bit
+        // mantissa — strings differing only in the 7th byte's low bits
+        // collapsed onto one key, losing exactly the discrimination the
+        // per-char fix bought. 48 bits is double-exact. NULL keeps the
         // bucket-0 routing in bucketId (null key, not a max key).
         when(col(c).isNull, lit(null).cast("double")).otherwise(
           org.apache.spark.sql.functions.conv(
@@ -54,8 +58,8 @@ object ZOrder {
               substring(
                 org.apache.spark.sql.functions.concat(
                   org.apache.spark.sql.functions.encode(col(c), "UTF-8"),
-                  lit(Array.fill[Byte](7)(0))),
-                1, 7)),
+                  lit(Array.fill[Byte](6)(0))),
+                1, 6)),
             16, 10).cast("double"))
       case t => throw new IllegalArgumentException(
         s"zorder: column '$c' has unsupported type ${t.simpleString} " +
@@ -121,6 +125,12 @@ object ZOrder {
     require(cols.nonEmpty, "zorder: at least one column")
     require(cols.size * bits <= 63,
       s"zorder: ${cols.size} cols x $bits bits exceeds a long")
+    // refuse, never silently REPLACE: withColumn(as, ...) would clobber
+    // a real user column of the same name and layout() would then drop
+    // it from the rewritten table
+    require(!df.columns.contains(as),
+      s"zorder: input already has a column named '$as' — pass a " +
+        "different `as` name")
     val cut = if (cuts.nonEmpty) cuts else boundaries(df, cols, bits)
     // caller-supplied cuts must fit `bits`: boundaries computed at a
     // HIGHER bits yield bucket ids whose high bits interleave() would
@@ -143,9 +153,13 @@ object ZOrder {
   def layout(df: DataFrame, cols: Seq[String], files: Int,
              bits: Int = 8,
              cuts: Map[String, Array[Double]] = Map.empty): DataFrame = {
-    val z = withZValue(df, cols, bits, cuts = cuts)
-    z.repartitionByRange(files, col("zval"))
-      .sortWithinPartitions("zval")
-      .drop("zval")
+    // collision-safe internal name: a table with a real "zval" column
+    // must z-order fine (withZValue refuses collisions on its PUBLIC
+    // output name; here the column is plumbing we drop ourselves)
+    val zc = "__g_zval"
+    val z = withZValue(df, cols, bits, as = zc, cuts = cuts)
+    z.repartitionByRange(files, col(zc))
+      .sortWithinPartitions(zc)
+      .drop(zc)
   }
 }

@@ -42,7 +42,8 @@ object Curate {
       .filter(col("quality_bp") >= minQualityBp && col("lang") === keepLang)
 
     // exact dedup: one shuffle on the 64-bit content hash
-    val exact = Dedup.exact(scored, "doc_id", "text").drop("content_hash")
+    // Dedup.exact keeps the input schema — no internal columns to drop
+    val exact = Dedup.exact(scored, "doc_id", "text")
 
     // near-dup collapse: every id_b in a qualifying pair folds into its
     // lower-id canonical; anti-join drops the non-canonicals

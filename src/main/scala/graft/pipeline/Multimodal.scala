@@ -16,6 +16,31 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  /** (width, height, mean RGB in [0,1]) of a decoded image — the one
+    * shared pixel kernel (image decode and per-frame video decode both
+    * use it). Bulk row reads via getRGB(x,y,w,h,...): the per-pixel
+    * getRGB call performs a colorspace conversion PER CALL, several
+    * times slower on the fan-out-heavy frame path. */
+  private def meanRgb(img: java.awt.image.BufferedImage)
+      : (Int, Int, Seq[Double]) = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    var sr = 0L; var sg = 0L; var sb = 0L
+    val row = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w)
+      var x = 0
+      while (x < w) {
+        val p = row(x)
+        sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w.toLong * h) * 255.0
+    (w, h, Seq(sr / n, sg / n, sb / n))
+  }
+
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("kind", StringType, nullable = false), // image|audio|video
@@ -70,20 +95,8 @@ object Multimodal {
           catch { case scala.util.control.NonFatal(_) => null }
         if (img == null) Row.fromSeq(r.toSeq ++ Seq(null, null, null))
         else {
-          val (w, h) = (img.getWidth, img.getHeight)
-          var sr = 0L; var sg = 0L; var sb = 0L
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val p = img.getRGB(x, y)
-              sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
-              x += 1
-            }
-            y += 1
-          }
-          val n = (w.toLong * h) * 255.0
-          Row.fromSeq(r.toSeq ++ Seq(w, h, Seq(sr / n, sg / n, sb / n)))
+          val (w, h, rgb) = meanRgb(img)
+          Row.fromSeq(r.toSeq ++ Seq(w, h, rgb))
         }
       }
     }(enc).toDF(outSchema.fieldNames: _*)
@@ -242,20 +255,8 @@ object Multimodal {
               if (img == null)
                 Row.fromSeq(r.toSeq ++ Seq(i, ms, null, null, null))
               else {
-                val (w, h) = (img.getWidth, img.getHeight)
-                var sr = 0L; var sg = 0L; var sb = 0L
-                var y = 0
-                while (y < h) {
-                  var x = 0
-                  while (x < w) {
-                    val p = img.getRGB(x, y)
-                    sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
-                    x += 1
-                  }
-                  y += 1
-                }
-                val n = (w.toLong * h) * 255.0
-                Row.fromSeq(r.toSeq ++ Seq(i, ms, w, h, Seq(sr / n, sg / n, sb / n)))
+                val (w, h, rgb) = meanRgb(img)
+                Row.fromSeq(r.toSeq ++ Seq(i, ms, w, h, rgb))
               }
             }
         }
@@ -305,7 +306,11 @@ object Multimodal {
         col("meta.duration_ms").as("duration_ms"),
         col("meta.codec").as("codec")))
       .withColumn("payload",
-        expr(s"substring(payload, 1, int(least(octet_length(payload), ${w * h})))"))
+        // w * h as a LONG literal: the Int product overflows at 2^31
+        // (65536 x 65536 wrapped to 0 and silently emptied every
+        // payload); least() keeps the effective cap within Int range
+        expr(s"substring(payload, 1, " +
+          s"int(least(octet_length(payload), ${w.toLong * h}L)))"))
 
   /** Frame sampling for video rows: explode N evenly-spaced frame indexes;
     * payload slicing stands in for frame extraction. */

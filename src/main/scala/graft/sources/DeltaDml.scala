@@ -41,14 +41,18 @@ object DeltaDml {
   private def absolute(tablePath: String, p: String): String =
     DeltaLogReader.decodedAbsolute(tablePath, p)
 
-  private val SchemeRe = "^[a-zA-Z0-9]+:/+"
-  private def absNorm(c: Column): Column = regexp_replace(c, SchemeRe, "/")
+  // scheme+AUTHORITY strip, shared with the reader: _metadata.file_path
+  // is always fully qualified while encNorm keys from a relative
+  // tablePath are not — an authority-keeping regex made DV DML a SILENT
+  // NO-OP (relLookup joined nothing) on any non-local filesystem
+  private def absNorm(c: Column): Column = DeltaLogReader.normPathCol(c)
   // join key vs _metadata.file_path (URI-encoded) — see DeltaLogReader
   private def encNorm(s: String): String = DeltaLogReader.encNorm(s)
 
   /** Live state with the DML refusals applied:
     * (schema, relPath -> absolute path, current version, table conf). */
-  private def dmlState(spark: SparkSession, tablePath: String)
+  private def dmlState(spark: SparkSession, tablePath: String,
+                       removesRows: Boolean = true)
       : (StructType, Seq[(String, String)], Long, Map[String, String]) = {
     val (schema, partCols, files) = DeltaLogReader.activeState(spark, tablePath)
     require(partCols.isEmpty,
@@ -59,7 +63,8 @@ object DeltaDml {
         "(the rewrite would need to materialize the DVs first)")
     require(schema.fields.forall(f => !f.metadata.contains(PhysKey)),
       s"DML on column-mapped Delta table not supported: $tablePath")
-    val conf = writerGate(spark, tablePath, schema, removesRows = true)
+    val conf = writerGate(spark, tablePath, schema,
+      removesRows = removesRows)
     val version = (DeltaLogReader.tableVersions(spark, tablePath) ++
       DeltaLogReader.lastCheckpointVersion(spark, tablePath)).max
     (schema, files.map { case (p, _, _) => p -> absolute(tablePath, p) },
@@ -600,8 +605,10 @@ object DeltaDml {
     * Returns (new version, files added back, files removed). */
   def restore(spark: SparkSession, tablePath: String,
               toVersion: Long): (Long, Long, Long) = {
-    val (tSchema, tPartCols, tFiles) =
-      DeltaLogReader.snapshotStateDv(spark, tablePath, Some(toVersion))
+    val (tSchema, tPartCols, tFilesSized) =
+      DeltaLogReader.snapshotStateDvSized(spark, tablePath, Some(toVersion))
+    val tFiles = tFilesSized.map { case (p0, pv, dv, _, _) => (p0, pv, dv) }
+    val logSize = tFilesSized.map { case (p0, _, _, sz, _) => p0 -> sz }.toMap
     val (cSchema, _, cFiles) = DeltaLogReader.snapshotStateDv(spark, tablePath, None)
     writerGate(spark, tablePath, cSchema, removesRows = true)
     val current = (DeltaLogReader.tableVersions(spark, tablePath) ++
@@ -638,7 +645,11 @@ object DeltaDml {
             s"RESTORE: deletion vector of $p (version $toVersion) was " +
               "vacuumed — cannot restore past a vacuum boundary")
         }
-        val size = fs.getFileStatus(abs).getLen
+        // size from the LOG (snapshotStateDvSized exists so maintenance
+        // passes need not stat 100k files); -1 = legacy action without
+        // a recorded size, stat that file only
+        val size = logSize.get(p).filter(_ >= 0)
+          .getOrElse(fs.getFileStatus(abs).getLen)
         s"""{"add":{"path":"$p","partitionValues":${pvJson(pv)},"size":$size,"modificationTime":0,"dataChange":true${dvJson(dv)}}}"""
       }
     // a path live in BOTH versions with a DIFFERENT DV re-adds with the
@@ -701,7 +712,11 @@ object DeltaDml {
     val anyBySource = bySourceDelete.isDefined || bySourceUpdate.isDefined
     require(matchedUpdate.isDefined || matchedDelete.isDefined ||
       notMatchedInsert.isDefined || anyBySource, "MERGE: no clauses")
-    val (schema, files, current, tableConf) = dmlState(spark, tablePath)
+    // an INSERT-ONLY merge commits no removes — delta-spark permits it
+    // on delta.appendOnly=true tables, and removesRows=true refused it
+    val (schema, files, current, tableConf) = dmlState(spark, tablePath,
+      removesRows = matchedUpdate.isDefined || matchedDelete.isDefined ||
+        anyBySource)
     val cdfOn = cdfEnabled(spark, tableConf)
     (matchedUpdate.toSeq ++ bySourceUpdate.toSeq).foreach { m =>
       val bad = m.keySet.filterNot(schema.fieldNames.contains)

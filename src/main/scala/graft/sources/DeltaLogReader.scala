@@ -638,8 +638,7 @@ object DeltaLogReader {
     def baseScan(paths: Seq[String]): DataFrame = {
       var df = spark.read.schema(dataSchema).parquet(paths: _*)
       if (anyDv) df = df
-        .withColumn("__g_fp",
-          regexp_replace(col("_metadata.file_path"), "^[a-zA-Z0-9]+:/+", "/"))
+        .withColumn("__g_fp", normPathCol(col("_metadata.file_path")))
         .withColumn("__g_pos", col("_metadata.row_index"))
       df
     }
@@ -666,8 +665,7 @@ object DeltaLogReader {
             partCols.map(c => f.partitionValues.get(phys(c)).orNull)))
           val pvDf = broadcast(pvRows.toDF("__file", "__pv"))
           val scan = baseScan(files.map(f => absolute(f.path)))
-            .withColumn("__file",
-              regexp_replace(input_file_name(), "^[a-zA-Z0-9]+:/+", "/"))
+            .withColumn("__file", normPathCol(input_file_name()))
           partCols.zipWithIndex.foldLeft(scan.join(pvDf, "__file")) {
             case (df, (c, i)) =>
               df.withColumn(c, col("__pv").getItem(i).cast(schema(c).dataType))
@@ -705,7 +703,8 @@ object DeltaLogReader {
   }
 
   private def absNorm(p: String): String =
-    p.replaceFirst("^[a-zA-Z0-9]+:/+", "/")
+    p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", "")
+      .replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
 
   /** PROTOCOL.md: add.path is RFC 2396 percent-ENCODED relative to the
     * table root — decode before touching the filesystem (identity in the
@@ -726,7 +725,22 @@ object DeltaLogReader {
     * driver-side key (e.g. a path with a space) never equals them.
     * Encode the same way, then normalize the scheme like [[absNorm]]. */
   private[sources] def encNorm(abs: String): String =
-    new Path(abs).toUri.toString.replaceFirst("^[a-zA-Z0-9]+:/+", "/")
+    new Path(abs).toUri.toString
+      .replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", "")
+      .replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
+
+  /** Column-side twin of [[encNorm]]'s scheme+AUTHORITY strip. The scan's
+    * `_metadata.file_path` / `input_file_name()` are always FULLY
+    * qualified (`hdfs://nn:8020/x`) while log paths resolved against a
+    * default-FS-relative tablePath are not — keeping the authority made
+    * the two sides never match on any non-local filesystem (deletes
+    * silently un-applied, DML no-ops; invisible on file:// whose
+    * authority is empty). Both sides of every join belong to ONE table,
+    * so authority loss cannot conflate distinct files. */
+  private[sources] def normPathCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(
+      regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", ""),
+      "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
 
   /** CHANGE DATA FEED read (PROTOCOL.md §Add CDC File): every row change
     * in versions [fromVersion, toVersion] with `_change_type` and

@@ -244,7 +244,7 @@ object DeltaLogWriter {
       }.toDF("__g_file", "__g_rel"))
       scan = scan
         .withColumn("__g_file",
-          regexp_replace(col("_metadata.file_path"), "^[a-zA-Z0-9]+:/+", "/"))
+          DeltaLogReader.normPathCol(col("_metadata.file_path")))
         .withColumn("__g_pos", col("_metadata.row_index"))
         .join(relLookup, Seq("__g_file"))
         .join(dvRows, Seq("__g_rel", "__g_pos"), "left_anti")

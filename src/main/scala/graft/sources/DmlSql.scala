@@ -105,13 +105,12 @@ object DmlSql {
 
   private def tablePathOf(spark: SparkSession, target: String,
                           parseIdent: String => Seq[String]): String = {
-    val t = target.trim
-    if (t.startsWith("'") && t.endsWith("'")) t.substring(1, t.length - 1)
-    else {
-      val parts = parseIdent(t)
-      require(parts.head.equalsIgnoreCase("dfs"), s"not a dfs target: $t")
-      DfsSql.resolvePath(spark, parts.tail)
-    }
+    // every claim regex anchors the target on `dfs` — a quoted path
+    // literal can never reach here (a dead branch for it implied
+    // support the surface does not have)
+    val parts = parseIdent(target.trim)
+    require(parts.head.equalsIgnoreCase("dfs"), s"not a dfs target: $target")
+    DfsSql.resolvePath(spark, parts.tail)
   }
 
   private sealed trait Format
@@ -297,22 +296,38 @@ object DmlSql {
     // lazy: only SET * / INSERT * consume it — the common explicit-
     // assignment MERGE must not pay a Delta log replay for nothing
     lazy val targetSchema = fmt match {
-      case DeltaT   => DeltaLogReader.read(spark, path).schema
+      // activeState, not read(): the schema needs no scan-plan
+      // construction (and read() carries the fieldId session-conf side
+      // effect for id-mode tables)
+      case DeltaT   => DeltaLogReader.activeState(spark, path)._1
       case IcebergT => IcebergTable.loadMeta(spark, path).schema
       case PaimonT  => PaimonTable.loadSchema(spark, path).schema
     }
-    def updateAll: Map[String, String] = {
+    lazy val targetPrimaryKeys: Set[String] = fmt match {
+      case PaimonT => PaimonTable.loadSchema(spark, path).primaryKeys.toSet
+      case _ => Set.empty
+    }
+    def matchedCols(excludeKeys: Boolean): Map[String, String] = {
       // match source to target columns under the session's resolution
       // rules — exact-case matching silently drops columns when
       // spark.sql.caseSensitive is false (the default)
       val cs = spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
       targetSchema.fieldNames.flatMap { c =>
-        val m = if (cs) source.columns.find(_ == c)
-                else source.columns.find(_.equalsIgnoreCase(c))
-        m.map(s => c -> s"$srcAlias2.`$s`")
+        if (excludeKeys && targetPrimaryKeys.exists(k =>
+            if (cs) k == c else k.equalsIgnoreCase(c))) None
+        else {
+          val m = if (cs) source.columns.find(_ == c)
+                  else source.columns.find(_.equalsIgnoreCase(c))
+          m.map(s => c -> s"$srcAlias2.`$s`")
+        }
       }.toMap
     }
-    def insertAll: Map[String, String] = updateAll
+    // UPDATE SET * excludes the target's PRIMARY KEYS: a matched row's
+    // key is unchanged by definition of the ON equality, and paimon's
+    // merge refuses key assignments — without the exclusion the standard
+    // upsert-by-star MERGE was unusable on every paimon PK table
+    def updateAll: Map[String, String] = matchedCols(excludeKeys = true)
+    def insertAll: Map[String, String] = matchedCols(excludeKeys = false)
 
     clauses.foreach {
       case BySourceDel(cond) =>
@@ -418,11 +433,17 @@ object DmlSql {
           val v = DeltaLogWriter.write(d, path, mode)
           s"delta v$v"
         })
-      else if (isIcebergDir(fs, p))
-        (IcebergTable.loadMeta(spark, path).schema, d => {
-          val snap = IcebergTable.write(d, path, mode)
+      else if (isIcebergDir(fs, p)) {
+        val meta = IcebergTable.loadMeta(spark, path)
+        (meta.schema, d => {
+          // the table's OWN partition spec: write() requires the spec to
+          // match, so an insert into any partitioned iceberg table
+          // failed outright without it
+          val snap = IcebergTable.write(d, path, mode,
+            partitionBy = meta.partCols)
           s"iceberg snapshot $snap"
         })
+      }
       else if (has("snapshot") && has("schema")) {
         val sch = PaimonTable.loadSchema(spark, path)
         (sch.schema, d => {

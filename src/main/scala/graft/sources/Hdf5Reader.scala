@@ -149,8 +149,12 @@ object Hdf5Reader {
         (Dtype(0, size, signed, be = (bf0 & 0x01) != 0), p + 4 - off)
       case 1 => // float: props 12 bytes
         (Dtype(1, size, signed = true, be = (bf0 & 0x01) != 0), p + 12 - off)
-      case 2 => // bitfield (booleans in several writers): props offset(2) precision(2)
-        (Dtype(2, size, signed = false, be = (bf0 & 0x01) != 0), p + 4 - off)
+      case 2 | 4 => // bitfield: class 4 per spec; class 2 is nominally
+        // TIME but the HDF5 library never completed it and real files
+        // (the reference plugin's own browsing.h5 fixture included) use
+        // it for boolean-ish scalars with the same (offset, precision)
+        // props — both decode as boolean. Normalized to 4 internally.
+        (Dtype(4, size, signed = false, be = (bf0 & 0x01) != 0), p + 4 - off)
       case 3 => // fixed string
         (Dtype(3, size, signed = false), p - off)
       case 6 => // compound
@@ -253,7 +257,7 @@ object Hdf5Reader {
         else java.lang.Double.longBitsToDouble(e64(b, off, dt.be))
       case 3 =>
         new String(b, off, dt.size, "UTF-8").takeWhile(_ != 0)
-      case 2 => b(off) != 0 // bitfield renders as boolean
+      case 4 => b(off) != 0 // bitfield renders as boolean
       case 8 =>
         val raw = dt.size match {
           case 1 => (b(off) & 0xFF).toLong
@@ -330,7 +334,13 @@ object Hdf5Reader {
     // hard links can alias an ancestor group — each object surfaces once
     if (!visited.add(hdrAddr)) return out
     val msgs = readMessages(h, hdrAddr)
-    val attrs = msgs.filter(_.typ == 0x0C).flatMap(m => parseAttr(h, m.body)).toMap
+    // an attribute of an unsupported datatype class SKIPS (netCDF-4
+    // stamps class-7 reference attrs — DIMENSION_LIST/REFERENCE_LIST —
+    // on every variable; failing the whole file broke the most common
+    // .h5 flavor in the wild), schema-on-read style
+    val attrs = msgs.filter(_.typ == 0x0C).flatMap(m =>
+      try parseAttr(h, m.body)
+      catch { case _: IllegalStateException => None }).toMap
     val symTab = msgs.find(_.typ == 0x11)
     val dtypeMsg = msgs.find(_.typ == 0x03)
 
@@ -353,7 +363,10 @@ object Hdf5Reader {
     } else if (dtypeMsg.isDefined && msgs.exists(_.typ == 0x08)) { // dataset
       // (a datatype message without a layout is a committed/named datatype
       //  object — a type definition, not data; not a row)
-      val (dt, _) = parseDtype(dtypeMsg.get.body, 0)
+      // an unsupported dataset datatype class (reference/opaque/time)
+      // skips the DATASET, not the file
+      val dt = try parseDtype(dtypeMsg.get.body, 0)._1
+        catch { case _: IllegalStateException => return out }
       val dims = msgs.find(_.typ == 0x01).map(m => parseDims(m.body)).getOrElse(Nil)
       val layout = msgs.find(_.typ == 0x08).get
       val lb = layout.body
@@ -554,7 +567,7 @@ object Hdf5Reader {
         if (dt.size == 4) java.lang.Float.valueOf(
           java.lang.Float.intBitsToFloat(e32(b, off, dt.be).toInt))
         else java.lang.Double.valueOf(java.lang.Double.longBitsToDouble(e64(b, off, dt.be)))
-      case 2 => java.lang.Boolean.valueOf(b(off) != 0)
+      case 4 => java.lang.Boolean.valueOf(b(off) != 0)
       case 3 => new String(b, off, dt.size, "UTF-8").takeWhile(_ != 0)
       case 8 =>
         val raw: Long = dt.size match {
@@ -581,7 +594,7 @@ object Hdf5Reader {
       case _ => LongType
     }
     case 1 => if (dt.size == 4) FloatType else DoubleType
-    case 2 => BooleanType
+    case 4 => BooleanType
     case 3 => StringType
     case 8 => if (dt.enumBool) BooleanType else LongType
     case 9 if dt.vlenStr => StringType
@@ -746,11 +759,14 @@ object Hdf5Reader {
         files.flatMap { f =>
           val fp = new Path(f)
           val in = fp.getFileSystem(conf).open(fp)
-          Option(org.apache.spark.TaskContext.get()).foreach(
-            _.addTaskCompletionListener[Unit](_ =>
-              try in.close() catch { case _: java.io.IOException => () }))
-          val h = new H5(in)
-          browseRows(h, scan(h), fp.getName).iterator
+          // browseRows materializes EAGERLY, so close per file: a
+          // task-completion close left one open handle per processed
+          // file and large partitions exhausted the executor fd limit
+          try {
+            val h = new H5(in)
+            browseRows(h, scan(h), fp.getName).iterator
+          } finally { try in.close() catch {
+            case _: java.io.IOException => () } }
         }
       }(enc).toDF(browseSchema.fieldNames.toSeq: _*)
   }
@@ -767,15 +783,15 @@ object Hdf5Reader {
     }
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
     val sconf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
-    FileList.asDataset(spark, path, Set(".h5", ".hdf5"))
+    FileList.asDataset(spark, files) // reuse the schema pass's listing
       .mapPartitions { files =>
         val conf = sconf.value
         files.flatMap { f =>
           val fp = new Path(f)
           val in = fp.getFileSystem(conf).open(fp)
-          Option(org.apache.spark.TaskContext.get()).foreach(
-            _.addTaskCompletionListener[Unit](_ =>
-              try in.close() catch { case _: java.io.IOException => () }))
+          // projectRows materializes eagerly too — close per file (the
+          // fd-limit rationale above)
+          try {
           val h = new H5(in)
           val objs = scan(h)
           objs.datasets.find(_.path == datasetPath).map { ds =>
@@ -786,6 +802,8 @@ object Hdf5Reader {
             SchemaAlign.align(projectRows(h, ds).iterator,
               SchemaAlign.plan(schema, projectSchema(ds)))
           }.getOrElse(Iterator.empty)
+          } finally { try in.close() catch {
+            case _: java.io.IOException => () } }
         }
       }(enc).toDF(schema.fieldNames.toSeq: _*)
   }

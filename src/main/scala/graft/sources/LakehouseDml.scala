@@ -105,6 +105,15 @@ object IcebergDml {
     val anyMatched = matchedUpdate.isDefined || matchedDelete.isDefined
     val visible = IcebergTable.read(spark, table)
     val current = meta.currentSnapshotId.getOrElse(0L)
+    // persist the SOURCE once: counts, the updated/insert frames, and
+    // the position-delete scan each re-execute the source plan — a
+    // nondeterministic source (sampling, a changing upstream) could
+    // otherwise position-delete one sample of matched rows and append
+    // versions for a DIFFERENT sample (rows lost or duplicated). The
+    // target side is immutable snapshot files, deterministic by
+    // construction. Released in the finally below.
+    val src = source.persist()
+    try {
 
     def cond(c: Option[String], default: Boolean): Column =
       c.map(s => coalesce(expr(s).cast(BooleanType), lit(false)))
@@ -133,7 +142,7 @@ object IcebergDml {
     // scan — a row an earlier delete masked can refuse conservatively.
     if (anyMatched && dataFiles.nonEmpty) {
       val multi = rawIdent.as(tAlias)
-        .join(source.as(sAlias), onExpr, "inner")
+        .join(src.as(sAlias), onExpr, "inner")
         .groupBy(col("__g_fpn"), col("__g_pos")).count()
         .filter(col("count") > 1).limit(1).count()
       require(multi == 0,
@@ -155,7 +164,7 @@ object IcebergDml {
     var deleted = 0L
     val joined =
       if (anyMatched)
-        Some(visible.as(tAlias).join(source.as(sAlias), onExpr, "inner"))
+        Some(visible.as(tAlias).join(src.as(sAlias), onExpr, "inner"))
       else None
     joined.foreach { j =>
       val counts = j.agg(
@@ -166,7 +175,7 @@ object IcebergDml {
     }
     val bySourceRows =
       if (anyBySource)
-        Some(visible.as(tAlias).join(source.as(sAlias), onExpr, "left_anti"))
+        Some(visible.as(tAlias).join(src.as(sAlias), onExpr, "left_anti"))
       else None
     bySourceRows.foreach { b =>
       val counts = b.agg(
@@ -190,7 +199,7 @@ object IcebergDml {
       .filter(_ => bySourceUpdate.isDefined)
       .map(b => applySet(b.filter(bsUpdCond), bySourceUpdate.get))
     val inserts: Option[DataFrame] = notMatchedInsert.map { m =>
-      val anti = source.as(sAlias).join(visible.as(tAlias), onExpr, "left_anti")
+      val anti = src.as(sAlias).join(visible.as(tAlias), onExpr, "left_anti")
       notMatchedInsertCond
         .map(c => anti.filter(coalesce(expr(c).cast(BooleanType), lit(false))))
         .getOrElse(anti)
@@ -220,14 +229,14 @@ object IcebergDml {
       val matchedPos =
         if (anyMatched)
           Some(rawIdent.as(tAlias)
-            .join(source.as(sAlias), onExpr, "inner")
+            .join(src.as(sAlias), onExpr, "inner")
             .filter(delCond || updCond)
             .select(col("__g_fpn").as("__g_fp"), col("__g_pos").as("pos")))
         else None
       val bySourcePos =
         if (anyBySource)
           Some(rawIdent.as(tAlias)
-            .join(source.as(sAlias), onExpr, "left_anti")
+            .join(src.as(sAlias), onExpr, "left_anti")
             .filter(bsDelCond || bsUpdCond)
             .select(col("__g_fpn").as("__g_fp"), col("__g_pos").as("pos")))
         else None
@@ -247,6 +256,7 @@ object IcebergDml {
         .currentSnapshotId.getOrElse(current)
     }
     DmlStats(version, updated, deleted, inserted)
+    } finally src.unpersist()
   }
 }
 
@@ -358,6 +368,12 @@ object PaimonDml {
     val visible = PaimonTable.read(spark, table)
     val current = currentSnapshot(spark, table)
     val anyMatched = matchedUpdate.isDefined || matchedDelete.isDefined
+    // persist the SOURCE once — the IcebergDml.merge rationale: counts,
+    // -D keys, +U frames, and the clash probe each re-execute the
+    // source plan, and a nondeterministic source could retract one
+    // sample and upsert another. Released in the finally below.
+    val src = source.persist()
+    try {
 
     def cond(c: Option[String], default: Boolean): Column =
       c.map(s => coalesce(expr(s).cast(BooleanType), lit(false)))
@@ -372,7 +388,7 @@ object PaimonDml {
 
     if (anyMatched) {
       val multi = visible.as(tAlias)
-        .join(source.as(sAlias), onExpr, "inner")
+        .join(src.as(sAlias), onExpr, "inner")
         .groupBy(pks.map(k => col(s"$tAlias.$k")): _*).count()
         .filter(col("count") > 1).limit(1).count()
       require(multi == 0,
@@ -385,7 +401,7 @@ object PaimonDml {
     var deleteKeys: Option[DataFrame] = None
     val joined =
       if (anyMatched)
-        Some(visible.as(tAlias).join(source.as(sAlias), onExpr, "inner"))
+        Some(visible.as(tAlias).join(src.as(sAlias), onExpr, "inner"))
       else None
     joined.foreach { j =>
       val counts = j.agg(
@@ -407,7 +423,7 @@ object PaimonDml {
       else lit(false)
     val bySourceRows =
       if (anyBySource)
-        Some(visible.as(tAlias).join(source.as(sAlias), onExpr, "left_anti"))
+        Some(visible.as(tAlias).join(src.as(sAlias), onExpr, "left_anti"))
       else None
     bySourceRows.foreach { b =>
       val counts = b.agg(
@@ -437,7 +453,7 @@ object PaimonDml {
       .filter(_ => bySourceUpdate.isDefined)
       .map(b => applySet(b.filter(bsUpdCond), bySourceUpdate.get))
     val inserts: Option[DataFrame] = notMatchedInsert.map { m =>
-      val anti = source.as(sAlias).join(visible.as(tAlias), onExpr, "left_anti")
+      val anti = src.as(sAlias).join(visible.as(tAlias), onExpr, "left_anti")
       notMatchedInsertCond
         .map(c => anti.filter(coalesce(expr(c).cast(BooleanType), lit(false))))
         .getOrElse(anti)
@@ -481,5 +497,6 @@ object PaimonDml {
       version = PaimonTable.writePk(df, table, pks, kind = "+U")
     }
     DmlStats(version, updated, deleted, inserted)
+    } finally src.unpersist()
   }
 }

@@ -66,8 +66,19 @@ object PdfReader {
       if (bodyEnd > bodyStart && hay.charAt(bodyEnd - 1) == '\n') bodyEnd -= 1
       if (bodyEnd > bodyStart && hay.charAt(bodyEnd - 1) == '\r') bodyEnd -= 1
       val body = java.util.Arrays.copyOfRange(bytes, bodyStart, bodyEnd)
+      // filter handling: no /Filter -> raw text scan; EXACTLY
+      // FlateDecode -> inflate; anything else (DCTDecode images, filter
+      // CHAINS like [/ASCII85Decode /FlateDecode]) SKIPS — inflating an
+      // ASCII85-wrapped stream fails and a raw scan of image bytes can
+      // emit garbage "(...)Tj"-shaped rows
+      val hasFilter = dict.contains("/Filter")
+      val flateOnly = dict.contains("/FlateDecode") &&
+        !"/(ASCII85Decode|ASCIIHexDecode|LZWDecode|RunLengthDecode|DCTDecode|CCITTFaxDecode|JBIG2Decode|JPXDecode|Crypt)"
+          .r.findFirstIn(dict).isDefined
       val decoded: Option[Array[Byte]] =
-        if (dict.contains("/FlateDecode")) inflate(body) else Some(body)
+        if (!hasFilter) Some(body)
+        else if (flateOnly) inflate(body)
+        else None
       decoded.foreach(b =>
         out += new String(b, java.nio.charset.StandardCharsets.ISO_8859_1))
       from = e + "endstream".length
@@ -119,7 +130,9 @@ object PdfReader {
                   stream.charAt(k) >= '0' && stream.charAt(k) <= '7') {
                 v = v * 8 + (stream.charAt(k) - '0'); k += 1
               }
-              sb.append(v.toChar); j = k
+              // ISO 32000 7.3.4.2: high-order overflow of \ddd is
+              // ignored (value mod 256) — \401 is 0x01, not U+0101
+              sb.append((v & 0xFF).toChar); j = k
             case '\r' =>
               // backslash-newline is a line CONTINUATION: no output
               j += (if (j + 2 < stream.length && stream.charAt(j + 2) == '\n') 3 else 2)

@@ -134,7 +134,11 @@ object QueryProfiles {
         OperatorProfile(execId, k.nodeId, k.node, k.metric, k.metricType, v)
       }
     }.sortBy(r => (r.node_id, r.metric))
-    rows.foreach { r => opRing.addFirst(r); opCount.incrementAndGet() }
+    // addFirst publishes newest-first: push the sorted rows in REVERSE
+    // so they read back in (node_id, metric) order — pushing front-first
+    // inverted the very sort one line above
+    rows.reverseIterator.foreach { r =>
+      opRing.addFirst(r); opCount.incrementAndGet() }
     while (opCount.get() > capacity * 16) {
       if (opRing.pollLast() != null) opCount.decrementAndGet()
       else opCount.set(0)
@@ -157,6 +161,14 @@ object QueryProfiles {
           listenerCtx.forall(c => c.isStopped || (c ne spark.sparkContext))) {
         listener = None
         listenerCtx = None
+        // the dead context's in-flight executions will never see their
+        // SQLExecutionEnd — their tracking entries would otherwise
+        // outlive every restart cycle and grow without bound (the rings
+        // themselves are capacity-trimmed; these maps were not)
+        inFlight.clear()
+        accumIndex.clear()
+        accumToExec.clear()
+        accumSums.clear()
       }
       require(listener.isEmpty || capacity == installedCapacity,
         s"query-profile ring already installed with capacity " +

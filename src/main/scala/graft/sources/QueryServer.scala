@@ -207,6 +207,7 @@ object QueryServer {
        | .replace(/</g,'&lt;').replace(/>/g,'&gt;').replace(/"/g,'&quot;')}
        |async function run(){
        | const r=await fetch('/query',{method:'POST',
+       |   headers:{'Content-Type':'application/json'},
        |   body:JSON.stringify({query:document.getElementById('q').value})});
        | const j=await r.json();
        | const out=document.getElementById('out');

@@ -57,12 +57,11 @@ object SchemaOnRead {
 
   /** Drill contrib/format-log: a regex with capture groups = columns. */
   def regexLog(spark: SparkSession, path: String, pattern: String,
-               fields: Seq[String]): DataFrame = {
-    val raw = spark.read.text(path)
-    fields.zipWithIndex.foldLeft(raw) { case (df, (f, i)) =>
-      df.withColumn(f, regexp_extract(col("value"), pattern, i + 1))
-    }.drop("value")
-  }
+               fields: Seq[String]): DataFrame =
+    // one projection, not N stacked withColumns (the httpdColumns shape)
+    spark.read.text(path).select(fields.zipWithIndex.map { case (f, i) =>
+      regexp_extract(col("value"), pattern, i + 1).as(f)
+    }: _*)
 
   /** Parse an LTSV line column (Drill contrib/format-ltsv): tab-separated
     * `key:value` pairs → map<string,string>. Empty segments (doubled /
@@ -70,7 +69,11 @@ object SchemaOnRead {
     * map_from_entries under Spark's default mapKeyDedupPolicy=EXCEPTION
     * otherwise failed the whole query on one dirty log line. */
   def ltsvToMap(line: Column): Column = {
-    val segs = filter(split(line, "\t"), s => length(s) > 0)
+    // a colon-less segment is not a field: substring_index would invent
+    // a {garbage -> garbage} entry for it where the reference's reader
+    // rejects the field — drop it with the empty segments
+    val segs = filter(split(line, "\t"),
+      s => length(s) > 0 && s.contains(":"))
     val entries = transform(segs, kv =>
       struct(substring_index(kv, ":", 1).as("key"),
         regexp_replace(kv, "^[^:]*:", "").as("value")))
@@ -147,8 +150,13 @@ object SchemaOnRead {
           .as("coords"),
         col("f.properties").as("properties"))
       .select(col("feature_idx"), col("geom_type"),
-        when(col("geom_type") === "Point", element_at(col("coords"), 1)).as("lon"),
-        when(col("geom_type") === "Point", element_at(col("coords"), 2)).as("lat"),
+        // try_element_at: one malformed Point with a short coordinates
+        // array must yield null lon/lat (the documented posture), not
+        // an ANSI INVALID_ARRAY_INDEX that kills the whole read
+        when(col("geom_type") === "Point",
+          try_element_at(col("coords"), lit(1))).as("lon"),
+        when(col("geom_type") === "Point",
+          try_element_at(col("coords"), lit(2))).as("lat"),
         col("properties"))
   }
 
@@ -158,7 +166,13 @@ object SchemaOnRead {
       .withColumn("filename", element_at(split(input_file_name(), "/"), -1))
       .withColumn("filepath",
         regexp_replace(input_file_name(), "/[^/]+$", ""))
-      .withColumn("suffix", element_at(split(input_file_name(), "\\."), -1))
+      // suffix from the FILENAME, not the full path: a dotted directory
+      // ("/data/v1.2/events") yielded "2/events", and a dotless file
+      // must give Drill's empty suffix, not the whole URI
+      .withColumn("suffix",
+        when(col("filename").contains("."),
+          element_at(split(col("filename"), "\\."), -1))
+          .otherwise(lit("")))
 
   /** Drill-style schema-on-read for an embedded JSON string column: infer
     * the schema from a BOUNDED sample (Drill discovers per batch; a

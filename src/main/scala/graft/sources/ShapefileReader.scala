@@ -126,7 +126,10 @@ object ShapefileReader {
       in.readFully(rec)
       var p = 1 // deletion flag
       fields.map { case (name, len) =>
-        val v = new String(rec, p, len, "US-ASCII").trim
+        // ISO-8859-1, not US-ASCII: dBASE attribute tables are routinely
+        // Latin-1/CP1252 ("Zürich") and ASCII mapped every byte >= 0x80
+        // to U+FFFD — Latin-1 preserves the bytes losslessly
+        val v = new String(rec, p, len, "ISO-8859-1").trim
         p += len
         name -> v
       }.toMap
@@ -153,7 +156,14 @@ object ShapefileReader {
             // mid-parse failure (close is idempotent)
             try parseShp(in) finally in.close()
           }
-          val dbfPath = new Path(f.replaceAll("\\.shp$", ".dbf"))
+          // case-preserved candidates: FileList matches .shp
+          // case-insensitively, and ROADS.SHP's sidecar is ROADS.DBF —
+          // a case-sensitive replace left dbfPath == the .shp itself,
+          // whose parse failed and silently dropped every attribute
+          val stem = f.substring(0, f.length - 4)
+          val dbfPath = Seq(".dbf", ".DBF", ".Dbf")
+            .map(e => new Path(stem + e)).find(fs.exists)
+            .getOrElse(new Path(stem + ".dbf"))
           val attrs: Seq[Map[String, String]] =
             if (fs.exists(dbfPath)) {
               val in = new DataInputStream(fs.open(dbfPath))

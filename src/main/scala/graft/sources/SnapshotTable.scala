@@ -55,7 +55,13 @@ object SnapshotTable {
     // NIO createFile is O_EXCL-atomic on POSIX. Remote filesystems keep
     // hadoop create(false), which is atomic server-side (HDFS et al).
     def putIfAbsent(p: Path): Boolean = f match {
-      case _: org.apache.hadoop.fs.LocalFileSystem =>
+      // RawLocalFileSystem too, not only the checksum wrapper: a session
+      // configured with the RAW local fs (getLocal(conf).getRaw, test
+      // harnesses) fell to the hadoop create(false) branch — on the raw
+      // local fs that IS the non-atomic exists-then-create this NIO
+      // branch exists to avoid
+      case _: org.apache.hadoop.fs.LocalFileSystem |
+           _: org.apache.hadoop.fs.RawLocalFileSystem =>
         try {
           java.nio.file.Files.createFile(
             java.nio.file.Paths.get(p.toUri.getPath)); true

@@ -134,10 +134,13 @@ object Writer {
     // (/data/logs/logs) and shifted every dirN by one.
     val encBase = new org.apache.hadoop.fs.Path(
         basePath.stripSuffix("/")).toUri.toString
+      .replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", "")
       .replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
     // strip any scheme from the runtime path the same way, then the base
     val rel = regexp_replace(
-      regexp_replace(input_file_name(), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"),
+      regexp_replace(regexp_replace(input_file_name(),
+        "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", ""),
+        "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"),
       "^" + java.util.regex.Pattern.quote(encBase) + "/", "")
     val parts = split(rel, "/")
     (0 until levels).foldLeft(df) { (d, i) =>

@@ -37,21 +37,28 @@ object XlsxReader {
     // workbook whose original Sheet1 was deleted ships sheet2.xml (or
     // higher) as its only part, and hardcoding sheet1 rejected it
     val SheetName = "xl/worksheets/sheet(\\d+)\\.xml".r
-    val sheets = mutable.SortedMap.empty[Int, Array[Byte]]
+    // buffer ONLY the lowest-numbered sheet seen so far (zip order is
+    // arbitrary, so a running minimum — not a map of every sheet: a
+    // 50-sheet workbook would otherwise hold all 50 parts in memory to
+    // use one)
+    var sheetMin = Int.MaxValue
+    var sheetBytes0: Array[Byte] = null
     val zin = new ZipInputStream(in)
     try {
       var e = zin.getNextEntry
       while (e != null) {
         e.getName match {
           case "xl/sharedStrings.xml" => sharedBytes = zin.readAllBytes()
-          case SheetName(n) => sheets(n.toInt) = zin.readAllBytes()
+          case SheetName(n) if n.toInt < sheetMin =>
+            sheetMin = n.toInt
+            sheetBytes0 = zin.readAllBytes()
           case _ =>
         }
         e = zin.getNextEntry
       }
     } finally zin.close()
-    require(sheets.nonEmpty, "no xl/worksheets/sheetN.xml in workbook")
-    val sheetBytes = sheets.head._2
+    require(sheetBytes0 != null, "no xl/worksheets/sheetN.xml in workbook")
+    val sheetBytes = sheetBytes0
     if (sharedBytes != null) shared = parseSharedStrings(sharedBytes)
 
     val rows = mutable.ArrayBuffer.empty[Array[String]]
@@ -193,7 +200,12 @@ object XlsxReader {
 
   private def inferType(values: Seq[String]): DataType = {
     val present = values.filter(v => v != null && v.nonEmpty)
-    if (present.nonEmpty && present.forall(LongRe.matches(_))) LongType
+    // toLongOption, not the regex alone: an all-digit value beyond Long
+    // range ("99999999999999999999") regex-matched LongType and then
+    // cast() nulled the ENTIRE column; out-of-range integrals fall to
+    // Double (magnitude preserved) like Spark's own CSV inference
+    if (present.nonEmpty && present.forall(v =>
+        LongRe.matches(v) && v.toLongOption.isDefined)) LongType
     else if (present.nonEmpty && present.forall(DoubleRe.matches(_))) DoubleType
     else StringType
   }

@@ -8,7 +8,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** Per-user session accumulator for [[Events.sessionizeStream]]. Must be
   * top-level and public: the state encoder's generated code references it
   * by name, and a private nested case class fails Janino compilation. */
-case class SessState(start: Long, last: Long, n: Long, total: Double)
+// total is QUANTIZED units (floor(v * 2^14) per event, summed as Long):
+// long addition is order-independent, so stream totals reconcile
+// bit-exactly with the batch twin's quantizedSum whatever the
+// micro-batch/restart split. n == 0 marks the empty sentinel (a
+// negative `start` sentinel misread any pre-1970 session as
+// uninitialized and reset live state on every event).
+case class SessState(start: Long, last: Long, n: Long, total: Long)
 case class BandEntry(id: Long, ts: Long, th: Seq[Long])
 case class BandDocs(entries: Seq[BandEntry])
 
@@ -97,11 +103,18 @@ object Events {
     * 100 TB/day feed. The batch twin is Dedup.exact — same hash, same
     * normalize — so a backfill and the live stream agree. */
   def dedupStream(docs: DataFrame, textCol: String,
-                  watermarkDelay: String = "10 minutes"): DataFrame =
-    tsAsTimestamp(docs).withColumn("content_hash",
+                  watermarkDelay: String = "10 minutes"): DataFrame = {
+    // collision-safe internal name, dropped before return: Dedup.exact
+    // was rewritten to keep the INPUT schema for exactly this reason —
+    // "content_hash" leaked into every caller and silently clobbered a
+    // real column of that name
+    val h = "__g_content_hash"
+    tsAsTimestamp(docs).withColumn(h,
         xxhash64(graft.pipeline.TextAnalysis.normalize(col(textCol))))
       .withWatermark("ts", watermarkDelay)
-      .dropDuplicatesWithinWatermark("content_hash")
+      .dropDuplicatesWithinWatermark(h)
+      .drop(h)
+  }
 
   /** Streaming decontamination: drop stream rows that near-duplicate a
     * STATIC reference corpus (eval/benchmark content) at ingest,
@@ -128,6 +141,12 @@ object Events {
                           threshold: Double = 0.8,
                           maxRefLiteral: Int = 4096): DataFrame = {
     import graft.pipeline.{Dedup, TextAnalysis}
+    // the batch family's banding invariant (Dedup.bandedIdsFrom): a
+    // non-divisor silently ignored trailing signature entries, and
+    // bands > numHashes made rowsPerBand 0 — every doc then shared ONE
+    // empty band key and the filter degraded to a full N x M scan
+    require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
     val rowsPerBand = numHashes / bands
     // array_distinct is LOAD-BEARING: the two-pointer Jaccard kernel
     // requires sorted DISTINCT arrays (Dedup.tokenized applies it) — a
@@ -399,6 +418,8 @@ object Events {
                       maxPerBand: Int = 4096): DataFrame = {
     import spark.implicits._
     import graft.pipeline.{Dedup, TextAnalysis}
+    require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
     require(!spark.conf.get(
       "spark.sql.streaming.statefulOperator.checkCorrectness.enabled",
       "true").toBoolean,
@@ -558,19 +579,22 @@ object Events {
         col("value").cast("double"))
       .as[(Long, java.sql.Timestamp, Double)]
     typed.groupByKey(_._1)
-      .flatMapGroupsWithState[SessState, (Long, Long, Long, Long, Double)](
+      .flatMapGroupsWithState[SessState, (Long, Long, Long, Long, Long)](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (user, rows, state: GroupState[SessState]) =>
-          var out = List.empty[(Long, Long, Long, Long, Double)]
-          var st = state.getOption.getOrElse(SessState(-1, -1, 0, 0.0))
+          // per-event quantization = quantizedSum's element op; exact in
+          // binary FP (power-of-two scale), Long sums order-independent
+          def q(v: Double): Long = math.floor(v * 16384.0).toLong
+          var out = List.empty[(Long, Long, Long, Long, Long)]
+          var st = state.getOption.getOrElse(SessState(0, 0, 0, 0L))
           rows.toSeq.sortBy(_._2.getTime).foreach { case (_, t, v) =>
             // floorDiv, not /: truncation-toward-zero disagreed with
             // the batch twin's floor semantics on pre-1970 timestamps
             val sec = Math.floorDiv(t.getTime, 1000L)
-            if (st.start < 0) st = SessState(sec, sec, 1, v)
+            if (st.n == 0) st = SessState(sec, sec, 1, q(v))
             else if (sec - st.last > gapSec) {
               out ::= (user, st.start, st.last, st.n, st.total)
-              st = SessState(sec, sec, 1, v)
+              st = SessState(sec, sec, 1, q(v))
             } else if (st.start - sec > gapSec) {
               // a late in-watermark event MORE than a gap before the
               // current session start belongs to its own EARLIER
@@ -580,7 +604,7 @@ object Events {
               // documented approximation: several such stragglers
               // arriving separately emit separately, where a batch
               // backfill may merge them with each other.
-              out ::= (user, sec, sec, 1L, v)
+              out ::= (user, sec, sec, 1L, q(v))
             } else st = st.copy(
               // late in-watermark rows must not move the frontier
               // BACKWARD (last=sec once let a late row shrink `last`, so
@@ -588,10 +612,10 @@ object Events {
               // the start forward
               start = math.min(st.start, sec),
               last = math.max(st.last, sec),
-              n = st.n + 1, total = st.total + v)
+              n = st.n + 1, total = st.total + q(v))
           }
           if (state.hasTimedOut) {
-            if (st.start >= 0) out ::= (user, st.start, st.last, st.n, st.total)
+            if (st.n > 0) out ::= (user, st.start, st.last, st.n, st.total)
             state.remove()
           } else {
             state.update(st)
@@ -599,6 +623,6 @@ object Events {
           }
           out.reverseIterator
       }
-      .toDF("user_id", "start_sec", "end_sec", "n_events", "sum_value")
+      .toDF("user_id", "start_sec", "end_sec", "n_events", "sum_value_q")
   }
 }

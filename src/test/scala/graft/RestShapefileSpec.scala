@@ -210,6 +210,11 @@ class RestShapefileSpec extends AnyFunSuite {
       val (c1, b1, t1) = fetch("/")
       assert(c1 == 200 && t1.startsWith("text/html"))
       assert(b1.contains("graft query console") && b1.contains("/query"))
+      // the console's own fetch must send the Content-Type its server
+      // REQUIRES — without it every console query 415'd against the
+      // very endpoint it ships with
+      assert(b1.contains("'Content-Type':'application/json'"),
+        "console fetch() must declare application/json")
       val (c2, b2, t2) = fetch("/web/profiles.html")
       assert(c2 == 200 && t2.startsWith("text/html"))
       assert(b2.contains("/profiles/operators"))

@@ -65,10 +65,12 @@ class StreamingSpec extends AnyFunSuite {
       input.addData((3L, ts(b + 10001), 0.0))
       q.processAllAvailable()
       val rows = spark.table("sessions_out").collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
         .toSet
-      assert(rows.contains((1L, b, b + 600L, 2L, 3.0)), rows)
-      assert(rows.contains((2L, b, b, 1L, 7.0)), rows)
+      // sums are QUANTIZED units (floor(v * 2^14) per event), the batch
+      // twin's quantizedSum contract — 3.0 -> 49152, 7.0 -> 114688
+      assert(rows.contains((1L, b, b + 600L, 2L, 3L * 16384)), rows)
+      assert(rows.contains((2L, b, b, 1L, 7L * 16384)), rows)
     } finally q.stop()
   }
 
