@@ -155,13 +155,17 @@ object DfsSql {
       case "h5" | "hdf5"               => Hdf5Reader.read(spark, path)
       case "mdb" | "accdb"             => AccessReader.read(spark, path)
       case "seq"                       => SequenceFileReader.read(spark, path)
+      case "bson"                      => BsonReader.read(spark, path)
+      // kafka data dirs end in .log, which the text reader owns — the
+      // segment reader is reachable by TYPE NAME through dfs_read
+      case "kafka" | "kafka_segments"  => KafkaSegmentReader.readJson(spark, path)
       case "png" | "jpg" | "jpeg" | "gif" | "bmp" => ImageMetaReader.read(spark, path)
       case "log" | "txt" | "text"      => spark.read.text(path)
       case other => throw new IllegalArgumentException(
         s"dfs: no format reader for extension '$other' ($path). " +
           "Known: parquet csv tsv psv json jsonl orc avro xlsx ltsv pcap " +
-          "pcapng pdf geojson shp sas7bdat sav h5 mdb/accdb seq " +
-          "png/jpg/gif/bmp log/txt; " +
+          "pcapng pdf geojson shp sas7bdat sav h5 mdb/accdb seq bson " +
+          "kafka (type name) png/jpg/gif/bmp log/txt; " +
           "directories: delta (_delta_log), iceberg (metadata/+data/), " +
           "paimon (snapshot/+schema/)")
     }

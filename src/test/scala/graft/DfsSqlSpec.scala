@@ -111,6 +111,25 @@ class DfsSqlSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.dfs.workspace.vrb")
   }
 
+  test("bson dumps resolve by extension; kafka segments by dfs_read " +
+      "type name (.log is the text reader's)") {
+    import graft.sources.{BsonReader, KafkaSegmentReader}
+    val dir = java.nio.file.Files.createTempDirectory("dfs_new").toString
+    BsonReader.writeDump(spark, dir, "c",
+      Seq(BsonReader.documentBytes(Seq("id" -> 7, "name" -> "x"))))
+    val b = spark.sql(s"SELECT id, name FROM dfs.`$dir/c.bson`").collect()
+    assert(b.length == 1 && b(0).getLong(0) == 7L && b(0).getString(1) == "x")
+    val kdir = java.nio.file.Files.createTempDirectory("dfs_kafka").toString
+    KafkaSegmentReader.writeSegment(spark, kdir, "t", 0, Seq(
+      KafkaSegmentReader.batchBytes(5L, 100L, Seq(
+        ("k".getBytes("UTF-8"), """{"id": 9}""".getBytes("UTF-8"),
+          Nil, 0L)))))
+    val k = spark.sql(
+      s"SELECT id, kafkaMsgOffset FROM dfs_read('$kdir', 'kafka')")
+      .collect()
+    assert(k.length == 1 && k(0).getLong(0) == 9L && k(0).getLong(1) == 5L)
+  }
+
   test("unknown extension and missing path error clearly") {
     val p = Files.createTempFile("dfs_bad_", ".zzz")
     val e1 = intercept[Exception](spark.sql(s"SELECT * FROM dfs.`$p`").collect())
