@@ -236,6 +236,12 @@ object AccessReader {
           ptr = 0
         } else { // chained: first 4 bytes of each chunk = next pointer
           val take = math.min(remaining, e - s - 4)
+          // a corrupt chunk (e - s <= 4) makes no progress, and a
+          // cyclic next-pointer chain would spin this loop forever —
+          // fail loudly instead of pinning an executor core
+          require(take > 0,
+            s"corrupt LVAL chain: chunk at page $pg row $row yields " +
+              s"$take bytes (remaining $remaining)")
           out.write(db.bytes, base + s + 4, take)
           remaining -= take
           ptr = u32(db.bytes, base + s)
@@ -361,6 +367,14 @@ object AccessReader {
             val signed = if (row(o) != 0) mag.negate else mag
             new java.math.BigDecimal(signed, c.scale)
           case 0x14 => extDateToTimestamp(row, o, c.size)
+          // FIXED-length TEXT/BINARY are legitimate Jet column kinds
+          // (DAO/ADOX-created, common in upsized legacy DBs) — decode
+          // the declared fixed span instead of failing the whole read
+          case 0x0A =>
+            val t = decodeText(
+              java.util.Arrays.copyOfRange(row, o, o + c.size), jet3)
+            if (t == null) null else t.replaceAll("[ \u0000]+$", "")
+          case 0x09 => java.util.Arrays.copyOfRange(row, o, o + c.size)
           case other => throw new IllegalStateException(
             f"unsupported fixed Access type 0x$other%02x")
         }
@@ -468,7 +482,7 @@ object AccessReader {
     }
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
     val sconf = new SerializableHadoopConf(conf)
-    FileList.asDataset(spark, path, Exts)
+    FileList.asDataset(spark, files) // reuse the schema pass's listing
       .mapPartitions { files =>
         val conf2 = sconf.value
         files.flatMap { f =>

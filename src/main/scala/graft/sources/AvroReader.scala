@@ -38,8 +38,12 @@ object AvroReader {
 
   def sparkSchema(avro: Schema): StructType = StructType(
     avro.getFields.asScala.toSeq.map { f =>
-      val (dt, nullable) = toSparkType(f.schema())
-      StructField(f.name(), dt, nullable)
+      val (dt, _) = toSparkType(f.schema())
+      // ALWAYS nullable: the cross-file degrade in convert() nulls a
+      // missing/mismatched field — a non-nullable StructField made the
+      // RowEncoder THROW on exactly the schema-evolution case that
+      // null-out contract exists for (every other reader is nullable)
+      StructField(f.name(), dt, nullable = true)
     })
 
   private def convert(v: AnyRef, dt: DataType): Any = (v, dt) match {
@@ -76,7 +80,7 @@ object AvroReader {
 
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
     val confB = spark.sparkContext.broadcast(new SerializableHadoopConf(conf))
-    val pairs = fieldNames.zip(fieldTypes) // hoisted off the per-row path
+    val pairs = fieldNames.zip(fieldTypes).toSeq // hoisted off the per-row path
     FileList.asDataset(spark, files) // listed once, above
       .mapPartitions { paths =>
         // the broadcast session conf, NOT a bare Configuration(): an
@@ -96,7 +100,7 @@ object AvroReader {
             def hasNext: Boolean = { val h = reader.hasNext; if (!h) reader.close(); h }
             def next(): Row = {
               val rec = reader.next()
-              Row.fromSeq(pairs.toSeq.map {
+              Row.fromSeq(pairs.map {
                 case (n, dt) => convert(rec.get(n), dt)
               })
             }

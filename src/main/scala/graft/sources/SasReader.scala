@@ -166,8 +166,10 @@ object SasReader {
               attrs.length >= colCount) done = true
       }
     }
-    require(colCount > 0 && namePtrs.length >= colCount,
-      s"incomplete sas7bdat metadata (cols=$colCount names=${namePtrs.length})")
+    require(colCount > 0 && namePtrs.length >= colCount &&
+        attrs.length >= colCount,
+      s"incomplete sas7bdat metadata (cols=$colCount " +
+        s"names=${namePtrs.length} attrs=${attrs.length})")
 
     val columns = (0 until colCount).map { i =>
       val (blk, no, nl) = namePtrs(i)
@@ -266,7 +268,7 @@ object SasReader {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
     // session Hadoop conf rides to executors (the XlsxReader fix)
     val sconf = new SerializableHadoopConf(conf)
-    FileList.asDataset(spark, path, Set(".sas7bdat"))
+    FileList.asDataset(spark, files) // reuse the schema pass's listing
       .mapPartitions { paths =>
         val conf2 = sconf.value
         paths.flatMap { f =>
@@ -280,8 +282,22 @@ object SasReader {
           // readers (SchemaAlign) — positional binding mis-assigned
           // same-typed columns silently when a file's column ORDER
           // differed from the first file's
-          SchemaAlign.align(rows(meta, pages),
+          val aligned = SchemaAlign.align(rows(meta, pages),
             SchemaAlign.plan(schema, schemaOf(meta)))
+          // close at EXHAUSTION, not only at task completion: a task
+          // over many files otherwise holds one open stream per
+          // processed file (fd/connection-pool exhaustion); the
+          // completion listener stays as the early-termination backstop
+          val closing = new Iterator[org.apache.spark.sql.Row] {
+            def hasNext: Boolean = {
+              val h = aligned.hasNext
+              if (!h) try in.close() catch {
+                case _: java.io.IOException => () }
+              h
+            }
+            def next(): org.apache.spark.sql.Row = aligned.next()
+          }
+          closing
         }
       }(enc).toDF(schema.fieldNames.toSeq: _*)
   }

@@ -310,7 +310,7 @@ object SpssReader {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
     // session Hadoop conf rides to executors (the XlsxReader fix)
     val sconf = new SerializableHadoopConf(conf)
-    FileList.asDataset(spark, path, Set(".sav"))
+    FileList.asDataset(spark, files) // reuse the schema pass's listing
       .mapPartitions { paths =>
         val conf2 = sconf.value
         paths.flatMap { f =>
@@ -320,8 +320,22 @@ object SpssReader {
             _.addTaskCompletionListener[Unit](_ =>
               try in.close() catch { case _: java.io.IOException => () }))
           val meta = parseMeta(in)
-          SchemaAlign.align(rows(in, meta),
+          val aligned = SchemaAlign.align(rows(in, meta),
             SchemaAlign.plan(schema, schemaOf(meta)))
+          // close at EXHAUSTION, not only at task completion: a task
+          // over many files otherwise holds one open stream per
+          // processed file (fd/connection-pool exhaustion); the
+          // completion listener stays as the early-termination backstop
+          val closing = new Iterator[org.apache.spark.sql.Row] {
+            def hasNext: Boolean = {
+              val h = aligned.hasNext
+              if (!h) try in.close() catch {
+                case _: java.io.IOException => () }
+              h
+            }
+            def next(): org.apache.spark.sql.Row = aligned.next()
+          }
+          closing
         }
       }(enc).toDF(schema.fieldNames.toSeq: _*)
   }
