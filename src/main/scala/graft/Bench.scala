@@ -69,6 +69,30 @@ object Bench {
       (f.lift(7).getOrElse(0L), f.sum)
     } catch { case _: Exception => (0L, 0L) }
 
+  /** (machine busy CPU-seconds, THIS-process CPU-seconds) — machine
+    * from /proc/stat line 1 (busy = all fields minus idle+iowait),
+    * process from /proc/self/stat utime+stime (fields 14/15, after the
+    * parenthesized comm). Sampled at query start/end, the DIVERGENCE
+    * (machine minus process) is other-process CPU inside the query
+    * window — the co-tenant signature probes can't see because it
+    * inflates cache/bandwidth-bound work without slowing a register
+    * spin. Jiffies are USER_HZ=100 on linux (hardcoded; the value only
+    * feeds ratios so a nonstandard HZ scales both sides equally). */
+  private def cpuSample(): (Double, Double) =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      val f = try src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+              finally src.close()
+      val busy = f.sum - f.lift(3).getOrElse(0L) - f.lift(4).getOrElse(0L)
+      val self = scala.io.Source.fromFile("/proc/self/stat")
+      val line = try self.getLines().next() finally self.close()
+      // comm may contain spaces/parens — fields count from the LAST ')'
+      val rest = line.substring(line.lastIndexOf(')') + 2).split(" ")
+      // rest(0) = field 3 (state); utime/stime are fields 14/15
+      val proc = rest(11).toLong + rest(12).toLong
+      (busy / 100.0, proc / 100.0)
+    } catch { case _: Exception => (0.0, 0.0) }
+
   /** Fixed single-thread CPU probe (xorshift spin, constant iteration
     * count) timed at bench start AND end: steal% only sees hypervisor
     * steal, not co-tenant IO pressure, cgroup throttling, or thermal
@@ -377,6 +401,7 @@ object Bench {
         val rs = heavyweight.map { name =>
           val runs = (1 to Sf1Reps).map { _ =>
             val cpu0 = TaskCpuListener.cpuNs.get
+            val (mach0, proc0) = cpuSample()
             val t0 = System.nanoTime()
             val ok =
               try { SparkEntry.queries(name)(spark, sf1Dir)
@@ -385,8 +410,10 @@ object Bench {
                 System.err.println(s"[bench] sf1 $name FAILED: ${e.getMessage}"); false }
             val wall = (System.nanoTime() - t0) / 1e9
             drainListenerBus(spark)
+            val (mach1, proc1) = cpuSample()
             val cpuS = (TaskCpuListener.cpuNs.get - cpu0) / 1e9
-            (wall, ok, if (wall > 0) cpuS / wall else 0.0, cpuS)
+            (wall, ok, if (wall > 0) cpuS / wall else 0.0, cpuS,
+              mach1 - mach0, proc1 - proc0)
           }
           // per-round instrumentation for the iterative CC query: a slow
           // run decomposes into rounds × per-round wall in the artifact
@@ -402,22 +429,32 @@ object Bench {
           val okW = runs.filter(_._2).map(_._1)
           val minW = if (okW.nonEmpty) okW.min else runs.map(_._1).min
           (name, runs.map(_._1), runs.forall(_._2), cc, runs.map(_._3),
-            runs.map(_._4), minW)
+            runs.map(_._4), minW, runs.map(_._5), runs.map(_._6))
         }
         val (tierCalibPar0, tierBw0) = (probes.head._1, (probes.head._2, probes.head._3))
         val (tierCalibPar1, tierBw1) = (probes.last._1, (probes.last._2, probes.last._3))
-        val q1 = rs.map { case (k, _, _, _, _, _, mw) => "\"" + k + "\":" + f"$mw%.3f" }
+        val q1 = rs.map { case (k, _, _, _, _, _, mw, _, _) => "\"" + k + "\":" + f"$mw%.3f" }
           .mkString("{", ",", "}")
-        val runs1 = rs.map { case (k, vs, _, _, _, _, _) =>
+        val runs1 = rs.map { case (k, vs, _, _, _, _, _, _, _) =>
           "\"" + k + "\":" + vs.map(v => f"$v%.3f").mkString("[", ",", "]") }
           .mkString("{", ",", "}")
-        val ok1 = rs.map { case (k, _, ok, _, _, _, _) => "\"" + k + "\":" + ok }
+        val ok1 = rs.map { case (k, _, ok, _, _, _, _, _, _) => "\"" + k + "\":" + ok }
           .mkString("{", ",", "}")
-        val ep1 = rs.map { case (k, _, _, _, eps, _, _) =>
+        val ep1 = rs.map { case (k, _, _, _, eps, _, _, _, _) =>
           "\"" + k + "\":" + eps.map(e => f"$e%.1f").mkString("[", ",", "]") }
           .mkString("{", ",", "}")
-        val cs1 = rs.map { case (k, _, _, _, _, cs, _) =>
+        val cs1 = rs.map { case (k, _, _, _, _, cs, _, _, _) =>
           "\"" + k + "\":" + cs.map(c => f"$c%.1f").mkString("[", ",", "]") }
+          .mkString("{", ",", "}")
+        // in-flight co-tenant attribution (r11 verdict #1): machine-wide
+        // vs this-process CPU-seconds INSIDE each rep's window — when
+        // machine >> process while brackets read clean, the dirt is a
+        // co-tenant that never touched the probes
+        val ms1 = rs.map { case (k, _, _, _, _, _, _, m, _) =>
+          "\"" + k + "\":" + m.map(c => f"$c%.1f").mkString("[", ",", "]") }
+          .mkString("{", ",", "}")
+        val ps1 = rs.map { case (k, _, _, _, _, _, _, _, p) =>
+          "\"" + k + "\":" + p.map(c => f"$c%.1f").mkString("[", ",", "]") }
           .mkString("{", ",", "}")
         val ccJson = rs.map(_._4).filter(_.nonEmpty).mkString
         // per-query [before, after] probe brackets — co-tenancy that
@@ -430,6 +467,7 @@ object Bench {
             f"${probes(i + 1)._3}%.3f" + "]" }.mkString("{", ",", "}")
         s"""{"total":${f"${rs.map(_._7).sum}%.3f"},"queries":$q1,""" +
           s""""runs":$runs1,"ok":$ok1,"eff_par":$ep1,"cpu_s":$cs1,""" +
+          s""""machine_cpu_s":$ms1,"proc_cpu_s":$ps1,""" +
           s""""calib_par_sec":[${f"$tierCalibPar0%.3f"},${f"$tierCalibPar1%.3f"}],""" +
           s""""bw_sec":[${f"${tierBw0._1}%.3f"},${f"${tierBw1._1}%.3f"}],""" +
           s""""bw_par_sec":[${f"${tierBw0._2}%.3f"},${f"${tierBw1._2}%.3f"}],""" +

@@ -806,6 +806,40 @@ object QueriesSources {
           round(col("s_acctbal"), 2).as("acctbal"))
     }),
 
+    // ---- HBase store files (ref contrib/storage-hbase/.../
+    // HBaseRecordReader.java:59 reads through a live cluster Scan;
+    // re-expressed zero-egress over the PUBLIC v2/v3 HFile on-disk
+    // format those clusters store). Fixture: nation as one store file
+    // with TWO versions of `name` (latest must win) and a DeleteColumn
+    // tombstone on nationkey 5's regionkey — the oracle re-derives
+    // HBase read semantics relationally ----
+    "q_hbase_hfile" -> ((s, d) => {
+      import graft.sources.HBaseHFileReader
+      import graft.sources.HBaseHFileReader.Cell
+      val dir = s"${out(d)}/hbase_store"
+      val rows = GraftSession.table(s, d, "nation")
+        .select(col("n_nationkey").cast("long"), col("n_name"),
+          col("n_regionkey").cast("long"))
+        .collect().sortBy(_.getLong(0).toString) // HBase rows sort as BYTES
+      val cells = rows.flatMap { r =>
+        val rk = r.getLong(0).toString.getBytes("UTF-8")
+        def bs(x: String) = x.getBytes("UTF-8")
+        Seq(
+          Cell(rk, "f", "name", 2000L, 4, bs(r.getString(1)), 2L),
+          Cell(rk, "f", "name", 1000L, 4, bs(r.getString(1) + "_old"), 1L)) ++
+          (if (r.getLong(0) == 5L)
+            Seq(Cell(rk, "f", "regionkey", 2500L, 12, Array.emptyByteArray, 3L))
+          else Nil) :+
+          Cell(rk, "f", "regionkey", 2000L, 4, bs(r.getLong(2).toString), 2L)
+      }.toSeq
+      HBaseHFileReader.writeHFile(s, s"$dir/nation_store", cells,
+        gzip = true)
+      HBaseHFileReader.read(s, dir)
+        .select(col("row_key").cast("string").as("row_key"),
+          element_at(col("f"), "name").cast("string").as("name"),
+          element_at(col("f"), "regionkey").cast("string").as("regionkey"))
+    }),
+
     // ---- hive-metastore federation (ref contrib/storage-hive/core/...
     // /HiveStoragePlugin.java): partitioned CTAS into an embedded Derby
     // HMS, read back through the pruning catalog mirror — the partition
@@ -2012,6 +2046,11 @@ object QueriesSources {
       SELECT s_suppkey::BIGINT AS s_suppkey, s_name,
              round(s_acctbal::DOUBLE, 2) AS acctbal
       FROM supplier""",
+    "q_hbase_hfile" -> """
+      SELECT n_nationkey::VARCHAR AS row_key, n_name AS name,
+             CASE WHEN n_nationkey = 5 THEN NULL
+                  ELSE n_regionkey::VARCHAR END AS regionkey
+      FROM nation""",
     "q_dir_columns" -> """
       SELECT o_orderstatus AS dir0, count(*) AS n FROM orders GROUP BY 1""",
     "q_stats_store" -> """

@@ -82,6 +82,8 @@ object BsonReader {
     * combination encodes a >113-bit coefficient, which the spec calls
     * non-canonical and mongo's own drivers decode as ZERO; Inf/NaN
     * render as null via the caller (JSON has neither). */
+  private val maxCoefficient = BigInt(10).pow(34)
+
   private def decimal128String(high: Long, low: Long): String = {
     val negative = high < 0
     val comb = (high >>> 58) & 0x1F // 5 combination MSBs after sign
@@ -97,6 +99,11 @@ object BsonReader {
     val coeffHigh = high & 0x0001FFFFFFFFFFFFL
     val coeff = (BigInt(coeffHigh) << 64) |
       (BigInt(low >>> 1) << 1) | BigInt(low & 1L)
+    // IEEE 754-2008: a coefficient >= 10^34 is non-canonical on EITHER
+    // encoding path; mongo drivers decode such values as zero too.
+    if (coeff >= maxCoefficient)
+      return (if (negative) "-0" else "0") +
+        (if (exp != 0) s"E$exp" else "")
     val bd = BigDecimal(BigInt((if (negative) -1 else 1)) * coeff, -exp)
     bd.underlying.toPlainString
   }
@@ -220,9 +227,13 @@ object BsonReader {
             // corrupt element payloads (truncated cstrings, bad lengths)
             // overrun the body array — surface as one loud IOException
             // with the file name, not a bare AIOOBE deep in a task
+            // IndexOutOfBounds covers array AND string slicing; a
+            // negative declared string/binary length surfaces as
+            // NegativeArraySizeException from the copy
             try renderDoc(body, 0, body.length - 1, asArray = false, sb)
             catch {
-              case e: ArrayIndexOutOfBoundsException =>
+              case e @ (_: IndexOutOfBoundsException |
+                        _: NegativeArraySizeException) =>
                 throw new java.io.IOException(
                   s"$file: corrupt BSON document (element payload " +
                     s"overruns the declared $size-byte frame)", e)

@@ -393,7 +393,11 @@ class DeltaStreamSource(sqlContext: SQLContext,
               (if (raw == null) lit(null) else lit(raw))
                 .cast(schema(c).dataType))
         }
+      // MicroBatchExecution binds V1 batches POSITIONALLY to the declared
+      // source schema — a partition column not declared last would stream
+      // mis-bound without this reorder (the batch reader does the same).
       }.reduce(_ unionByName _)
+        .select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
     }
   }
 

@@ -1,0 +1,692 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** HBase HFILE reader — the zero-egress re-expression of the reference's
+  * HBase storage plugin (contrib/storage-hbase/.../HBaseRecordReader.java:59
+  * reads through a live cluster Scan; graft decodes the PUBLIC on-disk
+  * HFile v2/v3 format those clusters store — hbase.apache.org book
+  * "Appendix E: HFile format", FixedFileTrailer / HFileBlock /
+  * HFileBlockIndex layouts).
+  *
+  * Format surface: v2 (212-byte trailer) and v3 (4096-byte trailer)
+  * majors; 33-byte block headers; CRC32/CRC32C/NULL checksum chunks
+  * verified; NONE and GZ block compression (gzip is a standard stream —
+  * JDK inflater; LZO/SNAPPY/LZ4/BZIP2/ZSTD refuse loudly with the codec
+  * name); single- and multi-level block indexes (non-root blocks recurse
+  * by magic, so any depth works); protobuf trailer and PBUF FileInfo
+  * hand-decoded (three varint/length-delimited fields — no proto dep);
+  * per-cell memstore sequence ids and v3 tags when FileInfo declares
+  * them.
+  *
+  * Output shapes:
+  *  - [[readCells]]: one row per CELL (row_key, family, qualifier, ts,
+  *    type, value, seq_id) — the base relation, one task per HFile.
+  *  - [[read]]: the reference plugin's shape — `row_key` binary + one
+  *    `map<string,binary>` column PER FAMILY, after HBase read
+  *    semantics: delete markers applied (DeleteFamily/-FamilyVersion/
+  *    -Column/exact-version), newest surviving version wins.
+  *
+  * 100 TB posture: cells stream one block at a time (no whole-file
+  * materialization), one task per store file — HBase's own regionserver
+  * parallelism contract; the read() pivot is one shuffle on row_key with
+  * map-side combine via the version window.
+  */
+object HBaseHFileReader {
+
+  val cellSchema: StructType = StructType(Seq(
+    StructField("row_key", BinaryType),
+    StructField("family", StringType),
+    StructField("qualifier", StringType),
+    StructField("ts", LongType),
+    StructField("cell_type", StringType),
+    StructField("value", BinaryType),
+    StructField("seq_id", LongType)))
+
+  // ---------------------------------------------------------- primitives
+
+  private def be16(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xFF) << 8) | (b(o + 1) & 0xFF)
+  private def be32(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xFF) << 24) | ((b(o + 1) & 0xFF) << 16) |
+      ((b(o + 2) & 0xFF) << 8) | (b(o + 3) & 0xFF)
+  private def be64(b: Array[Byte], o: Int): Long =
+    ((be32(b, o) & 0xFFFFFFFFL) << 32) | (be32(b, o + 4) & 0xFFFFFFFFL)
+
+  /** Hadoop WritableUtils vint/vlong (used by Bytes.writeByteArray in
+    * root index entries and by per-cell memstore timestamps). */
+  private def readVLong(b: Array[Byte], o: Int): (Long, Int) = {
+    val first = b(o).toInt
+    if (first >= -112) (first.toLong, 1)
+    else {
+      val negative = first < -120
+      val len = if (negative) -120 - first else -112 - first
+      var v = 0L
+      var i = 0
+      while (i < len) { v = (v << 8) | (b(o + 1 + i) & 0xFF); i += 1 }
+      (if (negative) ~v else v, 1 + len)
+    }
+  }
+
+  private def writeVLong(out: java.io.ByteArrayOutputStream, v0: Long): Unit = {
+    if (v0 >= -112 && v0 <= 127) { out.write(v0.toInt); return }
+    var v = v0
+    var negative = false
+    if (v < 0) { v = ~v; negative = true }
+    var len = 0
+    var tmp = v
+    while (tmp != 0) { len += 1; tmp >>>= 8 }
+    out.write(if (negative) -120 - len else -112 - len)
+    var i = len - 1
+    while (i >= 0) { out.write(((v >>> (8 * i)) & 0xFF).toInt); i -= 1 }
+  }
+
+  /** Minimal protobuf walk: (fieldNumber -> varint) and
+    * (fieldNumber -> bytes) maps. Enough for FileTrailerProto /
+    * FileInfoProto (varint + length-delimited wire types only; fixed32/
+    * fixed64 skipped if ever present). */
+  private def protoFields(b: Array[Byte], start: Int, end: Int)
+      : (Map[Int, Long], Map[Int, Seq[Array[Byte]]]) = {
+    var o = start
+    var ints = Map[Int, Long]()
+    var blobs = Map[Int, Seq[Array[Byte]]]()
+    def varint(): Long = {
+      var v = 0L; var shift = 0; var more = true
+      while (more) {
+        val x = b(o) & 0xFF; o += 1
+        v |= (x & 0x7FL) << shift; shift += 7; more = (x & 0x80) != 0
+      }
+      v
+    }
+    while (o < end) {
+      val tag = varint()
+      val field = (tag >>> 3).toInt
+      (tag & 7) match {
+        case 0 => ints += field -> varint()
+        case 2 =>
+          val len = varint().toInt
+          blobs += field ->
+            (blobs.getOrElse(field, Nil) :+
+              java.util.Arrays.copyOfRange(b, o, o + len))
+          o += len
+        case 5 => o += 4
+        case 1 => o += 8
+        case w => throw new java.io.IOException(s"proto wire type $w")
+      }
+    }
+    (ints, blobs)
+  }
+
+  // ------------------------------------------------------------- trailer
+
+  private val TrailerMagic = "TRABLK\"$".getBytes("US-ASCII")
+  private val CodecNames = Array("LZO", "GZ", "NONE", "SNAPPY", "LZ4",
+    "BZIP2", "ZSTD")
+
+  private case class Trailer(major: Int, minor: Int,
+                             loadOnOpenOffset: Long, fileInfoOffset: Long,
+                             dataIndexCount: Int, indexLevels: Int,
+                             entryCount: Long, firstDataOffset: Long,
+                             lastDataOffset: Long, compression: Int)
+
+  private def trailerSize(major: Int): Int = major match {
+    case 2 => 212
+    case 3 => 4096
+    case v => throw new java.io.IOException(
+      s"HFile major version $v — only v2/v3 are supported")
+  }
+
+  private def readTrailer(in: org.apache.hadoop.fs.FSDataInputStream,
+                          fileLen: Long, file: String): Trailer = {
+    require(fileLen >= 216, s"$file: ${fileLen} bytes — too small for an " +
+      "HFile (v2 trailer alone is 212 bytes)")
+    val verBuf = new Array[Byte](4)
+    in.readFully(fileLen - 4, verBuf)
+    val version = be32(verBuf, 0)
+    val major = version & 0x00FFFFFF
+    val minor = version >>> 24
+    val tsize = trailerSize(major)
+    require(fileLen >= tsize, s"$file: trailer truncated")
+    val t = new Array[Byte](tsize)
+    in.readFully(fileLen - tsize, t)
+    if (!java.util.Arrays.equals(
+        java.util.Arrays.copyOfRange(t, 0, 8), TrailerMagic))
+      throw new java.io.IOException(
+        s"$file: bad trailer magic — not an HFile (or a v1 file; only " +
+          "v2/v3 are supported)")
+    // writeDelimitedTo framing: varint message length after the magic
+    var o = 8
+    var msgLen = 0; var shift = 0; var more = true
+    while (more) {
+      val x = t(o) & 0xFF; o += 1
+      msgLen |= (x & 0x7F) << shift; shift += 7; more = (x & 0x80) != 0
+    }
+    val (ints, blobs) = protoFields(t, o, o + msgLen)
+    Trailer(major, minor,
+      loadOnOpenOffset = ints.getOrElse(2, 0L),
+      fileInfoOffset = ints.getOrElse(1, 0L),
+      dataIndexCount = ints.getOrElse(5, 0L).toInt,
+      indexLevels = ints.getOrElse(8, 1L).toInt,
+      entryCount = ints.getOrElse(7, 0L),
+      firstDataOffset = ints.getOrElse(9, 0L),
+      lastDataOffset = ints.getOrElse(10, 0L),
+      compression = ints.getOrElse(12, 2L).toInt)
+  }
+
+  // -------------------------------------------------------------- blocks
+
+  private val HeaderSize = 33
+
+  /** One decoded block: (magic string, decompressed payload). Verifies
+    * the checksum chunks (type 1 = CRC32, 2 = CRC32C, 0 = none) over
+    * header+data, then inflates GZ payloads. */
+  private def readBlock(in: org.apache.hadoop.fs.FSDataInputStream,
+                        offset: Long, compression: Int, file: String)
+      : (String, Array[Byte]) = {
+    val head = new Array[Byte](HeaderSize)
+    in.readFully(offset, head)
+    val magic = new String(head, 0, 8, "US-ASCII")
+    val onDiskNoHeader = be32(head, 8)
+    val uncompressed = be32(head, 12)
+    val checksumType = head(24) & 0xFF
+    val bytesPerChecksum = be32(head, 25)
+    val onDiskDataWithHeader = be32(head, 29)
+    require(onDiskNoHeader >= 0 && onDiskDataWithHeader >= HeaderSize &&
+      onDiskDataWithHeader <= HeaderSize + onDiskNoHeader,
+      s"$file: corrupt block header @$offset")
+    val full = new Array[Byte](HeaderSize + onDiskNoHeader)
+    System.arraycopy(head, 0, full, 0, HeaderSize)
+    in.readFully(offset + HeaderSize, full, HeaderSize, onDiskNoHeader)
+    if (checksumType != 0) {
+      require(bytesPerChecksum > 0, s"$file: bytesPerChecksum 0 @$offset")
+      val chunks =
+        (onDiskDataWithHeader + bytesPerChecksum - 1) / bytesPerChecksum
+      require(full.length >= onDiskDataWithHeader + 4 * chunks,
+        s"$file: checksum region truncated @$offset")
+      var c = 0
+      while (c < chunks) {
+        val from = c * bytesPerChecksum
+        val to = math.min(from + bytesPerChecksum, onDiskDataWithHeader)
+        val sum = checksumType match {
+          case 1 => new java.util.zip.CRC32()
+          case 2 => new java.util.zip.CRC32C()
+          case t => throw new java.io.IOException(
+            s"$file: unknown checksum type $t")
+        }
+        sum.update(full, from, to - from)
+        val stored = be32(full, onDiskDataWithHeader + 4 * c) & 0xFFFFFFFFL
+        if (sum.getValue != stored)
+          throw new java.io.IOException(
+            s"$file: block checksum mismatch @$offset chunk $c " +
+              s"(stored $stored, computed ${sum.getValue})")
+        c += 1
+      }
+    }
+    val rawLen = onDiskDataWithHeader - HeaderSize
+    val payload = compression match {
+      case 2 => java.util.Arrays.copyOfRange(full, HeaderSize,
+        onDiskDataWithHeader)
+      case 1 => // GZ: a standard gzip stream — JDK inflater decodes it
+        val gin = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(full, HeaderSize, rawLen))
+        val out = new Array[Byte](uncompressed)
+        var n = 0
+        while (n < uncompressed) {
+          val r = gin.read(out, n, uncompressed - n)
+          if (r < 0) throw new java.io.IOException(
+            s"$file: GZ block truncated @$offset")
+          n += r
+        }
+        gin.close()
+        out
+      case c =>
+        val name = if (c >= 0 && c < CodecNames.length) CodecNames(c)
+                   else s"#$c"
+        throw new java.io.IOException(s"$file: block compression $name " +
+          "is not supported (NONE and GZ are; recompress or use a " +
+          "cluster export)")
+    }
+    (magic, payload)
+  }
+
+  /** Data-block (offset, onDiskSizeWithHeader) pairs by walking the
+    * index from the root: non-root blocks (leaf or intermediate) share
+    * one layout, so recursion by block magic handles every depth. */
+  private def dataBlockRefs(in: org.apache.hadoop.fs.FSDataInputStream,
+                            t: Trailer, file: String): Seq[(Long, Int)] = {
+    if (t.dataIndexCount == 0) return Nil
+    val (magic, root) = readBlock(in, t.loadOnOpenOffset, t.compression, file)
+    require(magic == "IDXROOT2",
+      s"$file: expected root index at load-on-open offset, got $magic")
+    // root entry: offset(8) + onDiskSize(4) + vint-prefixed key
+    var o = 0
+    val rootRefs = (0 until t.dataIndexCount).map { _ =>
+      val off = be64(root, o); val sz = be32(root, o + 8)
+      val (klen, vsz) = readVLong(root, o + 12)
+      o += 12 + vsz + klen.toInt
+      (off, sz)
+    }
+    def expand(refs: Seq[(Long, Int)]): Seq[(Long, Int)] =
+      refs.flatMap { case (off, sz) =>
+        // peek the magic only (block already checksum-verified on read)
+        val head = new Array[Byte](8)
+        in.readFully(off, head)
+        new String(head, "US-ASCII") match {
+          case "DATABLK*" => Seq((off, sz))
+          case "IDXLEAF2" | "IDXINTE2" =>
+            val (_, body) = readBlock(in, off, t.compression, file)
+            val n = be32(body, 0)
+            // non-root layout: entryCount, (n+1) secondary-index marks,
+            // then entries of offset(8)+size(4)+key (key len from marks)
+            val entriesBase = 4 + 4 * (n + 1)
+            expand((0 until n).map { i =>
+              val eo = entriesBase + be32(body, 4 + 4 * i)
+              (be64(body, eo), be32(body, eo + 8))
+            })
+          case "DATABLKE" => throw new java.io.IOException(
+            s"$file: ENCODED data blocks (PREFIX/DIFF/FAST_DIFF/ROW_INDEX" +
+              ") are not supported — write with DATA_BLOCK_ENCODING=NONE")
+          case m => throw new java.io.IOException(
+            s"$file: unexpected block magic $m in index walk @$off")
+        }
+      }
+    expand(rootRefs)
+  }
+
+  // ------------------------------------------------------------ fileinfo
+
+  private val PbufMagic = "PBUF".getBytes("US-ASCII")
+
+  /** FileInfo: PBUF magic + delimited FileInfoProto (repeated
+    * BytesBytesPair). Returns the key→value map. */
+  private def readFileInfo(in: org.apache.hadoop.fs.FSDataInputStream,
+                           t: Trailer, file: String)
+      : Map[String, Array[Byte]] = {
+    if (t.fileInfoOffset == 0) return Map.empty
+    val (magic, body) = readBlock(in, t.fileInfoOffset, t.compression, file)
+    require(magic == "FILEINF2", s"$file: expected FILEINF2, got $magic")
+    require(body.length >= 4 && java.util.Arrays.equals(
+      java.util.Arrays.copyOfRange(body, 0, 4), PbufMagic),
+      s"$file: FileInfo is not PBUF-framed (pre-0.96 files unsupported)")
+    var o = 4
+    var msgLen = 0; var shift = 0; var more = true
+    while (more) {
+      val x = body(o) & 0xFF; o += 1
+      msgLen |= (x & 0x7F) << shift; shift += 7; more = (x & 0x80) != 0
+    }
+    val (_, blobs) = protoFields(body, o, o + msgLen)
+    blobs.getOrElse(1, Nil).map { pair =>
+      val (_, kv) = protoFields(pair, 0, pair.length)
+      val k = kv.getOrElse(1, Seq(Array.emptyByteArray)).head
+      val v = kv.getOrElse(2, Seq(Array.emptyByteArray)).head
+      (new String(k, "UTF-8"), v)
+    }.toMap
+  }
+
+  // --------------------------------------------------------------- cells
+
+  case class Cell(row: Array[Byte], family: String,
+      qualifier: String, ts: Long, typeCode: Int, value: Array[Byte],
+      seqId: Long)
+
+  private val TypeNames = Map(4 -> "Put", 8 -> "Delete",
+    10 -> "DeleteFamilyVersion", 12 -> "DeleteColumn", 14 -> "DeleteFamily",
+    0 -> "Minimum", 255 -> "Maximum")
+
+  private def decodeCells(payload: Array[Byte], includesMemstoreTS: Boolean,
+                          includesTags: Boolean, file: String): Seq[Cell] = {
+    val out = scala.collection.mutable.ArrayBuffer[Cell]()
+    var o = 0
+    while (o < payload.length) {
+      val keyLen = be32(payload, o)
+      val valLen = be32(payload, o + 4)
+      require(keyLen >= 12 && valLen >= 0 &&
+        o + 8 + keyLen + valLen <= payload.length,
+        s"$file: corrupt KeyValue at block offset $o")
+      val k = o + 8
+      val rowLen = be16(payload, k)
+      val row = java.util.Arrays.copyOfRange(payload, k + 2, k + 2 + rowLen)
+      val famLen = payload(k + 2 + rowLen) & 0xFF
+      val famStart = k + 2 + rowLen + 1
+      val family = new String(payload, famStart, famLen, "UTF-8")
+      val qualStart = famStart + famLen
+      val qualLen = keyLen - 2 - rowLen - 1 - famLen - 8 - 1
+      require(qualLen >= 0, s"$file: corrupt key at block offset $o")
+      val qualifier = new String(payload, qualStart, qualLen, "UTF-8")
+      val ts = be64(payload, qualStart + qualLen)
+      val typeCode = payload(qualStart + qualLen + 8) & 0xFF
+      val value = java.util.Arrays.copyOfRange(
+        payload, k + keyLen, k + keyLen + valLen)
+      o = k + keyLen + valLen
+      if (includesTags) {
+        val tagsLen = be16(payload, o)
+        o += 2 + tagsLen // tags decoded nowhere downstream; skipped
+      }
+      var seqId = 0L
+      if (includesMemstoreTS) {
+        val (v, n) = readVLong(payload, o)
+        seqId = v; o += n
+      }
+      out += Cell(row, family, qualifier, ts, typeCode, value, seqId)
+    }
+    out.toSeq
+  }
+
+  // ----------------------------------------------------------------- API
+
+  private def resolveFiles(spark: SparkSession, path: String): Seq[String] = {
+    // HBase store files carry NO extension (hex-named); accept every
+    // plain file under the path, skipping _/.-prefixed bookkeeping
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def walk(d: Path): Seq[Path] =
+      fs.listStatus(d).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) Nil
+        else if (st.isDirectory) walk(st.getPath)
+        else Seq(st.getPath)
+      }
+    val files =
+      if (fs.getFileStatus(p).isDirectory) walk(p).map(_.toString).sorted
+      else Seq(path)
+    require(files.nonEmpty, s"no files under $path")
+    files
+  }
+
+  /** One row per cell, one task per store file. */
+  def readCells(spark: SparkSession, path: String): DataFrame = {
+    val files = resolveFiles(spark, path)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(cellSchema)
+    val confB = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+    FileList.asDataset(spark, files)
+      .mapPartitions { paths =>
+        val conf = confB.value.value
+        paths.flatMap { f =>
+          val p = new Path(f)
+          val fs = p.getFileSystem(conf)
+          val len = fs.getFileStatus(p).getLen
+          val in = fs.open(p)
+          Option(org.apache.spark.TaskContext.get()).foreach(
+            _.addTaskCompletionListener[Unit](_ =>
+              try in.close() catch { case _: java.io.IOException => () }))
+          val t = readTrailer(in, len, f)
+          val info = readFileInfo(in, t, f)
+          val withMemstoreTS = info.contains("MAX_MEMSTORE_TS_KEY")
+          val withTags = t.major >= 3 && info.contains("hfile.MAX_TAGS_LEN")
+          val refs = dataBlockRefs(in, t, f)
+          // blocks stream one at a time; only one block's cells live in
+          // memory per task at any moment
+          refs.iterator.flatMap { case (off, _) =>
+            val (magic, payload) = readBlock(in, off, t.compression, f)
+            require(magic == "DATABLK*", s"$f: index pointed at $magic")
+            decodeCells(payload, withMemstoreTS, withTags, f)
+          } ++ { in.close(); Iterator.empty }
+        }.map(c => Row(c.row, c.family, c.qualifier, c.ts,
+          TypeNames.getOrElse(c.typeCode, s"#${c.typeCode}"), c.value,
+          c.seqId))
+      }(enc).toDF(cellSchema.fieldNames: _*)
+  }
+
+  /** The reference plugin's relation: `row_key` + one map column per
+    * family, HBase read semantics applied (delete markers, then newest
+    * version per (row, family, qualifier) wins — ties by seq_id).
+    * Family names are discovered in one metadata-scale pass (family
+    * counts are single digits by HBase design). */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val cells = readCells(spark, path)
+    val families = cells.select("family").distinct()
+      .collect().map(_.getString(0)).sorted // metadata-scale collect
+    val puts = cells.filter(col("cell_type") === "Put")
+    val dels = cells.filter(col("cell_type") =!= "Put")
+    // delete-marker thresholds, each a tiny aggregate joined back:
+    //  DeleteFamily: everything in (row,family) with ts <= marker ts
+    //  DeleteFamilyVersion: (row,family) at EXACTLY marker ts
+    //  DeleteColumn: (row,family,qualifier) with ts <= marker ts
+    //  Delete: (row,family,qualifier) at EXACTLY marker ts
+    val delFam = dels.filter(col("cell_type") === "DeleteFamily")
+      .groupBy("row_key", "family").agg(max("ts").as("_df_ts"))
+    // tombstone sides rename their keys: puts and the markers share one
+    // lineage, and df("col") === df2("col") on a self-derived pair is
+    // the ambiguous-self-join trap
+    val delFamVer = dels.filter(col("cell_type") === "DeleteFamilyVersion")
+      .select(col("row_key").as("_fv_r"), col("family").as("_fv_f"),
+        col("ts").as("_fv_t")).distinct()
+    val delCol = dels.filter(col("cell_type") === "DeleteColumn")
+      .groupBy("row_key", "family", "qualifier").agg(max("ts").as("_dc_ts"))
+    val delVer = dels.filter(col("cell_type") === "Delete")
+      .select(col("row_key").as("_dv_r"), col("family").as("_dv_f"),
+        col("qualifier").as("_dv_q"), col("ts").as("_dv_t")).distinct()
+    val live = puts
+      .join(delFam, Seq("row_key", "family"), "left")
+      .join(delCol, Seq("row_key", "family", "qualifier"), "left")
+      .join(delFamVer, col("row_key") === col("_fv_r") &&
+        col("family") === col("_fv_f") && col("ts") === col("_fv_t"),
+        "left_anti") // exact-ts family-version tombstone
+      .join(delVer, col("row_key") === col("_dv_r") &&
+        col("family") === col("_dv_f") &&
+        col("qualifier") === col("_dv_q") && col("ts") === col("_dv_t"),
+        "left_anti")
+      .filter((col("_df_ts").isNull || col("ts") > col("_df_ts")) &&
+        (col("_dc_ts").isNull || col("ts") > col("_dc_ts")))
+      .drop("_df_ts", "_dc_ts")
+    // newest version wins (ts desc, seq_id desc as the tie-break) — ONE
+    // max_by-shaped aggregation, map-side combinable
+    val latest = live.groupBy("row_key", "family", "qualifier")
+      .agg(max_by(col("value"),
+        struct(col("ts"), col("seq_id"))).as("value"))
+    val famCols = families.map { fam =>
+      map_from_entries(collect_list(when(col("family") === fam,
+        struct(col("qualifier"), col("value"))))).as(fam)
+    }
+    latest.groupBy("row_key").agg(famCols.head, famCols.tail: _*)
+  }
+
+  // ----------------------------------------------------- fixture writing
+
+  /** Byte-exact HFile writer (fixture/test tooling — regionservers own
+    * real store files; this exists so specs and gates can synthesize
+    * v2/v3 files through the published layout: checksummed 33-byte block
+    * headers, single- or two-level indexes, PBUF FileInfo, protobuf
+    * trailer). Cells must arrive in HBase order (row, family, qualifier,
+    * ts desc) for a faithful file; the writer does not re-sort. */
+  def writeHFile(spark: SparkSession, file: String, cells: Seq[Cell],
+                 major: Int = 3, blockSize: Int = 65536,
+                 gzip: Boolean = false, twoLevel: Boolean = false,
+                 memstoreTS: Boolean = true): String = {
+    require(major == 2 || major == 3, s"major $major")
+    val compression = if (gzip) 1 else 2
+    val bytesPerChecksum = 16384
+
+    def protoVarint(out: java.io.ByteArrayOutputStream, v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7FL) != 0) { out.write(((v & 0x7F) | 0x80).toInt); v >>>= 7 }
+      out.write(v.toInt)
+    }
+    def protoBytes(out: java.io.ByteArrayOutputStream, field: Int,
+                   b: Array[Byte]): Unit = {
+      protoVarint(out, (field << 3) | 2); protoVarint(out, b.length.toLong)
+      out.write(b)
+    }
+    def protoInt(out: java.io.ByteArrayOutputStream, field: Int,
+                 v: Long): Unit = {
+      protoVarint(out, (field << 3).toLong); protoVarint(out, v)
+    }
+
+    /** header+payload+checksums for one block; returns the on-disk
+      * bytes. prevOffset = previous block of the SAME type per spec;
+      * -1 everywhere is accepted by every reader (we never seek back). */
+    def block(magic: String, payload: Array[Byte]): Array[Byte] = {
+      val packed =
+        if (!gzip) payload
+        else {
+          val bo = new java.io.ByteArrayOutputStream()
+          val g = new java.util.zip.GZIPOutputStream(bo)
+          g.write(payload); g.close(); bo.toByteArray
+        }
+      val onDiskDataWithHeader = HeaderSize + packed.length
+      val chunks =
+        (onDiskDataWithHeader + bytesPerChecksum - 1) / bytesPerChecksum
+      val total = onDiskDataWithHeader + 4 * chunks
+      val buf = java.nio.ByteBuffer.allocate(total)
+      buf.put(magic.getBytes("US-ASCII"))
+      buf.putInt(total - HeaderSize)      // onDiskSizeWithoutHeader
+      buf.putInt(payload.length)          // uncompressedSizeWithoutHeader
+      buf.putLong(-1L)                    // prevBlockOffset
+      buf.put(2.toByte)                   // checksumType CRC32C
+      buf.putInt(bytesPerChecksum)
+      buf.putInt(onDiskDataWithHeader)
+      buf.put(packed)
+      var c = 0
+      while (c < chunks) {
+        val from = c * bytesPerChecksum
+        val to = math.min(from + bytesPerChecksum, onDiskDataWithHeader)
+        val sum = new java.util.zip.CRC32C()
+        sum.update(buf.array(), from, to - from)
+        buf.putInt(sum.getValue.toInt)
+        c += 1
+      }
+      buf.array()
+    }
+
+    def keyBytes(c: Cell): Array[Byte] = {
+      val fam = c.family.getBytes("UTF-8")
+      val qual = c.qualifier.getBytes("UTF-8")
+      val b = java.nio.ByteBuffer.allocate(
+        2 + c.row.length + 1 + fam.length + qual.length + 8 + 1)
+      b.putShort(c.row.length.toShort).put(c.row)
+      b.put(fam.length.toByte).put(fam).put(qual)
+      b.putLong(c.ts).put(c.typeCode.toByte)
+      b.array()
+    }
+
+    // ---- data blocks (grouped to ~blockSize of cell bytes each)
+    val dataPayloads = scala.collection.mutable.ArrayBuffer[
+      (Array[Byte], Array[Byte])]() // (payload, firstKey)
+    var cur = new java.io.ByteArrayOutputStream()
+    var curFirstKey: Array[Byte] = null
+    def flush(): Unit = if (cur.size() > 0) {
+      dataPayloads += ((cur.toByteArray, curFirstKey))
+      cur = new java.io.ByteArrayOutputStream(); curFirstKey = null
+    }
+    cells.foreach { c =>
+      val k = keyBytes(c)
+      if (curFirstKey == null) curFirstKey = k
+      val d = new java.io.DataOutputStream(cur)
+      d.writeInt(k.length); d.writeInt(c.value.length)
+      d.write(k); d.write(c.value)
+      if (memstoreTS) writeVLong(cur, c.seqId)
+      if (cur.size() >= blockSize) flush()
+    }
+    flush()
+
+    val out = new java.io.ByteArrayOutputStream()
+    val dataRefs = dataPayloads.map { case (payload, firstKey) =>
+      val off = out.size().toLong
+      val b = block("DATABLK*", payload)
+      out.write(b)
+      (off, b.length, firstKey)
+    }.toSeq
+    val firstDataOffset = dataRefs.headOption.map(_._1).getOrElse(-1L)
+    val lastDataOffset = dataRefs.lastOption.map(_._1).getOrElse(-1L)
+
+    def nonRootIndex(refs: Seq[(Long, Int, Array[Byte])]): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val d = new java.io.DataOutputStream(bo)
+      d.writeInt(refs.length)
+      var mark = 0
+      refs.foreach { r => d.writeInt(mark); mark += 12 + r._3.length }
+      d.writeInt(mark)
+      refs.foreach { case (off, sz, key) =>
+        d.writeLong(off); d.writeInt(sz); d.write(key)
+      }
+      bo.toByteArray
+    }
+    def rootIndex(refs: Seq[(Long, Int, Array[Byte])]): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val d = new java.io.DataOutputStream(bo)
+      refs.foreach { case (off, sz, key) =>
+        d.writeLong(off); d.writeInt(sz)
+        writeVLong(bo, key.length.toLong); bo.write(key)
+      }
+      bo.toByteArray
+    }
+
+    // ---- leaf level (lives in the data section, like HBase's inline
+    // index blocks), then load-on-open: root index + file info
+    val (rootRefs, levels) =
+      if (!twoLevel) (dataRefs, 1)
+      else {
+        // two leaves: split the data refs in half, each a LEAF block
+        val halves = dataRefs.grouped(math.max(1,
+          (dataRefs.size + 1) / 2)).toSeq
+        val leafRefs = halves.map { h =>
+          val off = out.size().toLong
+          val b = block("IDXLEAF2", nonRootIndex(h))
+          out.write(b)
+          (off, b.length, h.head._3)
+        }
+        (leafRefs, 2)
+      }
+    val rootOffset = out.size().toLong // = load_on_open_data_offset
+    out.write(block("IDXROOT2", rootIndex(rootRefs)))
+
+    val fileInfoOffset = out.size().toLong
+    val fi = new java.io.ByteArrayOutputStream()
+    val fiMsg = new java.io.ByteArrayOutputStream()
+    def fiPair(k: String, v: Array[Byte]): Unit = {
+      val pair = new java.io.ByteArrayOutputStream()
+      protoBytes(pair, 1, k.getBytes("UTF-8"))
+      protoBytes(pair, 2, v)
+      protoBytes(fiMsg, 1, pair.toByteArray)
+    }
+    if (memstoreTS)
+      fiPair("MAX_MEMSTORE_TS_KEY",
+        java.nio.ByteBuffer.allocate(8).putLong(
+          cells.map(_.seqId).foldLeft(0L)(math.max)).array())
+    fiPair("hfile.AVG_KEY_LEN", java.nio.ByteBuffer.allocate(4).putInt(
+      if (cells.isEmpty) 0 else cells.map(keyBytes(_).length).sum / cells.size)
+      .array())
+    fi.write(PbufMagic)
+    protoVarint(fi, fiMsg.size().toLong)
+    fiMsg.writeTo(fi)
+    out.write(block("FILEINF2", fi.toByteArray))
+
+    // ---- trailer
+    val tp = new java.io.ByteArrayOutputStream()
+    protoInt(tp, 1, fileInfoOffset)
+    protoInt(tp, 2, rootOffset)
+    protoInt(tp, 3, rootRefs.map(r => 12 + r._3.length + 2).sum.toLong)
+    protoInt(tp, 4, dataPayloads.map(_._1.length.toLong).sum)
+    protoInt(tp, 5, rootRefs.size.toLong)
+    protoInt(tp, 6, 0L) // metaIndexCount
+    protoInt(tp, 7, cells.size.toLong)
+    protoInt(tp, 8, levels.toLong)
+    protoInt(tp, 9, firstDataOffset)
+    protoInt(tp, 10, lastDataOffset)
+    protoBytes(tp, 11,
+      "org.apache.hadoop.hbase.CellComparatorImpl".getBytes("UTF-8"))
+    protoInt(tp, 12, compression.toLong)
+    val tsize = trailerSize(major)
+    val trailer = java.nio.ByteBuffer.allocate(tsize)
+    trailer.put(TrailerMagic)
+    val msg = tp.toByteArray
+    val lenPrefix = new java.io.ByteArrayOutputStream()
+    protoVarint(lenPrefix, msg.length.toLong)
+    trailer.put(lenPrefix.toByteArray).put(msg)
+    trailer.position(tsize - 4)
+    trailer.putInt((major & 0x00FFFFFF) | (3 << 24)) // minor 3 (current)
+    out.write(trailer.array())
+
+    val p = new Path(file)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Option(p.getParent).foreach(fs.mkdirs)
+    val os = fs.create(p, true)
+    try out.writeTo(os) finally os.close()
+    file
+  }
+}

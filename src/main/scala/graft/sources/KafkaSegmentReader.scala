@@ -180,6 +180,11 @@ object KafkaSegmentReader {
                 if ((attributes & 8) != 0) "LogAppendTime" else "CreateTime"
               val isControl = (attributes & 0x20) != 0
               val baseTimestamp = be64(buf, 15)
+              // LogAppendTime batches: the broker stamps ONE append time in
+              // maxTimestamp and consumers see it for EVERY record — the
+              // per-record create-time deltas are ignored (DefaultRecordBatch
+              // semantics on log.message.timestamp.type=LogAppendTime).
+              val maxTimestamp = be64(buf, 23)
               val recordCount = be32(buf, 45)
               if (isControl || recordCount == 0) cur = Iterator.empty
               else {
@@ -207,8 +212,9 @@ object KafkaSegmentReader {
                     val v = if (vl < 0) null else readFully(bis, vl)
                     (k, v)
                   }
-                  Rec(baseOffset + offDelta, baseTimestamp + tsDelta,
-                    tsType, key, value, headers)
+                  val ts = if (tsType == "LogAppendTime") maxTimestamp
+                           else baseTimestamp + tsDelta
+                  Rec(baseOffset + offDelta, ts, tsType, key, value, headers)
                 }
               }
             }
@@ -310,7 +316,8 @@ object KafkaSegmentReader {
   def batchBytes(baseOffset: Long, baseTimestamp: Long,
                  records: Seq[(Array[Byte], Array[Byte],
                    Seq[(String, Array[Byte])], Long)],
-                 codec: Int = 0, control: Boolean = false): Array[Byte] = {
+                 codec: Int = 0, control: Boolean = false,
+                 logAppendTime: Long = -1L): Array[Byte] = {
     val recs = new java.io.ByteArrayOutputStream()
     records.zipWithIndex.foreach { case ((k, v, hs, tsd), i) =>
       val body = new java.io.ByteArrayOutputStream()
@@ -352,10 +359,15 @@ object KafkaSegmentReader {
       case other =>
         throw new IllegalArgumentException(s"codec $other")
     }
-    val maxTs = baseTimestamp +
-      (if (records.isEmpty) 0L else records.map(_._4).max)
+    // LogAppendTime (>= 0): broker semantics — attributes bit 3 set and
+    // maxTimestamp carries the ONE broker append time for every record
+    val maxTs =
+      if (logAppendTime >= 0L) logAppendTime
+      else baseTimestamp +
+        (if (records.isEmpty) 0L else records.map(_._4).max)
     val body = java.nio.ByteBuffer.allocate(40 + packed.length)
     var attributes = codec & 7
+    if (logAppendTime >= 0L) attributes |= 8
     if (control) attributes |= 0x20
     body.putShort(attributes.toShort)         // attributes
     body.putInt(math.max(records.size - 1, 0)) // lastOffsetDelta

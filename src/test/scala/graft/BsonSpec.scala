@@ -95,6 +95,58 @@ class BsonSpec extends AnyFunSuite {
     assert(chain(e).contains("minimum 5"), chain(e))
   }
 
+  test("GOLDEN bytes: the two bsonspec.org example documents decode " +
+      "(bytes NOT produced by documentBytes)") {
+    // Verbatim from bsonspec.org/faq.html:
+    //   {"hello": "world"} and {"BSON": ["awesome", 5.05, 1986]}
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val helloWorld = hx("160000000268656c6c6f0006000000776f726c640000")
+    val bsonArray = hx("310000000442534f4e00260000000230000800000061" +
+      "7765736f6d65000131003333333333331440103200c20700000000")
+    assert(helloWorld.length == 0x16 && bsonArray.length == 0x31)
+    val dir = freshDir("golden")
+    BsonReader.writeDump(spark, dir, "g", Seq(helloWorld, bsonArray))
+    val js = BsonReader.jsonStrings(spark, dir).collect().toSet
+    assert(js == Set("""{"hello":"world"}""",
+      """{"BSON":["awesome",5.05,1986]}"""), js)
+  }
+
+  test("decimal128 non-canonical coefficients (>= 10^34) decode as zero " +
+      "on BOTH encoding paths; canonical max survives exactly") {
+    val dir = freshDir("dec128")
+    BsonReader.writeDump(spark, dir, "d", Seq(documentBytes(Seq(
+      // normal path (comb 01100), coeff = 10^34, exp 0 -> non-canonical
+      "noncanon" -> BsonDecimal128(0x3041ED09BEAD87C0L, 0x378D8E6400000000L),
+      // canonical max: 10^34 - 1
+      "canonmax" -> BsonDecimal128(0x3041ED09BEAD87C0L, 0x378D8E63FFFFFFFFL),
+      // negative non-canonical with nonzero exponent keeps sign/exp
+      "negexp" -> BsonDecimal128(0xB045ED09BEAD87C0L, 0x378D8E6400000000L)))))
+    val row = BsonReader.read(spark, dir).collect()(0)
+    def g(n: String) = row.getString(row.fieldIndex(n))
+    assert(g("noncanon") == "0")
+    assert(g("canonmax") == "9999999999999999999999999999999999")
+    assert(g("negexp") == "-0E2")
+  }
+
+  test("corrupt string length surfaces as a contextual IOException, " +
+      "not a bare StringIndexOutOfBoundsException") {
+    // doc: size 13, one string element "a" declaring 100 bytes it
+    // doesn't have — new String overruns as StringIndexOutOfBounds,
+    // which must wrap into the file-context IOException
+    val corrupt = Array[Byte](13, 0, 0, 0, 0x02, 'a'.toByte, 0,
+      100, 0, 0, 0, 'x'.toByte, 0)
+    val dir = freshDir("badstr")
+    BsonReader.writeDump(spark, dir, "bad", Seq(corrupt))
+    val e = intercept[Exception] {
+      BsonReader.jsonStrings(spark, dir).collect()
+    }
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain(e).contains("corrupt BSON document"), chain(e))
+  }
+
   test("one task per dump file; multi-collection dirs read together") {
     val dir = freshDir("multi")
     BsonReader.writeDump(spark, dir, "c1",

@@ -96,6 +96,35 @@ class DeltaStreamSpec extends AnyFunSuite {
       all)
   }
 
+  test("partition column declared FIRST in the schema binds positionally " +
+      "(V1 batches bind by position — the reorder must match the " +
+      "declared source schema)") {
+    import graft.sources.DeltaLogReader
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val dir = Files.createTempDirectory("delta_stream_pfirst_").toString
+    val df1 = Seq((1L, "a")).toDF("k", "v")
+    val sz1 = DeltaLogReader.writeDataFile(df1, dir, "f1.parquet")
+    // declared order: (p, k, v) — partition column NOT last
+    val full = StructType(StructField("p", StringType) +: df1.schema.fields)
+    DeltaLogReader.writeCommit(spark, dir, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      DeltaLogReader.metaDataAction(full, Seq("p")),
+      s"""{"add":{"path":"f1.parquet","partitionValues":{"p":"px"},"size":$sz1,"modificationTime":1,"dataChange":true}}"""))
+    val collected =
+      scala.collection.mutable.Map[Int, Seq[(String, Long, String)]]()
+    val q = spark.readStream.format("graft-delta").load(dir).writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        collected.synchronized {
+          collected(id.toInt) = df.collect().map(r =>
+            (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+        }
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(collected.values.flatten.toSeq == Seq(("px", 1L, "a")),
+      collected.toMap)
+  }
+
   test("startingVersion=latest streams only post-start appends") {
     val dir = freshTable(Seq((1L, "old")))
     val out = runBatches(dir, Map("startingVersion" -> "latest")) { _ =>

@@ -128,6 +128,18 @@ class DfsSqlSpec extends AnyFunSuite {
       s"SELECT id, kafkaMsgOffset FROM dfs_read('$kdir', 'kafka')")
       .collect()
     assert(k.length == 1 && k(0).getLong(0) == 9L && k(0).getLong(1) == 5L)
+
+    // HBase store files carry no extension: dfs_read type name 'hfile'
+    import graft.sources.HBaseHFileReader
+    val hdir = java.nio.file.Files.createTempDirectory("dfs_hfile").toString
+    HBaseHFileReader.writeHFile(spark, s"$hdir/store0", Seq(
+      HBaseHFileReader.Cell("rk".getBytes("UTF-8"), "f", "q", 10L, 4,
+        "val".getBytes("UTF-8"), 1L)))
+    val h = spark.sql(
+      s"SELECT cast(row_key AS STRING) AS rk, cast(f['q'] AS STRING) AS v " +
+        s"FROM dfs_read('$hdir', 'hfile')").collect()
+    assert(h.length == 1 && h(0).getString(0) == "rk" &&
+      h(0).getString(1) == "val")
   }
 
   test("unknown extension and missing path error clearly") {
