@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Bpe, Dedup, Scrub, Search, Similarity, TextAnalysis, Training}
+import graft.pipeline.{Bpe, Dedup, Scrub, Search, Similarity, TextAnalysis, Training, UnigramLm}
 import graft.streaming.Events
 
 /** §2.4 + §2.5 coverage: LLM-pipeline operators and stream semantics,
@@ -381,6 +381,15 @@ object QueriesPipeline {
         .orderBy(col("pair_freq").desc, col("left"), col("right"))
         .limit(30)),
 
+    // ---- unigram-LM tokenizer induction (SentencePiece role,
+    // arXiv:1804.10959) as exactly-verifiable hard-EM: integer Viterbi
+    // costs (round(ln*1e6)*32 + length tiebreak), backpointer encoded
+    // in the DP key's low 4 bits so the argmin is exact on both
+    // engines; the oracle unrolls DP positions, backtrace steps, AND
+    // both EM iterations (the q_lang_clf pattern at DP depth) ----
+    "q_unigram_lm" -> ((s, d) =>
+      UnigramLm.induce(T(s, d, "documents"), "text")),
+
     "q_temperature_mix" -> ((s, d) =>
       Training.temperatureMix(T(s, d, "documents"), "doc_id", "text",
         sourceCol = "source", alpha = 0.5, targetFrac = 0.4)),
@@ -454,6 +463,93 @@ object QueriesPipeline {
       .mkString("(", " + ", ")")
 
   private def md5h32(e: String) = md5hex32(e, 0)
+
+  // Unigram-LM induction replayed in SQL: Viterbi DP positions and the
+  // backtrace unroll (bounded by maxWordLen=12), EM iterations unroll
+  // (2); every model quantity is an integer — piece cost
+  // round((ln T - ln c)*1e6)::BIGINT*32 + (4-len), DP key
+  // (cum+cost)*16+start — so the per-position argmin and therefore the
+  // whole induced vocabulary match UnigramLm.scala bit-exactly.
+  private def unigramLmOracle: String = {
+    val P = 4; val W = 12 // UnigramLm.Params defaults
+    def iteration(it: Int, inv: String): String = {
+      def dp(n: Int) = s"dp${it}_$n"
+      val dpCtes = (1 to W).map { n =>
+        val priors = (math.max(0, n - P) until n).map { q =>
+          if (q == 0) "SELECT word, 0::BIGINT AS cum, 0 AS pos FROM wf"
+          else s"SELECT word, key // 16 AS cum, $q AS pos FROM ${dp(q)}"
+        }.mkString(" UNION ALL ")
+        s"""${dp(n)} AS MATERIALIZED (
+          SELECT l.word, min((p.cum + l.cost) * 16 + l.st) AS key
+          FROM lat$it l JOIN ($priors) p
+            ON p.word = l.word AND p.pos = l.st
+          WHERE l.fin = $n GROUP BY 1)"""
+      }
+      val dpall = (1 to W)
+        .map(n => s"SELECT word, $n AS pos, key FROM ${dp(n)}")
+        .mkString(" UNION ALL ")
+      val btCtes = (0 until W).map { k =>
+        val src = if (k == 0)
+          s"""SELECT w.word, w.freq, len(w.word) AS pos, d.key
+            FROM wf w JOIN dpall$it d
+              ON d.word = w.word AND d.pos = len(w.word)"""
+        else
+          s"""SELECT s.word, s.freq, s.nxt AS pos, d.key
+            FROM seg${it}_${k - 1} s JOIN dpall$it d
+              ON d.word = s.word AND d.pos = s.nxt
+            WHERE s.nxt > 0"""
+        s"""bt${it}_$k AS ($src),
+          seg${it}_$k AS MATERIALIZED (
+            SELECT word, freq,
+                   substr(word, (key % 16)::INT + 1, pos - (key % 16)::INT) AS piece,
+                   (key % 16)::INT AS nxt
+            FROM bt${it}_$k)"""
+      }
+      val pieces = (0 until W)
+        .map(k => s"SELECT word, freq, piece FROM seg${it}_$k")
+        .mkString(" UNION ALL ")
+      s"""t${it - 1} AS (SELECT sum(c)::DOUBLE AS t FROM $inv),
+      cost${it - 1} AS (SELECT piece,
+          round((ln(t) - ln(c::DOUBLE)) * 1e6)::BIGINT * 32
+            + ($P - len(piece)) AS cost
+        FROM $inv, t${it - 1}),
+      lat$it AS MATERIALIZED (
+        SELECT x.word, x.st, x.fin, c.cost
+        FROM (SELECT w.word, s.s - 1 AS st, s.s + l.l - 1 AS fin,
+                     substr(w.word, s.s, l.l) AS piece
+              FROM wf w,
+                   unnest(generate_series(1, len(w.word))) AS s(s),
+                   unnest(generate_series(1, $P)) AS l(l)
+              WHERE s.s + l.l - 1 <= len(w.word)) x
+        JOIN cost${it - 1} c ON x.piece = c.piece),
+      ${dpCtes.mkString(",\n")},
+      dpall$it AS MATERIALIZED ($dpall),
+      ${btCtes.mkString(",\n")},
+      inv$it AS (
+        SELECT piece, sum(freq)::BIGINT AS c
+        FROM ($pieces) u GROUP BY 1)"""
+    }
+    s"""
+    WITH wf AS MATERIALIZED (
+      -- MATERIALIZED keeps the documents scan at ONE parquet open; the
+      -- DP/backtrace CTEs reference wf ~50x and an inlined view would
+      -- multiply file handles past the harness fd limit
+      SELECT word, count(*)::BIGINT AS freq FROM (
+        SELECT unnest(string_split($NORM, ' ')) AS word FROM documents) w0
+      WHERE len(word) BETWEEN 1 AND $W GROUP BY 1),
+    seed AS (
+      SELECT substr(w.word, s.s, l.l) AS piece, sum(w.freq)::BIGINT AS c
+      FROM wf w,
+           unnest(generate_series(1, len(w.word))) AS s(s),
+           unnest(generate_series(1, $P)) AS l(l)
+      WHERE s.s + l.l - 1 <= len(w.word)
+      GROUP BY 1),
+    inv0 AS (SELECT piece, c FROM seed WHERE c >= 2 OR len(piece) = 1),
+    ${iteration(1, "inv0")},
+    ${iteration(2, "inv1")}
+    SELECT piece, c AS cnt FROM inv2
+    ORDER BY cnt DESC, piece LIMIT 60"""
+  }
 
   val oracle: Map[String, String] = Map(
     "q_redact" -> s"""
@@ -903,6 +999,7 @@ object QueriesPipeline {
       SELECT l.doc_id,
              round(1.0 / (1.0 + exp(-coalesce(z.z, 0))), 6) AS q_score
       FROM lab l LEFT JOIN zf z USING (doc_id)""",
+    "q_unigram_lm" -> unigramLmOracle,
     "q_bpe_pairs" -> s"""
       WITH words AS (SELECT unnest(string_split($NORM, ' ')) AS word
                      FROM documents),
