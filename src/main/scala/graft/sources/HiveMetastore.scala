@@ -144,7 +144,11 @@ object HiveMetastore {
     * dropped and re-created on each read() so metastore changes are
     * picked up (metadata-only work, milliseconds at thousands of
     * partitions; concurrent readers of the SAME table in one session
-    * should share the returned frame). */
+    * should share the returned frame). A partition whose directory is
+    * missing on disk reads as EMPTY — hive's own semantics (the
+    * catalog is repaired with MSCK, not errored on) — spec-asserted
+    * in HiveCatalogSpec's fault-injection tests alongside the
+    * metastore-down and missing-object surfaces. */
   def read(spark: SparkSession, root: String, db: String,
            table: String): DataFrame = {
     val (sd, partKeys, partVals, cols) = withClient(root) { c =>

@@ -272,4 +272,68 @@ class HiveCatalogSpec extends AnyFunSuite {
     assert(rows(1).getLong(0) == 2L && rows(1).getString(1) == "y" &&
       rows(1).getInt(2) == 9)
   }
+
+  test("fault injection: metastore DOWN (thrift to a closed port) " +
+      "refuses fast and clean — the same client API a remote HMS uses") {
+    // the remote path is same-API/untestable for real servers here;
+    // this proves the error SURFACE: bounded retries, a clean
+    // MetaException chain, no hang
+    val c = new org.apache.hadoop.hive.conf.HiveConf()
+    c.set("hive.metastore.uris", "thrift://127.0.0.1:1") // closed port
+    c.set("hive.metastore.connect.retries", "1")
+    c.set("hive.metastore.client.connect.retry.delay", "0s")
+    c.set("hive.metastore.client.socket.timeout", "5s")
+    val t0 = System.nanoTime()
+    val e = intercept[Exception] {
+      val cl = new org.apache.hadoop.hive.metastore.HiveMetaStoreClient(c)
+      try cl.getAllDatabases finally cl.close()
+    }
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 30, s"metastore-down path took ${secs}s — near-hang")
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .map(x => x.getClass.getSimpleName + ":" +
+          Option(x.getMessage).getOrElse("")).mkString(" | ")
+    val lower = chain(e).toLowerCase
+    assert(Seq("connect", "refused", "transport", "metaexception")
+      .exists(lower.contains), chain(e))
+  }
+
+  test("fault injection: missing table / missing database are clean " +
+      "refusals naming the object") {
+    val e1 = intercept[Exception] {
+      HiveMetastore.read(spark, root, "default", "no_such_table_xyz")
+    }
+    assert(e1.getMessage != null &&
+      e1.getMessage.contains("no_such_table_xyz"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      HiveMetastore.read(spark, root, "no_such_db_xyz", "t")
+    }
+    assert(e2.getMessage != null && (e2.getMessage.contains("no_such_db_xyz")
+      || e2.getMessage.toLowerCase.contains("database")), e2.getMessage)
+  }
+
+  test("fault injection: a partition directory missing from disk while " +
+      "HMS still records it reads as an EMPTY partition (hive semantics" +
+      " — MSCK repairs the catalog), deterministically and without hang") {
+    val spark2 = spark
+    import spark2.implicits._
+    val src = Seq((1L, "a"), (2L, "b"), (3L, "a"))
+      .toDF("k", "p")
+    HiveMetastore.createTable(spark, root, "default", "hms_fault_part",
+      src, partitionBy = Seq("p"))
+    // remove one partition's directory out from under the catalog
+    val loc = HiveMetastore.tablesDf(spark, root).collect()
+      .find(r => r.getString(1) == "hms_fault_part").get.getString(3)
+    val pdir = new java.io.File(
+      new java.net.URI(loc).getPath, "p=b")
+    assert(pdir.exists, s"fixture: $pdir should exist")
+    pdir.listFiles.foreach(_.delete()); assert(pdir.delete())
+    val rows = HiveMetastore.read(spark, root, "default", "hms_fault_part")
+      .collect()
+    // hive reads a dir-less partition as empty — the other partitions'
+    // rows all arrive, nothing hangs, nothing from p=b is fabricated
+    assert(rows.map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L),
+      rows.mkString(","))
+  }
 }
