@@ -315,8 +315,11 @@ object Bench {
     val calib0 = calibProbe()
     val calibPar0 = calibProbePar()
     val (bwS0, bwP0) = bwProbe()
-    // warm the JVM + parquet footers once (not timed per query)
+    // warm the JVM + parquet footers once (not timed per query); drain
+    // the listener bus so the warm-up's async TaskEnd events can't land
+    // inside rep 1's CPU window and inflate q1_agg's cpu_s/eff_par
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    drainListenerBus(spark)
     // A failed query must be LOUD: record ok=false and exit non-zero, so a
     // broken headline query can never masquerade as a slow one.
     val results = headline.map { name =>

@@ -554,6 +554,43 @@ object QueriesFunctions {
             .as("cont_diff"))
     }),
 
+    // CONCAVE clip (round 16 narrowing of the 58e5 refusal): L-shaped
+    // subjects (orthogonally convex, so any axis-aligned window yields
+    // ONE piece) intersect parameterized windows; the oracle re-derives
+    // every area with exact rectangle interval arithmetic:
+    // area(L ∩ W) = area(outer ∩ W) − area(notch ∩ W).
+    "q_gis_clip_concave" -> ((s, d) => {
+      import graft.functions.GisFunctions._
+      import org.apache.spark.sql.Column
+      val k = col("o_orderkey")
+      def w(c: Column): Column = c.cast("string")
+      val x1 = k % 5; val y1 = (k * 2) % 5
+      val x2 = x1 + 6 + k % 3; val y2 = y1 + 6 + (k * 5) % 2
+      val nx1 = x1 + 3 + k % 2; val ny1 = y1 + 3 + (k * 3) % 2
+      val wx1 = x1 + 1 + (k * 7) % 3; val wy1 = y1 + 1 + (k * 11) % 3
+      val wx2 = wx1 + 4 + k % 4; val wy2 = wy1 + 4 + (k * 13) % 2
+      // L-shape: outer rect minus its top-right notch corner (CCW)
+      val ell = stGeomFromText(concat(lit("POLYGON (("),
+        w(x1), lit(" "), w(y1), lit(", "), w(x2), lit(" "), w(y1), lit(", "),
+        w(x2), lit(" "), w(ny1), lit(", "), w(nx1), lit(" "), w(ny1), lit(", "),
+        w(nx1), lit(" "), w(y2), lit(", "), w(x1), lit(" "), w(y2), lit(", "),
+        w(x1), lit(" "), w(y1), lit("))")))
+      def rect(a1: Column, b1: Column, a2: Column, b2: Column): Column =
+        stGeomFromText(concat(lit("POLYGON (("),
+          w(a1), lit(" "), w(b1), lit(", "), w(a2), lit(" "), w(b1), lit(", "),
+          w(a2), lit(" "), w(b2), lit(", "), w(a1), lit(" "), w(b2), lit(", "),
+          w(a1), lit(" "), w(b1), lit("))")))
+      val win = rect(wx1, wy1, wx2, wy2)
+      val contain = rect(x1 - 1, y1 - 1, x2 + 1, y2 + 1)
+      T(s, d, "orders").filter(k < 400)
+        .select(k.as("o_orderkey"),
+          round(coalesce(stArea(stIntersection(ell, win)), lit(-1.0)), 6)
+            .as("inter_area"),
+          round(coalesce(stArea(stIntersection(win, ell)), lit(-1.0)), 6)
+            .as("inter_area_swap"),
+          round(stArea(stIntersection(ell, contain)), 6).as("full_area"))
+    }),
+
     // Mergeable HLL sketch columns (Spark's Datasketches-backed built-ins):
     // per-group sketches union to an estimate within tolerance of the
     // global exact count — the "sketch once, merge cheaply" contract that
@@ -702,6 +739,32 @@ object QueriesFunctions {
            ((ax2-ax1-2)*(ay2-ay1-2))::DOUBLE AS cont_inter,
            area_a::DOUBLE AS cont_union,
            (-1)::DOUBLE AS cont_diff
+         FROM m""",
+    "q_gis_clip_concave" ->
+      """WITH g AS (
+           SELECT o_orderkey,
+             o_orderkey % 5 AS x1,
+             (o_orderkey*2) % 5 AS y1,
+             o_orderkey % 5 + 6 + (o_orderkey % 3) AS x2,
+             (o_orderkey*2) % 5 + 6 + ((o_orderkey*5) % 2) AS y2,
+             o_orderkey % 5 + 3 + (o_orderkey % 2) AS nx1,
+             (o_orderkey*2) % 5 + 3 + ((o_orderkey*3) % 2) AS ny1,
+             o_orderkey % 5 + 1 + ((o_orderkey*7) % 3) AS wx1,
+             (o_orderkey*2) % 5 + 1 + ((o_orderkey*11) % 3) AS wy1
+           FROM orders WHERE o_orderkey < 400),
+         g2 AS (SELECT *, wx1 + 4 + (o_orderkey % 4) AS wx2,
+                       wy1 + 4 + ((o_orderkey*13) % 2) AS wy2 FROM g),
+         m AS (SELECT o_orderkey,
+             GREATEST(0, LEAST(x2, wx2) - GREATEST(x1, wx1))
+               * GREATEST(0, LEAST(y2, wy2) - GREATEST(y1, wy1))
+             - GREATEST(0, LEAST(x2, wx2) - GREATEST(nx1, wx1))
+               * GREATEST(0, LEAST(y2, wy2) - GREATEST(ny1, wy1)) AS inter,
+             (x2 - x1) * (y2 - y1) - (x2 - nx1) * (y2 - ny1) AS full_a
+           FROM g2)
+         SELECT o_orderkey,
+           (CASE WHEN inter <= 0 THEN -1 ELSE inter END)::DOUBLE AS inter_area,
+           (CASE WHEN inter <= 0 THEN -1 ELSE inter END)::DOUBLE AS inter_area_swap,
+           full_a::DOUBLE AS full_area
          FROM m""",
     "q_gis_predicates" ->
       """WITH g AS (

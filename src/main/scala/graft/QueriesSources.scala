@@ -840,6 +840,38 @@ object QueriesSources {
           element_at(col("f"), "regionkey").cast("string").as("regionkey"))
     }),
 
+    // ---- Cassandra SSTables (ref contrib/storage-cassandra/.../
+    // CassandraStoragePlugin.java reads via a live CQL session;
+    // re-expressed zero-egress over the public "big" on-disk format).
+    // Fixture: two generations over nation — gen2 overwrites even keys
+    // newer, row-tombstones key 5, partition-tombstones key 7 — so the
+    // oracle re-derives the merged view relationally ----
+    "q_cassandra_sstable" -> ((s, d) => {
+      import graft.sources.CassandraSSTableReader
+      val dir = s"${out(d)}/cassandra_store"
+      val rows = GraftSession.table(s, d, "nation")
+        .select(col("n_nationkey").cast("int"), col("n_name"),
+          col("n_regionkey").cast("long"))
+        .collect().sortBy(_.getInt(0))
+      val E = 1442880000000000L // the vint encoding epoch (2015-09-22)
+      CassandraSSTableReader.writeSSTable(s, dir,
+        keyType = "Int32Type", clusteringTypes = Nil,
+        regulars = Seq("name" -> "UTF8Type", "regionkey" -> "LongType"),
+        rows = rows.map(r => (r.getInt(0): Any, Seq.empty[Any],
+          Seq[Any](r.getString(1) + "_old", r.getLong(2)), E + 100L)).toSeq,
+        generation = 1, lz4 = true)
+      CassandraSSTableReader.writeSSTable(s, dir,
+        keyType = "Int32Type", clusteringTypes = Nil,
+        regulars = Seq("name" -> "UTF8Type", "regionkey" -> "LongType"),
+        rows = rows.filter(_.getInt(0) % 2 == 0)
+          .map(r => (r.getInt(0): Any, Seq.empty[Any],
+            Seq[Any](r.getString(1), r.getLong(2)), E + 200L)).toSeq,
+        generation = 2,
+        rowTombstones = Seq((5: Any, Seq.empty[Any], E + 200L)),
+        partitionTombstones = Seq((7: Any, E + 200L)))
+      CassandraSSTableReader.read(s, dir, keyName = "n_nationkey")
+    }),
+
     // ---- hive-metastore federation (ref contrib/storage-hive/core/...
     // /HiveStoragePlugin.java): partitioned CTAS into an embedded Derby
     // HMS, read back through the pruning catalog mirror — the partition
@@ -2051,6 +2083,12 @@ object QueriesSources {
              CASE WHEN n_nationkey = 5 THEN NULL
                   ELSE n_regionkey::VARCHAR END AS regionkey
       FROM nation""",
+    "q_cassandra_sstable" -> """
+      SELECT n_nationkey::INT AS n_nationkey,
+             CASE WHEN n_nationkey % 2 = 0 THEN n_name
+                  ELSE n_name || '_old' END AS name,
+             n_regionkey::BIGINT AS regionkey
+      FROM nation WHERE n_nationkey NOT IN (5, 7)""",
     "q_dir_columns" -> """
       SELECT o_orderstatus AS dir0, count(*) AS n FROM orders GROUP BY 1""",
     "q_stats_store" -> """

@@ -25,8 +25,19 @@ import org.apache.spark.unsafe.types.UTF8String
   *    switch at every crossing (union walks both rings forward, the
   *    difference walks the clip ring backward).
   *
+  * st_intersection ADDITIONALLY clips one CONCAVE side (round 16): a
+  * simple concave subject against a convex window ear-clips into
+  * triangles (deterministic first-ear order), each triangle clips by
+  * Sutherland–Hodgman, shared triangulation edges cancel (reversed
+  * pairs — both sides clip the shared edge to the same span), and the
+  * surviving boundary stitches back into rings.
+  *
   * Honesty bounds, refused LOUDLY (never a wrong polygon):
-  *  - concave inputs (like holes/MULTI* in the parse core);
+  *  - concave inputs to union/difference, BOTH-concave intersection,
+  *    self-intersecting rings (like holes/MULTI* in the parse core);
+  *  - a concave intersection whose result is several disjoint rings
+  *    (MULTIPOLYGON — the single-ring core cannot represent it;
+  *    single-piece concave results DO clip);
   *  - union of disjoint or touch-only polygons (a MULTIPOLYGON /
   *    degenerate stitch the single-ring core cannot represent);
   *  - difference where B sits strictly inside A (result has a hole) or
@@ -62,8 +73,12 @@ object ConvexClip {
   }
 
   /** Parse one geometry struct row into an OPEN, CCW, consecutive-dup-
-    * collapsed ring; refuse non-polygons and concave rings. */
-  private def parse(row: InternalRow, side: String, eps: Double): Ring = {
+    * collapsed ring plus its convexity; refuse non-polygons and
+    * zero-area rings (concavity is the CALLER's decision — the
+    * intersection path triangulates concave subjects, union/difference
+    * still refuse them). */
+  private def parseFlexible(row: InternalRow, side: String, eps: Double)
+      : (Ring, Boolean) = {
     val t = row.getUTF8String(0).toString
     require(t == "POLYGON",
       s"convex clip supports POLYGON inputs only — $side is $t")
@@ -88,13 +103,12 @@ object ConvexClip {
     if (signedArea2(xs, ys) < 0) { xs = xs.reverse; ys = ys.reverse }
     // convexity: every consecutive turn is left-or-straight (CCW ring)
     val n = xs.length
+    var convex = true
     var i = 0
     while (i < n) {
       val j = (i + 1) % n; val k = (i + 2) % n
-      require(cross(xs(i), ys(i), xs(j), ys(j), xs(k), ys(k)) >= -eps,
-        s"convex polygons only — $side is concave at vertex $j " +
-          "(st_intersection/st_union/st_difference implement the CONVEX " +
-          "slice; concave inputs refuse like holes/MULTI* do)")
+      if (cross(xs(i), ys(i), xs(j), ys(j), xs(k), ys(k)) < -eps)
+        convex = false
       i += 1
     }
     // a fully-collinear ring passes the turn test (every cross is 0)
@@ -103,7 +117,28 @@ object ConvexClip {
     // "disjoint" inside a containing polygon); refuse like concave
     require(math.abs(signedArea2(xs, ys)) > eps,
       s"$side polygon has zero area (all vertices collinear)")
-    new Ring(xs, ys)
+    (new Ring(xs, ys), convex)
+  }
+
+  private def parse(row: InternalRow, side: String, eps: Double): Ring = {
+    val (r, convex) = parseFlexible(row, side, eps)
+    if (!convex) {
+      // name the first reflex vertex for diagnosability
+      val n = r.n
+      var bad = -1
+      var i = 0
+      while (i < n && bad < 0) {
+        val j = (i + 1) % n; val k = (i + 2) % n
+        if (cross(r.xs(i), r.ys(i), r.xs(j), r.ys(j),
+            r.xs(k), r.ys(k)) < -eps) bad = j
+        i += 1
+      }
+      throw new IllegalArgumentException(
+        s"convex polygons only — $side is concave at vertex $bad " +
+          "(st_union/st_difference implement the CONVEX slice; " +
+          "st_intersection additionally accepts one concave SIMPLE side)")
+    }
+    r
   }
 
   /** Strictly-inside / strictly-outside tests against a CCW convex ring. */
@@ -138,11 +173,17 @@ object ConvexClip {
         val sIn = cross(cx1, cy1, cx2, cy2, sx, sy) >= -eps
         val eIn = cross(cx1, cy1, cx2, cy2, ex, ey) >= -eps
         if (sIn != eIn) {
-          // segment–line intersection (the clip side is an infinite line)
+          // segment–line intersection (the clip side is an infinite
+          // line). CLAMPED to [0,1]: the in/out tests are eps-inclusive,
+          // so an edge hugging the clip line within eps can put the
+          // algebraic crossing far OUTSIDE the segment — an unclamped
+          // tt then emits a vertex nowhere near the geometry (a
+          // confidently wrong polygon, the one thing this file refuses
+          // to produce)
           val dx = ex - sx; val dy = ey - sy
           val ds = cross(cx1, cy1, cx2, cy2, sx, sy)
           val de = cross(cx1, cy1, cx2, cy2, ex, ey)
-          val tt = ds / (ds - de)
+          val tt = math.max(0.0, math.min(1.0, ds / (ds - de)))
           oxs += sx + tt * dx; oys += sy + tt * dy
         }
         if (eIn) { oxs += ex; oys += ey }
@@ -268,6 +309,205 @@ object ConvexClip {
     (oxs.result(), oys.result())
   }
 
+  // ---- concave INTERSECTION: ear-clip + per-triangle convex clip +
+  // boundary stitch (verdict-r11 narrowing of the concave refusal; the
+  // window must still be convex, and MULTIPOLYGON results still refuse)
+
+  /** Simplicity: no two non-adjacent edges may touch — a
+    * self-intersecting "polygon" ear-clips into garbage, so it refuses
+    * up front. O(n²) segment tests; rings are small. */
+  private def requireSimple(r: Ring, side: String, eps: Double): Unit = {
+    var i = 0
+    while (i < r.n) {
+      val i2 = (i + 1) % r.n
+      var j = i + 1
+      while (j < r.n) {
+        val j2 = (j + 1) % r.n
+        val adjacent = i2 == j || j2 == i || (i == 0 && j == r.n - 1)
+        if (!adjacent) {
+          val (ax1, ay1, ax2, ay2) = (r.xs(i), r.ys(i), r.xs(i2), r.ys(i2))
+          val (bx1, by1, bx2, by2) = (r.xs(j), r.ys(j), r.xs(j2), r.ys(j2))
+          val d1 = cross(ax1, ay1, ax2, ay2, bx1, by1)
+          val d2 = cross(ax1, ay1, ax2, ay2, bx2, by2)
+          val d3 = cross(bx1, by1, bx2, by2, ax1, ay1)
+          val d4 = cross(bx1, by1, bx2, by2, ax2, ay2)
+          val crosses = ((d1 > eps && d2 < -eps) || (d1 < -eps && d2 > eps)) &&
+            ((d3 > eps && d4 < -eps) || (d3 < -eps && d4 > eps))
+          require(!crosses,
+            s"$side polygon is self-intersecting (edges $i and $j cross) " +
+              "— not a simple polygon, refusing")
+        }
+        j += 1
+      }
+      i += 1
+    }
+  }
+
+  /** Deterministic ear clipping of a simple CCW ring into triangles
+    * (first eligible ear from index 0 each pass; collinear vertices
+    * drop as degenerate ears). */
+  private def earClip(r: Ring, eps: Double): Seq[Ring] = {
+    var xs = r.xs.toBuffer
+    var ys = r.ys.toBuffer
+    val out = scala.collection.mutable.ArrayBuffer[Ring]()
+    def tri(i: Int, j: Int, k: Int): Ring =
+      new Ring(Array(xs(i), xs(j), xs(k)), Array(ys(i), ys(j), ys(k)))
+    while (xs.length > 3) {
+      val n = xs.length
+      var found = -1
+      var degenerate = -1
+      var i = 0
+      while (i < n && found < 0) {
+        val p = (i + n - 1) % n; val q = (i + 1) % n
+        val c = cross(xs(p), ys(p), xs(i), ys(i), xs(q), ys(q))
+        if (math.abs(c) <= eps && degenerate < 0) degenerate = i
+        else if (c > eps) {
+          // convex corner: an ear iff no OTHER vertex sits inside or on
+          // the candidate triangle (closed test — a reflex vertex
+          // exactly on the ear's edge would otherwise leak outside)
+          var blocked = false
+          var v = 0
+          while (v < n && !blocked) {
+            if (v != p && v != i && v != q) {
+              val in = cross(xs(p), ys(p), xs(i), ys(i), xs(v), ys(v)) >= -eps &&
+                cross(xs(i), ys(i), xs(q), ys(q), xs(v), ys(v)) >= -eps &&
+                cross(xs(q), ys(q), xs(p), ys(p), xs(v), ys(v)) >= -eps
+              if (in) blocked = true
+            }
+            v += 1
+          }
+          if (!blocked) found = i
+        }
+        i += 1
+      }
+      if (found >= 0) {
+        val p = (found + n - 1) % n; val q = (found + 1) % n
+        out += tri(p, found, q)
+        xs.remove(found); ys.remove(found)
+      } else if (degenerate >= 0) {
+        xs.remove(degenerate); ys.remove(degenerate) // collinear vertex
+      } else {
+        throw new IllegalArgumentException(
+          "ear-clip triangulation found no ear — numerically degenerate " +
+            "polygon, refusing rather than emitting a wrong clip")
+      }
+    }
+    if (xs.length == 3 &&
+        math.abs(signedArea2(xs.toArray, ys.toArray)) > eps)
+      out += new Ring(xs.toArray, ys.toArray)
+    out.toSeq
+  }
+
+  /** Intersection of a SIMPLE (possibly concave) subject with a convex
+    * window: per-triangle Sutherland–Hodgman, then shared triangulation
+    * edges cancel (they appear once per side, reversed) and the
+    * surviving boundary edges stitch into rings. One ring → POLYGON;
+    * several → the single-ring core refuses (MULTIPOLYGON); none →
+    * empty (null). Holes cannot arise: the subject has none and the
+    * window is convex. */
+  private def concaveIntersect(subject: Ring, window: Ring, eps2: Double,
+                               scale: Double): InternalRow = {
+    requireSimple(subject, "left", eps2)
+    val epsL = 1e4 * java.lang.Math.ulp(1.0) * scale // length-class match
+    val pieces = earClip(subject, eps2).flatMap { t =>
+      val (cxs, cys) = sutherlandHodgman(t, window, eps2)
+      if (cxs.length >= 3 && math.abs(signedArea2(cxs, cys)) > eps2)
+        Some((cxs, cys))
+      else None
+    }
+    if (pieces.isEmpty) return null
+    // directed edges of every piece (consecutive dups collapse; edges
+    // shorter than the match tolerance drop as numeric dust)
+    final case class Edge(ax: Double, ay: Double, bx: Double, by: Double)
+    val edges = scala.collection.mutable.ArrayBuffer[Edge]()
+    pieces.foreach { case (cxs, cys) =>
+      val n = cxs.length
+      var i = 0
+      while (i < n) {
+        val j = (i + 1) % n
+        if (math.abs(cxs(i) - cxs(j)) > epsL ||
+            math.abs(cys(i) - cys(j)) > epsL)
+          edges += Edge(cxs(i), cys(i), cxs(j), cys(j))
+        i += 1
+      }
+    }
+    def near(x1: Double, y1: Double, x2: Double, y2: Double): Boolean =
+      math.abs(x1 - x2) <= epsL && math.abs(y1 - y2) <= epsL
+    // cancel reverse pairs (shared triangulation edges clip to the SAME
+    // span on both sides, so full-edge matching is sound)
+    val alive = Array.fill(edges.length)(true)
+    var i = 0
+    while (i < edges.length) {
+      if (alive(i)) {
+        var j = i + 1
+        var matched = false
+        while (j < edges.length && !matched) {
+          if (alive(j) && near(edges(i).ax, edges(i).ay,
+              edges(j).bx, edges(j).by) &&
+              near(edges(i).bx, edges(i).by, edges(j).ax, edges(j).ay)) {
+            alive(i) = false; alive(j) = false; matched = true
+          }
+          j += 1
+        }
+      }
+      i += 1
+    }
+    val boundary = edges.indices.filter(alive).map(edges).toBuffer
+    require(boundary.nonEmpty,
+      "st_intersection: boundary cancellation consumed every edge — " +
+        "numeric degeneracy, refusing")
+    // stitch rings: start from the lexicographically smallest edge for
+    // determinism, follow end → start matches
+    val rings = scala.collection.mutable.ArrayBuffer[(Array[Double], Array[Double])]()
+    while (boundary.nonEmpty) {
+      val startIdx = boundary.indices.minBy(k =>
+        (boundary(k).ax, boundary(k).ay, boundary(k).bx, boundary(k).by))
+      var cur = boundary.remove(startIdx)
+      val rxs = scala.collection.mutable.ArrayBuffer(cur.ax)
+      val rys = scala.collection.mutable.ArrayBuffer(cur.ay)
+      var closed = false
+      var guard = 0
+      while (!closed) {
+        guard += 1
+        require(guard <= edges.length + 4,
+          "st_intersection: boundary walk did not close — numeric " +
+            "degeneracy, refusing")
+        if (near(cur.bx, cur.by, rxs(0), rys(0))) closed = true
+        else {
+          rxs += cur.bx; rys += cur.by
+          val nxt = boundary.indexWhere(e => near(e.ax, e.ay, cur.bx, cur.by))
+          require(nxt >= 0,
+            "st_intersection: open boundary chain — numeric degeneracy, " +
+              "refusing")
+          cur = boundary.remove(nxt)
+        }
+      }
+      // drop collinear stitch vertices (triangle fans leave them); keep
+      // the ring only if it still has area
+      val (fx, fy) = dropCollinear(rxs.toArray, rys.toArray, eps2)
+      if (fx.length >= 3 && math.abs(signedArea2(fx, fy)) > eps2)
+        rings += ((fx, fy))
+    }
+    if (rings.isEmpty) null
+    else if (rings.length > 1)
+      throw new IllegalArgumentException(
+        s"st_intersection: the clip result is ${rings.length} disjoint " +
+          "rings (MULTIPOLYGON) — the single-ring geometry core cannot " +
+          "represent it, refusing (single-piece concave results DO clip)")
+    else geomRow(rings(0)._1, rings(0)._2)
+  }
+
+  private def dropCollinear(xs: Array[Double], ys: Array[Double],
+                            eps: Double): (Array[Double], Array[Double]) = {
+    val n = xs.length
+    if (n < 3) return (xs, ys)
+    val keep = (0 until n).filter { i =>
+      val p = (i + n - 1) % n; val q = (i + 1) % n
+      math.abs(cross(xs(p), ys(p), xs(i), ys(i), xs(q), ys(q))) > eps
+    }
+    (keep.map(xs).toArray, keep.map(ys).toArray)
+  }
+
   /** Null-aware entry: SQL NULL means EMPTY geometry (this file's own
     * convention for empty clip results), so the identities are
     * union(a, ∅) = a, a \ ∅ = a, ∅ \ b = ∅, a ∩ ∅ = ∅ — default
@@ -328,6 +568,20 @@ object ConvexClip {
     // swallow real square-meter features at UTM-scale offsets; a LINEAR
     // 1e-9·scale misclassifies the same features the other way.)
     val eps2 = 32 * java.lang.Math.ulp(1.0) * scale * scale
+    if (op == 0) {
+      // INTERSECTION accepts one concave SIMPLE side (triangulate +
+      // per-triangle clip + boundary stitch); the other side is the
+      // convex window. Union/difference stay convex-only below.
+      val (fa, aConvex) = parseFlexible(aRow, "left", eps2)
+      val (fb, bConvex) = parseFlexible(bRow, "right", eps2)
+      if (!aConvex || !bConvex) {
+        require(aConvex || bConvex,
+          "st_intersection: both polygons are concave — one side must " +
+            "be a convex window (triangulating both is out of scope)")
+        return if (aConvex) concaveIntersect(fb, fa, eps2, scale)
+               else concaveIntersect(fa, fb, eps2, scale)
+      }
+    }
     val a = parse(aRow, "left", eps2)
     val b = parse(bRow, "right", eps2)
     val (ixs, iys) = sutherlandHodgman(a, b, eps2)

@@ -180,7 +180,11 @@ object UnigramLm {
       : org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { words: Seq[String] =>
       val costs = costsB.value
-      words.flatMap { w =>
+      // split(normalize(NULL)) stays NULL and reference-typed UDF
+      // inputs are NOT auto-null-guarded — a null text row must yield
+      // no pieces, not an executor NPE
+      val safe = if (words == null) Seq.empty[String] else words
+      safe.flatMap { w =>
         if (w.isEmpty) Nil
         else if (w.length > maxWord) Seq(w)
         else viterbi(w, costs, costs.contains, maxPiece).getOrElse(Seq(w))

@@ -88,9 +88,10 @@ object BsonReader {
     val negative = high < 0
     val comb = (high >>> 58) & 0x1F // 5 combination MSBs after sign
     if ((comb & 0x18) == 0x18) {
-      if ((comb & 0x1E) == 0x1E) return null // NaN (11110/11111)
-      if ((comb & 0x1C) == 0x1C) return null // Infinity (11100/11101)
-      // 11-prefix finite: non-canonical per spec -> zero
+      // IEEE 754-2008: 11111 = NaN, 11110 = Infinity (JSON has neither
+      // -> null); every OTHER 11-prefix pattern (11000..11101) is a
+      // FINITE non-canonical encoding that mongo drivers decode as zero
+      if ((comb & 0x1E) == 0x1E) return null
       val exp = ((high >>> 47) & 0x3FFF).toInt - 6176
       return (if (negative) "-0" else "0") +
         (if (exp != 0) s"E$exp" else "")
@@ -142,6 +143,13 @@ object BsonReader {
           val len = le32(b, o)
           val subtype = u8(b, o + 4)
           o += 5 // size + subtype byte
+          // a declared length past the frame must fail LOUDLY here —
+          // Arrays.copyOfRange silently ZERO-PADS past the array end,
+          // which would fabricate payload bytes on exactly the corrupt
+          // frames the documents() wrapper exists to catch
+          if (len < 0 || o + len > b.length)
+            throw new ArrayIndexOutOfBoundsException(
+              s"binary element declares $len bytes past the frame")
           // subtype 2 ("old binary", pre-2.x drivers) wraps the payload
           // in an inner int32 length — strip it, or the base64 carries
           // 4 spurious leading bytes no mongo driver would return
@@ -333,8 +341,16 @@ object BsonReader {
         hex.grouped(2).foreach(h => body.write(Integer.parseInt(h, 16)))
       case BsonBinary(bytes, subtype) =>
         body.write(0x05); writeCString(body, name)
-        writeLe32(body, bytes.length); body.write(subtype)
-        body.write(bytes)
+        if (subtype == 2) {
+          // old binary (pre-2.x drivers): the payload wraps an inner
+          // int32 length per the spec — the writer adds it so callers
+          // pass LOGICAL payloads on every subtype
+          writeLe32(body, bytes.length + 4); body.write(subtype)
+          writeLe32(body, bytes.length); body.write(bytes)
+        } else {
+          writeLe32(body, bytes.length); body.write(subtype)
+          body.write(bytes)
+        }
       case BsonDateTime(ms) =>
         body.write(0x09); writeCString(body, name); writeLe64(body, ms)
       case BsonTimestamp(raw) =>

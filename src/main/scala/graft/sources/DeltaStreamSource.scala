@@ -87,6 +87,29 @@ private[sources] object DeltaStreamSource {
       try os.write(v.toString.getBytes("UTF-8")) finally os.close()
       if (!fs.rename(tmp, p)) { fs.delete(p, false); fs.rename(tmp, p) }
     }
+
+    // the startingVersion=latest ANCHOR: resolved ONCE per stream and
+    // persisted — a restart that re-resolved "latest" to the current
+    // table version silently dropped the commits the crashed batch was
+    // carrying (getBatch(None, end) replays against the anchor)
+    private val a = new Path(metadataPath, "graft-anchor")
+    def readAnchor(): Option[Long] =
+      try {
+        if (!fs.exists(a)) None
+        else {
+          val in = fs.open(a)
+          try scala.io.Source.fromInputStream(in, "UTF-8")
+            .mkString.trim.toLongOption
+          finally in.close()
+        }
+      } catch { case _: java.io.IOException => None }
+    def writeAnchor(v: Long): Unit = {
+      // single-shot create; anchors are immutable so no rename dance
+      if (!fs.exists(a)) {
+        val os = fs.create(a, false)
+        try os.write(v.toString.getBytes("UTF-8")) finally os.close()
+      }
+    }
   }
 
   /** Newest version: JSON commits, or the checkpoint when every commit
@@ -174,12 +197,25 @@ class DeltaStreamSource(sqlContext: SQLContext,
 
   private val maxFilesPerTrigger = parameters.get("maxFilesPerTrigger").map(_.toInt)
 
+  private val progressStore =
+    if (metadataPath.isEmpty) None
+    else Some(new DeltaStreamSource.Progress(spark, metadataPath))
+
   // resolved EAGERLY at stream start so `startingVersion=latest` means
   // "versions after the stream began" — a lazy anchor forced at the
   // first batch would silently drop commits landing between stream
-  // start and the first trigger
+  // start and the first trigger. PERSISTED so a restart replays the
+  // crashed batch against the SAME anchor: re-resolving "latest" after
+  // a crash made getBatch(None, end) compute an empty range and
+  // silently drop the commits that batch was carrying.
   private val startVersion: Long =
-    DeltaStreamSource.latestVersion(spark, path)
+    if (!startingVersion.contains("latest"))
+      DeltaStreamSource.latestVersion(spark, path) // modes that ignore it
+    else progressStore.flatMap(_.readAnchor()).getOrElse {
+      val v = DeltaStreamSource.latestVersion(spark, path)
+      progressStore.foreach(_.writeAnchor(v))
+      v
+    }
 
   // where the admission budget STARTS counting for a fresh stream: the
   // configured anchor, not -1 — a capped startingVersion=latest stream
@@ -200,9 +236,7 @@ class DeltaStreamSource(sqlContext: SQLContext,
   // as many versions as fit the file budget — never BELOW the persisted
   // progress, which after a restart would regress the engine's
   // checkpointed offset and re-emit delivered versions.
-  private val progress =
-    if (metadataPath.isEmpty) None
-    else Some(new DeltaStreamSource.Progress(spark, metadataPath))
+  private val progress = progressStore
   @volatile private var committed: Option[Long] =
     progress.flatMap(_.read()) // restart: resume the admission count
 
@@ -261,13 +295,22 @@ class DeltaStreamSource(sqlContext: SQLContext,
         // `mapper` is safe here: getOffset/getBatch run on the single
         // stream-execution thread that owns this source
         val om = mapper
-        val n = lines.count { l =>
-          try {
-            val node = om.readTree(l)
+        // a commit skipChangeCommits will SKIP must cost 0 — counting
+        // its adds let one skipped overwrite eat the whole budget and
+        // plan an empty batch while real appends waited (the same
+        // zero-delivery pathology as dataChange=false re-adds)
+        val nodes = lines.flatMap { l =>
+          try Some(om.readTree(l)) catch { case _: Exception => None }
+        }
+        val skipped = skipChangeCommits && nodes.exists(nd =>
+          nd.has("remove") &&
+            Option(nd.get("remove").get("dataChange")).forall(_.asBoolean))
+        val n =
+          if (skipped) 0
+          else nodes.count { node =>
             node.has("add") &&
               Option(node.get("add").get("dataChange")).forall(_.asBoolean)
-          } catch { case _: Exception => false }
-        }
+          }
         fileCountCache(v) = n
         n
       }

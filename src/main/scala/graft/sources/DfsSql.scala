@@ -161,13 +161,16 @@ object DfsSql {
       case "kafka" | "kafka_segments"  => KafkaSegmentReader.readJson(spark, path)
       // HBase store files carry no extension — reachable by TYPE NAME
       case "hfile" | "hbase"           => HBaseHFileReader.read(spark, path)
+      // cassandra dirs hold multi-component *-big-*.db files — TYPE NAME
+      case "sstable" | "cassandra"     => CassandraSSTableReader.read(spark, path)
       case "png" | "jpg" | "jpeg" | "gif" | "bmp" => ImageMetaReader.read(spark, path)
       case "log" | "txt" | "text"      => spark.read.text(path)
       case other => throw new IllegalArgumentException(
         s"dfs: no format reader for extension '$other' ($path). " +
           "Known: parquet csv tsv psv json jsonl orc avro xlsx ltsv pcap " +
           "pcapng pdf geojson shp sas7bdat sav h5 mdb/accdb seq bson " +
-          "kafka hfile/hbase (type names) png/jpg/gif/bmp log/txt; " +
+          "kafka hfile/hbase sstable/cassandra (type names) " +
+          "png/jpg/gif/bmp log/txt; " +
           "directories: delta (_delta_log), iceberg (metadata/+data/), " +
           "paimon (snapshot/+schema/)")
     }

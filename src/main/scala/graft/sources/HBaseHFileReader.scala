@@ -384,7 +384,10 @@ object HBaseHFileReader {
     def walk(d: Path): Seq[Path] =
       fs.listStatus(d).toSeq.flatMap { st =>
         val n = st.getPath.getName
-        if (n.startsWith("_") || n.startsWith(".")) Nil
+        // skip region-directory bookkeeping: WAL-replay edits and
+        // sequence-id markers live beside store files un-prefixed
+        if (n.startsWith("_") || n.startsWith(".") ||
+            n == "recovered.edits" || n.endsWith(".seqid")) Nil
         else if (st.isDirectory) walk(st.getPath)
         else Seq(st.getPath)
       }
@@ -435,12 +438,24 @@ object HBaseHFileReader {
     * family, HBase read semantics applied (delete markers, then newest
     * version per (row, family, qualifier) wins — ties by seq_id).
     * Family names are discovered in one metadata-scale pass (family
-    * counts are single digits by HBase design). */
+    * counts are single digits by HBase design). EAGER: the result is
+    * persisted and materialized (the cell relation feeds six plan
+    * branches) — callers may unpersist the returned frame when done. */
   def read(spark: SparkSession, path: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    // the cell relation feeds SIX plan branches (family discovery, the
+    // puts, and four tombstone kinds) — persist it or every HFile
+    // decodes six times; released once the returned frame materializes
     val cells = readCells(spark, path)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val families = cells.select("family").distinct()
       .collect().map(_.getString(0)).sorted // metadata-scale collect
+    if (families.isEmpty) {
+      cells.unpersist()
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        StructType(Seq(StructField("row_key", BinaryType))))
+    }
     val puts = cells.filter(col("cell_type") === "Put")
     val dels = cells.filter(col("cell_type") =!= "Put")
     // delete-marker thresholds, each a tiny aggregate joined back:
@@ -483,7 +498,12 @@ object HBaseHFileReader {
       map_from_entries(collect_list(when(col("family") === fam,
         struct(col("qualifier"), col("value"))))).as(fam)
     }
-    latest.groupBy("row_key").agg(famCols.head, famCols.tail: _*)
+    val result = latest.groupBy("row_key")
+      .agg(famCols.head, famCols.tail: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    result.count() // materialize while the cell cache is live
+    cells.unpersist()
+    result // caller may unpersist when done (the classifier contract)
   }
 
   // ----------------------------------------------------- fixture writing

@@ -79,12 +79,17 @@ object KafkaSegmentReader {
 
   // ---- varints (kafka uses protobuf zigzag varint/varlong in records)
   private def readVarlong(in: InputStream): Long = {
+    // bounded like kafka's ByteUtils: >10 continuation bytes would
+    // otherwise wrap (JVM shifts are mod 64) into a silently-garbage
+    // value that still frames records "successfully"
     var value = 0L
     var shift = 0
     var b = 0
     do {
       b = in.read()
       if (b < 0) throw new EOFException("varint truncated")
+      if (shift > 63) throw new java.io.IOException(
+        "varint too long (more than 10 bytes) — corrupt record framing")
       value |= (b & 0x7FL) << shift
       shift += 7
     } while ((b & 0x80) != 0)
@@ -204,6 +209,9 @@ object KafkaSegmentReader {
                   val key = bytesOrNull()
                   val value = bytesOrNull()
                   val hn = readVarint(bis)
+                  if (hn < 0) throw new java.io.IOException(
+                    s"$file: record declares $hn headers — corrupt " +
+                      "(kafka rejects negative header counts)")
                   // ordered seq, duplicates preserved (kafka multi-map)
                   val headers = (0 until hn).map { _ =>
                     val kl = readVarint(bis)

@@ -27,9 +27,10 @@ class BsonSpec extends AnyFunSuite {
       "created" -> BsonDateTime(1700000000123L),
       "optime" -> BsonTimestamp(7L),
       "blob" -> BsonBinary(Array[Byte](1, 2, 3)),
-      // subtype 2 ("old binary"): payload wraps an inner int32 length
-      // that decoders must strip — the bytes a pre-2.x driver wrote
-      "oldblob" -> BsonBinary(Array[Byte](3, 0, 0, 0, 9, 8, 7), subtype = 2),
+      // subtype 2 ("old binary"): the writer wraps the inner int32
+      // length per spec and decoders must strip it — callers pass the
+      // LOGICAL payload
+      "oldblob" -> BsonBinary(Array[Byte](9, 8, 7), subtype = 2),
       "pat" -> BsonRegex("^a.*b$", "i"),
       "price" -> BsonDecimal128(0x3040000000000000L, 12345L), // 12345 E0
       "cents" -> BsonDecimal128(0x303C000000000000L, 12345L), // 123.45

@@ -133,6 +133,27 @@ class DeltaStreamSpec extends AnyFunSuite {
     assert(out.values.flatten.toSeq === Seq((2L, "new")))
   }
 
+  test("startingVersion=latest ANCHOR persists across restart — a " +
+      "crashed first batch replays against the ORIGINAL anchor, not a " +
+      "re-resolved one (which silently dropped its commits)") {
+    import graft.sources.DeltaStreamSource
+    val dir = freshTable(Seq((1L, "base"))) // version 0 = the anchor
+    val meta = Files.createTempDirectory("delta_anchor_meta_").toString
+    val params = Map("path" -> dir, "startingVersion" -> "latest",
+      "maxFilesPerTrigger" -> "1")
+    // stream starts: anchor resolves (and persists) at version 0
+    new DeltaStreamSource(spark.sqlContext, params, meta)
+    // commits land, then the process "crashes" — a fresh source with
+    // the SAME metadata dir must admit from the PERSISTED anchor
+    DeltaLogWriter.write(Seq((2L, "v1")).toDF("k", "v"), dir)
+    DeltaLogWriter.write(Seq((3L, "v2")).toDF("k", "v"), dir)
+    val restarted = new DeltaStreamSource(spark.sqlContext, params, meta)
+    // anchored at 0 with budget 1 → admits exactly version 1; a
+    // re-resolved anchor would report 2 and never emit versions 1-2
+    assert(restarted.getOffset.map(_.json) == Some("1"),
+      restarted.getOffset.toString)
+  }
+
   test("CAPPED startingVersion=latest never replays pre-anchor history") {
     // several pre-stream versions, then a capped stream from `latest`:
     // the admission budget must start counting at the anchor — it used

@@ -140,6 +140,18 @@ class DfsSqlSpec extends AnyFunSuite {
         s"FROM dfs_read('$hdir', 'hfile')").collect()
     assert(h.length == 1 && h(0).getString(0) == "rk" &&
       h(0).getString(1) == "val")
+
+    // cassandra sstables: dfs_read type name 'sstable'
+    import graft.sources.CassandraSSTableReader
+    val cdir = java.nio.file.Files.createTempDirectory("dfs_sstable").toString
+    CassandraSSTableReader.writeSSTable(spark, cdir,
+      keyType = "Int32Type", clusteringTypes = Nil,
+      regulars = Seq("v" -> "UTF8Type"),
+      rows = Seq((9, Nil, Seq("cass"), 1442880000000100L)))
+    val cs = spark.sql(
+      s"SELECT key, v FROM dfs_read('$cdir', 'sstable')").collect()
+    assert(cs.length == 1 && cs(0).getInt(0) == 9 &&
+      cs(0).getString(1) == "cass")
   }
 
   test("unknown extension and missing path error clearly") {

@@ -417,7 +417,11 @@ class GisPredicatesSpec extends AnyFunSuite {
     val Some((ua, unv, _)) = clip("st_union", a, band)
     assert(math.abs(ua - (16.0 + 12.0 - 8.0)) < 1e-9 && unv == 12)
     val concave = "POLYGON ((0 0, 4 0, 4 4, 2 1, 0 4, 0 0))"
-    clipRefuses("st_intersection", concave, a, "concave")
+    // st_intersection now ACCEPTS one concave simple side (round 16):
+    // the arrow lies inside the window, so the clip returns it whole
+    val Some((arrowArea, _, _)) = clip("st_intersection", concave, a)
+    assert(math.abs(arrowArea - 10.0) < 1e-9, arrowArea.toString)
+    // union/difference stay convex-only
     clipRefuses("st_union", a, concave, "concave")
     // vertex-grazing contact on the walk path refuses rather than
     // constructing a possibly-wrong ring (diamond vertex ON square edge)
@@ -493,12 +497,41 @@ class GisPredicatesSpec extends AnyFunSuite {
       rect(-1, -1, 3, 3), "zero area")
     clipRefuses("st_union", rect(-1, -1, 3, 3),
       "POLYGON ((0 0, 2 0, 1 0))", "zero area")
-    // concave at vertex 2 of (0 0, 4 0, 2 1, 0 4) — the message must
-    // name the reflex corner, not one past it
+    // concave at vertex 2 of (0 0, 4 0, 2 1, 4 4, 0 4) — the message
+    // must name the reflex corner, not one past it (union path; the
+    // intersection path now clips concave sides instead of refusing)
     val e = intercept[Exception] {
-      clip("st_intersection", "POLYGON ((0 0, 4 0, 2 1, 4 4, 0 4))",
-        rect(0, 0, 4, 4))
+      clip("st_union", rect(0, 0, 4, 4),
+        "POLYGON ((0 0, 4 0, 2 1, 4 4, 0 4))")
     }
     assert(e.getMessage.contains("concave at vertex 2"), e.getMessage)
+  }
+
+  test("CONCAVE intersection: ear-clip + per-triangle clip + stitch — " +
+      "partial windows, commutation, empty, and the refusal bounds") {
+    // L-shape: outer [0,6]x[0,6] minus notch [3,3]-[6,6] => area 27
+    val ell = "POLYGON ((0 0, 6 0, 6 3, 3 3, 3 6, 0 6, 0 0))"
+    // window over the reflex corner: inter = [1,5]x[1,5]∩L
+    //   outer∩W = 16, notch∩W = [3,5]x[3,5] = 4 → 12
+    val Some((a1, _, _)) = clip("st_intersection", ell, rect(1, 1, 5, 5))
+    assert(math.abs(a1 - 12.0) < 1e-9, a1.toString)
+    // commutes: concave side on the right
+    val Some((a2, _, _)) = clip("st_intersection", rect(1, 1, 5, 5), ell)
+    assert(math.abs(a2 - 12.0) < 1e-9, a2.toString)
+    // window containing the whole L returns the L's area
+    val Some((a3, _, _)) = clip("st_intersection", ell, rect(-1, -1, 7, 7))
+    assert(math.abs(a3 - 27.0) < 1e-9, a3.toString)
+    // window inside one arm: plain rectangle out
+    val Some((a4, _, _)) = clip("st_intersection", ell, rect(1, 4, 2, 5))
+    assert(math.abs(a4 - 1.0) < 1e-9, a4.toString)
+    // disjoint window: empty
+    assert(clip("st_intersection", ell, rect(10, 10, 12, 12)).isEmpty)
+    // U-shape whose clip by a band is TWO prongs → MULTIPOLYGON refusal
+    val u = "POLYGON ((0 0, 6 0, 6 4, 4 4, 4 1, 2 1, 2 4, 0 4, 0 0))"
+    clipRefuses("st_intersection", u, rect(-1, 2, 7, 5), "MULTIPOLYGON")
+    // both concave refuses; self-intersecting refuses
+    clipRefuses("st_intersection", ell, u, "both")
+    clipRefuses("st_intersection", "POLYGON ((0 0, 4 1, 4 0, 0 3))",
+      rect(0, 0, 9, 9), "self-intersecting")
   }
 }
