@@ -66,6 +66,19 @@ object UnigramLm {
       .groupBy("piece").agg(sum("freq").as("c"))
       .filter(col("c") >= p.minCount || length(col("piece")) === 1)
 
+  private val utf8Ordering: Ordering[String] = new Ordering[String] {
+    def compare(a: String, b: String): Int = {
+      val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+      var i = 0
+      while (i < x.length && i < y.length) {
+        val d = (x(i) & 0xFF) - (y(i) & 0xFF)
+        if (d != 0) return d
+        i += 1
+      }
+      x.length - y.length
+    }
+  }
+
   /** Integer piece costs from an inventory snapshot — ONE float
     * evaluation order (ln T - ln c), rounded at 1e-6, then the
     * length-preference tiebreak in the low 5 bits' headroom. */
@@ -85,7 +98,13 @@ object UnigramLm {
   private[pipeline] def viterbi(word: String, cost: String => Long,
                                 has: String => Boolean,
                                 maxPieceLen: Int): Option[Seq[String]] = {
-    val L = word.length
+    // CODE POINTS, not UTF-16 units: Spark length()/substring() and
+    // DuckDB len()/substr() both count code points — indexing UTF-16
+    // here would diverge on non-BMP text AND let positions past 15
+    // overflow the 4-bit backpointer encoding
+    val cps = word.codePoints().toArray
+    val L = cps.length
+    def sub(s: Int, e: Int): String = new String(cps, s, e - s)
     val NoKey = Long.MaxValue
     val cum = new Array[Long](L + 1)
     val back = new Array[Int](L + 1)
@@ -97,7 +116,7 @@ object UnigramLm {
       var start = math.max(0, pos - maxPieceLen)
       while (start < pos) {
         if (start == 0 || back(start) >= 0) {
-          val piece = word.substring(start, pos)
+          val piece = sub(start, pos)
           if (has(piece)) {
             val key = (cum(start) + cost(piece)) * 16L + start
             if (key < bestKey) bestKey = key
@@ -116,7 +135,7 @@ object UnigramLm {
       val pieces = scala.collection.mutable.ArrayBuffer[String]()
       while (at > 0) {
         val s = back(at)
-        pieces += word.substring(s, at)
+        pieces += sub(s, at)
         at = s
       }
       Some(pieces.reverse.toSeq)
@@ -152,7 +171,11 @@ object UnigramLm {
         inv = counts // zero-count pieces drop by absence
         iter += 1
       }
-      inv.toSeq.sortBy { case (piece, c) => (-c, piece) }
+      // tie-break by UTF-8 BYTES: DuckDB's ORDER BY compares binary
+      // UTF-8 (== code-point order) while Scala String ordering is
+      // UTF-16, which sorts supplementary chars before U+E000..U+FFFF
+      inv.toSeq.sortBy { case (piece, c) => (-c, piece) }(
+          Ordering.Tuple2(Ordering.Long, utf8Ordering))
         .take(p.vocabSize)
         .toDF("piece", "cnt")
     } finally words.unpersist()
@@ -186,7 +209,8 @@ object UnigramLm {
       val safe = if (words == null) Seq.empty[String] else words
       safe.flatMap { w =>
         if (w.isEmpty) Nil
-        else if (w.length > maxWord) Seq(w)
+        // code-point count, matching the training-side length filter
+        else if (w.codePointCount(0, w.length) > maxWord) Seq(w)
         else viterbi(w, costs, costs.contains, maxPiece).getOrElse(Seq(w))
       }
     }

@@ -90,10 +90,7 @@ class BsonSpec extends AnyFunSuite {
     val e = intercept[Exception] {
       BsonReader.jsonStrings(spark, dir2).collect()
     }
-    def chain(t: Throwable): String =
-      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
-        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
-    assert(chain(e).contains("minimum 5"), chain(e))
+    assert(causeChain(e).contains("minimum 5"), causeChain(e))
   }
 
   test("GOLDEN bytes: the two bsonspec.org example documents decode " +
@@ -142,10 +139,7 @@ class BsonSpec extends AnyFunSuite {
     val e = intercept[Exception] {
       BsonReader.jsonStrings(spark, dir).collect()
     }
-    def chain(t: Throwable): String =
-      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
-        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
-    assert(chain(e).contains("corrupt BSON document"), chain(e))
+    assert(causeChain(e).contains("corrupt BSON document"), causeChain(e))
   }
 
   test("one task per dump file; multi-collection dirs read together") {

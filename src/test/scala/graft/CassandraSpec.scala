@@ -76,25 +76,19 @@ class CassandraSpec extends AnyFunSuite {
     java.nio.file.Files.write(dataPath, bytes)
     java.nio.file.Files.deleteIfExists(
       java.nio.file.Paths.get(dir, ".nb-1-big-Data.db.crc"))
-    def chain(t: Throwable): String =
-      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
-        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
     val e = intercept[Exception] {
       CassandraSSTableReader.read(spark, dir).collect()
     }
-    assert(chain(e).contains("CRC mismatch"), chain(e))
+    assert(causeChain(e).contains("CRC mismatch"), causeChain(e))
   }
 
   test("refusals: unsupported version, collection types, and the " +
       "clean missing-component surface") {
     val dir = freshDir("refuse")
-    val f = CassandraSSTableReader.writeSSTable(spark, dir,
+    CassandraSSTableReader.writeSSTable(spark, dir,
       keyType = "Int32Type", clusteringTypes = Nil,
       regulars = Seq("v" -> "UTF8Type"),
       rows = Seq((1, Nil, Seq("x"), Epoch + 1)))
-    def chain(t: Throwable): String =
-      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
-        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
     // version 'ka' (2.x) refuses by name
     val dir2 = freshDir("refuse_v")
     for (c <- Seq("Data.db", "Statistics.db"))
@@ -104,7 +98,7 @@ class CassandraSpec extends AnyFunSuite {
     val e1 = intercept[Exception] {
       CassandraSSTableReader.read(spark, dir2).collect()
     }
-    assert(chain(e1).contains("'ka'"), chain(e1))
+    assert(causeChain(e1).contains("'ka'"), causeChain(e1))
     // collection column types refuse at the writer/ctype layer
     val e2 = intercept[Exception] {
       CassandraSSTableReader.writeSSTable(spark, freshDir("refuse_t"),
@@ -113,7 +107,7 @@ class CassandraSpec extends AnyFunSuite {
           "MapType(org.apache.cassandra.db.marshal.UTF8Type,org.apache.cassandra.db.marshal.Int32Type)"),
         rows = Nil)
     }
-    assert(chain(e2).contains("composite/collection"), chain(e2))
+    assert(causeChain(e2).contains("composite/collection"), causeChain(e2))
     // missing Statistics.db names the component
     val dir3 = freshDir("refuse_m")
     java.nio.file.Files.copy(
@@ -122,7 +116,7 @@ class CassandraSpec extends AnyFunSuite {
     val e3 = intercept[Exception] {
       CassandraSSTableReader.read(spark, dir3).collect()
     }
-    assert(chain(e3).contains("Statistics.db"), chain(e3))
+    assert(causeChain(e3).contains("Statistics.db"), causeChain(e3))
   }
 
   test("GOLDEN bytes: a minimal nb sstable hand-assembled from the " +

@@ -107,9 +107,6 @@ class HFileSpec extends AnyFunSuite {
   }
 
   test("corrupt trailer magic and corrupt block bytes refuse loudly") {
-    def chain(t: Throwable): String =
-      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
-        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
     val dir = freshDir("bad")
     val f = HBaseHFileReader.writeHFile(spark, s"$dir/ok",
       Seq(cell("r", "f", "q", 1L, "v")))
@@ -122,7 +119,7 @@ class HFileSpec extends AnyFunSuite {
     val e1 = intercept[Exception] {
       HBaseHFileReader.readCells(spark, d1).collect()
     }
-    assert(chain(e1).contains("not an HFile"), chain(e1))
+    assert(causeChain(e1).contains("not an HFile"), causeChain(e1))
 
     // first data-block payload byte flipped — CRC-32C catches it
     val t2 = bytes.clone(); t2(40) = (t2(40) ^ 0x1).toByte
@@ -131,7 +128,7 @@ class HFileSpec extends AnyFunSuite {
     val e2 = intercept[Exception] {
       HBaseHFileReader.readCells(spark, d2).collect()
     }
-    assert(chain(e2).contains("checksum mismatch"), chain(e2))
+    assert(causeChain(e2).contains("checksum mismatch"), causeChain(e2))
   }
 
   test("GOLDEN bytes: a minimal v2 file hand-assembled from the spec " +

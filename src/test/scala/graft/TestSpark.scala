@@ -19,6 +19,13 @@ object TestSpark {
   val SF = "/root/testdata/sf0.001"
   val Fixtures = "/root/repo/testfiles"
 
+  /** Cause-chain messages joined to one string — the shared helper for
+    * refusal-message asserts (Spark wraps task failures several layers
+    * deep; raising the depth here raises it for every suite). */
+  def causeChain(t: Throwable): String =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+
   /** ONE JDBC endpoint for the whole suite JVM: HiveServer2 keeps
     * JVM-global service state, so a stop() + second start() in the same
     * JVM never accepts — suites share this instance and never stop it

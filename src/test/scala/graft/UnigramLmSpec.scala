@@ -31,6 +31,21 @@ class UnigramLmSpec extends AnyFunSuite {
     assert(out(5L) == Seq("abababababababab")) // overlong: whole word
   }
 
+  test("non-BMP text segments by CODE POINTS (UTF-16 units would split " +
+      "surrogate pairs and overflow the 4-bit backpointer)") {
+    val two = "🎉🎉" // 2 party-popper code points
+    val vocab = Map(two -> 10L, "🎉" -> 1L)
+    val docs = Seq(
+      (1L, two + two), // 4 cps = 8 UTF-16 units
+      (2L, "🎉" * 13)) // 13 cps > maxWordLen 12 -> whole
+      .toDF("doc_id", "text")
+    val out = UnigramLm.segment(docs, "text", vocab, p)
+      .select("doc_id", "pieces").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L) == Seq(two, two), out(1L).toString)
+    assert(out(2L) == Seq("🎉" * 13))
+  }
+
   test("induce: concentrates mass on the reused piece, drops unused " +
       "candidates, and is deterministic") {
     val docs = (1 to 6).map(i => (i.toLong, "abab abab cdcd"))
