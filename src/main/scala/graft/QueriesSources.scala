@@ -872,6 +872,38 @@ object QueriesSources {
       CassandraSSTableReader.read(s, dir, keyName = "n_nationkey")
     }),
 
+    // ---- OpenTSDB on HBase (ref contrib/storage-opentsdb/.../
+    // OpenTSDB.java queries a live TSD's HTTP API; re-expressed
+    // zero-egress over the PUBLIC HBase schema TSD stores — rowkey
+    // metric+ts+tags uids, packed 2-byte second qualifiers — decoded
+    // through the HFile reader). Fixture: two metrics over orders with
+    // status tags; oracle re-derives relationally ----
+    "q_opentsdb" -> ((s, d) => {
+      import graft.sources.{HBaseHFileReader, OpenTsdbReader}
+      val dataDir = s"${out(d)}/tsdb_data"
+      val uidDir = s"${out(d)}/tsdb_uid"
+      val rows = GraftSession.table(s, d, "orders")
+        .filter(col("o_orderkey") < 1500)
+        .select(col("o_orderkey").cast("long"),
+          col("o_custkey").cast("long"),
+          col("o_totalprice").cast("double"), col("o_orderstatus"))
+        .collect().sortBy(_.getLong(0))
+      val points = rows.flatMap { r =>
+        val tags = Map("status" -> r.getString(3))
+        Seq(
+          ("orders.total", tags, 1500000000L + r.getLong(0), r.getDouble(2)),
+          ("orders.cust", tags, 1500000000L + r.getLong(0),
+            r.getLong(1).toDouble))
+      }.toSeq
+      val (dataCells, uidCells) = OpenTsdbReader.fixtureCells(points)
+      HBaseHFileReader.writeHFile(s, s"$dataDir/f1", dataCells, gzip = true)
+      HBaseHFileReader.writeHFile(s, s"$uidDir/f1", uidCells)
+      OpenTsdbReader.read(s, dataDir, uidDir)
+        .select(col("metric"),
+          element_at(col("tags"), "status").as("status"),
+          col("ts"), round(col("value"), 2).as("value"))
+    }),
+
     // ---- hive-metastore federation (ref contrib/storage-hive/core/...
     // /HiveStoragePlugin.java): partitioned CTAS into an embedded Derby
     // HMS, read back through the pruning catalog mirror — the partition
@@ -2089,6 +2121,16 @@ object QueriesSources {
                   ELSE n_name || '_old' END AS name,
              n_regionkey::BIGINT AS regionkey
       FROM nation WHERE n_nationkey NOT IN (5, 7)""",
+    "q_opentsdb" -> """
+      SELECT 'orders.total' AS metric, o_orderstatus AS status,
+             (1500000000 + o_orderkey)::BIGINT AS ts,
+             round(o_totalprice, 2) AS value
+      FROM orders WHERE o_orderkey < 1500
+      UNION ALL
+      SELECT 'orders.cust', o_orderstatus,
+             (1500000000 + o_orderkey)::BIGINT,
+             round(o_custkey::DOUBLE, 2)
+      FROM orders WHERE o_orderkey < 1500""",
     "q_dir_columns" -> """
       SELECT o_orderstatus AS dir0, count(*) AS n FROM orders GROUP BY 1""",
     "q_stats_store" -> """

@@ -45,31 +45,29 @@ object DfsSql {
     * plugins.json: psv/csv/tsv/parquet/json/avro + contrib formats). */
   def read(spark: SparkSession, path: String): DataFrame = {
     if (path.exists("*?[{".contains(_))) { // glob pattern, not a literal path
+      // only formats whose readers accept hadoop glob patterns (the
+      // rest decode file-granularly and need a literal directory); the
+      // DISPATCH is readByExt's — one format table, no drift
       val ext = extOf(path.substring(path.lastIndexOf('/') + 1))
-      return ext match {
-        case "parquet" => spark.read.parquet(path)
-        case "csv" => SchemaOnRead.csv(spark, path)
-        case "tsv" => SchemaOnRead.csv(spark, path, "\t")
-        case "json" | "jsonl" | "ndjson" => SchemaOnRead.json(spark, path)
-        case "orc" => spark.read.orc(path)
-        case "log" | "txt" | "text" => spark.read.text(path)
-        // Drill's psv/tbl formats default extractHeader=false and TPC-H
-        // .tbl files are headerless — the columns[] contract, so row 1
-        // is data, never consumed as names
-        case "psv" | "tbl" => SchemaOnRead.csvColumns(spark, path, "|")
-        case "ltsv" => SchemaOnRead.ltsv(spark, path)
-        case other => throw new IllegalArgumentException(
-          s"dfs: glob reads support parquet/csv/tsv/psv/tbl/json/orc/" +
-            s"text/ltsv, not '$other' ($path) — point file-granular " +
-            "formats at a directory")
-      }
+      val globbable = Set("parquet", "csv", "tsv", "psv", "tbl", "json",
+        "jsonl", "ndjson", "orc", "log", "txt", "text", "ltsv")
+      if (!globbable(ext)) throw new IllegalArgumentException(
+        s"dfs: glob reads support parquet/csv/tsv/psv/tbl/json/orc/" +
+          s"text/ltsv, not '$ext' ($path) — point file-granular " +
+          "formats at a directory")
+      return readByExt(spark, path, ext)
     }
     // Hadoop FileSystem throughout — the SAME resolution the DML paths
     // use, so dfs works on any configured fs scheme, not just local nio
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def hasSub(n: String) = fs.exists(new org.apache.hadoop.fs.Path(hp, n))
-    if (fs.exists(hp) && fs.getFileStatus(hp).isDirectory) {
+    // ONE metadata RPC for existence + kind (exists + getFileStatus +
+    // exists again was three round trips per resolution on object stores)
+    val status =
+      try Some(fs.getFileStatus(hp))
+      catch { case _: java.io.FileNotFoundException => None }
+    if (status.exists(_.isDirectory)) {
       if (hasSub("_delta_log"))
         return DeltaLogReader.read(spark, path)
       // no data/ requirement: an Iceberg table whose first snapshot
@@ -87,7 +85,7 @@ object DfsSql {
         .getOrElse(
           throw new IllegalArgumentException(s"dfs: empty directory $path"))
       readByExt(spark, path, extOf(first.getName))
-    } else if (fs.exists(hp)) {
+    } else if (status.isDefined) {
       readByExt(spark, path, extOf(hp.getName))
     } else {
       // a PERSISTED VIEW resolves by its view name: CREATE VIEW
@@ -235,8 +233,13 @@ object DfsSql {
       // (dfs_read('f.csv','csv','|') parsed as one mangled comma-column).
       // The "," default doubles as the not-passed sentinel, so asking a
       // tsv/psv for a literal comma goes through type 'text' instead.
-      case "csv" | "tsv" | "psv" | "tbl" if delimiter != "," =>
+      case "csv" | "tsv" if delimiter != "," =>
         SchemaOnRead.csv(spark, path, delimiter)
+      // psv/tbl are HEADERLESS (the columns[] contract) with or without
+      // an explicit delimiter — csv's header=true ate the first data
+      // row and changed the schema shape on the delimiter-passed path
+      case "psv" | "tbl" if delimiter != "," =>
+        SchemaOnRead.csvColumns(spark, path, delimiter)
       // the third argument carries the sub-selector the reference passes
       // through its table-function options (defaultPath / tableName)
       case "hdf5" | "h5" if delimiter != "," =>
@@ -245,6 +248,9 @@ object DfsSql {
         AccessReader.readTable(spark, path, delimiter)
       case "daffodil" | "dfdl" if delimiter != "," =>
         DfdlReader.read(spark, path, delimiter)
+      // third arg = the tsdb-uid table directory
+      case "opentsdb" | "tsdb" if delimiter != "," =>
+        OpenTsdbReader.read(spark, path, delimiter)
       case other  => readByExt(spark, path, other)
     }
 

@@ -23,10 +23,11 @@ object FileList {
     def walk(d: Path): Seq[Path] =
       fs.listStatus(d).toSeq.flatMap { st =>
         val n = st.getPath.getName
-        if (st.isDirectory) {
-          if (n.startsWith("_") || n.startsWith(".")) Nil
-          else walk(st.getPath)
-        }
+        // hidden/bookkeeping prefixes skip for FILES too: macOS
+        // AppleDouble forks (._x.pcap) and hadoop .crc sidecars match
+        // the extension but are not decodable payloads
+        if (n.startsWith("_") || n.startsWith(".")) Nil
+        else if (st.isDirectory) walk(st.getPath)
         else if (st.isFile &&
             extensions.exists(e => n.toLowerCase.endsWith(e)))
           Seq(st.getPath)

@@ -43,7 +43,11 @@ object HBaseHFileReader {
     StructField("ts", LongType),
     StructField("cell_type", StringType),
     StructField("value", BinaryType),
-    StructField("seq_id", LongType)))
+    StructField("seq_id", LongType),
+    // qualifiers are RAW BYTES in HBase; the string form above is the
+    // common case (and the map key in read()), but non-UTF-8 qualifiers
+    // (OpenTSDB's packed offsets) would mangle through a string decode
+    StructField("qualifier_bytes", BinaryType)))
 
   // ---------------------------------------------------------- primitives
 
@@ -329,7 +333,15 @@ object HBaseHFileReader {
 
   case class Cell(row: Array[Byte], family: String,
       qualifier: String, ts: Long, typeCode: Int, value: Array[Byte],
-      seqId: Long)
+      seqId: Long, qualRaw: Array[Byte] = null) {
+    // raw qualifier bytes: HBase qualifiers are bytes, not text —
+    // decoders carry the original bytes here (the string form is the
+    // common-case convenience and may hold replacement chars for
+    // non-UTF-8 qualifiers); fixture writers pass qualRaw explicitly
+    // when the bytes are not valid UTF-8 (OpenTSDB's packed offsets)
+    def qualifierBytes: Array[Byte] =
+      if (qualRaw != null) qualRaw else qualifier.getBytes("UTF-8")
+  }
 
   private val TypeNames = Map(4 -> "Put", 8 -> "Delete",
     10 -> "DeleteFamilyVersion", 12 -> "DeleteColumn", 14 -> "DeleteFamily",
@@ -354,6 +366,8 @@ object HBaseHFileReader {
       val qualStart = famStart + famLen
       val qualLen = keyLen - 2 - rowLen - 1 - famLen - 8 - 1
       require(qualLen >= 0, s"$file: corrupt key at block offset $o")
+      val qualRaw = java.util.Arrays.copyOfRange(
+        payload, qualStart, qualStart + qualLen)
       val qualifier = new String(payload, qualStart, qualLen, "UTF-8")
       val ts = be64(payload, qualStart + qualLen)
       val typeCode = payload(qualStart + qualLen + 8) & 0xFF
@@ -369,7 +383,8 @@ object HBaseHFileReader {
         val (v, n) = readVLong(payload, o)
         seqId = v; o += n
       }
-      out += Cell(row, family, qualifier, ts, typeCode, value, seqId)
+      out += Cell(row, family, qualifier, ts, typeCode, value, seqId,
+        qualRaw)
     }
     out.toSeq
   }
@@ -430,7 +445,7 @@ object HBaseHFileReader {
           } ++ { in.close(); Iterator.empty }
         }.map(c => Row(c.row, c.family, c.qualifier, c.ts,
           TypeNames.getOrElse(c.typeCode, s"#${c.typeCode}"), c.value,
-          c.seqId))
+          c.seqId, c.qualifierBytes))
       }(enc).toDF(cellSchema.fieldNames: _*)
   }
 
@@ -575,7 +590,7 @@ object HBaseHFileReader {
 
     def keyBytes(c: Cell): Array[Byte] = {
       val fam = c.family.getBytes("UTF-8")
-      val qual = c.qualifier.getBytes("UTF-8")
+      val qual = c.qualifierBytes
       val b = java.nio.ByteBuffer.allocate(
         2 + c.row.length + 1 + fam.length + qual.length + 8 + 1)
       b.putShort(c.row.length.toShort).put(c.row)

@@ -74,12 +74,14 @@ object HiveMetastore {
     withClient(root)(_.getAllDatabases.asScala.toSeq)
 
   def createDatabase(root: String, name: String): Unit =
-    withClient(root) { c =>
-      if (!c.getAllDatabases.asScala.contains(name)) {
-        val db = new org.apache.hadoop.hive.metastore.api.Database()
-        db.setName(name)
-        c.createDatabase(db)
-      }
+    withClient(root)(ensureDb(_, name))
+
+  private def ensureDb(c: org.apache.hadoop.hive.metastore.IMetaStoreClient,
+                       name: String): Unit =
+    if (!c.getAllDatabases.asScala.contains(name)) {
+      val db = new org.apache.hadoop.hive.metastore.api.Database()
+      db.setName(name)
+      c.createDatabase(db)
     }
 
   /** Table names in one database. */
@@ -122,9 +124,13 @@ object HiveMetastore {
     * schema-on-read contract. TEXTFILE reads with the serde's field
     * delimiter (hive's default \u0001 when unset).
     *
-    * Short/ragged TEXTFILE rows NULL-fill trailing declared columns
-    * (the declared-arity all-string schema below) instead of silently
-    * dropping them when the first file happens to be narrow.
+    * TEXTFILE parses LINE-SPLIT (spark.read.text + split on the
+    * literal delimiter + try_element_at + null-format match +
+    * try_cast), which IS LazySimpleSerDe's contract: quotes are
+    * literal bytes, \N (serialization.null.format) is NULL while a
+    * bare empty cell is the EMPTY string, short rows null-fill
+    * trailing declared columns, extra cells drop — a CSV parse can
+    * express none of the first three for unquoted fields.
     *
     * Partitioned tables PRUNE at plan time — the role of the
     * reference's HivePushPartitionFilterIntoScan (contrib/storage-hive/
@@ -173,42 +179,53 @@ object HiveMetastore {
       case (n, ty) => org.apache.spark.sql.types.StructField(
         n, parse(ty), nullable = true)
     }.toArray)
-    // declared-arity all-string schema for TEXTFILE: rows with FEWER
-    // fields than the metastore declares null-fill the tail (hive's
-    // LazySimpleSerDe contract); extra fields drop; declared types come
-    // from a Spark CAST after the parse (hive's lax trim/null-on-dirty
-    // semantics), NOT from a typed CSV parse whose whitespace and error
-    // behavior differs. Inferring columns from the data and zipping
-    // against the declaration would instead TRUNCATE the declared
-    // schema whenever the first row is short. BOTH the unpartitioned
-    // direct read and the partitioned catalog mirror use this same
-    // parse-then-cast shape — same file bytes, same values.
-    val strSchema = org.apache.spark.sql.types.StructType(cols.map {
-      case (n, _) => org.apache.spark.sql.types.StructField(
-        n, org.apache.spark.sql.types.StringType, nullable = true)
-    }.toArray)
     // hive's LazySimpleSerDe default separator is \u0001 (^A)
     val textDelim = Option(sd.getSerdeInfo)
       .flatMap(s => Option(s.getParameters.get("field.delim")))
       .filter(_.nonEmpty).getOrElse("\u0001")
-    // try_cast, not cast: hive's LazySimpleSerDe nulls a dirty cell
-    // (bad number in an int column); under Spark's ANSI default a plain
-    // cast would throw instead (the SchemaProvider precedent)
-    def castDeclared(raw: DataFrame): DataFrame =
-      raw.select(cols.map { case (n, ty) => col(n).try_cast(ty).as(n) }
-        .toSeq: _*)
+    // LazySimpleSerDe semantics are NOT Spark-CSV semantics: no quote
+    // concept (quotes are literal bytes), \N (serialization.null.format)
+    // is NULL while a bare empty cell is the EMPTY STRING, short rows
+    // null-fill, extra cells drop. A CSV parse cannot express the
+    // empty-vs-null distinction for unquoted fields, so BOTH text read
+    // sites parse line-split: spark.read.text -> split on the literal
+    // delimiter -> try_element_at (null-fill) -> null-format match ->
+    // try_cast (null-on-dirty, ANSI-proof).
+    val textNull = Option(sd.getSerdeInfo)
+      .flatMap(s => Option(s.getParameters.get("serialization.null.format")))
+      .getOrElse("\\N")
+    def parseTextLines(lines: DataFrame,
+                       carry: Seq[String] = Nil): DataFrame = {
+      import org.apache.spark.sql.functions.{split => fsplit, lit, when, try_element_at}
+      val parts = fsplit(col("value"),
+        java.util.regex.Pattern.quote(textDelim))
+      lines.select(cols.zipWithIndex.map { case ((n, ty), i) =>
+        val raw = try_element_at(parts, lit(i + 1))
+        when(raw === textNull, lit(null)).otherwise(raw)
+          .try_cast(ty).as(n)
+      }.toSeq ++ carry.map(col): _*)
+    }
     def readLocs(locs: Seq[String]): DataFrame = fmt match {
       case "parquet" => spark.read.schema(dataSchema).parquet(locs: _*)
       case "orc"     => spark.read.schema(dataSchema).orc(locs: _*)
-      case _ =>
-        castDeclared(spark.read.schema(strSchema).option("sep", textDelim)
-          .option("header", "false").option("mode", "PERMISSIVE")
-          .csv(locs: _*))
+      case _ => parseTextLines(spark.read.text(locs: _*))
     }
     if (partKeys.isEmpty) readLocs(Seq(sd.getLocation))
+    else if (partVals.isEmpty) {
+      // hive semantics: a partitioned table with zero partitions is
+      // EMPTY (register-then-add workflows, or all partitions dropped)
+      // — not an error
+      val full = org.apache.spark.sql.types.StructType(
+        cols.map { case (n, ty) =>
+          org.apache.spark.sql.types.StructField(n, parse(ty),
+            nullable = true) }.toArray ++
+          partKeys.map { case (n, ty) =>
+            org.apache.spark.sql.types.StructField(n, parse(ty),
+              nullable = true) })
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full)
+    }
     else {
-      require(partVals.nonEmpty,
-        s"hive table $db.$table is partitioned but has no partitions")
       import org.apache.spark.sql.catalyst.TableIdentifier
       import org.apache.spark.sql.catalyst.catalog.{CatalogStorageFormat, CatalogTable, CatalogTablePartition, CatalogTableType}
       // name sanitization alone can COLLIDE across distinct tables
@@ -229,16 +246,19 @@ object HiveMetastore {
       // path, so a partitioned and an unpartitioned table over the same
       // bytes return the same values (a TYPED csv parse differs on
       // whitespace and dirty cells)
-      val mirrorData = if (fmt == "text") strSchema else dataSchema
+      val mirrorData =
+        if (fmt == "text")
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("value",
+              org.apache.spark.sql.types.StringType, nullable = true)))
+        else dataSchema
       val fullSchema = org.apache.spark.sql.types.StructType(
         mirrorData.fields ++ partKeys.map { case (n, ty) =>
           org.apache.spark.sql.types.StructField(n, parse(ty),
             nullable = true)
         })
       val (provider, opts) =
-        if (fmt == "text")
-          ("csv", Map("sep" -> textDelim, "header" -> "false",
-            "mode" -> "PERMISSIVE"))
+        if (fmt == "text") ("text", Map.empty[String, String])
         else (fmt, Map.empty[String, String])
       def locUri(s: String) = new org.apache.hadoop.fs.Path(s).toUri
       val storage = CatalogStorageFormat.empty.copy(
@@ -259,13 +279,10 @@ object HiveMetastore {
       }, ignoreIfExists = false)
       val mirror = spark.table(shadow)
       if (fmt == "text")
-        // try_cast data columns to declared types ABOVE the scan
-        // (hive's null-on-dirty contract, ANSI-proof); partition
-        // columns (already typed) pass through, so partition predicates
-        // still prune
-        mirror.select((cols.map { case (n, ty) =>
-          col(n).try_cast(ty).as(n)
-        } ++ partKeys.map { case (n, _) => col(n) }).toSeq: _*)
+        // the line parse sits ABOVE the scan; partition columns
+        // (already typed) CARRY through, so partition predicates still
+        // prune the catalog listing
+        parseTextLines(mirror, partKeys.map(_._1))
       else mirror
     }
   }
@@ -319,15 +336,21 @@ object HiveMetastore {
       def walk(dir: org.apache.hadoop.fs.Path, depth: Int,
                vals: List[String]): Seq[(Seq[String], String)] =
         if (depth == partitionBy.length) Seq((vals.reverse, dir.toString))
-        else fs.listStatus(dir).toSeq
-          .filter(st => st.isDirectory &&
-            st.getPath.getName.startsWith(partitionBy(depth) + "="))
-          .flatMap { st =>
-            val raw = st.getPath.getName
-              .substring(partitionBy(depth).length + 1)
-            walk(st.getPath, depth + 1,
-              ExternalCatalogUtils.unescapePathName(raw) :: vals)
-          }
+        else {
+          // spark ESCAPES the key name in the path too (a column named
+          // "a b" writes "a%20b=..."); matching the raw name registered
+          // zero partitions for special-char columns
+          val prefix =
+            ExternalCatalogUtils.escapePathName(partitionBy(depth)) + "="
+          fs.listStatus(dir).toSeq
+            .filter(st => st.isDirectory &&
+              st.getPath.getName.startsWith(prefix))
+            .flatMap { st =>
+              val raw = st.getPath.getName.substring(prefix.length)
+              walk(st.getPath, depth + 1,
+                ExternalCatalogUtils.unescapePathName(raw) :: vals)
+            }
+        }
       val parts = walk(locPath, 0, Nil)
       registerExternal(root, db, name, dataCols, loc, "parquet",
         pKeys, parts)
@@ -363,11 +386,7 @@ object HiveMetastore {
         throw new IllegalArgumentException(s"unsupported format '$other'")
     }
     withClient(root) { c =>
-      if (!c.getAllDatabases.asScala.contains(db)) {
-        val d = new org.apache.hadoop.hive.metastore.api.Database()
-        d.setName(db)
-        c.createDatabase(d)
-      }
+      ensureDb(c, db)
       val sd = new StorageDescriptor()
       sd.setCols(columns.map { case (n, ty) => new FieldSchema(n, ty, "") }
         .asJava)

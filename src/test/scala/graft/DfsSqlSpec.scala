@@ -154,6 +154,16 @@ class DfsSqlSpec extends AnyFunSuite {
       cs(0).getString(1) == "cass")
   }
 
+  test("dfs_read tbl/psv with an explicit delimiter stays HEADERLESS " +
+      "(columns[] contract — row 1 is data, never column names)") {
+    val t = Files.createTempFile("dfs_tbl_", ".dat")
+    java.nio.file.Files.writeString(t, "1|ALGERIA|0\n2|ARGENTINA|1\n")
+    val rows = spark.sql(
+      s"SELECT columns FROM dfs_read('$t', 'tbl', '|')").collect()
+    assert(rows.length == 2, rows.length.toString)
+    assert(rows.map(_.getSeq[String](0).head).sorted.toSeq == Seq("1", "2"))
+  }
+
   test("unknown extension and missing path error clearly") {
     val p = Files.createTempFile("dfs_bad_", ".zzz")
     val e1 = intercept[Exception](spark.sql(s"SELECT * FROM dfs.`$p`").collect())

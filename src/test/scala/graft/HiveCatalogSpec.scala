@@ -273,6 +273,36 @@ class HiveCatalogSpec extends AnyFunSuite {
       rows(1).getInt(2) == 9)
   }
 
+  test("TEXTFILE hive semantics: quotes are LITERAL bytes, \\N is NULL, " +
+      "empty stays empty string; zero-partition tables read EMPTY") {
+    // LazySimpleSerDe has no quoting concept and uses \N for NULL —
+    // Spark CSV defaults differ on both, so the reader pins them
+    val tdir = java.nio.file.Files.createTempDirectory("hms_quotes")
+    java.nio.file.Files.writeString(tdir.resolve("part-0.txt"),
+      "\"hesaid\"x\n\\Ny\n")
+    HiveMetastore.registerExternal(root, "default", "hms_quotes",
+      Seq("a" -> "string", "b" -> "string", "c" -> "string"),
+      tdir.toUri.toString, "text")
+    val rows = HiveMetastore.read(spark, root, "default", "hms_quotes")
+      .collect().sortBy(r => Option(r.getString(2)).getOrElse(""))
+    assert(rows.length == 2)
+    // quotes survive literally; the delimiter splits "inside" them
+    assert(rows(0).getString(0) == "\"he" && rows(0).getString(1) ==
+      "said\"" && rows(0).getString(2) == "x", rows(0).toString)
+    // \N is NULL, a bare empty cell is the EMPTY STRING
+    assert(rows(1).isNullAt(0) && rows(1).getString(1) == "" &&
+      rows(1).getString(2) == "y", rows(1).toString)
+
+    // zero-partition partitioned table = empty relation, not an error
+    val spark2 = spark
+    import spark2.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("k", "p")
+    HiveMetastore.createTable(spark, root, "default", "hms_zero",
+      empty, partitionBy = Seq("p"))
+    val z = HiveMetastore.read(spark, root, "default", "hms_zero")
+    assert(z.schema.fieldNames.toSeq == Seq("k", "p") && z.count() == 0)
+  }
+
   test("fault injection: metastore DOWN (thrift to a closed port) " +
       "refuses fast and clean — the same client API a remote HMS uses") {
     // the remote path is same-API/untestable for real servers here;
