@@ -263,6 +263,7 @@ object CassandraSSTableReader {
     * COMPRESSED bytes, the mc+ rule) verifies before decode. */
   private def lz4ChunkStream(fsIn: org.apache.hadoop.fs.FSDataInputStream,
                              fileLen: Long, info: Array[Byte],
+                             version: String,
                              file: String): java.io.InputStream = {
     val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(info))
     val clazz = in.readUTF()
@@ -273,6 +274,11 @@ object CassandraSSTableReader {
     val nOpts = in.readInt()
     (0 until nOpts).foreach { _ => in.readUTF(); in.readUTF() }
     val chunkLen = in.readInt()
+    // 4.0+ ('na' and later) adds maxCompressedLength between
+    // chunkLength and dataLength (CASSANDRA-10520): chunks whose
+    // compressed form is >= this are stored RAW in Data.db
+    val maxCompressedLength =
+      if (version >= "na") in.readInt() else Int.MaxValue
     val dataLen = in.readLong()
     val nChunks = in.readInt()
     val offsets = (0 until nChunks).map(_ => in.readLong())
@@ -302,8 +308,15 @@ object CassandraSSTableReader {
             s"computed ${crc.getValue}) — corrupt sstable")
         val uncLen = math.min(chunkLen.toLong,
           dataLen - chunk.toLong * chunkLen).toInt
-        buf = new Array[Byte](uncLen)
-        lz4.decompress(raw, 0, buf, 0, uncLen)
+        if (compLen >= maxCompressedLength) {
+          // incompressible chunk stored raw (na+)
+          require(compLen == uncLen,
+            s"$file: raw chunk $chunk is $compLen bytes, expected $uncLen")
+          buf = java.util.Arrays.copyOf(raw, compLen)
+        } else {
+          buf = new Array[Byte](uncLen)
+          lz4.decompress(raw, 0, buf, 0, uncLen)
+        }
         pos = 0
         uncLen > 0 || ensure()
       }
@@ -420,8 +433,13 @@ object CassandraSSTableReader {
             s"$file: expiring (TTL) row — not supported")
           var delTs = Long.MinValue
           if ((flags & HasDeletion) != 0) {
-            readUVInt(c) // localDeletionTime delta (informational)
+            // HEADER-delta DeletionTime order is markedForDeleteAt
+            // FIRST, then localDeletionTime — the OPPOSITE of the
+            // partition header's plain int+long form (a fifth review
+            // pass caught the reader and fixture writer sharing the
+            // swapped order, which round-trip specs cannot see)
             delTs = h.minTimestamp + readUVInt(c) // markedForDeleteAt
+            readUVInt(c) // localDeletionTime delta (informational)
           }
           // present-column bitmap: vint where bit i = column i ABSENT
           val present: Seq[Int] =
@@ -459,7 +477,12 @@ object CassandraSSTableReader {
           // latest-version race, and a delete-then-rewrite mutation
           // (deletion + newer cells) counts as its newest cell
           if (delTs > maxTs) maxTs = delTs
-          val isTombstone = (flags & HasDeletion) != 0 && present.isEmpty
+          // a deletion OLDER than the row's liveness does not tombstone
+          // it: DELETE then re-INSERT of a pk/ck-only row serializes as
+          // one zero-cell row with liveness NEWER than the deletion —
+          // CQL shows it live
+          val isTombstone = (flags & HasDeletion) != 0 &&
+            present.isEmpty && delTs >= rowTs
           DecodedRow(pk, ck, values, maxTs, isTombstone, delTs, partDelTs)
       }
 
@@ -566,6 +589,17 @@ object CassandraSSTableReader {
     }
     val ckNames = head.clustering.indices.map(i =>
       clusteringNames.lift(i).getOrElse(s"ck$i"))
+    // the merge layer steers by NAME: a regular column named like the
+    // metadata columns (or like the key/clustering names) would corrupt
+    // the version race — refuse up front, the names are caller-chosen
+    val reserved = Set("_max_ts", "_tomb", "_del_ts", "_part_del_ts",
+      "_ptomb")
+    val allNames = (keyName +: ckNames) ++ head.regulars.map(_._1)
+    require(allNames.distinct.length == allNames.length &&
+      allNames.forall(n => !reserved(n)),
+      s"sstable column names ${allNames.mkString(",")} collide with the " +
+        "key/clustering names or the merge metadata columns — pass " +
+        "distinct keyName/clusteringNames")
     val schema = StructType(
       Seq(StructField(keyName, head.keyType.spark)) ++
         ckNames.zip(head.clustering).map { case (n, t) =>
@@ -600,14 +634,15 @@ object CassandraSSTableReader {
           // decompression for lz4 (never a whole-file array)
           val dp = new Path(f)
           val dfs = dp.getFileSystem(conf)
-          require(dfs.exists(dp), s"$f: missing Data.db")
+          // the path came from a directory listing — stat once, no
+          // separate exists probe
           val fileLen = dfs.getFileStatus(dp).getLen
           val fsIn = dfs.open(dp)
           Option(org.apache.spark.TaskContext.get()).foreach(
             _.addTaskCompletionListener[Unit](_ =>
               try fsIn.close() catch { case _: java.io.IOException => () }))
           val stream = readComponent(conf, f, "CompressionInfo.db") match {
-            case Some(info) => lz4ChunkStream(fsIn, fileLen, info, f)
+            case Some(info) => lz4ChunkStream(fsIn, fileLen, info, ver, f)
             case None => new java.io.BufferedInputStream(fsIn, 1 << 16)
           }
           val it = decodeData(new StreamIn(stream), h, f)
@@ -636,15 +671,17 @@ object CassandraSSTableReader {
     val sibling = new Path(d.getParent,
       d.getName.stripSuffix("Data.db") + comp)
     val fs = sibling.getFileSystem(conf)
-    if (!fs.exists(sibling)) None
-    else {
-      val len = fs.getFileStatus(sibling).getLen
-      require(len <= Int.MaxValue, s"$sibling: too large")
-      val buf = new Array[Byte](len.toInt)
-      val in = fs.open(sibling)
-      try in.readFully(0, buf) finally in.close()
-      Some(buf)
-    }
+    // ONE metadata RPC: stat (covers existence), then open — the
+    // exists+stat+open triple was three round trips per component on
+    // object stores
+    val len =
+      try fs.getFileStatus(sibling).getLen
+      catch { case _: java.io.FileNotFoundException => return None }
+    require(len <= Int.MaxValue, s"$sibling: too large")
+    val buf = new Array[Byte](len.toInt)
+    val in = fs.open(sibling)
+    try in.readFully(0, buf) finally in.close()
+    Some(buf)
   }
 
   // ---------------------------------------------------- fixture writer
@@ -782,9 +819,9 @@ object CassandraSSTableReader {
         val pre = new java.io.ByteArrayOutputStream()
         writeClustering(pre, ck)
         val body = new java.io.ByteArrayOutputStream()
-        // DeletionTime with header deltas: localDeletionTime then mfda
-        writeUVInt(body, math.max(0L, (ts / 1000000L) - DeletionEpoch))
+        // header-delta DeletionTime: markedForDeleteAt FIRST, then ldt
         writeUVInt(body, ts - minTs)
+        writeUVInt(body, math.max(0L, (ts / 1000000L) - DeletionEpoch))
         var absent = 0L
         rts.indices.foreach(i => absent |= (1L << i))
         writeUVInt(body, absent)
@@ -830,6 +867,8 @@ object CassandraSSTableReader {
       infoD.writeUTF("LZ4Compressor")
       infoD.writeInt(0)
       infoD.writeInt(chunkLen)
+      // 4.0+ formats carry maxCompressedLength (never-raw here)
+      if (version >= "na") infoD.writeInt(Int.MaxValue)
       infoD.writeLong(plain.length.toLong)
       infoD.writeInt(offsets.length)
       offsets.foreach(infoD.writeLong)

@@ -43,16 +43,23 @@ object OpenTsdbReader {
       : (Map[Int, String], Map[Int, String], Map[Int, String]) = {
     val cells = HBaseHFileReader.readCells(spark, uidDir)
       .filter("family = 'name' AND cell_type = 'Put'")
-      .select("row_key", "qualifier", "value")
+      .select("row_key", "qualifier", "value", "ts")
       .collect()
     def mapFor(kind: String): Map[Int, String] =
-      cells.filter(_.getString(1) == kind).map { r =>
-        val rk = r.getAs[Array[Byte]](0)
-        require(rk.length == 3,
-          s"tsdb-uid '$kind' row key has ${rk.length} bytes (expected " +
-            "3 — wider uids need tsd.storage.uid.width support)")
-        be24(rk, 0) -> new String(r.getAs[Array[Byte]](2), "UTF-8")
-      }.toMap
+      cells.filter(_.getString(1) == kind)
+        // NEWEST version of a renamed uid wins (HFiles hold every
+        // version; a bare toMap kept whichever came last in file order)
+        .groupBy { r =>
+          val rk = r.getAs[Array[Byte]](0)
+          require(rk.length == 3,
+            s"tsdb-uid '$kind' row key has ${rk.length} bytes (expected " +
+              "3 — wider uids need tsd.storage.uid.width support)")
+          be24(rk, 0)
+        }
+        .map { case (uid, vs) =>
+          uid -> new String(
+            vs.maxBy(_.getLong(3)).getAs[Array[Byte]](2), "UTF-8")
+        }
     (mapFor("metrics"), mapFor("tagk"), mapFor("tagv"))
   }
 
@@ -63,9 +70,35 @@ object OpenTsdbReader {
     val mB = spark.sparkContext.broadcast(metrics)
     val kB = spark.sparkContext.broadcast(tagks)
     val vB = spark.sparkContext.broadcast(tagvs)
-    HBaseHFileReader.readCells(spark, tsdbDir)
-      .filter("family = 't' AND cell_type = 'Put'")
+    // HBase semantics BEFORE tsdb decode: TSD's row compaction rewrites
+    // points into a compacted column and DELETES the originals — a
+    // flushed-but-not-major-compacted table holds both plus the
+    // tombstones, and a bare Put scan would emit every point twice.
+    // Newest version per (row, qualifier) wins; any delete marker at
+    // or after the winner's timestamp shadows it.
+    import org.apache.spark.sql.functions.{col, max, max_by, struct,
+      coalesce, lit}
+    val cells = HBaseHFileReader.readCells(spark, tsdbDir)
+      .filter(col("family") === "t")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val puts = cells.filter(col("cell_type") === "Put")
+      .groupBy(col("row_key"), col("qualifier_bytes"))
+      .agg(max_by(col("value"), struct(col("ts"), col("seq_id")))
+        .as("value"), max(col("ts")).as("_ts"))
+    val delCol = cells
+      .filter(col("cell_type").isin("Delete", "DeleteColumn"))
+      .groupBy(col("row_key").as("_dr"), col("qualifier_bytes").as("_dq"))
+      .agg(max(col("ts")).as("_dts"))
+    val delFam = cells.filter(col("cell_type") === "DeleteFamily")
+      .groupBy(col("row_key").as("_fr")).agg(max(col("ts")).as("_fts"))
+    val live = puts
+      .join(delCol, col("row_key") === col("_dr") &&
+        col("qualifier_bytes") === col("_dq"), "left")
+      .join(delFam, col("row_key") === col("_fr"), "left")
+      .filter(col("_ts") > coalesce(col("_dts"), lit(Long.MinValue)) &&
+        col("_ts") > coalesce(col("_fts"), lit(Long.MinValue)))
       .select("row_key", "qualifier_bytes", "value")
+    val result = live
       .as[(Array[Byte], Array[Byte], Array[Byte])]
       .flatMap { case (rk, qual, value) =>
         require(rk.length >= 7 && (rk.length - 7) % 6 == 0,
@@ -127,6 +160,10 @@ object OpenTsdbReader {
         }
       }
       .toDF("metric", "tags", "ts", "value")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    result.count() // materialize while the cell cache is live
+    cells.unpersist()
+    result // caller may unpersist when done
   }
 
   // ---------------------------------------------------- fixture tooling
@@ -184,24 +221,15 @@ object OpenTsdbReader {
       }
     // writeHFile does not re-sort: emit HBase order (row bytes
     // unsigned-lex, then family, then qualifier bytes)
-    def byteLt(a: Array[Byte], b: Array[Byte]): Boolean = {
-      var i = 0
-      while (i < a.length && i < b.length) {
-        val d = (a(i) & 0xFF) - (b(i) & 0xFF)
-        if (d != 0) return d < 0
-        i += 1
-      }
-      a.length < b.length
-    }
     val cellOrd = new Ordering[HBaseHFileReader.Cell] {
       def compare(x: HBaseHFileReader.Cell,
-                  y: HBaseHFileReader.Cell): Int =
-        if (byteLt(x.row, y.row)) -1
-        else if (byteLt(y.row, x.row)) 1
+                  y: HBaseHFileReader.Cell): Int = {
+        val r = java.util.Arrays.compareUnsigned(x.row, y.row)
+        if (r != 0) r
         else if (x.family != y.family) x.family.compare(y.family)
-        else if (byteLt(x.qualifierBytes, y.qualifierBytes)) -1
-        else if (byteLt(y.qualifierBytes, x.qualifierBytes)) 1
-        else 0
+        else java.util.Arrays.compareUnsigned(
+          x.qualifierBytes, y.qualifierBytes)
+      }
     }
     (dataCells.sorted(cellOrd), uidCells.sorted(cellOrd))
   }

@@ -82,6 +82,18 @@ class CassandraSpec extends AnyFunSuite {
     assert(causeChain(e).contains("CRC mismatch"), causeChain(e))
   }
 
+  test("3.x 'mc' lz4 sstables decode too (no maxCompressedLength " +
+      "field in CompressionInfo — the 4.0+ layouts differ)") {
+    val dir = freshDir("mc")
+    CassandraSSTableReader.writeSSTable(spark, dir,
+      keyType = "Int32Type", clusteringTypes = Nil,
+      regulars = Seq("v" -> "UTF8Type"),
+      rows = Seq((1, Nil, Seq("three-x"), Epoch + 1)),
+      version = "mc", lz4 = true)
+    val rows = CassandraSSTableReader.read(spark, dir).collect()
+    assert(rows.length == 1 && rows(0).getString(1) == "three-x")
+  }
+
   test("refusals: unsupported version, collection types, and the " +
       "clean missing-component surface") {
     val dir = freshDir("refuse")

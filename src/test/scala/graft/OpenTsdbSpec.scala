@@ -34,6 +34,28 @@ class OpenTsdbSpec extends AnyFunSuite {
     assert(got == points.map(p => (p._1, p._2, p._3, p._4)).toSet, got)
   }
 
+  test("HBase versions and TSD-compaction delete markers resolve " +
+      "BEFORE decode: stale versions lose, tombstoned points drop") {
+    val (dataDir, uidDir) = freshDirs()
+    val (dataCells, uidCells) = OpenTsdbReader.fixtureCells(Seq(
+      ("m", Map("h" -> "a"), 1500000000L, 7.0),
+      ("m", Map("h" -> "a"), 1500000001L, 5.0)))
+    val Seq(c1, c2) = dataCells
+    // an OLDER Put version of point 1 (would duplicate/garble without
+    // newest-wins) and a Delete marker newer than point 2 (the shape
+    // TSD's row compaction leaves behind)
+    val stale = c1.copy(value = Array[Byte](99), ts = c1.ts - 5000,
+      seqId = 0L)
+    val del2 = c2.copy(typeCode = 8, value = Array.emptyByteArray,
+      ts = c2.ts + 5000)
+    HBaseHFileReader.writeHFile(spark, s"$dataDir/f1",
+      Seq(c1, stale, del2, c2)) // ts desc within (row, qualifier)
+    HBaseHFileReader.writeHFile(spark, s"$uidDir/f1", uidCells)
+    val got = OpenTsdbReader.read(spark, dataDir, uidDir).collect()
+      .map(r => (r.getLong(2), r.getDouble(3))).toSet
+    assert(got == Set((1500000000L, 7.0)), got.toString)
+  }
+
   test("refusals: millisecond qualifiers, salted/odd row keys, missing " +
       "uid mappings all fail loudly") {
     val (dataDir, uidDir) = freshDirs()
