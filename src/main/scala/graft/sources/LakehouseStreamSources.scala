@@ -62,13 +62,6 @@ class IcebergStreamSource(sqlContext: SQLContext,
   override val schema: StructType = IcebergTable.loadMeta(spark, path).schema
 
   private def snaps = IcebergTable.loadMeta(spark, path).snapshots
-  // eager: `startingSnapshotId=latest` anchors at STREAM START — a lazy
-  // anchor forced at the first batch would drop snapshots landing
-  // between start and the first trigger. Optional: a schema-only table
-  // (created, no commits yet) has no snapshot to anchor at, and then
-  // everything that ever lands is post-launch anyway.
-  private val startSnapshotAtLaunch: Option[Long] =
-    snaps.lastOption.map(_.snapshotId)
 
   // admission control: committed progress persisted under the
   // checkpoint's metadata dir (see DeltaStreamSource.Progress — a
@@ -79,6 +72,25 @@ class IcebergStreamSource(sqlContext: SQLContext,
   private val progress =
     if (metadataPath.isEmpty) None
     else Some(new DeltaStreamSource.Progress(spark, metadataPath))
+
+  // eager: `startingSnapshotId=latest` anchors at STREAM START — a lazy
+  // anchor forced at the first batch would drop snapshots landing
+  // between start and the first trigger. Optional: a schema-only table
+  // (created, no commits yet) has no snapshot to anchor at (persisted
+  // as -1), and then everything that ever lands is post-launch anyway.
+  // PERSISTED like the Delta twin: a restart that re-resolved "latest"
+  // made the crashed batch's getBatch(None, end) replay an EMPTY range
+  // and silently drop its snapshots.
+  private val startSnapshotAtLaunch: Option[Long] =
+    if (!startingSnapshotId.contains("latest"))
+      snaps.lastOption.map(_.snapshotId)
+    else progress.flatMap(_.readAnchor()) match {
+      case Some(v) => if (v < 0) None else Some(v)
+      case None =>
+        val v = snaps.lastOption.map(_.snapshotId)
+        progress.foreach(_.writeAnchor(v.getOrElse(-1L)))
+        v
+    }
   @volatile private var committed: Option[Long] = progress.flatMap(_.read())
   override def commit(end: Offset): Unit = {
     committed = Some(ver(end))

@@ -87,6 +87,26 @@ class LakehouseStreamSpec extends AnyFunSuite {
       s"pre-anchor history must not replay: ${rows.map(_.getLong(0))}")
   }
 
+  test("graft-iceberg: startingSnapshotId=latest ANCHOR persists across " +
+      "restart (a crashed batch replays against the ORIGINAL anchor)") {
+    import graft.sources.IcebergStreamSource
+    val dir = Files.createTempDirectory("ice_anchor_").toString + "/t"
+    IcebergTable.write(Seq((1L, "base")).toDF("k", "v"), dir,
+      SaveMode.Overwrite) // the anchor snapshot
+    val meta = Files.createTempDirectory("ice_anchor_meta_").toString
+    val params = Map("path" -> dir, "startingSnapshotId" -> "latest",
+      "maxFilesPerTrigger" -> "1")
+    new IcebergStreamSource(spark.sqlContext, params, meta) // anchors
+    IcebergTable.write(Seq((2L, "v1")).toDF("k", "v"), dir, SaveMode.Append)
+    IcebergTable.write(Seq((3L, "v2")).toDF("k", "v"), dir, SaveMode.Append)
+    // "crash": a fresh source over the SAME metadata dir must admit
+    // from the PERSISTED anchor — snapshot 2 of 3 — not re-anchor at 3
+    val restarted = new IcebergStreamSource(spark.sqlContext, params, meta)
+    val expected = IcebergTable.loadMeta(spark, dir).snapshots(1).snapshotId
+    assert(restarted.getOffset.map(_.json) == Some(expected.toString),
+      restarted.getOffset.toString)
+  }
+
   test("graft-iceberg: startingSnapshotId initial batch = STATE at id + later appends") {
     val dir = Files.createTempDirectory("ice_stream_sid_").toString + "/t"
     IcebergTable.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir,
