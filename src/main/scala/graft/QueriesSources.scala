@@ -904,6 +904,61 @@ object QueriesSources {
           col("ts"), round(col("value"), 2).as("value"))
     }),
 
+    // ---- Phoenix on HBase (ref contrib/storage-phoenix/.../
+    // PhoenixBatchReader.java reads typed rows via the thin-client
+    // JDBC driver; re-expressed zero-egress over the PUBLIC Phoenix
+    // table layout — sign-flipped rowkey codecs, 0x00 varchar
+    // separators, one cell per non-PK column — decoded from store
+    // files through the HFile reader). Fixture: two generations over
+    // customer — gen2 overwrites even keys, DeleteColumn nulls key 5's
+    // name, DeleteFamily drops key 7 — oracle re-derives relationally ----
+    "q_phoenix" -> ((s, d) => {
+      import graft.sources.{HBaseHFileReader, PhoenixReader}
+      import graft.sources.PhoenixReader.PhoenixColumn
+      val dir = s"${out(d)}/phoenix_store"
+      val schema = Seq(
+        PhoenixColumn("c_mktsegment", "VARCHAR", pk = true),
+        PhoenixColumn("c_custkey", "BIGINT", pk = true),
+        PhoenixColumn("c_name", "VARCHAR"),
+        PhoenixColumn("c_nationkey", "INTEGER"),
+        PhoenixColumn("acctbal_cents", "BIGINT"),
+        PhoenixColumn("joined", "DATE"))
+      val rows = GraftSession.table(s, d, "customer")
+        .filter(col("c_custkey") < 120)
+        .select(col("c_mktsegment"), col("c_custkey").cast("long"),
+          col("c_name"), col("c_nationkey").cast("int"),
+          round(col("c_acctbal") * 100).cast("long"))
+        .collect().sortBy(_.getLong(1))
+      def vals(r: org.apache.spark.sql.Row, old: Boolean): Seq[Any] = Seq(
+        r.getString(0), r.getLong(1),
+        if (old) r.getString(2) + "_old" else r.getString(2),
+        r.getInt(3),
+        if (old) r.getLong(4) + 7 else r.getLong(4),
+        java.sql.Date.valueOf(
+          java.time.LocalDate.of(1992, 1, 1).plusDays(r.getLong(1))))
+      HBaseHFileReader.writeHFile(s, s"$dir/gen1",
+        PhoenixReader.fixtureCells(schema,
+          rows.map(r => (vals(r, old = true), 1000L, 1L)).toSeq),
+        gzip = true)
+      val pkCols = schema.filter(_.pk)
+      val gen2 = PhoenixReader.sortCells(
+        PhoenixReader.fixtureCells(schema,
+          rows.filter(_.getLong(1) % 2 == 0)
+            .map(r => (vals(r, old = false), 2000L, 2L)).toSeq) ++
+        rows.filter(_.getLong(1) == 5L).map { r =>
+          HBaseHFileReader.Cell(
+            PhoenixReader.rowKey(pkCols, Seq(r.getString(0), 5L)),
+            "0", "c_name", 2500L, 12, Array.emptyByteArray, 2L)
+        } ++
+        rows.filter(_.getLong(1) == 7L).map { r =>
+          HBaseHFileReader.Cell(
+            PhoenixReader.rowKey(pkCols, Seq(r.getString(0), 7L)),
+            "0", "", 2500L, 14, Array.emptyByteArray, 2L)
+        })
+      HBaseHFileReader.writeHFile(s, s"$dir/gen2", gen2)
+      PhoenixReader.read(s, dir, schema)
+    }),
+
     // ---- hive-metastore federation (ref contrib/storage-hive/core/...
     // /HiveStoragePlugin.java): partitioned CTAS into an embedded Derby
     // HMS, read back through the pruning catalog mirror — the partition
@@ -2110,6 +2165,17 @@ object QueriesSources {
       SELECT s_suppkey::BIGINT AS s_suppkey, s_name,
              round(s_acctbal::DOUBLE, 2) AS acctbal
       FROM supplier""",
+    "q_phoenix" -> """
+      SELECT c_mktsegment, c_custkey::BIGINT AS c_custkey,
+             CASE WHEN c_custkey = 5 THEN NULL
+                  WHEN c_custkey % 2 = 0 THEN c_name
+                  ELSE c_name || '_old' END AS c_name,
+             c_nationkey::INT AS c_nationkey,
+             (round(c_acctbal * 100)::BIGINT +
+              CASE WHEN c_custkey % 2 = 0 THEN 0 ELSE 7 END)
+               AS acctbal_cents,
+             (DATE '1992-01-01' + (c_custkey::INT)) AS joined
+      FROM customer WHERE c_custkey < 120 AND c_custkey <> 7""",
     "q_hbase_hfile" -> """
       SELECT n_nationkey::VARCHAR AS row_key, n_name AS name,
              CASE WHEN n_nationkey = 5 THEN NULL
