@@ -449,6 +449,69 @@ object HBaseHFileReader {
       }(enc).toDF(cellSchema.fieldNames: _*)
   }
 
+  /** HBase read semantics over a cell relation (the [[readCells]]
+    * shape): all four delete-marker kinds applied PER-VERSION, then the
+    * newest surviving version per (row, family, qualifier BYTES) wins
+    * by (ts, seq_id). The ONE implementation of the regionserver's
+    * merge — [[read]], [[OpenTsdbReader.read]] and
+    * [[PhoenixReader.read]] all route through it, so the semantics
+    * cannot drift between the layered readers.
+    *
+    * Marker semantics (hbase book "Delete" cell types):
+    *  DeleteFamily: everything in (row,family) with ts <= marker ts
+    *  DeleteFamilyVersion: (row,family) at EXACTLY marker ts
+    *  DeleteColumn: (row,family,qualifier) with ts <= marker ts
+    *  Delete: (row,family,qualifier) at EXACTLY marker ts
+    *
+    * Keys are the RAW qualifier bytes (qualifiers are arbitrary bytes
+    * in HBase; the string form can mangle-collide). Returns one row per
+    * surviving column: (row_key, family, qualifier, qualifier_bytes,
+    * value). */
+  def resolveLatest(cells: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val puts = cells.filter(col("cell_type") === "Put")
+    val dels = cells.filter(col("cell_type") =!= "Put")
+    // delete-marker thresholds, each a tiny aggregate joined back;
+    // tombstone sides rename their keys: puts and the markers share one
+    // lineage, and df("col") === df2("col") on a self-derived pair is
+    // the ambiguous-self-join trap
+    val delFam = dels.filter(col("cell_type") === "DeleteFamily")
+      .groupBy("row_key", "family").agg(max("ts").as("_df_ts"))
+    val delFamVer = dels.filter(col("cell_type") === "DeleteFamilyVersion")
+      .select(col("row_key").as("_fv_r"), col("family").as("_fv_f"),
+        col("ts").as("_fv_t")).distinct()
+    val delCol = dels.filter(col("cell_type") === "DeleteColumn")
+      .groupBy("row_key", "family", "qualifier_bytes")
+      .agg(max("ts").as("_dc_ts"))
+    val delVer = dels.filter(col("cell_type") === "Delete")
+      .select(col("row_key").as("_dv_r"), col("family").as("_dv_f"),
+        col("qualifier_bytes").as("_dv_q"), col("ts").as("_dv_t"))
+      .distinct()
+    val live = puts
+      .join(delFam, Seq("row_key", "family"), "left")
+      .join(delCol, Seq("row_key", "family", "qualifier_bytes"), "left")
+      .join(delFamVer, col("row_key") === col("_fv_r") &&
+        col("family") === col("_fv_f") && col("ts") === col("_fv_t"),
+        "left_anti") // exact-ts family-version tombstone
+      .join(delVer, col("row_key") === col("_dv_r") &&
+        col("family") === col("_dv_f") &&
+        col("qualifier_bytes") === col("_dv_q") && col("ts") === col("_dv_t"),
+        "left_anti")
+      .filter((col("_df_ts").isNull || col("ts") > col("_df_ts")) &&
+        (col("_dc_ts").isNull || col("ts") > col("_dc_ts")))
+      .drop("_df_ts", "_dc_ts")
+    // newest version wins (ts desc, seq_id desc as the tie-break) — ONE
+    // max_by-shaped aggregation, map-side combinable; the string
+    // qualifier is functionally dependent on the byte key, so any
+    // max_by carries it
+    live.groupBy("row_key", "family", "qualifier_bytes")
+      .agg(
+        max_by(col("value"), struct(col("ts"), col("seq_id"))).as("value"),
+        max_by(col("qualifier"),
+          struct(col("ts"), col("seq_id"))).as("qualifier"))
+      .select("row_key", "family", "qualifier", "qualifier_bytes", "value")
+  }
+
   /** The reference plugin's relation: `row_key` + one map column per
     * family, HBase read semantics applied (delete markers, then newest
     * version per (row, family, qualifier) wins — ties by seq_id).
@@ -463,62 +526,25 @@ object HBaseHFileReader {
     // decodes six times; released once the returned frame materializes
     val cells = readCells(spark, path)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val families = cells.select("family").distinct()
-      .collect().map(_.getString(0)).sorted // metadata-scale collect
-    if (families.isEmpty) {
-      cells.unpersist()
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row],
-        StructType(Seq(StructField("row_key", BinaryType))))
-    }
-    val puts = cells.filter(col("cell_type") === "Put")
-    val dels = cells.filter(col("cell_type") =!= "Put")
-    // delete-marker thresholds, each a tiny aggregate joined back:
-    //  DeleteFamily: everything in (row,family) with ts <= marker ts
-    //  DeleteFamilyVersion: (row,family) at EXACTLY marker ts
-    //  DeleteColumn: (row,family,qualifier) with ts <= marker ts
-    //  Delete: (row,family,qualifier) at EXACTLY marker ts
-    val delFam = dels.filter(col("cell_type") === "DeleteFamily")
-      .groupBy("row_key", "family").agg(max("ts").as("_df_ts"))
-    // tombstone sides rename their keys: puts and the markers share one
-    // lineage, and df("col") === df2("col") on a self-derived pair is
-    // the ambiguous-self-join trap
-    val delFamVer = dels.filter(col("cell_type") === "DeleteFamilyVersion")
-      .select(col("row_key").as("_fv_r"), col("family").as("_fv_f"),
-        col("ts").as("_fv_t")).distinct()
-    val delCol = dels.filter(col("cell_type") === "DeleteColumn")
-      .groupBy("row_key", "family", "qualifier").agg(max("ts").as("_dc_ts"))
-    val delVer = dels.filter(col("cell_type") === "Delete")
-      .select(col("row_key").as("_dv_r"), col("family").as("_dv_f"),
-        col("qualifier").as("_dv_q"), col("ts").as("_dv_t")).distinct()
-    val live = puts
-      .join(delFam, Seq("row_key", "family"), "left")
-      .join(delCol, Seq("row_key", "family", "qualifier"), "left")
-      .join(delFamVer, col("row_key") === col("_fv_r") &&
-        col("family") === col("_fv_f") && col("ts") === col("_fv_t"),
-        "left_anti") // exact-ts family-version tombstone
-      .join(delVer, col("row_key") === col("_dv_r") &&
-        col("family") === col("_dv_f") &&
-        col("qualifier") === col("_dv_q") && col("ts") === col("_dv_t"),
-        "left_anti")
-      .filter((col("_df_ts").isNull || col("ts") > col("_df_ts")) &&
-        (col("_dc_ts").isNull || col("ts") > col("_dc_ts")))
-      .drop("_df_ts", "_dc_ts")
-    // newest version wins (ts desc, seq_id desc as the tie-break) — ONE
-    // max_by-shaped aggregation, map-side combinable
-    val latest = live.groupBy("row_key", "family", "qualifier")
-      .agg(max_by(col("value"),
-        struct(col("ts"), col("seq_id"))).as("value"))
-    val famCols = families.map { fam =>
-      map_from_entries(collect_list(when(col("family") === fam,
-        struct(col("qualifier"), col("value"))))).as(fam)
-    }
-    val result = latest.groupBy("row_key")
-      .agg(famCols.head, famCols.tail: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    result.count() // materialize while the cell cache is live
-    cells.unpersist()
-    result // caller may unpersist when done (the classifier contract)
+    try {
+      val families = cells.select("family").distinct()
+        .collect().map(_.getString(0)).sorted // metadata-scale collect
+      if (families.isEmpty)
+        return spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row],
+          StructType(Seq(StructField("row_key", BinaryType))))
+      val latest = resolveLatest(cells)
+      val famCols = families.map { fam =>
+        map_from_entries(collect_list(when(col("family") === fam,
+          struct(col("qualifier"), col("value"))))).as(fam)
+      }
+      val result = latest.groupBy("row_key")
+        .agg(famCols.head, famCols.tail: _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try result.count() // materialize while the cell cache is live
+      catch { case t: Throwable => result.unpersist(); throw t }
+      result // caller may unpersist when done (the classifier contract)
+    } finally cells.unpersist() // also on refusal paths mid-decode
   }
 
   // ----------------------------------------------------- fixture writing

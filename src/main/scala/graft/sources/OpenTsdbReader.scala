@@ -38,28 +38,30 @@ object OpenTsdbReader {
 
   /** uid → name maps from a tsdb-uid table directory: (metrics, tagk,
     * tagv). Metadata-scale collect by design (one row per distinct
-    * name TSD ever allocated). */
+    * name TSD ever allocated). Full HBase read semantics apply —
+    * renamed uids resolve to the newest version by (ts, seq_id) and
+    * deleted uid rows drop, through the same [[HBaseHFileReader
+    * .resolveLatest]] every layered reader shares. */
   def uidMaps(spark: SparkSession, uidDir: String)
       : (Map[Int, String], Map[Int, String], Map[Int, String]) = {
+    import org.apache.spark.sql.functions.col
+    // the resolution reads the cell relation from six plan branches —
+    // persist even at uid-table (metadata) scale to decode files once
     val cells = HBaseHFileReader.readCells(spark, uidDir)
-      .filter("family = 'name' AND cell_type = 'Put'")
-      .select("row_key", "qualifier", "value", "ts")
-      .collect()
+      .filter(col("family") === "name")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val live =
+      try HBaseHFileReader.resolveLatest(cells)
+        .select("row_key", "qualifier", "value").collect()
+      finally cells.unpersist()
     def mapFor(kind: String): Map[Int, String] =
-      cells.filter(_.getString(1) == kind)
-        // NEWEST version of a renamed uid wins (HFiles hold every
-        // version; a bare toMap kept whichever came last in file order)
-        .groupBy { r =>
-          val rk = r.getAs[Array[Byte]](0)
-          require(rk.length == 3,
-            s"tsdb-uid '$kind' row key has ${rk.length} bytes (expected " +
-              "3 — wider uids need tsd.storage.uid.width support)")
-          be24(rk, 0)
-        }
-        .map { case (uid, vs) =>
-          uid -> new String(
-            vs.maxBy(_.getLong(3)).getAs[Array[Byte]](2), "UTF-8")
-        }
+      live.filter(_.getString(1) == kind).map { r =>
+        val rk = r.getAs[Array[Byte]](0)
+        require(rk.length == 3,
+          s"tsdb-uid '$kind' row key has ${rk.length} bytes (expected " +
+            "3 — wider uids need tsd.storage.uid.width support)")
+        be24(rk, 0) -> new String(r.getAs[Array[Byte]](2), "UTF-8")
+      }.toMap
     (mapFor("metrics"), mapFor("tagk"), mapFor("tagv"))
   }
 
@@ -74,29 +76,13 @@ object OpenTsdbReader {
     // points into a compacted column and DELETES the originals — a
     // flushed-but-not-major-compacted table holds both plus the
     // tombstones, and a bare Put scan would emit every point twice.
-    // Newest version per (row, qualifier) wins; any delete marker at
-    // or after the winner's timestamp shadows it.
-    import org.apache.spark.sql.functions.{col, max, max_by, struct,
-      coalesce, lit}
+    // The shared resolveLatest applies all four marker kinds
+    // per-version and picks the newest survivor by (ts, seq_id).
+    import org.apache.spark.sql.functions.col
     val cells = HBaseHFileReader.readCells(spark, tsdbDir)
       .filter(col("family") === "t")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val puts = cells.filter(col("cell_type") === "Put")
-      .groupBy(col("row_key"), col("qualifier_bytes"))
-      .agg(max_by(col("value"), struct(col("ts"), col("seq_id")))
-        .as("value"), max(col("ts")).as("_ts"))
-    val delCol = cells
-      .filter(col("cell_type").isin("Delete", "DeleteColumn"))
-      .groupBy(col("row_key").as("_dr"), col("qualifier_bytes").as("_dq"))
-      .agg(max(col("ts")).as("_dts"))
-    val delFam = cells.filter(col("cell_type") === "DeleteFamily")
-      .groupBy(col("row_key").as("_fr")).agg(max(col("ts")).as("_fts"))
-    val live = puts
-      .join(delCol, col("row_key") === col("_dr") &&
-        col("qualifier_bytes") === col("_dq"), "left")
-      .join(delFam, col("row_key") === col("_fr"), "left")
-      .filter(col("_ts") > coalesce(col("_dts"), lit(Long.MinValue)) &&
-        col("_ts") > coalesce(col("_fts"), lit(Long.MinValue)))
+    val live = HBaseHFileReader.resolveLatest(cells)
       .select("row_key", "qualifier_bytes", "value")
     val result = live
       .as[(Array[Byte], Array[Byte], Array[Byte])]
@@ -161,8 +147,12 @@ object OpenTsdbReader {
       }
       .toDF("metric", "tags", "ts", "value")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    result.count() // materialize while the cell cache is live
-    cells.unpersist()
+    // materialize while the cell cache is live; refusal paths
+    // (ms qualifiers, salted keys, missing uids) throw out of count —
+    // release BOTH caches instead of leaving blocks pinned
+    try result.count()
+    catch { case t: Throwable => result.unpersist(); throw t }
+    finally cells.unpersist()
     result // caller may unpersist when done
   }
 

@@ -49,11 +49,12 @@ import org.apache.spark.sql.types._
   * the same way.
   *
   * Scale posture: store-file decode is one task per HFile (inherited
-  * from readCells); HBase version/tombstone resolution is the same
-  * two-join shape as [[OpenTsdbReader.read]]; the only extra shuffle
-  * is the per-row cell collapse, keyed by row_key (Phoenix rows are
-  * single-digit cells wide, so no skew surface). The schema is
-  * driver-side metadata, broadcast implicitly through the closure.
+  * from readCells); HBase version/tombstone resolution is the shared
+  * [[HBaseHFileReader.resolveLatest]] (all four marker kinds,
+  * per-version); the only extra shuffle is the per-row cell collapse,
+  * keyed by row_key (Phoenix rows are single-digit cells wide, so no
+  * skew surface). The schema is driver-side metadata, broadcast
+  * implicitly through the closure.
   */
 object PhoenixReader {
 
@@ -269,41 +270,36 @@ object PhoenixReader {
     val pkCols = schema.filter(_.pk)
     val dataCols = schema.filterNot(_.pk)
     val salted = saltBuckets > 0
+    val emptyQ = emptyQualifier(encodedQualifiers)
+    val qualToCol: Seq[(Array[Byte], PhoenixColumn)] =
+      dataCols.zipWithIndex.map { case (c, i) =>
+        qualifierFor(c.name, i, encodedQualifiers) -> c
+      }
+    // a declared column whose qualifier collides with the liveness
+    // marker would silently decode all-NULL (the marker-skip swallows
+    // its cells) — refuse loudly instead, like Cassandra's
+    // reserved-name guard
+    qualToCol.foreach { case (q, c) =>
+      require(!java.util.Arrays.equals(q, emptyQ),
+        s"phoenix column ${c.name} collides with the empty-column " +
+          s"liveness marker qualifier (${if (encodedQualifiers) "encoded 0"
+            else "'_0'"}) — reserved by phoenix")
+    }
 
     import org.apache.spark.sql.functions._
     val cells = HBaseHFileReader.readCells(spark, path)
       .filter(col("family") === family)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // HBase read semantics first (same shape as OpenTsdbReader.read):
-    // newest Put per (row, qualifier) by (ts, seq_id); any Delete/
-    // DeleteColumn at-or-after shadows it; DeleteFamily shadows the row.
-    val puts = cells.filter(col("cell_type") === "Put")
-      .groupBy(col("row_key"), col("qualifier_bytes"))
-      .agg(max_by(col("value"), struct(col("ts"), col("seq_id")))
-        .as("value"), max(col("ts")).as("_ts"))
-    val delCol = cells
-      .filter(col("cell_type").isin("Delete", "DeleteColumn"))
-      .groupBy(col("row_key").as("_dr"), col("qualifier_bytes").as("_dq"))
-      .agg(max(col("ts")).as("_dts"))
-    val delFam = cells.filter(col("cell_type") === "DeleteFamily")
-      .groupBy(col("row_key").as("_fr")).agg(max(col("ts")).as("_fts"))
-    val live = puts
-      .join(delCol, col("row_key") === col("_dr") &&
-        col("qualifier_bytes") === col("_dq"), "left")
-      .join(delFam, col("row_key") === col("_fr"), "left")
-      .filter(col("_ts") > coalesce(col("_dts"), lit(Long.MinValue)) &&
-        col("_ts") > coalesce(col("_fts"), lit(Long.MinValue)))
+    // HBase read semantics first — the shared resolveLatest (all four
+    // marker kinds per-version, newest survivor by (ts, seq_id)), the
+    // same implementation HBaseHFileReader.read and OpenTsdbReader use.
+    val live = HBaseHFileReader.resolveLatest(cells)
       .select("row_key", "qualifier_bytes", "value")
 
     val outSchema = StructType(schema.map(c =>
       StructField(c.name, sparkType(c.dataType), nullable = true)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(outSchema)
-    val emptyQ = emptyQualifier(encodedQualifiers)
-    val qualToCol: Seq[(Array[Byte], PhoenixColumn)] =
-      dataCols.zipWithIndex.map { case (c, i) =>
-        qualifierFor(c.name, i, encodedQualifiers) -> c
-      }
     import spark.implicits._
     val result = live
       .as[(Array[Byte], Array[Byte], Array[Byte])]
@@ -341,8 +337,11 @@ object PhoenixReader {
       }(enc)
       .toDF(outSchema.fieldNames: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    result.count() // materialize while the cell cache is live
-    cells.unpersist()
+    // materialize while the cell cache is live; refusal paths (salt
+    // range, rowkey mismatch) throw out of count — release BOTH caches
+    try result.count()
+    catch { case t: Throwable => result.unpersist(); throw t }
+    finally cells.unpersist()
     result
   }
 

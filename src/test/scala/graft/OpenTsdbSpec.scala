@@ -42,11 +42,13 @@ class OpenTsdbSpec extends AnyFunSuite {
       ("m", Map("h" -> "a"), 1500000001L, 5.0)))
     val Seq(c1, c2) = dataCells
     // an OLDER Put version of point 1 (would duplicate/garble without
-    // newest-wins) and a Delete marker newer than point 2 (the shape
-    // TSD's row compaction leaves behind)
+    // newest-wins) and a DeleteColumn marker newer than point 2 — the
+    // shape TSD's row compaction leaves behind (its cleanup deletes
+    // ALL versions of the original qualifiers, which HBase writes as
+    // a <=-threshold DeleteColumn, NOT an exact-ts Delete)
     val stale = c1.copy(value = Array[Byte](99), ts = c1.ts - 5000,
       seqId = 0L)
-    val del2 = c2.copy(typeCode = 8, value = Array.emptyByteArray,
+    val del2 = c2.copy(typeCode = 12, value = Array.emptyByteArray,
       ts = c2.ts + 5000)
     HBaseHFileReader.writeHFile(spark, s"$dataDir/f1",
       Seq(c1, stale, del2, c2)) // ts desc within (row, qualifier)
@@ -54,6 +56,31 @@ class OpenTsdbSpec extends AnyFunSuite {
     val got = OpenTsdbReader.read(spark, dataDir, uidDir).collect()
       .map(r => (r.getLong(2), r.getDouble(3))).toSet
     assert(got == Set((1500000000L, 7.0)), got.toString)
+  }
+
+  test("exact-ts Delete markers (type 8) delete ONLY their version — " +
+      "an older surviving version still decodes (regionserver " +
+      "semantics, shared resolveLatest)") {
+    val (dataDir, uidDir) = freshDirs()
+    val (dataCells, uidCells) = OpenTsdbReader.fixtureCells(Seq(
+      ("m", Map("h" -> "a"), 1500000000L, 7.0)))
+    val Seq(c1) = dataCells
+    // an older version of the same point, a Delete at EXACTLY the
+    // newest version's ts (kills it), and a Delete at an untouched ts
+    // (kills nothing) — the older version must surface
+    val older = c1.copy(value = Array[Byte](3), ts = c1.ts - 5000,
+      seqId = 0L)
+    val delNewest = c1.copy(typeCode = 8, value = Array.emptyByteArray)
+    val delNothing = c1.copy(typeCode = 8, value = Array.emptyByteArray,
+      ts = c1.ts + 9999)
+    // HBase order: ts desc, then type code desc at equal ts (the
+    // Delete sorts before the Put it shadows)
+    HBaseHFileReader.writeHFile(spark, s"$dataDir/f1",
+      Seq(delNothing, delNewest, c1, older))
+    HBaseHFileReader.writeHFile(spark, s"$uidDir/f1", uidCells)
+    val got = OpenTsdbReader.read(spark, dataDir, uidDir).collect()
+      .map(r => (r.getLong(2), r.getDouble(3))).toSet
+    assert(got == Set((1500000000L, 3.0)), got.toString)
   }
 
   test("refusals: millisecond qualifiers, salted/odd row keys, missing " +

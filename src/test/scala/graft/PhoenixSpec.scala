@@ -170,6 +170,37 @@ class PhoenixSpec extends AnyFunSuite {
       Array[Byte](0x80.toByte, 0, 0, 1)))
   }
 
+  test("DeleteFamilyVersion kills EXACTLY its ts across the family — " +
+      "the older generation resurfaces (per-version semantics via the " +
+      "shared resolveLatest)") {
+    val dir = freshDir()
+    val schema = Seq(
+      PhoenixColumn("id", "INTEGER", pk = true),
+      PhoenixColumn("v", "BIGINT"))
+    HBaseHFileReader.writeHFile(spark, s"$dir/gen1",
+      PhoenixReader.fixtureCells(schema, Seq((Seq[Any](1, 10L), 1000L, 1L))))
+    HBaseHFileReader.writeHFile(spark, s"$dir/gen2",
+      PhoenixReader.fixtureCells(schema, Seq((Seq[Any](1, 11L), 2000L, 2L))))
+    // DFV at exactly ts 2000: gen2's cells (v AND the liveness marker)
+    // die, gen1's survive — HBaseHFileReader.read semantics, now shared
+    HBaseHFileReader.writeHFile(spark, s"$dir/gen3", Seq(
+      HBaseHFileReader.Cell(PhoenixReader.rowKey(schema.take(1), Seq(1)),
+        "0", "", 2000L, 10, Array.emptyByteArray, 3L)))
+    val got = PhoenixReader.read(spark, dir, schema).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(got == Set((1, 10L)), got)
+  }
+
+  test("a declared column named '_0' (the liveness marker qualifier) " +
+      "refuses loudly instead of decoding all-NULL") {
+    val e = intercept[IllegalArgumentException] {
+      PhoenixReader.read(spark, "/nonexistent",
+        Seq(PhoenixColumn("id", "INTEGER", pk = true),
+          PhoenixColumn("_0", "VARCHAR")))
+    }
+    assert(e.getMessage.contains("liveness marker"), e.getMessage)
+  }
+
   test("salted tables: bucket byte skipped and range-checked; unsalted " +
       "read of a salted table refuses with unparsed-bytes") {
     val dir = freshDir()
