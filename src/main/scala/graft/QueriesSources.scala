@@ -959,6 +959,44 @@ object QueriesSources {
       PhoenixReader.read(s, dir, schema)
     }),
 
+    // ---- DNS functions over RFC 1035 zone files (ref contrib/udfs/
+    // .../DNSFunctions.java — live-resolver UDFs re-expressed
+    // zero-egress: the resolver's DATA is the public master-file
+    // format). Forward zone + reverse tree synthesized from nation;
+    // host_lookup chases one CNAME hop, reverse_ip_lookup walks
+    // in-addr.arpa — the oracle re-derives both joins as string
+    // construction ----
+    "q_dns_zone" -> ((s, d) => {
+      import graft.sources.{Dns, ZoneFileReader}
+      val dir = s"${out(d)}/zones"
+      val rows = GraftSession.table(s, d, "nation")
+        .select(col("n_nationkey").cast("long"), col("n_regionkey").cast("long"))
+        .collect().sortBy(_.getLong(0))
+      val fwd = new StringBuilder("$ORIGIN example.test.\n$TTL 3600\n")
+      val rev = new StringBuilder("$TTL 3600\n")
+      rows.foreach { r =>
+        val (k, g) = (r.getLong(0), r.getLong(1))
+        fwd.append(s"n$k A 10.0.$g.$k\n")
+        fwd.append(s"alias$k CNAME n$k\n")
+        rev.append(s"$k.$g.0.10.in-addr.arpa. PTR n$k.example.test.\n")
+      }
+      val dp = new org.apache.hadoop.fs.Path(dir)
+      val fs = dp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(dp, true); fs.mkdirs(dp)
+      for ((n, t) <- Seq("fwd.zone" -> fwd, "rev.zone" -> rev)) {
+        val o = fs.create(new org.apache.hadoop.fs.Path(dir, n), true)
+        try o.write(t.toString.getBytes("UTF-8")) finally o.close()
+      }
+      val zone = ZoneFileReader.read(s, dir)
+      val names = GraftSession.table(s, d, "nation")
+        .select(col("n_nationkey"),
+          concat(lit("alias"), col("n_nationkey"), lit(".example.test"))
+            .as("host"))
+      val withAddr = Dns.hostAddress(zone, names, "host")
+      Dns.hostName(zone, withAddr, "address", "ptr_name")
+        .select("n_nationkey", "host", "address", "ptr_name")
+    }),
+
     // ---- hive-metastore federation (ref contrib/storage-hive/core/...
     // /HiveStoragePlugin.java): partitioned CTAS into an embedded Derby
     // HMS, read back through the pruning catalog mirror — the partition
@@ -2187,6 +2225,12 @@ object QueriesSources {
                   ELSE n_name || '_old' END AS name,
              n_regionkey::BIGINT AS regionkey
       FROM nation WHERE n_nationkey NOT IN (5, 7)""",
+    "q_dns_zone" -> """
+      SELECT n_nationkey,
+             'alias' || n_nationkey || '.example.test' AS host,
+             '10.0.' || n_regionkey || '.' || n_nationkey AS address,
+             'n' || n_nationkey || '.example.test' AS ptr_name
+      FROM nation""",
     "q_opentsdb" -> """
       SELECT 'orders.total' AS metric, o_orderstatus AS status,
              (1500000000 + o_orderkey)::BIGINT AS ts,
