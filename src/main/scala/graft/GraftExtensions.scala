@@ -218,6 +218,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           graft.functions.ConvexClipExpr(children.head, children(1), op)
         }))
     }
+    // st_buffer (contrib/udfs gis/STBuffer.java — Esri
+    // GeometryEngine.buffer there): Minkowski buffering, convex slice;
+    // optional third literal = segments per full circle
+    ext.injectFunction((
+      new FunctionIdentifier("st_buffer"),
+      new ExpressionInfo(classOf[graft.functions.StBufferExpr].getName,
+        "st_buffer"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2 || children.length == 3,
+          s"st_buffer expects (geom, distance[, segments]), got " +
+            s"${children.length} args")
+        val segs = children.lift(2).map {
+          case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"st_buffer: segments must be an integer literal, got $other")
+        }.getOrElse(graft.functions.StBuffer.DefaultSegments)
+        graft.functions.StBufferExpr(children.head,
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            children(1), org.apache.spark.sql.types.DoubleType),
+          segs)
+      }))
     // st_relate: 2-arg = the DE-9IM matrix string, 3-arg = boolean
     // pattern match (contrib/udfs gis/STRelate.java)
     ext.injectFunction((

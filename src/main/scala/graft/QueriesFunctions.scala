@@ -591,6 +591,44 @@ object QueriesFunctions {
           round(stArea(stIntersection(ell, contain)), 6).as("full_area"))
     }),
 
+    // st_buffer, convex slice (ref contrib/udfs gis/STBuffer.java —
+    // Esri GeometryEngine.buffer there). Every derived measure has a
+    // CLOSED FORM the oracle recomputes with no geometry code: rounded-
+    // rect area = wh + 2(w+h)d + the 32-gon disc (16 d² sin(π/16)),
+    // vertex count is a constant of the construction, envelope extremes
+    // are EXACT (arc endpoints emitted from the edge normals, no trig),
+    // erosion of a rectangle is the exact inset (empty → -1 sentinel),
+    // and the point buffer is the bare disc-gon. Areas round to 6dp on
+    // BOTH engines so a libm-vs-JDK sin() ulp can never flip the hash.
+    "q_gis_buffer" -> ((s, d) => {
+      import graft.functions.GisFunctions._
+      import org.apache.spark.sql.Column
+      val k = col("o_orderkey")
+      def w(c: Column): Column = c.cast("string")
+      val x1 = k % 5; val y1 = (k * 2) % 5
+      val x2 = x1 + 3 + k % 4; val y2 = y1 + 2 + (k * 5) % 3
+      val dd = (lit(1) + (k * 7) % 3).cast("double")
+      def rect(a1: Column, b1: Column, a2: Column, b2: Column): Column =
+        stGeomFromText(concat(lit("POLYGON (("),
+          w(a1), lit(" "), w(b1), lit(", "), w(a2), lit(" "), w(b1), lit(", "),
+          w(a2), lit(" "), w(b2), lit(", "), w(a1), lit(" "), w(b2), lit(", "),
+          w(a1), lit(" "), w(b1), lit("))")))
+      val r = rect(x1, y1, x2, y2)
+      val pt = stGeomFromText(concat(lit("POINT ("), w(x1), lit(" "),
+        w(y1), lit(")")))
+      val buffed = call_function("st_buffer", r, dd)
+      val eroded = call_function("st_buffer", r, -dd)
+      T(s, d, "orders").filter(k < 400)
+        .select(k.as("o_orderkey"),
+          round(stArea(buffed), 6).as("buf_area"),
+          size(buffed("xs")).as("nv"),
+          stXMin(buffed).as("bxmin"), stXMax(buffed).as("bxmax"),
+          stYMin(buffed).as("bymin"), stYMax(buffed).as("bymax"),
+          round(coalesce(stArea(eroded), lit(-1.0)), 6).as("ero_area"),
+          round(stArea(call_function("st_buffer", pt, dd)), 6)
+            .as("pt_area"))
+    }),
+
     // Mergeable HLL sketch columns (Spark's Datasketches-backed built-ins):
     // per-group sketches union to an estimate within tolerance of the
     // global exact count — the "sketch once, merge cheaply" contract that
@@ -766,6 +804,26 @@ object QueriesFunctions {
            (CASE WHEN inter <= 0 THEN -1 ELSE inter END)::DOUBLE AS inter_area_swap,
            full_a::DOUBLE AS full_area
          FROM m""",
+    "q_gis_buffer" ->
+      """WITH g AS (
+           SELECT o_orderkey,
+             (o_orderkey % 5)::DOUBLE AS x1,
+             ((o_orderkey*2) % 5)::DOUBLE AS y1,
+             (3 + o_orderkey % 4)::DOUBLE AS wd,
+             (2 + (o_orderkey*5) % 3)::DOUBLE AS ht,
+             (1 + (o_orderkey*7) % 3)::DOUBLE AS dd
+           FROM orders WHERE o_orderkey < 400)
+         SELECT o_orderkey,
+           round(wd*ht + 2*(wd + ht)*dd + 16*dd*dd*sin(pi()/16), 6)
+             AS buf_area,
+           36 AS nv,
+           x1 - dd AS bxmin, x1 + wd + dd AS bxmax,
+           y1 - dd AS bymin, y1 + ht + dd AS bymax,
+           round(CASE WHEN wd > 2*dd AND ht > 2*dd
+                 THEN (wd - 2*dd) * (ht - 2*dd) ELSE -1.0 END, 6)
+             AS ero_area,
+           round(16*dd*dd*sin(pi()/16), 6) AS pt_area
+         FROM g""",
     "q_gis_predicates" ->
       """WITH g AS (
            SELECT o_orderkey, o_orderkey AS k,

@@ -44,8 +44,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *    splits A in two (MULTIPOLYGON);
   *  - tangential/collinear boundary contact on the walk path (entry/
   *    exit classification is only exact for proper crossings).
-  *  st_buffer and st_union-as-AGGREGATE stay out of scope entirely
-  *  (true constructive buffering needs arc geometry).
+  *  st_union-as-AGGREGATE stays out of scope entirely; st_buffer's
+  *  convex slice lives in [[StBuffer]] (Minkowski arcs / half-plane
+  *  erosion), with concave buffering refused there.
   */
 object ConvexClip {
 
