@@ -113,6 +113,17 @@ object QueriesPipeline {
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     }),
 
+    // Top principal component by 3 unrolled power iterations from e0 —
+    // the oracle replays the SAME iterations in SQL over unnested
+    // (vec_id, i, v) triples (the q_lang_clf fixed-iteration pattern);
+    // projections round to 6dp so sum-order float noise cannot flip
+    // the hash.
+    "q_pca_project" -> ((s, d) => {
+      val (_, proj) = Similarity.pcaPowerIteration(
+        T(s, d, "embeddings"), iters = 3)
+      proj.select(col("vec_id"), round(col("pca_proj"), 6).as("proj"))
+    }),
+
     "q_lang_id" -> ((s, d) =>
       T(s, d, "documents").select(col("doc_id"),
         TextAnalysis.languageId(col("text")).as("lang_pred"))),
@@ -776,6 +787,30 @@ object QueriesPipeline {
         SELECT query_id, neighbor_id, cos_sim,
           row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
         FROM scored) WHERE rank <= 5""",
+    "q_pca_project" -> """
+      WITH e AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               unnest(embedding)::DOUBLE AS x
+        FROM embeddings),
+      m AS (SELECT i, avg(x) AS mu FROM e GROUP BY i),
+      c AS (SELECT vec_id, e.i, x - mu AS v FROM e JOIN m USING (i)),
+      s1 AS (SELECT vec_id, sum(CASE WHEN i = 1 THEN v ELSE 0 END) AS s
+             FROM c GROUP BY vec_id),
+      w1 AS (SELECT i, sum(c.v * s1.s) AS w
+             FROM c JOIN s1 USING (vec_id) GROUP BY i),
+      v1 AS (SELECT i, w / (SELECT sqrt(sum(w*w)) FROM w1) AS v FROM w1),
+      s2 AS (SELECT vec_id, sum(c.v * v1.v) AS s
+             FROM c JOIN v1 USING (i) GROUP BY vec_id),
+      w2 AS (SELECT i, sum(c.v * s2.s) AS w
+             FROM c JOIN s2 USING (vec_id) GROUP BY i),
+      v2 AS (SELECT i, w / (SELECT sqrt(sum(w*w)) FROM w2) AS v FROM w2),
+      s3 AS (SELECT vec_id, sum(c.v * v2.v) AS s
+             FROM c JOIN v2 USING (i) GROUP BY vec_id),
+      w3 AS (SELECT i, sum(c.v * s3.s) AS w
+             FROM c JOIN s3 USING (vec_id) GROUP BY i),
+      v3 AS (SELECT i, w / (SELECT sqrt(sum(w*w)) FROM w3) AS v FROM w3)
+      SELECT vec_id, round(sum(c.v * v3.v), 6) AS proj
+      FROM c JOIN v3 USING (i) GROUP BY vec_id""",
     "q_lang_id" -> s"""
       WITH t AS (SELECT doc_id, string_split($NORM, ' ') AS w FROM documents),
       sc AS (SELECT doc_id,

@@ -600,4 +600,64 @@ object Similarity {
             x => floor(x / col("s") + lit(0.5)).cast("int")))
           .as("codes"))
   }
+
+  /** Top principal component of the embedding column by FIXED-iteration
+    * power method over the centered second moment — the PCA-whitening /
+    * dominant-direction primitive of an embedding curation pipeline
+    * (outlier axes, dimensionality triage, ABTT-style top-component
+    * removal).
+    *
+    * One distributed aggregation per iteration; only `dim` doubles cross
+    * the driver each way per iteration (the quality-classifier traffic
+    * contract), and the corpus never materializes a Gram matrix — the
+    * centering is applied ALGEBRAICALLY (w = Σ s·x − (Σ s)·μ with
+    * s = x·v − μ·v), so each pass streams the raw vectors. Deterministic:
+    * v₀ = e₀ and a fixed iteration count, which is what lets a SQL oracle
+    * unroll the SAME iterations (the q_lang_clf pattern). dim is bound by
+    * driver memory and per-row expression width (hundreds are fine; a
+    * 100 TB corpus pays iters+2 scans regardless of row count).
+    *
+    * Returns (unit component vector, lazy projections frame
+    * (idCol, pca_proj) where pca_proj = (x − μ)·v). */
+  def pcaPowerIteration(corpus: DataFrame, iters: Int = 3,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding")
+      : (Array[Double], DataFrame) = {
+    require(iters >= 1, s"pca: iters must be >= 1, got $iters")
+    val first = corpus.select(size(col(vecCol)).as("n")).limit(1).collect()
+    require(first.nonEmpty, "pca: empty corpus")
+    val dim = first(0).getInt(0)
+    // one leading pass: per-dimension means + ragged-width refusal
+    // get() (null out-of-bounds), not apply(): a ragged row must reach
+    // the min/max width REFUSAL below, not throw an ANSI index error
+    // from inside the same aggregate
+    val meanCols = Seq(min(size(col(vecCol))).as("mn"),
+      max(size(col(vecCol))).as("mx")) ++ (0 until dim).map(i =>
+      avg(get(col(vecCol), lit(i)).cast("double")).as(s"m$i"))
+    val meanAgg = corpus.agg(meanCols.head, meanCols.tail: _*).collect()(0)
+    require(meanAgg.getInt(0) == dim && meanAgg.getInt(1) == dim,
+      s"pca: ragged embedding widths [${meanAgg.getInt(0)}, " +
+        s"${meanAgg.getInt(1)}] — expected uniform $dim")
+    val mu = Array.tabulate(dim)(i => meanAgg.getDouble(2 + i))
+    var v = Array.tabulate(dim)(i => if (i == 0) 1.0 else 0.0)
+    def sExpr(vec: Array[Double]): Column = {
+      val muDotV = mu.zip(vec).map { case (a, b) => a * b }.sum
+      aggregate(zip_with(col(vecCol), typedLit(vec.toSeq),
+        (x, vi) => x.cast("double") * vi), lit(0.0),
+        (acc, x) => acc + x) - lit(muDotV)
+    }
+    for (_ <- 1 to iters) {
+      val aggCols = Seq(sum(col("_s")).as("ssum")) ++ (0 until dim).map(
+        i => sum(col("_s") * col(vecCol)(i).cast("double")).as(s"w$i"))
+      val r = corpus.withColumn("_s", sExpr(v))
+        .agg(aggCols.head, aggCols.tail: _*).collect()(0)
+      val ssum = r.getDouble(0)
+      val w = Array.tabulate(dim)(i => r.getDouble(1 + i) - ssum * mu(i))
+      val nrm = math.sqrt(w.map(x => x * x).sum)
+      require(nrm > 0,
+        "pca: zero covariance along the start direction (constant data?)")
+      v = w.map(_ / nrm)
+    }
+    (v, corpus.select(col(idCol), sExpr(v).as("pca_proj")))
+  }
 }

@@ -250,6 +250,54 @@ class SimilaritySpec extends AnyFunSuite {
     assert(blocked == naive)
   }
 
+  test("pcaPowerIteration recovers a planted dominant direction: unit " +
+      "component, projections match per-row centered dot products, " +
+      "projection variance dominates any single raw dimension, ragged " +
+      "widths refuse") {
+    import spark.implicits._
+    // planted: dimension-pair (3, 7) carries a strong common factor
+    val r2 = new scala.util.Random(11)
+    val rows = (0 until 300).map { id =>
+      val t = r2.nextGaussian() * 5.0
+      val v = Array.fill(Dim)(r2.nextGaussian() * 0.3)
+      v(3) += t; v(7) += 0.8 * t
+      (id.toLong, v.map(_.toFloat).toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val (comp, proj) = Similarity.pcaPowerIteration(df, iters = 5)
+    assert(math.abs(comp.map(x => x * x).sum - 1.0) < 1e-12)
+    // the component concentrates on the planted pair, ratio ~0.8/1
+    assert(math.abs(comp(3)) > 0.7 && math.abs(comp(7)) > 0.5,
+      comp.toSeq.toString)
+    assert(math.abs(comp(7) / comp(3) - 0.8) < 0.05)
+    // projections = centered dot component, re-derived independently
+    val got = proj.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val mu = Array.tabulate(Dim)(i =>
+      rows.map(_._2(i).toDouble).sum / rows.length)
+    for ((id, v) <- rows.take(20)) {
+      val expect = v.zipWithIndex.map { case (x, i) =>
+        (x.toDouble - mu(i)) * comp(i) }.sum
+      assert(math.abs(got(id) - expect) < 1e-9, s"id $id")
+    }
+    // captured variance beats the strongest single raw dimension
+    val pvar = {
+      val vals = got.values.toSeq
+      val m = vals.sum / vals.length
+      vals.map(x => (x - m) * (x - m)).sum / vals.length
+    }
+    val d3var = {
+      val vals = rows.map(_._2(3).toDouble)
+      val m = vals.sum / vals.length
+      vals.map(x => (x - m) * (x - m)).sum / vals.length
+    }
+    assert(pvar >= d3var, s"$pvar < $d3var")
+    val ragged = (rows.take(5) :+ (99L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pcaPowerIteration(ragged)
+    }
+    assert(e.getMessage.contains("ragged"), e.getMessage)
+  }
+
   test("semanticDups releases the kmeans cache (no pinned corpus per call)") {
     val before = spark.sparkContext.getPersistentRDDs.size
     Similarity.semanticDups(corpus, threshold = 0.9, k = 4).count()
