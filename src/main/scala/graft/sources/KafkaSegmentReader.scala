@@ -236,8 +236,13 @@ object KafkaSegmentReader {
   /** Read `.log` segments under `path` (a broker log dir, one
     * `<topic>-<partition>` dir, or a single segment file) as a
     * DataFrame — one row per record, one task per segment file. */
-  def read(spark: SparkSession, path: String): DataFrame = {
-    val files = FileList.resolve(spark, path, Set(".log"))
+  def read(spark: SparkSession, path: String): DataFrame =
+    readFiles(spark, FileList.resolve(spark, path, Set(".log")))
+
+  /** Same decode over an ALREADY-RESOLVED segment list — the streaming
+    * source prunes segments by offset range driver-side and must not
+    * pay (or race against) a second directory walk. */
+  def readFiles(spark: SparkSession, files: Seq[String]): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(schema)
     val confB = spark.sparkContext.broadcast(
@@ -399,14 +404,17 @@ object KafkaSegmentReader {
   }
 
   /** Write batches as `dir/<topic>-<partition>/<padded base>.log` —
-    * kafka's layout — and return the segment path. Fixture tooling. */
+    * kafka's layout — and return the segment path. Fixture tooling.
+    * `segmentBase` names the file by its base offset (brokers roll
+    * segments named by the first offset they contain), so appends land
+    * as NEW files exactly like a broker's log would grow. */
   def writeSegment(spark: SparkSession, dir: String, topic: String,
-                   partition: Int,
-                   batchs: Seq[Array[Byte]]): String = {
+                   partition: Int, batchs: Seq[Array[Byte]],
+                   segmentBase: Long = 0L): String = {
     val base = new Path(s"$dir/$topic-$partition")
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(base)
-    val seg = new Path(base, f"${0L}%020d.log")
+    val seg = new Path(base, f"${segmentBase}%020d.log")
     val out = fs.create(seg, true)
     try batchs.foreach(out.write) finally out.close()
     seg.toString

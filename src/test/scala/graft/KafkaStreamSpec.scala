@@ -1,0 +1,152 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.KafkaSegmentReader
+
+/** Streaming SOURCE over Kafka log segments
+  * (sources/KafkaStreamSource.scala): readStream.format("graft-kafka") —
+  * per-partition offset maps, earliest/latest anchors, checkpoint-exact
+  * restarts, maxOffsetsPerTrigger pacing, new-partition admission. */
+class KafkaStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def b(s: String): Array[Byte] = s.getBytes("UTF-8")
+
+  /** One batch of `n` records (k0..k(n-1) / topic:v<base+i>) based at
+    * `base`, written as a segment file named by `segBase`. */
+  private def append(dir: String, topic: String, part: Int, base: Long,
+                     n: Int, segBase: Long): Unit = {
+    val recs = (0 until n).map(i =>
+      (b(s"k${base + i}"), b(s"$topic:v${base + i}"),
+        Seq.empty[(String, Array[Byte])], i.toLong))
+    KafkaSegmentReader.writeSegment(spark, dir, topic, part,
+      Seq(KafkaSegmentReader.batchBytes(base, 1000L + base, recs)),
+      segmentBase = segBase)
+  }
+
+  private def collectBatches(dir: String, opts: Map[String, String],
+                             checkpoint: String)
+      (between: Int => Unit): Map[Int, Seq[(String, Int, Long, String)]] = {
+    val collected =
+      scala.collection.mutable.Map[Int, Seq[(String, Int, Long, String)]]()
+    val reader = opts.foldLeft(spark.readStream.format("graft-kafka")) {
+      case (r, (k, v)) => r.option(k, v)
+    }
+    val q = reader.load(dir).writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        collected.synchronized {
+          collected(id.toInt) = df.collect().map(r =>
+            (r.getString(0), r.getInt(1), r.getLong(2),
+              new String(r.getAs[Array[Byte]]("value"), "UTF-8"))).toSeq
+        }
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      between(0)
+      q.processAllAvailable()
+    } finally q.stop()
+    collected.toMap
+  }
+
+  test("earliest: existing segments stream, appended segments follow, " +
+      "offsets and partitions decode") {
+    val dir = Files.createTempDirectory("kstream_").toString
+    val cp = Files.createTempDirectory("kstream_cp_").toString
+    append(dir, "events", 0, base = 0L, n = 3, segBase = 0L)
+    append(dir, "events", 1, base = 0L, n = 2, segBase = 0L)
+    val out = collectBatches(dir,
+      Map("startingOffsets" -> "earliest"), cp) { _ =>
+      append(dir, "events", 0, base = 3L, n = 2, segBase = 3L)
+    }
+    val all = out.values.flatten.toSeq.sorted
+    assert(all === Seq(
+      ("events", 0, 0L, "events:v0"), ("events", 0, 1L, "events:v1"),
+      ("events", 0, 2L, "events:v2"), ("events", 0, 3L, "events:v3"),
+      ("events", 0, 4L, "events:v4"),
+      ("events", 1, 0L, "events:v0"), ("events", 1, 1L, "events:v1")))
+    // the pre-stream state came in the initial batch, the append later
+    assert(out(0).size === 5)
+  }
+
+  test("latest: pre-stream records are NOT emitted, appends are; a " +
+      "restart on the same checkpoint re-emits nothing (anchor persists)") {
+    val dir = Files.createTempDirectory("kstream_latest_").toString
+    val cp = Files.createTempDirectory("kstream_latest_cp_").toString
+    append(dir, "t", 0, base = 0L, n = 4, segBase = 0L)
+    val out = collectBatches(dir, Map.empty, cp) { _ =>
+      append(dir, "t", 0, base = 4L, n = 2, segBase = 4L)
+    }
+    val all = out.values.flatten.toSeq.sorted
+    assert(all === Seq(("t", 0, 4L, "t:v4"), ("t", 0, 5L, "t:v5")))
+    // restart on the SAME checkpoint: nothing new → nothing re-emitted;
+    // then a fresh append streams from where the first run left off
+    val out2 = collectBatches(dir, Map.empty, cp) { _ =>
+      append(dir, "t", 0, base = 6L, n = 1, segBase = 6L)
+    }
+    assert(out2.values.flatten.toSeq.sorted === Seq(("t", 0, 6L, "t:v6")))
+  }
+
+  test("maxOffsetsPerTrigger paces a backlog over several batches, " +
+      "prorated across partitions, with no loss and no duplicates") {
+    val dir = Files.createTempDirectory("kstream_paced_").toString
+    val cp = Files.createTempDirectory("kstream_paced_cp_").toString
+    append(dir, "big", 0, base = 0L, n = 8, segBase = 0L)
+    append(dir, "big", 1, base = 0L, n = 4, segBase = 0L)
+    val out = collectBatches(dir, Map(
+      "startingOffsets" -> "earliest", "maxOffsetsPerTrigger" -> "3"), cp) {
+      _ => ()
+    }
+    val all = out.values.flatten.toSeq
+    assert(all.size === 12)
+    assert(all.distinct.size === 12)
+    // 12 records at <=3/trigger is at least 4 batches, and every batch
+    // respects the cap
+    assert(out.size >= 4)
+    assert(out.values.forall(_.size <= 3))
+    // proration: the first batch draws from BOTH lagging partitions
+    assert(out(0).map(_._2).toSet === Set(0, 1))
+  }
+
+  test("a partition appearing AFTER launch streams from its earliest " +
+      "offset even under startingOffsets=latest") {
+    val dir = Files.createTempDirectory("kstream_newpart_").toString
+    val cp = Files.createTempDirectory("kstream_newpart_cp_").toString
+    append(dir, "n", 0, base = 0L, n = 2, segBase = 0L)
+    val out = collectBatches(dir, Map.empty, cp) { _ =>
+      append(dir, "n", 1, base = 0L, n = 2, segBase = 0L)
+    }
+    assert(out.values.flatten.toSeq.sorted ===
+      Seq(("n", 1, 0L, "n:v0"), ("n", 1, 1L, "n:v1")))
+  }
+
+  test("topics option restricts the subscribe list") {
+    val dir = Files.createTempDirectory("kstream_topics_").toString
+    val cp = Files.createTempDirectory("kstream_topics_cp_").toString
+    append(dir, "keep", 0, base = 0L, n = 2, segBase = 0L)
+    append(dir, "drop", 0, base = 0L, n = 2, segBase = 0L)
+    val out = collectBatches(dir,
+      Map("startingOffsets" -> "earliest", "topics" -> "keep"), cp)(_ => ())
+    assert(out.values.flatten.map(_._1).toSet === Set("keep"))
+    assert(out.values.flatten.size === 2)
+  }
+
+  test("mid-stream restart is exactly-once: records delivered before the " +
+      "stop are not re-emitted, records after it arrive") {
+    val dir = Files.createTempDirectory("kstream_restart_").toString
+    val cp = Files.createTempDirectory("kstream_restart_cp_").toString
+    append(dir, "r", 0, base = 0L, n = 3, segBase = 0L)
+    val out1 = collectBatches(dir,
+      Map("startingOffsets" -> "earliest"), cp)(_ => ())
+    assert(out1.values.flatten.size === 3)
+    append(dir, "r", 0, base = 3L, n = 2, segBase = 3L)
+    val out2 = collectBatches(dir,
+      Map("startingOffsets" -> "earliest"), cp)(_ => ())
+    assert(out2.values.flatten.toSeq.sorted ===
+      Seq(("r", 0, 3L, "r:v3"), ("r", 0, 4L, "r:v4")))
+  }
+}
