@@ -1038,28 +1038,52 @@ object Dedup {
     * (id, component) for every id appearing in a pair, component = the
     * MIN id reachable from it.
     *
-    * Algorithm: min-label propagation with pointer jumping — each round
-    * every vertex takes the min label in its closed neighborhood, then
-    * labels shortcut through themselves (label := label(label)), so
-    * convergence is O(log diameter) rounds (the published map-reduce CC
-    * recipe family, Kiveris et al's two-phase star operations being the
-    * heavily-optimized cousin). Dedup clusters are near-cliques, so 2-3
-    * rounds in practice; path-shaped chains need log₂(length). Each
-    * round is two hash joins + a groupBy min, nothing collects, and
-    * every round's label table is localCheckpoint'ed — the REQUIRED
-    * materialization for iterative DataFrame algorithms: persist()
-    * caches the data but leaves the LOGICAL plan growing ~4× per round
-    * (the self-join references the prior round twice, the neighborhood
-    * min twice more), so Catalyst analysis goes exponential and melts
-    * the driver by round ~10. Checkpointing truncates lineage to the
-    * materialized partitions. (localCheckpoint trades executor-loss
-    * recovery for speed — fine for a deterministic, re-runnable batch
-    * op.) Drill has no graph surface; this is pipeline completeness for
-    * the dedup family (GraphFrames' connectedComponents role,
+    * Algorithm: min-label CONTRACTION with in-round POINTER DOUBLING
+    * (the star-contraction + shortcutting family — Kiveris et al's
+    * "Connected Components in MapReduce and Beyond" cousin, re-shaped
+    * for DataFrames). Each round builds m(x) = min(closed neighborhood
+    * of x) — because every round starts from identity labels on its
+    * contracted graph, this needs no label join at all, just one
+    * partial-aggregating groupBy(dst).min(src) — then pointer-DOUBLES
+    * m to idempotence (m := m o m until stable; m is monotone
+    * decreasing so the functional graph is acyclic and log2(longest
+    * chain) doublings suffice — 1 for near-clique dedup clusters,
+    * ~log2(L) for L-node chains), then CONTRACTS the graph: edges
+    * remap to (m(src), m(dst)), self-loops drop, duplicates merge.
+    * The component minimum always maps to itself, so it survives every
+    * contraction as the component's representative; remaining rounds
+    * only resolve LOCAL minima (a vertex below all its neighbors but
+    * above the component min), so the contracted graph collapses in
+    * 1-3 rounds. Per-round mappings compose on the SHRINKING
+    * representative space, and ONE full-size join at the end folds the
+    * composition back onto the round-1 labels.
+    *
+    * Why this shape and not label propagation over the full edge set
+    * every round (the previous implementation): propagation pays
+    * ~3 full-edge-table joins PER ROUND for O(log diameter) rounds
+    * (measured 8 rounds x ~3 s at sf1); contraction touches the full
+    * edge table in round 1 and the final fold only, and the doubling
+    * self-joins run on the smaller NODE table. Measured at sf1:
+    * 26.9 s -> 12.9 s, one round. (Contraction WITHOUT the doubling is
+    * a trap: identity labels reset reach every round, so chains shrink
+    * by a constant per round — measured 20 linear rounds on the
+    * per-customer order paths.) Each materialization is a
+    * localCheckpoint — REQUIRED for iterative DataFrame algorithms:
+    * persist() caches data but leaves the LOGICAL plan growing per
+    * round, so Catalyst analysis goes exponential and melts the driver
+    * by round ~10 — and then re-wrapped WITHOUT inherited size stats
+    * (PlanShim.freshStats): localCheckpoint preserves the child plan's
+    * sizeInBytes, join estimates MULTIPLY child sizes, and the carried
+    * estimate grows exponentially in round count until the driver
+    * burns minutes in BigInteger.multiply just planning (observed
+    * live). Shuffle partitions re-size to the LIVE edge count each
+    * round. Drill has no graph surface; this is pipeline completeness
+    * for the dedup family (GraphFrames' connectedComponents role,
     * DataFrame-native). */
   /** Diagnostics from the most recent [[dupComponents]] run on this JVM:
     * rounds executed, per-round wall seconds, bidirectional edge count,
-    * and the shuffle-partition count the run sized itself to. Bench
+    * and the shuffle-partition count the run sized itself to (round 1's
+    * sizing; later rounds re-size to the contracted edge count). Bench
     * instrumentation (the sf1 tier emits it so a slow run is
     * attributable to round count vs per-round cost), not an API. */
   case class CcStats(rounds: Int, roundWallSec: Seq[Double],
@@ -1074,25 +1098,22 @@ object Dedup {
     val spark = pairs.sparkSession
     val edges = pairs.select(idNorm(at, col(aCol)).as("src"),
       idNorm(bt, col(bCol)).as("dst"))
-    // bi is scanned from both sides of a join every round: store it
-    // SERIALIZED (2 longs/row compress well) — the deserialized default
-    // held ~8x the heap and showed up as GC-driven round-wall spikes in
-    // the r8 sf1 artifact (round walls [2.3, 11.7, 6.2, ...] on
-    // identical per-round work).
+    // bi is scanned several times in round 1 (nodes, nmin, remap): store
+    // it SERIALIZED (2 longs/row compress well) — the deserialized
+    // default held ~8x the heap and showed up as GC-driven round-wall
+    // spikes in the r8 sf1 artifact.
     val bi = edges
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    var labels = bi.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint()
-    // Per-round cost here is round-count × fixed job overhead, not data
-    // volume: size the per-round shuffles to the EDGE table instead of
-    // the session default (135k edges over 32 partitions × ~15 rounds is
-    // scheduler overhead, not parallelism). The count materializes the
-    // serialized edge cache; every round then scans the cache. Conf is restored on exit.
+    // Per-round cost here is round-count x fixed job overhead, not data
+    // volume: size the per-round shuffles to the LIVE edge table instead
+    // of the session default, re-sized as contraction shrinks it. The
+    // count materializes the serialized edge cache. Conf restored on exit.
     val nEdges = bi.count()
     val defaultParts = spark.sessionState.conf.numShufflePartitions
-    val nParts = math.max(1, math.min(defaultParts,
-      math.ceil(nEdges / 125000.0).toInt))
+    def partsFor(n: Long): Int = math.max(1, math.min(defaultParts,
+      math.ceil(n / 125000.0).toInt))
+    val nParts = partsFor(nEdges)
     val prevParts = spark.conf.getOption("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", nParts.toString)
     // partitions are hand-sized to the edge table: AQE's post-shuffle
@@ -1113,52 +1134,129 @@ object Dedup {
     spark.conf.set(coalesceKey, "false")
     val wall = scala.collection.mutable.ArrayBuffer[Double]()
     var round = 0
+    var result: DataFrame = null
     try {
-      var changed = 1L
-      while (changed > 0 && round < maxRounds) {
-        val t0 = System.nanoTime()
-        // closed-neighborhood min: min over neighbors' labels via one
-        // hash join + partial-aggregating groupBy, then least() with the
-        // vertex's own label. (A union-then-groupBy spelling would be
-        // equivalent but trips Union constraint rewriting on
-        // checkpointed children in Spark 4.1 — joins stay on the
-        // supported path.)
-        val nmin = bi.join(labels, bi("src") === labels("id"))
-          .groupBy(bi("dst").as("id")).agg(min(labels("label")).as("nmin"))
-        // the round's START label rides along as `old`, so convergence
-        // is a filter-count on the checkpointed result — no extra join
-        // job. nbr is persist()ed, not checkpointed: the pointer jump
-        // reads it from both sides of a self-join, and the cache makes
-        // that one computation + two cached scans inside the SAME job —
-        // 2 actions/round (jump materialization + convergence count)
-        // instead of 3.
-        val nbr = labels.join(nmin, Seq("id"), "left")
-          .select(col("id"), col("label").as("old"),
-            least(coalesce(col("nmin"), col("label")), col("label")).as("label"))
-        nbr.persist()
-        try {
-          // pointer jump: label := label(label) — halves chain depth
-          val jumped = nbr.as("x")
-            .join(nbr.select(col("id").as("lid"), col("label").as("llabel")).as("y"),
+      // one contraction mapping over a bidirectional edge set whose
+      // vertices carry IDENTITY labels: m(x) = min(closed nbhd of x),
+      // pointer-jumped once (m := m o m). Materialized.
+      // m(x) = min(closed nbhd of x), then POINTER-DOUBLED to
+      // idempotence: m := m o m until no label changes. m is monotone
+      // decreasing (m(x) <= x), so the functional graph is acyclic and
+      // doubling reaches the fixpoint in log2(longest chain) steps —
+      // near-clique dedup graphs need 1 doubling, an L-node path needs
+      // ~log2(L). Without the doubling loop a contraction round only
+      // trims a CONSTANT number of nodes off each chain end (identity
+      // labels reset the reach every round — measured 20 linear rounds
+      // on the per-customer order paths), with it chains collapse in
+      // ONE round. Each doubling is a self-join of the NODE table (the
+      // cheapest shape here — (long, long) rows, smaller than the edge
+      // table) and the convergence count rides the checkpointed result
+      // as a cached scan, not an extra join. Every materialization
+      // drops inherited stats (PlanShim.freshStats) or the
+      // round-over-round join-size products grow exponentially and
+      // PLANNING melts the driver in BigInteger math.
+      def contractMap(e: DataFrame): DataFrame = {
+        import org.apache.spark.sql.graftshim.PlanShim.freshStats
+        val nodes = e.select(col("src").as("id")).distinct()
+        val nmin = e.groupBy(col("dst").as("id")).agg(min(col("src")).as("nmin"))
+        var m = freshStats(nodes.join(nmin, Seq("id"), "left")
+          .select(col("id"),
+            least(coalesce(col("nmin"), col("id")), col("id")).as("label"))
+          .localCheckpoint())
+        var changed = 1L
+        var doublings = 0
+        while (changed > 0 && doublings < 64) {
+          val jumped = freshStats(m.as("x")
+            .join(m.select(col("id").as("lid"), col("label").as("llabel")).as("y"),
               col("x.label") === col("y.lid"), "left")
-            .select(col("x.id").as("id"), col("x.old").as("old"),
+            .select(col("x.id").as("id"), col("x.label").as("old"),
               coalesce(col("y.llabel"), col("x.label")).as("label"))
-            .localCheckpoint()
+            .localCheckpoint())
           changed = jumped.filter(col("label") =!= col("old")).count()
-          labels = jumped.select("id", "label")
-        } finally nbr.unpersist()
+          m = jumped.select("id", "label")
+          doublings += 1
+        }
+        // 64 doublings covers chains of 2^64 nodes — unreachable; this
+        // is a refusal-not-silent-wrong guard, same as maxRounds
+        require(changed == 0,
+          "dupComponents: pointer doubling did not reach a fixpoint " +
+            "in 64 steps — mapping would be non-idempotent")
+        m
+      }
+      // contract e through m: self-loops drop, parallel edges merge
+      def remap(e: DataFrame, m: DataFrame): DataFrame =
+        e.join(m.select(col("id").as("__s"), col("label").as("ms")),
+            col("src") === col("__s"))
+          .join(m.select(col("id").as("__d"), col("label").as("md")),
+            col("dst") === col("__d"))
+          .filter(col("ms") =!= col("md"))
+          .select(col("ms").as("src"), col("md").as("dst"))
+          .distinct()
+          .localCheckpoint()
+          .transform(org.apache.spark.sql.graftshim.PlanShim.freshStats)
+
+      var t0 = System.nanoTime()
+      val m1 = contractMap(bi)           // the one full-size round
+      var live = remap(bi, m1)
+      var liveEdges = live.count()
+      if (sys.props.contains("graft.cc.debug"))
+        System.err.println(s"[cc] round=1 liveEdges=$liveEdges (nEdges=$nEdges)")
+      round = 1
+      wall += (System.nanoTime() - t0) / 1e9
+      // composition of rounds 2.. on the representative space (small and
+      // shrinking); null = identity
+      var comp: DataFrame = null
+      while (liveEdges > 0 && round < maxRounds) {
+        t0 = System.nanoTime()
+        spark.conf.set("spark.sql.shuffle.partitions",
+          partsFor(liveEdges).toString)
+        val m = contractMap(live)
+        comp =
+          if (comp == null) m
+          else {
+            val c = comp.as("a")
+              .join(m.select(col("id").as("mid"), col("label").as("mlabel")).as("b"),
+                col("a.label") === col("mid"), "left")
+              .select(col("a.id").as("id"),
+                coalesce(col("mlabel"), col("a.label")).as("label"))
+              .localCheckpoint()
+              .transform(org.apache.spark.sql.graftshim.PlanShim.freshStats)
+            comp.unpersist()
+            c
+          }
+        val nextLive = remap(live, m)
+        live.unpersist()
+        m.unpersist()
+        live = nextLive
+        liveEdges = live.count()
+        if (sys.props.contains("graft.cc.debug"))
+          System.err.println(s"[cc] round=$round liveEdges=$liveEdges")
         round += 1
         wall += (System.nanoTime() - t0) / 1e9
       }
       // a silent partial result here would carry non-minimal labels into
       // keepCanonical and KEEP duplicate docs with no signal — refuse
-      // loudly instead (raise maxRounds; pointer jumping needs only
-      // O(log diameter) rounds, so 20 covers ~10^6-long chains)
-      require(changed == 0,
+      // loudly instead (raise maxRounds; contraction quarters chain
+      // length per round, so 20 covers astronomically long chains)
+      require(liveEdges == 0,
         s"dupComponents did not converge within maxRounds=$maxRounds " +
-          s"($changed labels still changing) — labels would be non-minimal")
+          s"($liveEdges contracted edges remain) — labels would be non-minimal")
+      live.unpersist()
+      // fold the composed contraction back onto the round-1 labels: the
+      // ONE full-size join that replaces a full-size pass per round
+      result =
+        if (comp == null) m1
+        else {
+          val r = m1.as("a")
+            .join(comp.as("b"), col("a.label") === col("b.id"), "left")
+            .select(col("a.id").as("id"),
+              coalesce(col("b.label"), col("a.label")).as("label"))
+            .localCheckpoint()
+          comp.unpersist(); m1.unpersist()
+          r
+        }
     } finally {
-      // labels is a materialized localCheckpoint by here — dropping the
+      // result is a materialized localCheckpoint by here — dropping the
       // edge cache cannot recompute anything the result still needs
       bi.unpersist()
       prevParts match {
@@ -1171,7 +1269,7 @@ object Dedup {
       }
       lastCcStats = Some(CcStats(round, wall.toSeq, nEdges, nParts))
     }
-    labels.select(col("id"), col("label").as("component"))
+    result.select(col("id"), col("label").as("component"))
   }
 
   /** Exact repeated-SUBSTRING detection — the document-internal sibling
