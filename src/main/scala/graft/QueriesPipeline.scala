@@ -220,6 +220,26 @@ object QueriesPipeline {
       Scrub.chunkDupStats(dupped, "doc_id", "text", chunkTokens = 20)
     }),
 
+    // ---- C4-recipe corpus hygiene: line-level dedup + blocklist ----
+    // Lines synthesized deterministically (every " table " becomes a
+    // newline — both engines replace left-to-right non-overlapping),
+    // then planted duplicates (docs ∪ shifted copy) guarantee every
+    // line of the copy is a later occurrence; the oracle re-derives
+    // keep-first with RAW LINE STRINGS through a window, so an
+    // xxhash64 collision in the engine would fail the gate
+    "q_line_dedup" -> ((s, d) => {
+      val docs = T(s, d, "documents").select(col("doc_id"),
+        regexp_replace(col("text"), " table ", "\n").as("text"))
+      val dupped = docs.unionAll(
+        docs.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      Dedup.lineDedup(dupped)
+    }),
+
+    "q_blocklist" -> ((s, d) =>
+      Scrub.blocklistHits(T(s, d, "documents").select("doc_id", "text"),
+        "doc_id", "text", Seq("vector", "hash", "slow query"))
+        .select(col("doc_id"), col("bad_hits"))),
+
     "q_bm25" -> ((s, d) =>
       Search.bm25(T(s, d, "documents"), "doc_id", "text",
         terms = Seq("spark", "query", "window"))
@@ -658,6 +678,38 @@ object QueriesPipeline {
         round(count(ref.ng)::DOUBLE / count(*), 6) AS score
       FROM g LEFT JOIN ref ON g.ng = ref.ng
       WHERE g.doc_id >= 50 GROUP BY 1""",
+    "q_line_dedup" -> """
+      WITH corpus AS (
+        SELECT doc_id, replace(text, ' table ', chr(10)) AS text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, replace(text, ' table ', chr(10)) FROM documents),
+      ls AS (SELECT doc_id, string_split(text, chr(10)) AS a FROM corpus),
+      lines AS (SELECT doc_id, unnest(range(1, len(a)+1)) AS i,
+                       unnest(a) AS line FROM ls),
+      ranked AS (SELECT doc_id, i, line,
+          row_number() OVER (PARTITION BY line ORDER BY doc_id, i) AS rn
+        FROM lines WHERE trim(line) <> ''),
+      kept AS (
+        SELECT doc_id, i, line FROM ranked WHERE rn = 1
+        UNION ALL
+        SELECT doc_id, i, line FROM lines WHERE trim(line) = ''),
+      rebuilt AS (SELECT doc_id,
+          string_agg(line, chr(10) ORDER BY i) AS text
+        FROM kept GROUP BY doc_id)
+      SELECT c.doc_id, coalesce(r.text, '') AS text
+      FROM (SELECT DISTINCT doc_id FROM corpus) c
+      LEFT JOIN rebuilt r USING (doc_id)""",
+
+    "q_blocklist" -> """
+      WITH p AS (SELECT doc_id,
+          ' ' || trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) || ' ' AS pad
+        FROM documents)
+      SELECT doc_id,
+        (CASE WHEN position(' vector ' IN pad) > 0 THEN 1 ELSE 0 END
+       + CASE WHEN position(' hash ' IN pad) > 0 THEN 1 ELSE 0 END
+       + CASE WHEN position(' slow query ' IN pad) > 0 THEN 1 ELSE 0 END)::BIGINT AS bad_hits
+      FROM p""",
+
     "q_bm25" -> s"""
       WITH d AS (SELECT doc_id,
                         len(list_filter(string_split($NORM, ' '), x -> x <> '')) AS dl,

@@ -1157,11 +1157,12 @@ object Dedup {
       // PLANNING melts the driver in BigInteger math.
       def contractMap(e: DataFrame): DataFrame = {
         import org.apache.spark.sql.graftshim.PlanShim.freshStats
-        val nodes = e.select(col("src").as("id")).distinct()
-        val nmin = e.groupBy(col("dst").as("id")).agg(min(col("src")).as("nmin"))
-        var m = freshStats(nodes.join(nmin, Seq("id"), "left")
-          .select(col("id"),
-            least(coalesce(col("nmin"), col("id")), col("id")).as("label"))
+        // e is BIDIRECTIONAL, so every node appears as dst — the node
+        // set needs no separate distinct() and no join: the one
+        // partial-aggregating groupBy yields the full closed-nbhd min
+        var m = freshStats(e
+          .groupBy(col("dst").as("id")).agg(min(col("src")).as("nmin"))
+          .select(col("id"), least(col("nmin"), col("id")).as("label"))
           .localCheckpoint())
         var changed = 1L
         var doublings = 0
@@ -1360,6 +1361,51 @@ object Dedup {
     * loudly: a blind cast("long") here once nulled string ids, so every
     * edge vanished and keepCanonical kept all duplicates — the same
     * silent-cast class TemporalJoins.requireSameKeyType documents. */
+  /** LINE-level exact dedup across the corpus, keep-first — the C4
+    * recipe (arXiv:1910.10683 §2.2 deduplicates repeated lines across
+    * the dataset, keeping one occurrence): boilerplate lines (nav bars,
+    * cookie banners, license headers) repeat across millions of pages
+    * and inflate memorization below the whole-document level that
+    * [[exactDedup]] sees. Every NON-BLANK line keeps only its first
+    * occurrence — ordered by (id, line index), portable to any engine —
+    * and documents reassemble from their surviving lines in original
+    * order (a document can shrink to ""; it never disappears). Blank
+    * lines are format scaffolding, not content: they pass through
+    * untouched rather than corpus-deduping to a single survivor.
+    *
+    * Scale shape: the dedup groupBy shuffles 64-bit xxhash64 line
+    * hashes, never line strings (the oracle re-derives with raw
+    * strings, so a planted collision would fail the gate); line text
+    * crosses the wire only in the per-document reassembly, which
+    * shuffles each surviving line exactly once. Returns (id, text). */
+  def lineDedup(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val dt = docs.schema(idCol).dataType
+    idClass(dt) // refuse unusable id types loudly
+    val lines = docs.select(idNorm(dt, col(idCol)).as("doc_id"),
+        posexplode(split(coalesce(col(textCol), lit("")), "\n", -1))
+          .as(Seq("idx", "line")))
+    val content = lines.filter(trim(col("line")) =!= "")
+    val hashed = content.select(col("doc_id"), col("idx"),
+      xxhash64(col("line")).as("h"))
+    val firsts = hashed.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("idx"))).as("f"))
+    val keptContent = hashed.join(firsts, "h")
+      .filter(struct(col("doc_id"), col("idx")) === col("f"))
+      .select("doc_id", "idx")
+    val keptAll = lines.join(keptContent, Seq("doc_id", "idx"), "left_semi")
+      .unionByName(lines.filter(trim(col("line")) === ""))
+    val rebuilt = keptAll.groupBy("doc_id")
+      .agg(concat_ws("\n",
+        transform(array_sort(collect_list(struct(col("idx"), col("line")))),
+          s => s.getField("line"))).as("text"))
+    // a document whose every line was a later duplicate has no surviving
+    // rows — it must come back as "" rather than vanish from the corpus
+    docs.select(idNorm(dt, col(idCol)).as("doc_id")).distinct()
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+  }
+
   private def idClass(dt: DataType): String = dt match {
     case ByteType | ShortType | IntegerType | LongType => "integral"
     case StringType => "string"

@@ -198,4 +198,65 @@ object Scrub {
           col("symbol_bp") <= maxSymbolBp &&
           col("stop_hits") > 0)
   }
+
+  /** Blocklist matching — the C4 recipe's "bad words" page filter
+    * (arXiv:1910.10683 §2.2 drops any page containing a word from a
+    * public blocklist). Terms match on NORMALIZED text (lowercased,
+    * punctuation collapsed to spaces) as whole-word sequences, so
+    * "class" never matches inside "classification" but the phrase
+    * "bad phrase" matches across punctuation. Adds `bad_hits` = the
+    * number of DISTINCT blocklist terms present.
+    *
+    * Scale shape: single-word terms go through ONE exploded-token
+    * broadcast join (a 100k-word list is a broadcast table, and the
+    * corpus shuffles only (id, matched-term) survivors into the count);
+    * multi-word phrases — real blocklists carry few — match as
+    * padded-substring containment in one codegen'd expression chain
+    * (bounded at 500 phrases: beyond that the expression tree itself
+    * becomes the problem; refuse loudly rather than plan a megabyte). */
+  def blocklistHits(docs: DataFrame, idCol: String, textCol: String,
+                    terms: Seq[String]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val norm = terms.map(t =>
+      t.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim)
+    require(norm.forall(_.nonEmpty),
+      s"blocklist terms must contain letters/digits: ${terms.mkString(", ")}")
+    require(norm.distinct.size == norm.size,
+      "blocklist terms collapse to duplicates after normalization: " +
+        norm.diff(norm.distinct).distinct.mkString(", "))
+    val (phrases, words) = norm.partition(_.contains(' '))
+    require(phrases.size <= 500,
+      s"${phrases.size} multi-word phrases — the containment expression " +
+        "chain is bounded at 500; split the list or reduce phrases")
+    val normCol = trim(regexp_replace(lower(col(textCol)), "[^a-z0-9]+", " "))
+    val wordHits =
+      if (words.isEmpty) null
+      else docs.select(col(idCol).as("__id"),
+          explode(split(normCol, " ")).as("__w"))
+        .join(broadcast(words.toDF("__t")), col("__w") === col("__t"))
+        .groupBy("__id")
+        .agg(count_distinct(col("__t")).as("__word_hits"))
+    val padded = concat(lit(" "), normCol, lit(" "))
+    val phraseHits =
+      if (phrases.isEmpty) lit(0L)
+      else phrases.map(p =>
+        when(padded.contains(s" $p "), 1L).otherwise(0L)).reduce(_ + _)
+    val withPhrase = docs.withColumn("__phrase_hits", phraseHits)
+    val joined =
+      if (wordHits == null) withPhrase.withColumn("__word_hits", lit(0L))
+      else withPhrase.join(wordHits,
+        withPhrase(idCol) === wordHits("__id"), "left").drop("__id")
+    joined
+      .withColumn("bad_hits",
+        coalesce(col("__word_hits"), lit(0L)) + col("__phrase_hits"))
+      .drop("__word_hits", "__phrase_hits")
+  }
+
+  /** Drop every document containing ANY blocklist term (the C4 rule).
+    * Use [[blocklistHits]] directly to threshold or inspect instead. */
+  def blocklistFilter(docs: DataFrame, idCol: String, textCol: String,
+                      terms: Seq[String]): DataFrame =
+    blocklistHits(docs, idCol, textCol, terms)
+      .filter(col("bad_hits") === 0).drop("bad_hits")
 }

@@ -120,6 +120,56 @@ class PipelineExtraSpec extends AnyFunSuite {
     assert(comp.size == 14) // every pair participant, nothing else
   }
 
+  test("lineDedup: cross-corpus keep-first by (id, idx), blanks pass " +
+      "through, all-dropped docs come back empty, order preserved") {
+    val docs = Seq(
+      (1L, "alpha\nshared line\nbeta"),
+      (2L, "shared line\ngamma\n\ndelta"),   // dup at idx 0, blank at 2
+      (3L, "shared line"),                     // whole doc is a later dup
+      (4L, "gamma\nalpha")                     // both lines seen earlier
+    ).toDF("doc_id", "text")
+    val out = graft.pipeline.Dedup.lineDedup(docs)
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "alpha\nshared line\nbeta")
+    assert(out(2L) == "gamma\n\ndelta")
+    assert(out(3L) == "")
+    assert(out(4L) == "")
+    assert(out.size == 4)
+    // within ONE doc a repeated line also dedups (first occurrence kept)
+    val within = graft.pipeline.Dedup.lineDedup(
+      Seq((9L, "x\ny\nx")).toDF("doc_id", "text"))
+      .as[(Long, String)].collect().toMap
+    assert(within(9L) == "x\ny")
+    // string ids work (the URL/UUID case)
+    val str = graft.pipeline.Dedup.lineDedup(
+      Seq(("a", "l1\nl2"), ("b", "l2\nl3")).toDF("doc_id", "text"))
+      .as[(String, String)].collect().toMap
+    assert(str("a") == "l1\nl2" && str("b") == "l3")
+  }
+
+  test("blocklistHits/Filter: whole-word + phrase matching on normalized " +
+      "text, distinct-term counts, filter drops any-hit docs") {
+    val docs = Seq(
+      (1L, "This CLASS is classy classification!"), // word-boundary only
+      (2L, "a bad-phrase appears, twice: bad phrase"), // phrase across punct
+      (3L, "class and bad... phrase and class again"), // both terms once each
+      (4L, "completely clean text")
+    ).toDF("doc_id", "text")
+    val hits = graft.pipeline.Scrub
+      .blocklistHits(docs, "doc_id", "text", Seq("class", "bad phrase"))
+      .select("doc_id", "bad_hits").as[(Long, Long)].collect().toMap
+    assert(hits == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 0L))
+    val kept = graft.pipeline.Scrub
+      .blocklistFilter(docs, "doc_id", "text", Seq("class", "bad phrase"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(4L))
+    // refusals: empty-after-normalization and duplicate terms
+    assertThrows[IllegalArgumentException](graft.pipeline.Scrub
+      .blocklistHits(docs, "doc_id", "text", Seq("!!!")))
+    assertThrows[IllegalArgumentException](graft.pipeline.Scrub
+      .blocklistHits(docs, "doc_id", "text", Seq("Bad", "bad!")))
+  }
+
   test("repeatedSpans: keep-first across docs, within-doc repeats, no false hits") {
     // doc 1 owns the span; doc 2 repeats it later (cross-doc);
     // doc 3 repeats its own opening internally (within-doc);
