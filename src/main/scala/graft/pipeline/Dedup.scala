@@ -1244,7 +1244,10 @@ object Dedup {
           s"($liveEdges contracted edges remain) — labels would be non-minimal")
       live.unpersist()
       // fold the composed contraction back onto the round-1 labels: the
-      // ONE full-size join that replaces a full-size pass per round
+      // ONE full-size join that replaces a full-size pass per round —
+      // re-sized to the FULL table (the loop left the conf at the last
+      // contracted round's sizing, often 1 partition)
+      spark.conf.set("spark.sql.shuffle.partitions", nParts.toString)
       result =
         if (comp == null) m1
         else {

@@ -218,8 +218,13 @@ object Scrub {
                     terms: Seq[String]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // Locale.ROOT: the default-locale toLowerCase diverges from Spark's
+    // locale-independent lower() (tr_TR: "FILTER" -> "fılter", the
+    // dotless ı then strips to a never-matching phrase) — terms
+    // would silently stop matching, the exact silent-wrong class this
+    // filter exists to prevent
     val norm = terms.map(t =>
-      t.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim)
+      t.toLowerCase(java.util.Locale.ROOT).replaceAll("[^a-z0-9]+", " ").trim)
     require(norm.forall(_.nonEmpty),
       s"blocklist terms must contain letters/digits: ${terms.mkString(", ")}")
     require(norm.distinct.size == norm.size,

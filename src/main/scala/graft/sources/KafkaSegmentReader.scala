@@ -109,10 +109,10 @@ object KafkaSegmentReader {
     a
   }
 
-  private def be32(b: Array[Byte], o: Int): Int =
+  private[sources] def be32(b: Array[Byte], o: Int): Int =
     ((b(o) & 0xFF) << 24) | ((b(o + 1) & 0xFF) << 16) |
       ((b(o + 2) & 0xFF) << 8) | (b(o + 3) & 0xFF)
-  private def be64(b: Array[Byte], o: Int): Long =
+  private[sources] def be64(b: Array[Byte], o: Int): Long =
     ((be32(b, o) & 0xFFFFFFFFL) << 32) | (be32(b, o + 4) & 0xFFFFFFFFL)
   private def be16(b: Array[Byte], o: Int): Int =
     ((b(o) & 0xFF) << 8) | (b(o + 1) & 0xFF)
@@ -136,8 +136,15 @@ object KafkaSegmentReader {
                                headers: Seq[(String, Array[Byte])])
 
   /** Decode every record of every batch from one segment stream.
-    * Returns an iterator that reads lazily batch-by-batch. */
-  private def batches(in: DataInputStream, file: String): Iterator[Rec] =
+    * Returns an iterator that reads lazily batch-by-batch.
+    * `tolerateTail`: an ACTIVE segment (a broker appending while we
+    * read — the streaming source's steady state) legitimately ends in a
+    * partial in-flight frame; with the flag the decode stops cleanly at
+    * the last complete frame instead of failing the task. Batch reads
+    * of closed segments stay STRICT: there a short frame is corruption
+    * and must be loud. */
+  private def batches(in: DataInputStream, file: String,
+                      tolerateTail: Boolean = false): Iterator[Rec] =
     new Iterator[Rec] {
       private var cur: Iterator[Rec] = Iterator.empty
       private var done = false
@@ -153,7 +160,7 @@ object KafkaSegmentReader {
             if (r < 0) eof = true else got += r
           }
           if (eof) {
-            if (got != 0 && head.take(got).exists(_ != 0))
+            if (got != 0 && head.take(got).exists(_ != 0) && !tolerateTail)
               throw new java.io.IOException(
                 s"$file: truncated batch header ($got bytes)")
             done = true
@@ -161,20 +168,47 @@ object KafkaSegmentReader {
             val baseOffset = be64(head, 0)
             val batchLength = be32(head, 8)
             if (batchLength <= 0) { done = true } // zero padding tail
+            else if (tolerateTail && batchLength < 49) {
+              // a torn in-flight length field at the active tail — the
+              // frame is not yet readable data, stop at the last
+              // complete one (strict reads of closed segments refuse)
+              done = true
+            }
             else {
               // 49 = epoch(4)+magic(1)+crc(4)+attrs(2)+lastOffsetDelta(4)
               //    + baseTs(8)+maxTs(8)+pid(8)+pEpoch(2)+baseSeq(4)+count(4)
               require(batchLength >= 49,
                 s"$file: batch @offset $baseOffset declares $batchLength " +
                   "bytes — below the 49-byte v2 header, corrupt segment")
-              val buf = readFully(in, batchLength)
+              val buf =
+                if (!tolerateTail) readFully(in, batchLength)
+                else {
+                  val a = new Array[Byte](batchLength)
+                  var off = 0
+                  var short = false
+                  while (off < batchLength && !short) {
+                    val r = in.read(a, off, batchLength - off)
+                    if (r < 0) short = true else off += r
+                  }
+                  if (short) { done = true; null } else a
+                }
+              if (done) return
               val magic = buf(4)
-              require(magic == 2,
-                s"$file: message format v$magic (magic byte) — only v2 " +
-                  "RecordBatch segments are supported (broker >= 0.11)")
               val crcStored = be32(buf, 5) & 0xFFFFFFFFL
               val crc = new java.util.zip.CRC32C()
               crc.update(buf, 9, buf.length - 9)
+              if (tolerateTail && (magic != 2 || crc.getValue != crcStored)) {
+                // the kafka log-recovery rule: an in-flight/torn tail
+                // frame is indistinguishable from corruption at the
+                // byte level (under log.preallocate the body reads as
+                // zeros, not short) — stop at the last VALID frame; the
+                // watermark scan applied the same rule, so nothing past
+                // this point was admitted
+                done = true; return
+              }
+              require(magic == 2,
+                s"$file: message format v$magic (magic byte) — only v2 " +
+                  "RecordBatch segments are supported (broker >= 0.11)")
               require(crc.getValue == crcStored,
                 s"$file: CRC mismatch in batch @offset $baseOffset " +
                   s"(stored ${crcStored}, computed ${crc.getValue}) — " +
@@ -241,8 +275,11 @@ object KafkaSegmentReader {
 
   /** Same decode over an ALREADY-RESOLVED segment list — the streaming
     * source prunes segments by offset range driver-side and must not
-    * pay (or race against) a second directory walk. */
-  def readFiles(spark: SparkSession, files: Seq[String]): DataFrame = {
+    * pay (or race against) a second directory walk. `tolerateTail`
+    * stops cleanly at a partial in-flight tail frame (active segments
+    * under a live broker) instead of failing the task. */
+  def readFiles(spark: SparkSession, files: Seq[String],
+                tolerateTail: Boolean = false): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(schema)
     val confB = spark.sparkContext.broadcast(
@@ -258,7 +295,7 @@ object KafkaSegmentReader {
           Option(org.apache.spark.TaskContext.get()).foreach(
             _.addTaskCompletionListener[Unit](_ =>
               try in.close() catch { case _: java.io.IOException => () }))
-          val it = batches(in, f)
+          val it = batches(in, f, tolerateTail)
           new Iterator[Row] {
             def hasNext: Boolean = {
               val h = it.hasNext

@@ -41,15 +41,16 @@ import org.apache.spark.sql.types.StructType
   *     dirs are tailed (the subscribe list).
   *
   * Scale shape: a trigger's planning cost is one directory listing plus
-  * a HEADER-ONLY walk of segments (12-byte frame + 15 bytes of batch
-  * header, payload seek-skipped) — and only for segments whose
-  * (file, length) changed since the last look: closed segments are
-  * immutable, so steady-state planning touches just each partition's
-  * active segment. getBatch prunes segments by base-offset range
-  * driver-side (the filename IS the base offset — kafka's naming
-  * contract), then decodes one task per admitted segment with a
-  * broadcast range join; a 10 TB backlog paces through
-  * maxOffsetsPerTrigger instead of planning as one batch.
+  * a CRC-VERIFIED frame walk of NEW bytes only — per-path scan state
+  * resumes at the last complete frame, so closed segments cost one pass
+  * ever and steady state touches just each partition's active tail
+  * (CRC verification is kafka's own log-recovery rule: an in-flight or
+  * torn frame — which under log.preallocate reads as zero-filled, not
+  * short — is only distinguishable from data by its checksum). getBatch
+  * prunes segments by base-offset range driver-side (the filename IS
+  * the base offset — kafka's naming contract), then decodes one task
+  * per admitted segment with a broadcast range join; a 10 TB backlog
+  * paces through maxOffsetsPerTrigger instead of planning as one batch.
   */
 class KafkaStreamProvider extends StreamSourceProvider with DataSourceRegister {
   override def shortName(): String = "graft-kafka"
@@ -87,8 +88,11 @@ private[sources] object KafkaStreamSource {
   }
 
   /** One segment file with its partition key and base offset (from the
-    * broker's `<padded base offset>.log` naming). */
-  case class Seg(file: String, tp: String, fileBase: Long, length: Long)
+    * broker's `<padded base offset>.log` naming; None when the name is
+    * not the broker convention — such partitions decode fine but opt
+    * out of base-offset pruning, see getBatch). */
+  case class Seg(file: String, tp: String, fileBase: Option[Long],
+                 length: Long)
 }
 
 class KafkaStreamSource(sqlContext: SQLContext,
@@ -159,7 +163,7 @@ class KafkaStreamSource(sqlContext: SQLContext,
         fs.listStatus(root).toSeq.filter(_.isDirectory)
           .filterNot(_.getPath.getName.startsWith("."))
       else Seq.empty
-    dirs.flatMap { d =>
+    val out = dirs.flatMap { d =>
       val tp = d.getPath.getName
       val topic = KafkaSegmentReader.topicPartition(tp)._1
       if (topicFilter.exists(f => !f.contains(topic))) Nil
@@ -175,69 +179,93 @@ class KafkaStreamSource(sqlContext: SQLContext,
           val base =
             if (name.nonEmpty && name.forall(c => c >= '0' && c <= '9') &&
                 digits.length <= 18)
-              if (digits.isEmpty) 0L else digits.toLong
-            else 0L // unparseable name: no pruning bound, still readable
+              Some(if (digits.isEmpty) 0L else digits.toLong)
+            else None // unparseable name: still readable, never pruned
           Seg(st.getPath.toString, tp, base, st.getLen)
         }
-    }.groupBy(_.tp).view.mapValues(_.sortBy(_.fileBase)).toMap
+    }.groupBy(_.tp).view
+      .mapValues(_.sortBy(_.fileBase.getOrElse(0L))).toMap
+    // retention deleted segments must not pin scan state forever
+    val live = new java.util.HashSet[String]()
+    out.valuesIterator.foreach(_.foreach(s => live.add(s.file)))
+    scanStates.keySet.retainAll(live)
+    out
   }
 
-  /** (file, length) → offset AFTER the last record in the file, None if
-    * the file holds no complete batch. Closed segments are immutable, so
-    * the cache key (path, length) re-scans only grown files. */
-  private val endCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), Option[Long]]()
+  /** Incremental per-path scan state: byte position AFTER the last
+    * complete frame and the running end offset. Each trigger resumes the
+    * header walk at scannedPos, so cost is proportional to NEW bytes
+    * only — not O(segment) per trigger — and the state is keyed by path
+    * alone (bounded: one entry per live file, pruned against each
+    * listing). Position-based resume also survives log.preallocate=true
+    * brokers, where appends land INSIDE a constant-length preallocated
+    * file (a length-keyed cache read a stale end forever and silently
+    * stalled the stream). A shrunk file (truncation/replacement)
+    * resets to a full rescan. */
+  private case class ScanState(scannedPos: Long, end: Option[Long])
+  private val scanStates =
+    new java.util.concurrent.ConcurrentHashMap[String, ScanState]()
 
-  /** Header-only walk: per batch frame read baseOffset(8)+batchLength(4)
-    * then epoch(4)+magic(1)+crc(4)+attrs(2)+lastOffsetDelta(4), seek
-    * past the rest. A trailing PARTIAL frame (an in-flight broker write)
-    * is ignored — it is not yet readable data. */
-  private def scanEnd(seg: Seg): Option[Long] =
-    endCache.computeIfAbsent((seg.file, seg.length), _ => {
-      val p = new Path(seg.file)
-      val in = new DataInputStream(fsFor(p).open(p))
-      try {
-        var end: Option[Long] = None
-        var pos = 0L
-        var done = false
-        while (!done) {
-          if (pos + 12 > seg.length) done = true
+  /** Watermark walk: per batch frame read baseOffset(8)+batchLength(4),
+    * then the full frame body, and VERIFY its CRC-32C before counting
+    * its records into the end offset — Kafka's own log recovery rule
+    * (a broker truncates its log at the first CRC-invalid batch on
+    * restart, because an in-flight or torn write is indistinguishable
+    * from corruption at the byte level). This matters concretely under
+    * log.preallocate=true: the file tail is zeros, so a half-written
+    * frame can look header-complete (its length field readable, the
+    * rest zero-filled) — only the CRC separates "not yet data" from
+    * data. The scan stops BEFORE the first invalid frame and resumes
+    * there next trigger, so every byte is still read at most once
+    * across the stream's lifetime (plus re-reads of the one in-flight
+    * frame until it completes). */
+  private def scanEnd(seg: Seg): Option[Long] = {
+    val prev0 = Option(scanStates.get(seg.file))
+      .getOrElse(ScanState(0L, None))
+    val prev = if (seg.length < prev0.scannedPos) ScanState(0L, None)
+               else prev0
+    if (prev.scannedPos + 12 > seg.length) {
+      scanStates.put(seg.file, prev)
+      return prev.end
+    }
+    val p = new Path(seg.file)
+    val in = fsFor(p).open(p)
+    try {
+      if (prev.scannedPos > 0) in.seek(prev.scannedPos)
+      var end: Option[Long] = prev.end
+      var pos = prev.scannedPos
+      var done = false
+      while (!done) {
+        if (pos + 12 > seg.length) done = true
+        else {
+          val head = new Array[Byte](12)
+          in.readFully(head, 0, 12)
+          val baseOffset = KafkaSegmentReader.be64(head, 0)
+          val batchLength = KafkaSegmentReader.be32(head, 8)
+          // < 49 is a zero-padding run (preallocated tail) or a torn
+          // in-flight length field — not yet readable data either way
+          if (batchLength < 49 || pos + 12 + batchLength > seg.length)
+            done = true
           else {
-            val head = new Array[Byte](27)
-            val want = math.min(27L, seg.length - pos).toInt
-            in.readFully(head, 0, want)
-            val baseOffset = be64(head, 0)
-            val batchLength = be32(head, 8)
-            if (batchLength <= 0 || want < 27 ||
-                pos + 12 + batchLength > seg.length) done = true
+            val buf = new Array[Byte](batchLength)
+            in.readFully(buf, 0, batchLength)
+            val magic = buf(4)
+            val crcStored = KafkaSegmentReader.be32(buf, 5) & 0xFFFFFFFFL
+            val crc = new java.util.zip.CRC32C()
+            crc.update(buf, 9, buf.length - 9)
+            if (magic != 2 || crc.getValue != crcStored) done = true
             else {
-              val magic = head(16)
-              require(magic == 2, s"${seg.file}: message format v$magic — " +
-                "only v2 RecordBatch segments are supported")
-              val lastOffsetDelta = be32(head, 23)
+              val lastOffsetDelta = KafkaSegmentReader.be32(buf, 11)
               end = Some(baseOffset + lastOffsetDelta + 1)
               pos += 12L + batchLength
-              // already consumed 27 bytes: 12 frame + 15 of the body
-              val skip = batchLength - 15L
-              var left = skip
-              while (left > 0) {
-                val s = in.skip(left)
-                if (s <= 0) throw new java.io.EOFException(
-                  s"${seg.file}: truncated batch body")
-                left -= s
-              }
             }
           }
         }
-        end
-      } finally in.close()
-    })
-
-  private def be32(b: Array[Byte], o: Int): Int =
-    ((b(o) & 0xFF) << 24) | ((b(o + 1) & 0xFF) << 16) |
-      ((b(o + 2) & 0xFF) << 8) | (b(o + 3) & 0xFF)
-  private def be64(b: Array[Byte], o: Int): Long =
-    ((be32(b, o) & 0xFFFFFFFFL) << 32) | (be32(b, o + 4) & 0xFFFFFFFFL)
+      }
+      scanStates.put(seg.file, ScanState(pos, end))
+      end
+    } finally in.close()
+  }
 
   /** Per-partition log-end offsets (next offset a producer would get).
     * Max over every segment, not "the last by name": an unparseable
@@ -250,10 +278,12 @@ class KafkaStreamSource(sqlContext: SQLContext,
       if (ends.isEmpty) None else Some(tp -> ends.max)
     }
 
-  /** Per-partition earliest offsets (first retained record). */
+  /** Per-partition earliest offsets (first retained record). A
+    * partition whose first segment has a non-convention name falls back
+    * to 0 — safe: offsets below the real first record match nothing. */
   private def earliestOffsets(segs: Map[String, Seq[Seg]]): Map[String, Long] =
     segs.flatMap { case (tp, ss) =>
-      ss.headOption.map(tp -> _.fileBase)
+      ss.headOption.map(h => tp -> h.fileBase.getOrElse(0L))
     }
 
   // the startingOffsets anchor: resolved EAGERLY at stream launch (a
@@ -307,7 +337,11 @@ class KafkaStreamSource(sqlContext: SQLContext,
           val lag = hi - lo
           val share =
             if (lag == 0) 0L
-            else math.min(lag, math.max(1L, budget * lag / totalLag))
+            // double arithmetic: budget * lag overflows Long at the
+            // backlog scales this cap exists for (10^8 budget x 10^11
+            // lag), silently collapsing the share to 1/trigger
+            else math.min(lag,
+              math.max(1L, (budget.toDouble * lag / totalLag).toLong))
           tp -> (lo + share)
         }
     }
@@ -330,10 +364,15 @@ class KafkaStreamSource(sqlContext: SQLContext,
       val ss = segs.getOrElse(tp, Nil)
       // keep a segment if any of [lo, hi) can live in it: its base is
       // below hi and the NEXT segment's base is above lo (the filename
-      // base-offset contract; the last segment has no upper bound)
-      ss.zipAll(ss.drop(1).map(n => Some(n.fileBase)), null, None)
+      // base-offset contract; the last segment has no upper bound).
+      // Pruning REQUIRES every name in the partition to parse: with a
+      // fallback base the sort is wrong and a pruned file could hold
+      // admitted offsets — silent data loss. Such partitions decode
+      // every file and let the range filter do the work.
+      if (ss.exists(_.fileBase.isEmpty)) ss.map(_.file)
+      else ss.zipAll(ss.drop(1).map(n => n.fileBase), null, None)
         .collect { case (s, nextBase) if s != null &&
-            s.fileBase < hi && nextBase.forall(_ > lo) => s.file }
+            s.fileBase.get < hi && nextBase.forall(_ > lo) => s.file }
     }
     val batch =
       if (pruned.isEmpty)
@@ -342,7 +381,12 @@ class KafkaStreamSource(sqlContext: SQLContext,
       else {
         val rangesDf = spark.createDataFrame(ranges)
           .toDF("__tp", "__lo", "__hi")
-        val rows = KafkaSegmentReader.readFiles(spark, pruned)
+        // tolerateTail: active segments under a live broker end in a
+        // partial in-flight frame; stop at the last complete one (the
+        // offset-range filter guarantees exactly-once regardless of how
+        // many complete frames landed since planning)
+        val rows = KafkaSegmentReader.readFiles(spark, pruned,
+          tolerateTail = true)
         val keyed = rows.withColumn("__tp",
           when(col("partition").isNull, col("topic"))
             .otherwise(concat(col("topic"), lit("-"), col("partition"))))

@@ -135,6 +135,56 @@ class KafkaStreamSpec extends AnyFunSuite {
     assert(out.values.flatten.size === 2)
   }
 
+  test("active-segment realities: a partial in-flight tail frame never " +
+      "crashes or admits, and appends inside a PREALLOCATED zero-padded " +
+      "segment (constant file length) still advance the watermark") {
+    val dir = Files.createTempDirectory("kstream_tail_").toString
+    val cp = Files.createTempDirectory("kstream_tail_cp_").toString
+    def rec(i: Long) = (b(s"k$i"), b(s"p:v$i"),
+      Seq.empty[(String, Array[Byte])], 0L)
+    val b1 = KafkaSegmentReader.batchBytes(0L, 1000L, Seq(rec(0), rec(1)))
+    val b2 = KafkaSegmentReader.batchBytes(2L, 1002L, Seq(rec(2)))
+    val b3 = KafkaSegmentReader.batchBytes(3L, 1003L, Seq(rec(3)))
+    val segDir = new java.io.File(s"$dir/p-0"); segDir.mkdirs()
+    val seg = new java.io.File(segDir, "0" * 20 + ".log")
+    val total = b1.length + b2.length + b3.length + 64
+    def writeState(parts: Array[Byte]*): Unit = {
+      // constant-length file: payload + zero padding (log.preallocate)
+      val buf = new Array[Byte](total)
+      var off = 0
+      parts.foreach { p => System.arraycopy(p, 0, buf, off, p.length); off += p.length }
+      val os = new java.io.FileOutputStream(seg)
+      try os.write(buf) finally os.close()
+    }
+    // state 1: batch1 complete + the first 20 bytes of batch2 in flight
+    writeState(b1, b2.take(20))
+    val collected = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val q = spark.readStream.format("graft-kafka")
+      .option("startingOffsets", "earliest").load(dir).writeStream
+      .option("checkpointLocation", cp)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        collected.synchronized {
+          collected ++= df.collect().map(r => (r.getLong(2),
+            new String(r.getAs[Array[Byte]]("value"), "UTF-8")))
+        }
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(collected.sorted.toSeq === Seq((0L, "p:v0"), (1L, "p:v1")))
+      // state 2: batch2 completes IN PLACE — file length unchanged
+      writeState(b1, b2)
+      q.processAllAvailable()
+      assert(collected.sorted.toSeq ===
+        Seq((0L, "p:v0"), (1L, "p:v1"), (2L, "p:v2")))
+      // state 3: batch3 lands after it, still constant length
+      writeState(b1, b2, b3)
+      q.processAllAvailable()
+      assert(collected.sorted.toSeq ===
+        Seq((0L, "p:v0"), (1L, "p:v1"), (2L, "p:v2"), (3L, "p:v3")))
+    } finally q.stop()
+  }
+
   test("mid-stream restart is exactly-once: records delivered before the " +
       "stop are not re-emitted, records after it arrive") {
     val dir = Files.createTempDirectory("kstream_restart_").toString
