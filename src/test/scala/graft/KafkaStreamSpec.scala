@@ -185,6 +185,56 @@ class KafkaStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("end-to-end pipeline: kafka segments -> JSON decode -> streaming " +
+      "dedup at ingest -> exactly-once Delta ingest, across a restart") {
+    import org.apache.spark.sql.functions.{col, from_json}
+    import org.apache.spark.sql.types.StructType
+    import spark.implicits._
+    val dir = Files.createTempDirectory("kstream_e2e_").toString
+    val cp = Files.createTempDirectory("kstream_e2e_cp_").toString
+    val table = Files.createTempDirectory("kstream_e2e_tbl_").toString
+    def jrec(id: Long, text: String) =
+      (b(id.toString), b(s"""{"id":$id,"text":"$text"}"""),
+        Seq.empty[(String, Array[Byte])], id)
+    KafkaSegmentReader.writeSegment(spark, dir, "docs", 0, Seq(
+      KafkaSegmentReader.batchBytes(0L, 1700000000000L, Seq(
+        jrec(0L, "alpha words here"),
+        jrec(1L, "boilerplate banner"),
+        jrec(2L, "boilerplate banner")))), segmentBase = 0L)
+    def runOnce(): Unit = {
+      val raw = spark.readStream.format("graft-kafka")
+        .option("startingOffsets", "earliest").load(dir)
+      val parsed = raw.select(
+          from_json(col("value").cast("string"),
+            StructType.fromDDL("id LONG, text STRING")).as("j"),
+          col("timestamp").as("ts"))
+        .select(col("j.id").as("id"), col("j.text").as("text"), col("ts"))
+      val deduped = graft.streaming.Events
+        .dedupStream(parsed, "text", "10 minutes")
+        .select("id", "text")
+      val q = graft.streaming.Events.deltaSink(deduped, table, cp,
+        appId = "kafka-e2e")
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce()
+    val round1 = graft.sources.DeltaLogReader.read(spark, table)
+      .as[(Long, String)].collect().toSet
+    assert(round1 === Set((0L, "alpha words here"), (1L, "boilerplate banner")))
+    // more records land (one a dup of state the RESTARTED query must
+    // still remember), then the pipeline restarts on the same checkpoint
+    KafkaSegmentReader.writeSegment(spark, dir, "docs", 0, Seq(
+      KafkaSegmentReader.batchBytes(3L, 1700000000050L, Seq(
+        jrec(3L, "boilerplate banner"),
+        jrec(4L, "fresh closing words")))), segmentBase = 3L)
+    runOnce()
+    val round2 = graft.sources.DeltaLogReader.read(spark, table)
+      .as[(Long, String)].collect().toSeq
+    // the dup dropped via restored dedup state, the replayed batch
+    // skipped via the Delta txn action, the fresh row landed once
+    assert(round2.sorted === Seq((0L, "alpha words here"),
+      (1L, "boilerplate banner"), (4L, "fresh closing words")))
+  }
+
   test("mid-stream restart is exactly-once: records delivered before the " +
       "stop are not re-emitted, records after it arrive") {
     val dir = Files.createTempDirectory("kstream_restart_").toString
