@@ -46,7 +46,7 @@ object AvroReader {
       StructField(f.name(), dt, nullable = true)
     })
 
-  private def convert(v: AnyRef, dt: DataType): Any = (v, dt) match {
+  private[sources] def convert(v: AnyRef, dt: DataType): Any = (v, dt) match {
     case (null, _) => null
     case (u: org.apache.avro.util.Utf8, StringType) => u.toString
     case (s: String, StringType) => s

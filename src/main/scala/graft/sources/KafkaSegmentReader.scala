@@ -347,6 +347,75 @@ object KafkaSegmentReader {
         raw.columns.filterNot(_ == "__json").map(col): _*)
   }
 
+  /** Drill's AvroMessageReader shape (decoders/AvroMessageReader.java):
+    * message values in the CONFLUENT WIRE FORMAT — magic byte 0x00 +
+    * 4-byte big-endian schema id + Avro binary — decoded into columns,
+    * plus the plugin's five metadata fields (same names as [[readJson]])
+    * and `avroSchemaId` (the wire id, a graft extension so mixed-schema
+    * topics stay inspectable). The reference resolves writer schemas
+    * from a LIVE Schema Registry (KafkaAvroDeserializer); zero-egress
+    * the registry is unreachable, so the caller supplies the writer
+    * schema JSON — every record decodes under that one schema (a topic
+    * whose records carry several incompatible ids needs one pass per
+    * id, filtered on avroSchemaId). Flat primitive records, the same
+    * coverage as [[AvroReader]]; tombstones (null values) drop; a
+    * value without the 0x00 magic fails loudly (it is not wire-format
+    * data, not something to silently null). */
+  def readAvro(spark: SparkSession, path: String,
+               writerSchemaJson: String): DataFrame = {
+    val avroSchema = new org.apache.avro.Schema.Parser().parse(writerSchemaJson)
+    val payload = AvroReader.sparkSchema(avroSchema)
+    val metaNames = Set("kafkaTopic", "kafkaPartitionId", "kafkaMsgOffset",
+      "kafkaMsgTimestamp", "kafkaMsgKey", "avroSchemaId")
+    // payload fields named like metadata columns drop (readJson's
+    // documented reserve — two same-named columns make every later
+    // reference an ambiguous-attribute error)
+    val payloadFields = payload.fields.filterNot(f => metaNames(f.name))
+    val outSchema = StructType(payloadFields ++ Seq(
+      StructField("kafkaTopic", StringType, nullable = true),
+      StructField("kafkaPartitionId", LongType, nullable = true),
+      StructField("kafkaMsgOffset", LongType, nullable = false),
+      StructField("kafkaMsgTimestamp", LongType, nullable = false),
+      StructField("kafkaMsgKey", StringType, nullable = true),
+      StructField("avroSchemaId", IntegerType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val schemaJson = avroSchema.toString // serializable form for executors
+    val names = payloadFields.map(_.name).toSeq
+    val types = payloadFields.map(_.dataType).toSeq
+    import org.apache.spark.sql.functions.col
+    read(spark, path).filter(col("value").isNotNull)
+      .mapPartitions { rows =>
+        val wschema = new org.apache.avro.Schema.Parser().parse(schemaJson)
+        val reader =
+          new org.apache.avro.generic.GenericDatumReader[
+            org.apache.avro.generic.GenericRecord](wschema)
+        var decoder: org.apache.avro.io.BinaryDecoder = null
+        rows.map { r =>
+          val topic = r.getString(0)
+          val part = if (r.isNullAt(1)) null
+                     else java.lang.Long.valueOf(r.getInt(1).toLong)
+          val offset = r.getLong(2)
+          val ts = r.getLong(3)
+          val key = r.getAs[Array[Byte]](5)
+          val bytes = r.getAs[Array[Byte]](6)
+          require(bytes.length >= 5 && bytes(0) == 0,
+            s"$topic@$offset: value is not Confluent wire format " +
+              s"(need magic 0x00 + schema id, got ${bytes.length} bytes" +
+              (if (bytes.nonEmpty) f", first 0x${bytes(0)}%02x" else "") + ")")
+          val schemaId = be32(bytes, 1)
+          decoder = org.apache.avro.io.DecoderFactory.get()
+            .binaryDecoder(bytes, 5, bytes.length - 5, decoder)
+          val rec = reader.read(null, decoder)
+          val payloadVals = names.zip(types).map {
+            case (n, dt) => AvroReader.convert(rec.get(n), dt)
+          }
+          Row.fromSeq(payloadVals ++ Seq(topic, part, offset, ts,
+            if (key == null) null else new String(key, "UTF-8"), schemaId))
+        }
+      }(enc).toDF(outSchema.fieldNames: _*)
+  }
+
   // -------------------------------------------------------- fixture I/O
 
   private def writeVarlong(out: java.io.OutputStream, v0: Long): Unit = {
