@@ -109,9 +109,18 @@ class KafkaStreamSource(sqlContext: SQLContext,
   private val startingOffsets =
     parameters.getOrElse("startingOffsets", "latest") match {
       case s @ ("latest" | "earliest") => s
+      case json if json.trim.startsWith("{") => json // per-partition map
       case other => throw new IllegalArgumentException(
-        s"graft-kafka: startingOffsets must be earliest|latest, got $other")
+        "graft-kafka: startingOffsets must be earliest|latest or a " +
+          s"""{"topic-0":offset} JSON map, got $other""")
     }
+  // startingTimestamp (epoch ms): the kafka offsetsForTimes contract —
+  // each partition starts at the EARLIEST record whose timestamp >= ts
+  // (record-exact, not batch-granular); partitions with no such record
+  // start at their end offset (kafka's "no match -> latest" rule)
+  private val startingTimestamp = parameters.get("startingTimestamp").map(_.toLong)
+  require(startingTimestamp.isEmpty || !parameters.contains("startingOffsets"),
+    "graft-kafka: startingTimestamp and startingOffsets are mutually exclusive")
   private val maxOffsetsPerTrigger =
     parameters.get("maxOffsetsPerTrigger").map(_.toLong)
 
@@ -294,11 +303,90 @@ class KafkaStreamSource(sqlContext: SQLContext,
   private val anchor: Map[String, Long] =
     readMapFile("graft-kafka-anchor").getOrElse {
       val segs = segments()
-      val a = if (startingOffsets == "latest") endOffsets(segs)
-              else earliestOffsets(segs)
+      val a = startingTimestamp match {
+        case Some(ts) => offsetsForTime(segs, ts)
+        case None => startingOffsets match {
+          case "latest" => endOffsets(segs)
+          case "earliest" => earliestOffsets(segs)
+          case json =>
+            // explicit per-partition map; kafka's sentinel values apply
+            // (-1 = latest, -2 = earliest), unlisted partitions start
+            // earliest (they were subscribed, not excluded)
+            val m = fromJson(json)
+            val ends = endOffsets(segs)
+            val earliest = earliestOffsets(segs)
+            (earliest.keySet ++ m.keySet).iterator.map { tp =>
+              tp -> (m.get(tp) match {
+                case Some(-1L) => ends.getOrElse(tp, 0L)
+                case Some(-2L) | None => earliest.getOrElse(tp, 0L)
+                case Some(v) => v
+              })
+            }.toMap
+        }
+      }
       writeMapFile("graft-kafka-anchor", a, overwrite = false)
       a
     }
+
+  /** offsetsForTimes over segment files: a cheap frame walk finds the
+    * FIRST batch per partition whose maxTimestamp reaches `ts` (batches
+    * are append-ordered, so every earlier batch holds only older
+    * records), then ONE spark job over just those candidate segments
+    * refines to the exact first record offset with timestamp >= ts.
+    * Runs once per stream (the anchor persists). */
+  private def offsetsForTime(segs: Map[String, Seq[Seg]],
+                             ts: Long): Map[String, Long] = {
+    val ends = endOffsets(segs)
+    val candidates = segs.flatMap { case (tp, ss) =>
+      ss.find(seg => maxTsReached(seg, ts)).map(tp -> _.file)
+    }
+    val refined: Map[String, Long] =
+      if (candidates.isEmpty) Map.empty
+      else {
+        import org.apache.spark.sql.functions.{col, min => fmin, concat, lit, when}
+        KafkaSegmentReader.readFiles(spark, candidates.values.toSeq.distinct,
+            tolerateTail = true)
+          .filter(col("timestamp") >= ts)
+          .withColumn("__tp",
+            when(col("partition").isNull, col("topic"))
+              .otherwise(concat(col("topic"), lit("-"), col("partition"))))
+          .groupBy("__tp").agg(fmin(col("offset")).as("o"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
+    segs.keysIterator.map { tp =>
+      tp -> refined.getOrElse(tp, ends.getOrElse(tp, 0L))
+    }.toMap
+  }
+
+  /** Does any batch of this segment carry maxTimestamp >= ts? Stops at
+    * the first hit; same frame walk as scanEnd minus the CRC (a false
+    * positive only widens the candidate set the exact job then refines,
+    * and in-flight tails stop the walk). */
+  private def maxTsReached(seg: Seg, ts: Long): Boolean = {
+    val p = new Path(seg.file)
+    val in = fsFor(p).open(p)
+    try {
+      var pos = 0L
+      while (pos + 12 <= seg.length) {
+        val head = new Array[Byte](12)
+        in.readFully(head, 0, 12)
+        val batchLength = KafkaSegmentReader.be32(head, 8)
+        if (batchLength < 49 || pos + 12 + batchLength > seg.length)
+          return false
+        val body = new Array[Byte](31) // through maxTimestamp @ 23..31
+        in.readFully(body, 0, 31)
+        if (KafkaSegmentReader.be64(body, 23) >= ts) return true
+        var left = batchLength - 31L
+        while (left > 0) {
+          val sk = in.skip(left)
+          if (sk <= 0) return false
+          left -= sk
+        }
+        pos += 12L + batchLength
+      }
+      false
+    } finally in.close()
+  }
 
   @volatile private var committed: Option[Map[String, Long]] =
     readMapFile("graft-kafka-progress")

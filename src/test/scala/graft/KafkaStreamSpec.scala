@@ -185,6 +185,49 @@ class KafkaStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("startingTimestamp: record-exact offsetsForTimes anchoring; no " +
+      "match means start-at-end; JSON startingOffsets map with kafka " +
+      "sentinels") {
+    val dir = Files.createTempDirectory("kstream_ts_").toString
+    def recs(vals: Seq[Long]) = vals.zipWithIndex.map { case (v, i) =>
+      (b(s"k$v"), b(s"ts:v$v"), Seq.empty[(String, Array[Byte])], i.toLong) }
+    // batch 1: offsets 0-2 at ts 1000,1001,1002; batch 2: 3-4 at 2000,2001
+    KafkaSegmentReader.writeSegment(spark, dir, "ts", 0, Seq(
+      KafkaSegmentReader.batchBytes(0L, 1000L, recs(Seq(0, 1, 2))),
+      KafkaSegmentReader.batchBytes(3L, 2000L, recs(Seq(3, 4)))))
+    def run(opts: Map[String, String])(between: => Unit = ()): Seq[Long] = {
+      val cp = Files.createTempDirectory("kstream_ts_cp_").toString
+      val got = scala.collection.mutable.ArrayBuffer[Long]()
+      val reader = opts.foldLeft(spark.readStream.format("graft-kafka")) {
+        case (r, (k, v)) => r.option(k, v) }
+      val q = reader.load(dir).writeStream
+        .option("checkpointLocation", cp)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          got.synchronized { got ++= df.collect().map(_.getLong(2)) }
+          ()
+        }.start()
+      try { q.processAllAvailable(); between; q.processAllAvailable() }
+      finally q.stop()
+      got.sorted.toSeq
+    }
+    // mid-batch timestamp: ts=1002 is record offset 2, not batch base 0
+    assert(run(Map("startingTimestamp" -> "1002"))() === Seq(2L, 3L, 4L))
+    // between the batches: first record of batch 2
+    assert(run(Map("startingTimestamp" -> "1500"))() === Seq(3L, 4L))
+    // beyond every record: start at end (kafka's no-match rule) — only
+    // post-launch appends stream
+    assert(run(Map("startingTimestamp" -> "9999")) {
+      KafkaSegmentReader.writeSegment(spark, dir, "ts", 0, Seq(
+        KafkaSegmentReader.batchBytes(5L, 9000L, recs(Seq(5)))),
+        segmentBase = 5L)
+    } === Seq(5L))
+    // explicit per-partition JSON start map
+    assert(run(Map("startingOffsets" -> """{"ts-0": 4}"""))() === Seq(4L, 5L))
+    // kafka sentinel -2 = earliest
+    assert(run(Map("startingOffsets" -> """{"ts-0": -2}"""))() ===
+      Seq(0L, 1L, 2L, 3L, 4L, 5L))
+  }
+
   test("end-to-end pipeline: kafka segments -> JSON decode -> streaming " +
       "dedup at ingest -> exactly-once Delta ingest, across a restart") {
     import org.apache.spark.sql.functions.{col, from_json}
