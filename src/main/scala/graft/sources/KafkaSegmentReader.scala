@@ -355,14 +355,18 @@ object KafkaSegmentReader {
     * topics stay inspectable). The reference resolves writer schemas
     * from a LIVE Schema Registry (KafkaAvroDeserializer); zero-egress
     * the registry is unreachable, so the caller supplies the writer
-    * schema JSON — every record decodes under that one schema (a topic
-    * whose records carry several incompatible ids needs one pass per
-    * id, filtered on avroSchemaId). Flat primitive records, the same
-    * coverage as [[AvroReader]]; tombstones (null values) drop; a
-    * value without the 0x00 magic fails loudly (it is not wire-format
-    * data, not something to silently null). */
+    * schema JSON — and, for topics whose records carry several
+    * incompatible ids, `schemaId` RESTRICTS the pass to records with
+    * that wire id (others are skipped BEFORE decode — without the
+    * filter a mismatched record would misparse under the wrong schema,
+    * which is why the filter lives here and not on the result). Flat
+    * primitive records, the same coverage as [[AvroReader]];
+    * tombstones (null values) drop; a value without the 0x00 magic
+    * fails loudly (it is not wire-format data, not something to
+    * silently null). */
   def readAvro(spark: SparkSession, path: String,
-               writerSchemaJson: String): DataFrame = {
+               writerSchemaJson: String,
+               schemaId: Option[Int] = None): DataFrame = {
     val avroSchema = new org.apache.avro.Schema.Parser().parse(writerSchemaJson)
     val payload = AvroReader.sparkSchema(avroSchema)
     val metaNames = Set("kafkaTopic", "kafkaPartitionId", "kafkaMsgOffset",
@@ -381,8 +385,8 @@ object KafkaSegmentReader {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(outSchema)
     val schemaJson = avroSchema.toString // serializable form for executors
-    val names = payloadFields.map(_.name).toSeq
-    val types = payloadFields.map(_.dataType).toSeq
+    val nt = payloadFields.map(f => (f.name, f.dataType)).toSeq // hoisted off the per-row path
+    val wantId = schemaId
     import org.apache.spark.sql.functions.col
     read(spark, path).filter(col("value").isNotNull)
       .mapPartitions { rows =>
@@ -391,7 +395,7 @@ object KafkaSegmentReader {
           new org.apache.avro.generic.GenericDatumReader[
             org.apache.avro.generic.GenericRecord](wschema)
         var decoder: org.apache.avro.io.BinaryDecoder = null
-        rows.map { r =>
+        rows.flatMap { r =>
           val topic = r.getString(0)
           val part = if (r.isNullAt(1)) null
                      else java.lang.Long.valueOf(r.getInt(1).toLong)
@@ -403,15 +407,18 @@ object KafkaSegmentReader {
             s"$topic@$offset: value is not Confluent wire format " +
               s"(need magic 0x00 + schema id, got ${bytes.length} bytes" +
               (if (bytes.nonEmpty) f", first 0x${bytes(0)}%02x" else "") + ")")
-          val schemaId = be32(bytes, 1)
-          decoder = org.apache.avro.io.DecoderFactory.get()
-            .binaryDecoder(bytes, 5, bytes.length - 5, decoder)
-          val rec = reader.read(null, decoder)
-          val payloadVals = names.zip(types).map {
-            case (n, dt) => AvroReader.convert(rec.get(n), dt)
+          val recId = be32(bytes, 1)
+          if (wantId.exists(_ != recId)) None
+          else {
+            decoder = org.apache.avro.io.DecoderFactory.get()
+              .binaryDecoder(bytes, 5, bytes.length - 5, decoder)
+            val rec = reader.read(null, decoder)
+            val payloadVals = nt.map {
+              case (n, dt) => AvroReader.convert(rec.get(n), dt)
+            }
+            Some(Row.fromSeq(payloadVals ++ Seq(topic, part, offset, ts,
+              if (key == null) null else new String(key, "UTF-8"), recId)))
           }
-          Row.fromSeq(payloadVals ++ Seq(topic, part, offset, ts,
-            if (key == null) null else new String(key, "UTF-8"), schemaId))
         }
       }(enc).toDF(outSchema.fieldNames: _*)
   }

@@ -215,20 +215,28 @@ class KafkaStreamSource(sqlContext: SQLContext,
   private val scanStates =
     new java.util.concurrent.ConcurrentHashMap[String, ScanState]()
 
-  /** Watermark walk: per batch frame read baseOffset(8)+batchLength(4),
-    * then the full frame body, and VERIFY its CRC-32C before counting
-    * its records into the end offset — Kafka's own log recovery rule
-    * (a broker truncates its log at the first CRC-invalid batch on
-    * restart, because an in-flight or torn write is indistinguishable
-    * from corruption at the byte level). This matters concretely under
-    * log.preallocate=true: the file tail is zeros, so a half-written
-    * frame can look header-complete (its length field readable, the
-    * rest zero-filled) — only the CRC separates "not yet data" from
-    * data. The scan stops BEFORE the first invalid frame and resumes
-    * there next trigger, so every byte is still read at most once
-    * across the stream's lifetime (plus re-reads of the one in-flight
-    * frame until it completes). */
-  private def scanEnd(seg: Seg): Option[Long] = {
+  /** Watermark walk, two regimes:
+    *
+    * CLOSED segments (every segment except the partition's last) are
+    * immutable and fully written — they get a STRICT header walk
+    * (27 bytes per frame, body seek-skipped): wrong magic, torn
+    * lengths, or a partial tail there is real corruption and fails
+    * LOUDLY (content CRC is verified by the strict decode at read
+    * time). Each closed segment is walked once ever (scan state).
+    *
+    * The ACTIVE segment (the last one) legitimately ends in ambiguity:
+    * an in-flight frame, or — under log.preallocate=true — a
+    * zero-filled tail where a half-written frame can look
+    * header-complete. Frames FOLLOWED by more frames are complete
+    * (brokers append sequentially), so only the FINAL frame of the
+    * walk needs its CRC verified (kafka's own log-recovery rule)
+    * before it counts into the watermark; if invalid, the walk backs
+    * off one frame and retries next trigger. A tail frame that stays
+    * invalid across many triggers is indistinguishable from tail
+    * corruption — the source warns once rather than silently idling.
+    * Driver cost per trigger: headers of new frames + ONE frame body.
+    */
+  private def scanEnd(seg: Seg, active: Boolean): Option[Long] = {
     val prev0 = Option(scanStates.get(seg.file))
       .getOrElse(ScanState(0L, None))
     val prev = if (seg.length < prev0.scannedPos) ScanState(0L, None)
@@ -243,47 +251,103 @@ class KafkaStreamSource(sqlContext: SQLContext,
       if (prev.scannedPos > 0) in.seek(prev.scannedPos)
       var end: Option[Long] = prev.end
       var pos = prev.scannedPos
+      // the final frame's coordinates, CRC-checked after the walk
+      var lastFrame: Option[(Long, Int, Long, Option[Long])] = None
       var done = false
       while (!done) {
-        if (pos + 12 > seg.length) done = true
-        else {
-          val head = new Array[Byte](12)
-          in.readFully(head, 0, 12)
-          val baseOffset = KafkaSegmentReader.be64(head, 0)
-          val batchLength = KafkaSegmentReader.be32(head, 8)
-          // < 49 is a zero-padding run (preallocated tail) or a torn
-          // in-flight length field — not yet readable data either way
-          if (batchLength < 49 || pos + 12 + batchLength > seg.length)
+        if (pos >= seg.length) done = true // clean end at a boundary
+        else if (pos + 12 > seg.length) {
+          // 1-11 trailing bytes: zero padding stops quietly; nonzero
+          // trailing garbage in a CLOSED segment is corruption
+          val tail = new Array[Byte]((seg.length - pos).toInt)
+          in.readFully(tail, 0, tail.length)
+          if (!active && tail.exists(_ != 0)) throw new java.io.IOException(
+            s"${seg.file}: closed segment ends in a partial frame " +
+              s"header at byte $pos — corrupt segment")
+          done = true
+        } else {
+          val head = new Array[Byte](27)
+          val want = math.min(27L, seg.length - pos).toInt
+          in.readFully(head, 0, want)
+          val batchLength =
+            if (want >= 12) KafkaSegmentReader.be32(head, 8) else 0
+          if (batchLength == 0) done = true // zero padding (both regimes)
+          else if (batchLength < 49 || want < 27 ||
+              pos + 12 + batchLength > seg.length) {
+            if (!active) throw new java.io.IOException(
+              s"${seg.file}: closed segment has a torn frame at byte " +
+                s"$pos (declared $batchLength bytes) — corrupt segment")
             done = true
-          else {
-            val buf = new Array[Byte](batchLength)
-            in.readFully(buf, 0, batchLength)
-            val magic = buf(4)
-            val crcStored = KafkaSegmentReader.be32(buf, 5) & 0xFFFFFFFFL
-            val crc = new java.util.zip.CRC32C()
-            crc.update(buf, 9, buf.length - 9)
-            if (magic != 2 || crc.getValue != crcStored) done = true
-            else {
-              val lastOffsetDelta = KafkaSegmentReader.be32(buf, 11)
-              end = Some(baseOffset + lastOffsetDelta + 1)
-              pos += 12L + batchLength
+          } else {
+            val magic = head(16)
+            if (magic != 2) {
+              // mid-log wrong magic is definitive (a v0/v1 segment or
+              // corruption), ACTIVE tail included: an in-flight v2
+              // frame never carries a wrong magic at a complete length
+              throw new IllegalStateException(
+                s"${seg.file}: message format v$magic at byte $pos — " +
+                  "only v2 RecordBatch segments are supported")
+            }
+            val baseOffset = KafkaSegmentReader.be64(head, 0)
+            val lastOffsetDelta = KafkaSegmentReader.be32(head, 23)
+            lastFrame = Some((pos, batchLength, baseOffset + lastOffsetDelta + 1, end))
+            end = Some(baseOffset + lastOffsetDelta + 1)
+            pos += 12L + batchLength
+            var left = batchLength - 15L
+            while (left > 0) {
+              val sk = in.skip(left)
+              if (sk <= 0) throw new java.io.EOFException(
+                s"${seg.file}: truncated batch body")
+              left -= sk
             }
           }
         }
+      }
+      // active tail: the last frame could be half-written over zeros
+      // and still look header-complete — verify its CRC before
+      // counting it (closed segments defer to the strict decode)
+      if (active) lastFrame.foreach { case (fpos, flen, _, endBefore) =>
+        in.seek(fpos + 12)
+        val buf = new Array[Byte](flen)
+        in.readFully(buf, 0, flen)
+        val crcStored = KafkaSegmentReader.be32(buf, 5) & 0xFFFFFFFFL
+        val crc = new java.util.zip.CRC32C()
+        crc.update(buf, 9, buf.length - 9)
+        if (crc.getValue != crcStored) {
+          pos = fpos
+          end = endBefore
+          val tries = invalidTail.merge(seg.file, Integer.valueOf(1),
+            (a: Integer, b: Integer) => Integer.valueOf(a + b))
+          if (tries == 20) System.err.println(
+            s"[graft-kafka] ${seg.file}: tail frame at byte $fpos has " +
+              "failed CRC for 20 consecutive triggers — an in-flight " +
+              "write this old usually means tail corruption; the " +
+              "partition's watermark is held at offset " +
+              s"${end.getOrElse(-1L)} (kafka log recovery would " +
+              "truncate here too)")
+        } else invalidTail.remove(seg.file)
       }
       scanStates.put(seg.file, ScanState(pos, end))
       end
     } finally in.close()
   }
+  private val invalidTail =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
   /** Per-partition log-end offsets (next offset a producer would get).
     * Max over every segment, not "the last by name": an unparseable
-    * segment name falls back to base 0 and would break the sort — and
-    * scanEnd is (file, length)-cached, so closed segments cost one
-    * header walk EVER, making the max a cache sweep per trigger. */
+    * segment name falls back and would break the sort — and scanEnd
+    * resumes from per-path scan state, so closed segments cost one
+    * header walk EVER, making the max a state sweep per trigger. The
+    * LAST segment by base offset is the active one (tolerant regime);
+    * when any name is unparseable, every segment is treated as active
+    * (the ordering is unknown, so none can be called closed). */
   private def endOffsets(segs: Map[String, Seq[Seg]]): Map[String, Long] =
     segs.flatMap { case (tp, ss) =>
-      val ends = ss.flatMap(scanEnd)
+      val anyUnparsed = ss.exists(_.fileBase.isEmpty)
+      val ends = ss.zipWithIndex.flatMap { case (seg, i) =>
+        scanEnd(seg, active = anyUnparsed || i == ss.size - 1)
+      }
       if (ends.isEmpty) None else Some(tp -> ends.max)
     }
 
@@ -448,7 +512,12 @@ class KafkaStreamSource(sqlContext: SQLContext,
       val lo = startMap.getOrElse(tp, earliest.getOrElse(tp, 0L))
       (tp, lo, hi)
     }.filter { case (_, lo, hi) => hi > lo }
-    val pruned = ranges.flatMap { case (tp, lo, hi) =>
+    // (file, isActive): the ACTIVE segment (last per partition, or all
+    // of a partition with unparseable names) decodes tail-tolerantly;
+    // CLOSED segments decode STRICTLY — a corrupt frame there must
+    // fail the batch loudly, not silently truncate rows the admitted
+    // range still claims
+    val pruned: Seq[(String, Boolean)] = ranges.flatMap { case (tp, lo, hi) =>
       val ss = segs.getOrElse(tp, Nil)
       // keep a segment if any of [lo, hi) can live in it: its base is
       // below hi and the NEXT segment's base is above lo (the filename
@@ -457,10 +526,12 @@ class KafkaStreamSource(sqlContext: SQLContext,
       // fallback base the sort is wrong and a pruned file could hold
       // admitted offsets — silent data loss. Such partitions decode
       // every file and let the range filter do the work.
-      if (ss.exists(_.fileBase.isEmpty)) ss.map(_.file)
-      else ss.zipAll(ss.drop(1).map(n => n.fileBase), null, None)
-        .collect { case (s, nextBase) if s != null &&
-            s.fileBase.get < hi && nextBase.forall(_ > lo) => s.file }
+      if (ss.exists(_.fileBase.isEmpty)) ss.map(s => (s.file, true))
+      else ss.zipWithIndex
+        .zipAll(ss.drop(1).map(n => n.fileBase), null, None)
+        .collect { case ((s, i), nextBase) if s != null &&
+            s.fileBase.get < hi && nextBase.forall(_ > lo) =>
+          (s.file, i == ss.size - 1) }
     }
     val batch =
       if (pruned.isEmpty)
@@ -469,12 +540,17 @@ class KafkaStreamSource(sqlContext: SQLContext,
       else {
         val rangesDf = spark.createDataFrame(ranges)
           .toDF("__tp", "__lo", "__hi")
-        // tolerateTail: active segments under a live broker end in a
-        // partial in-flight frame; stop at the last complete one (the
-        // offset-range filter guarantees exactly-once regardless of how
-        // many complete frames landed since planning)
-        val rows = KafkaSegmentReader.readFiles(spark, pruned,
-          tolerateTail = true)
+        val (activeF, closedF) = pruned.partition(_._2)
+        // tolerateTail only on ACTIVE segments (a live broker's partial
+        // in-flight tail stops at the last complete frame; the range
+        // filter guarantees exactly-once regardless of how many frames
+        // landed since planning); closed segments decode strictly
+        val parts = Seq(
+          (closedF.map(_._1), false), (activeF.map(_._1), true))
+          .filter(_._1.nonEmpty)
+          .map { case (fs, tol) =>
+            KafkaSegmentReader.readFiles(spark, fs, tolerateTail = tol) }
+        val rows = parts.reduce(_ unionByName _)
         val keyed = rows.withColumn("__tp",
           when(col("partition").isNull, col("topic"))
             .otherwise(concat(col("topic"), lit("-"), col("partition"))))

@@ -185,6 +185,37 @@ class KafkaStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("a corrupt frame in a CLOSED segment fails LOUDLY (strict decode " +
+      "+ strict watermark walk) instead of silently truncating") {
+    val dir = Files.createTempDirectory("kstream_corrupt_").toString
+    val cp = Files.createTempDirectory("kstream_corrupt_cp_").toString
+    // closed segment 0 (two batches, the second CRC-flipped) + a newer
+    // active segment so segment 0 is in the closed regime
+    val b1 = KafkaSegmentReader.batchBytes(0L, 1000L,
+      Seq((b("k0"), b("v0"), Nil, 0L)))
+    val b2 = KafkaSegmentReader.batchBytes(1L, 1001L,
+      Seq((b("k1"), b("v1"), Nil, 0L)))
+    b2(30) = (b2(30) ^ 0x7).toByte // flip payload bits: CRC now wrong
+    val segDir = new java.io.File(s"$dir/c-0"); segDir.mkdirs()
+    val os = new java.io.FileOutputStream(new java.io.File(segDir, "0" * 20 + ".log"))
+    try { os.write(b1); os.write(b2) } finally os.close()
+    append(dir, "c", 0, base = 2L, n = 1, segBase = 2L)
+    val q = spark.readStream.format("graft-kafka")
+      .option("startingOffsets", "earliest").load(dir).writeStream
+      .option("checkpointLocation", cp)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.count() // force execution — an un-acted-on frame decodes nothing
+        ()
+      }
+      .start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q.processAllAvailable() finally q.stop()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .take(8).map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("CRC mismatch"))
+  }
+
   test("startingTimestamp: record-exact offsetsForTimes anchoring; no " +
       "match means start-at-end; JSON startingOffsets map with kafka " +
       "sentinels") {
