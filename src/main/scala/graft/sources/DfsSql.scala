@@ -251,6 +251,10 @@ object DfsSql {
       // third arg = the tsdb-uid table directory
       case "opentsdb" | "tsdb" if delimiter != "," =>
         OpenTsdbReader.read(spark, path, delimiter)
+      // third arg = the Confluent writer schema JSON (the registry is a
+      // live service — the schema travels as an argument, see readAvro)
+      case "kafka-avro" | "kafka_avro" if delimiter != "," =>
+        KafkaSegmentReader.readAvro(spark, path, delimiter)
       case other  => readByExt(spark, path, other)
     }
 

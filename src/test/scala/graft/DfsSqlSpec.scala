@@ -129,6 +129,26 @@ class DfsSqlSpec extends AnyFunSuite {
       .collect()
     assert(k.length == 1 && k(0).getLong(0) == 9L && k(0).getLong(1) == 5L)
 
+    // kafka-avro: third dfs_read argument carries the writer schema
+    // (the registry is a live service; the schema travels as data)
+    val adir = java.nio.file.Files.createTempDirectory("dfs_kavro").toString
+    val aschema = """{"type":"record","name":"R","fields":[{"name":"id","type":"long"}]}"""
+    val parsed = new org.apache.avro.Schema.Parser().parse(aschema)
+    val rec = new org.apache.avro.generic.GenericData.Record(parsed)
+    rec.put("id", 11L)
+    val bo = new java.io.ByteArrayOutputStream()
+    bo.write(0); bo.write(java.nio.ByteBuffer.allocate(4).putInt(3).array())
+    val aenc = org.apache.avro.io.EncoderFactory.get().binaryEncoder(bo, null)
+    new org.apache.avro.generic.GenericDatumWriter[
+      org.apache.avro.generic.GenericRecord](parsed).write(rec, aenc)
+    aenc.flush()
+    KafkaSegmentReader.writeSegment(spark, adir, "a", 0, Seq(
+      KafkaSegmentReader.batchBytes(0L, 1L, Seq(
+        (null, bo.toByteArray, Nil, 0L)))))
+    val av = spark.sql("SELECT id, avroSchemaId FROM dfs_read('" + adir +
+      "', 'kafka-avro', '" + aschema.replace("'", "''") + "')").collect()
+    assert(av.length == 1 && av(0).getLong(0) == 11L && av(0).getInt(1) == 3)
+
     // HBase store files carry no extension: dfs_read type name 'hfile'
     import graft.sources.HBaseHFileReader
     val hdir = java.nio.file.Files.createTempDirectory("dfs_hfile").toString
