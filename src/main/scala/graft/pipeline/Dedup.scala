@@ -3,6 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.graftshim.PlanShim
 import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType, StringType}
 
 /** Deduplication operators designed for the 100 TB regime.
@@ -1174,6 +1175,7 @@ object Dedup {
               coalesce(col("y.llabel"), col("x.label")).as("label"))
             .localCheckpoint())
           changed = jumped.filter(col("label") =!= col("old")).count()
+          PlanShim.unpersistCheckpoint(m) // jumped is materialized
           m = jumped.select("id", "label")
           doublings += 1
         }
@@ -1222,12 +1224,15 @@ object Dedup {
                 coalesce(col("mlabel"), col("a.label")).as("label"))
               .localCheckpoint()
               .transform(org.apache.spark.sql.graftshim.PlanShim.freshStats)
-            comp.unpersist()
+            // free the superseded composition's checkpoint blocks for
+            // real: Dataset.unpersist is a NO-OP on localCheckpoint
+            // frames (not CacheManager-registered) — c is materialized
+            PlanShim.unpersistCheckpoint(comp)
             c
           }
         val nextLive = remap(live, m)
-        live.unpersist()
-        m.unpersist()
+        PlanShim.unpersistCheckpoint(live) // nextLive is materialized
+        PlanShim.unpersistCheckpoint(m)
         live = nextLive
         liveEdges = live.count()
         if (sys.props.contains("graft.cc.debug"))
@@ -1242,7 +1247,7 @@ object Dedup {
       require(liveEdges == 0,
         s"dupComponents did not converge within maxRounds=$maxRounds " +
           s"($liveEdges contracted edges remain) — labels would be non-minimal")
-      live.unpersist()
+      PlanShim.unpersistCheckpoint(live)
       // fold the composed contraction back onto the round-1 labels: the
       // ONE full-size join that replaces a full-size pass per round —
       // re-sized to the FULL table (the loop left the conf at the last
@@ -1256,7 +1261,7 @@ object Dedup {
             .select(col("a.id").as("id"),
               coalesce(col("b.label"), col("a.label")).as("label"))
             .localCheckpoint()
-          comp.unpersist(); m1.unpersist()
+          PlanShim.unpersistCheckpoint(comp); PlanShim.unpersistCheckpoint(m1)
           r
         }
     } finally {

@@ -135,6 +135,39 @@ object KafkaSegmentReader {
                                key: Array[Byte], value: Array[Byte],
                                headers: Seq[(String, Array[Byte])])
 
+  /** After a tolerant decode hits an invalid frame: does any COMPLETE,
+    * magic-2, CRC-valid frame follow it in the stream? Walks the same
+    * framing the watermark scan used (12-byte header, declared length,
+    * full body) — frames that are complete but themselves invalid keep
+    * the walk going (multi-frame corruption is still corruption); any
+    * torn/zero/EOF stop means the invalid frame really was the
+    * in-flight tail. Consumes the stream — callers throw or stop. */
+  private def completeValidFrameFollows(in: InputStream): Boolean = {
+    while (true) {
+      val head = new Array[Byte](12)
+      var got = 0
+      while (got < 12) {
+        val r = in.read(head, got, 12 - got)
+        if (r < 0) return false
+        got += r
+      }
+      val batchLength = be32(head, 8)
+      if (batchLength < 49) return false // padding / torn length
+      val buf = new Array[Byte](batchLength)
+      var off = 0
+      while (off < batchLength) {
+        val r = in.read(buf, off, batchLength - off)
+        if (r < 0) return false
+        off += r
+      }
+      val crc = new java.util.zip.CRC32C()
+      crc.update(buf, 9, buf.length - 9)
+      if (buf(4) == 2 && crc.getValue == (be32(buf, 5) & 0xFFFFFFFFL))
+        return true
+    }
+    false
+  }
+
   /** Decode every record of every batch from one segment stream.
     * Returns an iterator that reads lazily batch-by-batch.
     * `tolerateTail`: an ACTIVE segment (a broker appending while we
@@ -198,12 +231,22 @@ object KafkaSegmentReader {
               val crc = new java.util.zip.CRC32C()
               crc.update(buf, 9, buf.length - 9)
               if (tolerateTail && (magic != 2 || crc.getValue != crcStored)) {
-                // the kafka log-recovery rule: an in-flight/torn tail
+                // the kafka log-recovery rule: an in-flight/torn TAIL
                 // frame is indistinguishable from corruption at the
                 // byte level (under log.preallocate the body reads as
-                // zeros, not short) — stop at the last VALID frame; the
-                // watermark scan applied the same rule, so nothing past
-                // this point was admitted
+                // zeros, not short) — stop at the last VALID frame.
+                // But a corrupt frame MID-segment is distinguishable:
+                // brokers append sequentially, so if any complete
+                // CRC-valid frame FOLLOWS this one, the watermark walk
+                // framed through it and ADMITTED offsets beyond —
+                // stopping here would silently drop them. Peek forward
+                // with the same framing the walk used and be loud.
+                if (completeValidFrameFollows(in)) throw new java.io.IOException(
+                  s"$file: invalid frame @offset $baseOffset (" +
+                    (if (magic != 2) s"magic $magic"
+                     else s"CRC stored $crcStored != ${crc.getValue}") +
+                    ") with complete frames after it — corrupt " +
+                    "segment, not an in-flight tail")
                 done = true; return
               }
               require(magic == 2,

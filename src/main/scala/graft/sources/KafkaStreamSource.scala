@@ -41,10 +41,15 @@ import org.apache.spark.sql.types.StructType
   *     dirs are tailed (the subscribe list).
   *
   * Scale shape: a trigger's planning cost is one directory listing plus
-  * a CRC-VERIFIED frame walk of NEW bytes only — per-path scan state
-  * resumes at the last complete frame, so closed segments cost one pass
-  * ever and steady state touches just each partition's active tail
-  * (CRC verification is kafka's own log-recovery rule: an in-flight or
+  * a frame walk of each partition's ACTIVE tail's NEW bytes only —
+  * closed segments cost NO planning I/O ever, because kafka's naming
+  * contract (file name = base offset = first contained offset) makes a
+  * closed segment's end exactly its successor's parsed base; this is
+  * the zero-egress equivalent of asking a broker for end offsets,
+  * O(partitions) not O(bytes), so a 10 TB retained backlog plans its
+  * first trigger from the listing alone. Per-path scan state resumes
+  * the active walk at the last complete frame, whose CRC is verified
+  * before it counts (kafka's own log-recovery rule: an in-flight or
   * torn frame — which under log.preallocate reads as zero-filled, not
   * short — is only distinguishable from data by its checksum). getBatch
   * prunes segments by base-offset range driver-side (the filename IS
@@ -154,7 +159,21 @@ class KafkaStreamSource(sqlContext: SQLContext,
         val tmp = new Path(metadataPath, s".$name.tmp")
         val os = fs.create(tmp, true)
         try os.write(toJson(m).getBytes("UTF-8")) finally os.close()
-        if (!fs.rename(tmp, p)) { fs.delete(p, false); fs.rename(tmp, p) }
+        // FileContext rename-OVERWRITE is atomic where the FS supports
+        // it (HDFS semantics); the FileSystem-API fallback of
+        // delete-then-rename leaves a crash window where the progress
+        // file is GONE and a restart pacing-resets to the anchor
+        try {
+          org.apache.hadoop.fs.FileContext
+            .getFileContext(fs.makeQualified(p).toUri, hconf)
+            .rename(fs.makeQualified(tmp), fs.makeQualified(p),
+              org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        } catch {
+          case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+            // no AbstractFileSystem binding for this scheme: last
+            // resort, the non-atomic path (documented crash window)
+            if (!fs.rename(tmp, p)) { fs.delete(p, false); fs.rename(tmp, p) }
+        }
       }
     }
 
@@ -215,28 +234,21 @@ class KafkaStreamSource(sqlContext: SQLContext,
   private val scanStates =
     new java.util.concurrent.ConcurrentHashMap[String, ScanState]()
 
-  /** Watermark walk, two regimes:
-    *
-    * CLOSED segments (every segment except the partition's last) are
-    * immutable and fully written — they get a STRICT header walk
-    * (27 bytes per frame, body seek-skipped): wrong magic, torn
-    * lengths, or a partial tail there is real corruption and fails
-    * LOUDLY (content CRC is verified by the strict decode at read
-    * time). Each closed segment is walked once ever (scan state).
-    *
-    * The ACTIVE segment (the last one) legitimately ends in ambiguity:
-    * an in-flight frame, or — under log.preallocate=true — a
-    * zero-filled tail where a half-written frame can look
-    * header-complete. Frames FOLLOWED by more frames are complete
-    * (brokers append sequentially), so only the FINAL frame of the
-    * walk needs its CRC verified (kafka's own log-recovery rule)
-    * before it counts into the watermark; if invalid, the walk backs
-    * off one frame and retries next trigger. A tail frame that stays
-    * invalid across many triggers is indistinguishable from tail
-    * corruption — the source warns once rather than silently idling.
-    * Driver cost per trigger: headers of new frames + ONE frame body.
-    */
-  private def scanEnd(seg: Seg, active: Boolean): Option[Long] = {
+  /** Watermark walk over an ACTIVE segment — the only file that pays
+    * any planning I/O (closed segments derive their ends from the
+    * successor's parsed base, see endOffsets). An active segment
+    * legitimately ends in ambiguity: an in-flight frame, or — under
+    * log.preallocate=true — a zero-filled tail where a half-written
+    * frame can look header-complete. Frames FOLLOWED by more frames
+    * are complete (brokers append sequentially), so only the FINAL
+    * frame of the walk needs its CRC verified (kafka's own
+    * log-recovery rule) before it counts into the watermark; if
+    * invalid, the walk backs off one frame and retries next trigger. A
+    * tail frame that stays invalid across many triggers is
+    * indistinguishable from tail corruption — the source warns once
+    * rather than silently idling. Driver cost per trigger: headers of
+    * new frames + ONE frame body. */
+  private def scanEnd(seg: Seg): Option[Long] = {
     val prev0 = Option(scanStates.get(seg.file))
       .getOrElse(ScanState(0L, None))
     val prev = if (seg.length < prev0.scannedPos) ScanState(0L, None)
@@ -257,13 +269,8 @@ class KafkaStreamSource(sqlContext: SQLContext,
       while (!done) {
         if (pos >= seg.length) done = true // clean end at a boundary
         else if (pos + 12 > seg.length) {
-          // 1-11 trailing bytes: zero padding stops quietly; nonzero
-          // trailing garbage in a CLOSED segment is corruption
-          val tail = new Array[Byte]((seg.length - pos).toInt)
-          in.readFully(tail, 0, tail.length)
-          if (!active && tail.exists(_ != 0)) throw new java.io.IOException(
-            s"${seg.file}: closed segment ends in a partial frame " +
-              s"header at byte $pos — corrupt segment")
+          // 1-11 trailing bytes: an in-flight header (or zero padding)
+          // — not yet data, stop at the last complete frame
           done = true
         } else {
           val head = new Array[Byte](27)
@@ -271,13 +278,10 @@ class KafkaStreamSource(sqlContext: SQLContext,
           in.readFully(head, 0, want)
           val batchLength =
             if (want >= 12) KafkaSegmentReader.be32(head, 8) else 0
-          if (batchLength == 0) done = true // zero padding (both regimes)
+          if (batchLength == 0) done = true // zero padding tail
           else if (batchLength < 49 || want < 27 ||
               pos + 12 + batchLength > seg.length) {
-            if (!active) throw new java.io.IOException(
-              s"${seg.file}: closed segment has a torn frame at byte " +
-                s"$pos (declared $batchLength bytes) — corrupt segment")
-            done = true
+            done = true // torn/in-flight frame: not yet admitted
           } else {
             val magic = head(16)
             if (magic != 2) {
@@ -306,7 +310,7 @@ class KafkaStreamSource(sqlContext: SQLContext,
       // active tail: the last frame could be half-written over zeros
       // and still look header-complete — verify its CRC before
       // counting it (closed segments defer to the strict decode)
-      if (active) lastFrame.foreach { case (fpos, flen, _, endBefore) =>
+      lastFrame.foreach { case (fpos, flen, _, endBefore) =>
         in.seek(fpos + 12)
         val buf = new Array[Byte](flen)
         in.readFully(buf, 0, flen)
@@ -335,19 +339,28 @@ class KafkaStreamSource(sqlContext: SQLContext,
     new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
   /** Per-partition log-end offsets (next offset a producer would get).
-    * Max over every segment, not "the last by name": an unparseable
-    * segment name falls back and would break the sort — and scanEnd
-    * resumes from per-path scan state, so closed segments cost one
-    * header walk EVER, making the max a state sweep per trigger. The
-    * LAST segment by base offset is the active one (tolerant regime);
-    * when any name is unparseable, every segment is treated as active
-    * (the ordering is unknown, so none can be called closed). */
+    *
+    * CLOSED segments (every segment but the partition's last) cost NO
+    * I/O at all: kafka's naming contract says a segment file is named
+    * by its base offset — the first offset it contains — so a closed
+    * segment's end is exactly its SUCCESSOR's parsed base. This is the
+    * zero-egress equivalent of a consumer asking the broker for end
+    * offsets (O(partitions), never O(bytes)): a 10 TB retained backlog
+    * plans its first trigger from the file listing alone. Only the
+    * ACTIVE segment (the last one — the only file a broker appends to)
+    * pays the incremental frame walk. Closed-segment corruption stays
+    * LOUD where it is actually detected: the strict distributed decode
+    * in getBatch CRC-verifies every frame of every closed segment.
+    *
+    * When any name in a partition is unparseable the ordering is
+    * unknown, so no segment can be called closed and every file keeps
+    * the walk (tolerant regime, same rule as getBatch's pruning). */
   private def endOffsets(segs: Map[String, Seq[Seg]]): Map[String, Long] =
     segs.flatMap { case (tp, ss) =>
       val anyUnparsed = ss.exists(_.fileBase.isEmpty)
-      val ends = ss.zipWithIndex.flatMap { case (seg, i) =>
-        scanEnd(seg, active = anyUnparsed || i == ss.size - 1)
-      }
+      val ends: Seq[Long] =
+        if (anyUnparsed) ss.flatMap(scanEnd)
+        else ss.drop(1).map(_.fileBase.get) ++ scanEnd(ss.last)
       if (ends.isEmpty) None else Some(tp -> ends.max)
     }
 
@@ -401,15 +414,29 @@ class KafkaStreamSource(sqlContext: SQLContext,
   private def offsetsForTime(segs: Map[String, Seq[Seg]],
                              ts: Long): Map[String, Long] = {
     val ends = endOffsets(segs)
-    val candidates = segs.flatMap { case (tp, ss) =>
-      ss.find(seg => maxTsReached(seg, ts)).map(tp -> _.file)
-    }
+    // candidate = (file, isActive): tolerant decode ONLY for each
+    // partition's last segment (a live broker's in-flight tail);
+    // CLOSED candidates decode STRICTLY — silent truncation there
+    // would make the partition look matchless and fall back to
+    // start-at-end, skipping records after the timestamp with no
+    // signal (the same silent-loss class getBatch's split refuses)
+    val candidates: Seq[(String, Boolean)] = segs.toSeq.flatMap {
+      case (_, ss) =>
+        val anyUnparsed = ss.exists(_.fileBase.isEmpty)
+        ss.zipWithIndex.find { case (seg, _) => maxTsReached(seg, ts) }
+          .map { case (seg, i) =>
+            (seg.file, anyUnparsed || i == ss.size - 1) }
+    }.distinct
     val refined: Map[String, Long] =
       if (candidates.isEmpty) Map.empty
       else {
         import org.apache.spark.sql.functions.{col, min => fmin, concat, lit, when}
-        KafkaSegmentReader.readFiles(spark, candidates.values.toSeq.distinct,
-            tolerateTail = true)
+        val (activeC, closedC) = candidates.partition(_._2)
+        Seq((closedC.map(_._1), false), (activeC.map(_._1), true))
+          .filter(_._1.nonEmpty)
+          .map { case (fs, tol) =>
+            KafkaSegmentReader.readFiles(spark, fs, tolerateTail = tol) }
+          .reduce(_ unionByName _)
           .filter(col("timestamp") >= ts)
           .withColumn("__tp",
             when(col("partition").isNull, col("topic"))

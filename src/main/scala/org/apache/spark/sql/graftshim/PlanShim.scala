@@ -27,4 +27,31 @@ object PlanShim {
     spark.internalCreateDataFrame(
       df.queryExecution.toRdd, df.schema, isStreaming = false)
   }
+
+  /** Free the persisted blocks behind a `localCheckpoint()`ed (possibly
+    * [[freshStats]]-rewrapped) DataFrame. `Dataset.unpersist` only
+    * uncaches CacheManager-REGISTERED plans, and localCheckpoint's
+    * persisted RDD blocks are not registered there — so on iterative
+    * loops the per-round checkpoint blocks pile up until RDD garbage
+    * collection. This walks the frame's LogicalRDD leaves down their
+    * RDD lineage (freshStats wraps a metrics/projection-derived RDD,
+    * not the persisted one itself) and unpersists the first persisted
+    * RDD on each path; lineage below a local checkpoint is already
+    * truncated, so the walk is shallow and never re-enters the
+    * original computation. Callers must only free frames whose every
+    * downstream consumer has MATERIALIZED — a local checkpoint cannot
+    * recompute. */
+  def unpersistCheckpoint(df: DataFrame): Unit = {
+    val seen = new java.util.IdentityHashMap[
+      org.apache.spark.rdd.RDD[_], java.lang.Boolean]()
+    def walk(r: org.apache.spark.rdd.RDD[_]): Unit =
+      if (seen.put(r, java.lang.Boolean.TRUE) == null) {
+        if (r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+          r.unpersist(blocking = false)
+        else r.dependencies.foreach(d => walk(d.rdd))
+      }
+    df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(walk)
+  }
 }

@@ -309,6 +309,72 @@ class KafkaStreamSpec extends AnyFunSuite {
       (1L, "boilerplate banner"), (4L, "fresh closing words")))
   }
 
+  test("cold-start planning I/O: a backlog of CLOSED segments plans from " +
+      "the file listing alone — endOffsets derives closed ends from each " +
+      "successor's base-offset name and opens ONLY the active segment; " +
+      "decoded rows are unchanged") {
+    val dir = Files.createTempDirectory("kstream_count_").toString
+    // 5 closed segments + 1 active, 3 records each → end offset 18
+    (0 until 6).foreach(i =>
+      append(dir, "bk", 0, base = i * 3L, n = 3, segBase = i * 3L))
+    spark.sparkContext.hadoopConfiguration.set("fs.countfs.impl",
+      classOf[CountingFileSystem].getName)
+    val src = new graft.sources.KafkaStreamSource(spark.sqlContext,
+      Map("path" -> s"countfs://$dir", "startingOffsets" -> "earliest"))
+    CountingFileSystem.reset()
+    val off = src.getOffset
+    assert(off.map(_.json) === Some("""{"bk-0":18}"""))
+    val openedAtPlan = CountingFileSystem.openedPaths
+    assert(openedAtPlan.nonEmpty) // the active segment's watermark walk
+    assert(openedAtPlan.distinct ===
+      Seq(s"$dir/bk-0/${"0" * 18}15.log"))
+    // steady state: nothing grew, the second trigger opens NOTHING
+    CountingFileSystem.reset()
+    assert(src.getOffset.map(_.json) === Some("""{"bk-0":18}"""))
+    assert(CountingFileSystem.openedPaths === Seq.empty)
+    // the admitted range decodes to exactly the planted records
+    val cp = Files.createTempDirectory("kstream_count_cp_").toString
+    val out = collectBatches(dir,
+      Map("startingOffsets" -> "earliest"), cp)(_ => ())
+    val all = out.values.flatten.toSeq.sorted
+    assert(all === (0 until 18).map(i =>
+      ("bk", 0, i.toLong, s"bk:v$i")))
+  }
+
+  test("tolerant decode is NOT silent truncation: a corrupt frame MID " +
+      "active segment (complete frames after it) fails loudly; only a " +
+      "true in-flight tail is swallowed") {
+    val dir = Files.createTempDirectory("kstream_midcorrupt_").toString
+    val cp = Files.createTempDirectory("kstream_midcorrupt_cp_").toString
+    val b1 = KafkaSegmentReader.batchBytes(0L, 1000L,
+      Seq((b("k0"), b("v0"), Nil, 0L)))
+    val b2 = KafkaSegmentReader.batchBytes(1L, 1001L,
+      Seq((b("k1"), b("v1"), Nil, 0L)))
+    val b3 = KafkaSegmentReader.batchBytes(2L, 1002L,
+      Seq((b("k2"), b("v2"), Nil, 0L)))
+    b2(30) = (b2(30) ^ 0x7).toByte // payload bits flipped: CRC wrong
+    // ONE segment (the active one → tolerant decode) with the corrupt
+    // frame in the MIDDLE — the watermark walk frames through it and
+    // admits offset 3, so a decode that stops at frame 1 would lose
+    // offset 2 silently inside the admitted range
+    val segDir = new java.io.File(s"$dir/m-0"); segDir.mkdirs()
+    val os = new java.io.FileOutputStream(
+      new java.io.File(segDir, "0" * 20 + ".log"))
+    try { os.write(b1); os.write(b2); os.write(b3) } finally os.close()
+    val q = spark.readStream.format("graft-kafka")
+      .option("startingOffsets", "earliest").load(dir).writeStream
+      .option("checkpointLocation", cp)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.count(); ()
+      }.start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q.processAllAvailable() finally q.stop()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .take(8).map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("complete frames after it"))
+  }
+
   test("mid-stream restart is exactly-once: records delivered before the " +
       "stop are not re-emitted, records after it arrive") {
     val dir = Files.createTempDirectory("kstream_restart_").toString

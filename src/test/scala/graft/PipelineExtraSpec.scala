@@ -120,6 +120,25 @@ class PipelineExtraSpec extends AnyFunSuite {
     assert(comp.size == 14) // every pair participant, nothing else
   }
 
+  test("dupComponents frees its intermediate checkpoint blocks: at most " +
+      "the RESULT's own checkpoint survives the run (Dataset.unpersist " +
+      "is a no-op on localCheckpoint frames — the cleanup is explicit)") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    // a long path forces pointer doubling (several intermediate
+    // checkpoints inside contractMap) plus the edge cache
+    val n = 64L
+    val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comp = Dedup.dupComponents(edges)
+    assert(comp.count() === n)
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    // the returned frame's own checkpoint may legitimately survive
+    // (callers read it); everything else — per-doubling jumps, per-round
+    // contractions, the serialized edge cache — must be freed
+    assert(leaked.size <= 1,
+      s"${leaked.size} persistent RDDs leaked from dupComponents: $leaked")
+  }
+
   test("lineDedup: cross-corpus keep-first by (id, idx), blanks pass " +
       "through, all-dropped docs come back empty, order preserved") {
     val docs = Seq(
