@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** OpenTSDB-on-HBase reader — the zero-egress re-expression of the
   * reference's OpenTSDB storage plugin (contrib/storage-opentsdb/...
@@ -23,10 +23,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    map TSD maintains; the forward `id` family is ignored).
   *
   * Output: one row per data point — (metric string, tags map<string,
-  * string>, ts long epoch-seconds, value double). UID maps are
-  * metadata-scale (TSD allocates them sequentially; cardinality =
-  * distinct metric/tag names) and BROADCAST; the data decode stays
-  * distributed, one task per store file.
+  * string>, ts long epoch-seconds, value double).
+  *
+  * Scale shape: uids resolve as JOINS against the decoded uid
+  * RELATION, never a driver-side collect — the 3-byte uid space
+  * admits 16.7M names, which is driver-heap scale at the top end.
+  * Per-ROW uid references (one row per series x hour bucket, orders
+  * below point cardinality) explode to (tagk, tagv) pairs, join the
+  * uid relation with an explicit broadcast hint (uid tables are far
+  * under the broadcast threshold in practice), and re-assemble the
+  * tags map; the per-POINT relation then joins the resolved rows on
+  * row key — broadcast-able by AQE when row cardinality allows, a
+  * shuffle join when it does not, but the point decode itself stays
+  * one task per store file either way. A uid referenced by data but
+  * absent from tsdb-uid fails LOUDLY (raise_error on the join's null
+  * side), never an inner join's silent drop.
   */
 object OpenTsdbReader {
 
@@ -36,74 +47,99 @@ object OpenTsdbReader {
     ((b(o) & 0xFFL) << 24) | ((b(o + 1) & 0xFFL) << 16) |
       ((b(o + 2) & 0xFFL) << 8) | (b(o + 3) & 0xFFL)
 
-  /** uid → name maps from a tsdb-uid table directory: (metrics, tagk,
-    * tagv). Metadata-scale collect by design (one row per distinct
-    * name TSD ever allocated). Full HBase read semantics apply —
-    * renamed uids resolve to the newest version by (ts, seq_id) and
-    * deleted uid rows drop, through the same [[HBaseHFileReader
-    * .resolveLatest]] every layered reader shares. */
-  def uidMaps(spark: SparkSession, uidDir: String)
-      : (Map[Int, String], Map[Int, String], Map[Int, String]) = {
+  /** The decoded uid RELATION — (kind, uid, name), kind in
+    * metrics/tagk/tagv. Full HBase read semantics apply — renamed uids
+    * resolve to the newest version by (ts, seq_id) and deleted uid
+    * rows drop, through the same [[HBaseHFileReader.resolveLatest]]
+    * every layered reader shares. This is what [[read]] JOINS against;
+    * it is never collected there. */
+  def uidRelation(spark: SparkSession, uidDir: String): DataFrame = {
+    import spark.implicits._
     import org.apache.spark.sql.functions.col
-    // the resolution reads the cell relation from six plan branches —
-    // persist even at uid-table (metadata) scale to decode files once
     val cells = HBaseHFileReader.readCells(spark, uidDir)
       .filter(col("family") === "name")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val live =
-      try HBaseHFileReader.resolveLatest(cells)
-        .select("row_key", "qualifier", "value").collect()
-      finally cells.unpersist()
-    def mapFor(kind: String): Map[Int, String] =
-      live.filter(_.getString(1) == kind).map { r =>
-        val rk = r.getAs[Array[Byte]](0)
+    HBaseHFileReader.resolveLatest(cells)
+      .select("row_key", "qualifier", "value")
+      .as[(Array[Byte], String, Array[Byte])]
+      .map { case (rk, kind, v) =>
         require(rk.length == 3,
           s"tsdb-uid '$kind' row key has ${rk.length} bytes (expected " +
             "3 — wider uids need tsd.storage.uid.width support)")
-        be24(rk, 0) -> new String(r.getAs[Array[Byte]](2), "UTF-8")
-      }.toMap
+        (kind, be24(rk, 0), new String(v, "UTF-8"))
+      }.toDF("kind", "uid", "name")
+  }
+
+  /** uid → name maps from a tsdb-uid table directory: (metrics, tagk,
+    * tagv), as driver-side maps — a convenience for tooling, GUARDED
+    * by size: a large install's uid table is driver-heap scale, and
+    * [[read]] resolves by join instead. */
+  def uidMaps(spark: SparkSession, uidDir: String)
+      : (Map[Int, String], Map[Int, String], Map[Int, String]) = {
+    val rel = uidRelation(spark, uidDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val live =
+      try {
+        val n = rel.count()
+        require(n <= 4000000L,
+          s"tsdb-uid table holds $n name cells — too large to collect " +
+            "driver-side; read() resolves uids by join and does not " +
+            "need this map")
+        rel.collect()
+      } finally rel.unpersist()
+    def mapFor(kind: String): Map[Int, String] =
+      live.filter(_.getString(0) == kind)
+        .map(r => r.getInt(1) -> r.getString(2)).toMap
     (mapFor("metrics"), mapFor("tagk"), mapFor("tagv"))
   }
 
   /** Decode a tsdb data directory against a tsdb-uid directory. */
   def read(spark: SparkSession, tsdbDir: String, uidDir: String): DataFrame = {
+    val (plan, caches) = buildRead(spark, tsdbDir, uidDir)
+    val result = plan
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize while the caches are live; refusal paths
+    // (ms qualifiers, salted keys, missing uids) throw out of count —
+    // release every cache instead of leaving blocks pinned
+    try result.count()
+    catch { case t: Throwable => result.unpersist(); throw t }
+    finally caches.foreach(_.unpersist())
+    result // caller may unpersist when done
+  }
+
+  /** [[read]]'s resolution plan WITHOUT materialization — split out so
+    * plan audits can assert the join shape (broadcast uid joins, no
+    * driver collect). Returns (plan, interior caches the caller must
+    * release once done). */
+  private[graft] def buildRead(spark: SparkSession, tsdbDir: String,
+                               uidDir: String): (DataFrame, Seq[DataFrame]) = {
     import spark.implicits._
-    val (metrics, tagks, tagvs) = uidMaps(spark, uidDir)
-    val mB = spark.sparkContext.broadcast(metrics)
-    val kB = spark.sparkContext.broadcast(tagks)
-    val vB = spark.sparkContext.broadcast(tagvs)
+    import org.apache.spark.sql.functions._
+    // uid relation: three kind-slices join below — persist so the uid
+    // store files decode once, not once per slice (metadata scale)
+    val uidRel = uidRelation(spark, uidDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def names(kind: String, uidAlias: String, nameAlias: String) =
+      uidRel.filter(col("kind") === kind)
+        .select(col("uid").as(uidAlias), col("name").as(nameAlias))
     // HBase semantics BEFORE tsdb decode: TSD's row compaction rewrites
     // points into a compacted column and DELETES the originals — a
     // flushed-but-not-major-compacted table holds both plus the
     // tombstones, and a bare Put scan would emit every point twice.
     // The shared resolveLatest applies all four marker kinds
     // per-version and picks the newest survivor by (ts, seq_id).
-    import org.apache.spark.sql.functions.col
     val cells = HBaseHFileReader.readCells(spark, tsdbDir)
       .filter(col("family") === "t")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val live = HBaseHFileReader.resolveLatest(cells)
       .select("row_key", "qualifier_bytes", "value")
-    val result = live
+    val points = live
       .as[(Array[Byte], Array[Byte], Array[Byte])]
       .flatMap { case (rk, qual, value) =>
         require(rk.length >= 7 && (rk.length - 7) % 6 == 0,
           s"tsdb row key has ${rk.length} bytes — not metric(3)+ts(4)+" +
             "n*(tagk(3)+tagv(3)); salted tables are not supported " +
             "(tsd.storage.salt.buckets must be 0)")
-        val metric = mB.value.getOrElse(be24(rk, 0),
-          throw new java.io.IOException(
-            s"metric uid ${be24(rk, 0)} missing from tsdb-uid"))
         val baseTs = be32(rk, 3)
-        val tags = (7 until rk.length by 6).map { o =>
-          val k = kB.value.getOrElse(be24(rk, o),
-            throw new java.io.IOException(
-              s"tagk uid ${be24(rk, o)} missing from tsdb-uid"))
-          val v = vB.value.getOrElse(be24(rk, o + 3),
-            throw new java.io.IOException(
-              s"tagv uid ${be24(rk, o + 3)} missing from tsdb-uid"))
-          k -> v
-        }.toMap
         require(qual.length >= 2 && qual.length % 2 == 0,
           s"tsdb qualifier of ${qual.length} bytes — not a sequence of " +
             "2-byte second-precision points")
@@ -142,18 +178,51 @@ object OpenTsdbReader {
               ((x << shift) >> shift).toDouble
             }
           vo += len
-          (metric, tags, baseTs + offset, v)
+          (rk, baseTs + offset, v)
         }
       }
-      .toDF("metric", "tags", "ts", "value")
+      .toDF("rk", "ts", "value")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // materialize while the cell cache is live; refusal paths
-    // (ms qualifiers, salted keys, missing uids) throw out of count —
-    // release BOTH caches instead of leaving blocks pinned
-    try result.count()
-    catch { case t: Throwable => result.unpersist(); throw t }
-    finally cells.unpersist()
-    result // caller may unpersist when done
+
+    // per-ROW uid resolution: one row per distinct row key (series x
+    // hour bucket), exploded to tag uid pairs, joined against the
+    // BROADCAST uid relation, re-assembled into the tags map. A uid
+    // the data references but tsdb-uid lacks raises, never drops.
+    val rows = points.select("rk").distinct().as[Array[Byte]]
+      .map { rk =>
+        (rk, be24(rk, 0),
+          (7 until rk.length by 6).map(o => (be24(rk, o), be24(rk, o + 3))))
+      }.toDF("rk", "metric_uid", "tag_uids")
+    def required(name: Column, uid: Column, what: String): Column =
+      when(uid.isNotNull, coalesce(name, raise_error(concat(
+        lit(s"$what uid "), uid.cast("string"),
+        lit(" missing from tsdb-uid")))))
+    val resolvedRows = rows
+      .select(col("rk"), col("metric_uid"),
+        explode_outer(col("tag_uids")).as("p"))
+      .select(col("rk"), col("metric_uid"),
+        col("p._1").as("tagk_uid"), col("p._2").as("tagv_uid"))
+      .join(broadcast(names("tagk", "__ku", "kname")),
+        col("tagk_uid") === col("__ku"), "left")
+      .join(broadcast(names("tagv", "__vu", "vname")),
+        col("tagv_uid") === col("__vu"), "left")
+      .groupBy("rk", "metric_uid")
+      .agg(map_from_entries(collect_list(
+        when(col("tagk_uid").isNotNull, struct(
+          required(col("kname"), col("tagk_uid"), "tagk").as("key"),
+          required(col("vname"), col("tagv_uid"), "tagv").as("value")))))
+        .as("tags"))
+      .join(broadcast(names("metrics", "__mu", "mname")),
+        col("metric_uid") === col("__mu"), "left")
+      .select(col("rk"),
+        coalesce(col("mname"), raise_error(concat(
+          lit("metric uid "), col("metric_uid").cast("string"),
+          lit(" missing from tsdb-uid")))).as("metric"),
+        col("tags"))
+
+    val result = points.join(resolvedRows, Seq("rk"))
+      .select(col("metric"), col("tags"), col("ts"), col("value"))
+    (result, Seq(cells, points, uidRel))
   }
 
   // ---------------------------------------------------- fixture tooling

@@ -118,6 +118,29 @@ class OpenTsdbSpec extends AnyFunSuite {
     assert(causeChain(e3).contains("missing from tsdb-uid"), causeChain(e3))
   }
 
+  test("plan audit: uids resolve as BROADCAST JOINS against the uid " +
+      "relation — no driver-side collect of uid rows on the read path") {
+    val (dataDir, uidDir) = freshDirs()
+    val points = Seq(
+      ("sys.cpu", Map("host" -> "a"), 1500000000L, 1.0),
+      ("sys.mem", Map("host" -> "b", "dc" -> "eu"), 1500000002L, 2.0))
+    val (dataCells, uidCells) = OpenTsdbReader.fixtureCells(points)
+    HBaseHFileReader.writeHFile(spark, s"$dataDir/f1", dataCells)
+    HBaseHFileReader.writeHFile(spark, s"$uidDir/f1", uidCells)
+    val (plan, caches) = OpenTsdbReader.buildRead(spark, dataDir, uidDir)
+    try {
+      val phys = plan.queryExecution.executedPlan.toString
+      // the three uid slices (metrics/tagk/tagv) join broadcast
+      val nBroadcast = "BroadcastHashJoin".r.findAllIn(phys).size
+      assert(nBroadcast >= 3, s"expected >=3 broadcast uid joins:\n$phys")
+      // and the same plan still yields the right rows
+      val got = plan.collect().map(r => (r.getString(0),
+        r.getMap[String, String](1).toMap, r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(got == points.toSet, got)
+    } finally caches.foreach(_.unpersist())
+  }
+
   test("GOLDEN bytes: hand-encoded row key / qualifier / value decode " +
       "(bytes NOT produced by fixtureCells)") {
     // metric uid 1, base ts 1500000000 - (1500000000 % 3600) =
