@@ -239,6 +239,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             children(1), org.apache.spark.sql.types.DoubleType),
           segs)
       }))
+    // st_transform (contrib/udfs gis/STTransform.java — proj4 there):
+    // narrowed to 4326 <-> 3857 and 4326 <-> UTM; srids must be
+    // integer literals so unsupported pairs refuse at plan time
+    ext.injectFunction((
+      new FunctionIdentifier("st_transform"),
+      new ExpressionInfo(classOf[graft.functions.StTransformExpr].getName,
+        "st_transform"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          s"st_transform expects (geom, fromSrid, toSrid), got " +
+            s"${children.length} args")
+        def intLit(e: Expression, what: String): Int = e match {
+          case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"st_transform: $what must be an integer literal, got $other")
+        }
+        graft.functions.StTransformExpr(children.head,
+          intLit(children(1), "fromSrid"), intLit(children(2), "toSrid"))
+      }))
     // st_relate: 2-arg = the DE-9IM matrix string, 3-arg = boolean
     // pattern match (contrib/udfs gis/STRelate.java)
     ext.injectFunction((

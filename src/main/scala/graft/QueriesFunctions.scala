@@ -629,6 +629,65 @@ object QueriesFunctions {
             .as("pt_area"))
     }),
 
+    // st_transform 4326 <-> 3857 (reference contrib/udfs gis/
+    // STTransform.java, narrowed to closed-form pairs): the Web
+    // Mercator formulas are elementary — x = R*radians(lon),
+    // y = R*ln(tan(pi/4 + radians(lat)/2)) — so the oracle recomputes
+    // them verbatim in SQL. Meters round to 2dp (cm): the libm-vs-JDK
+    // tan/ln ulp gap is ~1e-8 m at Mercator magnitudes, five orders
+    // under the rounding step. The round-trip back to 4326 rounds at
+    // 9dp against the exact inputs (binary-exact .25/.5 offsets, so
+    // the 1e-12-degree inversion error cannot straddle a boundary).
+    "q_st_transform" -> ((s, d) => {
+      import graft.functions.GisFunctions._
+      import org.apache.spark.sql.Column
+      val k = col("o_orderkey")
+      val lon = (k % 360).cast("double") - 180.0 + 0.25
+      val lat = ((k * 7) % 160).cast("double") - 80.0 + 0.5
+      def w(c: Column): Column = c.cast("string")
+      val pt = stGeomFromText(concat(lit("POINT ("), w(lon), lit(" "),
+        w(lat), lit(")")))
+      val merc = stTransform(pt, 4326, 3857)
+      val back = stTransform(merc, 3857, 4326)
+      T(s, d, "orders").filter(k < 400)
+        .select(k.as("o_orderkey"),
+          round(element_at(merc("xs"), 1), 2).as("mx"),
+          round(element_at(merc("ys"), 1), 2).as("my"),
+          round(element_at(back("xs"), 1), 9).as("rt_lon"),
+          round(element_at(back("ys"), 1), 9).as("rt_lat"))
+    }),
+
+    // st_transform 4326 <-> UTM (Krüger series, WGS84): FIXED known
+    // points against literal expected values cross-validated by two
+    // independent published formulations (the Karney n-series and the
+    // USGS/Snyder e-series agree to <1 mm on these points; tools/
+    // utm_golden.py regenerates both). Eastings/northings at 2dp (cm,
+    // every value >=2 mm from a rounding boundary); the round trip
+    // back to degrees at 6dp.
+    "q_st_transform_utm" -> ((s, _) => {
+      import graft.functions.GisFunctions._
+      import s.implicits._
+      val pts = Seq( // (id, lon, lat, epsg)
+        (1, 2.2945, 48.8584, 32631),   // Eiffel Tower, 31N
+        (2, -73.5, 40.5, 32618),       // Snyder's example point, 18N
+        (3, 151.2153, -33.8568, 32756),// Sydney, 56S
+        (4, 3.0, 0.0, 32631),          // equator x central meridian
+        (5, 103.85, 1.29, 32648),      // Singapore, 48N
+        (6, -122.4194, 37.7749, 32610))// San Francisco, 10N
+      pts.map { case (id, lon, lat, epsg) =>
+        val pt = stGeomFromText(
+          concat(lit("POINT ("), lit(lon.toString), lit(" "),
+            lit(lat.toString), lit(")")))
+        val utm = stTransform(pt, 4326, epsg)
+        val back = stTransform(utm, epsg, 4326)
+        s.range(1).select(lit(id).as("id"),
+          round(element_at(utm("xs"), 1), 2).as("easting"),
+          round(element_at(utm("ys"), 1), 2).as("northing"),
+          round(element_at(back("xs"), 1), 6).as("rt_lon"),
+          round(element_at(back("ys"), 1), 6).as("rt_lat"))
+      }.reduce(_ unionAll _)
+    }),
+
     // Mergeable HLL sketch columns (Spark's Datasketches-backed built-ins):
     // per-group sketches union to an estimate within tolerance of the
     // global exact count — the "sketch once, merge cheaply" contract that
@@ -824,6 +883,29 @@ object QueriesFunctions {
              AS ero_area,
            round(16*dd*dd*sin(pi()/16), 6) AS pt_area
          FROM g""",
+    "q_st_transform" ->
+      """WITH g AS (
+           SELECT o_orderkey,
+             (o_orderkey % 360)::DOUBLE - 180 + 0.25 AS lon,
+             ((o_orderkey*7) % 160)::DOUBLE - 80 + 0.5 AS lat
+           FROM orders WHERE o_orderkey < 400)
+         SELECT o_orderkey,
+           round(6378137 * radians(lon), 2) AS mx,
+           round(6378137 * ln(tan(pi()/4 + radians(lat)/2)), 2) AS my,
+           round(lon, 9) AS rt_lon,
+           round(lat, 9) AS rt_lat
+         FROM g""",
+    "q_st_transform_utm" ->
+      """SELECT id, easting::DOUBLE AS easting, northing::DOUBLE AS northing,
+           rt_lon::DOUBLE AS rt_lon, rt_lat::DOUBLE AS rt_lat
+         FROM (VALUES
+           (1, 448252.00, 5411954.91, 2.2945, 48.8584),
+           (2, 627103.09, 4484335.40, -73.5, 40.5),
+           (3, 334900.57, 6252288.75, 151.2153, -33.8568),
+           (4, 500000.00, 0.00, 3.0, 0.0),
+           (5, 372057.37, 142612.91, 103.85, 1.29),
+           (6, 551130.77, 4180998.88, -122.4194, 37.7749))
+         AS t(id, easting, northing, rt_lon, rt_lat)""",
     "q_gis_predicates" ->
       """WITH g AS (
            SELECT o_orderkey, o_orderkey AS k,

@@ -99,16 +99,22 @@ object GisFunctions {
   /** ST_SRID accessor for [[stGeomFromTextSrid]] geometries. */
   def stSrid(geom: Column): Column = geom("srid")
 
-  /** ST_Transform (reference STTransform.java) reprojets coordinates
-    * through a projection library (proj4/Esri). No projection engine is
-    * available here and a hand-rolled datum pipeline would only
-    * validate against itself — DOCUMENTED REFUSAL, kept as a method so
-    * the gap is discoverable in the API rather than silent. */
-  def stTransform(geom: Column, fromSrid: Int, toSrid: Int): Column =
-    throw new UnsupportedOperationException(
-      s"st_transform($fromSrid -> $toSrid): coordinate reprojection " +
-        "requires a projection engine (proj4/Esri) and is out of scope " +
-        "for the hand-rolled planar core")
+  /** ST_Transform (reference STTransform.java, proj4-backed there),
+    * NARROWED to the CRS pairs with public closed-form math — see
+    * [[StTransform]]: EPSG:4326 ↔ 3857 (Web Mercator) and 4326 ↔ UTM
+    * (EPSG:326zz / 327zz, Krüger series). Every other pair keeps the
+    * documented refusal — a datum pipeline hand-rolled beyond these
+    * would only validate against itself. Refuses at CALL time for
+    * unsupported pairs (and again at plan time for SQL callers). */
+  def stTransform(geom: Column, fromSrid: Int, toSrid: Int): Column = {
+    if (!StTransform.supported(fromSrid, toSrid))
+      throw new UnsupportedOperationException(
+        s"st_transform($fromSrid -> $toSrid): only EPSG:4326 <-> " +
+          "EPSG:3857 and EPSG:4326 <-> UTM (EPSG:326zz/327zz) have " +
+          "public closed-form math in this build; other CRS pairs " +
+          "require a projection engine (proj4/Esri)")
+    call_function("st_transform", geom, lit(fromSrid), lit(toSrid))
+  }
 
   /** ST_AsText — WKT back out of the struct (doubles in Spark's own
     * string form, so parse→text is canonical rather than byte-exact). */

@@ -271,9 +271,10 @@ class GisPredicatesSpec extends AnyFunSuite {
       """{"rings":[[[0.0,0.0],[2.0,0.0],[2.0,2.0],[0.0,0.0]]],"spatialReference":{"wkid":4326}}""")
   }
 
-  test("st_transform is a documented refusal") {
+  test("st_transform stays a documented refusal OUTSIDE the closed-form " +
+      "pairs (4326<->3857, 4326<->UTM)") {
     val e = intercept[UnsupportedOperationException] {
-      stTransform(lit(1), 4326, 3857)
+      stTransform(lit(1), 4326, 27700) // OSGB needs a datum shift
     }
     assert(e.getMessage.contains("projection"))
   }
@@ -533,5 +534,90 @@ class GisPredicatesSpec extends AnyFunSuite {
     clipRefuses("st_intersection", ell, u, "both")
     clipRefuses("st_intersection", "POLYGON ((0 0, 4 1, 4 0, 0 3))",
       rect(0, 0, 9, 9), "self-intersecting")
+  }
+
+  // ---------------------------------------------------- st_transform
+
+  private def xform(wkt: String, from: Int, to: Int): (Double, Double) = {
+    import spark.implicits._
+    val r = Seq(wkt).toDF("w")
+      .select(stTransform(stGeomFromText(col("w")), from, to).as("g"))
+      .select(element_at(col("g")("xs"), 1), element_at(col("g")("ys"), 1))
+      .collect()(0)
+    (r.getDouble(0), r.getDouble(1))
+  }
+
+  test("st_transform 4326<->3857: closed-form forward, exact-ish round " +
+      "trip, envelope invariants on a polygon") {
+    val (x, y) = xform("POINT (2.2945 48.8584)", 4326, 3857)
+    assert(math.abs(x - 6378137.0 * math.toRadians(2.2945)) < 1e-6)
+    assert(math.abs(y - 6378137.0 *
+      math.log(math.tan(math.Pi / 4 + math.toRadians(48.8584) / 2))) < 1e-6)
+    val (lon, lat) = xform(s"POINT ($x $y)", 3857, 4326)
+    assert(math.abs(lon - 2.2945) < 1e-9)
+    assert(math.abs(lat - 48.8584) < 1e-9)
+    // equator / prime meridian map to the origin (to fp noise: the
+    // lat leg is R*ln(tan(pi/4)) where tan(pi/4) != 1 by one ulp)
+    val (ox, oy) = xform("POINT (0 0)", 4326, 3857)
+    assert(ox === 0.0)
+    assert(math.abs(oy) < 1e-6)
+  }
+
+  test("st_transform 4326<->UTM: golden points cross-validated by two " +
+      "independent published formulations (Karney n-series vs Snyder " +
+      "e-series, tools/utm_golden.py), mm agreement; 1e-9-degree round " +
+      "trips; srid stamping; unsupported pairs refuse") {
+    // (lon, lat, epsg, expected easting, expected northing)
+    val golden = Seq(
+      (2.2945, 48.8584, 32631, 448252.00138, 5411954.90995),
+      (-73.5, 40.5, 32618, 627103.08731, 4484335.40166),
+      (151.2153, -33.8568, 32756, 334900.56965, 6252288.75289),
+      (3.0, 0.0, 32631, 500000.0, 0.0),
+      (103.85, 1.29, 32648, 372057.36823, 142612.91054),
+      (-122.4194, 37.7749, 32610, 551130.76848, 4180998.88150))
+    golden.foreach { case (lon, lat, epsg, ee, en) =>
+      val (e, n) = xform(s"POINT ($lon $lat)", 4326, epsg)
+      assert(math.abs(e - ee) < 1e-3, s"easting $lon $lat -> $e vs $ee")
+      assert(math.abs(n - en) < 1e-3, s"northing $lon $lat -> $n vs $en")
+      val (lon2, lat2) = xform(s"POINT ($e $n)", epsg, 4326)
+      assert(math.abs(lon2 - lon) < 1e-9, s"rt lon $lon2 vs $lon")
+      assert(math.abs(lat2 - lat) < 1e-9, s"rt lat $lat2 vs $lat")
+    }
+    // srid-carrying geometry comes out stamped with the target srid
+    import spark.implicits._
+    val srid = Seq("POINT (9 48)").toDF("w")
+      .select(stSrid(stTransform(
+        stGeomFromTextSrid(col("w"), lit(4326)), 4326, 32632)))
+      .collect()(0).getInt(0)
+    assert(srid === 32632)
+    // unsupported pair: refusal at call time (Column API)...
+    val e1 = intercept[UnsupportedOperationException] {
+      stTransform(stGeomFromText(lit("POINT (0 0)")), 4326, 27700)
+    }
+    assert(e1.getMessage.contains("projection engine"))
+    // ...and at PLAN time when invoked by name (checkInputDataTypes)
+    val e2 = intercept[Exception] {
+      Seq("POINT (0 0)").toDF("w")
+        .select(call_function("st_transform",
+          stGeomFromText(col("w")), lit(4326), lit(2154)))
+        .collect()
+    }
+    assert(TestSpark.causeChain(e2).contains("projection engine"),
+      TestSpark.causeChain(e2))
+  }
+
+  test("st_transform applies per-vertex on LINESTRING/POLYGON and " +
+      "preserves the geometry type") {
+    import spark.implicits._
+    val r = Seq("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))").toDF("w")
+      .select(stTransform(stGeomFromText(col("w")), 4326, 3857).as("g"))
+      .select(col("g")("gtype"), size(col("g")("xs")),
+        element_at(col("g")("xs"), 2), element_at(col("g")("ys"), 3))
+      .collect()(0)
+    assert(r.getString(0) === "POLYGON")
+    assert(r.getInt(1) === 5) // vertex count preserved (ring as given)
+    assert(math.abs(r.getDouble(2) - 6378137.0 * math.toRadians(1.0)) < 1e-6)
+    assert(math.abs(r.getDouble(3) - 6378137.0 *
+      math.log(math.tan(math.Pi / 4 + math.toRadians(1.0) / 2))) < 1e-6)
   }
 }
