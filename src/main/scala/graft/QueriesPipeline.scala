@@ -124,6 +124,20 @@ object QueriesPipeline {
       proj.select(col("vec_id"), round(col("pca_proj"), 6).as("proj"))
     }),
 
+    // Top-2 PCA by DEFLATION (pcaTopK): component 2 power-iterates the
+    // covariance deflated by (lam1, v1) — the oracle unrolls the same
+    // three iterations per component including the deflation algebra
+    // (lam1 = the norm of component 1's final un-normalized iterate,
+    // start vectors e0/e1), so the gate is exact arithmetic replay,
+    // not a convergence claim.
+    "q_pca_topk" -> ((s, d) => {
+      val (_, proj) = Similarity.pcaTopK(
+        T(s, d, "embeddings"), k = 2, iters = 3)
+      proj.select(col("vec_id"),
+        round(col("pca_proj_1"), 6).as("proj1"),
+        round(col("pca_proj_2"), 6).as("proj2"))
+    }),
+
     "q_lang_id" -> ((s, d) =>
       T(s, d, "documents").select(col("doc_id"),
         TextAnalysis.languageId(col("text")).as("lang_pred"))),
@@ -863,6 +877,62 @@ object QueriesPipeline {
       v3 AS (SELECT i, w / (SELECT sqrt(sum(w*w)) FROM w3) AS v FROM w3)
       SELECT vec_id, round(sum(c.v * v3.v), 6) AS proj
       FROM c JOIN v3 USING (i) GROUP BY vec_id""",
+    "q_pca_topk" -> """
+      WITH e AS MATERIALIZED (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               unnest(embedding)::DOUBLE AS x
+        FROM embeddings),
+      m AS MATERIALIZED (SELECT i, avg(x) AS mu FROM e GROUP BY i),
+      c AS MATERIALIZED (SELECT vec_id, e.i, x - mu AS v FROM e JOIN m USING (i)),
+      s1 AS MATERIALIZED (SELECT vec_id, sum(CASE WHEN i = 1 THEN v ELSE 0 END) AS s
+             FROM c GROUP BY vec_id),
+      w1 AS MATERIALIZED (SELECT i, sum(c.v * s1.s) AS w
+             FROM c JOIN s1 USING (vec_id) GROUP BY i),
+      v1 AS MATERIALIZED (SELECT i, w / (SELECT sqrt(sum(w*w)) FROM w1) AS v FROM w1),
+      s2 AS MATERIALIZED (SELECT vec_id, sum(c.v * v1.v) AS s
+             FROM c JOIN v1 USING (i) GROUP BY vec_id),
+      w2 AS MATERIALIZED (SELECT i, sum(c.v * s2.s) AS w
+             FROM c JOIN s2 USING (vec_id) GROUP BY i),
+      v2 AS MATERIALIZED (SELECT i, w / (SELECT sqrt(sum(w*w)) FROM w2) AS v FROM w2),
+      s3 AS MATERIALIZED (SELECT vec_id, sum(c.v * v2.v) AS s
+             FROM c JOIN v2 USING (i) GROUP BY vec_id),
+      w3 AS MATERIALIZED (SELECT i, sum(c.v * s3.s) AS w
+             FROM c JOIN s3 USING (vec_id) GROUP BY i),
+      v3 AS MATERIALIZED (SELECT i, w / (SELECT sqrt(sum(w*w)) FROM w3) AS v FROM w3),
+      l1 AS MATERIALIZED (SELECT sqrt(sum(w*w)) AS lam FROM w3),
+      t1 AS MATERIALIZED (SELECT vec_id, sum(CASE WHEN i = 2 THEN v ELSE 0 END) AS s
+             FROM c GROUP BY vec_id),
+      y1r AS MATERIALIZED (SELECT i, sum(c.v * t1.s) AS w
+              FROM c JOIN t1 USING (vec_id) GROUP BY i),
+      d1 AS MATERIALIZED (SELECT sum(CASE WHEN i = 2 THEN v ELSE 0 END) AS d FROM v3),
+      y1 AS MATERIALIZED (SELECT y1r.i,
+               w - (SELECT lam FROM l1) * (SELECT d FROM d1) * v3.v AS w
+             FROM y1r JOIN v3 ON y1r.i = v3.i),
+      u1 AS MATERIALIZED (SELECT i, w / (SELECT sqrt(sum(w*w)) FROM y1) AS v FROM y1),
+      t2 AS MATERIALIZED (SELECT vec_id, sum(c.v * u1.v) AS s
+             FROM c JOIN u1 USING (i) GROUP BY vec_id),
+      y2r AS MATERIALIZED (SELECT i, sum(c.v * t2.s) AS w
+              FROM c JOIN t2 USING (vec_id) GROUP BY i),
+      d2 AS MATERIALIZED (SELECT sum(v3.v * u1.v) AS d FROM v3 JOIN u1 USING (i)),
+      y2 AS MATERIALIZED (SELECT y2r.i,
+               w - (SELECT lam FROM l1) * (SELECT d FROM d2) * v3.v AS w
+             FROM y2r JOIN v3 ON y2r.i = v3.i),
+      u2 AS MATERIALIZED (SELECT i, w / (SELECT sqrt(sum(w*w)) FROM y2) AS v FROM y2),
+      t3 AS MATERIALIZED (SELECT vec_id, sum(c.v * u2.v) AS s
+             FROM c JOIN u2 USING (i) GROUP BY vec_id),
+      y3r AS MATERIALIZED (SELECT i, sum(c.v * t3.s) AS w
+              FROM c JOIN t3 USING (vec_id) GROUP BY i),
+      d3 AS MATERIALIZED (SELECT sum(v3.v * u2.v) AS d FROM v3 JOIN u2 USING (i)),
+      y3 AS MATERIALIZED (SELECT y3r.i,
+               w - (SELECT lam FROM l1) * (SELECT d FROM d3) * v3.v AS w
+             FROM y3r JOIN v3 ON y3r.i = v3.i),
+      u3 AS MATERIALIZED (SELECT i, w / (SELECT sqrt(sum(w*w)) FROM y3) AS v FROM y3),
+      pr1 AS MATERIALIZED (SELECT vec_id, sum(c.v * v3.v) AS p
+              FROM c JOIN v3 USING (i) GROUP BY vec_id),
+      pr2 AS MATERIALIZED (SELECT vec_id, sum(c.v * u3.v) AS p
+              FROM c JOIN u3 USING (i) GROUP BY vec_id)
+      SELECT vec_id, round(pr1.p, 6) AS proj1, round(pr2.p, 6) AS proj2
+      FROM pr1 JOIN pr2 USING (vec_id)""",
     "q_lang_id" -> s"""
       WITH t AS (SELECT doc_id, string_split($NORM, ' ') AS w FROM documents),
       sc AS (SELECT doc_id,

@@ -623,7 +623,32 @@ object Similarity {
                         idCol: String = "vec_id",
                         vecCol: String = "embedding")
       : (Array[Double], DataFrame) = {
+    val (comps, proj) = pcaTopK(corpus, 1, iters, idCol, vecCol)
+    (comps.head, proj.withColumnRenamed("pca_proj_1", "pca_proj"))
+  }
+
+  /** Top-K principal components by power iteration WITH DEFLATION —
+    * the k>1 upgrade [[pcaPowerIteration]] delegates to (the
+    * ABTT/top-component-removal recipe needs several components, not
+    * one). Component j runs the same fixed-iteration power method on
+    * the covariance deflated by the previously recovered pairs:
+    * C'v = Cv − Σ_j λ_j (v_j·v) v_j, with λ_j taken as the norm of
+    * component j's final un-normalized iterate (= the Rayleigh
+    * quotient at convergence; with FIXED iterations it is merely a
+    * deterministic closed form both engines replay — the oracle
+    * unrolls the identical algebra, so gate exactness never depends
+    * on convergence). Start vectors are e_{j mod dim}. Traffic
+    * contract unchanged: one distributed aggregation per iteration,
+    * k·iters passes total, dim doubles each way, no Gram matrix.
+    *
+    * Returns (components, lazy projections frame (idCol,
+    * pca_proj_1..k) where pca_proj_j = (x − μ)·v_j). */
+  def pcaTopK(corpus: DataFrame, k: Int, iters: Int = 3,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding")
+      : (Seq[Array[Double]], DataFrame) = {
     require(iters >= 1, s"pca: iters must be >= 1, got $iters")
+    require(k >= 1, s"pca: k must be >= 1, got $k")
     val first = corpus.select(size(col(vecCol)).as("n")).limit(1).collect()
     require(first.nonEmpty, "pca: empty corpus")
     val dim = first(0).getInt(0)
@@ -639,25 +664,45 @@ object Similarity {
       s"pca: ragged embedding widths [${meanAgg.getInt(0)}, " +
         s"${meanAgg.getInt(1)}] — expected uniform $dim")
     val mu = Array.tabulate(dim)(i => meanAgg.getDouble(2 + i))
-    var v = Array.tabulate(dim)(i => if (i == 0) 1.0 else 0.0)
     def sExpr(vec: Array[Double]): Column = {
       val muDotV = mu.zip(vec).map { case (a, b) => a * b }.sum
       aggregate(zip_with(col(vecCol), typedLit(vec.toSeq),
         (x, vi) => x.cast("double") * vi), lit(0.0),
         (acc, x) => acc + x) - lit(muDotV)
     }
-    for (_ <- 1 to iters) {
-      val aggCols = Seq(sum(col("_s")).as("ssum")) ++ (0 until dim).map(
-        i => sum(col("_s") * col(vecCol)(i).cast("double")).as(s"w$i"))
-      val r = corpus.withColumn("_s", sExpr(v))
-        .agg(aggCols.head, aggCols.tail: _*).collect()(0)
-      val ssum = r.getDouble(0)
-      val w = Array.tabulate(dim)(i => r.getDouble(1 + i) - ssum * mu(i))
-      val nrm = math.sqrt(w.map(x => x * x).sum)
-      require(nrm > 0,
-        "pca: zero covariance along the start direction (constant data?)")
-      v = w.map(_ / nrm)
+    val comps = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    val lams = scala.collection.mutable.ArrayBuffer[Double]()
+    for (j <- 0 until k) {
+      var v = Array.tabulate(dim)(i => if (i == j % dim) 1.0 else 0.0)
+      var lam = 0.0
+      for (_ <- 1 to iters) {
+        val aggCols = Seq(sum(col("_s")).as("ssum")) ++ (0 until dim).map(
+          i => sum(col("_s") * col(vecCol)(i).cast("double")).as(s"w$i"))
+        val r = corpus.withColumn("_s", sExpr(v))
+          .agg(aggCols.head, aggCols.tail: _*).collect()(0)
+        val ssum = r.getDouble(0)
+        val w = Array.tabulate(dim)(i => r.getDouble(1 + i) - ssum * mu(i))
+        // deflate against every recovered component (driver-side dim·j
+        // arithmetic — no extra distributed pass)
+        comps.zip(lams).foreach { case (vj, lj) =>
+          var d = 0.0
+          var i = 0
+          while (i < dim) { d += vj(i) * v(i); i += 1 }
+          i = 0
+          while (i < dim) { w(i) -= lj * d * vj(i); i += 1 }
+        }
+        val nrm = math.sqrt(w.map(x => x * x).sum)
+        require(nrm > 0,
+          s"pca: zero deflated covariance along component ${j + 1}'s " +
+            "start direction (constant data, or k exceeds the rank?)")
+        lam = nrm
+        v = w.map(_ / nrm)
+      }
+      comps += v
+      lams += lam
     }
-    (v, corpus.select(col(idCol), sExpr(v).as("pca_proj")))
+    val projCols = comps.toSeq.zipWithIndex.map { case (vec, j) =>
+      sExpr(vec).as(s"pca_proj_${j + 1}") }
+    (comps.toSeq, corpus.select(col(idCol) +: projCols: _*))
   }
 }

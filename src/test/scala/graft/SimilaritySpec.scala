@@ -298,6 +298,57 @@ class SimilaritySpec extends AnyFunSuite {
     assert(e.getMessage.contains("ragged"), e.getMessage)
   }
 
+  test("pcaTopK with deflation recovers TWO planted orthogonal " +
+      "directions in order of variance; components are near-orthogonal " +
+      "unit vectors and projections decorrelate") {
+    import spark.implicits._
+    // planted: u1 = (e1+e2)/sqrt2 with sigma 5, u2 = (e5-e6)/sqrt2 with
+    // sigma 2, small isotropic noise
+    val r2 = new scala.util.Random(23)
+    val dim = 8
+    val rows = (0 until 400).map { id =>
+      val t1 = r2.nextGaussian() * 5.0
+      val t2 = r2.nextGaussian() * 2.0
+      val v = Array.fill(dim)(r2.nextGaussian() * 0.2)
+      val s2i = 1.0 / math.sqrt(2.0)
+      v(1) += t1 * s2i; v(2) += t1 * s2i
+      v(5) += t2 * s2i; v(6) -= t2 * s2i
+      (id.toLong, v.map(_.toFloat).toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val (comps, proj) = Similarity.pcaTopK(df, k = 2, iters = 8)
+    assert(comps.length === 2)
+    val Seq(c1, c2) = comps
+    val s2i = 1.0 / math.sqrt(2.0)
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map(p => p._1 * p._2).sum
+    // unit norms, near-orthogonality
+    assert(math.abs(dot(c1, c1) - 1.0) < 1e-12)
+    assert(math.abs(dot(c2, c2) - 1.0) < 1e-12)
+    assert(math.abs(dot(c1, c2)) < 0.02, dot(c1, c2).toString)
+    // component 1 aligns with u1 (stronger variance), 2 with u2
+    val u1 = Array.tabulate(dim)(i =>
+      if (i == 1 || i == 2) s2i else 0.0)
+    val u2 = Array.tabulate(dim)(i =>
+      if (i == 5) s2i else if (i == 6) -s2i else 0.0)
+    assert(math.abs(dot(c1, u1)) > 0.99, c1.toSeq.toString)
+    assert(math.abs(dot(c2, u2)) > 0.99, c2.toSeq.toString)
+    // projections: var(p1) > var(p2), corr(p1, p2) ~ 0
+    val ps = proj.collect().map(r =>
+      (r.getDouble(1), r.getDouble(2)))
+    def variance(xs: Seq[Double]): Double = {
+      val m = xs.sum / xs.length
+      xs.map(x => (x - m) * (x - m)).sum / xs.length
+    }
+    val v1s = ps.map(_._1).toSeq
+    val v2s = ps.map(_._2).toSeq
+    assert(variance(v1s) > variance(v2s))
+    val m1 = v1s.sum / v1s.length; val m2 = v2s.sum / v2s.length
+    val corr = ps.map { case (a, b) => (a - m1) * (b - m2) }.sum /
+      (ps.length * math.sqrt(variance(v1s) * variance(v2s)))
+    assert(math.abs(corr) < 0.05, corr.toString)
+  }
+
   test("semanticDups releases the kmeans cache (no pinned corpus per call)") {
     val before = spark.sparkContext.getPersistentRDDs.size
     Similarity.semanticDups(corpus, threshold = 0.9, k = 4).count()
