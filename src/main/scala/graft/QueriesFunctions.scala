@@ -629,6 +629,51 @@ object QueriesFunctions {
             .as("pt_area"))
     }),
 
+    // MULTI-piece concave intersection (ConvexClip round-13 narrowing):
+    // a parameterized U-shape clipped by a band ABOVE its notch floor
+    // yields TWO prongs — an honest MULTIPOLYGON whose st_area sums the
+    // parts — while a band below the floor yields one rectangle. Every
+    // prong is axis-aligned, so the oracle is pure interval arithmetic:
+    // m_area = (a + W - b)(H - h - 1), envelope = the U's own extremes.
+    "q_gis_clip_multi" -> ((s, d) => {
+      import graft.functions.GisFunctions._
+      import org.apache.spark.sql.Column
+      val k = col("o_orderkey")
+      val wd = (lit(8) + k % 5).cast("double")
+      val ht = (lit(6) + k % 3).cast("double")
+      val a = (lit(2) + k % 2).cast("double")
+      val b = a + 2.0 + (k % 3).cast("double")
+      val h = (lit(2) + k % 2).cast("double")
+      def w(c: Column): Column = c.cast("string")
+      def pt(x: Column, y: Column): Column =
+        concat(w(x), lit(" "), w(y))
+      val z = lit(0.0)
+      val uWkt = concat(lit("POLYGON (("),
+        pt(z, z), lit(", "), pt(wd, z), lit(", "), pt(wd, ht), lit(", "),
+        pt(b, ht), lit(", "), pt(b, h), lit(", "), pt(a, h), lit(", "),
+        pt(a, ht), lit(", "), pt(z, ht), lit("))"))
+      def rectWkt(x1: Column, y1: Column, x2: Column, y2: Column): Column =
+        concat(lit("POLYGON (("),
+          pt(x1, y1), lit(", "), pt(x2, y1), lit(", "),
+          pt(x2, y2), lit(", "), pt(x1, y2), lit("))"))
+      val u = stGeomFromText(uWkt)
+      val band = stGeomFromText(
+        rectWkt(lit(-1.0), h + 1.0, wd + 1.0, ht + 2.0))
+      val low = stGeomFromText(
+        rectWkt(lit(-1.0), lit(-1.0), wd + 1.0, h - 1.0))
+      val multi = call_function("st_intersection", u, band)
+      val single = call_function("st_intersection", u, low)
+      T(s, d, "orders").filter(k < 400)
+        .select(k.as("o_orderkey"),
+          stNumGeometries(multi).as("m_pieces"),
+          round(stArea(multi), 6).as("m_area"),
+          stXMin(multi).as("m_xmin"), stXMax(multi).as("m_xmax"),
+          stYMin(multi).as("m_ymin"), stYMax(multi).as("m_ymax"),
+          stNumGeometries(single).as("s_pieces"),
+          round(stArea(single), 6).as("s_area"),
+          single("gtype").as("s_gtype"))
+    }),
+
     // st_transform 4326 <-> 3857 (reference contrib/udfs gis/
     // STTransform.java, narrowed to closed-form pairs): the Web
     // Mercator formulas are elementary — x = R*radians(lon),
@@ -882,6 +927,24 @@ object QueriesFunctions {
                  THEN (wd - 2*dd) * (ht - 2*dd) ELSE -1.0 END, 6)
              AS ero_area,
            round(16*dd*dd*sin(pi()/16), 6) AS pt_area
+         FROM g""",
+    "q_gis_clip_multi" ->
+      """WITH g AS (
+           SELECT o_orderkey,
+             (8 + o_orderkey % 5)::DOUBLE AS wd,
+             (6 + o_orderkey % 3)::DOUBLE AS ht,
+             (2 + o_orderkey % 2)::DOUBLE AS a,
+             (2 + o_orderkey % 2 + 2 + o_orderkey % 3)::DOUBLE AS b,
+             (2 + o_orderkey % 2)::DOUBLE AS h
+           FROM orders WHERE o_orderkey < 400)
+         SELECT o_orderkey,
+           2 AS m_pieces,
+           round((a + wd - b) * (ht - h - 1), 6) AS m_area,
+           0.0 AS m_xmin, wd AS m_xmax,
+           h + 1 AS m_ymin, ht AS m_ymax,
+           1 AS s_pieces,
+           round(wd * (h - 1), 6) AS s_area,
+           'POLYGON' AS s_gtype
          FROM g""",
     "q_st_transform" ->
       """WITH g AS (

@@ -32,12 +32,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * pairs — both sides clip the shared edge to the same span), and the
   * surviving boundary stitches back into rings.
   *
+  * A concave intersection whose result is SEVERAL disjoint rings now
+  * returns an honest MULTIPOLYGON row (round 13): rings stored closed
+  * with NaN separators in the 3-field struct — st_area sums the parts,
+  * envelope/st_numgeometries consume it, renderers and predicates
+  * refuse it loudly rather than mis-render.
+  *
   * Honesty bounds, refused LOUDLY (never a wrong polygon):
   *  - concave inputs to union/difference, BOTH-concave intersection,
   *    self-intersecting rings (like holes/MULTI* in the parse core);
-  *  - a concave intersection whose result is several disjoint rings
-  *    (MULTIPOLYGON — the single-ring core cannot represent it;
-  *    single-piece concave results DO clip);
   *  - union of disjoint or touch-only polygons (a MULTIPOLYGON /
   *    degenerate stitch the single-ring core cannot represent);
   *  - difference where B sits strictly inside A (result has a hole) or
@@ -491,11 +494,31 @@ object ConvexClip {
     }
     if (rings.isEmpty) null
     else if (rings.length > 1)
-      throw new IllegalArgumentException(
-        s"st_intersection: the clip result is ${rings.length} disjoint " +
-          "rings (MULTIPOLYGON) — the single-ring geometry core cannot " +
-          "represent it, refusing (single-piece concave results DO clip)")
+      // the honest multi-piece answer (a U-shape clipped by a band is
+      // two prongs): a MULTIPOLYGON row, rings in canonical order
+      multiRow(rings.sortBy(r => (r._1.min, r._2.min)).toSeq)
     else geomRow(rings(0)._1, rings(0)._2)
+  }
+
+  /** MULTIPOLYGON in the 3-field struct: gtype "MULTIPOLYGON", each
+    * ring stored CLOSED (first vertex repeated) and terminated by a
+    * NaN sentinel in BOTH coordinate arrays. Closed-ring storage makes
+    * the rotation-pair shoelace in [[GisFunctions.stArea]] sum part
+    * areas with no offsets table — every wrap/separator term touches a
+    * NaN and drops; envelope functions filter the sentinels. Rendering
+    * (st_astext / geojson) and predicate evaluation over multi rows
+    * refuse loudly rather than mis-render. */
+  private def multiRow(rings: Seq[(Array[Double], Array[Double])]): InternalRow = {
+    val xs = Array.newBuilder[Double]
+    val ys = Array.newBuilder[Double]
+    rings.foreach { case (rx, ry) =>
+      xs ++= rx; xs += rx(0); xs += Double.NaN
+      ys ++= ry; ys += ry(0); ys += Double.NaN
+    }
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString("MULTIPOLYGON"),
+      new GenericArrayData(xs.result().map(x => x: Any)),
+      new GenericArrayData(ys.result().map(y => y: Any))))
   }
 
   private def dropCollinear(xs: Array[Double], ys: Array[Double],

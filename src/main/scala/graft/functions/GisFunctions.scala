@@ -126,7 +126,11 @@ object GisFunctions {
     // so close on the way out (like the JSON renderers) or PostGIS/JTS
     // consumers reject the output
     val ringList = array_join(closedRing(pairs), ", ")
-    when(geom("gtype") === "POINT", concat(lit("POINT ("), list, lit(")")))
+    when(geom("gtype") === "MULTIPOLYGON",
+      raise_error(lit("st_astext: MULTIPOLYGON rendering is not " +
+        "implemented — the multi-ring struct is consumable by st_area/" +
+        "st_envelope/st_numgeometries")))
+      .when(geom("gtype") === "POINT", concat(lit("POINT ("), list, lit(")")))
       .when(geom("gtype") === "LINESTRING",
         concat(lit("LINESTRING ("), list, lit(")")))
       .otherwise(concat(lit("POLYGON (("), ringList, lit("))")))
@@ -146,9 +150,13 @@ object GisFunctions {
     val typeName = when(geom("gtype") === "POINT", "Point")
       .when(geom("gtype") === "LINESTRING", "LineString")
       .otherwise("Polygon")
-    when(geom("gtype") === "POINT",
-      to_json(struct(typeName.as("type"),
-        element_at(coords, 1).as("coordinates"))))
+    when(geom("gtype") === "MULTIPOLYGON",
+      raise_error(lit("st_asgeojson: MULTIPOLYGON rendering is not " +
+        "implemented — the multi-ring struct is consumable by st_area/" +
+        "st_envelope/st_numgeometries")))
+      .when(geom("gtype") === "POINT",
+        to_json(struct(typeName.as("type"),
+          element_at(coords, 1).as("coordinates"))))
       .when(geom("gtype") === "LINESTRING",
         to_json(struct(typeName.as("type"), coords.as("coordinates"))))
       .otherwise(to_json(struct(typeName.as("type"),
@@ -164,9 +172,13 @@ object GisFunctions {
   def stAsJson(geom: Column, wkid: Column = lit(4326)): Column = {
     val coords = zip_with(geom("xs"), geom("ys"), (x, y) => array(x, y))
     val sr = struct(wkid.cast("int").as("wkid"))
-    when(geom("gtype") === "POINT",
-      to_json(struct(element_at(geom("xs"), 1).as("x"),
-        element_at(geom("ys"), 1).as("y"), sr.as("spatialReference"))))
+    when(geom("gtype") === "MULTIPOLYGON",
+      raise_error(lit("st_asjson: MULTIPOLYGON rendering is not " +
+        "implemented — the multi-ring struct is consumable by st_area/" +
+        "st_envelope/st_numgeometries")))
+      .when(geom("gtype") === "POINT",
+        to_json(struct(element_at(geom("xs"), 1).as("x"),
+          element_at(geom("ys"), 1).as("y"), sr.as("spatialReference"))))
       .when(geom("gtype") === "LINESTRING",
         to_json(struct(array(coords).as("paths"), sr.as("spatialReference"))))
       .otherwise(
@@ -174,10 +186,18 @@ object GisFunctions {
           sr.as("spatialReference"))))
   }
 
-  def stXMin(geom: Column): Column = array_min(geom("xs"))
-  def stXMax(geom: Column): Column = array_max(geom("xs"))
-  def stYMin(geom: Column): Column = array_min(geom("ys"))
-  def stYMax(geom: Column): Column = array_max(geom("ys"))
+  // envelope extremes filter the MULTIPOLYGON form's NaN ring
+  // sentinels (array_min already ignores NaN under Spark's ordering,
+  // but array_max would return it — filter both for symmetry; simple
+  // geometries carry no NaN and are unaffected)
+  def stXMin(geom: Column): Column =
+    array_min(filter(geom("xs"), x => !isnan(x)))
+  def stXMax(geom: Column): Column =
+    array_max(filter(geom("xs"), x => !isnan(x)))
+  def stYMin(geom: Column): Column =
+    array_min(filter(geom("ys"), y => !isnan(y)))
+  def stYMax(geom: Column): Column =
+    array_max(filter(geom("ys"), y => !isnan(y)))
 
   /** ST_Envelope as a (xmin, ymin, xmax, ymax) struct. */
   def stEnvelope(geom: Column): Column =
@@ -268,6 +288,21 @@ object GisFunctions {
     // only a real POINT/LINESTRING collapses to area 0
     when(geom("gtype") === "POLYGON",
       abs(aggregate(terms, lit(0.0), (acc, t) => acc + t)) / 2)
+      // MULTIPOLYGON (NaN-separated CLOSED rings, see ConvexClip
+      // .multiRow): closed storage makes every consecutive pair a real
+      // edge of some ring and every wrap/separator pair touch a NaN —
+      // summing the non-NaN shoelace terms IS the sum of part areas
+      .when(geom("gtype") === "MULTIPOLYGON",
+        abs(aggregate(terms, lit(0.0),
+          (acc, t) => acc + when(isnan(t), lit(0.0)).otherwise(t))) / 2)
       .when(geom("gtype").isNotNull, lit(0.0))
   }
+
+  /** Number of parts: 1 for simple geometries, the ring count for the
+    * NaN-separated MULTIPOLYGON form (one sentinel per ring). NULL
+    * (empty geometry) stays NULL. */
+  def stNumGeometries(geom: Column): Column =
+    when(geom("gtype") === "MULTIPOLYGON",
+      size(filter(geom("xs"), x => isnan(x))))
+      .when(geom("gtype").isNotNull, lit(1))
 }

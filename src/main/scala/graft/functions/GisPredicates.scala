@@ -51,6 +51,13 @@ object GisPredicates {
 
   private def geom(row: InternalRow): G = {
     val t = row.getUTF8String(0).toString
+    // the MULTIPOLYGON form (NaN-separated rings, ConvexClip.multiRow)
+    // would silently evaluate as one garbage ring here — refuse loudly,
+    // like the renderers do
+    require(t == "POINT" || t == "LINESTRING" || t == "POLYGON",
+      s"spatial predicates support POINT/LINESTRING/POLYGON — got $t " +
+        "(multi-part geometries must be decomposed before predicate " +
+        "evaluation)")
     val xsA = row.getArray(1)
     val ysA = row.getArray(2)
     var xs = Array.tabulate(xsA.numElements())(xsA.getDouble)

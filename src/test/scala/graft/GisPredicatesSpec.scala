@@ -527,13 +527,60 @@ class GisPredicatesSpec extends AnyFunSuite {
     assert(math.abs(a4 - 1.0) < 1e-9, a4.toString)
     // disjoint window: empty
     assert(clip("st_intersection", ell, rect(10, 10, 12, 12)).isEmpty)
-    // U-shape whose clip by a band is TWO prongs → MULTIPOLYGON refusal
-    val u = "POLYGON ((0 0, 6 0, 6 4, 4 4, 4 1, 2 1, 2 4, 0 4, 0 0))"
-    clipRefuses("st_intersection", u, rect(-1, 2, 7, 5), "MULTIPOLYGON")
     // both concave refuses; self-intersecting refuses
+    val u = "POLYGON ((0 0, 6 0, 6 4, 4 4, 4 1, 2 1, 2 4, 0 4, 0 0))"
     clipRefuses("st_intersection", ell, u, "both")
     clipRefuses("st_intersection", "POLYGON ((0 0, 4 1, 4 0, 0 3))",
       rect(0, 0, 9, 9), "self-intersecting")
+  }
+
+  test("MULTI-piece concave intersection: a U-shape clipped by a band " +
+      "returns an honest MULTIPOLYGON — st_area sums parts, envelope " +
+      "and st_numgeometries consume it, renderers and predicates " +
+      "refuse it loudly") {
+    import spark.implicits._
+    // U above y=2 is two 2x2 prongs: [0,2]x[2,4] and [4,6]x[2,4]
+    val u = "POLYGON ((0 0, 6 0, 6 4, 4 4, 4 1, 2 1, 2 4, 0 4, 0 0))"
+    val df = Seq((u, rect(-1, 2, 7, 5))).toDF("a", "b")
+      .select(call_function("st_intersection",
+        stGeomFromText(col("a")), stGeomFromText(col("b"))).as("g"))
+    val r = df.select(col("g")("gtype"), stArea(col("g")),
+      stNumGeometries(col("g")), stXMin(col("g")), stXMax(col("g")),
+      stYMin(col("g")), stYMax(col("g"))).collect()(0)
+    assert(r.getString(0) === "MULTIPOLYGON")
+    assert(math.abs(r.getDouble(1) - 8.0) < 1e-9, r.getDouble(1).toString)
+    assert(r.getInt(2) === 2)
+    assert(r.getDouble(3) === 0.0 && r.getDouble(4) === 6.0)
+    assert(r.getDouble(5) === 2.0 && r.getDouble(6) === 4.0)
+    // three-prong comb: an E-shape clipped by the same band
+    val comb = "POLYGON ((0 0, 10 0, 10 4, 8 4, 8 1, 6 1, 6 4, 4 4, " +
+      "4 1, 2 1, 2 4, 0 4, 0 0))"
+    val r3 = Seq((comb, rect(-1, 2, 11, 5))).toDF("a", "b")
+      .select(call_function("st_intersection",
+        stGeomFromText(col("a")), stGeomFromText(col("b"))).as("g"))
+      .select(stArea(col("g")), stNumGeometries(col("g"))).collect()(0)
+    assert(math.abs(r3.getDouble(0) - 12.0) < 1e-9)
+    assert(r3.getInt(1) === 3)
+    // renderers refuse rather than mis-render
+    val e1 = intercept[Exception] {
+      df.select(stAsText(col("g"))).collect()
+    }
+    assert(TestSpark.causeChain(e1).contains("MULTIPOLYGON rendering"),
+      TestSpark.causeChain(e1))
+    // predicates refuse rather than treating sentinels as vertices
+    val e2 = intercept[Exception] {
+      df.select(call_function("st_intersects", col("g"),
+        stGeomFromText(lit(rect(0, 0, 9, 9))))).collect()
+    }
+    assert(TestSpark.causeChain(e2).contains("decomposed"),
+      TestSpark.causeChain(e2))
+    // and clip ops refuse MULTIPOLYGON inputs (composability bound)
+    val e3 = intercept[Exception] {
+      df.select(call_function("st_intersection", col("g"),
+        stGeomFromText(lit(rect(0, 0, 9, 9))))).collect()
+    }
+    assert(TestSpark.causeChain(e3).contains("MULTIPOLYGON"),
+      TestSpark.causeChain(e3))
   }
 
   // ---------------------------------------------------- st_transform
