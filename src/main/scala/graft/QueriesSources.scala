@@ -783,6 +783,59 @@ object QueriesSources {
           col("kafkaMsgKey").cast("long").as("msg_key"))
     }),
 
+    // ---- END-TO-END STREAMING gate: kafka log segments -> the
+    // graft-kafka Structured Streaming source (cold-start planning from
+    // the file listing, two partitions, a closed + an active segment)
+    // -> from_json decode -> dedup-at-ingest
+    // (dropDuplicatesWithinWatermark on normalized content) -> Delta
+    // ingest via atomic log commits -> the landed table read back. The
+    // planted exact-duplicate record dedups away, so the oracle is the
+    // nation relation itself. Derived dirs are rebuilt from scratch
+    // each run (stream state is an artifact, not an input) ----
+    "q_kafka_stream_e2e" -> ((s, d) => {
+      import graft.sources.KafkaSegmentReader
+      import org.apache.spark.sql.types.StructType
+      val base = s"${out(d)}/kafka_e2e"
+      val dir = s"$base/logs"; val cp = s"$base/cp"; val tbl = s"$base/tbl"
+      val bp = new org.apache.hadoop.fs.Path(base)
+      bp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(bp, true)
+      val rows = GraftSession.table(s, d, "nation")
+        .select(col("n_nationkey").cast("long"), col("n_name"))
+        .collect().sortBy(_.getLong(0))
+      def rec(k: Long, name: String) =
+        (k.toString.getBytes("UTF-8"),
+          s"""{"k": $k, "name": "$name"}""".getBytes("UTF-8"),
+          Seq.empty[(String, Array[Byte])], 0L)
+      val (part0, part1) = rows.splitAt(13)
+      KafkaSegmentReader.writeSegment(s, dir, "nation", 0,
+        Seq(KafkaSegmentReader.batchBytes(0L, 1700000000000L,
+          part0.take(7).map(r => rec(r.getLong(0), r.getString(1))).toSeq)))
+      KafkaSegmentReader.writeSegment(s, dir, "nation", 0,
+        Seq(KafkaSegmentReader.batchBytes(7L, 1700000000100L,
+          part0.drop(7).map(r => rec(r.getLong(0), r.getString(1))).toSeq)),
+        segmentBase = 7L)
+      // partition 1 re-sends row 0 VERBATIM: whichever copy the dedup
+      // keeps, the surviving row is identical — oracle-exact
+      KafkaSegmentReader.writeSegment(s, dir, "nation", 1,
+        Seq(KafkaSegmentReader.batchBytes(0L, 1700000000000L,
+          (part1.map(r => rec(r.getLong(0), r.getString(1))) :+
+            rec(part0.head.getLong(0), part0.head.getString(1))).toSeq)))
+      val raw = s.readStream.format("graft-kafka")
+        .option("startingOffsets", "earliest").load(dir)
+      val parsed = raw.select(
+          from_json(col("value").cast("string"),
+            StructType.fromDDL("k LONG, name STRING")).as("j"),
+          col("timestamp").as("ts"))
+        .select(col("j.k").as("k"), col("j.name").as("name"), col("ts"))
+      val deduped = graft.streaming.Events.dedupStream(parsed, "name")
+        .select("k", "name")
+      val q = graft.streaming.Events.deltaSink(deduped, tbl, cp,
+        appId = "kafka-e2e-gate")
+      try q.processAllAvailable() finally q.stop()
+      graft.sources.DeltaLogReader.read(s, tbl)
+        .select(col("k").as("n_nationkey"), col("name").as("n_name"))
+    }),
+
     // ---- BSON dump files (ref contrib/storage-mongo re-expressed
     // zero-egress: bsonspec.org bytes, what mongodump writes; typed
     // values incl. ObjectId hex and exact decimal128 strings). Fixture
@@ -2198,6 +2251,9 @@ object QueriesSources {
              n_regionkey::BIGINT AS n_regionkey,
              n_nationkey::BIGINT AS msg_offset,
              n_nationkey::BIGINT AS msg_key
+      FROM nation""",
+    "q_kafka_stream_e2e" -> """
+      SELECT n_nationkey::BIGINT AS n_nationkey, n_name
       FROM nation""",
     "q_bson_read" -> """
       SELECT s_suppkey::BIGINT AS s_suppkey, s_name,
