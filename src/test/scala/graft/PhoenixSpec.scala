@@ -269,7 +269,13 @@ class PhoenixSpec extends AnyFunSuite {
         Seq(PhoenixColumn("id", "INTEGER", pk = true),
           PhoenixColumn("x", "DECIMAL")))
     }
-    assert(e2.getMessage.contains("refuses"), e2.getMessage)
+    // the DECIMAL refusal names the three byte-cases that blocked a
+    // verified decode (round-13 review: terminator / negative-exponent
+    // fold / zero sentinel need PDecimal golden bytes)
+    assert(e2.getMessage.contains("refuses") &&
+      e2.getMessage.contains("terminator") &&
+      e2.getMessage.contains("negative-exponent") &&
+      e2.getMessage.contains("zero-sentinel"), e2.getMessage)
     val e3 = intercept[IllegalArgumentException] {
       PhoenixReader.read(spark, "/nonexistent",
         Seq(PhoenixColumn("id", "INTEGER", pk = true),
