@@ -54,7 +54,11 @@ object Bench {
     // round 9: the retrieval-shaped datapoint (BM25/decontam family had
     // no scale cross-check when its sf0.1 number ran 3x in a degraded
     // window) — expected ~linear in corpus grams
-    "q_bm25")
+    "q_bm25",
+    // round 13: the two iterative classifiers, whose sf0.1 walls read
+    // dirty in the r12 driver window with no scale cross-check — the
+    // sf1 tier's per-query brackets give them in-artifact attribution
+    "q_quality_clf", "q_lang_clf")
 
   val Sf1Reps = 2
 
@@ -320,63 +324,120 @@ object Bench {
     // inside rep 1's CPU window and inflate q1_agg's cpu_s/eff_par
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     drainListenerBus(spark)
+    // ---- SELF-DEFENSE in dirty windows (r12 verdict #2): the session
+    // tracks a CLEAN FLOOR for the parallel calibration probe (min of
+    // every sample this run). A query window is flagged DIRTY when any
+    // of three instruments trips — per-query steal% > 1, other-process
+    // CPU inside the window above ~15% of the machine, or (for the
+    // probed dirt-sensitive queries) a calib_par bracket reading >1.5x
+    // the floor. A dirty query re-runs ONCE after the window settles
+    // (probe-until-clean, bounded), with every rep kept in the artifact
+    // plus the dirty flag — so a degraded host window is attributed
+    // in-artifact DURING the run, not adjudicated from narrative after.
+    var floorPar = calibPar0
+    def settle(): Unit = {
+      var tries = 0
+      var done = false
+      while (tries < 3 && !done) {
+        val c = calibProbePar()
+        floorPar = math.min(floorPar, c)
+        if (c <= 1.5 * floorPar) done = true
+        tries += 1
+      }
+    }
+    val nCores = Runtime.getRuntime.availableProcessors
+    // per-query calib_par brackets only for the historically
+    // dirt-sensitive headline queries (a probe per query would double
+    // the bench wall); steal + machine-vs-process cover the rest
+    val headlineProbed = Set("q_dedup_minhash", "q_dup_components",
+      "q_quality_clf", "q_lang_clf")
+    def runOnce(name: String, dir: String): (Double, Boolean, Double, Double, Double) = {
+      val cpu0 = TaskCpuListener.cpuNs.get
+      val (mach0, proc0) = cpuSample()
+      val t0 = System.nanoTime()
+      // the LOOKUP lives inside the try too: a renamed/missing query
+      // key must surface as ok=false in the artifact, not kill main()
+      // before any JSON is written
+      val ok =
+        try { SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+        }
+      val wall = (System.nanoTime() - t0) / 1e9
+      // flush the async listener bus (outside the timed window) so
+      // per-rep CPU attribution is exact, not sleep-raced
+      drainListenerBus(spark)
+      val (mach1, proc1) = cpuSample()
+      val cpuS = (TaskCpuListener.cpuNs.get - cpu0) / 1e9
+      val otherCores =
+        if (wall > 0) ((mach1 - mach0) - (proc1 - proc0)) / wall else 0.0
+      (wall, ok, if (wall > 0) cpuS / wall else 0.0, cpuS, otherCores)
+    }
     // A failed query must be LOUD: record ok=false and exit non-zero, so a
     // broken headline query can never masquerade as a slow one.
     val results = headline.map { name =>
-      val runs = (1 to Reps).map { _ =>
-        val cpu0 = TaskCpuListener.cpuNs.get
-        val t0 = System.nanoTime()
-        // the LOOKUP lives inside the try too: a renamed/missing query
-        // key must surface as ok=false in the artifact, not kill main()
-        // before any JSON is written
-        val ok =
-          try { SparkEntry.queries(name)(spark, sfDir)
-            .write.format("noop").mode("overwrite").save(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
-          }
-        val wall = (System.nanoTime() - t0) / 1e9
-        // flush the async listener bus (outside the timed window) so
-        // per-rep CPU attribution is exact, not sleep-raced
-        drainListenerBus(spark)
-        val cpuS = (TaskCpuListener.cpuNs.get - cpu0) / 1e9
-        (wall, ok, if (wall > 0) cpuS / wall else 0.0, cpuS)
-      }
+      val (s0, j0) = cpuStat()
+      var runs = (1 to Reps).map(_ => runOnce(name, sfDir)).toVector
+      val (s1, j1) = cpuStat()
+      val qSteal =
+        if (j1 > j0) 100.0 * (s1 - s0) / (j1 - j0) else 0.0
+      val bracket =
+        if (headlineProbed(name)) {
+          val c = calibProbePar()
+          floorPar = math.min(floorPar, c)
+          Some(c)
+        } else None
+      // the other-process-CPU criterion needs a wall long enough to
+      // out-resolve jiffy quantization and ambient sbt/JVM background
+      // burn — sub-half-second queries are covered by min-of-3 anyway
+      val dirty = qSteal > 1.0 ||
+        runs.exists(r => r._1 > 0.5 && r._5 > 0.15 * nCores) ||
+        bracket.exists(_ > 1.5 * floorPar)
+      if (dirty) { settle(); runs = runs :+ runOnce(name, sfDir) }
       // per-query minimum over SUCCESSFUL reps only: a fast-failing rep
       // must not report its failure wall as the decision-grade number
-      // (ok=false + rc=1 already mark the round; "runs" keeps all reps)
+      // (ok=false + rc=1 already mark the round; "runs" keeps all reps,
+      // including a dirty window's settled re-run)
       val okWalls = runs.filter(_._2).map(_._1)
       val minWall = if (okWalls.nonEmpty) okWalls.min else runs.map(_._1).min
       (name, minWall, runs.map(_._1), runs.forall(_._2),
-        runs.map(_._3), runs.map(_._4))
+        runs.map(_._3), runs.map(_._4), dirty, qSteal)
     }
-    val qs = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v, _, _, _, _, _, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     // median alongside min: round 7's [10.48, 10.26, 3.42] showed a
     // jittery session whose min looked fine — the median makes an
     // unstable window visible in one number without re-reading "runs"
-    val medians = results.map { case (k, _, rs, _, _, _) =>
+    val medians = results.map { case (k, _, rs, _, _, _, _, _) =>
       "\"" + k + "\":" + f"${median(rs)}%.3f" }
       .mkString("{", ",", "}")
-    val allRuns = results.map { case (k, _, rs, _, _, _) =>
+    val allRuns = results.map { case (k, _, rs, _, _, _, _, _) =>
       "\"" + k + "\":" + rs.map(r => f"$r%.3f").mkString("[", ",", "]") }
       .mkString("{", ",", "}")
-    val oks = results.map { case (k, _, _, ok, _, _) => "\"" + k + "\":" + ok }
+    val oks = results.map { case (k, _, _, ok, _, _, _, _) => "\"" + k + "\":" + ok }
       .mkString("{", ",", "}")
     // per-rep effective parallelism (executor CPU-time / wall): the
     // instrument that separates "contended host" (low eff_par, elevated
     // parallel calib) from "real regression" (full eff_par, still slow)
-    val effPars = results.map { case (k, _, _, _, eps, _) =>
+    val effPars = results.map { case (k, _, _, _, eps, _, _, _) =>
       "\"" + k + "\":" + eps.map(e => f"$e%.1f").mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     // per-rep executor CPU-SECONDS (the eff_par numerator, emitted
     // directly): "work grew" vs "wall grew" separates without reader
     // arithmetic — the r9 sf1 ambiguity in one field
-    val cpuSecs = results.map { case (k, _, _, _, _, cs) =>
+    val cpuSecs = results.map { case (k, _, _, _, _, cs, _, _) =>
       "\"" + k + "\":" + cs.map(c => f"$c%.1f").mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val allOk = results.forall(_._4)
+    // per-query dirty flags + the steal each window saw (the detection
+    // inputs live in the artifact, not just the verdict)
+    val dirtyJson = results.map { case (k, _, _, _, _, _, d, _) =>
+      "\"" + k + "\":" + d }.mkString("{", ",", "}")
+    val qStealJson = results.map { case (k, _, _, _, _, _, _, sp) =>
+      "\"" + k + "\":" + f"$sp%.2f" }.mkString("{", ",", "}")
+    val dirtyCount = results.count(_._7)
     // sf1 heavyweight tier (opt out with SPARK_GRAFT_SF1=0): TWO reps
     // per query on the 10x corpus, both reported — one rep cannot tell
     // a degraded host window from a scale regression. Failures here are
@@ -395,14 +456,16 @@ object Bench {
         // fields below remain the first/last probes for round-over-
         // round continuity.
         val probes = scala.collection.mutable.ArrayBuffer[(Double, Double, Double)]()
-        def tierProbe(): Unit = {
+        def tierProbe(): Double = {
           val c = calibProbePar()
+          floorPar = math.min(floorPar, c)
           val (bs, bp) = bwProbe()
           probes += ((c, bs, bp))
+          c
         }
         tierProbe()
         val rs = heavyweight.map { name =>
-          val runs = (1 to Sf1Reps).map { _ =>
+          def sf1Once(): (Double, Boolean, Double, Double, Double, Double) = {
             val cpu0 = TaskCpuListener.cpuNs.get
             val (mach0, proc0) = cpuSample()
             val t0 = System.nanoTime()
@@ -418,6 +481,11 @@ object Bench {
             (wall, ok, if (wall > 0) cpuS / wall else 0.0, cpuS,
               mach1 - mach0, proc1 - proc0)
           }
+          val (st0, jf0) = cpuStat()
+          var runs = (1 to Sf1Reps).map(_ => sf1Once()).toVector
+          val (st1, jf1) = cpuStat()
+          val qSteal =
+            if (jf1 > jf0) 100.0 * (st1 - st0) / (jf1 - jf0) else 0.0
           // per-round instrumentation for the iterative CC query: a slow
           // run decomposes into rounds × per-round wall in the artifact
           val cc = if (name == "q_dup_components")
@@ -427,39 +495,53 @@ object Bench {
                 s""""round_wall":${s.roundWallSec.map(w => f"$w%.3f")
                   .mkString("[", ",", "]")}}""").getOrElse("")
           else ""
-          tierProbe()
+          val bracketAfter = tierProbe()
+          // self-defense (r12 verdict #2): a window is DIRTY when the
+          // after-bracket reads >1.5x the session's clean floor, the
+          // query window saw >1% steal, or other-process CPU inside a
+          // rep exceeded ~15% of the machine — re-run once after the
+          // window settles, keep every rep, flag the query
+          val dirty = qSteal > 1.0 || bracketAfter > 1.5 * floorPar ||
+            runs.exists(r => r._1 > 0.5 &&
+              (r._5 - r._6) / r._1 > 0.15 * nCores)
+          if (dirty) { settle(); runs = runs :+ sf1Once() }
           // same successful-reps-only minimum as the headline loop
           val okW = runs.filter(_._2).map(_._1)
           val minW = if (okW.nonEmpty) okW.min else runs.map(_._1).min
           (name, runs.map(_._1), runs.forall(_._2), cc, runs.map(_._3),
-            runs.map(_._4), minW, runs.map(_._5), runs.map(_._6))
+            runs.map(_._4), minW, runs.map(_._5), runs.map(_._6),
+            dirty, qSteal)
         }
         val (tierCalibPar0, tierBw0) = (probes.head._1, (probes.head._2, probes.head._3))
         val (tierCalibPar1, tierBw1) = (probes.last._1, (probes.last._2, probes.last._3))
-        val q1 = rs.map { case (k, _, _, _, _, _, mw, _, _) => "\"" + k + "\":" + f"$mw%.3f" }
+        val q1 = rs.map { case (k, _, _, _, _, _, mw, _, _, _, _) => "\"" + k + "\":" + f"$mw%.3f" }
           .mkString("{", ",", "}")
-        val runs1 = rs.map { case (k, vs, _, _, _, _, _, _, _) =>
+        val runs1 = rs.map { case (k, vs, _, _, _, _, _, _, _, _, _) =>
           "\"" + k + "\":" + vs.map(v => f"$v%.3f").mkString("[", ",", "]") }
           .mkString("{", ",", "}")
-        val ok1 = rs.map { case (k, _, ok, _, _, _, _, _, _) => "\"" + k + "\":" + ok }
+        val ok1 = rs.map { case (k, _, ok, _, _, _, _, _, _, _, _) => "\"" + k + "\":" + ok }
           .mkString("{", ",", "}")
-        val ep1 = rs.map { case (k, _, _, _, eps, _, _, _, _) =>
+        val ep1 = rs.map { case (k, _, _, _, eps, _, _, _, _, _, _) =>
           "\"" + k + "\":" + eps.map(e => f"$e%.1f").mkString("[", ",", "]") }
           .mkString("{", ",", "}")
-        val cs1 = rs.map { case (k, _, _, _, _, cs, _, _, _) =>
+        val cs1 = rs.map { case (k, _, _, _, _, cs, _, _, _, _, _) =>
           "\"" + k + "\":" + cs.map(c => f"$c%.1f").mkString("[", ",", "]") }
           .mkString("{", ",", "}")
         // in-flight co-tenant attribution (r11 verdict #1): machine-wide
         // vs this-process CPU-seconds INSIDE each rep's window — when
         // machine >> process while brackets read clean, the dirt is a
         // co-tenant that never touched the probes
-        val ms1 = rs.map { case (k, _, _, _, _, _, _, m, _) =>
+        val ms1 = rs.map { case (k, _, _, _, _, _, _, m, _, _, _) =>
           "\"" + k + "\":" + m.map(c => f"$c%.1f").mkString("[", ",", "]") }
           .mkString("{", ",", "}")
-        val ps1 = rs.map { case (k, _, _, _, _, _, _, _, p) =>
+        val ps1 = rs.map { case (k, _, _, _, _, _, _, _, p, _, _) =>
           "\"" + k + "\":" + p.map(c => f"$c%.1f").mkString("[", ",", "]") }
           .mkString("{", ",", "}")
         val ccJson = rs.map(_._4).filter(_.nonEmpty).mkString
+        val dirty1 = rs.map { case (k, _, _, _, _, _, _, _, _, d, _) =>
+          "\"" + k + "\":" + d }.mkString("{", ",", "}")
+        val steal1 = rs.map { case (k, _, _, _, _, _, _, _, _, _, sp) =>
+          "\"" + k + "\":" + f"$sp%.2f" }.mkString("{", ",", "}")
         // per-query [before, after] probe brackets — co-tenancy that
         // ramps mid-tier attributes to the query it hit
         val cpBrackets = heavyweight.zipWithIndex.map { case (k, i) =>
@@ -476,6 +558,7 @@ object Bench {
           s""""bw_par_sec":[${f"${tierBw0._2}%.3f"},${f"${tierBw1._2}%.3f"}],""" +
           s""""calib_par_brackets":$cpBrackets,""" +
           s""""bw_par_brackets":$bwBrackets,""" +
+          s""""dirty":$dirty1,"q_steal_pct":$steal1,""" +
           s""""copies":10$ccJson}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] sf1 tier failed: ${e.getMessage}")
@@ -490,7 +573,7 @@ object Bench {
       if (jiff1 > jiff0) 100.0 * (steal1 - steal0) / (jiff1 - jiff0) else 0.0
     def arr(xs: Seq[Double]) = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"median":$medians,"runs":$allRuns,"ok":$oks,"eff_par":$effPars,"cpu_s":$cpuSecs,"steal_pct":${f"$stealPct%.2f"},"calib_sec":[${f"$calib0%.3f"},${f"$calib1%.3f"}],"calib_par_sec":[${f"$calibPar0%.3f"},${f"$calibPar1%.3f"}],"bw_sec":[${f"$bwS0%.3f"},${f"$bwS1%.3f"}],"bw_par_sec":[${f"$bwP0%.3f"},${f"$bwP1%.3f"}],"calib_par_threads":${Runtime.getRuntime.availableProcessors},"phys_cores":${physicalCores()},"loadavg":[${arr(load0)},${arr(load1)}],"sf1":$sf1Json,"sf":"${
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"median":$medians,"runs":$allRuns,"ok":$oks,"eff_par":$effPars,"cpu_s":$cpuSecs,"steal_pct":${f"$stealPct%.2f"},"calib_sec":[${f"$calib0%.3f"},${f"$calib1%.3f"}],"calib_par_sec":[${f"$calibPar0%.3f"},${f"$calibPar1%.3f"}],"bw_sec":[${f"$bwS0%.3f"},${f"$bwS1%.3f"}],"bw_par_sec":[${f"$bwP0%.3f"},${f"$bwP1%.3f"}],"calib_par_threads":${Runtime.getRuntime.availableProcessors},"phys_cores":${physicalCores()},"loadavg":[${arr(load0)},${arr(load1)}],"dirty":$dirtyJson,"q_steal_pct":$qStealJson,"calib_par_floor":${f"$floorPar%.3f"},"sf1":$sf1Json,"sf":"${
         sfDir.replace("\\", "\\\\").replace("\"", "\\\"")}"}"""
     println(line)
     // The stdout line gets buried in sbt [info] noise (rounds 3 and 5 had
@@ -517,7 +600,7 @@ object Bench {
         "{" + j.substring(1, qEnd) + "}"
     }
     val compact =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"ok_all":$allOk,"steal_pct":${f"$stealPct%.2f"},"calib_sec":[${f"$calib0%.3f"},${f"$calib1%.3f"}],"calib_par_sec":[${f"$calibPar0%.3f"},${f"$calibPar1%.3f"}],"bw_par_sec":[${f"$bwP0%.3f"},${f"$bwP1%.3f"}],"phys_cores":${physicalCores()},"sf1":$sf1Compact,"artifact":"${
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"ok_all":$allOk,"steal_pct":${f"$stealPct%.2f"},"calib_sec":[${f"$calib0%.3f"},${f"$calib1%.3f"}],"calib_par_sec":[${f"$calibPar0%.3f"},${f"$calibPar1%.3f"}],"bw_par_sec":[${f"$bwP0%.3f"},${f"$bwP1%.3f"}],"phys_cores":${physicalCores()},"dirty_count":$dirtyCount,"sf1":$sf1Compact,"artifact":"${
         artifact.replace("\\", "\\\\").replace("\"", "\\\"")}","sf":"${
         sfDir.replace("\\", "\\\\").replace("\"", "\\\"")}"}"""
     spark.stop()

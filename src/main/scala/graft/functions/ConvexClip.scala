@@ -35,8 +35,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * A concave intersection whose result is SEVERAL disjoint rings now
   * returns an honest MULTIPOLYGON row (round 13): rings stored closed
   * with NaN separators in the 3-field struct — st_area sums the parts,
-  * envelope/st_numgeometries consume it, renderers and predicates
-  * refuse it loudly rather than mis-render.
+  * envelope/st_numgeometries consume it, the renderers emit real
+  * MULTIPOLYGON text, and predicates/clip-inputs refuse it loudly
+  * rather than silently mis-evaluate.
   *
   * Honesty bounds, refused LOUDLY (never a wrong polygon):
   *  - concave inputs to union/difference, BOTH-concave intersection,
@@ -505,9 +506,10 @@ object ConvexClip {
     * NaN sentinel in BOTH coordinate arrays. Closed-ring storage makes
     * the rotation-pair shoelace in [[GisFunctions.stArea]] sum part
     * areas with no offsets table — every wrap/separator term touches a
-    * NaN and drops; envelope functions filter the sentinels. Rendering
-    * (st_astext / geojson) and predicate evaluation over multi rows
-    * refuse loudly rather than mis-render. */
+    * NaN and drops; envelope functions filter the sentinels and the
+    * three renderers (WKT MULTIPOLYGON, RFC 7946 MultiPolygon, Esri
+    * multi-ring polygon) emit real multi text. Predicate evaluation
+    * and clip INPUTS still refuse the multi form loudly. */
   private def multiRow(rings: Seq[(Array[Double], Array[Double])]): InternalRow = {
     val xs = Array.newBuilder[Double]
     val ys = Array.newBuilder[Double]

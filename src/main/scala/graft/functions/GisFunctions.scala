@@ -127,9 +127,8 @@ object GisFunctions {
     // consumers reject the output
     val ringList = array_join(closedRing(pairs), ", ")
     when(geom("gtype") === "MULTIPOLYGON",
-      raise_error(lit("st_astext: MULTIPOLYGON rendering is not " +
-        "implemented — the multi-ring struct is consumable by st_area/" +
-        "st_envelope/st_numgeometries")))
+      concat(lit("MULTIPOLYGON ((("),
+        multiBody(geom, p => p, ", ", ")), (("), lit(")))")))
       .when(geom("gtype") === "POINT", concat(lit("POINT ("), list, lit(")")))
       .when(geom("gtype") === "LINESTRING",
         concat(lit("LINESTRING ("), list, lit(")")))
@@ -144,6 +143,26 @@ object GisFunctions {
     when(element_at(coords, 1) === element_at(coords, -1), coords)
       .otherwise(concat(coords, array(element_at(coords, 1))))
 
+  /** Render the MULTIPOLYGON form's ring list as text: the struct
+    * stores rings CLOSED with a NaN sentinel after each, so one
+    * aggregate pass accumulates vertex tokens (via `vertex` applied to
+    * "x y"-style pairs), marks each sentinel with `|`, and a finishing
+    * replace turns the markers into `ringSep`. Vertex text never
+    * contains `|`, so the marker is collision-free. */
+  private def multiBody(geom: Column, vertex: Column => Column,
+                        vertexSep: String, ringSep: String): Column =
+    aggregate(
+      zip_with(geom("xs"), geom("ys"), (x, y) =>
+        when(isnan(x), lit(null)).otherwise(vertex(
+          concat_ws(" ", x.cast("string"), y.cast("string"))))),
+      lit(""),
+      (acc, p) => when(p.isNull, concat(acc, lit("|")))
+        .otherwise(concat(acc,
+          when(acc === "" || acc.endsWith("|"), lit(""))
+            .otherwise(lit(vertexSep)), p)),
+      acc => regexp_replace(regexp_replace(acc, "\\|$", ""),
+        "\\|", java.util.regex.Matcher.quoteReplacement(ringSep)))
+
   /** ST_AsGeoJSON — the geometry object (type + coordinates). */
   def stAsGeoJSON(geom: Column): Column = {
     val coords = zip_with(geom("xs"), geom("ys"), (x, y) => array(x, y))
@@ -151,9 +170,11 @@ object GisFunctions {
       .when(geom("gtype") === "LINESTRING", "LineString")
       .otherwise("Polygon")
     when(geom("gtype") === "MULTIPOLYGON",
-      raise_error(lit("st_asgeojson: MULTIPOLYGON rendering is not " +
-        "implemented — the multi-ring struct is consumable by st_area/" +
-        "st_envelope/st_numgeometries")))
+      concat(lit("""{"type":"MultiPolygon","coordinates":[[["""),
+        multiBody(geom,
+          p => concat(lit("["), regexp_replace(p, " ", ","), lit("]")),
+          ",", "]],[["),
+        lit("]]]}")))
       .when(geom("gtype") === "POINT",
         to_json(struct(typeName.as("type"),
           element_at(coords, 1).as("coordinates"))))
@@ -172,10 +193,15 @@ object GisFunctions {
   def stAsJson(geom: Column, wkid: Column = lit(4326)): Column = {
     val coords = zip_with(geom("xs"), geom("ys"), (x, y) => array(x, y))
     val sr = struct(wkid.cast("int").as("wkid"))
+    // the multi form renders as ONE Esri polygon with several rings —
+    // that IS Esri JSON's representation of disjoint-part polygons
     when(geom("gtype") === "MULTIPOLYGON",
-      raise_error(lit("st_asjson: MULTIPOLYGON rendering is not " +
-        "implemented — the multi-ring struct is consumable by st_area/" +
-        "st_envelope/st_numgeometries")))
+      concat(lit("""{"rings":[["""),
+        multiBody(geom,
+          p => concat(lit("["), regexp_replace(p, " ", ","), lit("]")),
+          ",", "],["),
+        lit("""]],"spatialReference":{"wkid":"""),
+        wkid.cast("int").cast("string"), lit("}}")))
       .when(geom("gtype") === "POINT",
         to_json(struct(element_at(geom("xs"), 1).as("x"),
           element_at(geom("ys"), 1).as("y"), sr.as("spatialReference"))))

@@ -177,7 +177,10 @@ object StTransform {
     else None
 
   /** Per-vertex transformer for a supported pair; None = unsupported.
-    * Identity pairs are supported trivially. */
+    * Identity pairs are trivial; pairs not involving 4326 (3857 ↔ UTM,
+    * UTM zone changes) COMPOSE through geographic coordinates — both
+    * legs share the WGS84 datum, so the composition is exact up to fp
+    * round-trip (no datum shift is being smuggled in). */
   def transformer(from: Int, to: Int)
       : Option[(Double, Double) => (Double, Double)] =
     (from, to) match {
@@ -189,7 +192,16 @@ object StTransform {
         (lon: Double, lat: Double) => lonLatToUtm(lon, lat, z, s) }
       case (f, 4326) => utmZone(f).map { case (z, s) =>
         (e: Double, n: Double) => utmToLonLat(e, n, z, s) }
-      case _ => None
+      case (f, t) =>
+        // same-datum composition through 4326 (both legs supported and
+        // non-identity by the cases above)
+        for {
+          fwd <- transformer(f, 4326)
+          bwd <- transformer(4326, t)
+        } yield (x: Double, y: Double) => {
+          val (lon, lat) = fwd(x, y)
+          bwd(lon, lat)
+        }
     }
 
   def supported(from: Int, to: Int): Boolean = transformer(from, to).isDefined

@@ -536,8 +536,8 @@ class GisPredicatesSpec extends AnyFunSuite {
 
   test("MULTI-piece concave intersection: a U-shape clipped by a band " +
       "returns an honest MULTIPOLYGON — st_area sums parts, envelope " +
-      "and st_numgeometries consume it, renderers and predicates " +
-      "refuse it loudly") {
+      "and st_numgeometries consume it, the three renderers emit real " +
+      "multi text, predicates and clip inputs refuse it loudly") {
     import spark.implicits._
     // U above y=2 is two 2x2 prongs: [0,2]x[2,4] and [4,6]x[2,4]
     val u = "POLYGON ((0 0, 6 0, 6 4, 4 4, 4 1, 2 1, 2 4, 0 4, 0 0))"
@@ -561,12 +561,31 @@ class GisPredicatesSpec extends AnyFunSuite {
       .select(stArea(col("g")), stNumGeometries(col("g"))).collect()(0)
     assert(math.abs(r3.getDouble(0) - 12.0) < 1e-9)
     assert(r3.getInt(1) === 3)
-    // renderers refuse rather than mis-render
-    val e1 = intercept[Exception] {
-      df.select(stAsText(col("g"))).collect()
+    // renderers emit real MULTIPOLYGON text: WKT with closed rings,
+    // RFC 7946 MultiPolygon, Esri multi-ring polygon
+    val Seq(wkt, gj, ej) = df.select(stAsText(col("g")),
+      stAsGeoJSON(col("g")), stAsJson(col("g"))).collect()(0)
+      .toSeq.map(_.asInstanceOf[String])
+    assert(wkt.startsWith("MULTIPOLYGON (((") && wkt.endsWith(")))"), wkt)
+    assert("\\)\\), \\(\\(".r.findAllIn(wkt).size === 1, wkt) // 2 rings
+    val verts = "[-0-9.]+ [-0-9.]+".r.findAllIn(
+      wkt.replace("MULTIPOLYGON", "")).toSeq
+    assert(verts.size === 10, wkt) // two closed rectangles, 5 each
+    assert(verts.toSet === Set("0.0 2.0", "2.0 2.0", "2.0 4.0",
+      "0.0 4.0", "4.0 2.0", "6.0 2.0", "6.0 4.0", "4.0 4.0"), wkt)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val gjn = om.readTree(gj)
+    assert(gjn.get("type").asText === "MultiPolygon", gj)
+    assert(gjn.get("coordinates").size === 2, gj)
+    (0 until 2).foreach { i =>
+      val poly = gjn.get("coordinates").get(i)
+      assert(poly.size === 1, gj)     // one ring per part
+      assert(poly.get(0).size === 5, gj) // closed rectangle
+      assert(poly.get(0).get(0) === poly.get(0).get(4), gj) // closure
     }
-    assert(TestSpark.causeChain(e1).contains("MULTIPOLYGON rendering"),
-      TestSpark.causeChain(e1))
+    val ejn = om.readTree(ej)
+    assert(ejn.get("rings").size === 2, ej)
+    assert(ejn.get("spatialReference").get("wkid").asInt === 4326, ej)
     // predicates refuse rather than treating sentinels as vertices
     val e2 = intercept[Exception] {
       df.select(call_function("st_intersects", col("g"),
@@ -630,6 +649,17 @@ class GisPredicatesSpec extends AnyFunSuite {
       assert(math.abs(lon2 - lon) < 1e-9, s"rt lon $lon2 vs $lon")
       assert(math.abs(lat2 - lat) < 1e-9, s"rt lat $lat2 vs $lat")
     }
+    // non-4326 pairs compose through geographic coords (same datum):
+    // 3857 -> UTM equals the direct 4326 -> UTM to fp round-trip, and
+    // a UTM zone change round-trips through its neighbor zone
+    val (mx, my) = xform("POINT (2.2945 48.8584)", 4326, 3857)
+    val (ce, cn) = xform(s"POINT ($mx $my)", 3857, 32631)
+    assert(math.abs(ce - 448252.00138) < 1e-3, ce.toString)
+    assert(math.abs(cn - 5411954.90995) < 1e-3, cn.toString)
+    val (e32, n32) = xform("POINT (448252.001 5411954.910)", 32631, 32632)
+    val (backE, backN) = xform(s"POINT ($e32 $n32)", 32632, 32631)
+    assert(math.abs(backE - 448252.001) < 1e-6, backE.toString)
+    assert(math.abs(backN - 5411954.910) < 1e-6, backN.toString)
     // srid-carrying geometry comes out stamped with the target srid
     import spark.implicits._
     val srid = Seq("POINT (9 48)").toDF("w")
