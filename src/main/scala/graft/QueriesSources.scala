@@ -836,6 +836,71 @@ object QueriesSources {
         .select(col("k").as("n_nationkey"), col("name").as("n_name"))
     }),
 
+    // ---- Lakehouse streaming SOURCES gated end-to-end (rows 95-97):
+    // each open format's table is written in two commits, streamed
+    // through its graft source, landed through the matching
+    // exactly-once sink, and the landed table must equal the base
+    // relation DuckDB recomputes. Stream state rebuilds per run. ----
+    "q_delta_stream_e2e" -> ((s, d) => {
+      import graft.sources.{DeltaLogReader, DeltaLogWriter}
+      import org.apache.spark.sql.SaveMode
+      val base = s"${out(d)}/delta_stream_e2e"
+      val bp = new org.apache.hadoop.fs.Path(base)
+      bp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(bp, true)
+      val src = s"$base/src"; val dst = s"$base/dst"; val cp = s"$base/cp"
+      val n = GraftSession.table(s, d, "nation")
+        .select(col("n_nationkey").cast("long").as("k"),
+          col("n_name").as("name"))
+      DeltaLogWriter.write(n.filter(col("k") < 12), src, SaveMode.Overwrite)
+      DeltaLogWriter.write(n.filter(col("k") >= 12), src, SaveMode.Append)
+      val q = graft.streaming.Events.deltaSink(
+        s.readStream.format("graft-delta").load(src), dst, cp,
+        appId = "delta-e2e-gate")
+      try q.processAllAvailable() finally q.stop()
+      DeltaLogReader.read(s, dst)
+        .select(col("k").as("n_nationkey"), col("name").as("n_name"))
+    }),
+    "q_iceberg_stream_e2e" -> ((s, d) => {
+      import graft.sources.IcebergTable
+      import org.apache.spark.sql.SaveMode
+      val base = s"${out(d)}/iceberg_stream_e2e"
+      val bp = new org.apache.hadoop.fs.Path(base)
+      bp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(bp, true)
+      val src = s"$base/src"; val dst = s"$base/dst"; val cp = s"$base/cp"
+      val r = GraftSession.table(s, d, "region")
+        .select(col("r_regionkey").cast("long").as("k"),
+          col("r_name").as("name"))
+      IcebergTable.write(r.filter(col("k") < 3), src, SaveMode.Overwrite)
+      IcebergTable.write(r.filter(col("k") >= 3), src, SaveMode.Append)
+      val q = graft.streaming.Events.icebergSink(
+        s.readStream.format("graft-iceberg").load(src), dst, cp,
+        appId = "iceberg-e2e-gate")
+      try q.processAllAvailable() finally q.stop()
+      IcebergTable.read(s, dst)
+        .select(col("k").as("r_regionkey"), col("name").as("r_name"))
+    }),
+    "q_paimon_stream_e2e" -> ((s, d) => {
+      import graft.sources.PaimonTable
+      import org.apache.spark.sql.SaveMode
+      val base = s"${out(d)}/paimon_stream_e2e"
+      val bp = new org.apache.hadoop.fs.Path(base)
+      bp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(bp, true)
+      val src = s"$base/src"; val dst = s"$base/dst"; val cp = s"$base/cp"
+      val sup = GraftSession.table(s, d, "supplier")
+        .select(col("s_suppkey").cast("long").as("k"),
+          col("s_name").as("name"))
+      PaimonTable.write(sup.filter(col("k") % 2 === 0), src,
+        SaveMode.Overwrite)
+      PaimonTable.write(sup.filter(col("k") % 2 === 1), src,
+        SaveMode.Append)
+      val q = graft.streaming.Events.paimonSink(
+        s.readStream.format("graft-paimon").load(src), dst, cp,
+        appId = "paimon-e2e-gate")
+      try q.processAllAvailable() finally q.stop()
+      PaimonTable.read(s, dst)
+        .select(col("k").as("s_suppkey"), col("name").as("s_name"))
+    }),
+
     // ---- BSON dump files (ref contrib/storage-mongo re-expressed
     // zero-egress: bsonspec.org bytes, what mongodump writes; typed
     // values incl. ObjectId hex and exact decimal128 strings). Fixture
@@ -2255,6 +2320,15 @@ object QueriesSources {
     "q_kafka_stream_e2e" -> """
       SELECT n_nationkey::BIGINT AS n_nationkey, n_name
       FROM nation""",
+    "q_delta_stream_e2e" -> """
+      SELECT n_nationkey::BIGINT AS n_nationkey, n_name
+      FROM nation""",
+    "q_iceberg_stream_e2e" -> """
+      SELECT r_regionkey::BIGINT AS r_regionkey, r_name
+      FROM region""",
+    "q_paimon_stream_e2e" -> """
+      SELECT s_suppkey::BIGINT AS s_suppkey, s_name
+      FROM supplier""",
     "q_bson_read" -> """
       SELECT s_suppkey::BIGINT AS s_suppkey, s_name,
              round(s_acctbal::DOUBLE, 2) AS acctbal
