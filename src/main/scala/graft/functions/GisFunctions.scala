@@ -52,31 +52,83 @@ object GisFunctions {
 
   // ---- planar geometry core: (gtype, xs, ys) struct ----------------
 
-  /** ST_GeomFromText for POINT / LINESTRING / POLYGON (one outer ring).
-    * Declarative WKT parse: coordinate list via regexp, pair split via
-    * transform — the geometry lands as a (gtype, xs[], ys[]) struct.
-    * Multi-ring polygons (holes) and MULTI* types raise a clear error
-    * (the honesty bound of the hand-rolled core). */
+  /** ST_GeomFromText for POINT / LINESTRING / POLYGON (one outer
+    * ring) and MULTIPOLYGON with single-ring parts. Declarative WKT
+    * parse: coordinate list via regexp, pair split via transform —
+    * simple geometries land as a (gtype, xs[], ys[]) struct;
+    * MULTIPOLYGON lands in the NaN-separated multi form. Holes and
+    * the other MULTI* types raise a clear error (the honesty bound of
+    * the hand-rolled core). */
   def stGeomFromText(wkt: Column): Column = {
     val typ = upper(trim(regexp_extract(wkt, "^\\s*([A-Za-z]+)", 1)))
     // any `)` followed (over whitespace) by `,` is a ring/geometry
     // separator — holes and MULTI* parts in every spacing variant
     val multiRing = wkt.rlike("\\)\\s*,")
     val body = regexp_extract(wkt, "\\(\\(?\\s*([^()]+?)\\s*\\)?\\)", 1)
-    val pairs = transform(split(body, ","),
+    def pairsOf(b: Column) = transform(split(b, ","),
       s => split(trim(regexp_replace(s, "\\s+", " ")), " "))
-    val xs = transform(pairs, p => element_at(p, 1).cast("double"))
-    val ys = transform(pairs, p => element_at(p, 2).cast("double"))
+    def xsOf(ps: Column) = transform(ps, p => element_at(p, 1).cast("double"))
+    def ysOf(ps: Column) = transform(ps, p => element_at(p, 2).cast("double"))
+    def badPairsIn(ps: Column) = exists(ps, p => size(p) =!= 2) ||
+      exists(xsOf(ps), x => x.isNull) || exists(ysOf(ps), y => y.isNull)
+    val pairs = pairsOf(body)
+    val xs = xsOf(pairs)
+    val ys = ysOf(pairs)
     // Z/M/ZM modifiers would silently DROP ordinates; a malformed
     // coordinate (non-numeric token, odd token count) casts to null and
     // later NPEs the predicate kernel or reads as phantom 0.0 — both
     // refuse loudly like holes/MULTI* do
     val zm = wkt.rlike("(?i)^\\s*[A-Za-z]+\\s+(ZM|Z|M)\\s*\\(")
-    val badPair = exists(pairs, p => size(p) =!= 2) ||
-      exists(xs, x => x.isNull) || exists(ys, y => y.isNull)
-    when(!typ.isin("POINT", "LINESTRING", "POLYGON") || multiRing || zm,
-      raise_error(concat(lit("st_geomfromtext supports single-ring 2-D " +
-        "POINT/LINESTRING/POLYGON only, got: "), wkt)))
+    val badPair = badPairsIn(pairs)
+    // ---- MULTIPOLYGON of SINGLE-RING parts parses into the
+    // NaN-separated multi form (rings stored CLOSED —
+    // ConvexClip.multiRow's layout, so st_area / envelope /
+    // st_numgeometries and the renderers all round-trip). Parts split
+    // on the ")), ((" separator; a part with HOLES leaves stray
+    // parens behind and refuses like the single-ring core does.
+    val mBody = regexp_extract(wkt,
+      "(?is)^\\s*MULTIPOLYGON\\s*\\(\\s*\\(\\s*\\(\\s*(.*)\\s*\\)\\s*\\)\\s*\\)\\s*$", 1)
+    val mParts = split(regexp_replace(mBody,
+      "\\)\\s*\\)\\s*,\\s*\\(\\s*\\(", "\u0001"), "\u0001")
+    val mBad = (mBody === "") ||
+      exists(mParts, p => p.rlike("[()]")) ||
+      exists(mParts, part => badPairsIn(pairsOf(part)))
+    def closeArr(a: Column): Column =
+      when(element_at(a, 1) === element_at(a, -1), a)
+        .otherwise(concat(a, array(element_at(a, 1))))
+    // per-ring signed area over a CLOSED ring's consecutive pairs (no
+    // wrap edge needed): WKT permits either winding, but the multi
+    // form's st_area sums signed terms across rings — a CW part would
+    // CANCEL a CCW one — so every ring normalizes to CCW at parse
+    def ringArea2(cx: Column, cy: Column): Column = {
+      val n = size(cx)
+      val lhs = zip_with(slice(cx, lit(1), n - 1), slice(cy, lit(2), n - 1),
+        (x, y2) => x * y2)
+      val rhs = zip_with(slice(cx, lit(2), n - 1), slice(cy, lit(1), n - 1),
+        (x2, y) => x2 * y)
+      aggregate(zip_with(lhs, rhs, (p, q) => p - q), lit(0.0),
+        (acc, t) => acc + t)
+    }
+    def orientPart(part: Column, pickX: Boolean): Column = {
+      val cx = closeArr(xsOf(pairsOf(part)))
+      val cy = closeArr(ysOf(pairsOf(part)))
+      val a = if (pickX) cx else cy
+      when(ringArea2(cx, cy) < 0, reverse(a)).otherwise(a)
+    }
+    val mxs = flatten(transform(mParts, part =>
+      concat(orientPart(part, pickX = true), array(lit(Double.NaN)))))
+    val mys = flatten(transform(mParts, part =>
+      concat(orientPart(part, pickX = false), array(lit(Double.NaN)))))
+    when(typ === "MULTIPOLYGON",
+      when(zm || mBad,
+        raise_error(concat(lit("st_geomfromtext: MULTIPOLYGON must be " +
+          "2-D single-ring parts (no holes) with numeric coordinates, " +
+          "got: "), wkt)))
+        .otherwise(struct(typ.as("gtype"), mxs.as("xs"), mys.as("ys"))))
+      .when(!typ.isin("POINT", "LINESTRING", "POLYGON") || multiRing || zm,
+        raise_error(concat(lit("st_geomfromtext supports single-ring 2-D " +
+          "POINT/LINESTRING/POLYGON and hole-free MULTIPOLYGON, got: "),
+          wkt)))
       .when(badPair,
         raise_error(concat(lit("st_geomfromtext: malformed coordinate " +
           "list in: "), wkt)))

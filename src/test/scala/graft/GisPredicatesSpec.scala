@@ -602,6 +602,50 @@ class GisPredicatesSpec extends AnyFunSuite {
       TestSpark.causeChain(e3))
   }
 
+  test("MULTIPOLYGON WKT parses into the multi form (rings normalized " +
+      "CCW), st_area/envelope/count consume it, st_astext round-trips; " +
+      "holes and other MULTI* refuse") {
+    import spark.implicits._
+    // second part given CLOCKWISE — must not cancel the first's area
+    val m = "MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)), " +
+      "((4 0, 4 2, 6 2, 6 0, 4 0)))"
+    val r = Seq(m).toDF("w").select(stGeomFromText(col("w")).as("g"))
+      .select(col("g")("gtype"), stArea(col("g")),
+        stNumGeometries(col("g")), stXMax(col("g")), stYMax(col("g")),
+        stAsText(col("g"))).collect()(0)
+    assert(r.getString(0) === "MULTIPOLYGON")
+    assert(math.abs(r.getDouble(1) - 8.0) < 1e-12, r.getDouble(1).toString)
+    assert(r.getInt(2) === 2)
+    assert(r.getDouble(3) === 6.0 && r.getDouble(4) === 2.0)
+    val wkt = r.getString(5)
+    assert(wkt.startsWith("MULTIPOLYGON (((") && wkt.endsWith(")))"), wkt)
+    // rendered text re-parses to the same area/count (round trip)
+    val rt = Seq(wkt).toDF("w").select(stGeomFromText(col("w")).as("g"))
+      .select(stArea(col("g")), stNumGeometries(col("g"))).collect()(0)
+    assert(math.abs(rt.getDouble(0) - 8.0) < 1e-12)
+    assert(rt.getInt(1) === 2)
+    // an OPEN ring closes on parse
+    val open = Seq("MULTIPOLYGON (((0 0, 1 0, 1 1)))").toDF("w")
+      .select(stGeomFromText(col("w")).as("g"))
+      .select(stArea(col("g")), stNumGeometries(col("g"))).collect()(0)
+    assert(math.abs(open.getDouble(0) - 0.5) < 1e-12)
+    assert(open.getInt(1) === 1)
+    // holes refuse; other MULTI* refuse
+    val e1 = intercept[Exception] {
+      Seq("MULTIPOLYGON (((0 0, 8 0, 8 8, 0 8, 0 0), " +
+        "(2 2, 3 2, 3 3, 2 3, 2 2)))").toDF("w")
+        .select(stGeomFromText(col("w"))).collect()
+    }
+    assert(TestSpark.causeChain(e1).contains("no holes"),
+      TestSpark.causeChain(e1))
+    val e2 = intercept[Exception] {
+      Seq("MULTIPOINT ((1 1), (2 2))").toDF("w")
+        .select(stGeomFromText(col("w"))).collect()
+    }
+    assert(TestSpark.causeChain(e2).contains("hole-free MULTIPOLYGON"),
+      TestSpark.causeChain(e2))
+  }
+
   // ---------------------------------------------------- st_transform
 
   private def xform(wkt: String, from: Int, to: Int): (Double, Double) = {
