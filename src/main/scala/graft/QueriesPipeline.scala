@@ -138,6 +138,16 @@ object QueriesPipeline {
         round(col("pca_proj_2"), 6).as("proj2"))
     }),
 
+    // Greedy k-center diversity sampling (farthest-first traversal —
+    // the coreset/exemplar-selection op of embedding curation): fully
+    // deterministic (min-id start, max-dist2 with min-id tie-break), so
+    // the oracle unrolls the same 6 selections in SQL (materialized
+    // CTEs; radius2 at 4dp absorbs sum-order float noise).
+    "q_kcenter" -> ((s, d) =>
+      Similarity.kCenterGreedy(T(s, d, "embeddings"), k = 6)
+        .select(col("step"), col("vec_id"),
+          round(col("radius2"), 4).as("radius2"))),
+
     "q_lang_id" -> ((s, d) =>
       T(s, d, "documents").select(col("doc_id"),
         TextAnalysis.languageId(col("text")).as("lang_pred"))),
@@ -933,6 +943,47 @@ object QueriesPipeline {
               FROM c JOIN u3 USING (i) GROUP BY vec_id)
       SELECT vec_id, round(pr1.p, 6) AS proj1, round(pr2.p, 6) AS proj2
       FROM pr1 JOIN pr2 USING (vec_id)""",
+    "q_kcenter" -> """
+      WITH e AS MATERIALIZED (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               unnest(embedding)::DOUBLE AS x
+        FROM embeddings),
+      p1 AS MATERIALIZED (SELECT min(vec_id) AS id FROM e),
+      c1 AS MATERIALIZED (SELECT i, x FROM e WHERE vec_id = (SELECT id FROM p1)),
+      d1 AS MATERIALIZED (
+        SELECT e.vec_id, sum((e.x - c1.x)*(e.x - c1.x)) AS d
+        FROM e JOIN c1 USING (i) GROUP BY e.vec_id),
+      p2 AS MATERIALIZED (SELECT vec_id AS id, d FROM d1 ORDER BY d DESC, vec_id LIMIT 1),
+      c2 AS MATERIALIZED (SELECT i, x FROM e WHERE vec_id = (SELECT id FROM p2)),
+      d2 AS MATERIALIZED (
+        SELECT d1.vec_id, least(d1.d, n.d) AS d
+        FROM d1 JOIN (SELECT e.vec_id, sum((e.x - c2.x)*(e.x - c2.x)) AS d
+                      FROM e JOIN c2 USING (i) GROUP BY e.vec_id) n USING (vec_id)),
+      p3 AS MATERIALIZED (SELECT vec_id AS id, d FROM d2 ORDER BY d DESC, vec_id LIMIT 1),
+      c3 AS MATERIALIZED (SELECT i, x FROM e WHERE vec_id = (SELECT id FROM p3)),
+      d3 AS MATERIALIZED (
+        SELECT d2.vec_id, least(d2.d, n.d) AS d
+        FROM d2 JOIN (SELECT e.vec_id, sum((e.x - c3.x)*(e.x - c3.x)) AS d
+                      FROM e JOIN c3 USING (i) GROUP BY e.vec_id) n USING (vec_id)),
+      p4 AS MATERIALIZED (SELECT vec_id AS id, d FROM d3 ORDER BY d DESC, vec_id LIMIT 1),
+      c4 AS MATERIALIZED (SELECT i, x FROM e WHERE vec_id = (SELECT id FROM p4)),
+      d4 AS MATERIALIZED (
+        SELECT d3.vec_id, least(d3.d, n.d) AS d
+        FROM d3 JOIN (SELECT e.vec_id, sum((e.x - c4.x)*(e.x - c4.x)) AS d
+                      FROM e JOIN c4 USING (i) GROUP BY e.vec_id) n USING (vec_id)),
+      p5 AS MATERIALIZED (SELECT vec_id AS id, d FROM d4 ORDER BY d DESC, vec_id LIMIT 1),
+      c5 AS MATERIALIZED (SELECT i, x FROM e WHERE vec_id = (SELECT id FROM p5)),
+      d5 AS MATERIALIZED (
+        SELECT d4.vec_id, least(d4.d, n.d) AS d
+        FROM d4 JOIN (SELECT e.vec_id, sum((e.x - c5.x)*(e.x - c5.x)) AS d
+                      FROM e JOIN c5 USING (i) GROUP BY e.vec_id) n USING (vec_id)),
+      p6 AS MATERIALIZED (SELECT vec_id AS id, d FROM d5 ORDER BY d DESC, vec_id LIMIT 1)
+      SELECT 1 AS step, (SELECT id FROM p1) AS vec_id, 0.0::DOUBLE AS radius2
+      UNION ALL SELECT 2, (SELECT id FROM p2), round((SELECT d FROM p2), 4)
+      UNION ALL SELECT 3, (SELECT id FROM p3), round((SELECT d FROM p3), 4)
+      UNION ALL SELECT 4, (SELECT id FROM p4), round((SELECT d FROM p4), 4)
+      UNION ALL SELECT 5, (SELECT id FROM p5), round((SELECT d FROM p5), 4)
+      UNION ALL SELECT 6, (SELECT id FROM p6), round((SELECT d FROM p6), 4)""",
     "q_lang_id" -> s"""
       WITH t AS (SELECT doc_id, string_split($NORM, ' ') AS w FROM documents),
       sc AS (SELECT doc_id,

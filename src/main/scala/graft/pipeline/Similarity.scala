@@ -601,6 +601,59 @@ object Similarity {
           .as("codes"))
   }
 
+  /** Greedy k-center (farthest-first traversal) over the embedding
+    * column — DIVERSITY / CORESET sampling for training-data curation:
+    * pick k maximally-spread exemplars (the classic 2-approximation to
+    * the k-center objective; "farthest point sampling"). Deterministic:
+    * starts from the smallest id, each step selects the point
+    * maximizing the SQUARED euclidean distance to the selected set
+    * (ties → smallest id), so a SQL oracle replays the same k steps
+    * exactly.
+    *
+    * Scale shape: the selected set lives on the driver (k × dim
+    * doubles — the classifier-family traffic contract) and each step
+    * is ONE distributed aggregation over the corpus (a max of a
+    * (dist, -id, vec) struct, partial-aggregated map-side) — k passes
+    * total, no shuffle of the data, no pairwise matrix. Each pass
+    * recomputes the min-distance over all selected centers (O(k·dim)
+    * per row at step k — stateless and deterministic; fine for the
+    * tens-of-exemplars regime this exists for).
+    *
+    * Returns (step 1..k, idCol, radius2): radius2 is the squared
+    * coverage radius AT selection time — the distance of the chosen
+    * point to the previously-selected set (0 for step 1), monotone
+    * non-increasing, the audit signal that selection is spreading. */
+  def kCenterGreedy(corpus: DataFrame, k: Int,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"kCenterGreedy: k must be >= 1, got $k")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val first = corpus
+      .agg(min(col(idCol)).as("id"),
+        min_by(col(vecCol), col(idCol)).as("v")).collect()(0)
+    require(!first.isNullAt(0), "kCenterGreedy: empty corpus")
+    val selected = scala.collection.mutable.ArrayBuffer[
+      (Long, Seq[Double], Double)]((first.getLong(0),
+        first.getSeq[Float](1).map(_.toDouble), 0.0))
+    def dist2To(center: Seq[Double]): Column =
+      aggregate(zip_with(col(vecCol), typedLit(center),
+        (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+        lit(0.0), (acc, t) => acc + t)
+    while (selected.size < k) {
+      val minD = selected.map(s => dist2To(s._2)).reduce(least(_, _))
+      val r = corpus
+        .agg(max(struct(minD.as("d"), (-col(idCol)).as("negid"),
+          col(vecCol).as("v"))).as("m"))
+        .select(col("m.d"), col("m.negid"), col("m.v")).collect()(0)
+      selected += ((-r.getLong(1), r.getSeq[Float](2).map(_.toDouble),
+        r.getDouble(0)))
+    }
+    selected.toSeq.zipWithIndex
+      .map { case ((id, _, d), i) => (i + 1, id, d) }
+      .toDF("step", idCol, "radius2")
+  }
+
   /** Top principal component of the embedding column by FIXED-iteration
     * power method over the centered second moment — the PCA-whitening /
     * dominant-direction primitive of an embedding curation pipeline

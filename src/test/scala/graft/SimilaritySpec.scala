@@ -298,6 +298,49 @@ class SimilaritySpec extends AnyFunSuite {
     assert(e.getMessage.contains("ragged"), e.getMessage)
   }
 
+  test("kCenterGreedy: farthest-first traversal covers planted clusters " +
+      "before densifying, radius2 is monotone non-increasing, selection " +
+      "is deterministic, ties break to the smallest id") {
+    import spark.implicits._
+    // three tight clusters far apart; ids interleaved so cluster
+    // membership is not id order
+    val r = new scala.util.Random(7)
+    val centers = Seq(Seq(0.0, 0.0, 0.0), Seq(100.0, 0.0, 0.0),
+      Seq(0.0, 100.0, 100.0))
+    val rows = (0 until 90).map { i =>
+      val c = centers(i % 3)
+      (i.toLong, c.map(x => (x + r.nextGaussian() * 0.1).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val sel = Similarity.kCenterGreedy(df, k = 6).collect()
+      .map(x => (x.getInt(0), x.getLong(1), x.getDouble(2)))
+    assert(sel.length === 6)
+    assert(sel.head._1 === 1 && sel.head._2 === 0L && sel.head._3 === 0.0)
+    // the first THREE selections land in three DIFFERENT clusters
+    val firstThreeClusters = sel.take(3).map(_._2 % 3).toSet
+    assert(firstThreeClusters.size === 3, sel.toSeq.toString)
+    // radius2 non-increasing from step 2 on
+    val radii = sel.drop(1).map(_._3)
+    assert(radii.zip(radii.tail).forall { case (a, b) => b <= a + 1e-9 },
+      radii.toSeq.toString)
+    // steps 2-3 cross clusters (~100^2+), steps 4-6 are intra-cluster
+    assert(radii(0) > 9000 && radii(1) > 9000)
+    assert(sel(3)._3 < 1.0 && sel(5)._3 < 1.0)
+    // deterministic: an identical second run selects identically
+    val sel2 = Similarity.kCenterGreedy(df, k = 6).collect()
+      .map(x => (x.getInt(0), x.getLong(1), x.getDouble(2)))
+    assert(sel.toSeq === sel2.toSeq)
+    // exact ties break to the smallest id: four corners of a square,
+    // start at 0, the two distance-ties at step 2 resolve to id 1
+    val square = Seq(
+      (0L, Seq(0f, 0f)), (1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)),
+      (3L, Seq(1f, 1f))).toDF("vec_id", "embedding")
+    val s2 = Similarity.kCenterGreedy(square, k = 2).collect()
+    assert(s2(1).getLong(1) === 3L) // farthest first: the diagonal
+    val s3 = Similarity.kCenterGreedy(square, k = 3).collect()
+    assert(s3(2).getLong(1) === 1L) // tie between 1 and 2 -> smaller id
+  }
+
   test("pcaTopK with deflation recovers TWO planted orthogonal " +
       "directions in order of variance; components are near-orthogonal " +
       "unit vectors and projections decorrelate") {
