@@ -239,6 +239,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             children(1), org.apache.spark.sql.types.DoubleType),
           segs)
       }))
+    // st_union_multi (contrib/udfs gis/STUnionAggregate.java — Esri
+    // cursor union there): the pairwise-DISJOINT slice; spell the
+    // aggregate as st_union_multi(collect_list(geom))
+    ext.injectFunction((
+      new FunctionIdentifier("st_union_multi"),
+      new ExpressionInfo(classOf[graft.functions.StUnionMultiExpr].getName,
+        "st_union_multi"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"st_union_multi expects 1 argument (array<geometry>), got " +
+            s"${children.length}")
+        graft.functions.StUnionMultiExpr(children.head)
+      }))
     // st_transform (contrib/udfs gis/STTransform.java — proj4 there):
     // narrowed to 4326 <-> 3857 and 4326 <-> UTM; srids must be
     // integer literals so unsupported pairs refuse at plan time

@@ -674,6 +674,35 @@ object QueriesFunctions {
           single("gtype").as("s_gtype"))
     }),
 
+    // ST_UnionAggregate's disjoint slice (st_union_multi over
+    // collect_list): per group, a set of BY-CONSTRUCTION disjoint
+    // rectangles (x-stride 3 > width 2; y fixed per group) unions into
+    // one MULTIPOLYGON whose part count / summed area / envelope the
+    // oracle recomputes with count/min/max arithmetic.
+    "q_union_agg" -> ((s, d) => {
+      import graft.functions.GisFunctions._
+      import org.apache.spark.sql.Column
+      val k = col("o_orderkey")
+      val grp = (k % 4).as("grp")
+      val x1 = (k * 3).cast("double")
+      val y1 = ((k % 4) * 10).cast("double")
+      def w(c: Column): Column = c.cast("string")
+      val rectWkt = concat(lit("POLYGON (("),
+        w(x1), lit(" "), w(y1), lit(", "),
+        w(x1 + 2.0), lit(" "), w(y1), lit(", "),
+        w(x1 + 2.0), lit(" "), w(y1 + 1.0), lit(", "),
+        w(x1), lit(" "), w(y1 + 1.0), lit("))"))
+      T(s, d, "orders").filter(k < 200)
+        .select(grp, stGeomFromText(rectWkt).as("g"))
+        .groupBy("grp")
+        .agg(call_function("st_union_multi", collect_list(col("g"))).as("u"))
+        .select(col("grp"),
+          stNumGeometries(col("u")).as("n_parts"),
+          round(stArea(col("u")), 6).as("area"),
+          stXMin(col("u")).as("xmin"), stXMax(col("u")).as("xmax"),
+          stYMin(col("u")).as("ymin"), stYMax(col("u")).as("ymax"))
+    }),
+
     // st_transform 4326 <-> 3857 (reference contrib/udfs gis/
     // STTransform.java, narrowed to closed-form pairs): the Web
     // Mercator formulas are elementary — x = R*radians(lon),
@@ -946,6 +975,16 @@ object QueriesFunctions {
            round(wd * (h - 1), 6) AS s_area,
            'POLYGON' AS s_gtype
          FROM g""",
+    "q_union_agg" ->
+      """WITH g AS (
+           SELECT o_orderkey % 4 AS grp, (o_orderkey * 3)::DOUBLE AS x1
+           FROM orders WHERE o_orderkey < 200)
+         SELECT grp,
+           count(*)::INT AS n_parts,
+           round(count(*) * 2.0, 6) AS area,
+           min(x1) AS xmin, max(x1) + 2 AS xmax,
+           (grp * 10)::DOUBLE AS ymin, (grp * 10 + 1)::DOUBLE AS ymax
+         FROM g GROUP BY grp""",
     "q_st_transform" ->
       """WITH g AS (
            SELECT o_orderkey,

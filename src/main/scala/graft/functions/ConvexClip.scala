@@ -48,7 +48,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *    splits A in two (MULTIPOLYGON);
   *  - tangential/collinear boundary contact on the walk path (entry/
   *    exit classification is only exact for proper crossings).
-  *  st_union-as-AGGREGATE stays out of scope entirely; st_buffer's
+  *  st_union-as-AGGREGATE lands for the pairwise-DISJOINT slice in
+  *  [[StUnionAgg]] (st_union_multi); general boundary-merging
+  *  aggregate unions stay refused. st_buffer's
   *  convex slice lives in [[StBuffer]] (Minkowski arcs / half-plane
   *  erosion), with concave buffering refused there.
   */
@@ -65,7 +67,7 @@ object ConvexClip {
                     bx: Double, by: Double): Double =
     (ax - ox) * (by - oy) - (ay - oy) * (bx - ox)
 
-  private def signedArea2(xs: Array[Double], ys: Array[Double]): Double = {
+  private[functions] def signedArea2(xs: Array[Double], ys: Array[Double]): Double = {
     var s = 0.0
     var i = 0
     val n = xs.length
@@ -510,7 +512,7 @@ object ConvexClip {
     * three renderers (WKT MULTIPOLYGON, RFC 7946 MultiPolygon, Esri
     * multi-ring polygon) emit real multi text. Predicate evaluation
     * and clip INPUTS still refuse the multi form loudly. */
-  private def multiRow(rings: Seq[(Array[Double], Array[Double])]): InternalRow = {
+  private[functions] def multiRow(rings: Seq[(Array[Double], Array[Double])]): InternalRow = {
     val xs = Array.newBuilder[Double]
     val ys = Array.newBuilder[Double]
     rings.foreach { case (rx, ry) =>
@@ -570,7 +572,7 @@ object ConvexClip {
     m
   }
 
-  private def geomRow(xs: Array[Double], ys: Array[Double]): InternalRow =
+  private[functions] def geomRow(xs: Array[Double], ys: Array[Double]): InternalRow =
     new GenericInternalRow(Array[Any](UTF8String.fromString("POLYGON"),
       new GenericArrayData(xs.map(x => x: Any)),
       new GenericArrayData(ys.map(y => y: Any))))

@@ -151,6 +151,13 @@ object GisFunctions {
   /** ST_SRID accessor for [[stGeomFromTextSrid]] geometries. */
   def stSrid(geom: Column): Column = geom("srid")
 
+  /** ST_UnionAggregate's disjoint slice (see [[StUnionAgg]]): union a
+    * GROUP of pairwise-disjoint polygons into one geometry — a plain
+    * POLYGON for one part, the MULTIPOLYGON form for several; touching
+    * or overlapping inputs refuse loudly. */
+  def stUnionAgg(geom: Column): Column =
+    call_function("st_union_multi", collect_list(geom))
+
   /** ST_Transform (reference STTransform.java, proj4-backed there),
     * NARROWED to the CRS pairs with public closed-form math — see
     * [[StTransform]]: EPSG:4326 ↔ 3857 (Web Mercator) and 4326 ↔ UTM

@@ -646,6 +646,50 @@ class GisPredicatesSpec extends AnyFunSuite {
       TestSpark.causeChain(e2))
   }
 
+  test("st_union_multi (ST_UnionAggregate's disjoint slice): one part " +
+      "stays POLYGON, several become MULTIPOLYGON, multi inputs " +
+      "flatten, the result is aggregation-order independent, touching/" +
+      "overlapping/point inputs refuse") {
+    import spark.implicits._
+    def aggOf(wkts: Seq[String]) =
+      wkts.toDF("w").agg(stUnionAgg(stGeomFromText(col("w"))).as("u"))
+        .select(col("u")("gtype"), stArea(col("u")),
+          stNumGeometries(col("u")), stAsText(col("u")))
+        .collect()(0)
+    val r = aggOf(Seq(rect(0, 0, 2, 2), rect(4, 0, 6, 1), rect(0, 5, 1, 6)))
+    assert(r.getString(0) === "MULTIPOLYGON")
+    assert(math.abs(r.getDouble(1) - 7.0) < 1e-12)
+    assert(r.getInt(2) === 3)
+    val one = aggOf(Seq(rect(0, 0, 2, 2)))
+    assert(one.getString(0) === "POLYGON")
+    assert(math.abs(one.getDouble(1) - 4.0) < 1e-12)
+    assert(one.getInt(2) === 1)
+    // MULTIPOLYGON inputs flatten their parts into the union
+    val multiIn = "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), " +
+      "((3 0, 4 0, 4 1, 3 1, 3 0)))"
+    val f = aggOf(Seq(multiIn, rect(6, 6, 7, 7)))
+    assert(f.getInt(2) === 3)
+    assert(math.abs(f.getDouble(1) - 3.0) < 1e-12)
+    // canonical part order: the rendered union is identical whatever
+    // order the group aggregated in
+    val ws = Seq(rect(0, 0, 2, 2), rect(4, 0, 6, 1), rect(0, 5, 1, 6))
+    assert(aggOf(ws).getString(3) === aggOf(ws.reverse).getString(3))
+    // touching (shared edge) and overlapping pairs refuse
+    val e1 = intercept[Exception] {
+      aggOf(Seq(rect(0, 0, 2, 2), rect(2, 0, 4, 2)))
+    }
+    assert(TestSpark.causeChain(e1).contains("touch or overlap"),
+      TestSpark.causeChain(e1))
+    val e2 = intercept[Exception] {
+      aggOf(Seq(rect(0, 0, 2, 2), rect(1, 1, 3, 3)))
+    }
+    assert(TestSpark.causeChain(e2).contains("touch or overlap"),
+      TestSpark.causeChain(e2))
+    val e3 = intercept[Exception] { aggOf(Seq("POINT (1 1)")) }
+    assert(TestSpark.causeChain(e3).contains("POLYGON/MULTIPOLYGON"),
+      TestSpark.causeChain(e3))
+  }
+
   // ---------------------------------------------------- st_transform
 
   private def xform(wkt: String, from: Int, to: Int): (Double, Double) = {
