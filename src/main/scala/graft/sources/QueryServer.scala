@@ -28,9 +28,44 @@ object QueryServer {
     def stop(): Unit = { server.stop(0); pool.shutdownNow() }
   }
 
-  def start(spark: SparkSession, port: Int = 0, maxRows: Int = 10000): Running = {
+  /** `credentials` non-empty enables HTTP BASIC auth on EVERY endpoint
+    * (Drill's REST surface under security: rest API auth, reference
+    * exec/.../server/rest with security.auth enabled) — the password
+    * check is constant-time (MessageDigest.isEqual, the JdbcEndpoint
+    * CUSTOM-provider rule: short-circuiting compares leak prefix length
+    * to a timing probe) and failures answer 401 + WWW-Authenticate with
+    * a GENERIC message (never "unknown user" — username enumeration).
+    * Empty credentials = open loopback endpoint, unchanged. */
+  def start(spark: SparkSession, port: Int = 0, maxRows: Int = 10000,
+            credentials: Map[String, String] = Map.empty): Running = {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
-    server.createContext("/query", new HttpHandler {
+    def guarded(h: HttpHandler): HttpHandler =
+      if (credentials.isEmpty) h
+      else new HttpHandler {
+        override def handle(x: HttpExchange): Unit = {
+          val hdr = Option(x.getRequestHeaders.getFirst("Authorization"))
+            .getOrElse("")
+          val ok = hdr.startsWith("Basic ") && {
+            val dec =
+              try new String(java.util.Base64.getDecoder
+                .decode(hdr.drop(6).trim), "UTF-8")
+              catch { case _: IllegalArgumentException => "" }
+            val i = dec.indexOf(':')
+            i > 0 && {
+              val (u, pw) = (dec.take(i), dec.drop(i + 1))
+              credentials.get(u).exists(exp =>
+                java.security.MessageDigest.isEqual(
+                  exp.getBytes("UTF-8"), pw.getBytes("UTF-8")))
+            }
+          }
+          if (!ok) {
+            x.getResponseHeaders.add("WWW-Authenticate",
+              "Basic realm=\"graft\"")
+            respond(x, 401, error("authentication required"))
+          } else h.handle(x)
+        }
+      }
+    server.createContext("/query", guarded(new HttpHandler {
       override def handle(x: HttpExchange): Unit = {
         try {
           if (x.getRequestMethod != "POST") { respond(x, 405, error("POST only")); return }
@@ -81,12 +116,12 @@ object QueryServer {
             Option(e.getMessage).getOrElse(e.getClass.getSimpleName)))
         }
       }
-    })
+    }))
     // shared GET->JSON-array handler: the four DataFrame endpoints are
     // identical except for the frame expression — one copy of the
     // method-check / toJSON / error plumbing, no drift
     def jsonGet(path: String)(df: => org.apache.spark.sql.DataFrame): Unit =
-      server.createContext(path, new HttpHandler {
+      server.createContext(path, guarded(new HttpHandler {
         override def handle(x: HttpExchange): Unit = try {
           if (x.getRequestMethod != "GET") { respond(x, 405, error("GET only")); return }
           respond(x, 200, df.toJSON.collect().mkString("[", ",", "]"))
@@ -94,7 +129,7 @@ object QueryServer {
           case e: Throwable => respond(x, 400, error(
             Option(e.getMessage).getOrElse(e.getClass.getSimpleName)))
         }
-      })
+      }))
     // Drill web UI's profile listing (ref server/rest/profile/
     // ProfileResources.java): the QueryProfiles ring as JSON. Empty until
     // QueryProfiles.enable(spark) — profiling is opt-in.
@@ -112,7 +147,7 @@ object QueryServer {
     // GET /storage.json — the storage/workspace registry (ref
     // server/rest/StorageResources.java): dfs workspaces from the
     // session conf + the catalog's databases, with enabled flags
-    server.createContext("/storage.json", new HttpHandler {
+    server.createContext("/storage.json", guarded(new HttpHandler {
       override def handle(x: HttpExchange): Unit = try {
         if (x.getRequestMethod != "GET") { respond(x, 405, error("GET only")); return }
         val ws = DfsSql.workspaces(spark) // the one canonical registry
@@ -132,7 +167,7 @@ object QueryServer {
         case e: Throwable => respond(x, 400, error(
           Option(e.getMessage).getOrElse(e.getClass.getSimpleName)))
       }
-    })
+    }))
     // ---- human-facing HTML console (reference exec/java-exec/src/main/
     // resources/rest/: index.ftl + profile/list.ftl, served by
     // DrillRestServer) — a minimal static shell over the SAME JSON
@@ -140,7 +175,7 @@ object QueryServer {
     // just eyes on them. Registered under "/" (com.sun HttpServer gives
     // the longer /query, /profiles... contexts precedence) with the
     // profile page under /web/ so it can't shadow the /profiles JSON.
-    server.createContext("/", new HttpHandler {
+    server.createContext("/", guarded(new HttpHandler {
       override def handle(x: HttpExchange): Unit = try {
         if (x.getRequestMethod != "GET") { respond(x, 405, error("GET only")); return }
         x.getRequestURI.getPath match {
@@ -152,7 +187,7 @@ object QueryServer {
         case e: Throwable => respond(x, 400, error(
           Option(e.getMessage).getOrElse(e.getClass.getSimpleName)))
       }
-    })
+    }))
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4,
       (r: Runnable) => { val t = new Thread(r); t.setDaemon(true); t })
     server.setExecutor(pool)

@@ -177,6 +177,64 @@ class RestShapefileSpec extends AnyFunSuite {
     }
   }
 
+  test("REST basic auth: credentials gate EVERY endpoint with 401 + " +
+      "WWW-Authenticate, correct Basic credentials pass, messages " +
+      "never enumerate usernames; a credential-less server is open") {
+    val server = graft.sources.QueryServer.start(spark,
+      credentials = Map("alice" -> "s3cret", "bob" -> "hunter2"))
+    try {
+      def call(path: String, auth: Option[String],
+               post: Option[String] = None): (Int, String, String) = {
+        val url = java.net.URI.create(
+          s"http://127.0.0.1:${server.port}$path").toURL
+        val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        auth.foreach(a => conn.setRequestProperty("Authorization",
+          "Basic " + java.util.Base64.getEncoder
+            .encodeToString(a.getBytes("UTF-8"))))
+        post.foreach { b =>
+          conn.setRequestMethod("POST")
+          conn.setRequestProperty("Content-Type", "application/json")
+          conn.setDoOutput(true)
+          conn.getOutputStream.write(b.getBytes("UTF-8"))
+        }
+        val code = conn.getResponseCode
+        val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+        val body = new String(is.readAllBytes(), "UTF-8")
+        val www = Option(conn.getHeaderField("WWW-Authenticate")).getOrElse("")
+        conn.disconnect()
+        (code, body, www)
+      }
+      val q = Some("""{"query": "SELECT 1 AS one"}""")
+      // no credentials / wrong password / unknown user: 401, same body
+      val (c1, b1, w1) = call("/query", None, q)
+      assert(c1 == 401 && w1.startsWith("Basic") && b1.contains(
+        "authentication required"), s"$c1 $b1")
+      val (c2, b2, _) = call("/query", Some("alice:wrong"), q)
+      val (c3, b3, _) = call("/query", Some("mallory:s3cret"), q)
+      assert(c2 == 401 && c3 == 401)
+      assert(b2 == b3, "auth failure bodies must not enumerate users")
+      // correct credentials pass, both users
+      assert(call("/query", Some("alice:s3cret"), q)._1 == 200)
+      assert(call("/query", Some("bob:hunter2"), q)._1 == 200)
+      // every other endpoint is gated too
+      Seq("/profiles", "/options.json", "/storage.json", "/").foreach { p =>
+        assert(call(p, None)._1 == 401, p)
+        assert(call(p, Some("alice:s3cret"))._1 == 200, p)
+      }
+      // malformed Authorization values are 401, not 500
+      assert(call("/query", Some(""), q)._1 == 401)
+    } finally server.stop()
+    // credential-less server: unchanged open behavior
+    val open = graft.sources.QueryServer.start(spark)
+    try {
+      val url = java.net.URI.create(
+        s"http://127.0.0.1:${open.port}/options.json").toURL
+      val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(conn.getResponseCode == 200)
+      conn.disconnect()
+    } finally open.stop()
+  }
+
   test("CTAS routes to lakehouse formats: delta and iceberg targets") {
     import spark.implicits._
     import graft.sources.{DeltaLogReader, IcebergTable, Writer}
