@@ -239,6 +239,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             children(1), org.apache.spark.sql.types.DoubleType),
           segs)
       }))
+    // MULTIPOLYGON WKT parse node (see WktMultiParse: the compact
+    // fallback that keeps stGeomFromText's simple-geometry path in
+    // whole-stage codegen)
+    ext.injectFunction((
+      new FunctionIdentifier("wkt_multi_parse"),
+      new ExpressionInfo(classOf[graft.functions.WktMultiParseExpr].getName,
+        "wkt_multi_parse"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"wkt_multi_parse expects 1 argument, got ${children.length}")
+        graft.functions.WktMultiParseExpr(children.head)
+      }))
     // st_union_multi (contrib/udfs gis/STUnionAggregate.java — Esri
     // cursor union there): the pairwise-DISJOINT slice; spell the
     // aggregate as st_union_multi(collect_list(geom))

@@ -80,51 +80,13 @@ object GisFunctions {
     // refuse loudly like holes/MULTI* do
     val zm = wkt.rlike("(?i)^\\s*[A-Za-z]+\\s+(ZM|Z|M)\\s*\\(")
     val badPair = badPairsIn(pairs)
-    // ---- MULTIPOLYGON of SINGLE-RING parts parses into the
-    // NaN-separated multi form (rings stored CLOSED —
-    // ConvexClip.multiRow's layout, so st_area / envelope /
-    // st_numgeometries and the renderers all round-trip). Parts split
-    // on the ")), ((" separator; a part with HOLES leaves stray
-    // parens behind and refuses like the single-ring core does.
-    val mBody = regexp_extract(wkt,
-      "(?is)^\\s*MULTIPOLYGON\\s*\\(\\s*\\(\\s*\\(\\s*(.*)\\s*\\)\\s*\\)\\s*\\)\\s*$", 1)
-    val mParts = split(regexp_replace(mBody,
-      "\\)\\s*\\)\\s*,\\s*\\(\\s*\\(", "\u0001"), "\u0001")
-    val mBad = (mBody === "") ||
-      exists(mParts, p => p.rlike("[()]")) ||
-      exists(mParts, part => badPairsIn(pairsOf(part)))
-    def closeArr(a: Column): Column =
-      when(element_at(a, 1) === element_at(a, -1), a)
-        .otherwise(concat(a, array(element_at(a, 1))))
-    // per-ring signed area over a CLOSED ring's consecutive pairs (no
-    // wrap edge needed): WKT permits either winding, but the multi
-    // form's st_area sums signed terms across rings — a CW part would
-    // CANCEL a CCW one — so every ring normalizes to CCW at parse
-    def ringArea2(cx: Column, cy: Column): Column = {
-      val n = size(cx)
-      val lhs = zip_with(slice(cx, lit(1), n - 1), slice(cy, lit(2), n - 1),
-        (x, y2) => x * y2)
-      val rhs = zip_with(slice(cx, lit(2), n - 1), slice(cy, lit(1), n - 1),
-        (x2, y) => x2 * y)
-      aggregate(zip_with(lhs, rhs, (p, q) => p - q), lit(0.0),
-        (acc, t) => acc + t)
-    }
-    def orientPart(part: Column, pickX: Boolean): Column = {
-      val cx = closeArr(xsOf(pairsOf(part)))
-      val cy = closeArr(ysOf(pairsOf(part)))
-      val a = if (pickX) cx else cy
-      when(ringArea2(cx, cy) < 0, reverse(a)).otherwise(a)
-    }
-    val mxs = flatten(transform(mParts, part =>
-      concat(orientPart(part, pickX = true), array(lit(Double.NaN)))))
-    val mys = flatten(transform(mParts, part =>
-      concat(orientPart(part, pickX = false), array(lit(Double.NaN)))))
-    when(typ === "MULTIPOLYGON",
-      when(zm || mBad,
-        raise_error(concat(lit("st_geomfromtext: MULTIPOLYGON must be " +
-          "2-D single-ring parts (no holes) with numeric coordinates, " +
-          "got: "), wkt)))
-        .otherwise(struct(typ.as("gtype"), mxs.as("xs"), mys.as("ys"))))
+    // ---- MULTIPOLYGON routes through ONE compact expression node
+    // (WktMultiParse): the declarative unroll duplicated the per-part
+    // closure/orientation subtrees ~100x and every stGeomFromText call
+    // site paid seconds of analysis — the fallback node costs one
+    // reference, codegen continues around it, and its boxed eval runs
+    // only on actual MULTIPOLYGON strings.
+    when(typ === "MULTIPOLYGON", call_function("wkt_multi_parse", wkt))
       .when(!typ.isin("POINT", "LINESTRING", "POLYGON") || multiRing || zm,
         raise_error(concat(lit("st_geomfromtext supports single-ring 2-D " +
           "POINT/LINESTRING/POLYGON and hole-free MULTIPOLYGON, got: "),

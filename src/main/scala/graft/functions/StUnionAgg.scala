@@ -96,15 +96,25 @@ object StUnionAgg {
         parts ++= partsOf(arr.getStruct(i, elemType.fields.length))
       i += 1
     }
-    val ps = parts.result()
-      .sortBy(p => (p._1.min, p._2.min, p._1.length))
+    // canonical sort must be a TOTAL order over distinct rings or tied
+    // parts keep collect_list's nondeterministic shuffle order: after
+    // (min x, min y), fall back to full lexicographic coordinate
+    // comparison (distinct disjoint rings always differ somewhere)
+    val coordOrd = Ordering.Implicits.seqOrdering[Seq, Double]
+    val ps = parts.result().sortBy(p =>
+      (p._1.min, p._2.min, p._1.toSeq, p._2.toSeq))(
+      Ordering.Tuple4(Ordering.Double.TotalOrdering,
+        Ordering.Double.TotalOrdering, coordOrd, coordOrd))
     if (ps.isEmpty) return null
     if (ps.length > MaxParts) fail(
       s"${ps.length} parts exceed the $MaxParts-part bound — pairwise " +
         "disjointness verification is quadratic; a group this large " +
         "wants a spatial index, not an aggregate")
-    // pairwise disjointness: bbox precheck, exact DE-9IM on contact
+    // pairwise disjointness: bbox precheck, exact DE-9IM on contact;
+    // rows built ONCE (the quadratic loop must not re-box coordinates
+    // per pair)
     val boxes = ps.map(p => (p._1.min, p._1.max, p._2.min, p._2.max))
+    val rows = ps.map(polyRow)
     var a = 0
     while (a < ps.length) {
       var b = a + 1
@@ -113,7 +123,7 @@ object StUnionAgg {
         val (bx1, bx2, by1, by2) = boxes(b)
         val boxMeet = ax1 <= bx2 && bx1 <= ax2 && ay1 <= by2 && by1 <= ay2
         if (boxMeet && !GisPredicates.relateMatch(
-            polyRow(ps(a)), polyRow(ps(b)), "FF*FF****"))
+            rows(a), rows(b), "FF*FF****"))
           fail("two input polygons touch or overlap — merging " +
             "boundaries is true geometry algebra (use the binary " +
             "st_union for a convex pair); refusing rather than " +

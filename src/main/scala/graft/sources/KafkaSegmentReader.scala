@@ -135,37 +135,34 @@ object KafkaSegmentReader {
                                key: Array[Byte], value: Array[Byte],
                                headers: Seq[(String, Array[Byte])])
 
-  /** After a tolerant decode hits an invalid frame: does any COMPLETE,
-    * magic-2, CRC-valid frame follow it in the stream? Walks the same
-    * framing the watermark scan used (12-byte header, declared length,
-    * full body) — frames that are complete but themselves invalid keep
-    * the walk going (multi-frame corruption is still corruption); any
-    * torn/zero/EOF stop means the invalid frame really was the
-    * in-flight tail. Consumes the stream — callers throw or stop. */
-  private def completeValidFrameFollows(in: InputStream): Boolean = {
-    while (true) {
-      val head = new Array[Byte](12)
-      var got = 0
-      while (got < 12) {
-        val r = in.read(head, got, 12 - got)
-        if (r < 0) return false
-        got += r
-      }
-      val batchLength = be32(head, 8)
-      if (batchLength < 49) return false // padding / torn length
-      val buf = new Array[Byte](batchLength)
-      var off = 0
-      while (off < batchLength) {
-        val r = in.read(buf, off, batchLength - off)
-        if (r < 0) return false
-        off += r
-      }
-      val crc = new java.util.zip.CRC32C()
-      crc.update(buf, 9, buf.length - 9)
-      if (buf(4) == 2 && crc.getValue == (be32(buf, 5) & 0xFFFFFFFFL))
-        return true
+  /** After a tolerant decode hits an invalid frame: does any COMPLETE
+    * frame (12-byte header + full declared body, length >= the v2
+    * minimum) follow it in the stream? Brokers append sequentially, so
+    * ANY complete successor — valid or not — proves the invalid frame
+    * was fully written (not in-flight) and therefore corrupt; only a
+    * torn/zero/EOF tail means it really was the in-flight end. (An
+    * earlier version required the successor to be CRC-VALID, which let
+    * "corrupt frame, then the genuinely in-flight tail frame" swallow
+    * the corruption silently.) Consumes the stream — callers throw or
+    * stop. */
+  private def completeFrameFollows(in: InputStream): Boolean = {
+    val head = new Array[Byte](12)
+    var got = 0
+    while (got < 12) {
+      val r = in.read(head, got, 12 - got)
+      if (r < 0) return false
+      got += r
     }
-    false
+    val batchLength = be32(head, 8)
+    if (batchLength < 49) return false // padding / torn length
+    var left = batchLength
+    val buf = new Array[Byte](8192)
+    while (left > 0) {
+      val r = in.read(buf, 0, math.min(left, buf.length))
+      if (r < 0) return false
+      left -= r
+    }
+    true
   }
 
   /** Decode every record of every batch from one segment stream.
@@ -175,21 +172,31 @@ object KafkaSegmentReader {
     * partial in-flight frame; with the flag the decode stops cleanly at
     * the last complete frame instead of failing the task. Batch reads
     * of closed segments stay STRICT: there a short frame is corruption
-    * and must be loud. */
+    * and must be loud. `reopen(pos)`: a fresh stream positioned at
+    * byte `pos` — an invalid tolerant frame re-reads ONCE from settled
+    * bytes before being judged, absorbing the stale-read race against
+    * a live appender (the torn copy in our buffer may have completed
+    * on disk since). */
   private def batches(in: DataInputStream, file: String,
-                      tolerateTail: Boolean = false): Iterator[Rec] =
+                      tolerateTail: Boolean = false,
+                      reopen: Option[Long => DataInputStream] = None)
+      : Iterator[Rec] =
     new Iterator[Rec] {
+      private var stream = in
       private var cur: Iterator[Rec] = Iterator.empty
       private var done = false
+      private var pos = 0L        // byte offset of the NEXT frame
+      private var retriedAt = -1L // one fresh re-read per frame position
       private def advance(): Unit = {
         while (!done && !cur.hasNext) {
+          val fpos = pos
           // batch header: baseOffset int64 + batchLength int32, then
           // batchLength bytes from partitionLeaderEpoch onward
           val head = new Array[Byte](12)
           var got = 0
           var eof = false
           while (got < 12 && !eof) {
-            val r = in.read(head, got, 12 - got)
+            val r = stream.read(head, got, 12 - got)
             if (r < 0) eof = true else got += r
           }
           if (eof) {
@@ -214,18 +221,19 @@ object KafkaSegmentReader {
                 s"$file: batch @offset $baseOffset declares $batchLength " +
                   "bytes — below the 49-byte v2 header, corrupt segment")
               val buf =
-                if (!tolerateTail) readFully(in, batchLength)
+                if (!tolerateTail) readFully(stream, batchLength)
                 else {
                   val a = new Array[Byte](batchLength)
                   var off = 0
                   var short = false
                   while (off < batchLength && !short) {
-                    val r = in.read(a, off, batchLength - off)
+                    val r = stream.read(a, off, batchLength - off)
                     if (r < 0) short = true else off += r
                   }
                   if (short) { done = true; null } else a
                 }
               if (done) return
+              pos = fpos + 12L + batchLength
               val magic = buf(4)
               val crcStored = be32(buf, 5) & 0xFFFFFFFFL
               val crc = new java.util.zip.CRC32C()
@@ -236,19 +244,32 @@ object KafkaSegmentReader {
                 // byte level (under log.preallocate the body reads as
                 // zeros, not short) — stop at the last VALID frame.
                 // But a corrupt frame MID-segment is distinguishable:
-                // brokers append sequentially, so if any complete
-                // CRC-valid frame FOLLOWS this one, the watermark walk
-                // framed through it and ADMITTED offsets beyond —
-                // stopping here would silently drop them. Peek forward
-                // with the same framing the walk used and be loud.
-                if (completeValidFrameFollows(in)) throw new java.io.IOException(
-                  s"$file: invalid frame @offset $baseOffset (" +
-                    (if (magic != 2) s"magic $magic"
-                     else s"CRC stored $crcStored != ${crc.getValue}") +
-                    ") with complete frames after it — corrupt " +
-                    "segment, not an in-flight tail")
-                done = true; return
-              }
+                // brokers append sequentially, so if ANY complete frame
+                // FOLLOWS this one — CRC-valid or not — this frame was
+                // fully written and is corrupt; stopping would silently
+                // drop records the watermark walk admitted. Before
+                // judging, re-read the frame ONCE from a fresh stream:
+                // our buffered copy may be a torn read that the live
+                // appender has since completed on disk.
+                if (reopen.isDefined && retriedAt != fpos) {
+                  retriedAt = fpos
+                  try stream.close() catch { case _: java.io.IOException => () }
+                  stream = reopen.get(fpos)
+                  pos = fpos
+                  // loop re-reads this frame from settled bytes
+                } else {
+                  if (completeFrameFollows(stream)) throw new java.io.IOException(
+                    s"$file: invalid frame @offset $baseOffset (" +
+                      (if (magic != 2) s"magic $magic"
+                       else s"CRC stored $crcStored != ${crc.getValue}") +
+                      ") with complete frames after it — corrupt " +
+                      "segment, not an in-flight tail (the frame stayed " +
+                      "invalid on a fresh re-read)")
+                  done = true
+                }
+                // either stopped at the tail or about to re-read —
+                // nothing decodes from the torn copy
+              } else {
               require(magic == 2,
                 s"$file: message format v$magic (magic byte) — only v2 " +
                   "RecordBatch segments are supported (broker >= 0.11)")
@@ -302,11 +323,17 @@ object KafkaSegmentReader {
                   Rec(baseOffset + offDelta, ts, tsType, key, value, headers)
                 }
               }
+              }
             }
           }
         }
       }
-      def hasNext: Boolean = { advance(); cur.hasNext }
+      def hasNext: Boolean = {
+        advance()
+        if (done && !cur.hasNext)
+          try stream.close() catch { case _: java.io.IOException => () }
+        cur.hasNext
+      }
       def next(): Rec = { advance(); cur.next() }
     }
 
@@ -333,12 +360,18 @@ object KafkaSegmentReader {
         paths.flatMap { f =>
           val p = new Path(f)
           val (topic, part) = topicPartition(p.getParent.getName)
+          val fsys = p.getFileSystem(conf)
           val in = new DataInputStream(
-            new java.io.BufferedInputStream(p.getFileSystem(conf).open(p)))
+            new java.io.BufferedInputStream(fsys.open(p)))
           Option(org.apache.spark.TaskContext.get()).foreach(
             _.addTaskCompletionListener[Unit](_ =>
               try in.close() catch { case _: java.io.IOException => () }))
-          val it = batches(in, f, tolerateTail)
+          val reopen = (posB: Long) => {
+            val s2 = fsys.open(p)
+            s2.seek(posB)
+            new DataInputStream(new java.io.BufferedInputStream(s2))
+          }
+          val it = batches(in, f, tolerateTail, Some(reopen))
           new Iterator[Row] {
             def hasNext: Boolean = {
               val h = it.hasNext

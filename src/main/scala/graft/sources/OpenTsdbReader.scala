@@ -30,9 +30,10 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   * admits 16.7M names, which is driver-heap scale at the top end.
   * Per-ROW uid references (one row per series x hour bucket, orders
   * below point cardinality) explode to (tagk, tagv) pairs, join the
-  * uid relation with an explicit broadcast hint (uid tables are far
-  * under the broadcast threshold in practice), and re-assemble the
-  * tags map; the per-POINT relation then joins the resolved rows on
+  * uid relation — broadcast-hinted only when its measured size is
+  * under a million names (a forced hint at the 16.7M top end would
+  * re-create the driver ceiling; bigger tables take the shuffle
+  * join) — and re-assemble the tags map; the per-POINT relation then joins the resolved rows on
   * row key — broadcast-able by AQE when row cardinality allows, a
   * shuffle join when it does not, but the point decode itself stays
   * one task per store file either way. A uid referenced by data but
@@ -118,9 +119,17 @@ object OpenTsdbReader {
     // store files decode once, not once per slice (metadata scale)
     val uidRel = uidRelation(spark, uidDir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def names(kind: String, uidAlias: String, nameAlias: String) =
-      uidRel.filter(col("kind") === kind)
+    // the broadcast hint is gated on the relation's actual size: a
+    // FORCED hint at the 16.7M-name top end would re-create the very
+    // driver-memory ceiling this join path removed (broadcast builds
+    // collect to the driver); big uid tables take the shuffle join
+    val uidCount = uidRel.count()
+    val hintB = uidCount <= 1000000L
+    def names(kind: String, uidAlias: String, nameAlias: String) = {
+      val slice = uidRel.filter(col("kind") === kind)
         .select(col("uid").as(uidAlias), col("name").as(nameAlias))
+      if (hintB) broadcast(slice) else slice
+    }
     // HBase semantics BEFORE tsdb decode: TSD's row compaction rewrites
     // points into a compacted column and DELETES the originals — a
     // flushed-but-not-major-compacted table holds both plus the
@@ -202,9 +211,9 @@ object OpenTsdbReader {
         explode_outer(col("tag_uids")).as("p"))
       .select(col("rk"), col("metric_uid"),
         col("p._1").as("tagk_uid"), col("p._2").as("tagv_uid"))
-      .join(broadcast(names("tagk", "__ku", "kname")),
+      .join(names("tagk", "__ku", "kname"),
         col("tagk_uid") === col("__ku"), "left")
-      .join(broadcast(names("tagv", "__vu", "vname")),
+      .join(names("tagv", "__vu", "vname"),
         col("tagv_uid") === col("__vu"), "left")
       .groupBy("rk", "metric_uid")
       .agg(map_from_entries(collect_list(
@@ -212,7 +221,7 @@ object OpenTsdbReader {
           required(col("kname"), col("tagk_uid"), "tagk").as("key"),
           required(col("vname"), col("tagv_uid"), "tagv").as("value")))))
         .as("tags"))
-      .join(broadcast(names("metrics", "__mu", "mname")),
+      .join(names("metrics", "__mu", "mname"),
         col("metric_uid") === col("__mu"), "left")
       .select(col("rk"),
         coalesce(col("mname"), raise_error(concat(

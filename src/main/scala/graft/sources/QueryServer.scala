@@ -53,9 +53,15 @@ object QueryServer {
             val i = dec.indexOf(':')
             i > 0 && {
               val (u, pw) = (dec.take(i), dec.drop(i + 1))
-              credentials.get(u).exists(exp =>
-                java.security.MessageDigest.isEqual(
-                  exp.getBytes("UTF-8"), pw.getBytes("UTF-8")))
+              // unknown users still run the constant-time compare
+              // against a dummy — skipping it returns measurably
+              // faster and re-opens the username-enumeration timing
+              // channel the generic 401 body closes
+              val expected = credentials.getOrElse(u,
+                "\u0000graft-no-such-user")
+              java.security.MessageDigest.isEqual(
+                expected.getBytes("UTF-8"), pw.getBytes("UTF-8")) &&
+                credentials.contains(u)
             }
           }
           if (!ok) {

@@ -630,6 +630,16 @@ class GisPredicatesSpec extends AnyFunSuite {
       .select(stArea(col("g")), stNumGeometries(col("g"))).collect()(0)
     assert(math.abs(open.getDouble(0) - 0.5) < 1e-12)
     assert(open.getInt(1) === 1)
+    // closure is decided from BOTH axes: this open ring's first/last
+    // share x (0==0) but not y — a per-axis check would close xs only
+    // and corrupt the arrays (review-r13 regression case)
+    val axis = Seq("MULTIPOLYGON (((0 0, 1 0, 0 1)))").toDF("w")
+      .select(stGeomFromText(col("w")).as("g"))
+      .select(stArea(col("g")), stNumGeometries(col("g")),
+        size(col("g")("xs")), size(col("g")("ys"))).collect()(0)
+    assert(math.abs(axis.getDouble(0) - 0.5) < 1e-12, axis.toString)
+    assert(axis.getInt(1) === 1)
+    assert(axis.getInt(2) === axis.getInt(3)) // aligned arrays
     // holes refuse; other MULTI* refuse
     val e1 = intercept[Exception] {
       Seq("MULTIPOLYGON (((0 0, 8 0, 8 8, 0 8, 0 0), " +

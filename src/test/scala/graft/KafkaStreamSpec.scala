@@ -375,6 +375,37 @@ class KafkaStreamSpec extends AnyFunSuite {
     assert(msgs.contains("complete frames after it"))
   }
 
+  test("a corrupt frame followed by an IN-FLIGHT (complete but " +
+      "CRC-invalid) frame fails loudly — any complete successor proves " +
+      "the invalid frame was fully written, CRC-valid or not") {
+    val dir = Files.createTempDirectory("kstream_corrupt2_").toString
+    val cp = Files.createTempDirectory("kstream_corrupt2_cp_").toString
+    val b1 = KafkaSegmentReader.batchBytes(0L, 1000L,
+      Seq((b("k0"), b("v0"), Nil, 0L)))
+    val b2 = KafkaSegmentReader.batchBytes(1L, 1001L,
+      Seq((b("k1"), b("v1"), Nil, 0L)))
+    val b3 = KafkaSegmentReader.batchBytes(2L, 1002L,
+      Seq((b("k2"), b("v2"), Nil, 0L)))
+    b2(30) = (b2(30) ^ 0x7).toByte // corrupt: CRC wrong
+    b3(30) = (b3(30) ^ 0x7).toByte // "in-flight": complete but invalid
+    val segDir = new java.io.File(s"$dir/f-0"); segDir.mkdirs()
+    val os = new java.io.FileOutputStream(
+      new java.io.File(segDir, "0" * 20 + ".log"))
+    try { os.write(b1); os.write(b2); os.write(b3) } finally os.close()
+    val q = spark.readStream.format("graft-kafka")
+      .option("startingOffsets", "earliest").load(dir).writeStream
+      .option("checkpointLocation", cp)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.count(); ()
+      }.start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q.processAllAvailable() finally q.stop()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .take(8).map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("complete frames after it"), msgs)
+  }
+
   test("mid-stream restart is exactly-once: records delivered before the " +
       "stop are not re-emitted, records after it arrive") {
     val dir = Files.createTempDirectory("kstream_restart_").toString
