@@ -101,7 +101,9 @@ object StTransform {
 
   /** Invert [[taupf]] by Newton iteration on the RESIDUAL (convergence
     * is checked against the forward map itself, so the answer is honest
-    * even where the derivative approximation is loose). */
+    * even where the derivative approximation is loose). An exit without
+    * convergence REFUSES — returning the last iterate would silently
+    * hand back garbage coordinates, against this file's contract. */
   private def tauf(taup: Double): Double = {
     val e2m = 1 - E2
     var tau = taup / e2m // first guess: the spherical-excess stretch
@@ -118,8 +120,20 @@ object StTransform {
       tau -= v / d
       i += 1
     }
-    tau
+    throw new IllegalArgumentException(
+      "st_transform: conformal-latitude inversion did not converge in " +
+        "30 Newton steps (input is outside the projection's valid " +
+        "domain) — refusing rather than returning an unconverged value")
   }
+
+  /** Domain bound for the Krüger order-6 series: Karney 2011 bounds the
+    * truncation error below 5 nm within ~3900 km of the central
+    * meridian, i.e. ~35° of longitude at the equator (narrower ground
+    * distance at higher latitude, where the series only improves). The
+    * file's mm-accuracy claim dies well past this; refuse beyond it. */
+  private val MaxDeltaLonDeg = 35.0
+  private val MaxAbsXi = 1.48  // rectified latitude |xi| at ~84.7°
+  private val MaxAbsEta = 0.62 // 3.9e6 m / (K0 * RectA)
 
   /** Central meridian of a UTM zone, in degrees. */
   def zoneCentralMeridian(zone: Int): Double = 6.0 * zone - 183.0
@@ -127,7 +141,22 @@ object StTransform {
   /** Forward UTM: (lon°, lat°) → (easting, northing) in zone. */
   def lonLatToUtm(lon: Double, lat: Double, zone: Int,
                   south: Boolean): (Double, Double) = {
-    val lam = math.toRadians(lon - zoneCentralMeridian(zone))
+    // domain guards — the series only holds near the central meridian
+    // and away from the poles; outside, it silently produces garbage
+    val dLonRaw = lon - zoneCentralMeridian(zone)
+    val dLon = dLonRaw - 360.0 * math.round(dLonRaw / 360.0)
+    if (math.abs(dLon) > MaxDeltaLonDeg)
+      throw new IllegalArgumentException(
+        f"st_transform: point is $dLon%.3f deg from UTM zone $zone%d's " +
+          f"central meridian — the Krueger order-6 series holds its " +
+          f"accuracy claim only within ~$MaxDeltaLonDeg%.0f deg " +
+          "(~3900 km, Karney 2011); refusing rather than guessing")
+    if (math.abs(lat) > 84.5)
+      throw new IllegalArgumentException(
+        f"st_transform: latitude $lat%.4f deg is outside UTM's polar " +
+          "bound (|lat| <= 84.5 deg) — use a polar CRS; refusing " +
+          "rather than guessing")
+    val lam = math.toRadians(dLon)
     val phi = math.toRadians(lat)
     val taup = taupf(math.tan(phi))
     val xiP = math.atan2(taup, math.cos(lam))
@@ -153,6 +182,14 @@ object StTransform {
     val xi = (northing - (if (south) FalseNorthingSouth else 0.0)) /
       (K0 * RectA)
     val eta = (easting - FalseEasting) / (K0 * RectA)
+    // mirror of the forward domain guard: coordinates this far from
+    // the zone are outside where the beta-series (and UTM itself) hold
+    if (math.abs(xi) > MaxAbsXi || math.abs(eta) > MaxAbsEta)
+      throw new IllegalArgumentException(
+        f"st_transform: easting/northing ($easting%.1f, $northing%.1f) " +
+          f"is outside UTM zone $zone%d's valid extent (|xi| <= " +
+          f"$MaxAbsXi%.2f, |eta| <= $MaxAbsEta%.2f after false-origin " +
+          "removal) — refusing rather than guessing")
     var xiP = xi
     var etaP = eta
     var j = 0
@@ -248,6 +285,17 @@ case class StTransformExpr(child: Expression, fromSrid: Int, toSrid: Int)
 
   override protected def nullSafeEval(g: Any): Any = {
     val row = g.asInstanceOf[InternalRow]
+    // an srid-carrying geometry must agree with fromSrid: transforming
+    // a mis-tagged geometry would be silently wrong AND stamp the
+    // result toSrid, laundering the error
+    if (child.dataType.asInstanceOf[StructType].fields.length >= 4) {
+      val inSrid = row.getInt(3)
+      if (inSrid != fromSrid)
+        throw new IllegalArgumentException(
+          s"st_transform: geometry carries srid=$inSrid but the call " +
+            s"declares fromSrid=$fromSrid — refusing to transform a " +
+            "mis-tagged geometry")
+    }
     val xs = row.getArray(1)
     val ys = row.getArray(2)
     val n = xs.numElements()

@@ -54,6 +54,12 @@ object WktMultiParse {
       // closure decided from BOTH coordinates; rings stored CLOSED
       val closed = xs.length > 1 && xs.head == xs.last && ys.head == ys.last
       if (!closed) { xs = xs :+ xs.head; ys = ys :+ ys.head }
+      // a polygon ring needs >= 3 DISTINCT vertices — the same honesty
+      // bound StUnionAgg.partsOf enforces; without it a degenerate
+      // part like ((1 1, 2 2)) closes to a zero-area "ring" and flows
+      // into area/envelope/predicates as a silent zero
+      val distinct = xs.dropRight(1).zip(ys.dropRight(1)).distinct.length
+      if (distinct < 3) fail(wkt)
       // normalize CCW: the multi form's shoelace sums SIGNED terms
       // across rings — a CW part would cancel a CCW one
       if (ConvexClip.signedArea2(xs.dropRight(1), ys.dropRight(1)) < 0)

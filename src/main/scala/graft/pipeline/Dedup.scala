@@ -1232,7 +1232,12 @@ object Dedup {
           }
         val nextLive = remap(live, m)
         PlanShim.unpersistCheckpoint(live) // nextLive is materialized
-        PlanShim.unpersistCheckpoint(m)
+        // on the first composed round comp ALIASES m (the null branch
+        // above) — freeing m there would free comp's own checkpoint
+        // blocks, and localCheckpoint frames cannot recompute: the next
+        // comp scan (or the final fold) would die with a lost-block
+        // error on any input needing >1 contraction round
+        if (!(comp eq m)) PlanShim.unpersistCheckpoint(m)
         live = nextLive
         liveEdges = live.count()
         if (sys.props.contains("graft.cc.debug"))

@@ -629,25 +629,43 @@ object Similarity {
     require(k >= 1, s"kCenterGreedy: k must be >= 1, got $k")
     val spark = corpus.sparkSession
     import spark.implicits._
+    // normalize the driver-crossing types ONCE in the aggregation: ids
+    // to long, vectors to array<double> — so int ids and array<double>
+    // embeddings work instead of ClassCastException-ing at collect
+    require(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType)
+        .contains(corpus.schema(idCol).dataType),
+      s"kCenterGreedy: id column '$idCol' must be an integral type, " +
+        s"got ${corpus.schema(idCol).dataType.simpleString}")
+    val idL = col(idCol).cast("long")
+    val vecD = col(vecCol).cast("array<double>")
     val first = corpus
-      .agg(min(col(idCol)).as("id"),
-        min_by(col(vecCol), col(idCol)).as("v")).collect()(0)
+      .agg(min(idL).as("id"), min_by(vecD, idL).as("v")).collect()(0)
     require(!first.isNullAt(0), "kCenterGreedy: empty corpus")
     val selected = scala.collection.mutable.ArrayBuffer[
       (Long, Seq[Double], Double)]((first.getLong(0),
-        first.getSeq[Float](1).map(_.toDouble), 0.0))
+        first.getSeq[Double](1), 0.0))
     def dist2To(center: Seq[Double]): Column =
-      aggregate(zip_with(col(vecCol), typedLit(center),
-        (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+      aggregate(zip_with(vecD, typedLit(center),
+        (x, c) => (x - c) * (x - c)),
         lit(0.0), (acc, t) => acc + t)
     while (selected.size < k) {
       val minD = selected.map(s => dist2To(s._2)).reduce(least(_, _))
       val r = corpus
-        .agg(max(struct(minD.as("d"), (-col(idCol)).as("negid"),
-          col(vecCol).as("v"))).as("m"))
+        .agg(max(struct(minD.as("d"), (-idL).as("negid"),
+          vecD.as("v"))).as("m"))
         .select(col("m.d"), col("m.negid"), col("m.v")).collect()(0)
-      selected += ((-r.getLong(1), r.getSeq[Float](2).map(_.toDouble),
-        r.getDouble(0)))
+      // max distance 0 with selections pending means every remaining
+      // point coincides with a selected center — the tie-break would
+      // silently RESELECT an already-selected id; refuse instead
+      require(r.getDouble(0) > 0.0,
+        s"kCenterGreedy: k=$k exceeds the number of DISTINCT embedding " +
+          s"points (farthest remaining distance is 0 after " +
+          s"${selected.size} selections) — lower k or dedup the corpus")
+      selected += ((-r.getLong(1), r.getSeq[Double](2), r.getDouble(0)))
     }
     selected.toSeq.zipWithIndex
       .map { case ((id, _, d), i) => (i + 1, id, d) }

@@ -363,19 +363,29 @@ object KafkaSegmentReader {
           val fsys = p.getFileSystem(conf)
           val in = new DataInputStream(
             new java.io.BufferedInputStream(fsys.open(p)))
+          // the tolerant decode may SWAP streams (reopen on a torn
+          // frame) — track the live one so a task that aborts or stops
+          // early (limit, kill) after a retry closes the fresh handle,
+          // not the already-closed original
+          val cur = new java.util.concurrent.atomic.AtomicReference[
+            java.io.Closeable](in)
           Option(org.apache.spark.TaskContext.get()).foreach(
             _.addTaskCompletionListener[Unit](_ =>
-              try in.close() catch { case _: java.io.IOException => () }))
+              try cur.get().close()
+              catch { case _: java.io.IOException => () }))
           val reopen = (posB: Long) => {
             val s2 = fsys.open(p)
             s2.seek(posB)
-            new DataInputStream(new java.io.BufferedInputStream(s2))
+            val d = new DataInputStream(new java.io.BufferedInputStream(s2))
+            cur.set(d)
+            d
           }
           val it = batches(in, f, tolerateTail, Some(reopen))
           new Iterator[Row] {
             def hasNext: Boolean = {
               val h = it.hasNext
-              if (!h) try in.close() catch { case _: java.io.IOException => () }
+              if (!h) try cur.get().close()
+                catch { case _: java.io.IOException => () }
               h
             }
             def next(): Row = {

@@ -654,6 +654,19 @@ class GisPredicatesSpec extends AnyFunSuite {
     }
     assert(TestSpark.causeChain(e2).contains("hole-free MULTIPOLYGON"),
       TestSpark.causeChain(e2))
+    // degenerate parts (< 3 distinct vertices) refuse — the same bound
+    // StUnionAgg.partsOf enforces; before, ((1 1, 2 2)) closed to a
+    // zero-area two-vertex "ring" and flowed into area/envelope
+    Seq("MULTIPOLYGON (((1 1, 2 2)))",
+        "MULTIPOLYGON (((1 1, 2 2, 1 1, 2 2)))",
+        "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((5 5, 6 6)))")
+      .foreach { w =>
+        val e = intercept[Exception] {
+          Seq(w).toDF("w").select(stGeomFromText(col("w"))).collect()
+        }
+        assert(TestSpark.causeChain(e).contains("MULTIPOLYGON"),
+          s"$w: ${TestSpark.causeChain(e)}")
+      }
   }
 
   test("st_union_multi (ST_UnionAggregate's disjoint slice): one part " +
@@ -779,6 +792,40 @@ class GisPredicatesSpec extends AnyFunSuite {
     }
     assert(TestSpark.causeChain(e2).contains("projection engine"),
       TestSpark.causeChain(e2))
+  }
+
+  test("st_transform domain guards: far-from-zone longitude, polar " +
+      "latitude, out-of-extent easting/northing and srid-mismatched " +
+      "input all REFUSE instead of returning garbage") {
+    import spark.implicits._
+    // 57 deg from zone 31's central meridian (3 deg E) — outside the
+    // Krueger series' published accuracy envelope
+    val e1 = intercept[Exception](xform("POINT (60 10)", 4326, 32631))
+    assert(TestSpark.causeChain(e1).contains("central meridian"),
+      TestSpark.causeChain(e1))
+    // polar latitude — outside UTM entirely
+    val e2 = intercept[Exception](xform("POINT (3 89)", 4326, 32631))
+    assert(TestSpark.causeChain(e2).contains("polar"),
+      TestSpark.causeChain(e2))
+    // inverse with an easting ~8.5e6 m from the false origin
+    val e3 = intercept[Exception](
+      xform("POINT (9000000 5000000)", 32631, 4326))
+    assert(TestSpark.causeChain(e3).contains("valid extent"),
+      TestSpark.causeChain(e3))
+    // srid-carrying geometry whose tag disagrees with fromSrid
+    val e4 = intercept[Exception] {
+      Seq("POINT (9 48)").toDF("w")
+        .select(stTransform(
+          stGeomFromTextSrid(col("w"), lit(3857)), 4326, 32632))
+        .collect()
+    }
+    assert(TestSpark.causeChain(e4).contains("mis-tagged"),
+      TestSpark.causeChain(e4))
+    // the guards do NOT bite legitimate near-boundary use: a zone-32
+    // point read through neighbor zone 31 (6.7 deg offset) still works
+    val (e32, n32) = xform("POINT (448252.001 5411954.910)", 32631, 32632)
+    assert(math.abs(e32 - 448252.001) > 1.0) // genuinely re-projected
+    assert(n32 > 5.4e6)
   }
 
   test("st_transform applies per-vertex on LINESTRING/POLYGON and " +

@@ -120,6 +120,24 @@ class PipelineExtraSpec extends AnyFunSuite {
     assert(comp.size == 14) // every pair participant, nothing else
   }
 
+  test("dupComponents: inputs needing MULTIPLE contraction rounds (the " +
+      "first composed round's map ALIASES comp — freeing it would lose " +
+      "localCheckpoint blocks that cannot recompute)") {
+    // (1,3),(3,2): round 1 leaves two local-minima labels (1 and 2)
+    // with a live edge between them, so round 2 sets comp = m — the
+    // exact aliasing case; a free of m there crashes the final fold
+    val two = Seq((1L, 3L), (3L, 2L)).toDF("id_a", "id_b")
+    val compTwo = Dedup.dupComponents(two).as[(Long, Long)].collect().toMap
+    assert(compTwo == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // path 1-9-3-8-2: round 1 contracts to the zigzag (1,3),(3,2),
+    // round 2 to (1,2), round 3 finishes — three rounds, so the loop
+    // also walks the comp-composition (else) branch after the alias
+    val three = Seq((1L, 9L), (9L, 3L), (3L, 8L), (8L, 2L))
+      .toDF("id_a", "id_b")
+    val compThree = Dedup.dupComponents(three).as[(Long, Long)].collect().toMap
+    assert(compThree == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 8L -> 1L, 9L -> 1L))
+  }
+
   test("dupComponents frees its intermediate checkpoint blocks: at most " +
       "the RESULT's own checkpoint survives the run (Dataset.unpersist " +
       "is a no-op on localCheckpoint frames — the cleanup is explicit)") {

@@ -341,6 +341,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(s3(2).getLong(1) === 1L) // tie between 1 and 2 -> smaller id
   }
 
+  test("kCenterGreedy input tolerance and refusals: int ids and " +
+      "array<double> embeddings work; k beyond the distinct point " +
+      "count refuses instead of silently reselecting; string ids " +
+      "refuse at plan time") {
+    import spark.implicits._
+    // int id + double vectors (the advice repro: these used to
+    // ClassCastException at driver decode)
+    val dbl = Seq((1, Seq(0.0, 0.0)), (2, Seq(3.0, 4.0)),
+      (3, Seq(0.0, 8.0))).toDF("vec_id", "embedding")
+    val sel = Similarity.kCenterGreedy(dbl, k = 3).collect()
+      .map(x => (x.getLong(1), x.getDouble(2)))
+    assert(sel.map(_._1).toSeq === Seq(1L, 3L, 2L))
+    assert(sel(1)._2 === 64.0 && sel(2)._2 === 25.0)
+    // k exceeds distinct points: duplicate vectors leave the farthest
+    // remaining distance at 0 — loud refusal, not a duplicate row
+    val dup = Seq((1L, Seq(0f, 0f)), (2L, Seq(1f, 0f)),
+      (3L, Seq(1f, 0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException](
+      Similarity.kCenterGreedy(dup, k = 3).collect())
+    assert(e.getMessage.contains("DISTINCT embedding points"))
+    // non-integral id: refuse up front (a silent cast would null out)
+    val str = Seq(("a", Seq(0f))).toDF("vec_id", "embedding")
+    val e2 = intercept[IllegalArgumentException](
+      Similarity.kCenterGreedy(str, k = 1))
+    assert(e2.getMessage.contains("integral"))
+  }
+
   test("pcaTopK with deflation recovers TWO planted orthogonal " +
       "directions in order of variance; components are near-orthogonal " +
       "unit vectors and projections decorrelate") {
