@@ -113,6 +113,37 @@ object QueriesPipeline {
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     }),
 
+    // ANN recall gates: the approximate methods (LSH / IVF-flat /
+    // IVF-PQ) run on a PLANTED clustered corpus derived
+    // deterministically from the embeddings table (vector i = center
+    // (i % 32) + 0.1 x own vector — both engines can construct it), the
+    // regime where approximate NN has an honest contract. The gate rows
+    // are the EXACT brute-force top-5 (DuckDB recomputes them from the
+    // same planted corpus — a real data check), plus recall_ok = "the
+    // approximate method's top-5 hit >= 90% of the exact top-5 across
+    // all 20 queries" (a deterministic distributed computation the
+    // oracle asserts as literal TRUE; below-threshold recall flips
+    // every row's hash). This graduates SimilaritySpec's spec-only
+    // recall assertions to driver-gated ones.
+    "q_ann_lsh" -> ((s, d) => {
+      val p = plantedAnnCorpus(T(s, d, "embeddings"))
+      annRecallGate(p, Similarity.lshTopK(p,
+        p.filter(col("vec_id") < 20), k = 5, dim = 64))
+    }),
+
+    "q_ann_ivf" -> ((s, d) => {
+      val p = plantedAnnCorpus(T(s, d, "embeddings"))
+      annRecallGate(p, Similarity.ivfTopK(p,
+        p.filter(col("vec_id") < 20), k = 5, nCells = 16, nProbe = 4))
+    }),
+
+    "q_ann_ivfpq" -> ((s, d) => {
+      val p = plantedAnnCorpus(T(s, d, "embeddings"))
+      annRecallGate(p, Similarity.pqTopK(p,
+        p.filter(col("vec_id") < 20), k = 5, dim = 64,
+        m = 8, ksub = 16, nCells = 16, nProbe = 4, refine = 4))
+    }),
+
     // Top principal component by 3 unrolled power iterations from e0 —
     // the oracle replays the SAME iterations in SQL over unnested
     // (vec_id, i, v) triples (the q_lang_clf fixed-iteration pattern);
@@ -500,6 +531,63 @@ object QueriesPipeline {
     FROM sig a JOIN sig b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3"""
 
+  /** Deterministic CLUSTERED corpus for the ANN recall gates: vector i
+    * becomes center(i % 32) + 0.1 x its own vector, where the centers
+    * are the first 32 embeddings. 32 tight well-separated clusters of
+    * ~16 members — the corpus shape approximate NN methods contract
+    * for; trivially re-derivable in SQL (the oracle builds the same). */
+  private def plantedAnnCorpus(e: DataFrame): DataFrame = {
+    val centers = e.filter(col("vec_id") < 32)
+      .select(col("vec_id").as("c"), col("embedding").as("cvec"))
+    e.select(col("vec_id"), (col("vec_id") % 32).as("c"), col("embedding"))
+      .join(broadcast(centers), "c")
+      .select(col("vec_id"),
+        zip_with(col("cvec"), col("embedding"),
+          (a, b) => a.cast("double") + lit(0.1) * b.cast("double"))
+          .as("embedding"))
+  }
+
+  /** Gate rows for an ANN method: the EXACT top-5 per query (the part
+    * DuckDB re-derives) + recall_ok = approx hit >= 90% of the 100
+    * exact (query, neighbor) pairs. Lazy end to end: the recall scalar
+    * crosses as a broadcast 1-row frame, no driver collect. */
+  private def annRecallGate(planted: DataFrame, approx: DataFrame)
+      : DataFrame = {
+    val exact = Similarity.bruteForceTopK(
+      planted, planted.filter(col("vec_id") < 20), k = 5)
+    val hits = exact.select("query_id", "neighbor_id")
+      .join(approx.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi")
+    val recOk = hits.agg((count(lit(1)) >= 90L).as("recall_ok"))
+    exact.select("query_id", "neighbor_id", "cos_sim", "rank")
+      .crossJoin(broadcast(recOk))
+  }
+
+  /** Shared oracle for the three ANN recall gates: exact top-5 on the
+    * planted corpus + literal TRUE for the recall assertion. */
+  private val annRecallOracle = """
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             unnest(embedding)::DOUBLE AS x FROM embeddings),
+    planted AS MATERIALIZED (
+      SELECT e.vec_id, e.i, c.x + 0.1 * e.x AS x
+      FROM e JOIN e c ON c.vec_id = e.vec_id % 32 AND c.i = e.i),
+    norms AS MATERIALIZED (
+      SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM planted GROUP BY 1),
+    scored AS MATERIALIZED (
+      SELECT q.vec_id AS query_id, p.vec_id AS neighbor_id,
+        round(sum(q.x * p.x) / (any_value(nq.nrm) * any_value(np.nrm)), 6) AS cos_sim
+      FROM planted q
+      JOIN planted p ON q.vec_id < 20 AND p.vec_id != q.vec_id AND q.i = p.i
+      JOIN norms nq ON nq.vec_id = q.vec_id
+      JOIN norms np ON np.vec_id = p.vec_id
+      GROUP BY q.vec_id, p.vec_id)
+    SELECT query_id, neighbor_id, cos_sim, rank, TRUE AS recall_ok FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+        row_number() OVER (PARTITION BY query_id
+          ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored) WHERE rank <= 5"""
+
   private def jaccardOracle(threshold: String) = s"""
     WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split($NORM, ' '))) AS g FROM documents),
     sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY 1),
@@ -852,6 +940,10 @@ object QueriesPipeline {
         AND list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
           / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
              * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.4""",
+    "q_ann_lsh" -> annRecallOracle,
+    "q_ann_ivf" -> annRecallOracle,
+    "q_ann_ivfpq" -> annRecallOracle,
+
     "q_ann_bruteforce" -> """
       WITH scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -96,8 +96,12 @@ object QueriesRelational {
           col("c_custkey") === col("o_custkey"), "left_semi")
         .select("c_custkey", "c_name")),
 
+    // the subtracted side is FILTERED (customers without F-status
+    // orders): against the full orders table the result is empty at
+    // every SF — a vacuous gate an always-empty bug would pass
     "q_anti_join" -> ((s, d) =>
-      T(s, d, "customer").join(T(s, d, "orders"),
+      T(s, d, "customer").join(
+          T(s, d, "orders").filter(col("o_orderstatus") === "F"),
           col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")),
 
@@ -155,9 +159,12 @@ object QueriesRelational {
       T(s, d, "customer").select(col("c_custkey").as("k"))
         .intersect(T(s, d, "orders").select(col("o_custkey").as("k")))),
 
+    // subtracted side filtered for the same non-vacuousness reason as
+    // q_anti_join (P-status keeps the two gates' slices independent)
     "q_except" -> ((s, d) =>
       T(s, d, "customer").select(col("c_custkey").as("k"))
-        .except(T(s, d, "orders").select(col("o_custkey").as("k")))),
+        .except(T(s, d, "orders").filter(col("o_orderstatus") === "P")
+          .select(col("o_custkey").as("k")))),
 
     "q_window_rank" -> ((s, d) => {
       val w = Window.partitionBy("c_mktsegment")
@@ -430,7 +437,7 @@ object QueriesRelational {
     "q_semi_join" ->
       "SELECT c_custkey, c_name FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
     "q_anti_join" ->
-      "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+      "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')",
     "q_cross_join" ->
       "SELECT r_name, o_orderstatus FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) t",
     "q_lateral_unnest" ->
@@ -458,7 +465,7 @@ object QueriesRelational {
     "q_intersect" ->
       "SELECT c_custkey AS k FROM customer INTERSECT SELECT o_custkey AS k FROM orders",
     "q_except" ->
-      "SELECT c_custkey AS k FROM customer EXCEPT SELECT o_custkey AS k FROM orders",
+      "SELECT c_custkey AS k FROM customer EXCEPT SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'P'",
     "q_window_rank" ->
       """SELECT c_custkey, c_mktsegment,
          rank() OVER w AS rnk, dense_rank() OVER w AS drnk, row_number() OVER w AS rn
