@@ -376,6 +376,10 @@ object Bench {
     }
     // A failed query must be LOUD: record ok=false and exit non-zero, so a
     // broken headline query can never masquerade as a slow one.
+    case class QWin(name: String, minWall: Double, walls: Seq[Double],
+      ok: Boolean, effPars: Seq[Double], cpuSecs: Seq[Double],
+      otherCpu: Seq[Double], dirty: Boolean, reasons: Seq[String],
+      qSteal: Double)
     val results = headline.map { name =>
       val (s0, j0) = cpuStat()
       var runs = (1 to Reps).map(_ => runOnce(name, sfDir)).toVector
@@ -388,56 +392,61 @@ object Bench {
           floorPar = math.min(floorPar, c)
           Some(c)
         } else None
-      // the other-process-CPU criterion needs a wall long enough to
-      // out-resolve jiffy quantization and ambient sbt/JVM background
-      // burn — sub-half-second queries are covered by min-of-3 anyway
-      val dirty = qSteal > 1.0 ||
-        runs.exists(r => r._1 > 0.5 && r._5 > 0.15 * nCores) ||
-        bracket.exists(_ > 1.5 * floorPar)
+      // the full window verdict lives in BenchGuard (pure, spec-tested):
+      // steal / other-process CPU / probe bracket as before, PLUS the
+      // committed-clean-floor ratio — the r13 blind spot where co-tenant
+      // pressure inflated walls 10x without tripping any probe-visible
+      // instrument
+      def initMin(rs: Vector[(Double, Boolean, Double, Double, Double)]) = {
+        val okW = rs.filter(_._2).map(_._1)
+        if (okW.nonEmpty) okW.min else rs.map(_._1).min
+      }
+      val reasons = BenchGuard.verdict(qSteal,
+        runs.map(r => (r._1, r._5)), nCores, bracket, floorPar,
+        initMin(runs), BenchGuard.cleanFloorSf01.get(name))
+      val dirty = reasons.nonEmpty
       if (dirty) { settle(); runs = runs :+ runOnce(name, sfDir) }
       // per-query minimum over SUCCESSFUL reps only: a fast-failing rep
       // must not report its failure wall as the decision-grade number
       // (ok=false + rc=1 already mark the round; "runs" keeps all reps,
       // including a dirty window's settled re-run)
-      val okWalls = runs.filter(_._2).map(_._1)
-      val minWall = if (okWalls.nonEmpty) okWalls.min else runs.map(_._1).min
-      (name, minWall, runs.map(_._1), runs.forall(_._2),
-        runs.map(_._3), runs.map(_._4), dirty, qSteal)
+      QWin(name, initMin(runs), runs.map(_._1), runs.forall(_._2),
+        runs.map(_._3), runs.map(_._4), runs.map(_._5), dirty, reasons,
+        qSteal)
     }
-    val qs = results.map { case (k, v, _, _, _, _, _, _) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
+    def qJson[T](f: QWin => T): String = results
+      .map(r => "\"" + r.name + "\":" + f(r)).mkString("{", ",", "}")
+    val qs = qJson(r => f"${r.minWall}%.3f")
     // median alongside min: round 7's [10.48, 10.26, 3.42] showed a
     // jittery session whose min looked fine — the median makes an
     // unstable window visible in one number without re-reading "runs"
-    val medians = results.map { case (k, _, rs, _, _, _, _, _) =>
-      "\"" + k + "\":" + f"${median(rs)}%.3f" }
-      .mkString("{", ",", "}")
-    val allRuns = results.map { case (k, _, rs, _, _, _, _, _) =>
-      "\"" + k + "\":" + rs.map(r => f"$r%.3f").mkString("[", ",", "]") }
-      .mkString("{", ",", "}")
-    val oks = results.map { case (k, _, _, ok, _, _, _, _) => "\"" + k + "\":" + ok }
-      .mkString("{", ",", "}")
+    val medians = qJson(r => f"${median(r.walls)}%.3f")
+    val allRuns = qJson(_.walls.map(w => f"$w%.3f").mkString("[", ",", "]"))
+    val oks = qJson(_.ok)
     // per-rep effective parallelism (executor CPU-time / wall): the
     // instrument that separates "contended host" (low eff_par, elevated
     // parallel calib) from "real regression" (full eff_par, still slow)
-    val effPars = results.map { case (k, _, _, _, eps, _, _, _) =>
-      "\"" + k + "\":" + eps.map(e => f"$e%.1f").mkString("[", ",", "]") }
-      .mkString("{", ",", "}")
+    val effPars = qJson(_.effPars.map(e => f"$e%.1f").mkString("[", ",", "]"))
     // per-rep executor CPU-SECONDS (the eff_par numerator, emitted
     // directly): "work grew" vs "wall grew" separates without reader
     // arithmetic — the r9 sf1 ambiguity in one field
-    val cpuSecs = results.map { case (k, _, _, _, _, cs, _, _) =>
-      "\"" + k + "\":" + cs.map(c => f"$c%.1f").mkString("[", ",", "]") }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val allOk = results.forall(_._4)
-    // per-query dirty flags + the steal each window saw (the detection
-    // inputs live in the artifact, not just the verdict)
-    val dirtyJson = results.map { case (k, _, _, _, _, _, d, _) =>
-      "\"" + k + "\":" + d }.mkString("{", ",", "}")
-    val qStealJson = results.map { case (k, _, _, _, _, _, _, sp) =>
-      "\"" + k + "\":" + f"$sp%.2f" }.mkString("{", ",", "}")
-    val dirtyCount = results.count(_._7)
+    val cpuSecs = qJson(_.cpuSecs.map(c => f"$c%.1f").mkString("[", ",", "]"))
+    // per-rep OTHER-PROCESS cpu cores inside the window (machine minus
+    // self over wall) — the sf1 tier's co-tenant attribution, now at
+    // sf0.1 too (r13 verdict #1)
+    val otherCpuJson = qJson(_.otherCpu.map(c => f"$c%.2f").mkString("[", ",", "]"))
+    val total = results.map(_.minWall).sum
+    val allOk = results.forall(_.ok)
+    // per-query dirty flags + WHY (the tripped instruments) + the wall
+    // vs committed-clean-floor ratio — the detection inputs live in the
+    // artifact, not just the verdict
+    val dirtyJson = qJson(_.dirty)
+    val reasonsJson = qJson(_.reasons.map("\"" + _ + "\"").mkString("[", ",", "]"))
+    val floorRatioJson = qJson(r =>
+      BenchGuard.cleanFloorSf01.get(r.name)
+        .map(fl => f"${r.minWall / fl}%.2f").getOrElse("null"))
+    val qStealJson = qJson(r => f"${r.qSteal}%.2f")
+    val dirtyCount = results.count(_.dirty)
     // sf1 heavyweight tier (opt out with SPARK_GRAFT_SF1=0): TWO reps
     // per query on the 10x corpus, both reported — one rep cannot tell
     // a degraded host window from a scale regression. Failures here are
@@ -496,52 +505,50 @@ object Bench {
                   .mkString("[", ",", "]")}}""").getOrElse("")
           else ""
           val bracketAfter = tierProbe()
-          // self-defense (r12 verdict #2): a window is DIRTY when the
-          // after-bracket reads >1.5x the session's clean floor, the
-          // query window saw >1% steal, or other-process CPU inside a
-          // rep exceeded ~15% of the machine — re-run once after the
+          // self-defense: same four-instrument BenchGuard verdict as
+          // the headline loop (steal / other-process CPU / bracket /
+          // committed-clean-floor ratio) — re-run once after the
           // window settles, keep every rep, flag the query
-          val dirty = qSteal > 1.0 || bracketAfter > 1.5 * floorPar ||
-            runs.exists(r => r._1 > 0.5 &&
-              (r._5 - r._6) / r._1 > 0.15 * nCores)
+          def initMin1(rs: Vector[(Double, Boolean, Double, Double, Double, Double)]) = {
+            val okW = rs.filter(_._2).map(_._1)
+            if (okW.nonEmpty) okW.min else rs.map(_._1).min
+          }
+          val reasons = BenchGuard.verdict(qSteal,
+            runs.map(r => (r._1, if (r._1 > 0) (r._5 - r._6) / r._1 else 0.0)),
+            nCores, Some(bracketAfter), floorPar,
+            initMin1(runs), BenchGuard.cleanFloorSf1.get(name))
+          val dirty = reasons.nonEmpty
           if (dirty) { settle(); runs = runs :+ sf1Once() }
           // same successful-reps-only minimum as the headline loop
-          val okW = runs.filter(_._2).map(_._1)
-          val minW = if (okW.nonEmpty) okW.min else runs.map(_._1).min
+          val minW = initMin1(runs)
           (name, runs.map(_._1), runs.forall(_._2), cc, runs.map(_._3),
             runs.map(_._4), minW, runs.map(_._5), runs.map(_._6),
-            dirty, qSteal)
+            dirty, qSteal, reasons)
         }
         val (tierCalibPar0, tierBw0) = (probes.head._1, (probes.head._2, probes.head._3))
         val (tierCalibPar1, tierBw1) = (probes.last._1, (probes.last._2, probes.last._3))
-        val q1 = rs.map { case (k, _, _, _, _, _, mw, _, _, _, _) => "\"" + k + "\":" + f"$mw%.3f" }
-          .mkString("{", ",", "}")
-        val runs1 = rs.map { case (k, vs, _, _, _, _, _, _, _, _, _) =>
-          "\"" + k + "\":" + vs.map(v => f"$v%.3f").mkString("[", ",", "]") }
-          .mkString("{", ",", "}")
-        val ok1 = rs.map { case (k, _, ok, _, _, _, _, _, _, _, _) => "\"" + k + "\":" + ok }
-          .mkString("{", ",", "}")
-        val ep1 = rs.map { case (k, _, _, _, eps, _, _, _, _, _, _) =>
-          "\"" + k + "\":" + eps.map(e => f"$e%.1f").mkString("[", ",", "]") }
-          .mkString("{", ",", "}")
-        val cs1 = rs.map { case (k, _, _, _, _, cs, _, _, _, _, _) =>
-          "\"" + k + "\":" + cs.map(c => f"$c%.1f").mkString("[", ",", "]") }
-          .mkString("{", ",", "}")
+        def q1Json(f: ((String, Seq[Double], Boolean, String, Seq[Double],
+            Seq[Double], Double, Seq[Double], Seq[Double], Boolean,
+            Double, Seq[String])) => String): String =
+          rs.map(r => "\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
+        val q1 = q1Json(r => f"${r._7}%.3f")
+        val runs1 = q1Json(_._2.map(v => f"$v%.3f").mkString("[", ",", "]"))
+        val ok1 = q1Json(_._3.toString)
+        val ep1 = q1Json(_._5.map(e => f"$e%.1f").mkString("[", ",", "]"))
+        val cs1 = q1Json(_._6.map(c => f"$c%.1f").mkString("[", ",", "]"))
         // in-flight co-tenant attribution (r11 verdict #1): machine-wide
         // vs this-process CPU-seconds INSIDE each rep's window — when
         // machine >> process while brackets read clean, the dirt is a
         // co-tenant that never touched the probes
-        val ms1 = rs.map { case (k, _, _, _, _, _, _, m, _, _, _) =>
-          "\"" + k + "\":" + m.map(c => f"$c%.1f").mkString("[", ",", "]") }
-          .mkString("{", ",", "}")
-        val ps1 = rs.map { case (k, _, _, _, _, _, _, _, p, _, _) =>
-          "\"" + k + "\":" + p.map(c => f"$c%.1f").mkString("[", ",", "]") }
-          .mkString("{", ",", "}")
+        val ms1 = q1Json(_._8.map(c => f"$c%.1f").mkString("[", ",", "]"))
+        val ps1 = q1Json(_._9.map(c => f"$c%.1f").mkString("[", ",", "]"))
         val ccJson = rs.map(_._4).filter(_.nonEmpty).mkString
-        val dirty1 = rs.map { case (k, _, _, _, _, _, _, _, _, d, _) =>
-          "\"" + k + "\":" + d }.mkString("{", ",", "}")
-        val steal1 = rs.map { case (k, _, _, _, _, _, _, _, _, _, sp) =>
-          "\"" + k + "\":" + f"$sp%.2f" }.mkString("{", ",", "}")
+        val dirty1 = q1Json(_._10.toString)
+        val steal1 = q1Json(r => f"${r._11}%.2f")
+        val reasons1 = q1Json(_._12.map("\"" + _ + "\"").mkString("[", ",", "]"))
+        val floorRatio1 = q1Json(r =>
+          BenchGuard.cleanFloorSf1.get(r._1)
+            .map(fl => f"${r._7 / fl}%.2f").getOrElse("null"))
         // per-query [before, after] probe brackets — co-tenancy that
         // ramps mid-tier attributes to the query it hit
         val cpBrackets = heavyweight.zipWithIndex.map { case (k, i) =>
@@ -558,7 +565,8 @@ object Bench {
           s""""bw_par_sec":[${f"${tierBw0._2}%.3f"},${f"${tierBw1._2}%.3f"}],""" +
           s""""calib_par_brackets":$cpBrackets,""" +
           s""""bw_par_brackets":$bwBrackets,""" +
-          s""""dirty":$dirty1,"q_steal_pct":$steal1,""" +
+          s""""dirty":$dirty1,"dirty_reasons":$reasons1,""" +
+          s""""floor_ratio":$floorRatio1,"q_steal_pct":$steal1,""" +
           s""""copies":10$ccJson}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] sf1 tier failed: ${e.getMessage}")
@@ -573,7 +581,7 @@ object Bench {
       if (jiff1 > jiff0) 100.0 * (steal1 - steal0) / (jiff1 - jiff0) else 0.0
     def arr(xs: Seq[Double]) = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"median":$medians,"runs":$allRuns,"ok":$oks,"eff_par":$effPars,"cpu_s":$cpuSecs,"steal_pct":${f"$stealPct%.2f"},"calib_sec":[${f"$calib0%.3f"},${f"$calib1%.3f"}],"calib_par_sec":[${f"$calibPar0%.3f"},${f"$calibPar1%.3f"}],"bw_sec":[${f"$bwS0%.3f"},${f"$bwS1%.3f"}],"bw_par_sec":[${f"$bwP0%.3f"},${f"$bwP1%.3f"}],"calib_par_threads":${Runtime.getRuntime.availableProcessors},"phys_cores":${physicalCores()},"loadavg":[${arr(load0)},${arr(load1)}],"dirty":$dirtyJson,"q_steal_pct":$qStealJson,"calib_par_floor":${f"$floorPar%.3f"},"sf1":$sf1Json,"sf":"${
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"median":$medians,"runs":$allRuns,"ok":$oks,"eff_par":$effPars,"cpu_s":$cpuSecs,"steal_pct":${f"$stealPct%.2f"},"calib_sec":[${f"$calib0%.3f"},${f"$calib1%.3f"}],"calib_par_sec":[${f"$calibPar0%.3f"},${f"$calibPar1%.3f"}],"bw_sec":[${f"$bwS0%.3f"},${f"$bwS1%.3f"}],"bw_par_sec":[${f"$bwP0%.3f"},${f"$bwP1%.3f"}],"calib_par_threads":${Runtime.getRuntime.availableProcessors},"phys_cores":${physicalCores()},"loadavg":[${arr(load0)},${arr(load1)}],"dirty":$dirtyJson,"dirty_reasons":$reasonsJson,"floor_ratio":$floorRatioJson,"other_cpu":$otherCpuJson,"q_steal_pct":$qStealJson,"calib_par_floor":${f"$floorPar%.3f"},"sf1":$sf1Json,"sf":"${
         sfDir.replace("\\", "\\\\").replace("\"", "\\\"")}"}"""
     println(line)
     // The stdout line gets buried in sbt [info] noise (rounds 3 and 5 had

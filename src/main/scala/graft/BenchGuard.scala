@@ -1,0 +1,111 @@
+package graft
+
+/** The bench's window-health DECISION logic, extracted pure so the
+  * detector itself is spec-testable with planted scenarios.
+  *
+  * Why this exists: the r13 driver window shipped five contended
+  * numbers unflagged (q_quality_clf ran 33.1/20.5/25.1 s against a
+  * 2.0 s committed clean record) because co-tenant CPU pressure shows
+  * up as NONE of the three r13 instruments — it is not hypervisor
+  * steal, a 1-thread register spin still gets its core, and
+  * between-query probe brackets miss contention that lands inside the
+  * query window. The fourth trigger closes that blind spot: a query's
+  * min wall reading more than [[FloorRatio]]x its COMMITTED clean
+  * floor is suspicious regardless of what the probes saw, and earns a
+  * settle + re-run + in-artifact flag. The flag means "inflated vs
+  * the last committed clean record" — usually window dirt (the
+  * settled re-run recovers), occasionally a real regression (the
+  * re-run stays slow with clean probes); either way it must not ship
+  * unflagged.
+  */
+object BenchGuard {
+
+  /** A window is floor-dirty when min wall > FloorRatio x clean floor
+    * AND the absolute excess clears FloorSlackSec — the slack keeps
+    * sub-100ms queries from flapping on scheduler jitter. */
+  val FloorRatio = 2.5
+  val FloorSlackSec = 0.3
+
+  /** Committed per-query CLEAN floors at the sf0.1 tier: min wall over
+    * the committed clean records (BASELINE_bench_r12_clean.json and
+    * BASELINE_bench_r13_final.json — both measured at steal ~0 with
+    * flat probe brackets on this sandbox's hardware). Maintained BY
+    * HAND: when a query's implementation legitimately changes, update
+    * its floor in the same commit (tools/bench_floors.py regenerates
+    * both maps from the committed clean records). A query without an
+    * entry (new gates, renamed keys) simply has no floor trigger. */
+  val cleanFloorSf01: Map[String, Double] = Map(
+    "q1_agg" -> 0.334,
+    "q_ann_bruteforce" -> 0.224,
+    "q_asof_join" -> 0.308,
+    "q_bm25" -> 0.459,
+    "q_broadcast_join" -> 0.373,
+    "q_dedup_minhash" -> 2.146,
+    "q_dedup_simhash" -> 0.787,
+    "q_delta_colmap_id" -> 0.057,
+    "q_delta_dv" -> 0.134,
+    "q_dfs_sql" -> 0.234,
+    "q_dsir" -> 1.351,
+    "q_dup_components" -> 2.893,
+    "q_embed_neardup" -> 0.265,
+    "q_iceberg_changelog" -> 0.569,
+    "q_iceberg_eq_delete" -> 0.215,
+    "q_iceberg_v2" -> 0.208,
+    "q_lang_clf" -> 2.359,
+    "q_multi_join" -> 0.971,
+    "q_ngram_decontam" -> 0.736,
+    "q_paimon_pk" -> 0.249,
+    "q_quality_clf" -> 1.958,
+    "q_range_join" -> 0.24,
+    "q_sessionize" -> 0.341,
+    "q_token_count" -> 0.256,
+    "q_topn" -> 0.147,
+    "q_window_running" -> 0.335,
+    "q_except" -> 0.3,
+    "q_anti_join" -> 0.3)
+
+  /** sf1 (10x corpus) tier floors, same provenance. */
+  val cleanFloorSf1: Map[String, Double] = Map(
+    "q_bm25" -> 0.674,
+    "q_dedup_minhash" -> 5.367,
+    "q_dedup_simhash" -> 0.944,
+    "q_dsir" -> 5.813,
+    "q_dup_components" -> 12.877,
+    "q_iceberg_changelog" -> 0.577,
+    "q_lang_clf" -> 4.345,
+    "q_multi_join" -> 3.143,
+    "q_quality_clf" -> 2.773)
+
+  /** One query window's verdict: the list of tripped instruments
+    * (empty = clean). Inputs are everything the bench measured for the
+    * window, so the decision is a pure function of the artifact's own
+    * fields:
+    *  - "steal":     per-query hypervisor steal > 1%
+    *  - "other_cpu": other-process CPU inside a rep above 15% of the
+    *                 machine (walls >= 0.5 s only — below that, jiffy
+    *                 quantization and ambient JVM burn dominate)
+    *  - "bracket":   a parallel-calibration bracket > 1.5x the
+    *                 session's clean floor
+    *  - "floor":     min wall > [[FloorRatio]]x the committed clean
+    *                 floor with > [[FloorSlackSec]] absolute excess —
+    *                 the trigger that sees co-tenant pressure invisible
+    *                 to all of the above
+    */
+  def verdict(qStealPct: Double,
+              wallsAndOtherCores: Seq[(Double, Double)],
+              nCores: Int,
+              bracket: Option[Double],
+              floorPar: Double,
+              minWall: Double,
+              cleanFloor: Option[Double]): Seq[String] = {
+    val rs = Seq.newBuilder[String]
+    if (qStealPct > 1.0) rs += "steal"
+    if (wallsAndOtherCores.exists { case (w, oc) =>
+        w > 0.5 && oc > 0.15 * nCores }) rs += "other_cpu"
+    if (bracket.exists(_ > 1.5 * floorPar)) rs += "bracket"
+    if (cleanFloor.exists(f =>
+        minWall > FloorRatio * f && minWall - f > FloorSlackSec))
+      rs += "floor"
+    rs.result()
+  }
+}
