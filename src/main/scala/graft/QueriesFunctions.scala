@@ -674,6 +674,52 @@ object QueriesFunctions {
           single("gtype").as("s_gtype"))
     }),
 
+    // CONCAVE boundary-merging st_union (edge-fragment walk, round-20
+    // narrowing of the convex-only refusal): a parameterized L-shape
+    // unions an overlapping rectangle protruding past its bottom arm —
+    // one hole-free ring whose area/envelope/vertex count are pure
+    // interval arithmetic (all fixtures rectilinear, all crossings
+    // proper) — plus a concave-side containment case (union == the L).
+    "q_gis_union_concave" -> ((s, d) => {
+      import graft.functions.GisFunctions._
+      import org.apache.spark.sql.Column
+      val k = col("o_orderkey")
+      val wd = (lit(8) + k % 5).cast("double")   // bottom arm width
+      val ht = (lit(6) + k % 3).cast("double")   // total height
+      val a = (lit(2) + k % 2).cast("double")    // vertical arm width
+      def w(c: Column): Column = c.cast("string")
+      def pt(x: Column, y: Column): Column = concat(w(x), lit(" "), w(y))
+      val z = lit(0.0)
+      // L: bottom arm wd x 2 + vertical arm a wide up to ht
+      val ellWkt = concat(lit("POLYGON (("),
+        pt(z, z), lit(", "), pt(wd, z), lit(", "), pt(wd, lit(2.0)),
+        lit(", "), pt(a, lit(2.0)), lit(", "), pt(a, ht), lit(", "),
+        pt(z, ht), lit("))"))
+      def rectWkt(x1: Column, y1: Column, x2: Column, y2: Column): Column =
+        concat(lit("POLYGON (("),
+          pt(x1, y1), lit(", "), pt(x2, y1), lit(", "),
+          pt(x2, y2), lit(", "), pt(x1, y2), lit("))"))
+      val ell = stGeomFromText(ellWkt)
+      // overlaps the vertical arm (left edge inside it), protrudes
+      // right past the L: overlap = 1x1, protrusion rest of 1-high band
+      val band = stGeomFromText(
+        rectWkt(a - 1.0, lit(3.0), wd + 1.0, lit(4.0)))
+      val inner = stGeomFromText(
+        rectWkt(lit(3.0), lit(0.5), lit(5.0), lit(1.5)))
+      val u = call_function("st_union", ell, band)
+      val uc = call_function("st_union", ell, inner)
+      T(s, d, "orders").filter(k < 400)
+        .select(k.as("o_orderkey"),
+          stNumGeometries(u).as("u_pieces"),
+          u("gtype").as("u_gtype"),
+          round(stArea(u), 6).as("u_area"),
+          size(u("xs")).as("u_nv"),
+          stXMin(u).as("u_xmin"), stXMax(u).as("u_xmax"),
+          stYMin(u).as("u_ymin"), stYMax(u).as("u_ymax"),
+          round(stArea(uc), 6).as("c_area"),
+          size(uc("xs")).as("c_nv"))
+    }),
+
     // ST_UnionAggregate's disjoint slice (st_union_multi over
     // collect_list): per group, a set of BY-CONSTRUCTION disjoint
     // rectangles (x-stride 3 > width 2; y fixed per group) unions into
@@ -974,6 +1020,23 @@ object QueriesFunctions {
            1 AS s_pieces,
            round(wd * (h - 1), 6) AS s_area,
            'POLYGON' AS s_gtype
+         FROM g""",
+    "q_gis_union_concave" ->
+      """WITH g AS (
+           SELECT o_orderkey,
+             (8 + o_orderkey % 5)::DOUBLE AS wd,
+             (6 + o_orderkey % 3)::DOUBLE AS ht,
+             (2 + o_orderkey % 2)::DOUBLE AS a
+           FROM orders WHERE o_orderkey < 400)
+         SELECT o_orderkey,
+           1 AS u_pieces,
+           'POLYGON' AS u_gtype,
+           round(wd * 2 + a * (ht - 2) + (wd + 2 - a) - 1, 6) AS u_area,
+           10 AS u_nv,
+           0.0 AS u_xmin, wd + 1 AS u_xmax,
+           0.0 AS u_ymin, ht AS u_ymax,
+           round(wd * 2 + a * (ht - 2), 6) AS c_area,
+           6 AS c_nv
          FROM g""",
     "q_union_agg" ->
       """WITH g AS (

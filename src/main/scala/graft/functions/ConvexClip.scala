@@ -40,8 +40,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * rather than silently mis-evaluate.
   *
   * Honesty bounds, refused LOUDLY (never a wrong polygon):
-  *  - concave inputs to union/difference, BOTH-concave intersection,
+  *  - concave inputs to difference, BOTH-concave intersection,
   *    self-intersecting rings (like holes/MULTI* in the parse core);
+  *    union accepts SIMPLE concave sides for OVERLAPPING pairs with a
+  *    single-ring hole-free result (round 20, [[simpleUnion]]) and
+  *    refuses hole-producing unions, collinear boundary-merging
+  *    contact, and vertex tangencies;
   *  - union of disjoint or touch-only polygons (a MULTIPOLYGON /
   *    degenerate stitch the single-ring core cannot represent);
   *  - difference where B sits strictly inside A (result has a hole) or
@@ -425,8 +429,7 @@ object ConvexClip {
     if (pieces.isEmpty) return null
     // directed edges of every piece (consecutive dups collapse; edges
     // shorter than the match tolerance drop as numeric dust)
-    final case class Edge(ax: Double, ay: Double, bx: Double, by: Double)
-    val edges = scala.collection.mutable.ArrayBuffer[Edge]()
+    val edges = scala.collection.mutable.ArrayBuffer[DirEdge]()
     pieces.foreach { case (cxs, cys) =>
       val n = cxs.length
       var i = 0
@@ -434,7 +437,7 @@ object ConvexClip {
         val j = (i + 1) % n
         if (math.abs(cxs(i) - cxs(j)) > epsL ||
             math.abs(cys(i) - cys(j)) > epsL)
-          edges += Edge(cxs(i), cys(i), cxs(j), cys(j))
+          edges += DirEdge(cxs(i), cys(i), cxs(j), cys(j))
         i += 1
       }
     }
@@ -459,12 +462,35 @@ object ConvexClip {
       }
       i += 1
     }
-    val boundary = edges.indices.filter(alive).map(edges).toBuffer
+    val boundary = edges.indices.filter(alive).map(edges)
     require(boundary.nonEmpty,
       "st_intersection: boundary cancellation consumed every edge — " +
         "numeric degeneracy, refusing")
-    // stitch rings: start from the lexicographically smallest edge for
-    // determinism, follow end → start matches
+    val rings = stitchRings(boundary, epsL, eps2, "st_intersection")
+    if (rings.isEmpty) null
+    else if (rings.length > 1)
+      // the honest multi-piece answer (a U-shape clipped by a band is
+      // two prongs): a MULTIPOLYGON row, rings in canonical order
+      multiRow(rings.sortBy(r => (r._1.min, r._2.min)))
+    else geomRow(rings(0)._1, rings(0)._2)
+  }
+
+  private final case class DirEdge(ax: Double, ay: Double,
+                                   bx: Double, by: Double)
+
+  /** Stitch a set of DIRECTED boundary edges into closed rings: start
+    * each ring from the lexicographically smallest remaining edge for
+    * determinism, follow end → start matches within epsL, drop
+    * collinear stitch vertices and zero-area rings. An open chain or a
+    * non-closing walk REFUSES (numeric degeneracy) — shared by the
+    * concave-intersection and simple-union paths. */
+  private def stitchRings(boundary0: Seq[DirEdge], epsL: Double,
+                          eps2: Double, what: String)
+      : Seq[(Array[Double], Array[Double])] = {
+    def near(x1: Double, y1: Double, x2: Double, y2: Double): Boolean =
+      math.abs(x1 - x2) <= epsL && math.abs(y1 - y2) <= epsL
+    val boundary = boundary0.toBuffer
+    val total = boundary.length
     val rings = scala.collection.mutable.ArrayBuffer[(Array[Double], Array[Double])]()
     while (boundary.nonEmpty) {
       val startIdx = boundary.indices.minBy(k =>
@@ -476,31 +502,215 @@ object ConvexClip {
       var guard = 0
       while (!closed) {
         guard += 1
-        require(guard <= edges.length + 4,
-          "st_intersection: boundary walk did not close — numeric " +
+        require(guard <= total + 4,
+          s"$what: boundary walk did not close — numeric " +
             "degeneracy, refusing")
         if (near(cur.bx, cur.by, rxs(0), rys(0))) closed = true
         else {
           rxs += cur.bx; rys += cur.by
           val nxt = boundary.indexWhere(e => near(e.ax, e.ay, cur.bx, cur.by))
           require(nxt >= 0,
-            "st_intersection: open boundary chain — numeric degeneracy, " +
+            s"$what: open boundary chain — numeric degeneracy, " +
               "refusing")
           cur = boundary.remove(nxt)
         }
       }
-      // drop collinear stitch vertices (triangle fans leave them); keep
-      // the ring only if it still has area
+      // drop collinear stitch vertices (triangle fans and edge splits
+      // leave them); keep the ring only if it still has area. The
+      // SIGNED area is preserved by keeping stitch order — callers
+      // read orientation off the result (a CW ring = a hole).
       val (fx, fy) = dropCollinear(rxs.toArray, rys.toArray, eps2)
       if (fx.length >= 3 && math.abs(signedArea2(fx, fy)) > eps2)
         rings += ((fx, fy))
     }
-    if (rings.isEmpty) null
-    else if (rings.length > 1)
-      // the honest multi-piece answer (a U-shape clipped by a band is
-      // two prongs): a MULTIPOLYGON row, rings in canonical order
-      multiRow(rings.sortBy(r => (r._1.min, r._2.min)).toSeq)
-    else geomRow(rings(0)._1, rings(0)._2)
+    rings.toSeq
+  }
+
+  /** Union of two SIMPLE (possibly concave) OVERLAPPING polygons with a
+    * single-ring hole-free result — the r13-verdict narrowing of the
+    * convex-only union (reference contrib/udfs/.../gis/STUnion.java,
+    * which delegates to the Esri geometry engine for every case).
+    *
+    * Method: edge-fragment classification. Each ring's edges split at
+    * the PROPER transversal crossings with the other ring (each
+    * crossing point computed ONCE per edge pair, so fragment endpoints
+    * match bit-exactly across the two rings), fragments strictly
+    * OUTSIDE the other polygon survive (midpoint even-odd test), and
+    * the surviving directed fragments stitch into rings — both inputs
+    * are CCW, a union's outer boundary keeps the interior on the left,
+    * so the stitched outer ring is CCW and a HOLE ring comes out CW.
+    *
+    * Refusals (loud, never a wrong polygon): collinear-overlapping
+    * edges, crossings at vertices / tangencies, fragments grazing the
+    * other boundary (midpoint within epsL of it), CW stitched rings
+    * (the union has a hole), >1 stitched ring (disconnected — cannot
+    * arise from proper crossings, kept as a guard), and disjoint /
+    * touch-only pairs (st_union_multi's slice). */
+  private def simpleUnion(a: Ring, b: Ring, eps2: Double,
+                          scale: Double): InternalRow = {
+    requireSimple(a, "left", eps2)
+    requireSimple(b, "right", eps2)
+    val epsL = 1e4 * java.lang.Math.ulp(1.0) * scale
+    // crossing points per edge, keyed by (ring, edge index) -> list of
+    // (t along the edge, x, y); the SAME (x, y) lands on both rings
+    val splitsA = Array.fill(a.n)(
+      scala.collection.mutable.ArrayBuffer[(Double, Double, Double)]())
+    val splitsB = Array.fill(b.n)(
+      scala.collection.mutable.ArrayBuffer[(Double, Double, Double)]())
+    var i = 0
+    while (i < a.n) {
+      val i2 = (i + 1) % a.n
+      val (p1x, p1y, d1x, d1y) = (a.xs(i), a.ys(i),
+        a.xs(i2) - a.xs(i), a.ys(i2) - a.ys(i))
+      var j = 0
+      while (j < b.n) {
+        val j2 = (j + 1) % b.n
+        val (q1x, q1y, d2x, d2y) = (b.xs(j), b.ys(j),
+          b.xs(j2) - b.xs(j), b.ys(j2) - b.ys(j))
+        val denom = d1x * d2y - d1y * d2x
+        val lenScale = math.max(math.max(math.abs(d1x), math.abs(d1y)),
+          math.max(math.abs(d2x), math.abs(d2y)))
+        if (math.abs(denom) <= eps2) {
+          // parallel: a collinear OVERLAP is a boundary-merging contact
+          // this walk cannot classify — refuse; disjoint parallels pass
+          val c1 = cross(p1x, p1y, p1x + d1x, p1y + d1y, q1x, q1y)
+          val c2 = cross(p1x, p1y, p1x + d1x, p1y + d1y,
+            q1x + d2x, q1y + d2y)
+          if (math.abs(c1) <= eps2 && math.abs(c2) <= eps2) {
+            // same supporting line: overlap iff the 1-D projections do
+            val (lo1, hi1, lo2, hi2) =
+              if (math.abs(d1x) >= math.abs(d1y))
+                (math.min(p1x, p1x + d1x), math.max(p1x, p1x + d1x),
+                  math.min(q1x, q1x + d2x), math.max(q1x, q1x + d2x))
+              else
+                (math.min(p1y, p1y + d1y), math.max(p1y, p1y + d1y),
+                  math.min(q1y, q1y + d2y), math.max(q1y, q1y + d2y))
+            require(math.min(hi1, hi2) - math.max(lo1, lo2) <= epsL,
+              "st_union: the polygons share a collinear boundary span " +
+                "(boundary-merging contact) — the edge-fragment walk " +
+                "cannot classify it, refusing rather than guessing")
+          }
+        } else {
+          val rx = q1x - p1x; val ry = q1y - p1y
+          val t = (rx * d2y - ry * d2x) / denom
+          val u = (rx * d1y - ry * d1x) / denom
+          // tolerance in PARAMETER space: epsL over this edge's length
+          val tolT = epsL / math.max(lenScale, epsL)
+          val inT = t > tolT && t < 1 - tolT
+          val inU = u > tolT && u < 1 - tolT
+          val nearT = t > -tolT && t < 1 + tolT
+          val nearU = u > -tolT && u < 1 + tolT
+          if (inT && inU) {
+            val cx = p1x + t * d1x; val cy = p1y + t * d1y
+            splitsA(i) += ((t, cx, cy))
+            splitsB(j) += ((u, cx, cy))
+          } else if (nearT && nearU && (inT || inU)) {
+            // one parameter sits AT an endpoint while the other edge
+            // passes through it: a vertex-on-boundary tangency
+            throw new IllegalArgumentException(
+              "st_union: boundary crossing at a vertex (tangential " +
+                "contact) — refusing rather than guessing")
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    val nCross = splitsA.map(_.length).sum
+    if (nCross == 0) {
+      // no proper crossings: containment, disjoint, or touch-only
+      val aInB = pointSideSimple(a.xs(0), a.ys(0), b, epsL)
+      val bInA = pointSideSimple(b.xs(0), b.ys(0), a, epsL)
+      require(aInB != 0 && bInA != 0,
+        "st_union: a vertex lies ON the other polygon's boundary " +
+          "(touch-only contact) — refusing rather than guessing")
+      if (bInA > 0) return ringRow(a)
+      if (aInB > 0) return ringRow(b)
+      throw new IllegalArgumentException(
+        "st_union of disjoint or touch-only polygons is a MULTIPOLYGON " +
+          "(or a degenerate stitch) — use st_union_multi for the " +
+          "pairwise-disjoint aggregate slice")
+    }
+    require(nCross % 2 == 0,
+      s"st_union: $nCross proper boundary crossings (expected an even " +
+        "count) — degenerate contact, refusing")
+    // fragments strictly outside the OTHER polygon survive
+    def fragments(r: Ring, splits: Array[scala.collection.mutable.ArrayBuffer[
+        (Double, Double, Double)]], other: Ring): Seq[DirEdge] = {
+      val out = Seq.newBuilder[DirEdge]
+      var e = 0
+      while (e < r.n) {
+        val e2 = (e + 1) % r.n
+        val pts = ((0.0, r.xs(e), r.ys(e)) +: splits(e).sortBy(_._1)) :+
+          ((1.0, r.xs(e2), r.ys(e2)))
+        var k = 0
+        while (k < pts.length - 1) {
+          val (_, ax, ay) = pts(k); val (_, bx, by) = pts(k + 1)
+          if (math.abs(ax - bx) > epsL || math.abs(ay - by) > epsL) {
+            val side = pointSideSimple((ax + bx) / 2, (ay + by) / 2,
+              other, epsL)
+            require(side != 0,
+              "st_union: a boundary fragment grazes the other " +
+                "polygon's boundary — degenerate contact, refusing")
+            if (side < 0) out += DirEdge(ax, ay, bx, by)
+          }
+          k += 1
+        }
+        e += 1
+      }
+      out.result()
+    }
+    val kept = fragments(a, splitsA, b) ++ fragments(b, splitsB, a)
+    require(kept.nonEmpty,
+      "st_union: no boundary fragment survives classification — " +
+        "numeric degeneracy, refusing")
+    val rings = stitchRings(kept, epsL, eps2, "st_union")
+    require(rings.nonEmpty,
+      "st_union: stitched rings all collapsed — numeric degeneracy, " +
+        "refusing")
+    rings.find(r => signedArea2(r._1, r._2) < 0).foreach { _ =>
+      throw new IllegalArgumentException(
+        "st_union: the union encloses a HOLE (a CW stitched ring) — " +
+          "the hole-free single-ring core refuses rather than " +
+          "dropping it")
+    }
+    require(rings.length == 1,
+      s"st_union: ${rings.length} disconnected rings from an " +
+        "overlapping pair — numeric degeneracy, refusing")
+    geomRow(rings(0)._1, rings(0)._2)
+  }
+
+  /** Even-odd point-vs-SIMPLE-polygon: +1 strictly inside, -1 strictly
+    * outside, 0 within epsL of the boundary (the caller refuses on 0 —
+    * a grazing classification is exactly what this walk must not
+    * guess). Horizontal ray toward +x with the standard half-open
+    * vertex rule. */
+  private def pointSideSimple(px: Double, py: Double, r: Ring,
+                              epsL: Double): Int = {
+    var i = 0
+    while (i < r.n) {
+      val j = (i + 1) % r.n
+      val (x1, y1, x2, y2) = (r.xs(i), r.ys(i), r.xs(j), r.ys(j))
+      // distance to the segment in the max-coordinate metric
+      val dx = x2 - x1; val dy = y2 - y1
+      val len2 = dx * dx + dy * dy
+      val t = if (len2 == 0) 0.0
+        else math.max(0.0, math.min(1.0,
+          ((px - x1) * dx + (py - y1) * dy) / len2))
+      val cx = x1 + t * dx; val cy = y1 + t * dy
+      if (math.abs(px - cx) <= epsL && math.abs(py - cy) <= epsL) return 0
+      i += 1
+    }
+    var inside = false
+    var k = 0
+    while (k < r.n) {
+      val j = (k + 1) % r.n
+      val (x1, y1, x2, y2) = (r.xs(k), r.ys(k), r.xs(j), r.ys(j))
+      if ((y1 > py) != (y2 > py) &&
+          px < x1 + (py - y1) / (y2 - y1) * (x2 - x1)) inside = !inside
+      k += 1
+    }
+    if (inside) 1 else -1
   }
 
   /** MULTIPOLYGON in the 3-field struct: gtype "MULTIPOLYGON", each
@@ -609,6 +819,15 @@ object ConvexClip {
         return if (aConvex) concaveIntersect(fb, fa, eps2, scale)
                else concaveIntersect(fa, fb, eps2, scale)
       }
+    }
+    if (op == 1) {
+      // UNION accepts SIMPLE concave sides when the pair OVERLAPS with
+      // a single-ring hole-free result (edge-fragment classification;
+      // r13-verdict narrowing). Convex pairs keep the crossing-walk
+      // path below — identical results, cheaper.
+      val (fa, aConvex) = parseFlexible(aRow, "left", eps2)
+      val (fb, bConvex) = parseFlexible(bRow, "right", eps2)
+      if (!aConvex || !bConvex) return simpleUnion(fa, fb, eps2, scale)
     }
     val a = parse(aRow, "left", eps2)
     val b = parse(bRow, "right", eps2)

@@ -422,8 +422,12 @@ class GisPredicatesSpec extends AnyFunSuite {
     // the arrow lies inside the window, so the clip returns it whole
     val Some((arrowArea, _, _)) = clip("st_intersection", concave, a)
     assert(math.abs(arrowArea - 10.0) < 1e-9, arrowArea.toString)
-    // union/difference stay convex-only
-    clipRefuses("st_union", a, concave, "concave")
+    // st_union now accepts concave sides for OVERLAPPING pairs (round
+    // 20) — but this arrow shares the window's boundary edges, a
+    // boundary-merging collinear contact the fragment walk refuses
+    clipRefuses("st_union", a, concave, "collinear")
+    // difference stays convex-only
+    clipRefuses("st_difference", a, concave, "concave")
     // vertex-grazing contact on the walk path refuses rather than
     // constructing a possibly-wrong ring (diamond vertex ON square edge)
     clipRefuses("st_union", rect(0, 0, 4, 4),
@@ -499,13 +503,49 @@ class GisPredicatesSpec extends AnyFunSuite {
     clipRefuses("st_union", rect(-1, -1, 3, 3),
       "POLYGON ((0 0, 2 0, 1 0))", "zero area")
     // concave at vertex 2 of (0 0, 4 0, 2 1, 4 4, 0 4) — the message
-    // must name the reflex corner, not one past it (union path; the
-    // intersection path now clips concave sides instead of refusing)
+    // must name the reflex corner, not one past it (difference path;
+    // intersection clips concave sides and union fragment-walks them)
     val e = intercept[Exception] {
-      clip("st_union", rect(0, 0, 4, 4),
+      clip("st_difference", rect(0, 0, 4, 4),
         "POLYGON ((0 0, 4 0, 2 1, 4 4, 0 4))")
     }
     assert(e.getMessage.contains("concave at vertex 2"), e.getMessage)
+  }
+
+  test("CONCAVE union (edge-fragment walk): overlapping L-shape and " +
+      "rectangle merge into one ring; containment, commutation, and " +
+      "the refusal bounds (hole, touch-only, vertex crossing, " +
+      "collinear span)") {
+    // L-shape: bottom arm 8x2 + vertical arm 2(wide)x4(tall above arm)
+    // area = 16 + 2*4 = 24, concave at (2, 2)
+    val ell = "POLYGON ((0 0, 8 0, 8 2, 2 2, 2 6, 0 6, 0 0))"
+    // rectangle overlapping the vertical arm, protruding right:
+    // x in [1, 9], y in [3, 4]; overlap with the arm = 1x1
+    val r = "POLYGON ((1 3, 9 3, 9 4, 1 4, 1 3))"
+    // union area = 24 + 8 - 1 = 31; envelope x [0,9], y [0,6]
+    val Some((area, nv, pts)) = clip("st_union", ell, r)
+    assert(math.abs(area - 31.0) < 1e-9, area.toString)
+    assert(nv === 10, pts.toString) // the notch survives as vertices
+    val Some((area2, _, _)) = clip("st_union", r, ell)
+    assert(math.abs(area2 - 31.0) < 1e-9) // commutes
+    // concave-side containment: a small box inside the L's bottom arm
+    val inner = "POLYGON ((3 0.5, 5 0.5, 5 1.5, 3 1.5, 3 0.5))"
+    assert(math.abs(clip("st_union", ell, inner).get._1 - 24.0) < 1e-9)
+    assert(math.abs(clip("st_union", inner, ell).get._1 - 24.0) < 1e-9)
+    // a C-shape closed off by a rectangle spanning the mouth encloses
+    // a HOLE — must refuse, never drop the hole
+    val c = "POLYGON ((0 0, 6 0, 6 1, 1 1, 1 5, 6 5, 6 6, 0 6, 0 0))"
+    clipRefuses("st_union", c, "POLYGON ((5 -0.5, 7 -0.5, 7 6.5, 5 6.5, 5 -0.5))",
+      "HOLE")
+    // disjoint concave pair routes to the multi refusal
+    clipRefuses("st_union", ell, rect(20, 20, 22, 22), "st_union_multi")
+    // touch-only: rectangle sharing just the L's right edge span
+    clipRefuses("st_union", ell, rect(8, 0, 10, 2), "collinear")
+    // crossing AT a vertex: diamond apex exactly on the L's top arm
+    // boundary point (2, 6) — tangential contact refuses; the diamond
+    // is convex but the L routes the pair to the fragment walk
+    clipRefuses("st_union", ell,
+      "POLYGON ((2 4, 4 6, 2 8, 0 6, 2 4))", "vertex")
   }
 
   test("CONCAVE intersection: ear-clip + per-triangle clip + stitch — " +
