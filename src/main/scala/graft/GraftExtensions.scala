@@ -23,6 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Drill's system-table and ischema plugins as SQL namespaces (the
     // names BI tools introspect through the JDBC front door)
     ext.injectResolutionRule(session => graft.sources.SysResolveRule(session))
+    // per-user VIEW allow-lists for the authenticated front doors
+    // (Drill's inbound-impersonation/authorization surface; see
+    // sources/AccessControl) — no-op without a request principal
+    ext.injectResolutionRule(session => graft.sources.AccessControlRule(session))
     // (`hive.db.tbl` metastore federation resolves in DfsParser — the
     // "hive" head must be claimed BEFORE ResolveSQLOnFile sees it)
     ext.injectParser((_, parser) => new graft.sources.DfsParser(parser))

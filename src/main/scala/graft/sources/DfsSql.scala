@@ -180,6 +180,9 @@ object DfsSql {
     case Seq(ws, p) =>
       if (p.startsWith("/")) p // dfs.root.`/abs` style: workspace is vacuous
       else {
+        // front-door principals must clear the workspace allow-list
+        // (graft.auth.workspace.<ws>) before the path even resolves
+        AccessControl.checkWorkspace(spark, ws)
         val base = workspaceDir(spark, ws).getOrElse(throw new IllegalArgumentException(
           s"dfs: unknown workspace '$ws' — set graft.dfs.workspace.$ws"))
         s"${base.stripSuffix("/")}/$p"

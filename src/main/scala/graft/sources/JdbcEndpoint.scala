@@ -41,6 +41,40 @@ object JdbcEndpoint {
   @volatile private[sources] var authCredentials: Map[String, String] =
     Map.empty
 
+  /** The live server, for [[sessionUser]] — one per JVM (see start). */
+  @volatile private var liveServer: Option[AnyRef] = None
+
+  /** The authenticated username of the JDBC connection OWNING `session`
+    * — every connection gets an EXCLUSIVE newSession() clone, so session
+    * identity IS connection identity. Resolved through the server's own
+    * registries (CLIService → SessionManager → the operation manager's
+    * sessionToContexts map); None when no JDBC server runs or `session`
+    * is not a connection's clone (in-process library use). This is the
+    * synchronous principal channel AccessControl uses for JDBC
+    * authorization — listener events are async and hive's SessionState
+    * thread-local does not reach Spark's async operation threads. */
+  def sessionUser(session: SparkSession): Option[String] =
+    liveServer.flatMap { srv =>
+      try {
+        import scala.jdk.CollectionConverters._
+        val services = srv.getClass.getMethod("getServices").invoke(srv)
+          .asInstanceOf[java.util.Collection[_]].asScala
+        services.collectFirst {
+          case cli: org.apache.hive.service.cli.CLIService =>
+            val sm = cli.getSessionManager
+            val om = sm.getOperationManager
+            // SparkSQLOperationManager is private[thriftserver] at the
+            // Scala level; sessionToContexts is public in bytecode
+            val map = om.getClass.getMethod("sessionToContexts").invoke(om)
+              .asInstanceOf[java.util.concurrent.ConcurrentHashMap[
+                org.apache.hive.service.cli.SessionHandle, SparkSession]]
+            map.asScala.collectFirst {
+              case (h, s) if s eq session => sm.getSession(h).getUsername
+            }
+        }.flatten.map(_.trim).filter(_.nonEmpty)
+      } catch { case _: Exception => None }
+    }
+
   private def freePort(): Int = {
     val s = new java.net.ServerSocket(0)
     try s.getLocalPort finally s.close()
@@ -133,6 +167,7 @@ object JdbcEndpoint {
     server.getHiveConf.set("javax.jdo.option.ConnectionURL",
       s"jdbc:derby:;databaseName=$scratch/metastore_db;create=true")
     awaitPort(p)
+    liveServer = Some(server)
     Running(p, server)
   }
 

@@ -34,7 +34,7 @@ object QueryProfiles {
 
   final case class Profile(ts_ms: Long, execution_id: Long, action: String,
                            status: String, duration_ms: Long,
-                           plan_head: String, error: String)
+                           plan_head: String, error: String, user: String)
 
   /** One completed stage, with the task-metric aggregates Spark already
     * accumulated — no extra instrumentation cost. execution_id ties the
@@ -61,7 +61,7 @@ object QueryProfiles {
                                    metric_type: String, value: Long)
 
   private final case class Started(timeMs: Long, action: String,
-                                   planHead: String)
+                                   planHead: String, user: String)
 
   /** What one SQL-metric accumulator means: (node id, node name,
     * metric name, metric type). */
@@ -74,6 +74,12 @@ object QueryProfiles {
   private val stageToExec = new ConcurrentHashMap[Integer, java.lang.Long]()
   private val jobStages = new ConcurrentHashMap[Integer, Seq[Int]]()
   private val inFlight = new ConcurrentHashMap[java.lang.Long, Started]()
+  // principal channels (AccessControl): REST/runAs queries stamp a job
+  // TAG read at SQLExecutionStart; JDBC (HiveServer2) operations post a
+  // thrift OperationStart event carrying (groupId, user), which
+  // onJobStart joins to the execution id via spark.jobGroup.id
+  private val groupUser = new ConcurrentHashMap[String, String]()
+  private val execUser = new ConcurrentHashMap[java.lang.Long, String]()
   // O(1) ring sizes (ConcurrentLinkedDeque.size() traverses every node
   // — on the shared listener-bus thread, per event)
   private val opCount = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -180,10 +186,29 @@ object QueryProfiles {
           override def onOtherEvent(event: SparkListenerEvent): Unit =
             event match {
               case s: SparkListenerSQLExecutionStart =>
+                val tagUser = s.jobTags
+                  .find(_.startsWith(graft.sources.AccessControl.UserTag))
+                  .map(_.stripPrefix(graft.sources.AccessControl.UserTag))
+                  .getOrElse("")
                 inFlight.put(Long.box(s.executionId), Started(s.time,
                   firstLine(s.description),
-                  firstLine(s.physicalPlanDescription)))
+                  firstLine(s.physicalPlanDescription), tagUser))
                 indexPlan(s.executionId, s.sparkPlanInfo)
+              case o if o.getClass.getName ==
+                  "org.apache.spark.sql.hive.thriftserver.ui." +
+                    "SparkListenerThriftServerOperationStart" =>
+                // private[thriftserver] in source, public in bytecode —
+                // reflection is the supported-surface-free way in
+                try {
+                  val g = o.getClass.getMethod("groupId").invoke(o)
+                    .asInstanceOf[String]
+                  val u = o.getClass.getMethod("userName").invoke(o)
+                    .asInstanceOf[String]
+                  // bounded: a runaway JDBC client must not grow the
+                  // map for the JVM lifetime (ids are never re-posted)
+                  if (groupUser.size > 4096) groupUser.clear()
+                  if (g != null && u != null) groupUser.put(g, u)
+                } catch { case _: ReflectiveOperationException => () }
               case u: SparkListenerSQLAdaptiveExecutionUpdate =>
                 indexPlan(u.executionId, u.sparkPlanInfo)
               case d: SparkListenerDriverAccumUpdates =>
@@ -191,12 +216,15 @@ object QueryProfiles {
                 d.accumUpdates.foreach { case (id, v) => addUpdate(id, v) }
               case e: SparkListenerSQLExecutionEnd =>
                 val started = Option(inFlight.remove(Long.box(e.executionId)))
+                val user = started.map(_.user).filter(_.nonEmpty)
+                  .orElse(Option(execUser.remove(Long.box(e.executionId))))
+                  .getOrElse("")
                 ring.addFirst(Profile(e.time, e.executionId,
                   started.map(_.action).getOrElse("(unknown)"),
                   if (e.errorMessage.exists(_.nonEmpty)) "failed" else "success",
                   started.map(s => e.time - s.timeMs).getOrElse(0L),
                   started.map(_.planHead).getOrElse(""),
-                  e.errorMessage.getOrElse("")))
+                  e.errorMessage.getOrElse(""), user))
                 ringCount.incrementAndGet()
                 while (ringCount.get() > capacity) {
                   if (ring.pollLast() != null) ringCount.decrementAndGet()
@@ -223,6 +251,11 @@ object QueryProfiles {
             val execId = Option(job.properties)
               .flatMap(p => Option(p.getProperty("spark.sql.execution.id")))
               .map(_.toLong).getOrElse(-1L)
+            if (execId >= 0)
+              Option(job.properties)
+                .flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
+                .flatMap(g => Option(groupUser.get(g)))
+                .foreach(u => execUser.put(Long.box(execId), u))
             job.stageIds.foreach(sid =>
               stageToExec.put(Int.box(sid), Long.box(execId)))
             jobStages.put(Int.box(job.jobId), job.stageIds)
@@ -282,6 +315,8 @@ object QueryProfiles {
     stageToExec.clear()
     jobStages.clear() // in-flight jobs never see their onJobEnd now
     inFlight.clear()
+    groupUser.clear()
+    execUser.clear()
     accumIndex.clear()
     accumToExec.clear()
     accumSums.clear()
@@ -295,7 +330,7 @@ object QueryProfiles {
     import spark.implicits._
     ring.iterator().asScala.toSeq
       .toDF("ts_ms", "execution_id", "action", "status", "duration_ms",
-        "plan_head", "error")
+        "plan_head", "error", "user")
   }
 
   /** sys.profile_stages: per-stage metrics, newest first — join to

@@ -22,6 +22,18 @@ object QueryServer {
 
   private val mapper = new ObjectMapper()
 
+  /** An AccessControl denial anywhere in the cause chain (Spark wraps
+    * analysis-time failures) is a 403, not a generic 400. */
+  private def isDenied(e: Throwable): Boolean = {
+    var c: Throwable = e
+    var guard = 0
+    while (c != null && guard < 20) {
+      if (c.isInstanceOf[AccessControl.DeniedException]) return true
+      c = c.getCause; guard += 1
+    }
+    false
+  }
+
   final class Running(server: HttpServer,
                       pool: java.util.concurrent.ExecutorService) {
     val port: Int = server.getAddress.getPort
@@ -68,7 +80,14 @@ object QueryServer {
             x.getResponseHeaders.add("WWW-Authenticate",
               "Basic realm=\"graft\"")
             respond(x, 401, error("authentication required"))
-          } else h.handle(x)
+          } else {
+            // carry the AUTHENTICATED principal to the handler — the
+            // /query handler scopes execution to it (AccessControl)
+            val dec = new String(java.util.Base64.getDecoder
+              .decode(hdr.drop(6).trim), "UTF-8")
+            x.setAttribute("graft.auth.user", dec.take(dec.indexOf(':')))
+            h.handle(x)
+          }
         }
       }
     server.createContext("/query", guarded(new HttpHandler {
@@ -105,21 +124,37 @@ object QueryServer {
           val sql = Option(mapper.readTree(body)).flatMap(n => Option(n.get("query")))
             .map(_.asText).getOrElse("")
           if (sql.trim.isEmpty) { respond(x, 400, error("missing \"query\"")); return }
-          val df = spark.sql(sql).limit(maxRows)
-          val cols = mapper.createObjectNode()
-          val colArr = cols.putArray("columns")
-          df.columns.foreach(colArr.add)
-          val rows = df.toJSON.collect() // engine-serialized, maxRows-bounded
-          val sb = new StringBuilder()
-          sb.append("{\"columns\":").append(mapper.writeValueAsString(cols.get("columns")))
-          // result schema as DDL: peers re-type zero-row results instead
-          // of failing JSON inference (Federation.graftPeer)
-          sb.append(",\"schema\":").append(mapper.writeValueAsString(df.schema.toDDL))
-          sb.append(",\"rows\":[").append(rows.mkString(",")).append("]}")
-          respond(x, 200, sb.toString)
+          def run(): String = {
+            val df = spark.sql(sql).limit(maxRows)
+            val cols = mapper.createObjectNode()
+            val colArr = cols.putArray("columns")
+            df.columns.foreach(colArr.add)
+            val rows = df.toJSON.collect() // engine-serialized, maxRows-bounded
+            val sb = new StringBuilder()
+            sb.append("{\"columns\":").append(mapper.writeValueAsString(cols.get("columns")))
+            // result schema as DDL: peers re-type zero-row results instead
+            // of failing JSON inference (Federation.graftPeer)
+            sb.append(",\"schema\":").append(mapper.writeValueAsString(df.schema.toDDL))
+            sb.append(",\"rows\":[").append(rows.mkString(",")).append("]}")
+            sb.toString
+          }
+          // authenticated requests execute AS the effective principal:
+          // the basic-auth user, or the X-Run-As target when the
+          // inbound-impersonation policy allows it (AccessControl) —
+          // allow-list checks and sys.profiles both see that user
+          val out = Option(x.getAttribute("graft.auth.user"))
+            .map(_.toString) match {
+            case None => run() // open endpoint: session-owner posture
+            case Some(auth) =>
+              val eff = AccessControl.effectiveUser(spark, auth,
+                Option(x.getRequestHeaders.getFirst("X-Run-As")))
+              AccessControl.runAs(spark, eff)(run())
+          }
+          respond(x, 200, out)
         } catch {
-          case e: Throwable => respond(x, 400, error(
-            Option(e.getMessage).getOrElse(e.getClass.getSimpleName)))
+          case e: Throwable =>
+            respond(x, if (isDenied(e)) 403 else 400, error(
+              Option(e.getMessage).getOrElse(e.getClass.getSimpleName)))
         }
       }
     }))

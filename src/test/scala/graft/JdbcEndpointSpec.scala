@@ -41,6 +41,75 @@ class JdbcEndpointSpec extends AnyFunSuite {
     }
   }
 
+  test("JDBC per-user authorization: workspace and view allow-lists " +
+      "deny the second authenticated user what only the first holds, " +
+      "and sys.profiles records the JDBC principal") {
+    import TestSpark.spark
+    import spark.implicits._
+    val server = TestSpark.jdbcServer
+    val dir = java.nio.file.Files.createTempDirectory("graft_jdbc_acl").toString
+    spark.range(4).toDF("id").write.mode("overwrite").parquet(s"$dir/t.parquet")
+    Seq((1, "x")).toDF("k", "v").createOrReplaceGlobalTempView("grafts_view")
+    // policy lives in the server-side registry (a JDBC client can SET
+    // session conf freely — including the workspace REGISTRATION below,
+    // which is location binding, not authorization)
+    graft.sources.AccessControl.grantWorkspace("jvault",
+      Set(TestSpark.JdbcUser))
+    graft.sources.AccessControl.grantView("grafts_view",
+      Set(TestSpark.JdbcUser))
+    graft.sources.QueryProfiles.enable(spark)
+    Class.forName("org.apache.hive.jdbc.HiveDriver")
+    def runAs(u: String, pw: String, sql: String): Either[String, Long] = {
+      val conn = java.sql.DriverManager.getConnection(
+        s"jdbc:hive2://127.0.0.1:${server.port}/default", u, pw)
+      try {
+        val st = conn.createStatement()
+        // per-connection session: register the workspace locally — the
+        // ACL (server-side) is what decides whether it resolves
+        st.execute(s"SET graft.dfs.workspace.jvault=$dir")
+        val rs = st.executeQuery(sql)
+        rs.next(); Right(rs.getLong(1))
+      } catch {
+        case e: java.sql.SQLException =>
+          Left(Option(e.getMessage).getOrElse(""))
+      } finally conn.close()
+    }
+    try {
+      val wsSql = "SELECT count(*) FROM dfs.jvault.`t.parquet`"
+      val viewSql = "SELECT count(*) FROM global_temp.grafts_view"
+      // the granted principal reads both
+      assert(runAs(TestSpark.JdbcUser, TestSpark.JdbcPassword, wsSql)
+        == Right(4L))
+      assert(runAs(TestSpark.JdbcUser, TestSpark.JdbcPassword, viewSql)
+        == Right(1L))
+      // the OTHER authenticated principal is denied both, loudly
+      val w = runAs(TestSpark.JdbcUser2, TestSpark.JdbcPassword2, wsSql)
+      assert(w.isLeft && w.swap.exists(_.contains("not authorized")), w)
+      val v = runAs(TestSpark.JdbcUser2, TestSpark.JdbcPassword2, viewSql)
+      assert(v.isLeft && v.swap.exists(_.contains("not authorized")), v)
+      // unprotected queries stay open to both
+      assert(runAs(TestSpark.JdbcUser2, TestSpark.JdbcPassword2,
+        "SELECT 41 + 1").contains(42L))
+      // sys.profiles records the JDBC principal (thrift OperationStart
+      // joins to the execution through the job group; async listener)
+      def userCount(u: String): Long =
+        graft.sources.QueryProfiles.profiles(spark)
+          .filter(org.apache.spark.sql.functions.col("user") === u).count()
+      var tries = 0
+      while ((userCount(TestSpark.JdbcUser) == 0 ||
+              userCount(TestSpark.JdbcUser2) == 0) && tries < 50) {
+        Thread.sleep(100); tries += 1
+      }
+      assert(userCount(TestSpark.JdbcUser) > 0,
+        "profiles must record the primary JDBC principal")
+      assert(userCount(TestSpark.JdbcUser2) > 0,
+        "profiles must record the second JDBC principal")
+    } finally {
+      graft.sources.AccessControl.clearPolicy()
+      spark.catalog.dropGlobalTempView("grafts_view")
+    }
+  }
+
   test("JDBC endpoint serves gate-shaped, dfs, and sys queries with types") {
     // shared endpoint: one HiveServer2 per JVM (see TestSpark.jdbcServer)
     val server = TestSpark.jdbcServer

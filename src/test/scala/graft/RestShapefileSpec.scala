@@ -235,6 +235,81 @@ class RestShapefileSpec extends AnyFunSuite {
     } finally open.stop()
   }
 
+  test("REST per-user authorization: workspace and view allow-lists " +
+      "deny user A what only user B holds (403), X-Run-As honors the " +
+      "inbound-impersonation policy, and sys.profiles records the " +
+      "principal") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_acl").toString
+    spark.range(3).toDF("id").write.mode("overwrite").parquet(s"$dir/t.parquet")
+    Seq((1, "x")).toDF("k", "v").createOrReplaceTempView("bobs_view")
+    spark.conf.set("graft.dfs.workspace.vault", dir)
+    // the policy registry is server-side (JVM-global, owner-set) —
+    // session conf would let a client grant itself access
+    graft.sources.AccessControl.grantWorkspace("vault", Set("bob"))
+    graft.sources.AccessControl.grantView("bobs_view", Set("bob"))
+    graft.sources.AccessControl.allowImpersonation("alice", Set("bob"))
+    graft.sources.QueryProfiles.enable(spark)
+    val server = graft.sources.QueryServer.start(spark,
+      credentials = Map("alice" -> "a-pw", "bob" -> "b-pw"))
+    try {
+      def post(auth: String, sql: String,
+               runAs: Option[String] = None): (Int, String) = {
+        val url = java.net.URI.create(
+          s"http://127.0.0.1:${server.port}/query").toURL
+        val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST")
+        conn.setRequestProperty("Content-Type", "application/json")
+        conn.setRequestProperty("Authorization", "Basic " +
+          java.util.Base64.getEncoder.encodeToString(auth.getBytes("UTF-8")))
+        runAs.foreach(conn.setRequestProperty("X-Run-As", _))
+        conn.setDoOutput(true)
+        conn.getOutputStream.write(
+          s"""{"query": ${new com.fasterxml.jackson.databind.ObjectMapper()
+            .writeValueAsString(sql)}}""".getBytes("UTF-8"))
+        val code = conn.getResponseCode
+        val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+        val body = new String(is.readAllBytes(), "UTF-8")
+        conn.disconnect()
+        (code, body)
+      }
+      val wsSql = "SELECT count(*) AS n FROM dfs.vault.`t.parquet`"
+      val viewSql = "SELECT k FROM bobs_view"
+      // workspace: bob (on the allow-list) reads, alice gets 403
+      assert(post("bob:b-pw", wsSql)._1 == 200)
+      val (wc, wb) = post("alice:a-pw", wsSql)
+      assert(wc == 403 && wb.contains("not authorized"), s"$wc $wb")
+      // view: same split
+      assert(post("bob:b-pw", viewSql)._1 == 200)
+      val (vc, vb) = post("alice:a-pw", viewSql)
+      assert(vc == 403 && vb.contains("not authorized"), s"$vc $vb")
+      // inbound impersonation: alice may run as bob (policy grants it)
+      // and then reads both; bob has no policy, so bob-as-alice is 403
+      assert(post("alice:a-pw", wsSql, runAs = Some("bob"))._1 == 200)
+      assert(post("alice:a-pw", viewSql, runAs = Some("bob"))._1 == 200)
+      val (ic, ib) = post("bob:b-pw", viewSql, runAs = Some("alice"))
+      assert(ic == 403 && ib.contains("impersonate"), s"$ic $ib")
+      // unprotected resources stay open to every authenticated user
+      assert(post("alice:a-pw", "SELECT 1 AS one")._1 == 200)
+      // sys.profiles carries the EFFECTIVE principal (bob for the
+      // impersonated queries, alice for her own) — listener is async
+      def userCount(u: String): Long =
+        graft.sources.QueryProfiles.profiles(spark)
+          .filter(org.apache.spark.sql.functions.col("user") === u).count()
+      var tries = 0
+      while ((userCount("bob") == 0 || userCount("alice") == 0) && tries < 50) {
+        Thread.sleep(100); tries += 1
+      }
+      assert(userCount("bob") > 0, "profiles must record principal bob")
+      assert(userCount("alice") > 0, "profiles must record principal alice")
+    } finally {
+      server.stop()
+      graft.sources.AccessControl.clearPolicy()
+      spark.conf.unset("graft.dfs.workspace.vault")
+      spark.catalog.dropTempView("bobs_view")
+    }
+  }
+
   test("CTAS routes to lakehouse formats: delta and iceberg targets") {
     import spark.implicits._
     import graft.sources.{DeltaLogReader, IcebergTable, Writer}

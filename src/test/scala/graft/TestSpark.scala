@@ -35,7 +35,12 @@ object TestSpark {
     * start). */
   val JdbcUser = "graft"
   val JdbcPassword = "graft-test-pw"
+  // a second authenticated principal for the authorization tests (user
+  // A must not read what only user B holds)
+  val JdbcUser2 = "intern"
+  val JdbcPassword2 = "intern-pw"
   lazy val jdbcServer: graft.sources.JdbcEndpoint.Running =
     graft.sources.JdbcEndpoint.start(spark,
-      credentials = Map(JdbcUser -> JdbcPassword))
+      credentials = Map(JdbcUser -> JdbcPassword,
+        JdbcUser2 -> JdbcPassword2))
 }
