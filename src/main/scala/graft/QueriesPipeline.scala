@@ -144,6 +144,71 @@ object QueriesPipeline {
         m = 8, ksub = 16, nCells = 16, nProbe = 4, refine = 4))
     }),
 
+    // k-means (deterministic Lloyd) gated on CLUSTER COHERENCE: every
+    // planted ground-truth cluster (label = id % 32) must land WHOLE in
+    // one of the k=8 learned cells. The per-label member counts are
+    // DuckDB-recomputed from the table; coherent_ok is the distributed
+    // assertion (any split label flips every row's hash).
+    "q_kmeans" -> ((s, d) => {
+      val p = plantedAnnCorpus(T(s, d, "embeddings"))
+      val (assigned, _) = Similarity.kmeans(p, k = 8, iters = 3)
+      val perLabel = assigned
+        .select((col("id") % 32).as("label"), col("cluster"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("members"),
+          count_distinct(col("cluster")).as("cells"))
+      val coherent = perLabel
+        .agg((max(col("cells")) === 1L).as("coherent_ok"))
+      perLabel.select(col("label"), col("members"))
+        .crossJoin(broadcast(coherent))
+    }),
+
+    // SemDedup-style semantic dedup gated against the EXACT pair set
+    // (blockedAllPairs — itself the gated row-74 operator): the gate
+    // rows are the exact threshold pairs (DuckDB re-derives them from
+    // the planted corpus), recall_ok asserts the cell-blocked pass
+    // found >= 95% of them, and no_invented asserts it produced ZERO
+    // pairs outside the exact set (its precision contract). Threshold
+    // 0.9 sits in the planted corpus's dead zone (within-cluster pairs
+    // >= 0.986, cross-cluster <= 0.385) so boundary float noise cannot
+    // flip membership.
+    "q_semdedup" -> ((s, d) => {
+      val p = plantedAnnCorpus(T(s, d, "embeddings"))
+      val exact = Similarity.blockedAllPairs(p, threshold = 0.9,
+        numBlocks = 8)
+      val sem = Similarity.semanticDups(p, threshold = 0.9, k = 8)
+      val hits = exact.select("id_a", "id_b")
+        .join(sem.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_semi")
+        .agg(count(lit(1)).as("nh"))
+      val invented = sem.select("id_a", "id_b")
+        .join(exact.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_anti")
+        .agg(count(lit(1)).as("ni"))
+      val nExact = exact.agg(count(lit(1)).as("ne"))
+      val flags = hits.crossJoin(invented).crossJoin(nExact)
+        .select((col("nh") >= col("ne") * 0.95).as("recall_ok"),
+          (col("ni") === 0L).as("no_invented"))
+      exact.select("id_a", "id_b", "cos_sim").crossJoin(broadcast(flags))
+    }),
+
+    // Persistent ANN index e2e: train k-means centroids on the planted
+    // corpus, SAVE the index, LOAD it back, and query IVF at nProbe=1
+    // through the loaded centroids — the train-once/query-many shape.
+    // Same exact-top-5 + recall_ok gate rows as the other ANN gates.
+    "q_ann_index" -> ((s, d) => {
+      val p = plantedAnnCorpus(T(s, d, "embeddings"))
+      val (_, cents) = Similarity.kmeans(p, k = 16, iters = 3)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_gate_ivf").toString
+      Similarity.saveIvfIndex(cents, dir,
+        Map("nCells" -> "16", "metric" -> "cosine"))
+      val (loaded, params) = Similarity.loadIvfIndex(s, dir)
+      require(params("nCells") == "16" && params("metric") == "cosine",
+        s"reloaded index params drifted: $params")
+      annRecallGate(p, Similarity.ivfTopK(p,
+        p.filter(col("vec_id") < 20), k = 5,
+        nCells = 16, nProbe = 1, centroids = Some(loaded)))
+    }),
+
     // Top principal component by 3 unrolled power iterations from e0 —
     // the oracle replays the SAME iterations in SQL over unnested
     // (vec_id, i, v) triples (the q_lang_clf fixed-iteration pattern);
@@ -943,6 +1008,33 @@ object QueriesPipeline {
     "q_ann_lsh" -> annRecallOracle,
     "q_ann_ivf" -> annRecallOracle,
     "q_ann_ivfpq" -> annRecallOracle,
+    "q_ann_index" -> annRecallOracle,
+
+    "q_kmeans" -> """
+      SELECT vec_id % 32 AS label, count(*) AS members,
+             TRUE AS coherent_ok
+      FROM embeddings GROUP BY 1""",
+
+    "q_semdedup" -> """
+      WITH e AS MATERIALIZED (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               unnest(embedding)::DOUBLE AS x FROM embeddings),
+      planted AS MATERIALIZED (
+        SELECT e.vec_id, e.i, c.x + 0.1 * e.x AS x
+        FROM e JOIN e c ON c.vec_id = e.vec_id % 32 AND c.i = e.i),
+      norms AS MATERIALIZED (
+        SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM planted GROUP BY 1),
+      pairs AS MATERIALIZED (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          sum(a.x * b.x) / (any_value(na.nrm) * any_value(nb.nrm)) AS cs
+        FROM planted a
+        JOIN planted b ON a.vec_id < b.vec_id AND a.i = b.i
+        JOIN norms na ON na.vec_id = a.vec_id
+        JOIN norms nb ON nb.vec_id = b.vec_id
+        GROUP BY a.vec_id, b.vec_id)
+      SELECT id_a, id_b, round(cs, 6) AS cos_sim,
+             TRUE AS recall_ok, TRUE AS no_invented
+      FROM pairs WHERE cs >= 0.9""",
 
     "q_ann_bruteforce" -> """
       WITH scored AS (
