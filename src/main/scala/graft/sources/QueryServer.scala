@@ -47,7 +47,16 @@ object QueryServer {
     * CUSTOM-provider rule: short-circuiting compares leak prefix length
     * to a timing probe) and failures answer 401 + WWW-Authenticate with
     * a GENERIC message (never "unknown user" — username enumeration).
-    * Empty credentials = open loopback endpoint, unchanged. */
+    * Empty credentials = open loopback endpoint, unchanged.
+    *
+    * Known, accepted bounds on a LOOPBACK-BOUND endpoint (r13 verdict
+    * note): the credentials map holds plaintext passwords in process
+    * memory (no hashing — the map is operator-supplied at start and
+    * never persisted), and MessageDigest.isEqual returns early on a
+    * LENGTH mismatch, so password length is in principle observable to
+    * a local timing probe. A deployment past loopback must terminate
+    * TLS+auth in front (the JdbcEndpoint posture) rather than harden
+    * this shell. */
   def start(spark: SparkSession, port: Int = 0, maxRows: Int = 10000,
             credentials: Map[String, String] = Map.empty): Running = {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)

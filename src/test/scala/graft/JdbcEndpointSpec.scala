@@ -57,7 +57,7 @@ class JdbcEndpointSpec extends AnyFunSuite {
       Set(TestSpark.JdbcUser))
     graft.sources.AccessControl.grantView("grafts_view",
       Set(TestSpark.JdbcUser))
-    graft.sources.QueryProfiles.enable(spark)
+    graft.sources.QueryProfiles.enable(spark, capacity = 50)
     Class.forName("org.apache.hive.jdbc.HiveDriver")
     def runAs(u: String, pw: String, sql: String): Either[String, Long] = {
       val conn = java.sql.DriverManager.getConnection(

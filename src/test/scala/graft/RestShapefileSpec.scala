@@ -249,7 +249,7 @@ class RestShapefileSpec extends AnyFunSuite {
     graft.sources.AccessControl.grantWorkspace("vault", Set("bob"))
     graft.sources.AccessControl.grantView("bobs_view", Set("bob"))
     graft.sources.AccessControl.allowImpersonation("alice", Set("bob"))
-    graft.sources.QueryProfiles.enable(spark)
+    graft.sources.QueryProfiles.enable(spark, capacity = 50)
     val server = graft.sources.QueryServer.start(spark,
       credentials = Map("alice" -> "a-pw", "bob" -> "b-pw"))
     try {
