@@ -190,6 +190,31 @@ object QueriesPipeline {
       exact.select("id_a", "id_b", "cos_sim").crossJoin(broadcast(flags))
     }),
 
+    // Multi-table hyperplane-LSH near-dup detection in its honest
+    // regime (threshold 0.9 >= the 0.85 high-cos cutoff, so the
+    // nearDupsAuto dispatcher routes HERE — the complement of
+    // q_embed_neardup's exact-branch gate): gate rows are the same
+    // 3,660 exact pairs as q_semdedup, recall_ok asserts the LSH pass
+    // found >= 99% of them, no_invented asserts the exact-cosine
+    // rerank admitted nothing outside the set.
+    "q_neardup_lsh" -> ((s, d) => {
+      val p = plantedAnnCorpus(T(s, d, "embeddings"))
+      val exact = Similarity.blockedAllPairs(p, threshold = 0.9,
+        numBlocks = 8)
+      val lsh = Similarity.nearDupsAuto(p, threshold = 0.9, dim = 64)
+      val hits = exact.select("id_a", "id_b")
+        .join(lsh.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_semi")
+        .agg(count(lit(1)).as("nh"))
+      val invented = lsh.select("id_a", "id_b")
+        .join(exact.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_anti")
+        .agg(count(lit(1)).as("ni"))
+      val nExact = exact.agg(count(lit(1)).as("ne"))
+      val flags = hits.crossJoin(invented).crossJoin(nExact)
+        .select((col("nh") >= col("ne") * 0.99).as("recall_ok"),
+          (col("ni") === 0L).as("no_invented"))
+      exact.select("id_a", "id_b", "cos_sim").crossJoin(broadcast(flags))
+    }),
+
     // Persistent ANN index e2e: train k-means centroids on the planted
     // corpus, SAVE the index, LOAD it back, and query IVF at nProbe=1
     // through the loaded centroids — the train-once/query-many shape.
@@ -653,6 +678,30 @@ object QueriesPipeline {
           ORDER BY cos_sim DESC, neighbor_id) AS rank
       FROM scored) WHERE rank <= 5"""
 
+  /** Shared oracle for the planted-pair gates (q_semdedup,
+    * q_neardup_lsh): the exact threshold-0.9 pair set + literal TRUE
+    * recall/precision flags. */
+  private lazy val plantedPairsOracle = """
+      WITH e AS MATERIALIZED (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               unnest(embedding)::DOUBLE AS x FROM embeddings),
+      planted AS MATERIALIZED (
+        SELECT e.vec_id, e.i, c.x + 0.1 * e.x AS x
+        FROM e JOIN e c ON c.vec_id = e.vec_id % 32 AND c.i = e.i),
+      norms AS MATERIALIZED (
+        SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM planted GROUP BY 1),
+      pairs AS MATERIALIZED (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          sum(a.x * b.x) / (any_value(na.nrm) * any_value(nb.nrm)) AS cs
+        FROM planted a
+        JOIN planted b ON a.vec_id < b.vec_id AND a.i = b.i
+        JOIN norms na ON na.vec_id = a.vec_id
+        JOIN norms nb ON nb.vec_id = b.vec_id
+        GROUP BY a.vec_id, b.vec_id)
+      SELECT id_a, id_b, round(cs, 6) AS cos_sim,
+             TRUE AS recall_ok, TRUE AS no_invented
+      FROM pairs WHERE cs >= 0.9"""
+
   private def jaccardOracle(threshold: String) = s"""
     WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split($NORM, ' '))) AS g FROM documents),
     sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY 1),
@@ -1015,26 +1064,8 @@ object QueriesPipeline {
              TRUE AS coherent_ok
       FROM embeddings GROUP BY 1""",
 
-    "q_semdedup" -> """
-      WITH e AS MATERIALIZED (
-        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
-               unnest(embedding)::DOUBLE AS x FROM embeddings),
-      planted AS MATERIALIZED (
-        SELECT e.vec_id, e.i, c.x + 0.1 * e.x AS x
-        FROM e JOIN e c ON c.vec_id = e.vec_id % 32 AND c.i = e.i),
-      norms AS MATERIALIZED (
-        SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM planted GROUP BY 1),
-      pairs AS MATERIALIZED (
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-          sum(a.x * b.x) / (any_value(na.nrm) * any_value(nb.nrm)) AS cs
-        FROM planted a
-        JOIN planted b ON a.vec_id < b.vec_id AND a.i = b.i
-        JOIN norms na ON na.vec_id = a.vec_id
-        JOIN norms nb ON nb.vec_id = b.vec_id
-        GROUP BY a.vec_id, b.vec_id)
-      SELECT id_a, id_b, round(cs, 6) AS cos_sim,
-             TRUE AS recall_ok, TRUE AS no_invented
-      FROM pairs WHERE cs >= 0.9""",
+    "q_neardup_lsh" -> plantedPairsOracle,
+    "q_semdedup" -> plantedPairsOracle,
 
     "q_ann_bruteforce" -> """
       WITH scored AS (
