@@ -244,6 +244,18 @@ object Bench {
       val m = te.taskMetrics
       if (m != null) cpuNs.addAndGet(m.executorCpuTime)
     }
+    // wall-clock ms of the FIRST job submission after markPlanStart():
+    // (first job - action start) is the rep's PLANNING wall (analysis +
+    // optimization + codegen before any task runs) — the instrument
+    // that names whether sub-second inflation is plan-time or
+    // execution-time (r13 verdict #2's conditional). job.time is
+    // stamped on the submitting thread, so async listener delivery
+    // does not skew the value.
+    @volatile var firstJobMs: Long = -1L
+    def markPlanStart(): Unit = firstJobMs = -1L
+    override def onJobStart(
+        job: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+      if (firstJobMs < 0) firstJobMs = job.time
   }
 
   private def median(xs: Seq[Double]): Double = {
@@ -351,9 +363,11 @@ object Bench {
     // the bench wall); steal + machine-vs-process cover the rest
     val headlineProbed = Set("q_dedup_minhash", "q_dup_components",
       "q_quality_clf", "q_lang_clf")
-    def runOnce(name: String, dir: String): (Double, Boolean, Double, Double, Double) = {
+    def runOnce(name: String, dir: String): (Double, Boolean, Double, Double, Double, Double) = {
       val cpu0 = TaskCpuListener.cpuNs.get
       val (mach0, proc0) = cpuSample()
+      TaskCpuListener.markPlanStart()
+      val wall0Ms = System.currentTimeMillis()
       val t0 = System.nanoTime()
       // the LOOKUP lives inside the try too: a renamed/missing query
       // key must surface as ok=false in the artifact, not kill main()
@@ -372,14 +386,19 @@ object Bench {
       val cpuS = (TaskCpuListener.cpuNs.get - cpu0) / 1e9
       val otherCores =
         if (wall > 0) ((mach1 - mach0) - (proc1 - proc0)) / wall else 0.0
-      (wall, ok, if (wall > 0) cpuS / wall else 0.0, cpuS, otherCores)
+      val planSec =
+        if (TaskCpuListener.firstJobMs >= wall0Ms)
+          (TaskCpuListener.firstJobMs - wall0Ms) / 1e3
+        else wall // no job at all: the whole rep was driver-side
+      (wall, ok, if (wall > 0) cpuS / wall else 0.0, cpuS, otherCores,
+        planSec)
     }
     // A failed query must be LOUD: record ok=false and exit non-zero, so a
     // broken headline query can never masquerade as a slow one.
     case class QWin(name: String, minWall: Double, walls: Seq[Double],
       ok: Boolean, effPars: Seq[Double], cpuSecs: Seq[Double],
-      otherCpu: Seq[Double], dirty: Boolean, reasons: Seq[String],
-      qSteal: Double)
+      otherCpu: Seq[Double], planSecs: Seq[Double], dirty: Boolean,
+      reasons: Seq[String], qSteal: Double)
     val results = headline.map { name =>
       val (s0, j0) = cpuStat()
       var runs = (1 to Reps).map(_ => runOnce(name, sfDir)).toVector
@@ -397,7 +416,7 @@ object Bench {
       // committed-clean-floor ratio — the r13 blind spot where co-tenant
       // pressure inflated walls 10x without tripping any probe-visible
       // instrument
-      def initMin(rs: Vector[(Double, Boolean, Double, Double, Double)]) = {
+      def initMin(rs: Vector[(Double, Boolean, Double, Double, Double, Double)]) = {
         val okW = rs.filter(_._2).map(_._1)
         if (okW.nonEmpty) okW.min else rs.map(_._1).min
       }
@@ -411,8 +430,8 @@ object Bench {
       // (ok=false + rc=1 already mark the round; "runs" keeps all reps,
       // including a dirty window's settled re-run)
       QWin(name, initMin(runs), runs.map(_._1), runs.forall(_._2),
-        runs.map(_._3), runs.map(_._4), runs.map(_._5), dirty, reasons,
-        qSteal)
+        runs.map(_._3), runs.map(_._4), runs.map(_._5), runs.map(_._6),
+        dirty, reasons, qSteal)
     }
     def qJson[T](f: QWin => T): String = results
       .map(r => "\"" + r.name + "\":" + f(r)).mkString("{", ",", "}")
@@ -435,6 +454,10 @@ object Bench {
     // self over wall) — the sf1 tier's co-tenant attribution, now at
     // sf0.1 too (r13 verdict #1)
     val otherCpuJson = qJson(_.otherCpu.map(c => f"$c%.2f").mkString("[", ",", "]"))
+    // per-rep PLANNING wall (action start -> first job submission):
+    // separates "fixed per-query plan overhead grew" from "execution
+    // slowed" without re-running anything
+    val planSecJson = qJson(_.planSecs.map(c => f"$c%.3f").mkString("[", ",", "]"))
     val total = results.map(_.minWall).sum
     val allOk = results.forall(_.ok)
     // per-query dirty flags + WHY (the tripped instruments) + the wall
@@ -581,7 +604,7 @@ object Bench {
       if (jiff1 > jiff0) 100.0 * (steal1 - steal0) / (jiff1 - jiff0) else 0.0
     def arr(xs: Seq[Double]) = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"median":$medians,"runs":$allRuns,"ok":$oks,"eff_par":$effPars,"cpu_s":$cpuSecs,"steal_pct":${f"$stealPct%.2f"},"calib_sec":[${f"$calib0%.3f"},${f"$calib1%.3f"}],"calib_par_sec":[${f"$calibPar0%.3f"},${f"$calibPar1%.3f"}],"bw_sec":[${f"$bwS0%.3f"},${f"$bwS1%.3f"}],"bw_par_sec":[${f"$bwP0%.3f"},${f"$bwP1%.3f"}],"calib_par_threads":${Runtime.getRuntime.availableProcessors},"phys_cores":${physicalCores()},"loadavg":[${arr(load0)},${arr(load1)}],"dirty":$dirtyJson,"dirty_reasons":$reasonsJson,"floor_ratio":$floorRatioJson,"other_cpu":$otherCpuJson,"q_steal_pct":$qStealJson,"calib_par_floor":${f"$floorPar%.3f"},"sf1":$sf1Json,"sf":"${
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"median":$medians,"runs":$allRuns,"ok":$oks,"eff_par":$effPars,"cpu_s":$cpuSecs,"steal_pct":${f"$stealPct%.2f"},"calib_sec":[${f"$calib0%.3f"},${f"$calib1%.3f"}],"calib_par_sec":[${f"$calibPar0%.3f"},${f"$calibPar1%.3f"}],"bw_sec":[${f"$bwS0%.3f"},${f"$bwS1%.3f"}],"bw_par_sec":[${f"$bwP0%.3f"},${f"$bwP1%.3f"}],"calib_par_threads":${Runtime.getRuntime.availableProcessors},"phys_cores":${physicalCores()},"loadavg":[${arr(load0)},${arr(load1)}],"dirty":$dirtyJson,"dirty_reasons":$reasonsJson,"floor_ratio":$floorRatioJson,"other_cpu":$otherCpuJson,"plan_sec":$planSecJson,"q_steal_pct":$qStealJson,"calib_par_floor":${f"$floorPar%.3f"},"sf1":$sf1Json,"sf":"${
         sfDir.replace("\\", "\\\\").replace("\"", "\\\"")}"}"""
     println(line)
     // The stdout line gets buried in sbt [info] noise (rounds 3 and 5 had
