@@ -124,13 +124,22 @@ object Federation {
     } finally conn.close()
   }
 
-  def graftPeer(spark: SparkSession, baseUrl: String, sql: String): DataFrame = {
+  def graftPeer(spark: SparkSession, baseUrl: String, sql: String,
+                credentials: Option[(String, String)] = None): DataFrame = {
     import scala.jdk.CollectionConverters._
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val conn = java.net.URI.create(s"$baseUrl/query").toURL
       .openConnection().asInstanceOf[java.net.HttpURLConnection]
     conn.setRequestMethod("POST")
         conn.setRequestProperty("Content-Type", "application/json")
+    // a basic-auth-enabled peer (QueryServer `credentials`) is
+    // unreachable without this — the peer's ACLs then apply to the
+    // FEDERATING user, exactly like any other client of that peer
+    credentials.foreach { case (u, pw) =>
+      conn.setRequestProperty("Authorization", "Basic " +
+        java.util.Base64.getEncoder.encodeToString(
+          s"$u:$pw".getBytes("UTF-8")))
+    }
     conn.setDoOutput(true)
     conn.setConnectTimeout(10000)
     conn.setReadTimeout(120000) // a peer mid-query is slow, not dead

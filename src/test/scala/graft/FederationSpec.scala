@@ -70,6 +70,22 @@ class FederationSpec extends AnyFunSuite {
         org.apache.spark.sql.types.LongType)
       assert(empty.join(local, "k").count() === 0) // type-compatible join
     } finally server.stop()
+    // an AUTH-ENABLED peer: credentials reach it, wrong/absent ones
+    // surface the peer's 401 readably, and the peer's ACLs bind to the
+    // federating user
+    val authed = graft.sources.QueryServer.start(spark,
+      credentials = Map("fed" -> "fed-pw"))
+    try {
+      val ok = Federation.graftPeer(spark,
+        s"http://127.0.0.1:${authed.port}",
+        "SELECT k FROM peer_table WHERE k = 1",
+        credentials = Some(("fed", "fed-pw")))
+      assert(ok.count() === 1)
+      val denied = intercept[IllegalArgumentException](
+        Federation.graftPeer(spark, s"http://127.0.0.1:${authed.port}",
+          "SELECT 1 AS one"))
+      assert(denied.getMessage.contains("401"), denied.getMessage)
+    } finally authed.stop()
   }
 
   test("graft-to-graft federation over JDBC: the thrift transport twin") {
