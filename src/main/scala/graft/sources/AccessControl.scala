@@ -159,7 +159,11 @@ object AccessControl {
 /** Analyzer rule enforcing VIEW allow-lists: runs in the resolution
   * batch's fixed point, so it sees the SubqueryAlias a view expands to
   * right after Spark's own relation resolution substitutes it. Zero
-  * cost without a request principal (one ThreadLocal read). */
+  * cost without a request principal (one ThreadLocal read).
+  *
+  * Matching is by ALIAS NAME, so a non-granted user's own subquery
+  * aliased to a protected view's name is also denied — a conservative
+  * false positive (fail-closed beats a bypass; rename the alias). */
 case class AccessControlRule(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (AccessControl.hasViewAcls &&
