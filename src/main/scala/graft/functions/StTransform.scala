@@ -133,7 +133,11 @@ object StTransform {
     * file's mm-accuracy claim dies well past this; refuse beyond it. */
   private val MaxDeltaLonDeg = 35.0
   private val MaxAbsXi = 1.48  // rectified latitude |xi| at ~84.7°
-  private val MaxAbsEta = 0.62 // 3.9e6 m / (K0 * RectA)
+  // the inverse bound must ADMIT every forward image of the allowed
+  // domain: |eta| peaks at the equator at atanh(sin 35 deg) = 0.6523
+  // (the Gauss-Schreiber stretch outruns ground distance), so the
+  // easting guard sits just past it
+  private val MaxAbsEta = 0.66
 
   /** Central meridian of a UTM zone, in degrees. */
   def zoneCentralMeridian(zone: Int): Double = 6.0 * zone - 183.0

@@ -546,6 +546,17 @@ class GisPredicatesSpec extends AnyFunSuite {
     // is convex but the L routes the pair to the fragment walk
     clipRefuses("st_union", ell,
       "POLYGON ((2 4, 4 6, 2 8, 0 6, 2 4))", "vertex")
+    // BOTH sides concave (the fragment walk never needed a convex
+    // window, unlike the intersection path): the L union a staircase
+    // overlapping its bottom arm. Staircase (3,-1)(7,-1)(7,3)(5,3)
+    // (5,1)(3,1), concave at (5,1) = lower slab x[3,7]y[-1,1] (8) +
+    // upper slab x[5,7]y[1,3] (4) = 12; overlap with the L =
+    // x[3,7]y[0,1] (4) + x[5,7]y[1,2] (2) = 6; all four crossings
+    // proper -> union area 24 + 12 - 6 = 30
+    val stair = "POLYGON ((3 -1, 7 -1, 7 3, 5 3, 5 1, 3 1, 3 -1))"
+    val Some((bcArea, _, _)) = clip("st_union", ell, stair)
+    assert(math.abs(bcArea - 30.0) < 1e-9, bcArea.toString)
+    assert(math.abs(clip("st_union", stair, ell).get._1 - 30.0) < 1e-9)
   }
 
   test("CONCAVE intersection: ear-clip + per-triangle clip + stitch — " +
@@ -866,6 +877,15 @@ class GisPredicatesSpec extends AnyFunSuite {
     val (e32, n32) = xform("POINT (448252.001 5411954.910)", 32631, 32632)
     assert(math.abs(e32 - 448252.001) > 1.0) // genuinely re-projected
     assert(n32 > 5.4e6)
+    // the 35-deg bound is tight on BOTH sides: 34.9 deg from zone 31's
+    // central meridian (3E) round-trips to 1e-9 deg (the series really
+    // does hold that wide), 35.1 deg refuses
+    val (we, wn) = xform("POINT (37.9 10) ", 4326, 32631)
+    val (wl, wp) = xform(s"POINT ($we $wn)", 32631, 4326)
+    assert(math.abs(wl - 37.9) < 1e-9 && math.abs(wp - 10) < 1e-9,
+      s"$wl $wp")
+    val eWide = intercept[Exception](xform("POINT (38.1 10)", 4326, 32631))
+    assert(TestSpark.causeChain(eWide).contains("central meridian"))
   }
 
   test("st_transform applies per-vertex on LINESTRING/POLYGON and " +
