@@ -258,6 +258,14 @@ object Bench {
       if (firstJobMs < 0) firstJobMs = job.time
   }
 
+  /** Per-query minimum over SUCCESSFUL reps only — a fast-failing rep
+    * must not report its failure wall as the decision-grade number.
+    * Shared by both bench tiers (they previously carried copies). */
+  private def minOkWall(walls: Seq[(Double, Boolean)]): Double = {
+    val ok = walls.filter(_._2).map(_._1)
+    if (ok.nonEmpty) ok.min else walls.map(_._1).min
+  }
+
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     if (s.isEmpty) 0.0
@@ -386,10 +394,14 @@ object Bench {
       val cpuS = (TaskCpuListener.cpuNs.get - cpu0) / 1e9
       val otherCores =
         if (wall > 0) ((mach1 - mach0) - (proc1 - proc0)) / wall else 0.0
+      // firstJobMs is read AFTER drainListenerBus, so a normally-run
+      // query has posted its job-start by here; -1 = honestly UNKNOWN
+      // (a pure driver-side rep, or a failed bus drain) — never the
+      // full wall, which would invert the plan-vs-execution diagnosis
       val planSec =
         if (TaskCpuListener.firstJobMs >= wall0Ms)
           (TaskCpuListener.firstJobMs - wall0Ms) / 1e3
-        else wall // no job at all: the whole rep was driver-side
+        else -1.0
       (wall, ok, if (wall > 0) cpuS / wall else 0.0, cpuS, otherCores,
         planSec)
     }
@@ -416,20 +428,18 @@ object Bench {
       // committed-clean-floor ratio — the r13 blind spot where co-tenant
       // pressure inflated walls 10x without tripping any probe-visible
       // instrument
-      def initMin(rs: Vector[(Double, Boolean, Double, Double, Double, Double)]) = {
-        val okW = rs.filter(_._2).map(_._1)
-        if (okW.nonEmpty) okW.min else rs.map(_._1).min
-      }
       val reasons = BenchGuard.verdict(qSteal,
         runs.map(r => (r._1, r._5)), nCores, bracket, floorPar,
-        initMin(runs), BenchGuard.cleanFloorSf01.get(name))
+        minOkWall(runs.map(r => (r._1, r._2))),
+        BenchGuard.cleanFloorSf01.get(name))
       val dirty = reasons.nonEmpty
       if (dirty) { settle(); runs = runs :+ runOnce(name, sfDir) }
       // per-query minimum over SUCCESSFUL reps only: a fast-failing rep
       // must not report its failure wall as the decision-grade number
       // (ok=false + rc=1 already mark the round; "runs" keeps all reps,
       // including a dirty window's settled re-run)
-      QWin(name, initMin(runs), runs.map(_._1), runs.forall(_._2),
+      QWin(name, minOkWall(runs.map(r => (r._1, r._2))),
+        runs.map(_._1), runs.forall(_._2),
         runs.map(_._3), runs.map(_._4), runs.map(_._5), runs.map(_._6),
         dirty, reasons, qSteal)
     }
@@ -532,18 +542,15 @@ object Bench {
           // the headline loop (steal / other-process CPU / bracket /
           // committed-clean-floor ratio) — re-run once after the
           // window settles, keep every rep, flag the query
-          def initMin1(rs: Vector[(Double, Boolean, Double, Double, Double, Double)]) = {
-            val okW = rs.filter(_._2).map(_._1)
-            if (okW.nonEmpty) okW.min else rs.map(_._1).min
-          }
           val reasons = BenchGuard.verdict(qSteal,
             runs.map(r => (r._1, if (r._1 > 0) (r._5 - r._6) / r._1 else 0.0)),
             nCores, Some(bracketAfter), floorPar,
-            initMin1(runs), BenchGuard.cleanFloorSf1.get(name))
+            minOkWall(runs.map(r => (r._1, r._2))),
+            BenchGuard.cleanFloorSf1.get(name))
           val dirty = reasons.nonEmpty
           if (dirty) { settle(); runs = runs :+ sf1Once() }
           // same successful-reps-only minimum as the headline loop
-          val minW = initMin1(runs)
+          val minW = minOkWall(runs.map(r => (r._1, r._2)))
           (name, runs.map(_._1), runs.forall(_._2), cc, runs.map(_._3),
             runs.map(_._4), minW, runs.map(_._5), runs.map(_._6),
             dirty, qSteal, reasons)

@@ -551,6 +551,28 @@ object ConvexClip {
     requireSimple(a, "left", eps2)
     requireSimple(b, "right", eps2)
     val epsL = 1e4 * java.lang.Math.ulp(1.0) * scale
+    // a vertex SHARED by the two rings is a boundary contact the
+    // crossing enumeration below cannot see (both intersection
+    // parameters sit at endpoints, so nothing is recorded or refused)
+    // — with overlap elsewhere the stitch could then walk a
+    // self-touching "ring" and emit it as a simple POLYGON; refuse the
+    // configuration up front instead
+    locally {
+      var i = 0
+      while (i < a.n) {
+        var j = 0
+        while (j < b.n) {
+          if (math.abs(a.xs(i) - b.xs(j)) <= epsL &&
+              math.abs(a.ys(i) - b.ys(j)) <= epsL)
+            throw new IllegalArgumentException(
+              f"st_union: the polygons share a vertex at " +
+                f"(${a.xs(i)}%.6g, ${a.ys(i)}%.6g) — degenerate " +
+                "boundary contact, refusing rather than guessing")
+          j += 1
+        }
+        i += 1
+      }
+    }
     // crossing points per edge, keyed by (ring, edge index) -> list of
     // (t along the edge, x, y); the SAME (x, y) lands on both rings
     val splitsA = Array.fill(a.n)(

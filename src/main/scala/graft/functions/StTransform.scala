@@ -132,7 +132,11 @@ object StTransform {
     * distance at higher latitude, where the series only improves). The
     * file's mm-accuracy claim dies well past this; refuse beyond it. */
   private val MaxDeltaLonDeg = 35.0
-  private val MaxAbsXi = 1.48  // rectified latitude |xi| at ~84.7°
+  // must ADMIT every forward image of the allowed domain: at lat 84.5
+  // combined with 35 deg of longitude the forward xi reaches ~1.492
+  // (the meridian-convergence stretch), so the guard sits just past it
+  // (the pole is xi ~1.571, still refused)
+  private val MaxAbsXi = 1.50
   // the inverse bound must ADMIT every forward image of the allowed
   // domain: |eta| peaks at the equator at atanh(sin 35 deg) = 0.6523
   // (the Gauss-Schreiber stretch outruns ground distance), so the
@@ -292,7 +296,8 @@ case class StTransformExpr(child: Expression, fromSrid: Int, toSrid: Int)
     // an srid-carrying geometry must agree with fromSrid: transforming
     // a mis-tagged geometry would be silently wrong AND stamp the
     // result toSrid, laundering the error
-    if (child.dataType.asInstanceOf[StructType].fields.length >= 4) {
+    if (child.dataType.asInstanceOf[StructType].fields.length >= 4 &&
+        !row.isNullAt(3)) { // null srid field = untagged geometry
       val inSrid = row.getInt(3)
       if (inSrid != fromSrid)
         throw new IllegalArgumentException(

@@ -116,10 +116,14 @@ object AccessControl {
   private[sources] def hasViewAcls: Boolean = viewAcl.nonEmpty
 
   /** Deny `dfs.<ws>.…` resolution when the workspace carries an
-    * allow-list the request principal is not on. */
+    * allow-list the request principal is not on. The ACL map is tested
+    * BEFORE resolving the principal: currentUser walks the JDBC session
+    * registry reflectively whenever a server is live, and the common
+    * posture (no ACL on this workspace) must not pay that per
+    * resolution. */
   def checkWorkspace(spark: SparkSession, ws: String): Unit =
-    currentUser(spark).foreach { u =>
-      workspaceAcl.get(ws.toLowerCase).foreach { allowed =>
+    workspaceAcl.get(ws.toLowerCase).foreach { allowed =>
+      currentUser(spark).foreach { u =>
         if (!allowed.contains(u))
           throw new DeniedException(
             s"user '$u' is not authorized for dfs workspace '$ws'")
@@ -127,16 +131,13 @@ object AccessControl {
     }
 
   /** Deny a view reference when the view carries an allow-list the
-    * request principal is not on (called by [[AccessControlRule]] on
-    * resolved SubqueryAlias names — a persistent view expands to one
-    * carrying its own name). */
-  def checkView(spark: SparkSession, name: String): Unit =
-    currentUser(spark).foreach { u =>
-      viewAcl.get(name.toLowerCase).foreach { allowed =>
-        if (!allowed.contains(u))
-          throw new DeniedException(
-            s"user '$u' is not authorized for view '$name'")
-      }
+    * principal `u` is not on (called by [[AccessControlRule]], which
+    * resolves the principal ONCE per rule application). */
+  private[sources] def checkViewFor(u: String, name: String): Unit =
+    viewAcl.get(name.toLowerCase).foreach { allowed =>
+      if (!allowed.contains(u))
+        throw new DeniedException(
+          s"user '$u' is not authorized for view '$name'")
     }
 
   /** Resolve the EFFECTIVE principal for a request authenticated as
@@ -166,12 +167,13 @@ object AccessControl {
   * false positive (fail-closed beats a bypass; rename the alias). */
 case class AccessControlRule(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (AccessControl.hasViewAcls &&
-        AccessControl.currentUser(spark).isDefined)
-      plan.foreach {
-        case s: SubqueryAlias =>
-          AccessControl.checkView(spark, s.alias)
-        case _ => ()
+    if (AccessControl.hasViewAcls)
+      AccessControl.currentUser(spark).foreach { u =>
+        plan.foreach {
+          case s: SubqueryAlias =>
+            AccessControl.checkViewFor(u, s.alias)
+          case _ => ()
+        }
       }
     plan
   }

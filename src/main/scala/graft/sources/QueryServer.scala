@@ -60,43 +60,47 @@ object QueryServer {
   def start(spark: SparkSession, port: Int = 0, maxRows: Int = 10000,
             credentials: Map[String, String] = Map.empty): Running = {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    // the AUTHENTICATED principal of this exchange, derived from the
+    // per-exchange Authorization header; None = invalid/absent. Handlers
+    // needing the principal re-derive it from the SAME header — NEVER
+    // through HttpExchange.setAttribute, whose store is the
+    // HttpContext-wide SHARED map, so concurrent requests would read
+    // each other's principals (a confirmed principal-swap race).
+    def authUser(x: HttpExchange): Option[String] = {
+      val hdr = Option(x.getRequestHeaders.getFirst("Authorization"))
+        .getOrElse("")
+      if (!hdr.startsWith("Basic ")) None
+      else {
+        val dec =
+          try new String(java.util.Base64.getDecoder
+            .decode(hdr.drop(6).trim), "UTF-8")
+          catch { case _: IllegalArgumentException => "" }
+        val i = dec.indexOf(':')
+        if (i <= 0) None
+        else {
+          val (u, pw) = (dec.take(i), dec.drop(i + 1))
+          // unknown users still run the constant-time compare
+          // against a dummy — skipping it returns measurably
+          // faster and re-opens the username-enumeration timing
+          // channel the generic 401 body closes
+          val expected = credentials.getOrElse(u,
+            "\u0000graft-no-such-user")
+          if (java.security.MessageDigest.isEqual(
+              expected.getBytes("UTF-8"), pw.getBytes("UTF-8")) &&
+              credentials.contains(u)) Some(u)
+          else None
+        }
+      }
+    }
     def guarded(h: HttpHandler): HttpHandler =
       if (credentials.isEmpty) h
       else new HttpHandler {
         override def handle(x: HttpExchange): Unit = {
-          val hdr = Option(x.getRequestHeaders.getFirst("Authorization"))
-            .getOrElse("")
-          val ok = hdr.startsWith("Basic ") && {
-            val dec =
-              try new String(java.util.Base64.getDecoder
-                .decode(hdr.drop(6).trim), "UTF-8")
-              catch { case _: IllegalArgumentException => "" }
-            val i = dec.indexOf(':')
-            i > 0 && {
-              val (u, pw) = (dec.take(i), dec.drop(i + 1))
-              // unknown users still run the constant-time compare
-              // against a dummy — skipping it returns measurably
-              // faster and re-opens the username-enumeration timing
-              // channel the generic 401 body closes
-              val expected = credentials.getOrElse(u,
-                "\u0000graft-no-such-user")
-              java.security.MessageDigest.isEqual(
-                expected.getBytes("UTF-8"), pw.getBytes("UTF-8")) &&
-                credentials.contains(u)
-            }
-          }
-          if (!ok) {
+          if (authUser(x).isEmpty) {
             x.getResponseHeaders.add("WWW-Authenticate",
               "Basic realm=\"graft\"")
             respond(x, 401, error("authentication required"))
-          } else {
-            // carry the AUTHENTICATED principal to the handler — the
-            // /query handler scopes execution to it (AccessControl)
-            val dec = new String(java.util.Base64.getDecoder
-              .decode(hdr.drop(6).trim), "UTF-8")
-            x.setAttribute("graft.auth.user", dec.take(dec.indexOf(':')))
-            h.handle(x)
-          }
+          } else h.handle(x)
         }
       }
     server.createContext("/query", guarded(new HttpHandler {
@@ -151,8 +155,7 @@ object QueryServer {
           // the basic-auth user, or the X-Run-As target when the
           // inbound-impersonation policy allows it (AccessControl) —
           // allow-list checks and sys.profiles both see that user
-          val out = Option(x.getAttribute("graft.auth.user"))
-            .map(_.toString) match {
+          val out = (if (credentials.isEmpty) None else authUser(x)) match {
             case None => run() // open endpoint: session-owner posture
             case Some(auth) =>
               val eff = AccessControl.effectiveUser(spark, auth,

@@ -423,9 +423,9 @@ class GisPredicatesSpec extends AnyFunSuite {
     val Some((arrowArea, _, _)) = clip("st_intersection", concave, a)
     assert(math.abs(arrowArea - 10.0) < 1e-9, arrowArea.toString)
     // st_union now accepts concave sides for OVERLAPPING pairs (round
-    // 20) — but this arrow shares the window's boundary edges, a
-    // boundary-merging collinear contact the fragment walk refuses
-    clipRefuses("st_union", a, concave, "collinear")
+    // 20) — but this arrow shares the window's corners, a boundary
+    // contact the fragment walk refuses up front
+    clipRefuses("st_union", a, concave, "share a vertex")
     // difference stays convex-only
     clipRefuses("st_difference", a, concave, "concave")
     // vertex-grazing contact on the walk path refuses rather than
@@ -539,8 +539,14 @@ class GisPredicatesSpec extends AnyFunSuite {
       "HOLE")
     // disjoint concave pair routes to the multi refusal
     clipRefuses("st_union", ell, rect(20, 20, 22, 22), "st_union_multi")
-    // touch-only: rectangle sharing just the L's right edge span
-    clipRefuses("st_union", ell, rect(8, 0, 10, 2), "collinear")
+    // touch-only: a rectangle sharing the L's right edge refuses at
+    // the shared corners; shifted off the corners, its corners sit ON
+    // the L's edge and the vertex-tangency check catches the same
+    // boundary-merging contact (the collinear-span branch is
+    // defense-in-depth behind these two)
+    clipRefuses("st_union", ell, rect(8, 0, 10, 2), "share a vertex")
+    clipRefuses("st_union", ell,
+      "POLYGON ((8 0.5, 10 0.5, 10 1.5, 8 1.5, 8 0.5))", "vertex")
     // crossing AT a vertex: diamond apex exactly on the L's top arm
     // boundary point (2, 6) — tangential contact refuses; the diamond
     // is convex but the L routes the pair to the fragment walk
