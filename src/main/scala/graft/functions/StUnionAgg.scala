@@ -28,10 +28,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, StructType}
   *    boundaries is true geometry algebra (the binary st_union's
   *    convex walk handles exactly two) — a silently-wrong multi with
   *    interleaved parts is the one thing this file must never emit.
-  *    Disjointness is verified pairwise (bbox precheck, then the
-  *    DE-9IM kernel's disjoint pattern), O(parts²) with cheap
-  *    prechecks — bounded at 4096 parts per group with a loud refusal
-  *    (a group that large wants a spatial index, not an aggregate).
+  *    Disjointness is verified by a plane SWEEP over the parts' bbox
+  *    x-intervals (sort by xmin, prune the active set by xmax, exact
+  *    DE-9IM only on bbox-meeting candidates) — near-linear for the
+  *    spread layouts disjoint unions actually have; the exact-check
+  *    count is still bounded ([[MaxRelates]]) against adversarial
+  *    all-overlapping-bbox layouts, and parts are bounded at
+  *    [[MaxParts]] per group, both with loud refusals (a group past
+  *    either bound wants a spatial index, not an aggregate).
   *
   *  POINT/LINESTRING inputs refuse (the reference unions geometries of
   *  one dimension per call in practice; a mixed-dimension union result
@@ -39,7 +43,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, StructType}
   */
 object StUnionAgg {
 
-  val MaxParts = 4096
+  val MaxParts = 65536
+  /** Bound on EXACT disjointness checks (bbox-meeting candidate pairs):
+    * valid inputs with heavily interlocking bboxes (diagonal strips)
+    * are still quadratic in candidates — refuse loudly past this
+    * rather than hang the task. */
+  val MaxRelates = 1 << 20
 
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"st_union_multi: $msg")
@@ -107,30 +116,44 @@ object StUnionAgg {
         Ordering.Double.TotalOrdering, coordOrd, coordOrd))
     if (ps.isEmpty) return null
     if (ps.length > MaxParts) fail(
-      s"${ps.length} parts exceed the $MaxParts-part bound — pairwise " +
-        "disjointness verification is quadratic; a group this large " +
-        "wants a spatial index, not an aggregate")
-    // pairwise disjointness: bbox precheck, exact DE-9IM on contact;
-    // rows built ONCE (the quadratic loop must not re-box coordinates
-    // per pair)
+      s"${ps.length} parts exceed the $MaxParts-part bound — a group " +
+        "this large wants a spatial index, not an aggregate")
+    // disjointness by x-interval SWEEP: sort bboxes by xmin, keep an
+    // active set pruned by xmax, exact DE-9IM only on candidates whose
+    // bboxes meet in BOTH axes. Rows built lazily per part (only
+    // candidate pairs pay the boxing).
     val boxes = ps.map(p => (p._1.min, p._1.max, p._2.min, p._2.max))
-    val rows = ps.map(polyRow)
-    var a = 0
-    while (a < ps.length) {
-      var b = a + 1
-      while (b < ps.length) {
-        val (ax1, ax2, ay1, ay2) = boxes(a)
-        val (bx1, bx2, by1, by2) = boxes(b)
-        val boxMeet = ax1 <= bx2 && bx1 <= ax2 && ay1 <= by2 && by1 <= ay2
-        if (boxMeet && !GisPredicates.relateMatch(
-            rows(a), rows(b), "FF*FF****"))
-          fail("two input polygons touch or overlap — merging " +
-            "boundaries is true geometry algebra (use the binary " +
-            "st_union for a convex pair); refusing rather than " +
-            "emitting a wrong multi-part ring")
-        b += 1
+    val rows = new Array[InternalRow](ps.length)
+    def rowOf(i: Int): InternalRow = {
+      if (rows(i) == null) rows(i) = polyRow(ps(i))
+      rows(i)
+    }
+    val order = boxes.indices.sortBy(i => boxes(i)._1)
+    val active = scala.collection.mutable.ArrayBuffer[Int]()
+    var relates = 0
+    order.foreach { i =>
+      val (x1, _, y1, y2) = boxes(i)
+      // prune: actives whose x-extent ended strictly before this xmin
+      var k = 0
+      while (k < active.length) {
+        if (boxes(active(k))._2 < x1) { active.remove(k) } else k += 1
       }
-      a += 1
+      active.foreach { j =>
+        val (_, _, by1, by2) = boxes(j)
+        if (y1 <= by2 && by1 <= y2) { // bboxes meet in both axes
+          relates += 1
+          if (relates > MaxRelates) fail(
+            s"more than $MaxRelates bbox-meeting part pairs — the " +
+              "layout is too interlocked for the aggregate's " +
+              "disjointness sweep; use a spatial index")
+          if (!GisPredicates.relateMatch(rowOf(i), rowOf(j), "FF*FF****"))
+            fail("two input polygons touch or overlap — merging " +
+              "boundaries is true geometry algebra (use the binary " +
+              "st_union for a convex pair); refusing rather than " +
+              "emitting a wrong multi-part ring")
+        }
+      }
+      active += i
     }
     if (ps.length == 1) polyRow(ps.head)
     else ConvexClip.multiRow(ps)

@@ -659,6 +659,36 @@ class GisPredicatesSpec extends AnyFunSuite {
       TestSpark.causeChain(e3))
   }
 
+  test("st_union_multi disjointness verifies by SWEEP: 20,000 spread " +
+      "parts aggregate (the old pairwise bound refused at 4,096) and " +
+      "a touching pair still refuses through the sweep") {
+    import spark.implicits._
+    def rectWkt(x: Long): String = {
+      val x1 = x * 3
+      s"POLYGON (($x1 0, ${x1 + 2} 0, ${x1 + 2} 1, $x1 1, $x1 0))"
+    }
+    val many = spark.range(20000)
+      .select(stGeomFromText(expr(
+        """concat('POLYGON ((', id*3, ' 0, ', id*3+2, ' 0, ',
+           id*3+2, ' 1, ', id*3, ' 1, ', id*3, ' 0))')""")).as("g"))
+    val u = many.agg(call_function("st_union_multi",
+      collect_list(col("g"))).as("u"))
+      .select(stNumGeometries(col("u")), round(stArea(col("u")), 6))
+      .collect()(0)
+    assert(u.getInt(0) === 20000)
+    assert(math.abs(u.getDouble(1) - 40000.0) < 1e-6)
+    // the sweep still finds a touching pair buried mid-set
+    val touch = Seq(rectWkt(0), rectWkt(1),
+      "POLYGON ((5 1, 7 1, 7 2, 5 2, 5 1))", // shares edge y=1 with rect(1)
+      rectWkt(3)).toDF("w").select(stGeomFromText(col("w")).as("g"))
+    val e = intercept[Exception] {
+      touch.agg(call_function("st_union_multi",
+        collect_list(col("g")))).collect()
+    }
+    assert(TestSpark.causeChain(e).contains("touch or overlap"),
+      TestSpark.causeChain(e))
+  }
+
   test("MULTIPOLYGON WKT parses into the multi form (rings normalized " +
       "CCW), st_area/envelope/count consume it, st_astext round-trips; " +
       "holes and other MULTI* refuse") {
