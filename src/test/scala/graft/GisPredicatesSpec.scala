@@ -689,6 +689,47 @@ class GisPredicatesSpec extends AnyFunSuite {
       TestSpark.causeChain(e))
   }
 
+  test("CONCAVE union fuzz: 300 seeded L-shape x rectangle pairs — " +
+      "every SUCCESS matches the inclusion-exclusion area exactly, " +
+      "every refusal is one of the documented honesty bounds") {
+    val rnd = new scala.util.Random(1414)
+    var successes = 0
+    val allowed = Seq("share a vertex", "tangential", "collinear",
+      "disjoint or touch-only", "HOLE", "degenerate", "grazes")
+    (1 to 300).foreach { trial =>
+      val W = 4 + rnd.nextInt(6); val H = 4 + rnd.nextInt(6)
+      val a = 1 + rnd.nextInt(W - 1); val h = 1 + rnd.nextInt(H - 1)
+      // L = R1 [0,W]x[0,h] + R2 [0,a]x[h,H]
+      val ell = s"POLYGON ((0 0, $W 0, $W $h, $a $h, $a $H, 0 $H, 0 0))"
+      val x1 = -3 + rnd.nextInt(12); val x2 = x1 + 1 + rnd.nextInt(8)
+      val y1 = -3 + rnd.nextInt(12); val y2 = y1 + 1 + rnd.nextInt(8)
+      val r = s"POLYGON (($x1 $y1, $x2 $y1, $x2 $y2, $x1 $y2, $x1 $y1))"
+      def inter(ax1: Int, ay1: Int, ax2: Int, ay2: Int): Int =
+        math.max(0, math.min(ax2, x2) - math.max(ax1, x1)) *
+          math.max(0, math.min(ay2, y2) - math.max(ay1, y1))
+      val expected = (W * h + a * (H - h)) + (x2 - x1) * (y2 - y1) -
+        (inter(0, 0, W, h) + inter(0, h, a, H))
+      try {
+        val got = clip("st_union", ell, r)
+        assert(got.isDefined, s"trial $trial: union returned empty")
+        assert(math.abs(got.get._1 - expected) < 1e-9,
+          s"trial $trial: ell=$ell r=$r got ${got.get._1} expected $expected")
+        // and it commutes
+        assert(math.abs(clip("st_union", r, ell).get._1 - expected) < 1e-9,
+          s"trial $trial commute")
+        successes += 1
+      } catch {
+        case e: Exception =>
+          val chain = TestSpark.causeChain(e)
+          assert(allowed.exists(chain.contains),
+            s"trial $trial: undocumented refusal for ell=$ell r=$r: $chain")
+      }
+    }
+    // the family must actually exercise the success path, not refuse
+    // everything (documented-refusal-only would be vacuous)
+    assert(successes >= 60, s"only $successes/300 trials succeeded")
+  }
+
   test("MULTIPOLYGON WKT parses into the multi form (rings normalized " +
       "CCW), st_area/envelope/count consume it, st_astext round-trips; " +
       "holes and other MULTI* refuse") {
