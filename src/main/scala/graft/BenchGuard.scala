@@ -27,9 +27,9 @@ object BenchGuard {
   val FloorSlackSec = 0.3
 
   /** Committed per-query CLEAN floors at the sf0.1 tier: min wall over
-    * the committed clean records (BASELINE_bench_r12_clean.json and
-    * BASELINE_bench_r13_final.json — both measured at steal ~0 with
-    * flat probe brackets on this sandbox's hardware). Maintained BY
+    * the committed clean records (BASELINE_bench_r12_clean.json,
+    * BASELINE_bench_r13_final.json, BASELINE_bench_r14_best.json —
+    * the cleanest windows on this sandbox's hardware). Maintained BY
     * HAND: when a query's implementation legitimately changes, update
     * its floor in the same commit (tools/bench_floors.py regenerates
     * both maps from the committed clean records). A query without an
@@ -48,14 +48,14 @@ object BenchGuard {
     "q_dsir" -> 1.351,
     "q_dup_components" -> 2.893,
     "q_embed_neardup" -> 0.265,
-    "q_iceberg_changelog" -> 0.569,
+    "q_iceberg_changelog" -> 0.547,
     "q_iceberg_eq_delete" -> 0.215,
     "q_iceberg_v2" -> 0.208,
-    "q_lang_clf" -> 2.359,
+    "q_lang_clf" -> 2.111,
     "q_multi_join" -> 0.971,
     "q_ngram_decontam" -> 0.736,
-    "q_paimon_pk" -> 0.249,
-    "q_quality_clf" -> 1.958,
+    "q_paimon_pk" -> 0.23,
+    "q_quality_clf" -> 1.948,
     "q_range_join" -> 0.24,
     "q_sessionize" -> 0.341,
     "q_token_count" -> 0.256,
@@ -69,9 +69,9 @@ object BenchGuard {
     "q_bm25" -> 0.674,
     "q_dedup_minhash" -> 5.367,
     "q_dedup_simhash" -> 0.944,
-    "q_dsir" -> 5.813,
+    "q_dsir" -> 5.327,
     "q_dup_components" -> 12.877,
-    "q_iceberg_changelog" -> 0.577,
+    "q_iceberg_changelog" -> 0.575,
     "q_lang_clf" -> 4.345,
     "q_multi_join" -> 3.143,
     "q_quality_clf" -> 2.773)
