@@ -28,7 +28,7 @@ object BenchGuard {
 
   /** Committed per-query CLEAN floors at the sf0.1 tier: min wall over
     * the committed clean records (BASELINE_bench_r12_clean.json,
-    * BASELINE_bench_r13_final.json, BASELINE_bench_r14_best.json —
+    * BASELINE_bench_r13_final.json, BASELINE_bench_r14_best/clean.json —
     * the cleanest windows on this sandbox's hardware). Maintained BY
     * HAND: when a query's implementation legitimately changes, update
     * its floor in the same commit (tools/bench_floors.py regenerates
@@ -37,16 +37,16 @@ object BenchGuard {
   val cleanFloorSf01: Map[String, Double] = Map(
     "q1_agg" -> 0.334,
     "q_ann_bruteforce" -> 0.224,
-    "q_asof_join" -> 0.308,
+    "q_asof_join" -> 0.284,
     "q_bm25" -> 0.459,
     "q_broadcast_join" -> 0.373,
     "q_dedup_minhash" -> 2.146,
     "q_dedup_simhash" -> 0.787,
     "q_delta_colmap_id" -> 0.057,
-    "q_delta_dv" -> 0.134,
-    "q_dfs_sql" -> 0.234,
+    "q_delta_dv" -> 0.126,
+    "q_dfs_sql" -> 0.226,
     "q_dsir" -> 1.351,
-    "q_dup_components" -> 2.893,
+    "q_dup_components" -> 2.458,
     "q_embed_neardup" -> 0.265,
     "q_iceberg_changelog" -> 0.547,
     "q_iceberg_eq_delete" -> 0.215,
@@ -55,11 +55,11 @@ object BenchGuard {
     "q_multi_join" -> 0.971,
     "q_ngram_decontam" -> 0.736,
     "q_paimon_pk" -> 0.23,
-    "q_quality_clf" -> 1.948,
-    "q_range_join" -> 0.24,
+    "q_quality_clf" -> 1.862,
+    "q_range_join" -> 0.227,
     "q_sessionize" -> 0.341,
     "q_token_count" -> 0.256,
-    "q_topn" -> 0.147,
+    "q_topn" -> 0.131,
     "q_window_running" -> 0.335,
     "q_except" -> 0.3,
     "q_anti_join" -> 0.3)
@@ -72,7 +72,7 @@ object BenchGuard {
     "q_dsir" -> 5.327,
     "q_dup_components" -> 12.877,
     "q_iceberg_changelog" -> 0.575,
-    "q_lang_clf" -> 4.345,
+    "q_lang_clf" -> 4.094,
     "q_multi_join" -> 3.143,
     "q_quality_clf" -> 2.773)
 
