@@ -310,6 +310,54 @@ class RestShapefileSpec extends AnyFunSuite {
     }
   }
 
+  test("CONCURRENT authenticated requests never swap principals: " +
+      "40 interleaved alice/bob queries against a bob-only view — " +
+      "alice is always 403, bob always 200 (regression for the " +
+      "HttpExchange context-shared-attribute race)") {
+    import spark.implicits._
+    Seq((1, "y")).toDF("k", "v").createOrReplaceTempView("race_view")
+    graft.sources.AccessControl.grantView("race_view", Set("bob"))
+    val server = graft.sources.QueryServer.start(spark,
+      credentials = Map("alice" -> "a-pw", "bob" -> "b-pw"))
+    try {
+      def post(auth: String): Int = {
+        val url = java.net.URI.create(
+          s"http://127.0.0.1:${server.port}/query").toURL
+        val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST")
+        conn.setRequestProperty("Content-Type", "application/json")
+        conn.setRequestProperty("Authorization", "Basic " +
+          java.util.Base64.getEncoder.encodeToString(auth.getBytes("UTF-8")))
+        conn.setDoOutput(true)
+        conn.getOutputStream.write(
+          """{"query": "SELECT k FROM race_view"}""".getBytes("UTF-8"))
+        val code = conn.getResponseCode
+        val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+        is.readAllBytes(); conn.disconnect()
+        code
+      }
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      try {
+        val futures = (0 until 40).map { i =>
+          val who = if (i % 2 == 0) "alice:a-pw" else "bob:b-pw"
+          (who, pool.submit(new java.util.concurrent.Callable[Int] {
+            override def call(): Int = post(who)
+          }))
+        }
+        futures.foreach { case (who, f) =>
+          val code = f.get(60, java.util.concurrent.TimeUnit.SECONDS)
+          if (who.startsWith("alice"))
+            assert(code == 403, s"alice got $code — principal swap!")
+          else assert(code == 200, s"bob got $code — principal swap!")
+        }
+      } finally pool.shutdownNow()
+    } finally {
+      server.stop()
+      graft.sources.AccessControl.clearPolicy()
+      spark.catalog.dropTempView("race_view")
+    }
+  }
+
   test("CTAS routes to lakehouse formats: delta and iceberg targets") {
     import spark.implicits._
     import graft.sources.{DeltaLogReader, IcebergTable, Writer}
