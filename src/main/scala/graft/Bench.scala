@@ -411,6 +411,12 @@ object Bench {
       ok: Boolean, effPars: Seq[Double], cpuSecs: Seq[Double],
       otherCpu: Seq[Double], planSecs: Seq[Double], dirty: Boolean,
       reasons: Seq[String], qSteal: Double)
+    // running count of dirty windows THIS SESSION: after
+    // DirtySessionThreshold flags, BenchGuard's floor trigger escalates
+    // to FloorRatioEscalated for the remaining queries — contention here
+    // is bursty and correlated, and the session knows it (the r14
+    // q_iceberg_changelog 2.13x-unflagged margin)
+    var sessionDirty = 0
     val results = headline.map { name =>
       val (s0, j0) = cpuStat()
       var runs = (1 to Reps).map(_ => runOnce(name, sfDir)).toVector
@@ -431,9 +437,9 @@ object Bench {
       val reasons = BenchGuard.verdict(qSteal,
         runs.map(r => (r._1, r._5)), nCores, bracket, floorPar,
         minOkWall(runs.map(r => (r._1, r._2))),
-        BenchGuard.cleanFloorSf01.get(name))
+        BenchGuard.cleanFloorSf01.get(name), sessionDirty)
       val dirty = reasons.nonEmpty
-      if (dirty) { settle(); runs = runs :+ runOnce(name, sfDir) }
+      if (dirty) { sessionDirty += 1; settle(); runs = runs :+ runOnce(name, sfDir) }
       // per-query minimum over SUCCESSFUL reps only: a fast-failing rep
       // must not report its failure wall as the decision-grade number
       // (ok=false + rc=1 already mark the round; "runs" keeps all reps,
@@ -542,13 +548,15 @@ object Bench {
           // the headline loop (steal / other-process CPU / bracket /
           // committed-clean-floor ratio) — re-run once after the
           // window settles, keep every rep, flag the query
+          // sessionDirty CONTINUES from the headline loop — co-tenant
+          // pressure is machine-wide, so sf0.1 flags inform sf1 windows
           val reasons = BenchGuard.verdict(qSteal,
             runs.map(r => (r._1, if (r._1 > 0) (r._5 - r._6) / r._1 else 0.0)),
             nCores, Some(bracketAfter), floorPar,
             minOkWall(runs.map(r => (r._1, r._2))),
-            BenchGuard.cleanFloorSf1.get(name))
+            BenchGuard.cleanFloorSf1.get(name), sessionDirty)
           val dirty = reasons.nonEmpty
-          if (dirty) { settle(); runs = runs :+ sf1Once() }
+          if (dirty) { sessionDirty += 1; settle(); runs = runs :+ sf1Once() }
           // same successful-reps-only minimum as the headline loop
           val minW = minOkWall(runs.map(r => (r._1, r._2)))
           (name, runs.map(_._1), runs.forall(_._2), cc, runs.map(_._3),

@@ -26,6 +26,17 @@ object BenchGuard {
   val FloorRatio = 2.5
   val FloorSlackSec = 0.3
 
+  /** Escalated floor ratio once the SESSION has already flagged
+    * [[DirtySessionThreshold]] dirty windows: contention on this sandbox
+    * is bursty and CORRELATED — when three windows have read dirty, the
+    * prior that a 2x-inflated fourth is also contention (not noise) is
+    * strong enough to flag at 1.8x. This is the r14 verdict's
+    * detector-margin finding: q_iceberg_changelog shipped 2.13x its
+    * committed floor UNFLAGGED in a window whose session had already
+    * flagged several queries. */
+  val FloorRatioEscalated = 1.8
+  val DirtySessionThreshold = 3
+
   /** Committed per-query CLEAN floors at the sf0.1 tier: min wall over
     * the committed clean records (BASELINE_bench_r12_clean.json,
     * BASELINE_bench_r13_final.json, BASELINE_bench_r14_best/clean.json —
@@ -89,7 +100,12 @@ object BenchGuard {
     *  - "floor":     min wall > [[FloorRatio]]x the committed clean
     *                 floor with > [[FloorSlackSec]] absolute excess —
     *                 the trigger that sees co-tenant pressure invisible
-    *                 to all of the above
+    *                 to all of the above. Once `sessionDirtyCount`
+    *                 reaches [[DirtySessionThreshold]] the ratio drops
+    *                 to [[FloorRatioEscalated]]: a session that has
+    *                 already flagged three windows KNOWS the machine is
+    *                 contended, so a 2x excursion is no longer
+    *                 presumed-innocent.
     */
   def verdict(qStealPct: Double,
               wallsAndOtherCores: Seq[(Double, Double)],
@@ -97,14 +113,18 @@ object BenchGuard {
               bracket: Option[Double],
               floorPar: Double,
               minWall: Double,
-              cleanFloor: Option[Double]): Seq[String] = {
+              cleanFloor: Option[Double],
+              sessionDirtyCount: Int = 0): Seq[String] = {
     val rs = Seq.newBuilder[String]
     if (qStealPct > 1.0) rs += "steal"
     if (wallsAndOtherCores.exists { case (w, oc) =>
         w > 0.5 && oc > 0.15 * nCores }) rs += "other_cpu"
     if (bracket.exists(_ > 1.5 * floorPar)) rs += "bracket"
+    val ratio =
+      if (sessionDirtyCount >= DirtySessionThreshold) FloorRatioEscalated
+      else FloorRatio
     if (cleanFloor.exists(f =>
-        minWall > FloorRatio * f && minWall - f > FloorSlackSec))
+        minWall > ratio * f && minWall - f > FloorSlackSec))
       rs += "floor"
     rs.result()
   }

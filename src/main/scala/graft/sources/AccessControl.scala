@@ -126,7 +126,11 @@ object AccessControl {
       currentUser(spark).foreach { u =>
         if (!allowed.contains(u))
           throw new DeniedException(
-            s"user '$u' is not authorized for dfs workspace '$ws'")
+            if (u == JdbcEndpoint.UnresolvedPrincipal)
+              s"dfs workspace '$ws' is ACL-protected and the JDBC " +
+                "principal could not be resolved (thrift-server registry " +
+                "walk failed) — failing closed; see the server log"
+            else s"user '$u' is not authorized for dfs workspace '$ws'")
       }
     }
 
@@ -137,7 +141,11 @@ object AccessControl {
     viewAcl.get(name.toLowerCase).foreach { allowed =>
       if (!allowed.contains(u))
         throw new DeniedException(
-          s"user '$u' is not authorized for view '$name'")
+          if (u == JdbcEndpoint.UnresolvedPrincipal)
+            s"view '$name' is ACL-protected and the JDBC principal " +
+              "could not be resolved (thrift-server registry walk " +
+              "failed) — failing closed; see the server log"
+          else s"user '$u' is not authorized for view '$name'")
     }
 
   /** Resolve the EFFECTIVE principal for a request authenticated as

@@ -128,6 +128,20 @@ object Federation {
                 credentials: Option[(String, String)] = None): DataFrame = {
     import scala.jdk.CollectionConverters._
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    // credentials ride a Basic header — REFUSE to send them in clear
+    // over a non-loopback http:// peer (the loopback posture is
+    // documented on QueryServer; enforce it where the password leaves)
+    credentials.foreach { _ =>
+      val u = java.net.URI.create(baseUrl)
+      val scheme = Option(u.getScheme).map(_.toLowerCase).getOrElse("")
+      val host = Option(u.getHost).map(_.toLowerCase).getOrElse("")
+      val loopback = host == "127.0.0.1" || host == "localhost" ||
+        host == "::1" || host == "[::1]"
+      require(scheme == "https" || loopback,
+        s"graftPeer: refusing to send Basic credentials in CLEARTEXT to " +
+          s"non-loopback '$baseUrl' — use https:// (see restTrustStore) " +
+          "or a loopback peer")
+    }
     val conn = java.net.URI.create(s"$baseUrl/query").toURL
       .openConnection().asInstanceOf[java.net.HttpURLConnection]
     conn.setRequestMethod("POST")

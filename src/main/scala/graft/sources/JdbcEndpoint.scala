@@ -29,8 +29,16 @@ import org.apache.spark.sql.SparkSession
 object JdbcEndpoint {
 
   final case class Running(port: Int, private val server: AnyRef) {
-    def stop(): Unit =
+    def stop(): Unit = {
       server.getClass.getMethod("stop").invoke(server)
+      // drop the sessionUser channel's reference: after stop() the
+      // registries are dead weight, and reflecting into a stopped
+      // server's session map on every ACL check is wasted work (a
+      // NEWER server may have replaced the reference — leave that one)
+      JdbcEndpoint.synchronized {
+        if (liveServer.exists(_ eq server)) liveServer = None
+      }
+    }
   }
 
   /** Static credential store for [[GraftPasswdAuth]] — hive instantiates
@@ -43,6 +51,27 @@ object JdbcEndpoint {
 
   /** The live server, for [[sessionUser]] — one per JVM (see start). */
   @volatile private var liveServer: Option[AnyRef] = None
+
+  /** Sentinel principal returned when a LIVE server's session registry
+    * cannot be walked (a Spark upgrade renamed the private method or
+    * changed the map's value type). It is never on any allow-list, so
+    * ACL-protected resources FAIL CLOSED instead of silently open —
+    * before this, every reflective break turned all JDBC workspace/view
+    * allow-lists into "no principal, allow everything". */
+  val UnresolvedPrincipal = "!graft-unresolved-principal"
+
+  /** Log the reflective break ONCE per JVM, loudly — per-resolution
+    * logging would flood on a hot ACL path. */
+  private val warnedUnresolved = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** TEST SEAM: run `body` with `srv` installed as the live server, so
+    * specs can plant a registry whose reflective walk FAILS and assert
+    * the fail-closed path without a real HiveServer2 (one per JVM). */
+  private[graft] def withLiveServer[T](srv: AnyRef)(body: => T): T = {
+    val prev = liveServer
+    liveServer = Some(srv)
+    try body finally liveServer = prev
+  }
 
   /** The authenticated username of the JDBC connection OWNING `session`
     * — every connection gets an EXCLUSIVE newSession() clone, so session
@@ -72,7 +101,22 @@ object JdbcEndpoint {
               case (h, s) if s eq session => sm.getSession(h).getUsername
             }
         }.flatten.map(_.trim).filter(_.nonEmpty)
-      } catch { case _: Exception => None }
+      } catch {
+        case e: Exception =>
+          // the registry walk THREW with a live server — the private
+          // surface changed (ReflectiveOperationException / cast) or a
+          // session closed mid-walk. Either way the principal is
+          // UNKNOWN, not absent: return the sentinel so configured
+          // allow-lists deny rather than wave everything through.
+          if (warnedUnresolved.compareAndSet(false, true))
+            System.err.println(
+              "graft: JDBC principal resolution FAILED against the live " +
+                s"HiveServer2 (${e.getClass.getName}: ${e.getMessage}) — " +
+                "ACL-protected workspaces/views now fail CLOSED for JDBC " +
+                "sessions until this is fixed (incompatible Spark " +
+                "thrift-server internals?)")
+          Some(UnresolvedPrincipal)
+      }
     }
 
   private def freePort(): Int = {

@@ -78,8 +78,22 @@ object QueryProfiles {
   // TAG read at SQLExecutionStart; JDBC (HiveServer2) operations post a
   // thrift OperationStart event carrying (groupId, user), which
   // onJobStart joins to the execution id via spark.jobGroup.id
-  private val groupUser = new ConcurrentHashMap[String, String]()
-  private val execUser = new ConcurrentHashMap[java.lang.Long, String]()
+  // Both are BOUNDED insertion-order maps (not ConcurrentHashMap +
+  // clear()): a wholesale clear() at the cap wiped attribution for every
+  // IN-FLIGHT JDBC operation at once (blank `user` fields under
+  // sustained load), and execUser entries whose execution never posts an
+  // end event would otherwise leak forever. Evicting the OLDEST entry
+  // keeps recent in-flight work attributed while still capping memory.
+  // Access is synchronizedMap: listener-bus events are single-threaded
+  // but disable() clears from the caller's thread.
+  private def boundedMap[K, V](cap: Int): java.util.Map[K, V] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[K, V](64, 0.75f, false) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[K, V]): Boolean = size() > cap
+      })
+  private val groupUser = boundedMap[String, String](4096)
+  private val execUser = boundedMap[java.lang.Long, String](4096)
   // O(1) ring sizes (ConcurrentLinkedDeque.size() traverses every node
   // — on the shared listener-bus thread, per event)
   private val opCount = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -204,9 +218,8 @@ object QueryProfiles {
                     .asInstanceOf[String]
                   val u = o.getClass.getMethod("userName").invoke(o)
                     .asInstanceOf[String]
-                  // bounded: a runaway JDBC client must not grow the
-                  // map for the JVM lifetime (ids are never re-posted)
-                  if (groupUser.size > 4096) groupUser.clear()
+                  // the map is bounded by construction (oldest-entry
+                  // eviction) — a runaway JDBC client cannot grow it
                   if (g != null && u != null) groupUser.put(g, u)
                 } catch { case _: ReflectiveOperationException => () }
               case u: SparkListenerSQLAdaptiveExecutionUpdate =>

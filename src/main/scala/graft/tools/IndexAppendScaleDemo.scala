@@ -28,7 +28,11 @@ object IndexAppendScaleDemo {
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val copies = args.lift(1).map(_.toInt).getOrElse(10)
-    val nBatches = args.lift(2).map(_.toInt).getOrElse(5)
+    // clamp: more batches than copies would produce EMPTY later batches
+    // (per caps at 1, range [b*per, min(copies, ...)) empties, and an
+    // empty Seq.reduce throws)
+    val nBatches = math.min(args.lift(2).map(_.toInt).getOrElse(5),
+      math.max(1, copies))
     val spark = GraftSession.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -58,9 +62,16 @@ object IndexAppendScaleDemo {
     // INCREASE with batch order (the capped-equivalence contract), so
     // batch b takes the contiguous copy range [b*per, (b+1)*per)
     val per = math.max(1, copies / nBatches)
-    def batch(b: Int) =
-      (b * per until math.min(copies, (b + 1) * per))
-        .map(copyK).reduce(_ unionAll _)
+    // the LAST batch absorbs the remainder so every copy is processed
+    // (copies % nBatches != 0 used to drop the tail copies entirely)
+    def batchRange(b: Int): Range =
+      b * per until (if (b == nBatches - 1) copies
+                     else math.min(copies, (b + 1) * per))
+    def batch(b: Int) = {
+      val r = batchRange(b)
+      require(r.nonEmpty, s"empty batch $b (copies=$copies nBatches=$nBatches)")
+      r.map(copyK).reduce(_ unionAll _)
+    }
 
     def runFamily(name: String,
                   append: (org.apache.spark.sql.DataFrame, String) => org.apache.spark.sql.DataFrame)
@@ -81,8 +92,10 @@ object IndexAppendScaleDemo {
           .count { case (n, ms) => n <= 1 && ms > w * 1000 * 0.5 }
       }
       val ws = walls.result()
+      val nDocs = docs0.count()
       s"""{"metric":"${name}_index_append_demo","batches":$nBatches,""" +
-        s""""docs_per_batch":${per * docs0.count()},""" +
+        s""""docs_per_batch":${(0 until nBatches)
+          .map(b => batchRange(b).size * nDocs).mkString("[", ",", "]")},""" +
         s""""append_wall_sec":${ws.map(w => f"$w%.1f").mkString("[", ",", "]")},""" +
         s""""pairs":${pairs.result().mkString("[", ",", "]")},""" +
         s""""last_over_first_wall":${f"${ws.last / ws.head}%.2f"},""" +

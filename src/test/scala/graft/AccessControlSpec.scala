@@ -91,4 +91,32 @@ class AccessControlSpec extends AnyFunSuite {
       assert(AccessControl.currentUser(spark).contains("a,b"))
     }
   }
+
+  test("JDBC principal resolution failure FAILS CLOSED: a live server " +
+      "whose registry walk throws denies ACL-protected resources " +
+      "instead of waving them through, and leaves un-ACL'd ones open") {
+    // a planted "server" with no getServices method — the reflective
+    // walk throws NoSuchMethodException, the post-upgrade breakage shape
+    val broken = new Object()
+    graft.sources.JdbcEndpoint.withLiveServer(broken) {
+      assert(graft.sources.JdbcEndpoint.sessionUser(spark)
+        .contains(graft.sources.JdbcEndpoint.UnresolvedPrincipal))
+      try {
+        AccessControl.grantWorkspace("secure", Set("bob"))
+        val e = intercept[AccessControl.DeniedException] {
+          AccessControl.checkWorkspace(spark, "secure")
+        }
+        assert(e.getMessage.contains("failing closed"))
+        // resources WITHOUT an allow-list stay open — fail-closed
+        // applies to protected names only, not the whole catalog
+        AccessControl.checkWorkspace(spark, "open_ws")
+        // an explicit runAs principal (REST path) still wins over the
+        // broken JDBC channel — the ThreadLocal is checked first
+        AccessControl.runAs(spark, "bob")(
+          AccessControl.checkWorkspace(spark, "secure"))
+      } finally AccessControl.clearPolicy()
+    }
+    // seam restored: no live server, no principal
+    assert(graft.sources.JdbcEndpoint.sessionUser(spark).isEmpty)
+  }
 }

@@ -65,6 +65,35 @@ class BenchGuardSpec extends AnyFunSuite {
       Seq("steal", "other_cpu", "bracket", "floor"))
   }
 
+  test("correlated-contention escalation: after 3 session dirty flags " +
+      "the floor trigger drops to 1.8x — the r14 q_iceberg_changelog " +
+      "window (2.13x, unflagged then) must flag") {
+    // the r14 driver window verbatim: min wall 1.362 s vs the 0.547 s
+    // committed floor (2.49x — under the 2.5x base trigger), in a
+    // session that had already flagged q_range_join, q_dsir and
+    // q_dedup_minhash dirty
+    def window(sessionDirty: Int) = BenchGuard.verdict(
+      qStealPct = 0.0,
+      wallsAndOtherCores = Seq((1.362, 0.3), (1.5, 0.2)),
+      nCores = cores,
+      bracket = Some(1.0), floorPar = 1.0,
+      minWall = 1.362,
+      cleanFloor = Some(0.547),
+      sessionDirtyCount = sessionDirty)
+    // a quiet session keeps the designed 2.5x margin (presumed innocent)
+    assert(window(0).isEmpty)
+    assert(window(2).isEmpty)
+    // a session that already flagged >=3 windows escalates and catches it
+    assert(window(3) === Seq("floor"))
+    // the absolute slack still applies under escalation: a 0.1 s query
+    // reading 0.19 s (1.9x) stays clean even in a dirty session
+    assert(BenchGuard.verdict(0.0, Seq((0.19, 0.0)), cores, None, 1.0,
+      0.19, Some(0.1), sessionDirtyCount = 5).isEmpty)
+    // and genuinely clean queries stay clean under escalation (1.5x)
+    assert(BenchGuard.verdict(0.0, Seq((0.82, 0.0)), cores, None, 1.0,
+      0.82, Some(0.547), sessionDirtyCount = 5).isEmpty)
+  }
+
   test("committed floors cover every sf0.1 headline and sf1 tier query " +
       "that has a clean record, and all floors are positive") {
     (BenchGuard.cleanFloorSf01.values ++ BenchGuard.cleanFloorSf1.values)
