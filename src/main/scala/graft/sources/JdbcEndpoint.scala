@@ -140,9 +140,32 @@ object JdbcEndpoint {
     * password) pair from the map or the SASL PLAIN handshake refuses —
     * the minimum for a front door deployable beyond loopback (pair it
     * with TLS termination in front for the wire). Empty (default) keeps
-    * hive's NONE mode: any user, loopback-only posture. */
+    * hive's NONE mode: any user, loopback-only posture.
+    *
+    * `maxConcurrentStatements` > 0 bounds how many statements EXECUTE
+    * at once on this door — the JDBC half of Drill's workload queues
+    * (reference exec/resourcemgr/ThrottledResourceManager.java),
+    * re-expressed over HiveServer2's own admission machinery: the async
+    * exec pool (`hive.server2.async.exec.threads`) is the executing-
+    * statement semaphore, and excess statements WAIT in its bounded
+    * queue — exactly Drill's queue-then-run behavior. The REST door's
+    * equivalent is the graft.queue.* options ([[RunningQueries]]),
+    * which also applies plan-size tiers; thrift's own pool has no
+    * cost model, so this door gets the single-queue form.
+    *
+    * `ssl` = Some((keystorePath, password)) serves the thrift socket
+    * over TLS (hive's own `hive.server2.use.SSL` + keystore machinery —
+    * the same knobs a standalone HiveServer2 deployment uses; reference
+    * Drill ships the equivalent for its doors in
+    * exec/.../ssl/SSLConfigServer.java). Generate the keystore with
+    * [[TlsSupport.generateKeyStore]]; clients connect with
+    * `;ssl=true;sslTrustStore=...;trustStorePassword=...` on the JDBC
+    * URL. Like the auth posture, the TLS posture is one-per-JVM: fixed
+    * at first start(). */
   def start(spark: SparkSession, port: Int = 0,
-            credentials: Map[String, String] = Map.empty): Running = {
+            credentials: Map[String, String] = Map.empty,
+            maxConcurrentStatements: Int = 0,
+            ssl: Option[(String, String)] = None): Running = {
     // NOTE: freePort() is check-then-bind — a foreign process could in
     // principle grab the port between the probe and HiveServer2's bind,
     // in which case awaitPort would accept against the squatter. The
@@ -177,7 +200,24 @@ object JdbcEndpoint {
           "hive.server2.custom.authentication.class" ->
             classOf[GraftPasswdAuth].getName)
       }
-    val startConf = authConf ++ Map(
+    val admissionConf =
+      if (maxConcurrentStatements <= 0) Map.empty[String, String]
+      else Map(
+        "hive.server2.async.exec.threads" -> maxConcurrentStatements.toString,
+        // the wait queue holds statements past the concurrency bound;
+        // 128 is deep enough that a bursty BI tool queues rather than
+        // errors, and bounded so a runaway client cannot OOM the door
+        "hive.server2.async.exec.wait.queue.size" -> "128")
+    val sslConf = ssl match {
+      case None => Map.empty[String, String]
+      case Some((ksPath, ksPass)) =>
+        require(new java.io.File(ksPath).isFile,
+          s"JDBC TLS keystore not found: $ksPath")
+        Map("hive.server2.use.SSL" -> "true",
+          "hive.server2.keystore.path" -> ksPath,
+          "hive.server2.keystore.password" -> ksPass)
+    }
+    val startConf = authConf ++ admissionConf ++ sslConf ++ Map(
       "hive.server2.thrift.port" -> p.toString,
       "hive.server2.thrift.bind.host" -> "127.0.0.1",
       // hive 2.x: webui disabled when port <= 0; operation-log dirs are

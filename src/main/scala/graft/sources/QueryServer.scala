@@ -106,6 +106,23 @@ object QueryServer {
     server.createContext("/query", guarded(new HttpHandler {
       override def handle(x: HttpExchange): Unit = {
         try {
+          // DELETE /query/<queryId> — cancel a RUNNING query (Drill's
+          // /profiles/cancel/{queryid}, reference server/rest/
+          // QueryResources.java): running and future jobs of the query's
+          // job group die, the submitter sees a failed action, the
+          // session survives. Ids come from sys.running_queries /
+          // GET /queries.json.
+          if (x.getRequestMethod == "DELETE") {
+            val path = x.getRequestURI.getPath
+            val id = path.stripPrefix("/query").stripPrefix("/")
+            if (id.isEmpty) { respond(x, 400, error(
+              "DELETE /query/<queryId> — id required")); return }
+            if (RunningQueries.cancel(spark, id))
+              respond(x, 200, s"""{"cancelled":"$id"}""")
+            else respond(x, 404, error(
+              s"no running query '$id' (already finished?)"))
+            return
+          }
           if (x.getRequestMethod != "POST") { respond(x, 405, error("POST only")); return }
           // CSRF hardening: loopback binding does not stop a BROWSER on
           // this machine from firing cross-site POSTs at localhost.
@@ -137,7 +154,8 @@ object QueryServer {
           val sql = Option(mapper.readTree(body)).flatMap(n => Option(n.get("query")))
             .map(_.asText).getOrElse("")
           if (sql.trim.isEmpty) { respond(x, 400, error("missing \"query\"")); return }
-          def run(): String = {
+          def run(asUser: String): String =
+              RunningQueries.track(spark, sql, asUser, "rest") {
             val df = spark.sql(sql).limit(maxRows)
             val cols = mapper.createObjectNode()
             val colArr = cols.putArray("columns")
@@ -150,20 +168,24 @@ object QueryServer {
             sb.append(",\"schema\":").append(mapper.writeValueAsString(df.schema.toDDL))
             sb.append(",\"rows\":[").append(rows.mkString(",")).append("]}")
             sb.toString
-          }
+          } // track(): job group + cancel registration + admission queue
           // authenticated requests execute AS the effective principal:
           // the basic-auth user, or the X-Run-As target when the
           // inbound-impersonation policy allows it (AccessControl) —
           // allow-list checks and sys.profiles both see that user
           val out = (if (credentials.isEmpty) None else authUser(x)) match {
-            case None => run() // open endpoint: session-owner posture
+            case None => run("") // open endpoint: session-owner posture
             case Some(auth) =>
               val eff = AccessControl.effectiveUser(spark, auth,
                 Option(x.getRequestHeaders.getFirst("X-Run-As")))
-              AccessControl.runAs(spark, eff)(run())
+              AccessControl.runAs(spark, eff)(run(eff))
           }
           respond(x, 200, out)
         } catch {
+          case e: RunningQueries.AdmissionException =>
+            // Drill's queue-timeout surface: the engine is at its
+            // configured concurrency — a retryable 503, not a 400
+            respond(x, 503, error(e.getMessage))
           case e: Throwable =>
             respond(x, if (isDenied(e)) 403 else 400, error(
               Option(e.getMessage).getOrElse(e.getClass.getSimpleName)))
@@ -197,6 +219,10 @@ object QueryServer {
     // GET /options.json — Drill's option listing (ref server/rest/
     // StatusResources.java): the sys.options table as JSON
     jsonGet("/options.json")(SysTables.options(spark))
+    // GET /queries.json — the LIVE query registry (Drill's running-
+    // profiles view, ref server/rest/profile/ProfileResources.java):
+    // ids here feed DELETE /query/<id> and the console's cancel button
+    jsonGet("/queries.json")(RunningQueries.running(spark))
     // GET /storage.json — the storage/workspace registry (ref
     // server/rest/StorageResources.java): dfs workspaces from the
     // session conf + the catalog's databases, with enabled flags
@@ -312,24 +338,40 @@ object QueryServer {
   private val profilesHtml: String =
     s"""<!doctype html><html><head><title>graft profiles</title>$style</head>
        |<body><h1>query profiles</h1><nav><a href="/">console</a></nav>
+       |<h2>running <button onclick="loadRunning()">refresh</button></h2>
+       |<div id="r"></div>
        |<div id="p"></div><h2>stages</h2><div id="s"></div>
        |<h2>operators</h2><div id="o"></div>
        |<script>
        |// profile rows carry user SQL / plan text — escape (see index)
        |function esc(s){return String(s).replace(/&/g,'&amp;')
        | .replace(/</g,'&lt;').replace(/>/g,'&gt;').replace(/"/g,'&quot;')}
-       |function tab(rows){
+       |function tab(rows,extra){
        | if(!rows.length)return '<p>(none — enable profiling)</p>';
        | const cols=Object.keys(rows[0]);
-       | let h='<table><tr>'+cols.map(c=>'<th>'+esc(c)+'</th>').join('')+'</tr>';
+       | let h='<table><tr>'+cols.map(c=>'<th>'+esc(c)+'</th>').join('')
+       |   +(extra?'<th></th>':'')+'</tr>';
        | for(const r of rows){h+='<tr>'+cols.map(c=>
-       |   '<td>'+(r[c]===undefined?'':esc(r[c]))+'</td>').join('')+'</tr>'}
+       |   '<td>'+(r[c]===undefined?'':esc(r[c]))+'</td>').join('')
+       |   +(extra?'<td>'+extra(r)+'</td>':'')+'</tr>'}
        | return h+'</table>';
        |}
        |async function load(id,url){
        | document.getElementById(id).innerHTML=tab(await (await fetch(url)).json());
        |}
-       |load('p','/profiles');load('s','/profiles/stages');
+       |// the per-row CANCEL button (Drill web UI's cancel link): DELETE
+       |// /query/<id> kills the query's running+future jobs
+       |async function loadRunning(){
+       | const rows=await (await fetch('/queries.json')).json();
+       | document.getElementById('r').innerHTML=rows.length?tab(rows,
+       |   r=>'<button onclick="cancelQ(\\''+esc(r.query_id)+'\\')">cancel</button>')
+       |   :'<p>(no queries running)</p>';
+       |}
+       |async function cancelQ(id){
+       | await fetch('/query/'+encodeURIComponent(id),{method:'DELETE'});
+       | loadRunning();
+       |}
+       |loadRunning();load('p','/profiles');load('s','/profiles/stages');
        |load('o','/profiles/operators');
        |</script></body></html>""".stripMargin
 }

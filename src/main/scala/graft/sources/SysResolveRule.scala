@@ -39,6 +39,7 @@ case class SysResolveRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case "profiles"          => Some(QueryProfiles.profiles(spark))
     case "profile_stages"    => Some(QueryProfiles.stageProfiles(spark))
     case "profile_operators" => Some(QueryProfiles.operatorProfiles(spark))
+    case "running_queries"   => Some(RunningQueries.running(spark))
     case _                   => None
   }
 
