@@ -124,8 +124,14 @@ object Federation {
     } finally conn.close()
   }
 
+  /** `trustStore` = Some((path, password)): trust exactly that PKCS12
+    * truststore for an `https://` peer (the TlsSupport pair of the
+    * peer's keystore) — hostname verification stays the platform
+    * default, so the peer's cert SAN must really name the host. Without
+    * it, https peers validate against the JVM's default CA store. */
   def graftPeer(spark: SparkSession, baseUrl: String, sql: String,
-                credentials: Option[(String, String)] = None): DataFrame = {
+                credentials: Option[(String, String)] = None,
+                trustStore: Option[(String, String)] = None): DataFrame = {
     import scala.jdk.CollectionConverters._
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     // credentials ride a Basic header — REFUSE to send them in clear
@@ -139,11 +145,16 @@ object Federation {
         host == "::1" || host == "[::1]"
       require(scheme == "https" || loopback,
         s"graftPeer: refusing to send Basic credentials in CLEARTEXT to " +
-          s"non-loopback '$baseUrl' — use https:// (see restTrustStore) " +
+          s"non-loopback '$baseUrl' — use https:// (with trustStore) " +
           "or a loopback peer")
     }
     val conn = java.net.URI.create(s"$baseUrl/query").toURL
       .openConnection().asInstanceOf[java.net.HttpURLConnection]
+    (conn, trustStore) match {
+      case (h: javax.net.ssl.HttpsURLConnection, Some((path, pw))) =>
+        h.setSSLSocketFactory(TlsSupport.clientContext(path, pw).getSocketFactory)
+      case _ => ()
+    }
     conn.setRequestMethod("POST")
         conn.setRequestProperty("Content-Type", "application/json")
     // a basic-auth-enabled peer (QueryServer `credentials`) is
@@ -209,23 +220,62 @@ object Federation {
     * executor task, so pagination IS the parallelism. Responses are
     * JSON-lines; schema inference runs over the combined dataset.
     * (Exercised in ScalaTest against an in-process HTTP server — this
-    * container has no egress.) */
+    * container has no egress.)
+    *
+    * `oauth` enables Drill's OAuth flow (reference exec/oauth/
+    * PersistentTokenTable.java + server/rest/OAuthRequests.java): every
+    * fetch carries `Authorization: Bearer <token>` from the persisted
+    * token table ([[OAuth.currentToken]] bootstraps or refreshes as
+    * needed), and a 401 MID-READ — the token expired between pages —
+    * refreshes through the provider and retries that page ONCE, so a
+    * long paginated read survives token expiry without re-fetching
+    * completed pages. */
   def httpJsonLines(spark: SparkSession, urls: Seq[String],
-                    schemaDdl: Option[String] = None): DataFrame = {
+                    schemaDdl: Option[String] = None,
+                    oauth: Option[OAuth.Config] = None): DataFrame = {
     import spark.implicits._
+    // warm the token table ONCE on the driver before any task runs: a
+    // cold start otherwise bootstraps once PER TASK (a thousand
+    // client_credentials grants on a wide read — providers rate-limit
+    // exactly that); executors then just read the persisted token
+    oauth.foreach(OAuth.currentToken)
     val parallelism = math.max(1, math.min(math.max(urls.size, 1), 32))
     val raw = spark.createDataset(urls).repartition(parallelism)
       .mapPartitions { it =>
-        it.flatMap { u =>
+        def readLines(in: java.io.InputStream): Vector[String] =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            .linesIterator.filter(_.nonEmpty).toVector
+          finally in.close()
+        def open(u: String, token: Option[String]) = {
           // timeouts: one stalled endpoint otherwise hangs the task (and
           // the query) forever — same bounds graftPeer sets
           val conn = new java.net.URI(u).toURL.openConnection()
           conn.setConnectTimeout(10000)
           conn.setReadTimeout(120000)
-          val in = conn.getInputStream
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-            .linesIterator.filter(_.nonEmpty).toVector
-          finally in.close()
+          token.foreach(t =>
+            conn.setRequestProperty("Authorization", s"Bearer $t"))
+          conn
+        }
+        it.flatMap { u =>
+          open(u, oauth.map(OAuth.currentToken)) match {
+            case h: java.net.HttpURLConnection =>
+              val code = h.getResponseCode
+              if (code == 401 && oauth.isDefined) {
+                // expired/revoked mid-pagination: refresh-and-persist,
+                // retry THIS page once (executor-side, no driver trip)
+                Option(h.getErrorStream).foreach(_.close())
+                h.disconnect()
+                val retry = open(u, Some(OAuth.refreshAfter401(oauth.get)))
+                  .asInstanceOf[java.net.HttpURLConnection]
+                val rc = retry.getResponseCode
+                if (rc >= 400) throw new IllegalStateException(
+                  s"HTTP $rc fetching $u after OAuth refresh")
+                readLines(retry.getInputStream)
+              } else if (code >= 400)
+                throw new IllegalStateException(s"HTTP $code fetching $u")
+              else readLines(h.getInputStream)
+            case other => readLines(other.getInputStream) // file: etc.
+          }
         }
       }
     schemaDdl match {

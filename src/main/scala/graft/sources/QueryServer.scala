@@ -40,7 +40,21 @@ object QueryServer {
     def stop(): Unit = { server.stop(0); pool.shutdownNow() }
   }
 
-  /** `credentials` non-empty enables HTTP BASIC auth on EVERY endpoint
+  /** `tls` = Some((keystorePath, password)) serves EVERY endpoint over
+    * HTTPS (an `HttpsServer` with the keystore's key — Drill's web
+    * server does exactly this, self-generating a cert when none is
+    * configured; reference exec/.../server/rest/ssl/
+    * SslContextFactoryConfigurator.java, ssl/SSLConfigServer.java).
+    * Generate the PKCS12 pair with [[TlsSupport.generateKeyStore]]; a
+    * client trusts the matching truststore and verifies the HOSTNAME
+    * against the cert's SubjectAlternativeName (the generator writes
+    * DNS/IP SANs, so stock verification works — no trust-all clients).
+    * Plaintext HTTP against a TLS port dies in the handshake, so
+    * enabling TLS IS the plaintext refusal. With TLS on, basic-auth
+    * credentials ride the encrypted channel — the posture that makes
+    * `credentials` safe past loopback.
+    *
+    * `credentials` non-empty enables HTTP BASIC auth on EVERY endpoint
     * (Drill's REST surface under security: rest API auth, reference
     * exec/.../server/rest with security.auth enabled) — the password
     * check is constant-time (MessageDigest.isEqual, the JdbcEndpoint
@@ -58,8 +72,18 @@ object QueryServer {
     * TLS+auth in front (the JdbcEndpoint posture) rather than harden
     * this shell. */
   def start(spark: SparkSession, port: Int = 0, maxRows: Int = 10000,
-            credentials: Map[String, String] = Map.empty): Running = {
-    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+            credentials: Map[String, String] = Map.empty,
+            tls: Option[(String, String)] = None): Running = {
+    val server = tls match {
+      case None =>
+        HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+      case Some((ksPath, ksPass)) =>
+        val s = com.sun.net.httpserver.HttpsServer
+          .create(new InetSocketAddress("127.0.0.1", port), 0)
+        s.setHttpsConfigurator(new com.sun.net.httpserver.HttpsConfigurator(
+          TlsSupport.serverContext(ksPath, ksPass)))
+        s
+    }
     // the AUTHENTICATED principal of this exchange, derived from the
     // per-exchange Authorization header; None = invalid/absent. Handlers
     // needing the principal re-derive it from the SAME header — NEVER

@@ -1,0 +1,170 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.util.concurrent.atomic.AtomicInteger
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{Federation, OAuth}
+
+/** OAuth token flow for the HTTP storage source (Drill exec/oauth/
+  * PersistentTokenTable + server/rest/OAuthRequests): bootstrap via
+  * client_credentials, 401-driven refresh MID-PAGINATION on the executor
+  * fetch path, and atomic token-file persistence. All against an
+  * in-process RFC 6749 token endpoint — zero egress. */
+class OAuthSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** In-process provider: /token speaks both grants and counts them;
+    * /data?page=N requires a Bearer token the provider still honors.
+    * The FIRST access token is revoked server-side after `revokeAfter`
+    * successful data fetches — the deterministic "expires mid-
+    * pagination" shape. */
+  private final class Provider(clientId: String, secret: String,
+                               revokeAfter: Int) {
+    val ccGrants = new AtomicInteger(0)
+    val rtGrants = new AtomicInteger(0)
+    private val tokenSeq = new AtomicInteger(0)
+    // SETS, not single slots: pages fetch in parallel, so two tasks can
+    // both 401 and both refresh — a provider that only honors its
+    // latest token would fail the first task's retry (real providers
+    // keep every unexpired token live)
+    private val validTokens =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    private val validRefresh =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    private val served = new AtomicInteger(0)
+    @volatile private var firstTokenRevoked = false
+    private var firstToken = ""
+
+    val server: HttpServer =
+      HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    def port: Int = server.getAddress.getPort
+
+    private def respond(x: HttpExchange, code: Int, body: String): Unit = {
+      val b = body.getBytes("UTF-8")
+      x.sendResponseHeaders(code, b.length)
+      x.getResponseBody.write(b); x.close()
+    }
+
+    private def issue(x: HttpExchange): Unit = {
+      val n = tokenSeq.incrementAndGet()
+      val at = s"tok-$n"; val rt = s"rt-$n"
+      validTokens.add(at); validRefresh.add(rt)
+      if (n == 1) firstToken = at
+      respond(x, 200,
+        s"""{"access_token":"$at","refresh_token":"$rt","expires_in":3600}""")
+    }
+
+    server.createContext("/token", new HttpHandler {
+      override def handle(x: HttpExchange): Unit = {
+        val form = new String(x.getRequestBody.readAllBytes(), "UTF-8")
+          .split('&').map(_.split("=", 2))
+          .map(a => a(0) -> java.net.URLDecoder.decode(a.lift(1).getOrElse(""), "UTF-8"))
+          .toMap
+        form.get("grant_type") match {
+          case Some("client_credentials")
+              if form.get("client_id").contains(clientId) &&
+                form.get("client_secret").contains(secret) =>
+            ccGrants.incrementAndGet(); issue(x)
+          case Some("refresh_token")
+              if form.get("refresh_token").exists(validRefresh.contains) =>
+            rtGrants.incrementAndGet(); issue(x)
+          case Some("client_credentials") =>
+            respond(x, 401, """{"error":"invalid_client"}""")
+          case _ =>
+            respond(x, 400, """{"error":"invalid_grant"}""")
+        }
+      }
+    })
+    server.createContext("/data", new HttpHandler {
+      override def handle(x: HttpExchange): Unit = {
+        val auth = Option(x.getRequestHeaders.getFirst("Authorization"))
+          .getOrElse("")
+        val tok = auth.stripPrefix("Bearer ").trim
+        val ok = tok.nonEmpty && validTokens.contains(tok) &&
+          !(firstTokenRevoked && tok == firstToken)
+        if (!ok) { respond(x, 401, """{"error":"invalid_token"}"""); return }
+        val n = served.incrementAndGet()
+        if (n >= revokeAfter && tok == firstToken) firstTokenRevoked = true
+        val page = x.getRequestURI.getQuery.stripPrefix("page=").toInt
+        respond(x, 200, (1 to 3)
+          .map(i => s"""{"page":$page,"id":${page * 10 + i}}""")
+          .mkString("\n"))
+      }
+    })
+    server.start()
+    def stop(): Unit = server.stop(0)
+  }
+
+  test("httpJsonLines with OAuth: bootstrap via client_credentials, " +
+      "first token revoked mid-pagination, 401 triggers an executor-side " +
+      "refresh grant and the read COMPLETES; token file updated") {
+    val p = new Provider("cid", "shh", revokeAfter = 2)
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft_oauth")
+      val cfg = OAuth.Config(s"http://127.0.0.1:${p.port}/token",
+        "cid", "shh", s"$dir/tokens.json")
+      // pages fetched one per task; the provider revokes tok-1 after 2
+      // served pages, so later pages 401 with the bootstrap token
+      val urls = (1 to 6).map(n => s"http://127.0.0.1:${p.port}/data?page=$n")
+      val df = Federation.httpJsonLines(spark, urls, oauth = Some(cfg))
+      assert(df.count() == 18) // every page completed despite the revocation
+      assert(p.ccGrants.get() >= 1, "no client_credentials bootstrap")
+      assert(p.rtGrants.get() >= 1,
+        "mid-pagination 401 never exercised the refresh grant")
+      // the persisted table moved past the revoked bootstrap token
+      val t = OAuth.load(cfg).get
+      assert(t.accessToken != "tok-1" && t.accessToken.startsWith("tok-"))
+      assert(t.refreshToken.exists(_.startsWith("rt-")))
+      // no stray tmp files: persistence is tmp+atomic-rename
+      val stray = java.nio.file.Files.list(dir).iterator()
+      var names = List.empty[String]
+      while (stray.hasNext) names ::= stray.next().getFileName.toString
+      assert(names == List("tokens.json"), s"stray files: $names")
+    } finally p.stop()
+  }
+
+  test("token persistence round-trips; a fresh persisted token is used " +
+      "as-is; an EXPIRED one refreshes through the provider") {
+    val p = new Provider("cid", "shh", revokeAfter = Int.MaxValue)
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft_oauth2")
+      val cfg = OAuth.Config(s"http://127.0.0.1:${p.port}/token",
+        "cid", "shh", s"$dir/t.json")
+      // bootstrap + persist
+      val tok1 = OAuth.currentToken(cfg)
+      assert(tok1 == "tok-1" && p.ccGrants.get() == 1)
+      // fresh: NO second grant
+      assert(OAuth.currentToken(cfg) == tok1 && p.ccGrants.get() == 1 &&
+        p.rtGrants.get() == 0)
+      // plant an expired copy with the same refresh token: currentToken
+      // must take the refresh_token grant, not re-bootstrap
+      val t = OAuth.load(cfg).get
+      OAuth.persist(cfg, t.copy(expiresAtMs = System.currentTimeMillis() - 1))
+      val tok2 = OAuth.currentToken(cfg)
+      assert(tok2 == "tok-2" && p.rtGrants.get() == 1 && p.ccGrants.get() == 1)
+      assert(OAuth.load(cfg).get.accessToken == tok2)
+    } finally p.stop()
+  }
+
+  test("a bad client secret fails LOUDLY with the provider's error, and " +
+      "a rejected refresh token falls back to re-bootstrap") {
+    val p = new Provider("cid", "shh", revokeAfter = Int.MaxValue)
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft_oauth3")
+      val bad = OAuth.Config(s"http://127.0.0.1:${p.port}/token",
+        "cid", "WRONG", s"$dir/bad.json")
+      val e = intercept[IllegalStateException](OAuth.fetchInitial(bad))
+      assert(e.getMessage.contains("401") &&
+        e.getMessage.contains("invalid_client"))
+      // stale refresh token: the provider 400s the refresh grant, and
+      // refresh() re-bootstraps via client_credentials
+      val cfg = OAuth.Config(s"http://127.0.0.1:${p.port}/token",
+        "cid", "shh", s"$dir/ok.json")
+      val t = OAuth.refresh(cfg, "rt-never-issued")
+      assert(t.accessToken.startsWith("tok-") && p.ccGrants.get() >= 1)
+    } finally p.stop()
+  }
+}
