@@ -720,6 +720,75 @@ object QueriesFunctions {
           size(uc("xs")).as("c_nv"))
     }),
 
+    // BOTH-concave st_intersection (the round-21 narrowing of the last
+    // intersection refusal: the union's edge-fragment walk with the
+    // side test flipped). All fixtures RECTILINEAR and parameterized,
+    // so every measure is pure interval arithmetic. Four dispositions:
+    // a single-ring L∩L (area wd−a, 6 vertices, exact envelope), an
+    // INTERLOCKING pair whose intersection is two disjoint rectangles
+    // (honest MULTIPOLYGON, area a+2), concave-in-concave containment
+    // (the inner Γ returns verbatim, area 1.25), and a disjoint pair
+    // (EMPTY intersection → −1 sentinel, a value not a refusal).
+    "q_gis_clip_both_concave" -> ((s, d) => {
+      import graft.functions.GisFunctions._
+      import org.apache.spark.sql.Column
+      val k = col("o_orderkey")
+      val wd = (lit(8) + k % 5).cast("double")   // bottom arm width
+      val ht = (lit(6) + k % 3).cast("double")   // total height
+      val a = (lit(2) + k % 2).cast("double")    // vertical arm width
+      val vb = a + 1.0                           // B's arm sits right of A's
+      def w(c: Column): Column = c.cast("string")
+      def pt(x: Column, y: Column): Column = concat(w(x), lit(" "), w(y))
+      def poly(pts: Column*): Column = stGeomFromText(concat(
+        (lit("POLYGON ((") +: pts.flatMap(p => Seq(p, lit(", ")))
+          .dropRight(1) :+ lit("))")): _*))
+      val z = lit(0.0)
+      // A: L — bottom arm wd×2 + vertical arm a wide up to ht
+      val ell = poly(pt(z, z), pt(wd, z), pt(wd, lit(2.0)),
+        pt(a, lit(2.0)), pt(a, ht), pt(z, ht), pt(z, z))
+      // B: mirrored L — bottom arm [vb, wd+1]×[−1,1] + vertical arm
+      // [vb, vb+1] up to 5; its arms cross A's bottom arm properly
+      val bee = poly(pt(vb, lit(-1.0)), pt(wd + 1.0, lit(-1.0)),
+        pt(wd + 1.0, lit(1.0)), pt(vb + 1.0, lit(1.0)),
+        pt(vb + 1.0, lit(5.0)), pt(vb, lit(5.0)), pt(vb, lit(-1.0)))
+      // C: Γ — vertical arm [vb,vb+1]×[−1,4] + horizontal arm
+      // [−1,vb+1]×[3,4]; interlocks with A in TWO disjoint pieces
+      // ([vb,vb+1]×[0,2] through the bottom arm, [0,a]×[3,4] through
+      // the vertical arm — the Γ's corner lies outside A)
+      val gam = poly(pt(vb, lit(-1.0)), pt(vb + 1.0, lit(-1.0)),
+        pt(vb + 1.0, lit(4.0)), pt(lit(-1.0), lit(4.0)),
+        pt(lit(-1.0), lit(3.0)), pt(vb, lit(3.0)), pt(vb, lit(-1.0)))
+      // D: a small Γ strictly inside A's vertical arm (containment)
+      val innerG = stGeomFromText(lit("POLYGON ((0.5 3, 1.5 3, " +
+        "1.5 3.5, 1 3.5, 1 5, 0.5 5, 0.5 3))"))
+      // E: the same Γ shifted past A's right edge (disjoint → empty)
+      val farG = poly(pt(wd + 2.0, lit(3.0)), pt(wd + 3.0, lit(3.0)),
+        pt(wd + 3.0, lit(3.5)), pt(wd + 2.5, lit(3.5)),
+        pt(wd + 2.5, lit(5.0)), pt(wd + 2.0, lit(5.0)),
+        pt(wd + 2.0, lit(3.0)))
+      val i1 = call_function("st_intersection", ell, bee)
+      val i1s = call_function("st_intersection", bee, ell)
+      val m = call_function("st_intersection", ell, gam)
+      val c = call_function("st_intersection", ell, innerG)
+      val dd = call_function("st_intersection", ell, farG)
+      T(s, d, "orders").filter(k < 400)
+        .select(k.as("o_orderkey"),
+          i1("gtype").as("i_gtype"),
+          stNumGeometries(i1).as("i_pieces"),
+          round(stArea(i1), 6).as("i_area"),
+          size(i1("xs")).as("i_nv"),
+          stXMin(i1).as("i_xmin"), stXMax(i1).as("i_xmax"),
+          stYMin(i1).as("i_ymin"), stYMax(i1).as("i_ymax"),
+          round(stArea(i1s), 6).as("i_area_swap"),
+          stNumGeometries(m).as("m_pieces"),
+          round(stArea(m), 6).as("m_area"),
+          stXMin(m).as("m_xmin"), stXMax(m).as("m_xmax"),
+          stYMin(m).as("m_ymin"), stYMax(m).as("m_ymax"),
+          round(stArea(c), 6).as("c_area"),
+          size(c("xs")).as("c_nv"),
+          round(coalesce(stArea(dd), lit(-1.0)), 6).as("d_area"))
+    }),
+
     // ST_UnionAggregate's disjoint slice (st_union_multi over
     // collect_list): per group, a set of BY-CONSTRUCTION disjoint
     // rectangles (x-stride 3 > width 2; y fixed per group) unions into
@@ -1037,6 +1106,26 @@ object QueriesFunctions {
            0.0 AS u_ymin, ht AS u_ymax,
            round(wd * 2 + a * (ht - 2), 6) AS c_area,
            6 AS c_nv
+         FROM g""",
+    "q_gis_clip_both_concave" ->
+      """WITH g AS (
+           SELECT o_orderkey,
+             (8 + o_orderkey % 5)::DOUBLE AS wd,
+             (6 + o_orderkey % 3)::DOUBLE AS ht,
+             (2 + o_orderkey % 2)::DOUBLE AS a
+           FROM orders WHERE o_orderkey < 400)
+         SELECT o_orderkey,
+           'POLYGON' AS i_gtype,
+           1 AS i_pieces,
+           round(wd - a, 6) AS i_area,
+           6 AS i_nv,
+           a + 1 AS i_xmin, wd AS i_xmax, 0.0 AS i_ymin, 2.0 AS i_ymax,
+           round(wd - a, 6) AS i_area_swap,
+           2 AS m_pieces,
+           round(a + 2, 6) AS m_area,
+           0.0 AS m_xmin, a + 2 AS m_xmax, 0.0 AS m_ymin, 4.0 AS m_ymax,
+           1.25 AS c_area, 6 AS c_nv,
+           -1.0 AS d_area
          FROM g""",
     "q_union_agg" ->
       """WITH g AS (

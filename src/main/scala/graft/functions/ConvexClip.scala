@@ -39,13 +39,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * MULTIPOLYGON text, and predicates/clip-inputs refuse it loudly
   * rather than silently mis-evaluate.
   *
+  * st_intersection also accepts BOTH sides concave (round 21,
+  * [[simpleIntersection]]): the union's edge-fragment machinery with
+  * the side test flipped — fragments strictly INSIDE the other polygon
+  * stitch into the boundary; several pieces return MULTIPOLYGON rows,
+  * disjoint pairs return empty, and holes are topologically impossible
+  * (two simply-connected planar sets intersect hole-free), so a CW
+  * stitched ring refuses as numeric degeneracy.
+  *
   * Honesty bounds, refused LOUDLY (never a wrong polygon):
-  *  - concave inputs to difference, BOTH-concave intersection,
+  *  - concave inputs to difference,
   *    self-intersecting rings (like holes/MULTI* in the parse core);
   *    union accepts SIMPLE concave sides for OVERLAPPING pairs with a
   *    single-ring hole-free result (round 20, [[simpleUnion]]) and
   *    refuses hole-producing unions, collinear boundary-merging
-  *    contact, and vertex tangencies;
+  *    contact, and vertex tangencies; intersection's concave paths
+  *    refuse the same degenerate-contact matrix (shared vertices,
+  *    collinear spans, tangencies, grazing fragments);
   *  - union of disjoint or touch-only polygons (a MULTIPOLYGON /
   *    degenerate stitch the single-ring core cannot represent);
   *  - difference where B sits strictly inside A (result has a hole) or
@@ -546,17 +556,19 @@ object ConvexClip {
     * (the union has a hole), >1 stitched ring (disconnected — cannot
     * arise from proper crossings, kept as a guard), and disjoint /
     * touch-only pairs (st_union_multi's slice). */
-  private def simpleUnion(a: Ring, b: Ring, eps2: Double,
-                          scale: Double): InternalRow = {
-    requireSimple(a, "left", eps2)
-    requireSimple(b, "right", eps2)
-    val epsL = 1e4 * java.lang.Math.ulp(1.0) * scale
-    // a vertex SHARED by the two rings is a boundary contact the
-    // crossing enumeration below cannot see (both intersection
-    // parameters sit at endpoints, so nothing is recorded or refused)
-    // — with overlap elsewhere the stitch could then walk a
-    // self-touching "ring" and emit it as a simple POLYGON; refuse the
-    // configuration up front instead
+  private type EdgeSplits =
+    Array[scala.collection.mutable.ArrayBuffer[(Double, Double, Double)]]
+
+  /** Shared by [[simpleUnion]] and [[simpleIntersection]]: refuse shared
+    * vertices (a boundary contact the crossing enumeration cannot see),
+    * enumerate PROPER transversal boundary crossings — each crossing
+    * point computed ONCE per edge pair, so fragment endpoints match
+    * bit-exactly across the two rings — and refuse collinear-overlap
+    * spans and vertex tangencies. Returns per-edge split lists
+    * ((t, x, y) along each ring's edges) and the crossing count. */
+  private def properCrossingSplits(a: Ring, b: Ring, eps2: Double,
+                                   epsL: Double, what: String)
+      : (EdgeSplits, EdgeSplits, Int) = {
     locally {
       var i = 0
       while (i < a.n) {
@@ -565,7 +577,7 @@ object ConvexClip {
           if (math.abs(a.xs(i) - b.xs(j)) <= epsL &&
               math.abs(a.ys(i) - b.ys(j)) <= epsL)
             throw new IllegalArgumentException(
-              f"st_union: the polygons share a vertex at " +
+              f"$what: the polygons share a vertex at " +
                 f"(${a.xs(i)}%.6g, ${a.ys(i)}%.6g) — degenerate " +
                 "boundary contact, refusing rather than guessing")
           j += 1
@@ -608,7 +620,7 @@ object ConvexClip {
                 (math.min(p1y, p1y + d1y), math.max(p1y, p1y + d1y),
                   math.min(q1y, q1y + d2y), math.max(q1y, q1y + d2y))
             require(math.min(hi1, hi2) - math.max(lo1, lo2) <= epsL,
-              "st_union: the polygons share a collinear boundary span " +
+              s"$what: the polygons share a collinear boundary span " +
                 "(boundary-merging contact) — the edge-fragment walk " +
                 "cannot classify it, refusing rather than guessing")
           }
@@ -630,7 +642,7 @@ object ConvexClip {
             // one parameter sits AT an endpoint while the other edge
             // passes through it: a vertex-on-boundary tangency
             throw new IllegalArgumentException(
-              "st_union: boundary crossing at a vertex (tangential " +
+              s"$what: boundary crossing at a vertex (tangential " +
                 "contact) — refusing rather than guessing")
           }
         }
@@ -638,7 +650,46 @@ object ConvexClip {
       }
       i += 1
     }
-    val nCross = splitsA.map(_.length).sum
+    (splitsA, splitsB, splitsA.map(_.length).sum)
+  }
+
+  /** Split each of `r`'s edges at its crossings and keep the fragments
+    * whose MIDPOINT sits strictly on `keepSide` of `other` (+1 inside —
+    * intersection; -1 outside — union); a grazing midpoint refuses. */
+  private def classifyFragments(r: Ring, splits: EdgeSplits, other: Ring,
+                                epsL: Double, keepSide: Int, what: String)
+      : Seq[DirEdge] = {
+    val out = Seq.newBuilder[DirEdge]
+    var e = 0
+    while (e < r.n) {
+      val e2 = (e + 1) % r.n
+      val pts = ((0.0, r.xs(e), r.ys(e)) +: splits(e).sortBy(_._1)) :+
+        ((1.0, r.xs(e2), r.ys(e2)))
+      var k = 0
+      while (k < pts.length - 1) {
+        val (_, ax, ay) = pts(k); val (_, bx, by) = pts(k + 1)
+        if (math.abs(ax - bx) > epsL || math.abs(ay - by) > epsL) {
+          val side = pointSideSimple((ax + bx) / 2, (ay + by) / 2,
+            other, epsL)
+          require(side != 0,
+            s"$what: a boundary fragment grazes the other " +
+              "polygon's boundary — degenerate contact, refusing")
+          if (side == keepSide) out += DirEdge(ax, ay, bx, by)
+        }
+        k += 1
+      }
+      e += 1
+    }
+    out.result()
+  }
+
+  private def simpleUnion(a: Ring, b: Ring, eps2: Double,
+                          scale: Double): InternalRow = {
+    requireSimple(a, "left", eps2)
+    requireSimple(b, "right", eps2)
+    val epsL = 1e4 * java.lang.Math.ulp(1.0) * scale
+    val (splitsA, splitsB, nCross) =
+      properCrossingSplits(a, b, eps2, epsL, "st_union")
     if (nCross == 0) {
       // no proper crossings: containment, disjoint, or touch-only
       val aInB = pointSideSimple(a.xs(0), a.ys(0), b, epsL)
@@ -656,33 +707,10 @@ object ConvexClip {
     require(nCross % 2 == 0,
       s"st_union: $nCross proper boundary crossings (expected an even " +
         "count) — degenerate contact, refusing")
-    // fragments strictly outside the OTHER polygon survive
-    def fragments(r: Ring, splits: Array[scala.collection.mutable.ArrayBuffer[
-        (Double, Double, Double)]], other: Ring): Seq[DirEdge] = {
-      val out = Seq.newBuilder[DirEdge]
-      var e = 0
-      while (e < r.n) {
-        val e2 = (e + 1) % r.n
-        val pts = ((0.0, r.xs(e), r.ys(e)) +: splits(e).sortBy(_._1)) :+
-          ((1.0, r.xs(e2), r.ys(e2)))
-        var k = 0
-        while (k < pts.length - 1) {
-          val (_, ax, ay) = pts(k); val (_, bx, by) = pts(k + 1)
-          if (math.abs(ax - bx) > epsL || math.abs(ay - by) > epsL) {
-            val side = pointSideSimple((ax + bx) / 2, (ay + by) / 2,
-              other, epsL)
-            require(side != 0,
-              "st_union: a boundary fragment grazes the other " +
-                "polygon's boundary — degenerate contact, refusing")
-            if (side < 0) out += DirEdge(ax, ay, bx, by)
-          }
-          k += 1
-        }
-        e += 1
-      }
-      out.result()
-    }
-    val kept = fragments(a, splitsA, b) ++ fragments(b, splitsB, a)
+    // fragments strictly OUTSIDE the other polygon survive (a union's
+    // boundary is each ring's part not swallowed by the other)
+    val kept = classifyFragments(a, splitsA, b, epsL, -1, "st_union") ++
+      classifyFragments(b, splitsB, a, epsL, -1, "st_union")
     require(kept.nonEmpty,
       "st_union: no boundary fragment survives classification — " +
         "numeric degeneracy, refusing")
@@ -700,6 +728,64 @@ object ConvexClip {
       s"st_union: ${rings.length} disconnected rings from an " +
         "overlapping pair — numeric degeneracy, refusing")
     geomRow(rings(0)._1, rings(0)._2)
+  }
+
+  /** Intersection of two SIMPLE (possibly BOTH concave) polygons — the
+    * r14-verdict narrowing of the last st_intersection refusal, built on
+    * the SAME edge-fragment machinery as [[simpleUnion]] with the side
+    * test flipped: fragments strictly INSIDE the other polygon survive
+    * and stitch into the intersection's boundary. Both inputs are CCW
+    * and an intersection keeps its interior on the left, so every
+    * stitched ring must come out CCW — and topologically no hole can
+    * arise (Mayer–Vietoris: two simply-connected compact planar sets
+    * intersect without 1-cycles), so a CW ring is numeric degeneracy
+    * and refuses. DISCONNECTION is real, though: interlocking concave
+    * shapes intersect in several pieces — honest MULTIPOLYGON rows,
+    * exactly like the one-concave clip. Disjoint pairs return EMPTY
+    * (null), never a refusal — an empty intersection is a value.
+    * Degenerate contacts (shared vertices, collinear spans, tangencies,
+    * grazing fragments) keep refusing in the shared machinery. */
+  private def simpleIntersection(a: Ring, b: Ring, eps2: Double,
+                                 scale: Double): InternalRow = {
+    requireSimple(a, "left", eps2)
+    requireSimple(b, "right", eps2)
+    val epsL = 1e4 * java.lang.Math.ulp(1.0) * scale
+    val (splitsA, splitsB, nCross) =
+      properCrossingSplits(a, b, eps2, epsL, "st_intersection")
+    if (nCross == 0) {
+      // boundaries never cross: containment or disjoint — one vertex
+      // test decides, since the whole ring sits on one side
+      val aInB = pointSideSimple(a.xs(0), a.ys(0), b, epsL)
+      val bInA = pointSideSimple(b.xs(0), b.ys(0), a, epsL)
+      require(aInB != 0 && bInA != 0,
+        "st_intersection: a vertex lies ON the other polygon's " +
+          "boundary (touch-only contact) — refusing rather than guessing")
+      if (aInB > 0) return ringRow(a)
+      if (bInA > 0) return ringRow(b)
+      return null // disjoint: the intersection is EMPTY, a value
+    }
+    require(nCross % 2 == 0,
+      s"st_intersection: $nCross proper boundary crossings (expected an " +
+        "even count) — degenerate contact, refusing")
+    // fragments strictly INSIDE the other polygon survive
+    val kept =
+      classifyFragments(a, splitsA, b, epsL, 1, "st_intersection") ++
+        classifyFragments(b, splitsB, a, epsL, 1, "st_intersection")
+    require(kept.nonEmpty,
+      "st_intersection: no boundary fragment survives classification — " +
+        "numeric degeneracy, refusing")
+    val rings = stitchRings(kept, epsL, eps2, "st_intersection")
+    require(rings.nonEmpty,
+      "st_intersection: stitched rings all collapsed — numeric " +
+        "degeneracy, refusing")
+    rings.find(r => signedArea2(r._1, r._2) < 0).foreach { _ =>
+      throw new IllegalArgumentException(
+        "st_intersection: a CW stitched ring (a hole) — topologically " +
+          "impossible for two simple polygons, so this is numeric " +
+          "degeneracy; refusing")
+    }
+    if (rings.length > 1) multiRow(rings.sortBy(r => (r._1.min, r._2.min)))
+    else geomRow(rings(0)._1, rings(0)._2)
   }
 
   /** Even-odd point-vs-SIMPLE-polygon: +1 strictly inside, -1 strictly
@@ -829,15 +915,17 @@ object ConvexClip {
     // 1e-9·scale misclassifies the same features the other way.)
     val eps2 = 32 * java.lang.Math.ulp(1.0) * scale * scale
     if (op == 0) {
-      // INTERSECTION accepts one concave SIMPLE side (triangulate +
-      // per-triangle clip + boundary stitch); the other side is the
-      // convex window. Union/difference stay convex-only below.
+      // INTERSECTION accepts concave SIMPLE sides. ONE concave side
+      // keeps the gated ear-clip path (triangulate + per-triangle clip
+      // + boundary stitch — cheaper, and the window's convexity makes
+      // Sutherland–Hodgman exact). BOTH concave (r14-verdict narrowing)
+      // takes the edge-fragment walk shared with st_union, side test
+      // flipped. Union/difference stay convex-only below.
       val (fa, aConvex) = parseFlexible(aRow, "left", eps2)
       val (fb, bConvex) = parseFlexible(bRow, "right", eps2)
+      if (!aConvex && !bConvex)
+        return simpleIntersection(fa, fb, eps2, scale)
       if (!aConvex || !bConvex) {
-        require(aConvex || bConvex,
-          "st_intersection: both polygons are concave — one side must " +
-            "be a convex window (triangulating both is out of scope)")
         return if (aConvex) concaveIntersect(fb, fa, eps2, scale)
                else concaveIntersect(fa, fb, eps2, scale)
       }

@@ -584,9 +584,20 @@ class GisPredicatesSpec extends AnyFunSuite {
     assert(math.abs(a4 - 1.0) < 1e-9, a4.toString)
     // disjoint window: empty
     assert(clip("st_intersection", ell, rect(10, 10, 12, 12)).isEmpty)
-    // both concave refuses; self-intersecting refuses
+    // both-concave is SUPPORTED since round 21 (simpleIntersection) —
+    // but THIS pair shares vertex (0,0), a degenerate boundary contact
+    // the edge-fragment walk refuses; self-intersecting refuses
     val u = "POLYGON ((0 0, 6 0, 6 4, 4 4, 4 1, 2 1, 2 4, 0 4, 0 0))"
-    clipRefuses("st_intersection", ell, u, "both")
+    clipRefuses("st_intersection", ell, u, "share a vertex")
+    // the same U translated off the shared vertex intersects cleanly —
+    // exact rectangle arithmetic: U = prongs [0.5,2.5]/[4.5,6.5] x
+    // [0.25,4.25] + base [2.5,4.5]x[0.25,1.25]; vs L ([0,6]x[0,3] +
+    // [0,3]x[3,6]): 2*2.75 + 2*1.25 + 1.5*2.75 + 2*1 = 14.125
+    val u2 = "POLYGON ((0.5 0.25, 6.5 0.25, 6.5 4.25, 4.5 4.25, " +
+      "4.5 1.25, 2.5 1.25, 2.5 4.25, 0.5 4.25, 0.5 0.25))"
+    val got = clip("st_intersection", ell, u2)
+    assert(got.isDefined && math.abs(got.get._1 - 14.125) < 1e-9,
+      s"translated both-concave pair: $got")
     clipRefuses("st_intersection", "POLYGON ((0 0, 4 1, 4 0, 0 3))",
       rect(0, 0, 9, 9), "self-intersecting")
   }
@@ -728,6 +739,124 @@ class GisPredicatesSpec extends AnyFunSuite {
     // the family must actually exercise the success path, not refuse
     // everything (documented-refusal-only would be vacuous)
     assert(successes >= 60, s"only $successes/300 trials succeeded")
+  }
+
+  test("BOTH-CONCAVE intersection fuzz: 300 seeded L x L pairs — every " +
+      "SUCCESS matches the exact unit-cell count (integer-rectilinear, " +
+      "so cell counting IS the area), empties only when the true area " +
+      "is 0, every refusal is a documented honesty bound") {
+    val rnd = new scala.util.Random(2718)
+    var successes = 0
+    val allowed = Seq("share a vertex", "tangential", "collinear",
+      "degenerate", "grazes", "touch-only")
+    (1 to 300).foreach { trial =>
+      // L1 = [0,W]x[0,h] + [0,a]x[h,H], reflex at (a,h) — concave
+      val W = 4 + rnd.nextInt(6); val H = 4 + rnd.nextInt(6)
+      val a = 1 + rnd.nextInt(W - 1); val h = 1 + rnd.nextInt(H - 1)
+      val l1 = s"POLYGON ((0 0, $W 0, $W $h, $a $h, $a $H, 0 $H, 0 0))"
+      // L2 = translated L in one of FOUR chiralities (arm upper-left /
+      // upper-right / lower-left / lower-right) — mixed orientations
+      // are what interlock into DISCONNECTED intersections
+      val x1 = -3 + rnd.nextInt(10); val y1 = -3 + rnd.nextInt(10)
+      val W2 = 3 + rnd.nextInt(6); val H2 = 3 + rnd.nextInt(6)
+      val a2 = 1 + rnd.nextInt(W2 - 1); val h2 = 1 + rnd.nextInt(H2 - 1)
+      val cfg = rnd.nextInt(4)
+      // two rectangles per config: full-width slab + partial-width arm
+      val (s1, s2) = cfg match {
+        case 0 => ((0, 0, W2, h2), (0, h2, a2, H2))           // arm UL
+        case 1 => ((0, 0, W2, h2), (W2 - a2, h2, W2, H2))     // arm UR
+        case 2 => ((0, H2 - h2, W2, H2), (0, 0, a2, H2 - h2)) // arm LL
+        case _ => ((0, H2 - h2, W2, H2), (W2 - a2, 0, W2, H2 - h2)) // LR
+      }
+      def vtx(cfg: Int): Seq[(Int, Int)] = cfg match {
+        case 0 => Seq((0, 0), (W2, 0), (W2, h2), (a2, h2), (a2, H2), (0, H2))
+        case 1 => Seq((0, 0), (W2, 0), (W2, H2), (W2 - a2, H2),
+          (W2 - a2, h2), (0, h2))
+        case 2 => Seq((0, 0), (a2, 0), (a2, H2 - h2), (W2, H2 - h2),
+          (W2, H2), (0, H2))
+        case _ => Seq((W2 - a2, 0), (W2, 0), (W2, H2), (0, H2),
+          (0, H2 - h2), (W2 - a2, H2 - h2))
+      }
+      val l2 = "POLYGON ((" + (vtx(cfg) :+ vtx(cfg).head)
+        .map { case (vx, vy) => s"${vx + x1} ${vy + y1}" }
+        .mkString(", ") + "))"
+      // exact area by UNIT-CELL count: all coordinates are integers, so
+      // the intersection is a union of unit cells — counting cells
+      // whose center lies in both shapes is the area, no geometry code
+      def inL1(x: Double, y: Double): Boolean =
+        (x > 0 && x < W && y > 0 && y < h) ||
+          (x > 0 && x < a && y > h && y < H)
+      def inRect(x: Double, y: Double, r: (Int, Int, Int, Int)): Boolean =
+        x > x1 + r._1 && x < x1 + r._3 && y > y1 + r._2 && y < y1 + r._4
+      def inL2(x: Double, y: Double): Boolean =
+        inRect(x, y, s1) || inRect(x, y, s2)
+      val expected = (for {
+        cx <- -3 until 20; cy <- -3 until 20
+        if inL1(cx + 0.5, cy + 0.5) && inL2(cx + 0.5, cy + 0.5)
+      } yield 1).sum.toDouble
+      try {
+        clip("st_intersection", l1, l2) match {
+          case None =>
+            assert(expected == 0.0,
+              s"trial $trial: empty result but true area $expected " +
+                s"(l1=$l1 l2=$l2)")
+          case Some((got, _, _)) =>
+            assert(math.abs(got - expected) < 1e-9,
+              s"trial $trial: l1=$l1 l2=$l2 got $got expected $expected")
+            // and it commutes
+            val swap = clip("st_intersection", l2, l1)
+            assert(swap.isDefined &&
+              math.abs(swap.get._1 - expected) < 1e-9,
+              s"trial $trial commute")
+            successes += 1
+        }
+      } catch {
+        case e: org.scalatest.exceptions.TestFailedException => throw e
+        case e: Exception =>
+          val chain = TestSpark.causeChain(e)
+          assert(allowed.exists(chain.contains),
+            s"trial $trial: undocumented refusal for l1=$l1 l2=$l2: $chain")
+      }
+    }
+    // the family must actually exercise the success path (the
+    // MULTI-piece path is covered deterministically by the fixture test
+    // below and the q_gis_clip_both_concave gate's 400 rows — random
+    // integer Ls interlock rarely and usually hit the collinear refusal
+    // first)
+    assert(successes >= 40, s"only $successes/300 trials succeeded")
+  }
+
+  test("both-concave intersection: dispositions and refusals on " +
+      "hand-picked fixtures") {
+    // interlocking L and Γ: two disjoint pieces -> MULTIPOLYGON
+    val ell = "POLYGON ((0 0, 8 0, 8 2, 2 2, 2 6, 0 6, 0 0))"
+    val gam = "POLYGON ((3 -1, 4 -1, 4 4, -1 4, -1 3, 3 3, 3 -1))"
+    import spark.implicits._
+    val r = Seq((ell, gam)).toDF("a", "b")
+      .select(call_function("st_intersection",
+        stGeomFromText(col("a")), stGeomFromText(col("b"))).as("g"))
+      .select(col("g")("gtype"),
+        graft.functions.GisFunctions.stNumGeometries(col("g")),
+        stArea(col("g"))).collect()(0)
+    assert(r.getString(0) == "MULTIPOLYGON" && r.getInt(1) == 2 &&
+      math.abs(r.getDouble(2) - 4.0) < 1e-9) // [3,4]x[0,2] + [0,2]x[3,4]
+    // containment: the inner concave polygon returns verbatim
+    val inner = "POLYGON ((0.5 3, 1.5 3, 1.5 3.5, 1 3.5, 1 5, 0.5 5, 0.5 3))"
+    val c = clip("st_intersection", ell, inner)
+    assert(c.isDefined && math.abs(c.get._1 - 1.25) < 1e-9 && c.get._2 == 6)
+    // disjoint: EMPTY (None), not a refusal
+    val far = "POLYGON ((20 3, 21 3, 21 3.5, 20.5 3.5, 20.5 5, 20 5, 20 3))"
+    assert(clip("st_intersection", ell, far).isEmpty)
+    // the degenerate-contact matrix still refuses: shared vertex,
+    // collinear span, vertex tangency
+    clipRefuses("st_intersection", ell,
+      "POLYGON ((2 2, 5 2, 5 5, 3 5, 3 4, 2 4, 2 2))", "share a vertex")
+    clipRefuses("st_intersection", ell,
+      "POLYGON ((3 0, 6 0, 6 5, 5 5, 5 4, 3 4, 3 0))", "collinear")
+    clipRefuses("st_intersection", ell,
+      // concave polygon whose vertex (4, 2) sits ON ell's y=2 edge
+      // (edge-endpoint-on-interior = vertex tangency)
+      "POLYGON ((4 2, 7 1, 7 5, 5 5, 5 4, 4 4, 4 2))", "tangential")
   }
 
   test("MULTIPOLYGON WKT parses into the multi form (rings normalized " +
