@@ -226,6 +226,35 @@ object QueriesSources {
         .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
     }),
 
+    // ---- Delta V2 CHECKPOINT read (PROTOCOL.md §V2 Checkpoint Spec):
+    // the UUID-named JSON top-level + parquet SIDECAR bootstrap the
+    // snapshot with the covered JSON commits DELETED (the checkpoint is
+    // the only source of the version-1 state), and a later commit
+    // replays on top ----
+    "q_delta_v2_checkpoint" -> ((s, d) => {
+      graft.sources.DeltaLogReader.read(s, deltaV2CpFixture(s, d))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
+    }),
+
+    // ---- Parquet metadata cache (REFRESH TABLE METADATA): the footer
+    // sweep's manifest plans a range read over ONLY the intersecting
+    // files; the gate also asserts the planning constants the oracle
+    // can state in closed form — 3 of 6 disjoint-range files survive
+    // the prune, and a no-change re-refresh reads ZERO footers ----
+    "q_refresh_meta" -> ((s, d) => {
+      import graft.sources.ParquetMetadataCache
+      val base = metaCacheFixture(s, d)
+      val kept = ParquetMetadataCache
+        .prunedFiles(s, base, "o_orderkey", 300, 700).length
+      val reread = ParquetMetadataCache.refresh(s, base) // incremental
+      ParquetMetadataCache.readRange(s, base, "o_orderkey", 300, 700)
+        .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"),
+          min("o_orderkey").as("kmin"), max("o_orderkey").as("kmax"))
+        .withColumn("files_kept", lit(kept))
+        .withColumn("footers_reread", lit(reread))
+    }),
+
     // ---- Delta WRITE path: CTAS (v0) + append (v1) + overwrite (v2,
     // removes the prior snapshot's files in the same commit); reading
     // the latest snapshot must see ONLY the overwrite ----
@@ -1827,6 +1856,104 @@ object QueriesSources {
     base
   }
 
+  /** Delta V2-CHECKPOINT fixture (PROTOCOL.md §V2 Checkpoint Spec),
+    * the gate twin of DeltaSpec's hand-built layout: commits v0+v1
+    * write files a (keys <500) and b ([500,1000)); a v2 checkpoint at
+    * version 1 lands as a parquet SIDECAR under _delta_log/_sidecars
+    * carrying both add actions plus a UUID-named JSON TOP-LEVEL
+    * (protocol with v2Checkpoint reader/writer features, metaData,
+    * checkpointMetadata, sidecarFile) and a _last_checkpoint hint; the
+    * covered JSON commits are then DELETED — the checkpoint is the ONLY
+    * source of the version-1 state — and commit v2 adds file c
+    * ([1000,1200)) to replay on top of the bootstrap. */
+  private def deltaV2CpFixture(s: org.apache.spark.sql.SparkSession,
+                               d: String): String = {
+    import graft.sources.DeltaLogReader
+    val base = s"${out(d)}/delta_v2cp_orders"
+    val logDir = new org.apache.hadoop.fs.Path(base, "_delta_log")
+    val donePath = new org.apache.hadoop.fs.Path(logDir,
+      "00000000000000000002.json")
+    val fs = donePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(donePath)) {
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val src = GraftSession.table(s, d, "orders")
+        .select("o_orderkey", "o_orderstatus")
+      val szA = DeltaLogReader.writeDataFile(
+        src.filter(col("o_orderkey") < 500), base, "data-a.parquet")
+      val szB = DeltaLogReader.writeDataFile(
+        src.filter(col("o_orderkey") >= 500 && col("o_orderkey") < 1000),
+        base, "data-b.parquet")
+      // parquet sidecar: the two add actions in the v2 sidecar shape
+      import scala.jdk.CollectionConverters._
+      import org.apache.spark.sql.types._
+      val addType = StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues", MapType(StringType, StringType)),
+        StructField("size", LongType),
+        StructField("modificationTime", LongType),
+        StructField("dataChange", BooleanType)))
+      val sidecarRows: java.util.List[org.apache.spark.sql.Row] =
+        Seq(("data-a.parquet", szA), ("data-b.parquet", szB)).map {
+          case (p, sz) => org.apache.spark.sql.Row(
+            org.apache.spark.sql.Row(p, Map.empty[String, String], sz,
+              1700000000000L, true))
+        }.asJava
+      val sidecarName = "9e1c0a10-57bd-4e6a-9a2f-000000000015.parquet"
+      val szSc = DeltaLogReader.writeDataFile(
+        s.createDataFrame(sidecarRows,
+          StructType(Seq(StructField("add", addType)))),
+        s"$base/_delta_log/_sidecars", sidecarName)
+      val topName = "00000000000000000001.checkpoint." +
+        "aaaabbbb-cccc-dddd-eeee-000000000015.json"
+      val topLines = Seq(
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+          """"readerFeatures":["v2Checkpoint"],""" +
+          """"writerFeatures":["v2Checkpoint"]}}""",
+        DeltaLogReader.metaDataAction(src.schema, Nil),
+        """{"checkpointMetadata":{"version":1}}""",
+        s"""{"sidecarFile":{"path":"$sidecarName","sizeInBytes":$szSc}}""")
+      val osT = fs.create(new org.apache.hadoop.fs.Path(logDir, topName), true)
+      osT.write((topLines.mkString("\n") + "\n").getBytes("UTF-8")); osT.close()
+      val osL = fs.create(
+        new org.apache.hadoop.fs.Path(logDir, "_last_checkpoint"), true)
+      osL.write("""{"version":1,"size":4}""".getBytes("UTF-8")); osL.close()
+      // vacuum the covered commits: bootstrap MUST come from the v2
+      // checkpoint or the read fails — no silent fallback possible
+      Seq(0L, 1L).foreach(v => fs.delete(
+        new org.apache.hadoop.fs.Path(logDir, f"$v%020d.json"), false))
+      val szC = DeltaLogReader.writeDataFile(
+        src.filter(col("o_orderkey") >= 1000 && col("o_orderkey") < 1200),
+        base, "data-c.parquet")
+      DeltaLogReader.writeCommit(s, base, 2, Seq(
+        s"""{"add":{"path":"data-c.parquet","partitionValues":{},"size":$szC,"modificationTime":1700000002000,"dataChange":true}}"""))
+    }
+    base
+  }
+
+  /** Parquet-metadata-cache fixture: SIX files with disjoint
+    * o_orderkey ranges ([0,200) … [1000,1200)) under one plain
+    * directory — no table format — then ONE refresh() footer sweep
+    * writes the manifest (REFRESH TABLE METADATA's product). */
+  private def metaCacheFixture(s: org.apache.spark.sql.SparkSession,
+                               d: String): String = {
+    val base = s"${out(d)}/meta_cache_orders"
+    val manifest = new org.apache.hadoop.fs.Path(base,
+      graft.sources.ParquetMetadataCache.ManifestName)
+    val fs = manifest.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(manifest)) {
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val src = GraftSession.table(s, d, "orders")
+        .select("o_orderkey", "o_orderstatus")
+      (0 until 6).foreach { i =>
+        src.filter(col("o_orderkey") >= i * 200 &&
+            col("o_orderkey") < (i + 1) * 200)
+          .coalesce(1).write.mode("append").parquet(base)
+      }
+      graft.sources.ParquetMetadataCache.refresh(s, base)
+    }
+    base
+  }
+
   /** Build (once per SF) the 2-snapshot Iceberg fixture both iceberg
     * gates read: snapshot 1 = keys <1000 partitioned by status,
     * snapshot 2 appends [1000, 2000). */
@@ -2100,6 +2227,15 @@ object QueriesSources {
       WHERE (o_orderkey < 1000 AND o_orderkey % 10 >= 2)
          OR (o_orderkey >= 1000 AND o_orderkey < 1400)
       GROUP BY 1""",
+    "q_delta_v2_checkpoint" -> """
+      SELECT o_orderstatus, count(*) AS n, sum(o_orderkey)::BIGINT AS key_sum
+      FROM orders WHERE o_orderkey < 1200
+      GROUP BY 1""",
+    "q_refresh_meta" -> """
+      SELECT count(*) AS n, sum(o_orderkey)::BIGINT AS key_sum,
+        min(o_orderkey) AS kmin, max(o_orderkey) AS kmax,
+        3 AS files_kept, 0 AS footers_reread
+      FROM orders WHERE o_orderkey >= 300 AND o_orderkey <= 700""",
     "q_delta_colmap" -> """
       SELECT o_orderstatus, count(*) AS n, sum(o_orderkey)::BIGINT AS key_sum
       FROM orders WHERE o_orderkey < 2000

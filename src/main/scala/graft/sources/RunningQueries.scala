@@ -95,16 +95,19 @@ object RunningQueries {
   private def confBool(spark: SparkSession, k: String): Boolean =
     spark.conf.getOption(k).exists(_.equalsIgnoreCase("true"))
 
-  /** Plan-estimated input size in bytes — Spark's logical-plan stats
-    * over the OPTIMIZED plan (so partition/filter pruning and
-    * ANALYZE-computed table stats both count, the way Drill's queue
-    * placement uses the planner's cost, reference resourcemgr/
-    * DistributedQueryQueue.java). Conservative on failure: a query
-    * whose size cannot be estimated rides the LARGE queue. */
+  /** Plan-estimated INPUT size in bytes — Spark's logical-plan stats
+    * over the ANALYZED plan (ANALYZE-computed table stats count, the
+    * way Drill's queue placement uses planner cost, reference
+    * resourcemgr/DistributedQueryQueue.java). Deliberately NOT the
+    * optimized plan: QueryExecution.optimizedPlan EAGERLY EXECUTES
+    * command plans (CTAS / INSERT), so sizing through it would run DML
+    * twice — analysis alone never executes. Conservative on failure: a
+    * query whose size cannot be estimated (commands without stats)
+    * rides the LARGE queue. */
   private def estimatedBytes(spark: SparkSession, sql: String): BigInt =
     try {
       val parsed = spark.sessionState.sqlParser.parsePlan(sql)
-      spark.sessionState.executePlan(parsed).optimizedPlan.stats.sizeInBytes
+      spark.sessionState.executePlan(parsed).analyzed.stats.sizeInBytes
     } catch { case _: Exception => BigInt(Long.MaxValue) }
 
   /** Run `body` as a TRACKED, CANCELLABLE, ADMISSION-CONTROLLED query.
