@@ -115,6 +115,11 @@ object AccessControl {
 
   private[sources] def hasViewAcls: Boolean = viewAcl.nonEmpty
 
+  /** Whether `ws` carries a workspace allow-list (the REST storage
+    * mutation's fail-closed probe for principal-less requests). */
+  private[sources] def isWorkspaceProtected(ws: String): Boolean =
+    workspaceAcl.contains(ws.toLowerCase)
+
   /** Deny `dfs.<ws>.…` resolution when the workspace carries an
     * allow-list the request principal is not on. The ACL map is tested
     * BEFORE resolving the principal: currentUser walks the JDBC session

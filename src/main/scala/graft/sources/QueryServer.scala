@@ -271,6 +271,63 @@ object QueryServer {
           Option(e.getMessage).getOrElse(e.getClass.getSimpleName)))
       }
     }))
+    // storage MUTATION (ref server/rest/StorageResources.java PUT/
+    // DELETE /storage/{name}.json): register / drop a dfs WORKSPACE at
+    // runtime — POST /storage/<name> {"location": dir} sets the
+    // graft.dfs.workspace.<name> conf key (the one canonical registry),
+    // DELETE /storage/<name> unsets it. An ACL-protected workspace name
+    // only mutates for a principal ON its allow-list (re-pointing a
+    // protected name at other data would leak it under the grant);
+    // fail-closed when the endpoint has no principal channel.
+    server.createContext("/storage/", guarded(new HttpHandler {
+      override def handle(x: HttpExchange): Unit = try {
+        val name = x.getRequestURI.getPath.stripPrefix("/storage/")
+          .stripSuffix(".json")
+        if (!name.matches("[A-Za-z0-9_]+")) {
+          respond(x, 400, error(s"bad workspace name '$name'")); return
+        }
+        val key = s"graft.dfs.workspace.${name.toLowerCase}"
+        // the allow-list check: principal from basic auth (None on the
+        // open endpoint); checkWorkspace throws DeniedException for
+        // off-list principals, and an ACL'd name with NO principal
+        // refuses here explicitly
+        val principal = if (credentials.isEmpty) None else authUser(x)
+        principal match {
+          case Some(u) => AccessControl.runAs(spark, u)(
+            AccessControl.checkWorkspace(spark, name))
+          case None =>
+            if (AccessControl.isWorkspaceProtected(name))
+              throw new AccessControl.DeniedException(
+                s"workspace '$name' is ACL-protected — mutation needs an " +
+                  "authenticated principal on its allow-list")
+        }
+        x.getRequestMethod match {
+          case "POST" | "PUT" =>
+            val body = new String(x.getRequestBody.readAllBytes(), "UTF-8")
+            val loc = Option(mapper.readTree(body))
+              .flatMap(n => Option(n.get("location"))).map(_.asText)
+              .getOrElse("")
+            if (loc.isEmpty) {
+              respond(x, 400, error("missing \"location\"")); return
+            }
+            spark.conf.set(key, loc)
+            respond(x, 200,
+              s"""{"result":"ok","name":"dfs.$name","location":${
+                mapper.writeValueAsString(loc)}}""")
+          case "DELETE" =>
+            if (spark.conf.getOption(key).isEmpty) {
+              respond(x, 404, error(s"no workspace '$name'")); return
+            }
+            spark.conf.unset(key)
+            respond(x, 200, s"""{"result":"ok","dropped":"dfs.$name"}""")
+          case _ => respond(x, 405, error("POST, PUT or DELETE"))
+        }
+      } catch {
+        case e: Throwable =>
+          respond(x, if (isDenied(e)) 403 else 400, error(
+            Option(e.getMessage).getOrElse(e.getClass.getSimpleName)))
+      }
+    }))
     // ---- human-facing HTML console (reference exec/java-exec/src/main/
     // resources/rest/: index.ftl + profile/list.ftl, served by
     // DrillRestServer) — a minimal static shell over the SAME JSON

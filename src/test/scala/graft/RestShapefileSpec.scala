@@ -409,4 +409,62 @@ class RestShapefileSpec extends AnyFunSuite {
       assert(c5 == 404 && b5.contains("no such path"))
     } finally server.stop()
   }
+
+  test("storage mutation over REST (Drill StorageResources): POST " +
+      "/storage/<name> registers a dfs workspace live, queries resolve " +
+      "it, DELETE drops it, and ACL-protected names fail closed") {
+    import spark.implicits._
+    val server = graft.sources.QueryServer.start(spark)
+    try {
+      def http(method: String, path: String, body: Option[String])
+          : (Int, String) = {
+        val conn = java.net.URI.create(
+          s"http://127.0.0.1:${server.port}$path").toURL
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod(method)
+        body.foreach { b =>
+          conn.setRequestProperty("Content-Type", "application/json")
+          conn.setDoOutput(true)
+          conn.getOutputStream.write(b.getBytes("UTF-8"))
+        }
+        val code = conn.getResponseCode
+        val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+        val s = new String(is.readAllBytes(), "UTF-8")
+        conn.disconnect()
+        (code, s)
+      }
+      val dir = java.nio.file.Files.createTempDirectory("graft_rest_ws")
+      Seq((1, "x"), (2, "y"), (3, "z")).toDF("id", "v")
+        .write.parquet(s"$dir/t.parquet")
+      // register
+      val (rc, rb) = http("POST", "/storage/wsrest",
+        Some(s"""{"location": "$dir"}"""))
+      assert(rc == 200 && rb.contains("dfs.wsrest"), rb)
+      // listed in the registry endpoint
+      assert(http("GET", "/storage.json", None)._2.contains("dfs.wsrest"))
+      // and QUERIES resolve it immediately (same live registry)
+      val (qc, qb) = http("POST", "/query", Some(
+        """{"query": "SELECT count(*) AS n FROM dfs.wsrest.`t.parquet`"}"""))
+      assert(qc == 200 && qb.contains("\"n\":3"), qb)
+      // bad input shapes (the bad name URL-encoded — java.net.URI
+      // refuses raw spaces client-side before the server ever sees it)
+      assert(http("POST", "/storage/bad%20name%21", Some("{}"))._1 == 400)
+      assert(http("POST", "/storage/wsrest2", Some("{}"))._1 == 400)
+      // drop; idempotence is a 404, and the name stops resolving
+      assert(http("DELETE", "/storage/wsrest", None)._1 == 200)
+      assert(http("DELETE", "/storage/wsrest", None)._1 == 404)
+      assert(http("POST", "/query", Some(
+        """{"query": "SELECT count(*) AS n FROM dfs.wsrest.`t.parquet`"}"""
+      ))._1 == 400)
+      // an ACL-protected name refuses mutation on the principal-less
+      // open endpoint (fail closed — re-pointing a protected name would
+      // leak other data under the grant)
+      try {
+        graft.sources.AccessControl.grantWorkspace("locked", Set("bob"))
+        val (ac, ab) = http("POST", "/storage/locked",
+          Some(s"""{"location": "$dir"}"""))
+        assert(ac == 403 && ab.contains("ACL-protected"), s"$ac $ab")
+      } finally graft.sources.AccessControl.clearPolicy()
+    } finally server.stop()
+  }
 }
