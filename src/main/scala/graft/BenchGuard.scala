@@ -39,7 +39,8 @@ object BenchGuard {
 
   /** Committed per-query CLEAN floors at the sf0.1 tier: min wall over
     * the committed clean records (BASELINE_bench_r12_clean.json,
-    * BASELINE_bench_r13_final.json, BASELINE_bench_r14_best/clean.json —
+    * BASELINE_bench_r13_final.json, BASELINE_bench_r14_best/clean.json,
+    * BASELINE_bench_r15_clean.json —
     * the cleanest windows on this sandbox's hardware). Maintained BY
     * HAND: when a query's implementation legitimately changes, update
     * its floor in the same commit (tools/bench_floors.py regenerates
@@ -52,7 +53,7 @@ object BenchGuard {
     "q_bm25" -> 0.459,
     "q_broadcast_join" -> 0.373,
     "q_dedup_minhash" -> 2.146,
-    "q_dedup_simhash" -> 0.787,
+    "q_dedup_simhash" -> 0.709,
     "q_delta_colmap_id" -> 0.057,
     "q_delta_dv" -> 0.126,
     "q_dfs_sql" -> 0.226,
@@ -69,8 +70,8 @@ object BenchGuard {
     "q_quality_clf" -> 1.862,
     "q_range_join" -> 0.227,
     "q_sessionize" -> 0.341,
-    "q_token_count" -> 0.256,
-    "q_topn" -> 0.131,
+    "q_token_count" -> 0.246,
+    "q_topn" -> 0.117,
     "q_window_running" -> 0.335,
     "q_except" -> 0.3,
     "q_anti_join" -> 0.3)
