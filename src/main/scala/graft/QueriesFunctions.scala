@@ -324,6 +324,35 @@ object QueriesFunctions {
     // private-range tests — all pure Column arithmetic (see
     // functions/NetworkFunctions.scala). IPs/CIDRs derived from order keys
     // so the oracle can re-derive them with identical integer arithmetic.
+    // md2 — the one digest Spark lacks (Drill contrib/udfs
+    // CryptoFunctions): RFC 1319's own published test vectors as the
+    // literal oracle, computed by graft's native expression
+    "q_md2" -> ((s, _) => {
+      import s.implicits._
+      Seq((1, ""), (2, "a"), (3, "abc"), (4, "message digest"),
+        (5, "abcdefghijklmnopqrstuvwxyz"))
+        .toDF("id", "raw")
+        .select(col("id"), call_function("md2", col("raw")).as("digest"))
+    }),
+
+    // URL percent-codec (Drill wraps java.net.URLEncoder; Spark's
+    // url_encode/url_decode are the same codec): GOLDEN literal pairs
+    // generated with java.net.URLEncoder itself — java semantics differ
+    // from RFC 3986 pedantry exactly where it matters ('~' encodes to
+    // %7E, '*' stays, space becomes '+') — plus the decode round-trip
+    "q_url_codec" -> ((s, _) => {
+      import s.implicits._
+      Seq(
+        (1, "a b&c/d"), (2, "héllo wörld"), (3, "100% + 2 = ?"),
+        (4, "x~y_z-1.2*"), (5, "a=b&c=d"), (6, "päth/to?q=1#frag"),
+        (7, "quote'dq\""), (8, "tab\tnl\n"))
+        .toDF("id", "raw")
+        .select(col("id"),
+          call_function("url_encode", col("raw")).as("enc"),
+          call_function("url_decode",
+            call_function("url_encode", col("raw"))).as("roundtrip"))
+    }),
+
     "q_network_fns" -> ((s, d) => {
       import graft.functions.NetworkFunctions._
       val o = col("o_orderkey")
@@ -1417,6 +1446,25 @@ object QueriesFunctions {
     "q_approx_percentile" ->
       """SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
          TRUE AS within_tol FROM lineitem GROUP BY l_returnflag""",
+    "q_md2" ->
+      """SELECT * FROM (VALUES
+           (1, '8350e5a3e24c153df2275c9f80692773'),
+           (2, '32ec01ec4a6dac72c0ab96fb34c0b5d1'),
+           (3, 'da853b0d3f88d99b30283a69e6ded6bb'),
+           (4, 'ab4f496bfb2a530b219ff33031fe06b0'),
+           (5, '4e8ddff3650292ab5a4108c3aa47940b'))
+         AS t(id, digest)""",
+    "q_url_codec" ->
+      """SELECT * FROM (VALUES
+           (1, 'a+b%26c%2Fd', 'a b&c/d'),
+           (2, 'h%C3%A9llo+w%C3%B6rld', 'héllo wörld'),
+           (3, '100%25+%2B+2+%3D+%3F', '100% + 2 = ?'),
+           (4, 'x%7Ey_z-1.2*', 'x~y_z-1.2*'),
+           (5, 'a%3Db%26c%3Dd', 'a=b&c=d'),
+           (6, 'p%C3%A4th%2Fto%3Fq%3D1%23frag', 'päth/to?q=1#frag'),
+           (7, 'quote%27dq%22', 'quote''dq"'),
+           (8, 'tab%09nl%0A', e'tab\tnl\n'))
+         AS t(id, enc, roundtrip)""",
     "q_network_fns" -> """
       WITH base AS (SELECT o_orderkey,
           (o_orderkey % 223 + 1) AS a, (o_orderkey * 7) % 256 AS b,

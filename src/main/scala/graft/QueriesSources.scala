@@ -22,6 +22,59 @@ object QueriesSources {
         .select(col("id"), col("name"), col("qty"),
           round(col("price"), 4).as("price"))),
 
+    // ---- graft-to-graft FEDERATION (Drill's drill-on-drill plugin):
+    // an in-process PEER QueryServer serves the query over its REST
+    // door and the rows come back as a local DataFrame — the oracle
+    // recomputes the same aggregate from the base table, so the whole
+    // peer round-trip (POST, JSON rows, schema-DDL re-typing) is gated ----
+    "q_graft_peer" -> ((s, d) => {
+      GraftSession.table(s, d, "nation").createOrReplaceTempView("fed_nation")
+      val peer = graft.sources.QueryServer.start(s)
+      try
+        graft.sources.Federation.graftPeer(s,
+          s"http://127.0.0.1:${peer.port}",
+          "SELECT n_regionkey, count(*) AS n, sum(n_nationkey) AS key_sum " +
+            "FROM fed_nation GROUP BY n_regionkey")
+      finally peer.stop() // rows are already driver-local
+    }),
+
+    // ---- CTTAS (Drill 1.10 CREATE TEMPORARY TABLE ... AS): the
+    // session-scoped MATERIALIZED temp table round-trip as SQL ----
+    "q_cttas" -> ((s, d) => {
+      GraftSession.table(s, d, "region").createOrReplaceTempView("cttas_src")
+      s.sql("CREATE TEMPORARY TABLE cttas_gate AS " +
+        "SELECT r_regionkey, r_name FROM cttas_src WHERE r_regionkey < 4")
+      s.sql("SELECT r_regionkey, r_name FROM cttas_gate")
+    }),
+
+    // ---- DESCRIBE HISTORY as SQL: the delta fixture's commit log as
+    // a relation — version enumeration + operation extraction (the
+    // fixture's hand-written commits carry no commitInfo, so every
+    // operation reads the documented "commit" default; DML-stamped
+    // operation names are spec-covered in DmlSqlSpec) ----
+    "q_describe_history" -> ((s, d) => {
+      val base = deltaFixture(s, d)
+      s.sql(s"DESCRIBE HISTORY dfs.`$base`")
+        .select(col("version"), col("operation"))
+    }),
+
+    // ---- Drill's TABLE FUNCTION with explicit format options
+    // (`SELECT ... FROM dfs_read('path', 'format'[, opt])` — the
+    // table(t(type=>...)) role): the same fixture q_read_csv reads,
+    // but reached through the SQL table function ----
+    "q_table_function" -> ((s, _) =>
+      s.sql(s"SELECT id, name, qty, round(price, 4) AS price " +
+        s"FROM dfs_read('$Dir/sample.csv', 'csv')")),
+
+    // ---- SHOW FILES as SQL (Drill ShowFilesHandler): the directory
+    // listing relation; the oracle re-lists the SAME fixture files with
+    // DuckDB's read_blob (basenames + exact byte lengths) ----
+    "q_show_files" -> ((s, _) =>
+      s.sql(s"SHOW FILES IN dfs.`$Dir`")
+        .filter(col("is_file") &&
+          (col("name").endsWith(".csv") || col("name").endsWith(".jsonl")))
+        .select(col("name"), col("length"))),
+
     "q_read_log" -> ((s, _) =>
       SchemaOnRead.regexLog(s, s"$Dir/app.log",
         "^(\\w+) (\\S+) (\\w+) (.*)$",
@@ -241,13 +294,21 @@ object QueriesSources {
     // sweep's manifest plans a range read over ONLY the intersecting
     // files; the gate also asserts the planning constants the oracle
     // can state in closed form — 3 of 6 disjoint-range files survive
-    // the prune, and a no-change re-refresh reads ZERO footers ----
+    // the prune, and a no-change re-refresh reads ZERO footers. The
+    // re-refresh goes through the SQL VERB (`REFRESH TABLE METADATA
+    // `dir``), so the verb's wiring is gated too, not just the sweep ----
     "q_refresh_meta" -> ((s, d) => {
       import graft.sources.ParquetMetadataCache
       val base = metaCacheFixture(s, d)
       val kept = ParquetMetadataCache
         .prunedFiles(s, base, "o_orderkey", 300, 700).length
-      val reread = ParquetMetadataCache.refresh(s, base) // incremental
+      // incremental no-change refresh AS SQL; footer count from the
+      // command's own Drill-shaped summary row
+      val summary = s.sql(s"REFRESH TABLE METADATA dfs.`$base`")
+        .collect()(0).getString(1)
+      val reread = "(\\d+) footers read".r.findFirstMatchIn(summary)
+        .map(_.group(1).toInt)
+        .getOrElse(sys.error(s"unexpected refresh summary: $summary"))
       ParquetMetadataCache.readRange(s, base, "o_orderkey", 300, 700)
         .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"),
           min("o_orderkey").as("kmin"), max("o_orderkey").as("kmax"))
@@ -2143,8 +2204,25 @@ object QueriesSources {
       t(ts_sec, ts_usec, orig_len, src_ip, dst_ip, protocol, src_port, dst_port)"""
 
   val oracle: Map[String, String] = Map(
+    "q_show_files" ->
+      s"""SELECT regexp_extract(filename, '[^/]+$$') AS name,
+            size::BIGINT AS length FROM read_blob('$Dir/*.csv')
+          UNION ALL
+          SELECT regexp_extract(filename, '[^/]+$$') AS name,
+            size::BIGINT AS length FROM read_blob('$Dir/*.jsonl')""",
     "q_read_json" ->
       s"SELECT id, name, score, active FROM read_json_auto('$Dir/sample.jsonl')",
+    "q_table_function" ->
+      s"SELECT id, name, qty, round(price, 4) AS price FROM read_csv_auto('$Dir/sample.csv')",
+    "q_graft_peer" -> """
+      SELECT n_regionkey, count(*) AS n, sum(n_nationkey)::BIGINT AS key_sum
+      FROM nation GROUP BY 1""",
+    "q_cttas" -> """
+      SELECT r_regionkey, r_name FROM region WHERE r_regionkey < 4""",
+    "q_describe_history" -> """
+      SELECT * FROM (VALUES
+        (0::BIGINT, 'commit'), (1::BIGINT, 'commit'), (2::BIGINT, 'commit'))
+      AS t(version, operation)""",
     "q_read_csv" ->
       s"SELECT id, name, qty, round(price, 4) AS price FROM read_csv_auto('$Dir/sample.csv')",
     "q_read_log" -> """

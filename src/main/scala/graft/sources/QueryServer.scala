@@ -271,6 +271,116 @@ object QueryServer {
           Option(e.getMessage).getOrElse(e.getClass.getSimpleName)))
       }
     }))
+    // GET /logs.json + /logs/<name>?tail=N — Drill's log browser (ref
+    // server/rest/LogsResources.java: list the log dir, serve a file's
+    // tail). The dir comes from `graft.log.dir` (session conf or system
+    // property — Drill reads drill.log.dir the same way); unset = an
+    // empty listing, never an error. Tails are BYTE-bounded (default
+    // 64 KiB, cap 1 MiB) so a runaway log cannot be pulled through the
+    // driver in one response.
+    def logDir(): Option[String] =
+      spark.conf.getOption("graft.log.dir")
+        .orElse(Option(System.getProperty("graft.log.dir")))
+    server.createContext("/logs.json", guarded(new HttpHandler {
+      override def handle(x: HttpExchange): Unit = try {
+        if (x.getRequestMethod != "GET") { respond(x, 405, error("GET only")); return }
+        val arr = mapper.createArrayNode()
+        logDir().foreach { d =>
+          val dir = new java.io.File(d)
+          Option(dir.listFiles()).getOrElse(Array.empty)
+            .filter(f => f.isFile && (f.getName.endsWith(".log") ||
+              f.getName.endsWith(".out") || f.getName.contains(".log.")))
+            .sortBy(_.getName).foreach { f =>
+              val n = arr.addObject()
+              n.put("name", f.getName); n.put("size", f.length())
+              n.put("mtime_ms", f.lastModified())
+            }
+        }
+        respond(x, 200, mapper.writeValueAsString(arr))
+      } catch {
+        case e: Throwable => respond(x, 400, error(
+          Option(e.getMessage).getOrElse(e.getClass.getSimpleName)))
+      }
+    }))
+    server.createContext("/logs/", guarded(new HttpHandler {
+      override def handle(x: HttpExchange): Unit = try {
+        if (x.getRequestMethod != "GET") { respond(x, 405, error("GET only")); return }
+        val name = x.getRequestURI.getPath.stripPrefix("/logs/")
+        // the listing is the namespace: a name with separators (or any
+        // name outside the dir's own listing) never touches the fs —
+        // no path traversal out of the log dir
+        if (name.contains('/') || name.contains('\\') || name.isEmpty) {
+          respond(x, 400, error("bad log name")); return
+        }
+        val dir = logDir().getOrElse {
+          respond(x, 404, error("graft.log.dir is not configured")); return
+        }
+        val f = new java.io.File(dir, name)
+        // the LISTING is the namespace (same suffix filter as
+        // /logs.json) — an unlisted name 404s without touching the fs
+        val listed = Option(new java.io.File(dir).listFiles())
+          .getOrElse(Array.empty).exists(l => l.isFile && l.getName == name &&
+            (name.endsWith(".log") || name.endsWith(".out") ||
+              name.contains(".log.")))
+        if (!listed) { respond(x, 404, error(s"no log file '$name'")); return }
+        val tail = Option(x.getRequestURI.getQuery).getOrElse("")
+          .split('&').map(_.split("=", 2))
+          .collectFirst { case Array("tail", v) => v.toLong }
+          .getOrElse(65536L)
+        val n = math.min(math.max(tail, 1L), 1048576L)
+        val raf = new java.io.RandomAccessFile(f, "r")
+        try {
+          val start = math.max(0L, raf.length() - n)
+          raf.seek(start)
+          val buf = new Array[Byte](math.min(n, raf.length() - start).toInt)
+          raf.readFully(buf)
+          val bytes = buf
+          x.getResponseHeaders.set("Content-Type", "text/plain; charset=utf-8")
+          x.sendResponseHeaders(200, bytes.length)
+          x.getResponseBody.write(bytes)
+          x.close()
+        } finally raf.close()
+      } catch {
+        case e: Throwable => respond(x, 400, error(
+          Option(e.getMessage).getOrElse(e.getClass.getSimpleName)))
+      }
+    }))
+    // GET /metrics.json — Drill's metrics endpoint (ref server/rest/
+    // MetricsResources.java serving the codahale registry): flat JVM /
+    // process gauges an operator's monitoring scrapes — heap, GC,
+    // threads, CPU, uptime, plus the engine's live-query count
+    server.createContext("/metrics.json", guarded(new HttpHandler {
+      override def handle(x: HttpExchange): Unit = try {
+        if (x.getRequestMethod != "GET") { respond(x, 405, error("GET only")); return }
+        import java.lang.management.ManagementFactory
+        val mem = ManagementFactory.getMemoryMXBean
+        val th = ManagementFactory.getThreadMXBean
+        val rt = ManagementFactory.getRuntimeMXBean
+        val os = ManagementFactory.getOperatingSystemMXBean
+        val root = mapper.createObjectNode()
+        val g = root.putObject("gauges")
+        g.put("heap.used", mem.getHeapMemoryUsage.getUsed)
+        g.put("heap.max", mem.getHeapMemoryUsage.getMax)
+        g.put("non-heap.used", mem.getNonHeapMemoryUsage.getUsed)
+        g.put("threads.live", th.getThreadCount)
+        g.put("threads.peak", th.getPeakThreadCount)
+        g.put("uptime.ms", rt.getUptime)
+        g.put("os.load", os.getSystemLoadAverage)
+        g.put("cores", os.getAvailableProcessors)
+        g.put("queries.running", RunningQueries.running(spark).count())
+        val gc = root.putObject("gc")
+        import scala.jdk.CollectionConverters._
+        ManagementFactory.getGarbageCollectorMXBeans.asScala.foreach { b =>
+          val n = gc.putObject(b.getName.replace(' ', '_'))
+          n.put("count", b.getCollectionCount)
+          n.put("time.ms", b.getCollectionTime)
+        }
+        respond(x, 200, mapper.writeValueAsString(root))
+      } catch {
+        case e: Throwable => respond(x, 400, error(
+          Option(e.getMessage).getOrElse(e.getClass.getSimpleName)))
+      }
+    }))
     // storage MUTATION (ref server/rest/StorageResources.java PUT/
     // DELETE /storage/{name}.json): register / drop a dfs WORKSPACE at
     // runtime — POST /storage/<name> {"location": dir} sets the

@@ -21,6 +21,9 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   *    `graft.stats.histogram.buckets`) under `graft.stats.dir`.
   *  - `REFRESH TABLE METADATA `dir`` — ref RefreshMetadataHandler.java.
   *    Runs the [[ParquetMetadataCache]] distributed footer sweep.
+  *  - `SHOW FILES IN|FROM <workspace or dir>` — ref
+  *    ShowFilesHandler.java. The [[DfsSql.showFiles]] listing relation
+  *    (name / is_directory / is_file / length / modification_time).
   *
   * Each command returns Drill's (ok, summary) single-row shape (ref
   * exec/.../physical/impl/DirectRowSet usage in the handlers).
@@ -39,6 +42,10 @@ object SqlCommands {
       """(?:\s*\(\s*([^)]+?)\s*\))?(?:\s+SAMPLE\s+(\d+)\s+PERCENT)?\s*;?\s*""").r
   private val RefreshMeta =
     """(?is)\s*REFRESH\s+TABLE\s+METADATA\s+(.+?)\s*;?\s*""".r
+  // Drill's `SHOW FILES [IN|FROM] <workspace or dir>` — ref
+  // planner/sql/handlers/ShowFilesHandler.java
+  private val ShowFilesIn =
+    """(?is)\s*SHOW\s+FILES\s+(?:IN|FROM)\s+(.+?)\s*;?\s*""".r
   // Drill 1.21 alias DDL — ref planner/sql/handlers/CreateAliasHandler
   // .java (kind defaults to TABLE), DropAliasHandler.java,
   // DropAllAliasesHandler.java
@@ -139,7 +146,7 @@ object SqlCommands {
     case AlterSet(_, _, _) | AlterResetAll(_) | AlterReset(_, _) |
          CreateAlias(_, _, _, _, _) |
          DropAllAliases(_, _) | DropAlias(_, _, _) | RefreshMeta(_) |
-         Cttas(_, _) | ExplainPlan(_, _, _) => true
+         ShowFilesIn(_) | Cttas(_, _) | ExplainPlan(_, _, _) => true
     // USE mutates the session schema as a claim-time side effect (the
     // UseOther case is unguarded in claim) — explaining it would
     // execute that mutation through the inner parsePlan
@@ -335,6 +342,10 @@ object SqlCommands {
         val dir = targetPath(spark, target, parseIdent)
         val n = ParquetMetadataCache.refresh(spark, dir)
         Some(result(ok = true, s"$n footers read, metadata cached at $dir"))
+      case ShowFilesIn(target) =>
+        val spark = SparkSession.active
+        val dir = targetPath(spark, target, parseIdent)
+        Some(DfsSql.showFiles(spark, dir).queryExecution.analyzed)
       case CreateView(replace, schema, name, query) if dfsClaimable =>
         val spark = SparkSession.active
         val ws = parseIdent(schema.replaceAll("\\s", "")).last

@@ -234,4 +234,36 @@ class JdbcEndpointSpec extends AnyFunSuite {
     assert(e.getMessage.toUpperCase.contains("TABLE_OR_VIEW_NOT_FOUND") ||
       e.getMessage.toLowerCase.contains("cannot be found"))
   }
+
+  test("Statement.cancel() kills a running JDBC query mid-flight (the " +
+      "Drill client's cancel verb, thrift CancelOperation -> job-group " +
+      "kill) — the submitter errors promptly, the connection survives") {
+    val server = TestSpark.jdbcServer
+    withConn(server.port) { conn =>
+      val stmt = conn.createStatement()
+      // a genuinely long distributed query: 20e9 hashed rows would run
+      // tens of seconds on local[4] — a PASS proves the cancel worked
+      @volatile var outcome: Either[Throwable, Long] = Left(null)
+      val t0 = System.nanoTime()
+      val runner = new Thread(() =>
+        outcome =
+          try {
+            val rs = stmt.executeQuery(
+              "SELECT max(xxhash64(id, 'salt')) FROM range(0, 20000000000, 1, 8)")
+            rs.next(); Right(rs.getLong(1))
+          } catch { case e: Throwable => Left(e) })
+      runner.start()
+      Thread.sleep(1500) // let it reach the executors
+      stmt.cancel()
+      runner.join(20000)
+      val elapsedSec = (System.nanoTime() - t0) / 1e9
+      assert(!runner.isAlive, "submitter still blocked after cancel")
+      assert(outcome.isLeft, s"query was not cancelled: $outcome")
+      assert(elapsedSec < 20, f"cancel took $elapsedSec%.1f s")
+      // the CONNECTION (and the whole session) survives the cancel
+      val rs2 = conn.createStatement().executeQuery("SELECT 1 + 1")
+      rs2.next()
+      assert(rs2.getInt(1) == 2)
+    }
+  }
 }

@@ -465,6 +465,37 @@ class RestShapefileSpec extends AnyFunSuite {
           Some(s"""{"location": "$dir"}"""))
         assert(ac == 403 && ab.contains("ACL-protected"), s"$ac $ab")
       } finally graft.sources.AccessControl.clearPolicy()
+      // GET /metrics.json — flat operator gauges (Drill MetricsResources)
+      val (mc, mb) = http("GET", "/metrics.json", None)
+      assert(mc == 200, mb)
+      val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(mb)
+      assert(m.get("gauges").get("heap.used").asLong > 0)
+      assert(m.get("gauges").get("threads.live").asInt > 0)
+      assert(m.get("gauges").get("queries.running").asInt == 0)
+      assert(m.get("gc").size() > 0)
+      // GET /logs.json + /logs/<name> — the log browser (Drill
+      // LogsResources): list + byte-bounded tail under graft.log.dir
+      val logDir = java.nio.file.Files.createTempDirectory("graft_logs")
+      java.nio.file.Files.write(logDir.resolve("engine.log"),
+        ("x" * 100 + "\nTHE-TAIL-MARKER\n").getBytes("UTF-8"))
+      java.nio.file.Files.write(logDir.resolve("notes.txt"),
+        "not a log".getBytes("UTF-8"))
+      try {
+        // unconfigured: empty listing, 404 tail — never an error shape
+        assert(http("GET", "/logs.json", None)._2 == "[]")
+        assert(http("GET", "/logs/engine.log", None)._1 == 404)
+        spark.conf.set("graft.log.dir", logDir.toString)
+        val (lc, lb) = http("GET", "/logs.json", None)
+        assert(lc == 200 && lb.contains("engine.log") &&
+          !lb.contains("notes.txt"), lb)
+        val (tc, tb) = http("GET", "/logs/engine.log?tail=20", None)
+        assert(tc == 200 && tb.contains("THE-TAIL-MARKER") &&
+          tb.length <= 20, s"$tc ${tb.length}")
+        // unlisted names (incl. traversal) never touch the filesystem
+        assert(http("GET", "/logs/notes.txt", None)._1 == 404)
+        assert(http("GET", "/logs/..%2Fsecret", None)._1 == 400)
+        assert(http("GET", "/logs/nope.log", None)._1 == 404)
+      } finally spark.conf.unset("graft.log.dir")
     } finally server.stop()
   }
 }

@@ -63,9 +63,11 @@ class RunningQueriesSpec extends AnyFunSuite {
         val (c, b) = http("GET", "/queries.json", None)
         if (c == 200) {
           val rows = mapper.readTree(b)
-          if (rows.size() > 0) {
+          // keep polling until OUR query shows RUNNING (a poll can
+          // catch the sub-ms QUEUED->RUNNING transition)
+          if (rows.size() > 0 &&
+              rows.get(0).get("state").asText == "RUNNING") {
             assert(rows.get(0).get("door").asText == "rest")
-            assert(rows.get(0).get("state").asText == "RUNNING")
             id = rows.get(0).get("query_id").asText
           }
         }
@@ -89,10 +91,15 @@ class RunningQueriesSpec extends AnyFunSuite {
       val (okCode, okBody) = http("POST", "/query",
         Some("""{"query": "SELECT 1 AS one"}"""))
       assert(okCode == 200 && okBody.contains("\"one\":1"))
-      // sys.profiles recorded the cancelled execution as failed
-      val failed = graft.sources.QueryProfiles.profiles(spark)
+      // sys.profiles recorded the cancelled execution as failed — the
+      // SQLExecutionEnd event rides the ASYNC listener bus, so poll
+      // briefly instead of racing it (the full-suite flake)
+      def failedCount() = graft.sources.QueryProfiles.profiles(spark)
         .where("status = 'failed' AND error LIKE '%cancel%'").count()
-      assert(failed >= 1, "no failed+cancelled profile row")
+      val profDeadline = System.nanoTime() + 10L * 1000000000L
+      while (failedCount() < 1 && System.nanoTime() < profDeadline)
+        Thread.sleep(100)
+      assert(failedCount() >= 1, "no failed+cancelled profile row")
       // sys.running_queries resolves as a SQL namespace too
       assert(spark.sql("SELECT * FROM sys.running_queries").columns
         .contains("query_id"))
