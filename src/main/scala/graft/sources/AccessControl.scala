@@ -85,6 +85,7 @@ object AccessControl {
   @volatile private var workspaceAcl: Map[String, Set[String]] = Map.empty
   @volatile private var viewAcl: Map[String, Set[String]] = Map.empty
   @volatile private var impersonationAcl: Map[String, Set[String]] = Map.empty
+  @volatile private var adminAcl: Set[String] = Set.empty
 
   /** Restrict `dfs.<ws>.…` to `users`; empty set removes the entry. */
   def grantWorkspace(ws: String, users: Set[String]): Unit = synchronized {
@@ -108,9 +109,18 @@ object AccessControl {
         else impersonationAcl + (proxy -> targets)
     }
 
+  /** ADMIN principals (Drill's security.admin.users): may cancel any
+    * user's query through the front doors. Owner-set like the other
+    * registries; empty = no admins. */
+  def grantAdmins(users: Set[String]): Unit = synchronized {
+    adminAcl = users
+  }
+
+  def isAdmin(user: String): Boolean = adminAcl.contains(user)
+
   def clearPolicy(): Unit = synchronized {
     workspaceAcl = Map.empty; viewAcl = Map.empty
-    impersonationAcl = Map.empty
+    impersonationAcl = Map.empty; adminAcl = Set.empty
   }
 
   private[sources] def hasViewAcls: Boolean = viewAcl.nonEmpty

@@ -141,6 +141,21 @@ object QueryServer {
             val id = path.stripPrefix("/query").stripPrefix("/")
             if (id.isEmpty) { respond(x, 400, error(
               "DELETE /query/<queryId> — id required")); return }
+            // on an AUTHENTICATED door, cancellation is scoped like
+            // Drill's (QueryResources checks owner-or-admin): a
+            // principal may cancel its OWN queries, admins
+            // (AccessControl.grantAdmins) may cancel anyone's. The
+            // open loopback endpoint keeps the session-owner posture.
+            if (credentials.nonEmpty) {
+              val principal = authUser(x).getOrElse("")
+              val owner = RunningQueries.ownerOf(id)
+              if (owner.isDefined && owner.get != principal &&
+                  !AccessControl.isAdmin(principal)) {
+                respond(x, 403, error(s"user '$principal' may not " +
+                  s"cancel a query owned by '${owner.get}' (not an admin)"))
+                return
+              }
+            }
             if (RunningQueries.cancel(spark, id))
               respond(x, 200, s"""{"cancelled":"$id"}""")
             else respond(x, 404, error(
@@ -367,7 +382,9 @@ object QueryServer {
         g.put("uptime.ms", rt.getUptime)
         g.put("os.load", os.getSystemLoadAverage)
         g.put("cores", os.getAvailableProcessors)
-        g.put("queries.running", RunningQueries.running(spark).count())
+        // O(1) registry size — a DataFrame count would run a Spark job
+        // (and post a profile row) per monitoring poll
+        g.put("queries.running", RunningQueries.liveCount)
         val gc = root.putObject("gc")
         import scala.jdk.CollectionConverters._
         ManagementFactory.getGarbageCollectorMXBeans.asScala.foreach { b =>

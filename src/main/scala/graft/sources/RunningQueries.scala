@@ -165,6 +165,16 @@ object RunningQueries {
       true
     }
 
+  /** The registered principal of a live query (None when the id is not
+    * live) — the front doors' owner-or-admin cancellation check. */
+  def ownerOf(queryId: String): Option[String] =
+    Option(live.get(queryId)).map(_.user)
+
+  /** O(1) live-query count for the metrics scrape — counting through
+    * the DataFrame would run a Spark job (and post a profile row) per
+    * monitoring poll. */
+  def liveCount: Int = live.size()
+
   /** sys.running_queries: the live registry as a relation — queryId to
     * cancel with, who runs it, through which door, queue tier/state,
     * elapsed wall. */

@@ -52,7 +52,6 @@ object TlsSupport {
   private def derInt(v: BigInt): Array[Byte] = tlv(0x02, v.toByteArray)
   private def derNull: Array[Byte] = Array(0x05.toByte, 0x00.toByte)
   private def octetString(b: Array[Byte]): Array[Byte] = tlv(0x04, b)
-  private def ia5(s: String): Array[Byte] = tlv(0x16, s.getBytes("US-ASCII"))
   private def utf8(s: String): Array[Byte] = tlv(0x0c, s.getBytes("UTF-8"))
   private def utcTime(s: String): Array[Byte] = tlv(0x17, s.getBytes("US-ASCII"))
   private def bitString(b: Array[Byte]): Array[Byte] =

@@ -106,6 +106,68 @@ class RunningQueriesSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("authenticated cancellation is OWNER-OR-ADMIN scoped (Drill's " +
+      "QueryResources rule): a third user's DELETE is 403, the admin's " +
+      "succeeds") {
+    spark.udf.register("graft_sleep", (ms: Int) => { Thread.sleep(ms); 1 })
+    val server = graft.sources.QueryServer.start(spark,
+      credentials = Map("alice" -> "pa", "mallory" -> "pm", "root" -> "pr"))
+    graft.sources.AccessControl.grantAdmins(Set("root"))
+    try {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      def http(method: String, path: String, body: Option[String],
+               user: String, pw: String): (Int, String) = {
+        val conn = java.net.URI.create(
+          s"http://127.0.0.1:${server.port}$path").toURL
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod(method)
+        conn.setRequestProperty("Authorization", "Basic " +
+          java.util.Base64.getEncoder.encodeToString(
+            s"$user:$pw".getBytes("UTF-8")))
+        body.foreach { b =>
+          conn.setRequestProperty("Content-Type", "application/json")
+          conn.setDoOutput(true)
+          conn.getOutputStream.write(b.getBytes("UTF-8"))
+        }
+        val code = conn.getResponseCode
+        val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+        val s = new String(is.readAllBytes(), "UTF-8")
+        conn.disconnect()
+        (code, s)
+      }
+      @volatile var result: (Int, String) = (0, "")
+      val t = new Thread(() => result = http("POST", "/query", Some(
+        """{"query": "SELECT sum(graft_sleep(100)) AS s FROM range(0, 400, 1, 4)"}"""),
+        "alice", "pa"))
+      t.start()
+      var id = ""
+      val deadline = System.nanoTime() + 15L * 1000000000L
+      while (id.isEmpty && System.nanoTime() < deadline) {
+        val (c, b) = http("GET", "/queries.json", None, "root", "pr")
+        if (c == 200) {
+          val rows = mapper.readTree(b)
+          if (rows.size() > 0 &&
+              rows.get(0).get("state").asText == "RUNNING") {
+            assert(rows.get(0).get("user").asText == "alice")
+            id = rows.get(0).get("query_id").asText
+          }
+        }
+        if (id.isEmpty) Thread.sleep(50)
+      }
+      assert(id.nonEmpty, "alice's query never appeared")
+      // a NON-owner non-admin may not cancel
+      val (mc, mb) = http("DELETE", s"/query/$id", None, "mallory", "pm")
+      assert(mc == 403 && mb.contains("may not cancel"), s"$mc $mb")
+      // the ADMIN may
+      assert(http("DELETE", s"/query/$id", None, "root", "pr")._1 == 200)
+      t.join(15000)
+      assert(!t.isAlive && result._1 == 400, s"cancel outcome: $result")
+    } finally {
+      graft.sources.AccessControl.clearPolicy()
+      server.stop()
+    }
+  }
+
   test("admission queue: with small=1 the second query WAITS for the " +
       "slot and runs after release; cancel wakes a queued query") {
     withQueueConf("graft.queue.enable" -> "true",
