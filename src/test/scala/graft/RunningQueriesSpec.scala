@@ -28,9 +28,12 @@ class RunningQueriesSpec extends AnyFunSuite {
     // pin capacity 50: the profile ring is JVM-wide first-caller-wins
     // and CatalogSpec pins 50 (suite-order independence)
     graft.sources.QueryProfiles.enable(spark, capacity = 50)
-    // a genuinely slow distributed query: 4 tasks x 100 sequential
-    // 100 ms sleeps — ~10 s uncancelled, far past this test's budget,
-    // so a PASSING test proves the cancel actually killed it
+    // a genuinely slow distributed query: 2 tasks x 1500 sequential
+    // 100 ms sleeps — ~150 s uncancelled, far past this test's budget,
+    // so a PASSING test proves the cancel actually killed it. TWO
+    // partitions, not four: the /queries.json polls below are Spark
+    // jobs themselves and a query occupying every local core starves
+    // them into racing the query's runtime
     spark.udf.register("graft_sleep", (ms: Int) => { Thread.sleep(ms); 1 })
     val server = graft.sources.QueryServer.start(spark)
     try {
@@ -54,7 +57,7 @@ class RunningQueriesSpec extends AnyFunSuite {
       }
       @volatile var result: (Int, String) = (0, "")
       val t = new Thread(() => result = http("POST", "/query", Some(
-        """{"query": "SELECT sum(graft_sleep(100)) AS s FROM range(0, 400, 1, 4)"}""")))
+        """{"query": "SELECT sum(graft_sleep(100)) AS s FROM range(0, 3000, 1, 2)"}""")))
       t.start()
       // the query must surface in the live registry (GET /queries.json)
       var id = ""
@@ -137,7 +140,7 @@ class RunningQueriesSpec extends AnyFunSuite {
       }
       @volatile var result: (Int, String) = (0, "")
       val t = new Thread(() => result = http("POST", "/query", Some(
-        """{"query": "SELECT sum(graft_sleep(100)) AS s FROM range(0, 400, 1, 4)"}"""),
+        """{"query": "SELECT sum(graft_sleep(100)) AS s FROM range(0, 3000, 1, 2)"}"""),
         "alice", "pa"))
       t.start()
       var id = ""

@@ -199,6 +199,98 @@ class TlsSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("the FULL deployment posture composes: TLS + basic auth + " +
+      "admission queue + owner-or-admin cancellation, all over the " +
+      "encrypted channel") {
+    spark.udf.register("graft_sleep", (ms: Int) => { Thread.sleep(ms); 1 })
+    val (ks, ts, pw) = freshStores()
+    val server = graft.sources.QueryServer.start(spark,
+      tls = Some((ks, pw)),
+      credentials = Map("alice" -> "pa", "mallory" -> "pm", "root" -> "pr"))
+    graft.sources.AccessControl.grantAdmins(Set("root"))
+    try {
+      spark.conf.set("graft.queue.enable", "true")
+      spark.conf.set("graft.queue.small", "1")
+      spark.conf.set("graft.queue.timeout_ms", "300")
+      def req(method: String, path: String, body: Option[String],
+              user: String, p: String): (Int, String) = {
+        val conn = java.net.URI.create(
+          s"https://127.0.0.1:${server.port}$path").toURL
+          .openConnection().asInstanceOf[javax.net.ssl.HttpsURLConnection]
+        conn.setSSLSocketFactory(
+          TlsSupport.clientContext(ts, pw).getSocketFactory)
+        conn.setRequestMethod(method)
+        conn.setRequestProperty("Authorization", "Basic " +
+          java.util.Base64.getEncoder.encodeToString(
+            s"$user:$p".getBytes("UTF-8")))
+        body.foreach { b =>
+          conn.setRequestProperty("Content-Type", "application/json")
+          conn.setDoOutput(true)
+          conn.getOutputStream.write(b.getBytes("UTF-8"))
+        }
+        val code = conn.getResponseCode
+        val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+        val s = new String(is.readAllBytes(), "UTF-8")
+        conn.disconnect()
+        (code, s)
+      }
+      // alice holds the ONE small-queue slot with a slow query. ONE
+      // partition deliberately: the /queries.json polls below are Spark
+      // jobs themselves, and a query occupying every local core starves
+      // them — the poll then races alice's own runtime (the flake this
+      // test shipped with). One task = one core; ~300 s uncancelled, so
+      // only the admin's cancel ends it.
+      @volatile var aliceResult: (Int, String) = (0, "")
+      val t = new Thread(() => aliceResult = req("POST", "/query", Some(
+        """{"query": "SELECT sum(graft_sleep(100)) AS s FROM range(0, 3000, 1, 1)"}"""),
+        "alice", "pa"))
+      t.start()
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      var id = ""
+      var aliceRow = ""
+      val deadline = System.nanoTime() + 15L * 1000000000L
+      while (id.isEmpty && System.nanoTime() < deadline) {
+        val (c, b) = req("GET", "/queries.json", None, "root", "pr")
+        if (c == 200) {
+          val rows = mapper.readTree(b)
+          if (rows.size() > 0 &&
+              rows.get(0).get("state").asText == "RUNNING") {
+            id = rows.get(0).get("query_id").asText
+            aliceRow = rows.get(0).toString
+          }
+        }
+        if (id.isEmpty) Thread.sleep(50)
+      }
+      assert(id.nonEmpty, "alice's query never reached RUNNING")
+      val loadBefore = graft.sources.RunningQueries.queueLoad
+      // the queue is FULL: mallory's query is refused as a retryable 503
+      val (qc, qb) = req("POST", "/query",
+        Some("""{"query": "SELECT 1 AS one"}"""), "mallory", "pm")
+      assert(qc == 503 && qb.contains("queue full"),
+        s"$qc $qb — alice's row: $aliceRow loadBefore=$loadBefore")
+      // mallory may not cancel alice's query; the admin may
+      assert(req("DELETE", s"/query/$id", None, "mallory", "pm")._1 == 403)
+      assert(req("DELETE", s"/query/$id", None, "root", "pr")._1 == 200)
+      t.join(15000)
+      assert(!t.isAlive && aliceResult._1 == 400, s"cancel: $aliceResult")
+      // the slot freed: mallory's query now runs — over TLS, authed
+      val (okC, okB) = req("POST", "/query",
+        Some("""{"query": "SELECT 1 AS one"}"""), "mallory", "pm")
+      assert(okC == 200 && okB.contains("\"one\":1"))
+    } finally {
+      Seq("graft.queue.enable", "graft.queue.small", "graft.queue.timeout_ms")
+        .foreach(spark.conf.unset)
+      graft.sources.AccessControl.clearPolicy()
+      // belt-and-braces: if an assert fired before the cancel, do not
+      // leak a 300 s query (and its gate slot) into later suites
+      graft.sources.RunningQueries.running(spark)
+        .select("query_id").collect().foreach(r =>
+          graft.sources.RunningQueries.cancel(spark, r.getString(0),
+            "posture-test teardown"))
+      server.stop()
+    }
+  }
+
   test("generated certificate is structurally sound: the JDK parser " +
       "accepts it, SANs carry the requested names, validity brackets " +
       "now, and both PKCS12 and JKS stores load") {
