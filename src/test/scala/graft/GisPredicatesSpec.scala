@@ -747,13 +747,13 @@ class GisPredicatesSpec extends AnyFunSuite {
       "is 0, every refusal is a documented honesty bound") {
     val rnd = new scala.util.Random(2718)
     var successes = 0
+    var successesOff = 0
     val allowed = Seq("share a vertex", "tangential", "collinear",
       "degenerate", "grazes", "touch-only")
     (1 to 300).foreach { trial =>
       // L1 = [0,W]x[0,h] + [0,a]x[h,H], reflex at (a,h) — concave
       val W = 4 + rnd.nextInt(6); val H = 4 + rnd.nextInt(6)
       val a = 1 + rnd.nextInt(W - 1); val h = 1 + rnd.nextInt(H - 1)
-      val l1 = s"POLYGON ((0 0, $W 0, $W $h, $a $h, $a $H, 0 $H, 0 0))"
       // L2 = translated L in one of FOUR chiralities (arm upper-left /
       // upper-right / lower-left / lower-right) — mixed orientations
       // are what interlock into DISCONNECTED intersections
@@ -777,12 +777,10 @@ class GisPredicatesSpec extends AnyFunSuite {
         case _ => Seq((W2 - a2, 0), (W2, 0), (W2, H2), (0, H2),
           (0, H2 - h2), (W2 - a2, H2 - h2))
       }
-      val l2 = "POLYGON ((" + (vtx(cfg) :+ vtx(cfg).head)
-        .map { case (vx, vy) => s"${vx + x1} ${vy + y1}" }
-        .mkString(", ") + "))"
-      // exact area by UNIT-CELL count: all coordinates are integers, so
-      // the intersection is a union of unit cells — counting cells
-      // whose center lies in both shapes is the area, no geometry code
+      // exact area by UNIT-CELL count: all LATTICE coordinates are
+      // integers, so the intersection is a union of unit cells —
+      // counting cells whose center lies in both shapes is the area,
+      // no geometry code
       def inL1(x: Double, y: Double): Boolean =
         (x > 0 && x < W && y > 0 && y < h) ||
           (x > 0 && x < a && y > h && y < H)
@@ -790,40 +788,59 @@ class GisPredicatesSpec extends AnyFunSuite {
         x > x1 + r._1 && x < x1 + r._3 && y > y1 + r._2 && y < y1 + r._4
       def inL2(x: Double, y: Double): Boolean =
         inRect(x, y, s1) || inRect(x, y, s2)
-      val expected = (for {
+      val cells = (for {
         cx <- -3 until 20; cy <- -3 until 20
         if inL1(cx + 0.5, cy + 0.5) && inL2(cx + 0.5, cy + 0.5)
       } yield 1).sum.toDouble
-      try {
-        clip("st_intersection", l1, l2) match {
-          case None =>
-            assert(expected == 0.0,
-              s"trial $trial: empty result but true area $expected " +
-                s"(l1=$l1 l2=$l2)")
-          case Some((got, _, _)) =>
-            assert(math.abs(got - expected) < 1e-9,
-              s"trial $trial: l1=$l1 l2=$l2 got $got expected $expected")
-            // and it commutes
-            val swap = clip("st_intersection", l2, l1)
-            assert(swap.isDefined &&
-              math.abs(swap.get._1 - expected) < 1e-9,
-              s"trial $trial commute")
-            successes += 1
-        }
-      } catch {
-        case e: org.scalatest.exceptions.TestFailedException => throw e
-        case e: Exception =>
-          val chain = TestSpark.causeChain(e)
-          assert(allowed.exists(chain.contains),
-            s"trial $trial: undocumented refusal for l1=$l1 l2=$l2: $chain")
+      // each pair runs at TWO placements: the integer lattice, and an
+      // OFF-LATTICE affine image (scale 7/16, offset 13/64 — exact
+      // binary fractions, so the transformed polygons are exact and
+      // the true area is cells x scale² with no rounding) — the
+      // off-lattice pass exercises the tolerance machinery where the
+      // lattice would hide it
+      Seq((1.0, 0.0, 0), (0.4375, 0.203125, 1)).foreach {
+        case (sc, off, variant) =>
+          def pt(vx: Int, vy: Int): String = s"${vx * sc + off} ${vy * sc + off}"
+          val w1 = "POLYGON ((" + Seq((0, 0), (W, 0), (W, h), (a, h),
+            (a, H), (0, H), (0, 0)).map((pt _).tupled).mkString(", ") + "))"
+          val w2 = "POLYGON ((" + ((vtx(cfg) :+ vtx(cfg).head)
+            .map { case (vx, vy) => pt(vx + x1, vy + y1) }).mkString(", ") + "))"
+          val expected = cells * sc * sc
+          try {
+            clip("st_intersection", w1, w2) match {
+              case None =>
+                assert(expected == 0.0,
+                  s"trial $trial/$variant: empty result but true area " +
+                    s"$expected (l1=$w1 l2=$w2)")
+              case Some((got, _, _)) =>
+                assert(math.abs(got - expected) < 1e-9,
+                  s"trial $trial/$variant: l1=$w1 l2=$w2 got $got " +
+                    s"expected $expected")
+                // and it commutes
+                val swap = clip("st_intersection", w2, w1)
+                assert(swap.isDefined &&
+                  math.abs(swap.get._1 - expected) < 1e-9,
+                  s"trial $trial/$variant commute")
+                if (variant == 0) successes += 1 else successesOff += 1
+            }
+          } catch {
+            case e: org.scalatest.exceptions.TestFailedException => throw e
+            case e: Exception =>
+              val chain = TestSpark.causeChain(e)
+              assert(allowed.exists(chain.contains),
+                s"trial $trial/$variant: undocumented refusal for " +
+                  s"l1=$w1 l2=$w2: $chain")
+          }
       }
     }
-    // the family must actually exercise the success path (the
-    // MULTI-piece path is covered deterministically by the fixture test
-    // below and the q_gis_clip_both_concave gate's 400 rows — random
-    // integer Ls interlock rarely and usually hit the collinear refusal
-    // first)
-    assert(successes >= 40, s"only $successes/300 trials succeeded")
+    // the family must actually exercise the success path AT BOTH
+    // placements (the MULTI-piece path is covered deterministically by
+    // the fixture test below and the q_gis_clip_both_concave gate's 400
+    // rows — random integer Ls interlock rarely and usually hit the
+    // collinear refusal first)
+    assert(successes >= 40, s"only $successes/300 lattice trials succeeded")
+    assert(successesOff >= 40,
+      s"only $successesOff/300 off-lattice trials succeeded")
   }
 
   test("both-concave intersection: dispositions and refusals on " +
