@@ -22,6 +22,20 @@ object QueriesSources {
         .select(col("id"), col("name"), col("qty"),
           round(col("price"), 4).as("price"))),
 
+    // ---- the JDBC FRONT DOOR itself (Drill's PRIMARY client surface):
+    // the gate boots the in-process HiveServer2 (one per JVM — the
+    // Verify JVM is fresh per driver run, so the door's whole lifecycle
+    // is INSIDE the gated path) and drives it with the stock hive-jdbc
+    // client; rows come back typed through ResultSetMetaData and the
+    // oracle recomputes them from the base table ----
+    "q_jdbc_door" -> ((s, d) => {
+      GraftSession.table(s, d, "region")
+        .createOrReplaceGlobalTempView("jdbc_door_region")
+      val port = jdbcDoorPort(s)
+      graft.sources.Federation.graftPeerJdbc(s, "127.0.0.1", port,
+        "SELECT r_regionkey, r_name FROM global_temp.jdbc_door_region")
+    }),
+
     // ---- graft-to-graft FEDERATION (Drill's drill-on-drill plugin):
     // an in-process PEER QueryServer serves the query over its REST
     // door and the rows come back as a local DataFrame — the oracle
@@ -1568,6 +1582,19 @@ object QueriesSources {
   private def out(sfDir: String): String =
     s"/tmp/graft_out/${new java.io.File(sfDir).getName}"
 
+  /** The gate's JDBC door, started ONCE per JVM (the HiveServer2
+    * constraint) and reused across invocations; NONE auth — the
+    * credentialed posture is spec-covered (JdbcEndpointSpec). */
+  @volatile private var jdbcDoor: Option[Int] = None
+  private def jdbcDoorPort(s: org.apache.spark.sql.SparkSession): Int =
+    synchronized {
+      jdbcDoor.getOrElse {
+        val p = graft.sources.JdbcEndpoint.start(s).port
+        jdbcDoor = Some(p)
+        p
+      }
+    }
+
   /** Build (once per SF) the 2-snapshot Paimon fixture both paimon
     * gates read. */
   private def paimonFixture(s: org.apache.spark.sql.SparkSession, d: String): String = {
@@ -2214,6 +2241,8 @@ object QueriesSources {
       s"SELECT id, name, score, active FROM read_json_auto('$Dir/sample.jsonl')",
     "q_table_function" ->
       s"SELECT id, name, qty, round(price, 4) AS price FROM read_csv_auto('$Dir/sample.csv')",
+    "q_jdbc_door" -> """
+      SELECT r_regionkey, r_name FROM region""",
     "q_graft_peer" -> """
       SELECT n_regionkey, count(*) AS n, sum(n_nationkey)::BIGINT AS key_sum
       FROM nation GROUP BY 1""",
