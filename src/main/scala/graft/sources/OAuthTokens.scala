@@ -33,6 +33,14 @@ object OAuth {
   final case class Tokens(accessToken: String, refreshToken: Option[String],
                           expiresAtMs: Long)
 
+  /** A token-endpoint POST answered non-2xx; carries the HTTP status so
+    * callers can tell a PROVIDER REJECTION (4xx — the token is bad,
+    * re-bootstrap is correct) from a PROVIDER OUTAGE (5xx — the token
+    * may be fine, retrying with a second grant type just doubles the
+    * traffic and can burn a still-valid refresh token). */
+  final class GrantException(msg: String, val status: Int)
+      extends IllegalStateException(msg)
+
   private def mapper = new ObjectMapper()
 
   /** Read the persisted token table; None when absent/unreadable. */
@@ -94,9 +102,9 @@ object OAuth {
     if (code >= 300) {
       val err = readAll(conn.getErrorStream)
       conn.disconnect()
-      throw new IllegalStateException(
+      throw new GrantException(
         s"OAuth token grant failed (HTTP $code) at ${cfg.tokenUrl}: " +
-          err.take(300))
+          err.take(300), code)
     }
     val n = mapper.readTree(readAll(conn.getInputStream))
     conn.disconnect()
@@ -116,14 +124,22 @@ object OAuth {
     grant(cfg, Map("grant_type" -> "client_credentials",
       "client_id" -> cfg.clientId, "client_secret" -> cfg.clientSecret))
 
-  /** The refresh grant; falls back to client_credentials when the
-    * provider rejects the refresh token (expired/revoked — the
-    * re-bootstrap path Drill's token table supports via updateTokens). */
+  /** The refresh grant; falls back to client_credentials ONLY when the
+    * provider REJECTS the refresh token — a 4xx token-endpoint answer
+    * (invalid_grant: expired/revoked — the re-bootstrap path Drill's
+    * token table supports via updateTokens). A 5xx (provider outage)
+    * and a malformed 2xx (no access_token — misconfiguration) both
+    * RETHROW: re-bootstrapping on a transient outage doubles every
+    * refresh into two grants and can discard a still-valid refresh
+    * token, and grant()'s fail-loudly promise must not be masked. */
   def refresh(cfg: Config, refreshToken: String): Tokens =
     try grant(cfg, Map("grant_type" -> "refresh_token",
       "refresh_token" -> refreshToken,
       "client_id" -> cfg.clientId, "client_secret" -> cfg.clientSecret))
-    catch { case _: IllegalStateException => fetchInitial(cfg) }
+    catch {
+      case e: GrantException if e.status >= 400 && e.status < 500 =>
+        fetchInitial(cfg)
+    }
 
   /** A usable access token: the persisted one if fresh (30 s skew
     * margin), else refresh-or-bootstrap + persist. */

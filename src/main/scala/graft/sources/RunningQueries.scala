@@ -63,24 +63,27 @@ object RunningQueries {
 
   private val live = new ConcurrentHashMap[String, Info]()
 
-  // ---- admission gates (dynamic limits: the limit is read per acquire,
-  // so ALTER SYSTEM SET takes effect without rebuilding a semaphore)
+  // ---- admission gates (dynamic limits: the limit is a THUNK
+  // re-evaluated on every pass of the wait loop, so ALTER SYSTEM SET
+  // raising graft.queue.small/large unblocks queries ALREADY WAITING in
+  // the queue — not just ones admitted after the change; the 200 ms
+  // wait quantum bounds how stale a queued query's view can be)
   private final class Gate {
     private var running = 0
-    def acquire(limit: Int, timeoutMs: Long, tier: String,
+    def acquire(limit: () => Int, timeoutMs: Long, tier: String,
                 info: Info): Unit = synchronized {
       val deadline = System.nanoTime() + timeoutMs * 1000000L
-      while (running >= limit) {
+      while (running >= limit()) {
         if (info.cancelRequested.get())
           throw new AdmissionException(
             s"query ${info.queryId} cancelled while queued")
         val waitMs = (deadline - System.nanoTime()) / 1000000L
         if (waitMs <= 0)
           throw new AdmissionException(
-            s"$tier query queue full ($running/$limit running) — " +
+            s"$tier query queue full ($running/${limit()} running) — " +
               s"waited ${timeoutMs}ms (graft.queue.timeout_ms); " +
               "retry later or raise graft.queue." + tier)
-        wait(math.min(waitMs, 200L)) // short waits: see cancel promptly
+        wait(math.min(waitMs, 200L)) // short waits: see cancel + raised limits promptly
       }
       running += 1
     }
@@ -125,21 +128,22 @@ object RunningQueries {
     try {
       // ---- admission (before any cluster work)
       val (gate, limit) =
-        if (!confBool(spark, "graft.queue.enable")) (null, 0)
+        if (!confBool(spark, "graft.queue.enable"))
+          (null: Gate, () => 0)
         else {
           val threshold = confLong(spark, "graft.queue.threshold", 10485760L)
           val est = estimatedBytes(spark, sql)
           val big = est >= threshold
           info.tier = if (big) "large" else "small"
-          val lim =
-            if (big) confLong(spark, "graft.queue.large", 2L).toInt
-            else confLong(spark, "graft.queue.small", 10L).toInt
+          val lim: () => Int =
+            if (big) () => confLong(spark, "graft.queue.large", 2L).toInt
+            else () => confLong(spark, "graft.queue.small", 10L).toInt
           // operator-facing admission trace (graft.queue.debug = true):
           // which tier a query landed in and why — the estimate, the
           // threshold, the live loads
           if (confBool(spark, "graft.queue.debug"))
             System.err.println(s"[queue] id=$id user=$user est=$est " +
-              s"threshold=$threshold tier=${info.tier} limit=$lim " +
+              s"threshold=$threshold tier=${info.tier} limit=${lim()} " +
               s"load=${(smallGate.load, largeGate.load)} sql=${sql.take(60)}")
           (if (big) largeGate else smallGate, lim)
         }

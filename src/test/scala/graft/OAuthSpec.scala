@@ -167,4 +167,37 @@ class OAuthSpec extends AnyFunSuite {
       assert(t.accessToken.startsWith("tok-") && p.ccGrants.get() >= 1)
     } finally p.stop()
   }
+
+  test("refresh: a provider 5xx RETHROWS with the status — no " +
+      "client_credentials fallback (a transient outage must not double " +
+      "every refresh into two grants or burn a still-valid refresh " +
+      "token); only a 4xx rejection re-bootstraps") {
+    val cc = new AtomicInteger(0)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/token", new HttpHandler {
+      override def handle(x: HttpExchange): Unit = {
+        val form = new String(x.getRequestBody.readAllBytes(), "UTF-8")
+        val (code, body) =
+          if (form.contains("grant_type=refresh_token"))
+            (503, """{"error":"temporarily_unavailable"}""")
+          else {
+            cc.incrementAndGet()
+            (200, """{"access_token":"cc-tok","expires_in":3600}""")
+          }
+        val b = body.getBytes("UTF-8")
+        x.sendResponseHeaders(code, b.length)
+        x.getResponseBody.write(b); x.close()
+      }
+    })
+    server.start()
+    try {
+      val cfg = OAuth.Config(
+        s"http://127.0.0.1:${server.getAddress.getPort}/token", "cid", "sec",
+        java.nio.file.Files.createTempDirectory("oauth5xx")
+          .resolve("tok.json").toString)
+      val e = intercept[OAuth.GrantException] { OAuth.refresh(cfg, "rt-1") }
+      assert(e.status == 503 && e.getMessage.contains("503"))
+      assert(cc.get == 0, "5xx must not fall back to client_credentials")
+    } finally server.stop(0)
+  }
 }

@@ -201,6 +201,39 @@ class RunningQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("a QUEUED query sees a RAISED limit live: setting " +
+      "graft.queue.small mid-wait admits it WITHOUT the held slot " +
+      "freeing (the limit is re-read every wait quantum, not captured " +
+      "at acquire time)") {
+    withQueueConf("graft.queue.enable" -> "true",
+      "graft.queue.small" -> "1",
+      "graft.queue.timeout_ms" -> "20000") {
+      val aIn = new CountDownLatch(1)
+      val aRelease = new CountDownLatch(1)
+      val bIn = new CountDownLatch(1)
+      val bRelease = new CountDownLatch(1)
+      val a = new Thread(() => RunningQueries.track(spark, "SELECT 1",
+        "ua", "test") { aIn.countDown(); aRelease.await() })
+      a.start()
+      assert(aIn.await(5, TimeUnit.SECONDS))
+      val b = new Thread(() => RunningQueries.track(spark, "SELECT 2",
+        "ub", "test") { bIn.countDown(); bRelease.await() })
+      b.start()
+      Thread.sleep(400)
+      assert(bIn.getCount == 1 && RunningQueries.queueLoad._1 == 1,
+        "B must be queued behind A at limit 1")
+      // raise the limit while B is ALREADY waiting — B must start
+      // running while A still holds its original slot
+      spark.conf.set("graft.queue.small", "2")
+      assert(bIn.await(5, TimeUnit.SECONDS),
+        "queued query never saw the raised limit")
+      assert(RunningQueries.queueLoad._1 == 2)
+      bRelease.countDown(); aRelease.countDown()
+      a.join(5000); b.join(5000)
+      assert(RunningQueries.queueLoad == ((0, 0)))
+    }
+  }
+
   test("admission timeout: the N+1th query fails LOUDLY past " +
       "graft.queue.timeout_ms, and timeout 0 rejects immediately") {
     withQueueConf("graft.queue.enable" -> "true",
