@@ -89,6 +89,22 @@ object QueriesSources {
           (col("name").endsWith(".csv") || col("name").endsWith(".jsonl")))
         .select(col("name"), col("length"))),
 
+    // ---- INFORMATION_SCHEMA catalog as SQL (row 39b; ref store/
+    // ischema/InfoSchemaTable.java TABLES + COLUMNS): two fixture
+    // tables registered as session views and read back THROUGH the
+    // catalog namespace — table names, column names/types/nullability
+    // and temp-ness all hash against a literal oracle ----
+    "q_info_schema" -> ((s, d) => {
+      GraftSession.table(s, d, "region").createOrReplaceTempView("isch_region")
+      GraftSession.table(s, d, "nation").createOrReplaceTempView("isch_nation")
+      s.sql("""
+        SELECT c.table_name, c.column_name, c.data_type, c.is_nullable,
+               t.table_type, t.is_temporary
+        FROM information_schema.`columns` c
+        JOIN information_schema.`tables` t ON c.table_name = t.table_name
+        WHERE c.table_name IN ('isch_region', 'isch_nation')""")
+    }),
+
     "q_read_log" -> ((s, _) =>
       SchemaOnRead.regexLog(s, s"$Dir/app.log",
         "^(\\w+) (\\S+) (\\w+) (.*)$",
@@ -2248,6 +2264,15 @@ object QueriesSources {
       FROM nation GROUP BY 1""",
     "q_cttas" -> """
       SELECT r_regionkey, r_name FROM region WHERE r_regionkey < 4""",
+    "q_info_schema" -> """
+      SELECT * FROM (VALUES
+        ('isch_nation', 'n_nationkey', 'int', true, 'TEMPORARY', true),
+        ('isch_nation', 'n_name', 'string', true, 'TEMPORARY', true),
+        ('isch_nation', 'n_regionkey', 'int', true, 'TEMPORARY', true),
+        ('isch_region', 'r_regionkey', 'int', true, 'TEMPORARY', true),
+        ('isch_region', 'r_name', 'string', true, 'TEMPORARY', true))
+      t(table_name, column_name, data_type, is_nullable, table_type,
+        is_temporary)""",
     "q_describe_history" -> """
       SELECT * FROM (VALUES
         (0::BIGINT, 'commit'), (1::BIGINT, 'commit'), (2::BIGINT, 'commit'))
