@@ -165,7 +165,40 @@ object JdbcEndpoint {
   def start(spark: SparkSession, port: Int = 0,
             credentials: Map[String, String] = Map.empty,
             maxConcurrentStatements: Int = 0,
-            ssl: Option[(String, String)] = None): Running = {
+            ssl: Option[(String, String)] = None,
+            auth: Option[String] = None): Running = {
+    // DOCUMENTED REFUSAL — Kerberos/SASL-GSSAPI (the reference's
+    // exec/.../rpc/security/kerberos/: KerberosFactory.java wraps
+    // hadoop UGI + JAAS around the drillbit RPC). A Kerberos handshake
+    // cannot be implemented honestly here: zero-egress means no KDC to
+    // authenticate against, so every byte of the GSSAPI token exchange
+    // (mutual auth, ticket decryption, replay cache) would ship
+    // UNVERIFIED — and an auth path that was never seen succeeding
+    // fails closed at a real deployment's first ticket, the worst
+    // possible place to discover it. The shipped posture covers the
+    // secured-door role: TLS on the thrift channel (`ssl`) + SASL-PLAIN
+    // password auth riding it (`credentials`), or terminate Kerberos at
+    // a fronting proxy that speaks PLAIN to this door. An explicit
+    // request for the unverifiable mode refuses LOUDLY, never silently
+    // downgrades.
+    auth.map(_.toUpperCase).filter(a => a == "KERBEROS" || a == "GSSAPI")
+      .foreach { a =>
+        throw new IllegalArgumentException(
+          s"JDBC auth mode $a refuses: SASL-GSSAPI needs a reachable " +
+            "KDC to validate the token exchange and none exists " +
+            "zero-egress — an unverified Kerberos path would fail " +
+            "closed at first ticket. Use ssl=Some(keystore) + " +
+            "credentials (TLS + SASL-PLAIN over the encrypted channel) " +
+            "or terminate Kerberos at a fronting proxy.")
+      }
+    auth.map(_.toUpperCase).foreach { a =>
+      require(a == "NONE" || a == "CUSTOM",
+        s"unsupported JDBC auth mode $a (NONE, CUSTOM; KERBEROS/GSSAPI " +
+          "is a documented refusal)")
+      require((a == "CUSTOM") == credentials.nonEmpty,
+        "auth mode and credentials disagree: CUSTOM needs a non-empty " +
+          "credentials map, NONE an empty one")
+    }
     // NOTE: freePort() is check-then-bind — a foreign process could in
     // principle grab the port between the probe and HiveServer2's bind,
     // in which case awaitPort would accept against the squatter. The

@@ -266,4 +266,32 @@ class JdbcEndpointSpec extends AnyFunSuite {
       assert(rs2.getInt(1) == 2)
     }
   }
+
+  test("Kerberos/SASL-GSSAPI is a DOCUMENTED REFUSAL: an explicit " +
+      "request refuses loudly (no KDC zero-egress — an unverified " +
+      "auth path must not ship), names the shipped alternative, and " +
+      "never silently downgrades; mismatched modes also refuse") {
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.JdbcEndpoint.start(spark, auth = Some("KERBEROS"))
+    }
+    assert(e.getMessage.contains("KDC") &&
+      e.getMessage.contains("zero-egress") &&
+      e.getMessage.contains("SASL-PLAIN"), e.getMessage)
+    val g = intercept[IllegalArgumentException] {
+      graft.sources.JdbcEndpoint.start(spark, auth = Some("gssapi"))
+    }
+    assert(g.getMessage.contains("refuses"), g.getMessage)
+    // an unknown mode and a mode/credentials mismatch refuse too —
+    // never a silent downgrade to NONE
+    intercept[IllegalArgumentException] {
+      graft.sources.JdbcEndpoint.start(spark, auth = Some("LDAP"))
+    }
+    intercept[IllegalArgumentException] {
+      graft.sources.JdbcEndpoint.start(spark, auth = Some("CUSTOM"))
+    }
+    intercept[IllegalArgumentException] {
+      graft.sources.JdbcEndpoint.start(spark, auth = Some("NONE"),
+        credentials = Map("u" -> "p"))
+    }
+  }
 }
