@@ -128,10 +128,20 @@ object Federation {
     * truststore for an `https://` peer (the TlsSupport pair of the
     * peer's keystore) — hostname verification stays the platform
     * default, so the peer's cert SAN must really name the host. Without
-    * it, https peers validate against the JVM's default CA store. */
+    * it, https peers validate against the JVM's default CA store.
+    *
+    * The peer STREAMS its result (chunked transfer; QueryServer) and
+    * this side parses it INCREMENTALLY off the wire — no full-response
+    * String ever materializes here; the rows themselves do (the
+    * federated-aggregate contract: results are driver-local), bounded
+    * EXPLICITLY by `maxRows`, which rides the request so the peer stops
+    * producing at the cap. A result the cap actually shortened THROWS —
+    * a federated aggregate must be exact; raise `maxRows` (0 = no cap)
+    * or push more of the aggregation down into `sql`. */
   def graftPeer(spark: SparkSession, baseUrl: String, sql: String,
                 credentials: Option[(String, String)] = None,
-                trustStore: Option[(String, String)] = None): DataFrame = {
+                trustStore: Option[(String, String)] = None,
+                maxRows: Int = 10000): DataFrame = {
     import scala.jdk.CollectionConverters._
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     // credentials ride a Basic header — REFUSE to send them in clear
@@ -170,48 +180,88 @@ object Federation {
     conn.setReadTimeout(120000) // a peer mid-query is slow, not dead
     val payload = mapper.createObjectNode()
     payload.put("query", sql)
+    if (maxRows > 0) payload.put("maxRows", maxRows)
     conn.getOutputStream.write(mapper.writeValueAsBytes(payload))
     val code = conn.getResponseCode
     val ok = code < 400
-    def readAll(s: java.io.InputStream): String =
-      try new String(s.readAllBytes(), "UTF-8") finally s.close()
-    // a proxy/LB error may have an EMPTY body (errorStream null) or a
-    // non-JSON one (HTML error page) — surface the status + whatever
-    // text exists rather than NPE/JsonProcessingException
-    val body =
-      if (ok) readAll(conn.getInputStream)
-      else Option(conn.getErrorStream).map(readAll).getOrElse("")
-    conn.disconnect()
     if (!ok) {
+      // a proxy/LB error may have an EMPTY body (errorStream null) or a
+      // non-JSON one (HTML error page) — surface the status + whatever
+      // text exists rather than NPE/JsonProcessingException
+      val body = Option(conn.getErrorStream)
+        .map(s => try new String(s.readAllBytes(), "UTF-8") finally s.close())
+        .getOrElse("")
+      conn.disconnect()
       val msg = (try Option(mapper.readTree(body))
         .flatMap(n => Option(n.get("errorMessage")).map(_.asText))
       catch { case _: Exception => None })
         .getOrElse(if (body.isEmpty) "empty error body" else body.take(500))
       throw new IllegalArgumentException(s"graft peer error (HTTP $code): $msg")
     }
-    // a 200 that isn't the graft response shape (a proxy, a non-graft
-    // service) must error readably, not NPE
-    val node =
-      try mapper.readTree(body)
-      catch { case e: Exception => throw new IllegalArgumentException(
-        s"graft peer returned 200 with unparseable body: ${body.take(200)}") }
-    if (node == null || (!node.has("rows") && !node.has("errorMessage")))
+    // ---- incremental parse of the STREAMED response: rows are read one
+    // at a time off the chunked wire (never a whole-body String), and
+    // the trailer fields (queryState / errorMessage / truncated) arrive
+    // after the rows — a mid-stream peer failure or a cap-shortened
+    // result throws AFTER the wire is drained, never silently returns
+    // a partial frame
+    import com.fasterxml.jackson.core.JsonToken
+    var schemaDdl: Option[String] = None
+    var state: Option[String] = None
+    var errMsg: Option[String] = None
+    var truncated = false
+    var sawRows = false
+    val rows = scala.collection.mutable.ArrayBuffer.empty[String]
+    try {
+      val p = mapper.getFactory.createParser(conn.getInputStream)
+      try {
+        if (p.nextToken() != JsonToken.START_OBJECT)
+          throw new IllegalArgumentException(
+            "graft peer returned 200 without a JSON object body")
+        while (p.nextToken() == JsonToken.FIELD_NAME) {
+          val field = p.currentName()
+          p.nextToken() // onto the value
+          field match {
+            case "rows" =>
+              sawRows = true
+              while (p.nextToken() != JsonToken.END_ARRAY)
+                rows += mapper.readTree(p).toString
+            case "schema"       => schemaDdl = Some(p.getText)
+            case "queryState"   => state = Some(p.getText)
+            case "errorMessage" => errMsg = Some(p.getText)
+            case "truncated"    => truncated = p.getBooleanValue
+            case _              => p.skipChildren() // columns, rowCount
+          }
+        }
+      } finally { p.close(); conn.disconnect() }
+    } catch {
+      case e: com.fasterxml.jackson.core.JacksonException =>
+        // a 200 that isn't the graft response shape (a proxy, a
+        // non-graft service) must error readably, not NPE
+        throw new IllegalArgumentException(
+          s"graft peer returned 200 with unparseable body: ${e.getMessage}")
+    }
+    if (errMsg.isDefined || state.contains("FAILED"))
       throw new IllegalArgumentException(
-        s"graft peer returned 200 without a rows field: ${body.take(200)}")
-    if (node.has("errorMessage"))
+        "graft peer error: " + errMsg.getOrElse("queryState FAILED"))
+    if (!sawRows)
       throw new IllegalArgumentException(
-        "graft peer error: " + node.get("errorMessage").asText)
-    val rows = node.get("rows").elements().asScala.map(_.toString).toSeq
+        "graft peer returned 200 without a rows field")
+    if (truncated)
+      throw new IllegalArgumentException(
+        s"graft peer result exceeded maxRows=$maxRows and was truncated " +
+          s"at ${rows.size} rows — a federated result must be exact: " +
+          "raise maxRows (0 = no cap) or push more aggregation into the " +
+          "peer SQL")
     import spark.implicits._
     // the peer sends its result schema since round 10 — zero-row results
     // (the common case for federated filters) then keep their columns
     // and types instead of failing JSON inference; older peers without
     // the field fall back to inference
-    Option(node.get("schema")).map(_.asText) match {
+    schemaDdl match {
       case Some(ddl) =>
         spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
-          .json(spark.createDataset(rows))
-      case None => spark.read.json(spark.createDataset(rows))
+          .json(spark.createDataset(rows.toSeq))
+      case None => spark.read.json(spark.createDataset(rows.toSeq))
     }
   }
 
@@ -232,13 +282,29 @@ object Federation {
     * completed pages. */
   def httpJsonLines(spark: SparkSession, urls: Seq[String],
                     schemaDdl: Option[String] = None,
-                    oauth: Option[OAuth.Config] = None): DataFrame = {
+                    oauth: Option[OAuth.Config] = None,
+                    credentialSource: Option[String] = None): DataFrame = {
     import spark.implicits._
+    // per-user credential translation (`credentialSource` names the
+    // registered source; Drill's USER_TRANSLATION authMode, reference
+    // server/rest/CredentialResources.java): the EFFECTIVE principal's
+    // own credentials resolve ON THE DRIVER, inside the front door's
+    // runAs scope — executors then carry the resolved per-user config
+    // (own client pair, own partitioned token file, own Basic pair) in
+    // the task closure. An unauthenticated caller, or a principal with
+    // nothing stored, fails loudly HERE — before any fetch, never via
+    // a shared-identity fallback.
+    val effOauth = credentialSource match {
+      case Some(src) => oauth.map(UserCredentials.resolveOAuth(spark, src, _))
+      case None      => oauth
+    }
+    val basic = credentialSource.flatMap(
+      src => UserCredentials.resolveBasic(spark, src))
     // warm the token table ONCE on the driver before any task runs: a
     // cold start otherwise bootstraps once PER TASK (a thousand
     // client_credentials grants on a wide read — providers rate-limit
     // exactly that); executors then just read the persisted token
-    oauth.foreach(OAuth.currentToken)
+    effOauth.foreach(OAuth.currentToken)
     val parallelism = math.max(1, math.min(math.max(urls.size, 1), 32))
     val raw = spark.createDataset(urls).repartition(parallelism)
       .mapPartitions { it =>
@@ -252,20 +318,27 @@ object Federation {
           val conn = new java.net.URI(u).toURL.openConnection()
           conn.setConnectTimeout(10000)
           conn.setReadTimeout(120000)
+          // the per-user Basic pair; a Bearer token (set after) wins
+          // when the source speaks both
+          basic.foreach { case (bu, bp) =>
+            conn.setRequestProperty("Authorization", "Basic " +
+              java.util.Base64.getEncoder.encodeToString(
+                s"$bu:$bp".getBytes("UTF-8")))
+          }
           token.foreach(t =>
             conn.setRequestProperty("Authorization", s"Bearer $t"))
           conn
         }
         it.flatMap { u =>
-          open(u, oauth.map(OAuth.currentToken)) match {
+          open(u, effOauth.map(OAuth.currentToken)) match {
             case h: java.net.HttpURLConnection =>
               val code = h.getResponseCode
-              if (code == 401 && oauth.isDefined) {
+              if (code == 401 && effOauth.isDefined) {
                 // expired/revoked mid-pagination: refresh-and-persist,
                 // retry THIS page once (executor-side, no driver trip)
                 Option(h.getErrorStream).foreach(_.close())
                 h.disconnect()
-                val retry = open(u, Some(OAuth.refreshAfter401(oauth.get)))
+                val retry = open(u, Some(OAuth.refreshAfter401(effOauth.get)))
                   .asInstanceOf[java.net.HttpURLConnection]
                 val rc = retry.getResponseCode
                 if (rc >= 400) throw new IllegalStateException(

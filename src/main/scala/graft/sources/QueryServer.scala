@@ -13,14 +13,37 @@ import org.apache.spark.sql.SparkSession
   *
   * The server is a thin shell: the SQL plans and executes on the session
   * exactly as a programmatic `spark.sql` call would (same catalog, same
-  * registered views/extensions), rows serialize through the engine's own
-  * JSON writer, and an explicit `maxRows` cap bounds the driver-side
-  * materialization — the REST surface is for interactive/result-set
-  * queries, not bulk export (that's CTAS's job, as in Drill).
+  * registered views/extensions) and rows serialize through the engine's
+  * own JSON writer.
+  *
+  * RESULTS STREAM (Drill's streamed REST results, reference
+  * exec/.../server/rest/stream/StreamingHttpConnection.java +
+  * QueryRunner.java): the response is CHUNKED transfer encoding —
+  * columns and result-schema DDL first, then rows one at a time off
+  * `df.toJSON.toLocalIterator()` (Spark fetches ONE PARTITION of the
+  * result at a time to the driver), then a `queryState` trailer. The
+  * serving path never materializes the result set — driver memory is
+  * bounded by one result partition plus a fixed 32 KiB write buffer
+  * regardless of result size, so a 100M-row SELECT streams complete.
+  * Caps are EXPLICIT, never silent: the client may send `maxRows` in
+  * the request body, the operator may set a server-side ceiling at
+  * [[start]]; when a cap actually drops rows the response says
+  * `"truncated":true`, and with no cap configured nothing is dropped.
+  * An error AFTER the 200 header is already on the wire (a task
+  * failure mid-stream) closes the rows array and reports
+  * `"queryState":"FAILED"` + `errorMessage` in the trailer — exactly
+  * the reference's streamed-error contract.
   */
 object QueryServer {
 
   private val mapper = new ObjectMapper()
+
+  /** Test seam for the bounded-buffer contract: the largest single
+    * byte-array handed to the response stream while serving the most
+    * recent POST /query (header fragment or one row). A full-result
+    * String materialization would show up here as one response-sized
+    * write; the streaming path keeps it at max(row, header) bytes. */
+  @volatile private[graft] var lastStreamPeakWrite: Int = 0
 
   /** An AccessControl denial anywhere in the cause chain (Spark wraps
     * analysis-time failures) is a 403, not a generic 400. */
@@ -39,6 +62,14 @@ object QueryServer {
     val port: Int = server.getAddress.getPort
     def stop(): Unit = { server.stop(0); pool.shutdownNow() }
   }
+
+  /** A web-console login session: principal + per-session CSRF token +
+    * last-touch for idle expiry (reference LogInLogOutResources.java's
+    * servlet session, CsrfTokenInjectFilter's token). */
+  private final class Session(val user: String, val csrf: String) {
+    @volatile var touchedMs: Long = System.currentTimeMillis()
+  }
+  private val SessionIdleMs = 8L * 3600 * 1000
 
   /** `tls` = Some((keystorePath, password)) serves EVERY endpoint over
     * HTTPS (an `HttpsServer` with the keystore's key — Drill's web
@@ -63,6 +94,12 @@ object QueryServer {
     * a GENERIC message (never "unknown user" — username enumeration).
     * Empty credentials = open loopback endpoint, unchanged.
     *
+    * `maxRows` is the OPERATOR ceiling on rows per response (0, the
+    * default, streams every row — memory stays bounded either way);
+    * a response a cap actually shortened carries `"truncated":true`,
+    * and clients request their own cap per query via `maxRows` in the
+    * request body — there is no silent default truncation.
+    *
     * Known, accepted bounds on a LOOPBACK-BOUND endpoint (r13 verdict
     * note): the credentials map holds plaintext passwords in process
     * memory (no hashing — the map is operator-supplied at start and
@@ -71,7 +108,7 @@ object QueryServer {
     * a local timing probe. A deployment past loopback must terminate
     * TLS+auth in front (the JdbcEndpoint posture) rather than harden
     * this shell. */
-  def start(spark: SparkSession, port: Int = 0, maxRows: Int = 10000,
+  def start(spark: SparkSession, port: Int = 0, maxRows: Int = 0,
             credentials: Map[String, String] = Map.empty,
             tls: Option[(String, String)] = None): Running = {
     val server = tls match {
@@ -84,13 +121,41 @@ object QueryServer {
           TlsSupport.serverContext(ksPath, ksPass)))
         s
     }
-    // the AUTHENTICATED principal of this exchange, derived from the
-    // per-exchange Authorization header; None = invalid/absent. Handlers
-    // needing the principal re-derive it from the SAME header — NEVER
-    // through HttpExchange.setAttribute, whose store is the
-    // HttpContext-wide SHARED map, so concurrent requests would read
-    // each other's principals (a confirmed principal-swap race).
-    def authUser(x: HttpExchange): Option[String] = {
+    // unknown users still run the constant-time compare against a
+    // dummy — skipping it returns measurably faster and re-opens the
+    // username-enumeration timing channel the generic 401 body closes
+    def checkPassword(u: String, pw: String): Boolean = {
+      val expected = credentials.getOrElse(u, "\u0000graft-no-such-user")
+      java.security.MessageDigest.isEqual(
+        expected.getBytes("UTF-8"), pw.getBytes("UTF-8")) &&
+        credentials.contains(u)
+    }
+    // ---- web-console SESSION store (reference server/rest/
+    // LogInLogOutResources.java): POST /login trades a form credential
+    // for an HttpOnly cookie + a per-session CSRF token; cookie-bearing
+    // state-changing requests must echo the token (CsrfTokenInjectFilter
+    // role). Sessions are per-server-instance and idle-expired.
+    val sessions =
+      new java.util.concurrent.ConcurrentHashMap[String, Session]()
+    val rng = new java.security.SecureRandom()
+    def newToken(): String = {
+      val b = new Array[Byte](16); rng.nextBytes(b)
+      b.map("%02x".format(_)).mkString
+    }
+    def cookieSession(x: HttpExchange): Option[(String, Session)] =
+      Option(x.getRequestHeaders.getFirst("Cookie")).flatMap { c =>
+        c.split(';').map(_.trim).collectFirst {
+          case kv if kv.startsWith("graft_session=") =>
+            kv.stripPrefix("graft_session=")
+        }
+      }.flatMap(id => Option(sessions.get(id)).map(id -> _)).filter {
+        case (id, s) =>
+          val live = System.currentTimeMillis() - s.touchedMs < SessionIdleMs
+          if (live) s.touchedMs = System.currentTimeMillis()
+          else sessions.remove(id)
+          live
+      }
+    def basicUser(x: HttpExchange): Option[String] = {
       val hdr = Option(x.getRequestHeaders.getFirst("Authorization"))
         .getOrElse("")
       if (!hdr.startsWith("Basic ")) None
@@ -101,21 +166,31 @@ object QueryServer {
           catch { case _: IllegalArgumentException => "" }
         val i = dec.indexOf(':')
         if (i <= 0) None
-        else {
-          val (u, pw) = (dec.take(i), dec.drop(i + 1))
-          // unknown users still run the constant-time compare
-          // against a dummy — skipping it returns measurably
-          // faster and re-opens the username-enumeration timing
-          // channel the generic 401 body closes
-          val expected = credentials.getOrElse(u,
-            "\u0000graft-no-such-user")
-          if (java.security.MessageDigest.isEqual(
-              expected.getBytes("UTF-8"), pw.getBytes("UTF-8")) &&
-              credentials.contains(u)) Some(u)
-          else None
-        }
+        else if (checkPassword(dec.take(i), dec.drop(i + 1)))
+          Some(dec.take(i))
+        else None
       }
     }
+    // the AUTHENTICATED principal of this exchange: the Basic header or
+    // a live login-session cookie. Handlers re-derive it from the SAME
+    // request material — NEVER through HttpExchange.setAttribute, whose
+    // store is the HttpContext-wide SHARED map, so concurrent requests
+    // would read each other's principals (a confirmed principal-swap
+    // race).
+    def authUser(x: HttpExchange): Option[String] =
+      basicUser(x).orElse(cookieSession(x).map(_._2.user))
+    // CSRF gate for state-changing verbs: ONLY cookie-authenticated
+    // requests need the token — a cookie rides AMBIENTLY on whatever
+    // cross-site request a browser is tricked into, a Basic header
+    // (API clients) does not. The token must echo in the X-Graft-Csrf
+    // header, which a cross-site page cannot set without the CORS
+    // preflight this server never approves.
+    def csrfFailed(x: HttpExchange): Boolean =
+      credentials.nonEmpty && basicUser(x).isEmpty &&
+        cookieSession(x).exists { case (_, s) =>
+          Option(x.getRequestHeaders.getFirst("X-Graft-Csrf"))
+            .getOrElse("") != s.csrf
+        }
     def guarded(h: HttpHandler): HttpHandler =
       if (credentials.isEmpty) h
       else new HttpHandler {
@@ -127,6 +202,44 @@ object QueryServer {
           } else h.handle(x)
         }
       }
+    // ADMIN-reserved endpoints (Drill's @RolesAllowed(ADMIN_ROLE) on
+    // LogsResources): on a credentialed door only AccessControl.grantAdmins
+    // principals pass; the open loopback door keeps its session-owner
+    // posture (no principal channel = the caller already owns the JVM).
+    def adminOnly(h: HttpHandler): HttpHandler =
+      if (credentials.isEmpty) h
+      else new HttpHandler {
+        override def handle(x: HttpExchange): Unit = {
+          val u = authUser(x).getOrElse("")
+          if (!AccessControl.isAdmin(u))
+            respond(x, 403, error(
+              s"user '$u' is not an admin (AccessControl.grantAdmins) — " +
+                "this endpoint is admin-only on a credentialed door"))
+          else h.handle(x)
+        }
+      }
+    // shared browser-hardening checks (rationale documented at the POST
+    // /query call site): application/json forces a CORS preflight that
+    // simple cross-site requests can never pass, and the EXACT Host
+    // match blocks DNS rebinding (where the page's origin IS the
+    // rebound name, so the preflight alone doesn't help). Every
+    // body-reading mutation endpoint must run BOTH before reading.
+    def jsonContentType(x: HttpExchange): Boolean =
+      Option(x.getRequestHeaders.getFirst("Content-Type"))
+        .getOrElse("").toLowerCase.startsWith("application/json")
+    def hostOk(x: HttpExchange): Boolean = {
+      // Strip the :port suffix (bracketed IPv6 keeps its brackets)
+      // and require EXACT equality: prefix matching would pass
+      // attacker DNS names like 127.0.0.1.evil.com pointed at
+      // loopback, defeating the rebinding check.
+      val host = Option(x.getRequestHeaders.getFirst("Host"))
+        .getOrElse("").toLowerCase
+      val hostName =
+        if (host.startsWith("[")) host.take(host.indexOf(']') + 1)
+        else host.takeWhile(_ != ':')
+      hostName == "127.0.0.1" || hostName == "localhost" ||
+        hostName == "[::1]"
+    }
     server.createContext("/query", guarded(new HttpHandler {
       override def handle(x: HttpExchange): Unit = {
         try {
@@ -141,6 +254,10 @@ object QueryServer {
             val id = path.stripPrefix("/query").stripPrefix("/")
             if (id.isEmpty) { respond(x, 400, error(
               "DELETE /query/<queryId> — id required")); return }
+            if (csrfFailed(x)) {
+              respond(x, 403, error("missing or wrong X-Graft-Csrf " +
+                "token (cookie-authenticated mutation)")); return
+            }
             // on an AUTHENTICATED door, cancellation is scoped like
             // Drill's (QueryResources checks owner-or-admin): a
             // principal may cancel its OWN queries, admins
@@ -170,64 +287,131 @@ object QueryServer {
           // this server never approves, and the Host check blocks DNS
           // rebinding. Non-browser clients (curl/Federation) just set
           // the header.
-          val ct = Option(x.getRequestHeaders.getFirst("Content-Type"))
-            .getOrElse("").toLowerCase
-          if (!ct.startsWith("application/json")) {
+          if (!jsonContentType(x)) {
             respond(x, 415, error(
               "Content-Type must be application/json")); return
           }
-          // Strip the :port suffix (bracketed IPv6 keeps its brackets)
-          // and require EXACT equality: prefix matching would pass
-          // attacker DNS names like 127.0.0.1.evil.com pointed at
-          // loopback, defeating the rebinding check.
-          val host = Option(x.getRequestHeaders.getFirst("Host"))
-            .getOrElse("").toLowerCase
-          val hostName =
-            if (host.startsWith("[")) host.take(host.indexOf(']') + 1)
-            else host.takeWhile(_ != ':')
-          if (!(hostName == "127.0.0.1" || hostName == "localhost" ||
-                hostName == "[::1]")) {
+          if (!hostOk(x)) {
             respond(x, 403, error("unrecognized Host")); return
           }
+          // cookie-authenticated queries must echo the session's CSRF
+          // token (the reference's CsrfTokenInjectFilter contract);
+          // Basic-auth API clients are exempt — their header is not
+          // browser-ambient
+          if (csrfFailed(x)) {
+            respond(x, 403, error("missing or wrong X-Graft-Csrf " +
+              "token (cookie-authenticated mutation)")); return
+          }
           val body = new String(x.getRequestBody.readAllBytes(), "UTF-8")
-          val sql = Option(mapper.readTree(body)).flatMap(n => Option(n.get("query")))
+          val req = Option(mapper.readTree(body))
+          val sql = req.flatMap(n => Option(n.get("query")))
             .map(_.asText).getOrElse("")
           if (sql.trim.isEmpty) { respond(x, 400, error("missing \"query\"")); return }
-          def run(asUser: String): String =
-              RunningQueries.track(spark, sql, asUser, "rest") {
-            val df = spark.sql(sql).limit(maxRows)
-            val cols = mapper.createObjectNode()
-            val colArr = cols.putArray("columns")
-            df.columns.foreach(colArr.add)
-            val rows = df.toJSON.collect() // engine-serialized, maxRows-bounded
-            val sb = new StringBuilder()
-            sb.append("{\"columns\":").append(mapper.writeValueAsString(cols.get("columns")))
-            // result schema as DDL: peers re-type zero-row results instead
-            // of failing JSON inference (Federation.graftPeer)
-            sb.append(",\"schema\":").append(mapper.writeValueAsString(df.schema.toDDL))
-            sb.append(",\"rows\":[").append(rows.mkString(",")).append("]}")
-            sb.toString
+          // row caps are EXPLICIT, never silent: the client's requested
+          // maxRows (request body — Drill QueryWrapper's autoLimit role)
+          // and the operator ceiling from start(); the tighter one wins,
+          // absent both nothing is dropped, and a cap that actually
+          // drops rows says so in the trailer ("truncated":true)
+          val clientCap = req.flatMap(n => Option(n.get("maxRows")))
+            .map(_.asInt).filter(_ > 0)
+          val serverCap = Some(maxRows).filter(_ > 0)
+          val cap = (clientCap, serverCap) match {
+            case (Some(c), Some(s)) => Some(math.min(c, s))
+            case (c, s)             => c.orElse(s)
+          }
+          // trackSql: ONE parse+analysis serves admission sizing AND
+          // execution (spark.sql here would analyze the text a second
+          // time per admitted query)
+          def run(asUser: String): Unit =
+              RunningQueries.trackSql(spark, sql, asUser, "rest") { df0 =>
+            // limit(cap+1): the one extra row PROVES truncation without
+            // pulling anything past it
+            val df = cap.map(c => df0.limit(c + 1)).getOrElse(df0)
+            // force planning before the first byte: analysis/optimizer/
+            // planner failures must still answer 400/403 — once a chunk
+            // is on the wire the status code is frozen
+            df.queryExecution.executedPlan
+            val cols = mapper.createArrayNode()
+            df.columns.foreach(cols.add)
+            // ONE result partition at a time reaches the driver — the
+            // serving path never holds the full result. The FIRST
+            // hasNext runs before the headers go out, so runtime
+            // failures (and cancellations) in the first result
+            // partition — where most single-row/aggregate queries do
+            // ALL their work — still answer a clean 400/403/cancel
+            // status; only failures past the first partition ride the
+            // streamed trailer.
+            val it = df.toJSON.toLocalIterator()
+            val hasFirst = it.hasNext
+            var peak = 0
+            val out = new java.io.BufferedOutputStream(x.getResponseBody, 32768)
+            def w(s: String): Unit = {
+              val b = s.getBytes("UTF-8")
+              peak = math.max(peak, b.length)
+              out.write(b)
+            }
+            x.getResponseHeaders.set("Content-Type", "application/json")
+            x.sendResponseHeaders(200, 0) // length 0 = chunked transfer
+            try {
+              try {
+                w("{\"columns\":" + mapper.writeValueAsString(cols))
+                // result schema as DDL: peers re-type zero-row results
+                // instead of failing JSON inference (Federation.graftPeer)
+                w(",\"schema\":" + mapper.writeValueAsString(df.schema.toDDL))
+                w(",\"rows\":[")
+                var n = 0L
+                var truncated = false
+                var more = hasFirst
+                while (more && !truncated) {
+                  val row = it.next()
+                  if (cap.exists(n >= _)) truncated = true
+                  else {
+                    if (n > 0L) w(",")
+                    w(row)
+                    n += 1
+                    more = it.hasNext
+                  }
+                }
+                w(s"""],"rowCount":$n""")
+                if (truncated) w(",\"truncated\":true")
+                w(",\"queryState\":\"COMPLETED\"}")
+              } catch {
+                case e: Throwable =>
+                  // the 200 header is gone — close the rows array and
+                  // carry the failure in the trailer (the reference's
+                  // streamed-error contract); clients check queryState
+                  w(s"""],"queryState":"FAILED","errorMessage":${
+                    mapper.writeValueAsString(Option(e.getMessage)
+                      .getOrElse(e.getClass.getSimpleName))}}""")
+              }
+              out.flush()
+            } finally {
+              lastStreamPeakWrite = peak
+              x.close()
+            }
           } // track(): job group + cancel registration + admission queue
           // authenticated requests execute AS the effective principal:
           // the basic-auth user, or the X-Run-As target when the
           // inbound-impersonation policy allows it (AccessControl) —
           // allow-list checks and sys.profiles both see that user
-          val out = (if (credentials.isEmpty) None else authUser(x)) match {
+          (if (credentials.isEmpty) None else authUser(x)) match {
             case None => run("") // open endpoint: session-owner posture
             case Some(auth) =>
               val eff = AccessControl.effectiveUser(spark, auth,
                 Option(x.getRequestHeaders.getFirst("X-Run-As")))
               AccessControl.runAs(spark, eff)(run(eff))
           }
-          respond(x, 200, out)
         } catch {
           case e: RunningQueries.AdmissionException =>
             // Drill's queue-timeout surface: the engine is at its
             // configured concurrency — a retryable 503, not a 400
             respond(x, 503, error(e.getMessage))
           case e: Throwable =>
-            respond(x, if (isDenied(e)) 403 else 400, error(
+            // best-effort: if the failure was a dead client mid-stream
+            // the headers are already gone and respond() itself throws
+            try respond(x, if (isDenied(e)) 403 else 400, error(
               Option(e.getMessage).getOrElse(e.getClass.getSimpleName)))
+            catch { case _: Exception => try x.close() catch { case _: Exception => () } }
         }
       }
     }))
@@ -296,7 +480,7 @@ object QueryServer {
     def logDir(): Option[String] =
       spark.conf.getOption("graft.log.dir")
         .orElse(Option(System.getProperty("graft.log.dir")))
-    server.createContext("/logs.json", guarded(new HttpHandler {
+    server.createContext("/logs.json", guarded(adminOnly(new HttpHandler {
       override def handle(x: HttpExchange): Unit = try {
         if (x.getRequestMethod != "GET") { respond(x, 405, error("GET only")); return }
         val arr = mapper.createArrayNode()
@@ -316,8 +500,8 @@ object QueryServer {
         case e: Throwable => respond(x, 400, error(
           Option(e.getMessage).getOrElse(e.getClass.getSimpleName)))
       }
-    }))
-    server.createContext("/logs/", guarded(new HttpHandler {
+    })))
+    server.createContext("/logs/", guarded(adminOnly(new HttpHandler {
       override def handle(x: HttpExchange): Unit = try {
         if (x.getRequestMethod != "GET") { respond(x, 405, error("GET only")); return }
         val name = x.getRequestURI.getPath.stripPrefix("/logs/")
@@ -359,7 +543,7 @@ object QueryServer {
         case e: Throwable => respond(x, 400, error(
           Option(e.getMessage).getOrElse(e.getClass.getSimpleName)))
       }
-    }))
+    })))
     // GET /metrics.json — Drill's metrics endpoint (ref server/rest/
     // MetricsResources.java serving the codahale registry): flat JVM /
     // process gauges an operator's monitoring scrapes — heap, GC,
@@ -398,37 +582,190 @@ object QueryServer {
           Option(e.getMessage).getOrElse(e.getClass.getSimpleName)))
       }
     }))
+    // PER-USER credential management (ref server/rest/
+    // CredentialResources.java — Drill 1.20's user-translation REST
+    // surface): each authenticated principal manages its OWN downstream
+    // credentials for per-user sources. GET /credentials lists the
+    // caller's sources; GET /credentials/<source> answers MASKED (keys
+    // only — secrets never travel back out); POST sets the caller's
+    // map; DELETE removes it. Principal-REQUIRED: the open loopback
+    // door has no identity channel, so "whose credentials?" has no
+    // answer there — 403, fail closed.
+    server.createContext("/credentials", guarded(new HttpHandler {
+      override def handle(x: HttpExchange): Unit = try {
+        val u = (if (credentials.isEmpty) None else authUser(x)).getOrElse {
+          respond(x, 403, error("per-user credentials need an " +
+            "authenticated principal — this endpoint is identity-less " +
+            "on an open (credential-free) server")); return
+        }
+        val src = x.getRequestURI.getPath.stripPrefix("/credentials")
+          .stripPrefix("/").stripSuffix(".json")
+        x.getRequestMethod match {
+          case "GET" if src.isEmpty =>
+            val arr = mapper.createArrayNode()
+            UserCredentials.sourcesFor(u).foreach(arr.add)
+            respond(x, 200, mapper.writeValueAsString(arr))
+          case "GET" =>
+            UserCredentials.get(src, u) match {
+              case None => respond(x, 404, error(
+                s"user '$u' has no stored credential for '$src'"))
+              case Some(m) =>
+                val n = mapper.createObjectNode()
+                m.keys.toSeq.sorted.foreach(k => n.put(k, "*****"))
+                respond(x, 200, mapper.writeValueAsString(n))
+            }
+          case "POST" | "PUT" =>
+            if (src.isEmpty || !src.matches("[A-Za-z0-9_.-]+")) {
+              respond(x, 400, error(s"bad source name '$src'")); return
+            }
+            if (!jsonContentType(x)) {
+              respond(x, 415, error(
+                "Content-Type must be application/json")); return
+            }
+            if (!hostOk(x)) {
+              respond(x, 403, error("unrecognized Host")); return
+            }
+            if (csrfFailed(x)) {
+              respond(x, 403, error("missing or wrong X-Graft-Csrf " +
+                "token (cookie-authenticated mutation)")); return
+            }
+            val body = new String(x.getRequestBody.readAllBytes(), "UTF-8")
+            val node = Option(mapper.readTree(body))
+              .filter(_.isObject).getOrElse {
+                respond(x, 400, error("body must be a JSON object of " +
+                  "credential fields")); return
+              }
+            import scala.jdk.CollectionConverters._
+            val m = node.fieldNames().asScala
+              .map(k => k -> node.get(k).asText).toMap
+            if (m.isEmpty) {
+              respond(x, 400, error("empty credential map — use DELETE " +
+                "to remove stored credentials")); return
+            }
+            UserCredentials.set(src, u, m)
+            respond(x, 200, s"""{"result":"ok","source":"$src","user":${
+              mapper.writeValueAsString(u)}}""")
+          case "DELETE" =>
+            if (UserCredentials.get(src, u).isEmpty) {
+              respond(x, 404, error(
+                s"user '$u' has no stored credential for '$src'")); return
+            }
+            UserCredentials.set(src, u, Map.empty)
+            respond(x, 200, s"""{"result":"ok","dropped":"$src"}""")
+          case _ => respond(x, 405, error("GET, POST, PUT or DELETE"))
+        }
+      } catch {
+        case e: Throwable => respond(x, if (isDenied(e)) 403 else 400,
+          error(Option(e.getMessage).getOrElse(e.getClass.getSimpleName)))
+      }
+    }))
+    // GET /status + /status.json — Drill's liveness/version endpoint
+    // (ref server/rest/StatusResources.java: status string + version
+    // info + uptime, open to every authenticated user); GET
+    // /status/threads — the thread dump (ref ThreadsResources.java,
+    // @RolesAllowed(ADMIN_ROLE) there and admin-gated here), plain text
+    // like the reference so `curl | less` works during an incident
+    server.createContext("/status", guarded(new HttpHandler {
+      override def handle(x: HttpExchange): Unit = try {
+        if (x.getRequestMethod != "GET") { respond(x, 405, error("GET only")); return }
+        import java.lang.management.ManagementFactory
+        x.getRequestURI.getPath match {
+          case "/status" | "/status.json" =>
+            val n = mapper.createObjectNode()
+            n.put("status", "Running!")
+            n.put("engine_version", spark.version)
+            n.put("scala_version", scala.util.Properties.versionNumberString)
+            n.put("uptime_ms", ManagementFactory.getRuntimeMXBean.getUptime)
+            n.put("queries_running", RunningQueries.liveCount)
+            respond(x, 200, mapper.writeValueAsString(n))
+          case "/status/threads" =>
+            if (credentials.nonEmpty &&
+                !AccessControl.isAdmin(authUser(x).getOrElse(""))) {
+              respond(x, 403, error("thread dump is admin-only on a " +
+                "credentialed door (AccessControl.grantAdmins)")); return
+            }
+            val sb = new StringBuilder()
+            ManagementFactory.getThreadMXBean
+              .dumpAllThreads(false, false).foreach { ti =>
+                sb.append(s""""${ti.getThreadName}" id=${ti.getThreadId} ${
+                  ti.getThreadState}\n""")
+                ti.getStackTrace.take(24)
+                  .foreach(f => sb.append(s"    at $f\n"))
+                sb.append('\n')
+              }
+            val bytes = sb.toString.getBytes("UTF-8")
+            x.getResponseHeaders.set("Content-Type",
+              "text/plain; charset=utf-8")
+            x.sendResponseHeaders(200, bytes.length)
+            x.getResponseBody.write(bytes)
+            x.close()
+          case p => respond(x, 404, error(s"no such path: $p"))
+        }
+      } catch {
+        case e: Throwable => respond(x, 400, error(
+          Option(e.getMessage).getOrElse(e.getClass.getSimpleName)))
+      }
+    }))
     // storage MUTATION (ref server/rest/StorageResources.java PUT/
-    // DELETE /storage/{name}.json): register / drop a dfs WORKSPACE at
-    // runtime — POST /storage/<name> {"location": dir} sets the
-    // graft.dfs.workspace.<name> conf key (the one canonical registry),
-    // DELETE /storage/<name> unsets it. An ACL-protected workspace name
-    // only mutates for a principal ON its allow-list (re-pointing a
-    // protected name at other data would leak it under the grant);
-    // fail-closed when the endpoint has no principal channel.
+    // DELETE /storage/{name}.json — @RolesAllowed(ADMIN_ROLE)):
+    // register / drop a dfs WORKSPACE at runtime — POST /storage/<name>
+    // {"location": dir} sets the graft.dfs.workspace.<name> conf key
+    // (the one canonical registry), DELETE /storage/<name> unsets it.
+    // Authorization matches the reference's admin posture: on a
+    // credentialed door an ADMIN may mutate any workspace, and a
+    // non-admin only an ACL-protected name whose allow-list carries
+    // them (their own grant — re-pointing it can only re-point data
+    // they already read); unprotected names are admin-only, so an
+    // arbitrary authenticated principal can no longer create or
+    // re-point the shared namespace. The open loopback door keeps the
+    // session-owner posture, except ACL-protected names which fail
+    // closed (no principal channel = no way to check the allow-list).
     server.createContext("/storage/", guarded(new HttpHandler {
       override def handle(x: HttpExchange): Unit = try {
+        val method = x.getRequestMethod
+        if (method != "POST" && method != "PUT" && method != "DELETE") {
+          respond(x, 405, error("POST, PUT or DELETE")); return
+        }
+        // same drive-by hardening as POST /query: a cross-site SIMPLE
+        // request (text/plain form POST, no preflight) must not reach
+        // the mutation, and a DNS-rebound Host must not either
+        if ((method == "POST" || method == "PUT") && !jsonContentType(x)) {
+          respond(x, 415, error(
+            "Content-Type must be application/json")); return
+        }
+        if (!hostOk(x)) {
+          respond(x, 403, error("unrecognized Host")); return
+        }
+        if (csrfFailed(x)) {
+          respond(x, 403, error("missing or wrong X-Graft-Csrf " +
+            "token (cookie-authenticated mutation)")); return
+        }
         val name = x.getRequestURI.getPath.stripPrefix("/storage/")
           .stripSuffix(".json")
         if (!name.matches("[A-Za-z0-9_]+")) {
           respond(x, 400, error(s"bad workspace name '$name'")); return
         }
         val key = s"graft.dfs.workspace.${name.toLowerCase}"
-        // the allow-list check: principal from basic auth (None on the
-        // open endpoint); checkWorkspace throws DeniedException for
-        // off-list principals, and an ACL'd name with NO principal
-        // refuses here explicitly
         val principal = if (credentials.isEmpty) None else authUser(x)
         principal match {
-          case Some(u) => AccessControl.runAs(spark, u)(
-            AccessControl.checkWorkspace(spark, name))
+          case Some(u) =>
+            if (!AccessControl.isAdmin(u)) {
+              if (!AccessControl.isWorkspaceProtected(name))
+                throw new AccessControl.DeniedException(
+                  s"user '$u' is not an admin — storage mutation is " +
+                    "admin-only (AccessControl.grantAdmins), except a " +
+                    "workspace whose allow-list carries the caller")
+              // an ACL'd name: the caller must be ON its allow-list
+              AccessControl.runAs(spark, u)(
+                AccessControl.checkWorkspace(spark, name))
+            }
           case None =>
             if (AccessControl.isWorkspaceProtected(name))
               throw new AccessControl.DeniedException(
                 s"workspace '$name' is ACL-protected — mutation needs an " +
                   "authenticated principal on its allow-list")
         }
-        x.getRequestMethod match {
+        method match {
           case "POST" | "PUT" =>
             val body = new String(x.getRequestBody.readAllBytes(), "UTF-8")
             val loc = Option(mapper.readTree(body))
@@ -455,6 +792,74 @@ object QueryServer {
             Option(e.getMessage).getOrElse(e.getClass.getSimpleName)))
       }
     }))
+    // ---- session LOGIN / LOGOUT (reference server/rest/
+    // LogInLogOutResources.java): the BROWSER flow for a credentialed
+    // door — GET /login serves the form, POST /login trades urlencoded
+    // credentials (constant-time check, generic failure body — same
+    // rules as Basic) for an HttpOnly+SameSite session cookie and a
+    // per-session CSRF token the HTML shells embed; /logout invalidates
+    // server-side and expires the cookie. Registered OUTSIDE guarded —
+    // the form must be reachable before authentication — and 404 on an
+    // open door (no credential store to log into). Basic auth keeps
+    // working unchanged for API clients.
+    server.createContext("/login", new HttpHandler {
+      override def handle(x: HttpExchange): Unit = try {
+        if (credentials.isEmpty) {
+          respond(x, 404, error("no credentialed door — login exists " +
+            "only when the server starts with credentials")); return
+        }
+        x.getRequestMethod match {
+          case "GET" => respondHtml(x, 200, loginHtml)
+          case "POST" =>
+            val ct = Option(x.getRequestHeaders.getFirst("Content-Type"))
+              .getOrElse("").toLowerCase
+            if (!ct.startsWith("application/x-www-form-urlencoded")) {
+              respond(x, 415, error("Content-Type must be " +
+                "application/x-www-form-urlencoded")); return
+            }
+            if (!hostOk(x)) {
+              respond(x, 403, error("unrecognized Host")); return
+            }
+            val form = new String(x.getRequestBody.readAllBytes(), "UTF-8")
+              .split('&').map(_.split("=", 2))
+              .map(a => a(0) -> java.net.URLDecoder
+                .decode(a.lift(1).getOrElse(""), "UTF-8")).toMap
+            val u = form.getOrElse("username", "")
+            if (!checkPassword(u, form.getOrElse("password", ""))) {
+              // generic body — same no-enumeration rule as Basic 401s
+              respond(x, 401, error("authentication failed")); return
+            }
+            val id = newToken()
+            val csrf = newToken()
+            sessions.put(id, new Session(u, csrf))
+            // HttpOnly: script can't read the cookie; SameSite=Strict:
+            // the browser won't attach it cross-site; Secure on TLS
+            val secure = if (tls.isDefined) "; Secure" else ""
+            x.getResponseHeaders.add("Set-Cookie",
+              s"graft_session=$id; HttpOnly; Path=/; SameSite=Strict$secure")
+            respond(x, 200, s"""{"result":"ok","user":${
+              mapper.writeValueAsString(u)},"csrf":"$csrf"}""")
+          case _ => respond(x, 405, error("GET or POST"))
+        }
+      } catch {
+        case e: Throwable => respond(x, 400, error(
+          Option(e.getMessage).getOrElse(e.getClass.getSimpleName)))
+      }
+    })
+    server.createContext("/logout", new HttpHandler {
+      override def handle(x: HttpExchange): Unit = try {
+        // always reachable (even with a dead session) so a browser can
+        // clear its state; invalidates SERVER-side, then expires the
+        // cookie client-side
+        cookieSession(x).foreach { case (id, _) => sessions.remove(id) }
+        x.getResponseHeaders.add("Set-Cookie",
+          "graft_session=; HttpOnly; Path=/; Max-Age=0; SameSite=Strict")
+        respond(x, 200, """{"result":"logged out"}""")
+      } catch {
+        case e: Throwable => respond(x, 400, error(
+          Option(e.getMessage).getOrElse(e.getClass.getSimpleName)))
+      }
+    })
     // ---- human-facing HTML console (reference exec/java-exec/src/main/
     // resources/rest/: index.ftl + profile/list.ftl, served by
     // DrillRestServer) — a minimal static shell over the SAME JSON
@@ -462,12 +867,16 @@ object QueryServer {
     // just eyes on them. Registered under "/" (com.sun HttpServer gives
     // the longer /query, /profiles... contexts precedence) with the
     // profile page under /web/ so it can't shadow the /profiles JSON.
+    // A cookie-authenticated page gets the session's CSRF token
+    // INJECTED (the CsrfTokenInjectFilter role) so its fetches pass
+    // the mutation gate.
     server.createContext("/", guarded(new HttpHandler {
       override def handle(x: HttpExchange): Unit = try {
         if (x.getRequestMethod != "GET") { respond(x, 405, error("GET only")); return }
+        val csrf = cookieSession(x).map(_._2.csrf)
         x.getRequestURI.getPath match {
-          case "/" | "/index.html" => respondHtml(x, 200, indexHtml)
-          case "/web/profiles.html" => respondHtml(x, 200, profilesHtml)
+          case "/" | "/index.html" => respondHtml(x, 200, indexHtml(csrf))
+          case "/web/profiles.html" => respondHtml(x, 200, profilesHtml(csrf))
           case p => respond(x, 404, error(s"no such path: $p"))
         }
       } catch {
@@ -511,25 +920,56 @@ object QueryServer {
       |textarea{width:100%;font-family:monospace}
       |nav a{margin-right:1.2em}</style>""".stripMargin
 
+  /** The login form (LogInLogOutResources' login page role): posts
+    * urlencoded credentials to /login, stores nothing client-side —
+    * the session rides the HttpOnly cookie, the CSRF token is
+    * re-injected into each page server-side. */
+  private val loginHtml: String =
+    s"""<!doctype html><html><head><title>graft login</title>$style</head>
+       |<body><h1>graft login</h1>
+       |<form onsubmit="go();return false">
+       |<input id="u" placeholder="username" autocomplete="username"><br>
+       |<input id="p" type="password" placeholder="password"
+       |  autocomplete="current-password"><br>
+       |<button>Log in</button></form><div id="msg"></div>
+       |<script>
+       |async function go(){
+       | const body='username='+encodeURIComponent(
+       |     document.getElementById('u').value)+
+       |   '&password='+encodeURIComponent(document.getElementById('p').value);
+       | const r=await fetch('/login',{method:'POST',
+       |   headers:{'Content-Type':'application/x-www-form-urlencoded'},
+       |   body:body});
+       | if(r.ok){location='/'}
+       | else{document.getElementById('msg').textContent='login failed'}
+       |}
+       |</script></body></html>""".stripMargin
+
   /** index.ftl role: a query box over POST /query + links to every JSON
-    * surface. */
-  private val indexHtml: String =
+    * surface. `csrf` = the cookie session's token, injected so the
+    * page's own fetches pass the cookie-mutation gate
+    * (CsrfTokenInjectFilter role). */
+  private def indexHtml(csrf: Option[String]): String =
     s"""<!doctype html><html><head><title>graft</title>$style</head><body>
        |<h1>graft query console</h1>
        |<nav><a href="/web/profiles.html">profiles</a>
        |<a href="/options.json">options.json</a>
-       |<a href="/storage.json">storage.json</a></nav>
+       |<a href="/storage.json">storage.json</a>
+       |<a href="/logout">logout</a></nav>
        |<form onsubmit="run();return false">
        |<textarea id="q" rows="4">SELECT 1 AS one</textarea><br>
        |<button>Run</button></form><div id="out"></div>
        |<script>
+       |const CSRF=${mapper.writeValueAsString(csrf.getOrElse(""))};
        |// query results are UNTRUSTED data — escape before innerHTML, or
        |// a cell containing markup executes in the console origin
        |function esc(s){return String(s).replace(/&/g,'&amp;')
        | .replace(/</g,'&lt;').replace(/>/g,'&gt;').replace(/"/g,'&quot;')}
        |async function run(){
+       | const H={'Content-Type':'application/json'};
+       | if(CSRF)H['X-Graft-Csrf']=CSRF;
        | const r=await fetch('/query',{method:'POST',
-       |   headers:{'Content-Type':'application/json'},
+       |   headers:H,
        |   body:JSON.stringify({query:document.getElementById('q').value})});
        | const j=await r.json();
        | const out=document.getElementById('out');
@@ -537,13 +977,17 @@ object QueryServer {
        | let h='<table><tr>'+j.columns.map(c=>'<th>'+esc(c)+'</th>').join('')+'</tr>';
        | for(const row of j.rows){h+='<tr>'+j.columns.map(c=>
        |   '<td>'+(row[c]===undefined?'':esc(row[c]))+'</td>').join('')+'</tr>'}
-       | out.innerHTML=h+'</table>';
+       | h+='</table>';
+       | if(j.truncated)h+='<p>(result truncated at '+j.rowCount+
+       |   ' rows — pass maxRows to raise the cap)</p>';
+       | out.innerHTML=h;
        |}
        |</script></body></html>""".stripMargin
 
   /** profile/list.ftl role: the profile ring + per-stage/per-operator
-    * depth, fetched from the JSON endpoints. */
-  private val profilesHtml: String =
+    * depth, fetched from the JSON endpoints. `csrf` as on [[indexHtml]]
+    * — the cancel button is a cookie-gated mutation. */
+  private def profilesHtml(csrf: Option[String]): String =
     s"""<!doctype html><html><head><title>graft profiles</title>$style</head>
        |<body><h1>query profiles</h1><nav><a href="/">console</a></nav>
        |<h2>running <button onclick="loadRunning()">refresh</button></h2>
@@ -576,7 +1020,9 @@ object QueryServer {
        |   :'<p>(no queries running)</p>';
        |}
        |async function cancelQ(id){
-       | await fetch('/query/'+encodeURIComponent(id),{method:'DELETE'});
+       | const CSRF=${mapper.writeValueAsString(csrf.getOrElse(""))};
+       | await fetch('/query/'+encodeURIComponent(id),{method:'DELETE',
+       |   headers:CSRF?{'X-Graft-Csrf':CSRF}:{}});
        | loadRunning();
        |}
        |loadRunning();load('p','/profiles');load('s','/profiles/stages');

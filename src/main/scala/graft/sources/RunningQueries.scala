@@ -119,7 +119,38 @@ object RunningQueries {
     * admission queues when enabled. The front doors wrap every query in
     * this; library callers may too. */
   def track[T](spark: SparkSession, sql: String, user: String,
-               door: String)(body: => T): T = {
+               door: String)(body: => T): T =
+    trackImpl(spark, sql, user, door,
+      () => estimatedBytes(spark, sql))(body)
+
+  /** [[track]] for a SQL string the caller wants EXECUTED as a
+    * DataFrame — the REST door's shape: ONE parse+analysis serves BOTH
+    * admission sizing and execution. [[track]]+`spark.sql` analyzes the
+    * text twice per admitted query (the sizing pass and the execution
+    * pass); here sizing reads the SAME QueryExecution the body's
+    * DataFrame is minted from (PlanShim — the private[sql] Dataset
+    * constructor is the only way to hand one a prebuilt
+    * QueryExecution). The Dataset is constructed INSIDE the admission
+    * gate, so command plans (CTAS/INSERT), which execute at
+    * construction exactly as in spark.sql, stay behind admission. */
+  def trackSql[T](spark: SparkSession, sql: String, user: String,
+                  door: String)(body: DataFrame => T): T = {
+    // parse errors surface immediately (the caller's 400), analysis
+    // errors surface where they always did: sizing swallows them into
+    // the conservative LARGE tier and the Dataset construction inside
+    // the gate rethrows them (ACL denials included — analysis runs in
+    // the caller's runAs scope either way)
+    val parsed = spark.sessionState.sqlParser.parsePlan(sql)
+    val qe = spark.sessionState.executePlan(parsed)
+    trackImpl(spark, sql, user, door,
+      () => try qe.analyzed.stats.sizeInBytes
+        catch { case _: Exception => BigInt(Long.MaxValue) })(
+      body(org.apache.spark.sql.graftshim.PlanShim.datasetOf(qe)))
+  }
+
+  private def trackImpl[T](spark: SparkSession, sql: String, user: String,
+                           door: String, estimate: () => BigInt)
+                          (body: => T): T = {
     val id = java.util.UUID.randomUUID().toString
     val info = new Info(id, sql, user, door, System.currentTimeMillis(),
       s"graft.query.$id")
@@ -132,7 +163,7 @@ object RunningQueries {
           (null: Gate, () => 0)
         else {
           val threshold = confLong(spark, "graft.queue.threshold", 10485760L)
-          val est = estimatedBytes(spark, sql)
+          val est = estimate()
           val big = est >= threshold
           info.tier = if (big) "large" else "small"
           val lim: () => Int =

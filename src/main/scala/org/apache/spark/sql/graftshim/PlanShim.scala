@@ -1,7 +1,9 @@
 package org.apache.spark.sql.graftshim
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.classic.SparkSession
+import org.apache.spark.sql.{DataFrame, Encoder, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.classic.{Dataset, SparkSession}
+import org.apache.spark.sql.execution.QueryExecution
 
 /** Second `private[sql]` bridge: re-wrap a MATERIALIZED (checkpointed)
   * DataFrame as a fresh LogicalRDD WITHOUT the source plan's inherited
@@ -22,6 +24,18 @@ import org.apache.spark.sql.classic.SparkSession
   * never broadcastable under the inflated estimates anyway; loops that
   * want a broadcast say so with an explicit hint). */
 object PlanShim {
+  /** Third bridge — the admission path (RunningQueries.trackSql): mint
+    * the execution Dataset from the SAME QueryExecution admission
+    * sizing analyzed, so the analyzer runs ONCE per admitted query —
+    * `spark.sql` would re-parse and re-analyze the text a second time
+    * (the r15 verdict's double-analysis note). Command plans
+    * (CTAS/INSERT) still execute at Dataset construction, exactly as
+    * they do inside `spark.sql` — callers construct INSIDE the
+    * admission gate so DML stays behind it. */
+  def datasetOf(qe: QueryExecution): DataFrame =
+    new Dataset[Row](qe,
+      RowEncoder.encoderFor(qe.analyzed.schema).asInstanceOf[Encoder[Row]])
+
   def freshStats(df: DataFrame): DataFrame = {
     val spark = df.sparkSession.asInstanceOf[SparkSession]
     spark.internalCreateDataFrame(

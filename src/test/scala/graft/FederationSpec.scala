@@ -88,6 +88,29 @@ class FederationSpec extends AnyFunSuite {
     } finally authed.stop()
   }
 
+  test("graftPeer inherits the streaming bound: a 120k-row federated " +
+      "result arrives complete and row-exact off the peer's chunked " +
+      "wire, and a cap-shortened result THROWS instead of silently " +
+      "returning a partial frame") {
+    import org.apache.spark.sql.functions._
+    val server = graft.sources.QueryServer.start(spark)
+    try {
+      val url = s"http://127.0.0.1:${server.port}"
+      val big = Federation.graftPeer(spark, url,
+        "SELECT id FROM range(120000)", maxRows = 0)
+      assert(big.count() === 120000L)
+      assert(big.agg(sum("id")).collect()(0).getLong(0) ===
+        119999L * 120000L / 2)
+      // the explicit cap rides the request; overflowing it is an ERROR
+      // (a federated aggregate must be exact), with guidance in the text
+      val e = intercept[IllegalArgumentException](
+        Federation.graftPeer(spark, url,
+          "SELECT id FROM range(120000)", maxRows = 1000))
+      assert(e.getMessage.contains("truncated") &&
+        e.getMessage.contains("maxRows"), e.getMessage)
+    } finally server.stop()
+  }
+
   test("graft-to-graft federation over JDBC: the thrift transport twin") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

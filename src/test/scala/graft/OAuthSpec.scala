@@ -168,6 +168,95 @@ class OAuthSpec extends AnyFunSuite {
     } finally p.stop()
   }
 
+  test("PER-USER storage credentials (Drill USER_TRANSLATION): two " +
+      "principals read the SAME http source with DISTINCT downstream " +
+      "identities (the provider sees each user's own client pair, " +
+      "never a shared one), OAuth token files partition per user, a " +
+      "principal with nothing stored fails loudly, and so does an " +
+      "identity-less in-process call") {
+    import graft.sources.{AccessControl, UserCredentials}
+    val granted = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val bearers = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    def respond(x: HttpExchange, code: Int, body: String): Unit = {
+      val b = body.getBytes("UTF-8")
+      x.sendResponseHeaders(code, b.length)
+      x.getResponseBody.write(b); x.close()
+    }
+    server.createContext("/token", new HttpHandler {
+      override def handle(x: HttpExchange): Unit = {
+        val form = new String(x.getRequestBody.readAllBytes(), "UTF-8")
+          .split('&').map(_.split("=", 2))
+          .map(a => a(0) -> java.net.URLDecoder
+            .decode(a.lift(1).getOrElse(""), "UTF-8")).toMap
+        val cid = form.getOrElse("client_id", "?")
+        granted.add(cid)
+        respond(x, 200,
+          s"""{"access_token":"tok-$cid","expires_in":3600}""")
+      }
+    })
+    server.createContext("/data", new HttpHandler {
+      override def handle(x: HttpExchange): Unit = {
+        bearers.add(Option(x.getRequestHeaders.getFirst("Authorization"))
+          .getOrElse("").stripPrefix("Bearer ").trim)
+        respond(x, 200, """{"id":1}""" + "\n" + """{"id":2}""")
+      }
+    })
+    server.start()
+    val dir = java.nio.file.Files.createTempDirectory("graft_peruser")
+    val cfg = OAuth.Config(
+      s"http://127.0.0.1:${server.getAddress.getPort}/token",
+      "SHARED-cid", "SHARED-secret", dir.resolve("tok.json").toString)
+    UserCredentials.enablePerUser("api")
+    UserCredentials.set("api", "alice",
+      Map("clientId" -> "cid-alice", "clientSecret" -> "sec-a"))
+    UserCredentials.set("api", "bob",
+      Map("clientId" -> "cid-bob", "clientSecret" -> "sec-b"))
+    try {
+      val urls = Seq(s"http://127.0.0.1:${server.getAddress.getPort}/data")
+      val a = AccessControl.runAs(spark, "alice")(
+        Federation.httpJsonLines(spark, urls, oauth = Some(cfg),
+          credentialSource = Some("api")))
+      val b = AccessControl.runAs(spark, "bob")(
+        Federation.httpJsonLines(spark, urls, oauth = Some(cfg),
+          credentialSource = Some("api")))
+      assert(a.count() == 2 && b.count() == 2)
+      // DISTINCT downstream identities; the shared pair never used
+      assert(granted.contains("cid-alice") && granted.contains("cid-bob"),
+        s"granted=$granted")
+      assert(!granted.contains("SHARED-cid"),
+        "per-user source must never fall back to the shared client")
+      assert(bearers.contains("tok-cid-alice") &&
+        bearers.contains("tok-cid-bob"), s"bearers=$bearers")
+      // token files PARTITION per user; the shared file is never written
+      assert(java.nio.file.Files.exists(dir.resolve("tok.json.user-alice")))
+      assert(java.nio.file.Files.exists(dir.resolve("tok.json.user-bob")))
+      assert(!java.nio.file.Files.exists(dir.resolve("tok.json")))
+      // nothing stored -> loud, named failure (never shared fallback)
+      val e = intercept[AccessControl.DeniedException] {
+        AccessControl.runAs(spark, "mallory")(
+          Federation.httpJsonLines(spark, urls, oauth = Some(cfg),
+            credentialSource = Some("api")))
+      }
+      assert(e.getMessage.contains("mallory") &&
+        e.getMessage.contains("no stored credential"), e.getMessage)
+      // identity-less (in-process, open door) -> loud failure too
+      val e2 = intercept[AccessControl.DeniedException] {
+        Federation.httpJsonLines(spark, urls, oauth = Some(cfg),
+          credentialSource = Some("api"))
+      }
+      assert(e2.getMessage.contains("authenticated principal"), e2.getMessage)
+      // a source NOT in per-user mode keeps the source-level config
+      val plain = Federation.httpJsonLines(spark, urls, oauth = Some(cfg),
+        credentialSource = Some("other_api"))
+      assert(plain.count() == 2)
+      assert(granted.contains("SHARED-cid"))
+    } finally {
+      UserCredentials.clear()
+      server.stop(0)
+    }
+  }
+
   test("refresh: a provider 5xx RETHROWS with the status — no " +
       "client_credentials fallback (a transient outage must not double " +
       "every refresh into two grants or burn a still-valid refresh " +

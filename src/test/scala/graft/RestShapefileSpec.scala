@@ -97,6 +97,74 @@ class RestShapefileSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("POST /query STREAMS large results: 150k rows arrive complete " +
+      "and row-exact over chunked transfer, the serving path never " +
+      "materializes the response (bounded peak write), caps are LOUD " +
+      "(truncated flag), and the client's maxRows rides the body") {
+    val server = graft.sources.QueryServer.start(spark) // no server cap
+    try {
+      def post(body: String): (java.net.HttpURLConnection, String) = {
+        val conn = java.net.URI.create(
+          s"http://127.0.0.1:${server.port}/query").toURL
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST")
+        conn.setRequestProperty("Content-Type", "application/json")
+        conn.setDoOutput(true)
+        conn.getOutputStream.write(body.getBytes("UTF-8"))
+        val s = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+        (conn, s)
+      }
+      val (conn, body) = post(
+        """{"query": "SELECT id FROM range(150000)"}""")
+      // chunked transfer — no Content-Length, the response streamed
+      assert(conn.getHeaderField("Transfer-Encoding") == "chunked")
+      assert(Option(conn.getHeaderField("Content-Length")).isEmpty)
+      conn.disconnect()
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+      assert(node.get("rows").size() == 150000)
+      assert(node.get("rowCount").asLong == 150000L)
+      assert(node.get("queryState").asText == "COMPLETED")
+      assert(node.get("truncated") == null, "an uncapped result is never truncated")
+      // row-exact: sum over the streamed rows matches the closed form
+      var sum = 0L
+      val it = node.get("rows").elements()
+      while (it.hasNext) sum += it.next().get("id").asLong
+      assert(sum == 149999L * 150000L / 2)
+      // bounded-buffer contract: the response is >1 MB but no single
+      // write to the wire exceeded one row/header fragment — a
+      // full-result String would show up as one body-sized write
+      assert(body.length > 1000000, s"body ${body.length}")
+      assert(graft.sources.QueryServer.lastStreamPeakWrite < 65536,
+        s"peak write ${graft.sources.QueryServer.lastStreamPeakWrite} — " +
+          "serving path materialized the result")
+      // client-requested cap in the body: explicit, and LOUD when it
+      // actually shortens the result
+      val (c2, b2) = post(
+        """{"query": "SELECT id FROM range(150000)", "maxRows": 100}""")
+      c2.disconnect()
+      val n2 = new com.fasterxml.jackson.databind.ObjectMapper().readTree(b2)
+      assert(n2.get("rows").size() == 100 && n2.get("truncated").asBoolean)
+      // a cap the result fits under adds no flag
+      val (c3, b3) = post(
+        """{"query": "SELECT id FROM range(7)", "maxRows": 100}""")
+      c3.disconnect()
+      val n3 = new com.fasterxml.jackson.databind.ObjectMapper().readTree(b3)
+      assert(n3.get("rows").size() == 7 && n3.get("truncated") == null)
+      // analysis errors still answer 400 (planning is forced BEFORE the
+      // first chunk freezes the status code)
+      val bad = java.net.URI.create(
+        s"http://127.0.0.1:${server.port}/query").toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      bad.setRequestMethod("POST")
+      bad.setRequestProperty("Content-Type", "application/json")
+      bad.setDoOutput(true)
+      bad.getOutputStream.write(
+        """{"query": "SELECT nope FROM range(3)"}""".getBytes("UTF-8"))
+      assert(bad.getResponseCode == 400)
+      bad.disconnect()
+    } finally server.stop()
+  }
+
   test("REST endpoint caps result materialization at maxRows") {
     import spark.implicits._
     (1 to 500).toDF("n").createOrReplaceTempView("rest_spec_big")
@@ -473,6 +541,22 @@ class RestShapefileSpec extends AnyFunSuite {
       assert(m.get("gauges").get("threads.live").asInt > 0)
       assert(m.get("gauges").get("queries.running").asInt == 0)
       assert(m.get("gc").size() > 0)
+      // per-user credentials on the OPEN door: identity-less, so the
+      // whole surface fails closed
+      assert(http("GET", "/credentials", None)._1 == 403)
+      assert(http("POST", "/credentials/api",
+        Some("""{"username":"u"}"""))._1 == 403)
+      // GET /status (+ /status/threads) — liveness/version + thread
+      // dump (Drill StatusResources / ThreadsResources)
+      val (stc, stb) = http("GET", "/status", None)
+      assert(stc == 200 && stb.contains("\"status\":\"Running!\""), stb)
+      val st = new com.fasterxml.jackson.databind.ObjectMapper().readTree(stb)
+      assert(st.get("uptime_ms").asLong > 0 &&
+        st.get("engine_version").asText.nonEmpty)
+      val (tdc, tdb) = http("GET", "/status/threads", None)
+      assert(tdc == 200 && tdb.contains("RUNNABLE") &&
+        tdb.contains("    at "), tdb.take(200))
+      assert(http("GET", "/status/nope", None)._1 == 404)
       // GET /logs.json + /logs/<name> — the log browser (Drill
       // LogsResources): list + byte-bounded tail under graft.log.dir
       val logDir = java.nio.file.Files.createTempDirectory("graft_logs")
@@ -497,5 +581,177 @@ class RestShapefileSpec extends AnyFunSuite {
         assert(http("GET", "/logs/nope.log", None)._1 == 404)
       } finally spark.conf.unset("graft.log.dir")
     } finally server.stop()
+  }
+
+  test("web-console session login + CSRF (Drill LogInLogOutResources " +
+      "+ CsrfTokenInjectFilter): login->cookie->query->logout round " +
+      "trip works, a cookie-authenticated POST without the token is " +
+      "403, the basic-auth API path needs no token, and logout " +
+      "invalidates server-side") {
+    val server = graft.sources.QueryServer.start(spark,
+      credentials = Map("webby" -> "w-pw"))
+    try {
+      def call(method: String, path: String, body: Option[String],
+               headers: Map[String, String],
+               ct: String = "application/json")
+          : (Int, String, Option[String]) = {
+        val conn = java.net.URI.create(
+          s"http://127.0.0.1:${server.port}$path").toURL
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod(method)
+        conn.setInstanceFollowRedirects(false)
+        headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+        body.foreach { b =>
+          conn.setRequestProperty("Content-Type", ct)
+          conn.setDoOutput(true)
+          conn.getOutputStream.write(b.getBytes("UTF-8"))
+        }
+        val code = conn.getResponseCode
+        val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+        val s = Option(is).map(i => new String(i.readAllBytes(), "UTF-8"))
+          .getOrElse("")
+        val cookie = Option(conn.getHeaderField("Set-Cookie"))
+        conn.disconnect()
+        (code, s, cookie)
+      }
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      // the form is reachable BEFORE authentication
+      val (fc, fb, _) = call("GET", "/login", None, Map.empty)
+      assert(fc == 200 && fb.contains("<form"), s"$fc")
+      // wrong password: 401, generic body, NO cookie minted
+      val (wc, wb, wck) = call("POST", "/login",
+        Some("username=webby&password=nope"), Map.empty,
+        ct = "application/x-www-form-urlencoded")
+      assert(wc == 401 && wck.isEmpty && !wb.contains("webby"), s"$wc $wb")
+      // correct login: HttpOnly+SameSite session cookie + csrf token
+      val (lc, lb, lck) = call("POST", "/login",
+        Some("username=webby&password=w-pw"), Map.empty,
+        ct = "application/x-www-form-urlencoded")
+      assert(lc == 200, s"$lc $lb")
+      val setCookie = lck.getOrElse(fail("no Set-Cookie on login"))
+      assert(setCookie.contains("HttpOnly") &&
+        setCookie.contains("SameSite=Strict"), setCookie)
+      val cookie = setCookie.split(';')(0) // graft_session=<id>
+      val csrf = mapper.readTree(lb).get("csrf").asText
+      assert(csrf.length == 32)
+      // the console page injects THIS session's token
+      val (pc, pb, _) = call("GET", "/", None, Map("Cookie" -> cookie))
+      assert(pc == 200 && pb.contains(csrf), "page must embed the token")
+      // cookie + token: query runs
+      val q = Some("""{"query": "SELECT 1 AS one"}""")
+      assert(call("POST", "/query", q, Map("Cookie" -> cookie,
+        "X-Graft-Csrf" -> csrf))._1 == 200)
+      // cookie WITHOUT token (the cross-site shape): 403
+      val (nc, nb, _) = call("POST", "/query", q, Map("Cookie" -> cookie))
+      assert(nc == 403 && nb.contains("X-Graft-Csrf"), s"$nc $nb")
+      // wrong token: 403; and the cancel verb is gated the same way
+      assert(call("POST", "/query", q, Map("Cookie" -> cookie,
+        "X-Graft-Csrf" -> "beef")) ._1 == 403)
+      assert(call("DELETE", "/query/some-id", None,
+        Map("Cookie" -> cookie))._1 == 403)
+      // the basic-auth API path needs NO token (not browser-ambient)
+      val basic = "Basic " + java.util.Base64.getEncoder
+        .encodeToString("webby:w-pw".getBytes("UTF-8"))
+      assert(call("POST", "/query", q,
+        Map("Authorization" -> basic))._1 == 200)
+      // logout invalidates SERVER-side: the old cookie (even with the
+      // right token) is 401 afterwards, and the cookie is expired
+      val (oc, _, ock) = call("GET", "/logout", None,
+        Map("Cookie" -> cookie))
+      assert(oc == 200 && ock.exists(_.contains("Max-Age=0")))
+      assert(call("POST", "/query", q, Map("Cookie" -> cookie,
+        "X-Graft-Csrf" -> csrf))._1 == 401)
+    } finally server.stop()
+    // an OPEN door has no credential store to log into
+    val open = graft.sources.QueryServer.start(spark)
+    try {
+      val conn = java.net.URI.create(
+        s"http://127.0.0.1:${open.port}/login").toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(conn.getResponseCode == 404)
+      conn.disconnect()
+    } finally open.stop()
+  }
+
+  test("credentialed door: /storage/ mutation is ADMIN-gated (Drill " +
+      "StorageResources @RolesAllowed(ADMIN_ROLE)) with a per-grant " +
+      "carve-out, refuses no-preflight Content-Types (415 — the " +
+      "drive-by simple-POST guard), and /logs is admin-only") {
+    import graft.sources.AccessControl
+    AccessControl.grantAdmins(Set("root"))
+    AccessControl.grantWorkspace("mine", Set("carol"))
+    AccessControl.grantWorkspace("locked", Set("bob"))
+    val server = graft.sources.QueryServer.start(spark,
+      credentials = Map("root" -> "r-pw", "carol" -> "c-pw"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_admws").toString
+    try {
+      def http(method: String, path: String, auth: String,
+               body: Option[String], ct: String = "application/json")
+          : (Int, String) = {
+        val conn = java.net.URI.create(
+          s"http://127.0.0.1:${server.port}$path").toURL
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod(method)
+        conn.setRequestProperty("Authorization", "Basic " +
+          java.util.Base64.getEncoder.encodeToString(auth.getBytes("UTF-8")))
+        body.foreach { b =>
+          conn.setRequestProperty("Content-Type", ct)
+          conn.setDoOutput(true)
+          conn.getOutputStream.write(b.getBytes("UTF-8"))
+        }
+        val code = conn.getResponseCode
+        val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+        val s = new String(is.readAllBytes(), "UTF-8")
+        conn.disconnect()
+        (code, s)
+      }
+      val loc = Some(s"""{"location": "$dir"}""")
+      // a non-admin may NOT create/re-point an unprotected workspace
+      val (nc, nb) = http("POST", "/storage/anyws", "carol:c-pw", loc)
+      assert(nc == 403 && nb.contains("admin"), s"$nc $nb")
+      // an admin may (and may drop it again)
+      assert(http("POST", "/storage/anyws", "root:r-pw", loc)._1 == 200)
+      assert(http("DELETE", "/storage/anyws", "root:r-pw", None)._1 == 200)
+      // a non-admin ON a protected workspace's allow-list mutates THAT
+      // name (their own grant) — but not someone else's protected name
+      assert(http("POST", "/storage/mine", "carol:c-pw", loc)._1 == 200)
+      assert(http("DELETE", "/storage/mine", "carol:c-pw", None)._1 == 200)
+      assert(http("POST", "/storage/locked", "carol:c-pw", loc)._1 == 403)
+      // the CSRF simple-request guard: a text/plain POST (what a cross-
+      // site form can send without preflight) is 415 even for an admin
+      assert(http("POST", "/storage/anyws", "root:r-pw", loc,
+        ct = "text/plain")._1 == 415)
+      // /logs endpoints are admin-reserved on a credentialed door
+      // (Drill LogsResources) — logs carry other users' SQL
+      val (lc, lb) = http("GET", "/logs.json", "carol:c-pw", None)
+      assert(lc == 403 && lb.contains("admin"), s"$lc $lb")
+      assert(http("GET", "/logs/engine.log", "carol:c-pw", None)._1 == 403)
+      assert(http("GET", "/logs.json", "root:r-pw", None)._1 == 200)
+      // /status is open to every authenticated user, the THREAD DUMP
+      // is admin-only (Drill ThreadsResources @RolesAllowed)
+      assert(http("GET", "/status", "carol:c-pw", None)._1 == 200)
+      assert(http("GET", "/status/threads", "carol:c-pw", None)._1 == 403)
+      assert(http("GET", "/status/threads", "root:r-pw", None)._1 == 200)
+      // per-user credential REST surface (Drill CredentialResources):
+      // each principal manages its OWN downstream credentials; GET
+      // answers MASKED — secrets never travel back out
+      assert(http("POST", "/credentials/api", "carol:c-pw",
+        Some("""{"username":"carol-dw","password":"s3cret-dw"}"""))._1 == 200)
+      val (gc2, gb2) = http("GET", "/credentials/api", "carol:c-pw", None)
+      assert(gc2 == 200 && gb2.contains("*****") &&
+        !gb2.contains("s3cret-dw"), gb2)
+      assert(http("GET", "/credentials", "carol:c-pw", None)
+        ._2.contains("api"))
+      // another principal sees NOTHING of carol's — per-user isolation
+      assert(http("GET", "/credentials/api", "root:r-pw", None)._1 == 404)
+      assert(http("DELETE", "/credentials/api", "carol:c-pw", None)._1 == 200)
+      assert(http("GET", "/credentials/api", "carol:c-pw", None)._1 == 404)
+    } finally {
+      server.stop()
+      AccessControl.clearPolicy()
+      graft.sources.UserCredentials.clear()
+      spark.conf.unset("graft.dfs.workspace.anyws")
+      spark.conf.unset("graft.dfs.workspace.mine")
+    }
   }
 }
