@@ -12,6 +12,33 @@ object QueriesFunctions {
   import GraftSession.{table => T}
 
   val queries: Map[String, QueriesRelational.Q] = Map(
+    // ---- typeof (row 58; Drill TypeFunctions.typeof — Spark's
+    // built-in expression of the same name): runtime SQL type names of
+    // literal-typed expressions, hashed against a literal oracle ----
+    "q_typeof" -> ((s, _) =>
+      s.sql("""
+        SELECT typeof(CAST(1 AS BIGINT)) AS t_bigint,
+               typeof(CAST(1 AS INT)) AS t_int,
+               typeof('x') AS t_string,
+               typeof(1.5D) AS t_double,
+               typeof(DATE'2024-01-01') AS t_date,
+               typeof(TIMESTAMP'2024-01-01 00:00:00') AS t_ts,
+               typeof(CAST(1.50 AS DECIMAL(9, 2))) AS t_dec,
+               typeof(true) AS t_bool,
+               typeof(array(1, 2)) AS t_array,
+               typeof(map('k', 1)) AS t_map
+        FROM range(1)""")),
+
+    // ---- context functions (row 57; Drill ContextFunctions
+    // current_schema / session context): the deterministic
+    // catalog-context slice as SQL (session_id / user forms stay
+    // spec-verified — they are environment-dependent by design) ----
+    "q_context_fns" -> ((s, _) =>
+      s.sql("""
+        SELECT current_database() AS db, current_catalog() AS cat,
+               current_schema() AS sch
+        FROM range(1)""")),
+
     "q_string_fns" -> ((s, d) =>
       T(s, d, "customer").filter(col("c_custkey") < 200)
         .select(col("c_custkey"),
@@ -1029,6 +1056,15 @@ object QueriesFunctions {
   }.mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q_typeof" -> """
+      SELECT * FROM (VALUES ('bigint', 'int', 'string', 'double', 'date',
+        'timestamp', 'decimal(9,2)', 'boolean', 'array<int>',
+        'map<string,int>'))
+      t(t_bigint, t_int, t_string, t_double, t_date, t_ts, t_dec,
+        t_bool, t_array, t_map)""",
+    "q_context_fns" -> """
+      SELECT * FROM (VALUES ('default', 'spark_catalog', 'default'))
+      t(db, cat, sch)""",
     "q_gis_clip" ->
       """WITH g AS (
            SELECT o_orderkey,

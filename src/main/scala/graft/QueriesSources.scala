@@ -105,6 +105,19 @@ object QueriesSources {
         WHERE c.table_name IN ('isch_region', 'isch_nation')""")
     }),
 
+    // ---- DESCRIBE as SQL (row 39; Drill's DescribeTableHandler /
+    // metadata introspection): column names + types of a registered
+    // relation through the SQL verb, vs a literal oracle ----
+    "q_describe" -> ((s, d) => {
+      GraftSession.table(s, d, "nation").createOrReplaceTempView("desc_nation")
+      s.sql("DESCRIBE desc_nation").select(col("col_name"), col("data_type"))
+    }),
+
+    // ---- sys.version (row 39c; Drill's VersionIterator): the engine
+    // version relation — pinned exactly by the build's own jars ----
+    "q_sys_version" -> ((s, _) =>
+      s.sql("SELECT engine_version, scala_version FROM sys.version")),
+
     "q_read_log" -> ((s, _) =>
       SchemaOnRead.regexLog(s, s"$Dir/app.log",
         "^(\\w+) (\\S+) (\\w+) (.*)$",
@@ -2264,6 +2277,14 @@ object QueriesSources {
       FROM nation GROUP BY 1""",
     "q_cttas" -> """
       SELECT r_regionkey, r_name FROM region WHERE r_regionkey < 4""",
+    "q_describe" -> """
+      SELECT * FROM (VALUES
+        ('n_nationkey', 'int'), ('n_name', 'string'),
+        ('n_regionkey', 'int'))
+      t(col_name, data_type)""",
+    "q_sys_version" -> """
+      SELECT * FROM (VALUES ('4.1.2', '2.13.17'))
+      t(engine_version, scala_version)""",
     "q_info_schema" -> """
       SELECT * FROM (VALUES
         ('isch_nation', 'n_nationkey', 'int', true, 'TEMPORARY', true),
