@@ -52,41 +52,41 @@ object BenchGuard {
     "q_asof_join" -> 0.284,
     "q_bm25" -> 0.459,
     "q_broadcast_join" -> 0.373,
-    "q_dedup_minhash" -> 2.146,
+    "q_dedup_minhash" -> 1.995,
     "q_dedup_simhash" -> 0.709,
     "q_delta_colmap_id" -> 0.057,
     "q_delta_dv" -> 0.126,
     "q_dfs_sql" -> 0.226,
     "q_dsir" -> 1.351,
-    "q_dup_components" -> 2.458,
+    "q_dup_components" -> 2.263,
     "q_embed_neardup" -> 0.265,
     "q_iceberg_changelog" -> 0.547,
     "q_iceberg_eq_delete" -> 0.215,
     "q_iceberg_v2" -> 0.208,
-    "q_lang_clf" -> 2.111,
+    "q_lang_clf" -> 2.067,
     "q_multi_join" -> 0.971,
-    "q_ngram_decontam" -> 0.736,
+    "q_ngram_decontam" -> 0.683,
     "q_paimon_pk" -> 0.23,
-    "q_quality_clf" -> 1.862,
+    "q_quality_clf" -> 1.851,
     "q_range_join" -> 0.227,
-    "q_sessionize" -> 0.341,
+    "q_sessionize" -> 0.311,
     "q_token_count" -> 0.246,
     "q_topn" -> 0.117,
-    "q_window_running" -> 0.335,
+    "q_window_running" -> 0.326,
     "q_except" -> 0.3,
     "q_anti_join" -> 0.3)
 
   /** sf1 (10x corpus) tier floors, same provenance. */
   val cleanFloorSf1: Map[String, Double] = Map(
     "q_bm25" -> 0.674,
-    "q_dedup_minhash" -> 5.367,
+    "q_dedup_minhash" -> 4.836,
     "q_dedup_simhash" -> 0.944,
-    "q_dsir" -> 5.327,
-    "q_dup_components" -> 12.877,
-    "q_iceberg_changelog" -> 0.575,
+    "q_dsir" -> 5.229,
+    "q_dup_components" -> 12.443,
+    "q_iceberg_changelog" -> 0.518,
     "q_lang_clf" -> 4.094,
     "q_multi_join" -> 3.143,
-    "q_quality_clf" -> 2.773)
+    "q_quality_clf" -> 2.572)
 
   /** One query window's verdict: the list of tripped instruments
     * (empty = clean). Inputs are everything the bench measured for the
