@@ -39,6 +39,44 @@ object QueriesFunctions {
                current_schema() AS sch
         FROM range(1)""")),
 
+    // ---- bloom filter (row 58f; the sketch family next to the gated
+    // HLL/t-digest): no false negatives on the 20 smallest orderkeys
+    // (deterministic pick), false-positive rate over 1000 known-absent
+    // probes bounded — sketch hashing is seed-fixed, so every boolean
+    // is deterministic and a quality miss flips the row hashes ----
+    "q_bloom_filter" -> ((s, d) => {
+      import s.implicits._
+      val orders = T(s, d, "orders")
+      // size from the actual cardinality — an under-provisioned filter
+      // saturates and the fp bound below fails by design
+      val bf = orders.stat.bloomFilter("o_orderkey", orders.count(), 0.03)
+      val keys = orders.orderBy("o_orderkey").limit(20)
+        .select("o_orderkey").collect().map(_.getLong(0)).toSeq
+      // orderkeys end well below 1e9 at every fixture SF
+      val absent = 1000000000L until 1000001000L
+      val fpBounded = absent.count(bf.mightContain) <= 90 // 3x the 3% fpp
+      keys.map(k => (k, bf.mightContain(k), fpBounded))
+        .toDF("o_orderkey", "present", "fp_bounded")
+    }),
+
+    // ---- count-min sketch (row 58f): per-flag estimates of the
+    // lineitem return flags never undercount and stay within the
+    // configured eps*N overcount bound; seed fixed ----
+    "q_count_min" -> ((s, d) => {
+      import s.implicits._
+      val li = T(s, d, "lineitem")
+      val total = li.count()
+      val cms = li.stat.countMinSketch("l_returnflag", eps = 0.005,
+        confidence = 0.99, seed = 42)
+      val cap = (0.005 * total).toLong + 1
+      val exact = li.groupBy("l_returnflag").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      exact.keys.toSeq.sorted.map { f =>
+        val est = cms.estimateCount(f)
+        (f, est >= exact(f), est <= exact(f) + cap)
+      }.toDF("l_returnflag", "lower_ok", "upper_ok")
+    }),
+
     "q_string_fns" -> ((s, d) =>
       T(s, d, "customer").filter(col("c_custkey") < 200)
         .select(col("c_custkey"),
@@ -1056,6 +1094,12 @@ object QueriesFunctions {
   }.mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q_bloom_filter" -> """
+      SELECT o_orderkey, true AS present, true AS fp_bounded
+      FROM (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 20)""",
+    "q_count_min" -> """
+      SELECT * FROM (VALUES ('A', true, true), ('N', true, true),
+        ('R', true, true)) t(l_returnflag, lower_ok, upper_ok)""",
     "q_typeof" -> """
       SELECT * FROM (VALUES ('bigint', 'int', 'string', 'double', 'date',
         'timestamp', 'decimal(9,2)', 'boolean', 'array<int>',

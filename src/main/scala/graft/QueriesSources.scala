@@ -105,6 +105,60 @@ object QueriesSources {
         WHERE c.table_name IN ('isch_region', 'isch_nation')""")
     }),
 
+    // ---- SHOW SCHEMAS (row 69af9; Drill's ShowSchemasHandler): the
+    // Drill-visible namespace — implicit dfs workspaces, the sys +
+    // information_schema heads, catalog databases. Filtered to the
+    // five ALWAYS-PRESENT names (session-registered workspaces vary by
+    // which gates ran first) ----
+    "q_show_schemas" -> ((s, _) =>
+      s.sql("SHOW SCHEMAS")
+        .filter(col("SCHEMA_NAME").isin(
+          "dfs.root", "dfs.tmp", "sys", "information_schema", "default"))
+        .select(col("SCHEMA_NAME").as("schema_name"))),
+
+    // ---- CREATE VIEW into a dfs workspace (row 69ak; Drill's
+    // ViewHandler + dotdrill/View.java): persist a workspace view over
+    // the fixture table, read back THROUGH the view name — the oracle
+    // recomputes the view body from the base table ----
+    "q_dfs_view" -> ((s, d) => {
+      val ws = s"${out(d)}/view_ws"
+      new java.io.File(ws).mkdirs()
+      s.conf.set("graft.dfs.workspace.gateviews", ws)
+      s.sql("CREATE OR REPLACE VIEW dfs.gateviews.`small_nations_gate` AS " +
+        s"SELECT n_nationkey, n_name FROM dfs.`$d/nation.parquet` " +
+        "WHERE n_nationkey < 5")
+      s.sql("SELECT n_nationkey, n_name FROM small_nations_gate")
+    }),
+
+    // ---- OPTIMIZE verb (row 69af11; delta OPTIMIZE SQL / iceberg
+    // rewrite_data_files role): CTAS a four-file delta table, compact
+    // it THROUGH the SQL verb, read the aggregate back — the oracle
+    // recomputes from the base table, so the rewrite's
+    // data-preservation contract is what hashes (file-count and
+    // CDF-invisibility assertions live in DeltaSpec) ----
+    "q_optimize" -> ((s, d) => {
+      val base = out(d)
+      val dir = s"$base/opt_delta_gate"
+      Writer.ctas(GraftSession.table(s, d, "nation").repartition(4),
+        dir, "delta")
+      s.conf.set("graft.dfs.workspace.optws", base)
+      s.sql("OPTIMIZE dfs.optws.`opt_delta_gate`")
+      s.sql(s"SELECT n_regionkey, count(*) AS n, " +
+        s"sum(n_nationkey) AS key_sum FROM dfs.`$dir` GROUP BY n_regionkey")
+    }),
+
+    // ---- INFORMATION_SCHEMA.FILES (row 39b2; Drill 1.15, ref store/
+    // ischema RecordCollector.Files): one row per file under a
+    // registered workspace, through the SQL catalog namespace; the
+    // oracle re-lists the SAME committed fixtures with read_blob ----
+    "q_info_files" -> ((s, _) => {
+      s.conf.set("graft.dfs.workspace.isfix", Dir)
+      s.sql("""
+        SELECT file_name, is_file, length FROM information_schema.`files`
+        WHERE workspace_name = 'isfix' AND
+              (file_name LIKE '%.csv' OR file_name LIKE '%.jsonl')""")
+    }),
+
     // ---- DESCRIBE as SQL (row 39; Drill's DescribeTableHandler /
     // metadata introspection): column names + types of a registered
     // relation through the SQL verb, vs a literal oracle ----
@@ -2277,6 +2331,23 @@ object QueriesSources {
       FROM nation GROUP BY 1""",
     "q_cttas" -> """
       SELECT r_regionkey, r_name FROM region WHERE r_regionkey < 4""",
+    "q_show_schemas" -> """
+      SELECT * FROM (VALUES ('default'), ('dfs.root'), ('dfs.tmp'),
+        ('information_schema'), ('sys')) t(schema_name)""",
+    "q_dfs_view" -> """
+      SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 5""",
+    "q_optimize" -> """
+      SELECT n_regionkey, count(*) AS n,
+             sum(n_nationkey)::BIGINT AS key_sum
+      FROM nation GROUP BY 1""",
+    "q_info_files" ->
+      s"""SELECT regexp_extract(filename, '[^/]+$$') AS file_name,
+            true AS is_file, size::BIGINT AS length
+          FROM read_blob('$Dir/*.csv')
+          UNION ALL
+          SELECT regexp_extract(filename, '[^/]+$$') AS file_name,
+            true AS is_file, size::BIGINT AS length
+          FROM read_blob('$Dir/*.jsonl')""",
     "q_describe" -> """
       SELECT * FROM (VALUES
         ('n_nationkey', 'int'), ('n_name', 'string'),
