@@ -294,4 +294,16 @@ class JdbcEndpointSpec extends AnyFunSuite {
         credentials = Map("u" -> "p"))
     }
   }
+
+  test("the native drillbit WIRE PROTOCOL is a DOCUMENTED REFUSAL: " +
+      "serve() refuses loudly, names the zero-egress interop " +
+      "constraint, and points at both shipped doors") {
+    val e = intercept[UnsupportedOperationException] {
+      graft.sources.WireProtocol.serve()
+    }
+    assert(e.getMessage.contains("zero-egress") &&
+      e.getMessage.contains("JdbcEndpoint") &&
+      e.getMessage.contains("QueryServer") &&
+      e.getMessage.contains("31010"), e.getMessage)
+  }
 }
