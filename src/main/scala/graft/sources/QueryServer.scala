@@ -70,6 +70,9 @@ object QueryServer {
     @volatile var touchedMs: Long = System.currentTimeMillis()
   }
   private val SessionIdleMs = 8L * 3600 * 1000
+  // bounded session store: past this, login sweeps idle-expired entries
+  // and then evicts oldest — the map can never grow without bound
+  private val MaxSessions = 1000
 
   /** `tls` = Some((keystorePath, password)) serves EVERY endpoint over
     * HTTPS (an `HttpsServer` with the keystore's key — Drill's web
@@ -312,9 +315,14 @@ object QueryServer {
           // and the operator ceiling from start(); the tighter one wins,
           // absent both nothing is dropped, and a cap that actually
           // drops rows says so in the trailer ("truncated":true)
+          // asLong + clamp: asInt silently WRAPS out-of-int JSON
+          // numbers (4294967297 would become a 1-row cap), and
+          // Int.MaxValue itself must survive the limit(cap+1) probe
+          // below without overflowing
           val clientCap = req.flatMap(n => Option(n.get("maxRows")))
-            .map(_.asInt).filter(_ > 0)
-          val serverCap = Some(maxRows).filter(_ > 0)
+            .map(_.asLong).filter(_ > 0L)
+            .map(v => math.min(v, (Int.MaxValue - 1).toLong).toInt)
+          val serverCap = Some(math.min(maxRows, Int.MaxValue - 1)).filter(_ > 0)
           val cap = (clientCap, serverCap) match {
             case (Some(c), Some(s)) => Some(math.min(c, s))
             case (c, s)             => c.orElse(s)
@@ -600,6 +608,18 @@ object QueryServer {
         }
         val src = x.getRequestURI.getPath.stripPrefix("/credentials")
           .stripPrefix("/").stripSuffix(".json")
+        // EVERY mutation (POST/PUT/DELETE) runs the same drive-by
+        // guards as /storage and /query — DELETE included: dropping a
+        // stored credential is state-changing too
+        if (x.getRequestMethod != "GET") {
+          if (!hostOk(x)) {
+            respond(x, 403, error("unrecognized Host")); return
+          }
+          if (csrfFailed(x)) {
+            respond(x, 403, error("missing or wrong X-Graft-Csrf " +
+              "token (cookie-authenticated mutation)")); return
+          }
+        }
         x.getRequestMethod match {
           case "GET" if src.isEmpty =>
             val arr = mapper.createArrayNode()
@@ -621,13 +641,6 @@ object QueryServer {
             if (!jsonContentType(x)) {
               respond(x, 415, error(
                 "Content-Type must be application/json")); return
-            }
-            if (!hostOk(x)) {
-              respond(x, 403, error("unrecognized Host")); return
-            }
-            if (csrfFailed(x)) {
-              respond(x, 403, error("missing or wrong X-Graft-Csrf " +
-                "token (cookie-authenticated mutation)")); return
             }
             val body = new String(x.getRequestBody.readAllBytes(), "UTF-8")
             val node = Option(mapper.readTree(body))
@@ -678,27 +691,6 @@ object QueryServer {
             n.put("uptime_ms", ManagementFactory.getRuntimeMXBean.getUptime)
             n.put("queries_running", RunningQueries.liveCount)
             respond(x, 200, mapper.writeValueAsString(n))
-          case "/status/threads" =>
-            if (credentials.nonEmpty &&
-                !AccessControl.isAdmin(authUser(x).getOrElse(""))) {
-              respond(x, 403, error("thread dump is admin-only on a " +
-                "credentialed door (AccessControl.grantAdmins)")); return
-            }
-            val sb = new StringBuilder()
-            ManagementFactory.getThreadMXBean
-              .dumpAllThreads(false, false).foreach { ti =>
-                sb.append(s""""${ti.getThreadName}" id=${ti.getThreadId} ${
-                  ti.getThreadState}\n""")
-                ti.getStackTrace.take(24)
-                  .foreach(f => sb.append(s"    at $f\n"))
-                sb.append('\n')
-              }
-            val bytes = sb.toString.getBytes("UTF-8")
-            x.getResponseHeaders.set("Content-Type",
-              "text/plain; charset=utf-8")
-            x.sendResponseHeaders(200, bytes.length)
-            x.getResponseBody.write(bytes)
-            x.close()
           case p => respond(x, 404, error(s"no such path: $p"))
         }
       } catch {
@@ -706,6 +698,32 @@ object QueryServer {
           Option(e.getMessage).getOrElse(e.getClass.getSimpleName)))
       }
     }))
+    // its own LONGER context so the ONE admin gate (adminOnly) guards
+    // it — no inline re-implementation to drift from the /logs posture
+    server.createContext("/status/threads", guarded(adminOnly(new HttpHandler {
+      override def handle(x: HttpExchange): Unit = try {
+        if (x.getRequestMethod != "GET") { respond(x, 405, error("GET only")); return }
+        import java.lang.management.ManagementFactory
+        val sb = new StringBuilder()
+        ManagementFactory.getThreadMXBean
+          .dumpAllThreads(false, false).foreach { ti =>
+            sb.append(s""""${ti.getThreadName}" id=${ti.getThreadId} ${
+              ti.getThreadState}\n""")
+            ti.getStackTrace.take(24)
+              .foreach(f => sb.append(s"    at $f\n"))
+            sb.append('\n')
+          }
+        val bytes = sb.toString.getBytes("UTF-8")
+        x.getResponseHeaders.set("Content-Type",
+          "text/plain; charset=utf-8")
+        x.sendResponseHeaders(200, bytes.length)
+        x.getResponseBody.write(bytes)
+        x.close()
+      } catch {
+        case e: Throwable => respond(x, 400, error(
+          Option(e.getMessage).getOrElse(e.getClass.getSimpleName)))
+      }
+    })))
     // storage MUTATION (ref server/rest/StorageResources.java PUT/
     // DELETE /storage/{name}.json — @RolesAllowed(ADMIN_ROLE)):
     // register / drop a dfs WORKSPACE at runtime — POST /storage/<name>
@@ -811,23 +829,43 @@ object QueryServer {
         x.getRequestMethod match {
           case "GET" => respondHtml(x, 200, loginHtml)
           case "POST" =>
-            val ct = Option(x.getRequestHeaders.getFirst("Content-Type"))
-              .getOrElse("").toLowerCase
-            if (!ct.startsWith("application/x-www-form-urlencoded")) {
-              respond(x, 415, error("Content-Type must be " +
-                "application/x-www-form-urlencoded")); return
+            // JSON body, NOT form-urlencoded: a urlencoded POST is a
+            // no-preflight "simple request", so a cross-site page could
+            // silently log the victim's browser into an
+            // ATTACKER-credentialed session (login CSRF — the victim's
+            // console use, and any credentials they store, would then
+            // land under the attacker's principal). application/json
+            // forces the preflight this server never approves; the
+            // login page's own fetch just sets the header.
+            if (!jsonContentType(x)) {
+              respond(x, 415, error(
+                "Content-Type must be application/json")); return
             }
             if (!hostOk(x)) {
               respond(x, 403, error("unrecognized Host")); return
             }
-            val form = new String(x.getRequestBody.readAllBytes(), "UTF-8")
-              .split('&').map(_.split("=", 2))
-              .map(a => a(0) -> java.net.URLDecoder
-                .decode(a.lift(1).getOrElse(""), "UTF-8")).toMap
-            val u = form.getOrElse("username", "")
-            if (!checkPassword(u, form.getOrElse("password", ""))) {
+            val node = Option(mapper.readTree(
+              new String(x.getRequestBody.readAllBytes(), "UTF-8")))
+            def field(k: String): String =
+              node.flatMap(n => Option(n.get(k))).map(_.asText).getOrElse("")
+            val u = field("username")
+            if (!checkPassword(u, field("password"))) {
               // generic body — same no-enumeration rule as Basic 401s
               respond(x, 401, error("authentication failed")); return
+            }
+            // bounded store: sweep idle-expired sessions whose cookies
+            // never came back, then evict oldest if a login flood (or
+            // months of never-logging-out) still holds the cap
+            if (sessions.size >= MaxSessions) {
+              val now = System.currentTimeMillis()
+              sessions.entrySet.removeIf(e =>
+                now - e.getValue.touchedMs >= SessionIdleMs)
+              while (sessions.size >= MaxSessions) {
+                import scala.jdk.CollectionConverters._
+                sessions.entrySet.asScala
+                  .minByOption(_.getValue.touchedMs)
+                  .foreach(e => sessions.remove(e.getKey))
+              }
             }
             val id = newToken()
             val csrf = newToken()
@@ -848,9 +886,14 @@ object QueryServer {
     })
     server.createContext("/logout", new HttpHandler {
       override def handle(x: HttpExchange): Unit = try {
-        // always reachable (even with a dead session) so a browser can
-        // clear its state; invalidates SERVER-side, then expires the
-        // cookie client-side
+        // POST only: logout MUTATES (kills the session server-side), and
+        // a GET nav link is fair game for browser prefetch/prerender —
+        // which would log the user out spontaneously mid-work. Always
+        // reachable with just the cookie (no CSRF token needed: the
+        // worst a forced logout does is end the attacker's leverage).
+        if (x.getRequestMethod != "POST") {
+          respond(x, 405, error("POST only — logout mutates")); return
+        }
         cookieSession(x).foreach { case (id, _) => sessions.remove(id) }
         x.getResponseHeaders.add("Set-Cookie",
           "graft_session=; HttpOnly; Path=/; Max-Age=0; SameSite=Strict")
@@ -934,12 +977,10 @@ object QueryServer {
        |<button>Log in</button></form><div id="msg"></div>
        |<script>
        |async function go(){
-       | const body='username='+encodeURIComponent(
-       |     document.getElementById('u').value)+
-       |   '&password='+encodeURIComponent(document.getElementById('p').value);
        | const r=await fetch('/login',{method:'POST',
-       |   headers:{'Content-Type':'application/x-www-form-urlencoded'},
-       |   body:body});
+       |   headers:{'Content-Type':'application/json'},
+       |   body:JSON.stringify({username:document.getElementById('u').value,
+       |     password:document.getElementById('p').value})});
        | if(r.ok){location='/'}
        | else{document.getElementById('msg').textContent='login failed'}
        |}
@@ -955,7 +996,7 @@ object QueryServer {
        |<nav><a href="/web/profiles.html">profiles</a>
        |<a href="/options.json">options.json</a>
        |<a href="/storage.json">storage.json</a>
-       |<a href="/logout">logout</a></nav>
+       |<a href="#" onclick="logout();return false">logout</a></nav>
        |<form onsubmit="run();return false">
        |<textarea id="q" rows="4">SELECT 1 AS one</textarea><br>
        |<button>Run</button></form><div id="out"></div>
@@ -965,6 +1006,9 @@ object QueryServer {
        |// a cell containing markup executes in the console origin
        |function esc(s){return String(s).replace(/&/g,'&amp;')
        | .replace(/</g,'&lt;').replace(/>/g,'&gt;').replace(/"/g,'&quot;')}
+       |async function logout(){
+       | await fetch('/logout',{method:'POST'});location='/login';
+       |}
        |async function run(){
        | const H={'Content-Type':'application/json'};
        | if(CSRF)H['X-Graft-Csrf']=CSRF;

@@ -104,9 +104,17 @@ object UserCredentials {
       case None => cfg
       case Some(c) =>
         val u = AccessControl.currentUser(spark).get // resolve() proved it
-        cfg.copy(
-          clientId = c.getOrElse("clientId", cfg.clientId),
-          clientSecret = c.getOrElse("clientSecret", cfg.clientSecret),
+        // a stored map WITHOUT a client pair must not quietly grant as
+        // the shared operator client — that would defeat exactly the
+        // isolation this module promises (and write the shared
+        // identity's tokens into the user's partitioned file)
+        val pair = for (id <- c.get("clientId");
+                        sec <- c.get("clientSecret")) yield (id, sec)
+        val (cid, sec) = pair.getOrElse(throw new AccessControl.DeniedException(
+          s"user '$u' stored credentials for per-user source '$source' " +
+            "without an OAuth client pair (clientId/clientSecret) — " +
+            "per-user sources never fall back to the shared client"))
+        cfg.copy(clientId = cid, clientSecret = sec,
           tokenFile = s"${cfg.tokenFile}.user-${fsSafe(u)}")
     }
 

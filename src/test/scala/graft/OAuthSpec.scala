@@ -246,6 +246,19 @@ class OAuthSpec extends AnyFunSuite {
           credentialSource = Some("api"))
       }
       assert(e2.getMessage.contains("authenticated principal"), e2.getMessage)
+      // a stored map WITHOUT an OAuth client pair must refuse an OAuth
+      // read, not silently grant as the shared operator client
+      UserCredentials.set("api", "dave",
+        Map("username" -> "dave-dw", "password" -> "pw"))
+      val e3 = intercept[AccessControl.DeniedException] {
+        AccessControl.runAs(spark, "dave")(
+          Federation.httpJsonLines(spark, urls, oauth = Some(cfg),
+            credentialSource = Some("api")))
+      }
+      assert(e3.getMessage.contains("client pair") &&
+        e3.getMessage.contains("dave"), e3.getMessage)
+      assert(!granted.contains("SHARED-cid"),
+        "the shared client must not have been used for dave")
       // a source NOT in per-user mode keeps the source-level config
       val plain = Federation.httpJsonLines(spark, urls, oauth = Some(cfg),
         credentialSource = Some("other_api"))

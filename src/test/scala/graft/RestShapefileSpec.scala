@@ -618,15 +618,19 @@ class RestShapefileSpec extends AnyFunSuite {
       // the form is reachable BEFORE authentication
       val (fc, fb, _) = call("GET", "/login", None, Map.empty)
       assert(fc == 200 && fb.contains("<form"), s"$fc")
+      // a urlencoded login POST is refused: that shape is a
+      // no-preflight "simple request", i.e. the login-CSRF vector (a
+      // cross-site page silently logging the victim into an
+      // attacker-credentialed session)
+      assert(call("POST", "/login", Some("username=webby&password=w-pw"),
+        Map.empty, ct = "application/x-www-form-urlencoded")._1 == 415)
       // wrong password: 401, generic body, NO cookie minted
       val (wc, wb, wck) = call("POST", "/login",
-        Some("username=webby&password=nope"), Map.empty,
-        ct = "application/x-www-form-urlencoded")
+        Some("""{"username":"webby","password":"nope"}"""), Map.empty)
       assert(wc == 401 && wck.isEmpty && !wb.contains("webby"), s"$wc $wb")
       // correct login: HttpOnly+SameSite session cookie + csrf token
       val (lc, lb, lck) = call("POST", "/login",
-        Some("username=webby&password=w-pw"), Map.empty,
-        ct = "application/x-www-form-urlencoded")
+        Some("""{"username":"webby","password":"w-pw"}"""), Map.empty)
       assert(lc == 200, s"$lc $lb")
       val setCookie = lck.getOrElse(fail("no Set-Cookie on login"))
       assert(setCookie.contains("HttpOnly") &&
@@ -649,14 +653,26 @@ class RestShapefileSpec extends AnyFunSuite {
         "X-Graft-Csrf" -> "beef")) ._1 == 403)
       assert(call("DELETE", "/query/some-id", None,
         Map("Cookie" -> cookie))._1 == 403)
+      // ...and so is dropping a stored credential (every mutation runs
+      // the same token gate — DELETE included)
+      assert(call("DELETE", "/credentials/api", None,
+        Map("Cookie" -> cookie))._1 == 403)
+      // an effectively-unlimited client cap must not overflow the
+      // cap+1 truncation probe
+      assert(call("POST", "/query", Some(
+        """{"query": "SELECT 1 AS one", "maxRows": 2147483647}"""),
+        Map("Cookie" -> cookie, "X-Graft-Csrf" -> csrf))._1 == 200)
       // the basic-auth API path needs NO token (not browser-ambient)
       val basic = "Basic " + java.util.Base64.getEncoder
         .encodeToString("webby:w-pw".getBytes("UTF-8"))
       assert(call("POST", "/query", q,
         Map("Authorization" -> basic))._1 == 200)
-      // logout invalidates SERVER-side: the old cookie (even with the
-      // right token) is 401 afterwards, and the cookie is expired
-      val (oc, _, ock) = call("GET", "/logout", None,
+      // logout is POST-only (a GET nav link is prefetch/prerender
+      // bait — a browser would log the user out spontaneously) and
+      // invalidates SERVER-side: the old cookie (even with the right
+      // token) is 401 afterwards, and the cookie is expired
+      assert(call("GET", "/logout", None, Map("Cookie" -> cookie))._1 == 405)
+      val (oc, _, ock) = call("POST", "/logout", None,
         Map("Cookie" -> cookie))
       assert(oc == 200 && ock.exists(_.contains("Max-Age=0")))
       assert(call("POST", "/query", q, Map("Cookie" -> cookie,
