@@ -147,6 +147,40 @@ object QueriesSources {
         s"sum(n_nationkey) AS key_sum FROM dfs.`$dir` GROUP BY n_regionkey")
     }),
 
+    // ---- EXPLAIN PLAN FOR (row 69af16; Drill's ExplainHandler): the
+    // three forms' REQUIRED shape as booleans — plan text present and
+    // naming the scanned relation, json a parseable plan-tree array,
+    // the WITHOUT IMPLEMENTATION form logical (no exec-plan markers)
+    // while the default form is physical (the text itself is
+    // version-dependent by nature; its contract is not) ----
+    "q_explain_plan" -> ((s, d) => {
+      GraftSession.table(s, d, "region").createOrReplaceTempView("xp_region")
+      val phys = s.sql("EXPLAIN PLAN FOR SELECT r_regionkey FROM " +
+        "xp_region WHERE r_regionkey > 1").collect()(0)
+      val logi = s.sql("EXPLAIN PLAN WITHOUT IMPLEMENTATION FOR " +
+        "SELECT r_regionkey FROM xp_region WHERE r_regionkey > 1")
+        .collect()(0)
+      val attrs = s.sql("EXPLAIN PLAN INCLUDING ALL ATTRIBUTES FOR " +
+        "SELECT r_regionkey FROM xp_region WHERE r_regionkey > 1")
+        .collect()(0)
+      def txt(r: org.apache.spark.sql.Row) = r.getAs[String]("text")
+      def jsonOk(r: org.apache.spark.sql.Row) =
+        r.getAs[String]("json").trim.startsWith("[")
+      import s.implicits._
+      Seq((
+        // analysis erases view NAMES from plans — the scanned COLUMN
+        // is what survives into every phase
+        txt(phys).contains("r_regionkey") && jsonOk(phys),
+        // physical plans carry exec markers the logical form must not
+        txt(phys).contains("Scan") || txt(phys).contains("Filter ("),
+        !txt(logi).contains("Scan parquet") && jsonOk(logi) &&
+          txt(logi).contains("Filter"),
+        // the formatted dump is strictly longer than the plain physical
+        txt(attrs).length > txt(phys).length && jsonOk(attrs)))
+        .toDF("phys_names_column", "phys_is_physical",
+          "logical_is_logical", "attrs_is_formatted")
+    }),
+
     // ---- INFORMATION_SCHEMA.FILES (row 39b2; Drill 1.15, ref store/
     // ischema RecordCollector.Files): one row per file under a
     // registered workspace, through the SQL catalog namespace; the
@@ -171,6 +205,57 @@ object QueriesSources {
     // version relation — pinned exactly by the build's own jars ----
     "q_sys_version" -> ((s, _) =>
       s.sql("SELECT engine_version, scala_version FROM sys.version")),
+
+    // ---- sys.functions (row 39d; Drill's FunctionsIterator): a fixed
+    // slice of the session registry — three Spark built-ins and five
+    // graft-injected kernels, with the graft_native provenance flag
+    // (the full dynamic listing stays spec-verified) ----
+    "q_sys_functions" -> ((s, _) =>
+      s.sql("""
+        SELECT name, graft_native FROM sys.functions
+        WHERE name IN ('sum', 'typeof', 'soundex', 'cosine_sim',
+                       'minhash_sig', 'jaccard_sim', 'st_buffer',
+                       'dfs_read')""")),
+
+    // ---- sys.profiles + profile_stages + profile_operators (rows
+    // 39e/39f/39g; Drill's ProfileInfoIterator + the per-fragment
+    // profile depth): run a MARKER query as a known principal, then
+    // hash the REQUIRED profile facts as booleans — the row recorded,
+    // its status, the principal channel, and per-stage + per-operator
+    // rows joined on the SAME execution_id (live metric values are
+    // nondeterministic by nature; their presence and linkage are not).
+    // A missing row, a dropped stage metric, or a broken id join flips
+    // the hash. ----
+    "q_profiles" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col => c}
+      graft.sources.QueryProfiles.enable(s, capacity = 50)
+      GraftSession.table(s, d, "region").createOrReplaceTempView("prof_region")
+      graft.sources.AccessControl.runAs(s, "profile_gate_user") {
+        s.sql("SELECT count(*) AS profile_marker_cnt FROM prof_region")
+          .collect()
+      }
+      def marker() = graft.sources.QueryProfiles.profiles(s)
+        .filter(c("user") === "profile_gate_user")
+      var tries = 0
+      while (marker().count() == 0 && tries < 100) { // listener is async
+        Thread.sleep(100); tries += 1
+      }
+      val rows = marker().collect()
+      val ok = rows.nonEmpty
+      val statusOk = ok && rows.forall(_.getAs[String]("status") == "success")
+      val execIds = rows.map(_.getAs[Long]("execution_id")).toSet
+      val stageRows = graft.sources.QueryProfiles.stageProfiles(s)
+        .filter(c("execution_id").isin(execIds.toSeq: _*)).collect()
+      val stagesJoin = ok && stageRows.nonEmpty &&
+        stageRows.forall(_.getAs[Long]("input_records") >= 0L)
+      val opRows = graft.sources.QueryProfiles.operatorProfiles(s)
+        .filter(c("execution_id").isin(execIds.toSeq: _*)).collect()
+      val opsJoin = ok && opRows.nonEmpty
+      graft.sources.QueryProfiles.disable(s)
+      import s.implicits._
+      Seq((ok, statusOk, stagesJoin, opsJoin))
+        .toDF("recorded", "status_success", "stages_linked", "operators_linked")
+    }),
 
     "q_read_log" -> ((s, _) =>
       SchemaOnRead.regexLog(s, s"$Dir/app.log",
@@ -2336,6 +2421,10 @@ object QueriesSources {
         ('information_schema'), ('sys')) t(schema_name)""",
     "q_dfs_view" -> """
       SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 5""",
+    "q_explain_plan" -> """
+      SELECT * FROM (VALUES (true, true, true, true))
+      t(phys_names_column, phys_is_physical, logical_is_logical,
+        attrs_is_formatted)""",
     "q_optimize" -> """
       SELECT n_regionkey, count(*) AS n,
              sum(n_nationkey)::BIGINT AS key_sum
@@ -2356,6 +2445,15 @@ object QueriesSources {
     "q_sys_version" -> """
       SELECT * FROM (VALUES ('4.1.2', '2.13.17'))
       t(engine_version, scala_version)""",
+    "q_sys_functions" -> """
+      SELECT * FROM (VALUES
+        ('sum', false), ('typeof', false), ('soundex', false),
+        ('cosine_sim', true), ('minhash_sig', true),
+        ('jaccard_sim', true), ('st_buffer', true), ('dfs_read', true))
+      t(name, graft_native)""",
+    "q_profiles" -> """
+      SELECT * FROM (VALUES (true, true, true, true))
+      t(recorded, status_success, stages_linked, operators_linked)""",
     "q_info_schema" -> """
       SELECT * FROM (VALUES
         ('isch_nation', 'n_nationkey', 'int', true, 'TEMPORARY', true),
