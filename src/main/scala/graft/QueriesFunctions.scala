@@ -39,6 +39,21 @@ object QueriesFunctions {
                current_schema() AS sch
         FROM range(1)""")),
 
+    // ---- GIS non-algebra stragglers (row 58e4): srid round-trip
+    // through st_geomfromtext(wkt, srid) and the EXACT Esri-JSON
+    // renderings of st_asjson (point / paths / rings with wkid) vs
+    // literal oracles ----
+    "q_gis_stragglers" -> ((s, _) => {
+      import graft.functions.GisFunctions._
+      val poly = stGeomFromTextSrid(
+        lit("POLYGON ((0 0, 2 0, 2 2, 0 0))"), lit(3857))
+      s.range(1).select(
+        stSrid(stGeomFromTextSrid(lit("POINT (1 0)"), lit(3857))).as("srid"),
+        stAsJson(stGeomFromText(lit("POINT (1.5 -2.5)"))).as("pj"),
+        stAsJson(stGeomFromText(lit("LINESTRING (0 0, 1 1)"))).as("lj"),
+        stAsJson(poly, stSrid(poly)).as("gj"))
+    }),
+
     // ---- bloom filter (row 58f; the sketch family next to the gated
     // HLL/t-digest): no false negatives on the 20 smallest orderkeys
     // (deterministic pick), false-positive rate over 1000 known-absent
@@ -1094,6 +1109,12 @@ object QueriesFunctions {
   }.mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q_gis_stragglers" -> """
+      SELECT * FROM (VALUES (3857,
+        '{"x":1.5,"y":-2.5,"spatialReference":{"wkid":4326}}',
+        '{"paths":[[[0.0,0.0],[1.0,1.0]]],"spatialReference":{"wkid":4326}}',
+        '{"rings":[[[0.0,0.0],[2.0,0.0],[2.0,2.0],[0.0,0.0]]],"spatialReference":{"wkid":3857}}'))
+      t(srid, pj, lj, gj)""",
     "q_bloom_filter" -> """
       SELECT o_orderkey, true AS present, true AS fp_bounded
       FROM (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 20)""",

@@ -147,6 +147,104 @@ object QueriesSources {
         s"sum(n_nationkey) AS key_sum FROM dfs.`$dir` GROUP BY n_regionkey")
     }),
 
+    // ---- equi-depth histograms in ANALYZE (row 69al; ref planner/
+    // common/NumericEquiDepthHistogram.java + DrillRelMdSelectivity):
+    // boundaries from one percentile_approx pass over the uniform
+    // l_quantity column, persisted + reloaded, and rangeSelectivity's
+    // CONTRACT hashed as booleans — bucket count, sortedness, full
+    // range = 1.0, out-of-range = the SMALL_SELECTIVITY floor, a half
+    // range near 0.5 on uniform data, reload-identical boundaries
+    // (exact boundary VALUES are estimator-internal; the contract is
+    // not) ----
+    "q_histogram" -> ((s, d) => {
+      import s.implicits._
+      val base = s"${out(d)}/hist_gate"
+      val df = GraftSession.table(s, d, "lineitem")
+        .select(col("l_quantity").cast("double").as("q"))
+      val st = graft.sources.StatsCatalog.analyze(s, base, "hist_gate_t",
+        df, histogramBuckets = 8)
+      val qs = st.columns.find(_.name == "q").get
+      def sel(lo: Double, hi: Double) =
+        graft.sources.StatsCatalog.rangeSelectivity(qs, lo, hi).get
+      val mid = (qs.histogram.head + qs.histogram.last) / 2
+      val persisted = graft.sources.StatsCatalog
+        .load(s, base, "hist_gate_t").get
+        .columns.find(_.name == "q").get.histogram == qs.histogram
+      Seq((qs.histogram.size == 9,
+        qs.histogram == qs.histogram.sorted,
+        sel(qs.histogram.head - 1, qs.histogram.last + 1) == 1.0,
+        sel(qs.histogram.last + 10, qs.histogram.last + 20) == 0.0001,
+        math.abs(sel(qs.histogram.head, mid) - 0.5) < 0.1,
+        persisted))
+        .toDF("bucket_count_ok", "boundaries_sorted", "full_range_one",
+          "out_of_range_floor", "half_range_half", "reload_identical")
+    }),
+
+    // ---- OAuth HTTP source (row 69e2; ref exec/oauth/
+    // PersistentTokenTable.java + the HTTP plugin's bearer flow): an
+    // in-process RFC 6749 provider INSIDE the gated path (the
+    // q_jdbc_door/q_graft_peer discipline) — client_credentials
+    // bootstrap, Bearer-carrying paginated fetch, token-file
+    // persistence, and grant parsimony (the driver warms ONCE; tasks
+    // reuse the persisted token) all hash with the row content; the
+    // 401-driven mid-pagination refresh stays spec-verified ----
+    "q_oauth_http" -> ((s, _) => {
+      import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+      val granted = new java.util.concurrent.atomic.AtomicInteger(0)
+      val server = HttpServer.create(
+        new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+      def answer(x: HttpExchange, code: Int, body: String): Unit = {
+        val b = body.getBytes("UTF-8")
+        x.sendResponseHeaders(code, b.length)
+        x.getResponseBody.write(b); x.close()
+      }
+      server.createContext("/token", new HttpHandler {
+        override def handle(x: HttpExchange): Unit = {
+          val form = new String(x.getRequestBody.readAllBytes(), "UTF-8")
+          if (form.contains("grant_type=client_credentials") &&
+              form.contains("client_id=gate-cid")) {
+            granted.incrementAndGet()
+            answer(x, 200,
+              """{"access_token":"gate-tok","expires_in":3600}""")
+          } else answer(x, 400, """{"error":"invalid_client"}""")
+        }
+      })
+      server.createContext("/data", new HttpHandler {
+        override def handle(x: HttpExchange): Unit = {
+          val auth = Option(x.getRequestHeaders.getFirst("Authorization"))
+            .getOrElse("")
+          if (auth != "Bearer gate-tok") {
+            answer(x, 401, """{"error":"invalid_token"}"""); return
+          }
+          val page = x.getRequestURI.getQuery.stripPrefix("page=").toInt
+          answer(x, 200, (1 to 3)
+            .map(i => s"""{"k":${page * 10 + i},"v":"x${page * 10 + i}"}""")
+            .mkString("\n"))
+        }
+      })
+      server.start()
+      try {
+        val dir = java.nio.file.Files.createTempDirectory("oauth_gate")
+        val port = server.getAddress.getPort
+        val cfg = graft.sources.OAuth.Config(
+          s"http://127.0.0.1:$port/token", "gate-cid", "gate-sec",
+          dir.resolve("tok.json").toString)
+        val fetched = graft.sources.Federation.httpJsonLines(s,
+          (1 to 2).map(p => s"http://127.0.0.1:$port/data?page=$p"),
+          oauth = Some(cfg))
+        // materialize driver-local BEFORE the provider stops (the
+        // q_graft_peer rule: the lazy frame would re-fetch at write)
+        val rows = fetched.select(col("k"), col("v")).collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSeq
+        val persisted =
+          java.nio.file.Files.exists(dir.resolve("tok.json"))
+        import s.implicits._
+        rows.toDF("k", "v")
+          .withColumn("token_persisted", lit(persisted))
+          .withColumn("grant_parsimony", lit(granted.get() <= 2))
+      } finally server.stop(0)
+    }),
+
     // ---- EXPLAIN PLAN FOR (row 69af16; Drill's ExplainHandler): the
     // three forms' REQUIRED shape as booleans — plan text present and
     // naming the scanned relation, json a parseable plan-tree array,
@@ -2421,6 +2519,14 @@ object QueriesSources {
         ('information_schema'), ('sys')) t(schema_name)""",
     "q_dfs_view" -> """
       SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 5""",
+    "q_histogram" -> """
+      SELECT * FROM (VALUES (true, true, true, true, true, true))
+      t(bucket_count_ok, boundaries_sorted, full_range_one,
+        out_of_range_floor, half_range_half, reload_identical)""",
+    "q_oauth_http" -> """
+      SELECT k::BIGINT AS k, 'x' || k::VARCHAR AS v,
+             true AS token_persisted, true AS grant_parsimony
+      FROM (VALUES (11), (12), (13), (21), (22), (23)) t(k)""",
     "q_explain_plan" -> """
       SELECT * FROM (VALUES (true, true, true, true))
       t(phys_names_column, phys_is_physical, logical_is_logical,
