@@ -326,33 +326,43 @@ object QueriesSources {
     // the hash. ----
     "q_profiles" -> ((s, d) => {
       import org.apache.spark.sql.functions.{col => c}
-      graft.sources.QueryProfiles.enable(s, capacity = 50)
+      // capacity 200, NOT 50: the poll below runs a tiny Spark job per
+      // iteration and each one posts its own ring entry — on a slow
+      // listener day a 50-ring could evict the marker before the read
+      graft.sources.QueryProfiles.enable(s, capacity = 200)
       GraftSession.table(s, d, "region").createOrReplaceTempView("prof_region")
-      graft.sources.AccessControl.runAs(s, "profile_gate_user") {
-        s.sql("SELECT count(*) AS profile_marker_cnt FROM prof_region")
-          .collect()
-      }
-      def marker() = graft.sources.QueryProfiles.profiles(s)
-        .filter(c("user") === "profile_gate_user")
-      var tries = 0
-      while (marker().count() == 0 && tries < 100) { // listener is async
-        Thread.sleep(100); tries += 1
-      }
-      val rows = marker().collect()
-      val ok = rows.nonEmpty
-      val statusOk = ok && rows.forall(_.getAs[String]("status") == "success")
-      val execIds = rows.map(_.getAs[Long]("execution_id")).toSet
-      val stageRows = graft.sources.QueryProfiles.stageProfiles(s)
-        .filter(c("execution_id").isin(execIds.toSeq: _*)).collect()
-      val stagesJoin = ok && stageRows.nonEmpty &&
-        stageRows.forall(_.getAs[Long]("input_records") >= 0L)
-      val opRows = graft.sources.QueryProfiles.operatorProfiles(s)
-        .filter(c("execution_id").isin(execIds.toSeq: _*)).collect()
-      val opsJoin = ok && opRows.nonEmpty
-      graft.sources.QueryProfiles.disable(s)
-      import s.implicits._
-      Seq((ok, statusOk, stagesJoin, opsJoin))
-        .toDF("recorded", "status_success", "stages_linked", "operators_linked")
+      try {
+        graft.sources.AccessControl.runAs(s, "profile_gate_user") {
+          s.sql("SELECT count(*) AS profile_marker_cnt FROM prof_region")
+            .collect()
+        }
+        def marker() = graft.sources.QueryProfiles.profiles(s)
+          .filter(c("user") === "profile_gate_user")
+        var tries = 0
+        while (marker().count() == 0 && tries < 100) { // listener is async
+          Thread.sleep(100); tries += 1
+        }
+        val rows = marker().collect()
+        val ok = rows.nonEmpty
+        val statusOk = ok && rows.forall(_.getAs[String]("status") == "success")
+        val execIds = rows.map(_.getAs[Long]("execution_id")).toSet
+        val stageRows = graft.sources.QueryProfiles.stageProfiles(s)
+          .filter(c("execution_id").isin(execIds.toSeq: _*)).collect()
+        // the marker's SCAN stage must have actually counted its input
+        // rows — rows.nonEmpty alone would stay green if the listener
+        // stopped populating the metric
+        val stagesJoin = ok && stageRows.nonEmpty &&
+          stageRows.exists(_.getAs[Long]("input_records") > 0L)
+        val opRows = graft.sources.QueryProfiles.operatorProfiles(s)
+          .filter(c("execution_id").isin(execIds.toSeq: _*)).collect()
+        val opsJoin = ok && opRows.nonEmpty
+        import s.implicits._
+        Seq((ok, statusOk, stagesJoin, opsJoin))
+          .toDF("recorded", "status_success", "stages_linked",
+            "operators_linked")
+      } finally graft.sources.QueryProfiles.disable(s)
+      // ^ finally: an exception mid-gate must not leave the profiling
+      // listener recording every later gate's jobs
     }),
 
     "q_read_log" -> ((s, _) =>

@@ -134,7 +134,7 @@ object QueryServer {
         credentials.contains(u)
     }
     // ---- web-console SESSION store (reference server/rest/
-    // LogInLogOutResources.java): POST /login trades a form credential
+    // LogInLogOutResources.java): POST /login trades a JSON credential
     // for an HttpOnly cookie + a per-session CSRF token; cookie-bearing
     // state-changing requests must echo the token (CsrfTokenInjectFilter
     // role). Sessions are per-server-instance and idle-expired.
@@ -315,13 +315,22 @@ object QueryServer {
           // and the operator ceiling from start(); the tighter one wins,
           // absent both nothing is dropped, and a cap that actually
           // drops rows says so in the trailer ("truncated":true)
-          // asLong + clamp: asInt silently WRAPS out-of-int JSON
-          // numbers (4294967297 would become a 1-row cap), and
-          // Int.MaxValue itself must survive the limit(cap+1) probe
-          // below without overflowing
+          // canConvertToLong guard + clamp: Jackson's asInt/asLong
+          // silently WRAP out-of-range JSON integers (4294967297 via
+          // asInt — or 2^64+1 via asLong — would become a 1-row cap),
+          // and Int.MaxValue itself must survive the limit(cap+1)
+          // probe below without overflowing. A positive integer past
+          // 64 bits means "effectively unlimited" and clamps; negative
+          // or non-numeric values mean no client cap.
           val clientCap = req.flatMap(n => Option(n.get("maxRows")))
-            .map(_.asLong).filter(_ > 0L)
-            .map(v => math.min(v, (Int.MaxValue - 1).toLong).toInt)
+            .flatMap { v =>
+              if (v.canConvertToLong)
+                Some(v.asLong).filter(_ > 0L)
+                  .map(x => math.min(x, (Int.MaxValue - 1).toLong).toInt)
+              else if (v.isIntegralNumber && v.bigIntegerValue.signum > 0)
+                Some(Int.MaxValue - 1)
+              else None
+            }
           val serverCap = Some(math.min(maxRows, Int.MaxValue - 1)).filter(_ > 0)
           val cap = (clientCap, serverCap) match {
             case (Some(c), Some(s)) => Some(math.min(c, s))
@@ -703,6 +712,13 @@ object QueryServer {
     server.createContext("/status/threads", guarded(adminOnly(new HttpHandler {
       override def handle(x: HttpExchange): Unit = try {
         if (x.getRequestMethod != "GET") { respond(x, 405, error("GET only")); return }
+        // com.sun contexts match by RAW PREFIX — without this,
+        // /status/threadsANYTHING would also serve the dump where it
+        // used to 404
+        if (x.getRequestURI.getPath != "/status/threads") {
+          respond(x, 404, error(
+            s"no such path: ${x.getRequestURI.getPath}")); return
+        }
         import java.lang.management.ManagementFactory
         val sb = new StringBuilder()
         ManagementFactory.getThreadMXBean
@@ -812,7 +828,7 @@ object QueryServer {
     }))
     // ---- session LOGIN / LOGOUT (reference server/rest/
     // LogInLogOutResources.java): the BROWSER flow for a credentialed
-    // door — GET /login serves the form, POST /login trades urlencoded
+    // door — GET /login serves the form, POST /login trades JSON
     // credentials (constant-time check, generic failure body — same
     // rules as Basic) for an HttpOnly+SameSite session cookie and a
     // per-session CSRF token the HTML shells embed; /logout invalidates
@@ -963,8 +979,9 @@ object QueryServer {
       |textarea{width:100%;font-family:monospace}
       |nav a{margin-right:1.2em}</style>""".stripMargin
 
-  /** The login form (LogInLogOutResources' login page role): posts
-    * urlencoded credentials to /login, stores nothing client-side —
+  /** The login form (LogInLogOutResources' login page role): its
+    * fetch posts JSON credentials to /login (urlencoded is the
+    * login-CSRF vector and answers 415), stores nothing client-side —
     * the session rides the HttpOnly cookie, the CSRF token is
     * re-injected into each page server-side. */
   private val loginHtml: String =

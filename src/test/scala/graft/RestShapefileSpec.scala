@@ -150,6 +150,15 @@ class RestShapefileSpec extends AnyFunSuite {
       c3.disconnect()
       val n3 = new com.fasterxml.jackson.databind.ObjectMapper().readTree(b3)
       assert(n3.get("rows").size() == 7 && n3.get("truncated") == null)
+      // an integer past 64 bits must read as "effectively unlimited",
+      // not wrap into a tiny cap (Jackson asLong wraps 2^64+1 to 1)
+      val (c4, b4) = post(
+        """{"query": "SELECT id FROM range(7)",""" +
+          """ "maxRows": 18446744073709551617}""")
+      c4.disconnect()
+      val n4 = new com.fasterxml.jackson.databind.ObjectMapper().readTree(b4)
+      assert(n4.get("rows").size() == 7 && n4.get("truncated") == null,
+        b4.take(200))
       // analysis errors still answer 400 (planning is forced BEFORE the
       // first chunk freezes the status code)
       val bad = java.net.URI.create(
@@ -557,6 +566,9 @@ class RestShapefileSpec extends AnyFunSuite {
       assert(tdc == 200 && tdb.contains("RUNNABLE") &&
         tdb.contains("    at "), tdb.take(200))
       assert(http("GET", "/status/nope", None)._1 == 404)
+      // raw-prefix context matching must not widen the route
+      assert(http("GET", "/status/threadsEVIL", None)._1 == 404)
+      assert(http("GET", "/status/threads.json", None)._1 == 404)
       // GET /logs.json + /logs/<name> — the log browser (Drill
       // LogsResources): list + byte-bounded tail under graft.log.dir
       val logDir = java.nio.file.Files.createTempDirectory("graft_logs")
