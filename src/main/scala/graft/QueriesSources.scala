@@ -12,6 +12,55 @@ object QueriesSources {
 
   private val Dir = "/root/repo/testfiles"
 
+  /** Shared scaffold for the STREAMING-events gates (rows 84/85/91):
+    * the user<10 events subset written as ONE json file, followed by a
+    * far-future FLUSH event in its own mtime-ordered file — streamed
+    * with maxFilesPerTrigger=1 the flush batch advances the watermark
+    * past every real session/window so append mode emits them all,
+    * while the flush row's own group never closes and never emits
+    * (callers filter user_id < 10). Returns the streaming frame. */
+  private def eventsStream(s: org.apache.spark.sql.SparkSession,
+                           d: String, name: String)
+      : org.apache.spark.sql.DataFrame = {
+    val base = s"${out(d)}/$name"
+    val bp = new org.apache.hadoop.fs.Path(base)
+    bp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(bp, true)
+    val src = s"$base/src"
+    val ev = GraftSession.table(s, d, "events")
+      .filter(col("user_id") < 10)
+      .select("user_id", "event_id", "ts", "value", "event_type")
+    ev.coalesce(1).write.json(src)
+    val maxTs = ev.agg(max("ts")).collect()(0).getLong(0)
+    val flushTs = maxTs + 2L * 86400 * 1000000000L // +2 days, ns
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(src, "zz_flush.json"),
+      (s"""{"user_id":9999,"event_id":0,"ts":$flushTs,"value":0.0,""" +
+        s""""event_type":"flush"}""").getBytes("UTF-8"))
+    // deterministic batch order: the file source processes oldest
+    // mtime first
+    new java.io.File(src).listFiles()
+      .filter(_.getName.endsWith(".json")).foreach { f =>
+        f.setLastModified(
+          if (f.getName.startsWith("zz_flush")) 2000000000000L
+          else 1000000000000L)
+      }
+    s.readStream
+      .schema("user_id LONG, event_id LONG, ts LONG, value DOUBLE, " +
+        "event_type STRING")
+      .option("maxFilesPerTrigger", 1).json(src)
+  }
+
+  /** Drain a streaming aggregate into a memory sink and return the
+    * landed table filtered back to the real users. */
+  private def drain(s: org.apache.spark.sql.SparkSession,
+                    agg: org.apache.spark.sql.DataFrame, sink: String)
+      : org.apache.spark.sql.DataFrame = {
+    val q = agg.writeStream.format("memory")
+      .queryName(sink).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(sink).filter(col("user_id") < 10)
+  }
+
   val queries: Map[String, QueriesRelational.Q] = Map(
     "q_read_json" -> ((s, _) =>
       SchemaOnRead.json(s, s"$Dir/sample.jsonl")
@@ -1279,6 +1328,111 @@ object QueriesSources {
       try q.processAllAvailable() finally q.stop()
       PaimonTable.read(s, dst)
         .select(col("k").as("s_suppkey"), col("name").as("s_name"))
+    }),
+
+    "q_session_stream" -> ((s, d) => {
+      // row 91 (native session_window, the declarative sessionization)
+      // STREAMING end-to-end over the shared eventsStream scaffold;
+      // the oracle recomputes sessionization in DuckDB with
+      // session_window's HALF-OPEN boundary (a gap of exactly 1800 s
+      // starts a new session)
+      val sess = graft.streaming.Events.sessionWindowAgg(
+        eventsStream(s, d, "session_stream"),
+        gapSec = 1800, watermarkDelay = "10 seconds")
+      drain(s, sess, "session_stream_gate")
+        .select(col("user_id"),
+          unix_micros(col("sess_start")).as("start_us"),
+          col("n_events"), col("sum_value_q"))
+    }),
+
+    "q_tumbling_stream" -> ((s, d) => {
+      // row 84 (watermark -> tumbling windowed agg, the canonical
+      // Structured Streaming shape) over the same scaffold; the oracle
+      // recomputes the 600 s windows per event_type from the base
+      // relation — stream and backfill totals reconcile BIT-EXACTLY
+      // because the measure sum is quantized
+      val aggd = graft.streaming.Events.tumblingAggStream(
+        eventsStream(s, d, "tumbling_stream"), "600 seconds",
+        watermarkDelay = "10 seconds")
+        // the scaffold's frame has no user_id after this agg — project
+        // the window id BEFORE drain()'s user filter would look for it
+      val q = aggd.writeStream.format("memory")
+        .queryName("tumbling_stream_gate").outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("tumbling_stream_gate")
+        .filter(col("event_type") =!= "flush")
+        .select(expr("unix_micros(window.start) div 600000000")
+          .as("window_id"), col("event_type"), col("n_events"),
+          col("sum_value_q"))
+    }),
+
+    "q_fmgws_session" -> ((s, d) => {
+      // row 85 (flatMapGroupsWithState sessionization — the CUSTOM
+      // state machine with an event-time timeout) over the same
+      // scaffold; second-resolution CLOSED-gap semantics (merges at
+      // exactly 1800 s, splits past it) — the batch twin's convention,
+      // which the oracle mirrors
+      val sess = graft.streaming.Events.sessionizeStream(s,
+        eventsStream(s, d, "fmgws_session"),
+        gapSec = 1800, watermarkDelay = "10 seconds")
+      drain(s, sess, "fmgws_session_gate")
+    }),
+
+    "q_decontam_stream" -> ((s, d) => {
+      // row 88 (STATELESS streaming decontamination against a static
+      // eval reference): the corpus half streams as a file source, the
+      // MinHash-LSH + exact-Jaccard filter drops contaminated docs at
+      // ingest with ZERO streaming state — no watermark, no flush; the
+      // oracle recomputes the EXACT cross-set Jaccard in DuckDB and
+      // keeps the complement (the banded candidates catch every >= 0.8
+      // pair on this corpus — the batch twin q_decontaminate's gate
+      // proves that exactness)
+      val base = s"${out(d)}/decontam_stream"
+      val bp = new org.apache.hadoop.fs.Path(base)
+      bp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(bp, true)
+      val src = s"$base/src"
+      val all = GraftSession.table(s, d, "documents")
+      all.filter(col("doc_id") >= 50).select("doc_id", "text")
+        .coalesce(1).write.json(src)
+      val stream = s.readStream.schema("doc_id LONG, text STRING").json(src)
+      val kept = graft.streaming.Events.decontaminateStream(stream,
+        all.filter(col("doc_id") < 50), "text", threshold = 0.8)
+      val q = kept.writeStream.format("memory")
+        .queryName("decontam_stream_gate").outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("decontam_stream_gate").select("doc_id")
+    }),
+
+    "q_iceberg_upsert_e2e" -> ((s, d) => {
+      // row 94 (the Flink-Iceberg rowDelta shape) end-to-end: two delta
+      // commits — a base load then keyed UPDATES+inserts — stream
+      // through icebergUpsertSink; both versions of a key can land in
+      // ONE micro-batch (the initial snapshot spans commits), so the
+      // explicit orderCol decides the winner deterministically; the
+      // landed table must equal latest-per-key, which the oracle
+      // recomputes from the base relation
+      import graft.sources.{DeltaLogWriter, IcebergTable}
+      import org.apache.spark.sql.SaveMode
+      val base = s"${out(d)}/iceberg_upsert_e2e"
+      val bp = new org.apache.hadoop.fs.Path(base)
+      bp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(bp, true)
+      val src = s"$base/src"; val dst = s"$base/dst"; val cp = s"$base/cp"
+      val n = GraftSession.table(s, d, "nation")
+        .select(col("n_nationkey").cast("long").as("k"),
+          col("n_name").as("name"))
+      DeltaLogWriter.write(n.withColumn("ver", lit(1L)), src,
+        SaveMode.Overwrite)
+      DeltaLogWriter.write(
+        n.filter(col("k") >= 10)
+          .withColumn("name", concat(col("name"), lit("_v2")))
+          .withColumn("ver", lit(2L)), src, SaveMode.Append)
+      val q = graft.streaming.Events.icebergUpsertSink(
+        s.readStream.format("graft-delta").load(src), dst, cp,
+        keyCols = Seq("k"), appId = "iceberg-upsert-e2e-gate",
+        orderCol = Some("ver"))
+      try q.processAllAvailable() finally q.stop()
+      IcebergTable.read(s, dst)
+        .select(col("k").as("n_nationkey"), col("name").as("n_name"))
     }),
 
     // ---- BSON dump files (ref contrib/storage-mongo re-expressed
@@ -2893,6 +3047,64 @@ object QueriesSources {
       FROM nation""",
     "q_kafka_stream_e2e" -> """
       SELECT n_nationkey::BIGINT AS n_nationkey, n_name
+      FROM nation""",
+    "q_tumbling_stream" -> """
+      SELECT (epoch_ns(ts) // 1000000000) // 600 AS window_id, event_type,
+        count(*) AS n_events,
+        sum(floor(value * 16384.0))::BIGINT AS sum_value_q
+      FROM events WHERE user_id < 10 GROUP BY 1, 2""",
+    "q_fmgws_session" -> """
+      WITH e AS (SELECT user_id, event_id,
+        epoch_ns(ts) // 1000000000 AS sec, epoch_ns(ts) AS ns, value
+        FROM events WHERE user_id < 10),
+      marked AS (SELECT user_id, event_id, sec, ns, value,
+        CASE WHEN lag(sec) OVER w IS NULL
+               OR sec - lag(sec) OVER w > 1800 THEN 1
+             ELSE 0 END AS new_sess
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ns, event_id)),
+      sessed AS (SELECT user_id, sec, value,
+        sum(new_sess) OVER (PARTITION BY user_id ORDER BY ns, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM marked)
+      SELECT user_id, min(sec)::BIGINT AS start_sec,
+             max(sec)::BIGINT AS end_sec, count(*) AS n_events,
+             sum(floor(value * 16384)::BIGINT)::BIGINT AS sum_value_q
+      FROM sessed GROUP BY user_id, sid""",
+    "q_session_stream" -> """
+      WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS ns, value
+        FROM events WHERE user_id < 10),
+      marked AS (SELECT user_id, event_id, ns, value,
+        CASE WHEN lag(ns) OVER w IS NULL
+               OR ns - lag(ns) OVER w >= 1800 * 1000000000::BIGINT THEN 1
+             ELSE 0 END AS new_sess
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ns, event_id)),
+      sessed AS (SELECT user_id, ns, value,
+        sum(new_sess) OVER (PARTITION BY user_id ORDER BY ns, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM marked)
+      SELECT user_id, (min(ns) // 1000)::BIGINT AS start_us,
+             count(*) AS n_events,
+             sum(floor(value * 16384)::BIGINT)::BIGINT AS sum_value_q
+      FROM sessed GROUP BY user_id, sid""",
+    "q_decontam_stream" -> """
+      WITH toks AS (SELECT doc_id,
+          unnest(list_distinct(string_split(trim(regexp_replace(
+            lower(text), '\s+', ' ', 'g')), ' '))) AS g
+        FROM documents),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY 1),
+      inter AS (SELECT a.doc_id AS ia, count(*) AS i
+        FROM toks a JOIN toks b ON a.g = b.g
+        JOIN sizes sa ON a.doc_id = sa.doc_id
+        JOIN sizes sb ON b.doc_id = sb.doc_id
+        WHERE a.doc_id >= 50 AND b.doc_id < 50
+        GROUP BY a.doc_id, b.doc_id, sa.sz, sb.sz
+        HAVING count(*)::DOUBLE / (sa.sz + sb.sz - count(*)) >= 0.8)
+      SELECT doc_id FROM documents
+      WHERE doc_id >= 50 AND doc_id NOT IN (SELECT ia FROM inter)""",
+    "q_iceberg_upsert_e2e" -> """
+      SELECT n_nationkey::BIGINT AS n_nationkey,
+             CASE WHEN n_nationkey >= 10 THEN n_name || '_v2'
+                  ELSE n_name END AS n_name
       FROM nation""",
     "q_delta_stream_e2e" -> """
       SELECT n_nationkey::BIGINT AS n_nationkey, n_name
