@@ -1378,6 +1378,120 @@ object QueriesSources {
       drain(s, sess, "fmgws_session_gate")
     }),
 
+    "q_neardedup_stream" -> ((s, d) => {
+      // row 90 (watermarked streaming MinHash NEAR-dup dedup): every
+      // document streams with a synthetic event time ordered by id
+      // (100 ms spacing keeps the whole corpus inside the band state's
+      // watermark horizon), a flush doc closes the vote windows, and
+      // the admitted set must equal first-seen-wins over DuckDB's
+      // EXACT pairwise Jaccard — a doc survives iff NO earlier doc
+      // near-dups it (transitive greedy: suppressed dups still
+      // suppress later copies)
+      val base = s"${out(d)}/neardedup_stream"
+      val bp = new org.apache.hadoop.fs.Path(base)
+      bp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(bp, true)
+      val src = s"$base/src"
+      GraftSession.table(s, d, "documents")
+        .select(col("doc_id"),
+          (lit(1700000000000000000L) + col("doc_id") * 100000000L).as("ts"),
+          col("text"))
+        .coalesce(1).write.json(src)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(src, "zz_flush.json"),
+        ("""{"doc_id":99999999,"ts":1700009000000000000,""" +
+          """"text":"zzflushzz"}""").getBytes("UTF-8"))
+      new java.io.File(src).listFiles()
+        .filter(_.getName.endsWith(".json")).foreach { f =>
+          f.setLastModified(
+            if (f.getName.startsWith("zz_flush")) 2000000000000L
+            else 1000000000000L)
+        }
+      s.conf.set(
+        "spark.sql.streaming.statefulOperator.checkCorrectness.enabled",
+        "false")
+      try {
+        val stream = s.readStream
+          .schema("doc_id LONG, ts LONG, text STRING")
+          .option("maxFilesPerTrigger", 1).json(src)
+        val admitted = graft.streaming.Events.nearDedupStream(s, stream,
+          threshold = 0.8, watermarkDelaySec = 600, voteWindowSec = 30)
+        val q = admitted.writeStream.format("memory")
+          .queryName("neardedup_stream_gate").outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table("neardedup_stream_gate")
+          .filter(col("doc_id") < 99999999L).select("doc_id")
+      } finally s.conf.unset(
+        "spark.sql.streaming.statefulOperator.checkCorrectness.enabled")
+    }),
+
+    "q_cdf_stream" -> ((s, d) => {
+      // row 95b (readChangeFeed streaming — delta-spark's CDF mode):
+      // the initial snapshot streams as version-0 inserts, then a
+      // LIVE CDF delete and a live append land while the stream runs —
+      // exact change rows with their commit versions hash against the
+      // oracle's replay of the same three commits
+      import graft.sources.{DeltaDml, DeltaLogWriter}
+      import org.apache.spark.sql.SaveMode
+      val base = s"${out(d)}/cdf_stream"
+      val bp = new org.apache.hadoop.fs.Path(base)
+      bp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(bp, true)
+      val tbl = s"$base/tbl"
+      val n = GraftSession.table(s, d, "nation")
+        .select(col("n_nationkey").cast("long").as("k"),
+          col("n_name").as("v"))
+      DeltaLogWriter.write(n, tbl, SaveMode.Overwrite)
+      val stream = s.readStream.format("graft-delta")
+        .option("readChangeFeed", "true").load(tbl)
+      val q = stream.writeStream.format("memory")
+        .queryName("cdf_stream_gate").outputMode("append").start()
+      try {
+        q.processAllAvailable() // snapshot lands as version-0 inserts
+        s.conf.set("graft.delta.cdf", "true")
+        try DeltaDml.delete(s, tbl, col("k") < 5)
+        finally s.conf.unset("graft.delta.cdf")
+        DeltaLogWriter.write(
+          n.filter(col("k") === 20)
+            .withColumn("v", concat(col("v"), lit("_x"))),
+          tbl, SaveMode.Append)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table("cdf_stream_gate")
+        .select("k", "v", "_change_type", "_commit_version")
+    }),
+
+    "q_click_stream" -> ((s, d) => {
+      // row 86 (watermarked STREAM-STREAM interval join — click
+      // attribution): impressions derive from the events subset, a
+      // click per impression lands +30 s (inside the 60 s window) for
+      // even ids and +2 h (outside) for odd ids; both sides stream as
+      // file sources and the INNER join emits eagerly (watermarks
+      // bound state, not inner-join emission — no flush needed); the
+      // oracle replays the same derivation and inequality join
+      val base = s"${out(d)}/click_stream"
+      val bp = new org.apache.hadoop.fs.Path(base)
+      bp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(bp, true)
+      val impSrc = s"$base/imp"; val clkSrc = s"$base/clk"
+      val imp = GraftSession.table(s, d, "events")
+        .filter(col("user_id") < 10)
+        .select(col("event_id").as("imp_id"),
+          expr("(ts - pmod(ts, 1000L)) div 1000L").as("imp_us"))
+      imp.coalesce(1).write.json(impSrc)
+      imp.select(col("imp_id").as("clk_imp_id"),
+          when(col("imp_id") % 2 === 0, col("imp_us") + 30L * 1000000L)
+            .otherwise(col("imp_us") + 7200L * 1000000L).as("clk_us"))
+        .coalesce(1).write.json(clkSrc)
+      val impStream = s.readStream.schema("imp_id LONG, imp_us LONG")
+        .json(impSrc).withColumn("imp_ts", timestamp_micros(col("imp_us")))
+      val clkStream = s.readStream.schema("clk_imp_id LONG, clk_us LONG")
+        .json(clkSrc).withColumn("clk_ts", timestamp_micros(col("clk_us")))
+      val joined = graft.streaming.Events.clickAttribution(
+        impStream, clkStream, windowSec = 60)
+      val q = joined.writeStream.format("memory")
+        .queryName("click_stream_gate").outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("click_stream_gate").select("imp_id", "imp_us", "clk_us")
+    }),
+
     "q_decontam_stream" -> ((s, d) => {
       // row 88 (STATELESS streaming decontamination against a static
       // eval reference): the corpus half streams as a file source, the
@@ -3086,6 +3200,42 @@ object QueriesSources {
              count(*) AS n_events,
              sum(floor(value * 16384)::BIGINT)::BIGINT AS sum_value_q
       FROM sessed GROUP BY user_id, sid""",
+    "q_neardedup_stream" -> """
+      WITH toks AS (SELECT doc_id,
+          unnest(list_distinct(string_split(trim(regexp_replace(
+            lower(text), '\s+', ' ', 'g')), ' '))) AS g
+        FROM documents),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY 1),
+      dup AS (SELECT a.doc_id AS ia
+        FROM toks a JOIN toks b ON a.g = b.g
+        JOIN sizes sa ON a.doc_id = sa.doc_id
+        JOIN sizes sb ON b.doc_id = sb.doc_id
+        WHERE b.doc_id < a.doc_id
+        GROUP BY a.doc_id, b.doc_id, sa.sz, sb.sz
+        HAVING count(*)::DOUBLE / (sa.sz + sb.sz - count(*)) >= 0.8)
+      SELECT doc_id FROM documents
+      WHERE doc_id NOT IN (SELECT ia FROM dup)""",
+    "q_cdf_stream" -> """
+      SELECT n_nationkey::BIGINT AS k, n_name AS v,
+             'insert' AS _change_type, 0::BIGINT AS _commit_version
+      FROM nation
+      UNION ALL
+      SELECT n_nationkey::BIGINT, n_name, 'delete', 1::BIGINT
+      FROM nation WHERE n_nationkey < 5
+      UNION ALL
+      SELECT n_nationkey::BIGINT, n_name || '_x', 'insert', 2::BIGINT
+      FROM nation WHERE n_nationkey = 20""",
+    "q_click_stream" -> """
+      WITH imp AS (SELECT event_id AS imp_id,
+          epoch_ns(ts) // 1000 AS imp_us
+        FROM events WHERE user_id < 10),
+      clk AS (SELECT imp_id AS clk_imp_id,
+          CASE WHEN imp_id % 2 = 0 THEN imp_us + 30 * 1000000
+               ELSE imp_us + 7200 * 1000000::BIGINT END AS clk_us
+        FROM imp)
+      SELECT i.imp_id, i.imp_us::BIGINT AS imp_us, c.clk_us::BIGINT AS clk_us
+      FROM imp i JOIN clk c ON i.imp_id = c.clk_imp_id
+        AND c.clk_us >= i.imp_us AND c.clk_us <= i.imp_us + 60 * 1000000""",
     "q_decontam_stream" -> """
       WITH toks AS (SELECT doc_id,
           unnest(list_distinct(string_split(trim(regexp_replace(
