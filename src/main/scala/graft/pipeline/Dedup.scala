@@ -1133,6 +1133,19 @@ object Dedup {
     val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
     val prevCoalesce = spark.conf.getOption(coalesceKey)
     spark.conf.set(coalesceKey, "false")
+    // Every join in this loop is a narrow (long, long) table against a
+    // (long, long) table whose stats freshStats has deliberately reset —
+    // Catalyst therefore plans SORT-MERGE, paying two 3M-row sorts per
+    // pointer doubling (measured 2.3x the loop wall at the sf1 shape; see
+    // OPTIMIZATION_r16.md). A shuffled-hash hint drops the sorts. The
+    // hint is gated on bounded per-partition build size so a future
+    // billion-node run with a small session parallelism degrades to the
+    // spill-safe SMJ instead of OOMing the build: partsFor targets 125k
+    // edges/partition until defaultParts caps it, so the build side only
+    // outgrows memory when nodes/defaultParts does — the 8M-row bound is
+    // ~128 MB of packed longs per task, inside any sane executor.
+    def hinted(df: DataFrame, n: Long, parts: Int): DataFrame =
+      if (n / math.max(parts, 1) <= 8000000L) df.hint("shuffle_hash") else df
     val wall = scala.collection.mutable.ArrayBuffer[Double]()
     var round = 0
     var result: DataFrame = null
@@ -1156,25 +1169,39 @@ object Dedup {
       // drops inherited stats (PlanShim.freshStats) or the
       // round-over-round join-size products grow exponentially and
       // PLANNING melts the driver in BigInteger math.
-      def contractMap(e: DataFrame): DataFrame = {
+      def contractMap(e: DataFrame, n: Long): DataFrame = {
         import org.apache.spark.sql.graftshim.PlanShim.freshStats
+        val dbg = sys.props.contains("graft.cc.debug")
+        val parts = partsFor(n)
         // e is BIDIRECTIONAL, so every node appears as dst — the node
         // set needs no separate distinct() and no join: the one
         // partial-aggregating groupBy yields the full closed-nbhd min
+        var t = System.nanoTime()
         var m = freshStats(e
           .groupBy(col("dst").as("id")).agg(min(col("src")).as("nmin"))
           .select(col("id"), least(col("nmin"), col("id")).as("label"))
           .localCheckpoint())
+        if (dbg) System.err.println(
+          f"[cc]   nbhd-min ${(System.nanoTime() - t) / 1e9}%.3fs")
         var changed = 1L
         var doublings = 0
         while (changed > 0 && doublings < 64) {
+          t = System.nanoTime()
+          // LAZY checkpoint: the changed-count below is the materializing
+          // job (persist is storage-level-lazy — the first pass stores the
+          // blocks), so each doubling runs ONE job instead of an eager
+          // checkpoint job plus a count job over the cached result
           val jumped = freshStats(m.as("x")
-            .join(m.select(col("id").as("lid"), col("label").as("llabel")).as("y"),
+            .join(hinted(m.select(col("id").as("lid"),
+                col("label").as("llabel")), n, parts).as("y"),
               col("x.label") === col("y.lid"), "left")
             .select(col("x.id").as("id"), col("x.label").as("old"),
               coalesce(col("y.llabel"), col("x.label")).as("label"))
-            .localCheckpoint())
+            .localCheckpoint(eager = false))
           changed = jumped.filter(col("label") =!= col("old")).count()
+          if (dbg) System.err.println(
+            f"[cc]   doubling ${doublings + 1} " +
+              f"join+count=${(System.nanoTime() - t) / 1e9}%.3fs changed=$changed")
           PlanShim.unpersistCheckpoint(m) // jumped is materialized
           m = jumped.select("id", "label")
           doublings += 1
@@ -1187,20 +1214,29 @@ object Dedup {
         m
       }
       // contract e through m: self-loops drop, parallel edges merge
-      def remap(e: DataFrame, m: DataFrame): DataFrame =
-        e.join(m.select(col("id").as("__s"), col("label").as("ms")),
+      // (the m sides carry the same shuffled-hash gate as the doubling).
+      // LAZY checkpoint: every call site counts the result immediately —
+      // that count is the materializing job, saving an eager-checkpoint
+      // pass of the join per round. Callers must not free the inputs
+      // until after that count has run.
+      def remap(e: DataFrame, m: DataFrame, n: Long): DataFrame = {
+        val parts = partsFor(n)
+        e.join(hinted(m.select(col("id").as("__s"), col("label").as("ms")),
+              n, parts),
             col("src") === col("__s"))
-          .join(m.select(col("id").as("__d"), col("label").as("md")),
+          .join(hinted(m.select(col("id").as("__d"), col("label").as("md")),
+              n, parts),
             col("dst") === col("__d"))
           .filter(col("ms") =!= col("md"))
           .select(col("ms").as("src"), col("md").as("dst"))
           .distinct()
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
           .transform(org.apache.spark.sql.graftshim.PlanShim.freshStats)
+      }
 
       var t0 = System.nanoTime()
-      val m1 = contractMap(bi)           // the one full-size round
-      var live = remap(bi, m1)
+      val m1 = contractMap(bi, nEdges)   // the one full-size round
+      var live = remap(bi, m1, nEdges)
       var liveEdges = live.count()
       if (sys.props.contains("graft.cc.debug"))
         System.err.println(s"[cc] round=1 liveEdges=$liveEdges (nEdges=$nEdges)")
@@ -1213,12 +1249,14 @@ object Dedup {
         t0 = System.nanoTime()
         spark.conf.set("spark.sql.shuffle.partitions",
           partsFor(liveEdges).toString)
-        val m = contractMap(live)
+        val m = contractMap(live, liveEdges)
         comp =
           if (comp == null) m
           else {
             val c = comp.as("a")
-              .join(m.select(col("id").as("mid"), col("label").as("mlabel")).as("b"),
+              .join(hinted(m.select(col("id").as("mid"),
+                  col("label").as("mlabel")), liveEdges,
+                  partsFor(liveEdges)).as("b"),
                 col("a.label") === col("mid"), "left")
               .select(col("a.id").as("id"),
                 coalesce(col("mlabel"), col("a.label")).as("label"))
@@ -1230,8 +1268,12 @@ object Dedup {
             PlanShim.unpersistCheckpoint(comp)
             c
           }
-        val nextLive = remap(live, m)
-        PlanShim.unpersistCheckpoint(live) // nextLive is materialized
+        val nextLive = remap(live, m, liveEdges)
+        // remap's checkpoint is LAZY: this count materializes it, and it
+        // must run BEFORE the inputs' checkpoint blocks are freed below
+        // (a localCheckpoint frame cannot recompute lost blocks)
+        liveEdges = nextLive.count()
+        PlanShim.unpersistCheckpoint(live)
         // on the first composed round comp ALIASES m (the null branch
         // above) — freeing m there would free comp's own checkpoint
         // blocks, and localCheckpoint frames cannot recompute: the next
@@ -1239,7 +1281,6 @@ object Dedup {
         // error on any input needing >1 contraction round
         if (!(comp eq m)) PlanShim.unpersistCheckpoint(m)
         live = nextLive
-        liveEdges = live.count()
         if (sys.props.contains("graft.cc.debug"))
           System.err.println(s"[cc] round=$round liveEdges=$liveEdges")
         round += 1
@@ -1262,7 +1303,8 @@ object Dedup {
         if (comp == null) m1
         else {
           val r = m1.as("a")
-            .join(comp.as("b"), col("a.label") === col("b.id"), "left")
+            .join(hinted(comp, nEdges, nParts).as("b"),
+              col("a.label") === col("b.id"), "left")
             .select(col("a.id").as("id"),
               coalesce(col("b.label"), col("a.label")).as("label"))
             .localCheckpoint()
