@@ -221,8 +221,16 @@ object Dedup {
     val keyed = graft.GraftSession.balanced(
       toks.withColumn("setkey", xxhash64(col("th"))))
     val members = keyed.select("setkey", "id")
+    // th rides as a GROUPING key, not a first() aggregate: setkey is a
+    // function of th so the groups are identical, but first(array) has no
+    // fixed-width aggregation buffer and forced this whole aggregation —
+    // BOTH corpus-sized passes of it — into SortAggregate (a full sort of
+    // the tokenized corpus on each side of the exchange, 16 Sort nodes in
+    // the r16 plan dump); min(long) under array grouping keys plans as
+    // the map-side-combinable HashAggregate.
     val reps = graft.GraftSession.balanced(
-      keyed.groupBy("setkey").agg(min("id").as("id"), first("th").as("th")))
+      keyed.groupBy("setkey", "th").agg(min("id").as("id"))
+        .select("setkey", "id", "th"))
     // (A first-band-wins inline filter was tried here to avoid this agg
     // exchange — carrying both band-key arrays through the join and
     // zip_with-matching per emitted row cost MORE than the exchange; the

@@ -162,26 +162,36 @@ object Search {
     * importance resampling step ([[Training.temperatureMix]] /
     * stratified sampling compose downstream).
     *
-    * The paper hashes grams into a fixed bucket count so the model fits
-    * one machine; distributed, the gram-count table IS the model — it
-    * shuffles like any vocabulary aggregate ([[topVocab]]), so no
-    * hashing, no collisions, and a SQL oracle re-derives the exact
-    * weights. Plan: two gram aggregations + a full-outer vocab join,
-    * corpus totals broadcast (metadata-scale), one hash join from the
-    * raw gram stream to the per-gram ratios, one per-doc sum. Bigrams
-    * build with array HOFs (zip_with on the token array) — narrow, no
-    * window, no shuffle of anything but grams and counts. */
+    * The paper hashes grams into a fixed SMALL bucket count (10^4-10^5)
+    * so the model fits one machine, paying real collisions; distributed,
+    * the gram-count table IS the model — it shuffles like any vocabulary
+    * aggregate ([[topVocab]]). Grams travel as 64-bit xxhash keys rather
+    * than strings (unigram = xxhash64(tok), bigram = xxhash64(tok, nxt)):
+    * counts, ratios and therefore weights are identical to the
+    * string-keyed form unless two realized grams collide in a 2^64
+    * keyspace (~1e-8 at 10^9 distinct grams — the [[Dedup.tokenized]]
+    * posture, and the 6dp gate would catch a hit), while the two
+    * vocabulary shuffles and the ratio join move 8-byte longs instead of
+    * gram strings and never sort. Plan: two gram aggregations + a
+    * full-outer vocab join, corpus totals broadcast (metadata-scale),
+    * one shuffled-hash join from the raw gram stream to the per-gram
+    * ratios, one per-doc sum. Bigrams hash with array HOFs (zip_with on
+    * the token array) — narrow, no window, no shuffle of anything but
+    * gram keys and counts. */
   def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
                   textCol: String): DataFrame = {
-    // unigram + bigram stream; zip_with pads with null, the case guard
-    // drops the padded tail instead of emitting a corrupt gram
+    // unigram + bigram HASH stream; zip_with pads with null, the case
+    // guard drops the padded tail instead of emitting a corrupt gram.
+    // xxhash64(x, y) (two-column form) keys bigrams without ever
+    // materializing the concatenated gram string.
     def grams(df: DataFrame, keep: Seq[Column]): DataFrame = df
       .withColumn("__toks", toksOf(col(textCol)))
-      .withColumn("__grams", concat(col("__toks"), expr(
+      .withColumn("__grams", concat(
+        expr("transform(__toks, t -> xxhash64(t))"), expr(
         """filter(
              zip_with(__toks, slice(__toks, 2, size(__toks)),
                (x, y) -> case when y is null then null
-                         else concat(x, ' ', y) end),
+                         else xxhash64(x, y) end),
              g -> g is not null)""")))
       .select(keep :+ explode(col("__grams")).as("gram"): _*)
     // the per-doc gram stream feeds BOTH the raw model counts and the
@@ -189,7 +199,12 @@ object Search {
     val rawGrams = grams(raw, Seq(col(idCol).as("doc_id")))
     val tc = grams(target, Nil).groupBy("gram").agg(count(lit(1)).as("tcnt"))
     val rc = rawGrams.groupBy("gram").agg(count(lit(1)).as("rcnt"))
-    val vocab = tc.join(rc, Seq("gram"), "full_outer")
+    // both gram-keyed joins plan shuffled-hash, not sort-merge: the keys
+    // are strings, so SMJ pays two corpus-vocabulary string sorts per
+    // join for nothing (neither side's order is reused downstream); the
+    // build sides are the aggregated count/ratio tables, which partition
+    // like any vocabulary aggregate
+    val vocab = tc.join(rc.hint("shuffle_hash"), Seq("gram"), "full_outer")
       .na.fill(0L, Seq("tcnt", "rcnt"))
     val totals = vocab.agg(sum("tcnt").as("tt"), sum("rcnt").as("rt"),
       count(lit(1)).as("v"))
@@ -197,7 +212,7 @@ object Search {
       (log((col("tcnt") + 1.0) / (col("tt") + col("v"))) -
         log((col("rcnt") + 1.0) / (col("rt") + col("v")))).as("llr"))
     val weights = rawGrams
-      .join(llr, "gram")
+      .join(llr.hint("shuffle_hash"), "gram")
       .groupBy("doc_id").agg(sum("llr").as("weight"))
     // grams-free documents weight 0 (empty ratio sum), not missing
     raw.select(col(idCol).as("doc_id")).distinct()
