@@ -268,10 +268,16 @@ object Search {
       .persist()
     try {
       val n = lab.count().toDouble
-      def weightsDf(w: Array[Double]) = broadcast(
-        w.zipWithIndex.map { case (v, j) => (j.toLong, v) }.toSeq.toDF("j", "w"))
-      def dots(w: Array[Double]) = feats.join(weightsDf(w), "j")
-        .groupBy("doc_id").agg(sum(col("w") * col("x")).as("z"))
+      // w·x per doc as ONE groupBy(doc_id): the dim-row weight vector is
+      // metadata-scale, so it rides as a literal array indexed by j
+      // instead of a per-iteration broadcast-table join — same products,
+      // same per-doc sum, one plan node instead of a join subtree
+      def dots(w: Array[Double]) = {
+        val arr = array(w.map(lit(_)): _*)
+        feats.groupBy("doc_id")
+          .agg(sum(element_at(arr, col("j").cast("int") + 1) * col("x"))
+            .as("z"))
+      }
       def sig(zc: Column) =
         lit(1.0) / (lit(1.0) + exp(-coalesce(zc, lit(0.0))))
       var w = Array.fill(dim)(0.0)
@@ -343,7 +349,6 @@ object Search {
     require(labels.length >= 2,
       s"languageClassifier needs >= 2 classes (got ${labels.toSeq})")
     val k = labels.length
-    val classDf = broadcast(labels.toSeq.toDF("lang"))
     val lab = docs.select(col(idCol).as("doc_id"),
         col(labelCol).cast("string").as("y_lang"))
       .filter(col("y_lang").isNotNull).persist()
@@ -364,64 +369,86 @@ object Search {
     try {
       val n = lab.count().toDouble
       require(n > 0, "languageClassifier: no labeled rows to train on")
-      def wDf(w: Map[(String, Int), Double]) = broadcast(
-        (for (l <- labels; j <- 0 until dim)
-          yield (l, j.toLong, w.getOrElse((l, j), 0.0))).toSeq
-          .toDF("lang", "j", "w"))
-      // z_{d,l} = Σ_j w_{l,j} x_{d,j}; the DENSE weight table means any
-      // doc with >= 1 feature row gets all K class rows out of the join
-      def zs(w: Map[(String, Int), Double], f: DataFrame) =
-        f.join(wDf(w), "j")
-          .groupBy("doc_id", "lang").agg(sum(col("w") * col("x")).as("z"))
-      def probs(zd: DataFrame) = {
-        // ONE shuffle: the per-doc max and the exp-sum both ride a
-        // window over doc_id instead of two aggregate+join rounds —
-        // identical arithmetic, a third of the stages (this plan is
-        // stage-overhead-bound, not data-bound, at gate scale)
-        val byDoc = org.apache.spark.sql.expressions.Window
-          .partitionBy("doc_id")
-        zd.withColumn("ez", exp(col("z") - max("z").over(byDoc)))
-          .withColumn("p", col("ez") / sum("ez").over(byDoc))
-          .select(col("doc_id"), col("lang"), col("p"))
+      // z_{d,l} = Σ_j w_{l,j} x_{d,j} for ALL K classes in ONE
+      // groupBy(doc_id) pass: the weights are metadata-scale (K×dim
+      // doubles), so each class's dot product rides a literal weight
+      // ARRAY indexed by j — no K-way row fan-out through a dense
+      // weight-table join, no (doc, class)-keyed exchange. The previous
+      // spelling shuffled feats×K rows per iteration and then paid a
+      // window (exchange + sort) for the softmax; this one shuffles the
+      // feature rows once and the softmax below is row-local column
+      // arithmetic over the K z columns (same max-subtracted stable
+      // form, same values — only the row layout changed).
+      def zCols(w: Map[(String, Int), Double], f: DataFrame) = {
+        val aggs = labels.zipWithIndex.map { case (l, i) =>
+          val arr = array((0 until dim).map(j =>
+            lit(w.getOrElse((l, j), 0.0))): _*)
+          sum(element_at(arr, col("j").cast("int") + 1) * col("x"))
+            .as(s"__z$i")
+        }
+        f.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      }
+      // (doc_id, __p0..__pK-1): exp(z-m)/Σexp(z-m) over the z columns
+      def probCols(zd: DataFrame) = {
+        val zs = labels.indices.map(i => col(s"__z$i"))
+        val m = greatest(zs: _*) // exact per-doc max; k >= 2 guaranteed
+        val withEz = zd.select(col("doc_id") +:
+          labels.indices.map(i => exp(zs(i) - m).as(s"__ez$i")): _*)
+        val tot = labels.indices.map(i => col(s"__ez$i")).reduce(_ + _)
+        withEz.select(col("doc_id") +:
+          labels.indices.map(i => (col(s"__ez$i") / tot).as(s"__p$i")): _*)
       }
       var w = Map.empty[(String, Int), Double]
       for (it <- 1 to iters) {
-        // e_{d,l} = p_{d,l} - 1[label_d = l] over labeled docs; a
-        // labeled doc with zero features contributes a zero gradient by
-        // definition (no x terms) — the grad join below drops it.
-        // Iteration 1 takes the closed form: w0 = 0 makes p EXACTLY 1/K
-        // (exp(0)/K on both engines), so the whole dot-product/softmax
-        // round is skipped — the unrolled SQL oracle's e1 does the same
+        // e_{d,l} = p_{d,l} - 1[label_d = l] over labeled docs, carried
+        // as K COLUMNS per doc; a labeled doc with zero features
+        // contributes a zero gradient by definition (no x terms) — the
+        // grad join below drops it. Iteration 1 takes the closed form:
+        // w0 = 0 makes p EXACTLY 1/K (exp(0)/K on both engines), so the
+        // whole dot-product/softmax round is skipped — the unrolled SQL
+        // oracle's e1 does the same
         val e =
           if (it == 1)
-            lab.crossJoin(classDf)
-              .select(col("doc_id"), col("lang"),
-                (lit(1.0 / k) - when(col("lang") === col("y_lang"), 1.0)
-                  .otherwise(0.0)).as("e"))
-          else lab.join(probs(zs(w, trainFeats)), "doc_id")
-            .select(col("doc_id"), col("lang"),
-              (col("p") - when(col("lang") === col("y_lang"), 1.0)
-                .otherwise(0.0)).as("e"))
-        val grad = trainFeats.join(e, "doc_id")
-          .groupBy("lang", "j")
-          .agg((sum(col("e") * col("x")) / lit(n)).as("g"))
+            lab.select(col("doc_id") +: labels.zipWithIndex.map {
+              case (l, i) => (lit(1.0 / k) -
+                when(col("y_lang") === l, 1.0).otherwise(0.0)).as(s"__e$i")
+            }: _*)
+          else lab.join(probCols(zCols(w, trainFeats)), "doc_id")
+            .select(col("doc_id") +: labels.zipWithIndex.map {
+              case (l, i) => (col(s"__p$i") -
+                when(col("y_lang") === l, 1.0).otherwise(0.0)).as(s"__e$i")
+            }: _*)
+        // grad: one broadcast join (e is one row per labeled doc) + one
+        // groupBy(j) whose partial aggregation reduces map-side to
+        // dim rows × K sums — only K×dim doubles cross the driver
+        val gAggs = labels.indices.map(i =>
+          (sum(col(s"__e$i") * col("x")) / lit(n)).as(s"__g$i"))
+        val gradRows = trainFeats.join(broadcast(e), "doc_id")
+          .groupBy("j").agg(gAggs.head, gAggs.tail: _*)
           .collect()
-          .map(r => (r.getString(0), r.getLong(1).toInt) -> r.getDouble(2))
-          .toMap
+        val grad = (for (r <- gradRows; (l, i) <- labels.zipWithIndex)
+          yield (l, r.getLong(0).toInt) -> r.getDouble(1 + i)).toMap
         w = (for (l <- labels; j <- 0 until dim) yield {
           (l, j) -> (w.getOrElse((l, j), 0.0) - lr * grad.getOrElse((l, j), 0.0))
         }).toMap
       }
       // score every doc (the ONE full-corpus pass); feature-less docs
-      // fill the uniform 1/K row set. Persisted and materialized while
-      // the feature cache is live — caller-unpersist contract; persist,
-      // not localCheckpoint, so a lost executor recomputes instead of
-      // permanently losing blocks
+      // fill the uniform 1/K row set via the coalesce below. The K
+      // probability columns unpivot to (doc_id, lang, p) rows with a
+      // narrow explode — no class cross-join, no (doc, lang)-keyed
+      // shuffle. Persisted and materialized while the feature cache is
+      // live — caller-unpersist contract; persist, not localCheckpoint,
+      // so a lost executor recomputes instead of permanently losing
+      // blocks
+      val pairs = array(labels.zipWithIndex.map { case (l, i) =>
+        struct(lit(l).as("lang"),
+          coalesce(col(s"__p$i"), lit(1.0 / k)).as("p"))
+      }: _*)
       val out = docs.select(col(idCol).as("doc_id")).distinct()
-        .crossJoin(classDf)
-        .join(probs(zs(w, feats)), Seq("doc_id", "lang"), "left")
-        .na.fill(1.0 / k, Seq("p"))
-        .select(col("doc_id"), col("lang"), col("p"))
+        .join(probCols(zCols(w, feats)), Seq("doc_id"), "left")
+        .select(col("doc_id"), explode(pairs).as("__lp"))
+        .select(col("doc_id"), col("__lp.lang").as("lang"),
+          col("__lp.p").as("p"))
         .persist()
       out.count()
       out
