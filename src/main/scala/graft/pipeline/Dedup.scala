@@ -676,21 +676,34 @@ object Dedup {
     * join is hash-on-hash either way). At 2^60 keyspace a false hash hit
     * needs ~10^9 distinct n-grams before it has noticeable odds; swap in
     * the full md5 for audit-grade exactness. */
-  /** (doc_id, gh): each doc's DISTINCT n-gram 60-bit hashes — the one
+  /** (doc_id, gh): each doc's DISTINCT n-gram 64-bit hashes — the one
     * definition both the boolean and the scored decontamination share
-    * (they must never diverge on tokenization or hash width). */
+    * (they must never diverge on tokenization or hash width). The hash
+    * is xxhash64 over the n token columns directly: no n-gram STRING is
+    * ever materialized (the previous form built every gram with
+    * slice+array_join, re-split it to validate its width, and md5'd it —
+    * three string passes per position, measured ~2x this whole
+    * operator's CPU), and the 64-bit keyspace strictly tightens the old
+    * 60-bit md5-prefix collision odds. The join downstream is
+    * hash-on-hash either way; the gate's oracle re-derives from gram
+    * strings, so a collision would fail the gate, not hide. Docs with
+    * fewer than n tokens emit nothing (the oracle's len(w) >= n guard),
+    * and an EMPTY/NULL doc emits nothing at ANY n: split("") yields the
+    * phantom [""] token, which the first-token length guard drops (the
+    * same invariant the old length(gram) > 0 filter enforced at n = 1). */
   private def gramHashes(df: DataFrame, idCol: String, textCol: String,
-                         n: Int): DataFrame =
+                         n: Int): DataFrame = {
+    val words = split(TextAnalysis.normalize(col("text")), " ")
+    val cnt = size(words)
+    val ghs = when(cnt >= n && length(element_at(words, 1)) > 0,
+      array_distinct(transform(sequence(lit(0), cnt - n),
+        i => xxhash64((0 until n).map(k =>
+          element_at(words, i + lit(k + 1))): _*))))
+      .otherwise(expr("array()").cast("array<bigint>"))
     graft.GraftSession.balanced( // fan-out stage: never run on one split
         df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
-      .select(col("doc_id"),
-        explode(array_distinct(TextAnalysis.wordNgrams(col("text"), n)))
-          .as("gram"))
-      // short docs emit no n-gram; length>0 also drops the "" pseudo-gram
-      // of EMPTY docs at n=1 (split("", " ") is [""], which passes the
-      // word-count check alone)
-      .filter(length(col("gram")) > 0 && size(split(col("gram"), " ")) === n)
-      .select(col("doc_id"), md5Hash60(col("gram")).as("gh"))
+      .select(col("doc_id"), explode(ghs).as("gh"))
+  }
 
   def ngramDecontaminate(corpus: DataFrame, reference: DataFrame,
                          idCol: String, textCol: String,

@@ -41,12 +41,16 @@ object Search {
     val qTerms = terms.map(_.toLowerCase(java.util.Locale.ROOT).trim)
       .filter(_.nonEmpty)
 
-    // narrow map: per-doc length + per-term tf for query terms only
+    // narrow map: per-doc length + per-term tf for query terms only.
+    // The term filter runs INSIDE the token array (array-level filter
+    // before the explode), so the generate emits only query-term hits —
+    // a handful of rows per matching doc — instead of fanning every
+    // document out token-wise and filtering the exploded stream
     val withLen = docs.select(col(idCol).as("doc_id"),
       size(toks).as("dl"), toks.as("toks"))
     val tf = withLen
-      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-      .filter(col("term").isin(qTerms: _*)) // query terms survive, nothing else
+      .select(col("doc_id"), col("dl"),
+        explode(filter(col("toks"), t => t.isin(qTerms: _*))).as("term"))
       .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
 
     // corpus statistics: one aggregate each, broadcast back
@@ -463,8 +467,10 @@ object Search {
     val toks = toksOf(col(textCol))
     val qTerms = terms.map(_.toLowerCase(java.util.Locale.ROOT).trim)
       .filter(_.nonEmpty)
-    val tf = docs.select(col(idCol).as("doc_id"), explode(toks).as("term"))
-      .filter(col("term").isin(qTerms: _*))
+    // array-level term filter before the explode (the bm25 shape):
+    // only query-term hits ever generate rows
+    val tf = docs.select(col(idCol).as("doc_id"),
+        explode(filter(toks, t => t.isin(qTerms: _*))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val n = docs.select(count(lit(1)).as("n_docs"))
     val df_ = tf.groupBy("term").agg(countDistinct("doc_id").as("df"))

@@ -189,8 +189,10 @@ class PlanAuditSpec extends AnyFunSuite {
     val df = SparkEntry.queries("q_ngram_decontam")(spark, SF)
     df.collect()
     val analyzed = df.queryExecution.analyzed.toString
-    assert(analyzed.contains("conv(substring(md5"),
-      "join key must be the 60-bit md5-prefix hash")
+    assert(analyzed.contains("xxhash64"),
+      "join key must be the 64-bit token-window hash, never a gram string")
+    assert(!analyzed.contains("array_join"),
+      "no n-gram string may be materialized on the hash path")
     val p = df.queryExecution.executedPlan.toString
     assert("HashAggregate".r.findAllIn(p).size >= 2,
       "distinct on reference grams + per-doc count must both aggregate")
