@@ -284,11 +284,23 @@ object Search {
       }
       def sig(zc: Column) =
         lit(1.0) / (lit(1.0) + exp(-coalesce(zc, lit(0.0))))
+      // error-attach join strategy, scale-gated on the KNOWN label count:
+      // below ~2M labeled rows the error frame broadcasts (feats never
+      // shuffles); above it, a shuffled-hash hint keeps the join
+      // sort-free without asking the driver to hold a corpus-sized frame
+      def attach(e: DataFrame) =
+        if (n <= 2e6) broadcast(e) else e.hint("shuffle_hash")
       var w = Array.fill(dim)(0.0)
-      for (_ <- 1 to iters) {
-        val err = lab.join(dots(w), Seq("doc_id"), "left")
-          .select(col("doc_id"), (sig(col("z")) - col("y")).as("e"))
-        val grad = feats.join(err, "doc_id")
+      for (it <- 1 to iters) {
+        // iteration 1 takes the closed form: w0 = 0 makes every z zero
+        // and sigmoid(0) EXACTLY 0.5 on any engine, so the whole
+        // dot-product pass is skipped — the languageClassifier (and the
+        // unrolled SQL oracle's e1) do the same
+        val err =
+          if (it == 1) lab.select(col("doc_id"), (lit(0.5) - col("y")).as("e"))
+          else lab.join(dots(w).hint("shuffle_hash"), Seq("doc_id"), "left")
+            .select(col("doc_id"), (sig(col("z")) - col("y")).as("e"))
+        val grad = feats.join(attach(err), "doc_id")
           .groupBy("j")
           .agg((sum(col("e") * col("x")) / lit(n)).as("g"))
           .collect().map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap
@@ -299,7 +311,7 @@ object Search {
       // caller's first evaluation would land after the unpersist below
       // and silently re-derive the whole feature lineage (one extra
       // corpus pass per evaluation at scale)
-      val scored = lab.join(dots(w), Seq("doc_id"), "left")
+      val scored = lab.join(dots(w).hint("shuffle_hash"), Seq("doc_id"), "left")
         .select(col("doc_id"), sig(col("z")).as("quality_score"))
         .persist()
       scored.count()
@@ -373,6 +385,12 @@ object Search {
     try {
       val n = lab.count().toDouble
       require(n > 0, "languageClassifier: no labeled rows to train on")
+      // error-attach join strategy, scale-gated on the KNOWN label count
+      // (the qualityClassifier rule): small label slices broadcast so the
+      // feature table never shuffles; big ones take a sort-free
+      // shuffled-hash join instead of asking the driver to hold them
+      def attach(e: DataFrame) =
+        if (n <= 2e6) broadcast(e) else e.hint("shuffle_hash")
       // z_{d,l} = Σ_j w_{l,j} x_{d,j} for ALL K classes in ONE
       // groupBy(doc_id) pass: the weights are metadata-scale (K×dim
       // doubles), so each class's dot product rides a literal weight
@@ -417,7 +435,8 @@ object Search {
               case (l, i) => (lit(1.0 / k) -
                 when(col("y_lang") === l, 1.0).otherwise(0.0)).as(s"__e$i")
             }: _*)
-          else lab.join(probCols(zCols(w, trainFeats)), "doc_id")
+          else lab.join(probCols(zCols(w, trainFeats)).hint("shuffle_hash"),
+              "doc_id")
             .select(col("doc_id") +: labels.zipWithIndex.map {
               case (l, i) => (col(s"__p$i") -
                 when(col("y_lang") === l, 1.0).otherwise(0.0)).as(s"__e$i")
@@ -427,7 +446,7 @@ object Search {
         // dim rows × K sums — only K×dim doubles cross the driver
         val gAggs = labels.indices.map(i =>
           (sum(col(s"__e$i") * col("x")) / lit(n)).as(s"__g$i"))
-        val gradRows = trainFeats.join(broadcast(e), "doc_id")
+        val gradRows = trainFeats.join(attach(e), "doc_id")
           .groupBy("j").agg(gAggs.head, gAggs.tail: _*)
           .collect()
         val grad = (for (r <- gradRows; (l, i) <- labels.zipWithIndex)
@@ -449,7 +468,8 @@ object Search {
           coalesce(col(s"__p$i"), lit(1.0 / k)).as("p"))
       }: _*)
       val out = docs.select(col(idCol).as("doc_id")).distinct()
-        .join(probCols(zCols(w, feats)), Seq("doc_id"), "left")
+        .join(probCols(zCols(w, feats)).hint("shuffle_hash"),
+          Seq("doc_id"), "left")
         .select(col("doc_id"), explode(pairs).as("__lp"))
         .select(col("doc_id"), col("__lp.lang").as("lang"),
           col("__lp.p").as("p"))

@@ -174,13 +174,18 @@ object Similarity {
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
       .withColumn("bucket", explode(lshTableKeys(col("qvec"), dim, bits, tables)))
     // a pair may collide in several tables: pair-dedup as a map-side-
-    // combinable groupBy (first(vec) rides along) rather than
-    // dropDuplicates over rows carrying two full embedding vectors —
-    // the duplicate collisions combine BEFORE the exchange
+    // combinable groupBy rather than dropDuplicates over rows carrying
+    // two full embedding vectors — the duplicate collisions combine
+    // BEFORE the exchange. The vectors ride as GROUPING keys, not
+    // first() aggregates: an (qid, cid) pair always carries the same
+    // two vectors, so the groups are unchanged, but first(array) has no
+    // fixed-width buffer and forced the whole pair-dedup into
+    // SortAggregate (full sort of the candidate stream, the largest
+    // table in this plan); key-only grouping plans as HashAggregate.
     val cand = c.join(broadcast(q), Seq("bucket"))
       .filter(col("cid") =!= col("qid"))
-      .groupBy("qid", "cid")
-      .agg(first(col("qvec")).as("qvec"), first(col("cvec")).as("cvec"))
+      .groupBy("qid", "cid", "qvec", "cvec")
+      .agg(count(lit(1)).as("__collisions"))
     val scored = cand.select(col("qid").as("query_id"), col("cid").as("neighbor_id"),
       round(cosine(col("qvec"), col("cvec")), 6).as("cos_sim"))
     val w = Window.partitionBy("query_id")

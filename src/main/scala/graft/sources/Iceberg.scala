@@ -779,9 +779,18 @@ object IcebergTable {
       // files, never rows — iceberg's changelog scan skips them, and so
       // does this one (no point diffing an identical row multiset)
       if (cur.operation == "replace") None else Some((prev, cur))
-    }.map { case (prev, cur) =>
-      val prevE = entriesOf(spark, table, prev).filter(_.status != 2)
-      val curE = entriesOf(spark, table, cur).filter(_.status != 2)
+    }
+    // consecutive pairs share a snapshot (pair i's cur is pair i+1's
+    // prev) — memoize the manifest decode so each snapshot's entries are
+    // read once per changelog call, not once per adjacent pair
+    val entriesMemo =
+      scala.collection.mutable.Map.empty[Long, Seq[DataFileInfo]]
+    def entriesLive(s: SnapshotInfo): Seq[DataFileInfo] =
+      entriesMemo.getOrElseUpdate(s.snapshotId,
+        entriesOf(spark, table, s).filter(_.status != 2))
+    val diffed = parts.map { case (prev, cur) =>
+      val prevE = entriesLive(prev)
+      val curE = entriesLive(cur)
       def byPath(es: Seq[DataFileInfo]) =
         es.filter(_.content == 0).map(e => e.path -> e).toMap
       val prevData = byPath(prevE)
@@ -844,9 +853,9 @@ object IcebergTable {
           meta.schema.fieldNames.map(col).toSeq: _*)
       ins.unionByName(del)
     }
-    if (parts.isEmpty)
+    if (diffed.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
-    else parts.reduce(_ unionByName _)
+    else diffed.reduce(_ unionByName _)
   }
 
   /** Incremental read: rows ADDED by snapshots in (fromSnapshotId,
