@@ -97,15 +97,20 @@ object Search {
     * the vocabulary — no broadcast of anything corpus-sized; the token
     * stream shuffles once, exactly like vocabulary induction. */
   def unigramNll(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // terms travel as 64-bit xxhash keys: no term string leaves this
+    // operator (the output is (doc_id, nll)), so the vocabulary shuffle
+    // and the model join move 8-byte longs — counts and scores are
+    // identical to the string-keyed form short of a 2^64-keyspace
+    // collision (the dsirWeights posture; the 6dp gate would catch one)
     val toks = docs.select(col(idCol).as("doc_id"),
-      explode(toksOf(col(textCol))).as("term"))
-    val counts = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+      explode(transform(toksOf(col(textCol)), t => xxhash64(t))).as("th"))
+    val counts = toks.groupBy("th").agg(count(lit(1)).as("cnt"))
     val total = counts.agg(sum("cnt").as("total"))
     val probs = counts.crossJoin(broadcast(total))
-      .select(col("term"), (col("cnt").cast("double") / col("total")).as("p"))
+      .select(col("th"), (col("cnt").cast("double") / col("total")).as("p"))
     // raw double out — rounding is a GATE convention (SURVEY §5), not an
     // operator one; a consumer thresholding on nll gets full precision.
-    toks.join(probs, "term")
+    toks.join(probs.hint("shuffle_hash"), "th")
       .groupBy("doc_id")
       .agg((sum(-log(col("p"))) / count(lit(1))).as("nll"))
   }
@@ -129,8 +134,13 @@ object Search {
     * posture as [[dsirWeights]]. */
   def bigramNll(docs: DataFrame, idCol: String, textCol: String,
                 lambda: Double = 0.9): DataFrame = {
+    // grams travel as 64-bit xxhash keys (unigramNll/dsirWeights
+    // posture): the output is (doc_id, nll2) — no term string leaves
+    // the operator — so the three model joins and both gram shuffles
+    // carry longs; counts, probabilities and scores are identical to
+    // the string-keyed form short of a 2^64-keyspace collision
     val toksArr = docs.select(col(idCol).as("doc_id"),
-      toksOf(col(textCol)).as("toks"))
+      transform(toksOf(col(textCol)), t => xxhash64(t)).as("toks"))
     val bigrams = toksArr
       .select(col("doc_id"), explode(expr(
         """transform(slice(toks, 1, greatest(size(toks) - 1, 0)),
@@ -142,15 +152,15 @@ object Search {
     val uni = toksArr.select(explode(col("toks")).as("term"))
       .groupBy("term").agg(count(lit(1)).as("cnt1"))
     val total = uni.agg(sum("cnt1").as("total"))
-    val model = c2.join(ctx, "w1")
-      .join(uni.withColumnRenamed("term", "w2"), "w2")
+    val model = c2.join(ctx.hint("shuffle_hash"), "w1")
+      .join(uni.withColumnRenamed("term", "w2").hint("shuffle_hash"), "w2")
       .crossJoin(broadcast(total))
       .select(col("w1"), col("w2"),
         (lit(lambda) * col("cnt2").cast("double") / col("ctx") +
           lit(1.0 - lambda) * col("cnt1").cast("double") / col("total"))
           .as("p"))
     // raw double out — rounding is a GATE convention (SURVEY §5)
-    bigrams.join(model, Seq("w1", "w2"))
+    bigrams.join(model.hint("shuffle_hash"), Seq("w1", "w2"))
       .groupBy("doc_id")
       .agg((sum(-log(col("p"))) / count(lit(1))).as("nll2"))
   }

@@ -28,7 +28,11 @@ object CcJoinProbe {
           coalesce(col("y.llabel"), col("x.label")).as("label"))
         .localCheckpoint())
     }
-    for (hint <- Seq("", "shuffle_hash", "", "shuffle_hash")) {
+    for ((hint, aqe) <- Seq(("shuffle_hash", "true"), ("shuffle_hash", "false"),
+        ("shuffle_hash", "true"), ("shuffle_hash", "false"),
+        ("shuffle_hash", "true"), ("shuffle_hash", "false"),
+        ("shuffle_hash", "true"), ("shuffle_hash", "false"))) {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
       var m = PlanShim.freshStats(m0.select("id", "label").localCheckpoint())
       val t0 = System.nanoTime()
       var i = 0
@@ -42,7 +46,7 @@ object CcJoinProbe {
         m = j.select("id", "label")
         i += 1
       }
-      println(f"HINT='$hint' doublings=$i wall=${(System.nanoTime() - t0) / 1e9}%.3fs")
+      println(f"HINT='$hint' aqe=$aqe doublings=$i wall=${(System.nanoTime() - t0) / 1e9}%.3fs")
       PlanShim.unpersistCheckpoint(m)
     }
     spark.stop()
