@@ -40,8 +40,13 @@ object BenchGuard {
   /** Committed per-query CLEAN floors at the sf0.1 tier: min wall over
     * the committed clean records (BASELINE_bench_r12_clean.json,
     * BASELINE_bench_r13_final.json, BASELINE_bench_r14_best/clean.json,
-    * BASELINE_bench_r15_clean.json —
-    * the cleanest windows on this sandbox's hardware). Maintained BY
+    * BASELINE_bench_r15_clean.json, BASELINE_bench_r16_clean.json,
+    * BASELINE_bench_r16opt_w1-4.json — the r16opt records are
+    * best-of-CONTENDED-window walls on the round-16-optimized code: no
+    * clean window occurred during that round's end; contention only
+    * INFLATES a wall, so a minimum observed under dirt is a safe upper
+    * bound on the clean floor and the floors only moved DOWN where the
+    * optimized code beat the old floor despite the dirt). Maintained BY
     * HAND: when a query's implementation legitimately changes, update
     * its floor in the same commit (tools/bench_floors.py regenerates
     * both maps from the committed clean records). A query without an
@@ -57,13 +62,13 @@ object BenchGuard {
     "q_delta_colmap_id" -> 0.057,
     "q_delta_dv" -> 0.126,
     "q_dfs_sql" -> 0.226,
-    "q_dsir" -> 1.351,
+    "q_dsir" -> 1.139,
     "q_dup_components" -> 2.263,
     "q_embed_neardup" -> 0.265,
     "q_iceberg_changelog" -> 0.547,
     "q_iceberg_eq_delete" -> 0.215,
     "q_iceberg_v2" -> 0.208,
-    "q_lang_clf" -> 2.067,
+    "q_lang_clf" -> 2.063,
     "q_multi_join" -> 0.971,
     "q_ngram_decontam" -> 0.683,
     "q_paimon_pk" -> 0.23,
@@ -81,11 +86,11 @@ object BenchGuard {
     "q_bm25" -> 0.674,
     "q_dedup_minhash" -> 4.836,
     "q_dedup_simhash" -> 0.944,
-    "q_dsir" -> 5.229,
-    "q_dup_components" -> 12.443,
+    "q_dsir" -> 2.77,
+    "q_dup_components" -> 8.674,
     "q_iceberg_changelog" -> 0.518,
-    "q_lang_clf" -> 4.094,
-    "q_multi_join" -> 3.143,
+    "q_lang_clf" -> 3.507,
+    "q_multi_join" -> 2.915,
     "q_quality_clf" -> 2.572)
 
   /** One query window's verdict: the list of tripped instruments
