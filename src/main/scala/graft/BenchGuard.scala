@@ -41,7 +41,7 @@ object BenchGuard {
     * the committed clean records (BASELINE_bench_r12_clean.json,
     * BASELINE_bench_r13_final.json, BASELINE_bench_r14_best/clean.json,
     * BASELINE_bench_r15_clean.json, BASELINE_bench_r16_clean.json,
-    * BASELINE_bench_r16opt_w1-4.json — the r16opt records are
+    * BASELINE_bench_r16opt_w1-5.json — the r16opt records are
     * best-of-CONTENDED-window walls on the round-16-optimized code: no
     * clean window occurred during that round's end; contention only
     * INFLATES a wall, so a minimum observed under dirt is a safe upper
@@ -89,7 +89,7 @@ object BenchGuard {
     "q_dsir" -> 2.77,
     "q_dup_components" -> 8.674,
     "q_iceberg_changelog" -> 0.518,
-    "q_lang_clf" -> 3.507,
+    "q_lang_clf" -> 3.329,
     "q_multi_join" -> 2.915,
     "q_quality_clf" -> 2.572)
 
