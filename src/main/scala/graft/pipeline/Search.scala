@@ -110,7 +110,7 @@ object Search {
       .select(col("th"), (col("cnt").cast("double") / col("total")).as("p"))
     // raw double out — rounding is a GATE convention (SURVEY §5), not an
     // operator one; a consumer thresholding on nll gets full precision.
-    toks.join(probs.hint("shuffle_hash"), "th")
+    toks.join(probs, "th")
       .groupBy("doc_id")
       .agg((sum(-log(col("p"))) / count(lit(1))).as("nll"))
   }
@@ -152,15 +152,15 @@ object Search {
     val uni = toksArr.select(explode(col("toks")).as("term"))
       .groupBy("term").agg(count(lit(1)).as("cnt1"))
     val total = uni.agg(sum("cnt1").as("total"))
-    val model = c2.join(ctx.hint("shuffle_hash"), "w1")
-      .join(uni.withColumnRenamed("term", "w2").hint("shuffle_hash"), "w2")
+    val model = c2.join(ctx, "w1")
+      .join(uni.withColumnRenamed("term", "w2"), "w2")
       .crossJoin(broadcast(total))
       .select(col("w1"), col("w2"),
         (lit(lambda) * col("cnt2").cast("double") / col("ctx") +
           lit(1.0 - lambda) * col("cnt1").cast("double") / col("total"))
           .as("p"))
     // raw double out — rounding is a GATE convention (SURVEY §5)
-    bigrams.join(model.hint("shuffle_hash"), Seq("w1", "w2"))
+    bigrams.join(model, Seq("w1", "w2"))
       .groupBy("doc_id")
       .agg((sum(-log(col("p"))) / count(lit(1))).as("nll2"))
   }
@@ -308,7 +308,7 @@ object Search {
         // unrolled SQL oracle's e1) do the same
         val err =
           if (it == 1) lab.select(col("doc_id"), (lit(0.5) - col("y")).as("e"))
-          else lab.join(dots(w).hint("shuffle_hash"), Seq("doc_id"), "left")
+          else lab.join(attach(dots(w)), Seq("doc_id"), "left")
             .select(col("doc_id"), (sig(col("z")) - col("y")).as("e"))
         val grad = feats.join(attach(err), "doc_id")
           .groupBy("j")
@@ -321,7 +321,7 @@ object Search {
       // caller's first evaluation would land after the unpersist below
       // and silently re-derive the whole feature lineage (one extra
       // corpus pass per evaluation at scale)
-      val scored = lab.join(dots(w).hint("shuffle_hash"), Seq("doc_id"), "left")
+      val scored = lab.join(attach(dots(w)), Seq("doc_id"), "left")
         .select(col("doc_id"), sig(col("z")).as("quality_score"))
         .persist()
       scored.count()
@@ -445,8 +445,7 @@ object Search {
               case (l, i) => (lit(1.0 / k) -
                 when(col("y_lang") === l, 1.0).otherwise(0.0)).as(s"__e$i")
             }: _*)
-          else lab.join(probCols(zCols(w, trainFeats)).hint("shuffle_hash"),
-              "doc_id")
+          else lab.join(attach(probCols(zCols(w, trainFeats))), "doc_id")
             .select(col("doc_id") +: labels.zipWithIndex.map {
               case (l, i) => (col(s"__p$i") -
                 when(col("y_lang") === l, 1.0).otherwise(0.0)).as(s"__e$i")
@@ -478,8 +477,7 @@ object Search {
           coalesce(col(s"__p$i"), lit(1.0 / k)).as("p"))
       }: _*)
       val out = docs.select(col(idCol).as("doc_id")).distinct()
-        .join(probCols(zCols(w, feats)).hint("shuffle_hash"),
-          Seq("doc_id"), "left")
+        .join(probCols(zCols(w, feats)), Seq("doc_id"), "left")
         .select(col("doc_id"), explode(pairs).as("__lp"))
         .select(col("doc_id"), col("__lp.lang").as("lang"),
           col("__lp.p").as("p"))
