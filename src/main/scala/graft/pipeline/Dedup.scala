@@ -221,16 +221,43 @@ object Dedup {
     val keyed = graft.GraftSession.balanced(
       toks.withColumn("setkey", xxhash64(col("th"))))
     val members = keyed.select("setkey", "id")
-    // th rides as a GROUPING key, not a first() aggregate: setkey is a
-    // function of th so the groups are identical, but first(array) has no
-    // fixed-width aggregation buffer and forced this whole aggregation —
-    // BOTH corpus-sized passes of it — into SortAggregate (a full sort of
-    // the tokenized corpus on each side of the exchange, 16 Sort nodes in
-    // the r16 plan dump); min(long) under array grouping keys plans as
-    // the map-side-combinable HashAggregate.
-    val reps = graft.GraftSession.balanced(
-      keyed.groupBy("setkey", "th").agg(min("id").as("id"))
-        .select("setkey", "id", "th"))
+    // reps = one (setkey, min id, th) row per distinct token set, with
+    // FIXED-WIDTH aggregation state (r16 verdict item 1, settled by the
+    // r17 MinhashRepsProbe A/B): group on setkey alone — min(long) under
+    // a long key is the map-side-combinable HashAggregate with an 8-byte
+    // buffer — and re-attach th by joining `keyed` back on setkey (both
+    // sides partition by setkey, so the aggregation's exchange is
+    // shared; the build side is the aggregated (setkey, mid) pair
+    // table, 16 bytes/row). The r16 spelling carried th as a GROUPING
+    // key (groupBy(setkey, th)): that removed the pre-r16 first(array)
+    // SortAggregates but made every hash-map key carry the doc's whole
+    // token array — probe, alternating in one JVM: sf1 cpu 139.5/131.6/
+    // 123.9 s and wall 7.28/7.69/6.92 s for widekey/first/join — the
+    // join spelling wins on both, at both SFs. (Equal ids on two rows
+    // of one set group would emit duplicate reps — doc ids are unique
+    // by the contract every op in this file shares.) The widekey/first
+    // arms stay reachable via graft.minhash.reps for the probe only.
+    val reps = sys.props.getOrElse("graft.minhash.reps",
+        sys.env.getOrElse("GRAFT_MINHASH_REPS", "join")) match {
+      case "widekey" => graft.GraftSession.balanced(
+        keyed.groupBy("setkey", "th").agg(min("id").as("id"))
+          .select("setkey", "id", "th"))
+      case "first" =>
+        graft.GraftSession.balanced(
+          keyed.groupBy("setkey")
+            .agg(min("id").as("id"), first("th").as("th"))
+            .select("setkey", "id", "th"))
+      case _ =>
+        // no shuffle_hash hint: the session's AQE
+        // maxShuffledHashJoinLocalMapThreshold makes the SMJ->SHJ
+        // rewrite at runtime from measured partition sizes (spill-safe
+        // at 100 TB where a hint would pin an unspillable build)
+        val repIds = keyed.groupBy("setkey").agg(min("id").as("__mid"))
+        graft.GraftSession.balanced(
+          keyed.join(repIds, "setkey")
+            .filter(col("id") === col("__mid"))
+            .select("setkey", "id", "th"))
+    }
     // (A first-band-wins inline filter was tried here to avoid this agg
     // exchange — carrying both band-key arrays through the join and
     // zip_with-matching per emitted row cost MORE than the exchange; the
@@ -669,13 +696,15 @@ object Dedup {
     * fuzzy sibling). Returns (doc_id, n_shared) per contaminated corpus
     * doc: how many of its distinct n-grams hit the reference set.
     *
-    * Scale shape: n-grams leave the scan as 60-bit portable hashes
-    * (md5-prefix — any engine can re-derive them), deduplicated per doc
-    * map-side; the reference side collapses to DISTINCT hashes (eval
-    * sets are tiny next to the corpus, but nothing here assumes it: the
-    * join is hash-on-hash either way). At 2^60 keyspace a false hash hit
-    * needs ~10^9 distinct n-grams before it has noticeable odds; swap in
-    * the full md5 for audit-grade exactness. */
+    * Scale shape: n-grams leave the scan as 64-bit xxhash64 keys
+    * (hashed straight over the n token columns — see [[gramHashes]]; the
+    * oracle re-derives from the gram STRINGS, not hash parity, so a
+    * planted collision fails the gate rather than hides), deduplicated
+    * per doc map-side; the reference side collapses to DISTINCT hashes
+    * (eval sets are tiny next to the corpus, but nothing here assumes
+    * it: the join is hash-on-hash either way). At 2^64 keyspace a false
+    * hash hit needs ~10^9 distinct n-grams before it has noticeable
+    * odds. */
   /** (doc_id, gh): each doc's DISTINCT n-gram 64-bit hashes — the one
     * definition both the boolean and the scored decontamination share
     * (they must never diverge on tokenization or hash width). The hash
@@ -724,9 +753,10 @@ object Dedup {
     * docs score 0.0 (unlike the boolean form, which omits them).
     *
     * Same scale shape as the boolean form: grams leave the scan as
-    * 60-bit portable hashes deduplicated per doc map-side, the
-    * reference collapses to distinct hashes, and ONE hash-on-hash LEFT
-    * join feeds a count/sum aggregation — text never shuffles. */
+    * 64-bit xxhash64 keys deduplicated per doc map-side (the
+    * [[gramHashes]] posture — the oracle re-derives from gram strings),
+    * the reference collapses to distinct hashes, and ONE hash-on-hash
+    * LEFT join feeds a count/sum aggregation — text never shuffles. */
   def contaminationScore(corpus: DataFrame, reference: DataFrame,
                          idCol: String, textCol: String,
                          n: Int = 5): DataFrame = {
@@ -1133,8 +1163,14 @@ object Dedup {
     // count materializes the serialized edge cache. Conf restored on exit.
     val nEdges = bi.count()
     val defaultParts = spark.sessionState.conf.numShufflePartitions
+    // 500k edges/partition (r17; was 125k): the loop's tables are 16-byte
+    // rows, so a task still holds only ~8 MB — and the r17 CcRddProbe
+    // A/B showed the doubling loop 1.5-2x faster at 8 partitions than 24
+    // on the sf1 shape (per-round wall is task/stage overhead, not
+    // compute). defaultParts still caps it, so cluster-scale inputs keep
+    // the session's parallelism.
     def partsFor(n: Long): Int = math.max(1, math.min(defaultParts,
-      math.ceil(n / 125000.0).toInt))
+      math.ceil(n / 500000.0).toInt))
     val nParts = partsFor(nEdges)
     val prevParts = spark.conf.getOption("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", nParts.toString)
@@ -1154,6 +1190,17 @@ object Dedup {
     val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
     val prevCoalesce = spark.conf.getOption(coalesceKey)
     spark.conf.set(coalesceKey, "false")
+    // AQE itself is pinned OFF for the loop when the edge table is small
+    // enough that per-round overhead dominates (r17 probe: 8.3s -> 5.4s
+    // on the sf1 shape from this alone — every doubling otherwise pays
+    // an adaptive re-planning pass for a join whose sizing partsFor
+    // already fixed). SCALE-GATED, not unconditional: above ~50M edges
+    // (~800 MB of packed longs) AQE stays on for its runtime skew-join
+    // splitting — a hot label in a billion-edge graph is exactly the
+    // case the guard exists for. Restored on exit like the other pins.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prevAqe = spark.conf.getOption(aqeKey)
+    if (nEdges <= 50000000L) spark.conf.set(aqeKey, "false")
     // Every join in this loop is a narrow (long, long) table against a
     // (long, long) table whose stats freshStats has deliberately reset —
     // Catalyst therefore plans SORT-MERGE, paying two 3M-row sorts per
@@ -1343,6 +1390,10 @@ object Dedup {
       prevCoalesce match {
         case Some(v) => spark.conf.set(coalesceKey, v)
         case None => spark.conf.unset(coalesceKey)
+      }
+      prevAqe match {
+        case Some(v) => spark.conf.set(aqeKey, v)
+        case None => spark.conf.unset(aqeKey)
       }
       lastCcStats = Some(CcStats(round, wall.toSeq, nEdges, nParts))
     }

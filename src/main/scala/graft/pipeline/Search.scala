@@ -19,6 +19,15 @@ import org.apache.spark.sql.functions._
   */
 object Search {
 
+  /** Largest `dim` for which the classifiers inline their weight
+    * vectors as literal arrays (one plan node, no join); above it each
+    * iteration's dot products take the general broadcast-weight-table
+    * join instead — a 10^5-literal expression tree per class is plan
+    * bloat and a codegen blowup (r16 verdict #3). Overridable only for
+    * the equivalence spec (same results either side of the gate). */
+  private[pipeline] def literalDimMax: Int =
+    sys.props.getOrElse("graft.clf.literalDimMax", "4096").toInt
+
   /** normalize → whitespace split with the empty-string phantom dropped:
     * split("") yields [""], and a blank document must contribute ZERO
     * tokens (TextAnalysis.tokenCountWs documents the same invariant) —
@@ -211,14 +220,35 @@ object Search {
     // the per-doc gram stream feeds BOTH the raw model counts and the
     // final weight join — one tokenize pass over the raw corpus, not two
     val rawGrams = grams(raw, Seq(col(idCol).as("doc_id")))
+    // hint gate: the vocab/ratio build sides are bounded above by the
+    // gram streams, which are bounded by the input bytes — hint only
+    // when the OPTIMIZER-ESTIMATED input (file-size-derived for scans)
+    // spread over the session's shuffle partitions stays under ~64 MB
+    // per build task (the Dedup.dupComponents hinted() posture: at
+    // cluster scale the gate fails closed and the planner's spill-safe
+    // sort-merge join stands)
+    val hintOk = {
+      val parts = raw.sparkSession.sessionState.conf.numShufflePartitions
+      val est = raw.queryExecution.optimizedPlan.stats.sizeInBytes +
+        target.queryExecution.optimizedPlan.stats.sizeInBytes
+      est <= BigInt(parts) * (64L << 20)
+    }
     val tc = grams(target, Nil).groupBy("gram").agg(count(lit(1)).as("tcnt"))
     val rc = rawGrams.groupBy("gram").agg(count(lit(1)).as("rcnt"))
-    // both gram-keyed joins plan shuffled-hash, not sort-merge: the keys
-    // are strings, so SMJ pays two corpus-vocabulary string sorts per
-    // join for nothing (neither side's order is reused downstream); the
-    // build sides are the aggregated count/ratio tables, which partition
-    // like any vocabulary aggregate
-    val vocab = tc.join(rc.hint("shuffle_hash"), Seq("gram"), "full_outer")
+    // both gram-keyed joins should execute shuffled-hash, not
+    // sort-merge: neither side's order is reused downstream, so SMJ
+    // would pay two corpus-vocabulary sorts of 64-bit gram keys per
+    // join for nothing. The hint is now GATED on the scans' estimated
+    // input bytes (r16 advisor: a ShuffledHashJoin build side cannot
+    // spill, and these build sides are corpus-vocabulary-sized — the
+    // previous unconditional hints could OOM a 100 TB vocabulary where
+    // SMJ degrades gracefully). AQE's maxShuffledHashJoinLocalMapThreshold
+    // rewrite cannot replace the hint here: these joins sit on top of
+    // the count AGGREGATIONS (they reuse the gram exchange), so the
+    // join's children are never bare shuffle stages with map statistics
+    // — measured r17: the rewrite never fires at any threshold.
+    def sh(df: DataFrame) = if (hintOk) df.hint("shuffle_hash") else df
+    val vocab = tc.join(sh(rc), Seq("gram"), "full_outer")
       .na.fill(0L, Seq("tcnt", "rcnt"))
     val totals = vocab.agg(sum("tcnt").as("tt"), sum("rcnt").as("rt"),
       count(lit(1)).as("v"))
@@ -226,11 +256,14 @@ object Search {
       (log((col("tcnt") + 1.0) / (col("tt") + col("v"))) -
         log((col("rcnt") + 1.0) / (col("rt") + col("v")))).as("llr"))
     val weights = rawGrams
-      .join(llr.hint("shuffle_hash"), "gram")
+      .join(sh(llr), "gram")
       .groupBy("doc_id").agg(sum("llr").as("weight"))
-    // grams-free documents weight 0 (empty ratio sum), not missing
+    // grams-free documents weight 0 (empty ratio sum), not missing.
+    // The attach join takes the same gated hint: its build side (one
+    // 16-byte row per doc with grams) is bounded by the gate too, and
+    // neither side's sort order is used downstream.
     raw.select(col(idCol).as("doc_id")).distinct()
-      .join(weights, Seq("doc_id"), "left")
+      .join(sh(weights), Seq("doc_id"), "left")
       .na.fill(0.0, Seq("weight"))
   }
 
@@ -282,24 +315,37 @@ object Search {
       .persist()
     try {
       val n = lab.count().toDouble
-      // w·x per doc as ONE groupBy(doc_id): the dim-row weight vector is
-      // metadata-scale, so it rides as a literal array indexed by j
-      // instead of a per-iteration broadcast-table join — same products,
-      // same per-doc sum, one plan node instead of a join subtree
-      def dots(w: Array[Double]) = {
-        val arr = array(w.map(lit(_)): _*)
-        feats.groupBy("doc_id")
-          .agg(sum(element_at(arr, col("j").cast("int") + 1) * col("x"))
-            .as("z"))
-      }
+      // w·x per doc as ONE groupBy(doc_id): at metadata-scale dim the
+      // weight vector rides as a literal array indexed by j instead of a
+      // per-iteration broadcast-table join — same products, same per-doc
+      // sum, one plan node instead of a join subtree. GATED on dim
+      // (r16 verdict #3): a user-supplied dim of 10^5-10^6 would make
+      // the literal a 10^5-node expression tree (plan/codegen blowup),
+      // so above the threshold the general broadcast-weight-table join
+      // takes over — identical per-(j, doc) products and per-doc sums.
+      def dots(w: Array[Double]) =
+        if (dim <= Search.literalDimMax) {
+          val arr = array(w.map(lit(_)): _*)
+          feats.groupBy("doc_id")
+            .agg(sum(element_at(arr, col("j").cast("int") + 1) * col("x"))
+              .as("z"))
+        } else {
+          val wdf = w.toIndexedSeq.zipWithIndex
+            .map { case (v, j) => (j.toLong, v) }.toDF("j", "__wv")
+          feats.join(broadcast(wdf), "j")
+            .groupBy("doc_id").agg(sum(col("__wv") * col("x")).as("z"))
+        }
       def sig(zc: Column) =
         lit(1.0) / (lit(1.0) + exp(-coalesce(zc, lit(0.0))))
-      // error-attach join strategy, scale-gated on the KNOWN label count:
-      // below ~2M labeled rows the error frame broadcasts (feats never
-      // shuffles); above it, a shuffled-hash hint keeps the join
-      // sort-free without asking the driver to hold a corpus-sized frame
+      // error-attach join strategy, scale-gated on the KNOWN label count
+      // AND row width (r16 advisor: the explicit broadcast hint bypasses
+      // autoBroadcastJoinThreshold, so the cap must count columns too —
+      // here e is 2 narrow columns, k+1 with k=1): below the cap the
+      // error frame broadcasts (feats never shuffles); above it, a
+      // shuffled-hash hint keeps the join sort-free without asking the
+      // driver to hold a corpus-sized frame
       def attach(e: DataFrame) =
-        if (n <= 2e6) broadcast(e) else e.hint("shuffle_hash")
+        if (n * 2 <= 4e6) broadcast(e) else e.hint("shuffle_hash")
       var w = Array.fill(dim)(0.0)
       for (it <- 1 to iters) {
         // iteration 1 takes the closed form: w0 = 0 makes every z zero
@@ -396,11 +442,13 @@ object Search {
       val n = lab.count().toDouble
       require(n > 0, "languageClassifier: no labeled rows to train on")
       // error-attach join strategy, scale-gated on the KNOWN label count
-      // (the qualityClassifier rule): small label slices broadcast so the
-      // feature table never shuffles; big ones take a sort-free
-      // shuffled-hash join instead of asking the driver to hold them
+      // AND row width (the qualityClassifier rule; r16 advisor — e is
+      // k+1 columns per labeled doc, so the broadcast cap shrinks with
+      // K): small label slices broadcast so the feature table never
+      // shuffles; big ones take a sort-free shuffled-hash join instead
+      // of asking the driver to hold them
       def attach(e: DataFrame) =
-        if (n <= 2e6) broadcast(e) else e.hint("shuffle_hash")
+        if (n * (k + 1) <= 4e6) broadcast(e) else e.hint("shuffle_hash")
       // z_{d,l} = Σ_j w_{l,j} x_{d,j} for ALL K classes in ONE
       // groupBy(doc_id) pass: the weights are metadata-scale (K×dim
       // doubles), so each class's dot product rides a literal weight
@@ -410,16 +458,35 @@ object Search {
       // window (exchange + sort) for the softmax; this one shuffles the
       // feature rows once and the softmax below is row-local column
       // arithmetic over the K z columns (same max-subtracted stable
-      // form, same values — only the row layout changed).
-      def zCols(w: Map[(String, Int), Double], f: DataFrame) = {
-        val aggs = labels.zipWithIndex.map { case (l, i) =>
-          val arr = array((0 until dim).map(j =>
-            lit(w.getOrElse((l, j), 0.0))): _*)
-          sum(element_at(arr, col("j").cast("int") + 1) * col("x"))
-            .as(s"__z$i")
+      // form, same values — only the row layout changed). GATED on dim
+      // (r16 verdict #3, the qualityClassifier rule): above the
+      // threshold the K literal arrays would be K 10^5-node expression
+      // trees, so the dots ride ONE broadcast weight table (j, __w0..
+      // __wK-1) joined on j — identical products and per-doc sums.
+      def zCols(w: Map[(String, Int), Double], f: DataFrame) =
+        if (dim <= Search.literalDimMax) {
+          val aggs = labels.zipWithIndex.map { case (l, i) =>
+            val arr = array((0 until dim).map(j =>
+              lit(w.getOrElse((l, j), 0.0))): _*)
+            sum(element_at(arr, col("j").cast("int") + 1) * col("x"))
+              .as(s"__z$i")
+          }
+          f.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+        } else {
+          import org.apache.spark.sql.Row
+          import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+          import scala.jdk.CollectionConverters._
+          val schema = StructType(StructField("j", LongType) +:
+            labels.indices.map(i => StructField(s"__w$i", DoubleType)))
+          val rows = (0 until dim).map { j =>
+            Row.fromSeq(j.toLong +: labels.map(l => w.getOrElse((l, j), 0.0)))
+          }
+          val wdf = spark.createDataFrame(rows.asJava, schema)
+          val aggs = labels.indices.map(i =>
+            sum(col(s"__w$i") * col("x")).as(s"__z$i"))
+          f.join(broadcast(wdf), "j")
+            .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
         }
-        f.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-      }
       // (doc_id, __p0..__pK-1): exp(z-m)/Σexp(z-m) over the z columns
       def probCols(zd: DataFrame) = {
         val zs = labels.indices.map(i => col(s"__z$i"))

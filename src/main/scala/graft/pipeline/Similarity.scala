@@ -182,6 +182,13 @@ object Similarity {
     // fixed-width buffer and forced the whole pair-dedup into
     // SortAggregate (full sort of the candidate stream, the largest
     // table in this plan); key-only grouping plans as HashAggregate.
+    // PRECONDITION (r17, from the r16 advisor): ids must uniquely
+    // determine vectors — duplicate ids carrying DIFFERENT embeddings
+    // would emit one scored row per distinct (id pair, vector pair)
+    // where the old first(vec) spelling collapsed them arbitrarily.
+    // Duplicate-id corpora are malformed for every op in this file
+    // (bruteForceTopK would emit duplicate neighbors too); dedup ids
+    // upstream ([[Dedup.exact]]) before indexing.
     val cand = c.join(broadcast(q), Seq("bucket"))
       .filter(col("cid") =!= col("qid"))
       .groupBy("qid", "cid", "qvec", "cvec")

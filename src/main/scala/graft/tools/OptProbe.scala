@@ -40,6 +40,10 @@ object OptProbe {
     val names = args.drop(3).toSeq
     new java.io.File(outDir).mkdirs()
     val spark = graft.GraftSession.getOrCreate()
+    // ad-hoc session-conf overrides for A/B runs: GRAFT_CONF="k=v;k=v"
+    sys.env.get("GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v) })
     spark.sparkContext.addSparkListener(CpuListener)
     // warm footers + JIT like Bench does
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
@@ -66,6 +70,14 @@ object OptProbe {
       val js = walls.map(_._3).mkString(",")
       val ss = walls.map(_._4).mkString(",")
       println(s"PROBE $name walls=[$ws] cpu=[$cs] jobs=[$js] stages=[$ss]")
+      // post-execution plan: AQE's runtime rewrites (SMJ->SHJ
+      // conversion, coalesced reads) only exist in the FINAL adaptive
+      // plan, so dump the executed plan of one more run too
+      val dfx = q(spark, sfDir)
+      dfx.write.format("noop").mode("overwrite").save()
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(outDir, s"${name}_executed.txt"),
+        dfx.queryExecution.executedPlan.toString.getBytes("UTF-8"))
     }
     spark.stop()
   }

@@ -663,6 +663,40 @@ class PipelineExtraSpec extends AnyFunSuite {
       math.abs(again((id, l)) - p) < 1e-9 })
   }
 
+  test("classifier weight spelling is dim-gated: broadcast-table join " +
+      "above the gate, value-identical to the literal-array path") {
+    import spark.implicits._
+    val docs = ((1L to 20L).map(i =>
+        (i, s"curated encyclopedia reference article number$i", "a")) ++
+      (21L to 40L).map(i =>
+        (i, s"spam casino pills clickbait garbage number$i", "b")))
+      .toDF("doc_id", "text", "lang")
+    def runQ() = graft.pipeline.Search.qualityClassifier(
+        docs, "doc_id", "text", col("lang") === "a", dim = 300, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def runL() = graft.pipeline.Search.languageClassifier(
+        docs, "doc_id", "text", "lang", dim = 300, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val (qLit, lLit) = (runQ(), runL()) // dim 300 <= default gate: literal arrays
+    val prev = sys.props.put("graft.clf.literalDimMax", "100")
+    try {
+      val (qJoin, lJoin) = (runQ(), runL()) // forced broadcast-table path
+      assert(qLit.keySet == qJoin.keySet &&
+        qLit.forall { case (k, v) => math.abs(qJoin(k) - v) < 1e-9 })
+      assert(lLit.keySet == lJoin.keySet &&
+        lLit.forall { case (k, v) => math.abs(lJoin(k) - v) < 1e-9 })
+    } finally prev match {
+      case Some(v) => sys.props.put("graft.clf.literalDimMax", v)
+      case None => sys.props.remove("graft.clf.literalDimMax")
+    }
+    // dim far above the gate must complete without a 10^5-literal
+    // expression tree (the literal path would melt planning/codegen here)
+    val big = graft.pipeline.Search.qualityClassifier(
+      docs, "doc_id", "text", col("lang") === "a", dim = 100000, iters = 1)
+    assert(big.count() == 40)
+    big.unpersist()
+  }
+
   test("canonicalizeUrl: query-only authority and lookalike utm params") {
     import spark.implicits._
     val urls = Seq(
