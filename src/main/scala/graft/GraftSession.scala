@@ -81,12 +81,59 @@ object GraftSession {
     * every time-domain operator and gate sees one representation
     * regardless of which generation wrote the files. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    val df = readParquet(spark, s"$sfDir/$name.parquet")
     if (name == "events" &&
         df.schema.exists(f => f.name == "ts" &&
           (f.dataType == TimestampType || f.dataType == TimestampNTZType)))
       df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
     else df
+  }
+
+  /** path -> (freshness stamp, inferred schema). SCHEMA METADATA only —
+    * never rows, never results: every query still computes from the
+    * parquet bytes. Plain `spark.read.parquet(p)` re-reads footers for
+    * schema inference on EVERY DataFrame construction (~100 ms per call
+    * measured on this host vs ~20 ms schema-supplied —
+    * tools/ReadOverheadProbe); for the bench's sub-second tail that
+    * inference IS a visible share of the wall (guide §1.2 step 3 /
+    * VERDICT r16 item 6: fixed per-query overhead). The stamp covers the
+    * file's (or directory's children's) names, mtimes and lengths, so a
+    * regenerated table re-infers — and because inference happens under
+    * the SAME session confs that shape it (nanosAsLong etc., pinned by
+    * this builder), the memoized schema is exactly what inference would
+    * return. */
+  private val schemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (String, org.apache.spark.sql.types.StructType)]()
+
+  private def stampOf(path: String): String = {
+    val f = new java.io.File(path)
+    val base = s"${f.lastModified}:${f.length}"
+    if (f.isDirectory) {
+      val kids = Option(f.listFiles()).getOrElse(Array.empty)
+        .map(k => s"${k.getName}:${k.lastModified}:${k.length}")
+        .sorted.mkString("|")
+      s"$base#${kids.length}:${kids.hashCode}"
+    } else base
+  }
+
+  /** Schema-memoized parquet read of a stable table path (the `table()`
+    * entry point and any other fixed-layout read). Multi-path reads key
+    * the memo on the full path list + stamps (the iceberg delete-file
+    * group shape: one schema across the group's files). */
+  def readParquet(spark: SparkSession, path: String, more: String*): DataFrame = {
+    val paths = path +: more
+    val key = paths.mkString("")
+    val stamp = paths.map(stampOf).mkString("")
+    val cached = schemaMemo.get(key)
+    val schema =
+      if (cached != null && cached._1 == stamp) cached._2
+      else {
+        val s = spark.read.parquet(paths: _*).schema
+        schemaMemo.put(key, (stamp, s))
+        s
+      }
+    spark.read.schema(schema).parquet(paths: _*)
   }
 
   /** Rebalance a (possibly few-split) input across the session's shuffle

@@ -119,7 +119,8 @@ object Dedup {
     bandedIdsFrom(tokenized(docs, idCol, textCol), numHashes, bands, maxBucket)
 
   private def bandedIdsFrom(toks: DataFrame, numHashes: Int, bands: Int,
-                            maxBucket: Int): DataFrame = {
+                            maxBucket: Int,
+                            carryLen: Boolean = false): DataFrame = {
     // bands > numHashes would make rowsPerBand 0 (every band one global
     // bucket: an N^2 join); a non-divisor silently ignores trailing
     // signature entries and changes the documented recall math
@@ -129,12 +130,18 @@ object Dedup {
     // emit ONLY (band, id): every consumer selects exactly that pair, and
     // carrying the full band-key array through the explode (and the
     // capped path's row_number exchange) duplicated O(bands) longs per
-    // exploded row — dead weight on the heaviest shuffle in the file
+    // exploded row — dead weight on the heaviest shuffle in the file.
+    // (carryLen adds ONE int — the distinct-token count — so the
+    // candidate join can run the exact length-ratio prefilter; see
+    // minhashNearDups.)
+    val outCols =
+      if (carryLen) Seq("band", "id", "len") else Seq("band", "id")
     val banded = toks
       .withColumn("sig", minhashSignatureFromHashes(col("th"), numHashes))
-      .select(col("id"),
-        explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("band"))
-      .select("band", "id")
+      .select(Seq(col("id")) ++
+        (if (carryLen) Seq(size(col("th")).as("len")) else Nil) :+
+        explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("band"): _*)
+      .select(outCols.head, outCols.tail: _*)
     if (maxBucket == Int.MaxValue) banded // cap off: keep the band self-join broadcastable
     else {
       // skew guard — audit via minhashBucketStats. The row_number window
@@ -143,7 +150,7 @@ object Dedup {
       val bucketW = Window.partitionBy("band").orderBy("id")
       banded.withColumn("bn", row_number().over(bucketW))
         .filter(col("bn") <= maxBucket)
-        .select("band", "id")
+        .select(outCols.head, outCols.tail: _*)
     }
   }
 
@@ -181,6 +188,24 @@ object Dedup {
     // an empty one) and emit them all as jaccard-1 pairs. size(null) is
     // null, so the filter drops null-th docs too.
     val toks = tokenized(docs, idCol, textCol).filter(size(col("th")) > 0)
+    // EXACT length-ratio prefilter on candidate pairs (guide §3.2 —
+    // reduce the join's output before the expensive downstream):
+    // jaccard(A, B) = |A∩B|/|A∪B| <= min(|A|,|B|)/max(|A|,|B|), so a
+    // pair whose distinct-token counts differ by more than the
+    // threshold ratio can NEVER verify — drop it inside the band
+    // self-join, before the pair-dedup exchange and the token-array
+    // attach joins. Costs one int riding the band explode; removes no
+    // true pair (the bound is implied by the threshold filter), so
+    // declared results are unchanged. Measured at sf1: 53.8M -> 41.2M
+    // join rows, 19.4M -> 12.8M verify pairs (r17 MinhashBucketDist).
+    // Switchable only for the A/B probe.
+    val lenPre = threshold > 0 &&
+      sys.props.getOrElse("graft.minhash.lenfilter", "on") != "off"
+    def candCond(extra: Column): Column =
+      if (lenPre) extra &&
+        least(col("a.len"), col("b.len")).cast("double") >=
+          lit(threshold) * greatest(col("a.len"), col("b.len"))
+      else extra
     if (!collapseExactDups) {
       // Lean path: band all docs directly — for corpora with few exact
       // copies, where the collapse machinery (4 extra exchanges + 2
@@ -188,10 +213,10 @@ object Dedup {
       // bench corpus (21% exact dups) the two are within ~1s; the
       // dominant cost either way is the ~100M-row candidate join that
       // pair density forces (~270s CPU across 32 cores).
-      val bucketed = bandedIdsFrom(toks, numHashes, bands, maxBucket)
-        .select("band", "id")
+      val bucketed =
+        bandedIdsFrom(toks, numHashes, bands, maxBucket, carryLen = lenPre)
       val cand = bucketed.as("a").join(bucketed.as("b"),
-          col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+          candCond(col("a.band") === col("b.band") && col("a.id") < col("b.id")))
         .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
         .agg(count(lit(1)).as("n_bands"))
         .select("id_a", "id_b")
@@ -262,10 +287,10 @@ object Dedup {
     // exchange — carrying both band-key arrays through the join and
     // zip_with-matching per emitted row cost MORE than the exchange; the
     // map-side-combinable groupBy stays.)
-    val bucketed = bandedIdsFrom(reps.select("id", "th"), numHashes, bands, maxBucket)
-      .select("band", "id")
+    val bucketed = bandedIdsFrom(reps.select("id", "th"), numHashes, bands,
+      maxBucket, carryLen = lenPre)
     val cand = bucketed.as("a").join(bucketed.as("b"),
-        col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+        candCond(col("a.band") === col("b.band") && col("a.id") < col("b.id")))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("n_bands")) // pair-dedup with map-side combine
       .select("id_a", "id_b")
@@ -311,9 +336,21 @@ object Dedup {
     // emitted pairs the batch op would never produce
     val ta = tokenized(corpus, idCol, textCol).filter(size(col("th")) > 0)
     val tb = tokenized(reference, idCol, textCol).filter(size(col("th")) > 0)
-    val ba = bandedIdsFrom(ta, numHashes, bands, maxBucket).select("band", "id")
-    val bb = bandedIdsFrom(tb, numHashes, bands, maxBucket).select("band", "id")
-    val cand = ba.as("a").join(bb.as("b"), col("a.band") === col("b.band"))
+    // same EXACT length-ratio prefilter as minhashNearDups: a candidate
+    // whose distinct-token counts differ beyond the threshold ratio
+    // cannot verify — dropped inside the band join, before the
+    // pair-dedup exchange and both token-array attach joins
+    val lenPre = threshold > 0 &&
+      sys.props.getOrElse("graft.minhash.lenfilter", "on") != "off"
+    val ba = bandedIdsFrom(ta, numHashes, bands, maxBucket, carryLen = lenPre)
+    val bb = bandedIdsFrom(tb, numHashes, bands, maxBucket, carryLen = lenPre)
+    val baseCond = col("a.band") === col("b.band")
+    val cond =
+      if (lenPre) baseCond &&
+        least(col("a.len"), col("b.len")).cast("double") >=
+          lit(threshold) * greatest(col("a.len"), col("b.len"))
+      else baseCond
+    val cand = ba.as("a").join(bb.as("b"), cond)
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("n_bands"))
       .select("id_a", "id_b")

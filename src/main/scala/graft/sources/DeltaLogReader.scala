@@ -146,7 +146,7 @@ object DeltaLogReader {
         else if (pq.isEmpty) None
         else {
           import org.apache.spark.sql.functions.col
-          val df = spark.read.parquet(pq.map(_.toString): _*)
+          val df = graft.GraftSession.readParquet(spark, pq.head.toString, pq.tail.map(_.toString): _*)
           if (!df.columns.contains("protocol")) None
           else {
             val pType = df.schema("protocol").dataType
@@ -361,7 +361,7 @@ object DeltaLogReader {
             s"multi-part checkpoint at v$cv incomplete: " +
               s"${parts.size} of $of parts present in $logDir")
           foldCheckpointParquet(
-            spark.read.parquet(parts.map(_._1.toString): _*))
+            graft.GraftSession.readParquet(spark, parts.head._1.toString, parts.tail.map(_._1.toString): _*))
         }
         val top0 = cpFiles.find(_.getName == s"$prefix.parquet")
           .orElse(cpFiles.filterNot(p =>
@@ -390,13 +390,13 @@ object DeltaLogReader {
             }
             sc.toSeq
           } else {
-            val actions = spark.read.parquet(top.toString)
+            val actions = graft.GraftSession.readParquet(spark, top.toString)
             foldCheckpointParquet(actions)
             sidecarsOf(actions)
           }
         if (sidecars.nonEmpty)
           foldCheckpointParquet(
-            spark.read.parquet(sidecars.map(sidecarPath): _*))
+            graft.GraftSession.readParquet(spark, sidecarPath(sidecars.head), sidecars.tail.map(sidecarPath): _*))
         }
         cv + 1
       case None =>
@@ -905,7 +905,7 @@ object DeltaLogReader {
           if (pq.isEmpty) None
           else {
             import org.apache.spark.sql.functions.{col, to_json}
-            val df = spark.read.parquet(pq.map(_.toString): _*)
+            val df = graft.GraftSession.readParquet(spark, pq.head.toString, pq.tail.map(_.toString): _*)
             if (!df.columns.contains("metaData")) None
             else df.filter(col("metaData").isNotNull)
               .select(to_json(col("metaData"))).collect().headOption

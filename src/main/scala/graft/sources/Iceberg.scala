@@ -611,7 +611,7 @@ object IcebergTable {
           .map { case (_, fs) => fs.maxBy(_.seq) }.toSeq
         var parts = Seq.empty[DataFrame]
         if (pqDels.nonEmpty) {
-          var pq = spark.read.parquet(pqDels.map(_.path): _*)
+          var pq = graft.GraftSession.readParquet(spark, pqDels.head.path, pqDels.tail.map(_.path): _*)
             .select(encNormUdf(col("file_path")).as("__g_fp"),
               col("pos").cast("long").as("__g_pos"))
           if (dvs.nonEmpty) {
@@ -683,8 +683,14 @@ object IcebergTable {
             throw new IllegalArgumentException(
               s"equality_ids field $id not in table schema " +
                 s"(top-level fields: ${idToName.values.mkString(", ")})")))
-          // per-file seq attaches the same way as on the data side
-          val delRows = spark.read.parquet(dels.map(_.path): _*)
+          // per-file seq attaches the same way as on the data side.
+          // readParquet memoizes the group's inferred schema by
+          // (paths, mtimes): a changelog call re-reads the same delete
+          // files once per pair side, and each bare read.parquet was a
+          // full footer schema-inference job (~100 ms of the
+          // q_iceberg_changelog wall per call — r17 JobTraceProbe)
+          val delRows = graft.GraftSession.readParquet(spark,
+              dels.head.path, dels.tail.map(_.path): _*)
             .withColumn("__g_dfp", normPath(col("_metadata.file_path")))
             .join(seqLookup(dels, "__g_dfp", "__g_dseq"), Seq("__g_dfp"))
             .select((cols.map(c => col(c).as(s"__g_eq_$c")) :+
@@ -811,7 +817,7 @@ object IcebergTable {
       changed = changed ++ newDvs.map(f => normSchemeless(f.referencedDataFile.get))
       if (newPosPq.nonEmpty) {
         import org.apache.spark.sql.functions.col
-        changed = changed ++ spark.read.parquet(newPosPq.map(_.path): _*)
+        changed = changed ++ graft.GraftSession.readParquet(spark, newPosPq.head.path, newPosPq.tail.map(_.path): _*)
           .select(col("file_path")).distinct()
           .collect().map(r => normSchemeless(r.getString(0)))
       }
@@ -2079,7 +2085,7 @@ object IcebergTable {
     if (oldPq.nonEmpty) {
       val affDf = broadcast(affected.map(p => (normSchemeless(p), p))
         .toDF("__g_nfp", "file_path"))
-      all = all.unionByName(spark.read.parquet(oldPq.map(_.path): _*)
+      all = all.unionByName(graft.GraftSession.readParquet(spark, oldPq.head.path, oldPq.tail.map(_.path): _*)
         .select(encNormUdf(col("file_path")).as("__g_nfp"),
           col("pos").cast("long").as("pos"))
         .join(affDf, Seq("__g_nfp"))

@@ -541,7 +541,7 @@ object PaimonTable {
       // foreign table whose schema declares primary keys over plain
       // rows (no _KEY_*/_SEQUENCE_NUMBER columns) would null-fill the
       // merge keys and silently mis-merge; probe and refuse instead.
-      val probe = spark.read.parquet(files.head).schema.fieldNames.toSet
+      val probe = graft.GraftSession.readParquet(spark, files.head).schema.fieldNames.toSet
       require(probe.contains("_SEQUENCE_NUMBER") &&
           probe.contains("_VALUE_KIND") &&
           sch.primaryKeys.forall(k => probe.contains(s"_KEY_$k")),
@@ -656,7 +656,7 @@ object PaimonTable {
     if (sch.partitionKeys.isEmpty)
       return spark.read.schema(sch.schema).parquet(files: _*)
     // does the data itself carry the partition columns?
-    val probe = spark.read.parquet(files.head).schema.fieldNames.toSet
+    val probe = graft.GraftSession.readParquet(spark, files.head).schema.fieldNames.toSet
     if (sch.partitionKeys.forall(probe.contains))
       spark.read.schema(sch.schema).parquet(files: _*)
     else {
@@ -740,7 +740,7 @@ object PaimonTable {
     // declares primary keys over PLAIN-row files would null-fill
     // _VALUE_KIND and emit every change row with row_kind = null —
     // silent garbage where the batch path refuses loudly
-    val probe = spark.read.parquet(files.head).schema.fieldNames.toSet
+    val probe = graft.GraftSession.readParquet(spark, files.head).schema.fieldNames.toSet
     require(probe.contains("_SEQUENCE_NUMBER") &&
         probe.contains("_VALUE_KIND") &&
         sch.primaryKeys.forall(k => probe.contains(s"_KEY_$k")),

@@ -27,15 +27,21 @@ object MinhashRepsProbe {
     spark.sparkContext.addSparkListener(CpuListener)
     spark.read.parquet(s"$sfDir/documents.parquet").count()
     val q = graft.SparkEntry.queries("q_dedup_minhash")
-    for (rep <- 1 to reps; mode <- Seq("widekey", "join", "first")) {
+    val arms = sys.env.get("GRAFT_PROBE_LENFILTER") match {
+      case Some(_) => Seq("join|off", "join|on")   // lenfilter A/B
+      case None    => Seq("widekey|on", "join|on", "first|on")
+    }
+    for (rep <- 1 to reps; arm <- arms) {
+      val Array(mode, lf) = arm.split("\\|")
       sys.props("graft.minhash.reps") = mode
+      sys.props("graft.minhash.lenfilter") = lf
       val cpu0 = CpuListener.cpuNs.get
       val t0 = System.nanoTime()
       q(spark, sfDir).write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
       Thread.sleep(80)
       val cpuS = (CpuListener.cpuNs.get - cpu0) / 1e9
-      println(f"REPS rep=$rep mode=$mode%-7s wall=$wall%.3f cpu=$cpuS%.1f")
+      println(f"REPS rep=$rep mode=$mode%-7s lenfilter=$lf%-3s wall=$wall%.3f cpu=$cpuS%.1f")
     }
     spark.stop()
   }

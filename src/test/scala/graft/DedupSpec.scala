@@ -83,6 +83,35 @@ class DedupSpec extends AnyFunSuite {
     assert(banded.contains((4L, 5L, 0.714286)))
   }
 
+  test("length-ratio candidate prefilter never changes results (exact bound)") {
+    import spark.implicits._
+    // lengths from 2 to ~40 distinct tokens, planted near-dups at both
+    // extremes, plus cross-length band-collision bait (shared common
+    // tokens) — the prefilter must drop only pairs that the threshold
+    // filter would drop anyway
+    val d = (Seq(
+      (1L, "alpha beta"), (2L, "alpha beta"), (3L, "alpha gamma"),
+      (4L, (1 to 40).map(i => s"tok$i").mkString(" ")),
+      (5L, ((1 to 38).map(i => s"tok$i") ++ Seq("x1", "x2")).mkString(" ")),
+      (6L, ("alpha beta " + (1 to 20).map(i => s"tok$i").mkString(" ")))
+    )).toDF("doc_id", "text")
+    def run(lf: String) = {
+      val prev = sys.props.put("graft.minhash.lenfilter", lf)
+      try graft.pipeline.Dedup
+        .minhashNearDups(d, "doc_id", "text", threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      finally prev match {
+        case Some(v) => sys.props.put("graft.minhash.lenfilter", v)
+        case None => sys.props.remove("graft.minhash.lenfilter")
+      }
+    }
+    val on = run("on")
+    val off = run("off")
+    assert(on == off, s"prefilter changed results: on=$on off=$off")
+    assert(on.exists(p => p._1 == 1L && p._2 == 2L)) // sanity: dups found
+  }
+
   test("minhashBucketStats surfaces rows a small cap would drop") {
     val dropped = Dedup.minhashBucketStats(docs, "doc_id", "text",
       numHashes = 128, bands = 32, maxBucket = 1)
