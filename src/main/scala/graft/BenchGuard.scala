@@ -41,6 +41,8 @@ object BenchGuard {
     * the committed clean records (BASELINE_bench_r12_clean.json,
     * BASELINE_bench_r13_final.json, BASELINE_bench_r14_best/clean.json,
     * BASELINE_bench_r15_clean.json, BASELINE_bench_r16_clean.json,
+    * BASELINE_bench_r17opt_w0-2.json (r17 contended-window minima on the
+    * round-17-optimized code — same upper-bound argument as r16opt),
     * BASELINE_bench_r16opt_w1-5.json — the r16opt records are
     * best-of-CONTENDED-window walls on the round-16-optimized code: no
     * clean window occurred during that round's end; contention only
@@ -54,7 +56,7 @@ object BenchGuard {
   val cleanFloorSf01: Map[String, Double] = Map(
     "q1_agg" -> 0.334,
     "q_ann_bruteforce" -> 0.224,
-    "q_asof_join" -> 0.284,
+    "q_asof_join" -> 0.279,
     "q_bm25" -> 0.459,
     "q_broadcast_join" -> 0.373,
     "q_dedup_minhash" -> 1.995,
@@ -69,15 +71,15 @@ object BenchGuard {
     "q_iceberg_eq_delete" -> 0.215,
     "q_iceberg_v2" -> 0.208,
     "q_lang_clf" -> 2.063,
-    "q_multi_join" -> 0.971,
+    "q_multi_join" -> 0.95,
     "q_ngram_decontam" -> 0.683,
     "q_paimon_pk" -> 0.23,
     "q_quality_clf" -> 1.851,
-    "q_range_join" -> 0.227,
+    "q_range_join" -> 0.21,
     "q_sessionize" -> 0.311,
     "q_token_count" -> 0.246,
-    "q_topn" -> 0.117,
-    "q_window_running" -> 0.326,
+    "q_topn" -> 0.112,
+    "q_window_running" -> 0.288,
     "q_except" -> 0.3,
     "q_anti_join" -> 0.3)
 
@@ -86,8 +88,8 @@ object BenchGuard {
     "q_bm25" -> 0.674,
     "q_dedup_minhash" -> 4.836,
     "q_dedup_simhash" -> 0.944,
-    "q_dsir" -> 2.77,
-    "q_dup_components" -> 8.674,
+    "q_dsir" -> 2.651,
+    "q_dup_components" -> 6.959,
     "q_iceberg_changelog" -> 0.518,
     "q_lang_clf" -> 3.329,
     "q_multi_join" -> 2.915,
