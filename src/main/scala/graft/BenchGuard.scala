@@ -56,42 +56,42 @@ object BenchGuard {
   val cleanFloorSf01: Map[String, Double] = Map(
     "q1_agg" -> 0.334,
     "q_ann_bruteforce" -> 0.224,
-    "q_asof_join" -> 0.279,
-    "q_bm25" -> 0.459,
-    "q_broadcast_join" -> 0.373,
+    "q_anti_join" -> 0.3,
+    "q_asof_join" -> 0.26,
+    "q_bm25" -> 0.437,
+    "q_broadcast_join" -> 0.353,
     "q_dedup_minhash" -> 1.995,
     "q_dedup_simhash" -> 0.709,
     "q_delta_colmap_id" -> 0.057,
     "q_delta_dv" -> 0.126,
     "q_dfs_sql" -> 0.226,
-    "q_dsir" -> 1.139,
+    "q_dsir" -> 1.046,
     "q_dup_components" -> 2.263,
     "q_embed_neardup" -> 0.265,
+    "q_except" -> 0.3,
     "q_iceberg_changelog" -> 0.547,
-    "q_iceberg_eq_delete" -> 0.215,
+    "q_iceberg_eq_delete" -> 0.209,
     "q_iceberg_v2" -> 0.208,
     "q_lang_clf" -> 2.063,
-    "q_multi_join" -> 0.95,
+    "q_multi_join" -> 0.808,
     "q_ngram_decontam" -> 0.683,
     "q_paimon_pk" -> 0.23,
     "q_quality_clf" -> 1.851,
-    "q_range_join" -> 0.21,
+    "q_range_join" -> 0.197,
     "q_sessionize" -> 0.311,
-    "q_token_count" -> 0.246,
-    "q_topn" -> 0.112,
-    "q_window_running" -> 0.288,
-    "q_except" -> 0.3,
-    "q_anti_join" -> 0.3)
+    "q_token_count" -> 0.219,
+    "q_topn" -> 0.102,
+    "q_window_running" -> 0.288)
 
   /** sf1 (10x corpus) tier floors, same provenance. */
   val cleanFloorSf1: Map[String, Double] = Map(
     "q_bm25" -> 0.674,
     "q_dedup_minhash" -> 4.836,
     "q_dedup_simhash" -> 0.944,
-    "q_dsir" -> 2.651,
+    "q_dsir" -> 2.389,
     "q_dup_components" -> 6.959,
     "q_iceberg_changelog" -> 0.518,
-    "q_lang_clf" -> 3.329,
+    "q_lang_clf" -> 3.237,
     "q_multi_join" -> 2.915,
     "q_quality_clf" -> 2.572)
 
